@@ -1,0 +1,91 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.types._
+import Util._
+
+/** Event-stream operators (north-star surface, SURVEY.md §2.9). These are the
+  * batch twins of the Structured Streaming plans in `graft.streaming`; the
+  * oracle checks the batch semantics (tumbling windows, sessionization,
+  * as-of join) exactly.
+  *
+  * Scale notes: everything here shuffles once on `user_id` (or the window
+  * key) and is window/partial-agg friendly. The as-of join uses the
+  * union+sort-within-partition pattern — one shuffle, no per-row subquery,
+  * no O(n^2) pair blowup — which is the 100 TB-safe formulation.
+  */
+object Events {
+
+  val queries: Map[String, Q] = Map(
+    // ---- q18: as-of join — for each purchase, the latest click strictly
+    //      before it by the same user (argmax over (ts, event_id)). ----
+    "q18_asof_join" -> ((s, dir) => {
+      import s.implicits._
+      val e = t(s, dir, "events")
+      // Union the two sides; on ts ties purchases sort before clicks so a
+      // click at exactly the purchase ts is NOT matched (strict <).
+      val tagged = e.filter($"event_type".isin("click", "purchase"))
+        .select($"event_id", $"user_id", $"ts",
+          when($"event_type" === "click", $"event_id").as("click_id"),
+          when($"event_type" === "purchase", lit(1)).otherwise(lit(2)).as("kind"))
+      val w = Window.partitionBy($"user_id").orderBy($"ts", $"kind", $"event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      tagged
+        .withColumn("matched", last($"click_id", ignoreNulls = true).over(w))
+        .filter($"kind" === 1)
+        .select($"event_id".as("purchase_id"), $"user_id", $"matched".as("click_id"))
+        .orderBy($"purchase_id")
+    }),
+
+    // ---- q21: tumbling 1-hour window aggregation (epoch-aligned) ----
+    "q21_tumbling_window" -> ((s, dir) => {
+      import s.implicits._
+      t(s, dir, "events")
+        .groupBy(window($"ts", "1 hour").as("w"), $"event_type")
+        .agg(count(lit(1)).as("n_events"), dsum($"value", 6).as("sum_value"))
+        .select(unix_timestamp($"w.start").as("window_start"), $"event_type",
+          $"n_events", $"sum_value")
+        .orderBy($"window_start", $"event_type")
+    }),
+
+    // ---- q22: sessionization (30-min inactivity gap), gaps-and-islands ----
+    "q22_sessionize" -> ((s, dir) => {
+      import s.implicits._
+      val w = Window.partitionBy($"user_id").orderBy($"ts", $"event_id")
+      t(s, dir, "events")
+        .withColumn("prev_us", lag(unix_micros($"ts"), 1).over(w))
+        .withColumn("new_sess",
+          when($"prev_us".isNull || (unix_micros($"ts") - $"prev_us") > 1800L * 1000000L, 1))
+        .groupBy($"user_id")
+        .agg(count($"new_sess").as("n_sessions"), count(lit(1)).as("n_events"))
+        .orderBy($"user_id")
+    })
+  )
+
+  val oracle: Map[String, String] = Map(
+    "q18_asof_join" ->
+      """SELECT p.event_id AS purchase_id, p.user_id,
+        | (SELECT c.event_id FROM events c
+        |   WHERE c.user_id = p.user_id AND c.event_type = 'click' AND c.ts < p.ts
+        |   ORDER BY c.ts DESC, c.event_id DESC LIMIT 1) AS click_id
+        |FROM events p WHERE p.event_type = 'purchase'
+        |ORDER BY purchase_id""".stripMargin,
+
+    "q21_tumbling_window" ->
+      """SELECT CAST(floor(epoch(ts) / 3600) AS BIGINT) * 3600 AS window_start, event_type,
+        | COUNT(*) AS n_events,
+        | CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
+        |FROM events GROUP BY 1, 2 ORDER BY window_start, event_type""".stripMargin,
+
+    "q22_sessionize" ->
+      """WITH x AS (
+        | SELECT user_id, epoch_us(ts) AS us,
+        |  lag(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_us
+        | FROM events)
+        |SELECT user_id,
+        | COUNT(*) FILTER (WHERE prev_us IS NULL OR us - prev_us > 1800000000) AS n_sessions,
+        | COUNT(*) AS n_events
+        |FROM x GROUP BY user_id ORDER BY user_id""".stripMargin
+  )
+}

@@ -1,0 +1,382 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.types._
+import Util._
+
+/** Relational surface per SURVEY.md §2.5/§2.6/§2.7: the reference delegates
+  * all of this to OGR SQL / Polars (reference README.md:33-44); in the Spark
+  * rebuild it IS Spark SQL. Each query is written Spark-first (declarative
+  * DataFrame API, broadcast hints for dims, decimal-exact aggregation) and
+  * has a DuckDB oracle twin in `oracle`.
+  *
+  * Scale notes (100 TB): dimension tables (region/nation/customer/supplier/
+  * part) are broadcast — no shuffle of the fact table for dim joins; fact-
+  * fact joins shuffle on their natural key; every aggregate is partial-agg
+  * friendly (decimal sum / count / min / max).
+  */
+object Relational {
+
+  val queries: Map[String, Q] = Map(
+    // ---- q01: TPC-H Q1-style pricing summary (hash agg, partial+final) ----
+    "q01_pricing_summary" -> ((s, dir) => {
+      import s.implicits._
+      t(s, dir, "lineitem")
+        .groupBy($"l_returnflag", $"l_linestatus")
+        .agg(
+          dsum($"l_quantity").as("sum_qty"),
+          dsum($"l_extendedprice").as("sum_base_price"),
+          sum(dec($"l_extendedprice") * (lit(1).cast(DecimalType(18, 2)) - dec($"l_discount")))
+            .cast(DoubleType).as("sum_disc_price"),
+          davg($"l_quantity").as("avg_qty"),
+          davg($"l_extendedprice").as("avg_price"),
+          count(lit(1)).as("count_order"))
+        .orderBy($"l_returnflag", $"l_linestatus")
+    }),
+
+    // ---- q02: filter + projection (pushdown reaches parquet scan) ----
+    "q02_filter_project" -> ((s, dir) => {
+      import s.implicits._
+      t(s, dir, "lineitem")
+        .filter($"l_shipdate" >= lit("1999-01-01").cast(TimestampType) &&
+          $"l_shipdate" < lit("2000-01-01").cast(TimestampType) &&
+          $"l_discount" > 0.05 && $"l_quantity" < 10.0)
+        .select($"l_orderkey", $"l_linenumber", $"l_quantity", $"l_extendedprice")
+        .orderBy($"l_orderkey", $"l_linenumber")
+    }),
+
+    // ---- q03: star join, dims broadcast (no fact shuffle for the join) ----
+    "q03_join_broadcast" -> ((s, dir) => {
+      import s.implicits._
+      val dim = t(s, dir, "customer")
+        .join(broadcast(t(s, dir, "nation")), $"c_nationkey" === $"n_nationkey")
+        .join(broadcast(t(s, dir, "region")), $"n_regionkey" === $"r_regionkey")
+        .select($"c_custkey", $"n_name", $"r_name")
+      t(s, dir, "orders")
+        .join(broadcast(dim), $"o_custkey" === $"c_custkey")
+        .groupBy($"r_name", $"n_name")
+        .agg(count(lit(1)).as("num_orders"), dsum($"o_totalprice").as("total_revenue"))
+        .orderBy($"r_name", $"n_name")
+    }),
+
+    // ---- q04: fact-fact join (shuffle on orderkey; AQE picks strategy) ----
+    "q04_join_fact" -> ((s, dir) => {
+      import s.implicits._
+      t(s, dir, "lineitem")
+        .join(t(s, dir, "orders"), $"l_orderkey" === $"o_orderkey")
+        .groupBy($"o_orderpriority")
+        .agg(
+          count(lit(1)).as("num_items"),
+          sum(dec($"l_extendedprice") * (lit(1).cast(DecimalType(18, 2)) - dec($"l_discount")))
+            .cast(DoubleType).as("revenue"))
+        .orderBy($"o_orderpriority")
+    }),
+
+    // ---- q05: left-semi join (EXISTS) ----
+    "q05_semi_join" -> ((s, dir) => {
+      import s.implicits._
+      val bigOrders = t(s, dir, "orders").filter($"o_totalprice" > 400000.0)
+      t(s, dir, "customer")
+        .join(bigOrders, $"c_custkey" === $"o_custkey", "left_semi")
+        .select($"c_custkey", $"c_name", $"c_mktsegment")
+        .orderBy($"c_custkey")
+    }),
+
+    // ---- q06: left-anti join (NOT EXISTS): customers with no events ----
+    "q06_anti_join" -> ((s, dir) => {
+      import s.implicits._
+      t(s, dir, "customer")
+        .join(t(s, dir, "events"), $"c_custkey" === $"user_id", "left_anti")
+        .select($"c_custkey", $"c_nationkey")
+        .orderBy($"c_custkey")
+    }),
+
+    // ---- q07: window row_number — top-3 orders per customer ----
+    "q07_window_topk" -> ((s, dir) => {
+      import s.implicits._
+      val w = Window.partitionBy($"o_custkey").orderBy($"o_totalprice".desc, $"o_orderkey")
+      t(s, dir, "orders")
+        .withColumn("rnk", row_number().over(w).cast(LongType))
+        .filter($"rnk" <= 3)
+        .select($"o_custkey", $"rnk", $"o_orderkey", $"o_totalprice")
+        .orderBy($"o_custkey", $"rnk")
+    }),
+
+    // ---- q08: running window aggregate (decimal-exact running sum) ----
+    "q08_window_running" -> ((s, dir) => {
+      import s.implicits._
+      val w = Window.partitionBy($"o_custkey").orderBy($"o_orderdate", $"o_orderkey")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      t(s, dir, "orders")
+        .withColumn("running_spend", sum(dec($"o_totalprice")).over(w).cast(DoubleType))
+        .withColumn("order_seq", row_number().over(
+          Window.partitionBy($"o_custkey").orderBy($"o_orderdate", $"o_orderkey")).cast(LongType))
+        .select($"o_custkey", $"order_seq", $"o_orderkey", $"running_spend")
+        .orderBy($"o_custkey", $"order_seq")
+    }),
+
+    // ---- q09: distinct ----
+    "q09_distinct" -> ((s, dir) => {
+      import s.implicits._
+      t(s, dir, "lineitem")
+        .select($"l_returnflag", $"l_linestatus", year($"l_shipdate").cast(LongType).as("ship_year"))
+        .distinct()
+        .orderBy($"l_returnflag", $"l_linestatus", $"ship_year")
+    }),
+
+    // ---- q10: set operations (INTERSECT / EXCEPT) ----
+    "q10_set_ops" -> ((s, dir) => {
+      import s.implicits._
+      val custNations = t(s, dir, "customer")
+        .join(broadcast(t(s, dir, "nation")), $"c_nationkey" === $"n_nationkey")
+        .select($"n_name").distinct()
+      val suppNations = t(s, dir, "supplier")
+        .join(broadcast(t(s, dir, "nation")), $"s_nationkey" === $"n_nationkey")
+        .select($"n_name").distinct()
+      custNations.intersect(suppNations).withColumn("op", lit("both"))
+        .unionAll(custNations.except(suppNations).withColumn("op", lit("cust_only")))
+        .select($"op", $"n_name")
+        .orderBy($"op", $"n_name")
+    }),
+
+    // ---- q11: rollup ----
+    "q11_rollup" -> ((s, dir) => {
+      import s.implicits._
+      t(s, dir, "customer")
+        .join(broadcast(t(s, dir, "nation")), $"c_nationkey" === $"n_nationkey")
+        .join(broadcast(t(s, dir, "region")), $"n_regionkey" === $"r_regionkey")
+        .rollup($"r_name", $"n_name")
+        .agg(count(lit(1)).as("n_cust"), dsum($"c_acctbal").as("total_bal"))
+        .orderBy($"r_name".asc_nulls_first, $"n_name".asc_nulls_first)
+    }),
+
+    // ---- q12: global top-k (TakeOrderedAndProject) ----
+    "q12_topk_global" -> ((s, dir) => {
+      import s.implicits._
+      t(s, dir, "orders")
+        .orderBy($"o_totalprice".desc, $"o_orderkey")
+        .limit(10)
+        .select($"o_orderkey", $"o_custkey", $"o_totalprice")
+    }),
+
+    // ---- q13: scalar subquery (orders above 1.5x average price) ----
+    "q13_scalar_subquery" -> ((s, dir) => {
+      import s.implicits._
+      val o = t(s, dir, "orders")
+      val threshold = o.agg((davg($"o_totalprice") * 1.5).as("thr"))
+      o.join(broadcast(threshold))
+        .filter($"o_totalprice" > $"thr")
+        .select($"o_orderkey", $"o_totalprice")
+        .orderBy($"o_orderkey")
+    }),
+
+    // ---- q14: conditional aggregation / pivot-style on events ----
+    "q14_conditional_agg" -> ((s, dir) => {
+      import s.implicits._
+      t(s, dir, "events")
+        .groupBy(unix_timestamp(date_trunc("DAY", $"ts")).as("day_start"))
+        .agg(
+          count(when($"event_type" === "click", 1)).as("n_click"),
+          count(when($"event_type" === "view", 1)).as("n_view"),
+          count(when($"event_type" === "purchase", 1)).as("n_purchase"),
+          count(when($"event_type" === "signup", 1)).as("n_signup"),
+          count(when($"event_type" === "error", 1)).as("n_error"),
+          sum(when($"event_type" === "purchase", dec($"value", 6))).cast(DoubleType)
+            .as("purchase_value"))
+        .orderBy($"day_start")
+    }),
+
+    // ---- q15: date extraction / truncation ----
+    "q15_date_extract" -> ((s, dir) => {
+      import s.implicits._
+      t(s, dir, "orders")
+        .groupBy(year($"o_orderdate").cast(LongType).as("yr"),
+          month($"o_orderdate").cast(LongType).as("mo"))
+        .agg(count(lit(1)).as("n_orders"), dsum($"o_totalprice").as("revenue"))
+        .orderBy($"yr", $"mo")
+    }),
+
+    // ---- q16: string functions ----
+    "q16_string_funcs" -> ((s, dir) => {
+      import s.implicits._
+      t(s, dir, "part")
+        .select(
+          $"p_partkey",
+          upper($"p_name").as("up_name"),
+          substring($"p_type", 1, 6).as("type_prefix"),
+          length($"p_name").cast(LongType).as("name_len"),
+          concat($"p_brand", lit("#"), $"p_type").as("brand_type"),
+          $"p_name".contains("gold").as("has_gold"))
+        .orderBy($"p_partkey")
+    }),
+
+    // ---- q17: range (non-equi) join against broadcast band table ----
+    "q17_range_join" -> ((s, dir) => {
+      import s.implicits._
+      val bands = t(s, dir, "region").select(
+        $"r_regionkey".as("band_id"),
+        (lit(900.0) + $"r_regionkey" * 20.0).as("lo"),
+        (lit(930.0) + $"r_regionkey" * 20.0).as("hi"))
+      t(s, dir, "part")
+        .join(broadcast(bands), $"p_retailprice" >= $"lo" && $"p_retailprice" < $"hi")
+        .groupBy($"band_id")
+        .agg(count(lit(1)).as("n_parts"),
+          min($"p_partkey").as("min_part"), max($"p_partkey").as("max_part"))
+        .orderBy($"band_id")
+    }),
+
+    // ---- q19: cube ----
+    "q19_cube" -> ((s, dir) => {
+      import s.implicits._
+      t(s, dir, "orders")
+        .join(broadcast(t(s, dir, "customer")), $"o_custkey" === $"c_custkey")
+        .cube($"c_mktsegment", $"o_orderstatus")
+        .agg(count(lit(1)).as("n_orders"), dsum($"o_totalprice").as("revenue"))
+        .orderBy($"c_mktsegment".asc_nulls_first, $"o_orderstatus".asc_nulls_first)
+    }),
+
+    // ---- q20: group-by + having ----
+    "q20_having" -> ((s, dir) => {
+      import s.implicits._
+      t(s, dir, "orders")
+        .groupBy($"o_custkey")
+        .agg(count(lit(1)).as("n_orders"), dsum($"o_totalprice").as("spend"))
+        .filter($"n_orders" >= 15)
+        .orderBy($"o_custkey")
+    })
+  )
+
+  val oracle: Map[String, String] = Map(
+    "q01_pricing_summary" ->
+      """SELECT l_returnflag, l_linestatus,
+        | CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+        | CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
+        | CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS sum_disc_price,
+        | CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*) AS avg_qty,
+        | CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*) AS avg_price,
+        | COUNT(*) AS count_order
+        |FROM lineitem GROUP BY l_returnflag, l_linestatus
+        |ORDER BY l_returnflag, l_linestatus""".stripMargin,
+
+    "q02_filter_project" ->
+      """SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice
+        |FROM lineitem
+        |WHERE l_shipdate >= TIMESTAMP '1999-01-01' AND l_shipdate < TIMESTAMP '2000-01-01'
+        |  AND l_discount > 0.05 AND l_quantity < 10.0
+        |ORDER BY l_orderkey, l_linenumber""".stripMargin,
+
+    "q03_join_broadcast" ->
+      """SELECT r_name, n_name, COUNT(*) AS num_orders,
+        | CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_revenue
+        |FROM orders
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN nation ON c_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |GROUP BY r_name, n_name ORDER BY r_name, n_name""".stripMargin,
+
+    "q04_join_fact" ->
+      """SELECT o_orderpriority, COUNT(*) AS num_items,
+        | CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
+
+    "q05_semi_join" ->
+      """SELECT c_custkey, c_name, c_mktsegment FROM customer
+        |WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey AND o_totalprice > 400000.0)
+        |ORDER BY c_custkey""".stripMargin,
+
+    "q06_anti_join" ->
+      """SELECT c_custkey, c_nationkey FROM customer
+        |WHERE NOT EXISTS (SELECT 1 FROM events WHERE user_id = c_custkey)
+        |ORDER BY c_custkey""".stripMargin,
+
+    "q07_window_topk" ->
+      """SELECT o_custkey, rnk, o_orderkey, o_totalprice FROM (
+        | SELECT o_custkey, o_orderkey, o_totalprice,
+        |  CAST(ROW_NUMBER() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey) AS BIGINT) AS rnk
+        | FROM orders) x
+        |WHERE rnk <= 3 ORDER BY o_custkey, rnk""".stripMargin,
+
+    "q08_window_running" ->
+      """SELECT o_custkey, order_seq, o_orderkey, running_spend FROM (
+        | SELECT o_custkey, o_orderkey,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS running_spend,
+        |  CAST(ROW_NUMBER() OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey) AS BIGINT) AS order_seq
+        | FROM orders) x
+        |ORDER BY o_custkey, order_seq""".stripMargin,
+
+    "q09_distinct" ->
+      """SELECT DISTINCT l_returnflag, l_linestatus, CAST(year(l_shipdate) AS BIGINT) AS ship_year
+        |FROM lineitem ORDER BY l_returnflag, l_linestatus, ship_year""".stripMargin,
+
+    "q10_set_ops" ->
+      """WITH cn AS (SELECT DISTINCT n_name FROM customer JOIN nation ON c_nationkey = n_nationkey),
+        |     sn AS (SELECT DISTINCT n_name FROM supplier JOIN nation ON s_nationkey = n_nationkey)
+        |SELECT 'both' AS op, n_name FROM (SELECT n_name FROM cn INTERSECT SELECT n_name FROM sn) a
+        |UNION ALL
+        |SELECT 'cust_only' AS op, n_name FROM (SELECT n_name FROM cn EXCEPT SELECT n_name FROM sn) b
+        |ORDER BY op, n_name""".stripMargin,
+
+    "q11_rollup" ->
+      """SELECT r_name, n_name, COUNT(*) AS n_cust,
+        | CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS total_bal
+        |FROM customer
+        |JOIN nation ON c_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |GROUP BY ROLLUP (r_name, n_name)
+        |ORDER BY r_name NULLS FIRST, n_name NULLS FIRST""".stripMargin,
+
+    "q12_topk_global" ->
+      """SELECT o_orderkey, o_custkey, o_totalprice FROM orders
+        |ORDER BY o_totalprice DESC, o_orderkey LIMIT 10""".stripMargin,
+
+    "q13_scalar_subquery" ->
+      """SELECT o_orderkey, o_totalprice FROM orders
+        |WHERE o_totalprice > (SELECT CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*) * 1.5 FROM orders)
+        |ORDER BY o_orderkey""".stripMargin,
+
+    "q14_conditional_agg" ->
+      """SELECT CAST(epoch(date_trunc('day', ts)) AS BIGINT) AS day_start,
+        | COUNT(*) FILTER (WHERE event_type = 'click') AS n_click,
+        | COUNT(*) FILTER (WHERE event_type = 'view') AS n_view,
+        | COUNT(*) FILTER (WHERE event_type = 'purchase') AS n_purchase,
+        | COUNT(*) FILTER (WHERE event_type = 'signup') AS n_signup,
+        | COUNT(*) FILTER (WHERE event_type = 'error') AS n_error,
+        | CAST(SUM(CASE WHEN event_type = 'purchase' THEN CAST(value AS DECIMAL(18,6)) END) AS DOUBLE) AS purchase_value
+        |FROM events GROUP BY 1 ORDER BY day_start""".stripMargin,
+
+    "q15_date_extract" ->
+      """SELECT CAST(year(o_orderdate) AS BIGINT) AS yr, CAST(month(o_orderdate) AS BIGINT) AS mo,
+        | COUNT(*) AS n_orders, CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+        |FROM orders GROUP BY 1, 2 ORDER BY yr, mo""".stripMargin,
+
+    "q16_string_funcs" ->
+      """SELECT p_partkey, UPPER(p_name) AS up_name, SUBSTRING(p_type, 1, 6) AS type_prefix,
+        | CAST(LENGTH(p_name) AS BIGINT) AS name_len,
+        | p_brand || '#' || p_type AS brand_type,
+        | p_name LIKE '%gold%' AS has_gold
+        |FROM part ORDER BY p_partkey""".stripMargin,
+
+    "q17_range_join" ->
+      """SELECT r_regionkey AS band_id, COUNT(*) AS n_parts,
+        | MIN(p_partkey) AS min_part, MAX(p_partkey) AS max_part
+        |FROM region JOIN part
+        |  ON p_retailprice >= 900.0 + r_regionkey * 20.0
+        | AND p_retailprice <  930.0 + r_regionkey * 20.0
+        |GROUP BY 1 ORDER BY band_id""".stripMargin,
+
+    "q19_cube" ->
+      """SELECT c_mktsegment, o_orderstatus, COUNT(*) AS n_orders,
+        | CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+        |FROM orders JOIN customer ON o_custkey = c_custkey
+        |GROUP BY CUBE (c_mktsegment, o_orderstatus)
+        |ORDER BY c_mktsegment NULLS FIRST, o_orderstatus NULLS FIRST""".stripMargin,
+
+    "q20_having" ->
+      """SELECT o_custkey, COUNT(*) AS n_orders,
+        | CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS spend
+        |FROM orders GROUP BY o_custkey HAVING COUNT(*) >= 15
+        |ORDER BY o_custkey""".stripMargin
+  )
+}

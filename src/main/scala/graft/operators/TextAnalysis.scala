@@ -1,0 +1,142 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import Util._
+
+/** Text-analysis suite over `documents` (north-star LLM-pipeline surface):
+  * language-ID (stopword-marker heuristic), quality scoring, token counting
+  * (whitespace + BPE-ish regex), and content fingerprinting.
+  *
+  * Every op is a pure per-row projection — embarrassingly parallel, no
+  * shuffle, fully whole-stage-codegen'd — so it scales linearly. Patterns
+  * are kept in the RE2 ∩ Java-regex common dialect so the DuckDB oracle can
+  * run the structurally identical expression.
+  */
+object TextAnalysis {
+
+  // Marker stopwords per language (classic dictionary heuristic; scores are
+  // deterministic, arg-max with a fixed tie-break order en>de>es>fr>zh).
+  private val markers = Map(
+    "en" -> "(the|and|of|is|in)",
+    "de" -> "(der|die|und|ist|das)",
+    "es" -> "(el|la|que|los|y)",
+    "fr" -> "(le|les|des|et|un)",
+    "zh" -> "(de|shi|le|wo|ni)")
+
+  val queries: Map[String, Q] = Map(
+    // ---- q29: language identification ----
+    "q29_langid" -> ((s, dir) => {
+      import s.implicits._
+      val scored = markers.foldLeft(t(s, dir, "documents")) { case (df, (l, pat)) =>
+        df.withColumn(s"s_$l", regexp_count(lower($"text"), lit("\\b" + pat + "\\b")).cast(LongType))
+      }
+      scored
+        .withColumn("pred_lang",
+          when($"s_en" >= $"s_de" && $"s_en" >= $"s_es" && $"s_en" >= $"s_fr" && $"s_en" >= $"s_zh", "en")
+            .when($"s_de" >= $"s_es" && $"s_de" >= $"s_fr" && $"s_de" >= $"s_zh", "de")
+            .when($"s_es" >= $"s_fr" && $"s_es" >= $"s_zh", "es")
+            .when($"s_fr" >= $"s_zh", "fr")
+            .otherwise("zh"))
+        .select($"doc_id", $"pred_lang", ($"pred_lang" === $"lang").as("is_match"))
+        .orderBy($"doc_id")
+    }),
+
+    // ---- q30: quality scoring ----
+    "q30_text_quality" -> ((s, dir) => {
+      import s.implicits._
+      t(s, dir, "documents")
+        .withColumn("n_tokens", regexp_count($"text", lit("\\S+")).cast(LongType))
+        .withColumn("n_punct", regexp_count($"text", lit("[^A-Za-z0-9\\s]")).cast(LongType))
+        .withColumn("n_stop", regexp_count(lower($"text"), lit("\\b(the|a|of|and|is|in|to)\\b")).cast(LongType))
+        .withColumn("char_len", length($"text").cast(LongType))
+        .withColumn("stop_ratio", $"n_stop" / $"n_tokens")
+        .withColumn("quality_score",
+          lit(0.5) * ($"n_stop" / $"n_tokens") + lit(0.5) * (lit(1.0) - $"n_punct" / $"char_len"))
+        .select($"doc_id", $"n_tokens", $"n_punct", $"n_stop", $"char_len",
+          $"stop_ratio", $"quality_score")
+        .orderBy($"doc_id")
+    }),
+
+    // ---- q31: token counting (whitespace + BPE-ish regex) ----
+    "q31_token_count" -> ((s, dir) => {
+      import s.implicits._
+      t(s, dir, "documents")
+        .select($"doc_id",
+          regexp_count($"text", lit("\\S+")).cast(LongType).as("ws_tokens"),
+          regexp_count($"text", lit("[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]")).cast(LongType).as("bpe_tokens"))
+        .orderBy($"doc_id")
+    }),
+
+    // ---- q32: document fingerprint (normalized-content hash) ----
+    "q32_fingerprint" -> ((s, dir) => {
+      import s.implicits._
+      t(s, dir, "documents")
+        .select($"doc_id",
+          md5(regexp_replace(lower($"text"), "[^a-z0-9]", "")).as("fp"))
+        .orderBy($"doc_id")
+    }),
+
+    // ---- q33: multimodal column plumbing (binary length + first byte);
+    //      the decode path itself is the mapPartitions stub in Multimodal ----
+    "q33_multimodal_meta" -> ((s, dir) => {
+      import s.implicits._
+      t(s, dir, "documents")
+        .select($"doc_id",
+          octet_length($"text").cast(LongType).as("n_bytes"),
+          ascii(substring($"text", 1, 1)).cast(LongType).as("first_byte"))
+        .orderBy($"doc_id")
+    })
+  )
+
+  private def langidSql: String = {
+    def cnt(pat: String) = s"len(regexp_extract_all(lower(text), '\\b$pat\\b'))"
+    s"""WITH scored AS (
+       | SELECT doc_id, lang,
+       |  ${cnt(markers("en"))} AS s_en, ${cnt(markers("de"))} AS s_de,
+       |  ${cnt(markers("es"))} AS s_es, ${cnt(markers("fr"))} AS s_fr,
+       |  ${cnt(markers("zh"))} AS s_zh
+       | FROM documents)
+       |SELECT doc_id, pred_lang, pred_lang = lang AS is_match FROM (
+       | SELECT doc_id, lang,
+       |  CASE WHEN s_en >= s_de AND s_en >= s_es AND s_en >= s_fr AND s_en >= s_zh THEN 'en'
+       |       WHEN s_de >= s_es AND s_de >= s_fr AND s_de >= s_zh THEN 'de'
+       |       WHEN s_es >= s_fr AND s_es >= s_zh THEN 'es'
+       |       WHEN s_fr >= s_zh THEN 'fr'
+       |       ELSE 'zh' END AS pred_lang
+       | FROM scored) x
+       |ORDER BY doc_id""".stripMargin
+  }
+
+  val oracle: Map[String, String] = Map(
+    "q29_langid" -> langidSql,
+
+    "q30_text_quality" ->
+      """WITH x AS (
+        | SELECT doc_id,
+        |  CAST(len(regexp_extract_all(text, '\S+')) AS BIGINT) AS n_tokens,
+        |  CAST(len(regexp_extract_all(text, '[^A-Za-z0-9\s]')) AS BIGINT) AS n_punct,
+        |  CAST(len(regexp_extract_all(lower(text), '\b(the|a|of|and|is|in|to)\b')) AS BIGINT) AS n_stop,
+        |  CAST(length(text) AS BIGINT) AS char_len
+        | FROM documents)
+        |SELECT doc_id, n_tokens, n_punct, n_stop, char_len,
+        | n_stop / n_tokens AS stop_ratio,
+        | 0.5 * (n_stop / n_tokens) + 0.5 * (1.0 - n_punct / char_len) AS quality_score
+        |FROM x ORDER BY doc_id""".stripMargin,
+
+    "q31_token_count" ->
+      """SELECT doc_id,
+        | CAST(len(regexp_extract_all(text, '\S+')) AS BIGINT) AS ws_tokens,
+        | CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]')) AS BIGINT) AS bpe_tokens
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "q32_fingerprint" ->
+      """SELECT doc_id, md5(regexp_replace(lower(text), '[^a-z0-9]', '', 'g')) AS fp
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "q33_multimodal_meta" ->
+      """SELECT doc_id, CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+        | CAST(ascii(substring(text, 1, 1)) AS BIGINT) AS first_byte
+        |FROM documents ORDER BY doc_id""".stripMargin
+  )
+}
