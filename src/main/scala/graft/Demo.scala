@@ -1,0 +1,52 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+/** End-to-end demo of the GDAL-parity surface: the reference README's
+  * examples (read, SQL filter, geometry projections, bytes round-trip)
+  * re-expressed against this engine. Run:
+  * `sbt "runMain graft.Demo /root/reference/test_data"` */
+object Demo {
+  def main(args: Array[String]): Unit = {
+    val fixtures = args.headOption.getOrElse("/root/reference/test_data")
+    val spark = SparkSession.builder().master("local[4]")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    graft.functions.GraftFunctions.register(spark)
+
+    // Example 1: read a GeoJSON resource (reference README.md:17-31)
+    val states = spark.read.format("geojson")
+      .load(s"$fixtures/us_states.feature_collection.implicit_4326.json")
+    println(s"[demo] us_states: ${states.count} rows, ${states.schema.fields.length} cols")
+
+    // Example 3: SQL filter + geometry projection (reference README.md:33-44)
+    states.createOrReplaceTempView("states")
+    spark.sql(
+      """SELECT name, iso_3166_2, substring(st_aswkt(geometry), 1, 40) AS wkt40
+        |FROM states WHERE iso_3166_2 IN ('US-MN', 'US-CA') ORDER BY name""".stripMargin)
+      .show(false)
+
+    // Lat/lon CSV with point synthesis (reference README.md:46-54)
+    val countries = spark.read.format("csvgeo").load(s"$fixtures/lat_lon_countries.csv")
+    countries.createOrReplaceTempView("countries")
+    spark.sql(
+      """SELECT Country, st_x(geometry) AS lon, st_y(geometry) AS lat
+        |FROM countries WHERE Country LIKE 'A%' ORDER BY Country LIMIT 5""".stripMargin)
+      .show(false)
+
+    // Shapefile (+zip via bytes hint, reference src/test.rs:43-52)
+    val stations = spark.read.format("shapefile").load(s"$fixtures/stations.shp")
+    println(s"[demo] stations.shp: ${stations.count} rows; fields=${stations.schema.fieldNames.mkString(",")}")
+    val zipBytes = java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(s"$fixtures/stations_shapefile.shp.zip"))
+    println(s"[demo] stations zip bytes: ${GdalRead.fromBytes(spark, zipBytes, Some("stations.shp.zip")).count} rows")
+
+    // Write path: DataFrame -> GeoJSON bytes (reference src/test.rs:146-158)
+    val bytes = GdalWrite.toBytes(states.select("name", "geometry").limit(2))
+    println(s"[demo] gdal_bytes_from_df: ${bytes.length} bytes; head=${new String(bytes.take(60), "UTF-8")}")
+    spark.stop()
+  }
+}

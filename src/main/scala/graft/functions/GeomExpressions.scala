@@ -1,0 +1,138 @@
+package graft.functions
+
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, ExpressionInfo, UnaryExpression}
+import org.apache.spark.sql.types._
+import org.apache.spark.sql.{Column, SparkSession}
+import org.apache.spark.sql.functions.call_function
+
+/** Native Catalyst expressions for the geometry codec surface (SURVEY.md
+  * §2.7). All are codegen'd (doGenCode emits a static call into
+  * [[GeomFns]]) so they stay inside whole-stage codegen — no UDF
+  * serialization overhead in the hot path.
+  */
+case class StAsWkt(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = StringType
+  override def prettyName: String = "st_aswkt"
+  protected override def nullSafeEval(input: Any): Any =
+    GeomFns.asWkt(input.asInstanceOf[Array[Byte]])
+  protected override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.GeomFns.asWkt($c)")
+  protected override def withNewChildInternal(newChild: Expression): StAsWkt =
+    copy(child = newChild)
+}
+
+case class StAsGeoJson(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = StringType
+  override def prettyName: String = "st_asgeojson"
+  protected override def nullSafeEval(input: Any): Any =
+    GeomFns.asGeoJson(input.asInstanceOf[Array[Byte]])
+  protected override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.GeomFns.asGeoJson($c)")
+  protected override def withNewChildInternal(newChild: Expression): StAsGeoJson =
+    copy(child = newChild)
+}
+
+case class StGeomFromWkt(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = BinaryType
+  override def prettyName: String = "st_geomfromwkt"
+  protected override def nullSafeEval(input: Any): Any =
+    GeomFns.fromWkt(input.asInstanceOf[org.apache.spark.unsafe.types.UTF8String])
+  protected override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.GeomFns.fromWkt($c)")
+  protected override def withNewChildInternal(newChild: Expression): StGeomFromWkt =
+    copy(child = newChild)
+}
+
+case class StGeomFromWkb(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = BinaryType
+  override def prettyName: String = "st_geomfromwkb"
+  protected override def nullSafeEval(input: Any): Any =
+    GeomFns.fromWkb(input.asInstanceOf[Array[Byte]])
+  protected override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.GeomFns.fromWkb($c)")
+  protected override def withNewChildInternal(newChild: Expression): StGeomFromWkb =
+    copy(child = newChild)
+}
+
+case class StGeomFromGeoJson(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = BinaryType
+  override def prettyName: String = "st_geomfromgeojson"
+  protected override def nullSafeEval(input: Any): Any =
+    GeomFns.fromGeoJson(input.asInstanceOf[org.apache.spark.unsafe.types.UTF8String])
+  protected override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.GeomFns.fromGeoJson($c)")
+  protected override def withNewChildInternal(newChild: Expression): StGeomFromGeoJson =
+    copy(child = newChild)
+}
+
+case class StPoint(left: Expression, right: Expression)
+  extends BinaryExpression {
+  override def dataType: DataType = BinaryType
+  override def prettyName: String = "st_point"
+  protected override def nullSafeEval(lon: Any, lat: Any): Any =
+    GeomFns.stPoint(lon.asInstanceOf[Double], lat.asInstanceOf[Double])
+  protected override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b) => s"graft.functions.GeomFns.stPoint($a, $b)")
+  protected override def withNewChildrenInternal(newLeft: Expression, newRight: Expression): StPoint =
+    copy(left = newLeft, right = newRight)
+}
+
+case class StX(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = "st_x"
+  protected override def nullSafeEval(input: Any): Any =
+    GeomFns.stX(input.asInstanceOf[Array[Byte]])
+  protected override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.GeomFns.stX($c)")
+  protected override def withNewChildInternal(newChild: Expression): StX = copy(child = newChild)
+}
+
+case class StY(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = "st_y"
+  protected override def nullSafeEval(input: Any): Any =
+    GeomFns.stY(input.asInstanceOf[Array[Byte]])
+  protected override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.GeomFns.stY($c)")
+  protected override def withNewChildInternal(newChild: Expression): StY = copy(child = newChild)
+}
+
+/** SQL + Column API surface. Call [[GraftFunctions.register]] once per
+  * session (or configure `spark.sql.extensions=graft.GraftExtensions`).
+  */
+object GraftFunctions {
+  private val fns: Seq[(String, Seq[Expression] => Expression)] = Seq(
+    ("st_aswkt", (e: Seq[Expression]) => StAsWkt(e.head)),
+    ("st_asgeojson", (e: Seq[Expression]) => StAsGeoJson(e.head)),
+    ("st_geomfromwkt", (e: Seq[Expression]) => StGeomFromWkt(e.head)),
+    ("st_geomfromwkb", (e: Seq[Expression]) => StGeomFromWkb(e.head)),
+    ("st_geomfromgeojson", (e: Seq[Expression]) => StGeomFromGeoJson(e.head)),
+    ("st_point", (e: Seq[Expression]) => StPoint(e(0), e(1))),
+    ("st_x", (e: Seq[Expression]) => StX(e.head)),
+    ("st_y", (e: Seq[Expression]) => StY(e.head)))
+
+  def register(spark: SparkSession): Unit = fns.foreach { case (name, builder) =>
+    spark.sessionState.functionRegistry.registerFunction(
+      FunctionIdentifier(name),
+      new ExpressionInfo("graft.functions.GeomExpressions", name),
+      builder)
+  }
+
+  def injectInto(ext: org.apache.spark.sql.SparkSessionExtensions): Unit =
+    fns.foreach { case (name, builder) =>
+      ext.injectFunction((FunctionIdentifier(name),
+        new ExpressionInfo("graft.functions.GeomExpressions", name), builder))
+    }
+
+  // Column-API wrappers (resolve through the registry at analysis time).
+  def st_aswkt(c: Column): Column = call_function("st_aswkt", c)
+  def st_asgeojson(c: Column): Column = call_function("st_asgeojson", c)
+  def st_geomfromwkt(c: Column): Column = call_function("st_geomfromwkt", c)
+  def st_geomfromwkb(c: Column): Column = call_function("st_geomfromwkb", c)
+  def st_geomfromgeojson(c: Column): Column = call_function("st_geomfromgeojson", c)
+  def st_point(lon: Column, lat: Column): Column = call_function("st_point", lon, lat)
+  def st_x(c: Column): Column = call_function("st_x", c)
+  def st_y(c: Column): Column = call_function("st_y", c)
+}

@@ -1,0 +1,59 @@
+package graft.sources
+
+/** Iterator with an explicit resource hook (underlying file stream). */
+trait FeatureIterator extends Iterator[RawFeature] with AutoCloseable
+
+object FeatureIterator {
+  def apply(it: Iterator[RawFeature], closer: () => Unit = () => ()): FeatureIterator =
+    new FeatureIterator {
+      override def hasNext: Boolean = it.hasNext
+      override def next(): RawFeature = it.next()
+      override def close(): Unit = closer()
+    }
+}
+
+/** A vector format parser — the pluggable core mirroring the reference's
+  * per-driver read loop seam (`df_from_layer`, reference src/lib.rs:332-485).
+  * Implementations must be Serializable (shipped to executors inside the
+  * reader factory).
+  */
+trait FeatureFormat extends Serializable {
+  /** File extensions this format claims (for directory expansion). */
+  def extensions: Seq[String]
+  /** Open one file and stream its features in document order. */
+  def open(path: String, opts: GdalOptions): FeatureIterator
+}
+
+object FeatureFormat {
+  /** The reference's scan-time feature windowing (src/lib.rs:360-375):
+    * erroring `maxFeatures` on the raw index, `offset` skip, truncating
+    * `limit` (we use rows-after-offset semantics per SURVEY.md §2.3 L2).
+    */
+  def window(it: Iterator[RawFeature], opts: GdalOptions): Iterator[RawFeature] = {
+    var raw = 0L
+    val guarded = it.map { f =>
+      opts.maxFeatures.foreach { cap => if (raw >= cap) throw new GraftError.FeatureLimitReached(cap) }
+      raw += 1
+      f
+    }
+    val afterOffset = guarded.drop(if (opts.offset > Int.MaxValue) Int.MaxValue else opts.offset.toInt)
+    opts.limit match {
+      case Some(l) => afterOffset.take(if (l > Int.MaxValue) Int.MaxValue else l.toInt)
+      case None => afterOffset
+    }
+  }
+
+  /** Expand a user path: directory → contained files matching the format's
+    * extensions (sorted for determinism); file → itself. */
+  def expand(paths: Seq[String], format: FeatureFormat): Seq[String] = paths.flatMap { p =>
+    val f = new java.io.File(stripScheme(p))
+    if (f.isDirectory) {
+      f.listFiles().toSeq
+        .filter(c => format.extensions.exists(e => c.getName.toLowerCase.endsWith(e)))
+        .map(_.getAbsolutePath).sorted
+    } else Seq(f.getAbsolutePath)
+  }
+
+  private def stripScheme(p: String): String =
+    if (p.startsWith("file:")) new java.net.URI(p).getPath else p
+}

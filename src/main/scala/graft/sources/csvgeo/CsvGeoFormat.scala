@@ -1,0 +1,88 @@
+package graft.sources.csvgeo
+
+import scala.io.Source
+
+import graft.geom.GeomCodec
+import graft.sources._
+
+/** Lat/lon CSV reader — the reference's GDAL-CSV-with-open-options path
+  * (`X_POSSIBLE_NAMES=Lon*` etc., reference README.md:46-54, fixture
+  * lat_lon_countries.csv). Columns matched by the x/y glob patterns are
+  * parsed as lon/lat and synthesized into a point geometry; all columns
+  * stay string-typed unless `autodetectTypes` is set (GDAL's
+  * AUTODETECT_TYPE default-off behavior).
+  */
+class CsvGeoFormat extends FeatureFormat {
+  override def extensions: Seq[String] = Seq(".csv")
+
+  override def open(path: String, opts: GdalOptions): FeatureIterator = {
+    val src = Source.fromFile(path, "UTF-8")
+    val lines = src.getLines()
+    if (!lines.hasNext) { src.close(); return FeatureIterator(Iterator.empty) }
+    val header = parseLine(lines.next())
+    val xIdx = findIdx(header, opts.xPossibleNames)
+    val yIdx = findIdx(header, opts.yPossibleNames)
+
+    var idx = -1L
+    val it = lines.filter(_.nonEmpty).map { line =>
+      idx += 1
+      val cells = parseLine(line)
+      val geom = (xIdx, yIdx) match {
+        case (Some(xi), Some(yi)) if xi < cells.length && yi < cells.length =>
+          try GeomCodec.point(cells(xi).toDouble, cells(yi).toDouble)
+          catch { case _: NumberFormatException => null }
+        case _ => null
+      }
+      val props = header.indices.map { i =>
+        val raw = if (i < cells.length) cells(i) else ""
+        header(i) -> (if (raw.isEmpty) null else if (opts.autodetectTypes) detect(raw) else raw)
+      }
+      RawFeature(idx, geom, props)
+    }
+    FeatureIterator(it, () => src.close())
+  }
+
+  private def detect(s: String): Any =
+    try java.lang.Long.valueOf(s.toLong)
+    catch {
+      case _: NumberFormatException =>
+        try java.lang.Double.valueOf(s.toDouble)
+        catch { case _: NumberFormatException => s }
+    }
+
+  private def findIdx(header: IndexedSeq[String], globs: Seq[String]): Option[Int] = {
+    val regexes = globs.map(g =>
+      ("(?i)^" + java.util.regex.Pattern.quote(g).replace("*", "\\E.*\\Q") + "$").r)
+    header.indices.find(i => regexes.exists(_.findFirstIn(header(i)).isDefined))
+  }
+
+  /** RFC-4180-ish line parse: commas, double quotes, escaped quotes. */
+  private def parseLine(line: String): IndexedSeq[String] = {
+    val out = scala.collection.mutable.ArrayBuffer[String]()
+    val sb = new StringBuilder
+    var inQuotes = false
+    var i = 0
+    while (i < line.length) {
+      val c = line.charAt(i)
+      if (inQuotes) {
+        if (c == '"') {
+          if (i + 1 < line.length && line.charAt(i + 1) == '"') { sb.append('"'); i += 1 }
+          else inQuotes = false
+        } else sb.append(c)
+      } else c match {
+        case '"' => inQuotes = true
+        case ',' => out += sb.toString; sb.clear()
+        case _ => sb.append(c)
+      }
+      i += 1
+    }
+    out += sb.toString
+    out.toIndexedSeq
+  }
+}
+
+/** `spark.read.format("csvgeo")` */
+class CsvGeoSourceProvider extends FeatureSourceProvider {
+  override def shortName(): String = "csvgeo"
+  override def format: FeatureFormat = new CsvGeoFormat
+}

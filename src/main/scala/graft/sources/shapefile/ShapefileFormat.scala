@@ -1,0 +1,68 @@
+package graft.sources.shapefile
+
+import java.io.{File, FileOutputStream}
+import java.util.zip.ZipInputStream
+
+import graft.geom.GeomCodec
+import graft.sources._
+
+/** Shapefile reader (S1 for the ESRI Shapefile driver; zipped shapefiles
+  * supported like the reference's `/vsizip/` + filename-hint path,
+  * reference src/lib.rs:163-165, src/test.rs:43-52): pairs .shp geometry
+  * records with .dbf attribute rows; FID is the 0-based record index
+  * (GDAL's shapefile FID convention).
+  */
+class ShapefileFormat extends FeatureFormat {
+  override def extensions: Seq[String] = Seq(".shp", ".shp.zip", ".zip")
+
+  override def open(path: String, opts: GdalOptions): FeatureIterator = {
+    val shpPath =
+      if (path.toLowerCase.endsWith(".zip")) unzipToTemp(path)
+      else path
+    val dbfPath = shpPath.replaceAll("\\.shp$", ".dbf")
+
+    val geoms = Shp.records(shpPath)
+    val dbf = if (new File(dbfPath).exists) Some(Dbf.read(dbfPath)) else None
+    val fieldNames = dbf.map(_.fields.map(_.name)).getOrElse(Vector.empty)
+
+    var idx = -1L
+    val it = geoms.map { case (_, geom) =>
+      idx += 1
+      val attrs: IndexedSeq[(String, Any)] = dbf match {
+        case Some(t) if t.records.hasNext => fieldNames.zip(t.records.next())
+        case _ => IndexedSeq.empty
+      }
+      RawFeature(idx, if (geom == null) null else GeomCodec.toWkb(geom), attrs)
+    }
+    FeatureIterator(it)
+  }
+
+  /** Zipped shapefile: extract members to a temp dir, return the .shp. */
+  private def unzipToTemp(zipPath: String): String = {
+    val dir = java.nio.file.Files.createTempDirectory("graft_shp_").toFile
+    dir.deleteOnExit()
+    val zin = new ZipInputStream(new java.io.FileInputStream(zipPath))
+    try {
+      var entry = zin.getNextEntry
+      while (entry != null) {
+        if (!entry.isDirectory) {
+          val out = new File(dir, new File(entry.getName).getName)
+          out.deleteOnExit()
+          val os = new FileOutputStream(out)
+          try zin.transferTo(os) finally os.close()
+        }
+        zin.closeEntry()
+        entry = zin.getNextEntry
+      }
+    } finally zin.close()
+    dir.listFiles().find(_.getName.toLowerCase.endsWith(".shp"))
+      .getOrElse(throw new IllegalArgumentException(s"No .shp member in $zipPath"))
+      .getAbsolutePath
+  }
+}
+
+/** `spark.read.format("shapefile")` */
+class ShapefileSourceProvider extends FeatureSourceProvider {
+  override def shortName(): String = "shapefile"
+  override def format: FeatureFormat = new ShapefileFormat
+}

@@ -1,0 +1,142 @@
+package graft
+
+import java.nio.file.{Files, Paths}
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.sources.GraftError
+
+/** Reference-test parity with real assertions (SURVEY.md §5: the reference's
+  * smoke tests — src/test.rs:4-70 — made checkable). */
+class SourcesSpec extends AnyFunSuite {
+  import TestSpark._
+
+  test("geojson: us_states reads 51 features with inferred schema") {
+    val df = spark.read.format("geojson").load(s"$fixtures/us_states.feature_collection.implicit_4326.json")
+    assert(df.count() === 51)
+    val schema = df.schema
+    assert(schema.fieldNames.last === "geometry")
+    assert(schema("geometry").dataType === BinaryType)
+    assert(schema("name").dataType === StringType)
+    assert(schema("scalerank").dataType === IntegerType)
+    // SQL over the source with a geometry projection (reference Example 3)
+    df.createOrReplaceTempView("states")
+    val mn = spark.sql(
+      "SELECT name, st_aswkt(geometry) AS wkt FROM states WHERE iso_3166_2 = 'US-MN'").collect()
+    assert(mn.length === 1)
+    assert(mn(0).getString(0) === "Minnesota")
+    assert(mn(0).getString(1).startsWith("POLYGON"))
+  }
+
+  test("geojson: lakes reads 398 features") {
+    val df = spark.read.format("geojson").load(s"$fixtures/global_large_lakes.feature_collection.implicit_4326.json")
+    assert(df.count() === 398)
+  }
+
+  test("geojson: fid column, offset/limit, wkt geometry format options") {
+    val path = s"$fixtures/us_states.feature_collection.implicit_4326.json"
+    val df = spark.read.format("geojson")
+      .option("fidColumnName", "fid")
+      .option("offset", "10").option("limit", "5")
+      .option("geometryFormat", "wkt")
+      .load(path)
+    val rows = df.select("fid").collect().map(_.getLong(0))
+    assert(rows.toSeq === Seq(10L, 11L, 12L, 13L, 14L))
+    assert(df.schema("geometry").dataType === StringType)
+    assert(df.select("geometry").head.getString(0).startsWith("POLYGON"))
+  }
+
+  test("geojson: maxFeatures errors past the cap (erroring_limit parity)") {
+    val path = s"$fixtures/us_states.feature_collection.implicit_4326.json"
+    val e = intercept[Exception] {
+      spark.read.format("geojson").option("maxFeatures", "10").load(path).count()
+    }
+    def chain(t: Throwable): Seq[Throwable] =
+      Option(t).toSeq.flatMap(x => x +: chain(x.getCause))
+    assert(chain(e).exists(_.isInstanceOf[GraftError.FeatureLimitReached]))
+  }
+
+  test("geojson: filter + column pushdown reach the scan") {
+    val path = s"$fixtures/us_states.feature_collection.implicit_4326.json"
+    val df = spark.read.format("geojson").load(path)
+      .filter(col("iso_3166_2") === "US-CA").select("name")
+    val plan = df.queryExecution.executedPlan.toString
+    assert(df.collect().map(_.getString(0)).toSeq === Seq("California"))
+    assert(plan.contains("PushedFilters=[IsNotNull(iso_3166_2), EqualTo(iso_3166_2,US-CA)]") ||
+      plan.contains("EqualTo(iso_3166_2,US-CA)"), plan)
+  }
+
+  test("shapefile: stations reads 86 point features with dbf attributes") {
+    val df = spark.read.format("shapefile").load(s"$fixtures/stations.shp")
+    assert(df.count() === 86)
+    val schema = df.schema
+    assert(schema.fieldNames.last === "geometry")
+    assert(schema.fields.dropRight(1).forall(_.dataType === StringType)) // 4 string fields
+    assert(schema.fields.length === 5)
+    val wkts = df.selectExpr("st_aswkt(geometry)").collect().map(_.getString(0))
+    assert(wkts.forall(_.startsWith("POINT")))
+  }
+
+  test("shapefile: zipped bytes with filename hint (df_from_bytes parity)") {
+    val bytes = Files.readAllBytes(Paths.get(s"$fixtures/stations_shapefile.shp.zip"))
+    val df = GdalRead.fromBytes(spark, bytes, Some("stations_shapefile.shp.zip"))
+    assert(df.count() === 86)
+  }
+
+  test("df_from_bytes: empty input errors (EmptyData parity)") {
+    intercept[GraftError.EmptyData] {
+      GdalRead.fromBytes(spark, Array.emptyByteArray, Some("x.geojson"))
+    }
+  }
+
+  test("csvgeo: lat_lon_countries builds point geometry from lat/lon columns") {
+    val df = spark.read.format("csvgeo").load(s"$fixtures/lat_lon_countries.csv")
+    assert(df.count() === 240)
+    df.createOrReplaceTempView("countries")
+    val ad = spark.sql(
+      """SELECT Country, st_x(geometry) AS lon, st_y(geometry) AS lat
+        |FROM countries WHERE `ISO 3166 Country Code` = 'AD'""".stripMargin).collect()
+    assert(ad.length === 1)
+    assert(ad(0).getString(0) === "Andorra")
+    assert(ad(0).getDouble(1) === 1.5 && ad(0).getDouble(2) === 42.5)
+  }
+
+  test("geojson roundtrip: write then read back") {
+    val out = Files.createTempDirectory("graft_w_").toString
+    val src = spark.read.format("geojson")
+      .load(s"$fixtures/global_large_lakes.feature_collection.implicit_4326.json")
+    src.coalesce(2).write.format("geojson").mode("overwrite").save(out)
+    val back = spark.read.format("geojson").load(out)
+    assert(back.count() === 398)
+    assert(back.schema("geometry").dataType === BinaryType)
+    // value spot check: same multiset of (non-null) names
+    val a = src.select("name").collect().map(r => Option(r.getString(0)).getOrElse("")).sorted
+    val b = back.select("name").collect().map(r => Option(r.getString(0)).getOrElse("")).sorted
+    assert(a.toSeq === b.toSeq)
+  }
+
+  test("geojson write: empty dataframe errors (EmptyDataframe parity)") {
+    val out = Files.createTempDirectory("graft_we_").toString
+    val src = spark.read.format("geojson")
+      .load(s"$fixtures/us_states.feature_collection.implicit_4326.json")
+      .filter(col("name") === "NoSuchState")
+    val e = intercept[Exception] {
+      src.write.format("geojson").mode("overwrite").save(out)
+    }
+    def chain(t: Throwable): Seq[Throwable] =
+      Option(t).toSeq.flatMap(x => x +: chain(x.getCause))
+    assert(chain(e).exists(_.isInstanceOf[GraftError.EmptyDataframe]))
+  }
+
+  test("gdal_bytes_from_df parity: single FeatureCollection bytes") {
+    val src = spark.read.format("geojson")
+      .load(s"$fixtures/us_states.feature_collection.implicit_4326.json")
+      .select("name", "iso_3166_2", "geometry").limit(3)
+    val bytes = GdalWrite.toBytes(src)
+    val round = GdalRead.fromBytes(spark, bytes, Some("round.geojson"))
+    assert(round.count() === 3)
+    assert(round.schema.fieldNames.toSeq === Seq("name", "iso_3166_2", "geometry"))
+  }
+}
