@@ -17,6 +17,17 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // JVM/codegen warm-up on a small slice so per-query timings measure the
+    // engine, not JIT compilation of Spark's hot paths.
+    try {
+      import org.apache.spark.sql.functions._
+      val l = spark.read.parquet(s"$sfDir/lineitem.parquet").limit(10000)
+      l.groupBy("l_returnflag").agg(sum("l_quantity"), count(lit(1)))
+        .write.format("noop").mode("overwrite").save()
+      l.withColumn("r", org.apache.spark.sql.expressions.Window.partitionBy("l_orderkey") match {
+        case w => row_number().over(w.orderBy("l_linenumber"))
+      }).write.format("noop").mode("overwrite").save()
+    } catch { case _: Throwable => () }
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()
       try fn(spark, sfDir).write.format("noop").mode("overwrite").save()

@@ -18,7 +18,7 @@ object SparkEntry {
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     Relational.queries ++ Events.queries ++ Dedup.queries ++
-      Similarity.queries ++ TextAnalysis.queries
+      Similarity.queries ++ TextAnalysis.queries ++ GdalQueries.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted keys (LSH/simhash/ANN) get the

@@ -94,6 +94,9 @@ object Dedup {
 
     // ---- q25: MinHash + LSH candidates, exact-verified (J >= 0.8) ----
     "q25_dedup_minhash_lsh" -> ((s, dir) => {
+      // One shared distinct-shingle subplan: signatures, sizes and the
+      // verify stage all reuse the same shuffle (ReusedExchange) instead of
+      // recomputing the explode.
       val sh = shingles(s, dir)
       val sigs = minhashSigs(sh)
       val bandCols = (0 until Bands).map { bi =>
@@ -109,11 +112,13 @@ object Dedup {
         .select(col("a.doc_id").as("da"), col("b.doc_id").as("db"))
         .distinct()
       // Exact verification of candidates only (the scale-safe step: work is
-      // proportional to candidate count, not n^2).
+      // proportional to candidate count, not n^2). The candidate list is
+      // tiny relative to the corpus → broadcast it so the shingle table is
+      // never shuffled.
       val shA = sh.select(col("doc_id").as("da"), col("s"))
       val shB = sh.select(col("doc_id").as("db"), col("s"))
       val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
-      val inter = cands.join(shA, "da").join(shB, Seq("db", "s"))
+      val inter = broadcast(shA.join(broadcast(cands), "da")).join(shB, Seq("db", "s"))
         .groupBy(col("da"), col("db")).agg(count(lit(1)).as("i"))
       val stats = inter
         .join(sizes.select(col("doc_id").as("da"), col("n").as("na")), "da")

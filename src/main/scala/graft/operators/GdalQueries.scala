@@ -1,0 +1,43 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+import graft.functions.GraftFunctions
+import Util.Q
+
+/** The GDAL-parity source surface as driver-visible query entries (S1-S6,
+  * P2, §2.7 of SURVEY.md). These read the reference's own fixtures through
+  * our DSv2 sources and geometry expressions. No DuckDB oracle exists for
+  * them (DuckDB here has no spatial/GDAL support), so they take the
+  * rows-only check; their value-level correctness is asserted in
+  * SourcesSpec/ArrowMultimodalSpec. */
+object GdalQueries {
+  private val fixtures = "/root/reference/test_data"
+
+  val queries: Map[String, Q] = Map(
+    "gdal_read_geojson" -> ((s, _) => {
+      GraftFunctions.register(s)
+      s.read.format("geojson")
+        .load(s"$fixtures/us_states.feature_collection.implicit_4326.json")
+        .select(col("name"), col("iso_3166_2"),
+          GraftFunctions.st_aswkt(col("geometry")).as("wkt"),
+          GraftFunctions.st_x(GraftFunctions.st_point(lit(-93.0), lit(45.0))).as("px"))
+        .orderBy(col("name"))
+    }),
+
+    "gdal_read_shapefile" -> ((s, _) => {
+      GraftFunctions.register(s)
+      s.read.format("shapefile").load(s"$fixtures/stations.shp")
+        .select(col("name"), col("marker-sym"),
+          GraftFunctions.st_aswkt(col("geometry")).as("wkt"))
+        .orderBy(col("name"), col("wkt"))
+    }),
+
+    "gdal_read_csvgeo" -> ((s, _) => {
+      GraftFunctions.register(s)
+      s.read.format("csvgeo").load(s"$fixtures/lat_lon_countries.csv")
+        .select(col("Country"),
+          GraftFunctions.st_x(col("geometry")).as("lon"),
+          GraftFunctions.st_y(col("geometry")).as("lat"))
+        .orderBy(col("Country"))
+    }))
+}

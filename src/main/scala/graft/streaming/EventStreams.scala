@@ -1,0 +1,70 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{DecimalType, DoubleType}
+
+/** Structured Streaming plans over the `events` stream (north-star surface,
+  * SURVEY.md §2.9). Each takes an unbounded DataFrame (from `readStream` or
+  * a MemoryStream in tests) with schema
+  * (event_id long, ts timestamp, user_id long, event_type string,
+  *  value double) and returns a streaming DataFrame.
+  *
+  * These are the streaming twins of the batch queries q21/q22 — same window
+  * semantics, plus watermarks for state eviction, which is what bounds
+  * state size on an unbounded 100 TB/day stream.
+  */
+object EventStreams {
+
+  /** Tumbling 1-hour windowed counts/sums per event type, 2h watermark:
+    * late events beyond the watermark are dropped and window state is
+    * evicted — state is O(open windows × types), not O(stream). */
+  def tumblingCounts(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "2 hours")
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(col("value").cast(DecimalType(18, 6))).cast(DoubleType).as("sum_value"))
+      .select(col("window.start").as("window_start"), col("event_type"),
+        col("n_events"), col("sum_value"))
+
+  /** Session windows with a 30-minute inactivity gap per user (the
+    * streaming form of the batch gaps-and-islands sessionization q22). */
+  def sessions(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "2 hours")
+      .groupBy(session_window(col("ts"), "30 minutes"), col("user_id"))
+      .agg(count(lit(1)).as("n_events"))
+      .select(col("session_window.start").as("session_start"),
+        col("session_window.end").as("session_end"), col("user_id"), col("n_events"))
+
+  /** Watermarked stream dedup by event_id (exactly-once-ish ingestion:
+    * duplicates arriving within the watermark horizon are dropped with
+    * bounded state). */
+  def dedup(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "2 hours")
+      .dropDuplicatesWithinWatermark("event_id")
+
+  /** Stateful per-user running counters via flatMapGroupsWithState-style
+    * arbitrary state — expressed with the typed API. Emits (user_id,
+    * total_events, total_value) updates. */
+  def runningTotals(events: DataFrame): DataFrame = {
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    val spark = events.sparkSession
+    import spark.implicits._
+    case class S(n: Long, v: Double)
+    events.selectExpr("user_id", "value").as[(Long, Double)]
+      .groupByKey(_._1)
+      .mapGroupsWithState[(Long, Double), (Long, Long, Double)](
+        GroupStateTimeout.NoTimeout) {
+        case (user, rows, state: GroupState[(Long, Double)]) =>
+          val (n0, v0) = state.getOption.getOrElse((0L, 0.0))
+          var n = n0; var v = v0
+          rows.foreach { r => n += 1; v += r._2 }
+          state.update((n, v))
+          (user, n, v)
+      }
+      .toDF("user_id", "total_events", "total_value")
+  }
+}

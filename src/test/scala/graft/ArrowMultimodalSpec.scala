@@ -1,0 +1,46 @@
+package graft
+
+import org.apache.spark.sql.types._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.sources.arrow.ArrowRead
+import graft.operators.Multimodal
+
+class ArrowMultimodalSpec extends AnyFunSuite {
+  import TestSpark._
+
+  test("arrow ipc: cities.arrow reads 202 rows with WKB geometry") {
+    val df = ArrowRead.fromFile(spark, s"$fixtures/cities.arrow")
+    assert(df.count() === 202)
+    assert(df.schema("geometry").dataType === BinaryType)
+    df.createOrReplaceTempView("cities")
+    val first = spark.sql(
+      "SELECT name, st_aswkt(geometry) AS wkt FROM cities ORDER BY name LIMIT 1").head
+    assert(first.getString(1).startsWith("POINT"))
+  }
+
+  test("arrow -> geojson write round trip (reference test_gdal_layer_from_df)") {
+    val out = java.nio.file.Files.createTempDirectory("graft_arrow_").toString
+    val df = ArrowRead.fromFile(spark, s"$fixtures/cities.arrow")
+    df.write.format("geojson").mode("overwrite").save(out)
+    val back = spark.read.format("geojson").load(out)
+    assert(back.count() === 202)
+  }
+
+  test("multimodal stub decode: deterministic features over binary media") {
+    val media = Multimodal.mediaFromDocuments(spark, sf0001)
+    val decoded = Multimodal.decodeStub(media)
+    assert(decoded.schema === Multimodal.decodedSchema)
+    val rows = decoded.orderBy("media_id").limit(2).collect()
+    assert(rows.length === 2)
+    assert(rows.forall(r => r.getInt(3) >= 64 && r.getInt(3) < 128)) // width range
+    assert(rows.forall(r => r.getSeq[Float](5).length === 8))
+    // deterministic: same input -> same features
+    val again = Multimodal.decodeStub(media).orderBy("media_id").limit(2).collect()
+    assert(rows.map(_.toString).toSeq === again.map(_.toString).toSeq)
+    // n_bytes matches the source text byte length
+    val doc0 = spark.read.parquet(s"$sf0001/documents.parquet")
+      .orderBy("doc_id").limit(1).collect()(0)
+    assert(rows(0).getLong(2) === doc0.getString(1).getBytes("UTF-8").length.toLong)
+  }
+}

@@ -1,0 +1,85 @@
+package graft
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.streaming.EventStreams
+
+/** Drives the Structured Streaming plans through MemoryStream micro-batches
+  * and checks window/session/dedup semantics against hand-computed
+  * expectations. */
+class StreamingSpec extends AnyFunSuite {
+  import TestSpark._
+
+  private case class Ev(event_id: Long, ts: Timestamp, user_id: Long,
+      event_type: String, value: Double)
+
+  private def ts(minute: Int): Timestamp =
+    Timestamp.valueOf(f"2024-01-01 ${minute / 60}%02d:${minute % 60}%02d:00")
+
+  private def runToCompletion(df: org.apache.spark.sql.DataFrame, name: String,
+      mode: String): Unit = {
+    val q = df.writeStream.format("memory").queryName(name).outputMode(mode).start()
+    q.processAllAvailable()
+    q.stop()
+  }
+
+  test("tumbling window counts over a memory stream") {
+    val s = spark
+    import s.implicits._
+    implicit val sc = s.sqlContext
+    val mem = MemoryStream[Ev]
+    mem.addData(
+      Ev(1, ts(5), 1, "click", 1.0), Ev(2, ts(20), 1, "click", 2.0),
+      Ev(3, ts(65), 2, "view", 3.0), Ev(4, ts(70), 1, "click", 4.0))
+    runToCompletion(EventStreams.tumblingCounts(mem.toDF), "tumbling", "complete")
+    val rows = s.sql("SELECT window_start, event_type, n_events, sum_value FROM tumbling ORDER BY window_start, event_type")
+      .collect().map(r => (r.getTimestamp(0).toString, r.getString(1), r.getLong(2), r.getDouble(3)))
+    assert(rows.toSeq === Seq(
+      ("2024-01-01 00:00:00.0", "click", 2L, 3.0),
+      ("2024-01-01 01:00:00.0", "click", 1L, 4.0),
+      ("2024-01-01 01:00:00.0", "view", 1L, 3.0)))
+  }
+
+  test("session windows with 30-minute gap") {
+    val s = spark
+    import s.implicits._
+    implicit val sc = s.sqlContext
+    val mem = MemoryStream[Ev]
+    // user 1: events at 0,10,20 (one session) then 120 (new session)
+    mem.addData(
+      Ev(1, ts(0), 1, "click", 1.0), Ev(2, ts(10), 1, "click", 1.0),
+      Ev(3, ts(20), 1, "click", 1.0), Ev(4, ts(120), 1, "click", 1.0))
+    runToCompletion(EventStreams.sessions(mem.toDF), "sessions", "complete")
+    val rows = s.sql("SELECT user_id, n_events FROM sessions ORDER BY session_start")
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(rows.toSeq === Seq((1L, 3L), (1L, 1L)))
+  }
+
+  test("watermarked dedup drops duplicate event ids") {
+    val s = spark
+    import s.implicits._
+    implicit val sc = s.sqlContext
+    val mem = MemoryStream[Ev]
+    mem.addData(
+      Ev(1, ts(0), 1, "click", 1.0), Ev(1, ts(1), 1, "click", 1.0),
+      Ev(2, ts(2), 1, "view", 2.0))
+    runToCompletion(EventStreams.dedup(mem.toDF), "dedup", "append")
+    assert(s.sql("SELECT count(*) FROM dedup").head.getLong(0) === 2L)
+  }
+
+  test("stateful running totals via mapGroupsWithState") {
+    val s = spark
+    import s.implicits._
+    implicit val sc = s.sqlContext
+    val mem = MemoryStream[Ev]
+    mem.addData(Ev(1, ts(0), 7, "click", 1.5), Ev(2, ts(1), 7, "view", 2.5))
+    runToCompletion(EventStreams.runningTotals(mem.toDF), "totals", "update")
+    val last = s.sql("SELECT total_events, total_value FROM totals ORDER BY total_events DESC LIMIT 1")
+      .head
+    assert(last.getLong(0) === 2L && last.getDouble(1) === 4.0)
+  }
+}
