@@ -1,0 +1,184 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import Util._
+
+/** Second wave of relational/semi-structured operator coverage: JSON
+  * extraction, lateral explode, pivot, exact moment statistics, exact
+  * percentiles, SQL grouping sets and correlated EXISTS, plus an
+  * approx-distinct sketch (rows-only).
+  *
+  * The statistics queries compute variance/stddev/corr from DECIMAL sums
+  * (sum x, sum x², sum xy are associative-exact) and do the float math
+  * once at the end — deterministic under any shuffle order, unlike
+  * Welford-style online aggregates, and exactly reproducible by the
+  * oracle. That is also the 100 TB-correct formulation.
+  */
+object Extras {
+
+  val queries: Map[String, Q] = Map(
+    // ---- q34: JSON field extraction over events.props ----
+    "q34_json_extract" -> ((s, dir) => {
+      import s.implicits._
+      t(s, dir, "events")
+        .withColumn("k", get_json_object($"props", "$.k").cast(LongType))
+        .groupBy($"event_type")
+        .agg(count(lit(1)).as("n"), min($"k").as("min_k"), max($"k").as("max_k"),
+          sum($"k").as("sum_k"))
+        .orderBy($"event_type")
+    }),
+
+    // ---- q35: lateral explode → word frequency top-20 ----
+    "q35_explode_words" -> ((s, dir) => {
+      import s.implicits._
+      t(s, dir, "documents")
+        .select(explode(split(trim($"text"), "\\s+")).as("word"))
+        .groupBy($"word").agg(count(lit(1)).as("cnt"))
+        .orderBy($"cnt".desc, $"word")
+        .limit(20)
+    }),
+
+    // ---- q36: pivot (per-user event-type counts) ----
+    "q36_pivot" -> ((s, dir) => {
+      import s.implicits._
+      t(s, dir, "events")
+        .groupBy($"user_id")
+        .pivot("event_type", Seq("click", "view", "purchase", "signup", "error"))
+        .agg(count(lit(1)))
+        .na.fill(0L)
+        .orderBy($"user_id")
+    }),
+
+    // ---- q37: exact interpolated percentiles ----
+    "q37_percentile" -> ((s, dir) => {
+      import s.implicits._
+      t(s, dir, "orders")
+        .groupBy($"o_orderpriority")
+        .agg(
+          percentile($"o_totalprice", lit(0.5)).as("p50"),
+          percentile($"o_totalprice", lit(0.9)).as("p90"),
+          count(lit(1)).as("n"))
+        .orderBy($"o_orderpriority")
+    }),
+
+    // ---- q38: moment statistics from exact decimal sums ----
+    "q38_stats" -> ((s, dir) => {
+      import s.implicits._
+      val sums = t(s, dir, "events")
+        .withColumn("k", get_json_object($"props", "$.k").cast(LongType))
+        .groupBy($"event_type")
+        .agg(
+          count(lit(1)).as("n"),
+          sum(dec($"value", 6)).cast(DoubleType).as("sx"),
+          sum(dec($"value", 6) * dec($"value", 6)).cast(DoubleType).as("sx2"),
+          sum($"k").cast(DoubleType).as("sy"),
+          sum($"k" * $"k").cast(DoubleType).as("sy2"),
+          sum(dec($"value", 6) * $"k".cast(DecimalType(18, 0))).cast(DoubleType).as("sxy"))
+      // The inputs (decimal sums → double) are bit-identical cross-engine;
+      // the derived stats are rounded to 6dp because C++ FMA contraction
+      // can differ from JVM float semantics by 1 ulp.
+      sums.select($"event_type", $"n",
+        round($"sx" / $"n", 6).as("mean_value"),
+        round(($"sx2" - $"sx" * $"sx" / $"n") / ($"n" - 1), 6).as("var_value"),
+        round(sqrt(($"sx2" - $"sx" * $"sx" / $"n") / ($"n" - 1)), 6).as("std_value"),
+        round(($"sxy" - $"sx" * $"sy" / $"n") /
+          sqrt(($"sx2" - $"sx" * $"sx" / $"n") * ($"sy2" - $"sy" * $"sy" / $"n")), 6).as("corr_vk"))
+        .orderBy($"event_type")
+    }),
+
+    // ---- q39: SQL GROUPING SETS ----
+    "q39_grouping_sets" -> ((s, dir) => {
+      t(s, dir, "customer").createOrReplaceTempView("customer_v")
+      t(s, dir, "nation").createOrReplaceTempView("nation_v")
+      s.sql(
+        """SELECT n_name, c_mktsegment, COUNT(*) AS n_cust,
+          | CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS total_bal
+          |FROM customer_v JOIN nation_v ON c_nationkey = n_nationkey
+          |GROUP BY GROUPING SETS ((n_name), (c_mktsegment))
+          |ORDER BY n_name NULLS FIRST, c_mktsegment NULLS FIRST""".stripMargin)
+    }),
+
+    // ---- q40: correlated EXISTS subquery via SQL ----
+    "q40_exists_correlated" -> ((s, dir) => {
+      t(s, dir, "orders").createOrReplaceTempView("orders_v")
+      t(s, dir, "lineitem").createOrReplaceTempView("lineitem_v")
+      s.sql(
+        """SELECT o_orderkey, o_totalprice FROM orders_v
+          |WHERE EXISTS (SELECT 1 FROM lineitem_v
+          |              WHERE l_orderkey = o_orderkey AND l_quantity >= 49.0)
+          |ORDER BY o_orderkey""".stripMargin)
+    }),
+
+    // ---- q41: HLL++ sketch distinct (approximate → rows-only check) ----
+    "q41_approx_distinct" -> ((s, dir) => {
+      import s.implicits._
+      t(s, dir, "events")
+        .groupBy($"event_type")
+        .agg(approx_count_distinct($"user_id").as("approx_users"),
+          count_distinct($"user_id").as("exact_users"))
+        .orderBy($"event_type")
+    })
+  )
+
+  val oracle: Map[String, String] = Map(
+    "q34_json_extract" ->
+      """SELECT event_type, COUNT(*) AS n,
+        | MIN(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS min_k,
+        | MAX(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS max_k,
+        | CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+
+    "q35_explode_words" ->
+      """SELECT word, COUNT(*) AS cnt FROM (
+        | SELECT unnest(string_split_regex(trim(text), '\s+')) AS word FROM documents) x
+        |GROUP BY word ORDER BY cnt DESC, word LIMIT 20""".stripMargin,
+
+    "q36_pivot" ->
+      """SELECT user_id,
+        | COUNT(*) FILTER (WHERE event_type = 'click') AS click,
+        | COUNT(*) FILTER (WHERE event_type = 'view') AS view,
+        | COUNT(*) FILTER (WHERE event_type = 'purchase') AS purchase,
+        | COUNT(*) FILTER (WHERE event_type = 'signup') AS signup,
+        | COUNT(*) FILTER (WHERE event_type = 'error') AS error
+        |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin,
+
+    "q37_percentile" ->
+      """SELECT o_orderpriority,
+        | quantile_cont(o_totalprice, 0.5) AS p50,
+        | quantile_cont(o_totalprice, 0.9) AS p90,
+        | COUNT(*) AS n
+        |FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
+
+    "q38_stats" ->
+      """WITH sums AS (
+        | SELECT event_type, COUNT(*) AS n,
+        |  CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sx,
+        |  CAST(SUM(CAST(value AS DECIMAL(18,6)) * CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sx2,
+        |  CAST(SUM(k) AS DOUBLE) AS sy,
+        |  CAST(SUM(k * k) AS DOUBLE) AS sy2,
+        |  CAST(SUM(CAST(value AS DECIMAL(18,6)) * CAST(k AS DECIMAL(18,0))) AS DOUBLE) AS sxy
+        | FROM (SELECT event_type, value,
+        |         CAST(json_extract_string(props, '$.k') AS BIGINT) AS k FROM events) e
+        | GROUP BY event_type)
+        |SELECT event_type, n,
+        | round(sx / n, 6) AS mean_value,
+        | round((sx2 - sx * sx / n) / (n - 1), 6) AS var_value,
+        | round(sqrt((sx2 - sx * sx / n) / (n - 1)), 6) AS std_value,
+        | round((sxy - sx * sy / n) / sqrt((sx2 - sx * sx / n) * (sy2 - sy * sy / n)), 6) AS corr_vk
+        |FROM sums ORDER BY event_type""".stripMargin,
+
+    "q39_grouping_sets" ->
+      """SELECT n_name, c_mktsegment, COUNT(*) AS n_cust,
+        | CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS total_bal
+        |FROM customer JOIN nation ON c_nationkey = n_nationkey
+        |GROUP BY GROUPING SETS ((n_name), (c_mktsegment))
+        |ORDER BY n_name NULLS FIRST, c_mktsegment NULLS FIRST""".stripMargin,
+
+    "q40_exists_correlated" ->
+      """SELECT o_orderkey, o_totalprice FROM orders
+        |WHERE EXISTS (SELECT 1 FROM lineitem
+        |              WHERE l_orderkey = o_orderkey AND l_quantity >= 49.0)
+        |ORDER BY o_orderkey""".stripMargin
+  )
+}
