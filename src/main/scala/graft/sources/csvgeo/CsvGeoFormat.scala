@@ -22,19 +22,27 @@ class CsvGeoFormat extends FeatureFormat {
     val header = parseLine(lines.next())
     val xIdx = findIdx(header, opts.xPossibleNames)
     val yIdx = findIdx(header, opts.yPossibleNames)
+    // WKT geometry column (GDAL GEOM_POSSIBLE_NAMES analog) — also what our
+    // csvgeo writer emits, so write→read round-trips.
+    val geomIdx = findIdx(header, Seq(opts.geometryColumnName, "wkt*", "*_wkt"))
 
     var idx = -1L
     val it = lines.filter(_.nonEmpty).map { line =>
       idx += 1
       val cells = parseLine(line)
-      val geom = (xIdx, yIdx) match {
-        case (Some(xi), Some(yi)) if xi < cells.length && yi < cells.length =>
-          try GeomCodec.point(cells(xi).toDouble, cells(yi).toDouble)
-          catch { case _: NumberFormatException => null }
-        case _ => null
+      def cellAt(i: Int): String = if (i < cells.length) cells(i) else ""
+      val geom = geomIdx match {
+        case Some(gi) if cellAt(gi).nonEmpty =>
+          try GeomCodec.wktToWkb(cells(gi)) catch { case _: Exception => null }
+        case _ => (xIdx, yIdx) match {
+          case (Some(xi), Some(yi)) =>
+            try GeomCodec.point(cellAt(xi).toDouble, cellAt(yi).toDouble)
+            catch { case _: NumberFormatException => null }
+          case _ => null
+        }
       }
-      val props = header.indices.map { i =>
-        val raw = if (i < cells.length) cells(i) else ""
+      val props = header.indices.filter(i => !geomIdx.contains(i)).map { i =>
+        val raw = cellAt(i)
         header(i) -> (if (raw.isEmpty) null else if (opts.autodetectTypes) detect(raw) else raw)
       }
       RawFeature(idx, geom, props)
@@ -81,8 +89,33 @@ class CsvGeoFormat extends FeatureFormat {
   }
 }
 
-/** `spark.read.format("csvgeo")` */
+/** `spark.read.format("csvgeo")` / `df.write.format("csvgeo")` */
 class CsvGeoSourceProvider extends FeatureSourceProvider {
   override def shortName(): String = "csvgeo"
   override def format: FeatureFormat = new CsvGeoFormat
+
+  override def getTable(schema: org.apache.spark.sql.types.StructType,
+      partitioning: Array[org.apache.spark.sql.connector.expressions.Transform],
+      properties: java.util.Map[String, String]): org.apache.spark.sql.connector.catalog.Table = {
+    val opts = GdalOptions.from(scala.jdk.CollectionConverters.MapHasAsScala(properties).asScala.toMap)
+    val paths = Option(properties.get("path")).toSeq
+    val files =
+      if (paths.nonEmpty && new java.io.File(paths.head).exists())
+        FeatureFormat.expand(paths, format)
+      else paths
+    new CsvGeoTable(schema, files, opts, format)
+  }
+}
+
+class CsvGeoTable(schema: org.apache.spark.sql.types.StructType, files: Seq[String],
+    opts: GdalOptions, format: FeatureFormat)
+  extends FeatureTable("csvgeo", schema, files, opts, format)
+  with org.apache.spark.sql.connector.catalog.SupportsWrite {
+  import org.apache.spark.sql.connector.catalog.TableCapability
+  override def capabilities(): java.util.Set[TableCapability] =
+    java.util.EnumSet.of(TableCapability.BATCH_READ, TableCapability.BATCH_WRITE,
+      TableCapability.TRUNCATE)
+  override def newWriteBuilder(
+      info: org.apache.spark.sql.connector.write.LogicalWriteInfo)
+    : org.apache.spark.sql.connector.write.WriteBuilder = new CsvGeoWriteBuilder(info)
 }
