@@ -44,6 +44,13 @@ object Demo {
       java.nio.file.Paths.get(s"$fixtures/stations_shapefile.shp.zip"))
     println(s"[demo] stations zip bytes: ${GdalRead.fromBytes(spark, zipBytes, Some("stations.shp.zip")).count} rows")
 
+    // Newline-delimited GeoJSON round trip (splittable write path)
+    val seqOut = java.nio.file.Files.createTempDirectory("demo_seq_").toString
+    states.select("name", "geometry").repartition(3)
+      .write.format("geojsonseq").mode("overwrite").save(seqOut)
+    println(s"[demo] geojsonseq round trip: " +
+      s"${spark.read.format("geojsonseq").load(seqOut).count} rows from 3 part files")
+
     // Write path: DataFrame -> GeoJSON bytes (reference src/test.rs:146-158)
     val bytes = GdalWrite.toBytes(states.select("name", "geometry").limit(2))
     println(s"[demo] gdal_bytes_from_df: ${bytes.length} bytes; head=${new String(bytes.take(60), "UTF-8")}")
