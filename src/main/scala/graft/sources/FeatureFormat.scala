@@ -12,6 +12,10 @@ object FeatureIterator {
     }
 }
 
+/** A contiguous record range of one file — the input-partition unit.
+  * `startRecord = 0 && numRecords = -1` means the whole file. */
+case class SplitSpec(path: String, startRecord: Long, numRecords: Long) extends Serializable
+
 /** A vector format parser — the pluggable core mirroring the reference's
   * per-driver read loop seam (`df_from_layer`, reference src/lib.rs:332-485).
   * Implementations must be Serializable (shipped to executors inside the
@@ -22,6 +26,17 @@ trait FeatureFormat extends Serializable {
   def extensions: Seq[String]
   /** Open one file and stream its features in document order. */
   def open(path: String, opts: GdalOptions): FeatureIterator
+
+  /** Plan record-range splits for one file. Default: the whole file as a
+    * single partition. Formats with an index (shapefile .shx) override to
+    * split large files across executors. */
+  def planSplits(path: String, opts: GdalOptions): Seq[SplitSpec] =
+    Seq(SplitSpec(path, 0L, -1L))
+
+  /** Open one split. Default implementations only receive whole files. */
+  def openSplit(spec: SplitSpec, opts: GdalOptions): FeatureIterator =
+    if (spec.startRecord == 0L && spec.numRecords == -1L) open(spec.path, opts)
+    else throw new UnsupportedOperationException(s"$this cannot open ranged split $spec")
 }
 
 object FeatureFormat {

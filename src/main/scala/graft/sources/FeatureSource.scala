@@ -100,7 +100,7 @@ class FeatureScanBuilder(
   override def build(): Scan = new FeatureScan(readSchema, files, opts, format, pushed, limit)
 }
 
-case class FeaturePartition(path: String, index: Int) extends InputPartition
+case class FeaturePartition(split: SplitSpec, index: Int) extends InputPartition
 
 class FeatureScan(
     schema: StructType,
@@ -116,8 +116,16 @@ class FeatureScan(
     s"graft ${format.getClass.getSimpleName} files=${files.size} " +
       s"PushedFilters=[${filters.mkString(", ")}] limit=$limit"
 
-  override def planInputPartitions(): Array[InputPartition] =
-    files.zipWithIndex.map { case (p, i) => FeaturePartition(p, i) }.toArray
+  override def planInputPartitions(): Array[InputPartition] = {
+    // Record-range splitting only applies when the scan-window options are
+    // unset: offset/limit/maxFeatures are per-resource semantics
+    // (reference src/lib.rs:360-375) and must see the whole stream.
+    val windowed = opts.offset > 0 || opts.limit.isDefined || opts.maxFeatures.isDefined
+    val splits =
+      if (windowed) files.map(SplitSpec(_, 0L, -1L))
+      else files.flatMap(f => format.planSplits(f, opts))
+    splits.zipWithIndex.map { case (sp, i) => FeaturePartition(sp, i) }.toArray
+  }
 
   override def createReaderFactory(): PartitionReaderFactory =
     new FeatureReaderFactory(schema, opts, format, filters, limit)
@@ -131,13 +139,13 @@ class FeatureReaderFactory(
     limit: Option[Int]) extends PartitionReaderFactory {
 
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
-    val path = partition.asInstanceOf[FeaturePartition].path
-    new FeaturePartitionReader(path, schema, opts, format, filters, limit)
+    val split = partition.asInstanceOf[FeaturePartition].split
+    new FeaturePartitionReader(split, schema, opts, format, filters, limit)
   }
 }
 
 class FeaturePartitionReader(
-    path: String,
+    split: SplitSpec,
     schema: StructType,
     opts: GdalOptions,
     format: FeatureFormat,
@@ -145,7 +153,7 @@ class FeaturePartitionReader(
     limit: Option[Int]) extends PartitionReader[InternalRow] {
 
   private val converter = new RowConverter(schema, opts)
-  private val underlying = format.open(path, opts)
+  private val underlying = format.openSplit(split, opts)
   private val windowed = FeatureFormat.window(underlying, opts)
   private val schemaNames = schema.fieldNames.toSet
   private val filtered =

@@ -32,7 +32,8 @@ case class GdalOptions(
     xPossibleNames: Seq[String],
     yPossibleNames: Seq[String],
     autodetectTypes: Boolean,
-    inferLimit: Long) extends Serializable {
+    inferLimit: Long,
+    splitRecords: Long) extends Serializable {
   require(Seq("wkb", "wkt", "geojson").contains(geometryFormat),
     s"geometryFormat must be wkb|wkt|geojson, got $geometryFormat")
 }
@@ -54,7 +55,8 @@ object GdalOptions {
       xPossibleNames = m.get("xpossiblenames").map(_.split(",").toSeq).getOrElse(Seq("lon*", "x")),
       yPossibleNames = m.get("ypossiblenames").map(_.split(",").toSeq).getOrElse(Seq("lat*", "y")),
       autodetectTypes = m.get("autodetecttypes").exists(_.toBoolean),
-      inferLimit = m.get("inferlimit").map(_.toLong).getOrElse(Long.MaxValue))
+      inferLimit = m.get("inferlimit").map(_.toLong).getOrElse(Long.MaxValue),
+      splitRecords = m.get("splitrecords").map(_.toLong).getOrElse(65536L))
   }
 }
 

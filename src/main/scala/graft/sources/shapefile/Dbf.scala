@@ -15,12 +15,16 @@ object Dbf {
 
   final case class Table(fields: Vector[Field], records: Iterator[IndexedSeq[Any]])
 
-  def read(path: String): Table = {
+  def read(path: String): Table = read(path, 0L, -1L)
+
+  /** Ranged read: skip to `startRec`, stop after `maxRecords` (-1 = all) —
+    * the attribute half of a record-range split. */
+  def read(path: String, startRec: Long, maxRecords: Long): Table = {
     val charset = cpgCharset(path)
     val in = new DataInputStream(new BufferedInputStream(new FileInputStream(path)))
     val header = new Array[Byte](32)
     in.readFully(header)
-    val nRecords = le32(header, 4)
+    val totalRecords = le32(header, 4)
     val headerLen = le16(header, 8)
     val recordLen = le16(header, 10)
 
@@ -33,9 +37,14 @@ object Dbf {
         (fd(11) & 0xff).toChar, fd(16) & 0xff, fd(17) & 0xff)
     }
     in.skipBytes(headerLen - 32 - nFields * 32) // terminator byte (+ any fill)
+    var toSkip = startRec * recordLen
+    while (toSkip > 0) toSkip -= in.skip(toSkip)
+    val nRecords =
+      if (maxRecords < 0) totalRecords - startRec
+      else math.min(maxRecords, totalRecords - startRec)
 
     val records = new Iterator[IndexedSeq[Any]] {
-      private var i = 0
+      private var i = 0L
       override def hasNext: Boolean = {
         val more = i < nRecords
         if (!more) in.close()

@@ -15,17 +15,48 @@ import graft.sources._
 class ShapefileFormat extends FeatureFormat {
   override def extensions: Seq[String] = Seq(".shp", ".shp.zip", ".zip")
 
-  override def open(path: String, opts: GdalOptions): FeatureIterator = {
+  override def open(path: String, opts: GdalOptions): FeatureIterator =
+    openRange(path, 0L, -1L)
+
+  /** One huge .shp parallelizes across executors via .shx record-range
+    * splits (`splitRecords` option, default 65536 records/partition) —
+    * the scale upgrade over the reference's single-threaded scan. */
+  override def planSplits(path: String, opts: GdalOptions): Seq[SplitSpec] = {
+    val shxPath = path.replaceAll("\\.shp$", ".shx")
+    if (path.toLowerCase.endsWith(".zip") || !new File(shxPath).exists)
+      Seq(SplitSpec(path, 0L, -1L))
+    else {
+      val n = Shp.shxOffsets(shxPath).length.toLong
+      val per = math.max(1L, opts.splitRecords)
+      if (n <= per) Seq(SplitSpec(path, 0L, -1L))
+      else (0L until n by per).map(s => SplitSpec(path, s, math.min(per, n - s)))
+    }
+  }
+
+  override def openSplit(spec: SplitSpec, opts: GdalOptions): FeatureIterator =
+    if (spec.startRecord == 0L && spec.numRecords == -1L) open(spec.path, opts)
+    else {
+      val startByte = Shp.shxOffsets(spec.path.replaceAll("\\.shp$", ".shx"))(spec.startRecord.toInt)
+      openRange(spec.path, spec.startRecord, spec.numRecords, startByte)
+    }
+
+  private def openRange(path: String, startRec: Long, numRec: Long,
+      startByte: Long = 100L): FeatureIterator = {
     val shpPath =
       if (path.toLowerCase.endsWith(".zip")) unzipToTemp(path)
       else path
     val dbfPath = shpPath.replaceAll("\\.shp$", ".dbf")
 
-    val geoms = Shp.records(shpPath)
-    val dbf = if (new File(dbfPath).exists) Some(Dbf.read(dbfPath)) else None
+    val geoms = Shp.records(shpPath, if (shpPath == path) startByte else 100L,
+      if (shpPath == path) numRec else -1L)
+    val dbf =
+      if (new File(dbfPath).exists)
+        Some(Dbf.read(dbfPath, if (shpPath == path) startRec else 0L,
+          if (shpPath == path) numRec else -1L))
+      else None
     val fieldNames = dbf.map(_.fields.map(_.name)).getOrElse(Vector.empty)
 
-    var idx = -1L
+    var idx = startRec - 1
     val it = geoms.map { case (_, geom) =>
       idx += 1
       val attrs: IndexedSeq[(String, Any)] = dbf match {

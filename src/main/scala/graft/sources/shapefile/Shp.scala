@@ -14,19 +14,26 @@ import org.locationtech.jts.geom._
 object Shp {
   private val factory = new GeometryFactory(new PrecisionModel, 4326)
 
-  /** Stream (recordNumber, geometry-or-null) pairs from a .shp file. */
-  def records(path: String): Iterator[(Int, Geometry)] = {
+  /** Stream (recordNumber, geometry-or-null) pairs from a .shp file,
+    * optionally starting at a byte offset (from the .shx index) and capped
+    * at maxRecords — the record-range split path. */
+  def records(path: String, startByte: Long = 100L,
+      maxRecords: Long = -1L): Iterator[(Int, Geometry)] = {
     val in = new DataInputStream(new BufferedInputStream(new FileInputStream(path)))
-    in.skipBytes(100) // fixed 100-byte header
+    var toSkip = startByte // header is 100 bytes; splits pass .shx offsets
+    while (toSkip > 0) toSkip -= in.skip(toSkip)
+    var remaining = maxRecords
     new Iterator[(Int, Geometry)] {
       private var nextRec: (Int, Geometry) = advance()
 
       private def advance(): (Int, Geometry) =
-        try {
+        if (remaining == 0) { in.close(); null }
+        else try {
           val recNum = in.readInt() // big-endian
           val contentWords = in.readInt() // length in 16-bit words
           val content = new Array[Byte](contentWords * 2)
           in.readFully(content)
+          if (remaining > 0) remaining -= 1
           (recNum, parseShape(ByteBuffer.wrap(content).order(ByteOrder.LITTLE_ENDIAN)))
         } catch {
           case _: EOFException => in.close(); null
@@ -37,6 +44,16 @@ object Shp {
         val r = nextRec; nextRec = advance(); r
       }
     }
+  }
+
+  /** Byte offset of each record in the .shp, read from the .shx index
+    * (header 100 bytes, then one (offset-in-words, length-in-words)
+    * big-endian pair per record). */
+  def shxOffsets(shxPath: String): Array[Long] = {
+    val bytes = java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(shxPath))
+    val n = (bytes.length - 100) / 8
+    val bb = ByteBuffer.wrap(bytes)
+    Array.tabulate(n) { i => bb.getInt(100 + i * 8).toLong * 2 }
   }
 
   def parseShape(b: ByteBuffer): Geometry = b.getInt match {

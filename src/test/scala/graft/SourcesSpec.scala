@@ -79,6 +79,23 @@ class SourcesSpec extends AnyFunSuite {
     assert(wkts.forall(_.startsWith("POINT")))
   }
 
+  test("shapefile: .shx record-range splits partition one file") {
+    val df = spark.read.format("shapefile")
+      .option("splitRecords", "25") // force 4 partitions over 86 records
+      .load(s"$fixtures/stations.shp")
+    assert(df.rdd.getNumPartitions === 4)
+    assert(df.count() === 86)
+    // same content as the unsplit read, including record-order fids
+    val whole = spark.read.format("shapefile")
+      .option("fidColumnName", "fid").load(s"$fixtures/stations.shp")
+      .selectExpr("fid", "name").collect().map(r => (r.getLong(0), r.getString(1))).sorted
+    val split = spark.read.format("shapefile")
+      .option("fidColumnName", "fid").option("splitRecords", "25")
+      .load(s"$fixtures/stations.shp")
+      .selectExpr("fid", "name").collect().map(r => (r.getLong(0), r.getString(1))).sorted
+    assert(whole.toSeq === split.toSeq)
+  }
+
   test("shapefile: zipped bytes with filename hint (df_from_bytes parity)") {
     val bytes = Files.readAllBytes(Paths.get(s"$fixtures/stations_shapefile.shp.zip"))
     val df = GdalRead.fromBytes(spark, bytes, Some("stations_shapefile.shp.zip"))
