@@ -1,0 +1,142 @@
+package graft.api
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** The user-facing operator API: every pipeline primitive the query corpus
+  * exercises, parameterized for arbitrary inputs. All operators are pure
+  * DataFrame→DataFrame transforms (lazy, Catalyst-optimized, no driver-side
+  * materialization) and follow the scale rules in SCALE.md.
+  */
+object Graft {
+
+  // ------------------------------------------------------------- dedup
+
+  /** Exact dedup on normalized text: keeps the smallest id per duplicate
+    * group. One shuffle on a 128-bit hash. */
+  def dedupExact(df: DataFrame, textCol: String, idCol: String): DataFrame =
+    df.groupBy(md5(regexp_replace(lower(trim(col(textCol))), "\\s+", " ")).as("fp"))
+      .agg(min(col(idCol)).as(idCol), count(lit(1)).as("n_copies"))
+      .drop("fp")
+
+  /** Distinct word n-gram shingles per row: (id, s). */
+  def shingles(df: DataFrame, textCol: String, idCol: String, n: Int = 3): DataFrame =
+    df.select(col(idCol).as("__id"), split(trim(col(textCol)), "\\s+").as("t"))
+      .filter(size(col("t")) >= n)
+      .select(col("__id"),
+        explode(expr(s"transform(sequence(0, size(t) - $n), " +
+          s"i -> concat_ws('_', ${(0 until n).map(j => s"t[i+$j]").mkString(", ")}))")).as("s"))
+      .distinct()
+
+  /** Exact Jaccard near-duplicate pairs at `num/den` threshold (integer
+    * cross-multiplied — no float compare). O(pairs-sharing-a-shingle):
+    * apply `maxShingleDf` to drop stop-shingles (no near-dup signal, all
+    * the skew) before the self-join at scale. */
+  def nearDupPairsExact(df: DataFrame, textCol: String, idCol: String,
+      num: Int = 4, den: Int = 5, ngram: Int = 3,
+      maxShingleDf: Option[Int] = None): DataFrame = {
+    val sh0 = shingles(df, textCol, idCol, ngram)
+    val sh = maxShingleDf match {
+      case Some(cap) =>
+        val hot = sh0.groupBy(col("s")).agg(count(lit(1)).as("df")).filter(col("df") > cap)
+        sh0.join(broadcast(hot), Seq("s"), "left_anti")
+      case None => sh0
+    }
+    val sizes = sh.groupBy(col("__id")).agg(count(lit(1)).as("n"))
+    val inter = sh.alias("a")
+      .join(sh.alias("b"), col("a.s") === col("b.s") && col("a.__id") < col("b.__id"))
+      .groupBy(col("a.__id").as("da"), col("b.__id").as("db"))
+      .agg(count(lit(1)).as("i"))
+    inter
+      .join(sizes.select(col("__id").as("da"), col("n").as("na")), "da")
+      .join(sizes.select(col("__id").as("db"), col("n").as("nb")), "db")
+      .filter(lit(den) * col("i") >= lit(num) * (col("na") + col("nb") - col("i")))
+      .select(col("da"), col("db"), col("i"), col("na"), col("nb"),
+        (col("i") / (col("na") + col("nb") - col("i"))).as("jac"))
+  }
+
+  /** MinHash+LSH near-dup pairs, exactly verified: candidates from banded
+    * signature buckets (work ∝ true dups), then exact Jaccard on the
+    * candidates only. See operators/Dedup for the banding math. */
+  def nearDupPairsMinHash(df: DataFrame, textCol: String, idCol: String,
+      num: Int = 4, den: Int = 5): DataFrame =
+    graft.operators.Dedup.minhashPairs(df, textCol, idCol, num, den)
+
+  // ------------------------------------------------------------ similarity
+
+  /** Brute-force cosine top-k: for each row of `queries`, the k nearest
+    * rows of `base` by cosine over `vecCol` (Array[Float/Double]). Queries
+    * are broadcast; base is never shuffled. */
+  def cosineTopK(base: DataFrame, queries: DataFrame, vecCol: String,
+      idCol: String, k: Int): DataFrame = {
+    val b = base.select(col(idCol).as("nid"),
+      expr(s"transform($vecCol, x -> cast(x as double))").as("v"))
+      .withColumn("nrm", sqrt(expr("aggregate(v, 0D, (acc, x) -> acc + x * x)")))
+    val q = queries.select(col(idCol).as("qid"),
+      expr(s"transform($vecCol, x -> cast(x as double))").as("qv"))
+      .withColumn("qn", sqrt(expr("aggregate(qv, 0D, (acc, x) -> acc + x * x)")))
+    val w = Window.partitionBy(col("qid")).orderBy(col("sim").desc, col("nid"))
+    b.join(broadcast(q), col("nid") =!= col("qid"))
+      .withColumn("sim",
+        expr("aggregate(zip_with(v, qv, (x, y) -> x * y), 0D, (acc, z) -> acc + z)") /
+          (col("nrm") * col("qn")))
+      .withColumn("rnk", row_number().over(w).cast(LongType))
+      .filter(col("rnk") <= k)
+      .select(col("qid"), col("rnk"), col("nid"), col("sim"))
+  }
+
+  // ------------------------------------------------------------ text
+
+  /** Adds n_tokens / n_punct / n_stop / char_len / stop_ratio /
+    * quality_score columns (pure codegen'd projections). */
+  def withTextStats(df: DataFrame, textCol: String): DataFrame =
+    df.withColumn("n_tokens", regexp_count(col(textCol), lit("\\S+")).cast(LongType))
+      .withColumn("n_punct", regexp_count(col(textCol), lit("[^A-Za-z0-9\\s]")).cast(LongType))
+      .withColumn("n_stop",
+        regexp_count(lower(col(textCol)), lit("\\b(the|a|of|and|is|in|to)\\b")).cast(LongType))
+      .withColumn("char_len", length(col(textCol)).cast(LongType))
+      .withColumn("stop_ratio", col("n_stop") / col("n_tokens"))
+      .withColumn("quality_score",
+        lit(0.5) * (col("n_stop") / col("n_tokens")) +
+          lit(0.5) * (lit(1.0) - col("n_punct") / col("char_len")))
+
+  /** Normalized-content fingerprint column. */
+  def withFingerprint(df: DataFrame, textCol: String, out: String = "fp"): DataFrame =
+    df.withColumn(out, md5(regexp_replace(lower(col(textCol)), "[^a-z0-9]", "")))
+
+  // ------------------------------------------------------------ events
+
+  /** Gaps-and-islands sessionization: per-key session counts with the
+    * given inactivity gap. One shuffle on the key. */
+  def sessionize(df: DataFrame, tsCol: String, keyCol: String,
+      gapMinutes: Int): DataFrame = {
+    val w = Window.partitionBy(col(keyCol)).orderBy(col(tsCol))
+    df.withColumn("__prev", lag(unix_micros(col(tsCol)), 1).over(w))
+      .withColumn("__new", when(col("__prev").isNull ||
+        (unix_micros(col(tsCol)) - col("__prev")) > gapMinutes * 60L * 1000000L, 1))
+      .groupBy(col(keyCol))
+      .agg(count(col("__new")).as("n_sessions"), count(lit(1)).as("n_events"))
+  }
+
+  /** As-of join: for each left row, the single right row with the greatest
+    * `rightTs` strictly before `leftTs` on the same key. Union+window
+    * formulation — one shuffle, no per-row subquery. `payload` is the right
+    * column carried to the output. */
+  def asofJoin(left: DataFrame, right: DataFrame, keyCol: String,
+      leftTs: String, rightTs: String, payload: String): DataFrame = {
+    val rowType = StructType(left.schema.fields)
+    val l = left.select(col(keyCol).as("__k"), col(leftTs).as("__ts"),
+      lit(1).as("__kind"), lit(null).cast(right.schema(payload).dataType).as("__p"),
+      struct(left.columns.map(col): _*).as("__row"))
+    val r = right.select(col(keyCol).as("__k"), col(rightTs).as("__ts"),
+      lit(2).as("__kind"), col(payload).as("__p"), lit(null).cast(rowType).as("__row"))
+    val w = Window.partitionBy(col("__k")).orderBy(col("__ts"), col("__kind"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    l.unionByName(r, allowMissingColumns = false)
+      .withColumn("__matched", last(col("__p"), ignoreNulls = true).over(w))
+      .filter(col("__kind") === 1)
+      .select(col("__row.*"), col("__matched").as(s"asof_$payload"))
+  }
+}

@@ -77,6 +77,42 @@ object Dedup {
     hashed.groupBy(col("doc_id")).agg(aggs.head, aggs.tail: _*)
   }
 
+  /** Parametric MinHash+LSH near-dup pipeline (the public API entry):
+    * banded signature buckets → candidate pairs → exact Jaccard verify on
+    * candidates only, at `num/den` threshold. One shared distinct-shingle
+    * subplan feeds signatures, sizes and verification (ReusedExchange);
+    * the candidate list is broadcast so the shingle table never
+    * reshuffles. */
+  def minhashPairs(df: DataFrame, textCol: String, idCol: String,
+      num: Int, den: Int): DataFrame = {
+    val sh = graft.api.Graft.shingles(df, textCol, idCol)
+      .withColumnRenamed("__id", "doc_id")
+    val sigs = minhashSigs(sh)
+    val bandCols = (0 until Bands).map { bi =>
+      hash((4 * bi until 4 * bi + 4).map(j => col(s"h$j")): _*).as(s"b$bi")
+    }
+    val banded = sigs.select(col("doc_id") +: bandCols: _*)
+    val longForm = banded.select(col("doc_id"),
+      posexplode(array((0 until Bands).map(i => col(s"b$i")): _*)).as(Seq("band", "bh")))
+    val cands = longForm.alias("a")
+      .join(longForm.alias("b"),
+        col("a.band") === col("b.band") && col("a.bh") === col("b.bh") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("da"), col("b.doc_id").as("db"))
+      .distinct()
+    val shA = sh.select(col("doc_id").as("da"), col("s"))
+    val shB = sh.select(col("doc_id").as("db"), col("s"))
+    val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
+    val inter = broadcast(shA.join(broadcast(cands), "da")).join(shB, Seq("db", "s"))
+      .groupBy(col("da"), col("db")).agg(count(lit(1)).as("i"))
+    inter
+      .join(sizes.select(col("doc_id").as("da"), col("n").as("na")), "da")
+      .join(sizes.select(col("doc_id").as("db"), col("n").as("nb")), "db")
+      .filter(lit(den) * col("i") >= lit(num) * (col("na") + col("nb") - col("i")))
+      .select(col("da"), col("db"), col("i"), col("na"), col("nb"),
+        (col("i") / (col("na") + col("nb") - col("i"))).as("jac"))
+  }
+
   val queries: Map[String, Q] = Map(
     // ---- q23: exact dedup on normalized text ----
     "q23_dedup_exact" -> ((s, dir) => {
@@ -89,41 +125,13 @@ object Dedup {
 
     // ---- q24: exact n-gram Jaccard near-dup pairs (J >= 0.8) ----
     "q24_dedup_ngram_jaccard" -> ((s, dir) => {
-      jaccardFilter(pairStats(shingles(s, dir))).orderBy(col("da"), col("db"))
+      graft.api.Graft.nearDupPairsExact(t(s, dir, "documents"), "text", "doc_id")
+        .orderBy(col("da"), col("db"))
     }),
 
     // ---- q25: MinHash + LSH candidates, exact-verified (J >= 0.8) ----
     "q25_dedup_minhash_lsh" -> ((s, dir) => {
-      // One shared distinct-shingle subplan: signatures, sizes and the
-      // verify stage all reuse the same shuffle (ReusedExchange) instead of
-      // recomputing the explode.
-      val sh = shingles(s, dir)
-      val sigs = minhashSigs(sh)
-      val bandCols = (0 until Bands).map { bi =>
-        hash((4 * bi until 4 * bi + 4).map(j => col(s"h$j")): _*).as(s"b$bi")
-      }
-      val banded = sigs.select(col("doc_id") +: bandCols: _*)
-      val longForm = banded.select(col("doc_id"),
-        posexplode(array((0 until Bands).map(i => col(s"b$i")): _*)).as(Seq("band", "bh")))
-      val cands = longForm.alias("a")
-        .join(longForm.alias("b"),
-          col("a.band") === col("b.band") && col("a.bh") === col("b.bh") &&
-            col("a.doc_id") < col("b.doc_id"))
-        .select(col("a.doc_id").as("da"), col("b.doc_id").as("db"))
-        .distinct()
-      // Exact verification of candidates only (the scale-safe step: work is
-      // proportional to candidate count, not n^2). The candidate list is
-      // tiny relative to the corpus → broadcast it so the shingle table is
-      // never shuffled.
-      val shA = sh.select(col("doc_id").as("da"), col("s"))
-      val shB = sh.select(col("doc_id").as("db"), col("s"))
-      val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
-      val inter = broadcast(shA.join(broadcast(cands), "da")).join(shB, Seq("db", "s"))
-        .groupBy(col("da"), col("db")).agg(count(lit(1)).as("i"))
-      val stats = inter
-        .join(sizes.select(col("doc_id").as("da"), col("n").as("na")), "da")
-        .join(sizes.select(col("doc_id").as("db"), col("n").as("nb")), "db")
-      jaccardFilter(stats)
+      minhashPairs(t(s, dir, "documents"), "text", "doc_id", 4, 5)
         .select(col("da"), col("db"), col("jac"))
         .orderBy(col("da"), col("db"))
     }),

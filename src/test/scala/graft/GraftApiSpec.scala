@@ -1,0 +1,83 @@
+package graft
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.api.Graft
+
+/** Drives the public operator API on small inline data with hand-checked
+  * expectations (plus testdata where sizes matter). */
+class GraftApiSpec extends AnyFunSuite {
+  import TestSpark._
+
+  test("dedupExact keeps min id per normalized duplicate group") {
+    val s = spark; import s.implicits._
+    val df = Seq((1L, "Hello  World"), (2L, "hello world"), (3L, "other")).toDF("id", "txt")
+    val out = Graft.dedupExact(df, "txt", "id").orderBy("id").collect()
+    assert(out.map(r => (r.getLong(0), r.getLong(1))).toSeq === Seq((1L, 2L), (3L, 1L)))
+  }
+
+  test("nearDupPairsExact matches the oracle-checked q24 pair set") {
+    val docs = spark.read.parquet(s"$sf0001/documents.parquet")
+    val pairs = Graft.nearDupPairsExact(docs, "text", "doc_id").collect()
+    assert(pairs.nonEmpty)
+    assert(pairs.forall(_.getDouble(5) >= 0.8))
+    // minhash path finds the same pairs
+    val mh = Graft.nearDupPairsMinHash(docs, "text", "doc_id")
+      .select("da", "db").collect().map(r => (r.getLong(0), r.getLong(1))).sorted
+    val ex = pairs.map(r => (r.getLong(0), r.getLong(1))).sorted
+    assert(mh.toSeq === ex.toSeq)
+  }
+
+  test("nearDupPairsExact with maxShingleDf drops stop-shingle pairs only") {
+    val docs = spark.read.parquet(s"$sf0001/documents.parquet")
+    val capped = Graft.nearDupPairsExact(docs, "text", "doc_id", maxShingleDf = Some(3))
+    assert(capped.count() <= Graft.nearDupPairsExact(docs, "text", "doc_id").count())
+  }
+
+  test("cosineTopK returns k ordered neighbors per query") {
+    val emb = spark.read.parquet(s"$sf0001/embeddings.parquet")
+    val out = Graft.cosineTopK(emb, emb.filter(col("vec_id") === 0), "embedding", "vec_id", 5)
+    val rows = out.orderBy("rnk").collect()
+    assert(rows.length === 5)
+    assert(rows.map(_.getLong(1)).toSeq === Seq(1L, 2L, 3L, 4L, 5L))
+    val sims = rows.map(_.getDouble(3))
+    assert(sims.zip(sims.tail).forall { case (a, b) => a >= b })
+  }
+
+  test("sessionize splits on the inactivity gap") {
+    val s = spark; import s.implicits._
+    def ts(m: Int) = Timestamp.valueOf(f"2024-01-01 00:$m%02d:00")
+    val df = Seq((1L, ts(0)), (1L, ts(5)), (1L, ts(50)), (2L, ts(0)))
+      .toDF("uid", "ts")
+    val out = Graft.sessionize(df, "ts", "uid", 30).orderBy("uid").collect()
+    assert(out.map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq ===
+      Seq((1L, 2L, 3L), (2L, 1L, 1L)))
+  }
+
+  test("asofJoin picks the latest strictly-earlier right row per key") {
+    val s = spark; import s.implicits._
+    def ts(m: Int) = Timestamp.valueOf(f"2024-01-01 00:$m%02d:00")
+    val purchases = Seq((1L, ts(10), "p1"), (1L, ts(30), "p2"), (2L, ts(5), "p3"))
+      .toDF("uid", "pts", "pname")
+    val clicks = Seq((1L, ts(9), 100L), (1L, ts(10), 101L), (1L, ts(29), 102L))
+      .toDF("uid", "cts", "click_id")
+    val out = Graft.asofJoin(purchases, clicks, "uid", "pts", "cts", "click_id")
+      .orderBy("pts").collect()
+    // p1@10: click@9 matches (strictly before; click@10 does not)
+    assert(out.map(r => (r.getString(2), Option(r.get(3)))).toSeq ===
+      Seq(("p3", None), ("p1", Some(100L)), ("p2", Some(102L))))
+  }
+
+  test("withTextStats and withFingerprint add deterministic columns") {
+    val s = spark; import s.implicits._
+    val df = Seq((1L, "The cat, and a dog!")).toDF("id", "txt")
+    val row = Graft.withFingerprint(Graft.withTextStats(df, "txt"), "txt").head
+    assert(row.getAs[Long]("n_tokens") === 5L)
+    assert(row.getAs[Long]("n_punct") === 2L)
+    assert(row.getAs[Long]("n_stop") === 3L) // the, and, a
+    assert(row.getAs[String]("fp").length === 32)
+  }
+}
