@@ -111,7 +111,19 @@ object GraftFunctions {
     ("st_geomfromgeojson", (e: Seq[Expression]) => StGeomFromGeoJson(e.head)),
     ("st_point", (e: Seq[Expression]) => StPoint(e(0), e(1))),
     ("st_x", (e: Seq[Expression]) => StX(e.head)),
-    ("st_y", (e: Seq[Expression]) => StY(e.head)))
+    ("st_y", (e: Seq[Expression]) => StY(e.head)),
+    ("st_area", (e: Seq[Expression]) => StArea(e.head)),
+    ("st_length", (e: Seq[Expression]) => StLength(e.head)),
+    ("st_centroid", (e: Seq[Expression]) => StCentroid(e.head)),
+    ("st_envelope", (e: Seq[Expression]) => StEnvelope(e.head)),
+    ("st_geometrytype", (e: Seq[Expression]) => StGeometryType(e.head)),
+    ("st_npoints", (e: Seq[Expression]) => StNPoints(e.head)),
+    ("st_isvalid", (e: Seq[Expression]) => StIsValid(e.head)),
+    ("st_intersects", (e: Seq[Expression]) => StIntersects(e(0), e(1))),
+    ("st_contains", (e: Seq[Expression]) => StContains(e(0), e(1))),
+    ("st_within", (e: Seq[Expression]) => StWithin(e(0), e(1))),
+    ("st_distance", (e: Seq[Expression]) => StDistance(e(0), e(1))),
+    ("st_buffer", (e: Seq[Expression]) => StBuffer(e(0), e(1))))
 
   def register(spark: SparkSession): Unit = fns.foreach { case (name, builder) =>
     spark.sessionState.functionRegistry.registerFunction(

@@ -1,0 +1,123 @@
+package graft.functions
+
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression}
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+import graft.geom.GeomCodec
+
+/** Spatial predicates and measures over WKB geometry columns — beyond the
+  * reference's codec-only surface (SURVEY.md §2.7) but table stakes for a
+  * GDAL-class engine. All JTS-backed, codegen'd static calls. */
+object SpatialFns {
+  def area(wkb: Array[Byte]): Double = GeomCodec.fromWkb(wkb).getArea
+  def length(wkb: Array[Byte]): Double = GeomCodec.fromWkb(wkb).getLength
+  def centroid(wkb: Array[Byte]): Array[Byte] =
+    GeomCodec.toWkb(GeomCodec.fromWkb(wkb).getCentroid)
+  def envelope(wkb: Array[Byte]): Array[Byte] =
+    GeomCodec.toWkb(GeomCodec.fromWkb(wkb).getEnvelope)
+  def geometryType(wkb: Array[Byte]): UTF8String =
+    UTF8String.fromString(GeomCodec.fromWkb(wkb).getGeometryType)
+  def npoints(wkb: Array[Byte]): Int = GeomCodec.fromWkb(wkb).getNumPoints
+  def isValid(wkb: Array[Byte]): Boolean = GeomCodec.fromWkb(wkb).isValid
+  def intersects(a: Array[Byte], b: Array[Byte]): Boolean =
+    GeomCodec.fromWkb(a).intersects(GeomCodec.fromWkb(b))
+  def contains(a: Array[Byte], b: Array[Byte]): Boolean =
+    GeomCodec.fromWkb(a).contains(GeomCodec.fromWkb(b))
+  def within(a: Array[Byte], b: Array[Byte]): Boolean =
+    GeomCodec.fromWkb(a).within(GeomCodec.fromWkb(b))
+  def distance(a: Array[Byte], b: Array[Byte]): Double =
+    GeomCodec.fromWkb(a).distance(GeomCodec.fromWkb(b))
+  def buffer(wkb: Array[Byte], d: Double): Array[Byte] =
+    GeomCodec.toWkb(GeomCodec.fromWkb(wkb).buffer(d))
+}
+
+abstract class UnarySpatial(fn: String, out: DataType) extends UnaryExpression {
+  override def dataType: DataType = out
+  protected override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.SpatialFns.$fn($c)")
+}
+
+case class StArea(child: Expression) extends UnarySpatial("area", DoubleType) {
+  override def prettyName: String = "st_area"
+  protected override def nullSafeEval(i: Any): Any = SpatialFns.area(i.asInstanceOf[Array[Byte]])
+  protected override def withNewChildInternal(c: Expression): StArea = copy(child = c)
+}
+case class StLength(child: Expression) extends UnarySpatial("length", DoubleType) {
+  override def prettyName: String = "st_length"
+  protected override def nullSafeEval(i: Any): Any = SpatialFns.length(i.asInstanceOf[Array[Byte]])
+  protected override def withNewChildInternal(c: Expression): StLength = copy(child = c)
+}
+case class StCentroid(child: Expression) extends UnarySpatial("centroid", BinaryType) {
+  override def prettyName: String = "st_centroid"
+  protected override def nullSafeEval(i: Any): Any = SpatialFns.centroid(i.asInstanceOf[Array[Byte]])
+  protected override def withNewChildInternal(c: Expression): StCentroid = copy(child = c)
+}
+case class StEnvelope(child: Expression) extends UnarySpatial("envelope", BinaryType) {
+  override def prettyName: String = "st_envelope"
+  protected override def nullSafeEval(i: Any): Any = SpatialFns.envelope(i.asInstanceOf[Array[Byte]])
+  protected override def withNewChildInternal(c: Expression): StEnvelope = copy(child = c)
+}
+case class StGeometryType(child: Expression) extends UnarySpatial("geometryType", StringType) {
+  override def prettyName: String = "st_geometrytype"
+  protected override def nullSafeEval(i: Any): Any = SpatialFns.geometryType(i.asInstanceOf[Array[Byte]])
+  protected override def withNewChildInternal(c: Expression): StGeometryType = copy(child = c)
+}
+case class StNPoints(child: Expression) extends UnarySpatial("npoints", IntegerType) {
+  override def prettyName: String = "st_npoints"
+  protected override def nullSafeEval(i: Any): Any = SpatialFns.npoints(i.asInstanceOf[Array[Byte]])
+  protected override def withNewChildInternal(c: Expression): StNPoints = copy(child = c)
+}
+case class StIsValid(child: Expression) extends UnarySpatial("isValid", BooleanType) {
+  override def prettyName: String = "st_isvalid"
+  protected override def nullSafeEval(i: Any): Any = SpatialFns.isValid(i.asInstanceOf[Array[Byte]])
+  protected override def withNewChildInternal(c: Expression): StIsValid = copy(child = c)
+}
+
+abstract class BinarySpatial(fn: String, out: DataType) extends BinaryExpression {
+  override def dataType: DataType = out
+  protected override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b) => s"graft.functions.SpatialFns.$fn($a, $b)")
+}
+
+case class StIntersects(left: Expression, right: Expression)
+  extends BinarySpatial("intersects", BooleanType) {
+  override def prettyName: String = "st_intersects"
+  protected override def nullSafeEval(a: Any, b: Any): Any =
+    SpatialFns.intersects(a.asInstanceOf[Array[Byte]], b.asInstanceOf[Array[Byte]])
+  protected override def withNewChildrenInternal(l: Expression, r: Expression): StIntersects =
+    copy(left = l, right = r)
+}
+case class StContains(left: Expression, right: Expression)
+  extends BinarySpatial("contains", BooleanType) {
+  override def prettyName: String = "st_contains"
+  protected override def nullSafeEval(a: Any, b: Any): Any =
+    SpatialFns.contains(a.asInstanceOf[Array[Byte]], b.asInstanceOf[Array[Byte]])
+  protected override def withNewChildrenInternal(l: Expression, r: Expression): StContains =
+    copy(left = l, right = r)
+}
+case class StWithin(left: Expression, right: Expression)
+  extends BinarySpatial("within", BooleanType) {
+  override def prettyName: String = "st_within"
+  protected override def nullSafeEval(a: Any, b: Any): Any =
+    SpatialFns.within(a.asInstanceOf[Array[Byte]], b.asInstanceOf[Array[Byte]])
+  protected override def withNewChildrenInternal(l: Expression, r: Expression): StWithin =
+    copy(left = l, right = r)
+}
+case class StDistance(left: Expression, right: Expression)
+  extends BinarySpatial("distance", DoubleType) {
+  override def prettyName: String = "st_distance"
+  protected override def nullSafeEval(a: Any, b: Any): Any =
+    SpatialFns.distance(a.asInstanceOf[Array[Byte]], b.asInstanceOf[Array[Byte]])
+  protected override def withNewChildrenInternal(l: Expression, r: Expression): StDistance =
+    copy(left = l, right = r)
+}
+case class StBuffer(left: Expression, right: Expression)
+  extends BinarySpatial("buffer", BinaryType) {
+  override def prettyName: String = "st_buffer"
+  protected override def nullSafeEval(a: Any, b: Any): Any =
+    SpatialFns.buffer(a.asInstanceOf[Array[Byte]], b.asInstanceOf[Double])
+  protected override def withNewChildrenInternal(l: Expression, r: Expression): StBuffer =
+    copy(left = l, right = r)
+}
