@@ -33,56 +33,75 @@ object SpatialFns {
     GeomCodec.toWkb(GeomCodec.fromWkb(wkb).buffer(d))
 }
 
-abstract class UnarySpatial(fn: String, out: DataType) extends UnaryExpression {
-  override def dataType: DataType = out
+// Abstract members (not constructor params): executors deserialize these
+// expressions with Java serialization, which requires a no-arg superclass
+// constructor.
+abstract class UnarySpatial extends UnaryExpression {
+  protected def fn: String
   protected override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     defineCodeGen(ctx, ev, c => s"graft.functions.SpatialFns.$fn($c)")
 }
 
-case class StArea(child: Expression) extends UnarySpatial("area", DoubleType) {
+case class StArea(child: Expression) extends UnarySpatial {
+  protected def fn: String = "area"
+  override def dataType: DataType = DoubleType
   override def prettyName: String = "st_area"
   protected override def nullSafeEval(i: Any): Any = SpatialFns.area(i.asInstanceOf[Array[Byte]])
   protected override def withNewChildInternal(c: Expression): StArea = copy(child = c)
 }
-case class StLength(child: Expression) extends UnarySpatial("length", DoubleType) {
+case class StLength(child: Expression) extends UnarySpatial {
+  protected def fn: String = "length"
+  override def dataType: DataType = DoubleType
   override def prettyName: String = "st_length"
   protected override def nullSafeEval(i: Any): Any = SpatialFns.length(i.asInstanceOf[Array[Byte]])
   protected override def withNewChildInternal(c: Expression): StLength = copy(child = c)
 }
-case class StCentroid(child: Expression) extends UnarySpatial("centroid", BinaryType) {
+case class StCentroid(child: Expression) extends UnarySpatial {
+  protected def fn: String = "centroid"
+  override def dataType: DataType = BinaryType
   override def prettyName: String = "st_centroid"
   protected override def nullSafeEval(i: Any): Any = SpatialFns.centroid(i.asInstanceOf[Array[Byte]])
   protected override def withNewChildInternal(c: Expression): StCentroid = copy(child = c)
 }
-case class StEnvelope(child: Expression) extends UnarySpatial("envelope", BinaryType) {
+case class StEnvelope(child: Expression) extends UnarySpatial {
+  protected def fn: String = "envelope"
+  override def dataType: DataType = BinaryType
   override def prettyName: String = "st_envelope"
   protected override def nullSafeEval(i: Any): Any = SpatialFns.envelope(i.asInstanceOf[Array[Byte]])
   protected override def withNewChildInternal(c: Expression): StEnvelope = copy(child = c)
 }
-case class StGeometryType(child: Expression) extends UnarySpatial("geometryType", StringType) {
+case class StGeometryType(child: Expression) extends UnarySpatial {
+  protected def fn: String = "geometryType"
+  override def dataType: DataType = StringType
   override def prettyName: String = "st_geometrytype"
   protected override def nullSafeEval(i: Any): Any = SpatialFns.geometryType(i.asInstanceOf[Array[Byte]])
   protected override def withNewChildInternal(c: Expression): StGeometryType = copy(child = c)
 }
-case class StNPoints(child: Expression) extends UnarySpatial("npoints", IntegerType) {
+case class StNPoints(child: Expression) extends UnarySpatial {
+  protected def fn: String = "npoints"
+  override def dataType: DataType = IntegerType
   override def prettyName: String = "st_npoints"
   protected override def nullSafeEval(i: Any): Any = SpatialFns.npoints(i.asInstanceOf[Array[Byte]])
   protected override def withNewChildInternal(c: Expression): StNPoints = copy(child = c)
 }
-case class StIsValid(child: Expression) extends UnarySpatial("isValid", BooleanType) {
+case class StIsValid(child: Expression) extends UnarySpatial {
+  protected def fn: String = "isValid"
+  override def dataType: DataType = BooleanType
   override def prettyName: String = "st_isvalid"
   protected override def nullSafeEval(i: Any): Any = SpatialFns.isValid(i.asInstanceOf[Array[Byte]])
   protected override def withNewChildInternal(c: Expression): StIsValid = copy(child = c)
 }
 
-abstract class BinarySpatial(fn: String, out: DataType) extends BinaryExpression {
-  override def dataType: DataType = out
+abstract class BinarySpatial extends BinaryExpression {
+  protected def fn: String
   protected override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     defineCodeGen(ctx, ev, (a, b) => s"graft.functions.SpatialFns.$fn($a, $b)")
 }
 
 case class StIntersects(left: Expression, right: Expression)
-  extends BinarySpatial("intersects", BooleanType) {
+  extends BinarySpatial {
+  protected def fn: String = "intersects"
+  override def dataType: DataType = BooleanType
   override def prettyName: String = "st_intersects"
   protected override def nullSafeEval(a: Any, b: Any): Any =
     SpatialFns.intersects(a.asInstanceOf[Array[Byte]], b.asInstanceOf[Array[Byte]])
@@ -90,7 +109,9 @@ case class StIntersects(left: Expression, right: Expression)
     copy(left = l, right = r)
 }
 case class StContains(left: Expression, right: Expression)
-  extends BinarySpatial("contains", BooleanType) {
+  extends BinarySpatial {
+  protected def fn: String = "contains"
+  override def dataType: DataType = BooleanType
   override def prettyName: String = "st_contains"
   protected override def nullSafeEval(a: Any, b: Any): Any =
     SpatialFns.contains(a.asInstanceOf[Array[Byte]], b.asInstanceOf[Array[Byte]])
@@ -98,7 +119,9 @@ case class StContains(left: Expression, right: Expression)
     copy(left = l, right = r)
 }
 case class StWithin(left: Expression, right: Expression)
-  extends BinarySpatial("within", BooleanType) {
+  extends BinarySpatial {
+  protected def fn: String = "within"
+  override def dataType: DataType = BooleanType
   override def prettyName: String = "st_within"
   protected override def nullSafeEval(a: Any, b: Any): Any =
     SpatialFns.within(a.asInstanceOf[Array[Byte]], b.asInstanceOf[Array[Byte]])
@@ -106,7 +129,9 @@ case class StWithin(left: Expression, right: Expression)
     copy(left = l, right = r)
 }
 case class StDistance(left: Expression, right: Expression)
-  extends BinarySpatial("distance", DoubleType) {
+  extends BinarySpatial {
+  protected def fn: String = "distance"
+  override def dataType: DataType = DoubleType
   override def prettyName: String = "st_distance"
   protected override def nullSafeEval(a: Any, b: Any): Any =
     SpatialFns.distance(a.asInstanceOf[Array[Byte]], b.asInstanceOf[Array[Byte]])
@@ -114,7 +139,9 @@ case class StDistance(left: Expression, right: Expression)
     copy(left = l, right = r)
 }
 case class StBuffer(left: Expression, right: Expression)
-  extends BinarySpatial("buffer", BinaryType) {
+  extends BinarySpatial {
+  protected def fn: String = "buffer"
+  override def dataType: DataType = BinaryType
   override def prettyName: String = "st_buffer"
   protected override def nullSafeEval(a: Any, b: Any): Any =
     SpatialFns.buffer(a.asInstanceOf[Array[Byte]], b.asInstanceOf[Double])

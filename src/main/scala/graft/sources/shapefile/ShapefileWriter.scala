@@ -1,0 +1,97 @@
+package graft.sources.shapefile
+
+import java.io.File
+
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.util.DateTimeUtils
+import org.apache.spark.sql.connector.write._
+import org.apache.spark.sql.types._
+
+import graft.geom.GeomCodec
+import graft.sources.{GdalOptions, GraftError}
+
+/** Shapefile write path (reference W1 for the ESRI driver): each partition
+  * emits a `part-NNNNN.shp/.shx/.dbf` triple; unsupported column types are
+  * silently filtered like the reference (src/lib.rs:514-521); the geometry
+  * column is required and must be WKB Binary or WKT String
+  * (CannotFindGeometryColumn / GeometryColumnWrongType parity). Coalesce
+  * to one partition for a classic single-shapefile dataset. */
+class ShapefileWriteBuilder(info: LogicalWriteInfo) extends WriteBuilder with SupportsTruncate {
+  private var doTruncate = false
+  override def truncate(): WriteBuilder = { doTruncate = true; this }
+  override def build(): Write = new Write {
+    override def toBatch: BatchWrite = {
+      val path = Option(info.options.get("path"))
+        .getOrElse(throw new IllegalArgumentException("shapefile write requires a path"))
+      new ShapefileBatchWrite(path, info.schema(), GdalOptions(info.options), doTruncate)
+    }
+  }
+}
+
+case class ShpCommit(rows: Long) extends WriterCommitMessage
+
+class ShapefileBatchWrite(path: String, schema: StructType, opts: GdalOptions,
+    truncate: Boolean) extends BatchWrite {
+  override def createBatchWriterFactory(info: PhysicalWriteInfo): DataWriterFactory = {
+    val dir = new File(path)
+    if (!dir.exists()) dir.mkdirs()
+    if (truncate) dir.listFiles()
+      .filter(f => Seq(".shp", ".shx", ".dbf").exists(f.getName.endsWith)).foreach(_.delete())
+    val gi = schema.fieldNames.indexOf(opts.geometryColumnName)
+    if (gi < 0) throw new GraftError.CannotFindGeometryColumn(opts.geometryColumnName)
+    schema.fields(gi).dataType match {
+      case BinaryType | StringType => ()
+      case _ => throw new GraftError.GeometryColumnWrongType(opts.geometryColumnName)
+    }
+    new ShapefileWriterFactory(path, schema, opts)
+  }
+  override def commit(messages: Array[WriterCommitMessage]): Unit = {
+    if (messages.map { case ShpCommit(n) => n }.sum == 0L)
+      throw new GraftError.EmptyDataframe
+  }
+  override def abort(messages: Array[WriterCommitMessage]): Unit = ()
+}
+
+class ShapefileWriterFactory(path: String, schema: StructType, opts: GdalOptions)
+  extends DataWriterFactory {
+  override def createWriter(partitionId: Int, taskId: Long): DataWriter[InternalRow] =
+    new ShapefileDataWriter(new File(path, f"part-$partitionId%05d").getAbsolutePath,
+      schema, opts)
+}
+
+class ShapefileDataWriter(base: String, schema: StructType, opts: GdalOptions)
+  extends DataWriter[InternalRow] {
+  private val geomIdx = schema.fieldNames.indexOf(opts.geometryColumnName)
+  private val fields = ShpWriter.dbfFields(schema, opts.geometryColumnName)
+  private val fieldIdx = fields.map(f => schema.fieldNames.indexOf(f.name))
+  private val writer = new ShpWriter(base, fields)
+  private var n = 0L
+
+  override def write(row: InternalRow): Unit = {
+    val geom =
+      if (row.isNullAt(geomIdx)) null
+      else schema.fields(geomIdx).dataType match {
+        case BinaryType => GeomCodec.fromWkb(row.getBinary(geomIdx))
+        case _ => GeomCodec.fromWkt(row.getUTF8String(geomIdx).toString)
+      }
+    val values = fieldIdx.map { i =>
+      if (row.isNullAt(i)) null
+      else schema.fields(i).dataType match {
+        case StringType => row.getUTF8String(i).toString
+        case IntegerType => row.getInt(i)
+        case LongType => row.getLong(i)
+        case DoubleType => row.getDouble(i)
+        case FloatType => row.getFloat(i).toDouble
+        case BooleanType => row.getBoolean(i)
+        case DateType => DateTimeUtils.toJavaDate(row.getInt(i))
+        case TimestampType => DateTimeUtils.toJavaTimestamp(row.getLong(i)).toInstant.toString
+        case _ => null
+      }
+    }
+    writer.write(geom, values)
+    n += 1
+  }
+  override def commit(): WriterCommitMessage = { writer.close(); ShpCommit(n) }
+  override def abort(): Unit = { writer.close(); () }
+  override def close(): Unit = ()
+}
