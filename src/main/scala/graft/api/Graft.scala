@@ -87,6 +87,23 @@ object Graft {
       .select(col("qid"), col("rnk"), col("nid"), col("sim"))
   }
 
+  // ------------------------------------------------------------ skew
+
+  /** Salted equi-join for pathologically skewed keys: the big side gets a
+    * deterministic salt from its row content, the small side is replicated
+    * `saltFactor` times, and the join key becomes (key, salt) — splitting
+    * one hot key's partition into `saltFactor` tasks. Results equal the
+    * plain join. Prefer AQE skew handling first; this is the explicit
+    * remedy when one key dwarfs everything (SCALE.md). */
+  def saltedJoin(big: DataFrame, small: DataFrame, key: String,
+      saltFactor: Int): DataFrame = {
+    val b = big.withColumn("__salt",
+      pmod(xxhash64(struct(big.columns.map(col): _*)), lit(saltFactor)))
+    val s = small.withColumn("__salt",
+      explode(sequence(lit(0L), lit(saltFactor - 1L))))
+    b.join(s, Seq(key, "__salt")).drop("__salt")
+  }
+
   // ------------------------------------------------------------ text
 
   /** Adds n_tokens / n_punct / n_stop / char_len / stop_ratio /

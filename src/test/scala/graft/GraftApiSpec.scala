@@ -71,6 +71,19 @@ class GraftApiSpec extends AnyFunSuite {
       Seq(("p3", None), ("p1", Some(100L)), ("p2", Some(102L))))
   }
 
+  test("saltedJoin equals the plain join on a skewed key") {
+    val s = spark; import s.implicits._
+    // 1000 rows of one hot key + a tail
+    val big = ((1 to 1000).map(i => (1L, s"v$i")) ++ Seq((2L, "t1"), (3L, "t2")))
+      .toDF("k", "payload")
+    val small = Seq((1L, "one"), (2L, "two")).toDF("k", "name")
+    val plain = big.join(small, Seq("k")).select("k", "payload", "name")
+      .collect().map(_.toString).sorted
+    val salted = Graft.saltedJoin(big, small, "k", 8).select("k", "payload", "name")
+      .collect().map(_.toString).sorted
+    assert(plain.toSeq === salted.toSeq)
+  }
+
   test("withTextStats and withFingerprint add deterministic columns") {
     val s = spark; import s.implicits._
     val df = Seq((1L, "The cat, and a dog!")).toDF("id", "txt")
