@@ -110,6 +110,19 @@ object Extras {
           |ORDER BY o_orderkey""".stripMargin)
     }),
 
+    // ---- q42: RANGE window frame (trailing 30-day spend per customer) ----
+    "q42_range_window" -> ((s, dir) => {
+      import s.implicits._
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy($"o_custkey")
+        .orderBy(unix_timestamp($"o_orderdate"))
+        .rangeBetween(-30L * 86400L, 0L)
+      t(s, dir, "orders")
+        .withColumn("spend_30d", sum(dec($"o_totalprice")).over(w).cast(DoubleType))
+        .select($"o_custkey", $"o_orderkey", $"spend_30d")
+        .orderBy($"o_custkey", $"o_orderkey")
+    }),
+
     // ---- q41: HLL++ sketch distinct (approximate → rows-only check) ----
     "q41_approx_distinct" -> ((s, dir) => {
       import s.implicits._
@@ -179,6 +192,13 @@ object Extras {
       """SELECT o_orderkey, o_totalprice FROM orders
         |WHERE EXISTS (SELECT 1 FROM lineitem
         |              WHERE l_orderkey = o_orderkey AND l_quantity >= 49.0)
-        |ORDER BY o_orderkey""".stripMargin
+        |ORDER BY o_orderkey""".stripMargin,
+
+    "q42_range_window" ->
+      """SELECT o_custkey, o_orderkey,
+        | CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) OVER (
+        |   PARTITION BY o_custkey ORDER BY CAST(epoch(o_orderdate) AS BIGINT)
+        |   RANGE BETWEEN 2592000 PRECEDING AND CURRENT ROW) AS DOUBLE) AS spend_30d
+        |FROM orders ORDER BY o_custkey, o_orderkey""".stripMargin
   )
 }

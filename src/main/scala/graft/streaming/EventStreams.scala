@@ -46,6 +46,26 @@ object EventStreams {
       .withWatermark("ts", "2 hours")
       .dropDuplicatesWithinWatermark("event_id")
 
+  /** Stream-stream interval join: purchases matched to clicks by the same
+    * user within the preceding hour. Watermarks on both sides + the time
+    * bound let Spark evict join state — the unbounded-stream-safe join. */
+  def purchaseAttribution(events: DataFrame): DataFrame = {
+    val clicks = events.filter(col("event_type") === "click")
+      .select(col("user_id").as("c_user"), col("ts").as("c_ts"),
+        col("event_id").as("click_id"))
+      .withWatermark("c_ts", "2 hours")
+    val purchases = events.filter(col("event_type") === "purchase")
+      .select(col("user_id").as("p_user"), col("ts").as("p_ts"),
+        col("event_id").as("purchase_id"), col("value"))
+      .withWatermark("p_ts", "2 hours")
+    purchases.join(clicks,
+      col("p_user") === col("c_user") &&
+        col("c_ts") >= col("p_ts") - expr("INTERVAL 1 HOUR") &&
+        col("c_ts") < col("p_ts"))
+      .select(col("purchase_id"), col("click_id"), col("p_user").as("user_id"),
+        col("p_ts"), col("c_ts"), col("value"))
+  }
+
   /** Stateful per-user running counters via flatMapGroupsWithState-style
     * arbitrary state — expressed with the typed API. Emits (user_id,
     * total_events, total_value) updates. */

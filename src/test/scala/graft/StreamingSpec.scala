@@ -71,6 +71,23 @@ class StreamingSpec extends AnyFunSuite {
     assert(s.sql("SELECT count(*) FROM dedup").head.getLong(0) === 2L)
   }
 
+  test("stream-stream interval join: purchases attributed to preceding clicks") {
+    val s = spark
+    import s.implicits._
+    implicit val sc = s.sqlContext
+    val mem = MemoryStream[Ev]
+    mem.addData(
+      Ev(1, ts(0), 1, "click", 0.0),    // within the hour before purchase 3
+      Ev(2, ts(30), 1, "click", 0.0),   // also within
+      Ev(3, ts(50), 1, "purchase", 9.99),
+      Ev(4, ts(50), 2, "purchase", 5.0), // user 2: no clicks -> no row
+      Ev(5, ts(55), 1, "click", 0.0))   // after the purchase -> excluded
+    runToCompletion(EventStreams.purchaseAttribution(mem.toDF), "attrib", "append")
+    val rows = s.sql("SELECT purchase_id, click_id FROM attrib ORDER BY click_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(rows.toSeq === Seq((3L, 1L), (3L, 2L)))
+  }
+
   test("stateful running totals via mapGroupsWithState") {
     val s = spark
     import s.implicits._
