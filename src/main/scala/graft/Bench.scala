@@ -27,6 +27,14 @@ object Bench {
       l.withColumn("r", org.apache.spark.sql.expressions.Window.partitionBy("l_orderkey") match {
         case w => row_number().over(w.orderBy("l_linenumber"))
       }).write.format("noop").mode("overwrite").save()
+      // explode + wide-agg + self-join shapes (the dedup pipelines' JIT paths)
+      val d = spark.read.parquet(s"$sfDir/documents.parquet").limit(50)
+        .select(col("doc_id"), explode(split(col("text"), " ")).as("w"))
+      val manyAggs = (0 until 32).map(i => min(xxhash64(col("w")) + i).as(s"m$i"))
+      d.groupBy("doc_id").agg(manyAggs.head, manyAggs.tail: _*)
+        .write.format("noop").mode("overwrite").save()
+      d.alias("a").join(d.alias("b"), col("a.w") === col("b.w")).groupBy(col("a.doc_id"))
+        .agg(count(lit(1))).write.format("noop").mode("overwrite").save()
     } catch { case _: Throwable => () }
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()
