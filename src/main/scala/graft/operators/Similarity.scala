@@ -28,6 +28,44 @@ object Similarity {
   private val dotExpr = "aggregate(zip_with(v, qv, (x, y) -> x * y), 0D, (acc, z) -> acc + z)"
   private val norm2Expr = "aggregate(v, 0D, (acc, x) -> acc + x * x)"
 
+  /** IVF coarse quantizer: a few Lloyd iterations over a driver-side
+    * sample (deterministic — fixed seed, ordered sample), centroids
+    * broadcast to executors. Training is O(sample × nlist × iters) on the
+    * driver; at 100 TB you train on a sample the same way and only the
+    * assignment pass (map-side, no shuffle) touches the full corpus. */
+  private[operators] def trainCentroids(
+      sample: Array[Array[Double]], nlist: Int, iters: Int): Array[Array[Double]] = {
+    val dim = sample.head.length
+    var centroids = sample.take(nlist).map(_.clone)
+    for (_ <- 1 to iters) {
+      val sums = Array.fill(nlist)(new Array[Double](dim))
+      val counts = new Array[Int](nlist)
+      for (v <- sample) {
+        var best = 0; var bestD = Double.MaxValue
+        for (c <- centroids.indices) {
+          var d = 0.0; var j = 0
+          while (j < dim) { val t = v(j) - centroids(c)(j); d += t * t; j += 1 }
+          if (d < bestD) { bestD = d; best = c }
+        }
+        var j = 0
+        while (j < dim) { sums(best)(j) += v(j); j += 1 }
+        counts(best) += 1
+      }
+      centroids = Array.tabulate(nlist)(c =>
+        if (counts(c) == 0) centroids(c)
+        else sums(c).map(_ / counts(c)))
+    }
+    centroids
+  }
+
+  private[operators] def nearestCentroids(
+      v: Array[Double], centroids: Array[Array[Double]], n: Int): Array[Int] =
+    centroids.indices.map { c =>
+      var d = 0.0; var j = 0
+      while (j < v.length) { val t = v(j) - centroids(c)(j); d += t * t; j += 1 }
+      (d, c)
+    }.sortBy(x => (x._1, x._2)).take(n).map(_._2).toArray
+
   val queries: Map[String, Q] = Map(
     // ---- q27: brute-force cosine top-10 per query vector ----
     "q27_knn_cosine" -> ((s, dir) => {
@@ -44,6 +82,15 @@ object Similarity {
         .withColumn("rnk", row_number().over(w).cast(LongType))
         .filter($"rnk" <= 10)
         .select($"qid", $"rnk", $"vec_id".as("nid"), round($"sim", 4).as("sim_r"))
+        .orderBy($"qid", $"rnk")
+    }),
+
+    // ---- q43: IVF-bucketed ANN top-10 (rows-only check) ----
+    "q43_ann_ivf" -> ((s, dir) => {
+      import s.implicits._
+      ivfSearch(t(s, dir, "embeddings"),
+        t(s, dir, "embeddings").filter($"vec_id" % 100 === 0),
+        "embedding", "vec_id", k = 10, nlist = 16, nprobe = 4)
         .orderBy($"qid", $"rnk")
     }),
 
@@ -73,6 +120,46 @@ object Similarity {
         .orderBy($"qid", $"rnk")
     })
   )
+
+  /** IVF search: assign base vectors to their nearest coarse centroid
+    * (map-side, centroids broadcast in the expression), probe the `nprobe`
+    * nearest lists per query, score cosine within the probed lists only.
+    * Candidate work drops ~nlist/nprobe-fold vs brute force; recall is
+    * tunable via nprobe. */
+  def ivfSearch(base: org.apache.spark.sql.DataFrame,
+      queries: org.apache.spark.sql.DataFrame, vecCol: String, idCol: String,
+      k: Int, nlist: Int, nprobe: Int): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.functions._
+    val spark = base.sparkSession
+    // deterministic sample: lowest ids (stable across runs/partitionings)
+    val sample = base.select(col(idCol), col(vecCol)).orderBy(col(idCol))
+      .limit(math.max(nlist * 16, 256)).collect()
+      .map(_.getSeq[Float](1).map(_.toDouble).toArray)
+    val centroids = trainCentroids(sample, nlist, iters = 5)
+    val bc = spark.sparkContext.broadcast(centroids)
+    val assignUdf = udf { (v: Seq[Float]) =>
+      nearestCentroids(v.map(_.toDouble).toArray, bc.value, 1)(0)
+    }
+    val probeUdf = udf { (v: Seq[Float]) =>
+      nearestCentroids(v.map(_.toDouble).toArray, bc.value, nprobe)
+    }
+    val b = base.select(col(idCol).as("nid"),
+      expr(s"transform($vecCol, x -> cast(x as double))").as("v"),
+      assignUdf(col(vecCol)).as("bucket"))
+      .withColumn("nrm", sqrt(expr(norm2Expr)))
+    val q = queries.select(col(idCol).as("qid"),
+      expr(s"transform($vecCol, x -> cast(x as double))").as("qv"),
+      explode(probeUdf(col(vecCol))).as("bucket"))
+      .withColumn("qn", sqrt(expr("aggregate(qv, 0D, (acc, x) -> acc + x * x)")))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("qid")).orderBy(col("sim").desc, col("nid"))
+    b.join(broadcast(q), Seq("bucket"))
+      .filter(col("nid") =!= col("qid"))
+      .withColumn("sim", expr(dotExpr) / (col("nrm") * col("qn")))
+      .withColumn("rnk", row_number().over(w).cast(org.apache.spark.sql.types.LongType))
+      .filter(col("rnk") <= k)
+      .select(col("qid"), col("rnk"), col("nid"), round(col("sim"), 4).as("sim_r"))
+  }
 
   val oracle: Map[String, String] = Map(
     "q27_knn_cosine" ->
