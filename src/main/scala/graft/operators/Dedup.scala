@@ -40,24 +40,6 @@ object Dedup {
         explode(expr("transform(sequence(0, size(t) - 3), i -> concat_ws('_', t[i], t[i+1], t[i+2]))")).as("s"))
       .distinct()
 
-  /** (da, db, i, na, nb) intersection/size stats for pairs sharing >=1 shingle. */
-  private def pairStats(sh: DataFrame): DataFrame = {
-    val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
-    val inter = sh.alias("a")
-      .join(sh.alias("b"), col("a.s") === col("b.s") && col("a.doc_id") < col("b.doc_id"))
-      .groupBy(col("a.doc_id").as("da"), col("b.doc_id").as("db"))
-      .agg(count(lit(1)).as("i"))
-    inter
-      .join(sizes.select(col("doc_id").as("da"), col("n").as("na")), "da")
-      .join(sizes.select(col("doc_id").as("db"), col("n").as("nb")), "db")
-  }
-
-  /** Jaccard >= 0.8 via integers: 5*i >= 4*(na+nb-i). */
-  private def jaccardFilter(stats: DataFrame): DataFrame =
-    stats.filter(lit(5) * col("i") >= lit(4) * (col("na") + col("nb") - col("i")))
-      .select(col("da"), col("db"), col("i"), col("na"), col("nb"),
-        (col("i") / (col("na") + col("nb") - col("i"))).as("jac"))
-
   private val P = (1L << 61) - 1
   private val NumHashes = 128
   private val Bands = 32 // 4 rows per band

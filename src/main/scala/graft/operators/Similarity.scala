@@ -34,7 +34,9 @@ object Similarity {
     * driver; at 100 TB you train on a sample the same way and only the
     * assignment pass (map-side, no shuffle) touches the full corpus. */
   private[operators] def trainCentroids(
-      sample: Array[Array[Double]], nlist: Int, iters: Int): Array[Array[Double]] = {
+      sample: Array[Array[Double]], nlist0: Int, iters: Int): Array[Array[Double]] = {
+    require(sample.nonEmpty, "IVF training requires a non-empty sample")
+    val nlist = math.min(nlist0, sample.length) // fewer rows than lists: clamp
     val dim = sample.head.length
     var centroids = sample.take(nlist).map(_.clone)
     for (_ <- 1 to iters) {

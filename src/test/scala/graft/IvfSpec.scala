@@ -28,4 +28,11 @@ class IvfSpec extends AnyFunSuite {
     val recall = (exact intersect approx).size.toDouble / exact.size
     assert(recall >= 0.5, s"IVF recall@10 too low: $recall")
   }
+
+  test("ivf search: base smaller than nlist clamps centroid count") {
+    val emb = spark.read.parquet(s"$sf0001/embeddings.parquet").limit(5)
+    val out = Similarity.ivfSearch(emb, emb.limit(1), "embedding", "vec_id",
+      k = 3, nlist = 16, nprobe = 4).collect()
+    assert(out.length <= 3) // runs without AIOOBE; query matched against the 4 others
+  }
 }
