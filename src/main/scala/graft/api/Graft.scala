@@ -64,6 +64,23 @@ object Graft {
       num: Int = 4, den: Int = 5): DataFrame =
     graft.operators.Dedup.minhashPairs(df, textCol, idCol, num, den)
 
+  /** Embedding-cosine near-dup pairs at `threshold` (exact all-pairs with
+    * one side broadcast; at corpus scale run the LSH/IVF bucketing first
+    * and exact-verify candidates only). */
+  def cosineNearDupPairs(df: DataFrame, vecCol: String, idCol: String,
+      threshold: Double): DataFrame = {
+    val e = df.select(col(idCol).as("va"),
+      expr(s"transform($vecCol, x -> cast(x as double))").as("v"))
+      .withColumn("nrm", sqrt(expr("aggregate(v, 0D, (acc, x) -> acc + x * x)")))
+    val b = e.select(col("va").as("vb"), col("v").as("qv"), col("nrm").as("bn"))
+    e.join(broadcast(b), col("va") < col("vb"))
+      .withColumn("cos",
+        expr("aggregate(zip_with(v, qv, (x, y) -> x * y), 0D, (acc, z) -> acc + z)") /
+          (col("nrm") * col("bn")))
+      .filter(col("cos") >= threshold)
+      .select(col("va"), col("vb"), col("cos"))
+  }
+
   // ------------------------------------------------------------ similarity
 
   /** Brute-force cosine top-k: for each row of `queries`, the k nearest

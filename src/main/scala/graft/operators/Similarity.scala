@@ -87,6 +87,23 @@ object Similarity {
         .orderBy($"qid", $"rnk")
     }),
 
+    // ---- q44: embedding-cosine near-dup pairs (the 5th dedup method) ----
+    // All-pairs with one side broadcast: exact and oracle-checkable at test
+    // scale. The 100 TB path runs the LSH/IVF bucketing (q28/q43) first and
+    // exact-verifies only candidates — same shape as MinHash→verify.
+    "q44_dedup_embedding_cosine" -> ((s, dir) => {
+      import s.implicits._
+      val e = t(s, dir, "embeddings")
+        .select($"vec_id", expr("transform(embedding, x -> cast(x as double))").as("v"))
+        .withColumn("nrm", sqrt(expr(norm2Expr)))
+      val b = e.select($"vec_id".as("vb"), $"v".as("qv"), $"nrm".as("bn"))
+      e.join(broadcast(b), $"vec_id" < $"vb")
+        .withColumn("cos", expr(dotExpr) / ($"nrm" * $"bn"))
+        .filter($"cos" >= 0.45)
+        .select($"vec_id".as("va"), $"vb", round($"cos", 4).as("cos_r"))
+        .orderBy($"va", $"vb")
+    }),
+
     // ---- q43: IVF-bucketed ANN top-10 (rows-only check) ----
     "q43_ann_ivf" -> ((s, dir) => {
       import s.implicits._
@@ -164,6 +181,16 @@ object Similarity {
   }
 
   val oracle: Map[String, String] = Map(
+    "q44_dedup_embedding_cosine" ->
+      """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings)
+        |SELECT a.vec_id AS va, b.vec_id AS vb,
+        | round(list_dot_product(a.v, b.v) /
+        |   (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))), 4) AS cos_r
+        |FROM e a JOIN e b ON a.vec_id < b.vec_id
+        |WHERE list_dot_product(a.v, b.v) /
+        |   (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))) >= 0.45
+        |ORDER BY va, vb""".stripMargin,
+
     "q27_knn_cosine" ->
       """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
         |     q AS (SELECT vec_id AS qid, v AS qv FROM e WHERE vec_id % 100 = 0),
