@@ -69,14 +69,12 @@ object Graft {
     * and exact-verify candidates only). */
   def cosineNearDupPairs(df: DataFrame, vecCol: String, idCol: String,
       threshold: Double): DataFrame = {
-    val e = df.select(col(idCol).as("va"),
-      expr(s"transform($vecCol, x -> cast(x as double))").as("v"))
-      .withColumn("nrm", sqrt(expr("aggregate(v, 0D, (acc, x) -> acc + x * x)")))
+    graft.functions.GraftFunctions.register(df.sparkSession)
+    val e = df.select(col(idCol).as("va"), col(vecCol).as("v"))
+      .withColumn("nrm", sqrt(expr("vec_dot(v, v)")))
     val b = e.select(col("va").as("vb"), col("v").as("qv"), col("nrm").as("bn"))
     e.join(broadcast(b), col("va") < col("vb"))
-      .withColumn("cos",
-        expr("aggregate(zip_with(v, qv, (x, y) -> x * y), 0D, (acc, z) -> acc + z)") /
-          (col("nrm") * col("bn")))
+      .withColumn("cos", expr("vec_dot(v, qv)") / (col("nrm") * col("bn")))
       .filter(col("cos") >= threshold)
       .select(col("va"), col("vb"), col("cos"))
   }
@@ -88,17 +86,14 @@ object Graft {
     * are broadcast; base is never shuffled. */
   def cosineTopK(base: DataFrame, queries: DataFrame, vecCol: String,
       idCol: String, k: Int): DataFrame = {
-    val b = base.select(col(idCol).as("nid"),
-      expr(s"transform($vecCol, x -> cast(x as double))").as("v"))
-      .withColumn("nrm", sqrt(expr("aggregate(v, 0D, (acc, x) -> acc + x * x)")))
-    val q = queries.select(col(idCol).as("qid"),
-      expr(s"transform($vecCol, x -> cast(x as double))").as("qv"))
-      .withColumn("qn", sqrt(expr("aggregate(qv, 0D, (acc, x) -> acc + x * x)")))
+    graft.functions.GraftFunctions.register(base.sparkSession)
+    val b = base.select(col(idCol).as("nid"), col(vecCol).as("v"))
+      .withColumn("nrm", sqrt(expr("vec_dot(v, v)")))
+    val q = queries.select(col(idCol).as("qid"), col(vecCol).as("qv"))
+      .withColumn("qn", sqrt(expr("vec_dot(qv, qv)")))
     val w = Window.partitionBy(col("qid")).orderBy(col("sim").desc, col("nid"))
     b.join(broadcast(q), col("nid") =!= col("qid"))
-      .withColumn("sim",
-        expr("aggregate(zip_with(v, qv, (x, y) -> x * y), 0D, (acc, z) -> acc + z)") /
-          (col("nrm") * col("qn")))
+      .withColumn("sim", expr("vec_dot(v, qv)") / (col("nrm") * col("qn")))
       .withColumn("rnk", row_number().over(w).cast(LongType))
       .filter(col("rnk") <= k)
       .select(col("qid"), col("rnk"), col("nid"), col("sim"))

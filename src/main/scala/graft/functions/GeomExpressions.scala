@@ -123,7 +123,8 @@ object GraftFunctions {
     ("st_contains", (e: Seq[Expression]) => StContains(e(0), e(1))),
     ("st_within", (e: Seq[Expression]) => StWithin(e(0), e(1))),
     ("st_distance", (e: Seq[Expression]) => StDistance(e(0), e(1))),
-    ("st_buffer", (e: Seq[Expression]) => StBuffer(e(0), e(1))))
+    ("st_buffer", (e: Seq[Expression]) => StBuffer(e(0), e(1))),
+    ("vec_dot", (e: Seq[Expression]) => VecDot(e(0), e(1))))
 
   def register(spark: SparkSession): Unit = fns.foreach { case (name, builder) =>
     spark.sessionState.functionRegistry.registerFunction(

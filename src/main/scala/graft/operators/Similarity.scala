@@ -25,8 +25,12 @@ import Util._
   */
 object Similarity {
 
-  private val dotExpr = "aggregate(zip_with(v, qv, (x, y) -> x * y), 0D, (acc, z) -> acc + z)"
-  private val norm2Expr = "aggregate(v, 0D, (acc, x) -> acc + x * x)"
+  // Native codegen'd kernel (graft.functions.VecDot) — the HOF
+  // aggregate(zip_with(...)) form is interpreted per element and melts
+  // under all-pairs workloads. Same left-to-right double accumulation, so
+  // values are bit-identical to the oracle's list_dot_product(DOUBLE[]).
+  private val dotExpr = "vec_dot(v, qv)"
+  private val norm2Expr = "vec_dot(v, v)"
 
   /** IVF coarse quantizer: a few Lloyd iterations over a driver-side
     * sample (deterministic — fixed seed, ordered sample), centroids
@@ -72,8 +76,9 @@ object Similarity {
     // ---- q27: brute-force cosine top-10 per query vector ----
     "q27_knn_cosine" -> ((s, dir) => {
       import s.implicits._
+      graft.functions.GraftFunctions.register(s)
       val e = t(s, dir, "embeddings")
-        .select($"vec_id", expr("transform(embedding, x -> cast(x as double))").as("v"))
+        .select($"vec_id", $"embedding".as("v"))
         .withColumn("nrm", sqrt(expr(norm2Expr)))
       val q = e.filter($"vec_id" % 100 === 0)
         .select($"vec_id".as("qid"), $"v".as("qv"), $"nrm".as("qn"))
@@ -93,8 +98,9 @@ object Similarity {
     // exact-verifies only candidates — same shape as MinHash→verify.
     "q44_dedup_embedding_cosine" -> ((s, dir) => {
       import s.implicits._
+      graft.functions.GraftFunctions.register(s)
       val e = t(s, dir, "embeddings")
-        .select($"vec_id", expr("transform(embedding, x -> cast(x as double))").as("v"))
+        .select($"vec_id", $"embedding".as("v"))
         .withColumn("nrm", sqrt(expr(norm2Expr)))
       val b = e.select($"vec_id".as("vb"), $"v".as("qv"), $"nrm".as("bn"))
       e.join(broadcast(b), $"vec_id" < $"vb")
@@ -116,6 +122,7 @@ object Similarity {
     // ---- q28: LSH-bucketed approximate top-5 (rows-only check) ----
     "q28_ann_lsh_bucketed" -> ((s, dir) => {
       import s.implicits._
+      graft.functions.GraftFunctions.register(s)
       // bucket = sign bits of dims 0..5 (a fixed, data-independent LSH;
       // for IVF swap in coarse-quantizer centroid ids). 64 buckets keeps
       // candidate lists non-trivial at the test scales; at 100 TB the bit
@@ -124,7 +131,7 @@ object Similarity {
         when(expr(s"v[$j]") > 0.0, lit(1L << j)).otherwise(lit(0L))
       }.reduce(_ + _)
       val e = t(s, dir, "embeddings")
-        .select($"vec_id", expr("transform(embedding, x -> cast(x as double))").as("v"))
+        .select($"vec_id", $"embedding".as("v"))
         .withColumn("nrm", sqrt(expr(norm2Expr)))
         .withColumn("bucket", bucketExpr)
       val q = e.filter($"vec_id" % 100 === 0)
@@ -150,6 +157,7 @@ object Similarity {
       k: Int, nlist: Int, nprobe: Int): org.apache.spark.sql.DataFrame = {
     import org.apache.spark.sql.functions._
     val spark = base.sparkSession
+    graft.functions.GraftFunctions.register(spark)
     // deterministic sample: lowest ids (stable across runs/partitionings)
     val sample = base.select(col(idCol), col(vecCol)).orderBy(col(idCol))
       .limit(math.max(nlist * 16, 256)).collect()
@@ -162,14 +170,12 @@ object Similarity {
     val probeUdf = udf { (v: Seq[Float]) =>
       nearestCentroids(v.map(_.toDouble).toArray, bc.value, nprobe)
     }
-    val b = base.select(col(idCol).as("nid"),
-      expr(s"transform($vecCol, x -> cast(x as double))").as("v"),
+    val b = base.select(col(idCol).as("nid"), col(vecCol).as("v"),
       assignUdf(col(vecCol)).as("bucket"))
       .withColumn("nrm", sqrt(expr(norm2Expr)))
-    val q = queries.select(col(idCol).as("qid"),
-      expr(s"transform($vecCol, x -> cast(x as double))").as("qv"),
+    val q = queries.select(col(idCol).as("qid"), col(vecCol).as("qv"),
       explode(probeUdf(col(vecCol))).as("bucket"))
-      .withColumn("qn", sqrt(expr("aggregate(qv, 0D, (acc, x) -> acc + x * x)")))
+      .withColumn("qn", sqrt(expr("vec_dot(qv, qv)")))
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("qid")).orderBy(col("sim").desc, col("nid"))
     b.join(broadcast(q), Seq("bucket"))
