@@ -21,34 +21,54 @@ object Graft {
       .agg(min(col(idCol)).as(idCol), count(lit(1)).as("n_copies"))
       .drop("fp")
 
-  /** Distinct word n-gram shingles per row: (id, s). */
-  def shingles(df: DataFrame, textCol: String, idCol: String, n: Int = 3): DataFrame =
-    df.select(col(idCol).as("__id"), split(trim(col(textCol)), "\\s+").as("t"))
-      .filter(size(col("t")) >= n)
-      .select(col("__id"),
-        explode(expr(s"transform(sequence(0, size(t) - $n), " +
-          s"i -> concat_ws('_', ${(0 until n).map(j => s"t[i+$j]").mkString(", ")}))")).as("s"))
-      .distinct()
+  /** Distinct word n-gram shingles per row: (id, s). A single codegen'd
+    * projection (graft.functions.ShingleSet) — dedup happens in-array per
+    * row, so there is no distinct() shuffle and recomputing this subplan
+    * in multi-consumer dedup pipelines costs only the scan. */
+  def shingles(df: DataFrame, textCol: String, idCol: String, n: Int = 3): DataFrame = {
+    graft.functions.GraftFunctions.register(df.sparkSession)
+    df.select(col(idCol).as("__id"),
+        explode(expr(s"shingle_set(`$textCol`, $n)")).as("s"))
+  }
 
   /** Exact Jaccard near-duplicate pairs at `num/den` threshold (integer
-    * cross-multiplied — no float compare). O(pairs-sharing-a-shingle):
-    * apply `maxShingleDf` to drop stop-shingles (no near-dup signal, all
-    * the skew) before the self-join at scale. */
+    * cross-multiplied — no float compare).
+    *
+    * With `maxShingleDf = Some(cap)` (the 100 TB formulation): stop-shingles
+    * (df > cap) carry no near-dup signal but O(df²) join pairs — they are
+    * both the skew and most of the work. Pass 1 computes per-shingle df
+    * (partial-agg safe even on a hot key) and broadcasts the tiny hot list;
+    * after the anti-join every surviving shingle has ≤ cap docs, so pair
+    * generation collapses to `groupBy(s) → collect_list → in-array pairs` —
+    * per-key work bounded by C(cap,2), no self-join, no skewed shuffle.
+    *
+    * Without a cap the per-shingle doc list is unbounded (collect_list on a
+    * hot key OOMs a task), so the classic shingle-equality self-join is
+    * used; that form is exact but skew-prone — prefer a cap at scale. */
   def nearDupPairsExact(df: DataFrame, textCol: String, idCol: String,
       num: Int = 4, den: Int = 5, ngram: Int = 3,
       maxShingleDf: Option[Int] = None): DataFrame = {
     val sh0 = shingles(df, textCol, idCol, ngram)
     val sh = maxShingleDf match {
       case Some(cap) =>
-        val hot = sh0.groupBy(col("s")).agg(count(lit(1)).as("df")).filter(col("df") > cap)
+        val hot = sh0.groupBy(col("s")).agg(count(lit(1)).as("df"))
+          .filter(col("df") > cap).select(col("s"))
         sh0.join(broadcast(hot), Seq("s"), "left_anti")
       case None => sh0
     }
+    val inter = maxShingleDf match {
+      case Some(_) =>
+        sh.groupBy(col("s")).agg(sort_array(collect_list(col("__id"))).as("ds"))
+          .select(explode(expr("array_pairs(ds)")).as("p"))
+          .groupBy(col("p.da").as("da"), col("p.db").as("db"))
+          .agg(count(lit(1)).as("i"))
+      case None =>
+        sh.alias("a")
+          .join(sh.alias("b"), col("a.s") === col("b.s") && col("a.__id") < col("b.__id"))
+          .groupBy(col("a.__id").as("da"), col("b.__id").as("db"))
+          .agg(count(lit(1)).as("i"))
+    }
     val sizes = sh.groupBy(col("__id")).agg(count(lit(1)).as("n"))
-    val inter = sh.alias("a")
-      .join(sh.alias("b"), col("a.s") === col("b.s") && col("a.__id") < col("b.__id"))
-      .groupBy(col("a.__id").as("da"), col("b.__id").as("db"))
-      .agg(count(lit(1)).as("i"))
     inter
       .join(sizes.select(col("__id").as("da"), col("n").as("na")), "da")
       .join(sizes.select(col("__id").as("db"), col("n").as("nb")), "db")

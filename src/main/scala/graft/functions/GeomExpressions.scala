@@ -124,7 +124,12 @@ object GraftFunctions {
     ("st_within", (e: Seq[Expression]) => StWithin(e(0), e(1))),
     ("st_distance", (e: Seq[Expression]) => StDistance(e(0), e(1))),
     ("st_buffer", (e: Seq[Expression]) => StBuffer(e(0), e(1))),
-    ("vec_dot", (e: Seq[Expression]) => VecDot(e(0), e(1))))
+    ("vec_dot", (e: Seq[Expression]) => VecDot(e(0), e(1))),
+    ("simhash64", (e: Seq[Expression]) => SimHash64(e.head)),
+    ("shingle_set", (e: Seq[Expression]) =>
+      ShingleSet(e.head, e(1).eval().asInstanceOf[Number].intValue())),
+    ("minhash_bands", (e: Seq[Expression]) => MinHashBands(e.head)),
+    ("array_pairs", (e: Seq[Expression]) => ArrayPairs(e.head)))
 
   def register(spark: SparkSession): Unit = fns.foreach { case (name, builder) =>
     spark.sessionState.functionRegistry.registerFunction(

@@ -1,0 +1,230 @@
+package graft.functions
+
+import java.security.MessageDigest
+
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Text-signature kernels as native codegen'd expressions.
+  *
+  * `simhash64(tokens)` computes the whole 64-bit SimHash signature in a
+  * single pass over a document's token array — replacing the previous
+  * 64-separate-`sum(when(...))`-aggregates-over-exploded-words plan, which
+  * shuffled every (doc, word) pair and did 64× redundant aggregate work
+  * (the `vec_dot` playbook from VecExpressions applied to text).
+  *
+  * The per-word hash is the low 64 bits of MD5 — bytes 8..15 of the digest,
+  * little-endian — chosen because DuckDB exposes exactly this value as
+  * `md5_number_lower(w)`, which makes the whole signature reproducible in
+  * ANSI-ish SQL and lets the simhash query graduate from rows-only to a
+  * hash-matched oracle check.
+  */
+object TextKernels {
+  private val md5 = new ThreadLocal[MessageDigest] {
+    override def initialValue(): MessageDigest = MessageDigest.getInstance("MD5")
+  }
+
+  /** Low 64 bits of MD5(word-utf8), little-endian (== DuckDB
+    * `md5_number_lower`, bit-for-bit including the sign bit pattern). */
+  def md5Lower64(w: UTF8String): Long = {
+    val d = md5.get()
+    d.reset()
+    val digest = d.digest(w.getBytes)
+    var h = 0L
+    var j = 0
+    while (j < 8) { h |= (digest(8 + j) & 0xFFL) << (8 * j); j += 1 }
+    h
+  }
+
+  /** One-pass SimHash over the DISTINCT tokens of the array (null tokens
+    * ignored). Ties (bit-count 0) resolve to bit 0, matching the SQL twin's
+    * `> 0` test. */
+  def simhash64(arr: ArrayData): Long = {
+    val seen = new java.util.HashSet[UTF8String]()
+    val counts = new Array[Int](64)
+    var i = 0
+    while (i < arr.numElements()) {
+      if (!arr.isNullAt(i)) {
+        val w = arr.getUTF8String(i)
+        if (seen.add(w)) {
+          val h = md5Lower64(w)
+          var b = 0
+          while (b < 64) {
+            counts(b) += (if (((h >>> b) & 1L) == 1L) 1 else -1)
+            b += 1
+          }
+        }
+      }
+      i += 1
+    }
+    var sig = 0L
+    var b = 0
+    while (b < 64) { if (counts(b) > 0) sig |= (1L << b); b += 1 }
+    sig
+  }
+}
+
+/** Shingle/MinHash kernels. Motivation (measured at sf0.1): the
+  * plan-level shingle pipeline — `transform(sequence(...), i ->
+  * concat_ws(...))` HOF + a global `distinct()` — cost ~1.7s per
+  * evaluation and was recomputed up to 6× per dedup query (exchange reuse
+  * does not fire across differently-keyed consumers). These kernels make
+  * shingling a cheap codegen'd projection, so recomputation is free and
+  * the distinct shuffle disappears entirely (dedup happens in-array,
+  * per row).
+  */
+object ShingleKernels {
+  import org.apache.spark.sql.catalyst.expressions.XXH64
+  import org.apache.spark.sql.catalyst.util.GenericArrayData
+  import org.apache.spark.sql.catalyst.InternalRow
+  import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
+
+  /** Distinct word n-gram shingles of a document, '_'-joined — equal to
+    * the former plan-level `split(trim(text),'\s+')` → transform →
+    * distinct, as a single pass. Spark-`trim` semantics (spaces only). */
+  def shingleSet(text: UTF8String, n: Int): ArrayData = {
+    val toks = text.trim().toString.split("\\s+")
+    if (toks.length < n) return new GenericArrayData(Array.empty[Any])
+    val seen = new java.util.LinkedHashSet[String]()
+    var i = 0
+    while (i <= toks.length - n) {
+      val sb = new java.lang.StringBuilder(toks(i))
+      var j = 1
+      while (j < n) { sb.append('_').append(toks(i + j)); j += 1 }
+      seen.add(sb.toString)
+      i += 1
+    }
+    val out = new Array[Any](seen.size)
+    val it = seen.iterator()
+    var k = 0
+    while (it.hasNext) { out(k) = UTF8String.fromString(it.next()); k += 1 }
+    new GenericArrayData(out)
+  }
+
+  // MinHash family: 128 min-wise hashes h_j(s) = xxhash64(xxhash64(s), seed=j),
+  // banded 32×4. Re-hashing the shingle's 64-bit hash under 128 distinct
+  // seeds gives (approximately) independent uniform draws per permutation.
+  // NOTE: the earlier affine family (a*x + b) mod (2^61-1) over a 32-bit x
+  // was defective — a*x < 2^62 < 2P wraps the modulus at most once, so all
+  // 128 "permutations" were nearly monotone in x and highly correlated; a
+  // single new small-x shingle could flip most signature slots at once
+  // (observed: a J=0.98 pair sharing 0 of 32 bands).
+  val NumHashes = 128
+  val Bands = 32
+
+  /** The 32 LSH band hashes of a shingle set, one pass: min-hash all 128
+    * seeded hashes over the shingles, then mix each 4-signature band into
+    * one long. Empty input → empty array (doc can never be a candidate). */
+  def minhashBands(shingles: ArrayData): ArrayData = {
+    val m = shingles.numElements()
+    if (m == 0) return new GenericArrayData(Array.empty[Any])
+    val mins = Array.fill(NumHashes)(Long.MaxValue)
+    var i = 0
+    while (i < m) {
+      val x = XXH64.hashUTF8String(shingles.getUTF8String(i), 42L)
+      var j = 0
+      while (j < NumHashes) {
+        val h = XXH64.hashLong(x, j)
+        if (h < mins(j)) mins(j) = h
+        j += 1
+      }
+      i += 1
+    }
+    val bands = new Array[Any](Bands)
+    var bi = 0
+    while (bi < Bands) {
+      var bh = XXH64.hashLong(mins(4 * bi), 42L + bi)
+      var r = 1
+      while (r < 4) { bh = XXH64.hashLong(mins(4 * bi + r), bh); r += 1 }
+      bands(bi) = bh
+      bi += 1
+    }
+    new GenericArrayData(bands)
+  }
+
+  /** All ordered pairs (a[i], a[j]) with i < j of a sorted long array, as
+    * struct(da, db). Caller bounds |a| (e.g. via a shingle-df cap), so the
+    * output is ≤ C(cap, 2) per row. */
+  def arrayPairs(arr: ArrayData): ArrayData = {
+    val n = arr.numElements()
+    val out = new Array[Any](n * (n - 1) / 2)
+    var k = 0
+    var i = 0
+    while (i < n) {
+      val a = arr.getLong(i)
+      var j = i + 1
+      while (j < n) {
+        out(k) = new GenericInternalRow(Array[Any](a, arr.getLong(j)))
+        k += 1
+        j += 1
+      }
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+}
+
+/** shingle_set(text, n) → array<string>: distinct word n-grams. */
+case class ShingleSet(child: Expression, n: Int) extends UnaryExpression {
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def prettyName: String = "shingle_set"
+
+  protected override def nullSafeEval(a: Any): Any =
+    ShingleKernels.shingleSet(a.asInstanceOf[UTF8String], n)
+
+  protected override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, a => s"graft.functions.ShingleKernels.shingleSet($a, $n)")
+
+  protected override def withNewChildInternal(c: Expression): ShingleSet =
+    copy(child = c)
+}
+
+/** minhash_bands(shingles) → array<long>: 32 LSH band hashes. */
+case class MinHashBands(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "minhash_bands"
+
+  protected override def nullSafeEval(a: Any): Any =
+    ShingleKernels.minhashBands(a.asInstanceOf[ArrayData])
+
+  protected override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, a => s"graft.functions.ShingleKernels.minhashBands($a)")
+
+  protected override def withNewChildInternal(c: Expression): MinHashBands =
+    copy(child = c)
+}
+
+/** array_pairs(sorted array<long>) → array<struct<da,db>>: i<j pairs. */
+case class ArrayPairs(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = ArrayType(
+    StructType(Seq(StructField("da", LongType, nullable = false),
+      StructField("db", LongType, nullable = false))), containsNull = false)
+  override def prettyName: String = "array_pairs"
+
+  protected override def nullSafeEval(a: Any): Any =
+    ShingleKernels.arrayPairs(a.asInstanceOf[ArrayData])
+
+  protected override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, a => s"graft.functions.ShingleKernels.arrayPairs($a)")
+
+  protected override def withNewChildInternal(c: Expression): ArrayPairs =
+    copy(child = c)
+}
+
+/** simhash64(array<string>) → long: full SimHash signature per row. */
+case class SimHash64(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = LongType
+  override def prettyName: String = "simhash64"
+
+  protected override def nullSafeEval(a: Any): Any =
+    TextKernels.simhash64(a.asInstanceOf[ArrayData])
+
+  protected override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, a => s"graft.functions.TextKernels.simhash64($a)")
+
+  protected override def withNewChildInternal(c: Expression): SimHash64 =
+    copy(child = c)
+}

