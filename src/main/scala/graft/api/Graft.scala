@@ -84,19 +84,70 @@ object Graft {
       num: Int = 4, den: Int = 5): DataFrame =
     graft.operators.Dedup.minhashPairs(df, textCol, idCol, num, den)
 
-  /** Embedding-cosine near-dup pairs at `threshold` (exact all-pairs with
-    * one side broadcast; at corpus scale run the LSH/IVF bucketing first
-    * and exact-verify candidates only). */
+  /** Embedding-cosine near-dup pairs, bucket-first (the corpus-scale
+    * path): sign-bit LSH band candidates → exact `vec_dot` verify of
+    * candidates only — the same candidates→verify shape as MinHash dedup.
+    * No relation in the plan is broadcast or driver-bounded.
+    *
+    * Effective regime: a pair at angle θ collides in one `bits`-bit band
+    * with prob p^bits, p = 1 − θ/π; recall = 1 − (1 − p^bits)^bands. The
+    * defaults (128 bands × 12 bits) give recall ≈ 1 − 4e-10 at cos ≥ 0.9
+    * while pruning uncorrelated pairs ~30×. At LOW thresholds sign-bit
+    * LSH cannot prune (cos 0.45 ⇒ p ≈ 0.65, ρ = ln(1/p)/ln 2 ≈ 0.63 —
+    * near-all pairs become candidates for recall ≈ 1); use
+    * [[cosineNearDupPairsExact]] there, which is the honest distributed
+    * quadratic. */
   def cosineNearDupPairs(df: DataFrame, vecCol: String, idCol: String,
-      threshold: Double): DataFrame = {
+      threshold: Double, bands: Int = 128, bits: Int = 12,
+      seed: Int = 42): DataFrame = {
     graft.functions.GraftFunctions.register(df.sparkSession)
-    val e = df.select(col(idCol).as("va"), col(vecCol).as("v"))
+    val e = df.select(col(idCol).as("id"), col(vecCol).as("v"))
       .withColumn("nrm", sqrt(expr("vec_dot(v, v)")))
-    val b = e.select(col("va").as("vb"), col("v").as("qv"), col("nrm").as("bn"))
-    e.join(broadcast(b), col("va") < col("vb"))
+    val banded = df.select(col(idCol).as("id"),
+      explode(expr(s"cosine_lsh_bands(`$vecCol`, $bands, $bits, $seed)")).as("bk"))
+    val cands = banded.alias("a")
+      .join(banded.alias("b"),
+        col("a.bk") === col("b.bk") && col("a.id") < col("b.id"))
+      .select(col("a.id").as("va"), col("b.id").as("vb"))
+      .distinct()
+    cands
+      .join(e.select(col("id").as("va"), col("v"), col("nrm")), "va")
+      .join(e.select(col("id").as("vb"), col("v").as("qv"), col("nrm").as("bn")), "vb")
       .withColumn("cos", expr("vec_dot(v, qv)") / (col("nrm") * col("bn")))
       .filter(col("cos") >= threshold)
       .select(col("va"), col("vb"), col("cos"))
+  }
+
+  /** Exact embedding-cosine near-dup pairs at any threshold: a
+    * block-partitioned distributed self-join. Rows are hashed into
+    * `blocks` groups; each unordered block pair (lo, hi) is one join key,
+    * with a row of block g replicated to keys {(i≤g, g)} ∪ {(g, j≥g)} —
+    * so every vector pair is scored exactly once, work is spread evenly
+    * over blocks(blocks+1)/2 reducers, shuffle volume is n·(blocks+1)
+    * rows, and nothing is broadcast or driver-resident (the previous
+    * formulation broadcast the whole table — OOM at corpus scale). The
+    * O(n²) compare count is inherent to exact low-threshold semantics;
+    * scale `blocks` with √n to hold per-task work constant. */
+  def cosineNearDupPairsExact(df: DataFrame, vecCol: String, idCol: String,
+      threshold: Double, blocks: Int = 16): DataFrame = {
+    graft.functions.GraftFunctions.register(df.sparkSession)
+    val g = blocks
+    val e = df.select(col(idCol).as("id"), col(vecCol).as("v"))
+      .withColumn("nrm", sqrt(expr("vec_dot(v, v)")))
+      .withColumn("g", pmod(xxhash64(col("id")), lit(g)).cast("int"))
+    val aRep = e.withColumn("k",
+      explode(expr(s"transform(sequence(g, ${g - 1}), j -> g * $g + j)")))
+      .select(col("id").as("va"), col("v"), col("nrm"), col("g").as("ga"), col("k"))
+    val bRep = e.withColumn("k",
+      explode(expr(s"transform(sequence(0, g), i -> i * $g + g)")))
+      .select(col("id").as("vb"), col("v").as("qv"), col("nrm").as("bn"),
+        col("g").as("gb"), col("k"))
+    aRep.join(bRep, Seq("k"))
+      .filter(col("ga") =!= col("gb") || col("va") < col("vb"))
+      .withColumn("cos", expr("vec_dot(v, qv)") / (col("nrm") * col("bn")))
+      .filter(col("cos") >= threshold)
+      .select(least(col("va"), col("vb")).as("va"),
+        greatest(col("va"), col("vb")).as("vb"), col("cos"))
   }
 
   // ------------------------------------------------------------ similarity

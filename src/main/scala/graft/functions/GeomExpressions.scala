@@ -129,7 +129,11 @@ object GraftFunctions {
     ("shingle_set", (e: Seq[Expression]) =>
       ShingleSet(e.head, e(1).eval().asInstanceOf[Number].intValue())),
     ("minhash_bands", (e: Seq[Expression]) => MinHashBands(e.head)),
-    ("array_pairs", (e: Seq[Expression]) => ArrayPairs(e.head)))
+    ("array_pairs", (e: Seq[Expression]) => ArrayPairs(e.head)),
+    ("cosine_lsh_bands", (e: Seq[Expression]) => CosineLshBands(e.head,
+      e(1).eval().asInstanceOf[Number].intValue(),
+      e(2).eval().asInstanceOf[Number].intValue(),
+      e(3).eval().asInstanceOf[Number].intValue())))
 
   def register(spark: SparkSession): Unit = fns.foreach { case (name, builder) =>
     spark.sessionState.functionRegistry.registerFunction(

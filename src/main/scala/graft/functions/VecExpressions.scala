@@ -1,7 +1,7 @@
 package graft.functions
 
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
-import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.types._
 
@@ -30,6 +30,149 @@ object VecKernels {
     while (i < n) { acc += a.getDouble(i) * b.getDouble(i); i += 1 }
     acc
   }
+}
+
+/** LSH / IVF bucketing kernels for embedding similarity. */
+object VecLshKernels {
+  import org.apache.spark.sql.catalyst.util.GenericArrayData
+
+  /** Deterministic gaussian hyperplanes for sign-bit LSH, cached per
+    * (seed, dim, bands, bits). Each plane is seeded independently so the
+    * family is stable under dim/bands changes. */
+  private val planeCache =
+    new java.util.concurrent.ConcurrentHashMap[(Int, Int, Int, Int), Array[Array[Double]]]()
+
+  private def planes(seed: Int, dim: Int, bands: Int, bits: Int): Array[Array[Double]] =
+    planeCache.computeIfAbsent((seed, dim, bands, bits), _ =>
+      Array.tabulate(bands * bits) { p =>
+        val rnd = new scala.util.Random(seed.toLong * 1000003L + p)
+        Array.fill(dim)(rnd.nextGaussian())
+      })
+
+  def toDouble(v: ArrayData, i: Int, isFloat: Boolean): Double =
+    if (isFloat) v.getFloat(i).toDouble else v.getDouble(i)
+
+  /** The `bands` sign-bit LSH band keys of a vector: band b's key packs
+    * the band index (high 32 bits) with `bits` hyperplane sign bits, so
+    * keys from different bands never collide in an equality join. */
+  def lshBands(v: ArrayData, bands: Int, bits: Int, seed: Int, isFloat: Boolean): ArrayData = {
+    val dim = v.numElements()
+    if (dim == 0) return new GenericArrayData(Array.empty[Any])
+    val pl = planes(seed, dim, bands, bits)
+    val out = new Array[Any](bands)
+    var b = 0
+    while (b < bands) {
+      var key = 0L
+      var r = 0
+      while (r < bits) {
+        val p = pl(b * bits + r)
+        var dot = 0.0
+        var i = 0
+        while (i < dim) { dot += toDouble(v, i, isFloat) * p(i); i += 1 }
+        if (dot > 0) key |= (1L << r)
+        r += 1
+      }
+      out(b) = (b.toLong << 32) | key
+      b += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  /** Indices of the `n` nearest centroids by L2, ties by index. */
+  def nearestCentroids(v: ArrayData, centroids: Array[Array[Double]], n: Int,
+      isFloat: Boolean): Array[Int] = {
+    val dim = v.numElements()
+    val dists = centroids.indices.map { c =>
+      val ctr = centroids(c)
+      var d = 0.0
+      var j = 0
+      while (j < dim && j < ctr.length) {
+        val t = toDouble(v, j, isFloat) - ctr(j); d += t * t; j += 1
+      }
+      (d, c)
+    }
+    dists.sortBy(identity).take(n).map(_._2).toArray
+  }
+
+  def ivfAssign(v: ArrayData, centroids: Array[Array[Double]], isFloat: Boolean): Int =
+    nearestCentroids(v, centroids, 1, isFloat)(0)
+
+  def ivfProbe(v: ArrayData, centroids: Array[Array[Double]], nprobe: Int,
+      isFloat: Boolean): ArrayData =
+    new GenericArrayData(nearestCentroids(v, centroids, nprobe, isFloat)
+      .map(_.asInstanceOf[Any]))
+}
+
+/** cosine_lsh_bands(v, bands, bits, seed) → array<long> of band keys. */
+case class CosineLshBands(child: Expression, bands: Int, bits: Int, seed: Int)
+    extends UnaryExpression {
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "cosine_lsh_bands"
+
+  private lazy val isFloat = child.dataType match {
+    case ArrayType(FloatType, _) => true
+    case _ => false
+  }
+
+  protected override def nullSafeEval(a: Any): Any =
+    VecLshKernels.lshBands(a.asInstanceOf[ArrayData], bands, bits, seed, isFloat)
+
+  protected override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, a =>
+      s"graft.functions.VecLshKernels.lshBands($a, $bands, $bits, $seed, $isFloat)")
+
+  protected override def withNewChildInternal(c: Expression): CosineLshBands =
+    copy(child = c)
+}
+
+/** ivf_assign: nearest coarse-centroid id of a vector (codegen'd; the
+  * centroid table rides along as a plan reference object, not a UDF
+  * closure — no per-row boxing of the input array). */
+case class IvfAssign(child: Expression, centroids: Array[Array[Double]])
+    extends UnaryExpression {
+  override def dataType: DataType = IntegerType
+  override def prettyName: String = "ivf_assign"
+
+  private lazy val isFloat = child.dataType match {
+    case ArrayType(FloatType, _) => true
+    case _ => false
+  }
+
+  protected override def nullSafeEval(a: Any): Any =
+    VecLshKernels.ivfAssign(a.asInstanceOf[ArrayData], centroids, isFloat)
+
+  protected override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("centroids", centroids, "double[][]")
+    defineCodeGen(ctx, ev, a =>
+      s"graft.functions.VecLshKernels.ivfAssign($a, $ref, $isFloat)")
+  }
+
+  protected override def withNewChildInternal(c: Expression): IvfAssign =
+    copy(child = c)
+}
+
+/** ivf_probe: the nprobe nearest coarse-centroid ids (see IvfAssign). */
+case class IvfProbe(child: Expression, centroids: Array[Array[Double]], nprobe: Int)
+    extends UnaryExpression {
+  override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
+  override def prettyName: String = "ivf_probe"
+
+  private lazy val isFloat = child.dataType match {
+    case ArrayType(FloatType, _) => true
+    case _ => false
+  }
+
+  protected override def nullSafeEval(a: Any): Any =
+    VecLshKernels.ivfProbe(a.asInstanceOf[ArrayData], centroids, nprobe, isFloat)
+
+  protected override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("centroids", centroids, "double[][]")
+    defineCodeGen(ctx, ev, a =>
+      s"graft.functions.VecLshKernels.ivfProbe($a, $ref, $nprobe, $isFloat)")
+  }
+
+  protected override def withNewChildInternal(c: Expression): IvfProbe =
+    copy(child = c)
 }
 
 /** vec_dot(a, b): double dot product of two float or double arrays. */

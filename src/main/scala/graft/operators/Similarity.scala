@@ -13,15 +13,21 @@ import Util._
   *   All arithmetic is double precision, and the DuckDB oracle uses the
   *   structurally identical expression so ranks agree.
   *
-  * q28 — sign-bit LSH bucketed ANN: the scale path. Vectors land in a
-  *   2^12 bucket keyed by the sign bits of their first 12 dimensions;
-  *   a query only scores vectors in its own bucket. Approximate by
-  *   construction → rows-only check (no SQL twin).
+  * q28 — banded sign-bit LSH ANN (lshSearch): the data-independent scale
+  *   path; a base row is scored for a query iff they share one of 64
+  *   8-bit random-hyperplane sign bands. Approximate by construction →
+  *   rows-only check (no SQL twin).
+  *
+  * q43 — IVF coarse-quantizer ANN; q46 — a recall gate that emits
+  *   recall@10 of both approximate paths vs exact as query output, so the
+  *   driver pins ANN quality each round despite the missing SQL twin.
   *
   * Scale notes (100 TB): brute force distributes perfectly but costs
-  * O(n*q); the LSH variant cuts candidates ~4000x with a single
-  * bucket-equality shuffle join, which is the pattern an IVF index would
-  * use (bucket id = coarse centroid id instead of sign bits).
+  * O(n*q); the banded-LSH/IVF variants cut candidates by the band/probe
+  * selectivity with a single bucket-equality shuffle join and tunable
+  * recall (measured by q46: IVF nprobe=8 ≈ 0.74, LSH 64×8 ≈ 0.76 mean
+  * recall@10 at sf0.1 — this testdata's neighbors sit at cos 0.3–0.6,
+  * where bucketing is inherently hard; see q44's ρ note).
   */
 object Similarity {
 
@@ -93,20 +99,20 @@ object Similarity {
     }),
 
     // ---- q44: embedding-cosine near-dup pairs (the 5th dedup method) ----
-    // All-pairs with one side broadcast: exact and oracle-checkable at test
-    // scale. The 100 TB path runs the LSH/IVF bucketing (q28/q43) first and
-    // exact-verifies only candidates — same shape as MinHash→verify.
+    // Exact at threshold 0.45 via the block-partitioned distributed
+    // self-join (Graft.cosineNearDupPairsExact) — work spread evenly over
+    // block-pair reducers, shuffle ∝ n·blocks, NOTHING broadcast (the
+    // round-1 plan broadcast the whole table: driver-OOM at scale). The
+    // testdata's planted pairs sit at cos 0.45–0.6, where sign-bit LSH
+    // provably cannot prune (p = 1 − θ/π ≈ 0.65 ⇒ ρ ≈ 0.63), so the
+    // honest scale story is an even quadratic; the bucket-first path
+    // (Graft.cosineNearDupPairs) is the scale plan for real near-dup
+    // thresholds (≥ ~0.8) and is pair-set-equality-tested in GraftApiSpec.
     "q44_dedup_embedding_cosine" -> ((s, dir) => {
       import s.implicits._
-      graft.functions.GraftFunctions.register(s)
-      val e = t(s, dir, "embeddings")
-        .select($"vec_id", $"embedding".as("v"))
-        .withColumn("nrm", sqrt(expr(norm2Expr)))
-      val b = e.select($"vec_id".as("vb"), $"v".as("qv"), $"nrm".as("bn"))
-      e.join(broadcast(b), $"vec_id" < $"vb")
-        .withColumn("cos", expr(dotExpr) / ($"nrm" * $"bn"))
-        .filter($"cos" >= 0.45)
-        .select($"vec_id".as("va"), $"vb", round($"cos", 4).as("cos_r"))
+      graft.api.Graft.cosineNearDupPairsExact(
+        t(s, dir, "embeddings"), "embedding", "vec_id", threshold = 0.45)
+        .select($"va", $"vb", round($"cos", 4).as("cos_r"))
         .orderBy($"va", $"vb")
     }),
 
@@ -122,30 +128,74 @@ object Similarity {
     // ---- q28: LSH-bucketed approximate top-5 (rows-only check) ----
     "q28_ann_lsh_bucketed" -> ((s, dir) => {
       import s.implicits._
-      graft.functions.GraftFunctions.register(s)
-      // bucket = sign bits of dims 0..5 (a fixed, data-independent LSH;
-      // for IVF swap in coarse-quantizer centroid ids). 64 buckets keeps
-      // candidate lists non-trivial at the test scales; at 100 TB the bit
-      // count (or IVF nlist) grows with corpus size.
-      val bucketExpr = (0 until 6).map { j =>
-        when(expr(s"v[$j]") > 0.0, lit(1L << j)).otherwise(lit(0L))
-      }.reduce(_ + _)
-      val e = t(s, dir, "embeddings")
-        .select($"vec_id", $"embedding".as("v"))
-        .withColumn("nrm", sqrt(expr(norm2Expr)))
-        .withColumn("bucket", bucketExpr)
-      val q = e.filter($"vec_id" % 100 === 0)
-        .select($"vec_id".as("qid"), $"v".as("qv"), $"nrm".as("qn"), $"bucket".as("qbucket"))
-      val w = org.apache.spark.sql.expressions.Window
-        .partitionBy($"qid").orderBy($"sim".desc, $"vec_id")
-      e.join(broadcast(q), $"bucket" === $"qbucket" && $"vec_id" =!= $"qid")
-        .withColumn("sim", expr(dotExpr) / ($"nrm" * $"qn"))
-        .withColumn("rnk", row_number().over(w).cast(LongType))
-        .filter($"rnk" <= 5)
-        .select($"qid", $"rnk", $"vec_id".as("nid"), round($"sim", 4).as("sim_r"))
+      lshSearch(t(s, dir, "embeddings"),
+        t(s, dir, "embeddings").filter($"vec_id" % 100 === 0),
+        "embedding", "vec_id", k = 5)
         .orderBy($"qid", $"rnk")
+    }),
+
+    // ---- q46: ANN recall gate — recall@10 of the IVF and LSH paths vs
+    // the exact brute-force top-10, emitted AS DATA so the driver's
+    // rows-only check still pins approximate-search quality every round
+    // (all inputs are deterministic, so these numbers are stable). ----
+    "q46_ann_recall_gate" -> ((s, dir) => {
+      import s.implicits._
+      val base = t(s, dir, "embeddings")
+      val qs = base.filter($"vec_id" % 100 === 0)
+      val exact = graft.api.Graft.cosineTopK(base, qs, "embedding", "vec_id", 10)
+        .select($"qid", $"nid")
+      def recallOf(method: String, approx: org.apache.spark.sql.DataFrame) = {
+        val hits = exact.join(approx.select($"qid", $"nid"), Seq("qid", "nid"), "left_semi")
+          .groupBy($"qid").agg(count(lit(1)).as("h"))
+        val per = exact.groupBy($"qid").agg(count(lit(1)).as("n"))
+          .join(hits, Seq("qid"), "left").na.fill(0L, Seq("h"))
+          .select($"qid", ($"h" / $"n").as("r"))
+        per.agg(count(lit(1)).as("n_queries"),
+          round(avg($"r"), 4).as("mean_recall"),
+          round(min($"r"), 4).as("min_recall"))
+          .select(lit(method).as("method"), $"n_queries", $"mean_recall", $"min_recall",
+            ($"mean_recall" >= 0.5).as("pass"))
+      }
+      recallOf("ivf_nprobe8", ivfSearch(base, qs, "embedding", "vec_id",
+          k = 10, nlist = 16, nprobe = 8))
+        .unionAll(recallOf("lsh_banded64x8", lshSearch(base, qs, "embedding", "vec_id", k = 10)))
+        .orderBy($"method")
     })
   )
+
+  /** Banded sign-bit LSH ANN: each vector gets `bands` keys of `bits`
+    * random-hyperplane sign bits (codegen'd CosineLshBands); a base row is
+    * a candidate for a query iff they share ≥1 band key. Multi-band
+    * probing is what makes low-cosine neighbors reachable — a single
+    * fixed bucket (round 1's shape) had recall ≈ 0.05 on this data
+    * because top-10 neighbors sit at cos 0.3–0.6 where any one sign
+    * pattern disagrees. bands×bits tunes recall vs candidate volume:
+    * P(candidate at angle θ) = 1 − (1 − (1 − θ/π)^bits)^bands.
+    * Queries are broadcast (a small fraction); the base table never
+    * shuffles — same shape an IVF probe uses at 100 TB. */
+  def lshSearch(base: org.apache.spark.sql.DataFrame,
+      queries: org.apache.spark.sql.DataFrame, vecCol: String, idCol: String,
+      k: Int, bands: Int = 64, bits: Int = 8,
+      seed: Int = 42): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.functions._
+    graft.functions.GraftFunctions.register(base.sparkSession)
+    val e = base.select(col(idCol).as("vec_id"), col(vecCol).as("v"))
+      .withColumn("nrm", sqrt(expr(norm2Expr)))
+      .withColumn("bk", explode(expr(s"cosine_lsh_bands(v, $bands, $bits, $seed)")))
+    val q = queries.select(col(idCol).as("qid"), col(vecCol).as("qv"))
+      .withColumn("qn", sqrt(expr("vec_dot(qv, qv)")))
+      .withColumn("bk", explode(expr(s"cosine_lsh_bands(qv, $bands, $bits, $seed)")))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("qid")).orderBy(col("sim").desc, col("vec_id"))
+    e.join(broadcast(q), Seq("bk"))
+      .filter(col("vec_id") =!= col("qid"))
+      .withColumn("sim", expr(dotExpr) / (col("nrm") * col("qn")))
+      // a pair sharing several bands scores once (max = the single value)
+      .groupBy(col("qid"), col("vec_id")).agg(max(col("sim")).as("sim"))
+      .withColumn("rnk", row_number().over(w).cast(LongType))
+      .filter(col("rnk") <= k)
+      .select(col("qid"), col("rnk"), col("vec_id").as("nid"), round(col("sim"), 4).as("sim_r"))
+  }
 
   /** IVF search: assign base vectors to their nearest coarse centroid
     * (map-side, centroids broadcast in the expression), probe the `nprobe`
@@ -163,18 +213,19 @@ object Similarity {
       .limit(math.max(nlist * 16, 256)).collect()
       .map(_.getSeq[Float](1).map(_.toDouble).toArray)
     val centroids = trainCentroids(sample, nlist, iters = 5)
-    val bc = spark.sparkContext.broadcast(centroids)
-    val assignUdf = udf { (v: Seq[Float]) =>
-      nearestCentroids(v.map(_.toDouble).toArray, bc.value, 1)(0)
-    }
-    val probeUdf = udf { (v: Seq[Float]) =>
-      nearestCentroids(v.map(_.toDouble).toArray, bc.value, nprobe)
-    }
+    // Codegen'd assignment (VecLshKernels) — the centroid table rides in
+    // the plan as a reference object; no per-row boxing of the vector as
+    // a Seq[Float] (the previous UDF form's cost).
+    import org.apache.spark.sql.GraftColumnBridge.{column, expression}
+    val assign = (c: org.apache.spark.sql.Column) =>
+      column(graft.functions.IvfAssign(expression(c), centroids))
+    val probe = (c: org.apache.spark.sql.Column) =>
+      column(graft.functions.IvfProbe(expression(c), centroids, nprobe))
     val b = base.select(col(idCol).as("nid"), col(vecCol).as("v"),
-      assignUdf(col(vecCol)).as("bucket"))
+      assign(col(vecCol)).as("bucket"))
       .withColumn("nrm", sqrt(expr(norm2Expr)))
     val q = queries.select(col(idCol).as("qid"), col(vecCol).as("qv"),
-      explode(probeUdf(col(vecCol))).as("bucket"))
+      explode(probe(col(vecCol))).as("bucket"))
       .withColumn("qn", sqrt(expr("vec_dot(qv, qv)")))
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("qid")).orderBy(col("sim").desc, col("nid"))

@@ -47,6 +47,47 @@ class GraftApiSpec extends AnyFunSuite {
     assert(sims.zip(sims.tail).forall { case (a, b) => a >= b })
   }
 
+  test("cosineNearDupPairs (bucket-first LSH) equals the exact pair set at a high threshold") {
+    val s = spark; import s.implicits._
+    // Planted near-dups: base vectors plus small perturbations (cos ≈
+    // 0.97+), against uncorrelated background — the regime the bucket-first
+    // path targets. Deterministic seed.
+    val rnd = new scala.util.Random(7)
+    def vec(): Array[Float] = Array.fill(32)(rnd.nextGaussian().toFloat)
+    val base = (0 until 60).map(i => (i.toLong, vec()))
+    val dups = base.take(12).map { case (i, v) =>
+      (1000L + i, v.map(x => x + 0.05f * rnd.nextGaussian().toFloat))
+    }
+    val df = (base ++ dups).toDF("vec_id", "embedding")
+    val key = (r: org.apache.spark.sql.Row) => (r.getLong(0), r.getLong(1))
+    val exact = Graft.cosineNearDupPairsExact(df, "embedding", "vec_id", 0.9)
+      .select("va", "vb").collect().map(key).toSet
+    val bucketed = Graft.cosineNearDupPairs(df, "embedding", "vec_id", 0.9)
+      .select("va", "vb").collect().map(key).toSet
+    assert(exact.size >= 12)
+    assert(bucketed === exact)
+  }
+
+  test("cosineNearDupPairsExact plans a block join, not a broadcast nested loop") {
+    val emb = spark.read.parquet(s"$sf0001/embeddings.parquet")
+    val out = Graft.cosineNearDupPairsExact(emb, "embedding", "vec_id", 0.45)
+    val initial = out.queryExecution.executedPlan.toString
+    assert(!initial.contains("BroadcastNestedLoop"),
+      s"block join must not degenerate to a broadcast nested loop:\n$initial")
+    // and it matches the all-pairs formulation exactly
+    graft.functions.GraftFunctions.register(spark)
+    val e = emb.select(col("vec_id"), col("embedding").as("v"))
+      .withColumn("nrm", sqrt(expr("vec_dot(v, v)")))
+    val b = e.select(col("vec_id").as("vb"), col("v").as("qv"), col("nrm").as("bn"))
+    val allPairs = e.join(b, col("vec_id") < col("vb"))
+      .withColumn("cos", expr("vec_dot(v, qv)") / (col("nrm") * col("bn")))
+      .filter(col("cos") >= 0.45)
+      .select(col("vec_id").as("va"), col("vb"))
+    val key = (r: org.apache.spark.sql.Row) => (r.getLong(0), r.getLong(1))
+    assert(out.select("va", "vb").collect().map(key).toSet ===
+      allPairs.collect().map(key).toSet)
+  }
+
   test("sessionize splits on the inactivity gap") {
     val s = spark; import s.implicits._
     def ts(m: Int) = Timestamp.valueOf(f"2024-01-01 00:$m%02d:00")
