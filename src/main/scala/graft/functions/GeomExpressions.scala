@@ -157,4 +157,7 @@ object GraftFunctions {
   def st_point(lon: Column, lat: Column): Column = call_function("st_point", lon, lat)
   def st_x(c: Column): Column = call_function("st_x", c)
   def st_y(c: Column): Column = call_function("st_y", c)
+  def st_geometrytype(c: Column): Column = call_function("st_geometrytype", c)
+  def st_npoints(c: Column): Column = call_function("st_npoints", c)
+  def st_centroid(c: Column): Column = call_function("st_centroid", c)
 }

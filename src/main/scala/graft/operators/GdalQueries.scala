@@ -32,6 +32,23 @@ object GdalQueries {
         .orderBy(col("name"), col("wkt"))
     }),
 
+    // The reference's own SpatiaLite read test (src/test.rs:37-39): the
+    // `comuni` municipal-boundary table, streamed from the SQLite b-tree
+    // with layerName selection (13 rows of MULTIPOLYGONs).
+    "gdal_read_spatialite" -> ((s, _) => {
+      GraftFunctions.register(s)
+      s.read.format("spatialite")
+        .option("layerName", "comuni")
+        .option("fidColumnName", "fid")
+        .load(s"$fixtures/test_spatialite.sqlite")
+        .select(col("fid"), col("code"), col("name"),
+          GraftFunctions.st_geometrytype(col("geometry")).as("gtype"),
+          GraftFunctions.st_npoints(col("geometry")).as("npoints"),
+          round(GraftFunctions.st_x(GraftFunctions.st_centroid(col("geometry"))), 1).as("cx"),
+          round(GraftFunctions.st_y(GraftFunctions.st_centroid(col("geometry"))), 1).as("cy"))
+        .orderBy(col("code"))
+    }),
+
     "gdal_read_csvgeo" -> ((s, _) => {
       GraftFunctions.register(s)
       s.read.format("csvgeo").load(s"$fixtures/lat_lon_countries.csv")

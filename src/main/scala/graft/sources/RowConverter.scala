@@ -64,6 +64,7 @@ final class RowConverter(
     case (d: Double, DoubleType) => d
     case (b: Boolean, BooleanType) => b
     case (s: String, StringType) => UTF8String.fromString(s)
+    case (b: Array[Byte], BinaryType) => b
     case (d: java.sql.Date, DateType) => DateTimeUtils.fromJavaDate(d)
     case (t: java.sql.Timestamp, TimestampType) => DateTimeUtils.fromJavaTimestamp(t)
     case (s: Seq[_], ArrayType(et, _)) =>

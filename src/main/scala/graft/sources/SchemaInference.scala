@@ -41,6 +41,7 @@ object SchemaInference {
     case _: String => StringType
     case _: java.sql.Date => DateType
     case _: java.sql.Timestamp => TimestampType
+    case _: Array[Byte] => BinaryType // non-geometry blob columns (SpatiaLite)
     case s: Seq[_] =>
       val elem = s.collectFirst { case e if e != null => typeOf(e) }.getOrElse(NullType)
       ArrayType(if (elem == NullType) StringType else elem)

@@ -147,6 +147,47 @@ class SourcesSpec extends AnyFunSuite {
     assert(chain(e).exists(_.isInstanceOf[GraftError.EmptyDataframe]))
   }
 
+  test("spatialite: comuni reads 13 multipolygon features (reference test.rs:37-39)") {
+    graft.functions.GraftFunctions.register(spark)
+    val df = spark.read.format("spatialite")
+      .option("layerName", "comuni").option("fidColumnName", "fid")
+      .load(s"$fixtures/test_spatialite.sqlite")
+    assert(df.count() === 13)
+    assert(df.schema.fieldNames.toSeq === Seq("fid", "code", "name", "geometry"))
+    val anghiari = df.filter(col("name") === "Anghiari")
+      .select(col("code"), graft.functions.GraftFunctions.st_geometrytype(col("geometry")),
+        graft.functions.GraftFunctions.st_npoints(col("geometry")))
+      .collect()
+    assert(anghiari.length === 1)
+    assert(anghiari(0).getLong(0) === 51001L)
+    assert(anghiari(0).getString(1) === "MultiPolygon")
+    assert(anghiari(0).getInt(2) === 887) // overflow-page payload reassembled
+  }
+
+  test("spatialite: layerIndex selects the same (only) geometry layer; bad names error") {
+    val byIndex = spark.read.format("spatialite")
+      .option("layerIndex", "0")
+      .load(s"$fixtures/test_spatialite.sqlite")
+    assert(byIndex.count() === 13)
+    val e = intercept[Exception] {
+      spark.read.format("spatialite").option("layerName", "nope")
+        .load(s"$fixtures/test_spatialite.sqlite").collect()
+    }
+    assert(e.getMessage.contains("no layer 'nope'"))
+  }
+
+  test("spatialite: b-tree child splits partition the table scan") {
+    val df = spark.read.format("spatialite")
+      .load(s"$fixtures/test_spatialite.sqlite")
+    // root of comuni is an interior page — each top-level child subtree is
+    // its own InputPartition (7 for this fixture), rows identical.
+    assert(df.rdd.getNumPartitions > 1)
+    assert(df.select("code").collect().map(_.getLong(0)).sorted.toSeq ===
+      spark.read.format("spatialite").option("layerName", "comuni")
+        .load(s"$fixtures/test_spatialite.sqlite")
+        .select("code").collect().map(_.getLong(0)).sorted.toSeq)
+  }
+
   test("gdal_bytes_from_df parity: single FeatureCollection bytes") {
     val src = spark.read.format("geojson")
       .load(s"$fixtures/us_states.feature_collection.implicit_4326.json")
