@@ -36,11 +36,24 @@ object GdalRead {
 }
 
 object GdalWrite {
-  /** Serialize a DataFrame to a single GeoJSON FeatureCollection byte
-    * array. Collect-based by design: a bytes result is inherently
-    * single-node (reference W2); the scalable path is
-    * `df.write.format("geojson")`. */
-  def toBytes(df: DataFrame, options: Map[String, String] = Map.empty): Array[Byte] = {
+  /** Serialize a DataFrame to bytes in the given driver format —
+    * "geojson" (single FeatureCollection, the default), "csvgeo" (one
+    * CSV with WKT geometry) or "shapefile" (a zip of the .shp/.shx/.dbf
+    * triple, the inverse of the `.shp.zip` read hint). Reference W2
+    * accepts any GDAL driver (src/lib.rs:586-611); these are the three
+    * drivers our source surface round-trips. Collect-based by design: a
+    * bytes result is inherently single-node; the scalable path is
+    * `df.write.format(fmt)`. */
+  def toBytes(df: DataFrame, options: Map[String, String] = Map.empty,
+      format: String = "geojson"): Array[Byte] = format.toLowerCase match {
+    case "geojson" => geoJsonBytes(df, options)
+    case "csvgeo" | "csv" => fileBytes(df, "csvgeo", ".csv", options, zip = false)
+    case "shapefile" | "shp" | "shp.zip" => fileBytes(df, "shapefile", ".shp", options, zip = true)
+    case other => throw new IllegalArgumentException(
+      s"unsupported bytes format '$other' (geojson|csvgeo|shapefile)")
+  }
+
+  private def geoJsonBytes(df: DataFrame, options: Map[String, String]): Array[Byte] = {
     val opts = GdalOptions.from(options)
     val schema = df.schema
     val geomIdx = GeoJsonRowSerializer.geometryIndex(schema, opts)
@@ -57,5 +70,43 @@ object GdalWrite {
     if (n == 0) throw new GraftError.EmptyDataframe // ref src/lib.rs:509-511
     sb.write("\n]}\n")
     sb.toString.getBytes(StandardCharsets.UTF_8)
+  }
+
+  /** Route through the (tested) DSv2 writer into a temp dir, then return
+    * the single produced file's bytes — zipped with its sidecars for
+    * shapefile. */
+  private def fileBytes(df: DataFrame, fmt: String, mainExt: String,
+      options: Map[String, String], zip: Boolean): Array[Byte] = {
+    if (df.isEmpty) throw new GraftError.EmptyDataframe
+    val dir = Files.createTempDirectory("graft_bytes_out_").toFile
+    try {
+      options.foldLeft(df.coalesce(1).write.format(fmt).mode("overwrite")) {
+        case (w, (k, v)) => w.option(k, v)
+      }.save(dir.getAbsolutePath)
+      val produced = dir.listFiles().filter(_.isFile)
+        .filterNot(f => f.getName.startsWith(".") || f.getName.startsWith("_"))
+        .sortBy(_.getName)
+      if (!zip) {
+        val main = produced.find(_.getName.endsWith(mainExt)).getOrElse(
+          throw new IllegalStateException(s"$fmt writer produced no $mainExt file"))
+        Files.readAllBytes(main.toPath)
+      } else {
+        val prefix = produced.find(_.getName.endsWith(mainExt)).getOrElse(
+          throw new IllegalStateException(s"$fmt writer produced no $mainExt file"))
+          .getName.stripSuffix(mainExt)
+        val bos = new java.io.ByteArrayOutputStream()
+        val zos = new java.util.zip.ZipOutputStream(bos)
+        produced.filter(_.getName.startsWith(prefix)).foreach { f =>
+          zos.putNextEntry(new java.util.zip.ZipEntry(f.getName))
+          zos.write(Files.readAllBytes(f.toPath))
+          zos.closeEntry()
+        }
+        zos.close()
+        bos.toByteArray
+      }
+    } finally {
+      dir.listFiles().foreach(_.delete())
+      dir.delete()
+    }
   }
 }

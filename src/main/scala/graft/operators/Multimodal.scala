@@ -10,13 +10,35 @@ import org.apache.spark.sql.types._
   * runs as a partition-local transform so each executor touches only its
   * partition's bytes (no shuffle, no driver materialization).
   *
-  * The container has no image/audio codecs, so `decodeStub` is a
-  * clearly-marked DETERMINISTIC FAKE decoder: it derives (width, height,
-  * n_frames) and a small feature vector from the raw bytes. The Spark-side
-  * plumbing — schema, encoder, mapPartitions batch shape, partitioning —
-  * is real and is what a libjpeg/ffmpeg-backed decoder would slot into.
+  * Image METADATA decode is REAL: `imageMeta` reads width/height/format
+  * from PNG/JPEG/GIF/BMP headers via the JDK's javax.imageio (header-only
+  * — no pixel decode), one reusable reader chain per partition. Pixel
+  * decode / audio / video still fall back to `fakeDecode`, a
+  * clearly-marked DETERMINISTIC FAKE (the container ships no further
+  * codecs); the Spark-side plumbing — schema, encoder, mapPartitions
+  * batch shape, partitioning — is what a libjpeg/ffmpeg-backed decoder
+  * would slot into.
   */
 object Multimodal {
+
+  /** Real header-only image metadata: (format, width, height), or None if
+    * the bytes are not a JDK-recognizable image. */
+  def imageMeta(bytes: Array[Byte]): Option[(String, Int, Int)] = {
+    if (bytes == null || bytes.length < 8) return None
+    val iis = javax.imageio.ImageIO.createImageInputStream(
+      new java.io.ByteArrayInputStream(bytes))
+    try {
+      val readers = javax.imageio.ImageIO.getImageReaders(iis)
+      if (!readers.hasNext) None
+      else {
+        val r = readers.next()
+        try {
+          r.setInput(iis, true, true)
+          Some((r.getFormatName.toLowerCase, r.getWidth(0), r.getHeight(0)))
+        } finally r.dispose()
+      }
+    } finally iis.close()
+  }
 
   val mediaSchema: StructType = StructType(Seq(
     StructField("media_id", LongType, nullable = false),
@@ -52,15 +74,24 @@ object Multimodal {
     (width, height, feature)
   }
 
-  /** Partition-local decode: one decoder per partition, streaming rows. */
+  /** Partition-local decode: one decoder per partition, streaming rows.
+    * Real images get header-decoded dimensions (and their sniffed format
+    * as media_type); other payloads keep the fake decoder's deterministic
+    * outputs. */
   def decodeStub(media: DataFrame): DataFrame = {
     val enc = RowEncoder.encoderFor(decodedSchema)
     media.select("media_id", "media_type", "content").mapPartitions { it =>
       // per-partition decoder init would go here (native handles, etc.)
       it.map { r =>
         val bytes = Option(r.getAs[Array[Byte]]("content")).getOrElse(Array.emptyByteArray)
-        val (w, h, f) = fakeDecode(bytes)
-        Row(r.getLong(0), r.getString(1), bytes.length.toLong, w, h, f.toSeq)
+        imageMeta(bytes) match {
+          case Some((fmt, w, h)) =>
+            val (_, _, f) = fakeDecode(bytes) // feature vector still fake
+            Row(r.getLong(0), s"image/$fmt", bytes.length.toLong, w, h, f.toSeq)
+          case None =>
+            val (w, h, f) = fakeDecode(bytes)
+            Row(r.getLong(0), r.getString(1), bytes.length.toLong, w, h, f.toSeq)
+        }
       }
     }(enc)
   }

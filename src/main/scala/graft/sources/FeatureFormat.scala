@@ -13,8 +13,11 @@ object FeatureIterator {
 }
 
 /** A contiguous record range of one file — the input-partition unit.
-  * `startRecord = 0 && numRecords = -1` means the whole file. */
-case class SplitSpec(path: String, startRecord: Long, numRecords: Long) extends Serializable
+  * `startRecord = 0 && numRecords = -1` means the whole file. Formats
+  * that split by byte position (single-file GeoJSON) also carry the
+  * record range's byte span; -1 means "not byte-addressed". */
+case class SplitSpec(path: String, startRecord: Long, numRecords: Long,
+    byteStart: Long = -1L, byteEnd: Long = -1L) extends Serializable
 
 /** A vector format parser — the pluggable core mirroring the reference's
   * per-driver read loop seam (`df_from_layer`, reference src/lib.rs:332-485).

@@ -21,12 +21,10 @@ import graft.sources._
 class GeoJsonFormat extends FeatureFormat {
   override def extensions: Seq[String] = Seq(".json", ".geojson")
 
-  override def open(path: String, opts: GdalOptions): FeatureIterator = {
-    val mapper = new ObjectMapper
-    val parser = mapper.getFactory.createParser(new File(path))
-
-    // Advance into the top-level "features" array (or a bare feature array /
-    // single Feature object).
+  /** Advance `parser` into the top-level "features" array (or a bare
+    * feature array / single Feature object). True if positioned inside
+    * the array. */
+  private def seekFeatures(parser: com.fasterxml.jackson.core.JsonParser): Boolean = {
     var inFeatures = false
     var t = parser.nextToken()
     if (t == JsonToken.START_ARRAY) inFeatures = true // bare array of features
@@ -43,8 +41,14 @@ class GeoJsonFormat extends FeatureFormat {
         }
       }
     }
+    inFeatures
+  }
 
-    var idx = -1L
+  /** Stream RawFeatures off a parser positioned inside a features array.
+    * `firstIdx` seeds the default-FID counter (split-stable). */
+  private def featureIterator(parser: com.fasterxml.jackson.core.JsonParser,
+      inFeatures: Boolean, firstIdx: Long): FeatureIterator = {
+    var idx = firstIdx - 1
     val it = new Iterator[RawFeature] {
       private var nextNode: ObjectNode = advance()
 
@@ -64,6 +68,70 @@ class GeoJsonFormat extends FeatureFormat {
       }
     }
     FeatureIterator(it, () => parser.close())
+  }
+
+  override def open(path: String, opts: GdalOptions): FeatureIterator = {
+    val parser = new ObjectMapper().getFactory.createParser(new File(path))
+    featureIterator(parser, seekFeatures(parser), 0L)
+  }
+
+  /** One big FeatureCollection file no longer serializes the whole scan:
+    * the driver token-scans the file once (skipChildren — no trees),
+    * records each feature's byte span, and groups features into
+    * ~`splitBytes` ranges. Executors then parse only their byte range
+    * (wrapped in `[...]` so the comma-separated span is a valid array).
+    * Files under 8 MB keep the single-partition fast path; geojsonseq
+    * remains the zero-scan splittable format. */
+  override def planSplits(path: String, opts: GdalOptions): Seq[SplitSpec] = {
+    val f = new File(path)
+    val minSplittable = 8L << 20
+    val targetBytes = 32L << 20
+    if (f.length < minSplittable) return Seq(SplitSpec(path, 0L, -1L))
+    val parser = new ObjectMapper().getFactory.createParser(f)
+    try {
+      if (!seekFeatures(parser)) return Seq(SplitSpec(path, 0L, -1L))
+      val splits = scala.collection.mutable.ArrayBuffer.empty[SplitSpec]
+      var chunkStart = -1L
+      var chunkFirstIdx = 0L
+      var chunkCount = 0L
+      var idx = 0L
+      var lastEnd = -1L
+      var t = parser.nextToken()
+      while (t == JsonToken.START_OBJECT) {
+        val start = parser.currentTokenLocation().getByteOffset
+        parser.skipChildren()
+        lastEnd = parser.currentLocation().getByteOffset
+        if (chunkStart < 0) { chunkStart = start; chunkFirstIdx = idx; chunkCount = 0L }
+        chunkCount += 1
+        if (lastEnd - chunkStart >= targetBytes || chunkCount >= opts.splitRecords) {
+          splits += SplitSpec(path, chunkFirstIdx, chunkCount, chunkStart, lastEnd)
+          chunkStart = -1L
+        }
+        idx += 1
+        t = parser.nextToken()
+      }
+      if (chunkStart >= 0)
+        splits += SplitSpec(path, chunkFirstIdx, chunkCount, chunkStart, lastEnd)
+      if (splits.isEmpty) Seq(SplitSpec(path, 0L, -1L)) else splits.toSeq
+    } finally parser.close()
+  }
+
+  override def openSplit(spec: SplitSpec, opts: GdalOptions): FeatureIterator = {
+    if (spec.byteStart < 0) open(spec.path, opts)
+    else {
+      val fis = new java.io.FileInputStream(spec.path)
+      var toSkip = spec.byteStart
+      while (toSkip > 0) toSkip -= fis.skip(toSkip)
+      val bounded = new BoundedInputStream(fis, spec.byteEnd - spec.byteStart)
+      val stream = new java.io.SequenceInputStream(
+        java.util.Collections.enumeration(java.util.Arrays.asList[java.io.InputStream](
+          new java.io.ByteArrayInputStream("[".getBytes),
+          bounded,
+          new java.io.ByteArrayInputStream("]".getBytes))))
+      val parser = new ObjectMapper().getFactory.createParser(stream)
+      val in = parser.nextToken() == JsonToken.START_ARRAY
+      featureIterator(parser, in, spec.startRecord)
+    }
   }
 
   private def toFeature(node: ObjectNode, idx: Long): RawFeature = {
@@ -92,4 +160,20 @@ class GeoJsonFormat extends FeatureFormat {
     else if (n.isTextual) n.asText
     else if (n.isArray) (0 until n.size).map(i => jsonValue(n.get(i)))
     else n.toString // nested object → its JSON text
+}
+
+/** Reads at most `limit` bytes of `in`, then reports EOF (split ranges). */
+private[geojson] final class BoundedInputStream(in: java.io.InputStream, limit: Long)
+    extends java.io.InputStream {
+  private var remaining = limit
+  override def read(): Int =
+    if (remaining <= 0) -1
+    else { val b = in.read(); if (b >= 0) remaining -= 1; b }
+  override def read(buf: Array[Byte], off: Int, len: Int): Int = {
+    if (remaining <= 0) return -1
+    val n = in.read(buf, off, math.min(len.toLong, remaining).toInt)
+    if (n > 0) remaining -= n
+    n
+  }
+  override def close(): Unit = in.close()
 }

@@ -43,4 +43,31 @@ class ArrowMultimodalSpec extends AnyFunSuite {
       .orderBy("doc_id").limit(1).collect()(0)
     assert(rows(0).getLong(2) === doc0.getString(1).getBytes("UTF-8").length.toLong)
   }
+
+  test("multimodal real image decode: PNG/JPEG header dimensions via javax.imageio") {
+    val s = spark; import s.implicits._
+    def imageBytes(fmt: String, w: Int, h: Int): Array[Byte] = {
+      val img = new java.awt.image.BufferedImage(w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+      img.setRGB(0, 0, 0xAA55AA)
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, fmt, bos)
+      bos.toByteArray
+    }
+    // direct kernel check
+    assert(Multimodal.imageMeta(imageBytes("png", 320, 200)) === Some(("png", 320, 200)))
+    assert(Multimodal.imageMeta(imageBytes("jpeg", 17, 43)) === Some(("jpeg", 17, 43)))
+    assert(Multimodal.imageMeta("not an image".getBytes("UTF-8")) === None)
+    // through the DataFrame decode path: real dims win, fakes still flow
+    val media = Seq(
+      (1L, "application/octet-stream", imageBytes("png", 320, 200)),
+      (2L, "application/octet-stream", imageBytes("jpeg", 17, 43)),
+      (3L, "application/octet-stream", "just bytes".getBytes("UTF-8")))
+      .toDF("media_id", "media_type", "content")
+    val rows = Multimodal.decodeStub(media).orderBy("media_id").collect()
+    assert(rows(0).getString(1) === "image/png" &&
+      rows(0).getInt(3) === 320 && rows(0).getInt(4) === 200)
+    assert(rows(1).getString(1) === "image/jpeg" &&
+      rows(1).getInt(3) === 17 && rows(1).getInt(4) === 43)
+    assert(rows(2).getString(1) === "application/octet-stream") // fake fallback
+  }
 }

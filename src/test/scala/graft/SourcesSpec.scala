@@ -197,4 +197,55 @@ class SourcesSpec extends AnyFunSuite {
     assert(round.count() === 3)
     assert(round.schema.fieldNames.toSeq === Seq("name", "iso_3166_2", "geometry"))
   }
+
+  test("geojson: one multi-MB FeatureCollection file splits into byte-range partitions") {
+    // Inflate to >8MB so the splitter engages: 2500 padded point features.
+    val out = Files.createTempFile("graft_big_", ".geojson")
+    val w = new java.io.BufferedWriter(new java.io.FileWriter(out.toFile))
+    w.write("""{"type":"FeatureCollection","features":[""")
+    val pad = "x" * 4000
+    for (i <- 0 until 2500) {
+      if (i > 0) w.write(",")
+      w.write(s"""{"type":"Feature","properties":{"i":$i,"pad":"$pad"},""" +
+        s""""geometry":{"type":"Point","coordinates":[${i % 360 - 180}.5,${i % 80}.25]}}""")
+    }
+    w.write("]}")
+    w.close()
+    val df = spark.read.format("geojson").option("splitRecords", "600")
+      .load(out.toString)
+    assert(df.rdd.getNumPartitions === 5) // ceil(2500/600) byte-range splits
+    val got = df.select("i").collect().map(_.getInt(0)).sorted
+    assert(got.toSeq === (0 until 2500))
+    // identical to the unsplit read (window options force one partition)
+    val whole = spark.read.format("geojson").option("limit", "99999999")
+      .load(out.toString)
+    assert(whole.rdd.getNumPartitions === 1)
+    assert(got.toSeq === whole.select("i").collect().map(_.getInt(0)).sorted.toSeq)
+    // default-FID stability across split boundaries
+    val fids = spark.read.format("geojson")
+      .option("splitRecords", "600").option("fidColumnName", "fid")
+      .load(out.toString).select("fid", "i").collect()
+    assert(fids.forall(r => r.getLong(0) === r.getInt(1).toLong))
+    Files.delete(out)
+  }
+
+  test("gdal_bytes_from_df parity: csvgeo and zipped-shapefile bytes round-trip") {
+    val src = spark.read.format("csvgeo").load(s"$fixtures/lat_lon_countries.csv")
+      .select(col("Country"), col("geometry")).limit(5)
+
+    val csvBytes = GdalWrite.toBytes(src, format = "csvgeo")
+    assert(new String(csvBytes, "UTF-8").linesIterator.next().contains("Country"))
+    val csvBack = GdalRead.fromBytes(spark, csvBytes, Some("round.csv"))
+    assert(csvBack.count() === 5)
+    assert(csvBack.select("Country").collect().map(_.getString(0)).sorted.toSeq ===
+      src.select("Country").collect().map(_.getString(0)).sorted.toSeq)
+
+    val shp = spark.read.format("shapefile").load(s"$fixtures/stations.shp").limit(7)
+    val zipBytes = GdalWrite.toBytes(shp, format = "shapefile")
+    assert(zipBytes.take(2).toSeq === Seq('P'.toByte, 'K'.toByte)) // a real zip
+    val shpBack = GdalRead.fromBytes(spark, zipBytes, Some("round.shp.zip"))
+    assert(shpBack.count() === 7)
+    assert(shpBack.select("name").collect().map(_.getString(0)).sorted.toSeq ===
+      shp.select("name").collect().map(_.getString(0)).sorted.toSeq)
+  }
 }
