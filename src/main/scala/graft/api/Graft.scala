@@ -206,6 +206,41 @@ object Graft {
   def withFingerprint(df: DataFrame, textCol: String, out: String = "fp"): DataFrame =
     df.withColumn(out, md5(regexp_replace(lower(col(textCol)), "[^a-z0-9]", "")))
 
+  // ------------------------------------------------------------ sampling
+
+  /** Cross-engine deterministic permille bucket of a string key:
+    * `(md5_lower64(key) & 0x7FFFFFFF) % 1000` — bit-identical to DuckDB's
+    * `(md5_number_lower(key) & 2147483647) % 1000`, so hash-gated
+    * pipelines stay oracle-checkable. */
+  def hashBucket(key: Column): Column =
+    call_function("md5_lower64", key).bitwiseAND(lit(0x7FFFFFFFL)) % lit(1000L)
+
+  /** Deterministic train/val/test assignment by id hash — a pure per-row
+    * projection: no shuffle, no RNG state, stable under repartitioning
+    * and retries, and new rows land in splits at the configured permille
+    * ratios without touching old assignments (the property a 100 TB
+    * incremental corpus needs). */
+  def assignSplit(df: DataFrame, idCol: String, valPermille: Int = 100,
+      testPermille: Int = 100): DataFrame = {
+    graft.functions.GraftFunctions.register(df.sparkSession)
+    val b = hashBucket(col(idCol).cast(StringType))
+    df.withColumn("split",
+      when(b < lit(1000L - valPermille - testPermille), "train")
+        .when(b < lit(1000L - testPermille), "val")
+        .otherwise("test"))
+  }
+
+  /** Adds the raw `__gate` bucket for a (usually salted) key — callers
+    * compare against per-stratum permille rates (see q48). */
+  def sampleGate(df: DataFrame, key: Column): DataFrame = {
+    graft.functions.GraftFunctions.register(df.sparkSession)
+    df.withColumn("__gate", hashBucket(key))
+  }
+
+  /** Deterministic hash subsample: keeps `keepPermille`/1000 of rows. */
+  def sampleByHash(df: DataFrame, key: Column, keepPermille: Int): DataFrame =
+    sampleGate(df, key).filter(col("__gate") < keepPermille).drop("__gate")
+
   // ------------------------------------------------------------ events
 
   /** Gaps-and-islands sessionization: per-key session counts with the

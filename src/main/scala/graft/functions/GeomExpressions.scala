@@ -126,6 +126,7 @@ object GraftFunctions {
     ("st_buffer", (e: Seq[Expression]) => StBuffer(e(0), e(1))),
     ("vec_dot", (e: Seq[Expression]) => VecDot(e(0), e(1))),
     ("simhash64", (e: Seq[Expression]) => SimHash64(e.head)),
+    ("md5_lower64", (e: Seq[Expression]) => Md5Lower64(e.head)),
     ("shingle_set", (e: Seq[Expression]) =>
       ShingleSet(e.head, e(1).eval().asInstanceOf[Number].intValue())),
     ("minhash_bands", (e: Seq[Expression]) => MinHashBands(e.head)),

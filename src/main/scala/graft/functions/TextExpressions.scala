@@ -214,6 +214,24 @@ case class ArrayPairs(child: Expression) extends UnaryExpression {
     copy(child = c)
 }
 
+/** md5_lower64(string) → long: low 64 bits of MD5, little-endian — the
+  * bit pattern DuckDB exposes as `md5_number_lower`, which makes
+  * hash-derived columns (dedup keys, split buckets, sample gates)
+  * reproducible in ANSI-ish SQL across engines. */
+case class Md5Lower64(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = LongType
+  override def prettyName: String = "md5_lower64"
+
+  protected override def nullSafeEval(a: Any): Any =
+    TextKernels.md5Lower64(a.asInstanceOf[UTF8String])
+
+  protected override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, a => s"graft.functions.TextKernels.md5Lower64($a)")
+
+  protected override def withNewChildInternal(c: Expression): Md5Lower64 =
+    copy(child = c)
+}
+
 /** simhash64(array<string>) → long: full SimHash signature per row. */
 case class SimHash64(child: Expression) extends UnaryExpression {
   override def dataType: DataType = LongType

@@ -1,0 +1,64 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import Util._
+
+/** Training-data partitioning and mixing (north-star LLM-pipeline ops):
+  * deterministic hash-gated train/val/test assignment and per-source
+  * weighted corpus sampling.
+  *
+  * Both use the cross-engine bucket
+  * `(md5_lower64(key) & 0x7FFFFFFF) % 1000` — the same value DuckDB
+  * computes as `(md5_number_lower(key) & 2147483647) % 1000` — so both
+  * queries are hash-checked against the oracle, not rows-only. Bucket
+  * gating is the 100 TB-correct mechanism: assignment is a pure per-row
+  * projection (no shuffle, no RNG state, no sampling drift between
+  * runs/retries), stable under repartitioning, and new data lands in
+  * splits at the configured ratios without touching old rows. The sample
+  * gate salts the id with the source so mixing is independent of split
+  * assignment. */
+object Sampling {
+
+  val queries: Map[String, Q] = Map(
+    // ---- q47: deterministic train/val/test split (800/100/100 permille) ----
+    "q47_train_split" -> ((s, dir) => {
+      import s.implicits._
+      graft.api.Graft.assignSplit(t(s, dir, "documents"), "doc_id")
+        .groupBy($"split")
+        .agg(count(lit(1)).as("n_docs"), sum($"n_chars").as("total_chars"))
+        .orderBy($"split")
+    }),
+
+    // ---- q48: weighted corpus mixing — single-digit sources keep 700
+    // permille, the rest 300; gate salted with the source name ----
+    "q48_corpus_sample" -> ((s, dir) => {
+      import s.implicits._
+      val rate = when(length($"source") === 4, 700).otherwise(300)
+      val docs = graft.api.Graft.sampleGate(
+        t(s, dir, "documents"), concat($"source", lit("|"), $"doc_id".cast(StringType)))
+      docs.groupBy($"source")
+        .agg(count(lit(1)).as("n_total"),
+          count(when($"__gate" < rate, 1)).as("n_kept"))
+        .orderBy($"source")
+    })
+  )
+
+  val oracle: Map[String, String] = Map(
+    "q47_train_split" ->
+      """SELECT CASE WHEN b < 800 THEN 'train' WHEN b < 900 THEN 'val' ELSE 'test' END AS split,
+        | COUNT(*) AS n_docs, CAST(SUM(n_chars) AS BIGINT) AS total_chars
+        |FROM (SELECT n_chars,
+        |        (md5_number_lower(CAST(doc_id AS VARCHAR)) & 2147483647::UBIGINT) % 1000 AS b
+        |      FROM documents)
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q48_corpus_sample" ->
+      """SELECT source, COUNT(*) AS n_total,
+        | COUNT(CASE WHEN (md5_number_lower(source || '|' || CAST(doc_id AS VARCHAR))
+        |                    & 2147483647::UBIGINT) % 1000
+        |              < (CASE WHEN length(source) = 4 THEN 700 ELSE 300 END)
+        |            THEN 1 END) AS n_kept
+        |FROM documents GROUP BY source ORDER BY source""".stripMargin
+  )
+}

@@ -42,6 +42,26 @@ trait FeatureFormat extends Serializable {
     else throw new UnsupportedOperationException(s"$this cannot open ranged split $spec")
 }
 
+/** Append-a-layer support for the file-per-partition writers (reference
+  * `gdal_layer_from_df` adds a named layer to an existing dataset,
+  * src/lib.rs:499). Overwrite keeps the classic `part-NNNNN` names; append
+  * writes `${layerName}-NNNNN` files next to the existing ones and
+  * refuses to clobber a layer that is already present. */
+object LayerWrite {
+  def stem(dir: java.io.File, opts: GdalOptions, truncate: Boolean): String =
+    if (truncate) "part"
+    else {
+      val s = opts.layerName.getOrElse("layer")
+      val taken = Option(dir.listFiles()).toSeq.flatten.exists { f =>
+        val n = f.getName
+        n.startsWith(s + "-") || n.startsWith(s + ".")
+      }
+      if (taken) throw new IllegalArgumentException(
+        s"layer '$s' already exists in $dir — pass a fresh layerName to add another layer")
+      s
+    }
+}
+
 object FeatureFormat {
   /** The reference's scan-time feature windowing (src/lib.rs:360-375):
     * erroring `maxFeatures` on the raw index, `offset` skip, truncating

@@ -39,7 +39,7 @@ class CsvGeoBatchWrite(path: String, schema: StructType, opts: GdalOptions,
     if (truncate) dir.listFiles().filter(_.getName.endsWith(".csv")).foreach(_.delete())
     if (!schema.fieldNames.contains(opts.geometryColumnName))
       throw new GraftError.CannotFindGeometryColumn(opts.geometryColumnName)
-    new CsvGeoWriterFactory(path, schema, opts)
+    new CsvGeoWriterFactory(path, graft.sources.LayerWrite.stem(dir, opts, truncate), schema, opts)
   }
   override def commit(messages: Array[WriterCommitMessage]): Unit = {
     val total = messages.map { case CsvGeoCommit(n) => n }.sum
@@ -48,10 +48,10 @@ class CsvGeoBatchWrite(path: String, schema: StructType, opts: GdalOptions,
   override def abort(messages: Array[WriterCommitMessage]): Unit = ()
 }
 
-class CsvGeoWriterFactory(path: String, schema: StructType, opts: GdalOptions)
+class CsvGeoWriterFactory(path: String, stem: String, schema: StructType, opts: GdalOptions)
   extends DataWriterFactory {
   override def createWriter(partitionId: Int, taskId: Long): DataWriter[InternalRow] =
-    new CsvGeoDataWriter(new File(path, f"part-$partitionId%05d.csv"), schema, opts)
+    new CsvGeoDataWriter(new File(path, f"$stem%s-$partitionId%05d.csv"), schema, opts)
 }
 
 class CsvGeoDataWriter(file: File, schema: StructType, opts: GdalOptions)

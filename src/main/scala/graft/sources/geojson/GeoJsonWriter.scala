@@ -146,7 +146,7 @@ class GeoJsonBatchWrite(path: String, schema: StructType, opts: GdalOptions,
     if (!dir.exists()) dir.mkdirs()
     if (truncate) dir.listFiles().filter(_.getName.endsWith(".geojson")).foreach(_.delete())
     GeoJsonRowSerializer.geometryIndex(schema, opts) // fail fast on the driver
-    new GeoJsonWriterFactory(path, schema, opts)
+    new GeoJsonWriterFactory(path, graft.sources.LayerWrite.stem(dir, opts, truncate), schema, opts)
   }
 
   override def commit(messages: Array[WriterCommitMessage]): Unit = {
@@ -156,10 +156,10 @@ class GeoJsonBatchWrite(path: String, schema: StructType, opts: GdalOptions,
   override def abort(messages: Array[WriterCommitMessage]): Unit = ()
 }
 
-class GeoJsonWriterFactory(path: String, schema: StructType, opts: GdalOptions)
+class GeoJsonWriterFactory(path: String, stem: String, schema: StructType, opts: GdalOptions)
   extends DataWriterFactory {
   override def createWriter(partitionId: Int, taskId: Long): DataWriter[InternalRow] =
-    new GeoJsonDataWriter(new File(path, f"part-$partitionId%05d.geojson"), schema, opts)
+    new GeoJsonDataWriter(new File(path, f"$stem%s-$partitionId%05d.geojson"), schema, opts)
 }
 
 class GeoJsonDataWriter(file: File, schema: StructType, opts: GdalOptions)

@@ -43,7 +43,7 @@ class ShapefileBatchWrite(path: String, schema: StructType, opts: GdalOptions,
       case BinaryType | StringType => ()
       case _ => throw new GraftError.GeometryColumnWrongType(opts.geometryColumnName)
     }
-    new ShapefileWriterFactory(path, schema, opts)
+    new ShapefileWriterFactory(path, graft.sources.LayerWrite.stem(dir, opts, truncate), schema, opts)
   }
   override def commit(messages: Array[WriterCommitMessage]): Unit = {
     if (messages.map { case ShpCommit(n) => n }.sum == 0L)
@@ -52,10 +52,10 @@ class ShapefileBatchWrite(path: String, schema: StructType, opts: GdalOptions,
   override def abort(messages: Array[WriterCommitMessage]): Unit = ()
 }
 
-class ShapefileWriterFactory(path: String, schema: StructType, opts: GdalOptions)
+class ShapefileWriterFactory(path: String, stem: String, schema: StructType, opts: GdalOptions)
   extends DataWriterFactory {
   override def createWriter(partitionId: Int, taskId: Long): DataWriter[InternalRow] =
-    new ShapefileDataWriter(new File(path, f"part-$partitionId%05d").getAbsolutePath,
+    new ShapefileDataWriter(new File(path, f"$stem%s-$partitionId%05d").getAbsolutePath,
       schema, opts)
 }
 

@@ -188,6 +188,32 @@ class SourcesSpec extends AnyFunSuite {
         .select("code").collect().map(_.getLong(0)).sorted.toSeq)
   }
 
+  test("geojson append mode adds a named layer to an existing dataset (gdal_layer_from_df parity)") {
+    val out = Files.createTempDirectory("graft_layers_").toString
+    val states = spark.read.format("geojson")
+      .load(s"$fixtures/us_states.feature_collection.implicit_4326.json")
+      .select("name", "geometry")
+    states.limit(3).coalesce(1).write.format("geojson").mode("overwrite").save(out)
+    // append a second layer next to the first
+    states.limit(5).coalesce(1).write.format("geojson").mode("append")
+      .option("layerName", "extra").save(out)
+    val names = new java.io.File(out).listFiles().map(_.getName).sorted
+    assert(names.count(_.startsWith("part-")) === 1)
+    assert(names.count(_.startsWith("extra-")) === 1)
+    // the dataset read unions both layers
+    assert(spark.read.format("geojson").load(out).count() === 8)
+    // re-appending the same layer name errors instead of clobbering
+    val e = intercept[Exception] {
+      states.limit(1).write.format("geojson").mode("append")
+        .option("layerName", "extra").save(out)
+    }
+    def chain(t: Throwable): Seq[Throwable] =
+      Option(t).toSeq.flatMap(x => x +: chain(x.getCause))
+    assert(chain(e).exists(_.getMessage != null &&
+      e.getMessage.contains("already exists") || chain(e).exists(c =>
+        c.getMessage != null && c.getMessage.contains("already exists"))))
+  }
+
   test("gdal_bytes_from_df parity: single FeatureCollection bytes") {
     val src = spark.read.format("geojson")
       .load(s"$fixtures/us_states.feature_collection.implicit_4326.json")

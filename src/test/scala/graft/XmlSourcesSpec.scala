@@ -1,0 +1,107 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** KML/GPX readers (doc-claimed formats #5/#6, reference README.md:9-10 —
+  * no reference fixtures exist, so these use inline documents). */
+class XmlSourcesSpec extends AnyFunSuite {
+  import TestSpark._
+
+  private def write(suffix: String, content: String): String = {
+    val f = Files.createTempFile("graft_xml_", suffix)
+    Files.writeString(f, content)
+    f.toString
+  }
+
+  private val kml =
+    """<?xml version="1.0" encoding="UTF-8"?>
+      |<kml xmlns="http://www.opengis.net/kml/2.2"><Document>
+      |<Placemark>
+      |  <name>HQ</name><description>head office</description>
+      |  <ExtendedData><Data name="floor"><value>3</value></Data></ExtendedData>
+      |  <Point><coordinates>-93.1,45.0</coordinates></Point>
+      |</Placemark>
+      |<Placemark>
+      |  <name>Route</name>
+      |  <LineString><coordinates>0,0 1,1 2,0.5</coordinates></LineString>
+      |</Placemark>
+      |<Placemark>
+      |  <name>Zone</name>
+      |  <Polygon><outerBoundaryIs><LinearRing>
+      |    <coordinates>0,0 4,0 4,4 0,4 0,0</coordinates>
+      |  </LinearRing></outerBoundaryIs></Polygon>
+      |</Placemark>
+      |</Document></kml>""".stripMargin
+
+  private val gpx =
+    """<?xml version="1.0" encoding="UTF-8"?>
+      |<gpx version="1.1" creator="graft" xmlns="http://www.topografix.com/GPX/1/1">
+      |<wpt lat="45.0" lon="-93.1"><ele>250.5</ele><name>Camp</name></wpt>
+      |<wpt lat="46.5" lon="-92.2"><name>Summit</name></wpt>
+      |<rte><name>R1</name>
+      |  <rtept lat="0.0" lon="0.0"><name>a</name></rtept>
+      |  <rtept lat="1.0" lon="1.0"><name>b</name></rtept>
+      |</rte>
+      |<trk><name>T1</name>
+      |  <trkseg>
+      |    <trkpt lat="10.0" lon="10.0"><ele>100.0</ele></trkpt>
+      |    <trkpt lat="10.1" lon="10.1"><ele>110.0</ele></trkpt>
+      |  </trkseg>
+      |  <trkseg>
+      |    <trkpt lat="11.0" lon="11.0"><ele>120.0</ele></trkpt>
+      |    <trkpt lat="11.1" lon="11.2"><ele>130.0</ele></trkpt>
+      |  </trkseg>
+      |</trk>
+      |</gpx>""".stripMargin
+
+  test("kml: placemarks with point/line/polygon and extended data") {
+    graft.functions.GraftFunctions.register(spark)
+    val df = spark.read.format("kml").load(write(".kml", kml))
+    assert(df.count() === 3)
+    val rows = df.select(col("name"), col("floor"),
+        expr("st_geometrytype(geometry)").as("t"), expr("st_aswkt(geometry)").as("wkt"))
+      .orderBy("name").collect()
+    assert(rows.map(_.getString(0)).toSeq === Seq("HQ", "Route", "Zone"))
+    assert(rows(0).getString(1) === "3" && rows(0).getString(2) === "Point")
+    assert(rows(0).getString(3) === "POINT (-93.1 45)")
+    assert(rows(1).getString(2) === "LineString")
+    assert(rows(2).getString(2) === "Polygon")
+  }
+
+  test("gpx: waypoints default layer; tracks/routes/track_points by layerName") {
+    graft.functions.GraftFunctions.register(spark)
+    val path = write(".gpx", gpx)
+
+    val wpts = spark.read.format("gpx").load(path)
+    assert(wpts.count() === 2)
+    val camp = wpts.filter(col("name") === "Camp")
+      .selectExpr("ele", "st_aswkt(geometry)").collect()(0)
+    assert(camp.getDouble(0) === 250.5)
+    assert(camp.getString(1) === "POINT (-93.1 45)")
+
+    val tracks = spark.read.format("gpx").option("layerName", "tracks").load(path)
+    val t = tracks.selectExpr("name", "n_segments", "st_geometrytype(geometry)",
+      "st_npoints(geometry)").collect()(0)
+    assert(t.getString(0) === "T1" && t.getInt(1) === 2)
+    assert(t.getString(2) === "MultiLineString" && t.getInt(3) === 4)
+
+    val routes = spark.read.format("gpx").option("layerName", "routes").load(path)
+    val rt = routes.selectExpr("name", "st_geometrytype(geometry)").collect()(0)
+    assert(rt.getString(0) === "R1" && rt.getString(1) === "LineString")
+
+    val tp = spark.read.format("gpx").option("layerName", "track_points").load(path)
+    assert(tp.count() === 4)
+    assert(tp.select("track_seg_id").collect().map(_.getLong(0)).sorted.toSeq ===
+      Seq(0L, 0L, 1L, 1L))
+    assert(tp.select("ele").collect().map(_.getDouble(0)).sorted.toSeq ===
+      Seq(100.0, 110.0, 120.0, 130.0))
+
+    val e = intercept[Exception] {
+      spark.read.format("gpx").option("layerName", "bogus").load(path).collect()
+    }
+    assert(e.getMessage.contains("no layer 'bogus'"))
+  }
+}
