@@ -33,6 +33,23 @@ object GdalRead {
     options.foldLeft(spark.read.format(fmt)) { case (r, (k, v)) => r.option(k, v) }
       .load(tmp.getAbsolutePath)
   }
+
+  /** Read a DataFrame from a URL (reference S6 remote reads,
+    * src/lib.rs:261-293): fetch the resource bytes, then route through
+    * [[fromBytes]] with the URL's filename as the sniffing hint. Works
+    * for any scheme the JVM resolves (http/https/file; this zero-egress
+    * container can only exercise `file:`). Driver-side fetch by design —
+    * the reference's remote read is a single-stream download too; a
+    * many-file remote layout should be mounted/synced and read as a
+    * directory instead. */
+  def fromUrl(spark: SparkSession, url: String,
+      options: Map[String, String] = Map.empty): DataFrame = {
+    val u = java.net.URI.create(url).toURL
+    val in = u.openStream()
+    val data = try in.readAllBytes() finally in.close()
+    val hint = Option(u.getPath).map(_.split('/').last).filter(_.nonEmpty)
+    fromBytes(spark, data, hint, options)
+  }
 }
 
 object GdalWrite {

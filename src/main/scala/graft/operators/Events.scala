@@ -49,6 +49,38 @@ object Events {
         .orderBy($"window_start", $"event_type")
     }),
 
+    // ---- q49: batch twin of the watermarked stream dedup (T3): semantic
+    // dedup on (user, type, minute) keeping the smallest event_id — the
+    // deterministic batch statement of "duplicates within the horizon are
+    // dropped". One partial-agg-friendly shuffle. ----
+    "q49_event_dedup_twin" -> ((s, dir) => {
+      import s.implicits._
+      t(s, dir, "events")
+        .groupBy($"user_id", $"event_type", date_trunc("minute", $"ts").as("m"))
+        .agg(min($"event_id").as("keep_id"), count(lit(1)).as("n_dups"))
+        .select($"keep_id", $"user_id", $"event_type",
+          unix_timestamp($"m").as("m_start"), $"n_dups")
+        .orderBy($"keep_id")
+    }),
+
+    // ---- q50: batch twin of the stream-stream interval join (T5):
+    // purchases attributed to same-user clicks in the preceding hour.
+    // Shuffles once on user_id with the time bound as residual — the
+    // exact shape whose streaming form evicts state by watermark. ----
+    "q50_purchase_attribution" -> ((s, dir) => {
+      import s.implicits._
+      val e = t(s, dir, "events")
+      val clicks = e.filter($"event_type" === "click")
+        .select($"user_id", $"ts".as("c_ts"), $"event_id".as("click_id"))
+      val purchases = e.filter($"event_type" === "purchase")
+        .select($"user_id", $"ts".as("p_ts"), $"event_id".as("purchase_id"), $"value")
+      purchases.join(clicks, Seq("user_id"))
+        .filter($"c_ts" >= $"p_ts" - expr("INTERVAL 1 HOUR") && $"c_ts" < $"p_ts")
+        .select($"purchase_id", $"click_id", $"user_id",
+          unix_micros($"p_ts").as("p_us"), unix_micros($"c_ts").as("c_us"), $"value")
+        .orderBy($"purchase_id", $"click_id")
+    }),
+
     // ---- q22: sessionization (30-min inactivity gap), gaps-and-islands ----
     "q22_sessionize" -> ((s, dir) => {
       import s.implicits._
@@ -77,6 +109,21 @@ object Events {
         | COUNT(*) AS n_events,
         | CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
         |FROM events GROUP BY 1, 2 ORDER BY window_start, event_type""".stripMargin,
+
+    "q49_event_dedup_twin" ->
+      """SELECT MIN(event_id) AS keep_id, user_id, event_type,
+        | CAST(epoch(date_trunc('minute', ts)) AS BIGINT) AS m_start,
+        | COUNT(*) AS n_dups
+        |FROM events GROUP BY user_id, event_type, date_trunc('minute', ts)
+        |ORDER BY keep_id""".stripMargin,
+
+    "q50_purchase_attribution" ->
+      """SELECT p.event_id AS purchase_id, c.event_id AS click_id, p.user_id,
+        | epoch_us(p.ts) AS p_us, epoch_us(c.ts) AS c_us, p.value
+        |FROM events p JOIN events c ON p.user_id = c.user_id
+        |WHERE p.event_type = 'purchase' AND c.event_type = 'click'
+        |  AND c.ts >= p.ts - INTERVAL 1 HOUR AND c.ts < p.ts
+        |ORDER BY purchase_id, click_id""".stripMargin,
 
     "q22_sessionize" ->
       """WITH x AS (

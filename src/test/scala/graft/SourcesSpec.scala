@@ -102,6 +102,14 @@ class SourcesSpec extends AnyFunSuite {
     assert(df.count() === 86)
   }
 
+  test("df_from_url routes scheme fetch through bytes sniffing (file: URL)") {
+    val df = GdalRead.fromUrl(spark,
+      s"file://$fixtures/us_states.feature_collection.implicit_4326.json")
+    assert(df.count() === 51)
+    val zip = GdalRead.fromUrl(spark, s"file://$fixtures/stations_shapefile.shp.zip")
+    assert(zip.count() === 86)
+  }
+
   test("df_from_bytes: empty input errors (EmptyData parity)") {
     intercept[GraftError.EmptyData] {
       GdalRead.fromBytes(spark, Array.emptyByteArray, Some("x.geojson"))
