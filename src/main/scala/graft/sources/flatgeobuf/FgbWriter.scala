@@ -1,0 +1,114 @@
+package graft.sources.flatgeobuf
+
+import java.io.{BufferedOutputStream, File, FileOutputStream}
+
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.connector.write._
+import org.apache.spark.sql.types._
+
+import graft.geom.GeomCodec
+import graft.sources.{GdalOptions, GraftError}
+
+/** FlatGeobuf write path: per-partition `part-NNNNN.fgb` (magic +
+  * size-prefixed header + size-prefixed features, no spatial index —
+  * index_node_size = 0, which the spec allows and our reader honors).
+  * Property columns: Int/Long/Double/Boolean/String; other types go
+  * through their string form. */
+class FgbWriteBuilder(info: LogicalWriteInfo) extends WriteBuilder with SupportsTruncate {
+  private var doTruncate = false
+  override def truncate(): WriteBuilder = { doTruncate = true; this }
+  override def build(): Write = new Write {
+    override def toBatch: BatchWrite = {
+      val path = Option(info.options.get("path"))
+        .getOrElse(throw new IllegalArgumentException("flatgeobuf write requires a path"))
+      new FgbBatchWrite(path, info.schema(), GdalOptions(info.options), doTruncate)
+    }
+  }
+}
+
+case class FgbCommit(rows: Long) extends WriterCommitMessage
+
+class FgbBatchWrite(path: String, schema: StructType, opts: GdalOptions,
+    truncate: Boolean) extends BatchWrite {
+  override def createBatchWriterFactory(info: PhysicalWriteInfo): DataWriterFactory = {
+    val dir = new File(path)
+    if (!dir.exists()) dir.mkdirs()
+    if (truncate) dir.listFiles().filter(_.getName.endsWith(".fgb")).foreach(_.delete())
+    val gi = schema.fieldNames.indexOf(opts.geometryColumnName)
+    if (gi < 0) throw new GraftError.CannotFindGeometryColumn(opts.geometryColumnName)
+    schema.fields(gi).dataType match {
+      case BinaryType | StringType => ()
+      case _ => throw new GraftError.GeometryColumnWrongType(opts.geometryColumnName)
+    }
+    new FgbWriterFactory(path, graft.sources.LayerWrite.stem(dir, opts, truncate), schema, opts)
+  }
+  override def commit(messages: Array[WriterCommitMessage]): Unit = {
+    if (messages.map { case FgbCommit(n) => n }.sum == 0L)
+      throw new GraftError.EmptyDataframe
+  }
+  override def abort(messages: Array[WriterCommitMessage]): Unit = ()
+}
+
+class FgbWriterFactory(path: String, stem: String, schema: StructType, opts: GdalOptions)
+  extends DataWriterFactory {
+  override def createWriter(partitionId: Int, taskId: Long): DataWriter[InternalRow] =
+    new FgbDataWriter(new File(path, f"$stem%s-$partitionId%05d.fgb"), schema, opts)
+}
+
+class FgbDataWriter(file: File, schema: StructType, opts: GdalOptions)
+  extends DataWriter[InternalRow] {
+  import FgbCodec._
+
+  private val geomIdx = schema.fieldNames.indexOf(opts.geometryColumnName)
+  private val propFields = schema.fields.zipWithIndex.filter(_._2 != geomIdx)
+  private val columns = propFields.map { case (f, _) =>
+    FgbColumn(f.name, f.dataType match {
+      case IntegerType => CtInt
+      case LongType => CtLong
+      case DoubleType | FloatType => CtDouble
+      case BooleanType => CtBool
+      case _ => CtString
+    })
+  }.toSeq
+
+  // Features buffer in memory per partition file because the header
+  // carries features_count (needed by readers to skip a missing index
+  // deterministically); partitions are executor-sized, not corpus-sized.
+  private val features = scala.collection.mutable.ArrayBuffer.empty[Array[Byte]]
+  private var n = 0L
+
+  override def write(row: InternalRow): Unit = {
+    val geom =
+      if (row.isNullAt(geomIdx)) null
+      else schema.fields(geomIdx).dataType match {
+        case BinaryType => GeomCodec.fromWkb(row.getBinary(geomIdx))
+        case _ => GeomCodec.fromWkt(row.getUTF8String(geomIdx).toString)
+      }
+    val values = propFields.map { case (f, i) =>
+      if (row.isNullAt(i)) null
+      else f.dataType match {
+        case IntegerType => Int.box(row.getInt(i))
+        case LongType => Long.box(row.getLong(i))
+        case DoubleType => Double.box(row.getDouble(i))
+        case FloatType => Double.box(row.getFloat(i).toDouble)
+        case BooleanType => Boolean.box(row.getBoolean(i))
+        case StringType => row.getUTF8String(i).toString
+        case dt => row.get(i, dt).toString
+      }
+    }.toSeq
+    features += FgbCodec.writeFeature(geom, columns, values)
+    n += 1
+  }
+
+  override def commit(): WriterCommitMessage = {
+    val out = new BufferedOutputStream(new FileOutputStream(file), 1 << 16)
+    try {
+      out.write(Magic)
+      out.write(writeHeader(file.getName.stripSuffix(".fgb"), GtUnknown, columns, n))
+      features.foreach(out.write)
+    } finally out.close()
+    FgbCommit(n)
+  }
+  override def abort(): Unit = ()
+  override def close(): Unit = ()
+}
