@@ -56,5 +56,19 @@ object GdalQueries {
           GraftFunctions.st_x(col("geometry")).as("lon"),
           GraftFunctions.st_y(col("geometry")).as("lat"))
         .orderBy(col("Country"))
+    }),
+
+    // Cross-format conversion: the reference's own shapefile fixture
+    // written as FlatGeobuf through our writer, read back through our
+    // reader — pins both halves of the format every round.
+    "gdal_convert_shapefile_to_fgb" -> ((s, _) => {
+      GraftFunctions.register(s)
+      val out = java.nio.file.Files.createTempDirectory("graft_q_fgb_").toString
+      s.read.format("shapefile").load(s"$fixtures/stations.shp")
+        .write.format("flatgeobuf").mode("overwrite").save(out)
+      s.read.format("flatgeobuf").load(out)
+        .select(col("name"), col("marker-sym"),
+          GraftFunctions.st_aswkt(col("geometry")).as("wkt"))
+        .orderBy(col("name"), col("wkt"))
     }))
 }

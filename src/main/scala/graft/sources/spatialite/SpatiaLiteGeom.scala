@@ -107,4 +107,66 @@ object SpatiaLiteGeom {
     w.putInt(v)
     out.write(w.array(), 0, 4)
   }
+
+  // ----------------------------------------------------------- encoding
+
+  import org.locationtech.jts.geom._
+
+  /** JTS geometry → SpatiaLite BLOB (uncompressed XY classes, little
+    * endian) — the write-side inverse of [[toWkb]]. */
+  def fromJts(g: Geometry, srid: Int): Array[Byte] = {
+    val body = new java.io.ByteArrayOutputStream()
+    writeClassAndBody(g, body)
+    val env = g.getEnvelopeInternal
+    val head = ByteBuffer.allocate(39).order(ByteOrder.LITTLE_ENDIAN)
+    head.put(0x00.toByte).put(0x01.toByte).putInt(srid)
+    head.putDouble(env.getMinX).putDouble(env.getMinY)
+    head.putDouble(env.getMaxX).putDouble(env.getMaxY)
+    head.put(0x7C.toByte)
+    val out = new java.io.ByteArrayOutputStream()
+    out.write(head.array(), 0, 39)
+    body.writeTo(out)
+    out.write(0xFE)
+    out.toByteArray
+  }
+
+  private def classOf(g: Geometry): Int = g match {
+    case _: Point => 1
+    case _: LineString => 2
+    case _: Polygon => 3
+    case _: MultiPoint => 4
+    case _: MultiLineString => 5
+    case _: MultiPolygon => 6
+    case _: GeometryCollection => 7
+  }
+
+  private def writeClassAndBody(g: Geometry, out: java.io.ByteArrayOutputStream): Unit = {
+    writeInt(out, classOf(g))
+    g match {
+      case p: Point => writePts(out, Array(p.getCoordinate))
+      case l: LineString =>
+        writeInt(out, l.getNumPoints)
+        writePts(out, l.getCoordinates)
+      case p: Polygon =>
+        val rings = p.getExteriorRing +:
+          (0 until p.getNumInteriorRing).map(p.getInteriorRingN)
+        writeInt(out, rings.length)
+        rings.foreach { r =>
+          writeInt(out, r.getNumPoints)
+          writePts(out, r.getCoordinates)
+        }
+      case m: GeometryCollection => // also Multi*
+        writeInt(out, m.getNumGeometries)
+        (0 until m.getNumGeometries).foreach { i =>
+          out.write(0x69)
+          writeClassAndBody(m.getGeometryN(i), out)
+        }
+    }
+  }
+
+  private def writePts(out: java.io.ByteArrayOutputStream, cs: Array[Coordinate]): Unit = {
+    val w = ByteBuffer.allocate(16 * cs.length).order(ByteOrder.LITTLE_ENDIAN)
+    cs.foreach { c => w.putDouble(c.x); w.putDouble(c.y) }
+    out.write(w.array(), 0, 16 * cs.length)
+  }
 }
