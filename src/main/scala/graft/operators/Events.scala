@@ -81,6 +81,17 @@ object Events {
         .orderBy($"purchase_id", $"click_id")
     }),
 
+    // ---- q51: batch twin of the arbitrary-stateful running totals (T4,
+    // EventStreams.runningTotals): the final state per user equals the
+    // plain aggregate — decimal-exact sum per the float policy. ----
+    "q51_running_totals_twin" -> ((s, dir) => {
+      import s.implicits._
+      t(s, dir, "events")
+        .groupBy($"user_id")
+        .agg(count(lit(1)).as("total_events"), dsum($"value", 6).as("total_value"))
+        .orderBy($"user_id")
+    }),
+
     // ---- q22: sessionization (30-min inactivity gap), gaps-and-islands ----
     "q22_sessionize" -> ((s, dir) => {
       import s.implicits._
@@ -124,6 +135,11 @@ object Events {
         |WHERE p.event_type = 'purchase' AND c.event_type = 'click'
         |  AND c.ts >= p.ts - INTERVAL 1 HOUR AND c.ts < p.ts
         |ORDER BY purchase_id, click_id""".stripMargin,
+
+    "q51_running_totals_twin" ->
+      """SELECT user_id, COUNT(*) AS total_events,
+        | CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS total_value
+        |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin,
 
     "q22_sessionize" ->
       """WITH x AS (
