@@ -1,0 +1,68 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Plan-shape regressions: the scale-critical physical-plan properties
+  * SCALE.md documents, pinned structurally so a refactor cannot silently
+  * reintroduce a scale-killer (the checks run on sf0.001 — shape, not
+  * timing). */
+class PlanShapeSpec extends AnyFunSuite {
+  import TestSpark._
+
+  private val dir = sf0001
+
+  private def planOf(q: String): String =
+    SparkEntry.queries(q)(spark, dir).queryExecution.executedPlan.toString
+
+  test("q03 star join broadcasts the dimensions (no shuffle of the fact side)") {
+    val p = planOf("q03_join_broadcast")
+    assert(p.contains("BroadcastHashJoin"), p)
+  }
+
+  test("q12 global top-k plans TakeOrderedAndProject, not a global sort") {
+    val p = planOf("q12_topk_global")
+    assert(p.contains("TakeOrderedAndProject"), p)
+  }
+
+  test("q01 aggregate is partial+final hash aggregation") {
+    val p = planOf("q01_pricing_summary")
+    assert(p.contains("HashAggregate"), p)
+    // partial + final = at least two HashAggregate nodes
+    assert(p.sliding("HashAggregate".length).count(_ == "HashAggregate") >= 2, p)
+  }
+
+  test("q44 embedding near-dup never plans a broadcast nested loop") {
+    val p = planOf("q44_dedup_embedding_cosine")
+    assert(!p.contains("BroadcastNestedLoop"), p)
+  }
+
+  test("q24 capped jaccard has no shingle self-join (bounded in-array pairs)") {
+    val p = planOf("q24_dedup_ngram_jaccard")
+    assert(p.contains("array_pairs"), p)
+    assert(p.contains("collect_list"), p)
+  }
+
+  test("q25 minhash signatures are a projection, not 128 aggregates") {
+    val p = planOf("q25_dedup_minhash_lsh")
+    assert(p.contains("minhash_bands"), p)
+    assert(!p.contains("h127"), p) // the old 128-min-agg columns are gone
+  }
+
+  test("q26 simhash is a one-pass projection with no word explode") {
+    val df = SparkEntry.queries("q26_dedup_simhash")(spark, dir)
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("simhash64"), p)
+  }
+
+  test("q02 filter and projection push into the scan") {
+    val p = planOf("q02_filter_project")
+    assert(p.contains("PushedFilters: [IsNotNull") || p.contains("PushedFilters: ["), p)
+  }
+
+  test("q47 split assignment is a pure projection (no shuffle before the aggregate)") {
+    val p = planOf("q47_train_split")
+    assert(p.contains("md5_lower64"), p)
+    // exactly the aggregation exchanges — no join/window exchanges
+    assert(!p.contains("SortMergeJoin") && !p.contains("BroadcastHashJoin"), p)
+  }
+}
