@@ -102,6 +102,13 @@ object Dedup {
         .orderBy(col("da"), col("db"))
     }),
 
+    // ---- q52: containment near-dup pairs (C >= 0.9 of the smaller set) ----
+    "q52_dedup_containment" -> ((s, dir) => {
+      containmentPairs(t(s, dir, "documents"), "text", "doc_id",
+        num = 9, den = 10, maxShingleDf = 20)
+        .orderBy(col("da"), col("db"))
+    }),
+
     // ---- q26: SimHash near-dup pairs (hamming <= 3) ----
     // Signature = native one-pass `simhash64(tokens)` projection (no
     // explode, no shuffle — the old plan ran 64 sum-aggs over every
@@ -157,6 +164,23 @@ object Dedup {
       |WHERE 5 * i >= 4 * (sa.n + sb.n - i)
       |ORDER BY da, db""".stripMargin
 
+  /** Containment near-dup pairs: C(a→b) = |A∩B| / |A| ≥ num/den — the
+    * asymmetric overlap that catches partial copies (quotes, wrapped
+    * reposts) which symmetric Jaccard misses when sizes differ. Same
+    * capped bounded-pair-generation shape as q24; emitted for the
+    * smaller-side containment so (da, db) is still an unordered pair. */
+  def containmentPairs(df: DataFrame, textCol: String, idCol: String,
+      num: Int, den: Int, maxShingleDf: Int): DataFrame = {
+    val inter = graft.api.Graft.nearDupPairsExact(df, textCol, idCol,
+      num = 0, den = 1, maxShingleDf = Some(maxShingleDf))
+    // num=0/den=1 keeps every intersecting pair; re-threshold on
+    // containment of the smaller shingle set
+    inter
+      .filter(lit(den) * col("i") >= lit(num) * least(col("na"), col("nb")))
+      .select(col("da"), col("db"), col("i"),
+        (col("i") / least(col("na"), col("nb"))).as("containment"))
+  }
+
   val oracle: Map[String, String] = Map(
     "q23_dedup_exact" ->
       """SELECT MIN(doc_id) AS keep_id, COUNT(*) AS n_copies
@@ -164,6 +188,26 @@ object Dedup {
         |GROUP BY md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'))
         |ORDER BY keep_id""".stripMargin,
     "q24_dedup_ngram_jaccard" -> exactJaccardPairsSql,
+    "q52_dedup_containment" ->
+      """WITH toks AS (
+        |  SELECT doc_id, string_split(trim(text), ' ') AS t FROM documents
+        |), sh0 AS (
+        |  SELECT DISTINCT doc_id, t[i] || '_' || t[i+1] || '_' || t[i+2] AS s
+        |  FROM (SELECT doc_id, t, unnest(generate_series(1, greatest(len(t) - 2, 0))) AS i FROM toks)
+        |), sh AS (
+        |  SELECT sh0.* FROM sh0
+        |  JOIN (SELECT s FROM sh0 GROUP BY s HAVING COUNT(*) <= 20) keep USING (s)
+        |), sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id
+        |), inter AS (
+        |  SELECT a.doc_id AS da, b.doc_id AS db, COUNT(*) AS i
+        |  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+        |  GROUP BY 1, 2)
+        |SELECT da, db, i, i / least(sa.n, sb.n) AS containment
+        |FROM inter
+        |JOIN sizes sa ON sa.doc_id = da
+        |JOIN sizes sb ON sb.doc_id = db
+        |WHERE 10 * i >= 9 * least(sa.n, sb.n)
+        |ORDER BY da, db""".stripMargin,
     "q26_dedup_simhash" ->
       """WITH toks AS (
         |  SELECT doc_id, string_split_regex(trim(text), '\s+') AS t FROM documents

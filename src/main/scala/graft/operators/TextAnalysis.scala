@@ -68,6 +68,24 @@ object TextAnalysis {
         .orderBy($"doc_id")
     }),
 
+    // ---- q53: repetition scoring — fraction of repeated word trigrams
+    // (1 - distinct/total), the classic training-data looping/boilerplate
+    // detector. Both counts come from one codegen'd projection
+    // (shingle_set); the ratio is one double division of exact longs, so
+    // the oracle matches bit-for-bit without rounding. ----
+    "q53_text_repetition" -> ((s, dir) => {
+      import s.implicits._
+      graft.functions.GraftFunctions.register(s)
+      t(s, dir, "documents")
+        .withColumn("n_ngrams",
+          greatest(size(split(trim($"text"), "\\s+")) - 2, lit(0)).cast(LongType))
+        .filter($"n_ngrams" > 0)
+        .withColumn("n_distinct", size(expr("shingle_set(text, 3)")).cast(LongType))
+        .select($"doc_id", $"n_ngrams", $"n_distinct",
+          (lit(1.0) - $"n_distinct" / $"n_ngrams").as("repetition"))
+        .orderBy($"doc_id")
+    }),
+
     // ---- q32: document fingerprint (normalized-content hash) ----
     "q32_fingerprint" -> ((s, dir) => {
       import s.implicits._
@@ -129,6 +147,23 @@ object TextAnalysis {
         | CAST(len(regexp_extract_all(text, '\S+')) AS BIGINT) AS ws_tokens,
         | CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]')) AS BIGINT) AS bpe_tokens
         |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "q53_text_repetition" ->
+      """WITH toks AS (
+        |  SELECT doc_id, string_split_regex(trim(text), '\s+') AS t FROM documents
+        |), base AS (
+        |  SELECT doc_id, CAST(greatest(len(t) - 2, 0) AS BIGINT) AS n_ngrams, t
+        |  FROM toks WHERE len(t) >= 3
+        |), dis AS (
+        |  SELECT doc_id, CAST(COUNT(DISTINCT s) AS BIGINT) AS n_distinct
+        |  FROM (SELECT doc_id, t[i] || '_' || t[i+1] || '_' || t[i+2] AS s
+        |        FROM (SELECT doc_id, t, unnest(generate_series(1, len(t) - 2)) AS i
+        |              FROM base))
+        |  GROUP BY doc_id)
+        |SELECT b.doc_id, b.n_ngrams, d.n_distinct,
+        | 1.0 - d.n_distinct / b.n_ngrams AS repetition
+        |FROM base b JOIN dis d ON b.doc_id = d.doc_id
+        |ORDER BY b.doc_id""".stripMargin,
 
     "q32_fingerprint" ->
       """SELECT doc_id, md5(regexp_replace(lower(text), '[^a-z0-9]', '', 'g')) AS fp
