@@ -48,27 +48,35 @@ object Graft {
   def nearDupPairsExact(df: DataFrame, textCol: String, idCol: String,
       num: Int = 4, den: Int = 5, ngram: Int = 3,
       maxShingleDf: Option[Int] = None): DataFrame = {
-    val sh0 = shingles(df, textCol, idCol, ngram)
-    val sh = maxShingleDf match {
+    graft.functions.GraftFunctions.register(df.sparkSession)
+    val withSh = df.select(col(idCol).as("__id"),
+      expr(s"shingle_set(`$textCol`, $ngram)").as("ss"))
+    val sh0 = withSh.select(col("__id"), explode(col("ss")).as("s"))
+    val (inter, sizes) = maxShingleDf match {
       case Some(cap) =>
         val hot = sh0.groupBy(col("s")).agg(count(lit(1)).as("df"))
           .filter(col("df") > cap).select(col("s"))
-        sh0.join(broadcast(hot), Seq("s"), "left_anti")
-      case None => sh0
-    }
-    val inter = maxShingleDf match {
-      case Some(_) =>
-        sh.groupBy(col("s")).agg(sort_array(collect_list(col("__id"))).as("ds"))
+        val sh = sh0.join(broadcast(hot), Seq("s"), "left_anti")
+        val i = sh.groupBy(col("s")).agg(sort_array(collect_list(col("__id"))).as("ds"))
           .select(explode(expr("array_pairs(ds)")).as("p"))
           .groupBy(col("p.da").as("da"), col("p.db").as("db"))
           .agg(count(lit(1)).as("i"))
+        // Per-doc KEPT sizes re-count the anti-joined explode. (An
+        // array_except-against-broadcast-hot formulation would save this
+        // pass, but measured 6× slower end-to-end here: the crossJoin
+        // lineage degrades the downstream join planning. The shingle
+        // projection is codegen'd and cheap to recompute.)
+        val n = sh.groupBy(col("__id")).agg(count(lit(1)).as("n"))
+        (i, n)
       case None =>
-        sh.alias("a")
-          .join(sh.alias("b"), col("a.s") === col("b.s") && col("a.__id") < col("b.__id"))
+        val i = sh0.alias("a")
+          .join(sh0.alias("b"), col("a.s") === col("b.s") && col("a.__id") < col("b.__id"))
           .groupBy(col("a.__id").as("da"), col("b.__id").as("db"))
           .agg(count(lit(1)).as("i"))
+        val n = withSh.select(col("__id"),
+          size(col("ss")).cast(LongType).as("n")).filter(col("n") > 0)
+        (i, n)
     }
-    val sizes = sh.groupBy(col("__id")).agg(count(lit(1)).as("n"))
     inter
       .join(sizes.select(col("__id").as("da"), col("n").as("na")), "da")
       .join(sizes.select(col("__id").as("db"), col("n").as("nb")), "db")
