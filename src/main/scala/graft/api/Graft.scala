@@ -85,6 +85,55 @@ object Graft {
         (col("i") / (col("na") + col("nb") - col("i"))).as("jac"))
   }
 
+  /** Connected components of an undirected edge list — the step that
+    * turns near-dup PAIRS into duplicate CLUSTERS so one canonical doc
+    * survives per group. Label propagation to a fixpoint: every node
+    * takes the min label in its neighborhood each round, so rounds ≤
+    * graph diameter ≤ O(log n) for near-dup graphs (small, dense
+    * clusters). Each round is one shuffle over the edge list; the driver
+    * only checks a scalar convergence count — no vertex data leaves the
+    * executors. Returns (node, component) with component = min reachable
+    * node id. */
+  def connectedComponents(edges: DataFrame, srcCol: String, dstCol: String,
+      maxIter: Int = 30): DataFrame = {
+    val sym = edges.select(col(srcCol).as("a"), col(dstCol).as("b"))
+      .unionAll(edges.select(col(dstCol).as("a"), col(srcCol).as("b")))
+      .distinct()
+    var labels = sym.select(col("a").as("node")).distinct()
+      .withColumn("label", col("node"))
+    var converged = false
+    var i = 0
+    while (!converged && i < maxIter) {
+      val neighborMin = sym
+        .join(labels.withColumnRenamed("node", "b")
+          .withColumnRenamed("label", "blabel"), "b")
+        .groupBy(col("a").as("node")).agg(min(col("blabel")).as("nmin"))
+      val next = labels.join(neighborMin, Seq("node"), "left")
+        .select(col("node"),
+          least(col("label"), coalesce(col("nmin"), col("label"))).as("label"))
+        .localCheckpoint() // truncate the iterative lineage
+      val changed = next.alias("n")
+        .join(labels.alias("o"), col("n.node") === col("o.node"))
+        .filter(col("n.label") =!= col("o.label")).count()
+      labels = next
+      converged = changed == 0
+      i += 1
+    }
+    labels.select(col("node"), col("label").as("component"))
+  }
+
+  /** Exact dedup keeping the best row per duplicate group (highest
+    * `scoreCol`, ties by smallest id) — the quality-aware form of
+    * [[dedupExact]]. One shuffle on the content hash. */
+  def dedupKeepBest(df: DataFrame, textCol: String, idCol: String,
+      scoreCol: String): DataFrame = {
+    val w = Window
+      .partitionBy(md5(regexp_replace(lower(trim(col(textCol))), "\\s+", " ")))
+      .orderBy(col(scoreCol).desc, col(idCol))
+    df.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1).drop("__rn")
+  }
+
   /** MinHash+LSH near-dup pairs, exactly verified: candidates from banded
     * signature buckets (work ∝ true dups), then exact Jaccard on the
     * candidates only. See operators/Dedup for the banding math. */

@@ -102,6 +102,24 @@ object Dedup {
         .orderBy(col("da"), col("db"))
     }),
 
+    // ---- q54: near-dup pair graph → duplicate clusters (connected
+    // components by distributed label propagation; edges from the
+    // MinHash+LSH scale path, which equals the exact pair set here) ----
+    "q54_dedup_clusters" -> ((s, dir) => {
+      val pairs = minhashPairs(t(s, dir, "documents"), "text", "doc_id", 4, 5)
+        .select(col("da"), col("db"))
+      graft.api.Graft.connectedComponents(pairs, "da", "db")
+        .orderBy(col("node"))
+    }),
+
+    // ---- q55: exact dedup keeping the best-quality copy (longest text,
+    // ties by smallest id) — the quality-aware keep policy ----
+    "q55_dedup_keep_best" -> ((s, dir) => {
+      graft.api.Graft.dedupKeepBest(t(s, dir, "documents"), "text", "doc_id", "n_chars")
+        .select(col("doc_id"), col("n_chars"))
+        .orderBy(col("doc_id"))
+    }),
+
     // ---- q52: containment near-dup pairs (C >= 0.9 of the smaller set) ----
     "q52_dedup_containment" -> ((s, dir) => {
       containmentPairs(t(s, dir, "documents"), "text", "doc_id",
@@ -208,6 +226,40 @@ object Dedup {
         |JOIN sizes sb ON sb.doc_id = db
         |WHERE 10 * i >= 9 * least(sa.n, sb.n)
         |ORDER BY da, db""".stripMargin,
+    "q54_dedup_clusters" ->
+      """WITH RECURSIVE toks AS (
+        |  SELECT doc_id, string_split(trim(text), ' ') AS t FROM documents
+        |), sh AS (
+        |  SELECT DISTINCT doc_id, t[i] || '_' || t[i+1] || '_' || t[i+2] AS s
+        |  FROM (SELECT doc_id, t, unnest(generate_series(1, greatest(len(t) - 2, 0))) AS i FROM toks)
+        |), sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id
+        |), inter AS (
+        |  SELECT a.doc_id AS da, b.doc_id AS db, COUNT(*) AS i
+        |  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+        |  GROUP BY 1, 2
+        |), pairs AS (
+        |  SELECT da, db FROM inter
+        |  JOIN sizes sa ON sa.doc_id = da
+        |  JOIN sizes sb ON sb.doc_id = db
+        |  WHERE 5 * i >= 4 * (sa.n + sb.n - i)
+        |), edges AS (
+        |  SELECT da AS a, db AS b FROM pairs UNION SELECT db, da FROM pairs
+        |), reach AS (
+        |  SELECT a, b FROM edges
+        |  UNION
+        |  SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a
+        |)
+        |SELECT a AS node, least(a, MIN(b)) AS component
+        |FROM reach GROUP BY a ORDER BY node""".stripMargin,
+
+    "q55_dedup_keep_best" ->
+      """SELECT doc_id, n_chars FROM (
+        |  SELECT doc_id, n_chars, ROW_NUMBER() OVER (
+        |    PARTITION BY md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'))
+        |    ORDER BY n_chars DESC, doc_id) AS rn
+        |  FROM documents)
+        |WHERE rn = 1 ORDER BY doc_id""".stripMargin,
+
     "q26_dedup_simhash" ->
       """WITH toks AS (
         |  SELECT doc_id, string_split_regex(trim(text), '\s+') AS t FROM documents
