@@ -108,14 +108,14 @@ object Graft {
         .join(labels.withColumnRenamed("node", "b")
           .withColumnRenamed("label", "blabel"), "b")
         .groupBy(col("a").as("node")).agg(min(col("blabel")).as("nmin"))
+      // carry the previous label through so convergence is a filter over
+      // the checkpointed result, not another join
       val next = labels.join(neighborMin, Seq("node"), "left")
-        .select(col("node"),
+        .select(col("node"), col("label").as("__old"),
           least(col("label"), coalesce(col("nmin"), col("label"))).as("label"))
         .localCheckpoint() // truncate the iterative lineage
-      val changed = next.alias("n")
-        .join(labels.alias("o"), col("n.node") === col("o.node"))
-        .filter(col("n.label") =!= col("o.label")).count()
-      labels = next
+      val changed = next.filter(col("label") =!= col("__old")).count()
+      labels = next.drop("__old")
       converged = changed == 0
       i += 1
     }

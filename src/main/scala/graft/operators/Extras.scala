@@ -132,6 +132,24 @@ object Extras {
         .orderBy($"event_type")
     }),
 
+    // ---- q56: salted join under key skew — orders⋈lineitem through
+    // Graft.saltedJoin (big side salted deterministically, small side
+    // replicated saltFactor times), aggregated after: results must equal
+    // the plain join, which is exactly what the oracle states. The skew
+    // remedy is thus correctness-gated, not just spec'd. ----
+    "q56_salted_join_skew" -> ((s, dir) => {
+      import s.implicits._
+      val orders = t(s, dir, "orders")
+        .select($"o_orderkey", $"o_orderpriority")
+      val items = t(s, dir, "lineitem")
+        .select($"l_orderkey".as("o_orderkey"), $"l_quantity", $"l_extendedprice")
+      graft.api.Graft.saltedJoin(items, orders, "o_orderkey", saltFactor = 8)
+        .groupBy($"o_orderpriority")
+        .agg(count(lit(1)).as("n_items"),
+          dsum($"l_extendedprice").as("total_price"))
+        .orderBy($"o_orderpriority")
+    }),
+
     // ---- q45: exact COUNT(DISTINCT) — the oracle-checkable twin of q41.
     // Expands to a two-phase plan (partial distinct on (event_type,
     // user_id), then count) — both shuffles partial-agg friendly. ----
@@ -204,6 +222,12 @@ object Extras {
         |WHERE EXISTS (SELECT 1 FROM lineitem
         |              WHERE l_orderkey = o_orderkey AND l_quantity >= 49.0)
         |ORDER BY o_orderkey""".stripMargin,
+
+    "q56_salted_join_skew" ->
+      """SELECT o_orderpriority, COUNT(*) AS n_items,
+        | CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS total_price
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
 
     "q45_exact_distinct" ->
       """SELECT event_type, COUNT(DISTINCT user_id) AS exact_users,
