@@ -175,6 +175,110 @@ case class IvfProbe(child: Expression, centroids: Array[Array[Double]], nprobe: 
     copy(child = c)
 }
 
+/** Product-quantization kernels: codebooks[m][k][subDim] trained
+  * driver-side (bounded sample), encode/score map-side. */
+object PqKernels {
+  import org.apache.spark.sql.catalyst.util.GenericArrayData
+
+  /** Nearest codebook entry per subspace → M small codes. */
+  def encode(v: ArrayData, cb: Array[Array[Array[Double]]], isFloat: Boolean): ArrayData = {
+    val m = cb.length
+    val sub = cb(0)(0).length
+    val out = new Array[Any](m)
+    var s = 0
+    while (s < m) {
+      var best = 0
+      var bestD = Double.MaxValue
+      var k = 0
+      while (k < cb(s).length) {
+        var d = 0.0
+        var j = 0
+        while (j < sub) {
+          val idx = s * sub + j
+          val x = if (idx < v.numElements())
+            VecLshKernels.toDouble(v, idx, isFloat) else 0.0
+          val t = x - cb(s)(k)(j)
+          d += t * t
+          j += 1
+        }
+        if (d < bestD) { bestD = d; best = k }
+        k += 1
+      }
+      out(s) = best
+      s += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  /** Approximate dot(query, decode(codes)) without the original vector. */
+  def dot(codes: ArrayData, q: ArrayData, cb: Array[Array[Array[Double]]],
+      qIsFloat: Boolean): Double = {
+    val m = cb.length
+    val sub = cb(0)(0).length
+    var acc = 0.0
+    var s = 0
+    while (s < m) {
+      val ctr = cb(s)(codes.getInt(s))
+      var j = 0
+      while (j < sub) {
+        val idx = s * sub + j
+        if (idx < q.numElements())
+          acc += VecLshKernels.toDouble(q, idx, qIsFloat) * ctr(j)
+        j += 1
+      }
+      s += 1
+    }
+    acc
+  }
+}
+
+/** pq_encode: vector → M subspace codes (plan-reference codebooks). */
+case class PqEncode(child: Expression, codebooks: Array[Array[Array[Double]]])
+    extends UnaryExpression {
+  override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
+  override def prettyName: String = "pq_encode"
+
+  private lazy val isFloat = child.dataType match {
+    case ArrayType(FloatType, _) => true
+    case _ => false
+  }
+
+  protected override def nullSafeEval(a: Any): Any =
+    PqKernels.encode(a.asInstanceOf[ArrayData], codebooks, isFloat)
+
+  protected override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("codebooks", codebooks, "double[][][]")
+    defineCodeGen(ctx, ev, a => s"graft.functions.PqKernels.encode($a, $ref, $isFloat)")
+  }
+
+  protected override def withNewChildInternal(c: Expression): PqEncode =
+    copy(child = c)
+}
+
+/** pq_dot(codes, query): approximate dot product from codes alone. */
+case class PqDot(left: Expression, right: Expression,
+    codebooks: Array[Array[Array[Double]]]) extends BinaryExpression {
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = "pq_dot"
+
+  private lazy val qIsFloat = right.dataType match {
+    case ArrayType(FloatType, _) => true
+    case _ => false
+  }
+
+  protected override def nullSafeEval(a: Any, b: Any): Any =
+    PqKernels.dot(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData], codebooks, qIsFloat)
+
+  protected override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("codebooks", codebooks, "double[][][]")
+    defineCodeGen(ctx, ev, (a, b) =>
+      s"graft.functions.PqKernels.dot($a, $b, $ref, $qIsFloat)")
+  }
+
+  protected override def withNewChildrenInternal(l: Expression, r: Expression): PqDot =
+    copy(left = l, right = r)
+}
+
 /** vec_dot(a, b): double dot product of two float or double arrays. */
 case class VecDot(left: Expression, right: Expression) extends BinaryExpression {
   override def dataType: DataType = DoubleType

@@ -159,9 +159,55 @@ object Similarity {
       recallOf("ivf_nprobe8", ivfSearch(base, qs, "embedding", "vec_id",
           k = 10, nlist = 16, nprobe = 8))
         .unionAll(recallOf("lsh_banded64x8", lshSearch(base, qs, "embedding", "vec_id", k = 10)))
+        .unionAll(recallOf("pq_16x256", pqSearch(base, qs, "embedding", "vec_id", k = 10)))
         .orderBy($"method")
     })
   )
+
+  /** Product-quantization top-k: the memory side of billion-scale ANN.
+    * Codebooks (subspaces × K × subDim) train on a bounded driver sample;
+    * base vectors collapse to `subspaces` small codes + a norm
+    * (64 floats → 16 byte-codes here, 16× smaller), and queries score
+    * candidates from codes alone via the codegen'd `PqDot` — the original
+    * vectors are never shuffled or rescanned at query time. Recall is
+    * inspected by q57 the same way q46 gates IVF/LSH. */
+  def pqSearch(base: org.apache.spark.sql.DataFrame,
+      queries: org.apache.spark.sql.DataFrame, vecCol: String, idCol: String,
+      k: Int, subspaces: Int = 16, codebookSize: Int = 256): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.GraftColumnBridge.{column, expression}
+    val spark = base.sparkSession
+    graft.functions.GraftFunctions.register(spark)
+    val sample = base.select(col(idCol), col(vecCol)).orderBy(col(idCol))
+      .limit(math.max(codebookSize * 32, 512)).collect()
+      .map(_.getSeq[Float](1).map(_.toDouble).toArray)
+    require(sample.nonEmpty, "PQ training requires data")
+    val dim = sample.head.length
+    val subDim = (dim + subspaces - 1) / subspaces
+    val codebooks = Array.tabulate(subspaces) { s =>
+      val slices = sample.map { v =>
+        Array.tabulate(subDim)(j =>
+          if (s * subDim + j < v.length) v(s * subDim + j) else 0.0)
+      }
+      trainCentroids(slices, codebookSize, iters = 8)
+    }
+    val enc = (c: org.apache.spark.sql.Column) =>
+      column(graft.functions.PqEncode(expression(c), codebooks))
+    val pqdot = (codes: org.apache.spark.sql.Column, q: org.apache.spark.sql.Column) =>
+      column(graft.functions.PqDot(expression(codes), expression(q), codebooks))
+    val b = base
+      .withColumn("nrm", sqrt(expr(s"vec_dot(`$vecCol`, `$vecCol`)")))
+      .select(col(idCol).as("nid"), enc(col(vecCol)).as("codes"), col("nrm"))
+    val q = queries.select(col(idCol).as("qid"), col(vecCol).as("qv"))
+      .withColumn("qn", sqrt(expr("vec_dot(qv, qv)")))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("qid")).orderBy(col("sim").desc, col("nid"))
+    b.join(broadcast(q), col("nid") =!= col("qid"))
+      .withColumn("sim", pqdot(col("codes"), col("qv")) / (col("nrm") * col("qn")))
+      .withColumn("rnk", row_number().over(w).cast(org.apache.spark.sql.types.LongType))
+      .filter(col("rnk") <= k)
+      .select(col("qid"), col("rnk"), col("nid"), round(col("sim"), 4).as("sim_r"))
+  }
 
   /** Banded sign-bit LSH ANN: each vector gets `bands` keys of `bits`
     * random-hyperplane sign bits (codegen'd CosineLshBands); a base row is
