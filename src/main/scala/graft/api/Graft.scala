@@ -96,9 +96,17 @@ object Graft {
     * node id. */
   def connectedComponents(edges: DataFrame, srcCol: String, dstCol: String,
       maxIter: Int = 30): DataFrame = {
+    // Materialize the symmetrized edges ONCE: `sym` is joined every
+    // iteration, and the caller's edge list is typically the most
+    // expensive subplan in the pipeline (a full near-dup candidate
+    // generation). Without the checkpoint that subplan re-executes every
+    // round — multiplying the corpus's costliest job by the graph
+    // diameter. The label seed below derives from the same materialized
+    // scan, so the upstream lineage runs exactly once.
     val sym = edges.select(col(srcCol).as("a"), col(dstCol).as("b"))
       .unionAll(edges.select(col(dstCol).as("a"), col(srcCol).as("b")))
       .distinct()
+      .localCheckpoint()
     var labels = sym.select(col("a").as("node")).distinct()
       .withColumn("label", col("node"))
     var converged = false
@@ -119,6 +127,13 @@ object Graft {
       converged = changed == 0
       i += 1
     }
+    // Min-label propagation advances one hop per round: a chain of
+    // diameter > maxIter exits un-merged. Silent wrong answers are worse
+    // than a loud stop.
+    if (!converged)
+      throw new IllegalStateException(
+        s"connectedComponents did not converge in $maxIter rounds " +
+          "(graph diameter exceeds maxIter); raise maxIter")
     labels.select(col("node"), col("label").as("component"))
   }
 
@@ -247,17 +262,22 @@ object Graft {
   // ------------------------------------------------------------ text
 
   /** Adds n_tokens / n_punct / n_stop / char_len / stop_ratio /
-    * quality_score columns (pure codegen'd projections). */
-  def withTextStats(df: DataFrame, textCol: String): DataFrame =
-    df.withColumn("n_tokens", regexp_count(col(textCol), lit("\\S+")).cast(LongType))
-      .withColumn("n_punct", regexp_count(col(textCol), lit("[^A-Za-z0-9\\s]")).cast(LongType))
-      .withColumn("n_stop",
-        regexp_count(lower(col(textCol)), lit("\\b(the|a|of|and|is|in|to)\\b")).cast(LongType))
-      .withColumn("char_len", length(col(textCol)).cast(LongType))
+    * quality_score columns from ONE code-point scan per row (the
+    * `text_stats` codegen kernel; regex-equivalent semantics — see
+    * TextStatsKernel). */
+  def withTextStats(df: DataFrame, textCol: String): DataFrame = {
+    graft.functions.GraftFunctions.register(df.sparkSession)
+    df.withColumn("__ts", expr(s"text_stats(`$textCol`)"))
+      .withColumn("n_tokens", col("__ts.ws_tokens"))
+      .withColumn("n_punct", col("__ts.n_punct"))
+      .withColumn("n_stop", col("__ts.n_stop"))
+      .withColumn("char_len", col("__ts.char_len"))
+      .drop("__ts")
       .withColumn("stop_ratio", col("n_stop") / col("n_tokens"))
       .withColumn("quality_score",
         lit(0.5) * (col("n_stop") / col("n_tokens")) +
           lit(0.5) * (lit(1.0) - col("n_punct") / col("char_len")))
+  }
 
   /** Normalized-content fingerprint column. */
   def withFingerprint(df: DataFrame, textCol: String, out: String = "fp"): DataFrame =

@@ -131,6 +131,7 @@ object GraftFunctions {
       ShingleSet(e.head, e(1).eval().asInstanceOf[Number].intValue())),
     ("minhash_bands", (e: Seq[Expression]) => MinHashBands(e.head)),
     ("array_pairs", (e: Seq[Expression]) => ArrayPairs(e.head)),
+    ("text_stats", (e: Seq[Expression]) => TextStats(e.head)),
     ("cosine_lsh_bands", (e: Seq[Expression]) => CosineLshBands(e.head,
       e(1).eval().asInstanceOf[Number].intValue(),
       e(2).eval().asInstanceOf[Number].intValue(),

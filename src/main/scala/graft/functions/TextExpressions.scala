@@ -232,6 +232,108 @@ case class Md5Lower64(child: Expression) extends UnaryExpression {
     copy(child = c)
 }
 
+/** One-pass text statistics: every count q30/q31 need, from a single scan
+  * over the string's code points — replacing 2–3 `java.util.regex` passes
+  * per document (measured: the regex formulation was the slowest linear op
+  * in the bench). Character classes mirror the exact regex semantics the
+  * DuckDB oracle still runs, so swapping the implementation cannot move
+  * the oracle:
+  *  - whitespace  = Java `\s` = [ \t\n\x0B\f\r]
+  *  - ws_tokens   = maximal non-whitespace runs        (`\S+`)
+  *  - bpe_tokens  = maximal ASCII letter runs + maximal digit runs +
+  *                  one per other non-ws char          (`[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]`)
+  *  - n_punct     = non-alnum non-ws code points       (`[^A-Za-z0-9\s]`)
+  *  - n_stop      = maximal word runs whose lowercase equals a stopword —
+  *                  exactly the strings `\b(the|a|of|and|is|in|to)\b`
+  *                  matches on lower(text). NB java.util.regex's `\b`
+  *                  boundary class is `'_' || Character.isLetterOrDigit`
+  *                  (Unicode), NOT the ASCII `\w` — so `aé` contains no
+  *                  boundary and counts zero stopwords (property-tested
+  *                  against the regex in TextStatsSpec)
+  *  - char_len    = code points (Spark `length` / DuckDB `length`)
+  */
+object TextStatsKernel {
+  // \b(the|a|of|and|is|in|to)\b — all ≤ 3 chars, so a run longer than 3
+  // can never match and needs no buffering.
+  private def isStop(c0: Char, c1: Char, c2: Char, len: Int): Boolean = len match {
+    case 1 => c0 == 'a'
+    case 2 => (c0 == 'o' && c1 == 'f') || (c0 == 'i' && (c1 == 's' || c1 == 'n')) ||
+      (c0 == 't' && c1 == 'o')
+    case 3 => (c0 == 't' && c1 == 'h' && c2 == 'e') || (c0 == 'a' && c1 == 'n' && c2 == 'd')
+    case _ => false
+  }
+
+  def textStats(text: UTF8String): org.apache.spark.sql.catalyst.InternalRow = {
+    val s = text.toString
+    val n = s.length
+    var wsTokens = 0L; var bpeTokens = 0L; var nPunct = 0L; var nStop = 0L
+    var charLen = 0L
+    var inTok = false      // inside a \S+ run
+    var inLetter = false   // inside an [A-Za-z]+ run
+    var inDigit = false    // inside a [0-9]+ run
+    var wordLen = 0        // current \w run length (capped at 4)
+    var w0 = ' '; var w1 = ' '; var w2 = ' '
+    var i = 0
+    while (i < n) {
+      val c = s.charAt(i)
+      var step = 1
+      var cp: Int = c
+      if (Character.isHighSurrogate(c) && i + 1 < n && Character.isLowSurrogate(s.charAt(i + 1))) {
+        cp = Character.toCodePoint(c, s.charAt(i + 1)); step = 2
+      }
+      charLen += 1
+      val ws = cp == ' ' || cp == '\t' || cp == '\n' || cp == 0x0B || cp == '\f' || cp == '\r'
+      val letter = (cp >= 'A' && cp <= 'Z') || (cp >= 'a' && cp <= 'z')
+      val digit = cp >= '0' && cp <= '9'
+      // \b's word class (see scaladoc): Unicode letter-or-digit, plus '_'
+      val word = cp == '_' || Character.isLetterOrDigit(cp)
+      if (!ws && !inTok) wsTokens += 1
+      inTok = !ws
+      if (letter && !inLetter) bpeTokens += 1
+      inLetter = letter
+      if (digit && !inDigit) bpeTokens += 1
+      inDigit = digit
+      if (!ws && !letter && !digit) { nPunct += 1; bpeTokens += 1 }
+      if (word) {
+        val lc = if (cp >= 'A' && cp <= 'Z') (cp + 32).toChar else c
+        if (wordLen == 0) w0 = lc else if (wordLen == 1) w1 = lc else if (wordLen == 2) w2 = lc
+        if (wordLen < 4) wordLen += 1
+      } else {
+        if (wordLen > 0 && isStop(w0, w1, w2, wordLen)) nStop += 1
+        wordLen = 0
+      }
+      i += step
+    }
+    if (wordLen > 0 && isStop(w0, w1, w2, wordLen)) nStop += 1
+    new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+      Array[Any](wsTokens, bpeTokens, nPunct, nStop, charLen))
+  }
+}
+
+/** text_stats(string) → struct<ws_tokens,bpe_tokens,n_punct,n_stop,char_len>. */
+case class TextStats(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = TextStats.schema
+  override def prettyName: String = "text_stats"
+
+  protected override def nullSafeEval(a: Any): Any =
+    TextStatsKernel.textStats(a.asInstanceOf[UTF8String])
+
+  protected override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, a => s"graft.functions.TextStatsKernel.textStats($a)")
+
+  protected override def withNewChildInternal(c: Expression): TextStats =
+    copy(child = c)
+}
+
+object TextStats {
+  val schema: StructType = StructType(Seq(
+    StructField("ws_tokens", LongType, nullable = false),
+    StructField("bpe_tokens", LongType, nullable = false),
+    StructField("n_punct", LongType, nullable = false),
+    StructField("n_stop", LongType, nullable = false),
+    StructField("char_len", LongType, nullable = false)))
+}
+
 /** simhash64(array<string>) → long: full SimHash signature per row. */
 case class SimHash64(child: Expression) extends UnaryExpression {
   override def dataType: DataType = LongType

@@ -10,14 +10,16 @@ import org.apache.spark.sql.types._
   * runs as a partition-local transform so each executor touches only its
   * partition's bytes (no shuffle, no driver materialization).
   *
-  * Image METADATA decode is REAL: `imageMeta` reads width/height/format
-  * from PNG/JPEG/GIF/BMP headers via the JDK's javax.imageio (header-only
-  * — no pixel decode), one reusable reader chain per partition. Pixel
-  * decode / audio / video still fall back to `fakeDecode`, a
+  * Image decode is REAL for everything the JDK ships codecs for
+  * (PNG/JPEG/GIF/BMP): `imageMeta` reads width/height/format from the
+  * header, and the feature vector is a deterministic 8-bin luminance
+  * histogram over the actual decoded pixels (`luminanceHistogram` —
+  * integer Rec.601 luma, so the same bytes always bin identically).
+  * Audio/video and undecodable payloads fall back to `fakeDecode`, a
   * clearly-marked DETERMINISTIC FAKE (the container ships no further
   * codecs); the Spark-side plumbing — schema, encoder, mapPartitions
-  * batch shape, partitioning — is what a libjpeg/ffmpeg-backed decoder
-  * would slot into.
+  * batch shape, partitioning — is what an ffmpeg-backed decoder would
+  * slot into.
   */
 object Multimodal {
 
@@ -61,9 +63,43 @@ object Multimodal {
       concat(lit("image/fake-"), col("source")).as("media_type"),
       encode(col("text"), "UTF-8").as("content"))
 
-  /** STUB DECODER — deterministic fake. A real implementation would call an
-    * image/audio library here (per-partition, reusing a decoder instance);
-    * everything around this function is production-shaped. */
+  /** Deterministic 8-bin luminance histogram over decoded pixels: integer
+    * Rec.601 luma `(299R + 587G + 114B) / 1000` ∈ [0, 255], bin =
+    * `luma * bins / 256`, normalized by pixel count. Integer arithmetic
+    * end-to-end, so the feature is bit-stable across JVMs/platforms. */
+  def luminanceHistogram(img: java.awt.image.BufferedImage, bins: Int = 8): Array[Float] = {
+    val w = img.getWidth
+    val h = img.getHeight
+    val counts = new Array[Long](bins)
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        val rgb = img.getRGB(x, y)
+        val luma = (299 * ((rgb >> 16) & 0xFF) + 587 * ((rgb >> 8) & 0xFF) +
+          114 * (rgb & 0xFF)) / 1000
+        counts(luma * bins / 256) += 1
+        x += 1
+      }
+      y += 1
+    }
+    val n = (w.toLong * h).toFloat
+    counts.map(c => c / n)
+  }
+
+  /** Full pixel decode → luminance-histogram feature, or None when the JDK
+    * has no codec for the payload. */
+  def imageFeature(bytes: Array[Byte]): Option[Array[Float]] = {
+    if (bytes == null || bytes.length < 8) return None
+    try Option(javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes)))
+      .map(luminanceHistogram(_))
+    catch { case _: java.io.IOException => None }
+  }
+
+  /** STUB DECODER — deterministic fake for NON-IMAGE payloads only (audio/
+    * video: the container ships no codecs). A real implementation would
+    * call a media library here (per-partition, reusing a decoder
+    * instance); everything around this function is production-shaped. */
   private def fakeDecode(bytes: Array[Byte]): (Int, Int, Array[Float]) = {
     val n = bytes.length
     val width = 64 + (if (n == 0) 0 else math.abs(bytes(0).toInt) % 64)
@@ -75,9 +111,10 @@ object Multimodal {
   }
 
   /** Partition-local decode: one decoder per partition, streaming rows.
-    * Real images get header-decoded dimensions (and their sniffed format
-    * as media_type); other payloads keep the fake decoder's deterministic
-    * outputs. */
+    * JDK-decodable images get real header dimensions (and their sniffed
+    * format as media_type) plus a REAL pixel-derived luminance-histogram
+    * feature; only undecodable payloads keep the fake decoder's
+    * deterministic outputs. */
   def decodeStub(media: DataFrame): DataFrame = {
     val enc = RowEncoder.encoderFor(decodedSchema)
     media.select("media_id", "media_type", "content").mapPartitions { it =>
@@ -86,7 +123,7 @@ object Multimodal {
         val bytes = Option(r.getAs[Array[Byte]]("content")).getOrElse(Array.emptyByteArray)
         imageMeta(bytes) match {
           case Some((fmt, w, h)) =>
-            val (_, _, f) = fakeDecode(bytes) // feature vector still fake
+            val f = imageFeature(bytes).getOrElse(fakeDecode(bytes)._3)
             Row(r.getLong(0), s"image/$fmt", bytes.length.toLong, w, h, f.toSeq)
           case None =>
             val (w, h, f) = fakeDecode(bytes)

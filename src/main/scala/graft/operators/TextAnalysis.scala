@@ -43,28 +43,33 @@ object TextAnalysis {
     }),
 
     // ---- q30: quality scoring ----
+    // All counts come from ONE code-point scan (text_stats — see
+    // TextStatsKernel for the exact-regex-equivalence argument); the old
+    // form ran three java.util.regex passes per document and was the
+    // slowest linear operator in the bench. Oracle unchanged: counts are
+    // semantics, not implementation.
     "q30_text_quality" -> ((s, dir) => {
       import s.implicits._
+      graft.functions.GraftFunctions.register(s)
       t(s, dir, "documents")
-        .withColumn("n_tokens", regexp_count($"text", lit("\\S+")).cast(LongType))
-        .withColumn("n_punct", regexp_count($"text", lit("[^A-Za-z0-9\\s]")).cast(LongType))
-        .withColumn("n_stop", regexp_count(lower($"text"), lit("\\b(the|a|of|and|is|in|to)\\b")).cast(LongType))
-        .withColumn("char_len", length($"text").cast(LongType))
+        .withColumn("ts", expr("text_stats(text)"))
+        .select($"doc_id", $"ts.ws_tokens".as("n_tokens"), $"ts.n_punct",
+          $"ts.n_stop", $"ts.char_len")
         .withColumn("stop_ratio", $"n_stop" / $"n_tokens")
         .withColumn("quality_score",
           lit(0.5) * ($"n_stop" / $"n_tokens") + lit(0.5) * (lit(1.0) - $"n_punct" / $"char_len"))
-        .select($"doc_id", $"n_tokens", $"n_punct", $"n_stop", $"char_len",
-          $"stop_ratio", $"quality_score")
         .orderBy($"doc_id")
     }),
 
-    // ---- q31: token counting (whitespace + BPE-ish regex) ----
+    // ---- q31: token counting (whitespace + BPE-ish regex semantics,
+    // computed by the one-pass text_stats kernel) ----
     "q31_token_count" -> ((s, dir) => {
       import s.implicits._
+      graft.functions.GraftFunctions.register(s)
       t(s, dir, "documents")
-        .select($"doc_id",
-          regexp_count($"text", lit("\\S+")).cast(LongType).as("ws_tokens"),
-          regexp_count($"text", lit("[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]")).cast(LongType).as("bpe_tokens"))
+        .withColumn("ts", expr("text_stats(text)"))
+        .select($"doc_id", $"ts.ws_tokens".as("ws_tokens"),
+          $"ts.bpe_tokens".as("bpe_tokens"))
         .orderBy($"doc_id")
     }),
 

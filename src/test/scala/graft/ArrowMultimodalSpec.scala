@@ -70,4 +70,26 @@ class ArrowMultimodalSpec extends AnyFunSuite {
       rows(1).getInt(3) === 17 && rows(1).getInt(4) === 43)
     assert(rows(2).getString(1) === "application/octet-stream") // fake fallback
   }
+
+  test("multimodal feature is the real pixel luminance histogram for decodable images") {
+    val s = spark; import s.implicits._
+    // 320×200 PNG: all black except pixel (0,0) = 0xAA55AA. Lossless, so
+    // the expected histogram is exact: luma(170,85,170) = (299·170 +
+    // 587·85 + 114·170)/1000 = 120 → bin 120·8/256 = 3; the other 63,999
+    // pixels are luma 0 → bin 0.
+    val img = new java.awt.image.BufferedImage(320, 200, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    img.setRGB(0, 0, 0xAA55AA)
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", bos)
+    val png = bos.toByteArray
+    val expected = Array(63999f / 64000f, 0f, 0f, 1f / 64000f, 0f, 0f, 0f, 0f)
+    assert(Multimodal.imageFeature(png).get.toSeq === expected.toSeq)
+    assert(Multimodal.imageFeature("not an image".getBytes("UTF-8")) === None)
+    // through the DataFrame path: the stored feature IS the histogram
+    val media = Seq((1L, "application/octet-stream", png)).toDF("media_id", "media_type", "content")
+    val row = Multimodal.decodeStub(media).head
+    assert(row.getSeq[Float](5).toSeq === expected.toSeq)
+    // every histogram sums to 1 (here: exactly, 64000/64000)
+    assert(row.getSeq[Float](5).sum === 1f)
+  }
 }

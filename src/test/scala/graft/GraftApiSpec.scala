@@ -125,6 +125,34 @@ class GraftApiSpec extends AnyFunSuite {
     assert(plain.toSeq === salted.toSeq)
   }
 
+  test("connectedComponents merges a chain and executes the edge pipeline once") {
+    val s = spark; import s.implicits._
+    // A diameter-5 chain (needs ~5 rounds) plus an isolated pair. The
+    // accumulator-backed UDF counts how many times the edge subplan is
+    // evaluated: with the pre-loop localCheckpoint it runs exactly once —
+    // NOT once per label-propagation round (the q54 scale bug).
+    val evals = s.sparkContext.longAccumulator("edgeEvals")
+    val tap = udf { (x: Long) => evals.add(1L); x }
+    val edges = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L), (5L, 6L), (10L, 11L))
+      .toDF("src", "dst").withColumn("src", tap(col("src")))
+    val out = Graft.connectedComponents(edges, "src", "dst")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert((1L to 6L).forall(out(_) == 1L))
+    assert(out(10L) === 10L && out(11L) === 10L)
+    // one materialization = 12 taps (the union references the edge plan
+    // twice × 6 rows); without the checkpoint this would be ≥ rounds × 12
+    assert(evals.value === 12L, s"edge pipeline evaluated ${evals.value} row-passes")
+  }
+
+  test("connectedComponents errors loudly when maxIter is too small to converge") {
+    val s = spark; import s.implicits._
+    val chain = (1L until 12L).map(i => (i, i + 1)).toDF("src", "dst")
+    val ex = intercept[IllegalStateException] {
+      Graft.connectedComponents(chain, "src", "dst", maxIter = 2).collect()
+    }
+    assert(ex.getMessage.contains("converge"))
+  }
+
   test("withTextStats and withFingerprint add deterministic columns") {
     val s = spark; import s.implicits._
     val df = Seq((1L, "The cat, and a dog!")).toDF("id", "txt")

@@ -1,0 +1,67 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.LongType
+import org.scalacheck.{Gen, Prop}
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Pins the `text_stats` kernel to the regex formulation it replaced: the
+  * five counts must be bit-identical to the java.util.regex expressions on
+  * (a) the real documents table, (b) hand-picked boundary cases, and
+  * (c) ScalaCheck-generated strings over an adversarial alphabet. The
+  * DuckDB oracle for q30/q31 still runs the regex form, so this equivalence
+  * IS the correctness argument for the one-pass rewrite. */
+class TextStatsSpec extends AnyFunSuite {
+  import TestSpark._
+
+  private def regexForm(df: org.apache.spark.sql.DataFrame, textCol: String) =
+    df.select(
+      regexp_count(col(textCol), lit("\\S+")).cast(LongType).as("ws_tokens"),
+      regexp_count(col(textCol), lit("[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]")).cast(LongType).as("bpe_tokens"),
+      regexp_count(col(textCol), lit("[^A-Za-z0-9\\s]")).cast(LongType).as("n_punct"),
+      regexp_count(lower(col(textCol)), lit("\\b(the|a|of|and|is|in|to)\\b")).cast(LongType).as("n_stop"),
+      length(col(textCol)).cast(LongType).as("char_len"))
+
+  private def kernelForm(df: org.apache.spark.sql.DataFrame, textCol: String) = {
+    graft.functions.GraftFunctions.register(df.sparkSession)
+    df.select(expr(s"text_stats(`$textCol`)").as("ts")).select("ts.*")
+  }
+
+  test("text_stats equals the regex formulation on the documents table") {
+    val docs = spark.read.parquet(s"$sf0001/documents.parquet")
+    val diff = kernelForm(docs, "text").exceptAll(regexForm(docs, "text"))
+    assert(diff.isEmpty, diff.take(3).mkString("; "))
+  }
+
+  test("text_stats handles boundary cases exactly like the regexes") {
+    val s = spark; import s.implicits._
+    val cases = Seq(
+      "", " ", "a", "A", "to", "TO tO of OF", "the a of and is in to",
+      "a_of the_cat", "a1 a 1a", "word, and; done.", "  leading and trailing  ",
+      "tab\tand\nnewline\rmix", "thé a café", "und der die das",
+      "中文 文本 the", "emoji 😀 a", "___", "a__a a_a _a a_",
+      "tothe theto athe", "1234 12a34 _1_", "!!!", "a!a", "is,is.is!is")
+    val df = cases.toDF("text")
+    val k = kernelForm(df, "text").collect().map(_.toSeq)
+    val r = regexForm(df, "text").collect().map(_.toSeq)
+    cases.indices.foreach { i =>
+      assert(k(i) === r(i), s"mismatch on ${cases(i).replace("\n", "\\n")}")
+    }
+  }
+
+  test("text_stats equals the regexes on generated adversarial strings") {
+    val s = spark; import s.implicits._
+    val alphabet = Gen.oneOf(('a' to 'e') ++ Seq('A', 'T', 'O', '0', '9', '_',
+      ' ', '\t', '\n', ',', '!', 'é', '中'))
+    val strGen = Gen.chooseNum(0, 40).flatMap(n => Gen.listOfN(n, alphabet).map(_.mkString))
+    val p = Prop.forAll(Gen.listOfN(50, strGen)) { strs =>
+      val df = strs.toDF("text")
+      val k = kernelForm(df, "text").collect().map(_.toSeq).toSeq
+      val r = regexForm(df, "text").collect().map(_.toSeq).toSeq
+      k == r
+    }
+    val res = org.scalacheck.Test.check(
+      org.scalacheck.Test.Parameters.default.withMinSuccessfulTests(20), p)
+    assert(res.passed, res.status.toString)
+  }
+}
