@@ -225,8 +225,16 @@ object Graft {
   // ------------------------------------------------------------ similarity
 
   /** Brute-force cosine top-k: for each row of `queries`, the k nearest
-    * rows of `base` by cosine over `vecCol` (Array[Float/Double]). Queries
-    * are broadcast; base is never shuffled. */
+    * rows of `base` by cosine over `vecCol` (Array[Float/Double]).
+    *
+    * SMALL-QUERIES CONTRACT: the `nid =!= qid` join is non-equi, so this
+    * is O(|base| · |queries|) under ANY physical plan; the broadcast hint
+    * picks the right shape for the intended regime — a driver-bounded
+    * query set scored against an arbitrarily large base that never
+    * shuffles. For corpus-sized query sets use the bucketed paths
+    * (Similarity.lshSearch / ivfSearch — plain equality joins, AQE picks
+    * the join strategy) or cosineNearDupPairsExact (block-partitioned
+    * quadratic). */
   def cosineTopK(base: DataFrame, queries: DataFrame, vecCol: String,
       idCol: String, k: Int): DataFrame = {
     graft.functions.GraftFunctions.register(base.sparkSession)

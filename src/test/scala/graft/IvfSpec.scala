@@ -29,6 +29,31 @@ class IvfSpec extends AnyFunSuite {
     assert(recall >= 0.5, s"IVF recall@10 too low: $recall")
   }
 
+  test("pqSearchReranked: exact re-scoring recovers the brute-force top-k") {
+    val emb = spark.read.parquet(s"$sf0001/embeddings.parquet")
+    val queries = emb.filter(col("vec_id") % 100 === 0)
+    val rr = Similarity.pqSearchReranked(emb, queries, "embedding", "vec_id", k = 10)
+      .collect().map(r => (r.getLong(0), r.getLong(2))).toSet
+    val exact = graft.operators.Similarity.queries("q27_knn_cosine")(spark, sf0001)
+      .collect().map(r => (r.getLong(0), r.getLong(2))).toSet
+    val recall = (exact intersect rr).size.toDouble / exact.size
+    assert(recall >= 0.9, s"re-ranked PQ recall@10 too low: $recall")
+  }
+
+  test("bucketed searches carry no broadcast hint: corpus-vs-corpus runs un-hinted") {
+    val emb = spark.read.parquet(s"$sf0001/embeddings.parquet")
+    // the full corpus AS the query set — the regime a hard broadcast(q)
+    // hint would pin into executor memory at scale
+    val df = Similarity.lshSearch(emb, emb, "embedding", "vec_id", k = 3)
+    assert(!df.queryExecution.analyzed.toString.contains("ResolvedHint"),
+      "lshSearch must not hard-code a broadcast hint")
+    val ivf = Similarity.ivfSearch(emb, emb, "embedding", "vec_id",
+      k = 3, nlist = 8, nprobe = 2)
+    assert(!ivf.queryExecution.analyzed.toString.contains("ResolvedHint"),
+      "ivfSearch must not hard-code a broadcast hint")
+    assert(df.limit(5).count() === 5) // and it actually executes
+  }
+
   test("ivf search: base smaller than nlist clamps centroid count") {
     val emb = spark.read.parquet(s"$sf0001/embeddings.parquet").limit(5)
     val out = Similarity.ivfSearch(emb, emb.limit(1), "embedding", "vec_id",
