@@ -13,11 +13,15 @@ import org.locationtech.jts.geom._
   * (flatbuffers-java); table READING is hand-rolled offset walking since
   * no generated FGB classes exist here.
   *
-  * Conventions (documented assumptions, also used by our writer so
-  * round-trips are exact): `ends` holds cumulative ring/part end indices
-  * in coordinate-pair units; multi/collection geometries nest `parts`
-  * tables; properties are the packed (ushort column-index, value) rows
-  * with little-endian scalars and length-prefixed strings.
+  * Conventions (per spec, also used by our writer so round-trips are
+  * exact): `ends` holds cumulative ring/part end indices in
+  * coordinate-pair units (Polygon rings, MultiLineString parts);
+  * `parts` nests Geometry tables only for MultiPolygon and
+  * GeometryCollection; properties are the packed (ushort column-index,
+  * value) rows with little-endian scalars and length-prefixed strings.
+  * Reading MultiLineString also accepts the nested-`parts` form (written
+  * by this codec before it was spec-aligned) and errors loudly when
+  * neither representation is present rather than yielding EMPTY.
   */
 object FgbCodec {
 
@@ -141,18 +145,27 @@ object FgbCodec {
         polygonOf(t)
       case GtMultiPoint =>
         factory.createMultiPoint(coordsOf(t).map(factory.createPoint))
-      case GtMultiLineString | GtMultiPolygon | GtCollection =>
-        val parts = t.vector(GParts) match {
-          case null => Array.empty[Geometry]
-          case (start, n) =>
-            (0 until n).map { i =>
-              val slot = start + 4 * i
-              readGeometry(new FbTab(t.bb, slot + t.bb.getInt(slot)), GtUnknown)
-            }.toArray
-        }
-        gt match {
-          case GtMultiLineString =>
+      case GtMultiLineString =>
+        // Spec form: flat xy + ends (one LineString per ends segment;
+        // absent ends = single part). Legacy files from this codec's
+        // pre-spec-aligned writer used nested parts — accept those too.
+        if (t.vector(GXy) != null) {
+          val cs = coordsOf(t)
+          val ends = endsOf(t, cs.length)
+          val lines = ends.foldLeft((Seq.empty[LineString], 0)) { case ((acc, s), e) =>
+            (acc :+ factory.createLineString(cs.slice(s, e)), e)
+          }._1
+          factory.createMultiLineString(lines.toArray)
+        } else partsOf(t) match {
+          case Some(parts) =>
             factory.createMultiLineString(parts.map(_.asInstanceOf[LineString]))
+          case None => throw new IllegalStateException(
+            "FGB MultiLineString has neither xy+ends nor parts")
+        }
+      case GtMultiPolygon | GtCollection =>
+        val parts = partsOf(t).getOrElse(throw new IllegalStateException(
+          s"FGB geometry type $gt requires a parts vector"))
+        gt match {
           case GtMultiPolygon =>
             factory.createMultiPolygon(parts.map(_.asInstanceOf[Polygon]))
           case _ => factory.createGeometryCollection(parts)
@@ -175,14 +188,26 @@ object FgbCodec {
     Array.tabulate(n / 2)(i => new Coordinate(xs(2 * i), xs(2 * i + 1)))
   }
 
+  /** Cumulative part-end indices in coordinate-pair units; absent ends
+    * means one part spanning all `total` coordinates. */
+  private def endsOf(t: FbTab, total: Int): Seq[Int] = t.vector(GEnds) match {
+    case null => Seq(total)
+    case (start, n) => (0 until n).map(i => t.bb.getInt(start + 4 * i))
+  }
+
+  /** Nested part geometries, None when the vector is absent. */
+  private def partsOf(t: FbTab): Option[Array[Geometry]] = t.vector(GParts) match {
+    case null => None
+    case (start, n) => Some((0 until n).map { i =>
+      val slot = start + 4 * i
+      readGeometry(new FbTab(t.bb, slot + t.bb.getInt(slot)), GtUnknown)
+    }.toArray)
+  }
+
   private def polygonOf(t: FbTab): Polygon = {
     val cs = coordsOf(t)
-    val ends = t.vector(GEnds) match {
-      case null => Seq(cs.length)
-      case (start, n) => (0 until n).map(i => t.bb.getInt(start + 4 * i))
-    }
-    val rings = ends.foldLeft((Seq.empty[LinearRing], 0)) { case ((acc, s), e) =>
-      (acc :+ factory.createLinearRing(cs.slice(s, e)), e)
+    val rings = endsOf(t, cs.length).foldLeft((Seq.empty[LinearRing], 0)) {
+      case ((acc, s), e) => (acc :+ factory.createLinearRing(cs.slice(s, e)), e)
     }._1
     factory.createPolygon(rings.head, rings.tail.toArray)
   }
@@ -202,8 +227,12 @@ object FgbCodec {
     case mp: MultiPoint =>
       geomTable(b, GtMultiPoint, flat(mp.getCoordinates), null, null)
     case m: MultiLineString =>
-      val parts = (0 until m.getNumGeometries).map(i => writeGeometry(b, m.getGeometryN(i)))
-      geomTable(b, GtMultiLineString, null, null, parts.toArray)
+      // Spec form: flat xy with cumulative per-part ends (pair units).
+      val parts = (0 until m.getNumGeometries)
+        .map(m.getGeometryN(_).asInstanceOf[LineString])
+      val xy = flat(parts.flatMap(_.getCoordinates).toArray)
+      val ends = parts.map(_.getNumPoints).scanLeft(0)(_ + _).tail.toArray
+      geomTable(b, GtMultiLineString, xy, ends, null)
     case m: MultiPolygon =>
       val parts = (0 until m.getNumGeometries).map(i => writeGeometry(b, m.getGeometryN(i)))
       geomTable(b, GtMultiPolygon, null, null, parts.toArray)

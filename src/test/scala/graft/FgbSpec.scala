@@ -44,6 +44,43 @@ class FgbSpec extends AnyFunSuite {
     assert(FgbCodec.indexSize(10, 4) === 14L * 40L)
   }
 
+  test("codec: MultiLineString is spec-form xy+ends, legacy parts still read") {
+    val g = GeomCodec.fromWkt("MULTILINESTRING ((0 0, 1 1, 2 0), (5 5, 6 6))")
+    val fb = FgbCodec.writeFeature(g, Seq.empty, Seq.empty)
+    val t = FgbCodec.rootTable(fb.drop(4))
+    val gt = new FgbCodec.FbTab(t.bb, t.indirect(0))
+    // spec conformance: flat xy (5 pairs), ends [3, 5], NO nested parts
+    assert(gt.vector(1) != null && gt.vector(1)._2 === 10, "expected flat xy vector")
+    val (es, en) = gt.vector(0)
+    assert((0 until en).map(i => gt.bb.getInt(es + 4 * i)) === Seq(3, 5))
+    assert(gt.vector(7) === null, "MultiLineString must not nest parts tables")
+    assert(FgbCodec.readGeometry(gt, FgbCodec.GtUnknown).equalsExact(g))
+
+    // legacy fallback: a parts-nested MultiLineString (what this codec
+    // wrote before spec alignment) must still decode
+    val b = new com.google.flatbuffers.FlatBufferBuilder(256)
+    val p1 = FgbCodec.writeGeometry(b, GeomCodec.fromWkt("LINESTRING (0 0, 1 1, 2 0)"))
+    val p2 = FgbCodec.writeGeometry(b, GeomCodec.fromWkt("LINESTRING (5 5, 6 6)"))
+    b.startVector(4, 2, 4); b.addOffset(p2); b.addOffset(p1)
+    val pv = b.endVector()
+    b.startTable(8)
+    b.addByte(6, FgbCodec.GtMultiLineString.toByte, 0)
+    b.addOffset(7, pv, 0)
+    b.finish(b.endTable())
+    val legacy = FgbCodec.rootTable(b.sizedByteArray())
+    assert(FgbCodec.readGeometry(legacy, FgbCodec.GtUnknown).equalsExact(g))
+
+    // neither xy nor parts -> loud error, not silent EMPTY
+    val b2 = new com.google.flatbuffers.FlatBufferBuilder(64)
+    b2.startTable(8)
+    b2.addByte(6, FgbCodec.GtMultiLineString.toByte, 0)
+    b2.finish(b2.endTable())
+    val bad = FgbCodec.rootTable(b2.sizedByteArray())
+    assertThrows[IllegalStateException] {
+      FgbCodec.readGeometry(bad, FgbCodec.GtUnknown)
+    }
+  }
+
   test("flatgeobuf write -> read round trip across geometry types") {
     val s = spark; import s.implicits._
     val wkts = Seq(
