@@ -12,6 +12,7 @@ object Verify {
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.extensions", "graft.GraftExtensions")
       // Plain int64-micros timestamps so the DuckDB compare reads the same
       // values we computed (INT96 round-trips are murkier).
       .config("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")

@@ -120,6 +120,16 @@ object GraftFunctions {
     ("st_npoints", (e: Seq[Expression]) => StNPoints(e.head)),
     ("st_isvalid", (e: Seq[Expression]) => StIsValid(e.head)),
     ("st_intersects", (e: Seq[Expression]) => StIntersects(e(0), e(1))),
+    ("st_intersects_bbox", (e: Seq[Expression]) => {
+      // SQL fractional literals eval to Spark Decimal, not java Number
+      def d(x: Expression): Double = x.eval() match {
+        case dec: org.apache.spark.sql.types.Decimal => dec.toDouble
+        case n: Number => n.doubleValue()
+        case other => throw new IllegalArgumentException(
+          s"st_intersects_bbox bounds must be numeric literals, got $other")
+      }
+      StIntersectsBbox(e.head, d(e(1)), d(e(2)), d(e(3)), d(e(4)))
+    }),
     ("st_contains", (e: Seq[Expression]) => StContains(e(0), e(1))),
     ("st_within", (e: Seq[Expression]) => StWithin(e(0), e(1))),
     ("st_distance", (e: Seq[Expression]) => StDistance(e(0), e(1))),

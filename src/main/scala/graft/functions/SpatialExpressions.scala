@@ -31,6 +31,11 @@ object SpatialFns {
     GeomCodec.fromWkb(a).distance(GeomCodec.fromWkb(b))
   def buffer(wkb: Array[Byte], d: Double): Array[Byte] =
     GeomCodec.toWkb(GeomCodec.fromWkb(wkb).buffer(d))
+  def intersectsBbox(wkb: Array[Byte], minX: Double, minY: Double,
+      maxX: Double, maxY: Double): Boolean = {
+    val e = GeomCodec.fromWkb(wkb).getEnvelopeInternal
+    !(e.getMinX > maxX || e.getMinY > maxY || e.getMaxX < minX || e.getMaxY < minY)
+  }
 }
 
 // Abstract members (not constructor params): executors deserialize these
@@ -96,6 +101,25 @@ abstract class BinarySpatial extends BinaryExpression {
   protected def fn: String
   protected override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     defineCodeGen(ctx, ev, (a, b) => s"graft.functions.SpatialFns.$fn($a, $b)")
+}
+
+/** `st_intersects_bbox(geometry, xmin, ymin, xmax, ymax)` — envelope
+  * intersection against a constant box. The box rides as case-class
+  * fields (the registration builder folds the literal arguments), which
+  * keeps codegen unary AND lets [[graft.plans.BboxPushdownRule]] read the
+  * box straight off the expression to turn it into a scan-level `bbox`
+  * option (FGB packed R-tree / shapefile record boxes). */
+case class StIntersectsBbox(child: Expression, minX: Double, minY: Double,
+    maxX: Double, maxY: Double) extends UnarySpatial {
+  protected def fn: String = "intersectsBbox"
+  override def dataType: DataType = BooleanType
+  override def prettyName: String = "st_intersects_bbox"
+  protected override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c =>
+      s"graft.functions.SpatialFns.intersectsBbox($c, ${minX}D, ${minY}D, ${maxX}D, ${maxY}D)")
+  protected override def nullSafeEval(i: Any): Any =
+    SpatialFns.intersectsBbox(i.asInstanceOf[Array[Byte]], minX, minY, maxX, maxY)
+  protected override def withNewChildInternal(c: Expression): StIntersectsBbox = copy(child = c)
 }
 
 case class StIntersects(left: Expression, right: Expression)

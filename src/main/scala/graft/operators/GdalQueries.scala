@@ -61,6 +61,25 @@ object GdalQueries {
     // Cross-format conversion: the reference's own shapefile fixture
     // written as FlatGeobuf through our writer, read back through our
     // reader — pins both halves of the format every round.
+    // Spatial-filter pushdown: st_intersects_bbox over an indexed
+    // FlatGeobuf file. The BboxPushdownRule turns the predicate into the
+    // scan's bbox option, the packed Hilbert R-tree plans byte-range
+    // splits over matching features only, and the residual predicate
+    // keeps exact semantics. SourcesSpec asserts the plan shape (pushed
+    // bbox in the scan description, fewer features read); this entry pins
+    // the result set every round.
+    "gdal_read_fgb_bbox" -> ((s, _) => {
+      GraftFunctions.register(s)
+      val out = java.nio.file.Files.createTempDirectory("graft_q_fgbbox_").toString
+      s.read.format("shapefile").load(s"$fixtures/stations.shp")
+        .write.format("flatgeobuf").mode("overwrite").save(out)
+      s.read.format("flatgeobuf").load(out)
+        .where(expr("st_intersects_bbox(geometry, -77.05, 38.88, -76.99, 38.92)"))
+        .select(col("name"), col("marker-sym"),
+          GraftFunctions.st_aswkt(col("geometry")).as("wkt"))
+        .orderBy(col("name"), col("wkt"))
+    }),
+
     "gdal_convert_shapefile_to_fgb" -> ((s, _) => {
       GraftFunctions.register(s)
       val out = java.nio.file.Files.createTempDirectory("graft_q_fgb_").toString

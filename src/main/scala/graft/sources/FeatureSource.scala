@@ -114,7 +114,8 @@ class FeatureScan(
   override def toBatch: Batch = this
   override def description(): String =
     s"graft ${format.getClass.getSimpleName} files=${files.size} " +
-      s"PushedFilters=[${filters.mkString(", ")}] limit=$limit"
+      s"PushedFilters=[${filters.mkString(", ")}] limit=$limit" +
+      opts.bbox.fold("")(b => s" bbox=[${b.minX},${b.minY},${b.maxX},${b.maxY}]")
 
   override def planInputPartitions(): Array[InputPartition] = {
     // Record-range splitting only applies when the scan-window options are

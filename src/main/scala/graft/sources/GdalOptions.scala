@@ -33,7 +33,13 @@ case class GdalOptions(
     yPossibleNames: Seq[String],
     autodetectTypes: Boolean,
     inferLimit: Long,
-    splitRecords: Long) extends Serializable {
+    splitRecords: Long,
+    /** Spatial filter "xmin,ymin,xmax,ymax" — the reference's
+      * `set_spatial_filter` seam (src/lib.rs:316-319). Served from the
+      * format's native index where one exists (FlatGeobuf packed R-tree,
+      * shapefile header/record boxes); envelope-level, so pair it with an
+      * exact residual predicate when envelope hits aren't enough. */
+    bbox: Option[graft.sources.flatgeobuf.FgbIndex.Box] = None) extends Serializable {
   require(Seq("wkb", "wkt", "geojson").contains(geometryFormat),
     s"geometryFormat must be wkb|wkt|geojson, got $geometryFormat")
 }
@@ -56,7 +62,8 @@ object GdalOptions {
       yPossibleNames = m.get("ypossiblenames").map(_.split(",").toSeq).getOrElse(Seq("lat*", "y")),
       autodetectTypes = m.get("autodetecttypes").exists(_.toBoolean),
       inferLimit = m.get("inferlimit").map(_.toLong).getOrElse(Long.MaxValue),
-      splitRecords = m.get("splitrecords").map(_.toLong).getOrElse(65536L))
+      splitRecords = m.get("splitrecords").map(_.toLong).getOrElse(65536L),
+      bbox = m.get("bbox").map(graft.sources.flatgeobuf.FgbIndex.Box.parse))
   }
 }
 

@@ -336,7 +336,7 @@ object FgbCodec {
   // -------------------------------------------------------- header write
 
   def writeHeader(name: String, geometryType: Int, columns: Seq[FgbColumn],
-      featuresCount: Long): Array[Byte] = {
+      featuresCount: Long, indexNodeSize: Int = 0): Array[Byte] = {
     val b = new FlatBufferBuilder(256)
     val colOffs = columns.map { c =>
       val n = b.createString(c.name)
@@ -356,7 +356,7 @@ object FgbCodec {
     b.addByte(2, geometryType.toByte, 0)
     if (colsVec != 0) b.addOffset(7, colsVec, 0)
     b.addLong(8, featuresCount, 0L)
-    b.addShort(9, 0.toShort, 16) // no index written
+    b.addShort(9, indexNodeSize.toShort, 16) // 0 = no index region
     b.finishSizePrefixed(b.endTable())
     b.sizedByteArray()
   }

@@ -10,8 +10,9 @@ import graft.geom.GeomCodec
 import graft.sources.{GdalOptions, GraftError}
 
 /** FlatGeobuf write path: per-partition `part-NNNNN.fgb` (magic +
-  * size-prefixed header + size-prefixed features, no spatial index —
-  * index_node_size = 0, which the spec allows and our reader honors).
+  * size-prefixed header + packed Hilbert R-tree + size-prefixed features
+  * in Hilbert order, so bbox reads skip non-matching ranges). Files with
+  * geometry-less features fall back to index_node_size = 0 (no index).
   * Property columns: Int/Long/Double/Boolean/String; other types go
   * through their string form. */
 class FgbWriteBuilder(info: LogicalWriteInfo) extends WriteBuilder with SupportsTruncate {
@@ -59,6 +60,8 @@ class FgbDataWriter(file: File, schema: StructType, opts: GdalOptions)
   extends DataWriter[InternalRow] {
   import FgbCodec._
 
+  private val FgbIndexNodeSize = 16 // spec default
+
   private val geomIdx = schema.fieldNames.indexOf(opts.geometryColumnName)
   private val propFields = schema.fields.zipWithIndex.filter(_._2 != geomIdx)
   private val columns = propFields.map { case (f, _) =>
@@ -73,9 +76,12 @@ class FgbDataWriter(file: File, schema: StructType, opts: GdalOptions)
 
   // Features buffer in memory per partition file because the header
   // carries features_count (needed by readers to skip a missing index
-  // deterministically); partitions are executor-sized, not corpus-sized.
+  // deterministically) and the packed R-tree needs all bboxes up front;
+  // partitions are executor-sized, not corpus-sized.
   private val features = scala.collection.mutable.ArrayBuffer.empty[Array[Byte]]
+  private val boxes = scala.collection.mutable.ArrayBuffer.empty[FgbIndex.Box]
   private var n = 0L
+  private var allHaveGeometry = true
 
   override def write(row: InternalRow): Unit = {
     val geom =
@@ -97,15 +103,33 @@ class FgbDataWriter(file: File, schema: StructType, opts: GdalOptions)
       }
     }.toSeq
     features += FgbCodec.writeFeature(geom, columns, values)
+    if (geom == null || geom.isEmpty) { allHaveGeometry = false; boxes += null }
+    else {
+      val e = geom.getEnvelopeInternal
+      boxes += FgbIndex.Box(e.getMinX, e.getMinY, e.getMaxX, e.getMaxY)
+    }
     n += 1
   }
 
   override def commit(): WriterCommitMessage = {
+    // The packed Hilbert R-tree needs a bbox per feature; a file with any
+    // geometry-less feature falls back to the index-less layout
+    // (index_node_size = 0), which the spec allows and every reader honors.
+    val withIndex = n > 0 && allHaveGeometry
     val out = new BufferedOutputStream(new FileOutputStream(file), 1 << 16)
     try {
       out.write(Magic)
-      out.write(writeHeader(file.getName.stripSuffix(".fgb"), GtUnknown, columns, n))
-      features.foreach(out.write)
+      out.write(writeHeader(file.getName.stripSuffix(".fgb"), GtUnknown, columns, n,
+        if (withIndex) FgbIndexNodeSize else 0))
+      if (withIndex) {
+        // spec clustering: features stored in Hilbert order of bbox center
+        val order = FgbIndex.hilbertOrder(boxes.toIndexedSeq)
+        val sorted = order.map(features)
+        val offsets = sorted.map(_.length.toLong).scanLeft(0L)(_ + _)
+        val items = order.indices.map(i => (boxes(order(i)), offsets(i)))
+        out.write(FgbIndex.build(items, FgbIndexNodeSize))
+        sorted.foreach(out.write)
+      } else features.foreach(out.write)
     } finally out.close()
     FgbCommit(n)
   }

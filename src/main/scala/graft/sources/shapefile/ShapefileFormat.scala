@@ -16,14 +16,19 @@ class ShapefileFormat extends FeatureFormat {
   override def extensions: Seq[String] = Seq(".shp", ".shp.zip", ".zip")
 
   override def open(path: String, opts: GdalOptions): FeatureIterator =
-    openRange(path, 0L, -1L)
+    openRange(path, 0L, -1L, bbox = opts.bbox)
 
   /** One huge .shp parallelizes across executors via .shx record-range
     * splits (`splitRecords` option, default 65536 records/partition) —
-    * the scale upgrade over the reference's single-threaded scan. */
+    * the scale upgrade over the reference's single-threaded scan. A bbox
+    * that misses the file-level extent (header bytes 36..68) prunes the
+    * whole file without planning any split. */
   override def planSplits(path: String, opts: GdalOptions): Seq[SplitSpec] = {
+    val isZip = path.toLowerCase.endsWith(".zip")
+    if (!isZip && opts.bbox.exists(q => !q.intersects(Shp.fileBox(path))))
+      return Seq.empty
     val shxPath = path.replaceAll("\\.shp$", ".shx")
-    if (path.toLowerCase.endsWith(".zip") || !new File(shxPath).exists)
+    if (isZip || !new File(shxPath).exists)
       Seq(SplitSpec(path, 0L, -1L))
     else {
       val n = Shp.shxOffsets(shxPath).length.toLong
@@ -37,17 +42,18 @@ class ShapefileFormat extends FeatureFormat {
     if (spec.startRecord == 0L && spec.numRecords == -1L) open(spec.path, opts)
     else {
       val startByte = Shp.shxOffsets(spec.path.replaceAll("\\.shp$", ".shx"))(spec.startRecord.toInt)
-      openRange(spec.path, spec.startRecord, spec.numRecords, startByte)
+      openRange(spec.path, spec.startRecord, spec.numRecords, startByte, opts.bbox)
     }
 
   private def openRange(path: String, startRec: Long, numRec: Long,
-      startByte: Long = 100L): FeatureIterator = {
+      startByte: Long = 100L,
+      bbox: Option[graft.sources.flatgeobuf.FgbIndex.Box] = None): FeatureIterator = {
     val shpPath =
       if (path.toLowerCase.endsWith(".zip")) unzipToTemp(path)
       else path
     val dbfPath = shpPath.replaceAll("\\.shp$", ".dbf")
 
-    val geoms = Shp.records(shpPath, if (shpPath == path) startByte else 100L,
+    val raw = Shp.rawRecords(shpPath, if (shpPath == path) startByte else 100L,
       if (shpPath == path) numRec else -1L)
     val dbf =
       if (new File(dbfPath).exists)
@@ -56,14 +62,20 @@ class ShapefileFormat extends FeatureFormat {
       else None
     val fieldNames = dbf.map(_.fields.map(_.name)).getOrElse(Vector.empty)
 
+    // the DBF row is consumed for every .shp record — bbox skipping must
+    // keep the two streams aligned and the FID = file record index
     var idx = startRec - 1
-    val it = geoms.map { case (_, geom) =>
+    val it = raw.flatMap { case (_, content) =>
       idx += 1
       val attrs: IndexedSeq[(String, Any)] = dbf match {
         case Some(t) if t.records.hasNext => fieldNames.zip(t.records.next())
         case _ => IndexedSeq.empty
       }
-      RawFeature(idx, if (geom == null) null else GeomCodec.toWkb(geom), attrs)
+      if (bbox.exists(q => !Shp.boxIntersects(content, q))) None
+      else {
+        val geom = Shp.parseShape(content)
+        Some(RawFeature(idx, if (geom == null) null else GeomCodec.toWkb(geom), attrs))
+      }
     }
     FeatureIterator(it)
   }

@@ -14,19 +14,21 @@ import org.locationtech.jts.geom._
 object Shp {
   private val factory = new GeometryFactory(new PrecisionModel, 4326)
 
-  /** Stream (recordNumber, geometry-or-null) pairs from a .shp file,
+  /** Stream (recordNumber, record content) pairs from a .shp file,
     * optionally starting at a byte offset (from the .shx index) and capped
-    * at maxRecords — the record-range split path. */
-  def records(path: String, startByte: Long = 100L,
-      maxRecords: Long = -1L): Iterator[(Int, Geometry)] = {
+    * at maxRecords — the record-range split path. Content buffers are
+    * little-endian-ordered at position 0, ready for [[parseShape]] or the
+    * positionless [[boxIntersects]] peek. */
+  def rawRecords(path: String, startByte: Long = 100L,
+      maxRecords: Long = -1L): Iterator[(Int, ByteBuffer)] = {
     val in = new DataInputStream(new BufferedInputStream(new FileInputStream(path)))
     var toSkip = startByte // header is 100 bytes; splits pass .shx offsets
     while (toSkip > 0) toSkip -= in.skip(toSkip)
     var remaining = maxRecords
-    new Iterator[(Int, Geometry)] {
-      private var nextRec: (Int, Geometry) = advance()
+    new Iterator[(Int, ByteBuffer)] {
+      private var nextRec: (Int, ByteBuffer) = advance()
 
-      private def advance(): (Int, Geometry) =
+      private def advance(): (Int, ByteBuffer) =
         if (remaining == 0) { in.close(); null }
         else try {
           val recNum = in.readInt() // big-endian
@@ -34,16 +36,49 @@ object Shp {
           val content = new Array[Byte](contentWords * 2)
           in.readFully(content)
           if (remaining > 0) remaining -= 1
-          (recNum, parseShape(ByteBuffer.wrap(content).order(ByteOrder.LITTLE_ENDIAN)))
+          (recNum, ByteBuffer.wrap(content).order(ByteOrder.LITTLE_ENDIAN))
         } catch {
           case _: EOFException => in.close(); null
         }
 
       override def hasNext: Boolean = nextRec != null
-      override def next(): (Int, Geometry) = {
+      override def next(): (Int, ByteBuffer) = {
         val r = nextRec; nextRec = advance(); r
       }
     }
+  }
+
+  /** Stream (recordNumber, geometry-or-null) pairs. */
+  def records(path: String, startByte: Long = 100L,
+      maxRecords: Long = -1L): Iterator[(Int, Geometry)] =
+    rawRecords(path, startByte, maxRecords).map { case (n, b) => (n, parseShape(b)) }
+
+  /** Cheap bbox test against the record's stored extent — absolute reads
+    * only, so the buffer stays ready for [[parseShape]]. Points test x/y
+    * directly; poly/multi types carry a bbox at content bytes 4..36; Null
+    * shapes never match (GDAL spatial-filter semantics). Skipping here
+    * avoids the whole geometry parse. */
+  def boxIntersects(b: ByteBuffer, q: graft.sources.flatgeobuf.FgbIndex.Box): Boolean =
+    b.getInt(0) match {
+      case 0 => false
+      case 1 | 11 | 21 =>
+        val x = b.getDouble(4); val y = b.getDouble(12)
+        x >= q.minX && x <= q.maxX && y >= q.minY && y <= q.maxY
+      case _ =>
+        q.intersects(graft.sources.flatgeobuf.FgbIndex.Box(
+          b.getDouble(4), b.getDouble(12), b.getDouble(20), b.getDouble(28)))
+    }
+
+  /** The file-level extent from the .shp header (bytes 36..68, LE). */
+  def fileBox(path: String): graft.sources.flatgeobuf.FgbIndex.Box = {
+    val in = new DataInputStream(new FileInputStream(path))
+    try {
+      val head = new Array[Byte](68)
+      in.readFully(head)
+      val bb = ByteBuffer.wrap(head).order(ByteOrder.LITTLE_ENDIAN)
+      graft.sources.flatgeobuf.FgbIndex.Box(
+        bb.getDouble(36), bb.getDouble(44), bb.getDouble(52), bb.getDouble(60))
+    } finally in.close()
   }
 
   /** Byte offset of each record in the .shp, read from the .shx index
