@@ -25,6 +25,10 @@ object GdalRead {
     val fmt =
       if (hint.endsWith(".shp.zip") || hint.endsWith(".zip")) "shapefile"
       else if (hint.endsWith(".csv")) "csvgeo"
+      else if (hint.endsWith(".fgb")) "flatgeobuf"
+      else if (hint.endsWith(".kml")) "kml"
+      else if (hint.endsWith(".gpx")) "gpx"
+      else if (hint.endsWith(".sqlite") || hint.endsWith(".db")) "spatialite"
       else "geojson"
     val suffix = hint.drop(math.max(0, hint.length - 12)).replaceAll("[^a-z0-9.]", "_")
     val tmp = File.createTempFile("graft_bytes_", "_" + suffix)
@@ -55,9 +59,10 @@ object GdalRead {
 object GdalWrite {
   /** Serialize a DataFrame to bytes in the given driver format —
     * "geojson" (single FeatureCollection, the default), "csvgeo" (one
-    * CSV with WKT geometry) or "shapefile" (a zip of the .shp/.shx/.dbf
-    * triple, the inverse of the `.shp.zip` read hint). Reference W2
-    * accepts any GDAL driver (src/lib.rs:586-611); these are the three
+    * CSV with WKT geometry), "shapefile" (a zip of the .shp/.shx/.dbf
+    * triple, the inverse of the `.shp.zip` read hint), "flatgeobuf"
+    * (one indexed .fgb) or "spatialite" (one SQLite database). Reference
+    * W2 accepts any GDAL driver (src/lib.rs:586-611); these are the
     * drivers our source surface round-trips. Collect-based by design: a
     * bytes result is inherently single-node; the scalable path is
     * `df.write.format(fmt)`. */
@@ -66,8 +71,10 @@ object GdalWrite {
     case "geojson" => geoJsonBytes(df, options)
     case "csvgeo" | "csv" => fileBytes(df, "csvgeo", ".csv", options, zip = false)
     case "shapefile" | "shp" | "shp.zip" => fileBytes(df, "shapefile", ".shp", options, zip = true)
+    case "flatgeobuf" | "fgb" => fileBytes(df, "flatgeobuf", ".fgb", options, zip = false)
+    case "spatialite" | "sqlite" => fileBytes(df, "spatialite", ".sqlite", options, zip = false)
     case other => throw new IllegalArgumentException(
-      s"unsupported bytes format '$other' (geojson|csvgeo|shapefile)")
+      s"unsupported bytes format '$other' (geojson|csvgeo|shapefile|flatgeobuf|spatialite)")
   }
 
   private def geoJsonBytes(df: DataFrame, options: Map[String, String]): Array[Byte] = {

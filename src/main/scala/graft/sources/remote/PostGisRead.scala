@@ -25,11 +25,19 @@ object PostGisRead {
     val cols = (otherColumns.map(quote) ++
       geometryColumns.map(g => s"ST_AsBinary(${quote(g)}) AS ${quote(g)}")).mkString(", ")
     val filter = where.map(w => s" WHERE $w").getOrElse("")
-    s"(SELECT $cols FROM ${quote(table)}$filter) AS graft_src"
+    s"(SELECT $cols FROM ${quoteQualified(table)}$filter) AS graft_src"
   }
 
   private def quote(ident: String): String =
     "\"" + ident.replace("\"", "\"\"") + "\""
+
+  /** Table names quote each dot-separated part separately so a
+    * schema-qualified `public.spots` becomes `"public"."spots"`, not one
+    * identifier with a dot in it. (A table whose NAME contains a literal
+    * dot must be passed pre-quoted.) */
+  private def quoteQualified(ident: String): String =
+    if (ident.startsWith("\"")) ident
+    else ident.split('.').map(quote).mkString(".")
 
   /** Execute the read through Spark's JDBC source (requires a PostgreSQL
     * driver on the classpath and network reachability — neither exists in

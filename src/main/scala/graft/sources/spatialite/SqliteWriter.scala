@@ -33,15 +33,24 @@ final class SqliteWriter(pageSize: Int = 4096) {
     b(off + 2) = ((v >> 8) & 0xFF).toByte; b(off + 3) = (v & 0xFF).toByte
   }
 
-  private def varint(v: Long): Array[Byte] = {
+  private[spatialite] def varint(v: Long): Array[Byte] = {
     if (v >= 0 && v <= 0x7F) return Array(v.toByte)
+    if (v < 0 || v >= (1L << 56)) {
+      // SQLite's 9-byte form stores a full 8 bits in the LAST byte (not a
+      // 7-bit group), so values past 2^56-1 — and negative longs — need
+      // the dedicated layout: eight 0x80-tagged 7-bit groups + low byte.
+      val out = new Array[Byte](9)
+      out(8) = (v & 0xFF).toByte
+      var x = v >>> 8
+      var i = 7
+      while (i >= 0) { out(i) = ((x & 0x7F) | 0x80).toByte; x >>>= 7; i -= 1 }
+      return out
+    }
     val out = ArrayBuffer[Byte]()
     var x = v
-    val bytes = new Array[Byte](10)
+    val bytes = new Array[Byte](9)
     var n = 0
-    // emit 7-bit groups little-first, then reverse; 9-byte form unneeded
-    // for our (non-negative) lengths and rowids
-    while (x != 0 && n < 9) { bytes(n) = (x & 0x7F).toByte; x >>>= 7; n += 1 }
+    while (x != 0) { bytes(n) = (x & 0x7F).toByte; x >>>= 7; n += 1 }
     var i = n - 1
     while (i >= 0) {
       out += (if (i == 0) bytes(i) else (bytes(i) | 0x80).toByte)

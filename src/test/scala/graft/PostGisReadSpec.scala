@@ -20,4 +20,12 @@ class PostGisReadSpec extends AnyFunSuite {
     assert(q.contains("\"odd\"\"name\""))
     assert(q.endsWith("WHERE a > 10) AS graft_src"))
   }
+
+  test("tableQuery quotes schema-qualified names part by part") {
+    val q = PostGisRead.tableQuery("public.spots", Seq("geom"), Seq("id"))
+    assert(q.contains("""FROM "public"."spots""""))
+    // a pre-quoted name passes through untouched
+    val q2 = PostGisRead.tableQuery(""""dotted.table"""", Seq("geom"), Seq("id"))
+    assert(q2.contains("""FROM "dotted.table""""))
+  }
 }

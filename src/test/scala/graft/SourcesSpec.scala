@@ -282,4 +282,22 @@ class SourcesSpec extends AnyFunSuite {
     assert(shpBack.select("name").collect().map(_.getString(0)).sorted.toSeq ===
       shp.select("name").collect().map(_.getString(0)).sorted.toSeq)
   }
+
+  test("gdal_bytes_from_df parity: flatgeobuf and spatialite bytes round-trip") {
+    val shp = spark.read.format("shapefile").load(s"$fixtures/stations.shp").limit(7)
+
+    val fgbBytes = GdalWrite.toBytes(shp, format = "flatgeobuf")
+    assert(fgbBytes.take(3).map(_.toChar).mkString === "fgb")
+    val fgbBack = GdalRead.fromBytes(spark, fgbBytes, Some("round.fgb"))
+    assert(fgbBack.count() === 7)
+    assert(fgbBack.select("name").collect().map(_.getString(0)).sorted.toSeq ===
+      shp.select("name").collect().map(_.getString(0)).sorted.toSeq)
+
+    val dbBytes = GdalWrite.toBytes(shp, format = "spatialite")
+    assert(new String(dbBytes.take(16), "ISO-8859-1").startsWith("SQLite format 3"))
+    val dbBack = GdalRead.fromBytes(spark, dbBytes, Some("round.sqlite"))
+    assert(dbBack.count() === 7)
+    assert(dbBack.select("name").collect().map(_.getString(0)).sorted.toSeq ===
+      shp.select("name").collect().map(_.getString(0)).sorted.toSeq)
+  }
 }
