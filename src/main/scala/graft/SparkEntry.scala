@@ -19,12 +19,13 @@ object SparkEntry {
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     Relational.queries ++ Events.queries ++ Dedup.queries ++
       Similarity.queries ++ TextAnalysis.queries ++ Extras.queries ++
-      Sampling.queries ++ GdalQueries.queries
+      Sampling.queries ++ Pipeline.queries ++ GdalQueries.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted keys (LSH/simhash/ANN) get the
     * weaker rows-only check — they are approximate by construction. */
   def oracleSql: Map[String, String] =
     Relational.oracle ++ Events.oracle ++ Dedup.oracle ++
-      Similarity.oracle ++ TextAnalysis.oracle ++ Extras.oracle ++ Sampling.oracle
+      Similarity.oracle ++ TextAnalysis.oracle ++ Extras.oracle ++
+      Sampling.oracle ++ Pipeline.oracle
 }

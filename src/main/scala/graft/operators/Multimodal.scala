@@ -110,6 +110,108 @@ object Multimodal {
     (width, height, feature)
   }
 
+  // ------------------------------------------------------------- resize
+
+  val resizedSchema: StructType = StructType(Seq(
+    StructField("media_id", LongType, nullable = false),
+    StructField("width", IntegerType, nullable = true),
+    StructField("height", IntegerType, nullable = true),
+    StructField("content", BinaryType, nullable = true)))
+
+  /** Deterministic nearest-neighbor downscale so the longest side is
+    * `maxDim` (no-op for smaller images), re-encoded as PNG. Integer
+    * source-pixel lookup — no filtering kernels — so the same input bytes
+    * produce the same output bytes on every JVM. */
+  def resizeImage(img: java.awt.image.BufferedImage, maxDim: Int): java.awt.image.BufferedImage = {
+    val (w, h) = (img.getWidth, img.getHeight)
+    val long = math.max(w, h)
+    if (long <= maxDim) return img
+    val nw = math.max(1, w * maxDim / long)
+    val nh = math.max(1, h * maxDim / long)
+    val out = new java.awt.image.BufferedImage(nw, nh,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    var y = 0
+    while (y < nh) {
+      var x = 0
+      while (x < nw) {
+        out.setRGB(x, y, img.getRGB(x * w / nw, y * h / nh))
+        x += 1
+      }
+      y += 1
+    }
+    out
+  }
+
+  /** Partition-local image resize: JDK-decodable payloads are downscaled
+    * and re-encoded (PNG); everything else passes through untouched with
+    * its original bytes — a media pipeline never drops rows on decode
+    * failure, it routes them. No shuffle; each executor resizes only its
+    * partition's bytes. */
+  def resizeImages(media: DataFrame, maxDim: Int = 256): DataFrame = {
+    val enc = RowEncoder.encoderFor(resizedSchema)
+    media.select("media_id", "media_type", "content").mapPartitions { it =>
+      it.map { r =>
+        val bytes = Option(r.getAs[Array[Byte]]("content")).getOrElse(Array.emptyByteArray)
+        val decoded =
+          try Option(javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes)))
+          catch { case _: java.io.IOException => None }
+        decoded match {
+          case Some(img) =>
+            val small = resizeImage(img, maxDim)
+            val bos = new java.io.ByteArrayOutputStream()
+            javax.imageio.ImageIO.write(small, "png", bos)
+            Row(r.getLong(0), small.getWidth, small.getHeight, bos.toByteArray)
+          case None =>
+            Row(r.getLong(0), null, null, bytes)
+        }
+      }
+    }(enc)
+  }
+
+  // -------------------------------------------------------- frame sample
+
+  val frameSchema: StructType = StructType(Seq(
+    StructField("media_id", LongType, nullable = false),
+    StructField("frame_no", IntegerType, nullable = false),
+    StructField("ts_ms", LongType, nullable = false),
+    StructField("frame", BinaryType, nullable = true)))
+
+  /** Video frame sampling PLUMBING: one output row per sampled frame,
+    * emitted by a partition-local flatMap (the 1→N explode shape a real
+    * ffmpeg-backed sampler uses — decoder init per partition, frames
+    * streamed, nothing collected). The container ships no video codec, so
+    * the frame PAYLOAD is a DETERMINISTIC FAKE (a byte slice of the
+    * source at the frame's notional offset, like [[fakeDecode]]); the
+    * schema, timestamps, cadence, and partitioning are production-shaped.
+    * Images (decodable stills) emit exactly one frame at t=0 with their
+    * real bytes. */
+  def sampleFrames(media: DataFrame, everyMs: Long = 1000L,
+      maxFrames: Int = 8): DataFrame = {
+    val enc = RowEncoder.encoderFor(frameSchema)
+    media.select("media_id", "media_type", "content").mapPartitions { it =>
+      // per-partition decoder init would go here (one ffmpeg context
+      // reused across rows, torn down when the iterator drains)
+      it.flatMap { r =>
+        val bytes = Option(r.getAs[Array[Byte]]("content")).getOrElse(Array.emptyByteArray)
+        if (imageMeta(bytes).isDefined)
+          Seq(Row(r.getLong(0), 0, 0L, bytes)) // a still = one frame
+        else {
+          // FAKE duration model: 1 notional second per 256 payload bytes
+          val durationMs = (bytes.length / 256 + 1) * 1000L
+          val n = math.min(maxFrames, (durationMs / everyMs).toInt.max(1))
+          (0 until n).map { i =>
+            val ts = i * everyMs
+            // FAKE frame payload: a deterministic 64-byte slice at the
+            // frame's proportional offset — a real sampler decodes here
+            val off = if (bytes.isEmpty) 0 else ((ts * bytes.length) / durationMs).toInt
+            val end = math.min(bytes.length, off + 64)
+            Row(r.getLong(0), i, ts, java.util.Arrays.copyOfRange(bytes, off, end))
+          }
+        }
+      }
+    }(enc)
+  }
+
   /** Partition-local decode: one decoder per partition, streaming rows.
     * JDK-decodable images get real header dimensions (and their sniffed
     * format as media_type) plus a REAL pixel-derived luminance-histogram

@@ -1,0 +1,151 @@
+package graft.operators
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import Util._
+
+/** Corpus-preparation operators a training-data pipeline runs after
+  * cleaning/dedup (north-star LLM-pipeline surface): PII scrubbing,
+  * eval-set decontamination, and token-budget sequence packing. All three
+  * are oracle-checked (DuckDB runs the structurally identical SQL).
+  *
+  * Scale notes (100 TB): q57 is a pure per-row projection (regex passes,
+  * no shuffle). q58 is one shuffle of train shingles semi-joined against
+  * a BROADCAST eval-shingle set — eval benchmarks are small by
+  * construction, so the broadcast contract holds at any corpus size; drop
+  * the hint if decontaminating against something corpus-sized. q59 packs
+  * per `source` shard with a partitioned running sum (one shuffle,
+  * parallel across shards) — the streaming-friendly stand-in for the
+  * per-partition first-fit packer a production tokenizer would run.
+  */
+object Pipeline {
+
+  // PII patterns in the RE2 ∩ java.util.regex common dialect so the
+  // DuckDB oracle runs the same automata: email, dotted-quad IP,
+  // long digit runs (ids/credit-cards/phones without separators).
+  private val emailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  private val ipRe = "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b"
+  private val numRe = "\\d{9,}"
+
+  val queries: Map[String, Q] = Map(
+    // ---- q57: PII scrubbing ----
+    // The synthetic corpus carries no PII, so the query plants a
+    // deterministic specimen per document (email + IP + 12-digit id) and
+    // then scrubs it — counts prove detection, the cleaned text proves
+    // replacement order, and the oracle rebuilds both from the same
+    // expressions.
+    "q57_pii_scrub" -> ((s, dir) => {
+      import s.implicits._
+      t(s, dir, "documents")
+        .withColumn("pii_text", concat($"text",
+          lit(" contact user"), $"doc_id", lit("@example.com via 10.0.0."),
+          ($"doc_id" % 256).cast(StringType), lit(" ref "),
+          lpad(($"doc_id" * 7919).cast(StringType), 12, "0")))
+        .select($"doc_id",
+          regexp_count($"pii_text", lit(emailRe)).cast(LongType).as("n_emails"),
+          regexp_count($"pii_text", lit(ipRe)).cast(LongType).as("n_ips"),
+          regexp_count($"pii_text", lit(numRe)).cast(LongType).as("n_nums"),
+          regexp_replace(regexp_replace(regexp_replace($"pii_text",
+            lit(emailRe), lit("<EMAIL>")),
+            lit(ipRe), lit("<IP>")),
+            lit(numRe), lit("<NUM>")).as("clean"))
+        .orderBy($"doc_id")
+    }),
+
+    // ---- q58: eval-set decontamination ----
+    // Benchmark contamination check: any training document sharing a
+    // word 3-gram with the (deterministic doc_id % 97 == 0) eval slice is
+    // flagged. Same shingle construction q24/q53 already pin against the
+    // oracle. The eval shingle set is broadcast: one shuffle of the train
+    // side, none of the corpus moves twice.
+    "q58_decontaminate" -> ((s, dir) => {
+      import s.implicits._
+      graft.functions.GraftFunctions.register(s)
+      val docs = t(s, dir, "documents")
+      val evalSh = docs.filter($"doc_id" % 97 === 0)
+        .select(explode(expr("shingle_set(text, 3)")).as("s")).distinct()
+      val train = docs.filter($"doc_id" % 97 =!= 0)
+      val contaminated = train
+        .select($"doc_id", explode(expr("shingle_set(text, 3)")).as("s"))
+        .join(broadcast(evalSh), Seq("s"), "left_semi")
+        .select($"doc_id").distinct()
+        .withColumn("c", lit(true))
+      train.join(contaminated, Seq("doc_id"), "left")
+        .select($"doc_id", coalesce($"c", lit(false)).as("contaminated"))
+        .orderBy($"doc_id")
+    }),
+
+    // ---- q59: token-budget sequence packing ----
+    // Documents pack greedily in doc_id order into 2048-token training
+    // sequences, independently per `source` shard (the parallel unit —
+    // a real pipeline packs per output shard exactly like this).
+    // seq_id = tokens-before-this-doc div budget, so a document straddling
+    // a boundary starts the next sequence's fill — deterministic and
+    // windowable, unlike bin-packing heuristics.
+    "q59_pack_sequences" -> ((s, dir) => {
+      import s.implicits._
+      graft.functions.GraftFunctions.register(s)
+      val w = Window.partitionBy($"source").orderBy($"doc_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+      t(s, dir, "documents")
+        .withColumn("ts", expr("text_stats(text)"))
+        .select($"source", $"doc_id", $"ts.ws_tokens".cast(LongType).as("n_tokens"))
+        .withColumn("cum_before", coalesce(sum($"n_tokens").over(w), lit(0L)))
+        .withColumn("seq_id", expr("cum_before div 2048"))
+        .groupBy($"source", $"seq_id")
+        .agg(count(lit(1)).as("n_docs"), sum($"n_tokens").as("seq_tokens"),
+          min($"doc_id").as("first_doc"))
+        .orderBy($"source", $"seq_id")
+    }))
+
+  val oracle: Map[String, String] = Map(
+    "q57_pii_scrub" ->
+      """WITH pii AS (
+        |  SELECT doc_id, text || ' contact user' || CAST(doc_id AS VARCHAR)
+        |    || '@example.com via 10.0.0.' || CAST(doc_id % 256 AS VARCHAR)
+        |    || ' ref ' || lpad(CAST(doc_id * 7919 AS VARCHAR), 12, '0') AS pii_text
+        |  FROM documents)
+        |SELECT doc_id,
+        | CAST(len(regexp_extract_all(pii_text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS BIGINT) AS n_emails,
+        | CAST(len(regexp_extract_all(pii_text, '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b')) AS BIGINT) AS n_ips,
+        | CAST(len(regexp_extract_all(pii_text, '\d{9,}')) AS BIGINT) AS n_nums,
+        | regexp_replace(regexp_replace(regexp_replace(pii_text,
+        |   '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+        |   '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '<IP>', 'g'),
+        |   '\d{9,}', '<NUM>', 'g') AS clean
+        |FROM pii ORDER BY doc_id""".stripMargin,
+
+    "q58_decontaminate" ->
+      """WITH toks AS (
+        |  SELECT doc_id, string_split_regex(trim(text), '\s+') AS t FROM documents
+        |), sh AS (
+        |  SELECT DISTINCT doc_id, t[i] || '_' || t[i+1] || '_' || t[i+2] AS s
+        |  FROM (SELECT doc_id, t, unnest(generate_series(1, greatest(len(t) - 2, 0))) AS i
+        |        FROM toks)
+        |), ev AS (
+        |  SELECT DISTINCT s FROM sh WHERE doc_id % 97 = 0
+        |), cont AS (
+        |  SELECT DISTINCT sh.doc_id FROM sh JOIN ev USING (s) WHERE sh.doc_id % 97 <> 0
+        |)
+        |SELECT d.doc_id, (cont.doc_id IS NOT NULL) AS contaminated
+        |FROM documents d LEFT JOIN cont ON d.doc_id = cont.doc_id
+        |WHERE d.doc_id % 97 <> 0 ORDER BY d.doc_id""".stripMargin,
+
+    "q59_pack_sequences" ->
+      """WITH tok AS (
+        |  SELECT source, doc_id,
+        |   CAST(len(regexp_extract_all(text, '\S+')) AS BIGINT) AS n_tokens
+        |  FROM documents
+        |), cum AS (
+        |  SELECT source, doc_id, n_tokens,
+        |   COALESCE(CAST(SUM(n_tokens) OVER (PARTITION BY source ORDER BY doc_id
+        |     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS BIGINT), 0) AS cum_before
+        |  FROM tok)
+        |SELECT source, cum_before // 2048 AS seq_id,
+        | CAST(COUNT(*) AS BIGINT) AS n_docs,
+        | CAST(SUM(n_tokens) AS BIGINT) AS seq_tokens,
+        | MIN(doc_id) AS first_doc
+        |FROM cum GROUP BY source, cum_before // 2048
+        |ORDER BY source, seq_id""".stripMargin)
+}

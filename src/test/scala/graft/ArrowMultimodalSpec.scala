@@ -92,4 +92,55 @@ class ArrowMultimodalSpec extends AnyFunSuite {
     // every histogram sums to 1 (here: exactly, 64000/64000)
     assert(row.getSeq[Float](5).sum === 1f)
   }
+
+  test("multimodal resize: nearest-neighbor downscale, pass-through for non-images") {
+    val s = spark; import s.implicits._
+    // 400×100 gradient PNG: longest side 400 → 256 gives 256×64
+    val img = new java.awt.image.BufferedImage(400, 100, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    for (x <- 0 until 400; y <- 0 until 100) img.setRGB(x, y, (x * 255 / 400) << 16)
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", bos)
+    val png = bos.toByteArray
+    val media = Seq(
+      (1L, "image/png", png),
+      (2L, "application/octet-stream", "just bytes".getBytes("UTF-8")))
+      .toDF("media_id", "media_type", "content")
+    val rows = Multimodal.resizeImages(media, maxDim = 256).orderBy("media_id").collect()
+    assert(rows(0).getInt(1) === 256 && rows(0).getInt(2) === 64)
+    // the resized payload is a decodable PNG with the new dimensions
+    assert(Multimodal.imageMeta(rows(0).getAs[Array[Byte]](3)) === Some(("png", 256, 64)))
+    // nearest-neighbor is deterministic: two runs, identical bytes
+    val again = Multimodal.resizeImages(media, maxDim = 256).orderBy("media_id").collect()
+    assert(java.util.Arrays.equals(rows(0).getAs[Array[Byte]](3), again(0).getAs[Array[Byte]](3)))
+    // non-image passes through untouched
+    assert(rows(1).isNullAt(1) && new String(rows(1).getAs[Array[Byte]](3), "UTF-8") === "just bytes")
+    // already-small images are not upscaled
+    val small = Multimodal.resizeImages(media.filter($"media_id" === 1), maxDim = 1024).head
+    assert(small.getInt(1) === 400 && small.getInt(2) === 100)
+  }
+
+  test("multimodal frame sampling: 1->N explode shape, stills emit one frame") {
+    val s = spark; import s.implicits._
+    val img = new java.awt.image.BufferedImage(4, 4, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", bos)
+    val fakeVideo = Array.tabulate[Byte](1024)(i => (i % 251).toByte) // "4s" payload
+    val media = Seq(
+      (1L, "image/png", bos.toByteArray),
+      (2L, "video/fake", fakeVideo))
+      .toDF("media_id", "media_type", "content")
+    val frames = Multimodal.sampleFrames(media, everyMs = 1000L, maxFrames = 8)
+    assert(frames.schema === Multimodal.frameSchema)
+    val byId = frames.collect().groupBy(_.getLong(0))
+    assert(byId(1L).length === 1 && byId(1L).head.getInt(1) === 0) // still = 1 frame
+    val vid = byId(2L).sortBy(_.getInt(1))
+    assert(vid.length === 5) // (1024/256+1)s at 1 fps
+    assert(vid.map(_.getLong(2)).toSeq === Seq(0L, 1000L, 2000L, 3000L, 4000L))
+    // deterministic fake payloads (compare bytes, not array identity)
+    val again = Multimodal.sampleFrames(media).collect().groupBy(_.getLong(0))
+    vid.zip(again(2L).sortBy(_.getInt(1))).foreach { case (a, b) =>
+      assert(a.getLong(2) === b.getLong(2))
+      assert(java.util.Arrays.equals(a.getAs[Array[Byte]](3), b.getAs[Array[Byte]](3)))
+    }
+  }
 }

@@ -65,4 +65,29 @@ class PlanShapeSpec extends AnyFunSuite {
     // exactly the aggregation exchanges — no join/window exchanges
     assert(!p.contains("SortMergeJoin") && !p.contains("BroadcastHashJoin"), p)
   }
+
+  test("q57 PII scrub is a pure per-row projection (only the output-sort exchange)") {
+    val p = planOf("q57_pii_scrub")
+    // the single Exchange is the deterministic ORDER BY every oracle
+    // query carries; the scrub itself must not shuffle or join
+    assert(p.sliding("Exchange".length).count(_ == "Exchange") === 1, p)
+    assert(p.contains("rangepartitioning"), p)
+    assert(!p.contains("Join"), p)
+  }
+
+  test("q58 decontamination broadcasts the eval shingles, shuffles train once") {
+    val p = planOf("q58_decontaminate")
+    // the semi-join against the eval set must be broadcast — the corpus
+    // side is shuffled only by the distinct on contaminated doc ids
+    assert(p.contains("BroadcastHashJoin") || p.contains("BroadcastExchange"), p)
+  }
+
+  test("q59 sequence packing windows per source shard, not globally") {
+    val df = SparkEntry.queries("q59_pack_sequences")(spark, dir)
+    val p = df.queryExecution.executedPlan.toString
+    // a partitioned window = hashpartitioning on source, never a single
+    // global sort partition
+    assert(p.contains("hashpartitioning(source"), p)
+    assert(!p.contains("SinglePartition"), p)
+  }
 }
