@@ -291,6 +291,60 @@ object Graft {
   def withFingerprint(df: DataFrame, textCol: String, out: String = "fp"): DataFrame =
     df.withColumn(out, md5(regexp_replace(lower(col(textCol)), "[^a-z0-9]", "")))
 
+  /** PII scrubbing (q57): redacts emails, dotted-quad IPs, and long digit
+    * runs in `textCol`, adding `n_emails`/`n_ips`/`n_nums` detection
+    * counts and replacing the text in place. Patterns sit in the RE2 ∩
+    * java.util.regex common dialect; replacement order email → IP → num
+    * is part of the contract (an IP inside an email is already gone).
+    * Pure per-row projection — no shuffle at any scale. */
+  def scrubPii(df: DataFrame, textCol: String): DataFrame = {
+    val email = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+    val ip = "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b"
+    val num = "\\d{9,}"
+    df.withColumn("n_emails", regexp_count(col(textCol), lit(email)).cast(LongType))
+      .withColumn("n_ips", regexp_count(col(textCol), lit(ip)).cast(LongType))
+      .withColumn("n_nums", regexp_count(col(textCol), lit(num)).cast(LongType))
+      .withColumn(textCol,
+        regexp_replace(regexp_replace(regexp_replace(col(textCol),
+          lit(email), lit("<EMAIL>")), lit(ip), lit("<IP>")), lit(num), lit("<NUM>")))
+  }
+
+  /** Eval-set decontamination (q58): flags `train` rows sharing any word
+    * `ngram`-gram with `evalSet` — the benchmark-leak check every
+    * training corpus needs. One shuffle of the train shingles against a
+    * BROADCAST eval shingle set (benchmarks are small by construction;
+    * drop to a plain join for corpus-sized eval sets). Returns `train`
+    * plus a `contaminated` boolean. */
+  def decontaminate(train: DataFrame, evalSet: DataFrame, textCol: String,
+      idCol: String, ngram: Int = 3): DataFrame = {
+    graft.functions.GraftFunctions.register(train.sparkSession)
+    val evalSh = evalSet
+      .select(explode(expr(s"shingle_set(`$textCol`, $ngram)")).as("__s")).distinct()
+    val contaminated = train
+      .select(col(idCol), explode(expr(s"shingle_set(`$textCol`, $ngram)")).as("__s"))
+      .join(broadcast(evalSh), Seq("__s"), "left_semi")
+      .select(col(idCol)).distinct()
+      .withColumn("__c", lit(true))
+    train.join(contaminated, Seq(idCol), "left")
+      .withColumn("contaminated", coalesce(col("__c"), lit(false)))
+      .drop("__c")
+  }
+
+  /** Token-budget sequence packing (q59): assigns each row a `seq_id` so
+    * consecutive rows (by `orderCol`, independently per `shardCol`) fill
+    * `budget`-token training sequences — seq_id = tokens-before div
+    * budget, the deterministic windowable packer. One shuffle on the
+    * shard key; shards fill in parallel, exactly how a production
+    * tokenizer packs per output shard. */
+  def packSequences(df: DataFrame, tokensCol: String, shardCol: String,
+      orderCol: String, budget: Long = 2048L): DataFrame = {
+    val w = Window.partitionBy(col(shardCol)).orderBy(col(orderCol))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    df.withColumn("__cum", coalesce(sum(col(tokensCol)).over(w), lit(0L)))
+      .withColumn("seq_id", expr(s"__cum div $budget"))
+      .drop("__cum")
+  }
+
   // ------------------------------------------------------------ sampling
 
   /** Cross-engine deterministic permille bucket of a string key:

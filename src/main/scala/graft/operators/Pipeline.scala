@@ -1,6 +1,5 @@
 package graft.operators
 
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 import Util._
@@ -21,13 +20,6 @@ import Util._
   */
 object Pipeline {
 
-  // PII patterns in the RE2 ∩ java.util.regex common dialect so the
-  // DuckDB oracle runs the same automata: email, dotted-quad IP,
-  // long digit runs (ids/credit-cards/phones without separators).
-  private val emailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
-  private val ipRe = "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b"
-  private val numRe = "\\d{9,}"
-
   val queries: Map[String, Q] = Map(
     // ---- q57: PII scrubbing ----
     // The synthetic corpus carries no PII, so the query plants a
@@ -37,19 +29,13 @@ object Pipeline {
     // expressions.
     "q57_pii_scrub" -> ((s, dir) => {
       import s.implicits._
-      t(s, dir, "documents")
+      val planted = t(s, dir, "documents")
         .withColumn("pii_text", concat($"text",
           lit(" contact user"), $"doc_id", lit("@example.com via 10.0.0."),
           ($"doc_id" % 256).cast(StringType), lit(" ref "),
           lpad(($"doc_id" * 7919).cast(StringType), 12, "0")))
-        .select($"doc_id",
-          regexp_count($"pii_text", lit(emailRe)).cast(LongType).as("n_emails"),
-          regexp_count($"pii_text", lit(ipRe)).cast(LongType).as("n_ips"),
-          regexp_count($"pii_text", lit(numRe)).cast(LongType).as("n_nums"),
-          regexp_replace(regexp_replace(regexp_replace($"pii_text",
-            lit(emailRe), lit("<EMAIL>")),
-            lit(ipRe), lit("<IP>")),
-            lit(numRe), lit("<NUM>")).as("clean"))
+      graft.api.Graft.scrubPii(planted, "pii_text")
+        .select($"doc_id", $"n_emails", $"n_ips", $"n_nums", $"pii_text".as("clean"))
         .orderBy($"doc_id")
     }),
 
@@ -61,18 +47,12 @@ object Pipeline {
     // side, none of the corpus moves twice.
     "q58_decontaminate" -> ((s, dir) => {
       import s.implicits._
-      graft.functions.GraftFunctions.register(s)
       val docs = t(s, dir, "documents")
-      val evalSh = docs.filter($"doc_id" % 97 === 0)
-        .select(explode(expr("shingle_set(text, 3)")).as("s")).distinct()
-      val train = docs.filter($"doc_id" % 97 =!= 0)
-      val contaminated = train
-        .select($"doc_id", explode(expr("shingle_set(text, 3)")).as("s"))
-        .join(broadcast(evalSh), Seq("s"), "left_semi")
-        .select($"doc_id").distinct()
-        .withColumn("c", lit(true))
-      train.join(contaminated, Seq("doc_id"), "left")
-        .select($"doc_id", coalesce($"c", lit(false)).as("contaminated"))
+      graft.api.Graft.decontaminate(
+          train = docs.filter($"doc_id" % 97 =!= 0),
+          evalSet = docs.filter($"doc_id" % 97 === 0),
+          textCol = "text", idCol = "doc_id")
+        .select($"doc_id", $"contaminated")
         .orderBy($"doc_id")
     }),
 
@@ -86,13 +66,10 @@ object Pipeline {
     "q59_pack_sequences" -> ((s, dir) => {
       import s.implicits._
       graft.functions.GraftFunctions.register(s)
-      val w = Window.partitionBy($"source").orderBy($"doc_id")
-        .rowsBetween(Window.unboundedPreceding, -1)
-      t(s, dir, "documents")
+      val toks = t(s, dir, "documents")
         .withColumn("ts", expr("text_stats(text)"))
         .select($"source", $"doc_id", $"ts.ws_tokens".cast(LongType).as("n_tokens"))
-        .withColumn("cum_before", coalesce(sum($"n_tokens").over(w), lit(0L)))
-        .withColumn("seq_id", expr("cum_before div 2048"))
+      graft.api.Graft.packSequences(toks, "n_tokens", "source", "doc_id", budget = 2048L)
         .groupBy($"source", $"seq_id")
         .agg(count(lit(1)).as("n_docs"), sum($"n_tokens").as("seq_tokens"),
           min($"doc_id").as("first_doc"))
