@@ -134,6 +134,13 @@ object GraftFunctions {
     ("st_within", (e: Seq[Expression]) => StWithin(e(0), e(1))),
     ("st_distance", (e: Seq[Expression]) => StDistance(e(0), e(1))),
     ("st_buffer", (e: Seq[Expression]) => StBuffer(e(0), e(1))),
+    ("st_xmin", (e: Seq[Expression]) => StXMin(e.head)),
+    ("st_ymin", (e: Seq[Expression]) => StYMin(e.head)),
+    ("st_xmax", (e: Seq[Expression]) => StXMax(e.head)),
+    ("st_ymax", (e: Seq[Expression]) => StYMax(e.head)),
+    ("st_convexhull", (e: Seq[Expression]) => StConvexHull(e.head)),
+    ("st_simplify", (e: Seq[Expression]) => StSimplify(e(0), e(1))),
+    ("st_union", (e: Seq[Expression]) => StUnion(e(0), e(1))),
     ("vec_dot", (e: Seq[Expression]) => VecDot(e(0), e(1))),
     ("simhash64", (e: Seq[Expression]) => SimHash64(e.head)),
     ("md5_lower64", (e: Seq[Expression]) => Md5Lower64(e.head)),
@@ -147,11 +154,17 @@ object GraftFunctions {
       e(2).eval().asInstanceOf[Number].intValue(),
       e(3).eval().asInstanceOf[Number].intValue())))
 
-  def register(spark: SparkSession): Unit = fns.foreach { case (name, builder) =>
-    spark.sessionState.functionRegistry.registerFunction(
-      FunctionIdentifier(name),
-      new ExpressionInfo("graft.functions.GeomExpressions", name),
-      builder)
+  def register(spark: SparkSession): Unit = {
+    fns.foreach { case (name, builder) =>
+      spark.sessionState.functionRegistry.registerFunction(
+        FunctionIdentifier(name),
+        new ExpressionInfo("graft.functions.GeomExpressions", name),
+        builder)
+    }
+    // Typed aggregate (no Expression-builder form): geometric union of a
+    // group with executor-side partial merges.
+    spark.udf.register("st_union_agg",
+      org.apache.spark.sql.functions.udaf(new StUnionAgg))
   }
 
   def injectInto(ext: org.apache.spark.sql.SparkSessionExtensions): Unit =

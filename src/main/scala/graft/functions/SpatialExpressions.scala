@@ -36,6 +36,38 @@ object SpatialFns {
     val e = GeomCodec.fromWkb(wkb).getEnvelopeInternal
     !(e.getMinX > maxX || e.getMinY > maxY || e.getMaxX < minX || e.getMaxY < minY)
   }
+  def xmin(wkb: Array[Byte]): Double = GeomCodec.fromWkb(wkb).getEnvelopeInternal.getMinX
+  def ymin(wkb: Array[Byte]): Double = GeomCodec.fromWkb(wkb).getEnvelopeInternal.getMinY
+  def xmax(wkb: Array[Byte]): Double = GeomCodec.fromWkb(wkb).getEnvelopeInternal.getMaxX
+  def ymax(wkb: Array[Byte]): Double = GeomCodec.fromWkb(wkb).getEnvelopeInternal.getMaxY
+  def convexHull(wkb: Array[Byte]): Array[Byte] =
+    GeomCodec.toWkb(GeomCodec.fromWkb(wkb).convexHull())
+  def simplify(wkb: Array[Byte], tolerance: Double): Array[Byte] =
+    GeomCodec.toWkb(org.locationtech.jts.simplify.DouglasPeuckerSimplifier
+      .simplify(GeomCodec.fromWkb(wkb), tolerance))
+  def union(a: Array[Byte], b: Array[Byte]): Array[Byte] =
+    GeomCodec.toWkb(GeomCodec.fromWkb(a).union(GeomCodec.fromWkb(b)))
+}
+
+/** `st_union_agg(geometry)` — geometric union of a group, the custom-agg
+  * class SURVEY §2.9 flags (no Spark builtin). An `Aggregator` so Spark
+  * plans partial+final aggregation: per-partition unions reduce
+  * executor-side (union is associative and commutative), only one
+  * geometry per partition per group crosses the shuffle — the same
+  * scale shape as any algebraic aggregate. For pure EXTENT questions
+  * prefer `min(st_xmin(g))`/`max(st_xmax(g))` etc., which stay fully
+  * codegen'd. */
+class StUnionAgg extends org.apache.spark.sql.expressions.Aggregator[
+    Array[Byte], Array[Byte], Array[Byte]] {
+  import org.apache.spark.sql.{Encoder, Encoders}
+  override def zero: Array[Byte] = null
+  override def reduce(buf: Array[Byte], g: Array[Byte]): Array[Byte] =
+    if (g == null) buf else if (buf == null) g else SpatialFns.union(buf, g)
+  override def merge(a: Array[Byte], b: Array[Byte]): Array[Byte] =
+    if (a == null) b else if (b == null) a else SpatialFns.union(a, b)
+  override def finish(r: Array[Byte]): Array[Byte] = r
+  override def bufferEncoder: Encoder[Array[Byte]] = Encoders.BINARY
+  override def outputEncoder: Encoder[Array[Byte]] = Encoders.BINARY
 }
 
 // Abstract members (not constructor params): executors deserialize these
@@ -95,6 +127,41 @@ case class StIsValid(child: Expression) extends UnarySpatial {
   override def prettyName: String = "st_isvalid"
   protected override def nullSafeEval(i: Any): Any = SpatialFns.isValid(i.asInstanceOf[Array[Byte]])
   protected override def withNewChildInternal(c: Expression): StIsValid = copy(child = c)
+}
+case class StXMin(child: Expression) extends UnarySpatial {
+  protected def fn: String = "xmin"
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = "st_xmin"
+  protected override def nullSafeEval(i: Any): Any = SpatialFns.xmin(i.asInstanceOf[Array[Byte]])
+  protected override def withNewChildInternal(c: Expression): StXMin = copy(child = c)
+}
+case class StYMin(child: Expression) extends UnarySpatial {
+  protected def fn: String = "ymin"
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = "st_ymin"
+  protected override def nullSafeEval(i: Any): Any = SpatialFns.ymin(i.asInstanceOf[Array[Byte]])
+  protected override def withNewChildInternal(c: Expression): StYMin = copy(child = c)
+}
+case class StXMax(child: Expression) extends UnarySpatial {
+  protected def fn: String = "xmax"
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = "st_xmax"
+  protected override def nullSafeEval(i: Any): Any = SpatialFns.xmax(i.asInstanceOf[Array[Byte]])
+  protected override def withNewChildInternal(c: Expression): StXMax = copy(child = c)
+}
+case class StYMax(child: Expression) extends UnarySpatial {
+  protected def fn: String = "ymax"
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = "st_ymax"
+  protected override def nullSafeEval(i: Any): Any = SpatialFns.ymax(i.asInstanceOf[Array[Byte]])
+  protected override def withNewChildInternal(c: Expression): StYMax = copy(child = c)
+}
+case class StConvexHull(child: Expression) extends UnarySpatial {
+  protected def fn: String = "convexHull"
+  override def dataType: DataType = BinaryType
+  override def prettyName: String = "st_convexhull"
+  protected override def nullSafeEval(i: Any): Any = SpatialFns.convexHull(i.asInstanceOf[Array[Byte]])
+  protected override def withNewChildInternal(c: Expression): StConvexHull = copy(child = c)
 }
 
 abstract class BinarySpatial extends BinaryExpression {
@@ -170,5 +237,25 @@ case class StBuffer(left: Expression, right: Expression)
   protected override def nullSafeEval(a: Any, b: Any): Any =
     SpatialFns.buffer(a.asInstanceOf[Array[Byte]], b.asInstanceOf[Double])
   protected override def withNewChildrenInternal(l: Expression, r: Expression): StBuffer =
+    copy(left = l, right = r)
+}
+case class StSimplify(left: Expression, right: Expression)
+  extends BinarySpatial {
+  protected def fn: String = "simplify"
+  override def dataType: DataType = BinaryType
+  override def prettyName: String = "st_simplify"
+  protected override def nullSafeEval(a: Any, b: Any): Any =
+    SpatialFns.simplify(a.asInstanceOf[Array[Byte]], b.asInstanceOf[Double])
+  protected override def withNewChildrenInternal(l: Expression, r: Expression): StSimplify =
+    copy(left = l, right = r)
+}
+case class StUnion(left: Expression, right: Expression)
+  extends BinarySpatial {
+  protected def fn: String = "union"
+  override def dataType: DataType = BinaryType
+  override def prettyName: String = "st_union"
+  protected override def nullSafeEval(a: Any, b: Any): Any =
+    SpatialFns.union(a.asInstanceOf[Array[Byte]], b.asInstanceOf[Array[Byte]])
+  protected override def withNewChildrenInternal(l: Expression, r: Expression): StUnion =
     copy(left = l, right = r)
 }

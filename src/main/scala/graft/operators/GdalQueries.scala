@@ -80,6 +80,27 @@ object GdalQueries {
         .orderBy(col("name"), col("wkt"))
     }),
 
+    // Geometry aggregation: per-grid-cell extent (0.1° spatial binning —
+    // the classic distributed roll-up) via fully-codegen'd
+    // min/max(st_xmin…) scalars (partial-agg, no custom state) plus the
+    // st_union_agg typed Aggregator (executor-side partial unions).
+    "gdal_spatial_extent" -> ((s, _) => {
+      GraftFunctions.register(s)
+      s.read.format("shapefile").load(s"$fixtures/stations.shp")
+        .withColumn("cell", concat(
+          floor(expr("st_xmin(geometry)") * 10).cast("long"), lit("_"),
+          floor(expr("st_ymin(geometry)") * 10).cast("long")))
+        .groupBy(col("cell"))
+        .agg(count(lit(1)).as("n"),
+          round(min(expr("st_xmin(geometry)")), 4).as("xmin"),
+          round(min(expr("st_ymin(geometry)")), 4).as("ymin"),
+          round(max(expr("st_xmax(geometry)")), 4).as("xmax"),
+          round(max(expr("st_ymax(geometry)")), 4).as("ymax"),
+          expr("st_npoints(st_union_agg(geometry))").as("n_union_points"),
+          expr("st_geometrytype(st_union_agg(geometry))").as("union_type"))
+        .orderBy(col("cell"))
+    }),
+
     "gdal_convert_shapefile_to_fgb" -> ((s, _) => {
       GraftFunctions.register(s)
       val out = java.nio.file.Files.createTempDirectory("graft_q_fgb_").toString

@@ -52,4 +52,42 @@ class SpatialFnsSpec extends AnyFunSuite {
     assert(hits.map(_.getString(0)).toSet.contains("District of Columbia"))
     assert(hits.exists(_.getString(1).contains("Washington")))
   }
+
+  test("envelope scalars, simplify, convex hull, binary union") {
+    val r = spark.sql(
+      """SELECT
+        | st_xmin(g) AS x0, st_ymin(g) AS y0, st_xmax(g) AS x1, st_ymax(g) AS y1,
+        | st_npoints(st_simplify(st_geomfromwkt('LINESTRING (0 0, 1 0.01, 2 0, 3 0.01, 4 0)'), 0.1D)) AS simp,
+        | st_aswkt(st_convexhull(st_geomfromwkt('MULTIPOINT ((0 0), (4 0), (2 1), (2 4))'))) AS hull,
+        | st_npoints(st_union(st_point(0.0D, 0.0D), st_point(1.0D, 1.0D))) AS uni
+        |FROM (SELECT st_geomfromwkt('POLYGON ((1 2, 5 2, 5 7, 1 7, 1 2))') AS g)""".stripMargin).head
+    assert((r.getDouble(0), r.getDouble(1), r.getDouble(2), r.getDouble(3)) === ((1.0, 2.0, 5.0, 7.0)))
+    assert(r.getInt(4) === 2) // wiggles under tolerance collapse to the endpoints
+    assert(r.getString(5).startsWith("POLYGON"))
+    assert(r.getInt(6) === 2)
+  }
+
+  test("st_union_agg: typed Aggregator unions per group, stable under repartition") {
+    val s = spark; import s.implicits._
+    graft.functions.GraftFunctions.register(spark)
+    val df = Seq(
+      ("a", "POINT (0 0)"), ("a", "POINT (1 1)"), ("a", "POINT (1 1)"),
+      ("b", "POLYGON ((0 0, 2 0, 2 2, 0 2, 0 0))"),
+      ("b", "POLYGON ((1 0, 3 0, 3 2, 1 2, 1 0))"))
+      .toDF("k", "wkt")
+      .selectExpr("k", "st_geomfromwkt(wkt) AS g")
+    def agg(partitions: Int) = df.repartition(partitions)
+      .groupBy($"k")
+      .agg(org.apache.spark.sql.functions.expr("st_union_agg(g)").as("u"))
+      .selectExpr("k", "st_geometrytype(u) AS t", "st_area(u) AS area",
+        "st_npoints(u) AS np")
+      .collect().map(r => (r.getString(0), r.getString(1), r.getDouble(2), r.getInt(3)))
+      .sortBy(_._1)
+    val one = agg(1)
+    // union dedups the repeated point; overlapping squares merge to area 6
+    assert(one(0)._2 === "MultiPoint" && one(0)._4 === 2)
+    assert(one(1)._2 === "Polygon" && one(1)._3 === 6.0)
+    // partial-merge path (multiple partitions) gives the same answer
+    assert(agg(4).toSeq === one.toSeq)
+  }
 }
