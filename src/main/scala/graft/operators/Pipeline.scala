@@ -74,6 +74,38 @@ object Pipeline {
         .agg(count(lit(1)).as("n_docs"), sum($"n_tokens").as("seq_tokens"),
           min($"doc_id").as("first_doc"))
         .orderBy($"source", $"seq_id")
+    }),
+
+    // ---- q61: the flagship END-TO-END pipeline — quality gate → exact
+    // dedup → eval decontamination → deterministic split, each stage the
+    // already-oracle-proven operator, composed and hash-checked as one
+    // plan. This is the "a user could run their whole corpus prep here"
+    // query: per-row projections (stats, hash buckets), one dedup
+    // shuffle on the content hash, one shingle shuffle against the
+    // broadcast eval set — nothing quadratic, nothing driver-resident.
+    "q61_corpus_pipeline" -> ((s, dir) => {
+      import s.implicits._
+      graft.functions.GraftFunctions.register(s)
+      val docs = t(s, dir, "documents")
+      // 1. quality gate on token count (one text_stats scan)
+      val quality = docs
+        .withColumn("n_tokens", expr("text_stats(text).ws_tokens").cast(LongType))
+        .filter($"n_tokens" >= 20)
+      // 2. exact dedup: keep the min doc_id per normalized content
+      val keepIds = graft.api.Graft.dedupExact(quality, "text", "doc_id")
+        .select($"doc_id")
+      val deduped = quality.join(keepIds, Seq("doc_id"), "left_semi")
+      // 3. drop eval docs and anything sharing a 3-gram with them
+      val clean = graft.api.Graft.decontaminate(
+          train = deduped.filter($"doc_id" % 97 =!= 0),
+          evalSet = docs.filter($"doc_id" % 97 === 0),
+          textCol = "text", idCol = "doc_id")
+        .filter(!$"contaminated")
+      // 4. deterministic split, report sizes
+      graft.api.Graft.assignSplit(clean, "doc_id")
+        .groupBy($"split")
+        .agg(count(lit(1)).as("n_docs"), sum($"n_tokens").as("sum_tokens"))
+        .orderBy($"split")
     }))
 
   val oracle: Map[String, String] = Map(
@@ -108,6 +140,42 @@ object Pipeline {
         |SELECT d.doc_id, (cont.doc_id IS NOT NULL) AS contaminated
         |FROM documents d LEFT JOIN cont ON d.doc_id = cont.doc_id
         |WHERE d.doc_id % 97 <> 0 ORDER BY d.doc_id""".stripMargin,
+
+    "q61_corpus_pipeline" ->
+      """WITH stats AS (
+        |  SELECT doc_id, text,
+        |   CAST(len(regexp_extract_all(text, '\S+')) AS BIGINT) AS n_tokens
+        |  FROM documents
+        |), q AS (
+        |  SELECT * FROM stats WHERE n_tokens >= 20
+        |), keep AS (
+        |  SELECT MIN(doc_id) AS doc_id FROM q
+        |  GROUP BY md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'))
+        |), dd AS (
+        |  SELECT q.* FROM q JOIN keep USING (doc_id)
+        |), toks AS (
+        |  SELECT doc_id, string_split_regex(trim(text), '\s+') AS t FROM documents
+        |), sh AS (
+        |  SELECT DISTINCT doc_id, t[i] || '_' || t[i+1] || '_' || t[i+2] AS s
+        |  FROM (SELECT doc_id, t, unnest(generate_series(1, greatest(len(t) - 2, 0))) AS i
+        |        FROM toks)
+        |), ev AS (
+        |  SELECT DISTINCT s FROM sh WHERE doc_id % 97 = 0
+        |), cont AS (
+        |  SELECT DISTINCT sh.doc_id FROM sh JOIN ev USING (s)
+        |), clean AS (
+        |  SELECT dd.* FROM dd
+        |  WHERE dd.doc_id % 97 <> 0
+        |    AND dd.doc_id NOT IN (SELECT doc_id FROM cont)
+        |), sp AS (
+        |  SELECT n_tokens,
+        |   CASE WHEN b < 800 THEN 'train' WHEN b < 900 THEN 'val' ELSE 'test' END AS split
+        |  FROM (SELECT n_tokens,
+        |         (md5_number_lower(CAST(doc_id AS VARCHAR)) & 2147483647::UBIGINT) % 1000 AS b
+        |        FROM clean)
+        |)
+        |SELECT split, COUNT(*) AS n_docs, CAST(SUM(n_tokens) AS BIGINT) AS sum_tokens
+        |FROM sp GROUP BY split ORDER BY split""".stripMargin,
 
     "q59_pack_sequences" ->
       """WITH tok AS (

@@ -162,14 +162,19 @@ object Similarity {
           .select(lit(method).as("method"), $"n_queries", $"mean_recall", $"min_recall",
             ($"mean_recall" >= floor).as("pass"))
       }
+      // One PQ training/code-scan serves both PQ rows: the top-10 of the
+      // k=100 candidate list IS pqSearch(k=10), and the same list feeds
+      // the exact re-rank. localCheckpoint materializes the tiny
+      // candidate list (|queries|·100 rows) so the code-scan join runs
+      // once, not once per consumer.
+      val pq100 = pqSearch(base, qs, "embedding", "vec_id", k = 100).localCheckpoint()
       recallOf("ivf_nprobe8", 0.65, ivfSearch(base, qs, "embedding", "vec_id",
           k = 10, nlist = 16, nprobe = 8))
         .unionAll(recallOf("lsh_banded96x7", 0.75,
           lshSearch(base, qs, "embedding", "vec_id", k = 10)))
-        .unionAll(recallOf("pq_16x256", 0.60,
-          pqSearch(base, qs, "embedding", "vec_id", k = 10)))
+        .unionAll(recallOf("pq_16x256", 0.60, pq100.filter($"rnk" <= 10)))
         .unionAll(recallOf("pq_rerank", 0.90,
-          pqSearchReranked(base, qs, "embedding", "vec_id", k = 10)))
+          rerankExact(base, qs, pq100, "embedding", "vec_id", k = 10)))
         .orderBy($"method")
     })
   )
@@ -238,12 +243,26 @@ object Similarity {
   def pqSearchReranked(base: org.apache.spark.sql.DataFrame,
       queries: org.apache.spark.sql.DataFrame, vecCol: String, idCol: String,
       k: Int, rerank: Int = 100, subspaces: Int = 16,
-      codebookSize: Int = 256): org.apache.spark.sql.DataFrame = {
+      codebookSize: Int = 256): org.apache.spark.sql.DataFrame =
+    rerankExact(base, queries,
+      pqSearch(base, queries, vecCol, idCol, k = rerank,
+        subspaces = subspaces, codebookSize = codebookSize),
+      vecCol, idCol, k)
+
+  /** Exact re-scoring of ANY candidate set — stage 2 of every two-stage
+    * ANN (PQ, LSH, IVF): fetch the original vectors for the `(qid, nid)`
+    * candidates alone (an id equality join, |cands| rows — the corpus is
+    * never rescanned for scoring) and re-rank with the exact `vec_dot`,
+    * so the final top-k ordering is exact over the candidate set. Recall
+    * loss is only stage-1 misses — with |cands per query| ≫ k this pushes
+    * recall toward 1.0 whatever generated the candidates. */
+  def rerankExact(base: org.apache.spark.sql.DataFrame,
+      queries: org.apache.spark.sql.DataFrame,
+      candidates: org.apache.spark.sql.DataFrame, vecCol: String,
+      idCol: String, k: Int): org.apache.spark.sql.DataFrame = {
     import org.apache.spark.sql.functions._
     graft.functions.GraftFunctions.register(base.sparkSession)
-    val cands = pqSearch(base, queries, vecCol, idCol, k = rerank,
-      subspaces = subspaces, codebookSize = codebookSize)
-      .select(col("qid"), col("nid"))
+    val cands = candidates.select(col("qid"), col("nid"))
     val vecs = base.select(col(idCol).as("nid"), col(vecCol).as("v"))
       .withColumn("nrm", sqrt(expr(norm2Expr)))
     val q = queries.select(col(idCol).as("qid"), col(vecCol).as("qv"))
