@@ -155,7 +155,23 @@ class FeaturePartitionReader(
 
   private val converter = new RowConverter(schema, opts)
   private val underlying = format.openSplit(split, opts)
-  private val windowed = FeatureFormat.window(underlying, opts)
+  // The bbox contract holds on EVERY format: formats with a native index
+  // (FGB R-tree, shapefile boxes) already pruned upstream — for them this
+  // re-check is a cheap envelope test on survivors — while index-less
+  // formats (geojson, csvgeo, kml, …) get the filter enforced here
+  // instead of silently ignoring the option. GDAL semantics: features
+  // without geometry never match a spatial filter.
+  private val boxed = opts.bbox match {
+    case None => underlying
+    case Some(q) => underlying.filter { f =>
+      f.geomWkb != null && {
+        val e = graft.geom.GeomCodec.fromWkb(f.geomWkb).getEnvelopeInternal
+        q.intersects(graft.sources.flatgeobuf.FgbIndex.Box(
+          e.getMinX, e.getMinY, e.getMaxX, e.getMaxY))
+      }
+    }
+  }
+  private val windowed = FeatureFormat.window(boxed, opts)
   private val schemaNames = schema.fieldNames.toSet
   private val filtered =
     if (filters.isEmpty) windowed

@@ -39,7 +39,17 @@ case class GdalOptions(
       * format's native index where one exists (FlatGeobuf packed R-tree,
       * shapefile header/record boxes); envelope-level, so pair it with an
       * exact residual predicate when envelope hits aren't enough. */
-    bbox: Option[graft.sources.flatgeobuf.FgbIndex.Box] = None) extends Serializable {
+    bbox: Option[graft.sources.flatgeobuf.FgbIndex.Box] = None,
+    /** Writer SRS (reference `WriteParams.srs`, src/lib.rs:106):
+      * "EPSG:nnnn" or a raw WKT string. Shapefile writers emit a .prj
+      * sidecar; SpatiaLite stores the srid; formats with no SRS slot
+      * (RFC-7946 GeoJSON) ignore it. */
+    srs: Option[String] = None,
+    /** Writer layer geometry type (reference `WriteParams.geometry_type`,
+      * src/lib.rs:109): point|linestring|polygon|multipoint|
+      * multilinestring|multipolygon. None = auto-detect from the first
+      * geometry, exactly like the reference (src/lib.rs:529-540). */
+    geometryType: Option[String] = None) extends Serializable {
   require(Seq("wkb", "wkt", "geojson").contains(geometryFormat),
     s"geometryFormat must be wkb|wkt|geojson, got $geometryFormat")
 }
@@ -63,7 +73,9 @@ object GdalOptions {
       autodetectTypes = m.get("autodetecttypes").exists(_.toBoolean),
       inferLimit = m.get("inferlimit").map(_.toLong).getOrElse(Long.MaxValue),
       splitRecords = m.get("splitrecords").map(_.toLong).getOrElse(65536L),
-      bbox = m.get("bbox").map(graft.sources.flatgeobuf.FgbIndex.Box.parse))
+      bbox = m.get("bbox").map(graft.sources.flatgeobuf.FgbIndex.Box.parse),
+      srs = m.get("srs"),
+      geometryType = m.get("geometrytype").map(_.toLowerCase))
   }
 }
 

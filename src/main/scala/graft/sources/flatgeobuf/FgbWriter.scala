@@ -116,10 +116,23 @@ class FgbDataWriter(file: File, schema: StructType, opts: GdalOptions)
     // geometry-less feature falls back to the index-less layout
     // (index_node_size = 0), which the spec allows and every reader honors.
     val withIndex = n > 0 && allHaveGeometry
+    // reference WriteParams.geometry_type (src/lib.rs:109): an explicit
+    // layer type lands in the header; default stays Unknown (per-feature
+    // types carry the information)
+    val headerType = opts.geometryType.map {
+      case "point" => GtPoint
+      case "linestring" => GtLineString
+      case "polygon" => GtPolygon
+      case "multipoint" => GtMultiPoint
+      case "multilinestring" => GtMultiLineString
+      case "multipolygon" => GtMultiPolygon
+      case other => throw new IllegalArgumentException(
+        s"unsupported flatgeobuf geometryType '$other'")
+    }.getOrElse(GtUnknown)
     val out = new BufferedOutputStream(new FileOutputStream(file), 1 << 16)
     try {
       out.write(Magic)
-      out.write(writeHeader(file.getName.stripSuffix(".fgb"), GtUnknown, columns, n,
+      out.write(writeHeader(file.getName.stripSuffix(".fgb"), headerType, columns, n,
         if (withIndex) FgbIndexNodeSize else 0))
       if (withIndex) {
         // spec clustering: features stored in Hilbert order of bbox center

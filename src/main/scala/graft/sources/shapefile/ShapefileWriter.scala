@@ -36,7 +36,7 @@ class ShapefileBatchWrite(path: String, schema: StructType, opts: GdalOptions,
     val dir = new File(path)
     if (!dir.exists()) dir.mkdirs()
     if (truncate) dir.listFiles()
-      .filter(f => Seq(".shp", ".shx", ".dbf").exists(f.getName.endsWith)).foreach(_.delete())
+      .filter(f => Seq(".shp", ".shx", ".dbf", ".prj").exists(f.getName.endsWith)).foreach(_.delete())
     val gi = schema.fieldNames.indexOf(opts.geometryColumnName)
     if (gi < 0) throw new GraftError.CannotFindGeometryColumn(opts.geometryColumnName)
     schema.fields(gi).dataType match {
@@ -64,7 +64,15 @@ class ShapefileDataWriter(base: String, schema: StructType, opts: GdalOptions)
   private val geomIdx = schema.fieldNames.indexOf(opts.geometryColumnName)
   private val fields = ShpWriter.dbfFields(schema, opts.geometryColumnName)
   private val fieldIdx = fields.map(f => schema.fieldNames.indexOf(f.name))
-  private val writer = new ShpWriter(base, fields)
+  private val forcedType = opts.geometryType.map {
+    case "point" => 1
+    case "linestring" | "multilinestring" => 3 // shp PolyLine covers both
+    case "polygon" | "multipolygon" => 5
+    case "multipoint" => 8
+    case other => throw new IllegalArgumentException(
+      s"unsupported shapefile geometryType '$other'")
+  }.getOrElse(0)
+  private val writer = new ShpWriter(base, fields, forcedType)
   private var n = 0L
 
   override def write(row: InternalRow): Unit = {
@@ -91,7 +99,15 @@ class ShapefileDataWriter(base: String, schema: StructType, opts: GdalOptions)
     writer.write(geom, values)
     n += 1
   }
-  override def commit(): WriterCommitMessage = { writer.close(); ShpCommit(n) }
+  override def commit(): WriterCommitMessage = {
+    writer.close()
+    // reference WriteParams.srs (src/lib.rs:106,544): the ESRI sidecar
+    opts.srs.foreach { s =>
+      java.nio.file.Files.writeString(
+        java.nio.file.Paths.get(base + ".prj"), ShpWriter.prjWkt(s))
+    }
+    ShpCommit(n)
+  }
   override def abort(): Unit = { writer.close(); () }
   override def close(): Unit = ()
 }

@@ -13,14 +13,17 @@ import org.locationtech.jts.geom.impl.CoordinateArraySequence
   * the 2D types: Point, MultiPoint, PolyLine (Line/MultiLineString),
   * Polygon (Polygon/MultiPolygon; shells forced clockwise, holes
   * counter-clockwise per spec). */
-final class ShpWriter(basePath: String, fields: Seq[Dbf.Field]) {
+final class ShpWriter(basePath: String, fields: Seq[Dbf.Field],
+    forcedShapeType: Int = 0) {
   private val shp = new RandomAccessFile(basePath + ".shp", "rw")
   private val shx = new RandomAccessFile(basePath + ".shx", "rw")
   private val dbf = new RandomAccessFile(basePath + ".dbf", "rw")
   shp.setLength(0); shx.setLength(0); dbf.setLength(0)
 
   private var recNum = 0
-  private var shapeType = 0 // resolved from first non-null geometry
+  // explicit layer type (reference WriteParams.geometry_type) or 0 =
+  // resolved from the first non-null geometry (src/lib.rs:529-540)
+  private var shapeType = forcedShapeType
   private var minX = Double.MaxValue; private var minY = Double.MaxValue
   private var maxX = Double.MinValue; private var maxY = Double.MinValue
 
@@ -192,6 +195,19 @@ final class ShpWriter(basePath: String, fields: Seq[Dbf.Field]) {
 }
 
 object ShpWriter {
+  /** ESRI .prj content for an `srs` option: well-known EPSG codes map to
+    * their standard WKT; a raw WKT string (GEOGCS/PROJCS/GEOGCRS…)
+    * passes through verbatim. */
+  def prjWkt(srs: String): String = srs.trim.toUpperCase match {
+    case "EPSG:4326" =>
+      """GEOGCS["GCS_WGS_1984",DATUM["D_WGS_1984",SPHEROID["WGS_1984",6378137.0,298.257223563]],PRIMEM["Greenwich",0.0],UNIT["Degree",0.0174532925199433]]"""
+    case "EPSG:3857" =>
+      """PROJCS["WGS_1984_Web_Mercator_Auxiliary_Sphere",GEOGCS["GCS_WGS_1984",DATUM["D_WGS_1984",SPHEROID["WGS_1984",6378137.0,298.257223563]],PRIMEM["Greenwich",0.0],UNIT["Degree",0.0174532925199433]],PROJECTION["Mercator_Auxiliary_Sphere"],PARAMETER["False_Easting",0.0],PARAMETER["False_Northing",0.0],PARAMETER["Central_Meridian",0.0],PARAMETER["Standard_Parallel_1",0.0],PARAMETER["Auxiliary_Sphere_Type",0.0],UNIT["Meter",1.0]]"""
+    case u if u.startsWith("EPSG:") => throw new IllegalArgumentException(
+      s"no builtin WKT for $srs — pass the projection WKT directly")
+    case _ => srs.trim // raw WKT passthrough
+  }
+
   /** Map a Spark schema (minus the geometry column) to DBF field specs —
     * GDAL's conventions: C:80, N:18.0 for ints, N:24.15 for reals, L, D. */
   def dbfFields(schema: org.apache.spark.sql.types.StructType,

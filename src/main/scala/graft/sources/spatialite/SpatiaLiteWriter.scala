@@ -76,6 +76,10 @@ class SpatiaLiteDataWriter(file: File, schema: StructType, opts: GdalOptions)
 
   private val rows = scala.collection.mutable.ArrayBuffer.empty[Seq[Any]]
   private var firstGeomClass = 0
+  // reference WriteParams.srs (src/lib.rs:106): "EPSG:nnnn" or a bare
+  // srid number; SpatiaLite stores the integer srid
+  private val srid = opts.srs.map(_.trim.toUpperCase.stripPrefix("EPSG:").toInt)
+    .getOrElse(4326)
 
   override def write(row: InternalRow): Unit = {
     val geomBlob: Array[Byte] =
@@ -94,7 +98,7 @@ class SpatiaLiteDataWriter(file: File, schema: StructType, opts: GdalOptions)
           case _: org.locationtech.jts.geom.MultiPolygon => 6
           case _ => 7
         }
-        SpatiaLiteGeom.fromJts(g, srid = 4326)
+        SpatiaLiteGeom.fromJts(g, srid = srid)
       }
     val vals = propFields.map { case (f, i) =>
       if (row.isNullAt(i)) null
@@ -120,7 +124,7 @@ class SpatiaLiteDataWriter(file: File, schema: StructType, opts: GdalOptions)
     }.toSeq)
     // geometry_columns metadata (what our reader and GDAL list as layers)
     val gcRoot = w.buildTableBtree(Seq(
-      (1L, w.encodeRecord(Seq(table, geomName, firstGeomClass.toLong, 2L, 4326L, 0L)))))
+      (1L, w.encodeRecord(Seq(table, geomName, firstGeomClass.toLong, 2L, srid.toLong, 0L)))))
     val colDefs = (propFields.map { case (f, _) => s"${f.name} ${sqlType(f.dataType)}" } :+
       s"$geomName BLOB").mkString(", ")
     val bytes = w.finish(Seq(

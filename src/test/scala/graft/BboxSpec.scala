@@ -112,6 +112,28 @@ class BboxSpec extends AnyFunSuite {
     assert(scans.head.inputPartitions.isEmpty, "whole file should be pruned by header extent")
   }
 
+  // ------------------------------------------- generic (index-less) formats
+
+  test("bbox option is enforced on every format, not just indexed ones") {
+    // geojson has no spatial index — the reader-level filter must still
+    // honor the option instead of silently returning everything
+    val us = spark.read.format("geojson")
+      .load(s"$fixtures/us_states.feature_collection.implicit_4326.json")
+    val full = us.count()
+    val box = "-125.0,32.0,-114.0,42.0" // roughly CA/NV/OR
+    val some = spark.read.format("geojson").option("bbox", box)
+      .load(s"$fixtures/us_states.feature_collection.implicit_4326.json")
+    assert(some.count() > 0 && some.count() < full)
+    val expected = us.where(expr(s"st_intersects_bbox(geometry, $box)")).count()
+    assert(some.count() === expected)
+    // spatial filter applies BEFORE offset/limit (GDAL semantics): limit
+    // counts filtered features
+    val limited = spark.read.format("geojson").option("bbox", box)
+      .option("limit", "2")
+      .load(s"$fixtures/us_states.feature_collection.implicit_4326.json")
+    assert(limited.count() === 2)
+  }
+
   // -------------------------------------------------------- Catalyst rule
 
   test("st_intersects_bbox filter is rewritten into the scan's bbox option") {

@@ -23,6 +23,29 @@ class ShapefileWriteSpec extends AnyFunSuite {
     assert(wa.toSeq === wb.toSeq)
   }
 
+  test("shapefile write: srs emits a .prj sidecar, geometryType overrides autodetect") {
+    val out = java.nio.file.Files.createTempDirectory("graft_shpsrs_").toString
+    spark.read.format("shapefile").load(s"$fixtures/stations.shp")
+      .coalesce(1).write.format("shapefile").mode("overwrite")
+      .option("srs", "EPSG:4326").option("geometryType", "point")
+      .save(out)
+    val prj = new java.io.File(out).listFiles().find(_.getName.endsWith(".prj"))
+    assert(prj.isDefined, "expected a .prj sidecar")
+    val wkt = java.nio.file.Files.readString(prj.get.toPath)
+    assert(wkt.startsWith("GEOGCS[\"GCS_WGS_1984\"") && wkt.contains("WGS_1984"))
+    // forced shape type lands in the .shp header (byte 32, LE)
+    val shp = new java.io.File(out).listFiles().find(_.getName.endsWith(".shp")).get
+    val head = java.nio.file.Files.readAllBytes(shp.toPath)
+    val st = java.nio.ByteBuffer.wrap(head, 32, 4)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN).getInt
+    assert(st === 1)
+    // raw WKT passes through; unknown EPSG codes fail loudly
+    assert(graft.sources.shapefile.ShpWriter.prjWkt("PROJCS[\"x\"]") === "PROJCS[\"x\"]")
+    assertThrows[IllegalArgumentException] {
+      graft.sources.shapefile.ShpWriter.prjWkt("EPSG:27700")
+    }
+  }
+
   test("shapefile write: polygons with numeric/bool fields round trip") {
     val s = spark; import s.implicits._
     import graft.functions.GraftFunctions._

@@ -28,6 +28,27 @@ class SpatiaLiteWriteSpec extends AnyFunSuite {
     (out, f)
   }
 
+  test("spatialite write: srs option lands as the stored srid") {
+    val s = spark; import s.implicits._
+    graft.functions.GraftFunctions.register(spark)
+    val out = Files.createTempDirectory("graft_slsrs_").toString
+    Seq((1L, "POINT (500000 4649776)")).toDF("id", "wkt")
+      .withColumn("geometry", expr("st_geomfromwkt(wkt)")).drop("wkt")
+      .coalesce(1).write.format("spatialite")
+      .option("layerName", "utm").option("srs", "EPSG:32633")
+      .mode("overwrite").save(out)
+    val f = new java.io.File(out).listFiles().find(_.getName.endsWith(".sqlite")).get
+    val script =
+      s"""import sqlite3
+         |con = sqlite3.connect('${f.getAbsolutePath}')
+         |print(con.execute('SELECT f_table_name, srid FROM geometry_columns').fetchall())
+         |""".stripMargin
+    val p = new ProcessBuilder("python3", "-c", script).redirectErrorStream(true).start()
+    val o = new String(p.getInputStream.readAllBytes(), "UTF-8")
+    assert(p.waitFor() === 0, o)
+    assert(o.contains("('utm', 32633)"), o)
+  }
+
   test("spatialite write -> read round trip through our own reader") {
     val (dir, _) = writeSample()
     val back = spark.read.format("spatialite").option("layerName", "towns").load(dir)
