@@ -54,6 +54,37 @@ object Demo {
     // Write path: DataFrame -> GeoJSON bytes (reference src/test.rs:146-158)
     val bytes = GdalWrite.toBytes(states.select("name", "geometry").limit(2))
     println(s"[demo] gdal_bytes_from_df: ${bytes.length} bytes; head=${new String(bytes.take(60), "UTF-8")}")
+
+    // Spatial filter pushdown: stations -> indexed FlatGeobuf -> bbox read
+    // served from the packed Hilbert R-tree (byte-range splits)
+    val fgbOut = java.nio.file.Files.createTempDirectory("demo_fgb_").toString
+    stations.coalesce(1).write.format("flatgeobuf").mode("overwrite").save(fgbOut)
+    val boxed = spark.read.format("flatgeobuf")
+      .option("bbox", "-77.05,38.88,-76.99,38.92").load(fgbOut)
+    println(s"[demo] fgb bbox read: ${boxed.count} of ${stations.count} stations " +
+      s"(R-tree-planned splits)")
+
+    // LLM corpus prep on the driver's documents table (if present):
+    // scrub -> quality gate -> dedup -> decontaminate -> split
+    val docsPath = "/root/testdata/sf0.001/documents.parquet"
+    if (new java.io.File(docsPath).exists()) {
+      import org.apache.spark.sql.functions._
+      val docs = spark.read.parquet(docsPath)
+      val scrubbed = graft.api.Graft.scrubPii(docs, "text")
+      val quality = scrubbed
+        .withColumn("n_tokens", expr("text_stats(text).ws_tokens").cast("long"))
+        .filter(col("n_tokens") >= 20)
+      val keep = graft.api.Graft.dedupExact(quality, "text", "doc_id").select("doc_id")
+      val clean = graft.api.Graft.decontaminate(
+          quality.join(keep, Seq("doc_id"), "left_semi")
+            .filter(col("doc_id") % 97 =!= 0),
+          docs.filter(col("doc_id") % 97 === 0), "text", "doc_id")
+        .filter(!col("contaminated"))
+      val splits = graft.api.Graft.assignSplit(clean, "doc_id")
+        .groupBy("split").count().orderBy("split").collect()
+        .map(r => s"${r.getString(0)}=${r.getLong(1)}").mkString(" ")
+      println(s"[demo] corpus pipeline (${docs.count} docs in): $splits")
+    }
     spark.stop()
   }
 }

@@ -168,4 +168,78 @@ class PropertySpec extends AnyFunSuite {
       Seq((0.0, 0.0), (4.0, 0.0), (2.0, 3.0), (0.0, 0.0)))
     assert(graft.sources.spatialite.SpatiaLiteGeom.srid(blob) === 4326)
   }
+
+  test("r-tree: search over arbitrary boxes equals the brute-force scan") {
+    import graft.sources.flatgeobuf.FgbIndex
+    import graft.sources.flatgeobuf.FgbIndex.Box
+    val boxGen = for {
+      x <- Gen.chooseNum(-100.0, 100.0); y <- Gen.chooseNum(-100.0, 100.0)
+      w <- Gen.chooseNum(0.0, 10.0); h <- Gen.chooseNum(0.0, 10.0)
+    } yield Box(x, y, x + w, y + h)
+    val itemsGen = Gen.chooseNum(1, 200).flatMap(n => Gen.listOfN(n, boxGen))
+    check(Prop.forAll(itemsGen, boxGen, Gen.chooseNum(2, 20)) { (items, q, nodeSize) =>
+      val sorted = FgbIndex.hilbertOrder(items.toIndexedSeq).map(items)
+      val bytes = FgbIndex.build(
+        sorted.zipWithIndex.map { case (b, i) => (b, i.toLong * 64) }, nodeSize)
+      val read = (first: Long, count: Int) => {
+        val out = java.nio.ByteBuffer.allocate(count * FgbIndex.NodeBytes)
+          .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+        out.put(bytes, first.toInt * FgbIndex.NodeBytes, count * FgbIndex.NodeBytes)
+        out
+      }
+      val got = FgbIndex.search(read, sorted.length, nodeSize, q).map(_._2).toSet
+      val want = sorted.indices.filter(i => q.intersects(sorted(i))).map(_.toLong).toSet
+      got == want
+    })
+  }
+
+  test("hilbert: distances are unique per grid cell (bijectivity sample)") {
+    import graft.sources.flatgeobuf.FgbIndex
+    val cells = for (x <- 0L until 32L; y <- 0L until 32L) yield FgbIndex.hilbert(x, y, 5)
+    assert(cells.toSet.size === 1024)
+    assert(cells.min === 0L && cells.max === 1023L)
+  }
+
+  test("scrubPii: scrubbing is a fixpoint (scrubbed text re-scrubs to itself)") {
+    val s = TestSpark.spark; import s.implicits._
+    val textGen = Gen.listOfN(5, Gen.oneOf(
+      "plain words here", "a@b.co", "reach me at user.name+x@example.org now",
+      "10.0.0.1", "ip 192.168.255.12 end", "123456789012", "x 99 y",
+      "<EMAIL>", "a@b@c.com")).map(_.mkString(" "))
+    check(Prop.forAll(Gen.listOfN(8, textGen)) { texts =>
+      val df = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }.toDF("id", "text")
+      val once = graft.api.Graft.scrubPii(df, "text")
+        .select("id", "text", "n_emails", "n_ips", "n_nums")
+      val rows1 = once.collect().sortBy(_.getLong(0))
+      val twice = graft.api.Graft.scrubPii(once.select("id", "text"), "text")
+        .collect().sortBy(_.getLong(0))
+      // second pass finds nothing and changes nothing
+      rows1.zip(twice).forall { case (a, b) =>
+        a.getString(1) == b.getString(1) &&
+          b.getLong(2) == 0L && b.getLong(3) == 0L && b.getLong(4) == 0L
+      }
+    })
+  }
+
+  test("packSequences: per-shard invariants (ordered fill, budget-bounded starts)") {
+    val s = TestSpark.spark; import s.implicits._
+    val tokGen = Gen.chooseNum(1L, 900L)
+    check(Prop.forAll(Gen.listOfN(40, tokGen)) { toks =>
+      val df = toks.zipWithIndex.map { case (t, i) =>
+        (if (i % 2 == 0) "a" else "b", i.toLong, t)
+      }.toDF("shard", "id", "n_tokens")
+      val out = graft.api.Graft.packSequences(df, "n_tokens", "shard", "id", budget = 1000L)
+        .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+        .groupBy(_._1)
+      out.values.forall { rows =>
+        val sorted = rows.sortBy(_._2)
+        // seq ids never decrease in fill order, and each doc STARTS
+        // within its sequence's budget window (cum-before div budget)
+        val cums = sorted.map(_._3).scanLeft(0L)(_ + _)
+        sorted.zip(cums).forall { case ((_, _, _, seq), cumBefore) =>
+          seq == cumBefore / 1000L
+        }
+      }
+    })
+  }
 }
