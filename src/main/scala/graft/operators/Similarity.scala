@@ -147,8 +147,12 @@ object Similarity {
       import s.implicits._
       val base = t(s, dir, "embeddings")
       val qs = base.filter($"vec_id" % 100 === 0)
+      // The exact ground truth feeds TWO consumers per gated method (the
+      // hit semi-join and the per-query denominator) — localCheckpoint
+      // materializes the tiny (|queries|·10)-row list so the O(n·q)
+      // brute-force join runs once, not once per consumer.
       val exact = graft.api.Graft.cosineTopK(base, qs, "embedding", "vec_id", 10)
-        .select($"qid", $"nid")
+        .select($"qid", $"nid").localCheckpoint()
       def recallOf(method: String, floor: Double,
           approx: org.apache.spark.sql.DataFrame) = {
         val hits = exact.join(approx.select($"qid", $"nid"), Seq("qid", "nid"), "left_semi")

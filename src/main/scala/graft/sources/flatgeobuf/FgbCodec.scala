@@ -37,7 +37,8 @@ object FgbCodec {
 
   case class FgbColumn(name: String, colType: Int)
   case class FgbHeader(name: String, geometryType: Int, columns: Seq[FgbColumn],
-      featuresCount: Long, indexNodeSize: Int)
+      featuresCount: Long, indexNodeSize: Int,
+      envelope: Option[FgbIndex.Box] = None)
 
   // ---------------------------------------------------------- fb reading
 
@@ -87,7 +88,8 @@ object FgbCodec {
   }
 
   // Header field ids (spec .fbs order)
-  private val HName = 0; private val HGeomType = 2; private val HColumns = 7
+  private val HName = 0; private val HEnvelope = 1; private val HGeomType = 2
+  private val HColumns = 7
   private val HFeaturesCount = 8; private val HIndexNodeSize = 9
   // Column field ids
   private val CName = 0; private val CType = 1
@@ -107,9 +109,14 @@ object FgbCodec {
           FgbColumn(ct.stringField(CName), ct.byteField(CType, 0))
         }
     }
+    val env = t.vector(HEnvelope) match {
+      case (start, 4) => Some(FgbIndex.Box(t.bb.getDouble(start),
+        t.bb.getDouble(start + 8), t.bb.getDouble(start + 16), t.bb.getDouble(start + 24)))
+      case _ => None
+    }
     FgbHeader(Option(t.stringField(HName)).getOrElse(""),
       t.byteField(HGeomType, 0), cols,
-      t.longField(HFeaturesCount, 0L), t.shortField(HIndexNodeSize, 16))
+      t.longField(HFeaturesCount, 0L), t.shortField(HIndexNodeSize, 16), env)
   }
 
   /** Byte size of the packed Hilbert R-tree index (spec formula: every
@@ -336,7 +343,8 @@ object FgbCodec {
   // -------------------------------------------------------- header write
 
   def writeHeader(name: String, geometryType: Int, columns: Seq[FgbColumn],
-      featuresCount: Long, indexNodeSize: Int = 0): Array[Byte] = {
+      featuresCount: Long, indexNodeSize: Int = 0,
+      envelope: Option[FgbIndex.Box] = None): Array[Byte] = {
     val b = new FlatBufferBuilder(256)
     val colOffs = columns.map { c =>
       val n = b.createString(c.name)
@@ -350,9 +358,15 @@ object FgbCodec {
       colOffs.reverseIterator.foreach(b.addOffset)
       b.endVector()
     }
+    val envVec = envelope.fold(0) { e =>
+      b.startVector(8, 4, 8)
+      Seq(e.maxY, e.maxX, e.minY, e.minX).foreach(b.addDouble) // reversed build
+      b.endVector()
+    }
     val nameOff = b.createString(name)
     b.startTable(14)
     b.addOffset(0, nameOff, 0)
+    if (envVec != 0) b.addOffset(1, envVec, 0)
     b.addByte(2, geometryType.toByte, 0)
     if (colsVec != 0) b.addOffset(7, colsVec, 0)
     b.addLong(8, featuresCount, 0L)

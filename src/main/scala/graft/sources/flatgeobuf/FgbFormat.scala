@@ -43,7 +43,9 @@ class FgbFormat extends FeatureFormat {
     opts.bbox match {
       case Some(q) =>
         val (header, featuresStart) = headerInfo(path)
-        if (header.indexNodeSize == 0 || header.featuresCount == 0)
+        if (header.envelope.exists(e => !q.intersects(e)))
+          Seq.empty // file-level extent miss: nothing to scan
+        else if (header.indexNodeSize == 0 || header.featuresCount == 0)
           Seq(SplitSpec(path, 0L, -1L))
         else {
           val indexStart = featuresStart -

@@ -129,11 +129,13 @@ class FgbDataWriter(file: File, schema: StructType, opts: GdalOptions)
       case other => throw new IllegalArgumentException(
         s"unsupported flatgeobuf geometryType '$other'")
     }.getOrElse(GtUnknown)
+    val extent =
+      if (withIndex) Some(boxes.reduce(_ expand _)) else None // spec field 1
     val out = new BufferedOutputStream(new FileOutputStream(file), 1 << 16)
     try {
       out.write(Magic)
       out.write(writeHeader(file.getName.stripSuffix(".fgb"), headerType, columns, n,
-        if (withIndex) FgbIndexNodeSize else 0))
+        if (withIndex) FgbIndexNodeSize else 0, extent))
       if (withIndex) {
         // spec clustering: features stored in Hilbert order of bbox center
         val order = FgbIndex.hilbertOrder(boxes.toIndexedSeq)

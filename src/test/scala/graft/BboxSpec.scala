@@ -78,6 +78,14 @@ class BboxSpec extends AnyFunSuite {
     assert(scans.head.scan.description().contains("bbox=[-77.05"))
   }
 
+  test("fgb header envelope prunes whole files on an extent miss") {
+    val miss = spark.read.format("flatgeobuf").option("bbox", "0,0,1,1").load(fgbDir)
+    assert(miss.count() === 0)
+    val scans = miss.queryExecution.executedPlan.collect { case b: BatchScanExec => b }
+    assert(scans.head.inputPartitions.isEmpty,
+      "header envelope should prune the file before any index search")
+  }
+
   test("fgb bbox read equals full-scan filter, FIDs keep file positions") {
     val full = spark.read.format("flatgeobuf").option("fidColumnName", "fid").load(fgbDir)
       .where(expr(s"st_intersects_bbox(geometry, $dcBox)"))

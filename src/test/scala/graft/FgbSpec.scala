@@ -20,11 +20,13 @@ class FgbSpec extends AnyFunSuite {
       FgbCodec.FgbColumn("pop", FgbCodec.CtLong),
       FgbCodec.FgbColumn("area", FgbCodec.CtDouble),
       FgbCodec.FgbColumn("flag", FgbCodec.CtBool))
-    val hb = FgbCodec.writeHeader("t", FgbCodec.GtPoint, cols, 7L)
+    val hb = FgbCodec.writeHeader("t", FgbCodec.GtPoint, cols, 7L,
+      envelope = Some(graft.sources.flatgeobuf.FgbIndex.Box(-1.5, -2.5, 3.5, 4.5)))
     val h = FgbCodec.readHeader(hb.drop(4)) // strip size prefix
     assert(h.name === "t" && h.geometryType === FgbCodec.GtPoint)
     assert(h.featuresCount === 7L && h.indexNodeSize === 0)
     assert(h.columns === cols)
+    assert(h.envelope === Some(graft.sources.flatgeobuf.FgbIndex.Box(-1.5, -2.5, 3.5, 4.5)))
 
     val g = GeomCodec.fromWkt("POLYGON ((0 0, 4 0, 4 4, 0 4, 0 0), (1 1, 2 1, 1 2, 1 1))")
     val fb = FgbCodec.writeFeature(g, cols, Seq("x", Long.box(42L), Double.box(2.5), Boolean.box(true)))

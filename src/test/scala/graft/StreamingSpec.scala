@@ -99,4 +99,30 @@ class StreamingSpec extends AnyFunSuite {
       .head
     assert(last.getLong(0) === 2L && last.getDouble(1) === 4.0)
   }
+
+  test("corpus-prep operators compose onto streams (stateless scrub + quality gate)") {
+    // The per-row corpus ops (scrubPii, text_stats quality gate) are
+    // pure projections, so the same Graft calls run unchanged on a
+    // readStream DataFrame — micro-batches scrub as they arrive.
+    val s = spark
+    import s.implicits._
+    implicit val sc = s.sqlContext
+    graft.functions.GraftFunctions.register(s)
+    val mem = MemoryStream[(Long, String)]
+    mem.addData(
+      (1L, ("solid document body with plenty of words " * 3) + "mail me a@b.io"),
+      (2L, "too short"),
+      (3L, ("another acceptable body of running text here " * 3) + "ip 10.0.0.7"))
+    val docs = mem.toDF.toDF("doc_id", "text")
+    val cleaned = graft.api.Graft.scrubPii(docs, "text")
+      .withColumn("n_tokens", expr("text_stats(text).ws_tokens").cast("long"))
+      .filter(col("n_tokens") >= 20)
+    assert(cleaned.isStreaming)
+    runToCompletion(cleaned, "stream_scrub", "append")
+    val rows = s.sql("SELECT doc_id, text, n_emails, n_ips FROM stream_scrub ORDER BY doc_id")
+      .collect()
+    assert(rows.map(_.getLong(0)).toSeq === Seq(1L, 3L)) // doc 2 gated out
+    assert(rows(0).getString(1).endsWith("mail me <EMAIL>") && rows(0).getLong(2) === 1L)
+    assert(rows(1).getString(1).endsWith("ip <IP>") && rows(1).getLong(3) === 1L)
+  }
 }
