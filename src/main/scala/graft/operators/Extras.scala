@@ -123,12 +123,19 @@ object Extras {
         .orderBy($"o_custkey", $"o_orderkey")
     }),
 
-    // ---- q41: HLL++ sketch distinct (approximate → rows-only check) ----
+    // ---- q41: HLL++ sketch distinct — approximate, so no SQL twin, but
+    // SELF-GATING like q46: the exact count rides along and the emitted
+    // `pass` pins the sketch's relative error (< 3× the configured 1%
+    // rsd) every round instead of a bare rows-only check. ----
     "q41_approx_distinct" -> ((s, dir) => {
       import s.implicits._
       t(s, dir, "events")
         .groupBy($"event_type")
-        .agg(approx_count_distinct($"user_id").as("approx_users"))
+        .agg(approx_count_distinct($"user_id", rsd = 0.01).as("approx_users"),
+          count_distinct($"user_id").as("exact_users"))
+        .withColumn("rel_err", round(
+          abs($"approx_users" - $"exact_users") / $"exact_users", 5))
+        .withColumn("pass", $"rel_err" <= 0.03)
         .orderBy($"event_type")
     }),
 
