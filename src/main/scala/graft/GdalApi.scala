@@ -73,8 +73,9 @@ object GdalWrite {
     case "shapefile" | "shp" | "shp.zip" => fileBytes(df, "shapefile", ".shp", options, zip = true)
     case "flatgeobuf" | "fgb" => fileBytes(df, "flatgeobuf", ".fgb", options, zip = false)
     case "spatialite" | "sqlite" => fileBytes(df, "spatialite", ".sqlite", options, zip = false)
+    case "kml" => fileBytes(df, "kml", ".kml", options, zip = false)
     case other => throw new IllegalArgumentException(
-      s"unsupported bytes format '$other' (geojson|csvgeo|shapefile|flatgeobuf|spatialite)")
+      s"unsupported bytes format '$other' (geojson|csvgeo|shapefile|flatgeobuf|spatialite|kml)")
   }
 
   private def geoJsonBytes(df: DataFrame, options: Map[String, String]): Array[Byte] = {

@@ -104,4 +104,40 @@ class XmlSourcesSpec extends AnyFunSuite {
     }
     assert(e.getMessage.contains("no layer 'bogus'"))
   }
+
+  test("kml write -> read round trip across geometry types") {
+    val s = spark; import s.implicits._
+    graft.functions.GraftFunctions.register(spark)
+    val wkts = Seq(
+      (1L, "alpha & <co>", "POINT (1 2)"),
+      (2L, "beta", "LINESTRING (0 0, 1 1, 2 0)"),
+      (3L, "gamma", "POLYGON ((0 0, 4 0, 4 4, 0 4, 0 0), (1 1, 2 1, 1 2, 1 1))"),
+      (4L, "delta", "MULTILINESTRING ((0 0, 1 1), (2 2, 3 3))"),
+      // single-member multis collapse to the member through KML (the
+      // format has no typed multi-geometries) — use 2 members
+      (5L, "epsilon",
+        "MULTIPOLYGON (((0 0, 1 0, 1 1, 0 1, 0 0)), ((5 5, 6 5, 6 6, 5 6, 5 5)))"))
+    val df = wkts.toDF("id", "name", "wkt")
+      .withColumn("geometry", org.apache.spark.sql.functions.expr("st_geomfromwkt(wkt)"))
+      .drop("wkt")
+    val out = java.nio.file.Files.createTempDirectory("graft_kmlw_").toString
+    df.coalesce(1).write.format("kml").mode("overwrite").save(out)
+
+    val back = spark.read.format("kml").load(out)
+    assert(back.count() === 5)
+    // name -> <name>, id -> ExtendedData (read back as its string form)
+    val got = back.selectExpr("name", "id", "st_aswkt(geometry)")
+      .collect().map(r => (r.getString(0), r.getString(1), r.getString(2)))
+      .sortBy(_._2)
+    assert(got.map(_._1).toSeq === wkts.sortBy(_._1).map(_._2))
+    got.zip(wkts.sortBy(_._1)).foreach { case ((_, id, wkt), (wantId, _, wantWkt)) =>
+      assert(id === wantId.toString)
+      assert(wkt === graft.geom.GeomCodec.toWkt(graft.geom.GeomCodec.fromWkt(wantWkt)))
+    }
+    // bytes parity
+    val bytes = graft.GdalWrite.toBytes(df.limit(2), format = "kml")
+    assert(new String(bytes, "UTF-8").contains("<kml"))
+    val round = graft.GdalRead.fromBytes(spark, bytes, Some("round.kml"))
+    assert(round.count() === 2)
+  }
 }
