@@ -185,4 +185,29 @@ class GpxFormat extends FeatureFormat {
 class GpxSourceProvider extends FeatureSourceProvider {
   override def format: FeatureFormat = new GpxFormat
   override def shortName(): String = "gpx"
+
+  override def getTable(schema: org.apache.spark.sql.types.StructType,
+      partitioning: Array[org.apache.spark.sql.connector.expressions.Transform],
+      properties: java.util.Map[String, String]): org.apache.spark.sql.connector.catalog.Table = {
+    val opts = GdalOptions.from(scala.jdk.CollectionConverters.MapHasAsScala(properties).asScala.toMap)
+    val paths = Option(properties.get("path")).toSeq
+    val files =
+      if (paths.nonEmpty && new java.io.File(paths.head).exists())
+        FeatureFormat.expand(paths, format)
+      else paths
+    new GpxTable(schema, files, opts, format)
+  }
+}
+
+class GpxTable(schema: org.apache.spark.sql.types.StructType, files: Seq[String],
+    opts: GdalOptions, format: FeatureFormat)
+  extends FeatureTable("gpx", schema, files, opts, format)
+  with org.apache.spark.sql.connector.catalog.SupportsWrite {
+  import org.apache.spark.sql.connector.catalog.TableCapability
+  override def capabilities(): java.util.Set[TableCapability] =
+    java.util.EnumSet.of(TableCapability.BATCH_READ, TableCapability.BATCH_WRITE,
+      TableCapability.TRUNCATE)
+  override def newWriteBuilder(
+      info: org.apache.spark.sql.connector.write.LogicalWriteInfo)
+    : org.apache.spark.sql.connector.write.WriteBuilder = new GpxWriteBuilder(info)
 }

@@ -95,6 +95,22 @@ class BboxSpec extends AnyFunSuite {
       full.select("fid", "name").collect().map(r => (r.getLong(0), r.getString(1))).toSet)
   }
 
+  test("fgb bbox over a multi-file directory: per-file prune + per-file index") {
+    // 3 part files, each with its own R-tree and envelope; the bbox read
+    // must union per-file candidates and envelope-prune files that miss
+    val out = Files.createTempDirectory("graft_bbox_multi_").toString
+    spark.read.format("shapefile").load(s"$fixtures/stations.shp")
+      .repartition(3).write.format("flatgeobuf").mode("overwrite").save(out)
+    assert(new java.io.File(out).listFiles().count(_.getName.endsWith(".fgb")) === 3)
+    val full = spark.read.format("flatgeobuf").load(out)
+    assert(full.count() === 86)
+    val filtered = spark.read.format("flatgeobuf").option("bbox", dcBox).load(out)
+    assert(filtered.count() === 19)
+    assert(filtered.select("name").collect().map(_.getString(0)).sorted.toSeq ===
+      spark.read.format("flatgeobuf").option("bbox", dcBox).load(fgbDir)
+        .select("name").collect().map(_.getString(0)).sorted.toSeq)
+  }
+
   test("fgb without geometry keeps the index-less layout and still reads") {
     val s = spark; import s.implicits._
     val out = Files.createTempDirectory("graft_bbox_nulls_").toString

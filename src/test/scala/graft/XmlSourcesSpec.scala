@@ -105,6 +105,38 @@ class XmlSourcesSpec extends AnyFunSuite {
     assert(e.getMessage.contains("no layer 'bogus'"))
   }
 
+  test("gpx write -> read round trip (waypoints layer)") {
+    val s = spark; import s.implicits._
+    graft.functions.GraftFunctions.register(spark)
+    val df = Seq(
+      (12.5, "Summit & back", "POINT (11.1 47.2)"),
+      (3.25, "Trailhead", "POINT (11.05 47.18)"))
+      .toDF("ele", "name", "wkt")
+      .withColumn("geometry", org.apache.spark.sql.functions.expr("st_geomfromwkt(wkt)"))
+      .drop("wkt")
+    val out = java.nio.file.Files.createTempDirectory("graft_gpxw_").toString
+    df.coalesce(1).write.format("gpx").mode("overwrite").save(out)
+    val back = spark.read.format("gpx").load(out) // waypoints is the default layer
+    assert(back.count() === 2)
+    val got = back.selectExpr("name", "ele", "st_aswkt(geometry)")
+      .collect().map(r => (r.getString(0), r.getDouble(1), r.getString(2))).sortBy(_._1)
+    assert(got.toSeq === Seq(
+      ("Summit & back", 12.5, "POINT (11.1 47.2)"),
+      ("Trailhead", 3.25, "POINT (11.05 47.18)")))
+    // non-point geometry errors loudly (GPX waypoints are points)
+    val bad = Seq(("x", "LINESTRING (0 0, 1 1)")).toDF("name", "wkt")
+      .withColumn("geometry", org.apache.spark.sql.functions.expr("st_geomfromwkt(wkt)"))
+      .drop("wkt")
+    val e = intercept[Exception] {
+      bad.coalesce(1).write.format("gpx").mode("overwrite")
+        .save(java.nio.file.Files.createTempDirectory("graft_gpxbad_").toString)
+    }
+    def chain(t: Throwable): Seq[Throwable] =
+      Iterator.iterate(t)(_.getCause).takeWhile(_ != null).take(8).toSeq
+    assert(chain(e).exists(c => c.getMessage != null &&
+      c.getMessage.contains("requires Point geometry")))
+  }
+
   test("kml write -> read round trip across geometry types") {
     val s = spark; import s.implicits._
     graft.functions.GraftFunctions.register(spark)
