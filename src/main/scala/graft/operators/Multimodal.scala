@@ -91,9 +91,11 @@ object Multimodal {
     * has no codec for the payload. */
   def imageFeature(bytes: Array[Byte]): Option[Array[Float]] = {
     if (bytes == null || bytes.length < 8) return None
+    // NonFatal, not just IOException: corrupt payloads can throw
+    // CMMException/ArrayIndexOutOfBounds from inside the JDK decoders
     try Option(javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes)))
       .map(luminanceHistogram(_))
-    catch { case _: java.io.IOException => None }
+    catch { case scala.util.control.NonFatal(_) => None }
   }
 
   /** STUB DECODER — deterministic fake for NON-IMAGE payloads only (audio/
@@ -153,8 +155,10 @@ object Multimodal {
       it.map { r =>
         val bytes = Option(r.getAs[Array[Byte]]("content")).getOrElse(Array.emptyByteArray)
         val decoded =
+          // route-don't-drop: malformed images can throw RuntimeExceptions
+          // (CMMException on corrupt ICC profiles etc.), not just IOException
           try Option(javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes)))
-          catch { case _: java.io.IOException => None }
+          catch { case scala.util.control.NonFatal(_) => None }
         decoded match {
           case Some(img) =>
             val small = resizeImage(img, maxDim)

@@ -40,6 +40,12 @@ trait FeatureFormat extends Serializable {
   def openSplit(spec: SplitSpec, opts: GdalOptions): FeatureIterator =
     if (spec.startRecord == 0L && spec.numRecords == -1L) open(spec.path, opts)
     else throw new UnsupportedOperationException(s"$this cannot open ranged split $spec")
+
+  /** True when the format fully enforces `opts.bbox` itself (native index
+    * or in-parser envelope test on every path). The generic reader then
+    * skips its per-row WKB-decode re-check — index-less formats leave
+    * this false and get the filter applied by `FeaturePartitionReader`. */
+  def handlesBbox: Boolean = false
 }
 
 /** Append-a-layer support for the file-per-partition writers (reference
@@ -92,6 +98,6 @@ object FeatureFormat {
     } else Seq(f.getAbsolutePath)
   }
 
-  private def stripScheme(p: String): String =
+  private[sources] def stripScheme(p: String): String =
     if (p.startsWith("file:")) new java.net.URI(p).getPath else p
 }

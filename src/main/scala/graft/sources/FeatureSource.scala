@@ -55,6 +55,28 @@ abstract class FeatureSourceProvider extends TableProvider with DataSourceRegist
   }
 }
 
+/** Base for providers whose tables also support writes. Resolves BOTH the
+  * single `path` and the multi-path `paths` read forms (DataFrameReader
+  * `.load(a, b, …)` arrives as a `paths` JSON array, not `path`) while
+  * tolerating not-yet-existing write targets. Formats only supply their
+  * table constructor — the previous per-format copies of this logic had
+  * each regressed to `path`-only, silently planning zero files for
+  * multi-path loads. */
+abstract class WritableFeatureSourceProvider extends FeatureSourceProvider {
+  protected def newTable(schema: StructType, files: Seq[String], opts: GdalOptions): Table
+
+  override def getTable(schema: StructType, partitioning: Array[Transform],
+      properties: util.Map[String, String]): Table = {
+    val cis = new CaseInsensitiveStringMap(properties)
+    val files = pathsOf(cis).flatMap { p =>
+      if (new java.io.File(FeatureFormat.stripScheme(p)).exists())
+        FeatureFormat.expand(Seq(p), format)
+      else Seq(p) // write target may not exist yet
+    }
+    newTable(schema, files, GdalOptions(cis))
+  }
+}
+
 class FeatureTable(
     source: String,
     tableSchema: StructType,
@@ -156,13 +178,18 @@ class FeaturePartitionReader(
   private val converter = new RowConverter(schema, opts)
   private val underlying = format.openSplit(split, opts)
   // The bbox contract holds on EVERY format: formats with a native index
-  // (FGB R-tree, shapefile boxes) already pruned upstream — for them this
-  // re-check is a cheap envelope test on survivors — while index-less
-  // formats (geojson, csvgeo, kml, …) get the filter enforced here
-  // instead of silently ignoring the option. GDAL semantics: features
-  // without geometry never match a spatial filter.
+  // (FGB R-tree, shapefile boxes) enforce it in their own readers and
+  // declare handlesBbox, so they skip this re-check (it would decode WKB
+  // per row just to re-test an envelope the index already tested) —
+  // index-less formats (geojson, csvgeo, kml, …) get the filter enforced
+  // here instead of silently ignoring the option. Applied BEFORE
+  // windowing: GDAL sets the spatial filter on the layer, so
+  // offset/limit/maxFeatures count filtered features (reference
+  // src/lib.rs:316-319 + 360-375 composition). Features without geometry
+  // never match a spatial filter.
   private val boxed = opts.bbox match {
     case None => underlying
+    case Some(_) if format.handlesBbox => underlying
     case Some(q) => underlying.filter { f =>
       f.geomWkb != null && {
         val e = graft.geom.GeomCodec.fromWkb(f.geomWkb).getEnvelopeInternal

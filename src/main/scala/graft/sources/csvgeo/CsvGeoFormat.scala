@@ -90,21 +90,12 @@ class CsvGeoFormat extends FeatureFormat {
 }
 
 /** `spark.read.format("csvgeo")` / `df.write.format("csvgeo")` */
-class CsvGeoSourceProvider extends FeatureSourceProvider {
+class CsvGeoSourceProvider extends WritableFeatureSourceProvider {
   override def shortName(): String = "csvgeo"
   override def format: FeatureFormat = new CsvGeoFormat
-
-  override def getTable(schema: org.apache.spark.sql.types.StructType,
-      partitioning: Array[org.apache.spark.sql.connector.expressions.Transform],
-      properties: java.util.Map[String, String]): org.apache.spark.sql.connector.catalog.Table = {
-    val opts = GdalOptions.from(scala.jdk.CollectionConverters.MapHasAsScala(properties).asScala.toMap)
-    val paths = Option(properties.get("path")).toSeq
-    val files =
-      if (paths.nonEmpty && new java.io.File(paths.head).exists())
-        FeatureFormat.expand(paths, format)
-      else paths
+  protected override def newTable(schema: org.apache.spark.sql.types.StructType,
+      files: Seq[String], opts: GdalOptions): org.apache.spark.sql.connector.catalog.Table =
     new CsvGeoTable(schema, files, opts, format)
-  }
 }
 
 class CsvGeoTable(schema: org.apache.spark.sql.types.StructType, files: Seq[String],

@@ -19,6 +19,7 @@ import graft.sources._
   * in the file, matching GDAL's spatial-filter semantics. */
 class FgbFormat extends FeatureFormat {
   override def extensions: Seq[String] = Seq(".fgb")
+  override def handlesBbox: Boolean = true // index splits or streamed envelope test
 
   /** (header, absolute byte offset of the features section). */
   private def headerInfo(path: String): (FgbCodec.FgbHeader, Long) = {
@@ -168,21 +169,12 @@ class FgbFormat extends FeatureFormat {
   }
 }
 
-class FgbSourceProvider extends FeatureSourceProvider {
+class FgbSourceProvider extends WritableFeatureSourceProvider {
   override def shortName(): String = "flatgeobuf"
   override def format: FeatureFormat = new FgbFormat
-
-  override def getTable(schema: org.apache.spark.sql.types.StructType,
-      partitioning: Array[org.apache.spark.sql.connector.expressions.Transform],
-      properties: java.util.Map[String, String]): org.apache.spark.sql.connector.catalog.Table = {
-    val opts = GdalOptions.from(scala.jdk.CollectionConverters.MapHasAsScala(properties).asScala.toMap)
-    val paths = Option(properties.get("path")).toSeq
-    val files =
-      if (paths.nonEmpty && new java.io.File(paths.head).exists())
-        FeatureFormat.expand(paths, format)
-      else paths
+  protected override def newTable(schema: org.apache.spark.sql.types.StructType,
+      files: Seq[String], opts: GdalOptions): org.apache.spark.sql.connector.catalog.Table =
     new FgbTable(schema, files, opts, format)
-  }
 }
 
 class FgbTable(schema: org.apache.spark.sql.types.StructType, files: Seq[String],

@@ -62,21 +62,12 @@ object GeoJsonSeqFormat {
 
 /** `spark.read/write.format("geojsonseq")` — write emits one Feature per
   * line (reusing the FeatureCollection serializer's feature writer). */
-class GeoJsonSeqSourceProvider extends FeatureSourceProvider {
+class GeoJsonSeqSourceProvider extends WritableFeatureSourceProvider {
   override def shortName(): String = "geojsonseq"
   override def format: FeatureFormat = new GeoJsonSeqFormat
-
-  override def getTable(schema: org.apache.spark.sql.types.StructType,
-      partitioning: Array[org.apache.spark.sql.connector.expressions.Transform],
-      properties: java.util.Map[String, String]): org.apache.spark.sql.connector.catalog.Table = {
-    val opts = GdalOptions.from(scala.jdk.CollectionConverters.MapHasAsScala(properties).asScala.toMap)
-    val paths = Option(properties.get("path")).toSeq
-    val files =
-      if (paths.nonEmpty && new java.io.File(paths.head).exists())
-        FeatureFormat.expand(paths, format)
-      else paths
+  protected override def newTable(schema: org.apache.spark.sql.types.StructType,
+      files: Seq[String], opts: GdalOptions): org.apache.spark.sql.connector.catalog.Table =
     new GeoJsonSeqTable(schema, files, opts, format)
-  }
 }
 
 class GeoJsonSeqTable(schema: org.apache.spark.sql.types.StructType, files: Seq[String],

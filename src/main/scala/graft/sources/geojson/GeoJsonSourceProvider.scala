@@ -13,20 +13,11 @@ import graft.sources._
 
 /** `spark.read.format("geojson")` / `df.write.format("geojson")` (S1 + W3,
   * reference src/lib.rs:294-312, 629-642). */
-class GeoJsonSourceProvider extends FeatureSourceProvider {
+class GeoJsonSourceProvider extends WritableFeatureSourceProvider {
   override def shortName(): String = "geojson"
   override def format: FeatureFormat = new GeoJsonFormat
-
-  override def getTable(schema: StructType, partitioning: Array[Transform],
-      properties: util.Map[String, String]): Table = {
-    val opts = GdalOptions.from(properties.asScala.toMap)
-    val paths = Option(properties.get("path")).toSeq
-    val files =
-      if (paths.nonEmpty && new java.io.File(paths.head).exists())
-        FeatureFormat.expand(paths, format)
-      else paths // write target may not exist yet
-    new GeoJsonTable(schema, files, opts, format)
-  }
+  protected override def newTable(schema: StructType, files: Seq[String],
+      opts: GdalOptions): Table = new GeoJsonTable(schema, files, opts, format)
 }
 
 class GeoJsonTable(schema: StructType, files: Seq[String], opts: GdalOptions,

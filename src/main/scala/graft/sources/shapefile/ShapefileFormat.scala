@@ -14,6 +14,7 @@ import graft.sources._
   */
 class ShapefileFormat extends FeatureFormat {
   override def extensions: Seq[String] = Seq(".shp", ".shp.zip", ".zip")
+  override def handlesBbox: Boolean = true // record-box skip on every path
 
   override def open(path: String, opts: GdalOptions): FeatureIterator =
     openRange(path, 0L, -1L, bbox = opts.bbox)
@@ -105,21 +106,12 @@ class ShapefileFormat extends FeatureFormat {
 }
 
 /** `spark.read.format("shapefile")` / `df.write.format("shapefile")` */
-class ShapefileSourceProvider extends FeatureSourceProvider {
+class ShapefileSourceProvider extends WritableFeatureSourceProvider {
   override def shortName(): String = "shapefile"
   override def format: FeatureFormat = new ShapefileFormat
-
-  override def getTable(schema: org.apache.spark.sql.types.StructType,
-      partitioning: Array[org.apache.spark.sql.connector.expressions.Transform],
-      properties: java.util.Map[String, String]): org.apache.spark.sql.connector.catalog.Table = {
-    val opts = GdalOptions.from(scala.jdk.CollectionConverters.MapHasAsScala(properties).asScala.toMap)
-    val paths = Option(properties.get("path")).toSeq
-    val files =
-      if (paths.nonEmpty && new java.io.File(paths.head).exists())
-        FeatureFormat.expand(paths, format)
-      else paths
+  protected override def newTable(schema: org.apache.spark.sql.types.StructType,
+      files: Seq[String], opts: GdalOptions): org.apache.spark.sql.connector.catalog.Table =
     new ShapefileTable(schema, files, opts, format)
-  }
 }
 
 class ShapefileTable(schema: org.apache.spark.sql.types.StructType, files: Seq[String],

@@ -24,6 +24,15 @@ final class ShpWriter(basePath: String, fields: Seq[Dbf.Field],
   // explicit layer type (reference WriteParams.geometry_type) or 0 =
   // resolved from the first non-null geometry (src/lib.rs:529-540)
   private var shapeType = forcedShapeType
+
+  /** Record type must match the layer type once resolved — a mismatched
+    * forced type would otherwise write a header that contradicts every
+    * record, i.e. a silently corrupt file. */
+  private def claimType(typ: Int): Unit =
+    if (shapeType == 0) shapeType = typ
+    else if (shapeType != typ) throw new IllegalArgumentException(
+      s"shapefile layer is type $shapeType but geometry encodes as type $typ — " +
+        "geometryType option and data disagree")
   private var minX = Double.MaxValue; private var minY = Double.MaxValue
   private var maxX = Double.MinValue; private var maxY = Double.MinValue
 
@@ -58,12 +67,12 @@ final class ShpWriter(basePath: String, fields: Seq[Dbf.Field],
     maxX = math.max(maxX, env.getMaxX); maxY = math.max(maxY, env.getMaxY)
     geom match {
       case p: Point =>
-        if (shapeType == 0) shapeType = 1
+        claimType(1)
         val b = ByteBuffer.allocate(20).order(ByteOrder.LITTLE_ENDIAN)
         b.putInt(1).putDouble(p.getX).putDouble(p.getY)
         b.array()
       case mp: MultiPoint =>
-        if (shapeType == 0) shapeType = 8
+        claimType(8)
         val n = mp.getNumGeometries
         val b = ByteBuffer.allocate(4 + 32 + 4 + 16 * n).order(ByteOrder.LITTLE_ENDIAN)
         b.putInt(8)
@@ -99,7 +108,7 @@ final class ShpWriter(basePath: String, fields: Seq[Dbf.Field],
 
   private def encodeParts(typ: Int, env: Envelope,
       parts: Array[Array[Coordinate]]): Array[Byte] = {
-    if (shapeType == 0) shapeType = typ
+    claimType(typ)
     val nPoints = parts.map(_.length).sum
     val b = ByteBuffer.allocate(4 + 32 + 8 + 4 * parts.length + 16 * nPoints)
       .order(ByteOrder.LITTLE_ENDIAN)

@@ -76,10 +76,16 @@ class SpatiaLiteDataWriter(file: File, schema: StructType, opts: GdalOptions)
 
   private val rows = scala.collection.mutable.ArrayBuffer.empty[Seq[Any]]
   private var firstGeomClass = 0
-  // reference WriteParams.srs (src/lib.rs:106): "EPSG:nnnn" or a bare
-  // srid number; SpatiaLite stores the integer srid
-  private val srid = opts.srs.map(_.trim.toUpperCase.stripPrefix("EPSG:").toInt)
-    .getOrElse(4326)
+  // reference WriteParams.srs (src/lib.rs:106): SpatiaLite stores an
+  // integer srid, so only "EPSG:nnnn" or a bare number is representable —
+  // raw WKT (valid for .prj-based formats) fails loudly here
+  private val srid = opts.srs.map { s =>
+    val t = s.trim.toUpperCase.stripPrefix("EPSG:")
+    try t.toInt catch {
+      case _: NumberFormatException => throw new IllegalArgumentException(
+        s"spatialite srs must be 'EPSG:nnnn' or an integer srid, got '$s'")
+    }
+  }.getOrElse(4326)
 
   override def write(row: InternalRow): Unit = {
     val geomBlob: Array[Byte] =

@@ -182,21 +182,12 @@ class GpxFormat extends FeatureFormat {
   }
 }
 
-class GpxSourceProvider extends FeatureSourceProvider {
+class GpxSourceProvider extends WritableFeatureSourceProvider {
   override def format: FeatureFormat = new GpxFormat
   override def shortName(): String = "gpx"
-
-  override def getTable(schema: org.apache.spark.sql.types.StructType,
-      partitioning: Array[org.apache.spark.sql.connector.expressions.Transform],
-      properties: java.util.Map[String, String]): org.apache.spark.sql.connector.catalog.Table = {
-    val opts = GdalOptions.from(scala.jdk.CollectionConverters.MapHasAsScala(properties).asScala.toMap)
-    val paths = Option(properties.get("path")).toSeq
-    val files =
-      if (paths.nonEmpty && new java.io.File(paths.head).exists())
-        FeatureFormat.expand(paths, format)
-      else paths
+  protected override def newTable(schema: org.apache.spark.sql.types.StructType,
+      files: Seq[String], opts: GdalOptions): org.apache.spark.sql.connector.catalog.Table =
     new GpxTable(schema, files, opts, format)
-  }
 }
 
 class GpxTable(schema: org.apache.spark.sql.types.StructType, files: Seq[String],

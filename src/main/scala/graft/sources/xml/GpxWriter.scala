@@ -103,8 +103,11 @@ class GpxDataWriter(file: File, schema: StructType, opts: GdalOptions)
         }
       }
       out.write("</wpt>\n")
+      // only written waypoints count toward the commit total: GPX has no
+      // geometry-less waypoint, so an all-null-geometry frame raises
+      // EmptyDataframe instead of "succeeding" with an empty file
+      n += 1
     }
-    n += 1
   }
   override def commit(): WriterCommitMessage = {
     out.write("</gpx>\n")

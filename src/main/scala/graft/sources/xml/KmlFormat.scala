@@ -138,21 +138,12 @@ class KmlFormat extends FeatureFormat {
     if (cs.nonEmpty && cs.head != cs.last) cs :+ cs.head.copy() else cs
 }
 
-class KmlSourceProvider extends FeatureSourceProvider {
+class KmlSourceProvider extends WritableFeatureSourceProvider {
   override def format: FeatureFormat = new KmlFormat
   override def shortName(): String = "kml"
-
-  override def getTable(schema: org.apache.spark.sql.types.StructType,
-      partitioning: Array[org.apache.spark.sql.connector.expressions.Transform],
-      properties: java.util.Map[String, String]): org.apache.spark.sql.connector.catalog.Table = {
-    val opts = GdalOptions.from(scala.jdk.CollectionConverters.MapHasAsScala(properties).asScala.toMap)
-    val paths = Option(properties.get("path")).toSeq
-    val files =
-      if (paths.nonEmpty && new java.io.File(paths.head).exists())
-        FeatureFormat.expand(paths, format)
-      else paths
+  protected override def newTable(schema: org.apache.spark.sql.types.StructType,
+      files: Seq[String], opts: GdalOptions): org.apache.spark.sql.connector.catalog.Table =
     new KmlTable(schema, files, opts, format)
-  }
 }
 
 class KmlTable(schema: org.apache.spark.sql.types.StructType, files: Seq[String],

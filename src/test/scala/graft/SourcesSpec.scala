@@ -283,6 +283,32 @@ class SourcesSpec extends AnyFunSuite {
       shp.select("name").collect().map(_.getString(0)).sorted.toSeq)
   }
 
+  test("multi-path load works on writable providers (path + paths forms)") {
+    // DataFrameReader.load(a, b) arrives as a 'paths' JSON array — the
+    // per-format getTable overrides used to read only 'path' and silently
+    // planned zero files
+    val one = s"$fixtures/us_states.feature_collection.implicit_4326.json"
+    val two = spark.read.format("geojson").load(one, one)
+    assert(two.count() === 102)
+    val shp2 = spark.read.format("shapefile")
+      .load(s"$fixtures/stations.shp", s"$fixtures/stations.shp")
+    assert(shp2.count() === 172)
+  }
+
+  test("shapefile geometryType mismatch fails loudly instead of corrupting the file") {
+    val out = java.nio.file.Files.createTempDirectory("graft_shpmis_").toString
+    val e = intercept[Exception] {
+      spark.read.format("shapefile").load(s"$fixtures/stations.shp") // points
+        .coalesce(1).write.format("shapefile").mode("overwrite")
+        .option("geometryType", "polygon")
+        .save(out)
+    }
+    def chain(t: Throwable): Seq[Throwable] =
+      Iterator.iterate(t)(_.getCause).takeWhile(_ != null).take(8).toSeq
+    assert(chain(e).exists(c => c.getMessage != null &&
+      c.getMessage.contains("geometryType option and data disagree")))
+  }
+
   test("gdal_bytes_from_df parity: flatgeobuf and spatialite bytes round-trip") {
     val shp = spark.read.format("shapefile").load(s"$fixtures/stations.shp").limit(7)
 
