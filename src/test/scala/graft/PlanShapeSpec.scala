@@ -82,6 +82,18 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(p.contains("BroadcastHashJoin") || p.contains("BroadcastExchange"), p)
   }
 
+  test("q61 pipeline composes without a cartesian product, eval set broadcast") {
+    val p = planOf("q61_corpus_pipeline")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoop"), p)
+    assert(p.contains("BroadcastHashJoin") || p.contains("BroadcastExchange"), p)
+  }
+
+  test("gdal_read_fgb_bbox pushes the box into the scan via the optimizer rule") {
+    val df = SparkEntry.queries("gdal_read_fgb_bbox")(spark, dir)
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("bbox=[-77.05"), p)
+  }
+
   test("q59 sequence packing windows per source shard, not globally") {
     val df = SparkEntry.queries("q59_pack_sequences")(spark, dir)
     val p = df.queryExecution.executedPlan.toString
