@@ -19,7 +19,8 @@ object SparkEntry {
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     Relational.queries ++ Events.queries ++ Dedup.queries ++
       Similarity.queries ++ TextAnalysis.queries ++ Extras.queries ++
-      Sampling.queries ++ Pipeline.queries ++ GdalQueries.queries
+      Sampling.queries ++ Pipeline.queries ++ Corpus.queries ++
+      GdalQueries.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted keys (LSH/simhash/ANN) get the
@@ -27,5 +28,6 @@ object SparkEntry {
   def oracleSql: Map[String, String] =
     Relational.oracle ++ Events.oracle ++ Dedup.oracle ++
       Similarity.oracle ++ TextAnalysis.oracle ++ Extras.oracle ++
-      Sampling.oracle ++ Pipeline.oracle
+      Sampling.oracle ++ Pipeline.oracle ++ Corpus.oracle ++
+      GdalQueries.oracle
 }

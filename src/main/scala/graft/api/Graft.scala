@@ -267,6 +267,23 @@ object Graft {
     b.join(s, Seq(key, "__salt")).drop("__salt")
   }
 
+  // ------------------------------------------------------------ bucketing
+
+  /** Bucketed table write — the co-located-join primitive: rows are
+    * hash-partitioned into `buckets` files per partition ON WRITE and
+    * sorted within each bucket, so every later equi-join or aggregation
+    * on `key` between same-bucket-count tables runs with NO shuffle (and
+    * with the sort pre-done). At 100 TB this converts the recurring
+    * fact-fact join shuffle — the single most expensive stage in a daily
+    * pipeline — into a one-time write cost. BucketedJoinSpec pins the
+    * no-Exchange plan shape. */
+  def writeBucketed(df: DataFrame, table: String, key: String, buckets: Int,
+      path: Option[String] = None): Unit = {
+    val w = df.write.format("parquet").mode("overwrite")
+      .bucketBy(buckets, key).sortBy(key)
+    path.fold(w)(p => w.option("path", p)).saveAsTable(table)
+  }
+
   // ------------------------------------------------------------ text
 
   /** Adds n_tokens / n_punct / n_stop / char_len / stop_ratio /
@@ -344,6 +361,84 @@ object Graft {
       .withColumn("seq_id", expr(s"__cum div $budget"))
       .drop("__cum")
   }
+
+  /** Overlapping fixed-size character chunking (q62) — the
+    * context-window splitter every RAG/pretraining pipeline needs. Chunk i
+    * of a doc covers 1-based [i·stride + 1, i·stride + chunkSize], stride =
+    * chunkSize − overlap; every doc with text yields ⌊(len−1)/stride⌋ + 1
+    * chunks, so the final chunk may be short but no character is dropped.
+    * Pure per-row explode+projection: no shuffle, linear in output size. */
+  def chunkDocs(df: DataFrame, textCol: String, idCol: String,
+      chunkSize: Int = 500, overlap: Int = 100): DataFrame = {
+    require(chunkSize > 0 && overlap >= 0 && overlap < chunkSize,
+      s"need 0 <= overlap < chunkSize, got chunkSize=$chunkSize overlap=$overlap")
+    val stride = (chunkSize - overlap).toLong
+    df.withColumn("__len", length(col(textCol)).cast(LongType))
+      .filter(col("__len") > 0)
+      .withColumn("chunk_id",
+        explode(expr(s"sequence(cast(0 as bigint), (__len - 1) div $stride)")))
+      .withColumn("chunk_start", col("chunk_id") * lit(stride) + lit(1L))
+      .withColumn("chunk",
+        expr(s"substr(`$textCol`, cast(chunk_start as int), $chunkSize)"))
+      .withColumn("chunk_len", length(col("chunk")).cast(LongType))
+      .drop("__len")
+  }
+
+  /** Token-frequency vocabulary (q63): lowercase alnum tokens, global
+    * counts, deterministic top-k (count desc, token asc). The top-k is a
+    * TakeOrderedAndProject over a partial+final count agg — one shuffle on
+    * the token, never a global sort, so it holds at any corpus size. */
+  def vocabulary(df: DataFrame, textCol: String, topK: Int = 1000): DataFrame =
+    df.select(explode(split(lower(col(textCol)), "[^a-z0-9]+")).as("token"))
+      .filter(col("token") =!= "")
+      .groupBy(col("token")).agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("token"))
+      .limit(topK)
+
+  /** Per-group quota (q64) — the CommonCrawl-style "at most k documents
+    * per domain/source" cap, keeping the best rows by `order` with a
+    * deterministic tie-break. One shuffle on the group key; the window
+    * never materializes more than a group per task. For a pathologically
+    * hot group at 100 TB, pre-aggregate with a salted partial top-k first
+    * (same remedy as saltedJoin). */
+  def capPerGroup(df: DataFrame, groupCol: String, order: Seq[Column],
+      k: Int): DataFrame = {
+    val w = Window.partitionBy(col(groupCol)).orderBy(order: _*)
+    df.withColumn("rk", row_number().over(w).cast(LongType))
+      .filter(col("rk") <= k)
+  }
+
+  /** Exact k-per-stratum deterministic sample (q65): rows are ranked
+    * inside each stratum by the cross-engine md5 hash of their id (63-bit
+    * mask keeps signed/unsigned order identical between engines, ties
+    * broken by id) and the first k are kept. Unlike fraction-based
+    * sampling this yields EXACTLY k rows per stratum, yet stays
+    * deterministic under repartitioning/retries — no RNG state. One
+    * shuffle on the stratum key. */
+  def stratifiedSample(df: DataFrame, strataCol: String, idCol: String,
+      k: Int): DataFrame = {
+    graft.functions.GraftFunctions.register(df.sparkSession)
+    val h = call_function("md5_lower64", col(idCol).cast(StringType))
+      .bitwiseAND(lit(0x7FFFFFFFFFFFFFFFL))
+    val w = Window.partitionBy(col(strataCol)).orderBy(h, col(idCol))
+    df.withColumn("rk", row_number().over(w).cast(LongType))
+      .filter(col("rk") <= k)
+  }
+
+  /** Per-vector int8 scalar quantization (q67): codes_i =
+    * ⌊v_i · 127/max|v| + ½⌋ — the storage layout ANN systems ship to disk
+    * (4× smaller than float32, 127 ⇒ symmetric range, max|v| stored per
+    * vector for dequantization). Pure projection. Doubles throughout so
+    * the arithmetic is bit-identical cross-engine; all-zero vectors get
+    * scale 0 and all-zero codes rather than NaN. */
+  def quantizeInt8(df: DataFrame, vecCol: String): DataFrame =
+    df.withColumn("__v", expr(s"transform(`$vecCol`, x -> cast(x as double))"))
+      .withColumn("maxabs",
+        expr("aggregate(__v, cast(0.0 as double), (a, x) -> greatest(a, abs(x)))"))
+      .withColumn("codes", expr(
+        "transform(__v, x -> cast(floor(case when maxabs = 0.0 then 0.0 " +
+          "else x * 127.0 / maxabs + 0.5 end) as bigint))"))
+      .drop("__v")
 
   // ------------------------------------------------------------ sampling
 

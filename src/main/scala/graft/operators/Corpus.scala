@@ -1,0 +1,219 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import Util._
+
+/** Round-4 corpus-preparation operators: chunking, vocabulary building,
+  * per-source quotas, stratified sampling, cross-doc repeated n-grams
+  * (the exact-substring-dedup signal of Lee et al. 2022, "Deduplicating
+  * Training Data Makes Language Models Better"), and int8 embedding
+  * quantization. Every entry is hash-checked against a DuckDB oracle;
+  * cross-engine exactness follows the Util policy (BIGINT casts, integer
+  * division, identical double expression shapes, 63-bit-masked md5 rank).
+  */
+object Corpus {
+
+  val queries: Map[String, Q] = Map(
+    // ---- q62: overlapping character chunking (500/100) — RAG/pretrain
+    // context-window splitter. Chunk content pinned via md5 so the output
+    // stays compact while hash-checking every byte of every chunk. ----
+    "q62_chunk_docs" -> ((s, dir) => {
+      graft.api.Graft.chunkDocs(t(s, dir, "documents"), "text", "doc_id", 500, 100)
+        .select(col("doc_id"), col("chunk_id"), col("chunk_start"),
+          col("chunk_len"), md5(col("chunk")).as("chunk_md5"))
+        .orderBy(col("doc_id"), col("chunk_id"))
+    }),
+
+    // ---- q63: token-frequency vocabulary, deterministic global top-1000.
+    // Partial+final count agg on the token, TakeOrderedAndProject top-k —
+    // no global sort at any corpus size. ----
+    "q63_vocab_topk" -> ((s, dir) =>
+      graft.api.Graft.vocabulary(t(s, dir, "documents"), "text", 1000)),
+
+    // ---- q64: per-source document cap — keep the 50 longest docs per
+    // source (ties by doc_id), the per-domain quota of web-corpus
+    // curation. ----
+    "q64_source_cap" -> ((s, dir) => {
+      graft.api.Graft.capPerGroup(t(s, dir, "documents"), "source",
+          Seq(col("n_chars").desc, col("doc_id")), 50)
+        .select(col("source"), col("doc_id"), col("n_chars").cast(LongType).as("n_chars"),
+          col("rk"))
+        .orderBy(col("source"), col("rk"))
+    }),
+
+    // ---- q65: exact 25-per-language stratified sample, deterministic by
+    // cross-engine md5 rank (not RNG) — stable under repartition/retry. ----
+    "q65_stratified_sample" -> ((s, dir) => {
+      graft.api.Graft.stratifiedSample(t(s, dir, "documents"), "lang", "doc_id", 25)
+        .select(col("lang"), col("doc_id"), col("rk"))
+        .orderBy(col("lang"), col("rk"))
+    }),
+
+    // ---- q66: cross-document repeated word 8-grams — the detection half
+    // of exact-substring dedup (Lee et al. 2022): any 8-gram appearing in
+    // ≥ 2 documents marks a repeated span a substring-dedup pass would
+    // cut. One shuffle on the shingle; per-row shingling is the codegen'd
+    // shingle_set kernel, and the agg is partial+final (hot shingles
+    // combine map-side). ----
+    "q66_common_ngrams" -> ((s, dir) => {
+      val sh = graft.api.Graft.shingles(t(s, dir, "documents"), "text", "doc_id", 8)
+      sh.groupBy(col("s"))
+        .agg(count(lit(1)).as("n_docs"), // shingles are per-doc distinct
+          min(col("__id")).as("first_doc"), max(col("__id")).as("last_doc"))
+        .filter(col("n_docs") >= 2)
+        .orderBy(col("s"))
+    }),
+
+    // ---- q67: int8 scalar quantization of the embedding table — per-
+    // vector scale + exact integer invariants of the code array (sum, L1,
+    // saturation count). Integer outputs make the lossy compression
+    // hash-checkable. ----
+    "q67_quantize_int8" -> ((s, dir) => {
+      graft.api.Graft.quantizeInt8(t(s, dir, "embeddings"), "embedding")
+        .select(col("vec_id"),
+          round(col("maxabs"), 6).as("maxabs"),
+          expr("aggregate(codes, cast(0 as bigint), (a, x) -> a + x)").as("code_sum"),
+          expr("aggregate(codes, cast(0 as bigint), (a, x) -> a + abs(x))").as("code_l1"),
+          expr("aggregate(codes, cast(0 as bigint), (a, x) -> a + cast(x = 127 as bigint))")
+            .as("n_sat"))
+        .orderBy(col("vec_id"))
+    }),
+
+    // ---- q69: TF-IDF top-3 terms per document — the classic keyword
+    // extractor. tf and df are one shuffle each on the token; N rides the
+    // plan as a broadcast 1-row aggregate (no driver-side count), the
+    // top-3 is a per-doc window. Scores are ranked RAW (tf·ln(N/df),
+    // identical doubles both engines) and only rounded for output. ----
+    "q69_tfidf" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val toks = docs
+        .select(col("doc_id"), explode(split(lower(col("text")), "[^a-z0-9]+")).as("token"))
+        .filter(col("token") =!= "")
+      val tf = toks.groupBy(col("doc_id"), col("token")).agg(count(lit(1)).as("tf"))
+      val dfreq = tf.groupBy(col("token")).agg(count(lit(1)).as("df"))
+      val total = docs.agg(count(lit(1)).as("n_total"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("doc_id")).orderBy(col("score").desc, col("token"))
+      tf.join(dfreq, "token").crossJoin(broadcast(total))
+        .withColumn("score",
+          col("tf") * log(col("n_total").cast(DoubleType) / col("df").cast(DoubleType)))
+        .withColumn("rk", row_number().over(w).cast(LongType))
+        .filter(col("rk") <= 3)
+        .select(col("doc_id"), col("rk"), col("token"), round(col("score"), 6).as("score"))
+        .orderBy(col("doc_id"), col("rk"))
+    }),
+
+    // ---- q70: per-label embedding centroids — the cluster-profile /
+    // class-prototype aggregation. posexplode → (label, dim) partial+final
+    // agg. Components are quantized to integer micro-units before summing:
+    // integer addition is associative (shuffle-order-proof) AND
+    // cross-engine exact — a decimal cast is NOT, because Spark casts
+    // float→decimal via the shortest decimal string while DuckDB expands
+    // the exact binary value (bit at the 11th digit here). ----
+    "q70_label_centroids" -> ((s, dir) => {
+      t(s, dir, "embeddings")
+        .select(col("label"), posexplode(col("embedding")).as(Seq("pos", "x")))
+        .groupBy(col("label"), col("pos"))
+        .agg(count(lit(1)).as("n"),
+          sum(round(col("x").cast(DoubleType) * lit(1000000.0)).cast(LongType))
+            .as("sum_micro"))
+        .select(col("label"), col("pos").cast(LongType).as("pos"), col("n"),
+          col("sum_micro"),
+          (col("sum_micro").cast(DoubleType) / lit(1000000.0) / col("n")).as("mean"))
+        .orderBy(col("label"), col("pos"))
+    }))
+
+  val oracle: Map[String, String] = Map(
+    "q62_chunk_docs" ->
+      """WITH c AS (SELECT doc_id, text, length(text) AS len
+        |           FROM documents WHERE length(text) > 0)
+        |SELECT doc_id, CAST(i AS BIGINT) AS chunk_id,
+        |       CAST(i * 400 + 1 AS BIGINT) AS chunk_start,
+        |       CAST(length(substr(text, CAST(i * 400 + 1 AS INT), 500)) AS BIGINT) AS chunk_len,
+        |       md5(substr(text, CAST(i * 400 + 1 AS INT), 500)) AS chunk_md5
+        |FROM (SELECT doc_id, text, unnest(generate_series(0, (len - 1) // 400)) AS i FROM c)
+        |ORDER BY doc_id, chunk_id""".stripMargin,
+
+    "q63_vocab_topk" ->
+      """SELECT token, COUNT(*) AS n
+        |FROM (SELECT unnest(string_split_regex(lower(text), '[^a-z0-9]+')) AS token
+        |      FROM documents)
+        |WHERE token <> ''
+        |GROUP BY token ORDER BY n DESC, token LIMIT 1000""".stripMargin,
+
+    "q64_source_cap" ->
+      """SELECT source, doc_id, CAST(n_chars AS BIGINT) AS n_chars, rk
+        |FROM (SELECT source, doc_id, n_chars,
+        |        CAST(ROW_NUMBER() OVER (PARTITION BY source
+        |               ORDER BY n_chars DESC, doc_id) AS BIGINT) AS rk
+        |      FROM documents)
+        |WHERE rk <= 50 ORDER BY source, rk""".stripMargin,
+
+    "q65_stratified_sample" ->
+      """SELECT lang, doc_id, rk
+        |FROM (SELECT lang, doc_id,
+        |        CAST(ROW_NUMBER() OVER (PARTITION BY lang
+        |               ORDER BY (md5_number_lower(CAST(doc_id AS VARCHAR))
+        |                           & 9223372036854775807::UBIGINT), doc_id) AS BIGINT) AS rk
+        |      FROM documents)
+        |WHERE rk <= 25 ORDER BY lang, rk""".stripMargin,
+
+    "q66_common_ngrams" ->
+      """WITH toks AS (
+        |  SELECT doc_id, string_split(trim(text), ' ') AS t FROM documents
+        |), sh AS (
+        |  SELECT DISTINCT doc_id,
+        |    t[i] || '_' || t[i+1] || '_' || t[i+2] || '_' || t[i+3] || '_' ||
+        |    t[i+4] || '_' || t[i+5] || '_' || t[i+6] || '_' || t[i+7] AS s
+        |  FROM (SELECT doc_id, t, unnest(generate_series(1, greatest(len(t) - 7, 0))) AS i
+        |        FROM toks)
+        |)
+        |SELECT s, COUNT(*) AS n_docs, MIN(doc_id) AS first_doc, MAX(doc_id) AS last_doc
+        |FROM sh GROUP BY s HAVING COUNT(*) >= 2 ORDER BY s""".stripMargin,
+
+    "q67_quantize_int8" ->
+      """SELECT vec_id, ROUND(m, 6) AS maxabs,
+        |       CAST(list_sum(codes) AS BIGINT) AS code_sum,
+        |       CAST(list_sum(list_transform(codes, x -> abs(x))) AS BIGINT) AS code_l1,
+        |       CAST(list_sum(list_transform(codes, x -> CAST(x = 127 AS BIGINT))) AS BIGINT) AS n_sat
+        |FROM (SELECT vec_id, m,
+        |        list_transform(v, x -> CAST(floor(CASE WHEN m = 0.0 THEN 0.0
+        |                 ELSE x * 127.0 / m + 0.5 END) AS BIGINT)) AS codes
+        |      FROM (SELECT vec_id, v,
+        |              coalesce(list_max(list_transform(v, x -> abs(x))), 0.0) AS m
+        |            FROM (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+        |                  FROM embeddings)))
+        |ORDER BY vec_id""".stripMargin,
+
+    "q69_tfidf" ->
+      """WITH toks AS (
+        |  SELECT doc_id, unnest(string_split_regex(lower(text), '[^a-z0-9]+')) AS token
+        |  FROM documents
+        |), tf AS (
+        |  SELECT doc_id, token, COUNT(*) AS tf FROM toks WHERE token <> '' GROUP BY 1, 2
+        |), dfreq AS (
+        |  SELECT token, COUNT(*) AS df FROM tf GROUP BY token
+        |), n AS (SELECT COUNT(*) AS n_total FROM documents),
+        |scored AS (
+        |  SELECT doc_id, token,
+        |         tf * ln(CAST(n_total AS DOUBLE) / CAST(df AS DOUBLE)) AS score
+        |  FROM tf JOIN dfreq USING (token) CROSS JOIN n
+        |)
+        |SELECT doc_id, rk, token, ROUND(score, 6) AS score
+        |FROM (SELECT doc_id, token, score,
+        |        CAST(ROW_NUMBER() OVER (PARTITION BY doc_id
+        |               ORDER BY score DESC, token) AS BIGINT) AS rk
+        |      FROM scored)
+        |WHERE rk <= 3 ORDER BY doc_id, rk""".stripMargin,
+
+    "q70_label_centroids" ->
+      """SELECT label, CAST(i - 1 AS BIGINT) AS pos, COUNT(*) AS n,
+        |       CAST(SUM(CAST(round(CAST(embedding[i] AS DOUBLE) * 1000000.0) AS BIGINT)) AS BIGINT) AS sum_micro,
+        |       CAST(SUM(CAST(round(CAST(embedding[i] AS DOUBLE) * 1000000.0) AS BIGINT)) AS DOUBLE) / 1000000.0 / COUNT(*) AS mean
+        |FROM (SELECT label, embedding,
+        |        unnest(generate_series(1, len(embedding))) AS i
+        |      FROM embeddings)
+        |GROUP BY 1, 2 ORDER BY label, pos""".stripMargin
+  )
+}

@@ -49,6 +49,18 @@ object GdalQueries {
         .orderBy(col("code"))
     }),
 
+    // Attribute projection of the GeoJSON read, ORACLE-CHECKED: DuckDB
+    // re-reads the same fixture with read_json and must produce identical
+    // property values — upgrading the source-read path (S1/S3/P1 property
+    // conversion) from rows-only to hash-matched. Geometry columns stay in
+    // the rows-only entries above (DuckDB here has no spatial support).
+    "gdal_read_geojson_attrs" -> ((s, _) => {
+      s.read.format("geojson")
+        .load(s"$fixtures/us_states.feature_collection.implicit_4326.json")
+        .select(col("name"), col("iso_3166_2"), col("postal"))
+        .orderBy(col("name"))
+    }),
+
     "gdal_read_csvgeo" -> ((s, _) => {
       GraftFunctions.register(s)
       s.read.format("csvgeo").load(s"$fixtures/lat_lon_countries.csv")
@@ -101,6 +113,7 @@ object GdalQueries {
         .orderBy(col("cell"))
     }),
 
+
     "gdal_convert_shapefile_to_fgb" -> ((s, _) => {
       GraftFunctions.register(s)
       val out = java.nio.file.Files.createTempDirectory("graft_q_fgb_").toString
@@ -111,4 +124,28 @@ object GdalQueries {
           GraftFunctions.st_aswkt(col("geometry")).as("wkt"))
         .orderBy(col("name"), col("wkt"))
     }))
+
+  /** DuckDB oracles for the source entries whose outputs DuckDB can
+    * reproduce WITHOUT spatial support: it re-reads the same reference
+    * fixture files through read_json/read_csv, so the whole DSv2 read
+    * path (schema inference, property conversion, null handling) is
+    * hash-checked, not just row-counted. */
+  val oracle: Map[String, String] = Map(
+    "gdal_read_geojson_attrs" ->
+      """SELECT f->>'$.properties.name' AS name,
+        |       f->>'$.properties.iso_3166_2' AS iso_3166_2,
+        |       f->>'$.properties.postal' AS postal
+        |FROM (SELECT unnest(features) AS f
+        |      FROM read_json('/root/reference/test_data/us_states.feature_collection.implicit_4326.json',
+        |                     columns={'features':'JSON[]'}))
+        |ORDER BY name""".stripMargin,
+
+    // The geometry column round-trips the CSV lon/lat through WKB and
+    // back out via st_x/st_y — IEEE doubles are exact, so DuckDB's
+    // direct CSV parse must agree bit-for-bit.
+    "gdal_read_csvgeo" ->
+      """SELECT Country, CAST(Longitude AS DOUBLE) AS lon, CAST(Latitude AS DOUBLE) AS lat
+        |FROM read_csv('/root/reference/test_data/lat_lon_countries.csv', header=true)
+        |ORDER BY Country""".stripMargin
+  )
 }

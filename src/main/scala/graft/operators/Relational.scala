@@ -73,6 +73,32 @@ object Relational {
         .orderBy($"o_orderpriority")
     }),
 
+    // ---- q68: the same fact-fact join through BUCKETED tables — the
+    // write-once/join-free-forever remedy for recurring join shuffles.
+    // Both sides are written bucketBy(16, orderkey) so the join plans
+    // with NO Exchange (BucketedJoinSpec pins the plan shape with
+    // broadcast disabled); the oracle is the plain join, so the remedy
+    // is correctness-gated exactly like q56's salting. ----
+    "q68_bucketed_join" -> ((s, dir) => {
+      import s.implicits._
+      val tmp = java.nio.file.Files.createTempDirectory("graft_bkt_").toString
+      // Project to the join/agg columns before the bucketed write: the
+      // one-time write cost scales with what you materialize, and a real
+      // co-location layout stores the join key + the measures it serves.
+      graft.api.Graft.writeBucketed(
+        t(s, dir, "orders").select($"o_orderkey", $"o_orderstatus"),
+        "graft_bkt_orders", "o_orderkey", 16, Some(s"$tmp/orders"))
+      graft.api.Graft.writeBucketed(
+        t(s, dir, "lineitem").select($"l_orderkey", $"l_quantity"),
+        "graft_bkt_lineitem", "l_orderkey", 16, Some(s"$tmp/lineitem"))
+      s.table("graft_bkt_lineitem")
+        .join(s.table("graft_bkt_orders"), $"l_orderkey" === $"o_orderkey")
+        .groupBy($"o_orderstatus")
+        .agg(count(lit(1)).as("num_items"),
+          dsum($"l_quantity").as("sum_qty"))
+        .orderBy($"o_orderstatus")
+    }),
+
     // ---- q05: left-semi join (EXISTS) ----
     "q05_semi_join" -> ((s, dir) => {
       import s.implicits._
@@ -280,6 +306,12 @@ object Relational {
         | CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue
         |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
         |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
+
+    "q68_bucketed_join" ->
+      """SELECT o_orderstatus, COUNT(*) AS num_items,
+        | CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
 
     "q05_semi_join" ->
       """SELECT c_custkey, c_name, c_mktsegment FROM customer

@@ -1,0 +1,120 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.api.Graft
+
+/** Round-4 corpus-prep operators: chunking, vocabulary, per-group caps,
+  * stratified sampling, int8 quantization, cross-doc n-grams. */
+class CorpusSpec extends AnyFunSuite {
+  import TestSpark._
+
+  test("chunkDocs covers every character with the configured overlap") {
+    val s = spark; import s.implicits._
+    val df = Seq((1L, "abcdefghij"), (2L, "xy"), (3L, "")).toDF("id", "txt")
+    val out = Graft.chunkDocs(df, "txt", "id", chunkSize = 4, overlap = 1)
+      .orderBy("id", "chunk_id")
+      .select("id", "chunk_id", "chunk_start", "chunk")
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3)))
+    // stride 3: starts 1,4,7,10; final chunk may be short; empty doc drops
+    assert(out === Seq(
+      (1L, 0L, 1L, "abcd"), (1L, 1L, 4L, "defg"),
+      (1L, 2L, 7L, "ghij"), (1L, 3L, 10L, "j"),
+      (2L, 0L, 1L, "xy")))
+    // reassembling chunk prefixes of length `stride` reproduces the doc
+    val re = out.filter(_._1 == 1L).map(_._4.take(3)).mkString
+    assert(re.startsWith("abcdefghij".take(9)) && out.filter(_._1 == 1L).last._4 == "j")
+  }
+
+  test("vocabulary counts lowercase alnum tokens with deterministic ties") {
+    val s = spark; import s.implicits._
+    val df = Seq("The cat, the CAT; a dog!", "a b a").toDF("txt")
+    val out = Graft.vocabulary(df, "txt", topK = 3).collect()
+      .map(r => (r.getString(0), r.getLong(1)))
+    // counts: a=3, the=2, cat=2, b=1, dog=1 → top3 = a, cat, the (tie n=2 by token)
+    assert(out === Seq(("a", 3L), ("cat", 2L), ("the", 2L)))
+  }
+
+  test("capPerGroup keeps top-k per group with deterministic tie-break") {
+    val s = spark; import s.implicits._
+    val df = Seq(("s1", 1L, 10L), ("s1", 2L, 30L), ("s1", 3L, 30L),
+      ("s2", 4L, 5L)).toDF("src", "id", "len")
+    val out = Graft.capPerGroup(df, "src", Seq(col("len").desc, col("id")), 2)
+      .orderBy("src", "rk").select("src", "id", "rk").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    assert(out === Seq(("s1", 2L, 1L), ("s1", 3L, 2L), ("s2", 4L, 1L)))
+  }
+
+  test("stratifiedSample yields exactly k per stratum, stable under repartition") {
+    val docs = spark.read.parquet(s"$sf0001/documents.parquet")
+    val a = Graft.stratifiedSample(docs, "lang", "doc_id", 7)
+      .select("lang", "doc_id").collect().map(r => (r.getString(0), r.getLong(1))).sorted
+    val b = Graft.stratifiedSample(docs.repartition(13), "lang", "doc_id", 7)
+      .select("lang", "doc_id").collect().map(r => (r.getString(0), r.getLong(1))).sorted
+    assert(a === b) // determinism: hash rank, not RNG
+    val perLang = a.groupBy(_._1).view.mapValues(_.length).toMap
+    assert(perLang.values.forall(_ == 7))
+  }
+
+  test("quantizeInt8 emits symmetric int8 codes and handles zero vectors") {
+    val s = spark; import s.implicits._
+    val df = Seq((1L, Seq(1.0f, -0.5f, 0.25f)), (2L, Seq(0.0f, 0.0f)))
+      .toDF("vec_id", "embedding")
+    val out = Graft.quantizeInt8(df, "embedding").orderBy("vec_id")
+      .select("maxabs", "codes").collect()
+    assert(out(0).getDouble(0) === 1.0)
+    assert(out(0).getSeq[Long](1) === Seq(127L, -63L, 32L))
+    assert(out(1).getDouble(0) === 0.0)
+    assert(out(1).getSeq[Long](1) === Seq(0L, 0L))
+    // codes stay in int8 range by construction
+    assert(out.flatMap(_.getSeq[Long](1)).forall(c => c >= -128 && c <= 127))
+  }
+
+  test("tfidf ranks rare-but-frequent-in-doc tokens first") {
+    val s = spark; import s.implicits._
+    // "zebra" appears twice in doc 1 and nowhere else; "common" is in all
+    // docs (idf = ln(1) = 0, never ranks above a positive score)
+    val df = Seq((1L, "zebra zebra common alpha"), (2L, "common beta"),
+      (3L, "common gamma")).toDF("doc_id", "text")
+    val toks = df.select($"doc_id",
+        explode(split(lower($"text"), "[^a-z0-9]+")).as("token"))
+      .filter($"token" =!= "")
+    val tf = toks.groupBy($"doc_id", $"token").agg(count(lit(1)).as("tf"))
+    val dfreq = tf.groupBy($"token").agg(count(lit(1)).as("df"))
+    val total = df.agg(count(lit(1)).as("n_total"))
+    val top = tf.join(dfreq, "token").crossJoin(broadcast(total))
+      .withColumn("score", $"tf" * log($"n_total".cast("double") / $"df".cast("double")))
+      .filter($"doc_id" === 1L).orderBy($"score".desc, $"token")
+      .select("token").as[String].collect()
+    assert(top.head === "zebra")       // tf=2, idf=ln(3)
+    assert(top.last === "common")      // idf=0 ⇒ score 0
+  }
+
+  test("label centroids average embeddings exactly per dimension") {
+    val s = spark; import s.implicits._
+    val df = Seq((1L, Seq(1.0f, 3.0f), 7), (2L, Seq(3.0f, 5.0f), 7),
+      (3L, Seq(10.0f, 20.0f), 8)).toDF("vec_id", "embedding", "label")
+    val out = df.select($"label", posexplode($"embedding").as(Seq("pos", "x")))
+      .groupBy($"label", $"pos")
+      .agg(count(lit(1)).as("n"),
+        sum(round($"x".cast("double") * lit(1000000.0)).cast("long")).as("sm"))
+      .select($"label", $"pos", ($"sm".cast("double") / lit(1000000.0) / $"n").as("mean"))
+      .orderBy($"label", $"pos").collect()
+      .map(r => (r.getInt(0), r.getInt(1), r.getDouble(2)))
+    assert(out === Seq((7, 0, 2.0), (7, 1, 4.0), (8, 0, 10.0), (8, 1, 20.0)))
+  }
+
+  test("cross-doc repeated 8-grams find the shared span and only it") {
+    val s = spark; import s.implicits._
+    val shared = "one two three four five six seven eight"
+    val df = Seq((1L, s"prefix $shared"), (2L, s"$shared suffix"),
+      (3L, "totally different words with no overlap at all")).toDF("doc_id", "text")
+    val sh = Graft.shingles(df, "text", "doc_id", 8)
+    val common = sh.groupBy("s").agg(count(lit(1)).as("n"))
+      .filter(col("n") >= 2).collect()
+    assert(common.map(_.getString(0)).toSet ===
+      Set("one_two_three_four_five_six_seven_eight"))
+  }
+}
