@@ -408,6 +408,24 @@ object Graft {
       .filter(col("rk") <= k)
   }
 
+  /** Two-phase salted per-group top-k (q73) — the hot-group remedy for
+    * [[capPerGroup]]: phase 1 ranks within (group, salt) so one
+    * pathologically hot group spreads over `saltFactor` tasks and each
+    * task keeps at most k rows; phase 2 ranks the ≤ saltFactor·k
+    * survivors per group. The global top-k of a total order is always
+    * contained in the union of per-salt top-ks, so the result — including
+    * the rank — EQUALS the single-window form (q73's oracle is exactly
+    * q64's plain-window SQL). Same pattern as [[saltedJoin]]. */
+  def capPerGroupSalted(df: DataFrame, groupCol: String, order: Seq[Column],
+      k: Int, saltFactor: Int = 8): DataFrame = {
+    val salted = df.withColumn("__salt",
+      pmod(xxhash64(struct(df.columns.map(col): _*)), lit(saltFactor)))
+    val w1 = Window.partitionBy(col(groupCol), col("__salt")).orderBy(order: _*)
+    val survivors = salted.withColumn("__r1", row_number().over(w1))
+      .filter(col("__r1") <= k).drop("__r1", "__salt")
+    capPerGroup(survivors, groupCol, order, k)
+  }
+
   /** Exact k-per-stratum deterministic sample (q65): rows are ranked
     * inside each stratum by the cross-engine md5 hash of their id (63-bit
     * mask keeps signed/unsigned order identical between engines, ties

@@ -65,6 +65,19 @@ object Corpus {
         .orderBy(col("s"))
     }),
 
+    // ---- q73: the same per-source cap through the SALTED two-phase
+    // top-k — the hot-group remedy. The oracle is q64's plain single-
+    // window SQL, so the remedy is correctness-gated (result AND rank
+    // must equal the unsalted form), mirroring q56/q68's pattern of
+    // gating each scale remedy against its naive twin. ----
+    "q73_source_cap_salted" -> ((s, dir) => {
+      graft.api.Graft.capPerGroupSalted(t(s, dir, "documents"), "source",
+          Seq(col("n_chars").desc, col("doc_id")), 50)
+        .select(col("source"), col("doc_id"), col("n_chars").cast(LongType).as("n_chars"),
+          col("rk"))
+        .orderBy(col("source"), col("rk"))
+    }),
+
     // ---- q67: int8 scalar quantization of the embedding table — per-
     // vector scale + exact integer invariants of the code array (sum, L1,
     // saturation count). Integer outputs make the lossy compression
@@ -143,6 +156,14 @@ object Corpus {
         |GROUP BY token ORDER BY n DESC, token LIMIT 1000""".stripMargin,
 
     "q64_source_cap" ->
+      """SELECT source, doc_id, CAST(n_chars AS BIGINT) AS n_chars, rk
+        |FROM (SELECT source, doc_id, n_chars,
+        |        CAST(ROW_NUMBER() OVER (PARTITION BY source
+        |               ORDER BY n_chars DESC, doc_id) AS BIGINT) AS rk
+        |      FROM documents)
+        |WHERE rk <= 50 ORDER BY source, rk""".stripMargin,
+
+    "q73_source_cap_salted" ->
       """SELECT source, doc_id, CAST(n_chars AS BIGINT) AS n_chars, rk
         |FROM (SELECT source, doc_id, n_chars,
         |        CAST(ROW_NUMBER() OVER (PARTITION BY source

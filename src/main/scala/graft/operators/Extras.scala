@@ -123,6 +123,24 @@ object Extras {
         .orderBy($"o_custkey", $"o_orderkey")
     }),
 
+    // ---- q72: the rank-function window family — ntile / percent_rank /
+    // cume_dist / lag / lead per customer. percent_rank and cume_dist
+    // are exact rationals ((rank−1)/(n−1), rank/n) computed identically
+    // by both engines, so no rounding is needed. ----
+    "q72_window_rank_funcs" -> ((s, dir) => {
+      import s.implicits._
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy($"o_custkey").orderBy($"o_orderdate", $"o_orderkey")
+      t(s, dir, "orders")
+        .select($"o_custkey", $"o_orderkey",
+          ntile(4).over(w).cast(LongType).as("quartile"),
+          percent_rank().over(w).as("pr"),
+          cume_dist().over(w).as("cd"),
+          lag($"o_totalprice", 1).over(w).as("prev_price"),
+          lead($"o_totalprice", 1).over(w).as("next_price"))
+        .orderBy($"o_custkey", $"o_orderkey")
+    }),
+
     // ---- q41: HLL++ sketch distinct — approximate, so no SQL twin, but
     // SELF-GATING like q46: the exact count rides along and the emitted
     // `pass` pins the sketch's relative error (< 3× the configured 1%
@@ -247,6 +265,17 @@ object Extras {
       """SELECT event_type, COUNT(DISTINCT user_id) AS exact_users,
         | COUNT(*) AS n_events
         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+
+    "q72_window_rank_funcs" ->
+      """SELECT o_custkey, o_orderkey,
+        | CAST(NTILE(4) OVER w AS BIGINT) AS quartile,
+        | PERCENT_RANK() OVER w AS pr,
+        | CUME_DIST() OVER w AS cd,
+        | LAG(o_totalprice, 1) OVER w AS prev_price,
+        | LEAD(o_totalprice, 1) OVER w AS next_price
+        |FROM orders
+        |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+        |ORDER BY o_custkey, o_orderkey""".stripMargin,
 
     "q42_range_window" ->
       """SELECT o_custkey, o_orderkey,

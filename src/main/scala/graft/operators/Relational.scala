@@ -73,6 +73,26 @@ object Relational {
         .orderBy($"o_orderpriority")
     }),
 
+    // ---- q71: FULL OUTER join — per-customer order stats vs per-user
+    // event stats; unmatched sides survive with coalesced keys and
+    // zeroed counts plus a provenance flag. One shuffle per pre-agg
+    // (partial+final), one on the join key. ----
+    "q71_outer_join" -> ((s, dir) => {
+      import s.implicits._
+      val o = t(s, dir, "orders").groupBy($"o_custkey")
+        .agg(count(lit(1)).as("n_orders"))
+      val e = t(s, dir, "events").groupBy($"user_id")
+        .agg(count(lit(1)).as("n_events"))
+      o.join(e, $"o_custkey" === $"user_id", "full_outer")
+        .select(coalesce($"o_custkey", $"user_id").as("key"),
+          coalesce($"n_orders", lit(0L)).as("n_orders"),
+          coalesce($"n_events", lit(0L)).as("n_events"),
+          when($"o_custkey".isNull, "event_only")
+            .when($"user_id".isNull, "order_only")
+            .otherwise("both").as("side"))
+        .orderBy($"key")
+    }),
+
     // ---- q68: the same fact-fact join through BUCKETED tables — the
     // write-once/join-free-forever remedy for recurring join shuffles.
     // Both sides are written bucketBy(16, orderkey) so the join plans
@@ -306,6 +326,16 @@ object Relational {
         | CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue
         |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
         |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
+
+    "q71_outer_join" ->
+      """SELECT COALESCE(o_custkey, user_id) AS key,
+        | COALESCE(n_orders, 0) AS n_orders, COALESCE(n_events, 0) AS n_events,
+        | CASE WHEN o_custkey IS NULL THEN 'event_only'
+        |      WHEN user_id IS NULL THEN 'order_only' ELSE 'both' END AS side
+        |FROM (SELECT o_custkey, COUNT(*) AS n_orders FROM orders GROUP BY 1) o
+        |FULL OUTER JOIN (SELECT user_id, COUNT(*) AS n_events FROM events GROUP BY 1) e
+        |  ON o_custkey = user_id
+        |ORDER BY key""".stripMargin,
 
     "q68_bucketed_join" ->
       """SELECT o_orderstatus, COUNT(*) AS num_items,

@@ -88,6 +88,32 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(p.contains("BroadcastHashJoin") || p.contains("BroadcastExchange"), p)
   }
 
+  test("q62 chunking is a pure explode projection (only the output-sort exchange)") {
+    val p = planOf("q62_chunk_docs")
+    assert(p.contains("Generate"), p) // the explode
+    assert(p.sliding("Exchange".length).count(_ == "Exchange") === 1, p)
+    assert(p.contains("rangepartitioning"), p)
+    assert(!p.contains("Join"), p)
+  }
+
+  test("q63 vocabulary top-k plans TakeOrderedAndProject, never a global sort") {
+    val p = planOf("q63_vocab_topk")
+    assert(p.contains("TakeOrderedAndProject"), p)
+    // partial+final count agg on the token
+    assert(p.sliding("HashAggregate".length).count(_ == "HashAggregate") >= 2, p)
+  }
+
+  test("q69 tf-idf rides N as a broadcast one-row aggregate, no driver count") {
+    val p = planOf("q69_tfidf")
+    assert(p.contains("BroadcastExchange"), p)
+  }
+
+  test("q73 salted cap plans two windows (per-salt partial then final)") {
+    val p = planOf("q73_source_cap_salted")
+    assert(p.sliding("row_number()".length).count(_ == "row_number()") >= 2, p)
+    assert(p.contains("__salt"), p)
+  }
+
   test("gdal_read_fgb_bbox pushes the box into the scan via the optimizer rule") {
     val df = SparkEntry.queries("gdal_read_fgb_bbox")(spark, dir)
     val p = df.queryExecution.executedPlan.toString
