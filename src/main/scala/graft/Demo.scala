@@ -20,7 +20,7 @@ object Demo {
     // Example 1: read a GeoJSON resource (reference README.md:17-31)
     val states = spark.read.format("geojson")
       .load(s"$fixtures/us_states.feature_collection.implicit_4326.json")
-    println(s"[demo] us_states: ${states.count} rows, ${states.schema.fields.length} cols")
+    println(s"[demo] us_states: ${states.count()} rows, ${states.schema.fields.length} cols")
 
     // Example 3: SQL filter + geometry projection (reference README.md:33-44)
     states.createOrReplaceTempView("states")
@@ -39,17 +39,17 @@ object Demo {
 
     // Shapefile (+zip via bytes hint, reference src/test.rs:43-52)
     val stations = spark.read.format("shapefile").load(s"$fixtures/stations.shp")
-    println(s"[demo] stations.shp: ${stations.count} rows; fields=${stations.schema.fieldNames.mkString(",")}")
+    println(s"[demo] stations.shp: ${stations.count()} rows; fields=${stations.schema.fieldNames.mkString(",")}")
     val zipBytes = java.nio.file.Files.readAllBytes(
       java.nio.file.Paths.get(s"$fixtures/stations_shapefile.shp.zip"))
-    println(s"[demo] stations zip bytes: ${GdalRead.fromBytes(spark, zipBytes, Some("stations.shp.zip")).count} rows")
+    println(s"[demo] stations zip bytes: ${GdalRead.fromBytes(spark, zipBytes, Some("stations.shp.zip")).count()} rows")
 
     // Newline-delimited GeoJSON round trip (splittable write path)
     val seqOut = java.nio.file.Files.createTempDirectory("demo_seq_").toString
     states.select("name", "geometry").repartition(3)
       .write.format("geojsonseq").mode("overwrite").save(seqOut)
     println(s"[demo] geojsonseq round trip: " +
-      s"${spark.read.format("geojsonseq").load(seqOut).count} rows from 3 part files")
+      s"${spark.read.format("geojsonseq").load(seqOut).count()} rows from 3 part files")
 
     // Write path: DataFrame -> GeoJSON bytes (reference src/test.rs:146-158)
     val bytes = GdalWrite.toBytes(states.select("name", "geometry").limit(2))
@@ -61,7 +61,7 @@ object Demo {
     stations.coalesce(1).write.format("flatgeobuf").mode("overwrite").save(fgbOut)
     val boxed = spark.read.format("flatgeobuf")
       .option("bbox", "-77.05,38.88,-76.99,38.92").load(fgbOut)
-    println(s"[demo] fgb bbox read: ${boxed.count} of ${stations.count} stations " +
+    println(s"[demo] fgb bbox read: ${boxed.count()} of ${stations.count()} stations " +
       s"(R-tree-planned splits)")
 
     // LLM corpus prep on the driver's documents table (if present):
@@ -83,7 +83,16 @@ object Demo {
       val splits = graft.api.Graft.assignSplit(clean, "doc_id")
         .groupBy("split").count().orderBy("split").collect()
         .map(r => s"${r.getString(0)}=${r.getLong(1)}").mkString(" ")
-      println(s"[demo] corpus pipeline (${docs.count} docs in): $splits")
+      println(s"[demo] corpus pipeline (${docs.count()} docs in): $splits")
+
+      // round-4 surface: chunking, vocabulary, quotas, TF-IDF keywords
+      val nChunks = graft.api.Graft.chunkDocs(docs, "text", "doc_id").count()
+      val topTok = graft.api.Graft.vocabulary(docs, "text", topK = 3)
+        .collect().map(r => s"${r.getString(0)}:${r.getLong(1)}").mkString(" ")
+      val capped = graft.api.Graft.capPerGroup(docs, "source",
+        Seq(col("n_chars").desc, col("doc_id")), 10).count()
+      println(s"[demo] chunking: $nChunks chunks of 500/100; vocab top-3: $topTok; " +
+        s"per-source cap(10): $capped docs kept")
     }
     spark.stop()
   }

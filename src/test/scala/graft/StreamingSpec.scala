@@ -125,4 +125,22 @@ class StreamingSpec extends AnyFunSuite {
     assert(rows(0).getString(1).endsWith("mail me <EMAIL>") && rows(0).getLong(2) === 1L)
     assert(rows(1).getString(1).endsWith("ip <IP>") && rows(1).getLong(3) === 1L)
   }
+
+  test("chunking composes onto streams (stateless explode per micro-batch)") {
+    val s = spark
+    import s.implicits._
+    implicit val sc = s.sqlContext
+    val mem = MemoryStream[(Long, String)]
+    mem.addData((1L, "a" * 950), (2L, "b" * 100))
+    val chunks = graft.api.Graft.chunkDocs(mem.toDF.toDF("doc_id", "text"),
+      "text", "doc_id", chunkSize = 500, overlap = 100)
+    assert(chunks.isStreaming)
+    runToCompletion(chunks, "stream_chunks", "append")
+    val rows = s.sql(
+      "SELECT doc_id, chunk_id, chunk_len FROM stream_chunks ORDER BY doc_id, chunk_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    // doc 1: strides 0/400/800 → lens 500/500/150; doc 2: one short chunk
+    assert(rows === Seq((1L, 0L, 500L), (1L, 1L, 500L), (1L, 2L, 150L),
+      (2L, 0L, 100L)))
+  }
 }
