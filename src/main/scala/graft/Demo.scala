@@ -86,7 +86,7 @@ object Demo {
       println(s"[demo] corpus pipeline (${docs.count()} docs in): $splits")
 
       // round-4 surface: chunking, vocabulary, quotas, TF-IDF keywords
-      val nChunks = graft.api.Graft.chunkDocs(docs, "text", "doc_id").count()
+      val nChunks = graft.api.Graft.chunkDocs(docs, "text").count()
       val topTok = graft.api.Graft.vocabulary(docs, "text", topK = 3)
         .collect().map(r => s"${r.getString(0)}:${r.getLong(1)}").mkString(" ")
       val capped = graft.api.Graft.capPerGroup(docs, "source",

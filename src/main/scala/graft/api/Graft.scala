@@ -367,8 +367,9 @@ object Graft {
     * of a doc covers 1-based [i·stride + 1, i·stride + chunkSize], stride =
     * chunkSize − overlap; every doc with text yields ⌊(len−1)/stride⌋ + 1
     * chunks, so the final chunk may be short but no character is dropped.
+    * All input columns (including any id) are carried through unchanged.
     * Pure per-row explode+projection: no shuffle, linear in output size. */
-  def chunkDocs(df: DataFrame, textCol: String, idCol: String,
+  def chunkDocs(df: DataFrame, textCol: String,
       chunkSize: Int = 500, overlap: Int = 100): DataFrame = {
     require(chunkSize > 0 && overlap >= 0 && overlap < chunkSize,
       s"need 0 <= overlap < chunkSize, got chunkSize=$chunkSize overlap=$overlap")
@@ -415,11 +416,15 @@ object Graft {
     * survivors per group. The global top-k of a total order is always
     * contained in the union of per-salt top-ks, so the result — including
     * the rank — EQUALS the single-window form (q73's oracle is exactly
-    * q64's plain-window SQL). Same pattern as [[saltedJoin]]. */
+    * q64's plain-window SQL). Same pattern as [[saltedJoin]].
+    *
+    * `saltOn` is the cheap column the salt is hashed from — pass the
+    * unique tie-break key (e.g. the id that already makes `order` a
+    * total order). Hashing the full row would read every wide column
+    * (the document text) just to pick a bucket. */
   def capPerGroupSalted(df: DataFrame, groupCol: String, order: Seq[Column],
-      k: Int, saltFactor: Int = 8): DataFrame = {
-    val salted = df.withColumn("__salt",
-      pmod(xxhash64(struct(df.columns.map(col): _*)), lit(saltFactor)))
+      k: Int, saltOn: Column, saltFactor: Int = 8): DataFrame = {
+    val salted = df.withColumn("__salt", pmod(xxhash64(saltOn), lit(saltFactor)))
     val w1 = Window.partitionBy(col(groupCol), col("__salt")).orderBy(order: _*)
     val survivors = salted.withColumn("__r1", row_number().over(w1))
       .filter(col("__r1") <= k).drop("__r1", "__salt")

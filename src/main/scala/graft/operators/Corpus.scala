@@ -19,7 +19,7 @@ object Corpus {
     // context-window splitter. Chunk content pinned via md5 so the output
     // stays compact while hash-checking every byte of every chunk. ----
     "q62_chunk_docs" -> ((s, dir) => {
-      graft.api.Graft.chunkDocs(t(s, dir, "documents"), "text", "doc_id", 500, 100)
+      graft.api.Graft.chunkDocs(t(s, dir, "documents"), "text", 500, 100)
         .select(col("doc_id"), col("chunk_id"), col("chunk_start"),
           col("chunk_len"), md5(col("chunk")).as("chunk_md5"))
         .orderBy(col("doc_id"), col("chunk_id"))
@@ -72,7 +72,7 @@ object Corpus {
     // gating each scale remedy against its naive twin. ----
     "q73_source_cap_salted" -> ((s, dir) => {
       graft.api.Graft.capPerGroupSalted(t(s, dir, "documents"), "source",
-          Seq(col("n_chars").desc, col("doc_id")), 50)
+          Seq(col("n_chars").desc, col("doc_id")), 50, saltOn = col("doc_id"))
         .select(col("source"), col("doc_id"), col("n_chars").cast(LongType).as("n_chars"),
           col("rk"))
         .orderBy(col("source"), col("rk"))
@@ -193,16 +193,24 @@ object Corpus {
         |SELECT s, COUNT(*) AS n_docs, MIN(doc_id) AS first_doc, MAX(doc_id) AS last_doc
         |FROM sh GROUP BY s HAVING COUNT(*) >= 2 ORDER BY s""".stripMargin,
 
+    // NULL/empty semantics mirror the Spark aggregate-with-seed forms
+    // exactly: a NULL vector passes NULL through (no coalesce), an EMPTY
+    // vector gets maxabs 0.0 and zero sums (aggregate's 0 seed ==
+    // COALESCE over DuckDB's NULL-on-empty list_sum/list_max).
     "q67_quantize_int8" ->
       """SELECT vec_id, ROUND(m, 6) AS maxabs,
-        |       CAST(list_sum(codes) AS BIGINT) AS code_sum,
-        |       CAST(list_sum(list_transform(codes, x -> abs(x))) AS BIGINT) AS code_l1,
-        |       CAST(list_sum(list_transform(codes, x -> CAST(x = 127 AS BIGINT))) AS BIGINT) AS n_sat
-        |FROM (SELECT vec_id, m,
+        |       CASE WHEN v IS NULL THEN NULL
+        |            ELSE COALESCE(CAST(list_sum(codes) AS BIGINT), 0) END AS code_sum,
+        |       CASE WHEN v IS NULL THEN NULL
+        |            ELSE COALESCE(CAST(list_sum(list_transform(codes, x -> abs(x))) AS BIGINT), 0) END AS code_l1,
+        |       CASE WHEN v IS NULL THEN NULL
+        |            ELSE COALESCE(CAST(list_sum(list_transform(codes, x -> CAST(x = 127 AS BIGINT))) AS BIGINT), 0) END AS n_sat
+        |FROM (SELECT vec_id, v, m,
         |        list_transform(v, x -> CAST(floor(CASE WHEN m = 0.0 THEN 0.0
         |                 ELSE x * 127.0 / m + 0.5 END) AS BIGINT)) AS codes
         |      FROM (SELECT vec_id, v,
-        |              coalesce(list_max(list_transform(v, x -> abs(x))), 0.0) AS m
+        |              CASE WHEN v IS NULL THEN NULL
+        |                   ELSE coalesce(list_max(list_transform(v, x -> abs(x))), 0.0) END AS m
         |            FROM (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
         |                  FROM embeddings)))
         |ORDER BY vec_id""".stripMargin,

@@ -101,7 +101,11 @@ object Relational {
     // is correctness-gated exactly like q56's salting. ----
     "q68_bucketed_join" -> ((s, dir) => {
       import s.implicits._
-      val tmp = java.nio.file.Files.createTempDirectory("graft_bkt_").toString
+      // Deterministic per-sfDir location + overwrite mode: repeated
+      // Bench/Verify runs rewrite in place instead of leaking a fresh
+      // temp copy per execution. The write cost stays inside the timed
+      // query on purpose — paying it is the operator's contract.
+      val tmp = s"${System.getProperty("java.io.tmpdir")}/graft_bkt_${dir.hashCode.toHexString}"
       // Project to the join/agg columns before the bucketed write: the
       // one-time write cost scales with what you materialize, and a real
       // co-location layout stores the join key + the measures it serves.

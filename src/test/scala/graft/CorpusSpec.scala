@@ -13,7 +13,7 @@ class CorpusSpec extends AnyFunSuite {
   test("chunkDocs covers every character with the configured overlap") {
     val s = spark; import s.implicits._
     val df = Seq((1L, "abcdefghij"), (2L, "xy"), (3L, "")).toDF("id", "txt")
-    val out = Graft.chunkDocs(df, "txt", "id", chunkSize = 4, overlap = 1)
+    val out = Graft.chunkDocs(df, "txt", chunkSize = 4, overlap = 1)
       .orderBy("id", "chunk_id")
       .select("id", "chunk_id", "chunk_start", "chunk")
       .collect()

@@ -133,7 +133,7 @@ class StreamingSpec extends AnyFunSuite {
     val mem = MemoryStream[(Long, String)]
     mem.addData((1L, "a" * 950), (2L, "b" * 100))
     val chunks = graft.api.Graft.chunkDocs(mem.toDF.toDF("doc_id", "text"),
-      "text", "doc_id", chunkSize = 500, overlap = 100)
+      "text", chunkSize = 500, overlap = 100)
     assert(chunks.isStreaming)
     runToCompletion(chunks, "stream_chunks", "append")
     val rows = s.sql(
