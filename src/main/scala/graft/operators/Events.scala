@@ -103,6 +103,48 @@ object Events {
         .groupBy($"user_id")
         .agg(count($"new_sess").as("n_sessions"), count(lit(1)).as("n_events"))
         .orderBy($"user_id")
+    }),
+
+    // ---- q74: ordered funnel (view → click → purchase) — each stage's
+    // anchor is the FIRST qualifying event strictly after the previous
+    // stage's anchor. Timestamps compare as unix micros on both engines
+    // (Spark TimestampType is µs; the oracle uses epoch_us). Three
+    // pre-aggregated per-user anchors, each one join + one agg — never a
+    // per-user subquery. ----
+    "q74_funnel" -> ((s, dir) => {
+      import s.implicits._
+      val e = t(s, dir, "events")
+        .select($"user_id", $"event_type", unix_micros($"ts").as("us"))
+      val v = e.filter($"event_type" === "view")
+        .groupBy($"user_id").agg(min($"us").as("t1"))
+      val c = e.join(v, "user_id")
+        .filter($"event_type" === "click" && $"us" > $"t1")
+        .groupBy($"user_id").agg(min($"us").as("t2"))
+      val p = e.join(c, "user_id")
+        .filter($"event_type" === "purchase" && $"us" > $"t2")
+        .groupBy($"user_id").agg(min($"us").as("t3"))
+      v.agg(count(lit(1)).as("n_users")).select(lit("1_view").as("stage"), $"n_users")
+        .unionAll(c.agg(count(lit(1)).as("n_users"))
+          .select(lit("2_view_click").as("stage"), $"n_users"))
+        .unionAll(p.agg(count(lit(1)).as("n_users"))
+          .select(lit("3_view_click_purchase").as("stage"), $"n_users"))
+        .orderBy($"stage")
+    }),
+
+    // ---- q75: cohort retention — users grouped by first-seen day, the
+    // classic (cohort, day-offset) activity triangle. Two shuffles on
+    // user_id (first-seen + join) and one on the cohort cell; day math
+    // is integer floor-division of unix micros on both engines. ----
+    "q75_retention" -> ((s, dir) => {
+      import s.implicits._
+      val e = t(s, dir, "events")
+        .select($"user_id", expr("unix_micros(ts) div 86400000000").as("day"))
+      val first = e.groupBy($"user_id").agg(min($"day").as("cohort"))
+      e.join(first, "user_id")
+        .withColumn("offset", $"day" - $"cohort")
+        .groupBy($"cohort", $"offset")
+        .agg(countDistinct($"user_id").as("n_users"))
+        .orderBy($"cohort", $"offset")
     })
   )
 
@@ -149,6 +191,25 @@ object Events {
         |SELECT user_id,
         | COUNT(*) FILTER (WHERE prev_us IS NULL OR us - prev_us > 1800000000) AS n_sessions,
         | COUNT(*) AS n_events
-        |FROM x GROUP BY user_id ORDER BY user_id""".stripMargin
+        |FROM x GROUP BY user_id ORDER BY user_id""".stripMargin,
+
+    "q74_funnel" ->
+      """WITH e AS (SELECT user_id, event_type, epoch_us(ts) AS us FROM events),
+        |v AS (SELECT user_id, MIN(us) AS t1 FROM e WHERE event_type = 'view' GROUP BY 1),
+        |c AS (SELECT e.user_id, MIN(e.us) AS t2 FROM e JOIN v ON e.user_id = v.user_id
+        |      WHERE e.event_type = 'click' AND e.us > v.t1 GROUP BY 1),
+        |p AS (SELECT e.user_id, MIN(e.us) AS t3 FROM e JOIN c ON e.user_id = c.user_id
+        |      WHERE e.event_type = 'purchase' AND e.us > c.t2 GROUP BY 1)
+        |SELECT '1_view' AS stage, COUNT(*) AS n_users FROM v
+        |UNION ALL SELECT '2_view_click', COUNT(*) FROM c
+        |UNION ALL SELECT '3_view_click_purchase', COUNT(*) FROM p
+        |ORDER BY stage""".stripMargin,
+
+    "q75_retention" ->
+      """WITH e AS (SELECT user_id, epoch_us(ts) // 86400000000 AS day FROM events),
+        |f AS (SELECT user_id, MIN(day) AS cohort FROM e GROUP BY 1)
+        |SELECT cohort, day - cohort AS "offset", COUNT(DISTINCT e.user_id) AS n_users
+        |FROM e JOIN f ON e.user_id = f.user_id
+        |GROUP BY 1, 2 ORDER BY cohort, "offset"""".stripMargin
   )
 }
