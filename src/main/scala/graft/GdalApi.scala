@@ -29,6 +29,8 @@ object GdalRead {
       else if (hint.endsWith(".kml")) "kml"
       else if (hint.endsWith(".gpx")) "gpx"
       else if (hint.endsWith(".sqlite") || hint.endsWith(".db")) "spatialite"
+      else if (hint.endsWith(".geojsonl") || hint.endsWith(".ndjson") ||
+        hint.endsWith(".geojsons")) "geojsonseq"
       else "geojson"
     val suffix = hint.drop(math.max(0, hint.length - 12)).replaceAll("[^a-z0-9.]", "_")
     val tmp = File.createTempFile("graft_bytes_", "_" + suffix)
@@ -61,7 +63,8 @@ object GdalWrite {
     * "geojson" (single FeatureCollection, the default), "csvgeo" (one
     * CSV with WKT geometry), "shapefile" (a zip of the .shp/.shx/.dbf
     * triple, the inverse of the `.shp.zip` read hint), "flatgeobuf"
-    * (one indexed .fgb) or "spatialite" (one SQLite database). Reference
+    * (one indexed .fgb), "spatialite" (one SQLite database), "kml",
+    * "gpx" (waypoints) or "geojsonseq" (newline-delimited). Reference
     * W2 accepts any GDAL driver (src/lib.rs:586-611); these are the
     * drivers our source surface round-trips. Collect-based by design: a
     * bytes result is inherently single-node; the scalable path is
@@ -74,8 +77,11 @@ object GdalWrite {
     case "flatgeobuf" | "fgb" => fileBytes(df, "flatgeobuf", ".fgb", options, zip = false)
     case "spatialite" | "sqlite" => fileBytes(df, "spatialite", ".sqlite", options, zip = false)
     case "kml" => fileBytes(df, "kml", ".kml", options, zip = false)
+    case "gpx" => fileBytes(df, "gpx", ".gpx", options, zip = false)
+    case "geojsonseq" => fileBytes(df, "geojsonseq", ".geojsonl", options, zip = false)
     case other => throw new IllegalArgumentException(
-      s"unsupported bytes format '$other' (geojson|csvgeo|shapefile|flatgeobuf|spatialite|kml)")
+      s"unsupported bytes format '$other' " +
+        "(geojson|csvgeo|shapefile|flatgeobuf|spatialite|kml|gpx|geojsonseq)")
   }
 
   private def geoJsonBytes(df: DataFrame, options: Map[String, String]): Array[Byte] = {

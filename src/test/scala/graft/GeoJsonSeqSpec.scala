@@ -30,4 +30,15 @@ class GeoJsonSeqSpec extends AnyFunSuite {
       .filter(org.apache.spark.sql.functions.col("name").startsWith("Minn"))
     assert(one.collect().map(_.getString(0)).toSeq === Seq("Minnesota"))
   }
+
+  test("geojsonseq bytes-out round trip (newline-delimited)") {
+    val src = spark.read.format("geojson")
+      .load(s"$fixtures/us_states.feature_collection.implicit_4326.json")
+      .select("name", "geometry").limit(3)
+    val bytes = graft.GdalWrite.toBytes(src, format = "geojsonseq")
+    val text = new String(bytes, "UTF-8")
+    assert(text.linesIterator.count(_.nonEmpty) === 3) // one feature per line
+    val round = graft.GdalRead.fromBytes(spark, bytes, Some("round.geojsonl"))
+    assert(round.count() === 3)
+  }
 }

@@ -172,4 +172,19 @@ class XmlSourcesSpec extends AnyFunSuite {
     val round = graft.GdalRead.fromBytes(spark, bytes, Some("round.kml"))
     assert(round.count() === 2)
   }
+
+  test("gpx bytes-out round trip (waypoints layer)") {
+    val s = spark
+    import s.implicits._
+    graft.functions.GraftFunctions.register(s)
+    val df = Seq(("a", "POINT (11 47)"), ("b", "POINT (12 48)"))
+      .toDF("name", "wkt")
+      .selectExpr("name", "st_geomfromwkt(wkt) AS geometry")
+    val bytes = graft.GdalWrite.toBytes(df, format = "gpx")
+    assert(new String(bytes, "UTF-8").contains("<gpx"))
+    val round = graft.GdalRead.fromBytes(spark, bytes, Some("round.gpx"))
+    assert(round.count() === 2)
+    assert(round.selectExpr("st_aswkt(geometry)").as[String].collect().sorted ===
+      Array("POINT (11 47)", "POINT (12 48)"))
+  }
 }
