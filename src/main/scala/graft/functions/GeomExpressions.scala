@@ -119,6 +119,7 @@ object GraftFunctions {
     ("st_geometrytype", (e: Seq[Expression]) => StGeometryType(e.head)),
     ("st_npoints", (e: Seq[Expression]) => StNPoints(e.head)),
     ("st_isvalid", (e: Seq[Expression]) => StIsValid(e.head)),
+    ("st_parts", (e: Seq[Expression]) => StParts(e.head)),
     ("st_intersects", (e: Seq[Expression]) => StIntersects(e(0), e(1))),
     ("st_intersects_bbox", (e: Seq[Expression]) => {
       // SQL fractional literals eval to Spark Decimal, not java Number
@@ -185,4 +186,5 @@ object GraftFunctions {
   def st_geometrytype(c: Column): Column = call_function("st_geometrytype", c)
   def st_npoints(c: Column): Column = call_function("st_npoints", c)
   def st_centroid(c: Column): Column = call_function("st_centroid", c)
+  def st_parts(c: Column): Column = call_function("st_parts", c)
 }

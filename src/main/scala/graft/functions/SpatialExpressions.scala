@@ -21,6 +21,15 @@ object SpatialFns {
     UTF8String.fromString(GeomCodec.fromWkb(wkb).getGeometryType)
   def npoints(wkb: Array[Byte]): Int = GeomCodec.fromWkb(wkb).getNumPoints
   def isValid(wkb: Array[Byte]): Boolean = GeomCodec.fromWkb(wkb).isValid
+  /** st_dump-style decomposition: the component geometries of a Multi*/
+  /* GeometryCollection as WKB (a simple geometry yields itself). */
+  def parts(wkb: Array[Byte]): org.apache.spark.sql.catalyst.util.ArrayData = {
+    val g = GeomCodec.fromWkb(wkb)
+    val arr = new Array[Any](g.getNumGeometries)
+    var i = 0
+    while (i < arr.length) { arr(i) = GeomCodec.toWkb(g.getGeometryN(i)); i += 1 }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(arr)
+  }
   def intersects(a: Array[Byte], b: Array[Byte]): Boolean =
     GeomCodec.fromWkb(a).intersects(GeomCodec.fromWkb(b))
   def contains(a: Array[Byte], b: Array[Byte]): Boolean =
@@ -120,6 +129,17 @@ case class StNPoints(child: Expression) extends UnarySpatial {
   override def prettyName: String = "st_npoints"
   protected override def nullSafeEval(i: Any): Any = SpatialFns.npoints(i.asInstanceOf[Array[Byte]])
   protected override def withNewChildInternal(c: Expression): StNPoints = copy(child = c)
+}
+/** st_parts(geom) → array<binary>: the component geometries (st_dump).
+  * Compose with builtin `explode` for the one-row-per-part form —
+  * SURVEY.md §2.9's only Generator-shaped need. */
+case class StParts(child: Expression) extends UnarySpatial {
+  protected def fn: String = "parts"
+  override def dataType: DataType = ArrayType(BinaryType, containsNull = false)
+  override def prettyName: String = "st_parts"
+  protected override def nullSafeEval(i: Any): Any =
+    SpatialFns.parts(i.asInstanceOf[Array[Byte]])
+  protected override def withNewChildInternal(c: Expression): StParts = copy(child = c)
 }
 case class StIsValid(child: Expression) extends UnarySpatial {
   protected def fn: String = "isValid"

@@ -131,9 +131,15 @@ object Extras {
       import s.implicits._
       val w = org.apache.spark.sql.expressions.Window
         .partitionBy($"o_custkey").orderBy($"o_orderdate", $"o_orderkey")
+      val wp = org.apache.spark.sql.expressions.Window
+        .partitionBy($"o_custkey").orderBy($"o_orderdate")
       t(s, dir, "orders")
         .select($"o_custkey", $"o_orderkey",
           ntile(4).over(w).cast(LongType).as("quartile"),
+          // rank/dense_rank need a non-unique order to differ: same-date
+          // orders tie under wp
+          rank().over(wp).cast(LongType).as("rnk"),
+          dense_rank().over(wp).cast(LongType).as("drnk"),
           percent_rank().over(w).as("pr"),
           cume_dist().over(w).as("cd"),
           lag($"o_totalprice", 1).over(w).as("prev_price"),
@@ -269,12 +275,15 @@ object Extras {
     "q72_window_rank_funcs" ->
       """SELECT o_custkey, o_orderkey,
         | CAST(NTILE(4) OVER w AS BIGINT) AS quartile,
+        | CAST(RANK() OVER wp AS BIGINT) AS rnk,
+        | CAST(DENSE_RANK() OVER wp AS BIGINT) AS drnk,
         | PERCENT_RANK() OVER w AS pr,
         | CUME_DIST() OVER w AS cd,
         | LAG(o_totalprice, 1) OVER w AS prev_price,
         | LEAD(o_totalprice, 1) OVER w AS next_price
         |FROM orders
-        |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+        |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey),
+        |       wp AS (PARTITION BY o_custkey ORDER BY o_orderdate)
         |ORDER BY o_custkey, o_orderkey""".stripMargin,
 
     "q42_range_window" ->

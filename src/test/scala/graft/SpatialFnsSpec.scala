@@ -90,4 +90,19 @@ class SpatialFnsSpec extends AnyFunSuite {
     // partial-merge path (multiple partitions) gives the same answer
     assert(agg(4).toSeq === one.toSeq)
   }
+
+  test("st_parts decomposes multi-geometries; explode gives one row per part") {
+    val s = spark; import s.implicits._
+    graft.functions.GraftFunctions.register(s)
+    val df = Seq(
+      ("m", "MULTIPOINT ((1 2), (3 4), (5 6))"),
+      ("p", "POINT (9 9)")).toDF("k", "wkt")
+      .selectExpr("k", "st_geomfromwkt(wkt) AS g")
+    val parts = df.selectExpr("k", "explode(st_parts(g)) AS part")
+      .selectExpr("k", "st_aswkt(part) AS wkt").collect()
+      .map(r => (r.getString(0), r.getString(1))).sorted
+    assert(parts === Array(
+      ("m", "POINT (1 2)"), ("m", "POINT (3 4)"), ("m", "POINT (5 6)"),
+      ("p", "POINT (9 9)")))
+  }
 }
