@@ -147,6 +147,18 @@ object Extras {
         .orderBy($"o_custkey", $"o_orderkey")
     }),
 
+    // ---- q76: unpivot/melt — wide → long normalization (the inverse of
+    // q36's pivot; a Polars table-stake). Pure projection: each input row
+    // fans to one row per measure with no shuffle. ----
+    "q76_unpivot" -> ((s, dir) => {
+      import s.implicits._
+      t(s, dir, "part")
+        .select($"p_partkey", $"p_retailprice", $"p_size".cast(DoubleType).as("p_size"))
+        .unpivot(Array($"p_partkey"), Array($"p_retailprice", $"p_size"),
+          "measure", "value")
+        .orderBy($"p_partkey", $"measure")
+    }),
+
     // ---- q41: HLL++ sketch distinct — approximate, so no SQL twin, but
     // SELF-GATING like q46: the exact count rides along and the emitted
     // `pass` pins the sketch's relative error (< 3× the configured 1%
@@ -271,6 +283,12 @@ object Extras {
       """SELECT event_type, COUNT(DISTINCT user_id) AS exact_users,
         | COUNT(*) AS n_events
         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+
+    "q76_unpivot" ->
+      """SELECT p_partkey, 'p_retailprice' AS measure, p_retailprice AS value FROM part
+        |UNION ALL
+        |SELECT p_partkey, 'p_size' AS measure, CAST(p_size AS DOUBLE) AS value FROM part
+        |ORDER BY p_partkey, measure""".stripMargin,
 
     "q72_window_rank_funcs" ->
       """SELECT o_custkey, o_orderkey,
