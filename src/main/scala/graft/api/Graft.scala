@@ -500,6 +500,21 @@ object Graft {
 
   // ------------------------------------------------------------ events
 
+  /** Integer gap-filling spine per key (q77) — time-series densification:
+    * for each key, one row per value of `seqCol` in [min, max] of that
+    * key's observed range, left-joined back to the input (absent rows
+    * carry nulls; coalesce to taste). One agg + one join shuffle, both on
+    * the key. The explode fans each key to its span width — for a key
+    * whose span dwarfs the rest, pre-split the range (same salting idea
+    * as [[capPerGroupSalted]]). */
+  def gapFill(df: DataFrame, keyCol: String, seqCol: String): DataFrame = {
+    val spans = df.groupBy(col(keyCol))
+      .agg(min(col(seqCol)).as("__d0"), max(col(seqCol)).as("__d1"))
+    val spine = spans.select(col(keyCol),
+      explode(sequence(col("__d0"), col("__d1"))).as(seqCol))
+    spine.join(df, Seq(keyCol, seqCol), "left")
+  }
+
   /** Gaps-and-islands sessionization: per-key session counts with the
     * given inactivity gap. One shuffle on the key. */
   def sessionize(df: DataFrame, tsCol: String, keyCol: String,

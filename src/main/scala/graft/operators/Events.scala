@@ -131,6 +131,20 @@ object Events {
         .orderBy($"stage")
     }),
 
+    // ---- q77: gap-filled daily activity — time-series densification.
+    // Each user's [first, last] day range becomes a contiguous spine
+    // (explode(sequence)), missing days join as zero counts — the
+    // resample/fill-forward prerequisite of any per-entity time series. ----
+    "q77_gap_fill" -> ((s, dir) => {
+      import s.implicits._
+      val perDay = t(s, dir, "events")
+        .select($"user_id", expr("unix_micros(ts) div 86400000000").as("day"))
+        .groupBy($"user_id", $"day").agg(count(lit(1)).as("n"))
+      graft.api.Graft.gapFill(perDay, "user_id", "day")
+        .withColumn("n", coalesce($"n", lit(0L)))
+        .orderBy($"user_id", $"day")
+    }),
+
     // ---- q75: cohort retention — users grouped by first-seen day, the
     // classic (cohort, day-offset) activity triangle. Two shuffles on
     // user_id (first-seen + join) and one on the cohort cell; day math
@@ -204,6 +218,16 @@ object Events {
         |UNION ALL SELECT '2_view_click', COUNT(*) FROM c
         |UNION ALL SELECT '3_view_click_purchase', COUNT(*) FROM p
         |ORDER BY stage""".stripMargin,
+
+    "q77_gap_fill" ->
+      """WITH pd AS (
+        |  SELECT user_id, epoch_us(ts) // 86400000000 AS day, COUNT(*) AS n
+        |  FROM events GROUP BY 1, 2
+        |), sp AS (SELECT user_id, MIN(day) AS d0, MAX(day) AS d1 FROM pd GROUP BY 1),
+        |spine AS (SELECT user_id, unnest(generate_series(d0, d1)) AS day FROM sp)
+        |SELECT s.user_id, s.day, COALESCE(n, 0) AS n
+        |FROM spine s LEFT JOIN pd ON s.user_id = pd.user_id AND s.day = pd.day
+        |ORDER BY s.user_id, s.day""".stripMargin,
 
     "q75_retention" ->
       """WITH e AS (SELECT user_id, epoch_us(ts) // 86400000000 AS day FROM events),

@@ -106,6 +106,68 @@ class CorpusSpec extends AnyFunSuite {
     assert(out === Seq((7, 0, 2.0), (7, 1, 4.0), (8, 0, 10.0), (8, 1, 20.0)))
   }
 
+  test("chunkDocs invariant: stride-prefixes reassemble every generated doc") {
+    val s = spark; import s.implicits._
+    val rnd = new scala.util.Random(42)
+    val docs = (1L to 60L).map(i =>
+      (i, rnd.alphanumeric.take(rnd.nextInt(400) + 1).mkString))
+    val df = docs.toDF("id", "txt")
+    val byDoc = Graft.chunkDocs(df, "txt", chunkSize = 50, overlap = 13)
+      .select("id", "chunk_id", "chunk").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2)))
+      .groupBy(_._1).view.mapValues(_.sortBy(_._2).map(_._3)).toMap
+    docs.foreach { case (id, txt) =>
+      val chunks = byDoc(id)
+      // every chunk but the last is full-size or the doc tail
+      val rebuilt = chunks.init.map(_.take(50 - 13)).mkString + chunks.last
+      assert(rebuilt === txt, s"doc $id")
+    }
+  }
+
+  test("quantizeInt8 invariant: dequantization error is within half a step") {
+    val s = spark; import s.implicits._
+    val rnd = new scala.util.Random(7)
+    val df = (1L to 40L).map(i =>
+      (i, Seq.fill(16)((rnd.nextFloat() - 0.5f) * 20f))).toDF("vec_id", "embedding")
+    val rows = Graft.quantizeInt8(df, "embedding")
+      .selectExpr("embedding", "maxabs", "codes").collect()
+    rows.foreach { r =>
+      val v = r.getSeq[Float](0); val m = r.getDouble(1); val c = r.getSeq[Long](2)
+      val step = m / 127.0
+      v.zip(c).foreach { case (x, code) =>
+        assert(math.abs(x.toDouble - code * step) <= step / 2 + 1e-9,
+          s"x=$x code=$code m=$m")
+      }
+    }
+  }
+
+  test("capPerGroupSalted equals the plain window cap on generated skewed data") {
+    val s = spark; import s.implicits._
+    val rnd = new scala.util.Random(11)
+    // one hot group with 300 rows, many small ones
+    val rows = (1L to 300L).map(i => ("hot", i, rnd.nextInt(50).toLong)) ++
+      (301L to 400L).map(i => (s"g${i % 7}", i, rnd.nextInt(50).toLong))
+    val df = rows.toDF("src", "id", "score")
+    val ord = Seq(col("score").desc, col("id"))
+    val plain = Graft.capPerGroup(df, "src", ord, 20)
+      .select("src", "id", "rk").collect().map(r =>
+        (r.getString(0), r.getLong(1), r.getLong(2))).sorted
+    val salted = Graft.capPerGroupSalted(df, "src", ord, 20, saltOn = col("id"))
+      .select("src", "id", "rk").collect().map(r =>
+        (r.getString(0), r.getLong(1), r.getLong(2))).sorted
+    assert(salted === plain) // identical rows AND ranks
+  }
+
+  test("gapFill spine covers exactly [min,max] per key with nulls off-support") {
+    val s = spark; import s.implicits._
+    val df = Seq((1L, 10L, "a"), (1L, 13L, "b"), (2L, 5L, "c")).toDF("k", "d", "v")
+    val out = Graft.gapFill(df, "k", "d").orderBy("k", "d").collect()
+      .map(r => (r.getLong(0), r.getLong(1), Option(r.getString(2))))
+    assert(out === Seq(
+      (1L, 10L, Some("a")), (1L, 11L, None), (1L, 12L, None), (1L, 13L, Some("b")),
+      (2L, 5L, Some("c"))))
+  }
+
   test("cross-doc repeated 8-grams find the shared span and only it") {
     val s = spark; import s.implicits._
     val shared = "one two three four five six seven eight"
