@@ -78,7 +78,8 @@ object GdalWrite {
     case "spatialite" | "sqlite" => fileBytes(df, "spatialite", ".sqlite", options, zip = false)
     case "kml" => fileBytes(df, "kml", ".kml", options, zip = false)
     case "gpx" => fileBytes(df, "gpx", ".gpx", options, zip = false)
-    case "geojsonseq" => fileBytes(df, "geojsonseq", ".geojsonl", options, zip = false)
+    case "geojsonseq" | "geojsonl" | "ndjson" =>
+      fileBytes(df, "geojsonseq", ".geojsonl", options, zip = false)
     case other => throw new IllegalArgumentException(
       s"unsupported bytes format '$other' " +
         "(geojson|csvgeo|shapefile|flatgeobuf|spatialite|kml|gpx|geojsonseq)")

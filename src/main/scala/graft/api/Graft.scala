@@ -500,6 +500,48 @@ object Graft {
 
   // ------------------------------------------------------------ events
 
+  /** Epoch day from a timestamp with FLOOR semantics on both engines
+    * (q75/q77): `div` truncates toward zero, which diverges from DuckDB's
+    * floor `//` for pre-1970 timestamps. Double division is floor-exact
+    * here: |unix_micros| < 2^53, so the operands are exact; at exact
+    * multiples the quotient is representable (IEEE division returns it
+    * exactly), and elsewhere the true value is ≥ 1/86400000000 ≈ 1.2e-11
+    * from an integer while the rounding error is ~2e-12. */
+  def epochDay(ts: Column): Column =
+    floor(unix_micros(ts) / lit(86400000000.0)).cast(LongType)
+
+  /** Ordered funnel stage anchors (q74): stage i's anchor per user is the
+    * FIRST event of `stages(i)` strictly after the user's stage-(i−1)
+    * anchor (stage 0 anchors at the first matching event). Returns one
+    * DataFrame per stage: (userCol, anchor). Each stage is a
+    * pre-aggregated join — never a per-user subquery; a user drops out at
+    * the first stage they fail. `tsCol` must be a totally-ordered numeric
+    * (e.g. unix micros). */
+  def funnelStages(events: DataFrame, userCol: String, typeCol: String,
+      tsCol: String, stages: Seq[String]): Seq[DataFrame] = {
+    require(stages.nonEmpty, "need at least one funnel stage")
+    stages.foldLeft(Vector.empty[DataFrame]) { (acc, st) =>
+      val base = acc.lastOption match {
+        case None => events.filter(col(typeCol) === st)
+        case Some(prev) => events
+          .join(prev.select(col(userCol), col("anchor")), userCol)
+          .filter(col(typeCol) === st && col(tsCol) > col("anchor"))
+      }
+      acc :+ base.groupBy(col(userCol)).agg(min(col(tsCol)).as("anchor"))
+    }
+  }
+
+  /** Cohort retention triangle (q75): rows (cohort, offset, n_users)
+    * where cohort = a user's first `dayCol` and offset = activity day −
+    * cohort day. Two shuffles on the user, one on the cohort cell. */
+  def retentionTriangle(df: DataFrame, userCol: String, dayCol: String): DataFrame = {
+    val first = df.groupBy(col(userCol)).agg(min(col(dayCol)).as("cohort"))
+    df.join(first, userCol)
+      .withColumn("offset", col(dayCol) - col("cohort"))
+      .groupBy(col("cohort"), col("offset"))
+      .agg(countDistinct(col(userCol)).as("n_users"))
+  }
+
   /** Integer gap-filling spine per key (q77) — time-series densification:
     * for each key, one row per value of `seqCol` in [min, max] of that
     * key's observed range, left-joined back to the input (absent rows

@@ -21,14 +21,21 @@ object SpatialFns {
     UTF8String.fromString(GeomCodec.fromWkb(wkb).getGeometryType)
   def npoints(wkb: Array[Byte]): Int = GeomCodec.fromWkb(wkb).getNumPoints
   def isValid(wkb: Array[Byte]): Boolean = GeomCodec.fromWkb(wkb).isValid
-  /** st_dump-style decomposition: the component geometries of a Multi*/
-  /* GeometryCollection as WKB (a simple geometry yields itself). */
+  /** st_dump-style decomposition to SIMPLE geometries: recurses through
+    * Multi* and (possibly nested) GeometryCollections, so the result
+    * never contains a multi-part component (PostGIS ST_Dump semantics).
+    * A simple geometry yields itself. */
   def parts(wkb: Array[Byte]): org.apache.spark.sql.catalyst.util.ArrayData = {
-    val g = GeomCodec.fromWkb(wkb)
-    val arr = new Array[Any](g.getNumGeometries)
-    var i = 0
-    while (i < arr.length) { arr(i) = GeomCodec.toWkb(g.getGeometryN(i)); i += 1 }
-    new org.apache.spark.sql.catalyst.util.GenericArrayData(arr)
+    val out = scala.collection.mutable.ArrayBuffer.empty[Any]
+    def walk(g: org.locationtech.jts.geom.Geometry): Unit =
+      if (g.getNumGeometries <= 1 && !g.isInstanceOf[org.locationtech.jts.geom.GeometryCollection])
+        out += GeomCodec.toWkb(g)
+      else {
+        var i = 0
+        while (i < g.getNumGeometries) { walk(g.getGeometryN(i)); i += 1 }
+      }
+    walk(GeomCodec.fromWkb(wkb))
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out.toArray)
   }
   def intersects(a: Array[Byte], b: Array[Byte]): Boolean =
     GeomCodec.fromWkb(a).intersects(GeomCodec.fromWkb(b))

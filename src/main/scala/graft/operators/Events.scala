@@ -115,20 +115,12 @@ object Events {
       import s.implicits._
       val e = t(s, dir, "events")
         .select($"user_id", $"event_type", unix_micros($"ts").as("us"))
-      val v = e.filter($"event_type" === "view")
-        .groupBy($"user_id").agg(min($"us").as("t1"))
-      val c = e.join(v, "user_id")
-        .filter($"event_type" === "click" && $"us" > $"t1")
-        .groupBy($"user_id").agg(min($"us").as("t2"))
-      val p = e.join(c, "user_id")
-        .filter($"event_type" === "purchase" && $"us" > $"t2")
-        .groupBy($"user_id").agg(min($"us").as("t3"))
-      v.agg(count(lit(1)).as("n_users")).select(lit("1_view").as("stage"), $"n_users")
-        .unionAll(c.agg(count(lit(1)).as("n_users"))
-          .select(lit("2_view_click").as("stage"), $"n_users"))
-        .unionAll(p.agg(count(lit(1)).as("n_users"))
-          .select(lit("3_view_click_purchase").as("stage"), $"n_users"))
-        .orderBy($"stage")
+      val stages = graft.api.Graft.funnelStages(e, "user_id", "event_type", "us",
+        Seq("view", "click", "purchase"))
+      val labels = Seq("1_view", "2_view_click", "3_view_click_purchase")
+      labels.zip(stages).map { case (label, st) =>
+        st.agg(count(lit(1)).as("n_users")).select(lit(label).as("stage"), $"n_users")
+      }.reduce(_ unionAll _).orderBy($"stage")
     }),
 
     // ---- q77: gap-filled daily activity — time-series densification.
@@ -138,7 +130,7 @@ object Events {
     "q77_gap_fill" -> ((s, dir) => {
       import s.implicits._
       val perDay = t(s, dir, "events")
-        .select($"user_id", expr("unix_micros(ts) div 86400000000").as("day"))
+        .select($"user_id", graft.api.Graft.epochDay($"ts").as("day"))
         .groupBy($"user_id", $"day").agg(count(lit(1)).as("n"))
       graft.api.Graft.gapFill(perDay, "user_id", "day")
         .withColumn("n", coalesce($"n", lit(0L)))
@@ -148,16 +140,13 @@ object Events {
     // ---- q75: cohort retention — users grouped by first-seen day, the
     // classic (cohort, day-offset) activity triangle. Two shuffles on
     // user_id (first-seen + join) and one on the cohort cell; day math
-    // is integer floor-division of unix micros on both engines. ----
+    // is Graft.epochDay — FLOOR division matching DuckDB `//` even for
+    // pre-1970 timestamps (Spark `div` truncates toward zero). ----
     "q75_retention" -> ((s, dir) => {
       import s.implicits._
       val e = t(s, dir, "events")
-        .select($"user_id", expr("unix_micros(ts) div 86400000000").as("day"))
-      val first = e.groupBy($"user_id").agg(min($"day").as("cohort"))
-      e.join(first, "user_id")
-        .withColumn("offset", $"day" - $"cohort")
-        .groupBy($"cohort", $"offset")
-        .agg(countDistinct($"user_id").as("n_users"))
+        .select($"user_id", graft.api.Graft.epochDay($"ts").as("day"))
+      graft.api.Graft.retentionTriangle(e, "user_id", "day")
         .orderBy($"cohort", $"offset")
     })
   )

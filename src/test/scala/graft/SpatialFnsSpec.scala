@@ -96,13 +96,17 @@ class SpatialFnsSpec extends AnyFunSuite {
     graft.functions.GraftFunctions.register(s)
     val df = Seq(
       ("m", "MULTIPOINT ((1 2), (3 4), (5 6))"),
-      ("p", "POINT (9 9)")).toDF("k", "wkt")
+      ("p", "POINT (9 9)"),
+      // nested collection: ST_Dump semantics recurse to SIMPLE parts
+      ("n", "GEOMETRYCOLLECTION (MULTIPOINT ((1 1), (2 2)), POINT (3 3))"))
+      .toDF("k", "wkt")
       .selectExpr("k", "st_geomfromwkt(wkt) AS g")
     val parts = df.selectExpr("k", "explode(st_parts(g)) AS part")
       .selectExpr("k", "st_aswkt(part) AS wkt").collect()
       .map(r => (r.getString(0), r.getString(1))).sorted
     assert(parts === Array(
       ("m", "POINT (1 2)"), ("m", "POINT (3 4)"), ("m", "POINT (5 6)"),
+      ("n", "POINT (1 1)"), ("n", "POINT (2 2)"), ("n", "POINT (3 3)"),
       ("p", "POINT (9 9)")))
   }
 }
