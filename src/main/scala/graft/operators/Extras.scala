@@ -147,6 +147,25 @@ object Extras {
         .orderBy($"o_custkey", $"o_orderkey")
     }),
 
+    // ---- q78: fuzzy matching — Levenshtein near-duplicate part names
+    // within (brand, size) blocks. Classic blocked fuzzy join: the
+    // equality join on the block keys bounds pair generation to
+    // C(rows-per-block, 2) — the same cap discipline as q24 — and the
+    // edit distance runs only inside blocks, never across the full
+    // cross product. Same definition (unit-cost edits) both engines. ----
+    "q78_fuzzy_match" -> ((s, dir) => {
+      import s.implicits._
+      val p = t(s, dir, "part").select($"p_partkey", $"p_brand", $"p_size", $"p_name")
+      p.alias("a").join(p.alias("b"),
+          $"a.p_brand" === $"b.p_brand" && $"a.p_size" === $"b.p_size" &&
+            $"a.p_partkey" < $"b.p_partkey")
+        .filter(levenshtein($"a.p_name", $"b.p_name") <= 8)
+        .groupBy($"a.p_brand".as("brand"))
+        .agg(count(lit(1)).as("n_pairs"),
+          min(levenshtein($"a.p_name", $"b.p_name")).cast(LongType).as("min_dist"))
+        .orderBy($"brand")
+    }),
+
     // ---- q76: unpivot/melt — wide → long normalization (the inverse of
     // q36's pivot; a Polars table-stake). Pure projection: each input row
     // fans to one row per measure with no shuffle. ----
@@ -283,6 +302,15 @@ object Extras {
       """SELECT event_type, COUNT(DISTINCT user_id) AS exact_users,
         | COUNT(*) AS n_events
         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+
+    "q78_fuzzy_match" ->
+      """SELECT a.p_brand AS brand, COUNT(*) AS n_pairs,
+        | CAST(MIN(levenshtein(a.p_name, b.p_name)) AS BIGINT) AS min_dist
+        |FROM part a JOIN part b
+        |  ON a.p_brand = b.p_brand AND a.p_size = b.p_size
+        | AND a.p_partkey < b.p_partkey
+        |WHERE levenshtein(a.p_name, b.p_name) <= 8
+        |GROUP BY 1 ORDER BY brand""".stripMargin,
 
     "q76_unpivot" ->
       """SELECT p_partkey, 'p_retailprice' AS measure, p_retailprice AS value FROM part
