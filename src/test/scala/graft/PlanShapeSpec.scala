@@ -114,6 +114,12 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(p.contains("__salt"), p)
   }
 
+  test("q78 fuzzy match joins on the block keys, never a cartesian") {
+    val p = planOf("q78_fuzzy_match")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoop"), p)
+    assert(p.contains("levenshtein"), p) // distance is a post-join filter
+  }
+
   test("gdal_read_fgb_bbox pushes the box into the scan via the optimizer rule") {
     val df = SparkEntry.queries("gdal_read_fgb_bbox")(spark, dir)
     val p = df.queryExecution.executedPlan.toString
