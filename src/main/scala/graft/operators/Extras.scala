@@ -159,10 +159,14 @@ object Extras {
       p.alias("a").join(p.alias("b"),
           $"a.p_brand" === $"b.p_brand" && $"a.p_size" === $"b.p_size" &&
             $"a.p_partkey" < $"b.p_partkey")
-        .filter(levenshtein($"a.p_name", $"b.p_name") <= 8)
+        // project the distance ONCE: Filter and Aggregate are separate
+        // operators, so Catalyst would not CSE a repeated levenshtein —
+        // and the O(len²) DP is the whole cost of this query
+        .withColumn("d", levenshtein($"a.p_name", $"b.p_name"))
+        .filter($"d" <= 8)
         .groupBy($"a.p_brand".as("brand"))
         .agg(count(lit(1)).as("n_pairs"),
-          min(levenshtein($"a.p_name", $"b.p_name")).cast(LongType).as("min_dist"))
+          min($"d").cast(LongType).as("min_dist"))
         .orderBy($"brand")
     }),
 

@@ -12,7 +12,9 @@ class PartitionPruneSpec extends AnyFunSuite {
 
   test("filter on the partition column prunes directories at plan time") {
     val s = spark; import s.implicits._
-    val out = java.nio.file.Files.createTempDirectory("graft_prune_").toString
+    val outDir = java.nio.file.Files.createTempDirectory("graft_prune_")
+    val out = outDir.toString
+    try {
     s.read.parquet(s"$sf0001/orders.parquet")
       .withColumn("o_year", year($"o_orderdate"))
       .write.partitionBy("o_year").mode("overwrite").parquet(out)
@@ -22,8 +24,12 @@ class PartitionPruneSpec extends AnyFunSuite {
 
     val one = s.read.parquet(out).filter($"o_year" === years.head)
     val plan = one.queryExecution.executedPlan.toString
-    // the partition filter reaches the scan…
-    assert(plan.contains("PartitionFilters") && plan.contains("o_year"), plan)
+    // the partition filter reaches the scan — assert o_year INSIDE the
+    // PartitionFilters bracket ("PartitionFilters: []" with o_year merely
+    // in the output columns must NOT pass)
+    val pf = plan.linesIterator.mkString
+      .split("PartitionFilters: \\[").lift(1).map(_.takeWhile(_ != ']'))
+    assert(pf.exists(_.contains("o_year")), s"no pushed partition filter in: $plan")
     // …and the scan actually plans a strict subset of the files
     def filesPlanned(df: org.apache.spark.sql.DataFrame): Long =
       df.queryExecution.executedPlan.collectLeaves().map {
@@ -38,5 +44,10 @@ class PartitionPruneSpec extends AnyFunSuite {
     val expect = s.read.parquet(s"$sf0001/orders.parquet")
       .filter(year($"o_orderdate") === years.head).count()
     assert(one.count() === expect)
+    } finally { // don't leak a parquet tree per run
+      import scala.jdk.CollectionConverters._
+      java.nio.file.Files.walk(outDir).iterator().asScala.toSeq.reverse
+        .foreach(p => java.nio.file.Files.deleteIfExists(p))
+    }
   }
 }
