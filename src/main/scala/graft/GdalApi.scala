@@ -28,6 +28,7 @@ object GdalRead {
       else if (hint.endsWith(".fgb")) "flatgeobuf"
       else if (hint.endsWith(".kml")) "kml"
       else if (hint.endsWith(".gpx")) "gpx"
+      else if (hint.endsWith(".gpkg")) "gpkg"
       else if (hint.endsWith(".sqlite") || hint.endsWith(".db")) "spatialite"
       else if (hint.endsWith(".geojsonl") || hint.endsWith(".ndjson") ||
         hint.endsWith(".geojsons")) "geojsonseq"
@@ -76,13 +77,14 @@ object GdalWrite {
     case "shapefile" | "shp" | "shp.zip" => fileBytes(df, "shapefile", ".shp", options, zip = true)
     case "flatgeobuf" | "fgb" => fileBytes(df, "flatgeobuf", ".fgb", options, zip = false)
     case "spatialite" | "sqlite" => fileBytes(df, "spatialite", ".sqlite", options, zip = false)
+    case "gpkg" | "geopackage" => fileBytes(df, "gpkg", ".gpkg", options, zip = false)
     case "kml" => fileBytes(df, "kml", ".kml", options, zip = false)
     case "gpx" => fileBytes(df, "gpx", ".gpx", options, zip = false)
     case "geojsonseq" | "geojsonl" | "ndjson" =>
       fileBytes(df, "geojsonseq", ".geojsonl", options, zip = false)
     case other => throw new IllegalArgumentException(
       s"unsupported bytes format '$other' " +
-        "(geojson|csvgeo|shapefile|flatgeobuf|spatialite|kml|gpx|geojsonseq)")
+        "(geojson|csvgeo|shapefile|flatgeobuf|spatialite|gpkg|kml|gpx|geojsonseq)")
   }
 
   private def geoJsonBytes(df: DataFrame, options: Map[String, String]): Array[Byte] = {

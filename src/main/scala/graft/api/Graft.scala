@@ -569,6 +569,146 @@ object Graft {
       .agg(count(col("__new")).as("n_sessions"), count(lit(1)).as("n_events"))
   }
 
+  // ------------------------------------------------------------ layout
+
+  /** Bit-spread of the low 16 bits of `c` into even bit positions — the
+    * half of a Morton (Z-order) code. Five shift/mask rounds, pure integer
+    * projection, codegen'd end-to-end. */
+  def mortonSpread16(c: Column): Column = {
+    var x = c.cast(LongType).bitwiseAND(lit(0xFFFFL))
+    x = (x.bitwiseOR(shiftleft(x, 8))).bitwiseAND(lit(0x00FF00FFL))
+    x = (x.bitwiseOR(shiftleft(x, 4))).bitwiseAND(lit(0x0F0F0F0FL))
+    x = (x.bitwiseOR(shiftleft(x, 2))).bitwiseAND(lit(0x33333333L))
+    (x.bitwiseOR(shiftleft(x, 1))).bitwiseAND(lit(0x55555555L))
+  }
+
+  /** 32-bit Morton (Z-order) interleave of two 16-bit values: bit i of `x`
+    * lands at position 2i, bit i of `y` at 2i+1. Z-ordering is the standard
+    * multi-dimensional clustering key: sorting/range-partitioning by it
+    * co-locates rows that are close in BOTH dimensions, so parquet
+    * row-group min/max stats prune scans filtered on either column — the
+    * data-layout half of "fast at 100 TB" that no per-query plan can
+    * recover after a bad write. */
+  def mortonZ(x: Column, y: Column): Column =
+    mortonSpread16(x).bitwiseOR(shiftleft(mortonSpread16(y), 1))
+
+  /** Z-order clustering write-layout: range-partition by the Morton code of
+    * (xCol, yCol) and sort within partitions, so a subsequent parquet write
+    * yields files whose min/max stats are tight in both dimensions. The
+    * code uses each column's low 16 bits — pre-bucket skewed or wide-range
+    * columns into [0, 65536) (e.g. `pmod(xxhash64(c), 65536)` for ids, a
+    * range rank for continuous values) before calling. */
+  def zorderBy(df: DataFrame, xCol: String, yCol: String,
+      partitions: Int = 0): DataFrame = {
+    val z = mortonZ(col(xCol), col(yCol)).as("__z")
+    val withZ = df.withColumn("__z", z)
+    val parted =
+      if (partitions > 0) withZ.repartitionByRange(partitions, col("__z"))
+      else withZ.repartitionByRange(col("__z"))
+    parted.sortWithinPartitions(col("__z")).drop("__z")
+  }
+
+  // ------------------------------------------------------------ profiling
+
+  /** One-pass per-column data profile: (col_name, n_rows, n_nonnull,
+    * n_distinct, min_s, max_s) for each listed column — the pre-flight
+    * check every ingest pipeline runs. One aggregation job; with
+    * `approxDistinct` the distinct counts use HLL and the plan is a single
+    * partial+final agg (the 100 TB mode — exact multi-column DISTINCT
+    * plans an Expand of |cols| copies of the input). min/max are cast to
+    * string so the profile is one uniform relation regardless of column
+    * types. */
+  def profile(df: DataFrame, cols: Seq[String],
+      approxDistinct: Boolean = false): DataFrame = {
+    require(cols.nonEmpty, "profile needs at least one column")
+    val aggs = cols.flatMap { c =>
+      val nd = if (approxDistinct) approx_count_distinct(col(c))
+               else countDistinct(col(c))
+      Seq(count(col(c)).as(s"__nn_$c"), nd.as(s"__nd_$c"),
+        min(col(c)).cast(StringType).as(s"__mn_$c"),
+        max(col(c)).cast(StringType).as(s"__mx_$c"))
+    } :+ count(lit(1)).as("__n")
+    val agged = df.agg(aggs.head, aggs.tail: _*)
+    val rows = cols.map { c =>
+      struct(lit(c).as("col_name"), col("__n").as("n_rows"),
+        col(s"__nn_$c").as("n_nonnull"), col(s"__nd_$c").as("n_distinct"),
+        col(s"__mn_$c").as("min_s"), col(s"__mx_$c").as("max_s"))
+    }
+    agged.select(inline(array(rows: _*)))
+  }
+
+  // ------------------------------------------------------------ intervals
+
+  /** Merge overlapping/touching intervals per key (gaps-and-islands):
+    * returns one row per merged island with (keyCol, island, island_start,
+    * island_end, n_rows). `startCol`/`endCol` are numeric (e.g. unix
+    * micros). Intervals overlap when next.start <= running max(end) —
+    * touching intervals merge. One shuffle on the key; the window is a
+    * running max, never a buffer of the whole key. */
+  def mergeIntervals(df: DataFrame, keyCol: String, startCol: String,
+      endCol: String): DataFrame = {
+    val byStart = Window.partitionBy(col(keyCol))
+      .orderBy(col(startCol), col(endCol))
+    val prevMax = max(col(endCol)).over(
+      byStart.rowsBetween(Window.unboundedPreceding, -1))
+    df.withColumn("__new",
+        when(prevMax.isNull || col(startCol) > prevMax, 1))
+      .withColumn("island",
+        count(col("__new")).over(
+          byStart.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy(col(keyCol), col("island"))
+      .agg(min(col(startCol)).as("island_start"),
+        max(col(endCol)).as("island_end"), count(lit(1)).as("n_rows"))
+  }
+
+  // ------------------------------------------------------------ sampling
+
+  /** Deterministic weight-proportional sampling: a row is kept when its
+    * cross-engine hash bucket (0..999) is below `permille`, a per-row
+    * integer column (cap at 1000 keeps everything). The weighted
+    * generalization of [[sampleByHash]]: stable under repartition/retry,
+    * no RNG state, new rows sampled at their own rate without touching
+    * old decisions. Pure projection — no shuffle. */
+  def sampleByWeight(df: DataFrame, key: Column, permille: Column): DataFrame =
+    sampleGate(df, key).filter(col("__gate") < permille).drop("__gate")
+
+  /** As-of join with tolerance: like [[asofJoin]] but a match is kept only
+    * when `leftTs - rightTs <= toleranceUs` (timestamps are numeric, e.g.
+    * unix micros) — the "most recent quote no older than X" form. Ties on
+    * `rightTs` break toward the greatest `tieCol` (required so results are
+    * deterministic — multiple right rows at one timestamp are real at
+    * scale). Output: left rows + `asof_<payload>` + `asof_ts`, both null
+    * when nothing matched inside the tolerance. Same union+window shape as
+    * [[asofJoin]]: one shuffle on the key, no per-row subquery. */
+  def asofJoinTolerance(left: DataFrame, right: DataFrame, keyCol: String,
+      leftTs: String, rightTs: String, payload: String, tieCol: String,
+      toleranceUs: Long): DataFrame = {
+    val rowType = StructType(left.schema.fields)
+    val pType = right.schema(payload).dataType
+    val l = left.select(col(keyCol).as("__k"), col(leftTs).as("__ts"),
+      lit(1).as("__kind"), lit(null).cast(pType).as("__p"),
+      lit(null).cast(right.schema(tieCol).dataType).as("__tie"),
+      struct(left.columns.map(col): _*).as("__row"))
+    val r = right.select(col(keyCol).as("__k"), col(rightTs).as("__ts"),
+      lit(2).as("__kind"), col(payload).as("__p"), col(tieCol).as("__tie"),
+      lit(null).cast(rowType).as("__row"))
+    // Rights at ts T sort after lefts at T (kind 2 > 1) → strictly-before
+    // semantics; equal-ts rights order by __tie so last() is deterministic.
+    val w = Window.partitionBy(col("__k"))
+      .orderBy(col("__ts"), col("__kind"), col("__tie"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val matched = l.unionByName(r)
+      .withColumn("__mp", last(col("__p"), ignoreNulls = true).over(w))
+      .withColumn("__mts",
+        last(when(col("__kind") === 2, col("__ts")), ignoreNulls = true).over(w))
+      .filter(col("__kind") === 1)
+    val inTol = col("__mts").isNotNull &&
+      (col("__ts") - col("__mts")) <= toleranceUs
+    matched.select(col("__row.*"),
+      when(inTol, col("__mp")).as(s"asof_$payload"),
+      when(inTol, col("__mts")).as("asof_ts"))
+  }
+
   /** As-of join: for each left row, the single right row with the greatest
     * `rightTs` strictly before `leftTs` on the same key. Union+window
     * formulation — one shuffle, no per-row subquery. `payload` is the right

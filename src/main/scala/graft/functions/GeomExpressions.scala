@@ -156,16 +156,22 @@ object GraftFunctions {
       e(3).eval().asInstanceOf[Number].intValue())))
 
   def register(spark: SparkSession): Unit = {
+    // Idempotent: operators call this defensively per query, and the
+    // GraftExtensions injection usually got there first — re-registering
+    // would spam "replaced a previously registered function" warnings.
+    val reg = spark.sessionState.functionRegistry
     fns.foreach { case (name, builder) =>
-      spark.sessionState.functionRegistry.registerFunction(
-        FunctionIdentifier(name),
-        new ExpressionInfo("graft.functions.GeomExpressions", name),
-        builder)
+      if (!reg.functionExists(FunctionIdentifier(name)))
+        reg.registerFunction(
+          FunctionIdentifier(name),
+          new ExpressionInfo("graft.functions.GeomExpressions", name),
+          builder)
     }
     // Typed aggregate (no Expression-builder form): geometric union of a
     // group with executor-side partial merges.
-    spark.udf.register("st_union_agg",
-      org.apache.spark.sql.functions.udaf(new StUnionAgg))
+    if (!reg.functionExists(FunctionIdentifier("st_union_agg")))
+      spark.udf.register("st_union_agg",
+        org.apache.spark.sql.functions.udaf(new StUnionAgg))
   }
 
   def injectInto(ext: org.apache.spark.sql.SparkSessionExtensions): Unit =

@@ -1,0 +1,382 @@
+package graft.operators
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import Util._
+
+/** Round-5 analytics operators: time-bounded rolling windows, interval
+  * merging (gaps-and-islands), Z-order layout clustering, one-pass data
+  * profiling, ratio-to-report shares, deterministic per-group mode,
+  * z-score outlier detection, Markov transition counts, weighted
+  * deterministic sampling, and tolerance-bounded as-of joins.
+  *
+  * Every query is hash-checked against a DuckDB oracle; exactness follows
+  * the Util policy (decimal sums before any reordering aggregation,
+  * integer math wherever a comparison happens, identical double expression
+  * shapes on both engines, BIGINT casts for computed integers).
+  */
+object Analytics {
+
+  /** Morton bit-spread as DuckDB SQL — textual twin of
+    * [[graft.api.Graft.mortonSpread16]] so the oracle computes the exact
+    * same integer. Masks: 0x00FF00FF, 0x0F0F0F0F, 0x33333333, 0x55555555. */
+  private def spreadSql(e: String): String = {
+    val a = s"((CAST($e AS BIGINT)) & 65535)"
+    val b = s"((($a) | (($a) << 8)) & 16711935)"
+    val c = s"((($b) | (($b) << 4)) & 252645135)"
+    val d = s"((($c) | (($c) << 2)) & 858993459)"
+    s"((($d) | (($d) << 1)) & 1431655765)"
+  }
+  private def mortonSql(x: String, y: String): String =
+    s"(${spreadSql(x)} | (${spreadSql(y)} << 1))"
+
+  val queries: Map[String, Q] = Map(
+    // ---- q79: time-bounded rolling window — 7-day revenue per customer
+    // (RANGE frame over event time, the "rolling KPI" every dashboard
+    // needs). One shuffle on the customer; the frame is a sliding range
+    // over a sorted run, never a per-row re-scan. Decimal sum → frame
+    // evaluation order can't change the double. ----
+    "q79_rolling_window" -> ((s, dir) => {
+      val o = t(s, dir, "orders")
+      // o_orderdate is parquet TIMESTAMP_NTZ; the session runs UTC so the
+      // cast is identity and unix_micros gets its required TIMESTAMP.
+      val w = Window.partitionBy(col("o_custkey"))
+        .orderBy(unix_micros(col("o_orderdate").cast(TimestampType)))
+        .rangeBetween(-7L * 86400L * 1000000L, 0L)
+      o.select(col("o_custkey"), col("o_orderkey"), col("o_orderdate"),
+          col("o_totalprice"))
+        .withColumn("roll_rev",
+          sum(dec(col("o_totalprice"))).over(w).cast(DoubleType))
+        .withColumn("n_7d", count(lit(1)).over(w))
+        .drop("o_totalprice")
+        .orderBy(col("o_custkey"), col("o_orderkey"))
+    }),
+
+    // ---- q80: merge overlapping per-user activity intervals and report
+    // coverage — the gaps-and-islands pattern (ad sessions, machine
+    // uptime, GPS track segments). Interval = [ts, ts + value minutes),
+    // all integer-µs math after one floor(). ----
+    "q80_interval_merge" -> ((s, dir) => {
+      val e = t(s, dir, "events")
+        .select(col("user_id"), col("event_id"), col("value"),
+          unix_micros(col("ts")).as("s_us"))
+        .withColumn("e_us",
+          col("s_us") + floor(abs(col("value")) * 60000000.0).cast(LongType))
+        .drop("value")
+      val islands = graft.api.Graft.mergeIntervals(e, "user_id", "s_us", "e_us")
+      islands.groupBy(col("user_id"))
+        .agg(count(lit(1)).as("n_islands"),
+          sum(col("island_end") - col("island_start")).as("covered_us"),
+          sum(col("n_rows")).as("n_events"))
+        .orderBy(col("user_id"))
+    }),
+
+    // ---- q81: Z-order (Morton) clustering key — the write-layout
+    // operator: range-partitioning by the interleaved code co-locates rows
+    // close in BOTH dimensions so parquet min/max stats prune either
+    // filter. The oracle recomputes the exact interleave; zorderBy's
+    // repartitionByRange is exercised in the plan (one range exchange, no
+    // extra shuffle). ----
+    "q81_zorder" -> ((s, dir) => {
+      val p = t(s, dir, "part")
+        .withColumn("x", col("p_size").cast(LongType).bitwiseAND(lit(0xFFFFL)))
+        .withColumn("y", col("p_partkey").bitwiseAND(lit(0xFFFFL)))
+      graft.api.Graft.zorderBy(p, "x", "y")
+        .select(col("p_partkey"), col("x"), col("y"),
+          graft.api.Graft.mortonZ(col("x"), col("y")).as("zval"))
+        .orderBy(col("p_partkey"))
+    }),
+
+    // ---- q82: one-pass data profile of the orders table — per-column
+    // null/distinct/min/max, the ingest pre-flight. Exact distincts here
+    // (oracle-checkable); `approxDistinct = true` is the single-agg 100 TB
+    // mode. Doubles are profiled through DECIMAL(18,2) so min/max strings
+    // render identically on both engines. ----
+    "q82_profile" -> ((s, dir) => {
+      val o = t(s, dir, "orders")
+        .withColumn("o_totalprice", dec(col("o_totalprice")))
+      graft.api.Graft.profile(o,
+          Seq("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice",
+            "o_orderpriority"))
+        .orderBy(col("col_name"))
+    }),
+
+    // ---- q83: ratio-to-report — nation revenue share within region and
+    // of the total. Shares divide decimal-exact window sums (decimal until
+    // the final double division, so window evaluation order is
+    // irrelevant); dims broadcast onto the fact. ----
+    "q83_pct_of_total" -> ((s, dir) => {
+      val rev = t(s, dir, "orders")
+        .join(broadcast(t(s, dir, "customer")),
+          col("o_custkey") === col("c_custkey"))
+        .join(broadcast(t(s, dir, "nation")),
+          col("c_nationkey") === col("n_nationkey"))
+        .join(broadcast(t(s, dir, "region")),
+          col("n_regionkey") === col("r_regionkey"))
+        .groupBy(col("r_name"), col("n_name"))
+        .agg(sum(dec(col("o_totalprice"))).as("rev_dec"),
+          count(lit(1)).as("n_orders"))
+      rev
+        .withColumn("region_rev",
+          sum(col("rev_dec")).over(Window.partitionBy(col("r_name"))))
+        .withColumn("total_rev", sum(col("rev_dec")).over(Window.partitionBy()))
+        .select(col("r_name"), col("n_name"),
+          col("rev_dec").cast(DoubleType).as("rev"), col("n_orders"),
+          round(col("rev_dec").cast(DoubleType) /
+            col("region_rev").cast(DoubleType), 6).as("share_region"),
+          round(col("rev_dec").cast(DoubleType) /
+            col("total_rev").cast(DoubleType), 6).as("share_total"))
+        .orderBy(col("r_name"), col("n_name"))
+    }),
+
+    // ---- q84: deterministic mode per group — each user's most frequent
+    // event type, ties to the lexicographically smallest (engine mode()
+    // tie-breaks differ; a windowed rank makes the answer well-defined).
+    // Two partial+final aggs + one window, all on the user key. ----
+    "q84_mode_per_group" -> ((s, dir) => {
+      val counts = t(s, dir, "events")
+        .groupBy(col("user_id"), col("event_type"))
+        .agg(count(lit(1)).as("n"))
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("n").desc, col("event_type"))
+      counts.withColumn("rk", row_number().over(w))
+        .filter(col("rk") === 1).drop("rk")
+        .orderBy(col("user_id"))
+    }),
+
+    // ---- q85: z-score outliers per event type. Moments from decimal
+    // sums (n, Σx, Σx²) so partial-agg order can't change them; variance
+    // and z are then IDENTICAL double expression trees on both engines.
+    // Flags |z| > 2 — pure projection + one agg, linear at any scale. ----
+    "q85_zscore_outliers" -> ((s, dir) => {
+      val e = t(s, dir, "events")
+      val stats = e.groupBy(col("event_type")).agg(
+        count(lit(1)).as("n"),
+        sum(col("value").cast(DecimalType(18, 6))).cast(DoubleType).as("sx"),
+        sum(col("value").cast(DecimalType(18, 6)) *
+          col("value").cast(DecimalType(18, 6))).cast(DoubleType).as("sxx"))
+      val withZ = e.join(broadcast(stats), "event_type")
+        .withColumn("mean", col("sx") / col("n"))
+        .withColumn("variance",
+          (col("sxx") - col("sx") * col("sx") / col("n")) / (col("n") - 1))
+        .withColumn("z", (col("value") - col("mean")) / sqrt(col("variance")))
+      withZ.filter(abs(col("z")) > 2.0)
+        .select(col("event_type"), col("event_id"), col("value"),
+          round(col("z"), 6).as("z"))
+        .orderBy(col("event_type"), col("event_id"))
+    }),
+
+    // ---- q86: first-order Markov transitions — per-user consecutive
+    // event-type bigrams (ordered by µs time, id tie-break), counted
+    // globally: the session-flow / next-action model input. One window
+    // shuffle on the user + one partial+final count agg. ----
+    "q86_transitions" -> ((s, dir) => {
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(unix_micros(col("ts")), col("event_id"))
+      t(s, dir, "events")
+        .withColumn("next_type", lead(col("event_type"), 1).over(w))
+        .filter(col("next_type").isNotNull)
+        .groupBy(col("event_type").as("src"), col("next_type").as("dst"))
+        .agg(count(lit(1)).as("n"))
+        .orderBy(col("src"), col("dst"))
+    }),
+
+    // ---- q87: weight-proportional deterministic sampling — keep docs at
+    // a rate ∝ length (permille = min(990, n_chars/10)), decided by the
+    // cross-engine md5 bucket: stable under repartition/retry/append, no
+    // RNG state, pure projection. ----
+    "q87_weighted_sample" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val permille = least(lit(990L), expr("n_chars div 10"))
+      graft.api.Graft.sampleByWeight(docs, col("doc_id").cast(StringType), permille)
+        .select(col("doc_id"), col("n_chars"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // ---- q88: as-of join with tolerance — each click matched to the
+    // user's most recent purchase strictly before it and at most 1 hour
+    // old (the "recent-quote" join). Union+window: ONE shuffle on the
+    // user; the oracle's per-row LATERAL subquery is the semantics, not
+    // the plan. ----
+    "q88_asof_tolerance" -> ((s, dir) => {
+      val e = t(s, dir, "events")
+        .select(col("event_id"), col("user_id"), col("event_type"),
+          unix_micros(col("ts")).as("us"))
+      val clicks = e.filter(col("event_type") === "click")
+        .select(col("event_id"), col("user_id"), col("us"))
+      val purchases = e.filter(col("event_type") === "purchase")
+        .select(col("event_id").as("p_id"), col("user_id"), col("us"))
+      graft.api.Graft.asofJoinTolerance(clicks, purchases, "user_id",
+          "us", "us", "p_id", "p_id", 3600L * 1000000L)
+        .select(col("event_id"), col("user_id"), col("us"),
+          col("asof_p_id").as("p_id"), col("asof_ts").as("p_us"))
+        .orderBy(col("event_id"))
+    }),
+
+    // ---- q89: REAL audio decode — deterministic WAV payloads are
+    // synthesized per doc (closed-form hash samples, no RNG), then the
+    // metadata comes from PARSING THE BYTES: RIFF chunk walk, fmt/data
+    // extraction, little-endian PCM16 sample decode, peak/energy over
+    // every sample. The oracle regenerates the same samples in SQL, so
+    // the container writer AND the decoder are hash-checked value-for-
+    // value — the audio leg of the multimodal story (images: real pixel
+    // decode; video: documented fake). Partition-local, no shuffle. ----
+    "q89_audio_meta" -> ((s, dir) => {
+      val audio = Multimodal.audioFromIds(t(s, dir, "documents").select(col("doc_id")))
+      Multimodal.decodeAudio(audio).orderBy(col("doc_id"))
+    })
+  )
+
+  val oracle: Map[String, String] = Map(
+    "q79_rolling_window" ->
+      """SELECT o_custkey, o_orderkey, o_orderdate,
+        | CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) OVER w AS DOUBLE) AS roll_rev,
+        | COUNT(*) OVER w AS n_7d
+        |FROM orders
+        |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate
+        |             RANGE BETWEEN INTERVAL 7 DAY PRECEDING AND CURRENT ROW)
+        |ORDER BY o_custkey, o_orderkey""".stripMargin,
+
+    "q80_interval_merge" ->
+      """WITH iv AS (
+        |  SELECT user_id, event_id, epoch_us(ts) AS s_us,
+        |         epoch_us(ts) + CAST(floor(abs(value) * 60000000.0) AS BIGINT) AS e_us
+        |  FROM events),
+        |flagged AS (
+        |  SELECT user_id, s_us, e_us,
+        |    CASE WHEN max(e_us) OVER (PARTITION BY user_id ORDER BY s_us, e_us
+        |           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) IS NULL
+        |           OR s_us > max(e_us) OVER (PARTITION BY user_id ORDER BY s_us, e_us
+        |           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+        |      THEN 1 END AS newi
+        |  FROM iv),
+        |islands AS (
+        |  SELECT user_id, s_us, e_us,
+        |    COUNT(newi) OVER (PARTITION BY user_id ORDER BY s_us, e_us
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS island
+        |  FROM flagged),
+        |merged AS (
+        |  SELECT user_id, island, MIN(s_us) AS island_start,
+        |         MAX(e_us) AS island_end, COUNT(*) AS n_rows
+        |  FROM islands GROUP BY user_id, island)
+        |SELECT user_id, COUNT(*) AS n_islands,
+        |       CAST(SUM(island_end - island_start) AS BIGINT) AS covered_us,
+        |       CAST(SUM(n_rows) AS BIGINT) AS n_events
+        |FROM merged GROUP BY user_id ORDER BY user_id""".stripMargin,
+
+    "q81_zorder" -> {
+      val z = mortonSql("x", "y")
+      s"""WITH b AS (
+         |  SELECT p_partkey,
+         |         CAST(p_size AS BIGINT) & 65535 AS x,
+         |         p_partkey & 65535 AS y
+         |  FROM part)
+         |SELECT p_partkey, x, y, $z AS zval
+         |FROM b ORDER BY p_partkey""".stripMargin
+    },
+
+    "q82_profile" -> {
+      val cols = Seq(
+        ("o_orderkey", "o_orderkey"),
+        ("o_custkey", "o_custkey"),
+        ("o_orderstatus", "o_orderstatus"),
+        ("o_totalprice", "CAST(o_totalprice AS DECIMAL(18,2))"),
+        ("o_orderpriority", "o_orderpriority"))
+      cols.map { case (name, e) =>
+        s"""SELECT '$name' AS col_name, COUNT(*) AS n_rows,
+           | COUNT($e) AS n_nonnull, COUNT(DISTINCT $e) AS n_distinct,
+           | CAST(MIN($e) AS VARCHAR) AS min_s, CAST(MAX($e) AS VARCHAR) AS max_s
+           |FROM orders""".stripMargin
+      }.mkString("", "\nUNION ALL\n", "\nORDER BY col_name")
+    },
+
+    "q83_pct_of_total" ->
+      """WITH rev AS (
+        |  SELECT r_name, n_name,
+        |         SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS rev_dec,
+        |         COUNT(*) AS n_orders
+        |  FROM orders
+        |  JOIN customer ON o_custkey = c_custkey
+        |  JOIN nation ON c_nationkey = n_nationkey
+        |  JOIN region ON n_regionkey = r_regionkey
+        |  GROUP BY r_name, n_name)
+        |SELECT r_name, n_name, CAST(rev_dec AS DOUBLE) AS rev, n_orders,
+        |  round(CAST(rev_dec AS DOUBLE) /
+        |    CAST(SUM(rev_dec) OVER (PARTITION BY r_name) AS DOUBLE), 6) AS share_region,
+        |  round(CAST(rev_dec AS DOUBLE) /
+        |    CAST(SUM(rev_dec) OVER () AS DOUBLE), 6) AS share_total
+        |FROM rev ORDER BY r_name, n_name""".stripMargin,
+
+    "q84_mode_per_group" ->
+      """WITH c AS (
+        |  SELECT user_id, event_type, COUNT(*) AS n
+        |  FROM events GROUP BY user_id, event_type),
+        |r AS (
+        |  SELECT user_id, event_type, n,
+        |    row_number() OVER (PARTITION BY user_id ORDER BY n DESC, event_type) AS rk
+        |  FROM c)
+        |SELECT user_id, event_type, n FROM r WHERE rk = 1 ORDER BY user_id""".stripMargin,
+
+    "q85_zscore_outliers" ->
+      """WITH s AS (
+        |  SELECT event_type, COUNT(*) AS n,
+        |    CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sx,
+        |    CAST(SUM(CAST(value AS DECIMAL(18,6)) * CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sxx
+        |  FROM events GROUP BY event_type),
+        |z AS (
+        |  SELECT e.event_type, e.event_id, e.value,
+        |    (e.value - s.sx / s.n) /
+        |      sqrt((s.sxx - s.sx * s.sx / s.n) / (s.n - 1)) AS z
+        |  FROM events e JOIN s ON e.event_type = s.event_type)
+        |SELECT event_type, event_id, value, round(z, 6) AS z
+        |FROM z WHERE abs(z) > 2.0 ORDER BY event_type, event_id""".stripMargin,
+
+    "q86_transitions" ->
+      """WITH nxt AS (
+        |  SELECT event_type,
+        |    lead(event_type) OVER (PARTITION BY user_id
+        |      ORDER BY epoch_us(ts), event_id) AS next_type
+        |  FROM events)
+        |SELECT event_type AS src, next_type AS dst, COUNT(*) AS n
+        |FROM nxt WHERE next_type IS NOT NULL
+        |GROUP BY src, dst ORDER BY src, dst""".stripMargin,
+
+    "q87_weighted_sample" ->
+      """SELECT doc_id, n_chars FROM documents
+        |WHERE (md5_number_lower(CAST(doc_id AS VARCHAR)) & 2147483647::UBIGINT) % 1000
+        |      < least(990, n_chars // 10)
+        |ORDER BY doc_id""".stripMargin,
+
+    "q88_asof_tolerance" ->
+      """SELECT a.event_id, a.user_id, epoch_us(a.ts) AS us,
+        |       m.p_id, m.p_us
+        |FROM events a
+        |LEFT JOIN LATERAL (
+        |  SELECT b.event_id AS p_id, epoch_us(b.ts) AS p_us
+        |  FROM events b
+        |  WHERE b.user_id = a.user_id AND b.event_type = 'purchase'
+        |    AND epoch_us(b.ts) < epoch_us(a.ts)
+        |    AND epoch_us(b.ts) >= epoch_us(a.ts) - 3600000000
+        |  ORDER BY epoch_us(b.ts) DESC, b.event_id DESC LIMIT 1) m ON TRUE
+        |WHERE a.event_type = 'click'
+        |ORDER BY a.event_id""".stripMargin,
+
+    "q89_audio_meta" ->
+      """WITH p AS (
+        |  SELECT doc_id, 1000 + (doc_id % 200) * 10 AS n_samples,
+        |         8000 + (doc_id % 3) * 4000 AS sample_rate
+        |  FROM documents),
+        |samp AS (
+        |  SELECT doc_id, ((doc_id * 2654435761 + k * 40503) % 65536) - 32768 AS v
+        |  FROM (SELECT doc_id, unnest(generate_series(0, n_samples - 1)) AS k FROM p)),
+        |st AS (
+        |  SELECT doc_id, MAX(abs(v)) AS peak, CAST(SUM(v * v) AS BIGINT) AS sum_sq
+        |  FROM samp GROUP BY doc_id)
+        |SELECT p.doc_id, CAST(p.sample_rate AS BIGINT) AS sample_rate,
+        |       CAST(p.n_samples AS BIGINT) AS n_samples,
+        |       CAST(p.n_samples * 1000 // p.sample_rate AS BIGINT) AS duration_ms,
+        |       st.peak, st.sum_sq
+        |FROM p JOIN st USING (doc_id) ORDER BY p.doc_id""".stripMargin
+  )
+}

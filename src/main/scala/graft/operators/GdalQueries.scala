@@ -123,6 +123,23 @@ object GdalQueries {
         .select(col("name"), col("marker-sym"),
           GraftFunctions.st_aswkt(col("geometry")).as("wkt"))
         .orderBy(col("name"), col("wkt"))
+    }),
+
+    // Same both-halves pin for GeoPackage — the most widely deployed GDAL
+    // vector container, served by the shared pure-JVM SQLite stack: the
+    // writer builds the gpkg_* metadata tables + feature b-tree and stamps
+    // the GPKG application id; the reader discovers the layer from
+    // gpkg_geometry_columns and strips the GeoPackageBinary header.
+    "gdal_convert_shapefile_to_gpkg" -> ((s, _) => {
+      GraftFunctions.register(s)
+      val out = java.nio.file.Files.createTempDirectory("graft_q_gpkg_").toString
+      s.read.format("shapefile").load(s"$fixtures/stations.shp")
+        .write.format("gpkg").option("layerName", "stations")
+        .mode("overwrite").save(out)
+      s.read.format("gpkg").option("layerName", "stations").load(out)
+        .select(col("fid"), col("name"), col("marker-sym"),
+          GraftFunctions.st_aswkt(col("geometry")).as("wkt"))
+        .orderBy(col("name"), col("wkt"))
     }))
 
   /** DuckDB oracles for the source entries whose outputs DuckDB can

@@ -216,6 +216,144 @@ object Multimodal {
     }(enc)
   }
 
+  // --------------------------------------------------------------- audio
+
+  /** Real RIFF/WAVE metadata: walks the chunk list (fmt / data, skipping
+    * unknown chunks with odd-length padding per the RIFF spec) and returns
+    * (audioFormat, channels, sampleRate, bitsPerSample, nSamples), or None
+    * when the bytes are not a WAV file. Pure JVM — the JDK needs no codec
+    * to parse PCM containers, so unlike video this path is NOT a fake. */
+  def wavMeta(b: Array[Byte]): Option[(Int, Int, Int, Int, Long)] = {
+    def le16(off: Int): Int = (b(off) & 0xFF) | ((b(off + 1) & 0xFF) << 8)
+    def le32(off: Int): Long = (b(off) & 0xFFL) | ((b(off + 1) & 0xFFL) << 8) |
+      ((b(off + 2) & 0xFFL) << 16) | ((b(off + 3) & 0xFFL) << 24)
+    def tag(off: Int): String = new String(b, off, 4, "ISO-8859-1")
+    if (b == null || b.length < 44 || tag(0) != "RIFF" || tag(8) != "WAVE") return None
+    var off = 12
+    var fmt: Option[(Int, Int, Int, Int, Int)] = None // format, ch, rate, block, bits
+    var dataLen = -1L
+    while (off + 8 <= b.length && (fmt.isEmpty || dataLen < 0)) {
+      val id = tag(off)
+      val len = le32(off + 4)
+      if (id == "fmt " && off + 8 + 16 <= b.length)
+        fmt = Some((le16(off + 8), le16(off + 10), le32(off + 12).toInt,
+          le16(off + 20), le16(off + 22)))
+      else if (id == "data")
+        dataLen = math.min(len, (b.length - off - 8).toLong)
+      off += 8 + len.toInt + (len.toInt & 1) // chunks pad to even length
+    }
+    for ((f, ch, rate, block, bits) <- fmt if dataLen >= 0 && block > 0)
+      yield (f, ch, rate, bits, dataLen / block)
+  }
+
+  /** Real PCM16 sample statistics from WAV bytes: (peak = max |sample|,
+    * sumSq = Σ sample²) over the data chunk — exact integer outputs, so a
+    * SQL oracle that regenerates the same samples must agree. None for
+    * non-WAV or non-16-bit payloads. */
+  def wavStats(b: Array[Byte]): Option[(Long, Long)] = wavMeta(b).flatMap {
+    case (fmtCode, _, _, bits, _) if fmtCode != 1 || bits != 16 => None
+    case (_, _, _, _, nSamples) =>
+      // find the data chunk again (cheap — headers are tiny)
+      def le32(off: Int): Long = (b(off) & 0xFFL) | ((b(off + 1) & 0xFFL) << 8) |
+        ((b(off + 2) & 0xFFL) << 16) | ((b(off + 3) & 0xFFL) << 24)
+      def tag(off: Int): String = new String(b, off, 4, "ISO-8859-1")
+      var off = 12
+      var dataOff = -1
+      while (off + 8 <= b.length && dataOff < 0) {
+        if (tag(off) == "data") dataOff = off + 8
+        else off += 8 + le32(off + 4).toInt + (le32(off + 4).toInt & 1)
+      }
+      if (dataOff < 0) None
+      else {
+        var peak = 0L
+        var sumSq = 0L
+        var i = 0
+        while (i < nSamples) {
+          val v = ((b(dataOff + 2 * i) & 0xFF) |
+            (b(dataOff + 2 * i + 1) << 8)).toShort.toLong
+          val a = math.abs(v)
+          if (a > peak) peak = a
+          sumSq += v * v
+          i += 1
+        }
+        Some((peak, sumSq))
+      }
+  }
+
+  /** Deterministic PCM16 mono WAV synthesis from a seed — the test-data
+    * half of the REAL audio path: sample k is the closed-form hash
+    * `((seed·2654435761 + k·40503) & 0xFFFF) − 32768` (no recurrence, no
+    * trig — a SQL oracle regenerates it row-for-row), wrapped in a
+    * spec-correct RIFF container that [[wavMeta]]/[[wavStats]] then parse
+    * back like any foreign WAV. */
+  def wavSynth(seed: Long, nSamples: Int, sampleRate: Int): Array[Byte] = {
+    val dataLen = nSamples * 2
+    val buf = java.nio.ByteBuffer.allocate(44 + dataLen)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    buf.put("RIFF".getBytes("ISO-8859-1")).putInt(36 + dataLen)
+      .put("WAVE".getBytes("ISO-8859-1"))
+      .put("fmt ".getBytes("ISO-8859-1")).putInt(16)
+      .putShort(1).putShort(1) // PCM, mono
+      .putInt(sampleRate).putInt(sampleRate * 2) // byte rate
+      .putShort(2).putShort(16) // block align, bits
+      .put("data".getBytes("ISO-8859-1")).putInt(dataLen)
+    var k = 0
+    while (k < nSamples) {
+      val v = (((seed * 2654435761L + k * 40503L) & 0xFFFFL) - 32768L).toShort
+      buf.putShort(v)
+      k += 1
+    }
+    buf.array()
+  }
+
+  val audioSchema: StructType = StructType(Seq(
+    StructField("doc_id", LongType, nullable = false),
+    StructField("content", BinaryType, nullable = true)))
+
+  /** Deterministic WAV payload per document id (duration and sample rate
+    * vary by id) — the audio analog of [[mediaFromDocuments]]: real RIFF
+    * bytes in an opaque binary column. Partition-local, no shuffle. */
+  def audioFromIds(ids: DataFrame): DataFrame = {
+    val enc = RowEncoder.encoderFor(audioSchema)
+    ids.select("doc_id").mapPartitions { it =>
+      it.map { r =>
+        val id = r.getLong(0)
+        Row(id, wavSynth(id, (1000L + (id % 200L) * 10L).toInt,
+          (8000L + (id % 3L) * 4000L).toInt))
+      }
+    }(enc)
+  }
+
+  val audioMetaSchema: StructType = StructType(Seq(
+    StructField("doc_id", LongType, nullable = false),
+    StructField("sample_rate", LongType, nullable = true),
+    StructField("n_samples", LongType, nullable = true),
+    StructField("duration_ms", LongType, nullable = true),
+    StructField("peak", LongType, nullable = true),
+    StructField("sum_sq", LongType, nullable = true)))
+
+  /** Partition-local REAL audio decode: [[wavMeta]] parses the RIFF
+    * container, [[wavStats]] reads every PCM16 sample — format, rate,
+    * duration, peak, and energy are computed from the BYTES, not assumed
+    * from the generator (non-WAV payloads yield nulls: route, don't
+    * drop). Integer outputs end-to-end so the whole path — container
+    * write, chunk walk, little-endian sample decode — is hash-checkable
+    * against a SQL oracle. */
+  def decodeAudio(audio: DataFrame): DataFrame = {
+    val enc = RowEncoder.encoderFor(audioMetaSchema)
+    audio.select("doc_id", "content").mapPartitions { it =>
+      it.map { r =>
+        val id = r.getLong(0)
+        val bytes = r.getAs[Array[Byte]]("content")
+        (wavMeta(bytes), wavStats(bytes)) match {
+          case (Some((_, _, rate, _, n)), Some((peak, sumSq))) =>
+            Row(id, rate.toLong, n, n * 1000L / rate, peak, sumSq)
+          case _ => Row(id, null, null, null, null, null)
+        }
+      }
+    }(enc)
+  }
+
   /** Partition-local decode: one decoder per partition, streaming rows.
     * JDK-decodable images get real header dimensions (and their sniffed
     * format as media_type) plus a REAL pixel-derived luminance-histogram

@@ -2,59 +2,29 @@ package graft.sources.spatialite
 
 import graft.sources._
 
-/** SpatiaLite (SQLite) vector source — the one reference-tested read path
-  * that round 1 lacked (reference src/test.rs:37-39 reads
-  * `test_spatialite.sqlite`; format claim README.md:9). Pure-JVM: SQLite
-  * b-tree pages via [[SqliteFile]], SpatiaLite geometry blobs via
-  * [[SpatiaLiteGeom]].
-  *
-  * Layers == spatial tables. The layer list is `geometry_columns`
-  * (f_table_name, f_geometry_column) when present — exactly GDAL's
-  * behavior — else every user table; `layerName` / `layerIndex` select
-  * among them (selection order name → index → 0, reference
-  * src/lib.rs:241-247), which makes those options genuinely multi-layer
-  * here (SURVEY.md §2 S4).
+/** Shared machinery for SQLite-container vector formats (SpatiaLite,
+  * GeoPackage): layer selection over discovered spatial tables, row
+  * streaming with IPK/rowid handling, and b-tree-child split planning.
+  * Subclasses supply layer discovery (each container has its own metadata
+  * tables) and the geometry-blob → WKB codec.
   *
   * Scale notes: a table's b-tree splits by top-level interior children —
   * each subtree is an independent InputPartition streaming its leaves, so
   * one big database table parallelizes without a full-file scan per task.
   */
-class SpatiaLiteFormat extends FeatureFormat {
-  override def extensions: Seq[String] = Seq(".sqlite", ".db", ".spatialite")
+abstract class SqliteVectorFormat extends FeatureFormat {
 
-  private case class Layer(table: String, geomCol: Option[String], rootPage: Int,
+  protected case class Layer(table: String, geomCol: Option[String], rootPage: Int,
       cols: Seq[(String, Boolean)])
 
-  /** Spatialite metadata / internal tables never offered as layers. */
-  private val internal = Set("geometry_columns", "spatial_ref_sys", "spatialite_history",
-    "sql_statements_log", "sqlite_sequence", "sqlite_stat1", "sqlite_stat3", "sqlite_stat4",
-    "elementarygeometries", "geom_cols_ref_sys", "spatialindex")
-  private def isInternal(name: String): Boolean = {
-    val n = name.toLowerCase
-    n.startsWith("sqlite_") || n.startsWith("idx_") || n.startsWith("virts_") ||
-      n.startsWith("views_geometry_columns") || n.startsWith("geometry_columns") ||
-      internal.contains(n)
-  }
+  /** The container's layer list, in deterministic order. */
+  protected def discoverLayers(f: SqliteFile): Seq[Layer]
 
-  private def layers(f: SqliteFile): Seq[Layer] = {
-    val tables = f.master.filter(_.typ == "table")
-    val byName = tables.map(r => r.name.toLowerCase -> r).toMap
-    val geomCols = byName.get("geometry_columns").toSeq.flatMap { gc =>
-      f.scanTable(gc.rootPage).map(_._2).collect {
-        case vals if vals.length >= 2 &&
-          vals(0).isInstanceOf[String] && vals(1).isInstanceOf[String] =>
-          (vals(0).asInstanceOf[String], vals(1).asInstanceOf[String])
-      }.toSeq.sortBy(_._1)
-    }
-    if (geomCols.nonEmpty) geomCols.flatMap { case (tbl, gcol) =>
-      byName.get(tbl.toLowerCase).map(r =>
-        Layer(r.name, Some(gcol), r.rootPage, SqliteFile.columnsOf(r.sql)))
-    } else tables.filterNot(t => isInternal(t.name)).map(r =>
-      Layer(r.name, None, r.rootPage, SqliteFile.columnsOf(r.sql)))
-  }
+  /** Container geometry blob → standard WKB (null for undecodable). */
+  protected def blobToWkb(b: Array[Byte]): Array[Byte]
 
   private def selectLayer(f: SqliteFile, path: String, opts: GdalOptions): Layer = {
-    val ls = layers(f)
+    val ls = discoverLayers(f)
     if (ls.isEmpty) throw new IllegalArgumentException(s"$path has no readable layers")
     opts.layerName match {
       case Some(n) =>
@@ -92,7 +62,7 @@ class SpatiaLiteFormat extends FeatureFormat {
       }
       val wkb = geomIdx.flatMap(i =>
         if (i < vals.length) vals(i) match {
-          case b: Array[Byte] => Option(SpatiaLiteGeom.toWkb(b))
+          case b: Array[Byte] => Option(blobToWkb(b))
           case _ => None
         } else None).orNull
       RawFeature(rowid, wkb, props)
@@ -128,6 +98,54 @@ class SpatiaLiteFormat extends FeatureFormat {
       FeatureIterator(rowsOf(f, layer, slice), () => f.close())
     }
   }
+}
+
+/** SpatiaLite (SQLite) vector source — the one reference-tested read path
+  * that round 1 lacked (reference src/test.rs:37-39 reads
+  * `test_spatialite.sqlite`; format claim README.md:9). Pure-JVM: SQLite
+  * b-tree pages via [[SqliteFile]], SpatiaLite geometry blobs via
+  * [[SpatiaLiteGeom]].
+  *
+  * Layers == spatial tables. The layer list is `geometry_columns`
+  * (f_table_name, f_geometry_column) when present — exactly GDAL's
+  * behavior — else every user table; `layerName` / `layerIndex` select
+  * among them (selection order name → index → 0, reference
+  * src/lib.rs:241-247), which makes those options genuinely multi-layer
+  * here (SURVEY.md §2 S4).
+  */
+class SpatiaLiteFormat extends SqliteVectorFormat {
+  override def extensions: Seq[String] = Seq(".sqlite", ".db", ".spatialite")
+
+  /** Spatialite metadata / internal tables never offered as layers. */
+  private val internal = Set("geometry_columns", "spatial_ref_sys", "spatialite_history",
+    "sql_statements_log", "sqlite_sequence", "sqlite_stat1", "sqlite_stat3", "sqlite_stat4",
+    "elementarygeometries", "geom_cols_ref_sys", "spatialindex")
+  private def isInternal(name: String): Boolean = {
+    val n = name.toLowerCase
+    n.startsWith("sqlite_") || n.startsWith("idx_") || n.startsWith("virts_") ||
+      n.startsWith("views_geometry_columns") || n.startsWith("geometry_columns") ||
+      internal.contains(n)
+  }
+
+  protected override def discoverLayers(f: SqliteFile): Seq[Layer] = {
+    val tables = f.master.filter(_.typ == "table")
+    val byName = tables.map(r => r.name.toLowerCase -> r).toMap
+    val geomCols = byName.get("geometry_columns").toSeq.flatMap { gc =>
+      f.scanTable(gc.rootPage).map(_._2).collect {
+        case vals if vals.length >= 2 &&
+          vals(0).isInstanceOf[String] && vals(1).isInstanceOf[String] =>
+          (vals(0).asInstanceOf[String], vals(1).asInstanceOf[String])
+      }.toSeq.sortBy(_._1)
+    }
+    if (geomCols.nonEmpty) geomCols.flatMap { case (tbl, gcol) =>
+      byName.get(tbl.toLowerCase).map(r =>
+        Layer(r.name, Some(gcol), r.rootPage, SqliteFile.columnsOf(r.sql)))
+    } else tables.filterNot(t => isInternal(t.name)).map(r =>
+      Layer(r.name, None, r.rootPage, SqliteFile.columnsOf(r.sql)))
+  }
+
+  protected override def blobToWkb(b: Array[Byte]): Array[Byte] =
+    SpatiaLiteGeom.toWkb(b)
 }
 
 class SpatiaLiteSourceProvider extends WritableFeatureSourceProvider {

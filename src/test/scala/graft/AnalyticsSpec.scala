@@ -1,0 +1,167 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.api.Graft
+import graft.operators.Multimodal
+
+/** Round-5 operators: Morton/Z-order codes, interval merging, profiling,
+  * tolerance as-of joins, weighted sampling, and the real WAV audio
+  * decode path — invariant tests on hand-checked inline data. */
+class AnalyticsSpec extends AnyFunSuite {
+  import TestSpark._
+
+  // ------------------------------------------------------------- morton
+
+  test("mortonZ is a bijection on [0,64)² and interleaves bits") {
+    val s = spark; import s.implicits._
+    val pairs = for (x <- 0 until 64; y <- 0 until 64) yield (x.toLong, y.toLong)
+    val df = pairs.toDF("x", "y").withColumn("z", Graft.mortonZ(col("x"), col("y")))
+    val rows = df.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(rows.map(_._3).distinct.length === 64 * 64) // injective
+    // reference interleave computed bit-by-bit in plain Scala
+    def ref(x: Long, y: Long): Long =
+      (0 until 16).foldLeft(0L) { (acc, i) =>
+        acc | ((x >> i) & 1L) << (2 * i) | ((y >> i) & 1L) << (2 * i + 1)
+      }
+    rows.foreach { case (x, y, z) => assert(z === ref(x, y), s"($x,$y)") }
+    // locality: the quadrant (high interleaved bits) groups nearby points
+    assert(ref(0, 0) < ref(32, 32) && ref(31, 31) < ref(32, 32))
+  }
+
+  test("zorderBy plans one range exchange and keeps all rows") {
+    val s = spark; import s.implicits._
+    val df = (0 until 1000).map(i => (i.toLong % 50L, (i * 7L) % 50L, i.toLong))
+      .toDF("x", "y", "id")
+    val z = Graft.zorderBy(df, "x", "y", partitions = 4)
+    val plan = z.queryExecution.executedPlan.toString
+    assert(plan.contains("rangepartitioning"), plan)
+    assert(z.count() === 1000)
+    assert(z.columns.toSeq === Seq("x", "y", "id")) // helper column dropped
+  }
+
+  // ---------------------------------------------------------- intervals
+
+  test("mergeIntervals merges overlapping and touching, keeps gaps apart") {
+    val s = spark; import s.implicits._
+    val df = Seq(
+      ("u1", 0L, 10L), ("u1", 5L, 12L),  // overlap → one island
+      ("u1", 12L, 15L),                  // touching → same island
+      ("u1", 20L, 25L),                  // gap → new island
+      ("u2", 0L, 1L))
+      .toDF("k", "s", "e")
+    val out = Graft.mergeIntervals(df, "k", "s", "e")
+      .orderBy("k", "island").collect()
+      .map(r => (r.getString(0), r.getLong(2), r.getLong(3), r.getLong(4)))
+    assert(out === Array(("u1", 0L, 15L, 3L), ("u1", 20L, 25L, 1L), ("u2", 0L, 1L, 1L)))
+  }
+
+  test("mergeIntervals: contained interval does not split a running island") {
+    val s = spark; import s.implicits._
+    // (0,100) swallows (10,20); (30,40) must still belong to the first
+    // island because the running max(end) is 100, not 20
+    val df = Seq(("u", 0L, 100L), ("u", 10L, 20L), ("u", 30L, 40L)).toDF("k", "s", "e")
+    val out = Graft.mergeIntervals(df, "k", "s", "e").collect()
+    assert(out.length === 1)
+    assert(out(0).getLong(2) === 0L && out(0).getLong(3) === 100L)
+  }
+
+  // ------------------------------------------------------------ profile
+
+  test("profile computes per-column stats in one aggregation") {
+    val s = spark; import s.implicits._
+    val df = Seq((1L, Some("a")), (2L, None), (3L, Some("a"))).toDF("id", "tag")
+    val p = Graft.profile(df, Seq("id", "tag")).orderBy("col_name").collect()
+    val byName = p.map(r => r.getString(0) -> r).toMap
+    assert(byName("id").getLong(1) === 3L && byName("id").getLong(2) === 3L)
+    assert(byName("id").getLong(3) === 3L) // distinct
+    assert(byName("id").getString(4) === "1" && byName("id").getString(5) === "3")
+    assert(byName("tag").getLong(2) === 2L) // non-null
+    assert(byName("tag").getLong(3) === 1L) // distinct
+    // approx mode plans WITHOUT an Expand (single partial+final agg)
+    val approx = Graft.profile(df, Seq("id", "tag"), approxDistinct = true)
+    assert(!approx.queryExecution.executedPlan.toString.contains("Expand"))
+    val exact = Graft.profile(df, Seq("id", "tag"))
+    assert(exact.queryExecution.executedPlan.toString.contains("Expand"))
+  }
+
+  // ------------------------------------------------- as-of with tolerance
+
+  test("asofJoinTolerance matches most recent within window, ties to max tie") {
+    val s = spark; import s.implicits._
+    val left = Seq((1L, "k", 100L), (2L, "k", 500L), (3L, "k", 50L)).toDF("lid", "k", "ts")
+    val right = Seq(
+      (10L, "k", 90L), (11L, "k", 90L), // tie at ts=90 → pick p_id 11
+      (12L, "k", 300L))
+      .toDF("p_id", "k", "ts")
+    val out = Graft.asofJoinTolerance(left, right, "k", "ts", "ts", "p_id", "p_id", 150L)
+      .orderBy("lid").collect()
+    // lid=1 @100: rights at 90 in [−150] window → tie → 11
+    assert(out(0).getAs[Long]("asof_p_id") === 11L)
+    // lid=2 @500: most recent is 300, but 500−300=200 > 150 → null
+    assert(out(1).isNullAt(out(1).fieldIndex("asof_p_id")))
+    // lid=3 @50: nothing strictly before → null
+    assert(out(2).isNullAt(out(2).fieldIndex("asof_p_id")))
+  }
+
+  // --------------------------------------------------- weighted sampling
+
+  test("sampleByWeight keeps everything at permille 1000 and nothing at 0") {
+    val s = spark; import s.implicits._
+    val df = (1 to 200).map(i => (i.toLong, s"d$i")).toDF("id", "t")
+    assert(Graft.sampleByWeight(df, col("id").cast("string"), lit(1000L)).count() === 200)
+    assert(Graft.sampleByWeight(df, col("id").cast("string"), lit(0L)).count() === 0)
+    val half = Graft.sampleByWeight(df, col("id").cast("string"), lit(500L)).count()
+    assert(half > 60 && half < 140, s"got $half of 200 at 50%")
+  }
+
+  // --------------------------------------------------------------- audio
+
+  test("wavSynth produces a spec-correct container wavMeta parses back") {
+    val wav = Multimodal.wavSynth(7L, 1200, 16000)
+    assert(wav.length === 44 + 2400)
+    val Some((fmt, ch, rate, bits, n)) = Multimodal.wavMeta(wav)
+    assert(fmt === 1 && ch === 1 && rate === 16000 && bits === 16 && n === 1200L)
+    val Some((peak, sumSq)) = Multimodal.wavStats(wav)
+    assert(peak > 0 && peak <= 32768 && sumSq > 0)
+    // stats agree with the closed-form sample formula
+    val expected = (0 until 1200).map { k =>
+      ((7L * 2654435761L + k * 40503L) & 0xFFFFL) - 32768L
+    }
+    assert(peak === expected.map(math.abs).max)
+    assert(sumSq === expected.map(v => v * v).sum)
+  }
+
+  test("wavMeta walks foreign chunk layouts (odd-length chunk before fmt)") {
+    // hand-build: RIFF [LIST len=3 (padded)] [fmt] [data 4 samples]
+    val samples = Array[Short](100, -200, 300, -32768)
+    val data = java.nio.ByteBuffer.allocate(8 + samples.length * 2)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    data.put("data".getBytes("ISO-8859-1")).putInt(samples.length * 2)
+    samples.foreach(data.putShort)
+    val fmt = java.nio.ByteBuffer.allocate(24).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    fmt.put("fmt ".getBytes("ISO-8859-1")).putInt(16)
+      .putShort(1).putShort(2).putInt(44100).putInt(44100 * 4).putShort(4).putShort(16)
+    val list = Array[Byte]('L', 'I', 'S', 'T', 3, 0, 0, 0, 'x', 'y', 'z', 0) // padded
+    val body = list ++ fmt.array() ++ data.array()
+    val buf = java.nio.ByteBuffer.allocate(12 + body.length)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    buf.put("RIFF".getBytes("ISO-8859-1")).putInt(4 + body.length)
+      .put("WAVE".getBytes("ISO-8859-1")).put(body)
+    val Some((f, ch, rate, bits, n)) = Multimodal.wavMeta(buf.array())
+    assert(f === 1 && ch === 2 && rate === 44100 && bits === 16)
+    assert(n === 2L) // 4 samples / blockAlign 4 = 2 frames
+    assert(Multimodal.wavMeta("not a wav".getBytes) === None)
+  }
+
+  test("decodeAudio routes non-WAV payloads to nulls instead of dropping") {
+    val s = spark; import s.implicits._
+    val audio = Seq((1L, Multimodal.wavSynth(1L, 100, 8000)),
+      (2L, "junk".getBytes)).toDF("doc_id", "content")
+    val out = Multimodal.decodeAudio(audio).orderBy("doc_id").collect()
+    assert(out.length === 2)
+    assert(out(0).getLong(1) === 8000L && out(0).getLong(2) === 100L)
+    assert(out(1).isNullAt(1) && out(1).isNullAt(4))
+  }
+}

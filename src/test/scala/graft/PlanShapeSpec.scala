@@ -134,4 +134,32 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(p.contains("hashpartitioning(source"), p)
     assert(!p.contains("SinglePartition"), p)
   }
+
+  test("q79 rolling window partitions by customer (no global sort frame)") {
+    val p = planOf("q79_rolling_window")
+    assert(p.contains("hashpartitioning(o_custkey"), p)
+    // the RANGE frame rides one Window node over one shuffle; the only
+    // rangepartitioning allowed is the final output ORDER BY
+    assert(p.contains("specifiedwindowframe(RangeFrame"), p)
+  }
+
+  test("q88 tolerance as-of is one union+window shuffle, never a join per row") {
+    val p = planOf("q88_asof_tolerance")
+    assert(p.contains("Union"), p)
+    assert(p.contains("hashpartitioning(__k"), p)
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoop"), p)
+  }
+
+  test("q85 z-score joins the tiny per-type stats via broadcast") {
+    val p = planOf("q85_zscore_outliers")
+    assert(p.contains("BroadcastHashJoin"), p)
+  }
+
+  test("q81 zorder clusters with a single range exchange (plus output sort)") {
+    val p = planOf("q81_zorder")
+    // the morton key is pure integer projection — no shuffle beyond the
+    // repartitionByRange and the final ORDER BY
+    assert(p.contains("rangepartitioning(__z"), p)
+    assert(!p.contains("hashpartitioning"), p)
+  }
 }
