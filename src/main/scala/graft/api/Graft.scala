@@ -608,6 +608,37 @@ object Graft {
     parted.sortWithinPartitions(col("__z")).drop("__z")
   }
 
+  /** Grid-partitioned (tiled) spatial join — the scale form of
+    * "points in polygons": each point keys to its grid cell, each polygon
+    * replicates to the cells its envelope covers, the cell key is a plain
+    * EQUALITY join (shuffle or broadcast, AQE's choice), and exact
+    * `st_contains` verifies candidates. A (point, polygon) pair meets in
+    * at most ONE cell — the point's — so no dedup pass is needed. This
+    * replaces the broadcast nested-loop (O(|points|·|polys|) under any
+    * physical plan) with work ∝ candidates per cell: the standard
+    * bin-then-verify shape every distributed spatial engine uses.
+    * Column names of the two inputs must be disjoint. `cellSize` trades
+    * polygon replication (big cells) against candidate precision (small
+    * cells) — start near the median polygon extent. */
+  def spatialJoinTiled(points: DataFrame, polygons: DataFrame,
+      pointGeom: String, polyGeom: String, cellSize: Double = 1.0): DataFrame = {
+    graft.functions.GraftFunctions.register(points.sparkSession)
+    require(cellSize > 0, s"cellSize must be positive, got $cellSize")
+    val p = points
+      .withColumn("__tx", floor(expr(s"st_x(`$pointGeom`)") / cellSize).cast(LongType))
+      .withColumn("__ty", floor(expr(s"st_y(`$pointGeom`)") / cellSize).cast(LongType))
+    val g = polygons
+      .withColumn("__tx", explode(sequence(
+        floor(expr(s"st_xmin(`$polyGeom`)") / cellSize).cast(LongType),
+        floor(expr(s"st_xmax(`$polyGeom`)") / cellSize).cast(LongType))))
+      .withColumn("__ty", explode(sequence(
+        floor(expr(s"st_ymin(`$polyGeom`)") / cellSize).cast(LongType),
+        floor(expr(s"st_ymax(`$polyGeom`)") / cellSize).cast(LongType))))
+    p.join(g, Seq("__tx", "__ty"))
+      .filter(expr(s"st_contains(`$polyGeom`, `$pointGeom`)"))
+      .drop("__tx", "__ty")
+  }
+
   // ------------------------------------------------------------ profiling
 
   /** One-pass per-column data profile: (col_name, n_rows, n_nonnull,

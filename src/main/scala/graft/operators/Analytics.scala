@@ -225,6 +225,125 @@ object Analytics {
     "q89_audio_meta" -> ((s, dir) => {
       val audio = Multimodal.audioFromIds(t(s, dir, "documents").select(col("doc_id")))
       Multimodal.decodeAudio(audio).orderBy(col("doc_id"))
+    }),
+
+    // ---- q90: approx-percentile SELF-GATING (q41's pattern for order
+    // statistics): the mergeable one-pass sketch every 100 TB percentile
+    // needs, shipped WITH its own quality gate — exact percentiles ride
+    // along and the emitted `pass` pins |approx − exact| ≤ 1% of the
+    // value range every round. Rows-only by construction (the sketch is
+    // approximate); the gate IS the check. ----
+    "q90_approx_percentile_gate" -> ((s, dir) => {
+      val li = t(s, dir, "lineitem")
+      li.agg(
+          expr("percentile(l_extendedprice, array(0.5, 0.9, 0.99))").as("exact"),
+          expr("approx_percentile(l_extendedprice, array(0.5, 0.9, 0.99), 10000)")
+            .as("approx"),
+          max(col("l_extendedprice")).as("mx"), min(col("l_extendedprice")).as("mn"))
+        .select(
+          round(element_at(col("exact"), 1), 2).as("p50_exact"),
+          round(element_at(col("approx"), 1), 2).as("p50_approx"),
+          round(element_at(col("exact"), 2), 2).as("p90_exact"),
+          round(element_at(col("approx"), 2), 2).as("p90_approx"),
+          round(element_at(col("exact"), 3), 2).as("p99_exact"),
+          round(element_at(col("approx"), 3), 2).as("p99_approx"),
+          (abs(element_at(col("approx"), 1) - element_at(col("exact"), 1)) <=
+            (col("mx") - col("mn")) * 0.01 &&
+           abs(element_at(col("approx"), 2) - element_at(col("exact"), 2)) <=
+            (col("mx") - col("mn")) * 0.01 &&
+           abs(element_at(col("approx"), 3) - element_at(col("exact"), 3)) <=
+            (col("mx") - col("mn")) * 0.01).as("pass"))
+    }),
+
+    // ---- q91: heavy-hitter report — the skew DIAGNOSIS that tells you a
+    // join needs [[graft.api.Graft.saltedJoin]] or AQE skew handling
+    // before it burns a cluster: top-20 keys by event count with each
+    // key's share and the cumulative share. Count agg (partial+final) →
+    // 20-row top-k; the grand total rides the plan as a broadcast 1-row
+    // aggregate, shares are single double divisions. ----
+    "q91_heavy_hitters" -> ((s, dir) => {
+      val e = t(s, dir, "events")
+      val counts = e.groupBy(col("user_id")).agg(count(lit(1)).as("n"))
+      val total = e.agg(count(lit(1)).as("n_total"))
+      val w = Window.orderBy(col("n").desc, col("user_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      counts.orderBy(col("n").desc, col("user_id")).limit(20)
+        .crossJoin(broadcast(total))
+        .withColumn("rk", row_number().over(
+          Window.orderBy(col("n").desc, col("user_id"))).cast(LongType))
+        .withColumn("share",
+          round(col("n").cast(DoubleType) / col("n_total").cast(DoubleType), 6))
+        .withColumn("cum_share",
+          round(sum(col("n")).over(w).cast(DoubleType) /
+            col("n_total").cast(DoubleType), 6))
+        .select(col("rk"), col("user_id"), col("n"), col("share"), col("cum_share"))
+        .orderBy(col("rk"))
+    }),
+
+    // ---- q92: time-weighted average — the TSDB aggregate for irregular
+    // samples (sensor values, account balances): each value weighted by
+    // its holding interval to the next event. Decimal value × decimal µs
+    // products sum exactly (order-free), ONE double division at the end;
+    // a user's last event has no interval and drops out on both engines. ----
+    "q92_time_weighted_avg" -> ((s, dir) => {
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("us"), col("event_id"))
+      t(s, dir, "events")
+        .select(col("user_id"), col("event_id"), col("value"),
+          unix_micros(col("ts")).as("us"))
+        .withColumn("dt", lead(col("us"), 1).over(w) - col("us"))
+        .filter(col("dt").isNotNull)
+      // width-19 decimals force DuckDB onto its int128 path (width-18
+      // operands multiply in int64 and overflow on day-long intervals);
+      // product width 19+19 = 38 stays inside both engines' caps
+        .groupBy(col("user_id"))
+        .agg(
+          sum(col("value").cast(DecimalType(19, 6)) *
+            col("dt").cast(DecimalType(19, 0))).cast(DoubleType).as("wsum"),
+          sum(col("dt")).as("tsum"))
+        .select(col("user_id"), round(col("wsum") / col("tsum"), 6).as("twa"),
+          col("tsum"))
+        .orderBy(col("user_id"))
+    }),
+
+    // ---- q94: sliding-window counts (batch twin of
+    // EventStreams.slidingCounts): 10-minute windows every 5 minutes per
+    // event type — each event lands in exactly its two epoch-aligned
+    // windows. The oracle derives both starts per event in SQL, pinning
+    // Spark's window() assignment semantics value-for-value. ----
+    "q94_sliding_window" -> ((s, dir) => {
+      t(s, dir, "events")
+        .groupBy(window(col("ts"), "10 minutes", "5 minutes"), col("event_type"))
+        .agg(count(lit(1)).as("n_events"),
+          sum(col("value").cast(DecimalType(18, 6))).cast(DoubleType).as("sum_value"))
+        .select(unix_micros(col("window.start")).as("ws_us"), col("event_type"),
+          col("n_events"), col("sum_value"))
+        .orderBy(col("ws_us"), col("event_type"))
+    }),
+
+    // ---- q93: OHLC bars — per (user, day) open/high/low/close over
+    // event time, the resampling aggregate behind every candlestick /
+    // daily-rollup pipeline. Open/close are deterministic first/last by
+    // (µs, event_id); one shuffle on the (user, day) grain. ----
+    "q93_ohlc_bars" -> ((s, dir) => {
+      val e = t(s, dir, "events")
+        .select(col("user_id"), col("event_id"), col("value"),
+          unix_micros(col("ts")).as("us"))
+        .withColumn("day", expr("us div 86400000000"))
+      val asc = Window.partitionBy(col("user_id"), col("day"))
+        .orderBy(col("us"), col("event_id"))
+      val desc = Window.partitionBy(col("user_id"), col("day"))
+        .orderBy(col("us").desc, col("event_id").desc)
+      e.withColumn("rn_a", row_number().over(asc))
+        .withColumn("rn_d", row_number().over(desc))
+        .groupBy(col("user_id"), col("day"))
+        .agg(
+          max(when(col("rn_a") === 1, col("value"))).as("open"),
+          max(col("value")).as("high"),
+          min(col("value")).as("low"),
+          max(when(col("rn_d") === 1, col("value"))).as("close"),
+          count(lit(1)).as("n"))
+        .orderBy(col("user_id"), col("day"))
     })
   )
 
@@ -377,6 +496,64 @@ object Analytics {
         |       CAST(p.n_samples AS BIGINT) AS n_samples,
         |       CAST(p.n_samples * 1000 // p.sample_rate AS BIGINT) AS duration_ms,
         |       st.peak, st.sum_sq
-        |FROM p JOIN st USING (doc_id) ORDER BY p.doc_id""".stripMargin
+        |FROM p JOIN st USING (doc_id) ORDER BY p.doc_id""".stripMargin,
+
+    // q90 intentionally absent: the sketch is approximate by construction;
+    // the emitted `pass` column is its gate (q41's pattern).
+
+    "q91_heavy_hitters" ->
+      """WITH c AS (SELECT user_id, COUNT(*) AS n FROM events GROUP BY user_id),
+        |tot AS (SELECT COUNT(*) AS n_total FROM events),
+        |top AS (
+        |  SELECT user_id, n,
+        |    row_number() OVER (ORDER BY n DESC, user_id) AS rk
+        |  FROM c ORDER BY n DESC, user_id LIMIT 20)
+        |SELECT rk, user_id, n,
+        |  round(CAST(n AS DOUBLE) / CAST(n_total AS DOUBLE), 6) AS share,
+        |  round(CAST(SUM(n) OVER (ORDER BY rk ROWS BETWEEN UNBOUNDED PRECEDING
+        |    AND CURRENT ROW) AS DOUBLE) / CAST(n_total AS DOUBLE), 6) AS cum_share
+        |FROM top, tot ORDER BY rk""".stripMargin,
+
+    "q92_time_weighted_avg" ->
+      """WITH e AS (
+        |  SELECT user_id, event_id, value, epoch_us(ts) AS us FROM events),
+        |d AS (
+        |  SELECT user_id, value,
+        |    lead(us) OVER (PARTITION BY user_id ORDER BY us, event_id) - us AS dt
+        |  FROM e)
+        |SELECT user_id,
+        |  round(CAST(SUM(CAST(value AS DECIMAL(19,6)) * CAST(dt AS DECIMAL(19,0)))
+        |    AS DOUBLE) / CAST(SUM(dt) AS BIGINT), 6) AS twa,
+        |  CAST(SUM(dt) AS BIGINT) AS tsum
+        |FROM d WHERE dt IS NOT NULL
+        |GROUP BY user_id ORDER BY user_id""".stripMargin,
+
+    "q94_sliding_window" ->
+      """WITH e AS (
+        |  SELECT event_type, value, epoch_us(ts) AS us FROM events),
+        |w AS (
+        |  SELECT event_type, value,
+        |    unnest([us - us % 300000000, us - us % 300000000 - 300000000]) AS ws_us
+        |  FROM e)
+        |SELECT ws_us, event_type, COUNT(*) AS n_events,
+        |  CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
+        |FROM w GROUP BY ws_us, event_type ORDER BY ws_us, event_type""".stripMargin,
+
+    "q93_ohlc_bars" ->
+      """WITH e AS (
+        |  SELECT user_id, event_id, value, epoch_us(ts) AS us,
+        |         epoch_us(ts) // 86400000000 AS day
+        |  FROM events),
+        |r AS (
+        |  SELECT user_id, day, value,
+        |    row_number() OVER (PARTITION BY user_id, day ORDER BY us, event_id) AS rn_a,
+        |    row_number() OVER (PARTITION BY user_id, day ORDER BY us DESC, event_id DESC) AS rn_d
+        |  FROM e)
+        |SELECT user_id, day,
+        |  MAX(CASE WHEN rn_a = 1 THEN value END) AS open,
+        |  MAX(value) AS high, MIN(value) AS low,
+        |  MAX(CASE WHEN rn_d = 1 THEN value END) AS close,
+        |  COUNT(*) AS n
+        |FROM r GROUP BY user_id, day ORDER BY user_id, day""".stripMargin
   )
 }

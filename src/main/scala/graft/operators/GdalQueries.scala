@@ -125,6 +125,26 @@ object GdalQueries {
         .orderBy(col("name"), col("wkt"))
     }),
 
+    // Tiled distributed spatial join (J7 at scale): a deterministic
+    // 10,000-point grid over the CONUS bbox against the us_states
+    // polygons — points key to grid cells, polygon envelopes replicate to
+    // covering cells, cell-equality join, exact st_contains verify.
+    // Rows-only (DuckDB has no spatial); SpatialFnsSpec equality-checks
+    // the tiled result against the brute-force broadcast-NL join.
+    "gdal_spatial_join_tiled" -> ((s, _) => {
+      GraftFunctions.register(s)
+      val states = s.read.format("geojson")
+        .load(s"$fixtures/us_states.feature_collection.implicit_4326.json")
+        .select(col("name"), col("geometry"))
+      val pts = s.range(10000).select(
+        (lit(-124.0) + (col("id") % 100).cast("double") * 0.57).as("lon"),
+        (lit(25.0) + (col("id") / 100).cast("double") * 0.24).as("lat"))
+        .withColumn("pt", expr("st_point(lon, lat)"))
+      graft.api.Graft.spatialJoinTiled(pts, states, "pt", "geometry", cellSize = 2.0)
+        .groupBy(col("name")).agg(count(lit(1)).as("n_points"))
+        .orderBy(col("name"))
+    }),
+
     // Same both-halves pin for GeoPackage — the most widely deployed GDAL
     // vector container, served by the shared pure-JVM SQLite stack: the
     // writer builds the gpkg_* metadata tables + feature b-tree and stamps

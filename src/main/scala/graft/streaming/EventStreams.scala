@@ -28,6 +28,20 @@ object EventStreams {
       .select(col("window.start").as("window_start"), col("event_type"),
         col("n_events"), col("sum_value"))
 
+  /** Sliding 10-minute windows every 5 minutes per event type (each event
+    * lands in exactly two windows) — the overlapping-window rate monitor;
+    * watermark evicts closed windows so state stays O(open windows). The
+    * batch twin q94 hash-checks the same window assignment against SQL
+    * that derives both epoch-aligned starts per event. */
+  def slidingCounts(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "2 hours")
+      .groupBy(window(col("ts"), "10 minutes", "5 minutes"), col("event_type"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(col("value").cast(DecimalType(18, 6))).cast(DoubleType).as("sum_value"))
+      .select(col("window.start").as("window_start"), col("event_type"),
+        col("n_events"), col("sum_value"))
+
   /** Session windows with a 30-minute inactivity gap per user (the
     * streaming form of the batch gaps-and-islands sessionization q22). */
   def sessions(events: DataFrame): DataFrame =

@@ -53,6 +53,30 @@ class SpatialFnsSpec extends AnyFunSuite {
     assert(hits.exists(_.getString(1).contains("Washington")))
   }
 
+  test("tiled spatial join equals the brute-force join, without a nested loop") {
+    import org.apache.spark.sql.functions._
+    val states = spark.read.format("geojson")
+      .load(s"$fixtures/us_states.feature_collection.implicit_4326.json")
+      .select(col("name"), col("geometry"))
+    val pts = spark.range(2000).select(
+      (lit(-124.0) + (col("id") % 50).cast("double") * 1.14).as("lon"),
+      (lit(25.0) + (col("id") / 50).cast("double") * 0.6).as("lat"))
+      .withColumn("pt", expr("st_point(lon, lat)"))
+    val tiled = graft.api.Graft.spatialJoinTiled(pts, states, "pt", "geometry", 2.0)
+      .select(col("lon"), col("lat"), col("name"))
+    // brute force: every point against every polygon
+    val brute = pts.crossJoin(states)
+      .filter(expr("st_contains(geometry, pt)"))
+      .select(col("lon"), col("lat"), col("name"))
+    val t = tiled.collect().map(r => (r.getDouble(0), r.getDouble(1), r.getString(2))).sorted
+    val b = brute.collect().map(r => (r.getDouble(0), r.getDouble(1), r.getString(2))).sorted
+    assert(t.nonEmpty && t.toSeq === b.toSeq)
+    // the candidate path is an equality join on the cell key — never a
+    // nested loop or cartesian over the full inputs
+    val plan = tiled.queryExecution.executedPlan.toString
+    assert(!plan.contains("BroadcastNestedLoop") && !plan.contains("CartesianProduct"), plan)
+  }
+
   test("envelope scalars, simplify, convex hull, binary union") {
     val r = spark.sql(
       """SELECT

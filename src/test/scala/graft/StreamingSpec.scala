@@ -44,6 +44,22 @@ class StreamingSpec extends AnyFunSuite {
       ("2024-01-01 01:00:00.0", "view", 1L, 3.0)))
   }
 
+  test("sliding window counts: each event lands in exactly two windows") {
+    val s = spark
+    import s.implicits._
+    implicit val sc = s.sqlContext
+    val mem = MemoryStream[Ev]
+    // one event at minute 7 → windows starting at minute 0 and minute 5
+    mem.addData(Ev(1, ts(7), 1, "click", 2.5))
+    runToCompletion(EventStreams.slidingCounts(mem.toDF), "sliding", "complete")
+    val rows = s.sql(
+      "SELECT window_start, event_type, n_events, sum_value FROM sliding ORDER BY window_start")
+      .collect().map(r => (r.getTimestamp(0).toString, r.getString(1), r.getLong(2), r.getDouble(3)))
+    assert(rows.toSeq === Seq(
+      ("2024-01-01 00:00:00.0", "click", 1L, 2.5),
+      ("2024-01-01 00:05:00.0", "click", 1L, 2.5)))
+  }
+
   test("session windows with 30-minute gap") {
     val s = spark
     import s.implicits._

@@ -21,7 +21,12 @@ for name in sorted(os.listdir(outdir)):
     if name not in oracle:
         print(f"{name}: ROWS-ONLY rows={len(spark_df)}")
         continue
-    duck_df = con.sql(oracle[name]).df()
+    try:
+        duck_df = con.sql(oracle[name]).df()
+    except Exception as e:
+        fails += 1
+        print(f"{name}: FAIL  ORACLE-ERR {e}")
+        continue
     def canon(df):
         df = df.reindex(sorted(df.columns), axis=1)
         return df.sort_values(by=list(df.columns)).reset_index(drop=True)
