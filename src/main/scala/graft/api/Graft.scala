@@ -347,6 +347,86 @@ object Graft {
       .drop("__c")
   }
 
+  /** The REMOVAL half of exact-substring dedup (Lee et al. 2022 — q66 is
+    * the detection half): word `n`-grams appearing in ≥ `minDf` distinct
+    * documents are repeated spans; every word position they cover is cut
+    * and the document reassembled from the survivors. Shapes: one shuffle
+    * on the gram for the df count, a semi-join back (gram-keyed, so hot
+    * boilerplate grams combine map-side), and a per-doc reassembly whose
+    * state is bounded by document length (q62's contract). Returns
+    * (id, n_words, n_removed, cleaned). */
+  def removeCommonSpans(df: DataFrame, textCol: String, idCol: String,
+      n: Int = 8, minDf: Int = 2): DataFrame = {
+    val w = df.select(col(idCol).as("__id"),
+      split(trim(col(textCol)), " ").as("__w"))
+    val grams = w.filter(size(col("__w")) >= n)
+      .select(col("__id"), posexplode(expr(
+        s"transform(sequence(0, size(__w) - $n), i -> concat_ws('_', slice(__w, i + 1, $n)))"))
+        .as(Seq("__p", "__g")))
+    val common = grams.select(col("__id"), col("__g")).distinct()
+      .groupBy(col("__g")).agg(count(lit(1)).as("__c"))
+      .filter(col("__c") >= minDf).select(col("__g"))
+    val covered = grams.join(common, Seq("__g"), "left_semi")
+      .select(col("__id").as("__cid"),
+        explode(sequence(col("__p"), col("__p") + lit(n - 1))).as("__cp"))
+      .distinct()
+    val toks = w.select(col("__id"), posexplode(col("__w")).as(Seq("__p", "__word")))
+    val kept = toks.join(covered,
+      toks("__id") === covered("__cid") && toks("__p") === covered("__cp"),
+      "left_anti")
+    val reb = kept.groupBy(col("__id")).agg(
+      count(lit(1)).as("__nk"),
+      array_join(transform(array_sort(collect_list(struct(col("__p"), col("__word")))),
+        x => x.getField("__word")), " ").as("cleaned"))
+    w.select(col("__id"), size(col("__w")).cast(LongType).as("n_words"))
+      .join(reb, Seq("__id"), "left")
+      .select(col("__id").as(idCol), col("n_words"),
+        (col("n_words") - coalesce(col("__nk"), lit(0L))).as("n_removed"),
+        coalesce(col("cleaned"), lit("")).as("cleaned"))
+  }
+
+  /** Bloom-filter decontamination — the shape [[decontaminate]] grows into
+    * when even the broadcast eval-shingle SET is too big: the eval slice
+    * compresses to `numBits` of bloom (1 MiB default) built by ONE
+    * mergeable aggregate, and the train side is a pure per-row probe —
+    * no join, no train-side shuffle beyond the per-doc distinct.
+    * Guarantees: no false negatives (every truly contaminated doc is
+    * flagged — a bloom property, not a tuning outcome); false positives
+    * over-flag at a rate set by numBits/items. Flags are
+    * `maybe_contaminated`; q97 rides the exact flag alongside and gates
+    * the FP rate per round (q41's self-gating pattern). */
+  def decontaminateBloom(train: DataFrame, evalSet: DataFrame,
+      textCol: String, idCol: String, ngram: Int = 3,
+      expectedItems: Long = 4000000L, numBits: Long = 1L << 23): DataFrame = {
+    graft.functions.GraftFunctions.register(train.sparkSession)
+    import org.apache.spark.sql.GraftColumnBridge.{column, expression}
+    import org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate
+    import org.apache.spark.sql.catalyst.expressions.{BloomFilterMightContain, Literal, XxHash64}
+    // Spark's native bloom machinery (the runtime-filter aggregate) —
+    // registered only internally, so built directly as expressions.
+    val bfAgg = new BloomFilterAggregate(
+      new XxHash64(Seq(expression(col("__s")))),
+      Literal(expectedItems), Literal(numBits)).toAggregateExpression()
+    // The bloom is collected once: `numBits` of driver-side state (1 MiB
+    // default) REGARDLESS of eval-set size — bounded like the IVF/PQ
+    // training samples, and required by might_contain's constant-bloom
+    // contract. It then rides the probe as a literal: every executor
+    // filters locally, nothing joins, nothing shuffles.
+    val bloomBytes = evalSet
+      .select(explode(expr(s"shingle_set(`$textCol`, $ngram)")).as("__s"))
+      .agg(column(bfAgg).as("__bf"))
+      .head.getAs[Array[Byte]](0)
+    val flagged = train
+      .select(col(idCol), explode(expr(s"shingle_set(`$textCol`, $ngram)")).as("__s"))
+      .filter(column(BloomFilterMightContain(Literal(bloomBytes, BinaryType),
+        new XxHash64(Seq(expression(col("__s")))))))
+      .select(col(idCol)).distinct()
+      .withColumn("__b", lit(true))
+    train.join(flagged, Seq(idCol), "left")
+      .withColumn("maybe_contaminated", coalesce(col("__b"), lit(false)))
+      .drop("__b")
+  }
+
   /** Token-budget sequence packing (q59): assigns each row a `seq_id` so
     * consecutive rows (by `orderCol`, independently per `shardCol`) fill
     * `budget`-token training sequences — seq_id = tokens-before div
@@ -758,5 +838,116 @@ object Graft {
       .withColumn("__matched", last(col("__p"), ignoreNulls = true).over(w))
       .filter(col("__kind") === 1)
       .select(col("__row.*"), col("__matched").as(s"asof_$payload"))
+  }
+
+  // -------------------------------------------------- embedding clustering
+
+  /** Deterministic k-means seeds: the k vectors with the smallest
+    * cross-engine md5 rank of their id (stratifiedSample's hash — stable
+    * under repartition/retry, reproducible by a SQL oracle; no RNG).
+    * Returns (centroid components as exact float→double casts, ‖c‖²
+    * accumulated left-to-right — the same value list_dot_product yields).
+    * Driver-side materialization is k rows — bounded and documented, like
+    * the IVF/PQ training samples. */
+  private[graft] def kmeansSeeds(df: DataFrame, vecCol: String, idCol: String,
+      k: Int): Array[Array[Double]] = {
+    graft.functions.GraftFunctions.register(df.sparkSession)
+    val h = call_function("md5_lower64", col(idCol).cast(StringType))
+      .bitwiseAND(lit(0x7FFFFFFFFFFFFFFFL))
+    df.select(col(vecCol).cast(ArrayType(DoubleType)).as("__v"), h.as("__h"),
+        col(idCol).as("__id"))
+      .orderBy(col("__h"), col("__id")).limit(k)
+      .collect().map(_.getSeq[Double](0).toArray)
+  }
+
+  private def normSq(c: Array[Double]): Double = {
+    var acc = 0.0; var i = 0
+    while (i < c.length) { acc += c(i) * c(i); i += 1 }
+    acc
+  }
+
+  /** Adds a `cid` nearest-centroid column — a pure codegen projection
+    * (centroids ride the plan as reference objects; no join, no shuffle). */
+  def kmeansAssigned(df: DataFrame, vecCol: String,
+      centroids: Array[Array[Double]]): DataFrame = {
+    import org.apache.spark.sql.GraftColumnBridge.{column, expression}
+    df.withColumn("cid", column(graft.functions.KmeansAssign(
+      expression(col(vecCol)), centroids, centroids.map(normSq))))
+  }
+
+  /** Distributed Lloyd k-means over an embedding column — the 100 TB
+    * shape: per iteration, assignment is a per-row projection against
+    * broadcast-by-codegen centroids and the update is ONE partial+final
+    * aggregate of k×dim cells; only k×dim values ever reach the driver
+    * (MLlib's KMeans runs the same loop). Centroid components are
+    * micro-unit integer sums → mean (q70's cross-engine-exact policy:
+    * integer addition is associative under shuffle AND bit-identical in
+    * DuckDB, where float→decimal casts are not). Clusters that lose all
+    * rows vanish (both engines derive live centroids from the same
+    * aggregate). Returns the final update table
+    * (cid, pos, n, sum_micro, mean) — k×dim rows. */
+  def kmeans(df: DataFrame, vecCol: String, idCol: String, k: Int = 8,
+      iters: Int = 2): DataFrame = {
+    var centroids = kmeansSeeds(df, vecCol, idCol, k)
+    var out: DataFrame = null
+    var it = 0
+    while (it < iters) {
+      val upd = kmeansAssigned(df, vecCol, centroids)
+        .select(col("cid"), posexplode(col(vecCol)).as(Seq("pos", "x")))
+        .groupBy(col("cid"), col("pos"))
+        .agg(count(lit(1)).as("n"),
+          sum(round(col("x").cast(DoubleType) * lit(1000000.0)).cast(LongType))
+            .as("sum_micro"))
+        .select(col("cid"), col("pos").cast(LongType).as("pos"), col("n"),
+          col("sum_micro"),
+          (col("sum_micro").cast(DoubleType) / lit(1000000.0) / col("n"))
+            .as("mean"))
+      out = upd
+      it += 1
+      if (it < iters) {
+        // k×dim cells to the driver — bounded, independent of row count.
+        val cells = upd.select(col("cid"), col("pos"), col("mean")).collect()
+        val live = cells.map(_.getInt(0)).distinct.sorted
+        val dim = cells.map(r => r.getLong(1)).max.toInt + 1
+        val byCid = cells.groupBy(_.getInt(0))
+        centroids = live.map { c =>
+          val arr = new Array[Double](dim)
+          byCid(c).foreach(r => arr(r.getLong(1).toInt) = r.getDouble(2))
+          arr
+        }
+      }
+    }
+    out
+  }
+
+  /** SemDeDup-style semantic dedup (Abbas et al. 2023): cluster first so
+    * the quadratic cosine check runs only WITHIN clusters, then drop the
+    * higher id of every near-dup pair. Against cosineNearDupPairsExact's
+    * honest full quadratic this is the curation-scale shape — pair work
+    * falls from C(n,2) to Σ C(|cluster|,2) (k ≈ √n makes it ~n^1.5), at
+    * the cost of missing cross-cluster pairs (acceptable by construction:
+    * near-dups land in the same cell of a fine enough quantizer).
+    * Returns the survivors (id, cid), one shuffle on cid for the
+    * self-join. Skew note: a giant cluster re-concentrates the quadratic —
+    * at real scale pick k ≈ √n and re-split hot cells (capPerGroupSalted's
+    * remedy applies). */
+  def semanticDedup(df: DataFrame, vecCol: String, idCol: String,
+      k: Int = 8, threshold: Double = 0.45): DataFrame = {
+    graft.functions.GraftFunctions.register(df.sparkSession)
+    val centroids = kmeansSeeds(df, vecCol, idCol, k)
+    val a = kmeansAssigned(df, vecCol, centroids)
+      .select(col(idCol).as("__id"), col(vecCol).as("__v"), col("cid"))
+      .withColumn("__nrm", sqrt(call_function("vec_dot", col("__v"), col("__v"))))
+    val l = a.select(col("cid"), col("__id").as("va"), col("__v").as("xa"),
+      col("__nrm").as("na"))
+    val r = a.select(col("cid"), col("__id").as("vb"), col("__v").as("xb"),
+      col("__nrm").as("nb"))
+    val dropped = l.join(r, Seq("cid"))
+      .filter(col("va") < col("vb"))
+      .filter(call_function("vec_dot", col("xa"), col("xb")) >=
+        lit(threshold) * col("na") * col("nb"))
+      .select(col("vb").as("__drop")).distinct()
+    a.join(dropped, col("__id") === col("__drop"), "left_anti")
+      .select(col("__id").as(idCol), col("cid"))
   }
 }

@@ -27,6 +27,22 @@ object TextKernels {
     override def initialValue(): MessageDigest = MessageDigest.getInstance("MD5")
   }
 
+  /** Unicode NFC (canonical composition) — the normalization every corpus
+    * pass runs before hashing/dedup so `é` (U+00E9) and `e`+`´`
+    * (U+0065 U+0301) stop being distinct training tokens. Pure-ASCII
+    * strings short-circuit without allocating (the overwhelmingly common
+    * case in web corpora — and a cheap one-pass byte scan here). Matches
+    * DuckDB's `nfc_normalize`. */
+  def nfcNormalize(s: UTF8String): UTF8String = {
+    val bytes = s.getBytes
+    var i = 0
+    var ascii = true
+    while (ascii && i < bytes.length) { if (bytes(i) < 0) ascii = false; i += 1 }
+    if (ascii) s
+    else UTF8String.fromString(java.text.Normalizer.normalize(
+      s.toString, java.text.Normalizer.Form.NFC))
+  }
+
   /** Low 64 bits of MD5(word-utf8), little-endian (== DuckDB
     * `md5_number_lower`, bit-for-bit including the sign bit pattern). */
   def md5Lower64(w: UTF8String): Long = {
@@ -346,5 +362,21 @@ case class SimHash64(child: Expression) extends UnaryExpression {
     defineCodeGen(ctx, ev, a => s"graft.functions.TextKernels.simhash64($a)")
 
   protected override def withNewChildInternal(c: Expression): SimHash64 =
+    copy(child = c)
+}
+
+/** nfc_normalize(string) → string: Unicode canonical composition (see
+  * TextKernels.nfcNormalize); name-twin of DuckDB's builtin. */
+case class NfcNormalize(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = StringType
+  override def prettyName: String = "nfc_normalize"
+
+  protected override def nullSafeEval(a: Any): Any =
+    TextKernels.nfcNormalize(a.asInstanceOf[UTF8String])
+
+  protected override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, a => s"graft.functions.TextKernels.nfcNormalize($a)")
+
+  protected override def withNewChildInternal(c: Expression): NfcNormalize =
     copy(child = c)
 }

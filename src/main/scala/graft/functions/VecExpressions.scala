@@ -30,6 +30,45 @@ object VecKernels {
     while (i < n) { acc += a.getDouble(i) * b.getDouble(i); i += 1 }
     acc
   }
+  /** Mixed float-left / double-right dot — float→double cast is exact, so
+    * this equals DuckDB's list_dot_product(CAST(a AS DOUBLE[]), b). */
+  def dotFD(a: ArrayData, b: ArrayData): Double = {
+    val n = math.min(a.numElements, b.numElements)
+    var acc = 0.0
+    var i = 0
+    while (i < n) { acc += a.getFloat(i).toDouble * b.getDouble(i); i += 1 }
+    acc
+  }
+  def dotDF(a: ArrayData, b: ArrayData): Double = dotFD(b, a)
+
+  /** Nearest centroid by squared L2 expressed as ccs(c) − 2·(v·c) (the
+    * per-row ‖v‖² term is constant across centroids, so it never affects
+    * the argmin). The score is built from the SAME left-to-right dot the
+    * oracle's list_dot_product computes, so a DuckDB cross-join +
+    * row_number twin reproduces the assignment bit-for-bit — which a
+    * (v_i−c_i)² accumulation (IvfAssign's shape) cannot promise, because
+    * no DuckDB builtin shares that summation tree. Ties break to the
+    * lowest centroid id. */
+  def kmeansAssign(v: ArrayData, centroids: Array[Array[Double]],
+      ccs: Array[Double], isFloat: Boolean): Int = {
+    var best = -1
+    var bestScore = Double.MaxValue
+    var c = 0
+    while (c < centroids.length) {
+      val ctr = centroids(c)
+      val n = math.min(v.numElements, ctr.length)
+      var dot = 0.0
+      var i = 0
+      while (i < n) {
+        dot += (if (isFloat) v.getFloat(i).toDouble else v.getDouble(i)) * ctr(i)
+        i += 1
+      }
+      val score = ccs(c) - 2.0 * dot
+      if (score < bestScore) { bestScore = score; best = c }
+      c += 1
+    }
+    best
+  }
 }
 
 /** LSH / IVF bucketing kernels for embedding similarity. */
@@ -148,6 +187,35 @@ case class IvfAssign(child: Expression, centroids: Array[Array[Double]])
   }
 
   protected override def withNewChildInternal(c: Expression): IvfAssign =
+    copy(child = c)
+}
+
+/** kmeans_assign: nearest-centroid id via the oracle-replicable
+  * ccs(c) − 2·(v·c) score (see VecKernels.kmeansAssign). Centroids ride
+  * the plan as codegen reference objects — the assignment is a pure
+  * per-row projection: no join, no shuffle, exactly how a 100 TB Lloyd
+  * iteration must be shaped (only the k×dim update aggregate shuffles). */
+case class KmeansAssign(child: Expression, centroids: Array[Array[Double]],
+    ccs: Array[Double]) extends UnaryExpression {
+  override def dataType: DataType = IntegerType
+  override def prettyName: String = "kmeans_assign"
+
+  private lazy val isFloat = child.dataType match {
+    case ArrayType(FloatType, _) => true
+    case _ => false
+  }
+
+  protected override def nullSafeEval(a: Any): Any =
+    VecKernels.kmeansAssign(a.asInstanceOf[ArrayData], centroids, ccs, isFloat)
+
+  protected override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val refC = ctx.addReferenceObj("centroids", centroids, "double[][]")
+    val refS = ctx.addReferenceObj("ccs", ccs, "double[]")
+    defineCodeGen(ctx, ev, a =>
+      s"graft.functions.VecKernels.kmeansAssign($a, $refC, $refS, $isFloat)")
+  }
+
+  protected override def withNewChildInternal(c: Expression): KmeansAssign =
     copy(child = c)
 }
 
@@ -284,14 +352,22 @@ case class VecDot(left: Expression, right: Expression) extends BinaryExpression 
   override def dataType: DataType = DoubleType
   override def prettyName: String = "vec_dot"
 
-  private lazy val kernel = left.dataType match {
-    case ArrayType(FloatType, _) => "dotF"
+  private lazy val kernel = (left.dataType, right.dataType) match {
+    case (ArrayType(FloatType, _), ArrayType(FloatType, _)) => "dotF"
+    case (ArrayType(FloatType, _), _) => "dotFD"
+    case (_, ArrayType(FloatType, _)) => "dotDF"
     case _ => "dotD"
   }
 
-  protected override def nullSafeEval(a: Any, b: Any): Any =
-    if (kernel == "dotF") VecKernels.dotF(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
-    else VecKernels.dotD(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+  protected override def nullSafeEval(a: Any, b: Any): Any = {
+    val (x, y) = (a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+    kernel match {
+      case "dotF" => VecKernels.dotF(x, y)
+      case "dotFD" => VecKernels.dotFD(x, y)
+      case "dotDF" => VecKernels.dotDF(x, y)
+      case _ => VecKernels.dotD(x, y)
+    }
+  }
 
   protected override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     defineCodeGen(ctx, ev, (a, b) => s"graft.functions.VecKernels.$kernel($a, $b)")

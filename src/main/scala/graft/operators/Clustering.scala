@@ -1,0 +1,99 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+import Util._
+
+/** Embedding clustering + semantic dedup (round 5).
+  *
+  * q95 — distributed Lloyd k-means (Graft.kmeans): assignment is a pure
+  *   codegen projection against reference-object centroids, the update is
+  *   one partial+final aggregate of k×dim cells per iteration; only k×dim
+  *   values touch the driver. The oracle UNROLLS both iterations as CTEs —
+  *   seeds by the cross-engine md5 rank, assignment via the identical
+  *   cc − 2·list_dot_product score with cid tie-break, centroid means from
+  *   micro-unit integer sums (q70's policy) — so a full Lloyd loop is
+  *   hash-checked end to end, not rows-only.
+  *
+  * q96 — SemDeDup-style semantic dedup (Abbas et al. 2023,
+  *   arXiv:2303.09540): cluster first, run the quadratic cosine check only
+  *   WITHIN clusters, drop the higher id of every near-dup pair. The
+  *   curation-scale answer to q44's honest full quadratic: pair work falls
+  *   from C(n,2) to Σ C(|cluster|,2).
+  */
+object Clustering {
+
+  val queries: Map[String, Q] = Map(
+    // ---- q95: two full Lloyd iterations, k=8, over the embeddings table.
+    // Output = the final update table (cid, pos, n, sum_micro, mean):
+    // cluster sizes and exact centroid state, hash-checked. ----
+    "q95_kmeans" -> ((s, dir) => {
+      graft.api.Graft.kmeans(t(s, dir, "embeddings"), "embedding", "vec_id",
+          k = 8, iters = 2)
+        .orderBy(col("cid"), col("pos"))
+    }),
+
+    // ---- q96: semantic dedup survivors at cos ≥ 0.45 within k=8 hash-seed
+    // clusters. Survivors + their cluster, hash-checked (assignment and
+    // pair predicate replicated exactly in SQL). ----
+    "q96_semantic_dedup" -> ((s, dir) => {
+      graft.api.Graft.semanticDedup(t(s, dir, "embeddings"), "embedding",
+          "vec_id", k = 8, threshold = 0.45)
+        .orderBy(col("vec_id"))
+    }))
+
+  /** Shared oracle prelude: DOUBLE[] vectors, md5-rank seeds, and the
+    * first assignment (score = cc − 2·v·c, ties → lowest cid). */
+  private val prelude =
+    """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+      |sd AS (
+      |  SELECT vec_id, v,
+      |    CAST(ROW_NUMBER() OVER (ORDER BY
+      |      (md5_number_lower(CAST(vec_id AS VARCHAR)) & 9223372036854775807::UBIGINT),
+      |      vec_id) AS INT) - 1 AS cid
+      |  FROM e),
+      |c0 AS (SELECT cid, v AS c, list_dot_product(v, v) AS cc FROM sd WHERE cid < 8),
+      |a1 AS (
+      |  SELECT vec_id, v, cid FROM (
+      |    SELECT e.vec_id, e.v, c0.cid,
+      |      ROW_NUMBER() OVER (PARTITION BY e.vec_id
+      |        ORDER BY (c0.cc - 2.0 * list_dot_product(e.v, c0.c)), c0.cid) AS rn
+      |    FROM e, c0) t
+      |  WHERE rn = 1)""".stripMargin
+
+  val oracle: Map[String, String] = Map(
+    "q95_kmeans" -> (prelude +
+      """,
+        |u1 AS (
+        |  SELECT cid, CAST(i - 1 AS BIGINT) AS pos, COUNT(*) AS n,
+        |    CAST(SUM(CAST(round(v[i] * 1000000.0) AS BIGINT)) AS BIGINT) AS sum_micro,
+        |    CAST(SUM(CAST(round(v[i] * 1000000.0) AS BIGINT)) AS DOUBLE) / 1000000.0 / COUNT(*) AS mean
+        |  FROM (SELECT cid, v, unnest(generate_series(1, len(v))) AS i FROM a1) t
+        |  GROUP BY cid, i),
+        |c1 AS (
+        |  SELECT cid, c, list_dot_product(c, c) AS cc
+        |  FROM (SELECT cid, list(mean ORDER BY pos) AS c FROM u1 GROUP BY cid) t),
+        |a2 AS (
+        |  SELECT vec_id, v, cid FROM (
+        |    SELECT e.vec_id, e.v, c1.cid,
+        |      ROW_NUMBER() OVER (PARTITION BY e.vec_id
+        |        ORDER BY (c1.cc - 2.0 * list_dot_product(e.v, c1.c)), c1.cid) AS rn
+        |    FROM e, c1) t
+        |  WHERE rn = 1)
+        |SELECT cid, CAST(i - 1 AS BIGINT) AS pos, COUNT(*) AS n,
+        |  CAST(SUM(CAST(round(v[i] * 1000000.0) AS BIGINT)) AS BIGINT) AS sum_micro,
+        |  CAST(SUM(CAST(round(v[i] * 1000000.0) AS BIGINT)) AS DOUBLE) / 1000000.0 / COUNT(*) AS mean
+        |FROM (SELECT cid, v, unnest(generate_series(1, len(v))) AS i FROM a2) t
+        |GROUP BY cid, i
+        |ORDER BY cid, pos""".stripMargin),
+
+    "q96_semantic_dedup" -> (prelude +
+      """,
+        |a AS (SELECT vec_id, v, cid, sqrt(list_dot_product(v, v)) AS nrm FROM a1),
+        |dropped AS (
+        |  SELECT DISTINCT y.vec_id AS vb
+        |  FROM a x JOIN a y ON x.cid = y.cid AND x.vec_id < y.vec_id
+        |  WHERE list_dot_product(x.v, y.v) >= CAST(0.45 AS DOUBLE) * x.nrm * y.nrm)
+        |SELECT vec_id, cid FROM a
+        |WHERE vec_id NOT IN (SELECT vb FROM dropped)
+        |ORDER BY vec_id""".stripMargin))
+}

@@ -65,6 +65,19 @@ object Corpus {
         .orderBy(col("s"))
     }),
 
+    // ---- q98: the REMOVAL half of exact-substring dedup (q66 detects,
+    // this cuts): every word position covered by a cross-document word
+    // 8-gram is removed and the document reassembled from the surviving
+    // words — Lee et al. 2022's dedup applied at span granularity, not
+    // whole-doc. Cleaned text itself is hash-checked, so the position
+    // bookkeeping (overlapping spans, boundary words, fully-boilerplate
+    // docs → empty string) is value-verified. ----
+    "q98_remove_common_spans" -> ((s, dir) => {
+      graft.api.Graft.removeCommonSpans(t(s, dir, "documents"), "text",
+          "doc_id", n = 8, minDf = 2)
+        .orderBy(col("doc_id"))
+    }),
+
     // ---- q73: the same per-source cap through the SALTED two-phase
     // top-k — the hot-group remedy. The oracle is q64's plain single-
     // window SQL, so the remedy is correctness-gated (result AND rank
@@ -179,6 +192,37 @@ object Corpus {
         |                           & 9223372036854775807::UBIGINT), doc_id) AS BIGINT) AS rk
         |      FROM documents)
         |WHERE rk <= 25 ORDER BY lang, rk""".stripMargin,
+
+    "q98_remove_common_spans" ->
+      """WITH w AS (SELECT doc_id, string_split(trim(text), ' ') AS wl FROM documents),
+        |tok AS (
+        |  SELECT doc_id, i, wl[i] AS word
+        |  FROM (SELECT doc_id, wl, unnest(generate_series(1, len(wl))) AS i FROM w) t),
+        |gr AS (
+        |  SELECT doc_id, i,
+        |    wl[i] || '_' || wl[i+1] || '_' || wl[i+2] || '_' || wl[i+3] || '_' ||
+        |    wl[i+4] || '_' || wl[i+5] || '_' || wl[i+6] || '_' || wl[i+7] AS g
+        |  FROM (SELECT doc_id, wl, unnest(generate_series(1, greatest(len(wl) - 7, 0))) AS i
+        |        FROM w) t),
+        |common AS (
+        |  SELECT g FROM (SELECT g, COUNT(DISTINCT doc_id) AS c FROM gr GROUP BY g) t
+        |  WHERE c >= 2),
+        |cov AS (
+        |  SELECT DISTINCT doc_id, i + j AS cp
+        |  FROM (SELECT doc_id, i, unnest(generate_series(0, 7)) AS j
+        |        FROM gr WHERE g IN (SELECT g FROM common)) t),
+        |kept AS (
+        |  SELECT tok.doc_id, tok.i, tok.word FROM tok
+        |  LEFT JOIN cov ON tok.doc_id = cov.doc_id AND tok.i = cov.cp
+        |  WHERE cov.doc_id IS NULL),
+        |reb AS (
+        |  SELECT doc_id, COUNT(*) AS nk, string_agg(word, ' ' ORDER BY i) AS cleaned
+        |  FROM kept GROUP BY doc_id)
+        |SELECT w.doc_id AS doc_id, CAST(len(wl) AS BIGINT) AS n_words,
+        |       CAST(len(wl) - COALESCE(nk, 0) AS BIGINT) AS n_removed,
+        |       COALESCE(cleaned, '') AS cleaned
+        |FROM w LEFT JOIN reb ON w.doc_id = reb.doc_id
+        |ORDER BY w.doc_id""".stripMargin,
 
     "q66_common_ngrams" ->
       """WITH toks AS (

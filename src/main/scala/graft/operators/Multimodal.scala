@@ -153,7 +153,7 @@ object Multimodal {
     val enc = RowEncoder.encoderFor(resizedSchema)
     media.select("media_id", "media_type", "content").mapPartitions { it =>
       it.map { r =>
-        val bytes = Option(r.getAs[Array[Byte]]("content")).getOrElse(Array.emptyByteArray)
+        val bytes = Option(r.getAs[Array[Byte]](2)).getOrElse(Array.emptyByteArray)
         val decoded =
           // route-don't-drop: malformed images can throw RuntimeExceptions
           // (CMMException on corrupt ICC profiles etc.), not just IOException
@@ -196,7 +196,7 @@ object Multimodal {
       // per-partition decoder init would go here (one ffmpeg context
       // reused across rows, torn down when the iterator drains)
       it.flatMap { r =>
-        val bytes = Option(r.getAs[Array[Byte]]("content")).getOrElse(Array.emptyByteArray)
+        val bytes = Option(r.getAs[Array[Byte]](2)).getOrElse(Array.emptyByteArray)
         if (imageMeta(bytes).isDefined)
           Seq(Row(r.getLong(0), 0, 0L, bytes)) // a still = one frame
         else {
@@ -344,7 +344,7 @@ object Multimodal {
     audio.select("doc_id", "content").mapPartitions { it =>
       it.map { r =>
         val id = r.getLong(0)
-        val bytes = r.getAs[Array[Byte]]("content")
+        val bytes = r.getAs[Array[Byte]](1) // positional: schemaless Rows after mapPartitions
         (wavMeta(bytes), wavStats(bytes)) match {
           case (Some((_, _, rate, _, n)), Some((peak, sumSq))) =>
             Row(id, rate.toLong, n, n * 1000L / rate, peak, sumSq)
@@ -364,7 +364,7 @@ object Multimodal {
     media.select("media_id", "media_type", "content").mapPartitions { it =>
       // per-partition decoder init would go here (native handles, etc.)
       it.map { r =>
-        val bytes = Option(r.getAs[Array[Byte]]("content")).getOrElse(Array.emptyByteArray)
+        val bytes = Option(r.getAs[Array[Byte]](2)).getOrElse(Array.emptyByteArray)
         imageMeta(bytes) match {
           case Some((fmt, w, h)) =>
             val f = imageFeature(bytes).getOrElse(fakeDecode(bytes)._3)

@@ -106,6 +106,37 @@ object Pipeline {
         .groupBy($"split")
         .agg(count(lit(1)).as("n_docs"), sum($"n_tokens").as("sum_tokens"))
         .orderBy($"split")
+    }),
+
+    // ---- q97: BLOOM-FILTER decontamination, SELF-GATING ----
+    // q58 at the scale where even the broadcast eval-shingle set is too
+    // big: the eval slice compresses to a 1 MiB bloom built by one
+    // mergeable aggregate; the train side probes it per row — no join.
+    // Exact q58 flags ride along; the emitted row pins the two properties
+    // that make a bloom usable for decontamination: ZERO false negatives
+    // (missed = 0, a structural guarantee) and a bounded false-positive
+    // over-flag rate (≤ 5% of train docs). Rows-only by construction
+    // (bloom bits aren't reproducible in SQL); the gate IS the check,
+    // like q41/q90. ----
+    "q97_bloom_decontaminate" -> ((s, dir) => {
+      import s.implicits._
+      val docs = t(s, dir, "documents")
+      val train = docs.filter($"doc_id" % 97 =!= 0)
+      val evalSet = docs.filter($"doc_id" % 97 === 0)
+      val b = graft.api.Graft.decontaminateBloom(train, evalSet, "text", "doc_id")
+        .select($"doc_id", $"maybe_contaminated")
+      val e = graft.api.Graft.decontaminate(train, evalSet, "text", "doc_id")
+        .select($"doc_id", $"contaminated")
+      b.join(e, Seq("doc_id"))
+        .agg(count(lit(1)).as("n_train"),
+          sum(when($"contaminated", 1L).otherwise(0L)).as("n_exact"),
+          sum(when($"maybe_contaminated", 1L).otherwise(0L)).as("n_bloom"),
+          sum(when($"contaminated" && !$"maybe_contaminated", 1L).otherwise(0L))
+            .as("n_missed"),
+          sum(when($"maybe_contaminated" && !$"contaminated", 1L).otherwise(0L))
+            .as("n_false_pos"))
+        .withColumn("pass",
+          $"n_missed" === 0L && $"n_false_pos" * 20L <= $"n_train")
     }))
 
   val oracle: Map[String, String] = Map(

@@ -100,6 +100,25 @@ object TextAnalysis {
         .orderBy($"doc_id")
     }),
 
+    // ---- q99: Unicode text normalization — NFC canonical composition
+    // (codegen'd nfc_normalize, DuckDB-builtin name-twin; composed vs
+    // decomposed accents stop being distinct tokens), lowercase, and
+    // whitespace-run collapse: the normalization pass every corpus runs
+    // before hashing/dedup. Pure per-row projection, no shuffle;
+    // non-ASCII behavior value-tested in TextStatsSpec (the corpus here
+    // is ASCII, where NFC is the identity — the md5 still pins the
+    // lower/regex/trim plumbing). ----
+    "q99_normalize_text" -> ((s, dir) => {
+      import s.implicits._
+      graft.functions.GraftFunctions.register(s)
+      t(s, dir, "documents")
+        .withColumn("norm",
+          trim(regexp_replace(lower(expr("nfc_normalize(text)")), "\\s+", " ")))
+        .select($"doc_id", length($"norm").cast(LongType).as("n_chars_norm"),
+          md5($"norm").as("norm_md5"))
+        .orderBy($"doc_id")
+    }),
+
     // ---- q33: multimodal column plumbing (binary length + first byte);
     //      the decode path itself is the mapPartitions stub in Multimodal ----
     "q33_multimodal_meta" -> ((s, dir) => {
@@ -177,6 +196,14 @@ object TextAnalysis {
     "q33_multimodal_meta" ->
       """SELECT doc_id, CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
         | CAST(ascii(substring(text, 1, 1)) AS BIGINT) AS first_byte
-        |FROM documents ORDER BY doc_id""".stripMargin
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "q99_normalize_text" ->
+      """SELECT doc_id, CAST(length(norm) AS BIGINT) AS n_chars_norm,
+        |       md5(norm) AS norm_md5
+        |FROM (SELECT doc_id,
+        |        trim(regexp_replace(lower(nfc_normalize(text)), '\s+', ' ', 'g')) AS norm
+        |      FROM documents)
+        |ORDER BY doc_id""".stripMargin
   )
 }

@@ -1,0 +1,132 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.api.Graft
+
+/** Round-5 clustering + corpus-hygiene operators: k-means, SemDeDup-style
+  * semantic dedup, bloom decontamination, common-span removal, NFC
+  * normalization. */
+class ClusteringSpec extends AnyFunSuite {
+  import TestSpark._
+
+  private def vecDf = {
+    val s = spark; import s.implicits._
+    // three tight groups on the axes of R^3, plus one outlier near group 0
+    Seq(
+      (0L, Array(1.0f, 0.0f, 0.0f)), (1L, Array(0.9f, 0.1f, 0.0f)),
+      (2L, Array(0.0f, 1.0f, 0.0f)), (3L, Array(0.1f, 0.9f, 0.0f)),
+      (4L, Array(0.0f, 0.0f, 1.0f)), (5L, Array(0.0f, 0.1f, 0.9f)),
+      (6L, Array(0.95f, 0.05f, 0.0f))
+    ).toDF("vec_id", "embedding")
+  }
+
+  test("kmeansAssigned puts every vector with its nearest centroid, ties to lowest cid") {
+    val s = spark; import s.implicits._
+    val centroids = Array(Array(1.0, 0.0, 0.0), Array(0.0, 1.0, 0.0),
+      Array(0.0, 0.0, 1.0))
+    val out = Graft.kmeansAssigned(vecDf, "embedding", centroids)
+      .select($"vec_id", $"cid").collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(out === Map(0L -> 0, 1L -> 0, 6L -> 0, 2L -> 1, 3L -> 1,
+      4L -> 2, 5L -> 2))
+    // exact tie: equidistant from centroids 0 and 1 → cid 0 wins
+    val tie = Graft.kmeansAssigned(
+      Seq((9L, Array(0.5f, 0.5f, 0.0f))).toDF("vec_id", "embedding"),
+      "embedding", centroids).select($"cid").head.getInt(0)
+    assert(tie === 0)
+  }
+
+  test("kmeans partitions all rows every iteration and is deterministic") {
+    val out1 = Graft.kmeans(vecDf, "embedding", "vec_id", k = 3, iters = 2)
+      .collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    val out2 = Graft.kmeans(vecDf.repartition(4), "embedding", "vec_id",
+      k = 3, iters = 2)
+      .collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(out1.sorted === out2.sorted) // stable under repartition
+    // every (pos) slice accounts for all 7 rows across clusters
+    val byPos = out1.groupBy(_._2).view.mapValues(_.map(_._3).sum)
+    assert(byPos.values.toSet === Set(7L))
+    // dims covered 0..2 for every live cluster
+    val dims = out1.groupBy(_._1).view.mapValues(_.map(_._2).toSet)
+    dims.values.foreach(d => assert(d === Set(0L, 1L, 2L)))
+  }
+
+  test("semanticDedup drops the higher id of a same-cluster near-dup pair") {
+    val s = spark; import s.implicits._
+    // 0/1 are near-identical (cos ≈ 0.9998); 2 is orthogonal
+    val df = Seq(
+      (0L, Array(1.0f, 0.0f, 0.0f)), (1L, Array(0.99f, 0.01f, 0.0f)),
+      (2L, Array(0.0f, 1.0f, 0.0f))
+    ).toDF("vec_id", "embedding")
+    // k=1: one cluster, so the pair is co-clustered by construction and
+    // the drop rule (higher id of each near-dup pair) is isolated
+    val kept = Graft.semanticDedup(df, "embedding", "vec_id", k = 1,
+      threshold = 0.9).select($"vec_id").collect().map(_.getLong(0)).toSet
+    assert(kept === Set(0L, 2L)) // 1 dropped as the higher id of (0,1)
+  }
+
+  test("decontaminateBloom never misses a truly contaminated doc") {
+    val s = spark; import s.implicits._
+    val docs = spark.read.parquet(s"$sf0001/documents.parquet")
+    val train = docs.filter($"doc_id" % 97 =!= 0)
+    val evalSet = docs.filter($"doc_id" % 97 === 0)
+    val bloom = Graft.decontaminateBloom(train, evalSet, "text", "doc_id")
+      .select($"doc_id", $"maybe_contaminated")
+    val exact = Graft.decontaminate(train, evalSet, "text", "doc_id")
+      .select($"doc_id", $"contaminated")
+    val j = bloom.join(exact, Seq("doc_id")).cache()
+    try {
+      val missed = j.filter($"contaminated" && !$"maybe_contaminated").count()
+      assert(missed === 0L) // bloom property: zero false negatives
+      val n = j.count()
+      val fp = j.filter($"maybe_contaminated" && !$"contaminated").count()
+      assert(fp * 20L <= n, s"false-positive rate too high: $fp of $n")
+    } finally j.unpersist()
+  }
+
+  test("removeCommonSpans cuts shared spans, keeps unique text, empties pure boilerplate") {
+    val s = spark; import s.implicits._
+    val span = "w1 w2 w3 w4 w5 w6 w7 w8" // the shared 8-gram
+    val df = Seq(
+      (1L, s"alpha beta $span gamma"),
+      (2L, s"$span delta epsilon"),
+      (3L, span), // nothing but the shared span
+      (4L, "short doc under eight"), // < 8 words: never a gram
+      (5L, "unique eight word doc nothing shared here really")
+    ).toDF("doc_id", "text")
+    val out = Graft.removeCommonSpans(df, "text", "doc_id").orderBy("doc_id")
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3)))
+    assert(out(0) === ((1L, 11L, 8L, "alpha beta gamma")))
+    assert(out(1) === ((2L, 10L, 8L, "delta epsilon")))
+    assert(out(2) === ((3L, 8L, 8L, ""))) // fully covered → empty, not dropped
+    assert(out(3) === ((4L, 4L, 0L, "short doc under eight")))
+    assert(out(4) === ((5L, 8L, 0L, "unique eight word doc nothing shared here really")))
+  }
+
+  test("removeCommonSpans covers overlapping common grams without double-counting") {
+    val s = spark; import s.implicits._
+    // 9-word shared run → two overlapping common 8-grams; all 9 words cut once
+    val run = "a1 a2 a3 a4 a5 a6 a7 a8 a9"
+    val df = Seq((1L, s"x $run y"), (2L, run)).toDF("doc_id", "text")
+    val out = Graft.removeCommonSpans(df, "text", "doc_id").orderBy("doc_id")
+      .collect().map(r => (r.getLong(0), r.getLong(2), r.getString(3)))
+    assert(out(0) === ((1L, 9L, "x y")))
+    assert(out(1) === ((2L, 9L, "")))
+  }
+
+  test("nfc_normalize composes decomposed accents and passes ASCII through") {
+    val s = spark; import s.implicits._
+    val composed = "café" // é as U+00E9
+    val decomposed = "cafe\u0301" // e + combining acute (U+0301)
+    val df = Seq((1L, composed), (2L, decomposed), (3L, "plain ascii"))
+      .toDF("id", "txt")
+    val out = df.selectExpr("id", "nfc_normalize(txt) AS n")
+      .orderBy("id").collect().map(_.getString(1))
+    assert(out(0) === composed)
+    assert(out(1) === composed) // decomposed → composed
+    assert(out(2) === "plain ascii")
+  }
+}
