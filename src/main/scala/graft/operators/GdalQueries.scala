@@ -125,6 +125,25 @@ object GdalQueries {
         .orderBy(col("name"), col("wkt"))
     }),
 
+    // GeoParquet round trip, ORACLE-CHECKED: the shapefile fixture is
+    // written as GeoParquet (parquet-mr per partition, `geo` footer
+    // metadata) to a FIXED path, read back through Spark's native parquet
+    // scan, and DuckDB independently re-reads the SAME files with
+    // read_parquet — properties AND raw WKB geometry bytes (hex) are
+    // hash-compared, so the writer's pages/footers and the read path are
+    // value-verified by a second engine, not just round-tripped. ----
+    "gdal_geoparquet_roundtrip" -> ((s, _) => {
+      GraftFunctions.register(s)
+      val out = s"${System.getProperty("java.io.tmpdir")}/graft_q_geoparquet"
+      val src = s.read.format("shapefile").load(s"$fixtures/stations.shp")
+        .select(col("name"), col("marker-sym"), col("geometry"))
+      graft.sources.geoparquet.GeoParquet.write(src, out)
+      graft.sources.geoparquet.GeoParquet.read(s, out)
+        .select(col("name"), col("marker-sym"),
+          hex(col("geometry")).as("wkb_hex"))
+        .orderBy(col("name"), col("wkb_hex"))
+    }),
+
     // Tiled distributed spatial join (J7 at scale): a deterministic
     // 10,000-point grid over the CONUS bbox against the us_states
     // polygons — points key to grid cells, polygon envelopes replicate to
@@ -168,6 +187,13 @@ object GdalQueries {
     * path (schema inference, property conversion, null handling) is
     * hash-checked, not just row-counted. */
   val oracle: Map[String, String] = Map(
+    // Reads the files the Spark query just wrote (fixed tmp path): an
+    // independent parquet implementation checking our writer's output.
+    "gdal_geoparquet_roundtrip" ->
+      """SELECT name, "marker-sym", hex(geometry) AS wkb_hex
+        |FROM read_parquet('/tmp/graft_q_geoparquet/*.parquet')
+        |ORDER BY name, wkb_hex""".stripMargin,
+
     "gdal_read_geojson_attrs" ->
       """SELECT f->>'$.properties.name' AS name,
         |       f->>'$.properties.iso_3166_2' AS iso_3166_2,

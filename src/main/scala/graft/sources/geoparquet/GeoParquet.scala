@@ -1,0 +1,250 @@
+package graft.sources.geoparquet
+
+import scala.jdk.CollectionConverters._
+
+import org.apache.hadoop.conf.Configuration
+import org.apache.hadoop.fs.{FileSystem, Path}
+import org.apache.parquet.hadoop.api.WriteSupport
+import org.apache.parquet.hadoop.metadata.CompressionCodecName
+import org.apache.parquet.hadoop.util.HadoopInputFile
+import org.apache.parquet.hadoop.{ParquetFileReader, ParquetWriter}
+import org.apache.parquet.io.api.{Binary, RecordConsumer}
+import org.apache.parquet.schema.{LogicalTypeAnnotation, MessageType, Types}
+import org.apache.parquet.schema.PrimitiveType.PrimitiveTypeName._
+import org.apache.spark.TaskContext
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** GeoParquet read/write — the cloud-native geo format (GDAL's
+  * "(Geo)Parquet" driver family; public spec
+  * github.com/opengeospatial/geoparquet, v1.1.0): plain parquet files
+  * whose footer key-value metadata carries a `geo` JSON document naming
+  * the primary geometry column (WKB-encoded), its geometry types, and
+  * its bbox.
+  *
+  * This is the one geo format where the 100 TB story is entirely Spark's
+  * own: data files are ordinary parquet, so the READ path is
+  * `spark.read.parquet` — vectorized, splittable, predicate/projection
+  * pushdown, partition pruning, all for free — plus a driver-side footer
+  * parse for the geo metadata. The WRITE path runs one parquet-mr writer
+  * per partition (the same per-partition `part-NNNNN` contract as the
+  * FGB/GeoJSON DSv2 writers) and stamps every file's footer with the
+  * `geo` document. Reference context: the GDAL bridge reads such
+  * datasets via `df_from_resource` (ref src/lib.rs:240-247); here the
+  * format is native rather than delegated.
+  */
+object GeoParquet {
+
+  /** Parsed `geo` footer metadata (subset this engine writes/needs). */
+  case class GeoMeta(primaryColumn: String, encoding: String,
+      geometryTypes: Seq[String], bbox: Option[Seq[Double]])
+
+  // ------------------------------------------------------------- write
+
+  /** Distributed GeoParquet write: one parquet file per partition, each
+    * footer carrying the `geo` metadata. `stats = true` (default) runs one
+    * aggregate pass for the dataset bbox + distinct geometry types —
+    * partial+final agg over codegen'd st_xmin/st_ymin/st_xmax/st_ymax,
+    * a bounded 4-double + type-list result. */
+  def write(df: DataFrame, path: String, geometryCol: String = "geometry",
+      stats: Boolean = true): Unit = {
+    val schema = df.schema
+    require(schema.fieldNames.contains(geometryCol),
+      s"geometry column '$geometryCol' not in schema")
+    require(schema(geometryCol).dataType == BinaryType,
+      s"geometry column '$geometryCol' must be WKB binary")
+    graft.functions.GraftFunctions.register(df.sparkSession)
+
+    val geoJson = buildGeoJson(df, geometryCol, stats)
+    val msg = messageType(schema)
+    val confSer = new SerializableWriterConf(schema, msg.toString, geoJson)
+
+    val hconf = df.sparkSession.sessionState.newHadoopConf()
+    val dir = new Path(path)
+    val fs = dir.getFileSystem(hconf)
+    if (!fs.exists(dir)) fs.mkdirs(dir)
+    // overwrite semantics: stale part files from a previous (differently
+    // partitioned) write must not pollute the dataset
+    fs.listStatus(dir).map(_.getPath)
+      .filter(_.getName.endsWith(".parquet")).foreach(fs.delete(_, false))
+
+    df.foreachPartition { (it: Iterator[Row]) =>
+      if (it.hasNext) {
+        val pid = TaskContext.getPartitionId()
+        val file = new Path(path, f"part-$pid%05d.parquet")
+        val writer = confSer.openWriter(file)
+        try it.foreach(writer.write) finally writer.close()
+      }
+    }
+  }
+
+  /** The `geo` footer document (spec v1.1.0). */
+  private def buildGeoJson(df: DataFrame, geometryCol: String,
+      stats: Boolean): String = {
+    val (types, bbox) =
+      if (!stats) (Seq.empty[String], None)
+      else {
+        val r = df.filter(col(geometryCol).isNotNull)
+          .agg(
+            sort_array(collect_set(expr(s"st_geometrytype(`$geometryCol`)"))).as("t"),
+            min(expr(s"st_xmin(`$geometryCol`)")).as("x0"),
+            min(expr(s"st_ymin(`$geometryCol`)")).as("y0"),
+            max(expr(s"st_xmax(`$geometryCol`)")).as("x1"),
+            max(expr(s"st_ymax(`$geometryCol`)")).as("y1"))
+          .head()
+        if (r.isNullAt(1)) (r.getSeq[String](0), None)
+        else (r.getSeq[String](0),
+          Some(Seq(r.getDouble(1), r.getDouble(2), r.getDouble(3), r.getDouble(4))))
+      }
+    val tJson = types.map(t => "\"" + wkbTypeName(t) + "\"").mkString("[", ",", "]")
+    val bJson = bbox.map(b => s""","bbox":[${b.mkString(",")}]""").getOrElse("")
+    s"""{"version":"1.1.0","primary_column":"$geometryCol","columns":{"$geometryCol":{"encoding":"WKB","geometry_types":$tJson$bJson}}}"""
+  }
+
+  /** JTS type names → GeoParquet spec names (identical modulo case). */
+  private def wkbTypeName(jts: String): String = jts match {
+    case "LinearRing" => "LineString"
+    case other => other
+  }
+
+  // -------------------------------------------------------------- read
+
+  /** Read a GeoParquet dataset through Spark's native parquet scan. The
+    * geometry column arrives as WKB binary exactly as the convention
+    * expects; all parquet goodness (column pruning, filter pushdown,
+    * splits) applies untouched. */
+  def read(spark: SparkSession, path: String): DataFrame =
+    spark.read.parquet(path)
+
+  /** The parsed `geo` footer metadata of the first parquet file under
+    * `path` (driver-side footer read — no data pages touched). */
+  def meta(spark: SparkSession, path: String): Option[GeoMeta] = {
+    val hconf = spark.sessionState.newHadoopConf()
+    val p = new Path(path)
+    val fs = p.getFileSystem(hconf)
+    val file =
+      if (fs.getFileStatus(p).isFile) p
+      else fs.listStatus(p).map(_.getPath)
+        .filter(_.getName.endsWith(".parquet")).sortBy(_.getName)
+        .headOption.getOrElse(return None)
+    val reader = ParquetFileReader.open(HadoopInputFile.fromPath(file, hconf))
+    val geo = try {
+      Option(reader.getFooter.getFileMetaData.getKeyValueMetaData.get("geo"))
+    } finally reader.close()
+    geo.map(parseGeoJson)
+  }
+
+  private def parseGeoJson(json: String): GeoMeta = {
+    val m = new com.fasterxml.jackson.databind.ObjectMapper()
+      .readTree(json)
+    val primary = m.path("primary_column").asText("geometry")
+    val colNode = m.path("columns").path(primary)
+    val enc = colNode.path("encoding").asText("WKB")
+    val types = colNode.path("geometry_types").elements().asScala
+      .map(_.asText()).toSeq
+    val bbox = Option(colNode.get("bbox"))
+      .map(_.elements().asScala.map(_.asDouble()).toSeq)
+    GeoMeta(primary, enc, types, bbox)
+  }
+
+  // ------------------------------------------------- parquet plumbing
+
+  /** Spark schema → parquet MessageType (scalar + binary columns — the
+    * geo table surface; nested types are rejected loudly). */
+  private[geoparquet] def messageType(schema: StructType): MessageType = {
+    val b = Types.buildMessage()
+    schema.fields.foreach { f =>
+      val t = f.dataType match {
+        case IntegerType => Types.optional(INT32)
+        case LongType => Types.optional(INT64)
+        case FloatType => Types.optional(FLOAT)
+        case DoubleType => Types.optional(DOUBLE)
+        case BooleanType => Types.optional(BOOLEAN)
+        case StringType =>
+          Types.optional(BINARY).as(LogicalTypeAnnotation.stringType())
+        case BinaryType => Types.optional(BINARY)
+        case DateType =>
+          Types.optional(INT32).as(LogicalTypeAnnotation.dateType())
+        case TimestampNTZType => Types.optional(INT64).as(
+          LogicalTypeAnnotation.timestampType(false,
+            LogicalTypeAnnotation.TimeUnit.MICROS))
+        case TimestampType => Types.optional(INT64).as(
+          LogicalTypeAnnotation.timestampType(true,
+            LogicalTypeAnnotation.TimeUnit.MICROS))
+        case other => throw new IllegalArgumentException(
+          s"geoparquet writer: unsupported column type $other (${f.name})")
+      }
+      b.addField(t.named(f.name))
+    }
+    b.named("graft_geoparquet")
+  }
+}
+
+/** Serializable bundle shipping the writer config to executors; opens a
+  * parquet-mr writer whose footer carries the `geo` document. */
+private[geoparquet] class SerializableWriterConf(schema: StructType,
+    msgString: String, geoJson: String) extends Serializable {
+
+  def openWriter(file: Path): ParquetWriter[Row] = {
+    val msg = org.apache.parquet.schema.MessageTypeParser.parseMessageType(msgString)
+    new RowParquetBuilder(file, msg, schema, geoJson)
+      .withCompressionCodec(CompressionCodecName.SNAPPY)
+      .build()
+  }
+}
+
+private[geoparquet] class RowParquetBuilder(file: Path, msg: MessageType,
+    schema: StructType, geoJson: String)
+  extends ParquetWriter.Builder[Row, RowParquetBuilder](file) {
+  override def self(): RowParquetBuilder = this
+  override def getWriteSupport(conf: Configuration): WriteSupport[Row] =
+    new RowWriteSupport(msg, schema, geoJson)
+}
+
+/** Minimal Row WriteSupport: scalar/binary fields, nulls by omission
+  * (optional fields), `geo` JSON in the footer key-value metadata. */
+private[geoparquet] class RowWriteSupport(msg: MessageType,
+    schema: StructType, geoJson: String) extends WriteSupport[Row] {
+  private var rc: RecordConsumer = _
+  private val fields = schema.fields
+
+  override def init(conf: Configuration): WriteSupport.WriteContext =
+    new WriteSupport.WriteContext(msg, Map("geo" -> geoJson).asJava)
+
+  override def prepareForWrite(consumer: RecordConsumer): Unit = rc = consumer
+
+  override def write(row: Row): Unit = {
+    rc.startMessage()
+    var i = 0
+    while (i < fields.length) {
+      if (!row.isNullAt(i)) {
+        val f = fields(i)
+        rc.startField(f.name, i)
+        f.dataType match {
+          case IntegerType => rc.addInteger(row.getInt(i))
+          case LongType => rc.addLong(row.getLong(i))
+          case FloatType => rc.addFloat(row.getFloat(i))
+          case DoubleType => rc.addDouble(row.getDouble(i))
+          case BooleanType => rc.addBoolean(row.getBoolean(i))
+          case StringType => rc.addBinary(Binary.fromString(row.getString(i)))
+          case BinaryType =>
+            rc.addBinary(Binary.fromConstantByteArray(row.getAs[Array[Byte]](i)))
+          case DateType =>
+            rc.addInteger(row.getAs[java.sql.Date](i).toLocalDate.toEpochDay.toInt)
+          case TimestampNTZType =>
+            val ldt = row.getAs[java.time.LocalDateTime](i)
+            rc.addLong(ldt.toEpochSecond(java.time.ZoneOffset.UTC) * 1000000L +
+              ldt.getNano / 1000L)
+          case TimestampType =>
+            val ts = row.getAs[java.sql.Timestamp](i)
+            rc.addLong(ts.getTime * 1000L + (ts.getNanos / 1000) % 1000)
+          case other => throw new IllegalStateException(s"unreachable: $other")
+        }
+        rc.endField(f.name, i)
+      }
+      i += 1
+    }
+    rc.endMessage()
+  }
+}
