@@ -108,6 +108,34 @@ object Pipeline {
         .orderBy($"split")
     }),
 
+    // ---- q100: corpus prep v2 — the round-5 hygiene composite ----
+    // NFC/lower/whitespace normalization → cross-doc common-SPAN removal
+    // (the substring-dedup cut, not whole-doc) → survivor-length quality
+    // gate → exact dedup on the CLEANED text → per-source yield report.
+    // Each stage is the already-oracle-proven operator (q99, q98, q23's
+    // hash-group); composed and hash-checked as ONE plan, the way q61
+    // pinned the v1 pipeline. Shapes: per-row normalization, one gram
+    // shuffle + semi-join for spans, one window on the cleaned-text hash.
+    "q100_corpus_pipeline_v2" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      graft.functions.GraftFunctions.register(s)
+      val docs = t(s, dir, "documents")
+        .withColumn("norm",
+          trim(regexp_replace(lower(expr("nfc_normalize(text)")), "\\s+", " ")))
+      val cleaned = graft.api.Graft.removeCommonSpans(docs, "norm", "doc_id")
+        .join(docs.select(col("doc_id"), col("source")), Seq("doc_id"))
+        .withColumn("kept_words", col("n_words") - col("n_removed"))
+        .filter(col("kept_words") >= 20)
+      val w = Window.partitionBy(md5(col("cleaned"))).orderBy(col("doc_id"))
+      cleaned.withColumn("rn", row_number().over(w))
+        .groupBy(col("source"))
+        .agg(sum(when(col("rn") === 1, 1L).otherwise(0L)).as("n_kept"),
+          sum(when(col("rn") > 1, 1L).otherwise(0L)).as("n_dropped_dup"),
+          sum(when(col("rn") === 1, col("kept_words")).otherwise(0L))
+            .as("kept_words"))
+        .orderBy(col("source"))
+    }),
+
     // ---- q97: BLOOM-FILTER decontamination, SELF-GATING ----
     // q58 at the scale where even the broadcast eval-shingle set is too
     // big: the eval slice compresses to a 1 MiB bloom built by one
@@ -140,6 +168,53 @@ object Pipeline {
     }))
 
   val oracle: Map[String, String] = Map(
+    "q100_corpus_pipeline_v2" ->
+      """WITH d AS (
+        |  SELECT doc_id, source,
+        |         trim(regexp_replace(lower(nfc_normalize(text)), '\s+', ' ', 'g')) AS norm
+        |  FROM documents),
+        |w AS (SELECT doc_id, source, string_split(trim(norm), ' ') AS wl FROM d),
+        |tok AS (
+        |  SELECT doc_id, i, wl[i] AS word
+        |  FROM (SELECT doc_id, wl, unnest(generate_series(1, len(wl))) AS i FROM w) t),
+        |gr AS (
+        |  SELECT doc_id, i,
+        |    wl[i] || '_' || wl[i+1] || '_' || wl[i+2] || '_' || wl[i+3] || '_' ||
+        |    wl[i+4] || '_' || wl[i+5] || '_' || wl[i+6] || '_' || wl[i+7] AS g
+        |  FROM (SELECT doc_id, wl, unnest(generate_series(1, greatest(len(wl) - 7, 0))) AS i
+        |        FROM w) t),
+        |common AS (
+        |  SELECT g FROM (SELECT g, COUNT(DISTINCT doc_id) AS c FROM gr GROUP BY g) t
+        |  WHERE c >= 2),
+        |cov AS (
+        |  SELECT DISTINCT doc_id, i + j AS cp
+        |  FROM (SELECT doc_id, i, unnest(generate_series(0, 7)) AS j
+        |        FROM gr WHERE g IN (SELECT g FROM common)) t),
+        |kept AS (
+        |  SELECT tok.doc_id, tok.i, tok.word FROM tok
+        |  LEFT JOIN cov ON tok.doc_id = cov.doc_id AND tok.i = cov.cp
+        |  WHERE cov.doc_id IS NULL),
+        |reb AS (
+        |  SELECT doc_id, COUNT(*) AS nk, string_agg(word, ' ' ORDER BY i) AS cleaned
+        |  FROM kept GROUP BY doc_id),
+        |clean AS (
+        |  SELECT w.doc_id AS doc_id, w.source AS source,
+        |         CAST(len(wl) AS BIGINT) AS n_words,
+        |         CAST(len(wl) - COALESCE(nk, 0) AS BIGINT) AS n_removed,
+        |         COALESCE(cleaned, '') AS cleaned
+        |  FROM w LEFT JOIN reb ON w.doc_id = reb.doc_id),
+        |gate AS (
+        |  SELECT *, n_words - n_removed AS kept_words
+        |  FROM clean WHERE n_words - n_removed >= 20),
+        |ded AS (
+        |  SELECT *, ROW_NUMBER() OVER (PARTITION BY md5(cleaned) ORDER BY doc_id) AS rn
+        |  FROM gate)
+        |SELECT source,
+        |  CAST(COUNT(*) FILTER (WHERE rn = 1) AS BIGINT) AS n_kept,
+        |  CAST(COUNT(*) FILTER (WHERE rn > 1) AS BIGINT) AS n_dropped_dup,
+        |  CAST(SUM(CASE WHEN rn = 1 THEN kept_words ELSE 0 END) AS BIGINT) AS kept_words
+        |FROM ded GROUP BY source ORDER BY source""".stripMargin,
+
     "q57_pii_scrub" ->
       """WITH pii AS (
         |  SELECT doc_id, text || ' contact user' || CAST(doc_id AS VARCHAR)

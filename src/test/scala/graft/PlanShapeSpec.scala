@@ -162,4 +162,28 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(p.contains("rangepartitioning(__z"), p)
     assert(!p.contains("hashpartitioning"), p)
   }
+
+  test("q95 kmeans assignment is a codegen projection, never a centroid join") {
+    val p = planOf("q95_kmeans")
+    // centroids ride as reference objects inside kmeans_assign — a join
+    // (or worse, a cartesian against a centroid table) would shuffle the
+    // full corpus once per iteration at 100 TB
+    assert(p.contains("kmeans_assign"), p)
+    assert(!p.contains("Join"), p)
+  }
+
+  test("q96 semantic dedup joins on the cluster id only (quadratic stays in-cluster)") {
+    val p = planOf("q96_semantic_dedup")
+    assert(p.contains("kmeans_assign"), p)
+    assert(!p.contains("BroadcastNestedLoop") && !p.contains("CartesianProduct"), p)
+  }
+
+  test("q97 bloom probe is a literal filter - no join carries the bloom") {
+    val p = planOf("q97_bloom_decontaminate")
+    assert(p.contains("might_contain"), p)
+    // the exact-flag leg (q58) keeps its broadcast semi-join; the bloom
+    // leg itself must not add a bloom-carrying join, so the only joins
+    // are the exact leg's semi + the final flag joins
+    assert(!p.contains("CartesianProduct"), p)
+  }
 }

@@ -159,4 +159,28 @@ class StreamingSpec extends AnyFunSuite {
     assert(rows === Seq((1L, 0L, 500L), (1L, 1L, 500L), (1L, 2L, 150L),
       (2L, 0L, 100L)))
   }
+
+  test("kmeans assignment + normalization compose onto streams (online inference)") {
+    // kmeansAssigned is a pure codegen projection (centroids ride the plan
+    // as reference objects), so the same call classifies embeddings as
+    // they ARRIVE — the online leg of the train-batch/serve-stream
+    // pattern. nfc_normalize is likewise stateless.
+    val s = spark
+    import s.implicits._
+    implicit val sc = s.sqlContext
+    graft.functions.GraftFunctions.register(s)
+    val centroids = Array(Array(1.0, 0.0), Array(0.0, 1.0))
+    val mem = MemoryStream[(Long, Array[Float], String)]
+    mem.addData(
+      (1L, Array(0.9f, 0.1f), "café one"),
+      (2L, Array(0.2f, 0.8f), "café two"))
+    val out = graft.api.Graft.kmeansAssigned(
+        mem.toDF.toDF("vec_id", "embedding", "txt"), "embedding", centroids)
+      .withColumn("norm", expr("nfc_normalize(txt)"))
+    assert(out.isStreaming)
+    runToCompletion(out, "stream_kmeans", "append")
+    val rows = s.sql("SELECT vec_id, cid, norm FROM stream_kmeans ORDER BY vec_id")
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getString(2)))
+    assert(rows === Seq((1L, 0, "café one"), (2L, 1, "café two")))
+  }
 }
