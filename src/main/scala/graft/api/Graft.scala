@@ -840,6 +840,27 @@ object Graft {
       .select(col("__row.*"), col("__matched").as(s"asof_$payload"))
   }
 
+  /** SCD2 temporal versioning: collapse an update stream into validity
+    * intervals per key — a new version starts only when `attrCol` CHANGES
+    * (gaps-and-islands on lag-inequality), `valid_to` is the next
+    * version's start (null = current). One shuffle on the key; windows
+    * run inside each key's sorted run, never a per-row subquery — the
+    * dimension-history build every warehouse load runs, at fact-table
+    * scale. `orderCol` breaks same-timestamp ties deterministically. */
+  def scd2(df: DataFrame, keyCol: String, tsCol: String, attrCol: String,
+      orderCol: String): DataFrame = {
+    val w = Window.partitionBy(col(keyCol)).orderBy(col(tsCol), col(orderCol))
+    val changed = df
+      .withColumn("__prev", lag(col(attrCol), 1).over(w))
+      .filter(col("__prev").isNull || col("__prev") =!= col(attrCol))
+    val wv = Window.partitionBy(col(keyCol)).orderBy(col(tsCol), col(orderCol))
+    changed
+      .withColumn("valid_from", col(tsCol))
+      .withColumn("valid_to", lead(col(tsCol), 1).over(wv))
+      .withColumn("is_current", col("valid_to").isNull)
+      .drop("__prev")
+  }
+
   // -------------------------------------------------- embedding clustering
 
   /** Deterministic k-means seeds: the k vectors with the smallest

@@ -227,6 +227,41 @@ object Analytics {
       Multimodal.decodeAudio(audio).orderBy(col("doc_id"))
     }),
 
+    // ---- q102: SCD2 temporal versioning — each user's event_type stream
+    // collapses into validity intervals: a version opens only when the
+    // tracked attribute CHANGES (lag-inequality islands), closes at the
+    // next version's start. The dimension-history build (slowly-changing
+    // dimensions type 2) at event-log scale: one shuffle on the user,
+    // both windows share the sorted run. ----
+    "q102_scd2_versions" -> ((s, dir) => {
+      val e = t(s, dir, "events")
+        .select(col("user_id"), col("event_id"), col("event_type"),
+          unix_micros(col("ts")).as("us"))
+      graft.api.Graft.scd2(e, "user_id", "us", "event_type", "event_id")
+        .select(col("user_id"), col("valid_from"), col("valid_to"),
+          col("event_type"), col("is_current"))
+        .orderBy(col("user_id"), col("valid_from"), col("event_type"))
+    }),
+
+    // ---- q101: REAL multi-frame decode — animated GIFs are synthesized
+    // per doc (closed-form uniform-gray frames, JDK sequence writer),
+    // then every frame is REALLY decoded twice (GIF frame → PNG re-encode
+    // in sampleFrames, PNG → pixel in decodeGifGray). The oracle
+    // regenerates the gray values from the same closed form, so the whole
+    // container-write/frame-enumerate/pixel-decode path is hash-checked —
+    // q89's audio pattern applied to the video leg. Partition-local, no
+    // shuffle. ----
+    "q101_gif_frames" -> ((s, dir) => {
+      val ids = t(s, dir, "documents").select(col("doc_id"))
+        .filter(col("doc_id") % 10 === 0)
+      val frames = Multimodal.sampleFrames(Multimodal.gifFromIds(ids)
+        .withColumn("media_type", lit("image/gif"))
+        .select(col("media_id"), col("media_type"), col("content")),
+        everyMs = 500L, maxFrames = 8)
+      Multimodal.decodeGifGray(frames)
+        .orderBy(col("media_id"), col("frame_no"))
+    }),
+
     // ---- q90: approx-percentile SELF-GATING (q41's pattern for order
     // statistics): the mergeable one-pass sketch every 100 TB percentile
     // needs, shipped WITH its own quality gate — exact percentiles ride
@@ -348,6 +383,30 @@ object Analytics {
   )
 
   val oracle: Map[String, String] = Map(
+    "q102_scd2_versions" ->
+      """WITH e AS (
+        |  SELECT user_id, event_id, event_type, epoch_us(ts) AS us FROM events),
+        |ch AS (
+        |  SELECT user_id, event_id, event_type, us FROM (
+        |    SELECT user_id, event_id, event_type, us,
+        |           LAG(event_type) OVER (PARTITION BY user_id ORDER BY us, event_id) AS prev
+        |    FROM e) t
+        |  WHERE prev IS NULL OR prev <> event_type)
+        |SELECT user_id, us AS valid_from,
+        |       LEAD(us) OVER (PARTITION BY user_id ORDER BY us, event_id) AS valid_to,
+        |       event_type,
+        |       LEAD(us) OVER (PARTITION BY user_id ORDER BY us, event_id) IS NULL AS is_current
+        |FROM ch ORDER BY user_id, valid_from, event_type""".stripMargin,
+
+    // Regenerates the closed-form frame grays the Spark side must recover
+    // by ACTUALLY decoding the GIF containers it wrote (q89's pattern).
+    "q101_gif_frames" ->
+      """SELECT doc_id AS media_id, CAST(f AS BIGINT) AS frame_no,
+        |       CAST((doc_id * 7 + f * 40) % 256 AS BIGINT) AS gray
+        |FROM (SELECT doc_id, unnest(generate_series(0, 1 + doc_id % 5)) AS f
+        |      FROM documents WHERE doc_id % 10 = 0) t
+        |ORDER BY media_id, frame_no""".stripMargin,
+
     "q79_rolling_window" ->
       """SELECT o_custkey, o_orderkey, o_orderdate,
         | CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) OVER w AS DOUBLE) AS roll_rev,

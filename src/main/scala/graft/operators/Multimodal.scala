@@ -15,11 +15,13 @@ import org.apache.spark.sql.types._
   * header, and the feature vector is a deterministic 8-bin luminance
   * histogram over the actual decoded pixels (`luminanceHistogram` —
   * integer Rec.601 luma, so the same bytes always bin identically).
-  * Audio/video and undecodable payloads fall back to `fakeDecode`, a
-  * clearly-marked DETERMINISTIC FAKE (the container ships no further
-  * codecs); the Spark-side plumbing — schema, encoder, mapPartitions
-  * batch shape, partitioning — is what an ffmpeg-backed decoder would
-  * slot into.
+  * Audio is REAL for WAV (RIFF walk + PCM16 decode below); multi-frame
+  * decode is REAL for animated GIF (`gifFrames` — every frame's pixels
+  * via the JDK reader). True video codecs and undecodable payloads fall
+  * back to `fakeDecode`, a clearly-marked DETERMINISTIC FAKE (the
+  * container ships no further codecs); the Spark-side plumbing — schema,
+  * encoder, mapPartitions batch shape, partitioning — is what an
+  * ffmpeg-backed decoder would slot into.
   */
 object Multimodal {
 
@@ -189,6 +191,52 @@ object Multimodal {
     * schema, timestamps, cadence, and partitioning are production-shaped.
     * Images (decodable stills) emit exactly one frame at t=0 with their
     * real bytes. */
+  /** Deterministic animated-GIF synthesis: `nFrames` uniform-gray frames
+    * (gray_f = (seed·7 + f·40) mod 256) through the JDK's own GIF
+    * sequence writer — a REAL multi-frame container whose per-frame pixel
+    * values are closed-form, so frame decode is exact-value-testable. */
+  def gifSynth(seed: Long, nFrames: Int, w: Int = 8, h: Int = 8): Array[Byte] = {
+    val writer = javax.imageio.ImageIO.getImageWritersByFormatName("gif").next()
+    val bos = new java.io.ByteArrayOutputStream()
+    val ios = javax.imageio.ImageIO.createImageOutputStream(bos)
+    try {
+      writer.setOutput(ios)
+      writer.prepareWriteSequence(null)
+      var f = 0
+      while (f < nFrames) {
+        val g = (((seed * 7 + f * 40) % 256 + 256) % 256).toInt
+        val img = new java.awt.image.BufferedImage(w, h,
+          java.awt.image.BufferedImage.TYPE_INT_RGB)
+        val rgb = (g << 16) | (g << 8) | g
+        var y = 0
+        while (y < h) {
+          var x = 0
+          while (x < w) { img.setRGB(x, y, rgb); x += 1 }
+          y += 1
+        }
+        writer.writeToSequence(new javax.imageio.IIOImage(img, null, null), null)
+        f += 1
+      }
+      writer.endWriteSequence()
+    } finally { ios.close(); writer.dispose() }
+    bos.toByteArray
+  }
+
+  /** REAL multi-frame decode: every frame of a GIF container via the JDK
+    * reader (None for anything that is not a GIF). */
+  def gifFrames(bytes: Array[Byte]): Option[Seq[java.awt.image.BufferedImage]] = {
+    if (bytes == null || bytes.length < 6 ||
+        !(bytes(0) == 'G' && bytes(1) == 'I' && bytes(2) == 'F')) return None
+    val reader = javax.imageio.ImageIO.getImageReadersByFormatName("gif").next()
+    try {
+      reader.setInput(javax.imageio.ImageIO.createImageInputStream(
+        new java.io.ByteArrayInputStream(bytes)), false, true)
+      val n = reader.getNumImages(true)
+      Some((0 until n).map(reader.read(_)))
+    } catch { case scala.util.control.NonFatal(_) => None }
+    finally reader.dispose()
+  }
+
   def sampleFrames(media: DataFrame, everyMs: Long = 1000L,
       maxFrames: Int = 8): DataFrame = {
     val enc = RowEncoder.encoderFor(frameSchema)
@@ -197,7 +245,18 @@ object Multimodal {
       // reused across rows, torn down when the iterator drains)
       it.flatMap { r =>
         val bytes = Option(r.getAs[Array[Byte]](2)).getOrElse(Array.emptyByteArray)
-        if (imageMeta(bytes).isDefined)
+        val gif = gifFrames(bytes).filter(_.length > 1)
+        if (gif.isDefined) {
+          // REAL multi-frame path: each GIF frame is decoded and
+          // re-encoded as PNG — actual pixels, not a byte slice. Cadence
+          // is the sampler's `everyMs` (GIF per-frame delays live in
+          // GraphicControlExtension metadata; not parsed here).
+          gif.get.take(maxFrames).zipWithIndex.map { case (img, i) =>
+            val bos = new java.io.ByteArrayOutputStream()
+            javax.imageio.ImageIO.write(img, "png", bos)
+            Row(r.getLong(0), i, i * everyMs, bos.toByteArray)
+          }
+        } else if (imageMeta(bytes).isDefined)
           Seq(Row(r.getLong(0), 0, 0L, bytes)) // a still = one frame
         else {
           // FAKE duration model: 1 notional second per 256 payload bytes
@@ -212,6 +271,47 @@ object Multimodal {
             Row(r.getLong(0), i, ts, java.util.Arrays.copyOfRange(bytes, off, end))
           }
         }
+      }
+    }(enc)
+  }
+
+  val gifSchema: StructType = StructType(Seq(
+    StructField("media_id", LongType, nullable = false),
+    StructField("content", BinaryType, nullable = true)))
+
+  /** Deterministic animated-GIF payload per id: 2 + id%5 frames of
+    * closed-form uniform gray — real container bytes in an opaque binary
+    * column (the multi-frame analog of [[audioFromIds]]). */
+  def gifFromIds(ids: DataFrame): DataFrame = {
+    val enc = RowEncoder.encoderFor(gifSchema)
+    ids.select("doc_id").mapPartitions { it =>
+      it.map { r =>
+        val id = r.getLong(0)
+        Row(id, gifSynth(id, (2 + id % 5).toInt))
+      }
+    }(enc)
+  }
+
+  val gifGraySchema: StructType = StructType(Seq(
+    StructField("media_id", LongType, nullable = false),
+    StructField("frame_no", LongType, nullable = false),
+    StructField("gray", LongType, nullable = true)))
+
+  /** REAL per-frame pixel decode over [[sampleFrames]] output: each frame
+    * payload (PNG re-encoded from the GIF frame) is decoded and its pixel
+    * gray value read back — so container write, frame enumeration, AND
+    * two decode hops are all on the checked path. Partition-local. */
+  def decodeGifGray(frames: DataFrame): DataFrame = {
+    val enc = RowEncoder.encoderFor(gifGraySchema)
+    frames.select("media_id", "frame_no", "frame").mapPartitions { it =>
+      it.map { r =>
+        val bytes = r.getAs[Array[Byte]](2)
+        val gray =
+          try Option(javax.imageio.ImageIO.read(
+            new java.io.ByteArrayInputStream(bytes)))
+            .map(img => (img.getRGB(0, 0) & 0xFF).toLong)
+          catch { case scala.util.control.NonFatal(_) => None }
+        Row(r.getLong(0), r.getInt(1).toLong, gray.orNull)
       }
     }(enc)
   }

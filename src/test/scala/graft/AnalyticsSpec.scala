@@ -164,4 +164,23 @@ class AnalyticsSpec extends AnyFunSuite {
     assert(out(0).getLong(1) === 8000L && out(0).getLong(2) === 100L)
     assert(out(1).isNullAt(1) && out(1).isNullAt(4))
   }
+
+  test("scd2 opens a version only on change and closes it at the next change") {
+    val s = spark; import s.implicits._
+    // user 1: a a b a → versions a[1,3) b[3,4) a[4,∞); user 2: one version
+    val df = Seq(
+      (1L, 1L, 10L, "a"), (1L, 2L, 20L, "a"), (1L, 3L, 30L, "b"),
+      (1L, 4L, 40L, "a"), (2L, 5L, 15L, "x"))
+      .toDF("user_id", "event_id", "us", "attr")
+    val out = graft.api.Graft.scd2(df, "user_id", "us", "attr", "event_id")
+      .select($"user_id", $"valid_from", $"valid_to", $"attr", $"is_current")
+      .orderBy($"user_id", $"valid_from").collect()
+      .map(r => (r.getLong(0), r.getLong(1), Option(r.get(2)), r.getString(3),
+        r.getBoolean(4)))
+    assert(out === Seq(
+      (1L, 10L, Some(30L), "a", false),
+      (1L, 30L, Some(40L), "b", false),
+      (1L, 40L, None, "a", true),
+      (2L, 15L, None, "x", true)))
+  }
 }

@@ -143,4 +143,27 @@ class ArrowMultimodalSpec extends AnyFunSuite {
       assert(java.util.Arrays.equals(a.getAs[Array[Byte]](3), b.getAs[Array[Byte]](3)))
     }
   }
+
+  test("animated GIF frames are REALLY decoded: exact per-frame pixel values") {
+    val s = spark; import s.implicits._
+    // seed 3, 4 frames: grays (3*7 + f*40) % 256 = 21, 61, 101, 141
+    val gif = Multimodal.gifSynth(seed = 3L, nFrames = 4)
+    val media = Seq((7L, "image/gif", gif)).toDF("media_id", "media_type", "content")
+    val frames = Multimodal.sampleFrames(media, everyMs = 500L, maxFrames = 8)
+      .collect().sortBy(_.getInt(1))
+    assert(frames.length === 4)
+    assert(frames.map(_.getLong(2)).toSeq === Seq(0L, 500L, 1000L, 1500L))
+    // each emitted frame is a PNG of the decoded pixels — read it back and
+    // check the closed-form gray value survived GIF palette + PNG re-encode
+    frames.zipWithIndex.foreach { case (r, f) =>
+      val img = javax.imageio.ImageIO.read(
+        new java.io.ByteArrayInputStream(r.getAs[Array[Byte]](3)))
+      val expected = 21 + f * 40
+      val px = img.getRGB(2, 2)
+      assert(((px >> 16) & 0xFF) === expected && (px & 0xFF) === expected)
+    }
+    // maxFrames truncates the real path too
+    val capped = Multimodal.sampleFrames(media, maxFrames = 2).collect()
+    assert(capped.length === 2)
+  }
 }
