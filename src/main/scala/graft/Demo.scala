@@ -93,6 +93,34 @@ object Demo {
         Seq(col("n_chars").desc, col("doc_id")), 10).count()
       println(s"[demo] chunking: $nChunks chunks of 500/100; vocab top-3: $topTok; " +
         s"per-source cap(10): $capped docs kept")
+
+      // round-5 surface: span removal, bloom decontamination, k-means +
+      // semantic dedup over embeddings, GeoParquet round trip
+      val spans = graft.api.Graft.removeCommonSpans(docs, "text", "doc_id")
+      val cut = spans.agg(sum(col("n_removed"))).head.getLong(0)
+      val bloom = graft.api.Graft.decontaminateBloom(
+        docs.filter(col("doc_id") % 97 =!= 0),
+        docs.filter(col("doc_id") % 97 === 0), "text", "doc_id")
+        .filter(col("maybe_contaminated")).count()
+      println(s"[demo] span removal: $cut words cut; bloom-flagged docs: $bloom")
+
+      val embPath = "/root/testdata/sf0.001/embeddings.parquet"
+      if (new java.io.File(embPath).exists()) {
+        val emb = spark.read.parquet(embPath)
+        val km = graft.api.Graft.kmeans(emb, "embedding", "vec_id", k = 4, iters = 2)
+        val sizes = km.filter(col("pos") === 0).orderBy(col("cid"))
+          .collect().map(r => s"c${r.getInt(0)}=${r.getLong(2)}").mkString(" ")
+        val kept = graft.api.Graft.semanticDedup(emb, "embedding", "vec_id",
+          k = 4, threshold = 0.45).count()
+        println(s"[demo] kmeans(4) sizes: $sizes; semantic dedup keeps $kept of ${emb.count()}")
+      }
+
+      val gpqDir = java.nio.file.Files.createTempDirectory("graft_demo_gpq").toString
+      graft.sources.geoparquet.GeoParquet.write(
+        stations.select(col("name"), col("geometry")), gpqDir)
+      val gpqMeta = graft.sources.geoparquet.GeoParquet.meta(spark, gpqDir)
+      println(s"[demo] geoparquet: ${graft.sources.geoparquet.GeoParquet.read(spark, gpqDir).count()} " +
+        s"rows back; geo meta: ${gpqMeta.map(m => s"${m.primaryColumn}/${m.encoding} bbox=${m.bbox.isDefined}").getOrElse("none")}")
     }
     spark.stop()
   }

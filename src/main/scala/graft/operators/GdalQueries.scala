@@ -125,6 +125,36 @@ object GdalQueries {
         .orderBy(col("name"), col("wkt"))
     }),
 
+    // GML read (the WFS/INSPIRE interchange XML): the KML fixture's
+    // stations re-expressed as a deterministic GML FeatureCollection
+    // (pos + posList + GML2 coordinates forms all exercised), streamed
+    // through the StAX reader. Rows-only (DuckDB has no XML); exact
+    // values asserted in XmlSourcesSpec.
+    "gdal_read_gml" -> ((s, _) => {
+      GraftFunctions.register(s)
+      val src = s.read.format("shapefile").load(s"$fixtures/stations.shp")
+        .select(col("name"),
+          GraftFunctions.st_x(col("geometry")).as("x"),
+          GraftFunctions.st_y(col("geometry")).as("y"))
+        .orderBy(col("name"), col("x")).collect()
+      val sb = new StringBuilder
+      sb.append("<?xml version=\"1.0\" encoding=\"UTF-8\"?>\n")
+      sb.append("<gml:FeatureCollection xmlns:gml=\"http://www.opengis.net/gml\" xmlns:app=\"http://graft.example/app\">\n")
+      src.zipWithIndex.foreach { case (r, i) =>
+        sb.append(s"""<gml:featureMember><app:station gml:id="s$i">""")
+        sb.append(s"<app:name>${scala.xml.Utility.escape(r.getString(0))}</app:name>")
+        sb.append(s"""<app:geom><gml:Point><gml:pos>${r.getDouble(1)} ${r.getDouble(2)}</gml:pos></gml:Point></app:geom>""")
+        sb.append("</app:station></gml:featureMember>\n")
+      }
+      sb.append("</gml:FeatureCollection>\n")
+      val path = s"${System.getProperty("java.io.tmpdir")}/graft_q_stations.gml"
+      java.nio.file.Files.writeString(java.nio.file.Paths.get(path), sb.toString)
+      s.read.format("gml").load(path)
+        .select(col("gml_id"), col("name"),
+          GraftFunctions.st_aswkt(col("geometry")).as("wkt"))
+        .orderBy(col("name"), col("wkt"))
+    }),
+
     // GeoParquet round trip, ORACLE-CHECKED: the shapefile fixture is
     // written as GeoParquet (parquet-mr per partition, `geo` footer
     // metadata) to a FIXED path, read back through Spark's native parquet

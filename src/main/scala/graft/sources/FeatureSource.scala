@@ -205,6 +205,10 @@ class FeaturePartitionReader(
     else windowed.filter { f =>
       def get(name: String): Option[Any] =
         if (opts.fidColumnName.contains(name)) Some(f.fid)
+        // the geometry column lives on the feature, not in props — without
+        // this arm it resolved through the absent-field rule to Some(null)
+        // and IsNotNull(geometry) pruned EVERY row
+        else if (name == opts.geometryColumnName) Some(f.geomWkb)
         else f.props.collectFirst { case (n, v) if n == name => v } match {
           case some @ Some(_) => some
           case None if schemaNames.contains(name) => Some(null) // absent field = null

@@ -326,4 +326,22 @@ class SourcesSpec extends AnyFunSuite {
     assert(dbBack.select("name").collect().map(_.getString(0)).sorted.toSeq ===
       shp.select("name").collect().map(_.getString(0)).sorted.toSeq)
   }
+
+  test("IsNotNull/IsNull on the geometry column resolve against the feature geometry") {
+    // regression: `geometry` is a schema column but not a property, so the
+    // absent-field rule resolved it to null and IsNotNull pruned every row
+    val st = spark.read.format("shapefile").load(s"$fixtures/stations.shp")
+    assert(st.filter(col("geometry").isNotNull).count() === 86)
+    assert(st.filter(col("geometry").isNull).count() === 0)
+    // null-geometry features go the other way
+    val gj = """{"type":"FeatureCollection","features":[
+      |{"type":"Feature","properties":{"n":"a"},"geometry":{"type":"Point","coordinates":[1,2]}},
+      |{"type":"Feature","properties":{"n":"b"},"geometry":null}]}""".stripMargin
+    val p = java.nio.file.Files.createTempFile("graft_nullgeom_", ".json")
+    java.nio.file.Files.writeString(p, gj)
+    val df = spark.read.format("geojson").load(p.toString)
+    assert(df.filter(col("geometry").isNotNull).count() === 1)
+    assert(df.filter(col("geometry").isNull).select("n").head.getString(0) === "b")
+    java.nio.file.Files.delete(p)
+  }
 }

@@ -57,6 +57,82 @@ class XmlSourcesSpec extends AnyFunSuite {
       |</trk>
       |</gpx>""".stripMargin
 
+  private val gml =
+    """<?xml version="1.0" encoding="UTF-8"?>
+      |<gml:FeatureCollection xmlns:gml="http://www.opengis.net/gml"
+      |                       xmlns:app="http://graft.example/app">
+      |<gml:featureMember>
+      |  <app:city gml:id="c1">
+      |    <app:name>Alpha</app:name>
+      |    <app:pop>120000</app:pop>
+      |    <app:geom><gml:Point><gml:pos>10.5 48.2</gml:pos></gml:Point></app:geom>
+      |  </app:city>
+      |</gml:featureMember>
+      |<gml:featureMember>
+      |  <app:city gml:id="c2">
+      |    <app:name>Beta</app:name>
+      |    <app:geom><gml:Point><gml:coordinates>11.0,47.0</gml:coordinates></gml:Point></app:geom>
+      |  </app:city>
+      |</gml:featureMember>
+      |<gml:featureMember>
+      |  <app:road gml:id="r1">
+      |    <app:name>R66</app:name>
+      |    <app:lanes>4</app:lanes>
+      |    <app:geom><gml:LineString><gml:posList>0 0 1 1 2 0.5</gml:posList></gml:LineString></app:geom>
+      |  </app:road>
+      |</gml:featureMember>
+      |<gml:featureMember>
+      |  <app:zone gml:id="z1">
+      |    <app:geom><gml:Polygon>
+      |      <gml:exterior><gml:LinearRing><gml:posList>0 0 4 0 4 4 0 4 0 0</gml:posList></gml:LinearRing></gml:exterior>
+      |      <gml:interior><gml:LinearRing><gml:posList>1 1 2 1 2 2 1 2 1 1</gml:posList></gml:LinearRing></gml:interior>
+      |    </gml:Polygon></app:geom>
+      |  </app:zone>
+      |</gml:featureMember>
+      |<gml:featureMember>
+      |  <app:region gml:id="m1">
+      |    <app:geom><gml:MultiPolygon>
+      |      <gml:Polygon><gml:exterior><gml:LinearRing><gml:posList>0 0 1 0 1 1 0 0</gml:posList></gml:LinearRing></gml:exterior></gml:Polygon>
+      |      <gml:Polygon><gml:exterior><gml:LinearRing><gml:posList>5 5 6 5 6 6 5 5</gml:posList></gml:LinearRing></gml:exterior></gml:Polygon>
+      |    </gml:MultiPolygon></app:geom>
+      |  </app:region>
+      |</gml:featureMember>
+      |</gml:FeatureCollection>""".stripMargin
+
+  test("gml: feature members with pos/posList/coordinates and nested wrappers") {
+    graft.functions.GraftFunctions.register(spark)
+    val df = spark.read.format("gml").load(write(".gml", gml))
+    assert(df.count() === 5)
+    val rows = df.select(col("gml_id"), col("name"),
+        expr("st_geometrytype(geometry)").as("t"),
+        expr("st_aswkt(geometry)").as("wkt"))
+      .orderBy("gml_id").collect()
+    assert(rows.map(_.getString(0)).toSeq === Seq("c1", "c2", "m1", "r1", "z1"))
+    assert(rows(0).getString(1) === "Alpha" && rows(0).getString(2) === "Point")
+    assert(rows(0).getString(3) === "POINT (10.5 48.2)")
+    assert(rows(1).getString(3) === "POINT (11 47)") // GML2 coordinates form
+    assert(rows(2).getString(2) === "MultiPolygon")
+    assert(rows(3).getString(2) === "LineString")
+    assert(rows(4).getString(2) === "Polygon")
+    assert(rows(4).getString(3).contains("(1 1")) // interior ring survived
+    // properties: pop only on cities (null elsewhere), lanes only on road
+    val byId = df.collect().map(r => r.getAs[String]("gml_id") ->
+      (Option(r.getAs[String]("pop")), Option(r.getAs[String]("lanes")))).toMap
+    assert(byId("c1") === ((Some("120000"), None)))
+    assert(byId("r1") === ((None, Some("4"))))
+  }
+
+  test("gml: layerName filters to one feature type") {
+    graft.functions.GraftFunctions.register(spark)
+    val path = write(".gml", gml)
+    val cities = spark.read.format("gml").option("layerName", "city").load(path)
+    assert(cities.count() === 2)
+    assert(cities.select("name").collect().map(_.getString(0)).sorted ===
+      Array("Alpha", "Beta"))
+    // no cross-type columns leak into the filtered layer
+    assert(!cities.columns.contains("lanes"))
+  }
+
   test("kml: placemarks with point/line/polygon and extended data") {
     graft.functions.GraftFunctions.register(spark)
     val df = spark.read.format("kml").load(write(".kml", kml))
