@@ -46,17 +46,33 @@ object GeoParquet {
     * footer carrying the `geo` metadata. `stats = true` (default) runs one
     * aggregate pass for the dataset bbox + distinct geometry types —
     * partial+final agg over codegen'd st_xmin/st_ymin/st_xmax/st_ymax,
-    * a bounded 4-double + type-list result. */
+    * a bounded 4-double + type-list result.
+    *
+    * `bboxColumn = true` additionally materializes the spec v1.1
+    * "covering" bbox: a per-row `bbox {xmin,ymin,xmax,ymax}` struct whose
+    * leaves are plain doubles — the thing parquet min/max row-group stats
+    * CAN prune on (WKB binary can't), declared in the `geo` document's
+    * `covering` section so spec-aware readers find it. This is how a
+    * 100 TB GeoParquet lake serves spatial filters: bbox predicate →
+    * row-group skip, exact geometry test only on survivors (see
+    * [[read]]). */
   def write(df: DataFrame, path: String, geometryCol: String = "geometry",
-      stats: Boolean = true): Unit = {
-    val schema = df.schema
-    require(schema.fieldNames.contains(geometryCol),
+      stats: Boolean = true, bboxColumn: Boolean = false): Unit = {
+    require(df.schema.fieldNames.contains(geometryCol),
       s"geometry column '$geometryCol' not in schema")
-    require(schema(geometryCol).dataType == BinaryType,
+    require(df.schema(geometryCol).dataType == BinaryType,
       s"geometry column '$geometryCol' must be WKB binary")
     graft.functions.GraftFunctions.register(df.sparkSession)
 
-    val geoJson = buildGeoJson(df, geometryCol, stats)
+    val out = if (!bboxColumn) df else df.withColumn("bbox", when(
+      col(geometryCol).isNotNull,
+      struct(
+        expr(s"st_xmin(`$geometryCol`)").as("xmin"),
+        expr(s"st_ymin(`$geometryCol`)").as("ymin"),
+        expr(s"st_xmax(`$geometryCol`)").as("xmax"),
+        expr(s"st_ymax(`$geometryCol`)").as("ymax"))))
+    val schema = out.schema
+    val geoJson = buildGeoJson(df, geometryCol, stats, bboxColumn)
     val msg = messageType(schema)
     val confSer = new SerializableWriterConf(schema, msg.toString, geoJson)
 
@@ -69,7 +85,7 @@ object GeoParquet {
     fs.listStatus(dir).map(_.getPath)
       .filter(_.getName.endsWith(".parquet")).foreach(fs.delete(_, false))
 
-    df.foreachPartition { (it: Iterator[Row]) =>
+    out.foreachPartition { (it: Iterator[Row]) =>
       if (it.hasNext) {
         val pid = TaskContext.getPartitionId()
         val file = new Path(path, f"part-$pid%05d.parquet")
@@ -81,7 +97,7 @@ object GeoParquet {
 
   /** The `geo` footer document (spec v1.1.0). */
   private def buildGeoJson(df: DataFrame, geometryCol: String,
-      stats: Boolean): String = {
+      stats: Boolean, bboxColumn: Boolean = false): String = {
     val (types, bbox) =
       if (!stats) (Seq.empty[String], None)
       else {
@@ -99,7 +115,9 @@ object GeoParquet {
       }
     val tJson = types.map(t => "\"" + wkbTypeName(t) + "\"").mkString("[", ",", "]")
     val bJson = bbox.map(b => s""","bbox":[${b.mkString(",")}]""").getOrElse("")
-    s"""{"version":"1.1.0","primary_column":"$geometryCol","columns":{"$geometryCol":{"encoding":"WKB","geometry_types":$tJson$bJson}}}"""
+    val covJson = if (!bboxColumn) "" else
+      ""","covering":{"bbox":{"xmin":["bbox","xmin"],"ymin":["bbox","ymin"],"xmax":["bbox","xmax"],"ymax":["bbox","ymax"]}}"""
+    s"""{"version":"1.1.0","primary_column":"$geometryCol","columns":{"$geometryCol":{"encoding":"WKB","geometry_types":$tJson$bJson$covJson}}}"""
   }
 
   /** JTS type names → GeoParquet spec names (identical modulo case). */
@@ -116,6 +134,28 @@ object GeoParquet {
     * splits) applies untouched. */
   def read(spark: SparkSession, path: String): DataFrame =
     spark.read.parquet(path)
+
+  /** Bbox-filtered read over a dataset written with `bboxColumn = true`:
+    * the covering-struct predicate is an ordinary comparison on double
+    * leaves, so Spark pushes it into the parquet scan (nested-field
+    * pushdown) and row groups whose bbox min/max stats miss the query box
+    * are skipped WITHOUT decoding — the native-index analog of the
+    * FlatGeobuf R-tree split planning, on the format built for 100 TB.
+    * The exact `st_intersects_bbox` test stays as the residual (envelope
+    * semantics, same contract as the DSv2 `bbox` option). */
+  def read(spark: SparkSession, path: String,
+      bbox: (Double, Double, Double, Double)): DataFrame = {
+    graft.functions.GraftFunctions.register(spark)
+    val (x0, y0, x1, y1) = bbox
+    val df = spark.read.parquet(path)
+    val geom = meta(spark, path).map(_.primaryColumn).getOrElse("geometry")
+    val pruned =
+      if (df.schema.fieldNames.contains("bbox"))
+        df.filter(col("bbox.xmin") <= x1 && col("bbox.xmax") >= x0 &&
+          col("bbox.ymin") <= y1 && col("bbox.ymax") >= y0)
+      else df
+    pruned.filter(expr(s"st_intersects_bbox(`$geom`, $x0, $y0, $x1, $y1)"))
+  }
 
   /** The parsed `geo` footer metadata of the first parquet file under
     * `path` (driver-side footer read — no data pages touched). */
@@ -150,11 +190,24 @@ object GeoParquet {
 
   // ------------------------------------------------- parquet plumbing
 
-  /** Spark schema → parquet MessageType (scalar + binary columns — the
-    * geo table surface; nested types are rejected loudly). */
+  /** Spark schema → parquet MessageType (scalar + binary columns plus
+    * one-level scalar structs, e.g. the covering bbox — the geo table
+    * surface; other nested types are rejected loudly). */
   private[geoparquet] def messageType(schema: StructType): MessageType = {
     val b = Types.buildMessage()
     schema.fields.foreach { f =>
+      f.dataType match {
+        case st: StructType =>
+          val g = Types.optionalGroup()
+          st.fields.foreach(sf => g.addField(primitive(sf).named(sf.name)))
+          b.addField(g.named(f.name))
+        case _ => b.addField(primitive(f).named(f.name))
+      }
+    }
+    b.named("graft_geoparquet")
+  }
+
+  private def primitive(f: StructField): Types.Builder[_, _ <: org.apache.parquet.schema.Type] = {
       val t = f.dataType match {
         case IntegerType => Types.optional(INT32)
         case LongType => Types.optional(INT64)
@@ -175,9 +228,7 @@ object GeoParquet {
         case other => throw new IllegalArgumentException(
           s"geoparquet writer: unsupported column type $other (${f.name})")
       }
-      b.addField(t.named(f.name))
-    }
-    b.named("graft_geoparquet")
+      t
   }
 }
 
@@ -216,12 +267,21 @@ private[geoparquet] class RowWriteSupport(msg: MessageType,
 
   override def write(row: Row): Unit = {
     rc.startMessage()
+    writeFields(row, fields)
+    rc.endMessage()
+  }
+
+  private def writeFields(row: Row, fs: Array[StructField]): Unit = {
     var i = 0
-    while (i < fields.length) {
+    while (i < fs.length) {
       if (!row.isNullAt(i)) {
-        val f = fields(i)
+        val f = fs(i)
         rc.startField(f.name, i)
         f.dataType match {
+          case st: StructType =>
+            rc.startGroup()
+            writeFields(row.getStruct(i), st.fields)
+            rc.endGroup()
           case IntegerType => rc.addInteger(row.getInt(i))
           case LongType => rc.addLong(row.getLong(i))
           case FloatType => rc.addFloat(row.getFloat(i))
@@ -245,6 +305,5 @@ private[geoparquet] class RowWriteSupport(msg: MessageType,
       }
       i += 1
     }
-    rc.endMessage()
   }
 }

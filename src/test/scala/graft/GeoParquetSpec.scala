@@ -84,6 +84,44 @@ class GeoParquetSpec extends AnyFunSuite {
       s"expected pushdown in plan:\n$plan")
   }
 
+  test("covering bbox column: spec metadata, pushdown, and exact residual") {
+    val s = spark; import s.implicits._
+    GraftFunctions.register(s)
+    // 200 points along the diagonal, sorted so row groups have tight
+    // bbox stats; query box catches exactly ids 50..60
+    val df = (1L to 200L).map(i => (i, (i.toDouble, i.toDouble)))
+      .toDF("id", "pt")
+      .withColumn("geometry", GraftFunctions.st_point($"pt._1", $"pt._2"))
+      .drop("pt").orderBy("id").coalesce(1)
+    val dir = tmpDir("cov")
+    GeoParquet.write(df, dir, bboxColumn = true)
+
+    // geo document declares the covering paths
+    val raw = {
+      val hconf = s.sessionState.newHadoopConf()
+      val file = new java.io.File(dir).listFiles
+        .filter(_.getName.endsWith(".parquet")).head
+      val r = org.apache.parquet.hadoop.ParquetFileReader.open(
+        org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
+          new org.apache.hadoop.fs.Path(file.toString), hconf))
+      try r.getFooter.getFileMetaData.getKeyValueMetaData.get("geo") finally r.close()
+    }
+    assert(raw.contains("\"covering\"") && raw.contains("[\"bbox\",\"xmin\"]"))
+
+    val q = GeoParquet.read(s, dir, bbox = (50.0, 50.0, 60.0, 60.0))
+    assert(q.select("id").collect().map(_.getLong(0)).sorted === (50L to 60L).toArray)
+    // the covering predicate reaches the parquet scan as pushed filters
+    val plan = q.queryExecution.executedPlan.toString
+    assert(plan.contains("PushedFilters") && plan.contains("bbox.xmin"),
+      s"expected bbox pushdown in plan:\n$plan")
+    // null geometry → null bbox struct: never matches a bbox read, still present in plain read
+    val withNull = df.unionByName(
+      Seq((999L, null.asInstanceOf[Array[Byte]])).toDF("id", "geometry"))
+    GeoParquet.write(withNull, dir, bboxColumn = true)
+    assert(GeoParquet.read(s, dir).count() === 201)
+    assert(GeoParquet.read(s, dir, bbox = (0.0, 0.0, 500.0, 500.0)).count() === 200)
+  }
+
   test("rejects a missing or non-binary geometry column loudly") {
     val s = spark; import s.implicits._
     val df = Seq((1L, "x")).toDF("id", "geometry")
