@@ -174,6 +174,23 @@ object GdalQueries {
         .orderBy(col("name"), col("wkb_hex"))
     }),
 
+    // GeoParquet covering-bbox read, ORACLE-CHECKED: stations written
+    // WITH the spec v1.1 covering bbox struct, then read through the
+    // bbox-pruned path (double-leaf pushdown + exact residual). Points
+    // make envelope == exact, so DuckDB re-reading the same files with
+    // the same covering predicate is a FULL oracle for the pruned read.
+    "gdal_geoparquet_bbox" -> ((s, _) => {
+      GraftFunctions.register(s)
+      val out = s"${System.getProperty("java.io.tmpdir")}/graft_q_geoparquet_bbox"
+      val src = s.read.format("shapefile").load(s"$fixtures/stations.shp")
+        .select(col("name"), col("geometry"))
+      graft.sources.geoparquet.GeoParquet.write(src, out, bboxColumn = true)
+      graft.sources.geoparquet.GeoParquet
+        .read(s, out, bbox = (-77.05, 38.88, -76.99, 38.92))
+        .select(col("name"), hex(col("geometry")).as("wkb_hex"))
+        .orderBy(col("name"), col("wkb_hex"))
+    }),
+
     // Tiled distributed spatial join (J7 at scale): a deterministic
     // 10,000-point grid over the CONUS bbox against the us_states
     // polygons — points key to grid cells, polygon envelopes replicate to
@@ -217,6 +234,16 @@ object GdalQueries {
     * path (schema inference, property conversion, null handling) is
     * hash-checked, not just row-counted. */
   val oracle: Map[String, String] = Map(
+    // Same covering predicate over the same files the Spark query wrote —
+    // for points the envelope test IS the exact test, so this fully
+    // oracles the pruned read path (gdal_read_fgb_bbox's 19 stations).
+    "gdal_geoparquet_bbox" ->
+      """SELECT name, hex(geometry) AS wkb_hex
+        |FROM read_parquet('/tmp/graft_q_geoparquet_bbox/*.parquet')
+        |WHERE bbox.xmin <= -76.99 AND bbox.xmax >= -77.05
+        |  AND bbox.ymin <= 38.92 AND bbox.ymax >= 38.88
+        |ORDER BY name, wkb_hex""".stripMargin,
+
     // Reads the files the Spark query just wrote (fixed tmp path): an
     // independent parquet implementation checking our writer's output.
     "gdal_geoparquet_roundtrip" ->

@@ -242,4 +242,45 @@ class PropertySpec extends AnyFunSuite {
       }
     })
   }
+
+  test("kernel: nfc_normalize is idempotent, matches java Normalizer, ASCII is identity") {
+    import org.apache.spark.unsafe.types.UTF8String
+    val anyStr = Gen.listOf(Gen.oneOf(
+      Gen.alphaNumChar, Gen.const('e'), Gen.const('́'), // combining acute
+      Gen.const('é'), Gen.const('Å'), // é, Å (angstrom sign)
+      Gen.const(' '))).map(_.mkString)
+    check(Prop.forAll(anyStr) { s =>
+      val once = graft.functions.TextKernels.nfcNormalize(UTF8String.fromString(s))
+      val twice = graft.functions.TextKernels.nfcNormalize(once)
+      val expected = java.text.Normalizer.normalize(s, java.text.Normalizer.Form.NFC)
+      once.toString == expected && twice.toString == expected
+    })
+    // pure-ASCII short-circuit returns the SAME object (no allocation)
+    val ascii = UTF8String.fromString("plain ascii text")
+    assert(graft.functions.TextKernels.nfcNormalize(ascii) eq ascii)
+  }
+
+  test("kernel: kmeansAssign equals the naive squared-distance argmin") {
+    import org.apache.spark.sql.catalyst.util.GenericArrayData
+    // integer-valued components keep double arithmetic exact, so the
+    // cc − 2·v·c score and the naive Σ(v−c)² formulation must agree on
+    // the argmin (including the lowest-cid tie rule)
+    val dim = 4
+    val comp = Gen.chooseNum(-8, 8).map(_.toDouble)
+    val vec = Gen.listOfN(dim, comp).map(_.toArray)
+    val gen = for {
+      v <- Gen.listOfN(dim, comp.map(_.toFloat)).map(_.toArray)
+      k <- Gen.chooseNum(1, 5)
+      cs <- Gen.listOfN(k, vec).map(_.toArray)
+    } yield (v, cs)
+    check(Prop.forAll(gen) { case (v, cs) =>
+      val ccs = cs.map(c => c.map(x => x * x).sum)
+      val got = graft.functions.VecKernels.kmeansAssign(
+        new GenericArrayData(v), cs, ccs, isFloat = true)
+      val naive = cs.zipWithIndex.map { case (c, i) =>
+        (v.zip(c).map { case (a, b) => (a.toDouble - b) * (a.toDouble - b) }.sum, i)
+      }.minBy { case (d, i) => (d, i) }._2
+      got == naive
+    })
+  }
 }
