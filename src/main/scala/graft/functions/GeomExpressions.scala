@@ -151,6 +151,7 @@ object GraftFunctions {
     ("array_pairs", (e: Seq[Expression]) => ArrayPairs(e.head)),
     ("text_stats", (e: Seq[Expression]) => TextStats(e.head)),
     ("nfc_normalize", (e: Seq[Expression]) => NfcNormalize(e.head)),
+    ("bpe_count", (e: Seq[Expression]) => BpeCount(e.head)),
     ("cosine_lsh_bands", (e: Seq[Expression]) => CosineLshBands(e.head,
       e(1).eval().asInstanceOf[Number].intValue(),
       e(2).eval().asInstanceOf[Number].intValue(),

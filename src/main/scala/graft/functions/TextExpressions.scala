@@ -27,6 +27,52 @@ object TextKernels {
     override def initialValue(): MessageDigest = MessageDigest.getInstance("MD5")
   }
 
+  /** Fixed BPE merge table (learned-vocab shape: production tokenizers
+    * apply a SHIPPED merge list, they don't retrain per corpus). Order is
+    * priority order, applied sequentially — the standard BPE apply. */
+  val BpeMerges: Array[(String, String)] = Array(
+    ("t", "h"), ("th", "e"), ("i", "n"), ("e", "r"), ("a", "n"), ("r", "e"),
+    ("o", "n"), ("a", "t"), ("e", "n"), ("o", "r"), ("t", "i"), ("an", "d"),
+    ("s", "t"), ("e", "s"), ("in", "g"), ("o", "u"))
+
+  /** REAL byte-pair-encoding token count: each word becomes a token
+    * sequence in `|tok|` wrapped form (`|h||i|`), merges apply in priority
+    * order as literal left-to-right non-overlapping replaces
+    * (`|t||h|` → `|th|`) — the wrapper makes a pair match impossible
+    * except at true token boundaries, and `String.replace` has the exact
+    * semantics of SQL `replace`, so a DuckDB oracle reproduces the count
+    * from the same merge table. Tokens per word = `||` separators + 1. */
+  def bpeCount(s: UTF8String): Long = {
+    val text = s.toString.trim
+    if (text.isEmpty) return 0L
+    var total = 0L
+    var start = 0
+    val n = text.length
+    while (start < n) {
+      var end = text.indexOf(' ', start)
+      if (end < 0) end = n
+      if (end > start) {
+        val word = text.substring(start, end)
+        val sb = new java.lang.StringBuilder(word.length * 3)
+        var i = 0
+        while (i < word.length) { sb.append('|').append(word.charAt(i)).append('|'); i += 1 }
+        var w = sb.toString
+        var m = 0
+        while (m < BpeMerges.length) {
+          val (a, b) = BpeMerges(m)
+          w = w.replace("|" + a + "||" + b + "|", "|" + a + b + "|")
+          m += 1
+        }
+        var toks = 1L
+        var j = w.indexOf("||")
+        while (j >= 0) { toks += 1; j = w.indexOf("||", j + 2) }
+        total += toks
+      }
+      start = end + 1
+    }
+    total
+  }
+
   /** Unicode NFC (canonical composition) — the normalization every corpus
     * pass runs before hashing/dedup so `é` (U+00E9) and `e`+`´`
     * (U+0065 U+0301) stop being distinct training tokens. Pure-ASCII
@@ -362,6 +408,22 @@ case class SimHash64(child: Expression) extends UnaryExpression {
     defineCodeGen(ctx, ev, a => s"graft.functions.TextKernels.simhash64($a)")
 
   protected override def withNewChildInternal(c: Expression): SimHash64 =
+    copy(child = c)
+}
+
+/** bpe_count(string) → long: token count under the fixed BPE merge table
+  * (TextKernels.BpeMerges), codegen'd per-row. */
+case class BpeCount(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = LongType
+  override def prettyName: String = "bpe_count"
+
+  protected override def nullSafeEval(a: Any): Any =
+    TextKernels.bpeCount(a.asInstanceOf[UTF8String])
+
+  protected override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, a => s"graft.functions.TextKernels.bpeCount($a)")
+
+  protected override def withNewChildInternal(c: Expression): BpeCount =
     copy(child = c)
 }
 

@@ -119,6 +119,22 @@ object TextAnalysis {
         .orderBy($"doc_id")
     }),
 
+    // ---- q103: REAL BPE tokenization — the fixed-merge-table apply a
+    // production tokenizer runs (vocab ships with the model; applying it
+    // is the corpus-scale job). Codegen'd bpe_count: per word, merges in
+    // priority order as boundary-safe literal replaces; the oracle
+    // replays the SAME merge table (generated from one Scala list) with
+    // SQL replace, which has identical left-to-right non-overlapping
+    // semantics — upgrading q31's token counting from BPE-ish regex to a
+    // hash-checked real BPE. Pure projection, no shuffle. ----
+    "q103_bpe_tokens" -> ((s, dir) => {
+      import s.implicits._
+      graft.functions.GraftFunctions.register(s)
+      t(s, dir, "documents")
+        .select($"doc_id", expr("bpe_count(text)").as("bpe_tokens"))
+        .orderBy($"doc_id")
+    }),
+
     // ---- q33: multimodal column plumbing (binary length + first byte);
     //      the decode path itself is the mapPartitions stub in Multimodal ----
     "q33_multimodal_meta" -> ((s, dir) => {
@@ -197,6 +213,25 @@ object TextAnalysis {
       """SELECT doc_id, CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
         | CAST(ascii(substring(text, 1, 1)) AS BIGINT) AS first_byte
         |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "q103_bpe_tokens" -> {
+      // the oracle's replace chain is GENERATED from the same merge
+      // table the kernel uses — one source of truth for the vocab
+      val chain = graft.functions.TextKernels.BpeMerges.foldLeft(
+        "'|' || array_to_string(string_split(word, ''), '||') || '|'") {
+        case (acc, (a, b)) => s"replace($acc, '|$a||$b|', '|$a$b|')"
+      }
+      s"""WITH w AS (
+         |  SELECT doc_id, unnest(string_split(trim(text), ' ')) AS word
+         |  FROM documents),
+         |t AS (
+         |  SELECT doc_id, CAST(len(string_split($chain, '||')) AS BIGINT) AS n
+         |  FROM w WHERE word <> ''),
+         |agg AS (SELECT doc_id, SUM(n) AS n FROM t GROUP BY doc_id)
+         |SELECT d.doc_id, CAST(COALESCE(agg.n, 0) AS BIGINT) AS bpe_tokens
+         |FROM documents d LEFT JOIN agg ON d.doc_id = agg.doc_id
+         |ORDER BY d.doc_id""".stripMargin
+    },
 
     "q99_normalize_text" ->
       """SELECT doc_id, CAST(length(norm) AS BIGINT) AS n_chars_norm,

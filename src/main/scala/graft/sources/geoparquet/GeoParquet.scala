@@ -56,8 +56,14 @@ object GeoParquet {
     * 100 TB GeoParquet lake serves spatial filters: bbox predicate →
     * row-group skip, exact geometry test only on survivors (see
     * [[read]]). */
+  /** `filePrefix`/`overwrite` make the writer micro-batch-friendly: a
+    * streaming foreachBatch sink passes `filePrefix = s"batch-$batchId"`,
+    * `overwrite = false` — batch retries rewrite the SAME file names
+    * (idempotent, exactly-once at the file level) while other batches'
+    * files are left alone. */
   def write(df: DataFrame, path: String, geometryCol: String = "geometry",
-      stats: Boolean = true, bboxColumn: Boolean = false): Unit = {
+      stats: Boolean = true, bboxColumn: Boolean = false,
+      filePrefix: String = "part", overwrite: Boolean = true): Unit = {
     require(df.schema.fieldNames.contains(geometryCol),
       s"geometry column '$geometryCol' not in schema")
     require(df.schema(geometryCol).dataType == BinaryType,
@@ -81,14 +87,16 @@ object GeoParquet {
     val fs = dir.getFileSystem(hconf)
     if (!fs.exists(dir)) fs.mkdirs(dir)
     // overwrite semantics: stale part files from a previous (differently
-    // partitioned) write must not pollute the dataset
-    fs.listStatus(dir).map(_.getPath)
-      .filter(_.getName.endsWith(".parquet")).foreach(fs.delete(_, false))
+    // partitioned) write must not pollute the dataset; append mode keeps
+    // other writers' files (streaming batches) intact
+    if (overwrite)
+      fs.listStatus(dir).map(_.getPath)
+        .filter(_.getName.endsWith(".parquet")).foreach(fs.delete(_, false))
 
     out.foreachPartition { (it: Iterator[Row]) =>
       if (it.hasNext) {
         val pid = TaskContext.getPartitionId()
-        val file = new Path(path, f"part-$pid%05d.parquet")
+        val file = new Path(path, f"$filePrefix%s-$pid%05d.parquet")
         val writer = confSer.openWriter(file)
         try it.foreach(writer.write) finally writer.close()
       }
@@ -241,6 +249,8 @@ private[geoparquet] class SerializableWriterConf(schema: StructType,
     val msg = org.apache.parquet.schema.MessageTypeParser.parseMessageType(msgString)
     new RowParquetBuilder(file, msg, schema, geoJson)
       .withCompressionCodec(CompressionCodecName.SNAPPY)
+      // task retries / idempotent streaming batches rewrite the same name
+      .withWriteMode(org.apache.parquet.hadoop.ParquetFileWriter.Mode.OVERWRITE)
       .build()
   }
 }

@@ -183,4 +183,34 @@ class StreamingSpec extends AnyFunSuite {
       .collect().map(r => (r.getLong(0), r.getInt(1), r.getString(2)))
     assert(rows === Seq((1L, 0, "café one"), (2L, 1, "café two")))
   }
+
+  test("streaming events ingest to GeoParquet via foreachBatch (lake sink)") {
+    val s = spark
+    import s.implicits._
+    implicit val sc = s.sqlContext
+    graft.functions.GraftFunctions.register(s)
+    val dir = java.nio.file.Files.createTempDirectory("graft_stream_gpq").toString
+    val mem = MemoryStream[(Long, Double, Double)]
+    mem.addData((1L, 10.0, 20.0), (2L, -77.0, 38.9))
+    val pts = mem.toDF.toDF("id", "lon", "lat")
+      .withColumn("geometry", expr("st_point(lon, lat)"))
+      .select("id", "geometry")
+    val q = pts.writeStream.outputMode("append")
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, batchId: Long) =>
+        // batch-scoped file names: retries rewrite, other batches untouched
+        graft.sources.geoparquet.GeoParquet.write(batch, dir,
+          stats = false, filePrefix = s"batch-$batchId", overwrite = false)
+      }.start()
+    q.processAllAvailable()
+    mem.addData((3L, 0.5, 0.5))
+    q.processAllAvailable()
+    q.stop()
+    val back = graft.sources.geoparquet.GeoParquet.read(s, dir)
+    assert(back.count() === 3)
+    assert(back.selectExpr("st_aswkt(geometry)").as[String].collect().sorted ===
+      Array("POINT (-77 38.9)", "POINT (0.5 0.5)", "POINT (10 20)"))
+    // both micro-batches left distinct files behind
+    val files = new java.io.File(dir).listFiles.map(_.getName).filter(_.endsWith(".parquet"))
+    assert(files.exists(_.startsWith("batch-0")) && files.exists(_.startsWith("batch-1")))
+  }
 }

@@ -64,4 +64,26 @@ class TextStatsSpec extends AnyFunSuite {
       org.scalacheck.Test.Parameters.default.withMinSuccessfulTests(20), p)
     assert(res.passed, res.status.toString)
   }
+
+  test("bpe_count applies the merge table with boundary-safe greedy merges") {
+    import org.apache.spark.unsafe.types.UTF8String
+    def c(s: String): Long = graft.functions.TextKernels.bpeCount(UTF8String.fromString(s))
+    // "the": t+h→th, th+e→the → 1 token; "x" unmergeable → 1
+    assert(c("the") === 1L)
+    assert(c("x") === 1L)
+    // "sthe": s|t|h|e → s|th|e → s|the → 2 (the 's' must NOT absorb:
+    // boundary-safe wrapping prevents matching t inside token "st")
+    assert(c("sthe") === 2L)
+    // "ststst": s|t ×3 → st|st|st via (s,t) merge → 3
+    assert(c("ststst") === 3L)
+    // "interesting": i n t e r e s t i n g → in,t,er,es,ti(t i? order!) …
+    // just pin totals across words and whitespace handling
+    assert(c("the the") === 2L)
+    assert(c("  the  ") === 1L)
+    assert(c("") === 0L)
+    assert(c("and") === 1L) // a+n→an, an+d→and
+    assert(c("ing") === 1L) // i+n→in, in+g→ing
+    // monotone: merging never increases the count vs character count
+    assert(c("abcdefgh") <= 8L && c("abcdefgh") >= 1L)
+  }
 }
