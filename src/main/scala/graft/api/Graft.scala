@@ -850,9 +850,14 @@ object Graft {
   def scd2(df: DataFrame, keyCol: String, tsCol: String, attrCol: String,
       orderCol: String): DataFrame = {
     val w = Window.partitionBy(col(keyCol)).orderBy(col(tsCol), col(orderCol))
+    // null-SAFE change test: `prev IS DISTINCT FROM attr`, with the first
+    // row kept by row number — a plain `prev =!= attr` filter silently
+    // drops a change TO null and re-opens a duplicate version after it
     val changed = df
       .withColumn("__prev", lag(col(attrCol), 1).over(w))
-      .filter(col("__prev").isNull || col("__prev") =!= col(attrCol))
+      .withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1 || !(col("__prev") <=> col(attrCol)))
+      .drop("__rn")
     val wv = Window.partitionBy(col(keyCol)).orderBy(col(tsCol), col(orderCol))
     changed
       .withColumn("valid_from", col(tsCol))
@@ -909,11 +914,25 @@ object Graft {
     * (cid, pos, n, sum_micro, mean) — k×dim rows. */
   def kmeans(df: DataFrame, vecCol: String, idCol: String, k: Int = 8,
       iters: Int = 2): DataFrame = {
+    require(k >= 1, s"kmeans needs k >= 1, got $k")
+    require(iters >= 1, s"kmeans needs iters >= 1, got $iters")
     var centroids = kmeansSeeds(df, vecCol, idCol, k)
+    require(centroids.nonEmpty, "kmeans: input has no rows to seed from")
+    // cids are ORIGINAL seed labels for the whole run: if a cluster loses
+    // all rows, its label dies with it rather than every later label
+    // shifting down (the oracle keeps original cids through its CTE
+    // chain, and callers correlating iterations need stable labels).
+    // `cidOf` maps assignment index → original cid; live centroids stay
+    // sorted by original cid, so index tie-break == original-cid
+    // tie-break.
+    var cidOf: Array[Int] = Array.range(0, centroids.length)
     var out: DataFrame = null
     var it = 0
     while (it < iters) {
+      val remap = element_at(
+        array(cidOf.map(c => lit(c)).toIndexedSeq: _*), col("cid") + 1)
       val upd = kmeansAssigned(df, vecCol, centroids)
+        .withColumn("cid", remap)
         .select(col("cid"), posexplode(col(vecCol)).as(Seq("pos", "x")))
         .groupBy(col("cid"), col("pos"))
         .agg(count(lit(1)).as("n"),
@@ -928,6 +947,8 @@ object Graft {
       if (it < iters) {
         // k×dim cells to the driver — bounded, independent of row count.
         val cells = upd.select(col("cid"), col("pos"), col("mean")).collect()
+        require(cells.nonEmpty,
+          "kmeans: no non-null vectors survived assignment")
         val live = cells.map(_.getInt(0)).distinct.sorted
         val dim = cells.map(r => r.getLong(1)).max.toInt + 1
         val byCid = cells.groupBy(_.getInt(0))
@@ -936,6 +957,7 @@ object Graft {
           byCid(c).foreach(r => arr(r.getLong(1).toInt) = r.getDouble(2))
           arr
         }
+        cidOf = live
       }
     }
     out

@@ -389,9 +389,10 @@ object Analytics {
         |ch AS (
         |  SELECT user_id, event_id, event_type, us FROM (
         |    SELECT user_id, event_id, event_type, us,
-        |           LAG(event_type) OVER (PARTITION BY user_id ORDER BY us, event_id) AS prev
+        |           LAG(event_type) OVER (PARTITION BY user_id ORDER BY us, event_id) AS prev,
+        |           ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY us, event_id) AS rn
         |    FROM e) t
-        |  WHERE prev IS NULL OR prev <> event_type)
+        |  WHERE rn = 1 OR prev IS DISTINCT FROM event_type)
         |SELECT user_id, us AS valid_from,
         |       LEAD(us) OVER (PARTITION BY user_id ORDER BY us, event_id) AS valid_to,
         |       event_type,

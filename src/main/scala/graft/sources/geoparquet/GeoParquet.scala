@@ -36,9 +36,12 @@ import org.apache.spark.sql.types._
   */
 object GeoParquet {
 
-  /** Parsed `geo` footer metadata (subset this engine writes/needs). */
+  /** Parsed `geo` footer metadata (subset this engine writes/needs).
+    * `covering` maps xmin/ymin/xmax/ymax → column path (spec v1.1
+    * covering section), when the dataset declares one. */
   case class GeoMeta(primaryColumn: String, encoding: String,
-      geometryTypes: Seq[String], bbox: Option[Seq[Double]])
+      geometryTypes: Seq[String], bbox: Option[Seq[Double]],
+      covering: Map[String, Seq[String]] = Map.empty)
 
   // ------------------------------------------------------------- write
 
@@ -86,19 +89,40 @@ object GeoParquet {
     val dir = new Path(path)
     val fs = dir.getFileSystem(hconf)
     if (!fs.exists(dir)) fs.mkdirs(dir)
-    // overwrite semantics: stale part files from a previous (differently
-    // partitioned) write must not pollute the dataset; append mode keeps
-    // other writers' files (streaming batches) intact
+
+    // Overwrite is WRITE-THEN-SWAP: the job lands in .tmp files first, so
+    // a failed job leaves the previous dataset untouched; only after every
+    // partition succeeded are old files deleted and the new ones renamed
+    // in. Append mode (streaming batches) writes stable final names
+    // directly — idempotent per batch, other batches untouched.
+    val writePrefix = if (overwrite) s".tmp-$filePrefix" else filePrefix
     if (overwrite)
       fs.listStatus(dir).map(_.getPath)
-        .filter(_.getName.endsWith(".parquet")).foreach(fs.delete(_, false))
+        .filter(_.getName.startsWith(".tmp-")).foreach(fs.delete(_, false))
 
     out.foreachPartition { (it: Iterator[Row]) =>
       if (it.hasNext) {
         val pid = TaskContext.getPartitionId()
-        val file = new Path(path, f"$filePrefix%s-$pid%05d.parquet")
+        val file = new Path(path, f"$writePrefix%s-$pid%05d.parquet")
         val writer = confSer.openWriter(file)
         try it.foreach(writer.write) finally writer.close()
+      }
+    }
+
+    if (overwrite) {
+      val tmps = fs.listStatus(dir).map(_.getPath)
+        .filter(_.getName.startsWith(s".tmp-$filePrefix"))
+      fs.listStatus(dir).map(_.getPath)
+        .filter(p => p.getName.endsWith(".parquet") &&
+          !p.getName.startsWith(".tmp-"))
+        .foreach(fs.delete(_, false))
+      if (tmps.isEmpty) {
+        // empty input still yields a readable (schema-only) dataset
+        // rather than bricking the path
+        val w = confSer.openWriter(new Path(path, s"$filePrefix-00000.parquet"))
+        w.close()
+      } else tmps.foreach { t =>
+        fs.rename(t, new Path(dir, t.getName.stripPrefix(".tmp-")))
       }
     }
   }
@@ -157,11 +181,22 @@ object GeoParquet {
     val (x0, y0, x1, y1) = bbox
     val df = spark.read.parquet(path)
     val geom = meta(spark, path).map(_.primaryColumn).getOrElse("geometry")
-    val pruned =
-      if (df.schema.fieldNames.contains("bbox"))
-        df.filter(col("bbox.xmin") <= x1 && col("bbox.xmax") >= x0 &&
-          col("bbox.ymin") <= y1 && col("bbox.ymax") >= y0)
-      else df
+    // pruning predicate comes from the DECLARED covering paths (spec
+    // v1.1) — other writers may name the column differently, and a
+    // dataset without (or with an incompatible) covering simply keeps
+    // the exact residual alone (correct, just unpruned)
+    val cov = meta(spark, path).map(_.covering).getOrElse(Map.empty)
+    def covCol(leaf: String): Option[org.apache.spark.sql.Column] =
+      cov.get(leaf).filter(_.nonEmpty).flatMap { p =>
+        scala.util.Try(p.tail.foldLeft(col(p.head))(_.getField(_))).toOption
+      }
+    val pruned = (covCol("xmin"), covCol("ymin"), covCol("xmax"), covCol("ymax")) match {
+      case (Some(cx0), Some(cy0), Some(cx1), Some(cy1)) =>
+        scala.util.Try(
+          df.filter(cx0 <= x1 && cx1 >= x0 && cy0 <= y1 && cy1 >= y0)
+        ).getOrElse(df)
+      case _ => df
+    }
     pruned.filter(expr(s"st_intersects_bbox(`$geom`, $x0, $y0, $x1, $y1)"))
   }
 
@@ -174,7 +209,8 @@ object GeoParquet {
     val file =
       if (fs.getFileStatus(p).isFile) p
       else fs.listStatus(p).map(_.getPath)
-        .filter(_.getName.endsWith(".parquet")).sortBy(_.getName)
+        .filter(p => p.getName.endsWith(".parquet") &&
+          !p.getName.startsWith(".")).sortBy(_.getName)
         .headOption.getOrElse(return None)
     val reader = ParquetFileReader.open(HadoopInputFile.fromPath(file, hconf))
     val geo = try {
@@ -193,7 +229,15 @@ object GeoParquet {
       .map(_.asText()).toSeq
     val bbox = Option(colNode.get("bbox"))
       .map(_.elements().asScala.map(_.asDouble()).toSeq)
-    GeoMeta(primary, enc, types, bbox)
+    val covering = Option(colNode.get("covering")).map(_.path("bbox")) match {
+      case Some(b) if b.isObject =>
+        Seq("xmin", "ymin", "xmax", "ymax").flatMap { leaf =>
+          Option(b.get(leaf)).map(p =>
+            leaf -> p.elements().asScala.map(_.asText()).toSeq)
+        }.toMap
+      case _ => Map.empty[String, Seq[String]]
+    }
+    GeoMeta(primary, enc, types, bbox, covering)
   }
 
   // ------------------------------------------------- parquet plumbing

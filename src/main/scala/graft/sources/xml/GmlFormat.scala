@@ -47,6 +47,7 @@ class GmlFormat extends FeatureFormat {
     val wantType = opts.layerName.orNull
     var idx = -1L
     var inMember = false
+    var plural = false // <featureMembers> (GML 3.1) holds MANY features
     val it = new Iterator[RawFeature] {
       private var nextF: RawFeature = advance()
 
@@ -56,10 +57,12 @@ class GmlFormat extends FeatureFormat {
             case XMLStreamConstants.START_ELEMENT
                 if MemberNames.contains(r.getLocalName) =>
               inMember = true
+              plural = r.getLocalName == "featureMembers"
             case XMLStreamConstants.START_ELEMENT if inMember =>
-              // first element inside the member = the typed feature
+              // element inside the member = a typed feature; the plural
+              // container keeps accepting siblings after each one
               val typeName = r.getLocalName
-              inMember = false
+              inMember = plural
               if (wantType == null || wantType == typeName) {
                 idx += 1
                 return readFeature(r, typeName, idx)
@@ -67,6 +70,7 @@ class GmlFormat extends FeatureFormat {
             case XMLStreamConstants.END_ELEMENT
                 if MemberNames.contains(r.getLocalName) =>
               inMember = false
+              plural = false
             case _ => ()
           }
         }
@@ -117,7 +121,7 @@ class GmlFormat extends FeatureFormat {
         case XMLStreamConstants.START_ELEMENT =>
           val name = r.getLocalName
           if (GeomNames.contains(name)) {
-            geoms += readGmlGeometry(r, name)
+            Option(readGmlGeometry(r, name)).foreach(geoms += _)
           } else {
             if (stack.nonEmpty) stack.top._3(0) = true
             stack.push((name, new StringBuilder, Array(false)))
@@ -147,12 +151,16 @@ class GmlFormat extends FeatureFormat {
   }
 
   /** Parse one GML geometry element (cursor on its START), consuming
-    * through its END. */
+    * through its END. Returns null (not an exception) when the element
+    * carries no parseable coordinates — one malformed feature must
+    * degrade to a null geometry, never abort the scan (the ragged-data
+    * contract every reader here follows). */
   private def readGmlGeometry(r: XMLStreamReader, kind: String): Geometry = kind match {
     case "Point" =>
-      factory.createPoint(readCoords(r, kind).head)
+      readCoords(r, kind).headOption.map(factory.createPoint).orNull
     case "LineString" | "Curve" =>
-      factory.createLineString(readCoords(r, kind).toArray)
+      val cs = readCoords(r, kind)
+      if (cs.length < 2) null else factory.createLineString(cs.toArray)
     case "Polygon" | "Surface" =>
       var outer: LinearRing = null
       val holes = scala.collection.mutable.ArrayBuffer.empty[LinearRing]
@@ -164,16 +172,18 @@ class GmlFormat extends FeatureFormat {
             case "exterior" | "outerBoundaryIs" => inExterior = true
             case "interior" | "innerBoundaryIs" => inExterior = false
             case "LinearRing" =>
-              val ring = factory.createLinearRing(
-                closeRing(readCoords(r, "LinearRing")).toArray)
-              if (inExterior || outer == null) outer = ring else holes += ring
+              val cs = closeRing(readCoords(r, "LinearRing"))
+              if (cs.length >= 4) {
+                val ring = factory.createLinearRing(cs.toArray)
+                if (inExterior || outer == null) outer = ring else holes += ring
+              }
             case _ => ()
           }
           case XMLStreamConstants.END_ELEMENT if r.getLocalName == kind => done = true
           case _ => ()
         }
       }
-      factory.createPolygon(outer, holes.toArray)
+      if (outer == null) null else factory.createPolygon(outer, holes.toArray)
     case _ => // Multi* containers: collect children until the container ends
       val parts = scala.collection.mutable.ArrayBuffer.empty[Geometry]
       var done = false
@@ -181,7 +191,7 @@ class GmlFormat extends FeatureFormat {
         r.next() match {
           case XMLStreamConstants.START_ELEMENT
               if GeomNames.contains(r.getLocalName) && r.getLocalName != kind =>
-            parts += readGmlGeometry(r, r.getLocalName)
+            Option(readGmlGeometry(r, r.getLocalName)).foreach(parts += _)
           case XMLStreamConstants.END_ELEMENT if r.getLocalName == kind => done = true
           case _ => ()
         }
@@ -201,11 +211,15 @@ class GmlFormat extends FeatureFormat {
             val p = r.getElementText.trim.split("\\s+")
             coords += new Coordinate(p(0).toDouble, p(1).toDouble)
           case "posList" =>
+            // srsDimension=3 posLists carry elevation: step by dim, keep xy
+            val dim = Option(r.getAttributeValue(null, "srsDimension"))
+              .flatMap(d => scala.util.Try(d.toInt).toOption).filter(_ >= 2)
+              .getOrElse(2)
             val p = r.getElementText.trim.split("\\s+").filter(_.nonEmpty)
             var i = 0
             while (i + 1 < p.length) {
               coords += new Coordinate(p(i).toDouble, p(i + 1).toDouble)
-              i += 2
+              i += dim
             }
           case "coordinates" =>
             r.getElementText.trim.split("\\s+").filter(_.nonEmpty).foreach { t =>

@@ -183,4 +183,36 @@ class AnalyticsSpec extends AnyFunSuite {
       (1L, 40L, None, "a", true),
       (2L, 15L, None, "x", true)))
   }
+
+  test("scd2 treats null attribute values as real versions (null-safe change test)") {
+    val s = spark; import s.implicits._
+    // a → null → a: three versions, including the null period; and a key
+    // that STARTS null still opens its first version
+    val df = Seq(
+      (1L, 1L, 10L, Some("a")), (1L, 2L, 20L, None), (1L, 3L, 30L, Some("a")),
+      (2L, 4L, 5L, None), (2L, 5L, 15L, Some("x")))
+      .toDF("user_id", "event_id", "us", "attr")
+    val out = graft.api.Graft.scd2(df, "user_id", "us", "attr", "event_id")
+      .select($"user_id", $"valid_from", $"valid_to", $"attr")
+      .orderBy($"user_id", $"valid_from").collect()
+      .map(r => (r.getLong(0), r.getLong(1), Option(r.get(2)),
+        Option(r.get(3)).map(_.toString)))
+    assert(out === Seq(
+      (1L, 10L, Some(20L), Some("a")),
+      (1L, 20L, Some(30L), None), // the null period is a version, not a gap
+      (1L, 30L, None, Some("a")),
+      (2L, 5L, Some(15L), None), // first version opens even when null
+      (2L, 15L, None, Some("x"))))
+  }
+
+  test("kmeans rejects bad arguments and empty input loudly") {
+    val s = spark; import s.implicits._
+    val df = Seq((1L, Array(1.0f, 0.0f))).toDF("vec_id", "embedding")
+    intercept[IllegalArgumentException] {
+      graft.api.Graft.kmeans(df, "embedding", "vec_id", k = 2, iters = 0)
+    }
+    intercept[IllegalArgumentException] {
+      graft.api.Graft.kmeans(df.filter($"vec_id" < 0), "embedding", "vec_id", k = 2)
+    }
+  }
 }

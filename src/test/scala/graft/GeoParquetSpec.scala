@@ -122,6 +122,41 @@ class GeoParquetSpec extends AnyFunSuite {
     assert(GeoParquet.read(s, dir, bbox = (0.0, 0.0, 500.0, 500.0)).count() === 200)
   }
 
+  test("overwrite swaps atomically and an empty input stays readable") {
+    val s = spark; import s.implicits._
+    GraftFunctions.register(s)
+    def pts(n: Int) = (1 to n).map(i => (i.toLong, (i.toDouble, i.toDouble)))
+      .toDF("id", "pt")
+      .withColumn("geometry", GraftFunctions.st_point($"pt._1", $"pt._2"))
+      .drop("pt")
+    val dir = tmpDir("swap")
+    GeoParquet.write(pts(3), dir)
+    assert(GeoParquet.read(s, dir).count() === 3)
+    // second overwrite replaces, no stale files from the first
+    GeoParquet.write(pts(2), dir)
+    assert(GeoParquet.read(s, dir).count() === 2)
+    // overwriting with an EMPTY frame leaves a readable schema-only dataset
+    GeoParquet.write(pts(2).filter($"id" < 0), dir)
+    val empty = GeoParquet.read(s, dir)
+    assert(empty.count() === 0)
+    assert(empty.schema.fieldNames.contains("geometry"))
+    assert(GeoParquet.meta(s, dir).isDefined)
+    // no temp debris
+    assert(!new java.io.File(dir).listFiles.exists(_.getName.startsWith(".tmp-")))
+  }
+
+  test("bbox read without a covering declaration still answers correctly (residual only)") {
+    val s = spark; import s.implicits._
+    GraftFunctions.register(s)
+    val df = (1L to 20L).map(i => (i, (i.toDouble, i.toDouble))).toDF("id", "pt")
+      .withColumn("geometry", GraftFunctions.st_point($"pt._1", $"pt._2"))
+      .drop("pt")
+    val dir = tmpDir("nocov")
+    GeoParquet.write(df, dir) // bboxColumn = false: no covering in metadata
+    val q = GeoParquet.read(s, dir, bbox = (5.0, 5.0, 8.0, 8.0))
+    assert(q.select("id").collect().map(_.getLong(0)).sorted === (5L to 8L).toArray)
+  }
+
   test("rejects a missing or non-binary geometry column loudly") {
     val s = spark; import s.implicits._
     val df = Seq((1L, "x")).toDF("id", "geometry")

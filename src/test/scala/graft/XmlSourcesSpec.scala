@@ -122,6 +122,54 @@ class XmlSourcesSpec extends AnyFunSuite {
     assert(byId("r1") === ((None, Some("4"))))
   }
 
+  test("gml: plural featureMembers container yields every child feature") {
+    graft.functions.GraftFunctions.register(spark)
+    val plural =
+      """<?xml version="1.0" encoding="UTF-8"?>
+        |<gml:FeatureCollection xmlns:gml="http://www.opengis.net/gml"
+        |                       xmlns:app="http://graft.example/app">
+        |<gml:featureMembers>
+        |  <app:city gml:id="p1"><app:name>One</app:name>
+        |    <app:geom><gml:Point><gml:pos>1 1</gml:pos></gml:Point></app:geom></app:city>
+        |  <app:city gml:id="p2"><app:name>Two</app:name>
+        |    <app:geom><gml:Point><gml:pos>2 2</gml:pos></gml:Point></app:geom></app:city>
+        |  <app:city gml:id="p3"><app:name>Three</app:name>
+        |    <app:geom><gml:Point><gml:pos>3 3</gml:pos></gml:Point></app:geom></app:city>
+        |</gml:featureMembers>
+        |</gml:FeatureCollection>""".stripMargin
+    val df = spark.read.format("gml").load(write(".gml", plural))
+    assert(df.count() === 3) // regression: only the first sibling survived
+    assert(df.select("gml_id").collect().map(_.getString(0)).sorted ===
+      Array("p1", "p2", "p3"))
+  }
+
+  test("gml: 3D posList honors srsDimension; malformed geometry degrades to null") {
+    graft.functions.GraftFunctions.register(spark)
+    val tricky =
+      """<?xml version="1.0" encoding="UTF-8"?>
+        |<gml:FeatureCollection xmlns:gml="http://www.opengis.net/gml"
+        |                       xmlns:app="http://graft.example/app">
+        |<gml:featureMember>
+        |  <app:road gml:id="d3"><app:geom>
+        |    <gml:LineString><gml:posList srsDimension="3">1 2 10 3 4 11</gml:posList></gml:LineString>
+        |  </app:geom></app:road>
+        |</gml:featureMember>
+        |<gml:featureMember>
+        |  <app:road gml:id="bad"><app:name>no coords</app:name>
+        |    <app:geom><gml:Point></gml:Point></app:geom></app:road>
+        |</gml:featureMember>
+        |</gml:FeatureCollection>""".stripMargin
+    val df = spark.read.format("gml").load(write(".gml", tricky))
+    val rows = df.selectExpr("gml_id",
+        "CASE WHEN geometry IS NULL THEN NULL ELSE st_aswkt(geometry) END AS wkt")
+      .orderBy("gml_id").collect()
+    // 2 elevation values dropped, xy pairs correct (not re-paired garbage)
+    assert(rows(1).getString(0) === "d3" &&
+      rows(1).getString(1) === "LINESTRING (1 2, 3 4)")
+    // empty Point: feature survives with null geometry, scan not aborted
+    assert(rows(0).getString(0) === "bad" && rows(0).isNullAt(1))
+  }
+
   test("gml: layerName filters to one feature type") {
     graft.functions.GraftFunctions.register(spark)
     val path = write(".gml", gml)
