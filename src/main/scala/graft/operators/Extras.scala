@@ -205,6 +205,28 @@ object Extras {
         .orderBy($"event_type")
     }),
 
+    // ---- q104: MERGEABLE HLL sketches — the re-aggregation story q41
+    // can't tell: one Datasketches HLL per source (the compact artifact a
+    // 100 TB pipeline PERSISTS instead of raw values), then a global
+    // estimate from hll_union_agg over the sketches alone — raw data
+    // touched exactly once, cross-source overlap handled by the sketch
+    // algebra (summing per-source distincts would double-count shared
+    // docs). Exact global distinct rides along; emitted `pass` pins
+    // rel_err ≤ 5% (q41's self-gate; approximate → rows-only). ----
+    "q104_hll_union" -> ((s, dir) => {
+      import s.implicits._
+      val docs = t(s, dir, "documents").withColumn("fp", md5($"text"))
+      val perSource = docs.groupBy($"source")
+        .agg(expr("hll_sketch_agg(fp, 12)").as("sk"))
+      val merged = perSource
+        .agg(expr("hll_sketch_estimate(hll_union_agg(sk))").as("approx_global"))
+      val exact = docs.agg(count_distinct($"fp").as("exact_global"))
+      merged.crossJoin(exact)
+        .withColumn("rel_err", round(
+          abs($"approx_global" - $"exact_global") / $"exact_global", 5))
+        .withColumn("pass", $"rel_err" <= 0.05)
+    }),
+
     // ---- q56: salted join under key skew — orders⋈lineitem through
     // Graft.saltedJoin (big side salted deterministically, small side
     // replicated saltFactor times), aggregated after: results must equal

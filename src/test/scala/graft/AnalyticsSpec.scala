@@ -205,6 +205,11 @@ class AnalyticsSpec extends AnyFunSuite {
       (2L, 15L, None, Some("x"))))
   }
 
+  test("hll sketch union estimate stays within its gate at sf0.001") {
+    val row = SparkEntry.queries("q104_hll_union")(spark, sf0001).head
+    assert(row.getBoolean(3), s"hll union gate failed: $row")
+  }
+
   test("kmeans rejects bad arguments and empty input loudly") {
     val s = spark; import s.implicits._
     val df = Seq((1L, Array(1.0f, 0.0f))).toDF("vec_id", "embedding")
