@@ -136,6 +136,33 @@ object Pipeline {
         .orderBy(col("source"))
     }),
 
+    // ---- q105: length-grouped batching — bucket documents by token
+    // count (ntile per source: a PARTITIONED window, never a global
+    // sort) then pack each (source, bucket) shard independently. Packing
+    // similar-length docs together is how training pipelines cut padding
+    // waste; bucketing first multiplies q59's parallel shards and
+    // narrows per-sequence length spread. One shuffle on source for the
+    // ntile, packing windows reuse the same partitioning. ----
+    "q105_length_buckets" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      import s.implicits._
+      graft.functions.GraftFunctions.register(s)
+      val toks = t(s, dir, "documents")
+        .withColumn("ts", expr("text_stats(text)"))
+        .select($"source", $"doc_id", $"ts.ws_tokens".cast(LongType).as("n_tokens"))
+      val wb = Window.partitionBy($"source").orderBy($"n_tokens", $"doc_id")
+      val bucketed = toks
+        .withColumn("bucket", ntile(4).over(wb).cast(LongType))
+        .withColumn("shard", concat($"source", lit("#"), $"bucket"))
+      val packed = graft.api.Graft.packSequences(
+        bucketed, "n_tokens", "shard", "doc_id", budget = 2048L)
+      packed.groupBy($"source", $"bucket")
+        .agg(count(lit(1)).as("n_docs"),
+          min($"n_tokens").as("min_tokens"), max($"n_tokens").as("max_tokens"),
+          (max($"seq_id") + 1L).as("n_seqs"))
+        .orderBy($"source", $"bucket")
+    }),
+
     // ---- q97: BLOOM-FILTER decontamination, SELF-GATING ----
     // q58 at the scale where even the broadcast eval-shingle set is too
     // big: the eval slice compresses to a 1 MiB bloom built by one
@@ -282,6 +309,26 @@ object Pipeline {
         |)
         |SELECT split, COUNT(*) AS n_docs, CAST(SUM(n_tokens) AS BIGINT) AS sum_tokens
         |FROM sp GROUP BY split ORDER BY split""".stripMargin,
+
+    "q105_length_buckets" ->
+      """WITH tok AS (
+        |  SELECT source, doc_id,
+        |   CAST(len(regexp_extract_all(text, '\S+')) AS BIGINT) AS n_tokens
+        |  FROM documents),
+        |b AS (
+        |  SELECT source, doc_id, n_tokens,
+        |    CAST(NTILE(4) OVER (PARTITION BY source ORDER BY n_tokens, doc_id) AS BIGINT) AS bucket
+        |  FROM tok),
+        |cum AS (
+        |  SELECT source, bucket, doc_id, n_tokens,
+        |    COALESCE(CAST(SUM(n_tokens) OVER (PARTITION BY source, bucket ORDER BY doc_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS BIGINT), 0) AS cum_before
+        |  FROM b)
+        |SELECT source, bucket, CAST(COUNT(*) AS BIGINT) AS n_docs,
+        |  MIN(n_tokens) AS min_tokens, MAX(n_tokens) AS max_tokens,
+        |  CAST(MAX(cum_before // 2048) + 1 AS BIGINT) AS n_seqs
+        |FROM cum GROUP BY source, bucket
+        |ORDER BY source, bucket""".stripMargin,
 
     "q59_pack_sequences" ->
       """WITH tok AS (
