@@ -141,8 +141,9 @@ object Pipeline {
     // sort) then pack each (source, bucket) shard independently. Packing
     // similar-length docs together is how training pipelines cut padding
     // waste; bucketing first multiplies q59's parallel shards and
-    // narrows per-sequence length spread. One shuffle on source for the
-    // ntile, packing windows reuse the same partitioning. ----
+    // narrows per-sequence length spread. Two keyed shuffles: source for
+    // the ntile, then (source, bucket) shards for the pack windows —
+    // both partitioned, nothing global. ----
     "q105_length_buckets" -> ((s, dir) => {
       import org.apache.spark.sql.expressions.Window
       import s.implicits._
