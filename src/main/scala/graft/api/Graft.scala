@@ -359,9 +359,12 @@ object Graft {
       n: Int = 8, minDf: Int = 2): DataFrame = {
     val w = df.select(col(idCol).as("__id"),
       split(trim(col(textCol)), " ").as("__w"))
+    // gram key joins words with NUL — '_' collides for words containing
+    // '_' (["a_b","c"] vs ["a","b_c"]), falsely marking spans common;
+    // NUL cannot appear in whitespace-split tokens of real text
     val grams = w.filter(size(col("__w")) >= n)
       .select(col("__id"), posexplode(expr(
-        s"transform(sequence(0, size(__w) - $n), i -> concat_ws('_', slice(__w, i + 1, $n)))"))
+        s"transform(sequence(0, size(__w) - $n), i -> concat_ws(chr(0), slice(__w, i + 1, $n)))"))
         .as(Seq("__p", "__g")))
     val common = grams.select(col("__id"), col("__g")).distinct()
       .groupBy(col("__g")).agg(count(lit(1)).as("__c"))

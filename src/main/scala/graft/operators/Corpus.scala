@@ -200,8 +200,8 @@ object Corpus {
         |  FROM (SELECT doc_id, wl, unnest(generate_series(1, len(wl))) AS i FROM w) t),
         |gr AS (
         |  SELECT doc_id, i,
-        |    wl[i] || '_' || wl[i+1] || '_' || wl[i+2] || '_' || wl[i+3] || '_' ||
-        |    wl[i+4] || '_' || wl[i+5] || '_' || wl[i+6] || '_' || wl[i+7] AS g
+        |    wl[i] || chr(0) || wl[i+1] || chr(0) || wl[i+2] || chr(0) || wl[i+3] || chr(0) ||
+        |    wl[i+4] || chr(0) || wl[i+5] || chr(0) || wl[i+6] || chr(0) || wl[i+7] AS g
         |  FROM (SELECT doc_id, wl, unnest(generate_series(1, greatest(len(wl) - 7, 0))) AS i
         |        FROM w) t),
         |common AS (

