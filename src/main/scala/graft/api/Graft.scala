@@ -974,26 +974,57 @@ object Graft {
     * the cost of missing cross-cluster pairs (acceptable by construction:
     * near-dups land in the same cell of a fine enough quantizer).
     * Returns the survivors (id, cid), one shuffle on cid for the
-    * self-join. Skew note: a giant cluster re-concentrates the quadratic —
-    * at real scale pick k ≈ √n and re-split hot cells (capPerGroupSalted's
-    * remedy applies). */
+    * self-join.
+    *
+    * `k = 0` (default) auto-scales: k = max(8, ceil(√n)) from one cheap
+    * count, so the shape stays ~n^1.5 as the corpus grows instead of the
+    * quadratic re-concentrating in fixed-k cells. A giant cluster (skewed
+    * data defeats any k) is re-split by SALT before pairing:
+    * `maxClusterSize = 0` (default) caps cells at max(100, 4·ceil(√n));
+    * a cluster of size s splits into ceil(s/cap) deterministic hash
+    * groups (cross-engine md5 of the id, so a SQL oracle replays it),
+    * bounding every cell's pair work at the documented cost of missing
+    * pairs that straddle salt groups — the capPerGroupSalted remedy,
+    * applied. */
   def semanticDedup(df: DataFrame, vecCol: String, idCol: String,
-      k: Int = 8, threshold: Double = 0.45): DataFrame = {
-    graft.functions.GraftFunctions.register(df.sparkSession)
-    val centroids = kmeansSeeds(df, vecCol, idCol, k)
-    val a = kmeansAssigned(df, vecCol, centroids)
-      .select(col(idCol).as("__id"), col(vecCol).as("__v"), col("cid"))
-      .withColumn("__nrm", sqrt(call_function("vec_dot", col("__v"), col("__v"))))
-    val l = a.select(col("cid"), col("__id").as("va"), col("__v").as("xa"),
-      col("__nrm").as("na"))
-    val r = a.select(col("cid"), col("__id").as("vb"), col("__v").as("xb"),
-      col("__nrm").as("nb"))
-    val dropped = l.join(r, Seq("cid"))
+      k: Int = 0, threshold: Double = 0.45,
+      maxClusterSize: Int = 0): DataFrame = {
+    val a = semanticDedupSalted(df, vecCol, idCol, k, maxClusterSize)
+    val l = a.select(col("cid"), col("__salt"), col("__id").as("va"),
+      col("__v").as("xa"), col("__nrm").as("na"))
+    val r = a.select(col("cid"), col("__salt"), col("__id").as("vb"),
+      col("__v").as("xb"), col("__nrm").as("nb"))
+    val dropped = l.join(r, Seq("cid", "__salt"))
       .filter(col("va") < col("vb"))
       .filter(call_function("vec_dot", col("xa"), col("xb")) >=
         lit(threshold) * col("na") * col("nb"))
       .select(col("vb").as("__drop")).distinct()
     a.join(dropped, col("__id") === col("__drop"), "left_anti")
       .select(col("__id").as(idCol), col("cid"))
+  }
+
+  /** The salted cluster assignment behind [[semanticDedup]]: every row
+    * with (__id, __v, __nrm, cid, __csz, __nsplit, __salt). Exposed
+    * private[graft] so tests can assert the hot-cell split shape. */
+  private[graft] def semanticDedupSalted(df: DataFrame, vecCol: String,
+      idCol: String, k: Int, maxClusterSize: Int): DataFrame = {
+    graft.functions.GraftFunctions.register(df.sparkSession)
+    val n = df.count()
+    val rootN = math.ceil(math.sqrt(n.toDouble)).toInt
+    val kk = if (k > 0) k else math.max(8, rootN)
+    val cap = if (maxClusterSize > 0) maxClusterSize else math.max(100, 4 * rootN)
+    val centroids = kmeansSeeds(df, vecCol, idCol, kk)
+    val a0 = kmeansAssigned(df, vecCol, centroids)
+      .select(col(idCol).as("__id"), col(vecCol).as("__v"), col("cid"))
+      .withColumn("__nrm", sqrt(call_function("vec_dot", col("__v"), col("__v"))))
+    // hot-cell re-split: cluster sizes are a k-row broadcast; a cluster of
+    // size s pairs within ceil(s/cap) salt groups instead of one
+    val sizes = a0.groupBy(col("cid")).agg(count(lit(1)).as("__csz"))
+    a0.join(broadcast(sizes), Seq("cid"))
+      .withColumn("__nsplit", expr(s"(__csz + ${cap - 1}) div $cap"))
+      .withColumn("__salt", pmod(
+        call_function("md5_lower64", col("__id").cast(StringType))
+          .bitwiseAND(lit(0x7FFFFFFFFFFFFFFFL)),
+        col("__nsplit")))
   }
 }

@@ -32,12 +32,15 @@ object Clustering {
         .orderBy(col("cid"), col("pos"))
     }),
 
-    // ---- q96: semantic dedup survivors at cos ≥ 0.45 within k=8 hash-seed
-    // clusters. Survivors + their cluster, hash-checked (assignment and
-    // pair predicate replicated exactly in SQL). ----
+    // ---- q96: semantic dedup survivors at cos ≥ 0.45 within AUTO-scaled
+    // hash-seed clusters (k = max(8, ceil(√n)), hot cells salt-split at
+    // cap = max(100, 4·ceil(√n))). Survivors + their cluster,
+    // hash-checked: the oracle recomputes k, the cap, and the md5 salt
+    // rule from the same COUNT(*), so the auto-scaling itself is under
+    // the hash gate. ----
     "q96_semantic_dedup" -> ((s, dir) => {
       graft.api.Graft.semanticDedup(t(s, dir, "embeddings"), "embedding",
-          "vec_id", k = 8, threshold = 0.45)
+          "vec_id", threshold = 0.45)
         .orderBy(col("vec_id"))
     }))
 
@@ -86,14 +89,42 @@ object Clustering {
         |GROUP BY cid, i
         |ORDER BY cid, pos""".stripMargin),
 
-    "q96_semantic_dedup" -> (prelude +
-      """,
-        |a AS (SELECT vec_id, v, cid, sqrt(list_dot_product(v, v)) AS nrm FROM a1),
+    // q96 replays the AUTO-k rule: kk/cap derive from the same COUNT(*),
+    // seeds take the kk smallest md5 ranks, and hot clusters re-split
+    // into ceil(size/cap) md5-salt groups before pairing — bit-identical
+    // to Graft.semanticDedup's auto-scaling.
+    "q96_semantic_dedup" ->
+      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        |kp AS (SELECT GREATEST(8, CAST(CEIL(SQRT(COUNT(*))) AS BIGINT)) AS kk,
+        |              GREATEST(100, 4 * CAST(CEIL(SQRT(COUNT(*))) AS BIGINT)) AS cap
+        |       FROM e),
+        |sd AS (
+        |  SELECT vec_id, v,
+        |    CAST(ROW_NUMBER() OVER (ORDER BY
+        |      (md5_number_lower(CAST(vec_id AS VARCHAR)) & 9223372036854775807::UBIGINT),
+        |      vec_id) AS INT) - 1 AS cid
+        |  FROM e),
+        |c0 AS (SELECT cid, v AS c, list_dot_product(v, v) AS cc FROM sd
+        |       WHERE cid < (SELECT kk FROM kp)),
+        |a1 AS (
+        |  SELECT vec_id, v, cid FROM (
+        |    SELECT e.vec_id, e.v, c0.cid,
+        |      ROW_NUMBER() OVER (PARTITION BY e.vec_id
+        |        ORDER BY (c0.cc - 2.0 * list_dot_product(e.v, c0.c)), c0.cid) AS rn
+        |    FROM e, c0) t
+        |  WHERE rn = 1),
+        |sz AS (SELECT cid, COUNT(*) AS csz FROM a1 GROUP BY cid),
+        |a AS (
+        |  SELECT a1.vec_id, a1.v, a1.cid,
+        |    sqrt(list_dot_product(a1.v, a1.v)) AS nrm,
+        |    CAST((md5_number_lower(CAST(a1.vec_id AS VARCHAR)) & 9223372036854775807::UBIGINT)
+        |      % CAST((sz.csz + kp.cap - 1) // kp.cap AS UBIGINT) AS BIGINT) AS salt
+        |  FROM a1 JOIN sz ON a1.cid = sz.cid CROSS JOIN kp),
         |dropped AS (
         |  SELECT DISTINCT y.vec_id AS vb
-        |  FROM a x JOIN a y ON x.cid = y.cid AND x.vec_id < y.vec_id
+        |  FROM a x JOIN a y ON x.cid = y.cid AND x.salt = y.salt AND x.vec_id < y.vec_id
         |  WHERE list_dot_product(x.v, y.v) >= CAST(0.45 AS DOUBLE) * x.nrm * y.nrm)
         |SELECT vec_id, cid FROM a
         |WHERE vec_id NOT IN (SELECT vb FROM dropped)
-        |ORDER BY vec_id""".stripMargin))
+        |ORDER BY vec_id""".stripMargin)
 }

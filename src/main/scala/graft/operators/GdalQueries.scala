@@ -12,6 +12,8 @@ import Util.Q
   * SourcesSpec/ArrowMultimodalSpec. */
 object GdalQueries {
   private val fixtures = "/root/reference/test_data"
+  // declared before the oracle map that interpolates it (object init order)
+  private val golden = "/root/repo/src/test/resources/golden/stations.csv"
 
   /** Deterministic GML twin of the stations shapefile, written once per
     * JVM so the `gdal_read_gml` entry times only the StAX read. */
@@ -55,12 +57,18 @@ object GdalQueries {
         .orderBy(col("name"))
     }),
 
+    // ORACLE-CHECKED via the golden CSV (tools/make_golden_stations.py —
+    // an independent struct-unpack parse of the same .shp/.dbf committed
+    // to src/test/resources/golden): name, symbol, and the EXACT IEEE
+    // coordinates through the WKB → st_x/st_y round trip must hash-match
+    // DuckDB re-reading the golden file.
     "gdal_read_shapefile" -> ((s, _) => {
       GraftFunctions.register(s)
       s.read.format("shapefile").load(s"$fixtures/stations.shp")
         .select(col("name"), col("marker-sym"),
-          GraftFunctions.st_aswkt(col("geometry")).as("wkt"))
-        .orderBy(col("name"), col("wkt"))
+          GraftFunctions.st_x(col("geometry")).as("x"),
+          GraftFunctions.st_y(col("geometry")).as("y"))
+        .orderBy(col("name"), col("x"))
     }),
 
     // The reference's own SpatiaLite read test (src/test.rs:37-39): the
@@ -111,6 +119,9 @@ object GdalQueries {
     // keeps exact semantics. SourcesSpec asserts the plan shape (pushed
     // bbox in the scan description, fewer features read); this entry pins
     // the result set every round.
+    // ORACLE-CHECKED (golden CSV): for points the envelope test IS the
+    // exact test, so DuckDB filtering the golden coordinates with the
+    // same inclusive bbox fully oracles the R-tree-pruned read.
     "gdal_read_fgb_bbox" -> ((s, _) => {
       GraftFunctions.register(s)
       val out = java.nio.file.Files.createTempDirectory("graft_q_fgbbox_").toString
@@ -119,14 +130,18 @@ object GdalQueries {
       s.read.format("flatgeobuf").load(out)
         .where(expr("st_intersects_bbox(geometry, -77.05, 38.88, -76.99, 38.92)"))
         .select(col("name"), col("marker-sym"),
-          GraftFunctions.st_aswkt(col("geometry")).as("wkt"))
-        .orderBy(col("name"), col("wkt"))
+          GraftFunctions.st_x(col("geometry")).as("x"),
+          GraftFunctions.st_y(col("geometry")).as("y"))
+        .orderBy(col("name"), col("x"))
     }),
 
     // Geometry aggregation: per-grid-cell extent (0.1° spatial binning —
     // the classic distributed roll-up) via fully-codegen'd
     // min/max(st_xmin…) scalars (partial-agg, no custom state) plus the
     // st_union_agg typed Aggregator (executor-side partial unions).
+    // ORACLE-CHECKED (golden CSV): min/max of IEEE doubles are exact, the
+    // JTS union of distinct points is a MultiPoint of all of them, so a
+    // DuckDB group-by over the golden coordinates rebuilds every column.
     "gdal_spatial_extent" -> ((s, _) => {
       GraftFunctions.register(s)
       s.read.format("shapefile").load(s"$fixtures/stations.shp")
@@ -135,10 +150,10 @@ object GdalQueries {
           floor(expr("st_ymin(geometry)") * 10).cast("long")))
         .groupBy(col("cell"))
         .agg(count(lit(1)).as("n"),
-          round(min(expr("st_xmin(geometry)")), 4).as("xmin"),
-          round(min(expr("st_ymin(geometry)")), 4).as("ymin"),
-          round(max(expr("st_xmax(geometry)")), 4).as("xmax"),
-          round(max(expr("st_ymax(geometry)")), 4).as("ymax"),
+          min(expr("st_xmin(geometry)")).as("xmin"),
+          min(expr("st_ymin(geometry)")).as("ymin"),
+          max(expr("st_xmax(geometry)")).as("xmax"),
+          max(expr("st_ymax(geometry)")).as("ymax"),
           expr("st_npoints(st_union_agg(geometry))").as("n_union_points"),
           expr("st_geometrytype(st_union_agg(geometry))").as("union_type"))
         .orderBy(col("cell"))
@@ -156,17 +171,21 @@ object GdalQueries {
         .orderBy(col("name"), col("wkt"))
     }),
 
-    // GML read (the WFS/INSPIRE interchange XML): the KML fixture's
-    // stations re-expressed as a deterministic GML FeatureCollection,
-    // streamed through the StAX reader. The fixture is materialized ONCE
-    // per JVM (it derives deterministically from the stations shapefile),
-    // so bench sweeps time only the StAX read — not fixture synthesis.
+    // GML read (the WFS/INSPIRE interchange XML): the stations fixture
+    // re-expressed as a deterministic GML FeatureCollection, streamed
+    // through the StAX reader. The fixture is materialized ONCE per JVM
+    // (it derives deterministically from the stations shapefile), so
+    // bench sweeps time only the StAX read — not fixture synthesis.
+    // ORACLE-CHECKED (golden CSV): gml_id is the (name, x) rank, and the
+    // coordinates survive text → double → text → double bit-exactly
+    // (shortest-round-trip formatting on both sides).
     "gdal_read_gml" -> ((s, _) => {
       GraftFunctions.register(s)
       s.read.format("gml").load(ensureGmlFixture(s))
         .select(col("gml_id"), col("name"),
-          GraftFunctions.st_aswkt(col("geometry")).as("wkt"))
-        .orderBy(col("name"), col("wkt"))
+          GraftFunctions.st_x(col("geometry")).as("x"),
+          GraftFunctions.st_y(col("geometry")).as("y"))
+        .orderBy(col("name"), col("x"))
     }),
 
     // GeoParquet round trip, ORACLE-CHECKED: the shapefile fixture is
@@ -280,6 +299,44 @@ object GdalQueries {
     "gdal_read_csvgeo" ->
       """SELECT Country, CAST(Longitude AS DOUBLE) AS lon, CAST(Latitude AS DOUBLE) AS lat
         |FROM read_csv('/root/reference/test_data/lat_lon_countries.csv', header=true)
-        |ORDER BY Country""".stripMargin
+        |ORDER BY Country""".stripMargin,
+
+    // The remaining station entries oracle against the GOLDEN CSV — an
+    // independent struct-unpack parse of the same .shp/.dbf
+    // (tools/make_golden_stations.py), committed to the repo. Shortest-
+    // round-trip float formatting means both engines hold bit-identical
+    // IEEE doubles, so full hash compares apply.
+    "gdal_read_shapefile" ->
+      s"""SELECT name, "marker-sym", x, y FROM read_csv('$golden',
+         |  header=true, columns={'name':'VARCHAR','marker-sym':'VARCHAR','x':'DOUBLE','y':'DOUBLE'})
+         |ORDER BY name, x""".stripMargin,
+
+    // points: envelope intersection == inclusive coordinate bounds
+    "gdal_read_fgb_bbox" ->
+      s"""SELECT name, "marker-sym", x, y FROM read_csv('$golden',
+         |  header=true, columns={'name':'VARCHAR','marker-sym':'VARCHAR','x':'DOUBLE','y':'DOUBLE'})
+         |WHERE x >= -77.05 AND x <= -76.99 AND y >= 38.88 AND y <= 38.92
+         |ORDER BY name, x""".stripMargin,
+
+    // gml_id = 's' || (rank by name, x) exactly as the fixture writer
+    // enumerates; coordinates text-round-trip bit-exactly
+    "gdal_read_gml" ->
+      s"""SELECT 's' || CAST(ROW_NUMBER() OVER (ORDER BY name, x) - 1 AS VARCHAR) AS gml_id,
+         |  name, x, y
+         |FROM read_csv('$golden',
+         |  header=true, columns={'name':'VARCHAR','marker-sym':'VARCHAR','x':'DOUBLE','y':'DOUBLE'})
+         |ORDER BY name, x""".stripMargin,
+
+    // per-cell extents: min/max of doubles are exact; the JTS union of a
+    // cell's DISTINCT points is a MultiPoint of all of them (Point when
+    // the cell holds a single station)
+    "gdal_spatial_extent" ->
+      s"""SELECT CAST(FLOOR(x * 10) AS BIGINT) || '_' || CAST(FLOOR(y * 10) AS BIGINT) AS cell,
+         |  COUNT(*) AS n, MIN(x) AS xmin, MIN(y) AS ymin, MAX(x) AS xmax, MAX(y) AS ymax,
+         |  CAST(COUNT(DISTINCT (x, y)) AS INT) AS n_union_points,
+         |  CASE WHEN COUNT(DISTINCT (x, y)) > 1 THEN 'MultiPoint' ELSE 'Point' END AS union_type
+         |FROM read_csv('$golden',
+         |  header=true, columns={'name':'VARCHAR','marker-sym':'VARCHAR','x':'DOUBLE','y':'DOUBLE'})
+         |GROUP BY 1 ORDER BY cell""".stripMargin
   )
 }

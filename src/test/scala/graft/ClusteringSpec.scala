@@ -67,6 +67,43 @@ class ClusteringSpec extends AnyFunSuite {
     assert(kept === Set(0L, 2L)) // 1 dropped as the higher id of (0,1)
   }
 
+  test("semanticDedup salt-splits a skewed hot cluster and still dedups within groups") {
+    val s = spark; import s.implicits._
+    // SKEW: 150 of 200 rows (75%) are the same vector → one giant cluster;
+    // the other 50 are orthogonal. cap=50 must split the hot cell into
+    // ceil(150/50)=3 salt groups and leave the cold cell at 1.
+    val hot = (0L until 150L).map(i => (i, Array(1.0f, 0.0f, 0.0f)))
+    val cold = (1000L until 1050L).map(i => (i, Array(0.0f, 1.0f, 0.0f)))
+    val df = (hot ++ cold).toDF("vec_id", "embedding")
+    val salted = Graft.semanticDedupSalted(df, "embedding", "vec_id",
+      k = 2, maxClusterSize = 50)
+      .select($"__id", $"cid", $"__nsplit", $"__salt").cache()
+    try {
+      val byCluster = salted.groupBy($"cid")
+        .agg(count(lit(1)).as("n"), max($"__nsplit").as("nsplit"),
+          countDistinct($"__salt").as("groups"))
+        .collect().map(r => r.getLong(1) -> ((r.getLong(2), r.getLong(3)))).toMap
+      // the 150-row cluster advertises 3 splits, the 50-row cluster 1
+      assert(byCluster(150L) === ((3L, 3L)), s"hot cluster not split 3 ways: $byCluster")
+      assert(byCluster(50L) === ((1L, 1L)), s"cold cluster should not split: $byCluster")
+      // no (cid, salt) pairing group re-concentrates the quadratic: the
+      // md5 split keeps every group well under the unsalted 150
+      val maxGroup = salted.groupBy($"cid", $"__salt").agg(count(lit(1)).as("n"))
+        .agg(max($"n")).head.getLong(0)
+      assert(maxGroup < 100L, s"salt split ineffective: max group $maxGroup")
+      // dedup semantics survive the split: identical vectors within each
+      // salt group collapse to the group's min id → survivors = one per
+      // non-empty salt group, exactly the min-id of each group
+      val expected = salted.groupBy($"cid", $"__salt")
+        .agg(min($"__id").as("m")).select($"m")
+        .collect().map(_.getLong(0)).toSet
+      val kept = Graft.semanticDedup(df, "embedding", "vec_id", k = 2,
+        threshold = 0.9, maxClusterSize = 50)
+        .select($"vec_id").collect().map(_.getLong(0)).toSet
+      assert(kept === expected)
+    } finally salted.unpersist()
+  }
+
   test("decontaminateBloom never misses a truly contaminated doc") {
     val s = spark; import s.implicits._
     val docs = spark.read.parquet(s"$sf0001/documents.parquet")
