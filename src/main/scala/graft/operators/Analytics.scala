@@ -262,6 +262,28 @@ object Analytics {
         .orderBy(col("media_id"), col("frame_no"))
     }),
 
+    // ---- q106: REAL video decode — MJPEG-in-AVI containers are
+    // synthesized per doc (spec-correct RIFF: avih/strl headers, movi
+    // list, idx1; every 00dc frame a real JPEG of closed-form uniform
+    // gray), then frames are decoded through the FULL real chain: RIFF
+    // walk → JDK JPEG decode → PNG re-encode (sampleFrames) → PNG decode
+    // → whole-frame integer mean. A constant 8×8 block survives JPEG
+    // quantization bit-exactly (only a DC coefficient; verified for all
+    // 256 grays), so a LOSSY codec still hash-checks against the
+    // synthesis closed form — this retires the fake decoder for the one
+    // video codec class the JDK can truly handle. Partition-local, no
+    // shuffle. ----
+    "q106_avi_frames" -> ((s, dir) => {
+      val ids = t(s, dir, "documents").select(col("doc_id"))
+        .filter(col("doc_id") % 10 === 3)
+      val frames = Multimodal.sampleFrames(Multimodal.aviFromIds(ids)
+        .withColumn("media_type", lit("video/avi"))
+        .select(col("media_id"), col("media_type"), col("content")),
+        everyMs = 500L, maxFrames = 8)
+      Multimodal.decodeFrameMeanGray(frames)
+        .orderBy(col("media_id"), col("frame_no"))
+    }),
+
     // ---- q90: approx-percentile SELF-GATING (q41's pattern for order
     // statistics): the mergeable one-pass sketch every 100 TB percentile
     // needs, shipped WITH its own quality gate — exact percentiles ride
@@ -406,6 +428,16 @@ object Analytics {
         |       CAST((doc_id * 7 + f * 40) % 256 AS BIGINT) AS gray
         |FROM (SELECT doc_id, unnest(generate_series(0, 1 + doc_id % 5)) AS f
         |      FROM documents WHERE doc_id % 10 = 0) t
+        |ORDER BY media_id, frame_no""".stripMargin,
+
+    // Rebuilds the closed-form per-frame mean grays the Spark side must
+    // recover by ACTUALLY decoding the MJPEG frames it wrote (q101's
+    // pattern on a real lossy codec).
+    "q106_avi_frames" ->
+      """SELECT doc_id AS media_id, CAST(f AS BIGINT) AS frame_no,
+        |       CAST((doc_id * 11 + f * 37) % 256 AS BIGINT) AS gray
+        |FROM (SELECT doc_id, unnest(generate_series(0, 1 + doc_id % 5)) AS f
+        |      FROM documents WHERE doc_id % 10 = 3) t
         |ORDER BY media_id, frame_no""".stripMargin,
 
     "q79_rolling_window" ->

@@ -17,11 +17,13 @@ import org.apache.spark.sql.types._
   * integer Rec.601 luma, so the same bytes always bin identically).
   * Audio is REAL for WAV (RIFF walk + PCM16 decode below); multi-frame
   * decode is REAL for animated GIF (`gifFrames` — every frame's pixels
-  * via the JDK reader). True video codecs and undecodable payloads fall
-  * back to `fakeDecode`, a clearly-marked DETERMINISTIC FAKE (the
-  * container ships no further codecs); the Spark-side plumbing — schema,
-  * encoder, mapPartitions batch shape, partitioning — is what an
-  * ffmpeg-backed decoder would slot into.
+  * via the JDK reader) AND for MJPEG-in-AVI video (`aviFrames` — RIFF
+  * chunk walk + per-frame JDK JPEG decode, the one true-video codec
+  * class the JDK can fully handle). Inter-frame codecs (H.264 etc.) and
+  * undecodable payloads fall back to `fakeDecode`, a clearly-marked
+  * DETERMINISTIC FAKE (the container ships no further codecs); the
+  * Spark-side plumbing — schema, encoder, mapPartitions batch shape,
+  * partitioning — is what an ffmpeg-backed decoder would slot into.
   */
 object Multimodal {
 
@@ -245,7 +247,10 @@ object Multimodal {
       // reused across rows, torn down when the iterator drains)
       it.flatMap { r =>
         val bytes = Option(r.getAs[Array[Byte]](2)).getOrElse(Array.emptyByteArray)
+        // REAL video path: MJPEG-in-AVI frames (RIFF walk + JDK JPEG
+        // decode per frame) — same re-encode contract as the GIF branch
         val gif = gifFrames(bytes).filter(_.length > 1)
+          .orElse(aviFrames(bytes).filter(_.nonEmpty))
         if (gif.isDefined) {
           // REAL multi-frame path: each GIF frame is decoded and
           // re-encoded as PNG — actual pixels, not a byte slice. Cadence
@@ -275,6 +280,137 @@ object Multimodal {
     }(enc)
   }
 
+  // ---------------------------------------------------- video: MJPEG/AVI
+
+  /** Uniform-gray JPEG frame bytes. A CONSTANT 8×8 block has only a DC
+    * DCT coefficient, which the JDK encoder's quantization preserves —
+    * verified exhaustively: all 256 gray values round-trip bit-exactly
+    * through encode+decode — so closed-form frame values survive a REAL
+    * lossy codec and stay oracle-checkable. */
+  def jpegSynth(gray: Int, w: Int = 8, h: Int = 8): Array[Byte] = {
+    val img = new java.awt.image.BufferedImage(w, h,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    val rgb = (gray << 16) | (gray << 8) | gray
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) { img.setRGB(x, y, rgb); x += 1 }
+      y += 1
+    }
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "jpg", bos)
+    bos.toByteArray
+  }
+
+  /** Deterministic MJPEG-in-AVI synthesis: a spec-correct RIFF AVI
+    * container (avih/strl headers, movi chunk list, idx1 index) whose
+    * `00dc` frames are real JPEGs of closed-form uniform gray
+    * (gray_f = (seed·11 + f·37) mod 256). MJPEG is the one video codec
+    * class the JDK can truly decode (every frame is an independent JPEG),
+    * so the video leg gets the same REAL write→walk→decode treatment as
+    * WAV audio ([[wavSynth]]) and animated GIF ([[gifSynth]]). */
+  def aviSynth(seed: Long, nFrames: Int, w: Int = 8, h: Int = 8,
+      fps: Int = 2): Array[Byte] = {
+    val frames = (0 until nFrames).map { f =>
+      jpegSynth((((seed * 11 + f * 37) % 256 + 256) % 256).toInt, w, h)
+    }
+    def fourcc(s: String): Array[Byte] = s.getBytes("ISO-8859-1")
+    val bos = new java.io.ByteArrayOutputStream()
+    def le32(v: Int): Array[Byte] = Array[Byte](
+      (v & 0xFF).toByte, ((v >> 8) & 0xFF).toByte,
+      ((v >> 16) & 0xFF).toByte, ((v >>> 24) & 0xFF).toByte)
+    def le16(v: Int): Array[Byte] = Array[Byte](
+      (v & 0xFF).toByte, ((v >> 8) & 0xFF).toByte)
+    // ---- headers (fixed sizes, so lengths are computable up front)
+    val avih = le32(1000000 / fps) ++ le32(0) ++ le32(0) ++ le32(0x10) ++
+      le32(nFrames) ++ le32(0) ++ le32(1) ++ le32(0) ++
+      le32(w) ++ le32(h) ++ le32(0) ++ le32(0) ++ le32(0) ++ le32(0)
+    val strh = fourcc("vids") ++ fourcc("MJPG") ++ le32(0) ++ le16(0) ++
+      le16(0) ++ le32(0) ++ le32(1) ++ le32(fps) ++ le32(0) ++
+      le32(nFrames) ++ le32(0) ++ le32(-1) ++ le32(0) ++
+      le16(0) ++ le16(0) ++ le16(w) ++ le16(h)
+    val strf = le32(40) ++ le32(w) ++ le32(h) ++ le16(1) ++ le16(24) ++
+      fourcc("MJPG") ++ le32(w * h * 3) ++ le32(0) ++ le32(0) ++
+      le32(0) ++ le32(0)
+    val strl = fourcc("strl") ++
+      fourcc("strh") ++ le32(strh.length) ++ strh ++
+      fourcc("strf") ++ le32(strf.length) ++ strf
+    val hdrl = fourcc("hdrl") ++
+      fourcc("avih") ++ le32(avih.length) ++ avih ++
+      fourcc("LIST") ++ le32(strl.length) ++ strl
+    // ---- movi chunk list (frames pad to even length per RIFF)
+    val movi = new java.io.ByteArrayOutputStream()
+    movi.write(fourcc("movi"))
+    val offsets = frames.map { jb =>
+      val off = movi.size() - 4 // offset from just after 'movi' fourcc
+      movi.write(fourcc("00dc")); movi.write(le32(jb.length)); movi.write(jb)
+      if ((jb.length & 1) == 1) movi.write(0)
+      (off + 4, jb.length) // idx1 convention: offset of the '00dc' fourcc
+    }
+    val idx1 = new java.io.ByteArrayOutputStream()
+    offsets.foreach { case (off, len) =>
+      idx1.write(fourcc("00dc")); idx1.write(le32(0x10)) // AVIIF_KEYFRAME
+      idx1.write(le32(off)); idx1.write(le32(len))
+    }
+    val body = new java.io.ByteArrayOutputStream()
+    body.write(fourcc("AVI "))
+    body.write(fourcc("LIST")); body.write(le32(hdrl.length)); body.write(hdrl.toArray)
+    body.write(fourcc("LIST")); body.write(le32(movi.size())); body.write(movi.toByteArray)
+    body.write(fourcc("idx1")); body.write(le32(idx1.size())); body.write(idx1.toByteArray)
+    bos.write(fourcc("RIFF")); bos.write(le32(body.size())); bos.write(body.toByteArray)
+    bos.toByteArray
+  }
+
+  /** REAL MJPEG-in-AVI frame decode: the same RIFF chunk walk as
+    * [[wavMeta]] (top-level chunks, LIST descent, even-length padding)
+    * finds the `movi` list, and every `NNdc`/`NNdb` frame chunk is a
+    * complete JPEG the JDK decoder reads. None for non-AVI bytes; frame
+    * chunks the decoder rejects are skipped (route, don't drop). */
+  def aviFrames(bytes: Array[Byte]): Option[Seq[java.awt.image.BufferedImage]] = {
+    val b = bytes
+    if (b == null || b.length < 12) return None
+    def tag(off: Int): String = new String(b, off, 4, "ISO-8859-1")
+    def le32(off: Int): Long = (b(off) & 0xFFL) | ((b(off + 1) & 0xFFL) << 8) |
+      ((b(off + 2) & 0xFFL) << 16) | ((b(off + 3) & 0xFFL) << 24)
+    if (tag(0) != "RIFF" || tag(8) != "AVI ") return None
+    val out = scala.collection.mutable.ArrayBuffer[java.awt.image.BufferedImage]()
+    var off = 12
+    while (off + 8 <= b.length) {
+      val id = tag(off)
+      val len = le32(off + 4).toInt
+      if (id == "LIST" && off + 12 <= b.length && tag(off + 8) == "movi") {
+        var p = off + 12
+        val end = math.min(off + 8 + len, b.length)
+        while (p + 8 <= end) {
+          val cid = tag(p)
+          val clen = le32(p + 4).toInt
+          if (cid.length == 4 && (cid.endsWith("dc") || cid.endsWith("db")) &&
+              p + 8 + clen <= end) {
+            try Option(javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(
+              b, p + 8, clen))).foreach(out += _)
+            catch { case scala.util.control.NonFatal(_) => () }
+          }
+          p += 8 + clen + (clen & 1)
+        }
+      }
+      off += 8 + len + (len & 1)
+    }
+    Some(out.toSeq)
+  }
+
+  /** Deterministic MJPEG/AVI payload per id: 2 + id%5 frames of
+    * closed-form uniform gray — real container bytes in an opaque binary
+    * column (the video analog of [[audioFromIds]]/[[gifFromIds]]). */
+  def aviFromIds(ids: DataFrame): DataFrame = {
+    val enc = RowEncoder.encoderFor(gifSchema)
+    ids.select("doc_id").mapPartitions { it =>
+      it.map { r =>
+        val id = r.getLong(0)
+        Row(id, aviSynth(id, (2 + id % 5).toInt))
+      }
+    }(enc)
+  }
+
   val gifSchema: StructType = StructType(Seq(
     StructField("media_id", LongType, nullable = false),
     StructField("content", BinaryType, nullable = true)))
@@ -296,6 +432,36 @@ object Multimodal {
     StructField("media_id", LongType, nullable = false),
     StructField("frame_no", LongType, nullable = false),
     StructField("gray", LongType, nullable = true)))
+
+  /** REAL per-frame MEAN gray over [[sampleFrames]] output: each frame
+    * payload (PNG re-encoded from the decoded GIF/MJPEG frame) is decoded
+    * and its integer mean gray computed over EVERY pixel — a whole-frame
+    * check, so any pixel corruption anywhere in the
+    * container-write/frame-walk/JPEG-decode/PNG-re-encode chain shifts
+    * the value. Exact for the closed-form uniform frames (sum = g·w·h).
+    * Partition-local. */
+  def decodeFrameMeanGray(frames: DataFrame): DataFrame = {
+    val enc = RowEncoder.encoderFor(gifGraySchema)
+    frames.select("media_id", "frame_no", "frame").mapPartitions { it =>
+      it.map { r =>
+        val bytes = r.getAs[Array[Byte]](2)
+        val gray =
+          try Option(javax.imageio.ImageIO.read(
+            new java.io.ByteArrayInputStream(bytes))).map { img =>
+            var sum = 0L
+            var y = 0
+            while (y < img.getHeight) {
+              var x = 0
+              while (x < img.getWidth) { sum += img.getRGB(x, y) & 0xFF; x += 1 }
+              y += 1
+            }
+            sum / (img.getWidth.toLong * img.getHeight)
+          }
+          catch { case scala.util.control.NonFatal(_) => None }
+        Row(r.getLong(0), r.getInt(1).toLong, gray.orNull)
+      }
+    }(enc)
+  }
 
   /** REAL per-frame pixel decode over [[sampleFrames]] output: each frame
     * payload (PNG re-encoded from the GIF frame) is decoded and its pixel

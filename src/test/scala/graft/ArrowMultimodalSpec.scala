@@ -166,4 +166,37 @@ class ArrowMultimodalSpec extends AnyFunSuite {
     val capped = Multimodal.sampleFrames(media, maxFrames = 2).collect()
     assert(capped.length === 2)
   }
+
+  test("MJPEG-in-AVI frames are REALLY decoded: container walk + exact JPEG round trip") {
+    val s = spark; import s.implicits._
+    // seed 5, 3 frames: grays (5*11 + f*37) % 256 = 55, 92, 129
+    val avi = Multimodal.aviSynth(seed = 5L, nFrames = 3)
+    // it is a real RIFF AVI, not a WAV or image
+    assert(new String(avi, 0, 4, "ISO-8859-1") === "RIFF")
+    assert(new String(avi, 8, 4, "ISO-8859-1") === "AVI ")
+    assert(Multimodal.imageMeta(avi).isEmpty)
+    assert(Multimodal.wavMeta(avi).isEmpty)
+    // direct decode: every frame's pixels recover the closed form exactly
+    val frames = Multimodal.aviFrames(avi).get
+    assert(frames.length === 3)
+    frames.zipWithIndex.foreach { case (img, f) =>
+      val expected = (55 + f * 37) % 256
+      assert(img.getWidth === 8 && img.getHeight === 8)
+      (0 until 8).foreach { y => (0 until 8).foreach { x =>
+        val px = img.getRGB(x, y)
+        assert(((px >> 16) & 0xFF) === expected && (px & 0xFF) === expected,
+          s"frame $f pixel ($x,$y)")
+      }}
+    }
+    // through the Spark pipeline: sampleFrames walks the container and the
+    // whole-frame mean recovers the closed form (uniform → mean == gray)
+    val media = Seq((9L, "video/avi", avi)).toDF("media_id", "media_type", "content")
+    val grays = Multimodal.decodeFrameMeanGray(
+      Multimodal.sampleFrames(media, everyMs = 500L, maxFrames = 8))
+      .collect().sortBy(_.getLong(1)).map(_.getLong(2)).toSeq
+    assert(grays === Seq(55L, 92L, 129L))
+    // non-AVI bytes: None, and truncated AVI bytes never throw
+    assert(Multimodal.aviFrames("not an avi".getBytes).isEmpty)
+    assert(Multimodal.aviFrames(avi.take(60).toArray).exists(_.isEmpty))
+  }
 }
