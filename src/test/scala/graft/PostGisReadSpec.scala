@@ -4,10 +4,81 @@ import org.scalatest.funsuite.AnyFunSuite
 
 import graft.sources.remote.PostGisRead
 
-/** The remote-source seam's SQL generation (the part runnable without a
+/** Java-static shims for the embedded-Derby stand-in database: Derby
+  * binds SQL functions to public static methods, and Scala's top-level
+  * objects emit exactly those forwarders. `stAsBinary` mimics PostGIS's
+  * ST_AsBinary — database-side geometry → WKB — over WKT-typed storage. */
+object DerbyPgShim {
+  def stAsBinary(wkt: String): Array[Byte] =
+    if (wkt == null) null else graft.geom.GeomCodec.wktToWkb(wkt)
+  // sink for derby.log (derby.stream.error.method)
+  def devNull(): java.io.OutputStream = java.io.OutputStream.nullOutputStream()
+}
+
+/** The remote-source seam: SQL generation (the part runnable without a
   * database; reference src/test.rs:72-94 reads the same shape via GDAL's
-  * PG driver). */
+  * PG driver) PLUS a live end-to-end drive of the PARTITIONED read path
+  * against embedded Derby — a real JDBC database with an ST_AsBinary
+  * shim, so predicate generation, per-partition range queries, and the
+  * WKB projection all execute rather than being string-asserted. */
 class PostGisReadSpec extends AnyFunSuite {
+
+  test("partitioned read executes end-to-end against a live embedded database") {
+    System.setProperty("derby.stream.error.method", "graft.DerbyPgShim.devNull")
+    val s = TestSpark.spark
+    val url = "jdbc:derby:memory:graftpg;create=true"
+    val conn = java.sql.DriverManager.getConnection(url)
+    try {
+      val st = conn.createStatement()
+      // quoted lowercase identifiers, as PostGIS tables typically carry
+      st.execute("""CREATE TABLE "parcels" ("id" INT, "owner" VARCHAR(50), "geom" VARCHAR(200))""")
+      st.execute(
+        """CREATE FUNCTION ST_ASBINARY(W VARCHAR(200))
+          |RETURNS VARCHAR(200) FOR BIT DATA
+          |PARAMETER STYLE JAVA NO SQL LANGUAGE JAVA
+          |EXTERNAL NAME 'graft.DerbyPgShim.stAsBinary'""".stripMargin)
+      val ins = conn.prepareStatement("""INSERT INTO "parcels" VALUES (?, ?, ?)""")
+      (1 to 20).foreach { i =>
+        ins.setInt(1, i); ins.setString(2, s"owner_$i")
+        ins.setString(3, s"POINT ($i ${i * 2})"); ins.addBatch()
+      }
+      ins.executeBatch()
+
+      // the 100 TB read shape: 4 executors issue 4 range queries
+      val df = PostGisRead.read(s, url, "parcels", Seq("geom"), Seq("id", "owner"),
+        jdbcOptions = Map(
+          "driver" -> "org.apache.derby.iapi.jdbc.AutoloadedDriver",
+          "partitionColumn" -> "id", "lowerBound" -> "1",
+          "upperBound" -> "21", "numPartitions" -> "4"))
+      assert(df.rdd.getNumPartitions === 4) // predicate generation made 4 ranges
+      val rows = df.collect().map { r =>
+        val g = graft.geom.GeomCodec.fromWkb(r.getAs[Array[Byte]]("geom"))
+          .asInstanceOf[org.locationtech.jts.geom.Point]
+        (r.getInt(0), r.getString(1), g.getX, g.getY)
+      }.sortBy(_._1)
+      // no row lost or duplicated across partition ranges; geometry came
+      // back as WKB through the database-side ST_AsBinary projection
+      assert(rows.length === 20)
+      assert(rows.map(_._1).toSeq === (1 to 20))
+      rows.foreach { case (i, owner, x, y) =>
+        assert(owner === s"owner_$i"); assert(x === i.toDouble); assert(y === i * 2.0)
+      }
+
+      // WHERE pushdown composes with partitioning
+      val filtered = PostGisRead.read(s, url, "parcels", Seq("geom"), Seq("id", "owner"),
+        where = Some("\"id\" > 10"),
+        jdbcOptions = Map(
+          "driver" -> "org.apache.derby.iapi.jdbc.AutoloadedDriver",
+          "partitionColumn" -> "id", "lowerBound" -> "1",
+          "upperBound" -> "21", "numPartitions" -> "4"))
+      assert(filtered.rdd.getNumPartitions === 4)
+      assert(filtered.select("id").collect().map(_.getInt(0)).sorted.toSeq === (11 to 20))
+    } finally {
+      conn.close()
+      try java.sql.DriverManager.getConnection("jdbc:derby:memory:graftpg;drop=true")
+      catch { case _: java.sql.SQLException => () } // drop "fails" by design
+    }
+  }
 
   test("tableQuery WKB-encodes geometry columns and quotes identifiers") {
     val q = PostGisRead.tableQuery("parcels", Seq("geom"), Seq("id", "owner"))
