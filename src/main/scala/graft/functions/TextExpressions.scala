@@ -144,9 +144,12 @@ object ShingleKernels {
   import org.apache.spark.sql.catalyst.InternalRow
   import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
 
-  /** Distinct word n-gram shingles of a document, '_'-joined — equal to
-    * the former plan-level `split(trim(text),'\s+')` → transform →
-    * distinct, as a single pass. Spark-`trim` semantics (spaces only). */
+  /** Distinct word n-gram shingles of a document, NUL-joined (a '_'
+    * joiner collides for words containing '_': ["a_b","c"] and
+    * ["a","b_c"] would shingle identically; NUL cannot appear in
+    * whitespace-split tokens) — equal to the former plan-level
+    * `split(trim(text),'\s+')` → transform → distinct, as a single
+    * pass. Spark-`trim` semantics (spaces only). */
   def shingleSet(text: UTF8String, n: Int): ArrayData = {
     val toks = text.trim().toString.split("\\s+")
     if (toks.length < n) return new GenericArrayData(Array.empty[Any])
@@ -155,7 +158,7 @@ object ShingleKernels {
     while (i <= toks.length - n) {
       val sb = new java.lang.StringBuilder(toks(i))
       var j = 1
-      while (j < n) { sb.append('_').append(toks(i + j)); j += 1 }
+      while (j < n) { sb.append('\u0000').append(toks(i + j)); j += 1 }
       seen.add(sb.toString)
       i += 1
     }

@@ -62,7 +62,11 @@ object Corpus {
         .agg(count(lit(1)).as("n_docs"), // shingles are per-doc distinct
           min(col("__id")).as("first_doc"), max(col("__id")).as("last_doc"))
         .filter(col("n_docs") >= 2)
-        .orderBy(col("s"))
+        // counting keys on the NUL-joined shingle (collision-proof);
+        // display re-joins with '_', so first_doc breaks any display tie
+        .select(translate(col("s"), "\u0000", "_").as("s"),
+          col("n_docs"), col("first_doc"), col("last_doc"))
+        .orderBy(col("s"), col("first_doc"))
     }),
 
     // ---- q98: the REMOVAL half of exact-substring dedup (q66 detects,
@@ -229,13 +233,14 @@ object Corpus {
         |  SELECT doc_id, string_split(trim(text), ' ') AS t FROM documents
         |), sh AS (
         |  SELECT DISTINCT doc_id,
-        |    t[i] || '_' || t[i+1] || '_' || t[i+2] || '_' || t[i+3] || '_' ||
-        |    t[i+4] || '_' || t[i+5] || '_' || t[i+6] || '_' || t[i+7] AS s
+        |    t[i] || chr(0) || t[i+1] || chr(0) || t[i+2] || chr(0) || t[i+3] || chr(0) ||
+        |    t[i+4] || chr(0) || t[i+5] || chr(0) || t[i+6] || chr(0) || t[i+7] AS s
         |  FROM (SELECT doc_id, t, unnest(generate_series(1, greatest(len(t) - 7, 0))) AS i
         |        FROM toks)
         |)
-        |SELECT s, COUNT(*) AS n_docs, MIN(doc_id) AS first_doc, MAX(doc_id) AS last_doc
-        |FROM sh GROUP BY s HAVING COUNT(*) >= 2 ORDER BY s""".stripMargin,
+        |SELECT replace(s, chr(0), '_') AS s, COUNT(*) AS n_docs,
+        |       MIN(doc_id) AS first_doc, MAX(doc_id) AS last_doc
+        |FROM sh GROUP BY s HAVING COUNT(*) >= 2 ORDER BY 1, first_doc""".stripMargin,
 
     // NULL/empty semantics mirror the Spark aggregate-with-seed forms
     // exactly: a NULL vector passes NULL through (no coalesce), an EMPTY

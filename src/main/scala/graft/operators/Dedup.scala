@@ -165,7 +165,7 @@ object Dedup {
     """WITH toks AS (
       |  SELECT doc_id, string_split(trim(text), ' ') AS t FROM documents
       |), sh0 AS (
-      |  SELECT DISTINCT doc_id, t[i] || '_' || t[i+1] || '_' || t[i+2] AS s
+      |  SELECT DISTINCT doc_id, t[i] || chr(0) || t[i+1] || chr(0) || t[i+2] AS s
       |  FROM (SELECT doc_id, t, unnest(generate_series(1, greatest(len(t) - 2, 0))) AS i FROM toks)
       |), sh AS (
       |  SELECT sh0.* FROM sh0
@@ -210,7 +210,7 @@ object Dedup {
       """WITH toks AS (
         |  SELECT doc_id, string_split(trim(text), ' ') AS t FROM documents
         |), sh0 AS (
-        |  SELECT DISTINCT doc_id, t[i] || '_' || t[i+1] || '_' || t[i+2] AS s
+        |  SELECT DISTINCT doc_id, t[i] || chr(0) || t[i+1] || chr(0) || t[i+2] AS s
         |  FROM (SELECT doc_id, t, unnest(generate_series(1, greatest(len(t) - 2, 0))) AS i FROM toks)
         |), sh AS (
         |  SELECT sh0.* FROM sh0
@@ -230,7 +230,7 @@ object Dedup {
       """WITH RECURSIVE toks AS (
         |  SELECT doc_id, string_split(trim(text), ' ') AS t FROM documents
         |), sh AS (
-        |  SELECT DISTINCT doc_id, t[i] || '_' || t[i+1] || '_' || t[i+2] AS s
+        |  SELECT DISTINCT doc_id, t[i] || chr(0) || t[i+1] || chr(0) || t[i+2] AS s
         |  FROM (SELECT doc_id, t, unnest(generate_series(1, greatest(len(t) - 2, 0))) AS i FROM toks)
         |), sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id
         |), inter AS (
@@ -289,7 +289,7 @@ object Dedup {
       """WITH toks AS (
         |  SELECT doc_id, string_split(trim(text), ' ') AS t FROM documents
         |), sh AS (
-        |  SELECT DISTINCT doc_id, t[i] || '_' || t[i+1] || '_' || t[i+2] AS s
+        |  SELECT DISTINCT doc_id, t[i] || chr(0) || t[i+1] || chr(0) || t[i+2] AS s
         |  FROM (SELECT doc_id, t, unnest(generate_series(1, greatest(len(t) - 2, 0))) AS i FROM toks)
         |), sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id
         |), inter AS (

@@ -160,6 +160,9 @@ object GdalQueries {
     }),
 
 
+    // ORACLE-CHECKED (golden CSV): shapefile → FGB writer → FGB reader
+    // must reproduce the independently-parsed attributes and EXACT IEEE
+    // coordinates, putting both halves of the format under the hash gate.
     "gdal_convert_shapefile_to_fgb" -> ((s, _) => {
       GraftFunctions.register(s)
       val out = java.nio.file.Files.createTempDirectory("graft_q_fgb_").toString
@@ -167,8 +170,9 @@ object GdalQueries {
         .write.format("flatgeobuf").mode("overwrite").save(out)
       s.read.format("flatgeobuf").load(out)
         .select(col("name"), col("marker-sym"),
-          GraftFunctions.st_aswkt(col("geometry")).as("wkt"))
-        .orderBy(col("name"), col("wkt"))
+          GraftFunctions.st_x(col("geometry")).as("x"),
+          GraftFunctions.st_y(col("geometry")).as("y"))
+        .orderBy(col("name"), col("x"))
     }),
 
     // GML read (the WFS/INSPIRE interchange XML): the stations fixture
@@ -249,6 +253,9 @@ object GdalQueries {
     // writer builds the gpkg_* metadata tables + feature b-tree and stamps
     // the GPKG application id; the reader discovers the layer from
     // gpkg_geometry_columns and strips the GeoPackageBinary header.
+    // ORACLE-CHECKED (golden CSV): same both-halves hash gate for the
+    // GeoPackage SQLite container (fid column dropped — it numbers rows
+    // in partition-write order, which the golden file cannot know).
     "gdal_convert_shapefile_to_gpkg" -> ((s, _) => {
       GraftFunctions.register(s)
       val out = java.nio.file.Files.createTempDirectory("graft_q_gpkg_").toString
@@ -256,9 +263,10 @@ object GdalQueries {
         .write.format("gpkg").option("layerName", "stations")
         .mode("overwrite").save(out)
       s.read.format("gpkg").option("layerName", "stations").load(out)
-        .select(col("fid"), col("name"), col("marker-sym"),
-          GraftFunctions.st_aswkt(col("geometry")).as("wkt"))
-        .orderBy(col("name"), col("wkt"))
+        .select(col("name"), col("marker-sym"),
+          GraftFunctions.st_x(col("geometry")).as("x"),
+          GraftFunctions.st_y(col("geometry")).as("y"))
+        .orderBy(col("name"), col("x"))
     }))
 
   /** DuckDB oracles for the source entries whose outputs DuckDB can
@@ -307,6 +315,19 @@ object GdalQueries {
     // round-trip float formatting means both engines hold bit-identical
     // IEEE doubles, so full hash compares apply.
     "gdal_read_shapefile" ->
+      s"""SELECT name, "marker-sym", x, y FROM read_csv('$golden',
+         |  header=true, columns={'name':'VARCHAR','marker-sym':'VARCHAR','x':'DOUBLE','y':'DOUBLE'})
+         |ORDER BY name, x""".stripMargin,
+
+    // write-then-read conversions land on the same golden values: the
+    // FGB/GPKG writers+readers may not perturb a single attribute byte
+    // or coordinate bit
+    "gdal_convert_shapefile_to_fgb" ->
+      s"""SELECT name, "marker-sym", x, y FROM read_csv('$golden',
+         |  header=true, columns={'name':'VARCHAR','marker-sym':'VARCHAR','x':'DOUBLE','y':'DOUBLE'})
+         |ORDER BY name, x""".stripMargin,
+
+    "gdal_convert_shapefile_to_gpkg" ->
       s"""SELECT name, "marker-sym", x, y FROM read_csv('$golden',
          |  header=true, columns={'name':'VARCHAR','marker-sym':'VARCHAR','x':'DOUBLE','y':'DOUBLE'})
          |ORDER BY name, x""".stripMargin,

@@ -263,7 +263,7 @@ object Pipeline {
       """WITH toks AS (
         |  SELECT doc_id, string_split_regex(trim(text), '\s+') AS t FROM documents
         |), sh AS (
-        |  SELECT DISTINCT doc_id, t[i] || '_' || t[i+1] || '_' || t[i+2] AS s
+        |  SELECT DISTINCT doc_id, t[i] || chr(0) || t[i+1] || chr(0) || t[i+2] AS s
         |  FROM (SELECT doc_id, t, unnest(generate_series(1, greatest(len(t) - 2, 0))) AS i
         |        FROM toks)
         |), ev AS (
@@ -290,7 +290,7 @@ object Pipeline {
         |), toks AS (
         |  SELECT doc_id, string_split_regex(trim(text), '\s+') AS t FROM documents
         |), sh AS (
-        |  SELECT DISTINCT doc_id, t[i] || '_' || t[i+1] || '_' || t[i+2] AS s
+        |  SELECT DISTINCT doc_id, t[i] || chr(0) || t[i+1] || chr(0) || t[i+2] AS s
         |  FROM (SELECT doc_id, t, unnest(generate_series(1, greatest(len(t) - 2, 0))) AS i
         |        FROM toks)
         |), ev AS (

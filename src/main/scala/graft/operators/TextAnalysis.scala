@@ -196,7 +196,7 @@ object TextAnalysis {
         |  FROM toks WHERE len(t) >= 3
         |), dis AS (
         |  SELECT doc_id, CAST(COUNT(DISTINCT s) AS BIGINT) AS n_distinct
-        |  FROM (SELECT doc_id, t[i] || '_' || t[i+1] || '_' || t[i+2] AS s
+        |  FROM (SELECT doc_id, t[i] || chr(0) || t[i+1] || chr(0) || t[i+2] AS s
         |        FROM (SELECT doc_id, t, unnest(generate_series(1, len(t) - 2)) AS i
         |              FROM base))
         |  GROUP BY doc_id)

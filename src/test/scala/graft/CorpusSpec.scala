@@ -177,6 +177,6 @@ class CorpusSpec extends AnyFunSuite {
     val common = sh.groupBy("s").agg(count(lit(1)).as("n"))
       .filter(col("n") >= 2).collect()
     assert(common.map(_.getString(0)).toSet ===
-      Set("one_two_three_four_five_six_seven_eight"))
+      Set("one two three four five six seven eight".split(' ').mkString("\u0000")))
   }
 }

@@ -97,7 +97,7 @@ class PropertySpec extends AnyFunSuite {
       val toks = text.trim.split("\\s+").toSeq
       val want =
         if (toks.length < 3) Set.empty[String]
-        else toks.sliding(3).map(_.mkString("_")).toSet
+        else toks.sliding(3).map(_.mkString("\u0000")).toSet
       got == want
     })
   }
