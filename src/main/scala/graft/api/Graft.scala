@@ -388,6 +388,70 @@ object Graft {
         coalesce(col("cleaned"), lit("")).as("cleaned"))
   }
 
+  /** Gopher-style repetition signals (Rae et al. 2021, "Scaling Language
+    * Models", Table A1 — the standard pre-training repetition filters,
+    * adapted to word n-grams for single-line corpora): per document,
+    * the character fraction covered by the MOST FREQUENT word 2-gram and
+    * 3-gram (looping generations, chorus spam) and by DUPLICATED word
+    * 10-grams (copy-paste boilerplate), plus the combined flag at the
+    * paper's thresholds (0.20 / 0.18 / 0.10). Everything is per-doc —
+    * explodes and windows partition on the id, ONE shuffle, zero
+    * cross-document state — so the filter scales linearly and salts are
+    * never needed. Fractions are exact-integer ratios under a single
+    * double division (cross-engine exact; q83's policy). */
+  def gopherRepetition(df: DataFrame, textCol: String, idCol: String): DataFrame = {
+    val base = df.select(col(idCol).as("__id"),
+      split(trim(col(textCol)), "\\s+").as("__w"),
+      length(trim(col(textCol))).cast(LongType).as("n_chars"))
+    // chars covered by the most frequent n-gram = count × gram length;
+    // ties break to the lexicographically smallest gram (deterministic
+    // in both engines' binary collations)
+    def topGramFrac(n: Int): DataFrame = {
+      val grams = base.filter(size(col("__w")) >= n)
+        .select(col("__id"), col("n_chars"), explode(expr(
+          s"transform(sequence(0, size(__w) - $n), i -> concat_ws(' ', slice(__w, i + 1, $n)))"))
+          .as("__g"))
+      val counts = grams.groupBy(col("__id"), col("n_chars"), col("__g"))
+        .agg(count(lit(1)).as("__c"))
+      val w = Window.partitionBy(col("__id")).orderBy(col("__c").desc, col("__g"))
+      counts.withColumn("__rn", row_number().over(w)).filter(col("__rn") === 1)
+        .select(col("__id"),
+          (col("__c") * length(col("__g")).cast(LongType) / col("n_chars"))
+            .as(s"top${n}_frac"))
+    }
+    // word positions covered by ANY within-doc repeated 10-gram, counted
+    // once (overlaps don't double-count), as a fraction of doc chars
+    val n10 = 10
+    val toks = base.select(col("__id"),
+      posexplode(col("__w")).as(Seq("__p", "__word")))
+    val wd = Window.partitionBy(col("__id"), col("__g"))
+    val covered = base.filter(size(col("__w")) >= n10)
+      .select(col("__id"), posexplode(expr(
+        s"transform(sequence(0, size(__w) - $n10), i -> concat_ws(chr(0), slice(__w, i + 1, $n10)))"))
+        .as(Seq("__p", "__g")))
+      .withColumn("__c", count(lit(1)).over(wd))
+      .filter(col("__c") >= 2)
+      .select(col("__id").as("__cid"),
+        explode(sequence(col("__p"), col("__p") + lit(n10 - 1))).as("__cp"))
+      .distinct()
+    val dupChars = toks.join(covered,
+        toks("__id") === covered("__cid") && toks("__p") === covered("__cp"),
+        "left_semi")
+      .groupBy(col("__id"))
+      .agg(sum(length(col("__word")).cast(LongType)).as("__dchars"))
+    base.select(col("__id"), col("n_chars"))
+      .join(topGramFrac(2), Seq("__id"), "left")
+      .join(topGramFrac(3), Seq("__id"), "left")
+      .join(dupChars, Seq("__id"), "left")
+      .select(col("__id").as(idCol), col("n_chars"),
+        coalesce(col("top2_frac"), lit(0.0)).as("top2_frac"),
+        coalesce(col("top3_frac"), lit(0.0)).as("top3_frac"),
+        coalesce(col("__dchars") / col("n_chars"), lit(0.0)).as("dup10_frac"))
+      .withColumn("flagged",
+        col("top2_frac") > 0.20 || col("top3_frac") > 0.18 ||
+          col("dup10_frac") > 0.10)
+  }
+
   /** Bloom-filter decontamination — the shape [[decontaminate]] grows into
     * when even the broadcast eval-shingle SET is too big: the eval slice
     * compresses to `numBits` of bloom (1 MiB default) built by ONE

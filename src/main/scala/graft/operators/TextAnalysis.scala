@@ -91,6 +91,16 @@ object TextAnalysis {
         .orderBy($"doc_id")
     }),
 
+    // ---- q107: Gopher repetition filters (Rae et al. 2021, Table A1,
+    // adapted to word n-grams) — char fraction of the most frequent
+    // 2-gram/3-gram and of duplicated 10-grams, with the paper's
+    // thresholds as the combined flag. Per-doc windows only (one
+    // shuffle); exact-integer ratios under one double division. ----
+    "q107_gopher_repetition" -> ((s, dir) => {
+      graft.api.Graft.gopherRepetition(t(s, dir, "documents"), "text", "doc_id")
+        .orderBy(col("doc_id"))
+    }),
+
     // ---- q32: document fingerprint (normalized-content hash) ----
     "q32_fingerprint" -> ((s, dir) => {
       import s.implicits._
@@ -208,6 +218,60 @@ object TextAnalysis {
     "q32_fingerprint" ->
       """SELECT doc_id, md5(regexp_replace(lower(text), '[^a-z0-9]', '', 'g')) AS fp
         |FROM documents ORDER BY doc_id""".stripMargin,
+
+    // Gopher repetition: per-doc top-{2,3}-gram char fraction + duplicated
+    // 10-gram char coverage, same integer-ratio/one-division shapes.
+    "q107_gopher_repetition" ->
+      """WITH base AS (
+        |  SELECT doc_id, string_split_regex(trim(text), '\s+') AS w,
+        |         CAST(length(trim(text)) AS BIGINT) AS n_chars
+        |  FROM documents),
+        |g2 AS (
+        |  SELECT doc_id, n_chars, w[i] || ' ' || w[i+1] AS g
+        |  FROM (SELECT doc_id, n_chars, w, unnest(generate_series(1, greatest(len(w) - 1, 0))) AS i FROM base)),
+        |t2 AS (
+        |  SELECT doc_id, c * CAST(length(g) AS BIGINT) / n_chars AS top2_frac
+        |  FROM (SELECT doc_id, n_chars, g, COUNT(*) AS c,
+        |          ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY COUNT(*) DESC, g) AS rn
+        |        FROM g2 GROUP BY doc_id, n_chars, g)
+        |  WHERE rn = 1),
+        |g3 AS (
+        |  SELECT doc_id, n_chars, w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS g
+        |  FROM (SELECT doc_id, n_chars, w, unnest(generate_series(1, greatest(len(w) - 2, 0))) AS i FROM base)),
+        |t3 AS (
+        |  SELECT doc_id, c * CAST(length(g) AS BIGINT) / n_chars AS top3_frac
+        |  FROM (SELECT doc_id, n_chars, g, COUNT(*) AS c,
+        |          ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY COUNT(*) DESC, g) AS rn
+        |        FROM g3 GROUP BY doc_id, n_chars, g)
+        |  WHERE rn = 1),
+        |g10 AS (
+        |  SELECT doc_id, i,
+        |    w[i] || chr(0) || w[i+1] || chr(0) || w[i+2] || chr(0) || w[i+3] || chr(0) ||
+        |    w[i+4] || chr(0) || w[i+5] || chr(0) || w[i+6] || chr(0) || w[i+7] || chr(0) ||
+        |    w[i+8] || chr(0) || w[i+9] AS g
+        |  FROM (SELECT doc_id, w, unnest(generate_series(1, greatest(len(w) - 9, 0))) AS i FROM base)),
+        |dupg AS (SELECT doc_id, g FROM g10 GROUP BY doc_id, g HAVING COUNT(*) >= 2),
+        |cov AS (
+        |  SELECT DISTINCT g10.doc_id, i + j AS cp
+        |  FROM g10 JOIN dupg ON g10.doc_id = dupg.doc_id AND g10.g = dupg.g
+        |  CROSS JOIN (SELECT unnest(generate_series(0, 9)) AS j) js),
+        |dchars AS (
+        |  SELECT tok.doc_id, SUM(CAST(length(tok.word) AS BIGINT)) AS dchars
+        |  FROM (SELECT doc_id, i, w[i] AS word
+        |        FROM (SELECT doc_id, w, unnest(generate_series(1, len(w))) AS i FROM base)) tok
+        |  JOIN cov ON tok.doc_id = cov.doc_id AND tok.i = cov.cp
+        |  GROUP BY tok.doc_id)
+        |SELECT b.doc_id, b.n_chars,
+        |  COALESCE(t2.top2_frac, 0.0) AS top2_frac,
+        |  COALESCE(t3.top3_frac, 0.0) AS top3_frac,
+        |  COALESCE(d.dchars / b.n_chars, 0.0) AS dup10_frac,
+        |  (COALESCE(t2.top2_frac, 0.0) > 0.20 OR COALESCE(t3.top3_frac, 0.0) > 0.18
+        |    OR COALESCE(d.dchars / b.n_chars, 0.0) > 0.10) AS flagged
+        |FROM base b
+        |LEFT JOIN t2 ON b.doc_id = t2.doc_id
+        |LEFT JOIN t3 ON b.doc_id = t3.doc_id
+        |LEFT JOIN dchars d ON b.doc_id = d.doc_id
+        |ORDER BY b.doc_id""".stripMargin,
 
     "q33_multimodal_meta" ->
       """SELECT doc_id, CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,

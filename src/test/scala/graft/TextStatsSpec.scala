@@ -86,4 +86,34 @@ class TextStatsSpec extends AnyFunSuite {
     // monotone: merging never increases the count vs character count
     assert(c("abcdefgh") <= 8L && c("abcdefgh") >= 1L)
   }
+
+  test("gopherRepetition computes hand-checked top-gram and dup-10-gram fractions") {
+    val s = spark; import s.implicits._
+    // doc 1: "ab ab ab cd" (11 chars) — top 2-gram "ab ab" ×2, len 5 →
+    //   top2 = 10/11; top 3-gram "ab ab ab" ×1, len 8 → top3 = 8/11;
+    //   only 4 words → no 10-gram
+    // doc 2: 12 alternating words (23 chars) — top 2-gram "a b" ×6,
+    //   len 3 → top2 = 18/23; trigram tie ("a b a"/"b a b" ×5 each)
+    //   breaks lexicographically to "a b a", len 5 → top3 = 25/23
+    //   (count×len exceeds doc length for overlapping grams — by
+    //   definition); 10-grams at positions 0 and 2 are identical →
+    //   covered word positions 0..11 = all 12 single-char words →
+    //   dup10 = 12/23
+    // doc 3: 20 distinct words (39 chars) → dup10 = 0, every fraction
+    //   under its threshold, flagged false; top grams are the
+    //   lexicographically smallest count-1 grams ("b n"/"b n m")
+    val doc2 = "a b a b a b a b a b a b"
+    val df = Seq(
+      (1L, "ab ab ab cd"),
+      (2L, doc2),
+      (3L, "q w e r t y u i o p z x c v b n m k j h")
+    ).toDF("doc_id", "text")
+    val out = graft.api.Graft.gopherRepetition(df, "text", "doc_id")
+      .orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getDouble(3),
+        r.getDouble(4), r.getBoolean(5)))
+    assert(out(0) === ((1L, 11L, 10.0 / 11, 8.0 / 11, 0.0, true)))
+    assert(out(1) === ((2L, 23L, 18.0 / 23, 25.0 / 23, 12.0 / 23, true)))
+    assert(out(2) === ((3L, 39L, 3.0 / 39, 5.0 / 39, 0.0, false)))
+  }
 }
