@@ -186,4 +186,23 @@ class PlanShapeSpec extends AnyFunSuite {
     // are the exact leg's semi + the final flag joins
     assert(!p.contains("CartesianProduct"), p)
   }
+
+  test("q96 salted semantic dedup broadcasts the k-row sizes, pairs on (cid, salt)") {
+    val p = planOf("q96_semantic_dedup")
+    // cluster sizes are a k-row table: must ride a broadcast join, never
+    // shuffle the corpus against them
+    assert(p.contains("BroadcastHashJoin"), p)
+    // the pair join keys include the salt, so a hot cluster's quadratic
+    // is bounded by the split groups
+    assert(p.contains("__salt"), p)
+  }
+
+  test("q107 gopher repetition windows per doc, never globally") {
+    val p = planOf("q107_gopher_repetition")
+    // every window/agg partitions on the doc id — a global window here
+    // would serialize the corpus through one task
+    assert(p.contains("hashpartitioning(__id"), p)
+    assert(!p.contains("SinglePartition"), p)
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoop"), p)
+  }
 }
