@@ -645,6 +645,44 @@ object Graft {
   def sampleByHash(df: DataFrame, key: Column, keepPermille: Int): DataFrame =
     sampleGate(df, key).filter(col("__gate") < keepPermille).drop("__gate")
 
+  /** Temperature-based source mixing (the α-sampling of multilingual /
+    * multi-source pre-training, e.g. mT5's α = 0.3 upweighting of small
+    * sources): source `s` receives a quota ∝ n_s^α of the `totalTarget`
+    * budget, flattening the natural size distribution, and the quota is
+    * filled with the n_s^α-rank smallest cross-engine md5 ranks
+    * ([[stratifiedSample]]'s determinism — no RNG, stable under
+    * repartition/retry/append).
+    *
+    * Shapes at 100 TB: one per-source count agg (tiny frame), quota math
+    * on that k-source frame (the only global window, over k rows — q83's
+    * already-aggregated pattern), one rank window partitioned by source.
+    * The default α = 0.5 computes weights with `sqrt`, which IEEE
+    * requires correctly rounded — bit-identical across engines, so
+    * quotas are oracle-exact; other α use `pow`, where libm last-ulp
+    * differences could shift a knife-edge quota by one. Returns the kept
+    * rows with their per-source `rk`. */
+  def temperatureMix(df: DataFrame, sourceCol: String, idCol: String,
+      totalTarget: Long, alpha: Double = 0.5): DataFrame = {
+    graft.functions.GraftFunctions.register(df.sparkSession)
+    val wt =
+      if (alpha == 0.5) sqrt(col("n").cast(DoubleType))
+      else pow(col("n").cast(DoubleType), lit(alpha))
+    val wAll = Window.orderBy(col(sourceCol))
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    val quotas = df.groupBy(col(sourceCol)).agg(count(lit(1)).as("n"))
+      .withColumn("__wt", wt)
+      .withColumn("__tot", sum(col("__wt")).over(wAll))
+      .select(col(sourceCol),
+        floor(lit(totalTarget).cast(DoubleType) * col("__wt") / col("__tot"))
+          .cast(LongType).as("quota"))
+    val rw = Window.partitionBy(col(sourceCol)).orderBy(
+      call_function("md5_lower64", col(idCol).cast(StringType))
+        .bitwiseAND(lit(0x7FFFFFFFFFFFFFFFL)), col(idCol))
+    df.withColumn("rk", row_number().over(rw).cast(LongType))
+      .join(broadcast(quotas), Seq(sourceCol))
+      .filter(col("rk") <= col("quota"))
+  }
+
   // ------------------------------------------------------------ events
 
   /** Epoch day from a timestamp with FLOOR semantics on both engines

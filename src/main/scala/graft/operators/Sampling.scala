@@ -41,6 +41,20 @@ object Sampling {
         .agg(count(lit(1)).as("n_total"),
           count(when($"__gate" < rate, 1)).as("n_kept"))
         .orderBy($"source")
+    }),
+
+    // ---- q108: temperature-based source mixing (α-sampling) — quotas
+    // ∝ √n_s of a 200-doc budget, filled by md5 rank. The per-source
+    // summary pins the quota math AND the exact kept set (sum of kept
+    // ids), hash-checked. ----
+    "q108_temperature_mix" -> ((s, dir) => {
+      import s.implicits._
+      graft.api.Graft.temperatureMix(t(s, dir, "documents"), "source",
+          "doc_id", totalTarget = 200L)
+        .groupBy($"source")
+        .agg(count(lit(1)).as("n_kept"), max($"quota").as("quota"),
+          sum($"doc_id").as("kept_id_sum"))
+        .orderBy($"source")
     })
   )
 
@@ -59,6 +73,31 @@ object Sampling {
         |                    & 2147483647::UBIGINT) % 1000
         |              < (CASE WHEN length(source) = 4 THEN 700 ELSE 300 END)
         |            THEN 1 END) AS n_kept
-        |FROM documents GROUP BY source ORDER BY source""".stripMargin
+        |FROM documents GROUP BY source ORDER BY source""".stripMargin,
+
+    // Replays the √n quota math (sqrt is IEEE-exact in both engines; the
+    // k-row normalizing sum runs in the same source order) and the md5
+    // rank fill.
+    "q108_temperature_mix" ->
+      """WITH c AS (SELECT source, COUNT(*) AS n FROM documents GROUP BY source),
+        |w AS (SELECT source, n, sqrt(CAST(n AS DOUBLE)) AS wt FROM c),
+        |s AS (SELECT source, n, wt,
+        |        SUM(wt) OVER (ORDER BY source
+        |          ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS tot
+        |      FROM w),
+        |q AS (SELECT source, n,
+        |        CAST(FLOOR(CAST(200 AS DOUBLE) * wt / tot) AS BIGINT) AS quota
+        |      FROM s),
+        |r AS (SELECT source, doc_id,
+        |        ROW_NUMBER() OVER (PARTITION BY source ORDER BY
+        |          (md5_number_lower(CAST(doc_id AS VARCHAR)) & 9223372036854775807::UBIGINT),
+        |          doc_id) AS rk
+        |      FROM documents)
+        |SELECT q.source, COUNT(*) AS n_kept, q.quota,
+        |       CAST(SUM(r.doc_id) AS BIGINT) AS kept_id_sum
+        |FROM r JOIN q ON r.source = q.source
+        |WHERE r.rk <= q.quota
+        |GROUP BY q.source, q.quota
+        |ORDER BY q.source""".stripMargin
   )
 }

@@ -168,6 +168,26 @@ class CorpusSpec extends AnyFunSuite {
       (2L, 5L, Some("c"))))
   }
 
+  test("temperatureMix flattens quotas by sqrt(n) and caps at the source size") {
+    val s = spark; import s.implicits._
+    // A: 9 docs (weight 3), B: 1 doc (weight 1) → tot 4; target 8 →
+    // quota A = floor(8·3/4) = 6, quota B = floor(8·1/4) = 2 but B only
+    // has one doc. Without temperature A would get ~7.2 of 8.
+    val df = ((1L to 9L).map(i => ("A", i)) ++ Seq(("B", 100L)))
+      .toDF("source", "doc_id")
+    val out = Graft.temperatureMix(df, "source", "doc_id", totalTarget = 8L)
+      .groupBy("source").agg(count(lit(1)).as("n"), max(col("quota")).as("q"))
+      .collect().map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(out("A") === ((6L, 6L)))
+    assert(out("B") === ((1L, 2L))) // quota 2, only 1 doc exists
+    // determinism: same kept set under repartition
+    val a = Graft.temperatureMix(df, "source", "doc_id", 8L)
+      .select("doc_id").collect().map(_.getLong(0)).sorted.toSeq
+    val b = Graft.temperatureMix(df.repartition(7), "source", "doc_id", 8L)
+      .select("doc_id").collect().map(_.getLong(0)).sorted.toSeq
+    assert(a === b)
+  }
+
   test("cross-doc repeated 8-grams find the shared span and only it") {
     val s = spark; import s.implicits._
     val shared = "one two three four five six seven eight"
