@@ -683,6 +683,60 @@ object Graft {
       .filter(col("rk") <= col("quota"))
   }
 
+  /** BM25 relevance of every document against a fixed term set — the
+    * retrieval scorer data-curation pipelines use to importance-sample
+    * documents "similar to" a trusted reference query/corpus
+    * (Okapi BM25: idf_t · tf·(k1+1) / (tf + k1·(1−b+b·dl/avgdl)),
+    * idf_t = ln(1 + (N−df+0.5)/(df+0.5))).
+    *
+    * Shapes at 100 TB: the term list is a literal filter on the token
+    * explode (only query-term postings survive the shuffle), df and
+    * avgdl are tiny/1-row aggregates broadcast onto the postings (q69's
+    * no-driver-count pattern), and the score is one per-doc sum. Float
+    * policy: scores are computed with one identical expression tree in
+    * both engines and rounded for OUTPUT only (q69's precedent — ln is
+    * not IEEE-exactness-guaranteed, so ranking-free output ordered by id
+    * keeps last-ulp libm differences harmless). */
+  def bm25Score(df: DataFrame, textCol: String, idCol: String,
+      terms: Seq[String], k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    require(terms.nonEmpty, "bm25Score needs at least one query term")
+    val toks = df.select(col(idCol).as("__id"),
+      explode(split(lower(col(textCol)), "[^a-z0-9]+")).as("__t"))
+      .filter(col("__t") =!= "")
+    // ONE pass over tokens: doc length + a conditional tf per query term
+    // (terms are literals — no postings join at all)
+    val tfCols = terms.zipWithIndex.map { case (t, i) =>
+      count(when(col("__t") === t, 1)).as(s"__tf_$i")
+    }
+    val perDoc = toks.groupBy(col("__id"))
+      .agg(count(lit(1)).as("__dl"), tfCols: _*)
+    // N, Σdl, and every per-term df in one 1-row aggregate, broadcast
+    val dfCols = terms.indices.map(i =>
+      count(when(col(s"__tf_$i") > 0, 1)).as(s"__df_$i"))
+    val stats = perDoc.agg(count(lit(1)).as("__n"),
+      (sum(col("__dl")).as("__sumdl") +: dfCols): _*)
+    val joined = perDoc.crossJoin(broadcast(stats))
+      .withColumn("__avgdl",
+        col("__sumdl").cast(DoubleType) / col("__n").cast(DoubleType))
+    // the total is a FIXED left-to-right expression chain over the term
+    // list — no aggregation of doubles, so shuffle order cannot perturb
+    // the sum and the oracle's identical chain matches bit-for-bit
+    def termScore(i: Int): Column = {
+      val tf = col(s"__tf_$i").cast(DoubleType)
+      val dfT = col(s"__df_$i").cast(DoubleType)
+      val idf = log(lit(1.0) +
+        (col("__n").cast(DoubleType) - dfT + lit(0.5)) / (dfT + lit(0.5)))
+      idf * (tf * lit(k1 + 1.0)) /
+        (tf + lit(k1) * (lit(1.0 - b) + lit(b) * col("__dl").cast(DoubleType) / col("__avgdl")))
+    }
+    val total = terms.indices.map(termScore).reduce(_ + _)
+    val hitCount = terms.indices
+      .map(i => when(col(s"__tf_$i") > 0, 1L).otherwise(0L))
+      .reduce(_ + _)
+    joined.select(col("__id").as(idCol), col("__dl").as("dl"),
+      hitCount.as("n_terms_hit"), total.as("bm25"))
+  }
+
   // ------------------------------------------------------------ events
 
   /** Epoch day from a timestamp with FLOOR semantics on both engines

@@ -15,6 +15,12 @@ import Util._
   */
 object TextAnalysis {
 
+  /** q109's fixed query — terms from the synthetic corpus vocabulary,
+    * shared by the Spark query and the generated oracle so both build
+    * the identical per-term expression chain. Declared before the maps
+    * that interpolate it (object init order). */
+  private val Bm25Terms = Seq("spark", "table", "query", "vector", "stream")
+
   // Marker stopwords per language (classic dictionary heuristic; scores are
   // deterministic, arg-max with a fixed tie-break order en>de>es>fr>zh).
   private val markers = Map(
@@ -98,6 +104,21 @@ object TextAnalysis {
     // shuffle); exact-integer ratios under one double division. ----
     "q107_gopher_repetition" -> ((s, dir) => {
       graft.api.Graft.gopherRepetition(t(s, dir, "documents"), "text", "doc_id")
+        .orderBy(col("doc_id"))
+    }),
+
+    // ---- q109: BM25 relevance against a fixed query — the retrieval
+    // scorer curation pipelines use to importance-sample documents
+    // similar to a trusted reference. One token pass (conditional tf per
+    // literal term, no postings join), 1-row stats broadcast, score as a
+    // FIXED left-to-right expression chain (no double aggregation →
+    // shuffle order cannot perturb it; ln rounded for output only,
+    // q69's policy). ----
+    "q109_bm25_score" -> ((s, dir) => {
+      graft.api.Graft.bm25Score(t(s, dir, "documents"), "text", "doc_id",
+          Bm25Terms)
+        .select(col("doc_id"), col("dl"), col("n_terms_hit"),
+          round(col("bm25"), 6).as("bm25"))
         .orderBy(col("doc_id"))
     }),
 
@@ -218,6 +239,43 @@ object TextAnalysis {
     "q32_fingerprint" ->
       """SELECT doc_id, md5(regexp_replace(lower(text), '[^a-z0-9]', '', 'g')) AS fp
         |FROM documents ORDER BY doc_id""".stripMargin,
+
+    // BM25 oracle: the exact expression chain Graft.bm25Score builds,
+    // generated from the same term list so both engines evaluate the
+    // IDENTICAL left-associated double tree (k1=1.2, b=0.75 → the 2.2 /
+    // 0.25 / 0.75 literals parse to the same doubles).
+    "q109_bm25_score" -> {
+      val tfDefs = Bm25Terms.zipWithIndex.map { case (t, i) =>
+        s"COUNT(CASE WHEN t = '$t' THEN 1 END) AS tf$i"
+      }.mkString(",\n    ")
+      val dfDefs = Bm25Terms.indices.map(i =>
+        s"COUNT(CASE WHEN tf$i > 0 THEN 1 END) AS df$i").mkString(",\n    ")
+      val hitChain = Bm25Terms.indices.map(i =>
+        s"(CASE WHEN tf$i > 0 THEN 1 ELSE 0 END)").mkString(" + ")
+      val scoreChain = Bm25Terms.indices.map { i =>
+        s"ln(1.0 + (CAST(n AS DOUBLE) - CAST(df$i AS DOUBLE) + 0.5) / (CAST(df$i AS DOUBLE) + 0.5))" +
+          s" * (CAST(tf$i AS DOUBLE) * 2.2)" +
+          s" / (CAST(tf$i AS DOUBLE) + 1.2 * (0.25 + 0.75 * CAST(dl AS DOUBLE) / avgdl))"
+      }.mkString("\n    + ")
+      s"""WITH toks AS (
+         |  SELECT doc_id, unnest(string_split_regex(lower(text), '[^a-z0-9]+')) AS t
+         |  FROM documents),
+         |tok2 AS (SELECT doc_id, t FROM toks WHERE t <> ''),
+         |perdoc AS (
+         |  SELECT doc_id, COUNT(*) AS dl,
+         |    $tfDefs
+         |  FROM tok2 GROUP BY doc_id),
+         |stats AS (
+         |  SELECT COUNT(*) AS n, SUM(dl) AS sumdl,
+         |    $dfDefs
+         |  FROM perdoc),
+         |j AS (SELECT perdoc.*, stats.*, CAST(sumdl AS DOUBLE) / CAST(n AS DOUBLE) AS avgdl
+         |      FROM perdoc CROSS JOIN stats)
+         |SELECT doc_id, CAST(dl AS BIGINT) AS dl,
+         |  CAST($hitChain AS BIGINT) AS n_terms_hit,
+         |  ROUND($scoreChain, 6) AS bm25
+         |FROM j ORDER BY doc_id""".stripMargin
+    },
 
     // Gopher repetition: per-doc top-{2,3}-gram char fraction + duplicated
     // 10-gram char coverage, same integer-ratio/one-division shapes.

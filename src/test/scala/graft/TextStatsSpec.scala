@@ -87,6 +87,30 @@ class TextStatsSpec extends AnyFunSuite {
     assert(c("abcdefgh") <= 8L && c("abcdefgh") >= 1L)
   }
 
+  test("bm25Score favors rare terms and saturates with document length") {
+    val s = spark; import s.implicits._
+    val df = Seq(
+      (1L, "zebra apple apple apple"),   // rare term once
+      (2L, "apple apple apple apple"),   // common term only
+      (3L, "zebra zebra apple banana"),  // rare term twice
+      (4L, "banana cherry date fig")     // no query terms... except banana
+    ).toDF("doc_id", "text")
+    val out = graft.api.Graft.bm25Score(df, "text", "doc_id",
+        terms = Seq("zebra", "apple"))
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getDouble(3)))).toMap
+    // every doc has 4 tokens
+    assert(out.values.forall(_._1 == 4L))
+    // doc 3 (zebra x2) outscores doc 1 (zebra x1) outscores doc 2 (no zebra)
+    assert(out(3L)._3 > out(1L)._3)
+    assert(out(1L)._3 > out(2L)._3)
+    // doc 4 hits neither term: score 0, zero hits
+    assert(out(4L)._2 === 0L && out(4L)._3 === 0.0)
+    // idf monotonicity: zebra (df=2) contributes more per occurrence
+    // than apple (df=3): doc1 = idf_z*s(1) + idf_a*s(3); check hits
+    assert(out(1L)._2 === 2L && out(3L)._2 === 2L && out(2L)._2 === 1L)
+  }
+
   test("gopherRepetition computes hand-checked top-gram and dup-10-gram fractions") {
     val s = spark; import s.implicits._
     // doc 1: "ab ab ab cd" (11 chars) — top 2-gram "ab ab" ×2, len 5 →
