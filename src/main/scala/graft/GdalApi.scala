@@ -32,7 +32,16 @@ object GdalRead {
       else if (hint.endsWith(".sqlite") || hint.endsWith(".db")) "spatialite"
       else if (hint.endsWith(".geojsonl") || hint.endsWith(".ndjson") ||
         hint.endsWith(".geojsons")) "geojsonseq"
+      else if (hint.endsWith(".arrow") || hint.endsWith(".arrows") ||
+        // content sniff: Arrow IPC files open with the ARROW1 magic
+        (data.length >= 6 && data.startsWith("ARROW1".getBytes("ISO-8859-1")))) "arrow"
       else "geojson"
+    if (fmt == "arrow") {
+      val tmp = File.createTempFile("graft_bytes_", ".arrow")
+      tmp.deleteOnExit()
+      Files.write(tmp.toPath, data)
+      return graft.sources.arrow.ArrowRead.fromFile(spark, tmp.getAbsolutePath)
+    }
     val suffix = hint.drop(math.max(0, hint.length - 12)).replaceAll("[^a-z0-9.]", "_")
     val tmp = File.createTempFile("graft_bytes_", "_" + suffix)
     tmp.deleteOnExit()
@@ -82,9 +91,12 @@ object GdalWrite {
     case "gpx" => fileBytes(df, "gpx", ".gpx", options, zip = false)
     case "geojsonseq" | "geojsonl" | "ndjson" =>
       fileBytes(df, "geojsonseq", ".geojsonl", options, zip = false)
+    case "arrow" | "ipc" =>
+      if (df.isEmpty) throw new GraftError.EmptyDataframe
+      graft.sources.arrow.ArrowWrite.toBytes(df)
     case other => throw new IllegalArgumentException(
       s"unsupported bytes format '$other' " +
-        "(geojson|csvgeo|shapefile|flatgeobuf|spatialite|gpkg|kml|gpx|geojsonseq)")
+        "(geojson|csvgeo|shapefile|flatgeobuf|spatialite|gpkg|kml|gpx|geojsonseq|arrow)")
   }
 
   private def geoJsonBytes(df: DataFrame, options: Map[String, String]): Array[Byte] = {

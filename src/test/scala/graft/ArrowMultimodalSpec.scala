@@ -27,6 +27,43 @@ class ArrowMultimodalSpec extends AnyFunSuite {
     assert(back.count() === 202)
   }
 
+  test("arrow ipc WRITE: cities round-trips file and bytes, nulls preserved") {
+    import graft.sources.arrow.ArrowWrite
+    val s = spark; import s.implicits._
+    // fixture round trip: every value and the WKB geometry survive
+    val df = ArrowRead.fromFile(spark, s"$fixtures/cities.arrow")
+    val path = java.nio.file.Files.createTempFile("graft_arrow_w_", ".arrow").toString
+    ArrowWrite.toFile(df, path)
+    val back = ArrowRead.fromFile(spark, path)
+    assert(back.schema === df.schema)
+    val key = (r: org.apache.spark.sql.Row) =>
+      r.toSeq.map {
+        case b: Array[Byte] => java.util.Arrays.hashCode(b).toString
+        case x => String.valueOf(x)
+      }.mkString("|")
+    assert(back.collect().map(key).sorted.toSeq === df.collect().map(key).sorted.toSeq)
+    // nulls + every supported type through the bytes surface
+    val mixed = Seq(
+      (1L, Some("a"), Some(1.5), Some(true), Some(Array[Byte](1, 2))),
+      (2L, None, None, None, None)
+    ).toDF("id", "s", "d", "b", "bin")
+    val bytes = ArrowWrite.toBytes(mixed)
+    val tmp = java.nio.file.Files.createTempFile("graft_arrow_b_", ".arrow")
+    java.nio.file.Files.write(tmp, bytes)
+    val back2 = ArrowRead.fromFile(spark, tmp.toString).orderBy("id").collect()
+    assert(back2(0).getLong(0) === 1L && back2(0).getString(1) === "a" &&
+      back2(0).getDouble(2) === 1.5 && back2(0).getBoolean(3) === true &&
+      back2(0).getAs[Array[Byte]](4).toSeq === Seq[Byte](1, 2))
+    assert(back2(1).getLong(0) === 2L && (1 to 4).forall(back2(1).isNullAt))
+    // df_from_bytes sniffs the ARROW1 magic with no filename hint at all
+    val sniffed = GdalRead.fromBytes(spark, bytes, filenameHint = None)
+    assert(sniffed.orderBy("id").collect().map(_.getLong(0)).toSeq === Seq(1L, 2L))
+    // and GdalWrite.toBytes speaks arrow
+    val rt = GdalRead.fromBytes(spark,
+      GdalWrite.toBytes(mixed, format = "arrow"), Some("x.arrow"))
+    assert(rt.count() === 2)
+  }
+
   test("multimodal stub decode: deterministic features over binary media") {
     val media = Multimodal.mediaFromDocuments(spark, sf0001)
     val decoded = Multimodal.decodeStub(media)
