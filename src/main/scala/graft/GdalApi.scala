@@ -27,6 +27,7 @@ object GdalRead {
       else if (hint.endsWith(".csv")) "csvgeo"
       else if (hint.endsWith(".fgb")) "flatgeobuf"
       else if (hint.endsWith(".kml")) "kml"
+      else if (hint.endsWith(".gml")) "gml"
       else if (hint.endsWith(".gpx")) "gpx"
       else if (hint.endsWith(".gpkg")) "gpkg"
       else if (hint.endsWith(".sqlite") || hint.endsWith(".db")) "spatialite"
@@ -88,6 +89,7 @@ object GdalWrite {
     case "spatialite" | "sqlite" => fileBytes(df, "spatialite", ".sqlite", options, zip = false)
     case "gpkg" | "geopackage" => fileBytes(df, "gpkg", ".gpkg", options, zip = false)
     case "kml" => fileBytes(df, "kml", ".kml", options, zip = false)
+    case "gml" => fileBytes(df, "gml", ".gml", options, zip = false)
     case "gpx" => fileBytes(df, "gpx", ".gpx", options, zip = false)
     case "geojsonseq" | "geojsonl" | "ndjson" =>
       fileBytes(df, "geojsonseq", ".geojsonl", options, zip = false)
@@ -96,7 +98,7 @@ object GdalWrite {
       graft.sources.arrow.ArrowWrite.toBytes(df)
     case other => throw new IllegalArgumentException(
       s"unsupported bytes format '$other' " +
-        "(geojson|csvgeo|shapefile|flatgeobuf|spatialite|gpkg|kml|gpx|geojsonseq|arrow)")
+        "(geojson|csvgeo|shapefile|flatgeobuf|spatialite|gpkg|kml|gml|gpx|geojsonseq|arrow)")
   }
 
   private def geoJsonBytes(df: DataFrame, options: Map[String, String]): Array[Byte] = {

@@ -297,6 +297,34 @@ class XmlSourcesSpec extends AnyFunSuite {
     assert(round.count() === 2)
   }
 
+  test("gml write -> read round trip across geometry types") {
+    val s = spark; import s.implicits._
+    graft.functions.GraftFunctions.register(spark)
+    val wkts = Seq(
+      ("s0", "alpha & <co>", "POINT (1 2)"),
+      ("s1", "beta", "LINESTRING (0 0, 1 1, 2 0)"),
+      ("s2", "gamma", "POLYGON ((0 0, 4 0, 4 4, 0 4, 0 0), (1 1, 2 1, 1 2, 1 1))"),
+      ("s3", "delta", "MULTILINESTRING ((0 0, 1 1), (2 2, 3 3))"),
+      ("s4", "epsilon",
+        "MULTIPOLYGON (((0 0, 1 0, 1 1, 0 1, 0 0)), ((5 5, 6 5, 6 6, 5 6, 5 5)))"))
+    val df = wkts.toDF("gml_id", "name", "wkt")
+      .withColumn("geometry", org.apache.spark.sql.functions.expr("st_geomfromwkt(wkt)"))
+      .drop("wkt")
+    val out = java.nio.file.Files.createTempDirectory("graft_gmlw_").toString
+    df.coalesce(1).write.format("gml").option("layerName", "spot")
+      .mode("overwrite").save(out)
+    val back = spark.read.format("gml").load(out)
+    assert(back.count() === 5)
+    val got = back.selectExpr("gml_id", "name", "st_aswkt(geometry)")
+      .collect().map(r => (r.getString(0), r.getString(1), r.getString(2)))
+      .sortBy(_._1)
+    got.zip(wkts.sortBy(_._1)).foreach { case ((id, name, wkt), (wantId, wantName, wantWkt)) =>
+      assert(id === wantId)
+      assert(name === wantName) // XML escaping round-trips
+      assert(wkt === graft.geom.GeomCodec.toWkt(graft.geom.GeomCodec.fromWkt(wantWkt)))
+    }
+  }
+
   test("gpx bytes-out round trip (waypoints layer)") {
     val s = spark
     import s.implicits._
