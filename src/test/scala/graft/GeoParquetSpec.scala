@@ -141,8 +141,32 @@ class GeoParquetSpec extends AnyFunSuite {
     assert(empty.count() === 0)
     assert(empty.schema.fieldNames.contains("geometry"))
     assert(GeoParquet.meta(s, dir).isDefined)
-    // no temp debris
-    assert(!new java.io.File(dir).listFiles.exists(_.getName.startsWith(".tmp-")))
+    // no temp or aside debris from the commit-protocol swap
+    val names = new java.io.File(dir).listFiles.map(_.getName)
+    assert(!names.exists(_.startsWith(".tmp-")), names.mkString(","))
+    assert(!names.exists(_.startsWith(".old-")), names.mkString(","))
+    // no attempt-suffixed files leaked past task commit
+    assert(!names.exists(_.contains("-a")), names.mkString(","))
+  }
+
+  test("overwrite leaves stale .old-/.tmp- debris from a crashed prior job cleaned up") {
+    val s = spark; import s.implicits._
+    GraftFunctions.register(s)
+    val df = (1L to 4L).map(i => (i, (i.toDouble, i.toDouble))).toDF("id", "pt")
+      .withColumn("geometry", GraftFunctions.st_point($"pt._1", $"pt._2"))
+      .drop("pt")
+    val dir = tmpDir("crashdebris")
+    GeoParquet.write(df, dir)
+    // simulate a crash mid-swap: stale aside + stale task tmp on disk
+    java.nio.file.Files.write(java.nio.file.Paths.get(dir, ".old-part-99999.parquet"),
+      Array[Byte](1, 2, 3))
+    java.nio.file.Files.write(java.nio.file.Paths.get(dir, ".tmp-part-99999.parquet"),
+      Array[Byte](4, 5))
+    GeoParquet.write(df.filter($"id" <= 2), dir)
+    val names = new java.io.File(dir).listFiles.map(_.getName)
+    assert(!names.exists(n => n.startsWith(".old-") || n.startsWith(".tmp-")),
+      names.mkString(","))
+    assert(GeoParquet.read(s, dir).count() === 2)
   }
 
   test("bbox read without a covering declaration still answers correctly (residual only)") {

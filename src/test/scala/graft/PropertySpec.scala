@@ -283,4 +283,20 @@ class PropertySpec extends AnyFunSuite {
       got == naive
     })
   }
+
+  test("property: MJPEG/AVI synth -> walk -> decode recovers every closed-form gray") {
+    import graft.operators.Multimodal
+    val gen = for {
+      seed <- Gen.chooseNum(0L, 5000L)
+      n <- Gen.chooseNum(1, 6)
+    } yield (seed, n)
+    check(Prop.forAll(gen) { case (seed, n) =>
+      val frames = Multimodal.aviFrames(Multimodal.aviSynth(seed, n)).get
+      frames.length == n && frames.zipWithIndex.forall { case (img, f) =>
+        val want = (((seed * 11 + f * 37) % 256 + 256) % 256).toInt
+        (img.getRGB(0, 0) & 0xFF) == want &&
+          (img.getRGB(7, 7) & 0xFF) == want
+      }
+    })
+  }
 }
