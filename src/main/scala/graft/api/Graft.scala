@@ -456,7 +456,11 @@ object Graft {
       .select(col("__id").as(idCol), col("n_chars"),
         coalesce(col("top2_frac"), lit(0.0)).as("top2_frac"),
         coalesce(col("top3_frac"), lit(0.0)).as("top3_frac"),
-        (col("__dchars") / col("n_chars")).as("dup10_frac"))
+        // empty/whitespace-only text has n_chars = 0: guard the division
+        // (0/0 is NULL or an ANSI error, either of which would poison
+        // `flagged`) — an empty doc is simply not repetitive
+        when(col("n_chars") > 0, col("__dchars") / col("n_chars"))
+          .otherwise(lit(0.0)).as("dup10_frac"))
       .withColumn("flagged",
         col("top2_frac") > 0.20 || col("top3_frac") > 0.18 ||
           col("dup10_frac") > 0.10)

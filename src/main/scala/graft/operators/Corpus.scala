@@ -63,10 +63,11 @@ object Corpus {
           min(col("__id")).as("first_doc"), max(col("__id")).as("last_doc"))
         .filter(col("n_docs") >= 2)
         // counting keys on the NUL-joined shingle (collision-proof);
-        // display re-joins with '_', so first_doc breaks any display tie
+        // display re-joins with '_' — display-colliding grams can tie on
+        // (s, first_doc), so the full column set orders the rows
         .select(translate(col("s"), "\u0000", "_").as("s"),
           col("n_docs"), col("first_doc"), col("last_doc"))
-        .orderBy(col("s"), col("first_doc"))
+        .orderBy(col("s"), col("first_doc"), col("last_doc"), col("n_docs"))
     }),
 
     // ---- q98: the REMOVAL half of exact-substring dedup (q66 detects,
@@ -240,7 +241,7 @@ object Corpus {
         |)
         |SELECT replace(s, chr(0), '_') AS s, COUNT(*) AS n_docs,
         |       MIN(doc_id) AS first_doc, MAX(doc_id) AS last_doc
-        |FROM sh GROUP BY s HAVING COUNT(*) >= 2 ORDER BY 1, first_doc""".stripMargin,
+        |FROM sh GROUP BY s HAVING COUNT(*) >= 2 ORDER BY 1, first_doc, last_doc, n_docs""".stripMargin,
 
     // NULL/empty semantics mirror the Spark aggregate-with-seed forms
     // exactly: a NULL vector passes NULL through (no coalesce), an EMPTY

@@ -16,30 +16,29 @@ object GdalQueries {
   private val golden = "/root/repo/src/test/resources/golden/stations.csv"
 
   /** Deterministic GML twin of the stations shapefile, written once per
-    * JVM so the `gdal_read_gml` entry times only the StAX read. */
+    * JVM (so the `gdal_read_gml` entry times only the StAX read) through
+    * the REAL GML writer — the fixture exercises the same serialization
+    * the write path ships, not a hand-rolled twin that could drift. */
   private val gmlFixtureLock = new Object
   @volatile private var gmlFixtureDone = false
   private def ensureGmlFixture(s: org.apache.spark.sql.SparkSession): String = {
-    val path = s"${System.getProperty("java.io.tmpdir")}/graft_q_stations.gml"
+    val path = s"${System.getProperty("java.io.tmpdir")}/graft_q_stations_gml"
     if (!gmlFixtureDone) gmlFixtureLock.synchronized {
       if (!gmlFixtureDone) {
         GraftFunctions.register(s)
-        val src = s.read.format("shapefile").load(s"$fixtures/stations.shp")
+        val w = org.apache.spark.sql.expressions.Window
+          .orderBy(col("name"), col("x"))
+        s.read.format("shapefile").load(s"$fixtures/stations.shp")
           .select(col("name"),
             GraftFunctions.st_x(col("geometry")).as("x"),
             GraftFunctions.st_y(col("geometry")).as("y"))
-          .orderBy(col("name"), col("x")).collect()
-        val sb = new StringBuilder
-        sb.append("<?xml version=\"1.0\" encoding=\"UTF-8\"?>\n")
-        sb.append("<gml:FeatureCollection xmlns:gml=\"http://www.opengis.net/gml\" xmlns:app=\"http://graft.example/app\">\n")
-        src.zipWithIndex.foreach { case (r, i) =>
-          sb.append(s"""<gml:featureMember><app:station gml:id="s$i">""")
-          sb.append(s"<app:name>${scala.xml.Utility.escape(r.getString(0))}</app:name>")
-          sb.append(s"""<app:geom><gml:Point><gml:pos>${r.getDouble(1)} ${r.getDouble(2)}</gml:pos></gml:Point></app:geom>""")
-          sb.append("</app:station></gml:featureMember>\n")
-        }
-        sb.append("</gml:FeatureCollection>\n")
-        java.nio.file.Files.writeString(java.nio.file.Paths.get(path), sb.toString)
+          .withColumn("gml_id",
+            concat(lit("s"), (row_number().over(w) - 1).cast("string")))
+          .select(col("gml_id"), col("name"),
+            GraftFunctions.st_point(col("x"), col("y")).as("geometry"))
+          .coalesce(1)
+          .write.format("gml").option("layerName", "station")
+          .mode("overwrite").save(path)
         gmlFixtureDone = true
       }
     }

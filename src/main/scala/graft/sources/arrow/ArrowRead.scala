@@ -45,6 +45,9 @@ object ArrowRead {
     t match {
       case i: ArrowType.Int if i.getBitWidth <= 32 => IntegerType
       case _: ArrowType.Int => LongType
+      case f: ArrowType.FloatingPoint
+        if f.getPrecision == org.apache.arrow.vector.types.FloatingPointPrecision.SINGLE =>
+        FloatType
       case _: ArrowType.FloatingPoint => DoubleType
       case _: ArrowType.Utf8 | _: ArrowType.LargeUtf8 => StringType
       case _: ArrowType.Binary | _: ArrowType.LargeBinary => BinaryType
@@ -59,7 +62,7 @@ object ArrowRead {
       case x: IntVector => x.get(i)
       case x: BigIntVector => x.get(i)
       case x: Float8Vector => x.get(i)
-      case x: Float4Vector => x.get(i).toDouble
+      case x: Float4Vector => x.get(i) // FloatType column
       case x: VarCharVector => new String(x.get(i), "UTF-8")
       case x: LargeVarCharVector => new String(x.get(i), "UTF-8")
       case x: VarBinaryVector => x.get(i)

@@ -83,8 +83,8 @@ object ArrowWrite {
   private def sparkToArrow(f: StructField): ArrowType = f.dataType match {
     case IntegerType => new ArrowType.Int(32, true)
     case LongType => new ArrowType.Int(64, true)
-    case FloatType | DoubleType =>
-      new ArrowType.FloatingPoint(FloatingPointPrecision.DOUBLE)
+    case FloatType => new ArrowType.FloatingPoint(FloatingPointPrecision.SINGLE)
+    case DoubleType => new ArrowType.FloatingPoint(FloatingPointPrecision.DOUBLE)
     case StringType => ArrowType.Utf8.INSTANCE
     case BinaryType => ArrowType.Binary.INSTANCE
     case BooleanType => ArrowType.Bool.INSTANCE
@@ -102,7 +102,7 @@ object ArrowWrite {
     else (v, dt) match {
       case (x: IntVector, _) => x.setSafe(i, row.getInt(c))
       case (x: BigIntVector, _) => x.setSafe(i, row.getLong(c))
-      case (x: Float8Vector, FloatType) => x.setSafe(i, row.getFloat(c).toDouble)
+      case (x: Float4Vector, _) => x.setSafe(i, row.getFloat(c))
       case (x: Float8Vector, _) => x.setSafe(i, row.getDouble(c))
       case (x: VarCharVector, _) => x.setSafe(i, row.getString(c).getBytes("UTF-8"))
       case (x: VarBinaryVector, _) => x.setSafe(i, row.getAs[Array[Byte]](c))

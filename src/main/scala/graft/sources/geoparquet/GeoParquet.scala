@@ -132,8 +132,16 @@ object GeoParquet {
       def renameOrFail(from: Path, to: Path): Unit =
         if (!fs.rename(from, to))
           throw new java.io.IOException(s"geoparquet: rename failed: $from -> $to (previous dataset preserved under .old- files)")
-      val tmps = fs.listStatus(dir).map(_.getPath)
+      // ONLY task-committed files swap in: the exact .tmp-<prefix>-NNNNN
+      // name, never a leftover .tmp-<prefix>-NNNNN-aN attempt file from a
+      // failed/superseded attempt (partial rows or a footer-less file
+      // must not be promoted into the dataset)
+      val committedName = s"\\.tmp-${java.util.regex.Pattern.quote(filePrefix)}-\\d+\\.parquet".r
+      val allTmp = fs.listStatus(dir).map(_.getPath)
         .filter(_.getName.startsWith(s".tmp-$filePrefix"))
+      val (tmps, staleAttempts) =
+        allTmp.partition(p => committedName.matches(p.getName))
+      staleAttempts.foreach(fs.delete(_, false))
       val olds = fs.listStatus(dir).map(_.getPath)
         .filter(p => p.getName.endsWith(".parquet") &&
           !p.getName.startsWith(".tmp-") && !p.getName.startsWith(".old-"))

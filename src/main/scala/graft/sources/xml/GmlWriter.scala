@@ -158,15 +158,22 @@ class GmlWriterFactory(path: String, stem: String, schema: StructType, opts: Gda
   extends DataWriterFactory {
   override def createWriter(partitionId: Int, taskId: Long): DataWriter[InternalRow] =
     new GmlDataWriter(new File(path, f"$stem%s-$partitionId%05d.gml"), schema, opts,
-      partitionId)
+      partitionId, taskId)
 }
 
-class GmlDataWriter(file: File, schema: StructType, opts: GdalOptions, pid: Int)
-  extends DataWriter[InternalRow] {
+/** Task-attempt isolated: each attempt streams into its own
+  * `<final>.t<taskId>.inprogress` sibling (an extension the reader's
+  * discovery never matches), promoted to the final name only in
+  * commit() — a speculative duplicate or failed attempt can neither
+  * interleave bytes with the winner nor leave a truncated .gml a later
+  * read would parse. */
+class GmlDataWriter(file: File, schema: StructType, opts: GdalOptions, pid: Int,
+    taskId: Long) extends DataWriter[InternalRow] {
   private val geomIdx = schema.fieldNames.indexOf(opts.geometryColumnName)
   private val typeName = opts.layerName.getOrElse("feature")
+  private val tmp = new File(file.getParentFile, s"${file.getName}.t$taskId.inprogress")
   private val out = new BufferedWriter(
-    new OutputStreamWriter(new FileOutputStream(file), StandardCharsets.UTF_8))
+    new OutputStreamWriter(new FileOutputStream(tmp), StandardCharsets.UTF_8))
   private var n = 0L
   out.write("""<?xml version="1.0" encoding="UTF-8"?>""")
   out.write("\n<gml:FeatureCollection xmlns:gml=\"http://www.opengis.net/gml\" xmlns:app=\"http://graft.example/app\">\n")
@@ -178,8 +185,11 @@ class GmlDataWriter(file: File, schema: StructType, opts: GdalOptions, pid: Int)
   override def commit(): WriterCommitMessage = {
     out.write("</gml:FeatureCollection>\n")
     out.close()
+    if (file.exists()) file.delete() // last committer wins
+    if (!tmp.renameTo(file))
+      throw new java.io.IOException(s"gml: task commit rename failed: $tmp -> $file")
     GmlCommit(n)
   }
-  override def abort(): Unit = out.close()
+  override def abort(): Unit = { out.close(); tmp.delete(); () }
   override def close(): Unit = ()
 }

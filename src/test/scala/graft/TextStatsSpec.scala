@@ -130,7 +130,8 @@ class TextStatsSpec extends AnyFunSuite {
     val df = Seq(
       (1L, "ab ab ab cd"),
       (2L, doc2),
-      (3L, "q w e r t y u i o p z x c v b n m k j h")
+      (3L, "q w e r t y u i o p z x c v b n m k j h"),
+      (4L, "   ") // whitespace-only: all fractions 0, never flagged/null
     ).toDF("doc_id", "text")
     val out = graft.api.Graft.gopherRepetition(df, "text", "doc_id")
       .orderBy("doc_id").collect()
@@ -139,5 +140,6 @@ class TextStatsSpec extends AnyFunSuite {
     assert(out(0) === ((1L, 11L, 10.0 / 11, 8.0 / 11, 0.0, true)))
     assert(out(1) === ((2L, 23L, 18.0 / 23, 25.0 / 23, 12.0 / 23, true)))
     assert(out(2) === ((3L, 39L, 3.0 / 39, 5.0 / 39, 0.0, false)))
+    assert(out(3) === ((4L, 0L, 0.0, 0.0, 0.0, false)))
   }
 }
