@@ -918,6 +918,45 @@ object Graft {
     agged.select(inline(array(rows: _*)))
   }
 
+  /** Equi-width histograms of numeric columns — [[profile]]'s missing
+    * distribution view. TWO aggregation jobs at any scale: pass 1 is one
+    * partial+final min/max aggregate over every column (a 1-row
+    * broadcast); pass 2 stacks the columns long, bins each value
+    * (identical double math in both engines: width = (max−min)/bins,
+    * bin = min(floor((v−min)/width), bins−1)) and counts per
+    * (column, bin). Constant columns collapse to bin 0; empty bins are
+    * simply absent; nulls are skipped. */
+  def histogram(df: DataFrame, cols: Seq[String], bins: Int = 10): DataFrame = {
+    require(cols.nonEmpty, "histogram needs at least one column")
+    require(bins >= 1, s"histogram needs bins >= 1, got $bins")
+    val aggs = cols.flatMap(c => Seq(
+      min(col(c).cast(DoubleType)).as(s"__mn_$c"),
+      max(col(c).cast(DoubleType)).as(s"__mx_$c")))
+    val stats = df.agg(aggs.head, aggs.tail: _*)
+    val stacked = df.select(expr(
+      s"stack(${cols.length}, " +
+        cols.map(c => s"'$c', cast(`$c` as double)").mkString(", ") +
+        ") AS (col_name, v)"))
+      .filter(col("v").isNotNull)
+    def perCol(pick: String => Column): Column =
+      cols.tail.foldLeft(when(col("col_name") === cols.head, pick(cols.head))) {
+        (acc, c) => acc.when(col("col_name") === c, pick(c))
+      }
+    val width = (col("__mx") - col("__mn")) / lit(bins.toDouble)
+    stacked.crossJoin(broadcast(stats))
+      .withColumn("__mn", perCol(c => col(s"__mn_$c")))
+      .withColumn("__mx", perCol(c => col(s"__mx_$c")))
+      .withColumn("bin", when(col("__mx") > col("__mn"),
+        least(floor((col("v") - col("__mn")) / width).cast(LongType),
+          lit(bins - 1L))).otherwise(0L))
+      .groupBy(col("col_name"), col("bin"), col("__mn"), col("__mx"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("col_name"), col("bin"),
+        (col("__mn") + col("bin") * width).as("bin_lo"),
+        (col("__mn") + (col("bin") + lit(1L)) * width).as("bin_hi"),
+        col("n"))
+  }
+
   // ------------------------------------------------------------ intervals
 
   /** Merge overlapping/touching intervals per key (gaps-and-islands):

@@ -102,6 +102,16 @@ object Analytics {
         .orderBy(col("col_name"))
     }),
 
+    // ---- q110: equi-width histograms — q82's profiler gains the
+    // distribution view: 10 bins over three lineitem measures, two
+    // aggregation jobs total (1-row min/max broadcast + one stacked
+    // bin-count), bin math as identical double trees in both engines. ----
+    "q110_histograms" -> ((s, dir) => {
+      graft.api.Graft.histogram(t(s, dir, "lineitem"),
+          Seq("l_quantity", "l_extendedprice", "l_discount"), bins = 10)
+        .orderBy(col("col_name"), col("bin"))
+    }),
+
     // ---- q83: ratio-to-report — nation revenue share within region and
     // of the total. Shares divide decimal-exact window sums (decimal until
     // the final double division, so window evaluation order is
@@ -405,6 +415,36 @@ object Analytics {
   )
 
   val oracle: Map[String, String] = Map(
+    // same min/max, same width = (mx-mn)/10.0, same floor/least bin and
+    // mn + bin*width edges — identical double trees, exact hash match
+    "q110_histograms" ->
+      """WITH s AS (
+        |  SELECT MIN(CAST(l_quantity AS DOUBLE)) AS mn_q, MAX(CAST(l_quantity AS DOUBLE)) AS mx_q,
+        |         MIN(CAST(l_extendedprice AS DOUBLE)) AS mn_e, MAX(CAST(l_extendedprice AS DOUBLE)) AS mx_e,
+        |         MIN(CAST(l_discount AS DOUBLE)) AS mn_d, MAX(CAST(l_discount AS DOUBLE)) AS mx_d
+        |  FROM lineitem),
+        |u AS (
+        |  SELECT 'l_quantity' AS col_name, CAST(l_quantity AS DOUBLE) AS v FROM lineitem
+        |  UNION ALL SELECT 'l_extendedprice', CAST(l_extendedprice AS DOUBLE) FROM lineitem
+        |  UNION ALL SELECT 'l_discount', CAST(l_discount AS DOUBLE) FROM lineitem),
+        |b AS (
+        |  SELECT col_name, v,
+        |    CASE col_name WHEN 'l_quantity' THEN mn_q WHEN 'l_extendedprice' THEN mn_e ELSE mn_d END AS mn,
+        |    CASE col_name WHEN 'l_quantity' THEN mx_q WHEN 'l_extendedprice' THEN mx_e ELSE mx_d END AS mx
+        |  FROM u CROSS JOIN s WHERE v IS NOT NULL),
+        |binned AS (
+        |  SELECT col_name, mn, mx,
+        |    CASE WHEN mx > mn
+        |      THEN LEAST(CAST(FLOOR((v - mn) / ((mx - mn) / 10.0)) AS BIGINT), 9)
+        |      ELSE 0 END AS bin
+        |  FROM b)
+        |SELECT col_name, bin,
+        |  mn + bin * ((mx - mn) / 10.0) AS bin_lo,
+        |  mn + (bin + 1) * ((mx - mn) / 10.0) AS bin_hi,
+        |  COUNT(*) AS n
+        |FROM binned GROUP BY col_name, bin, mn, mx
+        |ORDER BY col_name, bin""".stripMargin,
+
     "q102_scd2_versions" ->
       """WITH e AS (
         |  SELECT user_id, event_id, event_type, epoch_us(ts) AS us FROM events),

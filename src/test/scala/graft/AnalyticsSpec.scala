@@ -86,6 +86,26 @@ class AnalyticsSpec extends AnyFunSuite {
     assert(exact.queryExecution.executedPlan.toString.contains("Expand"))
   }
 
+  test("histogram bins equi-width with edge values, nulls, and constant columns") {
+    val s = spark; import s.implicits._
+    // a: 0..10 → width 1, value 10 clamps into bin 9; b: constant; c: nulls skipped
+    val df = (0 to 10).map(i =>
+      (i.toDouble, 5.0, if (i % 2 == 0) Some(i.toDouble) else None))
+      .toDF("a", "b", "c")
+    val out = Graft.histogram(df, Seq("a", "b", "c"), bins = 10)
+      .orderBy("col_name", "bin").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDouble(2), r.getDouble(3), r.getLong(4)))
+    val a = out.filter(_._1 == "a")
+    assert(a.length === 10)
+    assert(a.map(_._5).toSeq === Seq(1L, 1L, 1L, 1L, 1L, 1L, 1L, 1L, 1L, 2L)) // 9 and 10 share bin 9
+    assert(a.head._3 === 0.0 && a.head._4 === 1.0) // bin edges
+    assert(a.last._3 === 9.0 && a.last._4 === 10.0)
+    val b = out.filter(_._1 == "b")
+    assert(b.toSeq === Seq(("b", 0L, 5.0, 5.0, 11L))) // constant → one bin, zero width
+    val c = out.filter(_._1 == "c")
+    assert(c.map(_._5).sum === 6L) // only the non-null evens
+  }
+
   // ------------------------------------------------- as-of with tolerance
 
   test("asofJoinTolerance matches most recent within window, ties to max tie") {
