@@ -53,6 +53,34 @@ trait FeatureFormat extends Serializable {
   * src/lib.rs:499). Overwrite keeps the classic `part-NNNNN` names; append
   * writes `${layerName}-NNNNN` files next to the existing ones and
   * refuses to clobber a layer that is already present. */
+/** Task-attempt file isolation shared by every single-file-per-partition
+  * writer: each attempt streams into its own hidden
+  * `.<final>.t<taskId>.inprogress` sibling (an extension no format's
+  * discovery matches), promoted to the final name only on task commit —
+  * a speculative duplicate or failed/retried attempt can neither
+  * interleave bytes with the winner nor leave a truncated file a later
+  * read would parse. */
+object AttemptFile {
+  def temp(finalFile: java.io.File, taskId: Long): java.io.File =
+    new java.io.File(finalFile.getParentFile,
+      s".${finalFile.getName}.t$taskId.inprogress")
+
+  /** Last committer wins; a failed rename aborts the task loudly. */
+  def promote(tmp: java.io.File, finalFile: java.io.File): Unit = {
+    if (finalFile.exists()) finalFile.delete()
+    if (!tmp.renameTo(finalFile))
+      throw new java.io.IOException(
+        s"task commit rename failed: $tmp -> $finalFile")
+  }
+
+  /** Overwrite-mode cleanup of debris from crashed prior jobs (only on
+    * truncate — a concurrent append job's in-flight attempts must not be
+    * swept). */
+  def cleanDebris(dir: java.io.File): Unit =
+    Option(dir.listFiles()).toSeq.flatten
+      .filter(_.getName.endsWith(".inprogress")).foreach(_.delete())
+}
+
 object LayerWrite {
   def stem(dir: java.io.File, opts: GdalOptions, truncate: Boolean): String =
     if (truncate) "part"

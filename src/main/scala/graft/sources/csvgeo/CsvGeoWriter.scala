@@ -37,6 +37,7 @@ class CsvGeoBatchWrite(path: String, schema: StructType, opts: GdalOptions,
     val dir = new File(path)
     if (!dir.exists()) dir.mkdirs()
     if (truncate) dir.listFiles().filter(_.getName.endsWith(".csv")).foreach(_.delete())
+    if (truncate) graft.sources.AttemptFile.cleanDebris(dir)
     if (!schema.fieldNames.contains(opts.geometryColumnName))
       throw new GraftError.CannotFindGeometryColumn(opts.geometryColumnName)
     new CsvGeoWriterFactory(path, graft.sources.LayerWrite.stem(dir, opts, truncate), schema, opts)
@@ -51,14 +52,16 @@ class CsvGeoBatchWrite(path: String, schema: StructType, opts: GdalOptions,
 class CsvGeoWriterFactory(path: String, stem: String, schema: StructType, opts: GdalOptions)
   extends DataWriterFactory {
   override def createWriter(partitionId: Int, taskId: Long): DataWriter[InternalRow] =
-    new CsvGeoDataWriter(new File(path, f"$stem%s-$partitionId%05d.csv"), schema, opts)
+    new CsvGeoDataWriter(new File(path, f"$stem%s-$partitionId%05d.csv"), schema, opts, taskId)
 }
 
-class CsvGeoDataWriter(file: File, schema: StructType, opts: GdalOptions)
+class CsvGeoDataWriter(file: File, schema: StructType, opts: GdalOptions,
+    taskId: Long)
   extends DataWriter[InternalRow] {
   private val geomIdx = schema.fieldNames.indexOf(opts.geometryColumnName)
+  private val tmp = graft.sources.AttemptFile.temp(file, taskId)
   private val out = new BufferedWriter(
-    new OutputStreamWriter(new FileOutputStream(file), StandardCharsets.UTF_8))
+    new OutputStreamWriter(new FileOutputStream(tmp), StandardCharsets.UTF_8))
   private var n = 0L
   out.write(schema.fieldNames.map(quote).mkString(","))
   out.write("\n")
@@ -97,7 +100,11 @@ class CsvGeoDataWriter(file: File, schema: StructType, opts: GdalOptions)
       "\"" + s.replace("\"", "\"\"") + "\""
     else s
 
-  override def commit(): WriterCommitMessage = { out.close(); CsvGeoCommit(n) }
-  override def abort(): Unit = { out.close(); file.delete(); () }
+  override def commit(): WriterCommitMessage = {
+    out.close()
+    graft.sources.AttemptFile.promote(tmp, file)
+    CsvGeoCommit(n)
+  }
+  override def abort(): Unit = { out.close(); tmp.delete(); () }
   override def close(): Unit = ()
 }

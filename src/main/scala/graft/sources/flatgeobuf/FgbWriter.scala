@@ -35,6 +35,7 @@ class FgbBatchWrite(path: String, schema: StructType, opts: GdalOptions,
     val dir = new File(path)
     if (!dir.exists()) dir.mkdirs()
     if (truncate) dir.listFiles().filter(_.getName.endsWith(".fgb")).foreach(_.delete())
+    if (truncate) graft.sources.AttemptFile.cleanDebris(dir)
     val gi = schema.fieldNames.indexOf(opts.geometryColumnName)
     if (gi < 0) throw new GraftError.CannotFindGeometryColumn(opts.geometryColumnName)
     schema.fields(gi).dataType match {
@@ -53,10 +54,11 @@ class FgbBatchWrite(path: String, schema: StructType, opts: GdalOptions,
 class FgbWriterFactory(path: String, stem: String, schema: StructType, opts: GdalOptions)
   extends DataWriterFactory {
   override def createWriter(partitionId: Int, taskId: Long): DataWriter[InternalRow] =
-    new FgbDataWriter(new File(path, f"$stem%s-$partitionId%05d.fgb"), schema, opts)
+    new FgbDataWriter(new File(path, f"$stem%s-$partitionId%05d.fgb"), schema, opts, taskId)
 }
 
-class FgbDataWriter(file: File, schema: StructType, opts: GdalOptions)
+class FgbDataWriter(file: File, schema: StructType, opts: GdalOptions,
+    taskId: Long)
   extends DataWriter[InternalRow] {
   import FgbCodec._
 
@@ -131,7 +133,8 @@ class FgbDataWriter(file: File, schema: StructType, opts: GdalOptions)
     }.getOrElse(GtUnknown)
     val extent =
       if (withIndex) Some(boxes.reduce(_ expand _)) else None // spec field 1
-    val out = new BufferedOutputStream(new FileOutputStream(file), 1 << 16)
+    val tmp = graft.sources.AttemptFile.temp(file, taskId)
+    val out = new BufferedOutputStream(new FileOutputStream(tmp), 1 << 16)
     try {
       out.write(Magic)
       out.write(writeHeader(file.getName.stripSuffix(".fgb"), headerType, columns, n,
@@ -146,6 +149,7 @@ class FgbDataWriter(file: File, schema: StructType, opts: GdalOptions)
         sorted.foreach(out.write)
       } else features.foreach(out.write)
     } finally out.close()
+    graft.sources.AttemptFile.promote(tmp, file)
     FgbCommit(n)
   }
   override def abort(): Unit = ()

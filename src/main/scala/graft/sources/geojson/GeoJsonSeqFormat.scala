@@ -107,6 +107,7 @@ class GeoJsonSeqBatchWrite(path: String, schema: org.apache.spark.sql.types.Stru
     val dir = new java.io.File(path)
     if (!dir.exists()) dir.mkdirs()
     if (truncate) dir.listFiles().filter(_.getName.endsWith(".geojsonl")).foreach(_.delete())
+    if (truncate) graft.sources.AttemptFile.cleanDebris(dir)
     GeoJsonRowSerializer.geometryIndex(schema, opts)
     new GeoJsonSeqWriterFactory(path, schema, opts)
   }
@@ -120,22 +121,28 @@ class GeoJsonSeqWriterFactory(path: String, schema: org.apache.spark.sql.types.S
   override def createWriter(partitionId: Int, taskId: Long)
     : DataWriter[org.apache.spark.sql.catalyst.InternalRow] =
     new GeoJsonSeqDataWriter(
-      new java.io.File(path, f"part-$partitionId%05d.geojsonl"), schema, opts)
+      new java.io.File(path, f"part-$partitionId%05d.geojsonl"), schema, opts, taskId)
 }
 
 class GeoJsonSeqDataWriter(file: java.io.File,
-    schema: org.apache.spark.sql.types.StructType, opts: GdalOptions)
+    schema: org.apache.spark.sql.types.StructType, opts: GdalOptions,
+    taskId: Long)
   extends org.apache.spark.sql.connector.write.DataWriter[org.apache.spark.sql.catalyst.InternalRow] {
   import org.apache.spark.sql.connector.write._
   private val geomIdx = GeoJsonRowSerializer.geometryIndex(schema, opts)
+  private val tmp = graft.sources.AttemptFile.temp(file, taskId)
   private val out = new java.io.BufferedWriter(new java.io.OutputStreamWriter(
-    new java.io.FileOutputStream(file), StandardCharsets.UTF_8))
+    new java.io.FileOutputStream(tmp), StandardCharsets.UTF_8))
 
   override def write(row: org.apache.spark.sql.catalyst.InternalRow): Unit = {
     GeoJsonRowSerializer.writeFeature(row, schema, geomIdx, opts, out)
     out.write("\n")
   }
-  override def commit(): WriterCommitMessage = { out.close(); GeoJsonCommit(0) }
-  override def abort(): Unit = { out.close(); file.delete(); () }
+  override def commit(): WriterCommitMessage = {
+    out.close()
+    graft.sources.AttemptFile.promote(tmp, file)
+    GeoJsonCommit(0)
+  }
+  override def abort(): Unit = { out.close(); tmp.delete(); () }
   override def close(): Unit = ()
 }

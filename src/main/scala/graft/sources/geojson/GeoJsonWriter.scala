@@ -145,6 +145,7 @@ class GeoJsonBatchWrite(path: String, schema: StructType, opts: GdalOptions,
     val dir = new File(path)
     if (!dir.exists()) dir.mkdirs()
     if (truncate) dir.listFiles().filter(_.getName.endsWith(".geojson")).foreach(_.delete())
+    if (truncate) graft.sources.AttemptFile.cleanDebris(dir)
     GeoJsonRowSerializer.geometryIndex(schema, opts) // fail fast on the driver
     new GeoJsonWriterFactory(path, graft.sources.LayerWrite.stem(dir, opts, truncate), schema, opts)
   }
@@ -159,14 +160,16 @@ class GeoJsonBatchWrite(path: String, schema: StructType, opts: GdalOptions,
 class GeoJsonWriterFactory(path: String, stem: String, schema: StructType, opts: GdalOptions)
   extends DataWriterFactory {
   override def createWriter(partitionId: Int, taskId: Long): DataWriter[InternalRow] =
-    new GeoJsonDataWriter(new File(path, f"$stem%s-$partitionId%05d.geojson"), schema, opts)
+    new GeoJsonDataWriter(new File(path, f"$stem%s-$partitionId%05d.geojson"), schema, opts, taskId)
 }
 
-class GeoJsonDataWriter(file: File, schema: StructType, opts: GdalOptions)
+class GeoJsonDataWriter(file: File, schema: StructType, opts: GdalOptions,
+    taskId: Long)
   extends DataWriter[InternalRow] {
   private val geomIdx = GeoJsonRowSerializer.geometryIndex(schema, opts)
+  private val tmp = graft.sources.AttemptFile.temp(file, taskId)
   private val out = new BufferedWriter(
-    new OutputStreamWriter(new FileOutputStream(file), StandardCharsets.UTF_8))
+    new OutputStreamWriter(new FileOutputStream(tmp), StandardCharsets.UTF_8))
   private var n = 0L
   out.write("""{"type":"FeatureCollection","features":[""")
 
@@ -176,7 +179,12 @@ class GeoJsonDataWriter(file: File, schema: StructType, opts: GdalOptions)
     GeoJsonRowSerializer.writeFeature(row, schema, geomIdx, opts, out)
     n += 1
   }
-  override def commit(): WriterCommitMessage = { out.write("\n]}\n"); out.close(); GeoJsonCommit(n) }
-  override def abort(): Unit = { out.close(); file.delete(); () }
+  override def commit(): WriterCommitMessage = {
+    out.write("\n]}\n")
+    out.close()
+    graft.sources.AttemptFile.promote(tmp, file)
+    GeoJsonCommit(n)
+  }
+  override def abort(): Unit = { out.close(); tmp.delete(); () }
   override def close(): Unit = ()
 }

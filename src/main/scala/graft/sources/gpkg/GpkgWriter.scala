@@ -38,6 +38,7 @@ class GpkgBatchWrite(path: String, schema: StructType, opts: GdalOptions,
     val dir = new File(path)
     if (!dir.exists()) dir.mkdirs()
     if (truncate) dir.listFiles().filter(_.getName.endsWith(".gpkg")).foreach(_.delete())
+    if (truncate) graft.sources.AttemptFile.cleanDebris(dir)
     val gi = schema.fieldNames.indexOf(opts.geometryColumnName)
     if (gi < 0) throw new GraftError.CannotFindGeometryColumn(opts.geometryColumnName)
     schema.fields(gi).dataType match {
@@ -57,7 +58,7 @@ class GpkgBatchWrite(path: String, schema: StructType, opts: GdalOptions,
 class GpkgWriterFactory(path: String, stem: String, schema: StructType,
     opts: GdalOptions) extends DataWriterFactory {
   override def createWriter(partitionId: Int, taskId: Long): DataWriter[InternalRow] =
-    new GpkgDataWriter(new File(path, f"$stem%s-$partitionId%05d.gpkg"), schema, opts)
+    new GpkgDataWriter(new File(path, f"$stem%s-$partitionId%05d.gpkg"), schema, opts, taskId)
 }
 
 object GpkgDataWriter {
@@ -82,7 +83,8 @@ object GpkgDataWriter {
   }
 }
 
-class GpkgDataWriter(file: File, schema: StructType, opts: GdalOptions)
+class GpkgDataWriter(file: File, schema: StructType, opts: GdalOptions,
+    taskId: Long)
   extends DataWriter[InternalRow] {
   import GpkgDataWriter._
 
@@ -195,8 +197,10 @@ class GpkgDataWriter(file: File, schema: StructType, opts: GdalOptions)
       ("gpkg_geometry_columns", "gpkg_geometry_columns", gcRoot,
         "CREATE TABLE gpkg_geometry_columns(table_name TEXT, column_name TEXT, " +
           "geometry_type_name TEXT, srs_id INTEGER, z TINYINT, m TINYINT)")))
-    val out = new FileOutputStream(file)
+    val tmp = graft.sources.AttemptFile.temp(file, taskId)
+    val out = new FileOutputStream(tmp)
     try out.write(GpkgDataWriter.stampHeader(bytes)) finally out.close()
+    graft.sources.AttemptFile.promote(tmp, file)
     GpkgCommit(rows.length.toLong)
   }
   override def abort(): Unit = ()

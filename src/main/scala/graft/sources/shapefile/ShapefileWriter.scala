@@ -37,6 +37,10 @@ class ShapefileBatchWrite(path: String, schema: StructType, opts: GdalOptions,
     if (!dir.exists()) dir.mkdirs()
     if (truncate) dir.listFiles()
       .filter(f => Seq(".shp", ".shx", ".dbf", ".prj").exists(f.getName.endsWith)).foreach(_.delete())
+    if (truncate) {
+      val ip = new java.io.File(dir, ".inprogress")
+      Option(ip.listFiles()).toSeq.flatten.foreach(_.delete())
+    }
     val gi = schema.fieldNames.indexOf(opts.geometryColumnName)
     if (gi < 0) throw new GraftError.CannotFindGeometryColumn(opts.geometryColumnName)
     schema.fields(gi).dataType match {
@@ -56,11 +60,23 @@ class ShapefileWriterFactory(path: String, stem: String, schema: StructType, opt
   extends DataWriterFactory {
   override def createWriter(partitionId: Int, taskId: Long): DataWriter[InternalRow] =
     new ShapefileDataWriter(new File(path, f"$stem%s-$partitionId%05d").getAbsolutePath,
-      schema, opts)
+      schema, opts, taskId)
 }
 
-class ShapefileDataWriter(base: String, schema: StructType, opts: GdalOptions)
-  extends DataWriter[InternalRow] {
+/** Task-attempt isolated like every other writer, but with the sidecar
+  * twist: the temp names must NOT end in .shp/.dbf (extension-based
+  * discovery would pick them up), so each attempt writes its whole
+  * .shp/.shx/.dbf(.prj) set inside a hidden `.inprogress/` subdirectory
+  * (file listings are non-recursive) and commit() renames the set into
+  * place. */
+class ShapefileDataWriter(base: String, schema: StructType, opts: GdalOptions,
+    taskId: Long) extends DataWriter[InternalRow] {
+  private val attemptBase = {
+    val f = new File(base)
+    val d = new File(f.getParentFile, ".inprogress")
+    d.mkdirs()
+    new File(d, s"${f.getName}.t$taskId").getAbsolutePath
+  }
   private val geomIdx = schema.fieldNames.indexOf(opts.geometryColumnName)
   private val fields = ShpWriter.dbfFields(schema, opts.geometryColumnName)
   private val fieldIdx = fields.map(f => schema.fieldNames.indexOf(f.name))
@@ -72,7 +88,7 @@ class ShapefileDataWriter(base: String, schema: StructType, opts: GdalOptions)
     case other => throw new IllegalArgumentException(
       s"unsupported shapefile geometryType '$other'")
   }.getOrElse(0)
-  private val writer = new ShpWriter(base, fields, forcedType)
+  private val writer = new ShpWriter(attemptBase, fields, forcedType)
   private var n = 0L
 
   override def write(row: InternalRow): Unit = {
@@ -104,10 +120,19 @@ class ShapefileDataWriter(base: String, schema: StructType, opts: GdalOptions)
     // reference WriteParams.srs (src/lib.rs:106,544): the ESRI sidecar
     opts.srs.foreach { s =>
       java.nio.file.Files.writeString(
-        java.nio.file.Paths.get(base + ".prj"), ShpWriter.prjWkt(s))
+        java.nio.file.Paths.get(attemptBase + ".prj"), ShpWriter.prjWkt(s))
+    }
+    Seq(".shp", ".shx", ".dbf", ".prj").foreach { ext =>
+      val t = new File(attemptBase + ext)
+      if (t.exists()) graft.sources.AttemptFile.promote(t, new File(base + ext))
     }
     ShpCommit(n)
   }
-  override def abort(): Unit = { writer.close(); () }
+  override def abort(): Unit = {
+    writer.close()
+    Seq(".shp", ".shx", ".dbf", ".prj")
+      .foreach(ext => new File(attemptBase + ext).delete())
+    ()
+  }
   override def close(): Unit = ()
 }

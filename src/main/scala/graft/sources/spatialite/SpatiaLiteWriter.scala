@@ -37,6 +37,7 @@ class SpatiaLiteBatchWrite(path: String, schema: StructType, opts: GdalOptions,
     val dir = new File(path)
     if (!dir.exists()) dir.mkdirs()
     if (truncate) dir.listFiles().filter(_.getName.endsWith(".sqlite")).foreach(_.delete())
+    if (truncate) graft.sources.AttemptFile.cleanDebris(dir)
     val gi = schema.fieldNames.indexOf(opts.geometryColumnName)
     if (gi < 0) throw new GraftError.CannotFindGeometryColumn(opts.geometryColumnName)
     schema.fields(gi).dataType match {
@@ -56,10 +57,11 @@ class SpatiaLiteBatchWrite(path: String, schema: StructType, opts: GdalOptions,
 class SpatiaLiteWriterFactory(path: String, stem: String, schema: StructType,
     opts: GdalOptions) extends DataWriterFactory {
   override def createWriter(partitionId: Int, taskId: Long): DataWriter[InternalRow] =
-    new SpatiaLiteDataWriter(new File(path, f"$stem%s-$partitionId%05d.sqlite"), schema, opts)
+    new SpatiaLiteDataWriter(new File(path, f"$stem%s-$partitionId%05d.sqlite"), schema, opts, taskId)
 }
 
-class SpatiaLiteDataWriter(file: File, schema: StructType, opts: GdalOptions)
+class SpatiaLiteDataWriter(file: File, schema: StructType, opts: GdalOptions,
+    taskId: Long)
   extends DataWriter[InternalRow] {
 
   private val geomIdx = schema.fieldNames.indexOf(opts.geometryColumnName)
@@ -139,8 +141,10 @@ class SpatiaLiteDataWriter(file: File, schema: StructType, opts: GdalOptions)
         "CREATE TABLE geometry_columns(f_table_name TEXT, f_geometry_column TEXT, " +
           "geometry_type INTEGER, coord_dimension INTEGER, srid INTEGER, " +
           "spatial_index_enabled INTEGER)")))
-    val out = new FileOutputStream(file)
+    val tmp = graft.sources.AttemptFile.temp(file, taskId)
+    val out = new FileOutputStream(tmp)
     try out.write(bytes) finally out.close()
+    graft.sources.AttemptFile.promote(tmp, file)
     SpatiaLiteCommit(rows.length.toLong)
   }
   override def abort(): Unit = ()

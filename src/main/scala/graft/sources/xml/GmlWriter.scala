@@ -138,6 +138,7 @@ class GmlBatchWrite(path: String, schema: StructType, opts: GdalOptions,
     val dir = new File(path)
     if (!dir.exists()) dir.mkdirs()
     if (truncate) dir.listFiles().filter(_.getName.endsWith(".gml")).foreach(_.delete())
+    if (truncate) graft.sources.AttemptFile.cleanDebris(dir)
     val gi = schema.fieldNames.indexOf(opts.geometryColumnName)
     if (gi < 0) throw new GraftError.CannotFindGeometryColumn(opts.geometryColumnName)
     schema.fields(gi).dataType match {
@@ -171,7 +172,7 @@ class GmlDataWriter(file: File, schema: StructType, opts: GdalOptions, pid: Int,
     taskId: Long) extends DataWriter[InternalRow] {
   private val geomIdx = schema.fieldNames.indexOf(opts.geometryColumnName)
   private val typeName = opts.layerName.getOrElse("feature")
-  private val tmp = new File(file.getParentFile, s"${file.getName}.t$taskId.inprogress")
+  private val tmp = graft.sources.AttemptFile.temp(file, taskId)
   private val out = new BufferedWriter(
     new OutputStreamWriter(new FileOutputStream(tmp), StandardCharsets.UTF_8))
   private var n = 0L
@@ -185,9 +186,7 @@ class GmlDataWriter(file: File, schema: StructType, opts: GdalOptions, pid: Int,
   override def commit(): WriterCommitMessage = {
     out.write("</gml:FeatureCollection>\n")
     out.close()
-    if (file.exists()) file.delete() // last committer wins
-    if (!tmp.renameTo(file))
-      throw new java.io.IOException(s"gml: task commit rename failed: $tmp -> $file")
+    graft.sources.AttemptFile.promote(tmp, file)
     GmlCommit(n)
   }
   override def abort(): Unit = { out.close(); tmp.delete(); () }

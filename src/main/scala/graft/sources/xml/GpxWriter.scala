@@ -39,6 +39,7 @@ class GpxBatchWrite(path: String, schema: StructType, opts: GdalOptions,
     val dir = new File(path)
     if (!dir.exists()) dir.mkdirs()
     if (truncate) dir.listFiles().filter(_.getName.endsWith(".gpx")).foreach(_.delete())
+    if (truncate) graft.sources.AttemptFile.cleanDebris(dir)
     val gi = schema.fieldNames.indexOf(opts.geometryColumnName)
     if (gi < 0) throw new GraftError.CannotFindGeometryColumn(opts.geometryColumnName)
     schema.fields(gi).dataType match {
@@ -57,10 +58,11 @@ class GpxBatchWrite(path: String, schema: StructType, opts: GdalOptions,
 class GpxWriterFactory(path: String, stem: String, schema: StructType, opts: GdalOptions)
   extends DataWriterFactory {
   override def createWriter(partitionId: Int, taskId: Long): DataWriter[InternalRow] =
-    new GpxDataWriter(new File(path, f"$stem%s-$partitionId%05d.gpx"), schema, opts)
+    new GpxDataWriter(new File(path, f"$stem%s-$partitionId%05d.gpx"), schema, opts, taskId)
 }
 
-class GpxDataWriter(file: File, schema: StructType, opts: GdalOptions)
+class GpxDataWriter(file: File, schema: StructType, opts: GdalOptions,
+    taskId: Long)
   extends DataWriter[InternalRow] {
   private val geomIdx = schema.fieldNames.indexOf(opts.geometryColumnName)
   // GPX-schema child order matters for validity: ele, time, then the rest
@@ -69,8 +71,9 @@ class GpxDataWriter(file: File, schema: StructType, opts: GdalOptions)
     val i = schema.fieldNames.indexOf(n)
     if (i >= 0 && i != geomIdx) Some((n, i)) else None
   }
+  private val tmp = graft.sources.AttemptFile.temp(file, taskId)
   private val out = new BufferedWriter(
-    new OutputStreamWriter(new FileOutputStream(file), StandardCharsets.UTF_8))
+    new OutputStreamWriter(new FileOutputStream(tmp), StandardCharsets.UTF_8))
   private var n = 0L
   out.write("""<?xml version="1.0" encoding="UTF-8"?>""")
   out.write("\n<gpx version=\"1.1\" creator=\"graft\" xmlns=\"http://www.topografix.com/GPX/1/1\">\n")
@@ -112,8 +115,9 @@ class GpxDataWriter(file: File, schema: StructType, opts: GdalOptions)
   override def commit(): WriterCommitMessage = {
     out.write("</gpx>\n")
     out.close()
+    graft.sources.AttemptFile.promote(tmp, file)
     GpxCommit(n)
   }
-  override def abort(): Unit = out.close()
+  override def abort(): Unit = { out.close(); tmp.delete(); () }
   override def close(): Unit = ()
 }

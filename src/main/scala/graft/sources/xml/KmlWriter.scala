@@ -123,6 +123,7 @@ class KmlBatchWrite(path: String, schema: StructType, opts: GdalOptions,
     val dir = new File(path)
     if (!dir.exists()) dir.mkdirs()
     if (truncate) dir.listFiles().filter(_.getName.endsWith(".kml")).foreach(_.delete())
+    if (truncate) graft.sources.AttemptFile.cleanDebris(dir)
     val gi = schema.fieldNames.indexOf(opts.geometryColumnName)
     if (gi < 0) throw new GraftError.CannotFindGeometryColumn(opts.geometryColumnName)
     schema.fields(gi).dataType match {
@@ -141,14 +142,16 @@ class KmlBatchWrite(path: String, schema: StructType, opts: GdalOptions,
 class KmlWriterFactory(path: String, stem: String, schema: StructType, opts: GdalOptions)
   extends DataWriterFactory {
   override def createWriter(partitionId: Int, taskId: Long): DataWriter[InternalRow] =
-    new KmlDataWriter(new File(path, f"$stem%s-$partitionId%05d.kml"), schema, opts)
+    new KmlDataWriter(new File(path, f"$stem%s-$partitionId%05d.kml"), schema, opts, taskId)
 }
 
-class KmlDataWriter(file: File, schema: StructType, opts: GdalOptions)
+class KmlDataWriter(file: File, schema: StructType, opts: GdalOptions,
+    taskId: Long)
   extends DataWriter[InternalRow] {
   private val geomIdx = schema.fieldNames.indexOf(opts.geometryColumnName)
+  private val tmp = graft.sources.AttemptFile.temp(file, taskId)
   private val out = new BufferedWriter(
-    new OutputStreamWriter(new FileOutputStream(file), StandardCharsets.UTF_8))
+    new OutputStreamWriter(new FileOutputStream(tmp), StandardCharsets.UTF_8))
   private var n = 0L
   out.write("""<?xml version="1.0" encoding="UTF-8"?>""")
   out.write("\n<kml xmlns=\"http://www.opengis.net/kml/2.2\"><Document>\n")
@@ -160,8 +163,9 @@ class KmlDataWriter(file: File, schema: StructType, opts: GdalOptions)
   override def commit(): WriterCommitMessage = {
     out.write("</Document></kml>\n")
     out.close()
+    graft.sources.AttemptFile.promote(tmp, file)
     KmlCommit(n)
   }
-  override def abort(): Unit = out.close()
+  override def abort(): Unit = { out.close(); tmp.delete(); () }
   override def close(): Unit = ()
 }

@@ -21,6 +21,9 @@ class ShapefileWriteSpec extends AnyFunSuite {
     val wa = src.selectExpr("st_aswkt(geometry) w").collect().map(_.getString(0)).sorted
     val wb = back.selectExpr("st_aswkt(geometry) w").collect().map(_.getString(0)).sorted
     assert(wa.toSeq === wb.toSeq)
+    // attempt isolation left no in-progress sidecars behind
+    val ip = new java.io.File(out, ".inprogress")
+    assert(!ip.exists() || ip.listFiles().isEmpty)
   }
 
   test("shapefile write: srs emits a .prj sidecar, geometryType overrides autodetect") {
