@@ -928,24 +928,23 @@ object Graft {
     * simply absent; nulls are skipped. */
   def histogram(df: DataFrame, cols: Seq[String], bins: Int = 10): DataFrame = {
     require(cols.nonEmpty, "histogram needs at least one column")
+    require(cols.distinct == cols, s"histogram column list has duplicates: $cols")
+    require(cols.forall(c => !c.contains("'") && !c.contains("`")),
+      "histogram column names may not contain quotes/backticks")
     require(bins >= 1, s"histogram needs bins >= 1, got $bins")
-    val aggs = cols.flatMap(c => Seq(
-      min(col(c).cast(DoubleType)).as(s"__mn_$c"),
-      max(col(c).cast(DoubleType)).as(s"__mx_$c")))
-    val stats = df.agg(aggs.head, aggs.tail: _*)
+    // non-finite values are skipped like nulls BEFORE min/max, so one NaN
+    // cannot poison the width and collapse the whole histogram
     val stacked = df.select(expr(
       s"stack(${cols.length}, " +
         cols.map(c => s"'$c', cast(`$c` as double)").mkString(", ") +
         ") AS (col_name, v)"))
-      .filter(col("v").isNotNull)
-    def perCol(pick: String => Column): Column =
-      cols.tail.foldLeft(when(col("col_name") === cols.head, pick(cols.head))) {
-        (acc, c) => acc.when(col("col_name") === c, pick(c))
-      }
+      .filter(col("v").isNotNull && !isnan(col("v")) &&
+        abs(col("v")) =!= lit(Double.PositiveInfinity))
+    // per-column min/max is a k-row broadcast (k = |cols|)
+    val stats = stacked.groupBy(col("col_name"))
+      .agg(min(col("v")).as("__mn"), max(col("v")).as("__mx"))
     val width = (col("__mx") - col("__mn")) / lit(bins.toDouble)
-    stacked.crossJoin(broadcast(stats))
-      .withColumn("__mn", perCol(c => col(s"__mn_$c")))
-      .withColumn("__mx", perCol(c => col(s"__mx_$c")))
+    stacked.join(broadcast(stats), Seq("col_name"))
       .withColumn("bin", when(col("__mx") > col("__mn"),
         least(floor((col("v") - col("__mn")) / width).cast(LongType),
           lit(bins - 1L))).otherwise(0L))

@@ -373,37 +373,36 @@ object Multimodal {
     def le32(off: Int): Long = (b(off) & 0xFFL) | ((b(off + 1) & 0xFFL) << 8) |
       ((b(off + 2) & 0xFFL) << 16) | ((b(off + 3) & 0xFFL) << 24)
     if (tag(0) != "RIFF" || tag(8) != "AVI ") return None
-    // all offsets advance in Long with corrupt-length guards: a chunk
-    // length of 0xFFFFFFF8 or 0x7FFFFFFF in adversarial bytes must end
-    // the walk (route, don't spin/throw), never loop or overflow
+    // all offsets advance in Long (lengths read UNSIGNED, so a corrupt
+    // 0xFFFFFFF8 can never go negative, stall the walk, or overflow) and
+    // chunk extents CLAMP to the buffer — a benignly-truncated download
+    // still yields every complete frame before the cut, while a frame
+    // chunk that extends past the clamp is skipped, never decoded
+    // partially (route, don't spin/throw)
     val out = scala.collection.mutable.ArrayBuffer[java.awt.image.BufferedImage]()
     var off = 12L
-    var sane = true
-    while (sane && off + 8 <= b.length) {
+    while (off + 8 <= b.length) {
       val id = tag(off.toInt)
       val len = le32(off.toInt + 4) // unsigned 32-bit, 0..2^32-1
-      if (len > b.length - off - 8) sane = false
-      else {
-        if (id == "LIST" && off + 12 <= b.length && tag(off.toInt + 8) == "movi") {
-          var p = off + 12
-          val end = off + 8 + len
-          var inner = true
-          while (inner && p + 8 <= end) {
-            val cid = tag(p.toInt)
-            val clen = le32(p.toInt + 4)
-            if (clen > end - p - 8) inner = false
-            else {
-              if (cid.endsWith("dc") || cid.endsWith("db")) {
-                try Option(javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(
-                  b, p.toInt + 8, clen.toInt))).foreach(out += _)
-                catch { case scala.util.control.NonFatal(_) => () }
-              }
-              p += 8 + clen + (clen & 1)
+      if (id == "LIST" && off + 12 <= b.length && tag(off.toInt + 8) == "movi") {
+        var p = off + 12
+        val end = math.min(off + 8 + len, b.length.toLong)
+        var inner = true
+        while (inner && p + 8 <= end) {
+          val cid = tag(p.toInt)
+          val clen = le32(p.toInt + 4)
+          if (clen > end - p - 8) inner = false // truncated frame: stop here
+          else {
+            if (cid.endsWith("dc") || cid.endsWith("db")) {
+              try Option(javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(
+                b, p.toInt + 8, clen.toInt))).foreach(out += _)
+              catch { case scala.util.control.NonFatal(_) => () }
             }
+            p += 8 + clen + (clen & 1)
           }
         }
-        off += 8 + len + (len & 1)
       }
+      off += 8 + len + (len & 1) // len >= 0, so the walk always advances
     }
     Some(out.toSeq)
   }

@@ -60,6 +60,7 @@ class FgbWriterFactory(path: String, stem: String, schema: StructType, opts: Gda
 class FgbDataWriter(file: File, schema: StructType, opts: GdalOptions,
     taskId: Long)
   extends DataWriter[InternalRow] {
+  private val tmp = graft.sources.AttemptFile.temp(file, taskId)
   import FgbCodec._
 
   private val FgbIndexNodeSize = 16 // spec default
@@ -133,7 +134,6 @@ class FgbDataWriter(file: File, schema: StructType, opts: GdalOptions,
     }.getOrElse(GtUnknown)
     val extent =
       if (withIndex) Some(boxes.reduce(_ expand _)) else None // spec field 1
-    val tmp = graft.sources.AttemptFile.temp(file, taskId)
     val out = new BufferedOutputStream(new FileOutputStream(tmp), 1 << 16)
     try {
       out.write(Magic)
@@ -152,6 +152,6 @@ class FgbDataWriter(file: File, schema: StructType, opts: GdalOptions,
     graft.sources.AttemptFile.promote(tmp, file)
     FgbCommit(n)
   }
-  override def abort(): Unit = ()
+  override def abort(): Unit = { tmp.delete(); () }
   override def close(): Unit = ()
 }

@@ -86,6 +86,7 @@ object GpkgDataWriter {
 class GpkgDataWriter(file: File, schema: StructType, opts: GdalOptions,
     taskId: Long)
   extends DataWriter[InternalRow] {
+  private val tmp = graft.sources.AttemptFile.temp(file, taskId)
   import GpkgDataWriter._
 
   private val geomIdx = schema.fieldNames.indexOf(opts.geometryColumnName)
@@ -197,12 +198,11 @@ class GpkgDataWriter(file: File, schema: StructType, opts: GdalOptions,
       ("gpkg_geometry_columns", "gpkg_geometry_columns", gcRoot,
         "CREATE TABLE gpkg_geometry_columns(table_name TEXT, column_name TEXT, " +
           "geometry_type_name TEXT, srs_id INTEGER, z TINYINT, m TINYINT)")))
-    val tmp = graft.sources.AttemptFile.temp(file, taskId)
     val out = new FileOutputStream(tmp)
     try out.write(GpkgDataWriter.stampHeader(bytes)) finally out.close()
     graft.sources.AttemptFile.promote(tmp, file)
     GpkgCommit(rows.length.toLong)
   }
-  override def abort(): Unit = ()
+  override def abort(): Unit = { tmp.delete(); () }
   override def close(): Unit = ()
 }

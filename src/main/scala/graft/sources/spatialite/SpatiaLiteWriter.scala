@@ -63,6 +63,7 @@ class SpatiaLiteWriterFactory(path: String, stem: String, schema: StructType,
 class SpatiaLiteDataWriter(file: File, schema: StructType, opts: GdalOptions,
     taskId: Long)
   extends DataWriter[InternalRow] {
+  private val tmp = graft.sources.AttemptFile.temp(file, taskId)
 
   private val geomIdx = schema.fieldNames.indexOf(opts.geometryColumnName)
   private val geomName = opts.geometryColumnName
@@ -141,12 +142,11 @@ class SpatiaLiteDataWriter(file: File, schema: StructType, opts: GdalOptions,
         "CREATE TABLE geometry_columns(f_table_name TEXT, f_geometry_column TEXT, " +
           "geometry_type INTEGER, coord_dimension INTEGER, srid INTEGER, " +
           "spatial_index_enabled INTEGER)")))
-    val tmp = graft.sources.AttemptFile.temp(file, taskId)
     val out = new FileOutputStream(tmp)
     try out.write(bytes) finally out.close()
     graft.sources.AttemptFile.promote(tmp, file)
     SpatiaLiteCommit(rows.length.toLong)
   }
-  override def abort(): Unit = ()
+  override def abort(): Unit = { tmp.delete(); () }
   override def close(): Unit = ()
 }

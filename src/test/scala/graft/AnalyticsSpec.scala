@@ -104,6 +104,12 @@ class AnalyticsSpec extends AnyFunSuite {
     assert(b.toSeq === Seq(("b", 0L, 5.0, 5.0, 11L))) // constant → one bin, zero width
     val c = out.filter(_._1 == "c")
     assert(c.map(_._5).sum === 6L) // only the non-null evens
+    // a NaN/Infinity value is skipped like a null — it cannot poison the
+    // width and collapse every row into one garbage bin
+    val dirty = Seq(0.0, 1.0, 2.0, Double.NaN, Double.PositiveInfinity).toDF("x")
+    val h = Graft.histogram(dirty, Seq("x"), bins = 2)
+      .orderBy("bin").collect().map(r => (r.getLong(1), r.getDouble(2), r.getLong(4)))
+    assert(h.toSeq === Seq((0L, 0.0, 1L), (1L, 1.0, 2L))) // finite values only
   }
 
   // ------------------------------------------------- as-of with tolerance

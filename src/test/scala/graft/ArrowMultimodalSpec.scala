@@ -235,5 +235,14 @@ class ArrowMultimodalSpec extends AnyFunSuite {
     // non-AVI bytes: None, and truncated AVI bytes never throw
     assert(Multimodal.aviFrames("not an avi".getBytes).isEmpty)
     assert(Multimodal.aviFrames(avi.take(60).toArray).exists(_.isEmpty))
+    // benign truncation (download cut mid-frame): every COMPLETE frame
+    // before the cut still decodes. Cut = idx1 (8 + 16·3 bytes) plus half
+    // of the last frame's JPEG → exactly the first two frames survive.
+    val lastJpeg = Multimodal.jpegSynth((55 + 2 * 37) % 256).length
+    val cut = Multimodal.aviFrames(
+      avi.take(avi.length - (56 + lastJpeg / 2)).toArray).get
+    assert(cut.length === 2, s"got ${cut.length} frames")
+    assert((cut.head.getRGB(0, 0) & 0xFF) === 55)
+    assert((cut(1).getRGB(0, 0) & 0xFF) === 92)
   }
 }
