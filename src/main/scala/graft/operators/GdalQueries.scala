@@ -12,8 +12,10 @@ import Util.Q
   * SourcesSpec/ArrowMultimodalSpec. */
 object GdalQueries {
   private val fixtures = "/root/reference/test_data"
-  // declared before the oracle map that interpolates it (object init order)
+  // declared before the oracle map that interpolates them (object init order)
   private val golden = "/root/repo/src/test/resources/golden/stations.csv"
+  private val goldenStates = "/root/repo/src/test/resources/golden/us_states_geom.csv"
+  private val goldenGridJoin = "/root/repo/src/test/resources/golden/us_states_gridjoin.csv"
 
   /** Deterministic GML twin of the stations shapefile, written once per
     * JVM (so the `gdal_read_gml` entry times only the StAX read) through
@@ -46,13 +48,19 @@ object GdalQueries {
   }
 
   val queries: Map[String, Q] = Map(
+    // ORACLE-CHECKED: attributes via DuckDB's own read_json re-read
+    // (gdal_read_geojson_attrs pins those), and the GEOMETRY facts —
+    // parsed type + exact vertex count through the JSON→JTS→WKB chain —
+    // via an independent JSON-walking golden
+    // (tools/make_golden_us_states.py; every fixture ring is closed, so
+    // raw coordinate counts equal st_npoints).
     "gdal_read_geojson" -> ((s, _) => {
       GraftFunctions.register(s)
       s.read.format("geojson")
         .load(s"$fixtures/us_states.feature_collection.implicit_4326.json")
         .select(col("name"), col("iso_3166_2"),
-          GraftFunctions.st_aswkt(col("geometry")).as("wkt"),
-          GraftFunctions.st_x(GraftFunctions.st_point(lit(-93.0), lit(45.0))).as("px"))
+          GraftFunctions.st_geometrytype(col("geometry")).as("gtype"),
+          GraftFunctions.st_npoints(col("geometry")).as("npoints"))
         .orderBy(col("name"))
     }),
 
@@ -231,8 +239,11 @@ object GdalQueries {
     // 10,000-point grid over the CONUS bbox against the us_states
     // polygons — points key to grid cells, polygon envelopes replicate to
     // covering cells, cell-equality join, exact st_contains verify.
-    // Rows-only (DuckDB has no spatial); SpatialFnsSpec equality-checks
-    // the tiled result against the brute-force broadcast-NL join.
+    // ORACLE-CHECKED: an independent even-odd ray-casting pass over the
+    // same grid (tools/make_golden_gridjoin.py — no geometry library)
+    // pins every per-state count; SpatialFnsSpec additionally
+    // equality-checks the tiled result against the brute-force
+    // broadcast-NL join.
     "gdal_spatial_join_tiled" -> ((s, _) => {
       GraftFunctions.register(s)
       val states = s.read.format("geojson")
@@ -337,6 +348,19 @@ object GdalQueries {
          |  header=true, columns={'name':'VARCHAR','marker-sym':'VARCHAR','x':'DOUBLE','y':'DOUBLE'})
          |WHERE x >= -77.05 AND x <= -76.99 AND y >= 38.88 AND y <= 38.92
          |ORDER BY name, x""".stripMargin,
+
+    // every per-state count from the independent ray-casting golden
+    "gdal_spatial_join_tiled" ->
+      s"""SELECT name, n_points FROM read_csv('$goldenGridJoin',
+         |  header=true, columns={'name':'VARCHAR','n_points':'BIGINT'})
+         |ORDER BY name""".stripMargin,
+
+    // geometry facts from the independent JSON-walk golden: parsed type
+    // and exact vertex count through JSON→JTS→WKB
+    "gdal_read_geojson" ->
+      s"""SELECT name, iso_3166_2, gtype, npoints FROM read_csv('$goldenStates',
+         |  header=true, columns={'name':'VARCHAR','iso_3166_2':'VARCHAR','gtype':'VARCHAR','npoints':'INTEGER'})
+         |ORDER BY name""".stripMargin,
 
     // gml_id = 's' || (rank by name, x) exactly as the fixture writer
     // enumerates; coordinates text-round-trip bit-exactly
