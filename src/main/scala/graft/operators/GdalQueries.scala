@@ -16,6 +16,7 @@ object GdalQueries {
   private val golden = "/root/repo/src/test/resources/golden/stations.csv"
   private val goldenStates = "/root/repo/src/test/resources/golden/us_states_geom.csv"
   private val goldenGridJoin = "/root/repo/src/test/resources/golden/us_states_gridjoin.csv"
+  private val goldenComuni = "/root/repo/src/test/resources/golden/comuni.csv"
 
   /** Deterministic GML twin of the stations shapefile, written once per
     * JVM (so the `gdal_read_gml` entry times only the StAX read) through
@@ -81,6 +82,11 @@ object GdalQueries {
     // The reference's own SpatiaLite read test (src/test.rs:37-39): the
     // `comuni` municipal-boundary table, streamed from the SQLite b-tree
     // with layerName selection (13 rows of MULTIPOLYGONs).
+    // ORACLE-CHECKED: Python's stdlib sqlite3 + a from-the-spec geometry
+    // blob parse (tools/make_golden_spatialite.py — no shared code with
+    // the Scala b-tree reader or JTS) recomputes every type, vertex
+    // count, and area-weighted centroid; the fixture has duplicate-code
+    // rows, so fid is the tie-break in both orderings.
     "gdal_read_spatialite" -> ((s, _) => {
       GraftFunctions.register(s)
       s.read.format("spatialite")
@@ -92,7 +98,7 @@ object GdalQueries {
           GraftFunctions.st_npoints(col("geometry")).as("npoints"),
           round(GraftFunctions.st_x(GraftFunctions.st_centroid(col("geometry"))), 1).as("cx"),
           round(GraftFunctions.st_y(GraftFunctions.st_centroid(col("geometry"))), 1).as("cy"))
-        .orderBy(col("code"))
+        .orderBy(col("code"), col("fid"))
     }),
 
     // Attribute projection of the GeoJSON read, ORACLE-CHECKED: DuckDB
@@ -348,6 +354,13 @@ object GdalQueries {
          |  header=true, columns={'name':'VARCHAR','marker-sym':'VARCHAR','x':'DOUBLE','y':'DOUBLE'})
          |WHERE x >= -77.05 AND x <= -76.99 AND y >= 38.88 AND y <= 38.92
          |ORDER BY name, x""".stripMargin,
+
+    // stdlib-sqlite3 + spec blob parse second-sources the SpatiaLite read
+    "gdal_read_spatialite" ->
+      s"""SELECT fid, code, name, gtype, npoints, cx, cy FROM read_csv('$goldenComuni',
+         |  header=true, columns={'fid':'BIGINT','code':'BIGINT','name':'VARCHAR',
+         |    'gtype':'VARCHAR','npoints':'INTEGER','cx':'DOUBLE','cy':'DOUBLE'})
+         |ORDER BY code, fid""".stripMargin,
 
     // every per-state count from the independent ray-casting golden
     "gdal_spatial_join_tiled" ->
