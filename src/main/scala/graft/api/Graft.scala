@@ -744,8 +744,19 @@ object Graft {
     val hitCount = terms.indices
       .map(i => when(col(s"__tf_$i") > 0, 1L).otherwise(0L))
       .reduce(_ + _)
-    joined.select(col("__id").as(idCol), col("__dl").as("dl"),
+    val scored = joined.select(col("__id"), col("__dl").as("dl"),
       hitCount.as("n_terms_hit"), total.as("bm25"))
+    // documents whose text tokenizes to NOTHING never reach the token
+    // explode — left-join them back with dl=0/score=0 so callers joining
+    // scores by id see every input row. (Corpus stats N/avgdl remain
+    // over token-bearing docs only: a zero-length doc contributes no
+    // evidence to either, and including it would only deflate avgdl.)
+    df.select(col(idCol).as("__id")).distinct()
+      .join(scored, Seq("__id"), "left")
+      .select(col("__id").as(idCol),
+        coalesce(col("dl"), lit(0L)).as("dl"),
+        coalesce(col("n_terms_hit"), lit(0L)).as("n_terms_hit"),
+        coalesce(col("bm25"), lit(0.0)).as("bm25"))
   }
 
   // ------------------------------------------------------------ events
@@ -929,8 +940,10 @@ object Graft {
   def histogram(df: DataFrame, cols: Seq[String], bins: Int = 10): DataFrame = {
     require(cols.nonEmpty, "histogram needs at least one column")
     require(cols.distinct == cols, s"histogram column list has duplicates: $cols")
-    require(cols.forall(c => !c.contains("'") && !c.contains("`")),
-      "histogram column names may not contain quotes/backticks")
+    // backslash is a Spark SQL string-literal escape: a trailing `\` in a
+    // generated stack() label would swallow its closing quote
+    require(cols.forall(c => !c.contains("'") && !c.contains("`") && !c.contains("\\")),
+      "histogram column names may not contain quotes/backticks/backslashes")
     require(bins >= 1, s"histogram needs bins >= 1, got $bins")
     // non-finite values are skipped like nulls BEFORE min/max, so one NaN
     // cannot poison the width and collapse the whole histogram

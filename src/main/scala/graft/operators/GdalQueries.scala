@@ -25,7 +25,11 @@ object GdalQueries {
   private val gmlFixtureLock = new Object
   @volatile private var gmlFixtureDone = false
   private def ensureGmlFixture(s: org.apache.spark.sql.SparkSession): String = {
-    val path = s"${System.getProperty("java.io.tmpdir")}/graft_q_stations_gml"
+    // process-unique path: the per-JVM done-flag is a complete guard only
+    // if no OTHER JVM (bench + tests concurrently) shares the directory —
+    // with the PID in the name, a half-written fixture is never visible
+    // across processes
+    val path = s"${System.getProperty("java.io.tmpdir")}/graft_q_stations_gml_${ProcessHandle.current().pid()}"
     if (!gmlFixtureDone) gmlFixtureLock.synchronized {
       if (!gmlFixtureDone) {
         GraftFunctions.register(s)

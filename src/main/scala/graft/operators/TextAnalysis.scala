@@ -271,10 +271,11 @@ object TextAnalysis {
          |  FROM perdoc),
          |j AS (SELECT perdoc.*, stats.*, CAST(sumdl AS DOUBLE) / CAST(n AS DOUBLE) AS avgdl
          |      FROM perdoc CROSS JOIN stats)
-         |SELECT doc_id, CAST(dl AS BIGINT) AS dl,
-         |  CAST($hitChain AS BIGINT) AS n_terms_hit,
-         |  ROUND($scoreChain, 6) AS bm25
-         |FROM j ORDER BY doc_id""".stripMargin
+         |SELECT d.doc_id, CAST(COALESCE(dl, 0) AS BIGINT) AS dl,
+         |  CAST(COALESCE($hitChain, 0) AS BIGINT) AS n_terms_hit,
+         |  ROUND(COALESCE($scoreChain, 0.0), 6) AS bm25
+         |FROM (SELECT DISTINCT doc_id FROM documents) d LEFT JOIN j USING (doc_id)
+         |ORDER BY doc_id""".stripMargin
     },
 
     // Gopher repetition: per-doc top-{2,3}-gram char fraction + duplicated

@@ -65,12 +65,19 @@ object AttemptFile {
     new java.io.File(finalFile.getParentFile,
       s".${finalFile.getName}.t$taskId.inprogress")
 
-  /** Last committer wins; a failed rename aborts the task loudly. */
+  /** Last committer wins; a failed rename aborts the task loudly.
+    * Rename FIRST (POSIX renameTo overwrites the destination atomically,
+    * so the common path never opens a window where the final file is
+    * absent); only on a failed rename (non-POSIX semantics) fall back to
+    * delete-then-retry — a zombie attempt killed inside that narrow
+    * fallback is detectable because its own rename never lands. */
   def promote(tmp: java.io.File, finalFile: java.io.File): Unit = {
-    if (finalFile.exists()) finalFile.delete()
-    if (!tmp.renameTo(finalFile))
-      throw new java.io.IOException(
-        s"task commit rename failed: $tmp -> $finalFile")
+    if (!tmp.renameTo(finalFile)) {
+      if (finalFile.exists()) finalFile.delete()
+      if (!tmp.renameTo(finalFile))
+        throw new java.io.IOException(
+          s"task commit rename failed: $tmp -> $finalFile")
+    }
   }
 
   /** Overwrite-mode cleanup of debris from crashed prior jobs (only on

@@ -106,6 +106,8 @@ object GeoParquet {
         .filter(p => p.getName.startsWith(".tmp-") || p.getName.startsWith(".old-"))
         .foreach(fs.delete(_, false))
 
+    val committedPids = df.sparkSession.sparkContext
+      .collectionAccumulator[Int]("geoparquetCommittedPids")
     out.foreachPartition { (it: Iterator[Row]) =>
       if (it.hasNext) {
         val tc = TaskContext.get()
@@ -113,19 +115,42 @@ object GeoParquet {
         val file = new Path(path, f"$writePrefix%s-$pid%05d.parquet")
         if (overwrite) {
           // task-attempt isolation: write under the attempt id, rename to
-          // the partition name on success (last committer wins)
+          // the partition name on success (last committer wins). Rename
+          // FIRST — on POSIX the rename overwrites atomically, so there
+          // is no instant where the committed name is absent; only a
+          // failed rename (filesystem refuses to clobber) falls back to
+          // delete-then-retry. A zombie attempt killed inside that
+          // fallback window is caught by the job-commit existence check
+          // below, which fails the job instead of silently promoting a
+          // dataset missing this partition.
           val attempt = new Path(path, f"$writePrefix%s-$pid%05d-a${tc.taskAttemptId()}%s.parquet")
           val pfs = attempt.getFileSystem(new Configuration())
           val writer = confSer.openWriter(attempt)
           try it.foreach(writer.write) finally writer.close()
-          pfs.delete(file, false)
-          if (!pfs.rename(attempt, file))
-            throw new java.io.IOException(s"geoparquet: task commit rename failed: $attempt -> $file")
+          if (!pfs.rename(attempt, file)) {
+            pfs.delete(file, false)
+            if (!pfs.rename(attempt, file))
+              throw new java.io.IOException(s"geoparquet: task commit rename failed: $attempt -> $file")
+          }
+          committedPids.add(pid)
         } else {
           val writer = confSer.openWriter(file)
           try it.foreach(writer.write) finally writer.close()
         }
       }
+    }
+
+    if (overwrite) {
+      // job-commit verification: every partition some attempt reported as
+      // committed must still be on disk under its committed name — closes
+      // the delete/rename race where a killed retry removed the winner
+      val missing = committedPids.value.asScala.toSet.filter { pid =>
+        !fs.exists(new Path(path, f"$writePrefix%s-$pid%05d.parquet"))
+      }
+      if (missing.nonEmpty)
+        throw new java.io.IOException(
+          s"geoparquet: committed files missing for partitions ${missing.toSeq.sorted.mkString(",")} " +
+          "(task-commit race or external deletion); previous dataset left untouched")
     }
 
     if (overwrite) {

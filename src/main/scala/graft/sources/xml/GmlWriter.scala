@@ -145,6 +145,18 @@ class GmlBatchWrite(path: String, schema: StructType, opts: GdalOptions,
       case BinaryType | StringType => ()
       case _ => throw new GraftError.GeometryColumnWrongType(opts.geometryColumnName)
     }
+    // every column emitted as an element name must be a valid XML NCName
+    // (no colons/spaces/leading digits) or the produced document is
+    // malformed and GmlFormat cannot read it back — fail fast at plan
+    // time, mirroring the geometry-column checks above
+    val ncName = "^[\\p{L}_][\\p{L}\\p{N}._\\-]*$".r
+    val elementCols = schema.fields.zipWithIndex.collect {
+      case (f, i) if i != gi && f.name != "gml_id" && f.dataType != BinaryType => f.name
+    }
+    val bad = (elementCols :+ opts.layerName.getOrElse("feature"))
+      .filterNot(n => ncName.matches(n))
+    if (bad.nonEmpty) throw new IllegalArgumentException(
+      s"gml write: column/layer names must be XML NCNames (letter/_ start, no colons or spaces): ${bad.mkString(", ")}")
     new GmlWriterFactory(path, graft.sources.LayerWrite.stem(dir, opts, truncate),
       schema, opts)
   }

@@ -93,14 +93,18 @@ class TextStatsSpec extends AnyFunSuite {
       (1L, "zebra apple apple apple"),   // rare term once
       (2L, "apple apple apple apple"),   // common term only
       (3L, "zebra zebra apple banana"),  // rare term twice
-      (4L, "banana cherry date fig")     // no query terms... except banana
+      (4L, "banana cherry date fig"),    // no query terms... except banana
+      (5L, "!!! ???")                    // tokenizes to NOTHING
     ).toDF("doc_id", "text")
     val out = graft.api.Graft.bm25Score(df, "text", "doc_id",
         terms = Seq("zebra", "apple"))
       .collect().map(r => r.getLong(0) ->
         ((r.getLong(1), r.getLong(2), r.getDouble(3)))).toMap
-    // every doc has 4 tokens
-    assert(out.values.forall(_._1 == 4L))
+    // empty-tokenizing doc still PRESENT, with dl=0/hits=0/score=0
+    assert(out.keySet === Set(1L, 2L, 3L, 4L, 5L))
+    assert(out(5L) === ((0L, 0L, 0.0)))
+    // every token-bearing doc has 4 tokens
+    assert((out - 5L).values.forall(_._1 == 4L))
     // doc 3 (zebra x2) outscores doc 1 (zebra x1) outscores doc 2 (no zebra)
     assert(out(3L)._3 > out(1L)._3)
     assert(out(1L)._3 > out(2L)._3)

@@ -325,6 +325,30 @@ class XmlSourcesSpec extends AnyFunSuite {
     }
   }
 
+  test("gml write rejects non-NCName column and layer names at plan time") {
+    val s = spark; import s.implicits._
+    graft.functions.GraftFunctions.register(spark)
+    val df = Seq(("a", "POINT (1 2)")).toDF("bad name", "wkt")
+      .withColumn("geometry", org.apache.spark.sql.functions.expr("st_geomfromwkt(wkt)"))
+      .drop("wkt")
+    val out = java.nio.file.Files.createTempDirectory("graft_gmlnc_").toString
+    val e = intercept[Exception] {
+      df.write.format("gml").mode("overwrite").save(out)
+    }
+    assert(e.getMessage.contains("NCName") ||
+      Option(e.getCause).exists(_.getMessage.contains("NCName")))
+    // a colon-bearing layer name is equally malformed
+    val ok = Seq(("a", "POINT (1 2)")).toDF("name", "wkt")
+      .withColumn("geometry", org.apache.spark.sql.functions.expr("st_geomfromwkt(wkt)"))
+      .drop("wkt")
+    val e2 = intercept[Exception] {
+      ok.write.format("gml").option("layerName", "app:spot")
+        .mode("overwrite").save(out)
+    }
+    assert(e2.getMessage.contains("NCName") ||
+      Option(e2.getCause).exists(_.getMessage.contains("NCName")))
+  }
+
   test("gpx bytes-out round trip (waypoints layer)") {
     val s = spark
     import s.implicits._
