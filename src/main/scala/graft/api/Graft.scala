@@ -1087,6 +1087,177 @@ object Graft {
       .drop("__prev")
   }
 
+  /** MERGE INTO semantics (the lakehouse CDC primitive): apply a
+    * changeset to a snapshot in ONE full-outer join on the key.
+    * `changes` carries the target's columns plus `opCol` ∈ {I,U,D}:
+    * D drops the key (a D on an absent key is a no-op), I/U replace the
+    * row WHOLESALE (an update may set columns to null — no coalesce
+    * smearing of old values). Exactly one change row per key is required
+    * for a deterministic result; feed [[scd2]]-style latest-wins
+    * compaction first if the stream has more.
+    *
+    * 100 TB shape: one shuffle on the key (full-outer cannot broadcast in
+    * Spark); both sides hash-partition, AQE handles skew. No driver
+    * traffic, no window over the snapshot. */
+  def mergeChanges(target: DataFrame, changes: DataFrame, keyCol: String,
+      opCol: String = "op"): DataFrame = {
+    val tCols = target.schema.fieldNames
+    require(changes.schema.fieldNames.contains(opCol),
+      s"mergeChanges: changeset lacks op column '$opCol'")
+    require(tCols.forall(changes.schema.fieldNames.contains),
+      "mergeChanges: changeset must carry every target column")
+    val t = target.as("t")
+    val c = changes.as("c")
+    t.join(c, col(s"t.$keyCol") === col(s"c.$keyCol"), "full_outer")
+      .filter(!(col(s"c.$opCol") <=> lit("D")))
+      .select(tCols.toIndexedSeq.map { n =>
+        when(col(s"c.$keyCol").isNotNull, col(s"c.$n"))
+          .otherwise(col(s"t.$n")).as(n)
+      }: _*)
+  }
+
+  /** Weighted PageRank by power iteration — the canonical "iterative
+    * distributed graph computation" (link/citation/transition authority).
+    * pr(v) = (1-d)/N + d·(Σ_{u→v} pr(u)·w/outw(u) + dangling/N), a fixed
+    * `iterations` rounds from the uniform vector.
+    *
+    * 100 TB shape, mirroring [[connectedComponents]]: the normalized edge
+    * list is materialized ONCE (`localCheckpoint`) and every iteration is
+    * one keyed join + one aggregation — per-round lineage truncated so
+    * round t never re-executes rounds 0..t-1; dangling mass is a 1-row
+    * aggregate broadcast back (never a driver round-trip); nothing
+    * collects.
+    *
+    * Cross-engine float policy (q95 kmeans precedent): the only
+    * order-sensitive op — summing in-contributions — is quantized to
+    * pico-units (round(x·1e12) as long) so partial/map-side aggregation
+    * order cannot perturb the sum in either engine; everything else is a
+    * fixed double expression tree. */
+  def pageRank(edges: DataFrame, srcCol: String, dstCol: String,
+      weightCol: String, damping: Double = 0.85, iterations: Int = 10): DataFrame = {
+    require(iterations >= 1, s"pageRank needs iterations >= 1, got $iterations")
+    val Q = 1.0e12
+    val e = edges.select(col(srcCol).cast(StringType).as("src"),
+      col(dstCol).cast(StringType).as("dst"),
+      col(weightCol).cast(LongType).as("w"))
+    val nodes = e.select(col("src").as("node"))
+      .unionAll(e.select(col("dst").as("node")))
+      .distinct().localCheckpoint()
+    val n = nodes.count() // ONE driver scalar for the whole run
+    require(n > 0, "pageRank: empty edge list")
+    val nD = n.toDouble
+    val outw = e.groupBy(col("src")).agg(sum(col("w")).as("ow"))
+    val ep = e.join(outw, Seq("src"))
+      .select(col("src"), col("dst"),
+        (col("w").cast(DoubleType) / col("ow").cast(DoubleType)).as("p"))
+      .localCheckpoint() // joined every round; upstream runs exactly once
+    val dangling = nodes.join(e.select(col("src").as("node")).distinct(),
+      Seq("node"), "left_anti").localCheckpoint()
+    var ranks = nodes.withColumn("rank", lit(1.0) / lit(nD))
+    var i = 0
+    while (i < iterations) {
+      val in = ep.join(ranks.withColumnRenamed("node", "src"), Seq("src"))
+        .groupBy(col("dst").as("node"))
+        .agg((sum(round(col("rank") * col("p") * lit(Q)).cast(LongType))
+          .cast(DoubleType) / lit(Q)).as("in_r"))
+      val dang = ranks.join(dangling, Seq("node"), "left_semi")
+        .agg(coalesce(sum(round(col("rank") * lit(Q)).cast(LongType)), lit(0L))
+          .cast(DoubleType).as("dang_q"))
+        .select((col("dang_q") / lit(Q)).as("dang"))
+      ranks = nodes.join(in, Seq("node"), "left")
+        .crossJoin(broadcast(dang))
+        .select(col("node"),
+          ((lit(1.0) - lit(damping)) / lit(nD) +
+            lit(damping) * (coalesce(col("in_r"), lit(0.0)) +
+              col("dang") / lit(nD))).as("rank"))
+        .localCheckpoint() // truncate the iterative lineage
+      i += 1
+    }
+    ranks
+  }
+
+  /** Bigram language-model scoring (the CCNet/Wenzek et al. 2020 shape:
+    * score every document by cross-entropy under an n-gram LM, filter or
+    * bucket on it — here the LM is trained on the corpus ITSELF, the
+    * self-perplexity form used to find gibberish/outlier documents
+    * without an external model). Add-k smoothing:
+    * P(w2|w1) = (C(w1,w2)+k)/(C(w1)+k·V), doc score = mean over its
+    * bigrams of -ln P.
+    *
+    * 100 TB shape: bigram/unigram count tables are keyed aggregates of
+    * the token stream (the vocabulary is orders of magnitude smaller than
+    * the corpus), joined back by gram key — all hash-partitioned, nothing
+    * broadcast but the 1-row vocab size. Per-doc -ln-P sums are
+    * nano-quantized longs (order-free, q95 policy); the mean is one
+    * double division. */
+  def ngramLmScore(df: DataFrame, textCol: String, idCol: String,
+      addK: Double = 0.5): DataFrame = {
+    val Q = 1.0e9
+    val toks = df.select(col(idCol).as("__id"),
+      posexplode(split(lower(col(textCol)), "[^a-z0-9]+")).as(Seq("__p", "__t")))
+      .filter(col("__t") =!= "")
+    // re-rank positions AFTER dropping empties so bigrams never straddle
+    // a punctuation gap inconsistently between engines
+    val wp = Window.partitionBy(col("__id")).orderBy(col("__p"))
+    val seq = toks.withColumn("__i", row_number().over(wp))
+    val bigrams = seq.alias("a").join(seq.alias("b"),
+        col("a.__id") === col("b.__id") && col("b.__i") === col("a.__i") + 1)
+      .select(col("a.__id").as("__id"), col("a.__t").as("w1"), col("b.__t").as("w2"))
+    val uni = seq.groupBy(col("__t").as("w1")).agg(count(lit(1)).as("cu"))
+    val bi = bigrams.groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("cb"))
+    val vocab = seq.agg(countDistinct(col("__t")).as("v"))
+    val nll = log((col("cu").cast(DoubleType) + lit(addK) * col("v").cast(DoubleType)) /
+      (col("cb").cast(DoubleType) + lit(addK)))
+    val scored = bigrams.join(bi, Seq("w1", "w2"))
+      .join(uni, Seq("w1"))
+      .crossJoin(broadcast(vocab))
+      .select(col("__id"), round(nll * lit(Q)).cast(LongType).as("__q"))
+      .groupBy(col("__id"))
+      .agg(count(lit(1)).as("n_bigrams"),
+        ((sum(col("__q")).cast(DoubleType) / lit(Q)) / count(lit(1)))
+          .as("cross_entropy"))
+    // docs with < 2 tokens have no bigrams: keep them as rows (the bm25
+    // contract) with n_bigrams=0 and a NULL score — "no evidence" is not
+    // a zero cross-entropy
+    df.select(col(idCol).as("__id")).distinct()
+      .join(scored, Seq("__id"), "left")
+      .select(col("__id").as(idCol),
+        coalesce(col("n_bigrams"), lit(0L)).as("n_bigrams"),
+        col("cross_entropy"))
+  }
+
+  /** Pairwise corpus-overlap audit: Jaccard similarity of the distinct
+    * word-`n`-gram shingle sets of every pair of sources — the
+    * contamination/provenance matrix run before mixing corpora (a high
+    * overlap means two "sources" are the same crawl twice). Exact, via
+    * one shingle-keyed self-join of the (shingle, source)-distinct set:
+    * inter(a,b) per pair, union = |A|+|B|−inter. No cartesian anywhere —
+    * the join key is the shingle, and a shingle contributes C(s,2) pair
+    * rows only across the s ≤ #sources sources that contain it (sources
+    * number in the dozens, not the corpus size). Jaccard is one double
+    * division, q83's policy. */
+  def shingleOverlap(df: DataFrame, textCol: String, groupCol: String,
+      n: Int = 3): DataFrame = {
+    graft.functions.GraftFunctions.register(df.sparkSession)
+    // the same codegen'd whitespace-token shingle kernel the dedup family
+    // uses (q24/q52 semantics — one tokenization rule engine-wide)
+    val sh = df.select(col(groupCol).as("__g"),
+        explode(expr(s"shingle_set(`$textCol`, $n)")).as("__s"))
+      .distinct()
+    val sizes = sh.groupBy(col("__g")).agg(count(lit(1)).as("__d"))
+    val inter = sh.alias("a").join(sh.alias("b"),
+        col("a.__s") === col("b.__s") && col("a.__g") < col("b.__g"))
+      .groupBy(col("a.__g").as("source_a"), col("b.__g").as("source_b"))
+      .agg(count(lit(1)).as("inter"))
+    inter
+      .join(sizes.select(col("__g").as("source_a"), col("__d").as("__da")), Seq("source_a"))
+      .join(sizes.select(col("__g").as("source_b"), col("__d").as("__db")), Seq("source_b"))
+      .select(col("source_a"), col("source_b"), col("inter"),
+        (col("__da") + col("__db") - col("inter")).as("union_size"),
+        (col("inter").cast(DoubleType) /
+          (col("__da") + col("__db") - col("inter")).cast(DoubleType)).as("jaccard"))
+  }
+
   // -------------------------------------------------- embedding clustering
 
   /** Deterministic k-means seeds: the k vectors with the smallest

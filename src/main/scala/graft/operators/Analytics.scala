@@ -32,6 +32,49 @@ object Analytics {
     s"(${spreadSql(x)} | (${spreadSql(y)} << 1))"
 
   val queries: Map[String, Q] = Map(
+    // ---- q111: weighted PageRank over the event-type transition graph
+    // (q86's edges) — iterative distributed graph computation by power
+    // iteration: per round ONE keyed join + one aggregation with
+    // checkpoint-truncated lineage (the connectedComponents discipline);
+    // dangling mass is a 1-row broadcast. In-contribution sums are
+    // pico-quantized longs so shuffle order cannot perturb them (q95
+    // policy); the oracle unrolls the same 10 rounds as chained CTEs. ----
+    "q111_pagerank" -> ((s, dir) => {
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(unix_micros(col("ts")), col("event_id"))
+      val edges = t(s, dir, "events")
+        .withColumn("next_type", lead(col("event_type"), 1).over(w))
+        .filter(col("next_type").isNotNull)
+        .groupBy(col("event_type").as("src"), col("next_type").as("dst"))
+        .agg(count(lit(1)).as("w"))
+      graft.api.Graft.pageRank(edges, "src", "dst", "w")
+        .select(col("node"), round(col("rank"), 12).as("rank"))
+        .orderBy(col("node"))
+    }),
+
+    // ---- q112: MERGE INTO semantics (lakehouse CDC upsert): one
+    // full-outer join applies a deterministic changeset — updates
+    // (key%10<2: acctbal+100, segment overwritten), deletes (key%10=2),
+    // inserts (key%10=3 re-keyed +1M) — D drops, I/U replace the row
+    // wholesale. One shuffle on the key, no windows, no driver traffic. ----
+    "q112_merge_upsert" -> ((s, dir) => {
+      val cust = t(s, dir, "customer")
+      val changes =
+        cust.filter(col("c_custkey") % 10 < 2)
+          .select(col("c_custkey"), col("c_name"), col("c_nationkey"),
+            (col("c_acctbal") + lit(100.0)).as("c_acctbal"),
+            lit("UPDATED").as("c_mktsegment"), lit("U").as("op"))
+        .unionAll(cust.filter(col("c_custkey") % 10 === 2)
+          .select(col("c_custkey"), col("c_name"), col("c_nationkey"),
+            col("c_acctbal"), col("c_mktsegment"), lit("D").as("op")))
+        .unionAll(cust.filter(col("c_custkey") % 10 === 3)
+          .select((col("c_custkey") + lit(1000000L)).as("c_custkey"),
+            concat(col("c_name"), lit("_new")).as("c_name"), col("c_nationkey"),
+            col("c_acctbal"), col("c_mktsegment"), lit("I").as("op")))
+      graft.api.Graft.mergeChanges(cust, changes, "c_custkey")
+        .orderBy(col("c_custkey"))
+    }),
+
     // ---- q79: time-bounded rolling window — 7-day revenue per customer
     // (RANGE frame over event time, the "rolling KPI" every dashboard
     // needs). One shuffle on the customer; the frame is a sliding range
@@ -414,7 +457,74 @@ object Analytics {
     })
   )
 
+  /** Unrolled power-iteration twin of [[graft.api.Graft.pageRank]]: the
+    * identical double expression tree per round ((1-d)/N + d·(in +
+    * dang/N)), with in-sums and dangling mass pico-quantized exactly as
+    * the Spark side quantizes them — chained CTEs r0..r{iters}. */
+  private def pagerankSql(iters: Int): String = {
+    val q = "1000000000000.0"
+    // every round CTE is MATERIALIZED: each references the previous round
+    // twice (in-sum + dangling), and DuckDB inlines plain CTEs — 10
+    // rounds of 2× expansion is a 2^10 plan that OOMs the oracle
+    val rounds = (1 to iters).map { i =>
+      s"""r$i AS MATERIALIZED (
+         |  SELECT n.node,
+         |    (1.0 - 0.85) / nn.nd + 0.85 * (COALESCE(ins.in_r, 0.0) + dg.dang / nn.nd) AS rank
+         |  FROM nodes n
+         |  CROSS JOIN nn
+         |  LEFT JOIN (
+         |    SELECT e.dst AS node,
+         |      CAST(SUM(CAST(ROUND(r.rank * e.p * $q) AS BIGINT)) AS DOUBLE) / $q AS in_r
+         |    FROM ep e JOIN r${i - 1} r ON r.node = e.src GROUP BY e.dst) ins USING (node)
+         |  CROSS JOIN (
+         |    SELECT CAST(COALESCE(SUM(CAST(ROUND(r.rank * $q) AS BIGINT)), 0) AS DOUBLE) / $q AS dang
+         |    FROM r${i - 1} r JOIN dangling d ON d.node = r.node) dg)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH nxt AS (
+       |  SELECT event_type,
+       |    lead(event_type) OVER (PARTITION BY user_id
+       |      ORDER BY epoch_us(ts), event_id) AS next_type
+       |  FROM events),
+       |edges AS MATERIALIZED (
+       |  SELECT event_type AS src, next_type AS dst, COUNT(*) AS w
+       |  FROM nxt WHERE next_type IS NOT NULL GROUP BY 1, 2),
+       |nodes AS MATERIALIZED (SELECT src AS node FROM edges UNION SELECT dst FROM edges),
+       |nn AS MATERIALIZED (SELECT CAST(COUNT(*) AS DOUBLE) AS nd FROM nodes),
+       |outw AS (SELECT src, SUM(w) AS ow FROM edges GROUP BY src),
+       |ep AS MATERIALIZED (SELECT src, dst, CAST(w AS DOUBLE) / CAST(ow AS DOUBLE) AS p
+       |       FROM edges JOIN outw USING (src)),
+       |dangling AS MATERIALIZED (SELECT node FROM nodes WHERE node NOT IN (SELECT src FROM edges)),
+       |r0 AS MATERIALIZED (SELECT node, 1.0 / nd AS rank FROM nodes CROSS JOIN nn),
+       |$rounds
+       |SELECT node, ROUND(rank, 12) AS rank FROM r$iters ORDER BY node""".stripMargin
+  }
+
   val oracle: Map[String, String] = Map(
+    "q111_pagerank" -> pagerankSql(10),
+
+    "q112_merge_upsert" ->
+      """WITH changes AS (
+        |  SELECT c_custkey, c_name, c_nationkey,
+        |    c_acctbal + 100.0 AS c_acctbal,
+        |    'UPDATED' AS c_mktsegment, 'U' AS op
+        |  FROM customer WHERE c_custkey % 10 < 2
+        |  UNION ALL
+        |  SELECT c_custkey, c_name, c_nationkey, c_acctbal, c_mktsegment, 'D'
+        |  FROM customer WHERE c_custkey % 10 = 2
+        |  UNION ALL
+        |  SELECT c_custkey + 1000000, c_name || '_new', c_nationkey,
+        |    c_acctbal, c_mktsegment, 'I'
+        |  FROM customer WHERE c_custkey % 10 = 3)
+        |SELECT
+        |  CASE WHEN c.c_custkey IS NOT NULL THEN c.c_custkey ELSE t.c_custkey END AS c_custkey,
+        |  CASE WHEN c.c_custkey IS NOT NULL THEN c.c_name ELSE t.c_name END AS c_name,
+        |  CASE WHEN c.c_custkey IS NOT NULL THEN c.c_nationkey ELSE t.c_nationkey END AS c_nationkey,
+        |  CASE WHEN c.c_custkey IS NOT NULL THEN c.c_acctbal ELSE t.c_acctbal END AS c_acctbal,
+        |  CASE WHEN c.c_custkey IS NOT NULL THEN c.c_mktsegment ELSE t.c_mktsegment END AS c_mktsegment
+        |FROM customer t FULL JOIN changes c ON t.c_custkey = c.c_custkey
+        |WHERE c.op IS DISTINCT FROM 'D'
+        |ORDER BY c_custkey""".stripMargin,
+
     // same min/max, same width = (mx-mn)/10.0, same floor/least bin and
     // mn + bin*width edges — identical double trees, exact hash match
     "q110_histograms" ->

@@ -15,6 +15,19 @@ import Util._
 object Corpus {
 
   val queries: Map[String, Q] = Map(
+    // ---- q114: pairwise corpus-overlap audit — exact Jaccard of the
+    // distinct word-trigram shingle sets of every source pair (the
+    // contamination/provenance matrix run before mixing corpora). One
+    // shingle-keyed self-join of the (shingle, source)-distinct set: a
+    // shingle fans out only across the ≤ #sources sources containing it,
+    // never across documents — no cartesian at any scale. ----
+    "q114_source_overlap" -> ((s, dir) => {
+      graft.api.Graft.shingleOverlap(t(s, dir, "documents"), "text", "source", 3)
+        .select(col("source_a"), col("source_b"), col("inter"), col("union_size"),
+          round(col("jaccard"), 6).as("jaccard"))
+        .orderBy(col("source_a"), col("source_b"))
+    }),
+
     // ---- q62: overlapping character chunking (500/100) — RAG/pretrain
     // context-window splitter. Chunk content pinned via md5 so the output
     // stays compact while hash-checking every byte of every chunk. ----
@@ -156,6 +169,29 @@ object Corpus {
     }))
 
   val oracle: Map[String, String] = Map(
+    // source-overlap twin: the q52 shingle formulation (space-split
+    // tokens, chr(0)-joined trigrams, DISTINCT per source), exact integer
+    // inter/union, jaccard as ONE double division
+    "q114_source_overlap" ->
+      """WITH toks AS (
+        |  SELECT source, string_split(trim(text), ' ') AS t FROM documents),
+        |sh AS (
+        |  SELECT DISTINCT source, t[i] || chr(0) || t[i+1] || chr(0) || t[i+2] AS s
+        |  FROM (SELECT source, t, unnest(generate_series(1, greatest(len(t) - 2, 0))) AS i
+        |        FROM toks)),
+        |sizes AS (SELECT source, COUNT(*) AS d FROM sh GROUP BY source),
+        |inter AS (
+        |  SELECT a.source AS source_a, b.source AS source_b, COUNT(*) AS inter
+        |  FROM sh a JOIN sh b ON a.s = b.s AND a.source < b.source
+        |  GROUP BY 1, 2)
+        |SELECT source_a, source_b, inter,
+        |  sa.d + sb.d - inter AS union_size,
+        |  ROUND(CAST(inter AS DOUBLE) / CAST(sa.d + sb.d - inter AS DOUBLE), 6) AS jaccard
+        |FROM inter
+        |JOIN sizes sa ON sa.source = source_a
+        |JOIN sizes sb ON sb.source = source_b
+        |ORDER BY source_a, source_b""".stripMargin,
+
     "q62_chunk_docs" ->
       """WITH c AS (SELECT doc_id, text, length(text) AS len
         |           FROM documents WHERE length(text) > 0)

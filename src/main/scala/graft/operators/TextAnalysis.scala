@@ -31,6 +31,18 @@ object TextAnalysis {
     "zh" -> "(de|shi|le|wo|ni)")
 
   val queries: Map[String, Q] = Map(
+    // ---- q113: bigram LM self-perplexity (CCNet-shape quality filter:
+    // score docs by cross-entropy under an n-gram model trained on the
+    // corpus itself — gibberish/outlier docs score high). Count tables
+    // are keyed aggregates joined back by gram; per-doc -ln-P sums are
+    // nano-quantized longs (order-free) with ONE final double division. ----
+    "q113_ngram_lm" -> ((s, dir) => {
+      graft.api.Graft.ngramLmScore(t(s, dir, "documents"), "text", "doc_id")
+        .select(col("doc_id"), col("n_bigrams"),
+          round(col("cross_entropy"), 6).as("cross_entropy"))
+        .orderBy(col("doc_id"))
+    }),
+
     // ---- q29: language identification ----
     "q29_langid" -> ((s, dir) => {
       import s.implicits._
@@ -198,6 +210,37 @@ object TextAnalysis {
   }
 
   val oracle: Map[String, String] = Map(
+    // bigram-LM twin: identical tokenization (lowercase, non-alnum split,
+    // empties dropped), identical add-0.5 smoothing expression tree, and
+    // the same round(nll*1e9)-as-BIGINT quantization before the per-doc
+    // sum — the only order-sensitive op is an exact integer sum.
+    "q113_ngram_lm" ->
+      """WITH tl AS (
+        |  SELECT doc_id,
+        |    list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+        |      x -> x <> '') AS w
+        |  FROM documents),
+        |toks AS (SELECT doc_id, unnest(w) AS t FROM tl),
+        |b0 AS (SELECT doc_id, w, unnest(range(1, len(w))) AS i
+        |       FROM tl WHERE len(w) >= 2),
+        |bigrams AS (SELECT doc_id, w[i] AS w1, w[i + 1] AS w2 FROM b0),
+        |uni AS (SELECT t AS w1, COUNT(*) AS cu FROM toks GROUP BY t),
+        |bi AS (SELECT w1, w2, COUNT(*) AS cb FROM bigrams GROUP BY w1, w2),
+        |vocab AS (SELECT COUNT(DISTINCT t) AS v FROM toks),
+        |scored AS (
+        |  SELECT g.doc_id, COUNT(*) AS n_bigrams,
+        |    (CAST(SUM(CAST(ROUND(ln((CAST(cu AS DOUBLE) + 0.5 * CAST(v AS DOUBLE)) /
+        |        (CAST(cb AS DOUBLE) + 0.5)) * 1000000000.0) AS BIGINT)) AS DOUBLE)
+        |      / 1000000000.0) / COUNT(*) AS cross_entropy
+        |  FROM bigrams g
+        |  JOIN bi USING (w1, w2) JOIN uni USING (w1) CROSS JOIN vocab
+        |  GROUP BY g.doc_id)
+        |SELECT d.doc_id, CAST(COALESCE(n_bigrams, 0) AS BIGINT) AS n_bigrams,
+        |  ROUND(cross_entropy, 6) AS cross_entropy
+        |FROM (SELECT DISTINCT doc_id FROM documents) d
+        |LEFT JOIN scored USING (doc_id)
+        |ORDER BY d.doc_id""".stripMargin,
+
     "q29_langid" -> langidSql,
 
     "q30_text_quality" ->

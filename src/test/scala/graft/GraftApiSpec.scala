@@ -162,4 +162,87 @@ class GraftApiSpec extends AnyFunSuite {
     assert(row.getAs[Long]("n_stop") === 3L) // the, and, a
     assert(row.getAs[String]("fp").length === 32)
   }
+
+  test("pageRank: ranks sum to ~1, authority orders correctly, dangling mass redistributes") {
+    val s = spark; import s.implicits._
+    // a -> c, b -> c, c -> a  (c is the authority; no dangling)
+    val edges = Seq(("a", "c", 1L), ("b", "c", 1L), ("c", "a", 1L))
+      .toDF("src", "dst", "w")
+    val pr = Graft.pageRank(edges, "src", "dst", "w", iterations = 20)
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(math.abs(pr.values.sum - 1.0) < 1e-6)
+    assert(pr("c") > pr("a") && pr("a") > pr("b"))
+    // dangling node: a -> b, b absorbs then redistributes — sum still 1
+    val dangling = Seq(("a", "b", 1L)).toDF("src", "dst", "w")
+    val pr2 = Graft.pageRank(dangling, "src", "dst", "w", iterations = 20)
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(math.abs(pr2.values.sum - 1.0) < 1e-6)
+    assert(pr2("b") > pr2("a"))
+  }
+
+  test("pageRank weights skew rank toward the heavier edge") {
+    val s = spark; import s.implicits._
+    // a sends 9/10 of its mass to b, 1/10 to c; b and c both return to a
+    val edges = Seq(("a", "b", 9L), ("a", "c", 1L), ("b", "a", 1L), ("c", "a", 1L))
+      .toDF("src", "dst", "w")
+    val pr = Graft.pageRank(edges, "src", "dst", "w", iterations = 20)
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(pr("b") > pr("c"))
+  }
+
+  test("mergeChanges applies insert/update/delete with whole-row replace") {
+    val s = spark; import s.implicits._
+    val target = Seq((1L, "one", 10.0), (2L, "two", 20.0), (3L, "three", 30.0))
+      .toDF("k", "name", "bal")
+    val changes = Seq(
+      (2L, null.asInstanceOf[String], 99.0, "U"), // update sets name to NULL
+      (3L, "three", 30.0, "D"),                   // delete
+      (4L, "four", 40.0, "I"),                    // insert
+      (9L, "ghost", 0.0, "D"))                    // delete of absent key = no-op
+      .toDF("k", "name", "bal", "op")
+    val out = Graft.mergeChanges(target, changes, "k").orderBy("k").collect()
+    assert(out.map(_.getLong(0)).toSeq === Seq(1L, 2L, 4L))
+    val r2 = out(1)
+    assert(r2.isNullAt(1) && r2.getDouble(2) === 99.0) // wholesale replace, no smearing
+    assert(out(2).getString(1) === "four")
+    // a changeset missing target columns fails fast
+    val bad = Seq((1L, "x")).toDF("k", "op")
+    val ex = intercept[IllegalArgumentException] {
+      Graft.mergeChanges(target, bad, "k")
+    }
+    assert(ex.getMessage.contains("every target column"))
+  }
+
+  test("ngramLmScore: repeated-pattern text scores lower than one-off text; short docs kept") {
+    val s = spark; import s.implicits._
+    val df = Seq(
+      (1L, "the cat sat on the mat the cat sat on the mat the cat sat on the mat"),
+      (2L, "zygote quasar bonsai vortex igloo phantom walrus nectar"),
+      (3L, "single")) // one token: no bigrams
+      .toDF("doc_id", "text")
+    val out = Graft.ngramLmScore(df, "text", "doc_id")
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), Option(r.get(2)).map(_.asInstanceOf[Double])))).toMap
+    // predictable loops are low cross-entropy, all-unique text is high
+    assert(out(1L)._2.get < out(2L)._2.get)
+    // bigram-less doc present with n_bigrams=0 and NULL score
+    assert(out(3L) === ((0L, None)))
+    assert(out(1L)._1 === 17L) // 18 tokens -> 17 bigrams
+  }
+
+  test("shingleOverlap: identical sources have jaccard 1, disjoint pairs are absent") {
+    val s = spark; import s.implicits._
+    val df = Seq(
+      (1L, "alpha beta gamma delta", "s1"),
+      (2L, "alpha beta gamma delta", "s2"), // identical shingle set to s1
+      (3L, "one two three four five", "s3")) // disjoint from both
+      .toDF("doc_id", "text", "source")
+    val out = Graft.shingleOverlap(df, "text", "source", 3)
+      .collect().map(r => (r.getString(0), r.getString(1)) ->
+        ((r.getLong(2), r.getLong(3), r.getDouble(4))))
+    assert(out.length === 1) // only the overlapping pair appears
+    val ((a, b), (inter, uni, j)) = out.head
+    assert((a, b) === (("s1", "s2")))
+    assert(inter === 2L && uni === 2L && j === 1.0)
+  }
 }

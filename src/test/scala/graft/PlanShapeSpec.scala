@@ -205,4 +205,22 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(!p.contains("SinglePartition"), p)
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoop"), p)
   }
+
+  test("q112 merge-upsert is one keyed full-outer join, nothing nested-loop") {
+    val p = planOf("q112_merge_upsert")
+    assert(p.contains("FullOuter"), p)
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoop"), p)
+  }
+
+  test("q113 ngram LM joins by gram keys, vocab rides as a 1-row broadcast") {
+    val p = planOf("q113_ngram_lm")
+    // the only nested-loop/cartesian allowed is the 1-row vocab gate join
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastExchange"), p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("q114 source overlap self-joins on the shingle key, never a cartesian") {
+    val p = planOf("q114_source_overlap")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoop"), p)
+  }
 }
