@@ -1226,6 +1226,67 @@ object Graft {
         col("cross_entropy"))
   }
 
+  /** DSIR importance weighting (Xie et al. 2023, "Data Selection for
+    * Language Models via Importance Resampling"): score every document
+    * by the log-likelihood ratio of its hashed n-gram features under a
+    * target-distribution model vs the raw-corpus model —
+    * Σ_g ln(p_target(bucket(g)) / p_raw(bucket(g))), add-1 smoothed over
+    * `buckets` hash buckets. High scores = "looks like the target
+    * domain"; the standard pre-training data-selection scorer.
+    *
+    * 100 TB shape: the feature space is FIXED at `buckets` cells, so
+    * both models are one ≤`buckets`-row aggregate broadcast back onto
+    * the gram stream — no per-doc join against a vocabulary table, no
+    * driver traffic. Cross-engine exactness: bucket counts are integers,
+    * the probability ratio collapses to the cross-multiplied integer
+    * form (ct+1)·(Nr+B) / ((cr+1)·(Nt+B)) under ONE double division
+    * inside ln (products stay < 2^63 for corpora to ~2^31 grams), and
+    * per-doc ln-sums are nano-quantized longs (q95 policy).
+    * `isTarget` marks the target slice (e.g. `col("source") === "wiki"`);
+    * target docs are scored too (self-ratio). Docs with no tokens stay
+    * as rows with a NULL score. */
+  def dsirWeight(df: DataFrame, textCol: String, idCol: String,
+      isTarget: Column, buckets: Int = 1024): DataFrame = {
+    require(buckets >= 2 && (buckets & (buckets - 1)) == 0,
+      s"dsirWeight buckets must be a power of two >= 2, got $buckets")
+    graft.functions.GraftFunctions.register(df.sparkSession)
+    val Q = 1.0e9
+    val base = df.select(col(idCol).as("__id"), isTarget.as("__t"),
+        split(lower(col(textCol)), "[^a-z0-9]+").as("__w0"))
+      .select(col("__id"), col("__t"),
+        filter(col("__w0"), w => w =!= "").as("__w"))
+    // features = unigrams ++ word bigrams (the DSIR paper's hashed-ngram
+    // featurization), bucketed by the cross-engine md5 hash; power-of-two
+    // buckets make the bucket index a mask (no signed-% divergence)
+    val grams = base.select(col("__id"), col("__t"), explode(concat(col("__w"),
+        when(size(col("__w")) >= 2, zip_with(
+          slice(col("__w"), lit(1), size(col("__w")) - 1),
+          slice(col("__w"), lit(2), size(col("__w")) - 1),
+          (a, b) => concat(a, lit(" "), b)))
+          .otherwise(array()))).as("__g"))
+    val bucketed = grams.select(col("__id"), col("__t"),
+      call_function("md5_lower64", col("__g"))
+        .bitwiseAND(lit((buckets - 1).toLong)).as("__b"))
+    val counts = bucketed.groupBy(col("__b"))
+      .agg(count(when(col("__t"), 1)).as("ct"), count(lit(1)).as("cr"))
+    val tot = bucketed.agg(
+      (count(when(col("__t"), 1)) + lit(buckets.toLong)).as("__ntb"),
+      (count(lit(1)) + lit(buckets.toLong)).as("__nrb"))
+    val llr = log(((col("ct") + lit(1L)) * col("__nrb")).cast(DoubleType) /
+      ((col("cr") + lit(1L)) * col("__ntb")).cast(DoubleType))
+    val scored = bucketed
+      .join(broadcast(counts), Seq("__b"))
+      .crossJoin(broadcast(tot))
+      .select(col("__id"), round(llr * lit(Q)).cast(LongType).as("__q"))
+      .groupBy(col("__id"))
+      .agg(count(lit(1)).as("n_grams"),
+        (sum(col("__q")).cast(DoubleType) / lit(Q)).as("dsir"))
+    df.select(col(idCol).as("__id")).distinct()
+      .join(scored, Seq("__id"), "left")
+      .select(col("__id").as(idCol),
+        coalesce(col("n_grams"), lit(0L)).as("n_grams"), col("dsir"))
+  }
+
   /** Pairwise corpus-overlap audit: Jaccard similarity of the distinct
     * word-`n`-gram shingle sets of every pair of sources — the
     * contamination/provenance matrix run before mixing corpora (a high

@@ -28,6 +28,20 @@ object Corpus {
         .orderBy(col("source_a"), col("source_b"))
     }),
 
+    // ---- q115: DSIR importance weighting — hashed-ngram log-likelihood
+    // ratio of each doc under a target-domain model (source src0) vs the
+    // raw corpus (Xie et al. 2023): the data-selection scorer. Both
+    // models are one 1024-row broadcast aggregate; the ratio is integer
+    // cross-multiplied under ONE double division inside ln; per-doc sums
+    // nano-quantized (order-free). ----
+    "q115_dsir_weight" -> ((s, dir) => {
+      graft.api.Graft.dsirWeight(t(s, dir, "documents"), "text", "doc_id",
+          col("source") === "src0")
+        .select(col("doc_id"), col("n_grams"),
+          round(col("dsir"), 6).as("dsir"))
+        .orderBy(col("doc_id"))
+    }),
+
     // ---- q62: overlapping character chunking (500/100) — RAG/pretrain
     // context-window splitter. Chunk content pinned via md5 so the output
     // stays compact while hash-checking every byte of every chunk. ----
@@ -169,6 +183,46 @@ object Corpus {
     }))
 
   val oracle: Map[String, String] = Map(
+    // DSIR twin: identical tokenization (q113's), unigram+bigram feature
+    // stream, 1023-mask md5 buckets, integer cross-multiplied smoothed
+    // ratio under one double division, nano-quantized per-doc ln sums
+    "q115_dsir_weight" ->
+      """WITH tl AS (
+        |  SELECT doc_id, source,
+        |    list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+        |      x -> x <> '') AS w
+        |  FROM documents),
+        |grams AS (
+        |  SELECT doc_id, source, unnest(w) AS g FROM tl
+        |  UNION ALL
+        |  SELECT doc_id, source, w[i] || ' ' || w[i + 1] AS g
+        |  FROM (SELECT doc_id, source, w, unnest(range(1, len(w))) AS i
+        |        FROM tl WHERE len(w) >= 2)),
+        |b AS (
+        |  SELECT doc_id, source,
+        |    (md5_number_lower(g) & 1023::UBIGINT) AS bk
+        |  FROM grams),
+        |counts AS (
+        |  SELECT bk, COUNT(CASE WHEN source = 'src0' THEN 1 END) AS ct,
+        |    COUNT(*) AS cr
+        |  FROM b GROUP BY bk),
+        |tot AS (
+        |  SELECT COUNT(CASE WHEN source = 'src0' THEN 1 END) + 1024 AS ntb,
+        |    COUNT(*) + 1024 AS nrb
+        |  FROM b),
+        |scored AS (
+        |  SELECT doc_id, COUNT(*) AS n_grams,
+        |    CAST(SUM(CAST(ROUND(ln(CAST((ct + 1) * nrb AS DOUBLE) /
+        |        CAST((cr + 1) * ntb AS DOUBLE)) * 1000000000.0) AS BIGINT)) AS DOUBLE)
+        |      / 1000000000.0 AS dsir
+        |  FROM b JOIN counts USING (bk) CROSS JOIN tot
+        |  GROUP BY doc_id)
+        |SELECT d.doc_id, CAST(COALESCE(n_grams, 0) AS BIGINT) AS n_grams,
+        |  ROUND(dsir, 6) AS dsir
+        |FROM (SELECT DISTINCT doc_id FROM documents) d
+        |LEFT JOIN scored USING (doc_id)
+        |ORDER BY d.doc_id""".stripMargin,
+
     // source-overlap twin: the q52 shingle formulation (space-split
     // tokens, chr(0)-joined trigrams, DISTINCT per source), exact integer
     // inter/union, jaccard as ONE double division

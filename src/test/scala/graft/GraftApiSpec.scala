@@ -230,6 +230,33 @@ class GraftApiSpec extends AnyFunSuite {
     assert(out(1L)._1 === 17L) // 18 tokens -> 17 bigrams
   }
 
+  test("dsirWeight: target-like docs outscore off-domain docs; empty docs kept") {
+    val s = spark; import s.implicits._
+    val df = Seq(
+      (1L, "protein folding enzyme kinase pathway", "bio"),
+      (2L, "kinase pathway protein enzyme signal", "bio"),
+      (3L, "protein kinase enzyme folding cascade", "web"),   // looks like bio
+      (4L, "soccer match referee goal penalty kick", "web"),  // off-domain
+      (5L, "", "web"))                                        // no tokens
+      .toDF("doc_id", "text", "source")
+    val out = Graft.dsirWeight(df, "text", "doc_id", col("source") === "bio",
+        buckets = 256)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), Option(r.get(2)).map(_.asInstanceOf[Double])))).toMap
+    // the bio-looking web doc outscores the off-domain one
+    assert(out(3L)._2.get > out(4L)._2.get)
+    // target docs score high (their grams dominate the target model)
+    assert(out(1L)._2.get > out(4L)._2.get)
+    // empty doc present with zero grams and NULL score
+    assert(out(5L) === ((0L, None)))
+    // unigrams + bigrams: 5 tokens -> 5 + 4 = 9 grams
+    assert(out(1L)._1 === 9L)
+    // non-power-of-two buckets rejected
+    intercept[IllegalArgumentException] {
+      Graft.dsirWeight(df, "text", "doc_id", col("source") === "bio", buckets = 100)
+    }
+  }
+
   test("shingleOverlap: identical sources have jaccard 1, disjoint pairs are absent") {
     val s = spark; import s.implicits._
     val df = Seq(

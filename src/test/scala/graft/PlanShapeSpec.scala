@@ -223,4 +223,12 @@ class PlanShapeSpec extends AnyFunSuite {
     val p = planOf("q114_source_overlap")
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoop"), p)
   }
+
+  test("q115 DSIR rides the bucket models as broadcasts, never a cartesian") {
+    val p = planOf("q115_dsir_weight")
+    // the <=1024-row count table and 1-row totals broadcast onto the
+    // gram stream; no shuffle join against a vocabulary-sized table
+    assert(p.contains("BroadcastExchange"), p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
 }
