@@ -1226,6 +1226,37 @@ object Graft {
         col("cross_entropy"))
   }
 
+  /** Range-partitioned layout manifest: exact quantile boundaries of
+    * `keyCol` at i/buckets, every row assigned to its quantile bucket,
+    * returned as the per-bucket manifest (bucket, n, min_key, max_key) —
+    * the planning pass behind sorted/range-clustered lake layouts
+    * (what `repartitionByRange` does with SAMPLED boundaries, made
+    * deterministic and oracle-able with exact ones).
+    *
+    * Shapes: boundaries are ONE aggregate row broadcast back (k−1
+    * doubles); assignment is a pure projection (fold over the boundary
+    * array); the manifest is a k-row aggregate. Spark's exact
+    * `percentile` holds a value-count map per partition — fine to tens
+    * of millions of distinct keys; at larger cardinalities swap in
+    * `approx_percentile` upstream and keep the identical downstream
+    * shape. Power-of-two `buckets` keeps i/buckets and the R-7
+    * interpolation fractions exact binary fractions, so both engines
+    * compute bit-identical boundaries over integer keys. */
+  def rangeLayout(df: DataFrame, keyCol: String, buckets: Int = 8): DataFrame = {
+    require(buckets >= 2, s"rangeLayout needs buckets >= 2, got $buckets")
+    val ps = (1 until buckets).map(i => lit(i.toDouble / buckets))
+    val bds = df.agg(percentile(col(keyCol), array(ps: _*)).as("__bds"))
+    df.select(col(keyCol).as("__k"))
+      .crossJoin(broadcast(bds))
+      .select(col("__k"),
+        aggregate(col("__bds"), lit(0),
+          (acc, b) => acc + when(col("__k").cast(DoubleType) > b, 1).otherwise(0))
+          .cast(LongType).as("bucket"))
+      .groupBy(col("bucket"))
+      .agg(count(lit(1)).as("n"),
+        min(col("__k")).as("min_key"), max(col("__k")).as("max_key"))
+  }
+
   /** DSIR importance weighting (Xie et al. 2023, "Data Selection for
     * Language Models via Importance Resampling"): score every document
     * by the log-likelihood ratio of its hashed n-gram features under a

@@ -52,6 +52,16 @@ object Analytics {
         .orderBy(col("node"))
     }),
 
+    // ---- q116: range-partitioned layout manifest — exact quantile
+    // boundaries (one 1-row broadcast agg), bucket assignment as a pure
+    // fold projection, k-row manifest: the deterministic twin of
+    // repartitionByRange's sampled planning for sorted lake layouts.
+    // Power-of-two buckets keep R-7 interpolation exact both engines. ----
+    "q116_range_layout" -> ((s, dir) => {
+      graft.api.Graft.rangeLayout(t(s, dir, "lineitem"), "l_partkey", 8)
+        .orderBy(col("bucket"))
+    }),
+
     // ---- q112: MERGE INTO semantics (lakehouse CDC upsert): one
     // full-outer join applies a deterministic changeset — updates
     // (key%10<2: acctbal+100, segment overwritten), deletes (key%10=2),
@@ -501,6 +511,22 @@ object Analytics {
 
   val oracle: Map[String, String] = Map(
     "q111_pagerank" -> pagerankSql(10),
+
+    // range-layout twin: quantile_cont is the same R-7 interpolation as
+    // Spark's exact percentile; i/8 percentages and their fractions are
+    // exact binary fractions, so boundaries match bit-for-bit on the
+    // integer key and the fold/filter bucket assignment is identical
+    "q116_range_layout" ->
+      """WITH bds AS (
+        |  SELECT quantile_cont(l_partkey,
+        |    [0.125, 0.25, 0.375, 0.5, 0.625, 0.75, 0.875]) AS b
+        |  FROM lineitem),
+        |assigned AS (
+        |  SELECT l_partkey AS k,
+        |    len(list_filter(b, v -> CAST(l_partkey AS DOUBLE) > v)) AS bucket
+        |  FROM lineitem CROSS JOIN bds)
+        |SELECT bucket, COUNT(*) AS n, MIN(k) AS min_key, MAX(k) AS max_key
+        |FROM assigned GROUP BY bucket ORDER BY bucket""".stripMargin,
 
     "q112_merge_upsert" ->
       """WITH changes AS (

@@ -230,6 +230,20 @@ class GraftApiSpec extends AnyFunSuite {
     assert(out(1L)._1 === 17L) // 18 tokens -> 17 bigrams
   }
 
+  test("rangeLayout: buckets cover all rows with disjoint ordered key ranges") {
+    val s = spark; import s.implicits._
+    val df = (1L to 1000L).map(i => Tuple1(i)).toDF("k")
+    val out = Graft.rangeLayout(df, "k", 4).orderBy("bucket").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(out.map(_._1).toSeq === Seq(0L, 1L, 2L, 3L))
+    assert(out.map(_._2).sum === 1000L)
+    // ranges are disjoint and ordered: each bucket's max < next bucket's min
+    out.sliding(2).foreach { case Array(a, b) => assert(a._4 < b._3) }
+    // uniform keys quarter evenly at exact quantile boundaries
+    assert(out.map(_._2).forall(n => n == 250L))
+    intercept[IllegalArgumentException] { Graft.rangeLayout(df, "k", 1) }
+  }
+
   test("dsirWeight: target-like docs outscore off-domain docs; empty docs kept") {
     val s = spark; import s.implicits._
     val df = Seq(

@@ -187,6 +187,37 @@ class StreamingSpec extends AnyFunSuite {
     assert(rows === Seq((1L, 0, "café one"), (2L, 1, "café two")))
   }
 
+  test("streaming CDC apply: foreachBatch merge-upserts each batch into a versioned snapshot") {
+    val s = spark
+    import s.implicits._
+    implicit val sc = s.sqlContext
+    val dir = java.nio.file.Files.createTempDirectory("graft_stream_cdc").toString
+    Seq((1L, "one", 10.0), (2L, "two", 20.0)).toDF("k", "name", "bal")
+      .write.mode("overwrite").parquet(s"$dir/snap-0")
+    // versioned read-v/write-v+1 per micro-batch: the self-overwrite-safe
+    // shape for a path-based snapshot (a table format does the swap)
+    val version = new java.util.concurrent.atomic.AtomicInteger(0)
+    val mem = MemoryStream[(Long, String, Double, String)]
+    val q = mem.toDF.toDF("k", "name", "bal", "op")
+      .writeStream.outputMode("append")
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        val v = version.get()
+        val target = s.read.parquet(s"$dir/snap-$v")
+        graft.api.Graft.mergeChanges(target, batch, "k")
+          .write.mode("overwrite").parquet(s"$dir/snap-${v + 1}")
+        version.incrementAndGet()
+        ()
+      }.start()
+    mem.addData((2L, "two!", 99.0, "U"), (3L, "three", 30.0, "I"))
+    q.processAllAvailable()
+    mem.addData((1L, "one", 10.0, "D"))
+    q.processAllAvailable()
+    q.stop()
+    val fin = s.read.parquet(s"$dir/snap-${version.get()}")
+      .orderBy("k").collect().map(r => (r.getLong(0), r.getString(1), r.getDouble(2)))
+    assert(fin.toSeq === Seq((2L, "two!", 99.0), (3L, "three", 30.0)))
+  }
+
   test("streaming events ingest to GeoParquet via foreachBatch (lake sink)") {
     val s = spark
     import s.implicits._
