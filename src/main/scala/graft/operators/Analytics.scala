@@ -52,6 +52,68 @@ object Analytics {
         .orderBy(col("node"))
     }),
 
+    // ---- q117: per-customer OLS trend slope of order value over time —
+    // the trend-detection aggregate (spend drifting up or down?). All
+    // covariance sums are INTEGER (epoch days × exact cents), so partial
+    // aggregation order cannot perturb them; slope is one double
+    // division of two exact longs (then /100 back to currency). ----
+    "q117_trend_slope" -> ((s, dir) => {
+      // o_orderdate is TIMESTAMP_NTZ; session tz is pinned UTC, so the
+      // TIMESTAMP cast is the identity instant DuckDB's epoch_us sees
+      val o = t(s, dir, "orders").select(col("o_custkey"),
+        graft.api.Graft.epochDay(col("o_orderdate").cast(TimestampType)).as("x"),
+        round(col("o_totalprice") * lit(100.0)).cast(LongType).as("yc"))
+      o.groupBy(col("o_custkey")).agg(
+          count(lit(1)).as("n"),
+          sum(col("x")).as("sx"), sum(col("x") * col("x")).as("sxx"),
+          sum(col("yc")).as("sy"), sum(col("x") * col("yc")).as("sxy"))
+        .withColumn("den", col("n") * col("sxx") - col("sx") * col("sx"))
+        .filter(col("n") >= 2 && col("den") > 0)
+        .select(col("o_custkey"), col("n"),
+          round((col("n") * col("sxy") - col("sx") * col("sy"))
+            .cast(DoubleType) / col("den").cast(DoubleType) / lit(100.0), 6)
+            .as("slope_per_day"))
+        .orderBy(col("o_custkey"))
+    }),
+
+    // ---- q118: robust outliers by median/MAD z-score — the
+    // heavy-tail-safe twin of q85 (one wild value cannot drag the
+    // baseline the way it drags a mean/σ): per-type exact medians via
+    // two broadcast group aggregates, flag |value−med| > 3.5·1.4826·MAD.
+    // Identical double chains both engines; medians are R-7 midpoints. ----
+    "q118_mad_outliers" -> ((s, dir) => {
+      val e = t(s, dir, "events")
+      val med = e.groupBy(col("event_type"))
+        .agg(percentile(col("value"), lit(0.5)).as("med"))
+      val dev = e.join(broadcast(med), "event_type")
+        .withColumn("adev", abs(col("value") - col("med")))
+      val mad = dev.groupBy(col("event_type"))
+        .agg(percentile(col("adev"), lit(0.5)).as("mad"))
+      dev.join(broadcast(mad), "event_type")
+        .filter(col("adev") > lit(3.5) * lit(1.4826) * col("mad"))
+        .select(col("event_type"), col("event_id"), col("value"),
+          round((col("value") - col("med")) / (lit(1.4826) * col("mad")), 6)
+            .as("robust_z"))
+        .orderBy(col("event_type"), col("event_id"))
+    }),
+
+    // ---- q119: top event paths — per-user ordered event-type TRIGRAMS
+    // counted globally (q86's Markov bigrams one order deeper): the
+    // session-flow mining query. One user-keyed window, one keyed agg,
+    // top-20 as TakeOrdered with a full deterministic tie-break. ----
+    "q119_event_paths" -> ((s, dir) => {
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(unix_micros(col("ts")), col("event_id"))
+      t(s, dir, "events")
+        .withColumn("e2", lead(col("event_type"), 1).over(w))
+        .withColumn("e3", lead(col("event_type"), 2).over(w))
+        .filter(col("e3").isNotNull)
+        .groupBy(col("event_type").as("s1"), col("e2"), col("e3"))
+        .agg(count(lit(1)).as("n"))
+        .orderBy(col("n").desc, col("s1"), col("e2"), col("e3"))
+        .limit(20)
+    }),
+
     // ---- q116: range-partitioned layout manifest — exact quantile
     // boundaries (one 1-row broadcast agg), bucket assignment as a pure
     // fold projection, k-row manifest: the deterministic twin of
@@ -511,6 +573,59 @@ object Analytics {
 
   val oracle: Map[String, String] = Map(
     "q111_pagerank" -> pagerankSql(10),
+
+    // trend twin: identical integer covariance sums (epoch days × exact
+    // cents — DuckDB's HUGEINT intermediates are exact too), one double
+    // division
+    "q117_trend_slope" ->
+      """WITH o AS (
+        |  SELECT o_custkey,
+        |    epoch_us(o_orderdate) // 86400000000 AS x,
+        |    CAST(ROUND(o_totalprice * 100.0) AS BIGINT) AS yc
+        |  FROM orders),
+        |a AS (
+        |  SELECT o_custkey, COUNT(*) AS n, SUM(x) AS sx, SUM(x * x) AS sxx,
+        |         SUM(yc) AS sy, SUM(x * yc) AS sxy
+        |  FROM o GROUP BY o_custkey)
+        |SELECT o_custkey, n,
+        |  ROUND(CAST(n * sxy - sx * sy AS DOUBLE)
+        |    / CAST(n * sxx - sx * sx AS DOUBLE) / 100.0, 6) AS slope_per_day
+        |FROM a WHERE n >= 2 AND (n * sxx - sx * sx) > 0
+        |ORDER BY o_custkey""".stripMargin,
+
+    // MAD twin: quantile_cont(0.5) is the same R-7 median as Spark's
+    // exact percentile; both z and the flag use the identical double
+    // chains
+    "q118_mad_outliers" ->
+      """WITH med AS (
+        |  SELECT event_type, quantile_cont(value, 0.5) AS med
+        |  FROM events GROUP BY event_type),
+        |dev AS (
+        |  SELECT e.event_type, e.event_id, e.value, med.med,
+        |         abs(e.value - med.med) AS adev
+        |  FROM events e JOIN med USING (event_type)),
+        |mad AS (
+        |  SELECT event_type, quantile_cont(adev, 0.5) AS mad
+        |  FROM dev GROUP BY event_type)
+        |SELECT d.event_type, d.event_id, d.value,
+        |  ROUND((d.value - d.med) / (1.4826 * m.mad), 6) AS robust_z
+        |FROM dev d JOIN mad m USING (event_type)
+        |WHERE d.adev > 3.5 * 1.4826 * m.mad
+        |ORDER BY d.event_type, d.event_id""".stripMargin,
+
+    "q119_event_paths" ->
+      """WITH l AS (
+        |  SELECT event_type AS s1,
+        |    lead(event_type, 1) OVER (PARTITION BY user_id
+        |      ORDER BY epoch_us(ts), event_id) AS e2,
+        |    lead(event_type, 2) OVER (PARTITION BY user_id
+        |      ORDER BY epoch_us(ts), event_id) AS e3
+        |  FROM events)
+        |SELECT s1, e2, e3, COUNT(*) AS n
+        |FROM l WHERE e3 IS NOT NULL
+        |GROUP BY s1, e2, e3
+        |ORDER BY n DESC, s1, e2, e3
+        |LIMIT 20""".stripMargin,
 
     // range-layout twin: quantile_cont is the same R-7 interpolation as
     // Spark's exact percentile; i/8 percentages and their fractions are

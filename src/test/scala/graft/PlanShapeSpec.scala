@@ -224,6 +224,17 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoop"), p)
   }
 
+  test("q119 event-path top-20 plans TakeOrderedAndProject, never a global sort") {
+    val p = planOf("q119_event_paths")
+    assert(p.contains("TakeOrderedAndProject"), p)
+  }
+
+  test("q117 trend slope is one partial+final integer aggregate") {
+    val p = planOf("q117_trend_slope")
+    assert(p.contains("HashAggregate"), p)
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoop"), p)
+  }
+
   test("q115 DSIR rides the bucket models as broadcasts, never a cartesian") {
     val p = planOf("q115_dsir_weight")
     // the <=1024-row count table and 1-row totals broadcast onto the
