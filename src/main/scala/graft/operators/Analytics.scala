@@ -52,6 +52,86 @@ object Analytics {
         .orderBy(col("node"))
     }),
 
+    // ---- q120: incremental aggregate maintenance — merge a
+    // pre-aggregated summary with a delta batch's summary through the
+    // additive state algebra (n/sum merge in one full-outer join): the
+    // materialized-view refresh shape — the delta recomputes ONLY its
+    // slice, never the history. Counts and exact cents keep every merge
+    // integer. ----
+    "q120_incremental_agg" -> ((s, dir) => {
+      val o = t(s, dir, "orders").select(col("o_custkey"),
+        col("o_orderdate").cast(TimestampType).as("ts"),
+        round(col("o_totalprice") * lit(100.0)).cast(LongType).as("yc"))
+      val cutoff = lit("1997-01-01 00:00:00").cast(TimestampType)
+      def summarize(df: org.apache.spark.sql.DataFrame) =
+        df.groupBy(col("o_custkey"))
+          .agg(count(lit(1)).as("n"), sum(col("yc")).as("sum_cents"))
+      val base = summarize(o.filter(col("ts") < cutoff))
+      val delta = summarize(o.filter(col("ts") >= cutoff))
+      base.as("a").join(delta.as("b"), Seq("o_custkey"), "full_outer")
+        .select(col("o_custkey"),
+          (coalesce(col("a.n"), lit(0L)) + coalesce(col("b.n"), lit(0L))).as("n"),
+          (coalesce(col("a.sum_cents"), lit(0L)) +
+            coalesce(col("b.sum_cents"), lit(0L))).as("sum_cents"))
+        .orderBy(col("o_custkey"))
+    }),
+
+    // ---- q121: Gini concentration of document length per source — the
+    // corpus-balance audit (is one source dominated by a few huge
+    // docs?). Gini = (2·Σ i·x_(i) − (n+1)·Σx) / (n·Σx) over per-source
+    // length ranks: rank sums are exact integers (one keyed window +
+    // one agg), ONE double division at the end. ----
+    "q121_gini" -> ((s, dir) => {
+      val w = Window.partitionBy(col("source"))
+        .orderBy(col("n_chars"), col("doc_id"))
+      t(s, dir, "documents")
+        .select(col("source"), col("n_chars"), col("doc_id"))
+        .withColumn("i", row_number().over(w).cast(LongType))
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n"), sum(col("n_chars")).as("sx"),
+          sum(col("i") * col("n_chars")).as("six"))
+        .select(col("source"), col("n"),
+          round((lit(2L) * col("six") - (col("n") + lit(1L)) * col("sx"))
+            .cast(DoubleType) / (col("n") * col("sx")).cast(DoubleType), 6)
+            .as("gini"))
+        .orderBy(col("source"))
+    }),
+
+    // ---- q122: two-sample Kolmogorov–Smirnov distance between the
+    // doc-length distributions of every source and the corpus-wide
+    // reference — drift/shift detection between corpus slices. The KS
+    // sup|F1−F2| is EXACT: at each observed length, |i·m − j·n| over
+    // integer CDF numerators, maxed as integers and divided ONCE. ----
+    "q122_ks_distance" -> ((s, dir) => {
+      val d = t(s, dir, "documents").select(col("source"), col("n_chars"))
+      val nPer = d.groupBy(col("source")).agg(count(lit(1)).as("n1"))
+      val nAll = d.agg(count(lit(1)).as("n2"))
+      // both step CDFs are evaluated on the FULL corpus length grid
+      // (the sup is attained at a jump of either CDF; a source-only
+      // grid misses corpus-side jumps). Grid × #sources rows — the
+      // honest audit cost; at lake scale histogram-bucket the values
+      // first and run the same shape on bucket edges.
+      val grid = d.select(col("n_chars")).distinct()
+      val perLen = d.groupBy(col("source"), col("n_chars"))
+        .agg(count(lit(1)).as("c1"))
+      val allLen = d.groupBy(col("n_chars")).agg(count(lit(1)).as("c2"))
+      val wA = Window.orderBy(col("n_chars"))
+      val aCum = allLen.withColumn("j", sum(col("c2")).over(wA))
+        .select(col("n_chars"), col("j"))
+      val wS = Window.partitionBy(col("source")).orderBy(col("n_chars"))
+      val sCum = grid.crossJoin(broadcast(nPer))
+        .join(perLen, Seq("source", "n_chars"), "left")
+        .withColumn("i", sum(coalesce(col("c1"), lit(0L))).over(wS))
+      sCum.join(aCum, Seq("n_chars"))
+        .crossJoin(broadcast(nAll))
+        .groupBy(col("source"), col("n1"), col("n2"))
+        .agg(max(abs(col("i") * col("n2") - col("j") * col("n1"))).as("__mx"))
+        .select(col("source"),
+          round(col("__mx").cast(DoubleType) /
+            (col("n1") * col("n2")).cast(DoubleType), 6).as("ks"))
+        .orderBy(col("source"))
+    }),
+
     // ---- q117: per-customer OLS trend slope of order value over time —
     // the trend-detection aggregate (spend drifting up or down?). All
     // covariance sums are INTEGER (epoch days × exact cents), so partial
@@ -573,6 +653,69 @@ object Analytics {
 
   val oracle: Map[String, String] = Map(
     "q111_pagerank" -> pagerankSql(10),
+
+    // incremental-agg twin: the same base/delta split and additive merge
+    "q120_incremental_agg" ->
+      """WITH o AS (
+        |  SELECT o_custkey, o_orderdate AS ts,
+        |    CAST(ROUND(o_totalprice * 100.0) AS BIGINT) AS yc
+        |  FROM orders),
+        |base AS (
+        |  SELECT o_custkey, COUNT(*) AS n,
+        |    CAST(SUM(yc) AS BIGINT) AS sum_cents
+        |  FROM o WHERE ts < TIMESTAMP '1997-01-01 00:00:00' GROUP BY o_custkey),
+        |delta AS (
+        |  SELECT o_custkey, COUNT(*) AS n,
+        |    CAST(SUM(yc) AS BIGINT) AS sum_cents
+        |  FROM o WHERE ts >= TIMESTAMP '1997-01-01 00:00:00' GROUP BY o_custkey)
+        |SELECT COALESCE(a.o_custkey, b.o_custkey) AS o_custkey,
+        |  COALESCE(a.n, 0) + COALESCE(b.n, 0) AS n,
+        |  COALESCE(a.sum_cents, 0) + COALESCE(b.sum_cents, 0) AS sum_cents
+        |FROM base a FULL JOIN delta b ON a.o_custkey = b.o_custkey
+        |ORDER BY o_custkey""".stripMargin,
+
+    // Gini twin: identical per-source length ranks (doc_id tie-break),
+    // exact integer rank sums, one double division
+    "q121_gini" ->
+      """WITH r AS (
+        |  SELECT source, n_chars,
+        |    row_number() OVER (PARTITION BY source
+        |      ORDER BY n_chars, doc_id) AS i
+        |  FROM documents),
+        |a AS (
+        |  SELECT source, COUNT(*) AS n,
+        |    CAST(SUM(n_chars) AS BIGINT) AS sx,
+        |    CAST(SUM(i * n_chars) AS BIGINT) AS six
+        |  FROM r GROUP BY source)
+        |SELECT source, n,
+        |  ROUND(CAST(2 * six - (n + 1) * sx AS DOUBLE)
+        |    / CAST(n * sx AS DOUBLE), 6) AS gini
+        |FROM a ORDER BY source""".stripMargin,
+
+    // KS twin: both step CDFs on the full corpus length grid, integer
+    // cross-multiplied sup, one double division
+    "q122_ks_distance" ->
+      """WITH grid AS (SELECT DISTINCT n_chars FROM documents),
+        |np AS (SELECT source, COUNT(*) AS n1 FROM documents GROUP BY source),
+        |na AS (SELECT COUNT(*) AS n2 FROM documents),
+        |pl AS (SELECT source, n_chars, COUNT(*) AS c1
+        |       FROM documents GROUP BY source, n_chars),
+        |al AS (SELECT n_chars, COUNT(*) AS c2 FROM documents GROUP BY n_chars),
+        |ac AS (SELECT n_chars,
+        |         CAST(SUM(c2) OVER (ORDER BY n_chars) AS BIGINT) AS j
+        |       FROM al),
+        |sg AS (SELECT g.n_chars, np.source, np.n1 FROM grid g CROSS JOIN np),
+        |sc AS (SELECT sg.source, sg.n_chars, sg.n1,
+        |         CAST(SUM(COALESCE(pl.c1, 0)) OVER (PARTITION BY sg.source
+        |           ORDER BY sg.n_chars) AS BIGINT) AS i
+        |       FROM sg LEFT JOIN pl
+        |         ON pl.source = sg.source AND pl.n_chars = sg.n_chars)
+        |SELECT sc.source,
+        |  ROUND(CAST(MAX(abs(sc.i * na.n2 - ac.j * sc.n1)) AS DOUBLE)
+        |    / CAST(sc.n1 * na.n2 AS DOUBLE), 6) AS ks
+        |FROM sc JOIN ac USING (n_chars) CROSS JOIN na
+        |GROUP BY sc.source, sc.n1, na.n2
+        |ORDER BY sc.source""".stripMargin,
 
     // trend twin: identical integer covariance sums (epoch days × exact
     // cents — DuckDB's HUGEINT intermediates are exact too), one double

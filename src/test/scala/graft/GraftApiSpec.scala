@@ -230,6 +230,18 @@ class GraftApiSpec extends AnyFunSuite {
     assert(out(1L)._1 === 17L) // 18 tokens -> 17 bigrams
   }
 
+  test("q120 incremental merge equals the full recompute (MV-maintenance invariant)") {
+    val merged = SparkEntry.queries("q120_incremental_agg")(spark, sf0001)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val full = spark.read.parquet(s"$sf0001/orders.parquet")
+      .groupBy(col("o_custkey"))
+      .agg(count(lit(1)).as("n"),
+        sum(round(col("o_totalprice") * lit(100.0)).cast("long")).as("s"))
+      .orderBy(col("o_custkey"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(merged.toSeq === full.toSeq)
+  }
+
   test("rangeLayout: buckets cover all rows with disjoint ordered key ranges") {
     val s = spark; import s.implicits._
     val df = (1L to 1000L).map(i => Tuple1(i)).toDF("k")
