@@ -2,6 +2,7 @@ package graft.operators
 
 import org.apache.spark.sql.functions._
 import Util._
+import org.apache.spark.sql.types.{DoubleType, LongType}
 
 /** Embedding clustering + semantic dedup (round 5).
   *
@@ -23,6 +24,43 @@ import Util._
 object Clustering {
 
   val queries: Map[String, Q] = Map(
+    // ---- q123: embedding covariance matrix — the distributed half of
+    // PCA/whitening (the gram-matrix aggregate MLlib's PCA runs before
+    // the driver-side eigen step). Upper-triangle (i ≤ j) cells only;
+    // per-row pair products micro-quantized to longs (q95 policy) so the
+    // dim²-cell partial+final aggregate is exact under any shuffle
+    // order; per-dim sums ride as a 64-row broadcast for the centering
+    // term; cov = fixed double chain, ONE division shape. Fan-out is
+    // n·d(d+1)/2 pair rows, collapsed by map-side partial agg to d²
+    // cells per partition before the shuffle. ----
+    "q123_embedding_covariance" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings")
+      val n1 = e.agg(count(lit(1)).as("n"))
+      val dims = e.select(posexplode(col("embedding")).as(Seq("p", "x")))
+        .groupBy((col("p") + 1).as("i"))
+        .agg(sum(round(col("x").cast(DoubleType) * lit(1000000.0))
+          .cast(LongType)).as("sx"))
+      val cells = e.select(col("embedding").as("v"))
+        .select(explode(sequence(lit(1), size(col("v")))).as("i"), col("v"))
+        .select(col("i"), explode(sequence(col("i"), size(col("v")))).as("j"), col("v"))
+        .select(col("i").cast(LongType).as("i"), col("j").cast(LongType).as("j"),
+          round((element_at(col("v"), col("i")).cast(DoubleType) *
+            element_at(col("v"), col("j")).cast(DoubleType)) * lit(1000000.0))
+            .cast(LongType).as("q"))
+        .groupBy(col("i"), col("j"))
+        .agg(sum(col("q")).as("sxy"))
+      cells
+        .join(broadcast(dims.select(col("i"), col("sx").as("sxi"))), Seq("i"))
+        .join(broadcast(dims.select(col("i").as("j"), col("sx").as("sxj"))), Seq("j"))
+        .crossJoin(broadcast(n1))
+        .select(col("i"), col("j"),
+          round((col("sxy").cast(DoubleType) / lit(1000000.0) -
+            (col("sxi").cast(DoubleType) / lit(1000000.0)) *
+            (col("sxj").cast(DoubleType) / lit(1000000.0)) / col("n")) /
+            (col("n") - lit(1L)), 6).as("cov"))
+        .orderBy(col("i"), col("j"))
+    }),
+
     // ---- q95: two full Lloyd iterations, k=8, over the embeddings table.
     // Output = the final update table (cid, pos, n, sum_micro, mean):
     // cluster sizes and exact centroid state, hash-checked. ----
@@ -64,6 +102,34 @@ object Clustering {
       |  WHERE rn = 1)""".stripMargin
 
   val oracle: Map[String, String] = Map(
+    // covariance twin: identical micro-quantized pair products (float→
+    // double exact, round-to-long), integer cell sums, the same fixed
+    // double centering chain
+    "q123_embedding_covariance" ->
+      """WITH n1 AS (SELECT COUNT(*) AS n FROM embeddings),
+        |d0 AS (SELECT embedding AS v,
+        |         unnest(generate_series(1, len(embedding))) AS i
+        |       FROM embeddings),
+        |dims AS (
+        |  SELECT i, CAST(SUM(CAST(ROUND(CAST(v[i] AS DOUBLE) * 1000000.0)
+        |    AS BIGINT)) AS BIGINT) AS sx
+        |  FROM d0 GROUP BY i),
+        |p AS (SELECT v, i, unnest(generate_series(1, len(v))) AS j FROM d0),
+        |cells AS (
+        |  SELECT i, j,
+        |    CAST(SUM(CAST(ROUND((CAST(v[i] AS DOUBLE) * CAST(v[j] AS DOUBLE))
+        |      * 1000000.0) AS BIGINT)) AS BIGINT) AS sxy
+        |  FROM p WHERE j >= i GROUP BY i, j)
+        |SELECT c.i, c.j,
+        |  ROUND((CAST(sxy AS DOUBLE) / 1000000.0 -
+        |    (CAST(di.sx AS DOUBLE) / 1000000.0) *
+        |    (CAST(dj.sx AS DOUBLE) / 1000000.0) / n) / (n - 1), 6) AS cov
+        |FROM cells c
+        |JOIN dims di ON di.i = c.i
+        |JOIN dims dj ON dj.i = c.j
+        |CROSS JOIN n1
+        |ORDER BY c.i, c.j""".stripMargin,
+
     "q95_kmeans" -> (prelude +
       """,
         |u1 AS (

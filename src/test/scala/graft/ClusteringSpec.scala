@@ -154,6 +154,32 @@ class ClusteringSpec extends AnyFunSuite {
     assert(out(1) === ((2L, 9L, "")))
   }
 
+  test("embeddingCovariance matches the hand-computed sample covariance") {
+    val s = spark; import s.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_cov").toString
+    val rows = Seq(
+      Array(1.0f, 2.0f, 0.5f),
+      Array(3.0f, 4.0f, -0.5f),
+      Array(5.0f, 8.0f, 1.5f),
+      Array(2.0f, 1.0f, 0.0f))
+    rows.zipWithIndex.map { case (v, i) => (i.toLong, v) }
+      .toDF("vec_id", "embedding")
+      .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+    val got = graft.operators.Clustering
+      .queries("q123_embedding_covariance")(s, dir)
+      .collect()
+      .map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toMap
+    assert(got.size === 6) // 3*(3+1)/2 upper-triangle cells
+    val n = rows.size
+    val d = rows.head.length
+    val mean = (0 until d).map(p => rows.map(_(p).toDouble).sum / n)
+    for (i <- 0 until d; j <- i until d) {
+      val exp = rows.map(v => (v(i) - mean(i)) * (v(j) - mean(j))).sum / (n - 1)
+      assert(math.abs(got((i + 1L, j + 1L)) - exp) < 1e-4,
+        s"cov($i,$j): got ${got((i + 1L, j + 1L))} expected $exp")
+    }
+  }
+
   test("nfc_normalize composes decomposed accents and passes ASCII through") {
     val s = spark; import s.implicits._
     val composed = "café" // é as U+00E9
