@@ -1508,4 +1508,52 @@ object Graft {
           .bitwiseAND(lit(0x7FFFFFFFFFFFFFFFL)),
         col("__nsplit")))
   }
+
+  /** Distributed BPE merge-table LEARNING (Sennrich et al. 2016) — the
+    * corpus-scale half of tokenizer training (q103 is the apply half).
+    * The corpus collapses to a word-frequency vocab in ONE aggregate (at
+    * 100 TB the vocab is millions of rows, not corpus-sized); each merge
+    * step is then one pair-count aggregate over that vocab plus a 1-row
+    * argmax to the driver — [[kmeans]]' bounded-driver-traffic policy
+    * (total driver bytes = `merges` rows). Words are held in q103's
+    * delimited symbol form `|a||b||c|`, so the merge apply is a literal
+    * left-to-right non-overlapping `replace` with identical semantics in
+    * Spark and SQL. Ties break (count DESC, left ASC, right ASC) — a
+    * total order, so the learned table is deterministic under any
+    * shuffle order. Returns (step, l, r, cnt) in merge-priority order. */
+  def bpeLearn(df: DataFrame, textCol: String, merges: Int = 6): DataFrame = {
+    require(merges >= 1, s"bpeLearn needs merges >= 1, got $merges")
+    val spark = df.sparkSession
+    // vocab: (sym, freq) — lineage cut so each step replans 1+step
+    // projections over a materialized base, not the corpus scan
+    var words = df
+      .select(explode(split(lower(col(textCol)), "[^a-z]+")).as("w"))
+      .filter(length(col("w")) > 0)
+      .groupBy(col("w")).agg(count(lit(1)).as("freq"))
+      .select(regexp_replace(col("w"), "(.)", "|$1|").as("sym"), col("freq"))
+      .localCheckpoint()
+    val learned = scala.collection.mutable.ArrayBuffer.empty[(Long, String, String, Long)]
+    var step = 1
+    while (step <= merges) {
+      val best = words
+        .select(col("freq"),
+          split(expr("substring(sym, 2, length(sym)-2)"), "\\|\\|").as("a"))
+        .filter(size(col("a")) >= 2)
+        .select(col("freq"), explode(expr(
+          "transform(sequence(0, size(a)-2), i -> struct(a[i] AS l, a[i+1] AS r))")).as("p"))
+        .groupBy(col("p.l").as("l"), col("p.r").as("r"))
+        .agg(sum(col("freq")).as("cnt"))
+        .orderBy(col("cnt").desc, col("l"), col("r"))
+        .limit(1).collect()
+      require(best.nonEmpty, "bpeLearn: no adjacent symbol pairs left to merge")
+      val (l, r, cnt) = (best(0).getString(0), best(0).getString(1), best(0).getLong(2))
+      require(l.matches("[a-z]+") && r.matches("[a-z]+"),
+        s"bpeLearn: non-alpha symbol pair ('$l','$r')") // literals feed expr()
+      learned += ((step.toLong, l, r, cnt))
+      words = words.withColumn("sym", expr(s"replace(sym, '|$l||$r|', '|$l$r|')"))
+      step += 1
+    }
+    import spark.implicits._
+    learned.toSeq.toDF("step", "l", "r", "cnt").orderBy("step")
+  }
 }

@@ -21,6 +21,10 @@ object TextAnalysis {
     * that interpolate it (object init order). */
   private val Bm25Terms = Seq("spark", "table", "query", "vector", "stream")
 
+  /** q124's merge count — shared by the Spark loop and the generated
+    * oracle so both unroll the same number of stages. */
+  private val BpeLearnSteps = 6
+
   // Marker stopwords per language (classic dictionary heuristic; scores are
   // deterministic, arg-max with a fixed tie-break order en>de>es>fr>zh).
   private val markers = Map(
@@ -176,6 +180,15 @@ object TextAnalysis {
       t(s, dir, "documents")
         .select($"doc_id", expr("bpe_count(text)").as("bpe_tokens"))
         .orderBy($"doc_id")
+    }),
+
+    // ---- q124: BPE merge-table LEARNING — the other half of q103
+    // (which applies a fixed table). One vocab aggregate collapses the
+    // corpus, then each merge step is a pair-count agg + 1-row argmax
+    // to the driver; the oracle replays the identical loop as 6
+    // unrolled CTE stages over the same delimited symbol form. ----
+    "q124_bpe_learn" -> ((s, dir) => {
+      graft.api.Graft.bpeLearn(t(s, dir, "documents"), "text", merges = BpeLearnSteps)
     }),
 
     // ---- q33: multimodal column plumbing (binary length + first byte);
@@ -405,6 +418,39 @@ object TextAnalysis {
         |FROM (SELECT doc_id,
         |        trim(regexp_replace(lower(nfc_normalize(text)), '\s+', ' ', 'g')) AS norm
         |      FROM documents)
-        |ORDER BY doc_id""".stripMargin
+        |ORDER BY doc_id""".stripMargin,
+
+    "q124_bpe_learn" -> {
+      // the oracle replays bpeLearn's exact loop, unrolled: per stage a
+      // pair-count over the previous vocab, a tie-broken argmax, and a
+      // literal-replace merge apply — same delimited form, same total
+      // order, so the learned table hash-matches
+      val stages = (1 to BpeLearnSteps).map { i =>
+        val prev = s"w${i - 1}"
+        s"""p$i AS (
+           |  SELECT s[i] AS l, s[i + 1] AS r, freq
+           |  FROM (SELECT s, freq, unnest(generate_series(1, len(s) - 1)) AS i
+           |        FROM (SELECT string_split(substr(sym, 2, len(sym) - 2), '||') AS s,
+           |                     freq
+           |              FROM $prev))),
+           |b$i AS (SELECT l, r, CAST(SUM(freq) AS BIGINT) AS cnt FROM p$i
+           |        GROUP BY l, r ORDER BY cnt DESC, l, r LIMIT 1),
+           |w$i AS (SELECT replace(sym, '|' || l || '||' || r || '|',
+           |                       '|' || l || r || '|') AS sym, freq
+           |        FROM $prev CROSS JOIN b$i)""".stripMargin
+      }.mkString(",\n")
+      val out = (1 to BpeLearnSteps)
+        .map(i => s"SELECT CAST($i AS BIGINT) AS step, l, r, cnt FROM b$i")
+        .mkString("\nUNION ALL\n")
+      s"""WITH w0 AS (
+         |  SELECT regexp_replace(w, '(.)', '|\\1|', 'g') AS sym,
+         |         CAST(COUNT(*) AS BIGINT) AS freq
+         |  FROM (SELECT unnest(regexp_extract_all(lower(text), '[a-z]+')) AS w
+         |        FROM documents)
+         |  GROUP BY w),
+         |$stages
+         |$out
+         |ORDER BY step""".stripMargin
+    }
   )
 }

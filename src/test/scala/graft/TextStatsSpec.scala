@@ -146,4 +146,32 @@ class TextStatsSpec extends AnyFunSuite {
     assert(out(2) === ((3L, 39L, 3.0 / 39, 5.0 / 39, 0.0, false)))
     assert(out(3) === ((4L, 0L, 0.0, 0.0, 0.0, false)))
   }
+
+  test("bpeLearn recovers the hand-computed merge table") {
+    val s = spark; import s.implicits._
+    // vocab: ab:2, ac:1 → step1 merges (a,b) cnt 2, step2 (a,c) cnt 1
+    val df = Seq((1L, "ab ab ac")).toDF("doc_id", "text")
+    val got = graft.api.Graft.bpeLearn(df, "text", merges = 2)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2), r.getLong(3)))
+    assert(got.toSeq === Seq((1L, "a", "b", 2L), (2L, "a", "c", 1L)))
+  }
+
+  test("bpeLearn ties break on the left symbol, then the right") {
+    val s = spark; import s.implicits._
+    // (a,b) and (c,d) both count 2 → (a,b) wins the tie
+    val df = Seq((1L, "cd ab cd ab")).toDF("doc_id", "text")
+    val got = graft.api.Graft.bpeLearn(df, "text", merges = 1)
+      .collect().map(r => (r.getString(1), r.getString(2), r.getLong(3)))
+    assert(got.toSeq === Seq(("a", "b", 2L)))
+  }
+
+  test("bpeLearn counts overlapping pairs but merges left-to-right") {
+    val s = spark; import s.implicits._
+    // "aaa": pairs (a,a) ×2 (overlap counted); the apply merges the
+    // leftmost non-overlapping occurrence → |aa||a|, so step2 sees (aa,a)
+    val df = Seq((1L, "aaa")).toDF("doc_id", "text")
+    val got = graft.api.Graft.bpeLearn(df, "text", merges = 2)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2), r.getLong(3)))
+    assert(got.toSeq === Seq((1L, "a", "a", 2L), (2L, "aa", "a", 1L)))
+  }
 }
