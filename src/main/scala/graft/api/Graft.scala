@@ -1556,4 +1556,66 @@ object Graft {
     import spark.implicits._
     learned.toSeq.toDF("step", "l", "r", "cnt").orderBy("step")
   }
+
+  /** Segmented inverted index over literal query terms — the Lucene-shape
+    * postings build. Postings are grouped per (term, doc-id bucket) so no
+    * task ever materializes a whole term's posting list (a stopword's list
+    * is the entire corpus — the classic straggler); each segment is a
+    * bounded sorted run, and the per-term rollup hashes segment digests in
+    * bucket order. Two keyed aggregates, both bounded; emits
+    * (term, df, n_segments, index_md5). */
+  def invertedIndex(df: DataFrame, textCol: String, idCol: String,
+      terms: Seq[String], bucketWidth: Long = 100L): DataFrame = {
+    require(terms.nonEmpty, "invertedIndex needs at least one term")
+    require(bucketWidth >= 1, s"bucketWidth must be >= 1, got $bucketWidth")
+    val toks = df.select(col(idCol).cast(LongType).as("__id"),
+        explode(split(lower(col(textCol)), "[^a-z0-9]+")).as("term"))
+      .filter(col("term").isin(terms: _*))
+      .distinct()
+    val seg = toks
+      .groupBy(col("term"), expr(s"__id div $bucketWidth").as("__bucket"))
+      .agg(count(lit(1)).as("__cnt"),
+        md5(array_join(
+          transform(sort_array(collect_list(col("__id"))),
+            _.cast(StringType)), ",")).as("__seg_md5"))
+    seg.groupBy(col("term"))
+      .agg(sum(col("__cnt")).as("df"),
+        count(lit(1)).as("n_segments"),
+        md5(array_join(
+          transform(sort_array(collect_list(struct(col("__bucket"), col("__seg_md5")))),
+            _.getField("__seg_md5")), ",")).as("index_md5"))
+      .orderBy("term")
+  }
+
+  /** Join-key skew audit — the pre-flight diagnostic for shuffle planning
+    * (salting / AQE skew thresholds) on a fact-table key. The per-key
+    * count table collapses to a count-of-counts histogram (distinct count
+    * VALUES, not keys — tiny at any corpus size), so the percentile walk
+    * is a window over a frame measured in hundreds of rows, never a
+    * global sort over keys. p50/p99 are rank-based (the count value at
+    * rank ceil(q·K) ascending) — exact integers, no interpolation.
+    * skew_factor = max_cnt·K/total: 1.0 = perfectly uniform. */
+  def keySkewAudit(df: DataFrame, keyCol: String,
+      label: String = ""): DataFrame = {
+    val name = if (label.nonEmpty) label else keyCol
+    val counts = df.groupBy(col(keyCol)).agg(count(lit(1)).as("cnt"))
+    val hist = counts.groupBy(col("cnt")).agg(count(lit(1)).as("k"))
+    val w = Window.orderBy(col("cnt"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val cum = hist.withColumn("cumk", sum(col("k")).over(w))
+    val tot = cum.agg(sum(col("k")).as("n_keys"),
+      sum(col("cnt") * col("k")).as("total_rows"),
+      max(col("cnt")).as("max_cnt"))
+    cum.crossJoin(broadcast(tot))
+      .groupBy(col("n_keys"), col("total_rows"), col("max_cnt"))
+      .agg(
+        min(when(col("cumk") >= ceil(col("n_keys") * lit(0.5)), col("cnt")))
+          .as("p50_cnt"),
+        min(when(col("cumk") >= ceil(col("n_keys") * lit(0.99)), col("cnt")))
+          .as("p99_cnt"))
+      .select(lit(name).as("key_col"), col("n_keys"), col("total_rows"),
+        col("max_cnt"), col("p50_cnt"), col("p99_cnt"),
+        round(col("max_cnt").cast(DoubleType) * col("n_keys") / col("total_rows"), 6)
+          .as("skew_factor"))
+  }
 }

@@ -18,6 +18,19 @@ import Util._
 object Extras {
 
   val queries: Map[String, Q] = Map(
+    // ---- q127: join-key skew audit — the pre-shuffle diagnostic for
+    // salting / AQE skew thresholds. Per-key counts collapse to a
+    // count-of-counts histogram (distinct count VALUES — tiny at any
+    // scale), so the exact rank-based p50/p99 walk is a window over
+    // hundreds of rows, never a global sort over keys. ----
+    "q127_key_skew_audit" -> ((s, dir) => {
+      import graft.api.Graft
+      Graft.keySkewAudit(t(s, dir, "lineitem"), "l_orderkey")
+        .unionByName(Graft.keySkewAudit(t(s, dir, "orders"), "o_custkey"))
+        .unionByName(Graft.keySkewAudit(t(s, dir, "events"), "user_id"))
+        .orderBy("key_col")
+    }),
+
     // ---- q34: JSON field extraction over events.props ----
     "q34_json_extract" -> ((s, dir) => {
       import s.implicits._
@@ -258,7 +271,28 @@ object Extras {
     })
   )
 
+  /** One audit block per table, mirroring keySkewAudit's histogram walk. */
+  private def skewAuditSql(i: Int, table: String, key: String): String =
+    s"""c$i AS (SELECT $key AS key, COUNT(*) AS cnt FROM $table GROUP BY 1),
+       |h$i AS (SELECT cnt, CAST(COUNT(*) AS BIGINT) AS k FROM c$i GROUP BY cnt),
+       |m$i AS (SELECT cnt, k, SUM(k) OVER (ORDER BY cnt) AS cumk FROM h$i),
+       |t$i AS (SELECT CAST(SUM(k) AS BIGINT) AS n_keys,
+       |               CAST(SUM(cnt * k) AS BIGINT) AS total_rows,
+       |               MAX(cnt) AS max_cnt FROM h$i),
+       |s$i AS (SELECT '$key' AS key_col, n_keys, total_rows, max_cnt,
+       |          MIN(CASE WHEN cumk >= ceil(n_keys * 0.5) THEN cnt END) AS p50_cnt,
+       |          MIN(CASE WHEN cumk >= ceil(n_keys * 0.99) THEN cnt END) AS p99_cnt,
+       |          ROUND(CAST(max_cnt AS DOUBLE) * n_keys / total_rows, 6) AS skew_factor
+       |        FROM m$i CROSS JOIN t$i GROUP BY 1, 2, 3, 4)""".stripMargin
+
   val oracle: Map[String, String] = Map(
+    "q127_key_skew_audit" ->
+      s"""WITH ${skewAuditSql(1, "lineitem", "l_orderkey")},
+         |${skewAuditSql(2, "orders", "o_custkey")},
+         |${skewAuditSql(3, "events", "user_id")}
+         |SELECT * FROM s1 UNION ALL SELECT * FROM s2 UNION ALL SELECT * FROM s3
+         |ORDER BY key_col""".stripMargin,
+
     "q34_json_extract" ->
       """SELECT event_type, COUNT(*) AS n,
         | MIN(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS min_k,

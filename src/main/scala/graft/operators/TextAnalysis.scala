@@ -191,6 +191,15 @@ object TextAnalysis {
       graft.api.Graft.bpeLearn(t(s, dir, "documents"), "text", merges = BpeLearnSteps)
     }),
 
+    // ---- q126: segmented inverted index over the q109 term set — the
+    // Lucene-shape postings build. Per (term, doc-id bucket) segments
+    // bound every task (a stopword's full posting list is the corpus);
+    // the per-term rollup hashes segment digests in bucket order. ----
+    "q126_inverted_index" -> ((s, dir) => {
+      graft.api.Graft.invertedIndex(t(s, dir, "documents"), "text", "doc_id",
+        Bm25Terms, bucketWidth = 100L)
+    }),
+
     // ---- q33: multimodal column plumbing (binary length + first byte);
     //      the decode path itself is the mapPartitions stub in Multimodal ----
     "q33_multimodal_meta" -> ((s, dir) => {
@@ -419,6 +428,23 @@ object TextAnalysis {
         |        trim(regexp_replace(lower(nfc_normalize(text)), '\s+', ' ', 'g')) AS norm
         |      FROM documents)
         |ORDER BY doc_id""".stripMargin,
+
+    "q126_inverted_index" -> {
+      val inList = Bm25Terms.map(t => s"'$t'").mkString(", ")
+      s"""WITH toks AS (
+         |  SELECT DISTINCT doc_id AS id, term FROM (
+         |    SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS term
+         |    FROM documents)
+         |  WHERE term IN ($inList)),
+         |seg AS (
+         |  SELECT term, id // 100 AS bucket, CAST(COUNT(*) AS BIGINT) AS cnt,
+         |         md5(string_agg(CAST(id AS VARCHAR), ',' ORDER BY id)) AS seg_md5
+         |  FROM toks GROUP BY term, bucket)
+         |SELECT term, CAST(SUM(cnt) AS BIGINT) AS df,
+         |       CAST(COUNT(*) AS BIGINT) AS n_segments,
+         |       md5(string_agg(seg_md5, ',' ORDER BY bucket)) AS index_md5
+         |FROM seg GROUP BY term ORDER BY term""".stripMargin
+    },
 
     "q124_bpe_learn" -> {
       // the oracle replays bpeLearn's exact loop, unrolled: per stage a

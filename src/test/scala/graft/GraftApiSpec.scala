@@ -298,4 +298,48 @@ class GraftApiSpec extends AnyFunSuite {
     assert((a, b) === (("s1", "s2")))
     assert(inter === 2L && uni === 2L && j === 1.0)
   }
+
+  test("invertedIndex segments postings by doc-id bucket and counts df once per doc") {
+    val s = spark; import s.implicits._
+    // "spark" in docs 5, 150, 250 (twice in 250 — df counts it once);
+    // bucketWidth 100 → buckets 0, 1, 2 = 3 segments
+    val df = Seq(
+      (5L, "spark engine"), (150L, "the spark core"),
+      (250L, "spark spark"), (260L, "no hits here")).toDF("doc_id", "text")
+    val out = Graft.invertedIndex(df, "text", "doc_id", Seq("spark", "core"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(out === Seq(("core", 1L, 1L), ("spark", 3L, 3L)))
+  }
+
+  test("invertedIndex rollup digest is insensitive to partitioning") {
+    val s = spark; import s.implicits._
+    val df = Seq.tabulate(40)(i => (i.toLong * 7, "spark row")).toDF("doc_id", "text")
+    val one = Graft.invertedIndex(df.coalesce(1), "text", "doc_id", Seq("spark"))
+      .collect()(0).getString(3)
+    val many = Graft.invertedIndex(df.repartition(13), "text", "doc_id", Seq("spark"))
+      .collect()(0).getString(3)
+    assert(one === many)
+  }
+
+  test("keySkewAudit computes exact rank-based percentiles and skew factor") {
+    val s = spark; import s.implicits._
+    // counts per key: a,b,c,d ×1 and e ×96 → K=5, total=100, max=96,
+    // p50 = count at rank ceil(2.5)=3 → 1, p99 = rank ceil(4.95)=5 → 96,
+    // skew = 96*5/100 = 4.8
+    val rows = Seq("a", "b", "c", "d") ++ Seq.fill(96)("e")
+    val df = rows.toDF("k")
+    val r = Graft.keySkewAudit(df, "k").collect()(0)
+    assert(r.getString(0) === "k")
+    assert((r.getLong(1), r.getLong(2), r.getLong(3)) === ((5L, 100L, 96L)))
+    assert((r.getLong(4), r.getLong(5)) === ((1L, 96L)))
+    assert(r.getDouble(6) === 4.8)
+  }
+
+  test("keySkewAudit reports 1.0 skew on a perfectly uniform key") {
+    val s = spark; import s.implicits._
+    val df = (1 to 10).flatMap(k => Seq.fill(4)(k)).toDF("k")
+    val r = Graft.keySkewAudit(df, "k").collect()(0)
+    assert(r.getDouble(6) === 1.0)
+    assert(r.getLong(4) === 4L && r.getLong(5) === 4L)
+  }
 }
