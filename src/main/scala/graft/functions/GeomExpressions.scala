@@ -150,6 +150,7 @@ object GraftFunctions {
     ("minhash_bands", (e: Seq[Expression]) => MinHashBands(e.head)),
     ("array_pairs", (e: Seq[Expression]) => ArrayPairs(e.head)),
     ("text_stats", (e: Seq[Expression]) => TextStats(e.head)),
+    ("char_stats", (e: Seq[Expression]) => CharStats(e.head)),
     ("nfc_normalize", (e: Seq[Expression]) => NfcNormalize(e.head)),
     ("bpe_count", (e: Seq[Expression]) => BpeCount(e.head)),
     ("cosine_lsh_bands", (e: Seq[Expression]) => CosineLshBands(e.head,

@@ -399,6 +399,76 @@ object TextStats {
     StructField("char_len", LongType, nullable = false)))
 }
 
+/** One-pass per-row codepoint histogram moments — the inputs to
+  * collision/Rényi-2 entropy (a gibberish/low-diversity quality signal).
+  * Only integer moments leave the kernel (n, distinct, Σcnt²); the one
+  * log call happens downstream on an exact rational, so the result is
+  * deterministic and exactly reproducible by a SQL oracle. ASCII counts
+  * live in a flat array; the rare non-ASCII tail spills to a map. */
+object CharStatsKernel {
+  def charStats(text: UTF8String): org.apache.spark.sql.catalyst.InternalRow = {
+    val s = text.toString
+    val n = s.length
+    val ascii = new Array[Long](128)
+    var other: java.util.HashMap[Integer, java.lang.Long] = null
+    var total = 0L
+    var i = 0
+    while (i < n) {
+      val c = s.charAt(i)
+      var cp: Int = c
+      var step = 1
+      if (Character.isHighSurrogate(c) && i + 1 < n &&
+          Character.isLowSurrogate(s.charAt(i + 1))) {
+        cp = Character.toCodePoint(c, s.charAt(i + 1)); step = 2
+      }
+      total += 1
+      if (cp < 128) ascii(cp) += 1
+      else {
+        if (other == null) other = new java.util.HashMap()
+        val prev = other.get(cp)
+        other.put(cp, if (prev == null) 1L else prev + 1L)
+      }
+      i += step
+    }
+    var distinct = 0L
+    var sumSq = 0L
+    var j = 0
+    while (j < 128) {
+      val cj = ascii(j)
+      if (cj > 0) { distinct += 1; sumSq += cj * cj }
+      j += 1
+    }
+    if (other != null) {
+      val it = other.values().iterator()
+      while (it.hasNext) { val cv = it.next(); distinct += 1; sumSq += cv * cv }
+    }
+    new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+      Array[Any](total, distinct, sumSq))
+  }
+}
+
+/** char_stats(string) → struct<n_chars,n_distinct,sum_sq>. */
+case class CharStats(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = CharStats.schema
+  override def prettyName: String = "char_stats"
+
+  protected override def nullSafeEval(a: Any): Any =
+    CharStatsKernel.charStats(a.asInstanceOf[UTF8String])
+
+  protected override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, a => s"graft.functions.CharStatsKernel.charStats($a)")
+
+  protected override def withNewChildInternal(c: Expression): CharStats =
+    copy(child = c)
+}
+
+object CharStats {
+  val schema: StructType = StructType(Seq(
+    StructField("n_chars", LongType, nullable = false),
+    StructField("n_distinct", LongType, nullable = false),
+    StructField("sum_sq", LongType, nullable = false)))
+}
+
 /** simhash64(array<string>) → long: full SimHash signature per row. */
 case class SimHash64(child: Expression) extends UnaryExpression {
   override def dataType: DataType = LongType
