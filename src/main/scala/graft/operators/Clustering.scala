@@ -26,13 +26,18 @@ object Clustering {
   val queries: Map[String, Q] = Map(
     // ---- q123: embedding covariance matrix — the distributed half of
     // PCA/whitening (the gram-matrix aggregate MLlib's PCA runs before
-    // the driver-side eigen step). Upper-triangle (i ≤ j) cells only;
-    // per-row pair products micro-quantized to longs (q95 policy) so the
-    // dim²-cell partial+final aggregate is exact under any shuffle
-    // order; per-dim sums ride as a 64-row broadcast for the centering
-    // term; cov = fixed double chain, ONE division shape. Fan-out is
-    // n·d(d+1)/2 pair rows, collapsed by map-side partial agg to d²
-    // cells per partition before the shuffle. ----
+    // the driver-side eigen step). Upper-triangle (i ≤ j) cells only.
+    // Exactness policy (the q95/q70 discipline carried to the END of the
+    // chain, r7's one red row fixed): each ELEMENT is micro-quantized to
+    // a long first, the pair product is an exact integer multiply
+    // (ties impossible — both engines replay integer arithmetic
+    // identically), cell sums are exact longs under any shuffle order,
+    // and the final cov is ONE fixed double chain over those exact
+    // integers with NO decimal round() anywhere — Spark's BigDecimal
+    // HALF_UP round vs DuckDB's float-based ROUND was the r7 last-digit
+    // divergence. Fan-out is n·d(d+1)/2 pair rows, collapsed by
+    // map-side partial agg to d² cells per partition before the
+    // shuffle; per-dim sums ride as a 64-row broadcast. ----
     "q123_embedding_covariance" -> ((s, dir) => {
       val e = t(s, dir, "embeddings")
       val n1 = e.agg(count(lit(1)).as("n"))
@@ -44,9 +49,10 @@ object Clustering {
         .select(explode(sequence(lit(1), size(col("v")))).as("i"), col("v"))
         .select(col("i"), explode(sequence(col("i"), size(col("v")))).as("j"), col("v"))
         .select(col("i").cast(LongType).as("i"), col("j").cast(LongType).as("j"),
-          round((element_at(col("v"), col("i")).cast(DoubleType) *
-            element_at(col("v"), col("j")).cast(DoubleType)) * lit(1000000.0))
-            .cast(LongType).as("q"))
+          (round(element_at(col("v"), col("i")).cast(DoubleType) * lit(1000000.0))
+            .cast(LongType) *
+           round(element_at(col("v"), col("j")).cast(DoubleType) * lit(1000000.0))
+            .cast(LongType)).as("q"))
         .groupBy(col("i"), col("j"))
         .agg(sum(col("q")).as("sxy"))
       cells
@@ -54,10 +60,10 @@ object Clustering {
         .join(broadcast(dims.select(col("i").as("j"), col("sx").as("sxj"))), Seq("j"))
         .crossJoin(broadcast(n1))
         .select(col("i"), col("j"),
-          round((col("sxy").cast(DoubleType) / lit(1000000.0) -
+          ((col("sxy").cast(DoubleType) / lit(1.0e12) -
             (col("sxi").cast(DoubleType) / lit(1000000.0)) *
             (col("sxj").cast(DoubleType) / lit(1000000.0)) / col("n")) /
-            (col("n") - lit(1L)), 6).as("cov"))
+            (col("n") - lit(1L)).cast(DoubleType)).as("cov"))
         .orderBy(col("i"), col("j"))
     }),
 
@@ -102,9 +108,11 @@ object Clustering {
       |  WHERE rn = 1)""".stripMargin
 
   val oracle: Map[String, String] = Map(
-    // covariance twin: identical micro-quantized pair products (float→
-    // double exact, round-to-long), integer cell sums, the same fixed
-    // double centering chain
+    // covariance twin: identical element-first micro-quantization
+    // (round-to-long per element, exact BIGINT pair product, exact cell
+    // sums), then the same fixed double chain with no decimal ROUND —
+    // every op after quantization is deterministic IEEE arithmetic both
+    // engines reproduce bit-for-bit
     "q123_embedding_covariance" ->
       """WITH n1 AS (SELECT COUNT(*) AS n FROM embeddings),
         |d0 AS (SELECT embedding AS v,
@@ -117,13 +125,14 @@ object Clustering {
         |p AS (SELECT v, i, unnest(generate_series(1, len(v))) AS j FROM d0),
         |cells AS (
         |  SELECT i, j,
-        |    CAST(SUM(CAST(ROUND((CAST(v[i] AS DOUBLE) * CAST(v[j] AS DOUBLE))
-        |      * 1000000.0) AS BIGINT)) AS BIGINT) AS sxy
+        |    CAST(SUM(CAST(ROUND(CAST(v[i] AS DOUBLE) * 1000000.0) AS BIGINT) *
+        |             CAST(ROUND(CAST(v[j] AS DOUBLE) * 1000000.0) AS BIGINT))
+        |      AS BIGINT) AS sxy
         |  FROM p WHERE j >= i GROUP BY i, j)
         |SELECT c.i, c.j,
-        |  ROUND((CAST(sxy AS DOUBLE) / 1000000.0 -
+        |  (CAST(sxy AS DOUBLE) / 1e12 -
         |    (CAST(di.sx AS DOUBLE) / 1000000.0) *
-        |    (CAST(dj.sx AS DOUBLE) / 1000000.0) / n) / (n - 1), 6) AS cov
+        |    (CAST(dj.sx AS DOUBLE) / 1000000.0) / n) / CAST(n - 1 AS DOUBLE) AS cov
         |FROM cells c
         |JOIN dims di ON di.i = c.i
         |JOIN dims dj ON dj.i = c.j
