@@ -60,10 +60,37 @@ trait FeatureFormat extends Serializable {
   * a speculative duplicate or failed/retried attempt can neither
   * interleave bytes with the winner nor leave a truncated file a later
   * read would parse. */
+/** Carried by every task-commit message: the final file(s) the task
+  * promoted. Job commit re-verifies their existence via
+  * [[AttemptFile.verifyCommitted]], closing the narrow delete-then-retry
+  * window in [[AttemptFile.promote]]: a zombie attempt killed between its
+  * fallback `delete(final)` and `rename` removes the winner's file, and
+  * without this check the job would report success over a dataset missing
+  * a whole partition. */
+trait CommittedFiles { def committedPaths: Seq[String] }
+
 object AttemptFile {
   def temp(finalFile: java.io.File, taskId: Long): java.io.File =
     new java.io.File(finalFile.getParentFile,
       s".${finalFile.getName}.t$taskId.inprogress")
+
+  /** Job-commit existence check over the paths the task commits reported.
+    * Runs on the driver after ALL tasks finished — any file a committed
+    * task promoted that is no longer present means a task-commit race
+    * (or external deletion) lost data, and the job must fail loudly
+    * rather than publish a partial dataset. */
+  def verifyCommitted(
+      messages: Array[org.apache.spark.sql.connector.write.WriterCommitMessage]): Unit = {
+    val missing = messages.toSeq
+      .collect { case c: CommittedFiles => c.committedPaths }
+      .flatten.distinct
+      .filterNot(p => new java.io.File(p).exists())
+    if (missing.nonEmpty)
+      throw new java.io.IOException(
+        "job commit: task-committed file(s) missing: " + missing.sorted.mkString(", ") +
+        " (task-commit race or external deletion); failing the job instead of " +
+        "publishing a dataset with lost partitions")
+  }
 
   /** Last committer wins; a failed rename aborts the task loudly.
     * Rename FIRST (POSIX renameTo overwrites the destination atomically,

@@ -29,7 +29,8 @@ class CsvGeoWriteBuilder(info: LogicalWriteInfo) extends WriteBuilder with Suppo
   }
 }
 
-case class CsvGeoCommit(rows: Long) extends WriterCommitMessage
+case class CsvGeoCommit(rows: Long, committedPaths: Seq[String] = Nil)
+  extends WriterCommitMessage with graft.sources.CommittedFiles
 
 class CsvGeoBatchWrite(path: String, schema: StructType, opts: GdalOptions,
     truncate: Boolean) extends BatchWrite {
@@ -43,7 +44,8 @@ class CsvGeoBatchWrite(path: String, schema: StructType, opts: GdalOptions,
     new CsvGeoWriterFactory(path, graft.sources.LayerWrite.stem(dir, opts, truncate), schema, opts)
   }
   override def commit(messages: Array[WriterCommitMessage]): Unit = {
-    val total = messages.map { case CsvGeoCommit(n) => n }.sum
+    graft.sources.AttemptFile.verifyCommitted(messages)
+    val total = messages.map { case CsvGeoCommit(n, _) => n }.sum
     if (total == 0L) throw new GraftError.EmptyDataframe
   }
   override def abort(messages: Array[WriterCommitMessage]): Unit = ()
@@ -103,7 +105,7 @@ class CsvGeoDataWriter(file: File, schema: StructType, opts: GdalOptions,
   override def commit(): WriterCommitMessage = {
     out.close()
     graft.sources.AttemptFile.promote(tmp, file)
-    CsvGeoCommit(n)
+    CsvGeoCommit(n, Seq(file.getAbsolutePath))
   }
   override def abort(): Unit = { out.close(); tmp.delete(); () }
   override def close(): Unit = ()

@@ -27,7 +27,8 @@ class FgbWriteBuilder(info: LogicalWriteInfo) extends WriteBuilder with Supports
   }
 }
 
-case class FgbCommit(rows: Long) extends WriterCommitMessage
+case class FgbCommit(rows: Long, committedPaths: Seq[String] = Nil)
+  extends WriterCommitMessage with graft.sources.CommittedFiles
 
 class FgbBatchWrite(path: String, schema: StructType, opts: GdalOptions,
     truncate: Boolean) extends BatchWrite {
@@ -45,7 +46,8 @@ class FgbBatchWrite(path: String, schema: StructType, opts: GdalOptions,
     new FgbWriterFactory(path, graft.sources.LayerWrite.stem(dir, opts, truncate), schema, opts)
   }
   override def commit(messages: Array[WriterCommitMessage]): Unit = {
-    if (messages.map { case FgbCommit(n) => n }.sum == 0L)
+    graft.sources.AttemptFile.verifyCommitted(messages)
+    if (messages.map { case FgbCommit(n, _) => n }.sum == 0L)
       throw new GraftError.EmptyDataframe
   }
   override def abort(messages: Array[WriterCommitMessage]): Unit = ()
@@ -150,7 +152,7 @@ class FgbDataWriter(file: File, schema: StructType, opts: GdalOptions,
       } else features.foreach(out.write)
     } finally out.close()
     graft.sources.AttemptFile.promote(tmp, file)
-    FgbCommit(n)
+    FgbCommit(n, Seq(file.getAbsolutePath))
   }
   override def abort(): Unit = { tmp.delete(); () }
   override def close(): Unit = ()

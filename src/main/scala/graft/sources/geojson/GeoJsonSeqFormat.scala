@@ -111,7 +111,8 @@ class GeoJsonSeqBatchWrite(path: String, schema: org.apache.spark.sql.types.Stru
     GeoJsonRowSerializer.geometryIndex(schema, opts)
     new GeoJsonSeqWriterFactory(path, schema, opts)
   }
-  override def commit(messages: Array[WriterCommitMessage]): Unit = ()
+  override def commit(messages: Array[WriterCommitMessage]): Unit =
+    graft.sources.AttemptFile.verifyCommitted(messages)
   override def abort(messages: Array[WriterCommitMessage]): Unit = ()
 }
 
@@ -141,7 +142,7 @@ class GeoJsonSeqDataWriter(file: java.io.File,
   override def commit(): WriterCommitMessage = {
     out.close()
     graft.sources.AttemptFile.promote(tmp, file)
-    GeoJsonCommit(0)
+    GeoJsonCommit(0, Seq(file.getAbsolutePath))
   }
   override def abort(): Unit = { out.close(); tmp.delete(); () }
   override def close(): Unit = ()

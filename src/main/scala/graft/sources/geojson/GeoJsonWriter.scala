@@ -136,7 +136,8 @@ class GeoJsonWriteBuilder(info: LogicalWriteInfo) extends WriteBuilder with Supp
   }
 }
 
-case class GeoJsonCommit(rows: Long) extends WriterCommitMessage
+case class GeoJsonCommit(rows: Long, committedPaths: Seq[String] = Nil)
+  extends WriterCommitMessage with graft.sources.CommittedFiles
 
 class GeoJsonBatchWrite(path: String, schema: StructType, opts: GdalOptions,
     truncate: Boolean) extends BatchWrite {
@@ -151,7 +152,8 @@ class GeoJsonBatchWrite(path: String, schema: StructType, opts: GdalOptions,
   }
 
   override def commit(messages: Array[WriterCommitMessage]): Unit = {
-    val total = messages.map { case GeoJsonCommit(n) => n }.sum
+    graft.sources.AttemptFile.verifyCommitted(messages)
+    val total = messages.map { case GeoJsonCommit(n, _) => n }.sum
     if (total == 0L) throw new GraftError.EmptyDataframe // ref src/lib.rs:509-511
   }
   override def abort(messages: Array[WriterCommitMessage]): Unit = ()
@@ -183,7 +185,7 @@ class GeoJsonDataWriter(file: File, schema: StructType, opts: GdalOptions,
     out.write("\n]}\n")
     out.close()
     graft.sources.AttemptFile.promote(tmp, file)
-    GeoJsonCommit(n)
+    GeoJsonCommit(n, Seq(file.getAbsolutePath))
   }
   override def abort(): Unit = { out.close(); tmp.delete(); () }
   override def close(): Unit = ()

@@ -30,7 +30,8 @@ class GpkgWriteBuilder(info: LogicalWriteInfo) extends WriteBuilder with Support
   }
 }
 
-case class GpkgCommit(rows: Long) extends WriterCommitMessage
+case class GpkgCommit(rows: Long, committedPaths: Seq[String] = Nil)
+  extends WriterCommitMessage with graft.sources.CommittedFiles
 
 class GpkgBatchWrite(path: String, schema: StructType, opts: GdalOptions,
     truncate: Boolean) extends BatchWrite {
@@ -49,7 +50,8 @@ class GpkgBatchWrite(path: String, schema: StructType, opts: GdalOptions,
       graft.sources.LayerWrite.stem(dir, opts, truncate), schema, opts)
   }
   override def commit(messages: Array[WriterCommitMessage]): Unit = {
-    if (messages.map { case GpkgCommit(n) => n }.sum == 0L)
+    graft.sources.AttemptFile.verifyCommitted(messages)
+    if (messages.map { case GpkgCommit(n, _) => n }.sum == 0L)
       throw new GraftError.EmptyDataframe
   }
   override def abort(messages: Array[WriterCommitMessage]): Unit = ()
@@ -201,7 +203,7 @@ class GpkgDataWriter(file: File, schema: StructType, opts: GdalOptions,
     val out = new FileOutputStream(tmp)
     try out.write(GpkgDataWriter.stampHeader(bytes)) finally out.close()
     graft.sources.AttemptFile.promote(tmp, file)
-    GpkgCommit(rows.length.toLong)
+    GpkgCommit(rows.length.toLong, Seq(file.getAbsolutePath))
   }
   override def abort(): Unit = { tmp.delete(); () }
   override def close(): Unit = ()

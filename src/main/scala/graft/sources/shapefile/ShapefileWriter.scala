@@ -28,7 +28,8 @@ class ShapefileWriteBuilder(info: LogicalWriteInfo) extends WriteBuilder with Su
   }
 }
 
-case class ShpCommit(rows: Long) extends WriterCommitMessage
+case class ShpCommit(rows: Long, committedPaths: Seq[String] = Nil)
+  extends WriterCommitMessage with graft.sources.CommittedFiles
 
 class ShapefileBatchWrite(path: String, schema: StructType, opts: GdalOptions,
     truncate: Boolean) extends BatchWrite {
@@ -50,7 +51,8 @@ class ShapefileBatchWrite(path: String, schema: StructType, opts: GdalOptions,
     new ShapefileWriterFactory(path, graft.sources.LayerWrite.stem(dir, opts, truncate), schema, opts)
   }
   override def commit(messages: Array[WriterCommitMessage]): Unit = {
-    if (messages.map { case ShpCommit(n) => n }.sum == 0L)
+    graft.sources.AttemptFile.verifyCommitted(messages)
+    if (messages.map { case ShpCommit(n, _) => n }.sum == 0L)
       throw new GraftError.EmptyDataframe
   }
   override def abort(messages: Array[WriterCommitMessage]): Unit = ()
@@ -122,11 +124,15 @@ class ShapefileDataWriter(base: String, schema: StructType, opts: GdalOptions,
       java.nio.file.Files.writeString(
         java.nio.file.Paths.get(attemptBase + ".prj"), ShpWriter.prjWkt(s))
     }
-    Seq(".shp", ".shx", ".dbf", ".prj").foreach { ext =>
+    val promoted = Seq(".shp", ".shx", ".dbf", ".prj").flatMap { ext =>
       val t = new File(attemptBase + ext)
-      if (t.exists()) graft.sources.AttemptFile.promote(t, new File(base + ext))
+      if (t.exists()) {
+        val f = new File(base + ext)
+        graft.sources.AttemptFile.promote(t, f)
+        Some(f.getAbsolutePath)
+      } else None
     }
-    ShpCommit(n)
+    ShpCommit(n, promoted)
   }
   override def abort(): Unit = {
     writer.close()

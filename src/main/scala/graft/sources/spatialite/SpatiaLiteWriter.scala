@@ -29,7 +29,8 @@ class SpatiaLiteWriteBuilder(info: LogicalWriteInfo) extends WriteBuilder with S
   }
 }
 
-case class SpatiaLiteCommit(rows: Long) extends WriterCommitMessage
+case class SpatiaLiteCommit(rows: Long, committedPaths: Seq[String] = Nil)
+  extends WriterCommitMessage with graft.sources.CommittedFiles
 
 class SpatiaLiteBatchWrite(path: String, schema: StructType, opts: GdalOptions,
     truncate: Boolean) extends BatchWrite {
@@ -48,7 +49,8 @@ class SpatiaLiteBatchWrite(path: String, schema: StructType, opts: GdalOptions,
       graft.sources.LayerWrite.stem(dir, opts, truncate), schema, opts)
   }
   override def commit(messages: Array[WriterCommitMessage]): Unit = {
-    if (messages.map { case SpatiaLiteCommit(n) => n }.sum == 0L)
+    graft.sources.AttemptFile.verifyCommitted(messages)
+    if (messages.map { case SpatiaLiteCommit(n, _) => n }.sum == 0L)
       throw new GraftError.EmptyDataframe
   }
   override def abort(messages: Array[WriterCommitMessage]): Unit = ()
@@ -145,7 +147,7 @@ class SpatiaLiteDataWriter(file: File, schema: StructType, opts: GdalOptions,
     val out = new FileOutputStream(tmp)
     try out.write(bytes) finally out.close()
     graft.sources.AttemptFile.promote(tmp, file)
-    SpatiaLiteCommit(rows.length.toLong)
+    SpatiaLiteCommit(rows.length.toLong, Seq(file.getAbsolutePath))
   }
   override def abort(): Unit = { tmp.delete(); () }
   override def close(): Unit = ()

@@ -130,7 +130,8 @@ class GmlWriteBuilder(info: LogicalWriteInfo) extends WriteBuilder with Supports
   }
 }
 
-case class GmlCommit(rows: Long) extends WriterCommitMessage
+case class GmlCommit(rows: Long, committedPaths: Seq[String] = Nil)
+  extends WriterCommitMessage with graft.sources.CommittedFiles
 
 class GmlBatchWrite(path: String, schema: StructType, opts: GdalOptions,
     truncate: Boolean) extends BatchWrite {
@@ -161,7 +162,8 @@ class GmlBatchWrite(path: String, schema: StructType, opts: GdalOptions,
       schema, opts)
   }
   override def commit(messages: Array[WriterCommitMessage]): Unit = {
-    if (messages.map { case GmlCommit(n) => n }.sum == 0L)
+    graft.sources.AttemptFile.verifyCommitted(messages)
+    if (messages.map { case GmlCommit(n, _) => n }.sum == 0L)
       throw new GraftError.EmptyDataframe
   }
   override def abort(messages: Array[WriterCommitMessage]): Unit = ()
@@ -199,7 +201,7 @@ class GmlDataWriter(file: File, schema: StructType, opts: GdalOptions, pid: Int,
     out.write("</gml:FeatureCollection>\n")
     out.close()
     graft.sources.AttemptFile.promote(tmp, file)
-    GmlCommit(n)
+    GmlCommit(n, Seq(file.getAbsolutePath))
   }
   override def abort(): Unit = { out.close(); tmp.delete(); () }
   override def close(): Unit = ()

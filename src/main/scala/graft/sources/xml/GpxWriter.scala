@@ -31,7 +31,8 @@ class GpxWriteBuilder(info: LogicalWriteInfo) extends WriteBuilder with Supports
   }
 }
 
-case class GpxCommit(rows: Long) extends WriterCommitMessage
+case class GpxCommit(rows: Long, committedPaths: Seq[String] = Nil)
+  extends WriterCommitMessage with graft.sources.CommittedFiles
 
 class GpxBatchWrite(path: String, schema: StructType, opts: GdalOptions,
     truncate: Boolean) extends BatchWrite {
@@ -49,7 +50,8 @@ class GpxBatchWrite(path: String, schema: StructType, opts: GdalOptions,
     new GpxWriterFactory(path, graft.sources.LayerWrite.stem(dir, opts, truncate), schema, opts)
   }
   override def commit(messages: Array[WriterCommitMessage]): Unit = {
-    if (messages.map { case GpxCommit(n) => n }.sum == 0L)
+    graft.sources.AttemptFile.verifyCommitted(messages)
+    if (messages.map { case GpxCommit(n, _) => n }.sum == 0L)
       throw new GraftError.EmptyDataframe
   }
   override def abort(messages: Array[WriterCommitMessage]): Unit = ()
@@ -116,7 +118,7 @@ class GpxDataWriter(file: File, schema: StructType, opts: GdalOptions,
     out.write("</gpx>\n")
     out.close()
     graft.sources.AttemptFile.promote(tmp, file)
-    GpxCommit(n)
+    GpxCommit(n, Seq(file.getAbsolutePath))
   }
   override def abort(): Unit = { out.close(); tmp.delete(); () }
   override def close(): Unit = ()

@@ -115,7 +115,8 @@ class KmlWriteBuilder(info: LogicalWriteInfo) extends WriteBuilder with Supports
   }
 }
 
-case class KmlCommit(rows: Long) extends WriterCommitMessage
+case class KmlCommit(rows: Long, committedPaths: Seq[String] = Nil)
+  extends WriterCommitMessage with graft.sources.CommittedFiles
 
 class KmlBatchWrite(path: String, schema: StructType, opts: GdalOptions,
     truncate: Boolean) extends BatchWrite {
@@ -133,7 +134,8 @@ class KmlBatchWrite(path: String, schema: StructType, opts: GdalOptions,
     new KmlWriterFactory(path, graft.sources.LayerWrite.stem(dir, opts, truncate), schema, opts)
   }
   override def commit(messages: Array[WriterCommitMessage]): Unit = {
-    if (messages.map { case KmlCommit(n) => n }.sum == 0L)
+    graft.sources.AttemptFile.verifyCommitted(messages)
+    if (messages.map { case KmlCommit(n, _) => n }.sum == 0L)
       throw new GraftError.EmptyDataframe
   }
   override def abort(messages: Array[WriterCommitMessage]): Unit = ()
@@ -164,7 +166,7 @@ class KmlDataWriter(file: File, schema: StructType, opts: GdalOptions,
     out.write("</Document></kml>\n")
     out.close()
     graft.sources.AttemptFile.promote(tmp, file)
-    KmlCommit(n)
+    KmlCommit(n, Seq(file.getAbsolutePath))
   }
   override def abort(): Unit = { out.close(); tmp.delete(); () }
   override def close(): Unit = ()
