@@ -1196,16 +1196,19 @@ object Graft {
     val toks = df.select(col(idCol).as("__id"),
       posexplode(split(lower(col(textCol)), "[^a-z0-9]+")).as(Seq("__p", "__t")))
       .filter(col("__t") =!= "")
-    // re-rank positions AFTER dropping empties so bigrams never straddle
-    // a punctuation gap inconsistently between engines
+    // bigrams via lead() over a per-doc window ordered by the ORIGINAL
+    // position (empties already filtered, so the lead token is the next
+    // SURVIVING token — bigrams never straddle a punctuation gap): ONE
+    // shuffle of the token stream on __id, where the r7 self-join
+    // re-shuffled it twice on a derived row-number key. At 100 TB that
+    // saved shuffle is the dominant cost of the query.
     val wp = Window.partitionBy(col("__id")).orderBy(col("__p"))
-    val seq = toks.withColumn("__i", row_number().over(wp))
-    val bigrams = seq.alias("a").join(seq.alias("b"),
-        col("a.__id") === col("b.__id") && col("b.__i") === col("a.__i") + 1)
-      .select(col("a.__id").as("__id"), col("a.__t").as("w1"), col("b.__t").as("w2"))
-    val uni = seq.groupBy(col("__t").as("w1")).agg(count(lit(1)).as("cu"))
+    val bigrams = toks
+      .select(col("__id"), col("__t").as("w1"), lead(col("__t"), 1).over(wp).as("w2"))
+      .filter(col("w2").isNotNull)
+    val uni = toks.groupBy(col("__t").as("w1")).agg(count(lit(1)).as("cu"))
     val bi = bigrams.groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("cb"))
-    val vocab = seq.agg(countDistinct(col("__t")).as("v"))
+    val vocab = toks.agg(countDistinct(col("__t")).as("v"))
     val nll = log((col("cu").cast(DoubleType) + lit(addK) * col("v").cast(DoubleType)) /
       (col("cb").cast(DoubleType) + lit(addK)))
     val scored = bigrams.join(bi, Seq("w1", "w2"))

@@ -66,6 +66,15 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(!p.contains("SortMergeJoin") && !p.contains("BroadcastHashJoin"), p)
   }
 
+  test("q113 bigrams come from lead() over the per-doc window, not a token self-join") {
+    val p = planOf("q113_ngram_lm")
+    // adjacent-token pairing must reuse the __id window partitioning:
+    // a lead() Window node, and NO join keyed on a derived row-number
+    // (the r7 shape shuffled the full token stream twice)
+    assert(p.contains("lead("), p)
+    assert(!p.contains("__i#"), p)
+  }
+
   test("q57 PII scrub is a pure per-row projection (only the output-sort exchange)") {
     val p = planOf("q57_pii_scrub")
     // the single Exchange is the deterministic ORDER BY every oracle
