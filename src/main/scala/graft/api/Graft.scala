@@ -1132,27 +1132,46 @@ object Graft {
     * order-sensitive op — summing in-contributions — is quantized to
     * pico-units (round(x·1e12) as long) so partial/map-side aggregation
     * order cannot perturb the sum in either engine; everything else is a
-    * fixed double expression tree. */
+    * fixed double expression tree.
+    *
+    * Durability: `checkpointDir` switches the per-iteration lineage cut
+    * from `localCheckpoint` (executor block store — fast, but an executor
+    * loss mid-run kills the job) to reliable `checkpoint` into that
+    * directory (HDFS/object store on a real cluster), which survives
+    * executor loss. Local mode keeps the default.
+    *
+    * Weights stay DOUBLE end-to-end (no silent integer truncation) and
+    * must be positive non-null — one validating scan up front, amortized
+    * over `iterations` rounds, fails loudly instead of propagating
+    * w/0 = NaN transition probabilities into every downstream rank. */
   def pageRank(edges: DataFrame, srcCol: String, dstCol: String,
-      weightCol: String, damping: Double = 0.85, iterations: Int = 10): DataFrame = {
+      weightCol: String, damping: Double = 0.85, iterations: Int = 10,
+      checkpointDir: Option[String] = None): DataFrame = {
     require(iterations >= 1, s"pageRank needs iterations >= 1, got $iterations")
     val Q = 1.0e12
+    checkpointDir.foreach(edges.sparkSession.sparkContext.setCheckpointDir)
+    def cut(df: DataFrame): DataFrame =
+      if (checkpointDir.isDefined) df.checkpoint() else df.localCheckpoint()
     val e = edges.select(col(srcCol).cast(StringType).as("src"),
       col(dstCol).cast(StringType).as("dst"),
-      col(weightCol).cast(LongType).as("w"))
-    val nodes = e.select(col("src").as("node"))
+      col(weightCol).cast(DoubleType).as("w"))
+    val badW = e.filter(col("w").isNull || !(col("w") > 0.0)).limit(1).count()
+    require(badW == 0L,
+      s"pageRank: weight column '$weightCol' must be positive and non-null " +
+        "(zero/negative/null weights would yield NaN transition probabilities)")
+    val nodes = cut(e.select(col("src").as("node"))
       .unionAll(e.select(col("dst").as("node")))
-      .distinct().localCheckpoint()
+      .distinct())
     val n = nodes.count() // ONE driver scalar for the whole run
     require(n > 0, "pageRank: empty edge list")
     val nD = n.toDouble
     val outw = e.groupBy(col("src")).agg(sum(col("w")).as("ow"))
-    val ep = e.join(outw, Seq("src"))
+    val ep = cut(e.join(outw, Seq("src"))
       .select(col("src"), col("dst"),
-        (col("w").cast(DoubleType) / col("ow").cast(DoubleType)).as("p"))
-      .localCheckpoint() // joined every round; upstream runs exactly once
-    val dangling = nodes.join(e.select(col("src").as("node")).distinct(),
-      Seq("node"), "left_anti").localCheckpoint()
+        (col("w").cast(DoubleType) / col("ow").cast(DoubleType)).as("p")))
+      // joined every round; upstream runs exactly once
+    val dangling = cut(nodes.join(e.select(col("src").as("node")).distinct(),
+      Seq("node"), "left_anti"))
     var ranks = nodes.withColumn("rank", lit(1.0) / lit(nD))
     var i = 0
     while (i < iterations) {
@@ -1164,13 +1183,12 @@ object Graft {
         .agg(coalesce(sum(round(col("rank") * lit(Q)).cast(LongType)), lit(0L))
           .cast(DoubleType).as("dang_q"))
         .select((col("dang_q") / lit(Q)).as("dang"))
-      ranks = nodes.join(in, Seq("node"), "left")
+      ranks = cut(nodes.join(in, Seq("node"), "left")
         .crossJoin(broadcast(dang))
         .select(col("node"),
           ((lit(1.0) - lit(damping)) / lit(nD) +
             lit(damping) * (coalesce(col("in_r"), lit(0.0)) +
-              col("dang") / lit(nD))).as("rank"))
-        .localCheckpoint() // truncate the iterative lineage
+              col("dang") / lit(nD))).as("rank"))) // truncate iterative lineage
       i += 1
     }
     ranks

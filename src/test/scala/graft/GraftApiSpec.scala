@@ -190,6 +190,44 @@ class GraftApiSpec extends AnyFunSuite {
     assert(pr("b") > pr("c"))
   }
 
+  test("pageRank checkpointDir: reliable checkpoint truncates lineage, same ranks") {
+    val s = spark; import s.implicits._
+    val edges = Seq(("a", "c", 1L), ("b", "c", 1L), ("c", "a", 1L))
+      .toDF("src", "dst", "w")
+    val dir = java.nio.file.Files.createTempDirectory("prckpt").toString
+    val pr = Graft.pageRank(edges, "src", "dst", "w", iterations = 5,
+      checkpointDir = Some(dir))
+    // lineage is cut at a reliable checkpoint: the final plan scans RDD
+    // checkpoint data instead of replaying 5 rounds of joins
+    assert(pr.queryExecution.optimizedPlan.toString.contains("LogicalRDD"))
+    assert(new java.io.File(dir).listFiles.nonEmpty) // checkpoint files on disk
+    val prLocal = Graft.pageRank(edges, "src", "dst", "w", iterations = 5)
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    val prCkpt = pr.collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(prCkpt === prLocal) // durability mode cannot change the answer
+  }
+
+  test("pageRank rejects zero/negative/null weights instead of emitting NaN") {
+    val s = spark; import s.implicits._
+    val zero = Seq(("a", "b", 0L), ("b", "a", 1L)).toDF("src", "dst", "w")
+    val e1 = intercept[IllegalArgumentException] {
+      Graft.pageRank(zero, "src", "dst", "w", iterations = 1)
+    }
+    assert(e1.getMessage.contains("positive"))
+    val neg = Seq(("a", "b", -3L), ("b", "a", 1L)).toDF("src", "dst", "w")
+    intercept[IllegalArgumentException] {
+      Graft.pageRank(neg, "src", "dst", "w", iterations = 1)
+    }
+    // fractional weights are legal now (double end-to-end, no truncation):
+    // a 0.5-weight edge must behave exactly like any positive weight
+    val frac = Seq(("a", "b", 0.5), ("a", "c", 0.5), ("b", "a", 1.0), ("c", "a", 1.0))
+      .toDF("src", "dst", "w")
+    val pr = Graft.pageRank(frac, "src", "dst", "w", iterations = 10)
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(math.abs(pr.values.sum - 1.0) < 1e-6)
+    assert(math.abs(pr("b") - pr("c")) < 1e-12) // symmetric halves tie exactly
+  }
+
   test("mergeChanges applies insert/update/delete with whole-row replace") {
     val s = spark; import s.implicits._
     val target = Seq((1L, "one", 10.0), (2L, "two", 20.0), (3L, "three", 30.0))
