@@ -1094,20 +1094,30 @@ object Graft {
     * row WHOLESALE (an update may set columns to null — no coalesce
     * smearing of old values). Exactly one change row per key is required
     * for a deterministic result; feed [[scd2]]-style latest-wins
-    * compaction first if the stream has more.
+    * compaction first if the stream has more. Change rows with a NULL
+    * key match nothing and are dropped (they would otherwise emit an
+    * all-null output row); `validate = true` adds a debug-mode scan that
+    * fails loudly on null or duplicate change keys instead.
     *
     * 100 TB shape: one shuffle on the key (full-outer cannot broadcast in
     * Spark); both sides hash-partition, AQE handles skew. No driver
     * traffic, no window over the snapshot. */
   def mergeChanges(target: DataFrame, changes: DataFrame, keyCol: String,
-      opCol: String = "op"): DataFrame = {
+      opCol: String = "op", validate: Boolean = false): DataFrame = {
     val tCols = target.schema.fieldNames
     require(changes.schema.fieldNames.contains(opCol),
       s"mergeChanges: changeset lacks op column '$opCol'")
     require(tCols.forall(changes.schema.fieldNames.contains),
       "mergeChanges: changeset must carry every target column")
+    if (validate) {
+      val badKeys = changes.groupBy(col(keyCol)).agg(count(lit(1)).as("__c"))
+        .filter(col(keyCol).isNull || col("__c") > 1).limit(1).collect()
+      require(badKeys.isEmpty,
+        s"mergeChanges: changeset has ${if (badKeys.head.isNullAt(0)) "NULL"
+          else "duplicate"} '$keyCol' keys — compact latest-wins first (scd2)")
+    }
     val t = target.as("t")
-    val c = changes.as("c")
+    val c = changes.filter(col(keyCol).isNotNull).as("c")
     t.join(c, col(s"t.$keyCol") === col(s"c.$keyCol"), "full_outer")
       .filter(!(col(s"c.$opCol") <=> lit("D")))
       .select(tCols.toIndexedSeq.map { n =>
@@ -1589,6 +1599,15 @@ object Graft {
       terms: Seq[String], bucketWidth: Long = 100L): DataFrame = {
     require(terms.nonEmpty, "invertedIndex needs at least one term")
     require(bucketWidth >= 1, s"bucketWidth must be >= 1, got $bucketWidth")
+    // doc-id bucketing needs integral ids; a silent cast of e.g. "doc-1"
+    // would NULL every id and collapse all postings into one bucket with
+    // a wrong df/index_md5 — fail fast on the schema instead
+    df.schema(idCol).dataType match {
+      case ByteType | ShortType | IntegerType | LongType => ()
+      case other => throw new IllegalArgumentException(
+        s"invertedIndex: id column '$idCol' must be an integral type " +
+          s"(doc-id buckets are __id div $bucketWidth), got $other")
+    }
     val toks = df.select(col(idCol).cast(LongType).as("__id"),
         explode(split(lower(col(textCol)), "[^a-z0-9]+")).as("term"))
       .filter(col("term").isin(terms: _*))

@@ -251,6 +251,39 @@ class GraftApiSpec extends AnyFunSuite {
     assert(ex.getMessage.contains("every target column"))
   }
 
+  test("mergeChanges drops NULL-key change rows; validate mode fails on null/dup keys") {
+    val s = spark; import s.implicits._
+    val target = Seq((1L, "one"), (2L, "two")).toDF("k", "name")
+    val changes = Seq((Some(3L), "three", "I"), (None, "junk", "U"))
+      .toDF("k", "name", "op")
+    // silent mode: the null-key row matches nothing and is dropped —
+    // no all-null output row
+    val out = Graft.mergeChanges(target, changes, "k").orderBy("k").collect()
+    assert(out.map(_.getLong(0)).toSeq === Seq(1L, 2L, 3L))
+    assert(out.forall(r => !r.isNullAt(0)))
+    // validate mode: null keys fail loudly
+    val e1 = intercept[IllegalArgumentException] {
+      Graft.mergeChanges(target, changes, "k", validate = true)
+    }
+    assert(e1.getMessage.contains("NULL"))
+    // validate mode: duplicate change rows per key fail loudly
+    val dup = Seq((3L, "a", "I"), (3L, "b", "U")).toDF("k", "name", "op")
+    val e2 = intercept[IllegalArgumentException] {
+      Graft.mergeChanges(target, dup, "k", validate = true)
+    }
+    assert(e2.getMessage.contains("duplicate"))
+  }
+
+  test("invertedIndex rejects non-integral id columns instead of null-bucketing them") {
+    val s = spark; import s.implicits._
+    val df = Seq(("doc-1", "spark core"), ("doc-2", "spark sql"))
+      .toDF("doc_id", "text")
+    val e = intercept[IllegalArgumentException] {
+      Graft.invertedIndex(df, "text", "doc_id", Seq("spark"))
+    }
+    assert(e.getMessage.contains("integral"))
+  }
+
   test("ngramLmScore: repeated-pattern text scores lower than one-off text; short docs kept") {
     val s = spark; import s.implicits._
     val df = Seq(
