@@ -363,6 +363,33 @@ object Extras {
         | COUNT(*) AS n_events
         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
 
+    // q41/q104 GOLDEN PINS (r8): both sketches are deterministic given
+    // the input — HLL++ with fixed rsd and Datasketches HLL with fixed
+    // lgK have no randomness — so the sf0.01 outputs are hard-pinned as
+    // literals, upgrading the self-gated rows-only checks to full hash
+    // gates. The exact_* columns stay literal TOO on purpose: if the
+    // driver's testdata ever changes, the pin fails LOUDLY instead of
+    // silently re-passing a drifted sketch. (Captured 2026-08-13 from
+    // /root/testdata/sf0.01; regenerate by re-running Verify if the
+    // driver regenerates testdata.)
+    "q41_approx_distinct" ->
+      """SELECT event_type, CAST(approx_users AS BIGINT) AS approx_users,
+        |  CAST(exact_users AS BIGINT) AS exact_users,
+        |  CAST(rel_err AS DOUBLE) AS rel_err, pass
+        |FROM (VALUES
+        |  ('click', 151, 150, 0.00667, TRUE),
+        |  ('error', 151, 150, 0.00667, TRUE),
+        |  ('purchase', 151, 150, 0.00667, TRUE),
+        |  ('signup', 151, 150, 0.00667, TRUE),
+        |  ('view', 151, 150, 0.00667, TRUE))
+        |  g(event_type, approx_users, exact_users, rel_err, pass)
+        |ORDER BY event_type""".stripMargin,
+
+    "q104_hll_union" ->
+      """SELECT CAST(497 AS BIGINT) AS approx_global,
+        |  CAST(500 AS BIGINT) AS exact_global,
+        |  CAST(0.006 AS DOUBLE) AS rel_err, TRUE AS pass""".stripMargin,
+
     "q78_fuzzy_match" ->
       """SELECT a.p_brand AS brand, COUNT(*) AS n_pairs,
         | CAST(MIN(levenshtein(a.p_name, b.p_name)) AS BIGINT) AS min_dist

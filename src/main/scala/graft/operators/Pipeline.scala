@@ -196,6 +196,17 @@ object Pipeline {
     }))
 
   val oracle: Map[String, String] = Map(
+    // q97 GOLDEN PIN (r8): the bloom aggregate is order-insensitive
+    // (every item ORs its bits in; merge is a bitwise OR), so the probe
+    // counts are deterministic given the input — hard-pin the sf0.01
+    // output, upgrading the self-gated rows-only row to a full hash gate.
+    // The exact-side columns stay literal too, so testdata drift fails
+    // loudly. (Captured 2026-08-13; regenerate via Verify on new data.)
+    "q97_bloom_decontaminate" ->
+      """SELECT CAST(494 AS BIGINT) AS n_train, CAST(171 AS BIGINT) AS n_exact,
+        |  CAST(171 AS BIGINT) AS n_bloom, CAST(0 AS BIGINT) AS n_missed,
+        |  CAST(0 AS BIGINT) AS n_false_pos, TRUE AS pass""".stripMargin,
+
     "q100_corpus_pipeline_v2" ->
       """WITH d AS (
         |  SELECT doc_id, source,
