@@ -37,7 +37,12 @@ object Bench {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
+    // Local-iteration aid, mirroring Verify: SPARK_GRAFT_ONLY=q100,q98
+    // restricts the bench to queries whose name starts with one of the
+    // prefixes. Driver sets nothing → full run.
+    val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").toSeq)
     val ordered = SparkEntry.queries.toSeq.sortBy(_._1)
+      .filter { case (name, _) => only.forall(_.exists(name.startsWith)) }
     val names = ordered.map(_._1)
 
     def runOne(name: String, fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Double = {
