@@ -1658,4 +1658,146 @@ object Graft {
         round(col("max_cnt").cast(DoubleType) * col("n_keys") / col("total_rows"), 6)
           .as("skew_factor"))
   }
+
+  /** Per-document Shannon character entropy (nats) — the classic cheap
+    * gibberish/boilerplate detector (low entropy = repeated filler, high
+    * entropy = encrypted/compressed junk; CCNet and Gopher both gate on
+    * simple length/character statistics of this family).
+    *
+    * 100 TB shape: char explode fans out n_chars rows per doc but every
+    * shuffle keys on (doc, char) then (doc) — zero cross-document state,
+    * linear scaling, AQE-coalescible. Float policy: each distinct char
+    * contributes term = (c/n)·ln(n/c) computed as ONE fixed expression,
+    * nano-quantized to a long before the per-doc sum (order-free exact,
+    * the q113 policy), one final double division. Docs whose text is
+    * empty keep their row with n_chars=0 and NULL entropy ("no evidence"
+    * contract, as bm25/ngramLmScore). */
+  def charEntropy(df: DataFrame, textCol: String, idCol: String): DataFrame = {
+    val Q = 1.0e9
+    val chars = df.select(col(idCol).as("__id"),
+        explode(split(col(textCol), "")).as("__ch"))
+      .filter(col("__ch") =!= "")
+    val cnt = chars.groupBy(col("__id"), col("__ch"))
+      .agg(count(lit(1)).as("__c"))
+    val tot = cnt.groupBy(col("__id"))
+      .agg(sum(col("__c")).as("__n"), count(lit(1)).as("n_distinct"))
+    val term = (col("__c").cast(DoubleType) / col("__n").cast(DoubleType)) *
+      log(col("__n").cast(DoubleType) / col("__c").cast(DoubleType))
+    val ent = cnt.join(tot, Seq("__id"))
+      .select(col("__id"), col("__n"), col("n_distinct"),
+        round(term * lit(Q)).cast(LongType).as("__q"))
+      .groupBy(col("__id"), col("__n"), col("n_distinct"))
+      .agg((sum(col("__q")).cast(DoubleType) / lit(Q)).as("entropy"))
+    df.select(col(idCol).as("__id")).distinct()
+      .join(ent, Seq("__id"), "left")
+      .select(col("__id").as(idCol),
+        coalesce(col("__n"), lit(0L)).as("n_chars"),
+        coalesce(col("n_distinct"), lit(0L)).as("n_distinct"),
+        col("entropy"))
+  }
+
+  /** Bounded-hop single-source shortest paths (unweighted BFS) — the
+    * graph-traversal primitive next to [[pageRank]] (influence radius,
+    * reachability, funnel-distance questions on transition graphs).
+    *
+    * 100 TB shape: classic frontier relaxation — each hop is ONE keyed
+    * join of the previous distance table against the edge list plus a
+    * min-aggregate; lineage is cut per hop (same localCheckpoint /
+    * reliable-checkpoint switch as [[pageRank]]); nothing ever collects
+    * and the frontier join broadcasts nothing. Distances are exact
+    * integers — no float policy needed. */
+  def shortestPaths(edges: DataFrame, srcCol: String, dstCol: String,
+      source: String, maxHops: Int = 6,
+      checkpointDir: Option[String] = None): DataFrame = {
+    require(maxHops >= 1, s"shortestPaths needs maxHops >= 1, got $maxHops")
+    checkpointDir.foreach(edges.sparkSession.sparkContext.setCheckpointDir)
+    def cut(df: DataFrame): DataFrame =
+      if (checkpointDir.isDefined) df.checkpoint() else df.localCheckpoint()
+    val e = cut(edges.select(col(srcCol).cast(StringType).as("src"),
+      col(dstCol).cast(StringType).as("dst")).distinct())
+    val sp = edges.sparkSession
+    import sp.implicits._
+    var dist = Seq((source, 0L)).toDF("node", "dist")
+    var h = 1L
+    while (h <= maxHops) {
+      val frontier = dist.filter(col("dist") === (h - 1))
+      val reached = frontier.join(e, frontier("node") === e("src"))
+        .select(e("dst").as("node"), lit(h).as("dist"))
+      dist = cut(dist.unionByName(reached)
+        .groupBy(col("node")).agg(min(col("dist")).as("dist")))
+      h += 1
+    }
+    dist.orderBy(col("dist"), col("node"))
+  }
+
+  /** Small-file compaction planner — the lakehouse maintenance primitive:
+    * given a file manifest (id + size), assign files to sequential
+    * compaction groups of ~`targetBytes` by first-fit in id order
+    * (bucket = floor(prefix_sum_before / target): a group overflows by at
+    * most one file, every group except the last is ≥ target once closed
+    * — the Iceberg/Delta bin-pack shape, made deterministic).
+    *
+    * 100 TB shape: the input is a MANIFEST (one row per file — millions
+    * of rows for a 100 TB dataset, not billions), so the single-partition
+    * prefix-sum window is over manifest-sized data by construction; the
+    * data files themselves are never read. Same contract as the q116
+    * range-layout manifest. */
+  def compactionPlan(manifest: DataFrame, idCol: String, sizeCol: String,
+      targetBytes: Long): DataFrame = {
+    require(targetBytes >= 1, s"compactionPlan needs targetBytes >= 1, got $targetBytes")
+    val w = Window.orderBy(col("__id"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    manifest.select(col(idCol).as("__id"),
+        col(sizeCol).cast(LongType).as("__sz"))
+      .withColumn("grp",
+        (coalesce(sum(col("__sz")).over(w), lit(0L)) / lit(targetBytes))
+          .cast(LongType))
+      .groupBy(col("grp"))
+      .agg(count(lit(1)).as("n_files"), sum(col("__sz")).as("total_bytes"),
+        min(col("__id")).as("first_id"), max(col("__id")).as("last_id"))
+      .orderBy(col("grp"))
+  }
+
+  /** Exact triangle count by degree orientation — the standard
+    * communication-optimal distributed formulation (each undirected edge
+    * is oriented from its lower-(degree, id) endpoint to the higher, so
+    * every vertex's out-degree is bounded by O(sqrt(m)) on any graph and
+    * the wedge join cannot explode on hubs; each triangle is counted at
+    * exactly one vertex — the one with two out-edges).
+    *
+    * Input: a directed/undirected edge list; self-loops dropped,
+    * direction and duplicates collapsed. Three keyed joins, no
+    * broadcast needed beyond the degree table (which is node-sized). */
+  def triangleCount(edges: DataFrame, srcCol: String, dstCol: String): DataFrame = {
+    val und = edges.select(
+        least(col(srcCol).cast(StringType), col(dstCol).cast(StringType)).as("a"),
+        greatest(col(srcCol).cast(StringType), col(dstCol).cast(StringType)).as("b"))
+      .filter(col("a") =!= col("b")).distinct()
+    val deg = und.select(col("a").as("node"))
+      .unionAll(und.select(col("b").as("node")))
+      .groupBy(col("node")).agg(count(lit(1)).as("d"))
+    // orient u -> v iff (d(u), u) < (d(v), v)
+    val oriented = und
+      .join(deg.select(col("node").as("a"), col("d").as("da")), Seq("a"))
+      .join(deg.select(col("node").as("b"), col("d").as("db")), Seq("b"))
+      .select(
+        when(col("da") < col("db") ||
+          (col("da") === col("db") && col("a") < col("b")), col("a"))
+          .otherwise(col("b")).as("u"),
+        when(col("da") < col("db") ||
+          (col("da") === col("db") && col("a") < col("b")), col("b"))
+          .otherwise(col("a")).as("v"))
+    val wedges = oriented.as("e1")
+      .join(oriented.as("e2"), col("e1.u") === col("e2.u") && col("e1.v") < col("e2.v"))
+      .select(col("e1.u").as("apex"), col("e1.v").as("x"), col("e2.v").as("y"))
+    // the closing edge (x,y) exists in SOME orientation
+    val closing = oriented.select(col("u").as("x"), col("v").as("y"))
+      .unionAll(oriented.select(col("v").as("x"), col("u").as("y")))
+    val tri = wedges.join(closing, Seq("x", "y"), "left_semi")
+      .agg(count(lit(1)).as("n_triangles"))
+    val stats = und.agg(count(lit(1)).as("n_edges"))
+      .crossJoin(deg.agg(count(lit(1)).as("n_nodes")))
+    stats.crossJoin(tri)
+      .select(col("n_nodes"), col("n_edges"), col("n_triangles"))
+  }
 }

@@ -32,6 +32,49 @@ object Analytics {
     s"(${spreadSql(x)} | (${spreadSql(y)} << 1))"
 
   val queries: Map[String, Q] = Map(
+    // ---- q129: bounded-hop BFS shortest paths over the event-type
+    // transition graph (q111's edges) — per hop ONE frontier join + min
+    // aggregate with checkpoint-cut lineage; distances are exact
+    // integers so there is no float policy at all. The oracle replays
+    // the identical relaxation as a recursive CTE. ----
+    "q129_shortest_paths" -> ((s, dir) => {
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(unix_micros(col("ts")), col("event_id"))
+      val edges = t(s, dir, "events")
+        .withColumn("next_type", lead(col("event_type"), 1).over(w))
+        .filter(col("next_type").isNotNull)
+        .select(col("event_type").as("src"), col("next_type").as("dst"))
+      graft.api.Graft.shortestPaths(edges, "src", "dst",
+          source = "click", maxHops = 4)
+        .orderBy(col("dist"), col("node"))
+    }),
+
+    // ---- q130: small-file compaction planner — first-fit sequential
+    // bin packing of a file manifest into ~target-byte groups via ONE
+    // prefix-sum window over manifest-sized input (1 row per FILE: the
+    // planner never touches the data files, exactly like q116's
+    // range-layout manifest). Exact integer arithmetic end to end. ----
+    "q130_compaction_plan" -> ((s, dir) => {
+      graft.api.Graft.compactionPlan(
+        t(s, dir, "documents"), "doc_id", "n_chars", targetBytes = 25000L)
+    }),
+
+    // ---- q131: exact triangle count on the user co-activity graph
+    // (consecutive users per event type) by DEGREE ORIENTATION — every
+    // edge points low-(deg,id) → high, so hub wedges cannot explode
+    // (out-degree O(√m) bound) and each triangle is counted at exactly
+    // one apex. The oracle counts the same undirected edge set with the
+    // a<b<c three-way join — structurally different plan, same count,
+    // which is precisely what a cross-engine gate should pin. ----
+    "q131_triangle_count" -> ((s, dir) => {
+      val w = Window.partitionBy(col("event_type"))
+        .orderBy(unix_micros(col("ts")), col("event_id"))
+      val seq = t(s, dir, "events")
+        .withColumn("nxt", lead(col("user_id"), 1).over(w))
+        .filter(col("nxt").isNotNull)
+      graft.api.Graft.triangleCount(seq, "user_id", "nxt")
+    }),
+
     // ---- q111: weighted PageRank over the event-type transition graph
     // (q86's edges) — iterative distributed graph computation by power
     // iteration: per round ONE keyed join + one aggregation with
@@ -652,6 +695,70 @@ object Analytics {
   }
 
   val oracle: Map[String, String] = Map(
+    // BFS twin: the same distinct transition edges, relaxed by a
+    // recursive CTE bounded at 4 hops; MIN(dist) collapses revisits
+    "q129_shortest_paths" ->
+      """WITH RECURSIVE nxt AS (
+        |  SELECT event_type,
+        |    lead(event_type) OVER (PARTITION BY user_id
+        |      ORDER BY epoch_us(ts), event_id) AS next_type
+        |  FROM events),
+        |edges AS (
+        |  SELECT DISTINCT event_type AS src, next_type AS dst
+        |  FROM nxt WHERE next_type IS NOT NULL),
+        |walk(node, dist) AS (
+        |  SELECT 'click', CAST(0 AS BIGINT)
+        |  UNION ALL
+        |  SELECT e.dst, w.dist + 1
+        |  FROM walk w JOIN edges e ON e.src = w.node
+        |  WHERE w.dist < 4)
+        |SELECT node, CAST(MIN(dist) AS BIGINT) AS dist
+        |FROM walk GROUP BY node
+        |ORDER BY dist, node""".stripMargin,
+
+    // compaction twin: identical prefix-sum-before grouping; SUMs cast
+    // to BIGINT (DuckDB SUM(BIGINT) is HUGEINT)
+    "q130_compaction_plan" ->
+      """WITH m AS (
+        |  SELECT doc_id, CAST(n_chars AS BIGINT) AS sz FROM documents),
+        |g AS (
+        |  SELECT doc_id, sz,
+        |    COALESCE(SUM(sz) OVER (ORDER BY doc_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+        |      // 25000 AS grp
+        |  FROM m)
+        |SELECT CAST(grp AS BIGINT) AS grp, COUNT(*) AS n_files,
+        |  CAST(SUM(sz) AS BIGINT) AS total_bytes,
+        |  MIN(doc_id) AS first_id, MAX(doc_id) AS last_id
+        |FROM g GROUP BY grp ORDER BY grp""".stripMargin,
+
+    // triangle twin: the SAME undirected string-canonical edge set, but
+    // counted by the a<b<c three-way join instead of degree orientation —
+    // an independent formulation pinning the same invariant
+    "q131_triangle_count" ->
+      """WITH seq AS (
+        |  SELECT event_type, CAST(user_id AS VARCHAR) AS u,
+        |    CAST(lead(user_id) OVER (PARTITION BY event_type
+        |      ORDER BY epoch_us(ts), event_id) AS VARCHAR) AS v
+        |  FROM events),
+        |und AS (
+        |  SELECT DISTINCT least(u, v) AS a, greatest(u, v) AS b
+        |  FROM seq WHERE v IS NOT NULL AND u <> v),
+        |tri AS (
+        |  SELECT COUNT(*) AS n_triangles
+        |  FROM und e1
+        |  JOIN und e2 ON e2.a = e1.b
+        |  JOIN und e3 ON e3.a = e1.a AND e3.b = e2.b),
+        |nodes AS (
+        |  SELECT COUNT(DISTINCT x) AS n_nodes
+        |  FROM (SELECT a AS x FROM und UNION ALL SELECT b FROM und) t)
+        |SELECT CAST(n.n_nodes AS BIGINT) AS n_nodes,
+        |  CAST(e.n_edges AS BIGINT) AS n_edges,
+        |  CAST(t.n_triangles AS BIGINT) AS n_triangles
+        |FROM nodes n
+        |CROSS JOIN (SELECT COUNT(*) AS n_edges FROM und) e
+        |CROSS JOIN tri t""".stripMargin,
+
     "q111_pagerank" -> pagerankSql(10),
 
     // incremental-agg twin: the same base/delta split and additive merge

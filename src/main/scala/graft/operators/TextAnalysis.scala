@@ -47,6 +47,19 @@ object TextAnalysis {
         .orderBy(col("doc_id"))
     }),
 
+    // ---- q128: per-doc Shannon character entropy (nats) — the cheap
+    // gibberish/boilerplate gate. Char explode fans out but every
+    // shuffle keys on the doc id (zero cross-doc state, linear); each
+    // char's (c/n)·ln(n/c) term is nano-quantized before the order-free
+    // per-doc sum (q113 policy) and the output is the ONE division
+    // exact-long/1e9 — deliberately NO trailing round(), the q123 lesson:
+    // decimal rounding of a computed double is the only engine-divergent
+    // op left in this family. ----
+    "q128_char_entropy" -> ((s, dir) => {
+      graft.api.Graft.charEntropy(t(s, dir, "documents"), "text", "doc_id")
+        .orderBy(col("doc_id"))
+    }),
+
     // ---- q29: language identification ----
     "q29_langid" -> ((s, dir) => {
       import s.implicits._
@@ -232,6 +245,32 @@ object TextAnalysis {
   }
 
   val oracle: Map[String, String] = Map(
+    // char-entropy twin: per-char counts via substr walk (ASCII corpus;
+    // both engines index characters), the identical nano-quantized
+    // (c/n)·ln(n/c) term, exact integer per-doc sum, one division — no
+    // decimal rounding anywhere after quantization
+    "q128_char_entropy" ->
+      """WITH ch AS (
+        |  SELECT doc_id, substr(text, i, 1) AS ch
+        |  FROM (SELECT doc_id, text,
+        |          unnest(generate_series(1, length(text))) AS i
+        |        FROM documents) t),
+        |cnt AS (SELECT doc_id, ch, COUNT(*) AS c FROM ch GROUP BY doc_id, ch),
+        |tot AS (SELECT doc_id, SUM(c) AS n, COUNT(*) AS n_distinct
+        |        FROM cnt GROUP BY doc_id),
+        |ent AS (
+        |  SELECT c.doc_id, t.n, t.n_distinct,
+        |    CAST(SUM(CAST(ROUND((CAST(c.c AS DOUBLE) / CAST(t.n AS DOUBLE)) *
+        |      ln(CAST(t.n AS DOUBLE) / CAST(c.c AS DOUBLE)) * 1000000000.0)
+        |      AS BIGINT)) AS DOUBLE) / 1000000000.0 AS entropy
+        |  FROM cnt c JOIN tot t USING (doc_id)
+        |  GROUP BY c.doc_id, t.n, t.n_distinct)
+        |SELECT d.doc_id, CAST(COALESCE(e.n, 0) AS BIGINT) AS n_chars,
+        |  CAST(COALESCE(e.n_distinct, 0) AS BIGINT) AS n_distinct, e.entropy
+        |FROM (SELECT DISTINCT doc_id FROM documents) d
+        |LEFT JOIN ent e USING (doc_id)
+        |ORDER BY d.doc_id""".stripMargin,
+
     // bigram-LM twin: identical tokenization (lowercase, non-alnum split,
     // empties dropped), identical add-0.5 smoothing expression tree, and
     // the same round(nll*1e9)-as-BIGINT quantization before the per-doc

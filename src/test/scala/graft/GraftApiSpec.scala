@@ -228,6 +228,60 @@ class GraftApiSpec extends AnyFunSuite {
     assert(math.abs(pr("b") - pr("c")) < 1e-12) // symmetric halves tie exactly
   }
 
+  test("charEntropy: uniform text maxes entropy, constant text zeroes it, empty stays NULL") {
+    val s = spark; import s.implicits._
+    val df = Seq((1L, "abcd"), (2L, "aaaa"), (3L, "aabb"), (4L, ""))
+      .toDF("doc_id", "text")
+    val out = Graft.charEntropy(df, "text", "doc_id")
+      .orderBy("doc_id").collect()
+    assert(out.length === 4)
+    assert(math.abs(out(0).getDouble(3) - math.log(4.0)) < 1e-6) // 4 distinct chars
+    assert(out(1).getDouble(3) === 0.0)                          // constant string
+    assert(math.abs(out(2).getDouble(3) - math.log(2.0)) < 1e-6) // two fair chars
+    assert(out(3).getLong(1) === 0L && out(3).isNullAt(3))       // no evidence = NULL
+  }
+
+  test("shortestPaths: BFS distances relax over hops; unreachable nodes absent") {
+    val s = spark; import s.implicits._
+    // a->b->c->d chain plus a shortcut a->c; e is disconnected-from-a
+    val edges = Seq(("a", "b"), ("b", "c"), ("c", "d"), ("a", "c"), ("e", "a"))
+      .toDF("src", "dst")
+    val d = Graft.shortestPaths(edges, "src", "dst", source = "a", maxHops = 3)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(d === Map("a" -> 0L, "b" -> 1L, "c" -> 1L, "d" -> 2L)) // no "e"
+    // hop bound truncates: maxHops=1 sees only direct neighbors
+    val d1 = Graft.shortestPaths(edges, "src", "dst", source = "a", maxHops = 1)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(d1 === Map("a" -> 0L, "b" -> 1L, "c" -> 1L))
+  }
+
+  test("compactionPlan: first-fit groups reach target, overflow by at most one file") {
+    val s = spark; import s.implicits._
+    val manifest = Seq((1L, 60L), (2L, 50L), (3L, 10L), (4L, 100L), (5L, 5L))
+      .toDF("file_id", "bytes")
+    val out = Graft.compactionPlan(manifest, "file_id", "bytes", targetBytes = 100L)
+      .collect()
+    // prefix sums before each: 0,60,110,120,220 -> groups 0,0,1,1,2
+    assert(out.map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq ===
+      Seq((0L, 2L, 110L), (1L, 2L, 110L), (2L, 1L, 5L)))
+    // id ranges are contiguous in id order
+    assert(out.map(r => (r.getLong(3), r.getLong(4))).toSeq ===
+      Seq((1L, 2L), (3L, 4L), (5L, 5L)))
+  }
+
+  test("triangleCount: degree orientation counts each triangle once") {
+    val s = spark; import s.implicits._
+    // K4 on {a,b,c,d} (4 triangles) plus a pendant edge d-e (0 more),
+    // fed as MESSY input: duplicates, both directions, a self-loop
+    val edges = Seq(("a", "b"), ("b", "a"), ("a", "c"), ("a", "d"), ("b", "c"),
+      ("b", "d"), ("c", "d"), ("d", "c"), ("d", "e"), ("a", "a"))
+      .toDF("u", "v")
+    val out = Graft.triangleCount(edges, "u", "v").collect().head
+    assert(out.getLong(0) === 5L) // nodes
+    assert(out.getLong(1) === 7L) // canonical edges
+    assert(out.getLong(2) === 4L) // C(4,3) triangles in K4
+  }
+
   test("mergeChanges applies insert/update/delete with whole-row replace") {
     val s = spark; import s.implicits._
     val target = Seq((1L, "one", 10.0), (2L, "two", 20.0), (3L, "three", 30.0))
