@@ -238,8 +238,16 @@ object Graft {
   def cosineTopK(base: DataFrame, queries: DataFrame, vecCol: String,
       idCol: String, k: Int): DataFrame = {
     graft.functions.GraftFunctions.register(base.sparkSession)
-    val b = base.select(col(idCol).as("nid"), col(vecCol).as("v"))
+    val b0 = base.select(col(idCol).as("nid"), col(vecCol).as("v"))
       .withColumn("nrm", sqrt(expr("vec_dot(v, v)")))
+    // Parallelism floor: the broadcast nested-loop join inherits the base
+    // side's partitioning, so a base read from one parquet file serializes
+    // the whole O(|base|·|queries|) scoring on one core (sf1 ladder
+    // finding). Repartition ONLY in that under-partitioned case — on a
+    // real cluster the scan already has thousands of splits and the base
+    // must not be reshuffled.
+    val dp = base.sparkSession.sparkContext.defaultParallelism
+    val b = if (b0.rdd.getNumPartitions < dp) b0.repartition(dp, col("nid")) else b0
     val q = queries.select(col(idCol).as("qid"), col(vecCol).as("qv"))
       .withColumn("qn", sqrt(expr("vec_dot(qv, qv)")))
     val w = Window.partitionBy(col("qid")).orderBy(col("sim").desc, col("nid"))

@@ -224,6 +224,17 @@ object Similarity {
     val b = base
       .withColumn("nrm", sqrt(expr(s"vec_dot(`$vecCol`, `$vecCol`)")))
       .select(col(idCol).as("nid"), enc(col(vecCol)).as("codes"), col("nrm"))
+      // Materialize codes ONCE per base row. Without this cut Catalyst
+      // collapses the encode projection into the query fan-out and
+      // re-encodes every (row, query) pair — the sf1 scale ladder
+      // measured it as a 70x cliff (288 s) with the whole scoring stage
+      // serialized on one input partition. The repartition floors the
+      // scoring stage's parallelism at the cluster default even when the
+      // input is a single parquet file; the materialized table is 16-byte
+      // codes + a norm per row (~250x smaller than the raw vectors), so
+      // the shuffle + block storage are cheap at any corpus size.
+      .repartition(spark.sparkContext.defaultParallelism, col("nid"))
+      .localCheckpoint()
     val q = queries.select(col(idCol).as("qid"), col(vecCol).as("qv"))
       .withColumn("qn", sqrt(expr("vec_dot(qv, qv)")))
     val w = org.apache.spark.sql.expressions.Window
