@@ -1667,6 +1667,74 @@ object Graft {
           .as("skew_factor"))
   }
 
+  /** Exact join-size pre-flight audit — q127's sibling for two-sided
+    * planning: the exact output cardinality of `left ⋈ right` on a key
+    * WITHOUT executing the join, from the per-key count tables alone
+    * (|join| = Σ_k cl(k)·cr(k)), plus the hottest key's contribution —
+    * the number that decides broadcast vs shuffle vs salt before a
+    * multi-hour job is launched.
+    *
+    * 100 TB shape: two partial-agg-safe counts (key-table-sized, not
+    * data-sized), one join of the count tables, one 1-row aggregate.
+    * The hot-key argmax is a deterministic max over (contribution, key)
+    * structs — exact integers throughout. */
+  def joinSizeAudit(left: DataFrame, right: DataFrame, keyCol: String): DataFrame = {
+    val lc = left.groupBy(col(keyCol).as("__k")).agg(count(lit(1)).as("cl"))
+    val rc = right.groupBy(col(keyCol).as("__k")).agg(count(lit(1)).as("cr"))
+    val joined = lc.join(rc, Seq("__k"))
+      .select(col("__k"), (col("cl") * col("cr")).as("rows_k"))
+    val totals = lc.agg(sum(col("cl")).as("n_left"), count(lit(1)).as("n_keys_left"))
+      .crossJoin(rc.agg(sum(col("cr")).as("n_right"), count(lit(1)).as("n_keys_right")))
+    totals.crossJoin(
+      joined.agg(count(lit(1)).as("n_keys_common"),
+        coalesce(sum(col("rows_k")), lit(0L)).as("join_rows"),
+        max(struct(col("rows_k"), col("__k").cast(StringType).as("k")))
+          .as("__hot"))
+        .select(col("n_keys_common"), col("join_rows"),
+          col("__hot.rows_k").as("max_key_rows"), col("__hot.k").as("max_key")))
+  }
+
+  /** Incremental ingestion dedup — flag each NEW-batch document whose
+    * n-gram Jaccard similarity against ANY existing-corpus document
+    * reaches num/den (the cross-corpus form of [[nearDupPairsExact]]:
+    * what a pipeline runs on every fresh crawl batch before appending).
+    *
+    * 100 TB shape: the corpus side is never self-joined — one
+    * shingle-keyed equality join between batch shingles and corpus
+    * shingles, with corpus-side stop-shingles (df > maxShingleDf)
+    * anti-joined off BOTH sides first (broadcast hot list), so a hot
+    * shingle cannot create a quadratic bucket. Jaccard thresholds are
+    * integer cross-multiplied — no float compares. */
+  def incrementalNearDup(batch: DataFrame, corpus: DataFrame,
+      textCol: String, idCol: String, num: Int = 1, den: Int = 2,
+      ngram: Int = 3, maxShingleDf: Option[Int] = None): DataFrame = {
+    graft.functions.GraftFunctions.register(batch.sparkSession)
+    val bs0 = batch.select(col(idCol).as("__bid"),
+      explode(expr(s"shingle_set(`$textCol`, $ngram)")).as("s"))
+    val cs0 = corpus.select(col(idCol).as("__cid"),
+      explode(expr(s"shingle_set(`$textCol`, $ngram)")).as("s"))
+    val (bs, cs) = maxShingleDf match {
+      case Some(cap) =>
+        val hot = cs0.groupBy(col("s")).agg(count(lit(1)).as("df"))
+          .filter(col("df") > cap).select(col("s"))
+        (bs0.join(broadcast(hot), Seq("s"), "left_anti"),
+          cs0.join(broadcast(hot), Seq("s"), "left_anti"))
+      case None => (bs0, cs0)
+    }
+    val inter = bs.join(cs, Seq("s"))
+      .groupBy(col("__bid"), col("__cid")).agg(count(lit(1)).as("i"))
+    val nb = bs.groupBy(col("__bid")).agg(count(lit(1)).as("nb"))
+    val nc = cs.groupBy(col("__cid")).agg(count(lit(1)).as("nc"))
+    val matches = inter.join(nb, Seq("__bid")).join(nc, Seq("__cid"))
+      .filter(lit(den) * col("i") >= lit(num) * (col("nb") + col("nc") - col("i")))
+      .groupBy(col("__bid")).agg(count(lit(1)).as("n_matches"))
+    batch.select(col(idCol).as("__bid")).distinct()
+      .join(matches, Seq("__bid"), "left")
+      .select(col("__bid").as(idCol),
+        coalesce(col("n_matches"), lit(0L)).as("n_matches"),
+        (coalesce(col("n_matches"), lit(0L)) > 0L).as("is_dup"))
+  }
+
   /** Per-document Shannon character entropy (nats) — the classic cheap
     * gibberish/boilerplate detector (low entropy = repeated filler, high
     * entropy = encrypted/compressed junk; CCNet and Gopher both gate on

@@ -95,6 +95,22 @@ object Dedup {
         .orderBy(col("da"), col("db"))
     }),
 
+    // ---- q133: incremental ingestion dedup — the cross-corpus form a
+    // pipeline runs on every fresh crawl batch before appending: flag
+    // each new doc (doc_id % 10 = 0 plays the batch) whose Jaccard vs
+    // ANY existing-corpus doc reaches 1/2. One shingle-keyed join
+    // between the sides (never a corpus self-join), corpus-side
+    // stop-shingles capped off both sides, integer-cross-mult
+    // threshold. ----
+    "q133_incremental_dedup" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      graft.api.Graft.incrementalNearDup(
+        docs.filter(col("doc_id") % 10 === 0),
+        docs.filter(col("doc_id") % 10 =!= 0),
+        "text", "doc_id", num = 1, den = 2, maxShingleDf = Some(20))
+        .orderBy(col("doc_id"))
+    }),
+
     // ---- q25: MinHash + LSH candidates, exact-verified (J >= 0.8) ----
     "q25_dedup_minhash_lsh" -> ((s, dir) => {
       minhashPairs(t(s, dir, "documents"), "text", "doc_id", 4, 5)
@@ -199,7 +215,40 @@ object Dedup {
         (col("i") / least(col("na"), col("nb"))).as("containment"))
   }
 
+  /** q133 twin — the same shingle construction as q24's twin, split into
+    * batch/corpus sides, corpus-side df cap applied to both. */
+  private val incrementalDedupSql =
+    """WITH toks AS (
+      |  SELECT doc_id, string_split(trim(text), ' ') AS t FROM documents
+      |), sh0 AS (
+      |  SELECT DISTINCT doc_id, t[i] || chr(0) || t[i+1] || chr(0) || t[i+2] AS s
+      |  FROM (SELECT doc_id, t, unnest(generate_series(1, greatest(len(t) - 2, 0))) AS i FROM toks)
+      |), bs0 AS (SELECT * FROM sh0 WHERE doc_id % 10 = 0
+      |), cs0 AS (SELECT * FROM sh0 WHERE doc_id % 10 <> 0
+      |), hot AS (SELECT s FROM cs0 GROUP BY s HAVING COUNT(*) > 20
+      |), bs AS (SELECT * FROM bs0 WHERE s NOT IN (SELECT s FROM hot)
+      |), cs AS (SELECT * FROM cs0 WHERE s NOT IN (SELECT s FROM hot)
+      |), inter AS (
+      |  SELECT b.doc_id AS bid, c.doc_id AS cid, COUNT(*) AS i
+      |  FROM bs b JOIN cs c ON b.s = c.s GROUP BY 1, 2
+      |), nb AS (SELECT doc_id, COUNT(*) AS n FROM bs GROUP BY 1
+      |), nc AS (SELECT doc_id, COUNT(*) AS n FROM cs GROUP BY 1
+      |), m AS (
+      |  SELECT bid, COUNT(*) AS n_matches
+      |  FROM inter
+      |  JOIN nb ON nb.doc_id = bid
+      |  JOIN nc ON nc.doc_id = cid
+      |  WHERE 2 * i >= 1 * (nb.n + nc.n - i)
+      |  GROUP BY bid)
+      |SELECT d.doc_id, CAST(COALESCE(m.n_matches, 0) AS BIGINT) AS n_matches,
+      |  COALESCE(m.n_matches, 0) > 0 AS is_dup
+      |FROM (SELECT DISTINCT doc_id FROM documents WHERE doc_id % 10 = 0) d
+      |LEFT JOIN m ON m.bid = d.doc_id
+      |ORDER BY d.doc_id""".stripMargin
+
   val oracle: Map[String, String] = Map(
+    "q133_incremental_dedup" -> incrementalDedupSql,
+
     "q23_dedup_exact" ->
       """SELECT MIN(doc_id) AS keep_id, COUNT(*) AS n_copies
         |FROM documents

@@ -31,6 +31,17 @@ object Extras {
         .orderBy("key_col")
     }),
 
+    // ---- q132: exact join-size pre-flight audit — q127's two-sided
+    // sibling: |L ⋈ R| = Σ_k cl·cr computed from the per-key count
+    // tables alone (key-table-sized work, the join never runs), plus the
+    // hottest key's contribution — the broadcast/shuffle/salt decision
+    // input. Hot-key argmax is a deterministic struct max. ----
+    "q132_join_size_audit" -> ((s, dir) => {
+      graft.api.Graft.joinSizeAudit(
+        t(s, dir, "lineitem").withColumnRenamed("l_orderkey", "k"),
+        t(s, dir, "orders").withColumnRenamed("o_orderkey", "k"), "k")
+    }),
+
     // ---- q34: JSON field extraction over events.props ----
     "q34_json_extract" -> ((s, dir) => {
       import s.implicits._
@@ -292,6 +303,24 @@ object Extras {
          |${skewAuditSql(3, "events", "user_id")}
          |SELECT * FROM s1 UNION ALL SELECT * FROM s2 UNION ALL SELECT * FROM s3
          |ORDER BY key_col""".stripMargin,
+
+    // join-size twin: same count-table algebra; the hot key replays the
+    // (contribution, key-string) struct-max as a window argmax
+    "q132_join_size_audit" ->
+      """WITH lc AS (SELECT l_orderkey AS k, COUNT(*) AS cl FROM lineitem GROUP BY 1),
+        |rc AS (SELECT o_orderkey AS k, COUNT(*) AS cr FROM orders GROUP BY 1),
+        |j AS (SELECT lc.k, cl * cr AS rows_k FROM lc JOIN rc USING (k)),
+        |hot AS (
+        |  SELECT rows_k, CAST(k AS VARCHAR) AS k FROM j
+        |  ORDER BY rows_k DESC, CAST(k AS VARCHAR) DESC LIMIT 1)
+        |SELECT CAST((SELECT SUM(cl) FROM lc) AS BIGINT) AS n_left,
+        |  CAST((SELECT COUNT(*) FROM lc) AS BIGINT) AS n_keys_left,
+        |  CAST((SELECT SUM(cr) FROM rc) AS BIGINT) AS n_right,
+        |  CAST((SELECT COUNT(*) FROM rc) AS BIGINT) AS n_keys_right,
+        |  CAST((SELECT COUNT(*) FROM j) AS BIGINT) AS n_keys_common,
+        |  CAST((SELECT COALESCE(SUM(rows_k), 0) FROM j) AS BIGINT) AS join_rows,
+        |  CAST((SELECT rows_k FROM hot) AS BIGINT) AS max_key_rows,
+        |  (SELECT k FROM hot) AS max_key""".stripMargin,
 
     "q34_json_extract" ->
       """SELECT event_type, COUNT(*) AS n,

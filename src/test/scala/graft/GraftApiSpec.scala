@@ -228,6 +228,36 @@ class GraftApiSpec extends AnyFunSuite {
     assert(math.abs(pr("b") - pr("c")) < 1e-12) // symmetric halves tie exactly
   }
 
+  test("joinSizeAudit predicts exact join cardinality and the hottest key") {
+    val s = spark; import s.implicits._
+    val left = Seq(1L, 1L, 1L, 2L, 3L).toDF("k")           // counts: 1->3, 2->1, 3->1
+    val right = Seq(1L, 1L, 2L, 9L).toDF("k")              // counts: 1->2, 2->1, 9->1
+    val r = Graft.joinSizeAudit(left, right, "k").collect().head
+    assert(r.getAs[Long]("n_left") === 5L && r.getAs[Long]("n_right") === 4L)
+    assert(r.getAs[Long]("n_keys_common") === 2L)
+    assert(r.getAs[Long]("join_rows") === 7L)              // 3*2 + 1*1
+    assert(r.getAs[Long]("max_key_rows") === 6L && r.getAs[String]("max_key") === "1")
+    // the prediction must equal the real join
+    assert(left.join(right, Seq("k")).count() === r.getAs[Long]("join_rows"))
+  }
+
+  test("incrementalNearDup flags batch docs near-duplicate of the corpus only") {
+    val s = spark; import s.implicits._
+    val corpus = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog today"),
+      (2L, "completely unrelated corpus text about database engines"))
+      .toDF("doc_id", "text")
+    val batch = Seq(
+      (10L, "the quick brown fox jumps over the lazy dog today"), // exact dup of 1
+      (11L, "zebra xylophone quantum mechanics entirely novel content here"))
+      .toDF("doc_id", "text")
+    val out = Graft.incrementalNearDup(batch, corpus, "text", "doc_id")
+      .orderBy("doc_id").collect()
+    assert(out.map(r => (r.getLong(0), r.getBoolean(2))).toSeq ===
+      Seq((10L, true), (11L, false)))
+    assert(out(0).getLong(1) === 1L) // matched exactly one corpus doc
+  }
+
   test("charEntropy: uniform text maxes entropy, constant text zeroes it, empty stays NULL") {
     val s = spark; import s.implicits._
     val df = Seq((1L, "abcd"), (2L, "aaaa"), (3L, "aabb"), (4L, ""))
