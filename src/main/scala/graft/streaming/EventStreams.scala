@@ -80,6 +80,30 @@ object EventStreams {
         col("p_ts"), col("c_ts"), col("value"))
   }
 
+  /** Stream-stream LEFT OUTER interval join — purchaseAttribution's
+    * completion: purchases WITHOUT a preceding click must still emit (a
+    * NULL click row) once the watermark proves no match can arrive. The
+    * outer side needs both watermarks AND the time-interval condition so
+    * state for the unmatched side can be evicted and the null row
+    * emitted deterministically — the unbounded-safe outer join. */
+  def purchaseAttributionOuter(events: DataFrame): DataFrame = {
+    val clicks = events.filter(col("event_type") === "click")
+      .select(col("user_id").as("c_user"), col("ts").as("c_ts"),
+        col("event_id").as("click_id"))
+      .withWatermark("c_ts", "2 hours")
+    val purchases = events.filter(col("event_type") === "purchase")
+      .select(col("user_id").as("p_user"), col("ts").as("p_ts"),
+        col("event_id").as("purchase_id"), col("value"))
+      .withWatermark("p_ts", "2 hours")
+    purchases.join(clicks,
+      col("p_user") === col("c_user") &&
+        col("c_ts") >= col("p_ts") - expr("INTERVAL 1 HOUR") &&
+        col("c_ts") < col("p_ts"),
+      "left_outer")
+      .select(col("purchase_id"), col("click_id"), col("p_user").as("user_id"),
+        col("p_ts"), col("c_ts"), col("value"))
+  }
+
   /** Stateful per-user running counters via flatMapGroupsWithState-style
     * arbitrary state — expressed with the typed API. Emits (user_id,
     * total_events, total_value) updates. */

@@ -107,6 +107,40 @@ class StreamingSpec extends AnyFunSuite {
     assert(rows.toSeq === Seq((3L, 1L), (3L, 2L)))
   }
 
+  test("stream-stream LEFT OUTER interval join: clickless purchases emit null rows") {
+    val s = spark
+    import s.implicits._
+    implicit val sc = s.sqlContext
+    val mem = MemoryStream[Ev]
+    val q = EventStreams.purchaseAttributionOuter(mem.toDF)
+      .writeStream.format("memory").queryName("attrib_outer")
+      .outputMode("append").start()
+    mem.addData(
+      Ev(1, ts(0), 1, "click", 0.0),
+      Ev(3, ts(50), 1, "purchase", 9.99),   // matched
+      Ev(4, ts(50), 2, "purchase", 5.0))    // user 2: no clicks -> NULL click row
+    q.processAllAvailable()
+    // push BOTH sides' watermarks far past the purchases in LATER
+    // batches (the global watermark is the min across inputs, and a
+    // filtered-out event type never reaches a watermark node) so the
+    // outer side can prove no matching click will ever arrive; the extra
+    // batch gives the state store a chance to evict and emit the null row
+    mem.addData(Ev(98, ts(60 * 24), 9, "click", 0.0),
+      Ev(99, ts(60 * 24), 9, "purchase", 1.0))
+    q.processAllAvailable()
+    mem.addData(Ev(100, ts(60 * 25), 9, "click", 0.0),
+      Ev(101, ts(60 * 25), 9, "purchase", 1.0))
+    q.processAllAvailable()
+    q.stop()
+    // the watermark-pusher purchases (ids 99/101) are still within their
+    // own eviction window at stop time — scope the check to the scenario
+    val rows = s.sql(
+      "SELECT purchase_id, click_id FROM attrib_outer WHERE purchase_id < 90 " +
+        "ORDER BY purchase_id, click_id")
+      .collect().map(r => (r.getLong(0), if (r.isNullAt(1)) -1L else r.getLong(1)))
+    assert(rows.toSeq === Seq((3L, 1L), (4L, -1L)))
+  }
+
   test("stateful running totals via mapGroupsWithState") {
     val s = spark
     import s.implicits._
