@@ -48,28 +48,58 @@ object Dedup {
   def minhashPairs(df: DataFrame, textCol: String, idCol: String,
       num: Int, den: Int): DataFrame = {
     graft.functions.GraftFunctions.register(df.sparkSession)
-    val withSh = df.select(col(idCol).as("doc_id"),
-      expr(s"shingle_set(`$textCol`, 3)").as("ss"))
-    val banded = withSh.select(col("doc_id"),
+    // EXACT-DUP COLLAPSE (r8, found by the sf1 ladder): identical texts
+    // share identical shingle sets, signatures, and bands, so ALL
+    // signature/bucket/verify work runs once per DISTINCT text and
+    // member pairs are re-expanded afterwards. On a d×-duplicated corpus
+    // (the realistic crawl input) this cuts the in-bucket pair quadratic
+    // from (d·g)² to g²; the expansion is output-sized, which no exact
+    // pair enumeration can avoid. Pair set is IDENTICAL: identical texts
+    // always collide in every band (within-group pairs, J=1), and a
+    // cross-group member pair collides iff its representatives do.
+    val groups = df.select(col(idCol).as("doc_id"), md5(col(textCol)).as("__fp"))
+    val reps = df.select(md5(col(textCol)).as("__fp"), col(textCol).as("__text"))
+      .groupBy(col("__fp")).agg(min(col("__text")).as("__text"))
+    val withSh = reps.select(col("__fp"),
+      expr(s"shingle_set(`__text`, 3)").as("ss"))
+    val banded = withSh.select(col("__fp"),
       posexplode(expr("minhash_bands(ss)")).as(Seq("band", "bh")))
     val cands = banded.alias("a")
       .join(banded.alias("b"),
         col("a.band") === col("b.band") && col("a.bh") === col("b.bh") &&
-          col("a.doc_id") < col("b.doc_id"))
-      .select(col("a.doc_id").as("da"), col("b.doc_id").as("db"))
+          col("a.__fp") < col("b.__fp"))
+      .select(col("a.__fp").as("fa"), col("b.__fp").as("fb"))
       .distinct()
-    val sh = withSh.select(col("doc_id"), explode(col("ss")).as("s"))
-    val shA = sh.select(col("doc_id").as("da"), col("s"))
-    val shB = sh.select(col("doc_id").as("db"), col("s"))
-    val sizes = withSh.select(col("doc_id"), size(col("ss")).cast(LongType).as("n"))
-    val inter = shA.join(cands, "da").join(shB, Seq("db", "s"))
-      .groupBy(col("da"), col("db")).agg(count(lit(1)).as("i"))
-    inter
-      .join(sizes.select(col("doc_id").as("da"), col("n").as("na")), "da")
-      .join(sizes.select(col("doc_id").as("db"), col("n").as("nb")), "db")
+    val sh = withSh.select(col("__fp"), explode(col("ss")).as("s"))
+    val shA = sh.select(col("__fp").as("fa"), col("s"))
+    val shB = sh.select(col("__fp").as("fb"), col("s"))
+    val sizes = withSh.select(col("__fp"), size(col("ss")).cast(LongType).as("n"))
+    val inter = shA.join(cands, "fa").join(shB, Seq("fb", "s"))
+      .groupBy(col("fa"), col("fb")).agg(count(lit(1)).as("i"))
+    val repPairs = inter
+      .join(sizes.select(col("__fp").as("fa"), col("n").as("na")), "fa")
+      .join(sizes.select(col("__fp").as("fb"), col("n").as("nb")), "fb")
       .filter(lit(den) * col("i") >= lit(num) * (col("na") + col("nb") - col("i")))
-      .select(col("da"), col("db"), col("i"), col("na"), col("nb"),
+      .select(col("fa"), col("fb"), col("i"), col("na"), col("nb"),
         (col("i") / (col("na") + col("nb") - col("i"))).as("jac"))
+    val cross = repPairs
+      .join(groups.select(col("__fp").as("fa"), col("doc_id").as("ia")), "fa")
+      .join(groups.select(col("__fp").as("fb"), col("doc_id").as("ib")), "fb")
+      .select(least(col("ia"), col("ib")).as("da"),
+        greatest(col("ia"), col("ib")).as("db"),
+        col("i"), col("na"), col("nb"), col("jac"))
+    // within-group pairs: J = 1 exactly, i = na = nb = |shingle set|;
+    // groups whose text yields NO shingles never produce bands, so the
+    // original path cannot pair them — exclude n = 0 here too
+    val within = groups.alias("a")
+      .join(groups.alias("b"),
+        col("a.__fp") === col("b.__fp") && col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.__fp").as("__fp"),
+        col("a.doc_id").as("da"), col("b.doc_id").as("db"))
+      .join(sizes, "__fp").filter(col("n") > 0)
+      .select(col("da"), col("db"), col("n").as("i"), col("n").as("na"),
+        col("n").as("nb"), lit(1.0).as("jac"))
+    cross.unionByName(within)
   }
 
   val queries: Map[String, Q] = Map(
@@ -151,23 +181,37 @@ object Dedup {
     // and this query is hash-checked, not rows-only.
     "q26_dedup_simhash" -> ((s, dir) => {
       graft.functions.GraftFunctions.register(s)
+      // SIGNATURE-LEVEL COLLAPSE (r8, sf1 ladder): identical texts have
+      // identical simhashes, so the 4×16-bit pigeonhole chunk joins run
+      // over DISTINCT signatures only; member pairs re-expand afterwards
+      // (within-signature pairs at hamming 0, cross pairs at the
+      // representatives' hamming). Pair set identical to the per-doc
+      // join: chunks collide iff the signatures' chunks do.
       val chunks = (0 until 4).map { k =>
         shiftright(col("sig"), 16 * k).bitwiseAND(lit(0xFFFFL)).as(s"k$k")
       }
-      val sigs = tokens(t(s, dir, "documents"))
+      val docSigs = tokens(t(s, dir, "documents"))
         .select(col("doc_id"), expr("simhash64(t)").as("sig"))
-        .select(col("doc_id") +: col("sig") +: chunks: _*)
-      val pairs = (0 until 4).map { k =>
+      val sigs = docSigs.select(col("sig")).distinct()
+        .select(col("sig") +: chunks: _*)
+      val sigPairs = (0 until 4).map { k =>
         sigs.alias("a").join(sigs.alias("b"),
-          col(s"a.k$k") === col(s"b.k$k") && col("a.doc_id") < col("b.doc_id"))
-          .select(col("a.doc_id").as("da"), col("b.doc_id").as("db"),
-            col("a.sig").as("sa"), col("b.sig").as("sb"))
+          col(s"a.k$k") === col(s"b.k$k") && col("a.sig") < col("b.sig"))
+          .select(col("a.sig").as("sa"), col("b.sig").as("sb"))
       }.reduce(_ unionAll _).distinct()
-      pairs
         .withColumn("hamming", bit_count(col("sa").bitwiseXOR(col("sb"))).cast(LongType))
         .filter(col("hamming") <= 3)
-        .select(col("da"), col("db"), col("hamming"))
-        .orderBy(col("da"), col("db"))
+      val cross = sigPairs
+        .join(docSigs.select(col("sig").as("sa"), col("doc_id").as("ia")), "sa")
+        .join(docSigs.select(col("sig").as("sb"), col("doc_id").as("ib")), "sb")
+        .select(least(col("ia"), col("ib")).as("da"),
+          greatest(col("ia"), col("ib")).as("db"), col("hamming"))
+      val within = docSigs.alias("a")
+        .join(docSigs.alias("b"),
+          col("a.sig") === col("b.sig") && col("a.doc_id") < col("b.doc_id"))
+        .select(col("a.doc_id").as("da"), col("b.doc_id").as("db"),
+          lit(0L).as("hamming"))
+      cross.unionByName(within).orderBy(col("da"), col("db"))
     })
   )
 
