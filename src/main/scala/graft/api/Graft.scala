@@ -1667,6 +1667,52 @@ object Graft {
           .as("skew_factor"))
   }
 
+  /** Top principal component of a covariance matrix by power iteration —
+    * the distributed eigen step a PCA/whitening pipeline runs after the
+    * gram/covariance aggregate (q123's cells are the expected input:
+    * upper-triangle rows (i, j, cov), 1-based).
+    *
+    * 100 TB shape: state per round is ONE d-row vector broadcast onto
+    * the (mirrored) cell table — a matvec join + keyed aggregate, the
+    * q111 iteration discipline (lineage cut per round, nothing but a
+    * d-row table ever moves). Exactness: every matvec term and every
+    * squared-norm term is pico-quantized to a long before its order-free
+    * sum; each round ends in fixed double divisions and one sqrt, so a
+    * SQL twin can replay the whole loop bit-for-bit. The deterministic
+    * uniform start vector pins the eigenvector's sign. */
+  def topPrincipalComponent(cells: DataFrame, iters: Int = 12): DataFrame = {
+    require(iters >= 1, s"topPrincipalComponent needs iters >= 1, got $iters")
+    val Q = 1.0e12
+    val full = cells.select(col("i"), col("j"), col("cov"))
+      .unionByName(cells.filter(col("i") =!= col("j"))
+        .select(col("j").as("i"), col("i").as("j"), col("cov")))
+      .localCheckpoint()
+    val d = full.agg(max(col("i"))).head().getLong(0) // ONE driver scalar
+    require(d >= 1, "topPrincipalComponent: empty cell table")
+    var v = full.select(col("i").as("pos")).distinct()
+      .withColumn("vv", lit(1.0) / sqrt(lit(d.toDouble)))
+    var it = 0
+    while (it < iters) {
+      val mv = full.join(broadcast(v.select(col("pos").as("j"), col("vv"))), Seq("j"))
+        .groupBy(col("i").as("pos"))
+        .agg((sum(round(col("cov") * col("vv") * lit(Q)).cast(LongType))
+          .cast(DoubleType) / lit(Q)).as("mv"))
+      val nrm = mv.agg(sqrt(sum(round(col("mv") * col("mv") * lit(Q))
+        .cast(LongType)).cast(DoubleType) / lit(Q)).as("nrm"))
+      v = mv.crossJoin(broadcast(nrm))
+        .select(col("pos"), (col("mv") / col("nrm")).as("vv"))
+        .localCheckpoint()
+      it += 1
+    }
+    val lam = full
+      .join(broadcast(v.select(col("pos").as("i"), col("vv").as("va"))), Seq("i"))
+      .join(broadcast(v.select(col("pos").as("j"), col("vv").as("vb"))), Seq("j"))
+      .agg((sum(round(col("cov") * col("va") * col("vb") * lit(Q)).cast(LongType))
+        .cast(DoubleType) / lit(Q)).as("eigenvalue"))
+    v.crossJoin(broadcast(lam))
+      .select(col("pos"), col("vv").as("component"), col("eigenvalue"))
+  }
+
   /** Exact join-size pre-flight audit — q127's sibling for two-sided
     * planning: the exact output cardinality of `left ⋈ right` on a key
     * WITHOUT executing the join, from the per-key count tables alone

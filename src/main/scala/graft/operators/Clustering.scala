@@ -23,6 +23,39 @@ import org.apache.spark.sql.types.{DoubleType, LongType}
   */
 object Clustering {
 
+  /** Upper-triangle covariance cells (i ≤ j, 1-based) of an
+    * Array[Float] column — q123's exactness policy: element-first micro
+    * quantization, exact integer pair products and cell sums, ONE
+    * un-rounded double chain at the end. Shared by q123 (the matrix
+    * itself) and q134 (the power-iteration eigen step on top of it). */
+  private[operators] def covCells(e: org.apache.spark.sql.DataFrame,
+      vecCol: String): org.apache.spark.sql.DataFrame = {
+    val n1 = e.agg(count(lit(1)).as("n"))
+    val dims = e.select(posexplode(col(vecCol)).as(Seq("p", "x")))
+      .groupBy((col("p") + 1).as("i"))
+      .agg(sum(round(col("x").cast(DoubleType) * lit(1000000.0))
+        .cast(LongType)).as("sx"))
+    val cells = e.select(col(vecCol).as("v"))
+      .select(explode(sequence(lit(1), size(col("v")))).as("i"), col("v"))
+      .select(col("i"), explode(sequence(col("i"), size(col("v")))).as("j"), col("v"))
+      .select(col("i").cast(LongType).as("i"), col("j").cast(LongType).as("j"),
+        (round(element_at(col("v"), col("i")).cast(DoubleType) * lit(1000000.0))
+          .cast(LongType) *
+         round(element_at(col("v"), col("j")).cast(DoubleType) * lit(1000000.0))
+          .cast(LongType)).as("q"))
+      .groupBy(col("i"), col("j"))
+      .agg(sum(col("q")).as("sxy"))
+    cells
+      .join(broadcast(dims.select(col("i"), col("sx").as("sxi"))), Seq("i"))
+      .join(broadcast(dims.select(col("i").as("j"), col("sx").as("sxj"))), Seq("j"))
+      .crossJoin(broadcast(n1))
+      .select(col("i"), col("j"),
+        ((col("sxy").cast(DoubleType) / lit(1.0e12) -
+          (col("sxi").cast(DoubleType) / lit(1000000.0)) *
+          (col("sxj").cast(DoubleType) / lit(1000000.0)) / col("n")) /
+          (col("n") - lit(1L)).cast(DoubleType)).as("cov"))
+  }
+
   val queries: Map[String, Q] = Map(
     // ---- q123: embedding covariance matrix — the distributed half of
     // PCA/whitening (the gram-matrix aggregate MLlib's PCA runs before
@@ -38,33 +71,23 @@ object Clustering {
     // divergence. Fan-out is n·d(d+1)/2 pair rows, collapsed by
     // map-side partial agg to d² cells per partition before the
     // shuffle; per-dim sums ride as a 64-row broadcast. ----
-    "q123_embedding_covariance" -> ((s, dir) => {
-      val e = t(s, dir, "embeddings")
-      val n1 = e.agg(count(lit(1)).as("n"))
-      val dims = e.select(posexplode(col("embedding")).as(Seq("p", "x")))
-        .groupBy((col("p") + 1).as("i"))
-        .agg(sum(round(col("x").cast(DoubleType) * lit(1000000.0))
-          .cast(LongType)).as("sx"))
-      val cells = e.select(col("embedding").as("v"))
-        .select(explode(sequence(lit(1), size(col("v")))).as("i"), col("v"))
-        .select(col("i"), explode(sequence(col("i"), size(col("v")))).as("j"), col("v"))
-        .select(col("i").cast(LongType).as("i"), col("j").cast(LongType).as("j"),
-          (round(element_at(col("v"), col("i")).cast(DoubleType) * lit(1000000.0))
-            .cast(LongType) *
-           round(element_at(col("v"), col("j")).cast(DoubleType) * lit(1000000.0))
-            .cast(LongType)).as("q"))
-        .groupBy(col("i"), col("j"))
-        .agg(sum(col("q")).as("sxy"))
-      cells
-        .join(broadcast(dims.select(col("i"), col("sx").as("sxi"))), Seq("i"))
-        .join(broadcast(dims.select(col("i").as("j"), col("sx").as("sxj"))), Seq("j"))
-        .crossJoin(broadcast(n1))
-        .select(col("i"), col("j"),
-          ((col("sxy").cast(DoubleType) / lit(1.0e12) -
-            (col("sxi").cast(DoubleType) / lit(1000000.0)) *
-            (col("sxj").cast(DoubleType) / lit(1000000.0)) / col("n")) /
-            (col("n") - lit(1L)).cast(DoubleType)).as("cov"))
-        .orderBy(col("i"), col("j"))
+    "q123_embedding_covariance" -> ((s, dir) =>
+      covCells(t(s, dir, "embeddings"), "embedding").orderBy(col("i"), col("j"))),
+
+    // ---- q134: top principal component by POWER ITERATION over the
+    // q123 covariance cells — the distributed eigen step PCA/whitening
+    // pipelines run after the gram aggregate. Each of the 12 rounds is
+    // one broadcast matvec over the mirrored cell table (d rows of
+    // state, never more) with q111's exactness discipline: every matvec
+    // term and every squared-norm term is pico-quantized to a long
+    // before its order-free sum, each round ends in fixed double
+    // divisions and ONE sqrt — so the DuckDB twin replays all 12 rounds
+    // as chained CTEs bit-for-bit. Sign is pinned by the deterministic
+    // uniform start vector. ----
+    "q134_pca_power_iteration" -> ((s, dir) => {
+      graft.api.Graft.topPrincipalComponent(
+        covCells(t(s, dir, "embeddings"), "embedding"), iters = 12)
+        .orderBy(col("pos"))
     }),
 
     // ---- q95: two full Lloyd iterations, k=8, over the embeddings table.
@@ -107,6 +130,72 @@ object Clustering {
       |    FROM e, c0) t
       |  WHERE rn = 1)""".stripMargin
 
+  /** Shared covariance-cells CTE chain (→ `covc(i, j, cov)`, upper
+    * triangle): q123's oracle body, reused by q134's eigen twin. */
+  private val covCellsSql =
+    """n1 AS (SELECT COUNT(*) AS n FROM embeddings),
+      |d0 AS (SELECT embedding AS v,
+      |         unnest(generate_series(1, len(embedding))) AS i
+      |       FROM embeddings),
+      |dims AS (
+      |  SELECT i, CAST(SUM(CAST(ROUND(CAST(v[i] AS DOUBLE) * 1000000.0)
+      |    AS BIGINT)) AS BIGINT) AS sx
+      |  FROM d0 GROUP BY i),
+      |p AS (SELECT v, i, unnest(generate_series(1, len(v))) AS j FROM d0),
+      |cells AS (
+      |  SELECT i, j,
+      |    CAST(SUM(CAST(ROUND(CAST(v[i] AS DOUBLE) * 1000000.0) AS BIGINT) *
+      |             CAST(ROUND(CAST(v[j] AS DOUBLE) * 1000000.0) AS BIGINT))
+      |      AS BIGINT) AS sxy
+      |  FROM p WHERE j >= i GROUP BY i, j),
+      |covc AS (
+      |  SELECT c.i, c.j,
+      |    (CAST(sxy AS DOUBLE) / 1e12 -
+      |      (CAST(di.sx AS DOUBLE) / 1000000.0) *
+      |      (CAST(dj.sx AS DOUBLE) / 1000000.0) / n) / CAST(n - 1 AS DOUBLE) AS cov
+      |  FROM cells c
+      |  JOIN dims di ON di.i = c.i
+      |  JOIN dims dj ON dj.i = c.j
+      |  CROSS JOIN n1)""".stripMargin
+
+  /** q134 twin: `iters` unrolled power-iteration rounds over the
+    * mirrored covariance cells — pico-quantized matvec and norm terms
+    * (exact integer sums, order-free), fixed double divisions, one sqrt
+    * per round; MATERIALIZED so each round evaluates once. */
+  private def eigSql(iters: Int): String = {
+    val q = "1e12"
+    val rounds = (1 to iters).map { r =>
+      s"""mv$r AS MATERIALIZED (
+         |  SELECT f.i AS pos,
+         |    CAST(SUM(CAST(ROUND(f.cov * v.vv * $q) AS BIGINT)) AS DOUBLE) / $q AS mv
+         |  FROM fm f JOIN v${r - 1} v ON v.pos = f.j GROUP BY f.i),
+         |nn$r AS MATERIALIZED (
+         |  SELECT sqrt(CAST(SUM(CAST(ROUND(mv * mv * $q) AS BIGINT)) AS DOUBLE) / $q)
+         |    AS nrm FROM mv$r),
+         |v$r AS MATERIALIZED (
+         |  SELECT pos, mv / nrm AS vv FROM mv$r CROSS JOIN nn$r)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH $covCellsSql,
+       |fm AS MATERIALIZED (
+       |  SELECT i, j, cov FROM covc
+       |  UNION ALL
+       |  SELECT j AS i, i AS j, cov FROM covc WHERE i <> j),
+       |d1 AS (SELECT MAX(i) AS d FROM fm),
+       |v0 AS MATERIALIZED (
+       |  SELECT i AS pos, 1.0 / sqrt(CAST(d AS DOUBLE)) AS vv
+       |  FROM (SELECT DISTINCT i FROM fm) t CROSS JOIN d1),
+       |$rounds,
+       |lam AS (
+       |  SELECT CAST(SUM(CAST(ROUND(f.cov * a.vv * b.vv * $q) AS BIGINT)) AS DOUBLE)
+       |    / $q AS eigenvalue
+       |  FROM fm f
+       |  JOIN v$iters a ON a.pos = f.i
+       |  JOIN v$iters b ON b.pos = f.j)
+       |SELECT v.pos, v.vv AS component, lam.eigenvalue
+       |FROM v$iters v CROSS JOIN lam
+       |ORDER BY v.pos""".stripMargin
+  }
+
   val oracle: Map[String, String] = Map(
     // covariance twin: identical element-first micro-quantization
     // (round-to-long per element, exact BIGINT pair product, exact cell
@@ -114,30 +203,14 @@ object Clustering {
     // every op after quantization is deterministic IEEE arithmetic both
     // engines reproduce bit-for-bit
     "q123_embedding_covariance" ->
-      """WITH n1 AS (SELECT COUNT(*) AS n FROM embeddings),
-        |d0 AS (SELECT embedding AS v,
-        |         unnest(generate_series(1, len(embedding))) AS i
-        |       FROM embeddings),
-        |dims AS (
-        |  SELECT i, CAST(SUM(CAST(ROUND(CAST(v[i] AS DOUBLE) * 1000000.0)
-        |    AS BIGINT)) AS BIGINT) AS sx
-        |  FROM d0 GROUP BY i),
-        |p AS (SELECT v, i, unnest(generate_series(1, len(v))) AS j FROM d0),
-        |cells AS (
-        |  SELECT i, j,
-        |    CAST(SUM(CAST(ROUND(CAST(v[i] AS DOUBLE) * 1000000.0) AS BIGINT) *
-        |             CAST(ROUND(CAST(v[j] AS DOUBLE) * 1000000.0) AS BIGINT))
-        |      AS BIGINT) AS sxy
-        |  FROM p WHERE j >= i GROUP BY i, j)
-        |SELECT c.i, c.j,
-        |  (CAST(sxy AS DOUBLE) / 1e12 -
-        |    (CAST(di.sx AS DOUBLE) / 1000000.0) *
-        |    (CAST(dj.sx AS DOUBLE) / 1000000.0) / n) / CAST(n - 1 AS DOUBLE) AS cov
-        |FROM cells c
-        |JOIN dims di ON di.i = c.i
-        |JOIN dims dj ON dj.i = c.j
-        |CROSS JOIN n1
-        |ORDER BY c.i, c.j""".stripMargin,
+      s"""WITH $covCellsSql
+        |SELECT i, j, cov FROM covc
+        |ORDER BY i, j""".stripMargin,
+
+    // power-iteration twin: the same mirrored cell table, 12 rounds of
+    // pico-quantized matvec + norm as chained MATERIALIZED CTEs (q111's
+    // pattern), the same uniform start and Rayleigh eigenvalue
+    "q134_pca_power_iteration" -> eigSql(12),
 
     "q95_kmeans" -> (prelude +
       """,

@@ -228,6 +228,20 @@ class GraftApiSpec extends AnyFunSuite {
     assert(math.abs(pr("b") - pr("c")) < 1e-12) // symmetric halves tie exactly
   }
 
+  test("topPrincipalComponent recovers the dominant eigenvector of a known matrix") {
+    val s = spark; import s.implicits._
+    // C = [[2, 1], [1, 2]] — eigenvalues 3 (v ∝ [1,1]) and 1 (v ∝ [1,-1]);
+    // upper-triangle cells as q123 produces them
+    val cells = Seq((1L, 1L, 2.0), (1L, 2L, 1.0), (2L, 2L, 2.0))
+      .toDF("i", "j", "cov")
+    val out = Graft.topPrincipalComponent(cells, iters = 20)
+      .orderBy("pos").collect()
+    val c = out.map(_.getDouble(1))
+    assert(math.abs(c(0) - math.sqrt(0.5)) < 1e-6)
+    assert(math.abs(c(1) - math.sqrt(0.5)) < 1e-6)
+    assert(math.abs(out.head.getDouble(2) - 3.0) < 1e-6) // Rayleigh eigenvalue
+  }
+
   test("joinSizeAudit predicts exact join cardinality and the hottest key") {
     val s = spark; import s.implicits._
     val left = Seq(1L, 1L, 1L, 2L, 3L).toDF("k")           // counts: 1->3, 2->1, 3->1
