@@ -190,8 +190,11 @@ object Dedup {
       val chunks = (0 until 4).map { k =>
         shiftright(col("sig"), 16 * k).bitwiseAND(lit(0xFFFFL)).as(s"k$k")
       }
+      // three consumers (distinct sigs, cross expansion ×2, within) —
+      // materialize so tokenization + simhash run once over the corpus
       val docSigs = tokens(t(s, dir, "documents"))
         .select(col("doc_id"), expr("simhash64(t)").as("sig"))
+        .localCheckpoint()
       val sigs = docSigs.select(col("sig")).distinct()
         .select(col("sig") +: chunks: _*)
       val sigPairs = (0 until 4).map { k =>
