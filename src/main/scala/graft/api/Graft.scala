@@ -1713,6 +1713,33 @@ object Graft {
       .select(col("pos"), col("vv").as("component"), col("eigenvalue"))
   }
 
+  /** Project every vector onto a principal component (the APPLY half of
+    * the PCA pipeline: q123 covariance → [[topPrincipalComponent]] →
+    * this): per-vector principal score v·x and residual norm
+    * √(|x|² − score²) — the dimensionality-reduction / outlier-energy
+    * signal. The component rides as a d-row broadcast; per-position
+    * products are nano-quantized before the order-free per-vector sums
+    * (q113 policy), residual is one fixed double chain. */
+  def pcaProject(df: DataFrame, vecCol: String, idCol: String,
+      component: DataFrame): DataFrame = {
+    val Q = 1.0e9
+    val ev = df.select(col(idCol).as("__id"),
+        posexplode(col(vecCol)).as(Seq("p", "x0")))
+      .select(col("__id"), (col("p") + 1).cast(LongType).as("pos"),
+        col("x0").cast(DoubleType).as("x"))
+    ev.join(broadcast(component.select(col("pos"), col("component").as("vv"))),
+        Seq("pos"))
+      .groupBy(col("__id"))
+      .agg(
+        (sum(round(col("x") * col("vv") * lit(Q)).cast(LongType))
+          .cast(DoubleType) / lit(Q)).as("score"),
+        (sum(round(col("x") * col("x") * lit(Q)).cast(LongType))
+          .cast(DoubleType) / lit(Q)).as("sq"))
+      .select(col("__id").as(idCol), col("score"),
+        sqrt(greatest(col("sq") - col("score") * col("score"), lit(0.0)))
+          .as("residual_norm"))
+  }
+
   /** Exact join-size pre-flight audit — q127's sibling for two-sided
     * planning: the exact output cardinality of `left ⋈ right` on a key
     * WITHOUT executing the join, from the per-key count tables alone

@@ -75,6 +75,41 @@ object Analytics {
       graft.api.Graft.triangleCount(seq, "user_id", "nxt")
     }),
 
+    // ---- q136: population stability index (PSI) per source — the
+    // standard ML-monitoring drift score next to q122's KS: 10 fixed
+    // equal-width bins over the global doc-length range (exact integer
+    // bucket arithmetic via div), Laplace-0.5 smoothing so empty bins
+    // contribute finitely, per-bin (p−q)·ln(p/q) terms nano-quantized
+    // before the order-free per-source sum. Everything is keyed aggs
+    // over counts — bin-table-sized work at any corpus size. ----
+    "q136_psi_drift" -> ((s, dir) => {
+      val d = t(s, dir, "documents")
+        .select(col("source"), col("n_chars").cast(LongType).as("x"))
+      val g = d.agg(min(col("x")).as("mn"), max(col("x")).as("mx"))
+      val b = d.crossJoin(broadcast(g))
+        .select(col("source"), expr("((x - mn) * 10) div (mx - mn + 1)").as("bin"))
+      val allBins = b.groupBy(col("bin")).agg(count(lit(1)).as("ca"))
+      val na = d.agg(count(lit(1)).as("na"))
+      val perSrc = b.groupBy(col("source"), col("bin")).agg(count(lit(1)).as("cs"))
+      val ns = d.groupBy(col("source")).agg(count(lit(1)).as("n_docs"))
+      val grid = ns
+        .crossJoin(broadcast(
+          s.range(0, 10).select(col("id").as("bin"))))
+        .join(perSrc, Seq("source", "bin"), "left").na.fill(0L, Seq("cs"))
+        .join(broadcast(allBins), Seq("bin"), "left").na.fill(0L, Seq("ca"))
+        .crossJoin(broadcast(na))
+      val p = (col("cs").cast(DoubleType) + lit(0.5)) /
+        (col("n_docs").cast(DoubleType) + lit(5.0))
+      val q = (col("ca").cast(DoubleType) + lit(0.5)) /
+        (col("na").cast(DoubleType) + lit(5.0))
+      grid
+        .select(col("source"), col("n_docs"),
+          round((p - q) * log(p / q) * lit(1.0e9)).cast(LongType).as("__t"))
+        .groupBy(col("source"), col("n_docs"))
+        .agg((sum(col("__t")).cast(DoubleType) / lit(1.0e9)).as("psi"))
+        .orderBy(col("source"))
+    }),
+
     // ---- q111: weighted PageRank over the event-type transition graph
     // (q86's edges) — iterative distributed graph computation by power
     // iteration: per round ONE keyed join + one aggregation with
@@ -758,6 +793,41 @@ object Analytics {
         |FROM nodes n
         |CROSS JOIN (SELECT COUNT(*) AS n_edges FROM und) e
         |CROSS JOIN tri t""".stripMargin,
+
+    // PSI twin: identical exact-integer bucketing (// = div on
+    // positives), identical smoothing expression tree, nano-quantized
+    // per-bin terms
+    "q136_psi_drift" ->
+      """WITH d AS (
+        |  SELECT source, CAST(n_chars AS BIGINT) AS x FROM documents),
+        |g AS (SELECT MIN(x) AS mn, MAX(x) AS mx FROM d),
+        |b AS (
+        |  SELECT source, ((x - mn) * 10) // (mx - mn + 1) AS bin
+        |  FROM d CROSS JOIN g),
+        |allbins AS (SELECT bin, COUNT(*) AS ca FROM b GROUP BY bin),
+        |na AS (SELECT COUNT(*) AS na FROM d),
+        |persrc AS (SELECT source, bin, COUNT(*) AS cs FROM b GROUP BY source, bin),
+        |ns AS (SELECT source, COUNT(*) AS n_docs FROM d GROUP BY source),
+        |grid AS (
+        |  SELECT ns.source, ns.n_docs, bins.bin,
+        |    COALESCE(p.cs, 0) AS cs, COALESCE(a.ca, 0) AS ca, na.na
+        |  FROM ns
+        |  CROSS JOIN (SELECT unnest(generate_series(0, 9)) AS bin) bins
+        |  LEFT JOIN persrc p ON p.source = ns.source AND p.bin = bins.bin
+        |  LEFT JOIN allbins a ON a.bin = bins.bin
+        |  CROSS JOIN na),
+        |terms AS (
+        |  SELECT source, n_docs,
+        |    CAST(ROUND(
+        |      ((CAST(cs AS DOUBLE) + 0.5) / (CAST(n_docs AS DOUBLE) + 5.0) -
+        |       (CAST(ca AS DOUBLE) + 0.5) / (CAST(na AS DOUBLE) + 5.0)) *
+        |      ln(((CAST(cs AS DOUBLE) + 0.5) / (CAST(n_docs AS DOUBLE) + 5.0)) /
+        |         ((CAST(ca AS DOUBLE) + 0.5) / (CAST(na AS DOUBLE) + 5.0))) * 1e9)
+        |      AS BIGINT) AS t
+        |  FROM grid)
+        |SELECT source, n_docs, CAST(SUM(t) AS DOUBLE) / 1e9 AS psi
+        |FROM terms GROUP BY source, n_docs
+        |ORDER BY source""".stripMargin,
 
     "q111_pagerank" -> pagerankSql(10),
 

@@ -90,6 +90,20 @@ object Clustering {
         .orderBy(col("pos"))
     }),
 
+    // ---- q135: PCA projection APPLY — the third leg of the pipeline
+    // (q123 covariance → q134 eigenvector → project): per-vector
+    // principal score v·x and residual norm, the dimensionality-
+    // reduction / outlier-energy signal. Component is a d-row
+    // broadcast; per-position products nano-quantized before the
+    // order-free per-vector sums. ----
+    "q135_pca_project" -> ((s, dir) => {
+      val comp = graft.api.Graft.topPrincipalComponent(
+        covCells(t(s, dir, "embeddings"), "embedding"), iters = 12)
+      graft.api.Graft.pcaProject(t(s, dir, "embeddings"), "embedding",
+          "vec_id", comp)
+        .orderBy(col("vec_id"))
+    }),
+
     // ---- q95: two full Lloyd iterations, k=8, over the embeddings table.
     // Output = the final update table (cid, pos, n, sum_micro, mean):
     // cluster sizes and exact centroid state, hash-checked. ----
@@ -162,7 +176,10 @@ object Clustering {
     * mirrored covariance cells — pico-quantized matvec and norm terms
     * (exact integer sums, order-free), fixed double divisions, one sqrt
     * per round; MATERIALIZED so each round evaluates once. */
-  private def eigSql(iters: Int): String = {
+  /** CTE chain ending in `v$iters(pos, vv)` — the converged unit
+    * eigenvector; shared by the q134 final select and q135's
+    * projection twin. */
+  private def eigCtes(iters: Int): String = {
     val q = "1e12"
     val rounds = (1 to iters).map { r =>
       s"""mv$r AS MATERIALIZED (
@@ -175,7 +192,7 @@ object Clustering {
          |v$r AS MATERIALIZED (
          |  SELECT pos, mv / nrm AS vv FROM mv$r CROSS JOIN nn$r)""".stripMargin
     }.mkString(",\n")
-    s"""WITH $covCellsSql,
+    s"""$covCellsSql,
        |fm AS MATERIALIZED (
        |  SELECT i, j, cov FROM covc
        |  UNION ALL
@@ -184,7 +201,12 @@ object Clustering {
        |v0 AS MATERIALIZED (
        |  SELECT i AS pos, 1.0 / sqrt(CAST(d AS DOUBLE)) AS vv
        |  FROM (SELECT DISTINCT i FROM fm) t CROSS JOIN d1),
-       |$rounds,
+       |$rounds""".stripMargin
+  }
+
+  private def eigSql(iters: Int): String = {
+    val q = "1e12"
+    s"""WITH ${eigCtes(iters)},
        |lam AS (
        |  SELECT CAST(SUM(CAST(ROUND(f.cov * a.vv * b.vv * $q) AS BIGINT)) AS DOUBLE)
        |    / $q AS eigenvalue
@@ -194,6 +216,28 @@ object Clustering {
        |SELECT v.pos, v.vv AS component, lam.eigenvalue
        |FROM v$iters v CROSS JOIN lam
        |ORDER BY v.pos""".stripMargin
+  }
+
+  /** q135 twin: nano-quantized per-position products of each embedding
+    * against the converged component (score) and against itself (norm²),
+    * exact integer per-vector sums, residual as one fixed double chain. */
+  private def projSql(iters: Int): String = {
+    val q = "1e9"
+    s"""WITH ${eigCtes(iters)},
+       |ev AS (
+       |  SELECT vec_id, i AS pos, CAST(embedding[i] AS DOUBLE) AS x
+       |  FROM (SELECT vec_id, embedding,
+       |          unnest(generate_series(1, len(embedding))) AS i
+       |        FROM embeddings) t),
+       |sums AS (
+       |  SELECT e.vec_id,
+       |    CAST(SUM(CAST(ROUND(e.x * v.vv * $q) AS BIGINT)) AS DOUBLE) / $q AS score,
+       |    CAST(SUM(CAST(ROUND(e.x * e.x * $q) AS BIGINT)) AS DOUBLE) / $q AS sq
+       |  FROM ev e JOIN v$iters v ON v.pos = e.pos
+       |  GROUP BY e.vec_id)
+       |SELECT vec_id, score,
+       |  sqrt(greatest(sq - score * score, 0.0)) AS residual_norm
+       |FROM sums ORDER BY vec_id""".stripMargin
   }
 
   val oracle: Map[String, String] = Map(
@@ -211,6 +255,10 @@ object Clustering {
     // pico-quantized matvec + norm as chained MATERIALIZED CTEs (q111's
     // pattern), the same uniform start and Rayleigh eigenvalue
     "q134_pca_power_iteration" -> eigSql(12),
+
+    // projection twin: the converged v12 from the same CTE chain,
+    // nano-quantized per-position products, fixed residual chain
+    "q135_pca_project" -> projSql(12),
 
     "q95_kmeans" -> (prelude +
       """,

@@ -242,6 +242,20 @@ class GraftApiSpec extends AnyFunSuite {
     assert(math.abs(out.head.getDouble(2) - 3.0) < 1e-6) // Rayleigh eigenvalue
   }
 
+  test("pcaProject: score is the dot with the component, residual the orthogonal energy") {
+    val s = spark; import s.implicits._
+    val comp = Seq((1L, 1.0, 9.9), (2L, 0.0, 9.9))
+      .toDF("pos", "component", "eigenvalue")
+    val vecs = Seq((1L, Array(3.0f, 4.0f)), (2L, Array(-2.0f, 0.0f)))
+      .toDF("vec_id", "embedding")
+    val out = Graft.pcaProject(vecs, "embedding", "vec_id", comp)
+      .orderBy("vec_id").collect()
+    assert(math.abs(out(0).getDouble(1) - 3.0) < 1e-6)  // score = x1
+    assert(math.abs(out(0).getDouble(2) - 4.0) < 1e-6)  // residual = |x2|
+    assert(math.abs(out(1).getDouble(1) + 2.0) < 1e-6)
+    assert(math.abs(out(1).getDouble(2)) < 1e-4)
+  }
+
   test("joinSizeAudit predicts exact join cardinality and the hottest key") {
     val s = spark; import s.implicits._
     val left = Seq(1L, 1L, 1L, 2L, 3L).toDF("k")           // counts: 1->3, 2->1, 3->1
