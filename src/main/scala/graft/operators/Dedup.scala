@@ -141,6 +141,35 @@ object Dedup {
         .orderBy(col("doc_id"))
     }),
 
+    // ---- q138: leakage-safe train/val/test split — q47's split rule
+    // applied to DEDUP CLUSTERS instead of raw doc ids, so near-dup
+    // documents can never land on both sides of a split (the
+    // train/eval-contamination failure mode q58 tests for is prevented
+    // by construction). Components from the q54 machinery; singleton
+    // docs are their own component; split = md5(component) bucket. ----
+    "q138_leakage_safe_split" -> ((s, dir) => {
+      graft.functions.GraftFunctions.register(s)
+      val docs = t(s, dir, "documents")
+      val pairs = minhashPairs(docs, "text", "doc_id", 4, 5)
+        .select(col("da"), col("db"))
+      val comp = graft.api.Graft.connectedComponents(pairs, "da", "db")
+        .withColumnRenamed("node", "doc_id")
+      docs.select(col("doc_id"))
+        .join(comp, Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          coalesce(col("component"), col("doc_id")).as("component"))
+        .withColumn("b",
+          call_function("md5_lower64", col("component").cast(StringType))
+            .bitwiseAND(lit(2147483647L)) % 1000)
+        .withColumn("split",
+          when(col("b") < 800, "train").when(col("b") < 900, "val")
+            .otherwise("test"))
+        .groupBy(col("split"))
+        .agg(count(lit(1)).as("n_docs"),
+          countDistinct(col("component")).as("n_components"))
+        .orderBy(col("split"))
+    }),
+
     // ---- q25: MinHash + LSH candidates, exact-verified (J >= 0.8) ----
     "q25_dedup_minhash_lsh" -> ((s, dir) => {
       minhashPairs(t(s, dir, "documents"), "text", "doc_id", 4, 5)
@@ -293,8 +322,48 @@ object Dedup {
       |LEFT JOIN m ON m.bid = d.doc_id
       |ORDER BY d.doc_id""".stripMargin
 
+  /** q138 twin — q54's recursive transitive closure for the component
+    * table, singleton docs as their own component, then q47's split
+    * bucketing applied to the component id. */
+  private val leakageSafeSplitSql =
+    """WITH RECURSIVE toks AS (
+      |  SELECT doc_id, string_split(trim(text), ' ') AS t FROM documents
+      |), sh AS (
+      |  SELECT DISTINCT doc_id, t[i] || chr(0) || t[i+1] || chr(0) || t[i+2] AS s
+      |  FROM (SELECT doc_id, t, unnest(generate_series(1, greatest(len(t) - 2, 0))) AS i FROM toks)
+      |), sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id
+      |), inter AS (
+      |  SELECT a.doc_id AS da, b.doc_id AS db, COUNT(*) AS i
+      |  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+      |  GROUP BY 1, 2
+      |), pairs AS (
+      |  SELECT da, db FROM inter
+      |  JOIN sizes sa ON sa.doc_id = da
+      |  JOIN sizes sb ON sb.doc_id = db
+      |  WHERE 5 * i >= 4 * (sa.n + sb.n - i)
+      |), edges AS (
+      |  SELECT da AS a, db AS b FROM pairs UNION SELECT db, da FROM pairs
+      |), reach AS (
+      |  SELECT a, b FROM edges
+      |  UNION
+      |  SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a
+      |), comp AS (
+      |  SELECT a AS doc_id, least(a, MIN(b)) AS component
+      |  FROM reach GROUP BY a
+      |), allc AS (
+      |  SELECT d.doc_id, COALESCE(c.component, d.doc_id) AS component
+      |  FROM documents d LEFT JOIN comp c ON c.doc_id = d.doc_id
+      |), sp AS (
+      |  SELECT doc_id, component,
+      |    (md5_number_lower(CAST(component AS VARCHAR)) & 2147483647::UBIGINT) % 1000 AS b
+      |  FROM allc)
+      |SELECT CASE WHEN b < 800 THEN 'train' WHEN b < 900 THEN 'val' ELSE 'test' END AS split,
+      |  COUNT(*) AS n_docs, COUNT(DISTINCT component) AS n_components
+      |FROM sp GROUP BY 1 ORDER BY 1""".stripMargin
+
   val oracle: Map[String, String] = Map(
     "q133_incremental_dedup" -> incrementalDedupSql,
+    "q138_leakage_safe_split" -> leakageSafeSplitSql,
 
     "q23_dedup_exact" ->
       """SELECT MIN(doc_id) AS keep_id, COUNT(*) AS n_copies

@@ -60,6 +60,45 @@ object TextAnalysis {
         .orderBy(col("doc_id"))
     }),
 
+    // ---- q137: windowed PMI co-occurrence pairs — the distributional-
+    // semantics primitive (word-embedding / collocation feature
+    // engineering): token pairs within a ±2 window via lead() over the
+    // SAME per-doc position window q113 uses (one token-stream shuffle,
+    // never a self-join), PMI from keyed count tables with 1-row N
+    // broadcasts. Ranking is on the NANO-QUANTIZED pmi (exact long), so
+    // top-30 ordering is engine-exact; min-count 5 guards the tail. ----
+    "q137_pmi_pairs" -> ((s, dir) => {
+      val toks = t(s, dir, "documents").select(col("doc_id").as("__id"),
+          posexplode(split(lower(col("text")), "[^a-z0-9]+")).as(Seq("__p", "__t")))
+        .filter(col("__t") =!= "")
+      val wp = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("__id")).orderBy(col("__p"))
+      val pairs = Seq(1, 2).map { k =>
+        toks.select(col("__t").as("a"), lead(col("__t"), k).over(wp).as("b"))
+          .filter(col("b").isNotNull)
+      }.reduce(_ unionAll _)
+        .select(least(col("a"), col("b")).as("w1"),
+          greatest(col("a"), col("b")).as("w2"))
+        .filter(col("w1") =!= col("w2"))
+      val cab = pairs.groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("c_ab"))
+      val np = pairs.agg(count(lit(1)).as("np"))
+      val cw = toks.groupBy(col("__t").as("w")).agg(count(lit(1)).as("cw"))
+      val nw = toks.agg(count(lit(1)).as("nw"))
+      cab.filter(col("c_ab") >= 5)
+        .join(cw.select(col("w").as("w1"), col("cw").as("c1")), "w1")
+        .join(cw.select(col("w").as("w2"), col("cw").as("c2")), "w2")
+        .crossJoin(broadcast(np)).crossJoin(broadcast(nw))
+        .withColumn("pmi_q",
+          round(log((col("c_ab").cast(DoubleType) / col("np")) /
+            ((col("c1").cast(DoubleType) / col("nw")) *
+             (col("c2").cast(DoubleType) / col("nw")))) * lit(1.0e9))
+            .cast(LongType))
+        .orderBy(col("pmi_q").desc, col("w1"), col("w2"))
+        .limit(30)
+        .select(col("w1"), col("w2"), col("c_ab"),
+          (col("pmi_q").cast(DoubleType) / lit(1.0e9)).as("pmi"))
+    }),
+
     // ---- q29: language identification ----
     "q29_langid" -> ((s, dir) => {
       import s.implicits._
@@ -245,6 +284,41 @@ object TextAnalysis {
   }
 
   val oracle: Map[String, String] = Map(
+    // PMI twin: the q113 tokenization, pairs from (w[i], w[i+1]) and
+    // (w[i], w[i+2]) of the filtered arrays (== lead over surviving
+    // tokens), identical smoothing-free PMI chain, ranked on the same
+    // quantized long
+    "q137_pmi_pairs" ->
+      """WITH tl AS (
+        |  SELECT doc_id,
+        |    list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+        |      x -> x <> '') AS w
+        |  FROM documents),
+        |toks AS (SELECT doc_id, unnest(w) AS t FROM tl),
+        |b1 AS (SELECT w, unnest(range(1, len(w))) AS i FROM tl WHERE len(w) >= 2),
+        |p1 AS (SELECT least(w[i], w[i+1]) AS w1, greatest(w[i], w[i+1]) AS w2 FROM b1),
+        |b2 AS (SELECT w, unnest(range(1, len(w) - 1)) AS i FROM tl WHERE len(w) >= 3),
+        |p2 AS (SELECT least(w[i], w[i+2]) AS w1, greatest(w[i], w[i+2]) AS w2 FROM b2),
+        |pairsf AS (
+        |  SELECT * FROM (SELECT * FROM p1 UNION ALL SELECT * FROM p2) u
+        |  WHERE w1 <> w2),
+        |cab AS (SELECT w1, w2, COUNT(*) AS c_ab FROM pairsf GROUP BY w1, w2),
+        |np AS (SELECT COUNT(*) AS np FROM pairsf),
+        |cw AS (SELECT t AS w, COUNT(*) AS cw FROM toks GROUP BY t),
+        |nw AS (SELECT COUNT(*) AS nw FROM toks),
+        |scored AS (
+        |  SELECT c.w1, c.w2, c.c_ab,
+        |    CAST(ROUND(ln((CAST(c_ab AS DOUBLE) / np) /
+        |      ((CAST(a.cw AS DOUBLE) / nw) * (CAST(b.cw AS DOUBLE) / nw))) * 1e9)
+        |      AS BIGINT) AS pmi_q
+        |  FROM cab c
+        |  JOIN cw a ON a.w = c.w1
+        |  JOIN cw b ON b.w = c.w2
+        |  CROSS JOIN np CROSS JOIN nw
+        |  WHERE c_ab >= 5)
+        |SELECT w1, w2, c_ab, CAST(pmi_q AS DOUBLE) / 1e9 AS pmi
+        |FROM scored ORDER BY pmi_q DESC, w1, w2 LIMIT 30""".stripMargin,
+
     // char-entropy twin: per-char counts via substr walk (ASCII corpus;
     // both engines index characters), the identical nano-quantized
     // (c/n)·ln(n/c) term, exact integer per-doc sum, one division — no
