@@ -48,10 +48,16 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(!p.contains("h127"), p) // the old 128-min-agg columns are gone
   }
 
-  test("q26 simhash is a one-pass projection with no word explode") {
+  test("q26 simhash computes signatures once, upstream of the pair stage") {
     val df = SparkEntry.queries("q26_dedup_simhash")(spark, dir)
     val p = df.queryExecution.executedPlan.toString
-    assert(p.contains("simhash64"), p)
+    // since the r8 exact-dup collapse, the one-pass simhash64 projection
+    // is materialized (localCheckpoint) BEFORE chunk joins + expansion:
+    // the pair stage scans the signature RDD and must contain neither a
+    // signature recompute nor a word explode
+    assert(!p.contains("simhash64"), p)
+    assert(!p.contains("Generate"), p)
+    assert(p.contains("Scan ExistingRDD") || p.contains("LogicalRDD"), p)
   }
 
   test("q02 filter and projection push into the scan") {
