@@ -1680,7 +1680,8 @@ object Graft {
     * sum; each round ends in fixed double divisions and one sqrt, so a
     * SQL twin can replay the whole loop bit-for-bit. The deterministic
     * uniform start vector pins the eigenvector's sign. */
-  def topPrincipalComponent(cells: DataFrame, iters: Int = 12): DataFrame = {
+  def topPrincipalComponent(cells: DataFrame, iters: Int = 12,
+      driverEigenMaxDim: Int = 512): DataFrame = {
     require(iters >= 1, s"topPrincipalComponent needs iters >= 1, got $iters")
     val Q = 1.0e12
     val full = cells.select(col("i"), col("j"), col("cov"))
@@ -1689,28 +1690,69 @@ object Graft {
       .localCheckpoint()
     val d = full.agg(max(col("i"))).head().getLong(0) // ONE driver scalar
     require(d >= 1, "topPrincipalComponent: empty cell table")
-    var v = full.select(col("i").as("pos")).distinct()
-      .withColumn("vv", lit(1.0) / sqrt(lit(d.toDouble)))
-    var it = 0
-    while (it < iters) {
-      val mv = full.join(broadcast(v.select(col("pos").as("j"), col("vv"))), Seq("j"))
-        .groupBy(col("i").as("pos"))
-        .agg((sum(round(col("cov") * col("vv") * lit(Q)).cast(LongType))
-          .cast(DoubleType) / lit(Q)).as("mv"))
-      val nrm = mv.agg(sqrt(sum(round(col("mv") * col("mv") * lit(Q))
-        .cast(LongType)).cast(DoubleType) / lit(Q)).as("nrm"))
-      v = mv.crossJoin(broadcast(nrm))
-        .select(col("pos"), (col("mv") / col("nrm")).as("vv"))
-        .localCheckpoint()
-      it += 1
+    if (d <= driverEigenMaxDim) {
+      // Driver fast path (the MLlib RowMatrix design): the cell table is
+      // d²-bounded — DIMENSION-sized, not corpus-sized — so collecting it
+      // and iterating locally replaces 3·iters scheduled jobs over d-row
+      // state with one collect. Arithmetic is the EXACT mirror of the
+      // distributed loop below (and of the SQL oracle twin): BigDecimal
+      // HALF_UP quantization == Spark's Round, exact long sums, fixed
+      // double divisions — both paths are hash-identical.
+      def qz(x: Double): Long = java.math.BigDecimal.valueOf(x)
+        .setScale(0, java.math.RoundingMode.HALF_UP).longValue()
+      val dd = d.toInt
+      val c = Array.ofDim[Double](dd, dd)
+      full.collect().foreach { r =>
+        c(r.getLong(0).toInt - 1)(r.getLong(1).toInt - 1) = r.getDouble(2)
+      }
+      var v = Array.fill(dd)(1.0 / math.sqrt(d.toDouble))
+      var it = 0
+      while (it < iters) {
+        val mv = Array.tabulate(dd) { i =>
+          var s = 0L
+          var j = 0
+          while (j < dd) { s += qz(c(i)(j) * v(j) * Q); j += 1 }
+          s.toDouble / Q
+        }
+        var n2 = 0L
+        mv.foreach(x => n2 += qz(x * x * Q))
+        val nrm = math.sqrt(n2.toDouble / Q)
+        v = mv.map(_ / nrm)
+        it += 1
+      }
+      var lq = 0L
+      for (i <- 0 until dd; j <- 0 until dd)
+        lq += qz(c(i)(j) * v(i) * v(j) * Q)
+      val lambda = lq.toDouble / Q
+      val spark = cells.sparkSession
+      import spark.implicits._
+      v.toSeq.zipWithIndex
+        .map { case (x, i) => ((i + 1).toLong, x, lambda) }
+        .toDF("pos", "component", "eigenvalue")
+    } else {
+      var v = full.select(col("i").as("pos")).distinct()
+        .withColumn("vv", lit(1.0) / sqrt(lit(d.toDouble)))
+      var it = 0
+      while (it < iters) {
+        val mv = full.join(broadcast(v.select(col("pos").as("j"), col("vv"))), Seq("j"))
+          .groupBy(col("i").as("pos"))
+          .agg((sum(round(col("cov") * col("vv") * lit(Q)).cast(LongType))
+            .cast(DoubleType) / lit(Q)).as("mv"))
+        val nrm = mv.agg(sqrt(sum(round(col("mv") * col("mv") * lit(Q))
+          .cast(LongType)).cast(DoubleType) / lit(Q)).as("nrm"))
+        v = mv.crossJoin(broadcast(nrm))
+          .select(col("pos"), (col("mv") / col("nrm")).as("vv"))
+          .localCheckpoint()
+        it += 1
+      }
+      val lam = full
+        .join(broadcast(v.select(col("pos").as("i"), col("vv").as("va"))), Seq("i"))
+        .join(broadcast(v.select(col("pos").as("j"), col("vv").as("vb"))), Seq("j"))
+        .agg((sum(round(col("cov") * col("va") * col("vb") * lit(Q)).cast(LongType))
+          .cast(DoubleType) / lit(Q)).as("eigenvalue"))
+      v.crossJoin(broadcast(lam))
+        .select(col("pos"), col("vv").as("component"), col("eigenvalue"))
     }
-    val lam = full
-      .join(broadcast(v.select(col("pos").as("i"), col("vv").as("va"))), Seq("i"))
-      .join(broadcast(v.select(col("pos").as("j"), col("vv").as("vb"))), Seq("j"))
-      .agg((sum(round(col("cov") * col("va") * col("vb") * lit(Q)).cast(LongType))
-        .cast(DoubleType) / lit(Q)).as("eigenvalue"))
-    v.crossJoin(broadcast(lam))
-      .select(col("pos"), col("vv").as("component"), col("eigenvalue"))
   }
 
   /** Project every vector onto a principal component (the APPLY half of

@@ -242,6 +242,17 @@ class GraftApiSpec extends AnyFunSuite {
     assert(math.abs(out.head.getDouble(2) - 3.0) < 1e-6) // Rayleigh eigenvalue
   }
 
+  test("topPrincipalComponent: driver and distributed eigen paths are bit-identical") {
+    val s = spark; import s.implicits._
+    val cells = Seq((1L, 1L, 2.0), (1L, 2L, 1.0), (2L, 2L, 2.0))
+      .toDF("i", "j", "cov")
+    val drv = Graft.topPrincipalComponent(cells, iters = 7)
+      .orderBy("pos").collect().map(r => (r.getLong(0), r.getDouble(1), r.getDouble(2)))
+    val dist = Graft.topPrincipalComponent(cells, iters = 7, driverEigenMaxDim = 0)
+      .orderBy("pos").collect().map(r => (r.getLong(0), r.getDouble(1), r.getDouble(2)))
+    assert(drv.toSeq === dist.toSeq) // exact equality, not approximate
+  }
+
   test("pcaProject: score is the dot with the component, residual the orthogonal energy") {
     val s = spark; import s.implicits._
     val comp = Seq((1L, 1.0, 9.9), (2L, 0.0, 9.9))
