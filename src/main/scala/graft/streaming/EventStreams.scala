@@ -125,4 +125,43 @@ object EventStreams {
       }
       .toDF("user_id", "total_events", "total_value")
   }
+
+  /** Session summaries via flatMapGroupsWithState + EVENT-TIME TIMEOUT —
+    * the state-TTL pattern [[runningTotals]]' NoTimeout form doesn't
+    * cover: an open per-user session extends while events keep arriving
+    * within the 30-minute gap, and the COMPLETED summary row is emitted
+    * only when the WATERMARK passes session_end + gap (state removed, so
+    * idle users cost nothing). Late events inside the watermark extend
+    * the still-open session; Spark's native `session_window` (q22) is
+    * the declarative form — this is the arbitrary-state twin for session
+    * payloads an aggregate can't express. */
+  def timedOutSessions(events: DataFrame): DataFrame = {
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    val spark = events.sparkSession
+    import spark.implicits._
+    val gapMs = 30L * 60 * 1000
+    events.withWatermark("ts", "2 hours")
+      .selectExpr("user_id", "ts")
+      .as[(Long, java.sql.Timestamp)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState[(Long, Long, Long), (Long, java.sql.Timestamp, java.sql.Timestamp, Long)](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        case (user, rows, state: GroupState[(Long, Long, Long)]) =>
+          if (state.hasTimedOut) {
+            val (s0, s1, n) = state.get
+            state.remove()
+            Iterator((user, new java.sql.Timestamp(s0), new java.sql.Timestamp(s1), n))
+          } else {
+            val ts = rows.map(_._2.getTime).toArray.sorted
+            val (s0, s1, n) = state.getOption match {
+              case Some((a, b, k)) => (math.min(a, ts.min), math.max(b, ts.max), k + ts.length)
+              case None => (ts.min, ts.max, ts.length.toLong)
+            }
+            state.update((s0, s1, n))
+            state.setTimeoutTimestamp(s1 + gapMs)
+            Iterator.empty
+          }
+      }
+      .toDF("user_id", "session_start", "session_end", "n_events")
+  }
 }

@@ -141,6 +141,33 @@ class StreamingSpec extends AnyFunSuite {
     assert(rows.toSeq === Seq((3L, 1L), (4L, -1L)))
   }
 
+  test("event-time-timeout sessions: summary emits only after the watermark passes the gap") {
+    val s = spark
+    import s.implicits._
+    implicit val sc = s.sqlContext
+    val mem = MemoryStream[Ev]
+    val q = EventStreams.timedOutSessions(mem.toDF)
+      .writeStream.format("memory").queryName("ttl_sessions")
+      .outputMode("append").start()
+    mem.addData(
+      Ev(1, ts(0), 1, "click", 0.0),
+      Ev(2, ts(10), 1, "view", 0.0),
+      Ev(3, ts(20), 1, "view", 0.0))
+    q.processAllAvailable()
+    // session still open: nothing emitted yet
+    assert(s.sql("SELECT * FROM ttl_sessions").count() === 0)
+    // watermark pusher far past end + gap (2h delay + 30min gap)
+    mem.addData(Ev(99, ts(60 * 24), 9, "view", 0.0))
+    q.processAllAvailable()
+    mem.addData(Ev(100, ts(60 * 25), 9, "view", 0.0))
+    q.processAllAvailable()
+    q.stop()
+    val rows = s.sql(
+      "SELECT user_id, n_events FROM ttl_sessions WHERE user_id = 1").collect()
+    assert(rows.length === 1)
+    assert(rows.head.getLong(1) === 3L)
+  }
+
   test("stateful running totals via mapGroupsWithState") {
     val s = spark
     import s.implicits._
