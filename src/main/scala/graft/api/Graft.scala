@@ -1991,4 +1991,148 @@ object Graft {
     stats.crossJoin(tri)
       .select(col("n_nodes"), col("n_edges"), col("n_triangles"))
   }
+
+  /** Bloom-prefiltered equi join — the row-level runtime-filter shape
+    * Spark's own `spark.sql.optimizer.runtime.bloomFilter` applies, made
+    * an explicit operator: the dim side's join keys compress to ONE
+    * mergeable bloom aggregate (`numBits` of driver state regardless of
+    * dim size — the [[decontaminateBloom]] bound), and the fact side is
+    * probed per row BEFORE its shuffle, so rows that cannot match never
+    * leave their input partition. At 100 TB the shuffle of non-matching
+    * fact rows is the dominant cost of a selective join; the probe is a
+    * pure codegen'd filter. False positives survive the probe but are
+    * eliminated by the join itself, so the result is EXACTLY the plain
+    * inner join — which is what the q139 oracle states. */
+  def bloomPrefilterJoin(fact: DataFrame, dim: DataFrame, keyCol: String,
+      expectedItems: Long = 4000000L, numBits: Long = 1L << 23): DataFrame = {
+    import org.apache.spark.sql.GraftColumnBridge.{column, expression}
+    import org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate
+    import org.apache.spark.sql.catalyst.expressions.{BloomFilterMightContain, Literal, XxHash64}
+    val bloomBytes = dim
+      .select(col(keyCol).as("__k"))
+      .agg(column(new BloomFilterAggregate(
+        new XxHash64(Seq(expression(col("__k")))),
+        Literal(expectedItems), Literal(numBits)).toAggregateExpression()).as("__bf"))
+      .head.getAs[Array[Byte]](0)
+    val pre = fact.filter(column(BloomFilterMightContain(
+      Literal(bloomBytes, BinaryType),
+      new XxHash64(Seq(expression(col(keyCol)))))))
+    pre.join(dim, Seq(keyCol))
+  }
+
+  /** Synchronous label-propagation community detection — the classic
+    * near-linear community finder (Raghavan et al. 2007) made
+    * deterministic: every node starts as its own label and each round
+    * adopts the label most frequent among its neighbors, ties broken by
+    * the SMALLEST label (the usual random tie-break is replaced so runs
+    * are reproducible and oracle-checkable). Fixed `rounds` synchronous
+    * updates, no convergence test — the caller picks depth.
+    *
+    * 100 TB shape: per round ONE keyed join of the neighbor list against
+    * the label table, one (node, label) count aggregate, and one
+    * node-keyed window whose frame is bounded by the node's DISTINCT
+    * neighbor-label count (≤ degree — never corpus-sized); lineage is
+    * cut per round with the same reliable-checkpoint switch as
+    * [[pageRank]]. Differs from [[connectedComponents]] (min-label
+    * fixpoint = connectivity) by splitting dense regions apart instead
+    * of merging everything reachable. */
+  def labelPropagation(edges: DataFrame, srcCol: String, dstCol: String,
+      rounds: Int = 3, checkpointDir: Option[String] = None): DataFrame = {
+    require(rounds >= 1, s"labelPropagation needs rounds >= 1, got $rounds")
+    checkpointDir.foreach(edges.sparkSession.sparkContext.setCheckpointDir)
+    def cut(df: DataFrame): DataFrame =
+      if (checkpointDir.isDefined) df.checkpoint() else df.localCheckpoint()
+    val und = edges.select(col(srcCol).cast(StringType).as("a"),
+        col(dstCol).cast(StringType).as("b"))
+      .filter(col("a").isNotNull && col("b").isNotNull && col("a") =!= col("b"))
+      .distinct()
+    val nbrs = cut(und.select(col("a").as("node"), col("b").as("nbr"))
+      .unionAll(und.select(col("b").as("node"), col("a").as("nbr")))
+      .distinct())
+    var labels = nbrs.select(col("node")).distinct()
+      .withColumn("lab", col("node"))
+    var r = 0
+    while (r < rounds) {
+      val cnt = nbrs
+        .join(labels.select(col("node").as("nbr"), col("lab")), Seq("nbr"))
+        .groupBy(col("node"), col("lab")).agg(count(lit(1)).as("c"))
+      val w = Window.partitionBy(col("node")).orderBy(col("c").desc, col("lab"))
+      labels = cut(cnt.withColumn("__rn", row_number().over(w))
+        .filter(col("__rn") === 1).select(col("node"), col("lab")))
+      r += 1
+    }
+    labels
+  }
+
+  /** Deterministic random projection (Johnson–Lindenstrauss sign matrix) —
+    * the embedding-compression step between [[quantizeInt8]] (per-value)
+    * and [[topPrincipalComponent]] (data-dependent): out component j is
+    * Σᵢ ±xᵢ / √outDim with the sign drawn from bit 0 of the cross-engine
+    * md5 of "j:i" — no RNG, no trained state, stable under repartition
+    * and identically replayable in SQL.
+    *
+    * Exactness: elements are micro-quantized to longs FIRST (the q123
+    * policy), signed sums are exact integers under any shuffle order, and
+    * the projected value is ONE double division at the end. Plan: one
+    * posexplode fan-out × outDim sign terms collapsed by map-side partial
+    * agg on (id, j); rows whose vector is NULL/empty keep a NULL-component
+    * row (the q113 "no evidence" contract). */
+  def randomProject(df: DataFrame, vecCol: String, idCol: String,
+      outDim: Int = 16): DataFrame = {
+    require(outDim >= 1, s"randomProject needs outDim >= 1, got $outDim")
+    graft.functions.GraftFunctions.register(df.sparkSession)
+    val e = df
+      .select(col(idCol).as("__vid"), posexplode(col(vecCol)).as(Seq("p", "x")))
+      .select(col("__vid"), (col("p") + 1).cast(LongType).as("i"),
+        round(col("x").cast(DoubleType) * lit(1000000.0)).cast(LongType).as("xq"))
+    val js = df.sparkSession.range(1, outDim + 1).select(col("id").as("j"))
+    val proj = e.crossJoin(broadcast(js))
+      .select(col("__vid"), col("j"),
+        when(expr("(md5_lower64(concat(cast(j AS STRING), ':', cast(i AS STRING))) & 1) = 1"),
+          col("xq")).otherwise(-col("xq")).as("t"))
+      .groupBy(col("__vid"), col("j"))
+      .agg(sum(col("t")).as("yq"))
+    df.select(col(idCol).as("__vid")).distinct()
+      .join(proj, Seq("__vid"), "left")
+      .select(col("__vid").as(idCol), col("j"), col("yq"),
+        (col("yq").cast(DoubleType) /
+          (lit(1000000.0) * sqrt(lit(outDim.toDouble)))).as("y"))
+  }
+
+  /** Count–min sketch heavy hitters — the mergeable frequency sketch next
+    * to q104's HLL (cardinality) and q90's percentile sketch: `depth`
+    * independent md5-derived hash rows × `width` buckets, each raw row
+    * incrementing one cell per hash row. The CMS table is built straight
+    * from the RAW data (depth-way per-row fan-out collapsed by map-side
+    * partial agg to depth·width cells per partition — the true streaming
+    * increment shape, never a pre-built count table), so at 100 TB the
+    * shuffle moves depth·width cells per partition, not keys. Estimates
+    * = min over the key's depth cells (CMS never underestimates); the
+    * exact count table rides along as the gate, the q91 pattern. Fully
+    * deterministic given the seeds — hash-checked against a DuckDB
+    * replay, not self-gated. */
+  def cmsHeavyHitters(df: DataFrame, keyCol: String, depth: Int = 4,
+      width: Int = 256, k: Int = 20): DataFrame = {
+    require(depth >= 1 && width >= 1 && k >= 1,
+      s"cmsHeavyHitters needs depth/width/k >= 1, got $depth/$width/$k")
+    graft.functions.GraftFunctions.register(df.sparkSession)
+    val rows = df.sparkSession.range(depth).select(col("id").as("row"))
+    val keyed = df.select(col(keyCol).cast(StringType).as("key"))
+      .filter(col("key").isNotNull)
+    def bucket = expr(
+      s"(md5_lower64(concat(cast(row AS STRING), ':', key)) & 9223372036854775807) % $width")
+    val cms = keyed.crossJoin(broadcast(rows))
+      .select(col("row"), bucket.as("bucket"))
+      .groupBy(col("row"), col("bucket")).agg(count(lit(1)).as("c"))
+    val exact = keyed.groupBy(col("key")).agg(count(lit(1)).as("n"))
+    val est = exact.crossJoin(broadcast(rows))
+      .select(col("key"), col("n"), col("row"), bucket.as("bucket"))
+      .join(broadcast(cms), Seq("row", "bucket"))
+      .groupBy(col("key"), col("n")).agg(min(col("c")).as("cms_est"))
+    val w = Window.orderBy(col("n").desc, col("key"))
+    est.orderBy(col("n").desc, col("key")).limit(k)
+      .withColumn("rk", row_number().over(w).cast(LongType))
+      .select(col("rk"), col("key"), col("n"), col("cms_est"),
+        (col("cms_est") >= col("n")).as("no_underestimate"))
+  }
 }

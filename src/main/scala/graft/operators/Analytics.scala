@@ -684,8 +684,73 @@ object Analytics {
           max(when(col("rn_d") === 1, col("value"))).as("close"),
           count(lit(1)).as("n"))
         .orderBy(col("user_id"), col("day"))
-    })
+    }),
+
+    // ---- q140: label-propagation communities over the part co-purchase
+    // graph (parts appearing in the same order — the market-basket
+    // co-occurrence formulation; a lead() path graph would be cheaper but
+    // l_linenumber TIES within an order make its edge set engine-
+    // nondeterministic). Pair fan-out is C(items-per-order, 2) ≤ ~21 —
+    // bounded by the basket, the q24 cap discipline, never a data-sized
+    // cartesian. Deterministic synchronous variant: 3 rounds, most-
+    // frequent neighbor label, ties to the smallest label. Completes the
+    // graph family (q111 ranking, q129 distance, q131 structure, q54
+    // connectivity) with DENSITY grouping — unlike connectedComponents,
+    // dense regions split apart instead of merging everything reachable.
+    // The oracle unrolls all 3 synchronous rounds as chained CTEs. ----
+    "q140_label_propagation" -> ((s, dir) => {
+      val li = t(s, dir, "lineitem")
+        .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
+      val edges = li.alias("x").join(li.alias("y"),
+          col("x.ok") === col("y.ok") && col("x.pk") < col("y.pk"))
+        .select(col("x.pk").as("src"), col("y.pk").as("dst"))
+      graft.api.Graft.labelPropagation(edges, "src", "dst", rounds = 3)
+        .orderBy(col("node"))
+    }),
+
+    // ---- q143: count–min sketch heavy hitters — the mergeable
+    // frequency sketch completing the sketch family (q41/q104 HLL
+    // cardinality, q90 percentile, q97 bloom membership): 4 md5-seeded
+    // hash rows × 256 buckets built STRAIGHT from the raw rows (per-row
+    // depth-way fan-out collapses map-side to ≤ 1024 cells per
+    // partition — the true streaming-increment shape), estimates = min
+    // over each key's cells, q91's exact counts riding as the gate.
+    // Deterministic seeds → a full DuckDB hash replay, not a self-gate. ----
+    "q143_cms_heavy_hitters" -> ((s, dir) =>
+      graft.api.Graft.cmsHeavyHitters(t(s, dir, "events"), "user_id",
+        depth = 4, width = 256, k = 20).orderBy(col("rk")))
   )
+
+  /** Unrolled synchronous label-propagation twin of
+    * [[graft.api.Graft.labelPropagation]]: each round re-derives every
+    * node's most frequent neighbor label (ties → smallest label) from the
+    * previous round's table — chained MATERIALIZED CTEs l0..l{rounds}. */
+  private def labelPropSql(rounds: Int): String = {
+    val rs = (1 to rounds).map { i =>
+      s"""l$i AS MATERIALIZED (
+         |  SELECT node, lab FROM (
+         |    SELECT n.node, l.lab, COUNT(*) AS c,
+         |      ROW_NUMBER() OVER (PARTITION BY n.node
+         |        ORDER BY COUNT(*) DESC, l.lab) AS rn
+         |    FROM nbrs n JOIN l${i - 1} l ON n.nbr = l.node
+         |    GROUP BY n.node, l.lab) t
+         |  WHERE rn = 1)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH seq AS (
+       |  SELECT CAST(x.l_partkey AS VARCHAR) AS a,
+       |    CAST(y.l_partkey AS VARCHAR) AS b
+       |  FROM lineitem x JOIN lineitem y
+       |    ON x.l_orderkey = y.l_orderkey AND x.l_partkey < y.l_partkey),
+       |und AS MATERIALIZED (
+       |  SELECT DISTINCT a, b FROM seq WHERE b IS NOT NULL AND a <> b),
+       |nbrs AS MATERIALIZED (
+       |  SELECT DISTINCT node, nbr FROM (
+       |    SELECT a AS node, b AS nbr FROM und
+       |    UNION ALL SELECT b, a FROM und)),
+       |l0 AS MATERIALIZED (SELECT DISTINCT node, node AS lab FROM nbrs),
+       |$rs
+       |SELECT node, lab FROM l$rounds ORDER BY node""".stripMargin
+  }
 
   /** Unrolled power-iteration twin of [[graft.api.Graft.pageRank]]: the
     * identical double expression tree per round ((1-d)/N + d·(in +
@@ -730,6 +795,33 @@ object Analytics {
   }
 
   val oracle: Map[String, String] = Map(
+    "q140_label_propagation" -> labelPropSql(3),
+
+    // CMS twin: identical md5-derived (row, bucket) hashing, identical
+    // min-over-rows estimates — the sketch itself is under the hash gate
+    "q143_cms_heavy_hitters" ->
+      """WITH ks AS (SELECT CAST(user_id AS VARCHAR) AS key FROM events
+        |            WHERE user_id IS NOT NULL),
+        |rws AS (SELECT unnest(generate_series(0, 3)) AS row),
+        |cms AS MATERIALIZED (
+        |  SELECT row,
+        |    CAST((md5_number_lower(concat(CAST(row AS VARCHAR), ':', key))
+        |      & 9223372036854775807::UBIGINT) % 256 AS BIGINT) AS bucket,
+        |    COUNT(*) AS c
+        |  FROM ks CROSS JOIN rws GROUP BY 1, 2),
+        |exact AS (SELECT key, COUNT(*) AS n FROM ks GROUP BY 1),
+        |est AS (
+        |  SELECT e.key, e.n, MIN(c.c) AS cms_est
+        |  FROM exact e CROSS JOIN rws r
+        |  JOIN cms c ON c.row = r.row
+        |   AND c.bucket = CAST((md5_number_lower(
+        |     concat(CAST(r.row AS VARCHAR), ':', e.key))
+        |     & 9223372036854775807::UBIGINT) % 256 AS BIGINT)
+        |  GROUP BY 1, 2)
+        |SELECT CAST(ROW_NUMBER() OVER (ORDER BY n DESC, key) AS BIGINT) AS rk,
+        |       key, n, cms_est, (cms_est >= n) AS no_underestimate
+        |FROM est ORDER BY n DESC, key LIMIT 20""".stripMargin,
+
     // BFS twin: the same distinct transition edges, relaxed by a
     // recursive CTE bounded at 4 hops; MIN(dist) collapses revisits
     "q129_shortest_paths" ->

@@ -123,6 +123,20 @@ object Clustering {
       graft.api.Graft.semanticDedup(t(s, dir, "embeddings"), "embedding",
           "vec_id", threshold = 0.45)
         .orderBy(col("vec_id"))
+    }),
+
+    // ---- q141: deterministic random projection (Johnson–Lindenstrauss
+    // sign matrix) — 64 → 16 dims with the sign of cell (j, i) drawn from
+    // bit 0 of the cross-engine md5 of "j:i": no RNG, no trained state,
+    // the data-independent compression next to q134's data-dependent
+    // PCA. Elements micro-quantize to longs FIRST (q123 policy), signed
+    // sums are exact integers under any shuffle order, projected value is
+    // ONE double division; NULL/empty vectors keep a NULL-component row.
+    // The oracle replays the identical md5 parity and integer sums. ----
+    "q141_random_projection" -> ((s, dir) => {
+      graft.api.Graft.randomProject(t(s, dir, "embeddings"), "embedding",
+          "vec_id", outDim = 16)
+        .orderBy(col("vec_id"), col("j"))
     }))
 
   /** Shared oracle prelude: DOUBLE[] vectors, md5-rank seeds, and the
@@ -241,6 +255,30 @@ object Clustering {
   }
 
   val oracle: Map[String, String] = Map(
+    // JL twin: identical md5-parity sign matrix, identical micro-unit
+    // integer sums, ONE final double division — NULL/empty vectors fall
+    // out of the left join with NULL j/yq/y on both engines
+    "q141_random_projection" ->
+      """WITH e AS (
+        |  SELECT vec_id, i,
+        |    CAST(ROUND(CAST(embedding[i] AS DOUBLE) * 1000000.0) AS BIGINT) AS xq
+        |  FROM (SELECT vec_id, embedding,
+        |          unnest(generate_series(1, len(embedding))) AS i
+        |        FROM embeddings WHERE embedding IS NOT NULL)),
+        |js AS (SELECT unnest(generate_series(1, 16)) AS j),
+        |proj AS (
+        |  SELECT vec_id, CAST(j AS BIGINT) AS j, CAST(SUM(
+        |    CASE WHEN (md5_number_lower(
+        |        concat(CAST(j AS VARCHAR), ':', CAST(i AS VARCHAR)))
+        |        & 1::UBIGINT) = 1::UBIGINT
+        |      THEN xq ELSE -xq END) AS BIGINT) AS yq
+        |  FROM e CROSS JOIN js GROUP BY 1, 2)
+        |SELECT v.vec_id, p.j, p.yq,
+        |       CAST(p.yq AS DOUBLE) / (1000000.0 * sqrt(16.0)) AS y
+        |FROM (SELECT DISTINCT vec_id FROM embeddings) v
+        |LEFT JOIN proj p USING (vec_id)
+        |ORDER BY v.vec_id, p.j""".stripMargin,
+
     // covariance twin: identical element-first micro-quantization
     // (round-to-long per element, exact BIGINT pair product, exact cell
     // sums), then the same fixed double chain with no decimal ROUND —

@@ -97,6 +97,31 @@ object Corpus {
         .orderBy(col("s"), col("first_doc"), col("last_doc"), col("n_docs"))
     }),
 
+    // ---- q142: n-gram novelty score — the per-DOC inverse of q66's
+    // per-GRAM view: what fraction of a document's word 8-grams appear in
+    // no other document. The memorization/boilerplate signal curation
+    // pipelines rank on (high novelty = fresh content, low = templated).
+    // One gram-keyed df aggregate + one join back + one doc-keyed agg —
+    // the q24-family shuffle shape; ratios are exact integers under one
+    // double division, and docs too short for any 8-gram keep a
+    // NULL-novelty row (the q113 "no evidence" contract). ----
+    "q142_ngram_novelty" -> ((s, dir) => {
+      val sh = graft.api.Graft.shingles(t(s, dir, "documents"), "text", "doc_id", 8)
+      val df = sh.groupBy(col("s")).agg(count(lit(1)).as("df"))
+      val per = sh.join(df, Seq("s"))
+        .groupBy(col("__id").as("doc_id"))
+        .agg(count(lit(1)).as("n_grams"),
+          sum(when(col("df") === 1, 1L).otherwise(0L)).as("n_unique"))
+      t(s, dir, "documents").select(col("doc_id"))
+        .join(per, Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          coalesce(col("n_grams"), lit(0L)).as("n_grams"),
+          coalesce(col("n_unique"), lit(0L)).as("n_unique"),
+          (col("n_unique").cast(DoubleType) /
+            col("n_grams").cast(DoubleType)).as("novelty"))
+        .orderBy(col("doc_id"))
+    }),
+
     // ---- q98: the REMOVAL half of exact-substring dedup (q66 detects,
     // this cuts): every word position covered by a cross-document word
     // 8-gram is removed and the document reassembled from the surviving
@@ -332,6 +357,31 @@ object Corpus {
         |SELECT replace(s, chr(0), '_') AS s, COUNT(*) AS n_docs,
         |       MIN(doc_id) AS first_doc, MAX(doc_id) AS last_doc
         |FROM sh GROUP BY s HAVING COUNT(*) >= 2 ORDER BY 1, first_doc, last_doc, n_docs""".stripMargin,
+
+    // novelty twin: q66's shingle derivation, inverted to the per-doc
+    // unseen-gram fraction; short docs fall out of the left join as
+    // zero-gram NULL-novelty rows on both engines
+    "q142_ngram_novelty" ->
+      """WITH toks AS (
+        |  SELECT doc_id, string_split(trim(text), ' ') AS t FROM documents
+        |), sh AS (
+        |  SELECT DISTINCT doc_id,
+        |    t[i] || chr(0) || t[i+1] || chr(0) || t[i+2] || chr(0) || t[i+3] || chr(0) ||
+        |    t[i+4] || chr(0) || t[i+5] || chr(0) || t[i+6] || chr(0) || t[i+7] AS s
+        |  FROM (SELECT doc_id, t, unnest(generate_series(1, greatest(len(t) - 7, 0))) AS i
+        |        FROM toks)
+        |), df AS (
+        |  SELECT s, COUNT(*) AS df FROM sh GROUP BY s
+        |), per AS (
+        |  SELECT sh.doc_id, COUNT(*) AS n_grams,
+        |         CAST(SUM(CASE WHEN df.df = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_unique
+        |  FROM sh JOIN df USING (s) GROUP BY sh.doc_id
+        |)
+        |SELECT d.doc_id, COALESCE(p.n_grams, 0) AS n_grams,
+        |       COALESCE(p.n_unique, 0) AS n_unique,
+        |       CAST(p.n_unique AS DOUBLE) / CAST(p.n_grams AS DOUBLE) AS novelty
+        |FROM documents d LEFT JOIN per p USING (doc_id)
+        |ORDER BY d.doc_id""".stripMargin,
 
     // NULL/empty semantics mirror the Spark aggregate-with-seed forms
     // exactly: a NULL vector passes NULL through (no coalesce), an EMPTY

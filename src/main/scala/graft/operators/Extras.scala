@@ -279,6 +279,27 @@ object Extras {
         .agg(count_distinct($"user_id").as("exact_users"),
           count(lit(1)).as("n_events"))
         .orderBy($"event_type")
+    }),
+
+    // ---- q139: bloom-prefiltered selective join — lineitem joined to
+    // the small-part slice (p_size ≤ 5, ~10% of parts) through
+    // Graft.bloomPrefilterJoin: the dim keys compress to one bloom
+    // aggregate and the fact side is probed per row BEFORE its shuffle,
+    // so ~90% of lineitem never moves. Bloom false positives die in the
+    // join itself, so the result is exactly the plain join — which is
+    // what the oracle states (q56's remedy-gating pattern: the scale
+    // optimization is correctness-gated against the unoptimized form). ----
+    "q139_bloom_join" -> ((s, dir) => {
+      import s.implicits._
+      val parts = t(s, dir, "part").filter($"p_size" <= 5)
+        .select($"p_partkey", $"p_brand")
+      val items = t(s, dir, "lineitem")
+        .select($"l_partkey".as("p_partkey"), $"l_extendedprice")
+      graft.api.Graft.bloomPrefilterJoin(items, parts, "p_partkey")
+        .groupBy($"p_brand")
+        .agg(count(lit(1)).as("n_items"),
+          dsum($"l_extendedprice").as("revenue"))
+        .orderBy($"p_brand")
     })
   )
 
@@ -391,6 +412,16 @@ object Extras {
       """SELECT event_type, COUNT(DISTINCT user_id) AS exact_users,
         | COUNT(*) AS n_events
         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+
+    // the bloom prefilter is transparent by construction (no false
+    // negatives; false positives die in the join), so the oracle is the
+    // PLAIN join — the optimization itself is under the hash gate
+    "q139_bloom_join" ->
+      """SELECT p_brand, COUNT(*) AS n_items,
+        | CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+        |FROM lineitem JOIN part ON l_partkey = p_partkey
+        |WHERE p_size <= 5
+        |GROUP BY p_brand ORDER BY p_brand""".stripMargin,
 
     // q41/q104 GOLDEN PINS (r8): both sketches are deterministic given
     // the input — HLL++ with fixed rsd and Datasketches HLL with fixed

@@ -536,4 +536,68 @@ class GraftApiSpec extends AnyFunSuite {
     assert(r.getDouble(6) === 1.0)
     assert(r.getLong(4) === 4L && r.getLong(5) === 4L)
   }
+
+  test("bloomPrefilterJoin equals the plain inner join") {
+    val s = spark; import s.implicits._
+    val fact = Seq((1L, 10.0), (1L, 20.0), (2L, 5.0), (3L, 7.0), (9L, 1.0))
+      .toDF("k", "v")
+    val dim = Seq((1L, "a"), (3L, "c"), (4L, "d")).toDF("k", "name")
+    val out = Graft.bloomPrefilterJoin(fact, dim, "k")
+      .orderBy("k", "v").collect()
+      .map(r => (r.getLong(0), r.getDouble(1), r.getString(2))).toSeq
+    val plain = fact.join(dim, Seq("k")).orderBy("k", "v").collect()
+      .map(r => (r.getLong(0), r.getDouble(1), r.getString(2))).toSeq
+    assert(out === plain)
+    assert(out === Seq((1L, 10.0, "a"), (1L, 20.0, "a"), (3L, 7.0, "c")))
+  }
+
+  test("labelPropagation splits two cliques joined by one bridge edge") {
+    val s = spark; import s.implicits._
+    def clique(ns: Seq[String]) =
+      for (a <- ns; b <- ns if a < b) yield (a, b)
+    val edges = (clique(Seq("a1", "a2", "a3", "a4")) ++
+      clique(Seq("b1", "b2", "b3", "b4")) :+ (("a1", "b1"))).toDF("s", "d")
+    val out = Graft.labelPropagation(edges, "s", "d", rounds = 3)
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    // density grouping: the bridge does NOT merge the cliques (unlike
+    // connectedComponents, which would label all 8 nodes together)
+    assert(Seq("a1", "a2", "a3", "a4").map(out) === Seq.fill(4)("a1"))
+    assert(Seq("b1", "b2", "b3", "b4").map(out) === Seq.fill(4)("b1"))
+  }
+
+  test("randomProject emits exact signed micro-sums and is repartition-stable") {
+    val s = spark; import s.implicits._
+    val df = Seq((1L, Seq(2.0f)), (2L, null.asInstanceOf[Seq[Float]]))
+      .toDF("vec_id", "embedding")
+    val out = Graft.randomProject(df, "embedding", "vec_id", outDim = 2)
+      .orderBy("vec_id", "j").collect()
+    // id 1: two components, each ±2_000_000 micro-units → |y| = 2/√2
+    val comps = out.filter(_.getLong(0) == 1L)
+    assert(comps.length === 2)
+    comps.foreach { r =>
+      assert(math.abs(r.getLong(2)) === 2000000L)
+      assert(math.abs(math.abs(r.getDouble(3)) - 2.0 / math.sqrt(2.0)) < 1e-12)
+    }
+    // NULL vector keeps one row with NULL component (q113 contract)
+    val nullRow = out.filter(_.getLong(0) == 2L)
+    assert(nullRow.length === 1 && nullRow(0).isNullAt(1) && nullRow(0).isNullAt(2))
+    // md5 signs are data-independent → identical under repartition
+    val a = Graft.randomProject(df.coalesce(1), "embedding", "vec_id", 4)
+      .orderBy("vec_id", "j").collect().map(_.toString).toSeq
+    val b = Graft.randomProject(df.repartition(7), "embedding", "vec_id", 4)
+      .orderBy("vec_id", "j").collect().map(_.toString).toSeq
+    assert(a === b)
+  }
+
+  test("cmsHeavyHitters never underestimates and is exact without collisions") {
+    val s = spark; import s.implicits._
+    val df = (Seq.fill(5)("a") ++ Seq.fill(3)("b") ++ Seq("c")).toDF("k")
+    val out = Graft.cmsHeavyHitters(df, "k", depth = 4, width = 1024, k = 2)
+      .orderBy("rk").collect()
+    assert(out.map(_.getString(1)).toSeq === Seq("a", "b"))
+    assert(out.map(_.getLong(2)).toSeq === Seq(5L, 3L))
+    // 3 keys in 1024 buckets × 4 rows: no collisions → estimate == exact
+    assert(out.map(_.getLong(3)).toSeq === Seq(5L, 3L))
+    assert(out.forall(_.getBoolean(4)))
+  }
 }
