@@ -2135,4 +2135,149 @@ object Graft {
       .select(col("rk"), col("key"), col("n"), col("cms_est"),
         (col("cms_est") >= col("n")).as("no_underestimate"))
   }
+
+  /** Reciprocal-rank fusion (Cormack et al. 2009) — the standard way to
+    * combine heterogeneous retrieval rankings (lexical BM25, dense ANN,
+    * priors) without score calibration: fused(id) = Σ over lists of
+    * 1/(k + rank). Each input holds (idCol, rankCol) — typically an
+    * already-truncated top-N, so every join side is list-sized, not
+    * corpus-sized. Output: one row per id seen in ANY list, per-list
+    * ranks (NULL where absent), n_lists hit, and the fused score.
+    *
+    * Exactness: each term is ONE double division at fixed k and the
+    * total is a FIXED left-to-right chain over the (statically known)
+    * list sequence — no double aggregation, so shuffle order cannot
+    * perturb it and an oracle replaying the same chain matches
+    * bit-for-bit (the q109 policy). An id absent from a list
+    * contributes exactly 0.0. */
+  def rrfFuse(rankings: Seq[DataFrame], idCol: String,
+      rankCol: String = "rank", k: Int = 60): DataFrame = {
+    require(rankings.nonEmpty, "rrfFuse needs at least one ranking")
+    require(k >= 1, s"rrfFuse needs k >= 1, got $k")
+    val ids = rankings.map(_.select(col(idCol))).reduce(_ unionAll _).distinct()
+    val joined = rankings.zipWithIndex.foldLeft(ids) { case (acc, (r, i)) =>
+      acc.join(r.select(col(idCol), col(rankCol).cast(LongType).as(s"rank_$i")),
+        Seq(idCol), "left")
+    }
+    val terms = rankings.indices.map(i =>
+      coalesce(lit(1.0) / (lit(k.toDouble) + col(s"rank_$i").cast(DoubleType)),
+        lit(0.0)))
+    val hits = rankings.indices
+      .map(i => when(col(s"rank_$i").isNotNull, 1L).otherwise(0L))
+      .reduce(_ + _)
+    joined.select(col(idCol) +: rankings.indices.map(i => col(s"rank_$i")) :+
+      hits.as("n_lists") :+ terms.reduce(_ + _).as("rrf"): _*)
+  }
+
+  /** Dyadic exponential moving average (α = 1/2) over a bounded frame —
+    * the recursive smoother y_n = (x_n + y_{n-1})/2 restarted at the
+    * start of a `lags`-row sliding window, so every output depends on at
+    * most lags+1 rows and all weights are powers of two. Since the tail
+    * weight beyond 20 lags is < 1e-6, the window form is the streaming-
+    * friendly, numerically-identical-everywhere formulation of EWMA.
+    *
+    * Exactness: values micro-quantize to longs, every weight is an
+    * integer shift of 2^lags (seed term gets double weight — exactly the
+    * restarted recursion), the weighted sum is exact BIGINT arithmetic
+    * under any execution order, and the result is ONE double division by
+    * 2^lags·1e6. Magnitude: |xq|·2^(lags-1)·(lags+1) must fit a long —
+    * fine for |x| ≤ 1e6 at the default lags=20.
+    *
+    * 100 TB shape: one window per key (frame bounded by lags+1 — never
+    * corpus-sized state), no joins, no collects. NULL values carry no
+    * signal and are dropped before framing (the q113 contract). */
+  def ewmaDyadic(df: DataFrame, valueCol: String, keyCol: String,
+      orderCols: Seq[String], lags: Int = 20): DataFrame = {
+    require(lags >= 1 && lags <= 40, s"ewmaDyadic needs 1 <= lags <= 40, got $lags")
+    val base = df.filter(col(valueCol).isNotNull)
+      .withColumn("__xq",
+        round(col(valueCol).cast(DoubleType) * lit(1000000.0)).cast(LongType))
+    val ord = orderCols.map(col)
+    val wRank = Window.partitionBy(col(keyCol)).orderBy(ord: _*)
+    val wFrame = wRank.rowsBetween(-lags, Window.currentRow)
+    // frame list arrives oldest→newest (window order); position i=1 is
+    // the restart seed and carries weight 2^(lags+1-n), positions i>=2
+    // carry 2^(lags-1-n+i) — the exact dyadic recursion unrolled
+    val yq = expr(
+      s"""aggregate(
+         |  zip_with(__lst, sequence(1, size(__lst)), (x, i) ->
+         |    x * shiftleft(1L, CASE WHEN i = 1 THEN $lags + 1 - size(__lst)
+         |                         ELSE $lags - 1 - size(__lst) + i END)),
+         |  0L, (a, b) -> a + b)""".stripMargin)
+    base
+      .withColumn("rn", row_number().over(wRank).cast(LongType))
+      .withColumn("__lst", collect_list(col("__xq")).over(wFrame))
+      .withColumn("yq", yq)
+      .select(col(keyCol), col("rn"), col(valueCol), col("yq"),
+        (col("yq").cast(DoubleType) /
+          lit((1L << lags).toDouble * 1000000.0)).as("ewma"))
+  }
+
+  /** Exact distributed global rank — the textbook two-phase order
+    * statistic: range-repartition on the order columns, pin the staged
+    * partitioning (localCheckpoint — range boundaries are SAMPLED, so
+    * the counts job and the rank job must see the SAME split), collect
+    * per-partition counts (bounded by the partition count, never data-
+    * sized), and add the broadcast cumulative offset to each partition-
+    * local row_number. `orderCols` must be a total order (include a
+    * unique tiebreaker) or ranks at partition boundaries are undefined.
+    * Unlike a bare `row_number() OVER (ORDER BY …)` — which Spark
+    * executes on ONE partition — every stage here is parallel. */
+  def globalRank(df: DataFrame, orderCols: Seq[String],
+      rankName: String = "grank"): DataFrame = {
+    val ord = orderCols.map(col)
+    val staged = df.repartitionByRange(ord: _*)
+      .withColumn("__pid", spark_partition_id())
+      .localCheckpoint()
+    val counts = staged.groupBy(col("__pid")).agg(count(lit(1)).as("__c"))
+      .collect().map(r => (r.getInt(0), r.getLong(1))).sortBy(_._1)
+    val offsets = counts.scanLeft((0, 0L)) {
+      case ((_, acc), (p, c)) => (p + 1, acc + c)
+    }.dropRight(1).zip(counts).map { case ((_, off), (p, _)) => (p, off) }
+    val spark = df.sparkSession
+    import spark.implicits._
+    val offDf = offsets.toSeq.toDF("__pid", "__off")
+    val w = Window.partitionBy(col("__pid")).orderBy(ord: _*)
+    staged.join(broadcast(offDf), Seq("__pid"))
+      .withColumn(rankName, row_number().over(w).cast(LongType) + col("__off"))
+      .drop("__pid", "__off")
+  }
+
+  /** Cross-source quantile normalization — map each group's value
+    * distribution onto the GLOBAL distribution (the scanner-effect /
+    * score-calibration transform: after it, every group's quantiles
+    * coincide). Row at within-group rank r of n maps to the global order
+    * statistic at position ⌊(r−1)(N−1)/(n−1)⌋+1 (singleton groups map to
+    * the global median position) — all INTEGER arithmetic, so the only
+    * doubles in the output are input values themselves.
+    *
+    * 100 TB shape: the global order-statistic table comes from
+    * [[globalRank]] (parallel two-phase ranking — never a one-partition
+    * window), group ranks are ordinary partitioned windows, and the
+    * final lookup is an equi join on the computed position. Magnitude:
+    * (n−1)·(N−1) must fit a long — holds to N ~ 3e9 per group-size 3e9;
+    * beyond that, bucket first. */
+  def quantileNormalize(df: DataFrame, valueCol: String, groupCol: String,
+      idCol: String): DataFrame = {
+    val base = df.filter(col(valueCol).isNotNull)
+      .select(col(idCol), col(groupCol), col(valueCol))
+    val ranked = globalRank(base, Seq(valueCol, idCol))
+    val n1 = ranked.agg(max(col("grank")).as("__n")).select(
+      (col("__n") - 1L).as("__n1"), ((col("__n") + 1L) / 2).cast(LongType).as("__mid"))
+    val gstat = ranked.select(col("grank").as("__gpos"),
+      col(valueCol).as("normalized"))
+    val wg = Window.partitionBy(col(groupCol))
+    val rs = row_number().over(wg.orderBy(col(valueCol), col(idCol))).cast(LongType)
+    val pos = base
+      .withColumn("g_rank", rs)
+      .withColumn("g_n", count(lit(1)).over(wg))
+      .crossJoin(broadcast(n1))
+      .withColumn("__gpos",
+        when(col("g_n") > 1L,
+          expr("((g_rank - 1) * __n1) div (g_n - 1)") + 1L)
+          .otherwise(col("__mid")))
+    pos.join(gstat, Seq("__gpos"))
+      .select(col(idCol), col(groupCol), col(valueCol), col("g_rank"),
+        col("g_n"), col("__gpos").as("g_pos"), col("normalized"))
+  }
 }

@@ -718,7 +718,37 @@ object Analytics {
     // Deterministic seeds → a full DuckDB hash replay, not a self-gate. ----
     "q143_cms_heavy_hitters" -> ((s, dir) =>
       graft.api.Graft.cmsHeavyHitters(t(s, dir, "events"), "user_id",
-        depth = 4, width = 256, k = 20).orderBy(col("rk")))
+        depth = 4, width = 256, k = 20).orderBy(col("rk"))),
+
+    // ---- q145: dyadic EWMA — the recursive smoother y = (x + y_prev)/2
+    // restarted at the head of a 20-lag sliding frame, completing the
+    // time-series family (q117 trend, q92 TWA, q93 OHLC, q94 sliding
+    // sums) with EXPONENTIAL decay: all weights are powers of two, so
+    // micro-quantized values give an exact BIGINT weighted sum under any
+    // execution order and ONE final double division — the first exactly-
+    // gated exponential smoother (the usual α·x + (1−α)·y recursion is
+    // order-dependent float and cross-engine unreplayable). Tail weight
+    // beyond 20 lags < 1e-6: the window form IS the streaming shape. ----
+    "q145_ewma" -> ((s, dir) =>
+      graft.api.Graft.ewmaDyadic(t(s, dir, "events"), "value", "user_id",
+        Seq("ts", "event_id"), lags = 20)
+        .orderBy(col("user_id"), col("rn"))),
+
+    // ---- q146: cross-source quantile normalization — map each
+    // event_type's value distribution onto the GLOBAL one (the score-
+    // calibration transform heterogeneous-source curation ranks on: after
+    // it, every source's quantiles coincide, so one threshold means the
+    // same thing everywhere). Global order statistics come from
+    // Graft.globalRank — the two-phase range-partition + offset ranking,
+    // NEVER Spark's one-partition ORDER BY window — and the rank→position
+    // map ⌊(r−1)(N−1)/(n−1)⌋+1 is pure integer arithmetic, so the only
+    // doubles in the output are input values themselves. ----
+    "q146_quantile_normalize" -> ((s, dir) =>
+      graft.api.Graft.quantileNormalize(
+        t(s, dir, "events").select(col("event_id"), col("event_type"),
+          col("value")),
+        "value", "event_type", "event_id")
+        .orderBy(col("event_id")))
   )
 
   /** Unrolled synchronous label-propagation twin of
@@ -796,6 +826,55 @@ object Analytics {
 
   val oracle: Map[String, String] = Map(
     "q140_label_propagation" -> labelPropSql(3),
+
+    // EWMA twin: the 21-row frame unrolled as a bounded self-join —
+    // identical micro-quantization, identical power-of-two weights
+    // (seed row at the frame head carries 2^(20-j), interior rows
+    // 2^(19-j)), exact BIGINT sum, ONE double division
+    "q145_ewma" ->
+      """WITH base AS (
+        |  SELECT user_id, event_id, ts, value,
+        |    CAST(ROUND(value * 1000000.0) AS BIGINT) AS xq,
+        |    ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
+        |  FROM events WHERE value IS NOT NULL),
+        |j AS (
+        |  SELECT a.user_id, a.rn, a.value,
+        |    CAST(SUM(b.xq * (1::BIGINT << CAST(
+        |      CASE WHEN b.rn = GREATEST(a.rn - 20, 1)
+        |           THEN 20 - (a.rn - b.rn)
+        |           ELSE 19 - (a.rn - b.rn) END AS INTEGER))) AS BIGINT) AS yq
+        |  FROM base a JOIN base b
+        |    ON a.user_id = b.user_id AND b.rn BETWEEN a.rn - 20 AND a.rn
+        |  GROUP BY 1, 2, 3)
+        |SELECT user_id, rn, value, yq,
+        |  CAST(yq AS DOUBLE) / (1048576.0 * 1000000.0) AS ewma
+        |FROM j ORDER BY user_id, rn""".stripMargin,
+
+    // quantile-normalization twin: DuckDB can afford the one-partition
+    // ROW_NUMBER for the global order statistic; the rank→position map
+    // is the identical integer expression (// = Spark's div)
+    "q146_quantile_normalize" ->
+      """WITH base AS (
+        |  SELECT event_id, event_type, value FROM events
+        |  WHERE value IS NOT NULL),
+        |g AS (SELECT event_id, value,
+        |        ROW_NUMBER() OVER (ORDER BY value, event_id) AS grank
+        |      FROM base),
+        |nn AS (SELECT MAX(grank) AS n FROM g),
+        |r AS (SELECT event_id, event_type, value,
+        |        ROW_NUMBER() OVER (PARTITION BY event_type
+        |          ORDER BY value, event_id) AS g_rank,
+        |        COUNT(*) OVER (PARTITION BY event_type) AS g_n
+        |      FROM base),
+        |p AS (SELECT r.*,
+        |        CASE WHEN g_n > 1
+        |             THEN ((g_rank - 1) * (nn.n - 1)) // (g_n - 1) + 1
+        |             ELSE (nn.n + 1) // 2 END AS g_pos
+        |      FROM r CROSS JOIN nn)
+        |SELECT p.event_id, p.event_type, p.value, p.g_rank,
+        |  CAST(p.g_n AS BIGINT) AS g_n, p.g_pos, g.value AS normalized
+        |FROM p JOIN g ON g.grank = p.g_pos
+        |ORDER BY p.event_id""".stripMargin,
 
     // CMS twin: identical md5-derived (row, bucket) hashing, identical
     // min-over-rows estimates — the sketch itself is under the hash gate

@@ -190,6 +190,28 @@ object TextAnalysis {
         .orderBy(col("doc_id"))
     }),
 
+    // ---- q144: reciprocal-rank fusion — hybrid retrieval's standard
+    // list combiner (Cormack 2009): the q109 lexical BM25 ranking fused
+    // with a document-length prior ranking, score = Σ 1/(60 + rank).
+    // Each list is truncated top-100 BEFORE fusion (the real RRF usage —
+    // every join side is list-sized, not corpus-sized); each term is ONE
+    // double division and the total a FIXED 2-term chain, so the oracle
+    // replays it bit-for-bit (q109's policy). Completes the retrieval
+    // family: BM25 (q109) + ANN (q28/q43/q46) + re-rank (q45) + fusion. ----
+    "q144_rrf_fusion" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val docs = t(s, dir, "documents")
+      val bm = graft.api.Graft.bm25Score(docs, "text", "doc_id", Bm25Terms)
+      val rankA = bm.orderBy(col("bm25").desc, col("doc_id")).limit(100)
+        .withColumn("rank", row_number()
+          .over(Window.orderBy(col("bm25").desc, col("doc_id"))))
+      val rankB = docs.orderBy(col("n_chars").desc, col("doc_id")).limit(100)
+        .withColumn("rank", row_number()
+          .over(Window.orderBy(col("n_chars").desc, col("doc_id"))))
+      graft.api.Graft.rrfFuse(Seq(rankA, rankB), "doc_id", "rank", k = 60)
+        .orderBy(col("rrf").desc, col("doc_id")).limit(50)
+    }),
+
     // ---- q32: document fingerprint (normalized-content hash) ----
     "q32_fingerprint" -> ((s, dir) => {
       import s.implicits._
@@ -454,6 +476,52 @@ object TextAnalysis {
          |  ROUND(COALESCE($scoreChain, 0.0), 6) AS bm25
          |FROM (SELECT DISTINCT doc_id FROM documents) d LEFT JOIN j USING (doc_id)
          |ORDER BY doc_id""".stripMargin
+    },
+
+    // RRF oracle: the q109-generated BM25 chain feeds ranking A, the
+    // n_chars prior ranking B; both truncate to top-100, fuse with the
+    // IDENTICAL fixed 2-term 1/(60+r) chain, top-50 out.
+    "q144_rrf_fusion" -> {
+      val tfDefs = Bm25Terms.zipWithIndex.map { case (t, i) =>
+        s"COUNT(CASE WHEN t = '$t' THEN 1 END) AS tf$i"
+      }.mkString(",\n    ")
+      val dfDefs = Bm25Terms.indices.map(i =>
+        s"COUNT(CASE WHEN tf$i > 0 THEN 1 END) AS df$i").mkString(",\n    ")
+      val scoreChain = Bm25Terms.indices.map { i =>
+        s"ln(1.0 + (CAST(n AS DOUBLE) - CAST(df$i AS DOUBLE) + 0.5) / (CAST(df$i AS DOUBLE) + 0.5))" +
+          s" * (CAST(tf$i AS DOUBLE) * 2.2)" +
+          s" / (CAST(tf$i AS DOUBLE) + 1.2 * (0.25 + 0.75 * CAST(dl AS DOUBLE) / avgdl))"
+      }.mkString("\n    + ")
+      s"""WITH toks AS (
+         |  SELECT doc_id, unnest(string_split_regex(lower(text), '[^a-z0-9]+')) AS t
+         |  FROM documents),
+         |tok2 AS (SELECT doc_id, t FROM toks WHERE t <> ''),
+         |perdoc AS (
+         |  SELECT doc_id, COUNT(*) AS dl,
+         |    $tfDefs
+         |  FROM tok2 GROUP BY doc_id),
+         |stats AS (
+         |  SELECT COUNT(*) AS n, SUM(dl) AS sumdl,
+         |    $dfDefs
+         |  FROM perdoc),
+         |j AS (SELECT perdoc.*, stats.*, CAST(sumdl AS DOUBLE) / CAST(n AS DOUBLE) AS avgdl
+         |      FROM perdoc CROSS JOIN stats),
+         |scored AS (
+         |  SELECT d.doc_id, COALESCE($scoreChain, 0.0) AS bm25
+         |  FROM (SELECT DISTINCT doc_id FROM documents) d LEFT JOIN j USING (doc_id)),
+         |ra AS (SELECT doc_id, ROW_NUMBER() OVER (ORDER BY bm25 DESC, doc_id) AS r
+         |       FROM scored ORDER BY bm25 DESC, doc_id LIMIT 100),
+         |rb AS (SELECT doc_id, ROW_NUMBER() OVER (ORDER BY n_chars DESC, doc_id) AS r
+         |       FROM documents ORDER BY n_chars DESC, doc_id LIMIT 100),
+         |ids AS (SELECT doc_id FROM ra UNION SELECT doc_id FROM rb)
+         |SELECT i.doc_id, ra.r AS rank_0, rb.r AS rank_1,
+         |  CAST((CASE WHEN ra.r IS NOT NULL THEN 1 ELSE 0 END)
+         |     + (CASE WHEN rb.r IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_lists,
+         |  COALESCE(1.0 / (60.0 + CAST(ra.r AS DOUBLE)), 0.0)
+         |    + COALESCE(1.0 / (60.0 + CAST(rb.r AS DOUBLE)), 0.0) AS rrf
+         |FROM ids i LEFT JOIN ra ON i.doc_id = ra.doc_id
+         |LEFT JOIN rb ON i.doc_id = rb.doc_id
+         |ORDER BY rrf DESC, i.doc_id LIMIT 50""".stripMargin
     },
 
     // Gopher repetition: per-doc top-{2,3}-gram char fraction + duplicated

@@ -600,4 +600,59 @@ class GraftApiSpec extends AnyFunSuite {
     assert(out.map(_.getLong(3)).toSeq === Seq(5L, 3L))
     assert(out.forall(_.getBoolean(4)))
   }
+
+  test("rrfFuse sums 1/(k+rank) terms and zero-fills absent lists") {
+    val s = spark; import s.implicits._
+    val a = Seq((10L, 1L), (20L, 2L)).toDF("id", "rank")
+    val b = Seq((20L, 1L), (30L, 2L)).toDF("id", "rank")
+    val out = Graft.rrfFuse(Seq(a, b), "id", "rank", k = 60)
+      .orderBy("id").collect()
+    assert(out.map(_.getLong(0)).toSeq === Seq(10L, 20L, 30L))
+    // 20 is in both lists (rank 2 + rank 1); 10 and 30 in one each
+    assert(out.map(_.getLong(3)).toSeq === Seq(1L, 2L, 1L))
+    assert(out(1).getDouble(4) === 1.0 / 62.0 + 1.0 / 61.0)
+    assert(out(0).getDouble(4) === 1.0 / 61.0)
+    assert(out(0).isNullAt(2) && out(2).isNullAt(1))
+  }
+
+  test("ewmaDyadic replays the restarted recursion exactly") {
+    val s = spark; import s.implicits._
+    val df = Seq((1L, 1, 4.0), (1L, 2, 8.0), (1L, 3, 2.0), (2L, 1, 6.0))
+      .toDF("k", "seq", "v")
+    val out = Graft.ewmaDyadic(df, "v", "k", Seq("seq"), lags = 20)
+      .orderBy("k", "rn").collect()
+    // y1 = 4, y2 = (8+4)/2 = 6, y3 = (2+6)/2 = 4; new key restarts
+    assert(out.map(_.getDouble(4)).toSeq === Seq(4.0, 6.0, 4.0, 6.0))
+    // frame restart: with lags=1 only (prev, cur) survive → y3 = (2+8)/2
+    val short = Graft.ewmaDyadic(df, "v", "k", Seq("seq"), lags = 1)
+      .orderBy("k", "rn").collect()
+    assert(short.map(_.getDouble(4)).toSeq === Seq(4.0, 6.0, 5.0, 6.0))
+  }
+
+  test("globalRank matches a single-partition row_number") {
+    val s = spark; import s.implicits._
+    val df = s.range(1000).select(
+      (col("id") * 37 % 1000).as("v"), col("id"))
+    val ranked = Graft.globalRank(df.repartition(13), Seq("v", "id"))
+      .orderBy("grank").collect()
+    assert(ranked.map(_.getAs[Long]("grank")).toSeq === (1L to 1000L))
+    // rank order == (v, id) lexicographic order
+    val vs = ranked.map(r => (r.getAs[Long]("v"), r.getAs[Long]("id"))).toSeq
+    assert(vs === vs.sorted)
+  }
+
+  test("quantileNormalize maps each group onto the global distribution") {
+    val s = spark; import s.implicits._
+    // group a: 1..4 (shifted low); group b: 101..104; global = all 8
+    val df = Seq(("a", 1.0), ("a", 2.0), ("a", 3.0), ("a", 4.0),
+      ("b", 101.0), ("b", 102.0), ("b", 103.0), ("b", 104.0))
+      .zipWithIndex.map { case ((g, v), i) => (i.toLong, g, v) }
+      .toDF("id", "grp", "v")
+    val out = Graft.quantileNormalize(df, "v", "grp", "id")
+      .orderBy("id").collect()
+    // both groups land on the same positions: ranks 1..4 of 4 map to
+    // global positions ⌊(r−1)·7/3⌋+1 = 1, 3, 5, 8 → values 1, 3, 101, 104
+    val norm = out.map(_.getAs[Double]("normalized")).toSeq
+    assert(norm === Seq(1.0, 3.0, 101.0, 104.0, 1.0, 3.0, 101.0, 104.0))
+  }
 }
