@@ -2030,12 +2030,16 @@ object Graft {
     *
     * 100 TB shape: per round ONE keyed join of the neighbor list against
     * the label table, one (node, label) count aggregate, and one
-    * node-keyed window whose frame is bounded by the node's DISTINCT
-    * neighbor-label count (≤ degree — never corpus-sized); lineage is
-    * cut per round with the same reliable-checkpoint switch as
-    * [[pageRank]]. Differs from [[connectedComponents]] (min-label
-    * fixpoint = connectivity) by splitting dense regions apart instead
-    * of merging everything reachable. */
+    * node-keyed `min_by` argmax — hash aggregation with map-side
+    * partials, no sort (the tie-break rides inside the min_by struct
+    * key). Each round's output feeds exactly one consumer (the next
+    * round's join), so the lazy chain evaluates in a single pass;
+    * lineage is cut only every 5 rounds (plan-size hygiene for deep
+    * runs) or every round under the reliable-checkpoint switch from
+    * [[pageRank]] (executor-loss durability on a real cluster). Differs
+    * from [[connectedComponents]] (min-label fixpoint = connectivity)
+    * by splitting dense regions apart instead of merging everything
+    * reachable. */
   def labelPropagation(edges: DataFrame, srcCol: String, dstCol: String,
       rounds: Int = 3, checkpointDir: Option[String] = None): DataFrame = {
     require(rounds >= 1, s"labelPropagation needs rounds >= 1, got $rounds")
@@ -2056,10 +2060,13 @@ object Graft {
       val cnt = nbrs
         .join(labels.select(col("node").as("nbr"), col("lab")), Seq("nbr"))
         .groupBy(col("node"), col("lab")).agg(count(lit(1)).as("c"))
-      val w = Window.partitionBy(col("node")).orderBy(col("c").desc, col("lab"))
-      labels = cut(cnt.withColumn("__rn", row_number().over(w))
-        .filter(col("__rn") === 1).select(col("node"), col("lab")))
+      // argmax by (count desc, label asc) == min_by over the composite
+      // key (-count, label) — lexicographic struct ordering
+      labels = cnt.groupBy(col("node")).agg(
+        min_by(col("lab"), struct((-col("c")).as("nc"), col("lab"))).as("lab"))
       r += 1
+      if (checkpointDir.isDefined || (r % 5 == 0 && r < rounds))
+        labels = cut(labels)
     }
     labels
   }
