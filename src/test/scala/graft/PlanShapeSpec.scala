@@ -257,4 +257,46 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(p.contains("BroadcastExchange"), p)
     assert(!p.contains("CartesianProduct"), p)
   }
+
+  test("q139 bloom probe is a literal fact-side filter, not a bloom-carrying join") {
+    val p = planOf("q139_bloom_join")
+    // rows that cannot match die in a literal might_contain filter on
+    // the fact scan (below its shuffle by construction — the filter is
+    // applied before the join), so ~90% of the fact table never moves
+    assert(p.contains("might_contain"), p)
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoop"), p)
+  }
+
+  test("q141 random projection collapses sign terms in partial+final aggs") {
+    val p = planOf("q141_random_projection")
+    // the outDim fan-out must meet a map-side partial aggregate on
+    // (id, j) — never shuffle the exploded element stream raw — and the
+    // 16-row j table rides a broadcast
+    assert(p.contains("HashAggregate"), p)
+    assert(p.sliding("HashAggregate".length).count(_ == "HashAggregate") >= 2, p)
+    assert(p.contains("BroadcastExchange") || p.contains("BroadcastNestedLoopJoin"), p)
+  }
+
+  test("q145 ewma windows per key, never globally") {
+    val p = planOf("q145_ewma")
+    assert(p.contains("hashpartitioning(user_id"), p)
+    assert(!p.contains("SinglePartition"), p)
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoop"), p)
+  }
+
+  test("q146 quantile normalize has no one-partition window") {
+    val p = planOf("q146_quantile_normalize")
+    // every window must carry a partition column: the group windows
+    // partition on event_type, globalRank's rank window on its range-
+    // partition id (__pid) — a bare ORDER BY window would print a
+    // windowspecdefinition starting with the order column instead.
+    // (The 1-row N aggregate legitimately passes through SinglePartition.)
+    assert(p.contains("hashpartitioning(event_type"), p)
+    val specs = "windowspecdefinition\\(".r.findAllMatchIn(p).map(_.start).toSeq
+    assert(specs.nonEmpty && specs.forall { i =>
+      val head = p.substring(i, math.min(p.length, i + 60))
+      head.contains("event_type") || head.contains("__pid")
+    }, p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
 }
