@@ -2287,4 +2287,81 @@ object Graft {
       .select(col(idCol), col(groupCol), col(valueCol), col("g_rank"),
         col("g_n"), col("__gpos").as("g_pos"), col("normalized"))
   }
+
+  /** Synchronous k-core peeling — the web-graph quality filter (keep
+    * only the subgraph where every node retains ≥ k neighbors after
+    * everything weaker is recursively stripped): each round removes ALL
+    * nodes of degree < k at once and recomputes degrees on the induced
+    * subgraph. Fixed `rounds` synchronous passes (the caller picks
+    * depth; peeling converges monotonically, so extra rounds are
+    * no-ops once stable). Returns surviving (node, degree).
+    *
+    * 100 TB shape: per round one degree aggregate (map-side partials)
+    * and two semi-joins keyed on the endpoint — never a cartesian,
+    * never driver traffic; the edge table only shrinks. Lineage cut
+    * every 5 rounds, or every round under the reliable-checkpoint
+    * durability switch shared with [[pageRank]]. */
+  def kCore(edges: DataFrame, srcCol: String, dstCol: String, k: Int,
+      rounds: Int = 3, checkpointDir: Option[String] = None): DataFrame = {
+    require(k >= 1, s"kCore needs k >= 1, got $k")
+    require(rounds >= 1, s"kCore needs rounds >= 1, got $rounds")
+    checkpointDir.foreach(edges.sparkSession.sparkContext.setCheckpointDir)
+    def cut(df: DataFrame): DataFrame =
+      if (checkpointDir.isDefined) df.checkpoint() else df.localCheckpoint()
+    val und = edges.select(col(srcCol).cast(StringType).as("a"),
+        col(dstCol).cast(StringType).as("b"))
+      .filter(col("a").isNotNull && col("b").isNotNull && col("a") =!= col("b"))
+      .distinct()
+    var e = cut(und.select(col("a").as("node"), col("b").as("nbr"))
+      .unionAll(und.select(col("b").as("node"), col("a").as("nbr")))
+      .distinct())
+    var r = 0
+    while (r < rounds) {
+      val keep = e.groupBy(col("node")).agg(count(lit(1)).as("__d"))
+        .filter(col("__d") >= k).select(col("node"))
+      e = e.join(keep, Seq("node"), "left_semi")
+        .join(keep.select(col("node").as("nbr")), Seq("nbr"), "left_semi")
+      r += 1
+      if (checkpointDir.isDefined || (r % 5 == 0 && r < rounds)) e = cut(e)
+    }
+    e.groupBy(col("node")).agg(count(lit(1)).as("degree"))
+  }
+
+  /** Exact per-group winsorization — clip each value into its group's
+    * [loPermille, hiPermille] order-statistic band (the outlier-taming
+    * transform run before normalization/aggregation so one wild sensor
+    * or spam burst cannot drag a group mean). Bound positions are pure
+    * integer arithmetic — ⌈p·n/1000⌉ clamped to ≥ 1 — so the only
+    * doubles in the output are input values themselves.
+    *
+    * 100 TB shape: one per-group rank window (groups are the partition
+    * key — never a global sort), then the two bound rows per group
+    * collapse to a #groups-sized table that broadcasts back onto the
+    * stream. */
+  def winsorize(df: DataFrame, valueCol: String, groupCol: String,
+      idCol: String, loPermille: Int = 50, hiPermille: Int = 950): DataFrame = {
+    require(0 <= loPermille && loPermille <= hiPermille && hiPermille <= 1000,
+      s"winsorize needs 0 <= lo <= hi <= 1000, got $loPermille/$hiPermille")
+    val base = df.filter(col(valueCol).isNotNull)
+      .select(col(idCol), col(groupCol), col(valueCol))
+    val wg = Window.partitionBy(col(groupCol))
+    val ranked = base
+      .withColumn("__r", row_number()
+        .over(wg.orderBy(col(valueCol), col(idCol))).cast(LongType))
+      .withColumn("__n", count(lit(1)).over(wg))
+      .withColumn("__lo", greatest(lit(1L),
+        expr(s"($loPermille * __n + 999) div 1000")))
+      .withColumn("__hi", greatest(lit(1L),
+        expr(s"($hiPermille * __n + 999) div 1000")))
+    val bounds = ranked
+      .filter(col("__r") === col("__lo") || col("__r") === col("__hi"))
+      .groupBy(col(groupCol)).agg(
+        min(when(col("__r") === col("__lo"), col(valueCol))).as("lo_val"),
+        max(when(col("__r") === col("__hi"), col(valueCol))).as("hi_val"))
+    ranked.join(broadcast(bounds), Seq(groupCol))
+      .select(col(idCol), col(groupCol), col(valueCol), col("lo_val"),
+        col("hi_val"),
+        least(greatest(col(valueCol), col("lo_val")), col("hi_val"))
+          .as("winsorized"))
+  }
 }

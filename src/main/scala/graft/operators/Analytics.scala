@@ -748,8 +748,70 @@ object Analytics {
         t(s, dir, "events").select(col("event_id"), col("event_type"),
           col("value")),
         "value", "event_type", "event_id")
+        .orderBy(col("event_id"))),
+
+    // ---- q147: k-core decomposition — the web-graph quality filter
+    // (strip everything that doesn't keep >= k neighbors after weaker
+    // nodes are recursively peeled) over q140's basket co-purchase
+    // graph (k=70 converges here in 3 rounds: 2000 -> 1972 -> 1971 ->
+    // stable — a genuine cascade, and round 3 proves the fixpoint).
+    // Synchronous peeling: each round one degree aggregate + two
+    // endpoint semi-joins, edge table only shrinks; 3 rounds unrolled as
+    // chained CTEs in the oracle. Completes the graph family's DENSITY
+    // axis: q140 groups dense regions, q147 EXTRACTS the dense core. ----
+    "q147_kcore" -> ((s, dir) => {
+      val li = t(s, dir, "lineitem")
+        .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
+      val edges = li.alias("x").join(li.alias("y"),
+          col("x.ok") === col("y.ok") && col("x.pk") < col("y.pk"))
+        .select(col("x.pk").as("src"), col("y.pk").as("dst"))
+      graft.api.Graft.kCore(edges, "src", "dst", k = 70, rounds = 3)
+        .orderBy(col("node"))
+    }),
+
+    // ---- q148: exact winsorization — clip each event's value into its
+    // event_type's [P5, P95] order-statistic band (outlier taming before
+    // any mean/normalization; the exact counterpart of q90's approx
+    // percentile and q118's MAD flagging — this one REWRITES the value).
+    // Bound positions are ⌈p·n/1000⌉ integer arithmetic; the two bound
+    // rows per group collapse to a 5-row broadcast. ----
+    "q148_winsorize" -> ((s, dir) =>
+      graft.api.Graft.winsorize(
+        t(s, dir, "events").select(col("event_id"), col("event_type"),
+          col("value")),
+        "value", "event_type", "event_id", loPermille = 50,
+        hiPermille = 950)
         .orderBy(col("event_id")))
   )
+
+  /** Unrolled synchronous k-core twin of [[graft.api.Graft.kCore]]:
+    * each round keeps nodes of degree >= k and induces the subgraph —
+    * chained MATERIALIZED CTEs e0..e{rounds}. */
+  private def kCoreSql(k: Int, rounds: Int): String = {
+    val rs = (1 to rounds).map { i =>
+      s"""k$i AS (SELECT node FROM (
+         |  SELECT node, COUNT(*) AS c FROM e${i - 1} GROUP BY node)
+         |  WHERE c >= $k),
+         |e$i AS MATERIALIZED (
+         |  SELECT e.node, e.nbr FROM e${i - 1} e
+         |  JOIN k$i x ON e.node = x.node
+         |  JOIN k$i y ON e.nbr = y.node)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH seq AS (
+       |  SELECT CAST(x.l_partkey AS VARCHAR) AS a,
+       |    CAST(y.l_partkey AS VARCHAR) AS b
+       |  FROM lineitem x JOIN lineitem y
+       |    ON x.l_orderkey = y.l_orderkey AND x.l_partkey < y.l_partkey),
+       |und AS MATERIALIZED (
+       |  SELECT DISTINCT a, b FROM seq WHERE b IS NOT NULL AND a <> b),
+       |e0 AS MATERIALIZED (
+       |  SELECT DISTINCT node, nbr FROM (
+       |    SELECT a AS node, b AS nbr FROM und
+       |    UNION ALL SELECT b, a FROM und)),
+       |$rs
+       |SELECT node, CAST(COUNT(*) AS BIGINT) AS degree
+       |FROM e$rounds GROUP BY node ORDER BY node""".stripMargin
+  }
 
   /** Unrolled synchronous label-propagation twin of
     * [[graft.api.Graft.labelPropagation]]: each round re-derives every
@@ -826,6 +888,31 @@ object Analytics {
 
   val oracle: Map[String, String] = Map(
     "q140_label_propagation" -> labelPropSql(3),
+    "q147_kcore" -> kCoreSql(70, 3),
+
+    // winsorize twin: identical ⌈p·n/1000⌉ integer bound positions,
+    // identical order-stat extraction — output doubles are inputs only
+    "q148_winsorize" ->
+      """WITH base AS (
+        |  SELECT event_id, event_type, value FROM events
+        |  WHERE value IS NOT NULL),
+        |r AS (SELECT event_id, event_type, value,
+        |        ROW_NUMBER() OVER (PARTITION BY event_type
+        |          ORDER BY value, event_id) AS rr,
+        |        COUNT(*) OVER (PARTITION BY event_type) AS n
+        |      FROM base),
+        |rb AS (SELECT r.*,
+        |        GREATEST(1, (50 * n + 999) // 1000) AS lo,
+        |        GREATEST(1, (950 * n + 999) // 1000) AS hi
+        |      FROM r),
+        |b AS (SELECT event_type,
+        |        MIN(CASE WHEN rr = lo THEN value END) AS lo_val,
+        |        MAX(CASE WHEN rr = hi THEN value END) AS hi_val
+        |      FROM rb WHERE rr = lo OR rr = hi GROUP BY event_type)
+        |SELECT rb.event_id, rb.event_type, rb.value, b.lo_val, b.hi_val,
+        |  LEAST(GREATEST(rb.value, b.lo_val), b.hi_val) AS winsorized
+        |FROM rb JOIN b USING (event_type)
+        |ORDER BY rb.event_id""".stripMargin,
 
     // EWMA twin: the 21-row frame unrolled as a bounded self-join —
     // identical micro-quantization, identical power-of-two weights

@@ -655,4 +655,29 @@ class GraftApiSpec extends AnyFunSuite {
     val norm = out.map(_.getAs[Double]("normalized")).toSeq
     assert(norm === Seq(1.0, 3.0, 101.0, 104.0, 1.0, 3.0, 101.0, 104.0))
   }
+
+  test("kCore peels the tail and keeps the clique") {
+    val s = spark; import s.implicits._
+    // 4-clique with a pendant chain hanging off it: 2-core = the clique
+    // (chain nodes peel in cascade across rounds)
+    val clique = for (a <- Seq("a", "b", "c", "d"); b <- Seq("a", "b", "c", "d")
+      if a < b) yield (a, b)
+    val edges = (clique ++ Seq(("d", "e"), ("e", "f"))).toDF("s", "d")
+    val out = Graft.kCore(edges, "s", "d", k = 2, rounds = 3)
+      .orderBy("node").collect().map(r => r.getString(0) -> r.getLong(1))
+    // f peels round 1 (deg 1), e peels round 2 (deg 1 after f leaves);
+    // the clique survives with internal degree 3
+    assert(out.toSeq === Seq("a" -> 3L, "b" -> 3L, "c" -> 3L, "d" -> 3L))
+  }
+
+  test("winsorize clips into the exact order-statistic band") {
+    val s = spark; import s.implicits._
+    val df = (1 to 10).map(i => (i.toLong, "g", i * 10.0)).toDF("id", "grp", "v")
+    val out = Graft.winsorize(df, "v", "grp", "id",
+      loPermille = 200, hiPermille = 800).orderBy("id").collect()
+    // n=10: lo pos = ceil(2000/1000)=2 -> 20.0, hi pos = 8 -> 80.0
+    assert(out.forall(r => r.getDouble(3) === 20.0 && r.getDouble(4) === 80.0))
+    assert(out.map(_.getDouble(5)).toSeq ===
+      Seq(20.0, 20.0, 30.0, 40.0, 50.0, 60.0, 70.0, 80.0, 80.0, 80.0))
+  }
 }
