@@ -2364,4 +2364,185 @@ object Graft {
         least(greatest(col(valueCol), col("lo_val")), col("hi_val"))
           .as("winsorized"))
   }
+
+  /** Per-key sample autocorrelation at lags 1..maxLag — the seasonality
+    * / burst-persistence detector for telemetry streams (is a metric's
+    * next sample predicted by its previous one?):
+    * r_k = Σ(x_i−x̄)(x_{i+k}−x̄) / Σ(x_i−x̄)², x̄ over the full series.
+    *
+    * Exactness: values micro-quantize to longs through a DECIMAL(19,6)
+    * cast (q92's conversion — both engines round the double identically),
+    * every moment (Σx, Σx², lagged pair sums Σx_i·x_{i+k}, head/tail
+    * partial sums) is an exact DECIMAL(38,0)/int128 integer, and the
+    * mean never materializes: the estimator is cross-multiplied by n²
+    * so numerator and denominator are single exact integers and r_k is
+    * ONE double division. Constant series (den = 0) yield NULL.
+    *
+    * 100 TB shape: one window shuffle on the key computes every lead
+    * column, one keyed aggregate per series + one per (series, lag) —
+    * output is #keys·maxLag rows. Never a self-join of the stream. */
+  def acf(df: DataFrame, valueCol: String, keyCol: String, tsCol: String,
+      idCol: String, maxLag: Int = 3): DataFrame = {
+    require(maxLag >= 1 && maxLag <= 16, s"acf needs 1 <= maxLag <= 16, got $maxLag")
+    val dec = DecimalType(38, 0)
+    val base = df.select(col(keyCol).as("__k"),
+      unix_micros(col(tsCol)).as("__us"), col(idCol).as("__id"),
+      (col(valueCol).cast(DecimalType(19, 6)) * lit(1000000))
+        .cast(LongType).as("__xq"))
+    val w = Window.partitionBy(col("__k")).orderBy(col("__us"), col("__id"))
+    val leads = (1 to maxLag).foldLeft(base) { (d, k) =>
+      d.withColumn(s"__l$k", lead(col("__xq"), k).over(w))
+    }
+    val g = base.groupBy(col("__k")).agg(
+      count(lit(1)).as("__n"),
+      sum(col("__xq")).as("__sx"),
+      sum(col("__xq").cast(dec) * col("__xq")).as("__sxx"))
+    val pairs = leads.select(col("__k"), explode(array((1 to maxLag).map(k =>
+        struct(lit(k).cast(LongType).as("lag"), col("__xq").as("x"),
+          col(s"__l$k").as("xk"))): _*)).as("p"))
+      .select(col("__k"), col("p.lag").as("lag"), col("p.x").as("x"),
+        col("p.xk").as("xk"))
+      .filter(col("xk").isNotNull)
+    val pl = pairs.groupBy(col("__k"), col("lag")).agg(
+      count(lit(1)).as("n_pairs"),
+      sum(col("x").cast(dec) * col("xk")).as("__sk"),
+      sum(col("x")).as("__sh"),
+      sum(col("xk")).as("__st"))
+    val nd = col("__n").cast(dec)
+    val sx = col("__sx").cast(dec)
+    val num = nd * nd * col("__sk") - nd * sx * col("__sh") -
+      nd * sx * col("__st") + (nd - col("lag")) * sx * sx
+    val den = nd * nd * col("__sxx") - nd * sx * sx
+    pl.join(g, Seq("__k"))
+      .select(col("__k").as(keyCol), col("lag"), col("__n").as("n"),
+        col("n_pairs"),
+        when(den === lit(0), lit(null).cast(DoubleType))
+          .otherwise(num.cast(DoubleType) / den.cast(DoubleType)).as("acf"))
+  }
+
+  /** Per-key CUSUM changepoint scan — the sequential drift alarm (has
+    * this series' level shifted up by more than `slack` from its
+    * overall mean, accumulated past `threshold`?): the classic
+    * recursion s_i = max(0, s_{i−1} + (x_i − x̄ − slack)) rewritten as
+    * prefix algebra — s_i = R_i − min(0, min_{j≤i} R_j) with
+    * R_i = Σ_{t≤i}(x_t − x̄ − slack) — so two window functions over ONE
+    * key-partitioned sort replace the unwindowable recursion.
+    *
+    * Exactness: x̄ = Σx/n never materializes — every term is scaled by
+    * n (d_i = n·x_i_micro − Σx_micro − n·slack_micro, an exact
+    * DECIMAL(38,0)/int128 integer), running sums/mins stay integer
+    * under the deterministic (ts, id) order, and the alarm compare
+    * s_i > n·threshold_micro is pure integer. The reported cusum is one
+    * fixed double chain (÷n ÷1e6). Exact on both engines end to end.
+    *
+    * 100 TB shape: one keyed aggregate (n, Σx per series — #keys rows,
+    * broadcast back) + one window shuffle on the key. Output is
+    * row-per-sample by design (the alarm TRACE); filter on `alarm`
+    * downstream for the sparse form. */
+  def cusum(df: DataFrame, valueCol: String, keyCol: String, tsCol: String,
+      idCol: String, slack: Double = 5.0, threshold: Double = 50.0): DataFrame = {
+    require(slack >= 0, s"cusum needs slack >= 0, got $slack")
+    require(threshold > 0, s"cusum needs threshold > 0, got $threshold")
+    val dec = DecimalType(38, 0)
+    val kq = math.round(slack * 1e6)    // exact micro-unit constants
+    val hq = math.round(threshold * 1e6)
+    val base = df.select(col(keyCol).as("__k"),
+      unix_micros(col(tsCol)).as("__us"), col(idCol).as("__id"),
+      (col(valueCol).cast(DecimalType(19, 6)) * lit(1000000))
+        .cast(LongType).as("__xq"))
+    val g = base.groupBy(col("__k"))
+      .agg(count(lit(1)).as("__n"), sum(col("__xq")).as("__sx"))
+    val w = Window.partitionBy(col("__k")).orderBy(col("__us"), col("__id"))
+    val run = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val nd = col("__n").cast(dec)
+    base.join(broadcast(g), Seq("__k"))
+      .withColumn("__d",
+        nd * col("__xq").cast(dec) - col("__sx").cast(dec) - nd * lit(kq))
+      .withColumn("__r", sum(col("__d")).over(run))
+      .withColumn("__m", least(lit(0).cast(dec), min(col("__r")).over(run)))
+      .select(col("__k").as(keyCol), col("__id").as(idCol),
+        ((col("__r") - col("__m")).cast(DoubleType) /
+          col("__n").cast(DoubleType) / lit(1.0e6)).as("cusum"),
+        (col("__r") - col("__m") > nd * lit(hq)).cast(IntegerType).as("alarm"))
+  }
+
+  /** Per-group chi-square drift of a categorical column against the
+    * corpus-wide distribution — the CATEGORICAL axis of the drift family
+    * (q122's KS and q136's PSI cover numeric distributions; this one
+    * audits e.g. the language mix per crawl source). Standard
+    * contingency form: χ²_g = Σ_cat (o − e)²/e with e = rt·ct/N,
+    * cross-multiplied to (o·N − rt·ct)²/(N·rt·ct) so every operand is an
+    * exact integer.
+    *
+    * Exactness without a rounding function: each cell's term is
+    * nano-scaled by INTEGER LONG DIVISION — q·1e9 + (rem·1e9) div den
+    * from the euclidean split of d² by den — so there is no float round
+    * anywhere (a rational term CAN land on a .5 tie; q123 proved
+    * decimal-vs-float round() diverges there). Truncation bias < 1e-9
+    * per cell, identical on both engines. χ² is one double division.
+    *
+    * 100 TB shape: three keyed count aggregates + a #groups × #cats
+    * grid (dimension-table-sized); zero-observed cells enter via the
+    * grid left join (they carry rt·ct/N of the statistic). */
+  def chiSquareDrift(df: DataFrame, categoryCol: String,
+      groupCol: String): DataFrame = {
+    val dec = DecimalType(38, 0)
+    val base = df.select(col(groupCol).cast(StringType).as("__g"),
+        col(categoryCol).cast(StringType).as("__c"))
+      .filter(col("__g").isNotNull && col("__c").isNotNull)
+    val cells = base.groupBy(col("__g"), col("__c")).agg(count(lit(1)).as("__o"))
+    val rt = base.groupBy(col("__g")).agg(count(lit(1)).as("__rt"))
+    val ct = base.groupBy(col("__c")).agg(count(lit(1)).as("__ct"))
+    val n1 = base.agg(count(lit(1)).as("__nn"),
+      count_distinct(col("__c")).as("__k"))
+    rt.crossJoin(broadcast(ct))
+      .join(cells, Seq("__g", "__c"), "left").na.fill(0L, Seq("__o"))
+      .crossJoin(broadcast(n1))
+      .withColumn("__d", col("__o").cast(dec) * col("__nn") -
+        col("__rt").cast(dec) * col("__ct"))
+      .withColumn("__d2", col("__d") * col("__d"))
+      .withColumn("__den", col("__nn").cast(dec) * col("__rt") * col("__ct"))
+      .withColumn("__ts", expr("__d2 div __den") * lit(1000000000L) +
+        expr("((__d2 % __den) * 1000000000) div __den"))
+      .groupBy(col("__g"), col("__rt"), col("__k"))
+      .agg((sum(col("__ts")).cast(DoubleType) / lit(1.0e9)).as("chi2"))
+      .select(col("__g").as(groupCol), col("__rt").as("n"),
+        (col("__k") - lit(1L)).cast(LongType).as("dof"), col("chi2"))
+  }
+
+  /** Two-proportion z-test over a deterministic unit-level A/B table —
+    * the experiment-analysis primitive (did variant B convert better
+    * than A, beyond what chance explains?):
+    * z = (p̂_B − p̂_A) / sqrt(p̂(1−p̂)(1/n_A + 1/n_B)) with p̂ pooled.
+    *
+    * All inputs to the chain are exact integer counts from ONE 1-row
+    * aggregate; the z statistic is a fixed double expression tree
+    * (divisions, one sqrt — every op IEEE-correctly-rounded, so an
+    * identical tree is bit-identical cross-engine). Degenerate splits
+    * (an empty arm, or zero/full pooled conversion → se = 0) yield NULL
+    * rather than ±Inf/NaN. */
+  def twoProportionZTest(units: DataFrame, variantCol: String,
+      convCol: String): DataFrame = {
+    val v = col(variantCol)
+    val cv = col(convCol)
+    val agg = units.agg(
+      count(when(!v, 1)).as("n_a"),
+      count(when(!v && cv, 1)).as("conv_a"),
+      count(when(v, 1)).as("n_b"),
+      count(when(v && cv, 1)).as("conv_b"))
+    val pa = col("conv_a").cast(DoubleType) / col("n_a").cast(DoubleType)
+    val pb = col("conv_b").cast(DoubleType) / col("n_b").cast(DoubleType)
+    val pp = (col("conv_a") + col("conv_b")).cast(DoubleType) /
+      (col("n_a") + col("n_b")).cast(DoubleType)
+    val se = sqrt(pp * (lit(1.0) - pp) *
+      (lit(1.0) / col("n_a").cast(DoubleType) +
+        lit(1.0) / col("n_b").cast(DoubleType)))
+    val degenerate = col("n_a") === 0 || col("n_b") === 0 ||
+      col("conv_a") + col("conv_b") === 0 ||
+      col("conv_a") + col("conv_b") === col("n_a") + col("n_b")
+    agg.select(col("n_a"), col("conv_a"), col("n_b"), col("conv_b"),
+      (pb - pa).as("lift"),
+      when(degenerate, lit(null).cast(DoubleType))
+        .otherwise((pb - pa) / se).as("z"))
+  }
 }

@@ -781,8 +781,97 @@ object Analytics {
           col("value")),
         "value", "event_type", "event_id", loPermille = 50,
         hiPermille = 950)
+        .orderBy(col("event_id"))),
+
+    // ---- q149: per-type autocorrelation at lags 1..3 — the
+    // seasonality/persistence detector next to q117's trend slope and
+    // q145's EWMA. The mean never materializes: the r_k estimator is
+    // cross-multiplied by n² so numerator and denominator are single
+    // exact DECIMAL(38,0)/int128 integers (elements micro-quantized
+    // through the q92 DECIMAL(19,6) cast), and r_k is ONE double
+    // division. One window shuffle computes all three leads. ----
+    "q149_acf" -> ((s, dir) =>
+      graft.api.Graft.acf(t(s, dir, "events"), "value", "event_type",
+          "ts", "event_id", maxLag = 3)
+        .orderBy(col("event_type"), col("lag"))),
+
+    // ---- q150: CUSUM changepoint scan per event type — the sequential
+    // level-shift alarm (q122/q136 compare whole distributions; this
+    // one pinpoints WHERE the series drifts). The max(0, ·) recursion is
+    // rewritten as running-sum − min(0, running-min(running-sum)) so two
+    // window functions over ONE key-partitioned sort replace the
+    // unwindowable recursion; all state is exact n-scaled integers and
+    // the alarm compare never touches a double. ----
+    "q150_cusum" -> ((s, dir) =>
+      graft.api.Graft.cusum(t(s, dir, "events"), "value", "event_type",
+          "ts", "event_id", slack = 5.0, threshold = 50.0)
         .orderBy(col("event_id")))
   )
+
+  /** q149 twin: identical micro-quantization, per-lag pair sums via the
+    * same lead() windows, HUGEINT cross-multiplied moments, one double
+    * division. */
+  private def acfSql(maxLag: Int): String = {
+    val lagCtes = (1 to maxLag).map { k =>
+      s"""  SELECT k, $k AS lag, COUNT(*) AS n_pairs,
+         |    SUM(CAST(x AS HUGEINT) * xk) AS sk, SUM(x) AS sh, SUM(xk) AS st
+         |  FROM (SELECT k, xq AS x,
+         |          lead(xq, $k) OVER (PARTITION BY k ORDER BY us, id) AS xk
+         |        FROM b) t
+         |  WHERE xk IS NOT NULL GROUP BY k""".stripMargin
+    }.mkString("\n  UNION ALL\n")
+    s"""WITH b AS (
+       |  SELECT event_type AS k, epoch_us(ts) AS us, event_id AS id,
+       |    CAST(CAST(value AS DECIMAL(19,6)) * 1000000 AS BIGINT) AS xq
+       |  FROM events),
+       |g AS (
+       |  SELECT k, COUNT(*) AS n, SUM(xq) AS sx,
+       |    SUM(CAST(xq AS HUGEINT) * xq) AS sxx
+       |  FROM b GROUP BY k),
+       |pl AS (
+       |$lagCtes)
+       |SELECT pl.k AS event_type, CAST(pl.lag AS BIGINT) AS lag, g.n,
+       |  pl.n_pairs,
+       |  CASE WHEN CAST(g.n AS HUGEINT) * g.n * g.sxx
+       |         - CAST(g.n AS HUGEINT) * g.sx * g.sx = 0 THEN NULL
+       |  ELSE CAST(CAST(g.n AS HUGEINT) * g.n * pl.sk
+       |         - CAST(g.n AS HUGEINT) * g.sx * pl.sh
+       |         - CAST(g.n AS HUGEINT) * g.sx * pl.st
+       |         + CAST(g.n - pl.lag AS HUGEINT) * g.sx * g.sx AS DOUBLE)
+       |     / CAST(CAST(g.n AS HUGEINT) * g.n * g.sxx
+       |         - CAST(g.n AS HUGEINT) * g.sx * g.sx AS DOUBLE) END AS acf
+       |FROM pl JOIN g ON pl.k = g.k
+       |ORDER BY event_type, lag""".stripMargin
+  }
+
+  /** q150 twin: the same prefix-algebra rewrite (running sum − clamped
+    * running min) over the same n-scaled HUGEINT deltas; alarm compare
+    * in integer space. */
+  private def cusumSql(slackMicro: Long, thresholdMicro: Long): String =
+    s"""WITH b AS (
+       |  SELECT event_type AS k, epoch_us(ts) AS us, event_id AS id,
+       |    CAST(CAST(value AS DECIMAL(19,6)) * 1000000 AS BIGINT) AS xq
+       |  FROM events),
+       |g AS (SELECT k, COUNT(*) AS n, SUM(xq) AS sx FROM b GROUP BY k),
+       |d AS (
+       |  SELECT b.k, b.us, b.id, g.n,
+       |    CAST(g.n AS HUGEINT) * b.xq - CAST(g.sx AS HUGEINT)
+       |      - CAST(g.n AS HUGEINT) * $slackMicro AS dd
+       |  FROM b JOIN g ON b.k = g.k),
+       |r AS (
+       |  SELECT k, us, id, n,
+       |    SUM(dd) OVER (PARTITION BY k ORDER BY us, id
+       |      ROWS UNBOUNDED PRECEDING) AS rr
+       |  FROM d),
+       |m AS (
+       |  SELECT k, id, n, rr,
+       |    LEAST(CAST(0 AS HUGEINT), MIN(rr) OVER (PARTITION BY k
+       |      ORDER BY us, id ROWS UNBOUNDED PRECEDING)) AS mm
+       |  FROM r)
+       |SELECT k AS event_type, id AS event_id,
+       |  CAST(rr - mm AS DOUBLE) / CAST(n AS DOUBLE) / 1000000.0 AS cusum,
+       |  CAST(rr - mm > CAST(n AS HUGEINT) * $thresholdMicro AS INTEGER) AS alarm
+       |FROM m ORDER BY event_id""".stripMargin
 
   /** Unrolled synchronous k-core twin of [[graft.api.Graft.kCore]]:
     * each round keeps nodes of degree >= k and induces the subgraph —
@@ -889,6 +978,8 @@ object Analytics {
   val oracle: Map[String, String] = Map(
     "q140_label_propagation" -> labelPropSql(3),
     "q147_kcore" -> kCoreSql(70, 3),
+    "q149_acf" -> acfSql(3),
+    "q150_cusum" -> cusumSql(5000000L, 50000000L),
 
     // winsorize twin: identical ⌈p·n/1000⌉ integer bound positions,
     // identical order-stat extraction — output doubles are inputs only

@@ -670,6 +670,45 @@ class GraftApiSpec extends AnyFunSuite {
     assert(out.toSeq === Seq("a" -> 3L, "b" -> 3L, "c" -> 3L, "d" -> 3L))
   }
 
+  test("acf matches the hand-computed estimator on a known series") {
+    val s = spark; import s.implicits._
+    // x = 1,2,3,4,5 at t=1..5: mean 3, den Σ(x−3)² = 10
+    // lag1 num = (−2)(−1)+(−1)(0)+0·1+1·2 = 4 → r1 = 0.4
+    // lag2 num = (−2)(0)+(−1)(1)+(0)(2) = −1 → r2 = −0.1
+    val df = (1 to 5).map(i => ("k", new Timestamp(i * 1000L), i.toLong, i * 1.0))
+      .toDF("grp", "ts", "id", "v")
+    val out = Graft.acf(df, "v", "grp", "ts", "id", maxLag = 2)
+      .orderBy("lag").collect()
+    assert(out.map(_.getAs[Double]("acf")).toSeq === Seq(0.4, -0.1))
+    assert(out.map(_.getAs[Long]("n_pairs")).toSeq === Seq(4L, 3L))
+    // constant series: zero variance → NULL, not NaN/divide-by-zero
+    val const = (1 to 4).map(i => ("c", new Timestamp(i * 1000L), i.toLong, 7.0))
+      .toDF("grp", "ts", "id", "v")
+    val cOut = Graft.acf(const, "v", "grp", "ts", "id", maxLag = 1).collect()
+    assert(cOut.length === 1 && cOut.head.isNullAt(cOut.head.fieldIndex("acf")))
+  }
+
+  test("cusum replays the max(0, s+d) recursion and alarms past threshold") {
+    val s = spark; import s.implicits._
+    // series at mean 10 with a level shift to 14 from t=5: slack 1 →
+    // drift d_i = x_i − mean − 1; recursion accumulates only after the shift
+    val xs = Seq(10.0, 10.0, 10.0, 10.0, 14.0, 14.0, 14.0, 14.0)
+    val mean = xs.sum / xs.length
+    val df = xs.zipWithIndex.map { case (v, i) =>
+      ("k", new Timestamp((i + 1) * 1000L), i.toLong, v)
+    }.toDF("grp", "ts", "id", "v")
+    val out = Graft.cusum(df, "v", "grp", "ts", "id",
+      slack = 1.0, threshold = 4.0).orderBy("id").collect()
+    // reference recursion
+    val expect = xs.scanLeft(0.0) { (acc, x) =>
+      math.max(0.0, acc + (x - mean - 1.0))
+    }.tail
+    val got = out.map(_.getAs[Double]("cusum")).toSeq
+    got.zip(expect).foreach { case (g, e) => assert(math.abs(g - e) < 1e-9) }
+    assert(out.map(_.getAs[Int]("alarm")).toSeq ===
+      expect.map(e => if (e > 4.0) 1 else 0))
+  }
+
   test("winsorize clips into the exact order-statistic band") {
     val s = spark; import s.implicits._
     val df = (1 to 10).map(i => (i.toLong, "g", i * 10.0)).toDF("id", "grp", "v")
