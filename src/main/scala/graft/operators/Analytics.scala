@@ -805,7 +805,37 @@ object Analytics {
     "q150_cusum" -> ((s, dir) =>
       graft.api.Graft.cusum(t(s, dir, "events"), "value", "event_type",
           "ts", "event_id", slack = 5.0, threshold = 50.0)
-        .orderBy(col("event_id")))
+        .orderBy(col("event_id"))),
+
+    // ---- q151: chi-square drift of each source's LANGUAGE MIX vs the
+    // corpus — the categorical axis of the drift family (q122 KS and
+    // q136 PSI are numeric). Terms are nano-scaled by integer long
+    // division (euclidean q·1e9 + rem·1e9 div den) — no rounding
+    // function exists anywhere, so the rational .5-tie surface that bit
+    // q123 in r7 cannot exist. Zero-observed cells enter via the grid
+    // left join. ----
+    "q151_chisq_drift" -> ((s, dir) =>
+      graft.api.Graft.chiSquareDrift(t(s, dir, "documents"), "lang", "source")
+        .orderBy(col("source"))),
+
+    // ---- q152: two-proportion A/B z-test — variant from bit 0 of the
+    // cross-engine md5 of user_id (the deterministic hash-bucket
+    // assignment real experiment platforms use), conversion = the user
+    // has a purchase event. One user-keyed aggregate + one 1-row count
+    // aggregate; z is a fixed IEEE double chain over exact counts, so
+    // both engines produce the identical bits. ----
+    "q152_ab_ztest" -> ((s, dir) => {
+      graft.functions.GraftFunctions.register(s)
+      val units = t(s, dir, "events")
+        .groupBy(col("user_id"))
+        .agg(max(when(col("event_type") === "purchase", 1L)
+          .otherwise(0L)).as("__cv"))
+        .select(
+          (call_function("md5_lower64", col("user_id").cast(StringType))
+            .bitwiseAND(lit(1L)) === 1L).as("variant"),
+          (col("__cv") === 1L).as("converted"))
+      graft.api.Graft.twoProportionZTest(units, "variant", "converted")
+    })
   )
 
   /** q149 twin: identical micro-quantization, per-lag pair sums via the
@@ -980,6 +1010,67 @@ object Analytics {
     "q147_kcore" -> kCoreSql(70, 3),
     "q149_acf" -> acfSql(3),
     "q150_cusum" -> cusumSql(5000000L, 50000000L),
+
+    // chi-square twin: identical grid (zero cells included), identical
+    // euclidean nano-scaling — integer // and % only, one double division
+    "q151_chisq_drift" ->
+      """WITH b AS (
+        |  SELECT source AS g, lang AS c FROM documents
+        |  WHERE source IS NOT NULL AND lang IS NOT NULL),
+        |cells AS (SELECT g, c, COUNT(*) AS o FROM b GROUP BY g, c),
+        |rt AS (SELECT g, COUNT(*) AS rt FROM b GROUP BY g),
+        |ct AS (SELECT c, COUNT(*) AS ct FROM b GROUP BY c),
+        |n1 AS (SELECT COUNT(*) AS nn, COUNT(DISTINCT c) AS k FROM b),
+        |grid AS (
+        |  SELECT rt.g, ct.c, rt.rt, ct.ct, COALESCE(cells.o, 0) AS o,
+        |         n1.nn, n1.k
+        |  FROM rt CROSS JOIN ct
+        |  LEFT JOIN cells ON cells.g = rt.g AND cells.c = ct.c
+        |  CROSS JOIN n1),
+        |t AS (
+        |  SELECT g, rt, k,
+        |    CAST(o AS HUGEINT) * nn - CAST(rt AS HUGEINT) * ct AS d,
+        |    CAST(nn AS HUGEINT) * rt * ct AS den
+        |  FROM grid),
+        |ts AS (
+        |  SELECT g, rt, k,
+        |    ((d * d) // den) * 1000000000
+        |      + (((d * d) % den) * 1000000000) // den AS tsv
+        |  FROM t)
+        |SELECT g AS source, rt AS n, CAST(k - 1 AS BIGINT) AS dof,
+        |  CAST(SUM(tsv) AS DOUBLE) / 1000000000.0 AS chi2
+        |FROM ts GROUP BY g, rt, k ORDER BY source""".stripMargin,
+
+    // A/B twin: identical md5-bit variant assignment, identical pooled-z
+    // double chain over exact counts
+    "q152_ab_ztest" ->
+      """WITH u AS (
+        |  SELECT user_id,
+        |    (md5_number_lower(CAST(user_id AS VARCHAR)) & 1::UBIGINT)
+        |      = 1::UBIGINT AS variant,
+        |    MAX(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) = 1
+        |      AS converted
+        |  FROM events GROUP BY user_id),
+        |c AS (SELECT
+        |  COUNT(*) FILTER (WHERE NOT variant) AS n_a,
+        |  COUNT(*) FILTER (WHERE NOT variant AND converted) AS conv_a,
+        |  COUNT(*) FILTER (WHERE variant) AS n_b,
+        |  COUNT(*) FILTER (WHERE variant AND converted) AS conv_b
+        |  FROM u)
+        |SELECT n_a, conv_a, n_b, conv_b,
+        |  CAST(conv_b AS DOUBLE) / CAST(n_b AS DOUBLE)
+        |    - CAST(conv_a AS DOUBLE) / CAST(n_a AS DOUBLE) AS lift,
+        |  CASE WHEN n_a = 0 OR n_b = 0 OR conv_a + conv_b = 0
+        |         OR conv_a + conv_b = n_a + n_b THEN NULL
+        |  ELSE (CAST(conv_b AS DOUBLE) / CAST(n_b AS DOUBLE)
+        |         - CAST(conv_a AS DOUBLE) / CAST(n_a AS DOUBLE))
+        |    / sqrt((CAST(conv_a + conv_b AS DOUBLE)
+        |             / CAST(n_a + n_b AS DOUBLE))
+        |        * (1.0 - CAST(conv_a + conv_b AS DOUBLE)
+        |             / CAST(n_a + n_b AS DOUBLE))
+        |        * (1.0 / CAST(n_a AS DOUBLE) + 1.0 / CAST(n_b AS DOUBLE)))
+        |  END AS z
+        |FROM c""".stripMargin,
 
     // winsorize twin: identical ⌈p·n/1000⌉ integer bound positions,
     // identical order-stat extraction — output doubles are inputs only

@@ -709,6 +709,41 @@ class GraftApiSpec extends AnyFunSuite {
       expect.map(e => if (e > 4.0) 1 else 0))
   }
 
+  test("chiSquareDrift matches the hand-computed statistic with zero cells") {
+    val s = spark; import s.implicits._
+    // group g1: 3×x, 1×y; group g2: 1×x, 3×y; N=8, ct_x=ct_y=4, rt=4
+    // e = 4·4/8 = 2 for every cell → χ² per group = (1²/2)·2 = 1.0
+    val df = (Seq.fill(3)("x") ++ Seq("y")).map(("g1", _)) ++
+      (Seq("x") ++ Seq.fill(3)("y")).map(("g2", _))
+    val out = Graft.chiSquareDrift(df.toDF("grp", "cat"), "cat", "grp")
+      .orderBy("grp").collect()
+    assert(out.map(_.getAs[Double]("chi2")).forall(c => math.abs(c - 1.0) < 1e-8))
+    assert(out.map(_.getAs[Long]("dof")).toSeq === Seq(1L, 1L))
+    // a group missing a category entirely: the zero cell carries rt·ct/N
+    val df2 = Seq(("a", "x"), ("a", "x"), ("b", "x"), ("b", "y")).toDF("grp", "cat")
+    val o2 = Graft.chiSquareDrift(df2, "cat", "grp").orderBy("grp").collect()
+    // group a: cells x: o=2, e=2·3/4=1.5 → 0.25/1.5; y: o=0, e=2·1/4=0.5 → 0.5
+    val expA = 0.25 / 1.5 + 0.5
+    assert(math.abs(o2.head.getAs[Double]("chi2") - expA) < 1e-8)
+  }
+
+  test("twoProportionZTest computes the pooled z and guards degenerates") {
+    val s = spark; import s.implicits._
+    // A: 100 units 30 conv; B: 100 units 50 conv
+    val units = ((1 to 100).map(i => (false, i <= 30)) ++
+      (1 to 100).map(i => (true, i <= 50))).toDF("variant", "converted")
+    val out = Graft.twoProportionZTest(units, "variant", "converted").collect().head
+    assert(out.getAs[Long]("n_a") === 100L && out.getAs[Long]("conv_b") === 50L)
+    val pp = 80.0 / 200.0
+    val expZ = (0.5 - 0.3) / math.sqrt(pp * (1 - pp) * (1.0 / 100 + 1.0 / 100))
+    assert(math.abs(out.getAs[Double]("z") - expZ) < 1e-12)
+    assert(math.abs(out.getAs[Double]("lift") - 0.2) < 1e-12)
+    // all-convert pool → se = 0 → NULL z, not Inf
+    val degen = Seq((false, true), (true, true)).toDF("variant", "converted")
+    val d = Graft.twoProportionZTest(degen, "variant", "converted").collect().head
+    assert(d.isNullAt(d.fieldIndex("z")))
+  }
+
   test("winsorize clips into the exact order-statistic band") {
     val s = spark; import s.implicits._
     val df = (1 to 10).map(i => (i.toLong, "g", i * 10.0)).toDF("id", "grp", "v")
