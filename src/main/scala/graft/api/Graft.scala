@@ -2545,4 +2545,131 @@ object Graft {
       when(degenerate, lit(null).cast(DoubleType))
         .otherwise((pb - pa) / se).as("z"))
   }
+
+  /** Weighted HITS hubs & authorities — [[pageRank]]'s companion link
+    * analysis (PageRank measures POPULARITY via random-walk mass; HITS
+    * separates being a good SOURCE of links (hub) from being a good
+    * TARGET (authority) — the curation signal for "this page links to
+    * quality" vs "quality links to this page"). Mutual recursion
+    * a ∝ Σ_in w·h, h ∝ Σ_out w·a, L1-normalized each half-round.
+    *
+    * Exactness: the q111 policy verbatim — every order-sensitive sum
+    * (in/out contributions, the normalizers) is pico-quantized to longs
+    * before aggregation; normalization is one double division per node.
+    * Durability: same `checkpointDir` switch as [[pageRank]].
+    *
+    * 100 TB shape: per half-round one keyed join + one aggregation and
+    * a 1-row normalizer broadcast; lineage cut per round. */
+  def hits(edges: DataFrame, srcCol: String, dstCol: String,
+      weightCol: String, iterations: Int = 8,
+      checkpointDir: Option[String] = None): DataFrame = {
+    require(iterations >= 1, s"hits needs iterations >= 1, got $iterations")
+    val Q = 1.0e12
+    checkpointDir.foreach(edges.sparkSession.sparkContext.setCheckpointDir)
+    def cut(df: DataFrame): DataFrame =
+      if (checkpointDir.isDefined) df.checkpoint() else df.localCheckpoint()
+    val e0 = edges.select(col(srcCol).cast(StringType).as("src"),
+      col(dstCol).cast(StringType).as("dst"),
+      col(weightCol).cast(DoubleType).as("w"))
+    val badW = e0.filter(col("w").isNull || !(col("w") > 0.0)).limit(1).count()
+    require(badW == 0L,
+      s"hits: weight column '$weightCol' must be positive and non-null")
+    val e = cut(e0)
+    val nodes = cut(e.select(col("src").as("node"))
+      .unionAll(e.select(col("dst").as("node"))).distinct())
+    val n = nodes.count()
+    require(n > 0, "hits: empty edge list")
+    var scores = nodes.withColumn("hub", lit(1.0) / lit(n.toDouble))
+      .withColumn("auth", lit(0.0))
+    var i = 0
+    while (i < iterations) {
+      // authority half-round: pull hub mass along in-edges, L1-normalize
+      val aq = e.join(scores.select(col("node").as("src"), col("hub")), Seq("src"))
+        .groupBy(col("dst").as("node"))
+        .agg(sum(round(col("w") * col("hub") * lit(Q)).cast(LongType)).as("__aq"))
+      val asum = aq.agg(sum(col("__aq")).as("__as"))
+      val auth = nodes.join(aq, Seq("node"), "left")
+        .crossJoin(broadcast(asum))
+        .select(col("node"),
+          (coalesce(col("__aq"), lit(0L)).cast(DoubleType) /
+            col("__as").cast(DoubleType)).as("auth"))
+      // hub half-round: pull the fresh authority along out-edges
+      val hq = e.join(auth.select(col("node").as("dst"), col("auth")), Seq("dst"))
+        .groupBy(col("src").as("node"))
+        .agg(sum(round(col("w") * col("auth") * lit(Q)).cast(LongType)).as("__hq"))
+      val hsum = hq.agg(sum(col("__hq")).as("__hs"))
+      val hub = nodes.join(hq, Seq("node"), "left")
+        .crossJoin(broadcast(hsum))
+        .select(col("node"),
+          (coalesce(col("__hq"), lit(0L)).cast(DoubleType) /
+            col("__hs").cast(DoubleType)).as("hub"))
+      scores = cut(hub.join(auth, Seq("node")))
+      i += 1
+    }
+    scores.select(col("node"), col("auth").as("authority"), col("hub"))
+  }
+
+  /** Order-free table fingerprint — the data-integrity primitive for
+    * migrations/compactions/replication at lake scale: XOR of per-row
+    * 63-bit md5 hashes + exact row count. Two tables are (overwhelmingly
+    * likely) row-identical iff fingerprints AND counts match, and the
+    * check is a map-side XOR with a 1-row result — no sort, no shuffle
+    * of data, no driver-side compare of contents.
+    *
+    * Rows are serialized as control-char-joined string casts (U+0001
+    * separator, U+0002 for NULL) — restrict `cols` to integer/string columns (float and
+    * timestamp string forms are not portable across engines/locales).
+    * XOR is commutative+associative, so partitioning and row order are
+    * irrelevant by construction. */
+  def tableFingerprint(df: DataFrame, cols: Seq[String]): DataFrame = {
+    require(cols.nonEmpty, "tableFingerprint needs at least one column")
+    graft.functions.GraftFunctions.register(df.sparkSession)
+    val rowStr = concat_ws("\u0001",
+      cols.map(c => coalesce(col(c).cast(StringType), lit("\u0002"))): _*)
+    df.agg(count(lit(1)).as("n_rows"),
+      coalesce(bit_xor(call_function("md5_lower64", rowStr)
+        .bitwiseAND(lit(0x7FFFFFFFFFFFFFFFL))), lit(0L)).as("fingerprint"))
+  }
+
+  /** Pairwise association rules over baskets — market-basket support /
+    * confidence / lift for item pairs (the co-purchase recommender
+    * signal; q119's event paths are the SEQUENTIAL analogue, this is the
+    * set-co-occurrence one). Returns unordered pairs (a < b) with
+    * basket-count support ≥ `minSupport` and both directed confidences.
+    *
+    * All ratios are single double divisions of exact integer counts;
+    * the support filter is an integer compare.
+    *
+    * 100 TB shape: distinct (basket, item) first (collapses quantity
+    * rows), pair generation is the per-basket a<b self-join — fan-out
+    * C(basket size, 2), the q140/q147 edge shape, never a global
+    * cartesian; item and pair counts are keyed aggregates. */
+  def assocRules(df: DataFrame, basketCol: String, itemCol: String,
+      minSupport: Long = 2L): DataFrame = {
+    require(minSupport >= 1, s"assocRules needs minSupport >= 1, got $minSupport")
+    val bi = df.select(col(basketCol).as("__bk"), col(itemCol).as("__it"))
+      .filter(col("__bk").isNotNull && col("__it").isNotNull)
+      .distinct()
+    val nb = bi.agg(count_distinct(col("__bk")).as("__nb"))
+    val ic = bi.groupBy(col("__it")).agg(count(lit(1)).as("__ci"))
+    val pairs = bi.alias("x").join(bi.alias("y"),
+        col("x.__bk") === col("y.__bk") && col("x.__it") < col("y.__it"))
+      .groupBy(col("x.__it").as("item_a"), col("y.__it").as("item_b"))
+      .agg(count(lit(1)).as("pair_n"))
+      .filter(col("pair_n") >= minSupport)
+    pairs
+      .join(ic.select(col("__it").as("item_a"), col("__ci").as("__ca")), Seq("item_a"))
+      .join(ic.select(col("__it").as("item_b"), col("__ci").as("__cb")), Seq("item_b"))
+      .crossJoin(broadcast(nb))
+      .select(col("item_a"), col("item_b"), col("pair_n"),
+        col("__ca").as("n_a"), col("__cb").as("n_b"),
+        (col("pair_n").cast(DoubleType) / col("__nb").cast(DoubleType))
+          .as("support"),
+        (col("pair_n").cast(DoubleType) / col("__ca").cast(DoubleType))
+          .as("conf_a_to_b"),
+        (col("pair_n").cast(DoubleType) / col("__cb").cast(DoubleType))
+          .as("conf_b_to_a"),
+        ((col("pair_n") * col("__nb")).cast(DoubleType) /
+          (col("__ca") * col("__cb")).cast(DoubleType)).as("lift"))
+  }
 }

@@ -835,8 +835,103 @@ object Analytics {
             .bitwiseAND(lit(1L)) === 1L).as("variant"),
           (col("__cv") === 1L).as("converted"))
       graft.api.Graft.twoProportionZTest(units, "variant", "converted")
-    })
+    }),
+
+    // ---- q153: weighted HITS hubs & authorities over the event-type
+    // transition graph — q111's companion link analysis (PageRank ranks
+    // POPULARITY; HITS separates good SOURCES of links from good
+    // TARGETS). 8 mutual-recursion rounds, L1-normalized per half-round,
+    // in-sums pico-quantized (the q111 policy verbatim); the oracle
+    // unrolls all 16 half-rounds as chained MATERIALIZED CTEs. ----
+    "q153_hits" -> ((s, dir) => {
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(unix_micros(col("ts")), col("event_id"))
+      val edges = t(s, dir, "events")
+        .withColumn("next_type", lead(col("event_type"), 1).over(w))
+        .filter(col("next_type").isNotNull)
+        .groupBy(col("event_type").as("src"), col("next_type").as("dst"))
+        .agg(count(lit(1)).as("w"))
+      graft.api.Graft.hits(edges, "src", "dst", "w", iterations = 8)
+        .orderBy(col("node"))
+    }),
+
+    // ---- q154: order-free table fingerprint — the migration/compaction
+    // integrity check: XOR of per-row 63-bit md5 hashes + exact count,
+    // computed over lineitem AND over a repartitioned copy of it, with
+    // the equality emitted in-band — the query itself PROVES the
+    // fingerprint is partitioning- and order-invariant. Map-side XOR,
+    // 1-row result, no data shuffle. ----
+    "q154_table_fingerprint" -> ((s, dir) => {
+      val cols = Seq("l_orderkey", "l_partkey", "l_suppkey",
+        "l_linenumber", "l_returnflag")
+      val li = t(s, dir, "lineitem")
+      val a = graft.api.Graft.tableFingerprint(li, cols)
+      val b = graft.api.Graft.tableFingerprint(li.repartition(17), cols)
+      a.crossJoin(b.select(col("n_rows").as("n_rows_rewrite"),
+          col("fingerprint").as("fingerprint_rewrite")))
+        .select(col("n_rows"), col("fingerprint"),
+          col("n_rows_rewrite"), col("fingerprint_rewrite"),
+          (col("fingerprint") === col("fingerprint_rewrite") &&
+            col("n_rows") === col("n_rows_rewrite"))
+            .cast(IntegerType).as("is_match"))
+    }),
+
+    // ---- q155: pairwise association rules over order baskets —
+    // market-basket support/confidence/lift on the q140/q147 co-purchase
+    // structure (q119's event paths are the SEQUENTIAL analogue; this is
+    // set co-occurrence). Support filter is an integer compare; every
+    // ratio is a single double division of exact counts. ----
+    "q155_assoc_rules" -> ((s, dir) =>
+      graft.api.Graft.assocRules(
+        t(s, dir, "lineitem").select(col("l_orderkey").as("basket"),
+          col("l_partkey").as("item")),
+        "basket", "item", minSupport = 3L)
+        .orderBy(col("item_a"), col("item_b")))
   )
+
+  /** Unrolled HITS twin of [[graft.api.Graft.hits]]: 2·iters chained
+    * half-rounds (authority pull, L1 normalize; hub pull, L1 normalize)
+    * with the identical pico-quantized sums. */
+  private def hitsSql(iters: Int): String = {
+    val q = "1000000000000.0"
+    val rounds = (1 to iters).map { i =>
+      s"""aq$i AS MATERIALIZED (
+         |  SELECT e.dst AS node,
+         |    SUM(CAST(ROUND(e.w * h.hub * $q) AS BIGINT)) AS aq
+         |  FROM ew e JOIN h${i - 1} h ON h.node = e.src GROUP BY e.dst),
+         |asum$i AS MATERIALIZED (SELECT CAST(SUM(aq) AS BIGINT) AS s FROM aq$i),
+         |a$i AS MATERIALIZED (
+         |  SELECT n.node,
+         |    CAST(COALESCE(aq.aq, 0) AS DOUBLE) / CAST(s.s AS DOUBLE) AS auth
+         |  FROM nodes n LEFT JOIN aq$i aq USING (node) CROSS JOIN asum$i s),
+         |hq$i AS MATERIALIZED (
+         |  SELECT e.src AS node,
+         |    SUM(CAST(ROUND(e.w * a.auth * $q) AS BIGINT)) AS hq
+         |  FROM ew e JOIN a$i a ON a.node = e.dst GROUP BY e.src),
+         |hsum$i AS MATERIALIZED (SELECT CAST(SUM(hq) AS BIGINT) AS s FROM hq$i),
+         |h$i AS MATERIALIZED (
+         |  SELECT n.node,
+         |    CAST(COALESCE(hq.hq, 0) AS DOUBLE) / CAST(s.s AS DOUBLE) AS hub
+         |  FROM nodes n LEFT JOIN hq$i hq USING (node) CROSS JOIN hsum$i s)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH nxt AS (
+       |  SELECT event_type,
+       |    lead(event_type) OVER (PARTITION BY user_id
+       |      ORDER BY epoch_us(ts), event_id) AS next_type
+       |  FROM events),
+       |ew AS MATERIALIZED (
+       |  SELECT event_type AS src, next_type AS dst,
+       |    CAST(COUNT(*) AS DOUBLE) AS w
+       |  FROM nxt WHERE next_type IS NOT NULL GROUP BY 1, 2),
+       |nodes AS MATERIALIZED (
+       |  SELECT src AS node FROM ew UNION SELECT dst FROM ew),
+       |nn AS (SELECT CAST(COUNT(*) AS DOUBLE) AS nd FROM nodes),
+       |h0 AS MATERIALIZED (
+       |  SELECT node, 1.0 / nd AS hub FROM nodes CROSS JOIN nn),
+       |$rounds
+       |SELECT a.node, a.auth AS authority, h.hub
+       |FROM a$iters a JOIN h$iters h USING (node) ORDER BY a.node""".stripMargin
+  }
 
   /** q149 twin: identical micro-quantization, per-lag pair sums via the
     * same lead() windows, HUGEINT cross-multiplied moments, one double
@@ -1010,6 +1105,49 @@ object Analytics {
     "q147_kcore" -> kCoreSql(70, 3),
     "q149_acf" -> acfSql(3),
     "q150_cusum" -> cusumSql(5000000L, 50000000L),
+    "q153_hits" -> hitsSql(8),
+
+    // fingerprint twin: identical U+0001/U+0002 row serialization,
+    // identical 63-bit masked md5, XOR once — emitted twice with
+    // is_match pinned to 1 (the Spark side really computes it twice
+    // over different partitionings; equality IS the property under test)
+    "q154_table_fingerprint" ->
+      """WITH f AS (
+        |  SELECT COUNT(*) AS n_rows,
+        |    COALESCE(bit_xor(CAST(md5_number_lower(concat_ws(chr(1),
+        |      COALESCE(CAST(l_orderkey AS VARCHAR), chr(2)),
+        |      COALESCE(CAST(l_partkey AS VARCHAR), chr(2)),
+        |      COALESCE(CAST(l_suppkey AS VARCHAR), chr(2)),
+        |      COALESCE(CAST(l_linenumber AS VARCHAR), chr(2)),
+        |      COALESCE(CAST(l_returnflag AS VARCHAR), chr(2))))
+        |      & 9223372036854775807::UBIGINT AS BIGINT)), 0) AS fingerprint
+        |  FROM lineitem)
+        |SELECT n_rows, fingerprint, n_rows AS n_rows_rewrite,
+        |  fingerprint AS fingerprint_rewrite, CAST(1 AS INTEGER) AS is_match
+        |FROM f""".stripMargin,
+
+    // association-rules twin: identical distinct → pair-gen → count
+    // chain, integer support filter, single double divisions
+    "q155_assoc_rules" ->
+      """WITH bi AS (
+        |  SELECT DISTINCT l_orderkey AS bk, l_partkey AS it FROM lineitem
+        |  WHERE l_orderkey IS NOT NULL AND l_partkey IS NOT NULL),
+        |nb AS (SELECT COUNT(DISTINCT bk) AS nb FROM bi),
+        |ic AS (SELECT it, COUNT(*) AS ci FROM bi GROUP BY it),
+        |p AS (
+        |  SELECT x.it AS item_a, y.it AS item_b, COUNT(*) AS pair_n
+        |  FROM bi x JOIN bi y ON x.bk = y.bk AND x.it < y.it
+        |  GROUP BY 1, 2 HAVING COUNT(*) >= 3)
+        |SELECT p.item_a, p.item_b, p.pair_n, a.ci AS n_a, b.ci AS n_b,
+        |  CAST(p.pair_n AS DOUBLE) / CAST(nb.nb AS DOUBLE) AS support,
+        |  CAST(p.pair_n AS DOUBLE) / CAST(a.ci AS DOUBLE) AS conf_a_to_b,
+        |  CAST(p.pair_n AS DOUBLE) / CAST(b.ci AS DOUBLE) AS conf_b_to_a,
+        |  CAST(p.pair_n * nb.nb AS DOUBLE) / CAST(a.ci * b.ci AS DOUBLE) AS lift
+        |FROM p
+        |JOIN ic a ON a.it = p.item_a
+        |JOIN ic b ON b.it = p.item_b
+        |CROSS JOIN nb
+        |ORDER BY item_a, item_b""".stripMargin,
 
     // chi-square twin: identical grid (zero cells included), identical
     // euclidean nano-scaling — integer // and % only, one double division

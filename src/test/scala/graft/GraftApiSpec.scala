@@ -744,6 +744,58 @@ class GraftApiSpec extends AnyFunSuite {
     assert(d.isNullAt(d.fieldIndex("z")))
   }
 
+  test("hits separates pure hubs from pure authorities on a star") {
+    val s = spark; import s.implicits._
+    // s → t1, t2, t3: s is the only hub, targets split authority evenly
+    val edges = Seq(("s", "t1", 1.0), ("s", "t2", 1.0), ("s", "t3", 1.0))
+      .toDF("src", "dst", "w")
+    val out = Graft.hits(edges, "src", "dst", "w", iterations = 3)
+      .orderBy("node").collect()
+      .map(r => (r.getString(0), r.getDouble(1), r.getDouble(2))).toSeq
+    val (hubRow, targets) = (out.head, out.tail)
+    assert(hubRow._1 === "s" && hubRow._2 === 0.0 && hubRow._3 === 1.0)
+    targets.foreach { case (_, auth, hub) =>
+      assert(math.abs(auth - 1.0 / 3) < 1e-9 && hub === 0.0)
+    }
+    // zero/negative weights fail loudly
+    intercept[IllegalArgumentException] {
+      Graft.hits(Seq(("a", "b", 0.0)).toDF("src", "dst", "w"), "src", "dst", "w")
+    }
+  }
+
+  test("tableFingerprint is order/partitioning-invariant and content-sensitive") {
+    val s = spark; import s.implicits._
+    val df = Seq((1L, "a"), (2L, "b"), (3L, null: String)).toDF("id", "v")
+    def fp(d: org.apache.spark.sql.DataFrame): (Long, Long) = {
+      val r = Graft.tableFingerprint(d, Seq("id", "v")).collect().head
+      (r.getLong(0), r.getLong(1))
+    }
+    val base = fp(df)
+    assert(fp(df.repartition(7)) === base)           // partitioning-invariant
+    assert(fp(df.orderBy(col("v").desc)) === base)   // order-invariant
+    val mutated = Seq((1L, "a"), (2L, "B"), (3L, null: String)).toDF("id", "v")
+    assert(fp(mutated) !== base)                     // content-sensitive
+    // empty table: count 0, fingerprint 0 (not null)
+    assert(fp(df.filter(col("id") > 100)) === ((0L, 0L)))
+  }
+
+  test("assocRules computes support/confidence/lift on known baskets") {
+    val s = spark; import s.implicits._
+    // baskets: {x,y} ×3, {x,z} ×1, {y} ×1 → nb=5, cx=4, cy=4, cz=1
+    val rows = Seq(
+      (1L, "x"), (1L, "y"), (2L, "x"), (2L, "y"), (3L, "x"), (3L, "y"),
+      (4L, "x"), (4L, "z"), (5L, "y"))
+    val out = Graft.assocRules(rows.toDF("bk", "it"), "bk", "it",
+      minSupport = 2L).collect()
+    assert(out.length === 1) // only (x,y) reaches support 2; (x,z) is 1
+    val r = out.head
+    assert(r.getAs[String]("item_a") === "x" && r.getAs[String]("item_b") === "y")
+    assert(r.getAs[Long]("pair_n") === 3L)
+    assert(math.abs(r.getAs[Double]("support") - 0.6) < 1e-12)
+    assert(math.abs(r.getAs[Double]("conf_a_to_b") - 0.75) < 1e-12)
+    assert(math.abs(r.getAs[Double]("lift") - 3.0 * 5 / 16) < 1e-12)
+  }
+
   test("winsorize clips into the exact order-statistic band") {
     val s = spark; import s.implicits._
     val df = (1 to 10).map(i => (i.toLong, "g", i * 10.0)).toDF("id", "grp", "v")
