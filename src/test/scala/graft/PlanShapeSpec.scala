@@ -299,4 +299,28 @@ class PlanShapeSpec extends AnyFunSuite {
     }, p)
     assert(!p.contains("CartesianProduct"), p)
   }
+
+  test("q149 acf windows and aggregates per key, never a stream self-join") {
+    val p = planOf("q149_acf")
+    // lead() columns ride ONE key-partitioned window; moments are keyed
+    // partial+final aggregates — the token-stream is never self-joined
+    assert(p.contains("hashpartitioning(__k"), p)
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoop"), p)
+    assert(!p.contains("SortMergeJoin"), p) // the #keys-row moment join broadcasts
+  }
+
+  test("q150 cusum broadcasts the per-key moments onto one keyed window sort") {
+    val p = planOf("q150_cusum")
+    assert(p.contains("hashpartitioning(__k"), p)
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("q155 assoc rules pair-gen is a keyed equi-join, never a cartesian") {
+    val p = planOf("q155_assoc_rules")
+    assert(!p.contains("CartesianProduct"), p)
+    // basket self-join must be an equi-join on the basket key
+    assert(p.contains("__bk"), p)
+    assert(p.contains("HashAggregate"), p)
+  }
 }
