@@ -2672,4 +2672,57 @@ object Graft {
         ((col("pair_n") * col("__nb")).cast(DoubleType) /
           (col("__ca") * col("__cb")).cast(DoubleType)).as("lift"))
   }
+
+  /** Theil–Sen robust trend per key — the median of all pairwise slopes
+    * (v_j − v_i)/(t_j − t_i): the heavy-tail-safe twin of the OLS
+    * slope exactly as MAD (q118) is to the z-score (q85) — one wild
+    * point moves an OLS fit arbitrarily but shifts a slope MEDIAN by at
+    * most one rank. `tCol`/`vCol` must be exact integers (epoch days,
+    * cents); same-t pairs are excluded (vertical slope), keys with no
+    * valid pair drop out.
+    *
+    * Exactness: each slope is ONE double division of exact longs;
+    * median selection is integer rank arithmetic over a deterministic
+    * (slope, rank-pair) order, and the even-m midpoint is one fixed
+    * (lo+hi)/2 chain — both engines replay it bit-for-bit.
+    *
+    * 100 TB shape: pair generation is per-key C(min(n, maxPoints), 2)
+    * via a keyed self-join on the row_number prefix — the cap bounds
+    * the quadratic per key (points beyond `maxPoints` in time order are
+    * ignored, documented truncation); everything shuffles on the key
+    * only. */
+  def theilSen(df: DataFrame, keyCol: String, tCol: String, vCol: String,
+      maxPoints: Int = 1000): DataFrame = {
+    require(maxPoints >= 2, s"theilSen needs maxPoints >= 2, got $maxPoints")
+    val w = Window.partitionBy(col("__k")).orderBy(col("__t"), col("__v"))
+    val base = df.select(col(keyCol).as("__k"),
+        col(tCol).cast(LongType).as("__t"), col(vCol).cast(LongType).as("__v"))
+      .filter(col("__t").isNotNull && col("__v").isNotNull)
+      .withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") <= maxPoints)
+    val slopes = base.alias("x").join(base.alias("y"),
+        col("x.__k") === col("y.__k") && col("x.__rn") < col("y.__rn"))
+      .filter(col("y.__t") =!= col("x.__t"))
+      .select(col("x.__k").as("__k"), col("x.__rn").as("__ri"),
+        col("y.__rn").as("__rj"),
+        ((col("y.__v") - col("x.__v")).cast(DoubleType) /
+          (col("y.__t") - col("x.__t")).cast(DoubleType)).as("__s"))
+    val sw = Window.partitionBy(col("__k"))
+    val ranked = slopes
+      .withColumn("__r", row_number()
+        .over(sw.orderBy(col("__s"), col("__ri"), col("__rj"))).cast(LongType))
+      .withColumn("__m", count(lit(1)).over(sw))
+      .withColumn("__lo", expr("(__m + 1) div 2"))
+      .withColumn("__hi", expr("(__m + 2) div 2"))
+    val n = base.groupBy(col("__k")).agg(count(lit(1)).as("n"))
+    ranked
+      .filter(col("__r") === col("__lo") || col("__r") === col("__hi"))
+      .groupBy(col("__k"), col("__m"))
+      .agg(((min(when(col("__r") === col("__lo"), col("__s"))) +
+        max(when(col("__r") === col("__hi"), col("__s")))) / lit(2.0))
+        .as("slope_ts"))
+      .join(n, Seq("__k"))
+      .select(col("__k").as(keyCol), col("n"), col("__m").as("n_pairs"),
+        col("slope_ts"))
+  }
 }

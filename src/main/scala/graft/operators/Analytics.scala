@@ -886,7 +886,24 @@ object Analytics {
         t(s, dir, "lineitem").select(col("l_orderkey").as("basket"),
           col("l_partkey").as("item")),
         "basket", "item", minSupport = 3L)
-        .orderBy(col("item_a"), col("item_b")))
+        .orderBy(col("item_a"), col("item_b"))),
+
+    // ---- q156: Theil–Sen robust trend per customer — the median of
+    // all pairwise slopes, q117's heavy-tail-safe twin exactly as q118
+    // MAD is to q85's z-score (one wild order moves OLS arbitrarily,
+    // shifts a slope MEDIAN by one rank). Pair-gen is the capped keyed
+    // self-join (C(min(n,100),2) per key); each slope is one double
+    // division of exact day/cent longs; median selection is integer
+    // rank arithmetic over a deterministic order. ----
+    "q156_theil_sen" -> ((s, dir) => {
+      val o = t(s, dir, "orders").select(col("o_custkey"),
+        graft.api.Graft.epochDay(col("o_orderdate").cast(TimestampType)).as("t"),
+        round(col("o_totalprice") * lit(100.0)).cast(LongType).as("vc"))
+      graft.api.Graft.theilSen(o, "o_custkey", "t", "vc", maxPoints = 100)
+        .select(col("o_custkey"), col("n"), col("n_pairs"),
+          (col("slope_ts") / lit(100.0)).as("slope_per_day"))
+        .orderBy(col("o_custkey"))
+    })
   )
 
   /** Unrolled HITS twin of [[graft.api.Graft.hits]]: 2·iters chained
@@ -1125,6 +1142,42 @@ object Analytics {
         |SELECT n_rows, fingerprint, n_rows AS n_rows_rewrite,
         |  fingerprint AS fingerprint_rewrite, CAST(1 AS INTEGER) AS is_match
         |FROM f""".stripMargin,
+
+    // Theil–Sen twin: identical capped row_number prefix, identical
+    // pair-gen and deterministic (slope, ri, rj) rank order, integer
+    // median positions, the same (lo+hi)/2 → /100 double chain
+    "q156_theil_sen" ->
+      """WITH b0 AS (
+        |  SELECT o_custkey AS k,
+        |    epoch_us(o_orderdate) // 86400000000 AS t,
+        |    CAST(ROUND(o_totalprice * 100.0) AS BIGINT) AS v
+        |  FROM orders),
+        |b AS (
+        |  SELECT k, t, v, rn FROM (
+        |    SELECT k, t, v,
+        |      ROW_NUMBER() OVER (PARTITION BY k ORDER BY t, v) AS rn
+        |    FROM b0) q WHERE rn <= 100),
+        |s AS (
+        |  SELECT x.k, x.rn AS ri, y.rn AS rj,
+        |    CAST(y.v - x.v AS DOUBLE) / CAST(y.t - x.t AS DOUBLE) AS sl
+        |  FROM b x JOIN b y ON x.k = y.k AND x.rn < y.rn
+        |  WHERE y.t <> x.t),
+        |r AS (
+        |  SELECT k, sl,
+        |    ROW_NUMBER() OVER (PARTITION BY k ORDER BY sl, ri, rj) AS r,
+        |    COUNT(*) OVER (PARTITION BY k) AS m
+        |  FROM s),
+        |med AS (
+        |  SELECT k, m,
+        |    (MIN(CASE WHEN r = (m + 1) // 2 THEN sl END)
+        |      + MAX(CASE WHEN r = (m + 2) // 2 THEN sl END)) / 2.0 AS slope_ts
+        |  FROM r WHERE r = (m + 1) // 2 OR r = (m + 2) // 2
+        |  GROUP BY k, m),
+        |n AS (SELECT k, COUNT(*) AS n FROM b GROUP BY k)
+        |SELECT med.k AS o_custkey, n.n, med.m AS n_pairs,
+        |  med.slope_ts / 100.0 AS slope_per_day
+        |FROM med JOIN n ON n.k = med.k
+        |ORDER BY o_custkey""".stripMargin,
 
     // association-rules twin: identical distinct → pair-gen → count
     // chain, integer support filter, single double divisions

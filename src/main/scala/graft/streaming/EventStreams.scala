@@ -164,4 +164,41 @@ object EventStreams {
       }
       .toDF("user_id", "session_start", "session_end", "n_events")
   }
+
+  /** Online CUSUM drift alarms per user — the streaming deployment of
+    * q150's batch scan: the batch form measures drift against the
+    * series' own mean (needs the full series), the deployed monitor
+    * tracks a FIXED trained baseline `target` and fires the moment the
+    * accumulated excess s = max(0, s + (x − target − slack)) crosses
+    * `threshold`, then resets (standard alarm-restart semantics).
+    *
+    * State is ONE micro-quantized long per key (exact, no float drift
+    * across micro-batches); within a batch rows apply in event-time
+    * order. Emits only alarm rows — the sparse monitor stream, not a
+    * per-event trace. */
+  def cusumAlarms(events: DataFrame, target: Double, slack: Double,
+      threshold: Double): DataFrame = {
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    val spark = events.sparkSession
+    import spark.implicits._
+    val off = math.round((target + slack) * 1e6)
+    val hq = math.round(threshold * 1e6)
+    events.selectExpr("user_id", "ts", "value")
+      .as[(Long, java.sql.Timestamp, Double)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState[Long, (Long, java.sql.Timestamp, Double)](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        case (user, rows, state: GroupState[Long]) =>
+          var s = state.getOption.getOrElse(0L)
+          val out = scala.collection.mutable.ArrayBuffer
+            .empty[(Long, java.sql.Timestamp, Double)]
+          rows.toArray.sortBy(_._2.getTime).foreach { case (_, ts, v) =>
+            s = math.max(0L, s + math.round(v * 1e6) - off)
+            if (s > hq) { out += ((user, ts, s / 1e6)); s = 0L }
+          }
+          state.update(s)
+          out.iterator
+      }
+      .toDF("user_id", "alarm_ts", "cusum_at_alarm")
+  }
 }

@@ -796,6 +796,22 @@ class GraftApiSpec extends AnyFunSuite {
     assert(math.abs(r.getAs[Double]("lift") - 3.0 * 5 / 16) < 1e-12)
   }
 
+  test("theilSen ignores an outlier the OLS slope cannot") {
+    val s = spark; import s.implicits._
+    // perfect slope-1 line with one wild point: 6 of 10 pairwise slopes
+    // are exactly 1, so the median (ranks 5 and 6) is 1.0 — OLS on the
+    // same data gives ~17x that
+    val pts = Seq((1L, 1L), (2L, 2L), (3L, 3L), (4L, 4L), (5L, 100L))
+      .map { case (t, v) => ("k", t, v) }
+    val out = Graft.theilSen(pts.toDF("key", "t", "v"), "key", "t", "v")
+      .collect().head
+    assert(out.getAs[Long]("n") === 5L && out.getAs[Long]("n_pairs") === 10L)
+    assert(out.getAs[Double]("slope_ts") === 1.0)
+    // same-t pairs are excluded; a key with ONLY same-t points drops out
+    val flat = Seq(("f", 1L, 1L), ("f", 1L, 9L)).toDF("key", "t", "v")
+    assert(Graft.theilSen(flat, "key", "t", "v").count() === 0L)
+  }
+
   test("winsorize clips into the exact order-statistic band") {
     val s = spark; import s.implicits._
     val df = (1 to 10).map(i => (i.toLong, "g", i * 10.0)).toDF("id", "grp", "v")

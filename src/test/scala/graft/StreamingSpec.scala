@@ -180,6 +180,32 @@ class StreamingSpec extends AnyFunSuite {
     assert(last.getLong(0) === 2L && last.getDouble(1) === 4.0)
   }
 
+  test("streaming CUSUM fires at the threshold crossing and resets") {
+    val s = spark
+    import s.implicits._
+    implicit val sc = s.sqlContext
+    val mem = MemoryStream[Ev]
+    // target 10, slack 1, threshold 5: excess per 14-value = 3
+    // s: 3, 6 → ALARM(reset), 3, 6 → ALARM; the 10-values add nothing
+    mem.addData(Ev(1, ts(0), 7, "m", 14.0), Ev(2, ts(1), 7, "m", 14.0),
+      Ev(3, ts(2), 7, "m", 10.0))
+    val out = EventStreams.cusumAlarms(mem.toDF, target = 10.0,
+      slack = 1.0, threshold = 5.0)
+    val q = out.writeStream.format("memory").queryName("cusum")
+      .outputMode("append").start()
+    q.processAllAvailable()
+    // state (s = 0 after alarm, then 10-value keeps it 0) persists into
+    // the NEXT micro-batch: two more 14s re-accumulate and re-fire
+    mem.addData(Ev(4, ts(3), 7, "m", 14.0), Ev(5, ts(4), 7, "m", 14.0))
+    q.processAllAvailable()
+    q.stop()
+    val rows = s.sql("SELECT alarm_ts, cusum_at_alarm FROM cusum ORDER BY alarm_ts")
+      .collect()
+    assert(rows.length === 2)
+    assert(rows.map(_.getTimestamp(0)).toSeq === Seq(ts(1), ts(4)))
+    assert(rows.forall(_.getDouble(1) === 6.0))
+  }
+
   test("corpus-prep operators compose onto streams (stateless scrub + quality gate)") {
     // The per-row corpus ops (scrubPii, text_stats quality gate) are
     // pure projections, so the same Graft calls run unchanged on a
