@@ -2725,4 +2725,91 @@ object Graft {
       .select(col("__k").as(keyCol), col("n"), col("__m").as("n_pairs"),
         col("slope_ts"))
   }
+
+  /** Zone-map skip audit — per-file SKIPPABLE decisions for a range
+    * predicate `[lo, hi]` from a stats manifest alone (file, min, max,
+    * rows): the data-skipping planner next to q130's compaction planner
+    * and q116's range layout. A file is skippable iff its [min, max]
+    * zone cannot intersect the predicate — the row-group/file pruning
+    * rule every lake format (parquet zone maps, Iceberg/Delta file
+    * stats) applies; auditing it from the manifest predicts scan cost
+    * BEFORE touching data, and a low skip fraction on a hot predicate
+    * is the signal to re-layout (q116/q81).
+    *
+    * Pure integer compares over manifest-sized input — the planner
+    * never reads data files. */
+  def zoneMapSkipAudit(manifest: DataFrame, fileCol: String, minCol: String,
+      maxCol: String, rowsCol: String, lo: Long, hi: Long): DataFrame = {
+    require(lo <= hi, s"zoneMapSkipAudit needs lo <= hi, got $lo > $hi")
+    manifest.select(col(fileCol),
+      col(minCol).cast(LongType).as("min_v"),
+      col(maxCol).cast(LongType).as("max_v"),
+      col(rowsCol).cast(LongType).as("n_rows"),
+      (col(maxCol).cast(LongType) < lit(lo) ||
+        col(minCol).cast(LongType) > lit(hi)).cast(IntegerType).as("skippable"))
+  }
+
+  /** Cross-correlation of two event-count series at lags −maxLag..maxLag
+    * — [[acf]]'s cross-series twin (does series x LEAD series y?): both
+    * series are daily counts on the full closed day grid (gap days are
+    * genuine zeros), r_xy(k) pairs x_d with y_{d+k} and normalizes by
+    * the full-series variances.
+    *
+    * Exactness: counts are exact integers; the estimator is
+    * cross-multiplied by n² (the q149 device) so numerator and both
+    * variance terms are single exact DECIMAL(38,0)/int128 integers, and
+    * the result is one fixed double chain with two sqrts. Constant
+    * series yield NULL.
+    *
+    * Scale note: the day grid is #days-sized — an AGGREGATE result, not
+    * raw data — so the single-partition lead window over it is
+    * dimension-table work (the q108 k-row-window precedent); everything
+    * upstream is keyed counts. */
+  def ccf(df: DataFrame, tsCol: String, typeCol: String, xType: String,
+      yType: String, maxLag: Int = 3): DataFrame = {
+    require(maxLag >= 1 && maxLag <= 16, s"ccf needs 1 <= maxLag <= 16, got $maxLag")
+    val dec = DecimalType(38, 0)
+    val d = df.select(epochDay(col(tsCol)).as("d"), col(typeCol).as("t"))
+    val counts = d.groupBy(col("d")).agg(
+      count(when(col("t") === xType, 1)).as("x"),
+      count(when(col("t") === yType, 1)).as("y"))
+    val bounds = d.agg(min(col("d")).as("d0"), max(col("d")).as("d1"))
+    val grid = bounds.select(explode(sequence(col("d0"), col("d1"))).as("d"))
+      .join(counts, Seq("d"), "left").na.fill(0L, Seq("x", "y"))
+    val w = Window.orderBy(col("d"))
+    val leads = (1 to maxLag).foldLeft(grid) { (g, k) =>
+      g.withColumn(s"__yl$k", lead(col("y"), k).over(w))
+        .withColumn(s"__xl$k", lead(col("x"), k).over(w))
+    }
+    val g1 = grid.agg(count(lit(1)).as("__n"),
+      sum(col("x")).as("__sx"), sum(col("y")).as("__sy"),
+      sum(col("x").cast(dec) * col("x")).as("__sxx"),
+      sum(col("y").cast(dec) * col("y")).as("__syy"))
+    // lag k > 0: (x_d, y_{d+k}); lag 0: (x, y); lag −k: (x_{d+k}, y_d)
+    val pairStructs =
+      (1 to maxLag).map(k => struct(lit(-k.toLong).as("lag"),
+        col(s"__xl$k").as("a"), col("y").as("b"))) ++
+      Seq(struct(lit(0L).as("lag"), col("x").as("a"), col("y").as("b"))) ++
+      (1 to maxLag).map(k => struct(lit(k.toLong).as("lag"),
+        col("x").as("a"), col(s"__yl$k").as("b")))
+    val pairs = leads.select(explode(array(pairStructs: _*)).as("p"))
+      .select(col("p.lag").as("lag"), col("p.a").as("a"), col("p.b").as("b"))
+      .filter(col("a").isNotNull && col("b").isNotNull)
+    val pl = pairs.groupBy(col("lag")).agg(
+      count(lit(1)).as("n_pairs"),
+      sum(col("a").cast(dec) * col("b")).as("__sab"),
+      sum(col("a")).as("__sa"), sum(col("b")).as("__sb"))
+    val nd = col("__n").cast(dec)
+    val num = nd * nd * col("__sab") - nd * col("__sy").cast(dec) * col("__sa") -
+      nd * col("__sx").cast(dec) * col("__sb") +
+      col("__m2") * col("__sx").cast(dec) * col("__sy")
+    val va = nd * nd * col("__sxx") - nd * col("__sx").cast(dec) * col("__sx")
+    val vb = nd * nd * col("__syy") - nd * col("__sy").cast(dec) * col("__sy")
+    pl.withColumn("__m2", col("n_pairs").cast(dec))
+      .crossJoin(broadcast(g1))
+      .select(col("lag"), col("n_pairs"),
+        when(va === lit(0) || vb === lit(0), lit(null).cast(DoubleType))
+          .otherwise(num.cast(DoubleType) /
+            (sqrt(va.cast(DoubleType)) * sqrt(vb.cast(DoubleType)))).as("ccf"))
+  }
 }

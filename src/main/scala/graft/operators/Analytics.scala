@@ -903,8 +903,85 @@ object Analytics {
         .select(col("o_custkey"), col("n"), col("n_pairs"),
           (col("slope_ts") / lit(100.0)).as("slope_per_day"))
         .orderBy(col("o_custkey"))
-    })
+    }),
+
+    // ---- q157: zone-map skip audit — per-file SKIPPABLE decisions for
+    // a key-range predicate from a stats manifest (file, min, max,
+    // rows): the data-skipping planner next to q130's compaction and
+    // q116's range layout; predicts scan cost before touching data.
+    // Pure integer compares over manifest-sized input. ----
+    "q157_zonemap_audit" -> ((s, dir) => {
+      val manifest = t(s, dir, "lineitem")
+        .groupBy(expr("l_orderkey div 4096").as("file_id"))
+        .agg(min(col("l_orderkey")).as("mn"), max(col("l_orderkey")).as("mx"),
+          count(lit(1)).as("rows"))
+      graft.api.Graft.zoneMapSkipAudit(manifest, "file_id", "mn", "mx",
+          "rows", lo = 8192L, hi = 16384L)
+        .orderBy(col("file_id"))
+    }),
+
+    // ---- q158: cross-correlation of daily click vs purchase counts at
+    // lags −3..3 — q149's cross-series twin (does click volume LEAD
+    // purchase volume?). Day grid includes gap days as genuine zeros;
+    // the estimator is cross-multiplied by n² (single exact int128
+    // numerator/variances), one fixed double chain with two sqrts. ----
+    "q158_ccf" -> ((s, dir) =>
+      graft.api.Graft.ccf(t(s, dir, "events"), "ts", "event_type",
+          "click", "purchase", maxLag = 3)
+        .orderBy(col("lag")))
   )
+
+  /** q158 twin: identical day grid (gap days zero-filled via
+    * generate_series), per-lag pair sums via the same lead() windows,
+    * HUGEINT cross-multiplied moments, the same two-sqrt double chain. */
+  private def ccfSql(maxLag: Int): String = {
+    def lagSelect(lag: Int): String = {
+      val (a, b) =
+        if (lag < 0) (s"xl${-lag}", "y")
+        else if (lag == 0) ("x", "y")
+        else ("x", s"yl$lag")
+      s"""  SELECT CAST($lag AS BIGINT) AS lag, COUNT(*) AS n_pairs,
+         |    SUM(CAST($a AS HUGEINT) * $b) AS sab, SUM($a) AS sa, SUM($b) AS sb
+         |  FROM l WHERE $a IS NOT NULL AND $b IS NOT NULL""".stripMargin
+    }
+    val leadCols = (1 to maxLag).map(k =>
+      s"lead(y, $k) OVER w AS yl$k, lead(x, $k) OVER w AS xl$k").mkString(", ")
+    val lagCtes = (-maxLag to maxLag).map(lagSelect).mkString("\n  UNION ALL\n")
+    s"""WITH e AS (
+       |  SELECT epoch_us(ts) // 86400000000 AS d, event_type AS t FROM events),
+       |c AS (
+       |  SELECT d, COUNT(*) FILTER (WHERE t = 'click') AS x,
+       |         COUNT(*) FILTER (WHERE t = 'purchase') AS y
+       |  FROM e GROUP BY d),
+       |bounds AS (SELECT MIN(d) AS d0, MAX(d) AS d1 FROM e),
+       |grid AS (
+       |  SELECT g.d, COALESCE(c.x, 0) AS x, COALESCE(c.y, 0) AS y
+       |  FROM (SELECT unnest(generate_series(d0, d1)) AS d FROM bounds) g
+       |  LEFT JOIN c USING (d)),
+       |l AS (SELECT d, x, y, $leadCols FROM grid WINDOW w AS (ORDER BY d)),
+       |g1 AS (
+       |  SELECT COUNT(*) AS n, SUM(x) AS sx, SUM(y) AS sy,
+       |    SUM(CAST(x AS HUGEINT) * x) AS sxx,
+       |    SUM(CAST(y AS HUGEINT) * y) AS syy
+       |  FROM grid),
+       |pl AS (
+       |$lagCtes)
+       |SELECT pl.lag, pl.n_pairs,
+       |  CASE WHEN CAST(g1.n AS HUGEINT) * g1.n * g1.sxx
+       |         - CAST(g1.n AS HUGEINT) * g1.sx * g1.sx = 0
+       |       OR CAST(g1.n AS HUGEINT) * g1.n * g1.syy
+       |         - CAST(g1.n AS HUGEINT) * g1.sy * g1.sy = 0 THEN NULL
+       |  ELSE CAST(CAST(g1.n AS HUGEINT) * g1.n * pl.sab
+       |         - CAST(g1.n AS HUGEINT) * g1.sy * pl.sa
+       |         - CAST(g1.n AS HUGEINT) * g1.sx * pl.sb
+       |         + CAST(pl.n_pairs AS HUGEINT) * g1.sx * g1.sy AS DOUBLE)
+       |    / (sqrt(CAST(CAST(g1.n AS HUGEINT) * g1.n * g1.sxx
+       |         - CAST(g1.n AS HUGEINT) * g1.sx * g1.sx AS DOUBLE))
+       |      * sqrt(CAST(CAST(g1.n AS HUGEINT) * g1.n * g1.syy
+       |         - CAST(g1.n AS HUGEINT) * g1.sy * g1.sy AS DOUBLE))) END AS ccf
+       |FROM pl CROSS JOIN g1
+       |ORDER BY lag""".stripMargin
+  }
 
   /** Unrolled HITS twin of [[graft.api.Graft.hits]]: 2·iters chained
     * half-rounds (authority pull, L1 normalize; hub pull, L1 normalize)
@@ -1142,6 +1219,19 @@ object Analytics {
         |SELECT n_rows, fingerprint, n_rows AS n_rows_rewrite,
         |  fingerprint AS fingerprint_rewrite, CAST(1 AS INTEGER) AS is_match
         |FROM f""".stripMargin,
+
+    "q158_ccf" -> ccfSql(3),
+
+    // zone-map twin: identical synthetic file grouping and integer
+    // cannot-intersect rule
+    "q157_zonemap_audit" ->
+      """WITH m AS (
+        |  SELECT l_orderkey // 4096 AS file_id, MIN(l_orderkey) AS min_v,
+        |    MAX(l_orderkey) AS max_v, COUNT(*) AS n_rows
+        |  FROM lineitem GROUP BY 1)
+        |SELECT file_id, min_v, max_v, n_rows,
+        |  CAST(max_v < 8192 OR min_v > 16384 AS INTEGER) AS skippable
+        |FROM m ORDER BY file_id""".stripMargin,
 
     // Theil–Sen twin: identical capped row_number prefix, identical
     // pair-gen and deterministic (slope, ri, rj) rank order, integer

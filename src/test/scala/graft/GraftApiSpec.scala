@@ -812,6 +812,42 @@ class GraftApiSpec extends AnyFunSuite {
     assert(Graft.theilSen(flat, "key", "t", "v").count() === 0L)
   }
 
+  test("zoneMapSkipAudit skips exactly the files whose zone cannot intersect") {
+    val s = spark; import s.implicits._
+    val manifest = Seq((1L, 0L, 10L, 100L), (2L, 20L, 30L, 100L),
+      (3L, 40L, 50L, 100L)).toDF("f", "mn", "mx", "rows")
+    val out = Graft.zoneMapSkipAudit(manifest, "f", "mn", "mx", "rows",
+      lo = 15L, hi = 35L).orderBy("f").collect()
+    // [0,10] is fully below, [20,30] overlaps, [40,50] is fully above
+    assert(out.map(_.getAs[Int]("skippable")).toSeq === Seq(1, 0, 1))
+    // boundary touch is NOT skippable (max == lo intersects)
+    val touch = Seq((1L, 5L, 15L, 10L)).toDF("f", "mn", "mx", "rows")
+    assert(Graft.zoneMapSkipAudit(touch, "f", "mn", "mx", "rows", 15L, 35L)
+      .collect().head.getAs[Int]("skippable") === 0)
+  }
+
+  test("ccf detects a one-day lead with the hand-computed estimator") {
+    val s = spark; import s.implicits._
+    // x (clicks) per day 0..4 = [1,3,2,5,4]; y (purchases) = x shifted
+    // one day later → lag +1 pairs are (v, v): n=5, Sx=15, Sy=11,
+    // Sxx=55, Syy=39; lag1: Sab=39, Sa=Sb=11, m=4 → NUM=205, A=250,
+    // B=370; lag0: Sab=39, m=5 → NUM=150
+    val x = Seq(1, 3, 2, 5, 4)
+    val rows =
+      x.zipWithIndex.flatMap { case (c, d) =>
+        Seq.fill(c)((new Timestamp(d * 86400000L), "click")) } ++
+      x.zipWithIndex.flatMap { case (c, d) =>
+        Seq.fill(c)((new Timestamp((d + 1) * 86400000L), "purchase")) }
+    // drop day-5 purchases so the grid stays days 0..4
+    val df = rows.filter(_._1.getTime < 5 * 86400000L).toDF("ts", "t")
+    val out = Graft.ccf(df, "ts", "t", "click", "purchase", maxLag = 1)
+      .orderBy("lag").collect()
+    val got = out.map(r => r.getAs[Long]("lag") -> r.getAs[Double]("ccf")).toMap
+    assert(math.abs(got(1L) - 205.0 / math.sqrt(250.0 * 370.0)) < 1e-12)
+    assert(math.abs(got(0L) - 150.0 / math.sqrt(250.0 * 370.0)) < 1e-12)
+    assert(got(1L) > got(0L) && got(1L) > got(-1L)) // the lead shows at +1
+  }
+
   test("winsorize clips into the exact order-statistic band") {
     val s = spark; import s.implicits._
     val df = (1 to 10).map(i => (i.toLong, "g", i * 10.0)).toDF("id", "grp", "v")
