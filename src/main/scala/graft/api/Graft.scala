@@ -2812,4 +2812,43 @@ object Graft {
           .otherwise(num.cast(DoubleType) /
             (sqrt(va.cast(DoubleType)) * sqrt(vb.cast(DoubleType)))).as("ccf"))
   }
+
+  /** Keyed table diff — [[tableFingerprint]]'s drill-down: when two
+    * table versions' fingerprints disagree, WHICH keys differ and how?
+    * Emits one row per differing key with status `a_only` / `b_only` /
+    * `changed`; identical rows produce NOTHING (the diff is sparse by
+    * construction — its size is the drift, not the table).
+    *
+    * Value columns compare by the same portable row hash as
+    * [[tableFingerprint]] (restrict to integer/string columns). Keys
+    * must be unique per side — validated up front with a fail-loud scan
+    * (duplicate keys would fan out the join and report phantom diffs).
+    *
+    * 100 TB shape: one hash projection per side + ONE keyed full-outer
+    * join; nothing is collected, broadcast, or sorted globally. */
+  def tableDiff(a: DataFrame, b: DataFrame, keyCols: Seq[String],
+      valCols: Seq[String]): DataFrame = {
+    require(keyCols.nonEmpty && valCols.nonEmpty,
+      "tableDiff needs non-empty key and value column lists")
+    graft.functions.GraftFunctions.register(a.sparkSession)
+    def rowHash: Column = call_function("md5_lower64",
+      concat_ws("\u0001",
+        valCols.map(c => coalesce(col(c).cast(StringType), lit("\u0002"))): _*))
+      .bitwiseAND(lit(0x7FFFFFFFFFFFFFFFL))
+    def hashed(df: DataFrame, side: String): DataFrame = {
+      val dups = df.groupBy(keyCols.map(col): _*).agg(count(lit(1)).as("__c"))
+        .filter(col("__c") > 1).limit(1).count()
+      require(dups == 0L,
+        s"tableDiff: side '$side' has duplicate keys on (${keyCols.mkString(", ")})")
+      df.select(keyCols.map(col) :+ rowHash.as(s"__h_$side"): _*)
+    }
+    hashed(a, "a").join(hashed(b, "b"), keyCols, "full_outer")
+      .withColumn("status",
+        when(col("__h_b").isNull, lit("a_only"))
+          .when(col("__h_a").isNull, lit("b_only"))
+          .otherwise(lit("changed")))
+      .filter(col("__h_a").isNull || col("__h_b").isNull ||
+        col("__h_a") =!= col("__h_b"))
+      .select(keyCols.map(col) :+ col("status"): _*)
+  }
 }

@@ -928,7 +928,24 @@ object Analytics {
     "q158_ccf" -> ((s, dir) =>
       graft.api.Graft.ccf(t(s, dir, "events"), "ts", "event_type",
           "click", "purchase", maxLag = 3)
-        .orderBy(col("lag")))
+        .orderBy(col("lag"))),
+
+    // ---- q159: keyed table diff — q154's drill-down (fingerprints say
+    // IF two versions differ; this says WHERE): orders vs a
+    // deterministically mutated copy (keys ≡ 0 mod 97 deleted, keys ≡ 1
+    // mod 97 status-changed) through one hash projection per side + ONE
+    // keyed full-outer join; identical rows emit nothing. ----
+    "q159_table_diff" -> ((s, dir) => {
+      val a = t(s, dir, "orders")
+        .select(col("o_orderkey"), col("o_orderstatus"), col("o_custkey"))
+      val b = a.filter(col("o_orderkey") % 97 =!= 0)
+        .withColumn("o_orderstatus",
+          when(col("o_orderkey") % 97 === 1, lit("X"))
+            .otherwise(col("o_orderstatus")))
+      graft.api.Graft.tableDiff(a, b, Seq("o_orderkey"),
+          Seq("o_orderstatus", "o_custkey"))
+        .orderBy(col("o_orderkey"))
+    })
   )
 
   /** q158 twin: identical day grid (gap days zero-filled via
@@ -1221,6 +1238,35 @@ object Analytics {
         |FROM f""".stripMargin,
 
     "q158_ccf" -> ccfSql(3),
+
+    // table-diff twin: identical deterministic mutation, identical
+    // U+0001/U+0002 row hash, the same sparse full-outer-join diff
+    "q159_table_diff" ->
+      """WITH a AS (
+        |  SELECT o_orderkey AS k, o_orderstatus AS st, o_custkey AS c
+        |  FROM orders),
+        |b AS (
+        |  SELECT k, CASE WHEN k % 97 = 1 THEN 'X' ELSE st END AS st, c
+        |  FROM a WHERE k % 97 <> 0),
+        |ha AS (
+        |  SELECT k, CAST(md5_number_lower(concat_ws(chr(1),
+        |    COALESCE(CAST(st AS VARCHAR), chr(2)),
+        |    COALESCE(CAST(c AS VARCHAR), chr(2))))
+        |    & 9223372036854775807::UBIGINT AS BIGINT) AS h
+        |  FROM a),
+        |hb AS (
+        |  SELECT k, CAST(md5_number_lower(concat_ws(chr(1),
+        |    COALESCE(CAST(st AS VARCHAR), chr(2)),
+        |    COALESCE(CAST(c AS VARCHAR), chr(2))))
+        |    & 9223372036854775807::UBIGINT AS BIGINT) AS h
+        |  FROM b)
+        |SELECT COALESCE(ha.k, hb.k) AS o_orderkey,
+        |  CASE WHEN hb.k IS NULL THEN 'a_only'
+        |       WHEN ha.k IS NULL THEN 'b_only'
+        |       ELSE 'changed' END AS status
+        |FROM ha FULL OUTER JOIN hb ON ha.k = hb.k
+        |WHERE ha.k IS NULL OR hb.k IS NULL OR ha.h <> hb.h
+        |ORDER BY o_orderkey""".stripMargin,
 
     // zone-map twin: identical synthetic file grouping and integer
     // cannot-intersect rule

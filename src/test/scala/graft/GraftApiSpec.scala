@@ -848,6 +848,23 @@ class GraftApiSpec extends AnyFunSuite {
     assert(got(1L) > got(0L) && got(1L) > got(-1L)) // the lead shows at +1
   }
 
+  test("tableDiff reports only differing keys with the right status") {
+    val s = spark; import s.implicits._
+    val a = Seq((1L, "x", 10L), (2L, "y", 20L), (3L, "z", 30L))
+      .toDF("k", "v", "w")
+    val b = Seq((2L, "y", 20L), (3L, "Z", 30L), (4L, "n", 40L))
+      .toDF("k", "v", "w")
+    val out = Graft.tableDiff(a, b, Seq("k"), Seq("v", "w"))
+      .orderBy("k").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toSeq
+    // key 2 is identical → absent; 1 deleted, 3 changed, 4 added
+    assert(out === Seq(1L -> "a_only", 3L -> "changed", 4L -> "b_only"))
+    // duplicate keys fail loudly instead of fanning out phantom diffs
+    intercept[IllegalArgumentException] {
+      Graft.tableDiff(a.unionAll(a), b, Seq("k"), Seq("v")).collect()
+    }
+  }
+
   test("winsorize clips into the exact order-statistic band") {
     val s = spark; import s.implicits._
     val df = (1 to 10).map(i => (i.toLong, "g", i * 10.0)).toDF("id", "grp", "v")
