@@ -26,16 +26,26 @@ private[graft] object Util {
 
   /** Load a driver-generated table from the given scale-factor dir.
     *
-    * `events.ts` is parquet TIMESTAMP(NANOS), which Spark's vectorized
-    * reader rejects; we read it as a long (legacy nanosAsLong) and convert
-    * with integer division (a double division would lose precision at
-    * ~1.7e18 ns). Floor-division matches DuckDB's ns→µs cast semantics.
+    * `events.ts` has shipped in two physical layouts across testdata
+    * generations: TIMESTAMP(NANOS) (which Spark's vectorized reader
+    * rejects — read as a long under legacy nanosAsLong and floor-divided
+    * to µs, matching DuckDB's ns→µs cast) and TIMESTAMP(MICROS,
+    * isAdjustedToUTC=false) (which Spark reads as TIMESTAMP_NTZ).
+    * Normalize both to a session-TZ TIMESTAMP so every downstream query
+    * sees one type; with the UTC session zone this cast is
+    * value-preserving, so results are identical across generations.
     */
   def t(spark: SparkSession, dir: String, name: String): DataFrame =
     if (name == "events") {
       spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-      spark.read.parquet(s"$dir/$name.parquet")
-        .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      val df = spark.read.parquet(s"$dir/$name.parquet")
+      df.schema("ts").dataType match {
+        case LongType =>
+          df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+        case TimestampNTZType =>
+          df.withColumn("ts", col("ts").cast(TimestampType))
+        case _ => df
+      }
     } else spark.read.parquet(s"$dir/$name.parquet")
 
   /** Exact decimal cast of a double column (scale matches data generation). */
