@@ -20,7 +20,8 @@ object SparkEntry {
     Relational.queries ++ Events.queries ++ Dedup.queries ++
       Similarity.queries ++ TextAnalysis.queries ++ Extras.queries ++
       Sampling.queries ++ Pipeline.queries ++ Corpus.queries ++
-      Analytics.queries ++ Clustering.queries ++ GdalQueries.queries
+      Analytics.queries ++ Clustering.queries ++ Evaluation.queries ++
+      GdalQueries.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted keys (LSH/simhash/ANN) get the
@@ -29,5 +30,6 @@ object SparkEntry {
     Relational.oracle ++ Events.oracle ++ Dedup.oracle ++
       Similarity.oracle ++ TextAnalysis.oracle ++ Extras.oracle ++
       Sampling.oracle ++ Pipeline.oracle ++ Corpus.oracle ++
-      Analytics.oracle ++ Clustering.oracle ++ GdalQueries.oracle
+      Analytics.oracle ++ Clustering.oracle ++ Evaluation.oracle ++
+      GdalQueries.oracle
 }

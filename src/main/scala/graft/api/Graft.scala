@@ -2851,4 +2851,177 @@ object Graft {
         col("__h_a") =!= col("__h_b"))
       .select(keyCols.map(col) :+ col("status"): _*)
   }
+
+  // --------------------------------------------- evaluation metrics
+
+  /** Exact ROC AUC via the Mann–Whitney rank-sum statistic — the
+    * model-evaluation primitive for the quality/toxicity/langid
+    * classifiers that gate corpus curation: does the score actually
+    * order positives above negatives?
+    *
+    * Tie handling is the textbook average-rank convention, computed
+    * WITHOUT any float ranks: rows are ranked by [[globalRank]] (ties
+    * broken arbitrarily — per-score-group MIN(rank) and counts are
+    * order-independent, so the result is engine-exact), and each score
+    * group contributes n_pos·(2·min_rank + n − 1) to twice the positive
+    * rank sum (2·avg_rank = 2·min_rank + n − 1). AUC = U / (n_pos·n_neg)
+    * with U = Σ_pos avg_rank − n_pos(n_pos+1)/2 — everything stays an
+    * exact DECIMAL(38,0) integer until the single final double division.
+    *
+    * 100 TB shape: one range exchange (globalRank's two-phase parallel
+    * ranking — never a one-partition ORDER BY window), one keyed
+    * aggregate on the score, one 1-row final aggregate. The rank sum
+    * reaches ~n_pos·2N, so the DECIMAL(38,0) accumulator holds far past
+    * any real corpus (overflows only past ~10^19 rows). */
+  def auc(df: DataFrame, scoreCol: String, labelCol: String): DataFrame = {
+    val dec = DecimalType(38, 0)
+    val base = df.filter(col(scoreCol).isNotNull && col(labelCol).isNotNull)
+      .select(col(scoreCol).as("__s"), col(labelCol).cast(LongType).as("__y"))
+    val ranked = globalRank(base, Seq("__s"), "__r")
+    val grouped = ranked.groupBy(col("__s")).agg(
+      min(col("__r")).as("__minr"), count(lit(1)).as("__n"),
+      sum(col("__y")).as("__np"))
+    grouped.agg(
+        sum(col("__np").cast(dec) *
+          (lit(2L) * col("__minr") + col("__n") - lit(1L)).cast(dec)).as("__s2"),
+        sum(col("__np")).as("n_pos"),
+        sum(col("__n") - col("__np")).as("n_neg"))
+      .select(col("n_pos"), col("n_neg"),
+        (col("__s2") - col("n_pos").cast(dec) *
+          (col("n_pos") + lit(1L)).cast(dec)).cast(LongType).as("u2"))
+      .select(col("n_pos"), col("n_neg"), col("u2"),
+        when(col("n_pos") === 0L || col("n_neg") === 0L,
+          lit(null).cast(DoubleType))
+          .otherwise(col("u2").cast(DoubleType) /
+            (lit(2.0) * col("n_pos") * col("n_neg"))).as("auc"))
+  }
+
+  /** Mutual information (nats) between two categorical columns, plus the
+    * marginal entropies and the normalized MI (mi / √(hx·hy)) — the
+    * feature-relevance / redundancy measure next to [[chiSquareDrift]]'s
+    * significance test on the same contingency shape.
+    *
+    * Cross-engine exactness: every per-cell term (c_xy/N)·ln(N·c_xy /
+    * (c_x·c_y)) is nano-quantized to a long BEFORE the sum (the q128 /
+    * q137 ln policy), so the only order-sensitive op is an exact integer
+    * sum; mi/hx/hy are one division each, nmi one fixed
+    * division-by-sqrt-product chain (the q-longs are promoted to double
+    * first — their product can exceed a long).
+    *
+    * 100 TB shape: three keyed count aggregates + a cells→marginals join
+    * on dimension-sized tables (|X|·|Y| cells) + a 1-row N broadcast.
+    * Work after the first aggregate is independent of corpus size. */
+  def mutualInfo(df: DataFrame, xCol: String, yCol: String): DataFrame = {
+    val base = df.filter(col(xCol).isNotNull && col(yCol).isNotNull)
+      .select(col(xCol).as("__x"), col(yCol).as("__y"))
+    val cxy = base.groupBy(col("__x"), col("__y")).agg(count(lit(1)).as("__cxy"))
+    val cx = base.groupBy(col("__x")).agg(count(lit(1)).as("__cx"))
+    val cy = base.groupBy(col("__y")).agg(count(lit(1)).as("__cy"))
+    val n = base.agg(count(lit(1)).as("__n"))
+    val miTerm = round(
+      (col("__cxy").cast(DoubleType) / col("__n")) *
+        log((col("__n").cast(DoubleType) * col("__cxy")) /
+          (col("__cx").cast(DoubleType) * col("__cy"))) * lit(1.0e9))
+      .cast(LongType)
+    val mi = cxy.join(cx, "__x").join(cy, "__y").crossJoin(broadcast(n))
+      .agg(sum(miTerm).as("__mi_q"), count(lit(1)).as("n_cells"))
+    def entropyQ(cdf: DataFrame, c: String, out: String): DataFrame =
+      cdf.crossJoin(broadcast(n)).agg(sum(round(
+        (col(c).cast(DoubleType) / col("__n")) *
+          log(col("__n").cast(DoubleType) / col(c)) * lit(1.0e9))
+        .cast(LongType)).as(out))
+    mi.crossJoin(broadcast(entropyQ(cx, "__cx", "__hx_q")))
+      .crossJoin(broadcast(entropyQ(cy, "__cy", "__hy_q")))
+      .crossJoin(broadcast(n))
+      .select(col("__n").as("n"), col("n_cells"),
+        (col("__mi_q").cast(DoubleType) / lit(1.0e9)).as("mi"),
+        (col("__hx_q").cast(DoubleType) / lit(1.0e9)).as("hx"),
+        (col("__hy_q").cast(DoubleType) / lit(1.0e9)).as("hy"),
+        when(col("__hx_q") <= 0L || col("__hy_q") <= 0L,
+          lit(null).cast(DoubleType))
+          .otherwise(col("__mi_q").cast(DoubleType) /
+            sqrt(col("__hx_q").cast(DoubleType) *
+              col("__hy_q").cast(DoubleType))).as("nmi"))
+  }
+
+  /** Calibration / reliability bins — does a score behave like a
+    * probability? Scores are quantized to exact integer units
+    * (`round(score·scale)`, the money-cents policy), min–max normalized,
+    * and cut into `bins` equal-width bins by PURE INTEGER arithmetic
+    * (width = range div bins + 1 — no float boundary can tie-diverge);
+    * each bin reports its observed positive rate next to its mean
+    * normalized score and the |gap| between them (the per-bin ECE term).
+    *
+    * 100 TB shape: one 1-row min/max aggregate broadcast back, one keyed
+    * aggregate on the bin id; sums stay exact longs until the two final
+    * divisions per bin. */
+  def calibrationBins(df: DataFrame, scoreCol: String, labelCol: String,
+      bins: Int = 10, scale: Int = 100): DataFrame = {
+    require(bins > 0 && scale > 0, "calibrationBins: bins and scale must be > 0")
+    val base = df.filter(col(scoreCol).isNotNull && col(labelCol).isNotNull)
+      .select(round(col(scoreCol) * lit(scale.toDouble)).cast(LongType).as("__vc"),
+        col(labelCol).cast(LongType).as("__y"))
+    val mm = base.agg(min(col("__vc")).as("__minc"), max(col("__vc")).as("__maxc"))
+    base.crossJoin(broadcast(mm))
+      .withColumn("bin",
+        expr(s"(__vc - __minc) div ((__maxc - __minc) div $bins + 1)"))
+      .groupBy(col("bin"))
+      .agg(count(lit(1)).as("n"), sum(col("__y")).as("n_pos"),
+        sum(col("__vc")).as("__sv"))
+      .crossJoin(broadcast(mm))
+      .select(col("bin"), col("n"), col("n_pos"),
+        when(col("__maxc") === col("__minc"), lit(null).cast(DoubleType))
+          .otherwise((col("__sv") - col("n") * col("__minc")).cast(DoubleType) /
+            (col("n").cast(DoubleType) * (col("__maxc") - col("__minc"))))
+          .as("mean_norm"),
+        (col("n_pos").cast(DoubleType) / col("n")).as("frac_pos"))
+      .withColumn("gap",
+        when(col("mean_norm").isNull, lit(null).cast(DoubleType))
+          .otherwise(abs(col("frac_pos") - col("mean_norm"))))
+  }
+
+  /** NDCG@k per query group — the graded-relevance retrieval metric that
+    * completes the BM25 → ANN → RRF retrieval stack with an evaluation
+    * gate: how close is a ranking to its ideal reordering?
+    *
+    * `scoreCol` descending (ties broken by `tieCol`) defines the system
+    * ranking; the ideal ranking reorders by relevance. Gains are exact
+    * longs (2^rel − 1); each position's gain/log2(pos+1) term is
+    * nano-quantized BEFORE the per-group sum (the ln policy — log2 is
+    * spelled ln(x)/ln(2) so both engines build the identical double
+    * chain), and ndcg = dcg_q/idcg_q is one final division. Groups whose
+    * top-k relevance is all zero report NULL (no ideal to compare to).
+    *
+    * 100 TB shape: both rank windows partition on the query group — ONE
+    * hash exchange, two in-partition sorts, then a keyed aggregate.
+    * Per-group work is bounded by docs-per-query, never corpus size. */
+  def ndcgAtK(df: DataFrame, groupCol: String, scoreCol: String,
+      tieCol: String, relCol: String, k: Int = 10): DataFrame = {
+    require(k > 0, "ndcgAtK: k must be > 0")
+    val base = df.select(col(groupCol), col(scoreCol), col(tieCol),
+      least(lit(62L), col(relCol).cast(LongType)).as("__rel"))
+    val byGroup = Window.partitionBy(col(groupCol))
+    val pos = row_number().over(
+      byGroup.orderBy(col(scoreCol).desc, col(tieCol))).cast(LongType)
+    val ipos = row_number().over(
+      byGroup.orderBy(col("__rel").desc, col(scoreCol).desc, col(tieCol)))
+      .cast(LongType)
+    def termQ(p: Column): Column = round(
+      (pow(lit(2.0), col("__rel")).cast(LongType) - lit(1L)).cast(DoubleType) /
+        (log(p.cast(DoubleType) + lit(1.0)) / log(lit(2.0))) * lit(1.0e9))
+      .cast(LongType)
+    base.withColumn("__pos", pos).withColumn("__ipos", ipos)
+      .groupBy(col(groupCol))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("__pos") <= k, termQ(col("__pos"))).otherwise(lit(0L)))
+          .as("__dcg_q"),
+        sum(when(col("__ipos") <= k, termQ(col("__ipos"))).otherwise(lit(0L)))
+          .as("__idcg_q"))
+      .select(col(groupCol), col("n_docs"),
+        (col("__dcg_q").cast(DoubleType) / lit(1.0e9)).as("dcg"),
+        (col("__idcg_q").cast(DoubleType) / lit(1.0e9)).as("idcg"),
+        when(col("__idcg_q") <= 0L, lit(null).cast(DoubleType))
+          .otherwise(col("__dcg_q").cast(DoubleType) /
+            col("__idcg_q").cast(DoubleType)).as("ndcg"))
+  }
 }

@@ -1,0 +1,189 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import Util._
+
+/** Model / retrieval evaluation metrics (q160–q163) — the gate family a
+  * curation pipeline needs AFTER the classifiers and retrievers the rest
+  * of the corpus implements: does the quality score actually rank
+  * positives first (AUC), is it calibrated (reliability bins), how much
+  * does one label tell you about another (mutual information), and how
+  * close is a ranking to ideal (NDCG@k)?
+  *
+  * Exactness policy is the house one end-to-end: rank statistics and bin
+  * ids are pure integer arithmetic, every ln/log2 term is nano-quantized
+  * to a long before any sum, and each output double is a single fixed
+  * division chain — so all four queries are full hash-gated oracles, not
+  * self-gates. */
+object Evaluation {
+
+  val queries: Map[String, Q] = Map(
+    // ---- q160: exact ROC AUC (Mann–Whitney) — does `value` rank
+    // purchase events above the rest? Tie groups (the value column is
+    // money-quantized, ~1/3 of rows share a value with another) exercise
+    // the average-rank convention; ranking is globalRank's two-phase
+    // parallel order statistic, never a one-partition window. ----
+    "q160_auc" -> ((s, dir) => {
+      val ev = t(s, dir, "events")
+        .withColumn("label", (col("event_type") === "purchase").cast(LongType))
+      graft.api.Graft.auc(ev, "value", "label")
+    }),
+
+    // ---- q161: mutual information between customer market segment and
+    // order priority (orders⋈customer): near-independent columns → MI
+    // close to 0 — the redundancy measure next to q151's chi-square
+    // significance on the same contingency shape. ----
+    "q161_mutual_info" -> ((s, dir) => {
+      val j = t(s, dir, "orders").join(t(s, dir, "customer"),
+        col("o_custkey") === col("c_custkey"))
+      graft.api.Graft.mutualInfo(j, "c_mktsegment", "o_orderpriority")
+    }),
+
+    // ---- q162: calibration / reliability bins — value min–max
+    // normalized into 10 equal-width integer-cut bins vs the observed
+    // purchase rate per bin (|gap| = the per-bin ECE term). A flat
+    // frac_pos across bins says the score carries no signal — the
+    // honest-negative companion to q160. ----
+    "q162_calibration" -> ((s, dir) => {
+      val ev = t(s, dir, "events")
+        .withColumn("label", (col("event_type") === "purchase").cast(LongType))
+      graft.api.Graft.calibrationBins(ev, "value", "label", bins = 10)
+        .orderBy(col("bin"))
+    }),
+
+    // ---- q163: NDCG@10 per language — ranking docs by n_chars (ties →
+    // doc_id) against graded relevance rel = min(3, #\bthe\b): en/fr/de
+    // groups score mid-range, zh has all-zero relevance → NULL ndcg (the
+    // no-ideal edge). Both rank windows share ONE group exchange. ----
+    "q163_ndcg" -> ((s, dir) => {
+      val d = t(s, dir, "documents")
+        .withColumn("rel",
+          least(lit(3L), regexp_count(lower(col("text")), lit("\\bthe\\b"))
+            .cast(LongType)))
+      graft.api.Graft.ndcgAtK(d, "lang", "n_chars", "doc_id", "rel", k = 10)
+        .orderBy(col("lang"))
+    })
+  )
+
+  val oracle: Map[String, String] = Map(
+    // AUC twin: row_number over the same score order (tie order inside a
+    // group is irrelevant — only MIN(rank) and counts enter), the same
+    // 2U = Σ np_g(2·min_g + n_g − 1) − np(np+1) integer identity in
+    // HUGEINT, the same single final division.
+    "q160_auc" ->
+      """WITH b AS (
+        |  SELECT value AS s,
+        |    CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS y
+        |  FROM events WHERE value IS NOT NULL),
+        |r AS (SELECT s, y, row_number() OVER (ORDER BY s) AS rn FROM b),
+        |g AS (SELECT s, MIN(rn) AS minr, COUNT(*) AS n,
+        |        CAST(SUM(y) AS BIGINT) AS np FROM r GROUP BY s),
+        |t AS (SELECT SUM(CAST(np AS HUGEINT) * (2 * minr + n - 1)) AS s2,
+        |        CAST(SUM(np) AS BIGINT) AS n_pos,
+        |        CAST(SUM(n - np) AS BIGINT) AS n_neg FROM g),
+        |t2 AS (SELECT n_pos, n_neg,
+        |        CAST(s2 - CAST(n_pos AS HUGEINT) * (n_pos + 1) AS BIGINT) AS u2
+        |       FROM t)
+        |SELECT n_pos, n_neg, u2,
+        |  CASE WHEN n_pos = 0 OR n_neg = 0 THEN NULL
+        |       ELSE CAST(u2 AS DOUBLE) / (2.0 * n_pos * n_neg) END AS auc
+        |FROM t2""".stripMargin,
+
+    // MI twin: identical contingency/marginal counts, the identical
+    // nano-quantized (c/N)·ln(·) terms summed as exact integers, one
+    // division per entropy and the same sqrt-product chain for nmi.
+    "q161_mutual_info" ->
+      """WITH b AS (
+        |  SELECT c.c_mktsegment AS x, o.o_orderpriority AS y
+        |  FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+        |  WHERE c.c_mktsegment IS NOT NULL AND o.o_orderpriority IS NOT NULL),
+        |cxy AS (SELECT x, y, COUNT(*) AS cxy FROM b GROUP BY x, y),
+        |cx AS (SELECT x, COUNT(*) AS cx FROM b GROUP BY x),
+        |cy AS (SELECT y, COUNT(*) AS cy FROM b GROUP BY y),
+        |nn AS (SELECT COUNT(*) AS n FROM b),
+        |mi AS (
+        |  SELECT CAST(SUM(CAST(ROUND((CAST(cxy AS DOUBLE) / n) *
+        |      ln((CAST(n AS DOUBLE) * cxy) / (CAST(cx AS DOUBLE) * cy)) *
+        |      1000000000.0) AS BIGINT)) AS BIGINT) AS mi_q,
+        |    COUNT(*) AS n_cells
+        |  FROM cxy JOIN cx USING (x) JOIN cy USING (y) CROSS JOIN nn),
+        |hx AS (
+        |  SELECT CAST(SUM(CAST(ROUND((CAST(cx AS DOUBLE) / n) *
+        |      ln(CAST(n AS DOUBLE) / cx) * 1000000000.0) AS BIGINT))
+        |    AS BIGINT) AS hx_q
+        |  FROM cx CROSS JOIN nn),
+        |hy AS (
+        |  SELECT CAST(SUM(CAST(ROUND((CAST(cy AS DOUBLE) / n) *
+        |      ln(CAST(n AS DOUBLE) / cy) * 1000000000.0) AS BIGINT))
+        |    AS BIGINT) AS hy_q
+        |  FROM cy CROSS JOIN nn)
+        |SELECT nn.n AS n, mi.n_cells,
+        |  CAST(mi_q AS DOUBLE) / 1000000000.0 AS mi,
+        |  CAST(hx_q AS DOUBLE) / 1000000000.0 AS hx,
+        |  CAST(hy_q AS DOUBLE) / 1000000000.0 AS hy,
+        |  CASE WHEN hx_q <= 0 OR hy_q <= 0 THEN NULL
+        |       ELSE CAST(mi_q AS DOUBLE) /
+        |         sqrt(CAST(hx_q AS DOUBLE) * CAST(hy_q AS DOUBLE)) END AS nmi
+        |FROM mi CROSS JOIN hx CROSS JOIN hy CROSS JOIN nn""".stripMargin,
+
+    // calibration twin: identical cents quantization, identical integer
+    // width/bin cut, exact long sums, the same two divisions per bin.
+    "q162_calibration" ->
+      """WITH b AS (
+        |  SELECT CAST(ROUND(value * 100.0) AS BIGINT) AS vc,
+        |    CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS y
+        |  FROM events WHERE value IS NOT NULL),
+        |mm AS (SELECT MIN(vc) AS minc, MAX(vc) AS maxc FROM b),
+        |binned AS (
+        |  SELECT (vc - minc) // ((maxc - minc) // 10 + 1) AS bin, vc, y
+        |  FROM b CROSS JOIN mm),
+        |g AS (
+        |  SELECT bin, COUNT(*) AS n, CAST(SUM(y) AS BIGINT) AS n_pos,
+        |    CAST(SUM(vc) AS BIGINT) AS sv
+        |  FROM binned GROUP BY bin)
+        |SELECT bin, n, n_pos,
+        |  CASE WHEN maxc = minc THEN NULL
+        |       ELSE CAST(sv - n * minc AS DOUBLE) /
+        |         (CAST(n AS DOUBLE) * (maxc - minc)) END AS mean_norm,
+        |  CAST(n_pos AS DOUBLE) / n AS frac_pos,
+        |  CASE WHEN maxc = minc THEN NULL
+        |       ELSE abs(CAST(n_pos AS DOUBLE) / n -
+        |         CAST(sv - n * minc AS DOUBLE) /
+        |         (CAST(n AS DOUBLE) * (maxc - minc))) END AS gap
+        |FROM g CROSS JOIN mm ORDER BY bin""".stripMargin,
+
+    // NDCG twin: identical rank windows (score desc / rel desc, doc_id
+    // ties), exact 2^rel−1 gains, the identical ln(x)/ln(2) discount
+    // chain nano-quantized per position, one final division.
+    "q163_ndcg" ->
+      """WITH b AS (
+        |  SELECT lang, doc_id, n_chars,
+        |    least(3, len(regexp_extract_all(lower(text), '\bthe\b'))) AS rel
+        |  FROM documents),
+        |r AS (
+        |  SELECT lang, rel,
+        |    row_number() OVER (PARTITION BY lang
+        |      ORDER BY n_chars DESC, doc_id) AS pos,
+        |    row_number() OVER (PARTITION BY lang
+        |      ORDER BY rel DESC, n_chars DESC, doc_id) AS ipos
+        |  FROM b),
+        |g AS (
+        |  SELECT lang, COUNT(*) AS n_docs,
+        |    CAST(SUM(CASE WHEN pos <= 10 THEN
+        |      CAST(ROUND(CAST(CAST(pow(2.0, rel) AS BIGINT) - 1 AS DOUBLE) /
+        |        (ln(CAST(pos AS DOUBLE) + 1.0) / ln(2.0)) * 1000000000.0)
+        |        AS BIGINT) ELSE 0 END) AS BIGINT) AS dcg_q,
+        |    CAST(SUM(CASE WHEN ipos <= 10 THEN
+        |      CAST(ROUND(CAST(CAST(pow(2.0, rel) AS BIGINT) - 1 AS DOUBLE) /
+        |        (ln(CAST(ipos AS DOUBLE) + 1.0) / ln(2.0)) * 1000000000.0)
+        |        AS BIGINT) ELSE 0 END) AS BIGINT) AS idcg_q
+        |  FROM r GROUP BY lang)
+        |SELECT lang, n_docs,
+        |  CAST(dcg_q AS DOUBLE) / 1000000000.0 AS dcg,
+        |  CAST(idcg_q AS DOUBLE) / 1000000000.0 AS idcg,
+        |  CASE WHEN idcg_q <= 0 THEN NULL
+        |       ELSE CAST(dcg_q AS DOUBLE) / CAST(idcg_q AS DOUBLE) END AS ndcg
+        |FROM g ORDER BY lang""".stripMargin
+  )
+}

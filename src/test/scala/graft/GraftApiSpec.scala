@@ -865,6 +865,63 @@ class GraftApiSpec extends AnyFunSuite {
     }
   }
 
+  test("auc hits 1 on a perfect ranking, 0 inverted, 0.5 on balanced ties") {
+    val s = spark; import s.implicits._
+    def aucOf(rows: Seq[(Double, Long)]): Double = {
+      val r = Graft.auc(rows.toDF("s", "y"), "s", "y").collect()(0)
+      r.getDouble(3)
+    }
+    assert(aucOf(Seq((0.1, 0L), (0.2, 0L), (0.3, 1L), (0.4, 1L))) === 1.0)
+    assert(aucOf(Seq((0.1, 1L), (0.2, 1L), (0.3, 0L), (0.4, 0L))) === 0.0)
+    // each tie group holds one positive and one negative → exactly 0.5
+    assert(aucOf(Seq((1.0, 0L), (1.0, 1L), (2.0, 0L), (2.0, 1L))) === 0.5)
+    // single-class input reports NULL, not a division blowup
+    val oneClass = Graft.auc(Seq((1.0, 1L), (2.0, 1L)).toDF("s", "y"), "s", "y")
+      .collect()(0)
+    assert(oneClass.isNullAt(3))
+  }
+
+  test("mutualInfo: identical columns give nmi 1, independent give 0") {
+    val s = spark; import s.implicits._
+    val dep = Seq(("a", "a"), ("a", "a"), ("b", "b"), ("b", "b")).toDF("x", "y")
+    val rd = Graft.mutualInfo(dep, "x", "y").collect()(0)
+    assert(math.abs(rd.getDouble(2) - math.log(2.0)) < 1e-6) // mi = ln 2
+    assert(rd.getDouble(5) === 1.0) // nmi exact: mi_q == hx_q == hy_q
+    val ind = Seq(("a", "a"), ("a", "b"), ("b", "a"), ("b", "b")).toDF("x", "y")
+    val ri = Graft.mutualInfo(ind, "x", "y").collect()(0)
+    assert(ri.getDouble(2) === 0.0 && ri.getDouble(5) === 0.0)
+  }
+
+  test("calibrationBins cuts integer-exact bins with observed rates") {
+    val s = spark; import s.implicits._
+    // values 0..9 dollars, positive iff v >= 5: width = 900 div 10 + 1 = 91
+    // puts each value in its own bin 0..9
+    val df = (0 to 9).map(i => (i.toDouble, if (i >= 5) 1L else 0L))
+      .toDF("score", "y")
+    val out = Graft.calibrationBins(df, "score", "y").orderBy("bin").collect()
+    assert(out.map(_.getLong(0)).toSeq === (0L to 9L))
+    assert(out.forall(_.getLong(1) == 1L))
+    assert(out.map(_.getLong(2)).toSeq === Seq(0L, 0L, 0L, 0L, 0L, 1L, 1L, 1L, 1L, 1L))
+    // mean_norm of bin i is i/9 (min–max over 0..900 cents)
+    assert(out.zipWithIndex.forall { case (r, i) =>
+      math.abs(r.getDouble(3) - i / 9.0) < 1e-12 })
+  }
+
+  test("ndcgAtK is 1 for the ideal order, below 1 shuffled, NULL on zero gain") {
+    val s = spark; import s.implicits._
+    val perfect = Seq(("q", 10.0, 1L, 3L), ("q", 9.0, 2L, 2L), ("q", 8.0, 3L, 1L))
+      .toDF("g", "score", "id", "rel")
+    val rp = Graft.ndcgAtK(perfect, "g", "score", "id", "rel").collect()(0)
+    assert(rp.getDouble(4) === 1.0)
+    val shuffled = Seq(("q", 10.0, 1L, 0L), ("q", 9.0, 2L, 1L), ("q", 8.0, 3L, 3L))
+      .toDF("g", "score", "id", "rel")
+    val rs = Graft.ndcgAtK(shuffled, "g", "score", "id", "rel").collect()(0)
+    assert(rs.getDouble(4) > 0.0 && rs.getDouble(4) < 1.0)
+    val zero = Seq(("q", 10.0, 1L, 0L), ("q", 9.0, 2L, 0L))
+      .toDF("g", "score", "id", "rel")
+    assert(Graft.ndcgAtK(zero, "g", "score", "id", "rel").collect()(0).isNullAt(4))
+  }
+
   test("winsorize clips into the exact order-statistic band") {
     val s = spark; import s.implicits._
     val df = (1 to 10).map(i => (i.toLong, "g", i * 10.0)).toDF("id", "grp", "v")

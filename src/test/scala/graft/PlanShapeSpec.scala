@@ -323,4 +323,38 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(p.contains("__bk"), p)
     assert(p.contains("HashAggregate"), p)
   }
+
+  test("q160 auc ranks via globalRank's partitioned window, never one-partition") {
+    val p = planOf("q160_auc")
+    // every window partitions on globalRank's range-partition id — a bare
+    // ORDER BY window would open with the order column instead
+    val specs = "windowspecdefinition\\(".r.findAllMatchIn(p).map(_.start).toSeq
+    assert(specs.nonEmpty && specs.forall { i =>
+      p.substring(i, math.min(p.length, i + 60)).contains("__pid")
+    }, p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("q161 mutual info rides N as a broadcast 1-row aggregate") {
+    val p = planOf("q161_mutual_info")
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastExchange"), p)
+    assert(!p.contains("CartesianProduct"), p)
+    // contingency + marginals are partial+final hash aggregates
+    assert(p.sliding("HashAggregate".length).count(_ == "HashAggregate") >= 4, p)
+  }
+
+  test("q162 calibration broadcasts min/max and aggregates bins partial+final") {
+    val p = planOf("q162_calibration")
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastExchange"), p)
+    assert(p.sliding("HashAggregate".length).count(_ == "HashAggregate") >= 2, p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("q163 ndcg shares one group exchange across both rank windows") {
+    val p = planOf("q163_ndcg")
+    // both row_number windows partition on lang → EnsureRequirements
+    // plans ONE hash exchange plus two in-partition sorts
+    assert("Exchange hashpartitioning\\(lang".r.findAllMatchIn(p).size === 1, p)
+    assert(!p.contains("CartesianProduct") && !p.contains("SinglePartition"), p)
+  }
 }
