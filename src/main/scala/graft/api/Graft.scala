@@ -2908,16 +2908,18 @@ object Graft {
     * division-by-sqrt-product chain (the q-longs are promoted to double
     * first — their product can exceed a long).
     *
-    * 100 TB shape: three keyed count aggregates + a cells→marginals join
-    * on dimension-sized tables (|X|·|Y| cells) + a 1-row N broadcast.
-    * Work after the first aggregate is independent of corpus size. */
+    * 100 TB shape: the raw data is scanned ONCE — the (x, y) contingency
+    * aggregate — and the marginals and N are re-aggregated from the
+    * dimension-sized cells table (|X|·|Y| rows), so everything after the
+    * first keyed aggregate is independent of corpus size; N rides as a
+    * 1-row broadcast. */
   def mutualInfo(df: DataFrame, xCol: String, yCol: String): DataFrame = {
     val base = df.filter(col(xCol).isNotNull && col(yCol).isNotNull)
       .select(col(xCol).as("__x"), col(yCol).as("__y"))
     val cxy = base.groupBy(col("__x"), col("__y")).agg(count(lit(1)).as("__cxy"))
-    val cx = base.groupBy(col("__x")).agg(count(lit(1)).as("__cx"))
-    val cy = base.groupBy(col("__y")).agg(count(lit(1)).as("__cy"))
-    val n = base.agg(count(lit(1)).as("__n"))
+    val cx = cxy.groupBy(col("__x")).agg(sum(col("__cxy")).as("__cx"))
+    val cy = cxy.groupBy(col("__y")).agg(sum(col("__cxy")).as("__cy"))
+    val n = cxy.agg(sum(col("__cxy")).as("__n"))
     val miTerm = round(
       (col("__cxy").cast(DoubleType) / col("__n")) *
         log((col("__n").cast(DoubleType) * col("__cxy")) /
