@@ -2982,6 +2982,161 @@ object Graft {
           .otherwise(abs(col("frac_pos") - col("mean_norm"))))
   }
 
+  /** Per-class confusion statistics — tp/fp/fn, precision, recall, F1
+    * for every label observed as actual OR predicted (a class the model
+    * never predicts still reports recall 0, and a hallucinated class
+    * reports precision 0 instead of vanishing).
+    *
+    * F1 is computed as 2·tp / (2·tp + fp + fn) — a SINGLE division of
+    * exact longs (algebraically identical to the harmonic mean of the
+    * precision/recall divisions, without chaining three engine-rounded
+    * doubles). Denominator-zero cases report NULL.
+    *
+    * 100 TB shape: one (actual, predicted) contingency aggregate over
+    * the data; row/column marginals and the diagonal re-aggregate from
+    * the |classes|²-bounded cells table, joined per class — everything
+    * after the first aggregate is dimension-sized. */
+  def confusionStats(df: DataFrame, actualCol: String, predCol: String): DataFrame = {
+    val base = df.filter(col(actualCol).isNotNull && col(predCol).isNotNull)
+      .select(col(actualCol).as("__a"), col(predCol).as("__p"))
+    val c = base.groupBy(col("__a"), col("__p")).agg(count(lit(1)).as("__c"))
+    val rs = c.groupBy(col("__a").as("label")).agg(sum(col("__c")).as("__na"))
+    val cs = c.groupBy(col("__p").as("label")).agg(sum(col("__c")).as("__np"))
+    val diag = c.filter(col("__a") === col("__p"))
+      .select(col("__a").as("label"), col("__c").as("__tp"))
+    rs.join(cs, Seq("label"), "full_outer")
+      .join(diag, Seq("label"), "left_outer")
+      .select(col("label"),
+        coalesce(col("__na"), lit(0L)).as("n_actual"),
+        coalesce(col("__np"), lit(0L)).as("n_pred"),
+        coalesce(col("__tp"), lit(0L)).as("tp"))
+      .withColumn("fp", col("n_pred") - col("tp"))
+      .withColumn("fn", col("n_actual") - col("tp"))
+      .withColumn("precision",
+        when(col("n_pred") === 0L, lit(null).cast(DoubleType))
+          .otherwise(col("tp").cast(DoubleType) / col("n_pred")))
+      .withColumn("recall",
+        when(col("n_actual") === 0L, lit(null).cast(DoubleType))
+          .otherwise(col("tp").cast(DoubleType) / col("n_actual")))
+      .withColumn("f1",
+        when(lit(2L) * col("tp") + col("fp") + col("fn") === 0L,
+          lit(null).cast(DoubleType))
+          .otherwise((lit(2L) * col("tp")).cast(DoubleType) /
+            (lit(2L) * col("tp") + col("fp") + col("fn"))))
+  }
+
+  /** Cohen's kappa — chance-corrected agreement between two label
+    * columns (annotator vs annotator, or model vs gold): the
+    * acceptance gate for weak/synthetic labels before they train a
+    * curation classifier.
+    *
+    * Fully exact: κ = (N·D − E) / (N² − E) with D = Σ diagonal counts
+    * and E = Σ_label rowsum·colsum — the cross-multiplied form of
+    * (p_o − p_e)/(1 − p_e) — held in DECIMAL(38,0) until each of the
+    * three output divisions (p_o, p_e, κ), so no engine rounding ever
+    * compounds. Degenerate total agreement-by-chance (N² = E) → NULL.
+    *
+    * 100 TB shape: identical to [[confusionStats]] — one contingency
+    * aggregate, then |classes|-sized joins and 1-row aggregates. */
+  def cohensKappa(df: DataFrame, aCol: String, bCol: String): DataFrame = {
+    val dec = DecimalType(38, 0)
+    val base = df.filter(col(aCol).isNotNull && col(bCol).isNotNull)
+      .select(col(aCol).as("__a"), col(bCol).as("__b"))
+    val c = base.groupBy(col("__a"), col("__b")).agg(count(lit(1)).as("__c"))
+    val n = c.agg(sum(col("__c")).as("__n"))
+    val d = c.filter(col("__a") === col("__b"))
+      .agg(coalesce(sum(col("__c")), lit(0L)).as("__d"))
+    val rs = c.groupBy(col("__a").as("l")).agg(sum(col("__c")).as("__rs"))
+    val cs = c.groupBy(col("__b").as("l")).agg(sum(col("__c")).as("__cs"))
+    val e = rs.join(cs, "l")
+      .agg(coalesce(sum(col("__rs").cast(dec) * col("__cs").cast(dec)),
+        lit(0L).cast(dec)).as("__e"))
+    n.crossJoin(broadcast(d)).crossJoin(broadcast(e))
+      .select(col("__n").as("n"),
+        (col("__d").cast(DoubleType) / col("__n")).as("po"),
+        (col("__e").cast(DoubleType) /
+          (col("__n").cast(DoubleType) * col("__n"))).as("pe"),
+        when(col("__n").cast(dec) * col("__n").cast(dec) === col("__e"),
+          lit(null).cast(DoubleType))
+          .otherwise((col("__n").cast(dec) * col("__d").cast(dec) - col("__e"))
+            .cast(DoubleType) /
+            (col("__n").cast(dec) * col("__n").cast(dec) - col("__e"))
+              .cast(DoubleType)).as("kappa"))
+  }
+
+  /** Regression metrics — MAE, RMSE, R² of a prediction column against
+    * an actual column, in ONE pass. Both columns are quantized to exact
+    * micro-units (`round(x·microScale)` longs), residual sums and
+    * squares accumulate in DECIMAL(38,0), and R² uses the
+    * cross-multiplied identity (n·Q − S² − n·SSE)/(n·Q − S²) (Q = Σa²,
+    * S = Σa) so each output is one fixed division chain — no
+    * engine-rounded intermediate ever enters another sum.
+    *
+    * 100 TB shape: a single 1-row aggregate over the scan; nothing else
+    * moves. Constant actuals (zero variance, R² undefined) → NULL. */
+  def regressionMetrics(df: DataFrame, actualCol: String, predCol: String,
+      microScale: Long = 1000000L): DataFrame = {
+    require(microScale > 0, "regressionMetrics: microScale must be > 0")
+    val dec = DecimalType(38, 0)
+    val base = df.filter(col(actualCol).isNotNull && col(predCol).isNotNull)
+      .select(round(col(actualCol) * lit(microScale.toDouble)).cast(LongType).as("__aq"),
+        round(col(predCol) * lit(microScale.toDouble)).cast(LongType).as("__pq"))
+      .withColumn("__d", col("__aq") - col("__pq"))
+    val g = base.agg(count(lit(1)).as("n"),
+      sum(col("__aq").cast(dec)).as("__s"),
+      sum(col("__aq").cast(dec) * col("__aq")).as("__q"),
+      sum(abs(col("__d")).cast(dec)).as("__sad"),
+      sum(col("__d").cast(dec) * col("__d")).as("__sse"))
+    val ms = microScale.toDouble
+    val nSst = col("n").cast(dec) * col("__q") - col("__s") * col("__s")
+    g.select(col("n"),
+      (col("__sad").cast(DoubleType) / (lit(ms) * col("n"))).as("mae"),
+      sqrt(col("__sse").cast(DoubleType) / (lit(ms) * ms * col("n"))).as("rmse"),
+      when(nSst === lit(0L).cast(dec), lit(null).cast(DoubleType))
+        .otherwise((nSst - col("n").cast(dec) * col("__sse")).cast(DoubleType) /
+          nSst.cast(DoubleType)).as("r2"))
+  }
+
+  /** Average precision at k per query group — the binary-relevance
+    * companion to [[ndcgAtK]] (MAP's per-query table): AP@k = mean over
+    * the relevant items in the top k of precision-at-their-rank,
+    * normalized by min(R, k).
+    *
+    * Each precision term prefix/pos is nano-quantized to a long before
+    * the per-group sum (one engine-identical double division per
+    * relevant position, then exact integers); ap is one final division.
+    * Groups with no relevant items report NULL.
+    *
+    * 100 TB shape: rank and running-relevance ride ONE group-partitioned
+    * window (a single hash exchange), then a keyed aggregate; per-group
+    * cost is docs-per-query. */
+  def averagePrecisionAtK(df: DataFrame, groupCol: String, scoreCol: String,
+      tieCol: String, relCol: String, k: Int = 10): DataFrame = {
+    require(k > 0, "averagePrecisionAtK: k must be > 0")
+    val base = df.select(col(groupCol), col(scoreCol), col(tieCol),
+      (col(relCol).cast(LongType) > 0L).cast(LongType).as("__rel"))
+    val w = Window.partitionBy(col(groupCol))
+      .orderBy(col(scoreCol).desc, col(tieCol))
+    val ranked = base
+      .withColumn("__pos", row_number().over(w).cast(LongType))
+      .withColumn("__prefix",
+        sum(col("__rel")).over(w.rowsBetween(Window.unboundedPreceding, 0)))
+    val termQ = round(
+      (col("__prefix").cast(DoubleType) / col("__pos")) * lit(1.0e9))
+      .cast(LongType)
+    ranked.groupBy(col(groupCol))
+      .agg(count(lit(1)).as("n_docs"), sum(col("__rel")).as("n_rel"),
+        sum(when(col("__rel") === 1L && col("__pos") <= k, lit(1L))
+          .otherwise(lit(0L))).as("n_rel_topk"),
+        sum(when(col("__rel") === 1L && col("__pos") <= k, termQ)
+          .otherwise(lit(0L))).as("__sp_q"))
+      .select(col(groupCol), col("n_docs"), col("n_rel"), col("n_rel_topk"),
+        when(least(col("n_rel"), lit(k.toLong)) === 0L,
+          lit(null).cast(DoubleType))
+          .otherwise(col("__sp_q").cast(DoubleType) /
+            (lit(1.0e9) * least(col("n_rel"), lit(k.toLong)))).as("ap"))
+  }
+
   /** NDCG@k per query group — the graded-relevance retrieval metric that
     * completes the BM25 → ANN → RRF retrieval stack with an evaluation
     * gate: how close is a ranking to its ideal reordering?

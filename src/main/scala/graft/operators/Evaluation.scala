@@ -63,10 +63,163 @@ object Evaluation {
             .cast(LongType)))
       graft.api.Graft.ndcgAtK(d, "lang", "n_chars", "doc_id", "rel", k = 10)
         .orderBy(col("lang"))
+    }),
+
+    // ---- q164: per-class confusion statistics over q29's langid
+    // predictions — tp/fp/fn and precision/recall/F1 per language. F1 is
+    // the single-division 2tp/(2tp+fp+fn) form; classes the model never
+    // predicts (or hallucinates) keep their row instead of vanishing. ----
+    "q164_confusion" -> ((s, dir) =>
+      graft.api.Graft.confusionStats(
+          TextAnalysis.langidPred(s, dir), "lang", "pred_lang")
+        .orderBy(col("label"))),
+
+    // ---- q165: Cohen's kappa for the same predictions — the
+    // chance-corrected agreement score a labeling pipeline gates on
+    // before trusting weak labels (accuracy alone flatters the en-heavy
+    // prior). Cross-multiplied exact form, three output divisions. ----
+    "q165_kappa" -> ((s, dir) =>
+      graft.api.Graft.cohensKappa(
+        TextAnalysis.langidPred(s, dir), "lang", "pred_lang")),
+
+    // ---- q166: regression metrics (MAE/RMSE/R²) of the group-mean
+    // predictor: predict an event's value by its event_type mean (the
+    // simplest model — R² here IS the eta-squared of the grouping).
+    // Means are micro-quantized by integer floor-division so the
+    // prediction column replays exactly cross-engine. ----
+    "q166_regression_metrics" -> ((s, dir) => {
+      val ev = t(s, dir, "events").filter(col("value").isNotNull)
+        .withColumn("__vc", round(col("value") * lit(100.0)).cast(LongType))
+      val means = ev.groupBy(col("event_type"))
+        .agg(expr("(sum(__vc) * 10000) div count(1)").as("__mean_mc"))
+      val pred = ev.join(broadcast(means), "event_type")
+        .withColumn("pred", col("__mean_mc").cast(DoubleType) / lit(1.0e6))
+      graft.api.Graft.regressionMetrics(pred, "value", "pred")
+    }),
+
+    // ---- q167: average precision @10 per language (MAP's per-query
+    // table) — binary relevance rel = contains \bthe\b, the q163 ranking
+    // (n_chars desc, doc_id). Rank + running-relevance share ONE group
+    // window; each precision term nano-quantized before the keyed sum. ----
+    "q167_avg_precision" -> ((s, dir) => {
+      val d = t(s, dir, "documents")
+        .withColumn("rel",
+          (regexp_count(lower(col("text")), lit("\\bthe\\b")) > 0)
+            .cast(LongType))
+      graft.api.Graft.averagePrecisionAtK(d, "lang", "n_chars", "doc_id",
+          "rel", k = 10)
+        .orderBy(col("lang"))
     })
   )
 
   val oracle: Map[String, String] = Map(
+    // confusion twin: q29's shared langid CTE, the same full-outer
+    // marginal join (classes present on either axis survive), the same
+    // single-division F1 form
+    "q164_confusion" ->
+      s"""WITH p AS (
+         |${TextAnalysis.langidPredSql}),
+         |b AS (SELECT lang AS a, pred_lang AS pr FROM p
+         |      WHERE lang IS NOT NULL AND pred_lang IS NOT NULL),
+         |c AS (SELECT a, pr, COUNT(*) AS c FROM b GROUP BY a, pr),
+         |rs AS (SELECT a AS label, CAST(SUM(c) AS BIGINT) AS na FROM c GROUP BY a),
+         |cs AS (SELECT pr AS label, CAST(SUM(c) AS BIGINT) AS np FROM c GROUP BY pr),
+         |dg AS (SELECT a AS label, CAST(c AS BIGINT) AS tp FROM c WHERE a = pr),
+         |j AS (SELECT COALESCE(rs.label, cs.label) AS label,
+         |        COALESCE(na, 0) AS n_actual, COALESCE(np, 0) AS n_pred
+         |      FROM rs FULL OUTER JOIN cs ON rs.label = cs.label),
+         |f AS (SELECT j.label, n_actual, n_pred, COALESCE(tp, 0) AS tp
+         |      FROM j LEFT JOIN dg ON j.label = dg.label)
+         |SELECT label, n_actual, n_pred, tp,
+         |  n_pred - tp AS fp, n_actual - tp AS fn,
+         |  CASE WHEN n_pred = 0 THEN NULL
+         |       ELSE CAST(tp AS DOUBLE) / n_pred END AS "precision",
+         |  CASE WHEN n_actual = 0 THEN NULL
+         |       ELSE CAST(tp AS DOUBLE) / n_actual END AS recall,
+         |  CASE WHEN 2 * tp + (n_pred - tp) + (n_actual - tp) = 0 THEN NULL
+         |       ELSE CAST(2 * tp AS DOUBLE) /
+         |         (2 * tp + (n_pred - tp) + (n_actual - tp)) END AS f1
+         |FROM f ORDER BY label""".stripMargin,
+
+    // kappa twin: identical contingency, the cross-multiplied
+    // (N·D − E)/(N² − E) identity in HUGEINT, the same three divisions
+    "q165_kappa" ->
+      s"""WITH p AS (
+         |${TextAnalysis.langidPredSql}),
+         |b AS (SELECT lang AS a, pred_lang AS pb FROM p
+         |      WHERE lang IS NOT NULL AND pred_lang IS NOT NULL),
+         |c AS (SELECT a, pb, COUNT(*) AS c FROM b GROUP BY a, pb),
+         |n AS (SELECT CAST(SUM(c) AS BIGINT) AS n FROM c),
+         |d AS (SELECT COALESCE(CAST(SUM(c) AS BIGINT), 0) AS d FROM c WHERE a = pb),
+         |rs AS (SELECT a AS l, CAST(SUM(c) AS BIGINT) AS rs FROM c GROUP BY a),
+         |cs AS (SELECT pb AS l, CAST(SUM(c) AS BIGINT) AS cs FROM c GROUP BY pb),
+         |e AS (SELECT COALESCE(SUM(CAST(rs AS HUGEINT) * cs), 0) AS e
+         |      FROM rs JOIN cs USING (l))
+         |SELECT n.n AS n,
+         |  CAST(d.d AS DOUBLE) / n.n AS po,
+         |  CAST(e.e AS DOUBLE) / (CAST(n.n AS DOUBLE) * n.n) AS pe,
+         |  CASE WHEN CAST(n.n AS HUGEINT) * n.n = e.e THEN NULL
+         |       ELSE CAST(CAST(n.n AS HUGEINT) * d.d - e.e AS DOUBLE) /
+         |            CAST(CAST(n.n AS HUGEINT) * n.n - e.e AS DOUBLE) END AS kappa
+         |FROM n CROSS JOIN d CROSS JOIN e""".stripMargin,
+
+    // regression twin: identical integer micro-mean floor division,
+    // identical quantized residual sums and the cross-multiplied R²
+    "q166_regression_metrics" ->
+      """WITH ev AS (
+        |  SELECT event_type, value, CAST(ROUND(value * 100.0) AS BIGINT) AS vc
+        |  FROM events WHERE value IS NOT NULL),
+        |m AS (SELECT event_type,
+        |        (CAST(SUM(vc) AS BIGINT) * 10000) // COUNT(*) AS mean_mc
+        |      FROM ev GROUP BY event_type),
+        |p AS (SELECT ev.value, CAST(mean_mc AS DOUBLE) / 1000000.0 AS pred
+        |      FROM ev JOIN m USING (event_type)),
+        |q AS (SELECT CAST(ROUND(value * 1000000.0) AS BIGINT) AS aq,
+        |             CAST(ROUND(pred * 1000000.0) AS BIGINT) AS pq
+        |      FROM p),
+        |g AS (SELECT COUNT(*) AS n,
+        |        SUM(CAST(aq AS HUGEINT)) AS s,
+        |        SUM(CAST(aq AS HUGEINT) * aq) AS qq,
+        |        SUM(CAST(abs(aq - pq) AS HUGEINT)) AS sad,
+        |        SUM(CAST(aq - pq AS HUGEINT) * (aq - pq)) AS sse
+        |      FROM q)
+        |SELECT n,
+        |  CAST(sad AS DOUBLE) / (1000000.0 * n) AS mae,
+        |  sqrt(CAST(sse AS DOUBLE) / (1000000.0 * 1000000.0 * n)) AS rmse,
+        |  CASE WHEN CAST(n AS HUGEINT) * qq - s * s = 0 THEN NULL
+        |       ELSE CAST((CAST(n AS HUGEINT) * qq - s * s) -
+        |              CAST(n AS HUGEINT) * sse AS DOUBLE) /
+        |            CAST(CAST(n AS HUGEINT) * qq - s * s AS DOUBLE) END AS r2
+        |FROM g""".stripMargin,
+
+    // AP twin: shared rank + running-relevance windows, nano-quantized
+    // prefix/pos terms, min(R, k) normalization, NULL on no-relevant
+    "q167_avg_precision" ->
+      """WITH b AS (
+        |  SELECT lang, doc_id, n_chars,
+        |    CASE WHEN len(regexp_extract_all(lower(text), '\bthe\b')) > 0
+        |         THEN 1 ELSE 0 END AS rel
+        |  FROM documents),
+        |r AS (SELECT lang, rel,
+        |        row_number() OVER (PARTITION BY lang
+        |          ORDER BY n_chars DESC, doc_id) AS pos,
+        |        SUM(rel) OVER (PARTITION BY lang
+        |          ORDER BY n_chars DESC, doc_id
+        |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS prefix
+        |      FROM b),
+        |g AS (SELECT lang, COUNT(*) AS n_docs, CAST(SUM(rel) AS BIGINT) AS n_rel,
+        |        CAST(SUM(CASE WHEN rel = 1 AND pos <= 10 THEN 1 ELSE 0 END)
+        |          AS BIGINT) AS n_rel_topk,
+        |        CAST(SUM(CASE WHEN rel = 1 AND pos <= 10 THEN
+        |          CAST(ROUND(CAST(prefix AS DOUBLE) / pos * 1000000000.0)
+        |            AS BIGINT) ELSE 0 END) AS BIGINT) AS sp_q
+        |      FROM r GROUP BY lang)
+        |SELECT lang, n_docs, n_rel, n_rel_topk,
+        |  CASE WHEN least(n_rel, 10) = 0 THEN NULL
+        |       ELSE CAST(sp_q AS DOUBLE) / (1000000000.0 * least(n_rel, 10))
+        |  END AS ap
+        |FROM g ORDER BY lang""".stripMargin,
+
     // AUC twin: row_number over the same score order (tie order inside a
     // group is irrelevant — only MIN(rank) and counts enter), the same
     // 2U = Σ np_g(2·min_g + n_g − 1) − np(np+1) integer identity in

@@ -34,6 +34,42 @@ object TextAnalysis {
     "fr" -> "(le|les|des|et|un)",
     "zh" -> "(de|shi|le|wo|ni)")
 
+  /** Shared langid predictor (q29's heuristic): (doc_id, lang, pred_lang) —
+    * a pure per-row projection, reused by the q164/q165 classifier-eval
+    * queries as their prediction source. */
+  private[operators] def langidPred(s: org.apache.spark.sql.SparkSession,
+      dir: String): org.apache.spark.sql.DataFrame = {
+    import s.implicits._
+    val scored = markers.foldLeft(t(s, dir, "documents")) { case (df, (l, pat)) =>
+      df.withColumn(s"s_$l", regexp_count(lower($"text"), lit("\\b" + pat + "\\b")).cast(LongType))
+    }
+    scored
+      .withColumn("pred_lang",
+        when($"s_en" >= $"s_de" && $"s_en" >= $"s_es" && $"s_en" >= $"s_fr" && $"s_en" >= $"s_zh", "en")
+          .when($"s_de" >= $"s_es" && $"s_de" >= $"s_fr" && $"s_de" >= $"s_zh", "de")
+          .when($"s_es" >= $"s_fr" && $"s_es" >= $"s_zh", "es")
+          .when($"s_fr" >= $"s_zh", "fr")
+          .otherwise("zh"))
+      .select($"doc_id", $"lang", $"pred_lang")
+  }
+
+  /** SQL twin of [[langidPred]]: a query fragment producing
+    * (doc_id, lang, pred_lang) — interpolate as a CTE body. */
+  private[operators] def langidPredSql: String = {
+    def cnt(pat: String) = s"len(regexp_extract_all(lower(text), '\\b$pat\\b'))"
+    s"""SELECT doc_id, lang,
+       |  CASE WHEN s_en >= s_de AND s_en >= s_es AND s_en >= s_fr AND s_en >= s_zh THEN 'en'
+       |       WHEN s_de >= s_es AND s_de >= s_fr AND s_de >= s_zh THEN 'de'
+       |       WHEN s_es >= s_fr AND s_es >= s_zh THEN 'es'
+       |       WHEN s_fr >= s_zh THEN 'fr'
+       |       ELSE 'zh' END AS pred_lang
+       |FROM (SELECT doc_id, lang,
+       |  ${cnt(markers("en"))} AS s_en, ${cnt(markers("de"))} AS s_de,
+       |  ${cnt(markers("es"))} AS s_es, ${cnt(markers("fr"))} AS s_fr,
+       |  ${cnt(markers("zh"))} AS s_zh
+       | FROM documents) scored""".stripMargin
+  }
+
   val queries: Map[String, Q] = Map(
     // ---- q113: bigram LM self-perplexity (CCNet-shape quality filter:
     // score docs by cross-entropy under an n-gram model trained on the
@@ -102,16 +138,7 @@ object TextAnalysis {
     // ---- q29: language identification ----
     "q29_langid" -> ((s, dir) => {
       import s.implicits._
-      val scored = markers.foldLeft(t(s, dir, "documents")) { case (df, (l, pat)) =>
-        df.withColumn(s"s_$l", regexp_count(lower($"text"), lit("\\b" + pat + "\\b")).cast(LongType))
-      }
-      scored
-        .withColumn("pred_lang",
-          when($"s_en" >= $"s_de" && $"s_en" >= $"s_es" && $"s_en" >= $"s_fr" && $"s_en" >= $"s_zh", "en")
-            .when($"s_de" >= $"s_es" && $"s_de" >= $"s_fr" && $"s_de" >= $"s_zh", "de")
-            .when($"s_es" >= $"s_fr" && $"s_es" >= $"s_zh", "es")
-            .when($"s_fr" >= $"s_zh", "fr")
-            .otherwise("zh"))
+      langidPred(s, dir)
         .select($"doc_id", $"pred_lang", ($"pred_lang" === $"lang").as("is_match"))
         .orderBy($"doc_id")
     }),
@@ -286,24 +313,11 @@ object TextAnalysis {
     })
   )
 
-  private def langidSql: String = {
-    def cnt(pat: String) = s"len(regexp_extract_all(lower(text), '\\b$pat\\b'))"
-    s"""WITH scored AS (
-       | SELECT doc_id, lang,
-       |  ${cnt(markers("en"))} AS s_en, ${cnt(markers("de"))} AS s_de,
-       |  ${cnt(markers("es"))} AS s_es, ${cnt(markers("fr"))} AS s_fr,
-       |  ${cnt(markers("zh"))} AS s_zh
-       | FROM documents)
-       |SELECT doc_id, pred_lang, pred_lang = lang AS is_match FROM (
-       | SELECT doc_id, lang,
-       |  CASE WHEN s_en >= s_de AND s_en >= s_es AND s_en >= s_fr AND s_en >= s_zh THEN 'en'
-       |       WHEN s_de >= s_es AND s_de >= s_fr AND s_de >= s_zh THEN 'de'
-       |       WHEN s_es >= s_fr AND s_es >= s_zh THEN 'es'
-       |       WHEN s_fr >= s_zh THEN 'fr'
-       |       ELSE 'zh' END AS pred_lang
-       | FROM scored) x
+  private def langidSql: String =
+    s"""WITH p AS (
+       |${langidPredSql})
+       |SELECT doc_id, pred_lang, pred_lang = lang AS is_match FROM p
        |ORDER BY doc_id""".stripMargin
-  }
 
   val oracle: Map[String, String] = Map(
     // PMI twin: the q113 tokenization, pairs from (w[i], w[i+1]) and

@@ -922,6 +922,66 @@ class GraftApiSpec extends AnyFunSuite {
     assert(Graft.ndcgAtK(zero, "g", "score", "id", "rel").collect()(0).isNullAt(4))
   }
 
+  test("confusionStats keeps never-predicted and hallucinated classes") {
+    val s = spark; import s.implicits._
+    val df = Seq(("a", "a"), ("a", "b"), ("b", "b"), ("b", "b"), ("c", "d"))
+      .toDF("actual", "pred")
+    val out = Graft.confusionStats(df, "actual", "pred").orderBy("label")
+      .collect()
+    assert(out.map(_.getString(0)).toSeq === Seq("a", "b", "c", "d"))
+    // (n_actual, n_pred, tp) per class
+    assert(out.map(r => (r.getLong(1), r.getLong(2), r.getLong(3))).toSeq ===
+      Seq((2L, 1L, 1L), (2L, 3L, 2L), (1L, 0L, 0L), (0L, 1L, 0L)))
+    val a = out(0); val b = out(1); val c = out(2); val d = out(3)
+    assert(a.getDouble(6) === 1.0 && math.abs(b.getDouble(6) - 2.0 / 3) < 1e-12)
+    assert(c.isNullAt(6)) // precision undefined: never predicted
+    assert(d.isNullAt(8) === false && d.getDouble(8) === 0.0) // hallucinated: f1 0
+    assert(d.isNullAt(7)) // recall undefined: never actual
+    assert(math.abs(a.getDouble(8) - 2.0 / 3) < 1e-12 && b.getDouble(8) === 0.8)
+  }
+
+  test("cohensKappa matches the textbook 2x2 case and perfect agreement") {
+    val s = spark; import s.implicits._
+    val rows = Seq.fill(20)(("a", "a")) ++ Seq.fill(5)(("a", "b")) ++
+      Seq.fill(10)(("b", "a")) ++ Seq.fill(15)(("b", "b"))
+    val r = Graft.cohensKappa(rows.toDF("x", "y"), "x", "y").collect()(0)
+    assert(r.getLong(0) === 50L && r.getDouble(1) === 0.7 &&
+      r.getDouble(2) === 0.5 && r.getDouble(3) === 0.4)
+    val perfect = Graft.cohensKappa(
+      Seq(("a", "a"), ("b", "b")).toDF("x", "y"), "x", "y").collect()(0)
+    assert(perfect.getDouble(3) === 1.0)
+    // single shared label: pe = 1, kappa undefined
+    val degenerate = Graft.cohensKappa(
+      Seq(("a", "a"), ("a", "a")).toDF("x", "y"), "x", "y").collect()(0)
+    assert(degenerate.isNullAt(3))
+  }
+
+  test("regressionMetrics: perfect fit, mean predictor, constant actuals") {
+    val s = spark; import s.implicits._
+    val perfect = Seq((1.0, 1.0), (2.0, 2.0)).toDF("a", "p")
+    val rp = Graft.regressionMetrics(perfect, "a", "p").collect()(0)
+    assert(rp.getDouble(1) === 0.0 && rp.getDouble(2) === 0.0 &&
+      rp.getDouble(3) === 1.0)
+    // predicting the mean everywhere gives exactly R² = 0
+    val mean = Seq((1.0, 2.0), (2.0, 2.0), (3.0, 2.0)).toDF("a", "p")
+    val rm = Graft.regressionMetrics(mean, "a", "p").collect()(0)
+    assert(math.abs(rm.getDouble(1) - 2.0 / 3) < 1e-12 && rm.getDouble(3) === 0.0)
+    val const = Seq((5.0, 4.0), (5.0, 6.0)).toDF("a", "p")
+    assert(Graft.regressionMetrics(const, "a", "p").collect()(0).isNullAt(3))
+  }
+
+  test("averagePrecisionAtK computes the textbook AP and NULLs no-relevant") {
+    val s = spark; import s.implicits._
+    // ranking by score desc: rel pattern 1,0,1 → AP = (1/1 + 2/3)/2 = 5/6
+    val df = Seq(("q", 3.0, 1L, 1L), ("q", 2.0, 2L, 0L), ("q", 1.0, 3L, 1L),
+      ("z", 1.0, 4L, 0L)).toDF("g", "score", "id", "rel")
+    val out = Graft.averagePrecisionAtK(df, "g", "score", "id", "rel")
+      .orderBy("g").collect()
+    assert(math.abs(out(0).getDouble(4) - 5.0 / 6) < 1e-9)
+    assert(out(0).getLong(2) === 2L && out(0).getLong(3) === 2L)
+    assert(out(1).isNullAt(4)) // no relevant docs → NULL, not 0/0
+  }
+
   test("winsorize clips into the exact order-statistic band") {
     val s = spark; import s.implicits._
     val df = (1 to 10).map(i => (i.toLong, "g", i * 10.0)).toDF("id", "grp", "v")

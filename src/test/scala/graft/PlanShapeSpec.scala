@@ -357,4 +357,22 @@ class PlanShapeSpec extends AnyFunSuite {
     assert("Exchange hashpartitioning\\(lang".r.findAllMatchIn(p).size === 1, p)
     assert(!p.contains("CartesianProduct") && !p.contains("SinglePartition"), p)
   }
+
+  test("q164 confusion is one contingency aggregate then class-sized joins") {
+    val p = planOf("q164_confusion")
+    assert(p.sliding("HashAggregate".length).count(_ == "HashAggregate") >= 2, p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("q166 regression metrics broadcast the group means, one final agg") {
+    val p = planOf("q166_regression_metrics")
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("CartesianProduct") && !p.contains("SortMergeJoin"), p)
+  }
+
+  test("q167 average precision rides one group exchange like q163") {
+    val p = planOf("q167_avg_precision")
+    assert("Exchange hashpartitioning\\(lang".r.findAllMatchIn(p).size === 1, p)
+    assert(!p.contains("CartesianProduct") && !p.contains("SinglePartition"), p)
+  }
 }
