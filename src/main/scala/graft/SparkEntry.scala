@@ -21,7 +21,7 @@ object SparkEntry {
       Similarity.queries ++ TextAnalysis.queries ++ Extras.queries ++
       Sampling.queries ++ Pipeline.queries ++ Corpus.queries ++
       Analytics.queries ++ Clustering.queries ++ Evaluation.queries ++
-      GdalQueries.queries
+      Quality.queries ++ GdalQueries.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted keys (LSH/simhash/ANN) get the
@@ -31,5 +31,5 @@ object SparkEntry {
       Similarity.oracle ++ TextAnalysis.oracle ++ Extras.oracle ++
       Sampling.oracle ++ Pipeline.oracle ++ Corpus.oracle ++
       Analytics.oracle ++ Clustering.oracle ++ Evaluation.oracle ++
-      GdalQueries.oracle
+      Quality.oracle ++ GdalQueries.oracle
 }

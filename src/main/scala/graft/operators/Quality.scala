@@ -1,0 +1,139 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import Util._
+
+/** Data-quality / profiling family (q168–q170) — the first-contact and
+  * continuous-audit operators a lake pipeline runs before and after
+  * every ingest: a one-pass column profiler, a constraint audit
+  * (uniqueness, referential integrity, domain, range — with
+  * deterministically injected violations so the oracle gates real
+  * counts, not four zeros), and a Benford leading-digit audit.
+  *
+  * Exactness: profiles stringify AFTER typed min/max aggregates (money
+  * pre-cast to DECIMAL(18,2) so both engines render "1.00"); audits are
+  * pure integer counts; Benford's expected curve is the identical
+  * ln-chain both engines and the observed side is integer counts with
+  * one division. */
+object Quality {
+
+  val queries: Map[String, Q] = Map(
+    // ---- q168: column profiler over lineitem — null/distinct/min/max
+    // per column in ONE aggregate pass (exact distincts → Spark plans
+    // the Expand; the documented approx swap keeps the same shape at
+    // extreme width). ----
+    "q168_profile" -> ((s, dir) => {
+      val li = t(s, dir, "lineitem").select(
+        col("l_orderkey"), col("l_linenumber"),
+        col("l_quantity").cast(DecimalType(18, 2)).as("l_quantity"),
+        col("l_extendedprice").cast(DecimalType(18, 2)).as("l_extendedprice"),
+        col("l_returnflag"), col("l_shipdate"))
+      graft.api.Graft.profileColumns(li,
+          Seq("l_orderkey", "l_linenumber", "l_quantity", "l_extendedprice",
+            "l_returnflag", "l_shipdate"))
+        .orderBy(col("col_name"))
+    }),
+
+    // ---- q169: constraint audit with DETERMINISTICALLY INJECTED
+    // violations (orphan FKs every 997th order key, collapsed PK
+    // line numbers every 499th, domain 'X' every 1009th, +100 quantity
+    // every 1013th) — so the gate checks real violation counts, not
+    // four trivial zeros. Each rule is one count aggregate. ----
+    "q169_constraint_audit" -> ((s, dir) => {
+      val li = t(s, dir, "lineitem")
+      val orders = t(s, dir, "orders")
+      val fkChild = li.withColumn("l_orderkey",
+        when(col("l_orderkey") % 997 === 0, col("l_orderkey") + 1000000000L)
+          .otherwise(col("l_orderkey")))
+      val pkChild = li.withColumn("l_linenumber",
+        when(col("l_orderkey") % 499 === 0, lit(1)).otherwise(col("l_linenumber")))
+      val domChild = li.withColumn("l_returnflag",
+        when(col("l_orderkey") % 1009 === 0, lit("X")).otherwise(col("l_returnflag")))
+      val rngChild = li.withColumn("l_quantity",
+        when(col("l_orderkey") % 1013 === 0, col("l_quantity") + 100.0)
+          .otherwise(col("l_quantity")))
+      graft.api.Graft.fkViolations(fkChild, "l_orderkey", orders, "o_orderkey")
+        .unionAll(graft.api.Graft.uniqueViolations(pkChild,
+          Seq("l_orderkey", "l_linenumber")))
+        .unionAll(graft.api.Graft.domainViolations(domChild, "l_returnflag",
+          Seq("A", "N", "R")))
+        .unionAll(graft.api.Graft.rangeViolations(rngChild, "l_quantity", 1L, 50L))
+        .orderBy(col("rule"))
+    }),
+
+    // ---- q170: Benford leading-digit audit of o_totalprice — digit
+    // from the CENTS integer's string form (a ×100 shift preserves the
+    // leading significant digit; no log10-at-power-boundary hazard),
+    // expected = ln(1+1/d)/ln(10) as the identical chain both engines. ----
+    "q170_benford" -> ((s, dir) =>
+      graft.api.Graft.benfordAudit(t(s, dir, "orders"), "o_totalprice")
+        .orderBy(col("digit")))
+  )
+
+  val oracle: Map[String, String] = Map(
+    // profiler twin: per-column SELECTs unioned, identical DECIMAL(18,2)
+    // money rendering, typed min/max stringified after aggregation
+    "q168_profile" -> {
+      def row(c: String, e: String) =
+        s"""SELECT '$c' AS col_name, COUNT(*) - COUNT($e) AS n_nulls,
+           |  COUNT(DISTINCT $e) AS n_distinct,
+           |  CAST(MIN($e) AS VARCHAR) AS min_value,
+           |  CAST(MAX($e) AS VARCHAR) AS max_value FROM lineitem""".stripMargin
+      Seq(
+        row("l_orderkey", "l_orderkey"),
+        row("l_linenumber", "l_linenumber"),
+        row("l_quantity", "CAST(l_quantity AS DECIMAL(18,2))"),
+        row("l_extendedprice", "CAST(l_extendedprice AS DECIMAL(18,2))"),
+        row("l_returnflag", "l_returnflag"),
+        row("l_shipdate", "l_shipdate")).mkString(
+        "", "\nUNION ALL\n", "\nORDER BY col_name")
+    },
+
+    // audit twin: identical injected mutations, each rule one count
+    "q169_constraint_audit" ->
+      """SELECT 'domain' AS rule, (
+        |  SELECT COUNT(*) FROM (
+        |    SELECT CASE WHEN l_orderkey % 1009 = 0 THEN 'X'
+        |                ELSE l_returnflag END AS f FROM lineitem) m
+        |  WHERE f IS NOT NULL AND f NOT IN ('A', 'N', 'R')) AS n_bad
+        |UNION ALL
+        |SELECT 'fk_orphans', (
+        |  SELECT COUNT(*) FROM (
+        |    SELECT CASE WHEN l_orderkey % 997 = 0 THEN l_orderkey + 1000000000
+        |                ELSE l_orderkey END AS k FROM lineitem) m
+        |  WHERE k IS NOT NULL
+        |    AND NOT EXISTS (SELECT 1 FROM orders WHERE o_orderkey = m.k))
+        |UNION ALL
+        |SELECT 'pk_duplicates', (
+        |  SELECT CAST(COALESCE(SUM(c - 1), 0) AS BIGINT) FROM (
+        |    SELECT COUNT(*) AS c FROM (
+        |      SELECT l_orderkey,
+        |        CASE WHEN l_orderkey % 499 = 0 THEN 1
+        |             ELSE l_linenumber END AS ln FROM lineitem) m
+        |    GROUP BY l_orderkey, ln) g)
+        |UNION ALL
+        |SELECT 'range', (
+        |  SELECT COUNT(*) FROM (
+        |    SELECT CASE WHEN l_orderkey % 1013 = 0 THEN l_quantity + 100.0
+        |                ELSE l_quantity END AS q FROM lineitem) m
+        |  WHERE q IS NOT NULL AND (q < 1 OR q > 50))
+        |ORDER BY rule""".stripMargin,
+
+    // Benford twin: identical cents digit extraction and ln-chain
+    "q170_benford" ->
+      """WITH b AS (
+        |  SELECT substr(CAST(abs(CAST(ROUND(o_totalprice * 100.0) AS BIGINT))
+        |    AS VARCHAR), 1, 1) AS digit
+        |  FROM orders
+        |  WHERE o_totalprice IS NOT NULL
+        |    AND abs(CAST(ROUND(o_totalprice * 100.0) AS BIGINT)) > 0),
+        |c AS (SELECT digit, COUNT(*) AS n FROM b GROUP BY digit),
+        |tt AS (SELECT COUNT(*) AS t FROM b)
+        |SELECT digit, n, CAST(n AS DOUBLE) / t AS frac,
+        |  ln(1.0 + 1.0 / CAST(digit AS BIGINT)) / ln(10.0) AS expected,
+        |  abs(CAST(n AS DOUBLE) / t -
+        |    ln(1.0 + 1.0 / CAST(digit AS BIGINT)) / ln(10.0)) AS abs_dev
+        |FROM c CROSS JOIN tt ORDER BY digit""".stripMargin
+  )
+}

@@ -982,6 +982,48 @@ class GraftApiSpec extends AnyFunSuite {
     assert(out(1).isNullAt(4)) // no relevant docs → NULL, not 0/0
   }
 
+  test("profileColumns reports nulls, distincts, typed min/max per column") {
+    val s = spark; import s.implicits._
+    val df = Seq((Option(1L), Option("a")), (None, Option("a")),
+      (Option(30L), None)).toDF("id", "v")
+    val out = Graft.profileColumns(df, Seq("id", "v")).orderBy("col_name")
+      .collect()
+    assert(out(0).getString(0) === "id" && out(0).getLong(1) === 1L &&
+      out(0).getLong(2) === 2L && out(0).getString(3) === "1" &&
+      out(0).getString(4) === "30") // typed ordering: 30 > 1 numerically
+    assert(out(1).getString(0) === "v" && out(1).getLong(1) === 1L &&
+      out(1).getLong(2) === 1L && out(1).getString(3) === "a")
+  }
+
+  test("constraint audits count violations and report clean zeros") {
+    val s = spark; import s.implicits._
+    val child = Seq(1L, 2L, 2L, 99L).map(Tuple1(_)).toDF("k")
+    val parent = Seq(1L, 2L).map(Tuple1(_)).toDF("pk")
+    assert(Graft.fkViolations(child, "k", parent, "pk").collect()(0)
+      .getLong(1) === 1L) // the 99
+    assert(Graft.uniqueViolations(child, Seq("k")).collect()(0)
+      .getLong(1) === 1L) // one extra 2
+    val dom = Seq("A", "A", "X", null).map(Tuple1(_)).toDF("f")
+    assert(Graft.domainViolations(dom, "f", Seq("A", "N")).collect()(0)
+      .getLong(1) === 1L) // NULL is not a domain violation
+    val rng = Seq(1.0, 50.0, 51.0, -3.0).map(Tuple1(_)).toDF("q")
+    assert(Graft.rangeViolations(rng, "q", 1L, 50L).collect()(0)
+      .getLong(1) === 2L)
+    // clean data reports 0, not an empty frame
+    assert(Graft.uniqueViolations(parent, Seq("pk")).collect()(0)
+      .getLong(1) === 0L)
+  }
+
+  test("benfordAudit extracts leading significant digits from cents") {
+    val s = spark; import s.implicits._
+    // 0 is excluded; -2.5 counts as digit 2; 0.05 -> cents 5 -> digit 5
+    val df = Seq(1.0, 19.99, -2.5, 0.0, 0.05).map(Tuple1(_)).toDF("v")
+    val out = Graft.benfordAudit(df, "v").orderBy("digit").collect()
+    assert(out.map(r => (r.getString(0), r.getLong(1))).toSeq ===
+      Seq(("1", 2L), ("2", 1L), ("5", 1L)))
+    assert(math.abs(out(0).getDouble(3) - math.log(2.0) / math.log(10.0)) < 1e-12)
+  }
+
   test("winsorize clips into the exact order-statistic band") {
     val s = spark; import s.implicits._
     val df = (1 to 10).map(i => (i.toLong, "g", i * 10.0)).toDF("id", "grp", "v")

@@ -375,4 +375,26 @@ class PlanShapeSpec extends AnyFunSuite {
     assert("Exchange hashpartitioning\\(lang".r.findAllMatchIn(p).size === 1, p)
     assert(!p.contains("CartesianProduct") && !p.contains("SinglePartition"), p)
   }
+
+  test("q168 profile avoids the multi-distinct Expand (melt + plain aggs)") {
+    val p = planOf("q168_profile")
+    // distincts ride the narrow melt, NOT Spark's Expand-based
+    // multi-distinct rewrite (measured ~6x slower for this shape)
+    assert(!p.contains("Expand"), p)
+    assert(p.sliding("HashAggregate".length).count(_ == "HashAggregate") >= 4, p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("q169 constraint audit anti-joins the fk rule, never a cartesian") {
+    val p = planOf("q169_constraint_audit")
+    assert(p.contains("LeftAnti"), p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("q170 benford is a digit-keyed aggregate with a broadcast total") {
+    val p = planOf("q170_benford")
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastExchange"), p)
+    assert(p.sliding("HashAggregate".length).count(_ == "HashAggregate") >= 2, p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
 }
