@@ -2852,6 +2852,65 @@ object Graft {
       .select(keyCols.map(col) :+ col("status"): _*)
   }
 
+  /** Sorted-neighborhood candidate pairs — the OTHER classic
+    * record-linkage blocking strategy (q78's equality blocks miss
+    * near-misses that straddle a block boundary; a sort key brings
+    * lexicographic neighbors together regardless): rank every row by
+    * the sort key via [[globalRank]], then pair each row with the
+    * `windowSize − 1` rows after it in sort order.
+    *
+    * Pair generation is an EQUI join on the rank (each row explodes to
+    * w−1 probe ranks) — exact across partition boundaries, unlike a
+    * per-partition lead(), and co-partitioned by the unique integer
+    * rank so no key ever hot-spots. Output: (id_a, id_b, key_a, key_b).
+    *
+    * 100 TB shape: one range exchange (globalRank), a w−1 fan-out
+    * projection, one integer equi join. Total pairs = N·(w−1) by
+    * construction — the window bounds the quadratic, the caller picks
+    * the similarity verify (levenshtein, jaccard, …) to run on the
+    * linear-sized candidate set. */
+  def sortedNeighborhoodPairs(df: DataFrame, sortCol: String, idCol: String,
+      windowSize: Int = 5): DataFrame = {
+    require(windowSize >= 2, "sortedNeighborhoodPairs: windowSize must be >= 2")
+    val base = df.select(col(sortCol).as("__k"), col(idCol).as("__id"))
+    val ranked = globalRank(base, Seq("__k", "__id"), "__r")
+    val probes = ranked
+      .withColumn("__o", explode(array((1 until windowSize).map(lit): _*)))
+      .select(col("__id").as("id_a"), col("__k").as("key_a"),
+        (col("__r") + col("__o")).as("__r"))
+    probes.join(ranked.select(col("__id").as("id_b"), col("__k").as("key_b"),
+        col("__r")), "__r")
+      .select(col("id_a"), col("id_b"), col("key_a"), col("key_b"))
+  }
+
+  /** Exact equi-depth histogram — `buckets` order-statistic buckets of
+    * (count, lo, hi) per bucket: the value-distribution companion to
+    * the equi-width [[histogram]] (equi-width shows shape, equi-depth
+    * shows quantile boundaries — what a range-partitioner or zone-map
+    * layout planner actually needs).
+    *
+    * Bucket of the row at global rank r (1-based) of N is
+    * (r−1)·buckets div N — pure integer arithmetic. Ties straddling a
+    * boundary cannot perturb the output: bucket COUNTS are fixed by
+    * rank arithmetic, and the straddling VALUE is both buckets' shared
+    * endpoint whichever copies land where. Output doubles are input
+    * values only.
+    *
+    * 100 TB shape: [[globalRank]]'s range exchange + one keyed
+    * aggregate + a 1-row N broadcast; `buckets` rows out. */
+  def equiDepthHistogram(df: DataFrame, valueCol: String,
+      buckets: Int = 10): DataFrame = {
+    require(buckets > 0, "equiDepthHistogram: buckets must be > 0")
+    val base = df.filter(col(valueCol).isNotNull).select(col(valueCol).as("__v"))
+    val ranked = globalRank(base, Seq("__v"), "__r")
+    val n = base.agg(count(lit(1)).as("__n"))
+    ranked.crossJoin(broadcast(n))
+      .withColumn("bucket", expr(s"((__r - 1) * $buckets) div __n"))
+      .groupBy(col("bucket"))
+      .agg(count(lit(1)).as("n"), min(col("__v")).as("lo"),
+        max(col("__v")).as("hi"))
+  }
+
   // --------------------------------------------- data-quality / profiling
 
   /** Column profile — per column: null count, exact distinct count, and

@@ -32,6 +32,16 @@ object Analytics {
     s"(${spreadSql(x)} | (${spreadSql(y)} << 1))"
 
   val queries: Map[String, Q] = Map(
+    // ---- q172: exact equi-depth histogram of l_extendedprice — the
+    // quantile-boundary companion to q110's equi-width bins (what a
+    // range partitioner / zone-map layout planner consumes): bucket =
+    // (rank−1)·k div N over globalRank, pure integer arithmetic,
+    // output doubles are input values only. ----
+    "q172_equidepth_histogram" -> ((s, dir) =>
+      graft.api.Graft.equiDepthHistogram(
+          t(s, dir, "lineitem"), "l_extendedprice", buckets = 10)
+        .orderBy(col("bucket"))),
+
     // ---- q129: bounded-hop BFS shortest paths over the event-type
     // transition graph (q111's edges) — per hop ONE frontier join + min
     // aggregate with checkpoint-cut lineage; distances are exact
@@ -1212,6 +1222,19 @@ object Analytics {
   }
 
   val oracle: Map[String, String] = Map(
+    // equi-depth twin: identical rank-arithmetic bucket id; boundary
+    // ties share the endpoint value so the permutation inside a tie
+    // group cannot show
+    "q172_equidepth_histogram" ->
+      """WITH b AS (
+        |  SELECT l_extendedprice AS v FROM lineitem
+        |  WHERE l_extendedprice IS NOT NULL),
+        |r AS (SELECT v, row_number() OVER (ORDER BY v) AS rn FROM b),
+        |t AS (SELECT COUNT(*) AS nt FROM b)
+        |SELECT ((rn - 1) * 10) // nt AS bucket, COUNT(*) AS n,
+        |  MIN(v) AS lo, MAX(v) AS hi
+        |FROM r CROSS JOIN t GROUP BY 1 ORDER BY bucket""".stripMargin,
+
     "q140_label_propagation" -> labelPropSql(3),
     "q147_kcore" -> kCoreSql(70, 3),
     "q149_acf" -> acfSql(3),

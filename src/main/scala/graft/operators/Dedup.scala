@@ -103,6 +103,21 @@ object Dedup {
   }
 
   val queries: Map[String, Q] = Map(
+    // ---- q171: sorted-neighborhood record linkage — the second classic
+    // blocking strategy next to q78's equality blocks (a sort key
+    // brings near-misses together even when they straddle a block
+    // boundary): rank part names globally, pair each with the 4
+    // following, verify with Levenshtein ≤ 4. Pair gen is an integer
+    // equi join on the rank — N·(w−1) candidates by construction. ----
+    "q171_sorted_neighborhood" -> ((s, dir) => {
+      val pairs = graft.api.Graft.sortedNeighborhoodPairs(
+        t(s, dir, "part"), "p_name", "p_partkey", windowSize = 5)
+      pairs.withColumn("dist", levenshtein(col("key_a"), col("key_b")))
+        .filter(col("dist") <= 4)
+        .select(col("id_a"), col("id_b"), col("dist").cast(LongType).as("dist"))
+        .orderBy(col("id_a"), col("id_b"))
+    }),
+
     // ---- q23: exact dedup on normalized text ----
     "q23_dedup_exact" -> ((s, dir) => {
       t(s, dir, "documents")
@@ -364,6 +379,20 @@ object Dedup {
   val oracle: Map[String, String] = Map(
     "q133_incremental_dedup" -> incrementalDedupSql,
     "q138_leakage_safe_split" -> leakageSafeSplitSql,
+
+    // sorted-neighborhood twin: identical (p_name, p_partkey) total
+    // order, the same rank-offset pair join and Levenshtein gate
+    "q171_sorted_neighborhood" ->
+      """WITH r AS (
+        |  SELECT p_partkey AS id, p_name AS k,
+        |    row_number() OVER (ORDER BY p_name, p_partkey) AS rn
+        |  FROM part),
+        |o AS (SELECT unnest([1, 2, 3, 4]) AS o),
+        |p AS (SELECT a.id AS id_a, b.id AS id_b, a.k AS ka, b.k AS kb
+        |      FROM r a CROSS JOIN o JOIN r b ON b.rn = a.rn + o.o)
+        |SELECT id_a, id_b, CAST(levenshtein(ka, kb) AS BIGINT) AS dist
+        |FROM p WHERE levenshtein(ka, kb) <= 4
+        |ORDER BY id_a, id_b""".stripMargin,
 
     "q23_dedup_exact" ->
       """SELECT MIN(doc_id) AS keep_id, COUNT(*) AS n_copies

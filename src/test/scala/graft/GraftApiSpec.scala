@@ -1024,6 +1024,34 @@ class GraftApiSpec extends AnyFunSuite {
     assert(math.abs(out(0).getDouble(3) - math.log(2.0) / math.log(10.0)) < 1e-12)
   }
 
+  test("sortedNeighborhoodPairs pairs each row with its w-1 sort successors") {
+    val s = spark; import s.implicits._
+    val df = Seq((1L, "aa"), (2L, "ab"), (3L, "zz"), (4L, "ac"))
+      .toDF("id", "k").repartition(3) // boundary pairs must survive
+    val w2 = Graft.sortedNeighborhoodPairs(df, "k", "id", windowSize = 2)
+      .orderBy("key_a").collect()
+    assert(w2.map(r => (r.getLong(0), r.getLong(1))).toSeq ===
+      Seq((1L, 2L), (2L, 4L), (4L, 3L))) // aa→ab→ac→zz in sort order
+    val w3 = Graft.sortedNeighborhoodPairs(df, "k", "id", windowSize = 3)
+    assert(w3.count() === 3 + 2) // (n-1) + (n-2)
+  }
+
+  test("equiDepthHistogram cuts exact order-statistic buckets") {
+    val s = spark; import s.implicits._
+    val df = (1 to 10).map(i => Tuple1(i.toDouble)).toDF("v")
+    val out = Graft.equiDepthHistogram(df, "v", buckets = 5)
+      .orderBy("bucket").collect()
+    assert(out.map(r => (r.getLong(0), r.getLong(1), r.getDouble(2),
+      r.getDouble(3))).toSeq ===
+      (0 to 4).map(b => (b.toLong, 2L, 2.0 * b + 1, 2.0 * b + 2)))
+    // all-ties input: counts stay rank-determined, lo = hi = the value
+    val ties = Seq.fill(4)(Tuple1(7.0)).toDF("v")
+    val to = Graft.equiDepthHistogram(ties, "v", buckets = 2)
+      .orderBy("bucket").collect()
+    assert(to.map(r => (r.getLong(0), r.getLong(1), r.getDouble(2),
+      r.getDouble(3))).toSeq === Seq((0L, 2L, 7.0, 7.0), (1L, 2L, 7.0, 7.0)))
+  }
+
   test("winsorize clips into the exact order-statistic band") {
     val s = spark; import s.implicits._
     val df = (1 to 10).map(i => (i.toLong, "g", i * 10.0)).toDF("id", "grp", "v")

@@ -391,6 +391,25 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(!p.contains("CartesianProduct"), p)
   }
 
+  test("q171 sorted-neighborhood pair-gen is an integer equi join") {
+    val p = planOf("q171_sorted_neighborhood")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoop"), p)
+    // ranking windows all partition on globalRank's __pid
+    val specs = "windowspecdefinition\\(".r.findAllMatchIn(p).map(_.start).toSeq
+    assert(specs.nonEmpty && specs.forall { i =>
+      p.substring(i, math.min(p.length, i + 60)).contains("__pid")
+    }, p)
+  }
+
+  test("q172 equi-depth histogram never plans a one-partition window") {
+    val p = planOf("q172_equidepth_histogram")
+    val specs = "windowspecdefinition\\(".r.findAllMatchIn(p).map(_.start).toSeq
+    assert(specs.nonEmpty && specs.forall { i =>
+      p.substring(i, math.min(p.length, i + 60)).contains("__pid")
+    }, p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
   test("q170 benford is a digit-keyed aggregate with a broadcast total") {
     val p = planOf("q170_benford")
     assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastExchange"), p)
