@@ -176,6 +176,33 @@ object EventStreams {
     * across micro-batches); within a batch rows apply in event-time
     * order. Emits only alarm rows — the sparse monitor stream, not a
     * per-event trace. */
+  /** Streaming data-quality monitor — the q168/q169 audits deployed on
+    * the ingest stream: per event-time tumbling hour, the row count,
+    * null-value count, domain violations (event_type outside the
+    * allowed set — NULL counts as a violation: an ingest field that
+    * vanished IS the incident), and range violations on `value`.
+    *
+    * A pure watermarked windowed aggregate: codegen'd, no custom state,
+    * partial aggregation on the executors — per-window counters are the
+    * only shuffled bytes however fast the stream runs. Compose with
+    * [[cusumAlarms]] downstream to turn a drifting violation RATE into
+    * a changepoint alarm. */
+  def qualityMonitor(events: DataFrame, allowedTypes: Seq[String],
+      lo: Double, hi: Double): DataFrame =
+    events.withWatermark("ts", "10 minutes")
+      .groupBy(window(col("ts"), "1 hour"))
+      .agg(count(lit(1)).as("n_rows"),
+        sum(when(col("value").isNull, lit(1L)).otherwise(lit(0L)))
+          .as("n_null_value"),
+        sum(when(col("event_type").isNull ||
+          !col("event_type").isin(allowedTypes: _*), lit(1L))
+          .otherwise(lit(0L))).as("n_bad_type"),
+        sum(when(col("value").isNotNull &&
+          (col("value") < lo || col("value") > hi), lit(1L))
+          .otherwise(lit(0L))).as("n_out_of_range"))
+      .select(col("window.start").as("win_start"), col("n_rows"),
+        col("n_null_value"), col("n_bad_type"), col("n_out_of_range"))
+
   def cusumAlarms(events: DataFrame, target: Double, slack: Double,
       threshold: Double): DataFrame = {
     import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}

@@ -334,4 +334,31 @@ class StreamingSpec extends AnyFunSuite {
     val files = new java.io.File(dir).listFiles.map(_.getName).filter(_.endsWith(".parquet"))
     assert(files.exists(_.startsWith("batch-0")) && files.exists(_.startsWith("batch-1")))
   }
+
+  test("qualityMonitor counts nulls, bad domains, and range breaks per window") {
+    val s = spark
+    import s.implicits._
+    implicit val sc = s.sqlContext
+    val mem = MemoryStream[Ev]
+    mem.addData(
+      Ev(1, ts(5), 1, "click", 10.0),      // clean
+      Ev(2, ts(10), 1, "zz", 20.0),        // bad domain
+      Ev(3, ts(15), 2, "view", -1.0),      // sentinel → null value below
+      Ev(4, ts(70), 2, "click", 5000.0))   // hour 2, out of range
+    // Ev.value is a primitive Double; model the missing-field case with a
+    // sentinel nulled in a streaming projection upstream of the monitor
+    val in = mem.toDF.withColumn("value",
+      when($"value" === -1.0, lit(null).cast("double")).otherwise($"value"))
+    val out = EventStreams.qualityMonitor(in,
+      allowedTypes = Seq("click", "view", "purchase"), lo = 0.0, hi = 1000.0)
+    assert(out.isStreaming)
+    runToCompletion(out, "quality_monitor", "complete")
+    val rows = s.sql("""SELECT win_start, n_rows, n_null_value, n_bad_type,
+        n_out_of_range FROM quality_monitor ORDER BY win_start""")
+      .collect().map(r => (r.getTimestamp(0).toString, r.getLong(1),
+        r.getLong(2), r.getLong(3), r.getLong(4)))
+    assert(rows.toSeq === Seq(
+      ("2024-01-01 00:00:00.0", 3L, 1L, 1L, 0L),
+      ("2024-01-01 01:00:00.0", 1L, 0L, 0L, 1L)))
+  }
 }
