@@ -2852,6 +2852,53 @@ object Graft {
       .select(keyCols.map(col) :+ col("status"): _*)
   }
 
+  /** Link prediction over an undirected graph — common-neighbor count,
+    * Adamic–Adar, and neighborhood Jaccard for NON-edges, ranked by
+    * Adamic–Adar (the recommendation/knowledge-graph completion
+    * primitive on the same co-occurrence graphs pageRank/kCore/HITS
+    * analyze).
+    *
+    * Candidate pairs come from 2-paths (x–z–y); hubs with degree >
+    * `maxDegree` are excluded from the BRIDGE role z (the q24
+    * stop-shingle discipline: a hub's Σdeg² pair fan-out is the whole
+    * cost and its 1/ln(deg) contribution is the least informative —
+    * documented truncation, endpoints keep their full degrees).
+    * Adamic–Adar terms 1/ln(deg z) are nano-quantized before the keyed
+    * sum (deg z ≥ 2 on any 2-path, so ln > 0); Jaccard is one division
+    * of exact longs. Existing edges drop via one anti join.
+    *
+    * 100 TB shape: degree = one keyed count; pair-gen = one self equi
+    * join on the bridge node with the hub cap bounding per-key fan-out;
+    * scoring = keyed aggregates + degree joins; deterministic top-k via
+    * TakeOrderedAndProject on (aa_q desc, x, y). */
+  def linkPrediction(edges: DataFrame, srcCol: String, dstCol: String,
+      topK: Int = 20, maxDegree: Int = 100): DataFrame = {
+    require(topK > 0 && maxDegree >= 2, "linkPrediction: bad topK/maxDegree")
+    val e = edges.select(least(col(srcCol), col(dstCol)).as("a"),
+        greatest(col(srcCol), col(dstCol)).as("b"))
+      .filter(col("a") =!= col("b")).distinct()
+    val adj = e.select(col("a").as("u"), col("b").as("v"))
+      .unionAll(e.select(col("b").as("u"), col("a").as("v")))
+    val deg = adj.groupBy(col("u")).agg(count(lit(1)).as("deg"))
+    val bridge = adj.join(deg.filter(col("deg") <= maxDegree), "u")
+    val paths = bridge.alias("l").join(bridge.alias("r"),
+        col("l.u") === col("r.u") && col("l.v") < col("r.v"))
+      .select(col("l.v").as("x"), col("r.v").as("y"), col("l.deg").as("degz"))
+    val scored = paths.groupBy(col("x"), col("y"))
+      .agg(count(lit(1)).as("cn"),
+        sum(round(lit(1.0e9) / log(col("degz").cast(DoubleType)))
+          .cast(LongType)).as("__aa_q"))
+    val cand = scored.join(e.select(col("a").as("x"), col("b").as("y")),
+      Seq("x", "y"), "left_anti")
+    cand.join(deg.select(col("u").as("x"), col("deg").as("degx")), "x")
+      .join(deg.select(col("u").as("y"), col("deg").as("degy")), "y")
+      .orderBy(col("__aa_q").desc, col("x"), col("y")).limit(topK)
+      .select(col("x"), col("y"), col("cn"),
+        (col("__aa_q").cast(DoubleType) / lit(1.0e9)).as("adamic_adar"),
+        (col("cn").cast(DoubleType) /
+          (col("degx") + col("degy") - col("cn"))).as("jaccard"))
+  }
+
   /** Sorted-neighborhood candidate pairs — the OTHER classic
     * record-linkage blocking strategy (q78's equality blocks miss
     * near-misses that straddle a block boundary; a sort key brings

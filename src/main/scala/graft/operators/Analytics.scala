@@ -32,6 +32,22 @@ object Analytics {
     s"(${spreadSql(x)} | (${spreadSql(y)} << 1))"
 
   val queries: Map[String, Q] = Map(
+    // ---- q173: link prediction on the basket co-purchase graph (the
+    // q147 edge set): common neighbors + Adamic–Adar + neighborhood
+    // Jaccard for NON-edges, top-20 by the nano-quantized Adamic–Adar
+    // (deterministic order). Hub parts above degree 100 are excluded
+    // from the bridge role — the stop-shingle discipline applied to
+    // 2-path fan-out. ----
+    "q173_link_prediction" -> ((s, dir) => {
+      val li = t(s, dir, "lineitem")
+        .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
+      val edges = li.alias("x").join(li.alias("y"),
+          col("x.ok") === col("y.ok") && col("x.pk") < col("y.pk"))
+        .select(col("x.pk").as("src"), col("y.pk").as("dst"))
+      graft.api.Graft.linkPrediction(edges, "src", "dst",
+        topK = 20, maxDegree = 100)
+    }),
+
     // ---- q172: exact equi-depth histogram of l_extendedprice — the
     // quantile-boundary companion to q110's equi-width bins (what a
     // range partitioner / zone-map layout planner consumes): bucket =
@@ -1222,6 +1238,35 @@ object Analytics {
   }
 
   val oracle: Map[String, String] = Map(
+    // link-prediction twin: identical normalized edge set, hub-capped
+    // bridge join, nano-quantized 1/ln(deg) terms, and the same
+    // (aa_q desc, x, y) top-20 order
+    "q173_link_prediction" ->
+      """WITH li AS (SELECT l_orderkey AS ok, l_partkey AS pk FROM lineitem),
+        |e AS (SELECT DISTINCT x.pk AS a, y.pk AS b
+        |      FROM li x JOIN li y ON x.ok = y.ok AND x.pk < y.pk),
+        |adj AS (SELECT a AS u, b AS v FROM e
+        |        UNION ALL SELECT b AS u, a AS v FROM e),
+        |deg AS (SELECT u, COUNT(*) AS deg FROM adj GROUP BY u),
+        |bridge AS (SELECT adj.u, adj.v, deg.deg FROM adj
+        |           JOIN deg USING (u) WHERE deg <= 100),
+        |paths AS (SELECT l.v AS x, r.v AS y, l.deg AS degz
+        |          FROM bridge l JOIN bridge r
+        |            ON l.u = r.u AND l.v < r.v),
+        |sc AS (SELECT x, y, COUNT(*) AS cn,
+        |         CAST(SUM(CAST(ROUND(1000000000.0 / ln(CAST(degz AS DOUBLE)))
+        |           AS BIGINT)) AS BIGINT) AS aa_q
+        |       FROM paths GROUP BY x, y),
+        |cand AS (SELECT sc.* FROM sc
+        |         WHERE NOT EXISTS (SELECT 1 FROM e
+        |                           WHERE e.a = sc.x AND e.b = sc.y)),
+        |j AS (SELECT c.x, c.y, c.cn, c.aa_q, dx.deg AS degx, dy.deg AS degy
+        |      FROM cand c JOIN deg dx ON dx.u = c.x
+        |      JOIN deg dy ON dy.u = c.y)
+        |SELECT x, y, cn, CAST(aa_q AS DOUBLE) / 1000000000.0 AS adamic_adar,
+        |  CAST(cn AS DOUBLE) / (degx + degy - cn) AS jaccard
+        |FROM j ORDER BY aa_q DESC, x, y LIMIT 20""".stripMargin,
+
     // equi-depth twin: identical rank-arithmetic bucket id; boundary
     // ties share the endpoint value so the permutation inside a tie
     // group cannot show

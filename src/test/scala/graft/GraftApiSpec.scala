@@ -1052,6 +1052,24 @@ class GraftApiSpec extends AnyFunSuite {
       r.getDouble(3))).toSeq === Seq((0L, 2L, 7.0, 7.0), (1L, 2L, 7.0, 7.0)))
   }
 
+  test("linkPrediction scores non-edges by common neighbors, caps hubs") {
+    val s = spark; import s.implicits._
+    // square 1-2-3-4-1: non-edges (1,3) and (2,4), two common neighbors
+    // each, every degree 2 → jaccard 2/(2+2-2) = 1, aa = 2/ln 2
+    val square = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 1L)).toDF("s", "d")
+    val out = Graft.linkPrediction(square, "s", "d").orderBy("x").collect()
+    assert(out.map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq ===
+      Seq((1L, 3L, 2L), (2L, 4L, 2L)))
+    assert(out.forall(_.getDouble(4) === 1.0))
+    assert(out.forall(r => math.abs(r.getDouble(3) - 2.0 / math.log(2.0)) < 1e-6))
+    // a star's center above maxDegree is excluded from the bridge role:
+    // its leaves get no candidate pairs at all
+    val star = (2L to 6L).map(i => (1L, i)).toDF("s", "d")
+    assert(Graft.linkPrediction(star, "s", "d", maxDegree = 3).count() === 0)
+    // with the cap lifted the leaves pair through the center
+    assert(Graft.linkPrediction(star, "s", "d", maxDegree = 10).count() === 10)
+  }
+
   test("winsorize clips into the exact order-statistic band") {
     val s = spark; import s.implicits._
     val df = (1 to 10).map(i => (i.toLong, "g", i * 10.0)).toDF("id", "grp", "v")

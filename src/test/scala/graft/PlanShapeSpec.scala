@@ -410,6 +410,12 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(!p.contains("CartesianProduct"), p)
   }
 
+  test("q173 link prediction plans top-k, equi joins, no cartesian") {
+    val p = planOf("q173_link_prediction")
+    assert(p.contains("TakeOrderedAndProject"), p)
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoop"), p)
+  }
+
   test("q170 benford is a digit-keyed aggregate with a broadcast total") {
     val p = planOf("q170_benford")
     assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastExchange"), p)
