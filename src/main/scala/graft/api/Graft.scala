@@ -2852,6 +2852,92 @@ object Graft {
       .select(keyCols.map(col) :+ col("status"): _*)
   }
 
+  /** Rolling OLS slope per key — the windowed member of the trend
+    * family ([[theilSen]] robust, q117 whole-series, [[ewmaDyadic]]
+    * smoothing): slope of y on x over the last `windowRows` rows of
+    * each key's series.
+    *
+    * x and y arrive as PRE-QUANTIZED longs (day index, cents — the
+    * q156 convention), all five frame sums (n, Σx, Σy, Σxy, Σx²) ride
+    * ONE key-partitioned sort with identical ROWS frames, and the
+    * closed form (nΣxy − ΣxΣy)/(nΣx² − (Σx)²) is exact long arithmetic
+    * until a single division. Magnitudes are FRAME-bounded
+    * (w·max(x)·max(y) must fit a long) — independent of corpus size,
+    * so the exactness argument survives any scale-up. Zero-variance
+    * frames (n = 1, or all x equal) yield NULL.
+    *
+    * 100 TB shape: one hash exchange on the key, one in-partition
+    * sort, five frame aggregates sharing it; output is row-per-input
+    * (a per-row signal column, like q85's z-score). */
+  def rollingSlope(df: DataFrame, keyCol: String, xCol: String, yCol: String,
+      idCol: String, windowRows: Int = 5): DataFrame = {
+    require(windowRows >= 2, "rollingSlope: windowRows must be >= 2")
+    val w = Window.partitionBy(col(keyCol)).orderBy(col(xCol), col(idCol))
+      .rowsBetween(-(windowRows - 1), 0)
+    val staged = df
+      .withColumn("__n", count(lit(1)).over(w))
+      .withColumn("__sx", sum(col(xCol)).over(w))
+      .withColumn("__sy", sum(col(yCol)).over(w))
+      .withColumn("__sxy", sum(col(xCol) * col(yCol)).over(w))
+      .withColumn("__sxx", sum(col(xCol) * col(xCol)).over(w))
+    val num = col("__n") * col("__sxy") - col("__sx") * col("__sy")
+    val den = col("__n") * col("__sxx") - col("__sx") * col("__sx")
+    staged
+      .withColumn("n_window", col("__n"))
+      .withColumn("slope",
+        when(den === 0L, lit(null).cast(DoubleType))
+          .otherwise(num.cast(DoubleType) / den.cast(DoubleType)))
+      .drop("__n", "__sx", "__sy", "__sxy", "__sxx")
+  }
+
+  /** One-way ANOVA — F statistic and effect size η² of a numeric value
+    * across groups: IS the grouping explaining variance, and how much?
+    * (q152 answers two proportions, q151 two categoricals, this one
+    * k means — and η² here is exactly what q166's R² reports for the
+    * group-mean predictor.)
+    *
+    * Per-group n/Σv/Σv² are exact cents-quantized longs; each group's
+    * between-term S²/n is ONE double chain milli-quantized to a long
+    * before the k-row sum (order-free), and SSB/SSW/F/η² are single
+    * fixed chains from those quantized pieces. Degenerate inputs
+    * (k < 2, zero within-variance) yield NULL F.
+    *
+    * 100 TB shape: one keyed aggregate over the scan, then k-row work.
+    * Σv² stays a long to ~10⁹ rows per group at cents scale — past
+    * that, lift `q` to DECIMAL(38,0) (the q149 device). */
+  def anovaOneWay(df: DataFrame, valueCol: String, groupCol: String,
+      scale: Int = 100): DataFrame = {
+    require(scale > 0, "anovaOneWay: scale must be > 0")
+    val base = df.filter(col(valueCol).isNotNull && col(groupCol).isNotNull)
+      .select(col(groupCol).as("__g"),
+        round(col(valueCol) * lit(scale.toDouble)).cast(LongType).as("__vq"))
+    val g = base.groupBy(col("__g")).agg(count(lit(1)).as("__n"),
+      sum(col("__vq")).as("__s"), sum(col("__vq") * col("__vq")).as("__q"))
+    val termQ = round(col("__s").cast(DoubleType) * col("__s") / col("__n") *
+      lit(1.0e3)).cast(LongType)
+    val tot = g.agg(sum(col("__n")).as("__nn"), sum(col("__s")).as("__ss"),
+      sum(col("__q")).as("__qq"), sum(termQ).as("__t"),
+      count(lit(1)).as("k"))
+    val gQ = round(col("__ss").cast(DoubleType) * col("__ss") / col("__nn") *
+      lit(1.0e3)).cast(LongType)
+    val unitDiv = 1.0e3 * scale.toDouble * scale.toDouble
+    tot.withColumn("__gq", gQ)
+      .withColumn("__ssb_q", col("__t") - col("__gq"))
+      .withColumn("__ssw_q", col("__qq") * 1000L - col("__t"))
+      .select(col("k"), col("__nn").as("n"),
+        (col("__ssb_q").cast(DoubleType) / lit(unitDiv)).as("ssb"),
+        (col("__ssw_q").cast(DoubleType) / lit(unitDiv)).as("ssw"),
+        when(col("k") <= 1L || col("__ssw_q") <= 0L, lit(null).cast(DoubleType))
+          .otherwise(((col("__nn") - col("k")).cast(DoubleType) *
+            col("__ssb_q").cast(DoubleType)) /
+            ((col("k") - 1L).cast(DoubleType) *
+              col("__ssw_q").cast(DoubleType))).as("f_stat"),
+        when(col("__qq") * 1000L - col("__gq") <= 0L,
+          lit(null).cast(DoubleType))
+          .otherwise(col("__ssb_q").cast(DoubleType) /
+            (col("__qq") * 1000L - col("__gq")).cast(DoubleType)).as("eta2"))
+  }
+
   /** Link prediction over an undirected graph — common-neighbor count,
     * Adamic–Adar, and neighborhood Jaccard for NON-edges, ranked by
     * Adamic–Adar (the recommendation/knowledge-graph completion

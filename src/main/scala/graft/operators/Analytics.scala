@@ -32,6 +32,29 @@ object Analytics {
     s"(${spreadSql(x)} | (${spreadSql(y)} << 1))"
 
   val queries: Map[String, Q] = Map(
+    // ---- q174: rolling OLS slope — per-customer spend trend over the
+    // last 5 orders (the windowed member of the trend family: q117
+    // whole-series OLS, q156 robust Theil–Sen, q145 EWMA). Five frame
+    // sums share ONE keyed sort; slope exact-integer until one
+    // division; frame-bounded magnitudes make the exactness argument
+    // scale-independent. ----
+    "q174_rolling_slope" -> ((s, dir) => {
+      val o = t(s, dir, "orders").select(col("o_custkey"), col("o_orderkey"),
+        graft.api.Graft.epochDay(col("o_orderdate").cast(TimestampType)).as("t"),
+        round(col("o_totalprice") * lit(100.0)).cast(LongType).as("vc"))
+      graft.api.Graft.rollingSlope(o, "o_custkey", "t", "vc", "o_orderkey",
+          windowRows = 5)
+        .select(col("o_custkey"), col("o_orderkey"), col("t"), col("n_window"),
+          (col("slope") / lit(100.0)).as("slope_per_day"))
+        .orderBy(col("o_custkey"), col("t"), col("o_orderkey"))
+    }),
+
+    // ---- q175: one-way ANOVA — does event_type explain value variance?
+    // F + η² from one keyed aggregate; η² here equals q166's R² for the
+    // group-mean predictor (the two queries cross-check each other). ----
+    "q175_anova" -> ((s, dir) =>
+      graft.api.Graft.anovaOneWay(t(s, dir, "events"), "value", "event_type")),
+
     // ---- q173: link prediction on the basket co-purchase graph (the
     // q147 edge set): common neighbors + Adamic–Adar + neighborhood
     // Jaccard for NON-edges, top-20 by the nano-quantized Adamic–Adar
@@ -1238,6 +1261,65 @@ object Analytics {
   }
 
   val oracle: Map[String, String] = Map(
+    // rolling-slope twin: identical (t, o_orderkey) frame order, the
+    // same five frame sums and single-division closed form
+    "q174_rolling_slope" ->
+      """WITH o AS (
+        |  SELECT o_custkey, o_orderkey,
+        |    epoch_us(o_orderdate) // 86400000000 AS t,
+        |    CAST(ROUND(o_totalprice * 100.0) AS BIGINT) AS vc
+        |  FROM orders),
+        |w AS (
+        |  SELECT o_custkey, o_orderkey, t,
+        |    COUNT(*) OVER f AS n, CAST(SUM(t) OVER f AS BIGINT) AS sx,
+        |    CAST(SUM(vc) OVER f AS BIGINT) AS sy,
+        |    CAST(SUM(t * vc) OVER f AS BIGINT) AS sxy,
+        |    CAST(SUM(t * t) OVER f AS BIGINT) AS sxx
+        |  FROM o
+        |  WINDOW f AS (PARTITION BY o_custkey ORDER BY t, o_orderkey
+        |               ROWS BETWEEN 4 PRECEDING AND CURRENT ROW))
+        |SELECT o_custkey, o_orderkey, t, n AS n_window,
+        |  CASE WHEN n * sxx - sx * sx = 0 THEN NULL
+        |       ELSE CAST(n * sxy - sx * sy AS DOUBLE) /
+        |            CAST(n * sxx - sx * sx AS DOUBLE) / 100.0 END
+        |    AS slope_per_day
+        |FROM w ORDER BY o_custkey, t, o_orderkey""".stripMargin,
+
+    // ANOVA twin: identical cents quantization, milli-quantized
+    // per-group between-terms, the same fixed F/η² chains
+    "q175_anova" ->
+      """WITH b AS (
+        |  SELECT event_type AS g, CAST(ROUND(value * 100.0) AS BIGINT) AS vq
+        |  FROM events WHERE value IS NOT NULL AND event_type IS NOT NULL),
+        |gg AS (
+        |  SELECT g, COUNT(*) AS n, CAST(SUM(vq) AS BIGINT) AS s,
+        |    CAST(SUM(vq * vq) AS BIGINT) AS q
+        |  FROM b GROUP BY g),
+        |gt AS (
+        |  SELECT *, CAST(ROUND(CAST(s AS DOUBLE) * s / n * 1000.0) AS BIGINT)
+        |    AS term FROM gg),
+        |tot AS (
+        |  SELECT CAST(SUM(n) AS BIGINT) AS nn, CAST(SUM(s) AS BIGINT) AS ss,
+        |    CAST(SUM(q) AS BIGINT) AS qq, CAST(SUM(term) AS BIGINT) AS t,
+        |    COUNT(*) AS k
+        |  FROM gt),
+        |fin AS (
+        |  SELECT k, nn,
+        |    CAST(ROUND(CAST(ss AS DOUBLE) * ss / nn * 1000.0) AS BIGINT) AS gq,
+        |    t, qq
+        |  FROM tot)
+        |SELECT k, nn AS n,
+        |  CAST(t - gq AS DOUBLE) / 10000000.0 AS ssb,
+        |  CAST(qq * 1000 - t AS DOUBLE) / 10000000.0 AS ssw,
+        |  CASE WHEN k <= 1 OR qq * 1000 - t <= 0 THEN NULL
+        |       ELSE (CAST(nn - k AS DOUBLE) * CAST(t - gq AS DOUBLE)) /
+        |            (CAST(k - 1 AS DOUBLE) * CAST(qq * 1000 - t AS DOUBLE))
+        |  END AS f_stat,
+        |  CASE WHEN qq * 1000 - gq <= 0 THEN NULL
+        |       ELSE CAST(t - gq AS DOUBLE) / CAST(qq * 1000 - gq AS DOUBLE)
+        |  END AS eta2
+        |FROM fin""".stripMargin,
+
     // link-prediction twin: identical normalized edge set, hub-capped
     // bridge join, nano-quantized 1/ln(deg) terms, and the same
     // (aa_q desc, x, y) top-20 order

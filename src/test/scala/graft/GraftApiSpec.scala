@@ -1070,6 +1070,63 @@ class GraftApiSpec extends AnyFunSuite {
     assert(Graft.linkPrediction(star, "s", "d", maxDegree = 10).count() === 10)
   }
 
+  test("evaluation/quality metric invariants hold on a seeded random dataset") {
+    val s = spark; import s.implicits._
+    val rnd = new scala.util.Random(42)
+    val scored = Seq.fill(500)((rnd.nextInt(100) / 10.0, rnd.nextInt(2).toLong))
+    val df = scored.toDF("s", "y")
+    val a = Graft.auc(df, "s", "y").collect()(0)
+    assert(a.getLong(0) + a.getLong(1) === 500L)
+    assert(a.getDouble(3) >= 0.0 && a.getDouble(3) <= 1.0)
+    val labels = Seq.fill(300)((rnd.nextInt(4).toString, rnd.nextInt(4).toString))
+      .toDF("x", "y")
+    assert(Graft.cohensKappa(labels, "x", "y").collect()(0)
+      .getDouble(3) <= 1.0 + 1e-12)
+    // confusion marginal identities: Σ n_actual = Σ n_pred = N
+    val cf = Graft.confusionStats(labels, "x", "y")
+      .agg(sum("n_actual"), sum("n_pred")).collect()(0)
+    assert(cf.getLong(0) === 300L && cf.getLong(1) === 300L)
+    // equi-depth buckets partition N and balance within one row
+    val vals = Seq.fill(777)(Tuple1(rnd.nextDouble() * 100)).toDF("v")
+    val h = Graft.equiDepthHistogram(vals, "v", buckets = 8).collect()
+    assert(h.map(_.getLong(1)).sum === 777L)
+    assert(h.map(_.getLong(1)).max - h.map(_.getLong(1)).min <= 1L)
+    // calibration bins partition rows and positives exactly
+    val cb = Graft.calibrationBins(df, "s", "y").agg(sum("n"), sum("n_pos"))
+      .collect()(0)
+    assert(cb.getLong(0) === 500L && cb.getLong(1) === scored.count(_._2 == 1L))
+  }
+
+  test("rollingSlope computes exact per-frame OLS, NULL on zero variance") {
+    val s = spark; import s.implicits._
+    val df = Seq(("a", 1L, 10L, 1L), ("a", 2L, 20L, 2L), ("a", 3L, 30L, 3L),
+      ("b", 5L, 7L, 4L)).toDF("k", "x", "y", "id")
+    val out = Graft.rollingSlope(df, "k", "x", "y", "id", windowRows = 3)
+      .orderBy("k", "x").collect()
+    assert(out(0).isNullAt(5)) // single-row frame: no variance
+    assert(out(1).getDouble(5) === 10.0 && out(2).getDouble(5) === 10.0)
+    assert(out(2).getLong(4) === 3L) // full frame
+    assert(out(3).isNullAt(5)) // key b has one row
+  }
+
+  test("anovaOneWay: exact textbook F and eta2, NULL on zero within-variance") {
+    val s = spark; import s.implicits._
+    // groups {1,3} and {2,4}: SSB = 1, SSW = 4, F = 0.5, eta2 = 0.2
+    val df = Seq(("g1", 1.0), ("g1", 3.0), ("g2", 2.0), ("g2", 4.0))
+      .toDF("g", "v")
+    val r = Graft.anovaOneWay(df, "v", "g").collect()(0)
+    assert(r.getLong(0) === 2L && r.getLong(1) === 4L)
+    assert(math.abs(r.getDouble(2) - 1.0) < 1e-6 &&
+      math.abs(r.getDouble(3) - 4.0) < 1e-6)
+    assert(math.abs(r.getDouble(4) - 0.5) < 1e-6 &&
+      math.abs(r.getDouble(5) - 0.2) < 1e-6)
+    // constant-within groups: all variance explained, F undefined
+    val pure = Seq(("g1", 10.0), ("g1", 10.0), ("g2", 20.0), ("g2", 20.0))
+      .toDF("g", "v")
+    val rp = Graft.anovaOneWay(pure, "v", "g").collect()(0)
+    assert(rp.isNullAt(4) && rp.getDouble(5) === 1.0)
+  }
+
   test("winsorize clips into the exact order-statistic band") {
     val s = spark; import s.implicits._
     val df = (1 to 10).map(i => (i.toLong, "g", i * 10.0)).toDF("id", "grp", "v")

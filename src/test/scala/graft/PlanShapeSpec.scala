@@ -410,6 +410,22 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(!p.contains("CartesianProduct"), p)
   }
 
+  test("q174 rolling slope rides one customer-keyed window sort") {
+    val p = planOf("q174_rolling_slope")
+    assert(p.contains("hashpartitioning(o_custkey"), p)
+    val specs = "windowspecdefinition\\(".r.findAllMatchIn(p).map(_.start).toSeq
+    assert(specs.nonEmpty && specs.forall { i =>
+      p.substring(i, math.min(p.length, i + 60)).contains("o_custkey")
+    }, p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("q175 anova is one partial+final keyed aggregate") {
+    val p = planOf("q175_anova")
+    assert(p.sliding("HashAggregate".length).count(_ == "HashAggregate") >= 2, p)
+    assert(!p.contains("CartesianProduct") && !p.contains("Join"), p)
+  }
+
   test("q173 link prediction plans top-k, equi joins, no cartesian") {
     val p = planOf("q173_link_prediction")
     assert(p.contains("TakeOrderedAndProject"), p)
