@@ -2852,6 +2852,67 @@ object Graft {
       .select(keyCols.map(col) :+ col("status"): _*)
   }
 
+  /** Poisson-bootstrap 95% confidence interval for the mean — THE
+    * distributed resampling method (multinomial resampling needs global
+    * coordination; independent per-row Poisson(1) weights need none and
+    * converge to the same bootstrap distribution): every (resample,
+    * row) pair draws its weight from the cross-engine md5 hash pushed
+    * through the integer-thresholded Poisson(1) CDF (thresholds are
+    * round(CDF·10⁶) literals — no float compare anywhere), so the
+    * "randomness" replays bit-for-bit on any engine, any partitioning,
+    * any retry.
+    *
+    * Per-resample means are micro-quantized by integer floor division;
+    * the CI bounds are exact order statistics of the B quantized means
+    * (positions ⌈B·25/1000⌉ and B−lo+1 — integer arithmetic).
+    *
+    * 100 TB shape: the B-way fan-out collapses via partial aggregation
+    * (each partition emits ≤ B partial sums, so the shuffle carries
+    * B·partitions rows regardless of data size); the rank window runs
+    * over B rows — dimension-sized, like the q158 day grid. Σw·v must
+    * fit a long (~10⁹ rows at cents scale; lift to DECIMAL past that —
+    * the q149 device). The Poisson tail is truncated at w = 5 (0.37%
+    * of draws), a documented approximation of the weight distribution,
+    * NOT a nondeterminism: the oracle replays it exactly. */
+  def bootstrapMeanCI(df: DataFrame, valueCol: String, idCol: String,
+      resamples: Int = 200, scale: Int = 100): DataFrame = {
+    require(resamples >= 40 && resamples <= 10000,
+      "bootstrapMeanCI: resamples must be in [40, 10000]")
+    graft.functions.GraftFunctions.register(df.sparkSession)
+    val base = df.filter(col(valueCol).isNotNull)
+      .select(col(idCol).cast(StringType).as("__id"),
+        round(col(valueCol) * lit(scale.toDouble)).cast(LongType).as("__vc"))
+    val u = call_function("md5_lower64",
+      concat(col("__b").cast(StringType), lit(":"), col("__id")))
+      .bitwiseAND(lit(0x7FFFFFFFL)) % lit(1000000L)
+    val w = when(u < 367879L, lit(0L)).when(u < 735759L, lit(1L))
+      .when(u < 919699L, lit(2L)).when(u < 981012L, lit(3L))
+      .when(u < 996340L, lit(4L)).otherwise(lit(5L))
+    val res = base
+      .withColumn("__b", explode(sequence(lit(0), lit(resamples - 1))))
+      .withColumn("__w", w)
+      .groupBy(col("__b"))
+      .agg(sum(col("__w") * col("__vc")).as("__swv"), sum(col("__w")).as("__sw"))
+      .filter(col("__sw") > 0L)
+      .withColumn("__mc", expr("(__swv * 10000) div __sw"))
+    val ranked = res.withColumn("__r",
+      row_number().over(Window.orderBy(col("__mc"), col("__b"))).cast(LongType))
+    val nb = res.agg(count(lit(1)).as("__nb"))
+      .withColumn("__lo_pos", greatest(lit(1L), expr("(__nb * 25) div 1000")))
+      .withColumn("__hi_pos", col("__nb") - col("__lo_pos") + 1L)
+    val full = base.agg(count(lit(1)).as("n"), sum(col("__vc")).as("__sv"))
+    val unitDiv = 1.0e4 * scale.toDouble
+    ranked.crossJoin(broadcast(nb)).crossJoin(broadcast(full))
+      .groupBy(col("n"), col("__nb"), col("__sv"))
+      .agg(
+        max(when(col("__r") === col("__lo_pos"), col("__mc"))).as("__lo_mc"),
+        max(when(col("__r") === col("__hi_pos"), col("__mc"))).as("__hi_mc"))
+      .select(col("n"), col("__nb").as("n_resamples"),
+        (expr("(__sv * 10000) div n").cast(DoubleType) / lit(unitDiv)).as("mean"),
+        (col("__lo_mc").cast(DoubleType) / lit(unitDiv)).as("lo95"),
+        (col("__hi_mc").cast(DoubleType) / lit(unitDiv)).as("hi95"))
+  }
+
   /** Rolling OLS slope per key — the windowed member of the trend
     * family ([[theilSen]] robust, q117 whole-series, [[ewmaDyadic]]
     * smoothing): slope of y on x over the last `windowRows` rows of

@@ -32,6 +32,15 @@ object Analytics {
     s"(${spreadSql(x)} | (${spreadSql(y)} << 1))"
 
   val queries: Map[String, Q] = Map(
+    // ---- q176: Poisson-bootstrap 95% CI for the mean event value —
+    // the canonical distributed resampling: per-(resample, row) weights
+    // from the md5 hash through integer Poisson(1) CDF thresholds, so
+    // 200 resamples replay bit-for-bit in BOTH engines; CI bounds are
+    // exact order statistics of micro-quantized resample means. ----
+    "q176_bootstrap_ci" -> ((s, dir) =>
+      graft.api.Graft.bootstrapMeanCI(t(s, dir, "events"), "value",
+        "event_id", resamples = 200)),
+
     // ---- q174: rolling OLS slope — per-customer spend trend over the
     // last 5 orders (the windowed member of the trend family: q117
     // whole-series OLS, q156 robust Theil–Sen, q145 EWMA). Five frame
@@ -1261,6 +1270,45 @@ object Analytics {
   }
 
   val oracle: Map[String, String] = Map(
+    // bootstrap twin: identical md5-thresholded Poisson weights,
+    // identical integer micro-means and order-statistic positions
+    "q176_bootstrap_ci" ->
+      """WITH base AS (
+        |  SELECT CAST(event_id AS VARCHAR) AS id,
+        |    CAST(ROUND(value * 100.0) AS BIGINT) AS vc
+        |  FROM events WHERE value IS NOT NULL),
+        |fan AS (
+        |  SELECT bb.b, id, vc FROM base
+        |  CROSS JOIN (SELECT unnest(generate_series(0, 199)) AS b) bb),
+        |wts AS (
+        |  SELECT b, vc,
+        |    CASE WHEN u < 367879 THEN 0 WHEN u < 735759 THEN 1
+        |         WHEN u < 919699 THEN 2 WHEN u < 981012 THEN 3
+        |         WHEN u < 996340 THEN 4 ELSE 5 END AS w
+        |  FROM (SELECT b, vc,
+        |          CAST(md5_number_lower(CAST(b AS VARCHAR) || ':' || id)
+        |            & 2147483647 AS BIGINT) % 1000000 AS u
+        |        FROM fan) h),
+        |res AS (
+        |  SELECT b, CAST(SUM(w * vc) AS BIGINT) AS swv,
+        |    CAST(SUM(w) AS BIGINT) AS sw
+        |  FROM wts GROUP BY b HAVING SUM(w) > 0),
+        |m AS (SELECT b, (swv * 10000) // sw AS mc FROM res),
+        |r AS (SELECT mc, row_number() OVER (ORDER BY mc, b) AS r FROM m),
+        |nb AS (SELECT COUNT(*) AS nb,
+        |         greatest(1, (COUNT(*) * 25) // 1000) AS lo_pos,
+        |         COUNT(*) - greatest(1, (COUNT(*) * 25) // 1000) + 1 AS hi_pos
+        |       FROM m),
+        |f AS (SELECT COUNT(*) AS n, CAST(SUM(vc) AS BIGINT) AS sv FROM base)
+        |SELECT f.n, nb.nb AS n_resamples,
+        |  CAST((f.sv * 10000) // f.n AS DOUBLE) / 1000000.0 AS mean,
+        |  CAST(MAX(CASE WHEN r.r = nb.lo_pos THEN r.mc END) AS DOUBLE)
+        |    / 1000000.0 AS lo95,
+        |  CAST(MAX(CASE WHEN r.r = nb.hi_pos THEN r.mc END) AS DOUBLE)
+        |    / 1000000.0 AS hi95
+        |FROM r CROSS JOIN nb CROSS JOIN f
+        |GROUP BY f.n, nb.nb, f.sv""".stripMargin,
+
     // rolling-slope twin: identical (t, o_orderkey) frame order, the
     // same five frame sums and single-division closed form
     "q174_rolling_slope" ->

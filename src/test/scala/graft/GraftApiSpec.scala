@@ -1127,6 +1127,23 @@ class GraftApiSpec extends AnyFunSuite {
     assert(rp.isNullAt(4) && rp.getDouble(5) === 1.0)
   }
 
+  test("bootstrapMeanCI: degenerate-constant data collapses the interval") {
+    val s = spark; import s.implicits._
+    val const = (1 to 50).map(i => (i.toLong, 7.0)).toDF("id", "v")
+    val rc = Graft.bootstrapMeanCI(const, "v", "id", resamples = 40).collect()(0)
+    assert(rc.getLong(0) === 50L && rc.getLong(1) === 40L)
+    // every resample averages the same value whatever the weights
+    assert(rc.getDouble(2) === 7.0 && rc.getDouble(3) === 7.0 &&
+      rc.getDouble(4) === 7.0)
+    val rnd = new scala.util.Random(7)
+    val noisy = (1 to 400).map(i => (i.toLong, 50.0 + rnd.nextInt(100)))
+      .toDF("id", "v")
+    val rn = Graft.bootstrapMeanCI(noisy, "v", "id", resamples = 100).collect()(0)
+    assert(rn.getDouble(3) < rn.getDouble(4)) // nondegenerate interval
+    assert(rn.getDouble(3) <= rn.getDouble(2) &&
+      rn.getDouble(2) <= rn.getDouble(4)) // brackets the sample mean
+  }
+
   test("winsorize clips into the exact order-statistic band") {
     val s = spark; import s.implicits._
     val df = (1 to 10).map(i => (i.toLong, "g", i * 10.0)).toDF("id", "grp", "v")

@@ -410,6 +410,14 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(!p.contains("CartesianProduct"), p)
   }
 
+  test("q176 bootstrap fan-out collapses in a partial+final keyed aggregate") {
+    val p = planOf("q176_bootstrap_ci")
+    // the B-way explode must meet a partial aggregate BEFORE any
+    // exchange — the shuffle carries B*partitions rows, not B*N
+    assert(p.sliding("HashAggregate".length).count(_ == "HashAggregate") >= 2, p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
   test("q174 rolling slope rides one customer-keyed window sort") {
     val p = planOf("q174_rolling_slope")
     assert(p.contains("hashpartitioning(o_custkey"), p)
