@@ -2852,6 +2852,69 @@ object Graft {
       .select(keyCols.map(col) :+ col("status"): _*)
   }
 
+  /** Distributed prefix sum — running total of `valueCol` in
+    * `orderCols` order, the two-phase [[globalRank]] device generalized
+    * from counts to sums: range-repartition, per-partition totals
+    * collected once (#partitions rows of driver traffic), broadcast
+    * cumulative offsets + partition-local running-sum windows. Never a
+    * one-partition ORDER BY window.
+    *
+    * The order must be total (include a tiebreaker) for the running sum
+    * to be engine-reproducible row-by-row. */
+  def globalCumSum(df: DataFrame, orderCols: Seq[String], valueCol: String,
+      outName: String = "cum"): DataFrame = {
+    val ord = orderCols.map(col)
+    val staged = df.repartitionByRange(ord: _*)
+      .withColumn("__pid", spark_partition_id())
+      .localCheckpoint()
+    val counts = staged.groupBy(col("__pid"))
+      .agg(sum(col(valueCol)).as("__c"))
+      .collect().map(r => (r.getInt(0), r.getLong(1))).sortBy(_._1)
+    val offsets = counts.scanLeft((0, 0L)) {
+      case ((_, acc), (p, c)) => (p + 1, acc + c)
+    }.dropRight(1).zip(counts).map { case ((_, off), (p, _)) => (p, off) }
+    val spark = df.sparkSession
+    import spark.implicits._
+    val offDf = offsets.toSeq.toDF("__pid", "__off")
+    val w = Window.partitionBy(col("__pid")).orderBy(ord: _*)
+      .rowsBetween(Window.unboundedPreceding, 0)
+    staged.join(broadcast(offDf), Seq("__pid"))
+      .withColumn(outName, sum(col(valueCol)).over(w) + col("__off"))
+      .drop("__pid", "__off")
+  }
+
+  /** Exact weighted percentiles — the smallest value whose cumulative
+    * weight reaches ⌈p·W/1000⌉, for each requested permille: what
+    * "median price weighted by quantity" actually means, computed
+    * without expanding rows by weight.
+    *
+    * Weights are exact longs; the cumulative weight comes from
+    * [[globalCumSum]] over the total (value, id) order; each requested
+    * permille is one conditional min aggregate against its integer
+    * threshold. No float boundary, no row explosion.
+    *
+    * 100 TB shape: one range exchange + partition-local windows
+    * (globalCumSum), then a single aggregate; output is one row with a
+    * column per permille. */
+  def weightedPercentiles(df: DataFrame, valueCol: String, weightCol: String,
+      idCol: String, permilles: Seq[Int] = Seq(250, 500, 750)): DataFrame = {
+    require(permilles.nonEmpty && permilles.forall(p => p >= 1 && p <= 999),
+      "weightedPercentiles: permilles must be in [1, 999]")
+    val base = df.filter(col(valueCol).isNotNull && col(weightCol).isNotNull &&
+        col(weightCol) > 0L)
+      .select(col(valueCol).as("__v"), col(idCol).as("__id"),
+        col(weightCol).cast(LongType).as("__w"))
+    val cum = globalCumSum(base, Seq("__v", "__id"), "__w", "__cw")
+    val tot = base.agg(sum(col("__w")).as("w_total"))
+    val aggs = permilles.map { p =>
+      min(when(col("__cw") >= expr(s"((w_total * $p) + 999) div 1000"),
+        col("__v"))).as(s"p$p")
+    }
+    cum.crossJoin(broadcast(tot))
+      .groupBy(col("w_total"))
+      .agg(aggs.head, aggs.tail: _*)
+  }
+
   /** Poisson-bootstrap 95% confidence interval for the mean — THE
     * distributed resampling method (multinomial resampling needs global
     * coordination; independent per-row Poisson(1) weights need none and

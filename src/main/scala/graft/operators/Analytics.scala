@@ -32,6 +32,41 @@ object Analytics {
     s"(${spreadSql(x)} | (${spreadSql(y)} << 1))"
 
   val queries: Map[String, Q] = Map(
+    // ---- q177: exact weighted percentiles — quantity-weighted price
+    // quartiles via the distributed prefix sum (globalCumSum): smallest
+    // value whose cumulative weight reaches ⌈p·W/1000⌉, no row
+    // explosion, no float boundary. ----
+    "q177_weighted_percentiles" -> ((s, dir) => {
+      val li = t(s, dir, "lineitem")
+        .withColumn("rid", col("l_orderkey") * 10L + col("l_linenumber"))
+      graft.api.Graft.weightedPercentiles(li, "l_extendedprice",
+        "l_quantity", "rid", permilles = Seq(250, 500, 750))
+    }),
+
+    // ---- q178: sweep-line peak concurrency — max simultaneously-open
+    // orders (deterministic duration o_orderkey % 30 days): intervals
+    // become ±1 deltas, deltas collapse to the DAY GRID first (keyed
+    // agg — the q158 device), and the prefix sum runs over dimension-
+    // sized days, never row-level data. The naive day-expansion join
+    // this replaces explodes rows × duration. ----
+    "q178_peak_concurrency" -> ((s, dir) => {
+      val o = t(s, dir, "orders").select(
+        graft.api.Graft.epochDay(col("o_orderdate").cast(TimestampType)).as("s"),
+        (col("o_orderkey") % 30L).as("dur"))
+      val deltas = o.select(explode(array(
+          struct(col("s").as("d"), lit(1L).as("delta")),
+          struct((col("s") + col("dur") + 1L).as("d"), lit(-1L).as("delta"))))
+          .as("e"))
+        .select(col("e.d").as("d"), col("e.delta").as("delta"))
+        .groupBy(col("d")).agg(sum(col("delta")).as("delta"))
+      val wd = org.apache.spark.sql.expressions.Window.orderBy(col("d"))
+        .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+      val cum = deltas.withColumn("active", sum(col("delta")).over(wd))
+      val peak = cum.agg(max(col("active")).as("peak"))
+      cum.crossJoin(broadcast(peak)).filter(col("active") === col("peak"))
+        .groupBy(col("peak")).agg(min(col("d")).as("first_peak_day"))
+    }),
+
     // ---- q176: Poisson-bootstrap 95% CI for the mean event value —
     // the canonical distributed resampling: per-(resample, row) weights
     // from the md5 hash through integer Poisson(1) CDF thresholds, so
@@ -1270,6 +1305,44 @@ object Analytics {
   }
 
   val oracle: Map[String, String] = Map(
+    // weighted-percentile twin: identical (v, id) cumulative-weight
+    // order and integer ⌈p·W/1000⌉ thresholds
+    "q177_weighted_percentiles" ->
+      """WITH b AS (
+        |  SELECT l_extendedprice AS v, l_orderkey * 10 + l_linenumber AS id,
+        |    CAST(l_quantity AS BIGINT) AS w
+        |  FROM lineitem
+        |  WHERE l_extendedprice IS NOT NULL AND l_quantity IS NOT NULL
+        |    AND l_quantity > 0),
+        |c AS (
+        |  SELECT v, CAST(SUM(w) OVER (ORDER BY v, id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cw
+        |  FROM b),
+        |t AS (SELECT CAST(SUM(w) AS BIGINT) AS w_total FROM b)
+        |SELECT t.w_total,
+        |  MIN(CASE WHEN cw >= ((w_total * 250) + 999) // 1000 THEN v END) AS p250,
+        |  MIN(CASE WHEN cw >= ((w_total * 500) + 999) // 1000 THEN v END) AS p500,
+        |  MIN(CASE WHEN cw >= ((w_total * 750) + 999) // 1000 THEN v END) AS p750
+        |FROM c CROSS JOIN t GROUP BY t.w_total""".stripMargin,
+
+    // sweep-line twin: identical delta construction, day-grid collapse,
+    // prefix sum, and first-peak-day selection
+    "q178_peak_concurrency" ->
+      """WITH o AS (
+        |  SELECT epoch_us(o_orderdate) // 86400000000 AS s,
+        |    o_orderkey % 30 AS dur
+        |  FROM orders),
+        |d0 AS (SELECT s AS d, 1 AS delta FROM o
+        |       UNION ALL SELECT s + dur + 1 AS d, -1 AS delta FROM o),
+        |dd AS (SELECT d, CAST(SUM(delta) AS BIGINT) AS delta FROM d0 GROUP BY d),
+        |c AS (SELECT d, CAST(SUM(delta) OVER (ORDER BY d
+        |        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+        |        AS active
+        |      FROM dd),
+        |p AS (SELECT MAX(active) AS peak FROM c)
+        |SELECT p.peak, CAST(MIN(c.d) AS BIGINT) AS first_peak_day
+        |FROM c CROSS JOIN p WHERE c.active = p.peak GROUP BY p.peak""".stripMargin,
+
     // bootstrap twin: identical md5-thresholded Poisson weights,
     // identical integer micro-means and order-statistic positions
     "q176_bootstrap_ci" ->

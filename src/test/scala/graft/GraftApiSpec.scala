@@ -1144,6 +1144,27 @@ class GraftApiSpec extends AnyFunSuite {
       rn.getDouble(2) <= rn.getDouble(4)) // brackets the sample mean
   }
 
+  test("globalCumSum prefix-sums across partition boundaries") {
+    val s = spark; import s.implicits._
+    val df = Seq((3L, 30L), (1L, 10L), (2L, 20L), (4L, 40L))
+      .toDF("k", "v").repartition(3)
+    val out = Graft.globalCumSum(df, Seq("k"), "v", "cum")
+      .orderBy("k").collect()
+    assert(out.map(r => (r.getLong(0), r.getLong(2))).toSeq ===
+      Seq((1L, 10L), (2L, 30L), (3L, 60L), (4L, 100L)))
+  }
+
+  test("weightedPercentiles picks the exact threshold-crossing values") {
+    val s = spark; import s.implicits._
+    // W = 4: p250 threshold 1 → v=1, p500 threshold 2 → v=2, p750 → v=3
+    val df = Seq((1.0, 1L, 1L), (2.0, 1L, 2L), (3.0, 2L, 3L))
+      .toDF("v", "w", "id")
+    val r = Graft.weightedPercentiles(df, "v", "w", "id").collect()(0)
+    assert(r.getLong(0) === 4L)
+    assert((r.getDouble(1), r.getDouble(2), r.getDouble(3)) === ((1.0, 2.0, 3.0)))
+    // weight-2 on the max value dominates: same answer as exploding rows
+  }
+
   test("winsorize clips into the exact order-statistic band") {
     val s = spark; import s.implicits._
     val df = (1 to 10).map(i => (i.toLong, "g", i * 10.0)).toDF("id", "grp", "v")

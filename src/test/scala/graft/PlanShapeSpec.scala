@@ -410,6 +410,15 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(!p.contains("CartesianProduct"), p)
   }
 
+  test("q177 weighted percentiles prefix-sum via partitioned windows only") {
+    val p = planOf("q177_weighted_percentiles")
+    val specs = "windowspecdefinition\\(".r.findAllMatchIn(p).map(_.start).toSeq
+    assert(specs.nonEmpty && specs.forall { i =>
+      p.substring(i, math.min(p.length, i + 60)).contains("__pid")
+    }, p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
   test("q176 bootstrap fan-out collapses in a partial+final keyed aggregate") {
     val p = planOf("q176_bootstrap_ci")
     // the B-way explode must meet a partial aggregate BEFORE any
