@@ -2852,6 +2852,37 @@ object Graft {
       .select(keyCols.map(col) :+ col("status"): _*)
   }
 
+  /** Proportional stratified sample — take
+    * ⌊size·n_g/N⌋ rows from each stratum (q47/q48's hash gates keep
+    * ratios only in expectation; evaluation sets and benchmarks need
+    * exact per-stratum counts). Within a stratum, rows are selected in
+    * md5-hash order of the id — the same deterministic "randomness" the
+    * split/sample gates use, so the sample is reproducible bit-for-bit
+    * under any partitioning and is itself hash-oracle-gated.
+    *
+    * 100 TB shape: one keyed count + a 1-row total, broadcast as the
+    * #strata-row allocation; selection is one stratum-partitioned
+    * window. Rounding is floor — Σ takes ≤ size by construction (the
+    * shortfall is at most #strata rows; callers needing exact-total
+    * can top up from the largest strata). */
+  def proportionalSample(df: DataFrame, stratumCol: String, idCol: String,
+      sampleSize: Int): DataFrame = {
+    require(sampleSize > 0, "proportionalSample: sampleSize must be > 0")
+    graft.functions.GraftFunctions.register(df.sparkSession)
+    val counts = df.groupBy(col(stratumCol)).agg(count(lit(1)).as("__ng"))
+    val tot = df.agg(count(lit(1)).as("__n"))
+    val alloc = counts.crossJoin(broadcast(tot))
+      .select(col(stratumCol), expr(s"($sampleSize * __ng) div __n").as("__take"))
+    val w = Window.partitionBy(col(stratumCol)).orderBy(col("__h"), col(idCol))
+    df.withColumn("__h",
+        call_function("md5_lower64", col(idCol).cast(StringType))
+          .bitwiseAND(lit(0x7FFFFFFFFFFFFFFFL)))
+      .join(broadcast(alloc), Seq(stratumCol))
+      .withColumn("__r", row_number().over(w))
+      .filter(col("__r") <= col("__take"))
+      .drop("__h", "__r", "__take")
+  }
+
   /** Distributed prefix sum — running total of `valueCol` in
     * `orderCols` order, the two-phase [[globalRank]] device generalized
     * from counts to sums: range-repartition, per-partition totals

@@ -21,6 +21,18 @@ import Util._
 object Sampling {
 
   val queries: Map[String, Q] = Map(
+    // ---- q179: stratified sample, EXACT proportional allocation —
+    // ⌊100·n_lang/N⌋ docs per language in md5-hash order (q47/q48 keep
+    // ratios only in expectation; eval sets need exact counts). The
+    // sample itself is the gated output — reproducible bit-for-bit. ----
+    "q179_stratified_sample" -> ((s, dir) => {
+      import s.implicits._
+      graft.api.Graft.proportionalSample(
+          t(s, dir, "documents").select($"doc_id", $"lang"),
+          "lang", "doc_id", sampleSize = 100)
+        .orderBy($"lang", $"doc_id")
+    }),
+
     // ---- q47: deterministic train/val/test split (800/100/100 permille) ----
     "q47_train_split" -> ((s, dir) => {
       import s.implicits._
@@ -59,6 +71,25 @@ object Sampling {
   )
 
   val oracle: Map[String, String] = Map(
+    // stratified-sample twin: identical floor allocation and md5-order
+    // within-stratum selection
+    "q179_stratified_sample" ->
+      """WITH d AS (
+        |  SELECT doc_id, lang,
+        |    CAST(md5_number_lower(CAST(doc_id AS VARCHAR))
+        |      & 9223372036854775807::UBIGINT AS BIGINT) AS h
+        |  FROM documents),
+        |cnt AS (SELECT lang, COUNT(*) AS ng FROM d GROUP BY lang),
+        |tot AS (SELECT COUNT(*) AS n FROM d),
+        |alloc AS (SELECT lang, (100 * ng) // n AS take
+        |          FROM cnt CROSS JOIN tot),
+        |r AS (SELECT d.doc_id, d.lang,
+        |        row_number() OVER (PARTITION BY d.lang ORDER BY d.h, d.doc_id)
+        |          AS rn
+        |      FROM d)
+        |SELECT r.doc_id, r.lang FROM r JOIN alloc USING (lang)
+        |WHERE rn <= take ORDER BY lang, doc_id""".stripMargin,
+
     "q47_train_split" ->
       """SELECT CASE WHEN b < 800 THEN 'train' WHEN b < 900 THEN 'val' ELSE 'test' END AS split,
         | COUNT(*) AS n_docs, CAST(SUM(n_chars) AS BIGINT) AS total_chars

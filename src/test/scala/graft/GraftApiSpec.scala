@@ -1165,6 +1165,23 @@ class GraftApiSpec extends AnyFunSuite {
     // weight-2 on the max value dominates: same answer as exploding rows
   }
 
+  test("proportionalSample allocates floor(size*ng/N) per stratum exactly") {
+    val s = spark; import s.implicits._
+    // strata of 60/30/10 rows, size 10 → takes 6/3/1
+    val df = ((1 to 60).map(i => (i.toLong, "a")) ++
+      (61 to 90).map(i => (i.toLong, "b")) ++
+      (91 to 100).map(i => (i.toLong, "c"))).toDF("id", "g")
+    val out = Graft.proportionalSample(df, "g", "id", sampleSize = 10)
+    val byG = out.groupBy("g").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(byG === Map("a" -> 6L, "b" -> 3L, "c" -> 1L))
+    // deterministic under repartitioning
+    val again = Graft.proportionalSample(df.repartition(7), "g", "id", 10)
+      .select("id").orderBy("id").collect().map(_.getLong(0)).toSeq
+    assert(again ===
+      out.select("id").orderBy("id").collect().map(_.getLong(0)).toSeq)
+  }
+
   test("winsorize clips into the exact order-statistic band") {
     val s = spark; import s.implicits._
     val df = (1 to 10).map(i => (i.toLong, "g", i * 10.0)).toDF("id", "grp", "v")
