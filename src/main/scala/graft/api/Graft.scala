@@ -2852,6 +2852,51 @@ object Graft {
       .select(keyCols.map(col) :+ col("status"): _*)
   }
 
+  /** K-fold cross-validation of the group-mean predictor — the
+    * model-selection primitive: per fold, predict each row by its
+    * group's OUT-OF-FOLD mean and report the fold's RMSE. Folds are
+    * md5-deterministic; out-of-fold means come from total-minus-fold
+    * algebra over ONE (fold, group) aggregate — never k re-scans of the
+    * data — and are micro-quantized integer floor divisions, so every
+    * fold's predictions replay exactly cross-engine.
+    *
+    * 100 TB shape: one keyed (fold, group) aggregate; the k·#groups
+    * out-of-fold model table broadcasts back; residual sums are one
+    * more keyed aggregate. Rows whose group exists only inside their
+    * own fold have no out-of-fold model and are excluded (counted in
+    * `n_skipped`). */
+  def crossValidateGroupMean(df: DataFrame, valueCol: String,
+      groupCol: String, idCol: String, folds: Int = 5,
+      scale: Int = 100): DataFrame = {
+    require(folds >= 2, "crossValidateGroupMean: folds must be >= 2")
+    graft.functions.GraftFunctions.register(df.sparkSession)
+    val dec = DecimalType(38, 0)
+    val base = df.filter(col(valueCol).isNotNull && col(groupCol).isNotNull)
+      .select(col(groupCol).as("__g"),
+        round(col(valueCol) * lit(scale.toDouble)).cast(LongType).as("__vq"),
+        (call_function("md5_lower64", col(idCol).cast(StringType))
+          .bitwiseAND(lit(0x7FFFFFFFL)) % folds).as("__f"))
+    val fg = base.groupBy(col("__f"), col("__g"))
+      .agg(count(lit(1)).as("__nfg"), sum(col("__vq")).as("__sfg"))
+    val g = fg.groupBy(col("__g"))
+      .agg(sum(col("__nfg")).as("__ng"), sum(col("__sfg")).as("__sg"))
+    val oof = fg.join(g, "__g")
+      .filter(col("__ng") > col("__nfg"))
+      .select(col("__f"), col("__g"),
+        expr("((__sg - __sfg) * 10000) div (__ng - __nfg)").as("__mean_mc"))
+    val total = base.groupBy(col("__f")).agg(count(lit(1)).as("__nf"))
+    base.join(broadcast(oof), Seq("__f", "__g"))
+      .withColumn("__d", col("__vq") * 10000L - col("__mean_mc"))
+      .groupBy(col("__f"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("__d").cast(dec) * col("__d")).as("__sse"))
+      .join(total, "__f")
+      .select(col("__f").as("fold"), col("n"),
+        (col("__nf") - col("n")).as("n_skipped"),
+        (sqrt(col("__sse").cast(DoubleType) / col("n")) /
+          (lit(1.0e4) * scale)).as("rmse"))
+  }
+
   /** Proportional stratified sample — take
     * ⌊size·n_g/N⌋ rows from each stratum (q47/q48's hash gates keep
     * ratios only in expectation; evaluation sets and benchmarks need

@@ -32,6 +32,16 @@ object Analytics {
     s"(${spreadSql(x)} | (${spreadSql(y)} << 1))"
 
   val queries: Map[String, Q] = Map(
+    // ---- q180: 5-fold cross-validation of the event_type-mean
+    // predictor — per fold, RMSE against the OUT-OF-FOLD group mean
+    // (total-minus-fold algebra over one (fold, group) aggregate; never
+    // k re-scans). The honest generalization estimate next to q166's
+    // in-sample fit. ----
+    "q180_cross_validation" -> ((s, dir) =>
+      graft.api.Graft.crossValidateGroupMean(t(s, dir, "events"), "value",
+          "event_type", "event_id", folds = 5)
+        .orderBy(col("fold"))),
+
     // ---- q177: exact weighted percentiles — quantity-weighted price
     // quartiles via the distributed prefix sum (globalCumSum): smallest
     // value whose cumulative weight reaches ⌈p·W/1000⌉, no row
@@ -1305,6 +1315,30 @@ object Analytics {
   }
 
   val oracle: Map[String, String] = Map(
+    // cross-validation twin: identical md5 folds, total-minus-fold
+    // out-of-fold means, micro-quantized residuals
+    "q180_cross_validation" ->
+      """WITH b AS (
+        |  SELECT event_type AS g, CAST(ROUND(value * 100.0) AS BIGINT) AS vq,
+        |    CAST(md5_number_lower(CAST(event_id AS VARCHAR))
+        |      & 2147483647 AS BIGINT) % 5 AS f
+        |  FROM events WHERE value IS NOT NULL AND event_type IS NOT NULL),
+        |fg AS (SELECT f, g, COUNT(*) AS nfg, CAST(SUM(vq) AS BIGINT) AS sfg
+        |       FROM b GROUP BY f, g),
+        |gt AS (SELECT g, CAST(SUM(nfg) AS BIGINT) AS ng,
+        |         CAST(SUM(sfg) AS BIGINT) AS sg
+        |       FROM fg GROUP BY g),
+        |oof AS (SELECT fg.f, fg.g, ((sg - sfg) * 10000) // (ng - nfg) AS mc
+        |        FROM fg JOIN gt USING (g) WHERE ng > nfg),
+        |tot AS (SELECT f, COUNT(*) AS nf FROM b GROUP BY f),
+        |r AS (SELECT b.f, COUNT(*) AS n,
+        |        SUM(CAST(b.vq * 10000 - o.mc AS HUGEINT) *
+        |            (b.vq * 10000 - o.mc)) AS sse
+        |      FROM b JOIN oof o ON o.f = b.f AND o.g = b.g GROUP BY b.f)
+        |SELECT r.f AS fold, r.n, tot.nf - r.n AS n_skipped,
+        |  sqrt(CAST(sse AS DOUBLE) / r.n) / 1000000.0 AS rmse
+        |FROM r JOIN tot ON tot.f = r.f ORDER BY fold""".stripMargin,
+
     // weighted-percentile twin: identical (v, id) cumulative-weight
     // order and integer ⌈p·W/1000⌉ thresholds
     "q177_weighted_percentiles" ->

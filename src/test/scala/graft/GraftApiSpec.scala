@@ -1182,6 +1182,23 @@ class GraftApiSpec extends AnyFunSuite {
       out.select("id").orderBy("id").collect().map(_.getLong(0)).toSeq)
   }
 
+  test("crossValidateGroupMean uses out-of-fold means and skips lone groups") {
+    val s = spark; import s.implicits._
+    // group 'a' constant 10.0 everywhere: every out-of-fold mean is
+    // exactly 10.0 → RMSE 0 in every fold it appears in
+    val const = (1 to 40).map(i => (i.toLong, "a", 10.0)).toDF("id", "g", "v")
+    val rc = Graft.crossValidateGroupMean(const, "v", "g", "id", folds = 4)
+      .collect()
+    assert(rc.nonEmpty && rc.forall(_.getDouble(3) === 0.0))
+    assert(rc.map(_.getLong(1)).sum === 40L)
+    // a group confined to one fold has no out-of-fold model → skipped
+    val lone = ((1 to 20).map(i => (i.toLong, "a", 10.0)) :+
+      (100L, "only", 5.0)).toDF("id", "g", "v")
+    val rl = Graft.crossValidateGroupMean(lone, "v", "g", "id", folds = 4)
+      .collect()
+    assert(rl.map(_.getLong(2)).sum === 1L) // the lone-group row skipped
+  }
+
   test("winsorize clips into the exact order-statistic band") {
     val s = spark; import s.implicits._
     val df = (1 to 10).map(i => (i.toLong, "g", i * 10.0)).toDF("id", "grp", "v")
