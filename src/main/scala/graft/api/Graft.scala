@@ -2852,6 +2852,40 @@ object Graft {
       .select(keyCols.map(col) :+ col("status"): _*)
   }
 
+  /** Time-travel audit over a versioned file manifest — the live file
+    * set AS OF each version v ∈ [0, maxVersion]: a file is visible when
+    * `added ≤ v < deleted` (NULL deleted = still live). This is the
+    * snapshot-resolution rule every versioned lake format applies;
+    * auditing it per version shows table growth and churn at manifest
+    * cost — the planner never touches data files (the q157 principle).
+    *
+    * 100 TB shape: manifest × (maxVersion+1) grid join on
+    * dimension-sized input, one keyed aggregate. */
+  def timeTravelAudit(manifest: DataFrame, addedCol: String,
+      deletedCol: String, rowsCol: String, maxVersion: Int): DataFrame = {
+    require(maxVersion >= 0, "timeTravelAudit: maxVersion must be >= 0")
+    manifest
+      .withColumn("version",
+        explode(sequence(lit(0L), lit(maxVersion.toLong))))
+      .filter(col(addedCol) <= col("version") &&
+        (col(deletedCol).isNull || col(deletedCol) > col("version")))
+      .groupBy(col("version"))
+      .agg(count(lit(1)).as("n_files"), sum(col(rowsCol)).as("n_rows"))
+  }
+
+  /** Vacuum plan under a version-retention window — which deleted files
+    * are safe to physically remove? A file whose `deleted ≤
+    * currentVersion − retainVersions` can no longer be referenced by
+    * any retained snapshot. Emits the deletable manifest rows; pure
+    * integer filters over manifest-sized input. */
+  def vacuumPlan(manifest: DataFrame, deletedCol: String,
+      currentVersion: Int, retainVersions: Int): DataFrame = {
+    require(retainVersions >= 0 && currentVersion >= retainVersions,
+      "vacuumPlan: need 0 <= retainVersions <= currentVersion")
+    manifest.filter(col(deletedCol).isNotNull &&
+      col(deletedCol) <= currentVersion - retainVersions)
+  }
+
   /** K-fold cross-validation of the group-mean predictor — the
     * model-selection primitive: per fold, predict each row by its
     * group's OUT-OF-FOLD mean and report the fold's RMSE. Folds are

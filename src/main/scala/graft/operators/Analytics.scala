@@ -31,7 +31,41 @@ object Analytics {
   private def mortonSql(x: String, y: String): String =
     s"(${spreadSql(x)} | (${spreadSql(y)} << 1))"
 
+  /** Deterministic versioned manifest for q181/q182: q157's file
+    * grouping with synthetic add/delete versions (added = file % 5,
+    * every third file deleted at added + 1 + file % 4). */
+  private def versionedManifest(s: org.apache.spark.sql.SparkSession,
+      dir: String): org.apache.spark.sql.DataFrame =
+    t(s, dir, "lineitem")
+      .groupBy(expr("l_orderkey div 4096").as("file_id"))
+      .agg(count(lit(1)).as("n_rows"))
+      .withColumn("added_v", (col("file_id") % 5L).cast(LongType))
+      .withColumn("deleted_v",
+        when(col("file_id") % 3L === 0L,
+          col("added_v") + 1L + col("file_id") % 4L)
+          .otherwise(lit(null).cast(LongType)))
+
   val queries: Map[String, Q] = Map(
+    // ---- q181/q182 share a deterministic versioned manifest built
+    // from the q157 file grouping: added = file % 5, every third file
+    // deleted at added + 1 + file % 4. ----
+    // q181: time-travel audit — live file set AS OF each version 0..8
+    // (the lake snapshot-resolution rule, audited at manifest cost).
+    "q181_time_travel" -> ((s, dir) => {
+      graft.api.Graft.timeTravelAudit(versionedManifest(s, dir),
+          "added_v", "deleted_v", "n_rows", maxVersion = 8)
+        .orderBy(col("version"))
+    }),
+
+    // q182: vacuum plan — deleted files no retained snapshot (current 8,
+    // retain 3) can still reference; pure integer manifest filters.
+    "q182_vacuum_plan" -> ((s, dir) => {
+      graft.api.Graft.vacuumPlan(versionedManifest(s, dir), "deleted_v",
+          currentVersion = 8, retainVersions = 3)
+        .select(col("file_id"), col("added_v"), col("deleted_v"), col("n_rows"))
+        .orderBy(col("file_id"))
+    }),
+
     // ---- q180: 5-fold cross-validation of the event_type-mean
     // predictor — per fold, RMSE against the OUT-OF-FOLD group mean
     // (total-minus-fold algebra over one (fold, group) aggregate; never
@@ -1315,6 +1349,38 @@ object Analytics {
   }
 
   val oracle: Map[String, String] = Map(
+    // time-travel twin: identical synthetic manifest and the
+    // added <= v < deleted visibility rule
+    "q181_time_travel" ->
+      """WITH m0 AS (
+        |  SELECT l_orderkey // 4096 AS file_id, COUNT(*) AS n_rows
+        |  FROM lineitem GROUP BY 1),
+        |m AS (
+        |  SELECT file_id, n_rows, file_id % 5 AS added_v,
+        |    CASE WHEN file_id % 3 = 0 THEN file_id % 5 + 1 + file_id % 4
+        |         ELSE NULL END AS deleted_v
+        |  FROM m0),
+        |g AS (SELECT unnest(generate_series(0, 8)) AS version)
+        |SELECT g.version, COUNT(*) AS n_files,
+        |  CAST(SUM(m.n_rows) AS BIGINT) AS n_rows
+        |FROM g JOIN m ON m.added_v <= g.version
+        |  AND (m.deleted_v IS NULL OR m.deleted_v > g.version)
+        |GROUP BY g.version ORDER BY version""".stripMargin,
+
+    // vacuum twin: identical manifest, deleted <= current - retain rule
+    "q182_vacuum_plan" ->
+      """WITH m0 AS (
+        |  SELECT l_orderkey // 4096 AS file_id, COUNT(*) AS n_rows
+        |  FROM lineitem GROUP BY 1),
+        |m AS (
+        |  SELECT file_id, n_rows, file_id % 5 AS added_v,
+        |    CASE WHEN file_id % 3 = 0 THEN file_id % 5 + 1 + file_id % 4
+        |         ELSE NULL END AS deleted_v
+        |  FROM m0)
+        |SELECT file_id, added_v, deleted_v, n_rows FROM m
+        |WHERE deleted_v IS NOT NULL AND deleted_v <= 5
+        |ORDER BY file_id""".stripMargin,
+
     // cross-validation twin: identical md5 folds, total-minus-fold
     // out-of-fold means, micro-quantized residuals
     "q180_cross_validation" ->

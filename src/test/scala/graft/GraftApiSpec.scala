@@ -1199,6 +1199,22 @@ class GraftApiSpec extends AnyFunSuite {
     assert(rl.map(_.getLong(2)).sum === 1L) // the lone-group row skipped
   }
 
+  test("timeTravelAudit resolves snapshots; vacuumPlan respects retention") {
+    val s = spark; import s.implicits._
+    val m = Seq((1L, 0L, Option.empty[Long], 10L), (2L, 1L, Option(3L), 20L),
+      (3L, 2L, Option.empty[Long], 30L)).toDF("f", "added", "deleted", "rows")
+    val tt = Graft.timeTravelAudit(m, "added", "deleted", "rows", maxVersion = 3)
+      .orderBy("version").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    // v2 sees all three; at v3 file 2 (deleted=3) disappears
+    assert(tt.toSeq === Seq((0L, 1L, 10L), (1L, 2L, 30L), (2L, 3L, 60L),
+      (3L, 2L, 40L)))
+    // retention 2 at version 5: only deletions at or before v3 are safe
+    val vac = Graft.vacuumPlan(m, "deleted", currentVersion = 5,
+      retainVersions = 2).collect()
+    assert(vac.map(_.getLong(0)).toSeq === Seq(2L))
+  }
+
   test("winsorize clips into the exact order-statistic band") {
     val s = spark; import s.implicits._
     val df = (1 to 10).map(i => (i.toLong, "g", i * 10.0)).toDF("id", "grp", "v")
