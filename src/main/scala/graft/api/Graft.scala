@@ -2852,6 +2852,45 @@ object Graft {
       .select(keyCols.map(col) :+ col("status"): _*)
   }
 
+  /** Adjusted Rand Index — pair-counting agreement between two
+    * partitions of the same rows (cluster-assignment quality against a
+    * reference, e.g. a dedup clustering vs ground truth), chance-
+    * corrected like [[cohensKappa]] but over PAIRS, so it is invariant
+    * to label permutations — the right metric when cluster ids carry no
+    * meaning.
+    *
+    * Fully exact: with x = Σ n_ij(n_ij−1), a = Σ a_i(a_i−1),
+    * b = Σ b_j(b_j−1), N₂ = n(n−1), ARI = (2·N₂·x − 2·a·b) /
+    * (N₂·(a+b) − 2·a·b) — the cross-multiplied textbook form held in
+    * DECIMAL(38,0) until ONE division. Degenerate partitions
+    * (denominator 0: both sides all-singletons or all-one-cluster)
+    * yield NULL. Magnitude: a·b ~ n⁴ holds in DECIMAL(38,0) to n ≈
+    * 3·10⁹ rows — past that, pre-aggregate clusters.
+    *
+    * 100 TB shape: one (a, b) contingency aggregate, then
+    * dimension-sized marginals — the [[mutualInfo]] shape. */
+  def adjustedRandIndex(df: DataFrame, aCol: String, bCol: String): DataFrame = {
+    val dec = DecimalType(38, 0)
+    val base = df.filter(col(aCol).isNotNull && col(bCol).isNotNull)
+      .select(col(aCol).as("__a"), col(bCol).as("__b"))
+    val c = base.groupBy(col("__a"), col("__b")).agg(count(lit(1)).as("__c"))
+    val x = c.agg(sum(col("__c").cast(dec) * (col("__c") - 1L)).as("__x"),
+      count(lit(1)).as("n_cells"), sum(col("__c")).as("n"))
+    val a = c.groupBy(col("__a")).agg(sum(col("__c")).as("__ai"))
+      .agg(sum(col("__ai").cast(dec) * (col("__ai") - 1L)).as("__sa"))
+    val b = c.groupBy(col("__b")).agg(sum(col("__c")).as("__bj"))
+      .agg(sum(col("__bj").cast(dec) * (col("__bj") - 1L)).as("__sb"))
+    val n2 = col("n").cast(dec) * (col("n") - 1L).cast(dec)
+    val num = lit(2L).cast(dec) * n2 * col("__x") -
+      lit(2L).cast(dec) * col("__sa") * col("__sb")
+    val den = n2 * (col("__sa") + col("__sb")) -
+      lit(2L).cast(dec) * col("__sa") * col("__sb")
+    x.crossJoin(broadcast(a)).crossJoin(broadcast(b))
+      .select(col("n"), col("n_cells"),
+        when(den === lit(0L).cast(dec), lit(null).cast(DoubleType))
+          .otherwise(num.cast(DoubleType) / den.cast(DoubleType)).as("ari"))
+  }
+
   /** Time-travel audit over a versioned file manifest — the live file
     * set AS OF each version v ∈ [0, maxVersion]: a file is visible when
     * `added ≤ v < deleted` (NULL deleted = still live). This is the

@@ -65,6 +65,14 @@ object Evaluation {
         .orderBy(col("lang"))
     }),
 
+    // ---- q183: Adjusted Rand Index for the same predictions — the
+    // pair-counting, label-permutation-invariant agreement next to
+    // q165's kappa and q161's NMI: the metric to use when cluster ids
+    // carry no meaning (dedup clusters, k-means cells). ----
+    "q183_adjusted_rand" -> ((s, dir) =>
+      graft.api.Graft.adjustedRandIndex(
+        TextAnalysis.langidPred(s, dir), "lang", "pred_lang")),
+
     // ---- q164: per-class confusion statistics over q29's langid
     // predictions — tp/fp/fn and precision/recall/F1 per language. F1 is
     // the single-division 2tp/(2tp+fp+fn) form; classes the model never
@@ -113,6 +121,29 @@ object Evaluation {
   )
 
   val oracle: Map[String, String] = Map(
+    // ARI twin: identical contingency and the cross-multiplied
+    // (2·N₂·x − 2ab)/(N₂(a+b) − 2ab) identity in HUGEINT
+    "q183_adjusted_rand" ->
+      s"""WITH p AS (
+         |${TextAnalysis.langidPredSql}),
+         |bse AS (SELECT lang AS a, pred_lang AS b FROM p
+         |        WHERE lang IS NOT NULL AND pred_lang IS NOT NULL),
+         |c AS (SELECT a, b, COUNT(*) AS c FROM bse GROUP BY a, b),
+         |x AS (SELECT SUM(CAST(c AS HUGEINT) * (c - 1)) AS x,
+         |        COUNT(*) AS n_cells, CAST(SUM(c) AS BIGINT) AS n FROM c),
+         |aa AS (SELECT SUM(CAST(ai AS HUGEINT) * (ai - 1)) AS sa
+         |       FROM (SELECT CAST(SUM(c) AS BIGINT) AS ai FROM c GROUP BY a) t),
+         |bb AS (SELECT SUM(CAST(bj AS HUGEINT) * (bj - 1)) AS sb
+         |       FROM (SELECT CAST(SUM(c) AS BIGINT) AS bj FROM c GROUP BY b) t)
+         |SELECT x.n, x.n_cells,
+         |  CASE WHEN CAST(x.n AS HUGEINT) * (x.n - 1) * (sa + sb)
+         |         - 2 * sa * sb = 0 THEN NULL
+         |       ELSE CAST(2 * CAST(x.n AS HUGEINT) * (x.n - 1) * x.x
+         |              - 2 * sa * sb AS DOUBLE) /
+         |            CAST(CAST(x.n AS HUGEINT) * (x.n - 1) * (sa + sb)
+         |              - 2 * sa * sb AS DOUBLE) END AS ari
+         |FROM x CROSS JOIN aa CROSS JOIN bb""".stripMargin,
+
     // confusion twin: q29's shared langid CTE, the same full-outer
     // marginal join (classes present on either axis survive), the same
     // single-division F1 form

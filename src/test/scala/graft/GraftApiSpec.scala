@@ -1215,6 +1215,23 @@ class GraftApiSpec extends AnyFunSuite {
     assert(vac.map(_.getLong(0)).toSeq === Seq(2L))
   }
 
+  test("adjustedRandIndex: identical partitions 1, label-permuted still 1") {
+    val s = spark; import s.implicits._
+    val same = Seq(("x", "1"), ("x", "1"), ("y", "2"), ("y", "2"), ("z", "3"))
+      .toDF("a", "b")
+    assert(Graft.adjustedRandIndex(same, "a", "b").collect()(0)
+      .getDouble(2) === 1.0) // permutation-invariance: labels differ, pairs agree
+    // textbook case {p,p,q,q} vs {m,n,n,n}: agreement exactly at chance
+    // level — comb=1, E=C(2)a·C(2)b/C(n,2)=1, so ARI is exactly 0
+    val mixed = Seq(("p", "m"), ("p", "n"), ("q", "n"), ("q", "n"))
+      .toDF("a", "b")
+    val r = Graft.adjustedRandIndex(mixed, "a", "b").collect()(0)
+    assert(r.getDouble(2) === 0.0)
+    // all-singletons on both sides: denominator 0 → NULL
+    val deg = Seq(("a", "1"), ("b", "2")).toDF("a", "b")
+    assert(Graft.adjustedRandIndex(deg, "a", "b").collect()(0).isNullAt(2))
+  }
+
   test("winsorize clips into the exact order-statistic band") {
     val s = spark; import s.implicits._
     val df = (1 to 10).map(i => (i.toLong, "g", i * 10.0)).toDF("id", "grp", "v")
