@@ -1389,6 +1389,57 @@ object Graft {
           (col("__da") + col("__db") - col("inter")).cast(DoubleType)).as("jaccard"))
   }
 
+  /** Sketch-based source overlap: the KMV (k-minimum-values) estimate of
+    * pairwise shingle union/intersection sizes between groups — the cheap
+    * companion to [[shingleOverlap]]'s exact matrix. One pass builds a
+    * k=128-long sketch per group (bounded partial-agg state, see
+    * [[graft.functions.KmvAgg]]); ALL pairwise estimates then derive from
+    * the G tiny sketches alone — no shingle-keyed join, no second scan.
+    * At 100 TB this is the difference between a corpus-sized shuffle
+    * (exact form, still available when the numbers must be exact) and a
+    * G×1 KiB driver-sized algebra problem.
+    *
+    * KMV estimators (Beyer et al., SIGMOD'07), hashes uniform in
+    * [0, 2^63): with τ = k-th smallest of the pair-union sketch,
+    * est_union = (k-1)·2^63/τ; est_inter = ρ/|sk|·est_union where ρ
+    * counts union-sketch members present in both sides (decidable from
+    * the two sketches alone — h ≤ τ_union ≤ τ_side). When the union has
+    * fewer than k distinct hashes the sketch IS the union and both
+    * estimates are exact. Every output is either an exact integer or a
+    * single identical IEEE expression chain, so the DuckDB oracle — which
+    * recomputes the sketches from raw shingles, NOT from the sketch
+    * algebra — hash-gates the merge semantics themselves. */
+  def kmvSourceOverlap(df: DataFrame, textCol: String, groupCol: String,
+      n: Int = 3, k: Int = 128): DataFrame = {
+    require(k == 128, "kmv_agg is registered at k=128; other k need their own registration")
+    graft.functions.GraftFunctions.register(df.sparkSession)
+    val kd = (k - 1).toDouble
+    val sh = df.select(col(groupCol).as("__g"),
+        explode(expr(s"shingle_set(`$textCol`, $n)")).as("__s"))
+      .select(col("__g"), call_function("md5_lower64", col("__s"))
+        .bitwiseAND(lit(Long.MaxValue)).as("__h"))
+    // no distinct() shuffle: KmvAgg dedups inside its bounded buffer
+    val sk = sh.groupBy(col("__g"))
+      .agg(call_function("kmv_agg128", col("__h")).as("sk"))
+    val pairs = sk.alias("a").join(sk.alias("b"), col("a.__g") < col("b.__g"))
+      .select(col("a.__g").as("source_a"), col("b.__g").as("source_b"),
+        col("a.sk").as("ska"), col("b.sk").as("skb"))
+    pairs
+      // k smallest of (ska ∪ skb) = the KMV sketch of the underlying union
+      .withColumn("uk", slice(array_sort(array_union(col("ska"), col("skb"))), 1, k))
+      .withColumn("ku", size(col("uk")).cast(LongType))
+      .withColumn("tau", element_at(col("uk"), size(col("uk"))))
+      .withColumn("rho", expr(
+        "cast(size(filter(uk, x -> array_contains(ska, x) AND array_contains(skb, x))) as bigint)"))
+      .withColumn("est_union",
+        when(col("ku") < k, col("ku").cast(DoubleType))
+          .otherwise(lit(kd) * lit(9.223372036854775808e18) / col("tau").cast(DoubleType)))
+      .withColumn("est_inter",
+        col("rho").cast(DoubleType) * col("est_union") / col("ku").cast(DoubleType))
+      .select(col("source_a"), col("source_b"), col("ku"), col("tau"),
+        col("rho"), col("est_union"), col("est_inter"))
+  }
+
   // -------------------------------------------------- embedding clustering
 
   /** Deterministic k-means seeds: the k vectors with the smallest

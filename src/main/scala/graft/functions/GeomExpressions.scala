@@ -175,6 +175,12 @@ object GraftFunctions {
     if (!reg.functionExists(FunctionIdentifier("st_union_agg")))
       spark.udf.register("st_union_agg",
         org.apache.spark.sql.functions.udaf(new StUnionAgg))
+    // KMV distinct sketch (set-algebra companion to the HLL family):
+    // k fixed at 128 — the sketch parameter is part of the function
+    // identity so plans stay pure SQL strings.
+    if (!reg.functionExists(FunctionIdentifier("kmv_agg128")))
+      spark.udf.register("kmv_agg128",
+        org.apache.spark.sql.functions.udaf(new KmvAgg(128)))
   }
 
   def injectInto(ext: org.apache.spark.sql.SparkSessionExtensions): Unit =

@@ -1,0 +1,85 @@
+package graft.functions
+
+import org.apache.spark.sql.{Encoder, Encoders}
+import org.apache.spark.sql.expressions.Aggregator
+
+/** `kmv_agg(hash)` — KMV (k-minimum-values) distinct sketch: the k
+  * smallest DISTINCT 64-bit hash values seen by the group, as a sorted
+  * ascending array.
+  *
+  * Why this aggregate exists (vs the Datasketches HLL family q41/q104
+  * already exercises): KMV sketches support SET ALGEBRA with exact,
+  * engine-replayable semantics. The merge of two KMV sketches — the k
+  * smallest of the union of their elements — IS the KMV sketch of the
+  * union of the underlying sets (every hash below the union threshold
+  * is below both input thresholds, so no element can be missing), and
+  * membership of a union-sketch element in an input set can be decided
+  * from the input's sketch alone (h ≤ τ_union ≤ τ_input, and a KMV
+  * sketch contains ALL of its set's hashes ≤ its own threshold). That
+  * closure property is what q184 gates: the DuckDB oracle recomputes
+  * the pair-union sketches from raw shingles while the Spark plan
+  * builds them from per-source sketches only — identical output proves
+  * the algebra, not just the arithmetic.
+  *
+  * Determinism: the result is a pure function of the input's distinct
+  * hash SET — insertion and merge order cannot change "the k smallest"
+  * — so unlike register-based sketches in coupon/HLL mixed modes (see
+  * q104's lgK note) a KMV output is partition-layout-invariant and can
+  * be hash-gated at ANY cardinality, not only below a promotion
+  * threshold.
+  *
+  * Scale shape: an `Aggregator`, so Spark plans partial+final
+  * aggregation — per-partition buffers are capped at k longs, only k
+  * values per partition per group cross the shuffle, merge is an
+  * O(k) sorted-array merge. k=128 ⇒ a 1 KiB sketch summarizes any
+  * cardinality; 20 sources at 100 TB is 20 KiB of driver-visible
+  * state for a full pairwise overlap matrix that would otherwise cost
+  * a shingle-keyed shuffle of the corpus (q114's exact form).
+  */
+class KmvAgg(k: Int) extends Aggregator[Long, Array[Long], Array[Long]] {
+  require(k > 0, s"kmv_agg: k must be positive, got $k")
+
+  override def zero: Array[Long] = Array.emptyLongArray
+
+  override def reduce(buf: Array[Long], h: Long): Array[Long] = {
+    val pos = java.util.Arrays.binarySearch(buf, h)
+    if (pos >= 0) buf // already present — sketch is a set
+    else {
+      val ins = -pos - 1
+      if (buf.length < k) {
+        val out = new Array[Long](buf.length + 1)
+        System.arraycopy(buf, 0, out, 0, ins)
+        out(ins) = h
+        System.arraycopy(buf, ins, out, ins + 1, buf.length - ins)
+        out
+      } else if (ins < k) { // displaces the current k-th minimum
+        val out = new Array[Long](k)
+        System.arraycopy(buf, 0, out, 0, ins)
+        out(ins) = h
+        System.arraycopy(buf, ins, out, ins + 1, k - ins - 1)
+        out
+      } else buf // h above the threshold — not one of the k smallest
+    }
+  }
+
+  override def merge(a: Array[Long], b: Array[Long]): Array[Long] = {
+    if (a.isEmpty) return b
+    if (b.isEmpty) return a
+    val out = new Array[Long](math.min(k, a.length + b.length))
+    var i = 0; var j = 0; var n = 0
+    while (n < out.length && (i < a.length || j < b.length)) {
+      val v =
+        if (j >= b.length || (i < a.length && a(i) <= b(j))) { val x = a(i); i += 1; x }
+        else { val x = b(j); j += 1; x }
+      if (n == 0 || out(n - 1) != v) { out(n) = v; n += 1 } // drop cross-side dups
+    }
+    if (n == out.length) out else java.util.Arrays.copyOf(out, n)
+  }
+
+  override def finish(r: Array[Long]): Array[Long] = r
+
+  override def bufferEncoder: Encoder[Array[Long]] =
+    org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Array[Long]]()
+  override def outputEncoder: Encoder[Array[Long]] =
+    org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Array[Long]]()
+}

@@ -28,6 +28,21 @@ object Corpus {
         .orderBy(col("source_a"), col("source_b"))
     }),
 
+    // ---- q184: KMV-sketch source overlap — q114's matrix from 128-long
+    // mergeable sketches instead of a corpus-wide shingle join. The
+    // DuckDB oracle recomputes every pair-union sketch FROM RAW SHINGLES
+    // while the Spark plan derives it from the per-source sketches only,
+    // so a hash match proves the KMV merge/membership algebra (k smallest
+    // of a sketch union = sketch of the set union), not just the final
+    // arithmetic. Unlike the HLL family (q104), KMV output is a pure
+    // function of the hash SET — partition-invariant at any cardinality,
+    // no promotion-mode caveat — which is why it can be hard-gated
+    // without a golden. ----
+    "q184_kmv_overlap" -> ((s, dir) => {
+      graft.api.Graft.kmvSourceOverlap(t(s, dir, "documents"), "text", "source")
+        .orderBy(col("source_a"), col("source_b"))
+    }),
+
     // ---- q115: DSIR importance weighting — hashed-ngram log-likelihood
     // ratio of each doc under a target-domain model (source src0) vs the
     // raw corpus (Xie et al. 2023): the data-selection scorer. Both
@@ -269,6 +284,58 @@ object Corpus {
         |FROM inter
         |JOIN sizes sa ON sa.source = source_a
         |JOIN sizes sb ON sb.source = source_b
+        |ORDER BY source_a, source_b""".stripMargin,
+
+    // KMV twin: same tokenization, but the oracle rebuilds each
+    // per-source AND pair-union sketch from scratch with window row_number
+    // — it never touches the sketch-merge path the Spark plan uses, so the
+    // gate checks the algebra. Hash = low-64 md5 masked to 63 bits
+    // (md5_lower64 & Long.MaxValue ≡ md5_number_lower & 9223372036854775807);
+    // estimator doubles are the IDENTICAL IEEE chain both sides
+    // ((k-1)·2^63/τ — 2^63 written out is exactly representable).
+    "q184_kmv_overlap" ->
+      """WITH toks AS (
+        |  SELECT source, string_split(trim(text), ' ') AS t FROM documents),
+        |sh AS (
+        |  SELECT DISTINCT source,
+        |    CAST(md5_number_lower(t[i] || chr(0) || t[i+1] || chr(0) || t[i+2])
+        |         & 9223372036854775807::UBIGINT AS BIGINT) AS h
+        |  FROM (SELECT source, t, unnest(generate_series(1, greatest(len(t) - 2, 0))) AS i
+        |        FROM toks)),
+        |sk AS (
+        |  SELECT source, h FROM (
+        |    SELECT source, h, row_number() OVER (PARTITION BY source ORDER BY h) AS rn
+        |    FROM sh) WHERE rn <= 128),
+        |pairs AS (
+        |  SELECT a.source AS sa, b.source AS sb
+        |  FROM (SELECT DISTINCT source FROM sh) a
+        |  JOIN (SELECT DISTINCT source FROM sh) b ON a.source < b.source),
+        |cand AS (
+        |  SELECT DISTINCT p.sa, p.sb, s.h
+        |  FROM pairs p JOIN sk s ON s.source = p.sa OR s.source = p.sb),
+        |uk AS (
+        |  SELECT sa, sb, h FROM (
+        |    SELECT sa, sb, h, row_number() OVER (PARTITION BY sa, sb ORDER BY h) AS rn
+        |    FROM cand) WHERE rn <= 128),
+        |agg AS (
+        |  SELECT sa, sb, CAST(COUNT(*) AS BIGINT) AS ku, MAX(h) AS tau
+        |  FROM uk GROUP BY sa, sb),
+        |rho AS (
+        |  SELECT uk.sa, uk.sb, CAST(COUNT(*) AS BIGINT) AS rho
+        |  FROM uk
+        |  JOIN sk x ON x.source = uk.sa AND x.h = uk.h
+        |  JOIN sk y ON y.source = uk.sb AND y.h = uk.h
+        |  GROUP BY uk.sa, uk.sb)
+        |SELECT a.sa AS source_a, a.sb AS source_b, a.ku, a.tau,
+        |  CAST(COALESCE(r.rho, 0) AS BIGINT) AS rho,
+        |  CASE WHEN a.ku < 128 THEN CAST(a.ku AS DOUBLE)
+        |       ELSE CAST(127 AS DOUBLE) * 9.223372036854775808E18 / CAST(a.tau AS DOUBLE)
+        |  END AS est_union,
+        |  CAST(COALESCE(r.rho, 0) AS DOUBLE) *
+        |    (CASE WHEN a.ku < 128 THEN CAST(a.ku AS DOUBLE)
+        |          ELSE CAST(127 AS DOUBLE) * 9.223372036854775808E18 / CAST(a.tau AS DOUBLE)
+        |     END) / CAST(a.ku AS DOUBLE) AS est_inter
+        |FROM agg a LEFT JOIN rho r ON a.sa = r.sa AND a.sb = r.sb
         |ORDER BY source_a, source_b""".stripMargin,
 
     "q62_chunk_docs" ->

@@ -199,4 +199,60 @@ class CorpusSpec extends AnyFunSuite {
     assert(common.map(_.getString(0)).toSet ===
       Set("one two three four five six seven eight".split(' ').mkString("\u0000")))
   }
+
+  test("KmvAgg keeps the k smallest distinct values under any insert/merge order") {
+    val agg = new graft.functions.KmvAgg(4)
+    val xs = Seq(9L, 3L, 7L, 3L, 1L, 8L, 2L, 7L, 5L)
+    // sequential insertion
+    val seq1 = xs.foldLeft(agg.zero)(agg.reduce)
+    assert(seq1.toSeq === Seq(1L, 2L, 3L, 5L))
+    // split into partials at every cut point, then merge - same sketch
+    for (cut <- 0 to xs.length) {
+      val (l, r) = xs.splitAt(cut)
+      val m = agg.merge(l.foldLeft(agg.zero)(agg.reduce),
+        r.foldLeft(agg.zero)(agg.reduce))
+      assert(m.toSeq === Seq(1L, 2L, 3L, 5L), s"cut=$cut")
+    }
+    // below-k group: sketch IS the distinct set
+    assert(Seq(5L, 5L, 2L).foldLeft(agg.zero)(agg.reduce).toSeq === Seq(2L, 5L))
+  }
+
+  test("KMV union sketch of two sketches equals the sketch of the set union") {
+    val agg = new graft.functions.KmvAgg(8)
+    val a = (1 to 40).map(i => (i * 2654435761L) & Long.MaxValue)
+    val b = (25 to 70).map(i => (i * 2654435761L) & Long.MaxValue)
+    val ska = a.foldLeft(agg.zero)(agg.reduce)
+    val skb = b.foldLeft(agg.zero)(agg.reduce)
+    // k smallest of (ska union skb) = sketch built from the raw union
+    val mergedFromSketches = (ska ++ skb).distinct.sorted.take(8)
+    val fromRaw = (a ++ b).foldLeft(agg.zero)(agg.reduce).toSeq
+    assert(mergedFromSketches.toSeq === fromRaw)
+    // and membership of a union-sketch element in side A is decidable
+    // from ska alone: every union-sketch element of A is below A's tau
+    val tauA = ska.last
+    assert(fromRaw.filter(a.contains).forall(h => h <= tauA && ska.contains(h)))
+  }
+
+  test("kmvSourceOverlap is exact in the below-k regime and repartition-invariant") {
+    val s = spark; import s.implicits._
+    val docs = Seq(
+      ("s1", "alpha beta gamma delta epsilon zeta"),
+      ("s1", "eta theta iota kappa"),
+      ("s2", "gamma delta epsilon zeta eta theta"),
+      ("s3", "unrelated words entirely here now")).toDF("source", "text")
+    val out = Graft.kmvSourceOverlap(docs, "text", "source")
+      .orderBy("source_a", "source_b").collect()
+    assert(out.length === 3)
+    val r12 = out.find(r => r.getString(0) == "s1" && r.getString(1) == "s2").get
+    // below k => est_union is the exact union size, est_inter = rho exactly
+    assert(r12.getLong(2) < 128) // ku below k
+    assert(r12.getDouble(5) === r12.getLong(2).toDouble) // est_union == ku
+    assert(r12.getDouble(6) === r12.getLong(4).toDouble) // est_inter == rho
+    // s1/s2 trigram overlap: gamma-delta-epsilon and delta-epsilon-zeta
+    // (s2's zeta-eta-theta spans what is a doc boundary in s1, so no more)
+    assert(r12.getLong(4) === 2L)
+    val again = Graft.kmvSourceOverlap(docs.repartition(7), "text", "source")
+      .orderBy("source_a", "source_b").collect()
+    assert(out.map(_.toSeq).toSeq === again.map(_.toSeq).toSeq)
+  }
 }
