@@ -3083,6 +3083,52 @@ object Graft {
       .drop("__pid", "__off")
   }
 
+  /** 2D skyline (Pareto frontier): rows not dominated by any other row,
+    * where b dominates a iff b.x <= a.x AND b.y >= a.y with at least one
+    * strict (x minimized, y maximized — negate a column to flip its
+    * direction). Duplicate points on the frontier are all kept (neither
+    * strictly dominates the other).
+    *
+    * Shape, NOT the textbook NOT-EXISTS self-join (quadratic): a 2D
+    * skyline is a prefix-max sweep. (1) keyed agg: per distinct x the
+    * max y (map-side partial — raw rows collapse here); (2) exclusive
+    * running max of those group maxes in x order via the two-phase
+    * [[globalCumSum]] device — range partition, one #partitions-row
+    * driver collect for cross-partition offsets, partition-local
+    * windows; (3) a frontier x survives iff its max-y strictly exceeds
+    * every cheaper x's max-y; (4) one equi-join on (x, y) brings back
+    * the original rows. No self-join, no single-partition window, no
+    * stage touching more than the distinct-x aggregate. */
+  def skyline2d(df: DataFrame, xCol: String, yCol: String): DataFrame = {
+    val g = df.groupBy(col(xCol).as("__x"))
+      .agg(max(col(yCol).cast(LongType)).as("__gy"))
+    val staged = g.repartitionByRange(col("__x"))
+      .withColumn("__pid", spark_partition_id())
+      .localCheckpoint()
+    val parts = staged.groupBy(col("__pid")).agg(max(col("__gy")).as("__m"))
+      .collect().map(r => (r.getInt(0), r.getLong(1))).sortBy(_._1)
+    // exclusive prefix max across partitions (partition ids are dense in
+    // range order; empty partitions simply don't appear)
+    var acc = Long.MinValue
+    val offsets = parts.map { case (p, m) =>
+      val o = (p, acc); acc = math.max(acc, m); o
+    }
+    val spark = df.sparkSession
+    import spark.implicits._
+    val offDf = offsets.toSeq.toDF("__pid", "__prevmax")
+    val w = Window.partitionBy(col("__pid")).orderBy(col("__x"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val surv = staged.join(broadcast(offDf), Seq("__pid"))
+      .withColumn("__cheaper",
+        greatest(coalesce(max(col("__gy")).over(w), lit(Long.MinValue)),
+          col("__prevmax")))
+      .filter(col("__gy") > col("__cheaper"))
+      .select(col("__x"), col("__gy"))
+    df.join(surv, col(xCol) === col("__x") &&
+        col(yCol).cast(LongType) === col("__gy"))
+      .drop("__x", "__gy")
+  }
+
   /** Exact weighted percentiles — the smallest value whose cumulative
     * weight reaches ⌈p·W/1000⌉, for each requested permille: what
     * "median price weighted by quantity" actually means, computed

@@ -111,6 +111,19 @@ object Analytics {
         .groupBy(col("peak")).agg(min(col("d")).as("first_peak_day"))
     }),
 
+    // ---- q185: 2D skyline (Pareto frontier) — parts where no other part
+    // is both cheaper-or-equal AND larger-or-equal with one strict: the
+    // multi-objective "best tradeoff" query (cost vs capability). The
+    // oracle states the NOT-EXISTS dominance semantics; the plan is the
+    // linear prefix-max sweep (per-price max + two-phase running max),
+    // never the quadratic self-join. ----
+    "q185_skyline" -> ((s, dir) => {
+      graft.api.Graft.skyline2d(t(s, dir, "part"), "p_retailprice", "p_size")
+        .select(col("p_partkey"), col("p_retailprice"),
+          col("p_size").cast(LongType).as("p_size"))
+        .orderBy(col("p_partkey"))
+    }),
+
     // ---- q176: Poisson-bootstrap 95% CI for the mean event value —
     // the canonical distributed resampling: per-(resample, row) weights
     // from the md5 hash through integer Poisson(1) CDF thresholds, so
@@ -1442,6 +1455,18 @@ object Analytics {
         |p AS (SELECT MAX(active) AS peak FROM c)
         |SELECT p.peak, CAST(MIN(c.d) AS BIGINT) AS first_peak_day
         |FROM c CROSS JOIN p WHERE c.active = p.peak GROUP BY p.peak""".stripMargin,
+
+    // skyline twin: the oracle IS the dominance definition — quadratic
+    // NOT EXISTS, fine at sf0.01; the Spark plan must reproduce it from
+    // the linear sweep
+    "q185_skyline" ->
+      """SELECT a.p_partkey, a.p_retailprice, CAST(a.p_size AS BIGINT) AS p_size
+        |FROM part a
+        |WHERE NOT EXISTS (
+        |  SELECT 1 FROM part b
+        |  WHERE b.p_retailprice <= a.p_retailprice AND b.p_size >= a.p_size
+        |    AND (b.p_retailprice < a.p_retailprice OR b.p_size > a.p_size))
+        |ORDER BY a.p_partkey""".stripMargin,
 
     // bootstrap twin: identical md5-thresholded Poisson weights,
     // identical integer micro-means and order-statistic positions

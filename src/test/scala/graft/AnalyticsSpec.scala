@@ -246,4 +246,24 @@ class AnalyticsSpec extends AnyFunSuite {
       graft.api.Graft.kmeans(df.filter($"vec_id" < 0), "embedding", "vec_id", k = 2)
     }
   }
+
+  test("skyline2d returns exactly the non-dominated set, keeping frontier duplicates") {
+    val s = spark; import s.implicits._
+    // points (x=cost minimized, y=value maximized):
+    //  (1,5) frontier; (1,3) dominated by (1,5); (2,7) frontier;
+    //  (2,7) duplicate frontier point - BOTH kept; (3,7) dominated by
+    //  (2,7) (same y, higher x); (3,9) frontier; (5,9) dominated;
+    //  (4,1) dominated
+    val df = Seq(
+      (10L, 1.0, 5), (11L, 1.0, 3), (12L, 2.0, 7), (13L, 2.0, 7),
+      (14L, 3.0, 7), (15L, 3.0, 9), (16L, 5.0, 9), (17L, 4.0, 1)
+    ).toDF("id", "x", "y")
+    val out = graft.api.Graft.skyline2d(df, "x", "y")
+      .select("id").collect().map(_.getLong(0)).sorted.toSeq
+    assert(out === Seq(10L, 12L, 13L, 15L))
+    // repartition-invariant
+    val again = graft.api.Graft.skyline2d(df.repartition(5), "x", "y")
+      .select("id").collect().map(_.getLong(0)).sorted.toSeq
+    assert(again === out)
+  }
 }
