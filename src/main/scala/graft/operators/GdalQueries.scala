@@ -254,6 +254,34 @@ object GdalQueries {
     // pins every per-state count; SpatialFnsSpec additionally
     // equality-checks the tiled result against the brute-force
     // broadcast-NL join.
+    // ---- q186: quadkey tile binning — the geohash/H3-style spatial
+    // index cell, as pure integer/double arithmetic so both engines
+    // replay it exactly (no libm: plate-carrée tiling, not Web-Mercator —
+    // same bit-interleave quadkey construction, different y projection).
+    // Level 6 = 64×64 world tiles; digit i packs one x bit and one y bit
+    // ((ty div 2^k) % 2 * 2 + (tx div 2^k) % 2). The aggregation is a
+    // plain keyed count: binning points to index cells is THE scale
+    // pattern every spatial pipeline starts with (the same cells drive
+    // the tiled spatial join above and a z-order-style layout). ----
+    "q186_quadkey_tiles" -> ((s, _) => {
+      val pts = s.range(8192).select(
+        (lit(-125.0) + (col("id") % 128).cast("double") * lit(0.43)).as("lon"),
+        (lit(24.0) + expr("id div 128").cast("double") * lit(0.31)).as("lat"))
+      val tiled = pts
+        .withColumn("tx", floor((col("lon") + lit(180.0)) / lit(360.0) * lit(64.0)).cast("long"))
+        .withColumn("ty", floor((lit(90.0) - col("lat")) / lit(180.0) * lit(64.0)).cast("long"))
+        .withColumn("quadkey", concat(
+          (expr("ty div 32") % 2 * 2 + expr("tx div 32") % 2).cast("string"),
+          (expr("ty div 16") % 2 * 2 + expr("tx div 16") % 2).cast("string"),
+          (expr("ty div 8") % 2 * 2 + expr("tx div 8") % 2).cast("string"),
+          (expr("ty div 4") % 2 * 2 + expr("tx div 4") % 2).cast("string"),
+          (expr("ty div 2") % 2 * 2 + expr("tx div 2") % 2).cast("string"),
+          (col("ty") % 2 * 2 + col("tx") % 2).cast("string")))
+      tiled.groupBy(col("quadkey"), col("tx"), col("ty"))
+        .agg(count(lit(1)).as("n_points"))
+        .orderBy(col("quadkey"))
+    }),
+
     "gdal_spatial_join_tiled" -> ((s, _) => {
       GraftFunctions.register(s)
       val states = s.read.format("geojson")
@@ -365,6 +393,30 @@ object GdalQueries {
          |  header=true, columns={'fid':'BIGINT','code':'BIGINT','name':'VARCHAR',
          |    'gtype':'VARCHAR','npoints':'INTEGER','cx':'DOUBLE','cy':'DOUBLE'})
          |ORDER BY code, fid""".stripMargin,
+
+    // quadkey twin: identical double chain for the tile coordinates
+    // (literal-for-literal), identical integer bit packing for the key
+    "q186_quadkey_tiles" ->
+      """WITH pts AS (
+        |  SELECT -125.0 + CAST(id % 128 AS DOUBLE) * 0.43 AS lon,
+        |         24.0 + CAST(id // 128 AS DOUBLE) * 0.31 AS lat
+        |  FROM (SELECT unnest(generate_series(0, 8191)) AS id)),
+        |tiles AS (
+        |  SELECT CAST(floor((lon + 180.0) / 360.0 * 64.0) AS BIGINT) AS tx,
+        |         CAST(floor((90.0 - lat) / 180.0 * 64.0) AS BIGINT) AS ty
+        |  FROM pts),
+        |keyed AS (
+        |  SELECT tx, ty,
+        |    CAST(((ty // 32) % 2) * 2 + ((tx // 32) % 2) AS VARCHAR) ||
+        |    CAST(((ty // 16) % 2) * 2 + ((tx // 16) % 2) AS VARCHAR) ||
+        |    CAST(((ty // 8) % 2) * 2 + ((tx // 8) % 2) AS VARCHAR) ||
+        |    CAST(((ty // 4) % 2) * 2 + ((tx // 4) % 2) AS VARCHAR) ||
+        |    CAST(((ty // 2) % 2) * 2 + ((tx // 2) % 2) AS VARCHAR) ||
+        |    CAST((ty % 2) * 2 + (tx % 2) AS VARCHAR) AS quadkey
+        |  FROM tiles)
+        |SELECT quadkey, tx, ty, COUNT(*) AS n_points
+        |FROM keyed GROUP BY quadkey, tx, ty
+        |ORDER BY quadkey""".stripMargin,
 
     // every per-state count from the independent ray-casting golden
     "gdal_spatial_join_tiled" ->

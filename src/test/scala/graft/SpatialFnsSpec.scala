@@ -133,4 +133,25 @@ class SpatialFnsSpec extends AnyFunSuite {
       ("n", "POINT (1 1)"), ("n", "POINT (2 2)"), ("n", "POINT (3 3)"),
       ("p", "POINT (9 9)")))
   }
+
+  test("quadkey tiling: bit interleave is exact and covers every point once") {
+    val s = spark
+    val out = graft.SparkEntry.queries("q186_quadkey_tiles")(s, "").collect()
+    assert(out.map(_.getLong(3)).sum === 8192L)
+    assert(out.forall(_.getString(0).matches("[0-3]{6}")))
+    // hand-computed: tile (tx=9, ty=23) -> tx bits 001001, ty bits 010111
+    // -> digits 0,2,1,2,2,3
+    val t923 = out.find(r => r.getLong(1) == 9L && r.getLong(2) == 23L).get
+    assert(t923.getString(0) === "021223")
+    // sibling tiles at the same ty share the 4-digit prefix iff they sit
+    // in the same level-4 parent (tx 8..9 with ty 23 differ only in the
+    // last two digits from tx 10..11)
+    val byTile = out.map(r => ((r.getLong(1), r.getLong(2)), r.getString(0))).toMap
+    for (txa <- 8L to 11L; txb <- 8L to 11L
+         if byTile.contains((txa, 23L)) && byTile.contains((txb, 23L))) {
+      val same4 = (txa / 4) == (txb / 4)
+      assert((byTile((txa, 23L)).take(4) == byTile((txb, 23L)).take(4)) == same4,
+        s"tx=$txa vs tx=$txb")
+    }
+  }
 }
