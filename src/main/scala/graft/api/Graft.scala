@@ -85,6 +85,68 @@ object Graft {
         (col("i") / (col("na") + col("nb") - col("i"))).as("jac"))
   }
 
+  /** Token-set similarity join with POSITIONAL PREFIX FILTERING
+    * (Chaudhuri et al. ICDE'06 / Bayardo et al. WWW'07): all pairs with
+    * Jaccard(tokens(a), tokens(b)) >= num/den, generating candidates
+    * from each document's PREFIX only — its L = n − ⌈t·n⌉ + 1 rarest
+    * tokens under a global document-frequency order.
+    *
+    * Why the filter is LOSSLESS: J(x,y) ≥ t ⟹ |x∩y| ≥ t·|x∪y| ≥ t·|x|,
+    * so a qualifying pair shares at least ⌈t·|x|⌉ tokens; if it shared
+    * none of x's first L tokens the intersection would fit in the
+    * remaining n−L = ⌈t·n⌉−1 < ⌈t·n⌉ — contradiction. Hence every
+    * qualifying pair collides on both prefixes and the exact verify
+    * loses nothing. This is the q24-family's df-cap idea made EXACT:
+    * the cap drops hot-shingle evidence (oracle must mirror it); the
+    * prefix filter provably cannot, so the DuckDB oracle is pure brute
+    * force with no knowledge of the plan's filter.
+    *
+    * 100 TB shape: candidate fan-out is driven by the RAREST tokens —
+    * a stopword lands in a prefix only for documents shorter than
+    * ~1/(1−t) tokens, so the hot-key explosion the df-cap exists to
+    * contain never forms. Stages: token df (keyed agg) → per-doc
+    * rarest-first window (one shuffle on doc id) → prefix self-join on
+    * token → exact verify via one more token-keyed join.
+    *
+    * `ngram` sets the token granularity: 1 = words; 2 (default) = word
+    * bigrams, whose richer universe keeps Jaccard thresholds
+    * discriminative on template-heavy corpora where nearly all docs
+    * share half their word VOCABULARY (measured here: word-level t=0.9
+    * still passes 7% of all pairs; bigram t=0.5 isolates exactly the
+    * planted near-dups). */
+  def prefixFilterJaccardPairs(df: DataFrame, textCol: String, idCol: String,
+      num: Int = 1, den: Int = 2, ngram: Int = 2): DataFrame = {
+    require(num > 0 && den >= num, "threshold must be in (0, 1]")
+    graft.functions.GraftFunctions.register(df.sparkSession)
+    val toks = df.select(col(idCol).as("__id"),
+        explode(expr(s"shingle_set(`$textCol`, $ngram)")).as("__t"))
+    val sizes = toks.groupBy(col("__id")).agg(count(lit(1)).as("__n"))
+    val dfc = toks.groupBy(col("__t")).agg(count(lit(1)).as("__df"))
+    val wn = Window.partitionBy(col("__id")).orderBy(col("__df"), col("__t"))
+    val pref = toks.join(dfc, Seq("__t"))
+      .join(sizes, Seq("__id"))
+      .withColumn("__pos", row_number().over(wn))
+      // L = n − ⌈num·n/den⌉ + 1, all-integer
+      .filter(col("__pos") <=
+        col("__n") - expr(s"(($num * __n) + ${den - 1}) div $den") + lit(1))
+      .select(col("__id"), col("__t"))
+    val cand = pref.alias("a")
+      .join(pref.alias("b"),
+        col("a.__t") === col("b.__t") && col("a.__id") < col("b.__id"))
+      .select(col("a.__id").as("da"), col("b.__id").as("db"))
+      .distinct()
+    val inter = cand
+      .join(toks.select(col("__id").as("da"), col("__t")), Seq("da"))
+      .join(toks.select(col("__id").as("db"), col("__t")), Seq("db", "__t"))
+      .groupBy(col("da"), col("db")).agg(count(lit(1)).as("inter"))
+    inter
+      .join(sizes.select(col("__id").as("da"), col("__n").as("na")), Seq("da"))
+      .join(sizes.select(col("__id").as("db"), col("__n").as("nb")), Seq("db"))
+      .withColumn("uni", col("na") + col("nb") - col("inter"))
+      .filter(lit(den) * col("inter") >= lit(num) * col("uni"))
+      .select(col("da"), col("db"), col("inter"), col("uni"))
+  }
+
   /** Connected components of an undirected edge list — the step that
     * turns near-dup PAIRS into duplicate CLUSTERS so one canonical doc
     * survives per group. Label propagation to a fixpoint: every node

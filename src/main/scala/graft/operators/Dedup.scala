@@ -140,6 +140,19 @@ object Dedup {
         .orderBy(col("da"), col("db"))
     }),
 
+    // ---- q187: prefix-filtered similarity join — the PPJoin-family
+    // formulation: candidates only from each doc's L = n−⌈t·n⌉+1
+    // RAREST bigrams under the global df order, then exact verify.
+    // Unlike q24's df-cap (lossy, oracle must mirror it), the prefix
+    // filter is PROVABLY lossless — so the oracle is pure brute force
+    // with no knowledge of the plan's filter: the strongest gate a
+    // candidate-pruning technique can get. ----
+    "q187_prefix_filter_join" -> ((s, dir) => {
+      graft.api.Graft.prefixFilterJaccardPairs(t(s, dir, "documents"),
+        "text", "doc_id", num = 1, den = 2, ngram = 2)
+        .orderBy(col("da"), col("db"))
+    }),
+
     // ---- q133: incremental ingestion dedup — the cross-corpus form a
     // pipeline runs on every fresh crawl batch before appending: flag
     // each new doc (doc_id % 10 = 0 plays the batch) whose Jaccard vs
@@ -400,6 +413,25 @@ object Dedup {
         |GROUP BY md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'))
         |ORDER BY keep_id""".stripMargin,
     "q24_dedup_ngram_jaccard" -> exactJaccardPairsSql,
+
+    // brute-force bigram Jaccard with NO filter: the plan's prefix
+    // pruning must be invisible in the result
+    "q187_prefix_filter_join" ->
+      """WITH toks AS (
+        |  SELECT DISTINCT doc_id, t[i] || chr(0) || t[i+1] AS tok
+        |  FROM (SELECT doc_id, t, unnest(generate_series(1, greatest(len(t) - 1, 0))) AS i
+        |        FROM (SELECT doc_id, string_split(trim(text), ' ') AS t FROM documents))),
+        |sizes AS (SELECT doc_id, COUNT(*) AS n FROM toks GROUP BY doc_id),
+        |inter AS (
+        |  SELECT a.doc_id AS da, b.doc_id AS db, COUNT(*) AS inter
+        |  FROM toks a JOIN toks b ON a.tok = b.tok AND a.doc_id < b.doc_id
+        |  GROUP BY 1, 2)
+        |SELECT da, db, inter, sa.n + sb.n - inter AS uni
+        |FROM inter
+        |JOIN sizes sa ON sa.doc_id = da
+        |JOIN sizes sb ON sb.doc_id = db
+        |WHERE 2 * inter >= 1 * (sa.n + sb.n - inter)
+        |ORDER BY da, db""".stripMargin,
     "q52_dedup_containment" ->
       """WITH toks AS (
         |  SELECT doc_id, string_split(trim(text), ' ') AS t FROM documents

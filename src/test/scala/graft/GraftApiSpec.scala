@@ -1242,4 +1242,42 @@ class GraftApiSpec extends AnyFunSuite {
     assert(out.map(_.getDouble(5)).toSeq ===
       Seq(20.0, 20.0, 30.0, 40.0, 50.0, 60.0, 70.0, 80.0, 80.0, 80.0))
   }
+
+  test("prefixFilterJaccardPairs equals the unfiltered brute force, including boundary ties") {
+    val s = spark; import s.implicits._
+    // word-level (ngram=1) so intersections are easy to reason about;
+    // docs engineered so some pairs sit EXACTLY at the 1/2 threshold:
+    // J(d1,d2): tokens {a,b,c,d} vs {a,b,c,e}: i=3, u=5 -> 0.6 >= 0.5 keep
+    // J(d1,d3): {a,b,c,d} vs {a,b,x,y}: i=2, u=6 -> 1/3 drop
+    // J(d4,d5): {p,q} vs {p,r}: i=1, u=3 -> 1/3 drop
+    // J(d1,d6): {a,b,c,d} vs {a,b,c,d}: 1.0 keep
+    // J(d7,d8): {m,n,o} vs {m,n,o,z,w,v}: i=3, u=6 -> exactly 0.5 keep
+    val df = Seq(
+      (1L, "a b c d"), (2L, "a b c e"), (3L, "a b x y"),
+      (4L, "p q"), (5L, "p r"), (6L, "d c b a"),
+      (7L, "m n o"), (8L, "m n o z w v")).toDF("id", "txt")
+    val got = graft.api.Graft.prefixFilterJaccardPairs(df, "txt", "id",
+        num = 1, den = 2, ngram = 1)
+      .select("da", "db", "inter", "uni").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).sorted.toSeq
+    // brute force over all pairs in plain Scala
+    val toks = Map(1L -> Set("a","b","c","d"), 2L -> Set("a","b","c","e"),
+      3L -> Set("a","b","x","y"), 4L -> Set("p","q"), 5L -> Set("p","r"),
+      6L -> Set("a","b","c","d"), 7L -> Set("m","n","o"),
+      8L -> Set("m","n","o","z","w","v"))
+    val want = (for {
+      a <- toks.keys; b <- toks.keys if a < b
+      i = (toks(a) & toks(b)).size; u = (toks(a) | toks(b)).size
+      if 2 * i >= u
+    } yield (a, b, i.toLong, u.toLong)).toSeq.sorted
+    assert(got === want)
+    assert(got.contains((7L, 8L, 3L, 6L))) // the exact-boundary pair survives
+    assert(got.contains((1L, 6L, 4L, 4L))) // identical token sets
+    // repartition invariance
+    val again = graft.api.Graft.prefixFilterJaccardPairs(df.repartition(5),
+        "txt", "id", num = 1, den = 2, ngram = 1)
+      .select("da", "db", "inter", "uni").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).sorted.toSeq
+    assert(again === got)
+  }
 }
