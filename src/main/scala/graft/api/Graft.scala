@@ -3557,6 +3557,34 @@ object Graft {
       .agg(count(lit(1)).as("n_bad"))
       .select(lit(rule).as("rule"), col("n_bad"))
 
+  /** Functional-dependency audit — for each candidate A→B, does every A
+    * value map to exactly one B? Holds iff |distinct A| = |distinct
+    * (A,B)| (the count-based FD test data-profiling systems like
+    * Metanome/TANE use as their pruning core); `violations` = the number
+    * of extra (A,B) combinations beyond one-per-A — 0 exactly when the
+    * FD holds. Null-containing rows are excluded up front so both
+    * engines count the same universe (SQL DISTINCT and multi-column
+    * count_distinct disagree on null rows otherwise).
+    *
+    * 100 TB shape: each candidate is one two-column distinct aggregate —
+    * partial-agg'd, one shuffle on (A,B) — fully independent of the
+    * others (they union, nothing joins). Discovery over all column
+    * pairs is #pairs such aggregates; prune with [[profileColumns]]
+    * cardinalities first (|distinct A| = |rows| ⇒ A→anything trivially). */
+  def fdAudit(df: DataFrame, tableName: String,
+      pairs: Seq[(String, String)]): DataFrame = {
+    require(pairs.nonEmpty, "fdAudit: need at least one candidate pair")
+    pairs.map { case (lhs, rhs) =>
+      df.filter(col(lhs).isNotNull && col(rhs).isNotNull)
+        .agg(count_distinct(col(lhs)).as("n_lhs"),
+          count_distinct(col(lhs), col(rhs)).as("n_pair"))
+        .select(lit(s"$tableName.$lhs->$rhs").as("fd"),
+          col("n_lhs"), col("n_pair"),
+          (col("n_pair") - col("n_lhs")).as("violations"),
+          (col("n_pair") === col("n_lhs")).as("holds"))
+    }.reduce(_ unionAll _)
+  }
+
   /** Benford first-digit audit — compare the leading-significant-digit
     * distribution of a money-like column against Benford's law (the
     * synthetic-data / fraud / unit-mixup smell test). Values are

@@ -68,7 +68,26 @@ object Quality {
     // expected = ln(1+1/d)/ln(10) as the identical chain both engines. ----
     "q170_benford" -> ((s, dir) =>
       graft.api.Graft.benfordAudit(t(s, dir, "orders"), "o_totalprice")
-        .orderBy(col("digit")))
+        .orderBy(col("digit"))),
+
+    // ---- q188: functional-dependency audit — the count-based FD test
+    // (|distinct A| = |distinct (A,B)|) over a candidate mix that spans
+    // true keys (o_orderkey→o_custkey, n_nationkey→n_regionkey) and
+    // expected failures (o_custkey→o_orderpriority, p_brand→p_type), so
+    // the gate checks real violation counts in both directions, not a
+    // column of TRUEs (q169's injected-violation discipline). ----
+    "q188_fd_audit" -> ((s, dir) => {
+      val g = graft.api.Graft
+      g.fdAudit(t(s, dir, "orders"), "orders",
+          Seq(("o_orderkey", "o_custkey"), ("o_custkey", "o_orderpriority")))
+        .unionAll(g.fdAudit(t(s, dir, "part"), "part",
+          Seq(("p_partkey", "p_name"), ("p_brand", "p_type"))))
+        .unionAll(g.fdAudit(t(s, dir, "nation"), "nation",
+          Seq(("n_nationkey", "n_regionkey"))))
+        .unionAll(g.fdAudit(t(s, dir, "lineitem"), "lineitem",
+          Seq(("l_orderkey", "l_returnflag"))))
+        .orderBy(col("fd"))
+    })
   )
 
   val oracle: Map[String, String] = Map(
@@ -134,6 +153,26 @@ object Quality {
         |  ln(1.0 + 1.0 / CAST(digit AS BIGINT)) / ln(10.0) AS expected,
         |  abs(CAST(n AS DOUBLE) / t -
         |    ln(1.0 + 1.0 / CAST(digit AS BIGINT)) / ln(10.0)) AS abs_dev
-        |FROM c CROSS JOIN tt ORDER BY digit""".stripMargin
+        |FROM c CROSS JOIN tt ORDER BY digit""".stripMargin,
+
+    // FD twin: the same count-based test per candidate, null rows
+    // excluded so DISTINCT-row and multi-column count_distinct agree
+    "q188_fd_audit" -> {
+      def row(tbl: String, lhs: String, rhs: String) =
+        s"""SELECT '$tbl.$lhs->$rhs' AS fd,
+           |  CAST(COUNT(DISTINCT $lhs) AS BIGINT) AS n_lhs,
+           |  CAST(COUNT(DISTINCT ($lhs, $rhs)) AS BIGINT) AS n_pair,
+           |  CAST(COUNT(DISTINCT ($lhs, $rhs)) - COUNT(DISTINCT $lhs) AS BIGINT) AS violations,
+           |  COUNT(DISTINCT ($lhs, $rhs)) = COUNT(DISTINCT $lhs) AS holds
+           |FROM $tbl WHERE $lhs IS NOT NULL AND $rhs IS NOT NULL""".stripMargin
+      Seq(
+        row("orders", "o_orderkey", "o_custkey"),
+        row("orders", "o_custkey", "o_orderpriority"),
+        row("part", "p_partkey", "p_name"),
+        row("part", "p_brand", "p_type"),
+        row("nation", "n_nationkey", "n_regionkey"),
+        row("lineitem", "l_orderkey", "l_returnflag")
+      ).mkString("", "\nUNION ALL\n", "\nORDER BY fd")
+    }
   )
 }

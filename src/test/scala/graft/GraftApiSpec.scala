@@ -1280,4 +1280,23 @@ class GraftApiSpec extends AnyFunSuite {
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).sorted.toSeq
     assert(again === got)
   }
+
+  test("fdAudit counts extra RHS combinations and excludes null rows") {
+    val s = spark; import s.implicits._
+    val df = Seq(
+      (1, "a"), (1, "a"),          // 1 -> a consistently
+      (2, "b"), (2, "c"), (2, "d"),// 2 -> three values: 2 violations
+      (3, "e"),
+      (4, null.asInstanceOf[String]) // null rhs: excluded entirely
+    ).toDF("k", "v")
+    val out = graft.api.Graft.fdAudit(df, "t", Seq(("k", "v"))).collect().head
+    assert(out.getString(0) === "t.k->v")
+    assert(out.getLong(1) === 3L) // distinct k among non-null rows
+    assert(out.getLong(2) === 5L) // (1,a) (2,b) (2,c) (2,d) (3,e)
+    assert(out.getLong(3) === 2L)
+    assert(!out.getBoolean(4))
+    val clean = graft.api.Graft.fdAudit(df.filter($"k" =!= 2), "t",
+      Seq(("k", "v"))).collect().head
+    assert(clean.getBoolean(4) && clean.getLong(3) === 0L)
+  }
 }
