@@ -742,6 +742,47 @@ object Graft {
     * quotas are oracle-exact; other α use `pow`, where libm last-ulp
     * differences could shift a knife-edge quota by one. Returns the kept
     * rows with their per-source `rk`. */
+  /** Deterministic negative sampling for contrastive training pairs:
+    * each anchor row draws `k` pseudo-random partners by hashing
+    * (anchor id, draw index) into the dense id domain [0, N) —
+    * `md5_lower64(id:j) mod N` — then joining back on the sampled id.
+    * Self-collisions (draw == anchor) are dropped rather than redrawn,
+    * keeping every sample a pure function of (id, j): stable under
+    * repartition, retry, and incremental append (new anchors draw
+    * without touching old pairs), and replayable in ANSI SQL — no RNG
+    * state anywhere.
+    *
+    * Requires a dense id domain [0, N) (the generator's contract here);
+    * densify sparse ids with [[globalRank]] first. 100 TB shape: one
+    * 1-row count broadcast, a k-way per-anchor explode (k rows per
+    * anchor, not a cartesian), one equi-join on the sampled id to fetch
+    * partner payloads — shuffle-partitioned by the sampled id, no skew
+    * because md5 spreads draws uniformly. */
+  def negativeSample(df: DataFrame, idCol: String, k: Int,
+      payload: Seq[String], anchorFilter: Column = lit(true)): DataFrame = {
+    require(k > 0, "negativeSample: k must be positive")
+    graft.functions.GraftFunctions.register(df.sparkSession)
+    val n = df.agg(count(lit(1)).as("__n"))
+    val anchors = df.filter(anchorFilter)
+      .select((col(idCol).cast(LongType)).as("anchor_id"))
+      .crossJoin(broadcast(n))
+      .select(col("anchor_id"), explode(expr(s"sequence(1, $k)")).as("j"),
+        col("__n"))
+      .withColumn("neg_id",
+        call_function("md5_lower64",
+          concat(col("anchor_id").cast(StringType), lit(":"),
+            col("j").cast(StringType)))
+          .bitwiseAND(lit(Long.MaxValue)) % col("__n"))
+      .filter(col("neg_id") =!= col("anchor_id"))
+      .select(col("anchor_id"), col("j").cast(LongType).as("j"), col("neg_id"))
+    val partner = df.select(
+      (col(idCol).cast(LongType)).as("neg_id") +:
+        payload.map(c => col(c).as(s"neg_$c")): _*)
+    anchors.join(partner, Seq("neg_id"))
+      .select(col("anchor_id") +: col("j") +: col("neg_id") +:
+        payload.map(c => col(s"neg_$c")): _*)
+  }
+
   def temperatureMix(df: DataFrame, sourceCol: String, idCol: String,
       totalTarget: Long, alpha: Double = 0.5): DataFrame = {
     graft.functions.GraftFunctions.register(df.sparkSession)

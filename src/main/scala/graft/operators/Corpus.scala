@@ -43,6 +43,18 @@ object Corpus {
         .orderBy(col("source_a"), col("source_b"))
     }),
 
+    // ---- q189: contrastive negative sampling — every 10th doc anchors
+    // k=4 hash-drawn partners from the full corpus (md5(id:j) mod N into
+    // the dense id domain): the training-pair generator for contrastive
+    // embedding runs, with no RNG state — each sample a pure function of
+    // (anchor, j), so stable under repartition/retry/append and exactly
+    // replayable by the oracle. Self-collisions drop, never redraw. ----
+    "q189_negative_sampling" -> ((s, dir) => {
+      graft.api.Graft.negativeSample(t(s, dir, "documents"), "doc_id", 4,
+          Seq("source", "lang"), anchorFilter = col("doc_id") % 10 === 0)
+        .orderBy(col("anchor_id"), col("j"))
+    }),
+
     // ---- q115: DSIR importance weighting — hashed-ngram log-likelihood
     // ratio of each doc under a target-domain model (source src0) vs the
     // raw corpus (Xie et al. 2023): the data-selection scorer. Both
@@ -337,6 +349,23 @@ object Corpus {
         |     END) / CAST(a.ku AS DOUBLE) AS est_inter
         |FROM agg a LEFT JOIN rho r ON a.sa = r.sa AND a.sb = r.sb
         |ORDER BY source_a, source_b""".stripMargin,
+
+    // negative-sampling twin: identical md5(id:j) mod N draw, identical
+    // self-collision drop, partner payload via the same equi-join
+    "q189_negative_sampling" ->
+      """WITH nn AS (SELECT COUNT(*) AS n FROM documents),
+        |draws AS (
+        |  SELECT d.doc_id AS anchor_id, CAST(j AS BIGINT) AS j,
+        |    CAST((md5_number_lower(CAST(d.doc_id AS VARCHAR) || ':' || CAST(j AS VARCHAR))
+        |          & 9223372036854775807::UBIGINT) % nn.n AS BIGINT) AS neg_id
+        |  FROM documents d
+        |  CROSS JOIN nn
+        |  CROSS JOIN (SELECT unnest(generate_series(1, 4)) AS j)
+        |  WHERE d.doc_id % 10 = 0)
+        |SELECT anchor_id, j, neg_id, p.source AS neg_source, p.lang AS neg_lang
+        |FROM draws JOIN documents p ON p.doc_id = draws.neg_id
+        |WHERE neg_id <> anchor_id
+        |ORDER BY anchor_id, j""".stripMargin,
 
     "q62_chunk_docs" ->
       """WITH c AS (SELECT doc_id, text, length(text) AS len

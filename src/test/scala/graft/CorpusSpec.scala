@@ -255,4 +255,28 @@ class CorpusSpec extends AnyFunSuite {
       .orderBy("source_a", "source_b").collect()
     assert(out.map(_.toSeq).toSeq === again.map(_.toSeq).toSeq)
   }
+
+  test("negativeSample draws are deterministic, in-domain, and drop self-collisions") {
+    val s = spark; import s.implicits._
+    val docs = (0L until 20L).map(i => (i, s"src${i % 3}")).toDF("id", "src")
+    val out = graft.api.Graft.negativeSample(docs, "id", 3, Seq("src"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3)))
+    // every draw lands in [0, 20) and never equals its anchor
+    assert(out.forall { case (a, _, neg, _) => neg >= 0 && neg < 20 && neg != a })
+    // payload is the partner's, not the anchor's
+    assert(out.forall { case (_, _, neg, src) => src == s"src${neg % 3}" })
+    // at most k draws per anchor (self-collisions drop, never redraw)
+    val perAnchor = out.groupBy(_._1).view.mapValues(_.length).toMap
+    assert(perAnchor.values.forall(n => n >= 1 && n <= 3))
+    assert(out.length <= 60 && out.length > 50) // few drops at N=20
+    // pure function of (anchor, j): identical under repartition
+    val again = graft.api.Graft.negativeSample(docs.repartition(7), "id", 3, Seq("src"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3)))
+    assert(out.sortBy(t => (t._1, t._2)).toSeq === again.sortBy(t => (t._1, t._2)).toSeq)
+    // anchorFilter restricts anchors but draws from the full pool
+    val filtered = graft.api.Graft.negativeSample(docs, "id", 3, Seq("src"),
+      anchorFilter = col("id") < 2)
+    assert(filtered.select("anchor_id").distinct().collect()
+      .map(_.getLong(0)).toSet.subsetOf(Set(0L, 1L)))
+  }
 }
