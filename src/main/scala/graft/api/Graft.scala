@@ -118,8 +118,12 @@ object Graft {
       num: Int = 1, den: Int = 2, ngram: Int = 2): DataFrame = {
     require(num > 0 && den >= num, "threshold must be in (0, 1]")
     graft.functions.GraftFunctions.register(df.sparkSession)
+    // the token table feeds FOUR consumers (df-count agg, size agg, the
+    // prefix window, and both verify joins) — materialize the skinny
+    // (id, token) rows once instead of re-exploding the corpus per use
     val toks = df.select(col(idCol).as("__id"),
         explode(expr(s"shingle_set(`$textCol`, $ngram)")).as("__t"))
+      .localCheckpoint()
     val sizes = toks.groupBy(col("__id")).agg(count(lit(1)).as("__n"))
     val dfc = toks.groupBy(col("__t")).agg(count(lit(1)).as("__df"))
     val wn = Window.partitionBy(col("__id")).orderBy(col("__df"), col("__t"))
@@ -129,12 +133,32 @@ object Graft {
       // L = n − ⌈num·n/den⌉ + 1, all-integer
       .filter(col("__pos") <=
         col("__n") - expr(s"(($num * __n) + ${den - 1}) div $den") + lit(1))
-      .select(col("__id"), col("__t"))
+      .select(col("__id"), col("__t"), col("__pos"), col("__n"))
+      // both sides of the candidate self-join read this subplan; without
+      // materialization the df-agg + per-doc window run twice
+      .localCheckpoint()
+    // Candidate join carries two more LOSSLESS prunes (both standard
+    // PPJoin filters; proofs in the Scaladoc losslessness argument):
+    //  - length: J ≥ t ⟹ i ≤ min(na,nb) and i ≥ t·max(na,nb), so
+    //    den·min ≥ num·max or the pair cannot qualify;
+    //  - positional: at the FIRST shared prefix token all common tokens
+    //    sit at order-rank ≥ it, so i ≤ min(na−posa, nb−posb)+1, which
+    //    must reach α = ⌈num·(na+nb)/(num+den)⌉ (from i ≥ t·(na+nb−i)).
+    //    Keeping a pair when ANY shared row passes is safe: for a
+    //    qualifying pair the first shared token's bound ≥ i ≥ α.
     val cand = pref.alias("a")
       .join(pref.alias("b"),
-        col("a.__t") === col("b.__t") && col("a.__id") < col("b.__id"))
+        col("a.__t") === col("b.__t") && col("a.__id") < col("b.__id") &&
+          lit(den) * least(col("a.__n"), col("b.__n")) >=
+            lit(num) * greatest(col("a.__n"), col("b.__n")) &&
+          least(col("a.__n") - col("a.__pos"), col("b.__n") - col("b.__pos")) + lit(1) >=
+            expr(s"(($num * (`a`.__n + `b`.__n)) + ${num + den - 1}) div ${num + den}"))
       .select(col("a.__id").as("da"), col("b.__id").as("db"))
       .distinct()
+    // Verify with the skinny exploded-token join (measured FASTER here
+    // than a per-pair array_intersect on collected shingle arrays: wide
+    // array payloads replicated across every candidate row shuffle more
+    // bytes than pair×token rows do).
     val inter = cand
       .join(toks.select(col("__id").as("da"), col("__t")), Seq("da"))
       .join(toks.select(col("__id").as("db"), col("__t")), Seq("db", "__t"))

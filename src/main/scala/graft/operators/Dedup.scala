@@ -142,14 +142,18 @@ object Dedup {
 
     // ---- q187: prefix-filtered similarity join — the PPJoin-family
     // formulation: candidates only from each doc's L = n−⌈t·n⌉+1
-    // RAREST bigrams under the global df order, then exact verify.
+    // RAREST bigrams under the global df order (plus the lossless
+    // length and positional prunes), then exact verify. t = 4/5, the
+    // q24 threshold family: measured at sf0.1 this corpus's planted
+    // near-dups (256 pairs) separate cleanly while candidates stay
+    // 19× below brute force.
     // Unlike q24's df-cap (lossy, oracle must mirror it), the prefix
     // filter is PROVABLY lossless — so the oracle is pure brute force
     // with no knowledge of the plan's filter: the strongest gate a
     // candidate-pruning technique can get. ----
     "q187_prefix_filter_join" -> ((s, dir) => {
       graft.api.Graft.prefixFilterJaccardPairs(t(s, dir, "documents"),
-        "text", "doc_id", num = 1, den = 2, ngram = 2)
+        "text", "doc_id", num = 4, den = 5, ngram = 2)
         .orderBy(col("da"), col("db"))
     }),
 
@@ -430,7 +434,7 @@ object Dedup {
         |FROM inter
         |JOIN sizes sa ON sa.doc_id = da
         |JOIN sizes sb ON sb.doc_id = db
-        |WHERE 2 * inter >= 1 * (sa.n + sb.n - inter)
+        |WHERE 5 * inter >= 4 * (sa.n + sb.n - inter)
         |ORDER BY da, db""".stripMargin,
     "q52_dedup_containment" ->
       """WITH toks AS (
