@@ -118,6 +118,43 @@ object Graft {
       num: Int = 1, den: Int = 2, ngram: Int = 2): DataFrame = {
     require(num > 0 && den >= num, "threshold must be in (0, 1]")
     graft.functions.GraftFunctions.register(df.sparkSession)
+    // EXACT-DUP COLLAPSE (the minhashPairs device): identical texts have
+    // identical token sets, so Jaccard depends only on the text
+    // fingerprint pair — run the whole filter/verify pipeline once per
+    // DISTINCT text and re-expand member pairs afterwards. On a
+    // d×-duplicated corpus (the realistic crawl input, and exactly what
+    // the sf1 ladder synthesizes) this divides candidate generation by
+    // d²; within-group pairs are J=1 by construction and rejoin at the
+    // end. Pair set is IDENTICAL to the uncollapsed form.
+    val groups = df.select(col(idCol).as("__gid"), md5(col(textCol)).as("__fp"))
+    val reps = df.select(md5(col(textCol)).as("__fp"), col(textCol).as("__text"))
+      .groupBy(col("__fp")).agg(min(col("__text")).as("__text"))
+    val repPairs = prefixFilterJaccardPairsRaw(reps, "__text", "__fp", num, den, ngram)
+    val cross = repPairs
+      .join(groups.select(col("__fp").as("da"), col("__gid").as("ia")), Seq("da"))
+      .join(groups.select(col("__fp").as("db"), col("__gid").as("ib")), Seq("db"))
+      .select(least(col("ia"), col("ib")).as("da"),
+        greatest(col("ia"), col("ib")).as("db"), col("inter"), col("uni"))
+    // within-group pairs: inter = uni = |bigram set| (always above any
+    // threshold ≤ 1); groups with an EMPTY token set never enter the
+    // token table in the uncollapsed form, so exclude n = 0 here too
+    val sizes = reps.select(col("__fp"),
+      size(expr(s"shingle_set(`__text`, $ngram)")).cast(LongType).as("__n"))
+    val within = groups.alias("a")
+      .join(groups.alias("b"),
+        col("a.__fp") === col("b.__fp") && col("a.__gid") < col("b.__gid"))
+      .select(col("a.__fp").as("__fp"),
+        col("a.__gid").as("da"), col("b.__gid").as("db"))
+      .join(sizes, Seq("__fp")).filter(col("__n") > 0)
+      .select(col("da"), col("db"), col("__n").as("inter"), col("__n").as("uni"))
+    cross.unionByName(within)
+  }
+
+  /** The uncollapsed prefix-filter pipeline — see
+    * [[prefixFilterJaccardPairs]] for the public entry and the
+    * losslessness proofs. */
+  private def prefixFilterJaccardPairsRaw(df: DataFrame, textCol: String,
+      idCol: String, num: Int, den: Int, ngram: Int): DataFrame = {
     // the token table feeds FOUR consumers (df-count agg, size agg, the
     // prefix window, and both verify joins) — materialize the skinny
     // (id, token) rows once instead of re-exploding the corpus per use
