@@ -2136,6 +2136,49 @@ object Graft {
     dist.orderBy(col("dist"), col("node"))
   }
 
+  /** Bounded-hop single-source WEIGHTED shortest paths (Bellman–Ford
+    * rounds) — [[shortestPaths]]' sibling for cost graphs: after round h,
+    * `dist` holds the exact minimum cost over all paths of ≤ h edges
+    * (the Bellman–Ford invariant), so with maxHops = the graph's longest
+    * useful path the result is the true shortest-path cost. Unlike BFS,
+    * every round relaxes the FULL distance table (a cheaper node's cost
+    * can improve later via a longer path), not just the last frontier.
+    *
+    * Weights must be non-negative integers (cost semantics are the
+    * caller's — cents, hop counts, 1e6/width inverses); sums stay in
+    * long range for any real graph. 100 TB shape: one keyed join +
+    * min-aggregate per round, lineage cut per round with the same
+    * localCheckpoint / reliable-checkpoint switch as [[pageRank]];
+    * nothing collects. */
+  def weightedShortestPaths(edges: DataFrame, srcCol: String, dstCol: String,
+      weightCol: String, source: String, maxHops: Int = 6,
+      checkpointDir: Option[String] = None): DataFrame = {
+    require(maxHops >= 1, s"weightedShortestPaths needs maxHops >= 1, got $maxHops")
+    checkpointDir.foreach(edges.sparkSession.sparkContext.setCheckpointDir)
+    def cut(df: DataFrame): DataFrame =
+      if (checkpointDir.isDefined) df.checkpoint() else df.localCheckpoint()
+    val e = cut(edges
+      .select(col(srcCol).cast(StringType).as("src"),
+        col(dstCol).cast(StringType).as("dst"),
+        col(weightCol).cast(LongType).as("w"))
+      // parallel edges collapse to their cheapest — same relaxation result
+      .groupBy(col("src"), col("dst")).agg(min(col("w")).as("w")))
+    require(e.filter(col("w") < 0L).isEmpty,
+      "weightedShortestPaths: negative edge weights are not supported")
+    val sp = edges.sparkSession
+    import sp.implicits._
+    var dist = Seq((source, 0L)).toDF("node", "dist")
+    var h = 1
+    while (h <= maxHops) {
+      val relaxed = dist.join(e, dist("node") === e("src"))
+        .select(e("dst").as("node"), (dist("dist") + e("w")).as("dist"))
+      dist = cut(dist.unionByName(relaxed)
+        .groupBy(col("node")).agg(min(col("dist")).as("dist")))
+      h += 1
+    }
+    dist.orderBy(col("dist"), col("node"))
+  }
+
   /** Small-file compaction planner — the lakehouse maintenance primitive:
     * given a file manifest (id + size), assign files to sequential
     * compaction groups of ~`targetBytes` by first-fit in id order

@@ -199,6 +199,26 @@ object Analytics {
         .orderBy(col("dist"), col("node"))
     }),
 
+    // ---- q190: WEIGHTED shortest paths (Bellman–Ford rounds) — q129's
+    // sibling on a cost graph: transition cost 1e6 div frequency (the
+    // "least-frequented route" metric), exact integer sums, min-cost to
+    // every node within 4 hops. The oracle enumerates all ≤4-edge walks
+    // recursively and takes the min — the plan must reproduce it from
+    // per-round relax+min aggregates. ----
+    "q190_weighted_paths" -> ((s, dir) => {
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(unix_micros(col("ts")), col("event_id"))
+      val edges = t(s, dir, "events")
+        .withColumn("next_type", lead(col("event_type"), 1).over(w))
+        .filter(col("next_type").isNotNull)
+        .groupBy(col("event_type").as("src"), col("next_type").as("dst"))
+        .agg(count(lit(1)).as("cnt"))
+        .withColumn("w", expr("1000000 div cnt"))
+      graft.api.Graft.weightedShortestPaths(edges, "src", "dst", "w",
+          source = "click", maxHops = 4)
+        .orderBy(col("dist"), col("node"))
+    }),
+
     // ---- q130: small-file compaction planner — first-fit sequential
     // bin packing of a file manifest into ~target-byte groups via ONE
     // prefix-sum window over manifest-sized input (1 row per FILE: the
@@ -1910,6 +1930,29 @@ object Analytics {
         |  SELECT e.dst, w.dist + 1
         |  FROM walk w JOIN edges e ON e.src = w.node
         |  WHERE w.dist < 4)
+        |SELECT node, CAST(MIN(dist) AS BIGINT) AS dist
+        |FROM walk GROUP BY node
+        |ORDER BY dist, node""".stripMargin,
+
+    // weighted twin: all ≤4-edge walks enumerated recursively (hop
+    // counter bounds the recursion, not the cost), min cost per node;
+    // integer costs 1e6 // frequency
+    "q190_weighted_paths" ->
+      """WITH RECURSIVE nxt AS (
+        |  SELECT user_id, event_type,
+        |    lead(event_type) OVER (PARTITION BY user_id
+        |      ORDER BY epoch_us(ts), event_id) AS next_type
+        |  FROM events),
+        |edges AS (
+        |  SELECT src, dst, CAST(1000000 // cnt AS BIGINT) AS w FROM (
+        |    SELECT event_type AS src, next_type AS dst, COUNT(*) AS cnt
+        |    FROM nxt WHERE next_type IS NOT NULL GROUP BY 1, 2)),
+        |walk(node, dist, hops) AS (
+        |  SELECT 'click', CAST(0 AS BIGINT), 0
+        |  UNION ALL
+        |  SELECT e.dst, w.dist + e.w, w.hops + 1
+        |  FROM walk w JOIN edges e ON e.src = w.node
+        |  WHERE w.hops < 4)
         |SELECT node, CAST(MIN(dist) AS BIGINT) AS dist
         |FROM walk GROUP BY node
         |ORDER BY dist, node""".stripMargin,

@@ -1299,4 +1299,28 @@ class GraftApiSpec extends AnyFunSuite {
       Seq(("k", "v"))).collect().head
     assert(clean.getBoolean(4) && clean.getLong(3) === 0L)
   }
+
+  test("weightedShortestPaths relaxes beyond the hop-minimal route and respects maxHops") {
+    val s = spark; import s.implicits._
+    val edges = Seq(
+      ("a", "b", 10L), ("b", "c", 10L), ("a", "c", 100L),
+      ("c", "d", 1L), ("a", "d", 500L),
+      ("a", "b", 70L) // parallel edge: cheapest must win
+    ).toDF("src", "dst", "w")
+    def run(h: Int) = graft.api.Graft
+      .weightedShortestPaths(edges, "src", "dst", "w", source = "a", maxHops = h)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    // 4 hops: c via a->b->c = 20 (not the direct 100); d via that + 1
+    assert(run(4) === Map("a" -> 0L, "b" -> 10L, "c" -> 20L, "d" -> 21L))
+    // 1 hop: only direct edges
+    assert(run(1) === Map("a" -> 0L, "b" -> 10L, "c" -> 100L, "d" -> 500L))
+    // 2 hops: c improves to 20, d only via direct or c+1 = 101
+    assert(run(2) === Map("a" -> 0L, "b" -> 10L, "c" -> 20L, "d" -> 101L))
+    // negative weights refused
+    intercept[IllegalArgumentException] {
+      graft.api.Graft.weightedShortestPaths(
+        Seq(("a", "b", -1L)).toDF("src", "dst", "w"),
+        "src", "dst", "w", source = "a")
+    }
+  }
 }
