@@ -1167,6 +1167,36 @@ object Graft {
 
   // ------------------------------------------------------------ sampling
 
+  /** Rendezvous (highest-random-weight) shard assignment: each row joins
+    * the shard s ∈ [0, shards) maximizing `md5_lower64(s:id)` — the
+    * consistent-placement primitive for routing a 100 TB corpus to
+    * workers/buckets. The property that matters (and that q191 gates):
+    * when a shard is ADDED, a key moves iff the new shard wins its
+    * rendezvous — old shards' relative scores are untouched, so nothing
+    * ever moves BETWEEN old shards and the expected movement is exactly
+    * 1/(S+1) of keys, the theoretical minimum (vs ~all keys for mod-N).
+    *
+    * Shape: a pure per-row projection — the S candidate hashes are an
+    * in-expression fold (`transform` + `aggregate` over a literal
+    * sequence), NO explode, NO shuffle, nothing collected. Hashes are
+    * 63-bit-masked so Spark's signed ordering matches the oracle's
+    * unsigned; ties (never observed; probability ~2⁻⁶³) break toward the
+    * smaller shard index in both engines. */
+  def hrwAssign(df: DataFrame, idCol: String, shards: Int,
+      outCol: String = "shard"): DataFrame = {
+    require(shards > 0, s"hrwAssign: shards must be positive, got $shards")
+    graft.functions.GraftFunctions.register(df.sparkSession)
+    df.withColumn(outCol, expr(
+      s"""aggregate(
+         |  transform(sequence(0, ${shards - 1}), s -> struct(
+         |    md5_lower64(concat(cast(s as string), ':', cast(`$idCol` as string)))
+         |      & 9223372036854775807L as h,
+         |    s as s)),
+         |  struct(cast(-1 as bigint) as h, -1 as s),
+         |  (acc, x) -> if(x.h > acc.h or (x.h = acc.h and x.s < acc.s), x, acc)
+         |).s""".stripMargin).cast(LongType))
+  }
+
   /** Deterministic weight-proportional sampling: a row is kept when its
     * cross-engine hash bucket (0..999) is below `permille`, a per-row
     * integer column (cap at 1000 keeps everything). The weighted

@@ -55,6 +55,32 @@ object Corpus {
         .orderBy(col("anchor_id"), col("j"))
     }),
 
+    // ---- q191: rendezvous (HRW) sharding — per-shard populations under
+    // 8 shards, under 9 shards, and the docs each old shard loses when
+    // shard 8 joins. The gated numbers exhibit THE property mod-N
+    // sharding lacks: movement only INTO the new shard (n9 = n8 −
+    // moved_out for every old shard; Σ moved_out = n9(new shard)), at
+    // ~1/9 of keys. Assignment is a pure projection (in-expression
+    // rendezvous fold, no explode), so resharding audits cost two
+    // projections + one keyed count. ----
+    "q191_hrw_sharding" -> ((s, dir) => {
+      val g = graft.api.Graft
+      val docs = t(s, dir, "documents").select(col("doc_id"))
+      val a8 = g.hrwAssign(docs, "doc_id", 8, "s8")
+      val a9 = g.hrwAssign(a8, "doc_id", 9, "s9")
+      val agg8 = a9.groupBy(col("s8").as("shard"))
+        .agg(count(lit(1)).as("n8"),
+          count(when(col("s8") =!= col("s9"), 1)).as("moved_out"))
+      val agg9 = a9.groupBy(col("s9").as("shard")).agg(count(lit(1)).as("n9"))
+      val shards = docs.sparkSession.range(9).select(col("id").as("shard"))
+      shards.join(agg8, Seq("shard"), "left").join(agg9, Seq("shard"), "left")
+        .select(col("shard"),
+          coalesce(col("n8"), lit(0L)).as("n8"),
+          coalesce(col("moved_out"), lit(0L)).as("moved_out"),
+          coalesce(col("n9"), lit(0L)).as("n9"))
+        .orderBy(col("shard"))
+    }),
+
     // ---- q115: DSIR importance weighting — hashed-ngram log-likelihood
     // ratio of each doc under a target-domain model (source src0) vs the
     // raw corpus (Xie et al. 2023): the data-selection scorer. Both
@@ -366,6 +392,42 @@ object Corpus {
         |FROM draws JOIN documents p ON p.doc_id = draws.neg_id
         |WHERE neg_id <> anchor_id
         |ORDER BY anchor_id, j""".stripMargin,
+
+    // HRW twin: the oracle computes each rendezvous argmax with an
+    // explode + window (semantically identical to the plan's
+    // in-expression fold — same 63-bit-masked hash, same shard-index
+    // tie-break)
+    "q191_hrw_sharding" ->
+      """WITH a8 AS (
+        |  SELECT doc_id, s AS shard FROM (
+        |    SELECT d.doc_id, ss.s, row_number() OVER (PARTITION BY d.doc_id
+        |      ORDER BY (md5_number_lower(CAST(ss.s AS VARCHAR) || ':' || CAST(d.doc_id AS VARCHAR))
+        |                & 9223372036854775807::UBIGINT) DESC, ss.s) AS rn
+        |    FROM documents d
+        |    CROSS JOIN (SELECT unnest(generate_series(0, 7)) AS s) ss)
+        |  WHERE rn = 1),
+        |a9 AS (
+        |  SELECT doc_id, s AS shard FROM (
+        |    SELECT d.doc_id, ss.s, row_number() OVER (PARTITION BY d.doc_id
+        |      ORDER BY (md5_number_lower(CAST(ss.s AS VARCHAR) || ':' || CAST(d.doc_id AS VARCHAR))
+        |                & 9223372036854775807::UBIGINT) DESC, ss.s) AS rn
+        |    FROM documents d
+        |    CROSS JOIN (SELECT unnest(generate_series(0, 8)) AS s) ss)
+        |  WHERE rn = 1),
+        |j AS (SELECT a8.doc_id, a8.shard AS s8, a9.shard AS s9
+        |      FROM a8 JOIN a9 USING (doc_id)),
+        |agg8 AS (SELECT s8 AS shard, COUNT(*) AS n8,
+        |           COUNT(*) FILTER (WHERE s8 <> s9) AS moved_out
+        |         FROM j GROUP BY 1),
+        |agg9 AS (SELECT s9 AS shard, COUNT(*) AS n9 FROM j GROUP BY 1)
+        |SELECT CAST(s.shard AS BIGINT) AS shard,
+        |  CAST(COALESCE(agg8.n8, 0) AS BIGINT) AS n8,
+        |  CAST(COALESCE(agg8.moved_out, 0) AS BIGINT) AS moved_out,
+        |  CAST(COALESCE(agg9.n9, 0) AS BIGINT) AS n9
+        |FROM (SELECT unnest(generate_series(0, 8)) AS shard) s
+        |LEFT JOIN agg8 ON agg8.shard = s.shard
+        |LEFT JOIN agg9 ON agg9.shard = s.shard
+        |ORDER BY shard""".stripMargin,
 
     "q62_chunk_docs" ->
       """WITH c AS (SELECT doc_id, text, length(text) AS len

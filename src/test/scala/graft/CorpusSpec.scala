@@ -279,4 +279,23 @@ class CorpusSpec extends AnyFunSuite {
     assert(filtered.select("anchor_id").distinct().collect()
       .map(_.getLong(0)).toSet.subsetOf(Set(0L, 1L)))
   }
+
+  test("hrwAssign moves keys only INTO a newly added shard, via a shuffle-free projection") {
+    val s = spark; import s.implicits._
+    val ids = (0L until 2000L).toDF("id")
+    val a = graft.api.Graft.hrwAssign(
+      graft.api.Graft.hrwAssign(ids, "id", 5, "s5"), "id", 6, "s6")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    // every assignment in range
+    assert(a.forall { case (_, s5, s6) => s5 >= 0 && s5 < 5 && s6 >= 0 && s6 < 6 })
+    // the HRW invariant: a key either stays put or moves to the NEW shard
+    assert(a.forall { case (_, s5, s6) => s6 == s5 || s6 == 5 })
+    // movement is near 1/6 of keys, never a full reshuffle
+    val moved = a.count { case (_, s5, s6) => s5 != s6 }
+    assert(moved > 200 && moved < 500, s"moved=$moved")
+    // assignment is a pure projection: no Exchange in the plan
+    val plan = graft.api.Graft.hrwAssign(ids, "id", 5)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), plan)
+  }
 }
