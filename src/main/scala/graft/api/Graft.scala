@@ -1206,6 +1206,42 @@ object Graft {
   def sampleByWeight(df: DataFrame, key: Column, permille: Column): DataFrame =
     sampleGate(df, key).filter(col("__gate") < permille).drop("__gate")
 
+  /** Linear multi-touch attribution: every conversion splits 1000
+    * permille of credit equally across its qualifying touchpoints
+    * (earlier events of `touchTypes` by the same user within
+    * `windowUs`), the integer remainder going to the EARLIEST touch so
+    * credit sums to exactly 1000 per conversion — no float splits, no
+    * lost permille (the property that makes channel totals reconcile to
+    * #conversions × 1000 at audit time). Returns one row per
+    * (conversion, touch): conv_id, touch_id, channel, credit.
+    *
+    * 100 TB shape: one user-keyed join bounded by the attribution
+    * window (the q50 interval-join family), then one window over the
+    * conversion id — touches per conversion are window-bounded, so the
+    * per-key fan-out is capped by user activity rate, not corpus size. */
+  def linearAttribution(events: DataFrame, userCol: String, typeCol: String,
+      tsCol: String, idCol: String, convType: String,
+      touchTypes: Seq[String], windowUs: Long): DataFrame = {
+    require(touchTypes.nonEmpty && windowUs > 0, "need touch types and a positive window")
+    val e = events.select(col(userCol).as("__u"), col(typeCol).as("__ty"),
+      unix_micros(col(tsCol)).as("__us"), col(idCol).as("__id"))
+    val conv = e.filter(col("__ty") === convType)
+      .select(col("__u"), col("__id").as("conv_id"), col("__us").as("__cus"))
+    val touch = e.filter(col("__ty").isin(touchTypes: _*))
+      .select(col("__u"), col("__id").as("touch_id"),
+        col("__ty").as("channel"), col("__us").as("__tus"))
+    val j = conv.join(touch, Seq("__u"))
+      .filter(col("__tus") < col("__cus") &&
+        col("__cus") - col("__tus") <= windowUs)
+    val wc = Window.partitionBy(col("conv_id"))
+    val wr = Window.partitionBy(col("conv_id")).orderBy(col("__tus"), col("touch_id"))
+    j.withColumn("__m", count(lit(1)).over(wc))
+      .withColumn("__rk", row_number().over(wr))
+      .withColumn("credit", expr("1000 div __m") +
+        when(col("__rk") === 1, expr("1000 % __m")).otherwise(lit(0L)))
+      .select(col("conv_id"), col("touch_id"), col("channel"), col("credit"))
+  }
+
   /** As-of join with tolerance: like [[asofJoin]] but a match is kept only
     * when `leftTs - rightTs <= toleranceUs` (timestamps are numeric, e.g.
     * unix micros) — the "most recent quote no older than X" form. Ties on

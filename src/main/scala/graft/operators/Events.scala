@@ -81,6 +81,25 @@ object Events {
         .orderBy($"purchase_id", $"click_id")
     }),
 
+    // ---- q192: linear multi-touch attribution — q50 finds the touch
+    // ROWS; this splits conversion credit across them: 1000 permille per
+    // purchase divided equally over the qualifying view/click/signup
+    // touches in the prior 72 h, integer remainder to the earliest touch
+    // (so per-channel totals reconcile to #conversions × 1000 exactly —
+    // the audit property float splits lose). ----
+    "q192_attribution" -> ((s, dir) => {
+      import s.implicits._
+      graft.api.Graft.linearAttribution(t(s, dir, "events"),
+          "user_id", "event_type", "ts", "event_id",
+          convType = "purchase", touchTypes = Seq("view", "click", "signup"),
+          windowUs = 259200000000L)
+        .groupBy($"channel")
+        .agg(count(lit(1)).as("n_touches"),
+          sum($"credit").as("credit_permille"),
+          count_distinct($"conv_id").as("n_conversions"))
+        .orderBy($"channel")
+    }),
+
     // ---- q51: batch twin of the arbitrary-stateful running totals (T4,
     // EventStreams.runningTotals): the final state per user equals the
     // plain aggregate — decimal-exact sum per the float policy. ----
@@ -180,6 +199,33 @@ object Events {
         |WHERE p.event_type = 'purchase' AND c.event_type = 'click'
         |  AND c.ts >= p.ts - INTERVAL 1 HOUR AND c.ts < p.ts
         |ORDER BY purchase_id, click_id""".stripMargin,
+
+    // attribution twin: identical integer credit split (1000 // m,
+    // remainder to the earliest touch by (ts, id) order)
+    "q192_attribution" ->
+      """WITH e AS (
+        |  SELECT user_id, event_type, epoch_us(ts) AS us, event_id FROM events),
+        |conv AS (
+        |  SELECT user_id, event_id AS cid, us AS cus FROM e
+        |  WHERE event_type = 'purchase'),
+        |touch AS (
+        |  SELECT user_id, event_id AS tid, event_type AS channel, us AS tus
+        |  FROM e WHERE event_type IN ('view', 'click', 'signup')),
+        |j AS (
+        |  SELECT c.cid, t.tid, t.channel, t.tus
+        |  FROM conv c JOIN touch t ON t.user_id = c.user_id
+        |  WHERE t.tus < c.cus AND c.cus - t.tus <= 259200000000),
+        |r AS (
+        |  SELECT cid, tid, channel,
+        |    COUNT(*) OVER (PARTITION BY cid) AS m,
+        |    row_number() OVER (PARTITION BY cid ORDER BY tus, tid) AS rk
+        |  FROM j)
+        |SELECT channel, CAST(COUNT(*) AS BIGINT) AS n_touches,
+        |  CAST(SUM(1000 // m + CASE WHEN rk = 1 THEN 1000 % m ELSE 0 END)
+        |    AS BIGINT) AS credit_permille,
+        |  CAST(COUNT(DISTINCT cid) AS BIGINT) AS n_conversions
+        |FROM r GROUP BY channel
+        |ORDER BY channel""".stripMargin,
 
     "q51_running_totals_twin" ->
       """SELECT user_id, COUNT(*) AS total_events,

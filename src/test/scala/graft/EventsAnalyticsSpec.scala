@@ -51,4 +51,36 @@ class EventsAnalyticsSpec extends AnyFunSuite {
     val days = df.select(Graft.epochDay($"ts")).collect().map(_.getLong(0))
     assert(days.toSeq === Seq(0L, 1L, -1L, -2L))
   }
+
+  test("linearAttribution splits exactly 1000 permille per conversion, remainder to earliest") {
+    val s = spark; import s.implicits._
+    import java.sql.Timestamp
+    def ts(min: Int) = new Timestamp(1700000000000L + min * 60000L)
+    val e = Seq(
+      // user 1: three touches then a purchase
+      (1L, "view", ts(0), 101L), (1L, "click", ts(1), 102L),
+      (1L, "view", ts(2), 103L), (1L, "purchase", ts(10), 104L),
+      // user 2: one touch, two purchases (credit counted per conversion)
+      (2L, "click", ts(0), 201L), (2L, "purchase", ts(5), 202L),
+      (2L, "purchase", ts(6), 203L),
+      // user 3: purchase with NO prior touch - appears nowhere
+      (3L, "purchase", ts(1), 301L),
+      // user 4: touch AFTER the purchase - not attributed
+      (4L, "purchase", ts(1), 401L), (4L, "view", ts(2), 402L)
+    ).toDF("user_id", "event_type", "ts", "event_id")
+    val out = graft.api.Graft.linearAttribution(e, "user_id", "event_type",
+        "ts", "event_id", "purchase", Seq("view", "click"), 3600000000L)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2), r.getLong(3)))
+    // conversion 104: 3 touches -> 334 (earliest, id 101) + 333 + 333
+    val c104 = out.filter(_._1 == 104L).sortBy(_._2)
+    assert(c104.map(t => (t._2, t._4)).toSeq === Seq((101L, 334L), (102L, 333L), (103L, 333L)))
+    // each of user 2's purchases credits the single touch fully
+    assert(out.filter(_._1 == 202L).map(_._4).sum === 1000L)
+    assert(out.filter(_._1 == 203L).map(_._4).sum === 1000L)
+    // untouched / future-touch conversions absent
+    assert(!out.exists(t => t._1 == 301L || t._1 == 401L))
+    // global reconciliation: total credit = attributed conversions x 1000
+    val convs = out.map(_._1).distinct.length
+    assert(out.map(_._4).sum === convs * 1000L)
+  }
 }
