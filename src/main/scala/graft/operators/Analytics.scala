@@ -737,6 +737,44 @@ object Analytics {
         .orderBy(col("media_id"), col("frame_no"))
     }),
 
+    // ---- q193: perceptual image dedup — dHash(64) over REALLY decoded
+    // GIF pixels (patterned synthesis, so the difference hash is
+    // non-degenerate), then the q26 band device: 4×16-bit chunk join for
+    // candidates (pigeonhole: hamming ≤ 3 ⇒ some chunk equal), exact
+    // bit_count(xor) verify. The oracle regenerates every hash bit from
+    // the pixel closed form — the whole container-write/decode/
+    // hash/band/verify chain is hash-gated. Near-dups are planted by
+    // shared base patterns with brightness offsets whose only dHash
+    // effect is the mod-256 wrap crossing an adjacent-pixel pair. ----
+    "q193_image_dhash_dedup" -> ((s, dir) => {
+      val ids = t(s, dir, "documents").select(col("doc_id"))
+        .filter(col("doc_id") % 10 === 5)
+      val hashed = Multimodal.decodeDHash(Multimodal.gifPatternFromIds(ids))
+        .filter(col("h_hi").isNotNull)
+      val bands = hashed.select(col("media_id"), col("h_hi"), col("h_lo"),
+          explode(array(
+            struct(lit(0).as("c"), col("h_hi").bitwiseAND(lit(65535L)).as("v")),
+            struct(lit(1).as("c"),
+              shiftright(col("h_hi"), 16).bitwiseAND(lit(65535L)).as("v")),
+            struct(lit(2).as("c"), col("h_lo").bitwiseAND(lit(65535L)).as("v")),
+            struct(lit(3).as("c"),
+              shiftright(col("h_lo"), 16).bitwiseAND(lit(65535L)).as("v")))).as("b"))
+        .select(col("media_id"), col("h_hi"), col("h_lo"),
+          col("b.c").as("c"), col("b.v").as("v"))
+      bands.alias("a").join(bands.alias("b"),
+          col("a.c") === col("b.c") && col("a.v") === col("b.v") &&
+            col("a.media_id") < col("b.media_id"))
+        .select(col("a.media_id").as("da"), col("b.media_id").as("db"),
+          col("a.h_hi").as("ha"), col("a.h_lo").as("la"),
+          col("b.h_hi").as("hb"), col("b.h_lo").as("lb"))
+        .distinct()
+        .withColumn("hamming",
+          (expr("bit_count(ha ^ hb)") + expr("bit_count(la ^ lb)")).cast(LongType))
+        .filter(col("hamming") <= 3)
+        .select(col("da"), col("db"), col("hamming"))
+        .orderBy(col("da"), col("db"))
+    }),
+
     // ---- q90: approx-percentile SELF-GATING (q41's pattern for order
     // statistics): the mergeable one-pass sketch every 100 TB percentile
     // needs, shipped WITH its own quality gate — exact percentiles ride
@@ -2246,6 +2284,34 @@ object Analytics {
         |FROM (SELECT doc_id, unnest(generate_series(0, 1 + doc_id % 5)) AS f
         |      FROM documents WHERE doc_id % 10 = 0) t
         |ORDER BY media_id, frame_no""".stripMargin,
+
+    // dHash twin: every hash bit regenerated from the pixel closed form
+    // (pixel = (seed·31 + x·13 + y·7 + off) mod 256, bit = p < p_next),
+    // halves summed with shifts ≤ 31 so longs stay safe in both engines;
+    // brute-force pairs, hamming via xor bit_count
+    "q193_image_dhash_dedup" ->
+      """WITH ids AS (
+        |  SELECT doc_id FROM documents WHERE doc_id % 10 = 5),
+        |grid AS (
+        |  SELECT doc_id, x, y,
+        |    ((doc_id % 7) * 31 + x * 13 + y * 7 + doc_id // 100) % 256 AS p,
+        |    ((doc_id % 7) * 31 + (x + 1) * 13 + y * 7 + doc_id // 100) % 256 AS pn
+        |  FROM ids
+        |  CROSS JOIN (SELECT unnest(generate_series(0, 7)) AS x)
+        |  CROSS JOIN (SELECT unnest(generate_series(0, 7)) AS y)),
+        |halves AS (
+        |  SELECT doc_id,
+        |    CAST(SUM(CASE WHEN y < 4 AND p < pn
+        |      THEN (CAST(1 AS BIGINT) << ((y % 4) * 8 + x)) ELSE 0 END) AS BIGINT) AS h_hi,
+        |    CAST(SUM(CASE WHEN y >= 4 AND p < pn
+        |      THEN (CAST(1 AS BIGINT) << ((y % 4) * 8 + x)) ELSE 0 END) AS BIGINT) AS h_lo
+        |  FROM grid GROUP BY doc_id)
+        |SELECT a.doc_id AS da, b.doc_id AS db,
+        |  CAST(bit_count(xor(a.h_hi, b.h_hi)) + bit_count(xor(a.h_lo, b.h_lo))
+        |    AS BIGINT) AS hamming
+        |FROM halves a JOIN halves b ON a.doc_id < b.doc_id
+        |WHERE bit_count(xor(a.h_hi, b.h_hi)) + bit_count(xor(a.h_lo, b.h_lo)) <= 3
+        |ORDER BY da, db""".stripMargin,
 
     // Rebuilds the closed-form per-frame mean grays the Spark side must
     // recover by ACTUALLY decoding the MJPEG frames it wrote (q101's

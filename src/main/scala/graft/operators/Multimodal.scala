@@ -193,6 +193,87 @@ object Multimodal {
     * schema, timestamps, cadence, and partitioning are production-shaped.
     * Images (decodable stills) emit exactly one frame at t=0 with their
     * real bytes. */
+  /** Deterministic PATTERNED single-frame GIF: 9×8 grayscale with
+    * pixel(x,y) = (seed·31 + x·13 + y·7 + off) mod 256 — spatial
+    * structure (unlike [[gifSynth]]'s uniform frames) so PERCEPTUAL
+    * hashes are non-degenerate, still fully closed-form so the oracle
+    * can regenerate every pixel. GIF is palette-lossless, so the decode
+    * recovers these values bit-exactly. */
+  def gifPatternSynth(seed: Long, off: Long, w: Int = 9, h: Int = 8): Array[Byte] = {
+    val img = new java.awt.image.BufferedImage(w, h,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        val g = (((seed * 31 + x * 13 + y * 7 + off) % 256 + 256) % 256).toInt
+        img.setRGB(x, y, (g << 16) | (g << 8) | g)
+        x += 1
+      }
+      y += 1
+    }
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "gif", bos)
+    bos.toByteArray
+  }
+
+  /** Patterned-GIF payload per id: base pattern seed = id mod 7 (ids
+    * sharing a base are perceptual near-dups), brightness offset =
+    * id div 100 (a uniform shift flips a dHash bit only where the mod-256
+    * wrap crosses an adjacent-pixel pair — a small, closed-form hamming
+    * perturbation). */
+  def gifPatternFromIds(ids: DataFrame): DataFrame = {
+    val enc = RowEncoder.encoderFor(gifSchema)
+    ids.select("doc_id").mapPartitions { it =>
+      it.map { r =>
+        val id = r.getLong(0)
+        Row(id, gifPatternSynth(id % 7, id / 100))
+      }
+    }(enc)
+  }
+
+  val dhashSchema: StructType = StructType(Seq(
+    StructField("media_id", LongType, nullable = false),
+    StructField("h_hi", LongType, nullable = true),
+    StructField("h_lo", LongType, nullable = true)))
+
+  /** REAL perceptual dHash over decoded pixels: the first frame is
+    * decoded through the JDK GIF reader, and bit (y·8 + x) is set iff
+    * pixel(x,y) < pixel(x+1,y) — the classic difference hash, split into
+    * two 32-bit halves (rows 0–3 → h_hi, rows 4–7 → h_lo) so all bit
+    * arithmetic stays in signed-long-safe range in BOTH engines (a
+    * single 64-bit hash would need 1<<63). Null halves when the payload
+    * doesn't decode. Partition-local. */
+  def decodeDHash(media: DataFrame): DataFrame = {
+    val enc = RowEncoder.encoderFor(dhashSchema)
+    media.select("media_id", "content").mapPartitions { it =>
+      it.map { r =>
+        val id = r.getLong(0)
+        val bytes = r.getAs[Array[Byte]](1)
+        gifFrames(bytes).flatMap(_.headOption) match {
+          case Some(img) if img.getWidth >= 9 && img.getHeight >= 8 =>
+            var hi = 0L; var lo = 0L
+            var y = 0
+            while (y < 8) {
+              var x = 0
+              while (x < 8) {
+                val p = img.getRGB(x, y) & 0xFF
+                val pn = img.getRGB(x + 1, y) & 0xFF
+                if (p < pn) {
+                  val bit = 1L << ((y % 4) * 8 + x)
+                  if (y < 4) hi |= bit else lo |= bit
+                }
+                x += 1
+              }
+              y += 1
+            }
+            Row(id, hi, lo)
+          case _ => Row(id, null, null)
+        }
+      }
+    }(enc)
+  }
+
   /** Deterministic animated-GIF synthesis: `nFrames` uniform-gray frames
     * (gray_f = (seed·7 + f·40) mod 256) through the JDK's own GIF
     * sequence writer — a REAL multi-frame container whose per-frame pixel

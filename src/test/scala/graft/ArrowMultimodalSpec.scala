@@ -245,4 +245,32 @@ class ArrowMultimodalSpec extends AnyFunSuite {
     assert((cut.head.getRGB(0, 0) & 0xFF) === 55)
     assert((cut(1).getRGB(0, 0) & 0xFF) === 92)
   }
+
+  test("decodeDHash recovers the closed-form difference hash from real GIF pixels") {
+    val s = spark; import s.implicits._
+    val ids = Seq(5L, 15L, 105L, 9999L).toDF("doc_id")
+    val out = graft.operators.Multimodal.decodeDHash(
+        graft.operators.Multimodal.gifPatternFromIds(ids))
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    // closed form in plain Scala, independently of the image path
+    def expected(id: Long): (Long, Long) = {
+      val (seed, off) = (id % 7, id / 100)
+      var hi = 0L; var lo = 0L
+      for (y <- 0 until 8; x <- 0 until 8) {
+        val p = ((seed * 31 + x * 13 + y * 7 + off) % 256 + 256) % 256
+        val pn = ((seed * 31 + (x + 1) * 13 + y * 7 + off) % 256 + 256) % 256
+        if (p < pn) { val b = 1L << ((y % 4) * 8 + x); if (y < 4) hi |= b else lo |= b }
+      }
+      (hi, lo)
+    }
+    for (id <- Seq(5L, 15L, 105L, 9999L)) assert(out(id) === expected(id), s"id=$id")
+    // ids 5 and 15 share base 5%7=5, 15%7=1 - different; 5 and 9999: 9999%7=3.
+    // id 5 vs 105: bases 5 and 0 differ; same-base pair needs id%7 equal:
+    assert(out(5L) !== out(15L))
+    // undecodable payload -> null halves
+    val bad = graft.operators.Multimodal.decodeDHash(
+      Seq((1L, Array[Byte](1, 2, 3))).toDF("media_id", "content"))
+      .collect().head
+    assert(bad.isNullAt(1) && bad.isNullAt(2))
+  }
 }
