@@ -2467,6 +2467,48 @@ object Graft {
         (col("cms_est") >= col("n")).as("no_underestimate"))
   }
 
+  /** CMS join-size ESTIMATE — the sketch companion to [[joinSizeAudit]]:
+    * |L ⋈ R| = Σ_key f_L(key)·f_R(key) is estimated by the inner product
+    * of the two sides' count–min rows (min over depth), touching each
+    * side ONCE and never joining them. Per Cormode–Muthukrishnan the
+    * inner product never underestimates (collisions only add), which the
+    * output asserts against the exact size riding along.
+    *
+    * Determinism: CMS counters are SUMS — merge-order-invariant at any
+    * cardinality (the KMV/q104 distinction applied to frequency
+    * sketches) — so the estimate is a pure function of the data and
+    * hash-gates without a golden. 100 TB shape: each sketch is one
+    * depth×width keyed count (map-side partial), the product is
+    * depth×width rows; the exact side (for the gate) is the only
+    * key-shuffle and is exactly [[joinSizeAudit]]'s cost — drop it in
+    * production and the estimate is shuffle-free per side. */
+  def cmsJoinSizeEstimate(left: DataFrame, leftKey: String,
+      right: DataFrame, rightKey: String,
+      depth: Int = 4, width: Int = 256): DataFrame = {
+    require(depth >= 1 && width >= 1, "cmsJoinSizeEstimate needs depth/width >= 1")
+    graft.functions.GraftFunctions.register(left.sparkSession)
+    val rows = left.sparkSession.range(depth).select(col("id").as("row"))
+    def keyed(df: DataFrame, k: String) =
+      df.select(col(k).cast(StringType).as("key")).filter(col("key").isNotNull)
+    def bucket = expr(
+      s"(md5_lower64(concat(cast(row AS STRING), ':', key)) & 9223372036854775807) % $width")
+    def cms(df: DataFrame, c: String) = keyed(df, "key")
+      .crossJoin(broadcast(rows))
+      .select(col("row"), bucket.as("bucket"))
+      .groupBy(col("row"), col("bucket")).agg(count(lit(1)).as(c))
+    val prod = cms(keyed(left, leftKey), "cl")
+      .join(cms(keyed(right, rightKey), "cr"), Seq("row", "bucket"))
+      .groupBy(col("row")).agg(sum(col("cl") * col("cr")).as("ip"))
+      .agg(min(col("ip")).as("cms_join_est"))
+    val exact = keyed(left, leftKey).groupBy(col("key")).agg(count(lit(1)).as("nl"))
+      .join(keyed(right, rightKey).groupBy(col("key")).agg(count(lit(1)).as("nr")),
+        Seq("key"))
+      .agg(coalesce(sum(col("nl") * col("nr")), lit(0L)).as("exact_join"))
+    prod.crossJoin(exact)
+      .select(col("cms_join_est"), col("exact_join"),
+        (col("cms_join_est") >= col("exact_join")).as("no_underestimate"))
+  }
+
   /** Reciprocal-rank fusion (Cormack et al. 2009) — the standard way to
     * combine heterogeneous retrieval rankings (lexical BM25, dense ANN,
     * priors) without score calibration: fused(id) = Σ over lists of

@@ -928,6 +928,18 @@ object Analytics {
       graft.api.Graft.cmsHeavyHitters(t(s, dir, "events"), "user_id",
         depth = 4, width = 256, k = 20).orderBy(col("rk"))),
 
+    // ---- q194: CMS join-size estimate — q132's exact audit answered
+    // from two count–min sketches' inner product (min over depth):
+    // each side touched once, never joined. Counters are sums, so the
+    // sketch is merge-order-invariant at any cardinality and the
+    // estimate hash-gates exactly; the never-underestimates guarantee
+    // is asserted against the exact size riding along. ----
+    "q194_cms_join_estimate" -> ((s, dir) =>
+      graft.api.Graft.cmsJoinSizeEstimate(
+        t(s, dir, "lineitem"), "l_partkey",
+        t(s, dir, "part").filter(col("p_size") <= 20), "p_partkey",
+        depth = 4, width = 4096)),
+
     // ---- q145: dyadic EWMA — the recursive smoother y = (x + y_prev)/2
     // restarted at the head of a 20-lag sliding frame, completing the
     // time-series family (q117 trend, q92 TWA, q93 OHLC, q94 sliding
@@ -1950,6 +1962,37 @@ object Analytics {
         |SELECT CAST(ROW_NUMBER() OVER (ORDER BY n DESC, key) AS BIGINT) AS rk,
         |       key, n, cms_est, (cms_est >= n) AS no_underestimate
         |FROM est ORDER BY n DESC, key LIMIT 20""".stripMargin,
+
+    // CMS join-size twin: both sketches rebuilt from scratch, identical
+    // md5 buckets, inner product min over depth, exact size alongside
+    "q194_cms_join_estimate" ->
+      """WITH rws AS (SELECT unnest(generate_series(0, 3)) AS row),
+        |kl AS (SELECT CAST(l_partkey AS VARCHAR) AS key FROM lineitem
+        |       WHERE l_partkey IS NOT NULL),
+        |kr AS (SELECT CAST(p_partkey AS VARCHAR) AS key FROM part
+        |       WHERE p_size <= 20 AND p_partkey IS NOT NULL),
+        |cl AS (SELECT row,
+        |    CAST((md5_number_lower(concat(CAST(row AS VARCHAR), ':', key))
+        |      & 9223372036854775807::UBIGINT) % 4096 AS BIGINT) AS bucket,
+        |    COUNT(*) AS cl
+        |  FROM kl CROSS JOIN rws GROUP BY 1, 2),
+        |cr AS (SELECT row,
+        |    CAST((md5_number_lower(concat(CAST(row AS VARCHAR), ':', key))
+        |      & 9223372036854775807::UBIGINT) % 4096 AS BIGINT) AS bucket,
+        |    COUNT(*) AS cr
+        |  FROM kr CROSS JOIN rws GROUP BY 1, 2),
+        |est AS (
+        |  SELECT CAST(MIN(ip) AS BIGINT) AS cms_join_est FROM (
+        |    SELECT cl.row, SUM(cl.cl * cr.cr) AS ip
+        |    FROM cl JOIN cr ON cl.row = cr.row AND cl.bucket = cr.bucket
+        |    GROUP BY cl.row)),
+        |ex AS (
+        |  SELECT CAST(COALESCE(SUM(a.n * b.n), 0) AS BIGINT) AS exact_join FROM
+        |    (SELECT key, COUNT(*) AS n FROM kl GROUP BY key) a
+        |    JOIN (SELECT key, COUNT(*) AS n FROM kr GROUP BY key) b USING (key))
+        |SELECT est.cms_join_est, ex.exact_join,
+        |  est.cms_join_est >= ex.exact_join AS no_underestimate
+        |FROM est CROSS JOIN ex""".stripMargin,
 
     // BFS twin: the same distinct transition edges, relaxed by a
     // recursive CTE bounded at 4 hops; MIN(dist) collapses revisits

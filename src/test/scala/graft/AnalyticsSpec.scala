@@ -266,4 +266,26 @@ class AnalyticsSpec extends AnyFunSuite {
       .select("id").collect().map(_.getLong(0)).sorted.toSeq
     assert(again === out)
   }
+
+  test("cmsJoinSizeEstimate never underestimates and is exact without collisions") {
+    val s = spark; import s.implicits._
+    val l = Seq("a", "a", "a", "b", "b", "c").toDF("k")
+    val r = Seq("a", "b", "b", "d").toDF("k")
+    // exact |l join r| = 3*1 + 2*2 = 7; with width 4096 and 4 distinct
+    // keys a collision among them is essentially impossible -> exact
+    val out = graft.api.Graft.cmsJoinSizeEstimate(l, "k", r, "k",
+      depth = 4, width = 4096).collect().head
+    assert(out.getLong(1) === 7L)          // exact_join
+    assert(out.getLong(0) === 7L)          // estimate collision-free
+    assert(out.getBoolean(2))
+    // disjoint keys -> exact 0, estimate >= 0
+    val out2 = graft.api.Graft.cmsJoinSizeEstimate(
+      Seq("x").toDF("k"), "k", Seq("y").toDF("k"), "k",
+      depth = 4, width = 4096).collect().head
+    assert(out2.getLong(1) === 0L && out2.getBoolean(2))
+    // tiny width forces collisions: still an overestimate, never under
+    val out3 = graft.api.Graft.cmsJoinSizeEstimate(l, "k", r, "k",
+      depth = 2, width = 2).collect().head
+    assert(out3.getLong(0) >= 7L && out3.getBoolean(2))
+  }
 }
