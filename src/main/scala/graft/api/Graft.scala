@@ -2496,10 +2496,16 @@ object Graft {
       .crossJoin(broadcast(rows))
       .select(col("row"), bucket.as("bucket"))
       .groupBy(col("row"), col("bucket")).agg(count(lit(1)).as(c))
-    val prod = cms(keyed(left, leftKey), "cl")
-      .join(cms(keyed(right, rightKey), "cr"), Seq("row", "bucket"))
-      .groupBy(col("row")).agg(sum(col("cl") * col("cr")).as("ip"))
-      .agg(min(col("ip")).as("cms_join_est"))
+    // per-depth-row inner products, with ABSENT rows counting as 0: a
+    // depth row whose buckets never collide IS an estimate of zero and
+    // must win the min (dropping it silently inflates the estimate —
+    // caught by the disjoint-keys spec case)
+    val prod = rows.join(
+        cms(keyed(left, leftKey), "cl")
+          .join(cms(keyed(right, rightKey), "cr"), Seq("row", "bucket"))
+          .groupBy(col("row")).agg(sum(col("cl") * col("cr")).as("ip")),
+        Seq("row"), "left")
+      .agg(min(coalesce(col("ip"), lit(0L))).as("cms_join_est"))
     val exact = keyed(left, leftKey).groupBy(col("key")).agg(count(lit(1)).as("nl"))
       .join(keyed(right, rightKey).groupBy(col("key")).agg(count(lit(1)).as("nr")),
         Seq("key"))

@@ -1982,10 +1982,11 @@ object Analytics {
         |    COUNT(*) AS cr
         |  FROM kr CROSS JOIN rws GROUP BY 1, 2),
         |est AS (
-        |  SELECT CAST(MIN(ip) AS BIGINT) AS cms_join_est FROM (
-        |    SELECT cl.row, SUM(cl.cl * cr.cr) AS ip
-        |    FROM cl JOIN cr ON cl.row = cr.row AND cl.bucket = cr.bucket
-        |    GROUP BY cl.row)),
+        |  SELECT CAST(MIN(COALESCE(ip, 0)) AS BIGINT) AS cms_join_est FROM
+        |    rws LEFT JOIN (
+        |      SELECT cl.row, SUM(cl.cl * cr.cr) AS ip
+        |      FROM cl JOIN cr ON cl.row = cr.row AND cl.bucket = cr.bucket
+        |      GROUP BY cl.row) p ON p.row = rws.row),
         |ex AS (
         |  SELECT CAST(COALESCE(SUM(a.n * b.n), 0) AS BIGINT) AS exact_join FROM
         |    (SELECT key, COUNT(*) AS n FROM kl GROUP BY key) a
