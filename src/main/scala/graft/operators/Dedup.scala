@@ -157,6 +157,35 @@ object Dedup {
         .orderBy(col("da"), col("db"))
     }),
 
+    // ---- q195: Fellegi–Sunter linkage scoring — the probabilistic layer
+    // over q78's equality blocks: each blocked pair gets a match score
+    // Σ_field ln(m/u) (agree) or ln((1−m)/(1−u)) (disagree) under
+    // declared priors. Weights are PRE-QUANTIZED micro-nat literals
+    // (±2890372 etc.), so the score is an exact integer sum — the
+    // ln-at-runtime formulation would ride on libm last-ulp agreement
+    // (the q123 class of hazard), this one cannot. Field comparators:
+    // name edit ≤ 2, type equality, price within 50 cents (integer
+    // cents). Output: pairs scoring > 0 (likely matches). ----
+    "q195_linkage_score" -> ((s, dir) => {
+      val p = t(s, dir, "part").select(col("p_partkey"), col("p_name"),
+        col("p_brand"), col("p_size"), col("p_type"),
+        round(col("p_retailprice") * 100.0).cast(LongType).as("cents"))
+      val pairs = p.alias("a").join(p.alias("b"),
+          col("a.p_brand") === col("b.p_brand") &&
+            col("a.p_size") === col("b.p_size") &&
+            col("a.p_partkey") < col("b.p_partkey"))
+        .select(col("a.p_partkey").as("id_a"), col("b.p_partkey").as("id_b"),
+          (levenshtein(col("a.p_name"), col("b.p_name")) <= 2).as("agree_name"),
+          (col("a.p_type") === col("b.p_type")).as("agree_type"),
+          (abs(col("a.cents") - col("b.cents")) <= 50L).as("agree_price"))
+      pairs.withColumn("score_micro",
+          when(col("agree_name"), 2890372L).otherwise(-2251292L) +
+            when(col("agree_type"), 1386294L).otherwise(-1386294L) +
+            when(col("agree_price"), 1945910L).otherwise(-1098612L))
+        .filter(col("score_micro") > 0L)
+        .orderBy(col("id_a"), col("id_b"))
+    }),
+
     // ---- q133: incremental ingestion dedup — the cross-corpus form a
     // pipeline runs on every fresh crawl batch before appending: flag
     // each new doc (doc_id % 10 = 0 plays the batch) whose Jaccard vs
@@ -436,6 +465,32 @@ object Dedup {
         |JOIN sizes sb ON sb.doc_id = db
         |WHERE 5 * inter >= 4 * (sa.n + sb.n - inter)
         |ORDER BY da, db""".stripMargin,
+
+    // linkage twin: identical blocks, comparators, and micro-nat weight
+    // literals (integer sum — no runtime ln anywhere)
+    "q195_linkage_score" ->
+      """WITH p AS (
+        |  SELECT p_partkey, p_name, p_brand, p_size, p_type,
+        |    CAST(round(p_retailprice * 100.0) AS BIGINT) AS cents
+        |  FROM part)
+        |SELECT a.p_partkey AS id_a, b.p_partkey AS id_b,
+        |  levenshtein(a.p_name, b.p_name) <= 2 AS agree_name,
+        |  a.p_type = b.p_type AS agree_type,
+        |  abs(a.cents - b.cents) <= 50 AS agree_price,
+        |  CAST(CASE WHEN levenshtein(a.p_name, b.p_name) <= 2
+        |       THEN 2890372 ELSE -2251292 END
+        |  + CASE WHEN a.p_type = b.p_type THEN 1386294 ELSE -1386294 END
+        |  + CASE WHEN abs(a.cents - b.cents) <= 50
+        |       THEN 1945910 ELSE -1098612 END AS BIGINT) AS score_micro
+        |FROM p a JOIN p b
+        |  ON a.p_brand = b.p_brand AND a.p_size = b.p_size
+        | AND a.p_partkey < b.p_partkey
+        |WHERE CASE WHEN levenshtein(a.p_name, b.p_name) <= 2
+        |       THEN 2890372 ELSE -2251292 END
+        |  + CASE WHEN a.p_type = b.p_type THEN 1386294 ELSE -1386294 END
+        |  + CASE WHEN abs(a.cents - b.cents) <= 50
+        |       THEN 1945910 ELSE -1098612 END > 0
+        |ORDER BY id_a, id_b""".stripMargin,
     "q52_dedup_containment" ->
       """WITH toks AS (
         |  SELECT doc_id, string_split(trim(text), ' ') AS t FROM documents

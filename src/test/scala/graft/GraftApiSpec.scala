@@ -1323,4 +1323,20 @@ class GraftApiSpec extends AnyFunSuite {
         "src", "dst", "w", source = "a")
     }
   }
+
+  test("q195 linkage score: agreement pattern maps to the exact micro-nat sum") {
+    val s = spark
+    val out = graft.SparkEntry.queries("q195_linkage_score")(s, "/root/testdata/sf0.001")
+      .collect()
+    assert(out.nonEmpty)
+    out.foreach { r =>
+      val want = (if (r.getBoolean(2)) 2890372L else -2251292L) +
+        (if (r.getBoolean(3)) 1386294L else -1386294L) +
+        (if (r.getBoolean(4)) 1945910L else -1098612L)
+      assert(r.getLong(5) === want)
+      assert(r.getLong(5) > 0L) // only likely matches survive
+    }
+    // full-agreement pairs exist and dominate
+    assert(out.exists(r => r.getBoolean(2) && r.getBoolean(3) && r.getBoolean(4)))
+  }
 }
