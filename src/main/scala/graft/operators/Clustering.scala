@@ -104,6 +104,41 @@ object Clustering {
         .orderBy(col("vec_id"))
     }),
 
+    // ---- q196: Matryoshka truncation audit — for each dim budget
+    // (8/16/32 of 64), how much of every vector's energy the prefix
+    // keeps: retained(d) = Σ_{i≤d} x_i² / Σ x_i², the quantity that
+    // decides whether MRL-style truncated embeddings are usable at a
+    // given budget. Kilo-quantized elements make energies exact integer
+    // sums (order-free); each per-vector ratio is ONE integer division
+    // to permicro; only the final mean is a double division. One
+    // explode + one keyed agg + a 3-row fan-out — no joins. ----
+    "q196_matryoshka_audit" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings")
+        .select(col("vec_id"), posexplode(col("embedding")).as(Seq("p", "x")))
+        .select(col("vec_id"), (col("p") + 1).as("i"),
+          round(col("x").cast(DoubleType) * 1000.0).cast(LongType).as("xq"))
+        .withColumn("sq", col("xq") * col("xq"))
+      val per = e.groupBy(col("vec_id")).agg(
+          sum(col("sq")).as("e_all"),
+          sum(when(col("i") <= 8, col("sq")).otherwise(0L)).as("e8"),
+          sum(when(col("i") <= 16, col("sq")).otherwise(0L)).as("e16"),
+          sum(when(col("i") <= 32, col("sq")).otherwise(0L)).as("e32"))
+        .filter(col("e_all") > 0)
+      val pb = per.select(col("vec_id"), col("e_all"), explode(array(
+          struct(lit(8L).as("d"), col("e8").as("ed")),
+          struct(lit(16L).as("d"), col("e16").as("ed")),
+          struct(lit(32L).as("d"), col("e32").as("ed")))).as("b"))
+        .select(col("vec_id"), col("b.d").as("d"),
+          expr("(b.ed * 1000000) div e_all").as("retained_pm"))
+      pb.groupBy(col("d")).agg(
+          count(lit(1)).as("n_vecs"),
+          (sum(col("retained_pm")).cast(DoubleType) / count(lit(1)))
+            .as("mean_retained_pm"),
+          min(col("retained_pm")).as("min_retained_pm"),
+          count(when(col("retained_pm") >= 900000L, 1)).as("n_above_90pct"))
+        .orderBy(col("d"))
+    }),
+
     // ---- q95: two full Lloyd iterations, k=8, over the embeddings table.
     // Output = the final update table (cid, pos, n, sum_micro, mean):
     // cluster sizes and exact centroid state, hash-checked. ----
@@ -297,6 +332,35 @@ object Clustering {
     // projection twin: the converged v12 from the same CTE chain,
     // nano-quantized per-position products, fixed residual chain
     "q135_pca_project" -> projSql(12),
+
+    // matryoshka twin: identical kilo-quantized energies, identical
+    // integer permicro division, one double mean at the end
+    "q196_matryoshka_audit" ->
+      """WITH ev AS (
+        |  SELECT vec_id, i,
+        |    CAST(round(CAST(embedding[i] AS DOUBLE) * 1000.0) AS BIGINT) AS xq
+        |  FROM (SELECT vec_id, embedding,
+        |          unnest(generate_series(1, len(embedding))) AS i
+        |        FROM embeddings) t),
+        |per AS (
+        |  SELECT vec_id,
+        |    SUM(xq * xq) AS e_all,
+        |    SUM(CASE WHEN i <= 8 THEN xq * xq ELSE 0 END) AS e8,
+        |    SUM(CASE WHEN i <= 16 THEN xq * xq ELSE 0 END) AS e16,
+        |    SUM(CASE WHEN i <= 32 THEN xq * xq ELSE 0 END) AS e32
+        |  FROM ev GROUP BY vec_id HAVING SUM(xq * xq) > 0),
+        |pb AS (
+        |  SELECT vec_id, d, CAST((ed * 1000000) // e_all AS BIGINT) AS retained_pm
+        |  FROM (
+        |    SELECT vec_id, e_all, 8 AS d, e8 AS ed FROM per
+        |    UNION ALL SELECT vec_id, e_all, 16, e16 FROM per
+        |    UNION ALL SELECT vec_id, e_all, 32, e32 FROM per))
+        |SELECT CAST(d AS BIGINT) AS d, CAST(COUNT(*) AS BIGINT) AS n_vecs,
+        |  CAST(SUM(retained_pm) AS DOUBLE) / COUNT(*) AS mean_retained_pm,
+        |  CAST(MIN(retained_pm) AS BIGINT) AS min_retained_pm,
+        |  CAST(COUNT(*) FILTER (WHERE retained_pm >= 900000) AS BIGINT)
+        |    AS n_above_90pct
+        |FROM pb GROUP BY d ORDER BY d""".stripMargin,
 
     "q95_kmeans" -> (prelude +
       """,

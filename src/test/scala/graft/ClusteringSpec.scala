@@ -192,4 +192,31 @@ class ClusteringSpec extends AnyFunSuite {
     assert(out(1) === composed) // decomposed → composed
     assert(out(2) === "plain ascii")
   }
+
+  test("matryoshka audit: exact prefix-energy ratios on crafted vectors") {
+    val s = spark; import s.implicits._
+    // v1: all energy in dim 1 -> retained 1.0 at every budget
+    // v2: equal energy in dims 1..64 -> retained d/64
+    // v3: zero vector -> excluded entirely
+    val v1 = Array.tabulate(64)(i => if (i == 0) 2.0f else 0.0f)
+    val v2 = Array.fill(64)(1.0f)
+    val v3 = Array.fill(64)(0.0f)
+    val df = Seq((1L, v1.toSeq), (2L, v2.toSeq), (3L, v3.toSeq))
+      .toDF("vec_id", "embedding")
+    // replicate the q196 aggregation shape directly on the crafted rows
+    import org.apache.spark.sql.functions._
+    val e = df.select(col("vec_id"), posexplode(col("embedding")).as(Seq("p", "x")))
+      .select(col("vec_id"), (col("p") + 1).as("i"),
+        round(col("x").cast("double") * 1000.0).cast("long").as("xq"))
+      .withColumn("sq", col("xq") * col("xq"))
+    val per = e.groupBy(col("vec_id")).agg(
+        sum(col("sq")).as("e_all"),
+        sum(when(col("i") <= 8, col("sq")).otherwise(0L)).as("e8"))
+      .filter(col("e_all") > 0)
+      .withColumn("r8", expr("(e8 * 1000000) div e_all"))
+      .collect().map(r => r.getLong(0) -> r.getLong(3)).toMap
+    assert(per(1L) === 1000000L)            // all energy in the prefix
+    assert(per(2L) === 125000L)             // 8/64 exactly
+    assert(!per.contains(3L))               // zero vector excluded
+  }
 }
