@@ -1186,7 +1186,9 @@ object Graft {
       outCol: String = "shard"): DataFrame = {
     require(shards > 0, s"hrwAssign: shards must be positive, got $shards")
     graft.functions.GraftFunctions.register(df.sparkSession)
-    df.withColumn(outCol, expr(
+    // NULL id → NULL shard (without the guard the fold's seed would
+    // silently route every null row to shard −1)
+    df.withColumn(outCol, when(col(idCol).isNull, lit(null)).otherwise(expr(
       s"""aggregate(
          |  transform(sequence(0, ${shards - 1}), s -> struct(
          |    md5_lower64(concat(cast(s as string), ':', cast(`$idCol` as string)))
@@ -1194,7 +1196,7 @@ object Graft {
          |    s as s)),
          |  struct(cast(-1 as bigint) as h, -1 as s),
          |  (acc, x) -> if(x.h > acc.h or (x.h = acc.h and x.s < acc.s), x, acc)
-         |).s""".stripMargin).cast(LongType))
+         |).s""".stripMargin)).cast(LongType))
   }
 
   /** Deterministic weight-proportional sampling: a row is kept when its

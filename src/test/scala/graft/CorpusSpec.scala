@@ -297,5 +297,10 @@ class CorpusSpec extends AnyFunSuite {
     val plan = graft.api.Graft.hrwAssign(ids, "id", 5)
       .queryExecution.executedPlan.toString
     assert(!plan.contains("Exchange"), plan)
+    // NULL id -> NULL shard, never a silent -1
+    val withNull = graft.api.Graft.hrwAssign(
+      Seq(Some(1L), None).toDF("id"), "id", 5).collect()
+    assert(withNull.find(_.isNullAt(0)).exists(_.isNullAt(1)))
+    assert(withNull.find(!_.isNullAt(0)).exists(r => r.getLong(1) >= 0 && r.getLong(1) < 5))
   }
 }
