@@ -2204,6 +2204,55 @@ object Graft {
     dist.orderBy(col("dist"), col("node"))
   }
 
+  /** Hierarchy flattening by POINTER JUMPING (path doubling): every node
+    * of a parent-child forest resolves its (root, depth) in ⌈log₂ h⌉
+    * rounds instead of the h rounds a parent-at-a-time walk needs —
+    * each round replaces every node's ancestor pointer with its
+    * ancestor's ancestor and adds the distances, so pointer distance
+    * doubles per round. THE textbook reason deep recursion is cheap on
+    * a shuffle engine: a depth-1000 chain costs 10 self-joins, not 1000.
+    *
+    * Input: one row per node with its parent (NULL ⇒ root). Output:
+    * (node, root, depth). Cycles never terminate pointer-chasing in ANY
+    * formulation; here `maxDoubling` bounds rounds and unresolved nodes
+    * (pointer not yet at a root) are returned with NULL root/depth so
+    * corrupt hierarchies surface instead of spinning.
+    *
+    * 100 TB shape: each round is ONE self-equi-join on the ancestor
+    * pointer + a projection, lineage cut per round; convergence is a
+    * scalar count. */
+  def flattenHierarchy(nodes: DataFrame, nodeCol: String, parentCol: String,
+      maxDoubling: Int = 20, checkpointDir: Option[String] = None): DataFrame = {
+    checkpointDir.foreach(nodes.sparkSession.sparkContext.setCheckpointDir)
+    def cut(df: DataFrame): DataFrame =
+      if (checkpointDir.isDefined) df.checkpoint() else df.localCheckpoint()
+    var st = cut(nodes.select(col(nodeCol).as("node"),
+      coalesce(col(parentCol), col(nodeCol)).as("anc"),
+      when(col(parentCol).isNull, 0L).otherwise(1L).as("d")))
+    var round = 0
+    var converged = false
+    while (round < maxDoubling && !converged) {
+      val lk = st.select(col("node").as("anc"), col("anc").as("anc2"),
+        col("d").as("d2"))
+      val next = cut(st.join(lk, Seq("anc"))
+        .select(col("node"), col("anc2").as("anc"), (col("d") + col("d2")).as("d")))
+      // converged when every pointer is at a root (its own anc = itself,
+      // i.e. the jump changed nothing anywhere)
+      converged = next.alias("n").join(st.alias("o"), Seq("node"))
+        .filter(col("n.anc") =!= col("o.anc")).isEmpty
+      st = next
+      round += 1
+    }
+    // true roots have d = 0; a cycle node can self-point after doubling
+    // (cycle length divides 2^round) but always with d > 0
+    val roots = st.filter(col("node") === col("anc") && col("d") === 0L)
+      .select(col("node").as("__r"))
+    st.join(roots, st("anc") === roots("__r"), "left")
+      .select(col("node"),
+        when(col("__r").isNotNull, col("anc")).as("root"),
+        when(col("__r").isNotNull, col("d")).as("depth"))
+  }
+
   /** Bounded-hop single-source WEIGHTED shortest paths (Bellman–Ford
     * rounds) — [[shortestPaths]]' sibling for cost graphs: after round h,
     * `dist` holds the exact minimum cost over all paths of ≤ h edges

@@ -219,6 +219,20 @@ object Analytics {
         .orderBy(col("dist"), col("node"))
     }),
 
+    // ---- q197: hierarchy flattening by pointer jumping — a synthetic
+    // 3-root ternary forest over doc ids (parent = (id−3) div 3, ids
+    // 0–2 roots) resolved to (root, depth) in ⌈log₂ depth⌉ doubling
+    // rounds, not depth walk rounds. The oracle walks parents one at a
+    // time recursively — the plan must reach the same fixpoint
+    // logarithmically. ----
+    "q197_hierarchy_flatten" -> ((s, dir) => {
+      val nodes = t(s, dir, "documents").select(col("doc_id").as("node"),
+        when(col("doc_id") < 3, lit(null).cast(LongType))
+          .otherwise(expr("(doc_id - 3) div 3")).as("parent"))
+      graft.api.Graft.flattenHierarchy(nodes, "node", "parent")
+        .orderBy(col("node"))
+    }),
+
     // ---- q130: small-file compaction planner — first-fit sequential
     // bin packing of a file manifest into ~target-byte groups via ONE
     // prefix-sum window over manifest-sized input (1 row per FILE: the
@@ -2038,6 +2052,18 @@ object Analytics {
         |SELECT node, CAST(MIN(dist) AS BIGINT) AS dist
         |FROM walk GROUP BY node
         |ORDER BY dist, node""".stripMargin,
+
+    // hierarchy twin: one-parent-at-a-time recursive walk to the root
+    "q197_hierarchy_flatten" ->
+      """WITH RECURSIVE up(node, anc, d) AS (
+        |  SELECT doc_id, (doc_id - 3) // 3, 1 FROM documents WHERE doc_id >= 3
+        |  UNION ALL
+        |  SELECT up.node, (up.anc - 3) // 3, up.d + 1 FROM up WHERE up.anc >= 3)
+        |SELECT node, CAST(anc AS BIGINT) AS root, CAST(d AS BIGINT) AS depth
+        |FROM up WHERE anc < 3
+        |UNION ALL
+        |SELECT doc_id, doc_id, 0 FROM documents WHERE doc_id < 3
+        |ORDER BY node""".stripMargin,
 
     // compaction twin: identical prefix-sum-before grouping; SUMs cast
     // to BIGINT (DuckDB SUM(BIGINT) is HUGEINT)

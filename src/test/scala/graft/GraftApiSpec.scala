@@ -1340,4 +1340,31 @@ class GraftApiSpec extends AnyFunSuite {
     // sums to -4736198)
     assert(out.forall(r => r.getBoolean(2) || r.getBoolean(3) || r.getBoolean(4)))
   }
+
+  test("flattenHierarchy resolves deep chains logarithmically and surfaces cycles as NULL") {
+    val s = spark; import s.implicits._
+    // a depth-1000 chain: maxDoubling = 11 suffices (2^10 = 1024 >= 1000);
+    // a parent-walk formulation would need 1000 rounds
+    val chain = (0L until 1000L).map(i =>
+      (i, if (i == 0) None else Some(i - 1))).toDF("node", "parent")
+    val out = graft.api.Graft.flattenHierarchy(chain, "node", "parent",
+      maxDoubling = 11).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(out(0L) === ((0L, 0L)))
+    assert(out(999L) === ((0L, 999L)))
+    assert(out(500L) === ((0L, 500L)))
+    // forest: two roots
+    val forest = Seq((10L, None), (20L, None), (11L, Some(10L)),
+      (21L, Some(20L)), (22L, Some(21L))).toDF("node", "parent")
+    val f = graft.api.Graft.flattenHierarchy(forest, "node", "parent")
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(f(11L) === ((10L, 1L)) && f(22L) === ((20L, 2L)) && f(20L) === ((20L, 0L)))
+    // a 2-cycle (a->b->a) never reaches a root: NULL root/depth, no spin
+    val cyc = Seq((1L, Some(2L)), (2L, Some(1L)), (3L, None),
+      (4L, Some(3L))).toDF("node", "parent")
+    val c = graft.api.Graft.flattenHierarchy(cyc, "node", "parent",
+      maxDoubling = 5).collect()
+    assert(c.filter(r => r.getLong(0) <= 2L).forall(r => r.isNullAt(1) && r.isNullAt(2)))
+    assert(c.find(_.getLong(0) == 4L).get.getLong(1) === 3L)
+  }
 }
