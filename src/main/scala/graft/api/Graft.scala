@@ -2204,6 +2204,39 @@ object Graft {
     dist.orderBy(col("dist"), col("node"))
   }
 
+  /** Keyed interval-overlap join — all pairs (a, b) sharing a key whose
+    * time intervals truly overlap (intersection length > 0), via TIME
+    * BUCKETING: each interval replicates to the fixed-width buckets it
+    * touches, candidates come from a plain equi-join on (key, bucket),
+    * duplicates from multi-bucket spans collapse with distinct, and the
+    * exact overlap test runs on candidates only. The temporal analog of
+    * [[spatialJoinTiled]]'s grid device — it turns the O(n·m) interval
+    * theta join (which Spark plans as a per-key nested loop) into an
+    * equi-join whose fan-out is interval-length/bucketUs per row.
+    *
+    * Pick `bucketUs` near the typical interval length: too small
+    * explodes replication, too large packs unrelated intervals into one
+    * bucket. Output: key, a's id/bounds, b's id/bounds, overlap_us. */
+  def intervalOverlapJoin(a: DataFrame, b: DataFrame, keyCol: String,
+      sCol: String, eCol: String, idCol: String,
+      bucketUs: Long): DataFrame = {
+    require(bucketUs > 0, "intervalOverlapJoin: bucketUs must be positive")
+    def expand(df: DataFrame, p: String) = df
+      .select(col(keyCol).as("__k"), col(idCol).as(s"${p}_id"),
+        col(sCol).cast(LongType).as(s"${p}_s"), col(eCol).cast(LongType).as(s"${p}_e"))
+      .filter(col(s"${p}_s") < col(s"${p}_e"))
+      .withColumn("__bk", explode(expr(
+        s"sequence(${p}_s div $bucketUs, ${p}_e div $bucketUs)")))
+    val cand = expand(a, "a").join(expand(b, "b"), Seq("__k", "__bk"))
+      .drop("__bk").distinct()
+    cand
+      .withColumn("overlap_us",
+        least(col("a_e"), col("b_e")) - greatest(col("a_s"), col("b_s")))
+      .filter(col("overlap_us") > 0L)
+      .select(col("__k").as(keyCol), col("a_id"), col("a_s"), col("a_e"),
+        col("b_id"), col("b_s"), col("b_e"), col("overlap_us"))
+  }
+
   /** Hierarchy flattening by POINTER JUMPING (path doubling): every node
     * of a parent-child forest resolves its (root, depth) in ⌈log₂ h⌉
     * rounds instead of the h rounds a parent-at-a-time walk needs —

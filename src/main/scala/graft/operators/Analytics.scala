@@ -233,6 +233,25 @@ object Analytics {
         .orderBy(col("node"))
     }),
 
+    // ---- q198: keyed interval-overlap join — view-event intervals vs
+    // click-event intervals per user (the q80 duration synthesis),
+    // paired through 10-minute time buckets instead of the per-key
+    // nested-loop theta join the overlap predicate would otherwise
+    // plan. The oracle IS that theta join — the bucket device must
+    // reproduce it exactly (spatialJoinTiled's grid pattern on the
+    // time axis). ----
+    "q198_interval_overlap_join" -> ((s, dir) => {
+      val e = t(s, dir, "events").select(col("user_id"), col("event_id"),
+        col("event_type"), unix_micros(col("ts")).as("s_us"),
+        (unix_micros(col("ts")) +
+          floor(abs(col("value")) * 60000000.0).cast(LongType)).as("e_us"))
+      val views = e.filter(col("event_type") === "view")
+      val clicks = e.filter(col("event_type") === "click")
+      graft.api.Graft.intervalOverlapJoin(views, clicks, "user_id",
+          "s_us", "e_us", "event_id", bucketUs = 600000000L)
+        .orderBy(col("a_id"), col("b_id"))
+    }),
+
     // ---- q130: small-file compaction planner — first-fit sequential
     // bin packing of a file manifest into ~target-byte groups via ONE
     // prefix-sum window over manifest-sized input (1 row per FILE: the
@@ -2052,6 +2071,22 @@ object Analytics {
         |SELECT node, CAST(MIN(dist) AS BIGINT) AS dist
         |FROM walk GROUP BY node
         |ORDER BY dist, node""".stripMargin,
+
+    // overlap twin: the naive per-key theta join with the exact strict
+    // overlap predicate — the bucket expansion must be invisible
+    "q198_interval_overlap_join" ->
+      """WITH e AS (
+        |  SELECT user_id, event_id, event_type, epoch_us(ts) AS s_us,
+        |    epoch_us(ts) + CAST(floor(abs(value) * 60000000.0) AS BIGINT) AS e_us
+        |  FROM events),
+        |v AS (SELECT * FROM e WHERE event_type = 'view' AND s_us < e_us),
+        |c AS (SELECT * FROM e WHERE event_type = 'click' AND s_us < e_us)
+        |SELECT v.user_id, v.event_id AS a_id, v.s_us AS a_s, v.e_us AS a_e,
+        |  c.event_id AS b_id, c.s_us AS b_s, c.e_us AS b_e,
+        |  least(v.e_us, c.e_us) - greatest(v.s_us, c.s_us) AS overlap_us
+        |FROM v JOIN c ON v.user_id = c.user_id
+        |WHERE least(v.e_us, c.e_us) - greatest(v.s_us, c.s_us) > 0
+        |ORDER BY a_id, b_id""".stripMargin,
 
     // hierarchy twin: one-parent-at-a-time recursive walk to the root
     "q197_hierarchy_flatten" ->

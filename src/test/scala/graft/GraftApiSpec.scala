@@ -1367,4 +1367,22 @@ class GraftApiSpec extends AnyFunSuite {
     assert(c.filter(r => r.getLong(0) <= 2L).forall(r => r.isNullAt(1) && r.isNullAt(2)))
     assert(c.find(_.getLong(0) == 4L).get.getLong(1) === 3L)
   }
+
+  test("intervalOverlapJoin equals the theta join across bucket boundaries") {
+    val s = spark; import s.implicits._
+    val a = Seq((1L, 101L, 0L, 100L), (1L, 102L, 950L, 1050L),
+      (2L, 103L, 0L, 10L), (1L, 104L, 200L, 200L)).toDF("k", "id", "s", "e")
+    val b = Seq((1L, 201L, 90L, 200L), (1L, 202L, 1000L, 2000L),
+      (2L, 203L, 10L, 20L), (1L, 204L, 100L, 150L)).toDF("k", "id", "s", "e")
+    // bucket width 100 forces multi-bucket spans and cross-boundary pairs
+    val got = graft.api.Graft.intervalOverlapJoin(a, b, "k", "s", "e", "id", 100L)
+      .select("a_id", "b_id", "overlap_us").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).sorted.toSeq
+    // brute force: 101-201 overlap 10; 102-202 overlap 50 (crosses the
+    // 1000 boundary); 103-203 touch at a point (overlap 0 - excluded);
+    // 101-204 touch at 100 (excluded); 104 is empty (s = e - dropped)
+    assert(got === Seq((101L, 201L, 10L), (102L, 202L, 50L)))
+    // different keys never pair even in the same bucket
+    assert(!got.exists { case (x, y, _) => x == 103L || y == 203L })
+  }
 }
