@@ -455,4 +455,36 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(p.sliding("HashAggregate".length).count(_ == "HashAggregate") >= 2, p)
     assert(!p.contains("CartesianProduct"), p)
   }
+
+  test("q185 skyline never plans a cartesian or nested-loop dominance join") {
+    val p = planOf("q185_skyline")
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("BroadcastNestedLoop"), p)
+  }
+
+  test("q187 prefix-filter join pairs candidates by token equality, never all-pairs") {
+    val p = planOf("q187_prefix_filter_join")
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("BroadcastNestedLoop"), p)
+  }
+
+  test("q198 interval overlap joins on (key, bucket), not a nested-loop theta join") {
+    val p = planOf("q198_interval_overlap_join")
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("BroadcastNestedLoop"), p)
+  }
+
+  test("q196 matryoshka audit is explode + keyed agg, no joins at all") {
+    val p = planOf("q196_matryoshka_audit")
+    assert(!p.contains("Join"), p)
+  }
+
+  test("q194 cms join estimate never joins the raw inputs (sketch-sized joins only)") {
+    val p = planOf("q194_cms_join_estimate")
+    // no sort-merge join anywhere: the sketch product and rows-frame
+    // joins are broadcast-sized, and the only key-shuffle is the exact
+    // gate's aggregate
+    assert(!p.contains("SortMergeJoin"), p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
 }
