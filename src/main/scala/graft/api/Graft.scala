@@ -2219,12 +2219,21 @@ object Graft {
     * bucket. Output: key, a's id/bounds, b's id/bounds, overlap_us. */
   def intervalOverlapJoin(a: DataFrame, b: DataFrame, keyCol: String,
       sCol: String, eCol: String, idCol: String,
-      bucketUs: Long): DataFrame = {
+      bucketUs: Long, maxBucketsPerRow: Long = 65536L): DataFrame = {
     require(bucketUs > 0, "intervalOverlapJoin: bucketUs must be positive")
     def expand(df: DataFrame, p: String) = df
       .select(col(keyCol).as("__k"), col(idCol).as(s"${p}_id"),
         col(sCol).cast(LongType).as(s"${p}_s"), col(eCol).cast(LongType).as(s"${p}_e"))
       .filter(col(s"${p}_s") < col(s"${p}_e"))
+      // fail LOUDLY on absurd spans (a corrupt timestamp would otherwise
+      // explode one row into millions of bucket replicas mid-job)
+      .withColumn(s"${p}_e", when(
+        (col(s"${p}_e") / bucketUs) - (col(s"${p}_s") / bucketUs) > maxBucketsPerRow,
+        raise_error(concat(lit(s"intervalOverlapJoin: interval for id="),
+          col(s"${p}_id").cast(StringType),
+          lit(s" spans more than $maxBucketsPerRow buckets of $bucketUs us — " +
+            "corrupt bounds or bucketUs far too small"))).cast(LongType))
+        .otherwise(col(s"${p}_e")))
       .withColumn("__bk", explode(expr(
         s"sequence(${p}_s div $bucketUs, ${p}_e div $bucketUs)")))
     val cand = expand(a, "a").join(expand(b, "b"), Seq("__k", "__bk"))

@@ -1384,5 +1384,13 @@ class GraftApiSpec extends AnyFunSuite {
     assert(got === Seq((101L, 201L, 10L), (102L, 202L, 50L)))
     // different keys never pair even in the same bucket
     assert(!got.exists { case (x, y, _) => x == 103L || y == 203L })
+    // a corrupt span fails loudly instead of exploding into replicas
+    val corrupt = Seq((1L, 999L, 0L, Long.MaxValue / 2)).toDF("k", "id", "s", "e")
+    val ex = intercept[Exception] {
+      graft.api.Graft.intervalOverlapJoin(corrupt, b, "k", "s", "e", "id", 100L)
+        .collect()
+    }
+    assert(ex.getMessage.contains("spans more than") ||
+      Option(ex.getCause).exists(_.getMessage.contains("spans more than")))
   }
 }
