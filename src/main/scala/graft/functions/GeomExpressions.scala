@@ -181,6 +181,14 @@ object GraftFunctions {
     if (!reg.functionExists(FunctionIdentifier("kmv_agg128")))
       spark.udf.register("kmv_agg128",
         org.apache.spark.sql.functions.udaf(new KmvAgg(128)))
+    // bounded map-side top-k (value desc, id asc) — k fixed in the name,
+    // same registration convention as kmv_agg128
+    if (!reg.functionExists(FunctionIdentifier("topk_agg3")))
+      spark.udf.register("topk_agg3",
+        org.apache.spark.sql.functions.udaf(new TopKPairAgg(3),
+          org.apache.spark.sql.Encoders.tuple(
+            org.apache.spark.sql.Encoders.scalaLong,
+            org.apache.spark.sql.Encoders.scalaLong)))
   }
 
   def injectInto(ext: org.apache.spark.sql.SparkSessionExtensions): Unit =

@@ -83,3 +83,68 @@ class KmvAgg(k: Int) extends Aggregator[Long, Array[Long], Array[Long]] {
   override def outputEncoder: Encoder[Array[Long]] =
     org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Array[Long]]()
 }
+
+/** `topk_agg(value, id)` — the k largest (value, id) rows of a group by
+  * (value DESC, id ASC), as a sorted array of structs.
+  *
+  * Why an Aggregator and not a rank window: the window form
+  * (`row_number() over (partition by g order by v desc)` ≤ k) SORTS
+  * every group's full row set — at 100 TB the sort+spill of the
+  * non-surviving rows IS the cost. This aggregate keeps a k-bounded
+  * buffer per group per partition, map-side combines before the
+  * shuffle, and merges two buffers in O(k) — only k rows per partition
+  * per group ever cross the wire, and nothing is globally sorted.
+  * Duplicate (value, id) rows are kept (multiset top-k, matching what
+  * the rank window would emit for duplicated inputs).
+  *
+  * Determinism: the composite order (value desc, id asc) is total when
+  * ids are unique per row, so the retained set and its order are pure
+  * functions of the group's row multiset — hash-gateable. */
+class TopKPairAgg(k: Int) extends Aggregator[
+    (Long, Long), Array[(Long, Long)], Array[(Long, Long)]] {
+  require(k > 0, s"topk_agg: k must be positive, got $k")
+
+  // ordering: v desc, then id asc — "better" = earlier in the buffer
+  private def beats(v1: Long, i1: Long, v2: Long, i2: Long): Boolean =
+    v1 > v2 || (v1 == v2 && i1 < i2)
+
+  override def zero: Array[(Long, Long)] = Array.empty
+
+  override def reduce(buf: Array[(Long, Long)], x: (Long, Long)): Array[(Long, Long)] = {
+    if (buf.length == k && !beats(x._1, x._2, buf(k - 1)._1, buf(k - 1)._2)) return buf
+    var ins = buf.length
+    var i = 0
+    while (i < buf.length) {
+      if (beats(x._1, x._2, buf(i)._1, buf(i)._2)) { ins = i; i = buf.length }
+      else i += 1
+    }
+    val n = math.min(k, buf.length + 1)
+    val out = new Array[(Long, Long)](n)
+    System.arraycopy(buf, 0, out, 0, ins)
+    if (ins < n) out(ins) = x
+    var j = ins + 1
+    while (j < n) { out(j) = buf(j - 1); j += 1 }
+    out
+  }
+
+  override def merge(a: Array[(Long, Long)], b: Array[(Long, Long)]): Array[(Long, Long)] = {
+    if (a.isEmpty) return b
+    if (b.isEmpty) return a
+    val out = new Array[(Long, Long)](math.min(k, a.length + b.length))
+    var i = 0; var j = 0; var n = 0
+    while (n < out.length) {
+      val takeA = j >= b.length ||
+        (i < a.length && beats(a(i)._1, a(i)._2, b(j)._1, b(j)._2))
+      if (takeA) { out(n) = a(i); i += 1 } else { out(n) = b(j); j += 1 }
+      n += 1
+    }
+    out
+  }
+
+  override def finish(r: Array[(Long, Long)]): Array[(Long, Long)] = r
+
+  override def bufferEncoder: Encoder[Array[(Long, Long)]] =
+    org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Array[(Long, Long)]]()
+  override def outputEncoder: Encoder[Array[(Long, Long)]] =
+    org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Array[(Long, Long)]]()
+}

@@ -262,6 +262,27 @@ object Extras {
         .withColumn("pass", $"rel_err" <= 0.05)
     }),
 
+    // ---- q199: bounded map-side top-k per group — the Aggregator
+    // answer to "top 3 per key" that q07's rank window can't give at
+    // scale: the window SORTS every group's full row set; topk_agg3
+    // keeps a 3-row buffer per group per partition, map-side combines,
+    // and merges in O(k) — only k rows per partition per group cross
+    // the shuffle, nothing is sorted. The oracle is the rank window:
+    // same rows, radically different plan (PlanShapeSpec pins no Window
+    // and no Sort over the fact rows). ----
+    "q199_topk_agg" -> ((s, dir) => {
+      graft.functions.GraftFunctions.register(s)
+      import s.implicits._
+      val o = t(s, dir, "orders").select($"o_orderpriority",
+        round($"o_totalprice" * 100).cast(LongType).as("cents"), $"o_orderkey")
+      o.groupBy($"o_orderpriority")
+        .agg(expr("topk_agg3(cents, o_orderkey)").as("tk"))
+        .select($"o_orderpriority", posexplode($"tk").as(Seq("p", "x")))
+        .select($"o_orderpriority", ($"p" + 1).cast(LongType).as("rk"),
+          $"x._1".as("cents"), $"x._2".as("o_orderkey"))
+        .orderBy($"o_orderpriority", $"rk")
+    }),
+
     // ---- q56: salted join under key skew — orders⋈lineitem through
     // Graft.saltedJoin (big side salted deterministically, small side
     // replicated saltFactor times), aggregated after: results must equal
@@ -455,6 +476,19 @@ object Extras {
         |  ('view', 151, 150, 0.00667, TRUE))
         |  g(event_type, approx_users, exact_users, rel_err, pass)
         |ORDER BY event_type""".stripMargin,
+
+    // top-k-agg twin: the rank window the aggregate replaces
+    "q199_topk_agg" ->
+      """SELECT o_orderpriority, CAST(rk AS BIGINT) AS rk, cents, o_orderkey
+        |FROM (
+        |  SELECT o_orderpriority,
+        |    CAST(round(o_totalprice * 100) AS BIGINT) AS cents, o_orderkey,
+        |    row_number() OVER (PARTITION BY o_orderpriority
+        |      ORDER BY CAST(round(o_totalprice * 100) AS BIGINT) DESC,
+        |        o_orderkey) AS rk
+        |  FROM orders)
+        |WHERE rk <= 3
+        |ORDER BY o_orderpriority, rk""".stripMargin,
 
     "q104_hll_union" ->
       """SELECT CAST(500 AS BIGINT) AS approx_global,

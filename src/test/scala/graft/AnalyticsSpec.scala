@@ -288,4 +288,27 @@ class AnalyticsSpec extends AnyFunSuite {
       depth = 2, width = 2).collect().head
     assert(out3.getLong(0) >= 7L && out3.getBoolean(2))
   }
+
+  test("TopKPairAgg equals the rank window under any partial split, ties broken by id") {
+    val agg = new graft.functions.TopKPairAgg(3)
+    val xs = Seq((5L, 10L), (9L, 11L), (5L, 9L), (9L, 12L), (1L, 13L),
+      (9L, 11L), (7L, 14L))
+    // reference: v desc, id asc, multiset semantics (duplicate (9,11) kept)
+    val want = xs.sortBy { case (v, i) => (-v, i) }.take(3)
+    assert(xs.foldLeft(agg.zero)(agg.reduce).toSeq === want)
+    for (cut <- 0 to xs.length) {
+      val (l, r) = xs.splitAt(cut)
+      val m = agg.merge(l.foldLeft(agg.zero)(agg.reduce),
+        r.foldLeft(agg.zero)(agg.reduce))
+      assert(m.toSeq === want, s"cut=$cut")
+    }
+  }
+
+  test("q199 plans a bounded aggregate, not a rank window over the fact rows") {
+    val s = spark
+    val plan = graft.SparkEntry.queries("q199_topk_agg")(s, "/root/testdata/sf0.001")
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Window"), plan)
+    assert(plan.contains("Aggregate"), plan)
+  }
 }
