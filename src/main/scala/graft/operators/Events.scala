@@ -100,6 +100,36 @@ object Events {
         .orderBy($"channel")
     }),
 
+    // ---- q200: behavioral bot screening — the event-stream hygiene
+    // audit run before any engagement analysis: per user, volume,
+    // type diversity, activity span, EXACT median inter-event gap
+    // (lag diff + percentile — the even-count midpoint is (a+b)/2, a
+    // division by two that is always float-exact, so the gate holds),
+    // and peak events-per-minute burst. Flags = machine-like cadence:
+    // burst ≥ 20/min or median gap ≤ 500 ms. Two keyed shuffles on
+    // user_id total (gaps window + final agg; the burst count folds
+    // into the same agg via a minute-bucket subaggregate). ----
+    "q200_bot_screen" -> ((s, dir) => {
+      import s.implicits._
+      val e = t(s, dir, "events").select($"user_id", $"event_type",
+        unix_micros($"ts").as("us"), $"event_id")
+      val w = Window.partitionBy($"user_id").orderBy($"us", $"event_id")
+      val gaps = e.withColumn("gap", $"us" - lag($"us", 1).over(w))
+      val perMin = e.groupBy($"user_id", expr("us div 60000000").as("minute"))
+        .agg(count(lit(1)).as("n_min"))
+        .groupBy($"user_id").agg(max($"n_min").as("burst_per_min"))
+      val stats = gaps.groupBy($"user_id").agg(
+        count(lit(1)).as("n_events"),
+        count_distinct($"event_type").as("n_types"),
+        (max($"us") - min($"us")).as("span_us"),
+        expr("percentile(gap, 0.5)").as("median_gap_us"))
+      stats.join(perMin, Seq("user_id"))
+        .withColumn("is_bot",
+          $"burst_per_min" >= 20L ||
+            (col("median_gap_us").isNotNull && col("median_gap_us") <= 500000.0))
+        .orderBy($"user_id")
+    }),
+
     // ---- q51: batch twin of the arbitrary-stateful running totals (T4,
     // EventStreams.runningTotals): the final state per user equals the
     // plain aggregate — decimal-exact sum per the float policy. ----
@@ -199,6 +229,33 @@ object Events {
         |WHERE p.event_type = 'purchase' AND c.event_type = 'click'
         |  AND c.ts >= p.ts - INTERVAL 1 HOUR AND c.ts < p.ts
         |ORDER BY purchase_id, click_id""".stripMargin,
+
+    // bot-screen twin: identical gap/burst/median algebra (DuckDB median
+    // = Spark percentile 0.5 — both midpoint-average on even counts,
+    // which is float-exact)
+    "q200_bot_screen" ->
+      """WITH e AS (
+        |  SELECT user_id, event_type, epoch_us(ts) AS us, event_id FROM events),
+        |g AS (
+        |  SELECT user_id, event_type, us,
+        |    us - lag(us) OVER (PARTITION BY user_id ORDER BY us, event_id) AS gap
+        |  FROM e),
+        |pm AS (
+        |  SELECT user_id, CAST(MAX(n_min) AS BIGINT) AS burst_per_min FROM (
+        |    SELECT user_id, us // 60000000 AS minute, COUNT(*) AS n_min
+        |    FROM e GROUP BY 1, 2) GROUP BY user_id),
+        |st AS (
+        |  SELECT user_id, COUNT(*) AS n_events,
+        |    CAST(COUNT(DISTINCT event_type) AS BIGINT) AS n_types,
+        |    MAX(us) - MIN(us) AS span_us,
+        |    CAST(median(gap) AS DOUBLE) AS median_gap_us
+        |  FROM g GROUP BY user_id)
+        |SELECT st.user_id, st.n_events, st.n_types, st.span_us,
+        |  st.median_gap_us, pm.burst_per_min,
+        |  (pm.burst_per_min >= 20 OR (st.median_gap_us IS NOT NULL
+        |    AND st.median_gap_us <= 500000.0)) AS is_bot
+        |FROM st JOIN pm ON pm.user_id = st.user_id
+        |ORDER BY st.user_id""".stripMargin,
 
     // attribution twin: identical integer credit split (1000 // m,
     // remainder to the earliest touch by (ts, id) order)

@@ -83,4 +83,30 @@ class EventsAnalyticsSpec extends AnyFunSuite {
     val convs = out.map(_._1).distinct.length
     assert(out.map(_._4).sum === convs * 1000L)
   }
+
+  test("bot screen flags machine cadence and handles single-event users") {
+    val s = spark; import s.implicits._
+    import java.sql.Timestamp
+    def ts(ms: Long) = new Timestamp(1700000000000L + ms)
+    // user 1: 25 events in one minute (burst bot); user 2: human pace;
+    // user 3: single event (null median gap, not a bot)
+    val rows =
+      (1 to 25).map(i => (1L, "view", ts(i * 100L), 100L + i)) ++
+      Seq((2L, "view", ts(0L), 201L), (2L, "click", ts(120000L), 202L),
+        (2L, "view", ts(360000L), 203L)) ++
+      Seq((3L, "view", ts(0L), 301L))
+    val df = rows.toDF("user_id", "event_type", "ts", "event_id")
+    // run the registered query shape against a temp dir is not needed -
+    // replicate through the same SparkEntry body requires a dir; instead
+    // write the frame to a temp parquet 'events' table
+    val dir = java.nio.file.Files.createTempDirectory("graft_botscreen_").toString
+    df.write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val out = graft.SparkEntry.queries("q200_bot_screen")(s, dir)
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(6 - 1), r.getBoolean(6))).toMap
+    assert(out(1L)._1 === 25L)
+    assert(out(1L)._3 === true)   // 25 events in one minute
+    assert(out(2L)._3 === false)  // 2-minute median gap, burst 1
+    assert(out(3L)._3 === false)  // single event: null gap, burst 1
+  }
 }
