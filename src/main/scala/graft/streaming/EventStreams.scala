@@ -126,6 +126,35 @@ object EventStreams {
       .toDF("user_id", "total_events", "total_value")
   }
 
+  /** Streaming bounded top-k per key — the q199 aggregate's streaming
+    * twin: per-key state is the SAME k-row TopKPairAgg buffer the batch
+    * plan keeps per partition, updated by the same `reduce`, so at any
+    * point the streaming state equals the batch aggregate over the rows
+    * seen so far (StreamingSpec asserts the equivalence after multiple
+    * batches). State is k rows per key FOREVER — O(keys·k), the bound
+    * that makes an all-time leaderboard viable on an unbounded stream
+    * where a windowed rank would either sort history or forget it. */
+  def topkPerType(events: DataFrame, k: Int = 3): DataFrame = {
+    import org.apache.spark.sql.streaming.GroupStateTimeout
+    val spark = events.sparkSession
+    import spark.implicits._
+    val agg = new graft.functions.TopKPairAgg(k)
+    events
+      .selectExpr("event_type", "cast(round(value * 100) as long) as cents",
+        "event_id")
+      .as[(String, Long, Long)]
+      .groupByKey(_._1)
+      .mapGroupsWithState[Array[(Long, Long)], (String, Seq[Long], Seq[Long])](
+        GroupStateTimeout.NoTimeout) {
+        case (ty, rows, state) =>
+          var buf = state.getOption.getOrElse(agg.zero)
+          rows.foreach { r => buf = agg.reduce(buf, (r._2, r._3)) }
+          state.update(buf)
+          (ty, buf.map(_._1).toSeq, buf.map(_._2).toSeq)
+      }
+      .toDF("event_type", "top_cents", "top_ids")
+  }
+
   /** Session summaries via flatMapGroupsWithState + EVENT-TIME TIMEOUT —
     * the state-TTL pattern [[runningTotals]]' NoTimeout form doesn't
     * cover: an open per-user session extends while events keep arriving

@@ -361,4 +361,40 @@ class StreamingSpec extends AnyFunSuite {
       ("2024-01-01 00:00:00.0", 3L, 1L, 1L, 0L),
       ("2024-01-01 01:00:00.0", 1L, 0L, 0L, 1L)))
   }
+
+  test("streaming top-k state equals the batch aggregate after every batch") {
+    val s = spark
+    import s.implicits._
+    implicit val sc = s.sqlContext
+    val mem = MemoryStream[Ev]
+    val batch1 = Seq(
+      Ev(1, ts(1), 1, "click", 5.0), Ev(2, ts(2), 1, "click", 9.0),
+      Ev(3, ts(3), 1, "click", 1.0), Ev(4, ts(4), 1, "view", 7.0))
+    val batch2 = Seq(
+      Ev(5, ts(5), 1, "click", 9.0),  // ties 9.00: id order decides
+      Ev(6, ts(6), 1, "click", 8.0), Ev(7, ts(7), 1, "view", 2.0))
+    mem.addData(batch1: _*)
+    val q = EventStreams.topkPerType(mem.toDF, k = 3)
+      .writeStream.format("memory").queryName("topk").outputMode("update").start()
+    q.processAllAvailable()
+    mem.addData(batch2: _*)
+    q.processAllAvailable()
+    q.stop()
+    // last update per key reflects ALL rows seen - equals the batch
+    // TopKPairAgg over both batches
+    val agg = new graft.functions.TopKPairAgg(3)
+    val all = (batch1 ++ batch2)
+    def want(ty: String) = all.filter(_.event_type == ty)
+      .map(e => (math.round(e.value * 100), e.event_id))
+      .foldLeft(agg.zero)(agg.reduce).toSeq
+    val rows = s.sql("SELECT * FROM topk").collect()
+    // memory sink in update mode appends each update; take the LAST row
+    // per event_type
+    val last = rows.zipWithIndex.groupBy(_._1.getString(0))
+      .map { case (k, v) => k -> v.maxBy(_._2)._1 }
+    def got(ty: String) = last(ty).getSeq[Long](1).zip(last(ty).getSeq[Long](2))
+    assert(got("click") === want("click"))
+    assert(got("view") === want("view"))
+    assert(want("click") === Seq((900L, 2L), (900L, 5L), (800L, 6L)))
+  }
 }
