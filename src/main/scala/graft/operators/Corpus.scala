@@ -43,6 +43,41 @@ object Corpus {
         .orderBy(col("source_a"), col("source_b"))
     }),
 
+    // ---- q201: incremental sketch maintenance — the workflow q184's
+    // sketches exist FOR: two ingest batches (doc_id parity) build
+    // per-source KMV sketches independently; the stored sketches merge
+    // by pure array algebra (union → sort → first k, no raw data), and
+    // the query asserts IN-BAND that the merged sketch equals the
+    // full-corpus rebuild, per source. The oracle rebuilds the full
+    // sketch from raw shingles and expects merge_equals_full = TRUE —
+    // if the merge algebra dropped or invented a hash anywhere, the
+    // boolean (and the sketch md5) flip and the gate goes red. ----
+    "q201_kmv_incremental" -> ((s, dir) => {
+      graft.functions.GraftFunctions.register(s)
+      val docs = t(s, dir, "documents")
+      def sk(df: org.apache.spark.sql.DataFrame) = df
+        .select(col("source").as("__g"),
+          explode(expr("shingle_set(`text`, 3)")).as("__s"))
+        .select(col("__g"), call_function("md5_lower64", col("__s"))
+          .bitwiseAND(lit(Long.MaxValue)).as("__h"))
+        .groupBy(col("__g")).agg(call_function("kmv_agg128", col("__h")).as("sk"))
+      val a = sk(docs.filter(col("doc_id") % 2 === 0)).withColumnRenamed("sk", "ska")
+      val b = sk(docs.filter(col("doc_id") % 2 =!= 0)).withColumnRenamed("sk", "skb")
+      val full = sk(docs).withColumnRenamed("sk", "skf")
+      def md5Of(c: org.apache.spark.sql.Column) =
+        md5(expr(s"concat_ws(',', transform(${c.toString}, x -> cast(x as string)))"))
+      a.join(b, Seq("__g"), "full")
+        .withColumn("merged", slice(array_sort(array_union(
+          coalesce(col("ska"), expr("array()")),
+          coalesce(col("skb"), expr("array()")))), 1, 128))
+        .join(full, Seq("__g"))
+        .select(col("__g").as("source"),
+          size(col("merged")).cast(LongType).as("k_merged"),
+          md5Of(col("merged")).as("sketch_md5"),
+          (md5Of(col("merged")) === md5Of(col("skf"))).as("merge_equals_full"))
+        .orderBy(col("source"))
+    }),
+
     // ---- q189: contrastive negative sampling — every 10th doc anchors
     // k=4 hash-drawn partners from the full corpus (md5(id:j) mod N into
     // the dense id domain): the training-pair generator for contrastive
@@ -392,6 +427,29 @@ object Corpus {
         |FROM draws JOIN documents p ON p.doc_id = draws.neg_id
         |WHERE neg_id <> anchor_id
         |ORDER BY anchor_id, j""".stripMargin,
+
+    // incremental-sketch twin: the full-corpus sketch rebuilt from raw
+    // shingles; merge_equals_full is expected TRUE — the Spark side
+    // computes it from its own two batch paths, so a broken merge flips
+    // the boolean (and the md5) into a hash mismatch
+    "q201_kmv_incremental" ->
+      """WITH toks AS (
+        |  SELECT source, string_split(trim(text), ' ') AS t FROM documents),
+        |sh AS (
+        |  SELECT DISTINCT source,
+        |    CAST(md5_number_lower(t[i] || chr(0) || t[i+1] || chr(0) || t[i+2])
+        |         & 9223372036854775807::UBIGINT AS BIGINT) AS h
+        |  FROM (SELECT source, t, unnest(generate_series(1, greatest(len(t) - 2, 0))) AS i
+        |        FROM toks)),
+        |sk AS (
+        |  SELECT source, h FROM (
+        |    SELECT source, h, row_number() OVER (PARTITION BY source ORDER BY h) AS rn
+        |    FROM sh) WHERE rn <= 128)
+        |SELECT source, CAST(COUNT(*) AS BIGINT) AS k_merged,
+        |  md5(string_agg(CAST(h AS VARCHAR), ',' ORDER BY h)) AS sketch_md5,
+        |  TRUE AS merge_equals_full
+        |FROM sk GROUP BY source
+        |ORDER BY source""".stripMargin,
 
     // HRW twin: the oracle computes each rendezvous argmax with an
     // explode + window (semantically identical to the plan's
