@@ -143,6 +143,23 @@ object TextAnalysis {
         .orderBy($"doc_id")
     }),
 
+    // ---- q202: langid confusion matrix — the eval family (q164) turned
+    // on a pipeline operator's own output: q29's heuristic predictions
+    // vs the labeled lang column, as per-(actual, predicted) counts with
+    // per-class recall (integer cross-checkable via n/row totals). The
+    // audit that tells you WHERE the classifier bleeds (which language
+    // pairs confuse), not just the q29 accuracy bit. ----
+    "q202_langid_confusion" -> ((s, dir) => {
+      import s.implicits._
+      val preds = langidPred(s, dir)
+      val rowTotals = preds.groupBy($"lang").agg(count(lit(1)).as("n_actual"))
+      preds.groupBy($"lang", $"pred_lang").agg(count(lit(1)).as("n"))
+        .join(rowTotals, Seq("lang"))
+        .select($"lang", $"pred_lang", $"n", $"n_actual",
+          ($"n".cast(DoubleType) / $"n_actual".cast(DoubleType)).as("frac_of_actual"))
+        .orderBy($"lang", $"pred_lang")
+    }),
+
     // ---- q30: quality scoring ----
     // All counts come from ONE code-point scan (text_stats — see
     // TextStatsKernel for the exact-regex-equivalence argument); the old
@@ -413,6 +430,17 @@ object TextAnalysis {
         |ORDER BY d.doc_id""".stripMargin,
 
     "q29_langid" -> langidSql,
+
+    // confusion twin: identical marker-count predictions, plain counts,
+    // one double division per cell
+    "q202_langid_confusion" ->
+      s"""WITH preds AS ($langidPredSql),
+         |rt AS (SELECT lang, COUNT(*) AS n_actual FROM preds GROUP BY lang)
+         |SELECT p.lang, p.pred_lang, COUNT(*) AS n, rt.n_actual,
+         |  CAST(COUNT(*) AS DOUBLE) / CAST(rt.n_actual AS DOUBLE) AS frac_of_actual
+         |FROM preds p JOIN rt ON rt.lang = p.lang
+         |GROUP BY p.lang, p.pred_lang, rt.n_actual
+         |ORDER BY p.lang, p.pred_lang""".stripMargin,
 
     "q30_text_quality" ->
       """WITH x AS (
