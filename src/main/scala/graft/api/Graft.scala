@@ -787,22 +787,6 @@ object Graft {
   def sampleByHash(df: DataFrame, key: Column, keepPermille: Int): DataFrame =
     sampleGate(df, key).filter(col("__gate") < keepPermille).drop("__gate")
 
-  /** Temperature-based source mixing (the α-sampling of multilingual /
-    * multi-source pre-training, e.g. mT5's α = 0.3 upweighting of small
-    * sources): source `s` receives a quota ∝ n_s^α of the `totalTarget`
-    * budget, flattening the natural size distribution, and the quota is
-    * filled with the n_s^α-rank smallest cross-engine md5 ranks
-    * ([[stratifiedSample]]'s determinism — no RNG, stable under
-    * repartition/retry/append).
-    *
-    * Shapes at 100 TB: one per-source count agg (tiny frame), quota math
-    * on that k-source frame (the only global window, over k rows — q83's
-    * already-aggregated pattern), one rank window partitioned by source.
-    * The default α = 0.5 computes weights with `sqrt`, which IEEE
-    * requires correctly rounded — bit-identical across engines, so
-    * quotas are oracle-exact; other α use `pow`, where libm last-ulp
-    * differences could shift a knife-edge quota by one. Returns the kept
-    * rows with their per-source `rk`. */
   /** Deterministic negative sampling for contrastive training pairs:
     * each anchor row draws `k` pseudo-random partners by hashing
     * (anchor id, draw index) into the dense id domain [0, N) —
@@ -844,6 +828,22 @@ object Graft {
         payload.map(c => col(s"neg_$c")): _*)
   }
 
+  /** Temperature-based source mixing (the α-sampling of multilingual /
+    * multi-source pre-training, e.g. mT5's α = 0.3 upweighting of small
+    * sources): source `s` receives a quota ∝ n_s^α of the `totalTarget`
+    * budget, flattening the natural size distribution, and the quota is
+    * filled with the n_s^α-rank smallest cross-engine md5 ranks
+    * ([[stratifiedSample]]'s determinism — no RNG, stable under
+    * repartition/retry/append).
+    *
+    * Shapes at 100 TB: one per-source count agg (tiny frame), quota math
+    * on that k-source frame (the only global window, over k rows — q83's
+    * already-aggregated pattern), one rank window partitioned by source.
+    * The default α = 0.5 computes weights with `sqrt`, which IEEE
+    * requires correctly rounded — bit-identical across engines, so
+    * quotas are oracle-exact; other α use `pow`, where libm last-ulp
+    * differences could shift a knife-edge quota by one. Returns the kept
+    * rows with their per-source `rk`. */
   def temperatureMix(df: DataFrame, sourceCol: String, idCol: String,
       totalTarget: Long, alpha: Double = 0.5): DataFrame = {
     graft.functions.GraftFunctions.register(df.sparkSession)
@@ -2226,9 +2226,12 @@ object Graft {
         col(sCol).cast(LongType).as(s"${p}_s"), col(eCol).cast(LongType).as(s"${p}_e"))
       .filter(col(s"${p}_s") < col(s"${p}_e"))
       // fail LOUDLY on absurd spans (a corrupt timestamp would otherwise
-      // explode one row into millions of bucket replicas mid-job)
+      // explode one row into millions of bucket replicas mid-job); the
+      // guard uses the SAME integer div as the sequence() below so it is
+      // exact — a float formulation was off by one at the cap and could
+      // misjudge near 2^53 (review finding)
       .withColumn(s"${p}_e", when(
-        (col(s"${p}_e") / bucketUs) - (col(s"${p}_s") / bucketUs) > maxBucketsPerRow,
+        expr(s"(${p}_e div $bucketUs) - (${p}_s div $bucketUs)") > maxBucketsPerRow,
         raise_error(concat(lit(s"intervalOverlapJoin: interval for id="),
           col(s"${p}_id").cast(StringType),
           lit(s" spans more than $maxBucketsPerRow buckets of $bucketUs us — " +
@@ -2236,8 +2239,15 @@ object Graft {
         .otherwise(col(s"${p}_e")))
       .withColumn("__bk", explode(expr(
         s"sequence(${p}_s div $bucketUs, ${p}_e div $bucketUs)")))
+    // A pair sharing several buckets would emit once per shared bucket;
+    // keep only the match in the bucket containing the overlap START —
+    // each truly-overlapping pair matches in EXACTLY that one bucket, so
+    // no distinct() is needed. (A full-row distinct also collapsed pairs
+    // from genuinely duplicated input rows, diverging from the theta
+    // join this must reproduce — review finding — and cost a shuffle.)
     val cand = expand(a, "a").join(expand(b, "b"), Seq("__k", "__bk"))
-      .drop("__bk").distinct()
+      .filter(col("__bk") === expr(s"greatest(a_s, b_s) div $bucketUs"))
+      .drop("__bk")
     cand
       .withColumn("overlap_us",
         least(col("a_e"), col("b_e")) - greatest(col("a_s"), col("b_s")))
@@ -2276,8 +2286,14 @@ object Graft {
     while (round < maxDoubling && !converged) {
       val lk = st.select(col("node").as("anc"), col("anc").as("anc2"),
         col("d").as("d2"))
-      val next = cut(st.join(lk, Seq("anc"))
-        .select(col("node"), col("anc2").as("anc"), (col("d") + col("d2")).as("d")))
+      // LEFT join: a DANGLING parent pointer (anc references an id with
+      // no node row) has no lookup entry — the pointer simply cannot
+      // advance, the node keeps (anc, d), and it surfaces at the end
+      // with NULL root/depth. An inner join here silently dropped the
+      // node and its whole subtree (review finding).
+      val next = cut(st.join(lk, Seq("anc"), "left")
+        .select(col("node"), coalesce(col("anc2"), col("anc")).as("anc"),
+          (col("d") + coalesce(col("d2"), lit(0L))).as("d")))
       // converged when every pointer is at a root (its own anc = itself,
       // i.e. the jump changed nothing anywhere)
       converged = next.alias("n").join(st.alias("o"), Seq("node"))
@@ -3514,7 +3530,11 @@ object Graft {
     * the original rows. No self-join, no single-partition window, no
     * stage touching more than the distinct-x aggregate. */
   def skyline2d(df: DataFrame, xCol: String, yCol: String): DataFrame = {
-    val g = df.groupBy(col(xCol).as("__x"))
+    // dominance is undefined for NULL coordinates (SQL's NOT-EXISTS
+    // would vacuously keep them); exclude them instead of NPE-ing in
+    // the driver-side offset collect (review finding)
+    val clean = df.filter(col(xCol).isNotNull && col(yCol).isNotNull)
+    val g = clean.groupBy(col(xCol).as("__x"))
       .agg(max(col(yCol).cast(LongType)).as("__gy"))
     val staged = g.repartitionByRange(col("__x"))
       .withColumn("__pid", spark_partition_id())
@@ -3538,7 +3558,7 @@ object Graft {
           col("__prevmax")))
       .filter(col("__gy") > col("__cheaper"))
       .select(col("__x"), col("__gy"))
-    df.join(surv, col(xCol) === col("__x") &&
+    clean.join(surv, col(xCol) === col("__x") &&
         col(yCol).cast(LongType) === col("__gy"))
       .drop("__x", "__gy")
   }

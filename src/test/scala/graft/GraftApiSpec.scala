@@ -1366,6 +1366,15 @@ class GraftApiSpec extends AnyFunSuite {
       maxDoubling = 5).collect()
     assert(c.filter(r => r.getLong(0) <= 2L).forall(r => r.isNullAt(1) && r.isNullAt(2)))
     assert(c.find(_.getLong(0) == 4L).get.getLong(1) === 3L)
+    // a DANGLING parent pointer surfaces with NULL root/depth - it must
+    // never silently vanish (and neither may its subtree)
+    val dang = Seq((1L, Some(99L)), (5L, Some(1L)), (3L, None))
+      .toDF("node", "parent")
+    val d = graft.api.Graft.flattenHierarchy(dang, "node", "parent",
+      maxDoubling = 5).collect().map(r =>
+        r.getLong(0) -> (if (r.isNullAt(1)) None else Some(r.getLong(1)))).toMap
+    assert(d.keySet === Set(1L, 5L, 3L))
+    assert(d(1L).isEmpty && d(5L).isEmpty && d(3L) === Some(3L))
   }
 
   test("intervalOverlapJoin equals the theta join across bucket boundaries") {
@@ -1384,6 +1393,12 @@ class GraftApiSpec extends AnyFunSuite {
     assert(got === Seq((101L, 201L, 10L), (102L, 202L, 50L)))
     // different keys never pair even in the same bucket
     assert(!got.exists { case (x, y, _) => x == 103L || y == 203L })
+    // duplicated input ROWS keep their multiplicity (the theta join the
+    // oracle states would emit the pair once per duplicate)
+    val aDup = a.unionAll(a.filter($"id" === 101L))
+    val gotDup = graft.api.Graft.intervalOverlapJoin(aDup, b, "k", "s", "e", "id", 100L)
+      .select("a_id", "b_id").collect().map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
+    assert(gotDup === Seq((101L, 201L), (101L, 201L), (102L, 202L)))
     // a corrupt span fails loudly instead of exploding into replicas
     val corrupt = Seq((1L, 999L, 0L, Long.MaxValue / 2)).toDF("k", "id", "s", "e")
     val ex = intercept[Exception] {
