@@ -43,6 +43,49 @@ object Corpus {
         .orderBy(col("source_a"), col("source_b"))
     }),
 
+    // ---- q203: corpus-yield ledger — the per-source funnel report a
+    // training-data pipeline publishes with every release: raw docs →
+    // exact-dedup survivors (canonical = min doc_id per normalized-text
+    // fingerprint, so cross-source duplicates count once, at their
+    // canonical source) → length-quality survivors → decontamination
+    // survivors (fingerprint overlap with the held-out slice, doc_id %
+    // 97 = 0 playing eval), plus surviving whitespace-token volume.
+    // Every stage is an already-oracled primitive (q23 dedup rule, q58
+    // decontamination rule); the ledger gates their COMPOSITION and the
+    // per-stage loss accounting. All counts exact; one fingerprint
+    // shuffle + broadcast eval set. ----
+    "q203_corpus_yield" -> ((s, dir) => {
+      import s.implicits._
+      graft.functions.GraftFunctions.register(s)
+      val docs = t(s, dir, "documents").withColumn("fp",
+        md5(regexp_replace(lower(trim($"text")), "\\s+", " ")))
+      val canon = docs.groupBy($"fp").agg(min($"doc_id").as("keep_id"))
+        .withColumnRenamed("fp", "cfp")
+      val kept = docs.join(canon,
+        docs("fp") === canon("cfp") && docs("doc_id") === canon("keep_id"))
+        .select(docs("doc_id"), docs("source"), docs("text"), docs("fp"),
+          docs("n_chars"))
+      val evalFps = docs.filter($"doc_id" % 97 === 0)
+        .select($"fp".as("efp")).distinct()
+      val ledger = docs.groupBy($"source").agg(count(lit(1)).as("n_raw"))
+      val dedup = kept.groupBy($"source").agg(count(lit(1)).as("n_dedup"))
+      val qual = kept.filter($"n_chars" >= 100)
+      val qualAgg = qual.groupBy($"source").agg(count(lit(1)).as("n_quality"))
+      val clean = qual.join(evalFps, qual("fp") === evalFps("efp"), "left_anti")
+      val cleanAgg = clean.groupBy($"source").agg(
+        count(lit(1)).as("n_final"),
+        sum(expr("text_stats(text).ws_tokens")).as("final_tokens"))
+      ledger.join(dedup, Seq("source"), "left")
+        .join(qualAgg, Seq("source"), "left")
+        .join(cleanAgg, Seq("source"), "left")
+        .select($"source", $"n_raw",
+          coalesce($"n_dedup", lit(0L)).as("n_dedup"),
+          coalesce($"n_quality", lit(0L)).as("n_quality"),
+          coalesce($"n_final", lit(0L)).as("n_final"),
+          coalesce($"final_tokens", lit(0L)).as("final_tokens"))
+        .orderBy($"source")
+    }),
+
     // ---- q201: incremental sketch maintenance — the workflow q184's
     // sketches exist FOR: two ingest batches (doc_id parity) build
     // per-source KMV sketches independently; the stored sketches merge
@@ -427,6 +470,38 @@ object Corpus {
         |FROM draws JOIN documents p ON p.doc_id = draws.neg_id
         |WHERE neg_id <> anchor_id
         |ORDER BY anchor_id, j""".stripMargin,
+
+    // yield-ledger twin: q23's normalization/canonical rule, q58's
+    // fingerprint decontamination, q31's token regex — composed
+    "q203_corpus_yield" ->
+      """WITH d AS (
+        |  SELECT doc_id, source, text, n_chars,
+        |    md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fp
+        |  FROM documents),
+        |canon AS (SELECT fp, MIN(doc_id) AS keep_id FROM d GROUP BY fp),
+        |kept AS (SELECT d.* FROM d
+        |         JOIN canon ON canon.fp = d.fp AND canon.keep_id = d.doc_id),
+        |evalf AS (SELECT DISTINCT fp FROM d WHERE doc_id % 97 = 0),
+        |qual AS (SELECT * FROM kept WHERE n_chars >= 100),
+        |clean AS (SELECT q.* FROM qual q
+        |          WHERE NOT EXISTS (SELECT 1 FROM evalf e WHERE e.fp = q.fp)),
+        |raw AS (SELECT source, COUNT(*) AS n_raw FROM d GROUP BY source),
+        |dd AS (SELECT source, COUNT(*) AS n_dedup FROM kept GROUP BY source),
+        |qq AS (SELECT source, COUNT(*) AS n_quality FROM qual GROUP BY source),
+        |cc AS (SELECT source, COUNT(*) AS n_final,
+        |         CAST(SUM(len(regexp_extract_all(text, '\S+'))) AS BIGINT)
+        |           AS final_tokens
+        |       FROM clean GROUP BY source)
+        |SELECT raw.source, raw.n_raw,
+        |  CAST(COALESCE(dd.n_dedup, 0) AS BIGINT) AS n_dedup,
+        |  CAST(COALESCE(qq.n_quality, 0) AS BIGINT) AS n_quality,
+        |  CAST(COALESCE(cc.n_final, 0) AS BIGINT) AS n_final,
+        |  CAST(COALESCE(cc.final_tokens, 0) AS BIGINT) AS final_tokens
+        |FROM raw
+        |LEFT JOIN dd USING (source)
+        |LEFT JOIN qq USING (source)
+        |LEFT JOIN cc USING (source)
+        |ORDER BY source""".stripMargin,
 
     // incremental-sketch twin: the full-corpus sketch rebuilt from raw
     // shingles; merge_equals_full is expected TRUE — the Spark side
