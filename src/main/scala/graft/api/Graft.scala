@@ -14,10 +14,18 @@ object Graft {
 
   // ------------------------------------------------------------- dedup
 
+  /** THE canonical-dedup fingerprint: md5 of whitespace-collapsed,
+    * lowercased, trimmed text. Every consumer of the exact-dedup rule
+    * (dedupExact, dedupKeepBest, q23, the q203 yield ledger) derives its
+    * fingerprint HERE so the normalization can never silently diverge
+    * between the dedup and anything accounting for it. */
+  def normFp(text: Column): Column =
+    md5(regexp_replace(lower(trim(text)), "\\s+", " "))
+
   /** Exact dedup on normalized text: keeps the smallest id per duplicate
     * group. One shuffle on a 128-bit hash. */
   def dedupExact(df: DataFrame, textCol: String, idCol: String): DataFrame =
-    df.groupBy(md5(regexp_replace(lower(trim(col(textCol))), "\\s+", " ")).as("fp"))
+    df.groupBy(normFp(col(textCol)).as("fp"))
       .agg(min(col(idCol)).as(idCol), count(lit(1)).as("n_copies"))
       .drop("fp")
 
@@ -266,7 +274,7 @@ object Graft {
   def dedupKeepBest(df: DataFrame, textCol: String, idCol: String,
       scoreCol: String): DataFrame = {
     val w = Window
-      .partitionBy(md5(regexp_replace(lower(trim(col(textCol))), "\\s+", " ")))
+      .partitionBy(normFp(col(textCol)))
       .orderBy(col(scoreCol).desc, col(idCol))
     df.withColumn("__rn", row_number().over(w))
       .filter(col("__rn") === 1).drop("__rn")
@@ -2230,8 +2238,10 @@ object Graft {
       // guard uses the SAME integer div as the sequence() below so it is
       // exact — a float formulation was off by one at the cap and could
       // misjudge near 2^53 (review finding)
+      // replicas = div-difference + 1, so error at diff >= cap ("more
+      // than maxBucketsPerRow buckets" is exact, no off-by-one)
       .withColumn(s"${p}_e", when(
-        expr(s"(${p}_e div $bucketUs) - (${p}_s div $bucketUs)") > maxBucketsPerRow,
+        expr(s"(${p}_e div $bucketUs) - (${p}_s div $bucketUs)") >= maxBucketsPerRow,
         raise_error(concat(lit(s"intervalOverlapJoin: interval for id="),
           col(s"${p}_id").cast(StringType),
           lit(s" spans more than $maxBucketsPerRow buckets of $bucketUs us — " +
@@ -3532,8 +3542,11 @@ object Graft {
   def skyline2d(df: DataFrame, xCol: String, yCol: String): DataFrame = {
     // dominance is undefined for NULL coordinates (SQL's NOT-EXISTS
     // would vacuously keep them); exclude them instead of NPE-ing in
-    // the driver-side offset collect (review finding)
-    val clean = df.filter(col(xCol).isNotNull && col(yCol).isNotNull)
+    // the driver-side offset collect. The y filter is on the CAST value,
+    // so a non-numeric y (cast → null) is excluded too, not just SQL
+    // NULLs (review finding).
+    val clean = df.filter(col(xCol).isNotNull &&
+      col(yCol).cast(LongType).isNotNull)
     val g = clean.groupBy(col(xCol).as("__x"))
       .agg(max(col(yCol).cast(LongType)).as("__gy"))
     val staged = g.repartitionByRange(col("__x"))

@@ -57,8 +57,14 @@ object Corpus {
     "q203_corpus_yield" -> ((s, dir) => {
       import s.implicits._
       graft.functions.GraftFunctions.register(s)
-      val docs = t(s, dir, "documents").withColumn("fp",
-        md5(regexp_replace(lower(trim($"text")), "\\s+", " ")))
+      // materialize the fingerprinted projection ONCE: four consumer
+      // subtrees (canonical rule, kept join probe, eval slice, raw
+      // counts) would otherwise each re-scan the corpus and re-md5
+      // every document (review finding)
+      val docs = t(s, dir, "documents")
+        .select($"doc_id", $"source", $"text", $"n_chars",
+          graft.api.Graft.normFp($"text").as("fp"))
+        .localCheckpoint()
       val canon = docs.groupBy($"fp").agg(min($"doc_id").as("keep_id"))
         .withColumnRenamed("fp", "cfp")
       val kept = docs.join(canon,

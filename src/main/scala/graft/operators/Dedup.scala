@@ -121,7 +121,7 @@ object Dedup {
     // ---- q23: exact dedup on normalized text ----
     "q23_dedup_exact" -> ((s, dir) => {
       t(s, dir, "documents")
-        .groupBy(md5(regexp_replace(lower(trim(col("text"))), "\\s+", " ")).as("fp"))
+        .groupBy(graft.api.Graft.normFp(col("text")).as("fp"))
         .agg(min(col("doc_id")).as("keep_id"), count(lit(1)).as("n_copies"))
         .select(col("keep_id"), col("n_copies"))
         .orderBy(col("keep_id"))
