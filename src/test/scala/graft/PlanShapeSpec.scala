@@ -487,4 +487,13 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(!p.contains("SortMergeJoin"), p)
     assert(!p.contains("CartesianProduct"), p)
   }
+
+  test("q204 five-table rollup broadcasts every dimension chain") {
+    val p = planOf("q204_five_table_join")
+    assert(p.contains("BroadcastHashJoin"), p)
+    // the only shuffle join allowed is lineitem-orders (both fact-sized);
+    // dims must never sort-merge
+    assert(p.sliding("SortMergeJoin".length).count(_ == "SortMergeJoin") <= 1, p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
 }
