@@ -157,6 +157,29 @@ object Dedup {
         .orderBy(col("da"), col("db"))
     }),
 
+    // ---- q205: Jaccard threshold sweep — the calibration report run
+    // before fixing a dedup threshold: pair counts at 0.5/0.6/0.7/0.8/
+    // 0.9 from ONE capped intersect computation (the threshold only
+    // filters; candidate generation is shared — the reason a sweep
+    // costs the same as a single threshold). Integer cross-multiplied
+    // comparisons at every level; thresholds with zero pairs still
+    // appear with n_pairs = 0. ----
+    "q205_jaccard_threshold_sweep" -> ((s, dir) => {
+      import s.implicits._
+      val pairs = graft.api.Graft.nearDupPairsExact(t(s, dir, "documents"),
+          "text", "doc_id", num = 1, den = 2, maxShingleDf = Some(20))
+        .select(col("i"), (col("na") + col("nb") - col("i")).as("u"))
+      val th = Seq((1, 2), (3, 5), (7, 10), (4, 5), (9, 10))
+        .toDF("nu", "de")
+      val counts = pairs.crossJoin(broadcast(th))
+        .filter(col("de") * col("i") >= col("nu") * col("u"))
+        .groupBy(col("nu"), col("de")).agg(count(lit(1)).as("n_pairs"))
+      th.join(counts, Seq("nu", "de"), "left")
+        .select(expr("(nu * 1000) div de").as("threshold_permille"),
+          coalesce(col("n_pairs"), lit(0L)).as("n_pairs"))
+        .orderBy(col("threshold_permille"))
+    }),
+
     // ---- q195: Fellegi–Sunter linkage scoring — the probabilistic layer
     // over q78's equality blocks: each blocked pair gets a match score
     // Σ_field ln(m/u) (agree) or ln((1−m)/(1−u)) (disagree) under
@@ -446,6 +469,37 @@ object Dedup {
         |GROUP BY md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'))
         |ORDER BY keep_id""".stripMargin,
     "q24_dedup_ngram_jaccard" -> exactJaccardPairsSql,
+
+    // sweep twin: the q24 capped pair computation, counted at each
+    // threshold (VALUES frame left-joined so empty levels emit 0)
+    "q205_jaccard_threshold_sweep" ->
+      """WITH toks AS (
+        |  SELECT doc_id, string_split(trim(text), ' ') AS t FROM documents
+        |), sh0 AS (
+        |  SELECT DISTINCT doc_id, t[i] || chr(0) || t[i+1] || chr(0) || t[i+2] AS s
+        |  FROM (SELECT doc_id, t, unnest(generate_series(1, greatest(len(t) - 2, 0))) AS i FROM toks)
+        |), sh AS (
+        |  SELECT sh0.* FROM sh0
+        |  JOIN (SELECT s FROM sh0 GROUP BY s HAVING COUNT(*) <= 20) keep USING (s)
+        |), sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id
+        |), inter AS (
+        |  SELECT a.doc_id AS da, b.doc_id AS db, COUNT(*) AS i
+        |  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+        |  GROUP BY 1, 2
+        |), pairs AS (
+        |  SELECT i, sa.n + sb.n - i AS u FROM inter
+        |  JOIN sizes sa ON sa.doc_id = da
+        |  JOIN sizes sb ON sb.doc_id = db
+        |), th(nu, de) AS (VALUES (1, 2), (3, 5), (7, 10), (4, 5), (9, 10)),
+        |counts AS (
+        |  SELECT th.nu, th.de, COUNT(*) AS n_pairs
+        |  FROM pairs CROSS JOIN th
+        |  WHERE th.de * pairs.i >= th.nu * pairs.u
+        |  GROUP BY th.nu, th.de)
+        |SELECT CAST((th.nu * 1000) // th.de AS BIGINT) AS threshold_permille,
+        |  CAST(COALESCE(counts.n_pairs, 0) AS BIGINT) AS n_pairs
+        |FROM th LEFT JOIN counts ON counts.nu = th.nu AND counts.de = th.de
+        |ORDER BY threshold_permille""".stripMargin,
 
     // brute-force bigram Jaccard with NO filter: the plan's prefix
     // pruning must be invisible in the result
