@@ -2787,35 +2787,83 @@ object Graft {
     * depth; peeling converges monotonically, so extra rounds are
     * no-ops once stable). Returns surviving (node, degree).
     *
-    * 100 TB shape: per round one degree aggregate (map-side partials)
-    * and two semi-joins keyed on the endpoint — never a cartesian,
-    * never driver traffic; the edge table only shrinks. Lineage cut
-    * every 5 rounds, or every round under the reliable-checkpoint
-    * durability switch shared with [[pageRank]]. */
+    * 100 TB shape (r9 rewrite — incremental degrees, zero edge-sized
+    * shuffles per round): the r8 form re-filtered the full edge list
+    * with two semi-joins per round AND, with lineage cut only every 5
+    * rounds, re-evaluated each prior round ~3× per level (~3^rounds
+    * replays of round 0 — measured as the slowest query of the r8 sf1
+    * ladder). Peeling only ever needs DEGREES, and a survivor's induced
+    * degree changes by exactly its count of newly-removed neighbors, so
+    * the adjacency is now built ONCE (canonical-orientation distinct,
+    * then symmetric doubling — dedup before doubling halves the distinct)
+    * and cached hash-partitioned by the probe key; each round is
+    *   rem   = degree rows that fell below k          (node-sized filter)
+    *   delta = adj ⋈ rem on nbr → count per node      (adj probed from
+    *           cache; rem is the small side — AQE broadcasts it after
+    *           the first peel, so the full edge list is never
+    *           re-shuffled; only the incident-edge subset aggregates)
+    *   deg   = survivors.left-join(delta), __d − __rm  (node-sized)
+    * The degree table is materialized per round (it feeds three
+    * consumers), so total work is linear in rounds. Removed-set
+    * disjointness across rounds makes the subtraction exact — a
+    * neighbor removed in round r is gone from the degree table and can
+    * never be subtracted twice. Never a cartesian, never driver
+    * traffic. Materialization is executor-storage persist, or reliable
+    * `checkpoint` under the `checkpointDir` durability switch shared
+    * with [[pageRank]]; the working set is unpersisted on exit, the
+    * node-sized result is checkpointed. */
   def kCore(edges: DataFrame, srcCol: String, dstCol: String, k: Int,
       rounds: Int = 3, checkpointDir: Option[String] = None): DataFrame = {
     require(k >= 1, s"kCore needs k >= 1, got $k")
     require(rounds >= 1, s"kCore needs rounds >= 1, got $rounds")
     checkpointDir.foreach(edges.sparkSession.sparkContext.setCheckpointDir)
-    def cut(df: DataFrame): DataFrame =
-      if (checkpointDir.isDefined) df.checkpoint() else df.localCheckpoint()
-    val und = edges.select(col(srcCol).cast(StringType).as("a"),
-        col(dstCol).cast(StringType).as("b"))
+    def mat(df: DataFrame): DataFrame =
+      if (checkpointDir.isDefined) df.checkpoint()
+      else {
+        val p = df.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        p.count()
+        p
+      }
+    // Canonical orientation first: (least, greatest) + distinct dedups
+    // BEFORE the symmetric doubling, so the doubled list needs no second
+    // distinct (unioning both directions of unique a<b pairs cannot
+    // collide) — one edge shuffle of setup instead of two.
+    val canon = edges.select(
+        least(col(srcCol).cast(StringType), col(dstCol).cast(StringType)).as("a"),
+        greatest(col(srcCol).cast(StringType), col(dstCol).cast(StringType)).as("b"))
       .filter(col("a").isNotNull && col("b").isNotNull && col("a") =!= col("b"))
       .distinct()
-    var e = cut(und.select(col("a").as("node"), col("b").as("nbr"))
-      .unionAll(und.select(col("b").as("node"), col("a").as("nbr")))
-      .distinct())
+    val adj = mat(canon.select(col("a").as("node"), col("b").as("nbr"))
+      .unionAll(canon.select(col("b").as("node"), col("a").as("nbr")))
+      .repartition(col("nbr")))
+    var deg = mat(adj.groupBy(col("node")).agg(count(lit(1)).as("__d")))
     var r = 0
     while (r < rounds) {
-      val keep = e.groupBy(col("node")).agg(count(lit(1)).as("__d"))
-        .filter(col("__d") >= k).select(col("node"))
-      e = e.join(keep, Seq("node"), "left_semi")
-        .join(keep.select(col("node").as("nbr")), Seq("nbr"), "left_semi")
+      val rem = deg.filter(col("__d") < k).select(col("node").as("nbr"))
+      val delta = adj.join(rem, Seq("nbr"))
+        .groupBy(col("node")).agg(count(lit(1)).as("__rm"))
+      val prev = deg
+      deg = mat(prev.filter(col("__d") >= k)
+        .join(delta, Seq("node"), "left")
+        .select(col("node"),
+          (col("__d") - coalesce(col("__rm"), lit(0L))).as("__d")))
+      if (checkpointDir.isEmpty) prev.unpersist()
       r += 1
-      if (checkpointDir.isDefined || (r % 5 == 0 && r < rounds)) e = cut(e)
     }
-    e.groupBy(col("node")).agg(count(lit(1)).as("degree"))
+    // __d = 0 survivors (every neighbor peeled) have no edge left in the
+    // induced subgraph — excluded, matching the degree-of-induced-edges
+    // contract. Node-sized result is cut so the cached working set can
+    // be released.
+    val out =
+      if (checkpointDir.isDefined)
+        deg.filter(col("__d") > 0L).select(col("node"), col("__d").as("degree"))
+      else {
+        val o = deg.filter(col("__d") > 0L)
+          .select(col("node"), col("__d").as("degree")).localCheckpoint()
+        deg.unpersist(); adj.unpersist()
+        o
+      }
+    out
   }
 
   /** Exact per-group winsorization — clip each value into its group's
@@ -3606,6 +3654,67 @@ object Graft {
     cum.crossJoin(broadcast(tot))
       .groupBy(col("w_total"))
       .agg(aggs.head, aggs.tail: _*)
+  }
+
+  /** Deterministic approximate percentiles from a fixed-bin histogram
+    * sketch — the partition-INVARIANT alternative to merge-order-sensitive
+    * quantile summaries (Greenwald-Khanna / approx_percentile), built so
+    * the output can be golden-pinned: bin counts are commutative integer
+    * sums, so any partitioning, any merge order, any retry produces the
+    * identical histogram and therefore the identical percentile estimate.
+    *
+    * Pass 1 computes (min, max, n); pass 2 bins every value into one of
+    * `bins` equal-width buckets (a map-side projection + one count
+    * aggregate whose output is ≤ `bins` rows regardless of data size);
+    * the percentile for probability p is read off the cumulative
+    * histogram with linear interpolation inside the hit bin. Absolute
+    * error is bounded by one bin width, (max−min)/bins — 4096 bins keeps
+    * it under 0.025 % of the value range, far inside any practical gate.
+    *
+    * 100 TB shape: two scans (the classic histogram trade for a hard
+    * error bound), each collapsing map-side; the cumulative window runs
+    * over the ≤`bins`-row histogram — sketch-sized, like the q176 rank
+    * window over B resamples. Output: one row, `n` + one `ap<permille>`
+    * column per requested probability. */
+  def histogramPercentiles(df: DataFrame, valueCol: String,
+      probs: Seq[Double] = Seq(0.5, 0.9, 0.99), bins: Int = 4096): DataFrame = {
+    require(probs.nonEmpty && probs.forall(p => p > 0.0 && p < 1.0),
+      "histogramPercentiles: probs must be in (0, 1)")
+    require(bins >= 2 && bins <= (1 << 20),
+      "histogramPercentiles: bins must be in [2, 2^20]")
+    val base = df.filter(col(valueCol).isNotNull)
+      .select(col(valueCol).cast(DoubleType).as("__x"))
+    val stats = base.agg(min(col("__x")).as("__mn"), max(col("__x")).as("__mx"),
+      count(lit(1)).as("__n"))
+    val hist = base.crossJoin(broadcast(stats))
+      .withColumn("__i", when(col("__mx") === col("__mn"), lit(0))
+        .otherwise(least(lit(bins - 1),
+          floor((col("__x") - col("__mn")) / (col("__mx") - col("__mn")) *
+            lit(bins.toDouble)).cast(IntegerType))))
+      .groupBy(col("__i")).agg(count(lit(1)).as("__c"))
+    // ≤ `bins` rows: the unpartitioned window is sketch-sized by design.
+    val wcum = Window.orderBy(col("__i"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val cum = hist.withColumn("__cum", sum(col("__c")).over(wcum))
+      .withColumn("__cprev", col("__cum") - col("__c"))
+      .crossJoin(broadcast(stats))
+    // One conditional min-struct per probability: the first bin whose
+    // cumulative count reaches rank ⌈p·n⌉ (struct compare is
+    // lexicographic and __i is distinct, so min = lowest hit bin).
+    val aggs = probs.zipWithIndex.map { case (p, j) =>
+      min(when(col("__cum") >= ceil(lit(p) * col("__n")),
+        struct(col("__i"), col("__cprev"), col("__c")))).as(s"__b$j")
+    }
+    val agged = cum.groupBy(col("__mn"), col("__mx"), col("__n"))
+      .agg(aggs.head, aggs.tail: _*)
+    val width = (col("__mx") - col("__mn")) / lit(bins.toDouble)
+    val sels = probs.zipWithIndex.map { case (p, j) =>
+      val r = ceil(lit(p) * col("__n")).cast(DoubleType)
+      (col("__mn") + width * (col(s"__b$j").getField("__i") +
+        (r - col(s"__b$j").getField("__cprev")) /
+          col(s"__b$j").getField("__c"))).as(s"ap${math.round(p * 1000)}")
+    }
+    agged.select(col("__n").as("n") +: sels: _*)
   }
 
   /** Poisson-bootstrap 95% confidence interval for the mean — THE

@@ -808,31 +808,34 @@ object Analytics {
         .orderBy(col("da"), col("db"))
     }),
 
-    // ---- q90: approx-percentile SELF-GATING (q41's pattern for order
-    // statistics): the mergeable one-pass sketch every 100 TB percentile
-    // needs, shipped WITH its own quality gate — exact percentiles ride
-    // along and the emitted `pass` pins |approx − exact| ≤ 1% of the
-    // value range every round. Rows-only by construction (the sketch is
-    // approximate); the gate IS the check. ----
+    // ---- q90: approx-percentile with SELF-GATE (q41's pattern for order
+    // statistics), r9: the sketch is [[graft.api.Graft.histogramPercentiles]]
+    // — a fixed-bin histogram whose bin counts are commutative integer
+    // sums, so unlike approx_percentile (merge-order-sensitive quantile
+    // summaries) the estimate is partition-INVARIANT and the whole row is
+    // golden-pinned as a hard hash gate. Exact percentiles still ride
+    // along and `pass` pins |approx − exact| ≤ 1% of the value range
+    // in-band, so the gate survives even if the pin is regenerated. ----
     "q90_approx_percentile_gate" -> ((s, dir) => {
       val li = t(s, dir, "lineitem")
-      li.agg(
-          expr("percentile(l_extendedprice, array(0.5, 0.9, 0.99))").as("exact"),
-          expr("approx_percentile(l_extendedprice, array(0.5, 0.9, 0.99), 10000)")
-            .as("approx"),
-          max(col("l_extendedprice")).as("mx"), min(col("l_extendedprice")).as("mn"))
+      val approx = graft.api.Graft.histogramPercentiles(
+        li, "l_extendedprice", Seq(0.5, 0.9, 0.99), bins = 4096)
+      val exact = li.agg(
+        expr("percentile(l_extendedprice, array(0.5, 0.9, 0.99))").as("exact"),
+        max(col("l_extendedprice")).as("mx"), min(col("l_extendedprice")).as("mn"))
+      approx.crossJoin(broadcast(exact))
         .select(
           round(element_at(col("exact"), 1), 2).as("p50_exact"),
-          round(element_at(col("approx"), 1), 2).as("p50_approx"),
+          round(col("ap500"), 2).as("p50_approx"),
           round(element_at(col("exact"), 2), 2).as("p90_exact"),
-          round(element_at(col("approx"), 2), 2).as("p90_approx"),
+          round(col("ap900"), 2).as("p90_approx"),
           round(element_at(col("exact"), 3), 2).as("p99_exact"),
-          round(element_at(col("approx"), 3), 2).as("p99_approx"),
-          (abs(element_at(col("approx"), 1) - element_at(col("exact"), 1)) <=
+          round(col("ap990"), 2).as("p99_approx"),
+          (abs(col("ap500") - element_at(col("exact"), 1)) <=
             (col("mx") - col("mn")) * 0.01 &&
-           abs(element_at(col("approx"), 2) - element_at(col("exact"), 2)) <=
+           abs(col("ap900") - element_at(col("exact"), 2)) <=
             (col("mx") - col("mn")) * 0.01 &&
-           abs(element_at(col("approx"), 3) - element_at(col("exact"), 3)) <=
+           abs(col("ap990") - element_at(col("exact"), 3)) <=
             (col("mx") - col("mn")) * 0.01).as("pass"))
     }),
 
@@ -1465,6 +1468,23 @@ object Analytics {
   }
 
   val oracle: Map[String, String] = Map(
+    // q90 GOLDEN PIN (r9): the percentile sketch is now
+    // Graft.histogramPercentiles — commutative integer bin counts, so the
+    // estimate is partition-invariant (verified local[3] vs local[8]
+    // bit-identical) and the sf0.01 row is hard-pinned, upgrading the
+    // last sketch-family rows-only check to a full hash gate. The exact
+    // columns stay literal too so testdata drift fails loudly; the
+    // in-band `pass` gate (|approx−exact| ≤ 1% of range) still rides in
+    // the query itself. (Captured 2026-08-14; recapture via Verify.)
+    "q90_approx_percentile_gate" ->
+      """SELECT CAST(53028.63 AS DOUBLE) AS p50_exact,
+        |  CAST(53029.48 AS DOUBLE) AS p50_approx,
+        |  CAST(94709.34 AS DOUBLE) AS p90_exact,
+        |  CAST(94709.41 AS DOUBLE) AS p90_approx,
+        |  CAST(103940.16 AS DOUBLE) AS p99_exact,
+        |  CAST(103937.18 AS DOUBLE) AS p99_approx,
+        |  TRUE AS pass""".stripMargin,
+
     // time-travel twin: identical synthetic manifest and the
     // added <= v < deleted visibility rule
     "q181_time_travel" ->

@@ -1165,6 +1165,30 @@ class GraftApiSpec extends AnyFunSuite {
     // weight-2 on the max value dominates: same answer as exploding rows
   }
 
+  test("histogramPercentiles: within one bin width of exact, partition-invariant") {
+    val s = spark; import s.implicits._
+    val df = (1 to 1000).map(i => (i.toLong, i.toDouble)).toDF("id", "v")
+    val r = Graft.histogramPercentiles(df, "v", Seq(0.5, 0.9, 0.99), bins = 100)
+      .collect()(0)
+    assert(r.getLong(0) === 1000L)
+    val binWidth = 999.0 / 100
+    // exact p50=500, p90=900, p99=990 (rank semantics: the ⌈p·n⌉-th value)
+    assert(math.abs(r.getDouble(1) - 500.0) <= binWidth)
+    assert(math.abs(r.getDouble(2) - 900.0) <= binWidth)
+    assert(math.abs(r.getDouble(3) - 990.0) <= binWidth)
+    // partition-invariance: identical bits under any repartitioning
+    val again = Graft.histogramPercentiles(df.repartition(7), "v",
+      Seq(0.5, 0.9, 0.99), bins = 100).collect()(0)
+    assert((1 to 3).forall(i => again.getDouble(i) == r.getDouble(i)))
+  }
+
+  test("histogramPercentiles: constant column collapses to that value") {
+    val s = spark; import s.implicits._
+    val const = (1 to 50).map(i => (i.toLong, 7.5)).toDF("id", "v")
+    val r = Graft.histogramPercentiles(const, "v", Seq(0.5), bins = 64).collect()(0)
+    assert(r.getDouble(1) === 7.5)
+  }
+
   test("proportionalSample allocates floor(size*ng/N) per stratum exactly") {
     val s = spark; import s.implicits._
     // strata of 60/30/10 rows, size 10 → takes 6/3/1

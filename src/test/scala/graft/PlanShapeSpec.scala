@@ -496,4 +496,54 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(p.sliding("SortMergeJoin".length).count(_ == "SortMergeJoin") <= 1, p)
     assert(!p.contains("CartesianProduct"), p)
   }
+
+  test("q147 kcore rounds never re-shuffle the cached adjacency") {
+    // The r9 incremental-degree kCore materializes per round, so the
+    // final query plan can't show the loop — capture every executed
+    // plan through a QueryExecutionListener instead and pin the scale
+    // property directly: the edge-sized exchange keyed on the adjacency
+    // probe column (nbr) happens exactly ONCE (the setup repartition);
+    // every peel round probes the cached adjacency without re-shuffling
+    // it (the removed set is the broadcast side).
+    val plans = new java.util.concurrent.ConcurrentLinkedQueue[String]()
+    val listener = new org.apache.spark.sql.util.QueryExecutionListener {
+      override def onSuccess(funcName: String,
+          qe: org.apache.spark.sql.execution.QueryExecution,
+          durationNs: Long): Unit = plans.add(qe.executedPlan.toString)
+      override def onFailure(funcName: String,
+          qe: org.apache.spark.sql.execution.QueryExecution,
+          exception: Exception): Unit = ()
+    }
+    spark.listenerManager.register(listener)
+    try {
+      SparkEntry.queries("q147_kcore")(spark, dir)
+        .write.format("noop").mode("overwrite").save()
+      // the listener bus is async: poll until the plan count stabilizes
+      var last = -1
+      var stable = 0
+      val deadline = System.nanoTime() + 10L * 1000 * 1000 * 1000
+      while (stable < 3 && System.nanoTime() < deadline) {
+        if (plans.size == last) stable += 1 else { stable = 0; last = plans.size }
+        Thread.sleep(100)
+      }
+    } finally spark.listenerManager.unregister(listener)
+    import scala.jdk.CollectionConverters._
+    val all = plans.asScala.toSeq
+    assert(all.nonEmpty)
+    val text = all.mkString("\n===PLAN===\n")
+    // A re-shuffle of the adjacency could only feed a shuffle-requiring
+    // join keyed on the probe column — neither form may appear in any
+    // executed plan (the removed set is always the broadcast side).
+    assert(!text.contains("SortMergeJoin [nbr"), text)
+    assert(!text.contains("ShuffledHashJoin [nbr"), text)
+    // the rounds really do probe the cache...
+    assert(text.contains("InMemoryTableScan") || text.contains("TableCacheQueryStage"),
+      text)
+    // ...and the cached working set (adjacency + degree tables) is
+    // unpersisted on exit — only the node-sized localCheckpoint of the
+    // RESULT may remain pinned
+    val leftover = spark.sparkContext.getPersistentRDDs.values
+      .filterNot(_.toString.contains("localCheckpoint"))
+    assert(leftover.isEmpty, leftover.mkString(", "))
+  }
 }
