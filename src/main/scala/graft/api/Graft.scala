@@ -39,6 +39,41 @@ object Graft {
         explode(expr(s"shingle_set(`$textCol`, $n)")).as("s"))
   }
 
+  /** Loud pair-explosion tripwire for every pair-ENUMERATING dedup API
+    * (the q24/q25/q26/q52/q187 family): pair enumeration is
+    * output-quadratic under duplication BY SEMANTICS — a 10×-duplicated
+    * corpus grows the answer ~100×, which no exact enumeration can avoid
+    * (the r8 sf1 ladder measured q26's answer growing 190×) — so a
+    * pathological corpus must fail LOUDLY before the quadratic
+    * materializes, not OOM a downstream stage. Each `budgets` entry is a
+    * one-column (`__n`) bucket-size table; Σ C(__n, 2) upper-bounds the
+    * pairs the buckets can emit. The bound rides the plan as a broadcast
+    * one-row aggregate (same device as [[intervalOverlapJoin]]'s span
+    * guard): cheap keyed aggs, no extra action, and the raise_error
+    * fires on the stream's first row — before the join explodes.
+    * The cluster-form APIs ([[connectedComponents]] / [[dedupKeepBest]])
+    * are the fixed-size-answer alternative the error points at. */
+  private[graft] def pairBudgetGuard(stream: DataFrame,
+      budgets: Seq[DataFrame], maxPairs: Long, op: String): DataFrame = {
+    require(maxPairs > 0, s"$op: maxPairs must be positive")
+    val ub = budgets.map(_.agg(coalesce(sum(
+        expr("__n * (__n - 1) div 2")), lit(0L)).as("__ubp")))
+      .reduce(_ unionAll _)
+      .agg(sum(col("__ubp")).as("__ub"))
+    stream.crossJoin(broadcast(ub))
+      .filter(when(col("__ub") > maxPairs,
+        raise_error(concat(
+          lit(s"$op: candidate-pair upper bound "),
+          col("__ub").cast(StringType),
+          lit(s" exceeds maxPairs=$maxPairs — pair enumeration is " +
+            "output-quadratic under duplication; raise maxPairs only if " +
+            "the pair set truly fits downstream, or switch to the " +
+            "cluster form (connectedComponents/dedupKeepBest), whose " +
+            "output is one row per document"))).cast(BooleanType))
+        .otherwise(lit(true)))
+      .drop("__ub")
+  }
+
   /** Exact Jaccard near-duplicate pairs at `num/den` threshold (integer
     * cross-multiplied — no float compare).
     *
@@ -52,10 +87,16 @@ object Graft {
     *
     * Without a cap the per-shingle doc list is unbounded (collect_list on a
     * hot key OOMs a task), so the classic shingle-equality self-join is
-    * used; that form is exact but skew-prone — prefer a cap at scale. */
+    * used; that form is exact but skew-prone — prefer a cap at scale.
+    *
+    * `maxPairs` is the [[pairBudgetGuard]] tripwire: if the per-shingle
+    * bucket sizes bound the candidate pair set above it, the job fails
+    * loudly before enumerating (pair output is quadratic under
+    * duplication by semantics — see the guard's scaladoc). */
   def nearDupPairsExact(df: DataFrame, textCol: String, idCol: String,
       num: Int = 4, den: Int = 5, ngram: Int = 3,
-      maxShingleDf: Option[Int] = None): DataFrame = {
+      maxShingleDf: Option[Int] = None,
+      maxPairs: Long = 100000000L): DataFrame = {
     graft.functions.GraftFunctions.register(df.sparkSession)
     val withSh = df.select(col(idCol).as("__id"),
       expr(s"shingle_set(`$textCol`, $ngram)").as("ss"))
@@ -64,7 +105,11 @@ object Graft {
       case Some(cap) =>
         val hot = sh0.groupBy(col("s")).agg(count(lit(1)).as("df"))
           .filter(col("df") > cap).select(col("s"))
-        val sh = sh0.join(broadcast(hot), Seq("s"), "left_anti")
+        val sh = pairBudgetGuard(
+          sh0.join(broadcast(hot), Seq("s"), "left_anti"),
+          Seq(sh0.join(broadcast(hot), Seq("s"), "left_anti")
+            .groupBy(col("s")).agg(count(lit(1)).as("__n"))),
+          maxPairs, "nearDupPairsExact")
         val i = sh.groupBy(col("s")).agg(sort_array(collect_list(col("__id"))).as("ds"))
           .select(explode(expr("array_pairs(ds)")).as("p"))
           .groupBy(col("p.da").as("da"), col("p.db").as("db"))
@@ -77,7 +122,10 @@ object Graft {
         val n = sh.groupBy(col("__id")).agg(count(lit(1)).as("n"))
         (i, n)
       case None =>
-        val i = sh0.alias("a")
+        val guarded = pairBudgetGuard(sh0,
+          Seq(sh0.groupBy(col("s")).agg(count(lit(1)).as("__n"))),
+          maxPairs, "nearDupPairsExact")
+        val i = guarded.alias("a")
           .join(sh0.alias("b"), col("a.s") === col("b.s") && col("a.__id") < col("b.__id"))
           .groupBy(col("a.__id").as("da"), col("b.__id").as("db"))
           .agg(count(lit(1)).as("i"))
@@ -123,7 +171,8 @@ object Graft {
     * still passes 7% of all pairs; bigram t=0.5 isolates exactly the
     * planted near-dups). */
   def prefixFilterJaccardPairs(df: DataFrame, textCol: String, idCol: String,
-      num: Int = 1, den: Int = 2, ngram: Int = 2): DataFrame = {
+      num: Int = 1, den: Int = 2, ngram: Int = 2,
+      maxPairs: Long = 100000000L): DataFrame = {
     require(num > 0 && den >= num, "threshold must be in (0, 1]")
     graft.functions.GraftFunctions.register(df.sparkSession)
     // EXACT-DUP COLLAPSE (the minhashPairs device): identical texts have
@@ -137,7 +186,8 @@ object Graft {
     val groups = df.select(col(idCol).as("__gid"), md5(col(textCol)).as("__fp"))
     val reps = df.select(md5(col(textCol)).as("__fp"), col(textCol).as("__text"))
       .groupBy(col("__fp")).agg(min(col("__text")).as("__text"))
-    val repPairs = prefixFilterJaccardPairsRaw(reps, "__text", "__fp", num, den, ngram)
+    val repPairs =
+      prefixFilterJaccardPairsRaw(reps, "__text", "__fp", num, den, ngram, maxPairs)
     val cross = repPairs
       .join(groups.select(col("__fp").as("da"), col("__gid").as("ia")), Seq("da"))
       .join(groups.select(col("__fp").as("db"), col("__gid").as("ib")), Seq("db"))
@@ -148,7 +198,9 @@ object Graft {
     // token table in the uncollapsed form, so exclude n = 0 here too
     val sizes = reps.select(col("__fp"),
       size(expr(s"shingle_set(`__text`, $ngram)")).cast(LongType).as("__n"))
-    val within = groups.alias("a")
+    val within = pairBudgetGuard(groups,
+        Seq(groups.groupBy(col("__fp")).agg(count(lit(1)).as("__n"))),
+        maxPairs, "prefixFilterJaccardPairs(within-group)").alias("a")
       .join(groups.alias("b"),
         col("a.__fp") === col("b.__fp") && col("a.__gid") < col("b.__gid"))
       .select(col("a.__fp").as("__fp"),
@@ -162,7 +214,8 @@ object Graft {
     * [[prefixFilterJaccardPairs]] for the public entry and the
     * losslessness proofs. */
   private def prefixFilterJaccardPairsRaw(df: DataFrame, textCol: String,
-      idCol: String, num: Int, den: Int, ngram: Int): DataFrame = {
+      idCol: String, num: Int, den: Int, ngram: Int,
+      maxPairs: Long = 100000000L): DataFrame = {
     // the token table feeds FOUR consumers (df-count agg, size agg, the
     // prefix window, and both verify joins) — materialize the skinny
     // (id, token) rows once instead of re-exploding the corpus per use
@@ -191,7 +244,9 @@ object Graft {
     //    must reach α = ⌈num·(na+nb)/(num+den)⌉ (from i ≥ t·(na+nb−i)).
     //    Keeping a pair when ANY shared row passes is safe: for a
     //    qualifying pair the first shared token's bound ≥ i ≥ α.
-    val cand = pref.alias("a")
+    val cand = pairBudgetGuard(pref,
+        Seq(pref.groupBy(col("__t")).agg(count(lit(1)).as("__n"))),
+        maxPairs, "prefixFilterJaccardPairs").alias("a")
       .join(pref.alias("b"),
         col("a.__t") === col("b.__t") && col("a.__id") < col("b.__id") &&
           lit(den) * least(col("a.__n"), col("b.__n")) >=

@@ -46,7 +46,7 @@ object Dedup {
     * 100 TB; AQE still picks a broadcast at runtime when a side turns
     * out tiny. */
   def minhashPairs(df: DataFrame, textCol: String, idCol: String,
-      num: Int, den: Int): DataFrame = {
+      num: Int, den: Int, maxPairs: Long = 100000000L): DataFrame = {
     graft.functions.GraftFunctions.register(df.sparkSession)
     // EXACT-DUP COLLAPSE (r8, found by the sf1 ladder): identical texts
     // share identical shingle sets, signatures, and bands, so ALL
@@ -64,7 +64,14 @@ object Dedup {
       expr(s"shingle_set(`__text`, 3)").as("ss"))
     val banded = withSh.select(col("__fp"),
       posexplode(expr("minhash_bands(ss)")).as(Seq("band", "bh")))
-    val cands = banded.alias("a")
+    // Loud pair-budget tripwire (r9): Σ C(bucket, 2) over the band
+    // buckets bounds candidate generation, Σ C(group, 2) over the
+    // exact-dup groups IS the within-pair output — both quadratics fail
+    // loudly past maxPairs instead of OOMing a downstream stage.
+    val guardedBanded = graft.api.Graft.pairBudgetGuard(banded,
+      Seq(banded.groupBy(col("band"), col("bh")).agg(count(lit(1)).as("__n"))),
+      maxPairs, "minhashPairs")
+    val cands = guardedBanded.alias("a")
       .join(banded.alias("b"),
         col("a.band") === col("b.band") && col("a.bh") === col("b.bh") &&
           col("a.__fp") < col("b.__fp"))
@@ -91,7 +98,9 @@ object Dedup {
     // within-group pairs: J = 1 exactly, i = na = nb = |shingle set|;
     // groups whose text yields NO shingles never produce bands, so the
     // original path cannot pair them — exclude n = 0 here too
-    val within = groups.alias("a")
+    val within = graft.api.Graft.pairBudgetGuard(groups,
+        Seq(groups.groupBy(col("__fp")).agg(count(lit(1)).as("__n"))),
+        maxPairs, "minhashPairs(within-group)").alias("a")
       .join(groups.alias("b"),
         col("a.__fp") === col("b.__fp") && col("a.doc_id") < col("b.doc_id"))
       .select(col("a.__fp").as("__fp"),
@@ -308,8 +317,18 @@ object Dedup {
       val docSigs = tokens(t(s, dir, "documents"))
         .select(col("doc_id"), expr("simhash64(t)").as("sig"))
         .localCheckpoint()
-      val sigs = docSigs.select(col("sig")).distinct()
+      // r9 pair-budget tripwire: 4 chunk-bucket budgets (candidate gen)
+      // + the signature-group budget (within-pair output) in ONE guard
+      // on the shared chunk-join input — a duplication-quadratic corpus
+      // fails loudly instead of OOMing downstream (this query's answer
+      // grew 190× on the 10×-duplicated sf1 ladder).
+      val sigs0 = docSigs.select(col("sig")).distinct()
         .select(col("sig") +: chunks: _*)
+      val budgets = (0 until 4).map(k =>
+        sigs0.groupBy(col(s"k$k")).agg(count(lit(1)).as("__n"))) :+
+        docSigs.groupBy(col("sig")).agg(count(lit(1)).as("__n"))
+      val sigs = graft.api.Graft.pairBudgetGuard(
+        sigs0, budgets, 100000000L, "q26_dedup_simhash")
       val sigPairs = (0 until 4).map { k =>
         sigs.alias("a").join(sigs.alias("b"),
           col(s"a.k$k") === col(s"b.k$k") && col("a.sig") < col("b.sig"))

@@ -1165,6 +1165,32 @@ class GraftApiSpec extends AnyFunSuite {
     // weight-2 on the max value dominates: same answer as exploding rows
   }
 
+  test("pairBudgetGuard trips loudly past maxPairs, passes under it") {
+    val s = spark; import s.implicits._
+    // 20 identical docs: every bucket holds all 20 → C(20,2) = 190 pairs
+    val dup = (1 to 20).map(i => (i.toLong, "alpha beta gamma delta epsilon zeta"))
+      .toDF("id", "txt")
+    val ex = intercept[Exception] {
+      Graft.nearDupPairsExact(dup, "txt", "id", maxPairs = 100L).count()
+    }
+    assert(ex.getMessage.contains("maxPairs"), ex.getMessage)
+    assert(ex.getMessage.contains("connectedComponents"), ex.getMessage)
+    // same corpus under a loose cap still enumerates exactly
+    assert(Graft.nearDupPairsExact(dup, "txt", "id", maxPairs = 1000L).count() === 190L)
+    // the capped (collect_list) path and the minhash path trip too
+    val exCap = intercept[Exception] {
+      Graft.nearDupPairsExact(dup, "txt", "id", maxShingleDf = Some(50),
+        maxPairs = 100L).count()
+    }
+    assert(exCap.getMessage.contains("maxPairs"), exCap.getMessage)
+    val exMh = intercept[Exception] {
+      operators.Dedup.minhashPairs(dup.withColumnRenamed("id", "doc_id")
+        .withColumnRenamed("txt", "text"), "text", "doc_id", 4, 5,
+        maxPairs = 100L).count()
+    }
+    assert(exMh.getMessage.contains("maxPairs"), exMh.getMessage)
+  }
+
   test("histogramPercentiles: within one bin width of exact, partition-invariant") {
     val s = spark; import s.implicits._
     val df = (1 to 1000).map(i => (i.toLong, i.toDouble)).toDF("id", "v")

@@ -465,7 +465,12 @@ class PlanShapeSpec extends AnyFunSuite {
   test("q187 prefix-filter join pairs candidates by token equality, never all-pairs") {
     val p = planOf("q187_prefix_filter_join")
     assert(!p.contains("CartesianProduct"), p)
-    assert(!p.contains("BroadcastNestedLoop"), p)
+    // r9: the ONLY nested-loop joins allowed are the pair-budget
+    // guard's one-row broadcast aggregates (candidate guard + the
+    // within-group guard); the data-sized candidate join itself stays a
+    // token-equality join
+    assert(p.sliding("BroadcastNestedLoopJoin".length)
+      .count(_ == "BroadcastNestedLoopJoin") <= 2, p)
   }
 
   test("q198 interval overlap joins on (key, bucket), not a nested-loop theta join") {
