@@ -54,9 +54,11 @@ object GdalRead {
   /** Read a DataFrame from a URL (reference S6 remote reads,
     * src/lib.rs:261-293): fetch the resource bytes, then route through
     * [[fromBytes]] with the URL's filename as the sniffing hint. Works
-    * for any scheme the JVM resolves (http/https/file; this zero-egress
-    * container can only exercise `file:`). Driver-side fetch by design —
-    * the reference's remote read is a single-stream download too; a
+    * for any scheme the JVM resolves — http/https/file; the http branch
+    * is exercised end-to-end against an in-process loopback server
+    * (SourcesSpec "loopback server round trip"), including the
+    * `.shp.zip` hint rule over http. Driver-side fetch by design — the
+    * reference's remote read is a single-stream download too; a
     * many-file remote layout should be mounted/synced and read as a
     * directory instead. */
   def fromUrl(spark: SparkSession, url: String,

@@ -110,6 +110,39 @@ class SourcesSpec extends AnyFunSuite {
     assert(zip.count() === 86)
   }
 
+  test("df_from_url reads over real http (loopback server round trip)") {
+    // Reference S6 (src/lib.rs:261-293) reads remote resources over
+    // http(s). The container is zero-egress, but the URL CODE PATH is
+    // scheme-generic — exercise it end-to-end against an in-process
+    // loopback server so the http branch is genuinely covered: socket,
+    // GET, content fetch, filename-hint sniffing from the URL path.
+    val payload = Files.readAllBytes(
+      Paths.get(s"$fixtures/us_states.feature_collection.implicit_4326.json"))
+    val zipPayload = Files.readAllBytes(
+      Paths.get(s"$fixtures/stations_shapefile.shp.zip"))
+    val server = com.sun.net.httpserver.HttpServer.create(
+      new java.net.InetSocketAddress("127.0.0.1", 0), 0)
+    def serve(path: String, data: Array[Byte]): Unit =
+      server.createContext(path, (ex: com.sun.net.httpserver.HttpExchange) => {
+        ex.sendResponseHeaders(200, data.length.toLong)
+        val os = ex.getResponseBody
+        try os.write(data) finally os.close()
+      })
+    serve("/data/us_states.json", payload)
+    serve("/data/stations_shapefile.shp.zip", zipPayload)
+    server.start()
+    try {
+      val port = server.getAddress.getPort
+      val df = GdalRead.fromUrl(spark, s"http://127.0.0.1:$port/data/us_states.json")
+      assert(df.count() === 51)
+      assert(df.columns.contains("geometry"))
+      // the .shp.zip hint rule must apply to http URLs exactly as to files
+      val zip = GdalRead.fromUrl(spark,
+        s"http://127.0.0.1:$port/data/stations_shapefile.shp.zip")
+      assert(zip.count() === 86)
+    } finally server.stop(0)
+  }
+
   test("df_from_bytes: empty input errors (EmptyData parity)") {
     intercept[GraftError.EmptyData] {
       GdalRead.fromBytes(spark, Array.emptyByteArray, Some("x.geojson"))
