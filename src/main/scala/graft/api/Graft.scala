@@ -861,16 +861,32 @@ object Graft {
     * state anywhere.
     *
     * Requires a dense id domain [0, N) (the generator's contract here);
-    * densify sparse ids with [[globalRank]] first. 100 TB shape: one
-    * 1-row count broadcast, a k-way per-anchor explode (k rows per
-    * anchor, not a cartesian), one equi-join on the sampled id to fetch
-    * partner payloads — shuffle-partitioned by the sampled id, no skew
-    * because md5 spreads draws uniformly. */
+    * densify sparse ids with [[globalRank]] first. The contract is
+    * ENFORCED in-plan (r9, review finding): min/max ride the same 1-row
+    * count aggregate and a gap (min ≠ 0 or max ≠ N−1) raises before any
+    * draw — on sparse ids the partner join would otherwise silently
+    * drop gap-hitting draws and deflate negatives-per-anchor below k.
+    * 100 TB shape: one 1-row count broadcast, a k-way per-anchor
+    * explode (k rows per anchor, not a cartesian), one equi-join on the
+    * sampled id to fetch partner payloads — shuffle-partitioned by the
+    * sampled id, no skew because md5 spreads draws uniformly. */
   def negativeSample(df: DataFrame, idCol: String, k: Int,
       payload: Seq[String], anchorFilter: Column = lit(true)): DataFrame = {
     require(k > 0, "negativeSample: k must be positive")
     graft.functions.GraftFunctions.register(df.sparkSession)
-    val n = df.agg(count(lit(1)).as("__n"))
+    val n = df.agg(count(lit(1)).as("__cnt"),
+        min(col(idCol).cast(LongType)).as("__mn"),
+        max(col(idCol).cast(LongType)).as("__mx"))
+      .select(when(col("__mn") =!= 0L || col("__mx") =!= col("__cnt") - 1L,
+        raise_error(concat(
+          lit("negativeSample: id domain must be dense [0, N) — got min="),
+          col("__mn").cast(StringType), lit(", max="),
+          col("__mx").cast(StringType), lit(", n="),
+          col("__cnt").cast(StringType),
+          lit("; densify sparse ids with globalRank first (gap-hitting " +
+            "draws would silently deflate negatives per anchor)")))
+          .cast(LongType))
+        .otherwise(col("__cnt")).as("__n"))
     val anchors = df.filter(anchorFilter)
       .select((col(idCol).cast(LongType)).as("anchor_id"))
       .crossJoin(broadcast(n))
@@ -2356,14 +2372,18 @@ object Graft {
       // advance, the node keeps (anc, d), and it surfaces at the end
       // with NULL root/depth. An inner join here silently dropped the
       // node and its whole subtree (review finding).
+      // the changed flag rides the SAME jump join (r9, review finding:
+      // the old convergence probe re-joined next against st every round,
+      // doubling per-round job count); the post-cut isEmpty is a cheap
+      // scan of the just-materialized table, no join
       val next = cut(st.join(lk, Seq("anc"), "left")
         .select(col("node"), coalesce(col("anc2"), col("anc")).as("anc"),
-          (col("d") + coalesce(col("d2"), lit(0L))).as("d")))
+          (col("d") + coalesce(col("d2"), lit(0L))).as("d"),
+          (coalesce(col("anc2"), col("anc")) =!= col("anc")).as("__ch")))
       // converged when every pointer is at a root (its own anc = itself,
       // i.e. the jump changed nothing anywhere)
-      converged = next.alias("n").join(st.alias("o"), Seq("node"))
-        .filter(col("n.anc") =!= col("o.anc")).isEmpty
-      st = next
+      converged = next.filter(col("__ch")).isEmpty
+      st = next.drop("__ch")
       round += 1
     }
     // true roots have d = 0; a cycle node can self-point after doubling
@@ -2400,11 +2420,21 @@ object Graft {
     val e = cut(edges
       .select(col(srcCol).cast(StringType).as("src"),
         col(dstCol).cast(StringType).as("dst"),
-        col(weightCol).cast(LongType).as("w"))
+        // the non-negative-weight contract is enforced IN the edge
+        // projection (r9, review finding: the old standalone validation
+        // pass scanned the edge set once more before any relaxation) —
+        // raise_error fires during the same eager setup job that
+        // materializes the edge table
+        when(col(weightCol).cast(LongType) < 0L,
+          raise_error(concat(
+            lit("weightedShortestPaths: negative edge weight "),
+            col(weightCol).cast(StringType), lit(" on edge "),
+            col(srcCol).cast(StringType), lit(" -> "),
+            col(dstCol).cast(StringType),
+            lit(" — negative weights are not supported"))).cast(LongType))
+          .otherwise(col(weightCol).cast(LongType)).as("w"))
       // parallel edges collapse to their cheapest — same relaxation result
       .groupBy(col("src"), col("dst")).agg(min(col("w")).as("w")))
-    require(e.filter(col("w") < 0L).isEmpty,
-      "weightedShortestPaths: negative edge weights are not supported")
     val sp = edges.sparkSession
     import sp.implicits._
     var dist = Seq((source, 0L)).toDF("node", "dist")

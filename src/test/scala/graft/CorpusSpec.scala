@@ -278,6 +278,13 @@ class CorpusSpec extends AnyFunSuite {
       anchorFilter = col("id") < 2)
     assert(filtered.select("anchor_id").distinct().collect()
       .map(_.getLong(0)).toSet.subsetOf(Set(0L, 1L)))
+    // the dense-domain contract is enforced in-plan (r9): sparse ids
+    // would silently deflate negatives per anchor via the partner join
+    val sparse = Seq(0L, 1L, 5L).map(i => (i, "x")).toDF("id", "src")
+    val ex = intercept[Exception] {
+      graft.api.Graft.negativeSample(sparse, "id", 2, Seq("src")).count()
+    }
+    assert(ex.getMessage.contains("dense [0, N)"), ex.getMessage)
   }
 
   test("hrwAssign moves keys only INTO a newly added shard, via a shuffle-free projection") {

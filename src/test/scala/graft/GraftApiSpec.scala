@@ -1165,6 +1165,58 @@ class GraftApiSpec extends AnyFunSuite {
     // weight-2 on the max value dominates: same answer as exploding rows
   }
 
+  test("checkpointDir: every iterative graph op writes reliable checkpoints and matches localCheckpoint output") {
+    val s = spark; import s.implicits._
+    // A graph with a clique (so kCore keeps something), weights, and a
+    // parent hierarchy — one fixture drives all six iterative ops.
+    val edges = Seq(
+      ("a", "b", 1.0), ("b", "c", 1.0), ("c", "a", 2.0), ("a", "c", 1.0),
+      ("c", "d", 3.0), ("d", "e", 1.0), ("e", "f", 2.0), ("b", "d", 1.0)
+    ).toDF("s", "d", "w")
+    val nodes = Seq(("b", "a"), ("c", "b"), ("d", "c"), ("e", "d"))
+      .toDF("child", "parent")
+    def rows(df: org.apache.spark.sql.DataFrame): Seq[String] =
+      df.collect().map(_.toString).sorted.toSeq
+    def withDir(f: String => Unit): Unit = {
+      val dir = java.nio.file.Files.createTempDirectory("graft_ckpt_").toFile
+      try f(dir.getAbsolutePath)
+      finally {
+        // files must actually have landed: the durability contract is
+        // that every round's cut is on reliable storage
+        def walk(x: java.io.File): Seq[java.io.File] =
+          if (x.isDirectory) x.listFiles().toSeq.flatMap(walk) else Seq(x)
+        assert(walk(dir).nonEmpty, s"no checkpoint files under $dir")
+        walk(dir).foreach(_.delete())
+      }
+    }
+    withDir { d =>
+      assert(rows(Graft.pageRank(edges, "s", "d", "w", checkpointDir = Some(d))) ===
+        rows(Graft.pageRank(edges, "s", "d", "w")))
+    }
+    withDir { d =>
+      assert(rows(Graft.shortestPaths(edges, "s", "d", "a", checkpointDir = Some(d))) ===
+        rows(Graft.shortestPaths(edges, "s", "d", "a")))
+    }
+    withDir { d =>
+      assert(rows(Graft.weightedShortestPaths(edges, "s", "d", "w", "a",
+          checkpointDir = Some(d))) ===
+        rows(Graft.weightedShortestPaths(edges, "s", "d", "w", "a")))
+    }
+    withDir { d =>
+      assert(rows(Graft.labelPropagation(edges, "s", "d", checkpointDir = Some(d))) ===
+        rows(Graft.labelPropagation(edges, "s", "d")))
+    }
+    withDir { d =>
+      assert(rows(Graft.kCore(edges, "s", "d", k = 2, checkpointDir = Some(d))) ===
+        rows(Graft.kCore(edges, "s", "d", k = 2)))
+    }
+    withDir { d =>
+      assert(rows(Graft.flattenHierarchy(nodes, "child", "parent",
+          checkpointDir = Some(d))) ===
+        rows(Graft.flattenHierarchy(nodes, "child", "parent")))
+    }
+  }
+
   test("pairBudgetGuard trips loudly past maxPairs, passes under it") {
     val s = spark; import s.implicits._
     // 20 identical docs: every bucket holds all 20 → C(20,2) = 190 pairs
@@ -1366,12 +1418,14 @@ class GraftApiSpec extends AnyFunSuite {
     assert(run(1) === Map("a" -> 0L, "b" -> 10L, "c" -> 100L, "d" -> 500L))
     // 2 hops: c improves to 20, d only via direct or c+1 = 101
     assert(run(2) === Map("a" -> 0L, "b" -> 10L, "c" -> 20L, "d" -> 101L))
-    // negative weights refused
-    intercept[IllegalArgumentException] {
+    // negative weights refused — in-plan raise_error during the eager
+    // edge-table setup job (no standalone validation pass, r9)
+    val ex = intercept[Exception] {
       graft.api.Graft.weightedShortestPaths(
         Seq(("a", "b", -1L)).toDF("src", "dst", "w"),
         "src", "dst", "w", source = "a")
     }
+    assert(ex.getMessage.contains("negative edge weight"), ex.getMessage)
   }
 
   test("q195 linkage score: agreement pattern maps to the exact micro-nat sum") {
