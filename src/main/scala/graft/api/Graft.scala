@@ -2560,13 +2560,17 @@ object Graft {
     * the label table, one (node, label) count aggregate, and one
     * node-keyed `min_by` argmax — hash aggregation with map-side
     * partials, no sort (the tie-break rides inside the min_by struct
-    * key). Each round's output feeds exactly one consumer (the next
-    * round's join), so the lazy chain evaluates in a single pass;
-    * lineage is cut only every 5 rounds (plan-size hygiene for deep
-    * runs) or every round under the reliable-checkpoint switch from
-    * [[pageRank]] (executor-loss durability on a real cluster). Differs
-    * from [[connectedComponents]] (min-label fixpoint = connectivity)
-    * by splitting dense regions apart instead of merging everything
+    * key). The neighbor list is CACHED hash-partitioned by the probe
+    * key (r9): the per-round label join then exchanges only the
+    * node-sized label table — the edge list is never re-shuffled after
+    * setup (under the reliable-checkpoint durability switch from
+    * [[pageRank]] the edge list checkpoints instead — durability over
+    * the partitioning hint). Each round's output feeds exactly one
+    * consumer (the next round's join), so the lazy chain evaluates in a
+    * single pass; label lineage is cut every 5 rounds (plan-size
+    * hygiene for deep runs) or every round when durable. Differs from
+    * [[connectedComponents]] (min-label fixpoint = connectivity) by
+    * splitting dense regions apart instead of merging everything
     * reachable. */
   def labelPropagation(edges: DataFrame, srcCol: String, dstCol: String,
       rounds: Int = 3, checkpointDir: Option[String] = None): DataFrame = {
@@ -2578,9 +2582,18 @@ object Graft {
         col(dstCol).cast(StringType).as("b"))
       .filter(col("a").isNotNull && col("b").isNotNull && col("a") =!= col("b"))
       .distinct()
-    val nbrs = cut(und.select(col("a").as("node"), col("b").as("nbr"))
+    val nbrsPlan = und.select(col("a").as("node"), col("b").as("nbr"))
       .unionAll(und.select(col("b").as("node"), col("a").as("nbr")))
-      .distinct())
+      .distinct()
+      .repartition(col("nbr"))
+    val (nbrs, release): (DataFrame, () => Unit) =
+      if (checkpointDir.isDefined) (nbrsPlan.checkpoint(), () => ())
+      else {
+        val p = nbrsPlan.persist(
+          org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        p.count()
+        (p, () => { p.unpersist(); () })
+      }
     var labels = nbrs.select(col("node")).distinct()
       .withColumn("lab", col("node"))
     var r = 0
@@ -2596,7 +2609,10 @@ object Graft {
       if (checkpointDir.isDefined || (r % 5 == 0 && r < rounds))
         labels = cut(labels)
     }
-    labels
+    // node-sized result is cut so the cached edge list can be released
+    val out = if (checkpointDir.isDefined) labels else labels.localCheckpoint()
+    release()
+    out
   }
 
   /** Deterministic random projection (Johnson–Lindenstrauss sign matrix) —
@@ -3967,16 +3983,25 @@ object Graft {
     * 100 TB shape: degree = one keyed count; pair-gen = one self equi
     * join on the bridge node with the hub cap bounding per-key fan-out;
     * scoring = keyed aggregates + degree joins; deterministic top-k via
-    * TakeOrderedAndProject on (aa_q desc, x, y). */
+    * TakeOrderedAndProject on (aa_q desc, x, y).
+    *
+    * The canonical edge list and the degree table are MATERIALIZED
+    * (r9): `e` feeds five consumers (adj twice, the anti join, and
+    * through adj the bridge self-join's both sides) and `deg` three
+    * (bridge filter, degx, degy) — uncut, the caller's edge-generation
+    * subplan (typically the corpus's most expensive join) re-evaluated
+    * per consumer; measured 3× on q173 at sf1. */
   def linkPrediction(edges: DataFrame, srcCol: String, dstCol: String,
       topK: Int = 20, maxDegree: Int = 100): DataFrame = {
     require(topK > 0 && maxDegree >= 2, "linkPrediction: bad topK/maxDegree")
     val e = edges.select(least(col(srcCol), col(dstCol)).as("a"),
         greatest(col(srcCol), col(dstCol)).as("b"))
       .filter(col("a") =!= col("b")).distinct()
+      .localCheckpoint()
     val adj = e.select(col("a").as("u"), col("b").as("v"))
       .unionAll(e.select(col("b").as("u"), col("a").as("v")))
     val deg = adj.groupBy(col("u")).agg(count(lit(1)).as("deg"))
+      .localCheckpoint()
     val bridge = adj.join(deg.filter(col("deg") <= maxDegree), "u")
     val paths = bridge.alias("l").join(bridge.alias("r"),
         col("l.u") === col("r.u") && col("l.v") < col("r.v"))
