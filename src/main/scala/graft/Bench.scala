@@ -78,11 +78,16 @@ object Bench {
     val spread = names.map(n => n -> (sweepResults.map(_(n)).max - sweepResults.map(_(n)).min)).toMap
     val total = best.values.sum
 
-    // 4. tripwire vs the committed r5 baseline (absent file / new queries
-    // simply have no baseline — never a crash path)
+    // 4. tripwire vs the committed baseline (absent file / new queries
+    // simply have no baseline — never a crash path). SPARK_GRAFT_BASELINE
+    // points sf1 ladder runs at BENCH_sf1_BASELINE.json so scale-rung
+    // regressions trip exactly like sf0.1 ones; driver runs (no env) keep
+    // the sf0.1 tripwire.
+    val baselineFile =
+      sys.env.getOrElse("SPARK_GRAFT_BASELINE", "BENCH_BASELINE.json")
     val baseline: Map[String, Double] = try {
       val txt = new String(java.nio.file.Files.readAllBytes(
-        java.nio.file.Paths.get("BENCH_BASELINE.json")), "UTF-8")
+        java.nio.file.Paths.get(baselineFile)), "UTF-8")
       val m = new com.fasterxml.jackson.databind.ObjectMapper().readTree(txt).path("queries")
       m.fieldNames().asScala.map(k => k -> m.path(k).asDouble()).toMap
     } catch { case _: Throwable => Map.empty }

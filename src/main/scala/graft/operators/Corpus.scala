@@ -15,6 +15,31 @@ import Util._
 object Corpus {
 
   val queries: Map[String, Q] = Map(
+    // ---- q208: deterministic epoch shuffle + shard plan — the training
+    // dataloader's order contract computed as data: every (epoch, doc)
+    // draws a 63-bit md5 rank from "epoch:doc_id", shards by rank mod 8,
+    // and takes its within-shard position from the rank order. Each
+    // epoch reshuffles (the hash input includes the epoch) yet replays
+    // bit-for-bit on any engine, any partitioning, any retry — the q65
+    // sampling determinism applied to ORDER. No global sort anywhere:
+    // the only window is partitioned by (epoch, shard), i.e. 16
+    // independent rank sequences. ----
+    "q208_epoch_shuffle" -> ((s, dir) => {
+      graft.functions.GraftFunctions.register(s)
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("epoch"), col("shard")).orderBy(col("h"), col("doc_id"))
+      t(s, dir, "documents").select(col("doc_id"))
+        .withColumn("epoch", explode(expr("sequence(0L, 1L)")))
+        .withColumn("h", call_function("md5_lower64",
+            concat(col("epoch").cast(StringType), lit(":"),
+              col("doc_id").cast(StringType)))
+          .bitwiseAND(lit(0x7FFFFFFFFFFFFFFFL)))
+        .withColumn("shard", col("h") % 8L)
+        .withColumn("pos", row_number().over(w).cast(LongType))
+        .select(col("epoch"), col("doc_id"), col("shard"), col("pos"))
+        .orderBy(col("epoch"), col("shard"), col("pos"))
+    }),
+
     // ---- q114: pairwise corpus-overlap audit — exact Jaccard of the
     // distinct word-trigram shingle sets of every source pair (the
     // contamination/provenance matrix run before mixing corpora). One
@@ -345,6 +370,23 @@ object Corpus {
     }))
 
   val oracle: Map[String, String] = Map(
+    // epoch-shuffle twin: identical "epoch:doc_id" md5 rank
+    // (md5_lower64 & Long.MaxValue ≡ md5_number_lower & 2^63−1 mask),
+    // mod-8 shard, per-(epoch, shard) rank order
+    "q208_epoch_shuffle" ->
+      """WITH x AS (
+        |  SELECT doc_id, unnest([0, 1]) AS epoch FROM documents
+        |), h AS (
+        |  SELECT epoch, doc_id,
+        |    CAST(md5_number_lower(CAST(epoch AS VARCHAR) || ':' ||
+        |      CAST(doc_id AS VARCHAR)) & 9223372036854775807::UBIGINT AS BIGINT) AS h
+        |  FROM x)
+        |SELECT CAST(epoch AS BIGINT) AS epoch, doc_id,
+        |  CAST(h % 8 AS BIGINT) AS shard,
+        |  CAST(row_number() OVER (PARTITION BY epoch, h % 8 ORDER BY h, doc_id)
+        |    AS BIGINT) AS pos
+        |FROM h ORDER BY epoch, shard, pos""".stripMargin,
+
     // DSIR twin: identical tokenization (q113's), unigram+bigram feature
     // stream, 1023-mask md5 buckets, integer cross-multiplied smoothed
     // ratio under one double division, nano-quantized per-doc ln sums

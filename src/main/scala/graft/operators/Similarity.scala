@@ -136,6 +136,36 @@ object Similarity {
         .orderBy($"qid", $"rnk")
     }),
 
+    // ---- q206: margin-based bitext/pair mining (the LASER/CCMatrix
+    // alignment rule): for every source-side vector (label 0) find its
+    // best and second-best cosine match on the target side (label 1)
+    // and keep pairs whose best-vs-runner-up MARGIN clears 0.02 — the
+    // standard defense against hubness (a vector that is everyone's
+    // generic neighbor never clears the margin). Built on cosineTopK
+    // (k = 2): base never broadcast, parallelism-floored scoring, and
+    // the same double-precision expression shape as the q27 oracle so
+    // raw sims agree bit-for-bit before rounding. Scale path for 100 TB
+    // query sets: swap cosineTopK for pqSearchReranked — the margin
+    // pivot/filter is unchanged. ----
+    "q206_bitext_mining" -> ((s, dir) => {
+      import s.implicits._
+      val e = t(s, dir, "embeddings")
+      val a = e.filter($"label" === 0)
+      val b = e.filter($"label" === 1)
+      val top2 = graft.api.Graft.cosineTopK(b, a, "embedding", "vec_id", 2)
+      top2.groupBy($"qid").agg(
+          max(when($"rnk" === 1L, $"nid")).as("match_id"),
+          max(when($"rnk" === 1L, $"sim")).as("s1"),
+          max(when($"rnk" === 2L, $"sim")).as("s2"))
+        .filter($"s2".isNotNull)
+        .withColumn("margin_r", round($"s1" - $"s2", 4))
+        .filter($"margin_r" >= 0.02)
+        .select($"qid".as("src_id"), $"match_id",
+          round($"s1", 4).as("best_sim"), round($"s2", 4).as("second_sim"),
+          $"margin_r")
+        .orderBy($"src_id")
+    }),
+
     // ---- q46: ANN recall gate — recall@10 of every approximate path vs
     // the exact brute-force top-10, emitted AS DATA so the driver's
     // rows-only check still pins approximate-search quality every round
@@ -437,6 +467,31 @@ object Similarity {
         |WHERE list_dot_product(a.v, b.v) /
         |   (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))) >= 0.45
         |ORDER BY va, vb""".stripMargin,
+
+    // margin-mining twin: identical brute-force cosine, top-2 pivot,
+    // rounded margin — the q27 oracle conventions applied cross-set
+    "q206_bitext_mining" ->
+      """WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings),
+        |a AS (SELECT vec_id, v FROM e WHERE label = 0),
+        |b AS (SELECT vec_id, v FROM e WHERE label = 1),
+        |scored AS (
+        |  SELECT a.vec_id AS qid, b.vec_id AS nid,
+        |    list_dot_product(a.v, b.v) /
+        |      (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))) AS sim
+        |  FROM a, b),
+        |r AS (SELECT qid, nid, sim,
+        |        row_number() OVER (PARTITION BY qid ORDER BY sim DESC, nid) AS rnk
+        |      FROM scored),
+        |p AS (SELECT qid,
+        |        max(CASE WHEN rnk = 1 THEN nid END) AS match_id,
+        |        max(CASE WHEN rnk = 1 THEN sim END) AS s1,
+        |        max(CASE WHEN rnk = 2 THEN sim END) AS s2
+        |      FROM r WHERE rnk <= 2 GROUP BY qid)
+        |SELECT qid AS src_id, match_id, round(s1, 4) AS best_sim,
+        |  round(s2, 4) AS second_sim, round(s1 - s2, 4) AS margin_r
+        |FROM p
+        |WHERE s2 IS NOT NULL AND round(s1 - s2, 4) >= 0.02
+        |ORDER BY src_id""".stripMargin,
 
     "q27_knn_cosine" ->
       """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),

@@ -71,6 +71,35 @@ object TextAnalysis {
   }
 
   val queries: Map[String, Q] = Map(
+    // ---- q207: per-source n-gram diversity — the corpus DEGENERACY
+    // audit (distinct-2 metric): distinct word bigrams across the whole
+    // source vs total bigram occurrences. A template farm or
+    // looping-generation source shows a collapsing ratio long before
+    // per-doc repetition (q53) fires, because the duplication is
+    // CROSS-doc. Two keyed aggregates — per-doc bigram counts summed
+    // per source, and an exact countDistinct of (source, bigram) —
+    // both partial-agg friendly; the per-doc shingle dedup
+    // (shingle_set) cannot change the cross-doc distinct. ----
+    "q207_source_diversity" -> ((s, dir) => {
+      import s.implicits._
+      graft.functions.GraftFunctions.register(s)
+      val docs = t(s, dir, "documents")
+      val totals = docs.select($"source",
+          greatest(size(split(trim($"text"), " ")) - 1, lit(0))
+            .cast(LongType).as("nb"))
+        .groupBy($"source")
+        .agg(count(lit(1)).as("n_docs"), sum($"nb").as("total_bigrams"))
+      val distincts = docs
+        .select($"source", explode(expr("shingle_set(text, 2)")).as("sh"))
+        .groupBy($"source").agg(countDistinct($"sh").as("distinct_bigrams"))
+      totals.join(distincts, Seq("source"), "left")
+        .select($"source", $"n_docs", $"total_bigrams",
+          coalesce($"distinct_bigrams", lit(0L)).as("distinct_bigrams"),
+          round(coalesce($"distinct_bigrams", lit(0L)).cast(DoubleType) /
+            $"total_bigrams".cast(DoubleType), 6).as("diversity"))
+        .orderBy($"source")
+    }),
+
     // ---- q113: bigram LM self-perplexity (CCNet-shape quality filter:
     // score docs by cross-entropy under an n-gram model trained on the
     // corpus itself — gibberish/outlier docs score high). Count tables
@@ -337,6 +366,28 @@ object TextAnalysis {
        |ORDER BY doc_id""".stripMargin
 
   val oracle: Map[String, String] = Map(
+    // diversity twin: identical single-space tokenization (the corpus is
+    // single-space by construction, matching the q24-family twins),
+    // chr(0)-joined bigrams, per-doc DISTINCT before the cross-doc
+    // distinct (a per-doc dedup cannot change a cross-doc distinct)
+    "q207_source_diversity" ->
+      """WITH toks AS (
+        |  SELECT doc_id, source, string_split(trim(text), ' ') AS t FROM documents
+        |), tot AS (
+        |  SELECT source, COUNT(*) AS n_docs,
+        |    CAST(SUM(greatest(len(t) - 1, 0)) AS BIGINT) AS total_bigrams
+        |  FROM toks GROUP BY source
+        |), sh AS (
+        |  SELECT DISTINCT source, t[i] || chr(0) || t[i+1] AS s
+        |  FROM (SELECT source, t, unnest(generate_series(1, greatest(len(t) - 1, 0))) AS i
+        |        FROM toks)
+        |), dis AS (SELECT source, COUNT(*) AS distinct_bigrams FROM sh GROUP BY source)
+        |SELECT tot.source, n_docs, total_bigrams,
+        |  CAST(COALESCE(distinct_bigrams, 0) AS BIGINT) AS distinct_bigrams,
+        |  round(COALESCE(distinct_bigrams, 0) / total_bigrams, 6) AS diversity
+        |FROM tot LEFT JOIN dis ON dis.source = tot.source
+        |ORDER BY tot.source""".stripMargin,
+
     // PMI twin: the q113 tokenization, pairs from (w[i], w[i+1]) and
     // (w[i], w[i+2]) of the filtered arrays (== lead over surviving
     // tokens), identical smoothing-free PMI chain, ranked on the same

@@ -287,6 +287,27 @@ class CorpusSpec extends AnyFunSuite {
     assert(ex.getMessage.contains("dense [0, N)"), ex.getMessage)
   }
 
+  test("q208 epoch shuffle: balanced shards, epoch reshuffle, repartition-stable") {
+    val out = SparkEntry.queries("q208_epoch_shuffle")(spark, sf0001)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    val nDocs = out.count(_._1 == 0L)
+    assert(nDocs > 0 && out.length === 2 * nDocs)
+    // md5 spreads docs across the 8 shards: every shard non-empty, no
+    // shard hoards more than 3x the fair share at 500 docs
+    val byShard = out.filter(_._1 == 0L).groupBy(_._3).view.mapValues(_.length)
+    assert(byShard.size === 8)
+    assert(byShard.values.max <= 3 * nDocs / 8)
+    // positions are contiguous 1..n within each (epoch, shard)
+    out.groupBy(t => (t._1, t._3)).foreach { case (_, g) =>
+      assert(g.map(_._4).sorted.toSeq === (1 to g.length).map(_.toLong))
+    }
+    // the epoch is in the hash: epoch 1 is a genuinely different order
+    val e0 = out.filter(_._1 == 0L).sortBy(t => (t._3, t._4)).map(_._2).toSeq
+    val e1 = out.filter(_._1 == 1L).sortBy(t => (t._3, t._4)).map(_._2).toSeq
+    assert(e0 !== e1)
+    assert(e0.toSet === e1.toSet) // same corpus, different order
+  }
+
   test("hrwAssign moves keys only INTO a newly added shard, via a shuffle-free projection") {
     val s = spark; import s.implicits._
     val ids = (0L until 2000L).toDF("id")
