@@ -159,8 +159,26 @@ object Corpus {
     // (anchor, j), so stable under repartition/retry/append and exactly
     // replayable by the oracle. Self-collisions drop, never redraw. ----
     "q189_negative_sampling" -> ((s, dir) => {
-      graft.api.Graft.negativeSample(t(s, dir, "documents"), "doc_id", 4,
-          Seq("source", "lang"), anchorFilter = col("doc_id") % 10 === 0)
+      // Densify FIRST (r9): real corpora (and the sf1 ladder's shifted
+      // key ranges) have sparse doc ids, and negativeSample's dense
+      // [0, N) contract is now enforced in-plan — globalRank satisfies
+      // it by construction; the dense id maps back to the original
+      // doc_id for both the anchor and the drawn partner, so the output
+      // is id-scheme-independent. At a dense-0-based sf the mapping is
+      // the identity and the result is unchanged.
+      val docs = t(s, dir, "documents")
+      val dense = graft.api.Graft.globalRank(
+          docs.select(col("doc_id"), col("source"), col("lang")),
+          Seq("doc_id"), "__rk")
+        .withColumn("did", col("__rk") - 1L).drop("__rk")
+      graft.api.Graft.negativeSample(dense, "did", 4,
+          Seq("doc_id", "source", "lang"),
+          anchorFilter = col("doc_id") % 10 === 0)
+        .join(dense.select(col("did").as("anchor_id"),
+          col("doc_id").as("__anchor_doc")), Seq("anchor_id"))
+        .select(col("__anchor_doc").as("anchor_id"), col("j"),
+          col("neg_doc_id").as("neg_id"),
+          col("neg_source"), col("neg_lang"))
         .orderBy(col("anchor_id"), col("j"))
     }),
 
@@ -504,19 +522,27 @@ object Corpus {
 
     // negative-sampling twin: identical md5(id:j) mod N draw, identical
     // self-collision drop, partner payload via the same equi-join
+    // r9: the twin densifies identically (0-based rank over doc_id), so
+    // the draw hashes the dense id and both anchor/partner map back to
+    // original doc ids — id-scheme-independent, identity at sf0.01
     "q189_negative_sampling" ->
-      """WITH nn AS (SELECT COUNT(*) AS n FROM documents),
+      """WITH d AS (
+        |  SELECT doc_id, source, lang,
+        |    row_number() OVER (ORDER BY doc_id) - 1 AS did
+        |  FROM documents),
+        |nn AS (SELECT COUNT(*) AS n FROM documents),
         |draws AS (
-        |  SELECT d.doc_id AS anchor_id, CAST(j AS BIGINT) AS j,
-        |    CAST((md5_number_lower(CAST(d.doc_id AS VARCHAR) || ':' || CAST(j AS VARCHAR))
-        |          & 9223372036854775807::UBIGINT) % nn.n AS BIGINT) AS neg_id
-        |  FROM documents d
+        |  SELECT a.doc_id AS anchor_id, a.did AS adid, CAST(j AS BIGINT) AS j,
+        |    CAST((md5_number_lower(CAST(a.did AS VARCHAR) || ':' || CAST(j AS VARCHAR))
+        |          & 9223372036854775807::UBIGINT) % nn.n AS BIGINT) AS neg_did
+        |  FROM d a
         |  CROSS JOIN nn
         |  CROSS JOIN (SELECT unnest(generate_series(1, 4)) AS j)
-        |  WHERE d.doc_id % 10 = 0)
-        |SELECT anchor_id, j, neg_id, p.source AS neg_source, p.lang AS neg_lang
-        |FROM draws JOIN documents p ON p.doc_id = draws.neg_id
-        |WHERE neg_id <> anchor_id
+        |  WHERE a.doc_id % 10 = 0)
+        |SELECT anchor_id, j, p.doc_id AS neg_id, p.source AS neg_source,
+        |  p.lang AS neg_lang
+        |FROM draws JOIN d p ON p.did = draws.neg_did
+        |WHERE neg_did <> adid
         |ORDER BY anchor_id, j""".stripMargin,
 
     // yield-ledger twin: q23's normalization/canonical rule, q58's
