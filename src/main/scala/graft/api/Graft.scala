@@ -74,6 +74,41 @@ object Graft {
       .drop("__ub")
   }
 
+  /** EXACT expansion tripwire completing [[pairBudgetGuard]] (review
+    * finding: the bucket/within budgets bound candidate generation and
+    * within-group output, but the exact-dup member RE-EXPANSION joins
+    * multiply each verified representative pair by |ga|·|gb| — on a
+    * d×-duplicated corpus that is d² past everything the first guard
+    * sees). The representative pairs are materialized (they already
+    * feed two member joins, so this also removes a recompute; the
+    * pinned set is verified-near-dup-pair-sized, not corpus-sized),
+    * the true member-pair total Σ|ga|·|gb| comes from one
+    * group-sized join + 1-row aggregate — EXACT, so legitimate corpora
+    * can never false-trip — and the expansion raises past `maxPairs`
+    * before producing a row. `groupSizes` carries (__g, __n). */
+  private[graft] def expansionGuard(repPairs: DataFrame, aCol: String,
+      bCol: String, groupSizes: DataFrame, maxPairs: Long,
+      op: String): DataFrame = {
+    val reps = repPairs.localCheckpoint()
+    val sa = groupSizes.select(col("__g").as(aCol), col("__n").as("__xna"))
+    val sb = groupSizes.select(col("__g").as(bCol), col("__n").as("__xnb"))
+    val tot = reps.join(sa, aCol).join(sb, bCol)
+      .agg(coalesce(sum(col("__xna") * col("__xnb")), lit(0L)).as("__xub"))
+    reps.crossJoin(broadcast(tot))
+      .filter(when(col("__xub") > maxPairs,
+        raise_error(concat(
+          lit(s"$op: exact-dup member expansion of "),
+          col("__xub").cast(StringType),
+          lit(s" pairs exceeds maxPairs=$maxPairs — the corpus's " +
+            "duplication makes the pair answer itself quadratic; raise " +
+            "maxPairs only if the pair set truly fits downstream, or " +
+            "switch to the cluster form (connectedComponents/" +
+            "dedupKeepBest), whose output is one row per document")))
+          .cast(BooleanType))
+        .otherwise(lit(true)))
+      .drop("__xub")
+  }
+
   /** Exact Jaccard near-duplicate pairs at `num/den` threshold (integer
     * cross-multiplied — no float compare).
     *
@@ -105,10 +140,9 @@ object Graft {
       case Some(cap) =>
         val hot = sh0.groupBy(col("s")).agg(count(lit(1)).as("df"))
           .filter(col("df") > cap).select(col("s"))
-        val sh = pairBudgetGuard(
-          sh0.join(broadcast(hot), Seq("s"), "left_anti"),
-          Seq(sh0.join(broadcast(hot), Seq("s"), "left_anti")
-            .groupBy(col("s")).agg(count(lit(1)).as("__n"))),
+        val kept = sh0.join(broadcast(hot), Seq("s"), "left_anti")
+        val sh = pairBudgetGuard(kept,
+          Seq(kept.groupBy(col("s")).agg(count(lit(1)).as("__n"))),
           maxPairs, "nearDupPairsExact")
         val i = sh.groupBy(col("s")).agg(sort_array(collect_list(col("__id"))).as("ds"))
           .select(explode(expr("array_pairs(ds)")).as("p"))
@@ -186,8 +220,11 @@ object Graft {
     val groups = df.select(col(idCol).as("__gid"), md5(col(textCol)).as("__fp"))
     val reps = df.select(md5(col(textCol)).as("__fp"), col(textCol).as("__text"))
       .groupBy(col("__fp")).agg(min(col("__text")).as("__text"))
-    val repPairs =
-      prefixFilterJaccardPairsRaw(reps, "__text", "__fp", num, den, ngram, maxPairs)
+    val gsizes = groups.groupBy(col("__fp")).agg(count(lit(1)).as("__n"))
+      .select(col("__fp").as("__g"), col("__n"))
+    val repPairs = expansionGuard(
+      prefixFilterJaccardPairsRaw(reps, "__text", "__fp", num, den, ngram, maxPairs),
+      "da", "db", gsizes, maxPairs, "prefixFilterJaccardPairs(expansion)")
     val cross = repPairs
       .join(groups.select(col("__fp").as("da"), col("__gid").as("ia")), Seq("da"))
       .join(groups.select(col("__fp").as("db"), col("__gid").as("ib")), Seq("db"))
@@ -339,8 +376,8 @@ object Graft {
     * signature buckets (work ∝ true dups), then exact Jaccard on the
     * candidates only. See operators/Dedup for the banding math. */
   def nearDupPairsMinHash(df: DataFrame, textCol: String, idCol: String,
-      num: Int = 4, den: Int = 5): DataFrame =
-    graft.operators.Dedup.minhashPairs(df, textCol, idCol, num, den)
+      num: Int = 4, den: Int = 5, maxPairs: Long = 100000000L): DataFrame =
+    graft.operators.Dedup.minhashPairs(df, textCol, idCol, num, den, maxPairs)
 
   /** Embedding-cosine near-dup pairs, bucket-first (the corpus-scale
     * path): sign-bit LSH band candidates → exact `vec_dot` verify of
@@ -422,7 +459,7 @@ object Graft {
     * the join strategy) or cosineNearDupPairsExact (block-partitioned
     * quadratic). */
   def cosineTopK(base: DataFrame, queries: DataFrame, vecCol: String,
-      idCol: String, k: Int): DataFrame = {
+      idCol: String, k: Int, excludeSelf: Boolean = true): DataFrame = {
     graft.functions.GraftFunctions.register(base.sparkSession)
     val b0 = base.select(col(idCol).as("nid"), col(vecCol).as("v"))
       .withColumn("nrm", sqrt(expr("vec_dot(v, v)")))
@@ -437,7 +474,12 @@ object Graft {
     val q = queries.select(col(idCol).as("qid"), col(vecCol).as("qv"))
       .withColumn("qn", sqrt(expr("vec_dot(qv, qv)")))
     val w = Window.partitionBy(col("qid")).orderBy(col("sim").desc, col("nid"))
-    b.join(broadcast(q), col("nid") =!= col("qid"))
+    // excludeSelf guards SAME-set search (a vector must not be its own
+    // neighbor); CROSS-set searches over independently-numbered corpora
+    // (q206 bitext mining) pass false — an id collision across sets is
+    // two different rows, not a self-match.
+    val cond = if (excludeSelf) col("nid") =!= col("qid") else lit(true)
+    b.join(broadcast(q), cond)
       .withColumn("sim", expr("vec_dot(v, qv)") / (col("nrm") * col("qn")))
       .withColumn("rnk", row_number().over(w).cast(LongType))
       .filter(col("rnk") <= k)
@@ -874,15 +916,21 @@ object Graft {
       payload: Seq[String], anchorFilter: Column = lit(true)): DataFrame = {
     require(k > 0, "negativeSample: k must be positive")
     graft.functions.GraftFunctions.register(df.sparkSession)
+    // min/max catch offset and gap-at-the-end; countDistinct catches
+    // duplicate ids with compensating gaps ([0,1,1,3] passes min/max but
+    // is not dense — review finding). All ride one aggregate.
     val n = df.agg(count(lit(1)).as("__cnt"),
+        countDistinct(col(idCol)).as("__cd"),
         min(col(idCol).cast(LongType)).as("__mn"),
         max(col(idCol).cast(LongType)).as("__mx"))
-      .select(when(col("__mn") =!= 0L || col("__mx") =!= col("__cnt") - 1L,
+      .select(when(col("__mn") =!= 0L || col("__mx") =!= col("__cnt") - 1L ||
+          col("__cd") =!= col("__cnt"),
         raise_error(concat(
           lit("negativeSample: id domain must be dense [0, N) — got min="),
           col("__mn").cast(StringType), lit(", max="),
           col("__mx").cast(StringType), lit(", n="),
-          col("__cnt").cast(StringType),
+          col("__cnt").cast(StringType), lit(", distinct="),
+          col("__cd").cast(StringType),
           lit("; densify sparse ids with globalRank first (gap-hitting " +
             "draws would silently deflate negatives per anchor)")))
           .cast(LongType))
@@ -3990,10 +4038,16 @@ object Graft {
     * through adj the bridge self-join's both sides) and `deg` three
     * (bridge filter, degx, degy) — uncut, the caller's edge-generation
     * subplan (typically the corpus's most expensive join) re-evaluated
-    * per consumer; measured 3× on q173 at sf1. */
+    * per consumer; measured 3× on q173 at sf1. The topK-row result is
+    * checkpointed, so the returned plan drops every reference to the
+    * edge-sized working-set RDDs and the ContextCleaner reclaims them at
+    * the next GC — repeated calls cannot accumulate live caches. */
   def linkPrediction(edges: DataFrame, srcCol: String, dstCol: String,
       topK: Int = 20, maxDegree: Int = 100): DataFrame = {
     require(topK > 0 && maxDegree >= 2, "linkPrediction: bad topK/maxDegree")
+    // localCheckpoint (row-RDD storage) over persist: the wedge join
+    // re-reads the edge table many times and the columnar cache's
+    // encode/decode measured ~2x slower end-to-end on q173
     val e = edges.select(least(col(srcCol), col(dstCol)).as("a"),
         greatest(col(srcCol), col(dstCol)).as("b"))
       .filter(col("a") =!= col("b")).distinct()
@@ -4012,6 +4066,10 @@ object Graft {
           .cast(LongType)).as("__aa_q"))
     val cand = scored.join(e.select(col("a").as("x"), col("b").as("y")),
       Seq("x", "y"), "left_anti")
+    // topK-row result is cut so the returned plan holds NO reference to
+    // the edge-sized checkpoint RDDs — the ContextCleaner reclaims them
+    // at the next GC instead of pinning them for the caller's lifetime
+    // (review finding)
     cand.join(deg.select(col("u").as("x"), col("deg").as("degx")), "x")
       .join(deg.select(col("u").as("y"), col("deg").as("degy")), "y")
       .orderBy(col("__aa_q").desc, col("x"), col("y")).limit(topK)
@@ -4019,6 +4077,7 @@ object Graft {
         (col("__aa_q").cast(DoubleType) / lit(1.0e9)).as("adamic_adar"),
         (col("cn").cast(DoubleType) /
           (col("degx") + col("degy") - col("cn"))).as("jaccard"))
+      .localCheckpoint()
   }
 
   /** Sorted-neighborhood candidate pairs — the OTHER classic

@@ -83,12 +83,18 @@ object Dedup {
     val sizes = withSh.select(col("__fp"), size(col("ss")).cast(LongType).as("n"))
     val inter = shA.join(cands, "fa").join(shB, Seq("fb", "s"))
       .groupBy(col("fa"), col("fb")).agg(count(lit(1)).as("i"))
-    val repPairs = inter
+    // exact member-expansion tripwire (Σ|ga|·|gb| over the verified rep
+    // pairs — the d² the bucket/within budgets cannot see)
+    val repPairs = graft.api.Graft.expansionGuard(inter
       .join(sizes.select(col("__fp").as("fa"), col("n").as("na")), "fa")
       .join(sizes.select(col("__fp").as("fb"), col("n").as("nb")), "fb")
       .filter(lit(den) * col("i") >= lit(num) * (col("na") + col("nb") - col("i")))
       .select(col("fa"), col("fb"), col("i"), col("na"), col("nb"),
-        (col("i") / (col("na") + col("nb") - col("i"))).as("jac"))
+        (col("i") / (col("na") + col("nb") - col("i"))).as("jac")),
+      "fa", "fb",
+      groups.groupBy(col("__fp")).agg(count(lit(1)).as("__n"))
+        .select(col("__fp").as("__g"), col("__n")),
+      maxPairs, "minhashPairs(expansion)")
     val cross = repPairs
       .join(groups.select(col("__fp").as("fa"), col("doc_id").as("ia")), "fa")
       .join(groups.select(col("__fp").as("fb"), col("doc_id").as("ib")), "fb")
@@ -329,13 +335,19 @@ object Dedup {
         docSigs.groupBy(col("sig")).agg(count(lit(1)).as("__n"))
       val sigs = graft.api.Graft.pairBudgetGuard(
         sigs0, budgets, 100000000L, "q26_dedup_simhash")
-      val sigPairs = (0 until 4).map { k =>
-        sigs.alias("a").join(sigs.alias("b"),
-          col(s"a.k$k") === col(s"b.k$k") && col("a.sig") < col("b.sig"))
-          .select(col("a.sig").as("sa"), col("b.sig").as("sb"))
-      }.reduce(_ unionAll _).distinct()
-        .withColumn("hamming", bit_count(col("sa").bitwiseXOR(col("sb"))).cast(LongType))
-        .filter(col("hamming") <= 3)
+      // exact member-expansion tripwire on the verified signature pairs
+      val sigPairs = graft.api.Graft.expansionGuard(
+        (0 until 4).map { k =>
+          sigs.alias("a").join(sigs.alias("b"),
+            col(s"a.k$k") === col(s"b.k$k") && col("a.sig") < col("b.sig"))
+            .select(col("a.sig").as("sa"), col("b.sig").as("sb"))
+        }.reduce(_ unionAll _).distinct()
+          .withColumn("hamming", bit_count(col("sa").bitwiseXOR(col("sb"))).cast(LongType))
+          .filter(col("hamming") <= 3),
+        "sa", "sb",
+        docSigs.groupBy(col("sig")).agg(count(lit(1)).as("__n"))
+          .select(col("sig").as("__g"), col("__n")),
+        100000000L, "q26_dedup_simhash(expansion)")
       val cross = sigPairs
         .join(docSigs.select(col("sig").as("sa"), col("doc_id").as("ia")), "sa")
         .join(docSigs.select(col("sig").as("sb"), col("doc_id").as("ib")), "sb")
@@ -383,9 +395,11 @@ object Dedup {
     * capped bounded-pair-generation shape as q24; emitted for the
     * smaller-side containment so (da, db) is still an unordered pair. */
   def containmentPairs(df: DataFrame, textCol: String, idCol: String,
-      num: Int, den: Int, maxShingleDf: Int): DataFrame = {
+      num: Int, den: Int, maxShingleDf: Int,
+      maxPairs: Long = 100000000L): DataFrame = {
     val inter = graft.api.Graft.nearDupPairsExact(df, textCol, idCol,
-      num = 0, den = 1, maxShingleDf = Some(maxShingleDf))
+      num = 0, den = 1, maxShingleDf = Some(maxShingleDf),
+      maxPairs = maxPairs)
     // num=0/den=1 keeps every intersecting pair; re-threshold on
     // containment of the smaller shingle set
     inter

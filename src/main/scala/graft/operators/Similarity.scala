@@ -152,7 +152,11 @@ object Similarity {
       val e = t(s, dir, "embeddings")
       val a = e.filter($"label" === 0)
       val b = e.filter($"label" === 1)
-      val top2 = graft.api.Graft.cosineTopK(b, a, "embedding", "vec_id", 2)
+      // excludeSelf = false: the sides are independently-numbered sets —
+      // an id collision across labels is two different rows, and the
+      // brute-force oracle scores ALL |A|×|B| pairs (review finding)
+      val top2 = graft.api.Graft.cosineTopK(b, a, "embedding", "vec_id", 2,
+        excludeSelf = false)
       top2.groupBy($"qid").agg(
           max(when($"rnk" === 1L, $"nid")).as("match_id"),
           max(when($"rnk" === 1L, $"sim")).as("s1"),

@@ -95,8 +95,13 @@ object TextAnalysis {
       totals.join(distincts, Seq("source"), "left")
         .select($"source", $"n_docs", $"total_bigrams",
           coalesce($"distinct_bigrams", lit(0L)).as("distinct_bigrams"),
-          round(coalesce($"distinct_bigrams", lit(0L)).cast(DoubleType) /
-            $"total_bigrams".cast(DoubleType), 6).as("diversity"))
+          // an all-single-token source has 0 bigrams: NULL diversity,
+          // matching the twin's NULL-on-zero-divisor (review finding —
+          // IEEE would give NaN here and diverge from DuckDB)
+          when($"total_bigrams" === 0L, lit(null).cast(DoubleType))
+            .otherwise(round(
+              coalesce($"distinct_bigrams", lit(0L)).cast(DoubleType) /
+                $"total_bigrams".cast(DoubleType), 6)).as("diversity"))
         .orderBy($"source")
     }),
 

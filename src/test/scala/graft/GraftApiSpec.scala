@@ -1243,6 +1243,26 @@ class GraftApiSpec extends AnyFunSuite {
     assert(exMh.getMessage.contains("maxPairs"), exMh.getMessage)
   }
 
+  test("expansionGuard trips on member re-expansion the bucket budgets cannot see") {
+    val s = spark; import s.implicits._
+    // two near-dup TEXTS (trigram J = 8/10 = 0.8), each duplicated 10x:
+    // candidate buckets see 2 distinct reps (tiny), within-group output
+    // is 2*C(10,2) = 90, but the cross expansion is 10*10 = 100 pairs
+    val t1 = "a b c d e f g h i j k"
+    val t2 = "a b c d e f g h i j z"
+    val docs = ((1 to 10).map(i => (i.toLong, t1)) ++
+      (11 to 20).map(i => (i.toLong, t2))).toDF("doc_id", "text")
+    val ex = intercept[Exception] {
+      operators.Dedup.minhashPairs(docs, "text", "doc_id", 4, 5,
+        maxPairs = 95L).count()
+    }
+    assert(ex.getMessage.contains("member expansion"), ex.getMessage)
+    // 10 more of budget and the same corpus enumerates in full:
+    // 90 within + 100 cross = 190 pairs
+    assert(operators.Dedup.minhashPairs(docs, "text", "doc_id", 4, 5,
+      maxPairs = 200L).count() === 190L)
+  }
+
   test("histogramPercentiles: within one bin width of exact, partition-invariant") {
     val s = spark; import s.implicits._
     val df = (1 to 1000).map(i => (i.toLong, i.toDouble)).toDF("id", "v")
