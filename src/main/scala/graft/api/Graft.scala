@@ -3271,10 +3271,16 @@ object Graft {
       .withColumn("auth", lit(0.0))
     var i = 0
     while (i < iterations) {
-      // authority half-round: pull hub mass along in-edges, L1-normalize
-      val aq = e.join(scores.select(col("node").as("src"), col("hub")), Seq("src"))
+      // authority half-round: pull hub mass along in-edges, L1-normalize.
+      // The pulled-mass table is MATERIALIZED (r9): it feeds the
+      // normalizer aggregate AND the node join, and `auth` below feeds
+      // the hub half-round AND the round's score join — uncut, each
+      // consumer replayed the edge join, ~4x the per-round work (the
+      // kCore lineage lesson, bounded per round here since scores is
+      // cut). The cut table is node-sized.
+      val aq = cut(e.join(scores.select(col("node").as("src"), col("hub")), Seq("src"))
         .groupBy(col("dst").as("node"))
-        .agg(sum(round(col("w") * col("hub") * lit(Q)).cast(LongType)).as("__aq"))
+        .agg(sum(round(col("w") * col("hub") * lit(Q)).cast(LongType)).as("__aq")))
       val asum = aq.agg(sum(col("__aq")).as("__as"))
       val auth = nodes.join(aq, Seq("node"), "left")
         .crossJoin(broadcast(asum))
@@ -3282,9 +3288,9 @@ object Graft {
           (coalesce(col("__aq"), lit(0L)).cast(DoubleType) /
             col("__as").cast(DoubleType)).as("auth"))
       // hub half-round: pull the fresh authority along out-edges
-      val hq = e.join(auth.select(col("node").as("dst"), col("auth")), Seq("dst"))
+      val hq = cut(e.join(auth.select(col("node").as("dst"), col("auth")), Seq("dst"))
         .groupBy(col("src").as("node"))
-        .agg(sum(round(col("w") * col("auth") * lit(Q)).cast(LongType)).as("__hq"))
+        .agg(sum(round(col("w") * col("auth") * lit(Q)).cast(LongType)).as("__hq")))
       val hsum = hq.agg(sum(col("__hq")).as("__hs"))
       val hub = nodes.join(hq, Seq("node"), "left")
         .crossJoin(broadcast(hsum))
