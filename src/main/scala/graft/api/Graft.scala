@@ -4072,13 +4072,19 @@ object Graft {
           .cast(LongType)).as("__aa_q"))
     val cand = scored.join(e.select(col("a").as("x"), col("b").as("y")),
       Seq("x", "y"), "left_anti")
-    // topK-row result is cut so the returned plan holds NO reference to
-    // the edge-sized checkpoint RDDs — the ContextCleaner reclaims them
-    // at the next GC instead of pinning them for the caller's lifetime
-    // (review finding)
-    cand.join(deg.select(col("u").as("x"), col("deg").as("degx")), "x")
+    // Top-k FIRST (rank is by aa_q with (x,y) tie-break — independent of
+    // the degrees), THEN the degx/degy lookups on just k rows: the two
+    // degree joins would otherwise shuffle the full wedge-candidate set
+    // twice purely to compute Jaccard values the top-k then discards.
+    // TakeOrderedAndProject over cand; the k-row cut also drops every
+    // reference to the edge-sized checkpoint RDDs so the ContextCleaner
+    // reclaims them at the next GC (review finding).
+    val top = cand.orderBy(col("__aa_q").desc, col("x"), col("y"))
+      .limit(topK).localCheckpoint()
+    broadcast(top)
+      .join(deg.select(col("u").as("x"), col("deg").as("degx")), "x")
       .join(deg.select(col("u").as("y"), col("deg").as("degy")), "y")
-      .orderBy(col("__aa_q").desc, col("x"), col("y")).limit(topK)
+      .orderBy(col("__aa_q").desc, col("x"), col("y"))
       .select(col("x"), col("y"), col("cn"),
         (col("__aa_q").cast(DoubleType) / lit(1.0e9)).as("adamic_adar"),
         (col("cn").cast(DoubleType) /
