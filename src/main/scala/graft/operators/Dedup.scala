@@ -213,7 +213,11 @@ object Dedup {
             col("a.p_size") === col("b.p_size") &&
             col("a.p_partkey") < col("b.p_partkey"))
         .select(col("a.p_partkey").as("id_a"), col("b.p_partkey").as("id_b"),
-          (levenshtein(col("a.p_name"), col("b.p_name")) <= 2).as("agree_name"),
+          // bounded banded-DP levenshtein (-1 past the threshold): at
+          // k=2 the band is 5 cells/row vs the ~30-char full table —
+          // A/B'd at sf1: 7.1 -> 4.0 s. (At k≥8 the bounded form LOSES;
+          // see q78's comment.) `>= 0` ≡ `<= 2`.
+          (levenshtein(col("a.p_name"), col("b.p_name"), 2) >= 0).as("agree_name"),
           (col("a.p_type") === col("b.p_type")).as("agree_type"),
           (abs(col("a.cents") - col("b.cents")) <= 50L).as("agree_price"))
       pairs.withColumn("score_micro",

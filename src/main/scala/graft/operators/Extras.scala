@@ -185,7 +185,11 @@ object Extras {
             $"a.p_partkey" < $"b.p_partkey")
         // project the distance ONCE: Filter and Aggregate are separate
         // operators, so Catalyst would not CSE a repeated levenshtein —
-        // and the O(len²) DP is the whole cost of this query
+        // and the O(len²) DP is the whole cost of this query. (The 3-arg
+        // bounded form was A/B'd at sf1 and LOST here: at k=8 the band
+        // 2k+1=17 is nearly the ~30-char name length, so the banded DP
+        // saves no cells and its per-cell bookkeeping costs ~45% — it
+        // only pays at tight thresholds, see q195's k=2.)
         .withColumn("d", levenshtein($"a.p_name", $"b.p_name"))
         .filter($"d" <= 8)
         .groupBy($"a.p_brand".as("brand"))
