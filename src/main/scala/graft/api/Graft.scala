@@ -1624,6 +1624,72 @@ object Graft {
         col("cross_entropy"))
   }
 
+  /** CCNet-style perplexity bucketing (Wenzek et al. 2020 — the filter
+    * that built CCNet/most LLM web corpora): score every document's
+    * bigram cross-entropy under a PER-LANGUAGE reference LM trained on
+    * a held-out clean slice (`trainFilter`), then cut each language
+    * into equal-frequency head/middle/tail terciles — head is the
+    * "looks like the reference" slice a pretraining mix keeps.
+    *
+    * Differs from [[ngramLmScore]] (self-scoring) in the two ways that
+    * matter: counts are keyed by LANGUAGE (one LM per language in one
+    * plan, not a loop), and score-side bigrams LEFT-join the count
+    * tables — unseen grams fall back to the add-k floor ln(kV/k)..
+    * ln(V) instead of dropping. Per-doc −ln P sums are nano-quantized
+    * longs (order-free); the only doubles are the final ce division
+    * and the rank sort key.
+    *
+    * Terciles are NEVER a per-lang ntile window (one reducer per
+    * language at 100 TB): [[globalRank]] over (lang, ce, id) gives
+    * parallel ranks, a keyed agg gives each language's offset+count,
+    * and bucket = (rank_in_lang−1)·3 div n_lang — pure integer
+    * arithmetic, exact thirds, deterministic under ties.
+    *
+    * Documents with < 2 tokens have no bigrams and are unscorable —
+    * dropped, as are languages absent from the train slice (no
+    * reference LM). Returns (id, lang, n_bigrams, cross_entropy,
+    * bucket ∈ head|middle|tail). */
+  def ccnetBuckets(df: DataFrame, textCol: String, idCol: String,
+      langCol: String, trainFilter: Column, addK: Double = 0.5): DataFrame = {
+    val Q = 1.0e9
+    def toks(d: DataFrame) = d.select(col(idCol).as("__id"),
+        col(langCol).as("__lang"),
+        posexplode(split(lower(col(textCol)), "[^a-z0-9]+")).as(Seq("__p", "__t")))
+      .filter(col("__t") =!= "")
+    val wp = Window.partitionBy(col("__id")).orderBy(col("__p"))
+    def bigrams(tk: DataFrame) = tk
+      .select(col("__id"), col("__lang"), col("__t").as("w1"),
+        lead(col("__t"), 1).over(wp).as("w2"))
+      .filter(col("w2").isNotNull)
+    val trToks = toks(df.filter(trainFilter))
+    val uni = trToks.groupBy(col("__lang"), col("__t").as("w1"))
+      .agg(count(lit(1)).as("cu"))
+    val bi = bigrams(trToks).groupBy(col("__lang"), col("w1"), col("w2"))
+      .agg(count(lit(1)).as("cb"))
+    val vocab = trToks.groupBy(col("__lang")).agg(countDistinct(col("__t")).as("v"))
+    val nll = log((coalesce(col("cu"), lit(0L)).cast(DoubleType) +
+        lit(addK) * col("v").cast(DoubleType)) /
+      (coalesce(col("cb"), lit(0L)).cast(DoubleType) + lit(addK)))
+    val scored = bigrams(toks(df.filter(!trainFilter)))
+      .join(bi, Seq("__lang", "w1", "w2"), "left")
+      .join(uni, Seq("__lang", "w1"), "left")
+      .join(broadcast(vocab), Seq("__lang"))
+      .select(col("__id"), col("__lang"), round(nll * lit(Q)).cast(LongType).as("__q"))
+      .groupBy(col("__id"), col("__lang"))
+      .agg(count(lit(1)).as("n_bigrams"), sum(col("__q")).as("__sq"))
+      .withColumn("cross_entropy",
+        (col("__sq").cast(DoubleType) / lit(Q)) / col("n_bigrams"))
+    val g = globalRank(scored, Seq("__lang", "cross_entropy", "__id"), "__gr")
+    val ls = g.groupBy(col("__lang"))
+      .agg((min(col("__gr")) - lit(1L)).as("__off"), count(lit(1)).as("__nl"))
+    g.join(broadcast(ls), Seq("__lang"))
+      .withColumn("__b", expr("((__gr - __off - 1) * 3) div __nl"))
+      .select(col("__id").as(idCol), col("__lang").as(langCol),
+        col("n_bigrams"), col("cross_entropy"),
+        when(col("__b") === 0, "head").when(col("__b") === 1, "middle")
+          .otherwise("tail").as("bucket"))
+  }
+
   /** Range-partitioned layout manifest: exact quantile boundaries of
     * `keyCol` at i/buckets, every row assigned to its quantile bucket,
     * returned as the per-bucket manifest (bucket, n, min_key, max_key) —
@@ -3724,6 +3790,56 @@ object Graft {
     staged.join(broadcast(offDf), Seq("__pid"))
       .withColumn(outName, sum(col(valueCol)).over(w) + col("__off"))
       .drop("__pid", "__off")
+  }
+
+  /** Spearman rank correlation with tie-averaged ranks — the robust
+    * (monotone-invariant) companion to Pearson for metric-agreement
+    * checks (does quality score A order documents like score B?).
+    *
+    * Never ranks row-by-row: the tie-averaged rank of value v is
+    * determined by the VALUE alone — cum_before(v) + (n_v+1)/2 — so
+    * ranks come from a value-keyed count aggregate plus ONE
+    * [[globalCumSum]] over the (far smaller) distinct-value table,
+    * then join back by value. Doubled ranks (2r = 2·cum_before+n_v+1)
+    * keep tie averages integral; Σ2r = n(n+1) exactly, so centering by
+    * (n+1) needs no mean division. Moments are Decimal(18→38) sums of
+    * exact integers (|c| ≤ 2n ⇒ products < 10³⁷ up to ~5·10¹⁷ rows;
+    * DuckDB's HUGEINT mirrors them exactly), and the only floating
+    * math is the final correctly-rounded double conversions + one
+    * sqrt·sqrt division — identical expression shape both engines.
+    *
+    * 100 TB shape: two value-keyed aggs, two cum-sums over distinct
+    * values (partition-offset pattern, never a 1-partition window),
+    * two value-equi joins back, one global 4-cell aggregate. */
+  def spearmanCorr(df: DataFrame, xCol: String, yCol: String): DataFrame = {
+    val D = DecimalType(18, 0)
+    val base = df.filter(col(xCol).isNotNull && col(yCol).isNotNull)
+      .select(col(xCol).as("__x"), col(yCol).as("__y"))
+    def doubledRanks(c: String, out: String): DataFrame = {
+      val counts = base.groupBy(col(c).as("__v")).agg(count(lit(1)).as("__n"))
+      globalCumSum(counts, Seq("__v"), "__n", "__cum")
+        .select(col("__v").as(c),
+          (lit(2L) * (col("__cum") - col("__n")) + col("__n") + lit(1L)).as(out))
+    }
+    val nRow = base.agg(count(lit(1)).as("__nn"))
+    val cent = base.join(doubledRanks("__x", "__rx"), "__x")
+      .join(doubledRanks("__y", "__ry"), "__y")
+      .crossJoin(broadcast(nRow))
+      .select((col("__rx") - (col("__nn") + lit(1L))).cast(D).as("__cx"),
+        (col("__ry") - (col("__nn") + lit(1L))).cast(D).as("__cy"))
+    cent.agg(count(lit(1)).as("n"),
+        sum(col("__cx") * col("__cy")).as("__sxy"),
+        sum(col("__cx") * col("__cx")).as("__sxx"),
+        sum(col("__cy") * col("__cy")).as("__syy"))
+      .select(col("n"),
+        when(col("__sxx") === 0 || col("__syy") === 0,
+          lit(null).cast(DoubleType))
+          // |rho| ≤ 1 by Cauchy–Schwarz; the clamp only trims the 1-ulp
+          // excess sqrt(x)·sqrt(x) can leave (identical on the oracle)
+          .otherwise(least(greatest(col("__sxy").cast(DoubleType) /
+            (sqrt(col("__sxx").cast(DoubleType)) *
+              sqrt(col("__syy").cast(DoubleType))), lit(-1.0)), lit(1.0)))
+          .as("spearman_rho"))
   }
 
   /** 2D skyline (Pareto frontier): rows not dominated by any other row,

@@ -156,6 +156,18 @@ object Analytics {
     "q175_anova" -> ((s, dir) =>
       graft.api.Graft.anovaOneWay(t(s, dir, "events"), "value", "event_type")),
 
+    // ---- q210: Spearman rank correlation between quantity and line
+    // price — the monotone-invariant metric-agreement check (does one
+    // signal order rows like another?), with textbook tie-averaged
+    // ranks. Ranks are value-determined (cum_before + (n_v+1)/2), so
+    // the shape is value-keyed aggs + a distinct-value cum-sum + joins
+    // back — never a row-level global sort; moments are exact decimal
+    // sums (HUGEINT on the oracle side) with one final
+    // double/sqrt/divide of identical shape both engines. ----
+    "q210_spearman" -> ((s, dir) =>
+      graft.api.Graft.spearmanCorr(
+        t(s, dir, "lineitem"), "l_quantity", "l_extendedprice")),
+
     // ---- q173: link prediction on the basket co-purchase graph (the
     // q147 edge set): common neighbors + Adamic–Adar + neighborhood
     // Jaccard for NON-edges, top-20 by the nano-quantized Adamic–Adar
@@ -1688,6 +1700,30 @@ object Analytics {
         |       ELSE CAST(t - gq AS DOUBLE) / CAST(qq * 1000 - gq AS DOUBLE)
         |  END AS eta2
         |FROM fin""".stripMargin,
+
+    // Spearman twin: identical tie-averaged doubled ranks from
+    // value-keyed counts, HUGEINT moments (exact, mirroring the decimal
+    // sums), and the same final double/sqrt/divide expression shape
+    "q210_spearman" ->
+      """WITH b AS (
+        |  SELECT l_quantity AS xv, l_extendedprice AS yv FROM lineitem
+        |  WHERE l_quantity IS NOT NULL AND l_extendedprice IS NOT NULL),
+        |nn AS (SELECT COUNT(*) AS nn FROM b),
+        |rx AS (SELECT xv, 2 * (SUM(cnt) OVER (ORDER BY xv) - cnt) + cnt + 1 AS rx2
+        |       FROM (SELECT xv, COUNT(*) AS cnt FROM b GROUP BY xv)),
+        |ry AS (SELECT yv, 2 * (SUM(cnt) OVER (ORDER BY yv) - cnt) + cnt + 1 AS ry2
+        |       FROM (SELECT yv, COUNT(*) AS cnt FROM b GROUP BY yv)),
+        |c AS (SELECT rx2 - (nn + 1) AS cx, ry2 - (nn + 1) AS cy
+        |      FROM b JOIN rx USING (xv) JOIN ry USING (yv) CROSS JOIN nn),
+        |m AS (SELECT COUNT(*) AS n, SUM(cx * cy) AS sxy,
+        |             SUM(cx * cx) AS sxx, SUM(cy * cy) AS syy FROM c)
+        |SELECT CAST(n AS BIGINT) AS n,
+        |  CASE WHEN sxx = 0 OR syy = 0 THEN NULL
+        |       ELSE least(greatest(CAST(sxy AS DOUBLE) /
+        |            (sqrt(CAST(sxx AS DOUBLE)) * sqrt(CAST(syy AS DOUBLE))),
+        |            -1.0), 1.0)
+        |  END AS spearman_rho
+        |FROM m""".stripMargin,
 
     // link-prediction twin: identical normalized edge set, hub-capped
     // bridge join, nano-quantized 1/ln(deg) terms, and the same

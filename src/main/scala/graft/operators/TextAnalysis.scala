@@ -117,6 +117,17 @@ object TextAnalysis {
         .orderBy(col("doc_id"))
     }),
 
+    // ---- q209: CCNet perplexity buckets — q113's cross-entropy turned
+    // into the actual CCNet DECISION layer: per-language reference LMs
+    // from the doc_id%5=0 slice, every other doc scored with LEFT-join
+    // smoothing for unseen grams, each language cut into exact
+    // equal-frequency head/middle/tail terciles by integer rank
+    // arithmetic over globalRank (never a per-lang ntile window). ----
+    "q209_ccnet_buckets" -> ((s, dir) =>
+      graft.api.Graft.ccnetBuckets(t(s, dir, "documents"), "text",
+          "doc_id", "lang", col("doc_id") % 5 === 0)
+        .orderBy(col("doc_id"))),
+
     // ---- q128: per-doc Shannon character entropy (nats) — the cheap
     // gibberish/boilerplate gate. Char explode fans out but every
     // shuffle keys on the doc id (zero cross-doc state, linear); each
@@ -211,6 +222,32 @@ object TextAnalysis {
         .withColumn("quality_score",
           lit(0.5) * ($"n_stop" / $"n_tokens") + lit(0.5) * (lit(1.0) - $"n_punct" / $"char_len"))
         .orderBy($"doc_id")
+    }),
+
+    // ---- q211: tokenizer fertility audit — bytes/token and tokens/word
+    // per language, the standard pretraining diagnostic for how
+    // expensive each language is under the tokenizer (CJK text costs
+    // ~3 UTF-8 bytes/char and fragments into more tokens/word than
+    // English; a corpus mix budgeted in bytes silently under-trains
+    // high-fertility languages). One pass of the q31 text_stats kernel
+    // + UTF-8 octet_length, one keyed agg, ratios as single double
+    // divisions of exact longs. ----
+    "q211_tokenizer_fertility" -> ((s, dir) => {
+      import s.implicits._
+      graft.functions.GraftFunctions.register(s)
+      t(s, dir, "documents")
+        .withColumn("ts", expr("text_stats(text)"))
+        .groupBy($"lang")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(octet_length($"text")).as("n_bytes"),
+          sum($"ts.bpe_tokens").as("bpe_tokens"),
+          sum($"ts.ws_tokens").as("ws_tokens"))
+        .select($"lang", $"n_docs", $"n_bytes", $"bpe_tokens", $"ws_tokens",
+          ($"n_bytes".cast(DoubleType) / $"bpe_tokens".cast(DoubleType))
+            .as("bytes_per_token"),
+          ($"bpe_tokens".cast(DoubleType) / $"ws_tokens".cast(DoubleType))
+            .as("fertility"))
+        .orderBy($"lang")
     }),
 
     // ---- q31: token counting (whitespace + BPE-ish regex semantics,
@@ -485,6 +522,50 @@ object TextAnalysis {
         |LEFT JOIN scored USING (doc_id)
         |ORDER BY d.doc_id""".stripMargin,
 
+    // CCNet twin: identical tokenization and train/score split, lang-
+    // keyed count tables with LEFT-join add-0.5 smoothing, the same
+    // nano-quantized per-doc sum, and the identical integer-tercile
+    // formula over ROW_NUMBER (PARTITION BY lang ORDER BY ce, doc_id)
+    "q209_ccnet_buckets" ->
+      """WITH tl AS (
+        |  SELECT doc_id, lang,
+        |    list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+        |      x -> x <> '') AS w
+        |  FROM documents),
+        |tr AS (SELECT * FROM tl WHERE doc_id % 5 = 0),
+        |sc AS (SELECT * FROM tl WHERE doc_id % 5 <> 0),
+        |trtoks AS (SELECT lang, unnest(w) AS t FROM tr),
+        |trbi AS (SELECT lang, w[i] AS w1, w[i + 1] AS w2
+        |         FROM (SELECT lang, w, unnest(range(1, len(w))) AS i
+        |               FROM tr WHERE len(w) >= 2)),
+        |uni AS (SELECT lang, t AS w1, COUNT(*) AS cu FROM trtoks GROUP BY lang, t),
+        |bi AS (SELECT lang, w1, w2, COUNT(*) AS cb FROM trbi GROUP BY lang, w1, w2),
+        |vocab AS (SELECT lang, COUNT(DISTINCT t) AS v FROM trtoks GROUP BY lang),
+        |scb AS (SELECT doc_id, lang, w[i] AS w1, w[i + 1] AS w2
+        |        FROM (SELECT doc_id, lang, w, unnest(range(1, len(w))) AS i
+        |              FROM sc WHERE len(w) >= 2)),
+        |scored AS (
+        |  SELECT g.doc_id, g.lang, COUNT(*) AS n_bigrams,
+        |    SUM(CAST(ROUND(ln((CAST(COALESCE(u.cu, 0) AS DOUBLE)
+        |          + 0.5 * CAST(v.v AS DOUBLE)) /
+        |        (CAST(COALESCE(cb2.cb, 0) AS DOUBLE) + 0.5)) * 1000000000.0) AS BIGINT)) AS sq
+        |  FROM scb g
+        |  LEFT JOIN bi cb2 ON cb2.lang = g.lang AND cb2.w1 = g.w1 AND cb2.w2 = g.w2
+        |  LEFT JOIN uni u ON u.lang = g.lang AND u.w1 = g.w1
+        |  JOIN vocab v ON v.lang = g.lang
+        |  GROUP BY g.doc_id, g.lang),
+        |ce AS (SELECT doc_id, lang, n_bigrams,
+        |         (CAST(sq AS DOUBLE) / 1000000000.0) / n_bigrams AS cross_entropy
+        |       FROM scored),
+        |rk AS (SELECT *,
+        |         ROW_NUMBER() OVER (PARTITION BY lang ORDER BY cross_entropy, doc_id) AS rn,
+        |         COUNT(*) OVER (PARTITION BY lang) AS nl
+        |       FROM ce)
+        |SELECT doc_id, lang, CAST(n_bigrams AS BIGINT) AS n_bigrams, cross_entropy,
+        |  CASE ((rn - 1) * 3) // nl WHEN 0 THEN 'head' WHEN 1 THEN 'middle'
+        |       ELSE 'tail' END AS bucket
+        |FROM rk ORDER BY doc_id""".stripMargin,
+
     "q29_langid" -> langidSql,
 
     // confusion twin: identical marker-count predictions, plain counts,
@@ -516,6 +597,22 @@ object TextAnalysis {
         | CAST(len(regexp_extract_all(text, '\S+')) AS BIGINT) AS ws_tokens,
         | CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]')) AS BIGINT) AS bpe_tokens
         |FROM documents ORDER BY doc_id""".stripMargin,
+
+    // fertility twin: q31's BPE-ish regex + strlen (UTF-8 bytes, the
+    // DuckDB twin of octet_length), exact-long sums, single divisions
+    "q211_tokenizer_fertility" ->
+      """WITH x AS (
+        |  SELECT lang, strlen(text) AS nb,
+        |    len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]')) AS bpe,
+        |    len(regexp_extract_all(text, '\S+')) AS ws
+        |  FROM documents)
+        |SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs,
+        |  CAST(SUM(nb) AS BIGINT) AS n_bytes,
+        |  CAST(SUM(bpe) AS BIGINT) AS bpe_tokens,
+        |  CAST(SUM(ws) AS BIGINT) AS ws_tokens,
+        |  CAST(SUM(nb) AS DOUBLE) / CAST(SUM(bpe) AS DOUBLE) AS bytes_per_token,
+        |  CAST(SUM(bpe) AS DOUBLE) / CAST(SUM(ws) AS DOUBLE) AS fertility
+        |FROM x GROUP BY lang ORDER BY lang""".stripMargin,
 
     "q53_text_repetition" ->
       """WITH toks AS (

@@ -1532,4 +1532,77 @@ class GraftApiSpec extends AnyFunSuite {
     assert(ex.getMessage.contains("spans more than") ||
       Option(ex.getCause).exists(_.getMessage.contains("spans more than")))
   }
+
+  test("spearmanCorr: monotone ±1 exactly under ties, null on constants") {
+    val s = spark; import s.implicits._
+    // strictly monotone with tie groups: tied x values are tied in y
+    // too, so rank vectors coincide and rho must be EXACTLY 1.0
+    val up = Seq((1.0, 10.0), (2.0, 20.0), (2.0, 20.0), (3.0, 35.0),
+      (5.0, 36.0)).toDF("x", "y")
+    val r1 = Graft.spearmanCorr(up, "x", "y").collect().head
+    // the clamp caps the 1-ulp sqrt·sqrt excess at exactly 1.0; the
+    // anti-monotone case can land 1 ulp SHORT (inside the clamp), so
+    // assert to within an ulp — the value is still deterministic and
+    // engine-identical (the oracle runs the same expression shape)
+    assert(r1.getLong(0) === 5L && r1.getDouble(1) === 1.0)
+    val down = Seq((1.0, 36.0), (2.0, 35.0), (3.0, 20.0), (4.0, 10.0)).toDF("x", "y")
+    assert(math.abs(Graft.spearmanCorr(down, "x", "y").collect().head.getDouble(1)
+      - (-1.0)) < 1e-15)
+    // constant column: zero variance -> null, not NaN
+    val const = Seq((1.0, 7.0), (2.0, 7.0), (3.0, 7.0)).toDF("x", "y")
+    assert(Graft.spearmanCorr(const, "x", "y").collect().head.isNullAt(1))
+    // tie-averaging is the textbook Pearson-on-average-ranks: x=[1,2,2,3]
+    // ranks [1,2.5,2.5,4], y ranks [1,3,2,4] -> centered moments
+    // sxy=18, sxx=18, syy=20 -> rho = 18/sqrt(360) = 3/sqrt(10)
+    // (the naive 1-6Σd²/n(n²-1) shortcut is INVALID under ties)
+    val mixed = Seq((1.0, 1.0), (2.0, 4.0), (2.0, 3.0), (3.0, 5.0)).toDF("x", "y")
+    val rho = Graft.spearmanCorr(mixed, "x", "y").collect().head.getDouble(1)
+    assert(math.abs(rho - 3.0 / math.sqrt(10.0)) < 1e-12)
+    // nulls in either column are excluded from n
+    val withNull = Seq((Some(1.0), Some(1.0)), (None, Some(2.0)),
+      (Some(3.0), None), (Some(2.0), Some(2.0))).toDF("x", "y")
+    assert(Graft.spearmanCorr(withNull, "x", "y").collect().head.getLong(0) === 2L)
+  }
+
+  test("ccnetBuckets: per-lang integer terciles, smoothing floors unseen grams") {
+    val s = spark; import s.implicits._
+    // lang A: train doc 0 defines the LM; 6 scorable docs -> exact 2/2/2
+    // terciles. Doc 13's words are entirely unseen -> every bigram costs
+    // the ln(V) smoothing floor, the highest possible ce -> 'tail'.
+    val docs = Seq(
+      (0L, "a", "the cat sat on the mat"),
+      (5L, "a", "the cat sat on the mat"),   // exactly the reference
+      (6L, "a", "the cat sat on a mat"),
+      (7L, "a", "the mat sat on the cat"),
+      (11L, "a", "the cat sat"),
+      (12L, "a", "cat mat the on sat"),
+      (13L, "a", "zq wx kj vb nm"),          // fully unseen vocabulary
+      (14L, "a", "word"),                     // 1 token: unscorable
+      (10L, "b", "alpha beta gamma alpha beta"),
+      (8L, "b", "alpha beta gamma"),
+      (9L, "b", "gamma beta alpha"),
+      (16L, "b", "beta alpha alpha beta")).toDF("doc_id", "lang", "text")
+    val out = Graft.ccnetBuckets(docs, "text", "doc_id", "lang",
+      col("doc_id") % 5 === 0).collect()
+    val byId = out.map(r => r.getLong(0) -> (r.getString(1), r.getLong(2),
+      r.getDouble(3), r.getString(4))).toMap
+    // unscorable doc dropped; train docs never scored
+    assert(!byId.contains(14L) && !byId.contains(0L) && !byId.contains(5L) &&
+      !byId.contains(10L))
+    // lang a scored docs: 6,7,11,12,13 (and NOT 14) -> n=5 -> buckets 2/2/1
+    val aB = out.filter(_.getString(1) == "a").map(_.getString(4))
+    assert(aB.count(_ == "head") === 2 && aB.count(_ == "middle") === 2 &&
+      aB.count(_ == "tail") === 1)
+    // the all-unseen doc scores EXACTLY the smoothing floor ln(V)=ln(5)
+    // per bigram (cu=cb=0 -> ln(kV/k)); note this is NOT the maximum —
+    // a SEEN unigram with unseen continuation costs ln((cu+kV)/k) more,
+    // the correct -ln P(w2|w1) behavior of add-k smoothing
+    assert(math.abs(byId(13L)._3 - 1.609437912) < 1e-9)
+    // lang b: 3 scorable docs -> exactly one of each bucket
+    val bB = out.filter(_.getString(1) == "b").map(_.getString(4)).sorted
+    assert(bB.toSeq === Seq("head", "middle", "tail"))
+    // the verbatim-reference doc of lang b (8: a sub-sequence of train
+    // bigrams) must score BELOW the reversed doc 9
+    assert(byId(8L)._3 < byId(9L)._3)
+  }
 }
