@@ -434,6 +434,30 @@ class PlanShapeSpec extends AnyFunSuite {
     }, p)
   }
 
+  test("q210 spearman ranks ride partitioned windows, never a global sort window") {
+    // globalCumSum materializes mid-plan: capture every executed plan
+    val plans = capturedPlans("q210_spearman")
+    val all = plans.mkString("\n===\n")
+    val specs = "windowspecdefinition\\(".r.findAllMatchIn(all).map(_.start).toSeq
+    assert(specs.nonEmpty && specs.forall { i =>
+      all.substring(i, math.min(all.length, i + 60)).contains("__pid")
+    }, all)
+    assert(!all.contains("CartesianProduct"), all)
+  }
+
+  test("q209 ccnet terciles never plan ntile or an unpartitioned window") {
+    val plans = capturedPlans("q209_ccnet_buckets")
+    val all = plans.mkString("\n===\n")
+    assert(!all.contains("ntile("), all)
+    // windows are the per-doc bigram lead() (__id) and globalRank's
+    // per-partition row_number (__pid) — never partitioned by lang
+    val specs = "windowspecdefinition\\(".r.findAllMatchIn(all).map(_.start).toSeq
+    assert(specs.nonEmpty && specs.forall { i =>
+      val w = all.substring(i, math.min(all.length, i + 60))
+      w.contains("__pid") || w.contains("__id")
+    }, all)
+  }
+
   test("q172 equi-depth histogram never plans a one-partition window") {
     val p = planOf("q172_equidepth_histogram")
     val specs = "windowspecdefinition\\(".r.findAllMatchIn(p).map(_.start).toSeq
