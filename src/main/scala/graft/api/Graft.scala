@@ -583,6 +583,101 @@ object Graft {
       .drop("__c")
   }
 
+  /** Repeat-upweighting data-mix plan — the "epochs per dataset" table
+    * of the LLaMA/GPT reports: given per-row token counts, a total
+    * training-token budget, and a max-epochs cap per source, allocate
+    * the budget across sources under sqrt-temperature weights
+    * (T=2, the q108 family), capping any source at `maxEpochs` passes
+    * and redistributing the capped-off remainder across the uncapped
+    * sources in ONE documented round (capped sources can leave a
+    * residual unallocated sliver rather than iterating to the exact
+    * water-filling fixpoint — deterministic beats asymptotic here).
+    *
+    * Float policy: weights are nano-quantized sqrt(tokens) longs
+    * summed exactly; allocations live in MICRO-token longs, so both
+    * redistribution inputs (Σ alloc, Σ uncapped weight) are exact
+    * integer sums — the only doubles are per-source single-expression
+    * conversions identical on the oracle. Shapes: one keyed agg over
+    * the corpus, then everything is #sources-sized with 1-row
+    * broadcasts. Returns (group, n_tokens, weight, capped, epochs,
+    * alloc_tokens, share). */
+  def mixPlan(df: DataFrame, tokenCol: String, groupCol: String,
+      budgetTokens: Long, maxEpochs: Double = 3.0): DataFrame = {
+    require(budgetTokens > 0 && maxEpochs > 0, "mixPlan: bad budget/cap")
+    val Q = 1.0e9; val M = 1.0e6
+    val wq = df.groupBy(col(groupCol)).agg(sum(col(tokenCol)).as("n_tokens"))
+      .withColumn("__wq",
+        round(sqrt(col("n_tokens").cast(DoubleType)) * lit(Q)).cast(LongType))
+    val tot = wq.agg(sum(col("__wq")).as("__W"))
+    val r1 = wq.crossJoin(broadcast(tot))
+      .withColumn("__want", col("__wq").cast(DoubleType) *
+        lit(budgetTokens.toDouble) / col("__W").cast(DoubleType))
+      .withColumn("__cap", lit(maxEpochs) * col("n_tokens").cast(DoubleType))
+      .withColumn("capped", col("__want") >= col("__cap"))
+      .withColumn("__a1q",
+        round(least(col("__want"), col("__cap")) * lit(M)).cast(LongType))
+    val t2 = r1.agg(sum(col("__a1q")).as("__A1"),
+      sum(when(!col("capped"), col("__wq")).otherwise(lit(0L))).as("__WU"))
+    r1.crossJoin(broadcast(t2))
+      .withColumn("__addq", when(col("capped") || col("__WU") === 0L, lit(0L))
+        .otherwise(round((lit(budgetTokens) * lit(1000000L) - col("__A1"))
+          .cast(DoubleType) * col("__wq").cast(DoubleType) /
+          col("__WU").cast(DoubleType)).cast(LongType)))
+      .withColumn("__a2q", least(col("__a1q") + col("__addq"),
+        round(col("__cap") * lit(M)).cast(LongType)))
+      .select(col(groupCol), col("n_tokens"),
+        (col("__wq").cast(DoubleType) / col("__W").cast(DoubleType))
+          .as("weight"),
+        col("capped"),
+        (col("__a2q").cast(DoubleType) / lit(M) /
+          col("n_tokens").cast(DoubleType)).as("epochs"),
+        (col("__a2q").cast(DoubleType) / lit(M)).as("alloc_tokens"),
+        (col("__a2q").cast(DoubleType) /
+          (lit(budgetTokens.toDouble) * lit(M))).as("share"))
+  }
+
+  /** Scored eval-set contamination — [[decontaminate]]'s binary flag
+    * upgraded to the GPT-3/PaLM-report form: for each training
+    * document, the single eval document with the LARGEST distinct
+    * n-gram overlap, plus the overlap fraction of the train doc's gram
+    * set. The fraction is what the reports threshold on; the argmax
+    * eval id is what an audit actually needs (WHICH benchmark item
+    * leaked, not just that something did).
+    *
+    * Shapes: both gram sets are per-doc DISTINCT (shingle_set), the
+    * eval side is BROADCAST (benchmarks are small by construction),
+    * per-(train, eval) overlaps are one keyed aggregate, and the
+    * argmax is `max_by` on (count, −eval_id) — count desc, id asc tie
+    * break, never a sort window. Clean train docs stay as rows with
+    * overlap 0 and a NULL top id (the bm25 "no evidence" contract).
+    * Returns (id, n_grams, top_eval_id, n_overlap, overlap_frac). */
+  def contaminationScore(train: DataFrame, evalSet: DataFrame,
+      textCol: String, idCol: String, ngram: Int = 3): DataFrame = {
+    graft.functions.GraftFunctions.register(train.sparkSession)
+    val trG = train.select(col(idCol).as("__id"),
+      explode(expr(s"shingle_set(`$textCol`, $ngram)")).as("__s"))
+    val nG = trG.groupBy(col("__id")).agg(count(lit(1)).as("n_grams"))
+    val evG = evalSet.select(col(idCol).as("__eid"),
+      explode(expr(s"shingle_set(`$textCol`, $ngram)")).as("__s"))
+    val top = trG.join(broadcast(evG), Seq("__s"))
+      .groupBy(col("__id"), col("__eid")).agg(count(lit(1)).as("__ov"))
+      .groupBy(col("__id"))
+      .agg(max_by(struct(col("__ov"), col("__eid")),
+        struct(col("__ov"), (-col("__eid")).as("__neg"))).as("__t"))
+      .select(col("__id"), col("__t.__ov").as("n_overlap"),
+        col("__t.__eid").as("top_eval_id"))
+    train.select(col(idCol).as("__id"))
+      .join(nG, Seq("__id"), "left")
+      .join(top, Seq("__id"), "left")
+      .select(col("__id").as(idCol),
+        coalesce(col("n_grams"), lit(0L)).as("n_grams"),
+        col("top_eval_id"),
+        coalesce(col("n_overlap"), lit(0L)).as("n_overlap"),
+        when(coalesce(col("n_grams"), lit(0L)) === 0L, lit(0.0))
+          .otherwise(coalesce(col("n_overlap"), lit(0L)).cast(DoubleType) /
+            col("n_grams").cast(DoubleType)).as("overlap_frac"))
+  }
+
   /** The REMOVAL half of exact-substring dedup (Lee et al. 2022 — q66 is
     * the detection half): word `n`-grams appearing in ≥ `minDf` distinct
     * documents are repeated spans; every word position they cover is cut

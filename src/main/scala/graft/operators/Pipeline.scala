@@ -56,6 +56,21 @@ object Pipeline {
         .orderBy($"doc_id")
     }),
 
+    // ---- q212: scored contamination — q58's flag upgraded to the
+    // GPT-3/PaLM-report form: per train doc, the eval doc with the
+    // largest distinct-3-gram overlap (count desc, id asc argmax via
+    // max_by — no sort window) and the overlap fraction the reports
+    // threshold on. Same shingle family and %97 eval slice as q58. ----
+    "q212_contamination_score" -> ((s, dir) => {
+      import s.implicits._
+      val docs = t(s, dir, "documents")
+      graft.api.Graft.contaminationScore(
+          train = docs.filter($"doc_id" % 97 =!= 0),
+          evalSet = docs.filter($"doc_id" % 97 === 0),
+          textCol = "text", idCol = "doc_id")
+        .orderBy($"doc_id")
+    }),
+
     // ---- q59: token-budget sequence packing ----
     // Documents pack greedily in doc_id order into 2048-token training
     // sequences, independently per `source` shard (the parallel unit —
@@ -285,6 +300,36 @@ object Pipeline {
         |SELECT d.doc_id, (cont.doc_id IS NOT NULL) AS contaminated
         |FROM documents d LEFT JOIN cont ON d.doc_id = cont.doc_id
         |WHERE d.doc_id % 97 <> 0 ORDER BY d.doc_id""".stripMargin,
+
+    // scored-contamination twin: q58's pinned shingle CTE, per-(train,
+    // eval) distinct-gram overlap counts, ROW_NUMBER (n_ov DESC, eid)
+    // argmax — the exact max_by tie-break — and one double division
+    "q212_contamination_score" ->
+      """WITH toks AS (
+        |  SELECT doc_id, string_split_regex(trim(text), '\s+') AS t FROM documents
+        |), sh AS (
+        |  SELECT DISTINCT doc_id, t[i] || chr(0) || t[i+1] || chr(0) || t[i+2] AS s
+        |  FROM (SELECT doc_id, t, unnest(generate_series(1, greatest(len(t) - 2, 0))) AS i
+        |        FROM toks)
+        |), tr AS (SELECT * FROM sh WHERE doc_id % 97 <> 0),
+        |ev AS (SELECT doc_id AS eid, s FROM sh WHERE doc_id % 97 = 0),
+        |ng AS (SELECT doc_id, COUNT(*) AS n_grams FROM tr GROUP BY doc_id),
+        |ov AS (SELECT tr.doc_id, ev.eid, COUNT(*) AS n_ov
+        |       FROM tr JOIN ev USING (s) GROUP BY tr.doc_id, ev.eid),
+        |top AS (SELECT doc_id, eid, n_ov FROM (
+        |          SELECT *, ROW_NUMBER() OVER (PARTITION BY doc_id
+        |                      ORDER BY n_ov DESC, eid) AS rn FROM ov)
+        |        WHERE rn = 1)
+        |SELECT d.doc_id,
+        |  CAST(COALESCE(ng.n_grams, 0) AS BIGINT) AS n_grams,
+        |  CAST(top.eid AS BIGINT) AS top_eval_id,
+        |  CAST(COALESCE(top.n_ov, 0) AS BIGINT) AS n_overlap,
+        |  CASE WHEN COALESCE(ng.n_grams, 0) = 0 THEN 0.0
+        |       ELSE CAST(COALESCE(top.n_ov, 0) AS DOUBLE) /
+        |            CAST(ng.n_grams AS DOUBLE) END AS overlap_frac
+        |FROM (SELECT doc_id FROM documents WHERE doc_id % 97 <> 0) d
+        |LEFT JOIN ng USING (doc_id) LEFT JOIN top USING (doc_id)
+        |ORDER BY d.doc_id""".stripMargin,
 
     "q61_corpus_pipeline" ->
       """WITH stats AS (

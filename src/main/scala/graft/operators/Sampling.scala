@@ -67,6 +67,23 @@ object Sampling {
         .agg(count(lit(1)).as("n_kept"), max($"quota").as("quota"),
           sum($"doc_id").as("kept_id_sum"))
         .orderBy($"source")
+    }),
+
+    // ---- q213: repeat-upweighting mix plan — the "epochs per dataset"
+    // table of the LLaMA/GPT reports: sqrt-temperature weights over
+    // per-source token counts, a 200k-token budget, a 3-epoch cap, and
+    // one documented redistribution round of the capped-off remainder.
+    // q108 samples ROWS to hit a mix; this plans TOKEN BUDGETS and
+    // repeat factors — the step before q208's epoch shuffle. ----
+    "q213_mix_plan" -> ((s, dir) => {
+      import s.implicits._
+      graft.functions.GraftFunctions.register(s)
+      val toks = t(s, dir, "documents")
+        .withColumn("ts", expr("text_stats(text)"))
+        .select($"source", $"ts.ws_tokens".cast(LongType).as("n_tok"))
+      graft.api.Graft.mixPlan(toks, "n_tok", "source",
+          budgetTokens = 200000L, maxEpochs = 3.0)
+        .orderBy($"source")
     })
   )
 
@@ -105,6 +122,45 @@ object Sampling {
         |              < (CASE WHEN length(source) = 4 THEN 700 ELSE 300 END)
         |            THEN 1 END) AS n_kept
         |FROM documents GROUP BY source ORDER BY source""".stripMargin,
+
+    // mix-plan twin: nano-quantized sqrt weights summed exactly
+    // (HUGEINT), micro-token allocations, identical single-expression
+    // double conversions, one redistribution round
+    "q213_mix_plan" ->
+      """WITH d AS (
+        |  SELECT source,
+        |    CAST(len(regexp_extract_all(text, '\S+')) AS BIGINT) AS nt
+        |  FROM documents),
+        |c AS (SELECT source, SUM(nt) AS n_tokens FROM d GROUP BY source),
+        |w AS (SELECT source, CAST(n_tokens AS BIGINT) AS n_tokens,
+        |        CAST(ROUND(sqrt(CAST(n_tokens AS DOUBLE)) * 1000000000.0)
+        |          AS BIGINT) AS wq
+        |      FROM c),
+        |tt AS (SELECT SUM(wq) AS tw FROM w),
+        |r1 AS (SELECT source, n_tokens, wq, tw,
+        |         CAST(wq AS DOUBLE) * 200000.0 / CAST(tw AS DOUBLE) AS want,
+        |         3.0 * CAST(n_tokens AS DOUBLE) AS cap
+        |       FROM w CROSS JOIN tt),
+        |r1b AS (SELECT *, (want >= cap) AS capped,
+        |          CAST(ROUND(least(want, cap) * 1000000.0) AS BIGINT) AS a1q
+        |        FROM r1),
+        |t2 AS (SELECT SUM(a1q) AS a1, SUM(CASE WHEN NOT capped THEN wq
+        |                                       ELSE 0 END) AS wu
+        |       FROM r1b),
+        |r2 AS (SELECT r1b.*, a1, wu,
+        |         CASE WHEN capped OR wu = 0 THEN 0
+        |              ELSE CAST(ROUND(CAST(200000000000 - a1 AS DOUBLE) *
+        |                     CAST(wq AS DOUBLE) / CAST(wu AS DOUBLE)) AS BIGINT)
+        |         END AS addq
+        |       FROM r1b CROSS JOIN t2),
+        |r3 AS (SELECT *, least(a1q + addq,
+        |         CAST(ROUND(cap * 1000000.0) AS BIGINT)) AS a2q FROM r2)
+        |SELECT source, n_tokens,
+        |  CAST(wq AS DOUBLE) / CAST(tw AS DOUBLE) AS weight, capped,
+        |  CAST(a2q AS DOUBLE) / 1000000.0 / CAST(n_tokens AS DOUBLE) AS epochs,
+        |  CAST(a2q AS DOUBLE) / 1000000.0 AS alloc_tokens,
+        |  CAST(a2q AS DOUBLE) / (200000.0 * 1000000.0) AS share
+        |FROM r3 ORDER BY source""".stripMargin,
 
     // Replays the √n quota math (sqrt is IEEE-exact in both engines; the
     // k-row normalizing sum runs in the same source order) and the md5

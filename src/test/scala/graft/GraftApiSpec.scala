@@ -1564,6 +1564,54 @@ class GraftApiSpec extends AnyFunSuite {
     assert(Graft.spearmanCorr(withNull, "x", "y").collect().head.getLong(0) === 2L)
   }
 
+  test("contaminationScore: argmax eval doc with count-desc id-asc ties, clean rows kept") {
+    val s = spark; import s.implicits._
+    val train = Seq(
+      (1L, "a b c d e f"),        // 4 trigrams; abc+bcd hit e1, cde hits e2
+      (2L, "x y z w"),            // clean: 2 trigrams, no overlap
+      (3L, "a b c x1 a b c"),     // abc twice -> DISTINCT once; ties e1/e3
+      (4L, "one two")).toDF("doc_id", "text") // <3 words: no grams
+    val eval_ = Seq(
+      (10L, "a b c d q"),         // trigrams abc, bcd, cdq
+      (11L, "c d e p q"),         // cde, dep, epq
+      (12L, "a b c zz")).toDF("doc_id", "text") // abc
+    val out = Graft.contaminationScore(train, eval_, "text", "doc_id")
+      .collect().map(r => r.getLong(0) -> r).toMap
+    // doc 1: 4 distinct trigrams, overlap with e10 = {abc, bcd} = 2,
+    // e11 = {cde} = 1 -> top is 10 with 2/4
+    assert(out(1L).getLong(1) === 4L && out(1L).getLong(2) === 10L &&
+      out(1L).getLong(3) === 2L && out(1L).getDouble(4) === 0.5)
+    // doc 3: distinct grams {abc, "bc x1", "c x1 a", "x1 a b"} -> abc
+    // only; e10 and e12 both overlap 1 -> tie breaks to the SMALLER id
+    assert(out(3L).getLong(2) === 10L && out(3L).getLong(3) === 1L)
+    // clean doc: NULL top id, zero overlap, zero fraction
+    assert(out(2L).isNullAt(2) && out(2L).getLong(3) === 0L &&
+      out(2L).getDouble(4) === 0.0)
+    // gram-less doc: n_grams 0, fraction 0 (not NaN)
+    assert(out(4L).getLong(1) === 0L && out(4L).getDouble(4) === 0.0)
+    // eval docs never appear as output rows
+    assert(!out.contains(10L) && out.size === 4)
+  }
+
+  test("mixPlan: caps at maxEpochs and redistributes to uncapped sources") {
+    val s = spark; import s.implicits._
+    // A: 100 tokens (tiny -> sqrt-upweighted -> capped at 3 epochs),
+    // B: 10000 tokens. budget 5000: wantA = 5000/11 = 454.5 > 300 cap.
+    val rows = Seq(("A", 40L), ("A", 60L), ("B", 10000L)).toDF("src", "nt")
+    val out = Graft.mixPlan(rows, "nt", "src", budgetTokens = 5000L,
+      maxEpochs = 3.0).collect().map(r => r.getString(0) -> r).toMap
+    val a = out("A"); val b = out("B")
+    assert(a.getBoolean(3) && !b.getBoolean(3))
+    // capped source lands on EXACTLY the cap
+    assert(a.getLong(1) === 100L && a.getDouble(4) === 3.0 &&
+      a.getDouble(5) === 300.0)
+    // one redistribution round hands B the whole remainder: 4700 tokens
+    assert(math.abs(b.getDouble(5) - 4700.0) < 1e-3)
+    assert(math.abs(a.getDouble(6) + b.getDouble(6) - 1.0) < 1e-6)
+    // weights are the sqrt-temperature shares: 10/110 and 100/110
+    assert(math.abs(a.getDouble(2) - 10.0 / 110.0) < 1e-9)
+  }
+
   test("ccnetBuckets: per-lang integer terciles, smoothing floors unseen grams") {
     val s = spark; import s.implicits._
     // lang A: train doc 0 defines the LM; 6 scorable docs -> exact 2/2/2
