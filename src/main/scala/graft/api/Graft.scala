@@ -600,10 +600,22 @@ object Graft {
     * conversions identical on the oracle. Shapes: one keyed agg over
     * the corpus, then everything is #sources-sized with 1-row
     * broadcasts. Returns (group, n_tokens, weight, capped, epochs,
-    * alloc_tokens, share). */
+    * alloc_tokens, share); `capped` reports saturation AFTER the
+    * redistribution round — a source the round-2 top-up pushes onto
+    * its cap is saturated too, and its clipped sliver is the reason
+    * Σshare can fall short of 1. */
   def mixPlan(df: DataFrame, tokenCol: String, groupCol: String,
       budgetTokens: Long, maxEpochs: Double = 3.0): DataFrame = {
     require(budgetTokens > 0 && maxEpochs > 0, "mixPlan: bad budget/cap")
+    // micro-token quantization must fit a long: budget·1e6 < 2^63. Past
+    // ~9.2e12 tokens the multiply would wrap silently (non-ANSI) and
+    // every allocation downstream would be garbage — fail loudly with
+    // the remedy instead (review finding: the docstring's own
+    // LLaMA-scale budgets would have tripped this)
+    require(budgetTokens <= 9_000_000_000_000L,
+      s"mixPlan: budgetTokens=$budgetTokens exceeds the 9e12 micro-token " +
+        "quantization range; plan in thousands of tokens (divide budget " +
+        "and per-row counts by 1e3) or widen the quantization")
     val Q = 1.0e9; val M = 1.0e6
     val wq = df.groupBy(col(groupCol)).agg(sum(col(tokenCol)).as("n_tokens"))
       .withColumn("__wq",
@@ -623,12 +635,15 @@ object Graft {
         .otherwise(round((lit(budgetTokens) * lit(1000000L) - col("__A1"))
           .cast(DoubleType) * col("__wq").cast(DoubleType) /
           col("__WU").cast(DoubleType)).cast(LongType)))
-      .withColumn("__a2q", least(col("__a1q") + col("__addq"),
-        round(col("__cap") * lit(M)).cast(LongType)))
+      .withColumn("__capq", round(col("__cap") * lit(M)).cast(LongType))
+      .withColumn("__a2q", least(col("__a1q") + col("__addq"), col("__capq")))
       .select(col(groupCol), col("n_tokens"),
         (col("__wq").cast(DoubleType) / col("__W").cast(DoubleType))
           .as("weight"),
-        col("capped"),
+        // report capping AFTER redistribution: a source the round-2
+        // top-up pushes onto its cap is saturated too (review finding —
+        // the round-1 flag under-reported exactly those sources)
+        (col("__a2q") === col("__capq")).as("capped"),
         (col("__a2q").cast(DoubleType) / lit(M) /
           col("n_tokens").cast(DoubleType)).as("epochs"),
         (col("__a2q").cast(DoubleType) / lit(M)).as("alloc_tokens"),
@@ -654,16 +669,24 @@ object Graft {
   def contaminationScore(train: DataFrame, evalSet: DataFrame,
       textCol: String, idCol: String, ngram: Int = 3): DataFrame = {
     graft.functions.GraftFunctions.register(train.sparkSession)
+    // the corpus-wide shingle explode is the dominant cost and feeds
+    // TWO consumers (the per-doc gram count and the overlap join, on
+    // different keys — no exchange reuse possible): materialize once
     val trG = train.select(col(idCol).as("__id"),
       explode(expr(s"shingle_set(`$textCol`, $ngram)")).as("__s"))
+      .localCheckpoint()
     val nG = trG.groupBy(col("__id")).agg(count(lit(1)).as("n_grams"))
     val evG = evalSet.select(col(idCol).as("__eid"),
       explode(expr(s"shingle_set(`$textCol`, $ngram)")).as("__s"))
+    // min_by on (−count, id): count desc then id ASC without negating
+    // the id — ids of ANY orderable type (string uuids included) keep
+    // the tie-break deterministic (review finding: −id silently casts
+    // non-numeric ids to null)
     val top = trG.join(broadcast(evG), Seq("__s"))
       .groupBy(col("__id"), col("__eid")).agg(count(lit(1)).as("__ov"))
       .groupBy(col("__id"))
-      .agg(max_by(struct(col("__ov"), col("__eid")),
-        struct(col("__ov"), (-col("__eid")).as("__neg"))).as("__t"))
+      .agg(min_by(struct(col("__ov"), col("__eid")),
+        struct((-col("__ov")).as("__neg"), col("__eid"))).as("__t"))
       .select(col("__id"), col("__t.__ov").as("n_overlap"),
         col("__t.__eid").as("top_eval_id"))
     train.select(col(idCol).as("__id"))
@@ -1756,7 +1779,10 @@ object Graft {
       .select(col("__id"), col("__lang"), col("__t").as("w1"),
         lead(col("__t"), 1).over(wp).as("w2"))
       .filter(col("w2").isNotNull)
-    val trToks = toks(df.filter(trainFilter))
+    // the train tokenization feeds THREE consumers (uni, bi, vocab) —
+    // materialize once instead of re-scanning the slice per consumer
+    // (the SCALE.md multi-consumer doctrine)
+    val trToks = toks(df.filter(trainFilter)).localCheckpoint()
     val uni = trToks.groupBy(col("__lang"), col("__t").as("w1"))
       .agg(count(lit(1)).as("cu"))
     val bi = bigrams(trToks).groupBy(col("__lang"), col("w1"), col("w2"))
@@ -3898,10 +3924,13 @@ object Graft {
     * then join back by value. Doubled ranks (2r = 2·cum_before+n_v+1)
     * keep tie averages integral; Σ2r = n(n+1) exactly, so centering by
     * (n+1) needs no mean division. Moments are Decimal(18→38) sums of
-    * exact integers (|c| ≤ 2n ⇒ products < 10³⁷ up to ~5·10¹⁷ rows;
-    * DuckDB's HUGEINT mirrors them exactly), and the only floating
-    * math is the final correctly-rounded double conversions + one
-    * sqrt·sqrt division — identical expression shape both engines.
+    * exact integers; the SUM Σc² ≈ 4n³/3 is the binding bound — exact
+    * to ~4·10¹² rows (past that Spark's non-ANSI decimal sum nulls out
+    * and DuckDB's HUGEINT overflows: split the moment into per-range
+    * partial sums combined in doubles, trading last-ulp exactness for
+    * range). The only floating math is the final correctly-rounded
+    * double conversions + one sqrt·sqrt division — identical
+    * expression shape both engines.
     *
     * 100 TB shape: two value-keyed aggs, two cum-sums over distinct
     * values (partition-offset pattern, never a 1-partition window),

@@ -153,10 +153,12 @@ object Sampling {
         |                     CAST(wq AS DOUBLE) / CAST(wu AS DOUBLE)) AS BIGINT)
         |         END AS addq
         |       FROM r1b CROSS JOIN t2),
-        |r3 AS (SELECT *, least(a1q + addq,
-        |         CAST(ROUND(cap * 1000000.0) AS BIGINT)) AS a2q FROM r2)
+        |r3 AS (SELECT *, CAST(ROUND(cap * 1000000.0) AS BIGINT) AS capq,
+        |         least(a1q + addq,
+        |           CAST(ROUND(cap * 1000000.0) AS BIGINT)) AS a2q FROM r2)
         |SELECT source, n_tokens,
-        |  CAST(wq AS DOUBLE) / CAST(tw AS DOUBLE) AS weight, capped,
+        |  CAST(wq AS DOUBLE) / CAST(tw AS DOUBLE) AS weight,
+        |  (a2q = capq) AS capped,
         |  CAST(a2q AS DOUBLE) / 1000000.0 / CAST(n_tokens AS DOUBLE) AS epochs,
         |  CAST(a2q AS DOUBLE) / 1000000.0 AS alloc_tokens,
         |  CAST(a2q AS DOUBLE) / (200000.0 * 1000000.0) AS share

@@ -1610,13 +1610,31 @@ class GraftApiSpec extends AnyFunSuite {
     assert(math.abs(a.getDouble(6) + b.getDouble(6) - 1.0) < 1e-6)
     // weights are the sqrt-temperature shares: 10/110 and 100/110
     assert(math.abs(a.getDouble(2) - 10.0 / 110.0) < 1e-9)
+    // round-2 clip: B's want (13513.5) is a hair under its cap (13514),
+    // and the remainder redistributed off capped A (~110 tokens) pushes
+    // it OVER — `capped` must report the post-redistribution saturation
+    // (the round-1 flag said false here), with the clipped sliver
+    // showing up as sum(share) < 1
+    val rows2 = Seq(("A", 100L), ("B", 10000L), ("C", 1000000L)).toDF("src", "nt")
+    val o2 = Graft.mixPlan(rows2, "nt", "src", budgetTokens = 150000L,
+      maxEpochs = 1.3514).collect().map(r => r.getString(0) -> r).toMap
+    assert(o2("A").getBoolean(3) && o2("B").getBoolean(3) &&
+      !o2("C").getBoolean(3))
+    assert(math.abs(o2("B").getDouble(4) - 1.3514) < 1e-9)
+    val shareSum = Seq("A", "B", "C").map(o2(_).getDouble(6)).sum
+    assert(shareSum < 1.0 && shareSum > 0.999)
+    // budgets past the micro-token long range fail loudly, not wrap
+    val ex2 = intercept[IllegalArgumentException] {
+      Graft.mixPlan(rows2, "nt", "src", budgetTokens = 15_000_000_000_000L)
+    }
+    assert(ex2.getMessage.contains("micro-token"))
   }
 
   test("ccnetBuckets: per-lang integer terciles, smoothing floors unseen grams") {
     val s = spark; import s.implicits._
-    // lang A: train doc 0 defines the LM; 6 scorable docs -> exact 2/2/2
-    // terciles. Doc 13's words are entirely unseen -> every bigram costs
-    // the ln(V) smoothing floor, the highest possible ce -> 'tail'.
+    // lang A: train docs 0 and 5 define the LM; 5 scorable docs ->
+    // 2/2/1 terciles by the integer formula. Doc 13's words are
+    // entirely unseen -> every bigram costs the ln(V) smoothing floor.
     val docs = Seq(
       (0L, "a", "the cat sat on the mat"),
       (5L, "a", "the cat sat on the mat"),   // exactly the reference
