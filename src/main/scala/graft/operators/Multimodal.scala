@@ -27,6 +27,15 @@ import org.apache.spark.sql.types._
   */
 object Multimodal {
 
+  // ImageIO's default image input/output streams are DISK-CACHE backed:
+  // every createImageInputStream/write call materializes a temp file,
+  // so a 32-thread decode stage turns into temp-dir churn (measured at
+  // sf1: widening q106 from 10-way to 32-way made it 2.2× SLOWER until
+  // this flag; with memory-backed streams the same widening is a win).
+  // JVM-global, runs once per executor when the closure first touches
+  // this object.
+  javax.imageio.ImageIO.setUseCache(false)
+
   /** Real header-only image metadata: (format, width, height), or None if
     * the bytes are not a JDK-recognizable image. */
   def imageMeta(bytes: Array[Byte]): Option[(String, Int, Int)] = {
@@ -224,13 +233,32 @@ object Multimodal {
     * perturbation). */
   def gifPatternFromIds(ids: DataFrame): DataFrame = {
     val enc = RowEncoder.encoderFor(gifSchema)
-    ids.select("doc_id").mapPartitions { it =>
+    spreadIds(ids).mapPartitions { it =>
       it.map { r =>
         val id = r.getLong(0)
         Row(id, gifPatternSynth(id % 7, id / 100))
       }
     }(enc)
   }
+
+  /** Spread the id column across the full shuffle width BEFORE media
+    * synthesis: the id source is a parquet scan whose partition count is
+    * the FILE count (10 at sf1), so everything downstream — synthesis,
+    * frame sampling, JPEG/PNG decode, the entire cost of the media
+    * pipeline — would run at file-count parallelism on a 32-way (or
+    * 1000-executor) cluster. Shuffling the LONG ids costs ~8 bytes/row;
+    * shuffling after synthesis would move the media bytes instead, and
+    * not shuffling at all left 3.2× idle cores at sf1 (measured:
+    * q101 11.4 s, q106 14.3 s at 10-way).
+    *
+    * The partition count is pinned EXPLICITLY: the id shuffle is a few
+    * KB, so an unpinned `repartition(col)` gets AQE-coalesced to ONE
+    * partition (coalescePartitions sizes by bytes and cannot see the
+    * per-row decode cost downstream) — measured at sf1, that made q101
+    * 60% SLOWER than the 10-way it was meant to fix. */
+  private def spreadIds(ids: DataFrame): DataFrame =
+    ids.select("doc_id").repartition(
+      ids.sparkSession.sparkContext.defaultParallelism, col("doc_id"))
 
   val dhashSchema: StructType = StructType(Seq(
     StructField("media_id", LongType, nullable = false),
@@ -493,7 +521,7 @@ object Multimodal {
     * column (the video analog of [[audioFromIds]]/[[gifFromIds]]). */
   def aviFromIds(ids: DataFrame): DataFrame = {
     val enc = RowEncoder.encoderFor(gifSchema)
-    ids.select("doc_id").mapPartitions { it =>
+    spreadIds(ids).mapPartitions { it =>
       it.map { r =>
         val id = r.getLong(0)
         Row(id, aviSynth(id, (2 + id % 5).toInt))
@@ -510,7 +538,7 @@ object Multimodal {
     * column (the multi-frame analog of [[audioFromIds]]). */
   def gifFromIds(ids: DataFrame): DataFrame = {
     val enc = RowEncoder.encoderFor(gifSchema)
-    ids.select("doc_id").mapPartitions { it =>
+    spreadIds(ids).mapPartitions { it =>
       it.map { r =>
         val id = r.getLong(0)
         Row(id, gifSynth(id, (2 + id % 5).toInt))
@@ -671,7 +699,7 @@ object Multimodal {
     * bytes in an opaque binary column. Partition-local, no shuffle. */
   def audioFromIds(ids: DataFrame): DataFrame = {
     val enc = RowEncoder.encoderFor(audioSchema)
-    ids.select("doc_id").mapPartitions { it =>
+    spreadIds(ids).mapPartitions { it =>
       it.map { r =>
         val id = r.getLong(0)
         Row(id, wavSynth(id, (1000L + (id % 200L) * 10L).toInt,
