@@ -51,7 +51,18 @@ object Bench {
       catch { case e: Throwable =>
         System.err.println(s"[bench] $name failed: ${e.getMessage}")
       }
-      (System.nanoTime() - t0) / 1e9
+      val dt = (System.nanoTime() - t0) / 1e9
+      // Release the block-manager state the query left behind (persist /
+      // localCheckpoint blocks) OUTSIDE the timed region. 224 queries x
+      // 4 sweeps share one JVM; reclamation otherwise rides on the async
+      // ContextCleaner, whose weak-ref queue only drains on driver GC —
+      // under an 8 GiB heap the accumulated blocks plus one edge-heavy
+      // query's working set OOM'd a full sf1 sweep (q173, r9). Each
+      // query rebuilds its own checkpoints from scratch, so dropping
+      // them here cannot break a later sweep.
+      spark.sparkContext.getPersistentRDDs.values
+        .foreach(_.unpersist(blocking = false))
+      dt
     }
 
     // telemetry probes
@@ -64,12 +75,22 @@ object Bench {
     // 1. untimed warm-up sweep: every query once — JIT/codegen/page-cache
     ordered.foreach { case (n, f) => runOne(n, f) }
 
+    // One full GC between sweeps drives the ContextCleaner's weak-ref
+    // queue so unpersist-missed state (e.g. an RDD still referenced when
+    // its query's unpersist ran) is actually reclaimed — 4 calls per run,
+    // outside any per-query timed region.
+    System.gc()
+
     // 2. timed interleaved sweeps
     val loadBefore = loadAvg
     val gcBefore = gcMillis
     val wall0 = System.nanoTime()
     val sweepResults: Seq[Map[String, Double]] =
-      (1 to sweeps).map(_ => ordered.map { case (n, f) => n -> runOne(n, f) }.toMap)
+      (1 to sweeps).map { _ =>
+        val m = ordered.map { case (n, f) => n -> runOne(n, f) }.toMap
+        System.gc()
+        m
+      }
     val wallSecs = (System.nanoTime() - wall0) / 1e9
     val gcSecs = (gcMillis - gcBefore) / 1e3
     val loadAfter = loadAvg
