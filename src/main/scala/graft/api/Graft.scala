@@ -4858,4 +4858,108 @@ object Graft {
           .otherwise(col("__dcg_q").cast(DoubleType) /
             col("__idcg_q").cast(DoubleType)).as("ndcg"))
   }
+
+  /** Mann–Whitney U (Wilcoxon rank-sum) two-sample test — the
+    * distribution-free "did segment A shift relative to segment B?"
+    * check that pairs with [[spearmanCorr]] in the nonparametric
+    * toolbox (rank correlation there, rank location-shift here). No
+    * normality assumption: only ranks of the pooled sample matter.
+    *
+    * Same rank discipline as Spearman: the tie-averaged rank of a value
+    * is VALUE-determined (cum_before + (n_v+1)/2), so every statistic
+    * below comes from the (far smaller) distinct-value table — a
+    * value-keyed count aggregate, ONE [[globalCumSum]] over distinct
+    * values, then a single global aggregate. The raw rows are never
+    * ranked, joined back, or re-shuffled. Doubled ranks keep tie
+    * averages integral; moments are Decimal(38) sums of exact integers
+    * (the tie term Σ(t³−t) ≤ n³ binds at ~10¹² distinct-value rows).
+    *
+    * Outputs: group sizes, U_A (may end in .5 — emitted as the one
+    * exact halving of the doubled integral U), the tie-corrected
+    * normal-approximation z (no continuity correction; NULL when every
+    * value is tied so σ = 0), and the rank-biserial effect size
+    * r = 2U_A/(n_A·n_B) − 1 ∈ [−1, 1] (sign = P(A>B) − P(A<B)). The
+    * z/r chains are fixed IEEE double expressions over exact integer
+    * inputs — identical shape on the DuckDB oracle, so both engines
+    * produce the same bits. */
+  def mannWhitneyU(df: DataFrame, valueCol: String, groupCol: String,
+      groupA: String, groupB: String): DataFrame = {
+    val D = DecimalType(38, 0)
+    val base = df.filter(col(valueCol).isNotNull &&
+        col(groupCol).isin(groupA, groupB))
+      .select(col(valueCol).as("__v"),
+        when(col(groupCol) === groupA, lit(1L)).otherwise(lit(0L)).as("__a"))
+    val counts = base.groupBy(col("__v"))
+      .agg(count(lit(1)).as("__n"), sum(col("__a")).as("__na"))
+    // doubled tie-averaged rank of value v: 2r = 2·cum_before + n_v + 1
+    val ranked = globalCumSum(counts, Seq("__v"), "__n", "__cum")
+      .withColumn("__r2",
+        lit(2L) * (col("__cum") - col("__n")) + col("__n") + lit(1L))
+    val m = ranked.agg(
+      sum(col("__na")).as("n_a"),
+      sum(col("__n") - col("__na")).as("n_b"),
+      sum(col("__na").cast(D) * col("__r2").cast(D)).as("__ra2"),
+      sum(col("__n").cast(D) * col("__n").cast(D) * col("__n").cast(D) -
+        col("__n").cast(D)).as("__t"))
+    // 2U_A = 2R_A − n_A(n_A+1); E[2U] = n_A·n_B;
+    // Var(2U) = (n_A·n_B/3)·((n+1) − T/(n(n−1)))
+    val withU = m.select(col("n_a"), col("n_b"), col("__t"),
+      (col("__ra2") -
+        col("n_a").cast(D) * (col("n_a") + lit(1L)).cast(D)).as("__u2"),
+      (col("n_a") + col("n_b")).as("__nn"))
+    val dab = col("n_a").cast(DoubleType) * col("n_b").cast(DoubleType)
+    val bracket = (col("__nn") + lit(1L)).cast(DoubleType) -
+      col("__t").cast(DoubleType) /
+        (col("__nn").cast(DoubleType) * (col("__nn") - lit(1L)).cast(DoubleType))
+    withU.select(col("n_a"), col("n_b"),
+      (col("__u2").cast(DoubleType) / lit(2.0)).as("u_a"),
+      when(col("n_a") === 0L || col("n_b") === 0L || col("__nn") < 2L ||
+          bracket <= lit(0.0), lit(null).cast(DoubleType))
+        .otherwise((col("__u2").cast(DoubleType) - dab) /
+          sqrt(dab / lit(3.0) * bracket)).as("z"),
+      when(col("n_a") === 0L || col("n_b") === 0L, lit(null).cast(DoubleType))
+        .otherwise(col("__u2").cast(DoubleType) / dab - lit(1.0))
+        .as("rank_biserial"))
+  }
+
+  /** Benjamini–Hochberg step-up FDR control over a table of hypothesis
+    * tests — the multiple-comparisons gate a segment-sweep experiment
+    * family needs (run one test per cell, then control the EXPECTED
+    * false-discovery rate instead of per-test α).
+    *
+    * Input: one row per hypothesis with a micro-quantized p-value
+    * (`pQCol`: round(p·1e6) as long — quantization makes the cross-
+    * engine ordering exact; sub-ulp libm differences in the caller's
+    * p-value chain vanish at 1e-6). `tieCols` must make the order total
+    * so rank assignment is engine-reproducible under equal p.
+    *
+    * Adjusted q_i = min_{j ≥ i}(p_j·m/j), computed as an ascending-p
+    * rank + a suffix running-min window; discovery ⇔ q ≤ α. The raw
+    * BH term p_q·m is an exact long product (p_q ≤ 1e6, so safe to
+    * m ~ 9·10¹¹ hypotheses); the /rank division is the only double.
+    *
+    * Scale note: this runs windows ordered over the WHOLE test table —
+    * in-budget because the input is one row per hypothesis (segment
+    * cells, not raw observations; thousands, not billions). The raw-row
+    * reduction to per-cell statistics is the caller's keyed aggregate. */
+  def benjaminiHochberg(tests: DataFrame, pQCol: String,
+      tieCols: Seq[String], alpha: Double = 0.05): DataFrame = {
+    require(tieCols.nonEmpty,
+      "benjaminiHochberg: tieCols must make the p order total")
+    val mDf = tests.agg(count(lit(1)).as("__m"))
+    val ordAsc = (col(pQCol) +: tieCols.map(col)).toSeq
+    val wAsc = Window.orderBy(ordAsc: _*)
+    val wSuffix = Window.orderBy(ordAsc.map(_.desc): _*)
+      .rowsBetween(Window.unboundedPreceding, 0)
+    tests.crossJoin(broadcast(mDf))
+      .withColumn("p_rank", row_number().over(wAsc).cast(LongType))
+      .withColumn("__raw",
+        (col(pQCol) * col("__m")).cast(DoubleType) /
+          col("p_rank").cast(DoubleType))
+      .withColumn("q_value_micro", min(col("__raw")).over(wSuffix))
+      .withColumn("q_value",
+        least(col("q_value_micro") / lit(1.0e6), lit(1.0)))
+      .withColumn("discovered", col("q_value") <= lit(alpha))
+      .drop("__m", "__raw", "q_value_micro")
+  }
 }

@@ -168,6 +168,81 @@ object Analytics {
       graft.api.Graft.spearmanCorr(
         t(s, dir, "lineitem"), "l_quantity", "l_extendedprice")),
 
+    // ---- q214: Mann–Whitney U rank-sum test — do purchase values sit
+    // at a different location than click values, with NO normality
+    // assumption? The nonparametric companion to q152's z-test (that
+    // one tests proportions; this tests the full value distribution
+    // through ranks). Same value-keyed rank discipline as q210: the
+    // raw rows are never ranked — statistics come from the distinct-
+    // value table via one globalCumSum. ----
+    "q214_mann_whitney" -> ((s, dir) =>
+      graft.api.Graft.mannWhitneyU(t(s, dir, "events"), "value",
+        "event_type", groupA = "purchase", groupB = "click")),
+
+    // ---- q215: segment-sweep A/B with Benjamini–Hochberg FDR control
+    // — the multiple-comparisons discipline a 120-cell experiment
+    // sweep needs (per-test α at m=120 would expect 6 false
+    // positives). Per (event_type, hour-of-day) cell: Welch z of
+    // weekend vs weekday micro-quantized values from ONE keyed
+    // aggregate over the raw rows; p from the Abramowitz–Stegun
+    // 7.1.26 erfc polynomial (a fixed double chain, micro-quantized
+    // so the p ORDER is engine-exact); then BH step-up over the
+    // 120-row test table. Hour/weekend come from epoch_us integer
+    // arithmetic — no timezone or dow-convention surface. ----
+    "q215_bh_fdr" -> ((s, dir) => {
+      val D = DecimalType(38, 0)
+      val e = t(s, dir, "events").filter(col("value").isNotNull)
+        .select(col("event_type"),
+          expr("(unix_micros(ts) div 3600000000) % 24").as("hr"),
+          // 1970-01-01 is a Thursday: dow0=Sunday ⇒ (day+4) mod 7
+          expr("((unix_micros(ts) div 86400000000) + 4) % 7 IN (0, 6)")
+            .as("we"),
+          // centi-quantization is EXACT by generation (2-decimal values,
+          // the q174 policy); Σvq² stays under 2^53 to ~sf10, so the
+          // decimal→double casts below are exact, not just identical
+          round(col("value") * lit(100.0)).cast(LongType).as("vq"))
+      val cells = e.groupBy(col("event_type"), col("hr"))
+        .agg(
+          sum(when(col("we"), lit(1L)).otherwise(lit(0L))).as("n_we"),
+          sum(when(col("we"), col("vq")).otherwise(lit(0L)).cast(D)).as("s_we"),
+          sum(when(col("we"), col("vq").cast(D) * col("vq").cast(D))
+            .otherwise(lit(0L).cast(D))).as("q_we"),
+          sum(when(!col("we"), lit(1L)).otherwise(lit(0L))).as("n_wd"),
+          sum(when(!col("we"), col("vq")).otherwise(lit(0L)).cast(D)).as("s_wd"),
+          sum(when(!col("we"), col("vq").cast(D) * col("vq").cast(D))
+            .otherwise(lit(0L).cast(D))).as("q_wd"))
+        .filter(col("n_we") >= 2L && col("n_wd") >= 2L)
+      def meanVar(p: String): (org.apache.spark.sql.Column,
+          org.apache.spark.sql.Column) = {
+        val nd = col(s"n_$p").cast(DoubleType)
+        val sd = col(s"s_$p").cast(DoubleType)
+        val qd = col(s"q_$p").cast(DoubleType)
+        (sd / nd, (qd - sd * sd / nd) / (nd - lit(1.0)))
+      }
+      val (mWe, vWe) = meanVar("we")
+      val (mWd, vWd) = meanVar("wd")
+      val se2 = vWe / col("n_we").cast(DoubleType) +
+        vWd / col("n_wd").cast(DoubleType)
+      val zc = (mWe - mWd) / sqrt(se2)
+      // two-sided p = erfc(|z|/√2) via Abramowitz–Stegun 7.1.26 (Horner)
+      val x = abs(col("z")) / sqrt(lit(2.0))
+      val tt = lit(1.0) / (lit(1.0) + lit(0.3275911) * x)
+      val poly = tt * (lit(0.254829592) + tt * (lit(-0.284496736) +
+        tt * (lit(1.421413741) + tt * (lit(-1.453152027) +
+          tt * lit(1.061405429)))))
+      val withP = cells.filter(se2 > lit(0.0))
+        .withColumn("z", zc)
+        .withColumn("p_micro",
+          greatest(lit(0L), least(lit(1000000L),
+            round(poly * exp(-x * x) * lit(1000000.0)).cast(LongType))))
+      graft.api.Graft.benjaminiHochberg(withP, "p_micro",
+          Seq("event_type", "hr"), alpha = 0.05)
+        .select(col("event_type"), col("hr"), col("n_we"), col("n_wd"),
+          round(col("z"), 4).as("z_r"), col("p_micro"), col("p_rank"),
+          col("q_value"), col("discovered"))
+        .orderBy(col("event_type"), col("hr"))
+    }),
+
     // ---- q173: link prediction on the basket co-purchase graph (the
     // q147 edge set): common neighbors + Adamic–Adar + neighborhood
     // Jaccard for NON-edges, top-20 by the nano-quantized Adamic–Adar
@@ -1724,6 +1799,117 @@ object Analytics {
         |            -1.0), 1.0)
         |  END AS spearman_rho
         |FROM m""".stripMargin,
+
+    // Mann–Whitney twin: identical value-keyed doubled tie-averaged
+    // ranks (the q210 device), HUGEINT moments mirroring the decimal
+    // sums, and the same tie-corrected z / rank-biserial double chains
+    "q214_mann_whitney" ->
+      """WITH b AS (
+        |  SELECT value AS v,
+        |    CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS a
+        |  FROM events
+        |  WHERE value IS NOT NULL AND event_type IN ('purchase', 'click')),
+        |c AS (SELECT v, COUNT(*) AS n, SUM(a) AS na FROM b GROUP BY v),
+        |r AS (SELECT v, n, na,
+        |        2 * (SUM(n) OVER (ORDER BY v) - n) + n + 1 AS r2 FROM c),
+        |m AS (SELECT SUM(na) AS n_a, SUM(n) - SUM(na) AS n_b,
+        |        SUM(CAST(na AS HUGEINT) * r2) AS ra2,
+        |        SUM(CAST(n AS HUGEINT) * n * n - n) AS t FROM r),
+        |u AS (SELECT n_a, n_b, t,
+        |        ra2 - CAST(n_a AS HUGEINT) * (n_a + 1) AS u2,
+        |        n_a + n_b AS nn FROM m)
+        |SELECT CAST(n_a AS BIGINT) AS n_a, CAST(n_b AS BIGINT) AS n_b,
+        |  CAST(u2 AS DOUBLE) / 2.0 AS u_a,
+        |  CASE WHEN n_a = 0 OR n_b = 0 OR nn < 2 OR
+        |            CAST(nn + 1 AS DOUBLE) - CAST(t AS DOUBLE) /
+        |              (CAST(nn AS DOUBLE) * CAST(nn - 1 AS DOUBLE)) <= 0.0
+        |       THEN NULL
+        |       ELSE (CAST(u2 AS DOUBLE)
+        |              - CAST(n_a AS DOUBLE) * CAST(n_b AS DOUBLE)) /
+        |            sqrt(CAST(n_a AS DOUBLE) * CAST(n_b AS DOUBLE) / 3.0 *
+        |              (CAST(nn + 1 AS DOUBLE) - CAST(t AS DOUBLE) /
+        |                (CAST(nn AS DOUBLE) * CAST(nn - 1 AS DOUBLE))))
+        |  END AS z,
+        |  CASE WHEN n_a = 0 OR n_b = 0 THEN NULL
+        |       ELSE CAST(u2 AS DOUBLE) /
+        |            (CAST(n_a AS DOUBLE) * CAST(n_b AS DOUBLE)) - 1.0
+        |  END AS rank_biserial
+        |FROM u""".stripMargin,
+
+    // BH-FDR twin: identical epoch-integer hour/weekend cells, Welch z
+    // over exact micro-quantized HUGEINT sums, the same A&S 7.1.26
+    // erfc Horner chain micro-quantized before ranking, and the same
+    // ascending-rank + suffix-running-min step-up
+    "q215_bh_fdr" ->
+      """WITH e AS (
+        |  SELECT event_type,
+        |    (epoch_us(ts) // 3600000000) % 24 AS hr,
+        |    ((epoch_us(ts) // 86400000000) + 4) % 7 IN (0, 6) AS we,
+        |    CAST(round(value * 100.0) AS BIGINT) AS vq
+        |  FROM events WHERE value IS NOT NULL),
+        |cells AS (
+        |  SELECT event_type, hr,
+        |    COUNT(*) FILTER (WHERE we) AS n_we,
+        |    COALESCE(SUM(CAST(vq AS HUGEINT)) FILTER (WHERE we), 0) AS s_we,
+        |    COALESCE(SUM(CAST(vq AS HUGEINT) * vq) FILTER (WHERE we), 0)
+        |      AS q_we,
+        |    COUNT(*) FILTER (WHERE NOT we) AS n_wd,
+        |    COALESCE(SUM(CAST(vq AS HUGEINT)) FILTER (WHERE NOT we), 0)
+        |      AS s_wd,
+        |    COALESCE(SUM(CAST(vq AS HUGEINT) * vq) FILTER (WHERE NOT we), 0)
+        |      AS q_wd
+        |  FROM e GROUP BY event_type, hr
+        |  HAVING COUNT(*) FILTER (WHERE we) >= 2
+        |     AND COUNT(*) FILTER (WHERE NOT we) >= 2),
+        |zc AS (
+        |  SELECT event_type, hr, n_we, n_wd,
+        |    (CAST(s_we AS DOUBLE) / CAST(n_we AS DOUBLE)
+        |      - CAST(s_wd AS DOUBLE) / CAST(n_wd AS DOUBLE)) /
+        |    sqrt((CAST(q_we AS DOUBLE) - CAST(s_we AS DOUBLE)
+        |            * CAST(s_we AS DOUBLE) / CAST(n_we AS DOUBLE))
+        |           / (CAST(n_we AS DOUBLE) - 1.0) / CAST(n_we AS DOUBLE)
+        |        + (CAST(q_wd AS DOUBLE) - CAST(s_wd AS DOUBLE)
+        |            * CAST(s_wd AS DOUBLE) / CAST(n_wd AS DOUBLE))
+        |           / (CAST(n_wd AS DOUBLE) - 1.0) / CAST(n_wd AS DOUBLE))
+        |      AS z,
+        |    (CAST(q_we AS DOUBLE) - CAST(s_we AS DOUBLE)
+        |       * CAST(s_we AS DOUBLE) / CAST(n_we AS DOUBLE))
+        |      / (CAST(n_we AS DOUBLE) - 1.0) / CAST(n_we AS DOUBLE)
+        |    + (CAST(q_wd AS DOUBLE) - CAST(s_wd AS DOUBLE)
+        |       * CAST(s_wd AS DOUBLE) / CAST(n_wd AS DOUBLE))
+        |      / (CAST(n_wd AS DOUBLE) - 1.0) / CAST(n_wd AS DOUBLE) AS se2
+        |  FROM cells),
+        |p AS (
+        |  SELECT event_type, hr, n_we, n_wd, z,
+        |    GREATEST(0, LEAST(1000000, CAST(round(
+        |      (1.0 / (1.0 + 0.3275911 * (abs(z) / sqrt(2.0)))) *
+        |      (0.254829592 + (1.0 / (1.0 + 0.3275911 * (abs(z) / sqrt(2.0))))
+        |        * (-0.284496736 + (1.0 / (1.0 + 0.3275911 *
+        |            (abs(z) / sqrt(2.0))))
+        |          * (1.421413741 + (1.0 / (1.0 + 0.3275911 *
+        |              (abs(z) / sqrt(2.0))))
+        |            * (-1.453152027 + (1.0 / (1.0 + 0.3275911 *
+        |                (abs(z) / sqrt(2.0)))) * 1.061405429)))) *
+        |      exp(-(abs(z) / sqrt(2.0)) * (abs(z) / sqrt(2.0))) * 1000000.0)
+        |      AS BIGINT))) AS p_micro
+        |  FROM zc WHERE se2 > 0.0),
+        |m AS (SELECT COUNT(*) AS m FROM p),
+        |rk AS (
+        |  SELECT p.*, m.m,
+        |    ROW_NUMBER() OVER (ORDER BY p_micro, event_type, hr) AS p_rank
+        |  FROM p CROSS JOIN m),
+        |bh AS (
+        |  SELECT rk.*,
+        |    MIN(CAST(p_micro * m AS DOUBLE) / CAST(p_rank AS DOUBLE))
+        |      OVER (ORDER BY p_micro DESC, event_type DESC, hr DESC
+        |            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |      AS q_micro
+        |  FROM rk)
+        |SELECT event_type, CAST(hr AS BIGINT) AS hr, n_we, n_wd,
+        |  round(z, 4) AS z_r, p_micro, p_rank,
+        |  LEAST(q_micro / 1000000.0, 1.0) AS q_value,
+        |  LEAST(q_micro / 1000000.0, 1.0) <= 0.05 AS discovered
+        |FROM bh ORDER BY event_type, hr""".stripMargin,
 
     // link-prediction twin: identical normalized edge set, hub-capped
     // bridge join, nano-quantized 1/ln(deg) terms, and the same

@@ -91,6 +91,43 @@ object Pipeline {
         .orderBy($"source", $"seq_id")
     }),
 
+    // ---- q216: padding-waste audit of batching strategies — the
+    // batch-shape counterpart to q59's sequence packing: a training
+    // batch pads every member to the batch max, so total cost is
+    // Σ n_b·max_b and the waste is what batching policy controls.
+    // Three policies over the same token counts: arrival (doc_id
+    // order), hash-shuffled (md5 order — what a random epoch shuffle
+    // yields), and length-sorted (the bucketing trick). Ranks come
+    // from globalRank (partition-offset pattern, never a 1-partition
+    // window); everything after is integer keyed aggregates, one
+    // double division per strategy at the end. The text is scanned
+    // ONCE (localCheckpoint) for all three rankings. ----
+    "q216_padding_waste" -> ((s, dir) => {
+      import s.implicits._
+      graft.functions.GraftFunctions.register(s)
+      val toks = t(s, dir, "documents")
+        .select($"doc_id", md5($"doc_id".cast(StringType)).as("h"),
+          expr("text_stats(text).ws_tokens").cast(LongType).as("n_tokens"))
+        .localCheckpoint()
+      def strat(name: String, ord: Seq[String]): org.apache.spark.sql.DataFrame =
+        graft.api.Graft.globalRank(toks, ord)
+          .withColumn("__b", expr("(grank - 1) div 32"))
+          .groupBy($"__b")
+          .agg(count(lit(1)).as("__n"), max($"n_tokens").as("__mx"),
+            sum($"n_tokens").as("__tot"))
+          .agg(count(lit(1)).as("n_batches"),
+            sum($"__n" * $"__mx").as("__pad"), sum($"__tot").as("__tot"))
+          .select(lit(name).as("strategy"), $"n_batches",
+            $"__tot".as("total_tokens"),
+            ($"__pad" - $"__tot").as("padding_tokens"),
+            (($"__pad" - $"__tot").cast(DoubleType) /
+              $"__pad".cast(DoubleType)).as("waste_pct"))
+      strat("arrival", Seq("doc_id"))
+        .unionAll(strat("length_sorted", Seq("n_tokens", "doc_id")))
+        .unionAll(strat("shuffled", Seq("h", "doc_id")))
+        .orderBy($"strategy")
+    }),
+
     // ---- q61: the flagship END-TO-END pipeline — quality gate → exact
     // dedup → eval decontamination → deterministic split, each stage the
     // already-oracle-proven operator, composed and hash-checked as one
@@ -402,5 +439,49 @@ object Pipeline {
         | CAST(SUM(n_tokens) AS BIGINT) AS seq_tokens,
         | MIN(doc_id) AS first_doc
         |FROM cum GROUP BY source, cum_before // 2048
-        |ORDER BY source, seq_id""".stripMargin)
+        |ORDER BY source, seq_id""".stripMargin,
+
+    // padding-waste twin: identical rank → batch → n·max integer
+    // arithmetic per strategy; md5 hex-string order for the shuffle leg
+    // (string collation is plain ASCII on both engines)
+    "q216_padding_waste" ->
+      """WITH tok AS (
+        |  SELECT doc_id, md5(CAST(doc_id AS VARCHAR)) AS h,
+        |    CAST(len(regexp_extract_all(text, '\S+')) AS BIGINT) AS n_tokens
+        |  FROM documents),
+        |s1 AS (SELECT n_tokens,
+        |         (ROW_NUMBER() OVER (ORDER BY doc_id) - 1) // 32 AS b
+        |       FROM tok),
+        |s2 AS (SELECT n_tokens,
+        |         (ROW_NUMBER() OVER (ORDER BY n_tokens, doc_id) - 1) // 32 AS b
+        |       FROM tok),
+        |s3 AS (SELECT n_tokens,
+        |         (ROW_NUMBER() OVER (ORDER BY h, doc_id) - 1) // 32 AS b
+        |       FROM tok),
+        |g1 AS (SELECT b, CAST(COUNT(*) AS BIGINT) AS n,
+        |         MAX(n_tokens) AS mx, CAST(SUM(n_tokens) AS BIGINT) AS tot
+        |       FROM s1 GROUP BY b),
+        |g2 AS (SELECT b, CAST(COUNT(*) AS BIGINT) AS n,
+        |         MAX(n_tokens) AS mx, CAST(SUM(n_tokens) AS BIGINT) AS tot
+        |       FROM s2 GROUP BY b),
+        |g3 AS (SELECT b, CAST(COUNT(*) AS BIGINT) AS n,
+        |         MAX(n_tokens) AS mx, CAST(SUM(n_tokens) AS BIGINT) AS tot
+        |       FROM s3 GROUP BY b)
+        |SELECT 'arrival' AS strategy, CAST(COUNT(*) AS BIGINT) AS n_batches,
+        |  CAST(SUM(tot) AS BIGINT) AS total_tokens,
+        |  CAST(SUM(n * mx) - SUM(tot) AS BIGINT) AS padding_tokens,
+        |  CAST(SUM(n * mx) - SUM(tot) AS DOUBLE) /
+        |    CAST(SUM(n * mx) AS DOUBLE) AS waste_pct
+        |FROM g1
+        |UNION ALL
+        |SELECT 'length_sorted', CAST(COUNT(*) AS BIGINT),
+        |  CAST(SUM(tot) AS BIGINT), CAST(SUM(n * mx) - SUM(tot) AS BIGINT),
+        |  CAST(SUM(n * mx) - SUM(tot) AS DOUBLE) / CAST(SUM(n * mx) AS DOUBLE)
+        |FROM g2
+        |UNION ALL
+        |SELECT 'shuffled', CAST(COUNT(*) AS BIGINT),
+        |  CAST(SUM(tot) AS BIGINT), CAST(SUM(n * mx) - SUM(tot) AS BIGINT),
+        |  CAST(SUM(n * mx) - SUM(tot) AS DOUBLE) / CAST(SUM(n * mx) AS DOUBLE)
+        |FROM g3
+        |ORDER BY strategy""".stripMargin)
 }

@@ -262,6 +262,36 @@ object TextAnalysis {
         .orderBy($"doc_id")
     }),
 
+    // ---- q217: readability scoring (Flesch reading ease) — the
+    // classic "is this text at a trainable reading level?" screen that
+    // completes the quality family (q30 surface stats, q107 repetition,
+    // q128 entropy): words from the \S+ token definition (the q31/q59
+    // convention), sentences from terminal-punctuation runs (floored at
+    // 1 — this corpus is unpunctuated, so the w/s term degenerates to
+    // w, which the formula tolerates), syllables from vowel-group runs
+    // (the standard dictionary-free approximation). Pure per-row
+    // codegen projection — no shuffle at any scale; the only doubles
+    // are the final fixed-coefficient chain, rounded once. ----
+    "q217_readability" -> ((s, dir) => {
+      val d = t(s, dir, "documents").select(col("doc_id"),
+        size(regexp_extract_all(col("text"), lit("\\S+"), lit(0)))
+          .cast(LongType).as("n_words"),
+        greatest(lit(1L),
+          size(regexp_extract_all(col("text"), lit("[.!?]+"), lit(0)))
+            .cast(LongType)).as("n_sentences"),
+        size(regexp_extract_all(lower(col("text")), lit("[aeiouy]+"), lit(0)))
+          .cast(LongType).as("n_syllables"))
+      d.select(col("doc_id"), col("n_words"), col("n_sentences"),
+          col("n_syllables"),
+          when(col("n_words") === 0L, lit(null).cast(DoubleType))
+            .otherwise(round(lit(206.835) -
+              lit(1.015) * (col("n_words").cast(DoubleType) /
+                col("n_sentences").cast(DoubleType)) -
+              lit(84.6) * (col("n_syllables").cast(DoubleType) /
+                col("n_words").cast(DoubleType)), 4)).as("flesch_r"))
+        .orderBy(col("doc_id"))
+    }),
+
     // ---- q53: repetition scoring — fraction of repeated word trigrams
     // (1 - distinct/total), the classic training-data looping/boilerplate
     // detector. Both counts come from one codegen'd projection
@@ -613,6 +643,28 @@ object TextAnalysis {
         |  CAST(SUM(nb) AS DOUBLE) / CAST(SUM(bpe) AS DOUBLE) AS bytes_per_token,
         |  CAST(SUM(bpe) AS DOUBLE) / CAST(SUM(ws) AS DOUBLE) AS fertility
         |FROM x GROUP BY lang ORDER BY lang""".stripMargin,
+
+    // readability twin: identical \S+ / [.!?]+ / [aeiouy]+ run counts
+    // (RE2 and Java agree on these classes) and the same fixed-
+    // coefficient Flesch chain rounded once
+    "q217_readability" ->
+      """WITH c AS (
+        |  SELECT doc_id,
+        |    CAST(len(regexp_extract_all(text, '\S+')) AS BIGINT) AS n_words,
+        |    GREATEST(1, CAST(len(regexp_extract_all(text, '[.!?]+'))
+        |      AS BIGINT)) AS n_sentences,
+        |    CAST(len(regexp_extract_all(lower(text), '[aeiouy]+'))
+        |      AS BIGINT) AS n_syllables
+        |  FROM documents)
+        |SELECT doc_id, n_words, n_sentences, n_syllables,
+        |  CASE WHEN n_words = 0 THEN NULL
+        |       ELSE round(206.835
+        |         - 1.015 * (CAST(n_words AS DOUBLE)
+        |             / CAST(n_sentences AS DOUBLE))
+        |         - 84.6 * (CAST(n_syllables AS DOUBLE)
+        |             / CAST(n_words AS DOUBLE)), 4)
+        |  END AS flesch_r
+        |FROM c ORDER BY doc_id""".stripMargin,
 
     "q53_text_repetition" ->
       """WITH toks AS (

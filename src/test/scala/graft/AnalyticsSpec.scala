@@ -311,4 +311,64 @@ class AnalyticsSpec extends AnyFunSuite {
     assert(!plan.contains("Window"), plan)
     assert(plan.contains("Aggregate"), plan)
   }
+
+  // ------------------------------------------------------ mann-whitney
+
+  test("mannWhitneyU: disjoint groups give extreme U and rank_biserial ±1") {
+    val s = spark; import s.implicits._
+    // A = {1,2,3}, B = {4,5,6}: every B beats every A → U_A = 0
+    val df = Seq(("a", 1.0), ("a", 2.0), ("a", 3.0),
+      ("b", 4.0), ("b", 5.0), ("b", 6.0)).toDF("g", "v")
+    val r = Graft.mannWhitneyU(df, "v", "g", "a", "b").collect().head
+    assert(r.getLong(0) === 3L && r.getLong(1) === 3L)
+    assert(r.getDouble(2) === 0.0)              // u_a
+    assert(r.getDouble(4) === -1.0)             // rank_biserial
+    assert(r.getDouble(3) < -1.9)               // z ≈ -1.964 (no ties)
+  }
+
+  test("mannWhitneyU: all-tied sample yields U = nA·nB/2 and NULL z") {
+    val s = spark; import s.implicits._
+    val df = Seq(("a", 7.0), ("a", 7.0), ("b", 7.0), ("b", 7.0))
+      .toDF("g", "v")
+    val r = Graft.mannWhitneyU(df, "v", "g", "a", "b").collect().head
+    assert(r.getDouble(2) === 2.0)              // 2·2/2
+    assert(r.isNullAt(3))                       // σ = 0 under total ties
+    assert(r.getDouble(4) === 0.0)
+  }
+
+  test("mannWhitneyU: tie-averaged ranks match the textbook hand computation") {
+    val s = spark; import s.implicits._
+    // pooled: a:{1,2,2}, b:{2,3}; ranks: 1, (2+3+4)/3 = 3 for each 2, 5
+    // R_A = 1 + 3 + 3 = 7 → U_A = 7 − 3·4/2 = 1
+    val df = Seq(("a", 1.0), ("a", 2.0), ("a", 2.0), ("b", 2.0), ("b", 3.0))
+      .toDF("g", "v")
+    val r = Graft.mannWhitneyU(df, "v", "g", "a", "b").collect().head
+    assert(r.getDouble(2) === 1.0)
+  }
+
+  // ------------------------------------------------- benjamini-hochberg
+
+  test("benjaminiHochberg reproduces the textbook step-up q-values") {
+    val s = spark; import s.implicits._
+    // p = .01 .02 .03 .04 .20 (m=5): raw p·m/i = .05 .05 .05 .05 .20 →
+    // suffix-min q = .05 ×4, .20; discoveries at α=.05 are the first 4
+    val df = Seq(("t1", 10000L), ("t2", 20000L), ("t3", 30000L),
+      ("t4", 40000L), ("t5", 200000L)).toDF("k", "p_micro")
+    val out = Graft.benjaminiHochberg(df, "p_micro", Seq("k"), alpha = 0.05)
+      .orderBy("p_rank").collect()
+      .map(r => (r.getString(0), r.getLong(2), r.getDouble(3), r.getBoolean(4)))
+    assert(out.map(_._3).toSeq === Seq(0.05, 0.05, 0.05, 0.05, 0.2))
+    assert(out.map(_._4).toSeq === Seq(true, true, true, true, false))
+    // q is monotone non-decreasing in rank by construction
+    assert(out.map(_._3).toSeq === out.map(_._3).sorted.toSeq)
+  }
+
+  test("benjaminiHochberg: q never exceeds 1 and equal p breaks ties by key") {
+    val s = spark; import s.implicits._
+    val df = Seq(("b", 900000L), ("a", 900000L), ("c", 100L)).toDF("k", "p_micro")
+    val out = Graft.benjaminiHochberg(df, "p_micro", Seq("k"), alpha = 0.05)
+      .orderBy("p_rank").collect().map(r => (r.getString(0), r.getDouble(3)))
+    assert(out.map(_._1).toSeq === Seq("c", "a", "b")) // deterministic order
+    assert(out.forall(_._2 <= 1.0))
+  }
 }
