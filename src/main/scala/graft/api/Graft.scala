@@ -1270,6 +1270,32 @@ object Graft {
   def mortonZ(x: Column, y: Column): Column =
     mortonSpread16(x).bitwiseOR(shiftleft(mortonSpread16(y), 1))
 
+  /** Hilbert-curve index of two integer coordinates on the 2^order grid —
+    * [[mortonZ]]'s locality-superior sibling (the curve never jumps, so
+    * curve-consecutive cells are always grid-adjacent; q219 measures the
+    * difference as per-bucket bounding-box area). Codegen'd native
+    * expression; coordinates are masked to the grid like mortonZ's
+    * 16-bit truncation. */
+  def hilbertIndex(x: Column, y: Column, order: Int = 16): Column = {
+    import org.apache.spark.sql.GraftColumnBridge.{column, expression}
+    column(graft.functions.HilbertIndex(
+      expression(x.cast(LongType)), expression(y.cast(LongType)), order))
+  }
+
+  /** Hilbert clustering write-layout — [[zorderBy]] with the Hilbert
+    * index as the clustering key: range-partition + in-partition sort,
+    * so parquet min/max stats come out tighter in both dimensions than
+    * the Z-order layout gives (no curve jumps across file boundaries). */
+  def hilbertOrderBy(df: DataFrame, xCol: String, yCol: String,
+      order: Int = 16, partitions: Int = 0): DataFrame = {
+    val withH = df.withColumn("__h",
+      hilbertIndex(col(xCol), col(yCol), order))
+    val parted =
+      if (partitions > 0) withH.repartitionByRange(partitions, col("__h"))
+      else withH.repartitionByRange(col("__h"))
+    parted.sortWithinPartitions(col("__h")).drop("__h")
+  }
+
   /** Z-order clustering write-layout: range-partition by the Morton code of
     * (xCol, yCol) and sort within partitions, so a subsequent parquet write
     * yields files whose min/max stats are tight in both dimensions. The
@@ -2848,6 +2874,67 @@ object Graft {
     val out = if (checkpointDir.isDefined) labels else labels.localCheckpoint()
     release()
     out
+  }
+
+  /** Newman modularity Q of a community assignment over an undirected
+    * simple graph — the quality gate for [[labelPropagation]]'s output
+    * (did propagation find real structure, or noise? Q ≈ 0 means the
+    * within-community edge mass is what a random degree-preserving
+    * rewiring would give). Q = W/m − Σ_c d_c²/(4m²) with W = within-
+    * community edges, m = undirected edge count, d_c = total degree of
+    * community c.
+    *
+    * Edges are normalized exactly like [[labelPropagation]] (string
+    * cast, null/self drop, distinct) plus endpoint canonicalization,
+    * so double-entered edges count once; all masses (W, m, d_c, Σd_c²)
+    * are exact integers (Decimal(38) for the square sum — binds at
+    * d_c ~ 10¹⁸) and Q is a two-division double chain, identical shape
+    * on the oracle.
+    *
+    * 100 TB shape: two label equi-joins over the edge list + three
+    * keyed aggregates — one edge shuffle on each endpoint, a node
+    * shuffle for degrees, a community shuffle for d_c. Nothing
+    * quadratic, nothing driver-resident. */
+  def modularity(edges: DataFrame, srcCol: String, dstCol: String,
+      labels: DataFrame, nodeCol: String = "node",
+      labCol: String = "lab"): DataFrame = {
+    val D = DecimalType(38, 0)
+    val und = edges.select(col(srcCol).cast(StringType).as("__ea"),
+        col(dstCol).cast(StringType).as("__eb"))
+      .filter(col("__ea").isNotNull && col("__eb").isNotNull &&
+        col("__ea") =!= col("__eb"))
+      .select(least(col("__ea"), col("__eb")).as("a"),
+        greatest(col("__ea"), col("__eb")).as("b"))
+      .distinct()
+      // three consumers (m, within, degrees) — materialize the
+      // normalized edge set once instead of replaying its lineage 3×
+      .localCheckpoint()
+    val lab = labels.select(col(nodeCol).cast(StringType).as("node"),
+      col(labCol).cast(StringType).as("lab"))
+    val m = und.agg(count(lit(1)).as("m_edges"))
+    val within = und
+      .join(lab.select(col("node").as("a"), col("lab").as("__la")), Seq("a"))
+      .join(lab.select(col("node").as("b"), col("lab").as("__lb")), Seq("b"))
+      .filter(col("__la") === col("__lb"))
+      .agg(count(lit(1)).as("within_edges"))
+    val deg = und.select(col("a").as("node"))
+      .unionAll(und.select(col("b").as("node")))
+      .groupBy(col("node")).agg(count(lit(1)).as("__d"))
+    val dc = deg.join(lab, Seq("node"))
+      .groupBy(col("lab")).agg(sum(col("__d")).as("__dc"))
+    val s = dc.agg(count(lit(1)).as("n_communities"),
+      sum(col("__dc").cast(D) * col("__dc").cast(D)).as("__sd2"))
+    val nn = lab.agg(count(lit(1)).as("n_nodes"))
+    s.crossJoin(broadcast(nn)).crossJoin(broadcast(m))
+      .crossJoin(broadcast(within))
+      .select(col("n_communities"), col("n_nodes"), col("m_edges"),
+        col("within_edges"),
+        when(col("m_edges") === 0L, lit(null).cast(DoubleType))
+          .otherwise(col("within_edges").cast(DoubleType) /
+            col("m_edges").cast(DoubleType) -
+            col("__sd2").cast(DoubleType) /
+              (lit(4.0) * col("m_edges").cast(DoubleType) *
+                col("m_edges").cast(DoubleType))).as("modularity"))
   }
 
   /** Deterministic random projection (Johnson–Lindenstrauss sign matrix) —
@@ -4920,6 +5007,58 @@ object Graft {
       when(col("n_a") === 0L || col("n_b") === 0L, lit(null).cast(DoubleType))
         .otherwise(col("__u2").cast(DoubleType) / dab - lit(1.0))
         .as("rank_biserial"))
+  }
+
+  /** Best binary split of a numeric feature against a boolean label by
+    * information gain — the decision-stump / feature-quality audit (and
+    * the inner loop of distributed tree training): which threshold on
+    * this feature most reduces label entropy?
+    *
+    * Candidate thresholds are the distinct feature values (split:
+    * x ≤ v). Like [[spearmanCorr]]/[[mannWhitneyU]], nothing ranks the
+    * raw rows: left-side (count, positives) prefixes come from ONE
+    * value-keyed aggregate + two [[globalCumSum]] passes over the
+    * distinct-value table, entropies are a fixed double chain over
+    * exact integer counts, and the winner is a nano-quantized
+    * `min_by` argmax (gain desc, threshold asc) — one aggregate, no
+    * sort, deterministic under ln() last-ulp noise.
+    *
+    * Output: total/positive counts, the winning threshold with its
+    * left-side counts, and the gain (nats). All-one-class inputs have
+    * gain 0 everywhere → the smallest threshold wins (still
+    * deterministic). */
+  def bestSplit(df: DataFrame, featureCol: String,
+      labelCol: String): DataFrame = {
+    val base = df.filter(col(featureCol).isNotNull && col(labelCol).isNotNull)
+      .select(col(featureCol).as("__v"),
+        col(labelCol).cast(BooleanType).cast(LongType).as("__y"))
+    val totals = base.agg(count(lit(1)).as("n_total"), sum(col("__y")).as("n_pos"))
+    val counts = base.groupBy(col("__v"))
+      .agg(count(lit(1)).as("__n"), sum(col("__y")).as("__p"))
+    val cum = globalCumSum(globalCumSum(counts, Seq("__v"), "__n", "__nl"),
+      Seq("__v"), "__p", "__pl")
+    def d(c: Column): Column = c.cast(DoubleType)
+    // entropy of a (pos, n) block in nats; 0·ln0 handled by the guard
+    def h(p: Column, n: Column): Column =
+      when(n === 0L || p === 0L || p === n, lit(0.0))
+        .otherwise(-(d(p) / d(n) * log(d(p) / d(n)) +
+          d(n - p) / d(n) * log(d(n - p) / d(n))))
+    val scored = cum.crossJoin(broadcast(totals))
+      .withColumn("__nr", col("n_total") - col("__nl"))
+      .withColumn("__pr", col("n_pos") - col("__pl"))
+      .withColumn("__gain",
+        h(col("n_pos"), col("n_total")) -
+          d(col("__nl")) / d(col("n_total")) * h(col("__pl"), col("__nl")) -
+          d(col("__nr")) / d(col("n_total")) * h(col("__pr"), col("__nr")))
+      .withColumn("__gq", round(col("__gain") * lit(1.0e9)).cast(LongType))
+    scored.agg(
+        max(col("n_total")).as("n_total"), max(col("n_pos")).as("n_pos"),
+        min_by(struct(col("__v"), col("__nl"), col("__pl"), col("__gq")),
+          struct((-col("__gq")).as("g"), col("__v").as("v"))).as("__best"))
+      .select(col("n_total"), col("n_pos"),
+        col("__best.__v").as("best_threshold"),
+        col("__best.__nl").as("n_left"), col("__best.__pl").as("pos_left"),
+        (col("__best.__gq").cast(DoubleType) / lit(1.0e9)).as("gain"))
   }
 
   /** Benjamini–Hochberg step-up FDR control over a table of hypothesis

@@ -375,3 +375,54 @@ case class VecDot(left: Expression, right: Expression) extends BinaryExpression 
   protected override def withNewChildrenInternal(l: Expression, r: Expression): VecDot =
     copy(left = l, right = r)
 }
+
+/** Hilbert-curve kernels: the locality-preserving space-filling index
+  * that completes the layout family next to the Morton/Z code
+  * (Graft.mortonZ). Unlike Z-order, the Hilbert curve never jumps —
+  * curve-consecutive cells are always grid-adjacent — so range
+  * partitioning by it yields tighter per-file bounding boxes (measured
+  * by q219's bucket-bbox audit). */
+object HilbertKernels {
+  /** Classic rotate-flip xy2d over a 2^order × 2^order grid: walk the
+    * bit planes top-down, add the quadrant's sub-square count, rotate
+    * the frame so every sub-square is traversed corner-to-corner.
+    * Coordinates are taken mod 2^order (masked), so any long is safe. */
+  def xy2d(order: Int, x0: Long, y0: Long): Long = {
+    val mask = (1L << order) - 1L
+    var x = x0 & mask
+    var y = y0 & mask
+    var d = 0L
+    var s = 1L << (order - 1)
+    while (s > 0) {
+      val rx = if ((x & s) > 0) 1L else 0L
+      val ry = if ((y & s) > 0) 1L else 0L
+      d += s * s * ((3L * rx) ^ ry)
+      if (ry == 0) { // rotate (and flip when rx=1) the lower quadrant
+        if (rx == 1) { x = s - 1 - x; y = s - 1 - y }
+        val t = x; x = y; y = t
+      }
+      s >>= 1
+    }
+    d
+  }
+}
+
+/** hilbert_index(x, y, order) — codegen'd Hilbert curve index of two
+  * integer coordinates on the 2^order grid (order a literal, 1..31). */
+case class HilbertIndex(left: Expression, right: Expression, order: Int)
+    extends BinaryExpression {
+  require(order >= 1 && order <= 31,
+    s"hilbert_index order must be in [1, 31], got $order")
+  override def dataType: DataType = LongType
+  override def prettyName: String = "hilbert_index"
+
+  protected override def nullSafeEval(a: Any, b: Any): Any =
+    HilbertKernels.xy2d(order, a.asInstanceOf[Long], b.asInstanceOf[Long])
+
+  protected override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      (a, b) => s"graft.functions.HilbertKernels.xy2d($order, $a, $b)")
+
+  protected override def withNewChildrenInternal(l: Expression, r: Expression): HilbertIndex =
+    copy(left = l, right = r)
+}

@@ -179,6 +179,19 @@ object Analytics {
       graft.api.Graft.mannWhitneyU(t(s, dir, "events"), "value",
         "event_type", groupA = "purchase", groupB = "click")),
 
+    // ---- q220: decision-stump best split — how predictive is event
+    // value of "this was a purchase", and where is the best cut? The
+    // supervised feature-quality audit (and distributed tree training's
+    // inner loop): distinct-value candidate thresholds, prefix
+    // (count, positives) from two globalCumSums over the value table,
+    // entropy gain as a fixed double chain over exact integers,
+    // nano-quantized min_by argmax — raw rows are never sorted. ----
+    "q220_best_split" -> ((s, dir) =>
+      graft.api.Graft.bestSplit(
+        t(s, dir, "events").withColumn("is_purchase",
+          col("event_type") === "purchase"),
+        "value", "is_purchase")),
+
     // ---- q215: segment-sweep A/B with Benjamini–Hochberg FDR control
     // — the multiple-comparisons discipline a 120-cell experiment
     // sweep needs (per-test α at m=120 would expect 6 false
@@ -651,6 +664,43 @@ object Analytics {
         .orderBy(col("p_partkey"))
     }),
 
+    // ---- q219: Hilbert vs Z-order locality audit — the measurement
+    // that justifies picking a clustering curve BEFORE a 100 TB
+    // rewrite: group each curve's rank order into 16-row "files" and
+    // compare the per-file bounding-box area (exactly what parquet
+    // min/max pruning sees). Hilbert never jumps, so its buckets stay
+    // tighter; both indexes are codegen'd integer projections
+    // (hilbert_index native expression / mortonZ bit spread), ranks
+    // come from globalRank (partition-offset pattern), and every mass
+    // is an exact integer until one division per curve. The oracle
+    // replays the full 8-level rotate-flip walk as a CTE chain. ----
+    "q219_hilbert_locality" -> ((s, dir) => {
+      graft.functions.GraftFunctions.register(s)
+      val pts = t(s, dir, "part").select(col("p_partkey"),
+          (col("p_size").cast(LongType) % 256L).as("x"),
+          (round(col("p_retailprice") * 100.0).cast(LongType) % 256L)
+            .as("y"))
+        .localCheckpoint()
+      def leg(name: String, key: org.apache.spark.sql.Column) = {
+        val ranked = graft.api.Graft.globalRank(
+          pts.withColumn("__k", key), Seq("__k", "p_partkey"))
+        ranked.withColumn("__b", expr("(grank - 1) div 16"))
+          .groupBy(col("__b"))
+          .agg(count(lit(1)).as("__n"),
+            ((max(col("x")) - min(col("x")) + lit(1L)) *
+              (max(col("y")) - min(col("y")) + lit(1L))).as("__area"))
+          .agg(count(lit(1)).as("n_buckets"), sum(col("__n")).as("n_points"),
+            sum(col("__area")).as("sum_bbox_area"))
+          .select(lit(name).as("curve"), col("n_buckets"), col("n_points"),
+            col("sum_bbox_area"),
+            (col("sum_bbox_area").cast(DoubleType) /
+              col("n_buckets").cast(DoubleType)).as("avg_bbox_area"))
+      }
+      leg("hilbert", graft.api.Graft.hilbertIndex(col("x"), col("y"), 8))
+        .unionAll(leg("morton", graft.api.Graft.mortonZ(col("x"), col("y"))))
+        .orderBy(col("curve"))
+    }),
+
     // ---- q82: one-pass data profile of the orders table — per-column
     // null/distinct/min/max, the ingest pre-flight. Exact distincts here
     // (oracle-checkable); `approxDistinct = true` is the single-agg 100 TB
@@ -1037,6 +1087,26 @@ object Analytics {
         .select(col("x.pk").as("src"), col("y.pk").as("dst"))
       graft.api.Graft.labelPropagation(edges, "src", "dst", rounds = 3)
         .orderBy(col("node"))
+    }),
+
+    // ---- q218: modularity of the q140 communities — the clustering-
+    // quality gate on the propagation output itself (Q ≈ 0 would mean
+    // the labels carry no more within-community edge mass than a
+    // degree-preserving random rewiring; the hash pin freezes both the
+    // community structure AND its quality). All masses exact integers;
+    // Q is the only double. ----
+    "q218_modularity" -> ((s, dir) => {
+      val li = t(s, dir, "lineitem")
+        .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
+      // the pair self-join feeds BOTH the propagation and the audit —
+      // materialize it once instead of replaying the join per consumer
+      val edges = li.alias("x").join(li.alias("y"),
+          col("x.ok") === col("y.ok") && col("x.pk") < col("y.pk"))
+        .select(col("x.pk").as("src"), col("y.pk").as("dst"))
+        .localCheckpoint()
+      val labels = graft.api.Graft.labelPropagation(edges, "src", "dst",
+        rounds = 3)
+      graft.api.Graft.modularity(edges, "src", "dst", labels)
     }),
 
     // ---- q143: count–min sketch heavy hitters — the mergeable
@@ -1485,7 +1555,73 @@ object Analytics {
     * [[graft.api.Graft.labelPropagation]]: each round re-derives every
     * node's most frequent neighbor label (ties → smallest label) from the
     * previous round's table — chained MATERIALIZED CTEs l0..l{rounds}. */
-  private def labelPropSql(rounds: Int): String = {
+  /** q219 twin: the full 8-level Hilbert rotate-flip walk unrolled as a
+    * CTE chain (each level: quadrant digit from the bit plane, then the
+    * conditional flip+swap frame rotation), the Morton bit spread as
+    * nested mask arithmetic, and the identical rank→bucket→bbox audit.
+    * All integers, so any faithful formulation matches exactly. */
+  private def hilbertLocalitySql: String = {
+    val levels = (7 to 0 by -1).map(i => 1L << i)
+    val hs = levels.zipWithIndex.map { case (sv, i) =>
+      s"""h${i + 1} AS (
+         |  SELECT p_partkey, ox, oy,
+         |    CASE WHEN ry = 0 THEN
+         |           CASE WHEN rx = 1 THEN $sv - 1 - y ELSE y END
+         |         ELSE x END AS x,
+         |    CASE WHEN ry = 0 THEN
+         |           CASE WHEN rx = 1 THEN $sv - 1 - x ELSE x END
+         |         ELSE y END AS y,
+         |    d + $sv * $sv * (CASE WHEN rx = 0 AND ry = 0 THEN 0
+         |                          WHEN rx = 0 THEN 1
+         |                          WHEN ry = 0 THEN 3 ELSE 2 END) AS d
+         |  FROM (SELECT *,
+         |          CASE WHEN (x & $sv) > 0 THEN 1 ELSE 0 END AS rx,
+         |          CASE WHEN (y & $sv) > 0 THEN 1 ELSE 0 END AS ry
+         |        FROM h$i))""".stripMargin
+    }.mkString(",\n")
+    def spread(c: String): String =
+      s"""((((($c | ($c << 4)) & 3855) | ((($c | ($c << 4)) & 3855) << 2))
+         |  & 13107) |
+         | ((((($c | ($c << 4)) & 3855) | ((($c | ($c << 4)) & 3855) << 2))
+         |  & 13107) << 1)) & 21845""".stripMargin.replace("\n", "")
+    s"""WITH pts AS (
+       |  SELECT p_partkey, CAST(p_size % 256 AS BIGINT) AS ox,
+       |    CAST(round(p_retailprice * 100.0) AS BIGINT) % 256 AS oy
+       |  FROM part),
+       |h0 AS (SELECT p_partkey, ox, oy, ox AS x, oy AS y,
+       |         CAST(0 AS BIGINT) AS d FROM pts),
+       |$hs,
+       |hk AS (SELECT p_partkey, ox, oy, d AS k FROM h8),
+       |mk AS (SELECT p_partkey, ox, oy,
+       |         (${spread("ox")}) | ((${spread("oy")}) << 1) AS k FROM pts),
+       |hr AS (SELECT ox, oy,
+       |         (ROW_NUMBER() OVER (ORDER BY k, p_partkey) - 1) // 16 AS b
+       |       FROM hk),
+       |mr AS (SELECT ox, oy,
+       |         (ROW_NUMBER() OVER (ORDER BY k, p_partkey) - 1) // 16 AS b
+       |       FROM mk),
+       |hb AS (SELECT b, COUNT(*) AS n,
+       |         (MAX(ox) - MIN(ox) + 1) * (MAX(oy) - MIN(oy) + 1) AS area
+       |       FROM hr GROUP BY b),
+       |mb AS (SELECT b, COUNT(*) AS n,
+       |         (MAX(ox) - MIN(ox) + 1) * (MAX(oy) - MIN(oy) + 1) AS area
+       |       FROM mr GROUP BY b)
+       |SELECT 'hilbert' AS curve, CAST(COUNT(*) AS BIGINT) AS n_buckets,
+       |  CAST(SUM(n) AS BIGINT) AS n_points,
+       |  CAST(SUM(area) AS BIGINT) AS sum_bbox_area,
+       |  CAST(SUM(area) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE)
+       |    AS avg_bbox_area
+       |FROM hb
+       |UNION ALL
+       |SELECT 'morton', CAST(COUNT(*) AS BIGINT), CAST(SUM(n) AS BIGINT),
+       |  CAST(SUM(area) AS BIGINT),
+       |  CAST(SUM(area) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE)
+       |FROM mb
+       |ORDER BY curve""".stripMargin
+  }
+
+  private def labelPropSql(rounds: Int,
+      finalSql: Option[String] = None): String = {
     val rs = (1 to rounds).map { i =>
       s"""l$i AS MATERIALIZED (
          |  SELECT node, lab FROM (
@@ -1496,6 +1632,8 @@ object Analytics {
          |    GROUP BY n.node, l.lab) t
          |  WHERE rn = 1)""".stripMargin
     }.mkString(",\n")
+    val fin = finalSql.getOrElse(
+      s"SELECT node, lab FROM l$rounds ORDER BY node")
     s"""WITH seq AS (
        |  SELECT CAST(x.l_partkey AS VARCHAR) AS a,
        |    CAST(y.l_partkey AS VARCHAR) AS b
@@ -1509,7 +1647,7 @@ object Analytics {
        |    UNION ALL SELECT b, a FROM und)),
        |l0 AS MATERIALIZED (SELECT DISTINCT node, node AS lab FROM nbrs),
        |$rs
-       |SELECT node, lab FROM l$rounds ORDER BY node""".stripMargin
+       |$fin""".stripMargin
   }
 
   /** Unrolled power-iteration twin of [[graft.api.Graft.pageRank]]: the
@@ -1836,6 +1974,41 @@ object Analytics {
         |  END AS rank_biserial
         |FROM u""".stripMargin,
 
+    // best-split twin: identical distinct-value prefix counts, the same
+    // entropy double chain (ln, single divisions) nano-quantized before
+    // the (gain desc, threshold asc) argmax
+    "q220_best_split" -> {
+      def h(p: String, n: String): String =
+        s"""CASE WHEN $n = 0 OR $p = 0 OR $p = $n THEN 0.0
+           |     ELSE -(CAST($p AS DOUBLE) / CAST($n AS DOUBLE)
+           |              * ln(CAST($p AS DOUBLE) / CAST($n AS DOUBLE))
+           |            + CAST($n - $p AS DOUBLE) / CAST($n AS DOUBLE)
+           |              * ln(CAST($n - $p AS DOUBLE) / CAST($n AS DOUBLE)))
+           |END""".stripMargin
+      s"""WITH b AS (
+         |  SELECT value AS v,
+         |    CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS y
+         |  FROM events WHERE value IS NOT NULL),
+         |t AS (SELECT COUNT(*) AS n, SUM(y) AS pos FROM b),
+         |c AS (SELECT v, COUNT(*) AS cnt, SUM(y) AS p FROM b GROUP BY v),
+         |cum AS (SELECT v, CAST(SUM(cnt) OVER (ORDER BY v) AS BIGINT) AS nl,
+         |          CAST(SUM(p) OVER (ORDER BY v) AS BIGINT) AS pl FROM c),
+         |g AS (SELECT v, nl, pl, n, pos,
+         |        n - nl AS nr, pos - pl AS pr FROM cum CROSS JOIN t),
+         |e AS (SELECT *,
+         |        ${h("pos", "n")}
+         |        - CAST(nl AS DOUBLE) / CAST(n AS DOUBLE) * ${h("pl", "nl")}
+         |        - CAST(nr AS DOUBLE) / CAST(n AS DOUBLE) * ${h("pr", "nr")}
+         |          AS gain
+         |      FROM g),
+         |q AS (SELECT v, nl, pl, n, pos,
+         |        CAST(round(gain * 1000000000.0) AS BIGINT) AS gq FROM e)
+         |SELECT CAST(n AS BIGINT) AS n_total, CAST(pos AS BIGINT) AS n_pos,
+         |  v AS best_threshold, nl AS n_left, pl AS pos_left,
+         |  CAST(gq AS DOUBLE) / 1000000000.0 AS gain
+         |FROM q ORDER BY gq DESC, v LIMIT 1""".stripMargin
+    },
+
     // BH-FDR twin: identical epoch-integer hour/weekend cells, Welch z
     // over exact micro-quantized HUGEINT sums, the same A&S 7.1.26
     // erfc Horner chain micro-quantized before ranking, and the same
@@ -1954,6 +2127,36 @@ object Analytics {
         |FROM r CROSS JOIN t GROUP BY 1 ORDER BY bucket""".stripMargin,
 
     "q140_label_propagation" -> labelPropSql(3),
+
+    "q219_hilbert_locality" -> hilbertLocalitySql,
+
+    // modularity twin: the full label-prop replay (the q140 CTE chain)
+    // extended with the exact integer masses and the identical
+    // two-division Q chain; edge canonicalization is a no-op here (the
+    // seq join already emits a < b)
+    "q218_modularity" -> labelPropSql(3, Some(
+      """,mm AS (SELECT COUNT(*) AS m_edges FROM und),
+        |w AS (SELECT COUNT(*) AS within_edges FROM und u
+        |      JOIN l3 la ON la.node = u.a JOIN l3 lb ON lb.node = u.b
+        |      WHERE la.lab = lb.lab),
+        |deg AS (SELECT node, COUNT(*) AS d FROM (
+        |          SELECT a AS node FROM und
+        |          UNION ALL SELECT b AS node FROM und) GROUP BY node),
+        |dcm AS (SELECT l.lab, SUM(d) AS dcv
+        |        FROM deg JOIN l3 l USING (node) GROUP BY l.lab),
+        |s AS (SELECT COUNT(*) AS n_communities,
+        |        SUM(CAST(dcv AS HUGEINT) * dcv) AS sd2 FROM dcm),
+        |nn AS (SELECT COUNT(*) AS n_nodes FROM l3)
+        |SELECT CAST(n_communities AS BIGINT) AS n_communities,
+        |  CAST(n_nodes AS BIGINT) AS n_nodes,
+        |  CAST(m_edges AS BIGINT) AS m_edges,
+        |  CAST(within_edges AS BIGINT) AS within_edges,
+        |  CASE WHEN m_edges = 0 THEN NULL
+        |       ELSE CAST(within_edges AS DOUBLE) / CAST(m_edges AS DOUBLE)
+        |         - CAST(sd2 AS DOUBLE) / (4.0 * CAST(m_edges AS DOUBLE)
+        |             * CAST(m_edges AS DOUBLE))
+        |  END AS modularity
+        |FROM s, nn, mm, w""".stripMargin)),
     "q147_kcore" -> kCoreSql(70, 3),
     "q149_acf" -> acfSql(3),
     "q150_cusum" -> cusumSql(5000000L, 50000000L),

@@ -346,6 +346,87 @@ class AnalyticsSpec extends AnyFunSuite {
     assert(r.getDouble(2) === 1.0)
   }
 
+  // ------------------------------------------------------ best split
+
+  test("bestSplit finds the perfect separator with gain ln 2") {
+    val s = spark; import s.implicits._
+    val df = Seq((1.0, false), (2.0, false), (3.0, true), (4.0, true))
+      .toDF("v", "y")
+    val r = Graft.bestSplit(df, "v", "y").collect().head
+    assert(r.getLong(0) === 4L && r.getLong(1) === 2L)
+    assert(r.getDouble(2) === 2.0)              // threshold: x <= 2
+    assert(r.getLong(3) === 2L && r.getLong(4) === 0L)
+    assert(math.abs(r.getDouble(5) - math.log(2.0)) < 1e-9)
+  }
+
+  test("bestSplit: one-class input has zero gain and the smallest threshold") {
+    val s = spark; import s.implicits._
+    val df = Seq((5.0, true), (3.0, true), (9.0, true)).toDF("v", "y")
+    val r = Graft.bestSplit(df, "v", "y").collect().head
+    assert(r.getDouble(2) === 3.0 && r.getDouble(5) === 0.0)
+  }
+
+  // -------------------------------------------------------- hilbert
+
+  test("hilbertIndex is a bijection on [0,32)² and consecutive cells are adjacent") {
+    // bijection: every d in [0, 1024) hit exactly once; the DEFINING
+    // Hilbert property (which Morton lacks): |Δ| between consecutive
+    // curve positions is always exactly 1 grid step
+    val idx = for (x <- 0 until 32; y <- 0 until 32)
+      yield (graft.functions.HilbertKernels.xy2d(5, x, y), (x, y))
+    assert(idx.map(_._1).sorted === (0L until 1024L))
+    val byD = idx.sortBy(_._1).map(_._2)
+    byD.sliding(2).foreach { case Seq((x1, y1), (x2, y2)) =>
+      assert(math.abs(x1 - x2) + math.abs(y1 - y2) === 1,
+        s"jump between d-consecutive cells ($x1,$y1)→($x2,$y2)")
+    }
+    // coordinates above the grid are masked, not wrapped into errors
+    assert(graft.functions.HilbertKernels.xy2d(5, 32 + 3, 7) ===
+      graft.functions.HilbertKernels.xy2d(5, 3, 7))
+  }
+
+  test("hilbertOrderBy plans one range exchange and keeps all rows") {
+    val s = spark; import s.implicits._
+    val df = (0 until 1000).map(i => (i.toLong % 50L, (i * 7L) % 50L, i.toLong))
+      .toDF("x", "y", "id")
+    val h = Graft.hilbertOrderBy(df, "x", "y", order = 6, partitions = 4)
+    val plan = h.queryExecution.executedPlan.toString
+    assert(plan.contains("rangepartitioning"), plan)
+    assert(h.count() === 1000)
+    assert(h.columns.toSeq === Seq("x", "y", "id"))
+  }
+
+  // ----------------------------------------------------- modularity
+
+  test("modularity matches the hand computation on two bridged triangles") {
+    val s = spark; import s.implicits._
+    // triangles {1,2,3} and {4,5,6} + bridge 3-4: m=7, within=6,
+    // d_c = 2+2+3 = 7 each → Q = 6/7 − 2·49/(4·49) = 6/7 − 1/2
+    val edges = Seq((1, 2), (2, 3), (1, 3), (4, 5), (5, 6), (4, 6), (3, 4))
+      .toDF("src", "dst")
+    val labels = Seq((1, "t1"), (2, "t1"), (3, "t1"),
+      (4, "t2"), (5, "t2"), (6, "t2")).toDF("node", "lab")
+    val r = Graft.modularity(edges, "src", "dst", labels).collect().head
+    assert(r.getLong(0) === 2L && r.getLong(1) === 6L)
+    assert(r.getLong(2) === 7L && r.getLong(3) === 6L)
+    assert(math.abs(r.getDouble(4) - (6.0 / 7.0 - 0.5)) < 1e-12)
+  }
+
+  test("modularity canonicalizes double-entered edges and handles the null case") {
+    val s = spark; import s.implicits._
+    // every edge entered both ways + a self-loop + a null: same Q
+    val fwd = Seq((1, 2), (2, 3), (1, 3), (4, 5), (5, 6), (4, 6), (3, 4))
+    val noisy = (fwd ++ fwd.map(_.swap) ++ Seq((1, 1)))
+      .toDF("src", "dst")
+      .unionAll(Seq((null.asInstanceOf[Integer], Integer.valueOf(2)))
+        .toDF("src", "dst"))
+    val labels = Seq((1, "t1"), (2, "t1"), (3, "t1"),
+      (4, "t2"), (5, "t2"), (6, "t2")).toDF("node", "lab")
+    val r = Graft.modularity(noisy, "src", "dst", labels).collect().head
+    assert(r.getLong(2) === 7L)
+    assert(math.abs(r.getDouble(4) - (6.0 / 7.0 - 0.5)) < 1e-12)
+  }
+
   // ------------------------------------------------- benjamini-hochberg
 
   test("benjaminiHochberg reproduces the textbook step-up q-values") {
