@@ -563,6 +563,52 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(!p.contains("CartesianProduct"), p)
   }
 
+  test("q214 mann-whitney never ranks or re-joins the raw rows") {
+    // every statistic comes from the distinct-value table: the only
+    // windows are globalCumSum's per-partition running sums (__pid),
+    // and no join back to the fact rows exists at all
+    val plans = capturedPlans("q214_mann_whitney")
+    val all = plans.mkString("\n===\n")
+    val specs = "windowspecdefinition\\(".r.findAllMatchIn(all).map(_.start).toSeq
+    assert(specs.nonEmpty && specs.forall { i =>
+      all.substring(i, math.min(all.length, i + 60)).contains("__pid")
+    }, all)
+    assert(!all.contains("SortMergeJoin"), all)
+    assert(!all.contains("CartesianProduct"), all)
+  }
+
+  test("q216 padding audit ranks via partition-offset windows only") {
+    // three strategies = three globalRank passes; every window is the
+    // per-partition row_number (__pid), never an unpartitioned sort
+    val plans = capturedPlans("q216_padding_waste")
+    val all = plans.mkString("\n===\n")
+    val specs = "windowspecdefinition\\(".r.findAllMatchIn(all).map(_.start).toSeq
+    assert(specs.nonEmpty && specs.forall { i =>
+      all.substring(i, math.min(all.length, i + 60)).contains("__pid")
+    }, all)
+  }
+
+  test("q218 modularity joins labels by key, nothing quadratic") {
+    val plans = capturedPlans("q218_modularity")
+    val all = plans.mkString("\n===\n")
+    assert(!all.contains("CartesianProduct"), all)
+    // BroadcastNestedLoopJoin may only carry 1-row aggregates
+    // (the crossJoin(broadcast(m/within/nn)) summary assembly)
+    assert(!all.contains("BroadcastNestedLoopJoin") ||
+      all.contains("BroadcastHashJoin") || all.contains("SortMergeJoin"), all)
+  }
+
+  test("q220 best split aggregates the argmax, never LIMIT over a sort") {
+    val plans = capturedPlans("q220_best_split")
+    val all = plans.mkString("\n===\n")
+    // the winner comes from min_by in an Aggregate, not TakeOrdered
+    assert(!all.contains("TakeOrderedAndProject"), all)
+    val specs = "windowspecdefinition\\(".r.findAllMatchIn(all).map(_.start).toSeq
+    assert(specs.forall { i =>
+      all.substring(i, math.min(all.length, i + 60)).contains("__pid")
+    }, all)
+  }
+
   test("q147 kcore rounds never re-shuffle the cached adjacency") {
     // The r9 incremental-degree kCore materializes per round, so the
     // final query plan can't show the loop — capture every executed
