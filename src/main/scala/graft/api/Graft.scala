@@ -5009,6 +5009,125 @@ object Graft {
         .as("rank_biserial"))
   }
 
+  /** Leave-one-group-out ablation of a metric mean — "which source
+    * drags the corpus?" answered without one job per source: the
+    * mean-without-group comes from global sufficient statistics minus
+    * the group's own, so ALL ablations cost ONE keyed aggregate plus a
+    * broadcast 1-row total (vs the naive #groups × full-scan loop —
+    * the difference between an afternoon and a minute at 100 TB).
+    *
+    * Output per group: size, its own mean, the corpus mean without it,
+    * and the delta vs the overall mean (positive delta = removing the
+    * group RAISES the mean = the group drags it down). Sums are exact
+    * longs; each mean is a single double division and the delta is one
+    * subtraction of identically-shaped divisions — oracle-exact with
+    * no rounding. */
+  def ablateGroups(df: DataFrame, groupCol: String,
+      valueCol: String): DataFrame = {
+    val base = df.filter(col(valueCol).isNotNull)
+      .select(col(groupCol), col(valueCol).cast(LongType).as("__v"))
+    val g = base.groupBy(col(groupCol))
+      .agg(count(lit(1)).as("n_rows"), sum(col("__v")).as("__s"))
+    val tot = base.agg(count(lit(1)).as("__tn"), sum(col("__v")).as("__ts"))
+    g.crossJoin(broadcast(tot))
+      .select(col(groupCol), col("n_rows"),
+        (col("__s").cast(DoubleType) / col("n_rows").cast(DoubleType))
+          .as("group_mean"),
+        when(col("__tn") === col("n_rows"), lit(null).cast(DoubleType))
+          .otherwise((col("__ts") - col("__s")).cast(DoubleType) /
+            (col("__tn") - col("n_rows")).cast(DoubleType))
+          .as("mean_without"),
+        when(col("__tn") === col("n_rows"), lit(null).cast(DoubleType))
+          .otherwise((col("__ts") - col("__s")).cast(DoubleType) /
+            (col("__tn") - col("n_rows")).cast(DoubleType) -
+            col("__ts").cast(DoubleType) / col("__tn").cast(DoubleType))
+          .as("delta"))
+  }
+
+  /** Kaplan–Meier survival estimator — the right-censoring-aware "how
+    * long do users/jobs/sessions live?" curve (a plain duration mean is
+    * biased the moment censored subjects exist): at every death time t,
+    * S(t) = Π_{t' ≤ t} (1 − d_{t'}/n_{t'}) with d = deaths at t' and
+    * n = subjects still at risk.
+    *
+    * Input: one row per subject with a duration and an observed flag
+    * (1 = event seen, 0 = censored at that duration). Shape: one
+    * duration-keyed aggregate, then THREE [[globalCumSum]] passes over
+    * the distinct-duration table (at-risk prefix, log-survival prefix,
+    * zero-survival flag prefix) — the duration table is bounded by the
+    * time resolution, not the subject count, so the repeated cum-sums
+    * are free at any corpus size and the raw rows shuffle ONCE.
+    *
+    * Float policy: each step's ln(1 − d/n) is nano-quantized to a long
+    * BEFORE the prefix sum (exact under any order), S = exp(prefix)
+    * rounded once; a step with d = n sends S to exactly 0 from then on
+    * (flag prefix, not a −∞ log). */
+  def kaplanMeier(df: DataFrame, durationCol: String,
+      observedCol: String): DataFrame = {
+    val base = df.filter(col(durationCol).isNotNull)
+      .select(col(durationCol).cast(LongType).as("__t"),
+        col(observedCol).cast(LongType).as("__o"))
+    val g = base.groupBy(col("__t"))
+      .agg(count(lit(1)).as("__na"), sum(col("__o")).as("__d"))
+    val tot = base.agg(count(lit(1)).as("__nn"))
+    val atRisk = globalCumSum(g, Seq("__t"), "__na", "__cum")
+      .crossJoin(broadcast(tot))
+      .withColumn("__risk", col("__nn") - (col("__cum") - col("__na")))
+      .filter(col("__d") > 0L)
+      .withColumn("__lnq", when(col("__d") >= col("__risk"), lit(0L))
+        .otherwise(round(log(lit(1.0) -
+          col("__d").cast(DoubleType) / col("__risk").cast(DoubleType)) *
+          lit(1.0e9)).cast(LongType)))
+      .withColumn("__z",
+        when(col("__d") >= col("__risk"), lit(1L)).otherwise(lit(0L)))
+    globalCumSum(globalCumSum(atRisk, Seq("__t"), "__lnq", "__cq"),
+        Seq("__t"), "__z", "__cz")
+      .select(col("__t").as("duration"), col("__d").as("n_deaths"),
+        col("__risk").as("n_at_risk"),
+        when(col("__cz") >= 1L, lit(0.0))
+          .otherwise(round(exp(col("__cq").cast(DoubleType) / lit(1.0e9)), 6))
+          .as("survival"))
+  }
+
+  /** Leave-one-out target encoding of a high-cardinality categorical
+    * key — the standard feature-engineering transform that replaces a
+    * key with the label mean of its OTHER members (leave-one-out kills
+    * the self-leakage that plain mean encoding trains on), smoothed
+    * toward the global prior so rare categories don't memorize:
+    * te_i = (pos_c − y_i + m·prior) / (n_c − 1 + m).
+    *
+    * Exactness: category sums and counts are exact longs; the prior is
+    * one double division broadcast from a 1-row aggregate; te is one
+    * fixed double chain per row — identical shape on the oracle, no
+    * rounding needed. Categories of size 1 fall back to pure prior
+    * (numerator m·prior over denominator m) by the same formula.
+    *
+    * 100 TB shape: ONE category-keyed aggregate + an equi-join back on
+    * the key (the category table is dimension-sized) + a broadcast
+    * 1-row prior. Never a window, never per-row state. */
+  def targetEncode(df: DataFrame, keyCol: String, labelCol: String,
+      smoothing: Double = 10.0): DataFrame = {
+    require(smoothing > 0.0,
+      s"targetEncode: smoothing must be > 0 (got $smoothing) — " +
+        "m = 0 makes singleton categories divide by zero")
+    val base = df.withColumn("__y",
+      col(labelCol).cast(BooleanType).cast(LongType))
+    val cat = base.filter(col("__y").isNotNull)
+      .groupBy(col(keyCol))
+      .agg(count(lit(1)).as("__nc"), sum(col("__y")).as("__pc"))
+    val prior = base.filter(col("__y").isNotNull)
+      .agg((sum(col("__y")).cast(DoubleType) /
+        count(lit(1)).cast(DoubleType)).as("__prior"))
+    base.join(cat, Seq(keyCol), "left").crossJoin(broadcast(prior))
+      .withColumn("te",
+        when(col("__y").isNull || col("__nc").isNull, col("__prior"))
+          .otherwise(
+            ((col("__pc") - col("__y")).cast(DoubleType) +
+              lit(smoothing) * col("__prior")) /
+              ((col("__nc") - lit(1L)).cast(DoubleType) + lit(smoothing))))
+      .drop("__y", "__nc", "__pc", "__prior")
+  }
+
   /** Best binary split of a numeric feature against a boolean label by
     * information gain — the decision-stump / feature-quality audit (and
     * the inner loop of distributed tree training): which threshold on

@@ -179,6 +179,42 @@ object Analytics {
       graft.api.Graft.mannWhitneyU(t(s, dir, "events"), "value",
         "event_type", groupA = "purchase", groupB = "click")),
 
+    // ---- q222: Kaplan–Meier survival of user activity spans — the
+    // censoring-aware churn curve: a user's span is first→last event;
+    // "death" = the user ever errored (deterministic stand-in for a
+    // churn label), everyone else is censored at their span. The raw
+    // rows shuffle once (user agg); everything ordered runs over the
+    // distinct-duration table. ----
+    "q222_kaplan_meier" -> ((s, dir) => {
+      val u = t(s, dir, "events").groupBy(col("user_id"))
+        .agg(expr(
+          "(max(unix_micros(ts)) - min(unix_micros(ts))) div 86400000000")
+          .as("dur"),
+          max(when(col("event_type") === "error", lit(1L)).otherwise(lit(0L)))
+            .as("obs"))
+      graft.api.Graft.kaplanMeier(u, "dur", "obs")
+        .select(col("duration").as("duration_days"), col("n_deaths"),
+          col("n_at_risk"), col("survival"))
+        .orderBy(col("duration_days"))
+    }),
+
+    // ---- q221: leave-one-out target encoding of l_partkey against
+    // "was returned" — the feature-engineering transform q220 would
+    // consume: high-cardinality key → smoothed LOO label mean, with
+    // the self-row excluded so the encoding can't leak its own label.
+    // One key-keyed aggregate + join back + broadcast prior. ----
+    "q221_target_encode" -> ((s, dir) => {
+      val li = t(s, dir, "lineitem")
+        .select(col("l_orderkey"), col("l_linenumber").cast(LongType)
+          .as("l_linenumber"), col("l_partkey"),
+          (col("l_returnflag") === "R").as("returned"))
+      graft.api.Graft.targetEncode(li, "l_partkey", "returned",
+          smoothing = 10.0)
+        .select(col("l_orderkey"), col("l_linenumber"), col("l_partkey"),
+          col("returned"), col("te"))
+        .orderBy(col("l_orderkey"), col("l_linenumber"))
+    }),
+
     // ---- q220: decision-stump best split — how predictive is event
     // value of "this was a purchase", and where is the best cut? The
     // supervised feature-quality audit (and distributed tree training's
@@ -1973,6 +2009,55 @@ object Analytics {
         |            (CAST(n_a AS DOUBLE) * CAST(n_b AS DOUBLE)) - 1.0
         |  END AS rank_biserial
         |FROM u""".stripMargin,
+
+    // Kaplan–Meier twin: identical span/censoring derivation, at-risk
+    // prefix over ALL durations, nano-quantized ln(1−d/n) prefix over
+    // death times, and the same zero-survival flag discipline
+    "q222_kaplan_meier" ->
+      """WITH u AS (
+        |  SELECT user_id,
+        |    (max(epoch_us(ts)) - min(epoch_us(ts))) // 86400000000 AS dur,
+        |    MAX(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS obs
+        |  FROM events GROUP BY user_id),
+        |tot AS (SELECT COUNT(*) AS nn FROM u),
+        |g AS (SELECT dur, COUNT(*) AS na, SUM(obs) AS d FROM u GROUP BY dur),
+        |c AS (SELECT dur, na, d,
+        |        CAST(SUM(na) OVER (ORDER BY dur) AS BIGINT) AS cum FROM g),
+        |r AS (SELECT dur, d, nn - (cum - na) AS at_risk
+        |      FROM c CROSS JOIN tot WHERE d > 0),
+        |l AS (SELECT dur, d, at_risk,
+        |        CASE WHEN d >= at_risk THEN 0
+        |             ELSE CAST(round(ln(1.0 - CAST(d AS DOUBLE)
+        |               / CAST(at_risk AS DOUBLE)) * 1000000000.0) AS BIGINT)
+        |        END AS lnq,
+        |        CASE WHEN d >= at_risk THEN 1 ELSE 0 END AS z FROM r),
+        |f AS (SELECT dur, d, at_risk,
+        |        SUM(lnq) OVER (ORDER BY dur) AS cq,
+        |        SUM(z) OVER (ORDER BY dur) AS cz FROM l)
+        |SELECT CAST(dur AS BIGINT) AS duration_days,
+        |  CAST(d AS BIGINT) AS n_deaths, CAST(at_risk AS BIGINT) AS n_at_risk,
+        |  CASE WHEN cz >= 1 THEN 0.0
+        |       ELSE round(exp(CAST(cq AS DOUBLE) / 1000000000.0), 6)
+        |  END AS survival
+        |FROM f ORDER BY duration_days""".stripMargin,
+
+    // target-encoding twin: identical category sums, broadcast prior
+    // division, and the same one-division-per-row smoothed LOO chain
+    "q221_target_encode" ->
+      """WITH b AS (
+        |  SELECT l_orderkey, CAST(l_linenumber AS BIGINT) AS l_linenumber,
+        |    l_partkey, l_returnflag = 'R' AS returned,
+        |    CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END AS y
+        |  FROM lineitem),
+        |c AS (SELECT l_partkey, COUNT(*) AS nc, SUM(y) AS pc
+        |      FROM b GROUP BY l_partkey),
+        |p AS (SELECT CAST(SUM(y) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE)
+        |        AS prior FROM b)
+        |SELECT l_orderkey, l_linenumber, l_partkey, returned,
+        |  (CAST(pc - y AS DOUBLE) + 10.0 * prior)
+        |    / (CAST(nc - 1 AS DOUBLE) + 10.0) AS te
+        |FROM b JOIN c USING (l_partkey) CROSS JOIN p
+        |ORDER BY l_orderkey, l_linenumber""".stripMargin,
 
     // best-split twin: identical distinct-value prefix counts, the same
     // entropy double chain (ln, single divisions) nano-quantized before

@@ -91,6 +91,21 @@ object Pipeline {
         .orderBy($"source", $"seq_id")
     }),
 
+    // ---- q223: source-ablation audit — per source, the corpus mean
+    // token count WITHOUT that source, from global-minus-group
+    // sufficient statistics (every ablation from ONE keyed aggregate,
+    // never #sources re-scans): the curation triage that ranks which
+    // source to cut first. ----
+    "q223_source_ablation" -> ((s, dir) => {
+      import s.implicits._
+      graft.functions.GraftFunctions.register(s)
+      val toks = t(s, dir, "documents")
+        .select($"source",
+          expr("text_stats(text).ws_tokens").cast(LongType).as("n_tokens"))
+      graft.api.Graft.ablateGroups(toks, "source", "n_tokens")
+        .orderBy($"source")
+    }),
+
     // ---- q216: padding-waste audit of batching strategies — the
     // batch-shape counterpart to q59's sequence packing: a training
     // batch pads every member to the batch max, so total cost is
@@ -440,6 +455,29 @@ object Pipeline {
         | MIN(doc_id) AS first_doc
         |FROM cum GROUP BY source, cum_before // 2048
         |ORDER BY source, seq_id""".stripMargin,
+
+    // ablation twin: identical \S+ token counts, group/global exact
+    // sums, and the same single-division mean/mean-without/delta chains
+    "q223_source_ablation" ->
+      """WITH tok AS (
+        |  SELECT source,
+        |    CAST(len(regexp_extract_all(text, '\S+')) AS BIGINT) AS v
+        |  FROM documents),
+        |g AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS n_rows,
+        |        CAST(SUM(v) AS BIGINT) AS s FROM tok GROUP BY source),
+        |t AS (SELECT CAST(COUNT(*) AS BIGINT) AS tn,
+        |        CAST(SUM(v) AS BIGINT) AS ts FROM tok)
+        |SELECT source, n_rows,
+        |  CAST(s AS DOUBLE) / CAST(n_rows AS DOUBLE) AS group_mean,
+        |  CASE WHEN tn = n_rows THEN NULL
+        |       ELSE CAST(ts - s AS DOUBLE) / CAST(tn - n_rows AS DOUBLE)
+        |  END AS mean_without,
+        |  CASE WHEN tn = n_rows THEN NULL
+        |       ELSE CAST(ts - s AS DOUBLE) / CAST(tn - n_rows AS DOUBLE)
+        |         - CAST(ts AS DOUBLE) / CAST(tn AS DOUBLE)
+        |  END AS delta
+        |FROM g CROSS JOIN t
+        |ORDER BY source""".stripMargin,
 
     // padding-waste twin: identical rank → batch → n·max integer
     // arithmetic per strategy; md5 hex-string order for the shuffle leg

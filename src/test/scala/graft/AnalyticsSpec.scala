@@ -346,6 +346,72 @@ class AnalyticsSpec extends AnyFunSuite {
     assert(r.getDouble(2) === 1.0)
   }
 
+  // ------------------------------------------------- target encoding
+
+  test("targetEncode: smoothed LOO means, prior fallback for unmatched keys") {
+    val s = spark; import s.implicits._
+    val df = Seq((Option("a"), true), (Option("a"), false),
+      (Option("b"), true), (Option.empty[String], true)).toDF("k", "y")
+    val out = Graft.targetEncode(df, "k", "y", smoothing = 1.0)
+      .collect().map(r => (Option(r.getString(0)), r.getBoolean(1),
+        r.getDouble(2))).toSet
+    val prior = 3.0 / 4.0
+    assert(out.contains((Some("a"), true, (1.0 - 1.0 + prior) / 2.0)))
+    assert(out.contains((Some("a"), false, (1.0 - 0.0 + prior) / 2.0)))
+    assert(out.contains((Some("b"), true, (1.0 - 1.0 + prior) / 1.0)))
+    assert(out.contains((None, true, prior))) // null key → pure prior
+  }
+
+  test("targetEncode rejects zero smoothing (singleton divide-by-zero)") {
+    val s = spark; import s.implicits._
+    val df = Seq(("a", true)).toDF("k", "y")
+    intercept[IllegalArgumentException] {
+      Graft.targetEncode(df, "k", "y", smoothing = 0.0)
+    }
+  }
+
+  // --------------------------------------------------- kaplan-meier
+
+  test("kaplanMeier reproduces the textbook product-limit curve") {
+    val s = spark; import s.implicits._
+    // deaths at 1 (n=4), 2 (n=3, one censored alongside), 3 (n=1):
+    // S = 3/4, 3/4·2/3 = 1/2, then d = n → exactly 0
+    val df = Seq((1L, 1L), (2L, 1L), (2L, 0L), (3L, 1L)).toDF("dur", "obs")
+    val out = Graft.kaplanMeier(df, "dur", "obs")
+      .orderBy("duration").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    assert(out.map(t => (t._1, t._2, t._3)).toSeq ===
+      Seq((1L, 1L, 4L), (2L, 1L, 3L), (3L, 1L, 1L)))
+    assert(math.abs(out(0)._4 - 0.75) < 1e-6)
+    assert(math.abs(out(1)._4 - 0.5) < 1e-6)
+    assert(out(2)._4 === 0.0)
+  }
+
+  test("kaplanMeier: all-censored input has no curve rows") {
+    val s = spark; import s.implicits._
+    val df = Seq((5L, 0L), (7L, 0L)).toDF("dur", "obs")
+    assert(Graft.kaplanMeier(df, "dur", "obs").count() === 0L)
+  }
+
+  // ------------------------------------------------------- ablation
+
+  test("ablateGroups: leave-one-group-out means from one aggregate") {
+    val s = spark; import s.implicits._
+    val df = Seq(("a", 10L), ("a", 20L), ("b", 40L)).toDF("g", "v")
+    val out = Graft.ablateGroups(df, "g", "v").collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getDouble(2),
+        r.getDouble(3), r.getDouble(4))).toMap
+    assert(out("a") === ((2L, 15.0, 40.0, 40.0 - 70.0 / 3.0)))
+    assert(out("b") === ((1L, 40.0, 15.0, 15.0 - 70.0 / 3.0)))
+  }
+
+  test("ablateGroups: a group covering every row ablates to NULL, not /0") {
+    val s = spark; import s.implicits._
+    val df = Seq(("only", 1L), ("only", 3L)).toDF("g", "v")
+    val r = Graft.ablateGroups(df, "g", "v").collect().head
+    assert(r.getDouble(2) === 2.0 && r.isNullAt(3) && r.isNullAt(4))
+  }
+
   // ------------------------------------------------------ best split
 
   test("bestSplit finds the perfect separator with gain ln 2") {
