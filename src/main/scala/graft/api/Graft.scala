@@ -5024,11 +5024,19 @@ object Graft {
     * no rounding. */
   def ablateGroups(df: DataFrame, groupCol: String,
       valueCol: String): DataFrame = {
+    // DECIMAL(38,6) sums: exact for any metric with ≤ 6 decimals (and
+    // for all integer metrics), order-invariant under shuffle — a
+    // LongType cast here would silently truncate fractional metrics
+    // (review finding)
     val base = df.filter(col(valueCol).isNotNull)
-      .select(col(groupCol), col(valueCol).cast(LongType).as("__v"))
+      .select(col(groupCol), col(valueCol).cast(DecimalType(38, 6)).as("__v"))
+    // group table materialized once: it feeds BOTH the output rows and
+    // the global totals, and the totals are derivable from it — so the
+    // raw rows are scanned ONCE, not once per aggregate
     val g = base.groupBy(col(groupCol))
       .agg(count(lit(1)).as("n_rows"), sum(col("__v")).as("__s"))
-    val tot = base.agg(count(lit(1)).as("__tn"), sum(col("__v")).as("__ts"))
+      .localCheckpoint()
+    val tot = g.agg(sum(col("n_rows")).as("__tn"), sum(col("__s")).as("__ts"))
     g.crossJoin(broadcast(tot))
       .select(col(groupCol), col("n_rows"),
         (col("__s").cast(DoubleType) / col("n_rows").cast(DoubleType))
@@ -5067,9 +5075,13 @@ object Graft {
     val base = df.filter(col(durationCol).isNotNull)
       .select(col(durationCol).cast(LongType).as("__t"),
         col(observedCol).cast(LongType).as("__o"))
+    // duration table materialized once: it feeds the cum-sum staging
+    // AND the total, which is derivable from it — one scan of the
+    // subject rows, not two
     val g = base.groupBy(col("__t"))
       .agg(count(lit(1)).as("__na"), sum(col("__o")).as("__d"))
-    val tot = base.agg(count(lit(1)).as("__nn"))
+      .localCheckpoint()
+    val tot = g.agg(sum(col("__na")).as("__nn"))
     val atRisk = globalCumSum(g, Seq("__t"), "__na", "__cum")
       .crossJoin(broadcast(tot))
       .withColumn("__risk", col("__nn") - (col("__cum") - col("__na")))
@@ -5112,12 +5124,16 @@ object Graft {
         "m = 0 makes singleton categories divide by zero")
     val base = df.withColumn("__y",
       col(labelCol).cast(BooleanType).cast(LongType))
+    // the category table feeds BOTH the join probe and the prior, and
+    // the prior is derivable from it (Σpc/Σnc == Σy/n exactly, integer
+    // sums) — materialize it so the raw rows are scanned once for the
+    // aggregate and once for the join, never a third time
     val cat = base.filter(col("__y").isNotNull)
       .groupBy(col(keyCol))
       .agg(count(lit(1)).as("__nc"), sum(col("__y")).as("__pc"))
-    val prior = base.filter(col("__y").isNotNull)
-      .agg((sum(col("__y")).cast(DoubleType) /
-        count(lit(1)).cast(DoubleType)).as("__prior"))
+      .localCheckpoint()
+    val prior = cat.agg((sum(col("__pc")).cast(DoubleType) /
+      sum(col("__nc")).cast(DoubleType)).as("__prior"))
     base.join(cat, Seq(keyCol), "left").crossJoin(broadcast(prior))
       .withColumn("te",
         when(col("__y").isNull || col("__nc").isNull, col("__prior"))
@@ -5151,9 +5167,13 @@ object Graft {
     val base = df.filter(col(featureCol).isNotNull && col(labelCol).isNotNull)
       .select(col(featureCol).as("__v"),
         col(labelCol).cast(BooleanType).cast(LongType).as("__y"))
-    val totals = base.agg(count(lit(1)).as("n_total"), sum(col("__y")).as("n_pos"))
+    // distinct-value table materialized once: both cum-sums AND the
+    // totals derive from it — the raw rows are scanned exactly once
     val counts = base.groupBy(col("__v"))
       .agg(count(lit(1)).as("__n"), sum(col("__y")).as("__p"))
+      .localCheckpoint()
+    val totals = counts.agg(sum(col("__n")).as("n_total"),
+      sum(col("__p")).as("n_pos"))
     val cum = globalCumSum(globalCumSum(counts, Seq("__v"), "__n", "__nl"),
       Seq("__v"), "__p", "__pl")
     def d(c: Column): Column = c.cast(DoubleType)

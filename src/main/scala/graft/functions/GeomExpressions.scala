@@ -143,7 +143,9 @@ object GraftFunctions {
     ("st_simplify", (e: Seq[Expression]) => StSimplify(e(0), e(1))),
     ("st_union", (e: Seq[Expression]) => StUnion(e(0), e(1))),
     ("vec_dot", (e: Seq[Expression]) => VecDot(e(0), e(1))),
-    ("hilbert_index", (e: Seq[Expression]) => HilbertIndex(e(0), e(1),
+    ("hilbert_index", (e: Seq[Expression]) => HilbertIndex(
+      org.apache.spark.sql.catalyst.expressions.Cast(e(0), LongType),
+      org.apache.spark.sql.catalyst.expressions.Cast(e(1), LongType),
       e(2).eval().asInstanceOf[Number].intValue())),
     ("simhash64", (e: Seq[Expression]) => SimHash64(e.head)),
     ("md5_lower64", (e: Seq[Expression]) => Md5Lower64(e.head)),

@@ -408,7 +408,11 @@ object HilbertKernels {
 }
 
 /** hilbert_index(x, y, order) — codegen'd Hilbert curve index of two
-  * integer coordinates on the 2^order grid (order a literal, 1..31). */
+  * integer coordinates on the 2^order grid (order a literal, 1..31).
+  * Interpreted eval widens any boxed integral input (the SQL builder
+  * also inserts LongType casts) — a bare asInstanceOf[Long] would CCE
+  * on INT literals under ConstantFolding (review finding); codegen is
+  * safe either way because Java widens int→long at the call site. */
 case class HilbertIndex(left: Expression, right: Expression, order: Int)
     extends BinaryExpression {
   require(order >= 1 && order <= 31,
@@ -417,7 +421,8 @@ case class HilbertIndex(left: Expression, right: Expression, order: Int)
   override def prettyName: String = "hilbert_index"
 
   protected override def nullSafeEval(a: Any, b: Any): Any =
-    HilbertKernels.xy2d(order, a.asInstanceOf[Long], b.asInstanceOf[Long])
+    HilbertKernels.xy2d(order, a.asInstanceOf[Number].longValue(),
+      b.asInstanceOf[Number].longValue())
 
   protected override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     defineCodeGen(ctx, ev,

@@ -2073,7 +2073,8 @@ object Analytics {
       s"""WITH b AS (
          |  SELECT value AS v,
          |    CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS y
-         |  FROM events WHERE value IS NOT NULL),
+         |  FROM events
+         |  WHERE value IS NOT NULL AND event_type IS NOT NULL),
          |t AS (SELECT COUNT(*) AS n, SUM(y) AS pos FROM b),
          |c AS (SELECT v, COUNT(*) AS cnt, SUM(y) AS p FROM b GROUP BY v),
          |cum AS (SELECT v, CAST(SUM(cnt) OVER (ORDER BY v) AS BIGINT) AS nl,

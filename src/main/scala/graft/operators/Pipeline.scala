@@ -462,7 +462,7 @@ object Pipeline {
       """WITH tok AS (
         |  SELECT source,
         |    CAST(len(regexp_extract_all(text, '\S+')) AS BIGINT) AS v
-        |  FROM documents),
+        |  FROM documents WHERE text IS NOT NULL),
         |g AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS n_rows,
         |        CAST(SUM(v) AS BIGINT) AS s FROM tok GROUP BY source),
         |t AS (SELECT CAST(COUNT(*) AS BIGINT) AS tn,

@@ -449,6 +449,12 @@ class AnalyticsSpec extends AnyFunSuite {
     // coordinates above the grid are masked, not wrapped into errors
     assert(graft.functions.HilbertKernels.xy2d(5, 32 + 3, 7) ===
       graft.functions.HilbertKernels.xy2d(5, 3, 7))
+    // SQL surface coerces INT literals (interpreted eval under
+    // ConstantFolding would CCE without ImplicitCastInputTypes)
+    val s = spark
+    graft.functions.GraftFunctions.register(s)
+    assert(s.sql("SELECT hilbert_index(3, 7, 8)").collect().head.getLong(0)
+      === graft.functions.HilbertKernels.xy2d(8, 3L, 7L))
   }
 
   test("hilbertOrderBy plans one range exchange and keeps all rows") {

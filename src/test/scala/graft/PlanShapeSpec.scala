@@ -589,13 +589,20 @@ class PlanShapeSpec extends AnyFunSuite {
   }
 
   test("q218 modularity joins labels by key, nothing quadratic") {
-    val plans = capturedPlans("q218_modularity")
-    val all = plans.mkString("\n===\n")
-    assert(!all.contains("CartesianProduct"), all)
-    // BroadcastNestedLoopJoin may only carry 1-row aggregates
-    // (the crossJoin(broadcast(m/within/nn)) summary assembly)
-    assert(!all.contains("BroadcastNestedLoopJoin") ||
-      all.contains("BroadcastHashJoin") || all.contains("SortMergeJoin"), all)
+    // the summary assembly and the label joins all live in the FINAL
+    // query plan (the localCheckpoints only hide the edge/label
+    // builds), so planOf sees them exactly once — capturedPlans would
+    // double-count BNLJs through AQE's initial+final plan printing
+    val p = planOf("q218_modularity")
+    assert(!p.contains("CartesianProduct"), p)
+    // BroadcastNestedLoopJoin may only carry the 1-row summary
+    // assembly (crossJoin(broadcast(nn/m/within)) = 3 occurrences);
+    // a label equi-join regressing to BNLJ adds a fourth
+    val bnlj = "BroadcastNestedLoopJoin".r.findAllMatchIn(p).size
+    assert(bnlj <= 3, s"$bnlj BNLJs (expected <= 3: 1-row assembly only)\n$p")
+    // the label joins themselves must be key-equi (hash or sort-merge)
+    assert(p.contains("BroadcastHashJoin") || p.contains("SortMergeJoin")
+      || p.contains("ShuffledHashJoin"), p)
   }
 
   test("q220 best split aggregates the argmax, never LIMIT over a sort") {
