@@ -5009,6 +5009,95 @@ object Graft {
         .as("rank_biserial"))
   }
 
+  /** Fellegi–Sunter EM parameter learning — the training step the q195
+    * scorer's declared weights come from: given the AGREEMENT-PATTERN
+    * counts of blocked candidate pairs (one row per pattern over k
+    * boolean comparators, with its pair count), learn per-field match/
+    * non-match agreement probabilities m_i, u_i and the match prior λ
+    * by the classic two-class latent EM (Winkler's formulation).
+    *
+    * Everything runs on the 2^k-row pattern table — the raw pairs are
+    * reduced ONCE by the caller's keyed count; EM rounds are tiny
+    * crossJoin(broadcast(1-row params)) + aggregate plans, nothing
+    * driver-resident, nothing proportional to corpus size.
+    *
+    * Float policy: parameters and responsibilities are nano-quantized
+    * longs after EVERY E and M step, so both engines round identically
+    * each round and libm drift cannot accumulate; the output ln-weights
+    * are single ln calls over quantized inputs, rounded once. Boundary
+    * collapse (m→1, u→0) yields NULL weights instead of ±∞.
+    *
+    * Output: one row per field — m, u, λ, and the agree/disagree
+    * ln-weights the q195 scorer consumes. */
+  def fsEmLearn(patterns: DataFrame, fieldCols: Seq[String],
+      countCol: String = "c", rounds: Int = 5, initM: Double = 0.8,
+      initU: Double = 0.2, initLambda: Double = 0.1): DataFrame = {
+    require(fieldCols.nonEmpty, "fsEmLearn needs at least one field")
+    require(rounds >= 1, s"fsEmLearn needs rounds >= 1, got $rounds")
+    val spark = patterns.sparkSession
+    val k = fieldCols.size
+    val pat = patterns.select(
+      fieldCols.zipWithIndex.map { case (c0, i) =>
+        col(c0).cast(BooleanType).as(s"__g$i") } :+
+        col(countCol).cast(LongType).as("__c"): _*)
+      .localCheckpoint()
+    def qLit(x: Double): Column = lit(math.round(x * 1e9))
+    def d(c: Column): Column = c.cast(DoubleType) / lit(1.0e9)
+    var params: DataFrame = spark.range(1).select(
+      qLit(initLambda).as("__p") +: (0 until k).flatMap(i =>
+        Seq(qLit(initM).as(s"__m$i"), qLit(initU).as(s"__u$i"))): _*)
+    for (_ <- 1 to rounds) {
+      // E step: responsibility w = P(match | pattern), nano-quantized
+      val pm = (0 until k).foldLeft(d(col("__p"))) { (acc, i) =>
+        acc * when(col(s"__g$i"), d(col(s"__m$i")))
+          .otherwise(lit(1.0) - d(col(s"__m$i")))
+      }
+      val pu = (0 until k).foldLeft(lit(1.0) - d(col("__p"))) { (acc, i) =>
+        acc * when(col(s"__g$i"), d(col(s"__u$i")))
+          .otherwise(lit(1.0) - d(col(s"__u$i")))
+      }
+      val scored = pat.crossJoin(broadcast(params))
+        .withColumn("__w",
+          round(pm / (pm + pu) * lit(1.0e9)).cast(LongType))
+      // M step: weighted counts (exact longs) → nano-quantized params;
+      // a collapsed denominator keeps the previous round's value
+      val aggs =
+        (when(sum(col("__c") * col("__w")) === 0L, max(col("__p")))
+          .otherwise(round(sum(col("__c") * col("__w")).cast(DoubleType) /
+            sum(col("__c")).cast(DoubleType)).cast(LongType)).as("__p")) +:
+        (0 until k).flatMap { i =>
+          val mw = sum(when(col(s"__g$i"), col("__c") * col("__w"))
+            .otherwise(lit(0L)))
+          val uw = sum(when(col(s"__g$i"),
+            col("__c") * (lit(1000000000L) - col("__w"))).otherwise(lit(0L)))
+          Seq(
+            when(sum(col("__c") * col("__w")) === 0L, max(col(s"__m$i")))
+              .otherwise(round(mw.cast(DoubleType) /
+                sum(col("__c") * col("__w")).cast(DoubleType) * lit(1.0e9))
+                .cast(LongType)).as(s"__m$i"),
+            when(sum(col("__c") * (lit(1000000000L) - col("__w"))) === 0L,
+              max(col(s"__u$i")))
+              .otherwise(round(uw.cast(DoubleType) /
+                sum(col("__c") * (lit(1000000000L) - col("__w")))
+                  .cast(DoubleType) * lit(1.0e9)).cast(LongType))
+              .as(s"__u$i"))
+        }
+      params = scored.agg(aggs.head, aggs.tail: _*)
+    }
+    (0 until k).map { i =>
+      val m = d(col(s"__m$i")); val u = d(col(s"__u$i"))
+      params.select(lit(fieldCols(i)).as("field"), m.as("m"), u.as("u"),
+        d(col("__p")).as("lambda"),
+        when(col(s"__m$i") === 0L || col(s"__u$i") === 0L,
+          lit(null).cast(DoubleType))
+          .otherwise(round(log(m / u), 6)).as("w_agree"),
+        when(col(s"__m$i") === 1000000000L || col(s"__u$i") === 1000000000L,
+          lit(null).cast(DoubleType))
+          .otherwise(round(log((lit(1.0) - m) / (lit(1.0) - u)), 6))
+          .as("w_disagree"))
+    }.reduce(_ unionAll _)
+  }
+
   /** Leave-one-group-out ablation of a metric mean — "which source
     * drags the corpus?" answered without one job per source: the
     * mean-without-group comes from global sufficient statistics minus

@@ -228,6 +228,34 @@ object Dedup {
         .orderBy(col("id_a"), col("id_b"))
     }),
 
+    // ---- q224: Fellegi–Sunter EM learning — where q195's declared
+    // micro-nat weights COME from: learn per-field m/u probabilities
+    // and the match prior from the blocked pairs' agreement-pattern
+    // counts (one keyed shuffle over the pairs; EM runs on the 8-row
+    // pattern table with nano-quantized steps so both engines round
+    // identically every round). The learned w_agree/w_disagree are the
+    // ln-weights a production scorer would freeze into q195. ----
+    "q224_fs_em" -> ((s, dir) => {
+      val p = t(s, dir, "part").select(col("p_partkey"), col("p_name"),
+        col("p_brand"), col("p_size"), col("p_type"),
+        round(col("p_retailprice") * 100.0).cast(LongType).as("cents"))
+      val pairs = p.alias("a").join(p.alias("b"),
+          col("a.p_brand") === col("b.p_brand") &&
+            col("a.p_size") === col("b.p_size") &&
+            col("a.p_partkey") < col("b.p_partkey"))
+        .select(
+          (levenshtein(col("a.p_name"), col("b.p_name"), 2) >= 0)
+            .as("agree_name"),
+          (col("a.p_type") === col("b.p_type")).as("agree_type"),
+          (abs(col("a.cents") - col("b.cents")) <= 50L).as("agree_price"))
+      val pat = pairs.groupBy(col("agree_name"), col("agree_type"),
+          col("agree_price"))
+        .agg(count(lit(1)).as("c"))
+      graft.api.Graft.fsEmLearn(pat,
+          Seq("agree_name", "agree_type", "agree_price"), rounds = 5)
+        .orderBy(col("field"))
+    }),
+
     // ---- q133: incremental ingestion dedup — the cross-corpus form a
     // pipeline runs on every fresh crawl batch before appending: flag
     // each new doc (doc_id % 10 = 0 plays the batch) whose Jaccard vs
@@ -482,7 +510,85 @@ object Dedup {
       |  COUNT(*) AS n_docs, COUNT(DISTINCT component) AS n_components
       |FROM sp GROUP BY 1 ORDER BY 1""".stripMargin
 
+  /** q224 twin: the q195 blocked pairs reduced to 8 agreement-pattern
+    * counts, then `rounds` EM iterations as chained MATERIALIZED CTEs —
+    * each round the identical nano-quantized E (responsibility) and M
+    * (weighted-count ratio) chains the Spark side runs, so both engines
+    * round to the same longs every round and libm drift cannot
+    * accumulate. */
+  private def fsEmSql(rounds: Int): String = {
+    val q9 = "1000000000"
+    def dv(c: String) = s"CAST($c AS DOUBLE) / $q9.0"
+    def pmExpr(pre: String) = (0 to 2).map(i =>
+      s"(CASE WHEN g$i THEN ${dv(s"m$i")} ELSE 1.0 - ${dv(s"m$i")} END)")
+      .mkString(s"$pre * ", " * ", "")
+    def puExpr(pre: String) = (0 to 2).map(i =>
+      s"(CASE WHEN g$i THEN ${dv(s"u$i")} ELSE 1.0 - ${dv(s"u$i")} END)")
+      .mkString(s"$pre * ", " * ", "")
+    val rs = (1 to rounds).map { r =>
+      val fields = (0 to 2).flatMap { i =>
+        Seq(
+          s"""CASE WHEN SUM(c * w) = 0 THEN MAX(m$i)
+             |  ELSE CAST(round(CAST(SUM(CASE WHEN g$i THEN c * w ELSE 0 END)
+             |    AS DOUBLE) / CAST(SUM(c * w) AS DOUBLE) * $q9.0) AS BIGINT)
+             |END AS m$i""".stripMargin,
+          s"""CASE WHEN SUM(c * ($q9 - w)) = 0 THEN MAX(u$i)
+             |  ELSE CAST(round(CAST(SUM(CASE WHEN g$i THEN c * ($q9 - w)
+             |    ELSE 0 END) AS DOUBLE) / CAST(SUM(c * ($q9 - w)) AS DOUBLE)
+             |    * $q9.0) AS BIGINT)
+             |END AS u$i""".stripMargin)
+      }.mkString(",\n")
+      s"""r$r AS MATERIALIZED (
+         |  SELECT
+         |    CASE WHEN SUM(c * w) = 0 THEN MAX(p)
+         |      ELSE CAST(round(CAST(SUM(c * w) AS DOUBLE)
+         |        / CAST(SUM(c) AS DOUBLE)) AS BIGINT)
+         |    END AS p,
+         |$fields
+         |  FROM (SELECT g0, g1, g2, c, p, m0, u0, m1, u1, m2, u2,
+         |          CAST(round(pm / (pm + pu) * $q9.0) AS BIGINT) AS w
+         |        FROM (SELECT pat.*, r.*,
+         |                ${pmExpr(s"${dv("p")}")} AS pm,
+         |                ${puExpr(s"(1.0 - ${dv("p")})")} AS pu
+         |              FROM pat CROSS JOIN r${r - 1} r)))""".stripMargin
+    }.mkString(",\n")
+    def leg(field: String, i: Int) =
+      s"""SELECT '$field' AS field, ${dv(s"m$i")} AS m, ${dv(s"u$i")} AS u,
+         |  ${dv("p")} AS lambda,
+         |  CASE WHEN m$i = 0 OR u$i = 0 THEN NULL
+         |    ELSE round(ln((${dv(s"m$i")}) / (${dv(s"u$i")})), 6) END AS w_agree,
+         |  CASE WHEN m$i = $q9 OR u$i = $q9 THEN NULL
+         |    ELSE round(ln((1.0 - ${dv(s"m$i")}) / (1.0 - ${dv(s"u$i")})), 6)
+         |  END AS w_disagree
+         |FROM r$rounds""".stripMargin
+    s"""WITH p AS (
+       |  SELECT p_partkey, p_name, p_brand, p_size, p_type,
+       |    CAST(round(p_retailprice * 100.0) AS BIGINT) AS cents
+       |  FROM part),
+       |pat AS MATERIALIZED (
+       |  SELECT levenshtein(a.p_name, b.p_name) <= 2 AS g0,
+       |    a.p_type = b.p_type AS g1,
+       |    abs(a.cents - b.cents) <= 50 AS g2,
+       |    CAST(COUNT(*) AS BIGINT) AS c
+       |  FROM p a JOIN p b
+       |    ON a.p_brand = b.p_brand AND a.p_size = b.p_size
+       |   AND a.p_partkey < b.p_partkey
+       |  GROUP BY 1, 2, 3),
+       |r0 AS (SELECT CAST(100000000 AS BIGINT) AS p,
+       |  CAST(800000000 AS BIGINT) AS m0, CAST(200000000 AS BIGINT) AS u0,
+       |  CAST(800000000 AS BIGINT) AS m1, CAST(200000000 AS BIGINT) AS u1,
+       |  CAST(800000000 AS BIGINT) AS m2, CAST(200000000 AS BIGINT) AS u2),
+       |$rs
+       |${leg("agree_name", 0)}
+       |UNION ALL
+       |${leg("agree_type", 1)}
+       |UNION ALL
+       |${leg("agree_price", 2)}
+       |ORDER BY field""".stripMargin
+  }
+
   val oracle: Map[String, String] = Map(
+    "q224_fs_em" -> fsEmSql(5),
     "q133_incremental_dedup" -> incrementalDedupSql,
     "q138_leakage_safe_split" -> leakageSafeSplitSql,
 

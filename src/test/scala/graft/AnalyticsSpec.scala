@@ -346,6 +346,55 @@ class AnalyticsSpec extends AnyFunSuite {
     assert(r.getDouble(2) === 1.0)
   }
 
+  // ---------------------------------------------------------- fs-em
+
+  test("fsEmLearn matches a plain-Scala reference EM over the pattern table") {
+    val s = spark; import s.implicits._
+    // one comparator field: 120 agreeing pairs, 880 disagreeing
+    val pat = Seq((true, 120L), (false, 880L)).toDF("g", "c")
+    // reference: the identical nano-quantized E/M chains in plain Scala
+    def ref(rounds: Int): (Long, Long, Long) = {
+      var (p, m, u) = (100000000L, 800000000L, 200000000L)
+      for (_ <- 1 to rounds) {
+        def w(g: Boolean): Long = {
+          val pm = (p / 1e9) * (if (g) m / 1e9 else 1.0 - m / 1e9)
+          val pu = (1.0 - p / 1e9) * (if (g) u / 1e9 else 1.0 - u / 1e9)
+          math.round(pm / (pm + pu) * 1e9)
+        }
+        val rows = Seq((true, 120L, w(true)), (false, 880L, w(false)))
+        val sw = rows.map(r => r._2 * r._3).sum
+        val suw = rows.map(r => r._2 * (1000000000L - r._3)).sum
+        val mw = rows.filter(_._1).map(r => r._2 * r._3).sum
+        val uw = rows.filter(_._1).map(r => r._2 * (1000000000L - r._3)).sum
+        p = math.round(sw.toDouble / 1000.0)
+        m = math.round(mw.toDouble / sw.toDouble * 1e9)
+        u = math.round(uw.toDouble / suw.toDouble * 1e9)
+      }
+      (p, m, u)
+    }
+    for (rounds <- Seq(1, 3)) {
+      val r = Graft.fsEmLearn(pat, Seq("g"), rounds = rounds).collect().head
+      val (ep, em, eu) = ref(rounds)
+      assert(math.abs(r.getDouble(1) - em / 1e9) < 1e-12, s"m rounds=$rounds")
+      assert(math.abs(r.getDouble(2) - eu / 1e9) < 1e-12, s"u rounds=$rounds")
+      assert(math.abs(r.getDouble(3) - ep / 1e9) < 1e-12, s"p rounds=$rounds")
+    }
+    // agreement must separate the classes: m > u after any round count
+    val r3 = Graft.fsEmLearn(pat, Seq("g"), rounds = 3).collect().head
+    assert(r3.getDouble(1) > r3.getDouble(2))
+    assert(r3.getDouble(4) > 0.0 && r3.getDouble(5) < 0.0) // ln weights
+  }
+
+  test("fsEmLearn: boundary collapse yields NULL weights, not infinities") {
+    val s = spark; import s.implicits._
+    // every pair agrees: u is driven toward m, never 0/1 blowups; craft
+    // a direct boundary by an all-false field instead
+    val pat = Seq((false, 100L)).toDF("g", "c")
+    val r = Graft.fsEmLearn(pat, Seq("g"), rounds = 4).collect().head
+    // m and u collapse to 0 (no agreeing mass at all) → w_agree NULL
+    assert(r.isNullAt(4), r.toString)
+  }
+
   // ------------------------------------------------- target encoding
 
   test("targetEncode: smoothed LOO means, prior fallback for unmatched keys") {
