@@ -198,6 +198,39 @@ object Analytics {
         .orderBy(col("duration_days"))
     }),
 
+    // ---- q225: CUPED variance-reduced A/B lift — the experimentation
+    // upgrade over q152's raw z-test: each user's post-period spend is
+    // adjusted by their PRE-period covariate (θ from pooled moments),
+    // removing the between-user variance that has nothing to do with
+    // the treatment. Pre = first 14 days from the corpus min day;
+    // variant = the q152 md5 hash-bucket device; per-user means are
+    // quantized to integer units so every cross-row moment is an exact
+    // decimal sum. Reported variance reduction = ρ²(x, y). ----
+    "q225_cuped" -> ((s, dir) => {
+      graft.functions.GraftFunctions.register(s)
+      val ev = t(s, dir, "events").filter(col("value").isNotNull)
+        .select(col("user_id"),
+          expr("unix_micros(ts) div 86400000000").as("day"),
+          round(col("value") * 100.0).cast(LongType).as("cents"))
+      val minDay = ev.agg(min(col("day")).as("__d0"))
+      val units = ev.crossJoin(broadcast(minDay))
+        .withColumn("pre", col("day") < col("__d0") + lit(14L))
+        .groupBy(col("user_id"))
+        .agg(sum(when(col("pre"), lit(1L)).otherwise(lit(0L))).as("nx"),
+          sum(when(col("pre"), col("cents")).otherwise(lit(0L))).as("sx"),
+          sum(when(!col("pre"), lit(1L)).otherwise(lit(0L))).as("ny"),
+          sum(when(!col("pre"), col("cents")).otherwise(lit(0L))).as("sy"))
+        .filter(col("nx") > 0L && col("ny") > 0L)
+        .select(
+          round(col("sx").cast(DoubleType) / col("nx").cast(DoubleType) *
+            lit(100.0)).cast(LongType).as("xq"),
+          round(col("sy").cast(DoubleType) / col("ny").cast(DoubleType) *
+            lit(100.0)).cast(LongType).as("yq"),
+          (call_function("md5_lower64", col("user_id").cast(StringType))
+            .bitwiseAND(lit(1L)) === 1L).as("variant"))
+      graft.api.Graft.cupedLift(units, "xq", "yq", "variant", scale = 1e4)
+    }),
+
     // ---- q221: leave-one-out target encoding of l_partkey against
     // "was returned" — the feature-engineering transform q220 would
     // consume: high-cardinality key → smoothed LOO label mean, with
@@ -2009,6 +2042,72 @@ object Analytics {
         |            (CAST(n_a AS DOUBLE) * CAST(n_b AS DOUBLE)) - 1.0
         |  END AS rank_biserial
         |FROM u""".stripMargin,
+
+    // CUPED twin: identical day split, per-user quantized means, md5
+    // hash-bucket variant, exact HUGEINT moments mirroring the decimal
+    // sums, and the same θ / lift / ρ² double chains
+    "q225_cuped" ->
+      """WITH ev AS (
+        |  SELECT user_id, epoch_us(ts) // 86400000000 AS day,
+        |    CAST(round(value * 100.0) AS BIGINT) AS cents
+        |  FROM events WHERE value IS NOT NULL),
+        |d0 AS (SELECT MIN(day) AS d0 FROM ev),
+        |u AS (
+        |  SELECT user_id,
+        |    COUNT(*) FILTER (WHERE day < d0 + 14) AS nx,
+        |    COALESCE(SUM(cents) FILTER (WHERE day < d0 + 14), 0) AS sx,
+        |    COUNT(*) FILTER (WHERE day >= d0 + 14) AS ny,
+        |    COALESCE(SUM(cents) FILTER (WHERE day >= d0 + 14), 0) AS sy
+        |  FROM ev CROSS JOIN d0 GROUP BY user_id
+        |  HAVING COUNT(*) FILTER (WHERE day < d0 + 14) > 0
+        |     AND COUNT(*) FILTER (WHERE day >= d0 + 14) > 0),
+        |q AS (
+        |  SELECT
+        |    CAST(round(CAST(sx AS DOUBLE) / CAST(nx AS DOUBLE) * 100.0)
+        |      AS BIGINT) AS xq,
+        |    CAST(round(CAST(sy AS DOUBLE) / CAST(ny AS DOUBLE) * 100.0)
+        |      AS BIGINT) AS yq,
+        |    (md5_number_lower(CAST(user_id AS VARCHAR)) & 1::UBIGINT)
+        |      = 1::UBIGINT AS v
+        |  FROM u),
+        |m AS (
+        |  SELECT COUNT(*) AS n,
+        |    SUM(CAST(xq AS HUGEINT)) AS sx, SUM(CAST(yq AS HUGEINT)) AS sy,
+        |    SUM(CAST(xq AS HUGEINT) * xq) AS sxx,
+        |    SUM(CAST(yq AS HUGEINT) * yq) AS syy,
+        |    SUM(CAST(xq AS HUGEINT) * yq) AS sxy,
+        |    COUNT(*) FILTER (WHERE v) AS n_b,
+        |    COALESCE(SUM(CAST(xq AS HUGEINT)) FILTER (WHERE v), 0) AS sxb,
+        |    COALESCE(SUM(CAST(yq AS HUGEINT)) FILTER (WHERE v), 0) AS syb
+        |  FROM q)
+        |SELECT CAST(n AS BIGINT) AS n, CAST(n - n_b AS BIGINT) AS n_a,
+        |  CAST(n_b AS BIGINT) AS n_b,
+        |  CASE WHEN n_b = 0 OR n - n_b = 0
+        |         OR CAST(n * sxx - sx * sx AS DOUBLE) <= 0.0 THEN NULL
+        |    ELSE round(CAST(n * sxy - sx * sy AS DOUBLE)
+        |      / CAST(n * sxx - sx * sx AS DOUBLE), 6) END AS theta_r,
+        |  CASE WHEN n_b = 0 OR n - n_b = 0 THEN NULL
+        |    ELSE round((CAST(syb AS DOUBLE) / CAST(n_b AS DOUBLE)
+        |      - CAST(sy - syb AS DOUBLE) / CAST(n - n_b AS DOUBLE))
+        |      / 10000.0, 6) END AS lift_naive_r,
+        |  CASE WHEN n_b = 0 OR n - n_b = 0
+        |         OR CAST(n * sxx - sx * sx AS DOUBLE) <= 0.0 THEN NULL
+        |    ELSE round((CAST(syb AS DOUBLE) / CAST(n_b AS DOUBLE)
+        |      - CAST(sy - syb AS DOUBLE) / CAST(n - n_b AS DOUBLE))
+        |      / 10000.0
+        |      - CAST(n * sxy - sx * sy AS DOUBLE)
+        |        / CAST(n * sxx - sx * sx AS DOUBLE)
+        |        * ((CAST(sxb AS DOUBLE) / CAST(n_b AS DOUBLE)
+        |          - CAST(sx - sxb AS DOUBLE) / CAST(n - n_b AS DOUBLE))
+        |          / 10000.0), 6) END AS lift_cuped_r,
+        |  CASE WHEN CAST(n * sxx - sx * sx AS DOUBLE) <= 0.0
+        |         OR CAST(n * syy - sy * sy AS DOUBLE) <= 0.0 THEN NULL
+        |    ELSE round(CAST(n * sxy - sx * sy AS DOUBLE)
+        |      * CAST(n * sxy - sx * sy AS DOUBLE)
+        |      / (CAST(n * sxx - sx * sx AS DOUBLE)
+        |        * CAST(n * syy - sy * sy AS DOUBLE)), 6)
+        |  END AS var_reduction_r
+        |FROM m""".stripMargin,
 
     // Kaplan–Meier twin: identical span/censoring derivation, at-risk
     // prefix over ALL durations, nano-quantized ln(1−d/n) prefix over

@@ -346,6 +346,35 @@ class AnalyticsSpec extends AnyFunSuite {
     assert(r.getDouble(2) === 1.0)
   }
 
+  // ----------------------------------------------------------- cuped
+
+  test("cupedLift matches the hand-computed moments, lifts and rho^2") {
+    val s = spark; import s.implicits._
+    // y = x + 10 (+50 under treatment), x imbalanced across arms:
+    // n=4, Sx=800, Sy=940, Sxx=180000, Sxy=213000, Syy=253400 →
+    // θ = 100000/80000 = 1.25, naive = 310−160 = 150,
+    // cuped = 150 − 1.25·100 = 25, ρ² = 1e10/(80000·130000)
+    val units = Seq((100L, 110L, false), (200L, 210L, false),
+      (200L, 260L, true), (300L, 360L, true)).toDF("xq", "yq", "v")
+    val r = Graft.cupedLift(units, "xq", "yq", "v", scale = 1.0)
+      .collect().head
+    assert(r.getLong(0) === 4L && r.getLong(1) === 2L && r.getLong(2) === 2L)
+    assert(r.getDouble(3) === 1.25)
+    assert(r.getDouble(4) === 150.0)
+    assert(r.getDouble(5) === 25.0)
+    assert(math.abs(r.getDouble(6) - 100000.0 * 100000.0 /
+      (80000.0 * 130000.0)) < 1e-6)
+  }
+
+  test("cupedLift: zero covariate variance yields NULL theta, naive lift kept") {
+    val s = spark; import s.implicits._
+    val units = Seq((5L, 10L, false), (5L, 30L, true)).toDF("xq", "yq", "v")
+    val r = Graft.cupedLift(units, "xq", "yq", "v", scale = 1.0)
+      .collect().head
+    assert(r.isNullAt(3) && r.isNullAt(5) && r.isNullAt(6))
+    assert(r.getDouble(4) === 20.0)
+  }
+
   // ---------------------------------------------------------- fs-em
 
   test("fsEmLearn matches a plain-Scala reference EM over the pattern table") {
