@@ -2781,6 +2781,63 @@ object Graft {
       .select(col("n_nodes"), col("n_edges"), col("n_triangles"))
   }
 
+  /** Per-node local clustering coefficient — [[triangleCount]]'s node-
+    * level companion (global transitivity says a graph is clumpy;
+    * this says WHICH nodes sit in cliques vs stars): cc(v) =
+    * 2·tri(v) / (deg(v)·(deg(v)−1)), the fraction of a node's
+    * neighbor pairs that are themselves connected.
+    *
+    * Same communication-optimal degree-orientation as triangleCount
+    * (out-degrees bounded by O(√m), wedge join cannot explode on
+    * hubs); each triangle row then credits its THREE corners via one
+    * explode + keyed count — no per-node wedge re-enumeration. cc is
+    * one double division of exact integers; output is the top-k by
+    * (nano-quantized cc desc, node) above a degree floor — k-bounded,
+    * so the final TakeOrdered is fine at any scale. */
+  def clusteringCoefficient(edges: DataFrame, srcCol: String,
+      dstCol: String, minDegree: Int = 2, topK: Int = 20): DataFrame = {
+    require(minDegree >= 2,
+      s"clusteringCoefficient needs minDegree >= 2 (cc undefined below), got $minDegree")
+    require(topK >= 1, s"clusteringCoefficient needs topK >= 1, got $topK")
+    val und = edges.select(
+        least(col(srcCol).cast(StringType), col(dstCol).cast(StringType)).as("a"),
+        greatest(col(srcCol).cast(StringType), col(dstCol).cast(StringType)).as("b"))
+      .filter(col("a").isNotNull && col("a") =!= col("b")).distinct()
+      .localCheckpoint() // feeds degrees + orientation
+    val deg = und.select(col("a").as("node"))
+      .unionAll(und.select(col("b").as("node")))
+      .groupBy(col("node")).agg(count(lit(1)).as("degree"))
+    val oriented = und
+      .join(deg.select(col("node").as("a"), col("degree").as("da")), Seq("a"))
+      .join(deg.select(col("node").as("b"), col("degree").as("db")), Seq("b"))
+      .select(
+        when(col("da") < col("db") ||
+          (col("da") === col("db") && col("a") < col("b")), col("a"))
+          .otherwise(col("b")).as("u"),
+        when(col("da") < col("db") ||
+          (col("da") === col("db") && col("a") < col("b")), col("b"))
+          .otherwise(col("a")).as("v"))
+      .localCheckpoint() // feeds wedges (twice) + closing
+    val wedges = oriented.as("e1")
+      .join(oriented.as("e2"),
+        col("e1.u") === col("e2.u") && col("e1.v") < col("e2.v"))
+      .select(col("e1.u").as("apex"), col("e1.v").as("x"), col("e2.v").as("y"))
+    val closing = oriented.select(col("u").as("x"), col("v").as("y"))
+      .unionAll(oriented.select(col("v").as("x"), col("u").as("y")))
+    val triNodes = wedges.join(closing, Seq("x", "y"))
+      .select(explode(array(col("apex"), col("x"), col("y"))).as("node"))
+      .groupBy(col("node")).agg(count(lit(1)).as("n_triangles"))
+    deg.join(triNodes, Seq("node"), "left")
+      .na.fill(0L, Seq("n_triangles"))
+      .filter(col("degree") >= minDegree.toLong)
+      .withColumn("cc", (lit(2L) * col("n_triangles")).cast(DoubleType) /
+        (col("degree") * (col("degree") - lit(1L))).cast(DoubleType))
+      .withColumn("__ccq", round(col("cc") * lit(1.0e9)).cast(LongType))
+      .orderBy(col("__ccq").desc, col("node"))
+      .limit(topK)
+      .select(col("node"), col("degree"), col("n_triangles"), col("cc"))
+  }
+
   /** Bloom-prefiltered equi join — the row-level runtime-filter shape
     * Spark's own `spark.sql.optimizer.runtime.bloomFilter` applies, made
     * an explicit operator: the dim side's join keys compress to ONE
@@ -5007,6 +5064,53 @@ object Graft {
       when(col("n_a") === 0L || col("n_b") === 0L, lit(null).cast(DoubleType))
         .otherwise(col("__u2").cast(DoubleType) / dab - lit(1.0))
         .as("rank_biserial"))
+  }
+
+  /** Split-conformal prediction audit — the distribution-free
+    * uncertainty wrapper every deployed predictor should carry: from a
+    * CALIBRATION set's absolute residuals, pick q̂ = the
+    * ⌈(n+1)(1−α)⌉-th smallest; the interval pred ± q̂ then covers a
+    * fresh point with probability ≥ 1−α under exchangeability, no
+    * model assumptions. This measures it: q̂ from the calibration
+    * residuals (exact order statistic — integer ceil arithmetic over
+    * [[globalRank]], never a percentile approximation) and the
+    * EMPIRICAL coverage on a held-out test set.
+    *
+    * Inputs: two DataFrames with a residual column (any deterministic
+    * |y − ŷ|) and a unique tiebreak id. Shape: one globalRank over the
+    * calibration rows (partition-offset pattern), a 1-row broadcast of
+    * (n, q̂), and one aggregate over test — nothing quadratic, no
+    * single-partition sort. */
+  def conformalAudit(cal: DataFrame, test: DataFrame, residCol: String,
+      idCol: String, alpha: Double = 0.1): DataFrame = {
+    require(alpha > 0.0 && alpha < 1.0,
+      s"conformalAudit: alpha must be in (0,1), got $alpha")
+    // ceil((n+1)(1−α)) in exact integer arithmetic: α as a permille
+    val keepPm = math.round((1.0 - alpha) * 1000)
+    val calR = cal.filter(col(residCol).isNotNull)
+      .select(col(residCol).cast(DoubleType).as("__r"), col(idCol).as("__id"))
+    val ranked = globalRank(calR, Seq("__r", "__id"))
+    val n = ranked.agg(count(lit(1)).as("n_cal"))
+      .withColumn("__k",
+        expr(s"(($keepPm * (n_cal + 1)) + 999) div 1000"))
+    val qhat = ranked.crossJoin(broadcast(n))
+      // k > n_cal (tiny calibration sets) → no finite q̂: empty result
+      .filter(col("grank") === col("__k"))
+      .select(col("n_cal"), col("__r").as("qhat"))
+    val testR = test.filter(col(residCol).isNotNull)
+      .select(col(residCol).cast(DoubleType).as("__r"))
+    testR.crossJoin(broadcast(qhat))
+      // grouped (single-group) aggregate: a too-small calibration set
+      // (k > n) yields an EMPTY result, not a row of nulls — a global
+      // agg would always emit one row
+      .groupBy(col("n_cal"), col("qhat"))
+      .agg(count(lit(1)).as("n_test"),
+        sum(when(col("__r") <= col("qhat"), lit(1L)).otherwise(lit(0L)))
+          .as("n_covered"))
+      .select(col("n_cal"), col("n_test"), col("qhat"), col("n_covered"),
+        round(col("n_covered").cast(DoubleType) /
+          col("n_test").cast(DoubleType), 6).as("coverage"),
+        lit(1.0 - alpha).as("target"))
   }
 
   /** CUPED variance-reduced A/B lift — the industry-standard variance

@@ -198,6 +198,47 @@ object Analytics {
         .orderBy(col("duration_days"))
     }),
 
+    // ---- q227: per-node clustering coefficient — q131's node-level
+    // companion on the same user-transition graph: which users sit in
+    // tight cliques vs hub-and-spoke stars? Degree-oriented wedge join
+    // (out-degree O(√m), hub-proof), each triangle credits its three
+    // corners once, cc = one exact-integer division; top-20 by
+    // nano-quantized cc with a degree-5 floor. ----
+    "q227_clustering_coeff" -> ((s, dir) => {
+      val w = Window.partitionBy(col("event_type"))
+        .orderBy(unix_micros(col("ts")), col("event_id"))
+      val seq = t(s, dir, "events")
+        .withColumn("nxt", lead(col("user_id"), 1).over(w))
+        .filter(col("nxt").isNotNull)
+      graft.api.Graft.clusteringCoefficient(seq, "user_id", "nxt",
+        minDegree = 5, topK = 20)
+    }),
+
+    // ---- q226: split-conformal coverage audit — the distribution-free
+    // uncertainty gate over a simple per-type mean predictor: train on
+    // even users, calibrate the α=0.1 residual quantile on users ≡1
+    // (mod 4) as an EXACT ⌈(n+1)·0.9⌉ order statistic, measure
+    // empirical coverage on users ≡3 (mod 4). The guarantee under
+    // exchangeability is coverage ≥ 0.9 — emitted as data so every
+    // round re-checks it. ----
+    "q226_conformal" -> ((s, dir) => {
+      val ev = t(s, dir, "events").filter(col("value").isNotNull)
+        .select(col("event_id"), col("user_id"), col("event_type"),
+          round(col("value") * 100.0).cast(LongType).as("cents"))
+      val pred = ev.filter(col("user_id") % 2 === 0)
+        .groupBy(col("event_type"))
+        .agg((sum(col("cents")).cast(DoubleType) /
+          count(lit(1)).cast(DoubleType)).as("pred_centi"))
+      def resid(part: org.apache.spark.sql.DataFrame) =
+        part.join(broadcast(pred), Seq("event_type"))
+          .select(col("event_id"),
+            abs(col("cents").cast(DoubleType) - col("pred_centi")).as("r"))
+      graft.api.Graft.conformalAudit(
+        resid(ev.filter(col("user_id") % 4 === 1)),
+        resid(ev.filter(col("user_id") % 4 === 3)),
+        "r", "event_id", alpha = 0.1)
+    }),
+
     // ---- q225: CUPED variance-reduced A/B lift — the experimentation
     // upgrade over q152's raw z-test: each user's post-period spend is
     // adjusted by their PRE-period covariate (θ from pooled moments),
@@ -2042,6 +2083,79 @@ object Analytics {
         |            (CAST(n_a AS DOUBLE) * CAST(n_b AS DOUBLE)) - 1.0
         |  END AS rank_biserial
         |FROM u""".stripMargin,
+
+    // clustering-coefficient twin: brute-force canonical triple-join
+    // triangles (no knowledge of the degree orientation), identical
+    // three-corner credit, exact-integer cc division, same
+    // nano-quantized (cc desc, node) top-20
+    "q227_clustering_coeff" ->
+      """WITH seq AS (
+        |  SELECT event_type, CAST(user_id AS VARCHAR) AS u,
+        |    CAST(lead(user_id) OVER (PARTITION BY event_type
+        |      ORDER BY epoch_us(ts), event_id) AS VARCHAR) AS v
+        |  FROM events),
+        |und AS (
+        |  SELECT DISTINCT least(u, v) AS a, greatest(u, v) AS b
+        |  FROM seq WHERE v IS NOT NULL AND u <> v),
+        |deg AS (
+        |  SELECT node, CAST(COUNT(*) AS BIGINT) AS degree FROM (
+        |    SELECT a AS node FROM und UNION ALL SELECT b FROM und)
+        |  GROUP BY node),
+        |tri AS (
+        |  SELECT e1.a AS n1, e1.b AS n2, e2.b AS n3
+        |  FROM und e1
+        |  JOIN und e2 ON e2.a = e1.b
+        |  JOIN und e3 ON e3.a = e1.a AND e3.b = e2.b),
+        |tn AS (
+        |  SELECT node, CAST(COUNT(*) AS BIGINT) AS n_triangles FROM (
+        |    SELECT n1 AS node FROM tri UNION ALL SELECT n2 FROM tri
+        |    UNION ALL SELECT n3 FROM tri)
+        |  GROUP BY node),
+        |c AS (
+        |  SELECT d.node, d.degree,
+        |    COALESCE(tn.n_triangles, 0) AS n_triangles
+        |  FROM deg d LEFT JOIN tn USING (node) WHERE d.degree >= 5),
+        |sc AS (
+        |  SELECT node, degree, n_triangles,
+        |    CAST(2 * n_triangles AS DOUBLE)
+        |      / CAST(degree * (degree - 1) AS DOUBLE) AS cc,
+        |    CAST(round(CAST(2 * n_triangles AS DOUBLE)
+        |      / CAST(degree * (degree - 1) AS DOUBLE) * 1000000000.0)
+        |      AS BIGINT) AS ccq
+        |  FROM c)
+        |SELECT node, degree, n_triangles, cc
+        |FROM sc ORDER BY ccq DESC, node LIMIT 20""".stripMargin,
+
+    // conformal twin: identical per-type mean predictor, absolute
+    // residual chains, exact ceil((n+1)·0.9) order-statistic selection
+    // (rank over (r, event_id)), and the same coverage ratio
+    "q226_conformal" ->
+      """WITH ev AS (
+        |  SELECT event_id, user_id, event_type,
+        |    CAST(round(value * 100.0) AS BIGINT) AS cents
+        |  FROM events WHERE value IS NOT NULL),
+        |pred AS (
+        |  SELECT event_type,
+        |    CAST(SUM(cents) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE)
+        |      AS pred_centi
+        |  FROM ev WHERE user_id % 2 = 0 GROUP BY event_type),
+        |cal AS (
+        |  SELECT event_id, abs(CAST(cents AS DOUBLE) - pred_centi) AS r
+        |  FROM ev JOIN pred USING (event_type) WHERE user_id % 4 = 1),
+        |tst AS (
+        |  SELECT abs(CAST(cents AS DOUBLE) - pred_centi) AS r
+        |  FROM ev JOIN pred USING (event_type) WHERE user_id % 4 = 3),
+        |rk AS (SELECT r, ROW_NUMBER() OVER (ORDER BY r, event_id) AS rn,
+        |         COUNT(*) OVER () AS n_cal FROM cal),
+        |qh AS (SELECT n_cal, r AS qhat FROM rk
+        |       WHERE rn = ((900 * (n_cal + 1)) + 999) // 1000)
+        |SELECT CAST(n_cal AS BIGINT) AS n_cal,
+        |  CAST(COUNT(*) AS BIGINT) AS n_test, MAX(qhat) AS qhat,
+        |  CAST(COUNT(*) FILTER (WHERE r <= qhat) AS BIGINT) AS n_covered,
+        |  round(CAST(COUNT(*) FILTER (WHERE r <= qhat) AS DOUBLE)
+        |    / CAST(COUNT(*) AS DOUBLE), 6) AS coverage,
+        |  0.9 AS target
+        |FROM tst CROSS JOIN qh GROUP BY n_cal""".stripMargin,
 
     // CUPED twin: identical day split, per-user quantized means, md5
     // hash-bucket variant, exact HUGEINT moments mirroring the decimal

@@ -346,6 +346,46 @@ class AnalyticsSpec extends AnyFunSuite {
     assert(r.getDouble(2) === 1.0)
   }
 
+  // ------------------------------------------------------- conformal
+
+  test("conformalAudit picks the exact ceil((n+1)(1-a)) order statistic") {
+    val s = spark; import s.implicits._
+    // cal residuals 1..9: k = ceil(10·0.9) = 9 → q̂ = 9.0
+    val cal = (1 to 9).map(i => (i.toDouble, i.toLong)).toDF("r", "id")
+    val test = Seq((5.0, 100L), (9.0, 101L), (10.0, 102L)).toDF("r", "id")
+    val out = Graft.conformalAudit(cal, test, "r", "id", alpha = 0.1)
+      .collect().head
+    assert(out.getLong(0) === 9L && out.getLong(1) === 3L)
+    assert(out.getDouble(2) === 9.0)            // qhat
+    assert(out.getLong(3) === 2L)               // 5 and 9 covered, 10 not
+    assert(math.abs(out.getDouble(4) - 2.0 / 3.0) < 1e-6)
+  }
+
+  test("conformalAudit: calibration too small for the level → empty result") {
+    val s = spark; import s.implicits._
+    // n=2, k = ceil(3·0.9) = 3 > n → no finite q̂ exists
+    val cal = Seq((1.0, 1L), (2.0, 2L)).toDF("r", "id")
+    val test = Seq((1.0, 3L)).toDF("r", "id")
+    assert(Graft.conformalAudit(cal, test, "r", "id", alpha = 0.1)
+      .count() === 0L)
+  }
+
+  // -------------------------------------------- clustering coefficient
+
+  test("clusteringCoefficient on bridged triangles: clique corners score 1") {
+    val s = spark; import s.implicits._
+    val edges = Seq((1, 2), (2, 3), (1, 3), (4, 5), (5, 6), (4, 6), (3, 4))
+      .toDF("src", "dst")
+    val out = Graft.clusteringCoefficient(edges, "src", "dst",
+        minDegree = 2, topK = 10).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    // pure-triangle corners (deg 2, 1 triangle) have cc = 1; the bridge
+    // endpoints (deg 3, 1 triangle) have cc = 1/3; order cc desc, node
+    assert(out.map(_._1).toSeq === Seq("1", "2", "5", "6", "3", "4"))
+    assert(out.take(4).forall(_._4 === 1.0))
+    assert(out.drop(4).forall(t => math.abs(t._4 - 1.0 / 3.0) < 1e-12))
+  }
+
   // ----------------------------------------------------------- cuped
 
   test("cupedLift matches the hand-computed moments, lifts and rho^2") {
