@@ -908,6 +908,197 @@ object Graft {
       .orderBy(col("n").desc, col("token"))
       .limit(topK)
 
+  /** Pairwise Jensen–Shannon divergence between per-group token
+    * distributions (q228) — the data-MIXING audit next to [[vocabulary]]:
+    * how far apart are two sources' unigram distributions? 0 = identical,
+    * ln 2 = disjoint; symmetric and bounded, unlike the raw KL behind
+    * q136's PSI. This is the number that drives mixture re-weighting and
+    * the "is this new crawl slice actually new text?" call.
+    *
+    * Identity used: with cm = each side's probability mass on the SHARED
+    * vocabulary, JSD(P,Q) = ½·Σ_shared[p·ln(2p/(p+q)) + q·ln(2q/(p+q))]
+    * + ½·ln2·(1−cm_P) + ½·ln2·(1−cm_Q) — a token private to one side
+    * contributes exactly ½·p·ln2, so the disjoint mass folds into a
+    * closed form over integer masses and the vocabulary join can stay
+    * inner (never full-outer). Pairs that share nothing are restored by
+    * a left join from the #groups² pair frame and read exactly ln 2.
+    *
+    * Exactness: each shared-token term is nano-quantized before the
+    * order-free long sum (q113/q128 policy); the private-mass correction
+    * is ONE fixed double chain over exact integer masses with ln 2 a
+    * shared literal — no accumulation, no libm beyond the quantized
+    * terms, identical expression shape on the oracle.
+    *
+    * 100 TB shape: token counts are ONE partial-agg-friendly keyed
+    * shuffle; group totals are #groups rows; the pair join keys on the
+    * token over the VOCABULARY table (≤ #groups rows per token, fan-out
+    * ≤ #groups² per token — independent of corpus row count). Output is
+    * #groups·(#groups−1)/2 rows. */
+  def jsDivergence(df: DataFrame, textCol: String, groupCol: String): DataFrame = {
+    val Q = 1.0e9
+    val Ln2 = 0.6931471805599453
+    val cnt = df.select(col(groupCol).cast(StringType).as("__g"),
+        explode(split(lower(col(textCol)), "[^a-z0-9]+")).as("__t"))
+      .filter(col("__t") =!= "")
+      .groupBy(col("__g"), col("__t")).agg(count(lit(1)).as("__c"))
+      .localCheckpoint() // feeds totals + both sides of the pair join
+    val tot = cnt.groupBy(col("__g")).agg(sum(col("__c")).as("__n"))
+      .localCheckpoint() // #groups rows; feeds the pair frame twice
+    val p = cnt.join(broadcast(tot), Seq("__g"))
+    val pd = col("c1").cast(DoubleType) / col("n1").cast(DoubleType)
+    val qd = col("c2").cast(DoubleType) / col("n2").cast(DoubleType)
+    val term = lit(0.5) * (pd * log(lit(2.0) * pd / (pd + qd)) +
+      qd * log(lit(2.0) * qd / (pd + qd)))
+    val shared = p.select(col("__g").as("g1"), col("__t"),
+        col("__c").as("c1"), col("__n").as("n1"))
+      .join(p.select(col("__g").as("g2"), col("__t"),
+        col("__c").as("c2"), col("__n").as("n2")), Seq("__t"))
+      .filter(col("g1") < col("g2"))
+      .select(col("g1"), col("g2"), col("c1"), col("c2"),
+        round(term * lit(Q)).cast(LongType).as("__q"))
+      .groupBy(col("g1"), col("g2"))
+      .agg(count(lit(1)).as("n_common"), sum(col("c1")).as("__cm1"),
+        sum(col("c2")).as("__cm2"), sum(col("__q")).as("__s"))
+    val allPairs = tot.select(col("__g").as("g1"), col("__n").as("n1"))
+      .join(tot.select(col("__g").as("g2"), col("__n").as("n2")),
+        col("g1") < col("g2"))
+    allPairs.join(shared, Seq("g1", "g2"), "left")
+      .select(col("g1").as(s"${groupCol}_a"), col("g2").as(s"${groupCol}_b"),
+        coalesce(col("n_common"), lit(0L)).as("n_common"),
+        (coalesce(col("__s"), lit(0L)).cast(DoubleType) / lit(Q) +
+          lit(0.5) * lit(Ln2) * (lit(1.0) -
+            coalesce(col("__cm1"), lit(0L)).cast(DoubleType) /
+              col("n1").cast(DoubleType)) +
+          lit(0.5) * lit(Ln2) * (lit(1.0) -
+            coalesce(col("__cm2"), lit(0L)).cast(DoubleType) /
+              col("n2").cast(DoubleType))).as("jsd"))
+  }
+
+  /** Per-group Zipf rank-frequency fit (q229) — the corpus NATURALNESS
+    * audit: log-log OLS of token frequency on frequency rank over each
+    * group's top-`maxRank` types. Natural language sits near slope −1
+    * (Zipf's law); a template farm flattens the head and machine
+    * gibberish steepens the tail, so a source whose slope drifts far
+    * from −1 is the first place to look — the cross-doc companion to
+    * q107's per-doc repetition and q128's entropy gates.
+    *
+    * Exactness: ln(rank) and ln(count) are nano-quantized longs; every
+    * OLS moment is an exact Decimal(38,0) sum of their products (HUGEINT
+    * twins on the oracle); slope and r² are fixed double chains over
+    * those exact integers. All-equal counts make the y-variance 0 —
+    * slope 0/positive = 0.0 and r² NULL (0/0), never NaN.
+    *
+    * 100 TB shape: ONE keyed count shuffle to the (group, token)
+    * vocabulary, a top-`maxRank` window partitioned BY GROUP over that
+    * vocabulary (bounded by vocab size, not corpus rows), and a
+    * #groups-row moment aggregate. Groups with fewer than `minRanks`
+    * ranked types are dropped (a 10-type source has no meaningful fit). */
+  def zipfFit(df: DataFrame, textCol: String, groupCol: String,
+      maxRank: Int = 200, minRanks: Int = 20): DataFrame = {
+    require(maxRank >= 2, s"zipfFit needs maxRank >= 2, got $maxRank")
+    require(minRanks >= 2 && minRanks <= maxRank,
+      s"zipfFit needs 2 <= minRanks <= maxRank, got $minRanks")
+    val dec = DecimalType(38, 0)
+    val cnt = df.select(col(groupCol).cast(StringType).as("__g"),
+        explode(split(lower(col(textCol)), "[^a-z0-9]+")).as("__t"))
+      .filter(col("__t") =!= "")
+      .groupBy(col("__g"), col("__t")).agg(count(lit(1)).as("__c"))
+    val w = Window.partitionBy(col("__g"))
+      .orderBy(col("__c").desc, col("__t"))
+    val ranked = cnt.withColumn("__r", row_number().over(w))
+      .filter(col("__r") <= maxRank)
+      .select(col("__g"),
+        round(log(col("__r").cast(DoubleType)) * lit(1.0e9))
+          .cast(LongType).as("__x"),
+        round(log(col("__c").cast(DoubleType)) * lit(1.0e9))
+          .cast(LongType).as("__y"))
+    val m = ranked.groupBy(col("__g")).agg(
+        count(lit(1)).as("__n"),
+        sum(col("__x").cast(dec)).as("__sx"),
+        sum(col("__y").cast(dec)).as("__sy"),
+        sum(col("__x").cast(dec) * col("__x")).as("__sxx"),
+        sum(col("__x").cast(dec) * col("__y")).as("__sxy"),
+        sum(col("__y").cast(dec) * col("__y")).as("__syy"))
+      .filter(col("__n") >= minRanks.toLong)
+    val nd = col("__n").cast(dec)
+    val num = nd * col("__sxy") - col("__sx") * col("__sy")
+    val denx = nd * col("__sxx") - col("__sx") * col("__sx")
+    val deny = nd * col("__syy") - col("__sy") * col("__sy")
+    m.select(col("__g").as(groupCol), col("__n").as("n_ranks"),
+      (num.cast(DoubleType) / denx.cast(DoubleType)).as("zipf_slope"),
+      when(deny === lit(0), lit(null).cast(DoubleType))
+        .otherwise(num.cast(DoubleType) * num.cast(DoubleType) /
+          (denx.cast(DoubleType) * deny.cast(DoubleType))).as("r2"))
+  }
+
+  /** Good–Turing frequency smoothing over the word n-gram vocabulary
+    * (q230) — the classical unseen-mass estimator: from the frequency-
+    * of-frequencies table N_r, the smoothed count r* = (r+1)·N_{r+1}/N_r
+    * and the probability the NEXT n-gram is an unseen type P₀ = N₁/N.
+    * This is exactly what Katz backoff discounts a bigram LM (q113's
+    * kin) with, and the "how much of the gram space have we not crawled
+    * yet" coverage estimate for a corpus slice. Default `ngram=2`: the
+    * bigram table is where the singleton/doubleton mass lives (a unigram
+    * vocabulary saturates on any real corpus and has an empty low-r
+    * histogram).
+    *
+    * Output: one row per observed count r ≤ `maxR` — (r, n_types,
+    * r_star, gt_prob = r_star/N) — plus the r=0 row carrying the unseen
+    * mass in gt_prob. r* is NULL when no type has count r+1 (GT is
+    * undefined there — never coerced to 0), hence the self-join on
+    * r+1 rather than a lead(): an absent count must read as absent,
+    * not as the next PRESENT row.
+    *
+    * Exactness/scale: gram formation is a per-doc window (lead over the
+    * token position — the q113 device, zero cross-doc state) feeding two
+    * partial-agg-friendly keyed shuffles (gram → count, count →
+    * histogram); the histogram is ≤ #distinct-counts rows (tiny at any
+    * corpus size — counts cluster), so the r+1 join and the totals
+    * broadcast are free; every ratio is one fixed double chain over
+    * exact integers. */
+  def goodTuring(df: DataFrame, textCol: String, idCol: String,
+      ngram: Int = 2, maxR: Int = 10): DataFrame = {
+    require(maxR >= 1, s"goodTuring needs maxR >= 1, got $maxR")
+    require(ngram == 1 || ngram == 2,
+      s"goodTuring supports ngram of 1 or 2, got $ngram")
+    val toks = df.select(col(idCol).as("__id"),
+        posexplode(split(lower(col(textCol)), "[^a-z0-9]+"))
+          .as(Seq("__p", "__t")))
+      .filter(col("__t") =!= "")
+    val grams =
+      if (ngram == 1) toks.select(col("__t").as("__gm"))
+      else {
+        val w = Window.partitionBy(col("__id")).orderBy(col("__p"))
+        toks.withColumn("__t2", lead(col("__t"), 1).over(w))
+          .filter(col("__t2").isNotNull)
+          .select(concat(col("__t"), lit(" "), col("__t2")).as("__gm"))
+      }
+    val cnt = grams.groupBy(col("__gm")).agg(count(lit(1)).as("__c"))
+    val hist = cnt.select(col("__c").as("r"))
+      .groupBy(col("r")).agg(count(lit(1)).as("n_types"))
+      .localCheckpoint() // tiny; feeds the r+1 self-join + totals
+    val tot = hist.agg(sum(col("r") * col("n_types")).as("__N"),
+      sum(when(col("r") === 1L, col("n_types")).otherwise(lit(0L)))
+        .as("__N1"))
+    val nxt = hist.select((col("r") - lit(1L)).as("r"),
+      col("n_types").as("__nn"))
+    val rStar = when(col("__nn").isNull, lit(null).cast(DoubleType))
+      .otherwise(((col("r") + lit(1L)) * col("__nn")).cast(DoubleType) /
+        col("n_types").cast(DoubleType))
+    val rows = hist.filter(col("r") <= maxR.toLong)
+      .join(nxt, Seq("r"), "left")
+      .crossJoin(broadcast(tot))
+      .select(col("r"), col("n_types"), rStar.as("r_star"),
+        when(rStar.isNull, lit(null).cast(DoubleType))
+          .otherwise(rStar / col("__N").cast(DoubleType)).as("gt_prob"))
+    val unseen = tot.select(lit(0L).as("r"),
+      lit(null).cast(LongType).as("n_types"),
+      lit(null).cast(DoubleType).as("r_star"),
+      (col("__N1").cast(DoubleType) / col("__N").cast(DoubleType))
+        .as("gt_prob"))
+    rows.unionByName(unseen)
+  }
+
   /** Per-group quota (q64) — the CommonCrawl-style "at most k documents
     * per domain/source" cap, keeping the best rows by `order` with a
     * deterministic tie-break. One shuffle on the group key; the window

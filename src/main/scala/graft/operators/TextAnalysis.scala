@@ -71,6 +71,34 @@ object TextAnalysis {
   }
 
   val queries: Map[String, Q] = Map(
+    // ---- q228: pairwise Jensen–Shannon divergence between source
+    // unigram distributions — the mixture-design audit: which sources
+    // are near-duplicates of each other's token distribution (mix them
+    // as one) and which contribute genuinely distinct text? Shared-token
+    // terms nano-quantized before the order-free long sum; disjoint
+    // mass folds into the closed-form ½ln2·(1−cm) correction. ----
+    "q228_jsd_sources" -> ((s, dir) =>
+      graft.api.Graft.jsDivergence(t(s, dir, "documents"), "text", "source")
+        .orderBy(col("source_a"), col("source_b"))),
+
+    // ---- q229: per-source Zipf rank-frequency fit — log-log OLS slope
+    // over each source's top-200 token types. Natural text sits near
+    // −1; the slope + r² pair flags template farms (flat head) and
+    // gibberish (steep tail) per source in one #sources-row report. ----
+    "q229_zipf_fit" -> ((s, dir) =>
+      graft.api.Graft.zipfFit(t(s, dir, "documents"), "text", "source",
+          maxRank = 200, minRanks = 20)
+        .orderBy(col("source"))),
+
+    // ---- q230: Good–Turing frequency smoothing over word bigrams —
+    // the Katz-backoff discount table: N_r histogram, smoothed
+    // r* = (r+1)·N_{r+1}/N_r for r ≤ 10, and the r=0 row carrying
+    // P₀ = N₁/N (the probability the next bigram is a NEW type). ----
+    "q230_good_turing" -> ((s, dir) =>
+      graft.api.Graft.goodTuring(t(s, dir, "documents"), "text", "doc_id",
+          ngram = 2, maxR = 10)
+        .orderBy(col("r"))),
+
     // ---- q207: per-source n-gram diversity — the corpus DEGENERACY
     // audit (distinct-2 metric): distinct word bigrams across the whole
     // source vs total bigram occurrences. A template farm or
@@ -438,6 +466,119 @@ object TextAnalysis {
        |ORDER BY doc_id""".stripMargin
 
   val oracle: Map[String, String] = Map(
+    // JSD twin: identical tokenization, the same ½(p·ln(2p/(p+q)) +
+    // q·ln(2q/(p+q))) shared-token term quantized to nano-longs before
+    // the sum, the same closed-form ½ln2·(1−cm/n) private-mass chain,
+    // and the all-pairs frame restored by the same LEFT join so
+    // zero-overlap pairs read exactly ln 2
+    "q228_jsd_sources" ->
+      """WITH tok AS (
+        |  SELECT g, t FROM (
+        |    SELECT source AS g,
+        |      unnest(string_split_regex(lower(text), '[^a-z0-9]+')) AS t
+        |    FROM documents) WHERE t <> ''),
+        |cnt AS (SELECT g, t, CAST(COUNT(*) AS BIGINT) AS c
+        |        FROM tok GROUP BY g, t),
+        |tot AS (SELECT g, SUM(c) AS n FROM cnt GROUP BY g),
+        |p AS (SELECT cnt.g, t, c, n FROM cnt JOIN tot USING (g)),
+        |pr AS (
+        |  SELECT a.g AS g1, b.g AS g2, a.c AS c1, b.c AS c2,
+        |    CAST(a.c AS DOUBLE) / CAST(a.n AS DOUBLE) AS pd,
+        |    CAST(b.c AS DOUBLE) / CAST(b.n AS DOUBLE) AS qd
+        |  FROM p a JOIN p b ON a.t = b.t AND a.g < b.g),
+        |sh AS (
+        |  SELECT g1, g2, CAST(COUNT(*) AS BIGINT) AS n_common,
+        |    SUM(c1) AS cm1, SUM(c2) AS cm2,
+        |    SUM(CAST(ROUND(0.5 * (pd * ln(2.0 * pd / (pd + qd)) +
+        |      qd * ln(2.0 * qd / (pd + qd))) * 1000000000.0) AS BIGINT)) AS s
+        |  FROM pr GROUP BY g1, g2),
+        |ap AS (
+        |  SELECT a.g AS g1, a.n AS n1, b.g AS g2, b.n AS n2
+        |  FROM tot a JOIN tot b ON a.g < b.g)
+        |SELECT ap.g1 AS source_a, ap.g2 AS source_b,
+        |  COALESCE(sh.n_common, 0) AS n_common,
+        |  CAST(COALESCE(sh.s, 0) AS DOUBLE) / 1000000000.0
+        |  + 0.5 * 0.6931471805599453 *
+        |    (1.0 - CAST(COALESCE(sh.cm1, 0) AS DOUBLE) / CAST(ap.n1 AS DOUBLE))
+        |  + 0.5 * 0.6931471805599453 *
+        |    (1.0 - CAST(COALESCE(sh.cm2, 0) AS DOUBLE) / CAST(ap.n2 AS DOUBLE))
+        |    AS jsd
+        |FROM ap LEFT JOIN sh ON sh.g1 = ap.g1 AND sh.g2 = ap.g2
+        |ORDER BY source_a, source_b""".stripMargin,
+
+    // Zipf twin: identical tokenization, the same (count desc, token)
+    // rank, ln(rank)/ln(count) nano-quantized, HUGEINT moment sums, and
+    // the same num/denx and num²/(denx·deny) double chains
+    "q229_zipf_fit" ->
+      """WITH tok AS (
+        |  SELECT g, t FROM (
+        |    SELECT source AS g,
+        |      unnest(string_split_regex(lower(text), '[^a-z0-9]+')) AS t
+        |    FROM documents) WHERE t <> ''),
+        |cnt AS (SELECT g, t, CAST(COUNT(*) AS BIGINT) AS c
+        |        FROM tok GROUP BY g, t),
+        |rk AS (SELECT g, c, t,
+        |         ROW_NUMBER() OVER (PARTITION BY g ORDER BY c DESC, t) AS r
+        |       FROM cnt),
+        |q AS (SELECT g,
+        |        CAST(ROUND(ln(CAST(r AS DOUBLE)) * 1000000000.0) AS BIGINT) AS x,
+        |        CAST(ROUND(ln(CAST(c AS DOUBLE)) * 1000000000.0) AS BIGINT) AS y
+        |      FROM rk WHERE r <= 200),
+        |m AS (SELECT g, CAST(COUNT(*) AS BIGINT) AS n,
+        |        SUM(CAST(x AS HUGEINT)) AS sx, SUM(CAST(y AS HUGEINT)) AS sy,
+        |        SUM(CAST(x AS HUGEINT) * x) AS sxx,
+        |        SUM(CAST(x AS HUGEINT) * y) AS sxy,
+        |        SUM(CAST(y AS HUGEINT) * y) AS syy
+        |      FROM q GROUP BY g HAVING COUNT(*) >= 20)
+        |SELECT g AS source, n AS n_ranks,
+        |  CAST(n * sxy - sx * sy AS DOUBLE)
+        |    / CAST(n * sxx - sx * sx AS DOUBLE) AS zipf_slope,
+        |  CASE WHEN n * syy - sy * sy = 0 THEN NULL
+        |    ELSE CAST(n * sxy - sx * sy AS DOUBLE)
+        |      * CAST(n * sxy - sx * sy AS DOUBLE)
+        |      / (CAST(n * sxx - sx * sx AS DOUBLE)
+        |         * CAST(n * syy - sy * sy AS DOUBLE))
+        |  END AS r2
+        |FROM m ORDER BY source""".stripMargin,
+
+    // Good–Turing twin: identical tokenization (empties filtered BEFORE
+    // adjacency, so grams pair across dropped empties exactly like the
+    // lead() form), the same N_r histogram, the r+1 lookup as a LEFT
+    // self-join (absent counts stay absent), identical
+    // (r+1)·N_{r+1}/N_r and r_star/N double chains, and the same r=0
+    // unseen-mass row
+    "q230_good_turing" ->
+      """WITH tl AS (
+        |  SELECT doc_id,
+        |    list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+        |      x -> x <> '') AS w
+        |  FROM documents),
+        |bg AS (
+        |  SELECT w[i] || ' ' || w[i+1] AS g
+        |  FROM (SELECT w, unnest(generate_series(1, len(w) - 1)) AS i
+        |        FROM tl)),
+        |cnt AS (SELECT g, CAST(COUNT(*) AS BIGINT) AS c FROM bg GROUP BY g),
+        |hist AS (SELECT c AS r, CAST(COUNT(*) AS BIGINT) AS n_types
+        |         FROM cnt GROUP BY c),
+        |tot AS (SELECT SUM(r * n_types) AS n_tok,
+        |          SUM(CASE WHEN r = 1 THEN n_types ELSE 0 END) AS n1
+        |        FROM hist),
+        |rs AS (
+        |  SELECT h.r, h.n_types,
+        |    CASE WHEN x.n_types IS NULL THEN NULL
+        |      ELSE CAST((h.r + 1) * x.n_types AS DOUBLE)
+        |           / CAST(h.n_types AS DOUBLE) END AS r_star
+        |  FROM hist h LEFT JOIN hist x ON x.r = h.r + 1
+        |  WHERE h.r <= 10)
+        |SELECT r, n_types, r_star,
+        |  CASE WHEN r_star IS NULL THEN NULL
+        |    ELSE r_star / CAST(t.n_tok AS DOUBLE) END AS gt_prob
+        |FROM rs CROSS JOIN tot t
+        |UNION ALL
+        |SELECT 0 AS r, CAST(NULL AS BIGINT), CAST(NULL AS DOUBLE),
+        |  CAST(n1 AS DOUBLE) / CAST(n_tok AS DOUBLE) FROM tot
+        |ORDER BY r""".stripMargin,
+
     // diversity twin: identical single-space tokenization (the corpus is
     // single-space by construction, matching the q24-family twins),
     // chr(0)-joined bigrams, per-doc DISTINCT before the cross-doc

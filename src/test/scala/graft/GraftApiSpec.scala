@@ -1671,4 +1671,74 @@ class GraftApiSpec extends AnyFunSuite {
     // bigrams) must score BELOW the reversed doc 9
     assert(byId(8L)._3 < byId(9L)._3)
   }
+
+  test("jsDivergence: hand value, identical = 0, disjoint = ln 2 exactly") {
+    val s = spark; import s.implicits._
+    val df = Seq(("A", "a a b"), ("B", "a c")).toDF("src", "text")
+    val r = Graft.jsDivergence(df, "text", "src").collect().head
+    assert(r.getString(0) === "A" && r.getString(1) === "B" &&
+      r.getLong(2) === 1L)
+    // shared token 'a': p=2/3, q=1/2; private mass: b (1/3), c (1/2)
+    val p = 2.0 / 3.0; val q = 1.0 / 2.0; val ln2 = 0.6931471805599453
+    val term = 0.5 * (p * math.log(2.0 * p / (p + q)) +
+      q * math.log(2.0 * q / (p + q)))
+    val expected = term + 0.5 * ln2 * (1.0 - 2.0 / 3.0) +
+      0.5 * ln2 * (1.0 - 1.0 / 2.0)
+    assert(math.abs(r.getDouble(3) - expected) < 1e-8)
+
+    val same = Seq(("A", "a b"), ("B", "a b")).toDF("src", "text")
+    assert(Graft.jsDivergence(same, "text", "src").collect().head
+      .getDouble(3) === 0.0)
+
+    // zero shared vocabulary: the pair must still appear, at exactly ln 2
+    val disj = Seq(("A", "x"), ("B", "y")).toDF("src", "text")
+    val d = Graft.jsDivergence(disj, "text", "src").collect().head
+    assert(d.getLong(2) === 0L && d.getDouble(3) === ln2)
+  }
+
+  test("zipfFit: a perfect 1/r law fits slope -1 with r2 ~ 1; flat counts are slope 0, r2 NULL") {
+    val s = spark; import s.implicits._
+    // counts 6/3/2 = 6/r for ranks 1..3
+    val text = (Seq.fill(6)("aa") ++ Seq.fill(3)("bb") ++ Seq.fill(2)("cc"))
+      .mkString(" ")
+    val df = Seq(("s", text)).toDF("src", "text")
+    val r = Graft.zipfFit(df, "text", "src", maxRank = 3, minRanks = 3)
+      .collect().head
+    assert(r.getLong(1) === 3L)
+    assert(math.abs(r.getDouble(2) - (-1.0)) < 1e-6)
+    assert(math.abs(r.getDouble(3) - 1.0) < 1e-6)
+
+    val flat = Seq(("s", "a b c")).toDF("src", "text")
+    val f = Graft.zipfFit(flat, "text", "src", maxRank = 3, minRanks = 3)
+      .collect().head
+    assert(f.getDouble(2) === 0.0 && f.isNullAt(3))
+
+    // below minRanks: no fit row at all, never a 2-point "trend"
+    assert(Graft.zipfFit(flat, "text", "src", maxRank = 9, minRanks = 4)
+      .collect().isEmpty)
+  }
+
+  test("goodTuring: textbook histogram, absent N_{r+1} stays NULL, bigram mode") {
+    val s = spark; import s.implicits._
+    // unigrams: a:3 b:1 c:1 d:2 -> N_1=2, N_2=1, N_3=1; N=7
+    val df = Seq((1L, "a a a b"), (2L, "c d d")).toDF("doc_id", "text")
+    val rows = Graft.goodTuring(df, "text", "doc_id", ngram = 1, maxR = 10)
+      .collect().map(r => r.getLong(0) -> r).toMap
+    assert(rows(0L).isNullAt(1) && rows(0L).isNullAt(2) &&
+      rows(0L).getDouble(3) === 2.0 / 7.0)                 // unseen mass
+    assert(rows(1L).getLong(1) === 2L &&
+      rows(1L).getDouble(2) === 1.0 &&                     // 2*N2/N1 = 1
+      rows(1L).getDouble(3) === 1.0 / 7.0)
+    assert(rows(2L).getLong(1) === 1L && rows(2L).getDouble(2) === 3.0)
+    assert(rows(3L).getLong(1) === 1L && rows(3L).isNullAt(2) &&
+      rows(3L).isNullAt(3))                                // no N_4: NULL
+    // bigrams across a doc: "a b","b a","a b" -> counts 2,1; doc
+    // boundaries never pair
+    val bg = Graft.goodTuring(Seq((1L, "a b a b"), (2L, "z")).toDF("doc_id", "text"),
+      "text", "doc_id", ngram = 2, maxR = 10)
+      .collect().map(r => r.getLong(0) -> r).toMap
+    assert(bg(0L).getDouble(3) === 1.0 / 3.0)
+    assert(bg(1L).getLong(1) === 1L && bg(1L).getDouble(2) === 2.0)
+    assert(bg(2L).getLong(1) === 1L && bg(2L).isNullAt(2))
+  }
 }
