@@ -1367,6 +1367,60 @@ object Graft {
         coalesce(col("bm25"), lit(0.0)).as("bm25"))
   }
 
+  /** Dirichlet-smoothed query-likelihood retrieval score (q231) — the
+    * language-modeling twin of [[bm25Score]] (Zhai & Lafferty 2004,
+    * the other canonical lexical ranker): score(d) = Σ_q ln((tf_q,d +
+    * μ·ctf_q/|C|) / (dl_d + μ)). Where BM25's idf punishes common
+    * terms, QL's collection model P(q|C) = ctf/|C| smooths rare ones —
+    * the two rankers disagree exactly where hybrid retrieval (q144 RRF)
+    * earns its keep, which is why a retrieval stack wants both.
+    *
+    * Same shape and policies as [[bm25Score]]: terms are literals, so
+    * each doc's tf vector comes from ONE conditional-count pass over
+    * its tokens (no postings join); ctf/|C| come from ONE 1-row
+    * broadcast aggregate; the score is a FIXED left-to-right chain over
+    * the term list (never an aggregation of doubles — shuffle order
+    * cannot perturb it). A term absent from the collection contributes
+    * 0 (its background mass is undefined), and a doc that tokenizes to
+    * nothing left-joins back with dl=0/score=0 — both mirrored by the
+    * oracle. */
+  def qlDirichletScore(df: DataFrame, textCol: String, idCol: String,
+      terms: Seq[String], mu: Double = 2000.0): DataFrame = {
+    require(terms.nonEmpty, "qlDirichletScore needs at least one query term")
+    require(mu > 0, s"qlDirichletScore needs mu > 0, got $mu")
+    val toks = df.select(col(idCol).as("__id"),
+      explode(split(lower(col(textCol)), "[^a-z0-9]+")).as("__t"))
+      .filter(col("__t") =!= "")
+    val tfCols = terms.zipWithIndex.map { case (t, i) =>
+      count(when(col("__t") === t, 1)).as(s"__tf_$i")
+    }
+    val perDoc = toks.groupBy(col("__id"))
+      .agg(count(lit(1)).as("__dl"), tfCols: _*)
+    val ctfCols = terms.indices.map(i =>
+      sum(col(s"__tf_$i")).as(s"__ctf_$i"))
+    val stats = perDoc.agg(sum(col("__dl")).as("__ctot"), ctfCols: _*)
+    val joined = perDoc.crossJoin(broadcast(stats))
+    def termScore(i: Int): Column = {
+      val tf = col(s"__tf_$i").cast(DoubleType)
+      val ctf = col(s"__ctf_$i").cast(DoubleType)
+      val bg = lit(mu) * ctf / col("__ctot").cast(DoubleType)
+      when(col(s"__ctf_$i") === 0L, lit(0.0))
+        .otherwise(log((tf + bg) / (col("__dl").cast(DoubleType) + lit(mu))))
+    }
+    val total = terms.indices.map(termScore).reduce(_ + _)
+    val hitCount = terms.indices
+      .map(i => when(col(s"__tf_$i") > 0, 1L).otherwise(0L))
+      .reduce(_ + _)
+    val scored = joined.select(col("__id"), col("__dl").as("dl"),
+      hitCount.as("n_terms_hit"), total.as("ql"))
+    df.select(col(idCol).as("__id")).distinct()
+      .join(scored, Seq("__id"), "left")
+      .select(col("__id").as(idCol),
+        coalesce(col("dl"), lit(0L)).as("dl"),
+        coalesce(col("n_terms_hit"), lit(0L)).as("n_terms_hit"),
+        coalesce(col("ql"), lit(0.0)).as("ql"))
+  }
+
   // ------------------------------------------------------------ events
 
   /** Epoch day from a timestamp with FLOOR semantics on both engines
@@ -3027,6 +3081,69 @@ object Graft {
       .orderBy(col("__ccq").desc, col("node"))
       .limit(topK)
       .select(col("node"), col("degree"), col("n_triangles"), col("cc"))
+  }
+
+  /** Centroid-disagreement label-noise audit (q233) — confident-
+    * learning-lite over an embedding column: assign every vector to its
+    * nearest LABEL CENTROID by cosine; a row whose own label is not the
+    * argmax is flagged as suspect. The per-label noise rate is the
+    * standard first look at "is this labeled set worth training on",
+    * and the flagged slice is what goes to re-annotation.
+    *
+    * Exactness: components are micro-quantized longs (the q70 centroid
+    * convention), so every dot product and norm reduces as an exact
+    * Decimal(38) sum of integer products (HUGEINT twins); each
+    * (row, centroid) cosine is then ONE fixed double chain, and the
+    * argmax compares nano-quantized cosines with a deterministic
+    * label tie-break (rank over (simq desc, label)).
+    *
+    * 100 TB shape: the centroid table is #labels·dims rows — broadcast;
+    * the dot-product join fans each row out to dims·#labels terms but
+    * immediately reduces them through ONE keyed aggregate on
+    * (row, centroid-label); the argmax window partitions by row id over
+    * #labels rows. Nothing quadratic in row count anywhere. */
+  def labelNoiseAudit(df: DataFrame, vecCol: String, labelCol: String,
+      idCol: String): DataFrame = {
+    val dec = DecimalType(38, 0)
+    val dims = df.select(col(idCol).as("__id"),
+        col(labelCol).cast(LongType).as("__lab"),
+        posexplode(col(vecCol)).as(Seq("__pos", "__x")))
+      .select(col("__id"), col("__lab"), col("__pos"),
+        round(col("__x").cast(DoubleType) * lit(1000000.0)).cast(LongType)
+          .as("__xq"))
+      .localCheckpoint() // feeds centroids, norms, and the dot join
+    val cent = dims.groupBy(col("__lab").as("__cl"), col("__pos"))
+      .agg(count(lit(1)).as("__cn"), sum(col("__xq")).as("__sm"))
+    val cnorm = cent.groupBy(col("__cl"))
+      .agg(max(col("__cn")).as("__cn"),
+        sum(col("__sm").cast(dec) * col("__sm")).as("__css"))
+    val xnorm = dims.groupBy(col("__id"))
+      .agg(sum(col("__xq").cast(dec) * col("__xq")).as("__xss"))
+    val dots = dims
+      .join(broadcast(cent.select(col("__cl"), col("__pos"), col("__sm"))),
+        Seq("__pos"))
+      .groupBy(col("__id"), col("__lab"), col("__cl"))
+      .agg(sum(col("__xq").cast(dec) * col("__sm")).as("__dot"))
+    // cos = (dot / (1e12·n)) / ((√xss/1e6) · (√css/(1e6·n)))
+    val cos = col("__dot").cast(DoubleType) / (lit(1.0e12) *
+        col("__cn").cast(DoubleType)) /
+      ((sqrt(col("__xss").cast(DoubleType)) / lit(1.0e6)) *
+        (sqrt(col("__css").cast(DoubleType)) /
+          (lit(1.0e6) * col("__cn").cast(DoubleType))))
+    val w = Window.partitionBy(col("__id"))
+      .orderBy(col("__simq").desc, col("__cl"))
+    val best = dots
+      .join(broadcast(cnorm), Seq("__cl"))
+      .join(xnorm, Seq("__id"))
+      .withColumn("__simq", round(cos * lit(1.0e9)).cast(LongType))
+      .withColumn("__rk", row_number().over(w))
+      .filter(col("__rk") === 1)
+    best.groupBy(col("__lab").as(labelCol))
+      .agg(count(lit(1)).as("n"),
+        sum(when(col("__cl") =!= col("__lab"), 1L).otherwise(0L))
+          .as("n_flagged"))
+      .withColumn("noise_rate",
+        col("n_flagged").cast(DoubleType) / col("n").cast(DoubleType))
   }
 
   /** Bloom-prefiltered equi join — the row-level runtime-filter shape
@@ -4992,6 +5109,73 @@ object Graft {
       .withColumn("gap",
         when(col("mean_norm").isNull, lit(null).cast(DoubleType))
           .otherwise(abs(col("frac_pos") - col("mean_norm"))))
+  }
+
+  /** Murphy decomposition of the Brier score (q232) — calibration's
+    * (q162) quantitative upgrade: BS = REL − RES + UNC, where
+    * reliability REL = Σ n_k(p_k − ō_k)²/N is HOW MISCALIBRATED the
+    * forecasts are (0 = perfect), resolution RES = Σ n_k(ō_k − ō)²/N is
+    * how much they actually DISCRIMINATE (bigger = better), and
+    * uncertainty UNC = ō(1−ō) is the base-rate floor no forecaster can
+    * beat. A model can ace q162's per-bin gaps and still be useless
+    * (RES ≈ 0); this one row says which.
+    *
+    * Grouping is by the EXACT quantized forecast value (round(p·scale)
+    * — Murphy's identity holds exactly for value-grouping, only
+    * approximately for range-binning), so the cell table is bounded by
+    * scale+1 regardless of row count.
+    *
+    * Exactness: everything reduces over the (forecast, outcome)
+    * contingency cells; each cell's n·(…)² term is a fixed double chain
+    * over exact integers, nano-quantized before the order-free long
+    * sum; the direct Brier sum uses the same device, so both engines
+    * agree bit-for-bit (BS and REL−RES+UNC then differ only by
+    * quantization residue — reported, not hidden).
+    *
+    * 100 TB shape: ONE keyed aggregate to ≤ 2·(scale+1) cells, then
+    * cell-table arithmetic + two 1-row broadcasts. */
+  def brierDecomposition(df: DataFrame, probCol: String, labelCol: String,
+      scale: Int = 10000): DataFrame = {
+    require(scale > 0, s"brierDecomposition needs scale > 0, got $scale")
+    val Q = 1.0e9
+    val cells = df.filter(col(probCol).isNotNull && col(labelCol).isNotNull)
+      .select(round(col(probCol) * lit(scale.toDouble)).cast(LongType)
+        .as("__pq"), col(labelCol).cast(LongType).as("__y"))
+      .groupBy(col("__pq"), col("__y")).agg(count(lit(1)).as("__m"))
+      .localCheckpoint() // ≤ 2(scale+1) rows; feeds 3 reductions
+    val tot = cells.agg(sum(col("__m")).as("__n"),
+      sum(col("__y") * col("__m")).as("__s"))
+    val pk = col("__pq").cast(DoubleType) / lit(scale.toDouble)
+    val obar = col("__s").cast(DoubleType) / col("__n").cast(DoubleType)
+    // direct Brier: Σ m·(p − y)² over contingency cells
+    val bs = cells
+      .select(round(col("__m").cast(DoubleType) *
+        (pk - col("__y").cast(DoubleType)) *
+        (pk - col("__y").cast(DoubleType)) * lit(Q))
+        .cast(LongType).as("__b"))
+      .agg(sum(col("__b")).as("__bq"))
+    // per-forecast cells for REL/RES
+    val fc = cells.groupBy(col("__pq"))
+      .agg(sum(col("__m")).as("__nk"),
+        sum(col("__y") * col("__m")).as("__sk"))
+    val ok = col("__sk").cast(DoubleType) / col("__nk").cast(DoubleType)
+    val rr = fc.crossJoin(broadcast(tot))
+      .select(
+        round(col("__nk").cast(DoubleType) * (pk - ok) * (pk - ok) * lit(Q))
+          .cast(LongType).as("__r"),
+        round(col("__nk").cast(DoubleType) * (ok - obar) * (ok - obar) *
+          lit(Q)).cast(LongType).as("__g"))
+      .agg(count(lit(1)).as("n_cells"), sum(col("__r")).as("__rq"),
+        sum(col("__g")).as("__gq"))
+    tot.crossJoin(broadcast(bs)).crossJoin(broadcast(rr))
+      .select(col("__n").as("n"), col("n_cells"),
+        (col("__bq").cast(DoubleType) / lit(Q) / col("__n").cast(DoubleType))
+          .as("brier"),
+        (col("__rq").cast(DoubleType) / lit(Q) / col("__n").cast(DoubleType))
+          .as("reliability"),
+        (col("__gq").cast(DoubleType) / lit(Q) / col("__n").cast(DoubleType))
+          .as("resolution"),
+        (obar * (lit(1.0) - obar)).as("uncertainty"))
   }
 
   /** Per-class confusion statistics — tp/fp/fn, precision, recall, F1

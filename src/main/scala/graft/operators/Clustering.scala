@@ -57,6 +57,17 @@ object Clustering {
   }
 
   val queries: Map[String, Q] = Map(
+    // ---- q233: centroid-disagreement label-noise audit — confident-
+    // learning-lite: every embedding is assigned to its nearest label
+    // centroid by cosine; rows whose own label loses the argmax are
+    // flagged, reported as a per-label noise rate. Micro-quantized
+    // components, exact decimal dots/norms, nano-quantized cosine
+    // argmax with a label tie-break. ----
+    "q233_label_noise" -> ((s, dir) =>
+      graft.api.Graft.labelNoiseAudit(t(s, dir, "embeddings"),
+          "embedding", "label", "vec_id")
+        .orderBy(col("label"))),
+
     // ---- q123: embedding covariance matrix — the distributed half of
     // PCA/whitening (the gram-matrix aggregate MLlib's PCA runs before
     // the driver-side eigen step). Upper-triangle (i ≤ j) cells only.
@@ -290,6 +301,51 @@ object Clustering {
   }
 
   val oracle: Map[String, String] = Map(
+    // label-noise twin: the q70 micro-quantized centroid convention,
+    // HUGEINT dot/norm sums, the identical cosine double chain, and the
+    // same (simq desc, label) rank-1 argmax
+    "q233_label_noise" ->
+      """WITH dims AS (
+        |  SELECT vec_id AS id, CAST(label AS BIGINT) AS lab, i - 1 AS pos,
+        |    CAST(round(CAST(embedding[i] AS DOUBLE) * 1000000.0) AS BIGINT) AS xq
+        |  FROM (SELECT vec_id, label, embedding,
+        |          unnest(generate_series(1, len(embedding))) AS i
+        |        FROM embeddings)),
+        |cent AS (SELECT lab AS cl, pos, CAST(COUNT(*) AS BIGINT) AS cn,
+        |           SUM(xq) AS sm
+        |         FROM dims GROUP BY lab, pos),
+        |cnorm AS (SELECT cl, MAX(cn) AS cn,
+        |            SUM(CAST(sm AS HUGEINT) * sm) AS css
+        |          FROM cent GROUP BY cl),
+        |xnorm AS (SELECT id, SUM(CAST(xq AS HUGEINT) * xq) AS xss
+        |          FROM dims GROUP BY id),
+        |dots AS (SELECT d.id, d.lab, c.cl,
+        |           SUM(CAST(d.xq AS HUGEINT) * c.sm) AS dot
+        |         FROM dims d JOIN cent c USING (pos)
+        |         GROUP BY d.id, d.lab, c.cl),
+        |sc AS (
+        |  SELECT dots.id, dots.lab, dots.cl,
+        |    CAST(ROUND(CAST(dot AS DOUBLE)
+        |      / (1000000000000.0 * CAST(cn.cn AS DOUBLE))
+        |      / ((sqrt(CAST(xss AS DOUBLE)) / 1000000.0)
+        |         * (sqrt(CAST(css AS DOUBLE)) / (1000000.0 * CAST(cn.cn AS DOUBLE))))
+        |      * 1000000000.0) AS BIGINT) AS simq
+        |  FROM dots
+        |  JOIN cnorm cn ON cn.cl = dots.cl
+        |  JOIN xnorm x ON x.id = dots.id),
+        |best AS (
+        |  SELECT id, lab, cl FROM (
+        |    SELECT id, lab, cl,
+        |      ROW_NUMBER() OVER (PARTITION BY id ORDER BY simq DESC, cl) AS rk
+        |    FROM sc)
+        |  WHERE rk = 1)
+        |SELECT lab AS label, CAST(COUNT(*) AS BIGINT) AS n,
+        |  CAST(SUM(CASE WHEN cl <> lab THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_flagged,
+        |  CAST(SUM(CASE WHEN cl <> lab THEN 1 ELSE 0 END) AS DOUBLE)
+        |    / CAST(COUNT(*) AS DOUBLE) AS noise_rate
+        |FROM best GROUP BY lab ORDER BY label""".stripMargin,
+
     // JL twin: identical md5-parity sign matrix, identical micro-unit
     // integer sums, ONE final double division — NULL/empty vectors fall
     // out of the left join with NULL j/yq/y on both engines

@@ -19,6 +19,26 @@ import Util._
 object Evaluation {
 
   val queries: Map[String, Q] = Map(
+    // ---- q232: Murphy decomposition of the Brier score — q162's
+    // quantitative upgrade: a per-(event_type, user-cohort) rate model
+    // trained on even event_ids forecasts P(value > 50) for odd
+    // event_ids; the one-row report splits its Brier score into
+    // reliability (miscalibration), resolution (discrimination), and
+    // the base-rate uncertainty floor. ----
+    "q232_brier_decomposition" -> ((s, dir) => {
+      val ev = t(s, dir, "events").filter(col("value").isNotNull)
+        .select(col("event_id"), col("event_type"),
+          (col("user_id") % 8).as("cohort"),
+          (col("value") > 50.0).cast(LongType).as("y"))
+      val train = ev.filter(col("event_id") % 2 === 0)
+        .groupBy(col("event_type"), col("cohort"))
+        .agg((sum(col("y")).cast(DoubleType) /
+          count(lit(1)).cast(DoubleType)).as("p"))
+      val test = ev.filter(col("event_id") % 2 === 1)
+        .join(broadcast(train), Seq("event_type", "cohort"))
+      graft.api.Graft.brierDecomposition(test, "p", "y", scale = 10000)
+    }),
+
     // ---- q160: exact ROC AUC (Mann–Whitney) — does `value` rank
     // purchase events above the rest? Tie groups (the value column is
     // money-quantized, ~1/3 of rows share a value with another) exercise
@@ -121,6 +141,53 @@ object Evaluation {
   )
 
   val oracle: Map[String, String] = Map(
+    // Brier-decomposition twin: identical cohort model, exact-value
+    // (round(p·10000)) grouping, each cell's n·(…)² term nano-quantized
+    // before the order-free sum, the same (…/1e9)/n division chains
+    "q232_brier_decomposition" ->
+      """WITH ev AS (
+        |  SELECT event_id, event_type, user_id % 8 AS cohort,
+        |    CASE WHEN value > 50.0 THEN 1 ELSE 0 END AS y
+        |  FROM events WHERE value IS NOT NULL),
+        |tr AS (
+        |  SELECT event_type, cohort,
+        |    CAST(SUM(y) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS p
+        |  FROM ev WHERE event_id % 2 = 0 GROUP BY event_type, cohort),
+        |ts AS (
+        |  SELECT y, p FROM ev JOIN tr USING (event_type, cohort)
+        |  WHERE event_id % 2 = 1),
+        |cells AS (
+        |  SELECT CAST(ROUND(p * 10000.0) AS BIGINT) AS pq,
+        |    CAST(y AS BIGINT) AS y, CAST(COUNT(*) AS BIGINT) AS m
+        |  FROM ts GROUP BY 1, 2),
+        |tot AS (SELECT SUM(m) AS n, SUM(y * m) AS s FROM cells),
+        |bs AS (
+        |  SELECT SUM(CAST(ROUND(CAST(m AS DOUBLE)
+        |    * (CAST(pq AS DOUBLE) / 10000.0 - CAST(y AS DOUBLE))
+        |    * (CAST(pq AS DOUBLE) / 10000.0 - CAST(y AS DOUBLE))
+        |    * 1000000000.0) AS BIGINT)) AS bq
+        |  FROM cells),
+        |fc AS (SELECT pq, SUM(m) AS nk, SUM(y * m) AS sk
+        |       FROM cells GROUP BY pq),
+        |rr AS (
+        |  SELECT CAST(COUNT(*) AS BIGINT) AS n_cells,
+        |    SUM(CAST(ROUND(CAST(nk AS DOUBLE)
+        |      * (CAST(pq AS DOUBLE) / 10000.0 - CAST(sk AS DOUBLE) / CAST(nk AS DOUBLE))
+        |      * (CAST(pq AS DOUBLE) / 10000.0 - CAST(sk AS DOUBLE) / CAST(nk AS DOUBLE))
+        |      * 1000000000.0) AS BIGINT)) AS rq,
+        |    SUM(CAST(ROUND(CAST(nk AS DOUBLE)
+        |      * (CAST(sk AS DOUBLE) / CAST(nk AS DOUBLE) - CAST(t.s AS DOUBLE) / CAST(t.n AS DOUBLE))
+        |      * (CAST(sk AS DOUBLE) / CAST(nk AS DOUBLE) - CAST(t.s AS DOUBLE) / CAST(t.n AS DOUBLE))
+        |      * 1000000000.0) AS BIGINT)) AS gq
+        |  FROM fc CROSS JOIN tot t)
+        |SELECT CAST(t.n AS BIGINT) AS n, rr.n_cells,
+        |  CAST(bs.bq AS DOUBLE) / 1000000000.0 / CAST(t.n AS DOUBLE) AS brier,
+        |  CAST(rr.rq AS DOUBLE) / 1000000000.0 / CAST(t.n AS DOUBLE) AS reliability,
+        |  CAST(rr.gq AS DOUBLE) / 1000000000.0 / CAST(t.n AS DOUBLE) AS resolution,
+        |  CAST(t.s AS DOUBLE) / CAST(t.n AS DOUBLE)
+        |    * (1.0 - CAST(t.s AS DOUBLE) / CAST(t.n AS DOUBLE)) AS uncertainty
+        |FROM tot t CROSS JOIN bs CROSS JOIN rr""".stripMargin,
+
     // ARI twin: identical contingency and the cross-multiplied
     // (2·N₂·x − 2ab)/(N₂(a+b) − 2ab) identity in HUGEINT
     "q183_adjusted_rand" ->

@@ -99,6 +99,19 @@ object TextAnalysis {
           ngram = 2, maxR = 10)
         .orderBy(col("r"))),
 
+    // ---- q231: Dirichlet query-likelihood retrieval — the LM ranker
+    // next to q109's BM25 on the same 5-term query: smoothing by the
+    // collection model instead of idf. Same one-pass conditional-tf
+    // device, same fixed left-to-right score chain; μ=2000 (the Zhai &
+    // Lafferty sweet spot). ----
+    "q231_ql_dirichlet" -> ((s, dir) => {
+      graft.api.Graft.qlDirichletScore(t(s, dir, "documents"), "text",
+          "doc_id", Bm25Terms, mu = 2000.0)
+        .select(col("doc_id"), col("dl"), col("n_terms_hit"),
+          round(col("ql"), 6).as("ql"))
+        .orderBy(col("doc_id"))
+    }),
+
     // ---- q207: per-source n-gram diversity — the corpus DEGENERACY
     // audit (distinct-2 metric): distinct word bigrams across the whole
     // source vs total bigram occurrences. A template farm or
@@ -466,6 +479,43 @@ object TextAnalysis {
        |ORDER BY doc_id""".stripMargin
 
   val oracle: Map[String, String] = Map(
+    // QL twin: the q109 CTE skeleton with the Dirichlet chain — ctf/|C|
+    // background from the same 1-row stats, ln((tf + μ·ctf/ctot)/(dl+μ))
+    // per term in the identical fixed order, 0 for collection-absent
+    // terms and empty docs
+    "q231_ql_dirichlet" -> {
+      val tfDefs = Bm25Terms.zipWithIndex.map { case (t, i) =>
+        s"COUNT(CASE WHEN t = '$t' THEN 1 END) AS tf$i"
+      }.mkString(",\n    ")
+      val ctfDefs = Bm25Terms.indices.map(i =>
+        s"SUM(tf$i) AS ctf$i").mkString(",\n    ")
+      val hitChain = Bm25Terms.indices.map(i =>
+        s"(CASE WHEN tf$i > 0 THEN 1 ELSE 0 END)").mkString(" + ")
+      val scoreChain = Bm25Terms.indices.map { i =>
+        s"(CASE WHEN ctf$i = 0 THEN 0.0 ELSE " +
+          s"ln((CAST(tf$i AS DOUBLE) + 2000.0 * CAST(ctf$i AS DOUBLE) / CAST(ctot AS DOUBLE))" +
+          s" / (CAST(dl AS DOUBLE) + 2000.0)) END)"
+      }.mkString("\n    + ")
+      s"""WITH toks AS (
+         |  SELECT doc_id, unnest(string_split_regex(lower(text), '[^a-z0-9]+')) AS t
+         |  FROM documents),
+         |tok2 AS (SELECT doc_id, t FROM toks WHERE t <> ''),
+         |perdoc AS (
+         |  SELECT doc_id, COUNT(*) AS dl,
+         |    $tfDefs
+         |  FROM tok2 GROUP BY doc_id),
+         |stats AS (
+         |  SELECT SUM(dl) AS ctot,
+         |    $ctfDefs
+         |  FROM perdoc),
+         |j AS (SELECT perdoc.*, stats.* FROM perdoc CROSS JOIN stats)
+         |SELECT d.doc_id, CAST(COALESCE(dl, 0) AS BIGINT) AS dl,
+         |  CAST(COALESCE($hitChain, 0) AS BIGINT) AS n_terms_hit,
+         |  ROUND(COALESCE($scoreChain, 0.0), 6) AS ql
+         |FROM (SELECT DISTINCT doc_id FROM documents) d LEFT JOIN j USING (doc_id)
+         |ORDER BY doc_id""".stripMargin
+    },
+
     // JSD twin: identical tokenization, the same ½(p·ln(2p/(p+q)) +
     // q·ln(2q/(p+q))) shared-token term quantized to nano-longs before
     // the sum, the same closed-form ½ln2·(1−cm/n) private-mass chain,

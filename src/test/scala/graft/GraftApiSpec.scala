@@ -1741,4 +1741,44 @@ class GraftApiSpec extends AnyFunSuite {
     assert(bg(1L).getLong(1) === 1L && bg(1L).getDouble(2) === 2.0)
     assert(bg(2L).getLong(1) === 1L && bg(2L).isNullAt(2))
   }
+
+  test("qlDirichletScore: hand chain, collection-absent term scores 0, empty doc kept") {
+    val s = spark; import s.implicits._
+    val df = Seq((1L, "a a b"), (2L, "c"), (3L, "")).toDF("doc_id", "text")
+    val out = Graft.qlDirichletScore(df, "text", "doc_id",
+      Seq("a", "z"), mu = 2.0).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getDouble(3)))
+      .toMap
+    // ctot=4, ctf_a=2 -> bg_a = 2*2/4 = 1; ctf_z=0 -> term 0
+    assert(out(1L)._1 === 3L && out(1L)._2 === 1L)
+    assert(math.abs(out(1L)._3 - math.log(3.0 / 5.0)) < 1e-12)
+    assert(out(2L)._1 === 1L && out(2L)._2 === 0L)
+    assert(math.abs(out(2L)._3 - math.log(1.0 / 3.0)) < 1e-12)
+    assert(out(3L) === ((0L, 0L, 0.0)))
+  }
+
+  test("brierDecomposition: Murphy identity on a perfectly calibrated forecaster") {
+    val s = spark; import s.implicits._
+    val rows = Seq.fill(3)((0.75, 1L)) ++ Seq((0.75, 0L)) ++
+      Seq((0.25, 1L)) ++ Seq.fill(3)((0.25, 0L))
+    val r = Graft.brierDecomposition(rows.toDF("p", "y"), "p", "y")
+      .collect().head
+    assert(r.getLong(0) === 8L && r.getLong(1) === 2L)
+    assert(math.abs(r.getDouble(2) - 0.1875) < 1e-9)   // brier
+    assert(math.abs(r.getDouble(3)) < 1e-9)            // reliability = 0
+    assert(math.abs(r.getDouble(4) - 0.0625) < 1e-9)   // resolution
+    assert(r.getDouble(5) === 0.25)                    // uncertainty
+  }
+
+  test("labelNoiseAudit flags the mislabeled vector and only it") {
+    val s = spark; import s.implicits._
+    val df = Seq(
+      (1L, 0, Seq(1.0f, 0.0f)), (2L, 0, Seq(1.0f, 0.2f)),
+      (3L, 0, Seq(0.0f, 1.0f)),                        // mislabeled
+      (4L, 1, Seq(0.0f, 1.0f)), (5L, 1, Seq(0.2f, 1.0f)))
+      .toDF("vec_id", "label", "embedding")
+    val out = Graft.labelNoiseAudit(df, "embedding", "label", "vec_id")
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(out(0L) === ((3L, 1L)) && out(1L) === ((2L, 0L)))
+  }
 }
