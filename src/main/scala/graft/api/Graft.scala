@@ -486,6 +486,118 @@ object Graft {
       .select(col("qid"), col("rnk"), col("nid"), col("sim"))
   }
 
+  /** Maximal Marginal Relevance re-rank (q234; Carbonell & Goldstein
+    * 1998) — the standard diversification layer between retrieval
+    * (q27/q109/q231) and consumption: greedily pick the candidate
+    * maximizing λ·rel(d) − (1−λ)·max_{s∈S} sim(d,s), so near-duplicate
+    * hits stop crowding the top-k. The max over an empty S is 0 — the
+    * first pick is pure relevance.
+    *
+    * Exactness: relevance and pairwise cosines are nano-quantized ONCE;
+    * every subsequent round is pure integer arithmetic — mmrq =
+    * λ₁₀·relq − (10−λ₁₀)·msq with λ in tenths — and a deterministic
+    * (mmrq desc, id) argmax, so the greedy chain replays bit-for-bit on
+    * both engines (the oracle unrolls the k rounds as chained CTEs,
+    * exactly like the HITS/k-core twins).
+    *
+    * 100 TB shape: MMR is inherently a k-step sequential greedy over a
+    * CANDIDATE POOL — the caller bounds the pool (their retrieval
+    * top-N); this operator is O(N²) in pool size and O(k) rounds of
+    * tiny jobs over the two localCheckpointed tables, with nothing
+    * proportional to the corpus anywhere. Keep N in the hundreds; the
+    * corpus-scale work belongs in the retrieval stage that builds the
+    * pool. */
+  def mmrRerank(cands: DataFrame, idCol: String, relCol: String,
+      vecCol: String, k: Int = 10, lambdaTenths: Int = 7): DataFrame = {
+    require(k >= 1, s"mmrRerank needs k >= 1, got $k")
+    require(lambdaTenths >= 0 && lambdaTenths <= 10,
+      s"mmrRerank needs lambdaTenths in [0, 10], got $lambdaTenths")
+    graft.functions.GraftFunctions.register(cands.sparkSession)
+    val Q = 1.0e9
+    val c = cands.select(col(idCol).cast(LongType).as("__cid"),
+        round(col(relCol) * lit(Q)).cast(LongType).as("__relq"),
+        col(vecCol).as("__v"))
+      .localCheckpoint() // caller-bounded pool, pinned for the k rounds
+    val a = c.select(col("__cid").as("__ia"), col("__v").as("v"))
+      .withColumn("__na", sqrt(expr("vec_dot(v, v)")))
+    val b = c.select(col("__cid").as("__ib"), col("__v").as("qv"))
+      .withColumn("__nb", sqrt(expr("vec_dot(qv, qv)")))
+    val sims = a.join(b, col("__ia") =!= col("__ib"))
+      .select(col("__ia"), col("__ib"),
+        round(expr("vec_dot(v, qv)") / (col("__na") * col("__nb")) * lit(Q))
+          .cast(LongType).as("__simq"))
+      .localCheckpoint() // N² rows, probed every round
+    val lam = lambdaTenths.toLong
+    val empty = c.sparkSession.createDataFrame(
+      new java.util.ArrayList[org.apache.spark.sql.Row](),
+      new StructType()
+        .add("__cid", LongType).add("rank", LongType)
+        .add("__relq", LongType).add("__msq", LongType)
+        .add("__mmrq", LongType))
+    val sel = (1 to k).foldLeft(empty) { (s, r) =>
+      val selIds = s.select(col("__cid").as("__sid"))
+      val toSel = sims.join(selIds, col("__ib") === col("__sid"))
+        .groupBy(col("__ia")).agg(max(col("__simq")).as("__ms"))
+      val pick = c.join(s.select(col("__cid")), Seq("__cid"), "left_anti")
+        .join(toSel, col("__cid") === col("__ia"), "left")
+        .withColumn("__msq", coalesce(col("__ms"), lit(0L)))
+        .withColumn("__mmrq",
+          lit(lam) * col("__relq") - lit(10L - lam) * col("__msq"))
+        .orderBy(col("__mmrq").desc, col("__cid"))
+        .limit(1)
+        .select(col("__cid"), lit(r.toLong).as("rank"), col("__relq"),
+          col("__msq"), col("__mmrq"))
+      s.unionByName(pick).localCheckpoint()
+    }
+    sel.select(col("rank"), col("__cid").as(idCol),
+      (col("__relq").cast(DoubleType) / lit(Q)).as("rel"),
+      (col("__msq").cast(DoubleType) / lit(Q)).as("max_sim_prev"),
+      (col("__mmrq").cast(DoubleType) / lit(1.0e10)).as("mmr"))
+  }
+
+  /** Cross-document duplicated-span audit (q235) — the measurement that
+    * motivates exact substring dedup (Lee et al. 2022, "Deduplicating
+    * Training Data Makes Language Models Better"): sample each doc's
+    * character `gramLen`-grams at `stride` resolution, hash them, and
+    * report per doc what fraction of sampled positions carry a gram
+    * that also appears in ANOTHER document. A shared span of length
+    * ≥ gramLen+stride−1 is guaranteed to be caught (phase error ≤
+    * stride); within-doc repetition alone never counts — the flag is
+    * strictly cross-document.
+    *
+    * 100 TB shape: the gram table is len/stride rows per doc (stride
+    * divides the suffix-array version's cost by stride with bounded
+    * resolution loss); cross-doc counts are ONE hash-keyed aggregate
+    * with a distinct-doc count, joined back on the hash — two shuffles
+    * total, both partial-agg friendly, nothing quadratic. Docs shorter
+    * than gramLen report 0 grams with a NULL fraction. */
+  def duplicatedSpans(df: DataFrame, textCol: String, idCol: String,
+      gramLen: Int = 40, stride: Int = 10): DataFrame = {
+    require(gramLen >= 8, s"duplicatedSpans needs gramLen >= 8, got $gramLen")
+    require(stride >= 1, s"duplicatedSpans needs stride >= 1, got $stride")
+    val g = df.select(col(idCol).as("__id"), col(textCol).as("__tx"))
+      .filter(length(col("__tx")) >= gramLen)
+      .select(col("__id"), col("__tx"),
+        explode(sequence(lit(1), length(col("__tx")) - lit(gramLen - 1),
+          lit(stride))).as("__pos"))
+      .select(col("__id"),
+        md5(expr(s"substring(__tx, __pos, $gramLen)")).as("__h"))
+    val hc = g.groupBy(col("__h"))
+      .agg(countDistinct(col("__id")).as("__nd"))
+    val per = g.join(hc, Seq("__h"))
+      .groupBy(col("__id"))
+      .agg(count(lit(1)).as("n_grams"),
+        sum(when(col("__nd") >= 2, 1L).otherwise(0L)).as("n_dup"))
+    df.select(col(idCol).as("__id")).distinct()
+      .join(per, Seq("__id"), "left")
+      .select(col("__id").as(idCol),
+        coalesce(col("n_grams"), lit(0L)).as("n_grams"),
+        coalesce(col("n_dup"), lit(0L)).as("n_dup"),
+        when(col("n_grams").isNull, lit(null).cast(DoubleType))
+          .otherwise(col("n_dup").cast(DoubleType) /
+            col("n_grams").cast(DoubleType)).as("dup_frac"))
+  }
+
   // ------------------------------------------------------------ skew
 
   /** Salted equi-join for pathologically skewed keys: the big side gets a

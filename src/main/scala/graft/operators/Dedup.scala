@@ -118,6 +118,16 @@ object Dedup {
   }
 
   val queries: Map[String, Q] = Map(
+    // ---- q235: cross-doc duplicated-span audit (Lee et al. 2022) —
+    // the measurement that motivates exact substring dedup: what
+    // fraction of each doc's 40-char grams (stride 10) also appear in
+    // ANOTHER doc? Shared spans ≥ 49 chars are guaranteed caught;
+    // within-doc repetition never counts. ----
+    "q235_dup_spans" -> ((s, dir) =>
+      graft.api.Graft.duplicatedSpans(t(s, dir, "documents"), "text",
+          "doc_id", gramLen = 40, stride = 10)
+        .orderBy(col("doc_id"))),
+
     // ---- q171: sorted-neighborhood record linkage — the second classic
     // blocking strategy next to q78's equality blocks (a sort key
     // brings near-misses together even when they straddle a block
@@ -588,6 +598,30 @@ object Dedup {
   }
 
   val oracle: Map[String, String] = Map(
+    // duplicated-span twin: identical stride-10 positions over docs of
+    // length >= 40, md5 of the same 40-char substr, cross-doc distinct
+    // count, left join restores short docs at 0 grams / NULL fraction
+    "q235_dup_spans" ->
+      """WITH d AS (SELECT doc_id, text, length(text) AS len FROM documents),
+        |g AS (
+        |  SELECT doc_id, md5(substr(text, i, 40)) AS h
+        |  FROM (SELECT doc_id, text,
+        |          unnest(generate_series(1, len - 39, 10)) AS i
+        |        FROM d WHERE len >= 40)),
+        |hc AS (SELECT h, COUNT(DISTINCT doc_id) AS nd FROM g GROUP BY h),
+        |per AS (
+        |  SELECT g.doc_id, CAST(COUNT(*) AS BIGINT) AS n_grams,
+        |    CAST(SUM(CASE WHEN hc.nd >= 2 THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS n_dup
+        |  FROM g JOIN hc USING (h) GROUP BY g.doc_id)
+        |SELECT d.doc_id, COALESCE(n_grams, 0) AS n_grams,
+        |  COALESCE(n_dup, 0) AS n_dup,
+        |  CASE WHEN n_grams IS NULL THEN NULL
+        |    ELSE CAST(n_dup AS DOUBLE) / CAST(n_grams AS DOUBLE) END
+        |    AS dup_frac
+        |FROM (SELECT DISTINCT doc_id FROM d) d LEFT JOIN per USING (doc_id)
+        |ORDER BY doc_id""".stripMargin,
+
     "q224_fs_em" -> fsEmSql(5),
     "q133_incremental_dedup" -> incrementalDedupSql,
     "q138_leakage_safe_split" -> leakageSafeSplitSql,

@@ -80,7 +80,73 @@ object Similarity {
       (d, c)
     }.sortBy(x => (x._1, x._2)).take(n).map(_._2).toArray
 
+  /** q234 oracle: the MMR greedy unrolled to `k` chained CTE rounds —
+    * candidate pool and pair sims nano-quantized exactly like the Spark
+    * side, each round a correlated MAX over the selected-so-far union. */
+  private def mmrSql(k: Int): String = {
+    val steps = (1 to k).map { r =>
+      val prev = if (r == 1) "sel0" else s"sel${r - 1}"
+      s"""sc$r AS MATERIALIZED (
+         |  SELECT c.id, c.relq,
+         |    COALESCE((SELECT MAX(s.simq) FROM sim s
+         |      WHERE s.ia = c.id AND s.ib IN (SELECT id FROM $prev)), 0) AS msq
+         |  FROM cand c WHERE c.id NOT IN (SELECT id FROM $prev)),
+         |pick$r AS MATERIALIZED (
+         |  SELECT $r AS rnk, id, relq, msq, 7 * relq - 3 * msq AS mmrq
+         |  FROM sc$r ORDER BY mmrq DESC, id LIMIT 1),
+         |sel$r AS MATERIALIZED (SELECT id FROM $prev UNION ALL SELECT id FROM pick$r)""".stripMargin
+    }.mkString(",\n")
+    val picks = (1 to k).map(r => s"SELECT * FROM pick$r")
+      .mkString("\n  UNION ALL ")
+    s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+       |qv AS (SELECT v AS q FROM e WHERE vec_id = 0),
+       |cand AS MATERIALIZED (
+       |  SELECT vec_id AS id,
+       |    CAST(ROUND(list_dot_product(e.v, qv.q)
+       |      / (sqrt(list_dot_product(e.v, e.v)) * sqrt(list_dot_product(qv.q, qv.q)))
+       |      * 1000000000.0) AS BIGINT) AS relq,
+       |    e.v AS v
+       |  FROM e CROSS JOIN qv WHERE e.vec_id <> 0
+       |  ORDER BY relq DESC, id LIMIT 30),
+       |sim AS MATERIALIZED (
+       |  SELECT a.id AS ia, b.id AS ib,
+       |    CAST(ROUND(list_dot_product(a.v, b.v)
+       |      / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v)))
+       |      * 1000000000.0) AS BIGINT) AS simq
+       |  FROM cand a JOIN cand b ON a.id <> b.id),
+       |sel0 AS MATERIALIZED (SELECT CAST(NULL AS BIGINT) AS id WHERE FALSE),
+       |$steps
+       |SELECT CAST(rnk AS BIGINT) AS rank, id AS vec_id,
+       |  CAST(relq AS DOUBLE) / 1000000000.0 AS rel,
+       |  CAST(msq AS DOUBLE) / 1000000000.0 AS max_sim_prev,
+       |  CAST(mmrq AS DOUBLE) / 10000000000.0 AS mmr
+       |FROM ($picks) ORDER BY rank""".stripMargin
+  }
+
   val queries: Map[String, Q] = Map(
+    // ---- q234: MMR diversification — the re-rank layer between
+    // retrieval and consumption (Carbonell & Goldstein 1998): the
+    // vec_id=0 embedding queries the corpus, top-30 by cosine form the
+    // candidate pool, and the greedy λ=0.7 integer-exact MMR chain
+    // picks 10 results that are relevant AND mutually distinct. ----
+    "q234_mmr_rerank" -> ((s, dir) => {
+      import s.implicits._
+      graft.functions.GraftFunctions.register(s)
+      val e = t(s, dir, "embeddings").select($"vec_id", $"embedding".as("v"))
+        .withColumn("nrm", sqrt(expr(norm2Expr)))
+      val q = e.filter($"vec_id" === 0L)
+        .select($"v".as("qv"), $"nrm".as("qn"))
+      val cand = e.filter($"vec_id" =!= 0L).crossJoin(broadcast(q))
+        .withColumn("rel", expr(dotExpr) / ($"nrm" * $"qn"))
+        .withColumn("relq", round($"rel" * lit(1.0e9)).cast(LongType))
+        .orderBy($"relq".desc, $"vec_id")
+        .limit(30)
+        .select($"vec_id", $"rel", $"v".as("embedding"))
+      graft.api.Graft.mmrRerank(cand, "vec_id", "rel", "embedding",
+          k = 10, lambdaTenths = 7)
+        .orderBy(col("rank"))
+    }),
+
     // ---- q27: brute-force cosine top-10 per query vector ----
     "q27_knn_cosine" -> ((s, dir) => {
       import s.implicits._
@@ -407,6 +473,12 @@ object Similarity {
   }
 
   val oracle: Map[String, String] = Map(
+    // MMR twin: identical nano-quantized relevance/sim chains, then the
+    // k greedy rounds unrolled as chained CTEs (the HITS/k-core device)
+    // — each round's argmax is the same integer 7·relq − 3·msq with the
+    // same (mmrq desc, id) order
+    "q234_mmr_rerank" -> mmrSql(10),
+
     // q28/q43 GOLDEN PINS (r9): both ANN paths are fully deterministic —
     // q28's hyperplanes are md5-derived from a fixed seed
     // (cosine_lsh_bands), q43's IVF centroids train on the orderBy(id)

@@ -1781,4 +1781,44 @@ class GraftApiSpec extends AnyFunSuite {
       .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
     assert(out(0L) === ((3L, 1L)) && out(1L) === ((2L, 0L)))
   }
+
+  test("mmrRerank demotes the near-duplicate of an already-selected result") {
+    val s = spark; import s.implicits._
+    // B nearly duplicates A; pure relevance ranks A,B,C — MMR must
+    // interleave the orthogonal C before B
+    val cand = Seq(
+      (1L, 0.95, Seq(1.0f, 0.0f)),
+      (2L, 0.90, Seq(0.999f, 0.01f)),
+      (3L, 0.50, Seq(0.0f, 1.0f)),
+      (4L, 0.40, Seq(0.7f, 0.7f)))
+      .toDF("vec_id", "rel", "embedding")
+    val out = Graft.mmrRerank(cand, "vec_id", "rel", "embedding",
+      k = 3, lambdaTenths = 7).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(3), r.getDouble(4)))
+      .toMap
+    assert(out(1L)._1 === 1L && out(2L)._1 === 3L && out(3L)._1 === 2L)
+    assert(out(1L)._2 === 0.0)                     // empty-S max sim = 0
+    assert(math.abs(out(1L)._3 - 0.7 * 0.95) < 1e-9)
+    // round 2: C wins with 0.7*0.5 - 0.3*0 over B's 0.63 - 0.3*sim(B,A)
+    assert(math.abs(out(2L)._3 - 0.35) < 1e-9)
+  }
+
+  test("duplicatedSpans: cross-doc spans flagged, within-doc repeats and short docs not") {
+    val s = spark; import s.implicits._
+    val df = Seq(
+      (1L, "abcdefghijXXXX"), (2L, "abcdefghijYYYY"),
+      (3L, "zz"), (4L, "ppppppppppppppp"))
+      .toDF("doc_id", "text")
+    val out = Graft.duplicatedSpans(df, "text", "doc_id",
+      gramLen = 8, stride = 2).collect()
+      .map(r => r.getLong(0) -> r).toMap
+    // docs 1/2 share the 10-char prefix: grams at pos 1,3 match -> 2/4
+    assert(out(1L).getLong(1) === 4L && out(1L).getLong(2) === 2L &&
+      out(1L).getDouble(3) === 0.5)
+    assert(out(2L).getLong(2) === 2L)
+    // shorter than gramLen: zero grams, NULL fraction
+    assert(out(3L).getLong(1) === 0L && out(3L).isNullAt(3))
+    // a doc repeating its own gram is NOT cross-doc duplicated
+    assert(out(4L).getLong(1) === 4L && out(4L).getLong(2) === 0L)
+  }
 }
