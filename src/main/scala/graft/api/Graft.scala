@@ -5982,4 +5982,99 @@ object Graft {
       .withColumn("discovered", col("q_value") <= lit(alpha))
       .drop("__m", "__raw", "q_value_micro")
   }
+
+  /** k-anonymity / l-diversity release audit — the privacy gate before a
+    * dataset leaves the pipeline: every row must hide in an equivalence
+    * class of ≥ k rows sharing its quasi-identifier tuple (k-anonymity,
+    * Sweeney 2002), and each class should carry several distinct
+    * sensitive values (l-diversity, Machanavajjhala et al. 2007) or
+    * class membership alone discloses the sensitive attribute.
+    *
+    * Output: one row per observed CLASS SIZE — how many classes have
+    * that size, how many rows they cover, the worst (minimum) sensitive
+    * diversity among them, and the at_risk flag (class_size < k). The
+    * suppression worklist is the natural follow-up: semi-join the input
+    * against classes below k.
+    *
+    * 100 TB shape: two keyed aggregates — quasi-tuple → class, then
+    * class-size → report — the second over the far smaller class table;
+    * output is ≤ #distinct class sizes. Exactness: pure integer counts
+    * end-to-end (exact countDistinct; swap approx_count_distinct in at
+    * extreme sensitive-cardinality, documented trade). */
+  def kAnonymityAudit(df: DataFrame, quasiCols: Seq[String],
+      sensitiveCol: String, k: Int): DataFrame = {
+    require(quasiCols.nonEmpty, "kAnonymityAudit: quasiCols must be non-empty")
+    require(k >= 2, s"kAnonymityAudit: k must be >= 2, got $k")
+    val classes = df.groupBy(quasiCols.map(col): _*)
+      .agg(count(lit(1)).as("class_size"),
+        countDistinct(col(sensitiveCol)).as("__l"))
+    classes.groupBy(col("class_size"))
+      .agg(count(lit(1)).as("n_classes"),
+        min(col("__l")).as("min_l_diversity"))
+      .select(col("class_size"), col("n_classes"),
+        (col("class_size") * col("n_classes")).as("n_rows"),
+        col("min_l_diversity"),
+        (col("class_size") < lit(k.toLong)).as("at_risk"))
+  }
+
+  /** Isotonic calibration (pool-adjacent-violators) of a score against a
+    * binary label — the calibration REPAIR beside q162's diagnosis and
+    * q232's decomposition: the least-squares monotone map score →
+    * calibrated rate (Zadrozny & Elkan 2002's recipe for turning ranker
+    * scores into usable probabilities).
+    *
+    * Computed via the minimax closed form of isotonic regression —
+    * fit(k) = max_{i≤k} min_{j≥k} mean(label over cells i..j) — instead
+    * of the sequential PAV stack: every quantity derives from the CELL
+    * table (one row per distinct score), so the whole fit is cell-table
+    * arithmetic after ONE keyed aggregate over the raw rows.
+    *
+    * Exactness: cell-range means are single double divisions of exact
+    * long prefix-sum differences (correctly rounded, so bit-identical
+    * cross-engine), and min/max over identical doubles are exact — the
+    * fit hash-gates without quantization.
+    *
+    * 100 TB shape: the raw-row reduction is one groupBy(score); the
+    * C-cell table then drives a C²-row pair join + one windowed
+    * suffix-min + one keyed max. In-budget because C is the number of
+    * DISTINCT scores, which the caller bounds by quantizing the score
+    * first (q232's round(p·scale) device); the maxCells tripwire fails
+    * loudly instead of letting an unquantized float score melt the pair
+    * join. The windows here order CELLS, never raw rows. */
+  def isotonicCalibrate(df: DataFrame, scoreCol: String, labelCol: String,
+      maxCells: Int = 1000): DataFrame = {
+    val cells = df.filter(col(scoreCol).isNotNull && col(labelCol).isNotNull)
+      .groupBy(col(scoreCol).as("score"))
+      .agg(count(lit(1)).as("n"),
+        sum(col(labelCol).cast(LongType)).as("pos"))
+      .localCheckpoint() // pinned: feeds the pair join AND the output join
+    val c = cells.count()
+    require(c <= maxCells,
+      s"isotonicCalibrate: $c distinct scores exceed maxCells=$maxCells — " +
+        "quantize the score first (round(p*scale) cast to long); the PAV " +
+        "fit is C^2 in distinct scores by design")
+    val wIdx = Window.orderBy(col("score"))
+    val idx = cells.select(col("score"), col("n"), col("pos"),
+      row_number().over(wIdx).cast(LongType).as("i"),
+      sum(col("n")).over(wIdx).as("cn"),
+      sum(col("pos")).over(wIdx).as("cp"))
+    val a = idx.select(col("i").as("ia"), col("cn").as("cna"),
+      col("cp").as("cpa"), col("n").as("na"), col("pos").as("posa"))
+    val b = idx.select(col("i").as("ib"), col("cn").as("cnb"),
+      col("cp").as("cpb"))
+    val pairs = a.join(b, col("ia") <= col("ib"))
+      .select(col("ia"), col("ib"),
+        ((col("cpb") - col("cpa") + col("posa")).cast(DoubleType) /
+          (col("cnb") - col("cna") + col("na")).cast(DoubleType)).as("m"))
+    val wSuf = Window.partitionBy(col("ia")).orderBy(col("ib").desc)
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val iso = pairs.withColumn("mik", min(col("m")).over(wSuf))
+      .groupBy(col("ib").as("i"))
+      .agg(max(col("mik")).as("rate_iso"))
+    idx.join(iso, Seq("i"))
+      .select(col("score"), col("n"), col("pos"),
+        (col("pos").cast(DoubleType) / col("n").cast(DoubleType))
+          .as("rate_raw"),
+        col("rate_iso"))
+  }
 }

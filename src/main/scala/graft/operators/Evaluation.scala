@@ -39,6 +39,28 @@ object Evaluation {
       graft.api.Graft.brierDecomposition(test, "p", "y", scale = 10000)
     }),
 
+    // ---- q237: isotonic (PAV) calibration of q232's cohort forecast —
+    // the REPAIR next to the diagnosis: the least-squares monotone map
+    // from the (10⁴-quantized) forecast to a calibrated rate, computed
+    // via the minimax closed form over forecast cells. Score cells are
+    // the q232 quantization, so C is bounded by #(event_type × cohort)
+    // no matter the row count. ----
+    "q237_isotonic_calibration" -> ((s, dir) => {
+      val ev = t(s, dir, "events").filter(col("value").isNotNull)
+        .select(col("event_id"), col("event_type"),
+          (col("user_id") % 8).as("cohort"),
+          (col("value") > 50.0).cast(LongType).as("y"))
+      val train = ev.filter(col("event_id") % 2 === 0)
+        .groupBy(col("event_type"), col("cohort"))
+        .agg((sum(col("y")).cast(DoubleType) /
+          count(lit(1)).cast(DoubleType)).as("p"))
+      val test = ev.filter(col("event_id") % 2 === 1)
+        .join(broadcast(train), Seq("event_type", "cohort"))
+        .withColumn("pq", round(col("p") * lit(10000.0)).cast(LongType))
+      graft.api.Graft.isotonicCalibrate(test, "pq", "y")
+        .orderBy(col("score"))
+    }),
+
     // ---- q160: exact ROC AUC (Mann–Whitney) — does `value` rank
     // purchase events above the rest? Tie groups (the value column is
     // money-quantized, ~1/3 of rows share a value with another) exercise
@@ -187,6 +209,48 @@ object Evaluation {
         |  CAST(t.s AS DOUBLE) / CAST(t.n AS DOUBLE)
         |    * (1.0 - CAST(t.s AS DOUBLE) / CAST(t.n AS DOUBLE)) AS uncertainty
         |FROM tot t CROSS JOIN bs CROSS JOIN rr""".stripMargin,
+
+    // isotonic twin: the q232 forecast model and quantization, the same
+    // cell prefix sums, the same minimax m(i,k) = min_{j≥k} mean(i..j)
+    // suffix-min window and max-over-i fold — cell means are exact-long
+    // double divisions, so the fit hash-gates without quantization
+    "q237_isotonic_calibration" ->
+      """WITH ev AS (
+        |  SELECT event_id, event_type, user_id % 8 AS cohort,
+        |    CASE WHEN value > 50.0 THEN 1 ELSE 0 END AS y
+        |  FROM events WHERE value IS NOT NULL),
+        |tr AS (
+        |  SELECT event_type, cohort,
+        |    CAST(SUM(y) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS p
+        |  FROM ev WHERE event_id % 2 = 0 GROUP BY event_type, cohort),
+        |ts AS (
+        |  SELECT y, CAST(ROUND(p * 10000.0) AS BIGINT) AS pq
+        |  FROM ev JOIN tr USING (event_type, cohort)
+        |  WHERE event_id % 2 = 1),
+        |cells AS (
+        |  SELECT pq AS score, CAST(COUNT(*) AS BIGINT) AS n,
+        |    CAST(SUM(y) AS BIGINT) AS pos
+        |  FROM ts GROUP BY pq),
+        |idx AS (
+        |  SELECT score, n, pos,
+        |    row_number() OVER (ORDER BY score) AS i,
+        |    CAST(SUM(n) OVER (ORDER BY score) AS BIGINT) AS cn,
+        |    CAST(SUM(pos) OVER (ORDER BY score) AS BIGINT) AS cp
+        |  FROM cells),
+        |pairs AS (
+        |  SELECT a.i AS ia, b.i AS ib,
+        |    CAST(b.cp - a.cp + a.pos AS DOUBLE) /
+        |      CAST(b.cn - a.cn + a.n AS DOUBLE) AS m
+        |  FROM idx a JOIN idx b ON a.i <= b.i),
+        |suf AS (
+        |  SELECT ia, ib, MIN(m) OVER (PARTITION BY ia ORDER BY ib DESC
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS mik
+        |  FROM pairs),
+        |iso AS (SELECT ib AS i, MAX(mik) AS rate_iso FROM suf GROUP BY ib)
+        |SELECT idx.score, idx.n, idx.pos,
+        |  CAST(idx.pos AS DOUBLE) / CAST(idx.n AS DOUBLE) AS rate_raw,
+        |  iso.rate_iso
+        |FROM idx JOIN iso USING (i) ORDER BY score""".stripMargin,
 
     // ARI twin: identical contingency and the cross-multiplied
     // (2·N₂·x − 2ab)/(N₂(a+b) − 2ab) identity in HUGEINT

@@ -87,10 +87,43 @@ object Quality {
         .unionAll(g.fdAudit(t(s, dir, "lineitem"), "lineitem",
           Seq(("l_orderkey", "l_returnflag"))))
         .orderBy(col("fd"))
+    }),
+
+    // ---- q236: k-anonymity / l-diversity release audit — can a row
+    // hide in the crowd of customers sharing its (nation, segment)
+    // quasi-identifier tuple, and do those crowds carry diverse account
+    // balances (banded to $1000)? One row per observed class size, the
+    // at_risk flag at k=5 — the privacy gate a dataset passes before
+    // leaving the pipeline. ----
+    "q236_k_anonymity" -> ((s, dir) => {
+      val c = t(s, dir, "customer")
+        .withColumn("acct_band",
+          floor(col("c_acctbal") / 1000.0).cast(LongType))
+      graft.api.Graft.kAnonymityAudit(c, Seq("c_nationkey", "c_mktsegment"),
+          "acct_band", k = 5)
+        .orderBy(col("class_size"))
     })
   )
 
   val oracle: Map[String, String] = Map(
+    // k-anonymity twin: identical $1000 banding, the same two-level
+    // class-size / diversity aggregation, pure integer counts
+    "q236_k_anonymity" ->
+      """WITH b AS (
+        |  SELECT c_nationkey, c_mktsegment,
+        |    CAST(FLOOR(c_acctbal / 1000.0) AS BIGINT) AS acct_band
+        |  FROM customer),
+        |cls AS (
+        |  SELECT c_nationkey, c_mktsegment,
+        |    CAST(COUNT(*) AS BIGINT) AS class_size,
+        |    CAST(COUNT(DISTINCT acct_band) AS BIGINT) AS l
+        |  FROM b GROUP BY 1, 2)
+        |SELECT class_size, CAST(COUNT(*) AS BIGINT) AS n_classes,
+        |  CAST(class_size * COUNT(*) AS BIGINT) AS n_rows,
+        |  CAST(MIN(l) AS BIGINT) AS min_l_diversity,
+        |  class_size < 5 AS at_risk
+        |FROM cls GROUP BY class_size ORDER BY class_size""".stripMargin,
+
     // profiler twin: per-column SELECTs unioned, identical DECIMAL(18,2)
     // money rendering, typed min/max stringified after aggregation
     "q168_profile" -> {

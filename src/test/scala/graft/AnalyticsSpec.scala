@@ -642,4 +642,68 @@ class AnalyticsSpec extends AnyFunSuite {
     assert(out.map(_._1).toSeq === Seq("c", "a", "b")) // deterministic order
     assert(out.forall(_._2 <= 1.0))
   }
+
+  // ------------------------------------------------------ k-anonymity
+
+  test("kAnonymityAudit groups classes by size with worst-case diversity") {
+    val s = spark; import s.implicits._
+    // classes: (x,1) size 3 with 2 distinct sensitive values;
+    // (y,1) and (y,2) singletons with 1 each
+    val df = Seq(
+      ("x", 1, "s1"), ("x", 1, "s1"), ("x", 1, "s2"),
+      ("y", 1, "s1"), ("y", 2, "s3")).toDF("qa", "qb", "sens")
+    val out = Graft.kAnonymityAudit(df, Seq("qa", "qb"), "sens", k = 2)
+      .orderBy("class_size").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getBoolean(4)))
+    assert(out.toSeq === Seq((1L, 2L, 2L, 1L, true), (3L, 1L, 3L, 2L, false)))
+  }
+
+  test("kAnonymityAudit rejects k < 2 and empty quasiCols") {
+    val s = spark; import s.implicits._
+    val df = Seq(("x", "s")).toDF("qa", "sens")
+    intercept[IllegalArgumentException] {
+      Graft.kAnonymityAudit(df, Seq("qa"), "sens", k = 1)
+    }
+    intercept[IllegalArgumentException] {
+      Graft.kAnonymityAudit(df, Seq.empty, "sens", k = 5)
+    }
+  }
+
+  // ------------------------------------------------- isotonic (PAV)
+
+  test("isotonicCalibrate reproduces the sequential PAV fit") {
+    val s = spark; import s.implicits._
+    // unit-weight cells with raw rates 1,0,1,0,1,1 → classic PAV pools
+    // the first four to 0.5 and keeps the final two at 1
+    val df = Seq((1L, 1L), (2L, 0L), (3L, 1L), (4L, 0L), (5L, 1L), (6L, 1L))
+      .toDF("score", "y")
+    val out = Graft.isotonicCalibrate(df, "score", "y")
+      .orderBy("score").collect().map(_.getDouble(4))
+    assert(out.toSeq === Seq(0.5, 0.5, 0.5, 0.5, 1.0, 1.0))
+  }
+
+  test("isotonicCalibrate pools by weight and preserves label mass") {
+    val s = spark; import s.implicits._
+    // score 10 has two positive rows, 20 one negative, 30 one positive:
+    // rates 1,0,1 → pool (10,20) at weight 3 → 2/3, 2/3, 1
+    val df = Seq((10L, 1L), (10L, 1L), (20L, 0L), (30L, 1L))
+      .toDF("score", "y")
+    val rows = Graft.isotonicCalibrate(df, "score", "y")
+      .orderBy("score").collect()
+    val fit = rows.map(_.getDouble(4))
+    assert(fit(0) === 2.0 / 3.0 && fit(1) === 2.0 / 3.0 && fit(2) === 1.0)
+    // monotone, and Σ n·fit = Σ pos (PAV preserves the label mass)
+    assert(fit.toSeq === fit.sorted.toSeq)
+    val mass = rows.map(r => r.getLong(1) * r.getDouble(4)).sum
+    assert(math.abs(mass - 3.0) < 1e-12)
+  }
+
+  test("isotonicCalibrate trips the maxCells guard on unquantized scores") {
+    val s = spark; import s.implicits._
+    val df = (1 to 50).map(i => (i.toLong, i.toLong % 2)).toDF("score", "y")
+    intercept[IllegalArgumentException] {
+      Graft.isotonicCalibrate(df, "score", "y", maxCells = 10)
+    }
+  }
 }
