@@ -6077,4 +6077,115 @@ object Graft {
           .as("rate_raw"),
         col("rate_iso"))
   }
+
+  /** Hard-negative mining for contrastive training (q238) — for each
+    * anchor, the k most-similar corpus items with a DIFFERENT label:
+    * semantically close but known-distinct, the negatives that actually
+    * move an embedding model (random negatives — negativeSample — are
+    * trivially separable after the first epochs; cf. DPR, Karpukhin et
+    * al. 2020).
+    *
+    * Same shape as [[cosineTopK]]: anchors broadcast (caller-bounded —
+    * mine for a training batch, not the whole corpus at once), the base
+    * side never shuffles, label inequality rides the join condition so
+    * same-label pairs are never scored. Similarities are nano-quantized
+    * before the rank so ordering is engine-exact. At corpus-scale anchor
+    * sets, swap the scoring join for the LSH/IVF candidate paths. */
+  def hardNegatives(df: DataFrame, idCol: String, vecCol: String,
+      labelCol: String, k: Int, anchorFilter: Column): DataFrame = {
+    require(k >= 1, s"hardNegatives needs k >= 1, got $k")
+    graft.functions.GraftFunctions.register(df.sparkSession)
+    val base0 = df.select(col(idCol).as("nid"), col(vecCol).as("v"),
+        col(labelCol).as("neg_label"))
+      .withColumn("nrm", sqrt(expr("vec_dot(v, v)")))
+    // the cosineTopK parallelism floor: a single-file base read would
+    // serialize the O(|base|·|anchors|) scoring on one core
+    val dp = df.sparkSession.sparkContext.defaultParallelism
+    val base = if (base0.rdd.getNumPartitions < dp)
+      base0.repartition(dp, col("nid")) else base0
+    val anchors = df.filter(anchorFilter)
+      .select(col(idCol).as("qid"), col(vecCol).as("qv"),
+        col(labelCol).as("anchor_label"))
+      .withColumn("qn", sqrt(expr("vec_dot(qv, qv)")))
+    val w = Window.partitionBy(col("qid"))
+      .orderBy(col("simq").desc, col("nid"))
+    base.join(broadcast(anchors), col("neg_label") =!= col("anchor_label"))
+      .withColumn("simq", round(expr("vec_dot(v, qv)") /
+        (col("nrm") * col("qn")) * lit(1.0e9)).cast(LongType))
+      .withColumn("rnk", row_number().over(w).cast(LongType))
+      .filter(col("rnk") <= k)
+      .select(col("qid"), col("anchor_label"), col("rnk"), col("nid"),
+        col("neg_label"),
+        (col("simq").cast(DoubleType) / lit(1.0e9)).as("sim"))
+  }
+
+  /** Embedding-space decontamination (q240) — the semantic layer the
+    * n-gram rules (bloom/gram decontamination) cannot see: flag every
+    * train item whose nearest eval-set embedding clears a cosine
+    * threshold (paraphrased eval leakage shares no 13-gram but sits at
+    * high cosine). Every train row is kept — clean rows report their
+    * best match un-flagged, so the output doubles as a near-miss audit.
+    *
+    * Shape: eval set broadcast (eval suites are small by construction);
+    * the |train|×|eval| scoring reduces through ONE keyed min_by argmax
+    * (map-side partial, no window, no shuffle of scored pairs), so the
+    * train side streams. Similarities nano-quantized before the argmax
+    * → engine-exact tie-breaks (then min eval_id). At eval sets too big
+    * to broadcast, bucket both sides through the LSH path first. */
+  def semanticDecontaminate(train: DataFrame, evalSet: DataFrame,
+      vecCol: String, idCol: String, threshold: Double): DataFrame = {
+    graft.functions.GraftFunctions.register(train.sparkSession)
+    val tq = math.round(threshold * 1.0e9)
+    val tr = train.select(col(idCol).as("train_id"), col(vecCol).as("v"))
+      .withColumn("nrm", sqrt(expr("vec_dot(v, v)")))
+    val ev = evalSet.select(col(idCol).as("eval_id"), col(vecCol).as("qv"))
+      .withColumn("qn", sqrt(expr("vec_dot(qv, qv)")))
+    tr.join(broadcast(ev), lit(true))
+      .withColumn("simq", round(expr("vec_dot(v, qv)") /
+        (col("nrm") * col("qn")) * lit(1.0e9)).cast(LongType))
+      .groupBy(col("train_id"))
+      .agg(min_by(struct(col("eval_id"), col("simq")),
+        struct((-col("simq")).as("s"), col("eval_id").as("e"))).as("__best"))
+      .select(col("train_id"), col("__best.eval_id").as("top_eval_id"),
+        (col("__best.simq").cast(DoubleType) / lit(1.0e9)).as("top_cos"),
+        (col("__best.simq") >= lit(tq)).as("contaminated"))
+  }
+
+  /** Reciprocal nearest neighbors across two sets (q241) — pairs (a, b)
+    * where b is a's top-1 AND a is b's top-1: the mutual-best rule that
+    * hubness cannot fool (a hub vector is many items' top-1 but has only
+    * one top-1 itself), the strict sibling of margin-based mining
+    * (q206). Standard as the high-precision alignment filter in bitext
+    * mining and cross-modal pair curation.
+    *
+    * Both argmaxes reduce the SAME scored lineage through keyed min_by
+    * aggregates (map-side partial; the pair stream is never materialized
+    * or shuffled), then one equi-join keeps mutual pairs. Similarities
+    * nano-quantized → engine-exact ties (then min partner id). Brute
+    * force O(|A|·|B|) with the smaller side broadcast — at corpus scale
+    * generate candidates with the LSH/IVF paths and apply the same
+    * mutual rule to the candidate set. */
+  def reciprocalNearestNeighbors(a: DataFrame, b: DataFrame,
+      vecCol: String, idCol: String): DataFrame = {
+    graft.functions.GraftFunctions.register(a.sparkSession)
+    val av = a.select(col(idCol).as("a_id"), col(vecCol).as("v"))
+      .withColumn("an", sqrt(expr("vec_dot(v, v)")))
+    val bv = b.select(col(idCol).as("b_id"), col(vecCol).as("qv"))
+      .withColumn("bn", sqrt(expr("vec_dot(qv, qv)")))
+    val scored = av.join(broadcast(bv), lit(true))
+      .withColumn("simq", round(expr("vec_dot(v, qv)") /
+        (col("an") * col("bn")) * lit(1.0e9)).cast(LongType))
+      .select(col("a_id"), col("b_id"), col("simq"))
+    val bestB = scored.groupBy(col("a_id"))
+      .agg(min_by(struct(col("b_id"), col("simq")),
+        struct((-col("simq")).as("s"), col("b_id").as("t"))).as("__m"))
+      .select(col("a_id"), col("__m.b_id").as("b_id"),
+        col("__m.simq").as("simq"))
+    val bestA = scored.groupBy(col("b_id"))
+      .agg(min_by(col("a_id"),
+        struct((-col("simq")).as("s"), col("a_id").as("t"))).as("a_id"))
+    bestB.join(bestA, Seq("a_id", "b_id"))
+      .select(col("a_id"), col("b_id"),
+        (col("simq").cast(DoubleType) / lit(1.0e9)).as("cos"))
+  }
 }

@@ -147,6 +147,49 @@ object Similarity {
         .orderBy(col("rank"))
     }),
 
+    // ---- q238: hard-negative mining — for each anchor (every 50th
+    // vector), the 5 most-similar vectors with a DIFFERENT label:
+    // semantically close but known-distinct, the negatives that train
+    // contrastive embedding models (random draws go trivial after the
+    // first epochs). Label inequality rides the join condition; sims
+    // nano-quantized before the rank. ----
+    "q238_hard_negatives" -> ((s, dir) => {
+      import s.implicits._
+      graft.api.Graft.hardNegatives(t(s, dir, "embeddings"), "vec_id",
+          "embedding", "label", k = 5, anchorFilter = $"vec_id" % 50 === 0)
+        .withColumn("sim_r", round($"sim", 4)).drop("sim")
+        .orderBy($"qid", $"rnk")
+    }),
+
+    // ---- q240: embedding-space decontamination — the semantic layer
+    // q58's n-gram rules cannot see: every train vector (labels 0-4)
+    // reports its nearest eval vector (label 9) and is flagged when the
+    // cosine clears 0.35. Clean rows keep their best match un-flagged,
+    // so the output doubles as the near-miss audit. ----
+    "q240_semantic_decontamination" -> ((s, dir) => {
+      import s.implicits._
+      val e = t(s, dir, "embeddings")
+      graft.api.Graft.semanticDecontaminate(
+          e.filter($"label" <= 4), e.filter($"label" === 9),
+          "embedding", "vec_id", threshold = 0.35)
+        .withColumn("top_cos_r", round($"top_cos", 4)).drop("top_cos")
+        .orderBy($"train_id")
+    }),
+
+    // ---- q241: reciprocal nearest neighbors — mutual top-1 pairs
+    // across the q206 label split: the hubness-proof high-precision
+    // alignment rule (a hub is many items' top-1 but has one top-1
+    // itself), the strict sibling of q206's margin rule. ----
+    "q241_reciprocal_nn" -> ((s, dir) => {
+      import s.implicits._
+      val e = t(s, dir, "embeddings")
+      graft.api.Graft.reciprocalNearestNeighbors(
+          e.filter($"label" === 0), e.filter($"label" === 1),
+          "embedding", "vec_id")
+        .withColumn("cos_r", round($"cos", 4)).drop("cos")
+        .orderBy($"a_id")
+    }),
+
     // ---- q27: brute-force cosine top-10 per query vector ----
     "q27_knn_cosine" -> ((s, dir) => {
       import s.implicits._
@@ -568,6 +611,73 @@ object Similarity {
         |FROM p
         |WHERE s2 IS NOT NULL AND round(s1 - s2, 4) >= 0.02
         |ORDER BY src_id""".stripMargin,
+
+    // hard-negative twin: identical nano-quantized cosine, the same
+    // label-inequality condition and (simq desc, nid) rank
+    "q238_hard_negatives" ->
+      """WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings),
+        |q AS (SELECT vec_id AS qid, label AS anchor_label, v AS qv
+        |      FROM e WHERE vec_id % 50 = 0),
+        |scored AS (
+        |  SELECT q.qid, q.anchor_label, e.vec_id AS nid, e.label AS neg_label,
+        |    CAST(ROUND(list_dot_product(e.v, q.qv) /
+        |      (sqrt(list_dot_product(e.v, e.v)) * sqrt(list_dot_product(q.qv, q.qv)))
+        |      * 1000000000.0) AS BIGINT) AS simq
+        |  FROM e, q WHERE e.label <> q.anchor_label),
+        |r AS (SELECT qid, anchor_label, nid, neg_label, simq,
+        |        CAST(row_number() OVER (PARTITION BY qid
+        |          ORDER BY simq DESC, nid) AS BIGINT) AS rnk
+        |      FROM scored)
+        |SELECT qid, anchor_label, rnk, nid, neg_label,
+        |  round(CAST(simq AS DOUBLE) / 1000000000.0, 4) AS sim_r
+        |FROM r WHERE rnk <= 5 ORDER BY qid, rnk""".stripMargin,
+
+    // decontamination twin: identical quantized cosine, the same
+    // (simq desc, eval_id) argmax and threshold-on-the-quantized-long
+    "q240_semantic_decontamination" ->
+      """WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings),
+        |tr AS (SELECT vec_id AS train_id, v FROM e WHERE label <= 4),
+        |ev AS (SELECT vec_id AS eval_id, v AS qv FROM e WHERE label = 9),
+        |scored AS (
+        |  SELECT tr.train_id, ev.eval_id,
+        |    CAST(ROUND(list_dot_product(tr.v, ev.qv) /
+        |      (sqrt(list_dot_product(tr.v, tr.v)) * sqrt(list_dot_product(ev.qv, ev.qv)))
+        |      * 1000000000.0) AS BIGINT) AS simq
+        |  FROM tr, ev),
+        |r AS (SELECT train_id, eval_id, simq,
+        |        row_number() OVER (PARTITION BY train_id
+        |          ORDER BY simq DESC, eval_id) AS rnk
+        |      FROM scored)
+        |SELECT train_id, eval_id AS top_eval_id,
+        |  round(CAST(simq AS DOUBLE) / 1000000000.0, 4) AS top_cos_r,
+        |  simq >= 350000000 AS contaminated
+        |FROM r WHERE rnk = 1 ORDER BY train_id""".stripMargin,
+
+    // reciprocal-NN twin: both directions' (simq desc, id) top-1 from
+    // the same quantized score table, joined on mutual agreement
+    "q241_reciprocal_nn" ->
+      """WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings),
+        |a AS (SELECT vec_id AS a_id, v FROM e WHERE label = 0),
+        |b AS (SELECT vec_id AS b_id, v AS qv FROM e WHERE label = 1),
+        |scored AS (
+        |  SELECT a.a_id, b.b_id,
+        |    CAST(ROUND(list_dot_product(a.v, b.qv) /
+        |      (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.qv, b.qv)))
+        |      * 1000000000.0) AS BIGINT) AS simq
+        |  FROM a, b),
+        |ra AS (SELECT a_id, b_id, simq,
+        |         row_number() OVER (PARTITION BY a_id
+        |           ORDER BY simq DESC, b_id) AS rnk
+        |       FROM scored),
+        |rb AS (SELECT a_id, b_id,
+        |         row_number() OVER (PARTITION BY b_id
+        |           ORDER BY simq DESC, a_id) AS rnk
+        |       FROM scored)
+        |SELECT ra.a_id, ra.b_id,
+        |  round(CAST(ra.simq AS DOUBLE) / 1000000000.0, 4) AS cos_r
+        |FROM ra JOIN rb ON ra.a_id = rb.a_id AND ra.b_id = rb.b_id
+        |WHERE ra.rnk = 1 AND rb.rnk = 1
+        |ORDER BY ra.a_id""".stripMargin,
 
     "q27_knn_cosine" ->
       """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),

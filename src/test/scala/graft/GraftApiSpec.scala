@@ -1821,4 +1821,55 @@ class GraftApiSpec extends AnyFunSuite {
     // a doc repeating its own gram is NOT cross-doc duplicated
     assert(out(4L).getLong(1) === 4L && out(4L).getLong(2) === 0L)
   }
+
+  test("hardNegatives never returns same-label items and ranks by cosine") {
+    val s = spark; import s.implicits._
+    val df = Seq(
+      (0L, "A", Seq(1.0f, 0.0f)),
+      (1L, "A", Seq(0.99f, 0.1f)),   // closest overall but same label
+      (2L, "B", Seq(0.9f, 0.4f)),
+      (3L, "B", Seq(0.0f, 1.0f)))
+      .toDF("vec_id", "label", "embedding")
+    val out = Graft.hardNegatives(df, "vec_id", "embedding", "label",
+        k = 2, anchorFilter = col("vec_id") === 0L)
+      .orderBy("rnk").collect()
+      .map(r => (r.getLong(2), r.getLong(3), r.getString(4)))
+    assert(out.toSeq === Seq((1L, 2L, "B"), (2L, 3L, "B")))
+  }
+
+  test("semanticDecontaminate keeps clean rows and flags above threshold") {
+    val s = spark; import s.implicits._
+    val train = Seq((1L, Seq(1.0f, 0.0f)), (2L, Seq(0.0f, 1.0f)))
+      .toDF("vec_id", "embedding")
+    val ev = Seq((10L, Seq(1.0f, 0.1f)), (11L, Seq(-1.0f, 0.0f)))
+      .toDF("vec_id", "embedding")
+    val out = Graft.semanticDecontaminate(train, ev, "embedding", "vec_id",
+        threshold = 0.9).orderBy("train_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getBoolean(3)))
+    // t1 ≈ 0.995 vs e10 → flagged; t2's best is e10 at ≈ 0.0995 → clean
+    assert(out.toSeq === Seq((1L, 10L, true), (2L, 10L, false)))
+  }
+
+  test("semanticDecontaminate breaks exact ties by the lower eval id") {
+    val s = spark; import s.implicits._
+    val train = Seq((1L, Seq(1.0f, 0.0f))).toDF("vec_id", "embedding")
+    val ev = Seq((20L, Seq(2.0f, 0.0f)), (10L, Seq(3.0f, 0.0f)))
+      .toDF("vec_id", "embedding") // both cos = 1 exactly
+    val out = Graft.semanticDecontaminate(train, ev, "embedding", "vec_id",
+      threshold = 0.5).collect().head
+    assert(out.getLong(1) === 10L && out.getBoolean(3))
+  }
+
+  test("reciprocalNearestNeighbors keeps only mutual top-1 pairs") {
+    val s = spark; import s.implicits._
+    // a2's top is b1, but b1's top is a1 → only (a1,b1) survives; b2's
+    // top is a2, which does not reciprocate
+    val a = Seq((1L, Seq(1.0f, 0.0f)), (2L, Seq(0.9f, 0.1f)))
+      .toDF("vec_id", "embedding")
+    val b = Seq((7L, Seq(1.0f, 0.0f)), (8L, Seq(0.0f, 1.0f)))
+      .toDF("vec_id", "embedding")
+    val out = Graft.reciprocalNearestNeighbors(a, b, "embedding", "vec_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(out.toSeq === Seq((1L, 7L, 1.0)))
+  }
 }
