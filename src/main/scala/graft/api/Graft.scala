@@ -6188,4 +6188,32 @@ object Graft {
       .select(col("a_id"), col("b_id"),
         (col("simq").cast(DoubleType) / lit(1.0e9)).as("cos"))
   }
+
+  /** Feature hashing — the "hashing trick" (Weinberger et al. 2009):
+    * fixed-dimension sparse bag-of-words features with NO vocabulary
+    * pass — token → dimension by hash, ±1 sign by an independent hash
+    * bit so collisions cancel in expectation. The standard featurizer
+    * for linear classifiers / quality scorers over unbounded vocabulary
+    * at corpus scale (Vowpal-Wabbit-style).
+    *
+    * Output: (doc_id, dim, weight) for nonzero weights. Shape: one
+    * per-row projection + ONE keyed aggregate — no vocabulary table, no
+    * broadcast, nothing proportional to vocab size anywhere. Hashes are
+    * md5-derived (md5_lower64, the q189 device), so features are
+    * deterministic cross-run, cross-engine, and append-stable. */
+  def featureHash(df: DataFrame, textCol: String, idCol: String,
+      dims: Int = 64): DataFrame = {
+    require(dims >= 2, s"featureHash needs dims >= 2, got $dims")
+    graft.functions.GraftFunctions.register(df.sparkSession)
+    df.select(col(idCol).as("doc_id"),
+        explode(split(lower(col(textCol)), "[^a-z0-9]+")).as("__t"))
+      .filter(col("__t") =!= "")
+      .withColumn("dim", call_function("md5_lower64", col("__t"))
+        .bitwiseAND(lit(Long.MaxValue)) % dims)
+      .withColumn("__sgn", call_function("md5_lower64",
+        concat(lit("s:"), col("__t"))).bitwiseAND(lit(1L)) * lit(2L) - lit(1L))
+      .groupBy(col("doc_id"), col("dim"))
+      .agg(sum(col("__sgn")).as("weight"))
+      .filter(col("weight") =!= 0L)
+  }
 }

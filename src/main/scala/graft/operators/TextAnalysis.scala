@@ -189,6 +189,53 @@ object TextAnalysis {
     // never a self-join), PMI from keyed count tables with 1-row N
     // broadcasts. Ranking is on the NANO-QUANTIZED pmi (exact long), so
     // top-30 ordering is engine-exact; min-count 5 guards the tail. ----
+    // ---- q239: TextRank keyword extraction (Mihalcea & Tarau 2004) —
+    // PageRank over the word co-occurrence graph: q137's ±2-window
+    // token pairs (lead() per doc, never a self-join) symmetrized into
+    // a directed edge list over the top-40 vocabulary, then the SAME
+    // quantized pageRank chain q111 gates, top-20 keywords by the
+    // nano-exact rank long. Vocab cap bounds the graph no matter the
+    // corpus size — the token stream reduces through one keyed count
+    // before anything graph-shaped happens. ----
+    "q239_textrank_keywords" -> ((s, dir) => {
+      val toks = t(s, dir, "documents").select(col("doc_id").as("__id"),
+          posexplode(split(lower(col("text")), "[^a-z0-9]+"))
+            .as(Seq("__p", "__t")))
+        .filter(col("__t") =!= "")
+      val vocab = toks.groupBy(col("__t").as("tok"))
+        .agg(count(lit(1)).as("cnt"))
+        .orderBy(col("cnt").desc, col("tok")).limit(40)
+        .select(col("tok"))
+      val wp = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("__id")).orderBy(col("__p"))
+      val adj = Seq(1, 2).map { kk =>
+        toks.select(col("__t").as("a"), lead(col("__t"), kk).over(wp).as("b"))
+          .filter(col("b").isNotNull)
+      }.reduce(_ unionAll _).filter(col("a") =!= col("b"))
+      val sym = adj.select(col("a").as("src"), col("b").as("dst"))
+        .unionAll(adj.select(col("b").as("src"), col("a").as("dst")))
+      val edges = sym
+        .join(broadcast(vocab.select(col("tok").as("src"))), "src")
+        .join(broadcast(vocab.select(col("tok").as("dst"))), "dst")
+        .groupBy(col("src"), col("dst")).agg(count(lit(1)).as("w"))
+      graft.api.Graft.pageRank(edges, "src", "dst", "w", iterations = 3)
+        .withColumn("rq", round(col("rank") * lit(1.0e12)).cast(LongType))
+        .orderBy(col("rq").desc, col("node"))
+        .limit(20)
+        .select(col("node").as("token"),
+          (col("rq").cast(DoubleType) / lit(1.0e12)).as("rank"))
+    }),
+
+    // ---- q242: feature hashing — fixed-64-dim signed bag-of-words via
+    // the hashing trick: no vocabulary pass, one projection + one keyed
+    // aggregate; md5-derived dims/signs replay identically cross-engine
+    // (the q189 device), zero-weight collisions cancel out of the
+    // output. ----
+    "q242_feature_hashing" -> ((s, dir) =>
+      graft.api.Graft.featureHash(t(s, dir, "documents"), "text", "doc_id",
+          dims = 64)
+        .orderBy(col("doc_id"), col("dim"))),
+
     "q137_pmi_pairs" -> ((s, dir) => {
       val toks = t(s, dir, "documents").select(col("doc_id").as("__id"),
           posexplode(split(lower(col("text")), "[^a-z0-9]+")).as(Seq("__p", "__t")))
@@ -478,7 +525,85 @@ object TextAnalysis {
        |SELECT doc_id, pred_lang, pred_lang = lang AS is_match FROM p
        |ORDER BY doc_id""".stripMargin
 
+  /** q239 oracle: the q111 pagerank round device (MATERIALIZED rounds,
+    * quantized in-sums, the dangling term kept for chain equality even
+    * though the symmetric graph makes it 0) over the q137 token-pair
+    * CTEs restricted to the top-40 vocabulary. */
+  private def textrankSql(iters: Int): String = {
+    val q = "1000000000000.0"
+    val rounds = (1 to iters).map { i =>
+      s"""r$i AS MATERIALIZED (
+         |  SELECT n.node,
+         |    (1.0 - 0.85) / nn.nd + 0.85 * (COALESCE(ins.in_r, 0.0) + dg.dang / nn.nd) AS rank
+         |  FROM nodes n
+         |  CROSS JOIN nn
+         |  LEFT JOIN (
+         |    SELECT e.dst AS node,
+         |      CAST(SUM(CAST(ROUND(r.rank * e.p * $q) AS BIGINT)) AS DOUBLE) / $q AS in_r
+         |    FROM ep e JOIN r${i - 1} r ON r.node = e.src GROUP BY e.dst) ins USING (node)
+         |  CROSS JOIN (
+         |    SELECT CAST(COALESCE(SUM(CAST(ROUND(r.rank * $q) AS BIGINT)), 0) AS DOUBLE) / $q AS dang
+         |    FROM r${i - 1} r JOIN dangling d ON d.node = r.node) dg)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH tl AS (
+       |  SELECT doc_id,
+       |    list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+       |      x -> x <> '') AS w
+       |  FROM documents),
+       |toks AS (SELECT doc_id, unnest(w) AS t FROM tl),
+       |vocab AS MATERIALIZED (
+       |  SELECT t AS tok FROM toks GROUP BY t
+       |  ORDER BY COUNT(*) DESC, t LIMIT 40),
+       |b1 AS (SELECT w, unnest(range(1, len(w))) AS i FROM tl WHERE len(w) >= 2),
+       |p1 AS (SELECT w[i] AS a, w[i+1] AS b FROM b1),
+       |b2 AS (SELECT w, unnest(range(1, len(w) - 1)) AS i FROM tl WHERE len(w) >= 3),
+       |p2 AS (SELECT w[i] AS a, w[i+2] AS b FROM b2),
+       |adj AS (SELECT a, b FROM (SELECT * FROM p1 UNION ALL SELECT * FROM p2) u
+       |        WHERE a <> b),
+       |sym AS (SELECT a AS src, b AS dst FROM adj
+       |        UNION ALL SELECT b AS src, a AS dst FROM adj),
+       |edges AS MATERIALIZED (
+       |  SELECT src, dst, COUNT(*) AS w FROM sym
+       |  JOIN vocab va ON va.tok = sym.src
+       |  JOIN vocab vb ON vb.tok = sym.dst
+       |  GROUP BY src, dst),
+       |nodes AS MATERIALIZED (SELECT src AS node FROM edges UNION SELECT dst FROM edges),
+       |nn AS MATERIALIZED (SELECT CAST(COUNT(*) AS DOUBLE) AS nd FROM nodes),
+       |outw AS (SELECT src, SUM(w) AS ow FROM edges GROUP BY src),
+       |ep AS MATERIALIZED (SELECT src, dst, CAST(w AS DOUBLE) / CAST(ow AS DOUBLE) AS p
+       |       FROM edges JOIN outw USING (src)),
+       |dangling AS MATERIALIZED (SELECT node FROM nodes WHERE node NOT IN (SELECT src FROM edges)),
+       |r0 AS MATERIALIZED (SELECT node, 1.0 / nd AS rank FROM nodes CROSS JOIN nn),
+       |$rounds,
+       |fin AS (SELECT node, CAST(ROUND(rank * $q) AS BIGINT) AS rq FROM r$iters)
+       |SELECT node AS token, CAST(rq AS DOUBLE) / $q AS rank
+       |FROM fin ORDER BY rq DESC, node LIMIT 20""".stripMargin
+  }
+
   val oracle: Map[String, String] = Map(
+    "q239_textrank_keywords" -> textrankSql(3),
+
+    // feature-hashing twin: identical tokenization, the q189
+    // md5_number_lower device for dim and sign, one keyed sum,
+    // zero weights dropped
+    "q242_feature_hashing" ->
+      """WITH toks AS (
+        |  SELECT doc_id,
+        |    unnest(list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+        |      x -> x <> '')) AS t
+        |  FROM documents),
+        |h AS (
+        |  SELECT doc_id,
+        |    CAST((md5_number_lower(t) & 9223372036854775807::UBIGINT) % 64
+        |      AS BIGINT) AS dim,
+        |    CAST((md5_number_lower('s:' || t) & 1::UBIGINT) * 2 AS BIGINT) - 1
+        |      AS sgn
+        |  FROM toks)
+        |SELECT doc_id, dim, CAST(SUM(sgn) AS BIGINT) AS weight
+        |FROM h GROUP BY doc_id, dim
+        |HAVING SUM(sgn) <> 0
+        |ORDER BY doc_id, dim""".stripMargin,
+
     // QL twin: the q109 CTE skeleton with the Dirichlet chain — ctf/|C|
     // background from the same 1-row stats, ln((tf + μ·ctf/ctot)/(dl+μ))
     // per term in the identical fixed order, 0 for collection-absent

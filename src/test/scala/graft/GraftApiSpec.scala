@@ -1860,6 +1860,26 @@ class GraftApiSpec extends AnyFunSuite {
     assert(out.getLong(1) === 10L && out.getBoolean(3))
   }
 
+  test("featureHash is deterministic, in-range, and sums signed tokens") {
+    val s = spark; import s.implicits._
+    val df = Seq((1L, "alpha alpha beta"), (2L, "alpha")).toDF("doc_id", "text")
+    val out = Graft.featureHash(df, "text", "doc_id", dims = 64)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(out.forall(r => r._2 >= 0 && r._2 < 64))
+    // doc 1's double "alpha" row carries weight ±2 in alpha's dim;
+    // doc 2's single "alpha" sits in the SAME dim with half the weight
+    val alphaDim = out.filter(_._1 == 2L).head
+    val d1Alpha = out.filter(r => r._1 == 1L && r._2 == alphaDim._2).head
+    assert(d1Alpha._3 === 2L * alphaDim._3 && math.abs(alphaDim._3) === 1L)
+    // repartition-invariant (hash is a pure row function + keyed sum)
+    val out2 = Graft.featureHash(df.repartition(7), "text", "doc_id", 64)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(out.sorted.toSeq === out2.sorted.toSeq)
+    intercept[IllegalArgumentException] {
+      Graft.featureHash(df, "text", "doc_id", dims = 1)
+    }
+  }
+
   test("reciprocalNearestNeighbors keeps only mutual top-1 pairs") {
     val s = spark; import s.implicits._
     // a2's top is b1, but b1's top is a1 → only (a1,b1) survives; b2's
