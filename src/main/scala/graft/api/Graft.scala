@@ -6216,4 +6216,167 @@ object Graft {
       .agg(sum(col("__sgn")).as("weight"))
       .filter(col("weight") =!= 0L)
   }
+
+  /** Wald sequential probability ratio test (q243) — the early-stopping
+    * A/B gate: walk the cumulative log-likelihood ratio of H1 (rate p1)
+    * vs H0 (rate p0) over the ordered observation stream and stop at
+    * the first boundary crossing (accept H1 at ln((1−β)/α), H0 at
+    * ln(β/(1−α))). Reports where the test WOULD have stopped plus the
+    * final state — the audit for "how much earlier could this
+    * experiment have ended".
+    *
+    * Exactness: the two per-step increments and both thresholds are
+    * nano-quantized ONCE (driver-side constants), so the walk is an
+    * exact integer prefix sum — [[globalCumSum]]'s partition-offset
+    * pattern, never a one-partition window. The crossing argmin and the
+    * final value are keyed aggregates over the walk. `orderCols` must
+    * be a total order. */
+  def sprtTest(df: DataFrame, labelCol: String, orderCols: Seq[String],
+      p0: Double, p1: Double, alpha: Double = 0.05,
+      beta: Double = 0.05): DataFrame = {
+    require(p0 > 0 && p0 < 1 && p1 > 0 && p1 < 1 && p1 != p0,
+      s"sprtTest needs distinct rates in (0,1), got p0=$p0 p1=$p1")
+    require(alpha > 0 && alpha < 1 && beta > 0 && beta < 1,
+      s"sprtTest needs alpha, beta in (0,1), got $alpha, $beta")
+    val l1 = math.round(math.log(p1 / p0) * 1e9)
+    val l0 = math.round(math.log((1 - p1) / (1 - p0)) * 1e9)
+    val aq = math.round(math.log((1 - beta) / alpha) * 1e9)
+    val bq = math.round(math.log(beta / (1 - alpha)) * 1e9)
+    val base = df.select(
+      orderCols.map(col) :+ col(labelCol).cast(LongType).as("__x"): _*)
+      .withColumn("__inc",
+        when(col("__x") === 1L, lit(l1)).otherwise(lit(l0)))
+    val walk = globalCumSum(globalRank(base, orderCols, "grank"),
+      Seq("grank"), "__inc", "llr_q")
+    val crossed = col("llr_q") >= lit(aq) || col("llr_q") <= lit(bq)
+    val tot = walk.agg(count(lit(1)).as("n"),
+      max_by(col("llr_q"), col("grank")).as("__final_q"))
+    val cross = walk.filter(crossed)
+      .agg(min(col("grank")).as("first_cross_n"),
+        min_by(col("llr_q"), col("grank")).as("__cross_q"))
+    tot.crossJoin(cross)
+      .select(col("n"), col("first_cross_n"),
+        when(col("first_cross_n").isNull, lit("continue"))
+          .when(col("__cross_q") >= lit(aq), lit("accept_h1"))
+          .otherwise(lit("accept_h0")).as("decision"),
+        (col("__cross_q").cast(DoubleType) / lit(1.0e9)).as("llr_at_cross"),
+        (col("__final_q").cast(DoubleType) / lit(1.0e9)).as("llr_final"))
+  }
+
+  /** Difference-in-differences estimator (q244) — the observational
+    * causal baseline: DiD = (ȳ_treated,post − ȳ_treated,pre) −
+    * (ȳ_control,post − ȳ_control,pre), which nets out both the group
+    * gap and the common time trend (parallel-trends assumption).
+    *
+    * ONE keyed aggregate reduces any row count to 4 cells (exact cents
+    * sums, the q166 device); the report is cell arithmetic — four
+    * single double divisions and one fixed chain. */
+  def diffInDiff(df: DataFrame, treatedCol: String, postCol: String,
+      valueCol: String): DataFrame = {
+    val b = df.filter(col(valueCol).isNotNull)
+      .select(col(treatedCol).cast(LongType).as("__t"),
+        col(postCol).cast(LongType).as("__p"),
+        round(col(valueCol) * lit(100.0)).cast(LongType).as("__vc"))
+    val cells = b.groupBy(col("__t"), col("__p"))
+      .agg(count(lit(1)).as("__n"), sum(col("__vc")).as("__s"))
+    def m(tv: Int, pv: Int): Column = {
+      val pick = col("__t") === tv && col("__p") === pv
+      max(when(pick, col("__s"))).cast(DoubleType) /
+        (lit(100.0) * max(when(pick, col("__n"))).cast(DoubleType))
+    }
+    def n(tv: Int, pv: Int): Column =
+      coalesce(max(when(col("__t") === tv && col("__p") === pv,
+        col("__n"))), lit(0L))
+    cells.agg(
+      n(0, 0).as("n_c_pre"), n(0, 1).as("n_c_post"),
+      n(1, 0).as("n_t_pre"), n(1, 1).as("n_t_post"),
+      m(0, 0).as("mean_c_pre"), m(0, 1).as("mean_c_post"),
+      m(1, 0).as("mean_t_pre"), m(1, 1).as("mean_t_post"),
+      ((m(1, 1) - m(1, 0)) - (m(0, 1) - m(0, 0))).as("did"))
+  }
+
+  /** Qini / uplift-by-decile curve (q245) — the evaluation table for an
+    * uplift score: rank units by score, cut into `buckets` equal-count
+    * bins by integer rank arithmetic, report cumulative treated/control
+    * conversions and the Qini value q(k) = conv_t(k) −
+    * conv_c(k)·n_t(k)/n_c(k) per bin (Radcliffe 2007). A score with no
+    * uplift signal gives a flat-to-diagonal curve.
+    *
+    * Ranks come from [[globalRank]] (never a one-partition window); the
+    * bin cut is (grank−1)·buckets div n; the cumulative pass is a
+    * window over ≤ `buckets` rows. Ties on score break by id, so bins
+    * replay exactly cross-engine. */
+  def qiniByDecile(units: DataFrame, scoreCol: String, treatedCol: String,
+      convCol: String, idCol: String, buckets: Int = 10): DataFrame = {
+    require(buckets >= 2, s"qiniByDecile needs buckets >= 2, got $buckets")
+    val base = units.select(col(idCol).as("__id"),
+      (-col(scoreCol).cast(LongType)).as("__negs"),
+      col(treatedCol).cast(LongType).as("__t"),
+      col(convCol).cast(LongType).as("__y"))
+    val nDf = base.agg(count(lit(1)).as("__n"))
+    val ranked = globalRank(base, Seq("__negs", "__id"), "grank")
+      .crossJoin(broadcast(nDf))
+      .withColumn("bucket", expr(s"((grank - 1) * $buckets) div __n"))
+    val per = ranked.groupBy(col("bucket"))
+      .agg(sum(col("__t")).as("__nt"), sum(lit(1L) - col("__t")).as("__nc"),
+        sum(col("__t") * col("__y")).as("__ct"),
+        sum((lit(1L) - col("__t")) * col("__y")).as("__cc"))
+    val w = Window.orderBy(col("bucket"))
+      .rowsBetween(Window.unboundedPreceding, 0) // ≤ buckets rows
+    per.select(col("bucket"),
+        sum(col("__nt")).over(w).as("cum_n_t"),
+        sum(col("__nc")).over(w).as("cum_n_c"),
+        sum(col("__ct")).over(w).as("cum_conv_t"),
+        sum(col("__cc")).over(w).as("cum_conv_c"))
+      .withColumn("qini",
+        when(col("cum_n_c") === 0L, lit(null).cast(DoubleType))
+          .otherwise(col("cum_conv_t").cast(DoubleType) -
+            col("cum_conv_c").cast(DoubleType) *
+              col("cum_n_t").cast(DoubleType) /
+              col("cum_n_c").cast(DoubleType)))
+  }
+
+  /** Event-time disorder audit (q246) — the measurement that SIZES a
+    * stream's watermark delay: per key, an event is late by
+    * (max prior event-time − its event-time) under ARRIVAL order;
+    * report the late count and exact p50/p95/p99 lateness order
+    * statistics plus the p99 as the suggested watermark. Run it on a
+    * sample of the real arrival log before choosing
+    * withWatermark(delay).
+    *
+    * Shape: one key-partitioned prefix-max window over arrival order,
+    * then [[globalRank]] order statistics over the (far smaller) late
+    * set — integer microseconds end-to-end, no percentile_approx. */
+  def disorderAudit(df: DataFrame, keyCol: String, tsCol: String,
+      arrivalCols: Seq[String]): DataFrame = {
+    require(arrivalCols.nonEmpty, "disorderAudit: arrivalCols must order arrivals")
+    val ord = arrivalCols.map(col)
+    val w = Window.partitionBy(col("__k")).orderBy(ord: _*)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val late = df
+      .select(col(keyCol).as("__k") +: unix_micros(col(tsCol)).as("__tus") +:
+        ord: _*)
+      .withColumn("__mx", max(col("__tus")).over(w))
+      .withColumn("late_us", col("__mx") - col("__tus"))
+    val nTot = late.agg(count(lit(1)).as("n_events"))
+    val lateOnly = late.filter(col("late_us") > 0L)
+      .select(col("late_us") +: col("__k") +: ord: _*)
+    val ranked = globalRank(lateOnly,
+      "late_us" +: "__k" +: arrivalCols, "grank")
+    // exact ⌈p·n/100⌉ order statistic — integer div, never a percentile
+    def target(p: Int): Column = expr(s"(__nl * $p + 99) div 100")
+    val stats = ranked
+      .crossJoin(broadcast(lateOnly.agg(count(lit(1)).as("__nl"))))
+      .agg(max(col("__nl")).as("n_late"),
+        max(when(col("grank") === target(50), col("late_us")))
+          .as("p50_late_us"),
+        max(when(col("grank") === target(95), col("late_us")))
+          .as("p95_late_us"),
+        max(when(col("grank") === target(99), col("late_us")))
+          .as("p99_late_us"))
+    nTot.crossJoin(stats)
+      .select(col("n_events"), coalesce(col("n_late"), lit(0L)).as("n_late"),
+        col("p50_late_us"), col("p95_late_us"), col("p99_late_us"),
+        col("p99_late_us").as("suggested_watermark_us"))
+  }
 }

@@ -197,10 +197,193 @@ object Events {
         .select($"user_id", graft.api.Graft.epochDay($"ts").as("day"))
       graft.api.Graft.retentionTriangle(e, "user_id", "day")
         .orderBy($"cohort", $"offset")
+    }),
+
+    // ---- q243: Wald SPRT — would the purchase-rate experiment (H0
+    // p=0.15 vs H1 p=0.20; true rate ≈ 0.198) have stopped early? The
+    // LLR walk over event_id order reports the first boundary crossing
+    // and the final state. Increments and thresholds are nano-quantized
+    // driver constants, so the walk is an exact integer prefix sum. ----
+    "q243_sprt" -> ((s, dir) => {
+      val e = t(s, dir, "events")
+        .withColumn("y", (col("event_type") === "purchase").cast(LongType))
+      graft.api.Graft.sprtTest(e, "y", Seq("event_id"), p0 = 0.15, p1 = 0.20)
+    }),
+
+    // ---- q244: difference-in-differences — even-user treatment vs a
+    // Jan-16 policy cutoff: DiD nets the group gap and the common time
+    // trend out of the raw post-period delta. One 4-cell aggregate. ----
+    "q244_diff_in_diff" -> ((s, dir) => {
+      val e = t(s, dir, "events")
+        .withColumn("treated", (col("user_id") % 2 === 0).cast(LongType))
+        .withColumn("post", (col("ts") >=
+          lit("2024-01-16 00:00:00").cast(TimestampType)).cast(LongType))
+      graft.api.Graft.diffInDiff(e, "treated", "post", "value")
+    }),
+
+    // ---- q245: Qini uplift-by-decile — rank users by an uplift score
+    // (total spend cents), cut into 10 equal-count bins by integer rank
+    // arithmetic, report cumulative treated/control conversions and the
+    // Qini value per bin. The evaluation table that decides whether a
+    // targeting model beats random. ----
+    "q245_qini_uplift" -> ((s, dir) => {
+      val u = t(s, dir, "events").groupBy(col("user_id"))
+        .agg(coalesce(sum(round(col("value") * lit(100.0)).cast(LongType)),
+          lit(0L)).as("score_cents"),
+          max((col("event_type") === "purchase").cast(LongType))
+            .as("converted"))
+        .withColumn("treated", (col("user_id") % 2 === 0).cast(LongType))
+      graft.api.Graft.qiniByDecile(u, "score_cents", "treated", "converted",
+          "user_id")
+        .orderBy(col("bucket"))
+    }),
+
+    // ---- q246: event-time disorder audit — the measurement that SIZES
+    // a stream's watermark. The parquet arrives time-ordered, so q169's
+    // injected-violation discipline applies: arrival order is a
+    // deterministic md5 shuffle of event_id (simulated network jitter),
+    // and the audit reports exact p50/p95/p99 lateness under that
+    // arrival log plus the p99 as the suggested watermark delay. ----
+    "q246_disorder_audit" -> ((s, dir) => {
+      graft.functions.GraftFunctions.register(s)
+      val e = t(s, dir, "events")
+        .withColumn("arr", call_function("md5_lower64",
+          col("event_id").cast(StringType)).bitwiseAND(lit(Long.MaxValue)))
+      graft.api.Graft.disorderAudit(e, "user_id", "ts", Seq("arr", "event_id"))
     })
   )
 
   val oracle: Map[String, String] = Map(
+    // SPRT twin: the SAME Scala-quantized increment/threshold literals
+    // interpolated into both engines (zero libm risk), the same
+    // prefix-sum walk and argmin/argmax crossing report
+    "q243_sprt" -> {
+      val l1 = math.round(math.log(0.20 / 0.15) * 1e9)
+      val l0 = math.round(math.log((1 - 0.20) / (1 - 0.15)) * 1e9)
+      val aq = math.round(math.log((1 - 0.05) / 0.05) * 1e9)
+      val bq = math.round(math.log(0.05 / (1 - 0.05)) * 1e9)
+      s"""WITH b AS (
+         |  SELECT event_id,
+         |    CASE WHEN event_type = 'purchase' THEN $l1 ELSE $l0 END AS inc
+         |  FROM events),
+         |w AS (SELECT event_id,
+         |        CAST(row_number() OVER (ORDER BY event_id) AS BIGINT) AS grank,
+         |        CAST(SUM(inc) OVER (ORDER BY event_id
+         |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+         |          AS BIGINT) AS llr_q
+         |      FROM b),
+         |tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS n,
+         |          arg_max(llr_q, grank) AS final_q FROM w),
+         |cr AS (SELECT CAST(MIN(grank) AS BIGINT) AS first_cross_n,
+         |          arg_min(llr_q, grank) AS cross_q
+         |        FROM w WHERE llr_q >= $aq OR llr_q <= $bq)
+         |SELECT tot.n, cr.first_cross_n,
+         |  CASE WHEN cr.first_cross_n IS NULL THEN 'continue'
+         |       WHEN cr.cross_q >= $aq THEN 'accept_h1'
+         |       ELSE 'accept_h0' END AS decision,
+         |  CAST(cr.cross_q AS DOUBLE) / 1000000000.0 AS llr_at_cross,
+         |  CAST(tot.final_q AS DOUBLE) / 1000000000.0 AS llr_final
+         |FROM tot CROSS JOIN cr""".stripMargin
+    },
+
+    // DiD twin: identical cents cells, the same a/(100·b) mean chains
+    // and (m11−m10)−(m01−m00) arithmetic
+    "q244_diff_in_diff" ->
+      """WITH b AS (
+        |  SELECT CASE WHEN user_id % 2 = 0 THEN 1 ELSE 0 END AS t,
+        |    CASE WHEN ts >= TIMESTAMP '2024-01-16 00:00:00' THEN 1 ELSE 0 END AS p,
+        |    CAST(ROUND(value * 100.0) AS BIGINT) AS vc
+        |  FROM events WHERE value IS NOT NULL),
+        |c AS (SELECT t, p, CAST(COUNT(*) AS BIGINT) AS n,
+        |        CAST(SUM(vc) AS BIGINT) AS s
+        |      FROM b GROUP BY t, p)
+        |SELECT
+        |  COALESCE(MAX(CASE WHEN t = 0 AND p = 0 THEN n END), 0) AS n_c_pre,
+        |  COALESCE(MAX(CASE WHEN t = 0 AND p = 1 THEN n END), 0) AS n_c_post,
+        |  COALESCE(MAX(CASE WHEN t = 1 AND p = 0 THEN n END), 0) AS n_t_pre,
+        |  COALESCE(MAX(CASE WHEN t = 1 AND p = 1 THEN n END), 0) AS n_t_post,
+        |  CAST(MAX(CASE WHEN t = 0 AND p = 0 THEN s END) AS DOUBLE) /
+        |    (100.0 * CAST(MAX(CASE WHEN t = 0 AND p = 0 THEN n END) AS DOUBLE)) AS mean_c_pre,
+        |  CAST(MAX(CASE WHEN t = 0 AND p = 1 THEN s END) AS DOUBLE) /
+        |    (100.0 * CAST(MAX(CASE WHEN t = 0 AND p = 1 THEN n END) AS DOUBLE)) AS mean_c_post,
+        |  CAST(MAX(CASE WHEN t = 1 AND p = 0 THEN s END) AS DOUBLE) /
+        |    (100.0 * CAST(MAX(CASE WHEN t = 1 AND p = 0 THEN n END) AS DOUBLE)) AS mean_t_pre,
+        |  CAST(MAX(CASE WHEN t = 1 AND p = 1 THEN s END) AS DOUBLE) /
+        |    (100.0 * CAST(MAX(CASE WHEN t = 1 AND p = 1 THEN n END) AS DOUBLE)) AS mean_t_post,
+        |  (CAST(MAX(CASE WHEN t = 1 AND p = 1 THEN s END) AS DOUBLE) /
+        |    (100.0 * CAST(MAX(CASE WHEN t = 1 AND p = 1 THEN n END) AS DOUBLE)) -
+        |   CAST(MAX(CASE WHEN t = 1 AND p = 0 THEN s END) AS DOUBLE) /
+        |    (100.0 * CAST(MAX(CASE WHEN t = 1 AND p = 0 THEN n END) AS DOUBLE))) -
+        |  (CAST(MAX(CASE WHEN t = 0 AND p = 1 THEN s END) AS DOUBLE) /
+        |    (100.0 * CAST(MAX(CASE WHEN t = 0 AND p = 1 THEN n END) AS DOUBLE)) -
+        |   CAST(MAX(CASE WHEN t = 0 AND p = 0 THEN s END) AS DOUBLE) /
+        |    (100.0 * CAST(MAX(CASE WHEN t = 0 AND p = 0 THEN n END) AS DOUBLE))) AS did
+        |FROM c""".stripMargin,
+
+    // Qini twin: identical cents score, (−score, id) rank, integer
+    // decile cut, the same cumulative window and division chain
+    "q245_qini_uplift" ->
+      """WITH u AS (
+        |  SELECT user_id,
+        |    COALESCE(CAST(SUM(CAST(ROUND(value * 100.0) AS BIGINT)) AS BIGINT), 0) AS score,
+        |    CAST(MAX(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS y,
+        |    CASE WHEN user_id % 2 = 0 THEN 1 ELSE 0 END AS t
+        |  FROM events GROUP BY user_id),
+        |nn AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM u),
+        |r AS (SELECT t, y,
+        |        CAST(row_number() OVER (ORDER BY -score, user_id) AS BIGINT) AS grank
+        |      FROM u),
+        |bkt AS (SELECT ((grank - 1) * 10) // nn.n AS bucket, t, y
+        |        FROM r CROSS JOIN nn),
+        |g AS (SELECT bucket, CAST(SUM(t) AS BIGINT) AS nt,
+        |        CAST(SUM(1 - t) AS BIGINT) AS nc,
+        |        CAST(SUM(t * y) AS BIGINT) AS ct,
+        |        CAST(SUM((1 - t) * y) AS BIGINT) AS cc
+        |      FROM bkt GROUP BY bucket),
+        |cumu AS (SELECT bucket,
+        |        CAST(SUM(nt) OVER w AS BIGINT) AS cum_n_t,
+        |        CAST(SUM(nc) OVER w AS BIGINT) AS cum_n_c,
+        |        CAST(SUM(ct) OVER w AS BIGINT) AS cum_conv_t,
+        |        CAST(SUM(cc) OVER w AS BIGINT) AS cum_conv_c
+        |      FROM g
+        |      WINDOW w AS (ORDER BY bucket
+        |        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
+        |SELECT bucket, cum_n_t, cum_n_c, cum_conv_t, cum_conv_c,
+        |  CASE WHEN cum_n_c = 0 THEN NULL
+        |       ELSE CAST(cum_conv_t AS DOUBLE) -
+        |         CAST(cum_conv_c AS DOUBLE) * CAST(cum_n_t AS DOUBLE) /
+        |         CAST(cum_n_c AS DOUBLE) END AS qini
+        |FROM cumu ORDER BY bucket""".stripMargin,
+
+    // disorder twin: the same md5 arrival shuffle, per-user prefix max
+    // under arrival order, and exact ⌈p·n/100⌉ order statistics
+    "q246_disorder_audit" ->
+      """WITH e AS (
+        |  SELECT user_id, event_id, epoch_us(ts) AS tus,
+        |    CAST(md5_number_lower(CAST(event_id AS VARCHAR))
+        |      & 9223372036854775807::UBIGINT AS BIGINT) AS arr
+        |  FROM events),
+        |w AS (SELECT user_id, event_id, arr, tus,
+        |        MAX(tus) OVER (PARTITION BY user_id ORDER BY arr, event_id
+        |          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS mx
+        |      FROM e),
+        |l AS (SELECT mx - tus AS late_us, user_id, arr, event_id
+        |      FROM w WHERE mx - tus > 0),
+        |nl AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_late FROM l),
+        |r AS (SELECT late_us,
+        |        CAST(row_number() OVER (ORDER BY late_us, user_id, arr, event_id)
+        |          AS BIGINT) AS grank
+        |      FROM l),
+        |tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_events FROM e),
+        |st AS (SELECT
+        |    MAX(CASE WHEN grank = (n_late * 50 + 99) // 100 THEN late_us END) AS p50_late_us,
+        |    MAX(CASE WHEN grank = (n_late * 95 + 99) // 100 THEN late_us END) AS p95_late_us,
+        |    MAX(CASE WHEN grank = (n_late * 99 + 99) // 100 THEN late_us END) AS p99_late_us
+        |  FROM r CROSS JOIN nl)
+        |SELECT tot.n_events, nl.n_late, st.p50_late_us, st.p95_late_us,
+        |  st.p99_late_us, st.p99_late_us AS suggested_watermark_us
+        |FROM tot CROSS JOIN nl CROSS JOIN st""".stripMargin,
+
     "q18_asof_join" ->
       """SELECT p.event_id AS purchase_id, p.user_id,
         | (SELECT c.event_id FROM events c

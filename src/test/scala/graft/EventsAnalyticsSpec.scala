@@ -109,4 +109,63 @@ class EventsAnalyticsSpec extends AnyFunSuite {
     assert(out(2L)._3 === false)  // 2-minute median gap, burst 1
     assert(out(3L)._3 === false)  // single event: null gap, burst 1
   }
+
+  test("sprtTest crosses the H1 boundary at the first qualifying step") {
+    val s = spark; import s.implicits._
+    // all-success stream vs p0=0.1, p1=0.9: each step adds ln(9) ≈ 2.197;
+    // A = ln(0.95/0.05) ≈ 2.944 → crossing at step 2 exactly
+    val df = (1 to 10).map(i => (i.toLong, 1L)).toDF("id", "y")
+    val r = Graft.sprtTest(df, "y", Seq("id"), p0 = 0.1, p1 = 0.9).collect().head
+    assert(r.getLong(0) === 10L && r.getLong(1) === 2L)
+    assert(r.getString(2) === "accept_h1")
+    assert(math.abs(r.getDouble(3) - 2 * math.log(9.0)) < 1e-6)
+  }
+
+  test("sprtTest reports continue when the walk never crosses") {
+    val s = spark; import s.implicits._
+    // alternate 1/0 vs symmetric hypotheses: LLR oscillates near 0
+    val df = (1 to 6).map(i => (i.toLong, (i % 2).toLong)).toDF("id", "y")
+    val r = Graft.sprtTest(df, "y", Seq("id"), p0 = 0.4, p1 = 0.6).collect().head
+    assert(r.isNullAt(1) && r.getString(2) === "continue")
+  }
+
+  test("diffInDiff nets out group and time effects exactly") {
+    val s = spark; import s.implicits._
+    // control 10→12 (+2 trend), treated 20→25 (+5) → DiD = 3
+    val df = Seq((0L, 0L, 10.0), (0L, 1L, 12.0), (1L, 0L, 20.0),
+      (1L, 1L, 25.0)).toDF("t", "p", "v")
+    val r = Graft.diffInDiff(df, "t", "p", "v").collect().head
+    assert(r.getDouble(8) === 3.0)
+    assert(r.getDouble(4) === 10.0 && r.getDouble(7) === 25.0)
+  }
+
+  test("qiniByDecile cuts equal bins and computes the scaled difference") {
+    val s = spark; import s.implicits._
+    // 4 units, 2 buckets: top bucket = treated converter + control
+    // non-converter → qini = 1 − 0·1/1 = 1; full population:
+    // conv_t 1, conv_c 1 → qini = 1 − 1·2/2 = 0
+    val u = Seq((1L, 100L, 1L, 1L), (2L, 90L, 0L, 0L),
+      (3L, 50L, 1L, 0L), (4L, 40L, 0L, 1L))
+      .toDF("id", "score", "t", "y")
+    val out = Graft.qiniByDecile(u, "score", "t", "y", "id", buckets = 2)
+      .orderBy("bucket").collect()
+      .map(r => (r.getLong(1), r.getLong(2), r.getDouble(5)))
+    assert(out(0) === ((1L, 1L, 1.0)))
+    assert(out(1) === ((2L, 2L, 0.0)))
+  }
+
+  test("disorderAudit measures lateness against the running max per key") {
+    val s = spark; import s.implicits._
+    // key A arrivals (by seq): t=100, t=50 (late 50), t=200, t=150 (late 50)
+    // key B in order → no late rows; p50 = p99 = 50
+    val df = Seq(
+      ("A", 1L, 100L), ("A", 2L, 50L), ("A", 3L, 200L), ("A", 4L, 150L),
+      ("B", 5L, 10L), ("B", 6L, 20L))
+      .toDF("k", "seq", "us")
+      .withColumn("ts", timestamp_micros(col("us")))
+    val r = Graft.disorderAudit(df, "k", "ts", Seq("seq")).collect().head
+    assert(r.getLong(0) === 6L && r.getLong(1) === 2L)
+    assert(r.getLong(2) === 50L && r.getLong(4) === 50L)
+    assert(r.getLong(5) === 50L) // suggested watermark = p99
+  }
 }
