@@ -960,6 +960,41 @@ object Analytics {
       Multimodal.decodeAudio(audio).orderBy(col("doc_id"))
     }),
 
+    // ---- q247: personalized PageRank — q111's event-type transition
+    // graph with the teleport mass concentrated on the 'purchase' node:
+    // ranks measure walk-proximity TO purchase (the related-items /
+    // local-community primitive), not global centrality. Same quantized
+    // round chain as q111, dangling mass redistributed to the seed. ----
+    "q247_personalized_pagerank" -> ((s, dir) => {
+      import s.implicits._
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(unix_micros(col("ts")), col("event_id"))
+      val edges = t(s, dir, "events")
+        .withColumn("next_type", lead(col("event_type"), 1).over(w))
+        .filter(col("next_type").isNotNull)
+        .groupBy(col("event_type").as("src"), col("next_type").as("dst"))
+        .agg(count(lit(1)).as("w"))
+      val seeds = Seq("purchase").toDF("node")
+      graft.api.Graft.personalizedPageRank(edges, "src", "dst", "w",
+          seeds, "node")
+        .select(col("node"), round(col("rank"), 12).as("rank"))
+        .orderBy(col("node"))
+    }),
+
+    // ---- q248: WARC round trip — the Common Crawl ingestion shape:
+    // one response record per doc is REALLY written into per-source
+    // WARC/1.0 members (header block + Content-Length framing), then
+    // REALLY parsed back by the record walk; the oracle regenerates
+    // every field (type, URI, length, payload head) from the source
+    // rows, so writer AND parser are hash-gated value-for-value (the
+    // q89 audio discipline applied to the crawl-archive leg). ----
+    "q248_warc_roundtrip" -> ((s, dir) => {
+      val blobs = Multimodal.warcFromDocs(t(s, dir, "documents")
+        .select(col("source"), col("doc_id"), col("text")))
+      Multimodal.parseWarc(blobs)
+        .orderBy(col("blob_id"), col("rec_no"))
+    }),
+
     // ---- q102: SCD2 temporal versioning — each user's event_type stream
     // collapses into validity intervals: a version opens only when the
     // tracked attribute CHANGES (lag-inequality islands), closes at the
@@ -1802,7 +1837,65 @@ object Analytics {
        |SELECT node, ROUND(rank, 12) AS rank FROM r$iters ORDER BY node""".stripMargin
   }
 
+  /** q247 oracle: pagerankSql's round device with the teleport vector
+    * concentrated on the seed node — r0 = s, (1−d)·sv per node, dangling
+    * mass × sv; identical quantized in-sums. */
+  private def pprSql(iters: Int, seed: String): String = {
+    val q = "1000000000000.0"
+    val rounds = (1 to iters).map { i =>
+      s"""r$i AS MATERIALIZED (
+         |  SELECT n.node,
+         |    (1.0 - 0.85) * n.sv + 0.85 * (COALESCE(ins.in_r, 0.0) + dg.dang * n.sv) AS rank
+         |  FROM sv n
+         |  LEFT JOIN (
+         |    SELECT e.dst AS node,
+         |      CAST(SUM(CAST(ROUND(r.rank * e.p * $q) AS BIGINT)) AS DOUBLE) / $q AS in_r
+         |    FROM ep e JOIN r${i - 1} r ON r.node = e.src GROUP BY e.dst) ins USING (node)
+         |  CROSS JOIN (
+         |    SELECT CAST(COALESCE(SUM(CAST(ROUND(r.rank * $q) AS BIGINT)), 0) AS DOUBLE) / $q AS dang
+         |    FROM r${i - 1} r JOIN dangling d ON d.node = r.node) dg)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH nxt AS (
+       |  SELECT event_type,
+       |    lead(event_type) OVER (PARTITION BY user_id
+       |      ORDER BY epoch_us(ts), event_id) AS next_type
+       |  FROM events),
+       |edges AS MATERIALIZED (
+       |  SELECT event_type AS src, next_type AS dst, COUNT(*) AS w
+       |  FROM nxt WHERE next_type IS NOT NULL GROUP BY 1, 2),
+       |nodes AS MATERIALIZED (SELECT src AS node FROM edges UNION SELECT dst FROM edges),
+       |ns AS MATERIALIZED (
+       |  SELECT CAST(COUNT(*) AS DOUBLE) AS nsd FROM nodes WHERE node = '$seed'),
+       |sv AS MATERIALIZED (
+       |  SELECT node, CASE WHEN node = '$seed' THEN 1.0 / ns.nsd ELSE 0.0 END AS sv
+       |  FROM nodes CROSS JOIN ns),
+       |outw AS (SELECT src, SUM(w) AS ow FROM edges GROUP BY src),
+       |ep AS MATERIALIZED (SELECT src, dst, CAST(w AS DOUBLE) / CAST(ow AS DOUBLE) AS p
+       |       FROM edges JOIN outw USING (src)),
+       |dangling AS MATERIALIZED (SELECT node FROM nodes WHERE node NOT IN (SELECT src FROM edges)),
+       |r0 AS MATERIALIZED (SELECT node, sv AS rank FROM sv),
+       |$rounds
+       |SELECT node, ROUND(rank, 12) AS rank FROM r$iters ORDER BY node""".stripMargin
+  }
+
   val oracle: Map[String, String] = Map(
+    "q247_personalized_pagerank" -> pprSql(10, "purchase"),
+
+    // WARC twin: per-source doc_id order, the writer's literal URI/type
+    // and Content-Length = UTF-8 octet length, first-32-char payload head
+    "q248_warc_roundtrip" ->
+      """WITH d AS (
+        |  SELECT source AS blob_id, doc_id, text,
+        |    CAST(row_number() OVER (PARTITION BY source ORDER BY doc_id)
+        |      AS BIGINT) AS rec_no
+        |  FROM documents)
+        |SELECT blob_id, rec_no,
+        |  'response' AS warc_type,
+        |  'http://example.com/docs/' || CAST(doc_id AS VARCHAR) AS target_uri,
+        |  CAST(octet_length(encode(text)) AS BIGINT) AS content_length,
+        |  substr(text, 1, 32) AS payload_head
+        |FROM d ORDER BY blob_id, rec_no""".stripMargin,
+
     // q90 GOLDEN PIN (r9): the percentile sketch is now
     // Graft.histogramPercentiles — commutative integer bin counts, so the
     // estimate is partition-invariant (verified local[3] vs local[8]

@@ -738,6 +738,119 @@ object Multimodal {
     }(enc)
   }
 
+  val warcBlobSchema: StructType = StructType(Seq(
+    StructField("blob_id", StringType, nullable = false),
+    StructField("content", BinaryType, nullable = false)))
+
+  /** Deterministic WARC/1.0 fixture — one `response` record per doc,
+    * records concatenated per source in doc_id order (the Common Crawl
+    * member layout: many records per .warc file). Drives q248 the q89
+    * way: the bytes are REALLY written here and REALLY parsed by
+    * [[parseWarc]], and the oracle regenerates every field from the
+    * source rows — container writer AND parser are hash-gated.
+    *
+    * Scale: one shuffle to group docs per blob; per-blob memory is the
+    * member size (the real format is designed for ~1 GB members — at
+    * that size split sources into numbered members upstream). */
+  def warcFromDocs(docs: DataFrame): DataFrame = {
+    val enc = RowEncoder.encoderFor(warcBlobSchema)
+    docs.select(col("source"), col("doc_id"), col("text"))
+      .groupBy(col("source"))
+      .agg(sort_array(collect_list(struct(col("doc_id"), col("text"))))
+        .as("__ds"))
+      .mapPartitions { it =>
+        it.map { r =>
+          val src = r.getString(0)
+          val bos = new java.io.ByteArrayOutputStream()
+          r.getSeq[Row](1).foreach { d =>
+            val id = d.getLong(0)
+            val payload = d.getString(1)
+              .getBytes(java.nio.charset.StandardCharsets.UTF_8)
+            val hdr = s"WARC/1.0\r\nWARC-Type: response\r\n" +
+              s"WARC-Target-URI: http://example.com/docs/$id\r\n" +
+              "WARC-Date: 2024-01-01T00:00:00Z\r\n" +
+              "Content-Type: text/plain\r\n" +
+              s"Content-Length: ${payload.length}\r\n\r\n"
+            bos.write(hdr.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+            bos.write(payload)
+            bos.write(Array[Byte]('\r', '\n', '\r', '\n'))
+          }
+          Row(src, bos.toByteArray)
+        }
+      }(enc)
+  }
+
+  val warcRecordSchema: StructType = StructType(Seq(
+    StructField("blob_id", StringType, nullable = false),
+    StructField("rec_no", LongType, nullable = false),
+    StructField("warc_type", StringType, nullable = true),
+    StructField("target_uri", StringType, nullable = true),
+    StructField("content_length", LongType, nullable = true),
+    StructField("payload_head", StringType, nullable = true)))
+
+  /** Minimal WARC/1.0 record walk: version line, `Header: value` block
+    * to the blank line, Content-Length payload framing, two CRLFs
+    * between records. Malformed/truncated tails stop the walk for that
+    * blob (records parsed so far are kept) — ingest robustness over
+    * hard failure, the right default for crawl data. Partition-local,
+    * no shuffle; payload_head carries the first 32 payload chars so the
+    * round-trip gate checks real payload bytes, not just headers. */
+  def parseWarc(blobs: DataFrame): DataFrame = {
+    val enc = RowEncoder.encoderFor(warcRecordSchema)
+    blobs.select(col("blob_id"), col("content")).mapPartitions { it =>
+      // Charset is not Serializable — resolve inside the task
+      val utf8 = java.nio.charset.StandardCharsets.UTF_8
+      it.flatMap { r =>
+        val id = r.getString(0)
+        val b = Option(r.getAs[Array[Byte]](1)).getOrElse(Array.emptyByteArray)
+        def findBlank(from: Int): Int = {
+          var i = from
+          while (i + 3 < b.length) {
+            if (b(i) == '\r' && b(i + 1) == '\n' &&
+              b(i + 2) == '\r' && b(i + 3) == '\n') return i
+            i += 1
+          }
+          -1
+        }
+        val out = scala.collection.mutable.ArrayBuffer.empty[Row]
+        var pos = 0
+        var rec = 1L
+        var halt = false
+        while (!halt && pos < b.length) {
+          val hEnd = findBlank(pos)
+          if (hEnd < 0) halt = true
+          else {
+            val lines = new String(b, pos, hEnd - pos, utf8).split("\r\n")
+            if (!lines.headOption.exists(_.startsWith("WARC/"))) halt = true
+            else {
+              val kv = lines.tail.flatMap { l =>
+                val i = l.indexOf(':')
+                if (i < 0) None
+                else Some(l.substring(0, i).trim.toLowerCase ->
+                  l.substring(i + 1).trim)
+              }.toMap
+              kv.get("content-length")
+                .flatMap(s => scala.util.Try(s.toLong).toOption) match {
+                case Some(n) if n >= 0 && hEnd + 4 + n <= b.length =>
+                  val pStart = hEnd + 4
+                  val head = new String(b, pStart, math.min(32L, n).toInt, utf8)
+                  out += Row(id, rec, kv.getOrElse("warc-type", null),
+                    kv.getOrElse("warc-target-uri", null), n, head)
+                  rec += 1
+                  pos = pStart + n.toInt
+                  if (pos + 4 <= b.length && b(pos) == '\r' &&
+                    b(pos + 1) == '\n' && b(pos + 2) == '\r' &&
+                    b(pos + 3) == '\n') pos += 4
+                case _ => halt = true // missing/invalid/truncated framing
+              }
+            }
+          }
+        }
+        out.iterator
+      }
+    }(enc)
+  }
+
   /** Partition-local decode: one decoder per partition, streaming rows.
     * JDK-decodable images get real header dimensions (and their sniffed
     * format as media_type) plus a REAL pixel-derived luminance-histogram

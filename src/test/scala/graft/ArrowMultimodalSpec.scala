@@ -273,4 +273,61 @@ class ArrowMultimodalSpec extends AnyFunSuite {
       .collect().head
     assert(bad.isNullAt(1) && bad.isNullAt(2))
   }
+
+  test("warc round trip preserves every record field") {
+    val s = spark; import s.implicits._
+    val docs = Seq(("s1", 2L, "hello world"), ("s1", 1L, "first doc"),
+      ("s2", 3L, "x" * 100)).toDF("source", "doc_id", "text")
+    val recs = Multimodal.parseWarc(Multimodal.warcFromDocs(docs))
+      .orderBy("blob_id", "rec_no").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getString(2),
+        r.getString(3), r.getLong(4), r.getString(5)))
+    assert(recs.length === 3)
+    // records come back in doc_id order within each member
+    assert(recs(0) === (("s1", 1L, "response",
+      "http://example.com/docs/1", 9L, "first doc")))
+    assert(recs(1)._4 === "http://example.com/docs/2" && recs(1)._5 === 11L)
+    // payload head truncates at 32 chars; length is the full payload
+    assert(recs(2)._5 === 100L && recs(2)._6 === "x" * 32)
+  }
+
+  test("warc parser keeps prefix records and stops at malformed tails") {
+    val s = spark; import s.implicits._
+    val utf8 = java.nio.charset.StandardCharsets.UTF_8
+    def rec(uri: String, payload: String): Array[Byte] =
+      (s"WARC/1.0\r\nWARC-Type: response\r\nWARC-Target-URI: $uri\r\n" +
+        s"Content-Length: ${payload.getBytes(utf8).length}\r\n\r\n" +
+        payload + "\r\n\r\n").getBytes(utf8)
+    val good = rec("http://a", "ok")
+    // truncated: header promises 100 bytes, only 3 present
+    val truncated = ("WARC/1.0\r\nWARC-Type: response\r\n" +
+      "Content-Length: 100\r\n\r\nabc").getBytes(utf8)
+    // missing Content-Length entirely
+    val noLen = "WARC/1.0\r\nWARC-Type: response\r\n\r\npayload".getBytes(utf8)
+    val blobs = Seq(
+      ("b1", good ++ truncated), // first record parses, tail halts
+      ("b2", "not a warc at all".getBytes(utf8)),
+      ("b3", noLen)).toDF("blob_id", "content")
+    val out = Multimodal.parseWarc(blobs).collect()
+      .map(r => (r.getString(0), r.getString(3), r.getLong(4)))
+    assert(out.toSeq === Seq(("b1", "http://a", 2L)))
+  }
+
+  test("personalizedPageRank concentrates mass near the seed and conserves it") {
+    val s = spark; import s.implicits._
+    // path a→b→c, seed {a}: after 2 rounds r = (0.15, 0.1275, 0.7225)
+    val edges = Seq(("a", "b", 1.0), ("b", "c", 1.0)).toDF("src", "dst", "w")
+    val seeds = Seq("a").toDF("node")
+    val r = graft.api.Graft.personalizedPageRank(edges, "src", "dst", "w",
+        seeds, "node", iterations = 2)
+      .collect().map(x => x.getString(0) -> x.getDouble(1)).toMap
+    assert(math.abs(r("a") - 0.15) < 1e-9)
+    assert(math.abs(r("b") - 0.1275) < 1e-9)
+    assert(math.abs(r("c") - 0.7225) < 1e-9)
+    assert(math.abs(r.values.sum - 1.0) < 1e-9) // teleport conserves mass
+    intercept[IllegalArgumentException] {
+      graft.api.Graft.personalizedPageRank(edges, "src", "dst", "w",
+        Seq("zz").toDF("node"), "node")
+    }
+  }
 }
