@@ -974,6 +974,7 @@ object Analytics {
         .filter(col("next_type").isNotNull)
         .groupBy(col("event_type").as("src"), col("next_type").as("dst"))
         .agg(count(lit(1)).as("w"))
+        .localCheckpoint() // ≤ |types|² rows, read 5× by the PPR setup
       val seeds = Seq("purchase").toDF("node")
       graft.api.Graft.personalizedPageRank(edges, "src", "dst", "w",
           seeds, "node")

