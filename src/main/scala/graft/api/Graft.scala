@@ -6184,7 +6184,9 @@ object Graft {
     val bestA = scored.groupBy(col("b_id"))
       .agg(min_by(col("a_id"),
         struct((-col("simq")).as("s"), col("a_id").as("t"))).as("a_id"))
-    bestB.join(bestA, Seq("a_id", "b_id"))
+    // bestA is one row per b-side unit (the already-broadcast side) —
+    // broadcasting it keeps the mutual check shuffle-free
+    bestB.join(broadcast(bestA), Seq("a_id", "b_id"))
       .select(col("a_id"), col("b_id"),
         (col("simq").cast(DoubleType) / lit(1.0e9)).as("cos"))
   }

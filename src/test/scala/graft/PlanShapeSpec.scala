@@ -642,4 +642,49 @@ class PlanShapeSpec extends AnyFunSuite {
       .filterNot(_.toString.contains("localCheckpoint"))
     assert(leftover.isEmpty, leftover.mkString(", "))
   }
+
+  test("q240/q241 embedding argmaxes reduce map-side — no rank window, no SMJ") {
+    // the |train|×|eval| pair stream reduces through keyed min_by
+    // aggregates: a rank window here would shuffle every scored pair
+    for (q <- Seq("q240_semantic_decontamination", "q241_reciprocal_nn")) {
+      val p = planOf(q)
+      assert(!p.contains("windowspecdefinition"), s"$q: $p")
+      assert(!p.contains("SortMergeJoin"), s"$q: $p")
+    }
+  }
+
+  test("q242 feature hashing is a pure projection + one keyed aggregate") {
+    val p = planOf("q242_feature_hashing")
+    assert(!p.contains("Join"), p)
+    assert(!p.contains("windowspecdefinition"), p)
+    // exactly one hash shuffle (the keyed sum); the only other exchange
+    // is the output-order range partitioning
+    assert("hashpartitioning".r.findAllMatchIn(
+      p.replaceAll("AQEShuffleRead.*", "")).size >= 1, p)
+  }
+
+  test("q243 sprt walk windows are partition-offset only (never one global sort)") {
+    val plans = capturedPlans("q243_sprt")
+    val all = plans.mkString("\n===\n")
+    val specs = "windowspecdefinition\\(".r.findAllMatchIn(all).map(_.start).toSeq
+    assert(specs.nonEmpty && specs.forall { i =>
+      all.substring(i, math.min(all.length, i + 60)).contains("__pid")
+    }, all)
+  }
+
+  test("q246 disorder windows are per-key or partition-offset, never global") {
+    val plans = capturedPlans("q246_disorder_audit")
+    val all = plans.mkString("\n===\n")
+    val specs = "windowspecdefinition\\(".r.findAllMatchIn(all).map(_.start).toSeq
+    assert(specs.nonEmpty && specs.forall { i =>
+      val ctx = all.substring(i, math.min(all.length, i + 60))
+      ctx.contains("__k") || ctx.contains("__pid")
+    }, all)
+  }
+
+  test("q248 warc write+parse joins nothing and windows nothing") {
+    val p = planOf("q248_warc_roundtrip")
+    assert(!p.contains("Join"), p)
+    assert(!p.contains("windowspecdefinition"), p)
+  }
 }
