@@ -257,4 +257,36 @@ object EventStreams {
       }
       .toDF("user_id", "alarm_ts", "cusum_at_alarm")
   }
+
+  /** Streaming lateness monitor — the live form of the q246 disorder
+    * audit: per-key state is ONE long (the max event-time seen); every
+    * arriving event reports how late it is against that running max, so
+    * an operator watching the output sees watermark misconfiguration as
+    * it happens instead of at the next batch audit. Input must carry an
+    * `arr` arrival-sequence column (ingest offset) — rows are replayed
+    * in arrival order inside each micro-batch, so streaming output ≡
+    * the batch prefix-max lateness over the rows seen so far
+    * (StreamingSpec asserts the twin equality across batch splits).
+    * O(keys) state on an unbounded stream. */
+  def latenessMonitor(events: DataFrame): DataFrame = {
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    val spark = events.sparkSession
+    import spark.implicits._
+    events.selectExpr("user_id", "arr", "event_id", "unix_micros(ts) as tus")
+      .as[(Long, Long, Long, Long)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState[Long, (Long, Long, Long)](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        case (user, rows, state: GroupState[Long]) =>
+          var mx = state.getOption.getOrElse(Long.MinValue)
+          val out = rows.toArray.sortBy(r => (r._2, r._3)).map { r =>
+            val late = if (mx > r._4) mx - r._4 else 0L
+            if (r._4 > mx) mx = r._4
+            (user, r._3, late)
+          }
+          state.update(mx)
+          out.iterator
+      }
+      .toDF("user_id", "event_id", "late_us")
+  }
 }

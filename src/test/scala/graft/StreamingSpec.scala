@@ -14,6 +14,8 @@ import graft.streaming.EventStreams
 case class Ev(event_id: Long, ts: Timestamp, user_id: Long,
     event_type: String, value: Double)
 
+case class ArrEv(user_id: Long, arr: Long, event_id: Long, ts: Timestamp)
+
 /** Drives the Structured Streaming plans through MemoryStream micro-batches
   * and checks window/session/dedup semantics against hand-computed
   * expectations. */
@@ -396,5 +398,31 @@ class StreamingSpec extends AnyFunSuite {
     assert(got("click") === want("click"))
     assert(got("view") === want("view"))
     assert(want("click") === Seq((900L, 2L), (900L, 5L), (800L, 6L)))
+  }
+
+  test("lateness monitor state equals the batch prefix-max across batch splits") {
+    val s = spark
+    import s.implicits._
+    implicit val sc = s.sqlContext
+    // (user, arr, event_id, ts-minute): user 1 sees t=100 then t=50
+    // (late 50 min) split ACROSS batches; user 2 stays in order
+    val b1 = Seq(ArrEv(1, 1, 10, ts(100)), ArrEv(2, 2, 20, ts(10)))
+    val b2 = Seq(ArrEv(1, 3, 11, ts(50)), ArrEv(1, 4, 12, ts(160)),
+      ArrEv(2, 5, 21, ts(20)))
+    val mem = MemoryStream[ArrEv]
+    mem.addData(b1: _*)
+    val q = EventStreams.latenessMonitor(mem.toDF)
+      .writeStream.format("memory").queryName("lateness")
+      .outputMode("append").start()
+    q.processAllAvailable()
+    mem.addData(b2: _*)
+    q.processAllAvailable()
+    q.stop()
+    val got = s.sql("SELECT event_id, late_us FROM lateness")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // batch twin: prefix max per user over arr order, floored at 0
+    assert(got(10L) === 0L && got(20L) === 0L && got(21L) === 0L)
+    assert(got(11L) === 50L * 60L * 1000000L) // 50 minutes late in µs
+    assert(got(12L) === 0L)                   // new max, not late
   }
 }
