@@ -6451,4 +6451,118 @@ object Graft {
     }
     ranks
   }
+
+  /** Huber robust mean per group (q249) — the location M-estimator that
+    * metric pipelines need when a handful of corrupt rows should not
+    * move the reported mean (Huber 1964): IRLS with weights
+    * w = min(1, k/|x−μ|), a fixed number of rounds from the plain mean.
+    * `scaleCents` is the caller's robust scale in cents (feed q118's
+    * MAD); k multiplies it (1.345 ≈ 95% Gaussian efficiency → pass
+    * kCentiK = 134 for k=1.34).
+    *
+    * Exactness: values quantize to cents ONCE; each round's weights are
+    * nano-quantized longs and the re-estimate is the q166 floor-division
+    * micro-mean over Decimal(38) sums of wq·xc products (HUGEINT twins)
+    * — every round replays bit-for-bit cross-engine, so the oracle
+    * unrolls the rounds as chained CTEs (the pagerank/EM device).
+    *
+    * 100 TB shape: each round is ONE keyed aggregate over the rows with
+    * a broadcast join back of the (1-row-per-group) estimates — rounds
+    * are fixed (default 3), so the whole fit is `rounds` keyed shuffles,
+    * partial-agg friendly. */
+  def huberMean(df: DataFrame, valueCol: String, groupCol: String,
+      scaleCents: Long, kCentiK: Long = 134, rounds: Int = 3): DataFrame = {
+    require(scaleCents > 0, s"huberMean needs scaleCents > 0, got $scaleCents")
+    require(rounds >= 1, s"huberMean needs rounds >= 1, got $rounds")
+    val kq = scaleCents * kCentiK // k·scale in centi-cents
+    val base = df.filter(col(valueCol).isNotNull)
+      .select(col(groupCol).as("grp"),
+        round(col(valueCol) * lit(100.0)).cast(LongType).as("__xc"))
+    // round 0: the plain micro-cent mean (q166's floor-div device)
+    var est = base.groupBy(col("grp"))
+      .agg(expr("(sum(__xc) * 10000) div count(1)").as("__mu_mc"),
+        count(lit(1)).as("n"))
+      .localCheckpoint()
+    var i = 0
+    while (i < rounds) {
+      // |x − μ| in centi-cents (micro-cent μ floor-divided back): weight
+      // wq = 1e9 iff inside k·scale, else k·scale/|x−μ| nano-quantized
+      est = base.join(broadcast(est), Seq("grp"))
+        .withColumn("__dev",
+          abs(col("__xc") * lit(100L) - expr("__mu_mc div 100")))
+        .withColumn("__wq",
+          when(col("__dev") <= lit(kq), lit(1000000000L))
+            .otherwise(round(lit(kq.toDouble) * lit(1.0e9) /
+              col("__dev").cast(DoubleType)).cast(LongType)))
+        .groupBy(col("grp"))
+        .agg(expr(
+          s"""(sum(cast(__wq as decimal(38,0)) * __xc) * 10000)
+             |  div sum(cast(__wq as decimal(38,0)))""".stripMargin)
+          .cast(LongType).as("__mu_mc"),
+          count(lit(1)).as("n"),
+          sum(when(col("__wq") < lit(1000000000L), lit(1L))
+            .otherwise(lit(0L))).as("n_downweighted"))
+        .localCheckpoint()
+      i += 1
+    }
+    est.select(col("grp"), col("n"), col("n_downweighted"),
+      (col("__mu_mc").cast(DoubleType) / lit(1.0e6)).as("huber_mean"))
+  }
+
+  /** Stratified average treatment effect (q250) — the
+    * propensity-stratification baseline (Rosenbaum & Rubin 1984): cut
+    * units into equal-count strata of a confounding covariate (integer
+    * rank arithmetic over [[globalRank]], the q245 device), estimate the
+    * treated−control gap inside each stratum where the covariate is
+    * held roughly constant, and combine strata weighted by size. The
+    * overall row carries stratum = −1.
+    *
+    * Exactness: cents sums per (stratum, arm) cell; means are single
+    * double divisions; the overall ATE is assembled from the SAME cell
+    * integers. Cells without both arms contribute NULL ate and drop
+    * from the weighted overall (n counted over contributing strata). */
+  def stratifiedAte(units: DataFrame, covariateCol: String,
+      treatedCol: String, valueCol: String, idCol: String,
+      strata: Int = 5): DataFrame = {
+    require(strata >= 2, s"stratifiedAte needs strata >= 2, got $strata")
+    val base = units.filter(col(valueCol).isNotNull)
+      .select(col(idCol).as("__id"),
+        col(covariateCol).cast(LongType).as("__cv"),
+        col(treatedCol).cast(LongType).as("__t"),
+        round(col(valueCol) * lit(100.0)).cast(LongType).as("__vc"))
+    val nDf = base.agg(count(lit(1)).as("__n"))
+    val ranked = globalRank(base, Seq("__cv", "__id"), "grank")
+      .crossJoin(broadcast(nDf))
+      .withColumn("stratum", expr(s"((grank - 1) * $strata) div __n"))
+    val cells = ranked.groupBy(col("stratum"))
+      .agg(sum(col("__t")).as("n_t"), sum(lit(1L) - col("__t")).as("n_c"),
+        sum(col("__t") * col("__vc")).as("__st"),
+        sum((lit(1L) - col("__t")) * col("__vc")).as("__sc"))
+      .localCheckpoint() // feeds both the per-stratum rows and the overall
+    def mean(s: Column, n: Column): Column =
+      when(n === 0L, lit(null).cast(DoubleType))
+        .otherwise(s.cast(DoubleType) / (lit(100.0) * n.cast(DoubleType)))
+    val per = cells.select(col("stratum"), col("n_t"), col("n_c"),
+      mean(col("__st"), col("n_t")).as("mean_t"),
+      mean(col("__sc"), col("n_c")).as("mean_c"),
+      (mean(col("__st"), col("n_t")) - mean(col("__sc"), col("n_c")))
+        .as("ate"))
+    // each stratum's weighted term micro-quantized to a long BEFORE the
+    // sum — a raw double sum over strata would be aggregation-order-
+    // dependent (house rule: never sum doubles across rows)
+    val overall = cells
+      .filter(col("n_t") > 0L && col("n_c") > 0L)
+      .withColumn("__wq", round((col("n_t") + col("n_c")).cast(DoubleType) *
+        (col("__st").cast(DoubleType) / (lit(100.0) * col("n_t").cast(DoubleType)) -
+          col("__sc").cast(DoubleType) / (lit(100.0) * col("n_c").cast(DoubleType))) *
+        lit(1.0e6)).cast(LongType))
+      .agg(sum(col("n_t")).as("n_t"), sum(col("n_c")).as("n_c"),
+        sum(col("__wq")).as("__q"), sum(col("n_t") + col("n_c")).as("__wn"))
+      .select(lit(-1L).as("stratum"), col("n_t"), col("n_c"),
+        lit(null).cast(DoubleType).as("mean_t"),
+        lit(null).cast(DoubleType).as("mean_c"),
+        (col("__q").cast(DoubleType) / lit(1.0e6) /
+          col("__wn").cast(DoubleType)).as("ate"))
+    per.unionAll(overall)
+  }
 }

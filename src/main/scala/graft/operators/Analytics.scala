@@ -996,6 +996,34 @@ object Analytics {
         .orderBy(col("blob_id"), col("rec_no"))
     }),
 
+    // ---- q249: Huber robust mean per event type — the location
+    // M-estimator for metric pipelines where a few corrupt rows must not
+    // move the reported mean: 3 IRLS rounds from the plain mean at a
+    // $25 scale, k=1.34 (≈95% Gaussian efficiency). Every round is one
+    // keyed aggregate; weights and re-estimates are integer-exact, so
+    // the oracle unrolls the rounds as chained CTEs. ----
+    "q249_huber_mean" -> ((s, dir) =>
+      graft.api.Graft.huberMean(t(s, dir, "events"), "value", "event_type",
+          scaleCents = 2500, kCentiK = 134, rounds = 3)
+        .withColumnRenamed("grp", "event_type")
+        .orderBy(col("event_type"))),
+
+    // ---- q250: stratified ATE — the propensity-stratification baseline
+    // (Rosenbaum & Rubin 1984): users cut into 5 equal-count strata of
+    // their activity level (event count — the confounder proxy), the
+    // even-user treatment gap estimated inside each stratum, strata
+    // combined by size into the overall row (stratum = −1). ----
+    "q250_stratified_ate" -> ((s, dir) => {
+      val u = t(s, dir, "events").groupBy(col("user_id"))
+        .agg(count(lit(1)).as("cv"),
+          (coalesce(sum(round(col("value") * lit(100.0)).cast(LongType)),
+            lit(0L)).cast(DoubleType) / lit(100.0)).as("dollars"))
+        .withColumn("treated", (col("user_id") % 2 === 0).cast(LongType))
+      graft.api.Graft.stratifiedAte(u, "cv", "treated", "dollars",
+          "user_id", strata = 5)
+        .orderBy(col("stratum"))
+    }),
+
     // ---- q102: SCD2 temporal versioning — each user's event_type stream
     // collapses into validity intervals: a version opens only when the
     // tracked attribute CHANGES (lag-inequality islands), closes at the
@@ -1879,7 +1907,86 @@ object Analytics {
        |SELECT node, ROUND(rank, 12) AS rank FROM r$iters ORDER BY node""".stripMargin
   }
 
+  /** q249 oracle: the IRLS rounds unrolled as chained CTEs — identical
+    * cents quantization, centi-cent deviations, nano-quantized weights,
+    * HUGEINT weighted sums and the q166 floor-division re-estimate. */
+  private def huberSql(rounds: Int, kq: Long): String = {
+    val steps = (1 to rounds).map { i =>
+      s"""w$i AS (
+         |  SELECT b.grp, b.xc,
+         |    CASE WHEN ABS(b.xc * 100 - (e${i - 1}.mu // 100)) <= $kq
+         |         THEN 1000000000
+         |         ELSE CAST(ROUND($kq * 1000000000.0 /
+         |           ABS(b.xc * 100 - (e${i - 1}.mu // 100))) AS BIGINT) END AS wq
+         |  FROM b JOIN e${i - 1} USING (grp)),
+         |e$i AS (
+         |  SELECT grp,
+         |    (SUM(CAST(wq AS HUGEINT) * xc) * 10000) // SUM(CAST(wq AS HUGEINT)) AS mu,
+         |    CAST(COUNT(*) AS BIGINT) AS n,
+         |    CAST(SUM(CASE WHEN wq < 1000000000 THEN 1 ELSE 0 END) AS BIGINT) AS nd
+         |  FROM w$i GROUP BY grp)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH b AS (
+       |  SELECT event_type AS grp, CAST(ROUND(value * 100.0) AS BIGINT) AS xc
+       |  FROM events WHERE value IS NOT NULL),
+       |e0 AS (
+       |  SELECT grp, (SUM(xc) * 10000) // COUNT(*) AS mu,
+       |    CAST(COUNT(*) AS BIGINT) AS n
+       |  FROM b GROUP BY grp),
+       |$steps
+       |SELECT grp AS event_type, n, nd AS n_downweighted,
+       |  CAST(mu AS DOUBLE) / 1000000.0 AS huber_mean
+       |FROM e$rounds ORDER BY event_type""".stripMargin
+  }
+
   val oracle: Map[String, String] = Map(
+    "q249_huber_mean" -> huberSql(3, 2500L * 134L),
+
+    // stratified-ATE twin: identical cents cells, rank cut, per-stratum
+    // double chains, and the micro-quantized weighted overall
+    "q250_stratified_ate" ->
+      """WITH u AS (
+        |  SELECT user_id, CAST(COUNT(*) AS BIGINT) AS cv,
+        |    CASE WHEN user_id % 2 = 0 THEN 1 ELSE 0 END AS t,
+        |    COALESCE(CAST(SUM(CAST(ROUND(value * 100.0) AS BIGINT)) AS BIGINT), 0) AS vc
+        |  FROM events GROUP BY user_id),
+        |nn AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM u),
+        |r AS (SELECT t, vc,
+        |        CAST(row_number() OVER (ORDER BY cv, user_id) AS BIGINT) AS grank
+        |      FROM u),
+        |s AS (SELECT ((grank - 1) * 5) // nn.n AS stratum, t, vc
+        |      FROM r CROSS JOIN nn),
+        |cells AS (
+        |  SELECT stratum, CAST(SUM(t) AS BIGINT) AS n_t,
+        |    CAST(SUM(1 - t) AS BIGINT) AS n_c,
+        |    CAST(SUM(t * vc) AS BIGINT) AS st,
+        |    CAST(SUM((1 - t) * vc) AS BIGINT) AS sc
+        |  FROM s GROUP BY stratum),
+        |per AS (
+        |  SELECT stratum, n_t, n_c,
+        |    CASE WHEN n_t = 0 THEN NULL
+        |         ELSE CAST(st AS DOUBLE) / (100.0 * CAST(n_t AS DOUBLE)) END AS mean_t,
+        |    CASE WHEN n_c = 0 THEN NULL
+        |         ELSE CAST(sc AS DOUBLE) / (100.0 * CAST(n_c AS DOUBLE)) END AS mean_c,
+        |    CASE WHEN n_t = 0 THEN NULL
+        |         ELSE CAST(st AS DOUBLE) / (100.0 * CAST(n_t AS DOUBLE)) END -
+        |    CASE WHEN n_c = 0 THEN NULL
+        |         ELSE CAST(sc AS DOUBLE) / (100.0 * CAST(n_c AS DOUBLE)) END AS ate
+        |  FROM cells),
+        |ov AS (
+        |  SELECT CAST(-1 AS BIGINT) AS stratum,
+        |    CAST(SUM(n_t) AS BIGINT) AS n_t, CAST(SUM(n_c) AS BIGINT) AS n_c,
+        |    CAST(NULL AS DOUBLE) AS mean_t, CAST(NULL AS DOUBLE) AS mean_c,
+        |    CAST(SUM(CAST(ROUND(CAST(n_t + n_c AS DOUBLE) *
+        |        (CAST(st AS DOUBLE) / (100.0 * CAST(n_t AS DOUBLE)) -
+        |         CAST(sc AS DOUBLE) / (100.0 * CAST(n_c AS DOUBLE))) *
+        |        1000000.0) AS BIGINT)) AS DOUBLE) / 1000000.0 /
+        |      CAST(SUM(n_t + n_c) AS DOUBLE) AS ate
+        |  FROM cells WHERE n_t > 0 AND n_c > 0)
+        |SELECT * FROM per
+        |UNION ALL SELECT * FROM ov
+        |ORDER BY stratum""".stripMargin,
+
     "q247_personalized_pagerank" -> pprSql(10, "purchase"),
 
     // WARC twin: per-source doc_id order, the writer's literal URI/type

@@ -706,4 +706,61 @@ class AnalyticsSpec extends AnyFunSuite {
       Graft.isotonicCalibrate(df, "score", "y", maxCells = 10)
     }
   }
+
+  // ------------------------------------------------------- huber mean
+
+  test("huberMean resists the outlier the plain mean follows") {
+    val s = spark; import s.implicits._
+    val df = ((1 to 10).map(_ => ("a", 1.0)) :+ (("a", 1000.0)))
+      .toDF("g", "v")
+    // plain mean ≈ 91.8; huber at $1 scale pulls the outlier's weight to
+    // ~k·s/|x−μ| and lands near 1
+    val r = Graft.huberMean(df, "v", "g", scaleCents = 100, rounds = 3)
+      .collect().head
+    assert(r.getLong(1) === 11L)
+    assert(r.getLong(2) >= 1L)            // the outlier is downweighted
+    assert(r.getDouble(3) < 5.0, r.getDouble(3))
+    intercept[IllegalArgumentException] {
+      Graft.huberMean(df, "v", "g", scaleCents = 0)
+    }
+  }
+
+  test("huberMean is exact on constant data: no downweighting, mean = value") {
+    val s = spark; import s.implicits._
+    val df = (1 to 8).map(_ => ("a", 7.25)).toDF("g", "v")
+    val r = Graft.huberMean(df, "v", "g", scaleCents = 100).collect().head
+    assert(r.getLong(2) === 0L && r.getDouble(3) === 7.25)
+  }
+
+  // ---------------------------------------------------- stratified ate
+
+  test("stratifiedAte estimates within strata and size-weights the overall") {
+    val s = spark; import s.implicits._
+    // low stratum (cv 1-2): treated 10 vs control 6 → ate 4
+    // high stratum (cv 9-10): treated 100 vs control 90 → ate 10
+    // overall = (2·4 + 2·10)/4 = 7 — NOT the naive pooled gap
+    val u = Seq(
+      (1L, 1L, 1L, 10.0), (2L, 2L, 0L, 6.0),
+      (3L, 9L, 1L, 100.0), (4L, 10L, 0L, 90.0))
+      .toDF("id", "cv", "t", "v")
+    val out = Graft.stratifiedAte(u, "cv", "t", "v", "id", strata = 2)
+      .orderBy("stratum").collect()
+      .map(r => r.getLong(0) -> r.getDouble(5)).toMap
+    assert(out(0L) === 4.0 && out(1L) === 10.0)
+    assert(math.abs(out(-1L) - 7.0) < 1e-9)
+  }
+
+  test("stratifiedAte: a one-armed stratum reports NULL and leaves the overall") {
+    val s = spark; import s.implicits._
+    val u = Seq(
+      (1L, 1L, 1L, 10.0), (2L, 2L, 1L, 12.0), // low stratum: treated only
+      (3L, 9L, 1L, 100.0), (4L, 10L, 0L, 90.0))
+      .toDF("id", "cv", "t", "v")
+    val rows = Graft.stratifiedAte(u, "cv", "t", "v", "id", strata = 2)
+      .orderBy("stratum").collect()
+    val byStratum = rows.map(r => r.getLong(0) -> r).toMap
+    assert(byStratum(0L).isNullAt(5))              // no control arm
+    assert(byStratum(-1L).getDouble(5) === 10.0)   // only the high stratum
+    assert(byStratum(-1L).getLong(1) === 1L && byStratum(-1L).getLong(2) === 1L)
+  }
 }
