@@ -6565,4 +6565,46 @@ object Graft {
           col("__wn").cast(DoubleType)).as("ate"))
     per.unionAll(overall)
   }
+
+  /** Deterministic weighted categorical sampling (q251) — map each
+    * draw's hash onto the cumulative-weight number line and return the
+    * item whose [hi−wq, hi) interval contains it: P(item) ∝ weight,
+    * replayable because the caller's hashes are pure functions (q189's
+    * md5 discipline). This is the primitive under word2vec-style
+    * popularity-corrected negative sampling (unigram^0.75).
+    *
+    * Scale shape: the interval lookup is the q198 bucket-expansion
+    * device, NOT a nested-loop range join — items explode into the
+    * ⌈wq/B⌉+1 buckets their interval spans (ΣB-expansion ≤ V + buckets),
+    * draws join on bucket EQUALITY, and the containment filter keeps
+    * exactly one item per draw. Both sides shuffle once on the bucket
+    * key; nothing is O(draws·items).
+    *
+    * Exactness: weights are caller-quantized longs, the cumulative line
+    * comes from [[globalCumSum]] over the item order (must be total),
+    * and u = hash % W is integer — bit-replayable cross-engine. */
+  def weightedChoice(items: DataFrame, keyCol: String, weightQCol: String,
+      draws: DataFrame, hashCol: String, buckets: Int = 1024): DataFrame = {
+    require(buckets >= 1, s"weightedChoice needs buckets >= 1, got $buckets")
+    val pos = items.filter(col(weightQCol) > 0L)
+      .select(col(keyCol).as("__key"), col(weightQCol).cast(LongType).as("__wq"))
+    val cum = globalCumSum(pos, Seq("__key"), "__wq", "__hi")
+      .localCheckpoint() // feeds the total AND the bucket explode
+    val tot = cum.agg(sum(col("__wq")).as("__W"))
+    val exploded = cum.crossJoin(broadcast(tot))
+      .withColumn("__B", expr(s"(__W + ${buckets - 1}) div $buckets"))
+      .select(col("__key"), col("__wq"), col("__hi"),
+        explode(expr("sequence((__hi - __wq) div __B, (__hi - 1) div __B)"))
+          .as("__bkt"))
+    val d = draws.crossJoin(broadcast(tot))
+      .withColumn("__u", pmod(col(hashCol), col("__W")))
+      .withColumn("__bkt",
+        expr(s"__u div ((__W + ${buckets - 1}) div $buckets)"))
+      .drop("__W", hashCol)
+    d.join(exploded, Seq("__bkt"))
+      .filter(col("__u") >= col("__hi") - col("__wq") &&
+        col("__u") < col("__hi"))
+      .drop("__bkt", "__wq", "__hi", "__u")
+      .withColumnRenamed("__key", "choice")
+  }
 }

@@ -152,6 +152,36 @@ object Corpus {
         .orderBy(col("source"))
     }),
 
+    // ---- q251: popularity-corrected weighted negative sampling — the
+    // word2vec unigram^0.75 rule: negatives drawn ∝ count^0.75 over the
+    // vocabulary via the deterministic weighted-choice primitive
+    // (md5(anchor:j) draws, bucket-interval lookup — q198's device, not
+    // a range nested loop). c^0.75 is computed as sqrt(c·sqrt(c)):
+    // IEEE sqrt is correctly rounded in BOTH engines, unlike pow, so
+    // the quantized weights replay bit-for-bit. ----
+    "q251_weighted_negative_sampling" -> ((s, dir) => {
+      graft.functions.GraftFunctions.register(s)
+      val toks = t(s, dir, "documents").select(
+          explode(split(lower(col("text")), "[^a-z0-9]+")).as("__t"))
+        .filter(col("__t") =!= "")
+      val vocab = toks.groupBy(col("__t").as("token"))
+        .agg(count(lit(1)).as("c"))
+        .withColumn("wq", round(sqrt(col("c").cast(DoubleType) *
+          sqrt(col("c").cast(DoubleType))) * lit(1.0e6)).cast(LongType))
+      val draws = t(s, dir, "documents").filter(col("doc_id") % 10 === 0)
+        .select(col("doc_id").as("anchor_id"),
+          explode(expr("sequence(1, 4)")).as("j"))
+        .withColumn("j", col("j").cast(LongType))
+        .withColumn("h", call_function("md5_lower64",
+          concat(col("anchor_id").cast(StringType), lit(":"),
+            col("j").cast(StringType))).bitwiseAND(lit(Long.MaxValue)))
+      graft.api.Graft.weightedChoice(vocab.select(col("token"), col("wq")),
+          "token", "wq", draws, "h")
+        .withColumnRenamed("choice", "neg_token")
+        .select(col("anchor_id"), col("j"), col("neg_token"))
+        .orderBy(col("anchor_id"), col("j"))
+    }),
+
     // ---- q189: contrastive negative sampling — every 10th doc anchors
     // k=4 hash-drawn partners from the full corpus (md5(id:j) mod N into
     // the dense id domain): the training-pair generator for contrastive
@@ -525,6 +555,38 @@ object Corpus {
     // r9: the twin densifies identically (0-based rank over doc_id), so
     // the draw hashes the dense id and both anchor/partner map back to
     // original doc ids — id-scheme-independent, identity at sf0.01
+    // weighted-sampling twin: identical sqrt-chain weights, the same
+    // token-ordered cumulative line and md5 draws — but the lookup is
+    // the NAIVE interval theta join (no knowledge of the bucket device)
+    "q251_weighted_negative_sampling" ->
+      """WITH toks AS (
+        |  SELECT unnest(list_filter(string_split_regex(lower(text),
+        |    '[^a-z0-9]+'), x -> x <> '')) AS t
+        |  FROM documents),
+        |v AS (SELECT t AS token, COUNT(*) AS c FROM toks GROUP BY t),
+        |w AS (SELECT token,
+        |        CAST(ROUND(sqrt(CAST(c AS DOUBLE) * sqrt(CAST(c AS DOUBLE)))
+        |          * 1000000.0) AS BIGINT) AS wq
+        |      FROM v),
+        |cum AS (SELECT token, wq,
+        |          CAST(SUM(wq) OVER (ORDER BY token
+        |            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |            AS BIGINT) AS hi
+        |        FROM w WHERE wq > 0),
+        |tot AS (SELECT CAST(SUM(wq) AS BIGINT) AS W FROM w WHERE wq > 0),
+        |d AS (
+        |  SELECT doc_id AS anchor_id, CAST(j AS BIGINT) AS j,
+        |    CAST((md5_number_lower(CAST(doc_id AS VARCHAR) || ':' ||
+        |        CAST(j AS VARCHAR)) & 9223372036854775807::UBIGINT)
+        |      % tot.W AS BIGINT) AS u
+        |  FROM documents
+        |  CROSS JOIN tot
+        |  CROSS JOIN (SELECT unnest(generate_series(1, 4)) AS j)
+        |  WHERE doc_id % 10 = 0)
+        |SELECT d.anchor_id, d.j, c.token AS neg_token
+        |FROM d JOIN cum c ON d.u >= c.hi - c.wq AND d.u < c.hi
+        |ORDER BY anchor_id, j""".stripMargin,
+
     "q189_negative_sampling" ->
       """WITH d AS (
         |  SELECT doc_id, source, lang,

@@ -61,6 +61,33 @@ object Evaluation {
         .orderBy(col("score"))
     }),
 
+    // ---- q252: off-policy replay evaluation (Li et al. 2011) — the
+    // unbiased offline estimator for a targeting policy: learn the
+    // argmax-reward action per context on the train half, then score
+    // the policy ONLY on held-out logged events where the logged action
+    // equals the policy's choice (everything else is unusable — that is
+    // the replay rule). Per-cohort matched counts + replay reward; the
+    // policy argmax is micro-quantized with an action tie-break. ----
+    "q252_bandit_replay" -> ((s, dir) => {
+      val ev = t(s, dir, "events").filter(col("value").isNotNull)
+        .select(col("event_id"), (col("user_id") % 8).as("cohort"),
+          col("event_type").as("action"),
+          (col("value") > 50.0).cast(LongType).as("reward"))
+      val policy = ev.filter(col("event_id") % 2 === 0)
+        .groupBy(col("cohort"), col("action"))
+        .agg(expr("(sum(reward) * 1000000) div count(1)").as("__rq"))
+        .groupBy(col("cohort"))
+        .agg(min_by(col("action"),
+          struct((-col("__rq")).as("r"), col("action").as("a"))).as("action"))
+      ev.filter(col("event_id") % 2 === 1)
+        .join(broadcast(policy), Seq("cohort", "action"))
+        .groupBy(col("cohort"), col("action"))
+        .agg(count(lit(1)).as("n_matched"),
+          (sum(col("reward")).cast(DoubleType) /
+            count(lit(1)).cast(DoubleType)).as("replay_reward"))
+        .orderBy(col("cohort"))
+    }),
+
     // ---- q160: exact ROC AUC (Mann–Whitney) — does `value` rank
     // purchase events above the rest? Tie groups (the value column is
     // money-quantized, ~1/3 of rows share a value with another) exercise
@@ -251,6 +278,32 @@ object Evaluation {
         |  CAST(idx.pos AS DOUBLE) / CAST(idx.n AS DOUBLE) AS rate_raw,
         |  iso.rate_iso
         |FROM idx JOIN iso USING (i) ORDER BY score""".stripMargin,
+
+    // replay twin: identical micro-quantized per-(cohort, action) train
+    // means, the same (rq desc, action) argmax, the same matched-rows
+    // rule on the held-out half
+    "q252_bandit_replay" ->
+      """WITH ev AS (
+        |  SELECT event_id, user_id % 8 AS cohort, event_type AS action,
+        |    CASE WHEN value > 50.0 THEN 1 ELSE 0 END AS reward
+        |  FROM events WHERE value IS NOT NULL),
+        |tr AS (
+        |  SELECT cohort, action,
+        |    (SUM(reward) * 1000000) // COUNT(*) AS rq
+        |  FROM ev WHERE event_id % 2 = 0 GROUP BY cohort, action),
+        |pol AS (
+        |  SELECT cohort, action FROM (
+        |    SELECT cohort, action,
+        |      row_number() OVER (PARTITION BY cohort
+        |        ORDER BY rq DESC, action) AS rn
+        |    FROM tr) x WHERE rn = 1)
+        |SELECT e.cohort, e.action, CAST(COUNT(*) AS BIGINT) AS n_matched,
+        |  CAST(SUM(e.reward) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE)
+        |    AS replay_reward
+        |FROM ev e JOIN pol USING (cohort, action)
+        |WHERE e.event_id % 2 = 1
+        |GROUP BY e.cohort, e.action
+        |ORDER BY e.cohort""".stripMargin,
 
     // ARI twin: identical contingency and the cross-multiplied
     // (2·N₂·x − 2ab)/(N₂(a+b) − 2ab) identity in HUGEINT

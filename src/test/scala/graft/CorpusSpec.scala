@@ -331,4 +331,22 @@ class CorpusSpec extends AnyFunSuite {
     assert(withNull.find(_.isNullAt(0)).exists(_.isNullAt(1)))
     assert(withNull.find(!_.isNullAt(0)).exists(r => r.getLong(1) >= 0 && r.getLong(1) < 5))
   }
+
+  test("weightedChoice lands each draw in exactly its interval's item") {
+    val s = spark; import s.implicits._
+    // cumulative line over token order: a [0,1), b [1,3), c [3,10)
+    val items = Seq(("a", 1L), ("b", 2L), ("c", 7L), ("z", 0L))
+      .toDF("token", "wq")
+    // one draw per line position (hash == u because u = h % 10), plus
+    // h=10 wrapping back to u=0
+    val draws = (0L to 10L).map(h => (h, h)).toDF("draw_id", "h")
+    val out = graft.api.Graft.weightedChoice(items, "token", "wq",
+        draws, "h", buckets = 3)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(out.size === 11) // every draw resolved to exactly one item
+    assert(out(0L) === "a" && out(10L) === "a")
+    assert(out(1L) === "b" && out(2L) === "b")
+    assert((3L to 9L).forall(out(_) === "c"))
+    assert(!out.values.toSet.contains("z")) // zero weight never drawn
+  }
 }
