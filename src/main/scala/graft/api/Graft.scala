@@ -6607,4 +6607,60 @@ object Graft {
       .drop("__bkt", "__wq", "__hi", "__u")
       .withColumnRenamed("__key", "choice")
   }
+
+  /** Distributed logistic-regression trainer over sparse features
+    * (q253) — the fastText/CCNet-style quality-classifier loop run IN
+    * the engine: full-batch gradient descent on hashed bag-of-words
+    * ([[featureHash]] + a bias dim), a fixed number of rounds. Each
+    * round is two keyed aggregates (per-doc score, per-dim gradient)
+    * with the (tiny) weight vector broadcast — nothing anywhere is
+    * proportional to the vocabulary, and rounds are the only sequential
+    * structure.
+    *
+    * Input contracts: `features` = (id, dim, x) sparse rows;
+    * `labels` = (id, y ∈ {0,1}), one row per id. Learning rate is
+    * etaMilli/1000.
+    *
+    * Exactness: weights live as nano-quantized longs; round 1 is exp-
+    * free (w=0 → p=0.5 exactly), later rounds nano-quantize the
+    * residual after the sigmoid; the update uses an explicit FLOOR
+    * division ((g − pmod(g, N)) div N — Spark's `div` truncates toward
+    * zero, DuckDB's `//` floors, and gradients go negative), so every
+    * round replays bit-for-bit and the oracle unrolls them as chained
+    * CTEs. Gradient sums are exact longs to |Σ rq·x| < 9·10¹⁸ ≈ 10¹²
+    * tokens — switch the sum to Decimal(38) past that. */
+  def logisticTrainHashed(features: DataFrame, labels: DataFrame,
+      rounds: Int = 3, etaMilli: Long = 500): DataFrame = {
+    require(rounds >= 1, s"logisticTrainHashed needs rounds >= 1, got $rounds")
+    require(etaMilli > 0, s"logisticTrainHashed needs etaMilli > 0")
+    val f = features.select(col("id"), col("dim").cast(LongType).as("dim"),
+      col("x").cast(LongType).as("x")).localCheckpoint()
+    val yDf = labels.select(col("id"), col("y").cast(LongType).as("y"))
+    val nDf = yDf.agg(count(lit(1)).as("__N"))
+    var w = f.select(col("dim")).distinct()
+      .withColumn("wq", lit(0L)).localCheckpoint()
+    var r = 0
+    while (r < rounds) {
+      val z = f.join(broadcast(w), Seq("dim"))
+        .groupBy(col("id"))
+        .agg(sum(col("wq") * col("x")).as("zq"))
+      val res = z.join(yDf, Seq("id"))
+        .withColumn("rq", round((lit(1.0) / (lit(1.0) +
+          exp(-(col("zq").cast(DoubleType) / lit(1.0e9)))) -
+          col("y").cast(DoubleType)) * lit(1.0e6)).cast(LongType))
+      val grad = f.join(res.select(col("id"), col("rq")), Seq("id"))
+        .groupBy(col("dim"))
+        .agg(sum(col("rq") * col("x")).as("gq"))
+      w = w.join(grad, Seq("dim"), "left")
+        .crossJoin(broadcast(nDf))
+        .select(col("dim"),
+          (col("wq") - expr(s"""((coalesce(gq, 0) * $etaMilli) -
+            pmod(coalesce(gq, 0) * $etaMilli, __N)) div __N"""))
+            .as("wq"))
+        .localCheckpoint()
+      r += 1
+    }
+    w.select(col("dim"),
+      (col("wq").cast(DoubleType) / lit(1.0e9)).as("weight"))
+  }
 }

@@ -231,6 +231,24 @@ object TextAnalysis {
           (col("rq").cast(DoubleType) / lit(1.0e12)).as("rank"))
     }),
 
+    // ---- q253: in-engine quality-classifier training — fastText/CCNet
+    // shape: logistic regression on q242's hashed bag-of-words (+bias),
+    // 3 full-batch GD rounds, predicting lang=='en'. Round 1 is
+    // exp-free (w=0 → p=½ exactly); floor-division updates make every
+    // round integer-replayable, so the oracle unrolls the whole
+    // training loop as chained CTEs (the EM/pagerank device). ----
+    "q253_logistic_quality_train" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val feats = graft.api.Graft.featureHash(docs, "text", "doc_id", 64)
+        .select(col("doc_id").as("id"), col("dim"), col("weight").as("x"))
+        .unionAll(docs.select(col("doc_id").as("id"),
+          lit(-1L).as("dim"), lit(1L).as("x")))
+      val labels = docs.select(col("doc_id").as("id"),
+        (col("lang") === "en").cast(LongType).as("y"))
+      graft.api.Graft.logisticTrainHashed(feats, labels, rounds = 3)
+        .orderBy(col("dim"))
+    }),
+
     // ---- q242: feature hashing — fixed-64-dim signed bag-of-words via
     // the hashing trick: no vocabulary pass, one projection + one keyed
     // aggregate; md5-derived dims/signs replay identically cross-engine
@@ -585,7 +603,62 @@ object TextAnalysis {
        |FROM fin ORDER BY rq DESC, node LIMIT 20""".stripMargin
   }
 
+  /** q253 oracle: the GD rounds unrolled — identical hashed features
+    * (q242's md5 device) + bias, identical nano-weight / micro-residual
+    * quantization, the same sigmoid chain, and the `//` floor update
+    * mirroring Spark's explicit (g − pmod(g, N)) div N. */
+  private def logisticSql(rounds: Int, etaMilli: Long): String = {
+    val steps = (1 to rounds).map { i =>
+      s"""z$i AS (
+         |  SELECT f.id, CAST(SUM(w.wq * f.x) AS BIGINT) AS zq
+         |  FROM f JOIN w${i - 1} w USING (dim) GROUP BY f.id),
+         |r$i AS MATERIALIZED (
+         |  SELECT z.id,
+         |    CAST(ROUND((1.0 / (1.0 + exp(-(CAST(zq AS DOUBLE) / 1000000000.0)))
+         |      - CAST(y.y AS DOUBLE)) * 1000000.0) AS BIGINT) AS rq
+         |  FROM z$i z JOIN y USING (id)),
+         |g$i AS (
+         |  SELECT f.dim, CAST(SUM(r.rq * f.x) AS BIGINT) AS gq
+         |  FROM f JOIN r$i r USING (id) GROUP BY f.dim),
+         |w$i AS MATERIALIZED (
+         |  SELECT w.dim,
+         |    CAST(w.wq - ((COALESCE(g.gq, 0) * $etaMilli) // nn.N) AS BIGINT) AS wq
+         |  FROM w${i - 1} w LEFT JOIN g$i g USING (dim) CROSS JOIN nn)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH toks AS (
+       |  SELECT doc_id,
+       |    unnest(list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+       |      x -> x <> '')) AS t
+       |  FROM documents),
+       |h AS (
+       |  SELECT doc_id,
+       |    CAST((md5_number_lower(t) & 9223372036854775807::UBIGINT) % 64
+       |      AS BIGINT) AS dim,
+       |    CAST((md5_number_lower('s:' || t) & 1::UBIGINT) * 2 AS BIGINT) - 1
+       |      AS sgn
+       |  FROM toks),
+       |fh AS (
+       |  SELECT doc_id AS id, dim, CAST(SUM(sgn) AS BIGINT) AS x
+       |  FROM h GROUP BY doc_id, dim HAVING SUM(sgn) <> 0),
+       |f AS MATERIALIZED (
+       |  SELECT * FROM fh
+       |  UNION ALL
+       |  SELECT doc_id AS id, CAST(-1 AS BIGINT) AS dim, CAST(1 AS BIGINT) AS x
+       |  FROM documents),
+       |y AS MATERIALIZED (
+       |  SELECT doc_id AS id, CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS y
+       |  FROM documents),
+       |nn AS MATERIALIZED (SELECT CAST(COUNT(*) AS BIGINT) AS N FROM y),
+       |w0 AS MATERIALIZED (
+       |  SELECT dim, CAST(0 AS BIGINT) AS wq FROM (SELECT DISTINCT dim FROM f) d),
+       |$steps
+       |SELECT dim, CAST(wq AS DOUBLE) / 1000000000.0 AS weight
+       |FROM w$rounds ORDER BY dim""".stripMargin
+  }
+
   val oracle: Map[String, String] = Map(
+    "q253_logistic_quality_train" -> logisticSql(3, 500),
+
     "q239_textrank_keywords" -> textrankSql(3),
 
     // feature-hashing twin: identical tokenization, the q189

@@ -1860,6 +1860,23 @@ class GraftApiSpec extends AnyFunSuite {
     assert(out.getLong(1) === 10L && out.getBoolean(3))
   }
 
+  test("logisticTrainHashed learns the separating signs on toy data") {
+    val s = spark; import s.implicits._
+    // dim 1 fires only on positives, dim 2 only on negatives, dim -1 bias
+    val feats = Seq(
+      (1L, 1L, 1L), (2L, 1L, 1L), (3L, 2L, 1L), (4L, 2L, 1L),
+      (1L, -1L, 1L), (2L, -1L, 1L), (3L, -1L, 1L), (4L, -1L, 1L))
+      .toDF("id", "dim", "x")
+    val labels = Seq((1L, 1L), (2L, 1L), (3L, 0L), (4L, 0L))
+      .toDF("id", "y")
+    val w = Graft.logisticTrainHashed(feats, labels, rounds = 3)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(w(1L) > 0.0 && w(2L) < 0.0)          // separating directions
+    assert(math.abs(w(-1L)) < math.abs(w(1L)))  // balanced data: small bias
+    // symmetric problem → antisymmetric weights (exact integer updates)
+    assert(w(1L) === -w(2L))
+  }
+
   test("featureHash is deterministic, in-range, and sums signed tokens") {
     val s = spark; import s.implicits._
     val df = Seq((1L, "alpha alpha beta"), (2L, "alpha")).toDF("doc_id", "text")
