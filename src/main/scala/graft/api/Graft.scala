@@ -6663,4 +6663,113 @@ object Graft {
     w.select(col("dim"),
       (col("wq").cast(DoubleType) / lit(1.0e9)).as("weight"))
   }
+
+  /** Inverse-propensity-weighted ATE (q254) — [[stratifiedAte]]'s
+    * estimator sibling on the SAME strata, with LAPLACE-SMOOTHED
+    * propensities ê_s = (n_t+1)/(n_t+n_c+2): the Horvitz–Thompson form
+    * ATE = (1/N)·Σ_s (S_t,s/ê_s − S_c,s/(1−ê_s)). Under raw frequency
+    * propensities HT-IPW is ALGEBRAICALLY the size-weighted stratified
+    * estimator — the smoothing is what makes this a genuinely distinct
+    * robustness check, keeps weights finite, and lets one-armed strata
+    * contribute instead of being dropped. Agreement between q250 and
+    * q254 is the standard sanity gate before trusting either.
+    *
+    * Exactness: cents cells; each stratum's two rescaled terms (exact
+    * integer numerators st·(n_t+n_c+2), denominators n_t+1) are
+    * micro-quantized longs before the cross-strata sum. */
+  def ipwAte(units: DataFrame, covariateCol: String, treatedCol: String,
+      valueCol: String, idCol: String, strata: Int = 5): DataFrame = {
+    require(strata >= 2, s"ipwAte needs strata >= 2, got $strata")
+    val base = units.filter(col(valueCol).isNotNull)
+      .select(col(idCol).as("__id"),
+        col(covariateCol).cast(LongType).as("__cv"),
+        col(treatedCol).cast(LongType).as("__t"),
+        round(col(valueCol) * lit(100.0)).cast(LongType).as("__vc"))
+    val nDf = base.agg(count(lit(1)).as("__n"))
+    val cells = globalRank(base, Seq("__cv", "__id"), "grank")
+      .crossJoin(broadcast(nDf))
+      .withColumn("stratum", expr(s"((grank - 1) * $strata) div __n"))
+      .groupBy(col("stratum"))
+      .agg(sum(col("__t")).as("n_t"), sum(lit(1L) - col("__t")).as("n_c"),
+        sum(col("__t") * col("__vc")).as("__st"),
+        sum((lit(1L) - col("__t")) * col("__vc")).as("__sc"))
+    val terms = cells.withColumn("__tq", round(
+      (col("__st").cast(DoubleType) *
+        (col("n_t") + col("n_c") + lit(2L)).cast(DoubleType) /
+        (col("n_t") + lit(1L)).cast(DoubleType) -
+        col("__sc").cast(DoubleType) *
+          (col("n_t") + col("n_c") + lit(2L)).cast(DoubleType) /
+          (col("n_c") + lit(1L)).cast(DoubleType)) * lit(1.0e4))
+      .cast(LongType))
+    terms.agg(sum(col("n_t") + col("n_c")).as("n_units"),
+        sum(col("__tq")).as("__q"))
+      .select(col("n_units"),
+        (col("__q").cast(DoubleType) / lit(1.0e4) / lit(100.0) /
+          col("n_units").cast(DoubleType)).as("ate_ipw"))
+  }
+
+  /** Markov next-event model evaluation (q255) — train the first-order
+    * transition argmax on one half of the stream, score top-1 accuracy
+    * on the other: the sequence-model baseline every session-
+    * recommendation pipeline should have to beat. Transitions come from
+    * one lead() per key (never a self-join); the learned policy is a
+    * #states-row broadcast; accuracy is one keyed count.
+    *
+    * Exactness: the argmax next-state ranks on exact transition COUNTS
+    * with a state tie-break; accuracy is integer counts + one double
+    * division per state. */
+  def markovEval(events: DataFrame, keyCol: String, tsCols: Seq[String],
+      stateCol: String, splitCol: Column): DataFrame = {
+    val w = Window.partitionBy(col(keyCol)).orderBy(tsCols.map(col): _*)
+    val trans = events
+      .select(col(keyCol) +: col(stateCol).as("__s") +: splitCol.as("__train") +:
+        tsCols.map(col): _*)
+      .withColumn("__next", lead(col("__s"), 1).over(w))
+      .filter(col("__next").isNotNull)
+    val policy = trans.filter(col("__train"))
+      .groupBy(col("__s"), col("__next")).agg(count(lit(1)).as("__c"))
+      .groupBy(col("__s"))
+      .agg(min_by(col("__next"),
+        struct((-col("__c")).as("c"), col("__next").as("n"))).as("__pred"))
+    trans.filter(!col("__train"))
+      .join(broadcast(policy), Seq("__s"))
+      .groupBy(col("__s").as("state"), col("__pred").as("predicted_next"))
+      .agg(count(lit(1)).as("n_eval"),
+        sum((col("__next") === col("__pred")).cast(LongType)).as("n_correct"))
+      .withColumn("accuracy",
+        col("n_correct").cast(DoubleType) / col("n_eval").cast(DoubleType))
+  }
+
+  /** Group-fairness audit (q256) — per-group selection rates and the
+    * disparate-impact ratio vs the best-treated group, flagged by the
+    * four-fifths rule (EEOC 29 CFR 1607.4(D)): the governance gate a
+    * classifier's decisions (e.g. [[logisticTrainHashed]]'s) pass
+    * before deployment. One keyed aggregate + a 1-row broadcast of the
+    * reference rate.
+    *
+    * Exactness: rates are integer counts; the ratio is cross-multiplied
+    * for the flag (5·n_sel·n_ref_tot ≥ 4·n_ref_sel·n_tot — never a
+    * float threshold) and emitted as one double division per group. */
+  def fairnessAudit(df: DataFrame, groupCol: String,
+      selectedCol: String): DataFrame = {
+    val g = df.groupBy(col(groupCol).as("grp"))
+      .agg(count(lit(1)).as("n"),
+        sum(col(selectedCol).cast(LongType)).as("n_selected"))
+    // reference = the group with the highest selection rate (cross-
+    // multiplied comparison; ties by group for determinism)
+    val ref = g.agg(min_by(struct(col("n").as("rn"),
+        col("n_selected").as("rs")),
+      struct((-expr("(n_selected * 1000000) div n")).as("r"),
+        col("grp").as("g"))).as("__ref"))
+      .select(col("__ref.rn").as("__rn"), col("__ref.rs").as("__rs"))
+    g.crossJoin(broadcast(ref))
+      .select(col("grp"), col("n"), col("n_selected"),
+        (col("n_selected").cast(DoubleType) / col("n").cast(DoubleType))
+          .as("selection_rate"),
+        (col("n_selected").cast(DoubleType) * col("__rn").cast(DoubleType) /
+          (col("n").cast(DoubleType) * col("__rs").cast(DoubleType)))
+          .as("impact_ratio"),
+        (col("n_selected") * col("__rn") * lit(5L) <
+          col("__rs") * col("n") * lit(4L)).as("four_fifths_violation"))
+  }
 }

@@ -1024,6 +1024,34 @@ object Analytics {
         .orderBy(col("stratum"))
     }),
 
+    // ---- q254: inverse-propensity-weighted ATE — the estimator
+    // sibling of q250 on the SAME strata: Horvitz–Thompson reweighting
+    // by within-stratum propensities instead of size-weighted stratum
+    // gaps. Agreement between the two is the standard robustness check
+    // before trusting either. ----
+    "q254_ipw_ate" -> ((s, dir) => {
+      val u = t(s, dir, "events").groupBy(col("user_id"))
+        .agg(count(lit(1)).as("cv"),
+          (coalesce(sum(round(col("value") * lit(100.0)).cast(LongType)),
+            lit(0L)).cast(DoubleType) / lit(100.0)).as("dollars"))
+        .withColumn("treated", (col("user_id") % 2 === 0).cast(LongType))
+      graft.api.Graft.ipwAte(u, "cv", "treated", "dollars", "user_id",
+        strata = 5)
+    }),
+
+    // ---- q255: Markov next-event evaluation — the sequence-model
+    // baseline: first-order transition argmax trained on even event_ids
+    // scores top-1 accuracy per state on the odd half. The floor a
+    // session-recommendation model must beat. ----
+    "q255_markov_eval" -> ((s, dir) => {
+      val e = t(s, dir, "events")
+        .select(col("user_id"), col("event_id"), col("event_type"),
+          unix_micros(col("ts")).as("us"))
+      graft.api.Graft.markovEval(e, "user_id", Seq("us", "event_id"),
+          "event_type", col("event_id") % 2 === 0)
+        .orderBy(col("state"))
+    }),
+
     // ---- q102: SCD2 temporal versioning — each user's event_type stream
     // collapses into validity intervals: a version opens only when the
     // tracked attribute CHANGES (lag-inequality islands), closes at the
@@ -1940,6 +1968,61 @@ object Analytics {
   }
 
   val oracle: Map[String, String] = Map(
+    // IPW twin: q250's cells, the Laplace-smoothed (n_t+1)/(n_t+n_c+2)
+    // propensities, micro-quantized Horvitz–Thompson terms, the same
+    // division chain
+    "q254_ipw_ate" ->
+      """WITH u AS (
+        |  SELECT user_id, CAST(COUNT(*) AS BIGINT) AS cv,
+        |    CASE WHEN user_id % 2 = 0 THEN 1 ELSE 0 END AS t,
+        |    COALESCE(CAST(SUM(CAST(ROUND(value * 100.0) AS BIGINT)) AS BIGINT), 0) AS vc
+        |  FROM events GROUP BY user_id),
+        |nn AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM u),
+        |r AS (SELECT t, vc,
+        |        CAST(row_number() OVER (ORDER BY cv, user_id) AS BIGINT) AS grank
+        |      FROM u),
+        |cells AS (
+        |  SELECT ((grank - 1) * 5) // nn.n AS stratum,
+        |    CAST(SUM(t) AS BIGINT) AS n_t, CAST(SUM(1 - t) AS BIGINT) AS n_c,
+        |    CAST(SUM(t * vc) AS BIGINT) AS st,
+        |    CAST(SUM((1 - t) * vc) AS BIGINT) AS sc
+        |  FROM r CROSS JOIN nn GROUP BY 1),
+        |terms AS (
+        |  SELECT n_t, n_c,
+        |    CAST(ROUND((CAST(st AS DOUBLE) * CAST(n_t + n_c + 2 AS DOUBLE)
+        |        / CAST(n_t + 1 AS DOUBLE)
+        |      - CAST(sc AS DOUBLE) * CAST(n_t + n_c + 2 AS DOUBLE)
+        |        / CAST(n_c + 1 AS DOUBLE))
+        |      * 10000.0) AS BIGINT) AS tq
+        |  FROM cells)
+        |SELECT CAST(SUM(n_t + n_c) AS BIGINT) AS n_units,
+        |  CAST(SUM(tq) AS DOUBLE) / 10000.0 / 100.0 /
+        |    CAST(SUM(n_t + n_c) AS DOUBLE) AS ate_ipw
+        |FROM terms""".stripMargin,
+
+    // Markov-eval twin: identical lead() transitions, count-argmax with
+    // next-state tie-break, matched-policy accuracy on the odd half
+    "q255_markov_eval" ->
+      """WITH nxt AS (
+        |  SELECT user_id, event_id, event_type AS s,
+        |    event_id % 2 = 0 AS train,
+        |    lead(event_type) OVER (PARTITION BY user_id
+        |      ORDER BY epoch_us(ts), event_id) AS nx
+        |  FROM events),
+        |tr AS (SELECT s, nx, COUNT(*) AS c FROM nxt
+        |       WHERE nx IS NOT NULL AND train GROUP BY s, nx),
+        |pol AS (SELECT s, nx AS pred FROM (
+        |    SELECT s, nx, row_number() OVER (PARTITION BY s
+        |      ORDER BY c DESC, nx) AS rk FROM tr) x WHERE rk = 1),
+        |ev AS (SELECT n.s, n.nx, p.pred FROM nxt n JOIN pol p USING (s)
+        |       WHERE n.nx IS NOT NULL AND NOT n.train)
+        |SELECT s AS state, pred AS predicted_next,
+        |  CAST(COUNT(*) AS BIGINT) AS n_eval,
+        |  CAST(SUM(CASE WHEN nx = pred THEN 1 ELSE 0 END) AS BIGINT) AS n_correct,
+        |  CAST(SUM(CASE WHEN nx = pred THEN 1 ELSE 0 END) AS DOUBLE) /
+        |    CAST(COUNT(*) AS DOUBLE) AS accuracy
+        |FROM ev GROUP BY s, pred ORDER BY state""".stripMargin,
+
     "q249_huber_mean" -> huberSql(3, 2500L * 134L),
 
     // stratified-ATE twin: identical cents cells, rank cut, per-stratum

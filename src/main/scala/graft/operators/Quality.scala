@@ -102,6 +102,17 @@ object Quality {
       graft.api.Graft.kAnonymityAudit(c, Seq("c_nationkey", "c_mktsegment"),
           "acct_band", k = 5)
         .orderBy(col("class_size"))
+    }),
+
+    // ---- q256: group-fairness audit — per-segment selection rates for
+    // the acctbal>5000 decision, disparate impact vs the best-treated
+    // segment, four-fifths-rule flags (cross-multiplied, never a float
+    // threshold). The governance gate beside q236's privacy gate. ----
+    "q256_fairness_audit" -> ((s, dir) => {
+      val c = t(s, dir, "customer")
+        .withColumn("approved", (col("c_acctbal") > 5000.0).cast(LongType))
+      graft.api.Graft.fairnessAudit(c, "c_mktsegment", "approved")
+        .orderBy(col("grp"))
     })
   )
 
@@ -123,6 +134,26 @@ object Quality {
         |  CAST(MIN(l) AS BIGINT) AS min_l_diversity,
         |  class_size < 5 AS at_risk
         |FROM cls GROUP BY class_size ORDER BY class_size""".stripMargin,
+
+    // fairness twin: identical counts, micro-rate reference pick with
+    // group tie-break, same double chains and cross-multiplied flag
+    "q256_fairness_audit" ->
+      """WITH g AS (
+        |  SELECT c_mktsegment AS grp, CAST(COUNT(*) AS BIGINT) AS n,
+        |    CAST(SUM(CASE WHEN c_acctbal > 5000.0 THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS ns
+        |  FROM customer GROUP BY 1),
+        |ref AS (
+        |  SELECT n AS rn, ns AS rs FROM (
+        |    SELECT g.*, row_number() OVER (
+        |      ORDER BY (ns * 1000000) // n DESC, grp) AS rk FROM g) x
+        |  WHERE rk = 1)
+        |SELECT grp, n, ns AS n_selected,
+        |  CAST(ns AS DOUBLE) / CAST(n AS DOUBLE) AS selection_rate,
+        |  CAST(ns AS DOUBLE) * CAST(rn AS DOUBLE) /
+        |    (CAST(n AS DOUBLE) * CAST(rs AS DOUBLE)) AS impact_ratio,
+        |  ns * rn * 5 < rs * n * 4 AS four_fifths_violation
+        |FROM g CROSS JOIN ref ORDER BY grp""".stripMargin,
 
     // profiler twin: per-column SELECTs unioned, identical DECIMAL(18,2)
     // money rendering, typed min/max stringified after aggregation

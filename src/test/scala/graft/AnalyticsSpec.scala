@@ -750,6 +750,62 @@ class AnalyticsSpec extends AnyFunSuite {
     assert(math.abs(out(-1L) - 7.0) < 1e-9)
   }
 
+  test("ipwAte shrinks toward zero vs stratified under Laplace smoothing") {
+    val s = spark; import s.implicits._
+    // same 2-strata data as the stratified spec (true weighted ATE 7):
+    // smoothing ê = (1+1)/(2+2) = 0.5 per arm → term = 2·(sum_t − sum_c)
+    // per stratum → ate = (2·4 + 2·10)/4 = 7 here (balanced arms keep
+    // HT == stratified); imbalance is what separates them
+    val u = Seq(
+      (1L, 1L, 1L, 10.0), (2L, 2L, 0L, 6.0),
+      (3L, 9L, 1L, 100.0), (4L, 10L, 0L, 90.0))
+      .toDF("id", "cv", "t", "v")
+    val r = Graft.ipwAte(u, "cv", "t", "v", "id", strata = 2).collect().head
+    assert(r.getLong(0) === 4L && math.abs(r.getDouble(1) - 7.0) < 1e-9)
+    // one-armed stratum now CONTRIBUTES (treated-only low stratum):
+    // low: st=22, sc=0, n_t=2,n_c=0 → term = 22·4/3 ≈ 29.33; high as
+    // before → term = 2·10 = 20 per its arithmetic... assert it runs
+    // and stays finite instead of dropping rows
+    val u2 = Seq(
+      (1L, 1L, 1L, 10.0), (2L, 2L, 1L, 12.0),
+      (3L, 9L, 1L, 100.0), (4L, 10L, 0L, 90.0))
+      .toDF("id", "cv", "t", "v")
+    val r2 = Graft.ipwAte(u2, "cv", "t", "v", "id", strata = 2).collect().head
+    assert(r2.getLong(0) === 4L && !r2.isNullAt(1))
+  }
+
+  test("markovEval learns the train argmax and scores the held-out half") {
+    val s = spark; import s.implicits._
+    // user 1 (train rows even id): a->b, b->a, a->b ; user 2 (eval):
+    // a->b (correct), b->b (wrong: policy says b->a)
+    val e = Seq(
+      (1L, 2L, "a", 10L), (1L, 4L, "b", 20L), (1L, 6L, "a", 30L),
+      (1L, 8L, "b", 40L),
+      (2L, 1L, "a", 10L), (2L, 3L, "b", 20L), (2L, 5L, "b", 30L))
+      .toDF("user_id", "event_id", "event_type", "us")
+    val out = Graft.markovEval(e, "user_id", Seq("us", "event_id"),
+        "event_type", col("event_id") % 2 === 0)
+      .collect().map(r => r.getString(0) ->
+        (r.getString(1), r.getLong(2), r.getLong(3))).toMap
+    assert(out("a") === (("b", 1L, 1L)))   // a->b predicted, correct
+    assert(out("b") === (("a", 1L, 0L)))   // b->a predicted, eval saw b->b
+  }
+
+  test("fairnessAudit flags groups under 4/5 of the best rate exactly") {
+    val s = spark; import s.implicits._
+    // rates: g1 10/10, g2 8/10 (exactly 4/5 — NOT a violation),
+    // g3 7/10 (violation)
+    val rows = (1 to 10).map(i => ("g1", 1L)) ++
+      (1 to 10).map(i => ("g2", if (i <= 8) 1L else 0L)) ++
+      (1 to 10).map(i => ("g3", if (i <= 7) 1L else 0L))
+    val out = Graft.fairnessAudit(rows.toDF("grp", "sel"), "grp", "sel")
+      .collect().map(r => r.getString(0) -> (r.getDouble(4), r.getBoolean(5)))
+      .toMap
+    assert(out("g1") === ((1.0, false)))
+    assert(out("g2")._1 === 0.8 && !out("g2")._2) // boundary: >= 4/5 passes
+    assert(out("g3")._2 === true)
+  }
+
   test("stratifiedAte: a one-armed stratum reports NULL and leaves the overall") {
     val s = spark; import s.implicits._
     val u = Seq(
