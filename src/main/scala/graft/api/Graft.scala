@@ -6772,4 +6772,45 @@ object Graft {
         (col("n_selected") * col("__rn") * lit(5L) <
           col("__rs") * col("n") * lit(4L)).as("four_fifths_violation"))
   }
+
+  /** Operating-point selection (q257) — the threshold that maximizes F1
+    * for a "predict positive iff score ≥ t" rule, picked over EVERY
+    * distinct score in one pass: descending prefix counts give TP/FP/FN
+    * at each candidate, F1 is the exact integer ratio
+    * (2·TP·10⁹) div (2·TP+FP+FN) (never a float compare), and the
+    * argmax breaks ties toward the LOWER threshold. The deployment
+    * decision q160's AUC (threshold-free) and q237's calibration
+    * deliberately don't make.
+    *
+    * Shape: one keyed aggregate to score cells, two [[globalCumSum]]
+    * passes over the (caller-quantized) cell table, one keyed argmax.
+    * Exact to 4.6·10⁹ rows (2·TP·10⁹ in a long); past that drop the
+    * quantizer to 10⁶. */
+  def bestF1Threshold(df: DataFrame, scoreQCol: String,
+      labelCol: String): DataFrame = {
+    val cells = df.filter(col(scoreQCol).isNotNull && col(labelCol).isNotNull)
+      .groupBy(col(scoreQCol).cast(LongType).as("sc"))
+      .agg(count(lit(1)).as("n"), sum(col(labelCol).cast(LongType)).as("pos"))
+      .localCheckpoint() // feeds the total AND both cum passes
+    val tot = cells.agg(sum(col("pos")).as("__P"))
+    val desc = cells.withColumn("__neg", -col("sc"))
+    val cum = globalCumSum(globalCumSum(desc, Seq("__neg"), "pos", "tp"),
+      Seq("__neg"), "n", "pp")
+    cum.crossJoin(broadcast(tot))
+      .withColumn("fp", col("pp") - col("tp"))
+      .withColumn("fn", col("__P") - col("tp"))
+      .withColumn("f1q",
+        expr("(2 * tp * 1000000000) div (2 * tp + fp + fn)"))
+      .agg(min_by(struct(col("sc"), col("tp"), col("pp"), col("fp"),
+          col("fn"), col("f1q")),
+        struct((-col("f1q")).as("f"), col("sc").as("s"))).as("__b"),
+        max(col("__P")).as("__pt"))
+      .select(col("__b.sc").as("threshold"), col("__b.tp").as("tp"),
+        col("__b.fp").as("fp"), col("__b.fn").as("fn"),
+        (col("__b.tp").cast(DoubleType) / col("__b.pp").cast(DoubleType))
+          .as("precision"),
+        (col("__b.tp").cast(DoubleType) / col("__pt").cast(DoubleType))
+          .as("recall"),
+        (col("__b.f1q").cast(DoubleType) / lit(1.0e9)).as("f1"))
+  }
 }

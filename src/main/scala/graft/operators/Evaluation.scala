@@ -88,6 +88,18 @@ object Evaluation {
         .orderBy(col("cohort"))
     }),
 
+    // ---- q257: operating-point selection — the F1-maximizing decision
+    // threshold for "flag as purchase when value ≥ t", searched over
+    // every distinct cents value with exact integer F1 ratios. The
+    // deployment decision AUC (q160, threshold-free) and calibration
+    // (q237) deliberately don't make. ----
+    "q257_best_f1_threshold" -> ((s, dir) => {
+      val ev = t(s, dir, "events").filter(col("value").isNotNull)
+        .withColumn("scq", round(col("value") * lit(100.0)).cast(LongType))
+        .withColumn("y", (col("event_type") === "purchase").cast(LongType))
+      graft.api.Graft.bestF1Threshold(ev, "scq", "y")
+    }),
+
     // ---- q160: exact ROC AUC (Mann–Whitney) — does `value` rank
     // purchase events above the rest? Tie groups (the value column is
     // money-quantized, ~1/3 of rows share a value with another) exercise
@@ -278,6 +290,34 @@ object Evaluation {
         |  CAST(idx.pos AS DOUBLE) / CAST(idx.n AS DOUBLE) AS rate_raw,
         |  iso.rate_iso
         |FROM idx JOIN iso USING (i) ORDER BY score""".stripMargin,
+
+    // F1-threshold twin: identical cents cells, descending prefix
+    // counts, the exact integer F1 ratio and (f1q desc, sc asc) argmax
+    "q257_best_f1_threshold" ->
+      """WITH b AS (
+        |  SELECT CAST(ROUND(value * 100.0) AS BIGINT) AS sc,
+        |    CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS y
+        |  FROM events WHERE value IS NOT NULL),
+        |cells AS (SELECT sc, CAST(COUNT(*) AS BIGINT) AS n,
+        |            CAST(SUM(y) AS BIGINT) AS pos
+        |          FROM b GROUP BY sc),
+        |tot AS (SELECT CAST(SUM(pos) AS BIGINT) AS p FROM cells),
+        |c AS (SELECT sc,
+        |        CAST(SUM(pos) OVER w AS BIGINT) AS tp,
+        |        CAST(SUM(n) OVER w AS BIGINT) AS pp
+        |      FROM cells
+        |      WINDOW w AS (ORDER BY sc DESC
+        |        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+        |f AS (SELECT sc, tp, pp, pp - tp AS fp, t.p - tp AS fn,
+        |        (2 * tp * 1000000000) // (2 * tp + (pp - tp) + (t.p - tp)) AS f1q,
+        |        t.p AS pt
+        |      FROM c CROSS JOIN tot t),
+        |best AS (SELECT * FROM f ORDER BY f1q DESC, sc LIMIT 1)
+        |SELECT sc AS threshold, tp, fp, fn,
+        |  CAST(tp AS DOUBLE) / CAST(pp AS DOUBLE) AS "precision",
+        |  CAST(tp AS DOUBLE) / CAST(pt AS DOUBLE) AS recall,
+        |  CAST(f1q AS DOUBLE) / 1000000000.0 AS f1
+        |FROM best""".stripMargin,
 
     // replay twin: identical micro-quantized per-(cohort, action) train
     // means, the same (rq desc, action) argmax, the same matched-rows

@@ -126,6 +126,28 @@ object GdalQueries {
         .orderBy(col("Country"))
     }),
 
+    // ---- gdal_webmercator: WGS84 → Web Mercator (EPSG:3857) — the one
+    // CRS transform every web-map pipeline needs, as pure column math
+    // (x = R·λ, y = R·ln tan(π/4 + φ/2); no PROJ/GDAL): the reference
+    // delegates reprojection to GDAL, this engine computes the dominant
+    // case in-plan. Constants are Scala-interpolated into BOTH engines;
+    // meters rounded to mm so sub-ulp libm differences cannot surface.
+    // Poles clamp (|φ| ≥ 90 is outside the projection's domain). ----
+    "gdal_webmercator" -> ((s, _) => {
+      GraftFunctions.register(s)
+      val R = 6378137.0
+      val df = s.read.format("csvgeo").load(s"$fixtures/lat_lon_countries.csv")
+        .select(col("Country"),
+          GraftFunctions.st_x(col("geometry")).as("lon"),
+          GraftFunctions.st_y(col("geometry")).as("lat"))
+      df.filter(abs(col("lat")) < 89.9999)
+        .select(col("Country"),
+          round(col("lon") * lit(math.Pi / 180.0) * lit(R), 3).as("x_3857"),
+          round(log(tan(col("lat") * lit(math.Pi / 360.0) +
+            lit(math.Pi / 4.0))) * lit(R), 3).as("y_3857"))
+        .orderBy(col("Country"))
+    }),
+
     // Cross-format conversion: the reference's own shapefile fixture
     // written as FlatGeobuf through our writer, read back through our
     // reader — pins both halves of the format every round.
@@ -356,6 +378,17 @@ object GdalQueries {
       """SELECT Country, CAST(Longitude AS DOUBLE) AS lon, CAST(Latitude AS DOUBLE) AS lat
         |FROM read_csv('/root/reference/test_data/lat_lon_countries.csv', header=true)
         |ORDER BY Country""".stripMargin,
+
+    // webmercator twin: the identical λ·(π/180)·R and ln tan(φ·π/360 +
+    // π/4)·R chains with the SAME Scala-printed double constants
+    "gdal_webmercator" ->
+      s"""SELECT Country,
+         |  ROUND(CAST(Longitude AS DOUBLE) * ${math.Pi / 180.0} * 6378137.0, 3) AS x_3857,
+         |  ROUND(ln(tan(CAST(Latitude AS DOUBLE) * ${math.Pi / 360.0} +
+         |    ${math.Pi / 4.0})) * 6378137.0, 3) AS y_3857
+         |FROM read_csv('/root/reference/test_data/lat_lon_countries.csv', header=true)
+         |WHERE abs(CAST(Latitude AS DOUBLE)) < 89.9999
+         |ORDER BY Country""".stripMargin,
 
     // The remaining station entries oracle against the GOLDEN CSV — an
     // independent struct-unpack parse of the same .shp/.dbf

@@ -806,6 +806,19 @@ class AnalyticsSpec extends AnyFunSuite {
     assert(out("g3")._2 === true)
   }
 
+  test("bestF1Threshold finds the perfect separator and ties to lower t") {
+    val s = spark; import s.implicits._
+    val df = Seq((1L, 0L), (2L, 0L), (3L, 1L), (4L, 1L)).toDF("scq", "y")
+    val r = Graft.bestF1Threshold(df, "scq", "y").collect().head
+    assert(r.getLong(0) === 3L && r.getDouble(6) === 1.0)
+    assert(r.getLong(1) === 2L && r.getLong(2) === 0L && r.getLong(3) === 0L)
+    // all-positive data: every threshold has precision 1; F1 maxes at
+    // full recall, tie broken to the LOWEST threshold
+    val all = Seq((5L, 1L), (7L, 1L)).toDF("scq", "y")
+    val r2 = Graft.bestF1Threshold(all, "scq", "y").collect().head
+    assert(r2.getLong(0) === 5L && r2.getDouble(5) === 1.0)
+  }
+
   test("stratifiedAte: a one-armed stratum reports NULL and leaves the overall") {
     val s = spark; import s.implicits._
     val u = Seq(

@@ -154,4 +154,20 @@ class SpatialFnsSpec extends AnyFunSuite {
         s"tx=$txa vs tx=$txb")
     }
   }
+
+  test("web mercator chain lands on the published EPSG:3857 anchors") {
+    val s = spark; import s.implicits._
+    import org.apache.spark.sql.functions._
+    val R = 6378137.0
+    val df = Seq((0.0, 0.0), (180.0, 0.0), (0.0, 85.05112878))
+      .toDF("lon", "lat")
+      .select(
+        round(col("lon") * lit(math.Pi / 180.0) * lit(R), 3).as("x"),
+        round(log(tan(col("lat") * lit(math.Pi / 360.0) +
+          lit(math.Pi / 4.0))) * lit(R), 3).as("y"))
+      .collect().map(r => (r.getDouble(0), r.getDouble(1)))
+    assert(df(0) === ((0.0, 0.0)))
+    assert(math.abs(df(1)._1 - 20037508.343) < 1e-3)     // antimeridian x
+    assert(math.abs(df(2)._2 - 20037508.343) < 0.5)      // square-world lat
+  }
 }
