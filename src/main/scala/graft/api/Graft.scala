@@ -6813,4 +6813,53 @@ object Graft {
           .as("recall"),
         (col("__b.f1q").cast(DoubleType) / lit(1.0e9)).as("f1"))
   }
+
+  /** Item-to-item collaborative filtering (q258; Linden, Smith & York
+    * 2003 — the Amazon "customers who bought X also bought Y"
+    * primitive): per item, the top-k co-occurring items by cosine-
+    * normalized basket co-occurrence sim(i,j) = c_ij/√(c_i·c_j).
+    *
+    * Scale shape: distinct (basket, item) once, pairs from a basket-
+    * keyed self-join — work is Σ C(basket_size, 2), which a single
+    * mega-basket turns quadratic, so baskets over `maxBasket` fail
+    * LOUDLY in-plan (the q198/q24 guard rule: cap or pre-filter, never
+    * a silent OOM); the top-k window partitions by item. Similarities
+    * nano-quantized (exact integer c's under an IEEE sqrt/division
+    * chain) → engine-exact ranking with an item tie-break. */
+  def itemCooccurrence(df: DataFrame, basketCol: String, itemCol: String,
+      k: Int = 5, maxBasket: Int = 100): DataFrame = {
+    require(k >= 1, s"itemCooccurrence needs k >= 1, got $k")
+    val items0 = df.filter(col(basketCol).isNotNull && col(itemCol).isNotNull)
+      .select(col(basketCol).as("__b"), col(itemCol).as("__i")).distinct()
+    val sizes = items0.groupBy(col("__b")).agg(count(lit(1)).as("__bs"))
+    val items = items0.join(sizes, Seq("__b"))
+      .select(col("__b"),
+        when(col("__bs") > maxBasket, raise_error(concat(
+          lit(s"itemCooccurrence: basket "), col("__b").cast(StringType),
+          lit(s" has "), col("__bs").cast(StringType),
+          lit(s" distinct items > maxBasket=$maxBasket — pair generation " +
+            "is quadratic per basket; cap baskets or raise the limit " +
+            "explicitly")))).otherwise(col("__i")).as("__i"))
+      .localCheckpoint() // feeds the pair join AND the item counts
+    val ci = items.groupBy(col("__i")).agg(count(lit(1)).as("__c"))
+    val pairs = items.as("a").join(items.as("b"), Seq("__b"))
+      .filter(col("a.__i") < col("b.__i"))
+      .groupBy(col("a.__i").as("ia"), col("b.__i").as("ib"))
+      .agg(count(lit(1)).as("__cij"))
+    val sym = pairs.unionAll(pairs.select(col("ib").as("ia"),
+      col("ia").as("ib"), col("__cij")))
+    val w = Window.partitionBy(col("ia"))
+      .orderBy(col("__simq").desc, col("ib"))
+    sym
+      .join(ci.select(col("__i").as("ia"), col("__c").as("__ca")), Seq("ia"))
+      .join(ci.select(col("__i").as("ib"), col("__c").as("__cb")), Seq("ib"))
+      .withColumn("__simq", round(col("__cij").cast(DoubleType) /
+        sqrt(col("__ca").cast(DoubleType) * col("__cb").cast(DoubleType)) *
+        lit(1.0e9)).cast(LongType))
+      .withColumn("rnk", row_number().over(w).cast(LongType))
+      .filter(col("rnk") <= k)
+      .select(col("ia").as("item"), col("rnk"), col("ib").as("also"),
+        col("__cij").as("n_cooc"),
+        (col("__simq").cast(DoubleType) / lit(1.0e9)).as("sim"))
+  }
 }

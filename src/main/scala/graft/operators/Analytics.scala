@@ -1052,6 +1052,18 @@ object Analytics {
         .orderBy(col("state"))
     }),
 
+    // ---- q258: item-to-item collaborative filtering — "brands bought
+    // together" over lineitem baskets (Linden et al. 2003): cosine-
+    // normalized co-occurrence, top-3 per brand; the recsys primitive
+    // beside the retrieval (BM25/QL) and embedding (kNN) rankers. ----
+    "q258_item_cf" -> ((s, dir) => {
+      val baskets = t(s, dir, "lineitem")
+        .join(t(s, dir, "part"), col("l_partkey") === col("p_partkey"))
+        .select(col("l_orderkey").as("basket"), col("p_brand").as("brand"))
+      graft.api.Graft.itemCooccurrence(baskets, "basket", "brand", k = 3)
+        .orderBy(col("item"), col("rnk"))
+    }),
+
     // ---- q102: SCD2 temporal versioning — each user's event_type stream
     // collapses into validity intervals: a version opens only when the
     // tracked attribute CHANGES (lag-inequality islands), closes at the
@@ -1968,6 +1980,31 @@ object Analytics {
   }
 
   val oracle: Map[String, String] = Map(
+    // item-CF twin: identical distinct baskets, basket-keyed pair join,
+    // nano-quantized cosine and (simq desc, item) rank
+    "q258_item_cf" ->
+      """WITH bi AS (
+        |  SELECT DISTINCT l_orderkey AS b, p_brand AS i
+        |  FROM lineitem JOIN part ON l_partkey = p_partkey),
+        |ci AS (SELECT i, CAST(COUNT(*) AS BIGINT) AS c FROM bi GROUP BY i),
+        |pr AS (SELECT a.i AS ia, b.i AS ib, CAST(COUNT(*) AS BIGINT) AS cij
+        |       FROM bi a JOIN bi b ON a.b = b.b AND a.i < b.i
+        |       GROUP BY 1, 2),
+        |sym AS (SELECT ia, ib, cij FROM pr
+        |        UNION ALL SELECT ib AS ia, ia AS ib, cij FROM pr),
+        |sc AS (SELECT s.ia, s.ib, s.cij,
+        |    CAST(ROUND(CAST(s.cij AS DOUBLE) /
+        |      sqrt(CAST(ca.c AS DOUBLE) * CAST(cb.c AS DOUBLE))
+        |      * 1000000000.0) AS BIGINT) AS simq
+        |  FROM sym s JOIN ci ca ON ca.i = s.ia JOIN ci cb ON cb.i = s.ib),
+        |r AS (SELECT ia, ib, cij, simq,
+        |        CAST(row_number() OVER (PARTITION BY ia
+        |          ORDER BY simq DESC, ib) AS BIGINT) AS rnk
+        |      FROM sc)
+        |SELECT ia AS item, rnk, ib AS also, cij AS n_cooc,
+        |  CAST(simq AS DOUBLE) / 1000000000.0 AS sim
+        |FROM r WHERE rnk <= 3 ORDER BY item, rnk""".stripMargin,
+
     // IPW twin: q250's cells, the Laplace-smoothed (n_t+1)/(n_t+n_c+2)
     // propensities, micro-quantized Horvitz–Thompson terms, the same
     // division chain

@@ -819,6 +819,26 @@ class AnalyticsSpec extends AnyFunSuite {
     assert(r2.getLong(0) === 5L && r2.getDouble(5) === 1.0)
   }
 
+  test("itemCooccurrence ranks by cosine co-occurrence and guards mega-baskets") {
+    val s = spark; import s.implicits._
+    val b = Seq((1L, "A"), (1L, "B"), (2L, "A"), (2L, "B"), (3L, "A"),
+      (3L, "C")).toDF("bk", "it")
+    val out = Graft.itemCooccurrence(b, "bk", "it", k = 2)
+      .collect().map(r => (r.getString(0), r.getLong(1)) ->
+        (r.getString(2), r.getLong(3), r.getDouble(4))).toMap
+    // c_A=3 c_B=2 c_C=1; AB=2, AC=1 → sim(A,B)=2/√6, sim(A,C)=1/√3
+    assert(out(("A", 1L))._1 === "B" && out(("A", 2L))._1 === "C")
+    assert(math.abs(out(("A", 1L))._3 - 2.0 / math.sqrt(6.0)) < 1e-9)
+    assert(out(("B", 1L))._1 === "A" && out(("C", 1L))._1 === "A")
+    // a basket over the cap fails LOUDLY instead of going quadratic
+    val mega = (1 to 5).map(i => (9L, s"i$i")).toDF("bk", "it")
+    val ex = intercept[Exception] {
+      Graft.itemCooccurrence(b.unionAll(mega), "bk", "it", k = 2,
+        maxBasket = 3).collect()
+    }
+    assert(ex.getMessage != null)
+  }
+
   test("stratifiedAte: a one-armed stratum reports NULL and leaves the overall") {
     val s = spark; import s.implicits._
     val u = Seq(
