@@ -6862,4 +6862,57 @@ object Graft {
         col("__cij").as("n_cooc"),
         (col("__simq").cast(DoubleType) / lit(1.0e9)).as("sim"))
   }
+
+  /** STL-lite seasonal decomposition (q259) — the additive
+    * trend/seasonal/residual split every metrics dashboard needs before
+    * alerting on a daily series: trend = centered (2h+1)-point moving
+    * average, seasonal = per-phase mean of the detrended series
+    * (period `period`), residual = y − trend − seasonal. The first/last
+    * h points carry NULL trend (no symmetric window exists — never
+    * extrapolated silently).
+    *
+    * Input: one row per (key, t) with an integer value (pre-aggregate
+    * counts/sums first — the series table is small by construction).
+    * Exactness: trend is an integer window sum micro-floor-divided by
+    * the window width; seasonal means floor-divide micro sums; residual
+    * is pure long arithmetic. Windows partition by KEY (and phase) —
+    * never a global sort. */
+  def stlDecompose(series: DataFrame, keyCol: String, tCol: String,
+      valueCol: String, period: Int = 7, halfWindow: Int = 3): DataFrame = {
+    require(period >= 2, s"stlDecompose needs period >= 2, got $period")
+    require(halfWindow >= 1, s"stlDecompose needs halfWindow >= 1")
+    val width = 2 * halfWindow + 1
+    val wN = Window.partitionBy(col("__k")).orderBy(col("__t"))
+      .rowsBetween(-halfWindow, halfWindow)
+    val base = series.select(col(keyCol).as("__k"),
+      col(tCol).cast(LongType).as("__t"),
+      col(valueCol).cast(LongType).as("__y"))
+    val trended = base
+      .withColumn("__wn", count(lit(1)).over(wN))
+      .withColumn("__ws",
+        expr(s"sum(__y) over (partition by __k order by __t " +
+          s"rows between $halfWindow preceding and $halfWindow following)" +
+          " * 1000000"))
+      // plain truncating division: Spark `div` and DuckDB integer `//`
+      // BOTH truncate toward zero (verified: (-7)//2 = -3 in DuckDB),
+      // so the chains agree on negative sums without a floor device
+      .withColumn("__trend_mc",
+        when(col("__wn") === width, expr(s"__ws div $width")))
+      .drop("__ws")
+      .withColumn("__det_mc", col("__y") * lit(1000000L) - col("__trend_mc"))
+    // detrended sums are negative half the time — truncating division
+    // matches DuckDB's integer `//` exactly (both truncate toward zero)
+    val seasonalF = trended.filter(col("__det_mc").isNotNull)
+      .groupBy(col("__k"), pmod(col("__t"), lit(period.toLong)).as("__ph"))
+      .agg(expr("sum(__det_mc) div count(1)").as("__seas_mc"))
+    trended
+      .withColumn("__ph", pmod(col("__t"), lit(period.toLong)))
+      .join(seasonalF, Seq("__k", "__ph"), "left")
+      .select(col("__k").as(keyCol), col("__t").as(tCol),
+        col("__y").as("y"),
+        (col("__trend_mc").cast(DoubleType) / lit(1.0e6)).as("trend"),
+        (col("__seas_mc").cast(DoubleType) / lit(1.0e6)).as("seasonal"),
+        ((col("__y") * lit(1000000L) - col("__trend_mc") -
+          col("__seas_mc")).cast(DoubleType) / lit(1.0e6)).as("residual"))
+  }
 }

@@ -1064,6 +1064,21 @@ object Analytics {
         .orderBy(col("item"), col("rnk"))
     }),
 
+    // ---- q259: STL-lite decomposition — daily per-type event counts
+    // split into trend (centered 7-day MA), weekly seasonality
+    // (per-weekday detrended means) and residual: what a metrics
+    // dashboard alerts on (q150's CUSUM belongs on the RESIDUAL, not
+    // the raw series). Edge days keep NULL trend — never extrapolated
+    // silently. ----
+    "q259_stl_decompose" -> ((s, dir) => {
+      val daily = t(s, dir, "events")
+        .groupBy(col("event_type"),
+          graft.api.Graft.epochDay(col("ts")).as("day"))
+        .agg(count(lit(1)).as("n"))
+      graft.api.Graft.stlDecompose(daily, "event_type", "day", "n")
+        .orderBy(col("event_type"), col("day"))
+    }),
+
     // ---- q102: SCD2 temporal versioning — each user's event_type stream
     // collapses into validity intervals: a version opens only when the
     // tracked attribute CHANGES (lag-inequality islands), closes at the
@@ -1980,6 +1995,39 @@ object Analytics {
   }
 
   val oracle: Map[String, String] = Map(
+    // STL twin: identical daily cells, the same micro-floor-divided
+    // centered window and per-weekday detrended means, NULL edges
+    "q259_stl_decompose" ->
+      """WITH daily AS (
+        |  SELECT event_type, epoch_us(ts) // 86400000000 AS day,
+        |    CAST(COUNT(*) AS BIGINT) AS y
+        |  FROM events GROUP BY 1, 2),
+        |tr AS (
+        |  SELECT event_type, day, y,
+        |    COUNT(*) OVER w AS wn,
+        |    CAST(SUM(y) OVER w AS BIGINT) * 1000000 AS ws
+        |  FROM daily
+        |  WINDOW w AS (PARTITION BY event_type ORDER BY day
+        |    ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING)),
+        |t2 AS (
+        |  SELECT event_type, day, y,
+        |    CASE WHEN wn = 7 THEN ws // 7 END AS trend_mc
+        |  FROM tr),
+        |det AS (SELECT event_type, day % 7 AS ph,
+        |          y * 1000000 - trend_mc AS det_mc
+        |        FROM t2 WHERE trend_mc IS NOT NULL),
+        |seas AS (SELECT event_type, ph,
+        |           CAST(SUM(det_mc) // COUNT(*) AS BIGINT) AS seas_mc
+        |         FROM det GROUP BY 1, 2)
+        |SELECT t2.event_type AS event_type, t2.day, t2.y,
+        |  CAST(trend_mc AS DOUBLE) / 1000000.0 AS trend,
+        |  CAST(seas_mc AS DOUBLE) / 1000000.0 AS seasonal,
+        |  CAST(t2.y * 1000000 - trend_mc - seas_mc AS DOUBLE) / 1000000.0
+        |    AS residual
+        |FROM t2 LEFT JOIN seas
+        |  ON seas.event_type = t2.event_type AND seas.ph = t2.day % 7
+        |ORDER BY t2.event_type, t2.day""".stripMargin,
+
     // item-CF twin: identical distinct baskets, basket-keyed pair join,
     // nano-quantized cosine and (simq desc, item) rank
     "q258_item_cf" ->

@@ -839,6 +839,24 @@ class AnalyticsSpec extends AnyFunSuite {
     assert(ex.getMessage != null)
   }
 
+  test("stlDecompose recovers a planted trend + weekly pattern exactly") {
+    val s = spark; import s.implicits._
+    // y = 100 + (t mod 7 == 0 ? 7 : 0): constant trend 101, spike phase 0
+    val rows = (0L until 28L).map(t =>
+      ("a", t, 100L + (if (t % 7 == 0) 7L else 0L)))
+    val out = Graft.stlDecompose(rows.toDF("k", "t", "y"), "k", "t", "y")
+      .orderBy("t").collect()
+    // first/last 3 days: NULL trend and residual
+    assert(out.take(3).forall(_.isNullAt(3)) && out.takeRight(3).forall(_.isNullAt(3)))
+    // interior: every 7-day window contains exactly one spike → trend = 101
+    val interior = out.drop(3).dropRight(3)
+    assert(interior.forall(_.getDouble(3) === 101.0))
+    // seasonal: phase 0 = +6, others −1 (detrended means), residual 0
+    val byPhase = interior.map(r => (r.getLong(1) % 7, r.getDouble(4))).toMap
+    assert(byPhase(0L) === 6.0 && byPhase(1L) === -1.0)
+    assert(interior.forall(r => math.abs(r.getDouble(5)) < 1e-9))
+  }
+
   test("stratifiedAte: a one-armed stratum reports NULL and leaves the overall") {
     val s = spark; import s.implicits._
     val u = Seq(
