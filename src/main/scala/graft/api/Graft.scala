@@ -6135,6 +6135,11 @@ object Graft {
   def semanticDecontaminate(train: DataFrame, evalSet: DataFrame,
       vecCol: String, idCol: String, threshold: Double): DataFrame = {
     graft.functions.GraftFunctions.register(train.sparkSession)
+    // the keep-every-train-row contract cannot survive an empty eval
+    // side (the argmax aggregate would silently emit zero rows)
+    require(!evalSet.isEmpty,
+      "semanticDecontaminate: eval set is empty — every train row would " +
+        "silently vanish; pass the eval suite or skip the stage")
     val tq = math.round(threshold * 1.0e9)
     val tr = train.select(col(idCol).as("train_id"), col(vecCol).as("v"))
       .withColumn("nrm", sqrt(expr("vec_dot(v, v)")))
@@ -6588,6 +6593,11 @@ object Graft {
     require(buckets >= 1, s"weightedChoice needs buckets >= 1, got $buckets")
     val pos = items.filter(col(weightQCol) > 0L)
       .select(col(keyCol).as("__key"), col(weightQCol).cast(LongType).as("__wq"))
+    // an empty (or all-zero-weight) item table would null the modulus
+    // and silently drop every draw — fail loudly instead
+    require(!pos.isEmpty,
+      "weightedChoice: no items with positive weight — every draw would " +
+        "silently drop")
     val cum = globalCumSum(pos, Seq("__key"), "__wq", "__hi")
       .localCheckpoint() // feeds the total AND the bucket explode
     val tot = cum.agg(sum(col("__wq")).as("__W"))
