@@ -101,6 +101,27 @@ object Clustering {
         .orderBy(col("pos"))
     }),
 
+    // ---- q260: embedding isotropy audit — is the space actually using
+    // its dimensions (Mu & Viswanath 2018; Ethayarajh 2019)? top_share
+    // = λ₁/trace(C): a rogue dominant direction degrades cosine
+    // retrieval, and whitening/ABTT is the fix this audit decides on.
+    // λ₁ rides the q134 power iteration; the trace sums the SAME
+    // covariance cells' diagonal, each term pico-quantized before the
+    // order-free sum. ----
+    "q260_isotropy_audit" -> ((s, dir) => {
+      val cells = covCells(t(s, dir, "embeddings"), "embedding")
+        .localCheckpoint() // feeds the eigen step AND the trace
+      val comp = graft.api.Graft.topPrincipalComponent(cells, iters = 12)
+      val lam = comp.agg(max(col("eigenvalue")).as("lambda1"))
+      val tr = cells.filter(col("i") === col("j"))
+        .agg((sum(round(col("cov") * lit(1.0e12)).cast(LongType))
+          .cast(DoubleType) / lit(1.0e12)).as("trace"))
+      lam.crossJoin(tr)
+        .select(col("lambda1"), col("trace"),
+          (col("lambda1") / col("trace")).as("top_share"),
+          (lit(1.0) - col("lambda1") / col("trace")).as("isotropy"))
+    }),
+
     // ---- q135: PCA projection APPLY — the third leg of the pipeline
     // (q123 covariance → q134 eigenvector → project): per-vector
     // principal score v·x and residual norm, the dimensionality-
@@ -301,6 +322,26 @@ object Clustering {
   }
 
   val oracle: Map[String, String] = Map(
+    // isotropy twin: the q134 power-iteration CTEs, the same Rayleigh
+    // λ₁ and a pico-quantized diagonal trace from the same fm cells
+    "q260_isotropy_audit" -> {
+      val q = "1e12"
+      s"""WITH ${eigCtes(12)},
+         |lam AS (
+         |  SELECT CAST(SUM(CAST(ROUND(f.cov * a.vv * b.vv * $q) AS BIGINT)) AS DOUBLE)
+         |    / $q AS lambda1
+         |  FROM fm f
+         |  JOIN v12 a ON a.pos = f.i
+         |  JOIN v12 b ON b.pos = f.j),
+         |tr AS (
+         |  SELECT CAST(SUM(CAST(ROUND(cov * $q) AS BIGINT)) AS DOUBLE) / $q AS trace
+         |  FROM fm WHERE i = j)
+         |SELECT lam.lambda1, tr.trace,
+         |  lam.lambda1 / tr.trace AS top_share,
+         |  1.0 - lam.lambda1 / tr.trace AS isotropy
+         |FROM lam CROSS JOIN tr""".stripMargin
+    },
+
     // label-noise twin: the q70 micro-quantized centroid convention,
     // HUGEINT dot/norm sums, the identical cosine double chain, and the
     // same (simq desc, label) rank-1 argmax

@@ -219,4 +219,20 @@ class ClusteringSpec extends AnyFunSuite {
     assert(per(2L) === 125000L)             // 8/64 exactly
     assert(!per.contains(3L))               // zero vector excluded
   }
+
+  test("isotropy audit: a single dominant axis drives top_share toward 1") {
+    val s = spark; import s.implicits._
+    // all variance lives in dim 1 (dims 2-3 constant) → λ1 ≈ trace
+    val e = Seq((1L, Seq(1.0f, 0.5f, 0.5f)), (2L, Seq(-1.0f, 0.5f, 0.5f)),
+      (3L, Seq(2.0f, 0.5f, 0.5f)), (4L, Seq(-2.0f, 0.5f, 0.5f)))
+      .toDF("vec_id", "embedding")
+    val dir = java.nio.file.Files.createTempDirectory("graft_isotropy_")
+      .toString
+    e.withColumn("label", lit(0))
+      .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+    val r = graft.SparkEntry.queries("q260_isotropy_audit")(s, dir)
+      .collect().head
+    assert(r.getDouble(2) > 0.999, r.toString)  // top_share
+    assert(r.getDouble(3) < 0.001)              // isotropy ≈ 0
+  }
 }
