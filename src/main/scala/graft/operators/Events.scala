@@ -189,8 +189,11 @@ object Events {
     // ---- q75: cohort retention — users grouped by first-seen day, the
     // classic (cohort, day-offset) activity triangle. Two shuffles on
     // user_id (first-seen + join) and one on the cohort cell; day math
-    // is Graft.epochDay — FLOOR division matching DuckDB `//` even for
-    // pre-1970 timestamps (Spark `div` truncates toward zero). ----
+    // is Graft.epochDay — true FLOOR division (Spark `div` truncates
+    // toward zero; so does DuckDB's INTEGER `//` — (-7)//2 = -3, it
+    // floors only on DOUBLE operands — so pre-1970 oracles must also
+    // floor explicitly; every current oracle divides positive epochs,
+    // where floor == truncate). ----
     "q75_retention" -> ((s, dir) => {
       import s.implicits._
       val e = t(s, dir, "events")
