@@ -83,7 +83,21 @@ object GdalWrite {
     * bytes result is inherently single-node; the scalable path is
     * `df.write.format(fmt)`. */
   def toBytes(df: DataFrame, options: Map[String, String] = Map.empty,
-      format: String = "geojson"): Array[Byte] = format.toLowerCase match {
+      format: String = "geojson"): Array[Byte] = {
+    // W2 is inherently driver-side (ref parity src/lib.rs:586-611): the
+    // result must fit in one JVM. Gate on the optimizer's FREE size
+    // estimate before any compute — a fact-table-sized plan piped into
+    // toBytes fails loudly at plan time instead of OOMing the driver.
+    // Overridable per call ('maxBytes' option) for callers who know the
+    // estimate is pessimistic; the scalable path is df.write.format(fmt).
+    val cap = options.get("maxBytes").map(_.toLong).getOrElse(1L << 30)
+    val est = df.queryExecution.optimizedPlan.stats.sizeInBytes
+    if (est > BigInt(cap)) throw new GraftError.DriverBytesTooLarge(est, cap)
+    toBytesUnguarded(df, options, format)
+  }
+
+  private def toBytesUnguarded(df: DataFrame, options: Map[String, String],
+      format: String): Array[Byte] = format.toLowerCase match {
     case "geojson" => geoJsonBytes(df, options)
     case "csvgeo" | "csv" => fileBytes(df, "csvgeo", ".csv", options, zip = false)
     case "shapefile" | "shp" | "shp.zip" => fileBytes(df, "shapefile", ".shp", options, zip = true)

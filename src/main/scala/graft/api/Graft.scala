@@ -6302,6 +6302,22 @@ object Graft {
       ((m(1, 1) - m(1, 0)) - (m(0, 1) - m(0, 0))).as("did"))
   }
 
+  /** Guard for operators that rank/stratify with integer arithmetic
+    * ([[qiniByDecile]], [[stratifiedAte]], [[ipwAte]]): a fractional
+    * score or covariate would truncate to 0 under a silent LongType
+    * cast and the output would be meaningless with no error. Callers
+    * quantize explicitly (e.g. `round(score * 1000).cast("long")`). */
+  private def requirePreQuantized(df: DataFrame, colName: String,
+      fn: String, role: String): Unit = {
+    val dt = df.select(col(colName)).schema.head.dataType
+    val ok = dt == ByteType || dt == ShortType || dt == IntegerType ||
+      dt == LongType || dt == BooleanType
+    require(ok, s"$fn expects a pre-quantized integral $role column " +
+      s"('$colName' is $dt): quantize explicitly, e.g. " +
+      s"round($colName * 1000).cast('long'), instead of relying on a " +
+      "silent truncating cast")
+  }
+
   /** Qini / uplift-by-decile curve (q245) — the evaluation table for an
     * uplift score: rank units by score, cut into `buckets` equal-count
     * bins by integer rank arithmetic, report cumulative treated/control
@@ -6312,10 +6328,16 @@ object Graft {
     * Ranks come from [[globalRank]] (never a one-partition window); the
     * bin cut is (grank−1)·buckets div n; the cumulative pass is a
     * window over ≤ `buckets` rows. Ties on score break by id, so bins
-    * replay exactly cross-engine. */
+    * replay exactly cross-engine.
+    *
+    * PRE-QUANTIZED CONTRACT: `scoreCol` must already be an integral
+    * column (e.g. score_cents) — a fractional uplift score in [−1, 1]
+    * would truncate to 0 under a silent cast and the ranking would
+    * degenerate to the id tie-break, so non-integral inputs raise. */
   def qiniByDecile(units: DataFrame, scoreCol: String, treatedCol: String,
       convCol: String, idCol: String, buckets: Int = 10): DataFrame = {
     require(buckets >= 2, s"qiniByDecile needs buckets >= 2, got $buckets")
+    requirePreQuantized(units, scoreCol, "qiniByDecile", "score")
     val base = units.select(col(idCol).as("__id"),
       (-col(scoreCol).cast(LongType)).as("__negs"),
       col(treatedCol).cast(LongType).as("__t"),
@@ -6525,11 +6547,16 @@ object Graft {
     * Exactness: cents sums per (stratum, arm) cell; means are single
     * double divisions; the overall ATE is assembled from the SAME cell
     * integers. Cells without both arms contribute NULL ate and drop
-    * from the weighted overall (n counted over contributing strata). */
+    * from the weighted overall (n counted over contributing strata).
+    *
+    * PRE-QUANTIZED CONTRACT: `covariateCol` must be integral — a
+    * fractional covariate would truncate under a silent cast and
+    * collapse the stratification, so non-integral inputs raise. */
   def stratifiedAte(units: DataFrame, covariateCol: String,
       treatedCol: String, valueCol: String, idCol: String,
       strata: Int = 5): DataFrame = {
     require(strata >= 2, s"stratifiedAte needs strata >= 2, got $strata")
+    requirePreQuantized(units, covariateCol, "stratifiedAte", "covariate")
     val base = units.filter(col(valueCol).isNotNull)
       .select(col(idCol).as("__id"),
         col(covariateCol).cast(LongType).as("__cv"),
@@ -6633,12 +6660,13 @@ object Graft {
     *
     * Exactness: weights live as nano-quantized longs; round 1 is exp-
     * free (w=0 → p=0.5 exactly), later rounds nano-quantize the
-    * residual after the sigmoid; the update uses an explicit FLOOR
-    * division ((g − pmod(g, N)) div N — Spark's `div` truncates toward
-    * zero, DuckDB's `//` floors, and gradients go negative), so every
-    * round replays bit-for-bit and the oracle unrolls them as chained
-    * CTEs. Gradient sums are exact longs to |Σ rq·x| < 9·10¹⁸ ≈ 10¹²
-    * tokens — switch the sum to Decimal(38) past that. */
+    * residual after the sigmoid; the update divides with plain `div` —
+    * Spark's `div` and DuckDB's integer `//` BOTH truncate toward zero
+    * (the repo's verified rule: never a one-sided floor device), so
+    * every round replays bit-for-bit even on negative gradients and the
+    * oracle unrolls them as chained CTEs. Gradient sums are exact longs
+    * to |Σ rq·x| < 9·10¹⁸ ≈ 10¹² tokens — switch the sum to
+    * Decimal(38) past that. */
   def logisticTrainHashed(features: DataFrame, labels: DataFrame,
       rounds: Int = 3, etaMilli: Long = 500): DataFrame = {
     require(rounds >= 1, s"logisticTrainHashed needs rounds >= 1, got $rounds")
@@ -6664,8 +6692,7 @@ object Graft {
       w = w.join(grad, Seq("dim"), "left")
         .crossJoin(broadcast(nDf))
         .select(col("dim"),
-          (col("wq") - expr(s"""((coalesce(gq, 0) * $etaMilli) -
-            pmod(coalesce(gq, 0) * $etaMilli, __N)) div __N"""))
+          (col("wq") - expr(s"(coalesce(gq, 0) * $etaMilli) div __N"))
             .as("wq"))
         .localCheckpoint()
       r += 1
@@ -6690,6 +6717,7 @@ object Graft {
   def ipwAte(units: DataFrame, covariateCol: String, treatedCol: String,
       valueCol: String, idCol: String, strata: Int = 5): DataFrame = {
     require(strata >= 2, s"ipwAte needs strata >= 2, got $strata")
+    requirePreQuantized(units, covariateCol, "ipwAte", "covariate")
     val base = units.filter(col(valueCol).isNotNull)
       .select(col(idCol).as("__id"),
         col(covariateCol).cast(LongType).as("__cv"),

@@ -140,11 +140,14 @@ object GdalQueries {
         .select(col("Country"),
           GraftFunctions.st_x(col("geometry")).as("lon"),
           GraftFunctions.st_y(col("geometry")).as("lat"))
+      // `+ 0.0` on BOTH engines collapses IEEE signed zero: the lat=0 row
+      // gives y ≈ −7e-10, which DuckDB's ROUND keeps as −0.0 while
+      // Spark's BigDecimal round emits +0.0 (−0.0 + 0.0 = +0.0 in IEEE).
       df.filter(abs(col("lat")) < 89.9999)
         .select(col("Country"),
-          round(col("lon") * lit(math.Pi / 180.0) * lit(R), 3).as("x_3857"),
-          round(log(tan(col("lat") * lit(math.Pi / 360.0) +
-            lit(math.Pi / 4.0))) * lit(R), 3).as("y_3857"))
+          (round(col("lon") * lit(math.Pi / 180.0) * lit(R), 3) + lit(0.0)).as("x_3857"),
+          (round(log(tan(col("lat") * lit(math.Pi / 360.0) +
+            lit(math.Pi / 4.0))) * lit(R), 3) + lit(0.0)).as("y_3857"))
         .orderBy(col("Country"))
     }),
 
@@ -380,12 +383,13 @@ object GdalQueries {
         |ORDER BY Country""".stripMargin,
 
     // webmercator twin: the identical λ·(π/180)·R and ln tan(φ·π/360 +
-    // π/4)·R chains with the SAME Scala-printed double constants
+    // π/4)·R chains with the SAME Scala-printed double constants.
+    // `+ 0.0` collapses IEEE −0.0 (lat=0 row) to +0.0 on both engines.
     "gdal_webmercator" ->
       s"""SELECT Country,
-         |  ROUND(CAST(Longitude AS DOUBLE) * ${math.Pi / 180.0} * 6378137.0, 3) AS x_3857,
+         |  ROUND(CAST(Longitude AS DOUBLE) * ${math.Pi / 180.0} * 6378137.0, 3) + 0.0 AS x_3857,
          |  ROUND(ln(tan(CAST(Latitude AS DOUBLE) * ${math.Pi / 360.0} +
-         |    ${math.Pi / 4.0})) * 6378137.0, 3) AS y_3857
+         |    ${math.Pi / 4.0})) * 6378137.0, 3) + 0.0 AS y_3857
          |FROM read_csv('/root/reference/test_data/lat_lon_countries.csv', header=true)
          |WHERE abs(CAST(Latitude AS DOUBLE)) < 89.9999
          |ORDER BY Country""".stripMargin,

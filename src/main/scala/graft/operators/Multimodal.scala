@@ -833,7 +833,15 @@ object Multimodal {
                 .flatMap(s => scala.util.Try(s.toLong).toOption) match {
                 case Some(n) if n >= 0 && hEnd + 4 + n <= b.length =>
                   val pStart = hEnd + 4
-                  val head = new String(b, pStart, math.min(32L, n).toInt, utf8)
+                  // Decode the FULL payload, then take the first 32
+                  // CHARACTERS (codepoints — the unit both Spark's
+                  // substring and DuckDB's substr count), never the
+                  // first 32 bytes: a byte prefix of non-ASCII text
+                  // would split a codepoint mid-sequence into U+FFFD
+                  // and diverge from the substr(text,1,32) oracle.
+                  val payload = new String(b, pStart, n.toInt, utf8)
+                  val head = payload.substring(0, payload.offsetByCodePoints(
+                    0, math.min(32, payload.codePointCount(0, payload.length))))
                   out += Row(id, rec, kv.getOrElse("warc-type", null),
                     kv.getOrElse("warc-target-uri", null), n, head)
                   rec += 1

@@ -280,9 +280,11 @@ object Similarity {
     }),
 
     // ---- q46: ANN recall gate — recall@10 of every approximate path vs
-    // the exact brute-force top-10, emitted AS DATA so the driver's
-    // rows-only check still pins approximate-search quality every round
-    // (all inputs are deterministic, so these numbers are stable).
+    // the exact brute-force top-10, emitted AS DATA and golden-pinned
+    // (r10) to a VALUES oracle the same way q28/q43 are: every input is
+    // deterministic (md5 hyperplanes, orderBy-limit training samples,
+    // seeded codebooks) and the output is partition-invariant (verified
+    // local[3] vs local[8] bit-for-bit; spec'd in IvfSpec).
     // Per-method floors sit at measured-minus-margin (three rounds of
     // data: IVF ≈ 0.82, LSH ≈ 0.90, PQ ≈ 0.76, re-ranked PQ = 1.0 —
     // stable across r3-r5) so a real recall regression flips `pass` to
@@ -576,6 +578,29 @@ object Similarity {
         |  (400, 10, 490, 0.254))
         |  g(qid, rnk, nid, sim_r)
         |ORDER BY qid, rnk""".stripMargin,
+
+    // q46 GOLDEN PIN (r10): the recall gate was the last `no_oracle`
+    // entry. Same argument as the q28/q43 pins above — the four rows are
+    // a pure function of deterministic inputs (md5 hyperplanes, the
+    // orderBy(id).limit PQ/IVF training samples, fixed iteration counts)
+    // and partition-INVARIANT (diffed local[3] vs local[8] bit-for-bit;
+    // IvfSpec pins repartition-stability every test run). Hard-pinned at
+    // sf0.01; if the driver regenerates testdata the pin fails LOUDLY —
+    // recapture via `SPARK_GRAFT_ONLY=q46 runMain graft.Verify`.
+    // (Captured 2026-08-15 from /root/testdata/sf0.01.)
+    "q46_ann_recall_gate" ->
+      """SELECT CAST(method AS VARCHAR) AS method,
+        |  CAST(n_queries AS BIGINT) AS n_queries,
+        |  CAST(mean_recall AS DOUBLE) AS mean_recall,
+        |  CAST(min_recall AS DOUBLE) AS min_recall,
+        |  CAST(pass AS BOOLEAN) AS pass
+        |FROM (VALUES
+        |  ('ivf_nprobe8', 5, 0.82, 0.7, TRUE),
+        |  ('lsh_banded96x7', 5, 0.88, 0.7, TRUE),
+        |  ('pq_16x256', 5, 0.84, 0.8, TRUE),
+        |  ('pq_rerank', 5, 1.0, 1.0, TRUE))
+        |  g(method, n_queries, mean_recall, min_recall, pass)
+        |ORDER BY method""".stripMargin,
 
     "q44_dedup_embedding_cosine" ->
       """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings)

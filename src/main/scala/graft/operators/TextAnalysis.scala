@@ -605,8 +605,9 @@ object TextAnalysis {
 
   /** q253 oracle: the GD rounds unrolled — identical hashed features
     * (q242's md5 device) + bias, identical nano-weight / micro-residual
-    * quantization, the same sigmoid chain, and the `//` floor update
-    * mirroring Spark's explicit (g − pmod(g, N)) div N. */
+    * quantization, the same sigmoid chain, and the `//` update, which
+    * on integers truncates toward zero exactly like Spark's `div`
+    * (plain div on both sides — the repo's verified division rule). */
   private def logisticSql(rounds: Int, etaMilli: Long): String = {
     val steps = (1 to rounds).map { i =>
       s"""z$i AS (

@@ -94,4 +94,14 @@ object GraftError {
   final class EmptyDataframe extends GraftError("Cannot write an empty dataframe") // src/error.rs:48-50
   final class CannotFindGeometryColumn(name: String)
     extends GraftError(s"Cannot find geometry column '$name'") // src/error.rs:52-54
+  /** NOT in the reference taxonomy: its bytes writer (src/lib.rs:586-611)
+    * is single-process by nature and can't overcommit a driver. Ours can —
+    * toBytes collects through one JVM — so the size gate fails loudly
+    * BEFORE compute instead of OOMing the driver at 100 TB. */
+  final class DriverBytesTooLarge(estBytes: BigInt, capBytes: Long)
+    extends GraftError(
+      s"toBytes would materialize an estimated $estBytes bytes on the " +
+        s"driver (cap $capBytes) — a bytes result is inherently " +
+        "single-node; write distributed via df.write.format(...) instead, " +
+        "or raise the cap explicitly with the 'maxBytes' option")
 }

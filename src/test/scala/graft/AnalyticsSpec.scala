@@ -857,6 +857,46 @@ class AnalyticsSpec extends AnyFunSuite {
     assert(interior.forall(r => math.abs(r.getDouble(5)) < 1e-9))
   }
 
+  test("basketEdges artifact: bucketed, shuffle-free on src, identical to the inline join") {
+    val s = spark; import s.implicits._
+    val art = graft.operators.Analytics.basketEdges(s, sf0001)
+    val li = s.read.parquet(s"$sf0001/lineitem.parquet")
+      .select($"l_orderkey".as("ok"), $"l_partkey".as("pk"))
+    val inline = li.alias("x").join(li.alias("y"),
+        $"x.ok" === $"y.ok" && $"x.pk" < $"y.pk")
+      .select($"x.pk".as("src"), $"y.pk".as("dst"))
+    // the artifact holds the exact multiset the inline join produces
+    val a = art.groupBy("src", "dst").count().orderBy("src", "dst").collect()
+    val b = inline.groupBy("src", "dst").count().orderBy("src", "dst").collect()
+    assert(a.toSeq === b.toSeq)
+    // bucketBy(16, src): a src-keyed aggregation plans with NO Exchange —
+    // the whole point of the artifact (graph rounds re-key on src)
+    val agg = art.groupBy($"src").count()
+    agg.collect()
+    assert(!agg.queryExecution.executedPlan.toString.contains("Exchange"),
+      "src aggregation over the bucketed edge artifact must not shuffle")
+    // second call reuses the catalog table instead of rebuilding
+    val again = graft.operators.Analytics.basketEdges(s, sf0001)
+    assert(again.queryExecution.analyzed.toString ===
+      art.queryExecution.analyzed.toString)
+  }
+
+  test("stratifiedAte/ipwAte reject a fractional covariate instead of truncating") {
+    val s = spark; import s.implicits._
+    // a fractional propensity-like covariate would truncate to 0 under
+    // the LongType cast and collapse every unit into one stratum
+    val u = Seq((1L, 0.1, 1L, 10.0), (2L, 0.9, 0L, 6.0))
+      .toDF("id", "cv", "t", "v")
+    val e1 = intercept[IllegalArgumentException] {
+      Graft.stratifiedAte(u, "cv", "t", "v", "id", strata = 2)
+    }
+    assert(e1.getMessage.contains("pre-quantized"))
+    val e2 = intercept[IllegalArgumentException] {
+      Graft.ipwAte(u, "cv", "t", "v", "id", strata = 2)
+    }
+    assert(e2.getMessage.contains("pre-quantized"))
+  }
+
   test("stratifiedAte: a one-armed stratum reports NULL and leaves the overall") {
     val s = spark; import s.implicits._
     val u = Seq(

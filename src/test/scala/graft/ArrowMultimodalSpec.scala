@@ -291,6 +291,24 @@ class ArrowMultimodalSpec extends AnyFunSuite {
     assert(recs(2)._5 === 100L && recs(2)._6 === "x" * 32)
   }
 
+  test("warc payload_head counts 32 CHARACTERS, not bytes, on non-ASCII text") {
+    val s = spark; import s.implicits._
+    // 40 two-byte chars: a byte-prefix head would grab only 16 chars (or
+    // split a codepoint into U+FFFD); the contract — and the q248
+    // substr(text,1,32) oracle — is the first 32 characters
+    val text = "é" * 40
+    val docs = Seq(("s1", 1L, text)).toDF("source", "doc_id", "text")
+    val rec = Multimodal.parseWarc(Multimodal.warcFromDocs(docs)).collect().head
+    assert(rec.getLong(4) === 80L)          // content_length stays BYTES
+    assert(rec.getString(5) === "é" * 32)   // head is CHARACTERS
+    // supplementary-plane codepoints count as ONE char (codepoint
+    // semantics — what Spark substring and DuckDB substr both count)
+    val emoji = "😀" // U+1F600, 4 UTF-8 bytes, 2 UTF-16 units
+    val docs2 = Seq(("s1", 1L, emoji * 40)).toDF("source", "doc_id", "text")
+    val rec2 = Multimodal.parseWarc(Multimodal.warcFromDocs(docs2)).collect().head
+    assert(rec2.getString(5) === emoji * 32)
+  }
+
   test("warc parser keeps prefix records and stops at malformed tails") {
     val s = spark; import s.implicits._
     val utf8 = java.nio.charset.StandardCharsets.UTF_8

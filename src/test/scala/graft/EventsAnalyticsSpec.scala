@@ -154,6 +154,18 @@ class EventsAnalyticsSpec extends AnyFunSuite {
     assert(out(1) === ((2L, 2L, 0.0)))
   }
 
+  test("qiniByDecile rejects a fractional score instead of silently truncating") {
+    val s = spark; import s.implicits._
+    // a [-1,1] uplift score would cast to 0L and degenerate ranking to
+    // the id tie-break with no error — the guard makes it loud
+    val u = Seq((1L, 0.73, 1L, 1L), (2L, -0.2, 0L, 0L))
+      .toDF("id", "score", "t", "y")
+    val e = intercept[IllegalArgumentException] {
+      Graft.qiniByDecile(u, "score", "t", "y", "id", buckets = 2)
+    }
+    assert(e.getMessage.contains("pre-quantized"))
+  }
+
   test("disorderAudit measures lateness against the running max per key") {
     val s = spark; import s.implicits._
     // key A arrivals (by seq): t=100, t=50 (late 50), t=200, t=150 (late 50)

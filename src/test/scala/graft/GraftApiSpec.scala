@@ -1877,6 +1877,21 @@ class GraftApiSpec extends AnyFunSuite {
     assert(w(1L) === -w(2L))
   }
 
+  test("logisticTrainHashed truncates the weight update toward zero on negative gradients") {
+    val s = spark; import s.implicits._
+    // 3 docs on one dim, N=3 does not divide the scaled gradient:
+    // round 1 residuals are ±500000 exactly (w=0 → p=0.5), so
+    // gq = -500000-500000+500000 = -500000 and the update is
+    // (-500000·500) div 3 = -83333333 TRUNCATED toward zero (a floor
+    // would give -83333334) — the same semantics as DuckDB's integer
+    // `//` in the q253 oracle, per the repo's verified division rule.
+    val feats = Seq((1L, 7L, 1L), (2L, 7L, 1L), (3L, 7L, 1L)).toDF("id", "dim", "x")
+    val labels = Seq((1L, 1L), (2L, 1L), (3L, 0L)).toDF("id", "y")
+    val w = Graft.logisticTrainHashed(feats, labels, rounds = 1)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(w(7L) === 0.083333333) // 83333333 nano-units, not 83333334
+  }
+
   test("featureHash is deterministic, in-range, and sums signed tokens") {
     val s = spark; import s.implicits._
     val df = Seq((1L, "alpha alpha beta"), (2L, "alpha")).toDF("doc_id", "text")

@@ -54,6 +54,29 @@ class IvfSpec extends AnyFunSuite {
     assert(df.limit(5).count() === 5) // and it actually executes
   }
 
+  test("q46 recall gate matches its sf0.01 golden pin and is repartition-invariant") {
+    // The VALUES oracle in Similarity.oracle hard-pins these four rows;
+    // this spec re-proves the partition-invariance argument behind the
+    // pin every test run: same bits under a different shuffle layout.
+    val prev = spark.conf.get("spark.sql.shuffle.partitions")
+    val run = Similarity.queries("q46_ann_recall_gate")(spark, sf001)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2),
+        r.getDouble(3), r.getBoolean(4)))
+    try {
+      spark.conf.set("spark.sql.shuffle.partitions", "7")
+      val again = Similarity.queries("q46_ann_recall_gate")(spark, sf001)
+        .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2),
+          r.getDouble(3), r.getBoolean(4)))
+      assert(run.toSeq === again.toSeq)
+    } finally spark.conf.set("spark.sql.shuffle.partitions", prev)
+    // and the committed golden values themselves (captured 2026-08-15)
+    assert(run.toSeq === Seq(
+      ("ivf_nprobe8", 5L, 0.82, 0.7, true),
+      ("lsh_banded96x7", 5L, 0.88, 0.7, true),
+      ("pq_16x256", 5L, 0.84, 0.8, true),
+      ("pq_rerank", 5L, 1.0, 1.0, true)))
+  }
+
   test("ivf search: base smaller than nlist clamps centroid count") {
     val emb = spark.read.parquet(s"$sf0001/embeddings.parquet").limit(5)
     val out = Similarity.ivfSearch(emb, emb.limit(1), "embedding", "vec_id",

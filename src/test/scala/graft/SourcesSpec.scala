@@ -265,6 +265,26 @@ class SourcesSpec extends AnyFunSuite {
     assert(round.schema.fieldNames.toSeq === Seq("name", "iso_3166_2", "geometry"))
   }
 
+  test("toBytes gates driver memory on the plan-stats estimate before any compute") {
+    // a fact-table-sized plan must fail LOUDLY at plan time, not OOM the
+    // driver: spark.range(2^28) estimates > 1 GiB without executing
+    val big = spark.range(1L << 28).toDF("id")
+    val e = intercept[graft.sources.GraftError.DriverBytesTooLarge] {
+      GdalWrite.toBytes(big)
+    }
+    assert(e.getMessage.contains("maxBytes"))
+    // the cap is per-call overridable downward too (proves the option
+    // is honored, without paying a giant write in the test)
+    val small = spark.read.format("geojson")
+      .load(s"$fixtures/us_states.feature_collection.implicit_4326.json")
+      .limit(3)
+    intercept[graft.sources.GraftError.DriverBytesTooLarge] {
+      GdalWrite.toBytes(small, options = Map("maxBytes" -> "1"))
+    }
+    // and the default cap admits normal-sized frames (round trip works)
+    assert(GdalWrite.toBytes(small).nonEmpty)
+  }
+
   test("geojson: one multi-MB FeatureCollection file splits into byte-range partitions") {
     // Inflate to >8MB so the splitter engages: 2500 padded point features.
     val out = Files.createTempFile("graft_big_", ".geojson")
