@@ -6953,4 +6953,115 @@ object Graft {
         ((col("__y") * lit(1000000L) - col("__trend_mc") -
           col("__seas_mc")).cast(DoubleType) / lit(1.0e6)).as("residual"))
   }
+
+  // --------------------------------------------------- round-10 additions
+
+  /** tf–idf cosine retrieval (q261) — the vector-space-model ranker
+    * beside BM25 (q109) and Dirichlet QL (q231): score(d) =
+    * Σ_{t∈q} tf_td·idf_t² / (‖d‖·‖q‖) with smooth idf = ln((N+1)/
+    * (df+1)) + 1 (the sklearn convention) and a FULL document norm over
+    * every term, not just query terms — what separates VSM cosine from
+    * a bare dot product.
+    *
+    * Exactness: the numerator and the query norm are FIXED left-to-
+    * right chains over the literal term list (q109's device — no double
+    * aggregation anywhere order matters); the document norm's Σw² is
+    * micro-quantized per posting and summed as exact longs. Shapes: one
+    * postings shuffle, a token-keyed df join back, one per-doc agg;
+    * query-term tf columns ride the same agg as literals. */
+  def tfidfCosine(df: DataFrame, textCol: String, idCol: String,
+      terms: Seq[String]): DataFrame = {
+    require(terms.nonEmpty, "tfidfCosine needs at least one query term")
+    val toks = df.select(col(idCol).as("__id"),
+        explode(split(lower(col(textCol)), "[^a-z0-9]+")).as("__t"))
+      .filter(col("__t") =!= "")
+    // postings feed the df count, the norm, and the per-doc term tfs
+    val post = toks.groupBy(col("__id"), col("__t"))
+      .agg(count(lit(1)).as("__tf")).localCheckpoint()
+    val dfT = post.groupBy(col("__t")).agg(count(lit(1)).as("__df"))
+    val nDf = post.groupBy(col("__id")).agg(count(lit(1)))
+      .agg(count(lit(1)).as("__n"))
+    def idfOf(dfCol: Column, nCol: Column): Column =
+      log((nCol.cast(DoubleType) + lit(1.0)) /
+        (dfCol.cast(DoubleType) + lit(1.0))) + lit(1.0)
+    val w = post.join(dfT, Seq("__t")).crossJoin(broadcast(nDf))
+      .withColumn("__w", col("__tf").cast(DoubleType) *
+        idfOf(col("__df"), col("__n")))
+    val norms = w.groupBy(col("__id")).agg(
+      sum(col("__tf")).as("dl"),
+      sum(round(col("__w") * col("__w") * lit(1.0e6)).cast(LongType)).as("__nq"))
+    // literal conditional tfs + dfs, one agg each — the q109 shape
+    val tfCols = terms.zipWithIndex.map { case (t, i) =>
+      sum(when(col("__t") === t, col("__tf")).otherwise(0L)).as(s"__tf_$i")
+    }
+    val perDoc = post.groupBy(col("__id")).agg(tfCols.head, tfCols.tail: _*)
+    val dfCols = terms.indices.map(i =>
+      count(when(col(s"__tf_$i") > 0, 1)).as(s"__df_$i"))
+    val stats = perDoc.agg(count(lit(1)).as("__sn"), dfCols: _*)
+    val joined = perDoc.join(norms, Seq("__id"))
+      .crossJoin(broadcast(stats))
+    def termIdf(i: Int): Column = idfOf(col(s"__df_$i"), col("__sn"))
+    val num = terms.indices
+      .map(i => col(s"__tf_$i").cast(DoubleType) * termIdf(i) * termIdf(i))
+      .reduce(_ + _)
+    val qNorm = sqrt(terms.indices.map(i => termIdf(i) * termIdf(i)).reduce(_ + _))
+    val dNorm = sqrt(col("__nq").cast(DoubleType) / lit(1.0e6))
+    val hitCount = terms.indices
+      .map(i => when(col(s"__tf_$i") > 0, 1L).otherwise(0L)).reduce(_ + _)
+    val scored = joined.select(col("__id"), col("dl"),
+      hitCount.as("n_terms_hit"),
+      (round(num / (dNorm * qNorm), 4) + lit(0.0)).as("tfidf_r"))
+    df.select(col(idCol).as("__id")).distinct()
+      .join(scored, Seq("__id"), "left")
+      .select(col("__id").as(idCol),
+        coalesce(col("dl"), lit(0L)).as("dl"),
+        coalesce(col("n_terms_hit"), lit(0L)).as("n_terms_hit"),
+        coalesce(col("tfidf_r"), lit(0.0)).as("tfidf_r"))
+  }
+
+  /** URL canonicalization + registered-domain extraction (q263) — the
+    * CommonCrawl-pipeline hygiene step every web corpus runs before
+    * dedup/quotas: per-URL dedup keys and per-SITE quotas both depend on
+    * it. Policy (each step a fixed regexp chain, identical on the DuckDB
+    * twin; no backreferences — Spark uses $1, DuckDB \\1, so none are
+    * portable): strip the fragment, lowercase scheme and host, strip the
+    * scheme's DEFAULT port only (:443 https / :80 http — a nonstandard
+    * port is a different origin), strip one leading `www.`, drop every
+    * `utm_*` tracking parameter (query-order preserved otherwise), and
+    * extract eTLD+1 against an embedded multi-part-suffix list
+    * (`co.uk`-style) with a last-two-labels fallback. Path case is
+    * preserved — paths are case-sensitive, hosts are not (RFC 3986).
+    *
+    * Pure per-row projections: no shuffle, codegen-friendly, safe at any
+    * scale. Adds scheme / host / etld1 / url_norm. */
+  def normalizeUrls(df: DataFrame, urlCol: String): DataFrame = {
+    // eTLD+1 is a property of the hostname alone — a kept nonstandard
+    // port must not leak into it
+    val hnp = regexp_replace(col("host"), ":[0-9]+$", "")
+    val multi = regexp_extract(hnp,
+      "([^.]+\\.(?:co\\.uk|com|org|net|io))$", 1)
+    df.withColumn("__s1", regexp_replace(col(urlCol), "#.*$", ""))
+      .withColumn("scheme",
+        lower(regexp_extract(col("__s1"), "^([A-Za-z]+)://", 1)))
+      .withColumn("__hp",
+        lower(regexp_extract(col("__s1"), "^[A-Za-z]+://([^/?#]+)", 1)))
+      .withColumn("__h1",
+        when(col("scheme") === "https", regexp_replace(col("__hp"), ":443$", ""))
+          .when(col("scheme") === "http", regexp_replace(col("__hp"), ":80$", ""))
+          .otherwise(col("__hp")))
+      .withColumn("host", regexp_replace(col("__h1"), "^www\\.", ""))
+      .withColumn("__pq",
+        regexp_extract(col("__s1"), "^[A-Za-z]+://[^/?#]+(.*)$", 1))
+      // utm params: mid-query first (trailing & rides along), then a
+      // leading/only one (its ? or & rides along)
+      .withColumn("__q1",
+        regexp_replace(col("__pq"), "utm_[A-Za-z0-9_]*=[^&#]*&", ""))
+      .withColumn("__q2",
+        regexp_replace(col("__q1"), "[?&]utm_[A-Za-z0-9_]*=[^&#]*$", ""))
+      .withColumn("etld1", when(multi =!= "", multi)
+        .otherwise(regexp_extract(hnp, "([^.]+\\.[^.]+)$", 1)))
+      .withColumn("url_norm",
+        concat(col("scheme"), lit("://"), col("host"), col("__q2")))
+      .drop("__s1", "__hp", "__h1", "__pq", "__q1", "__q2")
+  }
 }

@@ -415,9 +415,69 @@ object Corpus {
           col("sum_micro"),
           (col("sum_micro").cast(DoubleType) / lit(1000000.0) / col("n")).as("mean"))
         .orderBy(col("label"), col("pos"))
+    }),
+
+    // ---- q263: URL canonicalization + eTLD+1 — the CommonCrawl hygiene
+    // step per-URL dedup keys and per-SITE quotas (q64/q73) both depend
+    // on: messy synthetic URLs (upper-case scheme/host, www., default
+    // port, utm_* tracking params, fragment, a co.uk multi-part suffix
+    // every third doc) are canonicalized by Graft.normalizeUrls' fixed
+    // regexp chains — pure per-row projections, exact strings, no
+    // floats anywhere. ----
+    "q263_url_normalize" -> ((s, dir) => {
+      val d = t(s, dir, "documents").select(col("doc_id"), col("source"))
+        .withColumn("url", concat(
+          lit("HTTPS://WWW."), upper(col("source")),
+          when(col("doc_id") % 3 === 0, lit(".Example.CO.UK"))
+            .otherwise(lit(".Example.COM")),
+          lit(":443/Docs/"), col("doc_id").cast(StringType),
+          lit("?utm_source=feed&ref="), (col("doc_id") % 7).cast(StringType),
+          lit("&utm_campaign=q263&id="), col("doc_id").cast(StringType),
+          lit("#sec")))
+      graft.api.Graft.normalizeUrls(d, "url")
+        .select(col("doc_id"), col("scheme"), col("host"), col("etld1"),
+          col("url_norm"))
+        .orderBy(col("doc_id"))
     }))
 
   val oracle: Map[String, String] = Map(
+    // q263 twin: the SAME regexp chains (no backreferences — they are
+    // not portable between Java's $1 and RE2's \1), with 'g' flags
+    // exactly where the Spark side's replace-all semantics need them
+    "q263_url_normalize" ->
+      """WITH raw AS (
+        |  SELECT doc_id,
+        |    'HTTPS://WWW.' || upper(source) ||
+        |    (CASE WHEN doc_id % 3 = 0 THEN '.Example.CO.UK' ELSE '.Example.COM' END) ||
+        |    ':443/Docs/' || CAST(doc_id AS VARCHAR) ||
+        |    '?utm_source=feed&ref=' || CAST(doc_id % 7 AS VARCHAR) ||
+        |    '&utm_campaign=q263&id=' || CAST(doc_id AS VARCHAR) || '#sec' AS url
+        |  FROM documents),
+        |s1 AS (SELECT doc_id, regexp_replace(url, '#.*$', '') AS u FROM raw),
+        |parts AS (
+        |  SELECT doc_id,
+        |    lower(regexp_extract(u, '^([A-Za-z]+)://', 1)) AS scheme,
+        |    lower(regexp_extract(u, '^[A-Za-z]+://([^/?#]+)', 1)) AS hp,
+        |    regexp_extract(u, '^[A-Za-z]+://[^/?#]+(.*)$', 1) AS pq
+        |  FROM s1),
+        |hosted AS (
+        |  SELECT doc_id, scheme,
+        |    regexp_replace(
+        |      CASE WHEN scheme = 'https' THEN regexp_replace(hp, ':443$', '')
+        |           WHEN scheme = 'http' THEN regexp_replace(hp, ':80$', '')
+        |           ELSE hp END, '^www\.', '') AS host,
+        |    regexp_replace(
+        |      regexp_replace(pq, 'utm_[A-Za-z0-9_]*=[^&#]*&', '', 'g'),
+        |      '[?&]utm_[A-Za-z0-9_]*=[^&#]*$', '') AS pq2
+        |  FROM parts),
+        |np AS (SELECT *, regexp_replace(host, ':[0-9]+$', '') AS hnp FROM hosted)
+        |SELECT doc_id, scheme, host,
+        |  CASE WHEN regexp_extract(hnp, '([^.]+\.(?:co\.uk|com|org|net|io))$', 1) <> ''
+        |       THEN regexp_extract(hnp, '([^.]+\.(?:co\.uk|com|org|net|io))$', 1)
+        |       ELSE regexp_extract(hnp, '([^.]+\.[^.]+)$', 1) END AS etld1,
+        |  scheme || '://' || host || pq2 AS url_norm
+        |FROM np ORDER BY doc_id""".stripMargin,
+
     // epoch-shuffle twin: identical "epoch:doc_id" md5 rank
     // (md5_lower64 & Long.MaxValue ≡ md5_number_lower & 2^63−1 mask),
     // mod-8 shard, per-(epoch, shard) rank order

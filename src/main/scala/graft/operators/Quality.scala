@@ -104,6 +104,41 @@ object Quality {
         .orderBy(col("class_size"))
     }),
 
+    // ---- q264: Unicode hygiene audit — the mojibake / mixed-script /
+    // denormalization screen a multilingual crawl runs before langid and
+    // dedup (two byte-different spellings of one grapheme defeat exact
+    // dedup). Non-NFC sequences and a confusable Cyrillic 'е' are
+    // injected DETERMINISTICALLY (combining acute after every 'a',
+    // U+0435 for every 'e') so both engines exercise real normalization:
+    // codepoints saved by NFC, combining-mark count, Cyrillic count, and
+    // changed-doc count per source — all exact integers; character
+    // classes are counted as length deltas (one regexp_replace, no
+    // per-char explode). Spark side runs the codegen'd NfcNormalize
+    // (java.text.Normalizer); DuckDB replays with utf8proc's
+    // nfc_normalize — agreement IS the gate. ----
+    "q264_unicode_hygiene" -> ((s, dir) => {
+      graft.functions.GraftFunctions.register(s)
+      val d = t(s, dir, "documents")
+        .withColumn("t2", regexp_replace(
+          regexp_replace(col("text"), "a", "á"), "e", "е"))
+        .withColumn("n_cp", length(col("t2")).cast(LongType))
+        .withColumn("n_nfc", length(expr("nfc_normalize(t2)")).cast(LongType))
+        .withColumn("n_comb", (length(col("t2")) -
+          length(regexp_replace(col("t2"), "[̀-ͯ]", "")))
+          .cast(LongType))
+        .withColumn("n_cyr", (length(col("t2")) -
+          length(regexp_replace(col("t2"), "[Ѐ-ӿ]", "")))
+          .cast(LongType))
+      d.groupBy(col("source")).agg(
+          count(lit(1)).as("n_docs"),
+          sum(col("n_cp")).as("cp_total"),
+          sum(col("n_cp") - col("n_nfc")).as("cp_saved_nfc"),
+          sum(col("n_comb")).as("n_combining"),
+          sum(col("n_cyr")).as("n_cyrillic"),
+          count(when(col("n_nfc") =!= col("n_cp"), 1)).as("n_docs_changed"))
+        .orderBy(col("source"))
+    }),
+
     // ---- q256: group-fairness audit — per-segment selection rates for
     // the acctbal>5000 decision, disparate impact vs the best-treated
     // segment, four-fifths-rule flags (cross-multiplied, never a float
@@ -117,6 +152,34 @@ object Quality {
   )
 
   val oracle: Map[String, String] = Map(
+    // q264 twin: identical deterministic injection (chr() keeps the
+    // oracle ASCII-only — no encoding hazards in the JSON transport),
+    // utf8proc's nfc_normalize vs the Spark side's java.text.Normalizer,
+    // the same length-delta character-class counts ('g' flags where the
+    // Spark side replaces all)
+    "q264_unicode_hygiene" ->
+      """WITH t AS (
+        |  SELECT source,
+        |    regexp_replace(regexp_replace(text, 'a', 'a' || chr(769), 'g'),
+        |      'e', chr(1077), 'g') AS t2
+        |  FROM documents),
+        |m AS (
+        |  SELECT source,
+        |    length(t2) AS n_cp,
+        |    length(nfc_normalize(t2)) AS n_nfc,
+        |    length(t2) - length(regexp_replace(t2,
+        |      '[' || chr(768) || '-' || chr(879) || ']', '', 'g')) AS n_comb,
+        |    length(t2) - length(regexp_replace(t2,
+        |      '[' || chr(1024) || '-' || chr(1279) || ']', '', 'g')) AS n_cyr
+        |  FROM t)
+        |SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+        |  CAST(SUM(n_cp) AS BIGINT) AS cp_total,
+        |  CAST(SUM(n_cp - n_nfc) AS BIGINT) AS cp_saved_nfc,
+        |  CAST(SUM(n_comb) AS BIGINT) AS n_combining,
+        |  CAST(SUM(n_cyr) AS BIGINT) AS n_cyrillic,
+        |  CAST(COUNT(CASE WHEN n_nfc <> n_cp THEN 1 END) AS BIGINT) AS n_docs_changed
+        |FROM m GROUP BY source ORDER BY source""".stripMargin,
+
     // k-anonymity twin: identical $1000 banding, the same two-level
     // class-size / diversity aggregation, pure integer counts
     "q236_k_anonymity" ->

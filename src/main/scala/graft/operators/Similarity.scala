@@ -279,6 +279,45 @@ object Similarity {
         .orderBy($"src_id")
     }),
 
+    // ---- q262: Matryoshka truncation RECALL — q196's energy audit
+    // answers "how much vector survives truncation?"; this answers the
+    // question that actually matters downstream: "does the truncated
+    // index still RETRIEVE the same neighbors?" — top-10 cosine overlap
+    // of prefix-dim search (32/16/8 of 64) vs the full-dim exact top-10,
+    // the go/no-go number for serving MRL embeddings at a smaller dim.
+    // Full DuckDB oracle (brute force replays both sides); recall means
+    // are exact-integer Σhits over a fixed k=10 denominator — no double
+    // aggregation anywhere. ----
+    "q262_matryoshka_recall" -> ((s, dir) => {
+      import s.implicits._
+      graft.functions.GraftFunctions.register(s)
+      val base = t(s, dir, "embeddings")
+      // the full-dim exact top-10 feeds all three truncation legs
+      val exact = graft.api.Graft.cosineTopK(base,
+          base.filter($"vec_id" % 100 === 0), "embedding", "vec_id", 10)
+        .select($"qid", $"nid").localCheckpoint()
+      def leg(d: Int): org.apache.spark.sql.DataFrame = {
+        val tb = base.select($"vec_id",
+          expr(s"slice(embedding, 1, $d)").as("embedding"))
+        val approx = graft.api.Graft.cosineTopK(tb,
+            tb.filter($"vec_id" % 100 === 0), "embedding", "vec_id", 10)
+          .select($"qid", $"nid")
+        val hits = exact.join(approx, Seq("qid", "nid"), "left_semi")
+          .groupBy($"qid").agg(count(lit(1)).as("h"))
+        exact.select($"qid").distinct()
+          .join(hits, Seq("qid"), "left").na.fill(0L, Seq("h"))
+          .agg(count(lit(1)).as("n_queries"),
+            sum($"h").as("__sh"), min($"h").as("__mh"))
+          .select(lit(d.toLong).as("dim"), $"n_queries",
+            (round($"__sh".cast("double") /
+              ($"n_queries".cast("double") * lit(10.0)), 4) + lit(0.0))
+              .as("mean_recall"),
+            (round($"__mh".cast("double") / lit(10.0), 4) + lit(0.0))
+              .as("min_recall"))
+      }
+      leg(32).unionAll(leg(16)).unionAll(leg(8)).orderBy($"dim")
+    }),
+
     // ---- q46: ANN recall gate — recall@10 of every approximate path vs
     // the exact brute-force top-10, emitted AS DATA and golden-pinned
     // (r10) to a VALUES oracle the same way q28/q43 are: every input is
@@ -703,6 +742,41 @@ object Similarity {
         |FROM ra JOIN rb ON ra.a_id = rb.a_id AND ra.b_id = rb.b_id
         |WHERE ra.rnk = 1 AND rb.rnk = 1
         |ORDER BY ra.a_id""".stripMargin,
+
+    // q262 twin: brute-force replay of the exact full-dim top-10 AND
+    // each prefix-dim top-10 (list slicing), identical (sim DESC, nid)
+    // rankings, exact-integer hit sums over the fixed k=10 denominator
+    "q262_matryoshka_recall" -> {
+      def rankedTop10(vExpr: String, qExpr: String, name: String): String =
+        s"""$name AS (SELECT qid, nid FROM (
+           |  SELECT q.qid, e.vec_id AS nid,
+           |    ROW_NUMBER() OVER (PARTITION BY q.qid ORDER BY
+           |      list_dot_product($vExpr, $qExpr) /
+           |        (sqrt(list_dot_product($vExpr, $vExpr)) *
+           |         sqrt(list_dot_product($qExpr, $qExpr))) DESC, e.vec_id) AS rnk
+           |  FROM e, q WHERE e.vec_id <> q.qid) WHERE rnk <= 10)""".stripMargin
+      def legSql(d: Int): String =
+        s"""${rankedTop10(s"e.v[1:$d]", s"q.qv[1:$d]", s"a$d")},
+           |h$d AS (
+           |  SELECT ex.qid, COUNT(a$d.nid) AS h
+           |  FROM ex LEFT JOIN a$d ON ex.qid = a$d.qid AND ex.nid = a$d.nid
+           |  GROUP BY ex.qid),
+           |r$d AS (
+           |  SELECT CAST($d AS BIGINT) AS dim,
+           |    CAST(COUNT(*) AS BIGINT) AS n_queries,
+           |    ROUND(CAST(SUM(h) AS DOUBLE) / (CAST(COUNT(*) AS DOUBLE) * 10.0), 4)
+           |      + 0.0 AS mean_recall,
+           |    ROUND(CAST(MIN(h) AS DOUBLE) / 10.0, 4) + 0.0 AS min_recall
+           |  FROM h$d)""".stripMargin
+      s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+         |q AS (SELECT vec_id AS qid, v AS qv FROM e WHERE vec_id % 100 = 0),
+         |${rankedTop10("e.v", "q.qv", "ex")},
+         |${legSql(32)},
+         |${legSql(16)},
+         |${legSql(8)}
+         |SELECT * FROM r32 UNION ALL SELECT * FROM r16 UNION ALL
+         |SELECT * FROM r8 ORDER BY dim""".stripMargin
+    },
 
     "q27_knn_cosine" ->
       """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),

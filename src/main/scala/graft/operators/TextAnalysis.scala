@@ -446,6 +446,19 @@ object TextAnalysis {
         .orderBy(col("doc_id"))
     }),
 
+    // ---- q261: tf–idf cosine (vector-space model) — the classic third
+    // retrieval ranker beside q109's BM25 and q231's Dirichlet QL, and
+    // the one with a FULL document norm (Σ over every term's w², not
+    // just query terms): long off-topic documents are punished where a
+    // bare dot product would reward them. Same fixed-chain float policy
+    // as q109; the norm's Σw² is micro-quantized per posting and summed
+    // as exact longs. Same term list as q109 so the three rankers are
+    // directly comparable downstream (q144-style fusion). ----
+    "q261_vsm_cosine" -> ((s, dir) =>
+      graft.api.Graft.tfidfCosine(t(s, dir, "documents"), "text", "doc_id",
+          Bm25Terms)
+        .orderBy(col("doc_id"))),
+
     // ---- q144: reciprocal-rank fusion — hybrid retrieval's standard
     // list combiner (Cormack 2009): the q109 lexical BM25 ranking fused
     // with a document-length prior ranking, score = Σ 1/(60 + rank).
@@ -1116,6 +1129,58 @@ object TextAnalysis {
          |SELECT d.doc_id, CAST(COALESCE(dl, 0) AS BIGINT) AS dl,
          |  CAST(COALESCE($hitChain, 0) AS BIGINT) AS n_terms_hit,
          |  ROUND(COALESCE($scoreChain, 0.0), 6) AS bm25
+         |FROM (SELECT DISTINCT doc_id FROM documents) d LEFT JOIN j USING (doc_id)
+         |ORDER BY doc_id""".stripMargin
+    },
+
+    // q261 twin: identical smooth-idf chains generated from the SAME
+    // term list; the document norm recomputes the micro-quantized exact
+    // long sum over all postings, the numerator and query norm are the
+    // same fixed left-to-right expression trees as the Spark plan.
+    "q261_vsm_cosine" -> {
+      val tfDefs = Bm25Terms.zipWithIndex.map { case (t, i) =>
+        s"CAST(SUM(CASE WHEN t = '$t' THEN tf ELSE 0 END) AS BIGINT) AS tf$i"
+      }.mkString(",\n    ")
+      val dfDefs = Bm25Terms.indices.map(i =>
+        s"COUNT(CASE WHEN tf$i > 0 THEN 1 END) AS df$i").mkString(",\n    ")
+      val hitChain = Bm25Terms.indices.map(i =>
+        s"(CASE WHEN tf$i > 0 THEN 1 ELSE 0 END)").mkString(" + ")
+      def idfOf(df: String, n: String): String =
+        s"ln((CAST($n AS DOUBLE) + 1.0) / (CAST($df AS DOUBLE) + 1.0)) + 1.0"
+      val numChain = Bm25Terms.indices.map(i =>
+        s"CAST(tf$i AS DOUBLE) * (${idfOf(s"df$i", "sn")}) * (${idfOf(s"df$i", "sn")})")
+        .mkString("\n    + ")
+      val qNormChain = Bm25Terms.indices.map(i =>
+        s"(${idfOf(s"df$i", "sn")}) * (${idfOf(s"df$i", "sn")})").mkString(" + ")
+      s"""WITH toks AS (
+         |  SELECT doc_id, unnest(string_split_regex(lower(text), '[^a-z0-9]+')) AS t
+         |  FROM documents),
+         |post AS (
+         |  SELECT doc_id, t, COUNT(*) AS tf FROM toks WHERE t <> '' GROUP BY 1, 2),
+         |dft AS (SELECT t, COUNT(*) AS dft FROM post GROUP BY t),
+         |nn AS (SELECT COUNT(DISTINCT doc_id) AS n FROM post),
+         |norms AS (
+         |  SELECT doc_id, CAST(SUM(tf) AS BIGINT) AS dl,
+         |    CAST(SUM(CAST(ROUND((CAST(tf AS DOUBLE) * (${idfOf("dft", "n")}))
+         |      * (CAST(tf AS DOUBLE) * (${idfOf("dft", "n")})) * 1000000.0)
+         |      AS BIGINT)) AS BIGINT) AS nq
+         |  FROM post JOIN dft USING (t) CROSS JOIN nn GROUP BY doc_id),
+         |perdoc AS (
+         |  SELECT doc_id,
+         |    $tfDefs
+         |  FROM post GROUP BY doc_id),
+         |stats AS (
+         |  SELECT COUNT(*) AS sn,
+         |    $dfDefs
+         |  FROM perdoc),
+         |j AS (
+         |  SELECT perdoc.*, norms.dl, norms.nq, stats.*,
+         |    sqrt(CAST(norms.nq AS DOUBLE) / 1000000.0) AS dnorm,
+         |    sqrt($qNormChain) AS qnorm
+         |  FROM perdoc JOIN norms USING (doc_id) CROSS JOIN stats)
+         |SELECT d.doc_id, CAST(COALESCE(dl, 0) AS BIGINT) AS dl,
+         |  CAST(COALESCE($hitChain, 0) AS BIGINT) AS n_terms_hit,
+         |  COALESCE(ROUND(($numChain) / (dnorm * qnorm), 4) + 0.0, 0.0) AS tfidf_r
          |FROM (SELECT DISTINCT doc_id FROM documents) d LEFT JOIN j USING (doc_id)
          |ORDER BY doc_id""".stripMargin
     },

@@ -857,6 +857,22 @@ class AnalyticsSpec extends AnyFunSuite {
     assert(interior.forall(r => math.abs(r.getDouble(5)) < 1e-9))
   }
 
+  test("q264 unicode hygiene: NFC savings equal combining-mark injections exactly") {
+    val s = spark
+    val rows = graft.operators.Quality.queries("q264_unicode_hygiene")(s, sf0001)
+      .collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      // every injected combining acute composes with its base 'a' under
+      // NFC, so codepoints saved == combining marks counted
+      assert(r.getLong(3) === r.getLong(4),
+        s"cp_saved_nfc ${r.getLong(3)} != n_combining ${r.getLong(4)} for ${r.getString(0)}")
+      // the confusable Cyrillic injection must be visible to the script
+      // counter wherever any doc contained an 'e'
+      assert(r.getLong(5) >= 0L && r.getLong(1) > 0L)
+    }
+  }
+
   test("basketEdges artifact: bucketed, shuffle-free on src, identical to the inline join") {
     val s = spark; import s.implicits._
     val art = graft.operators.Analytics.basketEdges(s, sf0001)

@@ -1892,6 +1892,50 @@ class GraftApiSpec extends AnyFunSuite {
     assert(w(7L) === 0.083333333) // 83333333 nano-units, not 83333334
   }
 
+  test("tfidfCosine ranks on-topic docs above long off-topic ones (full-norm property)") {
+    val s = spark; import s.implicits._
+    val docs = Seq(
+      (1L, "spark table"),                       // short, fully on-topic
+      (2L, "spark " + ("filler " * 50).trim),    // one hit diluted by a long tail
+      (3L, "row scan merge batch"),              // off-topic
+      (4L, "")                                   // tokenless
+    ).toDF("doc_id", "text")
+    val out = Graft.tfidfCosine(docs, "text", "doc_id", Seq("spark", "table"))
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getDouble(3))).toMap
+    assert(out(1L)._3 > out(2L)._3)        // norm punishes the diluted doc
+    assert(out(2L)._3 > 0.0 && out(3L)._3 === 0.0)
+    assert(out(1L)._2 === 2L && out(2L)._2 === 1L)
+    assert(out(4L) === ((0L, 0L, 0.0)))    // tokenless doc keeps its row
+    // cosine of a doc containing exactly the query terms once each is
+    // bounded by 1 and positive
+    assert(out(1L)._3 <= 1.0 + 1e-9)
+    intercept[IllegalArgumentException] {
+      Graft.tfidfCosine(docs, "text", "doc_id", Seq.empty)
+    }
+  }
+
+  test("normalizeUrls canonicalizes scheme/host/port/www/utm and extracts eTLD+1") {
+    val s = spark; import s.implicits._
+    val urls = Seq(
+      (1L, "HTTPS://WWW.News.Example.CO.UK:443/A/b?utm_source=x&q=1#frag"),
+      (2L, "http://Example.COM:80/p?utm_a=1"),        // only-utm query drops
+      (3L, "https://cdn.example.io:8443/x?a=1&utm_z=9"), // nonstandard port kept
+      (4L, "http://www.sub.host.org/path?a=1&utm_m=2&b=3")
+    ).toDF("id", "url")
+    val out = Graft.normalizeUrls(urls, "url")
+      .collect().map(r => r.getLong(0) ->
+        (r.getString(2), r.getString(3), r.getString(4), r.getString(5))).toMap
+    // columns: id, url, scheme, host, etld1, url_norm
+    assert(out(1L) === (("https", "news.example.co.uk", "example.co.uk",
+      "https://news.example.co.uk/A/b?q=1")))
+    assert(out(2L) === (("http", "example.com", "example.com",
+      "http://example.com/p")))
+    assert(out(3L) === (("https", "cdn.example.io:8443", "example.io",
+      "https://cdn.example.io:8443/x?a=1")))
+    assert(out(4L) === (("http", "sub.host.org", "host.org",
+      "http://sub.host.org/path?a=1&b=3")))
+  }
+
   test("featureHash is deterministic, in-range, and sums signed tokens") {
     val s = spark; import s.implicits._
     val df = Seq((1L, "alpha alpha beta"), (2L, "alpha")).toDF("doc_id", "text")

@@ -77,6 +77,18 @@ class IvfSpec extends AnyFunSuite {
       ("pq_rerank", 5L, 1.0, 1.0, true)))
   }
 
+  test("matryoshka recall: 3 dims, recalls in [0,1], full-dim self-check = 1") {
+    val rows = Similarity.queries("q262_matryoshka_recall")(spark, sf0001)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getDouble(3)))
+    assert(rows.map(_._1).toSeq === Seq(8L, 16L, 32L))
+    assert(rows.forall(r => r._2 === 5L))
+    assert(rows.forall(r => r._3 >= 0.0 && r._3 <= 1.0 && r._4 <= r._3))
+    // the 32-dim prefix of a 64-dim embedding should retrieve most of
+    // the exact top-10 on this data — a loose floor that catches a
+    // broken slice or ranking without pinning a non-theorem
+    assert(rows.last._3 >= 0.3, s"32-dim recall suspiciously low: ${rows.last._3}")
+  }
+
   test("ivf search: base smaller than nlist clamps centroid count") {
     val emb = spark.read.parquet(s"$sf0001/embeddings.parquet").limit(5)
     val out = Similarity.ivfSearch(emb, emb.limit(1), "embedding", "vec_id",
