@@ -7019,6 +7019,106 @@ object Graft {
         coalesce(col("tfidf_r"), lit(0.0)).as("tfidf_r"))
   }
 
+  /** Preference-pair mining (q265) — the RLHF/DPO data-prep step that
+    * turns per-unit engagement into pairwise comparisons: within each
+    * unit (user), every pair of items BOTH observed becomes one
+    * comparison won by the item with the strictly higher exact total
+    * (cents); ties produce NO comparison (the standard convention — a
+    * tie carries no preference signal, and dropping it keeps the output
+    * free of tie-break artifacts). Output is the aggregated (winner,
+    * loser, n_units) table [[bradleyTerry]] consumes.
+    *
+    * 100 TB shape: one (unit, item) aggregate, then a unit-keyed
+    * self-join whose fan-out is C(items-per-unit, 2) — bounded by the
+    * per-unit item count (the q140 basket discipline), never corpus-
+    * quadratic — and one pair-level aggregate. */
+  def preferencePairs(df: DataFrame, unitCol: String, itemCol: String,
+      valueCol: String): DataFrame = {
+    val per = df.filter(col(valueCol).isNotNull)
+      .groupBy(col(unitCol).as("__u"), col(itemCol).as("__i"))
+      .agg(sum(round(col(valueCol) * lit(100.0)).cast(LongType)).as("__t"))
+    per.alias("a").join(per.alias("b"),
+        col("a.__u") === col("b.__u") && col("a.__i") < col("b.__i"))
+      .filter(col("a.__t") =!= col("b.__t"))
+      .select(
+        when(col("a.__t") > col("b.__t"), col("a.__i")).otherwise(col("b.__i"))
+          .as("winner"),
+        when(col("a.__t") > col("b.__t"), col("b.__i")).otherwise(col("a.__i"))
+          .as("loser"))
+      .groupBy(col("winner"), col("loser"))
+      .agg(count(lit(1)).as("n_units"))
+  }
+
+  /** Bradley–Terry strength fitting (q266) — the preference-model fit
+    * behind reward-model data QC (Hunter 2004's MM algorithm): item
+    * strengths s_i with P(i beats j) = s_i/(s_i+s_j), updated by
+    * s_i ← W_i / Σ_j n_ij/(s_i+s_j) and renormalized to mean 1 each
+    * round, a fixed `rounds` times.
+    *
+    * Exactness (the q253 replay discipline): strengths are nano-
+    * quantized longs; each pair's denominator term and each item's
+    * update/normalization are SINGLE identical double chains over exact
+    * integers, re-quantized immediately — so every round replays
+    * bit-for-bit and the oracle unrolls the rounds as chained CTEs.
+    *
+    * 100 TB shape: per round, one pairs⋈strengths join (two keyed
+    * lookups), a 2-way per-pair explode (each unordered pair feeds both
+    * endpoints' denominators with the SAME term), one item-keyed sum,
+    * one 1-row normalization broadcast. Nothing is ever proportional to
+    * units — only to items and observed pairs. */
+  def bradleyTerry(pairs: DataFrame, winnerCol: String, loserCol: String,
+      countCol: String, rounds: Int = 3): DataFrame = {
+    require(rounds >= 1, s"bradleyTerry needs rounds >= 1, got $rounds")
+    val Q = 1.0e9
+    // symmetric pair table: (lo, hi, n) with per-endpoint win counts
+    val sym = pairs.select(
+        least(col(winnerCol), col(loserCol)).as("__lo"),
+        greatest(col(winnerCol), col(loserCol)).as("__hi"),
+        col(countCol).cast(LongType).as("__n"),
+        when(col(winnerCol) < col(loserCol), col(countCol).cast(LongType))
+          .otherwise(lit(0L)).as("__wlo"))
+      .groupBy(col("__lo"), col("__hi"))
+      .agg(sum(col("__n")).as("__n"), sum(col("__wlo")).as("__wlo"))
+      .localCheckpoint() // pinned for the MM rounds
+    val wins = sym.select(col("__lo").as("item"), col("__wlo").as("__w"))
+      .unionAll(sym.select(col("__hi").as("item"),
+        (col("__n") - col("__wlo")).as("__w")))
+      .groupBy(col("item")).agg(sum(col("__w")).as("wins"))
+      .localCheckpoint()
+    val comps = sym.select(col("__lo").as("item"), col("__n"))
+      .unionAll(sym.select(col("__hi").as("item"), col("__n")))
+      .groupBy(col("item")).agg(sum(col("__n")).as("comparisons"))
+    val nItems = wins.count() // #items — bounded driver scalar
+    var s = wins.select(col("item"), lit(1000000000L).as("sq")).localCheckpoint()
+    var r = 0
+    while (r < rounds) {
+      val terms = sym
+        .join(s.select(col("item").as("__lo"), col("sq").as("__sqlo")), Seq("__lo"))
+        .join(s.select(col("item").as("__hi"), col("sq").as("__sqhi")), Seq("__hi"))
+        .withColumn("__term", round(col("__n").cast(DoubleType) /
+          ((col("__sqlo") + col("__sqhi")).cast(DoubleType) / lit(Q)) * lit(Q))
+          .cast(LongType))
+      val denom = terms.select(col("__lo").as("item"), col("__term"))
+        .unionAll(terms.select(col("__hi").as("item"), col("__term")))
+        .groupBy(col("item")).agg(sum(col("__term")).as("__d"))
+      val updated = wins.join(denom, Seq("item"))
+        .select(col("item"),
+          when(col("__d") > 0L, round(col("wins").cast(DoubleType) * lit(Q) /
+            (col("__d").cast(DoubleType) / lit(Q))).cast(LongType))
+            .otherwise(lit(0L)).as("sq0"))
+      val tot = updated.agg(sum(col("sq0")).as("__tot"))
+      s = updated.crossJoin(broadcast(tot))
+        .select(col("item"),
+          round(col("sq0").cast(DoubleType) * lit(nItems.toDouble) * lit(Q) /
+            col("__tot").cast(DoubleType)).cast(LongType).as("sq"))
+        .localCheckpoint()
+      r += 1
+    }
+    wins.join(comps, Seq("item")).join(s, Seq("item"))
+      .select(col("item"), col("wins"), col("comparisons"),
+        (col("sq").cast(DoubleType) / lit(Q)).as("strength"))
+  }
+
   /** URL canonicalization + registered-domain extraction (q263) — the
     * CommonCrawl-pipeline hygiene step every web corpus runs before
     * dedup/quotas: per-URL dedup keys and per-SITE quotas both depend on

@@ -253,10 +253,108 @@ object Events {
         .withColumn("arr", call_function("md5_lower64",
           col("event_id").cast(StringType)).bitwiseAND(lit(Long.MaxValue)))
       graft.api.Graft.disorderAudit(e, "user_id", "ts", Seq("arr", "event_id"))
+    }),
+
+    // ---- q265: preference-pair mining — the RLHF/DPO data-prep step:
+    // each user's exact per-event-type cents totals become pairwise
+    // comparisons (strict winner only; ties carry no preference and are
+    // dropped), aggregated to the (winner, loser, n_units) table the
+    // Bradley–Terry fit consumes. All integers. ----
+    "q265_preference_pairs" -> ((s, dir) =>
+      graft.api.Graft.preferencePairs(t(s, dir, "events"),
+          "user_id", "event_type", "value")
+        .orderBy(col("winner"), col("loser"))),
+
+    // ---- q266: Bradley–Terry strength fit over q265's comparisons —
+    // the reward-model-style preference fit (Hunter 2004 MM updates, 3
+    // rounds, mean-1 normalization each round), replayed bit-for-bit by
+    // the oracle's unrolled CTE chain via nano-quantized strengths
+    // (the q253 discipline). ----
+    "q266_bradley_terry" -> ((s, dir) => {
+      val pairs = graft.api.Graft.preferencePairs(t(s, dir, "events"),
+        "user_id", "event_type", "value")
+      graft.api.Graft.bradleyTerry(pairs, "winner", "loser", "n_units",
+          rounds = 3)
+        .orderBy(col("item"))
     })
   )
 
+  /** q265's pair-mining CTE chain — shared by both oracles so the
+    * derivation can never diverge between the miner and its consumer. */
+  private def pairsSql: String =
+    """per AS (
+      |  SELECT user_id AS u, event_type AS i,
+      |    CAST(SUM(CAST(ROUND(value * 100.0) AS BIGINT)) AS BIGINT) AS t
+      |  FROM events WHERE value IS NOT NULL GROUP BY 1, 2),
+      |pr AS (
+      |  SELECT CASE WHEN a.t > b.t THEN a.i ELSE b.i END AS winner,
+      |         CASE WHEN a.t > b.t THEN b.i ELSE a.i END AS loser
+      |  FROM per a JOIN per b ON a.u = b.u AND a.i < b.i
+      |  WHERE a.t <> b.t),
+      |pairs AS (
+      |  SELECT winner, loser, CAST(COUNT(*) AS BIGINT) AS n_units
+      |  FROM pr GROUP BY 1, 2)""".stripMargin
+
+  /** q266 oracle: q265's pairs + the MM rounds unrolled — identical
+    * nano-quantized term/update/normalization double chains. */
+  private def bradleyTerrySql(rounds: Int): String = {
+    val steps = (1 to rounds).map { k =>
+      s"""t$k AS (
+         |  SELECT sym.lo, sym.hi,
+         |    CAST(ROUND(CAST(sym.n AS DOUBLE) /
+         |      (CAST(sl.sq + sh.sq AS DOUBLE) / 1000000000.0) *
+         |      1000000000.0) AS BIGINT) AS term
+         |  FROM sym JOIN s${k - 1} sl ON sym.lo = sl.item
+         |           JOIN s${k - 1} sh ON sym.hi = sh.item),
+         |d$k AS (
+         |  SELECT item, CAST(SUM(term) AS BIGINT) AS d FROM (
+         |    SELECT lo AS item, term FROM t$k
+         |    UNION ALL SELECT hi AS item, term FROM t$k) GROUP BY item),
+         |u$k AS (
+         |  SELECT wins.item,
+         |    CASE WHEN d > 0 THEN CAST(ROUND(CAST(wins.wins AS DOUBLE) *
+         |      1000000000.0 / (CAST(d AS DOUBLE) / 1000000000.0)) AS BIGINT)
+         |    ELSE 0 END AS sq0
+         |  FROM wins JOIN d$k USING (item)),
+         |tot$k AS (SELECT CAST(SUM(sq0) AS BIGINT) AS tot FROM u$k),
+         |s$k AS (
+         |  SELECT item, CAST(ROUND(CAST(sq0 AS DOUBLE) * ni * 1000000000.0 /
+         |    CAST(tot AS DOUBLE)) AS BIGINT) AS sq
+         |  FROM u$k CROSS JOIN tot$k CROSS JOIN ni)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH $pairsSql,
+       |sym AS (
+       |  SELECT CASE WHEN winner < loser THEN winner ELSE loser END AS lo,
+       |         CASE WHEN winner < loser THEN loser ELSE winner END AS hi,
+       |         CAST(SUM(n_units) AS BIGINT) AS n,
+       |         CAST(SUM(CASE WHEN winner < loser THEN n_units ELSE 0 END)
+       |           AS BIGINT) AS wlo
+       |  FROM pairs GROUP BY 1, 2),
+       |wins AS (
+       |  SELECT item, CAST(SUM(w) AS BIGINT) AS wins FROM (
+       |    SELECT lo AS item, wlo AS w FROM sym
+       |    UNION ALL SELECT hi AS item, n - wlo AS w FROM sym) GROUP BY item),
+       |comps AS (
+       |  SELECT item, CAST(SUM(n) AS BIGINT) AS comparisons FROM (
+       |    SELECT lo AS item, n FROM sym
+       |    UNION ALL SELECT hi AS item, n FROM sym) GROUP BY item),
+       |ni AS (SELECT CAST(COUNT(*) AS DOUBLE) AS ni FROM wins),
+       |s0 AS (SELECT item, CAST(1000000000 AS BIGINT) AS sq FROM wins),
+       |$steps
+       |SELECT wins.item, wins.wins AS wins, comps.comparisons,
+       |  CAST(sq AS DOUBLE) / 1000000000.0 AS strength
+       |FROM wins JOIN comps USING (item) JOIN s$rounds USING (item)
+       |ORDER BY item""".stripMargin
+  }
+
   val oracle: Map[String, String] = Map(
+    "q265_preference_pairs" ->
+      s"""WITH $pairsSql
+         |SELECT winner, loser, n_units FROM pairs
+         |ORDER BY winner, loser""".stripMargin,
+
+    "q266_bradley_terry" -> bradleyTerrySql(3),
+
     // SPRT twin: the SAME Scala-quantized increment/threshold literals
     // interpolated into both engines (zero libm risk), the same
     // prefix-sum walk and argmin/argmax crossing report

@@ -291,18 +291,37 @@ object Similarity {
     "q262_matryoshka_recall" -> ((s, dir) => {
       import s.implicits._
       graft.functions.GraftFunctions.register(s)
-      val base = t(s, dir, "embeddings")
-      // the full-dim exact top-10 feeds all three truncation legs
-      val exact = graft.api.Graft.cosineTopK(base,
-          base.filter($"vec_id" % 100 === 0), "embedding", "vec_id", 10)
-        .select($"qid", $"nid").localCheckpoint()
+      val dims = Seq(64, 32, 16, 8)
+      // ONE brute-force pass scores all four prefix dots (a prefix dot
+      // costs a slice, not a second corpus scan); the checkpointed
+      // (qid, nid, sim64..sim8) table then feeds all four rankings —
+      // 1× the O(n·q) join instead of 4×. Same SMALL-QUERIES CONTRACT
+      // as pqSearch: the query set is driver-bounded by construction.
+      val withN = dims.foldLeft(
+          t(s, dir, "embeddings").select($"vec_id", $"embedding".as("v"))) {
+        (df, d) => df.withColumn(s"nrm$d",
+          sqrt(expr(s"vec_dot(slice(v, 1, $d), slice(v, 1, $d))")))
+      }
+      val dp = s.sparkContext.defaultParallelism
+      val b = if (withN.rdd.getNumPartitions < dp)
+        withN.repartition(dp, $"vec_id") else withN
+      val q = withN.filter($"vec_id" % 100 === 0)
+        .select($"vec_id".as("qid") +: $"v".as("qv") +:
+          dims.map(d => col(s"nrm$d").as(s"qn$d")): _*)
+      val scored = b.join(broadcast(q), $"vec_id" =!= $"qid")
+        .select($"qid" +: $"vec_id".as("nid") +: dims.map(d =>
+          (expr(s"vec_dot(slice(v, 1, $d), slice(qv, 1, $d))") /
+            (col(s"nrm$d") * col(s"qn$d"))).as(s"sim$d")): _*)
+        .localCheckpoint()
+      def top10(d: Int): org.apache.spark.sql.DataFrame = {
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy($"qid").orderBy(col(s"sim$d").desc, $"nid")
+        scored.withColumn("rnk", row_number().over(w))
+          .filter($"rnk" <= 10).select($"qid", $"nid")
+      }
+      val exact = top10(64).localCheckpoint()
       def leg(d: Int): org.apache.spark.sql.DataFrame = {
-        val tb = base.select($"vec_id",
-          expr(s"slice(embedding, 1, $d)").as("embedding"))
-        val approx = graft.api.Graft.cosineTopK(tb,
-            tb.filter($"vec_id" % 100 === 0), "embedding", "vec_id", 10)
-          .select($"qid", $"nid")
-        val hits = exact.join(approx, Seq("qid", "nid"), "left_semi")
+        val hits = exact.join(top10(d), Seq("qid", "nid"), "left_semi")
           .groupBy($"qid").agg(count(lit(1)).as("h"))
         exact.select($"qid").distinct()
           .join(hits, Seq("qid"), "left").na.fill(0L, Seq("h"))

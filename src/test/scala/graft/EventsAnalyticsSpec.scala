@@ -154,6 +154,35 @@ class EventsAnalyticsSpec extends AnyFunSuite {
     assert(out(1) === ((2L, 2L, 0.0)))
   }
 
+  test("preferencePairs mines strict winners and drops ties") {
+    val s = spark; import s.implicits._
+    val ev = Seq(
+      (1L, "X", 6.0), (1L, "X", 4.0), (1L, "Y", 5.0),   // u1: X 10 > Y 5
+      (2L, "X", 2.0), (2L, "Y", 2.0),                   // u2: tie -> dropped
+      (3L, "X", 1.0), (3L, "Y", 7.0)                    // u3: Y beats X
+    ).toDF("user_id", "event_type", "value")
+    val out = Graft.preferencePairs(ev, "user_id", "event_type", "value")
+      .orderBy("winner").collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+    assert(out.toSeq === Seq(("X", "Y", 1L), ("Y", "X", 1L)))
+  }
+
+  test("bradleyTerry recovers the closed-form two-item MLE") {
+    val s = spark; import s.implicits._
+    // A beats B 3:1 -> MLE strengths under mean-1 normalization are
+    // exactly (1.5, 0.5): P(A beats B) = 1.5/2 = 3/4. One MM round
+    // already lands there; further rounds are fixpoints.
+    val pairs = Seq(("A", "B", 3L), ("B", "A", 1L))
+      .toDF("winner", "loser", "n_units")
+    val out = Graft.bradleyTerry(pairs, "winner", "loser", "n_units", rounds = 3)
+      .orderBy("item").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    assert(out.toSeq === Seq(("A", 3L, 4L, 1.5), ("B", 1L, 4L, 0.5)))
+    intercept[IllegalArgumentException] {
+      Graft.bradleyTerry(pairs, "winner", "loser", "n_units", rounds = 0)
+    }
+  }
+
   test("qiniByDecile rejects a fractional score instead of silently truncating") {
     val s = spark; import s.implicits._
     // a [-1,1] uplift score would cast to 0L and degenerate ranking to
