@@ -1955,6 +1955,34 @@ object Graft {
       .drop("__prev")
   }
 
+  /** Point-in-time (PIT) join (q267) — the consumption half of [[scd2]]:
+    * enrich each fact with the dimension VERSION that was valid at the
+    * fact's timestamp (valid_from ≤ ts, and ts < valid_to or open-ended)
+    * — the join every feature-store / ML-training pipeline needs to
+    * avoid label leakage from future attribute values. Left join: facts
+    * before any version (or keyless) keep NULL enrichment instead of
+    * silently dropping.
+    *
+    * 100 TB shape: ONE equi-join keyed on `keyCol` (the interval test
+    * rides as a residual predicate on co-shuffled rows) — never a
+    * cartesian, never a window over facts; version tables are
+    * per-key-small by construction. CONTRACT: versions must be disjoint
+    * per key (what [[scd2]] emits — valid_to = next valid_from); an
+    * overlapping-version dimension duplicates matching facts, which
+    * surfaces in row counts rather than silently losing data. */
+  def pitJoin(facts: DataFrame, versions: DataFrame, keyCol: String,
+      tsCol: String, fromCol: String, toCol: String,
+      payload: Seq[String]): DataFrame = {
+    val v = versions.select(
+      (col(keyCol).as("__vk") +: col(fromCol).as("__vf") +:
+        col(toCol).as("__vt") +: payload.map(col)): _*)
+    facts.join(v,
+      facts(keyCol) === col("__vk") && col("__vf") <= facts(tsCol) &&
+        (col("__vt").isNull || facts(tsCol) < col("__vt")),
+      "left").drop("__vk", "__vt")
+      .withColumnRenamed("__vf", "version_from")
+  }
+
   /** MERGE INTO semantics (the lakehouse CDC primitive): apply a
     * changeset to a snapshot in ONE full-outer join on the key.
     * `changes` carries the target's columns plus `opCol` ∈ {I,U,D}:

@@ -1125,6 +1125,29 @@ object Analytics {
         .orderBy(col("user_id"), col("valid_from"), col("event_type"))
     }),
 
+    // ---- q267: point-in-time enrichment — q102's SCD2 versions
+    // CONSUMED: each purchase event joins the user's event_type regime
+    // valid AT its timestamp ([from, to) semantics, [[Graft.pitJoin]]) —
+    // the leakage-safe feature-store join. One user-keyed equi-join
+    // with the interval test as a residual predicate; exact integers
+    // and strings only. ----
+    "q267_pit_join" -> ((s, dir) => {
+      val e = t(s, dir, "events")
+        .select(col("user_id"), col("event_id"), col("event_type"),
+          unix_micros(col("ts")).as("us"))
+      val vers = graft.api.Graft.scd2(e, "user_id", "us", "event_type",
+          "event_id")
+        .select(col("user_id"), col("valid_from"), col("valid_to"),
+          col("event_type").as("regime"))
+      val facts = e.filter(col("event_type") === "purchase")
+        .select(col("user_id"), col("event_id"), col("us"))
+      graft.api.Graft.pitJoin(facts, vers, "user_id", "us",
+          "valid_from", "valid_to", Seq("regime"))
+        .select(col("event_id"), col("user_id"), col("us"),
+          col("version_from"), col("regime"))
+        .orderBy(col("event_id"))
+    }),
+
     // ---- q101: REAL multi-frame decode — animated GIFs are synthesized
     // per doc (closed-form uniform-gray frames, JDK sequence writer),
     // then every frame is REALLY decoded twice (GIF frame → PNG re-encode
@@ -3495,6 +3518,29 @@ object Analytics {
         |  COUNT(*) AS n
         |FROM binned GROUP BY col_name, bin, mn, mx
         |ORDER BY col_name, bin""".stripMargin,
+
+    // q267 twin: q102's version derivation + the [from, to) interval
+    // join back onto the purchase facts
+    "q267_pit_join" ->
+      """WITH e AS (
+        |  SELECT user_id, event_id, event_type, epoch_us(ts) AS us FROM events),
+        |ch AS (
+        |  SELECT user_id, event_id, event_type, us FROM (
+        |    SELECT user_id, event_id, event_type, us,
+        |           LAG(event_type) OVER (PARTITION BY user_id ORDER BY us, event_id) AS prev,
+        |           ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY us, event_id) AS rn
+        |    FROM e) t
+        |  WHERE rn = 1 OR prev IS DISTINCT FROM event_type),
+        |vers AS (
+        |  SELECT user_id, us AS valid_from,
+        |         LEAD(us) OVER (PARTITION BY user_id ORDER BY us, event_id) AS valid_to,
+        |         event_type AS regime
+        |  FROM ch),
+        |f AS (SELECT user_id, event_id, us FROM e WHERE event_type = 'purchase')
+        |SELECT f.event_id, f.user_id, f.us, v.valid_from AS version_from, v.regime
+        |FROM f LEFT JOIN vers v ON f.user_id = v.user_id
+        |  AND v.valid_from <= f.us AND (v.valid_to IS NULL OR f.us < v.valid_to)
+        |ORDER BY f.event_id""".stripMargin,
 
     "q102_scd2_versions" ->
       """WITH e AS (

@@ -857,6 +857,26 @@ class AnalyticsSpec extends AnyFunSuite {
     assert(interior.forall(r => math.abs(r.getDouble(5)) < 1e-9))
   }
 
+  test("pitJoin matches the version valid at ts with [from, to) boundary semantics") {
+    val s = spark; import s.implicits._
+    val vers = Seq(
+      ("u1", 10L, Some(20L), "A"),
+      ("u1", 20L, None, "B")
+    ).toDF("k", "valid_from", "valid_to", "attr")
+    val facts = Seq(
+      ("u1", 1L, 15L),  // inside [10, 20) -> A
+      ("u1", 2L, 20L),  // exactly at the boundary -> the NEW version B
+      ("u1", 3L, 5L),   // before any version -> NULL enrichment
+      ("u2", 4L, 15L)   // keyless -> NULL enrichment
+    ).toDF("k", "fid", "ts")
+    val out = graft.api.Graft.pitJoin(facts, vers, "k", "ts",
+        "valid_from", "valid_to", Seq("attr"))
+      .orderBy("fid").collect()
+      .map(r => (r.getLong(1), Option(r.getString(4))))
+    assert(out.toSeq === Seq((1L, Some("A")), (2L, Some("B")),
+      (3L, None), (4L, None)))
+  }
+
   test("q264 unicode hygiene: NFC savings equal combining-mark injections exactly") {
     val s = spark
     val rows = graft.operators.Quality.queries("q264_unicode_hygiene")(s, sf0001)
