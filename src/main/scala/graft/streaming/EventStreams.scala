@@ -19,6 +19,21 @@ object EventStreams {
   /** Tumbling 1-hour windowed counts/sums per event type, 2h watermark:
     * late events beyond the watermark are dropped and window state is
     * evicted — state is O(open windows × types), not O(stream). */
+  /** Stream-static dimension enrichment — the most common streaming join
+    * in production: each micro-batch broadcast-joins the slow-changing
+    * STATIC dimension (no watermark needed — the static side carries no
+    * event time). Spark re-evaluates the static plan per micro-batch, so
+    * a dimension refreshed underneath (e.g. a nightly-rebuilt bucketed
+    * artifact) is picked up without restarting the query. LEFT join:
+    * facts with no dimension row keep NULL enrichment, mirroring
+    * [[graft.api.Graft.pitJoin]]'s convention. */
+  def enrichStatic(events: DataFrame, dim: DataFrame, keyCol: String,
+      payload: Seq[String]): DataFrame =
+    events.join(
+      org.apache.spark.sql.functions.broadcast(
+        dim.select((col(keyCol) +: payload.map(col)): _*)),
+      Seq(keyCol), "left")
+
   def tumblingCounts(events: DataFrame): DataFrame =
     events
       .withWatermark("ts", "2 hours")

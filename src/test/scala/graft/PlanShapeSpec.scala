@@ -687,4 +687,28 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(!p.contains("Join"), p)
     assert(!p.contains("windowspecdefinition"), p)
   }
+
+  test("q263 URL canonicalization is a pure projection (only the output-sort exchange)") {
+    val p = planOf("q263_url_normalize")
+    assert(!p.contains("Join"), p)
+    assert(!p.contains("windowspecdefinition"), p)
+    // exactly one exchange: the rangepartitioning for the ordered output
+    val ex = "Exchange ".r.findAllMatchIn(p).size
+    assert(ex <= 1 && p.contains("rangepartitioning"), p)
+  }
+
+  test("q267 PIT join is one key-equi-join with the interval test residual") {
+    val p = planOf("q267_pit_join")
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"), p)
+    // the interval bounds ride as a join condition on the key-equi join,
+    // never as a post-join filter over a wider product
+    assert(p.contains("SortMergeJoin") || p.contains("ShuffledHashJoin") ||
+      p.contains("BroadcastHashJoin"), p)
+  }
+
+  test("q261 VSM cosine rides broadcast one-row stats, no driver count") {
+    val p = planOf("q261_vsm_cosine")
+    assert(!p.contains("CartesianProduct"), p)
+    assert(p.contains("BroadcastExchange"), p) // the 1-row stats / nDf
+  }
 }

@@ -49,6 +49,26 @@ class StreamingSpec extends AnyFunSuite {
       ("2024-01-01 01:00:00.0", "view", 1L, 3.0)))
   }
 
+  test("stream-static enrichment broadcast-joins the dimension per micro-batch") {
+    val s = spark
+    import s.implicits._
+    implicit val sc = s.sqlContext
+    val dim = Seq((1L, "gold"), (2L, "free")).toDF("user_id", "tier")
+    val mem = MemoryStream[Ev]
+    mem.addData(
+      Ev(1, ts(5), 1, "click", 1.0),
+      Ev(2, ts(6), 2, "view", 2.0),
+      Ev(3, ts(7), 9L, "click", 3.0)) // keyless user -> NULL tier kept
+    runToCompletion(
+      EventStreams.enrichStatic(mem.toDF, dim, "user_id", Seq("tier"))
+        .select($"event_id", $"user_id", $"tier"),
+      "enriched", "append")
+    val rows = s.sql("SELECT event_id, user_id, tier FROM enriched ORDER BY event_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1), Option(r.getString(2))))
+    assert(rows.toSeq === Seq((1L, 1L, Some("gold")), (2L, 2L, Some("free")),
+      (3L, 9L, None)))
+  }
+
   test("sliding window counts: each event lands in exactly two windows") {
     val s = spark
     import s.implicits._
