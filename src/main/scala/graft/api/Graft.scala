@@ -2763,6 +2763,64 @@ object Graft {
     }
   }
 
+  /** Second principal component by DEFLATED power iteration (q268) — the
+    * spectral half of ABTT/whitening (Mu & Viswanath 2018): q260's audit
+    * MEASURES the rogue top direction; this answers the what-if —
+    * removing it leaves covariance (I−v₁v₁ᵀ)C(I−v₁v₁ᵀ), whose top
+    * eigenvalue is λ₂, so post-removal anisotropy is λ₂/(trace−λ₁)
+    * without ever re-deriving the transformed covariance. Each round is
+    * [[topPrincipalComponent]]'s quantized matvec + norm, with the
+    * iterate's v₁-component projected out between them (dot and
+    * deflection are pico-quantized fixed chains, so the oracle unrolls
+    * the rounds as CTEs exactly like q134's).
+    *
+    * Single distributed path on purpose (no driver fast path): the
+    * deflation chain exists once, and the cost is 4·iters tiny jobs
+    * over d-row state — d-bounded, independent of the corpus. The
+    * uniform start loses its v₁-component at round 1's deflation, so
+    * no orthogonal initialization is needed. */
+  def secondPrincipalComponent(cells: DataFrame, component: DataFrame,
+      iters: Int = 12): DataFrame = {
+    require(iters >= 1, s"secondPrincipalComponent needs iters >= 1, got $iters")
+    val Q = 1.0e12
+    val full = cells.select(col("i"), col("j"), col("cov"))
+      .unionByName(cells.filter(col("i") =!= col("j"))
+        .select(col("j").as("i"), col("i").as("j"), col("cov")))
+      .localCheckpoint()
+    val d = full.agg(max(col("i"))).head().getLong(0) // ONE driver scalar
+    require(d >= 2, "secondPrincipalComponent needs dimension >= 2")
+    val v1 = component.select(col("pos"), col("component").as("v1"))
+      .localCheckpoint() // d rows, pinned for the rounds
+    var v = full.select(col("i").as("pos")).distinct()
+      .withColumn("vv", lit(1.0) / sqrt(lit(d.toDouble)))
+    var it = 0
+    while (it < iters) {
+      val mv = full.join(broadcast(v.select(col("pos").as("j"), col("vv"))), Seq("j"))
+        .groupBy(col("i").as("pos"))
+        .agg((sum(round(col("cov") * col("vv") * lit(Q)).cast(LongType))
+          .cast(DoubleType) / lit(Q)).as("mv"))
+        .join(broadcast(v1), Seq("pos"))
+        .localCheckpoint() // feeds the dot AND the deflection
+      val dot = mv.agg((sum(round(col("v1") * col("mv") * lit(Q)).cast(LongType))
+        .cast(DoubleType) / lit(Q)).as("dt"))
+      val w = mv.crossJoin(broadcast(dot))
+        .select(col("pos"), (col("mv") - col("dt") * col("v1")).as("w"))
+      val nrm = w.agg(sqrt(sum(round(col("w") * col("w") * lit(Q))
+        .cast(LongType)).cast(DoubleType) / lit(Q)).as("nrm"))
+      v = w.crossJoin(broadcast(nrm))
+        .select(col("pos"), (col("w") / col("nrm")).as("vv"))
+        .localCheckpoint()
+      it += 1
+    }
+    val lam = full
+      .join(broadcast(v.select(col("pos").as("i"), col("vv").as("va"))), Seq("i"))
+      .join(broadcast(v.select(col("pos").as("j"), col("vv").as("vb"))), Seq("j"))
+      .agg((sum(round(col("cov") * col("va") * col("vb") * lit(Q)).cast(LongType))
+        .cast(DoubleType) / lit(Q)).as("eigenvalue"))
+    v.crossJoin(broadcast(lam))
+      .select(col("pos"), col("vv").as("component"), col("eigenvalue"))
+  }
+
   /** Project every vector onto a principal component (the APPLY half of
     * the PCA pipeline: q123 covariance → [[topPrincipalComponent]] →
     * this): per-vector principal score v·x and residual norm

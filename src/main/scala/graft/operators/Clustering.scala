@@ -122,6 +122,30 @@ object Clustering {
           (lit(1.0) - col("lambda1") / col("trace")).as("isotropy"))
     }),
 
+    // ---- q268: ABTT what-if spectrum — q260 MEASURES the rogue top
+    // direction; this prices the fix (Mu & Viswanath 2018): removing v₁
+    // leaves covariance with spectrum {λ₂, …}, so the post-removal
+    // anisotropy is λ₂/(trace−λ₁) — computed from a DEFLATED second
+    // power iteration, never a re-derivation of transformed covariance.
+    // Both eigenpairs + trace ride the same pico-quantized cells. ----
+    "q268_abtt_audit" -> ((s, dir) => {
+      val cells = covCells(t(s, dir, "embeddings"), "embedding")
+        .localCheckpoint() // feeds both eigen chains AND the trace
+      val c1 = graft.api.Graft.topPrincipalComponent(cells, iters = 12)
+        .localCheckpoint() // feeds λ₁ and the deflation
+      val c2 = graft.api.Graft.secondPrincipalComponent(cells, c1, iters = 12)
+      val lam1 = c1.agg(max(col("eigenvalue")).as("lambda1"))
+      val lam2 = c2.agg(max(col("eigenvalue")).as("lambda2"))
+      val tr = cells.filter(col("i") === col("j"))
+        .agg((sum(round(col("cov") * lit(1.0e12)).cast(LongType))
+          .cast(DoubleType) / lit(1.0e12)).as("trace"))
+      lam1.crossJoin(lam2).crossJoin(tr)
+        .select(col("lambda1"), col("lambda2"), col("trace"),
+          (col("lambda1") / col("trace")).as("top_share_before"),
+          (col("lambda2") / (col("trace") - col("lambda1")))
+            .as("top_share_after"))
+    }),
+
     // ---- q135: PCA projection APPLY — the third leg of the pipeline
     // (q123 covariance → q134 eigenvector → project): per-vector
     // principal score v·x and residual norm, the dimensionality-
@@ -285,6 +309,35 @@ object Clustering {
        |$rounds""".stripMargin
   }
 
+  /** q268 twin: the q134 eigen chain for v₁, then `iters` DEFLATED
+    * rounds — each the same pico-quantized matvec, a quantized v₁·mv
+    * dot, the fixed deflection chain mv − dt·v₁, and the quantized
+    * normalization. The uniform start loses its v₁-component at round
+    * 1's deflation, exactly like the Spark loop. */
+  private def eig2Ctes(iters: Int): String = {
+    val q = "1e12"
+    val rounds = (1 to iters).map { r =>
+      s"""m2$r AS MATERIALIZED (
+         |  SELECT f.i AS pos,
+         |    CAST(SUM(CAST(ROUND(f.cov * v.vv * $q) AS BIGINT)) AS DOUBLE) / $q AS mv
+         |  FROM fm f JOIN w${r - 1} v ON v.pos = f.j GROUP BY f.i),
+         |dt$r AS MATERIALIZED (
+         |  SELECT CAST(SUM(CAST(ROUND(a.vv * m.mv * $q) AS BIGINT)) AS DOUBLE) / $q AS dt
+         |  FROM m2$r m JOIN v$iters a ON a.pos = m.pos),
+         |wd$r AS MATERIALIZED (
+         |  SELECT m.pos, m.mv - dt * a.vv AS w
+         |  FROM m2$r m JOIN v$iters a ON a.pos = m.pos CROSS JOIN dt$r),
+         |n2$r AS MATERIALIZED (
+         |  SELECT sqrt(CAST(SUM(CAST(ROUND(w * w * $q) AS BIGINT)) AS DOUBLE) / $q)
+         |    AS nrm FROM wd$r),
+         |w$r AS MATERIALIZED (SELECT pos, w / nrm AS vv FROM wd$r CROSS JOIN n2$r)"""
+        .stripMargin
+    }.mkString(",\n")
+    s"""${eigCtes(iters)},
+       |w0 AS MATERIALIZED (SELECT pos, vv FROM v0),
+       |$rounds""".stripMargin
+  }
+
   private def eigSql(iters: Int): String = {
     val q = "1e12"
     s"""WITH ${eigCtes(iters)},
@@ -340,6 +393,33 @@ object Clustering {
          |  lam.lambda1 / tr.trace AS top_share,
          |  1.0 - lam.lambda1 / tr.trace AS isotropy
          |FROM lam CROSS JOIN tr""".stripMargin
+    },
+
+    // ABTT twin: v₁ from the q134 chain, v₂ from the deflated chain,
+    // the same Rayleigh quotients and pico-quantized trace, and the
+    // identical before/after share double chains
+    "q268_abtt_audit" -> {
+      val q = "1e12"
+      s"""WITH ${eig2Ctes(12)},
+         |lam1 AS (
+         |  SELECT CAST(SUM(CAST(ROUND(f.cov * a.vv * b.vv * $q) AS BIGINT)) AS DOUBLE)
+         |    / $q AS lambda1
+         |  FROM fm f
+         |  JOIN v12 a ON a.pos = f.i
+         |  JOIN v12 b ON b.pos = f.j),
+         |lam2 AS (
+         |  SELECT CAST(SUM(CAST(ROUND(f.cov * a.vv * b.vv * $q) AS BIGINT)) AS DOUBLE)
+         |    / $q AS lambda2
+         |  FROM fm f
+         |  JOIN w12 a ON a.pos = f.i
+         |  JOIN w12 b ON b.pos = f.j),
+         |tr AS (
+         |  SELECT CAST(SUM(CAST(ROUND(cov * $q) AS BIGINT)) AS DOUBLE) / $q AS trace
+         |  FROM fm WHERE i = j)
+         |SELECT lam1.lambda1, lam2.lambda2, tr.trace,
+         |  lam1.lambda1 / tr.trace AS top_share_before,
+         |  lam2.lambda2 / (tr.trace - lam1.lambda1) AS top_share_after
+         |FROM lam1 CROSS JOIN lam2 CROSS JOIN tr""".stripMargin
     },
 
     // label-noise twin: the q70 micro-quantized centroid convention,

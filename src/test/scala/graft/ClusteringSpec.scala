@@ -235,4 +235,27 @@ class ClusteringSpec extends AnyFunSuite {
     assert(r.getDouble(2) > 0.999, r.toString)  // top_share
     assert(r.getDouble(3) < 0.001)              // isotropy ≈ 0
   }
+
+  test("deflated power iteration recovers the second eigenpair of a planted spectrum") {
+    val s = spark; import s.implicits._
+    // diagonal covariance with spectrum (8/3, 2/3, 0): v1 = e1, v2 = e2,
+    // and post-ABTT anisotropy λ2/(tr − λ1) = (2/3)/(2/3) = 1 exactly
+    val cells = Seq(
+      (1L, 1L, 8.0 / 3), (1L, 2L, 0.0), (1L, 3L, 0.0),
+      (2L, 2L, 2.0 / 3), (2L, 3L, 0.0), (3L, 3L, 0.0)
+    ).toDF("i", "j", "cov")
+    val c1 = graft.api.Graft.topPrincipalComponent(cells, iters = 12)
+    val c2 = graft.api.Graft.secondPrincipalComponent(cells, c1, iters = 12)
+    val l1 = c1.collect().head.getDouble(2)
+    val rows2 = c2.collect().sortBy(_.getLong(0))
+    val l2 = rows2.head.getDouble(2)
+    assert(math.abs(l1 - 8.0 / 3) < 1e-6, s"lambda1=$l1")
+    assert(math.abs(l2 - 2.0 / 3) < 1e-6, s"lambda2=$l2")
+    // v2 = ±e2: the deflation removed the dominant axis from round 1
+    assert(math.abs(math.abs(rows2(1).getDouble(1)) - 1.0) < 1e-6)
+    assert(math.abs(rows2(0).getDouble(1)) < 1e-6)
+    intercept[IllegalArgumentException] {
+      graft.api.Graft.secondPrincipalComponent(cells, c1, iters = 0)
+    }
+  }
 }
