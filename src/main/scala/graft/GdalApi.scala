@@ -85,30 +85,43 @@ object GdalWrite {
   def toBytes(df: DataFrame, options: Map[String, String] = Map.empty,
       format: String = "geojson"): Array[Byte] = {
     // W2 is inherently driver-side (ref parity src/lib.rs:586-611): the
-    // result must fit in one JVM. Gate on the optimizer's FREE size
-    // estimate before any compute — a fact-table-sized plan piped into
-    // toBytes fails loudly at plan time instead of OOMing the driver.
-    // Overridable per call ('maxBytes' option) for callers who know the
-    // estimate is pessimistic; the scalable path is df.write.format(fmt).
+    // result must fit in one JVM. Two-layer guard, overridable per call
+    // ('maxBytes' option; the scalable path is df.write.format(fmt)):
+    // (1) plan-time, on the optimizer's FREE size estimate — but ONLY
+    // when the estimate is credible: join estimates multiply, aggregates
+    // inherit child size without CBO, and stats-less sources default to
+    // spark.sql.defaultSizeInBytes (Long.MaxValue), so those shapes are
+    // exempt from the pre-check rather than spuriously rejected;
+    // (2) run-time, exact, enforced while serializing (char counter /
+    // output-file length) before any full byte buffer is materialized —
+    // so a runaway result still fails loudly instead of OOMing even
+    // when the estimate lied low or was exempt.
     val cap = options.get("maxBytes").map(_.toLong).getOrElse(1L << 30)
-    val est = df.queryExecution.optimizedPlan.stats.sizeInBytes
-    if (est > BigInt(cap)) throw new GraftError.DriverBytesTooLarge(est, cap)
-    toBytesUnguarded(df, options, format)
+    val plan = df.queryExecution.optimizedPlan
+    val est = plan.stats.sizeInBytes
+    import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Join, GlobalLimit, LocalLimit}
+    val estCredible = !plan.exists {
+      case _: Aggregate | _: Join | _: GlobalLimit | _: LocalLimit => true
+      case _ => false
+    } && est < BigInt(Long.MaxValue) / 4
+    if (estCredible && est > BigInt(cap))
+      throw new GraftError.DriverBytesTooLarge(est, cap)
+    toBytesCapped(df, options, format, cap)
   }
 
-  private def toBytesUnguarded(df: DataFrame, options: Map[String, String],
-      format: String): Array[Byte] = format.toLowerCase match {
-    case "geojson" => geoJsonBytes(df, options)
-    case "csvgeo" | "csv" => fileBytes(df, "csvgeo", ".csv", options, zip = false)
-    case "shapefile" | "shp" | "shp.zip" => fileBytes(df, "shapefile", ".shp", options, zip = true)
-    case "flatgeobuf" | "fgb" => fileBytes(df, "flatgeobuf", ".fgb", options, zip = false)
-    case "spatialite" | "sqlite" => fileBytes(df, "spatialite", ".sqlite", options, zip = false)
-    case "gpkg" | "geopackage" => fileBytes(df, "gpkg", ".gpkg", options, zip = false)
-    case "kml" => fileBytes(df, "kml", ".kml", options, zip = false)
-    case "gml" => fileBytes(df, "gml", ".gml", options, zip = false)
-    case "gpx" => fileBytes(df, "gpx", ".gpx", options, zip = false)
+  private def toBytesCapped(df: DataFrame, options: Map[String, String],
+      format: String, cap: Long): Array[Byte] = format.toLowerCase match {
+    case "geojson" => geoJsonBytes(df, options, cap)
+    case "csvgeo" | "csv" => fileBytes(df, "csvgeo", ".csv", options, zip = false, cap)
+    case "shapefile" | "shp" | "shp.zip" => fileBytes(df, "shapefile", ".shp", options, zip = true, cap)
+    case "flatgeobuf" | "fgb" => fileBytes(df, "flatgeobuf", ".fgb", options, zip = false, cap)
+    case "spatialite" | "sqlite" => fileBytes(df, "spatialite", ".sqlite", options, zip = false, cap)
+    case "gpkg" | "geopackage" => fileBytes(df, "gpkg", ".gpkg", options, zip = false, cap)
+    case "kml" => fileBytes(df, "kml", ".kml", options, zip = false, cap)
+    case "gml" => fileBytes(df, "gml", ".gml", options, zip = false, cap)
+    case "gpx" => fileBytes(df, "gpx", ".gpx", options, zip = false, cap)
     case "geojsonseq" | "geojsonl" | "ndjson" =>
-      fileBytes(df, "geojsonseq", ".geojsonl", options, zip = false)
+      fileBytes(df, "geojsonseq", ".geojsonl", options, zip = false, cap)
     case "arrow" | "ipc" =>
       if (df.isEmpty) throw new GraftError.EmptyDataframe
       graft.sources.arrow.ArrowWrite.toBytes(df)
@@ -117,7 +130,8 @@ object GdalWrite {
         "(geojson|csvgeo|shapefile|flatgeobuf|spatialite|gpkg|kml|gml|gpx|geojsonseq|arrow)")
   }
 
-  private def geoJsonBytes(df: DataFrame, options: Map[String, String]): Array[Byte] = {
+  private def geoJsonBytes(df: DataFrame, options: Map[String, String],
+      cap: Long): Array[Byte] = {
     val opts = GdalOptions.from(options)
     val schema = df.schema
     val geomIdx = GeoJsonRowSerializer.geometryIndex(schema, opts)
@@ -130,6 +144,11 @@ object GdalWrite {
       sb.write("\n")
       GeoJsonRowSerializer.writeFeature(it.next(), schema, geomIdx, opts, sb)
       n += 1
+      // exact runtime cap: UTF-8 bytes >= chars, so chars beyond the cap
+      // means bytes beyond the cap; checked per row, before the full
+      // buffer doubles in getBytes
+      if (sb.getBuffer.length > cap)
+        throw new GraftError.DriverBytesTooLarge(BigInt(sb.getBuffer.length), cap)
     }
     if (n == 0) throw new GraftError.EmptyDataframe // ref src/lib.rs:509-511
     sb.write("\n]}\n")
@@ -140,7 +159,7 @@ object GdalWrite {
     * the single produced file's bytes — zipped with its sidecars for
     * shapefile. */
   private def fileBytes(df: DataFrame, fmt: String, mainExt: String,
-      options: Map[String, String], zip: Boolean): Array[Byte] = {
+      options: Map[String, String], zip: Boolean, cap: Long): Array[Byte] = {
     if (df.isEmpty) throw new GraftError.EmptyDataframe
     val dir = Files.createTempDirectory("graft_bytes_out_").toFile
     try {
@@ -150,6 +169,11 @@ object GdalWrite {
       val produced = dir.listFiles().filter(_.isFile)
         .filterNot(f => f.getName.startsWith(".") || f.getName.startsWith("_"))
         .sortBy(_.getName)
+      // exact runtime cap: the executor wrote to local disk; measure the
+      // real output before buffering any of it into driver memory
+      val total = produced.map(_.length).sum
+      if (total > cap)
+        throw new GraftError.DriverBytesTooLarge(BigInt(total), cap)
       if (!zip) {
         val main = produced.find(_.getName.endsWith(mainExt)).getOrElse(
           throw new IllegalStateException(s"$fmt writer produced no $mainExt file"))

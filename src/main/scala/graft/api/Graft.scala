@@ -131,11 +131,20 @@ object Graft {
   def nearDupPairsExact(df: DataFrame, textCol: String, idCol: String,
       num: Int = 4, den: Int = 5, ngram: Int = 3,
       maxShingleDf: Option[Int] = None,
-      maxPairs: Long = 100000000L): DataFrame = {
+      maxPairs: Long = 100000000L,
+      shingles: Option[DataFrame] = None): DataFrame = {
     graft.functions.GraftFunctions.register(df.sparkSession)
-    val withSh = df.select(col(idCol).as("__id"),
-      expr(s"shingle_set(`$textCol`, $ngram)").as("ss"))
-    val sh0 = withSh.select(col("__id"), explode(col("ss")).as("s"))
+    // `shingles`, if given, must be [[shingleTable]](df, textCol, idCol,
+    // ngram) — typically pre-materialized once per session via
+    // [[materializeBucketed]] keyed on the shingle column so several
+    // dedup queries share one tokenization pass AND the shingle-keyed
+    // aggregations below read co-located buckets instead of shuffling.
+    // Identical multiset to the inline projection (parquet round-trips
+    // the strings bit-for-bit), so hash gates are unchanged.
+    val sh0 = shingles.map(_.select(col(idCol).as("__id"), col("s"))).getOrElse(
+      df.select(col(idCol).as("__id"),
+          expr(s"shingle_set(`$textCol`, $ngram)").as("ss"))
+        .select(col("__id"), explode(col("ss")).as("s")))
     val (inter, sizes) = maxShingleDf match {
       case Some(cap) =>
         val hot = sh0.groupBy(col("s")).agg(count(lit(1)).as("df"))
@@ -163,8 +172,17 @@ object Graft {
           .join(sh0.alias("b"), col("a.s") === col("b.s") && col("a.__id") < col("b.__id"))
           .groupBy(col("a.__id").as("da"), col("b.__id").as("db"))
           .agg(count(lit(1)).as("i"))
-        val n = withSh.select(col("__id"),
-          size(col("ss")).cast(LongType).as("n")).filter(col("n") > 0)
+        // per-doc set sizes: a shuffle-free size(ss) projection inline;
+        // a keyed count over the artifact rows (same integers — the
+        // shingle column is a per-doc SET) when one was supplied
+        val n = shingles match {
+          case Some(_) =>
+            sh0.groupBy(col("__id")).agg(count(lit(1)).as("n"))
+          case None =>
+            df.select(col(idCol).as("__id"),
+                size(expr(s"shingle_set(`$textCol`, $ngram)")).cast(LongType).as("n"))
+              .filter(col("n") > 0)
+        }
         (i, n)
     }
     inter
@@ -173,6 +191,21 @@ object Graft {
       .filter(lit(den) * col("i") >= lit(num) * (col("na") + col("nb") - col("i")))
       .select(col("da"), col("db"), col("i"), col("na"), col("nb"),
         (col("i") / (col("na") + col("nb") - col("i"))).as("jac"))
+  }
+
+  /** The exploded (id, shingle) token table — one row per DISTINCT
+    * word-`ngram` shingle per document, the shared intermediate of the
+    * whole exact-Jaccard dedup family (near-dup pairs, containment,
+    * threshold sweeps). Columns: (`idCol`, `s`). Materialize it once per
+    * session with [[materializeBucketed]] (key it on `s` — every
+    * downstream df-count and pair-generation aggregation groups by the
+    * shingle) and pass it to [[nearDupPairsExact]]'s `shingles` hook so
+    * N dedup queries pay ONE corpus tokenization pass instead of N. */
+  def shingleTable(df: DataFrame, textCol: String, idCol: String,
+      ngram: Int = 3): DataFrame = {
+    graft.functions.GraftFunctions.register(df.sparkSession)
+    df.select(col(idCol),
+        explode(expr(s"shingle_set(`$textCol`, $ngram)")).as("s"))
   }
 
   /** Token-set similarity join with POSITIONAL PREFIX FILTERING
@@ -630,6 +663,62 @@ object Graft {
     val w = df.write.format("parquet").mode("overwrite")
       .bucketBy(buckets, key).sortBy(key)
     path.fold(w)(p => w.option("path", p)).saveAsTable(table)
+  }
+
+  /** Once-per-session bucketed MATERIALIZATION of a reused intermediate —
+    * the 100 TB pattern behind the shared basket-edge artifact
+    * (`Analytics.basketEdges`), promoted to a public primitive: any
+    * expensive intermediate consumed by several queries in a session
+    * (a tokenized corpus, a shingle table, an edge list, an embedding
+    * block) is computed ONCE, written as a `key`-bucketed sorted parquet
+    * table, and every later consumer reads co-located, pre-sorted
+    * buckets instead of re-computing and re-shuffling. The first caller
+    * pays the build inside its own query time (the artifact's honest
+    * cost); repeat callers get a shuffle-free scan.
+    *
+    * Naming & isolation (the collision/race story): the catalog table is
+    * `graft_art_<sha256(name) prefix>` — a collision-resistant digest of
+    * the caller's full logical name (include the data directory in it!),
+    * NOT a 32-bit hashCode. Files live under the session warehouse dir
+    * in a per-process `graft_artifacts_<pid>` subdirectory, so two
+    * concurrent JVMs benching the same data can never overwrite each
+    * other's files mid-read (per-process paths make the write-then-
+    * rename dance unnecessary: no other process ever reads this path —
+    * and the catalog is per-JVM anyway, so artifacts were never
+    * cross-process shareable). A JVM shutdown hook removes the
+    * directory.
+    *
+    * `build` is by-name: it runs only on the first call for `name`.
+    * Correctness contract: parquet round-trips longs/strings/doubles
+    * bit-for-bit, so hash-gated consumers see the exact multiset the
+    * inline plan would produce. */
+  def materializeBucketed(spark: org.apache.spark.sql.SparkSession, name: String, key: String,
+      buckets: Int = 16)(build: => DataFrame): DataFrame =
+    artifactTables.synchronized {
+      val digest = java.security.MessageDigest.getInstance("SHA-256")
+        .digest(name.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+        .take(8).map(b => f"$b%02x").mkString
+      val tbl = s"graft_art_$digest"
+      if (!artifactTables.contains(name) || !spark.catalog.tableExists(tbl)) {
+        writeBucketed(build, tbl, key, buckets, Some(s"${artifactDir(spark)}/$tbl"))
+        artifactTables(name) = tbl
+      }
+      spark.table(tbl)
+    }
+
+  private val artifactTables = scala.collection.mutable.Map[String, String]()
+  @volatile private var artifactDirCached: String = null
+  private def artifactDir(spark: org.apache.spark.sql.SparkSession): String = {
+    if (artifactDirCached == null) {
+      val base = spark.sessionState.conf.warehousePath
+      val dir = s"$base/graft_artifacts_${ProcessHandle.current().pid()}"
+      val p = new org.apache.hadoop.fs.Path(dir)
+      val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      fs.mkdirs(p)
+      sys.addShutdownHook { fs.delete(p, true); () }
+      artifactDirCached = dir
+    }
+    artifactDirCached
   }
 
   // ------------------------------------------------------------ text
@@ -1973,6 +2062,18 @@ object Graft {
   def pitJoin(facts: DataFrame, versions: DataFrame, keyCol: String,
       tsCol: String, fromCol: String, toCol: String,
       payload: Seq[String]): DataFrame = {
+    // loud-failure guards (the requirePreQuantized convention): a facts
+    // table already carrying a reserved temp/output name, or a payload
+    // column shadowing a facts column, would otherwise produce ambiguous
+    // or silently duplicated output columns
+    val fCols = facts.schema.fieldNames.toSet
+    val reserved = Seq("__vk", "__vf", "__vt", "version_from")
+    require(!reserved.exists(fCols.contains),
+      s"pitJoin: facts must not contain reserved columns ${reserved.mkString(", ")}")
+    val clash = payload.filter(fCols.contains)
+    require(clash.isEmpty,
+      s"pitJoin: payload columns ${clash.mkString(", ")} collide with facts " +
+        "columns — alias them on the versions side first")
     val v = versions.select(
       (col(keyCol).as("__vk") +: col(fromCol).as("__vf") +:
         col(toCol).as("__vt") +: payload.map(col)): _*)
@@ -7238,12 +7339,18 @@ object Graft {
       .withColumn("host", regexp_replace(col("__h1"), "^www\\.", ""))
       .withColumn("__pq",
         regexp_extract(col("__s1"), "^[A-Za-z]+://[^/?#]+(.*)$", 1))
-      // utm params: mid-query first (trailing & rides along), then a
-      // leading/only one (its ? or & rides along)
+      // utm params, each match anchored at its own separator so a param
+      // NAMED `xutm_source` or a VALUE containing `utm_x=1` never
+      // matches: (1) `&utm_...` non-leading params (separator removed
+      // with the param), (2) a leading `?utm_...&` with followers (the
+      // `?` survives as the next param's separator), (3) a lone
+      // `?utm_...` (query gone entirely)
       .withColumn("__q1",
-        regexp_replace(col("__pq"), "utm_[A-Za-z0-9_]*=[^&#]*&", ""))
+        regexp_replace(col("__pq"), "&utm_[A-Za-z0-9_]*=[^&#]*", ""))
       .withColumn("__q2",
-        regexp_replace(col("__q1"), "[?&]utm_[A-Za-z0-9_]*=[^&#]*$", ""))
+        regexp_replace(
+          regexp_replace(col("__q1"), "\\?utm_[A-Za-z0-9_]*=[^&#]*&", "?"),
+          "\\?utm_[A-Za-z0-9_]*=[^&#]*$", ""))
       .withColumn("etld1", when(multi =!= "", multi)
         .otherwise(regexp_extract(hnp, "([^.]+\\.[^.]+)$", 1)))
       .withColumn("url_norm",

@@ -44,25 +44,22 @@ object Analytics {
     * the rest read. Hash gates are unchanged: the artifact holds the
     * exact (src, dst) long multiset of the inline join (parquet
     * round-trips longs bit-for-bit) and each query's oracle still
-    * replays the plain self-join. Deterministic per-sfDir location +
-    * overwrite mode, so repeated Verify/Bench runs rewrite in place. */
-  private val edgeArtifactBuilt = scala.collection.mutable.Set[String]()
+    * replays the plain self-join.
+    *
+    * Storage/naming/cleanup are [[graft.api.Graft.materializeBucketed]]'s:
+    * SHA-256-digest table name keyed on the FULL data directory (two
+    * different sfDirs can never collide the way a 32-bit hashCode
+    * could), files under the session warehouse in a per-process subdir
+    * (concurrent JVMs never race an overwrite against a read), removed
+    * on JVM exit. */
   def basketEdges(s: org.apache.spark.sql.SparkSession,
       dir: String): org.apache.spark.sql.DataFrame =
-    edgeArtifactBuilt.synchronized {
-      val tbl = s"graft_edges_${dir.hashCode.toHexString}"
-      if (!edgeArtifactBuilt.contains(tbl) || !s.catalog.tableExists(tbl)) {
-        val li = t(s, dir, "lineitem")
-          .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
-        val edges = li.alias("x").join(li.alias("y"),
-            col("x.ok") === col("y.ok") && col("x.pk") < col("y.pk"))
-          .select(col("x.pk").as("src"), col("y.pk").as("dst"))
-        val path =
-          s"${System.getProperty("java.io.tmpdir")}/graft_edges_${dir.hashCode.toHexString}"
-        graft.api.Graft.writeBucketed(edges, tbl, "src", 16, Some(path))
-        edgeArtifactBuilt += tbl
-      }
-      s.table(tbl)
+    graft.api.Graft.materializeBucketed(s, s"basket_edges:$dir", "src", 16) {
+      val li = t(s, dir, "lineitem")
+        .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
+      li.alias("x").join(li.alias("y"),
+          col("x.ok") === col("y.ok") && col("x.pk") < col("y.pk"))
+        .select(col("x.pk").as("src"), col("y.pk").as("dst"))
     }
 
   /** Deterministic versioned manifest for q181/q182: q157's file

@@ -467,8 +467,10 @@ object Corpus {
         |           WHEN scheme = 'http' THEN regexp_replace(hp, ':80$', '')
         |           ELSE hp END, '^www\.', '') AS host,
         |    regexp_replace(
-        |      regexp_replace(pq, 'utm_[A-Za-z0-9_]*=[^&#]*&', '', 'g'),
-        |      '[?&]utm_[A-Za-z0-9_]*=[^&#]*$', '') AS pq2
+        |      regexp_replace(
+        |        regexp_replace(pq, '&utm_[A-Za-z0-9_]*=[^&#]*', '', 'g'),
+        |        '\?utm_[A-Za-z0-9_]*=[^&#]*&', '?'),
+        |      '\?utm_[A-Za-z0-9_]*=[^&#]*$', '') AS pq2
         |  FROM parts),
         |np AS (SELECT *, regexp_replace(host, ':[0-9]+$', '') AS hnp FROM hosted)
         |SELECT doc_id, scheme, host,

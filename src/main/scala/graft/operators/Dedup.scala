@@ -32,6 +32,21 @@ object Dedup {
   private def tokens(df: DataFrame): DataFrame =
     df.select(col("doc_id"), split(trim(col("text")), "\\s+").as("t"))
 
+  /** Shared trigram shingle ARTIFACT for the exact-Jaccard family — q24
+    * (near-dup pairs), q52 (containment) and q205 (threshold sweep) all
+    * consume the SAME exploded (doc_id, shingle) table of `documents`.
+    * Materialized once per (session, sfDir) as a shingle-bucketed table
+    * via [[graft.api.Graft.materializeBucketed]]: one corpus
+    * tokenization pass instead of three, and the df-count +
+    * pair-generation aggregations (all keyed on the shingle) read
+    * co-located buckets. Hash gates unchanged — the artifact holds the
+    * exact string multiset of the inline projection. */
+  private def docShingles(s: org.apache.spark.sql.SparkSession,
+      dir: String): DataFrame =
+    graft.api.Graft.materializeBucketed(s, s"doc_shingles3:$dir", "s", 16) {
+      graft.api.Graft.shingleTable(t(s, dir, "documents"), "text", "doc_id", 3)
+    }
+
   /** Parametric MinHash+LSH near-dup pipeline (the public API entry):
     * per-row signature banding → banded bucket join for candidates →
     * exact Jaccard verify on candidates only, at `num/den` threshold.
@@ -161,7 +176,7 @@ object Dedup {
     // sf0.01 — max df 7 — and leaves the sf0.1 pair set unchanged.)
     "q24_dedup_ngram_jaccard" -> ((s, dir) => {
       graft.api.Graft.nearDupPairsExact(t(s, dir, "documents"), "text", "doc_id",
-        maxShingleDf = Some(20))
+        maxShingleDf = Some(20), shingles = Some(docShingles(s, dir)))
         .orderBy(col("da"), col("db"))
     }),
 
@@ -192,7 +207,8 @@ object Dedup {
     "q205_jaccard_threshold_sweep" -> ((s, dir) => {
       import s.implicits._
       val pairs = graft.api.Graft.nearDupPairsExact(t(s, dir, "documents"),
-          "text", "doc_id", num = 1, den = 2, maxShingleDf = Some(20))
+          "text", "doc_id", num = 1, den = 2, maxShingleDf = Some(20),
+          shingles = Some(docShingles(s, dir)))
         .select(col("i"), (col("na") + col("nb") - col("i")).as("u"))
       val th = Seq((1, 2), (3, 5), (7, 10), (4, 5), (9, 10))
         .toDF("nu", "de")
@@ -339,7 +355,8 @@ object Dedup {
     // ---- q52: containment near-dup pairs (C >= 0.9 of the smaller set) ----
     "q52_dedup_containment" -> ((s, dir) => {
       containmentPairs(t(s, dir, "documents"), "text", "doc_id",
-        num = 9, den = 10, maxShingleDf = 20)
+        num = 9, den = 10, maxShingleDf = 20,
+        shingles = Some(docShingles(s, dir)))
         .orderBy(col("da"), col("db"))
     }),
 
@@ -438,10 +455,11 @@ object Dedup {
     * smaller-side containment so (da, db) is still an unordered pair. */
   def containmentPairs(df: DataFrame, textCol: String, idCol: String,
       num: Int, den: Int, maxShingleDf: Int,
-      maxPairs: Long = 100000000L): DataFrame = {
+      maxPairs: Long = 100000000L,
+      shingles: Option[DataFrame] = None): DataFrame = {
     val inter = graft.api.Graft.nearDupPairsExact(df, textCol, idCol,
       num = 0, den = 1, maxShingleDf = Some(maxShingleDf),
-      maxPairs = maxPairs)
+      maxPairs = maxPairs, shingles = shingles)
     // num=0/den=1 keeps every intersecting pair; re-threshold on
     // containment of the smaller shingle set
     inter

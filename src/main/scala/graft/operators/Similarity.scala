@@ -343,10 +343,11 @@ object Similarity {
     // deterministic (md5 hyperplanes, orderBy-limit training samples,
     // seeded codebooks) and the output is partition-invariant (verified
     // local[3] vs local[8] bit-for-bit; spec'd in IvfSpec).
-    // Per-method floors sit at measured-minus-margin (three rounds of
-    // data: IVF ≈ 0.82, LSH ≈ 0.90, PQ ≈ 0.76, re-ranked PQ = 1.0 —
-    // stable across r3-r5) so a real recall regression flips `pass` to
-    // false instead of hiding under one loose global bar. ----
+    // Per-method floors sit at measured-minus-margin so a real recall
+    // regression flips `pass` to false instead of hiding under one loose
+    // global bar. The AUTHORITATIVE measured values are the r10 golden
+    // pin in this file's VALUES oracle below (sf0.01: lsh 0.88, pq 0.84)
+    // plus IvfSpec — recapture BOTH together if the inputs ever change. ----
     "q46_ann_recall_gate" -> ((s, dir) => {
       import s.implicits._
       val base = t(s, dir, "embeddings")

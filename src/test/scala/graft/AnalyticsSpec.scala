@@ -875,6 +875,16 @@ class AnalyticsSpec extends AnyFunSuite {
       .map(r => (r.getLong(1), Option(r.getString(4))))
     assert(out.toSeq === Seq((1L, Some("A")), (2L, Some("B")),
       (3L, None), (4L, None)))
+    // loud-failure guards: reserved facts columns and payload/facts
+    // name collisions error instead of emitting ambiguous output
+    intercept[IllegalArgumentException] {
+      graft.api.Graft.pitJoin(facts.withColumnRenamed("fid", "version_from"),
+        vers, "k", "ts", "valid_from", "valid_to", Seq("attr"))
+    }
+    intercept[IllegalArgumentException] {
+      graft.api.Graft.pitJoin(facts, vers.withColumnRenamed("attr", "ts"),
+        "k", "ts", "valid_from", "valid_to", Seq("ts"))
+    }
   }
 
   test("q264 unicode hygiene: NFC savings equal combining-mark injections exactly") {
@@ -915,6 +925,32 @@ class AnalyticsSpec extends AnyFunSuite {
     val again = graft.operators.Analytics.basketEdges(s, sf0001)
     assert(again.queryExecution.analyzed.toString ===
       art.queryExecution.analyzed.toString)
+  }
+
+  test("materializeBucketed: distinct names get distinct tables; build runs once per name") {
+    val s = spark; import s.implicits._
+    var builds = 0
+    def mk(n: Int) = graft.api.Graft.materializeBucketed(s, s"mb_spec_$n", "k", 4) {
+      builds += 1
+      Seq((1L, n.toLong), (2L, n.toLong)).toDF("k", "v")
+    }
+    val a = mk(1); val b = mk(2)
+    // the collision test VERDICT asked for: two different logical names
+    // (e.g. two data dirs) must resolve to two different digest tables
+    // serving their OWN data — never a silent wrong-artifact read
+    assert(a.select(sum($"v")).as[Long].head() === 2L)
+    assert(b.select(sum($"v")).as[Long].head() === 4L)
+    assert(builds === 2)
+    mk(1).collect(); mk(2).collect()
+    assert(builds === 2, "repeat calls must reuse, not rebuild")
+    // artifact files live under the session warehouse in a per-process
+    // subdir — the multi-JVM-race-proof location
+    val digest = java.security.MessageDigest.getInstance("SHA-256")
+      .digest("mb_spec_1".getBytes("UTF-8")).take(8).map(x => f"$x%02x").mkString
+    val meta = s.sessionState.catalog.getTableMetadata(
+      org.apache.spark.sql.catalyst.TableIdentifier(s"graft_art_$digest"))
+    assert(meta.location.toString
+      .contains(s"graft_artifacts_${ProcessHandle.current().pid()}"))
   }
 
   test("stratifiedAte/ipwAte reject a fractional covariate instead of truncating") {

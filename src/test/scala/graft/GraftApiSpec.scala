@@ -1920,7 +1920,13 @@ class GraftApiSpec extends AnyFunSuite {
       (1L, "HTTPS://WWW.News.Example.CO.UK:443/A/b?utm_source=x&q=1#frag"),
       (2L, "http://Example.COM:80/p?utm_a=1"),        // only-utm query drops
       (3L, "https://cdn.example.io:8443/x?a=1&utm_z=9"), // nonstandard port kept
-      (4L, "http://www.sub.host.org/path?a=1&utm_m=2&b=3")
+      (4L, "http://www.sub.host.org/path?a=1&utm_m=2&b=3"),
+      // adversarial: a param NAMED xutm_source and a VALUE containing
+      // "utm_x=1" must both survive — only separator-anchored utm_
+      // params are tracking params
+      (5L, "http://a.com/p?xutm_source=1&b=2"),
+      (6L, "http://a.com/p?redirect=page%3Futm_x=1&b=2"),
+      (7L, "http://a.com/p?utm_a=1&utm_b=2&c=3")  // leading run collapses
     ).toDF("id", "url")
     val out = Graft.normalizeUrls(urls, "url")
       .collect().map(r => r.getLong(0) ->
@@ -1934,6 +1940,9 @@ class GraftApiSpec extends AnyFunSuite {
       "https://cdn.example.io:8443/x?a=1")))
     assert(out(4L) === (("http", "sub.host.org", "host.org",
       "http://sub.host.org/path?a=1&b=3")))
+    assert(out(5L)._4 === "http://a.com/p?xutm_source=1&b=2")
+    assert(out(6L)._4 === "http://a.com/p?redirect=page%3Futm_x=1&b=2")
+    assert(out(7L)._4 === "http://a.com/p?c=3")
   }
 
   test("featureHash is deterministic, in-range, and sums signed tokens") {

@@ -267,22 +267,40 @@ class SourcesSpec extends AnyFunSuite {
 
   test("toBytes gates driver memory on the plan-stats estimate before any compute") {
     // a fact-table-sized plan must fail LOUDLY at plan time, not OOM the
-    // driver: spark.range(2^28) estimates > 1 GiB without executing
+    // driver: spark.range(2^28) estimates > 1 GiB without executing, and
+    // a bare range's estimate is credible (no join/agg/limit inflation)
     val big = spark.range(1L << 28).toDF("id")
     val e = intercept[graft.sources.GraftError.DriverBytesTooLarge] {
       GdalWrite.toBytes(big)
     }
     assert(e.getMessage.contains("maxBytes"))
-    // the cap is per-call overridable downward too (proves the option
-    // is honored, without paying a giant write in the test)
+    // the cap is per-call overridable downward too; this plan carries a
+    // Limit so the (inflated) estimate is advisory and the EXACT runtime
+    // serializer cap is what fires (proves the option is honored without
+    // paying a giant write in the test)
     val small = spark.read.format("geojson")
       .load(s"$fixtures/us_states.feature_collection.implicit_4326.json")
       .limit(3)
     intercept[graft.sources.GraftError.DriverBytesTooLarge] {
       GdalWrite.toBytes(small, options = Map("maxBytes" -> "1"))
     }
+    // same runtime cap through the file-backed writer path
+    intercept[graft.sources.GraftError.DriverBytesTooLarge] {
+      GdalWrite.toBytes(small, options = Map("maxBytes" -> "1"), format = "csvgeo")
+    }
     // and the default cap admits normal-sized frames (round trip works)
     assert(GdalWrite.toBytes(small).nonEmpty)
+  }
+
+  test("toBytes does not spuriously reject aggregates whose size estimate inherits the child's") {
+    // size-only stats give an Aggregate its CHILD's sizeInBytes — ~2 GiB
+    // here for a 1-row result. The plan gate must treat that shape as
+    // advisory and let the exact runtime cap decide.
+    val agg = spark.range(1L << 28).toDF("id")
+      .agg(count(col("id")).cast("string").as("n"))
+      .withColumn("geometry", lit("POINT (0 0)"))
+    val bytes = GdalWrite.toBytes(agg)
+    assert(new String(bytes, "UTF-8").contains("268435456"))
   }
 
   test("geojson: one multi-MB FeatureCollection file splits into byte-range partitions") {
