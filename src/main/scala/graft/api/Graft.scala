@@ -2875,13 +2875,17 @@ object Graft {
     * deflection are pico-quantized fixed chains, so the oracle unrolls
     * the rounds as CTEs exactly like q134's).
     *
-    * Single distributed path on purpose (no driver fast path): the
-    * deflation chain exists once, and the cost is 4·iters tiny jobs
-    * over d-row state — d-bounded, independent of the corpus. The
-    * uniform start loses its v₁-component at round 1's deflation, so
-    * no orthogonal initialization is needed. */
+    * Like [[topPrincipalComponent]], a driver fast path handles
+    * d ≤ `driverEigenMaxDim` (the cell table is d²-bounded — DIMENSION-
+    * sized, never corpus-sized — so 12 rounds of d-row algebra are one
+    * collect + local loops; BigDecimal HALF_UP == Spark Round keeps both
+    * paths hash-identical, the proven q134 device). The distributed loop
+    * below remains the d > 512 path, with the round tail FUSED into
+    * unpartitioned-window sums so each round is ONE tiny job (r11).
+    * The uniform start loses its v₁-component at round 1's deflation,
+    * so no orthogonal initialization is needed. */
   def secondPrincipalComponent(cells: DataFrame, component: DataFrame,
-      iters: Int = 12): DataFrame = {
+      iters: Int = 12, driverEigenMaxDim: Int = 512): DataFrame = {
     require(iters >= 1, s"secondPrincipalComponent needs iters >= 1, got $iters")
     val Q = 1.0e12
     val full = cells.select(col("i"), col("j"), col("cov"))
@@ -2890,36 +2894,92 @@ object Graft {
       .localCheckpoint()
     val d = full.agg(max(col("i"))).head().getLong(0) // ONE driver scalar
     require(d >= 2, "secondPrincipalComponent needs dimension >= 2")
-    val v1 = component.select(col("pos"), col("component").as("v1"))
-      .localCheckpoint() // d rows, pinned for the rounds
-    var v = full.select(col("i").as("pos")).distinct()
-      .withColumn("vv", lit(1.0) / sqrt(lit(d.toDouble)))
-    var it = 0
-    while (it < iters) {
-      val mv = full.join(broadcast(v.select(col("pos").as("j"), col("vv"))), Seq("j"))
-        .groupBy(col("i").as("pos"))
-        .agg((sum(round(col("cov") * col("vv") * lit(Q)).cast(LongType))
-          .cast(DoubleType) / lit(Q)).as("mv"))
-        .join(broadcast(v1), Seq("pos"))
-        .localCheckpoint() // feeds the dot AND the deflection
-      val dot = mv.agg((sum(round(col("v1") * col("mv") * lit(Q)).cast(LongType))
-        .cast(DoubleType) / lit(Q)).as("dt"))
-      val w = mv.crossJoin(broadcast(dot))
-        .select(col("pos"), (col("mv") - col("dt") * col("v1")).as("w"))
-      val nrm = w.agg(sqrt(sum(round(col("w") * col("w") * lit(Q))
-        .cast(LongType)).cast(DoubleType) / lit(Q)).as("nrm"))
-      v = w.crossJoin(broadcast(nrm))
-        .select(col("pos"), (col("w") / col("nrm")).as("vv"))
-        .localCheckpoint()
-      it += 1
+    if (d <= driverEigenMaxDim) {
+      // Driver fast path — the exact mirror of the distributed loop
+      // below and of the unrolled-CTE oracle: HALF_UP quantization,
+      // exact long sums, the same fixed double chains in the same order.
+      def qz(x: Double): Long = java.math.BigDecimal.valueOf(x)
+        .setScale(0, java.math.RoundingMode.HALF_UP).longValue()
+      val dd = d.toInt
+      val c = Array.ofDim[Double](dd, dd)
+      full.collect().foreach { r =>
+        c(r.getLong(0).toInt - 1)(r.getLong(1).toInt - 1) = r.getDouble(2)
+      }
+      val v1 = new Array[Double](dd)
+      component.select(col("pos"), col("component")).collect()
+        .foreach(r => v1(r.getLong(0).toInt - 1) = r.getDouble(1))
+      var v = Array.fill(dd)(1.0 / math.sqrt(d.toDouble))
+      var it = 0
+      while (it < iters) {
+        val mv = Array.tabulate(dd) { i =>
+          var s = 0L
+          var j = 0
+          while (j < dd) { s += qz(c(i)(j) * v(j) * Q); j += 1 }
+          s.toDouble / Q
+        }
+        var dq = 0L
+        var i = 0
+        while (i < dd) { dq += qz(v1(i) * mv(i) * Q); i += 1 }
+        val dt = dq.toDouble / Q
+        val w = Array.tabulate(dd)(i => mv(i) - dt * v1(i))
+        var n2 = 0L
+        w.foreach(x => n2 += qz(x * x * Q))
+        val nrm = math.sqrt(n2.toDouble / Q)
+        require(nrm > 0.0, "secondPrincipalComponent: deflated iterate " +
+          "vanished (v1 is the uniform vector / eigengap is zero) — " +
+          "the second eigenpair is not recoverable by this start")
+        v = w.map(_ / nrm)
+        it += 1
+      }
+      var lq = 0L
+      for (i <- 0 until dd; j <- 0 until dd)
+        lq += qz(c(i)(j) * v(i) * v(j) * Q)
+      val lambda = lq.toDouble / Q
+      val spark = cells.sparkSession
+      import spark.implicits._
+      v.toSeq.zipWithIndex
+        .map { case (x, i) => ((i + 1).toLong, x, lambda) }
+        .toDF("pos", "component", "eigenvalue")
+    } else {
+      val v1 = component.select(col("pos"), col("component").as("v1"))
+        .localCheckpoint() // d rows, pinned for the rounds
+      var v = full.select(col("i").as("pos")).distinct()
+        .withColumn("vv", lit(1.0) / sqrt(lit(d.toDouble)))
+      // Round tail FUSION (r11): dot, deflection, and norm are d-row
+      // scalar algebra — computed as unpartitioned-window sums over the
+      // d matvec rows, the whole round is ONE localCheckpointed job
+      // instead of four (matvec checkpoint + two 1-row aggregate jobs
+      // broadcast back + the iterate checkpoint). Same quantized chains
+      // in the same order (window sums are exact long additions), so
+      // the unrolled-CTE oracle is untouched.
+      val whole = Window.partitionBy(lit(1))
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+      var it = 0
+      while (it < iters) {
+        v = full.join(broadcast(v.select(col("pos").as("j"), col("vv"))), Seq("j"))
+          .groupBy(col("i").as("pos"))
+          .agg((sum(round(col("cov") * col("vv") * lit(Q)).cast(LongType))
+            .cast(DoubleType) / lit(Q)).as("mv"))
+          .join(broadcast(v1), Seq("pos"))
+          .withColumn("dt",
+            sum(round(col("v1") * col("mv") * lit(Q)).cast(LongType))
+              .over(whole).cast(DoubleType) / lit(Q))
+          .withColumn("w", col("mv") - col("dt") * col("v1"))
+          .withColumn("nrm",
+            sqrt(sum(round(col("w") * col("w") * lit(Q)).cast(LongType))
+              .over(whole).cast(DoubleType) / lit(Q)))
+          .select(col("pos"), (col("w") / col("nrm")).as("vv"))
+          .localCheckpoint()
+        it += 1
+      }
+      val lam = full
+        .join(broadcast(v.select(col("pos").as("i"), col("vv").as("va"))), Seq("i"))
+        .join(broadcast(v.select(col("pos").as("j"), col("vv").as("vb"))), Seq("j"))
+        .agg((sum(round(col("cov") * col("va") * col("vb") * lit(Q)).cast(LongType))
+          .cast(DoubleType) / lit(Q)).as("eigenvalue"))
+      v.crossJoin(broadcast(lam))
+        .select(col("pos"), col("vv").as("component"), col("eigenvalue"))
     }
-    val lam = full
-      .join(broadcast(v.select(col("pos").as("i"), col("vv").as("va"))), Seq("i"))
-      .join(broadcast(v.select(col("pos").as("j"), col("vv").as("vb"))), Seq("j"))
-      .agg((sum(round(col("cov") * col("va") * col("vb") * lit(Q)).cast(LongType))
-        .cast(DoubleType) / lit(Q)).as("eigenvalue"))
-    v.crossJoin(broadcast(lam))
-      .select(col("pos"), col("vv").as("component"), col("eigenvalue"))
   }
 
   /** Project every vector onto a principal component (the APPLY half of

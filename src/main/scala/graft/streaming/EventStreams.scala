@@ -34,6 +34,72 @@ object EventStreams {
         dim.select((col(keyCol) +: payload.map(col)): _*)),
       Seq(keyCol), "left")
 
+  /** Run the enrichStatic → tumbling-watermark-aggregate pipeline END TO
+    * END through real micro-batch execution and return the sink table —
+    * the q269 continuous-run oracle entry: unlike the batch twins
+    * (q21/q94…), this drives the ACTUAL streaming runtime (MemoryStream
+    * source → broadcast stream-static join → watermarked window state →
+    * append-mode emission on watermark passage) to completion and lets
+    * the DuckDB replay of the same feed hash-check what the sink holds.
+    *
+    * Protocol: events are fed in `chunks` event-time-ordered
+    * micro-batches (each batch's minimum ts ≥ every earlier batch's
+    * maximum, so the 2-hour watermark can never drop a row — the replay
+    * oracle needs drop-free semantics to be expressible as a plain GROUP
+    * BY), then one far-future SENTINEL event advances the watermark past
+    * every real window and a no-data batch flushes them to the sink. The
+    * sentinel's own window stays below the final watermark, so it never
+    * emits. Append mode emits each window exactly once ⇒ sink =
+    * the batch aggregation of the full feed, bit-for-bit (decimal sums).
+    *
+    * The driver-side collect is the FEED HARNESS, not the operator: a
+    * deployment reads Kafka/files; correctness of the windowed state
+    * machine is what is being gated here. */
+  def runEnrichedTumbling(events: DataFrame, dim: DataFrame,
+      keyCol: String, payload: Seq[String], chunks: Int = 6): DataFrame = {
+    val s = events.sparkSession
+    import s.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+    val rows = events
+      .select(col("event_id"), unix_micros(col("ts")).as("tus"),
+        col(keyCol), col("event_type"), col("value"))
+      .orderBy(col("tus"), col("event_id"))
+      .as[(Long, Long, Long, String, Double)]
+      .collect()
+    require(rows.nonEmpty, "runEnrichedTumbling: empty event feed")
+    val mem = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[(Long, Long, Long, String, Double)]
+    val src = mem.toDF()
+      .toDF("event_id", "tus", keyCol, "event_type", "value")
+      .withColumn("ts", timestamp_micros(col("tus")))
+    val agg = enrichStatic(src, dim, keyCol, payload)
+      .withWatermark("ts", "2 hours")
+      .groupBy((window(col("ts"), "1 hour") +: col("event_type") +:
+        payload.map(col)): _*)
+      .agg(count(lit(1)).as("n_events"),
+        sum(col("value").cast(DecimalType(18, 6))).cast(DoubleType)
+          .as("sum_value"))
+      .select((unix_timestamp(col("window.start")).as("window_start") +:
+        col("event_type") +: payload.map(col)) :+
+        col("n_events") :+ col("sum_value"): _*)
+    val qname = s"graft_q269_sink_${java.util.UUID.randomUUID().toString.replace("-", "")}"
+    val q = agg.writeStream.format("memory").queryName(qname)
+      .outputMode("append").start()
+    try {
+      val per = math.max(1, (rows.length + chunks - 1) / chunks)
+      rows.grouped(per).foreach { chunk =>
+        mem.addData(chunk.toIndexedSeq)
+        q.processAllAvailable() // one real micro-batch per chunk
+      }
+      // sentinel: 30 days past the last event — watermark lands 2h behind
+      // it, beyond every real window end; the no-data batch then emits
+      val maxTus = rows.last._2
+      mem.addData((-1L, maxTus + 30L * 86400000000L, -1L, "__sentinel", 0.0))
+      q.processAllAvailable()
+    } finally q.stop()
+    s.table(qname).filter(col("event_type") =!= "__sentinel")
+  }
+
   def tumblingCounts(events: DataFrame): DataFrame =
     events
       .withWatermark("ts", "2 hours")

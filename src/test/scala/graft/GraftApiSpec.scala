@@ -253,6 +253,21 @@ class GraftApiSpec extends AnyFunSuite {
     assert(drv.toSeq === dist.toSeq) // exact equality, not approximate
   }
 
+  test("secondPrincipalComponent: driver and distributed deflation paths are bit-identical") {
+    val s = spark; import s.implicits._
+    // NOT the symmetric [[2,1],[1,2]] toy: its v1 IS the uniform start,
+    // which deflation annihilates (the driver path rejects that loudly)
+    val cells = Seq((1L, 1L, 3.0), (1L, 2L, 1.0), (2L, 2L, 2.0))
+      .toDF("i", "j", "cov")
+    val c1 = Graft.topPrincipalComponent(cells, iters = 7)
+    val drv = Graft.secondPrincipalComponent(cells, c1, iters = 7)
+      .orderBy("pos").collect().map(r => (r.getLong(0), r.getDouble(1), r.getDouble(2)))
+    val dist = Graft.secondPrincipalComponent(cells, c1, iters = 7,
+        driverEigenMaxDim = 0)
+      .orderBy("pos").collect().map(r => (r.getLong(0), r.getDouble(1), r.getDouble(2)))
+    assert(drv.toSeq === dist.toSeq) // exact equality, not approximate
+  }
+
   test("pcaProject: score is the dot with the component, residual the orthogonal energy") {
     val s = spark; import s.implicits._
     val comp = Seq((1L, 1.0, 9.9), (2L, 0.0, 9.9))

@@ -445,4 +445,25 @@ class StreamingSpec extends AnyFunSuite {
     assert(got(11L) === 50L * 60L * 1000000L) // 50 minutes late in µs
     assert(got(12L) === 0L)                   // new max, not late
   }
+
+  test("runEnrichedTumbling sink equals the batch aggregation of the same feed (q269)") {
+    val s = spark
+    import s.implicits._
+    val dir = TestSpark.sf0001
+    val ev = graft.operators.Util.t(s, dir, "events")
+    val dim = graft.operators.Util.t(s, dir, "customer")
+      .select($"c_custkey".as("user_id"), $"c_mktsegment".as("segment"))
+    val sink = EventStreams.runEnrichedTumbling(ev, dim, "user_id", Seq("segment"))
+      .orderBy("window_start", "event_type", "segment").collect()
+    val batch = ev.join(broadcast(dim), Seq("user_id"), "left")
+      .groupBy(window($"ts", "1 hour"), $"event_type", $"segment")
+      .agg(count(lit(1)).as("n_events"),
+        sum($"value".cast("decimal(18,6)")).cast("double").as("sum_value"))
+      .select(unix_timestamp($"window.start").as("window_start"),
+        $"event_type", $"segment", $"n_events", $"sum_value")
+      .orderBy("window_start", "event_type", "segment").collect()
+    assert(sink.nonEmpty)
+    assert(sink.toSeq === batch.toSeq,
+      "append-mode streaming sink must equal the batch aggregation bit-for-bit")
+  }
 }
