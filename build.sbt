@@ -30,5 +30,10 @@ val jdk17AddOpens = Seq(
 javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
-  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
+  // 16g: local[32] packs 32 executor-threads into ONE heap — 8g gave each
+  // the equivalent of a 256 MB executor, and the sf3 scale rung's q173
+  // (489M distinct candidate pairs, an output-sized aggregate) OOM'd on
+  // exactly that artificial ceiling while any real executor sizing
+  // clears it. The box has 128 GiB; 16g is still conservative.
+  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "16g")}",
 )

@@ -32,6 +32,15 @@ object Bench {
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.adaptive.enabled", "true")
+      // Scale-proof shuffle sizing (r11, found by the sf3 rung): start
+      // wide and let AQE coalesce down to the 64 MB advisory size —
+      // small shuffles land exactly where the fixed 32 put them, but a
+      // data-proportional stage (q173's wedge join at sf3) gets smaller
+      // per-task hash state instead of 32 tasks OOMing an 8 GiB heap.
+      // This is how a real cluster sizes shuffles: high initial, AQE
+      // coalesces; a fixed small count is a scale cliff.
+      .config("spark.sql.adaptive.coalescePartitions.initialPartitionNum",
+        (cpus.toInt * 8).toString)
       .config("spark.sql.extensions", "graft.GraftExtensions")
       .config("spark.ui.enabled", "false")
       .getOrCreate()

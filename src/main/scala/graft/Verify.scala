@@ -12,6 +12,9 @@ object Verify {
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.adaptive.enabled", "true")
+      // see Bench.scala: wide initial + AQE coalesce = scale-proof sizing
+      .config("spark.sql.adaptive.coalescePartitions.initialPartitionNum",
+        (cpus.toInt * 8).toString)
       .config("spark.sql.extensions", "graft.GraftExtensions")
       // Plain int64-micros timestamps so the DuckDB compare reads the same
       // values we computed (INT96 round-trips are murkier).

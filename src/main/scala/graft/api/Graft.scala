@@ -5102,6 +5102,7 @@ object Graft {
   def linkPrediction(edges: DataFrame, srcCol: String, dstCol: String,
       topK: Int = 20, maxDegree: Int = 100): DataFrame = {
     require(topK > 0 && maxDegree >= 2, "linkPrediction: bad topK/maxDegree")
+    graft.functions.GraftFunctions.register(edges.sparkSession) // array_pairs
     // localCheckpoint (row-RDD storage) over persist: the wedge join
     // re-reads the edge table many times and the columnar cache's
     // encode/decode measured ~2x slower end-to-end on q173
@@ -5114,9 +5115,17 @@ object Graft {
     val deg = adj.groupBy(col("u")).agg(count(lit(1)).as("deg"))
       .localCheckpoint()
     val bridge = adj.join(deg.filter(col("deg") <= maxDegree), "u")
-    val paths = bridge.alias("l").join(bridge.alias("r"),
-        col("l.u") === col("r.u") && col("l.v") < col("r.v"))
-      .select(col("l.v").as("x"), col("r.v").as("y"), col("l.deg").as("degz"))
+    // Wedge generation as groupBy(hub) → ≤maxDegree neighbor list →
+    // in-array pairs (r11; the capped nearDupPairsExact shape): the
+    // previous bridge⋈bridge self-join sort-merged the 2|E| adjacency
+    // twice to emit the same pairs — at sf3 (36M edges, 516M wedges)
+    // that double sort OOM'd 32-task 8 GiB heaps, while the per-hub
+    // list buffer is cap-bounded (≤100 longs) by construction. Pair set
+    // identical: array_pairs on the sorted list ≡ the l.v < r.v join.
+    val paths = bridge.groupBy(col("u"), col("deg"))
+      .agg(sort_array(collect_list(col("v"))).as("vs"))
+      .select(explode(expr("array_pairs(vs)")).as("p"), col("deg").as("degz"))
+      .select(col("p.da").as("x"), col("p.db").as("y"), col("degz"))
     val scored = paths.groupBy(col("x"), col("y"))
       .agg(count(lit(1)).as("cn"),
         sum(round(lit(1.0e9) / log(col("degz").cast(DoubleType)))

@@ -83,6 +83,14 @@ object EventStreams {
         col("event_type") +: payload.map(col)) :+
         col("n_events") :+ col("sum_value"): _*)
     val qname = s"graft_q269_sink_${java.util.UUID.randomUUID().toString.replace("-", "")}"
+    // The windowed state is O(open windows × types) — dozens of keys, not
+    // data — so 32 state-store partitions are pure per-batch overhead
+    // (each micro-batch touches every store). 4 partitions cut the
+    // measured run 10.7 → ~4 s at sf0.1 with identical results (exact
+    // decimal sums are partitioning-invariant); a deployment sizes this
+    // to its real key cardinality. Restored after the run.
+    val prevShuffle = s.conf.get("spark.sql.shuffle.partitions")
+    s.conf.set("spark.sql.shuffle.partitions", "4")
     val q = agg.writeStream.format("memory").queryName(qname)
       .outputMode("append").start()
     try {
@@ -96,7 +104,10 @@ object EventStreams {
       val maxTus = rows.last._2
       mem.addData((-1L, maxTus + 30L * 86400000000L, -1L, "__sentinel", 0.0))
       q.processAllAvailable()
-    } finally q.stop()
+    } finally {
+      q.stop()
+      s.conf.set("spark.sql.shuffle.partitions", prevShuffle)
+    }
     s.table(qname).filter(col("event_type") =!= "__sentinel")
   }
 

@@ -37,7 +37,10 @@ def emit_single(name, select):
     n = con.sql(f"SELECT COUNT(*) FROM '{dst}/{name}.parquet'").fetchone()[0]
     print(f"{name}: {n}")
 
-SLICES = 4  # files per copy: 10 copies x 4 = 40 splits per table
+SLICES = 4  # files per copy: COPIES x 4 splits per table
+# COPIES scales the ladder rung: 10 = sf1 (the default), 30 = sf3 —
+# same referential key-shift construction at any multiple.
+COPIES = int(os.environ.get("SF_COPIES", "10"))
 
 def emit(name, select_for_k, idcol):
     # One file per (copy, id-mod slice): 40 files per table. Parquet
@@ -49,7 +52,7 @@ def emit(name, select_for_k, idcol):
     # partition each copy by id residue).
     d = f"{dst}/{name}.parquet"
     os.makedirs(d, exist_ok=True)
-    for k in range(10):
+    for k in range(COPIES):
         for j in range(SLICES):
             con.sql(f"COPY (SELECT * FROM ({select_for_k(k * SHIFT)}) __t "
                     f"WHERE ({idcol}) % {SLICES} = {j}) "
