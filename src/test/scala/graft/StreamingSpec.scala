@@ -446,6 +446,97 @@ class StreamingSpec extends AnyFunSuite {
     assert(got(12L) === 0L)                   // new max, not late
   }
 
+  test("tumblingCounts recovers watermark + window state across a query restart") {
+    // The 100 TB operational story streaming specs usually skip: a
+    // production query DIES (deploy, preemption) and must resume from
+    // its checkpoint with aggregation state and watermark intact —
+    // counts from before the crash must surface in windows emitted
+    // after the restart, with no loss and no double count.
+    val s = spark
+    import s.implicits._
+    implicit val sc = s.sqlContext
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_ckpt_").toString
+    val outDir = java.nio.file.Files.createTempDirectory("graft_recov_out_").toString
+    val mem = MemoryStream[Ev]
+    val agg = EventStreams.tumblingCounts(mem.toDF)
+    // file sink, NOT memory: the memory sink is explicitly not
+    // fault-tolerant and refuses checkpoint recovery — exactly the
+    // distinction this test exists to exercise
+    def start() = agg.writeStream.format("parquet")
+      .option("path", outDir).option("checkpointLocation", ckpt)
+      .outputMode("append").start()
+    val q1 = start()
+    // hour-0 rows only: watermark stays below the window end, NOTHING
+    // emits before the crash — the counts live purely in state
+    mem.addData(Ev(1, ts(10), 1, "click", 1.0), Ev(2, ts(20), 1, "click", 2.0))
+    q1.processAllAvailable()
+    q1.stop()
+    assert(s.read.schema(agg.schema).parquet(outDir).isEmpty,
+      "window must still be open at crash time")
+    // restart from the SAME checkpoint; the far-future row advances the
+    // watermark past hour-0 and flushes the pre-crash counts
+    val q2 = start()
+    mem.addData(Ev(3, ts(6 * 60), 2, "view", 5.0))
+    q2.processAllAvailable()
+    q2.stop()
+    val rows = s.read.parquet(outDir)
+      .select($"event_type", $"n_events", $"sum_value").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDouble(2)))
+    assert(rows.toSeq === Seq(("click", 2L, 3.0)),
+      "pre-crash counts must survive the restart exactly once")
+  }
+
+  test("tumblingCounts over a REAL file stream source equals the batch aggregation") {
+    // MemoryStream is a test harness; deployments read files/queues.
+    // Drive the FileStreamSource path: events written as 3 ts-range
+    // files with strictly increasing modification times (the source
+    // picks oldest-first under maxFilesPerTrigger=1, so arrival order
+    // is event-time order and the 2h watermark can never drop a row).
+    val s = spark
+    import s.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_fstream_").toFile
+    val ev = graft.operators.Util.t(s, sf0001, "events")
+      .select($"event_id", $"ts", $"user_id", $"event_type", $"value")
+    val parts = Seq(
+      ev.filter($"ts" <= to_timestamp(lit("2024-01-10"))),
+      ev.filter($"ts" > to_timestamp(lit("2024-01-10")) &&
+        $"ts" <= to_timestamp(lit("2024-01-20"))),
+      ev.filter($"ts" > to_timestamp(lit("2024-01-20"))))
+    parts.zipWithIndex.foreach { case (p, i) =>
+      val f = new java.io.File(dir, s"chunk-$i")
+      p.coalesce(1).write.mode("overwrite").parquet(f.toString)
+      f.listFiles().foreach(_.setLastModified(1700000000000L + i * 60000L))
+    }
+    val src = s.readStream.schema(ev.schema)
+      .option("maxFilesPerTrigger", "1")
+      .option("latestFirst", "false")
+      .parquet(s"$dir/chunk-*")
+    runToCompletion(EventStreams.tumblingCounts(src), "filestream_sink", "append")
+    // no sentinel: append mode holds the tail windows open, so compare
+    // the EMITTED (closed) windows against the batch twin's same rows
+    val sink = s.table("filestream_sink")
+      .select($"window_start", $"event_type", $"n_events", $"sum_value")
+    val expect = ev
+      .groupBy(window($"ts", "1 hour"), $"event_type")
+      .agg(count(lit(1)).as("n_events"),
+        sum($"value".cast("decimal(18,6)")).cast("double").as("sum_value"))
+      .select($"window.start".as("window_start"), $"event_type",
+        $"n_events", $"sum_value")
+    val got = sink.orderBy("window_start", "event_type").collect()
+    val want = expect.join(sink.select($"window_start", $"event_type"),
+        Seq("window_start", "event_type"), "left_semi")
+      .orderBy("window_start", "event_type").collect()
+    assert(got.length > 10, s"file stream emitted ${got.length} closed windows")
+    assert(got.toSeq === want.toSeq,
+      "every emitted window must equal the batch aggregation bit-for-bit")
+    // and the open tail is exactly the watermark horizon, nothing more:
+    // every window strictly below (max ts - 2h) must have been emitted
+    val horizon = ev.agg(max(unix_timestamp($"ts"))).head().getLong(0) - 7200L
+    val expectedClosed = expect.filter($"window_start".cast("long") + 3600L <= horizon)
+    assert(got.length >= expectedClosed.count().toInt,
+      "append mode must flush every window the final watermark passed")
+  }
+
   test("runEnrichedTumbling sink equals the batch aggregation of the same feed (q269)") {
     val s = spark
     import s.implicits._
