@@ -344,6 +344,38 @@ object Dedup {
         .orderBy(col("node"))
     }),
 
+    // ---- q270: dedup impact report — the table every dedup pipeline
+    // publishes before committing a threshold: per CLUSTER SIZE, how
+    // many clusters exist, how many documents they hold, and how many
+    // characters deduplication would remove under the keep-best policy
+    // (chars_total − max-chars copy per cluster). Singletons (docs in
+    // no near-dup pair) appear as cluster_size = 1 with zero savings —
+    // the report always accounts for 100% of the corpus. Built on the
+    // q54 component machinery; two keyed aggs after it, all integers.
+    // 100 TB shape: output is bounded by distinct cluster sizes;
+    // everything between is partial-agg-friendly. ----
+    "q270_dedup_impact" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val pairs = minhashPairs(docs, "text", "doc_id", 4, 5)
+        .select(col("da"), col("db"))
+      val comp = graft.api.Graft.connectedComponents(pairs, "da", "db")
+        .withColumnRenamed("node", "doc_id")
+      val all = docs.select(col("doc_id"), col("n_chars").cast(LongType).as("n_chars"))
+        .join(comp, Seq("doc_id"), "left")
+        .select(col("doc_id"), col("n_chars"),
+          coalesce(col("component"), col("doc_id")).as("component"))
+      val per = all.groupBy(col("component"))
+        .agg(count(lit(1)).as("cluster_size"),
+          sum(col("n_chars")).as("chars"),
+          max(col("n_chars")).as("kept"))
+      per.groupBy(col("cluster_size"))
+        .agg(count(lit(1)).as("n_clusters"),
+          sum(col("cluster_size")).as("n_docs"),
+          sum(col("chars")).as("chars_total"),
+          sum(col("chars") - col("kept")).as("chars_removed"))
+        .orderBy(col("cluster_size"))
+    }),
+
     // ---- q55: exact dedup keeping the best-quality copy (longest text,
     // ties by smallest id) — the quality-aware keep policy ----
     "q55_dedup_keep_best" -> ((s, dir) => {
@@ -785,6 +817,47 @@ object Dedup {
         |)
         |SELECT a AS node, least(a, MIN(b)) AS component
         |FROM reach GROUP BY a ORDER BY node""".stripMargin,
+
+    // q270 twin: q54's recursive closure, then the same two integer
+    // aggregations (LEFT JOIN keeps singletons; outer sums cast to
+    // BIGINT so DuckDB's HUGEINT SUM never leaks into the schema)
+    "q270_dedup_impact" ->
+      """WITH RECURSIVE toks AS (
+        |  SELECT doc_id, string_split(trim(text), ' ') AS t FROM documents
+        |), sh AS (
+        |  SELECT DISTINCT doc_id, t[i] || chr(0) || t[i+1] || chr(0) || t[i+2] AS s
+        |  FROM (SELECT doc_id, t, unnest(generate_series(1, greatest(len(t) - 2, 0))) AS i FROM toks)
+        |), sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id
+        |), inter AS (
+        |  SELECT a.doc_id AS da, b.doc_id AS db, COUNT(*) AS i
+        |  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+        |  GROUP BY 1, 2
+        |), pairs AS (
+        |  SELECT da, db FROM inter
+        |  JOIN sizes sa ON sa.doc_id = da
+        |  JOIN sizes sb ON sb.doc_id = db
+        |  WHERE 5 * i >= 4 * (sa.n + sb.n - i)
+        |), edges AS (
+        |  SELECT da AS a, db AS b FROM pairs UNION SELECT db, da FROM pairs
+        |), reach AS (
+        |  SELECT a, b FROM edges
+        |  UNION
+        |  SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a
+        |), comp AS (
+        |  SELECT a AS node, least(a, MIN(b)) AS component FROM reach GROUP BY a
+        |), allc AS (
+        |  SELECT d.doc_id, CAST(d.n_chars AS BIGINT) AS n_chars,
+        |    COALESCE(c.component, d.doc_id) AS component
+        |  FROM documents d LEFT JOIN comp c ON c.node = d.doc_id
+        |), per AS (
+        |  SELECT component, COUNT(*) AS cluster_size, SUM(n_chars) AS chars,
+        |    MAX(n_chars) AS kept
+        |  FROM allc GROUP BY 1)
+        |SELECT cluster_size, COUNT(*) AS n_clusters,
+        |  CAST(SUM(cluster_size) AS BIGINT) AS n_docs,
+        |  CAST(SUM(chars) AS BIGINT) AS chars_total,
+        |  CAST(SUM(chars - kept) AS BIGINT) AS chars_removed
+        |FROM per GROUP BY 1 ORDER BY cluster_size""".stripMargin,
 
     "q55_dedup_keep_best" ->
       """SELECT doc_id, n_chars FROM (
