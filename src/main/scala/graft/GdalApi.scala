@@ -138,34 +138,95 @@ object GdalWrite {
     val sb = new java.io.StringWriter
     sb.write("""{"type":"FeatureCollection","features":[""")
     var n = 0L
+    // exact runtime cap in ENCODED UTF-8 BYTES (not UTF-16 chars — a
+    // multibyte-heavy result can sit under a char cap yet be ~3× the cap
+    // in bytes): each row's appended region is scanned allocation-free
+    // and its exact UTF-8 length accumulated, so the check fires before
+    // the full byte buffer materializes in getBytes
+    var scanned = 0
+    var utf8 = 0L
+    def countNewUtf8(): Unit = {
+      val buf = sb.getBuffer
+      val len = buf.length
+      var i = scanned
+      while (i < len) {
+        val c = buf.charAt(i)
+        utf8 +=
+          (if (c < 0x80) 1
+          else if (c < 0x800) 2
+          else if (Character.isHighSurrogate(c) && i + 1 < len &&
+            Character.isLowSurrogate(buf.charAt(i + 1))) { i += 1; 4 }
+          else 3) // incl. unpaired surrogate (encodes as 1-byte '?': safe over-count)
+        i += 1
+      }
+      scanned = len
+    }
+    countNewUtf8()
     val it = df.queryExecution.toRdd.toLocalIterator // InternalRow stream
     while (it.hasNext) {
       if (n > 0) sb.write(",")
       sb.write("\n")
       GeoJsonRowSerializer.writeFeature(it.next(), schema, geomIdx, opts, sb)
       n += 1
-      // exact runtime cap: UTF-8 bytes >= chars, so chars beyond the cap
-      // means bytes beyond the cap; checked per row, before the full
-      // buffer doubles in getBytes
-      if (sb.getBuffer.length > cap)
-        throw new GraftError.DriverBytesTooLarge(BigInt(sb.getBuffer.length), cap)
+      countNewUtf8()
+      if (utf8 > cap)
+        throw new GraftError.DriverBytesTooLarge(BigInt(utf8), cap)
     }
     if (n == 0) throw new GraftError.EmptyDataframe // ref src/lib.rs:509-511
     sb.write("\n]}\n")
+    countNewUtf8()
+    if (utf8 > cap)
+      throw new GraftError.DriverBytesTooLarge(BigInt(utf8), cap)
     sb.toString.getBytes(StandardCharsets.UTF_8)
   }
 
   /** Route through the (tested) DSv2 writer into a temp dir, then return
     * the single produced file's bytes — zipped with its sidecars for
     * shapefile. */
+  private def dirBytes(f: File): Long = {
+    val kids = f.listFiles()
+    if (kids == null) 0L
+    else kids.foldLeft(0L)((acc, k) =>
+      acc + (if (k.isDirectory) dirBytes(k) else k.length()))
+  }
+
   private def fileBytes(df: DataFrame, fmt: String, mainExt: String,
       options: Map[String, String], zip: Boolean, cap: Long): Array[Byte] = {
     if (df.isEmpty) throw new GraftError.EmptyDataframe
     val dir = Files.createTempDirectory("graft_bytes_out_").toFile
     try {
-      options.foldLeft(df.coalesce(1).write.format(fmt).mode("overwrite")) {
-        case (w, (k, v)) => w.option(k, v)
-      }.save(dir.getAbsolutePath)
+      // Plan-gate-exempt shapes (joins/aggregates — no credible size
+      // estimate) used to run to completion here, so an output-sized
+      // result could fill local temp disk before the post-write check
+      // fired. A watchdog polls the temp dir WHILE the write runs and
+      // cancels the job group within ~200 ms of it crossing the cap —
+      // the disk-fill window is now cap + one poll interval of data.
+      val sc = df.sparkSession.sparkContext
+      val group = s"graft_tobytes_${java.lang.Long.toHexString(System.nanoTime())}"
+      @volatile var trippedAt = -1L
+      val watchdog = new Thread(() => {
+        try {
+          while (trippedAt < 0) {
+            Thread.sleep(200)
+            val sz = dirBytes(dir)
+            if (sz > cap) { trippedAt = sz; sc.cancelJobGroup(group) }
+          }
+        } catch { case _: InterruptedException => () }
+      }, s"$group-watchdog")
+      watchdog.setDaemon(true)
+      watchdog.start()
+      try {
+        sc.setJobGroup(group, s"graft.toBytes($fmt) capped at $cap bytes",
+          interruptOnCancel = true)
+        try {
+          options.foldLeft(df.coalesce(1).write.format(fmt).mode("overwrite")) {
+            case (w, (k, v)) => w.option(k, v)
+          }.save(dir.getAbsolutePath)
+        } catch {
+          case _: Throwable if trippedAt >= 0 =>
+            throw new GraftError.DriverBytesTooLarge(BigInt(trippedAt), cap)
+        } finally sc.clearJobGroup()
+      } finally watchdog.interrupt()
       val produced = dir.listFiles().filter(_.isFile)
         .filterNot(f => f.getName.startsWith(".") || f.getName.startsWith("_"))
         .sortBy(_.getName)

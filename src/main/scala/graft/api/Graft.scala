@@ -134,6 +134,8 @@ object Graft {
       maxPairs: Long = 100000000L,
       shingles: Option[DataFrame] = None): DataFrame = {
     graft.functions.GraftFunctions.register(df.sparkSession)
+    shingles.foreach(requireShingleArtifactMatches(_, df, textCol, idCol,
+      ngram, "nearDupPairsExact"))
     // `shingles`, if given, must be [[shingleTable]](df, textCol, idCol,
     // ngram) — typically pre-materialized once per session via
     // [[materializeBucketed]] keyed on the shingle column so several
@@ -206,6 +208,41 @@ object Graft {
     graft.functions.GraftFunctions.register(df.sparkSession)
     df.select(col(idCol),
         explode(expr(s"shingle_set(`$textCol`, $ngram)")).as("s"))
+  }
+
+  /** Artifacts validated by [[requireShingleArtifactMatches]] this JVM:
+    * the probe costs three tiny jobs, so it runs once per (artifact plan,
+    * parameters) pair, not once per query. */
+  private val validatedShingleArtifacts: java.util.Set[String] =
+    java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+
+  /** One-row validation probe (the `:2010`-style convention) guarding the
+    * `shingles` artifact hook: a caller passing an artifact built with a
+    * DIFFERENT textCol/ngram than the call's would get silently wrong
+    * pair sets — the shapes are identical, only the string multiset
+    * differs. Samples one document id from the artifact, recomputes that
+    * document's shingle set from `df`, and requires exact agreement;
+    * fails loudly with the mismatch instead. */
+  private def requireShingleArtifactMatches(art: DataFrame, df: DataFrame,
+      textCol: String, idCol: String, ngram: Int, op: String): Unit = {
+    val key = art.queryExecution.logical.semanticHash().toString +
+      s"|$textCol|$idCol|$ngram"
+    if (validatedShingleArtifacts.contains(key)) return
+    val probe = art.select(col(idCol)).limit(1).collect()
+    if (probe.isEmpty) return // empty artifact: nothing to disagree about
+    val id = probe(0).get(0)
+    val got = art.filter(col(idCol) === lit(id)).select(col("s"))
+      .collect().map(_.getString(0)).toSet
+    val exp = df.filter(col(idCol) === lit(id))
+      .select(explode(expr(s"shingle_set(`$textCol`, $ngram)")).as("s"))
+      .collect().map(_.getString(0)).toSet
+    require(got == exp,
+      s"$op: the supplied shingles artifact disagrees with " +
+        s"shingleTable(df, '$textCol', '$idCol', ngram=$ngram) on sampled " +
+        s"document $id (artifact has ${got.size} shingles, recompute has " +
+        s"${exp.size}) — was the artifact built with a different textCol " +
+        "or ngram?")
+    validatedShingleArtifacts.add(key)
   }
 
   /** Token-set similarity join with POSITIONAL PREFIX FILTERING
@@ -5744,6 +5781,157 @@ object Graft {
         when(col("__idcg_q") <= 0L, lit(null).cast(DoubleType))
           .otherwise(col("__dcg_q").cast(DoubleType) /
             col("__idcg_q").cast(DoubleType)).as("ndcg"))
+  }
+
+  /** Corpus-level BLEU (Papineni et al., ACL 2002) between a candidate
+    * and a reference text column — THE n-gram overlap gate a generation
+    * pipeline runs over (model output, reference) pairs before a costlier
+    * judge, and the canonical "how much did my normalization distort the
+    * corpus" audit when cand = transformed text, ref = original.
+    *
+    * Semantics: per-pair CLIPPED n-gram matches (each candidate n-gram
+    * credits at most its count in that pair's reference), micro-averaged
+    * per group; geometric mean of the 1..maxN precisions; brevity
+    * penalty exp(min(0, 1 − ref_len/cand_len)). n ≥ 2 precisions are
+    * add-one smoothed (BLEU+1, Lin & Och COLING 2004) so a short corpus
+    * with no 4-gram overlap degrades smoothly instead of zeroing; an
+    * all-n₁-miss group reports bleu_micro = 0 by convention.
+    *
+    * Tokens are the house single-space tokenization (q66 convention);
+    * n-grams are NUL-joined (collision-proof). Scale shape: one explode
+    * to (pair, n, gram) counts, one pair-keyed LEFT join cand→ref, one
+    * group agg — all partial-agg friendly, no window over the corpus, no
+    * driver state. Exactness: match/total counts are exact integers;
+    * each ln pₙ is nano-quantized BEFORE the fixed-order sum and the one
+    * exp is micro-rounded (the q253 recipe), so the output hash-gates. */
+  def corpusBleu(df: DataFrame, candCol: String, refCol: String,
+      idCol: String, groupCol: String, maxN: Int = 4): DataFrame = {
+    require(maxN >= 1 && maxN <= 8, "corpusBleu: maxN must be in [1, 8]")
+    def toks(c: Column): Column = split(trim(c), " ")
+    val base = df.select(col(groupCol).as("__g"), col(idCol).as("__id"),
+      toks(col(candCol)).as("__ct"), toks(col(refCol)).as("__rt"))
+    // tagged multiset n-grams; slice-of-sequence sidesteps Spark's
+    // descending sequence(1, 0) when the row is shorter than n
+    def grams(arr: Column, n: Int): Column =
+      transform(
+        slice(sequence(lit(1), size(arr)), lit(1),
+          greatest(size(arr) - lit(n - 1), lit(0))),
+        i => struct(lit(n).as("n"),
+          concat_ws(" ", slice(arr, i, lit(n))).as("gram")))
+    def gramCounts(arrCol: String, cnt: String): DataFrame =
+      base.select(col("__g"), col("__id"),
+          explode(flatten(array((1 to maxN).map(n => grams(col(arrCol), n)): _*)))
+            .as("__t"))
+        .select(col("__g"), col("__id"), col("__t.n").as("__n"),
+          col("__t.gram").as("__gram"))
+        .groupBy(col("__g"), col("__id"), col("__n"), col("__gram"))
+        .agg(count(lit(1)).as(cnt))
+    val mAggs = (1 to maxN).map(n =>
+      sum(when(col("__n") === n,
+        least(col("__c"), coalesce(col("__r"), lit(0L)))).otherwise(lit(0L)))
+        .as(s"m$n"))
+    val matches = gramCounts("__ct", "__c")
+      .join(gramCounts("__rt", "__r"), Seq("__g", "__id", "__n", "__gram"), "left")
+      .groupBy(col("__g"))
+      .agg(mAggs.head, mAggs.tail: _*)
+    val tAggs = count(lit(1)).as("n_pairs") +:
+      sum(size(col("__ct")).cast(LongType)).as("cand_tokens") +:
+      sum(size(col("__rt")).cast(LongType)).as("ref_tokens") +:
+      (1 to maxN).map(n =>
+        sum(greatest(size(col("__ct")) - lit(n - 1), lit(0)).cast(LongType))
+          .as(s"t$n"))
+    val totals = base.groupBy(col("__g")).agg(tAggs.head, tAggs.tail: _*)
+    def m(n: Int): Column = coalesce(col(s"m$n"), lit(0L))
+    def pn(n: Int): Column =
+      if (n == 1) m(1).cast(DoubleType) / col("t1").cast(DoubleType)
+      else (m(n) + lit(1L)).cast(DoubleType) /
+        (col(s"t$n") + lit(1L)).cast(DoubleType)
+    def lq(n: Int): Column = round(log(pn(n)) * lit(1.0e9)).cast(LongType)
+    val bpExp = least(lit(0.0), lit(1.0) -
+      col("ref_tokens").cast(DoubleType) / col("cand_tokens").cast(DoubleType))
+    totals.join(matches, Seq("__g"), "left")
+      .select(col("__g").as(groupCol) +: col("n_pairs") +:
+        col("cand_tokens") +: col("ref_tokens") +:
+        ((1 to maxN).map(n => m(n).as(s"m$n")) ++
+          (1 to maxN).map(n => col(s"t$n"))) :+
+        round(exp(bpExp) * lit(1.0e6)).cast(LongType).as("bp_micro") :+
+        when(m(1) === 0L || col("t1") === 0L, lit(0L))
+          .otherwise(round(exp(
+            (1 to maxN).map(lq).reduce(_ + _).cast(DoubleType) /
+              lit(maxN * 1.0e9) + bpExp) * lit(1.0e6)).cast(LongType))
+          .as("bleu_micro"): _*)
+  }
+
+  /** Corpus-level chrF (Popović, WMT 2015): character-n-gram F-score
+    * between candidate and reference, the tokenization-free companion to
+    * [[corpusBleu]] (robust to morphology/punctuation splits that break
+    * word n-grams). Whitespace is removed entirely (sacreBLEU chrF
+    * convention), char 1..maxN-gram matches are clipped per pair and
+    * micro-averaged per group, and chrFβ = mean over n of
+    * (1+β²)·mₙ / (β²·refₙ + candₙ) — the algebraic collapse of
+    * (1+β²)PR/(β²P+R) to ONE division per n over exact integers, so the
+    * only doubles are maxN fixed-order divisions and the final mean:
+    * bit-identical on any engine, no quantization machinery needed
+    * (the output is still micro-rounded for hash hygiene). Same scale
+    * shape as corpusBleu: explode → pair-keyed counts → one LEFT join →
+    * one group agg. */
+  def chrF(df: DataFrame, candCol: String, refCol: String,
+      idCol: String, groupCol: String, maxN: Int = 6,
+      betaSq: Int = 4): DataFrame = {
+    require(maxN >= 1 && maxN <= 8, "chrF: maxN must be in [1, 8]")
+    def chars(c: Column): Column = regexp_replace(c, "\\s+", "")
+    val base = df.select(col(groupCol).as("__g"), col(idCol).as("__id"),
+      chars(col(candCol)).as("__cs"), chars(col(refCol)).as("__rs"))
+    def grams(strCol: String, n: Int): Column =
+      transform(
+        slice(sequence(lit(1), greatest(length(col(strCol)), lit(1))), lit(1),
+          greatest(length(col(strCol)) - lit(n - 1), lit(0))),
+        i => struct(lit(n).as("n"), col(strCol).substr(i, lit(n)).as("gram")))
+    def gramCounts(strCol: String, cnt: String): DataFrame =
+      base.select(col("__g"), col("__id"),
+          explode(flatten(array((1 to maxN).map(n => grams(strCol, n)): _*)))
+            .as("__t"))
+        .select(col("__g"), col("__id"), col("__t.n").as("__n"),
+          col("__t.gram").as("__gram"))
+        .groupBy(col("__g"), col("__id"), col("__n"), col("__gram"))
+        .agg(count(lit(1)).as(cnt))
+    val mAggs = (1 to maxN).map(n =>
+      sum(when(col("__n") === n,
+        least(col("__c"), coalesce(col("__r"), lit(0L)))).otherwise(lit(0L)))
+        .as(s"m$n"))
+    val matches = gramCounts("__cs", "__c")
+      .join(gramCounts("__rs", "__r"), Seq("__g", "__id", "__n", "__gram"), "left")
+      .groupBy(col("__g"))
+      .agg(mAggs.head, mAggs.tail: _*)
+    val tAggs = count(lit(1)).as("n_pairs") +:
+      sum(length(col("__cs")).cast(LongType)).as("cand_chars") +:
+      sum(length(col("__rs")).cast(LongType)).as("ref_chars") +:
+      ((1 to maxN).map(n =>
+        sum(greatest(length(col("__cs")) - lit(n - 1), lit(0)).cast(LongType))
+          .as(s"__ct$n")) ++
+        (1 to maxN).map(n =>
+          sum(greatest(length(col("__rs")) - lit(n - 1), lit(0)).cast(LongType))
+            .as(s"__rt$n")))
+    val totals = base.groupBy(col("__g")).agg(tAggs.head, tAggs.tail: _*)
+    def m(n: Int): Column = coalesce(col(s"m$n"), lit(0L))
+    def fn(n: Int): Column = {
+      val den = lit(betaSq.toLong) * col(s"__rt$n") + col(s"__ct$n")
+      when(den > 0L,
+        (lit((1 + betaSq).toLong) * m(n)).cast(DoubleType) / den.cast(DoubleType))
+        .otherwise(lit(0.0))
+    }
+    // average over the orders the corpus actually HAS (den > 0): a
+    // corpus of strings shorter than maxN must still score 1 on identity
+    val nOrders = (1 to maxN).map(n =>
+      when(lit(betaSq.toLong) * col(s"__rt$n") + col(s"__ct$n") > 0L,
+        lit(1L)).otherwise(lit(0L))).reduce(_ + _)
+    totals.join(matches, Seq("__g"), "left")
+      .select(col("__g").as(groupCol) +: col("n_pairs") +:
+        col("cand_chars") +: col("ref_chars") +:
+        (1 to maxN).map(n => m(n).as(s"m$n")) :+
+        round((1 to maxN).map(fn).reduce(_ + _) /
+          greatest(nOrders, lit(1L)).cast(DoubleType) *
+          lit(1.0e6)).cast(LongType).as("chrf_micro"): _*)
   }
 
   /** Mann–Whitney U (Wilcoxon rank-sum) two-sample test — the

@@ -198,8 +198,44 @@ object Evaluation {
       graft.api.Graft.averagePrecisionAtK(d, "lang", "n_chars", "doc_id",
           "rel", k = 10)
         .orderBy(col("lang"))
+    }),
+
+    // ---- q271: corpus BLEU-4 per language between a normalized
+    // candidate (lowercased, stopword 'the' dropped, whitespace
+    // collapsed) and the original text — the generation-eval metric
+    // doubling as a "how much did my cleaning pipeline distort the
+    // corpus" audit. Clipped per-pair n-gram matches, BLEU+1 smoothing
+    // on n≥2, brevity penalty; one explode + one pair-keyed LEFT join +
+    // one group agg, every float behind the nano-quantize/single-exp
+    // recipe. ----
+    "q271_bleu_eval" -> ((s, dir) => {
+      graft.api.Graft.corpusBleu(bleuPairs(s, dir), "cand", "ref",
+          "doc_id", "lang")
+        .orderBy(col("lang"))
+    }),
+
+    // ---- q272: corpus chrF2 per language over the same (cand, ref)
+    // pairs — the tokenization-free companion: whitespace stripped,
+    // char 1..6-gram clipped matches, F-score collapsed algebraically
+    // to one division per n over exact integers (no log/exp at all). ----
+    "q272_chrf_eval" -> ((s, dir) => {
+      graft.api.Graft.chrF(bleuPairs(s, dir), "cand", "ref",
+          "doc_id", "lang")
+        .orderBy(col("lang"))
     })
   )
+
+  /** The q271/q272 evaluation pairs: candidate = the house-normalized
+    * text (lower, drop \bthe\b, collapse whitespace), reference = the
+    * original — a deterministic, SQL-expressible stand-in for (model
+    * output, reference) pairs that exercises clipping (repeated words),
+    * smoothing (short docs), and the brevity penalty (cand is shorter). */
+  private def bleuPairs(s: org.apache.spark.sql.SparkSession,
+      dir: String): org.apache.spark.sql.DataFrame =
+    t(s, dir, "documents").select(col("doc_id"), col("lang"),
+      regexp_replace(trim(regexp_replace(lower(col("text")),
+        "\\bthe\\b", " ")), "\\s+", " ").as("cand"),
+      col("text").as("ref"))
 
   val oracle: Map[String, String] = Map(
     // Brier-decomposition twin: identical cohort model, exact-value
@@ -592,6 +628,174 @@ object Evaluation {
         |  CAST(idcg_q AS DOUBLE) / 1000000000.0 AS idcg,
         |  CASE WHEN idcg_q <= 0 THEN NULL
         |       ELSE CAST(dcg_q AS DOUBLE) / CAST(idcg_q AS DOUBLE) END AS ndcg
-        |FROM g ORDER BY lang""".stripMargin
+        |FROM g ORDER BY lang""".stripMargin,
+
+    // BLEU twin: identical pairing/tokenization, NUL-joined n-grams via
+    // list slicing, clipped per-pair matches through the same LEFT join,
+    // each ln pn nano-quantized before the 4-term sum, one exp micro-
+    // rounded (the q253 recipe); brevity penalty shares the exact
+    // token-count integers
+    "q271_bleu_eval" ->
+      """WITH pairs AS (
+        |  SELECT doc_id, lang,
+        |    regexp_replace(trim(regexp_replace(lower(text), '\bthe\b', ' ', 'g')),
+        |      '\s+', ' ', 'g') AS cand,
+        |    text AS ref
+        |  FROM documents),
+        |base AS (
+        |  SELECT lang, doc_id, string_split(trim(cand), ' ') AS ct,
+        |         string_split(trim(ref), ' ') AS rt
+        |  FROM pairs),
+        |cpos AS (
+        |  SELECT lang, doc_id, n, ct,
+        |    unnest(generate_series(1, greatest(len(ct) - n + 1, 0))) AS i
+        |  FROM base CROSS JOIN (SELECT unnest([1, 2, 3, 4]) AS n) ns),
+        |cg AS (
+        |  SELECT lang, doc_id, n, array_to_string(ct[i:i+n-1], chr(0)) AS gram,
+        |         CAST(COUNT(*) AS BIGINT) AS c
+        |  FROM cpos GROUP BY lang, doc_id, n, gram),
+        |rpos AS (
+        |  SELECT lang, doc_id, n, rt,
+        |    unnest(generate_series(1, greatest(len(rt) - n + 1, 0))) AS i
+        |  FROM base CROSS JOIN (SELECT unnest([1, 2, 3, 4]) AS n) ns),
+        |rg AS (
+        |  SELECT lang, doc_id, n, array_to_string(rt[i:i+n-1], chr(0)) AS gram,
+        |         CAST(COUNT(*) AS BIGINT) AS c
+        |  FROM rpos GROUP BY lang, doc_id, n, gram),
+        |m AS (
+        |  SELECT cg.lang, cg.n,
+        |    CAST(SUM(least(cg.c, COALESCE(rg.c, 0))) AS BIGINT) AS m
+        |  FROM cg LEFT JOIN rg ON cg.lang = rg.lang AND cg.doc_id = rg.doc_id
+        |    AND cg.n = rg.n AND cg.gram = rg.gram
+        |  GROUP BY cg.lang, cg.n),
+        |mp AS (
+        |  SELECT lang,
+        |    CAST(COALESCE(SUM(CASE WHEN n = 1 THEN m END), 0) AS BIGINT) AS m1,
+        |    CAST(COALESCE(SUM(CASE WHEN n = 2 THEN m END), 0) AS BIGINT) AS m2,
+        |    CAST(COALESCE(SUM(CASE WHEN n = 3 THEN m END), 0) AS BIGINT) AS m3,
+        |    CAST(COALESCE(SUM(CASE WHEN n = 4 THEN m END), 0) AS BIGINT) AS m4
+        |  FROM m GROUP BY lang),
+        |tot AS (
+        |  SELECT lang, COUNT(*) AS n_pairs,
+        |    CAST(SUM(len(ct)) AS BIGINT) AS cand_tokens,
+        |    CAST(SUM(len(rt)) AS BIGINT) AS ref_tokens,
+        |    CAST(SUM(greatest(len(ct), 0)) AS BIGINT) AS t1,
+        |    CAST(SUM(greatest(len(ct) - 1, 0)) AS BIGINT) AS t2,
+        |    CAST(SUM(greatest(len(ct) - 2, 0)) AS BIGINT) AS t3,
+        |    CAST(SUM(greatest(len(ct) - 3, 0)) AS BIGINT) AS t4
+        |  FROM base GROUP BY lang)
+        |SELECT t.lang, t.n_pairs, t.cand_tokens, t.ref_tokens,
+        |  COALESCE(m1, 0) AS m1, COALESCE(m2, 0) AS m2,
+        |  COALESCE(m3, 0) AS m3, COALESCE(m4, 0) AS m4,
+        |  t1, t2, t3, t4,
+        |  CAST(ROUND(exp(least(0.0, 1.0 - CAST(ref_tokens AS DOUBLE)
+        |    / CAST(cand_tokens AS DOUBLE))) * 1000000.0) AS BIGINT) AS bp_micro,
+        |  CASE WHEN COALESCE(m1, 0) = 0 OR t1 = 0 THEN 0
+        |    ELSE CAST(ROUND(exp(
+        |      CAST(CAST(ROUND(ln(CAST(m1 AS DOUBLE) / CAST(t1 AS DOUBLE))
+        |          * 1000000000.0) AS BIGINT)
+        |        + CAST(ROUND(ln(CAST(m2 + 1 AS DOUBLE) / CAST(t2 + 1 AS DOUBLE))
+        |          * 1000000000.0) AS BIGINT)
+        |        + CAST(ROUND(ln(CAST(m3 + 1 AS DOUBLE) / CAST(t3 + 1 AS DOUBLE))
+        |          * 1000000000.0) AS BIGINT)
+        |        + CAST(ROUND(ln(CAST(m4 + 1 AS DOUBLE) / CAST(t4 + 1 AS DOUBLE))
+        |          * 1000000000.0) AS BIGINT) AS DOUBLE) / 4000000000.0
+        |      + least(0.0, 1.0 - CAST(ref_tokens AS DOUBLE)
+        |        / CAST(cand_tokens AS DOUBLE))) * 1000000.0) AS BIGINT)
+        |  END AS bleu_micro
+        |FROM tot t LEFT JOIN mp USING (lang)
+        |ORDER BY lang""".stripMargin,
+
+    // chrF twin: whitespace stripped, substr char n-grams, the same
+    // clipped-match LEFT join; every F_n is the single division
+    // (1+β²)m/(β²·rt+ct) over exact integers, fixed-order 6-term sum,
+    // micro-rounded — no transcendental functions anywhere
+    "q272_chrf_eval" ->
+      """WITH pairs AS (
+        |  SELECT doc_id, lang,
+        |    regexp_replace(trim(regexp_replace(lower(text), '\bthe\b', ' ', 'g')),
+        |      '\s+', ' ', 'g') AS cand,
+        |    text AS ref
+        |  FROM documents),
+        |base AS (
+        |  SELECT lang, doc_id,
+        |    regexp_replace(cand, '\s+', '', 'g') AS cs,
+        |    regexp_replace(ref, '\s+', '', 'g') AS rs
+        |  FROM pairs),
+        |cpos AS (
+        |  SELECT lang, doc_id, n, cs,
+        |    unnest(generate_series(1, greatest(len(cs) - n + 1, 0))) AS i
+        |  FROM base CROSS JOIN (SELECT unnest([1, 2, 3, 4, 5, 6]) AS n) ns),
+        |cg AS (
+        |  SELECT lang, doc_id, n, substr(cs, i, n) AS gram,
+        |         CAST(COUNT(*) AS BIGINT) AS c
+        |  FROM cpos GROUP BY lang, doc_id, n, gram),
+        |rpos AS (
+        |  SELECT lang, doc_id, n, rs,
+        |    unnest(generate_series(1, greatest(len(rs) - n + 1, 0))) AS i
+        |  FROM base CROSS JOIN (SELECT unnest([1, 2, 3, 4, 5, 6]) AS n) ns),
+        |rg AS (
+        |  SELECT lang, doc_id, n, substr(rs, i, n) AS gram,
+        |         CAST(COUNT(*) AS BIGINT) AS c
+        |  FROM rpos GROUP BY lang, doc_id, n, gram),
+        |m AS (
+        |  SELECT cg.lang, cg.n,
+        |    CAST(SUM(least(cg.c, COALESCE(rg.c, 0))) AS BIGINT) AS m
+        |  FROM cg LEFT JOIN rg ON cg.lang = rg.lang AND cg.doc_id = rg.doc_id
+        |    AND cg.n = rg.n AND cg.gram = rg.gram
+        |  GROUP BY cg.lang, cg.n),
+        |mp AS (
+        |  SELECT lang,
+        |    CAST(COALESCE(SUM(CASE WHEN n = 1 THEN m END), 0) AS BIGINT) AS m1,
+        |    CAST(COALESCE(SUM(CASE WHEN n = 2 THEN m END), 0) AS BIGINT) AS m2,
+        |    CAST(COALESCE(SUM(CASE WHEN n = 3 THEN m END), 0) AS BIGINT) AS m3,
+        |    CAST(COALESCE(SUM(CASE WHEN n = 4 THEN m END), 0) AS BIGINT) AS m4,
+        |    CAST(COALESCE(SUM(CASE WHEN n = 5 THEN m END), 0) AS BIGINT) AS m5,
+        |    CAST(COALESCE(SUM(CASE WHEN n = 6 THEN m END), 0) AS BIGINT) AS m6
+        |  FROM m GROUP BY lang),
+        |tot AS (
+        |  SELECT lang, COUNT(*) AS n_pairs,
+        |    CAST(SUM(len(cs)) AS BIGINT) AS cand_chars,
+        |    CAST(SUM(len(rs)) AS BIGINT) AS ref_chars,
+        |    CAST(SUM(greatest(len(cs), 0)) AS BIGINT) AS ct1,
+        |    CAST(SUM(greatest(len(cs) - 1, 0)) AS BIGINT) AS ct2,
+        |    CAST(SUM(greatest(len(cs) - 2, 0)) AS BIGINT) AS ct3,
+        |    CAST(SUM(greatest(len(cs) - 3, 0)) AS BIGINT) AS ct4,
+        |    CAST(SUM(greatest(len(cs) - 4, 0)) AS BIGINT) AS ct5,
+        |    CAST(SUM(greatest(len(cs) - 5, 0)) AS BIGINT) AS ct6,
+        |    CAST(SUM(greatest(len(rs), 0)) AS BIGINT) AS rt1,
+        |    CAST(SUM(greatest(len(rs) - 1, 0)) AS BIGINT) AS rt2,
+        |    CAST(SUM(greatest(len(rs) - 2, 0)) AS BIGINT) AS rt3,
+        |    CAST(SUM(greatest(len(rs) - 3, 0)) AS BIGINT) AS rt4,
+        |    CAST(SUM(greatest(len(rs) - 4, 0)) AS BIGINT) AS rt5,
+        |    CAST(SUM(greatest(len(rs) - 5, 0)) AS BIGINT) AS rt6
+        |  FROM base GROUP BY lang)
+        |SELECT t.lang, t.n_pairs, t.cand_chars, t.ref_chars,
+        |  COALESCE(m1, 0) AS m1, COALESCE(m2, 0) AS m2,
+        |  COALESCE(m3, 0) AS m3, COALESCE(m4, 0) AS m4,
+        |  COALESCE(m5, 0) AS m5, COALESCE(m6, 0) AS m6,
+        |  CAST(ROUND((
+        |      (CASE WHEN 4 * rt1 + ct1 > 0 THEN CAST(5 * COALESCE(m1, 0) AS DOUBLE)
+        |            / CAST(4 * rt1 + ct1 AS DOUBLE) ELSE 0.0 END)
+        |    + (CASE WHEN 4 * rt2 + ct2 > 0 THEN CAST(5 * COALESCE(m2, 0) AS DOUBLE)
+        |            / CAST(4 * rt2 + ct2 AS DOUBLE) ELSE 0.0 END)
+        |    + (CASE WHEN 4 * rt3 + ct3 > 0 THEN CAST(5 * COALESCE(m3, 0) AS DOUBLE)
+        |            / CAST(4 * rt3 + ct3 AS DOUBLE) ELSE 0.0 END)
+        |    + (CASE WHEN 4 * rt4 + ct4 > 0 THEN CAST(5 * COALESCE(m4, 0) AS DOUBLE)
+        |            / CAST(4 * rt4 + ct4 AS DOUBLE) ELSE 0.0 END)
+        |    + (CASE WHEN 4 * rt5 + ct5 > 0 THEN CAST(5 * COALESCE(m5, 0) AS DOUBLE)
+        |            / CAST(4 * rt5 + ct5 AS DOUBLE) ELSE 0.0 END)
+        |    + (CASE WHEN 4 * rt6 + ct6 > 0 THEN CAST(5 * COALESCE(m6, 0) AS DOUBLE)
+        |            / CAST(4 * rt6 + ct6 AS DOUBLE) ELSE 0.0 END)
+        |    ) / CAST(greatest(
+        |      (CASE WHEN 4 * rt1 + ct1 > 0 THEN 1 ELSE 0 END)
+        |      + (CASE WHEN 4 * rt2 + ct2 > 0 THEN 1 ELSE 0 END)
+        |      + (CASE WHEN 4 * rt3 + ct3 > 0 THEN 1 ELSE 0 END)
+        |      + (CASE WHEN 4 * rt4 + ct4 > 0 THEN 1 ELSE 0 END)
+        |      + (CASE WHEN 4 * rt5 + ct5 > 0 THEN 1 ELSE 0 END)
+        |      + (CASE WHEN 4 * rt6 + ct6 > 0 THEN 1 ELSE 0 END), 1) AS DOUBLE)
+        |    * 1000000.0) AS BIGINT) AS chrf_micro
+        |FROM tot t LEFT JOIN mp USING (lang)
+        |ORDER BY lang""".stripMargin
   )
 }

@@ -52,21 +52,30 @@ object EventStreams {
     * emits. Append mode emits each window exactly once ⇒ sink =
     * the batch aggregation of the full feed, bit-for-bit (decimal sums).
     *
-    * The driver-side collect is the FEED HARNESS, not the operator: a
+    * The driver-side feed is the FEED HARNESS, not the operator: a
     * deployment reads Kafka/files; correctness of the windowed state
-    * machine is what is being gated here. */
+    * machine is what is being gated here. The harness STREAMS rather
+    * than collects: `toLocalIterator` holds one ordered chunk in driver
+    * memory at a time (the global sort range-partitions the feed, so
+    * partition-ordered iteration IS event-time order) and the memory
+    * source trims batches as each micro-batch commits, so harness heap
+    * is O(chunk), not O(events) — the sf3+ rungs are bounded by the
+    * streaming path under test, not the driver. */
   def runEnrichedTumbling(events: DataFrame, dim: DataFrame,
       keyCol: String, payload: Seq[String], chunks: Int = 6): DataFrame = {
     val s = events.sparkSession
     import s.implicits._
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
-    val rows = events
+    val ordered = events
       .select(col("event_id"), unix_micros(col("ts")).as("tus"),
         col(keyCol), col("event_type"), col("value"))
       .orderBy(col("tus"), col("event_id"))
       .as[(Long, Long, Long, String, Double)]
-      .collect()
-    require(rows.nonEmpty, "runEnrichedTumbling: empty event feed")
+    val total = ordered.count()
+    require(total > 0, "runEnrichedTumbling: empty event feed")
+    // ≤ 2^20 rows per micro-batch regardless of `chunks` bounds the one
+    // chunk the driver does hold; a bigger feed just gets more batches.
+    val per = math.min(math.max(1L, (total + chunks - 1) / chunks), 1L << 20).toInt
     val mem = org.apache.spark.sql.execution.streaming.runtime
       .MemoryStream[(Long, Long, Long, String, Double)]
     val src = mem.toDF()
@@ -83,31 +92,39 @@ object EventStreams {
         col("event_type") +: payload.map(col)) :+
         col("n_events") :+ col("sum_value"): _*)
     val qname = s"graft_q269_sink_${java.util.UUID.randomUUID().toString.replace("-", "")}"
+    // Build the feed iterator (fixing its physical plan — the big sort
+    // runs at the session's full shuffle width) BEFORE narrowing
+    // shuffle.partitions for the tiny-state streaming plan below.
+    import scala.jdk.CollectionConverters._
+    val feed = ordered.toLocalIterator().asScala.grouped(per)
     // The windowed state is O(open windows × types) — dozens of keys, not
     // data — so 32 state-store partitions are pure per-batch overhead
     // (each micro-batch touches every store). 4 partitions cut the
     // measured run 10.7 → ~4 s at sf0.1 with identical results (exact
     // decimal sums are partitioning-invariant); a deployment sizes this
-    // to its real key cardinality. Restored after the run.
+    // to its real key cardinality. Restored in the outer finally, which
+    // guards everything after the save — including start() itself — so a
+    // failed launch can no longer leak the narrowed setting into the
+    // shared Bench/Verify session.
     val prevShuffle = s.conf.get("spark.sql.shuffle.partitions")
-    s.conf.set("spark.sql.shuffle.partitions", "4")
-    val q = agg.writeStream.format("memory").queryName(qname)
-      .outputMode("append").start()
     try {
-      val per = math.max(1, (rows.length + chunks - 1) / chunks)
-      rows.grouped(per).foreach { chunk =>
-        mem.addData(chunk.toIndexedSeq)
-        q.processAllAvailable() // one real micro-batch per chunk
-      }
-      // sentinel: 30 days past the last event — watermark lands 2h behind
-      // it, beyond every real window end; the no-data batch then emits
-      val maxTus = rows.last._2
-      mem.addData((-1L, maxTus + 30L * 86400000000L, -1L, "__sentinel", 0.0))
-      q.processAllAvailable()
-    } finally {
-      q.stop()
-      s.conf.set("spark.sql.shuffle.partitions", prevShuffle)
-    }
+      s.conf.set("spark.sql.shuffle.partitions", "4")
+      val q = agg.writeStream.format("memory").queryName(qname)
+        .outputMode("append").start()
+      try {
+        var lastTus = Long.MinValue
+        feed.foreach { chunk =>
+          lastTus = chunk.last._2
+          mem.addData(chunk)
+          q.processAllAvailable() // one real micro-batch per chunk
+        }
+        // sentinel: 30 days past the last event — watermark lands 2h
+        // behind it, beyond every real window end; the no-data batch
+        // then flushes them to the sink
+        mem.addData((-1L, lastTus + 30L * 86400000000L, -1L, "__sentinel", 0.0))
+        q.processAllAvailable()
+      } finally q.stop()
+    } finally s.conf.set("spark.sql.shuffle.partitions", prevShuffle)
     s.table(qname).filter(col("event_type") =!= "__sentinel")
   }
 

@@ -37,6 +37,77 @@ class GraftApiSpec extends AnyFunSuite {
     assert(capped.count() <= Graft.nearDupPairsExact(docs, "text", "doc_id").count())
   }
 
+  test("nearDupPairsExact shingles hook: matching artifact agrees, mismatched artifact fails loudly") {
+    val docs = spark.read.parquet(s"$sf0001/documents.parquet")
+    val inline = Graft.nearDupPairsExact(docs, "text", "doc_id")
+      .select("da", "db").collect().map(r => (r.getLong(0), r.getLong(1))).sorted
+    val good = Graft.shingleTable(docs, "text", "doc_id", 3)
+    val viaArtifact = Graft.nearDupPairsExact(docs, "text", "doc_id",
+        shingles = Some(good))
+      .select("da", "db").collect().map(r => (r.getLong(0), r.getLong(1))).sorted
+    assert(viaArtifact.toSeq === inline.toSeq)
+    // an artifact built with a DIFFERENT ngram used to produce silently
+    // wrong pair sets; the validation probe must reject it at call time
+    val wrongNgram = Graft.shingleTable(docs, "text", "doc_id", 4)
+    val e = intercept[IllegalArgumentException] {
+      Graft.nearDupPairsExact(docs, "text", "doc_id", shingles = Some(wrongNgram))
+    }
+    assert(e.getMessage.contains("disagrees"))
+  }
+
+  test("corpusBleu: clipping, BLEU+1 smoothing, and brevity penalty against hand math") {
+    val s = spark; import s.implicits._
+    // the classic clipping fixture: candidate is 7x 'the', reference has
+    // exactly two 'the' tokens — unclipped p1 would be 7/7
+    val df = Seq((1L, "g", "the the the the the the the", "the cat is on the mat"))
+      .toDF("id", "g", "cand", "ref")
+    val r = Graft.corpusBleu(df, "cand", "ref", "id", "g").collect()(0)
+    assert(r.getAs[Long]("m1") === 2L, "p1 must be CLIPPED to the ref count")
+    assert(r.getAs[Long]("t1") === 7L)
+    assert(r.getAs[Long]("m2") === 0L)
+    assert(r.getAs[Long]("bp_micro") === 1000000L, "cand longer than ref: BP = 1")
+    def q(x: Double): Long = math.round(math.log(x) * 1e9)
+    val expected = math.round(math.exp(
+      (q(2.0 / 7) + q(1.0 / 7) + q(1.0 / 6) + q(1.0 / 5)).toDouble / 4e9) * 1e6)
+    assert(r.getAs[Long]("bleu_micro") === expected)
+    // identical corpus scores exactly 1
+    val same = Seq((1L, "g", "a b c d e", "a b c d e")).toDF("id", "g", "cand", "ref")
+    val rs = Graft.corpusBleu(same, "cand", "ref", "id", "g").collect()(0)
+    assert(rs.getAs[Long]("bleu_micro") === 1000000L)
+    // short candidate pays the brevity penalty: cand 3 tokens, ref 5
+    val short = Seq((1L, "g", "a b c", "a b c d e")).toDF("id", "g", "cand", "ref")
+    val rp = Graft.corpusBleu(short, "cand", "ref", "id", "g").collect()(0)
+    assert(rp.getAs[Long]("bp_micro") ===
+      math.round(math.exp(1.0 - 5.0 / 3.0) * 1e6))
+    // zero unigram overlap reports 0 by convention (no ln(0) blowup)
+    val none = Seq((1L, "g", "x y z", "a b c")).toDF("id", "g", "cand", "ref")
+    assert(Graft.corpusBleu(none, "cand", "ref", "id", "g")
+      .collect()(0).getAs[Long]("bleu_micro") === 0L)
+  }
+
+  test("chrF: identity scores 1, disjoint scores 0, one-division F from hand math") {
+    val s = spark; import s.implicits._
+    val same = Seq((1L, "g", "ab cd", "ab cd")).toDF("id", "g", "cand", "ref")
+    assert(Graft.chrF(same, "cand", "ref", "id", "g")
+      .collect()(0).getAs[Long]("chrf_micro") === 1000000L)
+    val none = Seq((1L, "g", "xyzw", "abcd")).toDF("id", "g", "cand", "ref")
+    assert(Graft.chrF(none, "cand", "ref", "id", "g")
+      .collect()(0).getAs[Long]("chrf_micro") === 0L)
+    // hand case: cand 'abcd', ref 'abce' (whitespace already absent).
+    // per n: m1=3,ct1=rt1=4; m2=2 ('ab','bc'),ct2=rt2=3; m3=1,ct3=rt3=2;
+    // m4=0,ct4=rt4=1; n=5,6 -> denominators 0 -> F=0
+    val h = Seq((1L, "g", "abcd", "abce")).toDF("id", "g", "cand", "ref")
+    val r = Graft.chrF(h, "cand", "ref", "id", "g").collect()(0)
+    assert(r.getAs[Long]("m1") === 3L && r.getAs[Long]("m2") === 2L &&
+      r.getAs[Long]("m3") === 1L && r.getAs[Long]("m4") === 0L)
+    val f = Seq((3.0, 4L), (2.0, 3L), (1.0, 2L), (0.0, 1L))
+      .map { case (m, t) => 5.0 * m / (4L * t + t).toDouble }
+    // orders 5 and 6 have no grams on a 4-char corpus and are SKIPPED
+    // from the mean (identity must score 1), so the divisor is 4
+    val expected = math.round(f.sum / 4.0 * 1e6)
+    assert(r.getAs[Long]("chrf_micro") === expected)
+  }
+
   test("cosineTopK returns k ordered neighbors per query") {
     val emb = spark.read.parquet(s"$sf0001/embeddings.parquet")
     val out = Graft.cosineTopK(emb, emb.filter(col("vec_id") === 0), "embedding", "vec_id", 5)

@@ -292,6 +292,28 @@ class SourcesSpec extends AnyFunSuite {
     assert(GdalWrite.toBytes(small).nonEmpty)
   }
 
+  test("toBytes runtime cap counts encoded UTF-8 bytes, not UTF-16 chars") {
+    // 400 3-byte chars per row: the result sits well under its own CHAR
+    // count × 3 in bytes-per-char terms — a char-based cap would admit a
+    // buffer ~3× the requested byte budget before getBytes materialized
+    // it. The cap must fire on the encoded byte count exactly.
+    val multi = spark.read.format("geojson")
+      .load(s"$fixtures/us_states.feature_collection.implicit_4326.json")
+      .limit(1).select(col("name"), col("geometry"))
+      .withColumn("pad", lit("€" * 400))
+    val bytes = GdalWrite.toBytes(multi)
+    val chars = new String(bytes, java.nio.charset.StandardCharsets.UTF_8).length
+    assert(bytes.length > chars + 700, "fixture must be multibyte-heavy")
+    // char count is under this cap, byte count is over it: only a
+    // byte-exact cap rejects
+    intercept[graft.sources.GraftError.DriverBytesTooLarge] {
+      GdalWrite.toBytes(multi, options = Map("maxBytes" -> chars.toString))
+    }
+    // and the exact byte count itself is admitted (no over-count)
+    assert(GdalWrite.toBytes(multi,
+      options = Map("maxBytes" -> bytes.length.toString)).length === bytes.length)
+  }
+
   test("toBytes does not spuriously reject aggregates whose size estimate inherits the child's") {
     // size-only stats give an Aggregate its CHILD's sizeInBytes — ~2 GiB
     // here for a 1-row result. The plan gate must treat that shape as

@@ -544,8 +544,11 @@ class StreamingSpec extends AnyFunSuite {
     val ev = graft.operators.Util.t(s, dir, "events")
     val dim = graft.operators.Util.t(s, dir, "customer")
       .select($"c_custkey".as("user_id"), $"c_mktsegment".as("segment"))
+    val prevShuffle = s.conf.get("spark.sql.shuffle.partitions")
     val sink = EventStreams.runEnrichedTumbling(ev, dim, "user_id", Seq("segment"))
       .orderBy("window_start", "event_type", "segment").collect()
+    assert(s.conf.get("spark.sql.shuffle.partitions") === prevShuffle,
+      "the harness must restore the session's shuffle partitioning")
     val batch = ev.join(broadcast(dim), Seq("user_id"), "left")
       .groupBy(window($"ts", "1 hour"), $"event_type", $"segment")
       .agg(count(lit(1)).as("n_events"),
