@@ -68,6 +68,20 @@ object Events {
         .orderBy($"window_start", $"event_type", $"segment")
     }),
 
+    // ---- q273: the SECOND continuous-run streaming oracle — the
+    // stream-stream interval join through the REAL micro-batch runtime
+    // (q269 proves windowed-aggregate state; this proves symmetric JOIN
+    // state): MemoryStream feed in event-time-ordered chunks → click and
+    // purchase branches self-joined with 2h watermarks + the 1h bound →
+    // append sink, hash-checked against q50's plain batch interval
+    // join. Inner joins emit eagerly, so the completed sink must equal
+    // the batch answer with no flush sentinel. ----
+    "q273_stream_join_run" -> ((s, dir) => {
+      import s.implicits._
+      graft.streaming.EventStreams.runPurchaseAttribution(t(s, dir, "events"))
+        .orderBy($"purchase_id", $"click_id")
+    }),
+
     // ---- q49: batch twin of the watermarked stream dedup (T3): semantic
     // dedup on (user, type, minute) keeping the smallest event_id — the
     // deterministic batch statement of "duplicates within the horizon are
@@ -529,6 +543,16 @@ object Events {
         | CAST(SUM(CAST(e.value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
         |FROM events e LEFT JOIN customer c ON e.user_id = c.c_custkey
         |GROUP BY 1, 2, 3 ORDER BY window_start, event_type, segment""".stripMargin,
+
+    // continuous-run stream-stream join twin: the sink of the real
+    // micro-batch execution must equal q50's batch interval join exactly
+    "q273_stream_join_run" ->
+      """SELECT p.event_id AS purchase_id, c.event_id AS click_id, p.user_id,
+        | epoch_us(p.ts) AS p_us, epoch_us(c.ts) AS c_us, p.value
+        |FROM events p JOIN events c ON p.user_id = c.user_id
+        |WHERE p.event_type = 'purchase' AND c.event_type = 'click'
+        |  AND c.ts >= p.ts - INTERVAL 1 HOUR AND c.ts < p.ts
+        |ORDER BY purchase_id, click_id""".stripMargin,
 
     "q49_event_dedup_twin" ->
       """SELECT MIN(event_id) AS keep_id, user_id, event_type,

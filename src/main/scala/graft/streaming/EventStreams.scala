@@ -189,6 +189,59 @@ object EventStreams {
         col("p_ts"), col("c_ts"), col("value"))
   }
 
+  /** Run the stream-stream interval join ([[purchaseAttribution]]) END
+    * TO END through real micro-batch execution — the q273 continuous-run
+    * oracle, the JOIN-STATE sibling of q269's windowed-aggregate state:
+    * one MemoryStream source → self-join of the click and purchase
+    * branches (2 h watermarks, 1 h interval bound) → append-mode memory
+    * sink. A stream-stream INNER join emits a pair in the first
+    * micro-batch where both sides are present (the watermark only EVICTS
+    * state, it gates nothing), and the event-time-ordered feed plus the
+    * 2 h delay > 1 h bound mean no click's state is evicted while a
+    * qualifying purchase can still arrive — so the completed sink equals
+    * the batch interval join (q50's DuckDB oracle) row for row, with no
+    * flush sentinel needed. Feed harness protocol is q269's: streamed
+    * `toLocalIterator` chunks, shuffle narrowing restored in the outer
+    * finally. */
+  def runPurchaseAttribution(events: DataFrame, chunks: Int = 6): DataFrame = {
+    val s = events.sparkSession
+    import s.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+    val ordered = events
+      .select(col("event_id"), unix_micros(col("ts")).as("tus"),
+        col("user_id"), col("event_type"), col("value"))
+      .orderBy(col("tus"), col("event_id"))
+      .as[(Long, Long, Long, String, Double)]
+    val total = ordered.count()
+    require(total > 0, "runPurchaseAttribution: empty event feed")
+    val per = math.min(math.max(1L, (total + chunks - 1) / chunks), 1L << 20).toInt
+    val mem = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[(Long, Long, Long, String, Double)]
+    val src = mem.toDF()
+      .toDF("event_id", "tus", "user_id", "event_type", "value")
+      .withColumn("ts", timestamp_micros(col("tus")))
+    val joined = purchaseAttribution(src)
+    val qname = s"graft_q273_sink_${java.util.UUID.randomUUID().toString.replace("-", "")}"
+    import scala.jdk.CollectionConverters._
+    val feed = ordered.toLocalIterator().asScala.grouped(per)
+    val prevShuffle = s.conf.get("spark.sql.shuffle.partitions")
+    try {
+      s.conf.set("spark.sql.shuffle.partitions", "4")
+      val q = joined.writeStream.format("memory").queryName(qname)
+        .outputMode("append").start()
+      try {
+        feed.foreach { chunk =>
+          mem.addData(chunk)
+          q.processAllAvailable() // one real micro-batch per chunk
+        }
+      } finally q.stop()
+    } finally s.conf.set("spark.sql.shuffle.partitions", prevShuffle)
+    s.table(qname).select(col("purchase_id"), col("click_id"),
+      col("user_id"),
+      unix_micros(col("p_ts")).as("p_us"), unix_micros(col("c_ts")).as("c_us"),
+      col("value"))
+  }
+
   /** Stream-stream LEFT OUTER interval join — purchaseAttribution's
     * completion: purchases WITHOUT a preceding click must still emit (a
     * NULL click row) once the watermark proves no match can arrive. The

@@ -560,4 +560,26 @@ class StreamingSpec extends AnyFunSuite {
     assert(sink.toSeq === batch.toSeq,
       "append-mode streaming sink must equal the batch aggregation bit-for-bit")
   }
+
+  test("runPurchaseAttribution sink equals the batch interval join of the same feed (q273)") {
+    val s = spark
+    import s.implicits._
+    val ev = graft.operators.Util.t(s, TestSpark.sf0001, "events")
+    val prevShuffle = s.conf.get("spark.sql.shuffle.partitions")
+    val sink = EventStreams.runPurchaseAttribution(ev)
+      .orderBy("purchase_id", "click_id").collect()
+    assert(s.conf.get("spark.sql.shuffle.partitions") === prevShuffle)
+    val clicks = ev.filter($"event_type" === "click")
+      .select($"user_id", $"ts".as("c_ts"), $"event_id".as("click_id"))
+    val batch = ev.filter($"event_type" === "purchase")
+      .select($"user_id", $"ts".as("p_ts"), $"event_id".as("purchase_id"), $"value")
+      .join(clicks, Seq("user_id"))
+      .filter($"c_ts" >= $"p_ts" - expr("INTERVAL 1 HOUR") && $"c_ts" < $"p_ts")
+      .select($"purchase_id", $"click_id", $"user_id",
+        unix_micros($"p_ts").as("p_us"), unix_micros($"c_ts").as("c_us"), $"value")
+      .orderBy("purchase_id", "click_id").collect()
+    assert(sink.nonEmpty)
+    assert(sink.toSeq === batch.toSeq,
+      "stream-stream inner join sink must equal the batch interval join row for row")
+  }
 }
