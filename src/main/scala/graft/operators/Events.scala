@@ -82,6 +82,20 @@ object Events {
         .orderBy($"purchase_id", $"click_id")
     }),
 
+    // ---- q274: the THIRD continuous-run streaming oracle — ARBITRARY
+    // state through the REAL micro-batch runtime (q269 proves windowed
+    // aggregates, q273 join state; this proves flatMapGroupsWithState +
+    // event-time timeout, the state type the other two can't express):
+    // per-user open-session lists, interval-merged on arrival, flushed
+    // by watermark timeouts, sentinel-drained. The completed sink must
+    // equal the batch gaps-and-islands sessionization (q22's
+    // per-session form) row for row. ----
+    "q274_stream_session_run" -> ((s, dir) => {
+      import s.implicits._
+      graft.streaming.EventStreams.runSessions(t(s, dir, "events"))
+        .orderBy($"user_id", $"start_us")
+    }),
+
     // ---- q49: batch twin of the watermarked stream dedup (T3): semantic
     // dedup on (user, type, minute) keeping the smallest event_id — the
     // deterministic batch statement of "duplicates within the horizon are
@@ -553,6 +567,26 @@ object Events {
         |WHERE p.event_type = 'purchase' AND c.event_type = 'click'
         |  AND c.ts >= p.ts - INTERVAL 1 HOUR AND c.ts < p.ts
         |ORDER BY purchase_id, click_id""".stripMargin,
+
+    // continuous-run stateful-session twin: the flushed sink of the
+    // flatMapGroupsWithState run must equal the batch gaps-and-islands
+    // sessionization (q22's boundary rule, per-session rows)
+    "q274_stream_session_run" ->
+      """WITH x AS (
+        | SELECT user_id, event_id, epoch_us(ts) AS us,
+        |  lag(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+        |    AS prev_us
+        | FROM events),
+        |g AS (
+        | SELECT user_id, us, event_id,
+        |  SUM(CASE WHEN prev_us IS NULL OR us - prev_us > 1800000000
+        |      THEN 1 ELSE 0 END)
+        |    OVER (PARTITION BY user_id ORDER BY us, event_id
+        |          ROWS UNBOUNDED PRECEDING) AS sess
+        | FROM x)
+        |SELECT user_id, MIN(us) AS start_us, MAX(us) AS end_us,
+        | COUNT(*) AS n_events
+        |FROM g GROUP BY user_id, sess ORDER BY user_id, start_us""".stripMargin,
 
     "q49_event_dedup_twin" ->
       """SELECT MIN(event_id) AS keep_id, user_id, event_type,

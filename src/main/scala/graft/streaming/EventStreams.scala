@@ -319,41 +319,114 @@ object EventStreams {
 
   /** Session summaries via flatMapGroupsWithState + EVENT-TIME TIMEOUT —
     * the state-TTL pattern [[runningTotals]]' NoTimeout form doesn't
-    * cover: an open per-user session extends while events keep arriving
-    * within the 30-minute gap, and the COMPLETED summary row is emitted
-    * only when the WATERMARK passes session_end + gap (state removed, so
-    * idle users cost nothing). Late events inside the watermark extend
-    * the still-open session; Spark's native `session_window` (q22) is
-    * the declarative form — this is the arbitrary-state twin for session
-    * payloads an aggregate can't express. */
-  def timedOutSessions(events: DataFrame): DataFrame = {
+    * cover. Per-user state is the list of OPEN sessions (interval-merged
+    * on every arrival, so late events inside the watermark can bridge
+    * two provisional sessions — the merge Spark's native `session_window`
+    * does internally); a COMPLETED summary row is emitted only once the
+    * WATERMARK passes session_end + gap, at which point no in-watermark
+    * event can extend or bridge it (state removed, so idle users cost
+    * nothing). Gap semantics match batch q22 exactly: an event extends a
+    * session when its distance to the session boundary is ≤ gap, a NEW
+    * session starts only on a STRICTLY greater gap — so the completed
+    * run over any chunking of the feed equals the batch gaps-and-islands
+    * answer row for row (the q274 continuous-run oracle gates this).
+    * Emission order within a flush is by session start; output bounds
+    * are unix micros (exact longs, no tz round trip). */
+  def timedOutSessions(events: DataFrame, gapMinutes: Int = 30): DataFrame = {
     import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
     val spark = events.sparkSession
     import spark.implicits._
-    val gapMs = 30L * 60 * 1000
+    val gapUs = gapMinutes * 60L * 1000000L
+    // state: open sessions as (startUs, endUs, nEvents), kept sorted by start
+    type Sess = List[(Long, Long, Long)]
+    def mergeSorted(xs: List[(Long, Long, Long)]): Sess =
+      xs.foldLeft(List.empty[(Long, Long, Long)]) {
+        case ((a, b, n) :: acc, (c, d, m)) if c - b <= gapUs =>
+          (a, math.max(b, d), n + m) :: acc
+        case (acc, s) => s :: acc
+      }.reverse
+    def flush(user: Long, st: GroupState[Sess], sessions: Sess)
+        : Iterator[(Long, Long, Long, Long)] = {
+      val wmUs = st.getCurrentWatermarkMs() * 1000L
+      val (closed, open) = sessions.partition { case (_, e, _) => e + gapUs < wmUs }
+      if (open.isEmpty) st.remove()
+      else {
+        st.update(open)
+        val nextMs = open.map { case (_, e, _) => (e + gapUs) / 1000L + 1L }.min
+        st.setTimeoutTimestamp(math.max(nextMs, st.getCurrentWatermarkMs() + 1L))
+      }
+      closed.iterator.map { case (a, b, n) => (user, a, b, n) }
+    }
+    // `ts` stays in the projection: event-time timeout requires the
+    // watermark column to survive to the stateful operator
     events.withWatermark("ts", "2 hours")
-      .selectExpr("user_id", "ts")
-      .as[(Long, java.sql.Timestamp)]
+      .selectExpr("user_id", "unix_micros(ts) as tus", "ts")
+      .as[(Long, Long, java.sql.Timestamp)]
       .groupByKey(_._1)
-      .flatMapGroupsWithState[(Long, Long, Long), (Long, java.sql.Timestamp, java.sql.Timestamp, Long)](
+      .flatMapGroupsWithState[List[(Long, Long, Long)], (Long, Long, Long, Long)](
         OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
-        case (user, rows, state: GroupState[(Long, Long, Long)]) =>
-          if (state.hasTimedOut) {
-            val (s0, s1, n) = state.get
-            state.remove()
-            Iterator((user, new java.sql.Timestamp(s0), new java.sql.Timestamp(s1), n))
-          } else {
-            val ts = rows.map(_._2.getTime).toArray.sorted
-            val (s0, s1, n) = state.getOption match {
-              case Some((a, b, k)) => (math.min(a, ts.min), math.max(b, ts.max), k + ts.length)
-              case None => (ts.min, ts.max, ts.length.toLong)
-            }
-            state.update((s0, s1, n))
-            state.setTimeoutTimestamp(s1 + gapMs)
-            Iterator.empty
+        (user: Long, rows: Iterator[(Long, Long, java.sql.Timestamp)],
+            state: GroupState[List[(Long, Long, Long)]]) =>
+          if (state.hasTimedOut) flush(user, state, state.get)
+          else {
+            val pts = rows.map(r => (r._2, r._2, 1L)).toList
+            val all = (state.getOption.getOrElse(Nil) ++ pts).sortBy(s => (s._1, s._2))
+            flush(user, state, mergeSorted(all))
           }
       }
-      .toDF("user_id", "session_start", "session_end", "n_events")
+      .toDF("user_id", "start_us", "end_us", "n_events")
+  }
+
+  /** Run [[timedOutSessions]] END TO END through real micro-batch
+    * execution — the q274 continuous-run oracle, the ARBITRARY-STATE
+    * sibling of q269 (windowed-aggregate state) and q273 (symmetric join
+    * state): MemoryStream feed in event-time-ordered chunks →
+    * flatMapGroupsWithState session list with event-time timeouts →
+    * append sink; one far-future sentinel event advances the watermark
+    * past every real session_end + gap so the final no-data batch times
+    * out and flushes every open session. The completed sink then equals
+    * the batch gaps-and-islands sessionization of the full feed (q22's
+    * per-session form) row for row. Feed harness protocol is q269's:
+    * streamed `toLocalIterator` chunks, shuffle narrowing restored in
+    * the outer finally; the sentinel user (-1) never satisfies its own
+    * timeout and is filtered from the sink. */
+  def runSessions(events: DataFrame, chunks: Int = 6): DataFrame = {
+    val s = events.sparkSession
+    import s.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+    val ordered = events
+      .select(col("event_id"), unix_micros(col("ts")).as("tus"), col("user_id"))
+      .orderBy(col("tus"), col("event_id"))
+      .as[(Long, Long, Long)]
+    val total = ordered.count()
+    require(total > 0, "runSessions: empty event feed")
+    val per = math.min(math.max(1L, (total + chunks - 1) / chunks), 1L << 20).toInt
+    val mem = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[(Long, Long, Long)]
+    val src = mem.toDF()
+      .toDF("event_id", "tus", "user_id")
+      .withColumn("ts", timestamp_micros(col("tus")))
+    val out = timedOutSessions(src)
+    val qname = s"graft_q274_sink_${java.util.UUID.randomUUID().toString.replace("-", "")}"
+    import scala.jdk.CollectionConverters._
+    val feed = ordered.toLocalIterator().asScala.grouped(per)
+    val prevShuffle = s.conf.get("spark.sql.shuffle.partitions")
+    try {
+      s.conf.set("spark.sql.shuffle.partitions", "4")
+      val q = out.writeStream.format("memory").queryName(qname)
+        .outputMode("append").start()
+      try {
+        var lastTus = Long.MinValue
+        feed.foreach { chunk =>
+          lastTus = chunk.last._2
+          mem.addData(chunk)
+          q.processAllAvailable()
+        }
+        mem.addData((-1L, lastTus + 30L * 86400000000L, -1L))
+        q.processAllAvailable()
+      } finally q.stop()
+    } finally s.conf.set("spark.sql.shuffle.partitions", prevShuffle)
+    s.table(qname).filter(col("user_id") >= 0L)
   }
 
   /** Online CUSUM drift alarms per user — the streaming deployment of

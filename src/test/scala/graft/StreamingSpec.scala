@@ -190,6 +190,40 @@ class StreamingSpec extends AnyFunSuite {
     assert(rows.head.getLong(1) === 3L)
   }
 
+  test("event-time-timeout sessions split on in-batch gaps and merge on bridges") {
+    val s = spark
+    import s.implicits._
+    implicit val sc = s.sqlContext
+    val mem = MemoryStream[Ev]
+    val q = EventStreams.timedOutSessions(mem.toDF)
+      .writeStream.format("memory").queryName("gap_sessions")
+      .outputMode("append").start()
+    // one batch holding TWO sessions for user 1 (gap 40 min > 30) plus a
+    // provisional split for user 2 that a later in-watermark event bridges
+    mem.addData(
+      Ev(1, ts(0), 1, "click", 0.0), Ev(2, ts(10), 1, "view", 0.0),
+      Ev(3, ts(50), 1, "view", 0.0),
+      Ev(4, ts(0), 2, "view", 0.0), Ev(5, ts(40), 2, "view", 0.0))
+    q.processAllAvailable()
+    // bridge: ts(20) is within 30 min of both user-2 islands -> ONE session
+    mem.addData(Ev(6, ts(20), 2, "view", 0.0))
+    q.processAllAvailable()
+    // sentinel advances the watermark past every end + gap
+    mem.addData(Ev(99, ts(60 * 48), 9, "view", 0.0))
+    q.processAllAvailable()
+    mem.addData(Ev(100, ts(60 * 49), 9, "view", 0.0))
+    q.processAllAvailable()
+    q.stop()
+    val rows = s.sql(
+      "SELECT user_id, start_us, end_us, n_events FROM gap_sessions " +
+        "WHERE user_id < 9 ORDER BY user_id, start_us")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    def us(minute: Int): Long = ts(minute).getTime * 1000L
+    assert(rows.toSeq === Seq(
+      (1L, us(0), us(10), 2L), (1L, us(50), us(50), 1L),
+      (2L, us(0), us(40), 3L)))
+  }
+
   test("stateful running totals via mapGroupsWithState") {
     val s = spark
     import s.implicits._
