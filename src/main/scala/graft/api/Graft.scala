@@ -5934,6 +5934,66 @@ object Graft {
           lit(1.0e6)).cast(LongType).as("chrf_micro"): _*)
   }
 
+  /** Corpus-level ROUGE-N (Lin, ACL 2004 — the RECALL-oriented overlap
+    * family; [[corpusBleu]] is precision-oriented, so a summarization /
+    * distillation pipeline gates on both): per-pair CLIPPED word n-gram
+    * matches micro-averaged per group, reported as precision, recall,
+    * and F1 per order n ≤ maxN. Same scale shape as corpusBleu (one
+    * explode → pair-keyed counts → one LEFT join → one group agg), and
+    * chrF's exactness collapse: every score is a SINGLE division over
+    * exact integer match/total counts — P = m/cand_n, R = m/ref_n,
+    * F1 = 2m/(cand_n + ref_n) — bit-identical on any engine with no
+    * quantization machinery; zero denominators report 0 by convention. */
+  def rougeN(df: DataFrame, candCol: String, refCol: String,
+      idCol: String, groupCol: String, maxN: Int = 2): DataFrame = {
+    require(maxN >= 1 && maxN <= 4, "rougeN: maxN must be in [1, 4]")
+    def toks(c: Column): Column = split(trim(c), " ")
+    val base = df.select(col(groupCol).as("__g"), col(idCol).as("__id"),
+      toks(col(candCol)).as("__ct"), toks(col(refCol)).as("__rt"))
+    def grams(arr: Column, n: Int): Column =
+      transform(
+        slice(sequence(lit(1), size(arr)), lit(1),
+          greatest(size(arr) - lit(n - 1), lit(0))),
+        i => struct(lit(n).as("n"),
+          concat_ws(" ", slice(arr, i, lit(n))).as("gram")))
+    def gramCounts(arrCol: String, cnt: String): DataFrame =
+      base.select(col("__g"), col("__id"),
+          explode(flatten(array((1 to maxN).map(n => grams(col(arrCol), n)): _*)))
+            .as("__t"))
+        .select(col("__g"), col("__id"), col("__t.n").as("__n"),
+          col("__t.gram").as("__gram"))
+        .groupBy(col("__g"), col("__id"), col("__n"), col("__gram"))
+        .agg(count(lit(1)).as(cnt))
+    val mAggs = (1 to maxN).map(n =>
+      sum(when(col("__n") === n,
+        least(col("__c"), coalesce(col("__r"), lit(0L)))).otherwise(lit(0L)))
+        .as(s"m$n"))
+    val matches = gramCounts("__ct", "__c")
+      .join(gramCounts("__rt", "__r"), Seq("__g", "__id", "__n", "__gram"), "left")
+      .groupBy(col("__g"))
+      .agg(mAggs.head, mAggs.tail: _*)
+    val tAggs = count(lit(1)).as("n_pairs") +:
+      ((1 to maxN).map(n =>
+        sum(greatest(size(col("__ct")) - lit(n - 1), lit(0)).cast(LongType))
+          .as(s"ct$n")) ++
+        (1 to maxN).map(n =>
+          sum(greatest(size(col("__rt")) - lit(n - 1), lit(0)).cast(LongType))
+            .as(s"rt$n")))
+    val totals = base.groupBy(col("__g")).agg(tAggs.head, tAggs.tail: _*)
+    def m(n: Int): Column = coalesce(col(s"m$n"), lit(0L))
+    def ratio(num: Column, den: Column): Column =
+      when(den > 0L, num.cast(DoubleType) / den.cast(DoubleType))
+        .otherwise(lit(0.0))
+    totals.join(matches, Seq("__g"), "left")
+      .select(col("__g").as(groupCol) +: col("n_pairs") +:
+        (1 to maxN).flatMap(n => Seq(
+          m(n).as(s"m$n"), col(s"ct$n"), col(s"rt$n"),
+          ratio(m(n), col(s"ct$n")).as(s"rouge${n}_p"),
+          ratio(m(n), col(s"rt$n")).as(s"rouge${n}_r"),
+          ratio(lit(2L) * m(n), col(s"ct$n") + col(s"rt$n"))
+            .as(s"rouge${n}_f"))): _*)
+  }
+
   /** Mann–Whitney U (Wilcoxon rank-sum) two-sample test — the
     * distribution-free "did segment A shift relative to segment B?"
     * check that pairs with [[spearmanCorr]] in the nonparametric
@@ -7118,6 +7178,16 @@ object Graft {
     val f = features.select(col("id"), col("dim").cast(LongType).as("dim"),
       col("x").cast(LongType).as("x")).localCheckpoint()
     val yDf = labels.select(col("id"), col("y").cast(LongType).as("y"))
+    logisticTrainQ(f, yDf, rounds, etaMilli).select(col("dim"),
+      (col("wq").cast(DoubleType) / lit(1.0e9)).as("weight"))
+  }
+
+  /** The quantized GD loop shared by [[logisticTrainHashed]] and
+    * [[el2nPruneReport]]: takes ALREADY-normalized (id, dim, x long)
+    * features and (id, y long) labels, returns (dim, wq) with weights
+    * as nano-quantized longs. */
+  private def logisticTrainQ(f: DataFrame, yDf: DataFrame,
+      rounds: Int, etaMilli: Long): DataFrame = {
     val nDf = yDf.agg(count(lit(1)).as("__N"))
     var w = f.select(col("dim")).distinct()
       .withColumn("wq", lit(0L)).localCheckpoint()
@@ -7141,8 +7211,55 @@ object Graft {
         .localCheckpoint()
       r += 1
     }
-    w.select(col("dim"),
-      (col("wq").cast(DoubleType) / lit(1.0e9)).as("weight"))
+    w
+  }
+
+  /** EL2N data-pruning report (q276) — the "easy examples teach
+    * nothing" curation pass (Paul et al. 2021; Sorscher et al. 2022
+    * use exactly this score to beat power-law scaling): train the
+    * [[logisticTrainHashed]] quality classifier, score every example's
+    * error norm |p − y| (for a binary logistic model the EL2N margin),
+    * decile-rank the corpus by it, and report per-decile volume + mean
+    * score with the prune/keep decision for the lowest `pruneDeciles`
+    * deciles. The model pass is the q253 loop verbatim (broadcast
+    * weight vector, two keyed aggregates per round); scoring adds ONE
+    * more broadcast join + aggregate; the decile cut is the two-phase
+    * parallel order statistic (globalRank), never a one-partition
+    * window — so the whole report is corpus-shaped work at any scale.
+    *
+    * Exactness: scores are micro-quantized longs (|round((p−y)·10⁶)|),
+    * rank ties break on id, per-decile means are long sums with a
+    * single division chain — the full report hash-replays in the
+    * unrolled-CTE oracle. */
+  def el2nPruneReport(features: DataFrame, labels: DataFrame,
+      rounds: Int = 3, etaMilli: Long = 500, deciles: Int = 10,
+      pruneDeciles: Int = 2): DataFrame = {
+    require(deciles >= 2, s"el2nPruneReport needs deciles >= 2, got $deciles")
+    require(pruneDeciles >= 0 && pruneDeciles < deciles,
+      s"el2nPruneReport needs 0 <= pruneDeciles < deciles")
+    val f = features.select(col("id"), col("dim").cast(LongType).as("dim"),
+      col("x").cast(LongType).as("x")).localCheckpoint()
+    val yDf = labels.select(col("id"), col("y").cast(LongType).as("y"))
+    val w = logisticTrainQ(f, yDf, rounds, etaMilli)
+    val scored = f.join(broadcast(w), Seq("dim"))
+      .groupBy(col("id"))
+      .agg(sum(col("wq") * col("x")).as("zq"))
+      .join(yDf, Seq("id"))
+      .withColumn("elq", abs(round((lit(1.0) / (lit(1.0) +
+        exp(-(col("zq").cast(DoubleType) / lit(1.0e9)))) -
+        col("y").cast(DoubleType)) * lit(1.0e6)).cast(LongType)))
+      .select(col("id"), col("elq"))
+    val nDf = scored.agg(count(lit(1)).as("__n"))
+    globalRank(scored, Seq("elq", "id"), "grank")
+      .crossJoin(broadcast(nDf))
+      .withColumn("decile", expr(s"((grank - 1) * $deciles) div __n"))
+      .groupBy(col("decile"))
+      .agg(count(lit(1)).as("n_docs"),
+        (sum(col("elq")).cast(DoubleType) /
+          count(lit(1)).cast(DoubleType) / lit(1.0e6)).as("mean_el2n"))
+      .withColumn("action",
+        when(col("decile") < pruneDeciles, lit("prune")).otherwise(lit("keep")))
+      .orderBy(col("decile"))
   }
 
   /** Inverse-propensity-weighted ATE (q254) — [[stratifiedAte]]'s

@@ -70,6 +70,51 @@ object Clustering {
   }
 
   val queries: Map[String, Q] = Map(
+    // ---- q277: Fréchet embedding distance, diagonal-covariance form —
+    // the FID-style distribution-shift gate between two embedding
+    // populations (is the synthetic/new-source slice distributionally
+    // close to the reference corpus?): fit a diagonal Gaussian to each
+    // side (here the label-parity split), then
+    // FD² = Σᵢ (μ₁ᵢ−μ₂ᵢ)² + (σ₁ᵢ−σ₂ᵢ)² — the closed form the full
+    // Fréchet formula collapses to when covariances commute. One
+    // posexplode + one 2×d-cell conditional aggregate (map-side
+    // partials), side counts ride as a 1-row broadcast; per-dim terms
+    // are nano-quantized longs before the cross-dim sum, every double
+    // chain is the q123 fixed-order discipline (explicit d·d multiply,
+    // never pow). Population σ² (ddof=0), documented. ----
+    "q277_frechet_embed" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val e = emb.select((col("label") % 2).as("side"),
+          posexplode(col("embedding")).as(Seq("i0", "x")))
+        .select(col("side"), (col("i0") + 1).cast(LongType).as("i"),
+          round(col("x").cast(DoubleType) * lit(1.0e6)).cast(LongType).as("xq"))
+      val nn = emb.agg(
+        sum((col("label") % 2 === 0).cast(LongType)).as("n0"),
+        sum((col("label") % 2 === 1).cast(LongType)).as("n1"))
+      val st = e.groupBy(col("i")).agg(
+        sum(when(col("side") === 0, col("xq"))).as("s0"),
+        sum(when(col("side") === 0, col("xq") * col("xq"))).as("q0"),
+        sum(when(col("side") === 1, col("xq"))).as("s1"),
+        sum(when(col("side") === 1, col("xq") * col("xq"))).as("q1"))
+      val mu0 = col("s0").cast(DoubleType) / lit(1.0e6) / col("n0").cast(DoubleType)
+      val mu1 = col("s1").cast(DoubleType) / lit(1.0e6) / col("n1").cast(DoubleType)
+      val v0 = col("q0").cast(DoubleType) / lit(1.0e12) / col("n0").cast(DoubleType) -
+        col("mu0") * col("mu0")
+      val v1 = col("q1").cast(DoubleType) / lit(1.0e12) / col("n1").cast(DoubleType) -
+        col("mu1") * col("mu1")
+      st.crossJoin(broadcast(nn))
+        .withColumn("mu0", mu0).withColumn("mu1", mu1)
+        .withColumn("sg0", sqrt(greatest(v0, lit(0.0))))
+        .withColumn("sg1", sqrt(greatest(v1, lit(0.0))))
+        .withColumn("termq", round(
+          ((col("mu0") - col("mu1")) * (col("mu0") - col("mu1")) +
+           (col("sg0") - col("sg1")) * (col("sg0") - col("sg1"))) * lit(1.0e9))
+          .cast(LongType))
+        .groupBy(col("n0"), col("n1"))
+        .agg(count(lit(1)).as("n_dims"),
+          (sum(col("termq")).cast(DoubleType) / lit(1.0e9)).as("fd2"))
+    }),
+
     // ---- q233: centroid-disagreement label-noise audit — confident-
     // learning-lite: every embedding is assigned to its nearest label
     // centroid by cosine; rows whose own label loses the argmax are
@@ -388,6 +433,48 @@ object Clustering {
   }
 
   val oracle: Map[String, String] = Map(
+    // Fréchet twin: identical micro-quantized element sums (CAST BIGINT
+    // defeats DuckDB's HUGEINT), the same fixed double chains (explicit
+    // d·d multiplies), nano-quantized per-dim terms before the sum
+    "q277_frechet_embed" ->
+      """WITH nn AS (
+        |  SELECT CAST(COUNT(*) FILTER (WHERE label % 2 = 0) AS BIGINT) AS n0,
+        |         CAST(COUNT(*) FILTER (WHERE label % 2 = 1) AS BIGINT) AS n1
+        |  FROM embeddings),
+        |e AS (
+        |  SELECT label % 2 AS side, i,
+        |    CAST(ROUND(CAST(embedding[i] AS DOUBLE) * 1000000.0) AS BIGINT) AS xq
+        |  FROM (SELECT label, embedding,
+        |          unnest(generate_series(1, len(embedding))) AS i
+        |        FROM embeddings)),
+        |st AS (
+        |  SELECT i,
+        |    CAST(SUM(xq) FILTER (WHERE side = 0) AS BIGINT) AS s0,
+        |    CAST(SUM(xq * xq) FILTER (WHERE side = 0) AS BIGINT) AS q0,
+        |    CAST(SUM(xq) FILTER (WHERE side = 1) AS BIGINT) AS s1,
+        |    CAST(SUM(xq * xq) FILTER (WHERE side = 1) AS BIGINT) AS q1
+        |  FROM e GROUP BY i),
+        |t2 AS (
+        |  SELECT st.*, nn.n0, nn.n1,
+        |    CAST(st.s0 AS DOUBLE) / 1000000.0 / CAST(nn.n0 AS DOUBLE) AS mu0,
+        |    CAST(st.s1 AS DOUBLE) / 1000000.0 / CAST(nn.n1 AS DOUBLE) AS mu1
+        |  FROM st CROSS JOIN nn),
+        |t3 AS (
+        |  SELECT n0, n1, mu0, mu1,
+        |    sqrt(greatest(CAST(q0 AS DOUBLE) / 1000000000000.0
+        |      / CAST(n0 AS DOUBLE) - mu0 * mu0, 0.0)) AS sg0,
+        |    sqrt(greatest(CAST(q1 AS DOUBLE) / 1000000000000.0
+        |      / CAST(n1 AS DOUBLE) - mu1 * mu1, 0.0)) AS sg1
+        |  FROM t2),
+        |t4 AS (
+        |  SELECT n0, n1,
+        |    CAST(ROUND(((mu0 - mu1) * (mu0 - mu1) + (sg0 - sg1) * (sg0 - sg1))
+        |      * 1000000000.0) AS BIGINT) AS termq
+        |  FROM t3)
+        |SELECT n0, n1, COUNT(*) AS n_dims,
+        |  CAST(SUM(termq) AS DOUBLE) / 1000000000.0 AS fd2
+        |FROM t4 GROUP BY n0, n1""".stripMargin,
+
     // isotropy twin: the q134 power-iteration CTEs, the same Rayleigh
     // λ₁ and a pico-quantized diagonal trace from the same fm cells
     "q260_isotropy_audit" -> {

@@ -19,6 +19,39 @@ import Util._
 object Evaluation {
 
   val queries: Map[String, Q] = Map(
+    // ---- q275: unbiased pass@k (Chen et al. 2021) — THE sampling-eval
+    // metric for generated-candidate pipelines: per problem with n
+    // samples and c passes, pass@k = 1 − C(n−c,k)/C(n,k), estimated for
+    // k ∈ {1,5,10} over problems with n ≥ k and corpus-averaged. The
+    // naive combination ratio overflows BIGINT at k=10 (n^k), so both
+    // engines evaluate it in log space with every ln term nano-quantized
+    // BEFORE the sum (the house order-free device): Σⱼ ln(n−c−j)−ln(n−j)
+    // is an exact long, one exp + one subtraction per problem, and the
+    // corpus mean is a long sum with a single division chain. Problems =
+    // users, pass = a purchase event; c = n (or n−c < k) short-circuits
+    // to exactly 1 before any ln sees a non-positive argument. ----
+    "q275_pass_at_k" -> ((s, dir) => {
+      import s.implicits._
+      val probs = t(s, dir, "events")
+        .groupBy(col("user_id").as("problem_id"))
+        .agg(count(lit(1)).as("n"),
+          sum((col("event_type") === "purchase").cast(LongType)).as("c"))
+      val ks = Seq(1L, 5L, 10L).toDF("k")
+      probs.crossJoin(broadcast(ks)).filter(col("n") >= col("k"))
+        .withColumn("passq",
+          when(col("n") - col("c") < col("k"), lit(1000000000L))
+            .otherwise(expr(
+              """cast(round((1.0 - exp(cast(aggregate(sequence(0L, k - 1L), 0L,
+                |  (acc, j) -> acc + cast(round(ln(n - c - j) * 1e9) as long)
+                |            - cast(round(ln(n - j) * 1e9) as long))
+                | as double) / 1e9)) * 1e9) as long)""".stripMargin)))
+        .groupBy(col("k"))
+        .agg(count(lit(1)).as("n_problems"),
+          (sum(col("passq")).cast(DoubleType) /
+            count(lit(1)).cast(DoubleType) / lit(1.0e9)).as("pass_at_k"))
+        .orderBy(col("k"))
+    }),
+
     // ---- q232: Murphy decomposition of the Brier score — q162's
     // quantitative upgrade: a per-(event_type, user-cohort) rate model
     // trained on even event_ids forecasts P(value > 50) for odd
@@ -222,6 +255,17 @@ object Evaluation {
       graft.api.Graft.chrF(bleuPairs(s, dir), "cand", "ref",
           "doc_id", "lang")
         .orderBy(col("lang"))
+    }),
+
+    // ---- q278: corpus ROUGE-1/2 over the same (cand, ref) pairs —
+    // the RECALL side BLEU doesn't report (a summarizer that drops
+    // content scores high BLEU precision but low ROUGE recall); P/R/F1
+    // per order are single exact-integer divisions (chrF's collapse),
+    // so no quantization machinery at all. ----
+    "q278_rouge_eval" -> ((s, dir) => {
+      graft.api.Graft.rougeN(bleuPairs(s, dir), "cand", "ref",
+          "doc_id", "lang")
+        .orderBy(col("lang"))
     })
   )
 
@@ -238,6 +282,34 @@ object Evaluation {
       col("text").as("ref"))
 
   val oracle: Map[String, String] = Map(
+    // pass@k twin: identical log-space evaluation — nano-quantized ln
+    // terms summed as BIGINTs per (problem, k), one exp, the same
+    // 1e9-quantized per-problem estimate, the same mean division chain
+    "q275_pass_at_k" ->
+      """WITH p AS (
+        |  SELECT user_id AS problem_id, CAST(COUNT(*) AS BIGINT) AS n,
+        |    CAST(COUNT(*) FILTER (WHERE event_type = 'purchase') AS BIGINT) AS c
+        |  FROM events GROUP BY 1),
+        |ks AS (SELECT CAST(unnest([1, 5, 10]) AS BIGINT) AS k),
+        |j AS (SELECT * FROM p CROSS JOIN ks WHERE n >= k),
+        |terms AS (
+        |  SELECT problem_id, k,
+        |    SUM(CAST(ROUND(ln(n - c - t.jj) * 1000000000.0) AS BIGINT)
+        |      - CAST(ROUND(ln(n - t.jj) * 1000000000.0) AS BIGINT)) AS lnsum
+        |  FROM j, UNNEST(generate_series(0, k - 1)) AS t(jj)
+        |  WHERE n - c >= k GROUP BY 1, 2),
+        |per AS (
+        |  SELECT j.problem_id, j.k,
+        |    CASE WHEN j.n - j.c < j.k THEN 1000000000
+        |     ELSE CAST(ROUND((1.0 - exp(CAST(t.lnsum AS DOUBLE)
+        |       / 1000000000.0)) * 1000000000.0) AS BIGINT)
+        |    END AS passq
+        |  FROM j LEFT JOIN terms t USING (problem_id, k))
+        |SELECT k, COUNT(*) AS n_problems,
+        |  CAST(SUM(passq) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE)
+        |    / 1000000000.0 AS pass_at_k
+        |FROM per GROUP BY k ORDER BY k""".stripMargin,
+
     // Brier-decomposition twin: identical cohort model, exact-value
     // (round(p·10000)) grouping, each cell's n·(…)² term nano-quantized
     // before the order-free sum, the same (…/1e9)/n division chains
@@ -703,6 +775,71 @@ object Evaluation {
         |      + least(0.0, 1.0 - CAST(ref_tokens AS DOUBLE)
         |        / CAST(cand_tokens AS DOUBLE))) * 1000000.0) AS BIGINT)
         |  END AS bleu_micro
+        |FROM tot t LEFT JOIN mp USING (lang)
+        |ORDER BY lang""".stripMargin,
+
+    // ROUGE twin: q271's token-gram CTE skeleton at maxN=2, with BOTH
+    // sides' gram totals; every P/R/F1 is one exact-integer division
+    "q278_rouge_eval" ->
+      """WITH pairs AS (
+        |  SELECT doc_id, lang,
+        |    regexp_replace(trim(regexp_replace(lower(text), '\bthe\b', ' ', 'g')),
+        |      '\s+', ' ', 'g') AS cand,
+        |    text AS ref
+        |  FROM documents),
+        |base AS (
+        |  SELECT lang, doc_id, string_split(trim(cand), ' ') AS ct,
+        |         string_split(trim(ref), ' ') AS rt
+        |  FROM pairs),
+        |cpos AS (
+        |  SELECT lang, doc_id, n, ct,
+        |    unnest(generate_series(1, greatest(len(ct) - n + 1, 0))) AS i
+        |  FROM base CROSS JOIN (SELECT unnest([1, 2]) AS n) ns),
+        |cg AS (
+        |  SELECT lang, doc_id, n, array_to_string(ct[i:i+n-1], chr(0)) AS gram,
+        |         CAST(COUNT(*) AS BIGINT) AS c
+        |  FROM cpos GROUP BY lang, doc_id, n, gram),
+        |rpos AS (
+        |  SELECT lang, doc_id, n, rt,
+        |    unnest(generate_series(1, greatest(len(rt) - n + 1, 0))) AS i
+        |  FROM base CROSS JOIN (SELECT unnest([1, 2]) AS n) ns),
+        |rg AS (
+        |  SELECT lang, doc_id, n, array_to_string(rt[i:i+n-1], chr(0)) AS gram,
+        |         CAST(COUNT(*) AS BIGINT) AS c
+        |  FROM rpos GROUP BY lang, doc_id, n, gram),
+        |m AS (
+        |  SELECT cg.lang, cg.n,
+        |    CAST(SUM(least(cg.c, COALESCE(rg.c, 0))) AS BIGINT) AS m
+        |  FROM cg LEFT JOIN rg ON cg.lang = rg.lang AND cg.doc_id = rg.doc_id
+        |    AND cg.n = rg.n AND cg.gram = rg.gram
+        |  GROUP BY cg.lang, cg.n),
+        |mp AS (
+        |  SELECT lang,
+        |    CAST(COALESCE(SUM(CASE WHEN n = 1 THEN m END), 0) AS BIGINT) AS m1,
+        |    CAST(COALESCE(SUM(CASE WHEN n = 2 THEN m END), 0) AS BIGINT) AS m2
+        |  FROM m GROUP BY lang),
+        |tot AS (
+        |  SELECT lang, COUNT(*) AS n_pairs,
+        |    CAST(SUM(greatest(len(ct), 0)) AS BIGINT) AS ct1,
+        |    CAST(SUM(greatest(len(ct) - 1, 0)) AS BIGINT) AS ct2,
+        |    CAST(SUM(greatest(len(rt), 0)) AS BIGINT) AS rt1,
+        |    CAST(SUM(greatest(len(rt) - 1, 0)) AS BIGINT) AS rt2
+        |  FROM base GROUP BY lang)
+        |SELECT t.lang, t.n_pairs,
+        |  COALESCE(m1, 0) AS m1, ct1, rt1,
+        |  CASE WHEN ct1 > 0 THEN CAST(COALESCE(m1, 0) AS DOUBLE)
+        |    / CAST(ct1 AS DOUBLE) ELSE 0.0 END AS rouge1_p,
+        |  CASE WHEN rt1 > 0 THEN CAST(COALESCE(m1, 0) AS DOUBLE)
+        |    / CAST(rt1 AS DOUBLE) ELSE 0.0 END AS rouge1_r,
+        |  CASE WHEN ct1 + rt1 > 0 THEN CAST(2 * COALESCE(m1, 0) AS DOUBLE)
+        |    / CAST(ct1 + rt1 AS DOUBLE) ELSE 0.0 END AS rouge1_f,
+        |  COALESCE(m2, 0) AS m2, ct2, rt2,
+        |  CASE WHEN ct2 > 0 THEN CAST(COALESCE(m2, 0) AS DOUBLE)
+        |    / CAST(ct2 AS DOUBLE) ELSE 0.0 END AS rouge2_p,
+        |  CASE WHEN rt2 > 0 THEN CAST(COALESCE(m2, 0) AS DOUBLE)
+        |    / CAST(rt2 AS DOUBLE) ELSE 0.0 END AS rouge2_r,
+        |  CASE WHEN ct2 + rt2 > 0 THEN CAST(2 * COALESCE(m2, 0) AS DOUBLE)
+        |    / CAST(ct2 + rt2 AS DOUBLE) ELSE 0.0 END AS rouge2_f
         |FROM tot t LEFT JOIN mp USING (lang)
         |ORDER BY lang""".stripMargin,
 

@@ -249,6 +249,26 @@ object TextAnalysis {
         .orderBy(col("dim"))
     }),
 
+    // ---- q276: EL2N pruning report — what the q253 classifier is FOR
+    // in a curation pipeline: score every document's error norm |p − y|
+    // under the trained model (the EL2N margin of Paul et al. 2021 —
+    // low = easy/redundant, high = informative or mislabeled), decile-
+    // rank the corpus, and publish volume + mean score per decile with
+    // the prune decision for the two easiest deciles. Same features,
+    // labels, and GD rounds as q253; scoring is one more broadcast join
+    // + keyed aggregate, the decile cut is the parallel order statistic.
+    // ----
+    "q276_el2n_prune" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val feats = graft.api.Graft.featureHash(docs, "text", "doc_id", 64)
+        .select(col("doc_id").as("id"), col("dim"), col("weight").as("x"))
+        .unionAll(docs.select(col("doc_id").as("id"),
+          lit(-1L).as("dim"), lit(1L).as("x")))
+      val labels = docs.select(col("doc_id").as("id"),
+        (col("lang") === "en").cast(LongType).as("y"))
+      graft.api.Graft.el2nPruneReport(feats, labels, rounds = 3)
+    }),
+
     // ---- q242: feature hashing — fixed-64-dim signed bag-of-words via
     // the hashing trick: no vocabulary pass, one projection + one keyed
     // aggregate; md5-derived dims/signs replay identically cross-engine
@@ -670,8 +690,38 @@ object TextAnalysis {
        |FROM w$rounds ORDER BY dim""".stripMargin
   }
 
+  /** q276 oracle: logisticSql's CTE chain (same features/labels/rounds)
+    * plus one scoring pass — micro-quantized |p − y| per doc, a
+    * row_number decile cut on (elq, id), per-decile long sums. */
+  private def el2nSql(rounds: Int, etaMilli: Long, pruneDeciles: Int): String = {
+    val base = logisticSql(rounds, etaMilli)
+    val cut = base.indexOf(s"SELECT dim, CAST(wq AS DOUBLE)")
+    base.substring(0, cut) +
+      s""", zf AS (
+         |  SELECT f.id, CAST(SUM(w.wq * f.x) AS BIGINT) AS zq
+         |  FROM f JOIN w$rounds w USING (dim) GROUP BY f.id),
+         |sc AS (
+         |  SELECT z.id,
+         |    ABS(CAST(ROUND((1.0 / (1.0 + exp(-(CAST(zq AS DOUBLE)
+         |      / 1000000000.0))) - CAST(y.y AS DOUBLE)) * 1000000.0)
+         |      AS BIGINT)) AS elq
+         |  FROM zf z JOIN y USING (id)),
+         |rk AS (
+         |  SELECT elq, ROW_NUMBER() OVER (ORDER BY elq, id) AS grank,
+         |    (SELECT CAST(COUNT(*) AS BIGINT) FROM sc) AS n FROM sc)
+         |SELECT ((grank - 1) * 10) // n AS decile,
+         |  COUNT(*) AS n_docs,
+         |  CAST(SUM(elq) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE)
+         |    / 1000000.0 AS mean_el2n,
+         |  CASE WHEN ((grank - 1) * 10) // n < $pruneDeciles
+         |    THEN 'prune' ELSE 'keep' END AS action
+         |FROM rk GROUP BY 1, 4 ORDER BY decile""".stripMargin
+  }
+
   val oracle: Map[String, String] = Map(
     "q253_logistic_quality_train" -> logisticSql(3, 500),
+
+    "q276_el2n_prune" -> el2nSql(3, 500, 2),
 
     "q239_textrank_keywords" -> textrankSql(3),
 

@@ -85,6 +85,53 @@ class GraftApiSpec extends AnyFunSuite {
       .collect()(0).getAs[Long]("bleu_micro") === 0L)
   }
 
+  test("rougeN: clipped matches, P/R/F from hand math, zero-denominator convention") {
+    val s = spark; import s.implicits._
+    // clipping fixture: cand repeats 'the' 3x, ref holds it twice ->
+    // m1 = 2 + 1 ('cat'); bigrams: cand {the the, the the, the cat},
+    // ref {the cat, ...} -> m2 = 1
+    val df = Seq((1L, "g", "the the the cat", "the cat saw the dog"))
+      .toDF("id", "g", "cand", "ref")
+    val r = Graft.rougeN(df, "cand", "ref", "id", "g").collect()(0)
+    assert(r.getAs[Long]("m1") === 3L && r.getAs[Long]("ct1") === 4L &&
+      r.getAs[Long]("rt1") === 5L)
+    assert(r.getAs[Double]("rouge1_p") === 3.0 / 4.0)
+    assert(r.getAs[Double]("rouge1_r") === 3.0 / 5.0)
+    assert(r.getAs[Double]("rouge1_f") === 6.0 / 9.0)
+    assert(r.getAs[Long]("m2") === 1L && r.getAs[Long]("ct2") === 3L &&
+      r.getAs[Long]("rt2") === 4L)
+    assert(r.getAs[Double]("rouge2_f") === 2.0 / 7.0)
+    // identity is exactly 1 on every F; one-token rows have no bigrams
+    // and report the 0 convention, not NaN
+    val one = Seq((1L, "g", "x", "x")).toDF("id", "g", "cand", "ref")
+    val ro = Graft.rougeN(one, "cand", "ref", "id", "g").collect()(0)
+    assert(ro.getAs[Double]("rouge1_f") === 1.0)
+    assert(ro.getAs[Double]("rouge2_f") === 0.0)
+  }
+
+  test("el2nPruneReport: deciles cover the corpus once, prune marks the easiest") {
+    val s = spark; import s.implicits._
+    val docs = (1L to 40L).map(i =>
+      (i, if (i % 2 == 0) s"even tokens common $i" else s"odd text rare $i",
+        if (i % 2 == 0) 1L else 0L))
+      .toDF("id", "text", "y")
+    val feats = Graft.featureHash(docs, "text", "id", 16)
+      .select(col("doc_id").as("id"), col("dim"), col("weight").as("x"))
+      .unionAll(docs.select(col("id"), lit(-1L).as("dim"), lit(1L).as("x")))
+    val labels = docs.select(col("id"), col("y"))
+    val rep = Graft.el2nPruneReport(feats, labels, rounds = 2).collect()
+    assert(rep.map(_.getAs[Long]("n_docs")).sum === 40L)
+    assert(rep.map(_.getAs[Long]("decile")).toSeq === (0L to 9L))
+    assert(rep.filter(_.getAs[String]("action") == "prune")
+      .map(_.getAs[Long]("decile")).toSeq === Seq(0L, 1L))
+    // mean_el2n is nondecreasing across deciles (rank cut property)
+    val means = rep.map(_.getAs[Double]("mean_el2n"))
+    assert(means.zip(means.tail).forall { case (a, b) => a <= b })
+    intercept[IllegalArgumentException] {
+      Graft.el2nPruneReport(feats, labels, deciles = 1)
+    }
+  }
+
   test("chrF: identity scores 1, disjoint scores 0, one-division F from hand math") {
     val s = spark; import s.implicits._
     val same = Seq((1L, "g", "ab cd", "ab cd")).toDF("id", "g", "cand", "ref")
