@@ -266,6 +266,68 @@ object Evaluation {
       graft.api.Graft.rougeN(bleuPairs(s, dir), "cand", "ref",
           "doc_id", "lang")
         .orderBy(col("lang"))
+    }),
+
+    // ---- q280: Fleiss' kappa — multi-rater chance-corrected agreement,
+    // the gate a labeling/RLHF-rating pipeline needs where Cohen's
+    // kappa (q165, two raters) can't go: are R raters assigning the
+    // same categories beyond chance? Items = users, ratings = each
+    // item's FIRST R=4 events in (ts, event_id) order (a deterministic
+    // fixed-panel stand-in; items with fewer ratings are excluded, as
+    // Fleiss requires constant R). Everything is exact integers —
+    // A = ΣᵢΣⱼ n²ᵢⱼ, category sums c_j — and P̄ = (A−NR)/(NR(R−1)),
+    // Pₑ = Σc²ⱼ/(NR)², κ = (P̄−Pₑ)/(1−Pₑ) are three fixed double
+    // divisions over them: bit-identical cross-engine, no quantization.
+    // ----
+    "q280_fleiss_kappa" -> ((s, dir) => {
+      val rr = 4
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+      val first = t(s, dir, "events")
+        .select(col("user_id"), col("event_type"), col("ts"), col("event_id"))
+        .withColumn("rn", row_number().over(w)).filter(col("rn") <= rr)
+      val eligible = first.groupBy(col("user_id"))
+        .agg(count(lit(1)).as("nr")).filter(col("nr") === rr)
+        .select(col("user_id"))
+      val nij = first.join(eligible, "user_id")
+        .groupBy(col("user_id"), col("event_type"))
+        .agg(count(lit(1)).as("nij"))
+      val aDf = nij.agg(sum(col("nij") * col("nij")).as("a"))
+      val c2Df = nij.groupBy(col("event_type"))
+        .agg(sum(col("nij")).as("cj"))
+        .agg(sum(col("cj") * col("cj")).as("c2"))
+      val nDf = eligible.agg(count(lit(1)).as("n_items"))
+      val pbar = (col("a") - col("n_items") * lit(rr.toLong)).cast(DoubleType) /
+        (col("n_items") * lit((rr * (rr - 1)).toLong)).cast(DoubleType)
+      val pe = col("c2").cast(DoubleType) /
+        (col("n_items") * lit(rr.toLong) * col("n_items") * lit(rr.toLong))
+          .cast(DoubleType)
+      nDf.crossJoin(broadcast(aDf)).crossJoin(broadcast(c2Df))
+        .withColumn("n_raters", lit(rr.toLong))
+        .withColumn("p_bar", pbar)
+        .withColumn("p_e", pe)
+        .withColumn("kappa",
+          (col("p_bar") - col("p_e")) / (lit(1.0) - col("p_e")))
+        .select(col("n_items"), col("n_raters"), col("p_bar"), col("p_e"),
+          col("kappa"))
+    }),
+
+    // ---- q279: self-BLEU corpus-diversity audit (Zhu et al. 2018) —
+    // the synthetic-data gate BLEU-against-a-reference can't give: how
+    // template-like is the corpus against ITSELF? Pairs are adjacent
+    // same-lang documents (doc_id order — deterministic, no sampling
+    // RNG), scored with the full q271 BLEU machinery; a high self-BLEU
+    // lang partition is a mode-collapse / boilerplate red flag before
+    // the data is mixed. One window lead + the corpusBleu plan. ----
+    "q279_self_bleu" -> ((s, dir) => {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("lang")).orderBy(col("doc_id"))
+      val pairs = t(s, dir, "documents")
+        .select(col("doc_id"), col("lang"), col("text").as("cand"),
+          lead(col("text"), 1).over(w).as("ref"))
+        .filter(col("ref").isNotNull)
+      graft.api.Graft.corpusBleu(pairs, "cand", "ref", "doc_id", "lang")
+        .orderBy(col("lang"))
     })
   )
 
@@ -281,7 +343,7 @@ object Evaluation {
         "\\bthe\\b", " ")), "\\s+", " ").as("cand"),
       col("text").as("ref"))
 
-  val oracle: Map[String, String] = Map(
+  private val oracleHead: Map[String, String] = Map(
     // pass@k twin: identical log-space evaluation — nano-quantized ln
     // terms summed as BIGINTs per (problem, k), one exp, the same
     // 1e9-quantized per-problem estimate, the same mean division chain
@@ -707,13 +769,31 @@ object Evaluation {
     // each ln pn nano-quantized before the 4-term sum, one exp micro-
     // rounded (the q253 recipe); brevity penalty shares the exact
     // token-count integers
-    "q271_bleu_eval" ->
-      """WITH pairs AS (
+    "q271_bleu_eval" -> bleuSql(
+      """pairs AS (
         |  SELECT doc_id, lang,
         |    regexp_replace(trim(regexp_replace(lower(text), '\bthe\b', ' ', 'g')),
         |      '\s+', ' ', 'g') AS cand,
         |    text AS ref
-        |  FROM documents),
+        |  FROM documents)""".stripMargin),
+
+    // self-BLEU twin: the q271 body over adjacent same-lang doc pairs
+    "q279_self_bleu" -> bleuSql(
+      """pairs AS (
+        |  SELECT doc_id, lang, cand, ref FROM (
+        |    SELECT doc_id, lang, text AS cand,
+        |      lead(text) OVER (PARTITION BY lang ORDER BY doc_id) AS ref
+        |    FROM documents)
+        |  WHERE ref IS NOT NULL)""".stripMargin)
+  )
+
+  /** The q271/q279 BLEU oracle body: token 1..4-gram clipped matches
+    * per (lang, doc pair), BLEU+1 smoothing, brevity penalty — shared
+    * between the normalization-distortion pairs (q271) and the
+    * adjacent-document self-BLEU diversity pairs (q279); only the
+    * `pairs` CTE differs. */
+  private def bleuSql(pairsCte: String): String =
+    s"""WITH $pairsCte,
         |base AS (
         |  SELECT lang, doc_id, string_split(trim(cand), ' ') AS ct,
         |         string_split(trim(ref), ' ') AS rt
@@ -776,7 +856,35 @@ object Evaluation {
         |        / CAST(cand_tokens AS DOUBLE))) * 1000000.0) AS BIGINT)
         |  END AS bleu_micro
         |FROM tot t LEFT JOIN mp USING (lang)
-        |ORDER BY lang""".stripMargin,
+        |ORDER BY lang""".stripMargin
+
+  private val oracleMore: Map[String, String] = Map(
+    // Fleiss twin: the same first-R panel via row_number, exact A/c²
+    // integer sums, the identical three-division double chain
+    "q280_fleiss_kappa" ->
+      """WITH f0 AS (
+        |  SELECT user_id, event_type,
+        |    ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
+        |  FROM events),
+        |f AS (SELECT user_id, event_type FROM f0 WHERE rn <= 4),
+        |el AS (SELECT user_id FROM f GROUP BY user_id HAVING COUNT(*) = 4),
+        |nij AS (
+        |  SELECT f.user_id, f.event_type, CAST(COUNT(*) AS BIGINT) AS nij
+        |  FROM f JOIN el USING (user_id) GROUP BY f.user_id, f.event_type),
+        |a AS (SELECT CAST(SUM(nij * nij) AS BIGINT) AS a FROM nij),
+        |c2 AS (SELECT CAST(SUM(cj * cj) AS BIGINT) AS c2 FROM (
+        |  SELECT CAST(SUM(nij) AS BIGINT) AS cj FROM nij GROUP BY event_type)),
+        |n AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_items FROM el),
+        |x AS (
+        |  SELECT n_items, CAST(4 AS BIGINT) AS n_raters,
+        |    CAST(a - n_items * 4 AS DOUBLE)
+        |      / CAST(n_items * 12 AS DOUBLE) AS p_bar,
+        |    CAST(c2 AS DOUBLE)
+        |      / CAST(n_items * 4 * n_items * 4 AS DOUBLE) AS p_e
+        |  FROM n CROSS JOIN a CROSS JOIN c2)
+        |SELECT n_items, n_raters, p_bar, p_e,
+        |  (p_bar - p_e) / (1.0 - p_e) AS kappa
+        |FROM x""".stripMargin,
 
     // ROUGE twin: q271's token-gram CTE skeleton at maxN=2, with BOTH
     // sides' gram totals; every P/R/F1 is one exact-integer division
@@ -935,4 +1043,6 @@ object Evaluation {
         |FROM tot t LEFT JOIN mp USING (lang)
         |ORDER BY lang""".stripMargin
   )
+
+  val oracle: Map[String, String] = oracleHead ++ oracleMore
 }

@@ -249,6 +249,39 @@ object TextAnalysis {
         .orderBy(col("dim"))
     }),
 
+    // ---- q281: vocabulary coverage@V — the tokenizer-design curve: at
+    // a vocab budget of V types (most-frequent-first, the greedy
+    // optimum for whole-word coverage), what fraction of corpus tokens
+    // is covered and what hits OOV/byte-fallback? Feeds the BPE sizing
+    // decision next to q124 (learned merges) and q211 (fertility).
+    // Scale shape: the rank is over TYPES (vocabulary-sized, not
+    // corpus-sized) via the two-phase globalRank — never a
+    // one-partition window over the corpus; coverage@V is a filtered
+    // keyed sum, no running cumsum. Exact integer counts; coverage is
+    // one division. ----
+    "q281_vocab_coverage" -> ((s, dir) => {
+      import s.implicits._
+      val types = t(s, dir, "documents")
+        .select(explode(split(lower(col("text")), "[^a-z0-9]+")).as("tok"))
+        .filter(col("tok") =!= "")
+        .groupBy(col("tok")).agg(count(lit(1)).as("cnt"))
+      val ranked = graft.api.Graft.globalRank(
+        types.withColumn("negc", -col("cnt")), Seq("negc", "tok"), "rnk")
+      val totals = types.agg(sum(col("cnt")).as("total_tokens"),
+        count(lit(1)).as("n_types"))
+      val vs = Seq(100L, 1000L, 10000L).toDF("v")
+      ranked.crossJoin(broadcast(vs)).filter(col("rnk") <= col("v"))
+        .groupBy(col("v"))
+        .agg(count(lit(1)).as("types_used"),
+          sum(col("cnt")).as("covered_tokens"))
+        .crossJoin(broadcast(totals))
+        .select(col("v"), col("types_used"), col("covered_tokens"),
+          col("total_tokens"), col("n_types"),
+          (col("covered_tokens").cast(DoubleType) /
+            col("total_tokens").cast(DoubleType)).as("coverage"))
+        .orderBy(col("v"))
+    }),
+
     // ---- q276: EL2N pruning report — what the q253 classifier is FOR
     // in a curation pipeline: score every document's error norm |p − y|
     // under the trained model (the EL2N margin of Paul et al. 2021 —
@@ -722,6 +755,29 @@ object TextAnalysis {
     "q253_logistic_quality_train" -> logisticSql(3, 500),
 
     "q276_el2n_prune" -> el2nSql(3, 500, 2),
+
+    // coverage twin: identical tokenization, ROW_NUMBER over types by
+    // (cnt DESC, tok), filtered keyed sums, one division per V
+    "q281_vocab_coverage" ->
+      """WITH toks AS (
+        |  SELECT unnest(list_filter(string_split_regex(lower(text),
+        |    '[^a-z0-9]+'), x -> x <> '')) AS tok
+        |  FROM documents),
+        |ty AS (SELECT tok, CAST(COUNT(*) AS BIGINT) AS cnt
+        |       FROM toks GROUP BY tok),
+        |rk AS (SELECT tok, cnt,
+        |         ROW_NUMBER() OVER (ORDER BY cnt DESC, tok) AS rnk FROM ty),
+        |tt AS (SELECT CAST(SUM(cnt) AS BIGINT) AS total_tokens,
+        |         CAST(COUNT(*) AS BIGINT) AS n_types FROM ty),
+        |vs AS (SELECT CAST(unnest([100, 1000, 10000]) AS BIGINT) AS v)
+        |SELECT v, COUNT(*) AS types_used,
+        |  CAST(SUM(cnt) AS BIGINT) AS covered_tokens,
+        |  tt.total_tokens, tt.n_types,
+        |  CAST(SUM(cnt) AS DOUBLE) / CAST(tt.total_tokens AS DOUBLE) AS coverage
+        |FROM rk CROSS JOIN vs CROSS JOIN tt
+        |WHERE rnk <= v
+        |GROUP BY v, tt.total_tokens, tt.n_types
+        |ORDER BY v""".stripMargin,
 
     "q239_textrank_keywords" -> textrankSql(3),
 
