@@ -224,6 +224,49 @@ class StreamingSpec extends AnyFunSuite {
       (2L, us(0), us(40), 3L)))
   }
 
+  test("session state runs on the RocksDB state store with identical results") {
+    // the 100 TB state backend: RocksDB keeps per-key state off-heap /
+    // on-disk, so session state is bounded by local disk, not executor
+    // heap. Same scenario as the gap/bridge test — results must be
+    // IDENTICAL to the default HDFS-backed store.
+    val s = spark
+    import s.implicits._
+    implicit val sc = s.sqlContext
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prev = s.conf.getOption(key)
+    s.conf.set(key,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val mem = MemoryStream[Ev]
+      val q = EventStreams.timedOutSessions(mem.toDF)
+        .writeStream.format("memory").queryName("rocksdb_sessions")
+        .outputMode("append").start()
+      mem.addData(
+        Ev(1, ts(0), 1, "click", 0.0), Ev(2, ts(10), 1, "view", 0.0),
+        Ev(3, ts(50), 1, "view", 0.0),
+        Ev(4, ts(0), 2, "view", 0.0), Ev(5, ts(40), 2, "view", 0.0))
+      q.processAllAvailable()
+      mem.addData(Ev(6, ts(20), 2, "view", 0.0))
+      q.processAllAvailable()
+      mem.addData(Ev(99, ts(60 * 48), 9, "view", 0.0))
+      q.processAllAvailable()
+      mem.addData(Ev(100, ts(60 * 25 + 60 * 48), 9, "view", 0.0))
+      q.processAllAvailable()
+      q.stop()
+      val rows = s.sql(
+        "SELECT user_id, start_us, end_us, n_events FROM rocksdb_sessions " +
+          "WHERE user_id < 9 ORDER BY user_id, start_us")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      def us(minute: Int): Long = ts(minute).getTime * 1000L
+      assert(rows.toSeq === Seq(
+        (1L, us(0), us(10), 2L), (1L, us(50), us(50), 1L),
+        (2L, us(0), us(40), 3L)))
+    } finally prev match {
+      case Some(v) => s.conf.set(key, v)
+      case None => s.conf.unset(key)
+    }
+  }
+
   test("stateful running totals via mapGroupsWithState") {
     val s = spark
     import s.implicits._
