@@ -711,4 +711,39 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(!p.contains("CartesianProduct"), p)
     assert(p.contains("BroadcastExchange"), p) // the 1-row stats / nDf
   }
+
+  test("q275 pass@k broadcasts the k grid and keeps the log-sum in codegen") {
+    val p = planOf("q275_pass_at_k")
+    assert(!p.contains("CartesianProduct"), p)
+    assert(p.contains("BroadcastExchange"), p) // the 3-row k grid
+    assert(!p.contains("BatchEvalPython") && !p.contains("ScalaUDF"), p)
+  }
+
+  test("q277 Fréchet stats are ONE conditional aggregate over the explode") {
+    val p = planOf("q277_frechet_embed")
+    // both sides' per-dim sums come from a single grouped aggregate —
+    // never one scan per side; the side counts ride as a 1-row broadcast
+    assert(p.contains("BroadcastExchange"), p)
+    assert(!p.contains("CartesianProduct"), p)
+    val gens = "Generate posexplode".r.findAllMatchIn(p).size
+    assert(gens == 1, s"expected one posexplode, got $gens:\n$p")
+  }
+
+  test("q281 coverage ranks types via the two-phase order statistic, no global window") {
+    val plans = capturedPlans("q281_vocab_coverage")
+    val all = plans.mkString("\n===\n")
+    // every window is partitioned by the range-partition id (__pid),
+    // never a one-partition global ROW_NUMBER over the type table
+    val specs = "windowspecdefinition\\(".r.findAllMatchIn(all).map(_.start).toSeq
+    assert(specs.nonEmpty && specs.forall { i =>
+      all.substring(i, math.min(all.length, i + 60)).contains("__pid")
+    }, all)
+  }
+
+  test("q276 EL2N scoring pass broadcasts the weight vector") {
+    val plans = capturedPlans("q276_el2n_prune")
+    val all = plans.mkString("\n===\n")
+    assert(all.contains("BroadcastHashJoin"), all)
+    assert(!all.contains("CartesianProduct"), all)
+  }
 }
