@@ -5807,40 +5807,26 @@ object Graft {
   def corpusBleu(df: DataFrame, candCol: String, refCol: String,
       idCol: String, groupCol: String, maxN: Int = 4): DataFrame = {
     require(maxN >= 1 && maxN <= 8, "corpusBleu: maxN must be in [1, 8]")
+    graft.functions.GraftFunctions.register(df.sparkSession)
     def toks(c: Column): Column = split(trim(c), " ")
-    val base = df.select(col(groupCol).as("__g"), col(idCol).as("__id"),
+    // clipped per-pair matches come from the single-pass codegen kernel
+    // (OverlapKernels: one ref-gram hash map + one clipped-decrement
+    // sweep per pair) -- identical multiset-intersection counts to the
+    // former explode-every-gram / shuffle / LEFT-join plan, with zero
+    // shuffled gram rows (the old plan's gram-row exchange was ~all of
+    // the 11.5 s sf0.1 self-BLEU cost)
+    val base = df.select(col(groupCol).as("__g"),
       toks(col(candCol)).as("__ct"), toks(col(refCol)).as("__rt"))
-    // tagged multiset n-grams; slice-of-sequence sidesteps Spark's
-    // descending sequence(1, 0) when the row is shorter than n
-    def grams(arr: Column, n: Int): Column =
-      transform(
-        slice(sequence(lit(1), size(arr)), lit(1),
-          greatest(size(arr) - lit(n - 1), lit(0))),
-        i => struct(lit(n).as("n"),
-          concat_ws(" ", slice(arr, i, lit(n))).as("gram")))
-    def gramCounts(arrCol: String, cnt: String): DataFrame =
-      base.select(col("__g"), col("__id"),
-          explode(flatten(array((1 to maxN).map(n => grams(col(arrCol), n)): _*)))
-            .as("__t"))
-        .select(col("__g"), col("__id"), col("__t.n").as("__n"),
-          col("__t.gram").as("__gram"))
-        .groupBy(col("__g"), col("__id"), col("__n"), col("__gram"))
-        .agg(count(lit(1)).as(cnt))
-    val mAggs = (1 to maxN).map(n =>
-      sum(when(col("__n") === n,
-        least(col("__c"), coalesce(col("__r"), lit(0L)))).otherwise(lit(0L)))
-        .as(s"m$n"))
-    val matches = gramCounts("__ct", "__c")
-      .join(gramCounts("__rt", "__r"), Seq("__g", "__id", "__n", "__gram"), "left")
-      .groupBy(col("__g"))
-      .agg(mAggs.head, mAggs.tail: _*)
-    val tAggs = count(lit(1)).as("n_pairs") +:
+      .withColumn("__m", expr(s"token_clipped_matches(__ct, __rt, $maxN)"))
+    val aggs = count(lit(1)).as("n_pairs") +:
       sum(size(col("__ct")).cast(LongType)).as("cand_tokens") +:
       sum(size(col("__rt")).cast(LongType)).as("ref_tokens") +:
-      (1 to maxN).map(n =>
-        sum(greatest(size(col("__ct")) - lit(n - 1), lit(0)).cast(LongType))
-          .as(s"t$n"))
-    val totals = base.groupBy(col("__g")).agg(tAggs.head, tAggs.tail: _*)
+      ((1 to maxN).map(n =>
+        sum(element_at(col("__m"), n)).as(s"m$n")) ++
+        (1 to maxN).map(n =>
+          sum(greatest(size(col("__ct")) - lit(n - 1), lit(0)).cast(LongType))
+            .as(s"t$n")))
+    val totals = base.groupBy(col("__g")).agg(aggs.head, aggs.tail: _*)
     def m(n: Int): Column = coalesce(col(s"m$n"), lit(0L))
     def pn(n: Int): Column =
       if (n == 1) m(1).cast(DoubleType) / col("t1").cast(DoubleType)
@@ -5849,7 +5835,7 @@ object Graft {
     def lq(n: Int): Column = round(log(pn(n)) * lit(1.0e9)).cast(LongType)
     val bpExp = least(lit(0.0), lit(1.0) -
       col("ref_tokens").cast(DoubleType) / col("cand_tokens").cast(DoubleType))
-    totals.join(matches, Seq("__g"), "left")
+    totals
       .select(col("__g").as(groupCol) +: col("n_pairs") +:
         col("cand_tokens") +: col("ref_tokens") +:
         ((1 to maxN).map(n => m(n).as(s"m$n")) ++
@@ -5879,40 +5865,28 @@ object Graft {
       idCol: String, groupCol: String, maxN: Int = 6,
       betaSq: Int = 4): DataFrame = {
     require(maxN >= 1 && maxN <= 8, "chrF: maxN must be in [1, 8]")
+    graft.functions.GraftFunctions.register(df.sparkSession)
     def chars(c: Column): Column = regexp_replace(c, "\\s+", "")
-    val base = df.select(col(groupCol).as("__g"), col(idCol).as("__id"),
+    // clipped per-pair matches via the single-pass codepoint kernel
+    // (OverlapKernels.charClippedMatches) -- the corpus-chars x 6-order
+    // gram explode + shuffle + LEFT join this replaces was 21 s at
+    // sf0.1, the slowest entry in the whole suite; counts are the same
+    // multiset-intersection integers, oracle unchanged
+    val base = df.select(col(groupCol).as("__g"),
       chars(col(candCol)).as("__cs"), chars(col(refCol)).as("__rs"))
-    def grams(strCol: String, n: Int): Column =
-      transform(
-        slice(sequence(lit(1), greatest(length(col(strCol)), lit(1))), lit(1),
-          greatest(length(col(strCol)) - lit(n - 1), lit(0))),
-        i => struct(lit(n).as("n"), col(strCol).substr(i, lit(n)).as("gram")))
-    def gramCounts(strCol: String, cnt: String): DataFrame =
-      base.select(col("__g"), col("__id"),
-          explode(flatten(array((1 to maxN).map(n => grams(strCol, n)): _*)))
-            .as("__t"))
-        .select(col("__g"), col("__id"), col("__t.n").as("__n"),
-          col("__t.gram").as("__gram"))
-        .groupBy(col("__g"), col("__id"), col("__n"), col("__gram"))
-        .agg(count(lit(1)).as(cnt))
-    val mAggs = (1 to maxN).map(n =>
-      sum(when(col("__n") === n,
-        least(col("__c"), coalesce(col("__r"), lit(0L)))).otherwise(lit(0L)))
-        .as(s"m$n"))
-    val matches = gramCounts("__cs", "__c")
-      .join(gramCounts("__rs", "__r"), Seq("__g", "__id", "__n", "__gram"), "left")
-      .groupBy(col("__g"))
-      .agg(mAggs.head, mAggs.tail: _*)
-    val tAggs = count(lit(1)).as("n_pairs") +:
+      .withColumn("__m", expr(s"char_clipped_matches(__cs, __rs, $maxN)"))
+    val aggs = count(lit(1)).as("n_pairs") +:
       sum(length(col("__cs")).cast(LongType)).as("cand_chars") +:
       sum(length(col("__rs")).cast(LongType)).as("ref_chars") +:
       ((1 to maxN).map(n =>
-        sum(greatest(length(col("__cs")) - lit(n - 1), lit(0)).cast(LongType))
-          .as(s"__ct$n")) ++
+        sum(element_at(col("__m"), n)).as(s"m$n")) ++
+        (1 to maxN).map(n =>
+          sum(greatest(length(col("__cs")) - lit(n - 1), lit(0)).cast(LongType))
+            .as(s"__ct$n")) ++
         (1 to maxN).map(n =>
           sum(greatest(length(col("__rs")) - lit(n - 1), lit(0)).cast(LongType))
             .as(s"__rt$n")))
-    val totals = base.groupBy(col("__g")).agg(tAggs.head, tAggs.tail: _*)
+    val totals = base.groupBy(col("__g")).agg(aggs.head, aggs.tail: _*)
     def m(n: Int): Column = coalesce(col(s"m$n"), lit(0L))
     def fn(n: Int): Column = {
       val den = lit(betaSq.toLong) * col(s"__rt$n") + col(s"__ct$n")
@@ -5925,7 +5899,7 @@ object Graft {
     val nOrders = (1 to maxN).map(n =>
       when(lit(betaSq.toLong) * col(s"__rt$n") + col(s"__ct$n") > 0L,
         lit(1L)).otherwise(lit(0L))).reduce(_ + _)
-    totals.join(matches, Seq("__g"), "left")
+    totals
       .select(col("__g").as(groupCol) +: col("n_pairs") +:
         col("cand_chars") +: col("ref_chars") +:
         (1 to maxN).map(n => m(n).as(s"m$n")) :+
@@ -5947,44 +5921,29 @@ object Graft {
   def rougeN(df: DataFrame, candCol: String, refCol: String,
       idCol: String, groupCol: String, maxN: Int = 2): DataFrame = {
     require(maxN >= 1 && maxN <= 4, "rougeN: maxN must be in [1, 4]")
+    graft.functions.GraftFunctions.register(df.sparkSession)
     def toks(c: Column): Column = split(trim(c), " ")
-    val base = df.select(col(groupCol).as("__g"), col(idCol).as("__id"),
+    // clipped per-pair matches via the single-pass token kernel
+    // (OverlapKernels.tokenClippedMatches) -- same rewrite as
+    // corpusBleu: no gram explode, no shuffle, no join
+    val base = df.select(col(groupCol).as("__g"),
       toks(col(candCol)).as("__ct"), toks(col(refCol)).as("__rt"))
-    def grams(arr: Column, n: Int): Column =
-      transform(
-        slice(sequence(lit(1), size(arr)), lit(1),
-          greatest(size(arr) - lit(n - 1), lit(0))),
-        i => struct(lit(n).as("n"),
-          concat_ws(" ", slice(arr, i, lit(n))).as("gram")))
-    def gramCounts(arrCol: String, cnt: String): DataFrame =
-      base.select(col("__g"), col("__id"),
-          explode(flatten(array((1 to maxN).map(n => grams(col(arrCol), n)): _*)))
-            .as("__t"))
-        .select(col("__g"), col("__id"), col("__t.n").as("__n"),
-          col("__t.gram").as("__gram"))
-        .groupBy(col("__g"), col("__id"), col("__n"), col("__gram"))
-        .agg(count(lit(1)).as(cnt))
-    val mAggs = (1 to maxN).map(n =>
-      sum(when(col("__n") === n,
-        least(col("__c"), coalesce(col("__r"), lit(0L)))).otherwise(lit(0L)))
-        .as(s"m$n"))
-    val matches = gramCounts("__ct", "__c")
-      .join(gramCounts("__rt", "__r"), Seq("__g", "__id", "__n", "__gram"), "left")
-      .groupBy(col("__g"))
-      .agg(mAggs.head, mAggs.tail: _*)
-    val tAggs = count(lit(1)).as("n_pairs") +:
+      .withColumn("__m", expr(s"token_clipped_matches(__ct, __rt, $maxN)"))
+    val aggs = count(lit(1)).as("n_pairs") +:
       ((1 to maxN).map(n =>
-        sum(greatest(size(col("__ct")) - lit(n - 1), lit(0)).cast(LongType))
-          .as(s"ct$n")) ++
+        sum(element_at(col("__m"), n)).as(s"m$n")) ++
+        (1 to maxN).map(n =>
+          sum(greatest(size(col("__ct")) - lit(n - 1), lit(0)).cast(LongType))
+            .as(s"ct$n")) ++
         (1 to maxN).map(n =>
           sum(greatest(size(col("__rt")) - lit(n - 1), lit(0)).cast(LongType))
             .as(s"rt$n")))
-    val totals = base.groupBy(col("__g")).agg(tAggs.head, tAggs.tail: _*)
+    val totals = base.groupBy(col("__g")).agg(aggs.head, aggs.tail: _*)
     def m(n: Int): Column = coalesce(col(s"m$n"), lit(0L))
     def ratio(num: Column, den: Column): Column =
       when(den > 0L, num.cast(DoubleType) / den.cast(DoubleType))
         .otherwise(lit(0.0))
-    totals.join(matches, Seq("__g"), "left")
+    totals
       .select(col("__g").as(groupCol) +: col("n_pairs") +:
         (1 to maxN).flatMap(n => Seq(
           m(n).as(s"m$n"), col(s"ct$n"), col(s"rt$n"),

@@ -157,6 +157,10 @@ object GraftFunctions {
     ("char_stats", (e: Seq[Expression]) => CharStats(e.head)),
     ("nfc_normalize", (e: Seq[Expression]) => NfcNormalize(e.head)),
     ("bpe_count", (e: Seq[Expression]) => BpeCount(e.head)),
+    ("char_clipped_matches", (e: Seq[Expression]) => CharClippedMatches(
+      e(0), e(1), e(2).eval().asInstanceOf[Number].intValue())),
+    ("token_clipped_matches", (e: Seq[Expression]) => TokenClippedMatches(
+      e(0), e(1), e(2).eval().asInstanceOf[Number].intValue())),
     ("cosine_lsh_bands", (e: Seq[Expression]) => CosineLshBands(e.head,
       e(1).eval().asInstanceOf[Number].intValue(),
       e(2).eval().asInstanceOf[Number].intValue(),

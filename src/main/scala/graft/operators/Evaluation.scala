@@ -268,6 +268,48 @@ object Evaluation {
         .orderBy(col("lang"))
     }),
 
+    // ---- q282: best-of-k yield curve — the rejection-sampling planner
+    // (the BoN curves of WebGPT / summarization-from-feedback): from n
+    // logged samples per problem, the UNBIASED order-statistics
+    // estimator of E[max score of k draws],
+    // v̂ₖ = Σᵢ C(i−1,k−1)/C(n,k) · v₍ᵢ₎, for k ∈ {1,2,4} — telling the
+    // pipeline how much reward another 2× sampling budget actually buys
+    // BEFORE paying for it. Problems = users, score = value (cents).
+    // Exactness: binomials at k ≤ 4 are closed-form exact BIGINTs
+    // ((i−1)(i−2)(i−3)/6 etc. — always divisible), Σ vc·C(i−1,k−1) is
+    // an exact long, each problem's estimate is one division micro-
+    // quantized before the corpus mean. One rank window per problem +
+    // a 3-row broadcast grid; no log-gamma anywhere. ----
+    "q282_best_of_k" -> ((s, dir) => {
+      import s.implicits._
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("user_id")).orderBy(col("vc"), col("event_id"))
+      val ranked = t(s, dir, "events").filter(col("value").isNotNull)
+        .select(col("user_id"), col("event_id"),
+          round(col("value") * lit(100.0)).cast(LongType).as("vc"))
+        .withColumn("i", row_number().over(w).cast(LongType))
+        .withColumn("n", count(lit(1)).over(
+          org.apache.spark.sql.expressions.Window.partitionBy(col("user_id")))
+          .cast(LongType))
+      val ks = Seq(1L, 2L, 4L).toDF("k")
+      ranked.crossJoin(broadcast(ks)).filter(col("n") >= col("k"))
+        .withColumn("num", expr(
+          """CASE k WHEN 1 THEN 1L WHEN 2 THEN i - 1L
+            | ELSE ((i - 1L) * (i - 2L) * (i - 3L)) div 6L END""".stripMargin))
+        .withColumn("den", expr(
+          """CASE k WHEN 1 THEN n WHEN 2 THEN (n * (n - 1L)) div 2L
+            | ELSE (n * (n - 1L) * (n - 2L) * (n - 3L)) div 24L END""".stripMargin))
+        .groupBy(col("user_id"), col("k"), col("den"))
+        .agg(sum(col("vc") * col("num")).as("s"))
+        .withColumn("estq", round(col("s").cast(DoubleType) /
+          col("den").cast(DoubleType) / lit(100.0) * lit(1.0e6)).cast(LongType))
+        .groupBy(col("k"))
+        .agg(count(lit(1)).as("n_problems"),
+          (sum(col("estq")).cast(DoubleType) /
+            count(lit(1)).cast(DoubleType) / lit(1.0e6)).as("best_of_k"))
+        .orderBy(col("k"))
+    }),
+
     // ---- q280: Fleiss' kappa — multi-rater chance-corrected agreement,
     // the gate a labeling/RLHF-rating pipeline needs where Cohen's
     // kappa (q165, two raters) can't go: are R raters assigning the
@@ -859,6 +901,39 @@ object Evaluation {
         |ORDER BY lang""".stripMargin
 
   private val oracleMore: Map[String, String] = Map(
+    // best-of-k twin: the same rank window, closed-form exact binomials
+    // (integer // is exact — the products are always divisible), the
+    // same one-division-then-micro-quantize per problem
+    "q282_best_of_k" ->
+      """WITH r AS (
+        |  SELECT user_id, event_id,
+        |    CAST(ROUND(value * 100.0) AS BIGINT) AS vc,
+        |    CAST(ROW_NUMBER() OVER (PARTITION BY user_id
+        |      ORDER BY CAST(ROUND(value * 100.0) AS BIGINT), event_id)
+        |      AS BIGINT) AS i,
+        |    CAST(COUNT(*) OVER (PARTITION BY user_id) AS BIGINT) AS n
+        |  FROM events WHERE value IS NOT NULL),
+        |ks AS (SELECT CAST(unnest([1, 2, 4]) AS BIGINT) AS k),
+        |terms AS (
+        |  SELECT user_id, k,
+        |    CASE k WHEN 1 THEN CAST(1 AS BIGINT) WHEN 2 THEN i - 1
+        |      ELSE ((i - 1) * (i - 2) * (i - 3)) // 6 END AS num,
+        |    CASE k WHEN 1 THEN n WHEN 2 THEN (n * (n - 1)) // 2
+        |      ELSE (n * (n - 1) * (n - 2) * (n - 3)) // 24 END AS den,
+        |    vc
+        |  FROM r CROSS JOIN ks WHERE n >= k),
+        |per AS (
+        |  SELECT user_id, k, den, CAST(SUM(vc * num) AS BIGINT) AS s
+        |  FROM terms GROUP BY user_id, k, den),
+        |q AS (
+        |  SELECT k, CAST(ROUND(CAST(s AS DOUBLE) / CAST(den AS DOUBLE)
+        |    / 100.0 * 1000000.0) AS BIGINT) AS estq
+        |  FROM per)
+        |SELECT k, COUNT(*) AS n_problems,
+        |  CAST(SUM(estq) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE)
+        |    / 1000000.0 AS best_of_k
+        |FROM q GROUP BY k ORDER BY k""".stripMargin,
+
     // Fleiss twin: the same first-R panel via row_number, exact A/c²
     // integer sums, the identical three-division double chain
     "q280_fleiss_kappa" ->
