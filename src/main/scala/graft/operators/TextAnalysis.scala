@@ -282,6 +282,57 @@ object TextAnalysis {
         .orderBy(col("v"))
     }),
 
+    // ---- q283: Heaps'-law vocabulary-growth fit — V(N) ≈ k·N^β: the
+    // exponent that PREDICTS q281's coverage curve at 100 TB from the
+    // corpus you already have (β≈0.5 natural text; β drifting toward 1
+    // flags boilerplate/ID-heavy contamination, toward 0 template
+    // collapse). Ten nested prefixes by doc_id; vocab-at-prefix comes
+    // from each type's FIRST-occurrence doc (one aggregate over types —
+    // never re-counting distinct types per prefix), token counts from a
+    // per-doc aggregate; the log-log OLS slope runs over 10 quantized
+    // points with Decimal(38) exact cross sums. ----
+    "q283_heaps_law" -> ((s, dir) => {
+      import s.implicits._
+      val toks = t(s, dir, "documents")
+        .select(col("doc_id"),
+          explode(split(lower(col("text")), "[^a-z0-9]+")).as("tok"))
+        .filter(col("tok") =!= "")
+      val firstOcc = toks.groupBy(col("tok")).agg(min(col("doc_id")).as("fd"))
+      val docTok = toks.groupBy(col("doc_id")).agg(count(lit(1)).as("nt"))
+      val mx = t(s, dir, "documents").agg(max(col("doc_id")).as("mxd"))
+      val grid = Seq.tabulate(10)(i => i + 1L).toDF("i")
+        .crossJoin(broadcast(mx))
+        .select(col("i"), expr("(mxd * i) div 10").as("thr"))
+      val vocab = firstOcc.crossJoin(broadcast(grid))
+        .filter(col("fd") <= col("thr"))
+        .groupBy(col("i"), col("thr")).agg(count(lit(1)).as("v"))
+      val tokens = docTok.crossJoin(broadcast(grid))
+        .filter(col("doc_id") <= col("thr"))
+        .groupBy(col("i").as("i2")).agg(sum(col("nt")).as("n"))
+      val pts = vocab.join(tokens, col("i") === col("i2"))
+        .select(col("i"), col("thr"), col("n"), col("v"),
+          round(log(col("n").cast(DoubleType)) * lit(1.0e9))
+            .cast(LongType).as("xq"),
+          round(log(col("v").cast(DoubleType)) * lit(1.0e9))
+            .cast(LongType).as("yq"))
+      val fit = pts.agg(count(lit(1)).as("n_points"),
+          sum(col("xq").cast(DecimalType(38, 0))).as("sx"),
+          sum(col("yq").cast(DecimalType(38, 0))).as("sy"),
+          sum((col("xq").cast(DecimalType(38, 0)) *
+            col("yq").cast(DecimalType(38, 0)))).as("sxy"),
+          sum((col("xq").cast(DecimalType(38, 0)) *
+            col("xq").cast(DecimalType(38, 0)))).as("sxx"))
+        .select(col("n_points"),
+          ((col("n_points").cast(DoubleType) * col("sxy").cast(DoubleType) -
+            col("sx").cast(DoubleType) * col("sy").cast(DoubleType)) /
+           (col("n_points").cast(DoubleType) * col("sxx").cast(DoubleType) -
+            col("sx").cast(DoubleType) * col("sx").cast(DoubleType)))
+            .as("beta"))
+      val full = pts.filter(col("i") === 10L)
+        .select(col("n").as("total_tokens"), col("v").as("total_types"))
+      fit.crossJoin(broadcast(full))
+    }),
+
     // ---- q276: EL2N pruning report — what the q253 classifier is FOR
     // in a curation pipeline: score every document's error norm |p − y|
     // under the trained model (the EL2N margin of Paul et al. 2021 —
@@ -755,6 +806,48 @@ object TextAnalysis {
     "q253_logistic_quality_train" -> logisticSql(3, 500),
 
     "q276_el2n_prune" -> el2nSql(3, 500, 2),
+
+    // Heaps twin: identical prefixes (integer div thresholds), the same
+    // first-occurrence vocab counting, nano-quantized logs, HUGEINT
+    // cross sums cast through DOUBLE in the same OLS chain
+    "q283_heaps_law" ->
+      """WITH toks AS (
+        |  SELECT doc_id, unnest(list_filter(string_split_regex(lower(text),
+        |    '[^a-z0-9]+'), x -> x <> '')) AS tok
+        |  FROM documents),
+        |fo AS (SELECT tok, MIN(doc_id) AS fd FROM toks GROUP BY tok),
+        |dt AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS nt
+        |       FROM toks GROUP BY doc_id),
+        |mx AS (SELECT MAX(doc_id) AS mxd FROM documents),
+        |grid AS (
+        |  SELECT CAST(i AS BIGINT) AS i, (mxd * i) // 10 AS thr
+        |  FROM mx, UNNEST(generate_series(1, 10)) AS g(i)),
+        |vocab AS (
+        |  SELECT i, thr, CAST(COUNT(*) AS BIGINT) AS v
+        |  FROM fo CROSS JOIN grid WHERE fd <= thr GROUP BY i, thr),
+        |tok2 AS (
+        |  SELECT i AS i2, CAST(SUM(nt) AS BIGINT) AS n
+        |  FROM dt CROSS JOIN grid WHERE doc_id <= thr GROUP BY i),
+        |pts AS (
+        |  SELECT i, thr, n, v,
+        |    CAST(ROUND(ln(CAST(n AS DOUBLE)) * 1000000000.0) AS BIGINT) AS xq,
+        |    CAST(ROUND(ln(CAST(v AS DOUBLE)) * 1000000000.0) AS BIGINT) AS yq
+        |  FROM vocab JOIN tok2 ON i = i2),
+        |fit AS (
+        |  SELECT CAST(COUNT(*) AS BIGINT) AS n_points,
+        |    SUM(CAST(xq AS HUGEINT)) AS sx, SUM(CAST(yq AS HUGEINT)) AS sy,
+        |    SUM(CAST(xq AS HUGEINT) * CAST(yq AS HUGEINT)) AS sxy,
+        |    SUM(CAST(xq AS HUGEINT) * CAST(xq AS HUGEINT)) AS sxx
+        |  FROM pts),
+        |fl AS (SELECT n AS total_tokens, v AS total_types FROM pts
+        |       WHERE i = 10)
+        |SELECT n_points,
+        |  (CAST(n_points AS DOUBLE) * CAST(sxy AS DOUBLE)
+        |    - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE)) /
+        |  (CAST(n_points AS DOUBLE) * CAST(sxx AS DOUBLE)
+        |    - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)) AS beta,
+        |  total_tokens, total_types
+        |FROM fit CROSS JOIN fl""".stripMargin,
 
     // coverage twin: identical tokenization, ROW_NUMBER over types by
     // (cnt DESC, tok), filtered keyed sums, one division per V
