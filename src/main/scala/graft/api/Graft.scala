@@ -7141,15 +7141,19 @@ object Graft {
       (col("wq").cast(DoubleType) / lit(1.0e9)).as("weight"))
   }
 
-  /** The quantized GD loop shared by [[logisticTrainHashed]] and
-    * [[el2nPruneReport]]: takes ALREADY-normalized (id, dim, x long)
-    * features and (id, y long) labels, returns (dim, wq) with weights
-    * as nano-quantized longs. */
-  private def logisticTrainQ(f: DataFrame, yDf: DataFrame,
-      rounds: Int, etaMilli: Long): DataFrame = {
+  /** The quantized GD loop shared by [[logisticTrainHashed]],
+    * [[el2nPruneReport]], and [[datasetCartography]]: takes
+    * ALREADY-normalized (id, dim, x long) features and (id, y long)
+    * labels, returns the final (dim, wq) nano-quantized weights plus
+    * the per-round residual trace (round r's residuals are computed
+    * under the weights ENTERING round r — the same r1..rN CTEs the
+    * oracle unrolls). */
+  private def logisticTrainTrace(f: DataFrame, yDf: DataFrame,
+      rounds: Int, etaMilli: Long): (DataFrame, Seq[DataFrame]) = {
     val nDf = yDf.agg(count(lit(1)).as("__N"))
     var w = f.select(col("dim")).distinct()
       .withColumn("wq", lit(0L)).localCheckpoint()
+    val traces = Seq.newBuilder[DataFrame]
     var r = 0
     while (r < rounds) {
       val z = f.join(broadcast(w), Seq("dim"))
@@ -7159,6 +7163,7 @@ object Graft {
         .withColumn("rq", round((lit(1.0) / (lit(1.0) +
           exp(-(col("zq").cast(DoubleType) / lit(1.0e9)))) -
           col("y").cast(DoubleType)) * lit(1.0e6)).cast(LongType))
+      traces += res
       val grad = f.join(res.select(col("id"), col("rq")), Seq("id"))
         .groupBy(col("dim"))
         .agg(sum(col("rq") * col("x")).as("gq"))
@@ -7170,7 +7175,62 @@ object Graft {
         .localCheckpoint()
       r += 1
     }
-    w
+    (w, traces.result())
+  }
+
+  private def logisticTrainQ(f: DataFrame, yDf: DataFrame,
+      rounds: Int, etaMilli: Long): DataFrame =
+    logisticTrainTrace(f, yDf, rounds, etaMilli)._1
+
+  /** Dataset cartography (Swayamdipta et al., EMNLP 2020) — the
+    * training-dynamics curation map: per example, CONFIDENCE (mean
+    * true-class probability across training rounds) × VARIABILITY
+    * (probability range across rounds), bucketed into the quadrants
+    * the paper acts on — `easy` (high-conf stable: compressible),
+    * `ambiguous` (high variability: the most valuable training data),
+    * `hard` (low-conf stable: label-noise suspects — cross-check with
+    * q233). Probabilities are recovered EXACTLY from the GD loop's
+    * micro-quantized residuals (p·10⁶ = rq + y·10⁶, true-class flip
+    * for y = 0), skipping round 1 whose w = 0 probability is the
+    * constant ½ for every example (no dynamics signal): with `rounds`
+    * updates the trace is the probability under w₁..w_rounds, i.e.
+    * rounds+1 loop iterations, final update discarded. Thresholds are
+    * micro-integer comparisons; means are long sums with one division
+    * chain. Everything is the q253 plan shape — per round two keyed
+    * aggregates with the weight vector broadcast — plus one union'd
+    * per-doc aggregate at the end. */
+  def datasetCartography(features: DataFrame, labels: DataFrame,
+      rounds: Int = 3, etaMilli: Long = 500,
+      confHiMicro: Long = 700000L, confLoMicro: Long = 300000L,
+      varMicro: Long = 200000L): DataFrame = {
+    require(rounds >= 2, s"datasetCartography needs rounds >= 2, got $rounds")
+    val f = features.select(col("id"), col("dim").cast(LongType).as("dim"),
+      col("x").cast(LongType).as("x")).localCheckpoint()
+    val yDf = labels.select(col("id"), col("y").cast(LongType).as("y"))
+    val (_, traces) = logisticTrainTrace(f, yDf, rounds + 1, etaMilli)
+    val pts = traces.drop(1).map(res =>
+      res.select(col("id"),
+        when(col("y") === 1L, col("rq") + lit(1000000L))
+          .otherwise(lit(1000000L) - col("rq"))
+          .as("ptq")))
+      .reduce(_ unionAll _)
+    val hi = confHiMicro * rounds
+    val lo = confLoMicro * rounds
+    pts.groupBy(col("id"))
+      .agg(sum(col("ptq")).as("s"),
+        (max(col("ptq")) - min(col("ptq"))).as("rng"))
+      .withColumn("quadrant",
+        when(col("rng") > varMicro, lit("ambiguous"))
+          .when(col("s") >= hi, lit("easy"))
+          .when(col("s") <= lo, lit("hard"))
+          .otherwise(lit("medium")))
+      .groupBy(col("quadrant"))
+      .agg(count(lit(1)).as("n_docs"),
+        (sum(col("s")).cast(DoubleType) / count(lit(1)).cast(DoubleType) /
+          lit(rounds * 1.0e6)).as("mean_conf"),
+        (sum(col("rng")).cast(DoubleType) / count(lit(1)).cast(DoubleType) /
+          lit(1.0e6)).as("mean_variability"))
+      .orderBy(col("quadrant"))
   }
 
   /** EL2N data-pruning report (q276) — the "easy examples teach

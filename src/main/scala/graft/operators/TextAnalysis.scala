@@ -333,6 +333,30 @@ object TextAnalysis {
       fit.crossJoin(broadcast(full))
     }),
 
+    // ---- q284: dataset cartography (Swayamdipta et al. 2020) — the
+    // training-dynamics map next to q276's one-shot EL2N score: mean
+    // true-class confidence × cross-round variability per document
+    // under the q253 classifier, bucketed into easy / ambiguous / hard
+    // / medium quadrants (ambiguous = the data worth keeping; hard =
+    // label-noise suspects, cross-check q233). Probabilities recover
+    // EXACTLY from the loop's micro-quantized residuals; the oracle
+    // unrolls one extra GD round and unions the r2/r3/r4 residual
+    // CTEs. eta = 0.1 (vs q253's 0.5): the map reads training
+    // DYNAMICS, and the 0.5 full-batch rate oscillates every example
+    // into the ambiguous bin — the gentler rate is the informative
+    // regime (sweep recorded in the round-12 notes). ----
+    "q284_dataset_cartography" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val feats = graft.api.Graft.featureHash(docs, "text", "doc_id", 64)
+        .select(col("doc_id").as("id"), col("dim"), col("weight").as("x"))
+        .unionAll(docs.select(col("doc_id").as("id"),
+          lit(-1L).as("dim"), lit(1L).as("x")))
+      val labels = docs.select(col("doc_id").as("id"),
+        (col("lang") === "en").cast(LongType).as("y"))
+      graft.api.Graft.datasetCartography(feats, labels, rounds = 3,
+        etaMilli = 100)
+    }),
+
     // ---- q276: EL2N pruning report — what the q253 classifier is FOR
     // in a curation pipeline: score every document's error norm |p − y|
     // under the trained model (the EL2N margin of Paul et al. 2021 —
@@ -802,8 +826,45 @@ object TextAnalysis {
          |FROM rk GROUP BY 1, 4 ORDER BY decile""".stripMargin
   }
 
+  /** q284 oracle: logisticSql(4)'s CTE chain (r2/r3/r4 hold the
+    * residuals under w1/w2/w3), unioned into the per-doc
+    * confidence/variability aggregate with the same micro-integer
+    * quadrant thresholds. */
+  private def cartographySql(etaMilli: Long): String = {
+    val base = logisticSql(4, etaMilli)
+    val cut = base.indexOf("SELECT dim, CAST(wq AS DOUBLE)")
+    base.substring(0, cut) +
+      """, tr AS (
+        |  SELECT id, rq FROM r2
+        |  UNION ALL SELECT id, rq FROM r3
+        |  UNION ALL SELECT id, rq FROM r4),
+        |pt AS (
+        |  SELECT t.id,
+        |    CASE WHEN y.y = 1 THEN t.rq + 1000000
+        |         ELSE 1000000 - t.rq END AS ptq
+        |  FROM tr t JOIN y USING (id)),
+        |ag AS (
+        |  SELECT id, CAST(SUM(ptq) AS BIGINT) AS s,
+        |    CAST(MAX(ptq) - MIN(ptq) AS BIGINT) AS rng
+        |  FROM pt GROUP BY id),
+        |qd AS (
+        |  SELECT CASE WHEN rng > 200000 THEN 'ambiguous'
+        |    WHEN s >= 2100000 THEN 'easy'
+        |    WHEN s <= 900000 THEN 'hard' ELSE 'medium' END AS quadrant,
+        |    s, rng
+        |  FROM ag)
+        |SELECT quadrant, COUNT(*) AS n_docs,
+        |  CAST(SUM(s) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE)
+        |    / 3000000.0 AS mean_conf,
+        |  CAST(SUM(rng) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE)
+        |    / 1000000.0 AS mean_variability
+        |FROM qd GROUP BY quadrant ORDER BY quadrant""".stripMargin
+  }
+
   val oracle: Map[String, String] = Map(
     "q253_logistic_quality_train" -> logisticSql(3, 500),
+
+    "q284_dataset_cartography" -> cartographySql(100),
 
     "q276_el2n_prune" -> el2nSql(3, 500, 2),
 

@@ -132,6 +132,27 @@ class GraftApiSpec extends AnyFunSuite {
     }
   }
 
+  test("datasetCartography: identical examples share one quadrant with hand-checkable dynamics") {
+    val s = spark; import s.implicits._
+    // one-class corpus with only the bias feature: every example is the
+    // SAME point, so the trace is p(w1..w3) rising from 0.5 toward 1 —
+    // exactly one output row, rng = p(w3) - p(w1), conf strictly > 0.5
+    val n = 20
+    val feats = (1L to n).map(i => (i, -1L, 1L)).toDF("id", "dim", "x")
+    val labels = (1L to n).map(i => (i, 1L)).toDF("id", "y")
+    val rep = Graft.datasetCartography(feats, labels, rounds = 3).collect()
+    assert(rep.length === 1)
+    val r = rep.head
+    assert(r.getAs[Long]("n_docs") === n.toLong)
+    assert(r.getAs[Double]("mean_conf") > 0.5 && r.getAs[Double]("mean_conf") < 0.8)
+    assert(r.getAs[Double]("mean_variability") > 0.0 &&
+      r.getAs[Double]("mean_variability") < 0.2)
+    assert(r.getAs[String]("quadrant") === "medium")
+    intercept[IllegalArgumentException] {
+      Graft.datasetCartography(feats, labels, rounds = 1)
+    }
+  }
+
   test("chrF: identity scores 1, disjoint scores 0, one-division F from hand math") {
     val s = spark; import s.implicits._
     val same = Seq((1L, "g", "ab cd", "ab cd")).toDF("id", "g", "cand", "ref")
