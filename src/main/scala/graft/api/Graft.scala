@@ -7233,6 +7233,74 @@ object Graft {
       .orderBy(col("quadrant"))
   }
 
+  /** TracIn influence attribution (q286) — Pruthi et al. 2020's
+    * checkpoint form: the influence of training example z on probe z'
+    * is Σ_t η·g_t(z)·g_t(z') over the training checkpoints. For the
+    * [[logisticTrainHashed]] model the per-example gradient factors as
+    * (p_t−y)·x, so the checkpoint sum SEPARATES:
+    *   influence(z, z') = (η/N) · (x·x') · Σ_t r_t(z)·r_t(z')
+    * — the feature dot is round-independent and the residual trace is
+    * exactly what [[logisticTrainTrace]] already micro-quantizes. No
+    * per-checkpoint weight vectors are ever materialized per pair.
+    *
+    * Scale shape: probes are a FIXED-size set (broadcast twice — once
+    * as a rounds×P residual table, once as a P×dims feature block), so
+    * both dot products are broadcast joins + keyed aggregates over
+    * corpus-shaped streams: n·rounds·P residual terms, n·nnz·P/dims
+    * feature terms, all map-side combined. The per-probe top-k is the
+    * ccnetBuckets device — [[globalRank]] over (pid, −score, id) plus a
+    * broadcast per-probe offset join — never a per-probe window over
+    * the corpus.
+    *
+    * Exactness: residual dots are exact long sums of micro-residual
+    * products; the pair score xd·rdq is an exact Decimal(38) product
+    * (ranked as an integer, ties on id); the reported influence is one
+    * fixed double chain (pq/10¹² · η / N). Self-pairs are excluded. */
+  def tracinInfluence(features: DataFrame, labels: DataFrame,
+      probeIds: DataFrame, rounds: Int = 3, etaMilli: Long = 500,
+      topK: Int = 5): DataFrame = {
+    require(rounds >= 1, s"tracinInfluence needs rounds >= 1, got $rounds")
+    require(etaMilli > 0, "tracinInfluence needs etaMilli > 0")
+    require(topK >= 1, s"tracinInfluence needs topK >= 1, got $topK")
+    val f = features.select(col("id"), col("dim").cast(LongType).as("dim"),
+      col("x").cast(LongType).as("x")).localCheckpoint()
+    val yDf = labels.select(col("id"), col("y").cast(LongType).as("y"))
+    val pids = probeIds.select(col("id").cast(LongType).as("pid"))
+    val (_, traces) = logisticTrainTrace(f, yDf, rounds, etaMilli)
+    val trace = traces.zipWithIndex.map { case (res, i) =>
+      res.select(col("id"), lit(i.toLong).as("r"), col("rq"))
+    }.reduce(_ unionAll _)
+    val ptrace = trace.join(broadcast(pids), col("id") === col("pid"))
+      .select(col("pid"), col("r"), col("rq").as("prq"))
+    val resdot = trace.join(broadcast(ptrace), Seq("r"))
+      .filter(col("id") =!= col("pid"))
+      .groupBy(col("id"), col("pid"))
+      .agg(sum(col("rq") * col("prq")).as("rdq"))
+    val pf = f.join(broadcast(pids), col("id") === col("pid"))
+      .select(col("pid"), col("dim"), col("x").as("px"))
+    val xdot = f.join(broadcast(pf), Seq("dim"))
+      .filter(col("id") =!= col("pid"))
+      .groupBy(col("id"), col("pid"))
+      .agg(sum(col("x") * col("px")).as("xd"))
+    val nDf = yDf.agg(count(lit(1)).as("__N"))
+    val pairs = resdot.join(xdot, Seq("id", "pid"))
+      .withColumn("pq", col("xd").cast(DecimalType(38, 0)) *
+        col("rdq").cast(DecimalType(38, 0)))
+    val ranked = globalRank(pairs.withColumn("negpq", -col("pq")),
+      Seq("pid", "negpq", "id"), "grank")
+    val offs = ranked.groupBy(col("pid")).agg(min(col("grank")).as("__off"))
+    ranked.join(broadcast(offs), Seq("pid"))
+      .withColumn("rnk", col("grank") - col("__off") + lit(1L))
+      .filter(col("rnk") <= topK)
+      .crossJoin(broadcast(nDf))
+      .select(col("pid").as("probe_id"), col("rnk"),
+        col("id").as("doc_id"),
+        (col("pq").cast(DoubleType) / lit(1.0e12) *
+          lit(etaMilli.toDouble / 1000.0) /
+          col("__N").cast(DoubleType)).as("influence"))
+      .orderBy(col("probe_id"), col("rnk"))
+  }
+
   /** EL2N data-pruning report (q276) — the "easy examples teach
     * nothing" curation pass (Paul et al. 2021; Sorscher et al. 2022
     * use exactly this score to beat power-law scaling): train the

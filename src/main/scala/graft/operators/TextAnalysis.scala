@@ -158,6 +158,62 @@ object TextAnalysis {
         .orderBy(col("doc_id"))
     }),
 
+    // ---- q285: interpolated Kneser–Ney bigram LM self-perplexity —
+    // the smoothing KenLM-class quality filters actually ship (q113's
+    // add-k over-penalizes grams after frequent-but-promiscuous words;
+    // KN backs off to CONTINUATION counts — "how many distinct contexts
+    // precede w", not "how often w occurs"):
+    //   P(w2|w1) = (c(w1w2)−D)/c(w1·) + D·N1+(w1·)/c(w1·) · N1+(·w2)/B
+    // with fixed discount D=0.75 and B = distinct bigram types. Self-
+    // scoring only touches OBSERVED bigrams (c ≥ 1 > D, so the max(·,0)
+    // clamp is vacuous — documented, not dropped silently). Four count
+    // tables are keyed aggregates joined back by gram (the q113 plan
+    // shape: one token-stream shuffle on doc_id for bigrams via lead(),
+    // count joins on gram keys, map-side partials); per-bigram −ln P is
+    // nano-quantized before the order-free per-doc sum; the only
+    // unquantized doubles are the fixed-shape P chain and the final
+    // division. Docs with < 2 tokens keep a row with NULL score (the
+    // q113 "no evidence" contract). ----
+    "q285_kneser_ney" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val toks = t(s, dir, "documents")
+        .select(col("doc_id"),
+          posexplode(split(lower(col("text")), "[^a-z0-9]+"))
+            .as(Seq("__p", "__t")))
+        .filter(col("__t") =!= "")
+      val wp = Window.partitionBy(col("doc_id")).orderBy(col("__p"))
+      val bigrams = toks.select(col("doc_id"), col("__t").as("w1"),
+          lead(col("__t"), 1).over(wp).as("w2"))
+        .filter(col("w2").isNotNull)
+        .localCheckpoint()
+      val bi = bigrams.groupBy(col("w1"), col("w2"))
+        .agg(count(lit(1)).as("cb"))
+      val left = bi.groupBy(col("w1"))
+        .agg(sum(col("cb")).as("cl"), count(lit(1)).as("n1f"))
+      val cont = bi.groupBy(col("w2")).agg(count(lit(1)).as("n1b"))
+      val btot = bi.agg(count(lit(1)).as("b"))
+      val p = (col("cb").cast(DoubleType) - lit(0.75)) /
+        col("cl").cast(DoubleType) +
+        (lit(0.75) * col("n1f").cast(DoubleType) /
+          col("cl").cast(DoubleType)) *
+        (col("n1b").cast(DoubleType) / col("b").cast(DoubleType))
+      val scored = bigrams.join(bi, Seq("w1", "w2"))
+        .join(left, Seq("w1")).join(cont, Seq("w2"))
+        .crossJoin(broadcast(btot))
+        .select(col("doc_id"),
+          round(-log(p) * lit(1.0e9)).cast(LongType).as("__q"))
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_bigrams"),
+          ((sum(col("__q")).cast(DoubleType) / lit(1.0e9)) / count(lit(1)))
+            .as("kn_cross_entropy"))
+      t(s, dir, "documents").select(col("doc_id")).distinct()
+        .join(scored, Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          coalesce(col("n_bigrams"), lit(0L)).as("n_bigrams"),
+          col("kn_cross_entropy"))
+        .orderBy(col("doc_id"))
+    }),
+
     // ---- q209: CCNet perplexity buckets — q113's cross-entropy turned
     // into the actual CCNet DECISION layer: per-language reference LMs
     // from the doc_id%5=0 slice, every other doc scored with LEFT-join
@@ -355,6 +411,31 @@ object TextAnalysis {
         (col("lang") === "en").cast(LongType).as("y"))
       graft.api.Graft.datasetCartography(feats, labels, rounds = 3,
         etaMilli = 100)
+    }),
+
+    // ---- q286: TracIn influence attribution (Pruthi et al. 2020) —
+    // the "which training documents moved the model toward/away from
+    // THIS example" debugging pass next to q284's population-level map:
+    // for 8 fixed probe docs, the top-5 most influential training docs
+    // under the q253 classifier's checkpoint trace. The logistic
+    // gradient factors as (p−y)·x, so influence separates into
+    // (feature dot) × (residual-trace dot) — both broadcast joins, no
+    // per-pair weight vectors, no cartesian (probe count is FIXED, not
+    // corpus-shaped). High positive influence = same-direction
+    // gradients (reinforcing examples); strong negatives flag
+    // conflicting labels worth a q233 cross-check. ----
+    "q286_tracin_influence" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val feats = graft.api.Graft.featureHash(docs, "text", "doc_id", 64)
+        .select(col("doc_id").as("id"), col("dim"), col("weight").as("x"))
+        .unionAll(docs.select(col("doc_id").as("id"),
+          lit(-1L).as("dim"), lit(1L).as("x")))
+      val labels = docs.select(col("doc_id").as("id"),
+        (col("lang") === "en").cast(LongType).as("y"))
+      val probes = docs.filter(col("doc_id") % 7 === 3)
+        .select(col("doc_id").as("id")).orderBy(col("id")).limit(8)
+      graft.api.Graft.tracinInfluence(feats, labels, probes, rounds = 3,
+        etaMilli = 500, topK = 5)
     }),
 
     // ---- q276: EL2N pruning report — what the q253 classifier is FOR
@@ -861,10 +942,52 @@ object TextAnalysis {
         |FROM qd GROUP BY quadrant ORDER BY quadrant""".stripMargin
   }
 
+  /** q286 oracle: logisticSql(3)'s CTE chain (r1/r2/r3 hold the
+    * checkpoint residuals), the separated feature/residual dot
+    * products over the 8-probe set, HUGEINT pair products ranked
+    * (pq DESC, id) per probe, the same fixed influence double chain. */
+  private def tracinSql(etaMilli: Long, topK: Int): String = {
+    val base = logisticSql(3, etaMilli)
+    val cut = base.indexOf("SELECT dim, CAST(wq AS DOUBLE)")
+    base.substring(0, cut) +
+      s""", p AS MATERIALIZED (
+         |  SELECT id AS pid FROM y WHERE id % 7 = 3 ORDER BY id LIMIT 8),
+         |tr AS (
+         |  SELECT id, 0 AS r, rq FROM r1
+         |  UNION ALL SELECT id, 1 AS r, rq FROM r2
+         |  UNION ALL SELECT id, 2 AS r, rq FROM r3),
+         |pt AS (SELECT p.pid, t.r, t.rq AS prq
+         |       FROM tr t JOIN p ON t.id = p.pid),
+         |rd AS (
+         |  SELECT t.id, pt.pid, CAST(SUM(t.rq * pt.prq) AS BIGINT) AS rdq
+         |  FROM tr t JOIN pt USING (r) WHERE t.id <> pt.pid
+         |  GROUP BY t.id, pt.pid),
+         |pfq AS (SELECT p.pid, f.dim, f.x AS px
+         |        FROM f JOIN p ON f.id = p.pid),
+         |xd AS (
+         |  SELECT f.id, pfq.pid, CAST(SUM(f.x * pfq.px) AS BIGINT) AS xd
+         |  FROM f JOIN pfq USING (dim) WHERE f.id <> pfq.pid
+         |  GROUP BY f.id, pfq.pid),
+         |pr AS (
+         |  SELECT rd.id, rd.pid,
+         |    CAST(xd.xd AS HUGEINT) * CAST(rd.rdq AS HUGEINT) AS pq
+         |  FROM rd JOIN xd ON rd.id = xd.id AND rd.pid = xd.pid),
+         |rk AS (
+         |  SELECT pid, id, pq,
+         |    ROW_NUMBER() OVER (PARTITION BY pid ORDER BY pq DESC, id) AS rnk
+         |  FROM pr)
+         |SELECT pid AS probe_id, CAST(rnk AS BIGINT) AS rnk, id AS doc_id,
+         |  CAST(pq AS DOUBLE) / 1000000000000.0 * ${etaMilli.toDouble / 1000.0}
+         |    / CAST((SELECT N FROM nn) AS DOUBLE) AS influence
+         |FROM rk WHERE rnk <= $topK ORDER BY probe_id, rnk""".stripMargin
+  }
+
   val oracle: Map[String, String] = Map(
     "q253_logistic_quality_train" -> logisticSql(3, 500),
 
     "q284_dataset_cartography" -> cartographySql(100),
+
+    "q286_tracin_influence" -> tracinSql(500, 5),
 
     "q276_el2n_prune" -> el2nSql(3, 500, 2),
 
@@ -1216,6 +1339,45 @@ object TextAnalysis {
         |  GROUP BY g.doc_id)
         |SELECT d.doc_id, CAST(COALESCE(n_bigrams, 0) AS BIGINT) AS n_bigrams,
         |  ROUND(cross_entropy, 6) AS cross_entropy
+        |FROM (SELECT DISTINCT doc_id FROM documents) d
+        |LEFT JOIN scored USING (doc_id)
+        |ORDER BY d.doc_id""".stripMargin,
+
+    // Kneser–Ney twin: identical tokenization/bigram CTEs, the same four
+    // count tables, the IDENTICAL fixed-order P double chain
+    // ((cb−D)/cl + (D·n1f/cl)·(n1b/B)), nano-quantized −ln P before the
+    // per-doc sum, one final division
+    "q285_kneser_ney" ->
+      """WITH tl AS (
+        |  SELECT doc_id,
+        |    list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+        |      x -> x <> '') AS w
+        |  FROM documents),
+        |b0 AS (SELECT doc_id, w, unnest(range(1, len(w))) AS i
+        |       FROM tl WHERE len(w) >= 2),
+        |bigrams AS (SELECT doc_id, w[i] AS w1, w[i + 1] AS w2 FROM b0),
+        |bi AS (SELECT w1, w2, CAST(COUNT(*) AS BIGINT) AS cb
+        |       FROM bigrams GROUP BY w1, w2),
+        |lft AS (SELECT w1, CAST(SUM(cb) AS BIGINT) AS cl,
+        |          CAST(COUNT(*) AS BIGINT) AS n1f
+        |        FROM bi GROUP BY w1),
+        |cont AS (SELECT w2, CAST(COUNT(*) AS BIGINT) AS n1b
+        |         FROM bi GROUP BY w2),
+        |btot AS (SELECT CAST(COUNT(*) AS BIGINT) AS b FROM bi),
+        |scored AS (
+        |  SELECT g.doc_id, COUNT(*) AS n_bigrams,
+        |    (CAST(SUM(CAST(ROUND(-ln(
+        |        (CAST(cb AS DOUBLE) - 0.75) / CAST(cl AS DOUBLE)
+        |        + (0.75 * CAST(n1f AS DOUBLE) / CAST(cl AS DOUBLE))
+        |          * (CAST(n1b AS DOUBLE) / CAST(b AS DOUBLE)))
+        |      * 1000000000.0) AS BIGINT)) AS DOUBLE)
+        |      / 1000000000.0) / COUNT(*) AS kn_cross_entropy
+        |  FROM bigrams g
+        |  JOIN bi USING (w1, w2) JOIN lft USING (w1) JOIN cont USING (w2)
+        |  CROSS JOIN btot
+        |  GROUP BY g.doc_id)
+        |SELECT d.doc_id, CAST(COALESCE(n_bigrams, 0) AS BIGINT) AS n_bigrams,
+        |  kn_cross_entropy
         |FROM (SELECT DISTINCT doc_id FROM documents) d
         |LEFT JOIN scored USING (doc_id)
         |ORDER BY d.doc_id""".stripMargin,
