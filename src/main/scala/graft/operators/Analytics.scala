@@ -650,6 +650,47 @@ object Analytics {
         .orderBy(col("source"))
     }),
 
+    // ---- q288: exact Wasserstein-1 (earth-mover) distance between the
+    // click and purchase value distributions — the INTEGRAL drift
+    // metric next to q122's sup-norm KS: W1 = ∫|F1−F2| dx weights HOW
+    // FAR mass moved, not just the worst single gap, so it ranks "same
+    // shape, shifted tail" drifts KS under-reports. Exact on the
+    // cent-quantized empiricals: per-cent-value counts (one keyed agg),
+    // CDFs via globalCumSum's partition-offset device and the
+    // next-value gap via a globalRank self-join — NEVER a one-partition
+    // window over the value grid (q122 documents that caveat; this op
+    // retires it). The integrand |cumA·nB − cumB·nA|·Δv is an exact
+    // Decimal(38) integer; ONE double division chain at the end. ----
+    "q288_wasserstein_shift" -> ((s, dir) => {
+      val ev = t(s, dir, "events")
+        .filter(col("event_type").isin("click", "purchase"))
+        .select(col("event_type").as("side"),
+          round(col("value") * lit(100.0)).cast(LongType).as("vq"))
+      val vt = ev.groupBy(col("vq")).agg(
+        sum((col("side") === "click").cast(LongType)).as("ca"),
+        sum((col("side") === "purchase").cast(LongType)).as("cb"))
+      val nn = ev.agg(
+        sum((col("side") === "click").cast(LongType)).as("na"),
+        sum((col("side") === "purchase").cast(LongType)).as("nb"))
+      val nv = vt.agg(count(lit(1)).as("n_values"))
+      val cum = graft.api.Graft.globalCumSum(
+        graft.api.Graft.globalCumSum(vt, Seq("vq"), "ca", "cuma"),
+        Seq("vq"), "cb", "cumb")
+      val ranked = graft.api.Graft.globalRank(cum, Seq("vq"), "rnk")
+      val nxt = ranked.select((col("rnk") - 1).as("rnk"),
+        col("vq").as("nvq"))
+      val terms = ranked.join(nxt, Seq("rnk"))
+        .crossJoin(broadcast(nn))
+        .select((abs(col("cuma") * col("nb") - col("cumb") * col("na"))
+          .cast(DecimalType(38, 0)) *
+          (col("nvq") - col("vq")).cast(DecimalType(38, 0))).as("term"))
+      terms.agg(sum(col("term")).as("__s"))
+        .crossJoin(broadcast(nn)).crossJoin(broadcast(nv))
+        .select(col("na"), col("nb"), col("n_values"),
+          (col("__s").cast(DoubleType) / col("na").cast(DoubleType) /
+            col("nb").cast(DoubleType) / lit(100.0)).as("w1"))
+    }),
+
     // ---- q117: per-customer OLS trend slope of order value over time —
     // the trend-detection aggregate (spend drifting up or down?). All
     // covariance sums are INTEGER (epoch days × exact cents), so partial
@@ -3393,6 +3434,40 @@ object Analytics {
         |FROM sc JOIN ac USING (n_chars) CROSS JOIN na
         |GROUP BY sc.source, sc.n1, na.n2
         |ORDER BY sc.source""".stripMargin,
+
+    // Wasserstein twin: identical cent quantization, window CDFs +
+    // LEAD over the same value grid, exact HUGEINT integrand, the same
+    // single division chain
+    "q288_wasserstein_shift" ->
+      """WITH ev AS (
+        |  SELECT event_type AS side,
+        |    CAST(ROUND(value * 100.0) AS BIGINT) AS vq
+        |  FROM events WHERE event_type IN ('click', 'purchase')),
+        |vt AS (
+        |  SELECT vq,
+        |    CAST(COUNT(*) FILTER (WHERE side = 'click') AS BIGINT) AS ca,
+        |    CAST(COUNT(*) FILTER (WHERE side = 'purchase') AS BIGINT) AS cb
+        |  FROM ev GROUP BY vq),
+        |nn AS (
+        |  SELECT CAST(COUNT(*) FILTER (WHERE side = 'click') AS BIGINT) AS na,
+        |    CAST(COUNT(*) FILTER (WHERE side = 'purchase') AS BIGINT) AS nb
+        |  FROM ev),
+        |nv AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_values FROM vt),
+        |cm AS (
+        |  SELECT vq,
+        |    CAST(SUM(ca) OVER (ORDER BY vq) AS BIGINT) AS cuma,
+        |    CAST(SUM(cb) OVER (ORDER BY vq) AS BIGINT) AS cumb,
+        |    LEAD(vq) OVER (ORDER BY vq) AS nvq
+        |  FROM vt),
+        |tm AS (
+        |  SELECT CAST(ABS(cuma * nb - cumb * na) AS HUGEINT)
+        |      * CAST(nvq - vq AS HUGEINT) AS term
+        |  FROM cm CROSS JOIN nn WHERE nvq IS NOT NULL)
+        |SELECT nn.na, nn.nb, nv.n_values,
+        |  CAST(SUM(term) AS DOUBLE) / CAST(nn.na AS DOUBLE)
+        |    / CAST(nn.nb AS DOUBLE) / 100.0 AS w1
+        |FROM tm CROSS JOIN nn CROSS JOIN nv
+        |GROUP BY nn.na, nn.nb, nv.n_values""".stripMargin,
 
     // trend twin: identical integer covariance sums (epoch days × exact
     // cents — DuckDB's HUGEINT intermediates are exact too), one double

@@ -2,7 +2,7 @@ package graft.operators
 
 import org.apache.spark.sql.functions._
 import Util._
-import org.apache.spark.sql.types.{DoubleType, LongType}
+import org.apache.spark.sql.types.{DoubleType, LongType, StringType}
 
 /** Embedding clustering + semantic dedup (round 5).
   *
@@ -113,6 +113,68 @@ object Clustering {
         .groupBy(col("n0"), col("n1"))
         .agg(count(lit(1)).as("n_dims"),
           (sum(col("termq")).cast(DoubleType) / lit(1.0e9)).as("fd2"))
+    }),
+
+    // ---- q287: MMD² drift probe with hash-derived random features —
+    // the kernel-space companion to q277's diagonal-Gaussian Fréchet
+    // gate on the SAME label-parity split: project every embedding
+    // through 16 fixed cos(w·x + b) features (w ∈ {−1,+1}^d and phase b
+    // replayed from the md5 parity device — no RNG, no driver state)
+    // and report the squared distance between the two sides' feature
+    // means, ≈ MMD² under the stationary kernel the ±1 projections
+    // induce. Detects shifts the per-dim mean/σ audit can't see (shape
+    // changes with matched moments). Plan: one posexplode, one
+    // broadcast join against the D×d weight grid, two keyed aggregates
+    // — n·d·D work, map-side combined, linear at any corpus size.
+    // Dots are exact longs (±1 × micro-quantized components); cos
+    // outputs are micro-quantized before the order-free per-feature
+    // sums; per-feature terms pico-quantized before the final sum. ----
+    "q287_mmd_drift" -> ((s, dir) => {
+      import s.implicits._
+      graft.functions.GraftFunctions.register(s)
+      val emb = t(s, dir, "embeddings")
+      val nFeat = 16
+      val dDim = emb.agg(max(size(col("embedding"))).as("d")).head.getInt(0)
+      val grid = (1 to nFeat).flatMap(j => (1 to dDim).map(i =>
+          (j.toLong, i.toLong))).toDF("j", "i")
+        .withColumn("w", call_function("md5_lower64",
+          concat(lit("m:"), col("j").cast(StringType), lit(":"),
+            col("i").cast(StringType))).bitwiseAND(lit(1L)) * lit(2L) -
+          lit(1L))
+        .withColumn("bu", call_function("md5_lower64",
+          concat(lit("mb:"), col("j").cast(StringType)))
+          .bitwiseAND(lit(Long.MaxValue)) % lit(1000000L))
+      val nn = emb.agg(
+        sum((col("label") % 2 === 0).cast(LongType)).as("n0"),
+        sum((col("label") % 2 === 1).cast(LongType)).as("n1"))
+      val e = emb.select(col("vec_id"), (col("label") % 2).as("side"),
+          posexplode(col("embedding")).as(Seq("i0", "x")))
+        .select(col("vec_id"), col("side"),
+          (col("i0") + 1).cast(LongType).as("i"),
+          round(col("x").cast(DoubleType) * lit(1.0e6)).cast(LongType)
+            .as("xq"))
+      val dots = e.join(broadcast(grid), Seq("i"))
+        .groupBy(col("vec_id"), col("side"), col("j"), col("bu"))
+        .agg(sum(col("w") * col("xq")).as("dotq"))
+      val z = dots.select(col("side"), col("j"),
+        round(cos(col("dotq").cast(DoubleType) / lit(1.0e6) +
+          col("bu").cast(DoubleType) * lit(6.283185307179586) /
+            lit(1.0e6)) * lit(1.0e6)).cast(LongType).as("zq"))
+      val st = z.groupBy(col("j")).agg(
+        sum(when(col("side") === 0, col("zq"))).as("s0"),
+        sum(when(col("side") === 1, col("zq"))).as("s1"))
+      val terms = st.crossJoin(broadcast(nn))
+        .withColumn("diff",
+          col("s0").cast(DoubleType) / lit(1.0e6) /
+            col("n0").cast(DoubleType) -
+          col("s1").cast(DoubleType) / lit(1.0e6) /
+            col("n1").cast(DoubleType))
+        .withColumn("termq",
+          round(col("diff") * col("diff") * lit(1.0e12)).cast(LongType))
+      terms.groupBy(col("n0"), col("n1"))
+        .agg(count(lit(1)).as("n_features"),
+          (sum(col("termq")).cast(DoubleType) / lit(1.0e12) * lit(2.0) /
+            lit(nFeat.toDouble)).as("mmd2"))
     }),
 
     // ---- q233: centroid-disagreement label-noise audit — confident-
@@ -474,6 +536,60 @@ object Clustering {
         |SELECT n0, n1, COUNT(*) AS n_dims,
         |  CAST(SUM(termq) AS DOUBLE) / 1000000000.0 AS fd2
         |FROM t4 GROUP BY n0, n1""".stripMargin,
+
+    // MMD twin: the identical md5-derived ±1 weights and phases, exact
+    // long dots over micro-quantized components, micro-quantized cos,
+    // the same fixed mean/diff double chains, pico-quantized terms
+    "q287_mmd_drift" ->
+      """WITH nn AS (
+        |  SELECT CAST(COUNT(*) FILTER (WHERE label % 2 = 0) AS BIGINT) AS n0,
+        |         CAST(COUNT(*) FILTER (WHERE label % 2 = 1) AS BIGINT) AS n1
+        |  FROM embeddings),
+        |dd AS (SELECT CAST(MAX(len(embedding)) AS BIGINT) AS d
+        |       FROM embeddings),
+        |grid AS (
+        |  SELECT j, i,
+        |    CAST((md5_number_lower('m:' || CAST(j AS VARCHAR) || ':'
+        |        || CAST(i AS VARCHAR)) & 1::UBIGINT) * 2 AS BIGINT) - 1 AS w,
+        |    CAST((md5_number_lower('mb:' || CAST(j AS VARCHAR))
+        |        & 9223372036854775807::UBIGINT) % 1000000 AS BIGINT) AS bu
+        |  FROM (SELECT unnest(generate_series(1, 16)) AS j),
+        |       (SELECT unnest(generate_series(1, (SELECT d FROM dd))) AS i)),
+        |e AS (
+        |  SELECT vec_id, label % 2 AS side, i,
+        |    CAST(ROUND(CAST(embedding[i] AS DOUBLE) * 1000000.0) AS BIGINT)
+        |      AS xq
+        |  FROM (SELECT vec_id, label, embedding,
+        |          unnest(generate_series(1, len(embedding))) AS i
+        |        FROM embeddings)),
+        |dots AS (
+        |  SELECT e.vec_id, e.side, g.j, g.bu,
+        |    CAST(SUM(g.w * e.xq) AS BIGINT) AS dotq
+        |  FROM e JOIN grid g USING (i)
+        |  GROUP BY e.vec_id, e.side, g.j, g.bu),
+        |z AS (
+        |  SELECT side, j,
+        |    CAST(ROUND(cos(CAST(dotq AS DOUBLE) / 1000000.0
+        |      + CAST(bu AS DOUBLE) * 6.283185307179586 / 1000000.0)
+        |      * 1000000.0) AS BIGINT) AS zq
+        |  FROM dots),
+        |st AS (
+        |  SELECT j,
+        |    CAST(SUM(zq) FILTER (WHERE side = 0) AS BIGINT) AS s0,
+        |    CAST(SUM(zq) FILTER (WHERE side = 1) AS BIGINT) AS s1
+        |  FROM z GROUP BY j),
+        |tm AS (
+        |  SELECT j, n0, n1,
+        |    CAST(ROUND(
+        |      (CAST(s0 AS DOUBLE) / 1000000.0 / CAST(n0 AS DOUBLE)
+        |        - CAST(s1 AS DOUBLE) / 1000000.0 / CAST(n1 AS DOUBLE))
+        |      * (CAST(s0 AS DOUBLE) / 1000000.0 / CAST(n0 AS DOUBLE)
+        |        - CAST(s1 AS DOUBLE) / 1000000.0 / CAST(n1 AS DOUBLE))
+        |      * 1000000000000.0) AS BIGINT) AS termq
+        |  FROM st CROSS JOIN nn)
+        |SELECT n0, n1, COUNT(*) AS n_features,
+        |  CAST(SUM(termq) AS DOUBLE) / 1000000000000.0 * 2.0 / 16.0 AS mmd2
+        |FROM tm GROUP BY n0, n1""".stripMargin,
 
     // isotropy twin: the q134 power-iteration CTEs, the same Rayleigh
     // λ₁ and a pico-quantized diagonal trace from the same fm cells
