@@ -7233,6 +7233,71 @@ object Graft {
       .orderBy(col("quadrant"))
   }
 
+  /** Covariate-shift importance reweighting + ESS diagnostic (q289) —
+    * the distribution-matching audit run before trusting any metric
+    * computed on a convenience sample: train the
+    * [[logisticTrainHashed]] probe to distinguish target-population
+    * rows (y = 1) from source rows (y = 0), weight each source row by
+    * the density-ratio estimate w = p/(1−p), and report (a) Kish's
+    * effective sample size (Σw)²/Σw² — how many target-like examples
+    * the source corpus is actually worth — and (b) the weighted vs
+    * unweighted source mean of `values` next to the true target mean,
+    * the self-check that the reweighting moves the estimate the right
+    * way. Low ESS ratio = the source barely overlaps the target;
+    * reweighting cannot fix that, only say it loudly.
+    *
+    * Scale shape: the probe is the q253 loop (broadcast weights, two
+    * keyed aggregates per round); scoring is one more broadcast join +
+    * keyed aggregate; everything after is a single 1-row aggregate.
+    * Exactness: probabilities micro-quantized then clamped to
+    * [1, 999999] (the standard weight clip — unclipped w explodes as
+    * p→1); weights micro-quantized longs; all sums Decimal(38); the
+    * ESS/mean chains are single fixed double expressions. */
+  def covariateShiftEss(features: DataFrame, labels: DataFrame,
+      values: DataFrame, rounds: Int = 3, etaMilli: Long = 500)
+      : DataFrame = {
+    require(rounds >= 1, s"covariateShiftEss needs rounds >= 1")
+    require(etaMilli > 0, "covariateShiftEss needs etaMilli > 0")
+    val f = features.select(col("id"), col("dim").cast(LongType).as("dim"),
+      col("x").cast(LongType).as("x")).localCheckpoint()
+    val yDf = labels.select(col("id"), col("y").cast(LongType).as("y"))
+    val vDf = values.select(col("id"), col("v").cast(LongType).as("v"))
+    val w = logisticTrainQ(f, yDf, rounds, etaMilli)
+    val scored = f.join(broadcast(w), Seq("dim"))
+      .groupBy(col("id"))
+      .agg(sum(col("wq") * col("x")).as("zq"))
+      .join(yDf, Seq("id")).join(vDf, Seq("id"))
+      .withColumn("pq", greatest(least(
+        round((lit(1.0) / (lit(1.0) +
+          exp(-(col("zq").cast(DoubleType) / lit(1.0e9))))) * lit(1.0e6))
+          .cast(LongType), lit(999999L)), lit(1L)))
+      .withColumn("wgt", round(col("pq").cast(DoubleType) /
+        (lit(1000000.0) - col("pq").cast(DoubleType)) * lit(1.0e6))
+        .cast(LongType))
+    val src = scored.filter(col("y") === 0L).agg(
+      count(lit(1)).as("n_source"),
+      sum(col("wgt").cast(DecimalType(38, 0))).as("sw"),
+      sum(col("wgt").cast(DecimalType(38, 0)) *
+        col("wgt").cast(DecimalType(38, 0))).as("sw2"),
+      sum(col("wgt").cast(DecimalType(38, 0)) *
+        col("v").cast(DecimalType(38, 0))).as("swv"),
+      sum(col("v").cast(DecimalType(38, 0))).as("sv"))
+    val tgt = scored.filter(col("y") === 1L).agg(
+      count(lit(1)).as("n_target"),
+      sum(col("v").cast(DecimalType(38, 0))).as("stv"))
+    src.crossJoin(broadcast(tgt))
+      .withColumn("ess", col("sw").cast(DoubleType) *
+        col("sw").cast(DoubleType) / col("sw2").cast(DoubleType))
+      .select(col("n_source"), col("n_target"), col("ess"),
+        (col("ess") / col("n_source").cast(DoubleType)).as("ess_ratio"),
+        (col("swv").cast(DoubleType) / col("sw").cast(DoubleType))
+          .as("weighted_mean"),
+        (col("sv").cast(DoubleType) / col("n_source").cast(DoubleType))
+          .as("source_mean"),
+        (col("stv").cast(DoubleType) / col("n_target").cast(DoubleType))
+          .as("target_mean"))
+  }
+
   /** TracIn influence attribution (q286) — Pruthi et al. 2020's
     * checkpoint form: the influence of training example z on probe z'
     * is Σ_t η·g_t(z)·g_t(z') over the training checkpoints. For the

@@ -40,6 +40,108 @@ object Corpus {
         .orderBy(col("epoch"), col("shard"), col("pos"))
     }),
 
+    // ---- q290: Shapley coverage attribution — the fair-division
+    // answer to "which source is WORTH paying for": each source's
+    // Shapley value of the corpus-coverage game over distinct word-
+    // trigram shingles (the q24/q114 content unit — unigram types are
+    // template-collapsed on this corpus, q283). For a coverage game
+    // the exponential Shapley sum collapses to a closed form — a unit
+    // held by k sources pays 1/k to each holder (the probability that
+    // holder is first among the k in a random arrival order) — so the
+    // exact game-theoretic attribution is ONE keyed aggregate over the
+    // (source, shingle) distinct set, no 2^n subset walk. Generalizes
+    // q223's leave-one-out (which under-credits redundant-but-useful
+    // sources) with interaction-aware credit; n_exclusive is the k=1
+    // slice (what you lose outright if the source is dropped). Shares
+    // nano-quantized (round(1e9/k)) before the order-free sum. ----
+    "q290_shapley_coverage" -> ((s, dir) => {
+      graft.functions.GraftFunctions.register(s)
+      val st = t(s, dir, "documents")
+        .select(col("source"),
+          explode(expr("shingle_set(text, 3)")).as("tok"))
+        .distinct()
+      val kt = st.groupBy(col("tok")).agg(count(lit(1)).as("k"))
+      val tot = kt.agg(count(lit(1)).as("total_types"))
+      st.join(kt, Seq("tok"))
+        .withColumn("shq",
+          round(lit(1.0e9) / col("k").cast(DoubleType)).cast(LongType))
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_types"),
+          sum((col("k") === 1L).cast(LongType)).as("n_exclusive"),
+          sum(col("shq")).as("sq"))
+        .crossJoin(broadcast(tot))
+        .select(col("source"), col("n_types"), col("n_exclusive"),
+          (col("sq").cast(DoubleType) / lit(1.0e9)).as("shapley_types"),
+          (col("sq").cast(DoubleType) / lit(1.0e9) /
+            col("total_types").cast(DoubleType)).as("shapley_share"))
+        .orderBy(col("source"))
+    }),
+
+    // ---- q291: greedy max-coverage selection — the submodular
+    // curation pass (facility-location family): pick 5 documents that
+    // together cover the most distinct word-trigram shingles, by the
+    // classic 1−1/e greedy —
+    // each round scores every remaining doc's MARGINAL gain (types not
+    // yet covered) and takes the argmax (gain desc, doc_id tie-break).
+    // The diverse-seed selection used for eval-set construction and
+    // k-center-style corpus summaries. Five unrolled rounds, each one
+    // anti-join + keyed aggregate + a TakeOrdered(1) — corpus-shaped
+    // work per round, covered-set state is a types-table, never driver
+    // state. Exact integer gains; coverage is the one division. ----
+    "q291_greedy_coverage" -> ((s, dir) => {
+      graft.functions.GraftFunctions.register(s)
+      val dt = t(s, dir, "documents")
+        .select(col("doc_id"),
+          explode(expr("shingle_set(text, 3)")).as("tok"))
+        .distinct().localCheckpoint()
+      val tot = dt.select(col("tok")).distinct()
+        .agg(count(lit(1)).as("total_types"))
+      var selected = Seq.empty[org.apache.spark.sql.DataFrame]
+      var sids: Option[org.apache.spark.sql.DataFrame] = None
+      var covered: Option[org.apache.spark.sql.DataFrame] = None
+      var r = 1
+      while (r <= 5) {
+        val remaining = sids match {
+          case Some(ids) => dt.join(broadcast(ids), Seq("doc_id"), "left_anti")
+          case None => dt
+        }
+        // LEFT join + conditional count (not an anti-join): a remaining
+        // doc whose every type is already covered must stay in the
+        // argmax with gain 0 — the saturation rounds are part of the
+        // report, not silently dropped rows
+        val fresh = covered match {
+          case Some(c) => remaining.join(
+            c.withColumn("__cov", lit(1L)), Seq("tok"), "left")
+          case None => remaining.withColumn("__cov", lit(null).cast(LongType))
+        }
+        val pick = fresh.groupBy(col("doc_id"))
+          .agg(sum(when(col("__cov").isNull, 1L).otherwise(0L)).as("gain"))
+          .orderBy(col("gain").desc, col("doc_id"))
+          .limit(1).localCheckpoint()
+        val newCov = (covered match {
+          case Some(c) => c.unionAll(
+            dt.join(broadcast(pick.select(col("doc_id"))), Seq("doc_id"))
+              .select(col("tok")))
+          case None => dt.join(broadcast(pick.select(col("doc_id"))),
+            Seq("doc_id")).select(col("tok"))
+        }).distinct().localCheckpoint()
+        val cum = newCov.agg(count(lit(1)).as("cum_types"))
+        selected = selected :+ pick.crossJoin(broadcast(cum))
+          .select(lit(r.toLong).as("rank"), col("doc_id"), col("gain"),
+            col("cum_types"))
+        sids = Some(sids.map(_.unionAll(pick.select(col("doc_id"))))
+          .getOrElse(pick.select(col("doc_id"))).localCheckpoint())
+        covered = Some(newCov)
+        r += 1
+      }
+      selected.reduce(_ unionAll _)
+        .crossJoin(broadcast(tot))
+        .select(col("rank"), col("doc_id"), col("gain"), col("cum_types"),
+          (col("cum_types").cast(DoubleType) /
+            col("total_types").cast(DoubleType)).as("coverage"))
+        .orderBy(col("rank"))
+    }),
+
     // ---- q114: pairwise corpus-overlap audit — exact Jaccard of the
     // distinct word-trigram shingle sets of every source pair (the
     // contamination/provenance matrix run before mixing corpora). One
@@ -440,7 +542,92 @@ object Corpus {
         .orderBy(col("doc_id"))
     }))
 
+  /** q291 oracle: the same 5 greedy rounds unrolled as CTEs — anti-join
+    * marginal gains, (gain DESC, doc_id) argmax, UNION-accumulated
+    * covered set, scalar-subquery cumulative counts. */
+  private def greedyCoverageSql(k: Int): String = {
+    val rounds = (1 to k).map { r =>
+      val pick =
+        s"""s$r AS MATERIALIZED (
+           |  SELECT doc_id, gain FROM g$r
+           |  ORDER BY gain DESC, doc_id LIMIT 1),
+           |c$r AS MATERIALIZED (""".stripMargin +
+        (if (r == 1) """
+           |  SELECT DISTINCT dt.tok FROM dt JOIN s1 USING (doc_id))""".stripMargin
+         else s"""
+           |  SELECT tok FROM c${r - 1}
+           |  UNION
+           |  SELECT dt.tok FROM dt JOIN s$r USING (doc_id))""".stripMargin)
+      val gains = if (r == 1)
+        """g1 AS (
+          |  SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS gain
+          |  FROM dt GROUP BY doc_id),""".stripMargin
+      else {
+        val prevIds = (1 until r).map(i => s"SELECT doc_id FROM s$i")
+          .mkString(" UNION ALL ")
+        s"""g$r AS (
+           |  SELECT dt.doc_id,
+           |    CAST(COUNT(*) FILTER (WHERE cc.tok IS NULL) AS BIGINT) AS gain
+           |  FROM dt LEFT JOIN c${r - 1} cc ON cc.tok = dt.tok
+           |  WHERE dt.doc_id NOT IN ($prevIds)
+           |  GROUP BY dt.doc_id),""".stripMargin
+      }
+      gains + "\n" + pick
+    }.mkString(",\n")
+    val rows = (1 to k).map(r =>
+      s"""SELECT $r AS rank, doc_id, gain,
+         |  (SELECT CAST(COUNT(*) AS BIGINT) FROM c$r) AS cum_types
+         |FROM s$r""".stripMargin).mkString("\nUNION ALL\n")
+    s"""WITH tl AS (
+       |  SELECT doc_id, string_split(trim(text), ' ') AS t FROM documents),
+       |dt AS MATERIALIZED (
+       |  SELECT DISTINCT doc_id,
+       |    t[i] || chr(0) || t[i+1] || chr(0) || t[i+2] AS tok
+       |  FROM (SELECT doc_id, t,
+       |          unnest(generate_series(1, greatest(len(t) - 2, 0))) AS i
+       |        FROM tl)),
+       |tot AS (SELECT CAST(COUNT(DISTINCT tok) AS BIGINT) AS total_types
+       |        FROM dt),
+       |$rounds,
+       |rows_out AS (
+       |$rows)
+       |SELECT CAST(rank AS BIGINT) AS rank, doc_id, gain, cum_types,
+       |  CAST(cum_types AS DOUBLE) / CAST(total_types AS DOUBLE) AS coverage
+       |FROM rows_out CROSS JOIN tot ORDER BY rank""".stripMargin
+  }
+
   val oracle: Map[String, String] = Map(
+    // Shapley twin: the closed-form coverage-game credit — identical
+    // tokenization, per-type holder counts, nano-quantized 1/k shares
+    "q290_shapley_coverage" ->
+      """WITH tl AS (
+        |  SELECT source, string_split(trim(text), ' ') AS t FROM documents),
+        |st AS (
+        |  SELECT DISTINCT source,
+        |    t[i] || chr(0) || t[i+1] || chr(0) || t[i+2] AS tok
+        |  FROM (SELECT source, t,
+        |          unnest(generate_series(1, greatest(len(t) - 2, 0))) AS i
+        |        FROM tl)),
+        |kt AS (SELECT tok, CAST(COUNT(*) AS BIGINT) AS k
+        |       FROM st GROUP BY tok),
+        |tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS total_types FROM kt),
+        |j AS (
+        |  SELECT st.source, kt.k,
+        |    CAST(ROUND(1000000000.0 / CAST(k AS DOUBLE)) AS BIGINT) AS shq
+        |  FROM st JOIN kt USING (tok)),
+        |ag AS (
+        |  SELECT source, CAST(COUNT(*) AS BIGINT) AS n_types,
+        |    CAST(COUNT(*) FILTER (WHERE k = 1) AS BIGINT) AS n_exclusive,
+        |    CAST(SUM(shq) AS BIGINT) AS sq
+        |  FROM j GROUP BY source)
+        |SELECT source, n_types, n_exclusive,
+        |  CAST(sq AS DOUBLE) / 1000000000.0 AS shapley_types,
+        |  CAST(sq AS DOUBLE) / 1000000000.0 / CAST(total_types AS DOUBLE)
+        |    AS shapley_share
+        |FROM ag CROSS JOIN tot ORDER BY source""".stripMargin,
+
+    "q291_greedy_coverage" -> greedyCoverageSql(5),
+
     // q263 twin: the SAME regexp chains (no backreferences — they are
     // not portable between Java's $1 and RE2's \1), with 'g' flags
     // exactly where the Spark side's replace-all semantics need them

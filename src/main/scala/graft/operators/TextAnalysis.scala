@@ -438,6 +438,30 @@ object TextAnalysis {
         etaMilli = 500, topK = 5)
     }),
 
+    // ---- q289: covariate-shift importance weights + ESS — "this
+    // corpus slice is not the target distribution; how much is it
+    // worth after reweighting?": train the q253 probe to separate
+    // target docs (sources src0–src9) from the rest, weight every
+    // non-target doc by the density-ratio p/(1−p), and report Kish's
+    // effective sample size plus the weighted/unweighted source means
+    // of n_chars against the true target mean — the self-check that
+    // the reweighting moves the estimate toward the target. The
+    // capability DSIR (q115) selects WITH; this is the diagnostic
+    // that says whether selection/reweighting can work at all. ----
+    "q289_covariate_shift" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val feats = graft.api.Graft.featureHash(docs, "text", "doc_id", 64)
+        .select(col("doc_id").as("id"), col("dim"), col("weight").as("x"))
+        .unionAll(docs.select(col("doc_id").as("id"),
+          lit(-1L).as("dim"), lit(1L).as("x")))
+      val labels = docs.select(col("doc_id").as("id"),
+        (length(col("source")) === 4).cast(LongType).as("y"))
+      val vals = docs.select(col("doc_id").as("id"),
+        col("n_chars").as("v"))
+      graft.api.Graft.covariateShiftEss(feats, labels, vals, rounds = 3,
+        etaMilli = 500)
+    }),
+
     // ---- q276: EL2N pruning report — what the q253 classifier is FOR
     // in a curation pipeline: score every document's error norm |p − y|
     // under the trained model (the EL2N margin of Paul et al. 2021 —
@@ -830,7 +854,9 @@ object TextAnalysis {
     * quantization, the same sigmoid chain, and the `//` update, which
     * on integers truncates toward zero exactly like Spark's `div`
     * (plain div on both sides — the repo's verified division rule). */
-  private def logisticSql(rounds: Int, etaMilli: Long): String = {
+  private def logisticSql(rounds: Int, etaMilli: Long,
+      labelSql: String = "CASE WHEN lang = 'en' THEN 1 ELSE 0 END")
+      : String = {
     val steps = (1 to rounds).map { i =>
       s"""z$i AS (
          |  SELECT f.id, CAST(SUM(w.wq * f.x) AS BIGINT) AS zq
@@ -869,7 +895,7 @@ object TextAnalysis {
        |  SELECT doc_id AS id, CAST(-1 AS BIGINT) AS dim, CAST(1 AS BIGINT) AS x
        |  FROM documents),
        |y AS MATERIALIZED (
-       |  SELECT doc_id AS id, CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS y
+       |  SELECT doc_id AS id, $labelSql AS y
        |  FROM documents),
        |nn AS MATERIALIZED (SELECT CAST(COUNT(*) AS BIGINT) AS N FROM y),
        |w0 AS MATERIALIZED (
@@ -982,8 +1008,55 @@ object TextAnalysis {
          |FROM rk WHERE rnk <= $topK ORDER BY probe_id, rnk""".stripMargin
   }
 
+  /** q289 oracle: logisticSql(3)'s chain under the source-membership
+    * label, one scoring pass, clamped micro-quantized density-ratio
+    * weights, HUGEINT moment sums, the same fixed ESS/mean chains. */
+  private def covariateShiftSql(etaMilli: Long): String = {
+    val base = logisticSql(3, etaMilli,
+      "CASE WHEN length(source) = 4 THEN 1 ELSE 0 END")
+    val cut = base.indexOf("SELECT dim, CAST(wq AS DOUBLE)")
+    base.substring(0, cut) +
+      """, zf AS (
+        |  SELECT f.id, CAST(SUM(w.wq * f.x) AS BIGINT) AS zq
+        |  FROM f JOIN w3 w USING (dim) GROUP BY f.id),
+        |sc AS (
+        |  SELECT z.id, y.y, d.n_chars AS v,
+        |    GREATEST(LEAST(CAST(ROUND((1.0 / (1.0 + exp(-(CAST(zq AS DOUBLE)
+        |      / 1000000000.0)))) * 1000000.0) AS BIGINT), 999999), 1) AS pq
+        |  FROM zf z JOIN y USING (id) JOIN documents d ON d.doc_id = z.id),
+        |wg AS (
+        |  SELECT id, y, v,
+        |    CAST(ROUND(CAST(pq AS DOUBLE) / (1000000.0 - CAST(pq AS DOUBLE))
+        |      * 1000000.0) AS BIGINT) AS wgt
+        |  FROM sc),
+        |src AS (
+        |  SELECT CAST(COUNT(*) AS BIGINT) AS n_source,
+        |    SUM(CAST(wgt AS HUGEINT)) AS sw,
+        |    SUM(CAST(wgt AS HUGEINT) * CAST(wgt AS HUGEINT)) AS sw2,
+        |    SUM(CAST(wgt AS HUGEINT) * CAST(v AS HUGEINT)) AS swv,
+        |    SUM(CAST(v AS HUGEINT)) AS sv
+        |  FROM wg WHERE y = 0),
+        |tgt AS (
+        |  SELECT CAST(COUNT(*) AS BIGINT) AS n_target,
+        |    SUM(CAST(v AS HUGEINT)) AS stv
+        |  FROM wg WHERE y = 1),
+        |ej AS (
+        |  SELECT src.*, tgt.*,
+        |    CAST(sw AS DOUBLE) * CAST(sw AS DOUBLE) / CAST(sw2 AS DOUBLE)
+        |      AS ess
+        |  FROM src CROSS JOIN tgt)
+        |SELECT n_source, n_target, ess,
+        |  ess / CAST(n_source AS DOUBLE) AS ess_ratio,
+        |  CAST(swv AS DOUBLE) / CAST(sw AS DOUBLE) AS weighted_mean,
+        |  CAST(sv AS DOUBLE) / CAST(n_source AS DOUBLE) AS source_mean,
+        |  CAST(stv AS DOUBLE) / CAST(n_target AS DOUBLE) AS target_mean
+        |FROM ej""".stripMargin
+  }
+
   val oracle: Map[String, String] = Map(
     "q253_logistic_quality_train" -> logisticSql(3, 500),
+
+    "q289_covariate_shift" -> covariateShiftSql(500),
 
     "q284_dataset_cartography" -> cartographySql(100),
 
