@@ -96,6 +96,22 @@ object Events {
         .orderBy($"user_id", $"start_us")
     }),
 
+    // ---- q292: the FOURTH continuous-run streaming oracle — LEFT
+    // OUTER join state through the REAL micro-batch runtime. q273
+    // proves symmetric inner-join state (eager emission); this proves
+    // the watermark-GATED emission path: an unmatched purchase's
+    // NULL-click row may only appear once the min-of-both-branches
+    // watermark proves no match can arrive, so held outer state must
+    // survive micro-batches and flush on watermark advancement.
+    // Sentinel-drained (one far-future click AND purchase — min
+    // semantics), hash-checked against the batch LEFT interval join. ----
+    "q292_stream_outer_join_run" -> ((s, dir) => {
+      import s.implicits._
+      graft.streaming.EventStreams.runPurchaseAttributionOuter(
+          t(s, dir, "events"))
+        .orderBy($"purchase_id", $"click_id")
+    }),
+
     // ---- q49: batch twin of the watermarked stream dedup (T3): semantic
     // dedup on (user, type, minute) keeping the smallest event_id — the
     // deterministic batch statement of "duplicates within the horizon are
@@ -565,6 +581,18 @@ object Events {
         | epoch_us(p.ts) AS p_us, epoch_us(c.ts) AS c_us, p.value
         |FROM events p JOIN events c ON p.user_id = c.user_id
         |WHERE p.event_type = 'purchase' AND c.event_type = 'click'
+        |  AND c.ts >= p.ts - INTERVAL 1 HOUR AND c.ts < p.ts
+        |ORDER BY purchase_id, click_id""".stripMargin,
+
+    // continuous-run LEFT OUTER twin: the sentinel-drained sink must
+    // equal the batch left interval join — matched rows identical to
+    // q273's inner set, plus one NULL-click row per unmatched purchase
+    "q292_stream_outer_join_run" ->
+      """SELECT p.event_id AS purchase_id, c.event_id AS click_id, p.user_id,
+        | epoch_us(p.ts) AS p_us, epoch_us(c.ts) AS c_us, p.value
+        |FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+        |LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') c
+        |  ON p.user_id = c.user_id
         |  AND c.ts >= p.ts - INTERVAL 1 HOUR AND c.ts < p.ts
         |ORDER BY purchase_id, click_id""".stripMargin,
 

@@ -266,6 +266,66 @@ object EventStreams {
         col("p_ts"), col("c_ts"), col("value"))
   }
 
+  /** Run the LEFT OUTER stream-stream interval join
+    * ([[purchaseAttributionOuter]]) END TO END through real micro-batch
+    * execution — the q292 continuous-run oracle. This is the emission
+    * path q273's inner join never exercises: an unmatched purchase can
+    * only emit its NULL-click row once the global watermark PROVES no
+    * qualifying click can still arrive, so the runtime must hold outer
+    * state across micro-batches and flush it on watermark advancement
+    * (inner joins emit eagerly and the watermark only evicts). Because
+    * the flush is watermark-gated, end-of-feed needs the q274 sentinel
+    * protocol: one far-future click AND one far-future purchase (the
+    * global watermark is the MIN across both branch watermarks, so both
+    * must advance) under user −1, filtered from the drained sink. The
+    * completed sink then equals the batch LEFT interval join row for
+    * row under ANY feed chunking — that invariance is the hash gate. */
+  def runPurchaseAttributionOuter(events: DataFrame, chunks: Int = 6)
+      : DataFrame = {
+    val s = events.sparkSession
+    import s.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+    val ordered = events
+      .select(col("event_id"), unix_micros(col("ts")).as("tus"),
+        col("user_id"), col("event_type"), col("value"))
+      .orderBy(col("tus"), col("event_id"))
+      .as[(Long, Long, Long, String, Double)]
+    val total = ordered.count()
+    require(total > 0, "runPurchaseAttributionOuter: empty event feed")
+    val per = math.min(math.max(1L, (total + chunks - 1) / chunks), 1L << 20).toInt
+    val mem = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[(Long, Long, Long, String, Double)]
+    val src = mem.toDF()
+      .toDF("event_id", "tus", "user_id", "event_type", "value")
+      .withColumn("ts", timestamp_micros(col("tus")))
+    val joined = purchaseAttributionOuter(src)
+    val qname = s"graft_q292_sink_${java.util.UUID.randomUUID().toString.replace("-", "")}"
+    import scala.jdk.CollectionConverters._
+    val feed = ordered.toLocalIterator().asScala.grouped(per)
+    val prevShuffle = s.conf.get("spark.sql.shuffle.partitions")
+    try {
+      s.conf.set("spark.sql.shuffle.partitions", "4")
+      val q = joined.writeStream.format("memory").queryName(qname)
+        .outputMode("append").start()
+      try {
+        var lastTus = Long.MinValue
+        feed.foreach { chunk =>
+          lastTus = chunk.last._2
+          mem.addData(chunk)
+          q.processAllAvailable()
+        }
+        val far = lastTus + 30L * 86400000000L
+        mem.addData((-1L, far, -1L, "click", 0.0),
+          (-2L, far, -1L, "purchase", 0.0))
+        q.processAllAvailable()
+      } finally q.stop()
+    } finally s.conf.set("spark.sql.shuffle.partitions", prevShuffle)
+    s.table(qname).filter(col("user_id") >= 0L)
+      .select(col("purchase_id"), col("click_id"), col("user_id"),
+        unix_micros(col("p_ts")).as("p_us"), unix_micros(col("c_ts")).as("c_us"),
+        col("value"))
+  }
+
   /** Stateful per-user running counters via flatMapGroupsWithState-style
     * arbitrary state — expressed with the typed API. Emits (user_id,
     * total_events, total_value) updates. */
