@@ -177,6 +177,47 @@ object Clustering {
             lit(nFeat.toDouble)).as("mmd2"))
     }),
 
+    // ---- q293: diagonal-Mahalanobis embedding outliers — the
+    // embedding-table QA pass (corrupt encoders, wrong-model rows,
+    // garbage inputs show up as distributional outliers long before
+    // they poison ANN/dedup): per-dim mean/variance in ONE aggregate
+    // over the posexplode (the q277 device, one side), then each
+    // vector's score Σᵢ (xᵢ−μᵢ)²/σᵢ² via a broadcast stats join —
+    // n·d work, top-20 by TakeOrdered. Zero-variance dims are floored
+    // at 1e-12 (documented; a constant dim carries no outlier signal
+    // but must not divide by zero). Per-dim terms micro-quantized
+    // before the order-free per-vector sum; ranked on the exact
+    // integer score. ----
+    "q293_mahalanobis_outliers" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val nn = emb.agg(count(lit(1)).as("n"))
+      val e = emb.select(col("vec_id"), col("label").cast(LongType).as("label"),
+          posexplode(col("embedding")).as(Seq("i0", "x")))
+        .select(col("vec_id"), col("label"),
+          (col("i0") + 1).cast(LongType).as("i"),
+          round(col("x").cast(DoubleType) * lit(1.0e6)).cast(LongType)
+            .as("xq"))
+      val st = e.groupBy(col("i")).agg(sum(col("xq")).as("sx"),
+        sum(col("xq") * col("xq")).as("sxx"))
+      val stats = st.crossJoin(broadcast(nn))
+        .withColumn("mu", col("sx").cast(DoubleType) / lit(1.0e6) /
+          col("n").cast(DoubleType))
+        .select(col("i"), col("mu"),
+          greatest(col("sxx").cast(DoubleType) / lit(1.0e12) /
+            col("n").cast(DoubleType) - col("mu") * col("mu"),
+            lit(1.0e-12)).as("v2"))
+      val terms = e.join(broadcast(stats), Seq("i"))
+        .withColumn("d", col("xq").cast(DoubleType) / lit(1.0e6) - col("mu"))
+        .select(col("vec_id"), col("label"),
+          round(col("d") * col("d") / col("v2") * lit(1.0e6))
+            .cast(LongType).as("tq"))
+      terms.groupBy(col("vec_id"), col("label"))
+        .agg(count(lit(1)).as("n_dims"), sum(col("tq")).as("sq"))
+        .orderBy(col("sq").desc, col("vec_id")).limit(20)
+        .select(col("vec_id"), col("label"), col("n_dims"),
+          (col("sq").cast(DoubleType) / lit(1.0e6)).as("score"))
+    }),
+
     // ---- q233: centroid-disagreement label-noise audit — confident-
     // learning-lite: every embedding is assigned to its nearest label
     // centroid by cosine; rows whose own label loses the argmax are
@@ -536,6 +577,43 @@ object Clustering {
         |SELECT n0, n1, COUNT(*) AS n_dims,
         |  CAST(SUM(termq) AS DOUBLE) / 1000000000.0 AS fd2
         |FROM t4 GROUP BY n0, n1""".stripMargin,
+
+    // Mahalanobis twin: the same one-pass per-dim moments, the floored
+    // variance, identical fixed double chains, micro-quantized terms
+    // ranked on the exact integer score
+    "q293_mahalanobis_outliers" ->
+      """WITH nn AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM embeddings),
+        |e AS (
+        |  SELECT vec_id, CAST(label AS BIGINT) AS label, i,
+        |    CAST(ROUND(CAST(embedding[i] AS DOUBLE) * 1000000.0) AS BIGINT)
+        |      AS xq
+        |  FROM (SELECT vec_id, label, embedding,
+        |          unnest(generate_series(1, len(embedding))) AS i
+        |        FROM embeddings)),
+        |st AS (
+        |  SELECT i, CAST(SUM(xq) AS BIGINT) AS sx,
+        |    CAST(SUM(xq * xq) AS BIGINT) AS sxx
+        |  FROM e GROUP BY i),
+        |stats AS (
+        |  SELECT i,
+        |    CAST(sx AS DOUBLE) / 1000000.0 / CAST(n AS DOUBLE) AS mu,
+        |    greatest(CAST(sxx AS DOUBLE) / 1000000000000.0 / CAST(n AS DOUBLE)
+        |      - (CAST(sx AS DOUBLE) / 1000000.0 / CAST(n AS DOUBLE))
+        |      * (CAST(sx AS DOUBLE) / 1000000.0 / CAST(n AS DOUBLE)),
+        |      1e-12) AS v2
+        |  FROM st CROSS JOIN nn),
+        |tm AS (
+        |  SELECT e.vec_id, e.label,
+        |    CAST(ROUND((CAST(xq AS DOUBLE) / 1000000.0 - mu)
+        |      * (CAST(xq AS DOUBLE) / 1000000.0 - mu) / v2 * 1000000.0)
+        |      AS BIGINT) AS tq
+        |  FROM e JOIN stats USING (i)),
+        |ag AS (
+        |  SELECT vec_id, label, CAST(COUNT(*) AS BIGINT) AS n_dims,
+        |    CAST(SUM(tq) AS BIGINT) AS sq
+        |  FROM tm GROUP BY vec_id, label)
+        |SELECT vec_id, label, n_dims, CAST(sq AS DOUBLE) / 1000000.0 AS score
+        |FROM ag ORDER BY sq DESC, vec_id LIMIT 20""".stripMargin,
 
     // MMD twin: the identical md5-derived ±1 weights and phases, exact
     // long dots over micro-quantized components, micro-quantized cos,

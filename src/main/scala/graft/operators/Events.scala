@@ -112,6 +112,20 @@ object Events {
         .orderBy($"purchase_id", $"click_id")
     }),
 
+    // ---- q294: the FIFTH continuous-run streaming oracle — DEDUP
+    // state through the REAL micro-batch runtime (q269 windowed aggs,
+    // q273/q292 join state, q274 arbitrary state; this proves
+    // dropDuplicatesWithinWatermark's key-tracking state store). The
+    // sink projects the semantic key: a key may appear ONCE EVER, which
+    // only holds if duplicates arriving in later micro-batches are
+    // dropped by state (minute keys straddle the 6-chunk boundaries).
+    // Hash-checked against the batch DISTINCT of the same key. ----
+    "q294_stream_dedup_run" -> ((s, dir) => {
+      import s.implicits._
+      graft.streaming.EventStreams.runDedup(t(s, dir, "events"))
+        .orderBy($"user_id", $"event_type", $"m_us")
+    }),
+
     // ---- q49: batch twin of the watermarked stream dedup (T3): semantic
     // dedup on (user, type, minute) keeping the smallest event_id — the
     // deterministic batch statement of "duplicates within the horizon are
@@ -583,6 +597,14 @@ object Events {
         |WHERE p.event_type = 'purchase' AND c.event_type = 'click'
         |  AND c.ts >= p.ts - INTERVAL 1 HOUR AND c.ts < p.ts
         |ORDER BY purchase_id, click_id""".stripMargin,
+
+    // continuous-run dedup twin: the drained key set must equal the
+    // batch DISTINCT over (user, type, minute) — once ever per key
+    "q294_stream_dedup_run" ->
+      """SELECT DISTINCT user_id, event_type,
+        |  epoch_us(date_trunc('minute', ts)) AS m_us
+        |FROM events
+        |ORDER BY user_id, event_type, m_us""".stripMargin,
 
     // continuous-run LEFT OUTER twin: the sentinel-drained sink must
     // equal the batch left interval join — matched rows identical to

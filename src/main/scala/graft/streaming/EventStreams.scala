@@ -326,6 +326,59 @@ object EventStreams {
         col("value"))
   }
 
+  /** Run watermarked streaming dedup END TO END through real micro-batch
+    * execution — the q294 continuous-run oracle, the DEDUP-STATE type
+    * (the stateful operator family q269/q273/q274/q292 don't touch):
+    * semantic key (user, type, minute), 2 h watermark,
+    * `dropDuplicatesWithinWatermark`. The sink projects the KEY, not the
+    * kept row — which duplicate survives inside one micro-batch is a
+    * shuffle-order artifact, but the emitted key SET and row COUNT are
+    * exact: a key may appear once, ever, which only holds if duplicates
+    * arriving in LATER micro-batches are dropped by the state store
+    * (minute keys straddle chunk boundaries, so cross-batch duplicates
+    * exist in the feed — the gate proves the state, not a batch-local
+    * distinct). Dedup emits on first sight (no watermark gating), so no
+    * sentinel is needed. Feed protocol is q269's. */
+  def runDedup(events: DataFrame, chunks: Int = 6): DataFrame = {
+    val s = events.sparkSession
+    import s.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+    val ordered = events
+      .select(col("event_id"), unix_micros(col("ts")).as("tus"),
+        col("user_id"), col("event_type"))
+      .orderBy(col("tus"), col("event_id"))
+      .as[(Long, Long, Long, String)]
+    val total = ordered.count()
+    require(total > 0, "runDedup: empty event feed")
+    val per = math.min(math.max(1L, (total + chunks - 1) / chunks), 1L << 20).toInt
+    val mem = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[(Long, Long, Long, String)]
+    val src = mem.toDF()
+      .toDF("event_id", "tus", "user_id", "event_type")
+      .withColumn("ts", timestamp_micros(col("tus")))
+      .withColumn("m", date_trunc("minute", col("ts")))
+    val deduped = src.withWatermark("ts", "2 hours")
+      .dropDuplicatesWithinWatermark("user_id", "event_type", "m")
+      .select(col("user_id"), col("event_type"),
+        unix_micros(col("m")).as("m_us"))
+    val qname = s"graft_q294_sink_${java.util.UUID.randomUUID().toString.replace("-", "")}"
+    import scala.jdk.CollectionConverters._
+    val feed = ordered.toLocalIterator().asScala.grouped(per)
+    val prevShuffle = s.conf.get("spark.sql.shuffle.partitions")
+    try {
+      s.conf.set("spark.sql.shuffle.partitions", "4")
+      val q = deduped.writeStream.format("memory").queryName(qname)
+        .outputMode("append").start()
+      try {
+        feed.foreach { chunk =>
+          mem.addData(chunk)
+          q.processAllAvailable()
+        }
+      } finally q.stop()
+    } finally s.conf.set("spark.sql.shuffle.partitions", prevShuffle)
+    s.table(qname)
+  }
+
   /** Stateful per-user running counters via flatMapGroupsWithState-style
     * arbitrary state — expressed with the typed API. Emits (user_id,
     * total_events, total_value) updates. */

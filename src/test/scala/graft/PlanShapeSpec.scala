@@ -746,4 +746,57 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(all.contains("BroadcastHashJoin"), all)
     assert(!all.contains("CartesianProduct"), all)
   }
+
+  test("q285 Kneser-Ney joins gram count tables, codegen only, no cartesian") {
+    val p = planOf("q285_kneser_ney")
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("BatchEvalPython") && !p.contains("ScalaUDF"), p)
+    assert(p.contains("BroadcastExchange"), p) // the 1-row bigram total
+  }
+
+  test("q286 TracIn keeps both dot products broadcast-side, no cartesian") {
+    val plans = capturedPlans("q286_tracin_influence")
+    val all = plans.mkString("\n===\n")
+    assert(all.contains("BroadcastHashJoin"), all) // probe trace + features
+    assert(!all.contains("CartesianProduct"), all)
+  }
+
+  test("q287 MMD is one posexplode + a broadcast weight grid") {
+    val p = planOf("q287_mmd_drift")
+    assert(!p.contains("CartesianProduct"), p)
+    assert(p.contains("BroadcastExchange"), p) // the D×d grid + 1-row nn
+    val gens = "Generate posexplode".r.findAllMatchIn(p).size
+    assert(gens == 1, s"expected one posexplode, got $gens:\n$p")
+  }
+
+  test("q288 Wasserstein CDFs use the two-phase cumsum, no global window") {
+    val plans = capturedPlans("q288_wasserstein_shift")
+    val all = plans.mkString("\n===\n")
+    val specs = "windowspecdefinition\\(".r.findAllMatchIn(all).map(_.start).toSeq
+    assert(specs.nonEmpty && specs.forall { i =>
+      all.substring(i, math.min(all.length, i + 60)).contains("__pid")
+    }, all)
+    assert(!all.contains("CartesianProduct"), all)
+  }
+
+  test("q289 covariate-shift scoring broadcasts the weight vector") {
+    val plans = capturedPlans("q289_covariate_shift")
+    val all = plans.mkString("\n===\n")
+    assert(all.contains("BroadcastHashJoin"), all)
+    assert(!all.contains("CartesianProduct"), all)
+  }
+
+  test("q290 Shapley coverage is keyed aggregates, no cartesian, no UDF") {
+    val p = planOf("q290_shapley_coverage")
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("BatchEvalPython") && !p.contains("ScalaUDF"), p)
+    assert(p.contains("HashAggregate"), p)
+  }
+
+  test("q291 greedy coverage broadcasts picks and covered-set lookups") {
+    val plans = capturedPlans("q291_greedy_coverage")
+    val all = plans.mkString("\n===\n")
+    assert(all.contains("BroadcastHashJoin") || all.contains("BroadcastNestedLoopJoin"), all)
+    assert(!all.contains("CartesianProduct"), all)
+  }
 }
