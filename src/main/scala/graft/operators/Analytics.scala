@@ -1528,6 +1528,51 @@ object Analytics {
           "ts", "event_id", slack = 5.0, threshold = 50.0)
         .orderBy(col("event_id"))),
 
+    // ---- q295: offline changepoint LOCALIZATION (binary segmentation,
+    // first split) on the click value series — q150's CUSUM alarms "a
+    // shift happened within the horizon"; this answers WHERE, maximizing
+    // the between-segment SSE reduction n_L·n_R/n·(μ_L−μ_R)² over every
+    // day boundary. Day-level prefix stats come from globalCumSum's
+    // partition-offset device over the per-day aggregate (the series
+    // table is #days-sized — never an event-level window); the gain's
+    // exact-integer core d = S_L·n_R − S_R·n_L is a Decimal(38) before
+    // the ONE fixed double chain, argmax by TakeOrdered with a day
+    // tie-break. Cents in, cents² gain out — exact. ----
+    "q295_changepoint" -> ((s, dir) => {
+      val ev = t(s, dir, "events").filter(col("event_type") === "click")
+        .select(graft.api.Graft.epochDay(col("ts")).as("day"),
+          round(col("value") * lit(100.0)).cast(LongType).as("vc"))
+      val daily = ev.groupBy(col("day"))
+        .agg(count(lit(1)).as("c"), sum(col("vc")).as("sc"))
+      val tot = daily.agg(sum(col("c")).as("nt"), sum(col("sc")).as("st"),
+        count(lit(1)).as("n_days"), max(col("day")).as("last_day"))
+      val cum = graft.api.Graft.globalCumSum(
+        graft.api.Graft.globalCumSum(daily, Seq("day"), "c", "cn"),
+        Seq("day"), "sc", "cs")
+      cum.crossJoin(broadcast(tot))
+        .filter(col("day") < col("last_day"))
+        .withColumn("d",
+          (col("cs").cast(DecimalType(38, 0)) *
+            (col("nt") - col("cn")).cast(DecimalType(38, 0)) -
+           (col("st") - col("cs")).cast(DecimalType(38, 0)) *
+            col("cn").cast(DecimalType(38, 0))))
+        .withColumn("gainq", round(
+          col("d").cast(DoubleType) * col("d").cast(DoubleType) /
+            col("cn").cast(DoubleType) /
+            (col("nt") - col("cn")).cast(DoubleType) /
+            col("nt").cast(DoubleType)).cast(LongType))
+        .orderBy(col("gainq").desc, col("day"))
+        .limit(1)
+        .select(col("day").as("split_day"), col("n_days"),
+          col("cn").as("n_before"), (col("nt") - col("cn")).as("n_after"),
+          (col("cs").cast(DoubleType) / col("cn").cast(DoubleType) /
+            lit(100.0)).as("mean_before"),
+          ((col("st") - col("cs")).cast(DoubleType) /
+            (col("nt") - col("cn")).cast(DoubleType) / lit(100.0))
+            .as("mean_after"),
+          col("gainq"))
+    }),
+
     // ---- q151: chi-square drift of each source's LANGUAGE MIX vs the
     // corpus — the categorical axis of the drift family (q122 KS and
     // q136 PSI are numeric). Terms are nano-scaled by integer long
@@ -3434,6 +3479,45 @@ object Analytics {
         |FROM sc JOIN ac USING (n_chars) CROSS JOIN na
         |GROUP BY sc.source, sc.n1, na.n2
         |ORDER BY sc.source""".stripMargin,
+
+    // changepoint twin: day-keyed prefix stats via window cumsum, the
+    // exact HUGEINT gain core, identical fixed double chains, the same
+    // (gainq DESC, day) argmax
+    "q295_changepoint" ->
+      """WITH ev AS (
+        |  SELECT epoch_us(ts) // 86400000000 AS day,
+        |    CAST(ROUND(value * 100.0) AS BIGINT) AS vc
+        |  FROM events WHERE event_type = 'click'),
+        |daily AS (
+        |  SELECT day, CAST(COUNT(*) AS BIGINT) AS c,
+        |    CAST(SUM(vc) AS BIGINT) AS sc
+        |  FROM ev GROUP BY day),
+        |tot AS (
+        |  SELECT CAST(SUM(c) AS BIGINT) AS nt, CAST(SUM(sc) AS BIGINT) AS st,
+        |    CAST(COUNT(*) AS BIGINT) AS n_days, MAX(day) AS last_day
+        |  FROM daily),
+        |cum AS (
+        |  SELECT day, CAST(SUM(c) OVER (ORDER BY day) AS BIGINT) AS cn,
+        |    CAST(SUM(sc) OVER (ORDER BY day) AS BIGINT) AS cs
+        |  FROM daily),
+        |g AS (
+        |  SELECT day, cn, cs, nt, st, n_days,
+        |    CAST(cs AS HUGEINT) * CAST(nt - cn AS HUGEINT)
+        |      - CAST(st - cs AS HUGEINT) * CAST(cn AS HUGEINT) AS d
+        |  FROM cum CROSS JOIN tot WHERE day < last_day),
+        |r AS (
+        |  SELECT day, n_days, cn, nt, cs, st,
+        |    CAST(ROUND(CAST(d AS DOUBLE) * CAST(d AS DOUBLE)
+        |      / CAST(cn AS DOUBLE) / CAST(nt - cn AS DOUBLE)
+        |      / CAST(nt AS DOUBLE)) AS BIGINT) AS gainq
+        |  FROM g)
+        |SELECT day AS split_day, n_days, cn AS n_before,
+        |  CAST(nt - cn AS BIGINT) AS n_after,
+        |  CAST(cs AS DOUBLE) / CAST(cn AS DOUBLE) / 100.0 AS mean_before,
+        |  CAST(st - cs AS DOUBLE) / CAST(nt - cn AS DOUBLE) / 100.0
+        |    AS mean_after,
+        |  gainq
+        |FROM r ORDER BY gainq DESC, day LIMIT 1""".stripMargin,
 
     // Wasserstein twin: identical cent quantization, window CDFs +
     // LEAD over the same value grid, exact HUGEINT integrand, the same

@@ -225,6 +225,53 @@ object TextAnalysis {
           "doc_id", "lang", col("doc_id") % 5 === 0)
         .orderBy(col("doc_id"))),
 
+    // ---- q296: cross-domain LM transfer matrix — the mixture-design
+    // signal behind DoReMi-style domain weighting: train a bigram LM on
+    // each of 5 hub sources and score EVERY source's bigram stream
+    // under every hub (add-0.5 LEFT-join smoothing, q209's conventions)
+    // → a 5×20 cross-entropy matrix. Low CE off-diagonal = the hub
+    // already covers that domain (mixing adds little); high = genuinely
+    // novel content. Diagonal is the self-predictability baseline
+    // (hubs score their own training text — documented). Scale shape:
+    // counts keyed by (hub, gram); scoring fans each bigram out ×5 via
+    // a broadcast 5-row vocab table then LEFT-joins the count tables on
+    // gram keys — linear in corpus × hubs, map-side combined. ----
+    "q296_domain_transfer" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val hubs = Seq("src0", "src1", "src2", "src3", "src4")
+      val toks = t(s, dir, "documents")
+        .select(col("source"), col("doc_id").as("__id"),
+          posexplode(split(lower(col("text")), "[^a-z0-9]+"))
+            .as(Seq("__p", "__t")))
+        .filter(col("__t") =!= "").localCheckpoint()
+      val wp = Window.partitionBy(col("__id")).orderBy(col("__p"))
+      val bigrams = toks.select(col("source"), col("__id"),
+          col("__t").as("w1"), lead(col("__t"), 1).over(wp).as("w2"))
+        .filter(col("w2").isNotNull).localCheckpoint()
+      val trBi = bigrams.filter(col("source").isin(hubs: _*))
+        .groupBy(col("source").as("hub"), col("w1"), col("w2"))
+        .agg(count(lit(1)).as("cb"))
+      val trUni = toks.filter(col("source").isin(hubs: _*))
+        .groupBy(col("source").as("hub"), col("__t").as("w1"))
+        .agg(count(lit(1)).as("cu"))
+      val vocab = toks.filter(col("source").isin(hubs: _*))
+        .groupBy(col("source").as("hub"))
+        .agg(countDistinct(col("__t")).as("v"))
+      val nll = log((coalesce(col("cu"), lit(0L)).cast(DoubleType) +
+          lit(0.5) * col("v").cast(DoubleType)) /
+        (coalesce(col("cb"), lit(0L)).cast(DoubleType) + lit(0.5)))
+      bigrams.crossJoin(broadcast(vocab))
+        .join(trBi, Seq("hub", "w1", "w2"), "left")
+        .join(trUni, Seq("hub", "w1"), "left")
+        .select(col("hub"), col("source"),
+          round(nll * lit(1.0e9)).cast(LongType).as("__q"))
+        .groupBy(col("hub"), col("source"))
+        .agg(count(lit(1)).as("n_bigrams"),
+          ((sum(col("__q")).cast(DoubleType) / lit(1.0e9)) / count(lit(1)))
+            .as("cross_entropy"))
+        .orderBy(col("hub"), col("source"))
+    }),
+
     // ---- q128: per-doc Shannon character entropy (nats) — the cheap
     // gibberish/boilerplate gate. Char explode fans out but every
     // shuffle keys on the doc id (zero cross-doc state, linear); each
@@ -1415,6 +1462,50 @@ object TextAnalysis {
         |FROM (SELECT DISTINCT doc_id FROM documents) d
         |LEFT JOIN scored USING (doc_id)
         |ORDER BY d.doc_id""".stripMargin,
+
+    // transfer-matrix twin: identical tokenization, hub-keyed count
+    // tables, the same ×5 fan-out and add-0.5 LEFT-join smoothing,
+    // nano-quantized sums, one division per cell
+    "q296_domain_transfer" ->
+      """WITH tl AS (
+        |  SELECT source, doc_id,
+        |    list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+        |      x -> x <> '') AS w
+        |  FROM documents),
+        |toks AS (SELECT source, unnest(w) AS t FROM tl),
+        |b0 AS (SELECT source, doc_id, w, unnest(range(1, len(w))) AS i
+        |       FROM tl WHERE len(w) >= 2),
+        |bigrams AS (SELECT source, doc_id, w[i] AS w1, w[i + 1] AS w2
+        |            FROM b0),
+        |trbi AS (
+        |  SELECT source AS hub, w1, w2, CAST(COUNT(*) AS BIGINT) AS cb
+        |  FROM bigrams
+        |  WHERE source IN ('src0', 'src1', 'src2', 'src3', 'src4')
+        |  GROUP BY 1, 2, 3),
+        |truni AS (
+        |  SELECT source AS hub, t AS w1, CAST(COUNT(*) AS BIGINT) AS cu
+        |  FROM toks
+        |  WHERE source IN ('src0', 'src1', 'src2', 'src3', 'src4')
+        |  GROUP BY 1, 2),
+        |vocab AS (
+        |  SELECT source AS hub, CAST(COUNT(DISTINCT t) AS BIGINT) AS v
+        |  FROM toks
+        |  WHERE source IN ('src0', 'src1', 'src2', 'src3', 'src4')
+        |  GROUP BY 1),
+        |sc AS (
+        |  SELECT h.hub, g.source,
+        |    CAST(ROUND(ln((CAST(COALESCE(cu, 0) AS DOUBLE)
+        |        + 0.5 * CAST(h.v AS DOUBLE))
+        |      / (CAST(COALESCE(cb, 0) AS DOUBLE) + 0.5))
+        |      * 1000000000.0) AS BIGINT) AS q
+        |  FROM bigrams g CROSS JOIN vocab h
+        |  LEFT JOIN trbi ON trbi.hub = h.hub AND trbi.w1 = g.w1
+        |    AND trbi.w2 = g.w2
+        |  LEFT JOIN truni ON truni.hub = h.hub AND truni.w1 = g.w1)
+        |SELECT hub, source, COUNT(*) AS n_bigrams,
+        |  (CAST(SUM(q) AS DOUBLE) / 1000000000.0) / COUNT(*)
+        |    AS cross_entropy
+        |FROM sc GROUP BY hub, source ORDER BY hub, source""".stripMargin,
 
     // Kneser–Ney twin: identical tokenization/bigram CTEs, the same four
     // count tables, the IDENTICAL fixed-order P double chain

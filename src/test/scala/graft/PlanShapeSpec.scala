@@ -799,4 +799,33 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(all.contains("BroadcastHashJoin") || all.contains("BroadcastNestedLoopJoin"), all)
     assert(!all.contains("CartesianProduct"), all)
   }
+
+  test("q293 Mahalanobis is two explode passes (stats, score) + a broadcast stats join") {
+    val p = planOf("q293_mahalanobis_outliers")
+    assert(!p.contains("CartesianProduct"), p)
+    assert(p.contains("BroadcastExchange"), p)
+    // one pass computes the per-dim moments, one scores — exactly two,
+    // never a per-dim or per-vector re-scan
+    val gens = "Generate posexplode".r.findAllMatchIn(p).size
+    assert(gens == 2, s"expected two posexplodes, got $gens:\n$p")
+    assert(p.contains("TakeOrderedAndProject"), p) // top-20, never a global sort
+  }
+
+  test("q295 changepoint prefix stats use the two-phase cumsum, day-level only") {
+    val plans = capturedPlans("q295_changepoint")
+    val all = plans.mkString("\n===\n")
+    val specs = "windowspecdefinition\\(".r.findAllMatchIn(all).map(_.start).toSeq
+    assert(specs.nonEmpty && specs.forall { i =>
+      all.substring(i, math.min(all.length, i + 60)).contains("__pid")
+    }, all)
+    assert(all.contains("TakeOrderedAndProject"), all) // the argmax
+  }
+
+  test("q296 transfer matrix fans out via the broadcast hub table, gram-keyed count joins") {
+    val plans = capturedPlans("q296_domain_transfer")
+    val all = plans.mkString("\n===\n")
+    assert(all.contains("BroadcastNestedLoopJoin") || all.contains("BroadcastHashJoin"), all)
+    assert(!all.contains("CartesianProduct"), all)
+    assert(!all.contains("BatchEvalPython") && !all.contains("ScalaUDF"), all)
+  }
 }
