@@ -2,7 +2,7 @@ package graft.operators
 
 import org.apache.spark.sql.functions._
 import Util._
-import org.apache.spark.sql.types.{DoubleType, LongType, StringType}
+import org.apache.spark.sql.types.{DecimalType, DoubleType, LongType, StringType}
 
 /** Embedding clustering + semantic dedup (round 5).
   *
@@ -216,6 +216,63 @@ object Clustering {
         .orderBy(col("sq").desc, col("vec_id")).limit(20)
         .select(col("vec_id"), col("label"), col("n_dims"),
           (col("sq").cast(DoubleType) / lit(1.0e6)).as("score"))
+    }),
+
+    // ---- q297: alignment & uniformity (Wang & Isola 2020) — the two
+    // numbers that say whether an embedding space is HEALTHY for
+    // contrastive training / retrieval: alignment = mean ‖x̂−ŷ‖² over
+    // same-label pairs (want small), uniformity = ln E[exp(−2‖x̂−ŷ‖²)]
+    // over all pairs (want negative — embeddings spread on the sphere;
+    // both near 0 together = representation collapse). On ℓ2-normalized
+    // vectors ‖x̂−ŷ‖² = 2−2·cos, so every pair needs only the exact
+    // integer dot/norm chain (the q233 device) — normalized components
+    // are never materialized. Pairs are md5-block sampled (50 blocks):
+    // Σ C(block, 2) bounds the quadratic at n²/B — B is the budget
+    // knob to raise ∝ n at larger corpora (documented); blocks and the
+    // estimator replay exactly in the oracle. dq is libm-free (sqrt is
+    // correctly rounded in both engines) at nano; the exp term is
+    // micro-quantized (the q253 grain). ----
+    "q297_alignment_uniformity" -> ((s, dir) => {
+      graft.functions.GraftFunctions.register(s)
+      val dec = DecimalType(38, 0)
+      val emb = t(s, dir, "embeddings")
+      val ids = emb.select(col("vec_id"),
+        col("label").cast(LongType).as("lab"),
+        (call_function("md5_lower64", col("vec_id").cast(StringType))
+          .bitwiseAND(lit(Long.MaxValue)) % 50).as("blk"))
+      val dims = emb.select(col("vec_id"),
+          posexplode(col("embedding")).as(Seq("pos", "x")))
+        .select(col("vec_id"), col("pos"),
+          round(col("x").cast(DoubleType) * lit(1.0e6)).cast(LongType)
+            .as("xq"))
+        .join(ids, Seq("vec_id")).localCheckpoint()
+      val norms = dims.groupBy(col("vec_id"))
+        .agg(sum(col("xq").cast(dec) * col("xq")).as("ss"))
+      val pd = dims.alias("a").join(dims.alias("b"),
+          col("a.blk") === col("b.blk") && col("a.pos") === col("b.pos") &&
+            col("a.vec_id") < col("b.vec_id"))
+        .groupBy(col("a.vec_id").as("ia"), col("b.vec_id").as("ib"),
+          col("a.lab").as("la"), col("b.lab").as("lb"))
+        .agg(sum(col("a.xq").cast(dec) * col("b.xq")).as("dot"))
+      val cosE = col("dot").cast(DoubleType) / lit(1.0e12) /
+        ((sqrt(col("ssa").cast(DoubleType)) / lit(1.0e6)) *
+          (sqrt(col("ssb").cast(DoubleType)) / lit(1.0e6)))
+      val dd = lit(2.0) - lit(2.0) * cosE
+      val pairs = pd
+        .join(norms.select(col("vec_id").as("ia"), col("ss").as("ssa")), Seq("ia"))
+        .join(norms.select(col("vec_id").as("ib"), col("ss").as("ssb")), Seq("ib"))
+        .select(col("la"), col("lb"),
+          round(dd * lit(1.0e9)).cast(LongType).as("dq"),
+          round(exp(lit(-2.0) * dd) * lit(1.0e6)).cast(LongType).as("uq"))
+        .localCheckpoint()
+      val ali = pairs.filter(col("la") === col("lb")).agg(
+        count(lit(1)).as("n_pos_pairs"),
+        ((sum(col("dq")).cast(DoubleType) / lit(1.0e9)) / count(lit(1)))
+          .as("alignment"))
+      val unif = pairs.agg(count(lit(1)).as("n_pairs"),
+        log((sum(col("uq")).cast(DoubleType) / lit(1.0e6)) / count(lit(1)))
+          .as("uniformity"))
+      ali.crossJoin(broadcast(unif))
     }),
 
     // ---- q233: centroid-disagreement label-noise audit — confident-
@@ -577,6 +634,58 @@ object Clustering {
         |SELECT n0, n1, COUNT(*) AS n_dims,
         |  CAST(SUM(termq) AS DOUBLE) / 1000000000.0 AS fd2
         |FROM t4 GROUP BY n0, n1""".stripMargin,
+
+    // alignment/uniformity twin: identical md5 blocks, exact HUGEINT
+    // dots/norms, the same 2−2cos and exp chains, nano/micro grains
+    "q297_alignment_uniformity" ->
+      """WITH ids AS (
+        |  SELECT vec_id, CAST(label AS BIGINT) AS lab,
+        |    CAST((md5_number_lower(CAST(vec_id AS VARCHAR))
+        |      & 9223372036854775807::UBIGINT) % 50 AS BIGINT) AS blk
+        |  FROM embeddings),
+        |dims AS (
+        |  SELECT e.vec_id, i AS pos,
+        |    CAST(ROUND(CAST(embedding[i] AS DOUBLE) * 1000000.0) AS BIGINT)
+        |      AS xq,
+        |    ids.lab, ids.blk
+        |  FROM (SELECT vec_id, embedding,
+        |          unnest(generate_series(1, len(embedding))) AS i
+        |        FROM embeddings) e
+        |  JOIN ids USING (vec_id)),
+        |norms AS (
+        |  SELECT vec_id, SUM(CAST(xq AS HUGEINT) * CAST(xq AS HUGEINT)) AS ss
+        |  FROM dims GROUP BY vec_id),
+        |pd AS (
+        |  SELECT a.vec_id AS ia, b.vec_id AS ib, a.lab AS la, b.lab AS lb,
+        |    SUM(CAST(a.xq AS HUGEINT) * CAST(b.xq AS HUGEINT)) AS dot
+        |  FROM dims a JOIN dims b
+        |    ON a.blk = b.blk AND a.pos = b.pos AND a.vec_id < b.vec_id
+        |  GROUP BY 1, 2, 3, 4),
+        |pr AS (
+        |  SELECT la, lb,
+        |    CAST(ROUND((2.0 - 2.0 * (CAST(dot AS DOUBLE) / 1000000000000.0
+        |      / ((sqrt(CAST(na.ss AS DOUBLE)) / 1000000.0)
+        |        * (sqrt(CAST(nb.ss AS DOUBLE)) / 1000000.0))))
+        |      * 1000000000.0) AS BIGINT) AS dq,
+        |    CAST(ROUND(exp(-2.0 * (2.0 - 2.0 * (CAST(dot AS DOUBLE)
+        |      / 1000000000000.0
+        |      / ((sqrt(CAST(na.ss AS DOUBLE)) / 1000000.0)
+        |        * (sqrt(CAST(nb.ss AS DOUBLE)) / 1000000.0)))))
+        |      * 1000000.0) AS BIGINT) AS uq
+        |  FROM pd
+        |  JOIN norms na ON na.vec_id = ia
+        |  JOIN norms nb ON nb.vec_id = ib),
+        |ali AS (
+        |  SELECT CAST(COUNT(*) AS BIGINT) AS n_pos_pairs,
+        |    (CAST(SUM(dq) AS DOUBLE) / 1000000000.0) / COUNT(*) AS alignment
+        |  FROM pr WHERE la = lb),
+        |un AS (
+        |  SELECT CAST(COUNT(*) AS BIGINT) AS n_pairs,
+        |    ln((CAST(SUM(uq) AS DOUBLE) / 1000000.0) / COUNT(*))
+        |      AS uniformity
+        |  FROM pr)
+        |SELECT n_pos_pairs, alignment, n_pairs, uniformity
+        |FROM ali CROSS JOIN un""".stripMargin,
 
     // Mahalanobis twin: the same one-pass per-dim moments, the floored
     // variance, identical fixed double chains, micro-quantized terms
