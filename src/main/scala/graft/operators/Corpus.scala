@@ -142,6 +142,44 @@ object Corpus {
         .orderBy(col("rank"))
     }),
 
+    // ---- q298: prefix-cache savings estimator — the serving-cost
+    // planner behind vLLM-style prefix caching / prompt dedup: group
+    // prompts by their first-k-token prefix (k ∈ {4, 8, 16}) and report
+    // how many prefill tokens a shared KV-cache saves — (g−1)·k per
+    // g-sized group — against the eligible token volume. Rising
+    // saved_frac with k = templated prompt traffic (cache wins);
+    // flat ≈ 0 = unique prompts (don't bother). Pure keyed aggregates
+    // over an array-slice projection: one shuffle per k on the prefix
+    // string, map-side combined, linear at any corpus. Docs shorter
+    // than k tokens are excluded from that k's row (their prefix is
+    // not k tokens — exact semantics, documented). ----
+    "q298_prefix_cache" -> ((s, dir) => {
+      import s.implicits._
+      val base = t(s, dir, "documents").select(
+        expr("filter(split(lower(text), '[^a-z0-9]+'), x -> x <> '')")
+          .as("w"))
+      val ks = Seq(4, 8, 16)
+      ks.map { k =>
+        val elig = base.filter(size(col("w")) >= k)
+          .select(array_join(slice(col("w"), 1, k), " ").as("pfx"),
+            size(col("w")).cast(LongType).as("ntok"))
+        val groups = elig.groupBy(col("pfx"))
+          .agg(count(lit(1)).as("g"), sum(col("ntok")).as("gt"))
+        groups.agg(
+            lit(k.toLong).as("k"),
+            sum(col("g")).as("n_docs"),
+            count(lit(1)).as("n_groups"),
+            sum(when(col("g") >= 2L, col("g")).otherwise(0L))
+              .as("shared_docs"),
+            sum((col("g") - 1L) * lit(k.toLong)).as("saved_tokens"),
+            sum(col("gt")).as("total_tokens"))
+          .select(col("k"), col("n_docs"), col("n_groups"),
+            col("shared_docs"), col("saved_tokens"), col("total_tokens"),
+            (col("saved_tokens").cast(DoubleType) /
+              col("total_tokens").cast(DoubleType)).as("saved_frac"))
+      }.reduce(_ unionAll _).orderBy(col("k"))
+    }),
+
     // ---- q114: pairwise corpus-overlap audit — exact Jaccard of the
     // distinct word-trigram shingle sets of every source pair (the
     // contamination/provenance matrix run before mixing corpora). One
@@ -627,6 +665,32 @@ object Corpus {
         |FROM ag CROSS JOIN tot ORDER BY source""".stripMargin,
 
     "q291_greedy_coverage" -> greedyCoverageSql(5),
+
+    // prefix-cache twin: identical tokenization, list-slice prefixes,
+    // the same per-k eligibility rule and savings arithmetic
+    "q298_prefix_cache" -> {
+      val one = (k: Int) =>
+        s"""SELECT CAST($k AS BIGINT) AS k,
+           |  CAST(SUM(g) AS BIGINT) AS n_docs,
+           |  CAST(COUNT(*) AS BIGINT) AS n_groups,
+           |  CAST(SUM(CASE WHEN g >= 2 THEN g ELSE 0 END) AS BIGINT)
+           |    AS shared_docs,
+           |  CAST(SUM((g - 1) * $k) AS BIGINT) AS saved_tokens,
+           |  CAST(SUM(gt) AS BIGINT) AS total_tokens,
+           |  CAST(SUM((g - 1) * $k) AS DOUBLE) / CAST(SUM(gt) AS DOUBLE)
+           |    AS saved_frac
+           |FROM (
+           |  SELECT array_to_string(w[1:$k], ' ') AS pfx,
+           |    CAST(COUNT(*) AS BIGINT) AS g,
+           |    CAST(SUM(len(w)) AS BIGINT) AS gt
+           |  FROM tl WHERE len(w) >= $k GROUP BY pfx)""".stripMargin
+      s"""WITH tl AS (
+         |  SELECT list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+         |    x -> x <> '') AS w
+         |  FROM documents)
+         |${Seq(4, 8, 16).map(one).mkString("\nUNION ALL\n")}
+         |ORDER BY k""".stripMargin
+    },
 
     // q263 twin: the SAME regexp chains (no backreferences — they are
     // not portable between Java's $1 and RE2's \1), with 'g' flags
