@@ -226,20 +226,24 @@ object Clustering {
     // both near 0 together = representation collapse). On ℓ2-normalized
     // vectors ‖x̂−ŷ‖² = 2−2·cos, so every pair needs only the exact
     // integer dot/norm chain (the q233 device) — normalized components
-    // are never materialized. Pairs are md5-block sampled (50 blocks):
-    // Σ C(block, 2) bounds the quadratic at n²/B — B is the budget
-    // knob to raise ∝ n at larger corpora (documented); blocks and the
-    // estimator replay exactly in the oracle. dq is libm-free (sqrt is
-    // correctly rounded in both engines) at nano; the exp term is
+    // are never materialized. Pairs are md5-block sampled with the
+    // block COUNT derived from the data — B = max(n div 40, 1), i.e.
+    // ~40 vectors per block at ANY corpus size, so Σ C(block, 2) ≈
+    // n·39/2 grows LINEARLY in n (a fixed B = 50 made block size ∝ n
+    // and the sf1 rung measured the n²/B cliff at 19× on 10× data —
+    // this derivation is the fix); blocks and the estimator replay
+    // exactly in the oracle. dq is libm-free (sqrt is correctly
+    // rounded in both engines) at nano; the exp term is
     // micro-quantized (the q253 grain). ----
     "q297_alignment_uniformity" -> ((s, dir) => {
       graft.functions.GraftFunctions.register(s)
       val dec = DecimalType(38, 0)
       val emb = t(s, dir, "embeddings")
-      val ids = emb.select(col("vec_id"),
+      val bDf = emb.agg(expr("greatest(count(1) div 40, 1L)").as("nb"))
+      val ids = emb.crossJoin(broadcast(bDf)).select(col("vec_id"),
         col("label").cast(LongType).as("lab"),
         (call_function("md5_lower64", col("vec_id").cast(StringType))
-          .bitwiseAND(lit(Long.MaxValue)) % 50).as("blk"))
+          .bitwiseAND(lit(Long.MaxValue)) % col("nb")).as("blk"))
       val dims = emb.select(col("vec_id"),
           posexplode(col("embedding")).as(Seq("pos", "x")))
         .select(col("vec_id"), col("pos"),
@@ -269,9 +273,14 @@ object Clustering {
         count(lit(1)).as("n_pos_pairs"),
         ((sum(col("dq")).cast(DoubleType) / lit(1.0e9)) / count(lit(1)))
           .as("alignment"))
+      // the final ln is the one libm call applied after all quantized
+      // arithmetic — Java and DuckDB ln disagree in the last ulp, so
+      // the OUTPUT is nano-quantized too (argument identity isn't
+      // enough when the transcendental itself differs)
       val unif = pairs.agg(count(lit(1)).as("n_pairs"),
-        log((sum(col("uq")).cast(DoubleType) / lit(1.0e6)) / count(lit(1)))
-          .as("uniformity"))
+        (round(log((sum(col("uq")).cast(DoubleType) / lit(1.0e6)) /
+          count(lit(1))) * lit(1.0e9)).cast(LongType).cast(DoubleType) /
+          lit(1.0e9)).as("uniformity"))
       ali.crossJoin(broadcast(unif))
     }),
 
@@ -638,11 +647,15 @@ object Clustering {
     // alignment/uniformity twin: identical md5 blocks, exact HUGEINT
     // dots/norms, the same 2−2cos and exp chains, nano/micro grains
     "q297_alignment_uniformity" ->
-      """WITH ids AS (
+      """WITH bb AS (
+        |  SELECT greatest(CAST(COUNT(*) AS BIGINT) // 40, 1) AS nb
+        |  FROM embeddings),
+        |ids AS (
         |  SELECT vec_id, CAST(label AS BIGINT) AS lab,
         |    CAST((md5_number_lower(CAST(vec_id AS VARCHAR))
-        |      & 9223372036854775807::UBIGINT) % 50 AS BIGINT) AS blk
-        |  FROM embeddings),
+        |      & 9223372036854775807::UBIGINT) % CAST(nb AS UBIGINT)
+        |      AS BIGINT) AS blk
+        |  FROM embeddings CROSS JOIN bb),
         |dims AS (
         |  SELECT e.vec_id, i AS pos,
         |    CAST(ROUND(CAST(embedding[i] AS DOUBLE) * 1000000.0) AS BIGINT)
@@ -681,8 +694,9 @@ object Clustering {
         |  FROM pr WHERE la = lb),
         |un AS (
         |  SELECT CAST(COUNT(*) AS BIGINT) AS n_pairs,
-        |    ln((CAST(SUM(uq) AS DOUBLE) / 1000000.0) / COUNT(*))
-        |      AS uniformity
+        |    CAST(CAST(ROUND(ln((CAST(SUM(uq) AS DOUBLE) / 1000000.0)
+        |      / COUNT(*)) * 1000000000.0) AS BIGINT) AS DOUBLE)
+        |      / 1000000000.0 AS uniformity
         |  FROM pr)
         |SELECT n_pos_pairs, alignment, n_pairs, uniformity
         |FROM ali CROSS JOIN un""".stripMargin,
