@@ -2131,4 +2131,52 @@ class GraftApiSpec extends AnyFunSuite {
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
     assert(out.toSeq === Seq((1L, 7L, 1.0)))
   }
+
+  test("tracinInfluence excludes self-pairs and ranks reinforcing docs first") {
+    val s = spark; import s.implicits._
+    // doc 1 and 2 share dim 10 with the same label (reinforcing);
+    // doc 3 shares it with the opposite label (conflicting). Probe = 1.
+    val feats = Seq(
+      (1L, 10L, 2L), (2L, 10L, 2L), (3L, 10L, 2L),
+      (1L, -1L, 1L), (2L, -1L, 1L), (3L, -1L, 1L))
+      .toDF("id", "dim", "x")
+    val labels = Seq((1L, 1L), (2L, 1L), (3L, 0L)).toDF("id", "y")
+    val probes = Seq(Tuple1(1L)).toDF("id")
+    val out = Graft.tracinInfluence(feats, labels, probes, rounds = 3,
+      etaMilli = 500, topK = 3).collect()
+    val ids = out.map(_.getLong(2)).toSeq
+    assert(!ids.contains(1L), "self-pair must be excluded")
+    assert(ids.head === 2L, "same-label same-features doc ranks first")
+    val infl = out.map(r => r.getLong(2) -> r.getDouble(3)).toMap
+    assert(infl(2L) > 0.0 && infl(3L) < 0.0,
+      s"reinforcing positive, conflicting negative: $infl")
+  }
+
+  test("covariateShiftEss: uniform weights give ESS = n, reweighting moves the source mean toward the target") {
+    val s = spark; import s.implicits._
+    // features carry NO signal (bias only) → p identical for every row →
+    // identical weights → Kish ESS must equal n_source exactly
+    val n = 40
+    val feats = (1 to n).map(i => (i.toLong, -1L, 1L)).toDF("id", "dim", "x")
+    val labels = (1 to n).map(i => (i.toLong, (i % 2).toLong)).toDF("id", "y")
+    val vals = (1 to n).map(i => (i.toLong, i.toLong)).toDF("id", "v")
+    val flat = Graft.covariateShiftEss(feats, labels, vals).collect()(0)
+    assert(math.abs(flat.getDouble(3) - 1.0) < 1e-9,
+      "ess_ratio = 1 under no signal")
+    // now plant a shift: targets (ids 1-20) all carry marker dim 5 and
+    // value 100; source ids 21-30 are target-LIKE (marker + value 100),
+    // source ids 31-60 are not (no marker, value 0). The classifier
+    // learns the marker, upweights the target-like source rows, and the
+    // weighted source mean must move from 25 toward the target's 100
+    val ids2 = (1 to 60).map(_.toLong)
+    val feats2 = (ids2.map(i => (i, -1L, 1L)) ++
+      ids2.filter(_ <= 30).map(i => (i, 5L, 3L))).toDF("id", "dim", "x")
+    val labels2 = ids2.map(i => (i, if (i <= 20) 1L else 0L)).toDF("id", "y")
+    val vals2 = ids2.map(i => (i, if (i <= 30) 100L else 0L)).toDF("id", "v")
+    val r2 = Graft.covariateShiftEss(feats2, labels2, vals2).collect()(0)
+    val (wm, sm, tm) = (r2.getDouble(4), r2.getDouble(5), r2.getDouble(6))
+    assert(math.abs(wm - tm) < math.abs(sm - tm),
+      s"weighted mean $wm should beat raw $sm against target $tm")
+    assert(r2.getDouble(3) < 1.0, "non-uniform weights shrink the ESS ratio")
+  }
 }
