@@ -284,6 +284,57 @@ object Clustering {
       ali.crossJoin(broadcast(unif))
     }),
 
+    // ---- q299: simplified silhouette per label — THE standard
+    // clustering-quality number (how separated are the label groups in
+    // embedding space?), the population-level companion to q233's
+    // per-row noise flags: for every vector, a = distance² to its own
+    // label centroid, b = min distance² to any other label's centroid,
+    // s = (b−a)/max(a,b) ∈ [−1, 1]; report mean s and the negative-s
+    // (wrong-side) count per label. Centroid-simplified form (k
+    // centroid distances per point, not n² pairwise — the form that
+    // scales; own centroid includes the point, documented). Exact:
+    // dist² numerators are Decimal(38) integers Σ(xq·cn − sm)², the
+    // per-(point, label) value is ONE fixed double chain nano-quantized
+    // before the min/compare, and s is computed from the quantized
+    // integers with a zero-guard. Plan: broadcast k×d centroid cells
+    // against the posexplode — n·k·d keyed work, map-side combined. ----
+    "q299_silhouette" -> ((s, dir) => {
+      val dec = DecimalType(38, 0)
+      val emb = t(s, dir, "embeddings")
+      val dims = emb.select(col("vec_id"),
+          col("label").cast(LongType).as("lab"),
+          posexplode(col("embedding")).as(Seq("pos", "x")))
+        .select(col("vec_id"), col("lab"), col("pos"),
+          round(col("x").cast(DoubleType) * lit(1.0e6)).cast(LongType)
+            .as("xq"))
+        .localCheckpoint()
+      val cent = dims.groupBy(col("lab").as("c"), col("pos"))
+        .agg(count(lit(1)).as("cn"), sum(col("xq")).as("sm"))
+      val num = dims.join(broadcast(cent), Seq("pos"))
+        .groupBy(col("vec_id"), col("lab"), col("c"), col("cn"))
+        .agg(sum((col("xq").cast(dec) * col("cn") - col("sm").cast(dec)) *
+          (col("xq").cast(dec) * col("cn") - col("sm").cast(dec)))
+          .as("nm"))
+      val d2 = num.select(col("vec_id"), col("lab"), col("c"),
+        round(col("nm").cast(DoubleType) / lit(1.0e12) /
+          (col("cn").cast(DoubleType) * col("cn").cast(DoubleType)) *
+          lit(1.0e9)).cast(LongType).as("d2q"))
+      val ab = d2.groupBy(col("vec_id"), col("lab"))
+        .agg(sum(when(col("c") === col("lab"), col("d2q"))).as("aq"),
+          min(when(col("c") =!= col("lab"), col("d2q"))).as("bq"))
+        .withColumn("sq",
+          when(greatest(col("aq"), col("bq")) === 0L, lit(0L))
+            .otherwise(round((col("bq") - col("aq")).cast(DoubleType) /
+              greatest(col("aq"), col("bq")).cast(DoubleType) * lit(1.0e6))
+              .cast(LongType)))
+      ab.groupBy(col("lab"))
+        .agg(count(lit(1)).as("n_vecs"),
+          (sum(col("sq")).cast(DoubleType) / lit(1.0e6) / count(lit(1)))
+            .as("mean_silhouette"),
+          sum((col("sq") < 0L).cast(LongType)).as("n_negative"))
+        .orderBy(col("lab"))
+    }),
+
     // ---- q233: centroid-disagreement label-noise audit — confident-
     // learning-lite: every embedding is assigned to its nearest label
     // centroid by cosine; rows whose own label loses the argmax are
@@ -643,6 +694,51 @@ object Clustering {
         |SELECT n0, n1, COUNT(*) AS n_dims,
         |  CAST(SUM(termq) AS DOUBLE) / 1000000000.0 AS fd2
         |FROM t4 GROUP BY n0, n1""".stripMargin,
+
+    // silhouette twin: identical centroid cells, HUGEINT dist²
+    // numerators, the same nano-quantized chain, min/compare on the
+    // quantized integers, the identical zero-guarded s
+    "q299_silhouette" ->
+      """WITH dims AS (
+        |  SELECT vec_id, CAST(label AS BIGINT) AS lab, i AS pos,
+        |    CAST(ROUND(CAST(embedding[i] AS DOUBLE) * 1000000.0) AS BIGINT)
+        |      AS xq
+        |  FROM (SELECT vec_id, label, embedding,
+        |          unnest(generate_series(1, len(embedding))) AS i
+        |        FROM embeddings)),
+        |cent AS (
+        |  SELECT lab AS c, pos, CAST(COUNT(*) AS BIGINT) AS cn,
+        |    CAST(SUM(xq) AS BIGINT) AS sm
+        |  FROM dims GROUP BY lab, pos),
+        |num AS (
+        |  SELECT d.vec_id, d.lab, cent.c, cent.cn,
+        |    SUM((CAST(d.xq AS HUGEINT) * cent.cn - CAST(cent.sm AS HUGEINT))
+        |      * (CAST(d.xq AS HUGEINT) * cent.cn - CAST(cent.sm AS HUGEINT)))
+        |      AS nm
+        |  FROM dims d JOIN cent USING (pos)
+        |  GROUP BY d.vec_id, d.lab, cent.c, cent.cn),
+        |d2 AS (
+        |  SELECT vec_id, lab, c,
+        |    CAST(ROUND(CAST(nm AS DOUBLE) / 1000000000000.0
+        |      / (CAST(cn AS DOUBLE) * CAST(cn AS DOUBLE))
+        |      * 1000000000.0) AS BIGINT) AS d2q
+        |  FROM num),
+        |ab AS (
+        |  SELECT vec_id, lab,
+        |    CAST(SUM(CASE WHEN c = lab THEN d2q END) AS BIGINT) AS aq,
+        |    CAST(MIN(CASE WHEN c <> lab THEN d2q END) AS BIGINT) AS bq
+        |  FROM d2 GROUP BY vec_id, lab),
+        |sv AS (
+        |  SELECT vec_id, lab,
+        |    CASE WHEN greatest(aq, bq) = 0 THEN 0
+        |      ELSE CAST(ROUND(CAST(bq - aq AS DOUBLE)
+        |        / CAST(greatest(aq, bq) AS DOUBLE) * 1000000.0) AS BIGINT)
+        |      END AS sq
+        |  FROM ab)
+        |SELECT lab, CAST(COUNT(*) AS BIGINT) AS n_vecs,
+        |  CAST(SUM(sq) AS DOUBLE) / 1000000.0 / COUNT(*) AS mean_silhouette,
+        |  CAST(COUNT(*) FILTER (WHERE sq < 0) AS BIGINT) AS n_negative
+        |FROM sv GROUP BY lab ORDER BY lab""".stripMargin,
 
     // alignment/uniformity twin: identical md5 blocks, exact HUGEINT
     // dots/norms, the same 2−2cos and exp chains, nano/micro grains
