@@ -339,6 +339,17 @@ object EventStreams {
     * exist in the feed — the gate proves the state, not a batch-local
     * distinct). Dedup emits on first sight (no watermark gating), so no
     * sentinel is needed. Feed protocol is q269's. */
+  /** The q294 dedup transform: semantic key (user, type, minute), 2 h
+    * watermark, first-arrival-wins within the horizon; the sink
+    * projects the KEY so the emitted set is deterministic (which
+    * duplicate row survives inside one micro-batch is shuffle-order). */
+  def dedupKeyed(src: DataFrame): DataFrame =
+    src.withColumn("m", date_trunc("minute", col("ts")))
+      .withWatermark("ts", "2 hours")
+      .dropDuplicatesWithinWatermark("user_id", "event_type", "m")
+      .select(col("user_id"), col("event_type"),
+        unix_micros(col("m")).as("m_us"))
+
   def runDedup(events: DataFrame, chunks: Int = 6): DataFrame = {
     val s = events.sparkSession
     import s.implicits._
@@ -356,11 +367,7 @@ object EventStreams {
     val src = mem.toDF()
       .toDF("event_id", "tus", "user_id", "event_type")
       .withColumn("ts", timestamp_micros(col("tus")))
-      .withColumn("m", date_trunc("minute", col("ts")))
-    val deduped = src.withWatermark("ts", "2 hours")
-      .dropDuplicatesWithinWatermark("user_id", "event_type", "m")
-      .select(col("user_id"), col("event_type"),
-        unix_micros(col("m")).as("m_us"))
+    val deduped = dedupKeyed(src)
     val qname = s"graft_q294_sink_${java.util.UUID.randomUUID().toString.replace("-", "")}"
     import scala.jdk.CollectionConverters._
     val feed = ordered.toLocalIterator().asScala.grouped(per)

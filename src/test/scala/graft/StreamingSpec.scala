@@ -267,6 +267,83 @@ class StreamingSpec extends AnyFunSuite {
     }
   }
 
+  test("dedup state runs on the RocksDB state store: cross-batch duplicates dropped, keys once ever") {
+    val s = spark
+    import s.implicits._
+    implicit val sc = s.sqlContext
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prev = s.conf.getOption(key)
+    s.conf.set(key,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val mem = MemoryStream[Ev]
+      val q = EventStreams.dedupKeyed(mem.toDF)
+        .writeStream.format("memory").queryName("rocksdb_dedup")
+        .outputMode("append").start()
+      // batch 1: an in-batch duplicate of (1, click, minute 0) + minute 1
+      mem.addData(
+        Ev(1, ts(0), 1, "click", 0.0), Ev(2, ts(0), 1, "click", 0.0),
+        Ev(3, ts(1), 1, "click", 0.0))
+      q.processAllAvailable()
+      // batch 2: a CROSS-BATCH duplicate of (1, click, minute 0) — only
+      // the state store can drop it — plus one fresh key
+      mem.addData(Ev(4, ts(0), 1, "click", 0.0), Ev(5, ts(0), 2, "view", 0.0))
+      q.processAllAvailable()
+      q.stop()
+      val rows = s.sql(
+        "SELECT user_id, event_type, m_us FROM rocksdb_dedup " +
+          "ORDER BY user_id, event_type, m_us")
+        .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+      def us(minute: Int): Long = ts(minute).getTime * 1000L
+      assert(rows.toSeq === Seq(
+        (1L, "click", us(0)), (1L, "click", us(1)), (2L, "view", us(0))))
+    } finally prev match {
+      case Some(v) => s.conf.set(key, v)
+      case None => s.conf.unset(key)
+    }
+  }
+
+  test("outer-join state runs on the RocksDB state store: null row emits on watermark proof") {
+    val s = spark
+    import s.implicits._
+    implicit val sc = s.sqlContext
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prev = s.conf.getOption(key)
+    s.conf.set(key,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val mem = MemoryStream[Ev]
+      val q = EventStreams.purchaseAttributionOuter(mem.toDF)
+        .writeStream.format("memory").queryName("rocksdb_outer")
+        .outputMode("append").start()
+      // user 1: click then purchase 30 min later (matched);
+      // user 2: purchase with no click (must emit a NULL-click row,
+      // but ONLY once the watermark proves no match can arrive)
+      mem.addData(
+        Ev(1, ts(0), 1, "click", 0.0),
+        Ev(2, ts(30), 1, "purchase", 9.0),
+        Ev(3, ts(10), 2, "purchase", 5.0))
+      q.processAllAvailable()
+      // far-future sentinels on BOTH branches (global watermark = min)
+      mem.addData(
+        Ev(-1, ts(60 * 24 * 30), -1, "click", 0.0),
+        Ev(-2, ts(60 * 24 * 30), -1, "purchase", 0.0))
+      q.processAllAvailable()
+      q.stop()
+      val rows = s.sql(
+        "SELECT purchase_id, click_id, user_id, value FROM rocksdb_outer " +
+          "WHERE user_id >= 0 ORDER BY purchase_id")
+        .collect()
+        .map(r => (r.getLong(0),
+          if (r.isNullAt(1)) -999L else r.getLong(1), r.getLong(2),
+          r.getDouble(3)))
+      assert(rows.toSeq === Seq((2L, 1L, 1L, 9.0), (3L, -999L, 2L, 5.0)))
+    } finally prev match {
+      case Some(v) => s.conf.set(key, v)
+      case None => s.conf.unset(key)
+    }
+  }
+
   test("stateful running totals via mapGroupsWithState") {
     val s = spark
     import s.implicits._
