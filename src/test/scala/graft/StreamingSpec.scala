@@ -344,6 +344,19 @@ class StreamingSpec extends AnyFunSuite {
     }
   }
 
+  test("continuous-run dedup and outer join are invariant to feed chunking") {
+    // the q292/q294 hash gates assert sink ≡ batch answer under the
+    // 6-chunk feed; the INVARIANCE claim says any chunking gives the
+    // same drained sink — pin it across two chunkings on real testdata
+    val ev = graft.operators.Util.t(spark, sf0001, "events")
+    def keyset(df: org.apache.spark.sql.DataFrame): Seq[String] =
+      df.collect().map(_.toString).sorted.toSeq
+    assert(keyset(EventStreams.runDedup(ev, chunks = 3)) ===
+      keyset(EventStreams.runDedup(ev, chunks = 7)))
+    assert(keyset(EventStreams.runPurchaseAttributionOuter(ev, chunks = 3)) ===
+      keyset(EventStreams.runPurchaseAttributionOuter(ev, chunks = 7)))
+  }
+
   test("stateful running totals via mapGroupsWithState") {
     val s = spark
     import s.implicits._
