@@ -19,6 +19,39 @@ import Util._
 object Quality {
 
   val queries: Map[String, Q] = Map(
+    // ---- q300: differentially-private count release (Laplace
+    // mechanism) — the privacy-preserving publication layer for
+    // per-slice corpus statistics: per-source doc counts + Laplace
+    // (sensitivity 1 / ε = 0.5) noise via the inverse CDF
+    // L = −(1/ε)·sign(v−½)·ln(1−2|v−½|). The noise stream is
+    // md5-derived per source so the MECHANISM (calibration, ε
+    // accounting, inverse-CDF shape) is deterministic and hash-gated —
+    // a production release swaps the hash for a CSPRNG (documented;
+    // deterministic noise is a test harness, not a privacy guarantee).
+    // The audit view deliberately shows true next to noisy. One keyed
+    // aggregate + a projection; the ln output is micro-quantized (the
+    // q297 libm lesson: transcendental OUTPUTS need the grain). ----
+    "q300_dp_release" -> ((s, dir) => {
+      graft.functions.GraftFunctions.register(s)
+      val eps = 0.5
+      val counts = t(s, dir, "documents").groupBy(col("source"))
+        .agg(count(lit(1)).as("true_count"))
+      val u = call_function("md5_lower64", concat(lit("dp:"), col("source")))
+        .bitwiseAND(lit(Long.MaxValue)) % lit(1000000L)
+      val v = (u.cast(DoubleType) + lit(0.5)) / lit(1000000.0)
+      val lap = -lit(1.0 / eps) *
+        when(v >= 0.5, lit(1.0)).otherwise(lit(-1.0)) *
+        log(lit(1.0) - lit(2.0) * abs(v - lit(0.5)))
+      counts
+        .withColumn("lq", round(lap * lit(1.0e6)).cast(LongType))
+        .select(col("source"), col("true_count"),
+          (col("true_count").cast(DoubleType) +
+            col("lq").cast(DoubleType) / lit(1.0e6)).as("noisy_count"),
+          lit(eps).as("epsilon"),
+          abs(col("lq").cast(DoubleType) / lit(1.0e6)).as("abs_noise"))
+        .orderBy(col("source"))
+    }),
+
     // ---- q168: column profiler over lineitem — null/distinct/min/max
     // per column in ONE aggregate pass (exact distincts → Spark plans
     // the Expand; the documented approx swap keeps the same shape at
@@ -152,6 +185,31 @@ object Quality {
   )
 
   val oracle: Map[String, String] = Map(
+    // DP-release twin: the same md5-uniform draw, inverse-CDF Laplace,
+    // micro-quantized ln output, identical fixed double chains
+    "q300_dp_release" ->
+      """WITH counts AS (
+        |  SELECT source, CAST(COUNT(*) AS BIGINT) AS true_count
+        |  FROM documents GROUP BY source),
+        |noise AS (
+        |  SELECT source, true_count,
+        |    CAST(ROUND(
+        |      -(1.0 / 0.5)
+        |      * (CASE WHEN (CAST((md5_number_lower('dp:' || source)
+        |            & 9223372036854775807::UBIGINT) % 1000000 AS DOUBLE)
+        |            + 0.5) / 1000000.0 >= 0.5 THEN 1.0 ELSE -1.0 END)
+        |      * ln(1.0 - 2.0 * abs((CAST((md5_number_lower('dp:' || source)
+        |            & 9223372036854775807::UBIGINT) % 1000000 AS DOUBLE)
+        |            + 0.5) / 1000000.0 - 0.5))
+        |      * 1000000.0) AS BIGINT) AS lq
+        |  FROM counts)
+        |SELECT source, true_count,
+        |  CAST(true_count AS DOUBLE) + CAST(lq AS DOUBLE) / 1000000.0
+        |    AS noisy_count,
+        |  CAST(0.5 AS DOUBLE) AS epsilon,
+        |  abs(CAST(lq AS DOUBLE) / 1000000.0) AS abs_noise
+        |FROM noise ORDER BY source""".stripMargin,
+
     // q264 twin: identical deterministic injection (chr() keeps the
     // oracle ASCII-only — no encoding hazards in the JSON transport),
     // utf8proc's nfc_normalize vs the Spark side's java.text.Normalizer,
