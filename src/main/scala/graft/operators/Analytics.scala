@@ -691,6 +691,91 @@ object Analytics {
             col("nb").cast(DoubleType) / lit(100.0)).as("w1"))
     }),
 
+    // ---- q301: entropy-regularized optimal transport (Sinkhorn, 5
+    // unrolled rounds) between the click and purchase value
+    // histograms — q288's W1 gives ONE number; the OT plan says WHERE
+    // the mass moved (which value deciles inflated/deflated), the
+    // distribution-repair blueprint behind dataset-balancing and
+    // drift forensics. The 100 TB shape is the point: the corpus-scale
+    // work is ONE bucketing aggregate per side; Sinkhorn iterates on
+    // the 10×10 support (broadcast everywhere, corpus-size-
+    // independent). Matrix-scaling iterates are micro-quantized longs
+    // every round (the q253 GD-loop device) so the order-free sums are
+    // exact; kernel cells exp(−|i−j|) are micro-quantized constants;
+    // each update is ONE fixed double chain. Output: the 10×10 plan
+    // with the transported mass, the ⟨P, C⟩ cost, and the row-marginal
+    // feasibility gap (a 5-round approximation, reported as such). ----
+    "q301_sinkhorn_ot" -> ((s, dir) => {
+      import s.implicits._
+      val dec = DecimalType(38, 0)
+      val ev = t(s, dir, "events")
+        .filter(col("event_type").isin("click", "purchase"))
+        .select(col("event_type").as("side"),
+          round(col("value") * lit(100.0)).cast(LongType).as("vc"))
+      val mx = ev.agg(max(col("vc")).as("mxc"))
+      val bk = ev.crossJoin(broadcast(mx))
+        .select(col("side"),
+          least(lit(9L), expr("(vc * 10) div (mxc + 1)")).as("b"))
+      val hist = bk.groupBy(col("b")).agg(
+        sum((col("side") === "click").cast(LongType)).as("ca"),
+        sum((col("side") === "purchase").cast(LongType)).as("cb"))
+      // dense 10-bucket support (empty buckets keep zero mass)
+      val sup = Seq.tabulate(10)(_.toLong).toDF("b")
+      val h = sup.join(hist, Seq("b"), "left")
+        .select(col("b"), coalesce(col("ca"), lit(0L)).as("ca"),
+          coalesce(col("cb"), lit(0L)).as("cb"))
+        .localCheckpoint()
+      val nn = h.agg(sum(col("ca")).as("na"), sum(col("cb")).as("nb"))
+      val a = h.crossJoin(broadcast(nn))
+        .select(col("b").as("i"), col("ca"), col("na"))
+      val bMass = h.crossJoin(broadcast(nn))
+        .select(col("b").as("j"), col("cb"), col("nb"))
+      val grid = Seq.tabulate(10, 10)((i, j) => (i.toLong, j.toLong))
+        .flatten.toDF("i", "j")
+        .withColumn("c", abs(col("i") - col("j")))
+        .withColumn("kq",
+          round(exp(-col("c").cast(DoubleType)) * lit(1.0e6))
+            .cast(LongType))
+        .localCheckpoint()
+      // Sinkhorn rounds: uq = round(alpha·1e18 / Σj kq·vq);
+      //                  vq = round(beta ·1e18 / Σi kq·uq)
+      var v = sup.select(col("b").as("j"), lit(1000000L).as("vq"))
+      var u = sup.select(col("b").as("i"), lit(1000000L).as("uq"))
+      var r = 0
+      while (r < 5) {
+        u = grid.join(broadcast(v), Seq("j"))
+          .groupBy(col("i")).agg(sum(col("kq") * col("vq")).as("su"))
+          .join(broadcast(a), Seq("i"))
+          .select(col("i"), round(col("ca").cast(DoubleType) /
+            col("na").cast(DoubleType) * lit(1.0e18) /
+            col("su").cast(DoubleType)).cast(LongType).as("uq"))
+          .localCheckpoint()
+        v = grid.join(broadcast(u), Seq("i"))
+          .groupBy(col("j")).agg(sum(col("kq") * col("uq")).as("sv"))
+          .join(broadcast(bMass), Seq("j"))
+          .select(col("j"), round(col("cb").cast(DoubleType) /
+            col("nb").cast(DoubleType) * lit(1.0e18) /
+            col("sv").cast(DoubleType)).cast(LongType).as("vq"))
+          .localCheckpoint()
+        r += 1
+      }
+      val plan = grid.join(broadcast(u), Seq("i"))
+        .join(broadcast(v), Seq("j"))
+        .select(col("i"), col("j"), col("c"),
+          (col("uq").cast(dec) * col("kq").cast(dec) * col("vq").cast(dec))
+            .as("pq"))
+      val tot = plan.agg(
+        (sum(col("pq") * col("c").cast(dec)).cast(DoubleType) /
+          lit(1.0e18)).as("ot_cost"),
+        (sum(col("pq")).cast(DoubleType) / lit(1.0e18)).as("total_mass"))
+      plan.crossJoin(broadcast(tot))
+        .select(col("i"), col("j"), col("c"),
+          (col("pq").cast(DoubleType) / lit(1.0e18)).as("p"),
+          col("ot_cost"), col("total_mass"))
+        .filter(col("p") > 0.0)
+        .orderBy(col("i"), col("j"))
+    }),
+
     // ---- q117: per-customer OLS trend slope of order value over time —
     // the trend-detection aggregate (spend drifting up or down?). All
     // covariance sums are INTEGER (epoch days × exact cents), so partial
@@ -2118,7 +2203,68 @@ object Analytics {
        |FROM e$rounds ORDER BY event_type""".stripMargin
   }
 
+  /** q301 oracle: the same bucketing + dense support, micro-quantized
+    * kernel cells, and the 5 Sinkhorn rounds unrolled as u1/v1..u5/v5
+    * CTEs with the identical fixed double chains. */
+  private def sinkhornSql(rounds: Int): String = {
+    val steps = (1 to rounds).map { r =>
+      val prevV = if (r == 1) "v0" else s"v${r - 1}"
+      s"""u$r AS MATERIALIZED (
+         |  SELECT s.i, CAST(ROUND(CAST(h.ca AS DOUBLE) / CAST(nn.na AS DOUBLE)
+         |    * 1e18 / CAST(s.su AS DOUBLE)) AS BIGINT) AS uq
+         |  FROM (SELECT i, CAST(SUM(kq * vq) AS BIGINT) AS su
+         |        FROM grid JOIN $prevV USING (j) GROUP BY i) s
+         |  JOIN h ON h.b = s.i CROSS JOIN nn),
+         |v$r AS MATERIALIZED (
+         |  SELECT s.j, CAST(ROUND(CAST(h.cb AS DOUBLE) / CAST(nn.nb AS DOUBLE)
+         |    * 1e18 / CAST(s.sv AS DOUBLE)) AS BIGINT) AS vq
+         |  FROM (SELECT j, CAST(SUM(kq * uq) AS BIGINT) AS sv
+         |        FROM grid JOIN u$r USING (i) GROUP BY j) s
+         |  JOIN h ON h.b = s.j CROSS JOIN nn)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH ev AS (
+       |  SELECT event_type AS side,
+       |    CAST(ROUND(value * 100.0) AS BIGINT) AS vc
+       |  FROM events WHERE event_type IN ('click', 'purchase')),
+       |mx AS (SELECT MAX(vc) AS mxc FROM ev),
+       |bk AS (SELECT side, least(9, (vc * 10) // (mxc + 1)) AS b
+       |       FROM ev CROSS JOIN mx),
+       |hist AS (
+       |  SELECT b,
+       |    CAST(COUNT(*) FILTER (WHERE side = 'click') AS BIGINT) AS ca,
+       |    CAST(COUNT(*) FILTER (WHERE side = 'purchase') AS BIGINT) AS cb
+       |  FROM bk GROUP BY b),
+       |sup AS (SELECT CAST(unnest(generate_series(0, 9)) AS BIGINT) AS b),
+       |h AS MATERIALIZED (
+       |  SELECT sup.b, COALESCE(ca, 0) AS ca, COALESCE(cb, 0) AS cb
+       |  FROM sup LEFT JOIN hist USING (b)),
+       |nn AS MATERIALIZED (
+       |  SELECT CAST(SUM(ca) AS BIGINT) AS na, CAST(SUM(cb) AS BIGINT) AS nb
+       |  FROM h),
+       |grid AS MATERIALIZED (
+       |  SELECT gi.b AS i, gj.b AS j, abs(gi.b - gj.b) AS c,
+       |    CAST(ROUND(exp(-CAST(abs(gi.b - gj.b) AS DOUBLE)) * 1000000.0)
+       |      AS BIGINT) AS kq
+       |  FROM sup gi CROSS JOIN sup gj),
+       |v0 AS (SELECT b AS j, CAST(1000000 AS BIGINT) AS vq FROM sup),
+       |$steps,
+       |plan AS (
+       |  SELECT g.i, g.j, g.c,
+       |    CAST(u.uq AS HUGEINT) * g.kq * v.vq AS pq
+       |  FROM grid g JOIN u$rounds u USING (i) JOIN v$rounds v USING (j)),
+       |tot AS (
+       |  SELECT CAST(SUM(pq * c) AS DOUBLE) / 1e18 AS ot_cost,
+       |    CAST(SUM(pq) AS DOUBLE) / 1e18 AS total_mass
+       |  FROM plan)
+       |SELECT i, j, c, CAST(pq AS DOUBLE) / 1e18 AS p, ot_cost, total_mass
+       |FROM plan CROSS JOIN tot
+       |WHERE CAST(pq AS DOUBLE) / 1e18 > 0.0
+       |ORDER BY i, j""".stripMargin
+  }
+
   val oracle: Map[String, String] = Map(
+    "q301_sinkhorn_ot" -> sinkhornSql(5),
+
     // STL twin: identical daily cells, the same micro-floor-divided
     // centered window and per-weekday detrended means, NULL edges
     "q259_stl_decompose" ->
