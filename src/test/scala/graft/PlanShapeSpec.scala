@@ -828,4 +828,28 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(!all.contains("CartesianProduct"), all)
     assert(!all.contains("BatchEvalPython") && !all.contains("ScalaUDF"), all)
   }
+
+  test("q299 silhouette broadcasts the centroid cells, no cartesian, no UDF") {
+    val p = planOf("q299_silhouette")
+    assert(p.contains("BroadcastExchange"), p) // k×d centroid cells
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("BatchEvalPython") && !p.contains("ScalaUDF"), p)
+  }
+
+  test("q300 DP release is one keyed aggregate + a projection") {
+    val p = planOf("q300_dp_release")
+    assert(p.contains("HashAggregate"), p)
+    assert(!p.contains("CartesianProduct") && !p.contains("ScalaUDF"), p)
+  }
+
+  test("q301 Sinkhorn iterates broadcast the support-sized tables only") {
+    val plans = capturedPlans("q301_sinkhorn_ot")
+    val all = plans.mkString("\n===\n")
+    // every join in the scaling loop is against a broadcast 10-row
+    // iterate or the 100-cell grid; the corpus appears only in the
+    // bucketing aggregates
+    assert(all.contains("BroadcastHashJoin") || all.contains("BroadcastNestedLoopJoin"), all)
+    assert(!all.contains("CartesianProduct"), all)
+    assert(!all.contains("SortMergeJoin"), all) // nothing corpus-sized is joined
+  }
 }
