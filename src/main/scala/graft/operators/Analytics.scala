@@ -229,6 +229,121 @@ object Analytics {
         .orderBy(col("duration_days"))
     }),
 
+    // ---- q302: two-sample log-rank test — q222 DRAWS the survival
+    // curve; this one says whether the even/odd-user split's curves
+    // differ beyond noise (the censoring-aware A/B test q214's rank-sum
+    // cannot do: censored spans carry partial information that plain
+    // ranks either drop or miscount). Same span/censoring derivation as
+    // q222; groups via user_id parity (the deterministic variant
+    // device). Subjects shuffle once; all ordered work runs on the
+    // distinct-duration table. ----
+    "q302_logrank" -> ((s, dir) => {
+      val u = t(s, dir, "events").groupBy(col("user_id"))
+        .agg(expr(
+          "(max(unix_micros(ts)) - min(unix_micros(ts))) div 86400000000")
+          .as("dur"),
+          max(when(col("event_type") === "error", lit(1L)).otherwise(lit(0L)))
+            .as("obs"))
+        .withColumn("grp", col("user_id") % 2)
+      graft.api.Graft.logRank(u, "dur", "obs", "grp")
+    }),
+
+    // ---- q305: seasonal-naive forecast backtest (MASE, Hyndman &
+    // Koehler 2006) — the missing SCORE beside the decompose/alert
+    // layers (q259 STL, q150 CUSUM, q145 EWMA): how good is even the
+    // cheapest forecast on this series? Daily click revenue; forecast =
+    // value one season (7 days) back; last 14 days are the test
+    // window, the earlier pairs are the scale denominator. MASE < 1 ⇔
+    // beating in-sample seasonal naive. Exact cent sums per day, |Δ|
+    // exact longs, sMAPE per-day terms nano-quantized before the
+    // order-free sum; MASE is the fixed two-ratio double chain.
+    // Scale shape: one day-keyed aggregate, a tiny day-table self-join
+    // on day−7, 1-row max-day broadcast. ----
+    "q305_mase_backtest" -> ((s, dir) => {
+      val daily = t(s, dir, "events")
+        .filter(col("event_type") === "click" && col("value").isNotNull)
+        .select(expr("unix_micros(ts) div 86400000000").as("day"),
+          round(col("value") * 100.0).cast(LongType).as("c"))
+        .groupBy(col("day")).agg(sum(col("c")).as("y"))
+        .localCheckpoint()
+      val mx = daily.agg(max(col("day")).as("mxd"))
+      val pairs = daily.join(
+          daily.select((col("day") + 7L).as("day"), col("y").as("ylag")),
+          Seq("day"))
+        .crossJoin(broadcast(mx))
+        .select((col("day") > col("mxd") - 14L).as("te"),
+          abs(col("y") - col("ylag")).as("ae"),
+          (col("y") + col("ylag")).as("yy"))
+      val smTerm = when(col("yy") > 0L,
+        round(lit(2.0) * col("ae").cast(DoubleType) /
+          col("yy").cast(DoubleType) * lit(1.0e9)).cast(LongType))
+        .otherwise(lit(0L))
+      val f = pairs.agg(
+        sum(when(!col("te"), lit(1L)).otherwise(lit(0L))).as("n_train_pairs"),
+        sum(when(col("te"), lit(1L)).otherwise(lit(0L))).as("n_test_pairs"),
+        sum(when(!col("te"), col("ae")).otherwise(lit(0L))).as("__sr"),
+        sum(when(col("te"), col("ae")).otherwise(lit(0L))).as("__st"),
+        sum(when(col("te"), smTerm).otherwise(lit(0L))).as("__sm"))
+      f.select(col("n_train_pairs"), col("n_test_pairs"),
+        round(col("__st").cast(DoubleType) /
+          col("n_test_pairs").cast(DoubleType) / lit(100.0), 6).as("mae_test"),
+        round(col("__sr").cast(DoubleType) /
+          col("n_train_pairs").cast(DoubleType) / lit(100.0), 6)
+          .as("mae_naive_train"),
+        round((col("__st").cast(DoubleType) /
+          col("n_test_pairs").cast(DoubleType)) /
+          (col("__sr").cast(DoubleType) /
+            col("n_train_pairs").cast(DoubleType)), 6).as("mase"),
+        round(col("__sm").cast(DoubleType) / lit(1.0e9) /
+          col("n_test_pairs").cast(DoubleType), 6).as("smape"))
+    }),
+
+    // ---- q306: Neyman optimal allocation — the survey-sampling DESIGN
+    // step q179 (stratified sample) executes blindly: given a 10k-row
+    // labeling budget over event-type strata, allocate n_h ∝ N_h·σ_h
+    // (precision-optimal for estimating the overall mean) and report
+    // the design effect vs proportional allocation. σ_h from exact
+    // HUGEINT-twin Decimal moment sums (the Spearman device); σ is the
+    // one sqrt, micro-quantized to 1e6 longs so every cross-strata
+    // product (allocations, design effect) is exact integer math with
+    // ONE rounded division each. Scale: one stratum-keyed aggregate +
+    // 1-row broadcast; strata are dimension-sized. ----
+    "q306_neyman_allocation" -> ((s, dir) => {
+      val D = DecimalType(38, 0)
+      val st = t(s, dir, "events")
+        .filter(col("value").isNotNull && col("event_type").isNotNull)
+        .select(col("event_type").as("stratum"),
+          round(col("value") * 100.0).cast(LongType).as("c"))
+        .groupBy(col("stratum"))
+        .agg(count(lit(1)).as("nh"),
+          sum(col("c").cast(D)).as("sx"),
+          sum((col("c").cast(D) * col("c").cast(D))).as("sxx"))
+      val sig = st.select(col("stratum"), col("nh"),
+        when(col("nh") > 1L,
+          round(sqrt((col("nh").cast(D) * col("sxx") -
+            col("sx") * col("sx")).cast(DoubleType) /
+            (col("nh").cast(D) * (col("nh") - lit(1L)).cast(D))
+              .cast(DoubleType)) * lit(1.0e6)).cast(LongType))
+          .otherwise(lit(0L)).as("sigq"))
+        .localCheckpoint()
+      val tot = sig.agg(sum(col("nh")).as("nn"),
+        sum(col("nh").cast(D) * col("sigq").cast(D)).as("den"),
+        sum(col("nh").cast(D) * col("sigq").cast(D) * col("sigq").cast(D))
+          .as("s2w"))
+      sig.crossJoin(broadcast(tot))
+        .select(col("stratum"), col("nh").as("n_h"),
+          (col("sigq").cast(DoubleType) / lit(1.0e6)).as("sigma_cents"),
+          round(lit(10000.0) *
+            (col("nh").cast(D) * col("sigq").cast(D)).cast(DoubleType) /
+            col("den").cast(DoubleType)).cast(LongType).as("alloc_neyman"),
+          round(lit(10000.0) * col("nh").cast(DoubleType) /
+            col("nn").cast(DoubleType)).cast(LongType).as("alloc_prop"),
+          round((col("nn").cast(D) * col("s2w")).cast(DoubleType) /
+            (col("den") * col("den")).cast(DoubleType), 6)
+            .as("design_effect"))
+        .orderBy(col("stratum"))
+    }),
+
     // ---- q227: per-node clustering coefficient — q131's node-level
     // companion on the same user-transition graph: which users sit in
     // tight cliques vs hub-and-spoke stars? Degree-oriented wedge join
@@ -2892,6 +3007,127 @@ object Analytics {
         |       ELSE round(exp(CAST(cq AS DOUBLE) / 1000000000.0), 6)
         |  END AS survival
         |FROM f ORDER BY duration_days""".stripMargin,
+
+    // log-rank twin: identical span/censoring/parity derivation, at-risk
+    // prefixes over the distinct-duration table, HUGEINT per-time
+    // numerators (the Spark side's Decimal(38)) cast once to double,
+    // nano-quantized terms, the same fixed Z/χ² double chain
+    "q302_logrank" ->
+      """WITH u AS (
+        |  SELECT user_id,
+        |    (max(epoch_us(ts)) - min(epoch_us(ts))) // 86400000000 AS dur,
+        |    MAX(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS obs,
+        |    user_id % 2 AS grp
+        |  FROM events GROUP BY user_id),
+        |g AS (SELECT dur, COUNT(*) AS na, SUM(grp) AS na1, SUM(obs) AS d,
+        |        SUM(grp * obs) AS d1
+        |      FROM u GROUP BY dur),
+        |tot AS (SELECT CAST(SUM(na) AS BIGINT) AS nn,
+        |               CAST(SUM(na1) AS BIGINT) AS nn1 FROM g),
+        |c AS (SELECT dur, na, na1, d, d1,
+        |        CAST(SUM(na) OVER (ORDER BY dur) AS BIGINT) AS cum,
+        |        CAST(SUM(na1) OVER (ORDER BY dur) AS BIGINT) AS cum1 FROM g),
+        |r AS (SELECT dur, d, d1,
+        |        nn - (cum - na) AS risk, nn1 - (cum1 - na1) AS risk1
+        |      FROM c CROSS JOIN tot WHERE d > 0),
+        |term AS (SELECT d, d1,
+        |    CAST(round((CAST(d1 AS DOUBLE)
+        |      - CAST(CAST(d AS HUGEINT) * risk1 AS DOUBLE)
+        |        / CAST(risk AS DOUBLE)) * 1000000000.0) AS BIGINT) AS oeq,
+        |    CASE WHEN risk > 1 THEN CAST(round(
+        |        CAST(CAST(d AS HUGEINT) * risk1 * (risk - risk1)
+        |          * (risk - d) AS DOUBLE)
+        |        / CAST(CAST(risk AS HUGEINT) * risk * (risk - 1) AS DOUBLE)
+        |        * 1000000000.0) AS BIGINT)
+        |      ELSE 0 END AS vq
+        |  FROM r),
+        |f AS (SELECT COUNT(*) AS n_death_times,
+        |        CAST(SUM(d1) AS BIGINT) AS deaths_treat,
+        |        CAST(SUM(d - d1) AS BIGINT) AS deaths_control,
+        |        CAST(SUM(oeq) AS BIGINT) AS oes,
+        |        CAST(SUM(vq) AS BIGINT) AS vs FROM term)
+        |SELECT CAST(n_death_times AS BIGINT) AS n_death_times,
+        |  deaths_treat, deaths_control,
+        |  round(CAST(oes AS DOUBLE) / 1000000000.0, 6) AS o_minus_e,
+        |  round(CAST(vs AS DOUBLE) / 1000000000.0, 6) AS variance,
+        |  CASE WHEN vs > 0 THEN
+        |      round((CAST(oes AS DOUBLE) / 1000000000.0)
+        |        / sqrt(CAST(vs AS DOUBLE) / 1000000000.0), 6)
+        |    ELSE NULL END AS z_score,
+        |  CASE WHEN vs > 0 THEN
+        |      round((CAST(oes AS DOUBLE) / 1000000000.0)
+        |        * (CAST(oes AS DOUBLE) / 1000000000.0)
+        |        / (CAST(vs AS DOUBLE) / 1000000000.0), 6)
+        |    ELSE NULL END AS chi_sq
+        |FROM f""".stripMargin,
+
+    // MASE twin: identical daily cent sums, day−7 self-join, exact |Δ|
+    // longs, nano-quantized sMAPE terms, the same fixed ratio chains
+    "q305_mase_backtest" ->
+      """WITH daily AS (
+        |  SELECT epoch_us(ts) // 86400000000 AS day,
+        |    CAST(SUM(CAST(round(value * 100.0) AS BIGINT)) AS BIGINT) AS y
+        |  FROM events
+        |  WHERE event_type = 'click' AND value IS NOT NULL
+        |  GROUP BY 1),
+        |mx AS (SELECT MAX(day) AS mxd FROM daily),
+        |pairs AS (
+        |  SELECT a.day > mxd - 14 AS te, abs(a.y - b.y) AS ae,
+        |    a.y + b.y AS yy
+        |  FROM daily a JOIN daily b ON a.day = b.day + 7 CROSS JOIN mx),
+        |f AS (SELECT
+        |    CAST(SUM(CASE WHEN te THEN 0 ELSE 1 END) AS BIGINT)
+        |      AS n_train_pairs,
+        |    CAST(SUM(CASE WHEN te THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS n_test_pairs,
+        |    CAST(SUM(CASE WHEN te THEN 0 ELSE ae END) AS BIGINT) AS sr,
+        |    CAST(SUM(CASE WHEN te THEN ae ELSE 0 END) AS BIGINT) AS st,
+        |    CAST(SUM(CASE WHEN te AND yy > 0 THEN
+        |        CAST(round(2.0 * CAST(ae AS DOUBLE) / CAST(yy AS DOUBLE)
+        |          * 1000000000.0) AS BIGINT) ELSE 0 END) AS BIGINT) AS sm
+        |  FROM pairs)
+        |SELECT n_train_pairs, n_test_pairs,
+        |  round(CAST(st AS DOUBLE) / CAST(n_test_pairs AS DOUBLE)
+        |    / 100.0, 6) AS mae_test,
+        |  round(CAST(sr AS DOUBLE) / CAST(n_train_pairs AS DOUBLE)
+        |    / 100.0, 6) AS mae_naive_train,
+        |  round((CAST(st AS DOUBLE) / CAST(n_test_pairs AS DOUBLE))
+        |    / (CAST(sr AS DOUBLE) / CAST(n_train_pairs AS DOUBLE)), 6)
+        |    AS mase,
+        |  round(CAST(sm AS DOUBLE) / 1000000000.0
+        |    / CAST(n_test_pairs AS DOUBLE), 6) AS smape
+        |FROM f""".stripMargin,
+
+    // Neyman twin: identical stratum moments (HUGEINT products), the
+    // same micro-quantized σ and exact-integer allocation/deff chains
+    "q306_neyman_allocation" ->
+      """WITH st AS (
+        |  SELECT event_type AS stratum, COUNT(*) AS nh,
+        |    SUM(CAST(CAST(round(value * 100.0) AS BIGINT) AS HUGEINT))
+        |      AS sx,
+        |    SUM(CAST(CAST(round(value * 100.0) AS BIGINT) AS HUGEINT)
+        |      * CAST(round(value * 100.0) AS BIGINT)) AS sxx
+        |  FROM events
+        |  WHERE value IS NOT NULL AND event_type IS NOT NULL
+        |  GROUP BY 1),
+        |sig AS (SELECT stratum, CAST(nh AS BIGINT) AS nh,
+        |    CASE WHEN nh > 1 THEN CAST(round(sqrt(
+        |        CAST(nh * sxx - sx * sx AS DOUBLE)
+        |        / CAST(CAST(nh AS HUGEINT) * (nh - 1) AS DOUBLE))
+        |      * 1000000.0) AS BIGINT) ELSE 0 END AS sigq
+        |  FROM st),
+        |tot AS (SELECT CAST(SUM(nh) AS BIGINT) AS nn,
+        |    SUM(CAST(nh AS HUGEINT) * sigq) AS den,
+        |    SUM(CAST(nh AS HUGEINT) * sigq * sigq) AS s2w FROM sig)
+        |SELECT stratum, nh AS n_h,
+        |  CAST(sigq AS DOUBLE) / 1000000.0 AS sigma_cents,
+        |  CAST(round(10000.0 * CAST(CAST(nh AS HUGEINT) * sigq AS DOUBLE)
+        |    / CAST(den AS DOUBLE)) AS BIGINT) AS alloc_neyman,
+        |  CAST(round(10000.0 * CAST(nh AS DOUBLE) / CAST(nn AS DOUBLE))
+        |    AS BIGINT) AS alloc_prop,
+        |  round(CAST(nn * s2w AS DOUBLE) / CAST(den * den AS DOUBLE), 6)
+        |    AS design_effect
+        |FROM sig CROSS JOIN tot ORDER BY stratum""".stripMargin,
 
     // target-encoding twin: identical category sums, broadcast prior
     // division, and the same one-division-per-row smoothed LOO chain

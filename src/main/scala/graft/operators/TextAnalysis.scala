@@ -272,6 +272,100 @@ object TextAnalysis {
         .orderBy(col("hub"), col("source"))
     }),
 
+    // ---- q303: speculative-decoding acceptance estimator (Leviathan
+    // et al. 2022) — the serving-side planner beside q298's prefix
+    // cache: if a cheap draft model proposes tokens and the target
+    // model verifies, what fraction survive? Draft = the GLOBAL
+    // unigram LM; target = each source's bigram LM; token-level
+    // acceptance under speculative sampling is E_ctx Σ_x min(p_t(x|w),
+    // p_d(x)), which collapses ALGEBRAICALLY to one exact integer sum:
+    // Σ_bigram-types min(c·N, u·c_w) / (N_b·N) — per-term cross-
+    // multiplied min over exact Decimal(38) products (the Jaccard-
+    // threshold device lifted to distributions), ONE division per
+    // source. Expected tokens per verify step for γ=4 drafts,
+    // (1−α⁵)/(1−α), is a fixed multiply chain on the 9-dp-rounded α —
+    // never libm pow. Scale shape: gram-keyed aggregates + two
+    // gram-equi joins + 1-row N broadcast; linear in corpus. ----
+    "q303_spec_decode_accept" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val D = DecimalType(38, 0)
+      val toks = t(s, dir, "documents")
+        .select(col("source"), col("doc_id").as("__id"),
+          posexplode(split(lower(col("text")), "[^a-z0-9]+"))
+            .as(Seq("__p", "__t")))
+        .filter(col("__t") =!= "").localCheckpoint()
+      val wp = Window.partitionBy(col("__id")).orderBy(col("__p"))
+      val bi = toks.select(col("source"), col("__id"),
+          col("__t").as("w1"), lead(col("__t"), 1).over(wp).as("w2"))
+        .filter(col("w2").isNotNull)
+        .groupBy(col("source"), col("w1"), col("w2"))
+        .agg(count(lit(1)).as("cb"))
+        .localCheckpoint()
+      val cw = bi.groupBy(col("source"), col("w1"))
+        .agg(sum(col("cb")).as("cwt"))
+      val uni = toks.groupBy(col("__t").as("w2")).agg(count(lit(1)).as("cu"))
+      val nTok = toks.agg(count(lit(1)).as("ntok"))
+      val nbi = bi.groupBy(col("source"))
+        .agg(sum(col("cb")).as("n_bigrams"), count(lit(1)).as("n_types"))
+      val smn = bi.join(cw, Seq("source", "w1")).join(uni, Seq("w2"))
+        .crossJoin(broadcast(nTok))
+        .select(col("source"),
+          least(col("cb").cast(D) * col("ntok").cast(D),
+            col("cu").cast(D) * col("cwt").cast(D)).as("mn"))
+        .groupBy(col("source")).agg(sum(col("mn")).as("smn"))
+      val a = col("accept_rate")
+      smn.join(nbi, Seq("source")).crossJoin(broadcast(nTok))
+        .withColumn("accept_rate",
+          round(col("smn").cast(DoubleType) /
+            (col("n_bigrams").cast(D) * col("ntok").cast(D))
+              .cast(DoubleType), 9))
+        .select(col("source"), col("n_types"), col("n_bigrams"),
+          col("accept_rate"),
+          when(a >= 1.0, lit(5.0))
+            .otherwise(round(
+              (lit(1.0) - a * a * a * a * a) / (lit(1.0) - a), 6))
+            .as("exp_tokens_per_step"))
+        .orderBy(col("source"))
+    }),
+
+    // ---- q304: distinct-value estimation audit (Chao1 / Good–Turing)
+    // — the planner question a 100 TB vocabulary build hits first: can
+    // a 10% sample predict the full corpus's distinct-token count, and
+    // by how much does the species-richness estimator miss? Chao1
+    // (bias-corrected, Chao 1984) d_s + f1(f1−1)/(2(f2+1)) from the
+    // sample's singleton/doubleton counts, checked against the TRUE
+    // distinct count the full scan gives; Good–Turing unseen mass
+    // f1/n is the probability the NEXT sampled token is a new type.
+    // Scale shape: one token-keyed count over the (prunable) sample
+    // slice + one distinct over the full stream; all estimator math on
+    // 1-row broadcasts. Numerator f1(f1−1) is an exact Decimal(38)
+    // product; every division single and rounded. ----
+    "q304_ndv_estimate" -> ((s, dir) => {
+      val D = DecimalType(38, 0)
+      val toks = t(s, dir, "documents")
+        .select(col("doc_id"),
+          explode(split(lower(col("text")), "[^a-z0-9]+")).as("__t"))
+        .filter(col("__t") =!= "").localCheckpoint()
+      val dTrue = toks.agg(countDistinct(col("__t")).as("d_true"))
+      val tc = toks.filter(col("doc_id") % 10 === 0)
+        .groupBy(col("__t")).agg(count(lit(1)).as("c"))
+      val a = tc.agg(count(lit(1)).as("d_sample"),
+        sum(when(col("c") === 1L, lit(1L)).otherwise(lit(0L))).as("f1"),
+        sum(when(col("c") === 2L, lit(1L)).otherwise(lit(0L))).as("f2"),
+        sum(col("c")).as("n_sample_tokens"))
+      val chao1 = round(col("d_sample").cast(DoubleType) +
+        (col("f1").cast(D) * (col("f1") - lit(1L)).cast(D)).cast(DoubleType) /
+        (lit(2.0) * (col("f2").cast(DoubleType) + lit(1.0))), 6)
+      a.crossJoin(broadcast(dTrue))
+        .withColumn("chao1", chao1)
+        .select(col("d_sample"), col("f1"), col("f2"),
+          col("n_sample_tokens"), col("d_true"), col("chao1"),
+          round((col("chao1") - col("d_true").cast(DoubleType)) /
+            col("d_true").cast(DoubleType) * lit(100.0), 6).as("err_pct"),
+          round(col("f1").cast(DoubleType) /
+            col("n_sample_tokens").cast(DoubleType), 9).as("unseen_mass"))
+    }),
+
     // ---- q128: per-doc Shannon character entropy (nats) — the cheap
     // gibberish/boilerplate gate. Char explode fans out but every
     // shuffle keys on the doc id (zero cross-doc state, linear); each
@@ -1506,6 +1600,75 @@ object TextAnalysis {
         |  (CAST(SUM(q) AS DOUBLE) / 1000000000.0) / COUNT(*)
         |    AS cross_entropy
         |FROM sc GROUP BY hub, source ORDER BY hub, source""".stripMargin,
+
+    // speculative-acceptance twin: identical tokenization/bigram CTEs,
+    // HUGEINT cross-multiplied per-type min (the Spark Decimal(38)),
+    // one division per source, the same fixed (1−α⁵)/(1−α) multiply
+    // chain on the 9-dp α
+    "q303_spec_decode_accept" ->
+      """WITH tl AS (
+        |  SELECT source, doc_id,
+        |    list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+        |      x -> x <> '') AS w
+        |  FROM documents),
+        |toks AS (SELECT source, unnest(w) AS t FROM tl),
+        |b0 AS (SELECT source, w, unnest(range(1, len(w))) AS i
+        |       FROM tl WHERE len(w) >= 2),
+        |bigrams AS (SELECT source, w[i] AS w1, w[i + 1] AS w2 FROM b0),
+        |bi AS (SELECT source, w1, w2, CAST(COUNT(*) AS BIGINT) AS cb
+        |       FROM bigrams GROUP BY 1, 2, 3),
+        |cw AS (SELECT source, w1, CAST(SUM(cb) AS BIGINT) AS cwt
+        |       FROM bi GROUP BY 1, 2),
+        |uni AS (SELECT t AS w2, CAST(COUNT(*) AS BIGINT) AS cu
+        |        FROM toks GROUP BY 1),
+        |ntok AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM toks),
+        |nbi AS (SELECT source, CAST(SUM(cb) AS BIGINT) AS n_bigrams,
+        |          CAST(COUNT(*) AS BIGINT) AS n_types FROM bi GROUP BY 1),
+        |smn AS (SELECT bi.source,
+        |          SUM(LEAST(CAST(cb AS HUGEINT) * n,
+        |                    CAST(cu AS HUGEINT) * cwt)) AS s
+        |        FROM bi JOIN cw USING (source, w1) JOIN uni USING (w2)
+        |        CROSS JOIN ntok GROUP BY 1),
+        |f AS (SELECT source, n_types, n_bigrams,
+        |        round(CAST(s AS DOUBLE)
+        |          / CAST(CAST(n_bigrams AS HUGEINT) * n AS DOUBLE), 9)
+        |          AS accept_rate
+        |      FROM smn JOIN nbi USING (source) CROSS JOIN ntok)
+        |SELECT source, n_types, n_bigrams, accept_rate,
+        |  CASE WHEN accept_rate >= 1.0 THEN 5.0
+        |       ELSE round((1.0 - accept_rate * accept_rate * accept_rate
+        |           * accept_rate * accept_rate) / (1.0 - accept_rate), 6)
+        |  END AS exp_tokens_per_step
+        |FROM f ORDER BY source""".stripMargin,
+
+    // NDV-estimate twin: identical tokenization/sample slice, HUGEINT
+    // f1(f1−1) numerator, the same single-division Chao1 / error /
+    // unseen-mass chain on 1-row aggregates
+    "q304_ndv_estimate" ->
+      """WITH tl AS (
+        |  SELECT doc_id,
+        |    list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+        |      x -> x <> '') AS w
+        |  FROM documents),
+        |toks AS (SELECT doc_id, unnest(w) AS t FROM tl),
+        |dt AS (SELECT CAST(COUNT(DISTINCT t) AS BIGINT) AS d_true FROM toks),
+        |tc AS (SELECT t, CAST(COUNT(*) AS BIGINT) AS c FROM toks
+        |       WHERE doc_id % 10 = 0 GROUP BY t),
+        |a AS (SELECT CAST(COUNT(*) AS BIGINT) AS d_sample,
+        |        CAST(SUM(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS BIGINT) AS f1,
+        |        CAST(SUM(CASE WHEN c = 2 THEN 1 ELSE 0 END) AS BIGINT) AS f2,
+        |        CAST(SUM(c) AS BIGINT) AS n_sample_tokens FROM tc),
+        |b AS (SELECT d_sample, f1, f2, n_sample_tokens, d_true,
+        |        round(CAST(d_sample AS DOUBLE)
+        |          + CAST(CAST(f1 AS HUGEINT) * (f1 - 1) AS DOUBLE)
+        |            / (2.0 * (CAST(f2 AS DOUBLE) + 1.0)), 6) AS chao1
+        |      FROM a CROSS JOIN dt)
+        |SELECT d_sample, f1, f2, n_sample_tokens, d_true, chao1,
+        |  round((chao1 - CAST(d_true AS DOUBLE)) / CAST(d_true AS DOUBLE)
+        |    * 100.0, 6) AS err_pct,
+        |  round(CAST(f1 AS DOUBLE) / CAST(n_sample_tokens AS DOUBLE), 9)
+        |    AS unseen_mass
+        |FROM b""".stripMargin,
 
     // Kneser–Ney twin: identical tokenization/bigram CTEs, the same four
     // count tables, the IDENTICAL fixed-order P double chain

@@ -982,4 +982,34 @@ class AnalyticsSpec extends AnyFunSuite {
     assert(byStratum(-1L).getDouble(5) === 10.0)   // only the high stratum
     assert(byStratum(-1L).getLong(1) === 1L && byStratum(-1L).getLong(2) === 1L)
   }
+
+  // ------------------------------------------------------------ log-rank
+
+  test("logRank matches the hand-computed Mantel statistic with censoring") {
+    val s = spark; import s.implicits._
+    // treat (grp 1): deaths at t=1, t=2; control: death at t=1,
+    // censored at t=3.
+    //  t=1: r=4, r1=2, d=2, d1=1 → O−E = 1 − 2·2/4 = 0,
+    //       V = 2·2·2·2/(16·3) = 1/3
+    //  t=2: r=2, r1=1, d=1, d1=1 → O−E = 1 − 1/2 = 0.5, V = 1/(4·1)
+    // ΣOE = 0.5, ΣV = 7/12, Z = 0.5/√0.583333333 = 0.654654
+    val u = Seq((1L, 1L, 1L), (2L, 1L, 1L), (1L, 1L, 0L), (3L, 0L, 0L))
+      .toDF("dur", "obs", "grp")
+    val r = Graft.logRank(u, "dur", "obs", "grp").collect().head
+    assert(r.getLong(0) === 2L)               // death times
+    assert(r.getLong(1) === 2L && r.getLong(2) === 1L)
+    assert(r.getDouble(3) === 0.5)            // O − E
+    assert(r.getDouble(4) === 0.583333)       // variance (nano-quantized)
+    assert(r.getDouble(5) === 0.654654)       // Z
+    assert(r.getDouble(6) === 0.428571)       // χ²
+  }
+
+  test("logRank: a one-group population has zero variance and NULL Z") {
+    val s = spark; import s.implicits._
+    val u = Seq((1L, 1L, 1L), (2L, 1L, 1L), (3L, 0L, 1L))
+      .toDF("dur", "obs", "grp")
+    val r = Graft.logRank(u, "dur", "obs", "grp").collect().head
+    assert(r.getDouble(3) === 0.0 && r.getDouble(4) === 0.0)
+    assert(r.isNullAt(5) && r.isNullAt(6))
+  }
 }
