@@ -7483,6 +7483,66 @@ object Graft {
       .orderBy(col("decile"))
   }
 
+  /** RHO-loss selection report (Mindermann et al. 2022) — prioritize
+    * points that are "learnable, worth learning, and not yet learnt":
+    * reducible holdout loss rho(x) = CE(x | train-model) −
+    * CE(x | holdout-model). High rho = the current model gets x wrong
+    * but a model that never saw x finds it predictable (worth
+    * training on); rho ≈ 0 flags already-learnt redundancy; NEGATIVE
+    * rho flags noise/mislabels (even a clean-data model can't predict
+    * it — the selection-side view of q233's label-noise audit).
+    *
+    * Two [[logisticTrainHashed]]-style GD probes on disjoint slices
+    * (train = everything outside `holdoutIds`, irreducible-loss model
+    * = the holdout only), then one scoring pass over the train slice:
+    * per-doc cross-entropy ln(1+exp(∓z)) micro-quantized under EACH
+    * model, rho as an exact long difference, decile-cut with the
+    * [[globalRank]] device and 'select' on the top `selectDeciles`.
+    * Features absent from a model's slice carry weight 0 (inner join
+    * on the weight table — every doc keeps its bias row). Per round
+    * each probe is two keyed aggregates with the weight vector
+    * broadcast; nothing scales worse than q253. */
+  def rhoLossReport(features: DataFrame, labels: DataFrame,
+      holdoutIds: DataFrame, rounds: Int = 3, etaMilli: Long = 500,
+      deciles: Int = 10, selectDeciles: Int = 2): DataFrame = {
+    require(deciles >= 2, s"rhoLossReport needs deciles >= 2, got $deciles")
+    require(selectDeciles >= 0 && selectDeciles < deciles,
+      s"rhoLossReport needs 0 <= selectDeciles < deciles")
+    val f = features.select(col("id"), col("dim").cast(LongType).as("dim"),
+      col("x").cast(LongType).as("x")).localCheckpoint()
+    val yDf = labels.select(col("id"), col("y").cast(LongType).as("y"))
+    val ho = holdoutIds.select(col("id"))
+    val fTr = f.join(ho, Seq("id"), "left_anti").localCheckpoint()
+    val yTr = yDf.join(ho, Seq("id"), "left_anti").localCheckpoint()
+    val wA = logisticTrainQ(fTr, yTr, rounds, etaMilli)
+    val wB = logisticTrainQ(f.join(ho, Seq("id"), "left_semi"),
+      yDf.join(ho, Seq("id"), "left_semi"), rounds, etaMilli)
+    def ceq(w: DataFrame, name: String): DataFrame =
+      fTr.join(broadcast(w), Seq("dim"))
+        .groupBy(col("id")).agg(sum(col("wq") * col("x")).as("zq"))
+        .join(yTr, Seq("id"))
+        .withColumn(name,
+          round(log(lit(1.0) + exp(
+            when(col("y") === 1L, -col("zq").cast(DoubleType))
+              .otherwise(col("zq").cast(DoubleType)) / lit(1.0e9))) *
+            lit(1.0e6)).cast(LongType))
+        .select(col("id"), col(name))
+    val scored = ceq(wA, "cea").join(ceq(wB, "ceb"), Seq("id"))
+      .select(col("id"), (col("cea") - col("ceb")).as("rhoq"))
+    val nDf = scored.agg(count(lit(1)).as("__n"))
+    globalRank(scored, Seq("rhoq", "id"), "grank")
+      .crossJoin(broadcast(nDf))
+      .withColumn("decile", expr(s"((grank - 1) * $deciles) div __n"))
+      .groupBy(col("decile"))
+      .agg(count(lit(1)).as("n_docs"),
+        (sum(col("rhoq")).cast(DoubleType) /
+          count(lit(1)).cast(DoubleType) / lit(1.0e6)).as("mean_rho"))
+      .withColumn("action",
+        when(col("decile") >= deciles - selectDeciles, lit("select"))
+          .otherwise(lit("skip")))
+      .orderBy(col("decile"))
+  }
+
   /** Inverse-propensity-weighted ATE (q254) — [[stratifiedAte]]'s
     * estimator sibling on the SAME strata, with LAPLACE-SMOOTHED
     * propensities ê_s = (n_t+1)/(n_t+n_c+2): the Horvitz–Thompson form
@@ -7526,6 +7586,91 @@ object Graft {
       .select(col("n_units"),
         (col("__q").cast(DoubleType) / lit(1.0e4) / lit(100.0) /
           col("n_units").cast(DoubleType)).as("ate_ipw"))
+  }
+
+  /** Doubly-robust AIPW ATE (Robins, Rotnitzky & Zhao 1994) — the
+    * augmented estimator that corrects a MISSPECIFIED outcome model
+    * with propensity-weighted residuals: here the outcome model is
+    * deliberately the crudest one (global arm means, ignoring the
+    * covariate entirely) and the per-stratum residual corrections
+    * repair it. With the raw within-stratum propensities n_t/n_s the
+    * repair is ALGEBRAIC — ate_aipw equals [[stratifiedAte]]'s overall
+    * identically (the in-sample double-robustness identity, reported
+    * as the cross-check); `ate_aipw_smoothed` swaps in [[ipwAte]]'s
+    * Laplace-smoothed (n_t+1)/(n_s+2) propensities, which keeps
+    * one-armed strata contributing (raw drops them like q250).
+    *
+    * Exactness: cents-integer stratum sums, global means one double
+    * division each; per-stratum corrections are fixed double chains
+    * micro-quantized to longs before the cross-strata sums; outputs
+    * single divisions rounded. One [[globalRank]] cut + ONE
+    * stratum-keyed aggregate + 1-row broadcasts — q250's exact shape,
+    * nothing new at 100 TB. */
+  def aipwAte(units: DataFrame, covariateCol: String, treatedCol: String,
+      valueCol: String, idCol: String, strata: Int = 5): DataFrame = {
+    require(strata >= 2, s"aipwAte needs strata >= 2, got $strata")
+    requirePreQuantized(units, covariateCol, "aipwAte", "covariate")
+    val base = units.filter(col(valueCol).isNotNull)
+      .select(col(idCol).as("__id"),
+        col(covariateCol).cast(LongType).as("__cv"),
+        col(treatedCol).cast(LongType).as("__t"),
+        round(col(valueCol) * lit(100.0)).cast(LongType).as("__vc"))
+    val nDf = base.agg(count(lit(1)).as("__n"))
+    val cells = globalRank(base, Seq("__cv", "__id"), "grank")
+      .crossJoin(broadcast(nDf))
+      .withColumn("stratum", expr(s"((grank - 1) * $strata) div __n"))
+      .groupBy(col("stratum"))
+      .agg(sum(col("__t")).as("n_t"), sum(lit(1L) - col("__t")).as("n_c"),
+        sum(col("__t") * col("__vc")).as("__st"),
+        sum((lit(1L) - col("__t")) * col("__vc")).as("__sc"))
+      .localCheckpoint() // feeds the global means AND the corrections
+    val glob = cells.agg(sum(col("n_t")).as("__gnt"),
+      sum(col("n_c")).as("__gnc"),
+      sum(col("__st")).as("__gst"), sum(col("__sc")).as("__gsc"))
+    val mu1 = col("__gst").cast(DoubleType) / col("__gnt").cast(DoubleType)
+    val mu0 = col("__gsc").cast(DoubleType) / col("__gnc").cast(DoubleType)
+    val ns = col("n_t") + col("n_c")
+    def corr(wT: Column, wC: Column): Column =
+      (col("__st").cast(DoubleType) - col("n_t").cast(DoubleType) * mu1) *
+        wT -
+        (col("__sc").cast(DoubleType) - col("n_c").cast(DoubleType) * mu0) *
+        wC
+    val terms = cells.crossJoin(broadcast(glob))
+      .withColumn("__cqr",
+        when(col("n_t") > 0L && col("n_c") > 0L,
+          round(corr(
+            ns.cast(DoubleType) / col("n_t").cast(DoubleType),
+            ns.cast(DoubleType) / col("n_c").cast(DoubleType)) * lit(1.0e6))
+            .cast(LongType))
+          .otherwise(lit(null).cast(LongType)))
+      .withColumn("__cqs",
+        round(corr(
+          (ns + lit(2L)).cast(DoubleType) /
+            (col("n_t") + lit(1L)).cast(DoubleType),
+          (ns + lit(2L)).cast(DoubleType) /
+            (col("n_c") + lit(1L)).cast(DoubleType)) * lit(1.0e6))
+          .cast(LongType))
+      .localCheckpoint()
+    val per = terms.select(col("stratum"), col("n_t"), col("n_c"),
+      round((col("n_t") + lit(1L)).cast(DoubleType) /
+        (ns + lit(2L)).cast(DoubleType), 9).as("e_hat_smoothed"),
+      round(col("__cqr").cast(DoubleType) / lit(1.0e8), 6).as("correction"),
+      lit(null).cast(DoubleType).as("ate_aipw"),
+      lit(null).cast(DoubleType).as("ate_aipw_smoothed"))
+    val ov = terms
+      .agg(sum(col("n_t")).as("n_t"), sum(col("n_c")).as("n_c"),
+        sum(when(col("__cqr").isNotNull, ns).otherwise(lit(0L))).as("__n2"),
+        sum(col("__cqr")).as("__qr"), sum(col("__cqs")).as("__qs"))
+      .crossJoin(broadcast(glob))
+      .select(lit(-1L).as("stratum"), col("n_t"), col("n_c"),
+        lit(null).cast(DoubleType).as("e_hat_smoothed"),
+        lit(null).cast(DoubleType).as("correction"),
+        round((mu1 - mu0 + col("__qr").cast(DoubleType) / lit(1.0e6) /
+          col("__n2").cast(DoubleType)) / lit(100.0), 6).as("ate_aipw"),
+        round((mu1 - mu0 + col("__qs").cast(DoubleType) / lit(1.0e6) /
+          (col("n_t") + col("n_c")).cast(DoubleType)) / lit(100.0), 6)
+          .as("ate_aipw_smoothed"))
+    per.unionAll(ov)
   }
 
   /** Markov next-event model evaluation (q255) — train the first-order

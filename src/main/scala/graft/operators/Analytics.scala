@@ -1307,6 +1307,26 @@ object Analytics {
         strata = 5)
     }),
 
+    // ---- q307: doubly-robust AIPW ATE — the third estimator on
+    // q250/q254's strata and the modern default: a deliberately
+    // MISSPECIFIED outcome model (global arm means, covariate ignored)
+    // repaired by propensity-weighted residual corrections. With raw
+    // within-stratum propensities the repair is algebraically exact
+    // (ate_aipw reproduces q250's overall — the in-sample double-
+    // robustness identity, emitted as a live cross-check); the smoothed
+    // variant is the production estimator that keeps one-armed strata.
+    // ----
+    "q307_aipw_ate" -> ((s, dir) => {
+      val u = t(s, dir, "events").groupBy(col("user_id"))
+        .agg(count(lit(1)).as("cv"),
+          (coalesce(sum(round(col("value") * lit(100.0)).cast(LongType)),
+            lit(0L)).cast(DoubleType) / lit(100.0)).as("dollars"))
+        .withColumn("treated", (col("user_id") % 2 === 0).cast(LongType))
+      graft.api.Graft.aipwAte(u, "cv", "treated", "dollars", "user_id",
+          strata = 5)
+        .orderBy(col("stratum"))
+    }),
+
     // ---- q255: Markov next-event evaluation — the sequence-model
     // baseline: first-order transition argmax trained on even event_ids
     // scores top-1 accuracy per state on the odd half. The floor a
@@ -2538,6 +2558,78 @@ object Analytics {
         |  FROM cells WHERE n_t > 0 AND n_c > 0)
         |SELECT * FROM per
         |UNION ALL SELECT * FROM ov
+        |ORDER BY stratum""".stripMargin,
+
+    // AIPW twin: q250's unit/strata CTEs, global-mean outcome model,
+    // the same raw + Laplace-smoothed correction double chains
+    // micro-quantized before the cross-strata sums
+    "q307_aipw_ate" ->
+      """WITH u AS (
+        |  SELECT user_id, CAST(COUNT(*) AS BIGINT) AS cv,
+        |    CASE WHEN user_id % 2 = 0 THEN 1 ELSE 0 END AS t,
+        |    COALESCE(CAST(SUM(CAST(ROUND(value * 100.0) AS BIGINT)) AS BIGINT), 0) AS vc
+        |  FROM events GROUP BY user_id),
+        |nn AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM u),
+        |r AS (SELECT t, vc,
+        |        CAST(row_number() OVER (ORDER BY cv, user_id) AS BIGINT) AS grank
+        |      FROM u),
+        |s AS (SELECT ((grank - 1) * 5) // nn.n AS stratum, t, vc
+        |      FROM r CROSS JOIN nn),
+        |cells AS (
+        |  SELECT stratum, CAST(SUM(t) AS BIGINT) AS n_t,
+        |    CAST(SUM(1 - t) AS BIGINT) AS n_c,
+        |    CAST(SUM(t * vc) AS BIGINT) AS st,
+        |    CAST(SUM((1 - t) * vc) AS BIGINT) AS sc
+        |  FROM s GROUP BY stratum),
+        |g AS (SELECT CAST(SUM(n_t) AS BIGINT) AS gnt,
+        |        CAST(SUM(n_c) AS BIGINT) AS gnc,
+        |        CAST(SUM(st) AS BIGINT) AS gst,
+        |        CAST(SUM(sc) AS BIGINT) AS gsc FROM cells),
+        |terms AS (SELECT stratum, n_t, n_c,
+        |    CASE WHEN n_t > 0 AND n_c > 0 THEN CAST(round((
+        |        (CAST(st AS DOUBLE) - CAST(n_t AS DOUBLE)
+        |           * (CAST(gst AS DOUBLE) / CAST(gnt AS DOUBLE)))
+        |          * CAST(n_t + n_c AS DOUBLE) / CAST(n_t AS DOUBLE)
+        |      - (CAST(sc AS DOUBLE) - CAST(n_c AS DOUBLE)
+        |           * (CAST(gsc AS DOUBLE) / CAST(gnc AS DOUBLE)))
+        |          * CAST(n_t + n_c AS DOUBLE) / CAST(n_c AS DOUBLE)
+        |      ) * 1000000.0) AS BIGINT) ELSE NULL END AS cqr,
+        |    CAST(round((
+        |        (CAST(st AS DOUBLE) - CAST(n_t AS DOUBLE)
+        |           * (CAST(gst AS DOUBLE) / CAST(gnt AS DOUBLE)))
+        |          * CAST(n_t + n_c + 2 AS DOUBLE) / CAST(n_t + 1 AS DOUBLE)
+        |      - (CAST(sc AS DOUBLE) - CAST(n_c AS DOUBLE)
+        |           * (CAST(gsc AS DOUBLE) / CAST(gnc AS DOUBLE)))
+        |          * CAST(n_t + n_c + 2 AS DOUBLE) / CAST(n_c + 1 AS DOUBLE)
+        |      ) * 1000000.0) AS BIGINT) AS cqs
+        |  FROM cells CROSS JOIN g),
+        |per AS (SELECT stratum, n_t, n_c,
+        |    round(CAST(n_t + 1 AS DOUBLE) / CAST(n_t + n_c + 2 AS DOUBLE), 9)
+        |      AS e_hat_smoothed,
+        |    round(CAST(cqr AS DOUBLE) / 100000000.0, 6) AS correction,
+        |    CAST(NULL AS DOUBLE) AS ate_aipw,
+        |    CAST(NULL AS DOUBLE) AS ate_aipw_smoothed
+        |  FROM terms),
+        |ovs AS (SELECT CAST(SUM(n_t) AS BIGINT) AS tnt,
+        |    CAST(SUM(n_c) AS BIGINT) AS tnc,
+        |    CAST(SUM(CASE WHEN cqr IS NOT NULL THEN n_t + n_c ELSE 0 END)
+        |      AS BIGINT) AS n2,
+        |    CAST(SUM(cqr) AS BIGINT) AS qr,
+        |    CAST(SUM(cqs) AS BIGINT) AS qs FROM terms),
+        |ov AS (SELECT CAST(-1 AS BIGINT) AS stratum, tnt AS n_t, tnc AS n_c,
+        |    CAST(NULL AS DOUBLE) AS e_hat_smoothed,
+        |    CAST(NULL AS DOUBLE) AS correction,
+        |    round((CAST(gst AS DOUBLE) / CAST(gnt AS DOUBLE)
+        |        - CAST(gsc AS DOUBLE) / CAST(gnc AS DOUBLE)
+        |        + CAST(qr AS DOUBLE) / 1000000.0 / CAST(n2 AS DOUBLE))
+        |      / 100.0, 6) AS ate_aipw,
+        |    round((CAST(gst AS DOUBLE) / CAST(gnt AS DOUBLE)
+        |        - CAST(gsc AS DOUBLE) / CAST(gnc AS DOUBLE)
+        |        + CAST(qs AS DOUBLE) / 1000000.0
+        |          / CAST(tnt + tnc AS DOUBLE))
+        |      / 100.0, 6) AS ate_aipw_smoothed
+        |  FROM ovs CROSS JOIN g)
+        |SELECT * FROM per UNION ALL SELECT * FROM ov
         |ORDER BY stratum""".stripMargin,
 
     "q247_personalized_pagerank" -> pprSql(10, "purchase"),

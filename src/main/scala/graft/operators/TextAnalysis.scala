@@ -623,6 +623,30 @@ object TextAnalysis {
       graft.api.Graft.el2nPruneReport(feats, labels, rounds = 3)
     }),
 
+    // ---- q308: RHO-loss selection (Mindermann et al. 2022) — the
+    // data-selection upgrade over q276's EL2N: EL2N's "high error =
+    // informative" cannot tell informative from MISLABELED; reducible
+    // holdout loss CE(train model) − CE(holdout model) can. Two q253
+    // probes on disjoint slices (train = doc_id%4≠1, irreducible-loss
+    // model = the %4=1 holdout), rho scored on the train slice, decile
+    // report with 'select' on the top two. High rho = learnable-but-
+    // not-learnt (train on these); negative = noise (the selection
+    // view of q233). Plan: 2× the q253 loop + one scoring pass —
+    // nothing scales worse than q253 itself. ----
+    "q308_rho_loss" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val feats = graft.api.Graft.featureHash(docs, "text", "doc_id", 64)
+        .select(col("doc_id").as("id"), col("dim"), col("weight").as("x"))
+        .unionAll(docs.select(col("doc_id").as("id"),
+          lit(-1L).as("dim"), lit(1L).as("x")))
+      val labels = docs.select(col("doc_id").as("id"),
+        (col("lang") === "en").cast(LongType).as("y"))
+      val ho = docs.filter(col("doc_id") % 4 === 1)
+        .select(col("doc_id").as("id"))
+      graft.api.Graft.rhoLossReport(feats, labels, ho, rounds = 3,
+        etaMilli = 500)
+    }),
+
     // ---- q242: feature hashing — fixed-64-dim signed bag-of-words via
     // the hashing trick: no vocabulary pass, one projection + one keyed
     // aggregate; md5-derived dims/signs replay identically cross-engine
@@ -995,41 +1019,53 @@ object TextAnalysis {
     * quantization, the same sigmoid chain, and the `//` update, which
     * on integers truncates toward zero exactly like Spark's `div`
     * (plain div on both sides — the repo's verified division rule). */
-  private def logisticSql(rounds: Int, etaMilli: Long,
-      labelSql: String = "CASE WHEN lang = 'en' THEN 1 ELSE 0 END")
-      : String = {
-    val steps = (1 to rounds).map { i =>
-      s"""z$i AS (
+  /** The hashed-feature CTEs shared by every logistic-probe oracle
+    * (q253 family + the two-model q308): tokenization, md5 dim/sign
+    * hashing, per-(doc, dim) signed sums. */
+  private val featureCtesSql: String =
+    """toks AS (
+      |  SELECT doc_id,
+      |    unnest(list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+      |      x -> x <> '')) AS t
+      |  FROM documents),
+      |h AS (
+      |  SELECT doc_id,
+      |    CAST((md5_number_lower(t) & 9223372036854775807::UBIGINT) % 64
+      |      AS BIGINT) AS dim,
+      |    CAST((md5_number_lower('s:' || t) & 1::UBIGINT) * 2 AS BIGINT) - 1
+      |      AS sgn
+      |  FROM toks),
+      |fh AS (
+      |  SELECT doc_id AS id, dim, CAST(SUM(sgn) AS BIGINT) AS x
+      |  FROM h GROUP BY doc_id, dim HAVING SUM(sgn) <> 0)""".stripMargin
+
+  /** One GD chain (z/r/g/w steps ×rounds) over CTEs `${p}f`/`${p}y`/
+    * `${p}nn`/`${p}w0`, emitting `${p}w$rounds` — prefixable so two
+    * independently-trained probes can live in one oracle query. */
+  private def gdChainSql(rounds: Int, etaMilli: Long, p: String): String =
+    (1 to rounds).map { i =>
+      s"""${p}z$i AS (
          |  SELECT f.id, CAST(SUM(w.wq * f.x) AS BIGINT) AS zq
-         |  FROM f JOIN w${i - 1} w USING (dim) GROUP BY f.id),
-         |r$i AS MATERIALIZED (
+         |  FROM ${p}f f JOIN ${p}w${i - 1} w USING (dim) GROUP BY f.id),
+         |${p}r$i AS MATERIALIZED (
          |  SELECT z.id,
          |    CAST(ROUND((1.0 / (1.0 + exp(-(CAST(zq AS DOUBLE) / 1000000000.0)))
          |      - CAST(y.y AS DOUBLE)) * 1000000.0) AS BIGINT) AS rq
-         |  FROM z$i z JOIN y USING (id)),
-         |g$i AS (
+         |  FROM ${p}z$i z JOIN ${p}y y USING (id)),
+         |${p}g$i AS (
          |  SELECT f.dim, CAST(SUM(r.rq * f.x) AS BIGINT) AS gq
-         |  FROM f JOIN r$i r USING (id) GROUP BY f.dim),
-         |w$i AS MATERIALIZED (
+         |  FROM ${p}f f JOIN ${p}r$i r USING (id) GROUP BY f.dim),
+         |${p}w$i AS MATERIALIZED (
          |  SELECT w.dim,
          |    CAST(w.wq - ((COALESCE(g.gq, 0) * $etaMilli) // nn.N) AS BIGINT) AS wq
-         |  FROM w${i - 1} w LEFT JOIN g$i g USING (dim) CROSS JOIN nn)""".stripMargin
+         |  FROM ${p}w${i - 1} w LEFT JOIN ${p}g$i g USING (dim)
+         |  CROSS JOIN ${p}nn nn)""".stripMargin
     }.mkString(",\n")
-    s"""WITH toks AS (
-       |  SELECT doc_id,
-       |    unnest(list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
-       |      x -> x <> '')) AS t
-       |  FROM documents),
-       |h AS (
-       |  SELECT doc_id,
-       |    CAST((md5_number_lower(t) & 9223372036854775807::UBIGINT) % 64
-       |      AS BIGINT) AS dim,
-       |    CAST((md5_number_lower('s:' || t) & 1::UBIGINT) * 2 AS BIGINT) - 1
-       |      AS sgn
-       |  FROM toks),
-       |fh AS (
-       |  SELECT doc_id AS id, dim, CAST(SUM(sgn) AS BIGINT) AS x
-       |  FROM h GROUP BY doc_id, dim HAVING SUM(sgn) <> 0),
+
+  private def logisticSql(rounds: Int, etaMilli: Long,
+      labelSql: String = "CASE WHEN lang = 'en' THEN 1 ELSE 0 END")
+      : String = {
+    s"""WITH $featureCtesSql,
        |f AS MATERIALIZED (
        |  SELECT * FROM fh
        |  UNION ALL
@@ -1041,9 +1077,61 @@ object TextAnalysis {
        |nn AS MATERIALIZED (SELECT CAST(COUNT(*) AS BIGINT) AS N FROM y),
        |w0 AS MATERIALIZED (
        |  SELECT dim, CAST(0 AS BIGINT) AS wq FROM (SELECT DISTINCT dim FROM f) d),
-       |$steps
+       |${gdChainSql(rounds, etaMilli, "")}
        |SELECT dim, CAST(wq AS DOUBLE) / 1000000000.0 AS weight
        |FROM w$rounds ORDER BY dim""".stripMargin
+  }
+
+  /** q308 oracle: the shared feature CTEs, TWO independent GD chains
+    * (train slice prefixed `t`, holdout slice prefixed `o`), then the
+    * per-doc CE under each final weight vector (micro-quantized
+    * softplus, identical ∓z shape), exact long rho = ceA − ceB, and
+    * the same row_number decile cut as el2nSql. */
+  private def rhoSql(rounds: Int, etaMilli: Long,
+      selectDeciles: Int): String = {
+    def slice(p: String, cond: String): String =
+      s"""${p}f AS MATERIALIZED (SELECT * FROM fa WHERE id % 4 $cond),
+         |${p}y AS MATERIALIZED (
+         |  SELECT doc_id AS id, CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS y
+         |  FROM documents WHERE doc_id % 4 $cond),
+         |${p}nn AS MATERIALIZED (
+         |  SELECT CAST(COUNT(*) AS BIGINT) AS N FROM ${p}y),
+         |${p}w0 AS MATERIALIZED (
+         |  SELECT dim, CAST(0 AS BIGINT) AS wq
+         |  FROM (SELECT DISTINCT dim FROM ${p}f) d)""".stripMargin
+    def ce(z: String): String =
+      s"""SELECT z.id, CAST(ROUND(ln(1.0 + exp(
+         |    (CASE WHEN y.y = 1 THEN -CAST(zq AS DOUBLE)
+         |          ELSE CAST(zq AS DOUBLE) END) / 1000000000.0))
+         |  * 1000000.0) AS BIGINT) AS c
+         |FROM $z z JOIN ty y USING (id)""".stripMargin
+    s"""WITH $featureCtesSql,
+       |fa AS MATERIALIZED (
+       |  SELECT * FROM fh
+       |  UNION ALL
+       |  SELECT doc_id AS id, CAST(-1 AS BIGINT) AS dim, CAST(1 AS BIGINT) AS x
+       |  FROM documents),
+       |${slice("t", "<> 1")},
+       |${gdChainSql(rounds, etaMilli, "t")},
+       |${slice("o", "= 1")},
+       |${gdChainSql(rounds, etaMilli, "o")},
+       |za AS (SELECT f.id, CAST(SUM(w.wq * f.x) AS BIGINT) AS zq
+       |       FROM tf f JOIN tw$rounds w USING (dim) GROUP BY f.id),
+       |zb AS (SELECT f.id, CAST(SUM(w.wq * f.x) AS BIGINT) AS zq
+       |       FROM tf f JOIN ow$rounds w USING (dim) GROUP BY f.id),
+       |cea AS (${ce("za")}),
+       |ceb AS (${ce("zb")}),
+       |sc AS (SELECT id, cea.c - ceb.c AS rhoq
+       |       FROM cea JOIN ceb USING (id)),
+       |rk AS (SELECT rhoq, ROW_NUMBER() OVER (ORDER BY rhoq, id) AS grank,
+       |        (SELECT CAST(COUNT(*) AS BIGINT) FROM sc) AS n FROM sc)
+       |SELECT ((grank - 1) * 10) // n AS decile,
+       |  COUNT(*) AS n_docs,
+       |  CAST(SUM(rhoq) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE)
+       |    / 1000000.0 AS mean_rho,
+       |  CASE WHEN ((grank - 1) * 10) // n >= ${10 - selectDeciles}
+       |    THEN 'select' ELSE 'skip' END AS action
+       |FROM rk GROUP BY 1, 4 ORDER BY decile""".stripMargin
   }
 
   /** q276 oracle: logisticSql's CTE chain (same features/labels/rounds)
@@ -1204,6 +1292,8 @@ object TextAnalysis {
     "q286_tracin_influence" -> tracinSql(500, 5),
 
     "q276_el2n_prune" -> el2nSql(3, 500, 2),
+
+    "q308_rho_loss" -> rhoSql(3, 500, 2),
 
     // Heaps twin: identical prefixes (integer div thresholds), the same
     // first-occurrence vocab counting, nano-quantized logs, HUGEINT

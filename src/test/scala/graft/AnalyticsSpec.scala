@@ -983,6 +983,43 @@ class AnalyticsSpec extends AnyFunSuite {
     assert(byStratum(-1L).getLong(1) === 1L && byStratum(-1L).getLong(2) === 1L)
   }
 
+  // ---------------------------------------------------------------- aipw
+
+  test("aipwAte repairs the misspecified outcome model back to the " +
+    "stratified truth (raw propensities); smoothing breaks the identity") {
+    val s = spark; import s.implicits._
+    // strata: low (cv 1-2) gap 4, high (cv 9-10) gap 10 → stratified 7.
+    // Global arm means are badly biased (μ1−μ0 = 40−62 = −22): the AIPW
+    // corrections (+78, +96 dollars) must rebuild exactly 7.
+    val u = Seq(
+      (1L, 1L, 1L, 10.0), (2L, 1L, 1L, 10.0), (3L, 2L, 0L, 6.0),
+      (4L, 9L, 1L, 100.0), (5L, 9L, 0L, 90.0), (6L, 10L, 0L, 90.0))
+      .toDF("id", "cv", "t", "v")
+    val rows = Graft.aipwAte(u, "cv", "t", "v", "id", strata = 2)
+      .orderBy("stratum").collect()
+    val by = rows.map(r => r.getLong(0) -> r).toMap
+    assert(by(0L).getDouble(4) === 78.0)   // low-stratum correction
+    assert(by(1L).getDouble(4) === 96.0)   // high-stratum correction
+    assert(by(-1L).getDouble(5) === 7.0)   // raw AIPW == stratified overall
+    assert(by(-1L).getDouble(6) === -5.888889) // smoothed variant differs
+    val strat = Graft.stratifiedAte(u, "cv", "t", "v", "id", strata = 2)
+      .filter(col("stratum") === -1L).collect().head.getDouble(5)
+    assert(math.abs(by(-1L).getDouble(5) - strat) < 1e-6)
+  }
+
+  test("aipwAte: a one-armed stratum is NULL in raw, kept in smoothed") {
+    val s = spark; import s.implicits._
+    val u = Seq(
+      (1L, 1L, 1L, 10.0), (2L, 2L, 1L, 12.0), // low: treated only
+      (3L, 9L, 1L, 100.0), (4L, 10L, 0L, 90.0))
+      .toDF("id", "cv", "t", "v")
+    val rows = Graft.aipwAte(u, "cv", "t", "v", "id", strata = 2)
+      .orderBy("stratum").collect()
+    val by = rows.map(r => r.getLong(0) -> r).toMap
+    assert(by(0L).isNullAt(4))             // raw correction NULL
+    assert(!by(-1L).isNullAt(5) && !by(-1L).isNullAt(6))
+  }
+
   // ------------------------------------------------------------ log-rank
 
   test("logRank matches the hand-computed Mantel statistic with censoring") {
