@@ -7543,6 +7543,73 @@ object Graft {
       .orderBy(col("decile"))
   }
 
+  /** Data scaling-law fit (Kaplan et al. 2020's data term) — the
+    * will-more-data-help planner: train the SAME probe on nested
+    * training slices, score each on ONE fixed held-out slice, and fit
+    * the power law L(N) = a·N^(−α) by log-log OLS. α near 0 = the
+    * corpus is saturated for this capability (collect different data,
+    * not more); α > 0 quantifies the marginal value of scale — the
+    * measured counterpart of q283's Heaps-law vocabulary curve, on
+    * LOSS instead of vocabulary.
+    *
+    * Per slice one [[logisticTrainHashed]]-style GD probe + one
+    * holdout scoring pass (micro-quantized softplus CE, exact long
+    * sums, fixed mean chain); the fit runs over the #slices-row table
+    * with nano-quantized ln points and exact Decimal(38) OLS moments —
+    * the quantization scale cancels in the slope ratio. Output: one
+    * row per slice (n_train, holdout_ce) with the fitted alpha
+    * broadcast onto every row. */
+  def scalingLawFit(features: DataFrame, labels: DataFrame,
+      trainSlices: Seq[(String, DataFrame)], evalIds: DataFrame,
+      rounds: Int = 3, etaMilli: Long = 500): DataFrame = {
+    require(trainSlices.size >= 2,
+      s"scalingLawFit needs >= 2 slices, got ${trainSlices.size}")
+    val D = DecimalType(38, 0)
+    val f = features.select(col("id"), col("dim").cast(LongType).as("dim"),
+      col("x").cast(LongType).as("x")).localCheckpoint()
+    val yDf = labels.select(col("id"), col("y").cast(LongType).as("y"))
+    val ev = evalIds.select(col("id"))
+    val fEv = f.join(ev, Seq("id"), "left_semi").localCheckpoint()
+    val yEv = yDf.join(ev, Seq("id"), "left_semi").localCheckpoint()
+    val sliceRows = trainSlices.map { case (name, ids) =>
+      val tr = ids.select(col("id"))
+      val w = logisticTrainQ(f.join(tr, Seq("id"), "left_semi"),
+        yDf.join(tr, Seq("id"), "left_semi"), rounds, etaMilli)
+      val ce = fEv.join(broadcast(w), Seq("dim"))
+        .groupBy(col("id")).agg(sum(col("wq") * col("x")).as("zq"))
+        .join(yEv, Seq("id"))
+        .select(round(log(lit(1.0) + exp(
+          when(col("y") === 1L, -col("zq").cast(DoubleType))
+            .otherwise(col("zq").cast(DoubleType)) / lit(1.0e9))) *
+          lit(1.0e6)).cast(LongType).as("ceq"))
+        .agg(sum(col("ceq")).as("sq"), count(lit(1)).as("n_eval"))
+      val nTr = yDf.join(tr, Seq("id"), "left_semi")
+        .agg(count(lit(1)).as("n_train"))
+      nTr.crossJoin(ce).select(lit(name).as("slice"),
+        col("n_train"), col("n_eval"), col("sq"))
+    }
+    val pts = sliceRows.reduce(_ unionAll _)
+      .withColumn("ce", (col("sq").cast(DoubleType) / lit(1.0e6)) /
+        col("n_eval").cast(DoubleType))
+      .withColumn("xq",
+        round(log(col("n_train").cast(DoubleType)) * lit(1.0e9))
+          .cast(LongType))
+      .withColumn("yq", round(log(col("ce")) * lit(1.0e9)).cast(LongType))
+      .localCheckpoint() // feeds the fit AND the output rows
+    val fit = pts.agg(count(lit(1)).as("m"),
+        sum(col("xq").cast(D)).as("sxq"), sum(col("yq").cast(D)).as("syq"),
+        sum(col("xq").cast(D) * col("yq").cast(D)).as("sxy"),
+        sum(col("xq").cast(D) * col("xq").cast(D)).as("sxx"))
+      .select(round(-((col("m").cast(D) * col("sxy") -
+        col("sxq") * col("syq")).cast(DoubleType) /
+        (col("m").cast(D) * col("sxx") - col("sxq") * col("sxq"))
+          .cast(DoubleType)), 6).as("alpha"))
+    pts.crossJoin(broadcast(fit))
+      .select(col("slice"), col("n_train"), col("n_eval"),
+        round(col("ce"), 6).as("holdout_ce"), col("alpha"))
+      .orderBy(col("slice"))
+  }
+
   /** Inverse-propensity-weighted ATE (q254) — [[stratifiedAte]]'s
     * estimator sibling on the SAME strata, with LAPLACE-SMOOTHED
     * propensities ê_s = (n_t+1)/(n_t+n_c+2): the Horvitz–Thompson form

@@ -1327,6 +1327,56 @@ object Analytics {
         .orderBy(col("stratum"))
     }),
 
+    // ---- q309: Simpson's-paradox audit — the aggregation-bias gate
+    // every pooled dashboard metric needs: does the (daily activity →
+    // daily spend) slope computed ACROSS all user-days reverse inside
+    // individual users? Per-stratum and pooled OLS numerators/
+    // denominators are exact Decimal(38) moment products (q156/q210's
+    // device); "opposite sign" is pure integer sign comparison — no
+    // float ever decides a flag. One cell aggregate → one stratum
+    // aggregate → 1-row pooled broadcast; linear, two shuffles. ----
+    "q309_simpson_audit" -> ((s, dir) => {
+      val D = DecimalType(38, 0)
+      val cells = t(s, dir, "events").filter(col("value").isNotNull)
+        .groupBy(col("user_id"),
+          expr("unix_micros(ts) div 86400000000").as("day"))
+        .agg(count(lit(1)).as("x"),
+          sum(round(col("value") * lit(100.0)).cast(LongType)).as("y"))
+      val st = cells.groupBy(col("user_id"))
+        .agg(count(lit(1)).as("nh"),
+          sum(col("x").cast(D)).as("sx"), sum(col("y").cast(D)).as("sy"),
+          sum(col("x").cast(D) * col("y").cast(D)).as("sxy"),
+          sum(col("x").cast(D) * col("x").cast(D)).as("sxx"))
+        .localCheckpoint() // feeds the pooled row AND the flag scan
+      val g = st.agg(sum(col("nh")).as("n_cells"),
+          count(lit(1)).as("n_strata"),
+          sum(col("sx")).as("gsx"), sum(col("sy")).as("gsy"),
+          sum(col("sxy")).as("gsxy"), sum(col("sxx")).as("gsxx"))
+        .select(col("n_cells"), col("n_strata"),
+          (col("n_cells").cast(D) * col("gsxy") - col("gsx") * col("gsy"))
+            .as("nump"),
+          (col("n_cells").cast(D) * col("gsxx") - col("gsx") * col("gsx"))
+            .as("denp"))
+      val numh = col("nh").cast(D) * col("sxy") - col("sx") * col("sy")
+      val denh = col("nh").cast(D) * col("sxx") - col("sx") * col("sx")
+      val opp = (numh > 0 && col("nump") < 0) || (numh < 0 && col("nump") > 0)
+      st.crossJoin(broadcast(g))
+        .agg(first(col("n_cells")).as("n_cells"),
+          first(col("n_strata")).as("n_strata"),
+          sum(when(denh > 0, lit(1L)).otherwise(lit(0L))).as("n_eligible"),
+          first(when(col("denp") > 0,
+            round(col("nump").cast(DoubleType) /
+              col("denp").cast(DoubleType), 6))
+            .otherwise(lit(null).cast(DoubleType))).as("pooled_slope"),
+          sum(when(denh > 0 && opp, lit(1L)).otherwise(lit(0L)))
+            .as("n_opposite"))
+        .withColumn("opposite_share",
+          when(col("n_eligible") > 0L,
+            round(col("n_opposite").cast(DoubleType) /
+              col("n_eligible").cast(DoubleType), 6))
+            .otherwise(lit(null).cast(DoubleType)))
+    }),
+
     // ---- q255: Markov next-event evaluation — the sequence-model
     // baseline: first-order transition argmax trained on even event_ids
     // scores top-1 accuracy per state on the odd half. The floor a
@@ -2559,6 +2609,46 @@ object Analytics {
         |SELECT * FROM per
         |UNION ALL SELECT * FROM ov
         |ORDER BY stratum""".stripMargin,
+
+    // Simpson twin: identical cell/stratum HUGEINT moments, integer
+    // sign comparisons for the flags, one rounded pooled division
+    "q309_simpson_audit" ->
+      """WITH cells AS (
+        |  SELECT user_id, epoch_us(ts) // 86400000000 AS day,
+        |    CAST(COUNT(*) AS BIGINT) AS x,
+        |    CAST(SUM(CAST(round(value * 100.0) AS BIGINT)) AS BIGINT) AS y
+        |  FROM events WHERE value IS NOT NULL GROUP BY 1, 2),
+        |st AS (SELECT user_id, CAST(COUNT(*) AS BIGINT) AS nh,
+        |    SUM(CAST(x AS HUGEINT)) AS sx, SUM(CAST(y AS HUGEINT)) AS sy,
+        |    SUM(CAST(x AS HUGEINT) * y) AS sxy,
+        |    SUM(CAST(x AS HUGEINT) * x) AS sxx
+        |  FROM cells GROUP BY 1),
+        |g AS (SELECT CAST(SUM(nh) AS BIGINT) AS n_cells,
+        |    CAST(COUNT(*) AS BIGINT) AS n_strata,
+        |    SUM(sx) AS gsx, SUM(sy) AS gsy,
+        |    SUM(sxy) AS gsxy, SUM(sxx) AS gsxx FROM st),
+        |p AS (SELECT n_cells, n_strata,
+        |    CAST(n_cells AS HUGEINT) * gsxy - gsx * gsy AS nump,
+        |    CAST(n_cells AS HUGEINT) * gsxx - gsx * gsx AS denp FROM g),
+        |h AS (SELECT nh * sxy - sx * sy AS numh,
+        |        nh * sxx - sx * sx AS denh FROM st)
+        |SELECT n_cells, n_strata,
+        |  CAST(SUM(CASE WHEN denh > 0 THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_eligible,
+        |  CASE WHEN denp > 0 THEN
+        |      round(CAST(nump AS DOUBLE) / CAST(denp AS DOUBLE), 6)
+        |    ELSE NULL END AS pooled_slope,
+        |  CAST(SUM(CASE WHEN denh > 0 AND ((numh > 0 AND nump < 0)
+        |      OR (numh < 0 AND nump > 0)) THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_opposite,
+        |  CASE WHEN SUM(CASE WHEN denh > 0 THEN 1 ELSE 0 END) > 0 THEN
+        |      round(CAST(SUM(CASE WHEN denh > 0 AND ((numh > 0 AND nump < 0)
+        |          OR (numh < 0 AND nump > 0)) THEN 1 ELSE 0 END) AS DOUBLE)
+        |        / CAST(SUM(CASE WHEN denh > 0 THEN 1 ELSE 0 END) AS DOUBLE),
+        |        6)
+        |    ELSE NULL END AS opposite_share
+        |FROM h CROSS JOIN p
+        |GROUP BY n_cells, n_strata, nump, denp""".stripMargin,
 
     // AIPW twin: q250's unit/strata CTEs, global-mean outcome model,
     // the same raw + Laplace-smoothed correction double chains

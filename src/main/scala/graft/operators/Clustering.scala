@@ -177,6 +177,60 @@ object Clustering {
             lit(nFeat.toDouble)).as("mmd2"))
     }),
 
+    // ---- q311: k-center greedy coreset (Gonzalez 1985; the Sener &
+    // Savarese 2018 active-learning/coreset selection) — pick 5
+    // maximally-spread embedding exemplars: start at the min vec_id,
+    // then 4 unrolled farthest-point rounds (argmax of the running
+    // min-distance², then least() against the new center's column).
+    // The 2-approximation of the k-center cover; `radius` after each
+    // pick is the guaranteed covering bound a curation budget reads.
+    // All distances are exact Decimal(38) sums over 1e6-quantized
+    // coordinates (the q293 device); the argmax ranks on the EXACT
+    // integer with a vec_id tie-break; the only doubles are the final
+    // sqrt radii. Per round: one broadcast d-row join + one vec-keyed
+    // aggregate + TakeOrdered(1) — linear in n·d·k, min-dist state is
+    // a table, never driver state. ----
+    "q311_kcenter_coreset" -> ((s, dir) => {
+      val D = DecimalType(38, 0)
+      val e = t(s, dir, "embeddings")
+        .select(col("vec_id"), posexplode(col("embedding")).as(Seq("i", "x")))
+        .select(col("vec_id"), col("i"),
+          round(col("x").cast(DoubleType) * lit(1.0e6)).cast(LongType)
+            .as("xq"))
+        .localCheckpoint()
+      def distTo(center: org.apache.spark.sql.DataFrame) = {
+        val dims = e.join(broadcast(center), e("vec_id") === center("cid"))
+          .select(col("i"), col("xq").as("cq"))
+        e.join(broadcast(dims), Seq("i"))
+          .select(col("vec_id"),
+            ((col("xq") - col("cq")).cast(D) *
+              (col("xq") - col("cq")).cast(D)).as("t"))
+          .groupBy(col("vec_id")).agg(sum(col("t")).as("nd"))
+      }
+      val c1 = e.agg(min(col("vec_id")).as("cid"))
+      var mind = distTo(c1).withColumnRenamed("nd", "mind")
+        .localCheckpoint()
+      def radius(m: org.apache.spark.sql.DataFrame) =
+        m.agg(max(col("mind")).as("mx"))
+          .select(round(sqrt(col("mx").cast(DoubleType)) / lit(1.0e6), 6)
+            .as("radius"))
+      var rows = c1.crossJoin(radius(mind))
+        .select(lit(1L).as("k"), col("cid").as("center_id"), col("radius"))
+      var k = 2
+      while (k <= 5) {
+        val nxt = mind.orderBy(col("mind").desc, col("vec_id")).limit(1)
+          .select(col("vec_id").as("cid"))
+        mind = mind.join(distTo(nxt), Seq("vec_id"))
+          .select(col("vec_id"), least(col("mind"), col("nd")).as("mind"))
+          .localCheckpoint()
+        rows = rows.unionAll(nxt.crossJoin(radius(mind))
+          .select(lit(k.toLong).as("k"), col("cid").as("center_id"),
+            col("radius")))
+        k += 1
+      }
+      rows.orderBy(col("k"))
+    }),
+
     // ---- q293: diagonal-Mahalanobis embedding outliers — the
     // embedding-table QA pass (corrupt encoders, wrong-model rows,
     // garbage inputs show up as distributional outliers long before
@@ -652,7 +706,46 @@ object Clustering {
        |FROM sums ORDER BY vec_id""".stripMargin
   }
 
+  /** q311 oracle: the same quantized coordinates, 4 unrolled
+    * farthest-point rounds (HUGEINT distance sums, the identical
+    * (mind DESC, vec_id) argmax), per-round LEAST min-dist update. */
+  private def kcenterSql(k: Int): String = {
+    def dist(to: String, out: String): String =
+      s"""SELECT a.vec_id,
+         |  SUM(CAST(a.xq - c.xq AS HUGEINT) * (a.xq - c.xq)) AS $out
+         |FROM e a JOIN (SELECT i, xq FROM e JOIN $to ON vec_id = cid) c
+         |  USING (i)
+         |GROUP BY a.vec_id""".stripMargin
+    val rounds = (2 to k).map { r =>
+      s"""c$r AS (SELECT vec_id AS cid FROM d${r - 1}
+         |  ORDER BY mind DESC, vec_id LIMIT 1),
+         |d$r AS (SELECT a.vec_id, LEAST(a.mind, n.nd) AS mind
+         |  FROM d${r - 1} a JOIN (${dist(s"c$r", "nd")}) n USING (vec_id))"""
+        .stripMargin
+    }.mkString(",\n")
+    val rows = (1 to k).map { r =>
+      s"""SELECT CAST($r AS BIGINT) AS k,
+         |  (SELECT cid FROM c$r) AS center_id,
+         |  (SELECT round(sqrt(CAST(MAX(mind) AS DOUBLE)) / 1000000.0, 6)
+         |   FROM d$r) AS radius""".stripMargin
+    }.mkString("\nUNION ALL ")
+    s"""WITH e AS (
+       |  SELECT vec_id,
+       |    CAST(ROUND(CAST(embedding[i] AS DOUBLE) * 1000000.0) AS BIGINT)
+       |      AS xq, i
+       |  FROM (SELECT vec_id, embedding,
+       |        unnest(generate_series(1, len(embedding))) AS i
+       |        FROM embeddings)),
+       |c1 AS (SELECT MIN(vec_id) AS cid FROM e),
+       |d1 AS (${dist("c1", "mind")}),
+       |$rounds
+       |$rows
+       |ORDER BY k""".stripMargin
+  }
+
   val oracle: Map[String, String] = Map(
+
+    "q311_kcenter_coreset" -> kcenterSql(5),
     // Fréchet twin: identical micro-quantized element sums (CAST BIGINT
     // defeats DuckDB's HUGEINT), the same fixed double chains (explicit
     // d·d multiplies), nano-quantized per-dim terms before the sum

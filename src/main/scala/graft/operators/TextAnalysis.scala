@@ -647,6 +647,31 @@ object TextAnalysis {
         etaMilli = 500)
     }),
 
+    // ---- q310: data scaling-law fit — "will more data help?": the
+    // q253 probe trained on nested 1/8, 1/4, 1/2 corpus slices, each
+    // scored on the SAME %8=7 holdout, with L(N)=a·N^(−α) fitted by
+    // log-log OLS over the three points. The measured data-term of
+    // Kaplan et al. 2020 beside q283's Heaps curve — on loss, not
+    // vocabulary. α ≈ 0 says the corpus is saturated for the probed
+    // capability; the per-slice rows expose WHERE the curve bends.
+    // ----
+    "q310_scaling_law" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val feats = graft.api.Graft.featureHash(docs, "text", "doc_id", 64)
+        .select(col("doc_id").as("id"), col("dim"), col("weight").as("x"))
+        .unionAll(docs.select(col("doc_id").as("id"),
+          lit(-1L).as("dim"), lit(1L).as("x")))
+      val labels = docs.select(col("doc_id").as("id"),
+        (col("lang") === "en").cast(LongType).as("y"))
+      def ids(k: Int) = docs.filter(col("doc_id") % 8 < k)
+        .select(col("doc_id").as("id"))
+      val ev = docs.filter(col("doc_id") % 8 === 7)
+        .select(col("doc_id").as("id"))
+      graft.api.Graft.scalingLawFit(feats, labels,
+        Seq("k=1" -> ids(1), "k=2" -> ids(2), "k=4" -> ids(4)), ev,
+        rounds = 3, etaMilli = 500)
+    }),
+
     // ---- q242: feature hashing — fixed-64-dim signed bag-of-words via
     // the hashing trick: no vocabulary pass, one projection + one keyed
     // aggregate; md5-derived dims/signs replay identically cross-engine
@@ -1062,6 +1087,69 @@ object TextAnalysis {
          |  CROSS JOIN ${p}nn nn)""".stripMargin
     }.mkString(",\n")
 
+  /** q310 oracle: three GD chains over nested %8<k slices (prefixes
+    * s1/s2/s4), each scored on the shared %8=7 eval slice, log-log
+    * OLS over the nano-quantized (ln N, ln CE) points with HUGEINT
+    * moments — the quantization scale cancels in the slope. */
+  private def scalingSql(rounds: Int, etaMilli: Long): String = {
+    def slice(p: String, k: Int): String =
+      s"""${p}f AS MATERIALIZED (SELECT * FROM fa WHERE id % 8 < $k),
+         |${p}y AS MATERIALIZED (
+         |  SELECT doc_id AS id, CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS y
+         |  FROM documents WHERE doc_id % 8 < $k),
+         |${p}nn AS MATERIALIZED (
+         |  SELECT CAST(COUNT(*) AS BIGINT) AS N FROM ${p}y),
+         |${p}w0 AS MATERIALIZED (
+         |  SELECT dim, CAST(0 AS BIGINT) AS wq
+         |  FROM (SELECT DISTINCT dim FROM ${p}f) d)""".stripMargin
+    def score(p: String, name: String): String =
+      s"""SELECT '$name' AS slice,
+         |  (SELECT CAST(COUNT(*) AS BIGINT) FROM ${p}y) AS n_train,
+         |  CAST(COUNT(*) AS BIGINT) AS n_eval,
+         |  CAST(SUM(CAST(ROUND(ln(1.0 + exp(
+         |      (CASE WHEN y.y = 1 THEN -CAST(zq AS DOUBLE)
+         |            ELSE CAST(zq AS DOUBLE) END) / 1000000000.0))
+         |    * 1000000.0) AS BIGINT)) AS BIGINT) AS sq
+         |FROM (SELECT f.id, CAST(SUM(w.wq * f.x) AS BIGINT) AS zq
+         |      FROM ef f JOIN ${p}w$rounds w USING (dim) GROUP BY f.id) z
+         |JOIN ey y USING (id)""".stripMargin
+    s"""WITH $featureCtesSql,
+       |fa AS MATERIALIZED (
+       |  SELECT * FROM fh
+       |  UNION ALL
+       |  SELECT doc_id AS id, CAST(-1 AS BIGINT) AS dim, CAST(1 AS BIGINT) AS x
+       |  FROM documents),
+       |ef AS MATERIALIZED (SELECT * FROM fa WHERE id % 8 = 7),
+       |ey AS MATERIALIZED (
+       |  SELECT doc_id AS id, CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS y
+       |  FROM documents WHERE doc_id % 8 = 7),
+       |${slice("s1", 1)},
+       |${gdChainSql(rounds, etaMilli, "s1")},
+       |${slice("s2", 2)},
+       |${gdChainSql(rounds, etaMilli, "s2")},
+       |${slice("s4", 4)},
+       |${gdChainSql(rounds, etaMilli, "s4")},
+       |rows_ AS (${score("s1", "k=1")}
+       |  UNION ALL ${score("s2", "k=2")}
+       |  UNION ALL ${score("s4", "k=4")}),
+       |pts AS (SELECT slice, n_train, n_eval,
+       |    (CAST(sq AS DOUBLE) / 1000000.0) / CAST(n_eval AS DOUBLE) AS ce,
+       |    CAST(ROUND(ln(CAST(n_train AS DOUBLE)) * 1000000000.0) AS BIGINT)
+       |      AS xq
+       |  FROM rows_),
+       |pts2 AS (SELECT slice, n_train, n_eval, ce, xq,
+       |    CAST(ROUND(ln(ce) * 1000000000.0) AS BIGINT) AS yq FROM pts),
+       |fit AS (SELECT round(-(
+       |    CAST(COUNT(*) * SUM(CAST(xq AS HUGEINT) * yq)
+       |      - SUM(CAST(xq AS HUGEINT)) * SUM(CAST(yq AS HUGEINT))
+       |      AS DOUBLE)
+       |    / CAST(COUNT(*) * SUM(CAST(xq AS HUGEINT) * xq)
+       |      - SUM(CAST(xq AS HUGEINT)) * SUM(CAST(xq AS HUGEINT))
+       |      AS DOUBLE)), 6) AS alpha FROM pts2)
+       |SELECT slice, n_train, n_eval, round(ce, 6) AS holdout_ce, alpha
+       |FROM pts2 CROSS JOIN fit ORDER BY slice""".stripMargin
+  }
+
   private def logisticSql(rounds: Int, etaMilli: Long,
       labelSql: String = "CASE WHEN lang = 'en' THEN 1 ELSE 0 END")
       : String = {
@@ -1294,6 +1382,8 @@ object TextAnalysis {
     "q276_el2n_prune" -> el2nSql(3, 500, 2),
 
     "q308_rho_loss" -> rhoSql(3, 500, 2),
+
+    "q310_scaling_law" -> scalingSql(3, 500),
 
     // Heaps twin: identical prefixes (integer div thresholds), the same
     // first-occurrence vocab counting, nano-quantized logs, HUGEINT
