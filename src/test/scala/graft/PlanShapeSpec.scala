@@ -852,4 +852,62 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(!all.contains("CartesianProduct"), all)
     assert(!all.contains("SortMergeJoin"), all) // nothing corpus-sized is joined
   }
+
+  test("q302 log-rank ordered work is __pid-partitioned (duration table only)") {
+    val plans = capturedPlans("q302_logrank")
+    val all = plans.mkString("\n===\n")
+    val specs = "windowspecdefinition\\(".r.findAllMatchIn(all).map(_.start).toSeq
+    assert(specs.nonEmpty && specs.forall { i =>
+      all.substring(i, math.min(all.length, i + 60)).contains("__pid")
+    }, all)
+    assert(!all.contains("CartesianProduct"), all)
+  }
+
+  test("q303 speculative acceptance joins gram tables, no cartesian/UDF") {
+    val p = planOf("q303_spec_decode_accept")
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("BatchEvalPython") && !p.contains("ScalaUDF"), p)
+    assert(p.contains("HashAggregate"), p)
+  }
+
+  test("q305 MASE is a day-table self-join, nothing event-sized joins") {
+    val p = planOf("q305_mase_backtest")
+    assert(!p.contains("CartesianProduct"), p)
+    // the day table is tiny: the self-join must be broadcast, and the
+    // only shuffles are the daily aggregate's
+    assert(p.contains("BroadcastHashJoin"), p)
+  }
+
+  test("q307 AIPW is one rank cut + one stratum aggregate (q250's shape)") {
+    val plans = capturedPlans("q307_aipw_ate")
+    val all = plans.mkString("\n===\n")
+    val specs = "windowspecdefinition\\(".r.findAllMatchIn(all).map(_.start).toSeq
+    assert(specs.nonEmpty && specs.forall { i =>
+      all.substring(i, math.min(all.length, i + 60)).contains("__pid")
+    }, all)
+    assert(!all.contains("CartesianProduct"), all)
+  }
+
+  test("q308 RHO-loss broadcasts both weight vectors in scoring") {
+    val plans = capturedPlans("q308_rho_loss")
+    val all = plans.mkString("\n===\n")
+    assert(all.contains("BroadcastHashJoin"), all)
+    assert(!all.contains("CartesianProduct"), all)
+  }
+
+  test("q310 scaling-law fit: probes broadcast weights, fit is 1-row math") {
+    val plans = capturedPlans("q310_scaling_law")
+    val all = plans.mkString("\n===\n")
+    assert(all.contains("BroadcastHashJoin"), all)
+    assert(!all.contains("CartesianProduct"), all)
+    assert(!all.contains("BatchEvalPython") && !all.contains("ScalaUDF"), all)
+  }
+
+  test("q311 k-center rounds broadcast the d-row center, argmax is TakeOrdered") {
+    val plans = capturedPlans("q311_kcenter_coreset")
+    val all = plans.mkString("\n===\n")
+    assert(all.contains("TakeOrderedAndProject"), all)
+    assert(all.contains("BroadcastHashJoin"), all)
+    assert(!all.contains("CartesianProduct"), all)
+  }
 }
