@@ -5430,6 +5430,67 @@ object Graft {
             (lit(2.0) * col("n_pos") * col("n_neg"))).as("auc"))
   }
 
+  /** DeLong AUC confidence interval (DeLong et al. 1988, midrank form
+    * of Sun & Xu 2014) — the error bar [[auc]] ships without: Var(AUC)
+    * = S10/m + S01/n from the per-positive/per-negative placement
+    * statistics. An AUC of 0.61 ± 0.01 and one of 0.61 ± 0.20 are
+    * different business facts; this is the gate that tells a model
+    * comparison from coin-flip noise.
+    *
+    * Nothing ranks raw rows: placements are determined by the VALUE
+    * alone (doubled-midrank device), so V10/V01 come from one
+    * value-keyed aggregate + two [[globalCumSum]] passes, with exact
+    * Decimal(38) moments (integer placement scale 2n / 2m — bound:
+    * m·(2n)² ≤ 10³⁸ holds past 10⁹ rows per class). The only doubles
+    * are the final fixed division/sqrt chain. Degenerate classes
+    * (m < 2 or n < 2) yield NULL se/CI instead of a zero-division. */
+  def aucDeLong(df: DataFrame, scoreCol: String, labelCol: String): DataFrame = {
+    val D = DecimalType(38, 0)
+    val base = df.filter(col(scoreCol).isNotNull && col(labelCol).isNotNull)
+      .select(col(scoreCol).as("__s"), col(labelCol).cast(LongType).as("__y"))
+    val grouped = base.groupBy(col("__s"))
+      .agg(count(lit(1)).as("cnt"), sum(col("__y")).as("np"))
+    val cums = globalCumSum(globalCumSum(grouped, Seq("__s"), "cnt", "cumAll"),
+        Seq("__s"), "np", "cumPos")
+      .localCheckpoint() // feeds totals AND the placement scan
+    val tot = cums.agg(sum(col("np")).as("m"),
+      sum(col("cnt") - col("np")).as("n"))
+    val cbAll = col("cumAll") - col("cnt")
+    val cbPos = col("cumPos") - col("np")
+    val cbNeg = (col("cumAll") - col("cumPos")) - (col("cnt") - col("np"))
+    val v10 = lit(2L) * (cbAll - cbPos) + (col("cnt") - col("np"))
+    val w01 = lit(2L) * col("m") -
+      (lit(2L) * (cbAll - cbNeg) + col("np"))
+    val mom = cums.crossJoin(broadcast(tot))
+      .agg(sum(col("np").cast(D) * v10.cast(D)).as("s1"),
+        sum(col("np").cast(D) * v10.cast(D) * v10.cast(D)).as("sqq"),
+        sum((col("cnt") - col("np")).cast(D) * w01.cast(D)).as("t1"),
+        sum((col("cnt") - col("np")).cast(D) * w01.cast(D) * w01.cast(D))
+          .as("tqq"))
+    val m = col("m")
+    val n = col("n")
+    val aucRaw = col("s1").cast(DoubleType) /
+      (lit(2L).cast(D) * m.cast(D) * n.cast(D)).cast(DoubleType)
+    val varRaw =
+      (m.cast(D) * col("sqq") - col("s1") * col("s1")).cast(DoubleType) /
+        (m.cast(D) * (m - lit(1L)).cast(D) * lit(4L).cast(D) *
+          n.cast(D) * n.cast(D) * m.cast(D)).cast(DoubleType) +
+      (n.cast(D) * col("tqq") - col("t1") * col("t1")).cast(DoubleType) /
+        (n.cast(D) * (n - lit(1L)).cast(D) * lit(4L).cast(D) *
+          m.cast(D) * m.cast(D) * n.cast(D)).cast(DoubleType)
+    mom.crossJoin(broadcast(tot))
+      .select(m.as("n_pos"), n.as("n_neg"),
+        round(aucRaw, 9).as("auc"),
+        when(m > 1L && n > 1L, round(sqrt(varRaw), 9))
+          .otherwise(lit(null).cast(DoubleType)).as("se"),
+        when(m > 1L && n > 1L,
+          round(aucRaw - lit(1.96) * sqrt(varRaw), 6))
+          .otherwise(lit(null).cast(DoubleType)).as("ci_lo"),
+        when(m > 1L && n > 1L,
+          round(aucRaw + lit(1.96) * sqrt(varRaw), 6))
+          .otherwise(lit(null).cast(DoubleType)).as("ci_hi"))
+  }
+
   /** Mutual information (nats) between two categorical columns, plus the
     * marginal entropies and the normalized MI (mi / √(hx·hy)) — the
     * feature-relevance / redundancy measure next to [[chiSquareDrift]]'s
@@ -6373,6 +6434,41 @@ object Graft {
           .otherwise(lit(null).cast(DoubleType)).as("z_score"),
         when(col("__vs") > 0L, round(oes * oes / vs, 6))
           .otherwise(lit(null).cast(DoubleType)).as("chi_sq"))
+  }
+
+  /** Restricted mean survival time (Royston & Parmar 2013) — the
+    * single-number summary a KM curve feeds a business decision as:
+    * expected survival within a τ-day horizon, ∫₀^τ S(t)dt of the
+    * [[kaplanMeier]] step function. Robust where median survival is
+    * undefined (curve never crosses 0.5) and the standard effect
+    * measure when hazards aren't proportional.
+    *
+    * The integral runs over the death-time table only: interval widths
+    * from the [[globalRank]] next-value device (never a 1-partition
+    * lead window), S·Δt terms micro-quantized longs before the
+    * order-free sum, the leading S=1 segment from one 1-row min. */
+  def rmst(df: DataFrame, durationCol: String, observedCol: String,
+      tau: Long): DataFrame = {
+    require(tau > 0L, s"rmst needs tau > 0, got $tau")
+    val km = kaplanMeier(df, durationCol, observedCol)
+      .select(col("duration"), col("survival")).localCheckpoint()
+    val ranked = globalRank(km, Seq("duration"), "rnk")
+    val nxt = ranked.select((col("rnk") - 1L).as("rnk"),
+      col("duration").as("next_dur"))
+    val widths = ranked.join(nxt, Seq("rnk"), "left")
+      .select(col("duration"), col("survival"),
+        greatest(lit(0L),
+          least(coalesce(col("next_dur"), lit(tau)), lit(tau)) -
+            least(col("duration"), lit(tau))).as("w"))
+    val segSum = widths
+      .select(round(col("survival") * col("w").cast(DoubleType) *
+        lit(1.0e6)).cast(LongType).as("sq"))
+      .agg(sum(col("sq")).as("__s"), count(lit(1)).as("n_death_times"))
+    val head = km.agg(min(col("duration")).as("__t1"))
+    segSum.crossJoin(broadcast(head))
+      .select(lit(tau).as("tau"), col("n_death_times"),
+        round(least(col("__t1"), lit(tau)).cast(DoubleType) +
+          col("__s").cast(DoubleType) / lit(1.0e6), 6).as("rmst"))
   }
 
   /** Leave-one-out target encoding of a high-cardinality categorical
@@ -7481,6 +7577,110 @@ object Graft {
       .withColumn("action",
         when(col("decile") < pruneDeciles, lit("prune")).otherwise(lit("keep")))
       .orderBy(col("decile"))
+  }
+
+  /** Gradient-noise scale (McCandlish et al. 2018) — the critical-
+    * batch-size planner: B_simple = tr(Σ)/|G|², the ratio of per-
+    * example gradient variance to squared mean gradient under the
+    * trained probe. Batches past B_simple stop buying optimization
+    * progress — the number that sizes data-parallel training for the
+    * corpus this engine curates. The logistic gradient factors as
+    * (p−y)·x, so per-example gradients are EXACT integers rq·x (micro
+    * residual × feature), and both traces collapse to per-dim moment
+    * sums: tr(Σ) = Σ_d (N·Sgg_d − Sg_d²)/(N(N−1)), |G|² = Σ_d Sg_d²/N².
+    * B = N·Σ(N·Sgg−Sg²) / ((N−1)·ΣSg²) — one division on exact
+    * Decimal(38) sums; the 1e6 residual scale cancels.
+    *
+    * 100 TB shape: the q253 loop + ONE feature-keyed moment aggregate
+    * + a 1-row reduce; nothing new shuffles. */
+  def gradientNoiseScale(features: DataFrame, labels: DataFrame,
+      rounds: Int = 3, etaMilli: Long = 500): DataFrame = {
+    val D = DecimalType(38, 0)
+    val f = features.select(col("id"), col("dim").cast(LongType).as("dim"),
+      col("x").cast(LongType).as("x")).localCheckpoint()
+    val yDf = labels.select(col("id"), col("y").cast(LongType).as("y"))
+    val w = logisticTrainQ(f, yDf, rounds, etaMilli)
+    val rq = f.join(broadcast(w), Seq("dim"))
+      .groupBy(col("id")).agg(sum(col("wq") * col("x")).as("zq"))
+      .join(yDf, Seq("id"))
+      .select(col("id"), round((lit(1.0) / (lit(1.0) +
+        exp(-(col("zq").cast(DoubleType) / lit(1.0e9)))) -
+        col("y").cast(DoubleType)) * lit(1.0e6)).cast(LongType).as("rq"))
+      .localCheckpoint() // feeds N AND the gradient table
+    val nD = rq.agg(count(lit(1)).as("N"))
+    val perDim = f.join(rq, Seq("id"))
+      .select(col("dim"), (col("rq") * col("x")).as("g"))
+      .groupBy(col("dim"))
+      .agg(sum(col("g").cast(D)).as("sg"),
+        sum(col("g").cast(D) * col("g").cast(D)).as("sgg"))
+    perDim.crossJoin(broadcast(nD))
+      .select(col("N"),
+        (col("N").cast(D) * col("sgg") - col("sg") * col("sg")).as("vnum"),
+        (col("sg") * col("sg")).as("g2"))
+      .groupBy(col("N"))
+      .agg(count(lit(1)).as("n_dims"),
+        sum(col("vnum")).as("__tr"), sum(col("g2")).as("__g2"))
+      .select(col("N").as("n_docs"), col("n_dims"),
+        round(col("__g2").cast(DoubleType) /
+          (col("N").cast(D) * col("N").cast(D)).cast(DoubleType) /
+          lit(1.0e12), 9).as("grad_norm2"),
+        round(col("__tr").cast(DoubleType) /
+          (col("N").cast(D) * (col("N") - lit(1L)).cast(D))
+            .cast(DoubleType) / lit(1.0e12), 9).as("trace_sigma"),
+        round((col("N").cast(D) * col("__tr")).cast(DoubleType) /
+          ((col("N") - lit(1L)).cast(D) * col("__g2")).cast(DoubleType), 6)
+          .as("b_noise"))
+  }
+
+  /** Temperature-scaling calibration fit (Guo et al. 2017) — the
+    * one-parameter post-hoc fix for over/under-confident classifiers:
+    * grid the softmax temperature on a held-out calibration slice and
+    * report NLL per candidate with the argmin flagged. T* > 1 says the
+    * probe is overconfident (divide logits before trusting its
+    * probabilities in selection gates like q276/q308); T* = 1 says
+    * calibrated as-is.
+    *
+    * One probe training + ONE calibration scoring pass; the ∓z margin
+    * is computed once and fanned out over the broadcast temperature
+    * grid, per-(doc, T) NLL micro-quantized before exact keyed sums;
+    * the argmin compares exact integers with a low-T tie-break. */
+  def temperatureScaling(features: DataFrame, labels: DataFrame,
+      calibIds: DataFrame, rounds: Int = 3, etaMilli: Long = 500,
+      temps: Seq[Double] = Seq(0.25, 0.5, 1.0, 2.0, 4.0)): DataFrame = {
+    require(temps.nonEmpty && temps.forall(_ > 0.0),
+      "temperatureScaling needs a non-empty positive temperature grid")
+    val f = features.select(col("id"), col("dim").cast(LongType).as("dim"),
+      col("x").cast(LongType).as("x")).localCheckpoint()
+    val yDf = labels.select(col("id"), col("y").cast(LongType).as("y"))
+    val cal = calibIds.select(col("id"))
+    val w = logisticTrainQ(f.join(cal, Seq("id"), "left_anti"),
+      yDf.join(cal, Seq("id"), "left_anti"), rounds, etaMilli)
+    val mz = f.join(cal, Seq("id"), "left_semi")
+      .join(broadcast(w), Seq("dim"))
+      .groupBy(col("id")).agg(sum(col("wq") * col("x")).as("zq"))
+      .join(yDf.join(cal, Seq("id"), "left_semi"), Seq("id"))
+      .select(col("id"),
+        when(col("y") === 1L, -col("zq").cast(DoubleType))
+          .otherwise(col("zq").cast(DoubleType)).as("mz"))
+      .localCheckpoint()
+    val spark = features.sparkSession
+    import spark.implicits._
+    val tDf = temps.toDF("temperature")
+    val ag = mz.crossJoin(broadcast(tDf))
+      .select(col("temperature"),
+        round(log(lit(1.0) + exp((col("mz") / lit(1.0e9)) /
+          col("temperature"))) * lit(1.0e6)).cast(LongType).as("ceq"))
+      .groupBy(col("temperature"))
+      .agg(sum(col("ceq")).as("sq"), count(lit(1)).as("n"))
+      .localCheckpoint() // feeds the argmin AND the output rows
+    val best = ag.orderBy(col("sq"), col("temperature")).limit(1)
+      .select(col("temperature").as("bt"))
+    ag.crossJoin(broadcast(best))
+      .select(col("temperature"),
+        round((col("sq").cast(DoubleType) / lit(1.0e6)) /
+          col("n").cast(DoubleType), 6).as("mean_nll"),
+        (col("temperature") === col("bt")).cast(LongType).as("is_best"))
+      .orderBy(col("temperature"))
   }
 
   /** RHO-loss selection report (Mindermann et al. 2022) — prioritize

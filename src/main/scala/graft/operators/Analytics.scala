@@ -344,6 +344,22 @@ object Analytics {
         .orderBy(col("stratum"))
     }),
 
+    // ---- q314: restricted mean survival time — q222's curve collapsed
+    // to the number a retention dashboard ships: expected active days
+    // within a 21-day horizon (robust where median survival never
+    // crosses, the no-proportional-hazards effect measure beside
+    // q302's test). Same span/censoring derivation; the integral runs
+    // on the death-time table only. ----
+    "q314_rmst" -> ((s, dir) => {
+      val u = t(s, dir, "events").groupBy(col("user_id"))
+        .agg(expr(
+          "(max(unix_micros(ts)) - min(unix_micros(ts))) div 86400000000")
+          .as("dur"),
+          max(when(col("event_type") === "error", lit(1L)).otherwise(lit(0L)))
+            .as("obs"))
+      graft.api.Graft.rmst(u, "dur", "obs", tau = 21L)
+    }),
+
     // ---- q227: per-node clustering coefficient — q131's node-level
     // companion on the same user-transition graph: which users sit in
     // tight cliques vs hub-and-spoke stars? Degree-oriented wedge join
@@ -3310,6 +3326,47 @@ object Analytics {
         |  round(CAST(nn * s2w AS DOUBLE) / CAST(den * den AS DOUBLE), 6)
         |    AS design_effect
         |FROM sig CROSS JOIN tot ORDER BY stratum""".stripMargin,
+
+    // RMST twin: q222's KM chain, lead-window interval widths clamped
+    // to τ, micro-quantized S·Δt terms, one leading S=1 segment
+    "q314_rmst" ->
+      """WITH u AS (
+        |  SELECT user_id,
+        |    (max(epoch_us(ts)) - min(epoch_us(ts))) // 86400000000 AS dur,
+        |    MAX(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS obs
+        |  FROM events GROUP BY user_id),
+        |tot AS (SELECT COUNT(*) AS nn FROM u),
+        |g AS (SELECT dur, COUNT(*) AS na, SUM(obs) AS d FROM u GROUP BY dur),
+        |c AS (SELECT dur, na, d,
+        |        CAST(SUM(na) OVER (ORDER BY dur) AS BIGINT) AS cum FROM g),
+        |r AS (SELECT dur, d, nn - (cum - na) AS at_risk
+        |      FROM c CROSS JOIN tot WHERE d > 0),
+        |l AS (SELECT dur, d, at_risk,
+        |        CASE WHEN d >= at_risk THEN 0
+        |             ELSE CAST(round(ln(1.0 - CAST(d AS DOUBLE)
+        |               / CAST(at_risk AS DOUBLE)) * 1000000000.0) AS BIGINT)
+        |        END AS lnq,
+        |        CASE WHEN d >= at_risk THEN 1 ELSE 0 END AS z FROM r),
+        |f AS (SELECT dur,
+        |        SUM(lnq) OVER (ORDER BY dur) AS cq,
+        |        SUM(z) OVER (ORDER BY dur) AS cz FROM l),
+        |km AS (SELECT dur AS duration,
+        |        CASE WHEN cz >= 1 THEN 0.0
+        |             ELSE round(exp(CAST(cq AS DOUBLE) / 1000000000.0), 6)
+        |        END AS survival FROM f),
+        |w AS (SELECT duration, survival,
+        |    GREATEST(0, LEAST(COALESCE(
+        |        lead(duration) OVER (ORDER BY duration), 21), 21)
+        |      - LEAST(duration, 21)) AS w
+        |  FROM km),
+        |seg AS (SELECT CAST(SUM(CAST(ROUND(survival * CAST(w AS DOUBLE)
+        |      * 1000000.0) AS BIGINT)) AS BIGINT) AS s,
+        |    CAST(COUNT(*) AS BIGINT) AS n_death_times FROM w),
+        |hd AS (SELECT MIN(duration) AS t1 FROM km)
+        |SELECT CAST(21 AS BIGINT) AS tau, n_death_times,
+        |  round(CAST(LEAST(t1, 21) AS DOUBLE)
+        |    + CAST(s AS DOUBLE) / 1000000.0, 6) AS rmst
+        |FROM seg CROSS JOIN hd""".stripMargin,
 
     // target-encoding twin: identical category sums, broadcast prior
     // division, and the same one-division-per-row smoothed LOO chain

@@ -144,6 +144,17 @@ object Evaluation {
       graft.api.Graft.auc(ev, "value", "label")
     }),
 
+    // ---- q315: DeLong AUC confidence interval — the error bar q160
+    // ships without: a 0.61 AUC with ±0.01 and one with ±0.20 are
+    // different business facts. Same (value → purchase) ranking task,
+    // placement statistics from the doubled-midrank device over the
+    // distinct-value table. ----
+    "q315_auc_delong" -> ((s, dir) => {
+      val ev = t(s, dir, "events")
+        .withColumn("label", (col("event_type") === "purchase").cast(LongType))
+      graft.api.Graft.aucDeLong(ev, "value", "label")
+    }),
+
     // ---- q161: mutual information between customer market segment and
     // order priority (orders⋈customer): near-independent columns → MI
     // close to 0 — the redundancy measure next to q151's chi-square
@@ -901,6 +912,67 @@ object Evaluation {
         |ORDER BY lang""".stripMargin
 
   private val oracleMore: Map[String, String] = Map(
+
+    // DeLong twin: identical distinct-value placement statistics
+    // (doubled midranks), HUGEINT moments, the same fixed
+    // division/sqrt chain and degenerate-class NULL guard
+    "q315_auc_delong" ->
+      """WITH b AS (
+        |  SELECT value AS s,
+        |    CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS y
+        |  FROM events WHERE value IS NOT NULL),
+        |g AS (SELECT s, CAST(COUNT(*) AS BIGINT) AS cnt,
+        |        CAST(SUM(y) AS BIGINT) AS np FROM b GROUP BY s),
+        |c AS (SELECT s, cnt, np,
+        |    CAST(SUM(cnt) OVER (ORDER BY s) AS BIGINT) AS cumall,
+        |    CAST(SUM(np) OVER (ORDER BY s) AS BIGINT) AS cumpos FROM g),
+        |tot AS (SELECT CAST(SUM(np) AS BIGINT) AS m,
+        |        CAST(SUM(cnt - np) AS BIGINT) AS n FROM g),
+        |pl AS (SELECT np, cnt,
+        |    2 * ((cumall - cnt) - (cumpos - np)) + (cnt - np) AS v10,
+        |    2 * m - (2 * ((cumall - cnt)
+        |      - ((cumall - cumpos) - (cnt - np))) + np) AS w01
+        |  FROM c CROSS JOIN tot),
+        |mom AS (SELECT
+        |    SUM(CAST(np AS HUGEINT) * v10) AS s1,
+        |    SUM(CAST(np AS HUGEINT) * v10 * v10) AS sqq,
+        |    SUM(CAST(cnt - np AS HUGEINT) * w01) AS t1,
+        |    SUM(CAST(cnt - np AS HUGEINT) * w01 * w01) AS tqq
+        |  FROM pl)
+        |SELECT m AS n_pos, n AS n_neg,
+        |  round(CAST(s1 AS DOUBLE)
+        |    / CAST(CAST(2 AS HUGEINT) * m * n AS DOUBLE), 9) AS auc,
+        |  CASE WHEN m > 1 AND n > 1 THEN round(sqrt(
+        |      CAST(CAST(m AS HUGEINT) * sqq - s1 * s1 AS DOUBLE)
+        |        / CAST(CAST(m AS HUGEINT) * (m - 1) * 4 * n * n * m
+        |          AS DOUBLE)
+        |      + CAST(CAST(n AS HUGEINT) * tqq - t1 * t1 AS DOUBLE)
+        |        / CAST(CAST(n AS HUGEINT) * (n - 1) * 4 * m * m * n
+        |          AS DOUBLE)), 9)
+        |    ELSE NULL END AS se,
+        |  CASE WHEN m > 1 AND n > 1 THEN round(
+        |      CAST(s1 AS DOUBLE)
+        |        / CAST(CAST(2 AS HUGEINT) * m * n AS DOUBLE)
+        |      - 1.96 * sqrt(
+        |      CAST(CAST(m AS HUGEINT) * sqq - s1 * s1 AS DOUBLE)
+        |        / CAST(CAST(m AS HUGEINT) * (m - 1) * 4 * n * n * m
+        |          AS DOUBLE)
+        |      + CAST(CAST(n AS HUGEINT) * tqq - t1 * t1 AS DOUBLE)
+        |        / CAST(CAST(n AS HUGEINT) * (n - 1) * 4 * m * m * n
+        |          AS DOUBLE)), 6)
+        |    ELSE NULL END AS ci_lo,
+        |  CASE WHEN m > 1 AND n > 1 THEN round(
+        |      CAST(s1 AS DOUBLE)
+        |        / CAST(CAST(2 AS HUGEINT) * m * n AS DOUBLE)
+        |      + 1.96 * sqrt(
+        |      CAST(CAST(m AS HUGEINT) * sqq - s1 * s1 AS DOUBLE)
+        |        / CAST(CAST(m AS HUGEINT) * (m - 1) * 4 * n * n * m
+        |          AS DOUBLE)
+        |      + CAST(CAST(n AS HUGEINT) * tqq - t1 * t1 AS DOUBLE)
+        |        / CAST(CAST(n AS HUGEINT) * (n - 1) * 4 * m * m * n
+        |          AS DOUBLE)), 6)
+        |    ELSE NULL END AS ci_hi
+        |FROM mom CROSS JOIN tot""".stripMargin,
     // best-of-k twin: the same rank window, closed-form exact binomials
     // (integer // is exact — the products are always divisible), the
     // same one-division-then-micro-quantize per problem

@@ -672,6 +672,42 @@ object TextAnalysis {
         rounds = 3, etaMilli = 500)
     }),
 
+    // ---- q312: gradient-noise scale — the critical-batch-size number
+    // (McCandlish et al. 2018) for the q253 probe on this corpus:
+    // tr(Σ)/|G|² from exact per-example integer gradients rq·x. The
+    // data-parallelism planner beside q310's data-scaling planner —
+    // together they answer "more data, and how many machines?". ----
+    "q312_gradient_noise" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val feats = graft.api.Graft.featureHash(docs, "text", "doc_id", 64)
+        .select(col("doc_id").as("id"), col("dim"), col("weight").as("x"))
+        .unionAll(docs.select(col("doc_id").as("id"),
+          lit(-1L).as("dim"), lit(1L).as("x")))
+      val labels = docs.select(col("doc_id").as("id"),
+        (col("lang") === "en").cast(LongType).as("y"))
+      graft.api.Graft.gradientNoiseScale(feats, labels, rounds = 3,
+        etaMilli = 500)
+    }),
+
+    // ---- q313: temperature-scaling calibration — is the q253 probe's
+    // confidence TRUSTWORTHY where q276/q308 consume it as a selection
+    // signal? Train on %4≠1, grid T on the %4=1 calibration slice,
+    // flag the NLL-argmin temperature. The post-hoc half of the
+    // calibration story whose measurement half is q162/q232/q237. ----
+    "q313_temperature_scaling" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val feats = graft.api.Graft.featureHash(docs, "text", "doc_id", 64)
+        .select(col("doc_id").as("id"), col("dim"), col("weight").as("x"))
+        .unionAll(docs.select(col("doc_id").as("id"),
+          lit(-1L).as("dim"), lit(1L).as("x")))
+      val labels = docs.select(col("doc_id").as("id"),
+        (col("lang") === "en").cast(LongType).as("y"))
+      val cal = docs.filter(col("doc_id") % 4 === 1)
+        .select(col("doc_id").as("id"))
+      graft.api.Graft.temperatureScaling(feats, labels, cal, rounds = 3,
+        etaMilli = 500)
+    }),
+
     // ---- q242: feature hashing — fixed-64-dim signed bag-of-words via
     // the hashing trick: no vocabulary pass, one projection + one keyed
     // aggregate; md5-derived dims/signs replay identically cross-engine
@@ -1150,6 +1186,47 @@ object TextAnalysis {
        |FROM pts2 CROSS JOIN fit ORDER BY slice""".stripMargin
   }
 
+  /** q313 oracle: one GD chain on the %4≠1 slice, ∓z margins on the
+    * %4=1 calibration slice, broadcast DOUBLE temperature grid, exact
+    * keyed NLL sums, low-T-tie-break argmin. */
+  private def tempSql(rounds: Int, etaMilli: Long,
+      temps: Seq[Double]): String = {
+    val tempVals = temps.map(t => s"(CAST($t AS DOUBLE))").mkString(", ")
+    s"""WITH $featureCtesSql,
+       |fa AS MATERIALIZED (
+       |  SELECT * FROM fh
+       |  UNION ALL
+       |  SELECT doc_id AS id, CAST(-1 AS BIGINT) AS dim, CAST(1 AS BIGINT) AS x
+       |  FROM documents),
+       |${sliceSql("t", "<> 1")},
+       |${gdChainSql(rounds, etaMilli, "t")},
+       |cf AS (SELECT * FROM fa WHERE id % 4 = 1),
+       |cy AS (SELECT doc_id AS id,
+       |        CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS y
+       |       FROM documents WHERE doc_id % 4 = 1),
+       |zc AS (SELECT f.id, CAST(SUM(w.wq * f.x) AS BIGINT) AS zq
+       |       FROM cf f JOIN tw$rounds w USING (dim) GROUP BY f.id),
+       |mzt AS (SELECT z.id,
+       |    CASE WHEN y.y = 1 THEN -CAST(zq AS DOUBLE)
+       |         ELSE CAST(zq AS DOUBLE) END AS mz
+       |  FROM zc z JOIN cy y USING (id)),
+       |temps(temperature) AS (VALUES $tempVals),
+       |terms AS (SELECT temperature,
+       |    CAST(ROUND(ln(1.0 + exp((mz / 1000000000.0) / temperature))
+       |      * 1000000.0) AS BIGINT) AS ceq
+       |  FROM mzt CROSS JOIN temps),
+       |ag AS (SELECT temperature, CAST(SUM(ceq) AS BIGINT) AS sq,
+       |        CAST(COUNT(*) AS BIGINT) AS n FROM terms GROUP BY 1),
+       |best AS (SELECT temperature AS bt FROM ag
+       |         ORDER BY sq, temperature LIMIT 1)
+       |SELECT temperature,
+       |  round((CAST(sq AS DOUBLE) / 1000000.0) / CAST(n AS DOUBLE), 6)
+       |    AS mean_nll,
+       |  CAST(CASE WHEN temperature = bt THEN 1 ELSE 0 END AS BIGINT)
+       |    AS is_best
+       |FROM ag CROSS JOIN best ORDER BY temperature""".stripMargin
+  }
+
   private def logisticSql(rounds: Int, etaMilli: Long,
       labelSql: String = "CASE WHEN lang = 'en' THEN 1 ELSE 0 END")
       : String = {
@@ -1175,18 +1252,21 @@ object TextAnalysis {
     * per-doc CE under each final weight vector (micro-quantized
     * softplus, identical ∓z shape), exact long rho = ceA − ceB, and
     * the same row_number decile cut as el2nSql. */
+  /** A `%4`-sliced f/y/nn/w0 CTE block for one GD probe (prefix `p`). */
+  private def sliceSql(p: String, cond: String): String =
+    s"""${p}f AS MATERIALIZED (SELECT * FROM fa WHERE id % 4 $cond),
+       |${p}y AS MATERIALIZED (
+       |  SELECT doc_id AS id, CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS y
+       |  FROM documents WHERE doc_id % 4 $cond),
+       |${p}nn AS MATERIALIZED (
+       |  SELECT CAST(COUNT(*) AS BIGINT) AS N FROM ${p}y),
+       |${p}w0 AS MATERIALIZED (
+       |  SELECT dim, CAST(0 AS BIGINT) AS wq
+       |  FROM (SELECT DISTINCT dim FROM ${p}f) d)""".stripMargin
+
   private def rhoSql(rounds: Int, etaMilli: Long,
       selectDeciles: Int): String = {
-    def slice(p: String, cond: String): String =
-      s"""${p}f AS MATERIALIZED (SELECT * FROM fa WHERE id % 4 $cond),
-         |${p}y AS MATERIALIZED (
-         |  SELECT doc_id AS id, CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS y
-         |  FROM documents WHERE doc_id % 4 $cond),
-         |${p}nn AS MATERIALIZED (
-         |  SELECT CAST(COUNT(*) AS BIGINT) AS N FROM ${p}y),
-         |${p}w0 AS MATERIALIZED (
-         |  SELECT dim, CAST(0 AS BIGINT) AS wq
-         |  FROM (SELECT DISTINCT dim FROM ${p}f) d)""".stripMargin
+    def slice(p: String, cond: String): String = sliceSql(p, cond)
     def ce(z: String): String =
       s"""SELECT z.id, CAST(ROUND(ln(1.0 + exp(
          |    (CASE WHEN y.y = 1 THEN -CAST(zq AS DOUBLE)
@@ -1384,6 +1464,46 @@ object TextAnalysis {
     "q308_rho_loss" -> rhoSql(3, 500, 2),
 
     "q310_scaling_law" -> scalingSql(3, 500),
+
+    "q313_temperature_scaling" -> tempSql(3, 500,
+      Seq(0.25, 0.5, 1.0, 2.0, 4.0)),
+
+    // gradient-noise twin: the logisticSql chain, final-weight residual
+    // scoring, exact HUGEINT per-dim gradient moments, one division
+    "q312_gradient_noise" -> {
+      val base = logisticSql(3, 500)
+      val cut = base.indexOf("SELECT dim, CAST(wq AS DOUBLE)")
+      base.substring(0, cut) +
+        """, zf AS (
+          |  SELECT f.id, CAST(SUM(w.wq * f.x) AS BIGINT) AS zq
+          |  FROM f JOIN w3 w USING (dim) GROUP BY f.id),
+          |sc AS (
+          |  SELECT z.id,
+          |    CAST(ROUND((1.0 / (1.0 + exp(-(CAST(zq AS DOUBLE)
+          |      / 1000000000.0))) - CAST(y.y AS DOUBLE)) * 1000000.0)
+          |      AS BIGINT) AS rq
+          |  FROM zf z JOIN y USING (id)),
+          |nd AS (SELECT CAST(COUNT(*) AS BIGINT) AS N FROM sc),
+          |pd AS (
+          |  SELECT f.dim, SUM(CAST(s.rq * f.x AS HUGEINT)) AS sg,
+          |    SUM(CAST(s.rq * f.x AS HUGEINT) * (s.rq * f.x)) AS sgg
+          |  FROM f JOIN sc s USING (id) GROUP BY f.dim),
+          |ag AS (
+          |  SELECT N, CAST(COUNT(*) AS BIGINT) AS n_dims,
+          |    SUM(CAST(N AS HUGEINT) * sgg - sg * sg) AS tr,
+          |    SUM(sg * sg) AS g2
+          |  FROM pd CROSS JOIN nd GROUP BY N)
+          |SELECT N AS n_docs, n_dims,
+          |  round(CAST(g2 AS DOUBLE)
+          |    / CAST(CAST(N AS HUGEINT) * N AS DOUBLE) / 1000000000000.0, 9)
+          |    AS grad_norm2,
+          |  round(CAST(tr AS DOUBLE)
+          |    / CAST(CAST(N AS HUGEINT) * (N - 1) AS DOUBLE)
+          |    / 1000000000000.0, 9) AS trace_sigma,
+          |  round(CAST(CAST(N AS HUGEINT) * tr AS DOUBLE)
+          |    / CAST(CAST(N - 1 AS HUGEINT) * g2 AS DOUBLE), 6) AS b_noise
+          |FROM ag""".stripMargin
+    },
 
     // Heaps twin: identical prefixes (integer div thresholds), the same
     // first-occurrence vocab counting, nano-quantized logs, HUGEINT

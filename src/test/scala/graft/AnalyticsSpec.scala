@@ -983,6 +983,40 @@ class AnalyticsSpec extends AnyFunSuite {
     assert(byStratum(-1L).getLong(1) === 1L && byStratum(-1L).getLong(2) === 1L)
   }
 
+  // ---------------------------------------------------------------- rmst
+
+  test("rmst integrates the KM step function and clamps at tau") {
+    val s = spark; import s.implicits._
+    // death at t=2 (S drops to 0.5), censored at 5: ∫₀⁴ = 2·1 + 2·0.5 = 3
+    val df = Seq((2L, 1L), (5L, 0L)).toDF("dur", "obs")
+    val r = Graft.rmst(df, "dur", "obs", tau = 4L).collect().head
+    assert(r.getLong(0) === 4L && r.getDouble(2) === 3.0)
+    // horizon before the first death: S = 1 throughout → rmst = tau
+    val r2 = Graft.rmst(df, "dur", "obs", tau = 1L).collect().head
+    assert(r2.getDouble(2) === 1.0)
+  }
+
+  // -------------------------------------------------------------- delong
+
+  test("aucDeLong matches the hand-computed variance with ties") {
+    val s = spark; import s.implicits._
+    // pos {1, 3}, neg {2, 2}: AUC = 0.5; V10 = {0, 1} → S10 = 0.5;
+    // V01 = {0.5, 0.5} → S01 = 0; Var = 0.5/2 = 0.25, se = 0.5
+    val df = Seq((1.0, 1L), (3.0, 1L), (2.0, 0L), (2.0, 0L)).toDF("s", "y")
+    val r = Graft.aucDeLong(df, "s", "y").collect().head
+    assert(r.getLong(0) === 2L && r.getLong(1) === 2L)
+    assert(r.getDouble(2) === 0.5 && r.getDouble(3) === 0.5)
+    assert(r.getDouble(4) === -0.48 && r.getDouble(5) === 1.48)
+  }
+
+  test("aucDeLong: a single-member class yields NULL se/CI, not a crash") {
+    val s = spark; import s.implicits._
+    val df = Seq((1.0, 1L), (3.0, 1L), (2.0, 0L)).toDF("s", "y")
+    val r = Graft.aucDeLong(df, "s", "y").collect().head
+    assert(r.getDouble(2) === 0.5)
+    assert(r.isNullAt(3) && r.isNullAt(4) && r.isNullAt(5))
+  }
+
   // ---------------------------------------------------------------- aipw
 
   test("aipwAte repairs the misspecified outcome model back to the " +
