@@ -22,6 +22,72 @@ object Graft {
   def normFp(text: Column): Column =
     md5(regexp_replace(lower(trim(text)), "\\s+", " "))
 
+  /** LSH dedup quality audit (q316) — the honesty gate on the MinHash
+    * pipeline q25 ships: against brute-force ground truth (exact
+    * Jaccard ≥ num/den over rep-level shingle sets), how many true
+    * near-dup pairs do the 32×4 band collisions CATCH (recall — pairs
+    * missed dedup nothing), and how much of the candidate stream is
+    * below-threshold noise (precision — wasted verification)?
+    * `th_recall` is the analytic 1−(1−J^r)^b bound at the threshold,
+    * emitted beside the measured recall so a drifting corpus shows up
+    * as measured-vs-theory gap.
+    *
+    * Runs on DISTINCT texts (the q25 exact-dup collapse: identical
+    * texts collide in every band by construction and would only pad
+    * both sides). Both quadratics carry the loud pair-budget guard of
+    * the production ops. Scale: this is an AUDIT — run it on a
+    * sampled slice at 100 TB; the ground-truth shingle self-join is
+    * the bounded cost the guard prices. */
+  def lshAuditPairs(df: DataFrame, textCol: String, idCol: String,
+      num: Int = 4, den: Int = 5, maxPairs: Long = 100000000L): DataFrame = {
+    graft.functions.GraftFunctions.register(df.sparkSession)
+    val reps = df.select(md5(col(textCol)).as("fp"), col(textCol).as("__t"))
+      .groupBy(col("fp")).agg(min(col("__t")).as("__t"))
+      .select(col("fp"), expr("shingle_set(`__t`, 3)").as("ss"))
+      .localCheckpoint()
+    val banded = reps.select(col("fp"),
+      posexplode(expr("minhash_bands(ss)")).as(Seq("band", "bh")))
+    val guardedBanded = pairBudgetGuard(banded,
+      Seq(banded.groupBy(col("band"), col("bh")).agg(count(lit(1)).as("__n"))),
+      maxPairs, "lshAuditPairs")
+    val cands = guardedBanded.alias("a")
+      .join(banded.alias("b"),
+        col("a.band") === col("b.band") && col("a.bh") === col("b.bh") &&
+          col("a.fp") < col("b.fp"))
+      .select(col("a.fp").as("fa"), col("b.fp").as("fb")).distinct()
+      .localCheckpoint()
+    val sh = reps.select(col("fp"), explode(col("ss")).as("s"))
+    val guardedSh = pairBudgetGuard(sh,
+      Seq(sh.groupBy(col("s")).agg(count(lit(1)).as("__n"))),
+      maxPairs, "lshAuditPairs")
+    val sizes = reps.select(col("fp"), size(col("ss")).cast(LongType).as("n"))
+    val truePairs = guardedSh.alias("a")
+      .join(sh.alias("b"),
+        col("a.s") === col("b.s") && col("a.fp") < col("b.fp"))
+      .groupBy(col("a.fp").as("fa"), col("b.fp").as("fb"))
+      .agg(count(lit(1)).as("i"))
+      .join(sizes.select(col("fp").as("fa"), col("n").as("na")), "fa")
+      .join(sizes.select(col("fp").as("fb"), col("n").as("nb")), "fb")
+      .filter(lit(den) * col("i") >= lit(num) * (col("na") + col("nb") - col("i")))
+      .select(col("fa"), col("fb")).localCheckpoint()
+    val j = num.toDouble / den
+    val th = 1.0 - math.pow(1.0 - math.pow(j, 4), 32)
+    truePairs.agg(count(lit(1)).as("n_true"))
+      .crossJoin(cands.agg(count(lit(1)).as("n_cand")))
+      .crossJoin(truePairs.join(cands, Seq("fa", "fb"), "left_semi")
+        .agg(count(lit(1)).as("n_hit")))
+      .select(col("n_true"), col("n_cand"), col("n_hit"),
+        when(col("n_true") > 0L,
+          round(col("n_hit").cast(DoubleType) /
+            col("n_true").cast(DoubleType), 6))
+          .otherwise(lit(null).cast(DoubleType)).as("recall"),
+        when(col("n_cand") > 0L,
+          round(col("n_hit").cast(DoubleType) /
+            col("n_cand").cast(DoubleType), 6))
+          .otherwise(lit(null).cast(DoubleType)).as("precision"),
+        round(lit(th), 9).as("th_recall"))
+  }
+
   /** Exact dedup on normalized text: keeps the smallest id per duplicate
     * group. One shuffle on a 128-bit hash. */
   def dedupExact(df: DataFrame, textCol: String, idCol: String): DataFrame =

@@ -334,6 +334,18 @@ object Dedup {
         .orderBy(col("da"), col("db"))
     }),
 
+    // ---- q316: LSH quality audit — measured recall/precision of q25's
+    // 32×4 MinHash bands against brute-force J ≥ 0.8 ground truth,
+    // beside the analytic 1−(1−J⁴)³² bound. q25's oracle ASSERTS the
+    // pair sets agree; this query REPORTS the audit a pipeline owner
+    // reads (plus the candidate-stream precision — the verification
+    // cost LSH pays). Deterministic (fixed xxhash64 seeds, set
+    // semantics) and partition-invariant → golden VALUES oracle, the
+    // q46 discipline. ----
+    "q316_lsh_quality_audit" -> ((s, dir) =>
+      graft.api.Graft.lshAuditPairs(t(s, dir, "documents"), "text",
+        "doc_id", 4, 5)),
+
     // ---- q54: near-dup pair graph → duplicate clusters (connected
     // components by distributed label propagation; edges from the
     // MinHash+LSH scale path, which equals the exact pair set here) ----
@@ -648,6 +660,19 @@ object Dedup {
   }
 
   val oracle: Map[String, String] = Map(
+
+    // q316 GOLDEN PIN: deterministic (fixed xxhash64 seeds) and
+    // partition-invariant (set cardinalities only), so the sf0.01 row is
+    // hard-pinned like q46/q28/q43. 25 true rep-level pairs at J ≥ 0.8,
+    // all 25 caught by the bands with zero below-threshold candidates —
+    // matching the 1−(1−0.8⁴)³² ≈ 0.99999995 analytic bound. (Captured
+    // 2026-08-16; recapture via SPARK_GRAFT_ONLY=q316 Verify if the
+    // driver regenerates testdata.)
+    "q316_lsh_quality_audit" ->
+      """SELECT CAST(25 AS BIGINT) AS n_true, CAST(25 AS BIGINT) AS n_cand,
+        |  CAST(25 AS BIGINT) AS n_hit, CAST(1.0 AS DOUBLE) AS recall,
+        |  CAST(1.0 AS DOUBLE) AS "precision",
+        |  CAST(0.999999953 AS DOUBLE) AS th_recall""".stripMargin,
     // duplicated-span twin: identical stride-10 positions over docs of
     // length >= 40, md5 of the same 40-char substr, cross-doc distinct
     // count, left join restores short docs at 0 grams / NULL fraction

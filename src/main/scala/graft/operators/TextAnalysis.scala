@@ -708,6 +708,80 @@ object TextAnalysis {
         etaMilli = 500)
     }),
 
+    // ---- q317: DoReMi-style mixture weights (Xie et al. 2023, the
+    // one-step excess-loss form) — q296 MEASURES the transfer matrix;
+    // this turns it into the decision: domains where the generalist LM
+    // (trained on everything) loses more than the domain's own
+    // reference LM are hard-but-learnable and get up-weighted,
+    // w_h ∝ exp(η·excess_h). Saturated domains (excess ≈ 0) fall back
+    // toward uniform. Same gram-keyed count tables and add-0.5
+    // LEFT-join smoothing as q296; the exp is micro-quantized (the
+    // q297 transcendental-output lesson) so the normalizing sum is
+    // exact. ----
+    "q317_doremi_weights" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val D = DecimalType(38, 0)
+      val hubs = Seq("src0", "src1", "src2", "src3", "src4")
+      val toks = t(s, dir, "documents")
+        .select(col("source"), col("doc_id").as("__id"),
+          posexplode(split(lower(col("text")), "[^a-z0-9]+"))
+            .as(Seq("__p", "__t")))
+        .filter(col("__t") =!= "").localCheckpoint()
+      val wp = Window.partitionBy(col("__id")).orderBy(col("__p"))
+      val bigrams = toks.select(col("source"), col("__id"),
+          col("__t").as("w1"), lead(col("__t"), 1).over(wp).as("w2"))
+        .filter(col("w2").isNotNull).localCheckpoint()
+      val hb = bigrams.filter(col("source").isin(hubs: _*))
+      val trBi = hb.groupBy(col("source").as("hub"), col("w1"), col("w2"))
+        .agg(count(lit(1)).as("cb"))
+      val trUni = toks.filter(col("source").isin(hubs: _*))
+        .groupBy(col("source").as("hub"), col("__t").as("w1"))
+        .agg(count(lit(1)).as("cu"))
+      val vocab = toks.filter(col("source").isin(hubs: _*))
+        .groupBy(col("source").as("hub"))
+        .agg(countDistinct(col("__t")).as("v"))
+      val nllSelf = log((coalesce(col("cu"), lit(0L)).cast(DoubleType) +
+          lit(0.5) * col("v").cast(DoubleType)) /
+        (coalesce(col("cb"), lit(0L)).cast(DoubleType) + lit(0.5)))
+      val selfCe = hb.withColumn("hub", col("source"))
+        .join(trBi, Seq("hub", "w1", "w2"), "left")
+        .join(trUni, Seq("hub", "w1"), "left")
+        .join(broadcast(vocab), Seq("hub"))
+        .select(col("hub"),
+          round(nllSelf * lit(1.0e9)).cast(LongType).as("__q"))
+        .groupBy(col("hub"))
+        .agg(count(lit(1)).as("n_bigrams"), sum(col("__q")).as("__sqs"))
+      val gBi = bigrams.groupBy(col("w1"), col("w2"))
+        .agg(count(lit(1)).as("gcb"))
+      val gUni = toks.groupBy(col("__t").as("w1"))
+        .agg(count(lit(1)).as("gcu"))
+      val gV = toks.agg(countDistinct(col("__t")).as("gv"))
+      val nllGlob = log((coalesce(col("gcu"), lit(0L)).cast(DoubleType) +
+          lit(0.5) * col("gv").cast(DoubleType)) /
+        (coalesce(col("gcb"), lit(0L)).cast(DoubleType) + lit(0.5)))
+      val globCe = hb.join(gBi, Seq("w1", "w2"), "left")
+        .join(gUni, Seq("w1"), "left")
+        .crossJoin(broadcast(gV))
+        .select(col("source").as("hub"),
+          round(nllGlob * lit(1.0e9)).cast(LongType).as("__q"))
+        .groupBy(col("hub")).agg(sum(col("__q")).as("__sqg"))
+      val ceS = (col("__sqs").cast(DoubleType) / lit(1.0e9)) /
+        col("n_bigrams").cast(DoubleType)
+      val ceG = (col("__sqg").cast(DoubleType) / lit(1.0e9)) /
+        col("n_bigrams").cast(DoubleType)
+      val j = selfCe.join(globCe, Seq("hub"))
+        .withColumn("eq", round(exp(ceG - ceS) * lit(1.0e6)).cast(LongType))
+        .localCheckpoint()
+      val tot = j.agg(sum(col("eq")).as("teq"))
+      j.crossJoin(broadcast(tot))
+        .select(col("hub"), col("n_bigrams"),
+          round(ceS, 6).as("ce_self"), round(ceG, 6).as("ce_global"),
+          round(ceG - ceS, 6).as("excess"),
+          round(col("eq").cast(DoubleType) /
+            col("teq").cast(DoubleType), 6).as("weight_doremi"))
+        .orderBy(col("hub"))
+    }),
+
     // ---- q242: feature hashing — fixed-64-dim signed bag-of-words via
     // the hashing trick: no vocabulary pass, one projection + one keyed
     // aggregate; md5-derived dims/signs replay identically cross-engine
@@ -1969,6 +2043,83 @@ object TextAnalysis {
         |  round(CAST(f1 AS DOUBLE) / CAST(n_sample_tokens AS DOUBLE), 9)
         |    AS unseen_mass
         |FROM b""".stripMargin,
+
+    // DoReMi twin: q296's tokenization/count tables plus a global LM,
+    // identical nano-quantized nll sums, micro-quantized exp(excess),
+    // exact normalizing sum, one division per weight
+    "q317_doremi_weights" ->
+      """WITH tl AS (
+        |  SELECT source, doc_id,
+        |    list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+        |      x -> x <> '') AS w
+        |  FROM documents),
+        |toks AS (SELECT source, unnest(w) AS t FROM tl),
+        |b0 AS (SELECT source, w, unnest(range(1, len(w))) AS i
+        |       FROM tl WHERE len(w) >= 2),
+        |bigrams AS (SELECT source, w[i] AS w1, w[i + 1] AS w2 FROM b0),
+        |hb AS (SELECT * FROM bigrams
+        |       WHERE source IN ('src0', 'src1', 'src2', 'src3', 'src4')),
+        |trbi AS (
+        |  SELECT source AS hub, w1, w2, CAST(COUNT(*) AS BIGINT) AS cb
+        |  FROM hb GROUP BY 1, 2, 3),
+        |truni AS (
+        |  SELECT source AS hub, t AS w1, CAST(COUNT(*) AS BIGINT) AS cu
+        |  FROM toks
+        |  WHERE source IN ('src0', 'src1', 'src2', 'src3', 'src4')
+        |  GROUP BY 1, 2),
+        |vocab AS (
+        |  SELECT source AS hub, CAST(COUNT(DISTINCT t) AS BIGINT) AS v
+        |  FROM toks
+        |  WHERE source IN ('src0', 'src1', 'src2', 'src3', 'src4')
+        |  GROUP BY 1),
+        |selfce AS (
+        |  SELECT g.source AS hub, CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+        |    CAST(SUM(CAST(ROUND(ln((CAST(COALESCE(cu, 0) AS DOUBLE)
+        |        + 0.5 * CAST(vocab.v AS DOUBLE))
+        |      / (CAST(COALESCE(cb, 0) AS DOUBLE) + 0.5))
+        |      * 1000000000.0) AS BIGINT)) AS BIGINT) AS sqs
+        |  FROM hb g
+        |  LEFT JOIN trbi ON trbi.hub = g.source AND trbi.w1 = g.w1
+        |    AND trbi.w2 = g.w2
+        |  LEFT JOIN truni ON truni.hub = g.source AND truni.w1 = g.w1
+        |  JOIN vocab ON vocab.hub = g.source
+        |  GROUP BY 1),
+        |gbi AS (SELECT w1, w2, CAST(COUNT(*) AS BIGINT) AS gcb
+        |        FROM bigrams GROUP BY 1, 2),
+        |guni AS (SELECT t AS w1, CAST(COUNT(*) AS BIGINT) AS gcu
+        |         FROM toks GROUP BY 1),
+        |gv AS (SELECT CAST(COUNT(DISTINCT t) AS BIGINT) AS gv FROM toks),
+        |globce AS (
+        |  SELECT g.source AS hub,
+        |    CAST(SUM(CAST(ROUND(ln((CAST(COALESCE(gcu, 0) AS DOUBLE)
+        |        + 0.5 * CAST(gv.gv AS DOUBLE))
+        |      / (CAST(COALESCE(gcb, 0) AS DOUBLE) + 0.5))
+        |      * 1000000000.0) AS BIGINT)) AS BIGINT) AS sqg
+        |  FROM hb g
+        |  LEFT JOIN gbi ON gbi.w1 = g.w1 AND gbi.w2 = g.w2
+        |  LEFT JOIN guni ON guni.w1 = g.w1
+        |  CROSS JOIN gv
+        |  GROUP BY 1),
+        |j AS (SELECT hub, n_bigrams, sqs, sqg,
+        |    CAST(ROUND(exp(
+        |      (CAST(sqg AS DOUBLE) / 1000000000.0)
+        |        / CAST(n_bigrams AS DOUBLE)
+        |      - (CAST(sqs AS DOUBLE) / 1000000000.0)
+        |        / CAST(n_bigrams AS DOUBLE)) * 1000000.0) AS BIGINT) AS eq
+        |  FROM selfce JOIN globce USING (hub)),
+        |tot AS (SELECT CAST(SUM(eq) AS BIGINT) AS teq FROM j)
+        |SELECT hub, n_bigrams,
+        |  round((CAST(sqs AS DOUBLE) / 1000000000.0)
+        |    / CAST(n_bigrams AS DOUBLE), 6) AS ce_self,
+        |  round((CAST(sqg AS DOUBLE) / 1000000000.0)
+        |    / CAST(n_bigrams AS DOUBLE), 6) AS ce_global,
+        |  round((CAST(sqg AS DOUBLE) / 1000000000.0)
+        |      / CAST(n_bigrams AS DOUBLE)
+        |    - (CAST(sqs AS DOUBLE) / 1000000000.0)
+        |      / CAST(n_bigrams AS DOUBLE), 6) AS excess,
+        |  round(CAST(eq AS DOUBLE) / CAST(teq AS DOUBLE), 6)
+        |    AS weight_doremi
+        |FROM j CROSS JOIN tot ORDER BY hub""".stripMargin,
 
     // Kneser–Ney twin: identical tokenization/bigram CTEs, the same four
     // count tables, the IDENTICAL fixed-order P double chain

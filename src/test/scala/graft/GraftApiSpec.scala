@@ -2179,4 +2179,23 @@ class GraftApiSpec extends AnyFunSuite {
       s"weighted mean $wm should beat raw $sm against target $tm")
     assert(r2.getDouble(3) < 1.0, "non-uniform weights shrink the ESS ratio")
   }
+
+  test("lshAuditPairs: a planted J=0.88 pair is ground truth AND caught " +
+    "by the bands; unrelated text stays out") {
+    val s = spark; import s.implicits._
+    val a = (0 until 50).map(i => s"w$i").mkString(" ")
+    val b = (0 until 49).map(i => s"w$i").mkString(" ") + " zz"
+    val c = (0 until 50).map(i => s"u$i").mkString(" ")
+    // shingles: 48 each for a/b, 45 shared → J = 45/51 ≈ 0.882 ≥ 0.8
+    val df = Seq((1L, a), (2L, b), (3L, c)).toDF("doc_id", "text")
+    val r = Graft.lshAuditPairs(df, "text", "doc_id", 4, 5).collect().head
+    assert(r.getLong(0) === 1L, "one true pair")
+    assert(r.getLong(2) === 1L, "the bands catch it")
+    assert(r.getDouble(3) === 1.0)          // recall
+    assert(r.getDouble(5) > 0.999999)       // analytic bound at J=0.8
+    // identical texts collapse to one rep: no self-pair padding
+    val dup = Seq((1L, a), (2L, a), (3L, c)).toDF("doc_id", "text")
+    val r2 = Graft.lshAuditPairs(dup, "text", "doc_id", 4, 5).collect().head
+    assert(r2.getLong(0) === 0L && r2.getLong(1) === 0L)
+  }
 }
