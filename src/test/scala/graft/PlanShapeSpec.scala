@@ -903,6 +903,45 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(!all.contains("BatchEvalPython") && !all.contains("ScalaUDF"), all)
   }
 
+  test("q312 gradient-noise moments are keyed aggregates, weights broadcast") {
+    val plans = capturedPlans("q312_gradient_noise")
+    val all = plans.mkString("\n===\n")
+    assert(all.contains("BroadcastHashJoin"), all)
+    assert(!all.contains("CartesianProduct"), all)
+    assert(!all.contains("BatchEvalPython") && !all.contains("ScalaUDF"), all)
+  }
+
+  test("q313 temperature grid fans out via broadcast, argmin is a limit") {
+    val plans = capturedPlans("q313_temperature_scaling")
+    val all = plans.mkString("\n===\n")
+    assert(all.contains("BroadcastHashJoin") ||
+      all.contains("BroadcastNestedLoopJoin"), all)
+    assert(!all.contains("CartesianProduct"), all)
+  }
+
+  test("q315 DeLong placements are __pid-windowed over distinct values only") {
+    val plans = capturedPlans("q315_auc_delong")
+    val all = plans.mkString("\n===\n")
+    val specs = "windowspecdefinition\\(".r.findAllMatchIn(all).map(_.start).toSeq
+    assert(specs.nonEmpty && specs.forall { i =>
+      all.substring(i, math.min(all.length, i + 60)).contains("__pid")
+    }, all)
+    assert(!all.contains("CartesianProduct"), all)
+  }
+
+  test("q316 LSH audit carries both pair-budget guards (raise_error in plan)") {
+    val plans = capturedPlans("q316_lsh_quality_audit")
+    val all = plans.mkString("\n===\n")
+    assert(all.contains("raise_error") || all.contains("raiseerror"), all)
+    assert(!all.contains("CartesianProduct"), all)
+  }
+
+  test("q317 DoReMi scoring is gram-keyed LEFT joins, no cartesian/UDF") {
+    val p = planOf("q317_doremi_weights")
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("BatchEvalPython") && !p.contains("ScalaUDF"), p)
+  }
+
   test("q311 k-center rounds broadcast the d-row center, argmax is TakeOrdered") {
     val plans = capturedPlans("q311_kcenter_coreset")
     val all = plans.mkString("\n===\n")
