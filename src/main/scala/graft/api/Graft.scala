@@ -7645,6 +7645,113 @@ object Graft {
       .orderBy(col("decile"))
   }
 
+  /** Black-box label-shift estimation (BBSE, Lipton et al. 2018) —
+    * "the target slice has a different class mix; how much?": under
+    * label shift the classifier's confusion rates are invariant, so
+    * the target prior solves p̂ = c11·q + c01·(1−q), i.e.
+    * q = (p̂ − c01)/(c11 − c01) — NO target labels needed. The naive
+    * answer (read the predicted-positive rate directly) is biased by
+    * exactly the classifier's error rates; BBSE inverts them out. The
+    * prior-estimation sibling of q289's covariate-shift probe, and the
+    * held-out true prior is emitted so the estimator's error is data.
+    *
+    * Predictions are EXACT integer sign tests (z > 0) on the nano
+    * weight dots; confusion cells and rates are counts with single
+    * divisions; the degenerate classifier (c11 = c01, detected by
+    * exact cross-multiplication) yields NULL instead of an exploding
+    * inverse. One probe + two scoring passes, all broadcast joins. */
+  def labelShiftBbse(features: DataFrame, labels: DataFrame,
+      trainIds: DataFrame, calibIds: DataFrame, targetIds: DataFrame,
+      rounds: Int = 3, etaMilli: Long = 500): DataFrame = {
+    val f = features.select(col("id"), col("dim").cast(LongType).as("dim"),
+      col("x").cast(LongType).as("x")).localCheckpoint()
+    val yDf = labels.select(col("id"), col("y").cast(LongType).as("y"))
+    val w = logisticTrainQ(f.join(trainIds.select(col("id")), Seq("id"), "left_semi"),
+      yDf.join(trainIds.select(col("id")), Seq("id"), "left_semi"),
+      rounds, etaMilli)
+    def scored(ids: DataFrame): DataFrame =
+      f.join(ids.select(col("id")), Seq("id"), "left_semi")
+        .join(broadcast(w), Seq("dim"))
+        .groupBy(col("id")).agg(sum(col("wq") * col("x")).as("zq"))
+        .join(yDf, Seq("id"))
+        .select(col("y"), (col("zq") > 0L).cast(LongType).as("pred"))
+    val cal = scored(calibIds).agg(count(lit(1)).as("n_cal"),
+      sum(col("y")).as("n1"), sum(col("y") * col("pred")).as("p11"),
+      sum(lit(1L) - col("y")).as("n0"),
+      sum((lit(1L) - col("y")) * col("pred")).as("p01"))
+    val tgt = scored(targetIds).agg(count(lit(1)).as("n_target"),
+      sum(col("pred")).as("pt"), sum(col("y")).as("ty"))
+    val c11 = col("p11").cast(DoubleType) / col("n1").cast(DoubleType)
+    val c01 = col("p01").cast(DoubleType) / col("n0").cast(DoubleType)
+    val phat = col("pt").cast(DoubleType) / col("n_target").cast(DoubleType)
+    val nondeg = col("p11") * col("n0") =!= col("p01") * col("n1")
+    val q1 = least(lit(1.0), greatest(lit(0.0), (phat - c01) / (c11 - c01)))
+    val trueQ = col("ty").cast(DoubleType) / col("n_target").cast(DoubleType)
+    cal.crossJoin(tgt).select(
+      col("n_cal"), col("n_target"),
+      round(c11, 9).as("c11"), round(c01, 9).as("c01"),
+      round(phat, 6).as("q1_naive"),
+      when(nondeg, round(q1, 6)).otherwise(lit(null).cast(DoubleType))
+        .as("q1_bbse"),
+      round(trueQ, 9).as("true_q1"),
+      when(nondeg, round(q1 - trueQ, 6)).otherwise(lit(null).cast(DoubleType))
+        .as("bbse_err"))
+  }
+
+  /** Selective-prediction risk–coverage report (Geifman & El-Yaniv
+    * 2017) — "if the model may abstain, how good is what it keeps?":
+    * rank held-out examples by confidence, report cumulative error
+    * rate at each coverage decile plus AURC (area under the
+    * risk–coverage curve — the abstention-aware quality number a
+    * routing/escalation policy is tuned against). A well-ranked model
+    * shows risk rising monotonically with coverage; flat = confidence
+    * carries no signal (the selective twin of q162's calibration
+    * check).
+    *
+    * Confidence is the EXACT integer |z| (|p−½| is monotone in it —
+    * no probability is ever materialized), predictions are integer
+    * sign tests, the rank is the two-phase [[globalRank]], cumulative
+    * counts ride [[globalCumSum]] over the 10-row decile table, and
+    * AURC averages nano-quantized decile risks. */
+  def selectiveRiskReport(features: DataFrame, labels: DataFrame,
+      evalIds: DataFrame, rounds: Int = 3, etaMilli: Long = 500): DataFrame = {
+    val f = features.select(col("id"), col("dim").cast(LongType).as("dim"),
+      col("x").cast(LongType).as("x")).localCheckpoint()
+    val yDf = labels.select(col("id"), col("y").cast(LongType).as("y"))
+    val ev = evalIds.select(col("id"))
+    val w = logisticTrainQ(f.join(ev, Seq("id"), "left_anti"),
+      yDf.join(ev, Seq("id"), "left_anti"), rounds, etaMilli)
+    val sc = f.join(ev, Seq("id"), "left_semi")
+      .join(broadcast(w), Seq("dim"))
+      .groupBy(col("id")).agg(sum(col("wq") * col("x")).as("zq"))
+      .join(yDf, Seq("id"))
+      .select(col("id"), (-abs(col("zq"))).as("negconf"),
+        ((col("zq") > 0L).cast(LongType) =!= col("y")).cast(LongType)
+          .as("err"))
+    val nDf = sc.agg(count(lit(1)).as("__n"))
+    val dec = globalRank(sc, Seq("negconf", "id"), "grank")
+      .crossJoin(broadcast(nDf))
+      .withColumn("decile", expr("((grank - 1) * 10) div __n"))
+      .groupBy(col("decile"))
+      .agg(count(lit(1)).as("n_d"), sum(col("err")).as("e_d"))
+    val rq = globalCumSum(globalCumSum(dec, Seq("decile"), "n_d", "cn"),
+        Seq("decile"), "e_d", "ce")
+      .withColumn("riskq", round(col("ce").cast(DoubleType) /
+        col("cn").cast(DoubleType) * lit(1.0e9)).cast(LongType))
+      .localCheckpoint() // feeds AURC AND the decile rows
+    val au = rq.agg(sum(col("riskq")).as("__s"))
+      .select(round((col("__s").cast(DoubleType) / lit(1.0e9)) / lit(10.0), 6)
+        .as("aurc"))
+    rq.crossJoin(broadcast(nDf)).crossJoin(broadcast(au))
+      .select(col("decile"),
+        round(col("cn").cast(DoubleType) / col("__n").cast(DoubleType), 6)
+          .as("coverage"),
+        col("cn").as("n_covered"), col("ce").as("errors"),
+        round(col("riskq").cast(DoubleType) / lit(1.0e9), 6).as("risk"),
+        col("aurc"))
+      .orderBy(col("decile"))
+  }
+
   /** Gradient-noise scale (McCandlish et al. 2018) — the critical-
     * batch-size planner: B_simple = tr(Σ)/|G|², the ratio of per-
     * example gradient variance to squared mean gradient under the

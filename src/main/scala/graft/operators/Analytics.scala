@@ -1393,6 +1393,45 @@ object Analytics {
             .otherwise(lit(null).cast(DoubleType)))
     }),
 
+    // ---- q320: Mann–Kendall trend test — the significance HALF of
+    // q156's Theil–Sen (that one says HOW steep; this says whether the
+    // monotone trend is real at all, distribution-free): S = Σ sign
+    // pairs over the daily click-revenue series, tie-corrected
+    // variance, continuity-corrected Z. Everything integer until the
+    // final sqrt division: the pair scan runs on the ~#days day table
+    // (corpus rows shuffle once into it), tie groups from one value-
+    // keyed count. ----
+    "q320_mann_kendall" -> ((s, dir) => {
+      val daily = t(s, dir, "events")
+        .filter(col("event_type") === "click" && col("value").isNotNull)
+        .select(expr("unix_micros(ts) div 86400000000").as("day"),
+          round(col("value") * lit(100.0)).cast(LongType).as("c"))
+        .groupBy(col("day")).agg(sum(col("c")).as("y"))
+        .localCheckpoint() // feeds the pair scan, tie groups, and n
+      val sPairs = daily.alias("a").join(daily.alias("b"),
+          col("a.day") < col("b.day"))
+        .agg(sum(signum(col("b.y") - col("a.y")).cast(LongType)).as("s_stat"))
+      val nD = daily.agg(count(lit(1)).as("n_days"))
+      val ties = daily.groupBy(col("y")).agg(count(lit(1)).as("t"))
+        .agg(coalesce(sum(col("t") * (col("t") - lit(1L)) *
+          (lit(2L) * col("t") + lit(5L))), lit(0L)).as("tsum"))
+      val n = col("n_days")
+      val varS = (n * (n - lit(1L)) * (lit(2L) * n + lit(5L)) - col("tsum"))
+        .cast(DoubleType) / lit(18.0)
+      val zRaw = when(col("s_stat") > 0L,
+          (col("s_stat") - lit(1L)).cast(DoubleType) / sqrt(varS))
+        .when(col("s_stat") < 0L,
+          (col("s_stat") + lit(1L)).cast(DoubleType) / sqrt(varS))
+        .otherwise(lit(0.0))
+      sPairs.crossJoin(broadcast(nD)).crossJoin(broadcast(ties))
+        .withColumn("z_score", round(zRaw, 6))
+        .select(col("n_days"), col("s_stat"),
+          round(varS, 6).as("var_s"), col("z_score"),
+          when(col("z_score") > 1.96, lit("increasing"))
+            .when(col("z_score") < -1.96, lit("decreasing"))
+            .otherwise(lit("none")).as("trend"))
+    }),
+
     // ---- q255: Markov next-event evaluation — the sequence-model
     // baseline: first-order transition argmax trained on even event_ids
     // scores top-1 accuracy per state on the odd half. The floor a
@@ -2625,6 +2664,39 @@ object Analytics {
         |SELECT * FROM per
         |UNION ALL SELECT * FROM ov
         |ORDER BY stratum""".stripMargin,
+
+    // Mann–Kendall twin: identical daily cents table, integer sign-pair
+    // sum, tie-corrected variance, the same continuity-corrected chain
+    "q320_mann_kendall" ->
+      """WITH daily AS (
+        |  SELECT epoch_us(ts) // 86400000000 AS day,
+        |    CAST(SUM(CAST(round(value * 100.0) AS BIGINT)) AS BIGINT) AS y
+        |  FROM events
+        |  WHERE event_type = 'click' AND value IS NOT NULL
+        |  GROUP BY 1),
+        |sp AS (SELECT CAST(SUM(CASE WHEN b.y > a.y THEN 1
+        |      WHEN b.y < a.y THEN -1 ELSE 0 END) AS BIGINT) AS s_stat
+        |  FROM daily a JOIN daily b ON a.day < b.day),
+        |nd AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_days FROM daily),
+        |ties AS (SELECT CAST(COALESCE(SUM(t * (t - 1) * (2 * t + 5)), 0)
+        |    AS BIGINT) AS tsum
+        |  FROM (SELECT CAST(COUNT(*) AS BIGINT) AS t FROM daily GROUP BY y)),
+        |f AS (SELECT s_stat, n_days,
+        |    CAST(n_days * (n_days - 1) * (2 * n_days + 5) - tsum AS DOUBLE)
+        |      / 18.0 AS var_s
+        |  FROM sp CROSS JOIN nd CROSS JOIN ties),
+        |z AS (SELECT s_stat, n_days, var_s,
+        |    round(CASE WHEN s_stat > 0 THEN
+        |        CAST(s_stat - 1 AS DOUBLE) / sqrt(var_s)
+        |      WHEN s_stat < 0 THEN
+        |        CAST(s_stat + 1 AS DOUBLE) / sqrt(var_s)
+        |      ELSE 0.0 END, 6) AS z_score
+        |  FROM f)
+        |SELECT n_days, s_stat, round(var_s, 6) AS var_s, z_score,
+        |  CASE WHEN z_score > 1.96 THEN 'increasing'
+        |       WHEN z_score < -1.96 THEN 'decreasing'
+        |       ELSE 'none' END AS trend
+        |FROM z""".stripMargin,
 
     // Simpson twin: identical cell/stratum HUGEINT moments, integer
     // sign comparisons for the flags, one rounded pooled division

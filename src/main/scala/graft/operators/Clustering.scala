@@ -231,6 +231,54 @@ object Clustering {
       rows.orderBy(col("k"))
     }),
 
+    // ---- q321: hubness audit (Radovanović et al. 2010) — the
+    // high-dimensionality pathology that silently degrades every ANN
+    // consumer (q27/q43/q46): a few "hub" vectors appear in a huge
+    // share of top-10 lists while anti-hubs are never retrieved,
+    // skewing retrieval toward the hubs regardless of query. Measured
+    // as the skewness of the 10-occurrence distribution over a
+    // deterministic 10% query sample (q27's exact ranking shape —
+    // broadcast query side, key-partitioned window), with the never-
+    // retrieved count as the anti-hub tally. Exact Decimal moments of
+    // integer occurrence counts; the only doubles are the similarity
+    // ranking (q27's proven-replayable chain) and the final skewness
+    // chain. High skew + q260's isotropy share ⇒ whiten before ANN.
+    // ----
+    "q321_hubness_audit" -> ((s, dir) => {
+      import s.implicits._
+      graft.functions.GraftFunctions.register(s)
+      val D = DecimalType(38, 0)
+      val e = t(s, dir, "embeddings").select($"vec_id", $"embedding".as("v"))
+        .withColumn("nrm", sqrt(expr("vec_dot(v, v)")))
+      val q = e.filter($"vec_id" % 10 === 0)
+        .select($"vec_id".as("qid"), $"v".as("qv"), $"nrm".as("qn"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy($"qid").orderBy($"sim".desc, $"vec_id")
+      val top = e.join(broadcast(q), $"vec_id" =!= $"qid")
+        .withColumn("sim", expr("vec_dot(v, qv)") / ($"nrm" * $"qn"))
+        .withColumn("rnk", row_number().over(w).cast(LongType))
+        .filter($"rnk" <= 10)
+        .groupBy($"vec_id").agg(count(lit(1)).as("k_occ"))
+      val occ = e.select($"vec_id").join(top, Seq("vec_id"), "left")
+        .select(coalesce($"k_occ", lit(0L)).as("k"))
+      val m = occ.agg(count(lit(1)).as("n"), sum($"k").as("s1"),
+        sum($"k".cast(D) * $"k".cast(D)).as("s2"),
+        sum($"k".cast(D) * $"k".cast(D) * $"k".cast(D)).as("s3"),
+        max($"k").as("max_k_occ"),
+        sum(when($"k" === 0L, lit(1L)).otherwise(lit(0L))).as("n_never"))
+      val mu = col("s1").cast(DoubleType) / col("n").cast(DoubleType)
+      val m2 = col("s2").cast(DoubleType) / col("n").cast(DoubleType) -
+        mu * mu
+      val m3 = col("s3").cast(DoubleType) / col("n").cast(DoubleType) -
+        lit(3.0) * mu * (col("s2").cast(DoubleType) /
+          col("n").cast(DoubleType)) + lit(2.0) * mu * mu * mu
+      m.select(col("n").as("n_vecs"),
+        round(mu, 6).as("mean_k_occ"),
+        col("max_k_occ"), col("n_never"),
+        when(m2 > 0.0, round(m3 / (m2 * sqrt(m2)), 6))
+          .otherwise(lit(null).cast(DoubleType)).as("skewness"))
+    }),
+
     // ---- q293: diagonal-Mahalanobis embedding outliers — the
     // embedding-table QA pass (corrupt encoders, wrong-model rows,
     // garbage inputs show up as distributional outliers long before
@@ -746,6 +794,53 @@ object Clustering {
   val oracle: Map[String, String] = Map(
 
     "q311_kcenter_coreset" -> kcenterSql(5),
+
+    // hubness twin: q27's proven sim/ranking chain over the same 10%
+    // query sample, HUGEINT occurrence moments, the same skewness chain
+    "q321_hubness_audit" ->
+      """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+        |q AS (SELECT vec_id AS qid, v AS qv FROM e WHERE vec_id % 10 = 0),
+        |scored AS (
+        |  SELECT q.qid, e.vec_id AS nid,
+        |    list_dot_product(e.v, q.qv) /
+        |      (sqrt(list_dot_product(e.v, e.v))
+        |        * sqrt(list_dot_product(q.qv, q.qv))) AS sim
+        |  FROM e, q WHERE e.vec_id <> q.qid),
+        |top AS (SELECT nid FROM (
+        |    SELECT nid, ROW_NUMBER() OVER (PARTITION BY qid
+        |      ORDER BY sim DESC, nid) AS rnk FROM scored) WHERE rnk <= 10),
+        |occ AS (SELECT CAST(COALESCE(c.k, 0) AS BIGINT) AS k
+        |  FROM e LEFT JOIN (SELECT nid, CAST(COUNT(*) AS BIGINT) AS k
+        |    FROM top GROUP BY nid) c ON c.nid = e.vec_id),
+        |m AS (SELECT CAST(COUNT(*) AS BIGINT) AS n,
+        |    CAST(SUM(k) AS BIGINT) AS s1,
+        |    SUM(CAST(k AS HUGEINT) * k) AS s2,
+        |    SUM(CAST(k AS HUGEINT) * k * k) AS s3,
+        |    CAST(MAX(k) AS BIGINT) AS max_k_occ,
+        |    CAST(SUM(CASE WHEN k = 0 THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS n_never
+        |  FROM occ)
+        |SELECT n AS n_vecs,
+        |  round(CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE), 6) AS mean_k_occ,
+        |  max_k_occ, n_never,
+        |  CASE WHEN CAST(s2 AS DOUBLE) / CAST(n AS DOUBLE)
+        |      - (CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE))
+        |        * (CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE)) > 0.0
+        |    THEN round(
+        |      (CAST(s3 AS DOUBLE) / CAST(n AS DOUBLE)
+        |        - 3.0 * (CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE))
+        |          * (CAST(s2 AS DOUBLE) / CAST(n AS DOUBLE))
+        |        + 2.0 * (CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE))
+        |          * (CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE))
+        |          * (CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE)))
+        |      / ((CAST(s2 AS DOUBLE) / CAST(n AS DOUBLE)
+        |          - (CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE))
+        |            * (CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE)))
+        |        * sqrt(CAST(s2 AS DOUBLE) / CAST(n AS DOUBLE)
+        |          - (CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE))
+        |            * (CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE)))), 6)
+        |    ELSE NULL END AS skewness
+        |FROM m""".stripMargin,
     // Fréchet twin: identical micro-quantized element sums (CAST BIGINT
     // defeats DuckDB's HUGEINT), the same fixed double chains (explicit
     // d·d multiplies), nano-quantized per-dim terms before the sum

@@ -782,6 +782,47 @@ object TextAnalysis {
         .orderBy(col("hub"))
     }),
 
+    // ---- q318: black-box label-shift estimation (BBSE) — the target
+    // slice's class prior WITHOUT target labels: invert the
+    // calibration confusion out of the predicted-positive rate. Train
+    // on %4∈{0,1}, confusion on %4=2, estimate on %4=3; the held-out
+    // true prior rides along so the estimator's error is itself
+    // hash-gated. Completes the shift triptych: q287/q288 detect,
+    // q289 reweights covariates, q318 corrects the label prior. ----
+    "q318_label_shift_bbse" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val feats = graft.api.Graft.featureHash(docs, "text", "doc_id", 64)
+        .select(col("doc_id").as("id"), col("dim"), col("weight").as("x"))
+        .unionAll(docs.select(col("doc_id").as("id"),
+          lit(-1L).as("dim"), lit(1L).as("x")))
+      val labels = docs.select(col("doc_id").as("id"),
+        (col("lang") === "en").cast(LongType).as("y"))
+      def ids(cond: org.apache.spark.sql.Column) =
+        docs.filter(cond).select(col("doc_id").as("id"))
+      graft.api.Graft.labelShiftBbse(feats, labels,
+        ids(col("doc_id") % 4 < 2), ids(col("doc_id") % 4 === 2),
+        ids(col("doc_id") % 4 === 3), rounds = 3, etaMilli = 500)
+    }),
+
+    // ---- q319: selective-prediction risk–coverage — if the q253 probe
+    // may ABSTAIN (route to a bigger model / a human), how good is what
+    // it keeps at each coverage level, and what's the AURC? The
+    // abstention-aware eval beside q313's calibration fit: same probe,
+    // same %4=1 holdout, confidence = exact integer |z|. ----
+    "q319_risk_coverage" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val feats = graft.api.Graft.featureHash(docs, "text", "doc_id", 64)
+        .select(col("doc_id").as("id"), col("dim"), col("weight").as("x"))
+        .unionAll(docs.select(col("doc_id").as("id"),
+          lit(-1L).as("dim"), lit(1L).as("x")))
+      val labels = docs.select(col("doc_id").as("id"),
+        (col("lang") === "en").cast(LongType).as("y"))
+      val ev = docs.filter(col("doc_id") % 4 === 1)
+        .select(col("doc_id").as("id"))
+      graft.api.Graft.selectiveRiskReport(feats, labels, ev, rounds = 3,
+        etaMilli = 500)
+    }),
+
     // ---- q242: feature hashing — fixed-64-dim signed bag-of-words via
     // the hashing trick: no vocabulary pass, one projection + one keyed
     // aggregate; md5-derived dims/signs replay identically cross-engine
@@ -1301,6 +1342,62 @@ object TextAnalysis {
        |FROM ag CROSS JOIN best ORDER BY temperature""".stripMargin
   }
 
+  /** q318 oracle: one GD chain on the %4<2 slice, exact sign-test
+    * predictions on the %4=2 confusion slice and %4=3 target slice,
+    * the same clamped inverse with the cross-multiplied degeneracy
+    * guard. */
+  private def bbseSql(rounds: Int, etaMilli: Long): String = {
+    val q1 =
+      """LEAST(1.0, GREATEST(0.0,
+        |      (CAST(pt AS DOUBLE) / CAST(n_target AS DOUBLE)
+        |        - CAST(p01 AS DOUBLE) / CAST(n0 AS DOUBLE))
+        |      / (CAST(p11 AS DOUBLE) / CAST(n1 AS DOUBLE)
+        |        - CAST(p01 AS DOUBLE) / CAST(n0 AS DOUBLE))))""".stripMargin
+    s"""WITH $featureCtesSql,
+       |fa AS MATERIALIZED (
+       |  SELECT * FROM fh
+       |  UNION ALL
+       |  SELECT doc_id AS id, CAST(-1 AS BIGINT) AS dim, CAST(1 AS BIGINT) AS x
+       |  FROM documents),
+       |${sliceSql("t", "< 2")},
+       |${gdChainSql(rounds, etaMilli, "t")},
+       |cf AS (SELECT * FROM fa WHERE id % 4 = 2),
+       |cy AS (SELECT doc_id AS id,
+       |        CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS y
+       |       FROM documents WHERE doc_id % 4 = 2),
+       |gf AS (SELECT * FROM fa WHERE id % 4 = 3),
+       |gy AS (SELECT doc_id AS id,
+       |        CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS y
+       |       FROM documents WHERE doc_id % 4 = 3),
+       |zc AS (SELECT f.id, CAST(SUM(w.wq * f.x) AS BIGINT) AS zq
+       |       FROM cf f JOIN tw$rounds w USING (dim) GROUP BY f.id),
+       |zg AS (SELECT f.id, CAST(SUM(w.wq * f.x) AS BIGINT) AS zq
+       |       FROM gf f JOIN tw$rounds w USING (dim) GROUP BY f.id),
+       |cal AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_cal,
+       |    CAST(SUM(y.y) AS BIGINT) AS n1,
+       |    CAST(SUM(y.y * (CASE WHEN zq > 0 THEN 1 ELSE 0 END)) AS BIGINT)
+       |      AS p11,
+       |    CAST(SUM(1 - y.y) AS BIGINT) AS n0,
+       |    CAST(SUM((1 - y.y) * (CASE WHEN zq > 0 THEN 1 ELSE 0 END))
+       |      AS BIGINT) AS p01
+       |  FROM zc z JOIN cy y USING (id)),
+       |tgt AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_target,
+       |    CAST(SUM(CASE WHEN zq > 0 THEN 1 ELSE 0 END) AS BIGINT) AS pt,
+       |    CAST(SUM(y.y) AS BIGINT) AS ty
+       |  FROM zg z JOIN gy y USING (id))
+       |SELECT n_cal, n_target,
+       |  round(CAST(p11 AS DOUBLE) / CAST(n1 AS DOUBLE), 9) AS c11,
+       |  round(CAST(p01 AS DOUBLE) / CAST(n0 AS DOUBLE), 9) AS c01,
+       |  round(CAST(pt AS DOUBLE) / CAST(n_target AS DOUBLE), 6) AS q1_naive,
+       |  CASE WHEN p11 * n0 <> p01 * n1 THEN round($q1, 6)
+       |    ELSE NULL END AS q1_bbse,
+       |  round(CAST(ty AS DOUBLE) / CAST(n_target AS DOUBLE), 9) AS true_q1,
+       |  CASE WHEN p11 * n0 <> p01 * n1 THEN round($q1
+       |      - CAST(ty AS DOUBLE) / CAST(n_target AS DOUBLE), 6)
+       |    ELSE NULL END AS bbse_err
+       |FROM cal CROSS JOIN tgt""".stripMargin
+  }
+
   private def logisticSql(rounds: Int, etaMilli: Long,
       labelSql: String = "CASE WHEN lang = 'en' THEN 1 ELSE 0 END")
       : String = {
@@ -1541,6 +1638,54 @@ object TextAnalysis {
 
     "q313_temperature_scaling" -> tempSql(3, 500,
       Seq(0.25, 0.5, 1.0, 2.0, 4.0)),
+
+    "q318_label_shift_bbse" -> bbseSql(3, 500),
+
+    // risk-coverage twin: the t-chain on the %4≠1 slice, |z| ranking,
+    // running decile sums, nano-quantized risks, the same AURC mean
+    "q319_risk_coverage" -> {
+      s"""WITH $featureCtesSql,
+         |fa AS MATERIALIZED (
+         |  SELECT * FROM fh
+         |  UNION ALL
+         |  SELECT doc_id AS id, CAST(-1 AS BIGINT) AS dim,
+         |    CAST(1 AS BIGINT) AS x
+         |  FROM documents),
+         |${sliceSql("t", "<> 1")},
+         |${gdChainSql(3, 500, "t")},
+         |ef AS (SELECT * FROM fa WHERE id % 4 = 1),
+         |ey AS (SELECT doc_id AS id,
+         |        CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS y
+         |       FROM documents WHERE doc_id % 4 = 1),
+         |ze AS (SELECT f.id, CAST(SUM(w.wq * f.x) AS BIGINT) AS zq
+         |       FROM ef f JOIN tw3 w USING (dim) GROUP BY f.id),
+         |sc AS (SELECT z.id, -abs(zq) AS negconf,
+         |    CASE WHEN (CASE WHEN zq > 0 THEN 1 ELSE 0 END) <> y.y
+         |      THEN 1 ELSE 0 END AS err
+         |  FROM ze z JOIN ey y USING (id)),
+         |nn2 AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM sc),
+         |rk AS (SELECT err,
+         |    CAST(ROW_NUMBER() OVER (ORDER BY negconf, id) AS BIGINT)
+         |      AS grank FROM sc),
+         |dec AS (SELECT ((grank - 1) * 10) // n AS decile,
+         |    CAST(COUNT(*) AS BIGINT) AS n_d,
+         |    CAST(SUM(err) AS BIGINT) AS e_d
+         |  FROM rk CROSS JOIN nn2 GROUP BY 1),
+         |cum AS (SELECT decile,
+         |    CAST(SUM(n_d) OVER (ORDER BY decile) AS BIGINT) AS cn,
+         |    CAST(SUM(e_d) OVER (ORDER BY decile) AS BIGINT) AS ce
+         |  FROM dec),
+         |rq AS (SELECT decile, cn, ce,
+         |    CAST(ROUND(CAST(ce AS DOUBLE) / CAST(cn AS DOUBLE)
+         |      * 1000000000.0) AS BIGINT) AS riskq FROM cum),
+         |au AS (SELECT round((CAST(SUM(riskq) AS DOUBLE) / 1000000000.0)
+         |    / 10.0, 6) AS aurc FROM rq)
+         |SELECT decile,
+         |  round(CAST(cn AS DOUBLE) / CAST(n AS DOUBLE), 6) AS coverage,
+         |  cn AS n_covered, ce AS errors,
+         |  round(CAST(riskq AS DOUBLE) / 1000000000.0, 6) AS risk, aurc
+         |FROM rq CROSS JOIN nn2 CROSS JOIN au ORDER BY decile""".stripMargin
+    },
 
     // gradient-noise twin: the logisticSql chain, final-weight residual
     // scoring, exact HUGEINT per-dim gradient moments, one division
