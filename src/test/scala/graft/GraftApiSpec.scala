@@ -2180,6 +2180,35 @@ class GraftApiSpec extends AnyFunSuite {
     assert(r2.getDouble(3) < 1.0, "non-uniform weights shrink the ESS ratio")
   }
 
+  test("labelShiftBbse corrects a planted prior shift through an " +
+    "imperfect classifier; a signal-free probe degenerates to NULL") {
+    val s = spark; import s.implicits._
+    // marker dim 5 ⇒ positive, but only 80% of positives carry it:
+    // a perfect-marker classifier has c11 = 0.8, c01 = 0. Target prior
+    // is 0.75; the naive predicted rate reads 0.8·0.75 = 0.6.
+    val ids = (1 to 60).map(_.toLong)
+    def pos(i: Long): Boolean =
+      (i <= 10) || (i >= 21 && i <= 30) || (i >= 41 && i <= 55)
+    def marked(i: Long): Boolean = pos(i) && i % 5 != 0 // 80% of positives
+    val feats = (ids.map(i => (i, -1L, 1L)) ++
+      ids.filter(marked).map(i => (i, 5L, 3L))).toDF("id", "dim", "x")
+    val labels = ids.map(i => (i, if (pos(i)) 1L else 0L)).toDF("id", "y")
+    def idDf(lo: Long, hi: Long) =
+      ids.filter(i => i >= lo && i <= hi).toDF("id")
+    val r = Graft.labelShiftBbse(feats, labels, idDf(1, 20), idDf(21, 40),
+      idDf(41, 60)).collect().head
+    val (naive, bbse, truth) =
+      (r.getDouble(4), r.getDouble(5), r.getDouble(6))
+    assert(truth === 0.75)
+    assert(math.abs(bbse - truth) < math.abs(naive - truth),
+      s"bbse $bbse should beat naive $naive against $truth")
+    // no features at all → constant predictions → degenerate inverse
+    val flat = ids.map(i => (i, -1L, 1L)).toDF("id", "dim", "x")
+    val r2 = Graft.labelShiftBbse(flat, labels, idDf(1, 20), idDf(21, 40),
+      idDf(41, 60)).collect().head
+    assert(r2.isNullAt(5) && r2.isNullAt(7))
+  }
+
   test("lshAuditPairs: a planted J=0.88 pair is ground truth AND caught " +
     "by the bands; unrelated text stays out") {
     val s = spark; import s.implicits._

@@ -942,6 +942,39 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(!p.contains("BatchEvalPython") && !p.contains("ScalaUDF"), p)
   }
 
+  test("q318 BBSE scoring is broadcast weight joins, no cartesian/UDF") {
+    val plans = capturedPlans("q318_label_shift_bbse")
+    val all = plans.mkString("\n===\n")
+    assert(all.contains("BroadcastHashJoin"), all)
+    assert(!all.contains("CartesianProduct"), all)
+    assert(!all.contains("BatchEvalPython") && !all.contains("ScalaUDF"), all)
+  }
+
+  test("q319 risk-coverage ranks via __pid windows, never a global sort window") {
+    val plans = capturedPlans("q319_risk_coverage")
+    val all = plans.mkString("\n===\n")
+    val specs = "windowspecdefinition\\(".r.findAllMatchIn(all).map(_.start).toSeq
+    assert(specs.nonEmpty && specs.forall { i =>
+      all.substring(i, math.min(all.length, i + 60)).contains("__pid")
+    }, all)
+    assert(!all.contains("CartesianProduct"), all)
+  }
+
+  test("q320 Mann-Kendall pair scan joins the day table only (broadcast)") {
+    val p = planOf("q320_mann_kendall")
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("q321 hubness broadcasts the query sample; windows key on qid") {
+    val p = planOf("q321_hubness_audit")
+    assert(p.contains("BroadcastNestedLoopJoin"), p) // q27's =!= join shape
+    val specs = "windowspecdefinition\\(".r.findAllMatchIn(p).map(_.start).toSeq
+    assert(specs.nonEmpty && specs.forall { i =>
+      p.substring(i, math.min(p.length, i + 60)).contains("qid")
+    }, p)
+  }
+
   test("q311 k-center rounds broadcast the d-row center, argmax is TakeOrdered") {
     val plans = capturedPlans("q311_kcenter_coreset")
     val all = plans.mkString("\n===\n")
