@@ -126,6 +126,17 @@ object Events {
         .orderBy($"user_id", $"event_type", $"m_us")
     }),
 
+    // ---- q322: exactly-once SINK proof — the sixth streaming surface:
+    // foreachBatch keyed upsert into an external store with ONE
+    // injected transient sink failure after batch 2's write; the
+    // restarted query replays the uncommitted batch (at-least-once
+    // delivery, observed and asserted in-run) and the idempotent MERGE
+    // absorbs it. Hash gate = the store's final content equals the
+    // batch projection — an append sink would double-count the
+    // replayed batch and fail. ----
+    "q322_stream_idempotent_sink" -> ((s, dir) =>
+      graft.streaming.EventStreams.runIdempotentUpsert(t(s, dir, "events"))),
+
     // ---- q49: batch twin of the watermarked stream dedup (T3): semantic
     // dedup on (user, type, minute) keeping the smallest event_id — the
     // deterministic batch statement of "duplicates within the horizon are
@@ -605,6 +616,14 @@ object Events {
         |  epoch_us(date_trunc('minute', ts)) AS m_us
         |FROM events
         |ORDER BY user_id, event_type, m_us""".stripMargin,
+
+    // exactly-once sink twin: the upsert store's final content must be
+    // the plain batch projection — a double-counted replay batch
+    // (append semantics) or a lost batch both fail this gate
+    "q322_stream_idempotent_sink" ->
+      """SELECT event_id, user_id, event_type,
+        |  COALESCE(CAST(ROUND(value * 100.0) AS BIGINT), 0) AS cents
+        |FROM events ORDER BY event_id""".stripMargin,
 
     // continuous-run LEFT OUTER twin: the sentinel-drained sink must
     // equal the batch left interval join — matched rows identical to

@@ -386,6 +386,125 @@ object EventStreams {
     s.table(qname)
   }
 
+  /** In-JVM "external system" for [[runIdempotentUpsert]]: per-run keyed
+    * stores + one-shot fault switches + write-attempt counters. In
+    * local mode every executor shares the JVM, so foreachPartition
+    * writes land here exactly the way a per-partition KV client would
+    * write to a real store on a cluster. */
+  private val upsertStores = new java.util.concurrent.ConcurrentHashMap[
+    String, java.util.concurrent.ConcurrentHashMap[Long, (Long, String, Long)]]()
+  private val upsertFaults = new java.util.concurrent.ConcurrentHashMap[
+    String, java.util.concurrent.atomic.AtomicBoolean]()
+  private val upsertAttempts = new java.util.concurrent.ConcurrentHashMap[
+    String, java.util.concurrent.atomic.AtomicLong]()
+  /** (write attempts, final store size) of the LAST completed
+    * runIdempotentUpsert — the spec reads this to assert the replay
+    * actually happened (attempts > size ⇔ a batch wrote twice). */
+  @volatile private[graft] var lastUpsertStats: (Long, Long) = (0L, 0L)
+
+  /** The SINK half of exactly-once — the proof the five state-store
+    * families (q269/q273/q274/q292/q294) don't cover: Structured
+    * Streaming guarantees at-least-once delivery to foreachBatch, so an
+    * exactly-once pipeline needs an IDEMPOTENT sink (keyed MERGE/upsert,
+    * the production pattern). This run drives a MemoryStream feed
+    * through a foreachBatch upsert into an external keyed store and
+    * injects ONE transient sink failure AFTER the store write of batch
+    * 2 — the query dies with the batch uncommitted, a new query on the
+    * SAME checkpoint replays batch 2 (same batch id, same offsets —
+    * the replayable-source contract), and the upsert absorbs the
+    * duplicate write. The returned table is the store's final content:
+    * hash-equal to the batch projection of `events` ONLY IF replay
+    * delivered exactly the same rows and the sink deduplicated them —
+    * an append sink would double-count batch 2 and fail the gate.
+    * The write path is foreachPartition (per-partition client, the
+    * real cluster shape), never a driver collect. */
+  def runIdempotentUpsert(events: DataFrame, chunks: Int = 6): DataFrame = {
+    val s = events.sparkSession
+    import s.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+    val ordered = events
+      .select(col("event_id"), unix_micros(col("ts")).as("tus"),
+        col("user_id"), col("event_type"),
+        coalesce(round(col("value") * lit(100.0)).cast("long"), lit(0L))
+          .as("cents"))
+      .orderBy(col("tus"), col("event_id"))
+      .as[(Long, Long, Long, String, Long)]
+    val total = ordered.count()
+    require(total > 0, "runIdempotentUpsert: empty event feed")
+    val per = math.min(math.max(1L, (total + chunks - 1) / chunks), 1L << 20).toInt
+    val runId = java.util.UUID.randomUUID().toString.replace("-", "")
+    val store = new java.util.concurrent.ConcurrentHashMap[Long, (Long, String, Long)]()
+    upsertStores.put(runId, store)
+    upsertFaults.put(runId, new java.util.concurrent.atomic.AtomicBoolean(true))
+    upsertAttempts.put(runId, new java.util.concurrent.atomic.AtomicLong(0L))
+    val ckpt = java.nio.file.Files
+      .createTempDirectory(s"graft_q322_ckpt_").toString
+    val mem = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[(Long, Long, Long, String, Long)]
+    val src = mem.toDF()
+      .toDF("event_id", "tus", "user_id", "event_type", "cents")
+    def startQuery() = src.writeStream
+      .option("checkpointLocation", ckpt)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val rid = runId
+        batch.select(col("event_id"), col("user_id"), col("event_type"),
+            col("cents"))
+          .foreachPartition { (it: Iterator[org.apache.spark.sql.Row]) =>
+            val st = upsertStores.get(rid)
+            val at = upsertAttempts.get(rid)
+            it.foreach { r =>
+              st.put(r.getLong(0), (r.getLong(1), r.getString(2), r.getLong(3)))
+              at.incrementAndGet()
+            }
+          }
+        // transient failure AFTER the write: the batch commit never
+        // lands, so the restarted query MUST replay this batch
+        if (batchId == 2L && upsertFaults.get(rid).compareAndSet(true, false))
+          throw new RuntimeException(
+            "injected transient sink failure (q322 replay proof)")
+        ()
+      }
+      .start()
+    import scala.jdk.CollectionConverters._
+    val feed = ordered.toLocalIterator().asScala.grouped(per)
+    val prevShuffle = s.conf.get("spark.sql.shuffle.partitions")
+    var q = startQuery()
+    try {
+      s.conf.set("spark.sql.shuffle.partitions", "4")
+      try {
+        feed.foreach { chunk =>
+          mem.addData(chunk)
+          try q.processAllAvailable()
+          catch { case _: Throwable => () }
+          if (q.exception.isDefined) {
+            // the injected fault killed the query mid-feed: restart on
+            // the same checkpoint — batch 2 replays into the store
+            q = startQuery()
+            q.processAllAvailable()
+          }
+        }
+        q.processAllAvailable()
+      } finally q.stop()
+    } finally {
+      s.conf.set("spark.sql.shuffle.partitions", prevShuffle)
+      upsertFaults.remove(runId)
+    }
+    val attempts = upsertAttempts.remove(runId).get()
+    val rows = upsertStores.remove(runId).asScala.toSeq
+      .map { case (k, (u, t0, c)) => (k, u, t0, c) }
+    lastUpsertStats = (attempts, rows.size.toLong)
+    require(attempts > rows.size,
+      s"runIdempotentUpsert: no duplicate delivery observed " +
+        s"($attempts attempts over ${rows.size} keys) — the replay " +
+        "this proof exists for did not happen")
+    try {
+      import org.apache.commons.io.FileUtils
+      FileUtils.deleteDirectory(new java.io.File(ckpt))
+    } catch { case _: Throwable => () }
+    rows.toDF("event_id", "user_id", "event_type", "cents")
+      .orderBy(col("event_id"))
+  }
+
   /** Stateful per-user running counters via flatMapGroupsWithState-style
     * arbitrary state — expressed with the typed API. Emits (user_id,
     * total_events, total_value) updates. */

@@ -749,4 +749,26 @@ class StreamingSpec extends AnyFunSuite {
     assert(sink.toSeq === batch.toSeq,
       "stream-stream inner join sink must equal the batch interval join row for row")
   }
+
+  test("runIdempotentUpsert: the injected failure forces a replay the " +
+    "upsert absorbs — store equals batch, attempts prove the duplicate") {
+    val s = spark; import s.implicits._
+    val base = java.time.Instant.parse("2024-03-01T00:00:00Z")
+    val ev = (1 to 40).map { i =>
+      (i.toLong, java.sql.Timestamp.from(base.plusSeconds(i * 60L)),
+        (i % 5).toLong, if (i % 2 == 0) "click" else "purchase",
+        i.toDouble)
+    }.toDF("event_id", "ts", "user_id", "event_type", "value")
+    val out = graft.streaming.EventStreams.runIdempotentUpsert(ev, chunks = 6)
+      .collect()
+    // exactly-once CONTENT: every event exactly once, values intact
+    assert(out.length === 40)
+    assert(out.map(_.getLong(0)).toSeq === (1L to 40L))
+    assert(out.map(r => r.getLong(3)).sum === (1 to 40).map(_ * 100L).sum)
+    // at-least-once DELIVERY: the replayed batch wrote its rows twice
+    val (attempts, size) = graft.streaming.EventStreams.lastUpsertStats
+    assert(size === 40L)
+    assert(attempts > size,
+      s"expected duplicate writes from the replayed batch, got $attempts")
+  }
 }
