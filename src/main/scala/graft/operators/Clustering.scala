@@ -279,6 +279,54 @@ object Clustering {
           .otherwise(lit(null).cast(DoubleType)).as("skewness"))
     }),
 
+    // ---- q324: int8 quantization-strategy audit — the decision q67
+    // (which QUANTIZES) takes on faith: symmetric int8 with ONE global
+    // scale vs a per-dimension scale. Per-dim wins exactly when dim
+    // ranges are heterogeneous — this measures by how much (SQNR dB,
+    // MSE, max abs error) so the 4× memory cut is an informed trade.
+    // Levels are exact integer rounds of the 1e6-quantized coordinates;
+    // squared errors are rounded to longs before the order-free sums;
+    // the only transcendental is the final log10, rounded at 6 (the
+    // q297 output-quantization lesson). One explode + a 1-row/d-row
+    // max broadcast per strategy — two linear passes. ----
+    "q324_quant_strategy_audit" -> ((s, dir) => {
+      val D = DecimalType(38, 0)
+      val e = t(s, dir, "embeddings")
+        .select(posexplode(col("embedding")).as(Seq("i", "x")))
+        .select(col("i"),
+          round(col("x").cast(DoubleType) * lit(1.0e6)).cast(LongType)
+            .as("xq"))
+        .localCheckpoint()
+      def audit(joined: org.apache.spark.sql.DataFrame, name: String) = {
+        val lvl = round(col("xq").cast(DoubleType) * lit(127.0) /
+          col("m").cast(DoubleType))
+        val err = when(col("m") > 0L,
+          col("xq").cast(DoubleType) -
+            lvl * col("m").cast(DoubleType) / lit(127.0))
+          .otherwise(lit(0.0))
+        joined.select(col("xq"),
+            round(err * err).cast(LongType).as("eq"),
+            round(abs(err)).cast(LongType).as("ae"))
+          .agg(count(lit(1)).as("n_cells"),
+            sum(col("xq").cast(D) * col("xq").cast(D)).as("sx2"),
+            sum(col("eq")).as("se"), max(col("ae")).as("mae"))
+          .select(lit(name).as("strategy"), col("n_cells"),
+            when(col("se") > 0L,
+              round(lit(10.0) * log10(col("sx2").cast(DoubleType) /
+                col("se").cast(DoubleType)), 6))
+              .otherwise(lit(null).cast(DoubleType)).as("sqnr_db"),
+            round(col("se").cast(DoubleType) /
+              col("n_cells").cast(DoubleType) / lit(1.0e12), 9).as("mse"),
+            round(col("mae").cast(DoubleType) / lit(1.0e6), 9)
+              .as("max_abs_err"))
+      }
+      val mg = e.agg(max(abs(col("xq"))).as("m"))
+      val md = e.groupBy(col("i")).agg(max(abs(col("xq"))).as("m"))
+      audit(e.crossJoin(broadcast(mg)), "global")
+        .unionAll(audit(e.join(broadcast(md), Seq("i")), "per_dim"))
+        .orderBy(col("strategy"))
+    }),
+
     // ---- q293: diagonal-Mahalanobis embedding outliers — the
     // embedding-table QA pass (corrupt encoders, wrong-model rows,
     // garbage inputs show up as distributional outliers long before
@@ -794,6 +842,48 @@ object Clustering {
   val oracle: Map[String, String] = Map(
 
     "q311_kcenter_coreset" -> kcenterSql(5),
+
+    // quantization-audit twin: identical 1e6 coordinates, exact level
+    // rounds, long-rounded squared errors, the same SQNR/MSE chains
+    "q324_quant_strategy_audit" ->
+      """WITH e AS (
+        |  SELECT i,
+        |    CAST(ROUND(CAST(embedding[i] AS DOUBLE) * 1000000.0) AS BIGINT)
+        |      AS xq
+        |  FROM (SELECT embedding,
+        |        unnest(generate_series(1, len(embedding))) AS i
+        |        FROM embeddings)),
+        |mg AS (SELECT CAST(MAX(abs(xq)) AS BIGINT) AS m FROM e),
+        |md AS (SELECT i, CAST(MAX(abs(xq)) AS BIGINT) AS m
+        |       FROM e GROUP BY i),
+        |ag AS (
+        |  SELECT 'global' AS strategy, xq,
+        |    CASE WHEN m > 0 THEN CAST(xq AS DOUBLE)
+        |        - ROUND(CAST(xq AS DOUBLE) * 127.0 / CAST(m AS DOUBLE))
+        |          * CAST(m AS DOUBLE) / 127.0
+        |      ELSE 0.0 END AS err
+        |  FROM e CROSS JOIN mg
+        |  UNION ALL
+        |  SELECT 'per_dim' AS strategy, xq,
+        |    CASE WHEN m > 0 THEN CAST(xq AS DOUBLE)
+        |        - ROUND(CAST(xq AS DOUBLE) * 127.0 / CAST(m AS DOUBLE))
+        |          * CAST(m AS DOUBLE) / 127.0
+        |      ELSE 0.0 END AS err
+        |  FROM e JOIN md USING (i)),
+        |f AS (
+        |  SELECT strategy, CAST(COUNT(*) AS BIGINT) AS n_cells,
+        |    SUM(CAST(xq AS HUGEINT) * xq) AS sx2,
+        |    CAST(SUM(CAST(ROUND(err * err) AS BIGINT)) AS BIGINT) AS se,
+        |    CAST(MAX(CAST(ROUND(abs(err)) AS BIGINT)) AS BIGINT) AS mae
+        |  FROM ag GROUP BY strategy)
+        |SELECT strategy, n_cells,
+        |  CASE WHEN se > 0 THEN
+        |      round(10.0 * log10(CAST(sx2 AS DOUBLE) / CAST(se AS DOUBLE)), 6)
+        |    ELSE NULL END AS sqnr_db,
+        |  round(CAST(se AS DOUBLE) / CAST(n_cells AS DOUBLE)
+        |    / 1000000000000.0, 9) AS mse,
+        |  round(CAST(mae AS DOUBLE) / 1000000.0, 9) AS max_abs_err
+        |FROM f ORDER BY strategy""".stripMargin,
 
     // hubness twin: q27's proven sim/ranking chain over the same 10%
     // query sample, HUGEINT occurrence moments, the same skewness chain

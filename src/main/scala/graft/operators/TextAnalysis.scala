@@ -823,6 +823,48 @@ object TextAnalysis {
         etaMilli = 500)
     }),
 
+    // ---- q323: "Fightin' Words" log-odds drift (Monroe, Colaresi &
+    // Quinn 2008) — WHICH tokens distinguish two corpus slices, with
+    // the informative-Dirichlet shrinkage that kills the rare-word
+    // false positives a raw log-odds top-k drowns in: δ_w = logit
+    // difference under prior α_w = α0·p(w), z = δ/√(1/(y_a+α_w) +
+    // 1/(y_b+α_w)), top-20 by |z|. The drilldown beside q136/q151's
+    // "drift happened" scalars and q228's corpus-level JSD: the
+    // reviewer-facing WHAT changed. English vs non-English here; any
+    // two slices at 100 TB. Two token-keyed aggregates + 1-row
+    // broadcasts; ranking on the nano-quantized z (exact), TakeOrdered
+    // top-20. ----
+    "q323_fightin_words" -> ((s, dir) => {
+      val toks = t(s, dir, "documents")
+        .select((col("lang") === "en").cast(LongType).as("ga"),
+          explode(split(lower(col("text")), "[^a-z0-9]+")).as("w"))
+        .filter(col("w") =!= "")
+      val cnt = toks.groupBy(col("w"))
+        .agg(sum(col("ga")).as("ya"), sum(lit(1L) - col("ga")).as("yb"))
+        .localCheckpoint() // feeds totals AND the scored scan
+      val tot = cnt.agg(sum(col("ya")).as("na"), sum(col("yb")).as("nb"),
+        sum(col("ya") + col("yb")).as("nn"))
+      val aw = lit(100.0) * (col("ya") + col("yb")).cast(DoubleType) /
+        col("nn").cast(DoubleType)
+      val da = log((col("ya").cast(DoubleType) + aw) /
+        (col("na").cast(DoubleType) + lit(100.0) -
+          col("ya").cast(DoubleType) - aw))
+      val db = log((col("yb").cast(DoubleType) + aw) /
+        (col("nb").cast(DoubleType) + lit(100.0) -
+          col("yb").cast(DoubleType) - aw))
+      val z = (da - db) / sqrt(lit(1.0) /
+        (col("ya").cast(DoubleType) + aw) + lit(1.0) /
+        (col("yb").cast(DoubleType) + aw))
+      cnt.crossJoin(broadcast(tot))
+        .withColumn("zq", round(z * lit(1.0e9)).cast(LongType))
+        .orderBy(abs(col("zq")).desc, col("w"))
+        .limit(20)
+        .select(col("w").as("token"), col("ya"), col("yb"),
+          round(col("zq").cast(DoubleType) / lit(1.0e9), 6).as("z_score"),
+          when(col("zq") > 0L, lit("en")).otherwise(lit("other"))
+            .as("leans"))
+    }),
+
     // ---- q242: feature hashing — fixed-64-dim signed bag-of-words via
     // the hashing trick: no vocabulary pass, one projection + one keyed
     // aggregate; md5-derived dims/signs replay identically cross-engine
@@ -1640,6 +1682,36 @@ object TextAnalysis {
       Seq(0.25, 0.5, 1.0, 2.0, 4.0)),
 
     "q318_label_shift_bbse" -> bbseSql(3, 500),
+
+    // Fightin'-Words twin: identical token counts, the same informative-
+    // prior logit/variance double chain, nano-quantized z ranking
+    "q323_fightin_words" ->
+      """WITH toks AS (
+        |  SELECT CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS ga,
+        |    unnest(list_filter(string_split_regex(lower(text),
+        |      '[^a-z0-9]+'), x -> x <> '')) AS w
+        |  FROM documents),
+        |cnt AS (SELECT w, CAST(SUM(ga) AS BIGINT) AS ya,
+        |        CAST(SUM(1 - ga) AS BIGINT) AS yb FROM toks GROUP BY w),
+        |tot AS (SELECT CAST(SUM(ya) AS BIGINT) AS na,
+        |        CAST(SUM(yb) AS BIGINT) AS nb,
+        |        CAST(SUM(ya + yb) AS BIGINT) AS nn FROM cnt),
+        |pr AS (SELECT w, ya, yb, na, nb,
+        |    100.0 * CAST(ya + yb AS DOUBLE) / CAST(nn AS DOUBLE) AS aw
+        |  FROM cnt CROSS JOIN tot),
+        |sc AS (SELECT w, ya, yb,
+        |    CAST(ROUND(((ln((CAST(ya AS DOUBLE) + aw)
+        |        / (CAST(na AS DOUBLE) + 100.0 - CAST(ya AS DOUBLE) - aw))
+        |      - ln((CAST(yb AS DOUBLE) + aw)
+        |        / (CAST(nb AS DOUBLE) + 100.0 - CAST(yb AS DOUBLE) - aw)))
+        |      / sqrt(1.0 / (CAST(ya AS DOUBLE) + aw)
+        |        + 1.0 / (CAST(yb AS DOUBLE) + aw))) * 1000000000.0)
+        |      AS BIGINT) AS zq
+        |  FROM pr)
+        |SELECT w AS token, ya, yb,
+        |  round(CAST(zq AS DOUBLE) / 1000000000.0, 6) AS z_score,
+        |  CASE WHEN zq > 0 THEN 'en' ELSE 'other' END AS leans
+        |FROM sc ORDER BY abs(zq) DESC, w LIMIT 20""".stripMargin,
 
     // risk-coverage twin: the t-chain on the %4≠1 slice, |z| ranking,
     // running decile sums, nano-quantized risks, the same AURC mean
