@@ -188,6 +188,54 @@ object Events {
         .orderBy($"channel")
     }),
 
+    // ---- q325: Shapley channel attribution (Zhao et al. 2018) — the
+    // interaction-aware upgrade of q192's linear credit, exactly as
+    // q290 upgraded q223's leave-one-out: the coalition game over
+    // per-user EXPOSURE SETS (v(S) = conversion rate of users exposed
+    // to exactly S) gives each channel its average marginal
+    // contribution over all arrival orders. With 3 channels the game
+    // table is 8 rows — a broadcast, never a 2^n walk over users; the
+    // corpus-scale work is ONE user aggregate. Unobserved coalitions
+    // carry v = 0 (documented). Marginal terms are nano-quantized
+    // before the cross-coalition sum; v's are single divisions. ----
+    "q325_shapley_attribution" -> ((s, dir) => {
+      import s.implicits._
+      val u = t(s, dir, "events").groupBy($"user_id")
+        .agg((max(($"event_type" === "view").cast(LongType)) +
+          lit(2L) * max(($"event_type" === "click").cast(LongType)) +
+          lit(4L) * max(($"event_type" === "signup").cast(LongType)))
+          .as("m"),
+          max(($"event_type" === "purchase").cast(LongType)).as("cv"))
+      val cells = u.groupBy($"m")
+        .agg(count(lit(1)).as("n"), sum($"cv").as("c"))
+      val sub = (0L to 7L).toDF("m")
+        .join(cells, Seq("m"), "left")
+        .select($"m", coalesce($"n", lit(0L)).as("n"),
+          coalesce($"c", lit(0L)).as("c"))
+        .withColumn("v", when($"n" > 0L,
+          $"c".cast(DoubleType) / $"n".cast(DoubleType)).otherwise(lit(0.0)))
+        .localCheckpoint() // the 8-row game table
+      val chans = Seq(("view", 1L), ("click", 2L), ("signup", 4L))
+        .toDF("channel", "b")
+      // arithmetic popcount over the 3-bit mask — portable to the oracle
+      val pc = expr("(m & 1) + ((m div 2) & 1) + ((m div 4) & 1)")
+      val w = when(pc === 0 || pc === 2, lit(1.0) / lit(3.0))
+        .otherwise(lit(1.0) / lit(6.0))
+      val terms = broadcast(chans).join(sub.select($"m", $"v"),
+          expr("(m & b) = 0"))
+        .join(broadcast(sub.select(($"m").as("m1"), $"v".as("v1"))),
+          expr("m1 = m + b"))
+        .select($"channel", $"b",
+          round(w * ($"v1" - $"v") * lit(1.0e9)).cast(LongType).as("tq"))
+      val exposed = broadcast(chans).join(sub, expr("(m & b) <> 0"))
+        .groupBy($"channel").agg(sum($"n").as("n_exposed"))
+      terms.groupBy($"channel").agg(sum($"tq").as("__q"))
+        .join(exposed, Seq("channel"))
+        .select($"channel", $"n_exposed",
+          round($"__q".cast(DoubleType) / lit(1.0e9), 6).as("shapley_value"))
+        .orderBy($"channel")
+    }),
+
     // ---- q200: behavioral bot screening — the event-stream hygiene
     // audit run before any engagement analysis: per user, volume,
     // type diversity, activity span, EXACT median inter-event gap
@@ -616,6 +664,43 @@ object Events {
         |  epoch_us(date_trunc('minute', ts)) AS m_us
         |FROM events
         |ORDER BY user_id, event_type, m_us""".stripMargin,
+
+    // Shapley-attribution twin: identical exposure masks, the dense
+    // 8-row game table, arithmetic popcount weights, nano-quantized
+    // marginal terms
+    "q325_shapley_attribution" ->
+      """WITH u AS (
+        |  SELECT user_id,
+        |    MAX(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END)
+        |    + 2 * MAX(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)
+        |    + 4 * MAX(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END)
+        |      AS m,
+        |    MAX(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS cv
+        |  FROM events GROUP BY user_id),
+        |cells AS (SELECT m, CAST(COUNT(*) AS BIGINT) AS n,
+        |          CAST(SUM(cv) AS BIGINT) AS c FROM u GROUP BY m),
+        |sub0 AS (SELECT s.m, COALESCE(n, 0) AS n, COALESCE(c, 0) AS c
+        |  FROM (SELECT unnest(range(0, 8)) AS m) s LEFT JOIN cells USING (m)),
+        |sub AS (SELECT m, n, c,
+        |    CASE WHEN n > 0 THEN CAST(c AS DOUBLE) / CAST(n AS DOUBLE)
+        |      ELSE 0.0 END AS v FROM sub0),
+        |chans(channel, b) AS (VALUES ('view', 1), ('click', 2),
+        |  ('signup', 4)),
+        |terms AS (SELECT channel,
+        |    CAST(ROUND((CASE WHEN (a.m & 1) + ((a.m // 2) & 1)
+        |          + ((a.m // 4) & 1) = 0
+        |        OR (a.m & 1) + ((a.m // 2) & 1) + ((a.m // 4) & 1) = 2
+        |        THEN 1.0 / 3.0 ELSE 1.0 / 6.0 END)
+        |      * (b1.v - a.v) * 1000000000.0) AS BIGINT) AS tq
+        |  FROM chans JOIN sub a ON (a.m & b) = 0
+        |  JOIN sub b1 ON b1.m = a.m + b),
+        |exposed AS (SELECT channel, CAST(SUM(n) AS BIGINT) AS n_exposed
+        |  FROM chans JOIN sub ON (m & b) <> 0 GROUP BY channel)
+        |SELECT channel, n_exposed,
+        |  round(CAST(CAST(SUM(tq) AS BIGINT) AS DOUBLE) / 1000000000.0, 6)
+        |    AS shapley_value
+        |FROM terms JOIN exposed USING (channel)
+        |GROUP BY channel, n_exposed ORDER BY channel""".stripMargin,
 
     // exactly-once sink twin: the upsert store's final content must be
     // the plain batch projection — a double-counted replay batch

@@ -865,6 +865,35 @@ object TextAnalysis {
             .as("leans"))
     }),
 
+    // ---- q326: term burstiness / adaptation audit (Church & Gale
+    // 1995) — tokens whose occurrences CLUMP into few documents vs the
+    // Poisson spread their corpus count predicts: expected df under
+    // Poisson is D·(1−e^(−c/D)); adaptation = df/edf ≪ 1 flags
+    // template/boilerplate vocabulary that tf-weighting over-scores
+    // and dedup under-shingles. Top-20 burstiest tokens with c ≥ 50,
+    // ranked on the nano-quantized ratio (exact order); one token-
+    // keyed aggregate + a 1-row doc-count broadcast. ----
+    "q326_burstiness" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val toks = docs.select(col("doc_id"),
+          explode(split(lower(col("text")), "[^a-z0-9]+")).as("w"))
+        .filter(col("w") =!= "")
+      val cnt = toks.groupBy(col("w"))
+        .agg(count(lit(1)).as("c"), countDistinct(col("doc_id")).as("df"))
+      val dD = docs.agg(count(lit(1)).as("d"))
+      val edf = col("d").cast(DoubleType) *
+        (lit(1.0) - exp(-col("c").cast(DoubleType) /
+          col("d").cast(DoubleType)))
+      cnt.filter(col("c") >= 50L).crossJoin(broadcast(dD))
+        .withColumn("aq",
+          round(col("df").cast(DoubleType) / edf * lit(1.0e9))
+            .cast(LongType))
+        .orderBy(col("aq"), col("w")).limit(20)
+        .select(col("w").as("token"), col("c"), col("df"),
+          round(edf, 6).as("expected_df"),
+          round(col("aq").cast(DoubleType) / lit(1.0e9), 6).as("adaptation"))
+    }),
+
     // ---- q242: feature hashing — fixed-64-dim signed bag-of-words via
     // the hashing trick: no vocabulary pass, one projection + one keyed
     // aggregate; md5-derived dims/signs replay identically cross-engine
@@ -1682,6 +1711,29 @@ object TextAnalysis {
       Seq(0.25, 0.5, 1.0, 2.0, 4.0)),
 
     "q318_label_shift_bbse" -> bbseSql(3, 500),
+
+    // burstiness twin: identical counts, the same Poisson-expected df
+    // chain, nano-quantized adaptation ranking
+    "q326_burstiness" ->
+      """WITH toks AS (
+        |  SELECT doc_id,
+        |    unnest(list_filter(string_split_regex(lower(text),
+        |      '[^a-z0-9]+'), x -> x <> '')) AS w
+        |  FROM documents),
+        |cnt AS (SELECT w, CAST(COUNT(*) AS BIGINT) AS c,
+        |        CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS df
+        |        FROM toks GROUP BY w),
+        |dd AS (SELECT CAST(COUNT(*) AS BIGINT) AS d FROM documents),
+        |sc AS (SELECT w, c, df,
+        |    CAST(d AS DOUBLE) * (1.0 - exp(-CAST(c AS DOUBLE)
+        |      / CAST(d AS DOUBLE))) AS edf,
+        |    CAST(ROUND(CAST(df AS DOUBLE)
+        |      / (CAST(d AS DOUBLE) * (1.0 - exp(-CAST(c AS DOUBLE)
+        |        / CAST(d AS DOUBLE)))) * 1000000000.0) AS BIGINT) AS aq
+        |  FROM cnt CROSS JOIN dd WHERE c >= 50)
+        |SELECT w AS token, c, df, round(edf, 6) AS expected_df,
+        |  round(CAST(aq AS DOUBLE) / 1000000000.0, 6) AS adaptation
+        |FROM sc ORDER BY aq, w LIMIT 20""".stripMargin,
 
     // Fightin'-Words twin: identical token counts, the same informative-
     // prior logit/variance double chain, nano-quantized z ranking
