@@ -975,6 +975,35 @@ class PlanShapeSpec extends AnyFunSuite {
     }, p)
   }
 
+  test("q323 fightin-words ranks top-20 via TakeOrdered on the quantized z") {
+    val p = planOf("q323_fightin_words")
+    assert(p.contains("TakeOrderedAndProject"), p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("q324 quantization audit is two linear passes with max broadcasts") {
+    val p = planOf("q324_quant_strategy_audit")
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("BatchEvalPython") && !p.contains("ScalaUDF"), p)
+    assert(p.contains("BroadcastHashJoin") ||
+      p.contains("BroadcastNestedLoopJoin"), p)
+  }
+
+  test("q325 Shapley attribution: corpus work is ONE user aggregate, " +
+    "the game table is broadcast") {
+    val plans = capturedPlans("q325_shapley_attribution")
+    val all = plans.mkString("\n===\n")
+    assert(all.contains("BroadcastHashJoin") ||
+      all.contains("BroadcastNestedLoopJoin"), all)
+    assert(!all.contains("CartesianProduct"), all)
+  }
+
+  test("q326 burstiness ranks via TakeOrdered, one token aggregate") {
+    val p = planOf("q326_burstiness")
+    assert(p.contains("TakeOrderedAndProject"), p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
   test("q311 k-center rounds broadcast the d-row center, argmax is TakeOrdered") {
     val plans = capturedPlans("q311_kcenter_coreset")
     val all = plans.mkString("\n===\n")
