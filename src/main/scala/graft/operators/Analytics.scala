@@ -1432,6 +1432,96 @@ object Analytics {
             .otherwise(lit("none")).as("trend"))
     }),
 
+    // ---- q327: positivity / overlap audit — the ASSUMPTION gate the
+    // whole ATE family (q250/q254/q307) stands on: within every
+    // stratum both arms must have realistic probability. Per-stratum
+    // raw propensities with extreme-flagging by exact cross-multiplied
+    // integers (20·n_t < n_s ⇔ ê < 0.05 — no float decides a flag),
+    // one-armed strata flagged unconditionally, and the overall row
+    // carries the share of UNITS living in flagged strata — the
+    // fraction of the population whose causal estimate is
+    // extrapolation. Same one-rank-cut + one-aggregate shape as q250.
+    // ----
+    "q327_positivity_audit" -> ((s, dir) => {
+      val u = t(s, dir, "events").groupBy(col("user_id"))
+        .agg(count(lit(1)).as("cv"))
+        .withColumn("treated", (col("user_id") % 2 === 0).cast(LongType))
+      val nDf = u.agg(count(lit(1)).as("__n"))
+      val cells = graft.api.Graft.globalRank(
+          u.select(col("user_id").as("__id"), col("cv").as("__cv"),
+            col("treated").as("__t")),
+          Seq("__cv", "__id"), "grank")
+        .crossJoin(broadcast(nDf))
+        .withColumn("stratum", expr("((grank - 1) * 5) div __n"))
+        .groupBy(col("stratum"))
+        .agg(sum(col("__t")).as("n_t"),
+          sum(lit(1L) - col("__t")).as("n_c"))
+        .localCheckpoint() // feeds the per-stratum rows AND the overall
+      val ns = col("n_t") + col("n_c")
+      val extreme = (col("n_t") === 0L) || (col("n_c") === 0L) ||
+        (lit(20L) * col("n_t") < ns) || (lit(20L) * col("n_c") < ns)
+      val per = cells.select(col("stratum"), col("n_t"), col("n_c"),
+        round(col("n_t").cast(DoubleType) / ns.cast(DoubleType), 9)
+          .as("e_hat"),
+        extreme.cast(LongType).as("extreme"),
+        lit(null).cast(DoubleType).as("units_in_extreme_share"))
+      val ov = cells.agg(sum(col("n_t")).as("n_t"), sum(col("n_c")).as("n_c"),
+          sum(when(extreme, ns).otherwise(lit(0L))).as("__xu"),
+          sum(when(extreme, lit(1L)).otherwise(lit(0L))).as("__xs"),
+          sum(ns).as("__nn"))
+        .select(lit(-1L).as("stratum"), col("n_t"), col("n_c"),
+          lit(null).cast(DoubleType).as("e_hat"),
+          col("__xs").as("extreme"),
+          round(col("__xu").cast(DoubleType) /
+            col("__nn").cast(DoubleType), 6).as("units_in_extreme_share"))
+      per.unionAll(ov).orderBy(col("stratum"))
+    }),
+
+    // ---- q328: cardinality-estimation q-error audit (Leis et al.
+    // 2015) — how wrong is the textbook estimator |A⋈B| ≈
+    // n_a·n_b/max(d_a,d_b) on THIS data, per join class? Three probes:
+    // the PK-FK join (estimator exact by construction), the many-many
+    // FK self-join (uniformity assumption vs real skew), and the
+    // low-NDV skewed key (where it breaks). Actuals come from count-
+    // table algebra (Σ c_l·c_r per key — the join is never executed);
+    // q-error = max(est/act, act/est). The audit that says whether
+    // this corpus needs histogram/sketch-based estimation (q194) or
+    // the formula is fine. Everything exact integers + Decimal(38)
+    // products until the two output divisions. ----
+    "q328_cardest_qerror" -> ((s, dir) => {
+      val D = DecimalType(38, 0)
+      def counts(df: org.apache.spark.sql.DataFrame, k: String) =
+        df.filter(col(k).isNotNull).groupBy(col(k).as("__k"))
+          .agg(count(lit(1)).as("c"))
+      def audit(name: String, lc: org.apache.spark.sql.DataFrame,
+          rc: org.apache.spark.sql.DataFrame) = {
+        val lt = lc.agg(sum(col("c")).as("nl"), count(lit(1)).as("dl"))
+        val rt = rc.agg(sum(col("c")).as("nr"), count(lit(1)).as("dr"))
+        val act = lc.join(rc.select(col("__k"), col("c").as("c2")), Seq("__k"))
+          .agg(coalesce(sum(col("c").cast(D) * col("c2").cast(D)),
+            lit(0).cast(D)).as("act"))
+        val est = (col("nl").cast(D) * col("nr").cast(D)).cast(DoubleType) /
+          greatest(col("dl"), col("dr")).cast(DoubleType)
+        val actD = col("act").cast(DoubleType)
+        lt.crossJoin(rt).crossJoin(act)
+          .select(lit(name).as("join_class"), col("nl"), col("nr"),
+            col("dl").as("ndv_l"), col("dr").as("ndv_r"),
+            round(est, 2).as("est_rows"),
+            col("act").cast(LongType).as("actual_rows"),
+            when(actD > 0.0,
+              round(greatest(est / actD, actD / est), 6))
+              .otherwise(lit(null).cast(DoubleType)).as("q_error"))
+      }
+      val li = counts(t(s, dir, "lineitem"), "l_orderkey")
+      val or = counts(t(s, dir, "orders"), "o_orderkey")
+      val lp = counts(t(s, dir, "lineitem"), "l_partkey")
+      val et = counts(t(s, dir, "events"), "event_type")
+      audit("pk_fk", li, or)
+        .unionAll(audit("fk_self", lp, lp))
+        .unionAll(audit("skewed_lowndv", et, et))
+        .orderBy(col("join_class"))
+    }),
+
     // ---- q255: Markov next-event evaluation — the sequence-model
     // baseline: first-order transition argmax trained on even event_ids
     // scores top-1 accuracy per state on the odd half. The floor a
@@ -2663,6 +2753,79 @@ object Analytics {
         |  FROM cells WHERE n_t > 0 AND n_c > 0)
         |SELECT * FROM per
         |UNION ALL SELECT * FROM ov
+        |ORDER BY stratum""".stripMargin,
+
+    // q-error twin: identical count-table algebra (the join never
+    // executes), HUGEINT Σc·c actuals, the same est/q-error chains
+    "q328_cardest_qerror" -> {
+      def auditSql(name: String, l: String, r: String): String =
+        s"""SELECT '$name' AS join_class, nl, nr, dl AS ndv_l, dr AS ndv_r,
+           |  round(CAST(CAST(nl AS HUGEINT) * nr AS DOUBLE)
+           |    / CAST(GREATEST(dl, dr) AS DOUBLE), 2) AS est_rows,
+           |  CAST(act AS BIGINT) AS actual_rows,
+           |  CASE WHEN act > 0 THEN round(GREATEST(
+           |      (CAST(CAST(nl AS HUGEINT) * nr AS DOUBLE)
+           |        / CAST(GREATEST(dl, dr) AS DOUBLE)) / CAST(act AS DOUBLE),
+           |      CAST(act AS DOUBLE)
+           |        / (CAST(CAST(nl AS HUGEINT) * nr AS DOUBLE)
+           |          / CAST(GREATEST(dl, dr) AS DOUBLE))), 6)
+           |    ELSE NULL END AS q_error
+           |FROM (SELECT CAST(SUM(c) AS BIGINT) AS nl,
+           |        CAST(COUNT(*) AS BIGINT) AS dl FROM $l)
+           |CROSS JOIN (SELECT CAST(SUM(c) AS BIGINT) AS nr,
+           |        CAST(COUNT(*) AS BIGINT) AS dr FROM $r)
+           |CROSS JOIN (SELECT COALESCE(SUM(CAST(a.c AS HUGEINT) * b.c), 0)
+           |        AS act
+           |      FROM $l a JOIN $r b USING (k))""".stripMargin
+      s"""WITH li AS (SELECT l_orderkey AS k, CAST(COUNT(*) AS BIGINT) AS c
+         |  FROM lineitem WHERE l_orderkey IS NOT NULL GROUP BY 1),
+         |orr AS (SELECT o_orderkey AS k, CAST(COUNT(*) AS BIGINT) AS c
+         |  FROM orders WHERE o_orderkey IS NOT NULL GROUP BY 1),
+         |lp AS (SELECT l_partkey AS k, CAST(COUNT(*) AS BIGINT) AS c
+         |  FROM lineitem WHERE l_partkey IS NOT NULL GROUP BY 1),
+         |et AS (SELECT event_type AS k, CAST(COUNT(*) AS BIGINT) AS c
+         |  FROM events WHERE event_type IS NOT NULL GROUP BY 1)
+         |${auditSql("pk_fk", "li", "orr")}
+         |UNION ALL ${auditSql("fk_self", "lp", "lp")}
+         |UNION ALL ${auditSql("skewed_lowndv", "et", "et")}
+         |ORDER BY join_class""".stripMargin
+    },
+
+    // positivity twin: q250's rank-cut strata, cross-multiplied extreme
+    // flags, unit-weighted extrapolation share
+    "q327_positivity_audit" ->
+      """WITH u AS (
+        |  SELECT user_id, CAST(COUNT(*) AS BIGINT) AS cv,
+        |    CASE WHEN user_id % 2 = 0 THEN 1 ELSE 0 END AS t
+        |  FROM events GROUP BY user_id),
+        |nn AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM u),
+        |r AS (SELECT t,
+        |        CAST(row_number() OVER (ORDER BY cv, user_id) AS BIGINT)
+        |          AS grank
+        |      FROM u),
+        |s AS (SELECT ((grank - 1) * 5) // nn.n AS stratum, t
+        |      FROM r CROSS JOIN nn),
+        |cells AS (SELECT stratum, CAST(SUM(t) AS BIGINT) AS n_t,
+        |        CAST(SUM(1 - t) AS BIGINT) AS n_c
+        |      FROM s GROUP BY stratum),
+        |fl AS (SELECT stratum, n_t, n_c, n_t + n_c AS ns,
+        |    CASE WHEN n_t = 0 OR n_c = 0 OR 20 * n_t < n_t + n_c
+        |      OR 20 * n_c < n_t + n_c THEN 1 ELSE 0 END AS x
+        |  FROM cells),
+        |per AS (SELECT stratum, n_t, n_c,
+        |    round(CAST(n_t AS DOUBLE) / CAST(ns AS DOUBLE), 9) AS e_hat,
+        |    CAST(x AS BIGINT) AS extreme,
+        |    CAST(NULL AS DOUBLE) AS units_in_extreme_share
+        |  FROM fl),
+        |ov AS (SELECT CAST(-1 AS BIGINT) AS stratum,
+        |    CAST(SUM(n_t) AS BIGINT) AS n_t,
+        |    CAST(SUM(n_c) AS BIGINT) AS n_c,
+        |    CAST(NULL AS DOUBLE) AS e_hat,
+        |    CAST(SUM(x) AS BIGINT) AS extreme,
+        |    round(CAST(SUM(CASE WHEN x = 1 THEN ns ELSE 0 END) AS DOUBLE)
+        |      / CAST(SUM(ns) AS DOUBLE), 6) AS units_in_extreme_share
+        |  FROM fl)
+        |SELECT * FROM per UNION ALL SELECT * FROM ov
         |ORDER BY stratum""".stripMargin,
 
     // Mann–Kendall twin: identical daily cents table, integer sign-pair

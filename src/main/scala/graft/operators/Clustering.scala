@@ -250,7 +250,19 @@ object Clustering {
       val D = DecimalType(38, 0)
       val e = t(s, dir, "embeddings").select($"vec_id", $"embedding".as("v"))
         .withColumn("nrm", sqrt(expr("vec_dot(v, v)")))
-      val q = e.filter($"vec_id" % 10 === 0)
+        .localCheckpoint() // feeds the modulus count AND both join sides
+      // Query-sample MODULUS derived from the data (the q297 lesson in
+      // reverse: there the BLOCK count scaled with n; here the query
+      // count must NOT) — k = max(10, n div 2000) keeps ~2000 query
+      // points at any corpus size, so the audit's #queries × n work is
+      // LINEAR in n. Below 20k vectors k = 10, identical to the fixed
+      // 10% sample every hash gate was captured with; the first sf3
+      // rung measured the fixed-fraction form at 10.2× on 3× data (the
+      // n²/10 quadratic) — this derivation is the fix.
+      val kDf = e.agg(greatest(lit(10L),
+        expr("count(1) div 2000")).as("__k"))
+      val q = e.crossJoin(broadcast(kDf))
+        .filter($"vec_id" % $"__k" === 0)
         .select($"vec_id".as("qid"), $"v".as("qv"), $"nrm".as("qn"))
       val w = org.apache.spark.sql.expressions.Window
         .partitionBy($"qid").orderBy($"sim".desc, $"vec_id")
@@ -889,7 +901,9 @@ object Clustering {
     // query sample, HUGEINT occurrence moments, the same skewness chain
     "q321_hubness_audit" ->
       """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
-        |q AS (SELECT vec_id AS qid, v AS qv FROM e WHERE vec_id % 10 = 0),
+        |kk AS (SELECT GREATEST(10, COUNT(*) // 2000) AS k FROM e),
+        |q AS (SELECT vec_id AS qid, v AS qv FROM e CROSS JOIN kk
+        |      WHERE vec_id % k = 0),
         |scored AS (
         |  SELECT q.qid, e.vec_id AS nid,
         |    list_dot_product(e.v, q.qv) /
