@@ -1004,6 +1004,33 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(!p.contains("CartesianProduct"), p)
   }
 
+  test("q327 positivity audit is q250's rank-cut shape, __pid windows only") {
+    val plans = capturedPlans("q327_positivity_audit")
+    val all = plans.mkString("\n===\n")
+    val specs = "windowspecdefinition\\(".r.findAllMatchIn(all).map(_.start).toSeq
+    assert(specs.nonEmpty && specs.forall { i =>
+      all.substring(i, math.min(all.length, i + 60)).contains("__pid")
+    }, all)
+    assert(!all.contains("CartesianProduct"), all)
+  }
+
+  test("q328 q-error audit never executes the joins it estimates " +
+    "(count-table algebra only)") {
+    val p = planOf("q328_cardest_qerror")
+    assert(!p.contains("CartesianProduct"), p)
+    // actuals join COUNT TABLES (key-distinct), never the fact rows:
+    // every join input is an aggregate
+    assert(p.contains("HashAggregate"), p)
+  }
+
+  test("q321 hubness query sample is modulus-derived (scale-proof count)") {
+    // the sample filter must take its modulus from the derived __k
+    // column (a broadcast 1-row aggregate), not a literal fraction
+    val all = capturedPlans("q321_hubness_audit").mkString("\n===\n")
+    assert(all.contains("__k"), all)
+    assert(!all.contains("(vec_id#") || !all.contains("% 10) = 0"), all)
+  }
+
   test("q311 k-center rounds broadcast the d-row center, argmax is TakeOrdered") {
     val plans = capturedPlans("q311_kcenter_coreset")
     val all = plans.mkString("\n===\n")
