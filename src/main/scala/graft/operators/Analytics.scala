@@ -1522,6 +1522,54 @@ object Analytics {
         .orderBy(col("join_class"))
     }),
 
+    // ---- q329: seasonal/trend strength (Hyndman & Athanasopoulos) —
+    // q259 DECOMPOSES; this scores the decomposition with the two
+    // numbers a forecasting/alerting pipeline routes on: F_trend =
+    // max(0, 1−Var(R)/Var(T+R)) and F_seasonal = max(0,
+    // 1−Var(R)/Var(S+R)). Strong seasonality ⇒ q305's seasonal-naive
+    // is the right baseline; both ≈ 0 ⇒ the series is noise and
+    // alerting on it is theater. Components are recovered EXACTLY as
+    // micro-longs from the q259 output (each is a micro-rational), so
+    // every variance numerator is an exact Decimal(38) integer and F
+    // is one division. Interior (trend-defined) rows only. ----
+    "q329_seasonal_strength" -> ((s, dir) => {
+      val D = DecimalType(38, 0)
+      val daily = t(s, dir, "events")
+        .groupBy(col("event_type"),
+          graft.api.Graft.epochDay(col("ts")).as("day"))
+        .agg(count(lit(1)).as("n"))
+      val stl = graft.api.Graft.stlDecompose(daily, "event_type", "day", "n")
+        .filter(col("trend").isNotNull)
+        .select(col("event_type"),
+          round(col("residual") * lit(1.0e6)).cast(LongType).as("rq"),
+          (round(col("trend") * lit(1.0e6)).cast(LongType) +
+            round(col("residual") * lit(1.0e6)).cast(LongType)).as("trq"),
+          (round(col("seasonal") * lit(1.0e6)).cast(LongType) +
+            round(col("residual") * lit(1.0e6)).cast(LongType)).as("srq"))
+      val m = stl.groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n_days"),
+          sum(col("rq").cast(D)).as("sr"),
+          sum(col("rq").cast(D) * col("rq").cast(D)).as("srr"),
+          sum(col("trq").cast(D)).as("st"),
+          sum(col("trq").cast(D) * col("trq").cast(D)).as("stt"),
+          sum(col("srq").cast(D)).as("ss"),
+          sum(col("srq").cast(D) * col("srq").cast(D)).as("sss"))
+      def vnum(s1: org.apache.spark.sql.Column,
+          s2: org.apache.spark.sql.Column) =
+        col("n_days").cast(D) * s2 - s1 * s1
+      def strength(s1: org.apache.spark.sql.Column,
+          s2: org.apache.spark.sql.Column) =
+        when(vnum(s1, s2) > 0,
+          round(greatest(lit(0.0), lit(1.0) -
+            vnum(col("sr"), col("srr")).cast(DoubleType) /
+              vnum(s1, s2).cast(DoubleType)), 6))
+          .otherwise(lit(null).cast(DoubleType))
+      m.select(col("event_type"), col("n_days"),
+          strength(col("st"), col("stt")).as("f_trend"),
+          strength(col("ss"), col("sss")).as("f_seasonal"))
+        .orderBy(col("event_type"))
+    }),
+
     // ---- q255: Markov next-event evaluation — the sequence-model
     // baseline: first-order transition argmax trained on even event_ids
     // scores top-1 accuracy per state on the odd half. The floor a
@@ -2627,6 +2675,61 @@ object Analytics {
         |FROM t2 LEFT JOIN seas
         |  ON seas.event_type = t2.event_type AND seas.ph = t2.day % 7
         |ORDER BY t2.event_type, t2.day""".stripMargin,
+
+    // seasonal-strength twin: q259's exact micro-long components,
+    // HUGEINT variance numerators, the same clamped 1−ratio chain
+    "q329_seasonal_strength" ->
+      """WITH daily AS (
+        |  SELECT event_type, epoch_us(ts) // 86400000000 AS day,
+        |    CAST(COUNT(*) AS BIGINT) AS y
+        |  FROM events GROUP BY 1, 2),
+        |tr AS (
+        |  SELECT event_type, day, y,
+        |    COUNT(*) OVER w AS wn,
+        |    CAST(SUM(y) OVER w AS BIGINT) * 1000000 AS ws
+        |  FROM daily
+        |  WINDOW w AS (PARTITION BY event_type ORDER BY day
+        |    ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING)),
+        |t2 AS (
+        |  SELECT event_type, day, y,
+        |    CASE WHEN wn = 7 THEN ws // 7 END AS trend_mc
+        |  FROM tr),
+        |det AS (SELECT event_type, day % 7 AS ph,
+        |          y * 1000000 - trend_mc AS det_mc
+        |        FROM t2 WHERE trend_mc IS NOT NULL),
+        |seas AS (SELECT event_type, ph,
+        |           CAST(SUM(det_mc) // COUNT(*) AS BIGINT) AS seas_mc
+        |         FROM det GROUP BY 1, 2),
+        |comp AS (
+        |  SELECT t2.event_type,
+        |    CAST(t2.y * 1000000 - trend_mc - seas_mc AS BIGINT) AS rq,
+        |    CAST(t2.y * 1000000 - seas_mc AS BIGINT) AS trq,
+        |    CAST(t2.y * 1000000 - trend_mc AS BIGINT) AS srq
+        |  FROM t2 JOIN seas
+        |    ON seas.event_type = t2.event_type AND seas.ph = t2.day % 7
+        |  WHERE trend_mc IS NOT NULL),
+        |m AS (SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_days,
+        |    SUM(CAST(rq AS HUGEINT)) AS sr,
+        |    SUM(CAST(rq AS HUGEINT) * rq) AS srr,
+        |    SUM(CAST(trq AS HUGEINT)) AS st,
+        |    SUM(CAST(trq AS HUGEINT) * trq) AS stt,
+        |    SUM(CAST(srq AS HUGEINT)) AS ss,
+        |    SUM(CAST(srq AS HUGEINT) * srq) AS sss
+        |  FROM comp GROUP BY 1)
+        |SELECT event_type, n_days,
+        |  CASE WHEN CAST(n_days AS HUGEINT) * stt - st * st > 0 THEN
+        |      round(GREATEST(0.0, 1.0
+        |        - CAST(CAST(n_days AS HUGEINT) * srr - sr * sr AS DOUBLE)
+        |        / CAST(CAST(n_days AS HUGEINT) * stt - st * st AS DOUBLE)),
+        |        6)
+        |    ELSE NULL END AS f_trend,
+        |  CASE WHEN CAST(n_days AS HUGEINT) * sss - ss * ss > 0 THEN
+        |      round(GREATEST(0.0, 1.0
+        |        - CAST(CAST(n_days AS HUGEINT) * srr - sr * sr AS DOUBLE)
+        |        / CAST(CAST(n_days AS HUGEINT) * sss - ss * ss AS DOUBLE)),
+        |        6)
+        |    ELSE NULL END AS f_seasonal
+        |FROM m ORDER BY event_type""".stripMargin,
 
     // item-CF twin: identical distinct baskets, basket-keyed pair join,
     // nano-quantized cosine and (simq desc, item) rank
