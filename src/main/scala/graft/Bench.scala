@@ -8,13 +8,25 @@ import org.apache.spark.sql.SparkSession
   *
   * Measurement protocol (round 6 — the r5 driver/builder runs disagreed
   * up to 7× on identical code, so the numbers now carry their own
-  * credibility evidence):
-  *   1. one UNTIMED warm-up sweep over every query (JIT, codegen cache,
-  *      file-system cache, shuffle-service init all land here);
-  *   2. N >= 3 TIMED interleaved sweeps in pinned (sorted) order — the
+  * credibility evidence; trimmed round 13 after the 341-entry board
+  * outgrew the driver's time budget and killed the r12 run at rc 124):
+  *   1. one UNTIMED warm-up sweep over a SUBSET of the board: entries
+  *      whose committed baseline is >= 3 s (the heavy tail, where cold
+  *      JIT/page-cache noise would actually move the number) plus
+  *      entries with no baseline yet (their first measurement seeds the
+  *      next tripwire and must not be cold). Continuous-run streaming
+  *      entries (name contains "stream") are excluded — their cost is
+  *      micro-batch wall time, not JIT, so warming buys nothing. Light
+  *      queries warm during sweep 1 and measure warm in sweep 2; the
+  *      min-of-sweeps report below keeps them comparable to the fully
+  *      warmed baselines. At the r12 board this cuts the warm-up from
+  *      ~434 s to ~120 s;
+  *   2. N >= 2 TIMED interleaved sweeps in pinned (sorted) order — the
   *      reported per-query number is the min across sweeps (the best
   *      isolator of code changes from GC/machine noise), `spread`
-  *      (max - min) flags entries too unstable to compare across rounds;
+  *      (max - min) flags entries too unstable to compare across rounds.
+  *      Default dropped 3 -> 2 in round 13 (min-of-2 still isolates a
+  *      one-off GC pause; the spread field flags anything unstable);
   *   3. JVM/GC/load telemetry (GC time inside the timed region, system
   *      load average, heap, cpu count) is emitted alongside, so a noisy
   *      run is visible as data instead of needing judge archaeology;
@@ -26,7 +38,7 @@ object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
-    val sweeps = sys.env.getOrElse("SPARK_GRAFT_SWEEPS", "3").toInt.max(1)
+    val sweeps = sys.env.getOrElse("SPARK_GRAFT_SWEEPS", "2").toInt.max(1)
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -81,8 +93,30 @@ object Bench {
     def loadAvg: Double = java.lang.management.ManagementFactory
       .getOperatingSystemMXBean.getSystemLoadAverage
 
-    // 1. untimed warm-up sweep: every query once — JIT/codegen/page-cache
-    ordered.foreach { case (n, f) => runOne(n, f) }
+    // Baseline loads up front: it both drives the tripwire (step 4) and
+    // selects the warm-up subset (step 1). Absent file / new queries
+    // simply have no baseline — never a crash path. SPARK_GRAFT_BASELINE
+    // points sf1 ladder runs at BENCH_sf1_BASELINE.json so scale-rung
+    // regressions trip exactly like sf0.1 ones; driver runs (no env)
+    // keep the sf0.1 tripwire.
+    val baselineFile =
+      sys.env.getOrElse("SPARK_GRAFT_BASELINE", "BENCH_BASELINE.json")
+    val baseline: Map[String, Double] = try {
+      val txt = new String(java.nio.file.Files.readAllBytes(
+        java.nio.file.Paths.get(baselineFile)), "UTF-8")
+      val m = new com.fasterxml.jackson.databind.ObjectMapper().readTree(txt).path("queries")
+      m.fieldNames().asScala.map(k => k -> m.path(k).asDouble()).toMap
+    } catch { case _: Throwable => Map.empty }
+
+    // 1. untimed warm-up sweep over the heavy tail + unbaselined entries
+    // (see protocol above). SPARK_GRAFT_WARMUP=all restores the full
+    // sweep for local protocol-comparison runs.
+    val warmAll = sys.env.get("SPARK_GRAFT_WARMUP").contains("all")
+    val warmup = ordered.filter { case (n, _) =>
+      warmAll ||
+        (!n.contains("stream") && baseline.get(n).forall(_ >= 3.0))
+    }
+    warmup.foreach { case (n, f) => runOne(n, f) }
 
     // One full GC between sweeps drives the ContextCleaner's weak-ref
     // queue so unpersist-missed state (e.g. an RDD still referenced when
@@ -108,19 +142,7 @@ object Bench {
     val spread = names.map(n => n -> (sweepResults.map(_(n)).max - sweepResults.map(_(n)).min)).toMap
     val total = best.values.sum
 
-    // 4. tripwire vs the committed baseline (absent file / new queries
-    // simply have no baseline — never a crash path). SPARK_GRAFT_BASELINE
-    // points sf1 ladder runs at BENCH_sf1_BASELINE.json so scale-rung
-    // regressions trip exactly like sf0.1 ones; driver runs (no env) keep
-    // the sf0.1 tripwire.
-    val baselineFile =
-      sys.env.getOrElse("SPARK_GRAFT_BASELINE", "BENCH_BASELINE.json")
-    val baseline: Map[String, Double] = try {
-      val txt = new String(java.nio.file.Files.readAllBytes(
-        java.nio.file.Paths.get(baselineFile)), "UTF-8")
-      val m = new com.fasterxml.jackson.databind.ObjectMapper().readTree(txt).path("queries")
-      m.fieldNames().asScala.map(k => k -> m.path(k).asDouble()).toMap
-    } catch { case _: Throwable => Map.empty }
+    // 4. tripwire vs the committed baseline (loaded above).
     val regressions = names.filter { n =>
       baseline.get(n).exists(b => b > 0 && best(n) > 2.5 * b)
     }
@@ -131,7 +153,7 @@ object Bench {
       names.map(n => "\"" + key(n) + "\":" + v(m(n))).mkString("{", ",", "}")
     val full = (v: Double) => v.toString
     val telemetry =
-      s""""telemetry":{"sweeps":$sweeps,"wall_sec":${ms3(wallSecs)},"gc_sec":${ms3(gcSecs)},""" +
+      s""""telemetry":{"sweeps":$sweeps,"warmup":${warmup.size},"wall_sec":${ms3(wallSecs)},"gc_sec":${ms3(gcSecs)},""" +
       s""""load_before":${ms3(loadBefore)},"load_after":${ms3(loadAfter)},""" +
       s""""cpus":"$cpus","avail_procs":${Runtime.getRuntime.availableProcessors},""" +
       s""""heap_max_mb":${Runtime.getRuntime.maxMemory / (1 << 20)}}"""

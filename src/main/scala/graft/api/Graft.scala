@@ -5507,8 +5507,9 @@ object Graft {
     * alone (doubled-midrank device), so V10/V01 come from one
     * value-keyed aggregate + two [[globalCumSum]] passes, with exact
     * Decimal(38) moments (integer placement scale 2n / 2m — bound:
-    * m·(2n)² ≤ 10³⁸ holds past 10⁹ rows per class). The only doubles
-    * are the final fixed division/sqrt chain. Degenerate classes
+    * m·(2n)² ≤ 10³⁸ holds past 10⁹ rows per class). The variance
+    * DENOMINATOR (≈ 4m³n², past Decimal(38) at m≈n≈3×10⁷) and the
+    * final division/sqrt chain are double. Degenerate classes
     * (m < 2 or n < 2) yield NULL se/CI instead of a zero-division. */
   def aucDeLong(df: DataFrame, scoreCol: String, labelCol: String): DataFrame = {
     val D = DecimalType(38, 0)
@@ -5537,13 +5538,18 @@ object Graft {
     val n = col("n")
     val aucRaw = col("s1").cast(DoubleType) /
       (lit(2L).cast(D) * m.cast(D) * n.cast(D)).cast(DoubleType)
+    // Numerators stay exact Decimal(38) (m·sqq ≈ 4m²n² ≤ 10³⁸ holds to
+    // ~10⁹ rows per class); the DENOMINATOR m·(m−1)·4·n²·m ≈ 4m³n² would
+    // overflow Decimal(38,0) near m≈n≈3×10⁷ (silently nulling se/CI on
+    // non-ANSI Spark), so it is built as a double product — the quotient
+    // is double anyway, and each factor is exact in double to 2⁵³.
     val varRaw =
       (m.cast(D) * col("sqq") - col("s1") * col("s1")).cast(DoubleType) /
-        (m.cast(D) * (m - lit(1L)).cast(D) * lit(4L).cast(D) *
-          n.cast(D) * n.cast(D) * m.cast(D)).cast(DoubleType) +
+        (m.cast(DoubleType) * (m - lit(1L)).cast(DoubleType) * lit(4.0) *
+          n.cast(DoubleType) * n.cast(DoubleType) * m.cast(DoubleType)) +
       (n.cast(D) * col("tqq") - col("t1") * col("t1")).cast(DoubleType) /
-        (n.cast(D) * (n - lit(1L)).cast(D) * lit(4L).cast(D) *
-          m.cast(D) * m.cast(D) * n.cast(D)).cast(DoubleType)
+        (n.cast(DoubleType) * (n - lit(1L)).cast(DoubleType) * lit(4.0) *
+          m.cast(DoubleType) * m.cast(DoubleType) * n.cast(DoubleType))
     mom.crossJoin(broadcast(tot))
       .select(m.as("n_pos"), n.as("n_neg"),
         round(aucRaw, 9).as("auc"),

@@ -520,7 +520,8 @@ object Evaluation {
       """WITH b AS (
         |  SELECT CAST(ROUND(value * 100.0) AS BIGINT) AS sc,
         |    CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS y
-        |  FROM events WHERE value IS NOT NULL),
+        |  FROM events
+        |  WHERE value IS NOT NULL AND event_type IS NOT NULL),
         |cells AS (SELECT sc, CAST(COUNT(*) AS BIGINT) AS n,
         |            CAST(SUM(y) AS BIGINT) AS pos
         |          FROM b GROUP BY sc),
@@ -706,7 +707,8 @@ object Evaluation {
       """WITH b AS (
         |  SELECT value AS s,
         |    CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS y
-        |  FROM events WHERE value IS NOT NULL),
+        |  FROM events
+        |  WHERE value IS NOT NULL AND event_type IS NOT NULL),
         |r AS (SELECT s, y, row_number() OVER (ORDER BY s) AS rn FROM b),
         |g AS (SELECT s, MIN(rn) AS minr, COUNT(*) AS n,
         |        CAST(SUM(y) AS BIGINT) AS np FROM r GROUP BY s),
@@ -764,7 +766,8 @@ object Evaluation {
       """WITH b AS (
         |  SELECT CAST(ROUND(value * 100.0) AS BIGINT) AS vc,
         |    CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS y
-        |  FROM events WHERE value IS NOT NULL),
+        |  FROM events
+        |  WHERE value IS NOT NULL AND event_type IS NOT NULL),
         |mm AS (SELECT MIN(vc) AS minc, MAX(vc) AS maxc FROM b),
         |binned AS (
         |  SELECT (vc - minc) // ((maxc - minc) // 10 + 1) AS bin, vc, y
@@ -920,7 +923,8 @@ object Evaluation {
       """WITH b AS (
         |  SELECT value AS s,
         |    CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS y
-        |  FROM events WHERE value IS NOT NULL),
+        |  FROM events
+        |  WHERE value IS NOT NULL AND event_type IS NOT NULL),
         |g AS (SELECT s, CAST(COUNT(*) AS BIGINT) AS cnt,
         |        CAST(SUM(y) AS BIGINT) AS np FROM b GROUP BY s),
         |c AS (SELECT s, cnt, np,

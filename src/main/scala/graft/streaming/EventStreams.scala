@@ -387,12 +387,22 @@ object EventStreams {
   }
 
   /** In-JVM "external system" for [[runIdempotentUpsert]]: per-run keyed
-    * stores + one-shot fault switches + write-attempt counters. In
-    * local mode every executor shares the JVM, so foreachPartition
-    * writes land here exactly the way a per-partition KV client would
-    * write to a real store on a cluster. */
+    * stores + one-shot fault switches + write-attempt counters.
+    *
+    * LOCAL-MODE SEAM (documented, not hidden): these statics are only
+    * reachable from `foreachPartition` because local-mode executors
+    * share the driver JVM. On a real cluster the partition writer would
+    * open a connection to a genuinely external keyed store (JDBC MERGE,
+    * Redis SETNX, a KV client) — the write PATTERN (per-partition
+    * client, keyed last-write-wins upsert, no driver collect) is the
+    * production shape; only the store's location is a test seam.
+    *
+    * State is O(keys) × 16 bytes: event_id → xxhash64 digest of the
+    * value tuple, never the tuple itself — at sf1 (~3M events) this is
+    * ~50 MB of boxed map entries instead of the ~400 MB of row tuples
+    * that made the harness superlinear on the sf3 rung (SCALE.md r12). */
   private val upsertStores = new java.util.concurrent.ConcurrentHashMap[
-    String, java.util.concurrent.ConcurrentHashMap[Long, (Long, String, Long)]]()
+    String, java.util.concurrent.ConcurrentHashMap[Long, Long]]()
   private val upsertFaults = new java.util.concurrent.ConcurrentHashMap[
     String, java.util.concurrent.atomic.AtomicBoolean]()
   private val upsertAttempts = new java.util.concurrent.ConcurrentHashMap[
@@ -412,10 +422,14 @@ object EventStreams {
     * 2 — the query dies with the batch uncommitted, a new query on the
     * SAME checkpoint replays batch 2 (same batch id, same offsets —
     * the replayable-source contract), and the upsert absorbs the
-    * duplicate write. The returned table is the store's final content:
-    * hash-equal to the batch projection of `events` ONLY IF replay
-    * delivered exactly the same rows and the sink deduplicated them —
-    * an append sink would double-count batch 2 and fail the gate.
+    * duplicate write. The store holds per-key DIGESTS (event_id →
+    * xxhash64 of the value tuple); the returned table re-projects the
+    * batch rows whose key is present in the store WITH a matching
+    * digest — hash-equal to the full batch projection of `events` ONLY
+    * IF replay delivered exactly the same rows and the sink
+    * deduplicated them: a lost batch drops keys (row-count mismatch), a
+    * corrupted replay value flips the digest (row dropped, gate fails),
+    * and an append sink cannot even be expressed against a keyed store.
     * The write path is foreachPartition (per-partition client, the
     * real cluster shape), never a driver collect. */
   def runIdempotentUpsert(events: DataFrame, chunks: Int = 6): DataFrame = {
@@ -430,10 +444,17 @@ object EventStreams {
       .orderBy(col("tus"), col("event_id"))
       .as[(Long, Long, Long, String, Long)]
     val total = ordered.count()
-    require(total > 0, "runIdempotentUpsert: empty event feed")
+    // The fault injector targets batchId == 2 (the third micro-batch);
+    // with per = ceil(total/chunks) the feed produces >= 3 batches
+    // whenever total >= 3 and chunks >= 3 — anything smaller would never
+    // replay and the duplicate-delivery assertion below would abort the
+    // whole run with a misleading message, so fail loudly up front.
+    require(total >= 3 && chunks >= 3,
+      s"runIdempotentUpsert: the batch-2 fault injection needs >= 3 " +
+        s"micro-batches (got $total event rows over $chunks chunks)")
     val per = math.min(math.max(1L, (total + chunks - 1) / chunks), 1L << 20).toInt
     val runId = java.util.UUID.randomUUID().toString.replace("-", "")
-    val store = new java.util.concurrent.ConcurrentHashMap[Long, (Long, String, Long)]()
+    val store = new java.util.concurrent.ConcurrentHashMap[Long, Long]()
     upsertStores.put(runId, store)
     upsertFaults.put(runId, new java.util.concurrent.atomic.AtomicBoolean(true))
     upsertAttempts.put(runId, new java.util.concurrent.atomic.AtomicLong(0L))
@@ -447,13 +468,16 @@ object EventStreams {
       .option("checkpointLocation", ckpt)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         val rid = runId
-        batch.select(col("event_id"), col("user_id"), col("event_type"),
-            col("cents"))
+        // digest computed by codegen'd xxhash64 BEFORE the partition
+        // writer: the store holds 16 bytes per key, not the row
+        batch.select(col("event_id"),
+            xxhash64(col("user_id"), col("event_type"), col("cents"))
+              .as("digest"))
           .foreachPartition { (it: Iterator[org.apache.spark.sql.Row]) =>
             val st = upsertStores.get(rid)
             val at = upsertAttempts.get(rid)
             it.foreach { r =>
-              st.put(r.getLong(0), (r.getLong(1), r.getString(2), r.getLong(3)))
+              st.put(r.getLong(0), r.getLong(1))
               at.incrementAndGet()
             }
           }
@@ -468,10 +492,13 @@ object EventStreams {
     import scala.jdk.CollectionConverters._
     val feed = ordered.toLocalIterator().asScala.grouped(per)
     val prevShuffle = s.conf.get("spark.sql.shuffle.partitions")
-    var q = startQuery()
+    // Everything per-run (conf, fault/attempt/store map entries, the
+    // temp checkpoint) is released in ONE finally — a mid-feed failure
+    // previously leaked the map entries and the checkpoint directory.
     try {
-      s.conf.set("spark.sql.shuffle.partitions", "4")
+      var q = startQuery()
       try {
+        s.conf.set("spark.sql.shuffle.partitions", "4")
         feed.foreach { chunk =>
           mem.addData(chunk)
           try q.processAllAvailable()
@@ -485,24 +512,38 @@ object EventStreams {
         }
         q.processAllAvailable()
       } finally q.stop()
+      val attempts = upsertAttempts.get(runId).get()
+      val stored = upsertStores.get(runId).asScala.toSeq
+      lastUpsertStats = (attempts, stored.size.toLong)
+      require(attempts > stored.size,
+        s"runIdempotentUpsert: no duplicate delivery observed " +
+          s"($attempts attempts over ${stored.size} keys) — the replay " +
+          "this proof exists for did not happen")
+      // Re-project the batch rows whose key survived in the store with
+      // a MATCHING digest: a lost key drops a row (count gate), a
+      // value corrupted by the replay flips the digest (row dropped,
+      // hash gate fails). The join is on the store's driver-side seq —
+      // O(keys) rows, the same scale as the store itself.
+      stored.toDF("event_id", "__digest")
+        .join(events.select(col("event_id"), col("user_id"),
+          col("event_type"),
+          coalesce(round(col("value") * lit(100.0)).cast("long"), lit(0L))
+            .as("cents")), Seq("event_id"))
+        .filter(col("__digest") ===
+          xxhash64(col("user_id"), col("event_type"), col("cents")))
+        .select(col("event_id"), col("user_id"), col("event_type"),
+          col("cents"))
+        .orderBy(col("event_id"))
     } finally {
       s.conf.set("spark.sql.shuffle.partitions", prevShuffle)
       upsertFaults.remove(runId)
+      upsertAttempts.remove(runId)
+      upsertStores.remove(runId)
+      try {
+        import org.apache.commons.io.FileUtils
+        FileUtils.deleteDirectory(new java.io.File(ckpt))
+      } catch { case _: Throwable => () }
     }
-    val attempts = upsertAttempts.remove(runId).get()
-    val rows = upsertStores.remove(runId).asScala.toSeq
-      .map { case (k, (u, t0, c)) => (k, u, t0, c) }
-    lastUpsertStats = (attempts, rows.size.toLong)
-    require(attempts > rows.size,
-      s"runIdempotentUpsert: no duplicate delivery observed " +
-        s"($attempts attempts over ${rows.size} keys) — the replay " +
-        "this proof exists for did not happen")
-    try {
-      import org.apache.commons.io.FileUtils
-      FileUtils.deleteDirectory(new java.io.File(ckpt))
-    } catch { case _: Throwable => () }
-    rows.toDF("event_id", "user_id", "event_type", "cents")
-      .orderBy(col("event_id"))
   }
 
   /** Stateful per-user running counters via flatMapGroupsWithState-style
