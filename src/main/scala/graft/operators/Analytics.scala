@@ -62,6 +62,24 @@ object Analytics {
         .select(col("x.pk").as("src"), col("y.pk").as("dst"))
     }
 
+  /** Shared label-propagation RESULT artifact — q140 returns these
+    * communities and q218 ("modularity of the q140 communities") audits
+    * them. The 3-round synchronous propagation over [[basketEdges]] is
+    * fully deterministic (most-frequent-neighbor with min_by tie-break),
+    * so running it twice per session was pure recomputation — ~9 s of
+    * the sf0.1 sweep, and at 100 TB a second full multi-round
+    * traversal of the edge set. Same honest-cost rule as the edge
+    * artifact: the first consumer pays the propagation inside its own
+    * timed query; the second reads node-bucketed sorted parquet
+    * (node/lab are strings — parquet round-trips them bit-for-bit, so
+    * both hash gates see the exact inline result). */
+  def basketCommunities(s: org.apache.spark.sql.SparkSession,
+      dir: String): org.apache.spark.sql.DataFrame =
+    graft.api.Graft.materializeBucketed(s, s"basket_lp3:$dir", "node", 16) {
+      graft.api.Graft.labelPropagation(basketEdges(s, dir), "src", "dst",
+        rounds = 3)
+    }
+
   /** Deterministic versioned manifest for q181/q182: q157's file
     * grouping with synthetic add/delete versions (added = file % 5,
     * every third file deleted at added + 1 + file % 4). */
@@ -1863,10 +1881,10 @@ object Analytics {
     // dense regions split apart instead of merging everything reachable.
     // The oracle unrolls all 3 synchronous rounds as chained CTEs. ----
     "q140_label_propagation" -> ((s, dir) =>
-      // consumes the shared bucketed basket-edge artifact ([[basketEdges]])
-      graft.api.Graft.labelPropagation(basketEdges(s, dir), "src", "dst",
-          rounds = 3)
-        .orderBy(col("node"))),
+      // consumes the shared artifacts: bucketed basket edges
+      // ([[basketEdges]]) propagated once per session
+      // ([[basketCommunities]]); q218 audits the same result
+      basketCommunities(s, dir).orderBy(col("node"))),
 
     // ---- q218: modularity of the q140 communities — the clustering-
     // quality gate on the propagation output itself (Q ≈ 0 would mean
@@ -1875,13 +1893,11 @@ object Analytics {
     // community structure AND its quality). All masses exact integers;
     // Q is the only double. ----
     "q218_modularity" -> ((s, dir) => {
-      // the shared bucketed artifact ([[basketEdges]]) feeds BOTH the
-      // propagation and the audit — already materialized, no
-      // localCheckpoint needed on top
-      val edges = basketEdges(s, dir)
-      val labels = graft.api.Graft.labelPropagation(edges, "src", "dst",
-        rounds = 3)
-      graft.api.Graft.modularity(edges, "src", "dst", labels)
+      // both shared artifacts: the bucketed edge set AND the q140
+      // propagation result ([[basketCommunities]]) — the audit reads
+      // the exact communities q140 returned instead of re-propagating
+      graft.api.Graft.modularity(basketEdges(s, dir), "src", "dst",
+        basketCommunities(s, dir))
     }),
 
     // ---- q143: count–min sketch heavy hitters — the mergeable
