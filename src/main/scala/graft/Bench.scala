@@ -110,11 +110,18 @@ object Bench {
 
     // 1. untimed warm-up sweep over the heavy tail + unbaselined entries
     // (see protocol above). SPARK_GRAFT_WARMUP=all restores the full
-    // sweep for local protocol-comparison runs.
-    val warmAll = sys.env.get("SPARK_GRAFT_WARMUP").contains("all")
+    // sweep for local protocol-comparison runs; =none skips warm-up
+    // entirely so sweep 1 pays session-artifact builds inside a timed
+    // region (the honest shape for scale-ladder measurements — the
+    // per-sweep values in BENCH_DETAIL.json then show build vs steady
+    // state explicitly).
+    val warmMode = sys.env.getOrElse("SPARK_GRAFT_WARMUP", "")
     val warmup = ordered.filter { case (n, _) =>
-      warmAll ||
-        (!n.contains("stream") && baseline.get(n).forall(_ >= 3.0))
+      warmMode match {
+        case "all" => true
+        case "none" => false
+        case _ => !n.contains("stream") && baseline.get(n).forall(_ >= 3.0)
+      }
     }
     warmup.foreach { case (n, f) => runOne(n, f) }
 
