@@ -1411,6 +1411,322 @@ object Analytics {
             .otherwise(lit(null).cast(DoubleType)))
     }),
 
+    // ---- q330: degree assortativity of the basket co-purchase graph —
+    // the mixing coefficient (Newman 2002) the graph family was missing:
+    // do high-degree parts co-purchase with other high-degree parts
+    // (r > 0, hub-clustered) or with the long tail (r < 0, hub-spoke)?
+    // Decides whether hub-capping strategies (q173's maxDegree, q24's
+    // stop-shingles) cut a cohesive core or a scattered periphery.
+    // Pearson correlation of endpoint degrees over the DIRECTED edge
+    // list (each undirected edge both ways, so Σj = Σk and one moment
+    // set suffices): r = (M·Σjk − (Σj)²) / (M·Σj² − (Σj)²), all moments
+    // exact Decimal(38) products of integer degrees — only the final
+    // division is a double. Consumes the shared bucketed edge artifact
+    // ([[basketEdges]]); two co-located degree joins + one global
+    // aggregate. 100 TB shape: degree = one keyed count, moment sums
+    // map-side partial — nothing quadratic, nothing driver-side. ----
+    "q330_assortativity" -> ((s, dir) => {
+      val D = DecimalType(38, 0)
+      // the artifact is the raw pair MULTISET; graph consumers dedupe
+      // (the linkPrediction/kCore convention)
+      val e = basketEdges(s, dir).distinct()
+      val adj = e.select(col("src").as("u"), col("dst").as("v"))
+        .unionAll(e.select(col("dst").as("u"), col("src").as("v")))
+      val deg = adj.groupBy(col("u")).agg(count(lit(1)).as("deg"))
+        .localCheckpoint() // feeds both endpoint joins + the node count
+      val nodes = deg.agg(count(lit(1)).as("n_nodes"))
+      val dd = adj.join(deg, "u")
+        .join(deg.select(col("u").as("v"), col("deg").as("degv")), "v")
+      val m = dd.agg(count(lit(1)).cast(D).as("__m2"),
+        sum(col("deg").cast(D)).as("__sj"),
+        sum(col("deg").cast(D) * col("degv").cast(D)).as("__sjk"),
+        sum(col("deg").cast(D) * col("deg").cast(D)).as("__sjj"))
+      m.crossJoin(broadcast(nodes))
+        .select(col("n_nodes"),
+          (col("__m2") / lit(2)).cast(LongType).as("n_edges"),
+          when(col("__m2") * col("__sjj") - col("__sj") * col("__sj") <= 0,
+            lit(null).cast(DoubleType))
+            .otherwise(round(
+              (col("__m2") * col("__sjk") - col("__sj") * col("__sj"))
+                .cast(DoubleType) /
+              (col("__m2") * col("__sjj") - col("__sj") * col("__sj"))
+                .cast(DoubleType), 6)).as("assortativity"))
+    }),
+
+    // ---- q337: rich-club coefficient over the same graph — the OTHER
+    // half of the q330 story: at each degree cutoff k, what fraction of
+    // the possible edges among the >k-degree "club" actually exist?
+    // φ(k) = 2·E_k / (N_k·(N_k−1)). Rising φ(k) with k ⇒ a densely
+    // wired hub core (the subgraph q147's k-core peels toward). Exact
+    // integers until the final division: club membership is a degree
+    // comparison, E_k one boolean-pair aggregate over the edge list with
+    // both endpoint degrees already joined (the q330 scan, reused shape),
+    // N_k a degree-table aggregate. Four cutoffs ⇒ 4-row output; the
+    // edge scan is paid once via a conditional-sum pivot, not per-k. ----
+    "q337_rich_club" -> ((s, dir) => {
+      val ks = Seq(10L, 20L, 40L, 80L)
+      // raw-multiset artifact → dedupe (the linkPrediction/kCore
+      // convention)
+      val e = basketEdges(s, dir).distinct()
+      val adj = e.select(col("src").as("u"), col("dst").as("v"))
+        .unionAll(e.select(col("dst").as("u"), col("src").as("v")))
+      val deg = adj.groupBy(col("u")).agg(count(lit(1)).as("deg"))
+        .localCheckpoint()
+      val dd = e.join(deg.select(col("u").as("src"), col("deg").as("dega")),
+          "src")
+        .join(deg.select(col("u").as("dst"), col("deg").as("degb")), "dst")
+      val ekCols = ks.map(k =>
+        sum(when(col("dega") > k && col("degb") > k, lit(1L))
+          .otherwise(lit(0L))).as(s"__e$k"))
+      val ek = dd.agg(ekCols.head, ekCols.tail: _*)
+      val nkCols = ks.map(k =>
+        sum(when(col("deg") > k, lit(1L)).otherwise(lit(0L)))
+          .as(s"__n$k"))
+      val nk = deg.agg(nkCols.head, nkCols.tail: _*)
+      val wide = ek.crossJoin(broadcast(nk))
+      val rows = ks.map { k =>
+        wide.select(lit(k).as("k"), col(s"__n$k").as("club_nodes"),
+          col(s"__e$k").as("club_edges"),
+          when(col(s"__n$k") < 2L, lit(null).cast(DoubleType))
+            .otherwise(round(lit(2.0) * col(s"__e$k").cast(DoubleType) /
+              (col(s"__n$k").cast(DoubleType) *
+                (col(s"__n$k") - lit(1L)).cast(DoubleType)), 6))
+            .as("phi"))
+      }
+      rows.reduce(_ unionAll _).orderBy(col("k"))
+    }),
+
+    // ---- q332: Cochran–Mantel–Haenszel — the POOLED inference q309's
+    // audit gates: q309 flags when per-stratum slopes contradict the
+    // pooled one; CMH is what you then report instead — the stratum-
+    // adjusted association test plus the Mantel–Haenszel common odds
+    // ratio. 2×2×K tables: stratum = user cohort (user_id % 8),
+    // treatment = the q250/q307 deterministic arm ((user_id div 8) % 2,
+    // independent of stratum by construction), success = purchase
+    // event. Per stratum the expected count E_h = n1·m1/n, variance
+    // V_h = n1·n0·m1·m0/(n²(n−1)), MH terms R_h = a·d/n, S_h = b·c/n are
+    // each ONE fixed double chain micro-quantized to a long before the
+    // K-row sum (order-free); χ² (continuity-corrected) and OR_MH are
+    // single double chains over those quantized sums. One keyed
+    // aggregate over the scan → K=8 rows → 1-row output: linear,
+    // two shuffles, nothing driver-side. ----
+    "q332_cmh" -> ((s, dir) => {
+      val cells = t(s, dir, "events")
+        .select((col("user_id") % 8).as("h"),
+          (expr("user_id div 8") % 2).as("t"),
+          when(col("event_type") === "purchase", lit(1L)).otherwise(lit(0L))
+            .as("y"))
+        .groupBy(col("h"))
+        .agg(sum(when(col("t") === 1, lit(1L)).otherwise(lit(0L))).as("n1"),
+          sum(when(col("t") === 1, col("y")).otherwise(lit(0L))).as("a"),
+          sum(when(col("t") === 0, lit(1L)).otherwise(lit(0L))).as("n0"),
+          sum(when(col("t") === 0, col("y")).otherwise(lit(0L))).as("c"))
+      val n = (col("n1") + col("n0")).cast(DoubleType)
+      val m1 = (col("a") + col("c")).cast(DoubleType)
+      val m0 = (col("n1") + col("n0") - col("a") - col("c")).cast(DoubleType)
+      val q = (x: org.apache.spark.sql.Column) =>
+        round(x * lit(1.0e6)).cast(LongType)
+      val terms = cells.filter(col("n1") + col("n0") >= 2L)
+        .select(col("a"),
+          q(col("n1").cast(DoubleType) * m1 / n).as("__e"),
+          q(col("n1").cast(DoubleType) * col("n0").cast(DoubleType) * m1 *
+            m0 / (n * n * (n - lit(1.0)))).as("__v"),
+          q(col("a").cast(DoubleType) *
+            (col("n0") - col("c")).cast(DoubleType) / n).as("__r"),
+          q((col("n1") - col("a")).cast(DoubleType) *
+            col("c").cast(DoubleType) / n).as("__s"))
+      terms.agg(count(lit(1)).as("n_strata"), sum(col("a")).as("sum_a"),
+          sum(col("__e")).as("__se"), sum(col("__v")).as("__sv"),
+          sum(col("__r")).as("__sr"), sum(col("__s")).as("__ss"))
+        .select(col("n_strata"), col("sum_a"),
+          round(col("__se").cast(DoubleType) / lit(1.0e6), 6).as("e_sum"),
+          when(col("__sv") <= 0L, lit(null).cast(DoubleType))
+            .otherwise(round(
+              (abs(col("sum_a").cast(DoubleType) -
+                col("__se").cast(DoubleType) / lit(1.0e6)) - lit(0.5)) *
+              (abs(col("sum_a").cast(DoubleType) -
+                col("__se").cast(DoubleType) / lit(1.0e6)) - lit(0.5)) /
+              (col("__sv").cast(DoubleType) / lit(1.0e6)), 6))
+            .as("cmh_chi2"),
+          when(col("__ss") <= 0L, lit(null).cast(DoubleType))
+            .otherwise(round(col("__sr").cast(DoubleType) /
+              col("__ss").cast(DoubleType), 6)).as("or_mh"))
+    }),
+
+    // ---- q336: Hill tail-index estimator — the distribution gate the
+    // q229 Zipf fit reads off ranks and q110's histograms can't see:
+    // how heavy is the value tail really? α̂ = k / Σᵢ₌₁..k ln(x₍ᵢ₎/x₍ₖ₊₁₎)
+    // over the k largest order statistics. k is DERIVED from n
+    // (n div 1000, clamped to [10, 1000]) so the top-k cut is constant-
+    // bounded at any scale — the q321 lesson applied up front. The top
+    // 1001 values come from one TakeOrderedAndProject (distributed
+    // reduce, never a global sort); ln terms are nano-quantized longs
+    // before the k-row sum. Ties at the boundary are value-ties, so the
+    // term multiset is order-free. ----
+    "q336_hill_tail" -> ((s, dir) => {
+      val vals = t(s, dir, "lineitem").filter(col("l_extendedprice").isNotNull)
+        .select(round(col("l_extendedprice") * lit(100.0)).cast(LongType)
+          .as("__c"))
+        .filter(col("__c") > 0L)
+      val nDf = vals.agg(count(lit(1)).as("n"))
+        .withColumn("k", greatest(lit(10L), least(lit(1000L),
+          expr("n div 1000"))))
+      val top = vals.orderBy(col("__c").desc).limit(1001)
+        .withColumn("rnk", row_number().over(
+          org.apache.spark.sql.expressions.Window.orderBy(col("__c").desc))
+          .cast(LongType))
+      val j = top.crossJoin(broadcast(nDf))
+      val thr = j.filter(col("rnk") === col("k") + 1L)
+        .select(col("__c").as("__xk1"))
+      j.filter(col("rnk") <= col("k")).crossJoin(broadcast(thr))
+        .select(col("n"), col("k"),
+          round((log(col("__c").cast(DoubleType)) -
+            log(col("__xk1").cast(DoubleType))) * lit(1.0e9))
+            .cast(LongType).as("__t"))
+        .groupBy(col("n"), col("k")).agg(sum(col("__t")).as("__h"))
+        .select(col("n"), col("k"),
+          round(col("__h").cast(DoubleType) / lit(1.0e9) /
+            col("k").cast(DoubleType), 6).as("hill_h"),
+          when(col("__h") <= 0L, lit(null).cast(DoubleType))
+            .otherwise(round(col("k").cast(DoubleType) * lit(1.0e9) /
+              col("__h").cast(DoubleType), 6)).as("tail_alpha"))
+    }),
+
+    // ---- q341: Welch's t-test — the unequal-variance two-sample mean
+    // test the stats family routes around (q152 tests proportions,
+    // q214 tests location through ranks; this is the parametric mean
+    // test a metrics review actually quotes, with the Satterthwaite
+    // df that makes it safe when segment variances differ). Moments
+    // n/Σv/Σv² are exact longs/Decimals from ONE keyed aggregate;
+    // mean/variance/t/df are fixed double chains over them —
+    // bit-identical cross-engine, no quantization needed. ----
+    "q341_welch_ttest" -> ((s, dir) => {
+      val D = DecimalType(38, 0)
+      val m = t(s, dir, "events")
+        .filter(col("value").isNotNull &&
+          col("event_type").isin("purchase", "click"))
+        .select(when(col("event_type") === "purchase", lit(1L))
+          .otherwise(lit(0L)).as("__a"),
+          round(col("value") * lit(100.0)).cast(LongType).as("__v"))
+        .agg(sum(col("__a")).as("n_a"),
+          sum(when(col("__a") === 1L, col("__v")).otherwise(lit(0L)))
+            .as("__sa"),
+          sum(when(col("__a") === 1L, col("__v").cast(D) * col("__v").cast(D))
+            .otherwise(lit(0L).cast(D))).as("__qa"),
+          sum(lit(1L) - col("__a")).as("n_b"),
+          sum(when(col("__a") === 0L, col("__v")).otherwise(lit(0L)))
+            .as("__sb"),
+          sum(when(col("__a") === 0L, col("__v").cast(D) * col("__v").cast(D))
+            .otherwise(lit(0L).cast(D))).as("__qb"))
+      val ma = col("__sa").cast(DoubleType) / col("n_a").cast(DoubleType)
+      val mb = col("__sb").cast(DoubleType) / col("n_b").cast(DoubleType)
+      val va = (col("__qa").cast(DoubleType) -
+        col("__sa").cast(DoubleType) * col("__sa").cast(DoubleType) /
+          col("n_a").cast(DoubleType)) /
+        (col("n_a") - lit(1L)).cast(DoubleType)
+      val vb = (col("__qb").cast(DoubleType) -
+        col("__sb").cast(DoubleType) * col("__sb").cast(DoubleType) /
+          col("n_b").cast(DoubleType)) /
+        (col("n_b") - lit(1L)).cast(DoubleType)
+      val sea = va / col("n_a").cast(DoubleType)
+      val seb = vb / col("n_b").cast(DoubleType)
+      val bad = col("n_a") < 2L || col("n_b") < 2L
+      m.select(col("n_a"), col("n_b"),
+        round((ma - mb) / lit(100.0), 6).as("mean_diff"),
+        when(bad || sea + seb <= lit(0.0), lit(null).cast(DoubleType))
+          .otherwise(round((ma - mb) / sqrt(sea + seb), 6)).as("t_stat"),
+        when(bad || sea + seb <= lit(0.0), lit(null).cast(DoubleType))
+          .otherwise(round((sea + seb) * (sea + seb) /
+            (sea * sea / (col("n_a") - lit(1L)).cast(DoubleType) +
+             seb * seb / (col("n_b") - lit(1L)).cast(DoubleType)), 2))
+          .as("df_welch"))
+    }),
+
+    // ---- q342: A/B power analysis — the experiment-design closure of
+    // q152's z-test: given the observed arms, (a) the per-arm sample
+    // size needed to detect the OBSERVED lift at 80% power / α=0.05
+    // two-sided, and (b) the minimum detectable effect at the CURRENT
+    // sample. Counts are exact integers from one aggregate; p̂/MDE/n
+    // are fixed double chains with the z constants as literals
+    // (1.959964, 0.841621 — both engines parse the same doubles);
+    // the one integer that decides a row, n_req, is a CEIL of an
+    // identical double. ----
+    "q342_power_mde" -> ((s, dir) => {
+      val m = t(s, dir, "events")
+        .select((col("user_id") % 2).as("__arm"),
+          when(col("event_type") === "purchase", lit(1L)).otherwise(lit(0L))
+            .as("__y"))
+        .agg(sum(when(col("__arm") === 1L, lit(1L)).otherwise(lit(0L)))
+          .as("n1"),
+          sum(when(col("__arm") === 1L, col("__y")).otherwise(lit(0L)))
+            .as("x1"),
+          sum(when(col("__arm") === 0L, lit(1L)).otherwise(lit(0L)))
+            .as("n2"),
+          sum(when(col("__arm") === 0L, col("__y")).otherwise(lit(0L)))
+            .as("x2"))
+      val p1 = col("x1").cast(DoubleType) / col("n1").cast(DoubleType)
+      val p2 = col("x2").cast(DoubleType) / col("n2").cast(DoubleType)
+      val pb = (col("x1") + col("x2")).cast(DoubleType) /
+        (col("n1") + col("n2")).cast(DoubleType)
+      val delta = p1 - p2
+      val za = lit(1.959964)
+      val zb = lit(0.841621)
+      val sePooled = sqrt(lit(2.0) * pb * (lit(1.0) - pb))
+      val seArms = sqrt(p1 * (lit(1.0) - p1) + p2 * (lit(1.0) - p2))
+      m.select(col("n1"), col("x1"), col("n2"), col("x2"),
+        round(p1, 6).as("p1"), round(p2, 6).as("p2"),
+        round(delta, 6).as("delta"),
+        when(abs(delta) <= lit(0.0), lit(null).cast(LongType))
+          .otherwise(ceil((za * sePooled + zb * seArms) *
+            (za * sePooled + zb * seArms) / (abs(delta) * abs(delta)))
+            .cast(LongType)).as("n_req_per_arm"),
+        round((za + zb) * sqrt(pb * (lit(1.0) - pb) *
+          (lit(1.0) / col("n1").cast(DoubleType) +
+           lit(1.0) / col("n2").cast(DoubleType))), 6).as("mde"))
+    }),
+
+    // ---- q340: Kendall's τ-b — the pair-concordance correlation that
+    // completes the dependence trio (q210 Spearman = rank-linear, q320
+    // Mann–Kendall = τ against TIME; this is τ between two measured
+    // series): daily clicks vs daily purchases. The pair scan runs on
+    // the ~#days day table (the q320 device — corpus rows shuffle once
+    // into it, the quadratic is calendar-bounded); C/D/tie counts are
+    // exact integers, τ_b = (C−D)/√((n0−n1)(n0−n2)) is one double
+    // chain. ----
+    "q340_kendall_tau" -> ((s, dir) => {
+      val days = t(s, dir, "events")
+        .groupBy(expr("unix_micros(ts) div 86400000000").as("day"))
+        .agg(sum(when(col("event_type") === "click", lit(1L))
+          .otherwise(lit(0L))).as("x"),
+          sum(when(col("event_type") === "purchase", lit(1L))
+            .otherwise(lit(0L))).as("y"))
+        .localCheckpoint() // feeds the pair scan twice + the tie counts
+      val pairs = days.alias("p").join(days.alias("r"),
+          col("p.day") < col("r.day"))
+        .select((col("p.x") - col("r.x")).as("dx"),
+          (col("p.y") - col("r.y")).as("dy"))
+        .agg(count(lit(1)).as("n0"),
+          sum(when(col("dx") * col("dy") > 0L, lit(1L)).otherwise(lit(0L)))
+            .as("n_c"),
+          sum(when(col("dx") * col("dy") < 0L, lit(1L)).otherwise(lit(0L)))
+            .as("n_d"))
+      val tx = days.groupBy(col("x")).agg(count(lit(1)).as("t"))
+        .agg(coalesce(sum(expr("t * (t - 1) div 2")), lit(0L)).as("ties_x"))
+      val ty = days.groupBy(col("y")).agg(count(lit(1)).as("t"))
+        .agg(coalesce(sum(expr("t * (t - 1) div 2")), lit(0L)).as("ties_y"))
+      val n = days.agg(count(lit(1)).as("n_days"))
+      pairs.crossJoin(broadcast(tx)).crossJoin(broadcast(ty))
+        .crossJoin(broadcast(n))
+        .select(col("n_days"), col("n_c"), col("n_d"),
+          col("ties_x"), col("ties_y"),
+          when((col("n0") - col("ties_x")) * (col("n0") - col("ties_y"))
+              <= 0L, lit(null).cast(DoubleType))
+            .otherwise(round((col("n_c") - col("n_d")).cast(DoubleType) /
+              sqrt((col("n0") - col("ties_x")).cast(DoubleType) *
+                (col("n0") - col("ties_y")).cast(DoubleType)), 6))
+            .as("tau_b"))
+    }),
+
     // ---- q320: Mann–Kendall trend test — the significance HALF of
     // q156's Theil–Sen (that one says HOW steep; this says whether the
     // monotone trend is real at all, distribution-free): S = Σ sign
@@ -3019,6 +3335,240 @@ object Analytics {
         |    ELSE NULL END AS opposite_share
         |FROM h CROSS JOIN p
         |GROUP BY n_cells, n_strata, nump, denp""".stripMargin,
+
+    // assortativity twin: the inline basket self-join replayed, HUGEINT
+    // degree moments, one final double division
+    "q330_assortativity" ->
+      """WITH seq AS (
+        |  SELECT x.l_partkey AS a, y.l_partkey AS b
+        |  FROM lineitem x JOIN lineitem y
+        |    ON x.l_orderkey = y.l_orderkey AND x.l_partkey < y.l_partkey),
+        |und AS MATERIALIZED (SELECT DISTINCT a, b FROM seq),
+        |adj AS (SELECT a AS u, b AS v FROM und
+        |        UNION ALL SELECT b, a FROM und),
+        |deg AS MATERIALIZED (
+        |  SELECT u, CAST(COUNT(*) AS BIGINT) AS deg FROM adj GROUP BY u),
+        |nodes AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_nodes FROM deg),
+        |dd AS (SELECT du.deg AS j, dv.deg AS k
+        |       FROM adj JOIN deg du ON adj.u = du.u
+        |       JOIN deg dv ON adj.v = dv.u),
+        |g AS (SELECT CAST(COUNT(*) AS HUGEINT) AS m2,
+        |        SUM(CAST(j AS HUGEINT)) AS sj,
+        |        SUM(CAST(j AS HUGEINT) * k) AS sjk,
+        |        SUM(CAST(j AS HUGEINT) * j) AS sjj FROM dd)
+        |SELECT n_nodes, CAST(m2 // 2 AS BIGINT) AS n_edges,
+        |  CASE WHEN m2 * sjj - sj * sj <= 0 THEN NULL
+        |    ELSE round(CAST(m2 * sjk - sj * sj AS DOUBLE) /
+        |               CAST(m2 * sjj - sj * sj AS DOUBLE), 6)
+        |  END AS assortativity
+        |FROM g CROSS JOIN nodes""".stripMargin,
+
+    // rich-club twin: same edge/degree CTEs, FILTERed conditional counts
+    // per cutoff, the identical 2.0·E/(N·(N−1)) double chain
+    "q337_rich_club" ->
+      """WITH seq AS (
+        |  SELECT x.l_partkey AS a, y.l_partkey AS b
+        |  FROM lineitem x JOIN lineitem y
+        |    ON x.l_orderkey = y.l_orderkey AND x.l_partkey < y.l_partkey),
+        |und AS MATERIALIZED (SELECT DISTINCT a, b FROM seq),
+        |adj AS (SELECT a AS u, b AS v FROM und
+        |        UNION ALL SELECT b, a FROM und),
+        |deg AS MATERIALIZED (
+        |  SELECT u, CAST(COUNT(*) AS BIGINT) AS deg FROM adj GROUP BY u),
+        |dd AS (SELECT da.deg AS dega, db.deg AS degb
+        |       FROM und JOIN deg da ON und.a = da.u
+        |       JOIN deg db ON und.b = db.u),
+        |ks AS (SELECT CAST(unnest([10, 20, 40, 80]) AS BIGINT) AS k),
+        |ek AS (SELECT k, CAST(COUNT(*) FILTER (
+        |         WHERE dega > k AND degb > k) AS BIGINT) AS club_edges
+        |       FROM dd CROSS JOIN ks GROUP BY k),
+        |nk AS (SELECT k, CAST(COUNT(*) FILTER (WHERE deg > k) AS BIGINT)
+        |         AS club_nodes
+        |       FROM deg CROSS JOIN ks GROUP BY k)
+        |SELECT nk.k, club_nodes, club_edges,
+        |  CASE WHEN club_nodes < 2 THEN NULL
+        |    ELSE round(2.0 * CAST(club_edges AS DOUBLE) /
+        |      (CAST(club_nodes AS DOUBLE) * CAST(club_nodes - 1 AS DOUBLE)),
+        |      6) END AS phi
+        |FROM nk JOIN ek ON nk.k = ek.k ORDER BY nk.k""".stripMargin,
+
+    // CMH twin: identical stratum cells, the same micro-quantized
+    // E/V/R/S double chains, the same continuity-corrected chi-square
+    "q332_cmh" ->
+      """WITH cells AS (
+        |  SELECT user_id % 8 AS h,
+        |    CAST(SUM(CASE WHEN (user_id // 8) % 2 = 1 THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS n1,
+        |    CAST(SUM(CASE WHEN (user_id // 8) % 2 = 1
+        |      AND event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS a,
+        |    CAST(SUM(CASE WHEN (user_id // 8) % 2 = 0 THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS n0,
+        |    CAST(SUM(CASE WHEN (user_id // 8) % 2 = 0
+        |      AND event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS c
+        |  FROM events GROUP BY 1),
+        |terms AS (
+        |  SELECT a,
+        |    CAST(ROUND(CAST(n1 AS DOUBLE) * CAST(a + c AS DOUBLE)
+        |      / CAST(n1 + n0 AS DOUBLE) * 1000000.0) AS BIGINT) AS e,
+        |    CAST(ROUND(CAST(n1 AS DOUBLE) * CAST(n0 AS DOUBLE)
+        |      * CAST(a + c AS DOUBLE) * CAST(n1 + n0 - a - c AS DOUBLE)
+        |      / (CAST(n1 + n0 AS DOUBLE) * CAST(n1 + n0 AS DOUBLE)
+        |        * (CAST(n1 + n0 AS DOUBLE) - 1.0)) * 1000000.0) AS BIGINT)
+        |      AS v,
+        |    CAST(ROUND(CAST(a AS DOUBLE) * CAST(n0 - c AS DOUBLE)
+        |      / CAST(n1 + n0 AS DOUBLE) * 1000000.0) AS BIGINT) AS r,
+        |    CAST(ROUND(CAST(n1 - a AS DOUBLE) * CAST(c AS DOUBLE)
+        |      / CAST(n1 + n0 AS DOUBLE) * 1000000.0) AS BIGINT) AS s
+        |  FROM cells WHERE n1 + n0 >= 2)
+        |SELECT CAST(COUNT(*) AS BIGINT) AS n_strata,
+        |  CAST(SUM(a) AS BIGINT) AS sum_a,
+        |  round(CAST(SUM(e) AS DOUBLE) / 1000000.0, 6) AS e_sum,
+        |  CASE WHEN SUM(v) <= 0 THEN NULL
+        |    ELSE round((ABS(CAST(SUM(a) AS DOUBLE)
+        |        - CAST(SUM(e) AS DOUBLE) / 1000000.0) - 0.5)
+        |      * (ABS(CAST(SUM(a) AS DOUBLE)
+        |        - CAST(SUM(e) AS DOUBLE) / 1000000.0) - 0.5)
+        |      / (CAST(SUM(v) AS DOUBLE) / 1000000.0), 6) END AS cmh_chi2,
+        |  CASE WHEN SUM(s) <= 0 THEN NULL
+        |    ELSE round(CAST(SUM(r) AS DOUBLE) / CAST(SUM(s) AS DOUBLE), 6)
+        |  END AS or_mh
+        |FROM terms""".stripMargin,
+
+    // Hill twin: same derived k, same top-1001 rank cut, nano-quantized
+    // ln ratios summed as BIGINTs, the same final division chains
+    "q336_hill_tail" ->
+      """WITH v2 AS (
+        |  SELECT CAST(ROUND(l_extendedprice * 100.0) AS BIGINT) AS c
+        |  FROM lineitem WHERE l_extendedprice IS NOT NULL
+        |    AND CAST(ROUND(l_extendedprice * 100.0) AS BIGINT) > 0),
+        |nn AS (SELECT CAST(COUNT(*) AS BIGINT) AS n,
+        |  GREATEST(CAST(10 AS BIGINT), LEAST(CAST(1000 AS BIGINT),
+        |    CAST(COUNT(*) AS BIGINT) // 1000)) AS k FROM v2),
+        |top AS (SELECT c,
+        |    CAST(ROW_NUMBER() OVER (ORDER BY c DESC) AS BIGINT) AS rnk
+        |  FROM v2 QUALIFY rnk <= 1001),
+        |thr AS (SELECT c AS xk1 FROM top CROSS JOIN nn WHERE rnk = k + 1),
+        |terms AS (SELECT n, k,
+        |    CAST(ROUND((ln(CAST(c AS DOUBLE)) - ln(CAST(xk1 AS DOUBLE)))
+        |      * 1000000000.0) AS BIGINT) AS t
+        |  FROM top CROSS JOIN nn CROSS JOIN thr WHERE rnk <= k)
+        |SELECT n, k,
+        |  round(CAST(SUM(t) AS DOUBLE) / 1000000000.0 / CAST(k AS DOUBLE), 6)
+        |    AS hill_h,
+        |  CASE WHEN SUM(t) <= 0 THEN NULL
+        |    ELSE round(CAST(k AS DOUBLE) * 1000000000.0
+        |      / CAST(SUM(t) AS DOUBLE), 6) END AS tail_alpha
+        |FROM terms GROUP BY n, k""".stripMargin,
+
+    // Welch twin: identical exact moments (HUGEINT squares), the same
+    // mean/variance/t/Satterthwaite double chains
+    "q341_welch_ttest" ->
+      """WITH m AS (
+        |  SELECT
+        |    CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS n_a,
+        |    CAST(SUM(CASE WHEN event_type = 'purchase'
+        |      THEN CAST(ROUND(value * 100.0) AS BIGINT) ELSE 0 END)
+        |      AS BIGINT) AS sa,
+        |    SUM(CASE WHEN event_type = 'purchase'
+        |      THEN CAST(CAST(ROUND(value * 100.0) AS BIGINT) AS HUGEINT)
+        |        * CAST(ROUND(value * 100.0) AS BIGINT) ELSE 0 END) AS qa,
+        |    CAST(SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS n_b,
+        |    CAST(SUM(CASE WHEN event_type = 'click'
+        |      THEN CAST(ROUND(value * 100.0) AS BIGINT) ELSE 0 END)
+        |      AS BIGINT) AS sb,
+        |    SUM(CASE WHEN event_type = 'click'
+        |      THEN CAST(CAST(ROUND(value * 100.0) AS BIGINT) AS HUGEINT)
+        |        * CAST(ROUND(value * 100.0) AS BIGINT) ELSE 0 END) AS qb
+        |  FROM events
+        |  WHERE value IS NOT NULL AND event_type IN ('purchase', 'click')),
+        |d AS (SELECT n_a, n_b,
+        |    CAST(sa AS DOUBLE) / CAST(n_a AS DOUBLE) AS ma,
+        |    CAST(sb AS DOUBLE) / CAST(n_b AS DOUBLE) AS mb,
+        |    (CAST(qa AS DOUBLE) - CAST(sa AS DOUBLE) * CAST(sa AS DOUBLE)
+        |      / CAST(n_a AS DOUBLE)) / CAST(n_a - 1 AS DOUBLE) AS va,
+        |    (CAST(qb AS DOUBLE) - CAST(sb AS DOUBLE) * CAST(sb AS DOUBLE)
+        |      / CAST(n_b AS DOUBLE)) / CAST(n_b - 1 AS DOUBLE) AS vb
+        |  FROM m),
+        |e AS (SELECT n_a, n_b, ma, mb,
+        |    va / CAST(n_a AS DOUBLE) AS sea,
+        |    vb / CAST(n_b AS DOUBLE) AS seb
+        |  FROM d)
+        |SELECT n_a, n_b, round((ma - mb) / 100.0, 6) AS mean_diff,
+        |  CASE WHEN n_a < 2 OR n_b < 2 OR sea + seb <= 0.0 THEN NULL
+        |    ELSE round((ma - mb) / sqrt(sea + seb), 6) END AS t_stat,
+        |  CASE WHEN n_a < 2 OR n_b < 2 OR sea + seb <= 0.0 THEN NULL
+        |    ELSE round((sea + seb) * (sea + seb)
+        |      / (sea * sea / CAST(n_a - 1 AS DOUBLE)
+        |        + seb * seb / CAST(n_b - 1 AS DOUBLE)), 2) END AS df_welch
+        |FROM e""".stripMargin,
+
+    // power/MDE twin: exact arm counts, identical z-literal chains,
+    // the same CEIL over an identical double
+    "q342_power_mde" ->
+      """WITH m AS (
+        |  SELECT
+        |    CAST(SUM(CASE WHEN user_id % 2 = 1 THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS n1,
+        |    CAST(SUM(CASE WHEN user_id % 2 = 1
+        |      AND event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS x1,
+        |    CAST(SUM(CASE WHEN user_id % 2 = 0 THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS n2,
+        |    CAST(SUM(CASE WHEN user_id % 2 = 0
+        |      AND event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS x2
+        |  FROM events),
+        |p AS (SELECT n1, x1, n2, x2,
+        |    CAST(x1 AS DOUBLE) / CAST(n1 AS DOUBLE) AS p1d,
+        |    CAST(x2 AS DOUBLE) / CAST(n2 AS DOUBLE) AS p2d,
+        |    CAST(x1 + x2 AS DOUBLE) / CAST(n1 + n2 AS DOUBLE) AS pb
+        |  FROM m),
+        |q AS (SELECT *, p1d - p2d AS delta,
+        |    sqrt(2.0 * pb * (1.0 - pb)) AS sep,
+        |    sqrt(p1d * (1.0 - p1d) + p2d * (1.0 - p2d)) AS searms
+        |  FROM p)
+        |SELECT n1, x1, n2, x2, round(p1d, 6) AS p1, round(p2d, 6) AS p2,
+        |  round(delta, 6) AS delta,
+        |  CASE WHEN ABS(delta) <= 0.0 THEN NULL
+        |    ELSE CAST(CEIL((1.959964 * sep + 0.841621 * searms)
+        |      * (1.959964 * sep + 0.841621 * searms)
+        |      / (ABS(delta) * ABS(delta))) AS BIGINT) END AS n_req_per_arm,
+        |  round((1.959964 + 0.841621) * sqrt(pb * (1.0 - pb)
+        |    * (1.0 / CAST(n1 AS DOUBLE) + 1.0 / CAST(n2 AS DOUBLE))), 6)
+        |    AS mde
+        |FROM q""".stripMargin,
+
+    // Kendall tau-b twin: the same day table, exact pair/tie counts,
+    // one final double chain
+    "q340_kendall_tau" ->
+      """WITH days AS (
+        |  SELECT epoch_us(ts) // 86400000000 AS day,
+        |    CAST(SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS x,
+        |    CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS y
+        |  FROM events GROUP BY 1),
+        |pairs AS (SELECT CAST(COUNT(*) AS BIGINT) AS n0,
+        |    CAST(SUM(CASE WHEN (p.x - r.x) * (p.y - r.y) > 0
+        |      THEN 1 ELSE 0 END) AS BIGINT) AS n_c,
+        |    CAST(SUM(CASE WHEN (p.x - r.x) * (p.y - r.y) < 0
+        |      THEN 1 ELSE 0 END) AS BIGINT) AS n_d
+        |  FROM days p JOIN days r ON p.day < r.day),
+        |tx AS (SELECT CAST(COALESCE(SUM(t * (t - 1) // 2), 0) AS BIGINT)
+        |    AS ties_x
+        |  FROM (SELECT COUNT(*) AS t FROM days GROUP BY x)),
+        |ty AS (SELECT CAST(COALESCE(SUM(t * (t - 1) // 2), 0) AS BIGINT)
+        |    AS ties_y
+        |  FROM (SELECT COUNT(*) AS t FROM days GROUP BY y)),
+        |nn AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_days FROM days)
+        |SELECT n_days, n_c, n_d, ties_x, ties_y,
+        |  CASE WHEN (n0 - ties_x) * (n0 - ties_y) <= 0 THEN NULL
+        |    ELSE round(CAST(n_c - n_d AS DOUBLE)
+        |      / sqrt(CAST(n0 - ties_x AS DOUBLE)
+        |        * CAST(n0 - ties_y AS DOUBLE)), 6) END AS tau_b
+        |FROM pairs CROSS JOIN tx CROSS JOIN ty CROSS JOIN nn""".stripMargin,
 
     // AIPW twin: q250's unit/strata CTEs, global-mean outcome model,
     // the same raw + Laplace-smoothed correction double chains

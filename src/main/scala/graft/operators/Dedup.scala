@@ -396,6 +396,56 @@ object Dedup {
         .orderBy(col("doc_id"))
     }),
 
+    // ---- q343: B³ (B-cubed) clustering evaluation — the per-ITEM
+    // dedup-quality score the pair-level audits can't give: q316 scores
+    // LSH pair recall/precision, q183 scores partition agreement (ARI),
+    // but B³ is what annotation/dedup evaluations actually report
+    // (Bagga–Baldwin; the standard for entity resolution): for each
+    // document, precision = fraction of its SYSTEM cluster sharing its
+    // gold label, recall = fraction of its GOLD class sharing its
+    // cluster. System = the q54 minhash components; gold = exact
+    // normalized-content identity (the q55 md5 device). Both reduce to
+    // per-(cluster, label) cell counts: P = Σ n²/|C| / N, R = Σ n²/|L|
+    // / N — each cell term ONE double chain nano-quantized before the
+    // global sum. Cells/sizes are keyed aggregates: linear beyond the
+    // q54 component machinery it reuses. ----
+    "q343_bcubed" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val pairs = minhashPairs(docs, "text", "doc_id", 4, 5)
+        .select(col("da"), col("db"))
+      val comp = graft.api.Graft.connectedComponents(pairs, "da", "db")
+        .withColumnRenamed("node", "doc_id")
+      val base = docs.select(col("doc_id"),
+          md5(regexp_replace(lower(trim(col("text"))), "\\s+", " "))
+            .as("gold"))
+        .join(comp, Seq("doc_id"), "left")
+        .select(col("doc_id"), col("gold"),
+          coalesce(col("component"), col("doc_id")).as("sys"))
+      val cells = base.groupBy(col("sys"), col("gold"))
+        .agg(count(lit(1)).as("ncl"))
+        .localCheckpoint() // feeds both size tables + the contrib scan
+      val csz = cells.groupBy(col("sys")).agg(sum(col("ncl")).as("cs"))
+      val lsz = cells.groupBy(col("gold")).agg(sum(col("ncl")).as("ls"))
+      val contrib = cells.join(csz, "sys").join(lsz, "gold")
+        .select(col("ncl"),
+          round(col("ncl").cast(DoubleType) * col("ncl").cast(DoubleType) /
+            col("cs").cast(DoubleType) * lit(1.0e9)).cast(LongType)
+            .as("__p"),
+          round(col("ncl").cast(DoubleType) * col("ncl").cast(DoubleType) /
+            col("ls").cast(DoubleType) * lit(1.0e9)).cast(LongType)
+            .as("__r"))
+      val agg = contrib.agg(sum(col("ncl")).as("n_docs"),
+        sum(col("__p")).as("__sp"), sum(col("__r")).as("__sr"))
+      val p = col("__sp").cast(DoubleType) / lit(1.0e9) /
+        col("n_docs").cast(DoubleType)
+      val r = col("__sr").cast(DoubleType) / lit(1.0e9) /
+        col("n_docs").cast(DoubleType)
+      agg.select(col("n_docs"),
+        round(p, 6).as("bcubed_precision"), round(r, 6).as("bcubed_recall"),
+        when(p + r <= lit(0.0), lit(null).cast(DoubleType))
+          .otherwise(round(lit(2.0) * p * r / (p + r), 6)).as("bcubed_f1"))
+    }),
+
     // ---- q52: containment near-dup pairs (C >= 0.9 of the smaller set) ----
     "q52_dedup_containment" -> ((s, dir) => {
       containmentPairs(t(s, dir, "documents"), "text", "doc_id",
@@ -842,6 +892,76 @@ object Dedup {
         |)
         |SELECT a AS node, least(a, MIN(b)) AS component
         |FROM reach GROUP BY a ORDER BY node""".stripMargin,
+
+    // B-cubed twin: q54's recursive closure for the system clusters,
+    // q55's md5 normalization for gold, the same nano-quantized
+    // per-cell n²/|C| and n²/|L| chains
+    "q343_bcubed" ->
+      """WITH RECURSIVE toks AS (
+        |  SELECT doc_id, string_split(trim(text), ' ') AS t FROM documents
+        |), sh AS (
+        |  SELECT DISTINCT doc_id, t[i] || chr(0) || t[i+1] || chr(0) || t[i+2] AS s
+        |  FROM (SELECT doc_id, t, unnest(generate_series(1, greatest(len(t) - 2, 0))) AS i FROM toks)
+        |), sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id
+        |), inter AS (
+        |  SELECT a.doc_id AS da, b.doc_id AS db, COUNT(*) AS i
+        |  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+        |  GROUP BY 1, 2
+        |), pairs AS (
+        |  SELECT da, db FROM inter
+        |  JOIN sizes sa ON sa.doc_id = da
+        |  JOIN sizes sb ON sb.doc_id = db
+        |  WHERE 5 * i >= 4 * (sa.n + sb.n - i)
+        |), edges AS (
+        |  SELECT da AS a, db AS b FROM pairs UNION SELECT db, da FROM pairs
+        |), reach AS (
+        |  SELECT a, b FROM edges
+        |  UNION
+        |  SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a
+        |), comp AS (
+        |  SELECT a AS node, least(a, MIN(b)) AS component
+        |  FROM reach GROUP BY a
+        |), base AS (
+        |  SELECT d.doc_id,
+        |    md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS gold,
+        |    COALESCE(c.component, d.doc_id) AS sys
+        |  FROM documents d LEFT JOIN comp c ON c.node = d.doc_id
+        |), cells AS (
+        |  SELECT sys, gold, CAST(COUNT(*) AS BIGINT) AS ncl
+        |  FROM base GROUP BY 1, 2
+        |), csz AS (SELECT sys, CAST(SUM(ncl) AS BIGINT) AS cs
+        |           FROM cells GROUP BY 1
+        |), lsz AS (SELECT gold, CAST(SUM(ncl) AS BIGINT) AS ls
+        |           FROM cells GROUP BY 1
+        |), contrib AS (
+        |  SELECT ncl,
+        |    CAST(ROUND(CAST(ncl AS DOUBLE) * CAST(ncl AS DOUBLE)
+        |      / CAST(cs AS DOUBLE) * 1000000000.0) AS BIGINT) AS pq,
+        |    CAST(ROUND(CAST(ncl AS DOUBLE) * CAST(ncl AS DOUBLE)
+        |      / CAST(ls AS DOUBLE) * 1000000000.0) AS BIGINT) AS rq
+        |  FROM cells JOIN csz USING (sys) JOIN lsz USING (gold)
+        |), agg AS (
+        |  SELECT CAST(SUM(ncl) AS BIGINT) AS n_docs,
+        |    CAST(SUM(pq) AS BIGINT) AS sp, CAST(SUM(rq) AS BIGINT) AS sr
+        |  FROM contrib)
+        |SELECT n_docs,
+        |  round(CAST(sp AS DOUBLE) / 1000000000.0
+        |    / CAST(n_docs AS DOUBLE), 6) AS bcubed_precision,
+        |  round(CAST(sr AS DOUBLE) / 1000000000.0
+        |    / CAST(n_docs AS DOUBLE), 6) AS bcubed_recall,
+        |  CASE WHEN CAST(sp AS DOUBLE) / 1000000000.0
+        |      / CAST(n_docs AS DOUBLE)
+        |      + CAST(sr AS DOUBLE) / 1000000000.0
+        |      / CAST(n_docs AS DOUBLE) <= 0.0 THEN NULL
+        |    ELSE round(2.0 * (CAST(sp AS DOUBLE) / 1000000000.0
+        |        / CAST(n_docs AS DOUBLE))
+        |      * (CAST(sr AS DOUBLE) / 1000000000.0
+        |        / CAST(n_docs AS DOUBLE))
+        |      / (CAST(sp AS DOUBLE) / 1000000000.0
+        |        / CAST(n_docs AS DOUBLE)
+        |        + CAST(sr AS DOUBLE) / 1000000000.0
+        |        / CAST(n_docs AS DOUBLE)), 6) END AS bcubed_f1
+        |FROM agg""".stripMargin,
 
     // q270 twin: q54's recursive closure, then the same two integer
     // aggregations (LEFT JOIN keeps singletons; outer sums cast to

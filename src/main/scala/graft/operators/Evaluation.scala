@@ -365,6 +365,195 @@ object Evaluation {
           col("kappa"))
     }),
 
+    // ---- q334: Krippendorff's alpha (nominal) — the agreement gate
+    // q280's Fleiss kappa can't give when the rater panel is RAGGED:
+    // Fleiss requires a constant R raters per item; real annotation
+    // (RLHF label queues, review backfills) has whoever showed up.
+    // Krippendorff handles any m_u ≥ 2 via coincidence counting.
+    // Items = parts, raters = supplier cohorts (l_suppkey % 4), value =
+    // the cohort's first return flag (deterministic min). Per-(item,
+    // value) agreement mass n_uc(n_uc−1)/(m_u−1) is ONE double chain
+    // nano-quantized to a long before the global sum (order-free);
+    // category totals are exact integers (Decimal for the n_c(n_c−1)
+    // products — they bind at ~10¹⁹ values per category as longs);
+    // D_o, D_e, α are fixed double chains over those. Two keyed
+    // aggregates over the scan + category-sized tails: linear. ----
+    "q334_krippendorff" -> ((s, dir) => {
+      val D = DecimalType(38, 0)
+      val ratings = t(s, dir, "lineitem")
+        .groupBy(col("l_partkey").as("item"),
+          (col("l_suppkey") % 4).as("rater"))
+        .agg(min(col("l_returnflag")).as("v"))
+      val mu = ratings.groupBy(col("item")).agg(count(lit(1)).as("m"))
+        .filter(col("m") >= 2L)
+      val nuc = ratings.join(mu, "item")
+        .groupBy(col("item"), col("m"), col("v"))
+        .agg(count(lit(1)).as("nuc"))
+      val oagg = nuc.select(col("v"), col("nuc"),
+        round(col("nuc").cast(DoubleType) * (col("nuc") - 1L).cast(DoubleType)
+          / (col("m") - 1L).cast(DoubleType) * lit(1.0e9))
+          .cast(LongType).as("__o"))
+      val tot = oagg.agg(sum(col("__o")).as("__oa"))
+      val nn = mu.agg(count(lit(1)).as("n_items"), sum(col("m")).as("n_values"))
+      val ce = oagg.groupBy(col("v")).agg(sum(col("nuc")).as("nc"))
+        .agg(count(lit(1)).as("n_categories"),
+          sum(col("nc").cast(D) * (col("nc") - 1L).cast(D)).as("__ce"))
+      val dOr = lit(1.0) - col("__oa").cast(DoubleType) /
+        (lit(1.0e9) * col("n_values").cast(DoubleType))
+      val dEr = lit(1.0) - col("__ce").cast(DoubleType) /
+        (col("n_values").cast(DoubleType) *
+          (col("n_values") - lit(1L)).cast(DoubleType))
+      broadcast(tot).crossJoin(broadcast(nn)).crossJoin(broadcast(ce))
+        .select(col("n_items"), col("n_values"), col("n_categories"),
+          round(dOr, 6).as("d_o"), round(dEr, 6).as("d_e"),
+          when(dEr <= lit(0.0), lit(null).cast(DoubleType))
+            .otherwise(round(lit(1.0) - dOr / dEr, 6)).as("alpha"))
+    }),
+
+    // ---- q335: doubly-robust off-policy evaluation — the serving-side
+    // counterfactual gate (Dudík 2011) the bandit family (q252 replay,
+    // q245 uplift) was missing: what would the ARGMAX policy have
+    // earned on logged traffic, with the DR estimator that stays
+    // consistent if EITHER the outcome model OR the propensity is
+    // right? Logged data = events (context = user cohort, action =
+    // event type, reward = value); the outcome model q̂ is fit on even
+    // epoch-days and evaluated on odd days (an in-sample q̂ makes the
+    // DR correction vanish identically — the split keeps it honest);
+    // the behavior propensity is the eval split's empirical n_xa/n_x.
+    // Everything aggregates to (context × action) cells: q̂ micro-
+    // quantized per train cell, the DM / IPS / correction terms each
+    // ONE fixed double chain micro-quantized per eval cell before the
+    // global sum. Two scans + k×16-cell tails, all broadcast: linear,
+    // no per-row model math. Unseen-cell fallbacks (context or action
+    // missing from train) coalesce to the global train mean / global
+    // argmax action — dormant on this data but pinned in both engines.
+    // ----
+    "q335_dr_ope" -> ((s, dir) => {
+      val wAll = org.apache.spark.sql.expressions.Window
+        .orderBy(col("qhat").desc, col("a"))
+      val base = t(s, dir, "events").filter(col("value").isNotNull)
+        .select((col("user_id") % 16).as("x"), col("event_type").as("a"),
+          round(col("value") * lit(100.0)).cast(LongType).as("r"),
+          (expr("unix_micros(ts) div 86400000000") % 2).as("split"))
+      val train = base.filter(col("split") === 0L)
+      val ev = base.filter(col("split") === 1L)
+      val tcell = train.groupBy(col("x"), col("a"))
+        .agg(round(sum(col("r")).cast(DoubleType) /
+          count(lit(1)).cast(DoubleType) * lit(1.0e6))
+          .cast(LongType).as("qhat"))
+        .localCheckpoint() // feeds π(x), the per-cell q̂ join, and n_train
+      val nTrain = train.agg(count(lit(1)).as("n_train"))
+      val g = train.agg(round(sum(col("r")).cast(DoubleType) /
+        count(lit(1)).cast(DoubleType) * lit(1.0e6)).cast(LongType).as("g"))
+      val ga = train.groupBy(col("a"))
+        .agg(round(sum(col("r")).cast(DoubleType) /
+          count(lit(1)).cast(DoubleType) * lit(1.0e6))
+          .cast(LongType).as("qhat"))
+      val agl = ga.withColumn("rn", row_number().over(wAll))
+        .filter(col("rn") === 1)
+        .select(col("a").as("ag"), col("qhat").as("qag"))
+      val wx = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("x")).orderBy(col("qhat").desc, col("a"))
+      val pi = tcell.withColumn("rn", row_number().over(wx))
+        .filter(col("rn") === 1)
+        .select(col("x"), col("a").as("pia"), col("qhat").as("qpi"))
+      val ecell = ev.groupBy(col("x"), col("a"))
+        .agg(count(lit(1)).as("n"), sum(col("r")).as("sr"))
+      val nx = ecell.groupBy(col("x")).agg(sum(col("n")).as("nx"))
+      val nEval = ev.agg(count(lit(1)).as("n_eval"))
+      // context-level DM mass: n_x · q̂(x, π(x)), micro-cents
+      val dm = nx.join(broadcast(pi), Seq("x"), "left")
+        .crossJoin(broadcast(agl)).crossJoin(broadcast(g))
+        .select(round(col("nx").cast(DoubleType) *
+          coalesce(col("qpi"), col("qag")).cast(DoubleType))
+          .cast(LongType).as("__dm"))
+        .agg(sum(col("__dm")).as("__sdm"))
+      // cell-level IPS + DR correction on π-matching cells
+      val cj = ecell.join(nx, "x")
+        .join(broadcast(pi), Seq("x"), "left")
+        .join(broadcast(tcell), Seq("x", "a"), "left")
+        .crossJoin(broadcast(agl)).crossJoin(broadcast(g))
+        .filter(col("a") === coalesce(col("pia"), col("ag")))
+      val sums = cj.select(
+          round(col("sr").cast(DoubleType) * col("nx").cast(DoubleType) /
+            col("n").cast(DoubleType) * lit(1.0e6))
+            .cast(LongType).as("__ips"),
+          round((col("sr").cast(DoubleType) * lit(1.0e6) -
+            col("n").cast(DoubleType) *
+              coalesce(col("qhat"), col("g")).cast(DoubleType)) *
+            col("nx").cast(DoubleType) / col("n").cast(DoubleType))
+            .cast(LongType).as("__corr"))
+        .agg(coalesce(sum(col("__ips")), lit(0L)).as("__sips"),
+          coalesce(sum(col("__corr")), lit(0L)).as("__scorr"))
+      broadcast(nTrain).crossJoin(broadcast(nEval))
+        .crossJoin(broadcast(dm)).crossJoin(broadcast(sums))
+        .select(col("n_train"), col("n_eval"),
+          round(col("__sdm").cast(DoubleType) / lit(1.0e8) /
+            col("n_eval").cast(DoubleType), 6).as("v_dm"),
+          round(col("__sips").cast(DoubleType) / lit(1.0e8) /
+            col("n_eval").cast(DoubleType), 6).as("v_ips"),
+          round((col("__sdm") + col("__scorr")).cast(DoubleType) /
+            lit(1.0e8) / col("n_eval").cast(DoubleType), 6).as("v_dr"))
+    }),
+
+    // ---- q339: propensity-score matching ATT — the third leg of the
+    // ATE family's identification tripod: q254 re-WEIGHTS by inverse
+    // propensity, q250/q307 STRATIFY, this one MATCHES — each treated
+    // unit to its nearest control on the propensity score (1-NN with
+    // replacement, caliper 0.05), the estimator reviewers ask for when
+    // overlap is doubtful (q327's gate). Scores come from a FIXED-
+    // coefficient logistic over per-user activity features (micro-
+    // quantized — deterministic, no fitting RNG); matching is a
+    // BUCKET-blocked candidate join (score div caliper, each treated
+    // probes its own + 2 adjacent buckets — a caliper match can never
+    // straddle further), best = row_number on (gap, score, id): every
+    // decision integer. 100 TB shape: one user aggregate, an equi join
+    // on bucket with bounded probe width, per-treated windows. ----
+    "q339_psm_att" -> ((s, dir) => {
+      val u = t(s, dir, "events")
+        .groupBy(col("user_id"))
+        .agg(count(lit(1)).as("nev"),
+          sum(when(col("event_type") === "click", lit(1L))
+            .otherwise(lit(0L))).as("clicks"),
+          coalesce(sum(when(col("value").isNotNull,
+            round(col("value") * lit(100.0)).cast(LongType))
+            .otherwise(lit(0L))), lit(0L)).as("y"))
+        .withColumn("t", expr("user_id div 8") % 2)
+      val z = lit(-1.2) +
+        lit(0.8) * log(col("nev").cast(DoubleType) + lit(1.0)) -
+        lit(1.5) * (col("clicks").cast(DoubleType) /
+          col("nev").cast(DoubleType))
+      val sb = u
+        .withColumn("p_mu",
+          round(lit(1.0e6) / (lit(1.0) + exp(-z))).cast(LongType))
+        .withColumn("b", expr("p_mu div 50000"))
+      val tr = sb.filter(col("t") === 1L).select(col("user_id").as("t_uid"),
+        col("p_mu").as("pt"), col("y").as("yt"), col("b"))
+      val ct = sb.filter(col("t") === 0L).select(col("user_id").as("c_uid"),
+        col("p_mu").as("pc"), col("y").as("yc"), col("b").as("cb"))
+      val cand = tr
+        .withColumn("cb",
+          explode(array(col("b") - 1L, col("b"), col("b") + 1L)))
+        .join(ct, "cb")
+        .withColumn("gap", abs(col("pt") - col("pc")))
+        .filter(col("gap") <= 50000L)
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("t_uid")).orderBy(col("gap"), col("pc"),
+          col("c_uid"))
+      val best = cand.withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1)
+      val nt = tr.agg(count(lit(1)).as("n_treated"))
+      best.agg(count(lit(1)).as("n_matched"),
+          sum(col("yt") - col("yc")).as("__d"),
+          sum(col("gap")).as("__g"))
+        .crossJoin(broadcast(nt))
+        .select(col("n_treated"), col("n_matched"),
+          round(col("__d").cast(DoubleType) / lit(100.0) /
+            col("n_matched").cast(DoubleType), 6).as("att"),
+          round(col("__g").cast(DoubleType) / lit(1.0e6) /
+            col("n_matched").cast(DoubleType), 6).as("mean_pscore_gap"))
+    }),
+
     // ---- q279: self-BLEU corpus-diversity audit (Zhu et al. 2018) —
     // the synthetic-data gate BLEU-against-a-reference can't give: how
     // template-like is the corpus against ITSELF? Pairs are adjacent
@@ -915,6 +1104,147 @@ object Evaluation {
         |ORDER BY lang""".stripMargin
 
   private val oracleMore: Map[String, String] = Map(
+    // PSM twin: same fixed-coefficient logistic (identical double chain
+    // micro-quantized), bucket-blocked candidates, QUALIFY 1-NN pick
+    "q339_psm_att" ->
+      """WITH u AS (
+        |  SELECT user_id, CAST(COUNT(*) AS BIGINT) AS nev,
+        |    CAST(SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS clicks,
+        |    CAST(COALESCE(SUM(CASE WHEN value IS NOT NULL
+        |      THEN CAST(ROUND(value * 100.0) AS BIGINT) ELSE 0 END), 0)
+        |      AS BIGINT) AS y,
+        |    (user_id // 8) % 2 AS t
+        |  FROM events GROUP BY user_id),
+        |sc AS (SELECT *, CAST(ROUND(1000000.0 / (1.0 + exp(-(-1.2
+        |    + 0.8 * ln(CAST(nev AS DOUBLE) + 1.0)
+        |    - 1.5 * (CAST(clicks AS DOUBLE) / CAST(nev AS DOUBLE))))))
+        |    AS BIGINT) AS p_mu
+        |  FROM u),
+        |sb AS (SELECT *, p_mu // 50000 AS b FROM sc),
+        |tr AS (SELECT user_id AS t_uid, p_mu AS pt, y AS yt, b
+        |       FROM sb WHERE t = 1),
+        |ct AS (SELECT user_id AS c_uid, p_mu AS pc, y AS yc, b AS cb
+        |       FROM sb WHERE t = 0),
+        |cand AS (
+        |  SELECT t_uid, pt, yt, pc, yc, c_uid, ABS(pt - pc) AS gap
+        |  FROM (SELECT tr.*, unnest([b - 1, b, b + 1]) AS cb FROM tr) tx
+        |  JOIN ct USING (cb) WHERE ABS(pt - pc) <= 50000),
+        |best AS (SELECT * FROM cand QUALIFY ROW_NUMBER() OVER (
+        |  PARTITION BY t_uid ORDER BY gap, pc, c_uid) = 1),
+        |nt AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_treated FROM tr),
+        |ag AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_matched,
+        |    CAST(SUM(yt - yc) AS BIGINT) AS d,
+        |    CAST(SUM(gap) AS BIGINT) AS g
+        |  FROM best)
+        |SELECT n_treated, n_matched,
+        |  round(CAST(d AS DOUBLE) / 100.0
+        |    / CAST(n_matched AS DOUBLE), 6) AS att,
+        |  round(CAST(g AS DOUBLE) / 1000000.0
+        |    / CAST(n_matched AS DOUBLE), 6) AS mean_pscore_gap
+        |FROM ag CROSS JOIN nt""".stripMargin,
+
+    // Krippendorff twin: same ragged-panel coincidence counting —
+    // nano-quantized per-(item,value) agreement terms, HUGEINT category
+    // products, identical D_o/D_e/alpha double chains
+    "q334_krippendorff" ->
+      """WITH ratings AS (
+        |  SELECT l_partkey AS item, l_suppkey % 4 AS rater,
+        |    MIN(l_returnflag) AS v
+        |  FROM lineitem GROUP BY 1, 2),
+        |mu AS (SELECT item, CAST(COUNT(*) AS BIGINT) AS m
+        |       FROM ratings GROUP BY 1 HAVING COUNT(*) >= 2),
+        |nuc AS (SELECT r.item, mu.m, r.v, CAST(COUNT(*) AS BIGINT) AS nuc
+        |        FROM ratings r JOIN mu ON r.item = mu.item GROUP BY 1, 2, 3),
+        |oagg AS (SELECT v, nuc,
+        |    CAST(ROUND(CAST(nuc AS DOUBLE) * CAST(nuc - 1 AS DOUBLE)
+        |      / CAST(m - 1 AS DOUBLE) * 1000000000.0) AS BIGINT) AS o
+        |  FROM nuc),
+        |tot AS (SELECT CAST(SUM(o) AS BIGINT) AS oa FROM oagg),
+        |nn AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_items,
+        |       CAST(SUM(m) AS BIGINT) AS n_values FROM mu),
+        |ce AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_categories,
+        |    SUM(CAST(nc AS HUGEINT) * (nc - 1)) AS cesum
+        |  FROM (SELECT v, CAST(SUM(nuc) AS BIGINT) AS nc
+        |        FROM oagg GROUP BY v))
+        |SELECT n_items, n_values, n_categories,
+        |  round(1.0 - CAST(oa AS DOUBLE)
+        |    / (1000000000.0 * CAST(n_values AS DOUBLE)), 6) AS d_o,
+        |  round(1.0 - CAST(cesum AS DOUBLE)
+        |    / (CAST(n_values AS DOUBLE) * CAST(n_values - 1 AS DOUBLE)), 6)
+        |    AS d_e,
+        |  CASE WHEN 1.0 - CAST(cesum AS DOUBLE)
+        |      / (CAST(n_values AS DOUBLE) * CAST(n_values - 1 AS DOUBLE))
+        |      <= 0.0 THEN NULL
+        |    ELSE round(1.0 - (1.0 - CAST(oa AS DOUBLE)
+        |        / (1000000000.0 * CAST(n_values AS DOUBLE)))
+        |      / (1.0 - CAST(cesum AS DOUBLE)
+        |        / (CAST(n_values AS DOUBLE)
+        |          * CAST(n_values - 1 AS DOUBLE))), 6)
+        |  END AS alpha
+        |FROM tot CROSS JOIN nn CROSS JOIN ce""".stripMargin,
+
+    // DR-OPE twin: identical split/cells, micro-quantized q-hat per
+    // train cell, the same argmax tie-breaks via QUALIFY, the same
+    // micro-quantized DM/IPS/correction chains per eval cell
+    "q335_dr_ope" ->
+      """WITH base AS (
+        |  SELECT user_id % 16 AS x, event_type AS a,
+        |    CAST(ROUND(value * 100.0) AS BIGINT) AS r,
+        |    (epoch_us(ts) // 86400000000) % 2 AS split
+        |  FROM events WHERE value IS NOT NULL),
+        |train AS (SELECT * FROM base WHERE split = 0),
+        |ev AS (SELECT * FROM base WHERE split = 1),
+        |tcell AS (SELECT x, a,
+        |    CAST(ROUND(CAST(SUM(r) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE)
+        |      * 1000000.0) AS BIGINT) AS qhat
+        |  FROM train GROUP BY 1, 2),
+        |ntr AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_train FROM train),
+        |gg AS (SELECT CAST(ROUND(CAST(SUM(r) AS DOUBLE)
+        |    / CAST(COUNT(*) AS DOUBLE) * 1000000.0) AS BIGINT) AS g
+        |  FROM train),
+        |ga AS (SELECT a, CAST(ROUND(CAST(SUM(r) AS DOUBLE)
+        |    / CAST(COUNT(*) AS DOUBLE) * 1000000.0) AS BIGINT) AS qhat
+        |  FROM train GROUP BY 1),
+        |agl AS (SELECT a AS ag, qhat AS qag FROM ga
+        |        QUALIFY ROW_NUMBER() OVER (ORDER BY qhat DESC, a) = 1),
+        |pi AS (SELECT x, a AS pia, qhat AS qpi FROM tcell
+        |       QUALIFY ROW_NUMBER() OVER (
+        |         PARTITION BY x ORDER BY qhat DESC, a) = 1),
+        |ecell AS (SELECT x, a, CAST(COUNT(*) AS BIGINT) AS n,
+        |    CAST(SUM(r) AS BIGINT) AS sr
+        |  FROM ev GROUP BY 1, 2),
+        |nx AS (SELECT x, CAST(SUM(n) AS BIGINT) AS nx
+        |       FROM ecell GROUP BY 1),
+        |nev AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_eval FROM ev),
+        |dm AS (SELECT CAST(SUM(CAST(ROUND(CAST(nx.nx AS DOUBLE)
+        |      * CAST(COALESCE(pi.qpi, agl.qag) AS DOUBLE)) AS BIGINT))
+        |    AS BIGINT) AS sdm
+        |  FROM nx LEFT JOIN pi ON nx.x = pi.x CROSS JOIN agl),
+        |cj AS (SELECT ecell.n, ecell.sr, nx.nx,
+        |    COALESCE(tc.qhat, gg.g) AS qae
+        |  FROM ecell JOIN nx ON ecell.x = nx.x
+        |  LEFT JOIN pi ON ecell.x = pi.x
+        |  LEFT JOIN tcell tc ON ecell.x = tc.x AND ecell.a = tc.a
+        |  CROSS JOIN agl CROSS JOIN gg
+        |  WHERE ecell.a = COALESCE(pi.pia, agl.ag)),
+        |sums AS (SELECT
+        |    COALESCE(CAST(SUM(CAST(ROUND(CAST(sr AS DOUBLE)
+        |      * CAST(nx AS DOUBLE) / CAST(n AS DOUBLE) * 1000000.0)
+        |      AS BIGINT)) AS BIGINT), 0) AS sips,
+        |    COALESCE(CAST(SUM(CAST(ROUND((CAST(sr AS DOUBLE) * 1000000.0
+        |      - CAST(n AS DOUBLE) * CAST(qae AS DOUBLE))
+        |      * CAST(nx AS DOUBLE) / CAST(n AS DOUBLE)) AS BIGINT))
+        |      AS BIGINT), 0) AS scorr
+        |  FROM cj)
+        |SELECT n_train, n_eval,
+        |  round(CAST(sdm AS DOUBLE) / 100000000.0
+        |    / CAST(n_eval AS DOUBLE), 6) AS v_dm,
+        |  round(CAST(sips AS DOUBLE) / 100000000.0
+        |    / CAST(n_eval AS DOUBLE), 6) AS v_ips,
+        |  round(CAST(sdm + scorr AS DOUBLE) / 100000000.0
+        |    / CAST(n_eval AS DOUBLE), 6) AS v_dr
+        |FROM ntr CROSS JOIN nev CROSS JOIN dm CROSS JOIN sums""".stripMargin,
 
     // DeLong twin: identical distinct-value placement statistics
     // (doubled midranks), HUGEINT moments, the same fixed

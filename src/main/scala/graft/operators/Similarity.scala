@@ -209,6 +209,71 @@ object Similarity {
         .orderBy($"qid", $"rnk")
     }),
 
+    // ---- q331: exact KNN-Shapley data valuation (Jia et al., VLDB'19
+    // Thm 1) — the per-example "what is this training point WORTH to
+    // the K-NN classifier?" closed form the influence family (TracIn
+    // q286, EL2N q276, RHO q308) approximates with proxies. For each
+    // probe vector, train points sorted by cosine get the exact
+    // recursion s_N = 1[y_N=y]/N, s_j = s_{j+1} + (1[y_j=y] −
+    // 1[y_{j+1}=y])/max(j,K) — here expressed as a suffix SUM over
+    // nano-quantized per-rank terms (the rank-N base value rides as the
+    // last "term", so one window cumsum IS the recursion). Probe count
+    // is DERIVED (vec_id % max(100, n div 10) = 0 ⇒ ≤ ~10 probes at any
+    // scale — the q321 modulus lesson), so total work is ~10·n: linear.
+    // Ranks are decided by the q27 double-cosine + vec_id tie-break;
+    // every value that decides output rows (terms, suffix sums, top-20
+    // cut) is an exact long. The per-probe ranking window holds one
+    // probe's train ordering (the q176 dimension-window class — at
+    // cluster scale this becomes a range-partitioned sort per probe,
+    // ~10 of them, each fully parallel until the cumsum tail). ----
+    "q331_knn_shapley" -> ((s, dir) => {
+      import s.implicits._
+      graft.functions.GraftFunctions.register(s)
+      val e = t(s, dir, "embeddings")
+        .select($"vec_id", $"embedding".as("v"), $"label")
+        .withColumn("nrm", sqrt(expr(norm2Expr)))
+      val na = e.agg(count(lit(1)).as("n_all"))
+        .withColumn("md", greatest(lit(100L), expr("n_all div 10")))
+      val q = e.crossJoin(broadcast(na)).filter($"vec_id" % $"md" === 0L)
+        .select($"vec_id".as("qid"), $"v".as("qv"), $"nrm".as("qn"),
+          $"label".as("qlabel"))
+      val nq = q.agg(count(lit(1)).as("n_queries"))
+      val train = e.crossJoin(broadcast(na)).filter($"vec_id" % $"md" =!= 0L)
+        .select($"vec_id", $"v", $"nrm", $"label")
+      val ntr = train.agg(count(lit(1)).as("n_train"))
+      val wRank = org.apache.spark.sql.expressions.Window
+        .partitionBy($"qid").orderBy($"sim".desc, $"vec_id")
+      val wLead = org.apache.spark.sql.expressions.Window
+        .partitionBy($"qid").orderBy($"rnk")
+      val wSuffix = org.apache.spark.sql.expressions.Window
+        .partitionBy($"qid").orderBy($"rnk".desc)
+        .rowsBetween(org.apache.spark.sql.expressions.Window
+          .unboundedPreceding, org.apache.spark.sql.expressions.Window
+          .currentRow)
+      val ranked = train.crossJoin(broadcast(q))
+        .withColumn("sim", expr(dotExpr) / ($"nrm" * $"qn"))
+        .withColumn("eq",
+          when($"label" === $"qlabel", lit(1L)).otherwise(lit(0L)))
+        .select($"qid", $"vec_id", $"eq",
+          row_number().over(wRank).cast(LongType).as("rnk"))
+        .crossJoin(broadcast(ntr))
+      val terms = ranked.withColumn("eqn", lead($"eq", 1).over(wLead))
+        .withColumn("__t", when($"eqn".isNull,
+          round($"eq".cast(DoubleType) / $"n_train".cast(DoubleType) *
+            lit(1.0e9)).cast(LongType))
+          .otherwise(round(($"eq" - $"eqn").cast(DoubleType) /
+            greatest($"rnk", lit(5L)).cast(DoubleType) * lit(1.0e9))
+            .cast(LongType)))
+      terms.withColumn("s_nano", sum($"__t").over(wSuffix))
+        .groupBy($"vec_id").agg(sum($"s_nano").as("sum_nano"))
+        .orderBy($"sum_nano".desc, $"vec_id").limit(20)
+        .crossJoin(broadcast(nq)).crossJoin(broadcast(ntr))
+        .select($"vec_id", $"sum_nano", $"n_queries", $"n_train",
+          round($"sum_nano".cast(DoubleType) / lit(1.0e9) /
+            $"n_queries".cast(DoubleType), 6).as("shapley"))
+        .orderBy($"sum_nano".desc, $"vec_id")
+    }),
+
     // ---- q44: embedding-cosine near-dup pairs (the 5th dedup method) ----
     // Exact at threshold 0.45 via the block-partitioned distributed
     // self-join (Graft.cosineNearDupPairsExact) — work spread evenly over
@@ -797,6 +862,56 @@ object Similarity {
          |SELECT * FROM r32 UNION ALL SELECT * FROM r16 UNION ALL
          |SELECT * FROM r8 ORDER BY dim""".stripMargin
     },
+
+    // KNN-Shapley twin: same derived probe modulus, the q27 double-cosine
+    // rank, the identical nano-quantized term recursion as a suffix
+    // window sum, the same exact-long top-20 cut
+    "q331_knn_shapley" ->
+      """WITH e AS (
+        |  SELECT vec_id, embedding::DOUBLE[] AS v, label FROM embeddings),
+        |na AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_all,
+        |  GREATEST(CAST(100 AS BIGINT), CAST(COUNT(*) AS BIGINT) // 10)
+        |    AS md FROM e),
+        |q AS (SELECT vec_id AS qid, v AS qv, label AS qlabel
+        |      FROM e CROSS JOIN na WHERE vec_id % md = 0),
+        |nq AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_queries FROM q),
+        |train AS (SELECT vec_id, v, label
+        |          FROM e CROSS JOIN na WHERE vec_id % md <> 0),
+        |ntr AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_train FROM train),
+        |ranked AS (
+        |  SELECT qid, vec_id, eq,
+        |    CAST(ROW_NUMBER() OVER (PARTITION BY qid ORDER BY sim DESC,
+        |      vec_id) AS BIGINT) AS rnk
+        |  FROM (SELECT q.qid, t.vec_id,
+        |      CASE WHEN t.label = q.qlabel THEN CAST(1 AS BIGINT)
+        |        ELSE CAST(0 AS BIGINT) END AS eq,
+        |      list_dot_product(t.v, q.qv) /
+        |        (sqrt(list_dot_product(t.v, t.v)) *
+        |         sqrt(list_dot_product(q.qv, q.qv))) AS sim
+        |    FROM train t CROSS JOIN q)),
+        |terms AS (
+        |  SELECT qid, vec_id, rnk,
+        |    CASE WHEN LEAD(eq, 1) OVER (PARTITION BY qid ORDER BY rnk)
+        |        IS NULL
+        |      THEN CAST(ROUND(CAST(eq AS DOUBLE)
+        |        / CAST(ntr.n_train AS DOUBLE) * 1000000000.0) AS BIGINT)
+        |      ELSE CAST(ROUND(CAST(eq - LEAD(eq, 1) OVER (
+        |          PARTITION BY qid ORDER BY rnk) AS DOUBLE)
+        |        / CAST(GREATEST(rnk, 5) AS DOUBLE) * 1000000000.0)
+        |        AS BIGINT) END AS t
+        |  FROM ranked CROSS JOIN ntr),
+        |sval AS (
+        |  SELECT qid, vec_id,
+        |    SUM(t) OVER (PARTITION BY qid ORDER BY rnk DESC
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS s_nano
+        |  FROM terms),
+        |tot AS (SELECT vec_id, CAST(SUM(s_nano) AS BIGINT) AS sum_nano
+        |        FROM sval GROUP BY 1)
+        |SELECT vec_id, sum_nano, n_queries, n_train,
+        |  round(CAST(sum_nano AS DOUBLE) / 1000000000.0
+        |    / CAST(n_queries AS DOUBLE), 6) AS shapley
+        |FROM tot CROSS JOIN nq CROSS JOIN ntr
+        |ORDER BY sum_nano DESC, vec_id LIMIT 20""".stripMargin,
 
     "q27_knn_cosine" ->
       """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),

@@ -1135,6 +1135,66 @@ object TextAnalysis {
         .orderBy($"doc_id")
     }),
 
+    // ---- q333: winnowing fingerprints (Schleimer/Wilkerson/Aiken,
+    // SIGMOD'03 — the MOSS algorithm) — the LOCAL fingerprinting scheme
+    // the dedup family was missing: q32 hashes whole documents (misses
+    // any partial overlap), q24/q25 use global shingle sets (position-
+    // blind); winnowing guarantees any shared run of ≥ w+k−1 tokens
+    // yields at least one SHARED fingerprint, which is exactly the
+    // contamination/plagiarism detection contract. Per doc: 4-token
+    // grams hashed with md5_lower64 (masked to 62 bits so signed/
+    // unsigned MIN agrees cross-engine), window-of-5 minima, DISTINCT
+    // selected hashes = the fingerprint set. Pairs join on fingerprint
+    // with a document-frequency stop cap (df ≤ 50 — the q24
+    // stop-shingle discipline: a boilerplate fingerprint's fan-out is
+    // quadratic and its evidence value nil), gated on integer
+    // containment shared·2 ≥ min(|A|,|B|). 100 TB shape: per-doc
+    // windows (doc-sized partitions), fingerprint-blocked pair join
+    // with bounded per-key fan-out — the standard dedup-at-scale
+    // skeleton. ----
+    "q333_winnowing" -> ((s, dir) => {
+      import s.implicits._
+      graft.functions.GraftFunctions.register(s)
+      val wCnt = org.apache.spark.sql.expressions.Window
+        .partitionBy($"doc_id")
+      val wMin = org.apache.spark.sql.expressions.Window
+        .partitionBy($"doc_id").orderBy($"j")
+        .rowsBetween(org.apache.spark.sql.expressions.Window.currentRow, 4)
+      val grams = t(s, dir, "documents")
+        .select($"doc_id", expr(
+          "filter(split(lower(text), '[^a-z0-9]+'), x -> x <> '')")
+          .as("tk"))
+        .filter(size($"tk") >= 4)
+        .select($"doc_id", posexplode(expr(
+          "transform(sequence(0, size(tk) - 4), i -> " +
+            "concat_ws(' ', tk[i], tk[i+1], tk[i+2], tk[i+3]))"))
+          .as(Seq("j", "g")))
+        .select($"doc_id", $"j".cast(LongType).as("j"),
+          expr("md5_lower64(g)").bitwiseAND(lit(0x3FFFFFFFFFFFFFFFL))
+            .as("h"))
+      val fps = grams
+        .withColumn("ng", count(lit(1)).over(wCnt))
+        .withColumn("mh", min($"h").over(wMin))
+        .filter($"j" <= $"ng" - lit(5L))
+        .select($"doc_id", $"mh").distinct()
+      val kept = fps.join(
+        fps.groupBy($"mh").agg(count(lit(1)).as("ndocs"))
+          .filter($"ndocs" <= 50L).select($"mh"), "mh")
+      val sizes = kept.groupBy($"doc_id").agg(count(lit(1)).as("nfp"))
+      val pairs = kept.alias("a").join(kept.alias("b"),
+          $"a.mh" === $"b.mh" && $"a.doc_id" < $"b.doc_id")
+        .groupBy($"a.doc_id".as("da"), $"b.doc_id".as("db"))
+        .agg(count(lit(1)).as("shared"))
+      pairs
+        .join(sizes.select($"doc_id".as("da"), $"nfp".as("na")), "da")
+        .join(sizes.select($"doc_id".as("db"), $"nfp".as("nb")), "db")
+        .filter($"shared" * 2L >= least($"na", $"nb"))
+        .select($"da", $"db", $"shared", $"na", $"nb",
+          round($"shared".cast(DoubleType) /
+            least($"na", $"nb").cast(DoubleType), 6).as("containment"))
+        .orderBy($"da", $"db")
+    }),
+
     // ---- q99: Unicode text normalization — NFC canonical composition
     // (codegen'd nfc_normalize, DuckDB-builtin name-twin; composed vs
     // decomposed accents stop being distinct tokens), lowercase, and
@@ -2563,6 +2623,49 @@ object TextAnalysis {
     "q32_fingerprint" ->
       """SELECT doc_id, md5(regexp_replace(lower(text), '[^a-z0-9]', '', 'g')) AS fp
         |FROM documents ORDER BY doc_id""".stripMargin,
+
+    // winnowing twin: identical tokenization/grams, md5_number_lower
+    // masked to 62 bits (signed/unsigned MIN agreement), the same
+    // window-of-5 minima, df cap, and integer containment gate
+    "q333_winnowing" ->
+      """WITH toks AS (
+        |  SELECT doc_id, list_filter(
+        |    string_split_regex(lower(text), '[^a-z0-9]+'),
+        |    x -> x <> '') AS tk
+        |  FROM documents),
+        |grams AS (
+        |  SELECT doc_id, CAST(i - 1 AS BIGINT) AS j,
+        |    CAST(md5_number_lower(tk[i] || ' ' || tk[i+1] || ' ' ||
+        |      tk[i+2] || ' ' || tk[i+3]) & 4611686018427387903 AS BIGINT)
+        |      AS h
+        |  FROM (SELECT doc_id, tk,
+        |          unnest(generate_series(1, len(tk) - 3)) AS i
+        |        FROM toks WHERE len(tk) >= 4)),
+        |fps AS (
+        |  SELECT DISTINCT doc_id, mh FROM (
+        |    SELECT doc_id, j,
+        |      COUNT(*) OVER (PARTITION BY doc_id) AS ng,
+        |      MIN(h) OVER (PARTITION BY doc_id ORDER BY j
+        |        ROWS BETWEEN CURRENT ROW AND 4 FOLLOWING) AS mh
+        |    FROM grams) WHERE j <= ng - 5),
+        |dfq AS (SELECT mh FROM fps GROUP BY mh HAVING COUNT(*) <= 50),
+        |kept AS (SELECT fps.doc_id, fps.mh
+        |         FROM fps JOIN dfq ON fps.mh = dfq.mh),
+        |sizes AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS nfp
+        |          FROM kept GROUP BY 1),
+        |pairs AS (SELECT a.doc_id AS da, b.doc_id AS db,
+        |    CAST(COUNT(*) AS BIGINT) AS shared
+        |  FROM kept a JOIN kept b
+        |    ON a.mh = b.mh AND a.doc_id < b.doc_id
+        |  GROUP BY 1, 2)
+        |SELECT da, db, shared, sa.nfp AS na, sb.nfp AS nb,
+        |  round(CAST(shared AS DOUBLE) /
+        |    CAST(LEAST(sa.nfp, sb.nfp) AS DOUBLE), 6) AS containment
+        |FROM pairs
+        |JOIN sizes sa ON sa.doc_id = da
+        |JOIN sizes sb ON sb.doc_id = db
+        |WHERE shared * 2 >= LEAST(sa.nfp, sb.nfp)
+        |ORDER BY da, db""".stripMargin,
 
     // BM25 oracle: the exact expression chain Graft.bm25Score builds,
     // generated from the same term list so both engines evaluate the

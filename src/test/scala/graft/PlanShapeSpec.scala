@@ -1038,4 +1038,111 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(all.contains("BroadcastHashJoin"), all)
     assert(!all.contains("CartesianProduct"), all)
   }
+
+  test("q330 assortativity: degree joins are equi, moments partial-aggregate") {
+    val plans = capturedPlans("q330_assortativity")
+    val all = plans.mkString("\n===\n")
+    assert(all.contains("HashAggregate"), all)
+    assert(!all.contains("CartesianProduct"), all)
+  }
+
+  test("q337 rich club pays the edge scan once (conditional-sum pivot)") {
+    val plans = capturedPlans("q337_rich_club")
+    val all = plans.mkString("\n===\n")
+    // the 4 cutoffs ride one aggregate over the degree-joined edges,
+    // the 1-row club tables broadcast back
+    assert(!all.contains("CartesianProduct"), all)
+    assert(all.contains("BroadcastNestedLoopJoin") ||
+      all.contains("BroadcastHashJoin"), all)
+  }
+
+  test("q331 KNN-Shapley broadcasts the probe set; windows key on qid") {
+    val p = planOf("q331_knn_shapley")
+    assert(p.contains("BroadcastNestedLoopJoin"), p) // ~10-row probe cross
+    assert(p.contains("vec_dot"), p)                 // codegen'd cosine
+    val specs = "windowspecdefinition\\(".r.findAllMatchIn(p).map(_.start).toSeq
+    assert(specs.nonEmpty && specs.forall { i =>
+      p.substring(i, math.min(p.length, i + 60)).contains("qid")
+    }, p)
+  }
+
+  test("q331 probe set is modulus-derived (scale-proof count)") {
+    val p = planOf("q331_knn_shapley")
+    assert(p.contains("md#") || p.contains("n_all"), p)
+    assert(!p.contains("% 100) = 0"), p) // never a literal fraction
+  }
+
+  test("q332 CMH is one stratum aggregate, no per-row UDF") {
+    val p = planOf("q332_cmh")
+    assert(p.contains("HashAggregate"), p)
+    assert(!p.contains("ScalaUDF") && !p.contains("CartesianProduct"), p)
+  }
+
+  test("q333 winnowing joins fingerprint-blocked, windows key on doc_id") {
+    val p = planOf("q333_winnowing")
+    assert(p.contains("md5_lower64"), p)
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"), p) // pair join is equi on mh
+    val specs = "windowspecdefinition\\(".r.findAllMatchIn(p).map(_.start).toSeq
+    assert(specs.nonEmpty && specs.forall { i =>
+      p.substring(i, math.min(p.length, i + 60)).contains("doc_id")
+    }, p)
+  }
+
+  test("q334 Krippendorff is two keyed aggregates + broadcast tails") {
+    val p = planOf("q334_krippendorff")
+    assert(p.contains("HashAggregate"), p)
+    assert(!p.contains("CartesianProduct") && !p.contains("ScalaUDF"), p)
+  }
+
+  test("q335 DR-OPE cell tables broadcast back to the eval cells") {
+    val plans = capturedPlans("q335_dr_ope")
+    val all = plans.mkString("\n===\n")
+    assert(all.contains("BroadcastHashJoin"), all)
+    assert(!all.contains("CartesianProduct") && !all.contains("ScalaUDF"), all)
+  }
+
+  test("q336 Hill top-1001 cut is TakeOrderedAndProject, never a global sort") {
+    val p = planOf("q336_hill_tail")
+    assert(p.contains("TakeOrderedAndProject"), p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("q339 PSM matches bucket-blocked (equi join on cb), windows per treated") {
+    val p = planOf("q339_psm_att")
+    // the only BNLJ allowed is the 1-row summary cross; the candidate
+    // join itself must be a cb-keyed equi join
+    assert(!p.contains("CartesianProduct"), p)
+    assert(p.contains("cb"), p)
+    val specs = "windowspecdefinition\\(".r.findAllMatchIn(p).map(_.start).toSeq
+    assert(specs.nonEmpty && specs.forall { i =>
+      p.substring(i, math.min(p.length, i + 60)).contains("t_uid")
+    }, p)
+  }
+
+  test("q340 Kendall pair scan joins the day table only") {
+    val p = planOf("q340_kendall_tau")
+    assert(p.contains("BroadcastNestedLoopJoin") ||
+      p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("q341 Welch is ONE aggregate over the scan (no join, no window)") {
+    val p = planOf("q341_welch_ttest")
+    assert(p.contains("HashAggregate"), p)
+    assert(!p.contains("Join") && !p.contains("Window"), p)
+  }
+
+  test("q342 power/MDE is ONE aggregate over the scan") {
+    val p = planOf("q342_power_mde")
+    assert(p.contains("HashAggregate"), p)
+    assert(!p.contains("Join") && !p.contains("Window"), p)
+  }
+
+  test("q343 B-cubed rides cell-count aggregates past the q54 components") {
+    val plans = capturedPlans("q343_bcubed")
+    val all = plans.mkString("\n===\n")
+    assert(all.contains("HashAggregate"), all)
+    assert(!all.contains("CartesianProduct"), all)
+  }
 }
