@@ -1355,4 +1355,115 @@ private[api] trait GraftClustering { this: Graft.type =>
         (col("yq").cast(DoubleType) /
           lit((1L << lags).toDouble * 1000000.0)).as("ewma"))
   }
+
+  /** NMF topic model (Lee–Seung multiplicative updates, Frobenius
+    * objective) — the corpus-exploration layer the engine lacked:
+    * factor the doc×term count matrix V ≈ W·H into k nonnegative
+    * topics and report each topic's top terms. Two full update rounds
+    * (H then W then H) from a deterministic md5 init — enough to pull
+    * coherent term groups out of count co-occurrence; callers wanting
+    * convergence run their own loop over the same primitives.
+    *
+    * 100 TB shape: W is doc-keyed (n×k rows, never collected), H is
+    * topic×vocab (k·vocabSize rows — broadcast-sized by construction).
+    * Per update: numerator = ONE corpus-scale equi join (V⋈W keyed on
+    * doc, or V⋈broadcast(H) keyed on term) + keyed sum; Gram matrices
+    * WᵀW / HHᵀ are k×k aggregates (the k-means-style bounded driver
+    * traffic, except nothing here even reaches the driver). No
+    * iteration touches more than |V| + n·k rows.
+    *
+    * Float policy: W/H live as micro-quantized longs; numerators are
+    * exact integer sums, Gram/denominator sums exact Decimal(38); each
+    * update is ONE double ratio (num·1e12/den — IEEE multiply/divide
+    * are correctly rounded, so cross-engine exact on equal inputs)
+    * re-rounded to the micro grid, and H rows renormalize to Σ=1e6
+    * after each H step so magnitudes never drift across rounds. Vocab
+    * = top `vocabSize` terms by document frequency (ties by term). */
+  def nmfTopics(df: DataFrame, textCol: String, idCol: String,
+      k: Int = 5, vocabSize: Int = 200, topTerms: Int = 5): DataFrame = {
+    require(k >= 2 && vocabSize >= k && topTerms >= 1,
+      "nmfTopics: need k >= 2, vocabSize >= k, topTerms >= 1")
+    graft.functions.GraftFunctions.register(df.sparkSession) // md5_lower64
+    val dec = DecimalType(38, 0)
+    val toks = df.select(col(idCol).as("d"),
+      explode(split(trim(col(textCol)), " ")).as("w"))
+    val tc = toks.groupBy(col("d"), col("w"))
+      .agg(count(lit(1)).as("v"))
+      .localCheckpoint() // feeds vocab ranking + the V matrix
+    val vocab = tc.groupBy(col("w")).agg(count(lit(1)).as("df"))
+      .orderBy(col("df").desc, col("w")).limit(vocabSize)
+      .select(col("w"))
+    val matV = tc.join(broadcast(vocab), Seq("w"))
+      .select(col("d"), col("w"), col("v"))
+      .localCheckpoint() // read by every numerator of every round
+    val topics = df.sparkSession.range(1, k + 1L).select(col("id").as("t"))
+    val w0 = matV.select(col("d")).distinct().crossJoin(broadcast(topics))
+      .select(col("d"), col("t"), (lit(1000000L) +
+        expr("(md5_lower64(concat('w:', cast(d AS STRING), ':', " +
+          "cast(t AS STRING))) & 9223372036854775807) % 997") * 1000L)
+        .as("wq"))
+      .localCheckpoint()
+    val h0 = vocab.crossJoin(broadcast(topics))
+      .select(col("t"), col("w"), (lit(1000000L) +
+        expr("(md5_lower64(concat('h:', cast(t AS STRING), ':', w)) " +
+          "& 9223372036854775807) % 997") * 1000L).as("hq"))
+
+    // H ← H ∘ (WᵀV) ⊘ ((WᵀW)H), entries re-quantized to the micro grid
+    def updateH(w: DataFrame, h: DataFrame): DataFrame = {
+      val num = matV.join(w, Seq("d")).groupBy(col("t"), col("w"))
+        .agg(sum(col("wq") * col("v")).as("numh"))
+      val gram = w.alias("a").join(w.alias("b"), col("a.d") === col("b.d"))
+        .groupBy(col("a.t").as("i"), col("b.t").as("j"))
+        .agg(sum(col("a.wq").cast(dec) * col("b.wq").cast(dec)).as("g"))
+      val den = gram.join(h.select(col("t").as("j"), col("w"), col("hq")),
+          Seq("j"))
+        .groupBy(col("i").as("t"), col("w"))
+        .agg(sum(col("g") * col("hq").cast(dec)).as("denh"))
+      val dend = col("denh").cast(DoubleType)
+      h.join(num, Seq("t", "w"), "left").join(den, Seq("t", "w"))
+        .select(col("t"), col("w"),
+          round(col("hq").cast(DoubleType) *
+            (coalesce(col("numh"), lit(0L)).cast(DoubleType) * lit(1.0e12) /
+              when(dend <= lit(0.0), lit(1.0)).otherwise(dend)))
+            .cast(LongType).as("hq"))
+    }
+    // per-topic renormalization to Σ_w H = 1e6 — scale lives in W
+    def normH(h: DataFrame): DataFrame = {
+      val s = h.groupBy(col("t")).agg(sum(col("hq").cast(dec)).as("sh"))
+      h.join(s, Seq("t")).select(col("t"), col("w"),
+        when(col("sh").cast(DoubleType) <= lit(0.0), lit(0L))
+          .otherwise(round(col("hq").cast(DoubleType) * lit(1.0e6) /
+            col("sh").cast(DoubleType)).cast(LongType)).as("hq"))
+        .localCheckpoint() // k·vocab rows; cuts the round's lineage
+    }
+    // W ← W ∘ (VHᵀ) ⊘ (W(HHᵀ))
+    def updateW(w: DataFrame, h: DataFrame): DataFrame = {
+      val num = matV.join(broadcast(h), Seq("w"))
+        .groupBy(col("d"), col("t")).agg(sum(col("v") * col("hq")).as("numw"))
+      val kmat = h.alias("a").join(h.alias("b"), col("a.w") === col("b.w"))
+        .groupBy(col("a.t").as("i"), col("b.t").as("j"))
+        .agg(sum(col("a.hq") * col("b.hq")).as("kk"))
+      val den = w.select(col("d"), col("t").as("i"), col("wq"))
+        .join(broadcast(kmat), Seq("i"))
+        .groupBy(col("d"), col("j").as("t"))
+        .agg(sum(col("wq").cast(dec) * col("kk").cast(dec)).as("denw"))
+      val dend = col("denw").cast(DoubleType)
+      w.join(num, Seq("d", "t"), "left").join(den, Seq("d", "t"))
+        .select(col("d"), col("t"),
+          round(col("wq").cast(DoubleType) *
+            (coalesce(col("numw"), lit(0L)).cast(DoubleType) * lit(1.0e12) /
+              when(dend <= lit(0.0), lit(1.0)).otherwise(dend)))
+            .cast(LongType).as("wq"))
+        .localCheckpoint() // n×k rows; cuts the corpus-join lineage
+    }
+    val h1 = normH(updateH(w0, h0))
+    val w1 = updateW(w0, h1)
+    val h2 = normH(updateH(w1, h1))
+    val r = Window.partitionBy(col("t")).orderBy(col("hq").desc, col("w"))
+    h2.withColumn("rnk", row_number().over(r).cast(LongType))
+      .filter(col("rnk") <= topTerms)
+      .select(col("t").as("topic"), col("rnk"), col("w").as("term"),
+        round(col("hq").cast(DoubleType) / lit(1.0e6), 6).as("weight"))
+      .orderBy(col("topic"), col("rnk"))
+  }
 }

@@ -1310,6 +1310,69 @@ private[api] trait GraftGraphLayout { this: Graft.type =>
       .localCheckpoint()
   }
 
+  /** Sampled harmonic closeness centrality — WHICH nodes sit near the
+    * middle of the graph (Boldi–Vigna 2014 argue harmonic over classic
+    * closeness: Σ 1/d handles disconnected pairs as 0 instead of ∞).
+    * Exact all-pairs closeness is O(n·|E|); the standard estimator runs
+    * BFS from a SAMPLED seed set and scores every node by its distances
+    * TO the seeds. Seeds are modulus-derived (the q321 device): m =
+    * max(1, n div sampleTarget) keeps ~sampleTarget seeds at ANY graph
+    * scale — a fixed-fraction sample would make this quadratic again.
+    *
+    * 100 TB shape: one multi-seed frontier relaxation — per hop ONE
+    * keyed join of the (seed, node, dist) table against the adjacency
+    * plus a min-aggregate, lineage cut per hop (the [[shortestPaths]]
+    * discipline, k seeds at once); state is ≤ seeds × nodes rows of
+    * exact integers. Contributions 1/d are micro-quantized by INTEGER
+    * division (1000000 div d — no float ever), so the top-k order is
+    * exact. Returns topK rows: node, reached, n_seeds, harmonic
+    * (Σ 1/d over seeds), harmonic_norm (/n_seeds). */
+  def harmonicCloseness(edges: DataFrame, srcCol: String, dstCol: String,
+      sampleTarget: Int = 8, maxHops: Int = 3, topK: Int = 20): DataFrame = {
+    require(sampleTarget >= 1 && maxHops >= 1 && topK >= 1,
+      "harmonicCloseness: bad sampleTarget/maxHops/topK")
+    def cut(df: DataFrame): DataFrame = df.localCheckpoint()
+    val e = edges.select(least(col(srcCol), col(dstCol)).cast(LongType).as("a"),
+        greatest(col(srcCol), col(dstCol)).cast(LongType).as("b"))
+      .filter(col("a") =!= col("b")).distinct()
+      .localCheckpoint()
+    val adj = e.select(col("a").as("u"), col("b").as("v"))
+      .unionAll(e.select(col("b").as("u"), col("a").as("v")))
+    val nodes = adj.select(col("u").as("node")).distinct()
+    // derived-modulus seed set: a 1-row count broadcast, never a collect
+    val cnt = nodes.agg(count(lit(1)).as("__n"))
+    val seeds = nodes.crossJoin(broadcast(cnt))
+      .filter(col("node") %
+        greatest(lit(1L), expr(s"__n div $sampleTarget")) === 0L)
+      .select(col("node").as("seed"))
+      .localCheckpoint()
+    var dist = seeds.select(col("seed"), col("seed").as("node"),
+      lit(0L).as("dist"))
+    var h = 1
+    while (h <= maxHops) {
+      val frontier = dist.filter(col("dist") === (h - 1).toLong)
+      val reached = frontier.join(adj, frontier("node") === adj("u"))
+        .select(frontier("seed"), adj("v").as("node"),
+          lit(h.toLong).as("dist"))
+      dist = cut(dist.unionByName(reached)
+        .groupBy(col("seed"), col("node")).agg(min(col("dist")).as("dist")))
+      h += 1
+    }
+    val contrib = dist.filter(col("dist") > 0L)
+      .groupBy(col("node"))
+      .agg(count(lit(1)).as("reached"),
+        sum(expr("1000000 div dist")).as("__hm"))
+    val top = contrib.orderBy(col("__hm").desc, col("node")).limit(topK)
+      .localCheckpoint() // k rows; drops the relaxation lineage
+    broadcast(top)
+      .crossJoin(broadcast(seeds.agg(count(lit(1)).as("n_seeds"))))
+      .orderBy(col("__hm").desc, col("node"))
+      .select(col("node"), col("reached"), col("n_seeds"),
+        round(col("__hm").cast(DoubleType) / lit(1.0e6), 6).as("harmonic"),
+        round(col("__hm").cast(DoubleType) / lit(1.0e6) /
+          col("n_seeds").cast(DoubleType), 6).as("harmonic_norm"))
+  }
+
   /** Sorted-neighborhood candidate pairs — the OTHER classic
     * record-linkage blocking strategy (q78's equality blocks miss
     * near-misses that straddle a block boundary; a sort key brings

@@ -558,6 +558,17 @@ object Analytics {
       graft.api.Graft.linkPrediction(basketEdges(s, dir), "src", "dst",
         topK = 20, maxDegree = 100)),
 
+    // ---- q345: sampled harmonic closeness centrality — WHICH parts
+    // sit nearest the middle of the co-purchase graph (the question
+    // PageRank q111 answers by in-link mass and q147's k-core by
+    // density; closeness answers by DISTANCE). BFS from ~8 modulus-
+    // derived seeds (m = n div 8 — seed count is scale-free), 3 hops,
+    // per-node Σ 1/d micro-quantized by integer division. The oracle
+    // replays the relaxation as a recursive CTE over the same edges. ----
+    "q345_closeness" -> ((s, dir) =>
+      graft.api.Graft.harmonicCloseness(basketEdges(s, dir), "src", "dst",
+        sampleTarget = 8, maxHops = 3, topK = 20)),
+
     // ---- q172: exact equi-depth histogram of l_extendedprice — the
     // quantile-boundary companion to q110's equi-width bins (what a
     // range partitioner / zone-map layout planner consumes): bucket =
@@ -4429,6 +4440,39 @@ object Analytics {
         |SELECT x, y, cn, CAST(aa_q AS DOUBLE) / 1000000000.0 AS adamic_adar,
         |  CAST(cn AS DOUBLE) / (degx + degy - cn) AS jaccard
         |FROM j ORDER BY aa_q DESC, x, y LIMIT 20""".stripMargin,
+
+    // closeness twin: the same derived-modulus seed set, the BFS
+    // relaxation as a recursive CTE (UNION dedups (seed,node,dist)
+    // states), min-dist per pair, integer-division 1/d contributions
+    "q345_closeness" ->
+      """WITH RECURSIVE li AS (SELECT l_orderkey AS ok, l_partkey AS pk FROM lineitem),
+        |e AS (SELECT DISTINCT x.pk AS a, y.pk AS b
+        |      FROM li x JOIN li y ON x.ok = y.ok AND x.pk < y.pk),
+        |adj AS (SELECT a AS u, b AS v FROM e
+        |        UNION ALL SELECT b AS u, a AS v FROM e),
+        |nodes AS (SELECT DISTINCT u AS node FROM adj),
+        |cnt AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM nodes),
+        |seeds AS (SELECT node AS seed FROM nodes CROSS JOIN cnt
+        |          WHERE node % greatest(1, n // 8) = 0),
+        |walk AS (
+        |  SELECT seed, seed AS node, CAST(0 AS BIGINT) AS dist FROM seeds
+        |  UNION
+        |  SELECT w.seed, a.v AS node, w.dist + 1 AS dist
+        |  FROM walk w JOIN adj a ON a.u = w.node WHERE w.dist < 3
+        |),
+        |md AS (SELECT seed, node, MIN(dist) AS dist
+        |       FROM walk GROUP BY 1, 2),
+        |contrib AS (
+        |  SELECT node, CAST(COUNT(*) AS BIGINT) AS reached,
+        |    CAST(SUM(1000000 // dist) AS BIGINT) AS hm
+        |  FROM md WHERE dist > 0 GROUP BY 1),
+        |top AS (SELECT * FROM contrib ORDER BY hm DESC, node LIMIT 20),
+        |ns AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_seeds FROM seeds)
+        |SELECT node, reached, n_seeds,
+        |  round(CAST(hm AS DOUBLE) / 1000000.0, 6) AS harmonic,
+        |  round(CAST(hm AS DOUBLE) / 1000000.0 / CAST(n_seeds AS DOUBLE), 6)
+        |    AS harmonic_norm
+        |FROM top CROSS JOIN ns ORDER BY hm DESC, node""".stripMargin,
 
     // equi-depth twin: identical rank-arithmetic bucket id; boundary
     // ties share the endpoint value so the permutation inside a tie

@@ -70,6 +70,20 @@ object Clustering {
   }
 
   val queries: Map[String, Q] = Map(
+    // ---- q346: NMF topic model — the corpus-exploration operator the
+    // board lacked (TextRank q239 extracts per-doc keywords; this
+    // factors the WHOLE doc×term matrix into k coherent topics): two
+    // Lee–Seung multiplicative rounds over the top-200-df vocab, md5
+    // deterministic init, W doc-keyed / H broadcast-sized, numerators
+    // exact long sums, Gram/denominators exact Decimal(38), ONE double
+    // ratio per update re-rounded to the micro grid (IEEE ×/÷ are
+    // correctly rounded, so the oracle's identical chains agree bit-
+    // exactly). Output: top-5 terms per topic. The oracle unrolls all
+    // three update steps as CTEs. ----
+    "q346_nmf_topics" -> ((s, dir) =>
+      graft.api.Graft.nmfTopics(t(s, dir, "documents"), "text", "doc_id",
+        k = 5, vocabSize = 200, topTerms = 5)),
+
     // ---- q277: Fréchet embedding distance, diagonal-covariance form —
     // the FID-style distribution-shift gate between two embedding
     // populations (is the synthetic/new-source slice distributionally
@@ -852,6 +866,112 @@ object Clustering {
   }
 
   val oracle: Map[String, String] = Map(
+    // NMF twin: identical md5 init, all three multiplicative update
+    // steps unrolled (H, W, H), numerators as exact integer sums,
+    // Gram/denominator products in HUGEINT (≡ Spark Decimal(38,0) —
+    // both cast to the same double), the same single-ratio double
+    // chains and micro re-rounding, H renormalized per topic row
+    "q346_nmf_topics" ->
+      """WITH toks AS (
+        |  SELECT doc_id AS d, unnest(string_split(trim(text), ' ')) AS w
+        |  FROM documents
+        |), tc AS (
+        |  SELECT d, w, CAST(COUNT(*) AS BIGINT) AS v FROM toks GROUP BY 1, 2
+        |), vocab AS (
+        |  SELECT w FROM (
+        |    SELECT w, row_number() OVER (ORDER BY COUNT(*) DESC, w) AS rn
+        |    FROM tc GROUP BY w) rr
+        |  WHERE rn <= 200
+        |), mv AS (
+        |  SELECT tc.d, tc.w, tc.v FROM tc JOIN vocab USING (w)
+        |), topics AS (
+        |  SELECT CAST(unnest(generate_series(1, 5)) AS BIGINT) AS t
+        |), w0 AS (
+        |  SELECT d, t, 1000000 + CAST((md5_number_lower(
+        |      'w:' || CAST(d AS VARCHAR) || ':' || CAST(t AS VARCHAR))
+        |      & 9223372036854775807::UBIGINT) % 997::UBIGINT AS BIGINT)
+        |      * 1000 AS wq
+        |  FROM (SELECT DISTINCT d FROM mv) dd CROSS JOIN topics
+        |), h0 AS (
+        |  SELECT t, w, 1000000 + CAST((md5_number_lower(
+        |      'h:' || CAST(t AS VARCHAR) || ':' || w)
+        |      & 9223372036854775807::UBIGINT) % 997::UBIGINT AS BIGINT)
+        |      * 1000 AS hq
+        |  FROM vocab CROSS JOIN topics
+        |), nh1 AS (
+        |  SELECT w0.t, mv.w, CAST(SUM(w0.wq * mv.v) AS BIGINT) AS numh
+        |  FROM mv JOIN w0 USING (d) GROUP BY 1, 2
+        |), g1 AS (
+        |  SELECT a.t AS i, b.t AS j, SUM(CAST(a.wq AS HUGEINT) * b.wq) AS g
+        |  FROM w0 a JOIN w0 b USING (d) GROUP BY 1, 2
+        |), dh1 AS (
+        |  SELECT g1.i AS t, h0.w, SUM(g1.g * h0.hq) AS denh
+        |  FROM g1 JOIN h0 ON h0.t = g1.j GROUP BY 1, 2
+        |), h1 AS (
+        |  SELECT h0.t, h0.w, CAST(ROUND(CAST(h0.hq AS DOUBLE) *
+        |      (CAST(COALESCE(nh1.numh, 0) AS DOUBLE) * 1.0e12 /
+        |       (CASE WHEN CAST(dh1.denh AS DOUBLE) <= 0.0 THEN 1.0
+        |             ELSE CAST(dh1.denh AS DOUBLE) END))) AS BIGINT) AS hq
+        |  FROM h0
+        |  LEFT JOIN nh1 ON nh1.t = h0.t AND nh1.w = h0.w
+        |  JOIN dh1 ON dh1.t = h0.t AND dh1.w = h0.w
+        |), s1 AS (
+        |  SELECT t, SUM(CAST(hq AS HUGEINT)) AS sh FROM h1 GROUP BY 1
+        |), h1n AS (
+        |  SELECT h1.t, h1.w,
+        |    CASE WHEN CAST(s1.sh AS DOUBLE) <= 0.0 THEN CAST(0 AS BIGINT)
+        |      ELSE CAST(ROUND(CAST(h1.hq AS DOUBLE) * 1000000.0 /
+        |        CAST(s1.sh AS DOUBLE)) AS BIGINT) END AS hq
+        |  FROM h1 JOIN s1 USING (t)
+        |), nw1 AS (
+        |  SELECT mv.d, h1n.t, CAST(SUM(mv.v * h1n.hq) AS BIGINT) AS numw
+        |  FROM mv JOIN h1n USING (w) GROUP BY 1, 2
+        |), k1 AS (
+        |  SELECT a.t AS i, b.t AS j, CAST(SUM(a.hq * b.hq) AS BIGINT) AS kk
+        |  FROM h1n a JOIN h1n b USING (w) GROUP BY 1, 2
+        |), dw1 AS (
+        |  SELECT w0.d, k1.j AS t, SUM(CAST(w0.wq AS HUGEINT) * k1.kk) AS denw
+        |  FROM w0 JOIN k1 ON k1.i = w0.t GROUP BY 1, 2
+        |), w1 AS (
+        |  SELECT w0.d, w0.t, CAST(ROUND(CAST(w0.wq AS DOUBLE) *
+        |      (CAST(COALESCE(nw1.numw, 0) AS DOUBLE) * 1.0e12 /
+        |       (CASE WHEN CAST(dw1.denw AS DOUBLE) <= 0.0 THEN 1.0
+        |             ELSE CAST(dw1.denw AS DOUBLE) END))) AS BIGINT) AS wq
+        |  FROM w0
+        |  LEFT JOIN nw1 ON nw1.d = w0.d AND nw1.t = w0.t
+        |  JOIN dw1 ON dw1.d = w0.d AND dw1.t = w0.t
+        |), nh2 AS (
+        |  SELECT w1.t, mv.w, CAST(SUM(w1.wq * mv.v) AS BIGINT) AS numh
+        |  FROM mv JOIN w1 USING (d) GROUP BY 1, 2
+        |), g2 AS (
+        |  SELECT a.t AS i, b.t AS j, SUM(CAST(a.wq AS HUGEINT) * b.wq) AS g
+        |  FROM w1 a JOIN w1 b USING (d) GROUP BY 1, 2
+        |), dh2 AS (
+        |  SELECT g2.i AS t, h1n.w, SUM(g2.g * h1n.hq) AS denh
+        |  FROM g2 JOIN h1n ON h1n.t = g2.j GROUP BY 1, 2
+        |), h2 AS (
+        |  SELECT h1n.t, h1n.w, CAST(ROUND(CAST(h1n.hq AS DOUBLE) *
+        |      (CAST(COALESCE(nh2.numh, 0) AS DOUBLE) * 1.0e12 /
+        |       (CASE WHEN CAST(dh2.denh AS DOUBLE) <= 0.0 THEN 1.0
+        |             ELSE CAST(dh2.denh AS DOUBLE) END))) AS BIGINT) AS hq
+        |  FROM h1n
+        |  LEFT JOIN nh2 ON nh2.t = h1n.t AND nh2.w = h1n.w
+        |  JOIN dh2 ON dh2.t = h1n.t AND dh2.w = h1n.w
+        |), s2 AS (
+        |  SELECT t, SUM(CAST(hq AS HUGEINT)) AS sh FROM h2 GROUP BY 1
+        |), h2n AS (
+        |  SELECT h2.t, h2.w,
+        |    CASE WHEN CAST(s2.sh AS DOUBLE) <= 0.0 THEN CAST(0 AS BIGINT)
+        |      ELSE CAST(ROUND(CAST(h2.hq AS DOUBLE) * 1000000.0 /
+        |        CAST(s2.sh AS DOUBLE)) AS BIGINT) END AS hq
+        |  FROM h2 JOIN s2 USING (t)
+        |), ranked AS (
+        |  SELECT t, w, hq,
+        |    row_number() OVER (PARTITION BY t ORDER BY hq DESC, w) AS rnk
+        |  FROM h2n)
+        |SELECT t AS topic, rnk, w AS term,
+        |  round(CAST(hq AS DOUBLE) / 1000000.0, 6) AS weight
+        |FROM ranked WHERE rnk <= 5 ORDER BY topic, rnk""".stripMargin,
 
     "q311_kcenter_coreset" -> kcenterSql(5),
 

@@ -446,6 +446,66 @@ object Dedup {
           .otherwise(round(lit(2.0) * p * r / (p + r), 6)).as("bcubed_f1"))
     }),
 
+    // ---- q344: V-measure (homogeneity / completeness) — the ENTROPY
+    // view of the q343 B³ question (Rosenberg & Hirschberg 2007): h =
+    // 1 − H(gold|sys)/H(gold) punishes clusters that MIX classes, c =
+    // 1 − H(sys|gold)/H(sys) punishes classes SPLIT across clusters, V
+    // their harmonic mean — unlike B³ it is invariant to cluster-size
+    // reweighting, so the two gates disagree exactly when dedup errors
+    // concentrate in big clusters. Same (sys, gold) cell reduction as
+    // q343 (q54 minhash components vs exact-content identity); every
+    // entropy term is ncl · round(ln(ncl/size)·1e9) — the ln factor
+    // nano-quantized BEFORE the exact long multiply/sum, marginals via
+    // H(X) = ln N − (1/N)Σ n·ln n so no term ever needs the global N
+    // inside the quantized ln. Linear beyond the component machinery. ----
+    "q344_vmeasure" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val pairs = minhashPairs(docs, "text", "doc_id", 4, 5)
+        .select(col("da"), col("db"))
+      val comp = graft.api.Graft.connectedComponents(pairs, "da", "db")
+        .withColumnRenamed("node", "doc_id")
+      val base = docs.select(col("doc_id"),
+          md5(regexp_replace(lower(trim(col("text"))), "\\s+", " "))
+            .as("gold"))
+        .join(comp, Seq("doc_id"), "left")
+        .select(col("gold"),
+          coalesce(col("component"), col("doc_id")).as("sys"))
+      val cells = base.groupBy(col("sys"), col("gold"))
+        .agg(count(lit(1)).as("ncl"))
+        .localCheckpoint() // feeds the joint scan + both marginal tables
+      val csz = cells.groupBy(col("sys")).agg(sum(col("ncl")).as("cs"))
+      val lsz = cells.groupBy(col("gold")).agg(sum(col("ncl")).as("ls"))
+      def lnq(x: org.apache.spark.sql.Column) =
+        round(log(x) * lit(1.0e9)).cast(LongType)
+      val joint = cells.join(csz, "sys").join(lsz, "gold")
+        .select(
+          (col("ncl") * lnq(col("ncl").cast(DoubleType) /
+            col("cs").cast(DoubleType))).as("__hq"),
+          (col("ncl") * lnq(col("ncl").cast(DoubleType) /
+            col("ls").cast(DoubleType))).as("__cq"))
+        .agg(sum(col("__hq")).as("__sh"), sum(col("__cq")).as("__sc"))
+      val m1 = csz.agg(count(lit(1)).as("n_clusters"),
+        sum(col("cs")).as("n_docs"),
+        sum(col("cs") * lnq(col("cs").cast(DoubleType))).as("__ss"))
+      val m2 = lsz.agg(count(lit(1)).as("n_classes"),
+        sum(col("ls") * lnq(col("ls").cast(DoubleType))).as("__sl"))
+      val one = joint.crossJoin(m1).crossJoin(m2) // three 1-row aggregates
+      val n = col("n_docs").cast(DoubleType)
+      val hGS = -(col("__sh").cast(DoubleType) / lit(1.0e9)) / n
+      val cSG = -(col("__sc").cast(DoubleType) / lit(1.0e9)) / n
+      val hG = log(n) - (col("__sl").cast(DoubleType) / lit(1.0e9)) / n
+      val hS = log(n) - (col("__ss").cast(DoubleType) / lit(1.0e9)) / n
+      // degenerate marginals (one class / one cluster) leave only
+      // quantization residue (|.| <= 5e-10) — the 1e-6 floor maps them
+      // to the defined h = 1 / c = 1 instead of dividing by residue
+      val h = when(hG < lit(1.0e-6), lit(1.0)).otherwise(lit(1.0) - hGS / hG)
+      val c = when(hS < lit(1.0e-6), lit(1.0)).otherwise(lit(1.0) - cSG / hS)
+      one.select(col("n_docs"), col("n_clusters"), col("n_classes"),
+        round(h, 6).as("homogeneity"), round(c, 6).as("completeness"),
+        when(h + c <= lit(0.0), lit(null).cast(DoubleType))
+          .otherwise(round(lit(2.0) * h * c / (h + c), 6)).as("v_measure"))
+    }),
+
     // ---- q52: containment near-dup pairs (C >= 0.9 of the smaller set) ----
     "q52_dedup_containment" -> ((s, dir) => {
       containmentPairs(t(s, dir, "documents"), "text", "doc_id",
@@ -962,6 +1022,88 @@ object Dedup {
         |        + CAST(sr AS DOUBLE) / 1000000000.0
         |        / CAST(n_docs AS DOUBLE)), 6) END AS bcubed_f1
         |FROM agg""".stripMargin,
+
+    // V-measure twin: q343's closure + cells, then the same nano-
+    // quantized ln factors multiplied by exact integer cell counts;
+    // marginal entropies via ln N − (1/N)·Σ n·ln n
+    "q344_vmeasure" ->
+      """WITH RECURSIVE toks AS (
+        |  SELECT doc_id, string_split(trim(text), ' ') AS t FROM documents
+        |), sh AS (
+        |  SELECT DISTINCT doc_id, t[i] || chr(0) || t[i+1] || chr(0) || t[i+2] AS s
+        |  FROM (SELECT doc_id, t, unnest(generate_series(1, greatest(len(t) - 2, 0))) AS i FROM toks)
+        |), sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id
+        |), inter AS (
+        |  SELECT a.doc_id AS da, b.doc_id AS db, COUNT(*) AS i
+        |  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+        |  GROUP BY 1, 2
+        |), pairs AS (
+        |  SELECT da, db FROM inter
+        |  JOIN sizes sa ON sa.doc_id = da
+        |  JOIN sizes sb ON sb.doc_id = db
+        |  WHERE 5 * i >= 4 * (sa.n + sb.n - i)
+        |), edges AS (
+        |  SELECT da AS a, db AS b FROM pairs UNION SELECT db, da FROM pairs
+        |), reach AS (
+        |  SELECT a, b FROM edges
+        |  UNION
+        |  SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a
+        |), comp AS (
+        |  SELECT a AS node, least(a, MIN(b)) AS component
+        |  FROM reach GROUP BY a
+        |), base AS (
+        |  SELECT md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS gold,
+        |    COALESCE(c.component, d.doc_id) AS sys
+        |  FROM documents d LEFT JOIN comp c ON c.node = d.doc_id
+        |), cells AS (
+        |  SELECT sys, gold, CAST(COUNT(*) AS BIGINT) AS ncl
+        |  FROM base GROUP BY 1, 2
+        |), csz AS (SELECT sys, CAST(SUM(ncl) AS BIGINT) AS cs
+        |           FROM cells GROUP BY 1
+        |), lsz AS (SELECT gold, CAST(SUM(ncl) AS BIGINT) AS ls
+        |           FROM cells GROUP BY 1
+        |), joint AS (
+        |  SELECT
+        |    CAST(SUM(ncl * CAST(ROUND(ln(CAST(ncl AS DOUBLE) / CAST(cs AS DOUBLE))
+        |      * 1000000000.0) AS BIGINT)) AS BIGINT) AS shh,
+        |    CAST(SUM(ncl * CAST(ROUND(ln(CAST(ncl AS DOUBLE) / CAST(ls AS DOUBLE))
+        |      * 1000000000.0) AS BIGINT)) AS BIGINT) AS scc
+        |  FROM cells JOIN csz USING (sys) JOIN lsz USING (gold)
+        |), m1 AS (
+        |  SELECT CAST(COUNT(*) AS BIGINT) AS n_clusters,
+        |    CAST(SUM(cs) AS BIGINT) AS n_docs,
+        |    CAST(SUM(cs * CAST(ROUND(ln(CAST(cs AS DOUBLE)) * 1000000000.0)
+        |      AS BIGINT)) AS BIGINT) AS ss
+        |  FROM csz
+        |), m2 AS (
+        |  SELECT CAST(COUNT(*) AS BIGINT) AS n_classes,
+        |    CAST(SUM(ls * CAST(ROUND(ln(CAST(ls AS DOUBLE)) * 1000000000.0)
+        |      AS BIGINT)) AS BIGINT) AS sl
+        |  FROM lsz
+        |), fin AS (
+        |  SELECT n_docs, n_clusters, n_classes,
+        |    CASE WHEN ln(CAST(n_docs AS DOUBLE))
+        |        - CAST(sl AS DOUBLE) / 1000000000.0 / CAST(n_docs AS DOUBLE)
+        |        < 0.000001 THEN 1.0
+        |      ELSE 1.0 - (-(CAST(shh AS DOUBLE) / 1000000000.0)
+        |          / CAST(n_docs AS DOUBLE))
+        |        / (ln(CAST(n_docs AS DOUBLE))
+        |          - CAST(sl AS DOUBLE) / 1000000000.0 / CAST(n_docs AS DOUBLE))
+        |      END AS h,
+        |    CASE WHEN ln(CAST(n_docs AS DOUBLE))
+        |        - CAST(ss AS DOUBLE) / 1000000000.0 / CAST(n_docs AS DOUBLE)
+        |        < 0.000001 THEN 1.0
+        |      ELSE 1.0 - (-(CAST(scc AS DOUBLE) / 1000000000.0)
+        |          / CAST(n_docs AS DOUBLE))
+        |        / (ln(CAST(n_docs AS DOUBLE))
+        |          - CAST(ss AS DOUBLE) / 1000000000.0 / CAST(n_docs AS DOUBLE))
+        |      END AS c
+        |  FROM joint, m1, m2)
+        |SELECT n_docs, n_clusters, n_classes,
+        |  round(h, 6) AS homogeneity, round(c, 6) AS completeness,
+        |  CASE WHEN h + c <= 0.0 THEN NULL
+        |    ELSE round(2.0 * h * c / (h + c), 6) END AS v_measure
+        |FROM fin""".stripMargin,
 
     // q270 twin: q54's recursive closure, then the same two integer
     // aggregations (LEFT JOIN keeps singletons; outer sums cast to

@@ -1145,4 +1145,30 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(all.contains("HashAggregate"), all)
     assert(!all.contains("CartesianProduct"), all)
   }
+
+  test("q344 V-measure is cell aggregates + 1-row combines, no cartesian") {
+    val plans = capturedPlans("q344_vmeasure")
+    val all = plans.mkString("\n===\n")
+    assert(all.contains("HashAggregate"), all)
+    assert(!all.contains("CartesianProduct"), all)
+  }
+
+  test("q345 closeness relaxation is keyed joins + min-aggregates") {
+    val plans = capturedPlans("q345_closeness")
+    val all = plans.mkString("\n===\n")
+    // per-hop frontier⋈adjacency must be an equi join (hash or sort-merge),
+    // never a nested loop over the edge table
+    assert(!all.contains("CartesianProduct"), all)
+    assert(all.contains("HashAggregate"), all)
+    // the seed count rides as a broadcast 1-row aggregate, not a collect
+    assert(all.contains("BroadcastNestedLoopJoin") ||
+      all.contains("BroadcastHashJoin"), all)
+  }
+
+  test("q346 NMF: H-side joins broadcast the topic×vocab factor") {
+    val plans = capturedPlans("q346_nmf_topics")
+    val all = plans.mkString("\n===\n")
+    assert(all.contains("BroadcastHashJoin"), all)
+    assert(!all.contains("CartesianProduct"), all)
+  }
 }
