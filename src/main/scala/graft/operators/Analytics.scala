@@ -1777,6 +1777,181 @@ object Analytics {
             .otherwise(lit("none")).as("trend"))
     }),
 
+    // ---- q347: phase-fold periodogram — WHICH period dominates the
+    // daily click series (q259/q329 ASSUME period 7 and score it; this
+    // SCANS candidate periods and finds it): for each p in 2..30, fold
+    // days by phase = day % p and measure the between-phase sum of
+    // squares SS_b(p) = Σ_φ S_φ²/n_φ − S²/n — the ANOVA periodogram,
+    // zero trig (a Schuster DFT would put cos/sin on the cross-engine
+    // hash path; phase folding is exact integer algebra until one
+    // division). Strength = SS_b/SS_tot shares its denominator across
+    // periods, so the rank is decided on the integer-micro SS_b alone.
+    // Day table is dimension-sized; the 29-period fan-out is a
+    // broadcast explode. ----
+    "q347_periodogram" -> ((s, dir) => {
+      val dec = DecimalType(38, 0)
+      val daily = t(s, dir, "events")
+        .filter(col("event_type") === "click" && col("value").isNotNull)
+        .select(expr("unix_micros(ts) div 86400000000").as("day"),
+          round(col("value") * lit(100.0)).cast(LongType).as("c"))
+        .groupBy(col("day")).agg(sum(col("c")).as("y"))
+        .localCheckpoint() // feeds the fold fan-out and the total-SS row
+      val tot = daily.agg(count(lit(1)).as("n"), sum(col("y")).as("sy"),
+        sum(col("y").cast(dec) * col("y").cast(dec)).as("syy"))
+      val folded = daily
+        .withColumn("p", explode(array((2 to 30).map(p => lit(p.toLong)): _*)))
+        .groupBy(col("p"), (col("day") % col("p")).as("phase"))
+        .agg(count(lit(1)).as("nf"), sum(col("y")).as("sf"))
+        // S_φ²/n_φ micro-quantized: the square runs in double (identical
+        // IEEE chain in the oracle), the grid snap makes the sum order-free
+        .select(col("p"), round(col("sf").cast(DoubleType) *
+            col("sf").cast(DoubleType) / col("nf").cast(DoubleType) *
+            lit(1.0e6)).cast(LongType).as("__t"))
+        .groupBy(col("p")).agg(sum(col("__t")).as("__sb_raw"))
+      val g = folded.crossJoin(broadcast(tot))
+      val grand = col("sy").cast(DoubleType) * col("sy").cast(DoubleType) /
+        col("n").cast(DoubleType)
+      val sbMicro = (col("__sb_raw").cast(DoubleType) / lit(1.0e6)) - grand
+      val sst = col("syy").cast(DoubleType) - grand
+      val w = Window.orderBy(col("__sb_raw").desc, col("period"))
+      g.select(col("p").as("period"), round(sbMicro, 2).as("ss_between"),
+          when(sst <= lit(0.0), lit(null).cast(DoubleType))
+            .otherwise(round(sbMicro / sst, 6)).as("strength"),
+          col("__sb_raw"))
+        // 29-row ordered window — dimension-sized by construction
+        .withColumn("rnk", row_number().over(w).cast(LongType))
+        .drop("__sb_raw")
+        .orderBy(col("period"))
+    }),
+
+    // ---- q348: Hurst exponent by rescaled-range (R/S) analysis — the
+    // long-memory gate for the daily click series (H ≈ 0.5 random walk
+    // increments, H > 0.5 persistent trends: CUSUM/monitoring false-
+    // alarm rates depend on it): block sizes 8/16/32/64, per block the
+    // range of cumulative deviations over the std, H = the log2-log2
+    // OLS slope. All block algebra is EXACT: m-scaled deviations
+    // m·Z_t = m·cumsum − t·S_b are integers, R·m = max−min, and
+    // RS = (R·m)/sqrt(m·Σy²−S_b²) is one correctly-rounded double
+    // chain (sqrt is IEEE-exact) micro-snapped per block. Only the 4
+    // final ln calls touch libm. Windows are keyed by (m, block). ----
+    "q348_hurst" -> ((s, dir) => {
+      val dec = DecimalType(38, 0)
+      val daily = t(s, dir, "events")
+        .filter(col("event_type") === "click" && col("value").isNotNull)
+        .select(expr("unix_micros(ts) div 86400000000").as("day"),
+          round(col("value") * lit(100.0)).cast(LongType).as("c"))
+        .groupBy(col("day")).agg(sum(col("c")).as("y"))
+      // global day rank: the series is dimension-sized (documented) —
+      // one ordered window over the aggregate, never the raw events
+      val wAll = Window.orderBy(col("day"))
+      val ranked = daily.withColumn("r", row_number().over(wAll).cast(LongType))
+        .withColumn("m", explode(array(Seq(8L, 16L, 32L, 64L).map(lit): _*)))
+        .withColumn("b", expr("(r - 1) div m"))
+        .localCheckpoint()
+      val wBlk = Window.partitionBy(col("m"), col("b")).orderBy(col("r"))
+      val wCum = wBlk.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      // two-pass shape: per-block sums first, then the deviation window
+      val sums = ranked.groupBy(col("m"), col("b"))
+        .agg(count(lit(1)).as("nb"), sum(col("y")).as("sb"),
+          sum(col("y").cast(dec) * col("y").cast(dec)).as("sbb"))
+        .filter(col("nb") === col("m")) // full blocks only
+      val dev = ranked.join(sums, Seq("m", "b"))
+        .withColumn("t", row_number().over(wBlk).cast(LongType))
+        .withColumn("cum", sum(col("y")).over(wCum))
+        .withColumn("z", col("m") * col("cum") - col("t") * col("sb"))
+        .groupBy(col("m"), col("b"), col("sb"), col("sbb"))
+        .agg((max(col("z")) - min(col("z"))).as("rm"))
+      val rs = dev.select(col("m"),
+          // RS = (R·m) / sqrt(m·Σy² − S_b²): both operands exact, sqrt
+          // and divide correctly rounded — micro-snap makes the block
+          // mean order-free
+          round(col("rm").cast(DoubleType) /
+            sqrt((col("m").cast(dec) * col("sbb") -
+              col("sb").cast(dec) * col("sb").cast(dec)).cast(DoubleType)) *
+            lit(1.0e6)).cast(LongType).as("__rsq"))
+        .groupBy(col("m"))
+        .agg(count(lit(1)).as("nblk"), sum(col("__rsq")).as("__s"))
+        .select(col("m"), col("nblk"),
+          (col("__s").cast(DoubleType) / lit(1.0e6) /
+            col("nblk").cast(DoubleType)).as("rsbar"))
+      // fold the 4 block sizes into one row (conditional sums — a fixed
+      // 4-cell "pivot") and take the closed-form log-log slope:
+      // x = log2 m ∈ {3,4,5,6}, slope = Σ(x−4.5)·ln(rs) / (ln2·Σ(x−4.5)²)
+      val piv = rs.agg(
+        sum(when(col("m") === 8L, col("rsbar"))).as("v8"),
+        sum(when(col("m") === 16L, col("rsbar"))).as("v16"),
+        sum(when(col("m") === 32L, col("rsbar"))).as("v32"),
+        sum(when(col("m") === 64L, col("rsbar"))).as("v64"))
+      val c8 = col("v8"); val c16 = col("v16")
+      val c32 = col("v32"); val c64 = col("v64")
+      val hurst = (lit(-1.5) * log(c8) - lit(0.5) * log(c16) +
+        lit(0.5) * log(c32) + lit(1.5) * log(c64)) /
+        (lit(5.0) * lit(math.log(2.0)))
+      piv.select(round(c8, 6).as("rs8"), round(c16, 6).as("rs16"),
+        round(c32, 6).as("rs32"), round(c64, 6).as("rs64"),
+        round(hurst, 6).as("hurst"))
+    }),
+
+    // ---- q350: Granger causality (lag-1, both directions) — does the
+    // daily click series predict next-day purchase revenue beyond what
+    // revenue's own history explains (and vice versa)? q158's CCF says
+    // the series co-move; Granger asks the PREDICTIVE question a
+    // pipeline scheduler actually needs. Restricted AR(1) vs
+    // unrestricted 2-regressor OLS, both in closed form from ONE
+    // moment aggregate per direction: n-scaled centered moments
+    // M_ab = n·Σab − Σa·Σb are exact Decimal(38), the normal-equation
+    // solve is Cramer's rule on the 2×2 system, F = (SSE_r − SSE_u) /
+    // (SSE_u/(n−3)); every double chain is fixed-order from the exact
+    // M casts. Pairs come from a day, day+1 self-join (gap boundaries
+    // drop, exactly as in the oracle). ----
+    "q350_granger" -> ((s, dir) => {
+      val dec = DecimalType(38, 0)
+      val ev = t(s, dir, "events")
+      val g = ev.select(expr("unix_micros(ts) div 86400000000").as("day"),
+          when(col("event_type") === "click", 1L).otherwise(0L).as("isc"),
+          when(col("event_type") === "purchase" && col("value").isNotNull,
+            round(col("value") * lit(100.0)).cast(LongType))
+            .otherwise(0L).as("pc"))
+        .groupBy(col("day"))
+        .agg(sum(col("isc")).as("clicks"), sum(col("pc")).as("purch"))
+        .localCheckpoint() // both directions read the same day grid
+      val pairs = g.alias("a").join(g.alias("b"),
+          col("b.day") === col("a.day") + 1L)
+        .select(col("a.clicks").as("c0"), col("a.purch").as("p0"),
+          col("b.clicks").as("c1"), col("b.purch").as("p1"))
+        .localCheckpoint()
+      // one leg: y_t ~ [1, y_{t-1}, x_{t-1}] vs y_t ~ [1, y_{t-1}]
+      def leg(yt: String, y1: String, x1: String, name: String) = {
+        val mo = pairs.agg(count(lit(1)).as("n"),
+          sum(col(y1)).as("s1"), sum(col(x1)).as("s2"), sum(col(yt)).as("sy"),
+          sum(col(y1).cast(dec) * col(y1).cast(dec)).as("s11"),
+          sum(col(x1).cast(dec) * col(x1).cast(dec)).as("s22"),
+          sum(col(y1).cast(dec) * col(x1).cast(dec)).as("s12"),
+          sum(col(y1).cast(dec) * col(yt).cast(dec)).as("s1y"),
+          sum(col(x1).cast(dec) * col(yt).cast(dec)).as("s2y"),
+          sum(col(yt).cast(dec) * col(yt).cast(dec)).as("syy"))
+        def m(sab: String, sa: String, sb: String) =
+          (col("n").cast(dec) * col(sab) -
+            col(sa).cast(dec) * col(sb).cast(dec)).cast(DoubleType)
+        val m11 = m("s11", "s1", "s1"); val m22 = m("s22", "s2", "s2")
+        val m12 = m("s12", "s1", "s2"); val m1y = m("s1y", "s1", "sy")
+        val m2y = m("s2y", "s2", "sy"); val myy = m("syy", "sy", "sy")
+        val d = m11 * m22 - m12 * m12
+        val bC = (m1y * m22 - m2y * m12) / d
+        val cC = (m2y * m11 - m1y * m12) / d
+        val sseU = myy - bC * m1y - cC * m2y
+        val sseR = myy - m1y * m1y / m11
+        val f = (sseR - sseU) / (sseU / (col("n").cast(DoubleType) - lit(3.0)))
+        mo.select(lit(name).as("direction"), col("n"),
+          round(bC, 6).as("ar_coef"), round(cC, 6).as("x_coef"),
+          round(f, 4).as("f_stat"),
+          (f > lit(3.84)).as("granger_causal"))
+      }
+      leg("p1", "p0", "c0", "clicks->purchases")
+        .unionByName(leg("c1", "c0", "p0", "purchases->clicks"))
+        .orderBy(col("direction"))
+    }),
+
     // ---- q327: positivity / overlap audit — the ASSUMPTION gate the
     // whole ATE family (q250/q254/q307) stands on: within every
     // stratum both arms must have realistic probability. Per-stratum
@@ -3306,6 +3481,170 @@ object Analytics {
         |       WHEN z_score < -1.96 THEN 'decreasing'
         |       ELSE 'none' END AS trend
         |FROM z""".stripMargin,
+
+    // periodogram twin: the same fold, micro-quantized S²/n phase
+    // terms, shared SS_total denominator, integer rank key
+    "q347_periodogram" ->
+      """WITH daily AS (
+        |  SELECT epoch_us(ts) // 86400000000 AS day,
+        |    CAST(SUM(CAST(round(value * 100.0) AS BIGINT)) AS BIGINT) AS y
+        |  FROM events
+        |  WHERE event_type = 'click' AND value IS NOT NULL
+        |  GROUP BY 1),
+        |tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS n,
+        |    CAST(SUM(y) AS BIGINT) AS sy,
+        |    SUM(CAST(y AS HUGEINT) * y) AS syy FROM daily),
+        |ph AS (
+        |  SELECT p, day % p AS phase, CAST(COUNT(*) AS BIGINT) AS nf,
+        |    CAST(SUM(y) AS BIGINT) AS sf
+        |  FROM daily CROSS JOIN
+        |    (SELECT CAST(unnest(generate_series(2, 30)) AS BIGINT) AS p) pp
+        |  GROUP BY 1, 2),
+        |folded AS (
+        |  SELECT p, CAST(SUM(CAST(ROUND(CAST(sf AS DOUBLE) *
+        |      CAST(sf AS DOUBLE) / CAST(nf AS DOUBLE) * 1000000.0)
+        |      AS BIGINT)) AS BIGINT) AS sb_raw
+        |  FROM ph GROUP BY 1),
+        |calc AS (
+        |  SELECT p, sb_raw,
+        |    CAST(sb_raw AS DOUBLE) / 1000000.0 -
+        |      CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE) / CAST(n AS DOUBLE)
+        |      AS sbm,
+        |    CAST(syy AS DOUBLE) -
+        |      CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE) / CAST(n AS DOUBLE)
+        |      AS sst
+        |  FROM folded CROSS JOIN tot)
+        |SELECT p AS period, round(sbm, 2) AS ss_between,
+        |  CASE WHEN sst <= 0.0 THEN NULL ELSE round(sbm / sst, 6) END
+        |    AS strength,
+        |  row_number() OVER (ORDER BY sb_raw DESC, p) AS rnk
+        |FROM calc ORDER BY period""".stripMargin,
+
+    // Hurst twin: the same m-scaled integer deviations, HUGEINT
+    // radicand, micro-snapped per-block R/S, closed-form log-log slope
+    "q348_hurst" ->
+      """WITH daily AS (
+        |  SELECT epoch_us(ts) // 86400000000 AS day,
+        |    CAST(SUM(CAST(round(value * 100.0) AS BIGINT)) AS BIGINT) AS y
+        |  FROM events
+        |  WHERE event_type = 'click' AND value IS NOT NULL
+        |  GROUP BY 1),
+        |ranked AS (
+        |  SELECT day, y, CAST(row_number() OVER (ORDER BY day) AS BIGINT) AS r
+        |  FROM daily),
+        |blocks0 AS (
+        |  SELECT m, (r - 1) // m AS b, r, y
+        |  FROM ranked CROSS JOIN
+        |    (SELECT CAST(unnest([8, 16, 32, 64]) AS BIGINT) AS m) mm),
+        |sums AS (
+        |  SELECT m, b, CAST(COUNT(*) AS BIGINT) AS nb,
+        |    CAST(SUM(y) AS BIGINT) AS sb, SUM(CAST(y AS HUGEINT) * y) AS sbb
+        |  FROM blocks0 GROUP BY 1, 2 HAVING COUNT(*) = m),
+        |dev AS (
+        |  SELECT b0.m, b0.b, s.sb, s.sbb,
+        |    MAX(b0.m * b0.cum - b0.t * s.sb) -
+        |      MIN(b0.m * b0.cum - b0.t * s.sb) AS rm
+        |  FROM (SELECT m, b, r, y,
+        |          CAST(SUM(y) OVER (PARTITION BY m, b ORDER BY r)
+        |            AS BIGINT) AS cum,
+        |          CAST(row_number() OVER (PARTITION BY m, b ORDER BY r)
+        |            AS BIGINT) AS t
+        |        FROM blocks0) b0
+        |  JOIN sums s ON s.m = b0.m AND s.b = b0.b
+        |  GROUP BY 1, 2, 3, 4),
+        |rsq AS (
+        |  SELECT m, CAST(ROUND(CAST(rm AS DOUBLE) /
+        |      sqrt(CAST(m * sbb - CAST(sb AS HUGEINT) * sb AS DOUBLE)) *
+        |      1000000.0) AS BIGINT) AS q
+        |  FROM dev),
+        |bar AS (
+        |  SELECT m, CAST(SUM(q) AS DOUBLE) / 1000000.0 /
+        |      CAST(COUNT(*) AS DOUBLE) AS rsbar
+        |  FROM rsq GROUP BY 1),
+        |piv AS (
+        |  SELECT SUM(CASE WHEN m = 8 THEN rsbar END) AS v8,
+        |    SUM(CASE WHEN m = 16 THEN rsbar END) AS v16,
+        |    SUM(CASE WHEN m = 32 THEN rsbar END) AS v32,
+        |    SUM(CASE WHEN m = 64 THEN rsbar END) AS v64
+        |  FROM bar)
+        |SELECT round(v8, 6) AS rs8, round(v16, 6) AS rs16,
+        |  round(v32, 6) AS rs32, round(v64, 6) AS rs64,
+        |  round((-1.5 * ln(v8) - 0.5 * ln(v16) + 0.5 * ln(v32) +
+        |    1.5 * ln(v64)) / (5.0 * ln(2.0)), 6) AS hurst
+        |FROM piv""".stripMargin,
+
+    // Granger twin: the same day grid + day,day+1 pairing, HUGEINT
+    // n-scaled moments, the identical Cramer/SSE/F double chains
+    "q350_granger" ->
+      """WITH g AS (
+        |  SELECT epoch_us(ts) // 86400000000 AS day,
+        |    CAST(SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS clicks,
+        |    CAST(SUM(CASE WHEN event_type = 'purchase' AND value IS NOT NULL
+        |      THEN CAST(round(value * 100.0) AS BIGINT) ELSE 0 END)
+        |      AS BIGINT) AS purch
+        |  FROM events GROUP BY 1),
+        |pairs AS (
+        |  SELECT a.clicks AS c0, a.purch AS p0, b.clicks AS c1, b.purch AS p1
+        |  FROM g a JOIN g b ON b.day = a.day + 1),
+        |mo1 AS (
+        |  SELECT CAST(COUNT(*) AS BIGINT) AS n,
+        |    CAST(SUM(p0) AS BIGINT) AS s1, CAST(SUM(c0) AS BIGINT) AS s2,
+        |    CAST(SUM(p1) AS BIGINT) AS sy,
+        |    SUM(CAST(p0 AS HUGEINT) * p0) AS s11,
+        |    SUM(CAST(c0 AS HUGEINT) * c0) AS s22,
+        |    SUM(CAST(p0 AS HUGEINT) * c0) AS s12,
+        |    SUM(CAST(p0 AS HUGEINT) * p1) AS s1y,
+        |    SUM(CAST(c0 AS HUGEINT) * p1) AS s2y,
+        |    SUM(CAST(p1 AS HUGEINT) * p1) AS syy
+        |  FROM pairs),
+        |mo2 AS (
+        |  SELECT CAST(COUNT(*) AS BIGINT) AS n,
+        |    CAST(SUM(c0) AS BIGINT) AS s1, CAST(SUM(p0) AS BIGINT) AS s2,
+        |    CAST(SUM(c1) AS BIGINT) AS sy,
+        |    SUM(CAST(c0 AS HUGEINT) * c0) AS s11,
+        |    SUM(CAST(p0 AS HUGEINT) * p0) AS s22,
+        |    SUM(CAST(c0 AS HUGEINT) * p0) AS s12,
+        |    SUM(CAST(c0 AS HUGEINT) * c1) AS s1y,
+        |    SUM(CAST(p0 AS HUGEINT) * c1) AS s2y,
+        |    SUM(CAST(c1 AS HUGEINT) * c1) AS syy
+        |  FROM pairs),
+        |f1 AS (
+        |  SELECT 'clicks->purchases' AS direction, n,
+        |    CAST(n * s11 - CAST(s1 AS HUGEINT) * s1 AS DOUBLE) AS m11,
+        |    CAST(n * s22 - CAST(s2 AS HUGEINT) * s2 AS DOUBLE) AS m22,
+        |    CAST(n * s12 - CAST(s1 AS HUGEINT) * s2 AS DOUBLE) AS m12,
+        |    CAST(n * s1y - CAST(s1 AS HUGEINT) * sy AS DOUBLE) AS m1y,
+        |    CAST(n * s2y - CAST(s2 AS HUGEINT) * sy AS DOUBLE) AS m2y,
+        |    CAST(n * syy - CAST(sy AS HUGEINT) * sy AS DOUBLE) AS myy
+        |  FROM mo1),
+        |f2 AS (
+        |  SELECT 'purchases->clicks' AS direction, n,
+        |    CAST(n * s11 - CAST(s1 AS HUGEINT) * s1 AS DOUBLE) AS m11,
+        |    CAST(n * s22 - CAST(s2 AS HUGEINT) * s2 AS DOUBLE) AS m22,
+        |    CAST(n * s12 - CAST(s1 AS HUGEINT) * s2 AS DOUBLE) AS m12,
+        |    CAST(n * s1y - CAST(s1 AS HUGEINT) * sy AS DOUBLE) AS m1y,
+        |    CAST(n * s2y - CAST(s2 AS HUGEINT) * sy AS DOUBLE) AS m2y,
+        |    CAST(n * syy - CAST(sy AS HUGEINT) * sy AS DOUBLE) AS myy
+        |  FROM mo2),
+        |ff AS (SELECT * FROM f1 UNION ALL SELECT * FROM f2),
+        |calc AS (
+        |  SELECT direction, n,
+        |    (m1y * m22 - m2y * m12) / (m11 * m22 - m12 * m12) AS b,
+        |    (m2y * m11 - m1y * m12) / (m11 * m22 - m12 * m12) AS c,
+        |    m1y, m2y, myy, m11
+        |  FROM ff),
+        |sse AS (
+        |  SELECT direction, n, b, c,
+        |    myy - b * m1y - c * m2y AS sse_u,
+        |    myy - m1y * m1y / m11 AS sse_r
+        |  FROM calc)
+        |SELECT direction, n, round(b, 6) AS ar_coef, round(c, 6) AS x_coef,
+        |  round((sse_r - sse_u) / (sse_u / (CAST(n AS DOUBLE) - 3.0)), 4)
+        |    AS f_stat,
+        |  (sse_r - sse_u) / (sse_u / (CAST(n AS DOUBLE) - 3.0)) > 3.84
+        |    AS granger_causal
+        |FROM sse ORDER BY direction""".stripMargin,
 
     // Simpson twin: identical cell/stratum HUGEINT moments, integer
     // sign comparisons for the flags, one rounded pooled division

@@ -378,6 +378,44 @@ object Evaluation {
     // products — they bind at ~10¹⁹ values per category as longs);
     // D_o, D_e, α are fixed double chains over those. Two keyed
     // aggregates over the scan + category-sized tails: linear. ----
+    // ---- q349: McNemar's test — the PAIRED model-comparison gate the
+    // board lacked: q341/q214 compare independent samples, but two
+    // classifiers scored on the SAME eval set are paired, and only the
+    // discordant cells carry information (b = A right/B wrong, c = the
+    // reverse; χ² = (|b−c|−1)²/(b+c), continuity-corrected). Probes
+    // here are two deterministic embedding-sign rules against the
+    // label-parity target (the q277 split device) — the stand-in for
+    // two model variants on one eval set. Per-dim coordinates are
+    // micro-quantized BEFORE the sign tests so both engines take the
+    // identical branch; counts are exact integers, χ² one division. ----
+    "q349_mcnemar" -> ((s, dir) => {
+      val base = t(s, dir, "embeddings").select(
+        (col("label").cast(LongType) % 2L === 1L).as("truth"),
+        (expr("cast(round(cast(embedding[0] as double) * 1000000.0) " +
+          "as long)") > 0L).as("pa"),
+        (expr("aggregate(slice(embedding, 1, 8), 0L, (acc, x) -> acc + " +
+          "cast(round(cast(x as double) * 1000000.0) as long))") > 0L)
+          .as("pb"))
+      val ag = base.agg(count(lit(1)).as("n"),
+        sum(when(col("pa") === col("truth") && col("pb") === col("truth"),
+          1L).otherwise(0L)).as("both_correct"),
+        sum(when(col("pa") === col("truth") && col("pb") =!= col("truth"),
+          1L).otherwise(0L)).as("only_a"),
+        sum(when(col("pa") =!= col("truth") && col("pb") === col("truth"),
+          1L).otherwise(0L)).as("only_b"),
+        sum(when(col("pa") =!= col("truth") && col("pb") =!= col("truth"),
+          1L).otherwise(0L)).as("both_wrong"))
+      val bc = col("only_a") + col("only_b")
+      val d = abs(col("only_a") - col("only_b")) - lit(1L)
+      val chi = d.cast(DoubleType) * d.cast(DoubleType) / bc.cast(DoubleType)
+      ag.select(col("n"), col("both_correct"), col("only_a"), col("only_b"),
+        col("both_wrong"),
+        when(bc === 0L, lit(null).cast(DoubleType))
+          .otherwise(round(chi, 6)).as("chi2"),
+        when(bc === 0L, lit(false)).otherwise(chi > lit(3.84))
+          .as("significant"))
+    }),
+
     "q334_krippendorff" -> ((s, dir) => {
       val D = DecimalType(38, 0)
       val ratings = t(s, dir, "lineitem")
@@ -1143,6 +1181,39 @@ object Evaluation {
         |  round(CAST(g AS DOUBLE) / 1000000.0
         |    / CAST(n_matched AS DOUBLE), 6) AS mean_pscore_gap
         |FROM ag CROSS JOIN nt""".stripMargin,
+
+    // McNemar twin: identical micro-quantized sign probes, exact
+    // discordant-cell counts, the same continuity-corrected chi-square
+    "q349_mcnemar" ->
+      """WITH base AS (
+        |  SELECT (CAST(label AS BIGINT) % 2 = 1) AS truth,
+        |    (CAST(ROUND(CAST(embedding[1] AS DOUBLE) * 1000000.0)
+        |      AS BIGINT) > 0) AS pa,
+        |    (list_sum(list_transform(embedding[1:8],
+        |      x -> CAST(ROUND(CAST(x AS DOUBLE) * 1000000.0) AS BIGINT)))
+        |      > 0) AS pb
+        |  FROM embeddings),
+        |ag AS (
+        |  SELECT CAST(COUNT(*) AS BIGINT) AS n,
+        |    CAST(SUM(CASE WHEN pa = truth AND pb = truth THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS both_correct,
+        |    CAST(SUM(CASE WHEN pa = truth AND pb <> truth THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS only_a,
+        |    CAST(SUM(CASE WHEN pa <> truth AND pb = truth THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS only_b,
+        |    CAST(SUM(CASE WHEN pa <> truth AND pb <> truth THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS both_wrong
+        |  FROM base)
+        |SELECT n, both_correct, only_a, only_b, both_wrong,
+        |  CASE WHEN only_a + only_b = 0 THEN NULL
+        |    ELSE round(CAST(abs(only_a - only_b) - 1 AS DOUBLE) *
+        |      CAST(abs(only_a - only_b) - 1 AS DOUBLE) /
+        |      CAST(only_a + only_b AS DOUBLE), 6) END AS chi2,
+        |  CASE WHEN only_a + only_b = 0 THEN FALSE
+        |    ELSE CAST(abs(only_a - only_b) - 1 AS DOUBLE) *
+        |      CAST(abs(only_a - only_b) - 1 AS DOUBLE) /
+        |      CAST(only_a + only_b AS DOUBLE) > 3.84 END AS significant
+        |FROM ag""".stripMargin,
 
     // Krippendorff twin: same ragged-panel coincidence counting —
     // nano-quantized per-(item,value) agreement terms, HUGEINT category

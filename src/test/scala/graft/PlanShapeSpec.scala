@@ -1171,4 +1171,35 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(all.contains("BroadcastHashJoin"), all)
     assert(!all.contains("CartesianProduct"), all)
   }
+
+  test("q347 periodogram folds via hash aggregate; totals broadcast") {
+    val p = planOf("q347_periodogram")
+    assert(p.contains("HashAggregate"), p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("q348 Hurst windows are keyed by (m, block), day agg is hashed") {
+    val plans = capturedPlans("q348_hurst")
+    val all = plans.mkString("\n===\n")
+    assert(all.contains("HashAggregate"), all)
+    // the per-block cumulative windows must partition on m, b — a
+    // partitionless Window over the raw series would serialize
+    assert(all.contains("partitionBy") || all.contains("PartitionBy") ||
+      all.contains("windowspecdefinition(m#"), all)
+    assert(!all.contains("CartesianProduct"), all)
+  }
+
+  test("q350 Granger is one moment aggregate per direction, no windows") {
+    val plans = capturedPlans("q350_granger")
+    val all = plans.mkString("\n===\n")
+    assert(all.contains("HashAggregate"), all)
+    assert(!all.contains("Window"), all)
+    assert(!all.contains("CartesianProduct"), all)
+  }
+
+  test("q349 McNemar is a single pass: one aggregate over the scan") {
+    val p = planOf("q349_mcnemar")
+    assert(p.contains("HashAggregate"), p)
+    assert(!p.contains("Exchange hashpartitioning"), p) // global agg only
+  }
 }
