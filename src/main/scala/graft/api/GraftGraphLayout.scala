@@ -1327,6 +1327,84 @@ private[api] trait GraftGraphLayout { this: Graft.type =>
     * division (1000000 div d — no float ever), so the top-k order is
     * exact. Returns topK rows: node, reached, n_seeds, harmonic
     * (Σ 1/d over seeds), harmonic_norm (/n_seeds). */
+  /** Bounded multi-seed BFS over a DIRECTED adjacency (u, v): returns
+    * (seed, node, dist) with dist = exact min hops ≤ maxHops (0 = the
+    * seed itself). Per hop ONE keyed frontier join + min-aggregate with
+    * lineage cut — the [[shortestPaths]] relaxation run for all seeds
+    * at once; state ≤ seeds × nodes integer rows. Shared by
+    * [[harmonicCloseness]] and [[hubRemovalRobustness]]. */
+  private[api] def multiSeedDistances(adj: DataFrame, seeds: DataFrame,
+      maxHops: Int): DataFrame = {
+    def cut(df: DataFrame): DataFrame = df.localCheckpoint()
+    var dist = seeds.select(col("seed"), col("seed").as("node"),
+      lit(0L).as("dist"))
+    var h = 1
+    while (h <= maxHops) {
+      val frontier = dist.filter(col("dist") === (h - 1).toLong)
+      val reached = frontier.join(adj, frontier("node") === adj("u"))
+        .select(frontier("seed"), adj("v").as("node"),
+          lit(h.toLong).as("dist"))
+      dist = cut(dist.unionByName(reached)
+        .groupBy(col("seed"), col("node")).agg(min(col("dist")).as("dist")))
+      h += 1
+    }
+    dist
+  }
+
+  /** Hub-removal robustness probe (percolation audit) — how much of the
+    * graph's short-range connectivity flows THROUGH its hubs: 3-hop
+    * reach from modulus-derived seeds on the full graph vs the graph
+    * with hub nodes (degree ≥ hubDegree) deleted. A large reach drop
+    * means hub partitions are load-bearing — exactly the regime where
+    * the q173-style degree caps and skew salting matter most, and
+    * where a single hot-key executor loss severs the pipeline's
+    * neighborhood structure.
+    *
+    * Seeds are drawn from NON-hub nodes (m = n_nonhub div sampleTarget,
+    * the scale-free modulus device) so every probe exists in both
+    * graphs. 100 TB shape: one degree aggregate + two bounded
+    * [[multiSeedDistances]] relaxations over the same adjacency — no
+    * component closure, no unbounded iteration. Output: one row per
+    * seed (reach_before, reach_after, retained = after/before). */
+  def hubRemovalRobustness(edges: DataFrame, srcCol: String, dstCol: String,
+      hubDegree: Int = 100, sampleTarget: Int = 8,
+      maxHops: Int = 3): DataFrame = {
+    require(hubDegree >= 2 && sampleTarget >= 1 && maxHops >= 1,
+      "hubRemovalRobustness: bad hubDegree/sampleTarget/maxHops")
+    val e = edges.select(least(col(srcCol), col(dstCol)).cast(LongType).as("a"),
+        greatest(col(srcCol), col(dstCol)).cast(LongType).as("b"))
+      .filter(col("a") =!= col("b")).distinct()
+      .localCheckpoint()
+    val adj = e.select(col("a").as("u"), col("b").as("v"))
+      .unionAll(e.select(col("b").as("u"), col("a").as("v")))
+    val deg = adj.groupBy(col("u")).agg(count(lit(1)).as("deg"))
+      .localCheckpoint() // feeds the prune, the seed pool, and the counts
+    val nonHub = deg.filter(col("deg") < hubDegree)
+      .select(col("u").as("node"))
+    val cnt = nonHub.agg(count(lit(1)).as("__n"))
+    val seeds = nonHub.crossJoin(broadcast(cnt))
+      .filter(col("node") %
+        greatest(lit(1L), expr(s"__n div $sampleTarget")) === 0L)
+      .select(col("node").as("seed"))
+      .localCheckpoint()
+    val pruned = adj
+      .join(deg.filter(col("deg") < hubDegree).select(col("u")), Seq("u"))
+      .join(deg.filter(col("deg") < hubDegree)
+        .select(col("u").as("v")), Seq("v"))
+      .select(col("u"), col("v"))
+    def reach(a: DataFrame) = multiSeedDistances(a, seeds, maxHops)
+      .filter(col("dist") > 0L)
+      .groupBy(col("seed")).agg(count(lit(1)).as("r"))
+    reach(adj).withColumnRenamed("r", "reach_before")
+      .join(reach(pruned).withColumnRenamed("r", "reach_after"),
+        Seq("seed"), "left")
+      .select(col("seed"), col("reach_before"),
+        coalesce(col("reach_after"), lit(0L)).as("reach_after"),
+        round(coalesce(col("reach_after"), lit(0L)).cast(DoubleType) /
+          col("reach_before").cast(DoubleType), 6).as("retained"))
+      .orderBy(col("seed"))
+  }
+
   def harmonicCloseness(edges: DataFrame, srcCol: String, dstCol: String,
       sampleTarget: Int = 8, maxHops: Int = 3, topK: Int = 20): DataFrame = {
     require(sampleTarget >= 1 && maxHops >= 1 && topK >= 1,
@@ -1346,18 +1424,7 @@ private[api] trait GraftGraphLayout { this: Graft.type =>
         greatest(lit(1L), expr(s"__n div $sampleTarget")) === 0L)
       .select(col("node").as("seed"))
       .localCheckpoint()
-    var dist = seeds.select(col("seed"), col("seed").as("node"),
-      lit(0L).as("dist"))
-    var h = 1
-    while (h <= maxHops) {
-      val frontier = dist.filter(col("dist") === (h - 1).toLong)
-      val reached = frontier.join(adj, frontier("node") === adj("u"))
-        .select(frontier("seed"), adj("v").as("node"),
-          lit(h.toLong).as("dist"))
-      dist = cut(dist.unionByName(reached)
-        .groupBy(col("seed"), col("node")).agg(min(col("dist")).as("dist")))
-      h += 1
-    }
+    val dist = multiSeedDistances(adj, seeds, maxHops)
     val contrib = dist.filter(col("dist") > 0L)
       .groupBy(col("node"))
       .agg(count(lit(1)).as("reached"),

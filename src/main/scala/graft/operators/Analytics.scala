@@ -561,13 +561,23 @@ object Analytics {
     // ---- q345: sampled harmonic closeness centrality — WHICH parts
     // sit nearest the middle of the co-purchase graph (the question
     // PageRank q111 answers by in-link mass and q147's k-core by
-    // density; closeness answers by DISTANCE). BFS from ~8 modulus-
-    // derived seeds (m = n div 8 — seed count is scale-free), 3 hops,
+    // density; closeness answers by DISTANCE). BFS from ~4 modulus-
+    // derived seeds (m = n div 4 — seed count is scale-free), 3 hops,
     // per-node Σ 1/d micro-quantized by integer division. The oracle
     // replays the relaxation as a recursive CTE over the same edges. ----
     "q345_closeness" -> ((s, dir) =>
       graft.api.Graft.harmonicCloseness(basketEdges(s, dir), "src", "dst",
-        sampleTarget = 8, maxHops = 3, topK = 20)),
+        sampleTarget = 4, maxHops = 3, topK = 20)),
+
+    // ---- q352: hub-removal robustness (percolation probe) — how much
+    // of the co-purchase graph's 2-hop connectivity flows THROUGH the
+    // deg ≥ 100 hubs that q173 excludes from bridging: reach from the
+    // same modulus-derived seed device before vs after hub deletion.
+    // Two bounded multi-seed relaxations over one degree table — no
+    // component closure, no unbounded iteration. ----
+    "q352_hub_robustness" -> ((s, dir) =>
+      graft.api.Graft.hubRemovalRobustness(basketEdges(s, dir), "src", "dst",
+        hubDegree = 100, sampleTarget = 4, maxHops = 2)),
 
     // ---- q172: exact equi-depth histogram of l_extendedprice — the
     // quantile-boundary companion to q110's equi-width bins (what a
@@ -1337,6 +1347,62 @@ object Analytics {
         .orderBy(col("stratum"))
     }),
 
+    // ---- q353: placebo refuter + E-value — the two REFUTATION gates
+    // under the q250/q254/q307 estimator family (q327 checks the
+    // positivity assumption; this checks the DESIGN): (1) rerun the
+    // effect with a hash-permuted pseudo-treatment — a real causal
+    // design shows z ≈ 0 under the placebo (md5 parity is independent
+    // of everything by construction); (2) VanderWeele–Ding E-value =
+    // RR + sqrt(RR·(RR−1)) — the minimum confounder strength that
+    // could explain the observed risk ratio away. Binary conversion
+    // outcome per user, ONE conditional aggregate for all eight cells,
+    // exact integer counts, fixed double chains (sqrt only). ----
+    "q353_placebo_evalue" -> ((s, dir) => {
+      graft.functions.GraftFunctions.register(s) // md5_lower64
+      val u = t(s, dir, "events").groupBy(col("user_id"))
+        .agg(max(when(col("event_type") === "purchase", 1L).otherwise(0L))
+          .as("conv"))
+        .select(col("conv"),
+          (col("user_id") % 2 === 0).as("tr"),
+          expr("(md5_lower64(cast(user_id AS STRING)) & 1) = 1").as("trp"))
+      val ag = u.agg(count(lit(1)).as("n_users"),
+        sum(when(col("tr"), 1L).otherwise(0L)).as("n1"),
+        sum(when(col("tr"), col("conv")).otherwise(0L)).as("x1"),
+        sum(when(!col("tr"), 1L).otherwise(0L)).as("n0"),
+        sum(when(!col("tr"), col("conv")).otherwise(0L)).as("x0"),
+        sum(when(col("trp"), 1L).otherwise(0L)).as("np1"),
+        sum(when(col("trp"), col("conv")).otherwise(0L)).as("xp1"),
+        sum(when(!col("trp"), 1L).otherwise(0L)).as("np0"),
+        sum(when(!col("trp"), col("conv")).otherwise(0L)).as("xp0"))
+      def rate(x: String, n: String) =
+        col(x).cast(DoubleType) / col(n).cast(DoubleType)
+      def zOf(x1: String, n1: String, x0: String, n0: String) = {
+        val ph = (col(x1) + col(x0)).cast(DoubleType) /
+          (col(n1) + col(n0)).cast(DoubleType)
+        val se = sqrt(ph * (lit(1.0) - ph) *
+          (lit(1.0) / col(n1).cast(DoubleType) +
+           lit(1.0) / col(n0).cast(DoubleType)))
+        when(se <= lit(0.0), lit(null).cast(DoubleType))
+          .otherwise((rate(x1, n1) - rate(x0, n0)) / se)
+      }
+      val rr = rate("x1", "n1") / rate("x0", "n0")
+      val rrStar = when(rr >= lit(1.0), rr).otherwise(lit(1.0) / rr)
+      val ev = when(col("x0") === 0L || col("x1") === 0L,
+          lit(null).cast(DoubleType))
+        .otherwise(rrStar + sqrt(rrStar * (rrStar - lit(1.0))))
+      val zr = zOf("x1", "n1", "x0", "n0")
+      val zp = zOf("xp1", "np1", "xp0", "np0")
+      ag.select(col("n_users"),
+        round(rate("x1", "n1"), 6).as("p_treated"),
+        round(rate("x0", "n0"), 6).as("p_control"),
+        when(col("x0") === 0L, lit(null).cast(DoubleType))
+          .otherwise(round(rr, 6)).as("risk_ratio"),
+        round(ev, 6).as("e_value"),
+        round(zr, 4).as("z_real"), round(zp, 4).as("z_placebo"),
+        when(zp.isNull, lit(null).cast("boolean"))
+          .otherwise(abs(zp) < lit(1.96)).as("placebo_pass"))
+    }),
+
     // ---- q254: inverse-propensity-weighted ATE — the estimator
     // sibling of q250 on the SAME strata: Horvitz–Thompson reweighting
     // by within-stratum propensities instead of size-weighted stratum
@@ -1798,20 +1864,25 @@ object Analytics {
         .localCheckpoint() // feeds the fold fan-out and the total-SS row
       val tot = daily.agg(count(lit(1)).as("n"), sum(col("y")).as("sy"),
         sum(col("y").cast(dec) * col("y").cast(dec)).as("syy"))
+      // SCALE-FREE quantization (r13; the absolute S_φ²/n_φ grid
+      // overflowed long past sf0.1 — phase terms grow quadratically
+      // with data): each phase contributes the RATIO (S_φ²/n_φ)/(S²/n)
+      // ∈ O(1/p·(1+ε)) nano-snapped, so the grid never scales with
+      // data volume. Σ ratios − 1 = SS_between/grand exactly.
+      val grand = col("sy").cast(DoubleType) * col("sy").cast(DoubleType) /
+        col("n").cast(DoubleType)
       val folded = daily
         .withColumn("p", explode(array((2 to 30).map(p => lit(p.toLong)): _*)))
         .groupBy(col("p"), (col("day") % col("p")).as("phase"))
         .agg(count(lit(1)).as("nf"), sum(col("y")).as("sf"))
-        // S_φ²/n_φ micro-quantized: the square runs in double (identical
-        // IEEE chain in the oracle), the grid snap makes the sum order-free
+        .crossJoin(broadcast(tot))
         .select(col("p"), round(col("sf").cast(DoubleType) *
-            col("sf").cast(DoubleType) / col("nf").cast(DoubleType) *
-            lit(1.0e6)).cast(LongType).as("__t"))
+            col("sf").cast(DoubleType) / col("nf").cast(DoubleType) /
+            grand * lit(1.0e9)).cast(LongType).as("__t"))
         .groupBy(col("p")).agg(sum(col("__t")).as("__sb_raw"))
       val g = folded.crossJoin(broadcast(tot))
-      val grand = col("sy").cast(DoubleType) * col("sy").cast(DoubleType) /
-        col("n").cast(DoubleType)
-      val sbMicro = (col("__sb_raw").cast(DoubleType) / lit(1.0e6)) - grand
+      val sbMicro = (col("__sb_raw").cast(DoubleType) / lit(1.0e9) -
+        lit(1.0)) * grand
       val sst = col("syy").cast(DoubleType) - grand
       val w = Window.orderBy(col("__sb_raw").desc, col("period"))
       g.select(col("p").as("period"), round(sbMicro, 2).as("ss_between"),
@@ -3502,13 +3573,14 @@ object Analytics {
         |  GROUP BY 1, 2),
         |folded AS (
         |  SELECT p, CAST(SUM(CAST(ROUND(CAST(sf AS DOUBLE) *
-        |      CAST(sf AS DOUBLE) / CAST(nf AS DOUBLE) * 1000000.0)
-        |      AS BIGINT)) AS BIGINT) AS sb_raw
-        |  FROM ph GROUP BY 1),
+        |      CAST(sf AS DOUBLE) / CAST(nf AS DOUBLE) /
+        |      (CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE) / CAST(n AS DOUBLE))
+        |      * 1000000000.0) AS BIGINT)) AS BIGINT) AS sb_raw
+        |  FROM ph CROSS JOIN tot GROUP BY 1),
         |calc AS (
         |  SELECT p, sb_raw,
-        |    CAST(sb_raw AS DOUBLE) / 1000000.0 -
-        |      CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE) / CAST(n AS DOUBLE)
+        |    (CAST(sb_raw AS DOUBLE) / 1000000000.0 - 1.0) *
+        |      (CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE) / CAST(n AS DOUBLE))
         |      AS sbm,
         |    CAST(syy AS DOUBLE) -
         |      CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE) / CAST(n AS DOUBLE)
@@ -4792,7 +4864,7 @@ object Analytics {
         |nodes AS (SELECT DISTINCT u AS node FROM adj),
         |cnt AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM nodes),
         |seeds AS (SELECT node AS seed FROM nodes CROSS JOIN cnt
-        |          WHERE node % greatest(1, n // 8) = 0),
+        |          WHERE node % greatest(1, n // 4) = 0),
         |walk AS (
         |  SELECT seed, seed AS node, CAST(0 AS BIGINT) AS dist FROM seeds
         |  UNION
@@ -4812,6 +4884,114 @@ object Analytics {
         |  round(CAST(hm AS DOUBLE) / 1000000.0 / CAST(n_seeds AS DOUBLE), 6)
         |    AS harmonic_norm
         |FROM top CROSS JOIN ns ORDER BY hm DESC, node""".stripMargin,
+
+    // robustness twin: same non-hub seed modulus, two bounded
+    // recursive walks (full vs hub-pruned adjacency), distinct-node
+    // reach counts, one division
+    "q352_hub_robustness" ->
+      """WITH RECURSIVE li AS (SELECT l_orderkey AS ok, l_partkey AS pk FROM lineitem),
+        |e AS (SELECT DISTINCT x.pk AS a, y.pk AS b
+        |      FROM li x JOIN li y ON x.ok = y.ok AND x.pk < y.pk),
+        |adj AS (SELECT a AS u, b AS v FROM e
+        |        UNION ALL SELECT b AS u, a AS v FROM e),
+        |deg AS (SELECT u, CAST(COUNT(*) AS BIGINT) AS deg
+        |        FROM adj GROUP BY u),
+        |nonhub AS (SELECT u AS node FROM deg WHERE deg < 100),
+        |cnt AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM nonhub),
+        |seeds AS (SELECT node AS seed FROM nonhub CROSS JOIN cnt
+        |          WHERE node % greatest(1, n // 4) = 0),
+        |pruned AS (SELECT a.u, a.v FROM adj a
+        |           JOIN nonhub x ON x.node = a.u
+        |           JOIN nonhub y ON y.node = a.v),
+        |wb AS (
+        |  SELECT seed, seed AS node, CAST(0 AS BIGINT) AS dist FROM seeds
+        |  UNION
+        |  SELECT w.seed, a.v AS node, w.dist + 1 AS dist
+        |  FROM wb w JOIN adj a ON a.u = w.node WHERE w.dist < 2
+        |),
+        |wa AS (
+        |  SELECT seed, seed AS node, CAST(0 AS BIGINT) AS dist FROM seeds
+        |  UNION
+        |  SELECT w.seed, p.v AS node, w.dist + 1 AS dist
+        |  FROM wa w JOIN pruned p ON p.u = w.node WHERE w.dist < 2
+        |),
+        |rb AS (SELECT seed, CAST(COUNT(DISTINCT node) AS BIGINT)
+        |         AS reach_before
+        |       FROM wb WHERE node <> seed GROUP BY 1),
+        |ra AS (SELECT seed, CAST(COUNT(DISTINCT node) AS BIGINT)
+        |         AS reach_after
+        |       FROM wa WHERE node <> seed GROUP BY 1)
+        |SELECT rb.seed, rb.reach_before,
+        |  COALESCE(ra.reach_after, 0) AS reach_after,
+        |  round(CAST(COALESCE(ra.reach_after, 0) AS DOUBLE) /
+        |    CAST(rb.reach_before AS DOUBLE), 6) AS retained
+        |FROM rb LEFT JOIN ra ON ra.seed = rb.seed
+        |ORDER BY rb.seed""".stripMargin,
+
+    // placebo/E-value twin: identical md5-parity pseudo-treatment,
+    // eight exact cells from one conditional aggregate, the same
+    // rate/RR/E-value/z double chains
+    "q353_placebo_evalue" ->
+      """WITH u AS (
+        |  SELECT user_id,
+        |    MAX(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS conv
+        |  FROM events GROUP BY 1),
+        |b AS (
+        |  SELECT conv, (user_id % 2 = 0) AS tr,
+        |    ((md5_number_lower(CAST(user_id AS VARCHAR)) & 1::UBIGINT)
+        |      = 1::UBIGINT) AS trp
+        |  FROM u),
+        |ag AS (
+        |  SELECT CAST(COUNT(*) AS BIGINT) AS n_users,
+        |    CAST(SUM(CASE WHEN tr THEN 1 ELSE 0 END) AS BIGINT) AS n1,
+        |    CAST(SUM(CASE WHEN tr THEN conv ELSE 0 END) AS BIGINT) AS x1,
+        |    CAST(SUM(CASE WHEN NOT tr THEN 1 ELSE 0 END) AS BIGINT) AS n0,
+        |    CAST(SUM(CASE WHEN NOT tr THEN conv ELSE 0 END) AS BIGINT) AS x0,
+        |    CAST(SUM(CASE WHEN trp THEN 1 ELSE 0 END) AS BIGINT) AS np1,
+        |    CAST(SUM(CASE WHEN trp THEN conv ELSE 0 END) AS BIGINT) AS xp1,
+        |    CAST(SUM(CASE WHEN NOT trp THEN 1 ELSE 0 END) AS BIGINT) AS np0,
+        |    CAST(SUM(CASE WHEN NOT trp THEN conv ELSE 0 END) AS BIGINT) AS xp0
+        |  FROM b),
+        |c AS (
+        |  SELECT n_users, x1, x0,
+        |    CAST(x1 AS DOUBLE) / CAST(n1 AS DOUBLE) AS p1,
+        |    CAST(x0 AS DOUBLE) / CAST(n0 AS DOUBLE) AS p0,
+        |    (CAST(x1 AS DOUBLE) / CAST(n1 AS DOUBLE)) /
+        |      (CAST(x0 AS DOUBLE) / CAST(n0 AS DOUBLE)) AS rr,
+        |    CASE WHEN sqrt((CAST(x1 + x0 AS DOUBLE) / CAST(n1 + n0 AS DOUBLE))
+        |        * (1.0 - CAST(x1 + x0 AS DOUBLE) / CAST(n1 + n0 AS DOUBLE))
+        |        * (1.0 / CAST(n1 AS DOUBLE) + 1.0 / CAST(n0 AS DOUBLE)))
+        |        <= 0.0 THEN NULL
+        |      ELSE (CAST(x1 AS DOUBLE) / CAST(n1 AS DOUBLE)
+        |          - CAST(x0 AS DOUBLE) / CAST(n0 AS DOUBLE))
+        |        / sqrt((CAST(x1 + x0 AS DOUBLE) / CAST(n1 + n0 AS DOUBLE))
+        |          * (1.0 - CAST(x1 + x0 AS DOUBLE) / CAST(n1 + n0 AS DOUBLE))
+        |          * (1.0 / CAST(n1 AS DOUBLE) + 1.0 / CAST(n0 AS DOUBLE)))
+        |      END AS zr,
+        |    CASE WHEN sqrt((CAST(xp1 + xp0 AS DOUBLE)
+        |          / CAST(np1 + np0 AS DOUBLE))
+        |        * (1.0 - CAST(xp1 + xp0 AS DOUBLE) / CAST(np1 + np0 AS DOUBLE))
+        |        * (1.0 / CAST(np1 AS DOUBLE) + 1.0 / CAST(np0 AS DOUBLE)))
+        |        <= 0.0 THEN NULL
+        |      ELSE (CAST(xp1 AS DOUBLE) / CAST(np1 AS DOUBLE)
+        |          - CAST(xp0 AS DOUBLE) / CAST(np0 AS DOUBLE))
+        |        / sqrt((CAST(xp1 + xp0 AS DOUBLE) / CAST(np1 + np0 AS DOUBLE))
+        |          * (1.0 - CAST(xp1 + xp0 AS DOUBLE)
+        |            / CAST(np1 + np0 AS DOUBLE))
+        |          * (1.0 / CAST(np1 AS DOUBLE) + 1.0 / CAST(np0 AS DOUBLE)))
+        |      END AS zp
+        |  FROM ag),
+        |d AS (
+        |  SELECT *, CASE WHEN rr >= 1.0 THEN rr ELSE 1.0 / rr END AS rrs
+        |  FROM c)
+        |SELECT n_users, round(p1, 6) AS p_treated, round(p0, 6) AS p_control,
+        |  CASE WHEN x0 = 0 THEN NULL ELSE round(rr, 6) END AS risk_ratio,
+        |  CASE WHEN x0 = 0 OR x1 = 0 THEN NULL
+        |    ELSE round(rrs + sqrt(rrs * (rrs - 1.0)), 6) END AS e_value,
+        |  round(zr, 4) AS z_real, round(zp, 4) AS z_placebo,
+        |  CASE WHEN zp IS NULL THEN NULL ELSE abs(zp) < 1.96 END
+        |    AS placebo_pass
+        |FROM d""".stripMargin,
 
     // equi-depth twin: identical rank-arithmetic bucket id; boundary
     // ties share the endpoint value so the permutation inside a tie

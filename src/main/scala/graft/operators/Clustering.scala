@@ -84,6 +84,51 @@ object Clustering {
       graft.api.Graft.nmfTopics(t(s, dir, "documents"), "text", "doc_id",
         k = 5, vocabSize = 200, topTerms = 5)),
 
+    // ---- q351: per-dim whitening transform — the ACTION q260's
+    // isotropy audit and q321's hubness audit both point at ("whiten
+    // before ANN"): center and unit-scale every dimension, emit the
+    // per-dim (μ, σ) map a serving layer applies, and PROVE the
+    // transform executed by an exact milli-quantized checksum of every
+    // whitened coordinate (order-free long sum per dim — the hash gate
+    // covers the transformed values themselves, not just the stats).
+    // One posexplode scan for moments (exact micro-long sums, Decimal
+    // squares), one broadcast-stats rejoin for the transform: n·d
+    // work, d-row output. Zero-variance dims emit checksum 0
+    // (documented — no signal to whiten). ----
+    "q351_whitening" -> ((s, dir) => {
+      val dec = DecimalType(38, 0)
+      val emb = t(s, dir, "embeddings")
+      val dims = emb.select(col("vec_id"),
+          posexplode(col("embedding")).as(Seq("i0", "x")))
+        .select(col("vec_id"), (col("i0") + 1).cast(LongType).as("i"),
+          round(col("x").cast(DoubleType) * lit(1.0e6)).cast(LongType)
+            .as("xq"))
+        .localCheckpoint() // feeds the moment pass and the checksum pass
+      val stats = dims.groupBy(col("i"))
+        .agg(count(lit(1)).as("n"), sum(col("xq")).as("sx"),
+          sum(col("xq").cast(dec) * col("xq").cast(dec)).as("sxx"))
+        .select(col("i"), col("n"),
+          (col("sx").cast(DoubleType) / col("n").cast(DoubleType))
+            .as("mu_micro"),
+          (sqrt((col("n").cast(dec) * col("sxx") -
+            col("sx").cast(dec) * col("sx").cast(dec)).cast(DoubleType)) /
+            col("n").cast(DoubleType)).as("sig_micro"))
+      val wt = dims
+        .join(broadcast(stats.select(col("i"), col("mu_micro"),
+          col("sig_micro"))), Seq("i"))
+        .select(col("i"),
+          when(col("sig_micro") <= lit(0.0), lit(0L))
+            .otherwise(round((col("xq").cast(DoubleType) - col("mu_micro")) /
+              col("sig_micro") * lit(1.0e3)).cast(LongType)).as("zq"))
+        .groupBy(col("i")).agg(sum(col("zq")).as("whitened_checksum"))
+      stats.join(wt, Seq("i"))
+        .select(col("i").as("dim"), col("n").as("n_vecs"),
+          round(col("mu_micro") / lit(1.0e6), 6).as("mu"),
+          round(col("sig_micro") / lit(1.0e6), 6).as("sigma"),
+          col("whitened_checksum"))
+        .orderBy(col("dim"))
+    }),
+
     // ---- q277: Fréchet embedding distance, diagonal-covariance form —
     // the FID-style distribution-shift gate between two embedding
     // populations (is the synthetic/new-source slice distributionally
@@ -972,6 +1017,39 @@ object Clustering {
         |SELECT t AS topic, rnk, w AS term,
         |  round(CAST(hq AS DOUBLE) / 1000000.0, 6) AS weight
         |FROM ranked WHERE rnk <= 5 ORDER BY topic, rnk""".stripMargin,
+
+    // whitening twin: identical micro coordinates, HUGEINT moments,
+    // the same (xq − μ)/σ double chain milli-snapped per coordinate
+    "q351_whitening" ->
+      """WITH dims AS (
+        |  SELECT vec_id, CAST(i AS BIGINT) AS i,
+        |    CAST(ROUND(CAST(embedding[i] AS DOUBLE) * 1000000.0) AS BIGINT)
+        |      AS xq
+        |  FROM (SELECT vec_id, embedding,
+        |          unnest(generate_series(1, len(embedding))) AS i
+        |        FROM embeddings) e),
+        |stats AS (
+        |  SELECT i, CAST(COUNT(*) AS BIGINT) AS n,
+        |    CAST(SUM(xq) AS BIGINT) AS sx,
+        |    SUM(CAST(xq AS HUGEINT) * xq) AS sxx
+        |  FROM dims GROUP BY 1),
+        |st2 AS (
+        |  SELECT i, n,
+        |    CAST(sx AS DOUBLE) / CAST(n AS DOUBLE) AS mu_micro,
+        |    sqrt(CAST(n * sxx - CAST(sx AS HUGEINT) * sx AS DOUBLE)) /
+        |      CAST(n AS DOUBLE) AS sig_micro
+        |  FROM stats),
+        |wt AS (
+        |  SELECT d.i, CAST(SUM(CASE WHEN s.sig_micro <= 0.0 THEN 0
+        |      ELSE CAST(ROUND((CAST(d.xq AS DOUBLE) - s.mu_micro) /
+        |        s.sig_micro * 1000.0) AS BIGINT) END) AS BIGINT)
+        |      AS whitened_checksum
+        |  FROM dims d JOIN st2 s ON s.i = d.i GROUP BY 1)
+        |SELECT st2.i AS dim, st2.n AS n_vecs,
+        |  round(st2.mu_micro / 1000000.0, 6) AS mu,
+        |  round(st2.sig_micro / 1000000.0, 6) AS sigma,
+        |  wt.whitened_checksum
+        |FROM st2 JOIN wt ON wt.i = st2.i ORDER BY dim""".stripMargin,
 
     "q311_kcenter_coreset" -> kcenterSql(5),
 

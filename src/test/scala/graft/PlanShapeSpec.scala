@@ -1202,4 +1202,24 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(p.contains("HashAggregate"), p)
     assert(!p.contains("Exchange hashpartitioning"), p) // global agg only
   }
+
+  test("q351 whitening broadcasts the d-row stats back to the scan") {
+    val plans = capturedPlans("q351_whitening")
+    val all = plans.mkString("\n===\n")
+    assert(all.contains("BroadcastHashJoin"), all)
+    assert(!all.contains("CartesianProduct"), all)
+  }
+
+  test("q352 robustness probes are equi-join relaxations, no closure") {
+    val plans = capturedPlans("q352_hub_robustness")
+    val all = plans.mkString("\n===\n")
+    assert(all.contains("HashAggregate"), all)
+    assert(!all.contains("CartesianProduct"), all)
+  }
+
+  test("q353 placebo/E-value is one conditional aggregate, no windows") {
+    val p = planOf("q353_placebo_evalue")
+    assert(p.contains("HashAggregate"), p)
+    assert(!p.contains("Window"), p)
+  }
 }
