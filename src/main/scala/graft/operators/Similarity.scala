@@ -413,6 +413,64 @@ object Similarity {
     // global bar. The AUTHORITATIVE measured values are the r10 golden
     // pin in this file's VALUES oracle below (sf0.01: lsh 0.88, pq 0.84)
     // plus IvfSpec — recapture BOTH together if the inputs ever change. ----
+    // ---- q355: sign-bit (1-bit) embedding compression audit — the
+    // extreme point of the compression family (int8 q67/q324, PQ,
+    // matryoshka q196/q262): 64 float dims → ONE 64-bit signature
+    // (32× smaller), candidates ranked by Hamming distance, recall@10
+    // scored against the exact cosine top-10 (the q46 gate's method
+    // applied to binarization). Signatures are order-free integer sums
+    // of power-of-two terms over micro-quantized signs (two 32-bit
+    // halves, the q193 long-safe device); recall/means come from exact
+    // integer hit counts — no float average ever crosses engines. ----
+    "q355_signbit_audit" -> ((s, dir) => {
+      import s.implicits._
+      val base = t(s, dir, "embeddings")
+      val qsv = base.filter($"vec_id" % 100 === 0)
+      val exact = graft.api.Graft.cosineTopK(base, qsv, "embedding",
+          "vec_id", 10)
+        .select($"qid", $"nid").localCheckpoint()
+      val dims = base.select(col("vec_id"),
+          posexplode(col("embedding")).as(Seq("i0", "x")))
+        .select(col("vec_id"), (col("i0") + 1).cast(LongType).as("i"),
+          round(col("x").cast(DoubleType) * lit(1.0e6)).cast(LongType)
+            .as("xq"))
+      val sig = dims.groupBy(col("vec_id")).agg(
+          sum(when(col("i") <= 32L && col("xq") > 0L,
+            expr("cast(power(2.0, 32 - i) as long)")).otherwise(0L)).as("lo"),
+          sum(when(col("i") > 32L && col("xq") > 0L,
+            expr("cast(power(2.0, 64 - i) as long)")).otherwise(0L)).as("hi"))
+        .localCheckpoint() // feeds the probe slice and the scan side
+      val qsig = sig.filter(col("vec_id") % 100 === 0)
+        .select(col("vec_id").as("qid"), col("lo").as("qlo"),
+          col("hi").as("qhi"))
+      val ham = sig.join(broadcast(qsig), col("vec_id") =!= col("qid"))
+        .select(col("qid"), col("vec_id").as("nid"),
+          (bit_count(col("lo").bitwiseXOR(col("qlo"))) +
+           bit_count(col("hi").bitwiseXOR(col("qhi")))).cast(LongType)
+            .as("h"))
+      val wq = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("qid")).orderBy(col("h"), col("nid"))
+      val atop = ham.withColumn("rnk", row_number().over(wq))
+        .filter(col("rnk") <= 10)
+        .localCheckpoint() // |q|·10 rows; feeds hits + the hamming mean
+      val hits = exact.join(atop.select($"qid", $"nid"),
+          Seq("qid", "nid"), "left_semi")
+        .groupBy($"qid").agg(count(lit(1)).as("hh"))
+      val per = exact.groupBy($"qid").agg(count(lit(1)).as("nn"))
+        .join(hits, Seq("qid"), "left").na.fill(0L, Seq("hh"))
+      val hamAgg = atop.agg(sum(col("h")).as("__sh"),
+        count(lit(1)).as("__nh"))
+      per.agg(count(lit(1)).as("n_queries"), sum($"hh").as("__h"),
+          min($"hh").as("__m"), sum($"nn").as("__n"))
+        .crossJoin(broadcast(hamAgg))
+        .select(col("n_queries"),
+          round(col("__h").cast(DoubleType) / col("__n").cast(DoubleType), 4)
+            .as("mean_recall"),
+          round(col("__m").cast(DoubleType) / lit(10.0), 4).as("min_recall"),
+          round(col("__sh").cast(DoubleType) / col("__nh").cast(DoubleType),
+            4).as("mean_hamming_top10"))
+    }),
+
     "q46_ann_recall_gate" -> ((s, dir) => {
       import s.implicits._
       val base = t(s, dir, "embeddings")
@@ -912,6 +970,72 @@ object Similarity {
         |    / CAST(n_queries AS DOUBLE), 6) AS shapley
         |FROM tot CROSS JOIN nq CROSS JOIN ntr
         |ORDER BY sum_nano DESC, vec_id LIMIT 20""".stripMargin,
+
+    // sign-bit twin: the q27 exact-cosine chain for ground truth, the
+    // same power-of-two signature sums and Hamming ranking, integer
+    // hit counts — recall means never average floats
+    "q355_signbit_audit" ->
+      """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+        |q AS (SELECT vec_id AS qid, v AS qv FROM e WHERE vec_id % 100 = 0),
+        |scored AS (
+        |  SELECT q.qid, e.vec_id AS nid,
+        |    list_dot_product(e.v, q.qv) /
+        |      (sqrt(list_dot_product(e.v, e.v)) *
+        |       sqrt(list_dot_product(q.qv, q.qv))) AS sim
+        |  FROM e, q WHERE e.vec_id <> q.qid),
+        |exact AS (
+        |  SELECT qid, nid FROM (
+        |    SELECT qid, nid,
+        |      ROW_NUMBER() OVER (PARTITION BY qid ORDER BY sim DESC, nid)
+        |        AS rnk
+        |    FROM scored) WHERE rnk <= 10),
+        |dims AS (
+        |  SELECT vec_id, CAST(i AS BIGINT) AS i,
+        |    CAST(ROUND(CAST(embedding[i] AS DOUBLE) * 1000000.0) AS BIGINT)
+        |      AS xq
+        |  FROM (SELECT vec_id, embedding,
+        |          unnest(generate_series(1, len(embedding))) AS i
+        |        FROM embeddings) d),
+        |sig AS (
+        |  SELECT vec_id,
+        |    CAST(SUM(CASE WHEN i <= 32 AND xq > 0
+        |      THEN CAST(power(2.0, 32 - i) AS BIGINT) ELSE 0 END)
+        |      AS BIGINT) AS lo,
+        |    CAST(SUM(CASE WHEN i > 32 AND xq > 0
+        |      THEN CAST(power(2.0, 64 - i) AS BIGINT) ELSE 0 END)
+        |      AS BIGINT) AS hi
+        |  FROM dims GROUP BY 1),
+        |qs AS (SELECT vec_id AS qid, lo AS qlo, hi AS qhi
+        |       FROM sig WHERE vec_id % 100 = 0),
+        |ham AS (
+        |  SELECT q.qid, s.vec_id AS nid,
+        |    CAST(bit_count(xor(s.lo, q.qlo)) + bit_count(xor(s.hi, q.qhi))
+        |      AS BIGINT) AS h
+        |  FROM sig s CROSS JOIN qs q WHERE s.vec_id <> q.qid),
+        |atop AS (
+        |  SELECT qid, nid, h FROM (
+        |    SELECT qid, nid, h,
+        |      ROW_NUMBER() OVER (PARTITION BY qid ORDER BY h, nid) AS rnk
+        |    FROM ham) WHERE rnk <= 10),
+        |hits AS (
+        |  SELECT e2.qid, CAST(COUNT(*) AS BIGINT) AS hh
+        |  FROM exact e2 JOIN atop a ON a.qid = e2.qid AND a.nid = e2.nid
+        |  GROUP BY 1),
+        |per AS (
+        |  SELECT e2.qid, CAST(COUNT(*) AS BIGINT) AS nn,
+        |    COALESCE(MAX(h2.hh), 0) AS hh
+        |  FROM exact e2 LEFT JOIN hits h2 ON h2.qid = e2.qid
+        |  GROUP BY 1),
+        |hamagg AS (SELECT CAST(SUM(h) AS BIGINT) AS sh,
+        |    CAST(COUNT(*) AS BIGINT) AS nh FROM atop)
+        |SELECT CAST(COUNT(*) AS BIGINT) AS n_queries,
+        |  round(CAST(SUM(hh) AS DOUBLE) / CAST(SUM(nn) AS DOUBLE), 4)
+        |    AS mean_recall,
+        |  round(CAST(MIN(hh) AS DOUBLE) / 10.0, 4) AS min_recall,
+        |  round(CAST(sh AS DOUBLE) / CAST(nh AS DOUBLE), 4)
+        |    AS mean_hamming_top10
+        |FROM per CROSS JOIN hamagg
+        |GROUP BY sh, nh""".stripMargin,
 
     "q27_knn_cosine" ->
       """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),

@@ -71,6 +71,67 @@ object TextAnalysis {
   }
 
   val queries: Map[String, Q] = Map(
+    // ---- q354: TextTiling-lite topic-shift boundaries — WHERE a long
+    // document changes subject (Hearst 1997): cosine similarity between
+    // ADJACENT 50-word block term vectors; the low-cohesion gap is
+    // where topic-aware chunking should cut (q62's fixed-stride chunks
+    // split mid-topic; RAG retrieval quality is the downstream cost).
+    // Block ids come from the FILTERED token rank (keyed row_number —
+    // identical to the oracle's filtered-list ordinality); dots/norms
+    // are exact integer sums per (doc, block); each gap's cosine is ONE
+    // sqrt·sqrt division micro-snapped; the cut block is the exact-
+    // integer argmin (min cos, tie → smallest block). Everything is
+    // doc-keyed: zero cross-doc state, linear at any corpus size. ----
+    "q354_texttiling" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val toks = t(s, dir, "documents")
+        .select(col("doc_id"),
+          posexplode(split(lower(col("text")), "[^a-z0-9]+"))
+            .as(Seq("__p", "__t")))
+        .filter(col("__t") =!= "")
+      val wp = Window.partitionBy(col("doc_id")).orderBy(col("__p"))
+      val counts = toks
+        .withColumn("pos", row_number().over(wp).cast(LongType))
+        .select(col("doc_id"), expr("(pos - 1) div 50").as("blk"),
+          col("__t").as("w"))
+        .groupBy(col("doc_id"), col("blk"), col("w"))
+        .agg(count(lit(1)).as("c"))
+        .localCheckpoint() // feeds norms + the adjacent-block dot join
+      val norms = counts.groupBy(col("doc_id"), col("blk"))
+        .agg(sum(col("c") * col("c")).as("nrm"))
+      val dots = counts.alias("a").join(counts.alias("b"),
+          col("a.doc_id") === col("b.doc_id") && col("a.w") === col("b.w") &&
+            col("b.blk") === col("a.blk") + 1L)
+        .groupBy(col("a.doc_id").as("doc_id"), col("a.blk").as("blk"))
+        .agg(sum(col("a.c") * col("b.c")).as("dot"))
+      val gaps = norms.alias("x").join(norms.alias("y"),
+          col("x.doc_id") === col("y.doc_id") &&
+            col("y.blk") === col("x.blk") + 1L)
+        .select(col("x.doc_id").as("doc_id"), col("x.blk").as("blk"),
+          col("x.nrm").as("na"), col("y.nrm").as("nb"))
+        .join(dots, Seq("doc_id", "blk"), "left")
+        .select(col("doc_id"), col("blk"),
+          round(coalesce(col("dot"), lit(0L)).cast(DoubleType) /
+            (sqrt(col("na").cast(DoubleType)) *
+             sqrt(col("nb").cast(DoubleType))) * lit(1.0e6))
+            .cast(LongType).as("cosq"))
+      val mn = gaps.groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_gaps"), sum(col("cosq")).as("__sc"),
+          min(col("cosq")).as("__mc"))
+      val cut = gaps.join(mn.select(col("doc_id"), col("__mc")), Seq("doc_id"))
+        .filter(col("cosq") === col("__mc"))
+        .groupBy(col("doc_id")).agg(min(col("blk")).as("cut_block"))
+      val nb = norms.groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_blocks"))
+      mn.join(cut, Seq("doc_id")).join(nb, Seq("doc_id"))
+        .select(col("doc_id"), col("n_blocks"), col("n_gaps"),
+          round(col("__sc").cast(DoubleType) / lit(1.0e6) /
+            col("n_gaps").cast(DoubleType), 6).as("mean_cos"),
+          round(col("__mc").cast(DoubleType) / lit(1.0e6), 6).as("min_cos"),
+          col("cut_block"))
+        .orderBy(col("doc_id"))
+    }),
+
     // ---- q228: pairwise Jensen–Shannon divergence between source
     // unigram distributions — the mixture-design audit: which sources
     // are near-duplicates of each other's token distribution (mix them
@@ -1753,6 +1814,56 @@ object TextAnalysis {
   }
 
   val oracle: Map[String, String] = Map(
+    // TextTiling twin: filtered-list ordinality == the keyed filtered
+    // row_number, identical integer dots/norms and the micro-snapped
+    // sqrt·sqrt chain, exact-integer argmin cut
+    "q354_texttiling" ->
+      """WITH toks AS (
+        |  SELECT doc_id, t[i] AS w, CAST(i AS BIGINT) AS pos
+        |  FROM (SELECT doc_id,
+        |          list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+        |            x -> x <> '') AS t
+        |        FROM documents) d,
+        |       unnest(generate_series(1, len(t))) AS u(i)),
+        |counts AS (
+        |  SELECT doc_id, (pos - 1) // 50 AS blk, w,
+        |    CAST(COUNT(*) AS BIGINT) AS c
+        |  FROM toks GROUP BY 1, 2, 3),
+        |norms AS (
+        |  SELECT doc_id, blk, CAST(SUM(c * c) AS BIGINT) AS nrm
+        |  FROM counts GROUP BY 1, 2),
+        |dots AS (
+        |  SELECT a.doc_id, a.blk, CAST(SUM(a.c * b.c) AS BIGINT) AS dot
+        |  FROM counts a JOIN counts b
+        |    ON a.doc_id = b.doc_id AND a.w = b.w AND b.blk = a.blk + 1
+        |  GROUP BY 1, 2),
+        |gaps AS (
+        |  SELECT x.doc_id, x.blk,
+        |    CAST(ROUND(CAST(COALESCE(d.dot, 0) AS DOUBLE) /
+        |      (sqrt(CAST(x.nrm AS DOUBLE)) * sqrt(CAST(y.nrm AS DOUBLE))) *
+        |      1000000.0) AS BIGINT) AS cosq
+        |  FROM norms x
+        |  JOIN norms y ON y.doc_id = x.doc_id AND y.blk = x.blk + 1
+        |  LEFT JOIN dots d ON d.doc_id = x.doc_id AND d.blk = x.blk),
+        |mn AS (
+        |  SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_gaps,
+        |    CAST(SUM(cosq) AS BIGINT) AS sc, CAST(MIN(cosq) AS BIGINT) AS mc
+        |  FROM gaps GROUP BY 1),
+        |cut AS (
+        |  SELECT g.doc_id, CAST(MIN(g.blk) AS BIGINT) AS cut_block
+        |  FROM gaps g JOIN mn ON mn.doc_id = g.doc_id AND g.cosq = mn.mc
+        |  GROUP BY 1),
+        |nb AS (
+        |  SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_blocks
+        |  FROM norms GROUP BY 1)
+        |SELECT mn.doc_id, nb.n_blocks, mn.n_gaps,
+        |  round(CAST(sc AS DOUBLE) / 1000000.0 / CAST(n_gaps AS DOUBLE), 6)
+        |    AS mean_cos,
+        |  round(CAST(mc AS DOUBLE) / 1000000.0, 6) AS min_cos,
+        |  cut.cut_block
+        |FROM mn JOIN cut ON cut.doc_id = mn.doc_id
+        |JOIN nb ON nb.doc_id = mn.doc_id
+        |ORDER BY mn.doc_id""".stripMargin,
     "q253_logistic_quality_train" -> logisticSql(3, 500),
 
     "q289_covariate_shift" -> covariateShiftSql(500),

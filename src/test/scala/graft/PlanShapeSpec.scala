@@ -1222,4 +1222,19 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(p.contains("HashAggregate"), p)
     assert(!p.contains("Window"), p)
   }
+
+  test("q354 TextTiling windows and joins are doc-keyed (no global sort)") {
+    val plans = capturedPlans("q354_texttiling")
+    val all = plans.mkString("\n===\n")
+    assert(all.contains("windowspecdefinition(doc_id#"), all)
+    assert(!all.contains("CartesianProduct"), all)
+  }
+
+  test("q355 sign-bit audit broadcasts probe signatures; Hamming ranks key on qid") {
+    val plans = capturedPlans("q355_signbit_audit")
+    val all = plans.mkString("\n===\n")
+    assert(all.contains("BroadcastNestedLoopJoin") ||
+      all.contains("BroadcastHashJoin"), all)
+    assert(all.contains("windowspecdefinition(qid#"), all)
+  }
 }
