@@ -506,6 +506,44 @@ object Dedup {
           .otherwise(round(lit(2.0) * h * c / (h + c), 6)).as("v_measure"))
     }),
 
+    // ---- q356: capture–recapture corpus-size estimate (Chapman) —
+    // how many DISTINCT contents exist beyond what two overlapping
+    // crawls saw (the "how complete is my corpus" question q114's
+    // overlap counts stop short of): treat the doc-parity halves as
+    // two captures of the content population, mark–recapture on exact
+    // content identity (the q55 md5 device), N̂ = (n₁+1)(n₂+1)/(m+1)−1
+    // with the Chapman variance CI. Because the truth is computable
+    // here (countDistinct over everything), the output also scores the
+    // estimator's error — the honesty twist the q304/q328 audits
+    // apply to NDV/cardinality estimators. One content-keyed aggregate
+    // + one 1-row reduction: linear. ----
+    "q356_capture_recapture" -> ((s, dir) => {
+      val sets = t(s, dir, "documents")
+        .select((col("doc_id") % 2 === 0).as("a"),
+          md5(regexp_replace(lower(trim(col("text"))), "\\s+", " "))
+            .as("fp"))
+        .groupBy(col("fp"))
+        .agg(max(when(col("a"), 1L).otherwise(0L)).as("ina"),
+          max(when(!col("a"), 1L).otherwise(0L)).as("inb"))
+      val ag = sets.agg(sum(col("ina")).as("n_a"), sum(col("inb")).as("n_b"),
+        sum(col("ina") * col("inb")).as("overlap"),
+        count(lit(1)).as("n_true"))
+      def d(c: String) = col(c).cast(DoubleType)
+      val nhat = (d("n_a") + lit(1.0)) * (d("n_b") + lit(1.0)) /
+        (d("overlap") + lit(1.0)) - lit(1.0)
+      val vr = (d("n_a") + lit(1.0)) * (d("n_b") + lit(1.0)) *
+        (d("n_a") - d("overlap")) * (d("n_b") - d("overlap")) /
+        ((d("overlap") + lit(1.0)) * (d("overlap") + lit(1.0)) *
+          (d("overlap") + lit(2.0)))
+      ag.select(col("n_a"), col("n_b"), col("overlap"),
+        round(nhat, 2).as("n_hat"),
+        round(nhat - lit(1.96) * sqrt(vr), 2).as("ci_lo"),
+        round(nhat + lit(1.96) * sqrt(vr), 2).as("ci_hi"),
+        col("n_true"),
+        round((nhat - d("n_true")) / d("n_true") * lit(100.0), 4)
+          .as("err_pct"))
+    }),
+
     // ---- q52: containment near-dup pairs (C >= 0.9 of the smaller set) ----
     "q52_dedup_containment" -> ((s, dir) => {
       containmentPairs(t(s, dir, "documents"), "text", "doc_id",
@@ -1022,6 +1060,42 @@ object Dedup {
         |        + CAST(sr AS DOUBLE) / 1000000000.0
         |        / CAST(n_docs AS DOUBLE)), 6) END AS bcubed_f1
         |FROM agg""".stripMargin,
+
+    // capture–recapture twin: identical parity capture marks, exact
+    // content-keyed flags, the same Chapman/variance double chains
+    "q356_capture_recapture" ->
+      """WITH sets AS (
+        |  SELECT md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'))
+        |      AS fp,
+        |    CAST(MAX(CASE WHEN doc_id % 2 = 0 THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS ina,
+        |    CAST(MAX(CASE WHEN doc_id % 2 <> 0 THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS inb
+        |  FROM documents GROUP BY 1),
+        |ag AS (
+        |  SELECT CAST(SUM(ina) AS BIGINT) AS n_a,
+        |    CAST(SUM(inb) AS BIGINT) AS n_b,
+        |    CAST(SUM(ina * inb) AS BIGINT) AS overlap,
+        |    CAST(COUNT(*) AS BIGINT) AS n_true
+        |  FROM sets),
+        |c AS (
+        |  SELECT *,
+        |    (CAST(n_a AS DOUBLE) + 1.0) * (CAST(n_b AS DOUBLE) + 1.0) /
+        |      (CAST(overlap AS DOUBLE) + 1.0) - 1.0 AS nhat,
+        |    (CAST(n_a AS DOUBLE) + 1.0) * (CAST(n_b AS DOUBLE) + 1.0) *
+        |      (CAST(n_a AS DOUBLE) - CAST(overlap AS DOUBLE)) *
+        |      (CAST(n_b AS DOUBLE) - CAST(overlap AS DOUBLE)) /
+        |      ((CAST(overlap AS DOUBLE) + 1.0) *
+        |       (CAST(overlap AS DOUBLE) + 1.0) *
+        |       (CAST(overlap AS DOUBLE) + 2.0)) AS vr
+        |  FROM ag)
+        |SELECT n_a, n_b, overlap, round(nhat, 2) AS n_hat,
+        |  round(nhat - 1.96 * sqrt(vr), 2) AS ci_lo,
+        |  round(nhat + 1.96 * sqrt(vr), 2) AS ci_hi,
+        |  n_true,
+        |  round((nhat - CAST(n_true AS DOUBLE)) / CAST(n_true AS DOUBLE)
+        |    * 100.0, 4) AS err_pct
+        |FROM c""".stripMargin,
 
     // V-measure twin: q343's closure + cells, then the same nano-
     // quantized ln factors multiplied by exact integer cell counts;

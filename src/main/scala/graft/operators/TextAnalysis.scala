@@ -132,6 +132,35 @@ object TextAnalysis {
         .orderBy(col("doc_id"))
     }),
 
+    // ---- q357: template-prefix collapse audit — synthetic/boiler-
+    // plate generation pipelines stamp documents from a few templates,
+    // and the tell is many docs SHARING THEIR OPENING TOKENS (q53/q107
+    // score within-doc repetition, q66 cross-doc n-grams anywhere;
+    // templates specifically collapse the PREFIX distribution): per
+    // source, the distinct first-8-token prefix count and the largest
+    // prefix group's share, flagged above 5%. Prefix = md5 over the
+    // NUL-joined filtered token slice (collision-proof, identical in
+    // both engines); two keyed aggregates, exact counts, one division
+    // per source. ----
+    "q357_template_prefix" -> ((s, dir) => {
+      val pre = t(s, dir, "documents")
+        .select(col("source"),
+          md5(expr("array_join(slice(filter(split(lower(text), " +
+            "'[^a-z0-9]+'), x -> x != ''), 1, 8), chr(0))")).as("pre"))
+        .groupBy(col("source"), col("pre"))
+        .agg(count(lit(1)).as("cnt"))
+      val ag = pre.groupBy(col("source"))
+        .agg(sum(col("cnt")).as("n_docs"),
+          count(lit(1)).as("n_prefixes"),
+          max(col("cnt")).as("top_count"))
+      val share = col("top_count").cast(DoubleType) /
+        col("n_docs").cast(DoubleType)
+      ag.select(col("source"), col("n_docs"), col("n_prefixes"),
+          col("top_count"), round(share, 6).as("top_share"),
+          (share > lit(0.05)).as("template_flag"))
+        .orderBy(col("source"))
+    }),
+
     // ---- q228: pairwise Jensen–Shannon divergence between source
     // unigram distributions — the mixture-design audit: which sources
     // are near-duplicates of each other's token distribution (mix them
@@ -1814,6 +1843,28 @@ object TextAnalysis {
   }
 
   val oracle: Map[String, String] = Map(
+    // template-prefix twin: identical NUL-joined filtered token slice
+    // under md5, exact group counts, one division + unrounded flag
+    "q357_template_prefix" ->
+      """WITH pre AS (
+        |  SELECT source,
+        |    md5(array_to_string(
+        |      list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+        |        x -> x <> '')[1:8], chr(0))) AS pre,
+        |    CAST(COUNT(*) AS BIGINT) AS cnt
+        |  FROM documents GROUP BY 1, 2),
+        |ag AS (
+        |  SELECT source, CAST(SUM(cnt) AS BIGINT) AS n_docs,
+        |    CAST(COUNT(*) AS BIGINT) AS n_prefixes,
+        |    CAST(MAX(cnt) AS BIGINT) AS top_count
+        |  FROM pre GROUP BY 1)
+        |SELECT source, n_docs, n_prefixes, top_count,
+        |  round(CAST(top_count AS DOUBLE) / CAST(n_docs AS DOUBLE), 6)
+        |    AS top_share,
+        |  CAST(top_count AS DOUBLE) / CAST(n_docs AS DOUBLE) > 0.05
+        |    AS template_flag
+        |FROM ag ORDER BY source""".stripMargin,
+
     // TextTiling twin: filtered-list ordinality == the keyed filtered
     // row_number, identical integer dots/norms and the micro-snapped
     // sqrt·sqrt chain, exact-integer argmin cut

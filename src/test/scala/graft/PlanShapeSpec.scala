@@ -1108,15 +1108,18 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(!p.contains("CartesianProduct"), p)
   }
 
-  test("q339 PSM matches bucket-blocked (equi join on cb), windows per treated") {
+  test("q339 PSM matches bucket-blocked (equi join on cb), value-keyed windows") {
     val p = planOf("q339_psm_att")
     // the only BNLJ allowed is the 1-row summary cross; the candidate
     // join itself must be a cb-keyed equi join
     assert(!p.contains("CartesianProduct"), p)
     assert(p.contains("cb"), p)
+    // r13 rewrite: the rank window keys on the distinct propensity
+    // value (work ∝ distinct cells) — the old per-treated (t_uid)
+    // window was quadratic in users at fixed bucket width
     val specs = "windowspecdefinition\\(".r.findAllMatchIn(p).map(_.start).toSeq
     assert(specs.nonEmpty && specs.forall { i =>
-      p.substring(i, math.min(p.length, i + 60)).contains("t_uid")
+      p.substring(i, math.min(p.length, i + 60)).contains("pt")
     }, p)
   }
 
@@ -1237,4 +1240,17 @@ class PlanShapeSpec extends AnyFunSuite {
       all.contains("BroadcastHashJoin"), all)
     assert(all.contains("windowspecdefinition(qid#"), all)
   }
+
+  test("q356 capture-recapture is two hash aggregates, no window") {
+    val p = planOf("q356_capture_recapture")
+    assert(p.contains("HashAggregate"), p)
+    assert(!p.contains("Window"), p)
+  }
+
+  test("q357 template audit is two keyed aggregates, no window") {
+    val p = planOf("q357_template_prefix")
+    assert(p.contains("HashAggregate"), p)
+    assert(!p.contains("Window"), p)
+  }
+
 }
