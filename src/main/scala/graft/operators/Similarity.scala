@@ -425,7 +425,13 @@ object Similarity {
     "q355_signbit_audit" -> ((s, dir) => {
       import s.implicits._
       val base = t(s, dir, "embeddings")
-      val qsv = base.filter($"vec_id" % 100 === 0)
+      // derived-modulus probe set (r13; the fixed % 100 fraction made
+      // #probes ∝ n — the sf3 rung measured 10.2× on 3× data): ~50
+      // probes at any scale, identical to % 100 below 5000 vectors
+      val cntQ = base.agg(count(lit(1)).as("__n"))
+      val qsv = base.crossJoin(broadcast(cntQ))
+        .filter($"vec_id" % greatest(lit(100L), expr("__n div 50")) === 0)
+        .drop("__n")
       val exact = graft.api.Graft.cosineTopK(base, qsv, "embedding",
           "vec_id", 10)
         .select($"qid", $"nid").localCheckpoint()
@@ -440,7 +446,8 @@ object Similarity {
           sum(when(col("i") > 32L && col("xq") > 0L,
             expr("cast(power(2.0, 64 - i) as long)")).otherwise(0L)).as("hi"))
         .localCheckpoint() // feeds the probe slice and the scan side
-      val qsig = sig.filter(col("vec_id") % 100 === 0)
+      val qsig = sig.crossJoin(broadcast(cntQ))
+        .filter(col("vec_id") % greatest(lit(100L), expr("__n div 50")) === 0)
         .select(col("vec_id").as("qid"), col("lo").as("qlo"),
           col("hi").as("qhi"))
       val ham = sig.join(broadcast(qsig), col("vec_id") =!= col("qid"))
@@ -469,6 +476,62 @@ object Similarity {
           round(col("__m").cast(DoubleType) / lit(10.0), 4).as("min_recall"),
           round(col("__sh").cast(DoubleType) / col("__nh").cast(DoubleType),
             4).as("mean_hamming_top10"))
+    }),
+
+    // ---- q358: MRR of the compressed ranking — WHERE does compression
+    // put the one answer that matters? q355's recall@10 scores the set;
+    // MRR (the standard first-relevant-rank metric) scores the
+    // POSITION of the exact cosine top-1 inside the full Hamming
+    // ranking. Rank is an exact integer (row_number by (h, nid) over
+    // the same signature scan), reciprocal ranks are micro-quantized
+    // by INTEGER division (1000000 div rank — no float average), and a
+    // not-found probe contributes 0 by contract (dormant here: the
+    // ranking is total). ----
+    "q358_mrr_compressed" -> ((s, dir) => {
+      import s.implicits._
+      val base = t(s, dir, "embeddings")
+      // derived-modulus probes — see q355 (scale-free probe count)
+      val cntQ = base.agg(count(lit(1)).as("__n"))
+      val qsv = base.crossJoin(broadcast(cntQ))
+        .filter($"vec_id" % greatest(lit(100L), expr("__n div 50")) === 0)
+        .drop("__n")
+      val top1 = graft.api.Graft.cosineTopK(base, qsv, "embedding",
+          "vec_id", 1)
+        .select($"qid", $"nid").localCheckpoint()
+      val dims = base.select(col("vec_id"),
+          posexplode(col("embedding")).as(Seq("i0", "x")))
+        .select(col("vec_id"), (col("i0") + 1).cast(LongType).as("i"),
+          round(col("x").cast(DoubleType) * lit(1.0e6)).cast(LongType)
+            .as("xq"))
+      val sig = dims.groupBy(col("vec_id")).agg(
+          sum(when(col("i") <= 32L && col("xq") > 0L,
+            expr("cast(power(2.0, 32 - i) as long)")).otherwise(0L)).as("lo"),
+          sum(when(col("i") > 32L && col("xq") > 0L,
+            expr("cast(power(2.0, 64 - i) as long)")).otherwise(0L)).as("hi"))
+        .localCheckpoint()
+      val qsig = sig.crossJoin(broadcast(cntQ))
+        .filter(col("vec_id") % greatest(lit(100L), expr("__n div 50")) === 0)
+        .select(col("vec_id").as("qid"), col("lo").as("qlo"),
+          col("hi").as("qhi"))
+      val ham = sig.join(broadcast(qsig), col("vec_id") =!= col("qid"))
+        .select(col("qid"), col("vec_id").as("nid"),
+          (bit_count(col("lo").bitwiseXOR(col("qlo"))) +
+           bit_count(col("hi").bitwiseXOR(col("qhi")))).cast(LongType)
+            .as("h"))
+      val wq = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("qid")).orderBy(col("h"), col("nid"))
+      val ranks = ham.withColumn("rnk", row_number().over(wq).cast(LongType))
+        .join(top1, Seq("qid", "nid")) // keeps only the true top-1's row
+        .select(col("qid"), col("rnk"),
+          expr("1000000 div rnk").as("rrq"))
+      val nq = top1.agg(countDistinct(col("qid")).as("n_queries"))
+      ranks.agg(sum(col("rrq")).as("__s"), max(col("rnk")).as("worst_rank"),
+          sum(when(col("rnk") <= 10L, 1L).otherwise(0L)).as("top1_in_10"))
+        .crossJoin(broadcast(nq))
+        .select(col("n_queries"),
+          round(col("__s").cast(DoubleType) / lit(1.0e6) /
+            col("n_queries").cast(DoubleType), 6).as("mrr"),
+          col("worst_rank"), col("top1_in_10"))
     }),
 
     "q46_ann_recall_gate" -> ((s, dir) => {
@@ -971,12 +1034,76 @@ object Similarity {
         |FROM tot CROSS JOIN nq CROSS JOIN ntr
         |ORDER BY sum_nano DESC, vec_id LIMIT 20""".stripMargin,
 
+    // MRR twin: the q27 exact chain at k=1 for the gold answer, the
+    // q355 signature/Hamming ranking for the full rank, integer-
+    // division reciprocal ranks
+    "q358_mrr_compressed" ->
+      """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+        |cq AS (SELECT greatest(100, CAST(COUNT(*) AS BIGINT) // 50) AS m
+        |       FROM embeddings),
+        |q AS (SELECT vec_id AS qid, v AS qv FROM e CROSS JOIN cq
+        |      WHERE vec_id % m = 0),
+        |scored AS (
+        |  SELECT q.qid, e.vec_id AS nid,
+        |    list_dot_product(e.v, q.qv) /
+        |      (sqrt(list_dot_product(e.v, e.v)) *
+        |       sqrt(list_dot_product(q.qv, q.qv))) AS sim
+        |  FROM e, q WHERE e.vec_id <> q.qid),
+        |top1 AS (
+        |  SELECT qid, nid FROM (
+        |    SELECT qid, nid,
+        |      ROW_NUMBER() OVER (PARTITION BY qid ORDER BY sim DESC, nid)
+        |        AS rnk
+        |    FROM scored) WHERE rnk <= 1),
+        |dims AS (
+        |  SELECT vec_id, CAST(i AS BIGINT) AS i,
+        |    CAST(ROUND(CAST(embedding[i] AS DOUBLE) * 1000000.0) AS BIGINT)
+        |      AS xq
+        |  FROM (SELECT vec_id, embedding,
+        |          unnest(generate_series(1, len(embedding))) AS i
+        |        FROM embeddings) d),
+        |sig AS (
+        |  SELECT vec_id,
+        |    CAST(SUM(CASE WHEN i <= 32 AND xq > 0
+        |      THEN CAST(power(2.0, 32 - i) AS BIGINT) ELSE 0 END)
+        |      AS BIGINT) AS lo,
+        |    CAST(SUM(CASE WHEN i > 32 AND xq > 0
+        |      THEN CAST(power(2.0, 64 - i) AS BIGINT) ELSE 0 END)
+        |      AS BIGINT) AS hi
+        |  FROM dims GROUP BY 1),
+        |qs AS (SELECT vec_id AS qid, lo AS qlo, hi AS qhi
+        |       FROM sig CROSS JOIN cq WHERE vec_id % m = 0),
+        |ham AS (
+        |  SELECT q2.qid, s.vec_id AS nid,
+        |    CAST(bit_count(xor(s.lo, q2.qlo)) + bit_count(xor(s.hi, q2.qhi))
+        |      AS BIGINT) AS h
+        |  FROM sig s CROSS JOIN qs q2 WHERE s.vec_id <> q2.qid),
+        |ranks AS (
+        |  SELECT r.qid, r.rnk, 1000000 // r.rnk AS rrq
+        |  FROM (SELECT qid, nid, h,
+        |          CAST(ROW_NUMBER() OVER (PARTITION BY qid ORDER BY h, nid)
+        |            AS BIGINT) AS rnk
+        |        FROM ham) r
+        |  JOIN top1 t1 ON t1.qid = r.qid AND t1.nid = r.nid),
+        |nq AS (SELECT CAST(COUNT(DISTINCT qid) AS BIGINT) AS n_queries
+        |       FROM top1)
+        |SELECT n_queries,
+        |  round(CAST(SUM(rrq) AS DOUBLE) / 1000000.0 /
+        |    CAST(n_queries AS DOUBLE), 6) AS mrr,
+        |  CAST(MAX(rnk) AS BIGINT) AS worst_rank,
+        |  CAST(SUM(CASE WHEN rnk <= 10 THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS top1_in_10
+        |FROM ranks CROSS JOIN nq GROUP BY n_queries""".stripMargin,
+
     // sign-bit twin: the q27 exact-cosine chain for ground truth, the
     // same power-of-two signature sums and Hamming ranking, integer
     // hit counts — recall means never average floats
     "q355_signbit_audit" ->
       """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
-        |q AS (SELECT vec_id AS qid, v AS qv FROM e WHERE vec_id % 100 = 0),
+        |cq AS (SELECT greatest(100, CAST(COUNT(*) AS BIGINT) // 50) AS m
+        |       FROM embeddings),
+        |q AS (SELECT vec_id AS qid, v AS qv FROM e CROSS JOIN cq
+        |      WHERE vec_id % m = 0),
         |scored AS (
         |  SELECT q.qid, e.vec_id AS nid,
         |    list_dot_product(e.v, q.qv) /
@@ -1006,7 +1133,7 @@ object Similarity {
         |      AS BIGINT) AS hi
         |  FROM dims GROUP BY 1),
         |qs AS (SELECT vec_id AS qid, lo AS qlo, hi AS qhi
-        |       FROM sig WHERE vec_id % 100 = 0),
+        |       FROM sig CROSS JOIN cq WHERE vec_id % m = 0),
         |ham AS (
         |  SELECT q.qid, s.vec_id AS nid,
         |    CAST(bit_count(xor(s.lo, q.qlo)) + bit_count(xor(s.hi, q.qhi))

@@ -132,6 +132,34 @@ object TextAnalysis {
         .orderBy(col("doc_id"))
     }),
 
+    // ---- q359: context-length truncation audit — the planning table
+    // for picking a training context length (q216 scores PACKING waste
+    // once a length is chosen; this scores what TRUNCATION destroys
+    // before that): for each candidate context L, how many documents
+    // exceed it and what fraction of corpus tokens a hard truncation
+    // at L throws away. Exact integer token counts (the shared
+    // filtered-token device), one conditional aggregate over a 4-way
+    // broadcast explode, one division per row. ----
+    "q359_truncation_audit" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+        .select(expr("cast(size(filter(split(lower(text), '[^a-z0-9]+'), " +
+          "x -> x != '')) as long)").as("ntok"))
+      docs.withColumn("ctx_len",
+          explode(array(Seq(128L, 256L, 512L, 1024L).map(lit): _*)))
+        .groupBy(col("ctx_len"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(when(col("ntok") > col("ctx_len"), 1L).otherwise(0L))
+            .as("docs_over"),
+          sum(col("ntok")).as("tokens_total"),
+          sum(greatest(col("ntok") - col("ctx_len"), lit(0L)))
+            .as("tokens_lost"))
+        .select(col("ctx_len"), col("n_docs"), col("docs_over"),
+          col("tokens_total"), col("tokens_lost"),
+          round(col("tokens_lost").cast(DoubleType) /
+            col("tokens_total").cast(DoubleType), 6).as("frac_lost"))
+        .orderBy(col("ctx_len"))
+    }),
+
     // ---- q357: template-prefix collapse audit — synthetic/boiler-
     // plate generation pipelines stamp documents from a few templates,
     // and the tell is many docs SHARING THEIR OPENING TOKENS (q53/q107
@@ -1843,6 +1871,28 @@ object TextAnalysis {
   }
 
   val oracle: Map[String, String] = Map(
+    // truncation twin: identical filtered token counts, exact
+    // conditional sums per candidate context, one division
+    "q359_truncation_audit" ->
+      """WITH d AS (
+        |  SELECT CAST(len(list_filter(
+        |    string_split_regex(lower(text), '[^a-z0-9]+'),
+        |    x -> x <> '')) AS BIGINT) AS ntok
+        |  FROM documents),
+        |x AS (
+        |  SELECT ctx_len, ntok
+        |  FROM d CROSS JOIN
+        |    (SELECT CAST(unnest([128, 256, 512, 1024]) AS BIGINT)
+        |       AS ctx_len) c)
+        |SELECT ctx_len, CAST(COUNT(*) AS BIGINT) AS n_docs,
+        |  CAST(SUM(CASE WHEN ntok > ctx_len THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS docs_over,
+        |  CAST(SUM(ntok) AS BIGINT) AS tokens_total,
+        |  CAST(SUM(greatest(ntok - ctx_len, 0)) AS BIGINT) AS tokens_lost,
+        |  round(CAST(SUM(greatest(ntok - ctx_len, 0)) AS DOUBLE) /
+        |    CAST(SUM(ntok) AS DOUBLE), 6) AS frac_lost
+        |FROM x GROUP BY 1 ORDER BY ctx_len""".stripMargin,
+
     // template-prefix twin: identical NUL-joined filtered token slice
     // under md5, exact group counts, one division + unrounded flag
     "q357_template_prefix" ->

@@ -1241,6 +1241,20 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(all.contains("windowspecdefinition(qid#"), all)
   }
 
+  test("q358 MRR rank window keys on qid; probes broadcast") {
+    val plans = capturedPlans("q358_mrr_compressed")
+    val all = plans.mkString("\n===\n")
+    assert(all.contains("windowspecdefinition(qid#"), all)
+    assert(all.contains("BroadcastNestedLoopJoin") ||
+      all.contains("BroadcastHashJoin"), all)
+  }
+
+  test("q359 truncation audit is one conditional aggregate over the scan") {
+    val p = planOf("q359_truncation_audit")
+    assert(p.contains("HashAggregate"), p)
+    assert(!p.contains("Window"), p)
+  }
+
   test("q356 capture-recapture is two hash aggregates, no window") {
     val p = planOf("q356_capture_recapture")
     assert(p.contains("HashAggregate"), p)
