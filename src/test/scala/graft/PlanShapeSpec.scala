@@ -653,14 +653,18 @@ class PlanShapeSpec extends AnyFunSuite {
     }
   }
 
-  test("q242 feature hashing is a pure projection + one keyed aggregate") {
+  test("q242 feature hashing reads the shared artifact with no re-" +
+    "featurization (r13: was projection + keyed aggregate per query)") {
     val p = planOf("q242_feature_hashing")
     assert(!p.contains("Join"), p)
     assert(!p.contains("windowspecdefinition"), p)
-    // exactly one hash shuffle (the keyed sum); the only other exchange
-    // is the output-order range partitioning
+    // the featurize pass (explode + two md5s + keyed sum) now lives in
+    // the once-per-session bucketed artifact — the query plan is just
+    // the artifact scan plus the output-order range exchange
+    assert(p.contains("graft_art_"), p)
+    assert(!p.contains("md5"), p)
     assert("hashpartitioning".r.findAllMatchIn(
-      p.replaceAll("AQEShuffleRead.*", "")).size >= 1, p)
+      p.replaceAll("AQEShuffleRead.*", "")).isEmpty, p)
   }
 
   test("q243 sprt walk windows are partition-offset only (never one global sort)") {
