@@ -45,9 +45,15 @@ private[api] trait GraftDedupText { this: Graft.type =>
   def lshAuditPairs(df: DataFrame, textCol: String, idCol: String,
       num: Int = 4, den: Int = 5, maxPairs: Long = 100000000L): DataFrame = {
     graft.functions.GraftFunctions.register(df.sparkSession)
-    val reps = df.select(md5(col(textCol)).as("fp"), col(textCol).as("__t"))
-      .groupBy(col("fp")).agg(min(col("__t")).as("__t"))
-      .select(col("fp"), expr("shingle_set(`__t`, 3)").as("ss"))
+    // The rep key only ever feeds joins, pair orientation, and counts —
+    // every output column is a COUNT, so any bijective key works. A
+    // pinned long surrogate (r13) replaces the 32-char md5 string in
+    // the brute-force shingle self-join and the band join, the two
+    // pair-explosion stages this audit deliberately runs uncapped.
+    val reps = df.select(md5(col(textCol)).as("__fp"), col(textCol).as("__t"))
+      .groupBy(col("__fp")).agg(min(col("__t")).as("__t"))
+      .select(monotonically_increasing_id().as("fp"),
+        expr("shingle_set(`__t`, 3)").as("ss"))
       .localCheckpoint()
     val banded = reps.select(col("fp"),
       posexplode(expr("minhash_bands(ss)")).as(Seq("band", "bh")))
@@ -401,14 +407,35 @@ private[api] trait GraftDedupText { this: Graft.type =>
       .localCheckpoint()
     val sizes = toks.groupBy(col("__id")).agg(count(lit(1)).as("__n"))
     val dfc = toks.groupBy(col("__t")).agg(count(lit(1)).as("__df"))
-    val wn = Window.partitionBy(col("__id")).orderBy(col("__df"), col("__t"))
-    val pref = toks.join(dfc, Seq("__t"))
-      .join(sizes, Seq("__id"))
+    // DICTIONARY ENCODING (r13): every stage downstream of here only
+    // needs key EQUALITY (joins, counts) plus one consistent total
+    // order for the prefix (any fixed order satisfies the losslessness
+    // proof — the verify is exact, so the candidate set may legally
+    // vary with the order while the OUTPUT cannot). The heavy stages —
+    // the prefix self-join and the 2-sided verify join, whose shuffle
+    // at sf0.1 carries ~30M (pair × token) rows — therefore run on
+    // dense LONG surrogates instead of (md5-string id, n-gram-string
+    // token) keys: measured 12.4 → ~7 s end to end on q187, identical
+    // pair set. Surrogates come from monotonically_increasing_id
+    // pinned by localCheckpoint (unique per row of the pinned copy;
+    // WHICH id a key draws is irrelevant — only bijectivity matters,
+    // and every consumer below reads the same pinned table).
+    val docDict = sizes.withColumn("__did", monotonically_increasing_id())
+      .localCheckpoint() // (__id, __n, __did) — corpus-distinct-doc-sized
+    val tokDict = dfc.withColumn("__tid", monotonically_increasing_id())
+      .localCheckpoint() // (__t, __df, __tid) — vocabulary-sized
+    val toksI = toks.join(tokDict, Seq("__t"))
+      .join(docDict.select(col("__id"), col("__did")), Seq("__id"))
+      .select(col("__did"), col("__tid"), col("__df"))
+      .localCheckpoint() // the all-long token table the hot path reads
+    val wn = Window.partitionBy(col("__did")).orderBy(col("__df"), col("__tid"))
+    val pref = toksI
+      .join(docDict.select(col("__did"), col("__n")), Seq("__did"))
       .withColumn("__pos", row_number().over(wn))
       // L = n − ⌈num·n/den⌉ + 1, all-integer
       .filter(col("__pos") <=
         col("__n") - expr(s"(($num * __n) + ${den - 1}) div $den") + lit(1))
-      .select(col("__id"), col("__t"), col("__pos"), col("__n"))
+      .select(col("__did"), col("__tid"), col("__pos"), col("__n"))
       // both sides of the candidate self-join read this subplan; without
       // materialization the df-agg + per-doc window run twice
       .localCheckpoint()
@@ -421,28 +448,34 @@ private[api] trait GraftDedupText { this: Graft.type =>
     //    must reach α = ⌈num·(na+nb)/(num+den)⌉ (from i ≥ t·(na+nb−i)).
     //    Keeping a pair when ANY shared row passes is safe: for a
     //    qualifying pair the first shared token's bound ≥ i ≥ α.
+    // (Pair orientation uses the surrogate order — each unordered pair
+    // is still emitted exactly once, and the public wrapper re-orients
+    // the final member pairs by the caller's ids.)
     val cand = pairBudgetGuard(pref,
-        Seq(pref.groupBy(col("__t")).agg(count(lit(1)).as("__n"))),
+        Seq(pref.groupBy(col("__tid")).agg(count(lit(1)).as("__n"))),
         maxPairs, "prefixFilterJaccardPairs").alias("a")
       .join(pref.alias("b"),
-        col("a.__t") === col("b.__t") && col("a.__id") < col("b.__id") &&
+        col("a.__tid") === col("b.__tid") && col("a.__did") < col("b.__did") &&
           lit(den) * least(col("a.__n"), col("b.__n")) >=
             lit(num) * greatest(col("a.__n"), col("b.__n")) &&
           least(col("a.__n") - col("a.__pos"), col("b.__n") - col("b.__pos")) + lit(1) >=
             expr(s"(($num * (`a`.__n + `b`.__n)) + ${num + den - 1}) div ${num + den}"))
-      .select(col("a.__id").as("da"), col("b.__id").as("db"))
+      .select(col("a.__did").as("dida"), col("b.__did").as("didb"))
       .distinct()
     // Verify with the skinny exploded-token join (measured FASTER here
     // than a per-pair array_intersect on collected shingle arrays: wide
     // array payloads replicated across every candidate row shuffle more
     // bytes than pair×token rows do).
     val inter = cand
-      .join(toks.select(col("__id").as("da"), col("__t")), Seq("da"))
-      .join(toks.select(col("__id").as("db"), col("__t")), Seq("db", "__t"))
-      .groupBy(col("da"), col("db")).agg(count(lit(1)).as("inter"))
+      .join(toksI.select(col("__did").as("dida"), col("__tid")), Seq("dida"))
+      .join(toksI.select(col("__did").as("didb"), col("__tid")),
+        Seq("didb", "__tid"))
+      .groupBy(col("dida"), col("didb")).agg(count(lit(1)).as("inter"))
     inter
-      .join(sizes.select(col("__id").as("da"), col("__n").as("na")), Seq("da"))
-      .join(sizes.select(col("__id").as("db"), col("__n").as("nb")), Seq("db"))
+      .join(docDict.select(col("__did").as("dida"), col("__id").as("da"),
+        col("__n").as("na")), Seq("dida"))
+      .join(docDict.select(col("__did").as("didb"), col("__id").as("db"),
+        col("__n").as("nb")), Seq("didb"))
       .withColumn("uni", col("na") + col("nb") - col("inter"))
       .filter(lit(den) * col("inter") >= lit(num) * col("uni"))
       .select(col("da"), col("db"), col("inter"), col("uni"))
