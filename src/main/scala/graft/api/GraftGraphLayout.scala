@@ -1291,14 +1291,19 @@ private[api] trait GraftGraphLayout { this: Graft.type =>
     // encode/decode measured ~2x slower end-to-end on q173.
     // `canonicalEdges = true` (r13): the caller already holds a
     // canonical deduplicated edge set (the bucketed artifact) — skip
-    // the distinct shuffle. The localCheckpoint STAYS even then: the
-    // wedge join reads e/deg many times at full session parallelism,
-    // and an A/B against raw 16-bucket artifact scans measured ~2×
-    // slower end to end (the bucket count caps the wedge stages'
-    // width). `degrees` optionally supplies the matching (u, deg)
-    // table, skipping the doubled-adjacency degree aggregate.
+    // the distinct's dedup aggregate. The localCheckpoint STAYS, and
+    // so does ONE width-restoring hash exchange before it: a bench-
+    // protocol A/B showed that checkpointing the raw 16-bucket scan
+    // pins its narrow partitioning into every downstream wedge stage
+    // (q173 15.1 → 17.5 s), while checkpointing the raw scan after a
+    // deterministic (a, b) repartition keeps the distinct-skip win
+    // without the width loss. `degrees` optionally supplies the
+    // matching (u, deg) table, skipping the doubled-adjacency degree
+    // aggregate.
     val e = (
-      if (canonicalEdges) edges.select(col(srcCol).as("a"), col(dstCol).as("b"))
+      if (canonicalEdges)
+        edges.select(col(srcCol).as("a"), col(dstCol).as("b"))
+          .repartition(col("a"), col("b"))
       else edges.select(least(col(srcCol), col(dstCol)).as("a"),
           greatest(col(srcCol), col(dstCol)).as("b"))
         .filter(col("a") =!= col("b")).distinct()
