@@ -1300,7 +1300,7 @@ private[api] trait GraftGraphLayout { this: Graft.type =>
     // without the width loss. `degrees` optionally supplies the
     // matching (u, deg) table, skipping the doubled-adjacency degree
     // aggregate.
-    val e = (
+    val e = Graft.planProbe("linkPrediction.e",
       if (canonicalEdges)
         edges.select(col(srcCol).as("a"), col(dstCol).as("b"))
           .repartition(col("a"), col("b"))
@@ -1321,14 +1321,44 @@ private[api] trait GraftGraphLayout { this: Graft.type =>
     // that double sort OOM'd 32-task 8 GiB heaps, while the per-hub
     // list buffer is cap-bounded (≤100 longs) by construction. Pair set
     // identical: array_pairs on the sorted list ≡ the l.v < r.v join.
+    //
+    // r14 width fix + term hoist (measured: the (x,y) aggregate fell
+    // 8.5 → 1.9 s at sf0.1, the whole query's dominant stage): the
+    // hub-list aggregate's output is only #hubs compact array rows, so
+    // AQE coalesced its exchange to 4 partitions at sf0.1 — and the
+    // 17.2M-row wedge explode plus the (x,y) partial aggregation then
+    // ran 4-wide on 32 cores (the measured 8v32-core scaling ratio of
+    // 1.02). Explode amplification is invisible to AQE's byte-based
+    // coalescing, so the width is restored explicitly: one cheap
+    // repartition of the COMPACT list rows (Σ|vs| longs ≈ 2|E| across
+    // all lists) to a wedge-proportional width before exploding.
+    // `wedges` = Σ C(deg,2) over hubs is exact, from one 1-row
+    // aggregate over the node-sized degree table; ~24 B/wedge row and
+    // 64 MB target partitions follow guide §2.2. The Adamic–Adar term
+    // round(1e9/ln(deg)) is per-HUB constant, so it is computed once
+    // per list row instead of once per wedge row (same longs, ~4000×
+    // fewer round/log evaluations at sf0.1).
+    val wedges = deg.filter(col("deg") <= maxDegree)
+      .agg(sum(expr("(deg * (deg - 1)) div 2")).as("w"))
+      .collect()(0) match {
+        case r if r.isNullAt(0) => 0L
+        case r => r.getLong(0)
+      }
+    val width = math.max(adj.sparkSession.sparkContext.defaultParallelism,
+      math.min(4096L, wedges * 24L / (64L << 20))).toInt
     val paths = bridge.groupBy(col("u"), col("deg"))
       .agg(sort_array(collect_list(col("v"))).as("vs"))
-      .select(explode(expr("array_pairs(vs)")).as("p"), col("deg").as("degz"))
-      .select(col("p.da").as("x"), col("p.db").as("y"), col("degz"))
+      // deg-1 hubs emit no pairs (C(1,2) = 0) but DO reach this
+      // projection — guard the term so ln(1) = 0 never divides (the
+      // pre-hoist code only evaluated it on wedge rows, where deg >= 2
+      // is structural); the null is never aggregated.
+      .withColumn("__term", when(col("deg") >= lit(2L),
+        round(lit(1.0e9) / log(col("deg").cast(DoubleType))).cast(LongType)))
+      .repartition(width, col("u"))
+      .select(explode(expr("array_pairs(vs)")).as("p"), col("__term"))
+      .select(col("p.da").as("x"), col("p.db").as("y"), col("__term"))
     val scored = paths.groupBy(col("x"), col("y"))
-      .agg(count(lit(1)).as("cn"),
-        sum(round(lit(1.0e9) / log(col("degz").cast(DoubleType)))
-          .cast(LongType)).as("__aa_q"))
+      .agg(count(lit(1)).as("cn"), sum(col("__term")).as("__aa_q"))
     val cand = scored.join(e.select(col("a").as("x"), col("b").as("y")),
       Seq("x", "y"), "left_anti")
     // Top-k FIRST (rank is by aa_q with (x,y) tie-break — independent of
@@ -1338,8 +1368,9 @@ private[api] trait GraftGraphLayout { this: Graft.type =>
     // TakeOrderedAndProject over cand; the k-row cut also drops every
     // reference to the edge-sized checkpoint RDDs so the ContextCleaner
     // reclaims them at the next GC (review finding).
-    val top = cand.orderBy(col("__aa_q").desc, col("x"), col("y"))
-      .limit(topK).localCheckpoint()
+    val top = Graft.planProbe("linkPrediction.top",
+        cand.orderBy(col("__aa_q").desc, col("x"), col("y")).limit(topK))
+      .localCheckpoint()
     broadcast(top)
       .join(deg.select(col("u").as("x"), col("deg").as("degx")), "x")
       .join(deg.select(col("u").as("y"), col("deg").as("degy")), "y")

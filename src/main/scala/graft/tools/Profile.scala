@@ -8,14 +8,17 @@ object Profile {
   def main(args: Array[String]): Unit = {
     val sfDir = args.head
     val names = args.tail.toSeq
-    // Mirrors Bench's session conf exactly (r13) — a Profile number is
-    // only comparable to a BENCH_DETAIL number if the shuffle sizing
-    // and extensions match.
-    val spark = SparkSession.builder().master("local[32]")
-      .config("spark.sql.shuffle.partitions", "32")
+    // Mirrors Bench's session conf exactly (r13; r14 derives cpus and
+    // initialPartitionNum from SPARK_GRAFT_CPUS exactly as Bench does —
+    // a Profile number is only comparable to a BENCH_DETAIL number if
+    // the core count, shuffle sizing and extensions match).
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder().master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.adaptive.enabled", "true")
-      .config("spark.sql.adaptive.coalescePartitions.initialPartitionNum", "256")
+      .config("spark.sql.adaptive.coalescePartitions.initialPartitionNum",
+        (cpus.toInt * 8).toString)
       .config("spark.sql.extensions", "graft.GraftExtensions")
       .config("spark.ui.enabled", "false")
       .getOrCreate()

@@ -508,6 +508,15 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(plans.exists(_.contains("TakeOrderedAndProject")), all)
     assert(!all.contains("CartesianProduct") && !all.contains("BroadcastNestedLoop"),
       all)
+    // r14 width fix: the wedge explode must sit ABOVE an explicit
+    // numbered repartition of the hub lists (REPARTITION_BY_NUM) — the
+    // hub-list aggregate's compact output otherwise gets AQE-coalesced
+    // to a handful of partitions and the data-proportional explode +
+    // (x,y) aggregation run nearly serially (measured 4 partitions for
+    // 17.2M wedge rows at sf0.1, 8v32-core scaling ratio 1.02).
+    val wedgePlan = plans.find(p =>
+      p.contains("array_pairs") && p.contains("TakeOrderedAndProject"))
+    assert(wedgePlan.exists(_.contains("REPARTITION_BY_NUM")), all)
   }
 
   test("q170 benford is a digit-keyed aggregate with a broadcast total") {
